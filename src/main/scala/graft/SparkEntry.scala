@@ -1,13 +1,225 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Parse, Scoring}
+import graft.sinks.TextSink
+
+/** Driver contract — query registry + DuckDB oracle SQL.
+  *
+  * Conventions shared by every oracle-checked query (SURVEY §5):
+  *   - Money/value doubles are exactly 2-decimal in the testdata, so
+  *     aggregates run on integer cents (`floor(x*100+0.5)` per row, summed as
+  *     BIGINT). Integer sums are order-independent → bit-exact between Spark
+  *     and DuckDB regardless of reduction order. No floating-point hash flakes.
+  *   - Timestamps cross the engine boundary as epoch millis (BIGINT) to dodge
+  *     timezone/precision representation differences.
+  *   - Every computed column is aliased identically in the Spark plan and the
+  *     oracle SQL (the driver's compare sorts columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table is written with nanosecond parquet timestamps, which
+    * Spark cannot represent as TimestampType; read `ts` as raw nanos (long)
+    * and derive `ts_ms` (epoch millis) + `event_time` (µs-precision
+    * timestamp) explicitly. DuckDB keeps native ns precision; all
+    * cross-engine comparisons use `ts_ms` / raw ns ordering, which agree.
+    */
+  private def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts_ms", expr("ts DIV 1000000"))
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Per-row exact cents from a 2-decimal double; identical formula is used
+    * in the oracle SQL so both engines quantize identically.
+    */
+  private def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 100 + 0.5).cast("long")
+
+  // Fixed strict bounds for the HourlyTeamScore-style queries (events span
+  // 2024-01-01 .. 2024-01-30 UTC; reference bounds are strict > / <,
+  // HourlyTeamScore.java:82-87).
+  private val StartMs = 1704412800000L // 2024-01-05 00:00:00 UTC
+  private val StopMs = 1706140800000L  // 2024-01-25 00:00:00 UTC
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("hourly_team_score")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity (SURVEY §2): parse, extract+sum, windowed sum ----
+    "parse_roundtrip" -> { (s, dir) =>
+      // P1: format the events table into the injector's 5-field CSV layout,
+      // then run the tolerant parser; oracle computes the same projection
+      // directly. If parse semantics drift, hashes diverge.
+      val ev = eventsTable(s, dir)
+      val lines = Parse.formatCsv(
+        ev,
+        col("user_id").cast("string"),
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("int"),
+        col("ts_ms")
+      )
+      Parse.parseGameEvents(lines).select(col("user"), col("team"), col("score"), col("timestamp"))
+    },
+    "user_score" -> { (s, dir) =>
+      // C1 with key "user" (UserScore pipeline core).
+      val ev = eventsTable(s, dir).select(
+        col("user_id").cast("string").as("user"),
+        col("event_type").as("team"),
+        cents(col("value")).as("score")
+      )
+      Scoring.extractAndSumScore(ev, "user")
+    },
+    "team_score" -> { (s, dir) =>
+      // C1 with key "team" (getKey("team") branch).
+      val ev = eventsTable(s, dir).select(
+        col("user_id").cast("string").as("user"),
+        col("event_type").as("team"),
+        cents(col("value")).as("score")
+      )
+      Scoring.extractAndSumScore(ev, "team")
+    },
+    "hourly_team_score" -> { (s, dir) =>
+      // HourlyTeamScore: strict bounds (P3/P4), event-time promotion (P5),
+      // 60-min tumbling windows (W1), per-(window, team) sum (A2).
+      val ev = eventsTable(s, dir).select(
+        col("event_type").as("team"),
+        cents(col("value")).as("score"),
+        col("ts_ms").as("timestamp"),
+        col("event_time")
+      )
+      Scoring
+        .hourlyTeamScore(ev, windowMinutes = 60, startMs = StartMs, stopMs = StopMs)
+        .select(
+          unix_millis(col("window_start")).as("window_start_ms"),
+          col("team"),
+          col("total_score")
+        )
+    },
+    "leaderboard_top3" -> { (s, dir) =>
+      // Batch leaderboard: top-3 teams per hour (rank analytic; deterministic
+      // tie-break on team name).
+      val ev = eventsTable(s, dir).select(
+        col("event_type").as("team"),
+        cents(col("value")).as("score"),
+        col("ts_ms").as("timestamp"),
+        col("event_time")
+      )
+      val hourly = Scoring.hourlyTeamScore(ev, 60)
+      val w = Window
+        .partitionBy(col("window_start"))
+        .orderBy(col("total_score").desc, col("team"))
+      hourly
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(
+          unix_millis(col("window_start")).as("window_start_ms"),
+          col("team"),
+          col("total_score"),
+          col("rank")
+        )
+    },
+    "user_running_total" -> { (s, dir) =>
+      // Batch analogue of the streaming global-window running user total
+      // (W5/C3): cumulative per-user sum in event order (event_id tie-break).
+      val ev = eventsTable(s, dir)
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(
+        col("user_id"),
+        col("event_id"),
+        col("ts_ms"),
+        sum(cents(col("value"))).over(w).as("running_total")
+      )
+    },
+    "text_format_rows" -> { (s, dir) =>
+      // P6/C4: fixed-order "k: v, k: v" text rows over the user totals.
+      val ev = eventsTable(s, dir).select(
+        col("user_id").cast("string").as("user"),
+        col("event_type").as("team"),
+        cents(col("value")).as("score")
+      )
+      val totals = Scoring.extractAndSumScore(ev, "user")
+      TextSink.formatRows(totals, Seq("user" -> col("key"), "total_score" -> col("total_score")))
+    },
+    // ---- relational coverage the reference lacks (SURVEY §2.3 note) ----
+    "q1_pricing_summary" -> { (s, dir) =>
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))))
+            .as("sum_charge_cents"),
+          count(lit(1)).as("count_order")
+        )
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "parse_roundtrip" ->
+      """SELECT CAST(user_id AS VARCHAR) AS "user", event_type AS team,
+        |  CAST(floor(value*100 + 0.5) AS INT) AS score,
+        |  epoch_ms(ts) AS timestamp
+        |FROM events""".stripMargin,
+    "user_score" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+        |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_score
+        |FROM events GROUP BY 1""".stripMargin,
+    "team_score" ->
+      """SELECT event_type AS key,
+        |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_score
+        |FROM events GROUP BY 1""".stripMargin,
+    "hourly_team_score" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        |  event_type AS team,
+        |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_score
+        |FROM events
+        |WHERE epoch_ms(ts) > 1704412800000 AND epoch_ms(ts) < 1706140800000
+        |GROUP BY 1, 2""".stripMargin,
+    "leaderboard_top3" ->
+      """WITH hourly AS (
+        |  SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
+        |    event_type AS team,
+        |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_score
+        |  FROM events GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY window_start_ms
+        |    ORDER BY total_score DESC, team) AS INT) AS rank
+        |  FROM hourly
+        |)
+        |SELECT window_start_ms, team, total_score, rank FROM ranked WHERE rank <= 3""".stripMargin,
+    "user_running_total" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total
+        |FROM events""".stripMargin,
+    "text_format_rows" ->
+      """SELECT 'user: ' || CAST(user_id AS VARCHAR) || ', total_score: ' ||
+        |  CAST(CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS VARCHAR) AS line
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*(1 + l_tax)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2""".stripMargin
+  )
 }

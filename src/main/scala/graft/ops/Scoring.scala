@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Score extraction + aggregation — the reference's entire analytic core.
+  *
+  * `extractAndSumScore` is the Spark form of the composite transform at
+  * reference `UserScore.java:90-109` (`MapElements` to (key, score) then
+  * `Sum.integersPerKey`). Spark's `HashAggregateExec` performs the partial
+  * (map-side) aggregation before the shuffle and the final merge after —
+  * exactly Beam's combiner lifting — so per-key traffic across the exchange
+  * is one row per key per partition regardless of input size.
+  *
+  * Divergence noted for scale: the reference sums Integer into Integer
+  * (`UserScore.java:107`), which overflows past ~2^31; we sum into Long.
+  */
+object Scoring {
+
+  /** Key-field selection preserves the reference's `getKey` quirk
+    * (`UserScore.java:56-62`): "team" selects team, anything else user.
+    */
+  def keyColumn(field: String): Column =
+    if (field == "team") col("team") else col("user")
+
+  /** Per-key total score. Input needs `user`/`team`/`score` columns. */
+  def extractAndSumScore(events: DataFrame, field: String): DataFrame =
+    events
+      .groupBy(keyColumn(field).as("key"))
+      .agg(sum(col("score").cast("long")).as("total_score"))
+
+  /** Strict time-bound filters (reference `HourlyTeamScore.java:82-87`):
+    * keep rows with startMs < timestamp < stopMs — both bounds exclusive.
+    */
+  def filterWindow(events: DataFrame, startMs: Long, stopMs: Long): DataFrame =
+    events.filter(col("timestamp") > startMs && col("timestamp") < stopMs)
+
+  /** Fixed (tumbling) event-time windows + per-(window, team) sum — the
+    * HourlyTeamScore pipeline body (`HourlyTeamScore.java:88-93`). Window
+    * assignment becomes an explicit grouping column (Spark has no hidden
+    * per-element window metadata).
+    */
+  def hourlyTeamScore(
+      events: DataFrame,
+      windowMinutes: Int = 60,
+      startMs: Long = Long.MinValue + 1,
+      stopMs: Long = Long.MaxValue
+  ): DataFrame =
+    filterWindow(events, startMs, stopMs)
+      .groupBy(
+        window(col("event_time"), s"$windowMinutes minutes").as("window"),
+        col("team")
+      )
+      .agg(sum(col("score").cast("long")).as("total_score"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("team"),
+        col("total_score")
+      )
+}

@@ -1,0 +1,91 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.GameEvent
+
+/** Text sinks — Spark form of the reference's `WriteToText`
+  * (reference `utils/WriteToText.java`).
+  *
+  * Row format is `"k1: v1, k2: v2"` built from an ordered field list
+  * (`utils/WriteToText.java:57-70`). Divergence documented in SURVEY §2.2 P6:
+  * the reference iterates a `HashMap`, making field order nondeterministic;
+  * we take an ordered `Seq`, fixing insertion order so golden tests exist.
+  */
+object TextSink {
+
+  /** Format rows as `"k1: v1, k2: v2"` — pure column expressions, stays in
+    * codegen; at scale this is a scan-speed projection.
+    */
+  def formatRows(df: DataFrame, fields: Seq[(String, Column)]): DataFrame =
+    df.select(
+      concat_ws(", ", fields.map { case (name, c) => concat(lit(s"$name: "), c.cast("string")) }: _*)
+        .as("line")
+    )
+
+  /** Unwindowed text write (`utils/WriteToText.java:142-145`). */
+  def write(lines: DataFrame, dir: String): Unit =
+    lines.write.mode("overwrite").text(dir)
+
+  /** One file set per window with the reference's filename layout
+    * `prefix-<windowStart>-<windowEnd>-<shard>-of-<numShards>` where the
+    * window bounds are PST-formatted (`utils/WriteToText.java:98-134`),
+    * default 3 shards (`utils/WriteToText.java:94`).
+    *
+    * Scale shape: one distributed write partitioned by window (executors do
+    * all data movement; `repartition(window, shard)` bounds files per window
+    * to `numShards`), then a driver-side rename loop over #windows × #shards
+    * entries — proportional to window count, never to row count.
+    */
+  def writeOneFilePerWindow(
+      windowed: DataFrame,
+      lineCol: Column,
+      outputDir: String,
+      prefix: String,
+      numShards: Int = 3
+  ): Unit = {
+    val spark = windowed.sparkSession
+    val staged = windowed
+      .withColumn("_ws", unix_millis(col("window_start")))
+      .withColumn("_we", unix_millis(col("window_end")))
+      .withColumn("_shard", pmod(spark_partition_id() + monotonically_increasing_id(), lit(numShards)).cast("int"))
+      .repartition(col("_ws"), col("_shard"))
+      .select(col("_ws"), col("_we"), col("_shard"), lineCol.cast("string").as("line"))
+    val stagingDir = s"$outputDir/.staging-$prefix"
+    staged.write
+      .mode("overwrite")
+      .partitionBy("_ws", "_we", "_shard")
+      .text(stagingDir)
+
+    // Driver-side rename: O(#windows * numShards) file moves.
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val base = new Path(stagingDir)
+    val out = new Path(outputDir)
+    fs.mkdirs(out)
+    val wsDirs = fs.listStatus(base).filter(_.getPath.getName.startsWith("_ws="))
+    for (ws <- wsDirs) {
+      val wsMs = ws.getPath.getName.stripPrefix("_ws=").toLong
+      for (we <- fs.listStatus(ws.getPath).filter(_.isDirectory)) {
+        val weMs = we.getPath.getName.stripPrefix("_we=").toLong
+        val shards = fs.listStatus(we.getPath).filter(_.isDirectory)
+        for (sh <- shards) {
+          val shard = sh.getPath.getName.stripPrefix("_shard=").toInt
+          val parts = fs.listStatus(sh.getPath).filter(_.getPath.getName.startsWith("part-"))
+          val name = f"$prefix-${GameEvent.formatMillis(wsMs)}-${GameEvent.formatMillis(weMs)}" +
+            f"-$shard%05d-of-$numShards%05d"
+          parts.headOption.foreach(p => fs.rename(p.getPath, new Path(out, name)))
+        }
+      }
+    }
+    fs.delete(base, true)
+  }
+
+  /** Managed-table append — the BigQuery-sink analogue
+    * (`utils/WriteToBigQuery.java:95-106`): CREATE_IF_NEEDED + WRITE_APPEND
+    * become parquet dir append, schema carried by the DataFrame itself.
+    */
+  def appendTable(df: DataFrame, dir: String): Unit =
+    df.write.mode("append").parquet(dir)
+}

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate (dev tooling only, not part
+of the library): run Verify's parquet outputs against the DuckDB oracle SQL
+and compare row-count, schema (column names), and a row-order-insensitive
+hash of values with columns sorted by name.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(val):
+    if val is None:
+        return "NULL"
+    if isinstance(val, float):
+        return repr(val)
+    if isinstance(val, bool):
+        return str(val).lower()
+    return str(val)
+
+
+def frame_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    import hashlib
+
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok = bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            )
+            got_rows, got_cols = got.fetchall(), [d[0] for d in got.description]
+            exp = con.execute(sql)
+            exp_rows, exp_cols = exp.fetchall(), [d[0] for d in exp.description]
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            bad += 1
+            continue
+        problems = []
+        if sorted(got_cols) != sorted(exp_cols):
+            problems.append(f"cols spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
+        if len(got_rows) != len(exp_rows):
+            problems.append(f"rows spark={len(got_rows)} oracle={len(exp_rows)}")
+        if not problems and frame_hash(got_rows, got_cols) != frame_hash(exp_rows, exp_cols):
+            problems.append("value hash mismatch")
+            gh = {tuple(sorted(zip(got_cols, r))) for r in got_rows}
+            eh = {tuple(sorted(zip(exp_cols, r))) for r in exp_rows}
+            only_g = list(gh - eh)[:3]
+            only_e = list(eh - gh)[:3]
+            if only_g:
+                problems.append(f"  spark-only: {only_g}")
+            if only_e:
+                problems.append(f"  oracle-only: {only_e}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            bad += 1
+        else:
+            print(f"OK   {name} ({len(got_rows)} rows)")
+            ok += 1
+    print(f"== {ok} ok, {bad} fail")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
