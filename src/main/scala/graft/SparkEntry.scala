@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Parse, Scoring}
+import graft.ops.{Dedup, Multimodal, Parse, Scoring, Similarity, TextAnalysis}
 import graft.sinks.TextSink
+import graft.tpch.Relational
 
 /** Driver contract — query registry + DuckDB oracle SQL.
   *
@@ -165,6 +166,80 @@ object SparkEntry {
             .as("sum_charge_cents"),
           count(lit(1)).as("count_order")
         )
+    },
+    "q3_top_orders" -> ((s, dir) => Relational.q3TopOrders(s, dir)),
+    "q5_region_revenue" -> ((s, dir) => Relational.q5RegionRevenue(s, dir)),
+    "part_brand_stats" -> ((s, dir) => Relational.partBrandStats(s, dir)),
+    "returned_order_priorities" -> ((s, dir) => Relational.returnedOrderPriorities(s, dir)),
+    "top_customers_per_nation" -> ((s, dir) => Relational.topCustomersPerNation(s, dir)),
+    "lineitem_profile" -> ((s, dir) => Relational.lineitemProfile(s, dir)),
+    "segment_stats" -> ((s, dir) => Relational.segmentStats(s, dir)),
+    // ---- training-data pipeline operators (north-star extensions) ----
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exactGroups(table(s, dir, "documents"))
+    },
+    "text_stats" -> { (s, dir) =>
+      TextAnalysis.textStats(table(s, dir, "documents"))
+    },
+    "lang_id" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    },
+    "quality_score" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text"), length(col("text"))).as("quality"))
+    },
+    "doc_fingerprint" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprintHex(col("text")).as("fp_hex"))
+    },
+    "token_topk" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    },
+    "jaccard_pairs_sample" -> { (s, dir) =>
+      // Exact 3-gram Jaccard over a deterministic 10% doc sample (all pairs;
+      // the unsampled path is minhash_pairs).
+      val sample = table(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      Dedup
+        .ngramJaccardPairs(sample, "doc_id", "text", 3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    },
+    "minhash_pairs" -> { (s, dir) =>
+      // MinHash-LSH candidates verified by exact Jaccard. Hash functions are
+      // engine-native (xxhash64) → no SQL oracle; correctness is spec'd
+      // against exact Jaccard in DedupSpec.
+      Dedup
+        .minhashPairs(table(s, dir, "documents"))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    },
+    "simhash_fingerprints" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+    },
+    "ann_cosine_topk" -> { (s, dir) =>
+      val emb = table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    },
+    "ann_lsh_topk" -> { (s, dir) =>
+      // LSH-bucketed variant (recall<1 by design → no SQL oracle; recall is
+      // spec'd against the brute-force result in SimilaritySpec).
+      val emb = table(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, nbits = 8)
+    },
+    "media_chunks" -> { (s, dir) =>
+      val media = Multimodal.mediaFromDocuments(table(s, dir, "documents"))
+      val chunks = Multimodal.sampleChunks(Multimodal.chunked(media, 256), stride = 4)
+      chunks.select(
+        col("media_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        size(col("chunks")).as("n_chunks"),
+        size(col("sampled_chunks")).as("n_sampled")
+      )
     }
   )
 
@@ -220,6 +295,146 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue_cents DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+    "part_brand_stats" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+    "returned_order_priorities" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "top_customers_per_nation" ->
+      """WITH ranked AS (
+        |  SELECT n_name, c_custkey, c_name,
+        |    CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS acctbal_cents,
+        |    CAST(row_number() OVER (PARTITION BY n_name
+        |      ORDER BY CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) DESC, c_custkey) AS INT) AS rank
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |)
+        |SELECT * FROM ranked WHERE rank <= 3""".stripMargin,
+    "lineitem_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  min(epoch_ms(l_shipdate)) AS min_ship_ms,
+        |  max(epoch_ms(l_shipdate)) AS max_ship_ms,
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM lineitem""".stripMargin,
+    "segment_stats" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |  count(DISTINCT c_nationkey) AS n_nations,
+        |  CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
+        |FROM customer GROUP BY 1""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
+        |  CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS INT) AS n_distinct_tokens
+        |FROM documents""".stripMargin,
+    "lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['the','and','of','to','in','is'], t))) AS s_en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS s_de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['el','la','los','que','y','es'], t))) AS s_es,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['le','les','des','et','est','dans'], t))) AS s_fr,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM scored""".stripMargin,
+    "quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['the','and','of','to','in','is'], t))) AS INT) AS n_stop
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  round((least(n_tokens, 100) / 100.0) * 0.4
+        |      + least(n_stop * 4.0 / greatest(n_tokens, 1), 1.0) * 0.3
+        |      + (1.0 - least(n_punct * 10.0 / greatest(n_chars, 1), 1.0)) * 0.3, 4) AS quality
+        |FROM f""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, substr(md5(text), 1, 16) AS fp_hex FROM documents""".stripMargin,
+    "token_topk" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "jaccard_pairs_sample" ->
+      """WITH sample AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |      ELSE [] END AS g
+        |  FROM sample
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)
+        |    / (len(a.g) + len(b.g) - len(list_filter(a.g, x -> list_contains(b.g, x)))), 4) AS jaccard
+        |FROM grams a JOIN grams b ON a.doc_id < b.doc_id""".stripMargin,
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+        |  FROM q, c WHERE query_id != neighbor_id
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "media_chunks" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  greatest(CAST(ceil(octet_length(encode(text)) / 256.0) AS INT), 1) AS n_chunks,
+        |  CAST(ceil(greatest(CAST(ceil(octet_length(encode(text)) / 256.0) AS INT), 1) / 4.0) AS INT) AS n_sampled
+        |FROM documents""".stripMargin
   )
 }

@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design:
+  *   - Exact dedup shuffles once on a 128-bit content hash (never on the
+  *     full text), so the exchange carries 16-byte keys at 100 TB.
+  *   - MinHash signatures and SimHash fingerprints are per-row map work
+  *     (higher-order array expressions, no UDFs, no shuffle).
+  *   - LSH candidate generation explodes each doc into `bands` rows keyed by
+  *     (band, bandHash) — a self-equi-join on that key is a plain shuffle
+  *     join Spark executes as exchange + sort-merge, with AQE handling
+  *     skewed buckets. Bucket size is capped to bound the worst-case O(b²)
+  *     pair blowup from degenerate buckets (boilerplate text at web scale).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** One row per distinct content hash: representative (min) id + copy count.
+    * Group key is md5 so the shuffle moves hashes, not documents.
+    */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep exactly one row per distinct text (the min-id representative). */
+  def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol)))
+      .orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // -------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles of the lower-cased text; empty array for
+    * texts shorter than n tokens (mirrors the oracle's CASE guard).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(lower(text), "\\s+")
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)
+    )
+    when(size(toks) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 64-bit hashes of the shingle set (xxhash64, seeded by Spark). */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(wordShingles(text, n), s => xxhash64(s))
+
+  // --------------------------------------------------------------- minhash
+
+  /** MinHash signature: for each of `numHashes` universal hash functions,
+    * the min over the doc's shingle hashes. Pure array expressions — the
+    * whole signature computes in one codegen'd projection.
+    */
+  def minhashSignature(text: Column, shingleN: Int = 3, numHashes: Int = 64, seed: Long = 42L): Column = {
+    val hashes = shingleHashes(text, shingleN)
+    // Family member j = xxhash64 re-hash seeded by (seed, j): overflow-free
+    // (ANSI-safe), engine-native, and as uniform as the affine family.
+    val perHash = (0 until numHashes).map { j =>
+      array_min(transform(hashes, h => xxhash64(lit(seed), lit(j), h)))
+    }
+    when(size(hashes) > 0, array(perHash: _*)).otherwise(lit(null).cast("array<bigint>"))
+  }
+
+  /** LSH band keys: hash each of `bands` contiguous signature slices. A pair
+    * of docs lands in the same (band, band_hash) bucket iff a band matches —
+    * the classic MinHash-LSH candidate filter.
+    */
+  def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws("_", lit("band"), b, concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
+    )
+
+  /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
+    * Jaccard over shingle hash sets. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b, one row per pair.
+    *
+    * @param maxBucket degenerate-bucket cap: buckets larger than this are
+    *                  dropped (at web scale these are boilerplate; pairing
+    *                  them is O(b²) for no dedup value).
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.0,
+      maxBucket: Int = 1000,
+      seed: Long = 42L
+  ): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = docs.select(
+      col(idCol).as("id"),
+      shingleHashes(col(textCol), shingleN).as("shingles"),
+      minhashSignature(col(textCol), shingleN, numHashes, seed).as("sig")
+    )
+    val banded = withSig
+      .filter(col("sig").isNotNull)
+      .select(col("id"), col("shingles"), posexplode(lshBandHashes(col("sig"), bands, rows)))
+      .select(col("id"), col("shingles"), col("pos").as("band"), col("col").as("band_hash"))
+    // Cap pathological buckets before the self-join.
+    val bucketed = banded.withColumn(
+      "bucket_n",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))
+      )
+    ).filter(col("bucket_n") <= maxBucket)
+    val a = bucketed.select(col("band"), col("band_hash"), col("id").as("id_a"), col("shingles").as("sh_a"))
+    val b = bucketed.select(col("band"), col("band_hash"), col("id").as("id_b"), col("shingles").as("sh_b"))
+    val pairs = a
+      .join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes. Near-duplicate docs differ in few bits (compare via hamming).
+    */
+  def simhash64(text: Column): Column = {
+    val masks = array((0 until 64).map(j => lit(1L << j)): _*)
+    val tokHashes = transform(array_distinct(split(lower(text), "\\s+")), t => xxhash64(t))
+    val votes = aggregate(
+      tokHashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, masks, (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1))
+    )
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L),
+      (acc, bit) => acc.bitwiseOR(bit)
+    )
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // --------------------------------------------------- n-gram Jaccard pairs
+
+  /** Exact n-gram Jaccard over all pairs of a (pre-filtered, small) doc set.
+    * For unrestricted inputs use [[minhashPairs]]; the all-pairs form exists
+    * for verification and for oracle-checked sampled queries.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val withGrams = docs.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("grams"))
+    val a = withGrams.select(col("id").as("id_a"), col("grams").as("g_a"))
+    val b = withGrams.select(col("id").as("id_b"), col("grams").as("g_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b")))).as("jaccard")
+      )
+  }
+}

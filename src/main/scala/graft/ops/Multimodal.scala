@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed by per-partition batch operators.
+  *
+  * The Spark-side plumbing (schema, partitioning, batch iteration, output
+  * shape) is real and tested; the actual media decode is STUBBED — this
+  * container has no image/audio codecs, so `decodeStub` derives deterministic
+  * fake features from the bytes. Swapping in a real decoder changes only the
+  * body of one function.
+  *
+  * Scale notes: media rows are large and skewed — `repartitionByBytes`
+  * rebalances on cumulative payload size (not row count) so one executor
+  * doesn't receive all the 4K video while another gets thumbnails; decode
+  * runs via `mapPartitions` so any native library is initialized once per
+  * task, not once per row.
+  */
+object Multimodal {
+
+  val MediaSchema: StructType = StructType(
+    Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType, nullable = true),
+      StructField(
+        "meta",
+        StructType(
+          Seq(
+            StructField("mime", StringType, nullable = true),
+            StructField("n_bytes", LongType, nullable = true),
+            StructField("source", StringType, nullable = true)
+          )
+        ),
+        nullable = true
+      )
+    )
+  )
+
+  /** Build a media frame from the documents table (text bytes standing in
+    * for media payloads — the plumbing doesn't care what the bytes are).
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("content"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        col("source").as("source")
+      ).as("meta")
+    )
+
+  /** Split the payload into fixed-size chunks (array<binary>) — the frame /
+    * tile / audio-window primitive. Pure expression, no UDF.
+    */
+  def chunked(df: DataFrame, chunkBytes: Int): DataFrame =
+    df.withColumn(
+      "chunks",
+      transform(
+        sequence(lit(0), greatest(ceil(octet_length(col("content")) / lit(chunkBytes.toDouble)).cast("int") - 1, lit(0))),
+        i => substring(col("content"), (i * chunkBytes + 1).cast("int"), lit(chunkBytes))
+      )
+    )
+
+  /** Sample every `stride`-th chunk — frame sampling for video-like payloads. */
+  def sampleChunks(chunkedDf: DataFrame, stride: Int): DataFrame =
+    chunkedDf.withColumn(
+      "sampled_chunks",
+      filter(col("chunks"), (_, i) => i % stride === 0)
+    )
+
+  final case class MediaFeatures(
+      media_id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      checksum: Long
+  )
+
+  /** Per-partition batch "decode". STUB: real codecs are unavailable in this
+    * environment, so features are deterministic functions of the payload
+    * bytes (size-derived dimensions + an FNV checksum). The mapPartitions
+    * shape — batch iterator in, batch iterator out, per-task init — is
+    * exactly what a real decoder plugs into.
+    */
+  def decodeStub(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])].mapPartitions { rows =>
+      // Real decoder: initialize native lib here, once per task.
+      rows.map { case (id, bytes) =>
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        var checksum = 0xcbf29ce484222325L // FNV-1a 64
+        var i = 0
+        while (i < n) { checksum = (checksum ^ (bytes(i.toInt) & 0xffL)) * 0x100000001b3L; i += 1 }
+        val width = 16 + (math.abs(checksum) % 1024).toInt
+        val height = 16 + (math.abs(checksum >> 10) % 1024).toInt
+        MediaFeatures(id, n, width, height, channels = 3, checksum)
+      }
+    }
+  }
+
+  /** Rebalance partitions by cumulative payload bytes: range-partition on the
+    * running size quantile rather than hashing ids, so heavy payloads spread
+    * evenly. (Row-count repartition is wrong for media: 1000 thumbnails !=
+    * 1000 movies.)
+    */
+  def repartitionByBytes(media: DataFrame, targetPartitionBytes: Long): DataFrame = {
+    val sized = media.withColumn("_sz", octet_length(col("content")).cast("long"))
+    val total = sized.agg(sum(col("_sz"))).head.getLong(0)
+    val parts = math.max(1, (total / targetPartitionBytes).toInt)
+    sized.repartitionByRange(parts, col("_sz"), col("media_id")).drop("_sz")
+  }
+}

@@ -1,0 +1,120 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * one scan of the corpus, rank per query. All vector math is higher-order
+  * array expressions (`zip_with`/`aggregate`) that stay inside codegen.
+  *
+  * Scale path: random-hyperplane LSH — each vector gets a `nbits` signature;
+  * candidates are corpus rows whose signature bucket matches the query's
+  * (plus multiprobe neighbors at hamming distance 1), exact-reranked within
+  * the bucket. The corpus is bucketed ONCE (write-side partitioning at
+  * 100 TB) and each query touches only its buckets instead of the full scan.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision (deterministic order —
+    * matches the oracle's evaluation exactly).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Brute-force cosine top-k: for every query vector, the k nearest corpus
+    * vectors (excluding itself). Ranking uses cosine rounded to 6 decimals
+    * with an id tie-break, making the cut deterministic across engines.
+    *
+    * Plan shape: broadcast(queries) × corpus scan → per-query rank. The only
+    * shuffle is the window partition on query id (|queries| × |corpus| rows
+    * pre-rank; see [[Dedup]] header for the heap-aggregate upgrade path).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
+    val scored = c
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")
+      )
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes: `nbits` × `dim` doubles, seed-fixed. */
+  private[ops] def hyperplanes(nbits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new Random(seed)
+    Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-of-projection LSH signature as a long bitmask (nbits <= 63). */
+  def lshSignature(vec: Column, nbits: Int, dim: Int, seed: Long = 7L): Column = {
+    val planes = hyperplanes(nbits, dim, seed)
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(asDouble(vec), planeCol) > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** LSH-bucketed ANN: candidates share the query's signature bucket or any
+    * bucket at hamming distance 1 (multiprobe), exact cosine rerank inside.
+    * Returns the same schema as [[bruteForceTopK]] (recall < 1 by design).
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nbits: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 7L
+  ): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("c_vec"),
+      lshSignature(col(vecCol), nbits, dim, seed).as("c_sig")
+    )
+    // Each query probes its own bucket + all nbits single-bit-flip buckets.
+    val probeMasks = lit(0L) +: (0 until nbits).map(j => lit(1L << j))
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"),
+        lshSignature(col(vecCol), nbits, dim, seed).as("q_sig"))
+      .withColumn("probe", explode(array(probeMasks: _*)))
+      .withColumn("c_sig", col("q_sig").bitwiseXOR(col("probe")))
+      .drop("probe", "q_sig")
+    val candidates = c.join(broadcast(q), Seq("c_sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")
+      )
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

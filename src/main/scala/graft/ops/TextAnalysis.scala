@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language identification, document
+  * fingerprinting.
+  *
+  * All of it is pure Catalyst column expressions (regex + higher-order
+  * array functions) — no UDFs, fully codegen'd, scan-speed per-row work
+  * with zero shuffles; at 100 TB each of these is a single map stage that
+  * pipelines into whatever aggregation follows.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lower-cased text. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Count of non-whitespace runs — robust to leading/trailing space. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  private val Punct = "[.,!?;:]"
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(Punct), lit(0)))
+
+  /** Occurrences of any of `words` among the text's tokens. */
+  def markerCount(text: Column, words: Seq[String]): Column = {
+    val markers = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(markers, t)))
+  }
+
+  /** Language marker lexicons (tiny stopword lists). Order matters: ties
+    * resolve to the earlier language.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "y", "es"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  /** n-gram-free language ID: argmax of per-language stopword hit counts,
+    * ties resolved in [[LangMarkers]] order. Deterministic, oracle-friendly.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, words) => lang -> markerCount(text, words) }
+    // lang_i wins if its score >= every later language's score.
+    scores.zipWithIndex
+      .init
+      .foldRight(lit(scores.last._1)) { case (((lang, score), i), elseCol) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        val beatsAllLater = laterScores.map(score >= _).reduce(_ && _)
+        when(beatsAllLater, lit(lang)).otherwise(elseCol)
+      }
+  }
+
+  /** Deterministic [0,1] quality score: token volume + English-stopword
+    * density + punctuation sanity. Fixed-order double arithmetic so the
+    * DuckDB oracle reproduces it bit-for-bit per row.
+    */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val nTokens = tokenCount(text)
+    val nStop = markerCount(text, LangMarkers.head._2)
+    val nPunct = punctCount(text)
+    val tokScore = least(nTokens, lit(100)) / 100.0
+    val stopScore = least(nStop * 4.0 / greatest(nTokens, lit(1)), lit(1.0))
+    val punctScore = lit(1.0) - least(nPunct * 10.0 / greatest(nChars, lit(1)), lit(1.0))
+    round(tokScore * 0.4 + stopScore * 0.3 + punctScore * 0.3, 4)
+  }
+
+  /** Portable 64-bit content fingerprint: first 16 hex chars of md5. */
+  def fingerprintHex(text: Column): Column = substring(md5(text), 1, 16)
+
+  /** Rolling polynomial hash (base-31 mod 2^61-1) over the raw text —
+    * the classic Rabin-Karp document fingerprint. Pure Scala reference
+    * implementation for tests + a Catalyst HOF form for distributed use.
+    */
+  val RollingMod: Long = (1L << 61) - 1
+
+  def rollingHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      // multiply-mod in 128-bit via Math.multiplyHigh-free path: use BigInt-free
+      // split multiply (h*31 fits: h < 2^61, *31 < 2^66 — do mod with Math)
+      h = java.lang.Math.floorMod(h * 31 + s.charAt(i), RollingMod)
+      i += 1
+    }
+    h
+  }
+
+  /** Distributed rolling hash: left fold over code points. Stays in codegen;
+    * per-row cost O(len).
+    */
+  def rollingHashCol(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * 31 + c, lit(RollingMod))
+    )
+
+  /** Per-document stats frame used by the registered queries. */
+  def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      punctCount(t).as("n_punct"),
+      size(array_distinct(tokens(t))).as("n_distinct_tokens")
+    )
+  }
+}

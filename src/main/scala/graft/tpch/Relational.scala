@@ -1,0 +1,137 @@
+package graft.tpch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational coverage over the TPC-H-ish star schema — the join / sort /
+  * top-k / distinct / semi-join surface the reference lacks (SURVEY §2.3)
+  * but any real engine user needs.
+  *
+  * Scale conventions:
+  *   - dimension tables (`region`/`nation`/`part`/`supplier`/`customer`) are
+  *     broadcast explicitly — fact-table joins never shuffle the fact side
+  *     on a dim key;
+  *   - aggregates run on integer cents (exact; see SparkEntry);
+  *   - top-k uses rank-with-tie-break so results are deterministic.
+  */
+object Relational {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100 + 0.5).cast("long")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** TPC-H Q3-style: top 10 highest-revenue BUILDING-segment orders with
+    * shipping still pending at the cutoff.
+    */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val cust = table(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val orders = table(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val li = table(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+      .select(
+        col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+        col("revenue_cents")
+      )
+      .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by nation for one region, suppliers co-located
+    * with customers.
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = table(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = table(spark, dir, "nation")
+    val cust = table(spark, dir, "customer")
+    val supp = table(spark, dir, "supplier")
+    val orders = table(spark, dir, "orders")
+    val li = table(spark, dir, "lineitem")
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+  }
+
+  /** Broadcast fact-dim join + group: per-brand part consumption. */
+  def partBrandStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val part = table(spark, dir, "part")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_lines")
+      )
+  }
+
+  /** Left-semi join (EXISTS): order counts by priority, restricted to orders
+    * with at least one returned line.
+    */
+  def returnedOrderPriorities(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+    val returned = table(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    orders
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Per-nation top-3 customers by account balance (analytic rank over a
+    * broadcast dim join; custkey tie-break).
+    */
+  def topCustomersPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val nation = table(spark, dir, "nation")
+    val w = Window
+      .partitionBy(col("n_name"))
+      .orderBy(cents(col("c_acctbal")).desc, col("c_custkey"))
+    cust
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(
+        col("n_name"),
+        col("c_custkey"),
+        col("c_name"),
+        cents(col("c_acctbal")).as("acctbal_cents"),
+        col("rank")
+      )
+  }
+
+  /** Global distinct/minmax profile of the fact table (no grouping key —
+    * exercises partial-agg + single-row final).
+    */
+  def lineitemProfile(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      min(unix_millis(col("l_shipdate").cast("timestamp"))).as("min_ship_ms"),
+      max(unix_millis(col("l_shipdate").cast("timestamp"))).as("max_ship_ms"),
+      sum(cents(col("l_extendedprice"))).as("sum_price_cents")
+    )
+
+  /** Market-segment profile with exact distinct nation counts. */
+  def segmentStats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        sum(cents(col("c_acctbal"))).as("sum_acctbal_cents")
+      )
+}
