@@ -75,18 +75,20 @@ object TextAnalysis {
   /** Portable 64-bit content fingerprint: first 16 hex chars of md5. */
   def fingerprintHex(text: Column): Column = substring(md5(text), 1, 16)
 
-  /** Rolling polynomial hash (base-31 mod 2^61-1) over the raw text —
-    * the classic Rabin-Karp document fingerprint. Pure Scala reference
-    * implementation for tests + a Catalyst HOF form for distributed use.
+  /** Rolling polynomial hash (base-31 mod 1e9+7) over the raw text — the
+    * classic Rabin-Karp document fingerprint. The modulus keeps every
+    * intermediate product < 2^35, so the hash never overflows a long — in
+    * plain Scala or under Spark's ANSI arithmetic. (For collision-resistant
+    * fingerprints use [[fingerprintHex]]; this is the rolling/chunking
+    * primitive.) Pure Scala reference implementation for tests + a Catalyst
+    * HOF form for distributed use.
     */
-  val RollingMod: Long = (1L << 61) - 1
+  val RollingMod: Long = 1_000_000_007L
 
   def rollingHash(s: String): Long = {
     var h = 0L
     var i = 0
     while (i < s.length) {
-      // multiply-mod in 128-bit via Math.multiplyHigh-free path: use BigInt-free
-      // split multiply (h*31 fits: h < 2^61, *31 < 2^66 — do mod with Math)
       h = java.lang.Math.floorMod(h * 31 + s.charAt(i), RollingMod)
       i += 1
     }

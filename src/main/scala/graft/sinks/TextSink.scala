@@ -16,6 +16,13 @@ import graft.model.GameEvent
   */
 object TextSink {
 
+  private val FileSafeFormat = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd-HH-mm-ss-SSS")
+    .withZone(GameEvent.OutputZone)
+
+  private def fileSafe(ms: Long): String =
+    FileSafeFormat.format(java.time.Instant.ofEpochMilli(ms))
+
   /** Format rows as `"k1: v1, k2: v2"` — pure column expressions, stays in
     * codegen; at scale this is a scan-speed projection.
     */
@@ -73,8 +80,10 @@ object TextSink {
         for (sh <- shards) {
           val shard = sh.getPath.getName.stripPrefix("_shard=").toInt
           val parts = fs.listStatus(sh.getPath).filter(_.getPath.getName.startsWith("part-"))
-          val name = f"$prefix-${GameEvent.formatMillis(wsMs)}-${GameEvent.formatMillis(weMs)}" +
-            f"-$shard%05d-of-$numShards%05d"
+          // Divergence from WriteToText.java:106-127: the reference's
+          // "yyyy-MM-dd HH:mm:ss.SSS" window labels contain ':' which Hadoop
+          // Path rejects; same PST instants, filesystem-safe separators.
+          val name = f"$prefix-${fileSafe(wsMs)}-${fileSafe(weMs)}-$shard%05d-of-$numShards%05d"
           parts.headOption.foreach(p => fs.rename(p.getPath, new Path(out, name)))
         }
       }

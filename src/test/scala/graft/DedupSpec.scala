@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while seventeen green turtles watch from a mossy log near the river bend under pale morning light"
+
+  // doc 1/2 exact dupes; 3 near-dup of 1; 4/5 unrelated
+  private val docs = Seq(
+    (1L, base),
+    (2L, base),
+    (3L, base.replace("seventeen green", "nineteen blue")),
+    (4L, "completely different content about distributed query engines and shuffle partitioning strategies in modern analytics systems running on large clusters"),
+    (5L, "yet another unrelated document mentioning tokenizers embeddings and deduplication pipelines for web scale corpora with many repeated boilerplate fragments")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds the duplicate pair, keeps min id") {
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length == 4)
+    val dup = groups.filter(_.getAs[Long]("n_copies") == 2L)
+    assert(dup.length == 1 && dup.head.getAs[Long]("keep_id") == 1L)
+    assert(Dedup.dropExactDuplicates(docs).count() == 4)
+  }
+
+  test("minhashPairs surfaces exact+near dups, jaccard is exact on shingle sets") {
+    val pairs = Dedup
+      .minhashPairs(docs, threshold = 0.3)
+      .as[(Long, Long, Double)]
+      .collect()
+      .map { case (a, b, j) => (a, b) -> j }
+      .toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    // near-dup jaccard strictly between 0 and 1
+    val nd = pairs.getOrElse((1L, 3L), pairs((2L, 3L)))
+    assert(nd > 0.3 && nd < 1.0)
+    // unrelated docs never pair above threshold
+    assert(!pairs.keys.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty && Set(a, b).intersect(Set(1L, 2L, 3L)).nonEmpty })
+  }
+
+  test("minhash jaccard matches exact ngram jaccard for surfaced pairs") {
+    val mh = Dedup.minhashPairs(docs, threshold = 0.0).as[(Long, Long, Double)].collect()
+    val exact = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Double)]
+      .collect()
+      .map { case (a, b, j) => (a, b) -> j }
+      .toMap
+    mh.foreach { case (a, b, j) =>
+      // minhashPairs verifies with exact jaccard over hashed shingles —
+      // identical to string-shingle jaccard absent hash collisions
+      assert(math.abs(exact((a, b)) - j) < 1e-12)
+    }
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far apart") {
+    val fp = docs.select($"doc_id", Dedup.simhash64($"text").as("h")).as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) <= 16)
+    assert(ham(fp(1L), fp(4L)) > 16)
+  }
+
+  test("wordShingles guard: short docs produce empty sets, null-safe signature") {
+    val tiny = Seq((1L, "two words"), (2L, "one"), (3L, "")).toDF("doc_id", "text")
+    val sh = tiny.select(Dedup.wordShingles($"text", 3)).as[Seq[String]].collect()
+    assert(sh.forall(_.isEmpty))
+    val sig = tiny.select(Dedup.minhashSignature($"text")).collect()
+    assert(sig.forall(_.isNullAt(0)))
+    assert(Dedup.minhashPairs(tiny).count() == 0)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.generator.{Injector, InjectorConfig}
+
+class InjectorSpec extends AnyFunSuite {
+
+  test("same seed → identical output (documented divergence from unseeded reference)") {
+    val cfg = InjectorConfig(seed = 99)
+    assert(Injector.generate(cfg, 200) == Injector.generate(cfg, 200))
+    assert(Injector.generate(cfg.copy(seed = 100), 200) != Injector.generate(cfg, 200))
+  }
+
+  test("value model: team cardinality, member range, score range, second-floored times") {
+    val cfg = InjectorConfig()
+    val teams = Injector.teams(cfg)
+    assert(teams.size == 15)
+    assert(teams.forall(t => t.members.size >= 5 && t.members.size <= 19))
+    val gen = Injector.generate(cfg, 2000)
+    val events = gen.flatMap(_.event)
+    assert(events.forall(e => e.score >= 0 && e.score < 20))
+    assert(events.forall(e => e.timestamp % 1000 == 0))
+    assert(events.map(_.team).distinct.size <= 15)
+  }
+
+  test("late events are delayed 5-10 minutes at the configured rate") {
+    val cfg = InjectorConfig(lateRate = 100, corruptRate = 0)
+    val gen = Injector.generate(cfg, 1000)
+    val late = gen.filter(_.late)
+    assert(late.size == 10)
+    // a late event's timestamp is >= 5 min behind its neighbors'
+    val lateIdx = gen.indexWhere(_.late)
+    val lateTs = gen(lateIdx).event.get.timestamp
+    val prevTs = gen(lateIdx - 1).event.get.timestamp
+    assert(prevTs - lateTs >= 5 * 60 * 1000 - 1000)
+  }
+
+  test("robot users absorb extra traffic on robot teams") {
+    val cfg = InjectorConfig(corruptRate = 0, lateRate = 0)
+    val gen = Injector.generate(cfg, 20000).flatMap(_.event)
+    val robotEvents = gen.filter(_.user.startsWith("Robot-"))
+    assert(robotEvents.nonEmpty)
+  }
+
+  test("writeLines produces a parseable file") {
+    val path = java.nio.file.Files.createTempFile("inj", ".csv").toString
+    Injector.writeLines(InjectorConfig(), 100, path)
+    val lines = scala.io.Source.fromFile(path).getLines().toSeq
+    assert(lines.size == 100)
+    assert(lines.forall(_.split(",").length >= 2))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def media = Multimodal.mediaFromDocuments(
+    Seq(
+      (1L, "a" * 1000, "en", "web", 1000L),
+      (2L, "b" * 256, "en", "web", 256L),
+      (3L, "c" * 257, "en", "web", 257L),
+      (4L, "", "en", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+  )
+
+  test("media frame carries binary content + typed metadata") {
+    val r = media.filter($"media_id" === 1L).head()
+    assert(r.getAs[Array[Byte]]("content").length == 1000)
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[Long]("n_bytes") == 1000L)
+    assert(meta.getAs[String]("mime") == "application/octet-stream")
+  }
+
+  test("chunking: sizes and counts, last chunk short, empty payload = 1 empty chunk") {
+    val chunks = Multimodal
+      .chunked(media, 256)
+      .select($"media_id", transform($"chunks", c => octet_length(c)).as("sizes"))
+      .as[(Long, Seq[Int])]
+      .collect()
+      .toMap
+    assert(chunks(1L) == Seq(256, 256, 256, 232))
+    assert(chunks(2L) == Seq(256))
+    assert(chunks(3L) == Seq(256, 1))
+    assert(chunks(4L) == Seq(0))
+  }
+
+  test("frame sampling keeps every stride-th chunk") {
+    val sampled = Multimodal
+      .sampleChunks(Multimodal.chunked(media, 100), stride = 4)
+      .select($"media_id", size($"chunks").as("n"), size($"sampled_chunks").as("s"))
+      .as[(Long, Int, Int)]
+      .collect()
+      .map { case (id, n, sc) => id -> ((n, sc)) }
+      .toMap
+    // media 1: 10 chunks → samples at 0,4,8 = 3
+    assert(sampled(1L) == ((10, 3)))
+  }
+
+  test("decodeStub is deterministic and preserves ids/bytes") {
+    val f1 = Multimodal.decodeStub(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decodeStub(media).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.map(_.media_id).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(f1.head.n_bytes == 1000L)
+    assert(f1.forall(f => f.width >= 16 && f.height >= 16))
+  }
+
+  test("repartitionByBytes spreads payloads") {
+    val parts = Multimodal.repartitionByBytes(media, targetPartitionBytes = 600)
+    assert(parts.rdd.getNumPartitions >= 2)
+    assert(parts.count() == 4)
+  }
+}

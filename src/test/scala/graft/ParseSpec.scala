@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.Observation
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.generator.{Injector, InjectorConfig}
+import graft.model.GameEvent
+import graft.ops.Parse
+
+class ParseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def parse(lines: String*) =
+    Parse.parseGameEvents(lines.toDF("value")).collect()
+
+  test("well-formed 5-field line parses, extra field ignored") {
+    val rows = parse("alice,TeamRed,12,1447965693000,2015-11-19 12:41:33.000")
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("user") == "alice")
+    assert(r.getAs[String]("team") == "TeamRed")
+    assert(r.getAs[Int]("score") == 12)
+    assert(r.getAs[Long]("timestamp") == 1447965693000L)
+  }
+
+  test("fields are trimmed (reference trims each component)") {
+    val rows = parse(" bob , TeamBlue , 7 , 1000 ")
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("user") == "bob")
+    assert(rows.head.getAs[Int]("score") == 7)
+  }
+
+  test("malformed rows are dropped: short, non-numeric, decimal, overflow") {
+    val rows = parse(
+      "only,three,fields", // AIOOBE path
+      "u,t,notanum,1000", // NumberFormat path (score)
+      "u,t,5,notatime", // NumberFormat path (timestamp)
+      "u,t,12.5,1000", // Integer.parseInt rejects decimals
+      "u,t,99999999999999999999,1000", // int overflow
+      "", // empty line
+      "u,t,5,1000" // the one good row
+    )
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Int]("score") == 5)
+  }
+
+  test("negative and plus-signed integers accepted like Integer.parseInt") {
+    val rows = parse("u,t,-3,1000", "u,t,+4,2000")
+    assert(rows.map(_.getAs[Int]("score")).sorted.toSeq == Seq(-3, 4))
+  }
+
+  test("parse-error observation counts dropped rows") {
+    val df = Parse.parseGameEvents(
+      Seq("bad", "u,t,1,1000", "u,t,x,1000").toDF("value"),
+      observe = true
+    )
+    // The Observation API needs a fresh name per test run; read via collect +
+    // the observe() already attached inside parseGameEvents.
+    val qe = df.queryExecution
+    df.collect()
+    val metrics = qe.observedMetrics(Parse.ObservationName)
+    assert(metrics.getAs[Long]("parse_errors") == 2L)
+    assert(metrics.getAs[Long]("rows_in") == 3L)
+  }
+
+  test("roundtrip: injector-formatted lines parse back to their events") {
+    val cfg = InjectorConfig(corruptRate = 0, lateRate = 0)
+    val gen = Injector.generate(cfg, 500)
+    val parsed = Parse
+      .parseGameEvents(gen.map(_.line).toDF("value"))
+      .as[GameEvent]
+      .collect()
+    val expected = gen.flatMap(_.event)
+    assert(parsed.toSeq == expected.map(e => GameEvent(e.user, e.team, e.score, e.timestamp)).toSeq)
+  }
+
+  test("injector corrupt lines are dropped, counted") {
+    val cfg = InjectorConfig(corruptRate = 10, lateRate = 0)
+    val gen = Injector.generate(cfg, 1000)
+    val nCorrupt = gen.count(_.event.isEmpty)
+    assert(nCorrupt > 0)
+    val parsed = Parse.parseGameEvents(gen.map(_.line).toDF("value")).collect()
+    assert(parsed.length == 1000 - nCorrupt)
+  }
+}

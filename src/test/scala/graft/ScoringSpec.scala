@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.GameEvent
+import graft.ops.Scoring
+
+class ScoringSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val events = Seq(
+    GameEvent("alice", "Red", 5, 3600_000L), // 01:00:00
+    GameEvent("alice", "Red", 7, 3600_000L),
+    GameEvent("bob", "Red", 1, 7199_000L), // 01:59:59
+    GameEvent("bob", "Blue", 2, 7200_000L), // 02:00:00 — boundary
+    GameEvent("cara", "Blue", 10, 10799_000L) // 02:59:59
+  )
+
+  private def df = events.toDF().withColumn("event_time", timestamp_millis($"timestamp"))
+
+  test("extractAndSumScore by user") {
+    val got = Scoring.extractAndSumScore(df, "user").as[(String, Long)].collect().toMap
+    assert(got == Map("alice" -> 12L, "bob" -> 3L, "cara" -> 10L))
+  }
+
+  test("extractAndSumScore by team") {
+    val got = Scoring.extractAndSumScore(df, "team").as[(String, Long)].collect().toMap
+    assert(got == Map("Red" -> 13L, "Blue" -> 12L))
+  }
+
+  test("getKey quirk: any non-'team' field name selects user (UserScore.java:56-62)") {
+    val got = Scoring.extractAndSumScore(df, "banana").as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("alice", "bob", "cara"))
+    assert(GameEvent("u", "t", 1, 0L).getKey("banana") == "u")
+  }
+
+  test("filterWindow bounds are strict (HourlyTeamScore.java:82-87)") {
+    val kept = Scoring
+      .filterWindow(df, startMs = 3600_000L, stopMs = 7200_000L)
+      .select("timestamp")
+      .as[Long]
+      .collect()
+    // 3600000 excluded (strict >), 7200000 excluded (strict <)
+    assert(kept.sorted.toSeq == Seq(7199_000L))
+  }
+
+  test("hourly windows: boundary event lands in the NEXT window ([start,end))") {
+    val got = Scoring
+      .hourlyTeamScore(df, windowMinutes = 60)
+      .select(unix_millis($"window_start"), $"team", $"total_score")
+      .as[(Long, String, Long)]
+      .collect()
+      .toSet
+    assert(
+      got == Set(
+        (3600_000L, "Red", 13L), // alice 5+7, bob-at-01:59:59 1
+        (7200_000L, "Blue", 12L) // boundary bob 2 + cara 10
+      )
+    )
+  }
+}

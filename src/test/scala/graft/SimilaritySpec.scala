@@ -1,0 +1,87 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 16
+
+  /** 3 well-separated cluster centers + jittered members (deterministic). */
+  private def clustered(n: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new Random(123)
+    val centers = Array.fill(3)(Array.fill(dim)(rnd.nextGaussian()))
+    (0L until n).map { i =>
+      val c = centers((i % 3).toInt)
+      val v = c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      i -> v
+    }
+  }
+
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+  }
+
+  test("bruteForceTopK matches a local naive top-k") {
+    val data = clustered(60)
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity
+      .bruteForceTopK(df, df.filter($"vec_id" < 3), k = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)]
+      .collect()
+      .groupBy(_._1)
+      .view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq)
+      .toMap
+    val lookup = data.toMap
+    (0L until 3).foreach { q =>
+      val expected = data
+        .filter(_._1 != q)
+        .map { case (id, v) => (id, math.rint(cosLocal(lookup(q), v) * 1e6) / 1e6) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(4)
+        .map(_._1)
+      assert(got(q) == expected, s"query $q")
+    }
+  }
+
+  test("lshTopK achieves high recall on clustered data") {
+    val data = clustered(120)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    val exact = Similarity
+      .bruteForceTopK(df, queries, k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val approx = Similarity
+      .lshTopK(df, queries, k = 5, nbits = 6, dim = dim)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // clustered members share hyperplane sides; multiprobe covers the rest
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("cosine expression equals local computation") {
+    val a = Array(1.0f, 2.0f, 3.0f)
+    val b = Array(-1.0f, 0.5f, 2.0f)
+    val got = Seq((a, b))
+      .toDF("a", "b")
+      .select(Similarity.cosine($"a".cast("array<double>"), $"b".cast("array<double>")))
+      .as[Double]
+      .head()
+    assert(math.abs(got - cosLocal(a, b)) < 1e-12)
+  }
+}

@@ -1,0 +1,27 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke: every registered query runs at sf0.001 and returns rows; every
+  * oracle key refers to a registered query. (Value-level correctness is the
+  * driver's DuckDB gate, mirrored locally by tools/check_oracle.py.)
+  */
+class SparkEntrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("oracleSql keys are a subset of queries") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracle without query: $unknown")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"query $name runs and returns rows at sf0.001") {
+      assert(fn(spark, dir).count() > 0, name)
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("langId picks the marker-dominant language, ties resolve in order") {
+    val texts = Seq(
+      (1L, "the cat and the dog went to the park and it is nice"),
+      (2L, "der hund und die katze das ist nicht gut und der mann"),
+      (3L, "el perro y la casa los gatos que es bonito y el sol"),
+      (4L, "le chien et les maisons des chats est dans le jardin"),
+      (5L, "xyzzy plugh") // no markers anywhere → tie at 0 → 'en'
+    ).toDF("doc_id", "text")
+    val got = texts.select($"doc_id", TextAnalysis.langId($"text")).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "en"))
+  }
+
+  test("rollingHashCol matches the Scala reference implementation") {
+    val samples = Seq("", "a", "hello world", "The quick brown fox! 123")
+    val got = samples.toDF("t").select(TextAnalysis.rollingHashCol($"t")).as[Long].collect()
+    assert(got.toSeq == samples.map(TextAnalysis.rollingHash))
+  }
+
+  test("rollingHash property: matches BigInt math on random ASCII strings") {
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val s = (0 until rnd.nextInt(50)).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+      val expected = s.foldLeft(BigInt(0))((h, c) => (h * 31 + c.toInt) % BigInt(TextAnalysis.RollingMod))
+      assert(BigInt(TextAnalysis.rollingHash(s)) == expected, s)
+    }
+  }
+
+  test("quality score stays in [0,1] and rewards longer stopword-rich text") {
+    val texts = Seq(
+      (1L, "the and of to in is " * 30), // stopword-rich, long
+      (2L, "!!! ??? ;;; ::: ..."), // punctuation garbage
+      (3L, "word")
+    ).toDF("doc_id", "text")
+    val got = texts
+      .select($"doc_id", TextAnalysis.qualityScore($"text", length($"text")).as("q"))
+      .as[(Long, Double)]
+      .collect()
+      .toMap
+    assert(got.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(got(1L) > got(2L))
+    assert(got(1L) > got(3L))
+  }
+
+  test("textStats counts tokens/punct/distinct") {
+    val r = TextAnalysis
+      .textStats(Seq((1L, "Hello, hello world! world world")).toDF("doc_id", "text"))
+      .head()
+    assert(r.getAs[Int]("n_tokens") == 5)
+    assert(r.getAs[Int]("n_punct") == 2)
+    assert(r.getAs[Int]("n_distinct_tokens") == 4) // "hello," "hello" "world!" "world"
+  }
+}
