@@ -62,8 +62,12 @@ object Dedup {
     * the min over the doc's shingle hashes. Pure array expressions — the
     * whole signature computes in one codegen'd projection.
     */
-  def minhashSignature(text: Column, shingleN: Int = 3, numHashes: Int = 64, seed: Long = 42L): Column = {
-    val hashes = shingleHashes(text, shingleN)
+  /** Signature from an already-materialized shingle-hash column. Keep the
+    * shingles in their own projection and feed a plain column reference here:
+    * the 64 per-hash expressions then share one shingle computation instead
+    * of re-deriving the whole tokenize→shingle→hash pipeline 64 times.
+    */
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int = 64, seed: Long = 42L): Column = {
     // Family member j = xxhash64 re-hash seeded by (seed, j): overflow-free
     // (ANSI-safe), engine-native, and as uniform as the affine family.
     val perHash = (0 until numHashes).map { j =>
@@ -71,6 +75,24 @@ object Dedup {
     }
     when(size(hashes) > 0, array(perHash: _*)).otherwise(lit(null).cast("array<bigint>"))
   }
+
+  def minhashSignature(text: Column, shingleN: Int = 3, numHashes: Int = 64, seed: Long = 42L): Column =
+    minhashSignatureFromHashes(shingleHashes(text, shingleN), numHashes, seed)
+
+  /** All ordered pairs (a_i, a_j), i<j, of a sorted id array — as a single
+    * array expression, so bucket-pair generation never leaves the executor.
+    */
+  private def orderedPairs(sortedIds: Column): Column =
+    flatten(
+      transform(
+        sortedIds,
+        (a, i) =>
+          transform(
+            slice(sortedIds, i + 2, size(sortedIds)),
+            b => struct(a.as("id_a"), b.as("id_b"))
+          )
+      )
+    )
 
   /** LSH band keys: hash each of `bands` contiguous signature slices. A pair
     * of docs lands in the same (band, band_hash) bucket iff a band matches —
@@ -102,30 +124,38 @@ object Dedup {
       seed: Long = 42L
   ): DataFrame = {
     val rows = numHashes / bands
-    val withSig = docs.select(
+    // Stage 1: shingles materialized once (reused by signature + verification).
+    val withShingles = docs.select(
       col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleN).as("shingles"),
-      minhashSignature(col(textCol), shingleN, numHashes, seed).as("sig")
+      shingleHashes(col(textCol), shingleN).as("shingles")
     )
+    val withSig = withShingles.select(
+      col("id"),
+      minhashSignatureFromHashes(col("shingles"), numHashes, seed).as("sig")
+    )
+    // Stage 2: explode to (band, band_hash, id) — ids only, no payload.
     val banded = withSig
       .filter(col("sig").isNotNull)
-      .select(col("id"), col("shingles"), posexplode(lshBandHashes(col("sig"), bands, rows)))
-      .select(col("id"), col("shingles"), col("pos").as("band"), col("col").as("band_hash"))
-    // Cap pathological buckets before the self-join.
-    val bucketed = banded.withColumn(
-      "bucket_n",
-      count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))
-      )
-    ).filter(col("bucket_n") <= maxBucket)
-    val a = bucketed.select(col("band"), col("band_hash"), col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = bucketed.select(col("band"), col("band_hash"), col("id").as("id_b"), col("shingles").as("sh_b"))
-    val pairs = a
-      .join(b, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id"), posexplode(lshBandHashes(col("sig"), bands, rows)))
+      .select(col("id"), col("pos").as("band"), col("col").as("band_hash"))
+    // Stage 3: one shuffle groups buckets; pair-generation happens inside an
+    // array expression (never a self-join carrying document payloads).
+    // Degenerate buckets (> maxBucket) are dropped: at web scale those are
+    // boilerplate and pairing them is O(b²) for no dedup value.
+    val pairs = banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(orderedPairs(array_sort(col("ids")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // Stage 4: exact-Jaccard verification — join the (small, deduped)
+    // candidate pair set back to the shingle sets.
+    val shA = withShingles.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = withShingles.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     pairs
+      .join(shA, Seq("id_a"))
+      .join(shB, Seq("id_b"))
       .select(
         col("id_a"),
         col("id_b"),
