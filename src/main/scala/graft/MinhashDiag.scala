@@ -9,18 +9,19 @@ object MinhashDiag {
       val t0 = System.nanoTime(); val r = f
       println(s"[diag] $name: " + (System.nanoTime()-t0)/1e9 + " sec"); r
     }
-    val withShingles = docs.select(col("doc_id").as("id"), Dedup.shingleHashes(col("text"), 3).as("shingles"))
-    time("shingles only")(withShingles.select(sum(size(col("shingles")))).head)
-    val sig = withShingles.select(col("id"), Dedup.minhashSignatureFromHashes(col("shingles")).as("sig"))
-    time("signatures")(sig.select(count(col("sig"))).head)
+    println(s"[diag] input partitions=${docs.rdd.getNumPartitions}")
+    val sig = docs.select(col("doc_id").as("id"), Dedup.minhashSignature(col("text")).as("sig"))
+    time("native signatures x1")(sig.select(count(col("sig"))).head)
+    time("native signatures x2")(sig.select(count(col("sig"))).head)
     val banded = sig.filter(col("sig").isNotNull)
       .select(col("id"), posexplode(Dedup.lshBandHashes(col("sig"), 16, 4)))
       .select(col("id"), col("pos").as("band"), col("col").as("band_hash"))
     val buckets = banded.groupBy("band","band_hash").agg(collect_list(col("id")).as("ids"))
     val stats = time("bucket stats")(buckets.select(count(lit(1)), max(size(col("ids"))), sum(when(size(col("ids"))>1, size(col("ids"))*(size(col("ids"))-1)/2).otherwise(0))).head)
     println(s"[diag] buckets=${stats.get(0)} maxBucket=${stats.get(1)} rawPairs=${stats.get(2)}")
-    val pairs = time("full pairs")(Dedup.minhashPairs(docs).count())
+    val pairs = time("full pairs x1")(Dedup.minhashPairs(docs).count())
     println(s"[diag] final pairs=$pairs")
+    time("full pairs x2")(Dedup.minhashPairs(docs).count())
     spark.stop()
   }
 }

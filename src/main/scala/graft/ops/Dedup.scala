@@ -76,8 +76,11 @@ object Dedup {
     when(size(hashes) > 0, array(perHash: _*)).otherwise(lit(null).cast("array<bigint>"))
   }
 
+  /** Native one-pass form of the compositional pipeline above — bit-identical
+    * results (see [[graft.functions.MinhashSig]]), ~500× cheaper per row.
+    */
   def minhashSignature(text: Column, shingleN: Int = 3, numHashes: Int = 64, seed: Long = 42L): Column =
-    minhashSignatureFromHashes(shingleHashes(text, shingleN), numHashes, seed)
+    graft.functions.MinhashSig.column(text, shingleN, numHashes, seed)
 
   /** All ordered pairs (a_i, a_j), i<j, of a sorted id array — as a single
     * array expression, so bucket-pair generation never leaves the executor.
@@ -124,14 +127,11 @@ object Dedup {
       seed: Long = 42L
   ): DataFrame = {
     val rows = numHashes / bands
-    // Stage 1: shingles materialized once (reused by signature + verification).
-    val withShingles = docs.select(
+    // Stage 1: one-pass native signature (no shingle materialization on the
+    // full corpus — shingles are only computed later, for candidate docs).
+    val withSig = docs.select(
       col(idCol).as("id"),
-      shingleHashes(col(textCol), shingleN).as("shingles")
-    )
-    val withSig = withShingles.select(
-      col("id"),
-      minhashSignatureFromHashes(col("shingles"), numHashes, seed).as("sig")
+      minhashSignature(col(textCol), shingleN, numHashes, seed).as("sig")
     )
     // Stage 2: explode to (band, band_hash, id) — ids only, no payload.
     val banded = withSig
@@ -149,10 +149,20 @@ object Dedup {
       .select(explode(orderedPairs(array_sort(col("ids")))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // Stage 4: exact-Jaccard verification — join the (small, deduped)
-    // candidate pair set back to the shingle sets.
-    val shA = withShingles.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val shB = withShingles.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    // Stage 4: exact-Jaccard verification. Shingle sets are computed only for
+    // docs that appear in a candidate pair: semi-join docs to the (small) id
+    // set first — AQE broadcasts it when it fits — so the expensive shingle
+    // projection runs on candidates, not the corpus. The identical `pairs`
+    // subtrees reuse one shuffle (ReusedExchange), not three recomputes.
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val candShingles = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .join(candIds, Seq("id"))
+      .select(col("id"), shingleHashes(col("t"), shingleN).as("shingles"))
+    val shA = candShingles.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = candShingles.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     pairs
       .join(shA, Seq("id_a"))
       .join(shB, Seq("id_b"))

@@ -68,6 +68,25 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(fp(1L), fp(4L)) > 16)
   }
 
+  test("native minhash signature is bit-identical to the compositional pipeline") {
+    val tricky = Seq(
+      (10L, "  leading whitespace then words enough for shingles"),
+      (11L, "trailing spaces here too   "),
+      (12L, "Ünïcödé TOKENS with MIXED case and\ttabs\nnewlines in the text"),
+      (13L, "a b c"),
+      (14L, "exactly three toks")
+    ).toDF("doc_id", "text")
+    val all = docs.union(tricky)
+    val mismatches = all
+      .select(
+        Dedup.minhashSignature($"text").as("native"),
+        Dedup.minhashSignatureFromHashes(Dedup.shingleHashes($"text", 3)).as("composed")
+      )
+      .filter(not($"native" <=> $"composed"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("wordShingles guard: short docs produce empty sets, null-safe signature") {
     val tiny = Seq((1L, "two words"), (2L, "one"), (3L, "")).toDF("doc_id", "text")
     val sh = tiny.select(Dedup.wordShingles($"text", 3)).as[Seq[String]].collect()
