@@ -231,6 +231,26 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, nbits = 8)
     },
+    "bpe_token_stats" -> { (s, dir) =>
+      val t = table(s, dir, "documents")
+      t.select(
+        col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        size(array_distinct(TextAnalysis.bpeTokens(col("text")))).as("n_distinct_bpe")
+      )
+    },
+    "cosine_neardup_sample" -> { (s, dir) =>
+      // Exact embedding-cosine near-dup over a deterministic 10% sample
+      // (all-pairs verify path); the full-corpus scale path is
+      // cosine_neardup_lsh.
+      val emb = table(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      Similarity.cosineNearDupPairs(emb, threshold = 0.2)
+    },
+    "cosine_neardup_lsh" -> { (s, dir) =>
+      // LSH-bucketed near-dup candidates (recall<1 by design → no SQL
+      // oracle; recall spec'd against the exact form in SimilaritySpec).
+      Similarity.cosineNearDupLsh(table(s, dir, "embeddings"), threshold = 0.2)
+    },
     "media_chunks" -> { (s, dir) =>
       val media = Multimodal.mediaFromDocuments(table(s, dir, "documents"))
       val chunks = Multimodal.sampleChunks(Multimodal.chunked(media, 256), stride = 4)
@@ -430,6 +450,18 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "bpe_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_bpe_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))) AS INT) AS n_distinct_bpe
+        |FROM documents""".stripMargin,
+    "cosine_neardup_sample" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.2""".stripMargin,
     "media_chunks" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -63,6 +63,60 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: all (id_a < id_b) pairs
+    * with cosine ≥ threshold. O(n²) dot products — correct at any scale but
+    * only affordable on bounded sets (a partition, a sampled audit, a
+    * per-cluster verify). The 100 TB path is [[cosineNearDupLsh]]: bucket
+    * first, run this only inside buckets.
+    */
+  def cosineNearDupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("v_a"))
+    val b = emb.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Near-dup pairs at scale: random-hyperplane LSH buckets (+ hamming-1
+    * multiprobe) generate candidates, exact cosine filters them. One shuffle
+    * on the bucket key; pair blowup bounded per bucket. Recall < 1 by
+    * design (pairs whose signatures differ in ≥2 bits are missed) —
+    * spec-checked against the exact form.
+    */
+  def cosineNearDupLsh(
+      emb: DataFrame,
+      threshold: Double,
+      nbits: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 7L
+  ): DataFrame = {
+    val sigd = emb.select(
+      col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v"),
+      lshSignature(col(vecCol), nbits, dim, seed).as("sig")
+    )
+    // Probe buckets: own signature + every single-bit flip, so any pair
+    // within hamming distance 1 shares at least one probe key.
+    val probeMasks = lit(0L) +: (0 until nbits).map(j => lit(1L << j))
+    val probed = sigd
+      .withColumn("probe_sig", explode(array(probeMasks.map(col("sig").bitwiseXOR(_)): _*)))
+    val aSide = probed.select(col("probe_sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val bSide = sigd.select(col("sig").as("probe_sig"), col("id").as("id_b"), col("v").as("v_b"))
+    aSide
+      .join(bSide, Seq("probe_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Deterministic random hyperplanes: `nbits` × `dim` doubles, seed-fixed. */
   private[ops] def hyperplanes(nbits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new Random(seed)

@@ -21,6 +21,19 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0)))
 
+  /** GPT-2-style pre-tokenizer pattern (no lookarounds, so it behaves
+    * identically under Java regex and RE2): contraction suffixes, optional
+    * space + letter/digit/other runs, whitespace runs. This is the
+    * "BPE-ish" token segmentation — real BPE merges would run inside each
+    * pre-token, so this count upper-bounds and tracks BPE token counts.
+    */
+  val BpePattern: String = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   private val Punct = "[.,!?;:]"
 
   def punctCount(text: Column): Column =

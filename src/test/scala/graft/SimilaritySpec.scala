@@ -74,6 +74,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("cosineNearDupLsh finds clustered near-dup pairs with high recall, no false positives") {
+    val data = clustered(90)
+    val df = data.toDF("vec_id", "embedding")
+    val exact = Similarity
+      .cosineNearDupPairs(df, threshold = 0.9)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(exact.nonEmpty) // clusters guarantee high-cosine pairs
+    val lsh = Similarity
+      .cosineNearDupLsh(df, threshold = 0.9, nbits = 6, dim = dim)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    // every LSH pair is exact-verified (no false positives by construction)
+    assert(lsh.subsetOf(exact))
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("cosine expression equals local computation") {
     val a = Array(1.0f, 2.0f, 3.0f)
     val b = Array(-1.0f, 0.5f, 2.0f)
