@@ -14,9 +14,8 @@ object MinhashDiag {
     time("native signatures x1")(sig.select(count(col("sig"))).head)
     time("native signatures x2")(sig.select(count(col("sig"))).head)
     val banded = sig.filter(col("sig").isNotNull)
-      .select(col("id"), posexplode(Dedup.lshBandHashes(col("sig"), 16, 4)))
-      .select(col("id"), col("pos").as("band"), col("col").as("band_hash"))
-    val buckets = banded.groupBy("band","band_hash").agg(collect_list(col("id")).as("ids"))
+      .select(col("id"), explode(Dedup.lshBandHashes(col("sig"), 16, 4)).as("band_hash"))
+    val buckets = banded.groupBy("band_hash").agg(collect_list(col("id")).as("ids"))
     val stats = time("bucket stats")(buckets.select(count(lit(1)), max(size(col("ids"))), sum(when(size(col("ids"))>1, size(col("ids"))*(size(col("ids"))-1)/2).otherwise(0))).head)
     println(s"[diag] buckets=${stats.get(0)} maxBucket=${stats.get(1)} rawPairs=${stats.get(2)}")
     val pairs = time("full pairs x1")(Dedup.minhashPairs(docs).count())

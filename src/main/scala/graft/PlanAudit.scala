@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.execution.debug._
+
+/** Prints formatted physical plans for selected registered queries — the
+  * audit loop for shuffle/broadcast/pushdown review (`explain("formatted")`
+  * per SURVEY §4). Usage: runMain graft.PlanAudit [queryName ...]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(8, "plan-audit")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq else Seq("q3_top_orders", "q5_region_revenue")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -101,11 +101,18 @@ object Dedup {
     * of docs lands in the same (band, band_hash) bucket iff a band matches —
     * the classic MinHash-LSH candidate filter.
     */
-  def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(concat_ws("_", lit("band"), b, concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
-    )
+  def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    // Band index + the band's signature slice, hashed directly as longs (no
+    // string building). The band index inside the hash keys buckets globally,
+    // so downstream grouping needs only the hash; a cross-band collision can
+    // only create a spurious candidate, which exact-Jaccard verification
+    // removes.
+    val perBand = (0 until bands).map { b =>
+      val elems = (1 to rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r))
+      xxhash64((lit(b.toLong) +: elems): _*)
+    }
+    array(perBand: _*)
+  }
 
   /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
     * Jaccard over shingle hash sets. Returns (id_a, id_b, jaccard) with
@@ -133,22 +140,26 @@ object Dedup {
       col(idCol).as("id"),
       minhashSignature(col(textCol), shingleN, numHashes, seed).as("sig")
     )
-    // Stage 2: explode to (band, band_hash, id) — ids only, no payload.
+    // Stage 2: explode to (band_hash, id) — ids only, no payload; the band
+    // index is folded into the hash.
     val banded = withSig
       .filter(col("sig").isNotNull)
-      .select(col("id"), posexplode(lshBandHashes(col("sig"), bands, rows)))
-      .select(col("id"), col("pos").as("band"), col("col").as("band_hash"))
+      .select(col("id"), explode(lshBandHashes(col("sig"), bands, rows)).as("band_hash"))
     // Stage 3: one shuffle groups buckets; pair-generation happens inside an
     // array expression (never a self-join carrying document payloads).
     // Degenerate buckets (> maxBucket) are dropped: at web scale those are
     // boilerplate and pairing them is O(b²) for no dedup value.
+    // Persisted: the pair set (bare ids — tiny relative to the corpus) feeds
+    // three consumers (candidate-id set, both shingle joins); without the
+    // cache the whole bucket pipeline is planned and codegen'd three times.
     val pairs = banded
-      .groupBy(col("band"), col("band_hash"))
+      .groupBy(col("band_hash"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(orderedPairs(array_sort(col("ids")))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Stage 4: exact-Jaccard verification. Shingle sets are computed only for
     // docs that appear in a candidate pair: semi-join docs to the (small) id
     // set first — AQE broadcasts it when it fits — so the expensive shingle
