@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.generator.{Injector, InjectorConfig}
+import graft.ops.Parse
+import graft.streaming.LeaderBoardStream
+
+/** Streaming throughput proof for the BASELINE gate: the reference's injector
+  * sustains ~1,600-2,000 events/s into LeaderBoard (BASELINE.md); this drives
+  * the full LeaderBoard-equivalent fan-out — CSV parse → (a) watermarked
+  * windowed team scores AND (b) global running user scores, both update-mode
+  * — from a MemoryStream and reports end-to-end events/s.
+  *
+  * Prints one JSON line: {"metric":"stream_events_per_sec",...}.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "500000").toInt
+    val batches = 10
+    val spark = GraftSession.local(appName = "stream-bench")
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+
+    val lines = Injector.generate(InjectorConfig(), n).map(_.line)
+
+    val input = MemoryStream[String]
+    val parsed = Parse
+      .parseGameEvents(input.toDF())
+      .select(col("user"), col("team"), col("score"), col("event_time"))
+    val teamQ = LeaderBoardStream
+      .calculateTeamScores(parsed, teamWindowMinutes = 60, allowedLatenessMinutes = 120)
+      .writeStream.format("memory").queryName("sb_team").outputMode("update").start()
+    val userQ = LeaderBoardStream
+      .calculateUserScores(parsed)
+      .writeStream.format("memory").queryName("sb_user").outputMode("update").start()
+
+    // Warm both queries' plans with one tiny batch before timing.
+    input.addData(lines.take(100))
+    teamQ.processAllAvailable(); userQ.processAllAvailable()
+
+    val t0 = System.nanoTime()
+    val per = math.max(1, n / batches)
+    lines.drop(100).grouped(per).foreach { b =>
+      input.addData(b)
+      teamQ.processAllAvailable()
+      userQ.processAllAvailable()
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val eps = (n - 100) / sec
+    val teams = spark.table("sb_team").select("team").distinct().count()
+    val users = spark.table("sb_user").select("user").distinct().count()
+    teamQ.stop(); userQ.stop()
+    println(
+      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":$n,"wall_sec":$sec,"teams":$teams,"users":$users,"micro_batches":$batches}"""
+    )
+    spark.stop()
+  }
+}
