@@ -251,6 +251,12 @@ object SparkEntry {
       // oracle; recall spec'd against the exact form in SimilaritySpec).
       Similarity.cosineNearDupLsh(table(s, dir, "embeddings"), threshold = 0.2)
     },
+    "ann_ivf_topk" -> { (s, dir) =>
+      // IVF-Flat variant: coarse-quantizer buckets + nprobe rerank
+      // (recall<1 by design → no SQL oracle; recall spec'd in SimilaritySpec).
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    },
     "media_chunks" -> { (s, dir) =>
       val media = Multimodal.mediaFromDocuments(table(s, dir, "documents"))
       val chunks = Multimodal.sampleChunks(Multimodal.chunked(media, 256), stride = 4)

@@ -117,6 +117,125 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /** Train IVF coarse centroids: seeded k-means (k-means++ init, Lloyd
+    * iterations) over a bounded sample. Training on a driver-side sample is
+    * the standard IVF recipe (FAISS trains coarse quantizers on ≤256k
+    * samples regardless of corpus size); the full corpus never leaves the
+    * executors — only `trainN` vectors are collected.
+    */
+  def trainIvfCentroids(
+      corpus: DataFrame,
+      nCentroids: Int,
+      trainN: Int = 4096,
+      iters: Int = 8,
+      vecCol: String = "embedding",
+      seed: Long = 11L
+  ): Array[Array[Double]] = {
+    val sample = corpus
+      .select(asDouble(col(vecCol)).as("v"))
+      .limit(trainN)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val rnd = new Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ init
+    val centroids = scala.collection.mutable.ArrayBuffer(sample(rnd.nextInt(sample.length)))
+    while (centroids.size < math.min(nCentroids, sample.length)) {
+      val dists = sample.map(v => centroids.map(c => d2(v, c)).min)
+      val total = dists.sum
+      var r = rnd.nextDouble() * total
+      var idx = 0
+      while (idx < dists.length - 1 && r > dists(idx)) { r -= dists(idx); idx += 1 }
+      centroids += sample(idx)
+    }
+    // Lloyd
+    var cs = centroids.toArray
+    (0 until iters).foreach { _ =>
+      val assign = sample.map(v => cs.indices.minBy(ci => d2(v, cs(ci))))
+      cs = cs.indices.map { ci =>
+        val members = sample.indices.filter(assign(_) == ci)
+        if (members.isEmpty) cs(ci)
+        else {
+          val m = new Array[Double](cs(ci).length)
+          members.foreach { mi => val v = sample(mi); var i = 0; while (i < m.length) { m(i) += v(i); i += 1 } }
+          m.map(_ / members.length)
+        }
+      }.toArray
+    }
+    cs
+  }
+
+  /** Index of the nearest centroid (euclidean), as a column expression:
+    * an array of C distances, argmin via array_position. C is small (the
+    * coarse quantizer), so this stays a scan-speed projection.
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = centroids.map { c =>
+      val cCol = array(c.map(lit): _*)
+      aggregate(zip_with(vec, cCol, (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+    }
+    val arr = array(dists: _*)
+    (array_position(arr, array_min(arr)) - 1).cast("int")
+  }
+
+  /** The `nprobe` nearest centroid ids, as an array column (sort a C-element
+    * array of (dist, id) structs, slice, project ids).
+    */
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, ci) =>
+      val cCol = array(c.map(lit): _*)
+      struct(
+        aggregate(zip_with(vec, cCol, (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("d"),
+        lit(ci).as("ci")
+      )
+    }
+    transform(slice(array_sort(array(scored: _*)), 1, nprobe), s => s.getField("ci"))
+  }
+
+  /** IVF-Flat ANN: corpus vectors are bucketed by nearest coarse centroid
+    * (at 100 TB: a write-side partition/bucket column, built once); each
+    * query exact-reranks only its `nprobe` nearest buckets — corpus scanned
+    * per query drops from 100% to ~nprobe/C. Same output schema as
+    * [[bruteForceTopK]]; recall < 1 by design.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 11L
+  ): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, nCentroids, seed = seed, vecCol = vecCol)
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("c_vec")
+    ).withColumn("bucket", nearestCentroid(col("c_vec"), centroids))
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("bucket", explode(nearestCentroids(col("q_vec"), centroids, nprobe)))
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")
+      )
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic random hyperplanes: `nbits` × `dim` doubles, seed-fixed. */
   private[ops] def hyperplanes(nbits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new Random(seed)

@@ -96,6 +96,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("ivfTopK: high recall on clustered data, deterministic across runs") {
+    val data = clustered(120)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    val exact = Similarity
+      .bruteForceTopK(df, queries, k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    def run() = Similarity
+      .ivfTopK(df, queries, k = 5, nCentroids = 6, nprobe = 2)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val approx = run()
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 3 true clusters, 6 centroids, 2 probes: same-cluster neighbors land in
+    // probed buckets
+    assert(recall >= 0.8, s"recall $recall")
+    assert(run() == approx) // seeded training → deterministic
+  }
+
   test("cosine expression equals local computation") {
     val a = Array(1.0f, 2.0f, 3.0f)
     val b = Array(-1.0f, 0.5f, 2.0f)
