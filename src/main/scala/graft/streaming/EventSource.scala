@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.generator.{Injector, InjectorConfig}
+import graft.ops.Parse
+
+/** One source surface for the reference's two ingestion modes (SURVEY §7.4
+  * risk 6): bounded text files (`TextIO.read`, `UserScore.java:138`) and an
+  * unbounded stream (`PubsubIO`, `LeaderBoard.java:144-145`) — file-stream,
+  * rate-source-driven synthetic injection, or test-supplied frames, all
+  * yielding the same parsed event schema
+  * (`user`, `team`, `score`, `timestamp`, `event_time`).
+  */
+object EventSource {
+
+  sealed trait Config
+  /** Bounded: newline CSV files, glob patterns supported. */
+  final case class BatchFiles(pathOrGlob: String) extends Config
+  /** Unbounded: tail newline CSV files appearing under a directory. */
+  final case class StreamFiles(dir: String) extends Config
+  /** Unbounded: rate-source clock driving the seeded injector — the Spark
+    * analogue of the reference's Pub/Sub injector loop
+    * (`injector/Injector.java:220-239`), ~`rowsPerSecond` events/s.
+    */
+  final case class SyntheticStream(rowsPerSecond: Int = 2000, cfg: InjectorConfig = InjectorConfig())
+      extends Config
+
+  /** Parsed events from any source mode. Malformed lines are dropped and
+    * counted per the reference parser's contract (`UserScore.java:68-88`).
+    */
+  def readEvents(spark: SparkSession, config: Config): DataFrame = config match {
+    case BatchFiles(path) =>
+      Parse.parseGameEvents(spark.read.text(path), observe = true)
+    case StreamFiles(dir) =>
+      Parse.parseGameEvents(spark.readStream.text(dir))
+    case SyntheticStream(rps, cfg) =>
+      // Rate source ticks (value, timestamp); each tick deterministically
+      // selects a pre-generated injector line. The generated pool is seeded →
+      // reproducible; pool access is a broadcast-sized lookup, no driver loop.
+      val pool = Injector.generate(cfg, math.max(10000, rps * 10)).map(_.line)
+      val poolCol = typedLit(pool)
+      val lines = spark.readStream
+        .format("rate")
+        .option("rowsPerSecond", rps.toLong)
+        .load()
+        .select(element_at(poolCol, (pmod(col("value"), lit(pool.size.toLong)) + 1).cast("int")).as("value"))
+      Parse.parseGameEvents(lines)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom-state streaming operators via `mapGroupsWithState` — the upgrade
+  * path SURVEY §7.4 calls out for the reference's global-window user totals
+  * (`LeaderBoard.java:202-221`), whose state grows forever with user
+  * cardinality.
+  *
+  * State is per-key in the StateStore: partitioned by the grouping key,
+  * checkpointed per micro-batch, scaled horizontally by
+  * `spark.sql.shuffle.partitions` — a 1000-executor deployment holds
+  * (users / partitions) entries per task, and the processing-time TTL bounds
+  * total state for abandoned keys, which plain streaming aggregation cannot
+  * do in a global window.
+  */
+object StatefulScores {
+
+  final case class UserTotal(user: String, total_score: Long, events: Long)
+
+  /** Running per-user totals with an idle-TTL: semantically the reference's
+    * global-window accumulating sum, but a user idle longer than
+    * `ttlMinutes` of processing time has their state evicted (the total
+    * restarts if they return — the documented trade for bounded state).
+    * Run with `outputMode("update")`.
+    */
+  def userTotalsWithTtl(
+      events: Dataset[(String, Int)],
+      ttlMinutes: Int
+  ): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: String, rows: Iterator[(String, Int)], state: GroupState[UserTotal]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val (sum, n) = rows.foldLeft((0L, 0L)) { case ((s, c), (_, sc)) => (s + sc, c + 1) }
+            val prev = state.getOption.getOrElse(UserTotal(user, 0L, 0L))
+            val next = UserTotal(user, prev.total_score + sum, prev.events + n)
+            state.update(next)
+            state.setTimeoutDuration(s"$ttlMinutes minutes")
+            next
+          }
+      }
+  }
+
+  /** Output mode required by [[userTotalsWithTtl]]. */
+  val RequiredOutputMode: OutputMode = OutputMode.Update()
+}

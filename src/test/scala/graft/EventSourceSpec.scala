@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.generator.{Injector, InjectorConfig}
+import graft.streaming.EventSource
+
+class EventSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("BatchFiles mode reads and parses injector-written files, drops corrupt lines") {
+    val dir = java.nio.file.Files.createTempDirectory("events").toFile
+    val path = new java.io.File(dir, "events.csv").getAbsolutePath
+    val cfg = InjectorConfig(corruptRate = 50) // force some corrupt lines
+    val n = 500
+    Injector.writeLines(cfg, n, path)
+    val expectedGood = Injector.generate(cfg, n).count(_.event.isDefined)
+    val df = EventSource.readEvents(spark, EventSource.BatchFiles(path))
+    assert(df.columns.toSet == Set("user", "team", "score", "timestamp", "event_time"))
+    assert(df.count() == expectedGood)
+  }
+
+  test("SyntheticStream mode yields the parsed schema from a rate source") {
+    val df = EventSource.readEvents(spark, EventSource.SyntheticStream(rowsPerSecond = 100))
+    assert(df.isStreaming)
+    assert(df.columns.toSet == Set("user", "team", "score", "timestamp", "event_time"))
+    val q = df.writeStream.format("memory").queryName("synth_src").outputMode("append").start()
+    try {
+      // wait for at least one non-empty micro-batch
+      var tries = 0
+      while (spark.table("synth_src").isEmpty && tries < 100) { Thread.sleep(200); tries += 1 }
+    } finally q.stop()
+    assert(spark.table("synth_src").count() > 0)
+  }
+}
