@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k aggregator over (id, score) pairs: keeps the k highest
+  * scores (ties broken toward the smaller id), merged associatively.
+  *
+  * Scale rationale (SURVEY §7.5): ranking with a window function shuffles
+  * every scored candidate row (|queries| × |corpus| for ANN) just to keep k
+  * of them. This aggregator caps what crosses the exchange at k entries per
+  * (map partition, group) — partial aggregation prunes before the shuffle,
+  * the same trick combiner lifting plays for sums.
+  *
+  * The buffer is a sorted Vector capped at k: O(log k) search + O(k) patch
+  * per insert; k is small (top-k search), so the constant beats heap churn.
+  */
+class TopKAgg(k: Int) extends Aggregator[(Long, Double), TopKAgg.Buf, TopKAgg.Buf] {
+  import TopKAgg.{Buf, Entry}
+
+  private def better(a: Entry, b: Entry): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  private def insert(buf: Vector[Entry], x: Entry): Vector[Entry] =
+    if (buf.length >= k && better(buf.last, x)) buf
+    else {
+      val pos = buf.indexWhere(e => better(x, e)) match {
+        case -1 => buf.length
+        case p => p
+      }
+      val grown = buf.patch(pos, Seq(x), 0)
+      if (grown.length > k) grown.dropRight(1) else grown
+    }
+
+  override def zero: Buf = Buf(Vector.empty)
+
+  override def reduce(buf: Buf, x: (Long, Double)): Buf =
+    Buf(insert(buf.entries, Entry(x._1, x._2)))
+
+  override def merge(a: Buf, b: Buf): Buf = Buf(b.entries.foldLeft(a.entries)(insert))
+
+  override def finish(buf: Buf): Buf = buf
+
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
+}
+
+object TopKAgg {
+  final case class Entry(id: Long, score: Double)
+  final case class Buf(entries: Vector[Entry])
+}

@@ -3,7 +3,6 @@ package graft.ops
 import scala.util.Random
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over embedding columns
@@ -33,6 +32,26 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Per-query top-k via the bounded-heap [[graft.functions.TopKAgg]]:
+    * partial aggregation caps each map partition's contribution at k rows
+    * per query before the exchange — a window-rank would shuffle every
+    * scored pair. Input columns: query_id, neighbor_id, cos_sim.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(new graft.functions.TopKAgg(k).toColumn.name("topk"))
+      .flatMap { case (q, buf) =>
+        buf.entries.iterator.zipWithIndex.map { case (e, i) => (q, e.id, e.score, i + 1) }
+      }
+      .toDF("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** Brute-force cosine top-k: for every query vector, the k nearest corpus
     * vectors (excluding itself). Ranking uses cosine rounded to 6 decimals
     * with an id tie-break, making the cut deterministic across engines.
@@ -57,10 +76,7 @@ object Similarity {
         col("neighbor_id"),
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")
       )
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs, exact: all (id_a < id_b) pairs
@@ -232,8 +248,7 @@ object Similarity {
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")
       )
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic random hyperplanes: `nbits` × `dim` doubles, seed-fixed. */
@@ -287,7 +302,6 @@ object Similarity {
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")
       )
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id"))
-    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(candidates, k)
   }
 }
