@@ -188,32 +188,35 @@ object Similarity {
     cs
   }
 
-  /** Index of the nearest centroid (euclidean), as a column expression:
-    * an array of C distances, argmin via array_position. C is small (the
-    * coarse quantizer), so this stays a scan-speed projection.
-    */
-  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = centroids.map { c =>
-      val cCol = array(c.map(lit): _*)
-      aggregate(zip_with(vec, cCol, (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
-    }
-    val arr = array(dists: _*)
-    (array_position(arr, array_min(arr)) - 1).cast("int")
+  private def sqDist(a: Seq[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
   }
 
-  /** The `nprobe` nearest centroid ids, as an array column (sort a C-element
-    * array of (dist, id) structs, slice, project ids).
+  /** Nearest / nprobe-nearest centroid assignment as UDFs over broadcast
+    * centroids. Deliberately NOT literal-array expressions: C × dim literals
+    * bloat the plan and its codegen cost linearly in C (a real coarse
+    * quantizer has C in the hundreds-to-thousands); a broadcast array + one
+    * tight-loop UDF keeps the plan O(1) in C and the per-row cost identical.
     */
-  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, ci) =>
-      val cCol = array(c.map(lit): _*)
-      struct(
-        aggregate(zip_with(vec, cCol, (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("d"),
-        lit(ci).as("ci")
-      )
-    }
-    transform(slice(array_sort(array(scored: _*)), 1, nprobe), s => s.getField("ci"))
-  }
+  def nearestCentroidUdf(centroids: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Double]) => {
+      var best = 0; var bestD = Double.MaxValue; var ci = 0
+      while (ci < centroids.length) {
+        val d = sqDist(v, centroids(ci)); if (d < bestD) { bestD = d; best = ci }; ci += 1
+      }
+      best
+    })
+
+  def nearestCentroidsUdf(centroids: Array[Array[Double]], nprobe: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((v: Seq[Double]) =>
+      centroids.indices
+        .map(ci => (sqDist(v, centroids(ci)), ci))
+        .sorted
+        .take(nprobe)
+        .map(_._2)
+    )
 
   /** IVF-Flat ANN: corpus vectors are bucketed by nearest coarse centroid
     * (at 100 TB: a write-side partition/bucket column, built once); each
@@ -235,10 +238,10 @@ object Similarity {
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("c_vec")
-    ).withColumn("bucket", nearestCentroid(col("c_vec"), centroids))
+    ).withColumn("bucket", nearestCentroidUdf(centroids)(col("c_vec")))
     val q = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
-      .withColumn("bucket", explode(nearestCentroids(col("q_vec"), centroids, nprobe)))
+      .withColumn("bucket", explode(nearestCentroidsUdf(centroids, nprobe)(col("q_vec"))))
     val scored = c
       .join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit skew mitigation for the cases adaptive execution can't fix.
+  *
+  * AQE's skew-join splitting (enabled in our sessions) handles most skew in
+  * sort-merge joins, and map-side partial aggregation handles hot keys in
+  * algebraic aggregates. What remains — and what these helpers are for:
+  *
+  *   - a shuffle join whose hot key exceeds what AQE sub-splitting can
+  *     balance (one key = double-digit % of rows) and whose other side is
+  *     too big to broadcast whole, but fine to replicate `salts`×;
+  *   - holistic aggregations (`collect_list`-shaped) where a hot group's
+  *     entire payload must land on one task unless pre-split.
+  */
+object Skew {
+
+  /** Inner equi-join with salting: the skewed side's rows scatter across
+    * `salts` sub-keys (seeded `rand` — re-execution of a lost task may
+    * re-salt rows, which is safe: any salt joins correctly); the other side
+    * replicates `salts`×. Shuffle balance improves by ~`salts` on the hot
+    * key at the cost of replicating the small side.
+    */
+  def saltedJoin(
+      skewed: DataFrame,
+      other: DataFrame,
+      key: String,
+      salts: Int,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(salts > 0)
+    val left = skewed.withColumn("_salt", (rand(seed) * salts).cast("int"))
+    val right = other.withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
+    left.join(right, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Two-phase holistic aggregation: phase 1 aggregates per (key, salt) —
+    * splitting a hot group across `salts` tasks — phase 2 merges the salted
+    * partials. `partial` computes the per-salt aggregate; `merge` combines
+    * partials (must be associative over `partial`'s output column).
+    */
+  def saltedAgg(
+      df: DataFrame,
+      key: String,
+      salts: Int,
+      partial: Column => Column,
+      merge: Column => Column,
+      valueCol: String,
+      outCol: String,
+      seed: Long = 42L
+  ): DataFrame =
+    df.withColumn("_salt", (rand(seed) * salts).cast("int"))
+      .groupBy(col(key), col("_salt"))
+      .agg(partial(col(valueCol)).as("_partial"))
+      .groupBy(col(key))
+      .agg(merge(col("_partial")).as(outCol))
+}

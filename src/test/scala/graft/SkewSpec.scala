@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skew
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 90% of rows share one hot key
+  private lazy val skewed = (1 to 1000)
+    .map(i => (if (i <= 900) "hot" else s"k${i % 17}", i.toLong))
+    .toDF("key", "v")
+  private lazy val dims = Seq(("hot", 1L), ("k1", 10L), ("k2", 20L), ("k3", 30L)).toDF("key", "w")
+
+  test("saltedJoin equals plain inner join") {
+    val plain = skewed.join(dims, Seq("key")).select("key", "v", "w")
+    val salted = Skew.saltedJoin(skewed, dims, "key", salts = 8).select("key", "v", "w")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("saltedAgg(sum) equals plain groupBy sum; collect_list sizes match") {
+    val plain = skewed.groupBy("key").agg(sum("v").as("total")).as[(String, Long)].collect().toMap
+    val salted = Skew
+      .saltedAgg(skewed, "key", salts = 8, partial = sum, merge = sum, valueCol = "v", outCol = "total")
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    assert(salted == plain)
+    // holistic shape: per-salt collect_list then flatten-merge
+    val lists = Skew
+      .saltedAgg(skewed, "key", 8, partial = collect_list, merge = c => flatten(collect_list(c)), valueCol = "v", outCol = "vs")
+      .select(col("key"), size(col("vs")).as("n"))
+      .as[(String, Int)]
+      .collect()
+      .toMap
+    assert(lists("hot") == 900)
+  }
+}
