@@ -1,0 +1,171 @@
+package graft.apps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.GraftSession
+import graft.model.GameEvent
+import graft.ops.Scoring
+import graft.sinks.TextSink
+import graft.streaming.{EventSource, LeaderBoardStream}
+
+/** The reference's three entry points as library functions + thin CLI mains
+  * (reference `UserScore.java:133-149`, `HourlyTeamScore.java:72-101`,
+  * `LeaderBoard.java:136-175`). Options mirror the reference's option
+  * interfaces (SURVEY §2.7) as `--key=value` args; each `run` is
+  * session-agnostic for tests.
+  */
+object Apps {
+  private[apps] def argMap(args: Array[String]): Map[String, String] =
+    args.collect { case a if a.startsWith("--") && a.contains("=") =>
+      val Array(k, v) = a.drop(2).split("=", 2); k -> v
+    }.toMap
+
+  private[apps] def eventCols(parsed: DataFrame): DataFrame =
+    parsed.select(col("user"), col("team"), col("score"), col("timestamp"), col("event_time"))
+}
+
+/** Batch per-user totals (`UserScore.java`): read CSV → parse → sum per user
+  * → formatted text rows.
+  */
+object UserScoreApp {
+  def run(spark: SparkSession, input: String, output: String): Unit = {
+    val events = EventSource.readEvents(spark, EventSource.BatchFiles(input))
+    val totals = Scoring.extractAndSumScore(
+      events.select(col("user"), col("team"), col("score")),
+      "user"
+    )
+    val lines = TextSink.formatRows(
+      totals,
+      Seq("total_score" -> col("total_score"), "user" -> col("key"))
+    )
+    TextSink.write(lines, output)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = Apps.argMap(args)
+    val spark = GraftSession.local(appName = "user-score")
+    try run(spark, opts("input"), opts("output"))
+    finally spark.stop()
+  }
+}
+
+/** Batch hourly team scores (`HourlyTeamScore.java`): strict minute bounds
+  * (PST `yyyy-MM-dd-HH-mm`, `HourlyTeamScore.java:30-32`), 60-min windows,
+  * one file set per window.
+  */
+object HourlyTeamScoreApp {
+  def run(
+      spark: SparkSession,
+      input: String,
+      output: String,
+      windowMinutes: Int = 60,
+      startMin: Option[String] = None,
+      stopMin: Option[String] = None
+  ): Unit = {
+    val events = EventSource.readEvents(spark, EventSource.BatchFiles(input))
+    val windowed = Scoring.hourlyTeamScore(
+      events.select(col("team"), col("score"), col("timestamp"), col("event_time")),
+      windowMinutes,
+      startMs = startMin.map(GameEvent.parseMinute).getOrElse(Long.MinValue),
+      stopMs = stopMin.map(GameEvent.parseMinute).getOrElse(Long.MaxValue)
+    )
+    TextSink.writeOneFilePerWindow(
+      windowed,
+      concat(lit("total_score: "), col("total_score"), lit(", team: "), col("team")),
+      output,
+      prefix = "team-scores"
+    )
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = Apps.argMap(args)
+    val spark = GraftSession.local(appName = "hourly-team-score")
+    try
+      run(
+        spark,
+        opts("input"),
+        opts("output"),
+        opts.get("windowDuration").map(_.toInt).getOrElse(60),
+        opts.get("startMin"),
+        opts.get("stopMin")
+      )
+    finally spark.stop()
+  }
+}
+
+/** Streaming leaderboard (`LeaderBoard.java`): one parsed stream fans out to
+  * (a) windowed team scores with pane-timing labels and (b) global running
+  * user totals, both appended to managed tables per micro-batch.
+  */
+object LeaderBoardApp {
+
+  /** Start both branches from an already-parsed streaming frame; returns the
+    * running queries (caller stops them). Pane timing derives from the
+    * previous/current watermark, tracked across batches.
+    */
+  def start(
+      parsed: DataFrame,
+      outputDir: String,
+      teamWindowMinutes: Int = 60,
+      allowedLatenessMinutes: Int = 120,
+      triggerMillis: Long = 1000L
+  ): Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    val teamScores = LeaderBoardStream.calculateTeamScores(
+      parsed, teamWindowMinutes, allowedLatenessMinutes
+    )
+    @volatile var prevWatermarkMs = 0L
+    val teamQ = teamScores.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(triggerMillis))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val wmMs = spark.streams.active
+          .flatMap(q => Option(q.lastProgress))
+          .flatMap(p => Option(p.eventTime.get("watermark")))
+          .headOption
+          .map(java.time.Instant.parse(_).toEpochMilli)
+          .getOrElse(prevWatermarkMs)
+        val labeled = LeaderBoardStream.withPaneTiming(batch, prevWatermarkMs, wmMs)
+          .withColumn("processing_time", current_timestamp())
+        prevWatermarkMs = math.max(prevWatermarkMs, wmMs)
+        TextSink.appendTable(labeled, s"$outputDir/leaderboard_team")
+      }
+      .queryName("leaderboard_team")
+      .start()
+    val userQ = LeaderBoardStream.calculateUserScores(parsed)
+      .writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(triggerMillis))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TextSink.appendTable(
+          batch.withColumn("processing_time", current_timestamp()),
+          s"$outputDir/leaderboard_user"
+        )
+      }
+      .queryName("leaderboard_user")
+      .start()
+    Seq(teamQ, userQ)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = Apps.argMap(args)
+    val spark = GraftSession.local(appName = "leaderboard")
+    val source = opts.get("inputDir") match {
+      case Some(dir) => EventSource.StreamFiles(dir)
+      case None => EventSource.SyntheticStream(opts.get("eventsPerSec").map(_.toInt).getOrElse(2000))
+    }
+    val parsed = Apps.eventCols(EventSource.readEvents(spark, source))
+    val queries = start(
+      parsed,
+      opts("output"),
+      opts.get("teamWindowDuration").map(_.toInt).getOrElse(60),
+      opts.get("allowedLateness").map(_.toInt).getOrElse(120)
+    )
+    val runtimeSec = opts.get("runtimeSec").map(_.toLong).getOrElse(60L)
+    Thread.sleep(runtimeSec * 1000)
+    queries.foreach(_.stop())
+    spark.stop()
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.apps.{HourlyTeamScoreApp, LeaderBoardApp, UserScoreApp}
+import graft.generator.{Injector, InjectorConfig}
+import graft.model.GameEvent
+
+/** End-to-end app flows: injector file → app → output files, plus the
+  * streaming leaderboard fan-out appending both tables.
+  */
+class AppsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("apps").toString
+
+  private def writeEvents(n: Int): (String, Vector[GameEvent]) = {
+    val dir = tmp()
+    val path = s"$dir/events.csv"
+    val cfg = InjectorConfig()
+    Injector.writeLines(cfg, n, path)
+    (path, Injector.generate(cfg, n).flatMap(_.event))
+  }
+
+  test("UserScoreApp: file in, formatted per-user totals out") {
+    val (input, events) = writeEvents(2000)
+    val out = tmp() + "/user-out"
+    UserScoreApp.run(spark, input, out)
+    val lines = spark.read.textFile(out).collect()
+    val expected = events.groupMapReduce(_.user)(_.score.toLong)(_ + _)
+    assert(lines.length == expected.size)
+    val re = "total_score: (-?\\d+), user: (.+)".r
+    lines.foreach {
+      case re(total, user) => assert(expected(user) == total.toLong, user)
+      case l => fail(s"unexpected line format: $l")
+    }
+  }
+
+  test("HourlyTeamScoreApp: per-window files with reference naming") {
+    val (input, events) = writeEvents(2000)
+    val out = tmp() + "/team-out"
+    HourlyTeamScoreApp.run(spark, input, out, windowMinutes = 60)
+    val files = new java.io.File(out).listFiles().filter(_.getName.startsWith("team-scores-"))
+    assert(files.nonEmpty)
+    // filename layout: prefix-<start>-<end>-<shard>-of-<n>
+    assert(files.forall(_.getName.matches("team-scores-.+-\\d{5}-of-\\d{5}")))
+    val totals = files.flatMap(f => scala.io.Source.fromFile(f).getLines())
+      .map { l => val re = "total_score: (-?\\d+), team: (.+)".r; l match { case re(t, _) => t.toLong } }
+      .sum
+    assert(totals == events.map(_.score.toLong).sum)
+  }
+
+  test("LeaderBoardApp.start: both tables appended, team rows labeled") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[GameEvent]
+    val parsed = input.toDF().withColumn("event_time", org.apache.spark.sql.functions.timestamp_millis($"timestamp"))
+    val out = tmp()
+    val queries = LeaderBoardApp.start(parsed, out, triggerMillis = 200L)
+    try {
+      input.addData(Seq(GameEvent("a", "Red", 5, 3600_000L), GameEvent("b", "Blue", 3, 3660_000L)))
+      queries.foreach(_.processAllAvailable())
+      input.addData(Seq(GameEvent("a", "Red", 2, 3720_000L)))
+      queries.foreach(_.processAllAvailable())
+    } finally queries.foreach(_.stop())
+    val team = spark.read.parquet(s"$out/leaderboard_team")
+    val user = spark.read.parquet(s"$out/leaderboard_user")
+    assert(team.select("timing").as[String].collect().forall(Set("EARLY", "ON_TIME", "LATE")))
+    assert(
+      user.orderBy($"processing_time".desc).filter($"user" === "a")
+        .select("total_score").as[Long].head() == 7L
+    )
+  }
+}
