@@ -231,6 +231,16 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, nbits = 8)
     },
+    "lang_id_ngram" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langIdNgram(col("text")).as("lang_pred"))
+    },
+    "simhash_neardup_pairs" -> { (s, dir) =>
+      // Chunk-banded SimHash pairing (hash-native fingerprints → no SQL
+      // oracle; exact-equality vs brute-force hamming spec'd in DedupSpec).
+      // Classic 4x16-bit config: pigeonhole-guaranteed recall for hamming<=3.
+      Dedup.simhashNearDupPairs(table(s, dir, "documents"), maxHamming = 3, chunks = 4)
+    },
     "bpe_token_stats" -> { (s, dir) =>
       val t = table(s, dir, "documents")
       t.select(
@@ -456,6 +466,24 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "lang_id_ngram" ->
+      """WITH lowered AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    (length(lt)-length(replace(lt,'the','')))/3 + (length(lt)-length(replace(lt,'and','')))/3 + (length(lt)-length(replace(lt,' th','')))/3 + (length(lt)-length(replace(lt,'he ','')))/3 + (length(lt)-length(replace(lt,'ing','')))/3 + (length(lt)-length(replace(lt,'of ','')))/3 + (length(lt)-length(replace(lt,' of','')))/3 + (length(lt)-length(replace(lt,'ed ','')))/3 + (length(lt)-length(replace(lt,' in','')))/3 + (length(lt)-length(replace(lt,'ion','')))/3 AS s_en,
+        |    (length(lt)-length(replace(lt,'der','')))/3 + (length(lt)-length(replace(lt,'ein','')))/3 + (length(lt)-length(replace(lt,'ich','')))/3 + (length(lt)-length(replace(lt,'nde','')))/3 + (length(lt)-length(replace(lt,'die','')))/3 + (length(lt)-length(replace(lt,'und','')))/3 + (length(lt)-length(replace(lt,'sch','')))/3 + (length(lt)-length(replace(lt,'ung','')))/3 + (length(lt)-length(replace(lt,'en ','')))/3 + (length(lt)-length(replace(lt,'cht','')))/3 AS s_de,
+        |    (length(lt)-length(replace(lt,'de ','')))/3 + (length(lt)-length(replace(lt,' de','')))/3 + (length(lt)-length(replace(lt,'os ','')))/3 + (length(lt)-length(replace(lt,'la ','')))/3 + (length(lt)-length(replace(lt,' la','')))/3 + (length(lt)-length(replace(lt,'ión','')))/3 + (length(lt)-length(replace(lt,'ent','')))/3 + (length(lt)-length(replace(lt,'es ','')))/3 + (length(lt)-length(replace(lt,'ado','')))/3 + (length(lt)-length(replace(lt,'que','')))/3 AS s_es,
+        |    (length(lt)-length(replace(lt,'es ','')))/3 + (length(lt)-length(replace(lt,'de ','')))/3 + (length(lt)-length(replace(lt,' de','')))/3 + (length(lt)-length(replace(lt,'ent','')))/3 + (length(lt)-length(replace(lt,'le ','')))/3 + (length(lt)-length(replace(lt,' le','')))/3 + (length(lt)-length(replace(lt,'nt ','')))/3 + (length(lt)-length(replace(lt,'la ','')))/3 + (length(lt)-length(replace(lt,'ion','')))/3 + (length(lt)-length(replace(lt,'des','')))/3 AS s_fr,
+        |    (length(lt)-length(replace(lt,'的','')))/1 + (length(lt)-length(replace(lt,'是','')))/1 + (length(lt)-length(replace(lt,'了','')))/1 + (length(lt)-length(replace(lt,'在','')))/1 + (length(lt)-length(replace(lt,'我','')))/1 AS s_zh
+        |  FROM lowered
+        |)
+        |SELECT doc_id, CASE
+        |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |  WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |  WHEN s_fr >= s_zh THEN 'fr'
+        |  ELSE 'zh' END AS lang_pred
+        |FROM scored""".stripMargin,
     "bpe_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_bpe_tokens,

@@ -209,6 +209,47 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs: candidates share at least one of `chunks`
+    * exact fingerprint chunks (pigeonhole: any pair within hamming distance
+    * < `chunks` must agree on some chunk), then verified by exact hamming ≤
+    * `maxHamming`. Same one-shuffle bucket-join shape as [[minhashPairs]] —
+    * ids explode to (chunk bucket), pairs generate inside the bucket array,
+    * fingerprints join back only for the candidate set.
+    *
+    * Default 4 chunks × 16 bits guarantees recall for maxHamming ≤ 3.
+    */
+  def simhashNearDupPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      chunks: Int = 4,
+      maxBucket: Int = 10000
+  ): DataFrame = {
+    require(64 % chunks == 0, "chunks must divide 64")
+    val w = 64 / chunks
+    val fps = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+    val chunkKeys = (0 until chunks).map { c =>
+      // chunk value + index packed into one bucket key
+      struct(lit(c).as("c"), shiftrightunsigned(col("fp"), c * w).bitwiseAND(lit((1L << w) - 1)).as("v"))
+    }
+    val banded = fps.select(col("id"), explode(array(chunkKeys: _*)).as("ck"))
+    val pairs = banded
+      .groupBy(col("ck"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(orderedPairs(array_sort(col("ids")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val fA = fps.select(col("id").as("id_a"), col("fp").as("fp_a"))
+    val fB = fps.select(col("id").as("id_b"), col("fp").as("fp_b"))
+    pairs
+      .join(fA, Seq("id_a"))
+      .join(fB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("fp_a"), col("fp_b")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // --------------------------------------------------- n-gram Jaccard pairs
 
   /** Exact n-gram Jaccard over all pairs of a (pre-filtered, small) doc set.

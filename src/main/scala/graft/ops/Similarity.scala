@@ -56,9 +56,8 @@ object Similarity {
     * vectors (excluding itself). Ranking uses cosine rounded to 6 decimals
     * with an id tie-break, making the cut deterministic across engines.
     *
-    * Plan shape: broadcast(queries) × corpus scan → per-query rank. The only
-    * shuffle is the window partition on query id (|queries| × |corpus| rows
-    * pre-rank; see [[Dedup]] header for the heap-aggregate upgrade path).
+    * Plan shape: broadcast(queries) × corpus scan → bounded-heap top-k
+    * aggregation; the exchange carries ≤ k rows per (partition, query).
     */
   def bruteForceTopK(
       corpus: DataFrame,

@@ -71,6 +71,43 @@ object TextAnalysis {
       }
   }
 
+  /** Character-trigram profiles per language: the classic n-gram language-ID
+    * heuristic (Cavnar-Trenkle style, profile fixed inline rather than
+    * trained). Seed trigrams chosen from each language's highest-frequency
+    * character sequences.
+    */
+  val LangTrigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", " th", "he ", "ing", "of ", " of", "ed ", " in", "ion"),
+    "de" -> Seq("der", "ein", "ich", "nde", "die", "und", "sch", "ung", "en ", "cht"),
+    "es" -> Seq("de ", " de", "os ", "la ", " la", "ión", "ent", "es ", "ado", "que"),
+    "fr" -> Seq("es ", "de ", " de", "ent", "le ", " le", "nt ", "la ", "ion", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  /** Count occurrences of a fixed literal substring (regex-free). */
+  private def substrCount(text: Column, s: String): Column =
+    when(length(text) > 0, (length(text) - length(replace(text, lit(s), lit("")))) / s.length)
+      .otherwise(0)
+      .cast("int")
+
+  /** Char-n-gram language ID: argmax of per-language trigram hit counts over
+    * the lower-cased text, ties resolving in profile order. Pure expressions
+    * (replace/length arithmetic — no regex), scan-speed per row.
+    */
+  def langIdNgram(text: Column): Column = {
+    val lowered = lower(text)
+    val scores = LangTrigramProfiles.map { case (lang, grams) =>
+      lang -> grams.map(substrCount(lowered, _)).reduce(_ + _)
+    }
+    scores.zipWithIndex
+      .init
+      .foldRight(lit(scores.last._1)) { case (((lang, score), i), elseCol) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        val beatsAllLater = laterScores.map(score >= _).reduce(_ && _)
+        when(beatsAllLater, lit(lang)).otherwise(elseCol)
+      }
+  }
+
   /** Deterministic [0,1] quality score: token volume + English-stopword
     * density + punctuation sanity. Fixed-order double arithmetic so the
     * DuckDB oracle reproduces it bit-for-bit per row.

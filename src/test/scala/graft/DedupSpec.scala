@@ -87,6 +87,24 @@ class DedupSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("simhashNearDupPairs equals brute-force hamming filter (chunked recall guarantee)") {
+    val fp = docs.select($"doc_id", Dedup.simhash64($"text").as("h")).as[(Long, Long)].collect().toMap
+    val maxH = 10
+    val expected = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      if java.lang.Long.bitCount(fp(a) ^ fp(b)) <= maxH
+    } yield (a, b)).toSet
+    assert(expected.contains((1L, 2L))) // exact dups: hamming 0
+    // chunks=16 (4-bit chunks): pigeonhole guarantees recall for hamming < 16
+    val got = Dedup
+      .simhashNearDupPairs(docs, maxHamming = maxH, chunks = 16)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(got == expected)
+  }
+
   test("wordShingles guard: short docs produce empty sets, null-safe signature") {
     val tiny = Seq((1L, "two words"), (2L, "one"), (3L, "")).toDF("doc_id", "text")
     val sh = tiny.select(Dedup.wordShingles($"text", 3)).as[Seq[String]].collect()

@@ -21,6 +21,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "en"))
   }
 
+  test("langIdNgram: char-trigram profiles pick the dominant language") {
+    val samples = Seq(
+      (1L, "the quick brown fox and the lazy dog are running in the morning", "en"),
+      (2L, "der schnelle braune fuchs und der faule hund sind nicht schlecht", "de"),
+      (3L, "el rápido zorro marrón y el perro perezoso que corre en la mañana", "es"),
+      (4L, "le renard brun rapide et le chien paresseux dans la matinée des champs", "fr"),
+      (5L, "的是了在我的是了在我", "zh")
+    ).toDF("id", "text", "expected")
+    val wrong = samples
+      .select(TextAnalysis.langIdNgram(col("text")).as("got"), col("expected"))
+      .filter(col("got") =!= col("expected"))
+      .count()
+    assert(wrong == 0)
+  }
+
   test("rollingHashCol matches the Scala reference implementation") {
     val samples = Seq("", "a", "hello world", "The quick brown fox! 123")
     val got = samples.toDF("t").select(TextAnalysis.rollingHashCol($"t")).as[Long].collect()
