@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.MinhashSigExpr
+
+/** Session extension wiring (`spark.sql.extensions=graft.GraftExtensions`):
+  * registers the engine's custom Catalyst expressions as SQL functions, so
+  * `spark.sql("SELECT minhash_sig(text, 3, 64, 42) FROM docs")` works
+  * alongside the Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$name must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(s"$name must be a long literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(
+          classOf[MinhashSigExpr].getName,
+          null,
+          "minhash_sig",
+          "minhash_sig(text[, shingleN, numHashes, seed]) - one-pass MinHash signature (array<bigint>)",
+          ""
+        ),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(text) => MinhashSigExpr(text, 3, 64, 42L)
+            case Seq(text, n) => MinhashSigExpr(text, intArg(n, "shingleN"), 64, 42L)
+            case Seq(text, n, h) => MinhashSigExpr(text, intArg(n, "shingleN"), intArg(h, "numHashes"), 42L)
+            case Seq(text, n, h, s) =>
+              MinhashSigExpr(text, intArg(n, "shingleN"), intArg(h, "numHashes"), longArg(s, "seed"))
+            case _ =>
+              throw new IllegalArgumentException("minhash_sig expects 1 to 4 arguments")
+          }
+      )
+    )
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("minhash_sig registered as a SQL function via SparkSessionExtensions") {
+    // Extensions apply only at session build time; clear the shared session
+    // so getOrCreate builds a NEW SparkSession (same SparkContext) with the
+    // extension, and restore the shared one after.
+    val shared = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions (not the spark.sql.extensions config): the extensions
+    // static conf is read from the SparkContext, which the shared test
+    // context was built without.
+    val spark = SparkSession
+      .builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("id", "text")
+        .createOrReplaceTempView("ext_docs")
+      val viaSql = spark
+        .sql("SELECT minhash_sig(text) AS sig FROM ext_docs")
+        .as[Seq[Long]]
+        .head()
+      val viaColumn = Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("id", "text")
+        .select(Dedup.minhashSignature($"text").as("sig"))
+        .as[Seq[Long]]
+        .head()
+      assert(viaSql == viaColumn)
+      assert(viaSql.length == 64)
+    } finally {
+      // don't stop the shared SparkContext: other suites reuse it — restore
+      // the shared session as active/default
+      spark.catalog.dropTempView("ext_docs")
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
