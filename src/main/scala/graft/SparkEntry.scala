@@ -170,6 +170,10 @@ object SparkEntry {
     "q3_top_orders" -> ((s, dir) => Relational.q3TopOrders(s, dir)),
     "q5_region_revenue" -> ((s, dir) => Relational.q5RegionRevenue(s, dir)),
     "part_brand_stats" -> ((s, dir) => Relational.partBrandStats(s, dir)),
+    "q7_nation_volume" -> ((s, dir) => Relational.q7NationVolume(s, dir)),
+    "q10_returned_revenue" -> ((s, dir) => Relational.q10ReturnedRevenue(s, dir)),
+    "q14_promo_share" -> ((s, dir) => Relational.q14PromoShare(s, dir)),
+    "q19_disjunctive_revenue" -> ((s, dir) => Relational.q19DisjunctiveRevenue(s, dir)),
     "returned_order_priorities" -> ((s, dir) => Relational.returnedOrderPriorities(s, dir)),
     "top_customers_per_nation" -> ((s, dir) => Relational.topCustomersPerNation(s, dir)),
     "lineitem_profile" -> ((s, dir) => Relational.lineitemProfile(s, dir)),
@@ -363,6 +367,51 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+        |   OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q14_promo_share" ->
+      """WITH m AS (
+        |  SELECT epoch_ms(date_trunc('month', l_shipdate)) AS ship_month_ms,
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS promo_cents,
+        |    CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1
+        |)
+        |SELECT ship_month_ms, promo_cents, total_cents,
+        |  CAST(floor(promo_cents * 10000.0 / total_cents) AS BIGINT) AS promo_bps
+        |FROM m""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 5 AND 35)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 10 AND 50)""".stripMargin,
     "returned_order_priorities" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders

@@ -118,6 +118,7 @@ object LeaderBoardApp {
     @volatile var prevWatermarkMs = 0L
     val teamQ = teamScores.writeStream
       .outputMode("update")
+      .option("checkpointLocation", s"$outputDir/_checkpoints/team")
       .trigger(Trigger.ProcessingTime(triggerMillis))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
@@ -137,6 +138,7 @@ object LeaderBoardApp {
     val userQ = LeaderBoardStream.calculateUserScores(parsed)
       .writeStream
       .outputMode("update")
+      .option("checkpointLocation", s"$outputDir/_checkpoints/user")
       .trigger(Trigger.ProcessingTime(triggerMillis))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         TextSink.appendTable(

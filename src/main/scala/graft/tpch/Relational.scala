@@ -112,6 +112,77 @@ object Relational {
       )
   }
 
+  /** TPC-H Q7-style: shipping volume between two nations by direction and
+    * ship year (two dim roles for one table — nation joins twice).
+    */
+  def q7NationVolume(spark: SparkSession, dir: String, n1: String = "NATION_18", n2: String = "NATION_19"): DataFrame = {
+    val nation = table(spark, dir, "nation")
+    val suppNation = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val custNation = nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    table(spark, dir, "lineitem")
+      .join(table(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(custNation), col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === n1 && col("cust_nation") === n2) ||
+          (col("supp_nation") === n2 && col("cust_nation") === n1)
+      )
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+  }
+
+  /** TPC-H Q10-style: top-20 customers by returned-item revenue. */
+  def q10ReturnedRevenue(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(table(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q14-style: promo revenue share by ship month — conditional
+    * aggregation over a broadcast dim join; share in basis points (integer
+    * exact, no float division in the compare).
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .otherwise(0L)).as("promo_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_cents")
+      )
+      .select(
+        unix_millis(col("ship_month").cast("timestamp")).as("ship_month_ms"),
+        col("promo_cents"),
+        col("total_cents"),
+        // floor (not cast) — cast-from-double rounds in DuckDB but truncates
+        // in Spark; floor agrees in both engines
+        floor(col("promo_cents") * 10000L / col("total_cents")).cast("long").as("promo_bps")
+      )
+
+  /** TPC-H Q19-style: disjunctive brand/size/quantity predicates — the
+    * optimizer must push a complex OR through a broadcast join.
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .join(broadcast(table(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity") >= 1 && col("l_quantity") <= 20) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) && col("l_quantity") >= 5 && col("l_quantity") <= 35) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && col("l_quantity") >= 10 && col("l_quantity") <= 50)
+      )
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+        count(lit(1)).as("n_lines")
+      )
+
   /** Global distinct/minmax profile of the fact table (no grouping key —
     * exercises partial-agg + single-row final).
     */
