@@ -271,6 +271,21 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     },
+    "curation_pipeline" -> { (s, dir) =>
+      // End-to-end training-data curation: exact-dedup (min-id survivor) →
+      // language gate → quality gate. One composed plan: the window dedup,
+      // the lang/quality projections, and the filters all pipeline over a
+      // single scan + one hash-partition exchange.
+      val docs = table(s, dir, "documents")
+      Dedup
+        .dropExactDuplicates(docs)
+        .select(
+          col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang"),
+          TextAnalysis.qualityScore(col("text"), length(col("text"))).as("quality")
+        )
+        .filter(col("lang") === "en" && col("quality") >= 0.5)
+    },
     "media_chunks" -> { (s, dir) =>
       val media = Multimodal.mediaFromDocuments(table(s, dir, "documents"))
       val chunks = Multimodal.sampleChunks(Multimodal.chunked(media, 256), stride = 4)
@@ -545,6 +560,37 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.2""".stripMargin,
+    "curation_pipeline" ->
+      """WITH survivors AS (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, text,
+        |    CAST(length(text) AS INT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['the','and','of','to','in','is'], t))) AS INT) AS n_stop,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['the','and','of','to','in','is'], t))) AS s_en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS s_de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['el','la','los','que','y','es'], t))) AS s_es,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['le','les','des','et','est','dans'], t))) AS s_fr,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
+        |  FROM survivors WHERE rn = 1
+        |), scored AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |         WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS lang,
+        |    round((least(n_tokens, 100) / 100.0) * 0.4
+        |        + least(n_stop * 4.0 / greatest(n_tokens, 1), 1.0) * 0.3
+        |        + (1.0 - least(n_punct * 10.0 / greatest(n_chars, 1), 1.0)) * 0.3, 4) AS quality
+        |  FROM f
+        |)
+        |SELECT doc_id, lang, quality FROM scored
+        |WHERE lang = 'en' AND quality >= 0.5""".stripMargin,
     "media_chunks" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
