@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.MinhashSigExpr
+import graft.functions.{MinhashSigExpr, SimhashExpr}
 
 /** Session extension wiring (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's custom Catalyst expressions as SQL functions, so
@@ -44,6 +44,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               MinhashSigExpr(text, intArg(n, "shingleN"), intArg(h, "numHashes"), longArg(s, "seed"))
             case _ =>
               throw new IllegalArgumentException("minhash_sig expects 1 to 4 arguments")
+          }
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("simhash64"),
+        new ExpressionInfo(
+          classOf[SimhashExpr].getName,
+          null,
+          "simhash64",
+          "simhash64(text) - one-pass 64-bit SimHash fingerprint (bigint)",
+          ""
+        ),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(text) => SimhashExpr(text)
+            case _ => throw new IllegalArgumentException("simhash64 expects exactly 1 argument")
           }
       )
     )

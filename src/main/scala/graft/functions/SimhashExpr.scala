@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass 64-bit SimHash: tokenize → distinct tokens → per-bit majority
+  * vote of token hashes — a single codegen'd call per row.
+  *
+  * Bit-identical to the compositional form in `Dedup.simhash64Composed`
+  * (token hash = Spark `xxhash64` = `XXH64.hashUTF8String(tok, 42)`; distinct
+  * by token string like `array_distinct`; vote +1 where the hash has bit j,
+  * else -1; fingerprint bit j set iff votes > 0). The compositional form
+  * runs 64 interpreted `zip_with` lambdas per token; this loop is the same
+  * math at ~1000× less per-row overhead.
+  */
+case class SimhashExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string child, got ${child.dataType}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimhashExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimhashExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+}
+
+object SimhashExpr {
+
+  private val WhitespaceRe = UTF8String.fromString("\\s+")
+
+  def column(text: Column): Column =
+    ColumnBridge.column(SimhashExpr(ColumnBridge.expression(text)))
+
+  def compute(text: UTF8String): Long = {
+    val toks = text.toLowerCase.split(WhitespaceRe, -1)
+    val seen = new java.util.HashSet[UTF8String](toks.length * 2)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        val h = XXH64.hashUTF8String(t, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) != 0L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+}

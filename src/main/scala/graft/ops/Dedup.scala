@@ -190,8 +190,15 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
     * hashes. Near-duplicate docs differ in few bits (compare via hamming).
+    * Native one-pass expression; bit-identical to [[simhash64Composed]]
+    * (regression spec asserts equality).
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column): Column = graft.functions.SimhashExpr.column(text)
+
+  /** Compositional (higher-order-function) form of [[simhash64]] — kept as
+    * the executable specification the native expression is checked against.
+    */
+  def simhash64Composed(text: Column): Column = {
     val masks = array((0 until 64).map(j => lit(1L << j)): _*)
     val tokHashes = transform(array_distinct(split(lower(text), "\\s+")), t => xxhash64(t))
     val votes = aggregate(

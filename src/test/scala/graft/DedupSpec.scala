@@ -68,6 +68,20 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(fp(1L), fp(4L)) > 16)
   }
 
+  test("native simhash is bit-identical to the compositional pipeline") {
+    val tricky = Seq(
+      (20L, "  leading and trailing   whitespace  "),
+      (21L, "Ünïcödé MIXED case tokens\twith\ntabs and newlines"),
+      (22L, "repeated repeated repeated tokens tokens dedupe"),
+      (23L, "x")
+    ).toDF("doc_id", "text")
+    val mismatches = docs.union(tricky)
+      .select(Dedup.simhash64($"text").as("native"), Dedup.simhash64Composed($"text").as("composed"))
+      .filter(not($"native" <=> $"composed"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("native minhash signature is bit-identical to the compositional pipeline") {
     val tricky = Seq(
       (10L, "  leading whitespace then words enough for shingles"),
