@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming deduplication for continuous ingestion — the stream-side
+  * complement to the batch operators in [[graft.ops.Dedup]].
+  *
+  * State design: dedup state is per-key in the StateStore, partitioned by the
+  * key hash. Unbounded-state dedup ([[exactForever]]) matches the
+  * reference's global-window semantics (nothing expires); the watermarked
+  * form ([[exactWithinWatermark]]) bounds state to the lateness horizon —
+  * the only sane configuration at 100 TB/day ingest, where "forever" state
+  * would grow without limit.
+  */
+object StreamingDedup {
+
+  /** Drop rows whose key was seen before, keeping state forever (exact
+    * streaming dedup, unbounded state growth — use for bounded key spaces).
+    */
+  def exactForever(stream: DataFrame, keyCols: Seq[String]): DataFrame =
+    stream.dropDuplicates(keyCols)
+
+  /** Drop duplicate keys arriving within the watermark horizon: two events
+    * with the same key deduplicate iff they arrive within `delay` of each
+    * other in event time; state older than the watermark is evicted. Input
+    * must carry `eventTimeCol`.
+    */
+  def exactWithinWatermark(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      eventTimeCol: String,
+      delay: String
+  ): DataFrame =
+    stream
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Content-hash dedup of a document stream: key = md5(text) (16-byte state
+    * per doc, never the payload), watermark-bounded.
+    */
+  def contentDedup(
+      docStream: DataFrame,
+      textCol: String,
+      eventTimeCol: String,
+      delay: String
+  ): DataFrame =
+    exactWithinWatermark(
+      docStream.withColumn("_content_hash", md5(col(textCol))),
+      Seq("_content_hash"),
+      eventTimeCol,
+      delay
+    ).drop("_content_hash")
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingDedup
+
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val H = 3600_000L
+
+  test("contentDedup drops same-content docs within the watermark horizon") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val stream = input.toDF().toDF("doc_id", "text", "ts")
+      .withColumn("event_time", org.apache.spark.sql.functions.timestamp_millis($"ts"))
+    val deduped = StreamingDedup.contentDedup(stream, "text", "event_time", "2 hours")
+    val q = deduped.writeStream.format("memory").queryName("sd_out").outputMode("append").start()
+    try {
+      input.addData(Seq((1L, "alpha text", H), (2L, "beta text", H + 1000), (3L, "alpha text", H + 2000)))
+      q.processAllAvailable()
+      input.addData(Seq((4L, "alpha text", H + 3000), (5L, "gamma text", H + 4000)))
+      q.processAllAvailable()
+      // advance watermark far: append-mode dedup emits finalized rows
+      input.addData(Seq((6L, "omega text", 50 * H)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("sd_out").select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(1L) && !ids.contains(3L) && !ids.contains(4L)) // dups of doc 1 dropped
+    assert(ids.contains(2L) && ids.contains(5L))
+  }
+
+  test("exactForever keeps first occurrence only, across batches") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Int)]
+    val deduped = StreamingDedup.exactForever(input.toDF().toDF("k", "v"), Seq("k"))
+    val q = deduped.writeStream.format("memory").queryName("sd_forever").outputMode("append").start()
+    try {
+      input.addData(Seq("a" -> 1, "b" -> 2))
+      q.processAllAvailable()
+      input.addData(Seq("a" -> 99, "c" -> 3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sd_forever").as[(String, Int)].collect().toMap
+    assert(rows == Map("a" -> 1, "b" -> 2, "c" -> 3))
+  }
+}
