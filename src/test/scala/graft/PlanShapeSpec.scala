@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the optimizations the 100 TB design
+  * depends on must be visible in the executed plan, not assumed. A change
+  * that silently degrades a broadcast join to sort-merge-on-the-fact-side,
+  * drops scan-level filter pushdown, or introduces a cartesian product fails
+  * here before it ships.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.count() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q5: dim joins broadcast, filters pushed to parquet scans") {
+    val plan = executedPlan("q5_region_revenue")
+    assert(plan.contains("BroadcastHashJoin"), "dim joins must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("PushedFilters: [IsNotNull"), "scan-level pushdown missing")
+  }
+
+  test("q3: top-k is TakeOrderedAndProject, not a global sort") {
+    val plan = executedPlan("q3_top_orders")
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q1: aggregation is partial+final around one exchange") {
+    val plan = executedPlan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "partial+final agg expected")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, "exactly one shuffle expected")
+  }
+
+  test("column pruning: lineitem profile reads only referenced columns") {
+    val df = SparkEntry.queries("lineitem_profile")(spark, dir)
+    df.count()
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scan.contains("l_comment") && !scan.contains("l_tax"), s"unpruned scan: $scan")
+  }
+
+  test("minhash pairs: no cartesian product anywhere in the plan") {
+    val plan = executedPlan("minhash_pairs")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("ObjectHashAggregate"), "bucket collect_list expected")
+  }
+}
