@@ -243,7 +243,10 @@ object SparkEntry {
       // Chunk-banded SimHash pairing (hash-native fingerprints → no SQL
       // oracle; exact-equality vs brute-force hamming spec'd in DedupSpec).
       // Classic 4x16-bit config: pigeonhole-guaranteed recall for hamming<=3.
-      Dedup.simhashNearDupPairs(table(s, dir, "documents"), maxHamming = 3, chunks = 4)
+      // maxBucket=500: the synthetic corpus's tiny shared vocabulary makes
+      // fingerprints cluster; at web scale such buckets are boilerplate and
+      // pairing them is O(b^2) for no dedup value (same cap as minhash).
+      Dedup.simhashNearDupPairs(table(s, dir, "documents"), maxHamming = 3, chunks = 4, maxBucket = 500)
     },
     "bpe_token_stats" -> { (s, dir) =>
       val t = table(s, dir, "documents")
