@@ -143,6 +143,16 @@ object SparkEntry {
         sum(cents(col("value"))).over(w).as("running_total")
       )
     },
+    "user_sessions" -> { (s, dir) =>
+      // Session-window aggregation (gap 30 min): a windowing mode the
+      // reference lacks; oracle reproduces it with gaps-and-islands SQL.
+      val ev = eventsTable(s, dir).select(
+        col("user_id"),
+        cents(col("value")).as("score"),
+        col("event_time")
+      )
+      Scoring.sessionScores(ev, "user_id", gapMinutes = 30)
+    },
     "text_format_rows" -> { (s, dir) =>
       // P6/C4: fixed-order "k: v, k: v" text rows over the user totals.
       val ev = eventsTable(s, dir).select(
@@ -340,6 +350,25 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total
         |FROM events""".stripMargin,
+    "user_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS score
+        |  FROM events
+        |), marked AS (
+        |  SELECT *, CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |    OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) >= 1800000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |), sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |)
+        |SELECT user_id, min(ms) AS session_start_ms,
+        |  CAST(sum(score) AS BIGINT) AS session_score,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     "text_format_rows" ->
       """SELECT 'user: ' || CAST(user_id AS VARCHAR) || ', total_score: ' ||
         |  CAST(CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS VARCHAR) AS line

@@ -40,6 +40,28 @@ object Scoring {
     * assignment becomes an explicit grouping column (Spark has no hidden
     * per-element window metadata).
     */
+  /** Session windows (gap-based, no fixed grid): consecutive events of one
+    * key merge while each arrives within `gapMinutes` of the previous —
+    * Spark's `session_window`, a windowing mode the reference's FixedWindows
+    * can't express. Works identically over batch and streams.
+    */
+  def sessionScores(events: DataFrame, keyCol: String, gapMinutes: Int): DataFrame =
+    events
+      .groupBy(
+        session_window(col("event_time"), s"$gapMinutes minutes").as("session"),
+        col(keyCol)
+      )
+      .agg(
+        sum(col("score").cast("long")).as("session_score"),
+        count(lit(1)).as("n_events")
+      )
+      .select(
+        col(keyCol),
+        unix_millis(col("session.start")).as("session_start_ms"),
+        col("session_score"),
+        col("n_events")
+      )
+
   def hourlyTeamScore(
       events: DataFrame,
       windowMinutes: Int = 60,

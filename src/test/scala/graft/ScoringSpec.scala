@@ -30,6 +30,24 @@ class ScoringSpec extends AnyFunSuite {
     assert(got == Map("Red" -> 13L, "Blue" -> 12L))
   }
 
+  test("sessionScores: events within the gap merge, at/over the gap split") {
+    val gapMs = 30 * 60_000L
+    val ev = Seq(
+      ("u1", 10, 0L),               // session 1 start
+      ("u1", 5, gapMs - 1),         // merges (strictly inside gap)
+      ("u1", 7, 2 * gapMs + 10_000),// new session (gap elapsed)
+      ("u2", 1, 0L)                 // separate key
+    ).toDF("user", "score", "ts")
+      .withColumn("event_time", timestamp_millis($"ts"))
+    val got = graft.ops.Scoring
+      .sessionScores(ev, "user", gapMinutes = 30)
+      .select("user", "session_start_ms", "session_score", "n_events")
+      .as[(String, Long, Long, Long)]
+      .collect()
+      .toSet
+    assert(got == Set(("u1", 0L, 15L, 2L), ("u1", 2 * gapMs + 10_000, 7L, 1L), ("u2", 0L, 1L, 1L)))
+  }
+
   test("getKey quirk: any non-'team' field name selects user (UserScore.java:56-62)") {
     val got = Scoring.extractAndSumScore(df, "banana").as[(String, Long)].collect().toMap
     assert(got.keySet == Set("alice", "bob", "cara"))
