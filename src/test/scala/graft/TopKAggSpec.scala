@@ -1,0 +1,55 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TopKAgg
+import graft.functions.TopKAgg.Entry
+
+/** Properties that make TopKAgg's partial-aggregation claim sound: any
+  * partition of the input, reduced locally and merged in any grouping, must
+  * equal the global sorted top-k. Seeded random cases, heavy on score ties.
+  */
+class TopKAggSpec extends AnyFunSuite {
+
+  // Unique ids per group — matches the operator contract (candidate pairs
+  // are deduplicated before aggregation). Coarse scores tie frequently.
+  private def randomEntries(rnd: Random): List[(Long, Double)] =
+    rnd.shuffle((0L until rnd.between(0, 60)).toList)
+      .map(id => id -> rnd.between(-5, 6).toDouble)
+
+  private def expected(xs: List[(Long, Double)], k: Int): Vector[Entry] =
+    xs.map { case (id, s) => Entry(id, s) }
+      .sortBy(e => (-e.score, e.id))
+      .take(k)
+      .toVector
+
+  test("reduce-then-merge over arbitrary partitions equals global sorted top-k") {
+    val rnd = new Random(7)
+    (1 to 300).foreach { _ =>
+      val xs = randomEntries(rnd)
+      val k = rnd.between(1, 9)
+      val nParts = rnd.between(1, 6)
+      val agg = new TopKAgg(k)
+      val parts = xs.zipWithIndex.groupBy(_._2 % nParts).values.map(_.map(_._1))
+      val merged = parts
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged).entries == expected(xs, k), s"xs=$xs k=$k parts=$nParts")
+    }
+  }
+
+  test("merge is commutative") {
+    val rnd = new Random(11)
+    (1 to 300).foreach { _ =>
+      val a = randomEntries(rnd)
+      val b = randomEntries(rnd)
+      val k = rnd.between(1, 7)
+      val agg = new TopKAgg(k)
+      val ba = a.foldLeft(agg.zero)(agg.reduce)
+      val bb = b.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.merge(ba, bb).entries == agg.merge(bb, ba).entries)
+    }
+  }
+}
