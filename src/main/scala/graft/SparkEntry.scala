@@ -180,6 +180,30 @@ object SparkEntry {
     "q3_top_orders" -> ((s, dir) => Relational.q3TopOrders(s, dir)),
     "q5_region_revenue" -> ((s, dir) => Relational.q5RegionRevenue(s, dir)),
     "part_brand_stats" -> ((s, dir) => Relational.partBrandStats(s, dir)),
+    "returns_rollup" -> { (s, dir) =>
+      // Grouping-sets coverage: ROLLUP over (returnflag, linestatus) with
+      // subtotal and grand-total rows (NULL group indicators align across
+      // engines).
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          count(lit(1)).as("n_lines")
+        )
+    },
+    "value_percentiles" -> { (s, dir) =>
+      // Holistic aggregate coverage: exact percentiles of the event value in
+      // cents (integer input; both engines use linear interpolation — round
+      // to 4dp for a stable cross-engine compare).
+      eventsTable(s, dir)
+        .select(cents(col("value")).as("v"))
+        .agg(
+          round(percentile(col("v"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("v"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("v"), lit(0.75)), 4).as("p75"),
+          round(percentile(col("v"), lit(0.95)), 4).as("p95")
+        )
+    },
     "q7_nation_volume" -> ((s, dir) => Relational.q7NationVolume(s, dir)),
     "q10_returned_revenue" -> ((s, dir) => Relational.q10ReturnedRevenue(s, dir)),
     "q14_promo_share" -> ((s, dir) => Relational.q14PromoShare(s, dir)),
@@ -414,6 +438,19 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
+    "returns_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "value_percentiles" ->
+      """SELECT
+        |  round(quantile_cont(CAST(floor(value*100 + 0.5) AS BIGINT), 0.25), 4) AS p25,
+        |  round(quantile_cont(CAST(floor(value*100 + 0.5) AS BIGINT), 0.5), 4) AS p50,
+        |  round(quantile_cont(CAST(floor(value*100 + 0.5) AS BIGINT), 0.75), 4) AS p75,
+        |  round(quantile_cont(CAST(floor(value*100 + 0.5) AS BIGINT), 0.95), 4) AS p95
+        |FROM events""".stripMargin,
     "q7_nation_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INT) AS l_year,
