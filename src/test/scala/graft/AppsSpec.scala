@@ -53,6 +53,46 @@ class AppsSpec extends AnyFunSuite {
     assert(totals == events.map(_.score.toLong).sum)
   }
 
+  test("LeaderBoardApp restart: checkpoint resumes without loss or double-processing") {
+    import org.apache.spark.sql.functions._
+    val inDir = tmp()
+    val out = tmp()
+    def startApp() = {
+      val parsed = graft.streaming.EventSource
+        .readEvents(spark, graft.streaming.EventSource.StreamFiles(inDir))
+        .select(col("user"), col("team"), col("score"), col("event_time"))
+      LeaderBoardApp.start(parsed, out, triggerMillis = 200L)
+    }
+    def latestUserTotal(user: String): Option[Long] =
+      try {
+        val df = spark.read.parquet(s"$out/leaderboard_user").filter(col("user") === user)
+        if (df.isEmpty) None
+        else Some(df.orderBy(col("processing_time").desc).select("total_score").as[Long](spark.implicits.newLongEncoder).head())
+      } catch { case _: Throwable => None }
+    def await(user: String, expect: Long): Unit = {
+      val deadline = System.nanoTime() + 90_000_000_000L
+      while (!latestUserTotal(user).contains(expect) && System.nanoTime() < deadline) Thread.sleep(300)
+      assert(latestUserTotal(user).contains(expect), s"$user != $expect (got ${latestUserTotal(user)})")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(inDir, "a.csv"),
+      s"alice,Red,5,${3600_000L},x\nbob,Blue,3,${3660_000L},x\nalice,Red,2,${3720_000L},x\n"
+    )
+    val run1 = startApp()
+    try await("alice", 7L)
+    finally run1.foreach(_.stop())
+    // new data while stopped; restart must process ONLY the new file
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(inDir, "b.csv"),
+      s"alice,Red,10,${3780_000L},x\nbob,Blue,1,${3840_000L},x\n"
+    )
+    val run2 = startApp()
+    try {
+      await("alice", 17L) // 7 + 10, not 14 + 10 (no reprocessing of a.csv)
+      await("bob", 4L)
+    } finally run2.foreach(_.stop())
+  }
+
   test("LeaderBoardApp.start: both tables appended, team rows labeled") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[GameEvent]
