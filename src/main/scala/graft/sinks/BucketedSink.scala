@@ -1,0 +1,35 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed managed tables — the write-side partitioning that makes repeated
+  * big-big joins shuffle-free.
+  *
+  * At 100 TB, a fact-fact join (lineitem ⋈ orders, events ⋈ users) shuffles
+  * both sides on every query. Bucketing pays that shuffle ONCE at write time:
+  * both tables hash-partitioned into the same bucket count on the join key,
+  * files sorted within buckets, so Spark plans a SortMergeJoin with no
+  * Exchange on either side (asserted in BucketedSinkSpec). The same layout
+  * serves every subsequent join/aggregation on that key.
+  */
+object BucketedSink {
+
+  /** Write `df` as a managed bucketed table (overwrite). `buckets` must match
+    * on both sides of an intended co-located join; key order in `sortCols`
+    * should lead with the join key so merge-join needs no extra sort.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      bucketCol: String,
+      buckets: Int,
+      sortCols: Seq[String] = Nil
+  ): Unit = {
+    val w = df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+    val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w.sortBy(bucketCol)
+    sorted.saveAsTable(tableName)
+  }
+}

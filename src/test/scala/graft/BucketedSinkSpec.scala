@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.BucketedSink
+
+class BucketedSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("co-bucketed tables join with no exchange on either side") {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_totalprice")
+    BucketedSink.writeBucketed(li, "b_lineitem", "l_orderkey", buckets = 8)
+    BucketedSink.writeBucketed(ord, "b_orders", "o_orderkey", buckets = 8)
+    try {
+      // Force a non-broadcast join so the bucket layout is what's tested.
+      val joined = spark.table("b_lineitem").hint("merge")
+        .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+      joined.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"), s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"), "scan not bucketed")
+      // correctness identical to the plain join
+      val plain = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      assert(joined.count() == plain.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+    }
+  }
+}
