@@ -183,6 +183,18 @@ object Relational {
         count(lit(1)).as("n_lines")
       )
 
+  /** Sketch-based profile: HyperLogLog++ distinct counts. At 100 TB the
+    * exact [[lineitemProfile]] shuffles every distinct key; this form ships
+    * fixed-size sketches through the exchange instead (rsd 2%). Accuracy
+    * spec'd against exact in RelationalSpec; not oracle-hashable by design.
+    */
+  def lineitemProfileApprox(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
+    table(spark, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      approx_count_distinct(col("l_orderkey"), rsd).as("n_orders_approx"),
+      approx_count_distinct(col("l_partkey"), rsd).as("n_parts_approx")
+    )
+
   /** Global distinct/minmax profile of the fact table (no grouping key —
     * exercises partial-agg + single-row final).
     */

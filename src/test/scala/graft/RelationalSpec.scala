@@ -1,0 +1,20 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tpch.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("approx profile within rsd bounds of exact distinct counts") {
+    val exact = Relational.lineitemProfile(spark, dir).collect().head
+    val approx = Relational.lineitemProfileApprox(spark, dir).collect().head
+    assert(approx.getAs[Long]("n_rows") == exact.getAs[Long]("n_rows"))
+    def close(a: Long, e: Long): Boolean = math.abs(a - e).toDouble / e < 0.05
+    assert(close(approx.getAs[Long]("n_orders_approx"), exact.getAs[Long]("n_orders")))
+    assert(close(approx.getAs[Long]("n_parts_approx"), exact.getAs[Long]("n_parts")))
+  }
+}

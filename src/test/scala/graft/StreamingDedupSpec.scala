@@ -32,6 +32,35 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(ids.contains(2L) && ids.contains(5L))
   }
 
+  test("streaming parse surfaces drop counts via observed metrics") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[String]
+    val observed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val parsed = graft.ops.Parse
+      .parseGameEvents(input.toDF(), observe = true)
+    val q = parsed.writeStream.format("memory").queryName("sp_obs").outputMode("append").start()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics.get(graft.ops.Parse.ObservationName)
+        if (m != null) observed += ((m.getAs[Long]("parse_errors"), m.getAs[Long]("rows_in")))
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      input.addData(Seq("a,Red,5,1000,x", "garbage line", "b,Blue,zz,2000,x", "c,Red,1,3000,x"))
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (!observed.exists(_._2 == 4L) && System.nanoTime() < deadline) Thread.sleep(100)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+    assert(observed.exists { case (errs, rows) => rows == 4L && errs == 2L })
+    assert(spark.table("sp_obs").count() == 2) // only well-formed rows pass
+  }
+
   test("exactForever keeps first occurrence only, across batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, Int)]
