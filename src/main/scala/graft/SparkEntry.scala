@@ -143,6 +143,36 @@ object SparkEntry {
         sum(cents(col("value"))).over(w).as("running_total")
       )
     },
+    "sliding_team_score" -> { (s, dir) =>
+      // Sliding windows (60-min window, 30-min slide): every event lands in
+      // two windows; oracle reproduces assignment by unnesting both offsets.
+      val ev = eventsTable(s, dir).select(
+        col("event_type").as("team"),
+        cents(col("value")).as("score"),
+        col("event_time")
+      )
+      ev.groupBy(window(col("event_time"), "60 minutes", "30 minutes"), col("team"))
+        .agg(sum(col("score")).as("total_score"))
+        .select(
+          unix_millis(col("window.start")).as("window_start_ms"),
+          col("team"),
+          col("total_score")
+        )
+    },
+    "sql_frontdoor" -> { (s, dir) =>
+      // The SQL surface the reference lacks: the engine's own spark.sql runs
+      // ANSI SQL over registered views — same relational core, text front
+      // door.
+      table(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+          count(*) AS n_lines
+        FROM v_lineitem
+        WHERE l_quantity >= 25
+        GROUP BY l_returnflag, l_linestatus
+      """)
+    },
     "user_sessions" -> { (s, dir) =>
       // Session-window aggregation (gap 30 min): a windowing mode the
       // reference lacks; oracle reproduces it with gaps-and-islands SQL.
@@ -374,6 +404,23 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total
         |FROM events""".stripMargin,
+    "sliding_team_score" ->
+      """WITH assigned AS (
+        |  SELECT event_type AS team,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS score,
+        |    epoch_ms(ts) - (epoch_ms(ts) % 1800000) - off AS window_start_ms
+        |  FROM events, (SELECT unnest([0, 1800000]) AS off)
+        |)
+        |SELECT window_start_ms, team, CAST(sum(score) AS BIGINT) AS total_score
+        |FROM assigned
+        |GROUP BY 1, 2""".stripMargin,
+    "sql_frontdoor" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_quantity >= 25
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "user_sessions" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ms(ts) AS ms,
