@@ -160,23 +160,22 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Stage 4: exact-Jaccard verification. Shingle sets are computed only for
-    // docs that appear in a candidate pair: semi-join docs to the (small) id
-    // set first — AQE broadcasts it when it fits — so the expensive shingle
-    // projection runs on candidates, not the corpus. The identical `pairs`
-    // subtrees reuse one shuffle (ReusedExchange), not three recomputes.
-    val candIds = pairs
-      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
-      .distinct()
-    val candShingles = docs
-      .select(col(idCol).as("id"), col(textCol).as("t"))
-      .join(candIds, Seq("id"))
-      .select(col("id"), shingleHashes(col("t"), shingleN).as("shingles"))
-    val shA = candShingles.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val shB = candShingles.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    // Stage 4: exact-Jaccard verification. The (small, persisted) pair set
+    // joins straight to the docs table on each side — AQE broadcasts the
+    // pair side, the corpus streams through both joins — and shingles are
+    // computed AFTER the join, so the expensive shingle projection runs once
+    // per candidate pair side, never over the corpus.
+    val docsA = docs.select(col(idCol).as("id_a"), col(textCol).as("t_a"))
+    val docsB = docs.select(col(idCol).as("id_b"), col(textCol).as("t_b"))
     pairs
-      .join(shA, Seq("id_a"))
-      .join(shB, Seq("id_b"))
+      .join(docsA, Seq("id_a"))
+      .join(docsB, Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        shingleHashes(col("t_a"), shingleN).as("sh_a"),
+        shingleHashes(col("t_b"), shingleN).as("sh_b")
+      )
       .select(
         col("id_a"),
         col("id_b"),
@@ -248,12 +247,18 @@ object Dedup {
       .select(explode(orderedPairs(array_sort(col("ids")))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val fA = fps.select(col("id").as("id_a"), col("fp").as("fp_a"))
-    val fB = fps.select(col("id").as("id_b"), col("fp").as("fp_b"))
+    // Verification joins docs directly (pair side broadcast by AQE) and
+    // recomputes fingerprints only for candidate pair sides.
+    val dA = docs.select(col(idCol).as("id_a"), col(textCol).as("t_a"))
+    val dB = docs.select(col(idCol).as("id_b"), col(textCol).as("t_b"))
     pairs
-      .join(fA, Seq("id_a"))
-      .join(fB, Seq("id_b"))
-      .select(col("id_a"), col("id_b"), hamming64(col("fp_a"), col("fp_b")).cast("int").as("hamming"))
+      .join(dA, Seq("id_a"))
+      .join(dB, Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        hamming64(simhash64(col("t_a")), simhash64(col("t_b"))).cast("int").as("hamming")
+      )
       .filter(col("hamming") <= maxHamming)
   }
 
