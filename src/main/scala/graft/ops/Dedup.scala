@@ -247,18 +247,17 @@ object Dedup {
       .select(explode(orderedPairs(array_sort(col("ids")))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // Verification joins docs directly (pair side broadcast by AQE) and
-    // recomputes fingerprints only for candidate pair sides.
-    val dA = docs.select(col(idCol).as("id_a"), col(textCol).as("t_a"))
-    val dB = docs.select(col(idCol).as("id_b"), col(textCol).as("t_b"))
+    // Verification joins the per-doc fingerprint table (8-byte values,
+    // broadcastable) rather than recomputing per pair: SimHash's exact
+    // chunk-match candidates are DENSE on near-dup-heavy corpora — pair
+    // count can exceed doc count — so compute-per-doc-then-join wins here,
+    // the opposite trade from minhashPairs' sparse candidates.
+    val fA = fps.select(col("id").as("id_a"), col("fp").as("fp_a"))
+    val fB = fps.select(col("id").as("id_b"), col("fp").as("fp_b"))
     pairs
-      .join(dA, Seq("id_a"))
-      .join(dB, Seq("id_b"))
-      .select(
-        col("id_a"),
-        col("id_b"),
-        hamming64(simhash64(col("t_a")), simhash64(col("t_b"))).cast("int").as("hamming")
-      )
+      .join(fA, Seq("id_a"))
+      .join(fB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("fp_a"), col("fp_b")).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
