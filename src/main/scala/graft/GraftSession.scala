@@ -22,6 +22,14 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // RocksDB state store: streaming state (windows, running totals, dedup
+      // keys) spills off-heap and scales past executor memory — at 100 TB
+      // the HDFS-backed in-memory provider OOMs on state size long before
+      // throughput is a problem.
+      .config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      )
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
