@@ -61,6 +61,33 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(spark.table("sp_obs").count() == 2) // only well-formed rows pass
   }
 
+  test("dedup state works on the RocksDB provider (production state store)") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try {
+      val input = MemoryStream[(String, Int)]
+      val deduped = StreamingDedup.exactForever(input.toDF().toDF("k", "v"), Seq("k"))
+      val q = deduped.writeStream.format("memory").queryName("sd_rocks").outputMode("append").start()
+      try {
+        input.addData(Seq("a" -> 1, "a" -> 2, "b" -> 3))
+        q.processAllAvailable()
+        input.addData(Seq("b" -> 9, "c" -> 4))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("sd_rocks").as[(String, Int)].collect().toMap
+      assert(rows == Map("a" -> 1, "b" -> 3, "c" -> 4))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("exactForever keeps first occurrence only, across batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, Int)]
