@@ -285,6 +285,15 @@ object SparkEntry {
         .minhashPairs(table(s, dir, "documents"))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     },
+    "neardup_dedup_corpus" -> { (s, dir) =>
+      // Full near-dup removal: MinHash-LSH pairs → connected-component
+      // clusters → min-id representatives survive (hash-native pairs → no
+      // SQL oracle; clustering semantics spec'd in DedupSpec).
+      val docs = table(s, dir, "documents")
+      Dedup
+        .dropNearDuplicates(docs, Dedup.minhashPairs(docs, threshold = 0.8))
+        .select(col("doc_id"))
+    },
     "simhash_fingerprints" -> { (s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))

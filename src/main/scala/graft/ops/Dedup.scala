@@ -185,6 +185,64 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // -------------------------------------------------------------- clusters
+
+  /** Near-duplicate clusters from a pair set: connected components via
+    * min-label propagation. Each node's label converges to the smallest doc
+    * id in its component — the cluster representative.
+    *
+    * Scale: each iteration is one join + one aggregation, O(component
+    * diameter) iterations (near-dup components are shallow — dup clusters
+    * are near-cliques, so convergence is typically 2-3 rounds). Lineage is
+    * truncated per iteration (`localCheckpoint`), keeping plans flat. For
+    * adversarial chain-shaped graphs swap in large-star/small-star; the
+    * interface doesn't change.
+    *
+    * Returns (id, cluster) with cluster = min id of the component.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("dst_cluster")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("dst_cluster")).as("neighbor_min"))
+      val updated = labels
+        .join(neighborMin.select(col("src").as("id"), col("neighbor_min")), Seq("id"), "left")
+        .select(
+          col("id"),
+          col("cluster"),
+          least(col("cluster"), coalesce(col("neighbor_min"), col("cluster"))).as("next_cluster")
+        )
+        .localCheckpoint()
+      changed = updated.filter(col("next_cluster") =!= col("cluster")).count()
+      labels = updated.select(col("id"), col("next_cluster").as("cluster"))
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Corpus minus near-duplicates: every doc that is NOT its cluster's
+    * min-id representative is dropped (docs in no pair survive untouched).
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val losers = nearDupClusters(pairs)
+      .filter(col("cluster") =!= col("id"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token

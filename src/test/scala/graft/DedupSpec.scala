@@ -119,6 +119,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("nearDupClusters: chains collapse to min-id components; dropNearDuplicates keeps representatives") {
+    // chain 1-2-3 (transitive, never a direct 1-3 pair), separate pair 5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    val corpus = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(corpus, pairs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L)) // reps + the unpaired doc 4
+  }
+
+  test("end-to-end near-dup removal: minhash pairs drive cluster dedup") {
+    val kept = Dedup
+      .dropNearDuplicates(docs, Dedup.minhashPairs(docs, threshold = 0.3))
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .toSet
+    // docs 1/2/3 are one near-dup cluster (keep 1); 4 and 5 unrelated
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("wordShingles guard: short docs produce empty sets, null-safe signature") {
     val tiny = Seq((1L, "two words"), (2L, "one"), (3L, "")).toDF("doc_id", "text")
     val sh = tiny.select(Dedup.wordShingles($"text", 3)).as[Seq[String]].collect()
