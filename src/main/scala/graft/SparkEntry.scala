@@ -321,6 +321,33 @@ object SparkEntry {
       // pairing them is O(b^2) for no dedup value (same cap as minhash).
       Dedup.simhashNearDupPairs(table(s, dir, "documents"), maxHamming = 3, chunks = 4, maxBucket = 500)
     },
+    "text_normalize" -> { (s, dir) =>
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(TextAnalysis.normalizeWhitespace(col("text"))).cast("int").as("n_norm_chars")
+        )
+    },
+    "repetition_stats" -> { (s, dir) =>
+      // Gopher/C4-style repetition signal: share of the document's bigrams
+      // taken by its most frequent bigram (high share = boilerplate/spam).
+      val grams = table(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.wordBigrams(col("text"))).as("gram"))
+      grams
+        .groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("n")).as("n_bigrams"),
+          max(col("n")).as("top_bigram_n")
+        )
+        .select(
+          col("doc_id"),
+          col("n_bigrams"),
+          col("top_bigram_n"),
+          round(col("top_bigram_n") / col("n_bigrams"), 4).as("top_share")
+        )
+    },
     "bpe_token_stats" -> { (s, dir) =>
       val t = table(s, dir, "documents")
       t.select(
@@ -673,6 +700,26 @@ object SparkEntry {
         |  WHEN s_fr >= s_zh THEN 'fr'
         |  ELSE 'zh' END AS lang_pred
         |FROM scored""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  CAST(length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS INT) AS n_norm_chars
+        |FROM documents""".stripMargin,
+    "repetition_stats" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, len(string_split_regex(lower(text), '\s+'))),
+        |    i -> string_split_regex(lower(text), '\s+')[i] || ' ' || string_split_regex(lower(text), '\s+')[i+1]
+        |  )) AS gram
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(text), '\s+')) >= 2
+        |), counted AS (
+        |  SELECT doc_id, gram, count(*) AS n FROM grams GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |  CAST(max(n) AS BIGINT) AS top_bigram_n,
+        |  round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_share
+        |FROM counted GROUP BY 1""".stripMargin,
     "bpe_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_bpe_tokens,

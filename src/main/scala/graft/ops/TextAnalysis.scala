@@ -155,6 +155,26 @@ object TextAnalysis {
       (acc, c) => pmod(acc * 31 + c, lit(RollingMod))
     )
 
+  /** Whitespace normalization: collapse runs to single spaces, trim ends —
+    * the first step of every web-text cleaning pipeline.
+    */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Word bigrams WITHOUT dedup (counts matter for repetition metrics),
+    * lower-cased. Empty array below 2 tokens.
+    */
+  def wordBigrams(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    when(
+      size(toks) >= 2,
+      transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))
+      )
+    ).otherwise(array().cast("array<string>"))
+  }
+
   /** Per-document stats frame used by the registered queries. */
   def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
