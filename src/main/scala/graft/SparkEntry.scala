@@ -38,6 +38,17 @@ object SparkEntry {
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Ensure per-row-expensive map/generate work gets the session's full
+    * parallelism. No-op whenever the scan already has enough input splits
+    * (always true at real scale); only a small single-file table read as one
+    * partition triggers the repartition — and then the shuffled payload is
+    * that small table.
+    */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Per-row exact cents from a 2-decimal double; identical formula is used
     * in the oracle SQL so both engines quantize identically.
     */
@@ -331,7 +342,7 @@ object SparkEntry {
     "repetition_stats" -> { (s, dir) =>
       // Gopher/C4-style repetition signal: share of the document's bigrams
       // taken by its most frequent bigram (high share = boilerplate/spam).
-      val grams = table(s, dir, "documents")
+      val grams = spread(s, table(s, dir, "documents"))
         .select(col("doc_id"), explode(TextAnalysis.wordBigrams(col("text"))).as("gram"))
       grams
         .groupBy(col("doc_id"), col("gram"))
