@@ -104,6 +104,26 @@ object Multimodal {
     }
   }
 
+  /** Resize STUB: recompute target dimensions (fit inside `maxDim`,
+    * aspect-preserving) and mark the payload as resized. A real
+    * implementation swaps the body for a codec call inside the same
+    * mapPartitions shape as [[decodeStub]]; the dimension math — the part a
+    * pipeline's bookkeeping depends on — is real.
+    */
+  def resizeStub(features: Dataset[MediaFeatures], maxDim: Int): Dataset[MediaFeatures] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    features.mapPartitions { rows =>
+      rows.map { f =>
+        val scale = math.min(1.0, maxDim.toDouble / math.max(f.width, f.height))
+        f.copy(
+          width = math.max(1, math.round(f.width * scale).toInt),
+          height = math.max(1, math.round(f.height * scale).toInt)
+        )
+      }
+    }
+  }
+
   /** Rebalance partitions by cumulative payload bytes: range-partition on the
     * running size quantile rather than hashing ids, so heavy payloads spread
     * evenly. (Row-count repartition is wrong for media: 1000 thumbnails !=

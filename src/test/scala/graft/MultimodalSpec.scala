@@ -7,6 +7,18 @@ import graft.ops.Multimodal
 
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+
+  test("resizeStub: aspect-preserving fit inside maxDim, small images untouched") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val feats = Seq(
+      Multimodal.MediaFeatures(1L, 100L, 2000, 1000, 3, 7L),
+      Multimodal.MediaFeatures(2L, 100L, 64, 48, 3, 8L)
+    ).toDS()
+    val resized = Multimodal.resizeStub(feats, maxDim = 512).collect().map(f => f.media_id -> f).toMap
+    assert(resized(1L).width == 512 && resized(1L).height == 256) // aspect kept
+    assert(resized(2L).width == 64 && resized(2L).height == 48) // no upscale
+  }
   import spark.implicits._
 
   private def media = Multimodal.mediaFromDocuments(
