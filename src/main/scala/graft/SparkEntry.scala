@@ -250,6 +250,27 @@ object SparkEntry {
     "q14_promo_share" -> ((s, dir) => Relational.q14PromoShare(s, dir)),
     "q19_disjunctive_revenue" -> ((s, dir) => Relational.q19DisjunctiveRevenue(s, dir)),
     "returned_order_priorities" -> ((s, dir) => Relational.returnedOrderPriorities(s, dir)),
+    "orders_without_returns" -> { (s, dir) =>
+      // NOT EXISTS → left-anti join: orders with no returned line.
+      val returned = table(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      table(s, dir, "orders")
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+    "sql_correlated_max" -> { (s, dir) =>
+      // Correlated scalar subquery through the SQL front door — Catalyst
+      // decorrelates to an aggregate + join (no per-row subquery execution).
+      table(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT o_orderpriority, o_orderkey,
+          CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS totalprice_cents
+        FROM v_orders o
+        WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                              FROM v_orders o2
+                              WHERE o2.o_orderpriority = o.o_orderpriority)
+      """)
+    },
     "top_customers_per_nation" -> ((s, dir) => Relational.topCustomersPerNation(s, dir)),
     "lineitem_profile" -> ((s, dir) => Relational.lineitemProfile(s, dir)),
     "segment_stats" -> ((s, dir) => Relational.segmentStats(s, dir)),
@@ -545,6 +566,19 @@ object SparkEntry {
         |  round(quantile_cont(CAST(floor(value*100 + 0.5) AS BIGINT), 0.75), 4) AS p75,
         |  round(quantile_cont(CAST(floor(value*100 + 0.5) AS BIGINT), 0.95), 4) AS p95
         |FROM events""".stripMargin,
+    "orders_without_returns" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "sql_correlated_max" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS totalprice_cents
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+        |                      FROM orders o2
+        |                      WHERE o2.o_orderpriority = o.o_orderpriority)""".stripMargin,
     "q7_nation_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INT) AS l_year,
