@@ -32,25 +32,35 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Per-query top-k via the bounded-heap [[graft.functions.TopKAgg]]:
+  /** Per-group top-k via the bounded-heap [[graft.functions.TopKAgg]]:
     * partial aggregation caps each map partition's contribution at k rows
-    * per query before the exchange — a window-rank would shuffle every
-    * scored pair. Input columns: query_id, neighbor_id, cos_sim.
+    * per group before the exchange — a window-rank would shuffle every row.
+    * Returns (groupCol, idCol, scoreCol, rank), rank 1-based by
+    * (score desc, id asc).
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val spark = scored.sparkSession
+  def topKPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String,
+      k: Int
+  ): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    scored
-      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    df
+      .select(col(groupCol).cast("long"), col(idCol).cast("long"), col(scoreCol).cast("double"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))
       .agg(new graft.functions.TopKAgg(k).toColumn.name("topk"))
-      .flatMap { case (q, buf) =>
-        buf.entries.iterator.zipWithIndex.map { case (e, i) => (q, e.id, e.score, i + 1) }
+      .flatMap { case (g, buf) =>
+        buf.entries.iterator.zipWithIndex.map { case (e, i) => (g, e.id, e.score, i + 1) }
       }
-      .toDF("query_id", "neighbor_id", "cos_sim", "rank")
+      .toDF(groupCol, idCol, scoreCol, "rank")
   }
+
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    topKPerGroup(scored, "query_id", "neighbor_id", "cos_sim", k)
 
   /** Brute-force cosine top-k: for every query vector, the k nearest corpus
     * vectors (excluding itself). Ranking uses cosine rounded to 6 decimals
