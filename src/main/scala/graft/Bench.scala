@@ -20,14 +20,16 @@ object Bench {
     // init, codegen/janino compile, shuffle machinery — belong to the JVM,
     // not to whichever query happens to run first.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).groupBy().count().collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Name-sorted: deterministic execution order keeps per-query numbers
+    // comparable across rounds (warmup effects land on the same queries).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
