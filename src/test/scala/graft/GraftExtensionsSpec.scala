@@ -41,6 +41,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head()
       assert(viaSql == viaColumn)
       assert(viaSql.length == 64)
+      val simViaSql = spark.sql("SELECT simhash64(text) AS fp FROM ext_docs").as[Long].head()
+      val simViaColumn = Seq("the quick brown fox jumps over the lazy dog tonight")
+        .toDF("text")
+        .select(Dedup.simhash64($"text"))
+        .as[Long]
+        .head()
+      assert(simViaSql == simViaColumn)
     } finally {
       // don't stop the shared SparkContext: other suites reuse it — restore
       // the shared session as active/default
