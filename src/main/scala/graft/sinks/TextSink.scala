@@ -91,6 +91,25 @@ object TextSink {
     fs.delete(base, true)
   }
 
+  /** Streaming form of [[writeOneFilePerWindow]] (reference K2 under
+    * LeaderBoard-style streaming): use as
+    * `df.writeStream.foreachBatch(TextSink.streamOneFilePerWindow(lineCol, dir, prefix))`.
+    * Update-mode re-emissions of a window land in a new batch subdirectory
+    * (`prefix-b<batchId>-...`), so every firing's files coexist and the
+    * highest batch id holds the newest accumulated totals — append-only, no
+    * cross-batch clobbering, same per-window naming inside a batch.
+    */
+  def streamOneFilePerWindow(
+      lineCol: Column,
+      outputDir: String,
+      prefix: String,
+      numShards: Int = 3
+  ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    if (!batch.isEmpty) {
+      writeOneFilePerWindow(batch, lineCol, outputDir, s"$prefix-b$batchId", numShards)
+    }
+  }
+
   /** Managed-table append — the BigQuery-sink analogue
     * (`utils/WriteToBigQuery.java:95-106`): CREATE_IF_NEEDED + WRITE_APPEND
     * become parquet dir append, schema carried by the DataFrame itself.

@@ -48,6 +48,36 @@ class TextSinkSpec extends AnyFunSuite {
     assert(lines.toSet == Set("team: Red, total_score: 8", "team: Blue, total_score: 9"))
   }
 
+  test("streamOneFilePerWindow: per-window files from a streaming query, batch-qualified") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.LeaderBoardStream
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("stream-windows").toString
+    val input = MemoryStream[graft.model.GameEvent]
+    val windowed = LeaderBoardStream.calculateTeamScores(
+      input.toDF().withColumn("event_time", timestamp_millis($"timestamp")), 60, 120
+    )
+    val q = windowed.writeStream
+      .outputMode("update")
+      .foreachBatch(TextSink.streamOneFilePerWindow(
+        concat(lit("total_score: "), col("total_score"), lit(", team: "), col("team")),
+        out, "stream-scores"
+      ))
+      .start()
+    try {
+      input.addData(Seq(graft.model.GameEvent("a", "Red", 5, 3600_000L)))
+      q.processAllAvailable()
+      input.addData(Seq(graft.model.GameEvent("b", "Red", 4, 3660_000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val files = new java.io.File(out).listFiles().filter(_.getName.startsWith("stream-scores-b"))
+    assert(files.nonEmpty)
+    assert(files.forall(_.getName.matches("stream-scores-b\\d+-.+-\\d{5}-of-\\d{5}")))
+    // a later batch's file carries the accumulated total (5 + 4)
+    val lines = files.toSeq.flatMap(f => scala.io.Source.fromFile(f).getLines())
+    assert(lines.contains("total_score: 9, team: Red"))
+  }
+
   test("appendTable accumulates (WRITE_APPEND disposition)") {
     val dir = Files.createTempDirectory("append").toString + "/t"
     TextSink.appendTable(Seq((1L, "a")).toDF("id", "v"), dir)
