@@ -205,10 +205,12 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = pairs
-      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
-      .distinct()
-      .withColumn("cluster", col("id"))
+    // Seed with the direct-neighborhood minimum (one aggregation, no join):
+    // for clique-shaped dup clusters — the common case — labels start
+    // converged and the loop exits after a single verification round.
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(least(col("id"), min(col("dst"))).as("cluster"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
