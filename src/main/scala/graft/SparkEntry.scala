@@ -102,7 +102,13 @@ object SparkEntry {
     "hourly_team_score" -> { (s, dir) =>
       // HourlyTeamScore: strict bounds (P3/P4), event-time promotion (P5),
       // 60-min tumbling windows (W1), per-(window, team) sum (A2).
-      val ev = eventsTable(s, dir).select(
+      // The semantic bounds filter on derived millis (ts DIV 1e6) cannot
+      // reach the parquet scan; this raw-nanos range is exactly equivalent
+      // (ts_ms > a ⟺ ts ≥ (a+1)·1e6; ts_ms < b ⟺ ts < b·1e6) and pushes
+      // down, so at scale row groups outside the window are never read.
+      val ev = eventsTable(s, dir)
+        .filter(col("ts") >= (StartMs + 1) * 1000000L && col("ts") < StopMs * 1000000L)
+        .select(
         col("event_type").as("team"),
         cents(col("value")).as("score"),
         col("ts_ms").as("timestamp"),

@@ -38,6 +38,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, "exactly one shuffle expected")
   }
 
+  test("hourly bounds push to the events scan as raw-timestamp range filters") {
+    val plan = executedPlan("hourly_team_score")
+    val scanLine = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("GreaterThanOrEqual(ts") && scanLine.contains("LessThan(ts"), scanLine)
+  }
+
   test("column pruning: lineitem profile reads only referenced columns") {
     val df = SparkEntry.queries("lineitem_profile")(spark, dir)
     df.count()
