@@ -123,6 +123,7 @@ object LeaderBoardApp {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val wmMs = spark.streams.active
+          .filter(_.name == "leaderboard_team") // this query's own watermark, not another's
           .flatMap(q => Option(q.lastProgress))
           .flatMap(p => Option(p.eventTime.get("watermark")))
           .headOption

@@ -90,7 +90,7 @@ object Injector {
       val corrupt = cfg.corruptRate > 0 && rnd.nextInt(cfg.corruptRate) == 0
       if (corrupt) {
         // Reference corrupts by truncating the line (Injector.java:176-179).
-        InjectedLine(s"$user,$team", None, late)
+        InjectedLine(s"$user,${team.name}", None, late)
       } else {
         val readable = GameEvent.formatMillis(eventMs)
         InjectedLine(

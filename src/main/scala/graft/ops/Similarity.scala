@@ -37,6 +37,10 @@ object Similarity {
     * per group before the exchange — a window-rank would shuffle every row.
     * Returns (groupCol, idCol, scoreCol, rank), rank 1-based by
     * (score desc, id asc).
+    *
+    * Requires integral (byte/short/int/long) group and id columns and a
+    * numeric score column — a lossy cast (e.g. string ids → null) would
+    * silently collapse groups, so non-conforming types fail fast instead.
     */
   def topKPerGroup(
       df: DataFrame,
@@ -47,6 +51,18 @@ object Similarity {
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.types._
+    def requireType(name: String, ok: DataType => Boolean, want: String): Unit = {
+      val dt = df.schema(name).dataType
+      require(ok(dt), s"topKPerGroup: column '$name' must be $want, got ${dt.simpleString}")
+    }
+    val integral: DataType => Boolean =
+      { case ByteType | ShortType | IntegerType | LongType => true; case _ => false }
+    val numeric: DataType => Boolean =
+      { case _: NumericType => true; case _ => false }
+    requireType(groupCol, integral, "an integral type (byte/short/int/long)")
+    requireType(idCol, integral, "an integral type (byte/short/int/long)")
+    requireType(scoreCol, numeric, "numeric")
     df
       .select(col(groupCol).cast("long"), col(idCol).cast("long"), col(scoreCol).cast("double"))
       .as[(Long, Long, Double)]

@@ -67,7 +67,7 @@ object TextSink {
       .text(stagingDir)
 
     // Driver-side rename: O(#windows * numShards) file moves.
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(outputDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = new Path(stagingDir)
     val out = new Path(outputDir)
     fs.mkdirs(out)
@@ -84,6 +84,10 @@ object TextSink {
           // "yyyy-MM-dd HH:mm:ss.SSS" window labels contain ':' which Hadoop
           // Path rejects; same PST instants, filesystem-safe separators.
           val name = f"$prefix-${fileSafe(wsMs)}-${fileSafe(weMs)}-$shard%05d-of-$numShards%05d"
+          require(
+            parts.length <= 1,
+            s"expected at most one part file per (window, shard) dir ${sh.getPath} but found ${parts.length}"
+          )
           parts.headOption.foreach(p => fs.rename(p.getPath, new Path(out, name)))
         }
       }
