@@ -38,17 +38,6 @@ object SparkEntry {
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  /** Ensure per-row-expensive map/generate work gets the session's full
-    * parallelism. No-op whenever the scan already has enough input splits
-    * (always true at real scale); only a small single-file table read as one
-    * partition triggers the repartition — and then the shuffled payload is
-    * that small table.
-    */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
-    val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
-
   /** Per-row exact cents from a 2-decimal double; identical formula is used
     * in the oracle SQL so both engines quantize identically.
     */
@@ -369,21 +358,17 @@ object SparkEntry {
     "repetition_stats" -> { (s, dir) =>
       // Gopher/C4-style repetition signal: share of the document's bigrams
       // taken by its most frequent bigram (high share = boilerplate/spam).
-      val grams = spread(s, table(s, dir, "documents"))
-        .select(col("doc_id"), explode(TextAnalysis.wordBigrams(col("text"))).as("gram"))
-      grams
-        .groupBy(col("doc_id"), col("gram"))
-        .agg(count(lit(1)).as("n"))
-        .groupBy(col("doc_id"))
-        .agg(
-          sum(col("n")).as("n_bigrams"),
-          max(col("n")).as("top_bigram_n")
-        )
+      // A per-document statistic → map-only native expression (zero
+      // shuffles; the explode → two-groupBy form shuffles every corpus
+      // bigram twice and is kept as the executable spec in TextAnalysisSpec).
+      table(s, dir, "documents")
+        .select(col("doc_id"), graft.functions.BigramStatsExpr.column(col("text")).as("bs"))
+        .filter(col("bs").isNotNull)
         .select(
           col("doc_id"),
-          col("n_bigrams"),
-          col("top_bigram_n"),
-          round(col("top_bigram_n") / col("n_bigrams"), 4).as("top_share")
+          col("bs.n_bigrams").as("n_bigrams"),
+          col("bs.top_bigram_n").as("top_bigram_n"),
+          round(col("bs.top_bigram_n") / col("bs.n_bigrams"), 4).as("top_share")
         )
     },
     "bpe_token_stats" -> { (s, dir) =>

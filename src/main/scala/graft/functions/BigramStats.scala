@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document repetition stats in one pass: total word-bigram count and
+  * the most frequent bigram's count, as `struct<n_bigrams, top_bigram_n>`.
+  *
+  * A repetition signal is a PER-DOCUMENT statistic — the explode → groupBy
+  * (doc, gram) → groupBy(doc) formulation shuffles every bigram of the
+  * corpus twice to compute something each row already contains. This
+  * expression keeps the whole computation map-side: at 100 TB the plan is a
+  * single scan stage, no exchange at all. Counting semantics are identical
+  * to grouping the exploded `TextAnalysis.wordBigrams` (lower-cased
+  * whitespace tokens, bigram = `tok[i] ++ " " ++ tok[i+1]`, spec-asserted);
+  * null for docs with < 2 tokens — the rows the exploded form never emits.
+  */
+case class BigramStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string child, got ${child.dataType}")
+
+  override def dataType: DataType = BigramStatsExpr.Schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "bigram_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramStatsExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val rowCls = classOf[InternalRow].getName
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      $rowCls ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        ${ev.value} = graft.functions.BigramStatsExpr.compute(${childGen.value});
+        ${ev.isNull} = (${ev.value} == null);
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramStatsExpr =
+    copy(child = newChild)
+}
+
+object BigramStatsExpr {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("top_bigram_n", LongType, nullable = false)
+  ))
+
+  private val WhitespaceRe = UTF8String.fromString("\\s+")
+  private val Space = UTF8String.fromString(" ")
+
+  def column(text: Column): Column =
+    ColumnBridge.column(BigramStatsExpr(ColumnBridge.expression(text)))
+
+  /** Null when the text has < 2 whitespace tokens (the exploded form emits
+    * no rows for those docs); called from generated code.
+    */
+  def compute(text: UTF8String): InternalRow = {
+    val toks = text.toLowerCase.split(WhitespaceRe, -1)
+    val n = toks.length - 1
+    if (n <= 0) return null
+    val counts = new java.util.HashMap[UTF8String, Array[Long]](n * 2)
+    var top = 0L
+    var i = 0
+    while (i < n) {
+      val gram = UTF8String.concatWs(Space, toks(i), toks(i + 1))
+      var c = counts.get(gram)
+      if (c == null) { c = new Array[Long](1); counts.put(gram, c) }
+      c(0) += 1
+      if (c(0) > top) top = c(0)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n.toLong, top))
+  }
+}

@@ -59,6 +59,48 @@ case class MinhashSigExpr(child: Expression, shingleN: Int, numHashes: Int, seed
     copy(child = newChild)
 }
 
+/** Fused signature + LSH banding: text → the `bands` bucket hashes directly,
+  * one call per row. Bit-identical to
+  * `Dedup.lshBandHashes(minhashSignature(text, ...), bands, numHashes/bands)`
+  * (spec-asserted): band hash = Spark `xxhash64(bandIdx, e_1 .. e_r)` = the
+  * running XXH64 fold over (long) args with seed 42. Skips materializing the
+  * signature array and the per-band hash chains — candidate generation's
+  * map side becomes a single tight loop.
+  */
+case class MinhashBandsExpr(child: Expression, shingleN: Int, numHashes: Int, bands: Int, seed: Long)
+    extends UnaryExpression {
+
+  require(bands > 0 && numHashes % bands == 0, "bands must divide numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string child, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashSig.computeBands(input.asInstanceOf[UTF8String], shingleN, numHashes, bands, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      $arrCls ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        ${ev.value} = graft.functions.MinhashSig.computeBands(${childGen.value}, $shingleN, $numHashes, $bands, ${seed}L);
+        ${ev.isNull} = (${ev.value} == null);
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandsExpr =
+    copy(child = newChild)
+}
+
 object MinhashSig {
 
   private val Space = UTF8String.fromString(" ")
@@ -67,6 +109,12 @@ object MinhashSig {
   /** Column wrapper (classic-Spark session). */
   def column(text: Column, shingleN: Int, numHashes: Int, seed: Long): Column =
     ColumnBridge.column(MinhashSigExpr(ColumnBridge.expression(text), shingleN, numHashes, seed))
+
+  /** Column wrapper for the fused signature+banding form. */
+  def bandsColumn(text: Column, shingleN: Int, numHashes: Int, bands: Int, seed: Long): Column =
+    ColumnBridge.column(
+      MinhashBandsExpr(ColumnBridge.expression(text), shingleN, numHashes, bands, seed)
+    )
 
   /** Null when the text has fewer than `shingleN` whitespace tokens (mirrors
     * the `wordShingles` empty-set guard); called from generated code.
@@ -98,5 +146,25 @@ object MinhashSig {
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** Fused form: the signature mins fold straight into per-band running
+    * hashes (Spark `xxhash64` multi-arg scheme: seed 42, then
+    * `XXH64.hashLong(arg, acc)` per argument, band index first).
+    */
+  def computeBands(text: UTF8String, shingleN: Int, numHashes: Int, bands: Int, seed: Long): ArrayData = {
+    val sig = compute(text, shingleN, numHashes, seed)
+    if (sig == null) return null
+    val rows = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = XXH64.hashLong(b.toLong, 42L)
+      var r = 0
+      while (r < rows) { acc = XXH64.hashLong(sig.getLong(b * rows + r), acc); r += 1 }
+      out(b) = acc
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 }

@@ -133,18 +133,18 @@ object Dedup {
       maxBucket: Int = 1000,
       seed: Long = 42L
   ): DataFrame = {
-    val rows = numHashes / bands
-    // Stage 1: one-pass native signature (no shingle materialization on the
-    // full corpus — shingles are only computed later, for candidate docs).
-    val withSig = docs.select(
-      col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleN, numHashes, seed).as("sig")
-    )
-    // Stage 2: explode to (band_hash, id) — ids only, no payload; the band
-    // index is folded into the hash.
-    val banded = withSig
-      .filter(col("sig").isNotNull)
-      .select(col("id"), explode(lshBandHashes(col("sig"), bands, rows)).as("band_hash"))
+    // Stages 1+2 fused: text → band bucket hashes in ONE native call per row
+    // (no signature array materialized, no shingle materialization on the
+    // full corpus — shingles are only computed later, for candidate docs),
+    // exploded to (band_hash, id) — ids only, no payload. Bit-identical to
+    // lshBandHashes∘minhashSignature (spec-asserted in DedupSpec).
+    val banded = docs
+      .select(
+        col(idCol).as("id"),
+        graft.functions.MinhashSig.bandsColumn(col(textCol), shingleN, numHashes, bands, seed).as("bhs")
+      )
+      .filter(col("bhs").isNotNull)
+      .select(col("id"), explode(col("bhs")).as("band_hash"))
     // Stage 3: one shuffle groups buckets; pair-generation happens inside an
     // array expression (never a self-join carrying document payloads).
     // Degenerate buckets (> maxBucket) are dropped: at web scale those are

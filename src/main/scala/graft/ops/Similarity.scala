@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * (`array<float>`).
   *
   * Baseline: brute-force cosine top-k — broadcast the (small) query set,
-  * one scan of the corpus, rank per query. All vector math is higher-order
-  * array expressions (`zip_with`/`aggregate`) that stay inside codegen.
+  * one scan of the corpus, rank per query. The cosine/projection inner
+  * products run as native codegen'd expressions ([[graft.functions.VecMath]])
+  * operating on `array<float>` directly — the compositional
+  * `zip_with`/`aggregate` forms are kept as executable specifications.
   *
   * Scale path: random-hyperplane LSH — each vector gets a `nbits` signature;
   * candidates are corpus rows whose signature bucket matches the query's
@@ -28,7 +30,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native one-pass cosine (accepts `array<float>` directly — no doubled
+    * corpus copy); bit-identical to [[cosineComposed]] (spec-asserted).
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSimExpr.column(a, b)
+
+  /** Compositional form — kept as the executable specification the native
+    * expression is checked against.
+    */
+  def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -92,8 +102,8 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(
@@ -116,8 +126,8 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), asDouble(col(vecCol)).as("v_a"))
-    val b = emb.select(col(idCol).as("id_b"), asDouble(col(vecCol)).as("v_b"))
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
@@ -140,7 +150,7 @@ object Similarity {
   ): DataFrame = {
     val sigd = emb.select(
       col(idCol).as("id"),
-      asDouble(col(vecCol)).as("v"),
+      col(vecCol).as("v"),
       lshSignature(col(vecCol), nbits, dim, seed).as("sig")
     )
     // Probe buckets: own signature + every single-bit flip, so any pair
@@ -285,8 +295,15 @@ object Similarity {
     Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-of-projection LSH signature as a long bitmask (nbits <= 63). */
-  def lshSignature(vec: Column, nbits: Int, dim: Int, seed: Long = 7L): Column = {
+  /** Sign-of-projection LSH signature as a long bitmask (nbits <= 63):
+    * native one-pass expression, bit-identical to [[lshSignatureComposed]]
+    * (spec-asserted; identical plane sequence and fold order).
+    */
+  def lshSignature(vec: Column, nbits: Int, dim: Int, seed: Long = 7L): Column =
+    graft.functions.LshSigExpr.column(vec, nbits, dim, seed)
+
+  /** Compositional form — executable specification for the native one. */
+  def lshSignatureComposed(vec: Column, nbits: Int, dim: Int, seed: Long = 7L): Column = {
     val planes = hyperplanes(nbits, dim, seed)
     val bits = planes.zipWithIndex.map { case (p, j) =>
       val planeCol = array(p.map(lit): _*)
@@ -311,13 +328,13 @@ object Similarity {
   ): DataFrame = {
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("c_vec"),
+      col(vecCol).as("c_vec"),
       lshSignature(col(vecCol), nbits, dim, seed).as("c_sig")
     )
     // Each query probes its own bucket + all nbits single-bit-flip buckets.
     val probeMasks = lit(0L) +: (0 until nbits).map(j => lit(1L << j))
     val q = queries
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"),
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         lshSignature(col(vecCol), nbits, dim, seed).as("q_sig"))
       .withColumn("probe", explode(array(probeMasks: _*)))
       .withColumn("c_sig", col("q_sig").bitwiseXOR(col("probe")))

@@ -101,6 +101,27 @@ class DedupSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("fused minhash band hashes are bit-identical to lshBandHashes over the signature") {
+    val tricky = Seq(
+      (10L, "  leading whitespace then words enough for shingles"),
+      (11L, "a b c"),
+      (12L, "short")
+    ).toDF("doc_id", "text")
+    val all = docs.union(tricky)
+    // Docs with a signature: fused band hashes must equal banding the
+    // signature. Docs without (< shingleN tokens): fused must be null, same
+    // rows minhashPairs' isNotNull filter drops.
+    val mismatches = all
+      .select(
+        graft.functions.MinhashSig.bandsColumn($"text", 3, 64, 16, 42L).as("fused"),
+        Dedup.minhashSignature($"text").as("sig")
+      )
+      .withColumn("composed", when($"sig".isNotNull, Dedup.lshBandHashes($"sig", 16, 4)))
+      .filter(not($"fused" <=> $"composed"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("simhashNearDupPairs equals brute-force hamming filter (chunked recall guarantee)") {
     val fp = docs.select($"doc_id", Dedup.simhash64($"text").as("h")).as[(Long, Long)].collect().toMap
     val maxH = 10

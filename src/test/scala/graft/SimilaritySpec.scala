@@ -130,4 +130,39 @@ class SimilaritySpec extends AnyFunSuite {
       .head()
     assert(math.abs(got - cosLocal(a, b)) < 1e-12)
   }
+
+  test("native cosine is bit-identical to the compositional form, float and double inputs") {
+    val df = clustered(200).toDF("vec_id", "embedding")
+    val pairs = df.select($"vec_id".as("id_a"), $"embedding".as("v_a"))
+      .crossJoin(df.select($"vec_id".as("id_b"), $"embedding".as("v_b")))
+      .filter($"id_a" < $"id_b" && $"id_b" < 40)
+    val mismFloat = pairs
+      .select(
+        Similarity.cosine($"v_a", $"v_b").as("native"),
+        Similarity.cosineComposed($"v_a".cast("array<double>"), $"v_b".cast("array<double>")).as("composed")
+      )
+      .filter($"native" =!= $"composed")
+      .count()
+    assert(mismFloat == 0)
+    val mismDouble = pairs
+      .select(
+        Similarity.cosine($"v_a".cast("array<double>"), $"v_b".cast("array<double>")).as("native"),
+        Similarity.cosineComposed($"v_a".cast("array<double>"), $"v_b".cast("array<double>")).as("composed")
+      )
+      .filter($"native" =!= $"composed")
+      .count()
+    assert(mismDouble == 0)
+  }
+
+  test("native lshSignature is bit-identical to the compositional form") {
+    val df = clustered(200).toDF("vec_id", "embedding")
+    val mism = df
+      .select(
+        Similarity.lshSignature($"embedding", 16, dim).as("native"),
+        Similarity.lshSignatureComposed($"embedding", 16, dim).as("composed")
+      )
+      .filter($"native" =!= $"composed")
+      .count()
+    assert(mism == 0)
+  }
 }

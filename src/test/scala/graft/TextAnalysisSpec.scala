@@ -75,4 +75,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_punct") == 2)
     assert(r.getAs[Int]("n_distinct_tokens") == 4) // "hello," "hello" "world!" "world"
   }
+
+  test("native bigram stats equal the exploded wordBigrams groupBy form") {
+    val docs = Seq(
+      (1L, "a b a b a b"),          // "a b" x3, "b a" x2
+      (2L, "The THE the tHe"),      // case folds: "the the" x3
+      (3L, "spam spam spam spam"),
+      (4L, "one-token"),            // < 2 tokens → no row
+      (5L, ""),
+      (6L, "x y"),
+      (7L, "w1 w2 w3 w2 w3 w1 w2")
+    ).toDF("doc_id", "text")
+    val native = docs
+      .select($"doc_id", graft.functions.BigramStatsExpr.column($"text").as("bs"))
+      .filter($"bs".isNotNull)
+      .select($"doc_id", $"bs.n_bigrams", $"bs.top_bigram_n")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    val exploded = docs
+      .select($"doc_id", explode(TextAnalysis.wordBigrams($"text")).as("gram"))
+      .groupBy($"doc_id", $"gram")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_bigrams"), max($"n").as("top_bigram_n"))
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    assert(native == exploded)
+    assert(native.map(_._1) == Set(1L, 2L, 3L, 6L, 7L))
+    assert(native.contains((1L, 5L, 3L)))
+  }
 }
