@@ -412,6 +412,44 @@ object SparkEntry {
         )
         .filter(col("lang") === "en" && col("quality") >= 0.5)
     },
+    "asof_latest_high_event" -> { (s, dir) =>
+      // As-of join (operator Spark lacks; ops/AsOf.scala): for every event,
+      // the user's most recent high-value event (≥ 200.00) at or before it —
+      // one exchange on user_id, no non-equi join blowup. Oracle: DuckDB's
+      // native ASOF LEFT JOIN.
+      val e = eventsTable(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_ms"), cents(col("value")).as("c"))
+      val hi = e
+        .filter(col("c") >= 20000)
+        .groupBy(col("user_id"), col("ts_ms").as("hts_ms"))
+        .agg(max(col("c")).as("hi_cents"))
+      graft.ops.AsOf
+        .asofJoin(e.drop("c"), hi, keys = Seq("user_id"), leftTime = "ts_ms", rightTime = "hts_ms")
+        .select(col("event_id"), col("user_id"), col("ts_ms"), col("hts_ms_asof"), col("hi_cents"))
+    },
+    "range_join_hot_windows" -> { (s, dir) =>
+      // Range join (ops/RangeJoin.scala): events landing in the 6-hour
+      // window after any of the same user's high-value events — bucketed
+      // equi-join (1h buckets) + residual filter, never a nested-loop
+      // non-equi join. Oracle: DuckDB non-equi join (affordable at sf0.01).
+      val e = eventsTable(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_ms"), cents(col("value")).as("c"))
+      val hot = e
+        .filter(col("c") >= 20000)
+        .select(
+          col("user_id"),
+          col("event_id").as("hot_event_id"),
+          col("ts_ms").as("win_start"),
+          (col("ts_ms") + 21600000L).as("win_end")
+        )
+      graft.ops.RangeJoin
+        .pointInInterval(
+          e.drop("c"), hot,
+          keys = Seq("user_id"), pointTime = "ts_ms",
+          startCol = "win_start", endCol = "win_end", bucketWidth = 3600000L
+        )
+        .select(col("event_id"), col("user_id"), col("ts_ms"), col("hot_event_id"), col("win_start"))
+    },
     "media_chunks" -> { (s, dir) =>
       val media = Multimodal.mediaFromDocuments(table(s, dir, "documents"))
       val chunks = Multimodal.sampleChunks(Multimodal.chunked(media, 256), stride = 4)
@@ -799,6 +837,30 @@ object SparkEntry {
         |)
         |SELECT doc_id, lang, quality FROM scored
         |WHERE lang = 'en' AND quality >= 0.5""".stripMargin,
+    "asof_latest_high_event" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |         CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |), hi AS (
+        |  SELECT user_id, ts_ms AS hts_ms, CAST(max(cents) AS BIGINT) AS hi_cents
+        |  FROM e WHERE cents >= 20000 GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.user_id, e.ts_ms, hi.hts_ms AS hts_ms_asof, hi.hi_cents
+        |FROM e ASOF LEFT JOIN hi ON e.user_id = hi.user_id AND e.ts_ms >= hi.hts_ms""".stripMargin,
+    "range_join_hot_windows" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |         CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |), hot AS (
+        |  SELECT user_id, event_id AS hot_event_id, ts_ms AS win_start,
+        |         ts_ms + 21600000 AS win_end
+        |  FROM e WHERE cents >= 20000
+        |)
+        |SELECT e.event_id, e.user_id, e.ts_ms, hot.hot_event_id, hot.win_start
+        |FROM e JOIN hot ON e.user_id = hot.user_id
+        |  AND e.ts_ms >= hot.win_start AND e.ts_ms < hot.win_end""".stripMargin,
     "media_chunks" ->
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join — for each left row, the single most recent right
+  * row with `right.time <= left.time` (inclusive, the DuckDB/kdb `ASOF JOIN`
+  * default) or `< left.time` (strict), matched per key. Spark has no native
+  * as-of join; the naive formulations — a non-equi theta join (quadratic
+  * per key) or a per-row correlated subquery — do not survive scale.
+  *
+  * Implementation: union both sides tagged, one window pass per key ordered
+  * by (time, side): `last(payload, ignoreNulls)` over the preceding frame
+  * carries the latest right payload forward into each left row. Cost is ONE
+  * hash exchange on the key plus a per-key sort — the same shape as any
+  * windowed aggregation, no join blowup, streaming-friendly frame
+  * (`rowsBetween(unboundedPreceding, current)` keeps O(1) state per row).
+  * At 100 TB this is shuffle-bound on the key column only; both payloads
+  * ride the same exchange once.
+  *
+  * Requirements: right must be unique per (keys, rightTime) — pre-aggregate
+  * otherwise (equal-time duplicates would make "the" latest row ambiguous).
+  * Right payload column names must not clash with left columns.
+  */
+object AsOf {
+
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      inclusive: Boolean = true
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightPayload = right.columns.toSeq.filterNot(c => keys.contains(c) || c == rightTime)
+    val clash = rightPayload.toSet.intersect(leftCols.toSet)
+    require(clash.isEmpty, s"right payload columns clash with left: ${clash.mkString(", ")}")
+    require(!leftCols.contains(rightTime) || keys.contains(rightTime),
+      s"right time column '$rightTime' clashes with a left column; rename one side")
+
+    val leftPayload = leftCols.filterNot(keys.contains)
+    // Tag: right rows sort before left on an equal timestamp when inclusive
+    // (so a tie is visible to the left row), after it when strict.
+    val (rightTag, leftTag) = if (inclusive) (0, 1) else (1, 0)
+    val l = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("_t"), lit(leftTag).as("_side")) ++
+        leftPayload.map(col) ++
+        Seq(lit(null).cast(right.schema(rightTime).dataType).as("_rt")) ++
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*
+    )
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("_t"), lit(rightTag).as("_side")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(col(rightTime).as("_rt")) ++
+        rightPayload.map(col): _*
+    )
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried: Seq[Column] =
+      (("_rt" +: rightPayload).map(c => last(col(c), ignoreNulls = true).over(w).as(s"_c_$c")))
+    l.union(r)
+      .select(col("*") +: carried: _*)
+      .filter(col("_side") === leftTag)
+      .select(
+        keys.map(col) ++
+          leftPayload.map(col) ++
+          Seq(col(s"_c__rt").as(s"${rightTime}_asof")) ++
+          rightPayload.map(c => col(s"_c_$c").as(c)): _*
+      )
+  }
+}

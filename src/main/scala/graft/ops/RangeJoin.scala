@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (point-in-interval) join. Spark plans a plain non-equi condition
+  * like `s <= t AND t < e` as a broadcast-nested-loop join — O(points ×
+  * intervals) comparisons, which does not survive scale. This operator uses
+  * the standard bucketing decomposition: quantize time into fixed-width
+  * buckets, explode each interval to one row per bucket it overlaps, then
+  * EQUI-join on (keys…, bucket) and apply the residual range filter.
+  *
+  * The equi-join shuffles on (keys, bucket) — hash-partitionable, AQE/skew
+  * handled like any join — and each (point, interval) pair meets exactly
+  * once (in the point's own bucket), so no post-join dedup is needed.
+  * `bucketWidth` trades interval-row duplication (≈ span/width rows per
+  * interval) against bucket selectivity; pick it near the typical span.
+  */
+object RangeJoin {
+
+  /** Points joined to the intervals containing them: half-open
+    * `[startCol, endCol)`, equal key columns. Output: all point columns +
+    * the interval frame's columns (names must not clash).
+    */
+  def pointInInterval(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      pointTime: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val clash = intervals.columns.toSet.intersect(points.columns.toSet) -- keys
+    require(clash.isEmpty, s"interval columns clash with point columns: ${clash.mkString(", ")}")
+    // DIV (truncating) == floor for the non-negative epoch-style times this
+    // targets; `/` on longs would be true division (double).
+    val p = points.withColumn("_bucket", expr(s"CAST($pointTime AS BIGINT) DIV $bucketWidth"))
+    // Half-open interval: the end bucket is floor((end-1)/width) — an
+    // interval ending exactly on a bucket boundary owns nothing of the next
+    // bucket.
+    val i = intervals.withColumn(
+      "_bucket",
+      explode(
+        sequence(
+          expr(s"CAST($startCol AS BIGINT) DIV $bucketWidth"),
+          expr(s"(CAST($endCol AS BIGINT) - 1) DIV $bucketWidth")
+        )
+      )
+    )
+    p.join(i, keys :+ "_bucket")
+      .filter(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
+      .drop("_bucket")
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.AsOf
+
+class AsOfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // quotes: (key, time, price); trades: (key, time, qty)
+  private def quotes = Seq(
+    ("A", 10L, 100),
+    ("A", 20L, 110),
+    ("A", 30L, 120),
+    ("B", 15L, 500)
+  ).toDF("sym", "qts", "price")
+
+  private def trades = Seq(
+    ("A", 5L, 1),   // before any quote → null
+    ("A", 10L, 2),  // tie → inclusive picks the 10L quote
+    ("A", 25L, 3),  // between 20 and 30 → 110
+    ("A", 99L, 4),  // after all → 120
+    ("B", 14L, 5),  // before B's quote → null
+    ("B", 15L, 6),  // tie
+    ("C", 50L, 7)   // key with no right rows → null
+  ).toDF("sym", "tts", "qty")
+
+  test("inclusive as-of picks the latest right row at or before each left time") {
+    val got = AsOf
+      .asofJoin(trades, quotes, keys = Seq("sym"), leftTime = "tts", rightTime = "qts")
+      .select($"sym", $"tts", $"qty", $"qts_asof", $"price")
+      .as[(String, Long, Int, Option[Long], Option[Int])]
+      .collect()
+      .toSet
+    val expected = Set(
+      ("A", 5L, 1, None, None),
+      ("A", 10L, 2, Some(10L), Some(100)),
+      ("A", 25L, 3, Some(20L), Some(110)),
+      ("A", 99L, 4, Some(30L), Some(120)),
+      ("B", 14L, 5, None, None),
+      ("B", 15L, 6, Some(15L), Some(500)),
+      ("C", 50L, 7, None, None)
+    )
+    assert(got == expected)
+  }
+
+  test("strict as-of excludes equal-time right rows") {
+    val got = AsOf
+      .asofJoin(trades, quotes, Seq("sym"), "tts", "qts", inclusive = false)
+      .select($"sym", $"tts", $"qts_asof")
+      .as[(String, Long, Option[Long])]
+      .collect()
+      .toMap2
+    assert(got(("A", 10L)) == None)       // tie invisible under strict
+    assert(got(("A", 25L)) == Some(20L))
+    assert(got(("B", 15L)) == None)
+  }
+
+  test("matches a naive per-row scan on random data") {
+    val rnd = new scala.util.Random(7)
+    val l = Seq.tabulate(300)(i => (rnd.nextInt(5).toString, rnd.nextInt(1000).toLong, i))
+    // unique (key, time) on the right
+    val r = Seq
+      .tabulate(200)(i => (rnd.nextInt(5).toString, rnd.nextInt(1000).toLong, i))
+      .groupBy(t => (t._1, t._2)).map(_._2.maxBy(_._3)).toSeq
+    val lDf = l.toDF("k", "lt", "lv")
+    val rDf = r.toDF("k", "rt", "rv")
+    val got = AsOf
+      .asofJoin(lDf, rDf, Seq("k"), "lt", "rt")
+      .select($"k", $"lt", $"lv", $"rv")
+      .as[(String, Long, Int, Option[Int])]
+      .collect()
+      .toSet
+    val expected = l.map { case (k, lt, lv) =>
+      val best = r.filter(t => t._1 == k && t._2 <= lt).sortBy(_._2).lastOption
+      (k, lt, lv, best.map(_._3))
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("rejects clashing payload column names") {
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(trades, quotes.withColumnRenamed("price", "qty"), Seq("sym"), "tts", "qts")
+    }
+  }
+
+  private implicit class MapOps[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(t => ((t._1, t._2), t._3)).toMap
+  }
+}

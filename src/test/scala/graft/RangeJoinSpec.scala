@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.RangeJoin
+
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("boundary semantics: half-open [start, end), keys must match") {
+    val points = Seq(
+      ("A", 0L, 1), ("A", 9L, 2), ("A", 10L, 3), ("A", 20L, 4),
+      ("B", 5L, 5)
+    ).toDF("k", "t", "pid")
+    val intervals = Seq(
+      ("A", 0L, 10L, 100), // [0,10): catches t=0, t=9, not t=10
+      ("A", 10L, 21L, 101), // [10,21): catches t=10, t=20
+      ("B", 0L, 4L, 102) // misses B's t=5
+    ).toDF("k", "s", "e", "iid")
+    val got = RangeJoin
+      .pointInInterval(points, intervals, Seq("k"), "t", "s", "e", bucketWidth = 4L)
+      .select($"pid", $"iid")
+      .as[(Int, Int)]
+      .collect()
+      .toSet
+    assert(got == Set((1, 100), (2, 100), (3, 101), (4, 101)))
+  }
+
+  test("matches the naive non-equi join on random data, each pair exactly once") {
+    val rnd = new scala.util.Random(11)
+    val points = Seq.tabulate(400)(i => (rnd.nextInt(4).toString, rnd.nextInt(500).toLong, i))
+    val intervals = Seq.tabulate(60) { i =>
+      val s = rnd.nextInt(480).toLong
+      (rnd.nextInt(4).toString, s, s + 1 + rnd.nextInt(90), i)
+    }
+    val pDf = points.toDF("k", "t", "pid")
+    val iDf = intervals.toDF("k", "s", "e", "iid")
+    for (width <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = RangeJoin
+        .pointInInterval(pDf, iDf, Seq("k"), "t", "s", "e", width)
+        .select($"pid", $"iid")
+        .as[(Int, Int)]
+        .collect()
+      val expected = for {
+        (pk, t, pid) <- points
+        (ik, s, e, iid) <- intervals
+        if pk == ik && t >= s && t < e
+      } yield (pid, iid)
+      assert(got.length == expected.length, s"width=$width: duplicate or missing pairs")
+      assert(got.toSet == expected.toSet, s"width=$width")
+    }
+  }
+}
