@@ -321,6 +321,13 @@ object SparkEntry {
         .dropNearDuplicates(docs, Dedup.minhashPairs(docs, threshold = 0.8))
         .select(col("doc_id"))
     },
+    "neardup_clusters_star" -> { (s, dir) =>
+      // Connected components via large-star/small-star (O(log n) rounds —
+      // the chain-robust alternative to min-label propagation; hash-native
+      // pairs → no SQL oracle; union-find equivalence spec'd in DedupSpec).
+      val docs = table(s, dir, "documents")
+      Dedup.nearDupClustersStar(Dedup.minhashPairs(docs, threshold = 0.8))
+    },
     "simhash_fingerprints" -> { (s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))

@@ -235,6 +235,98 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * O(log n) rounds regardless of component shape, vs min-label
+    * propagation's O(diameter). Prefer this when pair graphs may be
+    * chain-shaped (transitive near-dup chains across a shingled corpus);
+    * [[nearDupClusters]] seeds converged for the clique-shaped common case.
+    *
+    *   - large-star: every node attaches its LARGER neighbors to the
+    *     minimum of its neighborhood (incl. itself).
+    *   - small-star: every node attaches its smaller-or-equal neighbors and
+    *     itself to that minimum.
+    *
+    * Each round is two groupBy-explode passes over the (symmetric) edge
+    * list — pure hash shuffles on node id, array-expression edge emission,
+    * lineage truncated per round. Converges when the edge multiset is
+    * stable; final state is a star per component centered on its min id.
+    *
+    * Returns (id, cluster), cluster = min id of the component — same
+    * contract as [[nearDupClusters]] (equivalence spec-asserted).
+    */
+  def nearDupClustersStar(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+
+    def symmetric(e: DataFrame): DataFrame =
+      e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+
+    // One star round: per node u, m = min(N(u) ∪ {u}); emit (v, m) for the
+    // selected neighbors v (larger for large-star; smaller-or-equal plus u
+    // itself for small-star). Emission happens inside array expressions —
+    // no per-edge driver work, one shuffle per pass.
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val grouped = e
+        .groupBy(col("src").as("u"))
+        .agg(collect_set(col("dst")).as("nbrs"))
+        .select(
+          col("u"),
+          least(col("u"), array_min(col("nbrs"))).as("m"),
+          col("nbrs")
+        )
+      val targets =
+        if (large) filter(col("nbrs"), v => v > col("u"))
+        else array_union(filter(col("nbrs"), v => v <= col("u")), array(col("u")))
+      grouped
+        .select(col("m"), explode(targets).as("v"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("src"), col("m").as("dst"))
+    }
+
+    var edges = symmetric(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    // Multiset fingerprint of the canonical (undirected) edge set: stable
+    // fingerprint+count ⇒ converged.
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val row = e
+        .filter(col("src") < col("dst"))
+        .agg(
+          count(lit(1)).as("n"),
+          // Order-independent, overflow-free multiset fingerprint (ANSI-safe;
+          // a sum of hashes would overflow).
+          coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")
+        )
+        .head()
+      (row.getLong(0), row.getLong(1))
+    }
+    var fp = fingerprint(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      // Re-symmetrize between passes: each pass reads neighborhoods via
+      // groupBy(src), which only sees a node's full neighborhood when both
+      // edge directions are present.
+      val next = symmetric(star(symmetric(star(edges, large = true)), large = false))
+        .localCheckpoint()
+      val nextFp = fingerprint(next)
+      edges.unpersist()
+      edges = next
+      converged = nextFp == fp
+      fp = nextFp
+      iter += 1
+    }
+    // Star state: every node's component min is the minimum of (self,
+    // neighbors).
+    val labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(least(col("id"), min(col("dst"))).as("cluster"))
+    labels
+  }
+
   /** Corpus minus near-duplicates: every doc that is NOT its cluster's
     * min-id representative is dropped (docs in no pair survive untouched).
     */

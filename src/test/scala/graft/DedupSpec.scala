@@ -150,6 +150,36 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L, 5L)) // reps + the unpaired doc 4
   }
 
+  test("nearDupClustersStar: chains, random graphs, and agreement with label propagation") {
+    // 60-node chain: worst case for propagation (diameter 59), log-rounds
+    // for star; plus an isolated pair.
+    val chain = (0L until 59L).map(i => (i, i + 1)) :+ (100L, 101L)
+    val chainDf = chain.toDF("id_a", "id_b")
+    val got = Dedup.nearDupClustersStar(chainDf).as[(Long, Long)].collect().toMap
+    assert((0L to 59L).forall(got(_) == 0L))
+    assert(got(100L) == 100L && got(101L) == 100L)
+
+    // random graph vs naive union-find and vs the propagation form
+    val rnd = new scala.util.Random(99)
+    val pairs = Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct
+    val parent = scala.collection.mutable.Map((0L until 80L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map { n =>
+      val comp = nodes.filter(m => find(m) == find(n))
+      n -> comp.min
+    }.toMap
+    val pairsDf = pairs.toDF("id_a", "id_b")
+    val starGot = Dedup.nearDupClustersStar(pairsDf).as[(Long, Long)].collect().toMap
+    assert(starGot == expected)
+    val propGot = Dedup.nearDupClusters(pairsDf).as[(Long, Long)].collect().toMap
+    assert(propGot == starGot)
+  }
+
   test("end-to-end near-dup removal: minhash pairs drive cluster dedup") {
     val kept = Dedup
       .dropNearDuplicates(docs, Dedup.minhashPairs(docs, threshold = 0.3))
