@@ -386,6 +386,9 @@ object SparkEntry {
         size(array_distinct(TextAnalysis.bpeTokens(col("text")))).as("n_distinct_bpe")
       )
     },
+    "tfidf_top_terms" -> { (s, dir) =>
+      TextAnalysis.tfidfTopTerms(table(s, dir, "documents"), k = 5)
+    },
     "cosine_neardup_sample" -> { (s, dir) =>
       // Exact embedding-cosine near-dup over a deterministic 10% sample
       // (all-pairs verify path); the full-corpus scale path is
@@ -806,6 +809,25 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_bpe_tokens,
         |  CAST(len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))) AS INT) AS n_distinct_bpe
         |FROM documents""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2
+        |), idf AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+        |    round(tf.tf * (ln((n.n + 1.0) / (idf.df + 1.0)) + 1.0), 4) AS tfidf
+        |  FROM tf JOIN idf USING (token), n
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, token) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, token, tf, df, tfidf, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "cosine_neardup_sample" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE vec_id % 10 = 0)

