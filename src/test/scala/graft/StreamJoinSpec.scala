@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamJoin
+
+class StreamJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val H = 3600_000L
+
+  test("interval join pairs rows in the band across micro-batches; outside-band rows never match") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(String, Long, Long)] // user, click_id, ts
+    val buys = MemoryStream[(String, Long, Long)]   // user, buy_id, ts
+    val cDf = clicks.toDF().toDF("user", "click_id", "cts")
+      .withColumn("click_time", timestamp_millis($"cts")).drop("cts")
+    val bDf = buys.toDF().toDF("user", "buy_id", "bts")
+      .withColumn("buy_time", timestamp_millis($"bts")).drop("bts")
+    // buys within [click_time, click_time + 30min]
+    val joined = StreamJoin.intervalJoin(
+      cDf, bDf, key = "user", leftTime = "click_time", rightTime = "buy_time",
+      beforeMillis = 0L, afterMillis = 30 * 60_000L, watermarkDelay = "1 hour"
+    )
+    val q = joined.writeStream.format("memory").queryName("sj_out").outputMode("append").start()
+    try {
+      clicks.addData(Seq(("u1", 1L, H), ("u2", 2L, H)))
+      q.processAllAvailable()
+      // same batch and later batch matches; u2's buy is 31min late → no match;
+      // u3's buy has no click at all
+      buys.addData(Seq(("u1", 10L, H + 60_000L), ("u2", 20L, H + 31 * 60_000L), ("u3", 30L, H)))
+      q.processAllAvailable()
+      buys.addData(Seq(("u1", 11L, H + 29 * 60_000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sj_out").select($"click_id", $"buy_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (1L, 11L)))
+  }
+}
