@@ -227,6 +227,30 @@ object SparkEntry {
           count(lit(1)).as("n_lines")
         )
     },
+    "flags_cube" -> { (s, dir) =>
+      // Full grouping-sets coverage beyond ROLLUP: CUBE over two dimensions
+      // (all four grouping-set combinations, NULL indicators aligned).
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_lines")
+        )
+    },
+    "status_pivot" -> { (s, dir) =>
+      // Pivot surface: per-returnflag line counts pivoted by linestatus.
+      // Values enumerated explicitly — at scale an implicit pivot would
+      // first run a distinct scan over the pivot column.
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(
+          col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o")
+        )
+    },
     "value_percentiles" -> { (s, dir) =>
       // Holistic aggregate coverage: exact percentiles of the event value in
       // cents (integer input; both engines use linear interpolation — round
@@ -598,6 +622,17 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "flags_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "status_pivot" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (l_linestatus = 'F') AS n_f,
+        |  count(*) FILTER (l_linestatus = 'O') AS n_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "value_percentiles" ->
       """SELECT
         |  round(quantile_cont(CAST(floor(value*100 + 0.5) AS BIGINT), 0.25), 4) AS p25,
