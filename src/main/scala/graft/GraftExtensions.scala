@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{MinhashSigExpr, SimhashExpr}
+import graft.functions.{BigramStatsExpr, CosineSimExpr, LshSigExpr, MinhashBandsExpr, MinhashSigExpr, SimhashExpr}
 
 /** Session extension wiring (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's custom Catalyst expressions as SQL functions, so
@@ -61,6 +61,83 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           children match {
             case Seq(text) => SimhashExpr(text)
             case _ => throw new IllegalArgumentException("simhash64 expects exactly 1 argument")
+          }
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("minhash_bands"),
+        new ExpressionInfo(
+          classOf[MinhashBandsExpr].getName,
+          null,
+          "minhash_bands",
+          "minhash_bands(text[, shingleN, numHashes, bands, seed]) - fused MinHash+LSH band bucket hashes (array<bigint>)",
+          ""
+        ),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(text) => MinhashBandsExpr(text, 3, 64, 16, 42L)
+            case Seq(text, n, h, b) =>
+              MinhashBandsExpr(text, intArg(n, "shingleN"), intArg(h, "numHashes"), intArg(b, "bands"), 42L)
+            case Seq(text, n, h, b, s) =>
+              MinhashBandsExpr(
+                text, intArg(n, "shingleN"), intArg(h, "numHashes"), intArg(b, "bands"), longArg(s, "seed"))
+            case _ =>
+              throw new IllegalArgumentException("minhash_bands expects 1, 4, or 5 arguments")
+          }
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("cosine_sim"),
+        new ExpressionInfo(
+          classOf[CosineSimExpr].getName,
+          null,
+          "cosine_sim",
+          "cosine_sim(a, b) - cosine similarity of two float/double arrays (double)",
+          ""
+        ),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(a, b) => CosineSimExpr(a, b)
+            case _ => throw new IllegalArgumentException("cosine_sim expects exactly 2 arguments")
+          }
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("lsh_sig"),
+        new ExpressionInfo(
+          classOf[LshSigExpr].getName,
+          null,
+          "lsh_sig",
+          "lsh_sig(vec[, nbits, dim, seed]) - random-hyperplane LSH signature (bigint)",
+          ""
+        ),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(v) => LshSigExpr(v, 16, 64, 7L)
+            case Seq(v, nb, d) => LshSigExpr(v, intArg(nb, "nbits"), intArg(d, "dim"), 7L)
+            case Seq(v, nb, d, s) =>
+              LshSigExpr(v, intArg(nb, "nbits"), intArg(d, "dim"), longArg(s, "seed"))
+            case _ => throw new IllegalArgumentException("lsh_sig expects 1, 3, or 4 arguments")
+          }
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("bigram_stats"),
+        new ExpressionInfo(
+          classOf[BigramStatsExpr].getName,
+          null,
+          "bigram_stats",
+          "bigram_stats(text) - struct<n_bigrams, top_bigram_n> repetition stats, map-only",
+          ""
+        ),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(text) => BigramStatsExpr(text)
+            case _ => throw new IllegalArgumentException("bigram_stats expects exactly 1 argument")
           }
       )
     )

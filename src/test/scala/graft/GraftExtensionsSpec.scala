@@ -48,6 +48,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .as[Long]
         .head()
       assert(simViaSql == simViaColumn)
+      // round-2 registrations
+      val bandsViaSql = spark
+        .sql("SELECT minhash_bands(text) AS b FROM ext_docs")
+        .as[Seq[Long]]
+        .head()
+      assert(bandsViaSql.length == 16)
+      Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
+        .toDF("a", "b")
+        .createOrReplaceTempView("ext_vecs")
+      val cos = spark.sql("SELECT cosine_sim(a, b) AS c FROM ext_vecs").as[Double].head()
+      assert(math.abs(cos - 1.0) < 1e-12)
+      val sig = spark.sql("SELECT lsh_sig(a, 8, 3, 7) AS s FROM ext_vecs").as[Long].head()
+      assert(sig >= 0L && sig < (1L << 8))
+      val bs = spark
+        .sql("SELECT bigram_stats(text).n_bigrams AS n FROM ext_docs")
+        .as[Long]
+        .head()
+      assert(bs == 9L)
     } finally {
       // don't stop the shared SparkContext: other suites reuse it — restore
       // the shared session as active/default
