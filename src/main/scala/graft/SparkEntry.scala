@@ -484,6 +484,12 @@ object SparkEntry {
         )
         .select(col("event_id"), col("user_id"), col("ts_ms"), col("hot_event_id"), col("win_start"))
     },
+    "media_byte_stats" -> { (s, dir) =>
+      // Codec-free byte-level media features (entropy / printable ratio /
+      // magic-byte MIME) — no SQL oracle (log2 histogram over blob bytes);
+      // semantics spec'd in MultimodalSpec.
+      Multimodal.byteStats(Multimodal.mediaFromDocuments(table(s, dir, "documents"))).toDF()
+    },
     "media_chunks" -> { (s, dir) =>
       val media = Multimodal.mediaFromDocuments(table(s, dir, "documents"))
       val chunks = Multimodal.sampleChunks(Multimodal.chunked(media, 256), stride = 4)

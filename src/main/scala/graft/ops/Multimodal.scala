@@ -124,6 +124,76 @@ object Multimodal {
     }
   }
 
+  final case class ByteStats(
+      media_id: Long,
+      n_bytes: Long,
+      entropy_bits: Double,
+      printable_ratio: Double,
+      sniffed_mime: String
+  )
+
+  /** Magic-byte prefixes → MIME, checked longest-prefix-first. */
+  private val MagicBytes: Seq[(Array[Int], String)] = Seq(
+    (Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), "image/png"),
+    (Array(0xff, 0xd8, 0xff), "image/jpeg"),
+    (Array(0x47, 0x49, 0x46, 0x38), "image/gif"),
+    (Array(0x25, 0x50, 0x44, 0x46), "application/pdf"),
+    (Array(0x50, 0x4b, 0x03, 0x04), "application/zip"),
+    (Array(0x1f, 0x8b), "application/gzip"),
+    (Array(0x52, 0x49, 0x46, 0x46), "audio/x-riff")
+  ).sortBy(-_._1.length)
+
+  /** Byte-level feature extraction — REAL (codec-free), unlike the decode
+    * stub: Shannon entropy of the byte distribution (encrypted/compressed
+    * payloads sit near 8 bits; text near 4-5 — the standard cheap filter for
+    * junk blobs), printable-ASCII ratio, and magic-byte MIME sniffing.
+    * Same mapPartitions batch shape as [[decodeStub]]: one histogram pass
+    * per payload, per-task constant state, no shuffle. Entropy rounded to
+    * 6dp so results hash stably across partitionings.
+    */
+  def byteStats(media: DataFrame): Dataset[ByteStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val n = if (bytes == null) 0 else bytes.length
+        val hist = new Array[Long](256)
+        var printable = 0L
+        var i = 0
+        while (i < n) {
+          val b = bytes(i) & 0xff
+          hist(b) += 1
+          if ((b >= 0x20 && b < 0x7f) || b == '\n' || b == '\r' || b == '\t') printable += 1
+          i += 1
+        }
+        var entropy = 0.0
+        if (n > 0) {
+          var j = 0
+          while (j < 256) {
+            if (hist(j) > 0) {
+              val p = hist(j).toDouble / n
+              entropy -= p * (math.log(p) / math.log(2.0))
+            }
+            j += 1
+          }
+        }
+        val mime = MagicBytes
+          .find { case (magic, _) =>
+            magic.length <= n && magic.indices.forall(k => (bytes(k) & 0xff) == magic(k))
+          }
+          .map(_._2)
+          .getOrElse("application/octet-stream")
+        ByteStats(
+          id,
+          n.toLong,
+          math.rint(entropy * 1e6) / 1e6,
+          if (n == 0) 0.0 else math.rint(printable.toDouble / n * 1e6) / 1e6,
+          mime
+        )
+      }
+    }
+  }
+
   /** Rebalance partitions by cumulative payload bytes: range-partition on the
     * running size quantile rather than hashing ids, so heavy payloads spread
     * evenly. (Row-count repartition is wrong for media: 1000 thumbnails !=

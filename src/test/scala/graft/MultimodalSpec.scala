@@ -77,4 +77,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(parts.rdd.getNumPartitions >= 2)
     assert(parts.count() == 4)
   }
+
+  test("byteStats: entropy, printable ratio, magic-byte sniffing") {
+    import spark.implicits._
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0x00, 0x01).map(_.toByte)
+    val gzip = Array(0x1f, 0x8b, 0x08, 0x00).map(_.toByte)
+    val flat = Array.fill(64)('A'.toByte) // single symbol → entropy 0
+    val uniform = Array.tabulate(256)(_.toByte) // all 256 symbols once → entropy 8
+    val rows = Seq(
+      (1L, png), (2L, gzip), (3L, flat), (4L, uniform), (5L, Array.empty[Byte])
+    ).toDF("media_id", "content")
+    val got = Multimodal.byteStats(rows).collect().map(b => b.media_id -> b).toMap
+    assert(got(1L).sniffed_mime == "image/png")
+    assert(got(2L).sniffed_mime == "application/gzip")
+    assert(got(3L).sniffed_mime == "application/octet-stream")
+    assert(got(3L).entropy_bits == 0.0)
+    assert(got(3L).printable_ratio == 1.0)
+    assert(got(4L).entropy_bits == 8.0)
+    assert(got(5L).n_bytes == 0L && got(5L).entropy_bits == 0.0)
+    // text payloads: mid-range entropy, fully printable
+    val text = Multimodal.byteStats(
+      Seq((9L, "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")))
+        .toDF("media_id", "content")
+    ).head()
+    assert(text.entropy_bits > 3.0 && text.entropy_bits < 5.0)
+    assert(text.printable_ratio == 1.0)
+  }
 }
