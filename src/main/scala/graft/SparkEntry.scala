@@ -410,6 +410,20 @@ object SparkEntry {
         size(array_distinct(TextAnalysis.bpeTokens(col("text")))).as("n_distinct_bpe")
       )
     },
+    "doc_splits" -> { (s, dir) =>
+      // Deterministic train/val/test assignment by content hash
+      // (ops/Sampling.scala): membership is a pure function of (doc_id,
+      // seed) — identical in any engine, map-only. Oracle reproduces the
+      // exact integer thresholds.
+      graft.ops.Sampling
+        .assignSplit(
+          table(s, dir, "documents"),
+          "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          seed = "s42"
+        )
+        .select(col("doc_id"), col("split"))
+    },
     "tfidf_top_terms" -> { (s, dir) =>
       TextAnalysis.tfidfTopTerms(table(s, dir, "documents"), k = 5)
     },
@@ -850,6 +864,17 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_bpe_tokens,
         |  CAST(len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))) AS INT) AS n_distinct_bpe
         |FROM documents""".stripMargin,
+    "doc_splits" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('s42' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS v
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN v < 3435973836 THEN 'train'
+        |       WHEN v < 3865470566 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h""".stripMargin,
     "tfidf_top_terms" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling and split assignment — the
+  * reproducibility primitives of a training-data pipeline. RNG-based
+  * `df.sample` changes membership with partitioning, retries, and Spark
+  * versions; hashing the row KEY makes membership a pure function of
+  * (key, seed): stable across engines, re-runs, and cluster layouts, and
+  * a row's split never changes when the corpus around it grows.
+  *
+  * Mechanics: the first 8 hex chars of `md5(seed ++ key)` read as a uniform
+  * 32-bit integer; thresholds are exact integers, so engines agree
+  * bit-for-bit (oracle-checked against DuckDB). Pure map-side expressions —
+  * no shuffle, no state.
+  */
+object Sampling {
+
+  private val Two32 = 1L << 32
+
+  /** Uniform value in [0, 2^32) from the key: `md5(seed ++ key)` hex prefix. */
+  def hashValue(key: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed), key.cast("string"))), 1, 8), 16, 10).cast("long")
+
+  /** Keep ~`rate` of rows, deterministically by key. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double, seed: String): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")
+    df.filter(hashValue(col(keyCol), seed) < math.floor(rate * Two32).toLong)
+  }
+
+  /** Assign each row a split label by cumulative weight ranges (weights
+    * need not sum to 1 — the remainder falls into the last split).
+    */
+  def assignSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      seed: String,
+      outCol: String = "split"
+  ): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.forall(_._2 >= 0.0), "split weights must be non-negative")
+    val h = hashValue(col(keyCol), seed)
+    val thresholds = splits.init.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.floor(c * Two32).toLong)
+    val assigned = splits.init.zip(thresholds).foldRight(lit(splits.last._1)) {
+      case (((name, _), t), elseCol) => when(h < t, lit(name)).otherwise(elseCol)
+    }
+    df.withColumn(outCol, assigned)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ids = (0L until 2000L).toDF("id")
+
+  test("hashSample: deterministic membership, rate approximately honored, seed changes the set") {
+    val a1 = Sampling.hashSample(ids, "id", 0.3, "s1").as[Long].collect().toSet
+    val a2 = Sampling.hashSample(ids, "id", 0.3, "s1").as[Long].collect().toSet
+    assert(a1 == a2)
+    assert(math.abs(a1.size - 600) < 120) // within ~5 sigma of binomial
+    val b = Sampling.hashSample(ids, "id", 0.3, "s2").as[Long].collect().toSet
+    assert(a1 != b)
+    // nesting: a lower rate with the same seed is a subset
+    val smaller = Sampling.hashSample(ids, "id", 0.1, "s1").as[Long].collect().toSet
+    assert(smaller.subsetOf(a1))
+  }
+
+  test("assignSplit: total partition, stable under corpus growth") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.assignSplit(ids, "id", splits, "s42")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 2000)
+    val counts = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 150)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // membership is per-key: growing the corpus never reassigns old rows
+    val grown = Sampling.assignSplit((0L until 4000L).toDF("id"), "id", splits, "s42")
+      .as[(Long, String)].collect().toMap
+    assert(got.forall { case (k, v) => grown(k) == v })
+  }
+
+  test("edge rates: 0 keeps nothing, 1 keeps everything") {
+    assert(Sampling.hashSample(ids, "id", 0.0, "s").count() == 0)
+    assert(Sampling.hashSample(ids, "id", 1.0, "s").count() == 2000)
+  }
+}
