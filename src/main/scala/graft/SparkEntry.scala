@@ -427,6 +427,12 @@ object SparkEntry {
     "tfidf_top_terms" -> { (s, dir) =>
       TextAnalysis.tfidfTopTerms(table(s, dir, "documents"), k = 5)
     },
+    "label_centroids" -> { (s, dir) =>
+      // Mean embedding per label via the VecSumAgg typed aggregator
+      // (fixed-size partial buffers through the exchange; explode only
+      // after aggregation).
+      Similarity.labelCentroids(table(s, dir, "embeddings"))
+    },
     "cosine_neardup_sample" -> { (s, dir) =>
       // Exact embedding-cosine near-dup over a deterministic 10% sample
       // (all-pairs verify path); the full-corpus scale path is
@@ -894,6 +900,16 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT doc_id, token, tf, df, tfidf, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "label_centroids" ->
+      """WITH u AS (
+        |  SELECT label,
+        |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim_i,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS e
+        |  FROM embeddings
+        |)
+        |SELECT label, dim_i, round(sum(e) / count(*), 4) AS centroid,
+        |  count(*) AS n_vectors
+        |FROM u GROUP BY 1, 2""".stripMargin,
     "cosine_neardup_sample" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE vec_id % 10 = 0)

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Elementwise vector sum + count aggregator — the centroid/mean-embedding
+  * primitive.
+  *
+  * Scale rationale: the explode-by-dimension formulation multiplies the
+  * shuffled row count by the vector dimension (dims × rows rows through the
+  * exchange just to average per position). This aggregator keeps the sum as
+  * ONE buffer per (map partition, group) — partial aggregation reduces each
+  * partition's vectors locally, so the exchange carries `groups ×
+  * partitions` fixed-size buffers regardless of corpus size, the same
+  * combiner-lifting shape as `sum()`.
+  */
+class VecSumAgg extends Aggregator[Seq[Float], VecSumAgg.Buf, VecSumAgg.Result] {
+  import VecSumAgg.{Buf, Result}
+
+  override def zero: Buf = Buf(Array.empty, 0L)
+
+  override def reduce(b: Buf, v: Seq[Float]): Buf = {
+    if (v == null) b
+    else if (b.n == 0L) {
+      val s = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { s(i) = v(i).toDouble; i += 1 }
+      Buf(s, 1L)
+    } else {
+      require(b.sums.length == v.length, s"dimension mismatch: ${b.sums.length} vs ${v.length}")
+      val s = b.sums
+      var i = 0
+      while (i < s.length) { s(i) += v(i).toDouble; i += 1 }
+      Buf(s, b.n + 1L)
+    }
+  }
+
+  override def merge(a: Buf, b: Buf): Buf =
+    if (a.n == 0L) b
+    else if (b.n == 0L) a
+    else {
+      require(a.sums.length == b.sums.length, "dimension mismatch in merge")
+      val s = a.sums
+      var i = 0
+      while (i < s.length) { s(i) += b.sums(i); i += 1 }
+      Buf(s, a.n + b.n)
+    }
+
+  override def finish(buf: Buf): Result = Result(buf.sums.toSeq, buf.n)
+
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def outputEncoder: Encoder[Result] = Encoders.product[Result]
+}
+
+object VecSumAgg {
+  final case class Buf(sums: Array[Double], n: Long)
+  final case class Result(sums: Seq[Double], n: Long)
+}

@@ -114,6 +114,35 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Per-label mean embedding (centroid), one output row per (label,
+    * dimension). Aggregation runs through [[graft.functions.VecSumAgg]] —
+    * one fixed-size buffer per group per partition crosses the exchange
+    * (combiner lifting), never the dims × rows explosion; the posexplode
+    * happens AFTER aggregation, on `labels × dims` rows.
+    */
+  def labelCentroids(
+      emb: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb
+      .select(col(labelCol).cast("int").as("label"), col(vecCol).cast("array<float>").as("v"))
+      .as[(Int, Seq[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.VecSumAgg().toColumn.name("r"))
+      .toDF("label", "r")
+      .select(col("label"), col("r.n").as("n_vectors"), posexplode(col("r.sums")).as(Seq("pos", "s")))
+      .select(
+        col("label"),
+        (col("pos") + 1).cast("long").as("dim_i"),
+        round(col("s") / col("n_vectors"), 4).as("centroid"),
+        col("n_vectors")
+      )
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact: all (id_a < id_b) pairs
     * with cosine ≥ threshold. O(n²) dot products — correct at any scale but
     * only affordable on bounded sets (a partition, a sampled audit, a

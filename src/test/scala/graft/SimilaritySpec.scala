@@ -154,6 +154,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mismDouble == 0)
   }
 
+  test("labelCentroids: per-label mean matches local computation, counts right") {
+    val data = (0L until 90L).map { i =>
+      val label = (i % 3).toInt
+      (i, Array.tabulate(dim)(d => (label * 10 + d * 0.5 + (i % 7) * 0.01).toFloat), label)
+    }
+    val df = data.toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(df)
+      .as[(Int, Long, Double, Long)]
+      .collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4))
+      .toMap
+    assert(got.size == 3 * dim)
+    for (label <- 0 until 3; d <- 1 to dim) {
+      val members = data.filter(_._3 == label)
+      val mean = members.map(_._2(d - 1).toDouble).sum / members.size
+      val (c, n) = got((label, d.toLong))
+      assert(n == members.size)
+      assert(math.abs(c - mean) < 1e-3, s"label=$label dim=$d")
+    }
+  }
+
   test("native lshSignature is bit-identical to the compositional form") {
     val df = clustered(200).toDF("vec_id", "embedding")
     val mism = df
