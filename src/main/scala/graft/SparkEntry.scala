@@ -430,8 +430,9 @@ object SparkEntry {
     "label_centroids" -> { (s, dir) =>
       // Mean embedding per label via the VecSumAgg typed aggregator
       // (fixed-size partial buffers through the exchange; explode only
-      // after aggregation).
-      Similarity.labelCentroids(table(s, dir, "embeddings"))
+      // after aggregation). Micro-quantized sums: exact integers, so the
+      // hash compare is immune to float reduction order.
+      Similarity.labelCentroidSumsMicro(table(s, dir, "embeddings"))
     },
     "cosine_neardup_sample" -> { (s, dir) =>
       // Exact embedding-cosine near-dup over a deterministic 10% sample
@@ -907,7 +908,8 @@ object SparkEntry {
         |    unnest(CAST(embedding AS DOUBLE[])) AS e
         |  FROM embeddings
         |)
-        |SELECT label, dim_i, round(sum(e) / count(*), 4) AS centroid,
+        |SELECT label, dim_i,
+        |  CAST(sum(CAST(floor(e*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro,
         |  count(*) AS n_vectors
         |FROM u GROUP BY 1, 2""".stripMargin,
     "cosine_neardup_sample" ->

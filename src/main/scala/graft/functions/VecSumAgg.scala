@@ -14,23 +14,23 @@ import org.apache.spark.sql.expressions.Aggregator
   * partitions` fixed-size buffers regardless of corpus size, the same
   * combiner-lifting shape as `sum()`.
   */
-class VecSumAgg extends Aggregator[Seq[Float], VecSumAgg.Buf, VecSumAgg.Result] {
+class VecSumAgg extends Aggregator[Seq[Double], VecSumAgg.Buf, VecSumAgg.Result] {
   import VecSumAgg.{Buf, Result}
 
   override def zero: Buf = Buf(Array.empty, 0L)
 
-  override def reduce(b: Buf, v: Seq[Float]): Buf = {
+  override def reduce(b: Buf, v: Seq[Double]): Buf = {
     if (v == null) b
     else if (b.n == 0L) {
       val s = new Array[Double](v.length)
       var i = 0
-      while (i < v.length) { s(i) = v(i).toDouble; i += 1 }
+      while (i < v.length) { s(i) = v(i); i += 1 }
       Buf(s, 1L)
     } else {
       require(b.sums.length == v.length, s"dimension mismatch: ${b.sums.length} vs ${v.length}")
       val s = b.sums
       var i = 0
-      while (i < s.length) { s(i) += v(i).toDouble; i += 1 }
+      while (i < s.length) { s(i) += v(i); i += 1 }
       Buf(s, b.n + 1L)
     }
   }

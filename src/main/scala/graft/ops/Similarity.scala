@@ -128,8 +128,8 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     emb
-      .select(col(labelCol).cast("int").as("label"), col(vecCol).cast("array<float>").as("v"))
-      .as[(Int, Seq[Float])]
+      .select(col(labelCol).cast("int").as("label"), asDouble(col(vecCol)).as("v"))
+      .as[(Int, Seq[Double])]
       .groupByKey(_._1)
       .mapValues(_._2)
       .agg(new graft.functions.VecSumAgg().toColumn.name("r"))
@@ -139,6 +139,38 @@ object Similarity {
         col("label"),
         (col("pos") + 1).cast("long").as("dim_i"),
         round(col("s") / col("n_vectors"), 4).as("centroid"),
+        col("n_vectors")
+      )
+  }
+
+  /** Cross-engine-exact centroid sums: elements quantized to integer
+    * micro-units BEFORE aggregation, so the per-dimension sum is an exact
+    * integer — independent of reduction order (double float sums are not,
+    * and hash-compares across engines flake on the rounding boundary; this
+    * is the oracle-checked face of [[labelCentroids]]).
+    */
+  def labelCentroidSumsMicro(
+      emb: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb
+      .select(
+        col(labelCol).cast("int").as("label"),
+        transform(asDouble(col(vecCol)), x => floor(x * 1000000 + 0.5).cast("double")).as("v")
+      )
+      .as[(Int, Seq[Double])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.VecSumAgg().toColumn.name("r"))
+      .toDF("label", "r")
+      .select(col("label"), col("r.n").as("n_vectors"), posexplode(col("r.sums")).as(Seq("pos", "s")))
+      .select(
+        col("label"),
+        (col("pos") + 1).cast("long").as("dim_i"),
+        col("s").cast("long").as("sum_micro"),
         col("n_vectors")
       )
   }
