@@ -51,4 +51,56 @@ object StatefulScores {
 
   /** Output mode required by [[userTotalsWithTtl]]. */
   val RequiredOutputMode: OutputMode = OutputMode.Update()
+
+  /** [[userTotalsWithTtl]] on the Spark 4 `transformWithState` API — the
+    * operator-state successor to `mapGroupsWithState`: named state variables
+    * with store-native TTL (state expiry handled by the RocksDB store
+    * itself, not by timer bookkeeping in user code), multiple state types
+    * per processor, and initial-state/timer facilities this operator can
+    * grow into. Requires the RocksDB state store provider; TTL counts from
+    * each update's processing time.
+    */
+  class UserTotalProcessor(ttlMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Int), UserTotal] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ValueState}
+
+    @transient private var state: ValueState[UserTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl =
+        if (ttlMinutes > 0) TTLConfig(java.time.Duration.ofMinutes(ttlMinutes.toLong))
+        else TTLConfig.NONE
+      state = getHandle.getValueState[UserTotal](
+        "user_total",
+        org.apache.spark.sql.Encoders.product[UserTotal],
+        ttl
+      )
+    }
+
+    override def handleInputRows(
+        user: String,
+        rows: Iterator[(String, Int)],
+        timerValues: TimerValues
+    ): Iterator[UserTotal] = {
+      val (sum, n) = rows.foldLeft((0L, 0L)) { case ((s, c), (_, sc)) => (s + sc, c + 1) }
+      val prev = if (state.exists()) state.get() else UserTotal(user, 0L, 0L)
+      val next = UserTotal(user, prev.total_score + sum, prev.events + n)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Running per-user totals via [[UserTotalProcessor]]; run with
+    * `outputMode("update")` on a RocksDB-backed session.
+    */
+  def userTotalsTws(events: Dataset[(String, Int)], ttlMinutes: Int): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(
+        new UserTotalProcessor(ttlMinutes),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Update()
+      )
+  }
 }

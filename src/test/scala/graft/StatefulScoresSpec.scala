@@ -46,4 +46,42 @@ class StatefulScoresSpec extends AnyFunSuite {
       assert(latest("b").getAs[Long]("total_score") == 3L)
     } finally q.stop()
   }
+
+  test("userTotalsTws: transformWithState accumulates across micro-batches (RocksDB store)") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val input = MemoryStream[(String, Int)]
+    val q = StatefulScores
+      .userTotalsTws(input.toDS(), ttlMinutes = 60)
+      .writeStream
+      .format("memory")
+      .queryName("tws_user")
+      .outputMode("update")
+      .start()
+    try {
+      input.addData(Seq("a" -> 5, "b" -> 3, "a" -> 2))
+      awaitSink("tws_user")(_.exists(_.getAs[String]("user") == "b"))
+      input.addData(Seq("a" -> 10, "c" -> 1))
+      val rows = awaitSink("tws_user")(rs =>
+        rs.exists(r => r.getAs[String]("user") == "a" && r.getAs[Long]("total_score") == 17L) &&
+          rs.exists(_.getAs[String]("user") == "c"))
+      val latest = rows.zipWithIndex
+        .groupBy(_._1.getAs[String]("user"))
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1 }
+      assert(latest("a").getAs[Long]("total_score") == 17L)
+      assert(latest("a").getAs[Long]("events") == 3L)
+      assert(latest("b").getAs[Long]("total_score") == 3L)
+      assert(latest("c").getAs[Long]("total_score") == 1L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
