@@ -264,6 +264,13 @@ object Dedup {
         .union(e.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
 
+    // Between passes a multiset is fine — collect_set dedups neighborhoods —
+    // so skip the distinct's extra shuffle; full `symmetric` (set semantics)
+    // is only needed where the convergence fingerprint reads the edges.
+    def symmetricMulti(e: DataFrame): DataFrame =
+      e.select(col("src"), col("dst"))
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+
     // One star round: per node u, m = min(N(u) ∪ {u}); emit (v, m) for the
     // selected neighbors v (larger for large-star; smaller-or-equal plus u
     // itself for small-star). Emission happens inside array expressions —
@@ -310,7 +317,7 @@ object Dedup {
       // Re-symmetrize between passes: each pass reads neighborhoods via
       // groupBy(src), which only sees a node's full neighborhood when both
       // edge directions are present.
-      val next = symmetric(star(symmetric(star(edges, large = true)), large = false))
+      val next = symmetric(star(symmetricMulti(star(edges, large = true)), large = false))
         .localCheckpoint()
       val nextFp = fingerprint(next)
       edges.unpersist()
