@@ -179,12 +179,13 @@ object TextAnalysis {
     * `ln((N+1)/(df+1)) + 1`), deterministic tie-break (tfidf desc, token
     * asc).
     *
-    * Plan shape at scale: tf is one hash shuffle on (doc, token); df
-    * aggregates FROM tf (token-keyed partial-agg shuffle — never a second
-    * corpus scan); tf⋈df is a token-keyed shuffle join (AQE broadcasts when
-    * the vocabulary is small); the final top-k is a per-doc window — keyed
-    * by doc_id, so it rides tf's partitioning. `n` (corpus size) is a
-    * driver-side scalar, not a cross join.
+    * Plan shape at scale: ONE corpus scan — tf is a (doc, token) hash
+    * shuffle; df comes from a count window over tf partitioned by token
+    * (a self-join `tf ⋈ groupBy(token)` would make Catalyst re-scan and
+    * re-tokenize the whole corpus: DataFrame lineage has no common-subplan
+    * reuse, verified with `explain`); the final top-k is a per-doc window
+    * Spark executes with `WindowGroupLimit` pushdown. `n` (corpus size) is
+    * a driver-side scalar, not a cross join.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
     val n = docs.count()
@@ -193,11 +194,11 @@ object TextAnalysis {
       .filter(col("token") =!= "")
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token"))
-    tf.join(df, Seq("token"))
+    tf.withColumn("df", count(lit(1)).over(wTok))
       .withColumn("tfidf", round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
