@@ -290,6 +290,23 @@ object SparkEntry {
                               WHERE o2.o_orderpriority = o.o_orderpriority)
       """)
     },
+    "user_event_types_salted" -> { (s, dir) =>
+      // Skew-mitigated holistic aggregation (ops/Skew.saltedAgg): exact
+      // per-user distinct event-type count via the two-phase salt split —
+      // a hot key's collect_set spreads over `salts` tasks before the
+      // merge. Results are salt-invariant, so the oracle is the plain
+      // COUNT(DISTINCT).
+      graft.ops.Skew
+        .saltedAgg(
+          eventsTable(s, dir).select(col("user_id"), col("event_type")),
+          key = "user_id",
+          salts = 8,
+          partial = collect_set,
+          merge = c => size(array_distinct(flatten(collect_list(c)))).cast("long"),
+          valueCol = "event_type",
+          outCol = "n_event_types"
+        )
+    },
     "top_customers_per_nation" -> ((s, dir) => Relational.topCustomersPerNation(s, dir)),
     "lineitem_profile" -> ((s, dir) => Relational.lineitemProfile(s, dir)),
     "segment_stats" -> ((s, dir) => Relational.segmentStats(s, dir)),
@@ -731,6 +748,9 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY 1""".stripMargin,
+    "user_event_types_salted" ->
+      """SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+        |FROM events GROUP BY 1""".stripMargin,
     "top_customers_per_nation" ->
       """WITH ranked AS (
         |  SELECT n_name, c_custkey, c_name,

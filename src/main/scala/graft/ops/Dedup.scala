@@ -393,7 +393,13 @@ object Dedup {
   ): DataFrame = {
     require(64 % chunks == 0, "chunks must divide 64")
     val w = 64 / chunks
-    val fps = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+    // Persisted: fps feeds three consumers (banding + both verification
+    // sides) and DataFrame lineage has no common-subplan reuse — without
+    // the cache each consumer re-scans the corpus text and recomputes
+    // every fingerprint. The cached table is 16 bytes/doc.
+    val fps = docs
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkKeys = (0 until chunks).map { c =>
       // chunk value + index packed into one bucket key
       struct(lit(c).as("c"), shiftrightunsigned(col("fp"), c * w).bitwiseAND(lit((1L << w) - 1)).as("v"))
