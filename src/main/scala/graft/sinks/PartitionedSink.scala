@@ -1,0 +1,74 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hive-partitioned parquet layout — the write-side contract that makes
+  * partition pruning work: a reader filtering on the partition column never
+  * opens the other directories (`PartitionFilters` in the scan, asserted in
+  * PartitionedSinkSpec).
+  *
+  * The failure mode at 100 TB is SMALL FILES: a naive
+  * `write.partitionBy(col)` emits one file per (task × partition value) —
+  * with 10k tasks and 1k partition values, ten million tiny files that
+  * drown the namenode and the scan planner. [[writePartitioned]] therefore
+  * repartitions on the partition columns first (each partition value lands
+  * on one task → one file), split only by `maxRecordsPerFile` when a
+  * partition is genuinely large. Skewed partition values are the one case
+  * where a single task per value is wrong — pass `splitHot > 1` to scatter
+  * values across that many writers (files per value rises to `splitHot`,
+  * still bounded).
+  */
+object PartitionedSink {
+
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partCols: Seq[String],
+      maxRecordsPerFile: Long = 5_000_000L,
+      splitHot: Int = 1
+  ): Unit = {
+    require(partCols.nonEmpty, "at least one partition column")
+    require(splitHot >= 1, "splitHot must be >= 1")
+    val keyed =
+      if (splitHot == 1) df.repartition(partCols.map(col): _*)
+      else {
+        val scatter = (rand(7L) * splitHot).cast("int")
+        df.repartition((partCols.map(col) :+ scatter): _*)
+      }
+    keyed.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCols: _*)
+      .parquet(path)
+  }
+
+  /** Compact an existing partitioned dataset in place-adjacent fashion:
+    * read, re-coalesce per partition value, write to `destPath` with the
+    * same layout. The small-file repair tool for datasets written by
+    * many-task streaming jobs.
+    */
+  def compact(
+      spark: SparkSession,
+      srcPath: String,
+      destPath: String,
+      partCols: Seq[String],
+      maxRecordsPerFile: Long = 5_000_000L
+  ): Unit =
+    writePartitioned(spark.read.parquet(srcPath), destPath, partCols, maxRecordsPerFile)
+
+  /** Count data files per partition directory (layout assertion helper). */
+  def filesPerPartition(spark: SparkSession, path: String, partCol: String): Map[String, Int] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+      .map { dir =>
+        val n = fs
+          .listStatus(dir.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        dir.getPath.getName.stripPrefix(s"$partCol=") -> n
+      }
+      .toMap
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.PartitionedSink
+
+class PartitionedSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def df = (0 until 3000)
+    .map(i => (i.toLong, s"cat_${i % 3}", i * 2))
+    .toDF("id", "category", "v")
+
+  test("one file per partition value; reader prunes partitions") {
+    val dir = Files.createTempDirectory("psink").toString
+    PartitionedSink.writePartitioned(df, dir, Seq("category"))
+    val files = PartitionedSink.filesPerPartition(spark, dir, "category")
+    assert(files.keySet == Set("cat_0", "cat_1", "cat_2"))
+    assert(files.values.forall(_ == 1), s"expected 1 file per value, got $files")
+
+    val read = spark.read.parquet(dir).filter($"category" === "cat_1")
+    assert(read.count() == 1000)
+    // Partition pruning must reach the scan: the filter appears as a
+    // PartitionFilters entry, not a post-scan Filter over all rows.
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cat_1"), plan.take(800))
+  }
+
+  test("maxRecordsPerFile splits large partitions; splitHot scatters hot values") {
+    val dir = Files.createTempDirectory("psink2").toString
+    PartitionedSink.writePartitioned(df, dir, Seq("category"), maxRecordsPerFile = 300L)
+    val files = PartitionedSink.filesPerPartition(spark, dir, "category")
+    assert(files.values.forall(n => n >= 3 && n <= 5), s"expected ~1000/300 files, got $files")
+
+    val dir2 = Files.createTempDirectory("psink3").toString
+    PartitionedSink.writePartitioned(df, dir2, Seq("category"), splitHot = 2)
+    val files2 = PartitionedSink.filesPerPartition(spark, dir2, "category")
+    assert(files2.values.forall(n => n >= 1 && n <= 2), s"expected <=2 files per value, got $files2")
+    assert(spark.read.parquet(dir2).count() == 3000)
+  }
+
+  test("compact restores one-file-per-value layout") {
+    val fragmented = Files.createTempDirectory("psink4").toString
+    // many-task write → many files per partition value
+    df.repartition(8).write.mode("overwrite").partitionBy("category").parquet(fragmented)
+    val before = PartitionedSink.filesPerPartition(spark, fragmented, "category")
+    assert(before.values.forall(_ > 1), s"fixture should be fragmented, got $before")
+    val compacted = Files.createTempDirectory("psink5").toString
+    PartitionedSink.compact(spark, fragmented, compacted, Seq("category"))
+    val after = PartitionedSink.filesPerPartition(spark, compacted, "category")
+    assert(after.values.forall(_ == 1), s"expected compaction to 1 file, got $after")
+    assert(spark.read.parquet(compacted).count() == 3000)
+  }
+}
