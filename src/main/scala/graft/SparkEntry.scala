@@ -264,6 +264,13 @@ object SparkEntry {
           round(percentile(col("v"), lit(0.95)), 4).as("p95")
         )
     },
+    "lineitem_profile_approx" -> { (s, dir) =>
+      // Sketch path: HLL++ approximate distincts + approximate percentile —
+      // the 100 TB substitutes for exact countDistinct / percentile (whose
+      // state is unbounded). Approximation ⇒ no SQL oracle; bounded
+      // relative error spec'd in RelationalSpec.
+      Relational.lineitemProfileApprox(s, dir)
+    },
     "q7_nation_volume" -> ((s, dir) => Relational.q7NationVolume(s, dir)),
     "q10_returned_revenue" -> ((s, dir) => Relational.q10ReturnedRevenue(s, dir)),
     "q14_promo_share" -> ((s, dir) => Relational.q14PromoShare(s, dir)),

@@ -192,7 +192,8 @@ object Relational {
     table(spark, dir, "lineitem").agg(
       count(lit(1)).as("n_rows"),
       approx_count_distinct(col("l_orderkey"), rsd).as("n_orders_approx"),
-      approx_count_distinct(col("l_partkey"), rsd).as("n_parts_approx")
+      approx_count_distinct(col("l_partkey"), rsd).as("n_parts_approx"),
+      approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price_approx")
     )
 
   /** Global distinct/minmax profile of the fact table (no grouping key —

@@ -16,5 +16,12 @@ class RelationalSpec extends AnyFunSuite {
     def close(a: Long, e: Long): Boolean = math.abs(a - e).toDouble / e < 0.05
     assert(close(approx.getAs[Long]("n_orders_approx"), exact.getAs[Long]("n_orders")))
     assert(close(approx.getAs[Long]("n_parts_approx"), exact.getAs[Long]("n_parts")))
+    // approx median within 5% of the exact median
+    val exactP50 = Relational
+      .table(spark, dir, "lineitem")
+      .agg(org.apache.spark.sql.functions.expr("percentile(l_extendedprice, 0.5)").as("p"))
+      .collect().head.getAs[Double]("p")
+    val approxP50 = approx.getAs[Double]("p50_price_approx")
+    assert(math.abs(approxP50 - exactP50) / exactP50 < 0.05, s"$approxP50 vs $exactP50")
   }
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingSessions
+
+class StreamingSessionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val H = 3600_000L
+
+  test("gap-merged sessions finalize in append mode once the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(String, Int, Long)] // user, score, ts
+    val stream = input.toDF().toDF("user_id", "score", "ts")
+      .withColumn("event_time", timestamp_millis($"ts"))
+    val q = StreamingSessions
+      .sessionScores(stream, "user_id", gapMinutes = 30, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("ss_out").outputMode("append").start()
+    try {
+      // u1: two events 10 min apart (one session), a third 40 min later (new
+      // session); u2: single event. Late-but-within-watermark row merges.
+      input.addData(Seq(("u1", 5, H), ("u1", 7, H + 10 * 60_000L), ("u2", 1, H)))
+      q.processAllAvailable()
+      input.addData(Seq(("u1", 11, H + 50 * 60_000L)))
+      q.processAllAvailable()
+      // watermark jump: everything above finalizes
+      input.addData(Seq(("u3", 0, 10 * H)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ss_out")
+      .select($"user_id", $"session_start_ms", $"session_score", $"n_events")
+      .as[(String, Long, Long, Long)]
+      .collect()
+      .toSet
+    assert(got.contains(("u1", H, 12L, 2L)))               // merged 2-event session
+    assert(got.contains(("u1", H + 50 * 60_000L, 11L, 1L))) // separate later session
+    assert(got.contains(("u2", H, 1L, 1L)))
+  }
+}
