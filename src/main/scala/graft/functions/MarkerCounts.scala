@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Token-membership counts for N marker lexicons in ONE tokenize pass:
+  * `markerSets(i)` → count of whitespace tokens (lower-cased) contained in
+  * set i, as `array<int>`.
+  *
+  * The compositional form — one `filter(tokens(text), array_contains(...))`
+  * per lexicon — re-splits the text and runs an interpreted lambda over
+  * every token PER LEXICON: language ID over 5 lexicons tokenizes each
+  * document 5×, with per-token closure dispatch. This expression tokenizes
+  * once and resolves each token against a prebuilt hash index, inside
+  * whole-stage codegen. Counting semantics are identical (spec-asserted):
+  * a token in several lexicons increments each.
+  */
+case class MarkerCountsExpr(child: Expression, markerSets: Seq[Seq[String]])
+    extends UnaryExpression {
+
+  require(markerSets.nonEmpty, "at least one marker set")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string child, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "marker_counts"
+
+  // token → indices of the sets containing it (built once per executor via
+  // the serialized expression, shared by interpreted + codegen paths)
+  @transient private lazy val index: java.util.HashMap[UTF8String, Array[Int]] =
+    MarkerCountsExpr.buildIndex(markerSets)
+
+  private def count(text: UTF8String): ArrayData =
+    MarkerCountsExpr.compute(text, index, markerSets.length)
+
+  override protected def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val self = ctx.addReferenceObj("markerCountsExpr", this, classOf[MarkerCountsExpr].getName)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      $arrCls ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = $self.evalText(${childGen.value});
+      }
+    """)
+  }
+
+  /** Called from generated code. */
+  def evalText(text: UTF8String): ArrayData = count(text)
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerCountsExpr =
+    copy(child = newChild)
+}
+
+object MarkerCountsExpr {
+
+  private val WhitespaceRe = UTF8String.fromString("\\s+")
+
+  def column(text: Column, markerSets: Seq[Seq[String]]): Column =
+    ColumnBridge.column(MarkerCountsExpr(ColumnBridge.expression(text), markerSets))
+
+  private[functions] def buildIndex(
+      markerSets: Seq[Seq[String]]
+  ): java.util.HashMap[UTF8String, Array[Int]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Int]]()
+    markerSets.zipWithIndex.foreach { case (set, i) =>
+      set.foreach { w =>
+        val k = UTF8String.fromString(w)
+        val prev = m.get(k)
+        m.put(k, if (prev == null) Array(i) else prev :+ i)
+      }
+    }
+    m
+  }
+
+  private[functions] def compute(
+      text: UTF8String,
+      index: java.util.HashMap[UTF8String, Array[Int]],
+      nSets: Int
+  ): ArrayData = {
+    val toks = text.toLowerCase.split(WhitespaceRe, -1)
+    val counts = new Array[Int](nSets)
+    var i = 0
+    while (i < toks.length) {
+      val hit = index.get(toks(i))
+      if (hit != null) {
+        var j = 0
+        while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+}

@@ -39,8 +39,14 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit(Punct), lit(0)))
 
-  /** Occurrences of any of `words` among the text's tokens. */
-  def markerCount(text: Column, words: Seq[String]): Column = {
+  /** Occurrences of any of `words` among the text's tokens — native
+    * one-pass form (see [[graft.functions.MarkerCountsExpr]]).
+    */
+  def markerCount(text: Column, words: Seq[String]): Column =
+    graft.functions.MarkerCountsExpr.column(text, Seq(words)).getItem(0)
+
+  /** Compositional form — executable specification for the native one. */
+  def markerCountComposed(text: Column, words: Seq[String]): Column = {
     val markers = array(words.map(lit): _*)
     size(filter(tokens(text), t => array_contains(markers, t)))
   }
@@ -58,9 +64,13 @@ object TextAnalysis {
 
   /** n-gram-free language ID: argmax of per-language stopword hit counts,
     * ties resolved in [[LangMarkers]] order. Deterministic, oracle-friendly.
+    * All five lexicon counts come from ONE tokenize pass
+    * ([[graft.functions.MarkerCountsExpr]]); the compositional per-lexicon
+    * form re-tokenized the document once per language.
     */
   def langId(text: Column): Column = {
-    val scores = LangMarkers.map { case (lang, words) => lang -> markerCount(text, words) }
+    val counts = graft.functions.MarkerCountsExpr.column(text, LangMarkers.map(_._2))
+    val scores = LangMarkers.zipWithIndex.map { case ((lang, _), i) => lang -> counts.getItem(i) }
     // lang_i wins if its score >= every later language's score.
     scores.zipWithIndex
       .init

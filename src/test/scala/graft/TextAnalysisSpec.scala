@@ -76,6 +76,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_distinct_tokens") == 4) // "hello," "hello" "world!" "world"
   }
 
+  test("native marker counts equal the compositional filter form") {
+    val texts = Seq(
+      (1L, "the cat and the dog is the best"),
+      (2L, "der la the und el dans 的"),
+      (3L, ""),
+      (4L, "  leading and trailing  "),
+      (5L, "THE The tHe"), // case folding
+      (6L, "esquina es la que") // partial-word non-matches stay non-matches
+    ).toDF("doc_id", "text")
+    for ((_, words) <- TextAnalysis.LangMarkers) {
+      val mismatches = texts
+        .select(
+          TextAnalysis.markerCount($"text", words).as("native"),
+          TextAnalysis.markerCountComposed($"text", words).as("composed")
+        )
+        .filter(not($"native" <=> $"composed"))
+        .count()
+      assert(mismatches == 0, s"marker set $words")
+    }
+  }
+
   test("tfidfTopTerms: corpus-common terms rank below doc-distinctive ones") {
     val docs = Seq(
       (1L, "common common rare1"),
