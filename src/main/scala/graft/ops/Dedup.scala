@@ -29,13 +29,16 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Keep exactly one row per distinct text (the min-id representative). */
-  def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col(textCol)))
-      .orderBy(col(idCol))
-    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
-  }
+  /** Keep exactly one row per distinct text (the min-id representative).
+    * `min_by` aggregation, not a row_number window: partial aggregation
+    * keeps ONE candidate row per (hash, map partition) before the exchange
+    * — the window form shuffles and sorts every duplicate copy.
+    */
+  def dropExactDuplicates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("_h"))
+      .agg(min_by(struct(docs.columns.map(col): _*), col(idCol)).as("_row"))
+      .select(col("_row.*"))
 
   // -------------------------------------------------------------- shingles
 
