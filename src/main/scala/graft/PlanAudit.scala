@@ -9,7 +9,10 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8, "plan-audit")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val names = if (args.nonEmpty) args.toSeq else Seq("q3_top_orders", "q5_region_revenue")
+    val names =
+      if (args.sameElements(Array("--all"))) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
+      else Seq("q3_top_orders", "q5_region_revenue")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
