@@ -124,6 +124,87 @@ object Multimodal {
     }
   }
 
+  final case class ImageFeatures(
+      media_id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      format: String,
+      ok: Boolean
+  )
+
+  /** REAL image decode — `javax.imageio` ships with the JDK, so PNG / JPEG /
+    * GIF / BMP payloads decode without any external dependency (the generic
+    * [[decodeStub]] stays for formats the JDK cannot read). Same
+    * mapPartitions contract: readers are constructed per task, undecodable
+    * payloads degrade to `ok=false` rows instead of failing the job — at
+    * 100 TB a poison payload must never kill a stage.
+    */
+  def decodeImages(media: DataFrame): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        decodeOne(bytes) match {
+          case Some((img, fmt)) => ImageFeatures(id, n, img.getWidth, img.getHeight, fmt, ok = true)
+          case None => ImageFeatures(id, n, 0, 0, "", ok = false)
+        }
+      }
+    }
+  }
+
+  /** REAL aspect-preserving resize: decode, scale to fit `maxDim`, re-encode
+    * as PNG. Returns (media_id, content, width, height, ok); undecodable
+    * payloads pass through unchanged with ok=false.
+    */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        decodeOne(bytes) match {
+          case Some((img, _)) =>
+            val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+            val (w, h) = (
+              math.max(1, math.round(img.getWidth * scale).toInt),
+              math.max(1, math.round(img.getHeight * scale).toInt)
+            )
+            val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR
+              )
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            (id, buf.toByteArray, w, h, true)
+          case None => (id, bytes, 0, 0, false)
+        }
+      }
+    }.toDF("media_id", "content", "width", "height", "ok")
+  }
+
+  private def decodeOne(bytes: Array[Byte]): Option[(java.awt.image.BufferedImage, String)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val img = reader.read(0)
+        Option(img).map(i => (i, reader.getFormatName.toLowerCase))
+      } finally reader.dispose()
+    } catch {
+      case _: Exception => None
+    } finally iis.close()
+  }
+
   final case class ByteStats(
       media_id: Long,
       n_bytes: Long,

@@ -78,6 +78,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(parts.count() == 4)
   }
 
+  test("decodeImages/resizeImages: real JDK ImageIO round-trip") {
+    import spark.implicits._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(120, 40)),
+      (2L, png(16, 16)),
+      (3L, "not an image".getBytes("UTF-8"))
+    ).toDF("media_id", "content")
+    val feats = Multimodal.decodeImages(rows).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).ok && feats(1L).width == 120 && feats(1L).height == 40)
+    assert(feats(1L).format == "png")
+    assert(feats(2L).ok && feats(2L).width == 16)
+    assert(!feats(3L).ok)
+
+    val resized = Multimodal.resizeImages(rows, maxDim = 60).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(resized(1L).getAs[Int]("width") == 60 && resized(1L).getAs[Int]("height") == 20)
+    assert(resized(2L).getAs[Int]("width") == 16) // already fits: untouched dims
+    assert(!resized(3L).getAs[Boolean]("ok"))
+    // re-encoded payload decodes to the new dims
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(1L).getAs[Array[Byte]]("content")))
+    assert(back.getWidth == 60 && back.getHeight == 20)
+  }
+
   test("byteStats: entropy, printable ratio, magic-byte sniffing") {
     import spark.implicits._
     val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0x00, 0x01).map(_.toByte)
