@@ -188,6 +188,45 @@ object Multimodal {
     }.toDF("media_id", "content", "width", "height", "ok")
   }
 
+  final case class AudioMeta(
+      media_id: Long,
+      n_bytes: Long,
+      encoding: String,
+      sample_rate_hz: Double,
+      channels: Int,
+      frames: Long,
+      duration_ms: Long,
+      ok: Boolean
+  )
+
+  /** REAL audio metadata — `javax.sound.sampled` is also JDK-native: WAV /
+    * AIFF / AU headers parse without external codecs (compressed formats
+    * stay behind the stub boundary). Header-only work: the payload is never
+    * decoded to PCM, so this runs at scan speed over binary columns.
+    */
+  def audioMeta(media: DataFrame): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        try {
+          val fmt = javax.sound.sampled.AudioSystem
+            .getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+          val af = fmt.getFormat
+          val frames = fmt.getFrameLength.toLong
+          val durMs =
+            if (frames >= 0 && af.getFrameRate > 0) (frames * 1000.0 / af.getFrameRate).toLong
+            else -1L
+          AudioMeta(id, n, af.getEncoding.toString, af.getSampleRate.toDouble,
+            af.getChannels, frames, durMs, ok = true)
+        } catch {
+          case _: Exception => AudioMeta(id, n, "", 0.0, 0, -1L, -1L, ok = false)
+        }
+      }
+    }
+  }
+
   private def decodeOne(bytes: Array[Byte]): Option[(java.awt.image.BufferedImage, String)] = {
     if (bytes == null || bytes.isEmpty) return None
     val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))

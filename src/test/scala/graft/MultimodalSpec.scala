@@ -109,6 +109,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(back.getWidth == 60 && back.getHeight == 20)
   }
 
+  test("audioMeta: real WAV header parse via JDK javax.sound") {
+    import spark.implicits._
+    def wav(sampleRate: Float, channels: Int, nFrames: Int): Array[Byte] = {
+      val af = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+      val pcm = new Array[Byte](nFrames * af.getFrameSize)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), af, nFrames.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    val rows = Seq(
+      (1L, wav(16000f, 1, 16000)), // 1 s mono 16 kHz
+      (2L, wav(44100f, 2, 4410)),  // 100 ms stereo CD-rate
+      (3L, "not audio".getBytes("UTF-8"))
+    ).toDF("media_id", "content")
+    val got = Multimodal.audioMeta(rows).collect().map(a => a.media_id -> a).toMap
+    assert(got(1L).ok && got(1L).sample_rate_hz == 16000.0 && got(1L).channels == 1)
+    assert(got(1L).frames == 16000L && got(1L).duration_ms == 1000L)
+    assert(got(2L).ok && got(2L).channels == 2 && got(2L).duration_ms == 100L)
+    assert(!got(3L).ok)
+  }
+
   test("byteStats: entropy, printable ratio, magic-byte sniffing") {
     import spark.implicits._
     val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 0x00, 0x01).map(_.toByte)
