@@ -179,6 +179,23 @@ object SparkEntry {
         GROUP BY l_returnflag, l_linestatus
       """)
     },
+    "user_retention_sets" -> { (s, dir) =>
+      // Set-operation coverage (absent in the reference — Beam's Flatten is
+      // unused there): INTERSECT = retained users (active in both January
+      // halves), EXCEPT = churned / new-only. Each leg is a distinct-agg
+      // shuffle over user ids only.
+      val ev = eventsTable(s, dir)
+      val mid = 1705276800000L // 2024-01-15 00:00:00 UTC
+      val firstHalf = ev.filter(col("ts_ms") < mid).select(col("user_id")).distinct()
+      val secondHalf = ev.filter(col("ts_ms") >= mid).select(col("user_id")).distinct()
+      val retained = firstHalf.intersect(secondHalf)
+        .select(col("user_id"), lit("retained").as("cohort"))
+      val churned = firstHalf.except(secondHalf)
+        .select(col("user_id"), lit("churned").as("cohort"))
+      val newOnly = secondHalf.except(firstHalf)
+        .select(col("user_id"), lit("new").as("cohort"))
+      retained.union(churned).union(newOnly)
+    },
     "user_sessions" -> { (s, dir) =>
       // Session-window aggregation (gap 30 min): a windowing mode the
       // reference lacks; oracle reproduces it with gaps-and-islands SQL.
@@ -603,6 +620,14 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_quantity >= 25
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "user_retention_sets" ->
+      """WITH f AS (SELECT DISTINCT user_id FROM events WHERE epoch_ms(ts) < 1705276800000),
+        |s AS (SELECT DISTINCT user_id FROM events WHERE epoch_ms(ts) >= 1705276800000)
+        |SELECT user_id, 'retained' AS cohort FROM (SELECT user_id FROM f INTERSECT SELECT user_id FROM s)
+        |UNION ALL
+        |SELECT user_id, 'churned' AS cohort FROM (SELECT user_id FROM f EXCEPT SELECT user_id FROM s)
+        |UNION ALL
+        |SELECT user_id, 'new' AS cohort FROM (SELECT user_id FROM s EXCEPT SELECT user_id FROM f)""".stripMargin,
     "user_sessions" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ms(ts) AS ms,
