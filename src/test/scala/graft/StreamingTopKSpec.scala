@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingTopK
+
+class StreamingTopKSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vec(x: Float, y: Float): Array[Float] = Array(x, y)
+
+  test("per-query top-k refines as closer neighbors stream in; state stays bounded at k") {
+    implicit val ctx = spark.sqlContext
+    val queries = Seq((100L, vec(1f, 0f))).toDF("vec_id", "embedding")
+    val input = MemoryStream[(Long, Array[Float])]
+    val result = StreamingTopK.streamingCosineTopK(
+      input.toDF().toDF("vec_id", "embedding"), queries, k = 2)
+    val q = result.writeStream.format("memory").queryName("stk_out").outputMode("update").start()
+    def latest(): Map[Int, Long] = {
+      // update mode appends refined lists; the last emission per rank wins
+      spark.table("stk_out").collect().zipWithIndex
+        .map { case (r, i) => (r.getAs[Int]("rank"), (i, r.getAs[Long]("neighbor_id"))) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)._2).toMap
+    }
+    try {
+      // batch 1: two mediocre neighbors
+      input.addData(Seq((1L, vec(0f, 1f)), (2L, vec(0.5f, 1f))))
+      q.processAllAvailable()
+      assert(latest() == Map(1 -> 2L, 2 -> 1L)) // 2 is closer to (1,0) than 1
+      // batch 2: a near-perfect neighbor takes rank 1; worst is evicted
+      input.addData(Seq((3L, vec(0.95f, 0.05f))))
+      q.processAllAvailable()
+      assert(latest() == Map(1 -> 3L, 2 -> 2L))
+    } finally q.stop()
+  }
+}
