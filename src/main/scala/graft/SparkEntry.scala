@@ -231,6 +231,7 @@ object SparkEntry {
         )
     },
     "q3_top_orders" -> ((s, dir) => Relational.q3TopOrders(s, dir)),
+    "q3_top_orders_bucketed" -> ((s, dir) => Relational.q3TopOrdersBucketed(s, dir)),
     "q5_region_revenue" -> ((s, dir) => Relational.q5RegionRevenue(s, dir)),
     "part_brand_stats" -> ((s, dir) => Relational.partBrandStats(s, dir)),
     "returns_rollup" -> { (s, dir) =>
@@ -662,6 +663,18 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY 1, 2""".stripMargin,
     "q3_top_orders" ->
+      """SELECT o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+        |  CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2
+        |ORDER BY revenue_cents DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q3_top_orders_bucketed" ->
       """SELECT o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
         |  CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem

@@ -44,6 +44,51 @@ object Relational {
       .limit(10)
   }
 
+  /** [[q3TopOrders]] over BUCKETED fact tables — the co-located-join layout
+    * ([[graft.sinks.BucketedSink]]) surfaced in the driver-verified query
+    * set: lineitem and orders are written once per scale factor as managed
+    * tables bucketed 8-ways on the order key, so the fact-fact join plans
+    * as a SortMergeJoin with NO Exchange on either side (the shuffle was
+    * paid at write time and amortizes over every subsequent query on the
+    * key). Results are identical to the plain form — same oracle.
+    */
+  def q3TopOrdersBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = s"sf_${math.abs(dir.hashCode)}"
+    val liName = s"graft_bl_$suffix"
+    val ordName = s"graft_bo_$suffix"
+    def ensureBucketed(name: String, srcTable: String, bucketCol: String): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        // The in-memory catalog resets per JVM while the warehouse dir
+        // persists — clear a stale location before re-deriving the table.
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), name)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        graft.sinks.BucketedSink.writeBucketed(
+          table(spark, dir, srcTable), name, bucketCol, buckets = 8)
+      }
+    ensureBucketed(liName, "lineitem", "l_orderkey")
+    ensureBucketed(ordName, "orders", "o_orderkey")
+    val cutoff = lit("1998-06-01").cast("timestamp")
+    val cust = table(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val orders = spark.table(ordName).filter(col("o_orderdate") < cutoff)
+    val li = spark.table(liName).filter(col("l_shipdate") > cutoff)
+    // merge hint: at bench SF the orders side fits the broadcast threshold,
+    // which would hide the layout's point — at real scale both facts exceed
+    // it and SMJ-over-buckets (no exchange either side) IS the chosen plan.
+    li.hint("merge").join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+      .select(
+        col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+        col("revenue_cents")
+      )
+      .orderBy(col("revenue_cents").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
   /** TPC-H Q5-style: revenue by nation for one region, suppliers co-located
     * with customers.
     */
