@@ -59,13 +59,23 @@ object Relational {
     def ensureBucketed(name: String, srcTable: String, bucketCol: String): Unit =
       if (!spark.catalog.tableExists(name)) {
         // The in-memory catalog resets per JVM while the warehouse dir
-        // persists — clear a stale location before re-deriving the table.
+        // persists. A previous JVM's derived table is still valid data —
+        // re-REGISTER it as an external bucketed table (same bucket spec,
+        // Spark maps files to buckets by name) instead of re-deriving:
+        // the write-time shuffle is paid once per scale factor, ever.
         val loc = new org.apache.hadoop.fs.Path(
           spark.conf.get("spark.sql.warehouse.dir"), name)
         val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-        graft.sinks.BucketedSink.writeBucketed(
-          table(spark, dir, srcTable), name, bucketCol, buckets = 8)
+        if (fs.exists(loc)) {
+          val schemaDDL = table(spark, dir, srcTable).schema.toDDL
+          spark.sql(
+            s"""CREATE TABLE $name ($schemaDDL) USING parquet
+               |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO 8 BUCKETS
+               |LOCATION '${loc.toString}'""".stripMargin)
+        } else {
+          graft.sinks.BucketedSink.writeBucketed(
+            table(spark, dir, srcTable), name, bucketCol, buckets = 8)
+        }
       }
     ensureBucketed(liName, "lineitem", "l_orderkey")
     ensureBucketed(ordName, "orders", "o_orderkey")
