@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   * Requirements: right must be unique per (keys, rightTime) — pre-aggregate
   * otherwise (equal-time duplicates would make "the" latest row ambiguous).
   * Right payload column names must not clash with left columns.
+  *
+  * Skew: a hot key's full timeline sorts on one task (the window needs
+  * per-key time order, so salting is not applicable). If one key carries a
+  * double-digit share of rows, split its timeline into coarse time ranges
+  * first and as-of join per range, seeding each range with the previous
+  * range's last right row.
   */
 object AsOf {
 
