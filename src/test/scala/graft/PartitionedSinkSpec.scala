@@ -43,6 +43,33 @@ class PartitionedSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir2).count() == 3000)
   }
 
+  test("dynamic partition pruning: join-driven runtime pruning over the partitioned layout") {
+    val dir = Files.createTempDirectory("psink_dpp").toString
+    PartitionedSink.writePartitioned(df, dir, Seq("category"))
+    val fact = spark.read.parquet(dir)
+    // DPP requires a selective filter on the dim side; the size-based
+    // benefit heuristic needs the ratio floor lifted for toy-sized tables
+    // (at real scale stats carry this decision).
+    val prevRatio = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10000")
+    try {
+      // dim must be a real scan (a LocalRelation's filter constant-folds
+      // away and DPP sees no selective predicate)
+      val dimDir = Files.createTempDirectory("psink_dim").toString
+      Seq(("cat_1", "keep"), ("cat_9", "drop")).toDF("category", "tag")
+        .write.mode("overwrite").parquet(dimDir)
+      val dim = spark.read.parquet(dimDir).filter($"tag" === "keep")
+      val joined = fact.join(dim, Seq("category"))
+      // The partition filter is injected at RUNTIME from the dim side — the
+      // scan carries a dynamicpruning subquery instead of reading all three
+      // partition directories.
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), plan.take(1000))
+      assert(joined.count() == 1000)
+    } finally spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", prevRatio)
+  }
+
   test("compact restores one-file-per-value layout") {
     val fragmented = Files.createTempDirectory("psink4").toString
     // many-task write → many files per partition value
