@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Beam-faithful pane firing cadence via `transformWithState` timers — the
+  * piece SURVEY §7.4 risk 1 deferred: Beam fires each (key, window) pane on
+  * its OWN processing-time schedule (`AfterProcessingTime
+  * .pastFirstElementInPane().plusDelayOf(early)`, `LeaderBoard.java:193-196`)
+  * while plain update-mode aggregation re-emits on every micro-batch with
+  * data. This processor reproduces the per-pane schedule:
+  *
+  *   - data arriving in a pane with no pending firing registers a timer at
+  *     `now + earlyDelay` (or `+ lateDelay` once the watermark passed the
+  *     window) — Beam's "past first element in pane" semantics;
+  *   - emission happens ON TIMER EXPIRY ONLY, carrying the accumulated
+  *     total (`accumulatingFiredPanes`) and a timing label derived from the
+  *     TRUE event-time watermark (`TimerValues.getCurrentWatermarkInMs`,
+  *     more precise than the foreachBatch approximation in
+  *     `LeaderBoardStream.withPaneTiming`): EARLY before the watermark
+  *     crosses the window end, ON_TIME for the first firing after, LATE
+  *     beyond;
+  *   - rows later than `window end + allowedLateness` (vs the watermark)
+  *     are dropped and state for expired windows is GC'd — the
+  *     `withAllowedLateness` bound (`LeaderBoard.java:197`).
+  *
+  * Caveat vs Beam: the ON_TIME pane fires at the first cadence tick after
+  * the watermark crossing, not at the crossing instant (timers here are
+  * processing-time; Spark exposes one TimeMode per operator). State per
+  * (team, window): one sum + firing bookkeeping, StateStore-partitioned.
+  */
+object PaneCadence {
+
+  final case class Pane(
+      team: String,
+      window_start_ms: Long,
+      total_score: Long,
+      timing: String,
+      firing: Int
+  )
+
+  private final case class PaneState(
+      sum: Long,
+      firings: Int,
+      timerPending: Boolean,
+      onTimeFired: Boolean
+  )
+
+  class TeamPaneProcessor(
+      windowMillis: Long,
+      earlyDelayMs: Long,
+      lateDelayMs: Long,
+      allowedLatenessMs: Long
+  ) extends StatefulProcessor[(String, Long), (String, Long, Long), Pane] {
+
+    @transient private var state: ValueState[PaneState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[PaneState](
+        "pane", Encoders.product[PaneState], TTLConfig.NONE)
+
+    private def windowEnd(key: (String, Long)): Long = key._2 + windowMillis
+
+    override def handleInputRows(
+        key: (String, Long),
+        rows: Iterator[(String, Long, Long)],
+        timerValues: TimerValues
+    ): Iterator[Pane] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      if (wm > windowEnd(key) + allowedLatenessMs) {
+        // beyond allowed lateness: drop data, GC state
+        state.clear()
+        return Iterator.empty
+      }
+      val add = rows.foldLeft(0L)((s, r) => s + r._3)
+      val prev = if (state.exists()) state.get() else PaneState(0L, 0, timerPending = false, onTimeFired = false)
+      val next = prev.copy(sum = prev.sum + add)
+      if (!next.timerPending) {
+        val delay = if (wm >= windowEnd(key)) lateDelayMs else earlyDelayMs
+        getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + delay)
+        state.update(next.copy(timerPending = true))
+      } else state.update(next)
+      Iterator.empty // panes emit on firing only, as in Beam
+    }
+
+    override def handleExpiredTimer(
+        key: (String, Long),
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo
+    ): Iterator[Pane] = {
+      if (!state.exists()) return Iterator.empty
+      val s = state.get()
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val timing =
+        if (wm < windowEnd(key)) "EARLY"
+        else if (!s.onTimeFired) "ON_TIME"
+        else "LATE"
+      val fired = s.firings + 1
+      state.update(
+        s.copy(firings = fired, timerPending = false, onTimeFired = s.onTimeFired || timing != "EARLY"))
+      Iterator.single(Pane(key._1, key._2, s.sum, timing, fired))
+    }
+  }
+
+  /** Windowed team scores with per-pane firing cadence. Input: (team, score,
+    * event_time); requires a watermark on `event_time` upstream and the
+    * RocksDB state store. Run with `outputMode("update")`.
+    */
+  def teamScorePanes(
+      events: Dataset[(String, Long, java.sql.Timestamp)],
+      windowMillis: Long,
+      earlyDelayMs: Long,
+      lateDelayMs: Long,
+      allowedLatenessMs: Long
+  ): Dataset[Pane] = {
+    import events.sparkSession.implicits._
+    events
+      .map { case (team, score, ts) =>
+        val ms = ts.getTime
+        (team, ms - java.lang.Math.floorMod(ms, windowMillis), score)
+      }
+      .groupByKey(r => (r._1, r._2))
+      .transformWithState(
+        new TeamPaneProcessor(windowMillis, earlyDelayMs, lateDelayMs, allowedLatenessMs),
+        TimeMode.ProcessingTime(),
+        OutputMode.Update()
+      )
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.PaneCadence
+
+class PaneCadenceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val H = 3600_000L
+  private val Win = 600_000L // 10-min windows
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  test("panes fire on their own cadence, accumulate, and label vs the true watermark") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val input = MemoryStream[(String, Long, Timestamp)]
+    val watermarked = input.toDF().toDF("team", "score", "event_time")
+      .withWatermark("event_time", "1 minute")
+      .as[(String, Long, Timestamp)]
+    val panes = PaneCadence.teamScorePanes(
+      watermarked, windowMillis = Win,
+      earlyDelayMs = 500L, lateDelayMs = 500L, allowedLatenessMs = 10 * Win)
+    val q = panes.writeStream.format("memory").queryName("pane_out").outputMode("update").start()
+    def await(pred: Array[org.apache.spark.sql.Row] => Boolean): Array[org.apache.spark.sql.Row] = {
+      val deadline = System.nanoTime() + 90_000_000_000L
+      var rows = spark.table("pane_out").collect()
+      while (!pred(rows) && System.nanoTime() < deadline) {
+        Thread.sleep(200); rows = spark.table("pane_out").collect()
+      }
+      rows
+    }
+    try {
+      // two events in one window: pane accumulates before its first firing
+      input.addData(Seq(("Red", 5L, ts(H + 1000)), ("Red", 7L, ts(H + 2000))))
+      val r1 = await(_.nonEmpty)
+      assert(r1.nonEmpty, "no pane fired")
+      val first = r1.head
+      assert(first.getAs[String]("team") == "Red")
+      assert(first.getAs[Long]("window_start_ms") == H)
+      assert(first.getAs[Long]("total_score") == 12L) // accumulated BEFORE firing
+      assert(first.getAs[String]("timing") == "EARLY") // watermark far behind window end
+      // more data -> a second, accumulating firing of the same pane
+      input.addData(Seq(("Red", 3L, ts(H + 3000))))
+      val r2 = await(_.exists(r => r.getAs[Long]("total_score") == 15L))
+      assert(r2.exists(r => r.getAs[Long]("total_score") == 15L && r.getAs[Int]("firing") == 2))
+      // advance the watermark well past the window, then a late-but-allowed row:
+      // its firing is labeled ON_TIME (first post-watermark firing for that pane)
+      input.addData(Seq(("Blue", 1L, ts(H + 3 * Win)))) // watermark -> H+3*Win-1min
+      input.addData(Seq(("Red", 10L, ts(H + 4000))))
+      val r3 = await(_.exists(r =>
+        r.getAs[Long]("window_start_ms") == H && r.getAs[Long]("total_score") == 25L))
+      val onTime = r3.filter(r => r.getAs[Long]("window_start_ms") == H && r.getAs[Long]("total_score") == 25L)
+      assert(onTime.exists(_.getAs[String]("timing") == "ON_TIME"))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
