@@ -36,6 +36,61 @@ object StreamingDedup {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** NEAR-dup candidate filtering on a document stream — the streaming form
+    * of [[graft.ops.Dedup.minhashPairs]]'s candidate generation: each doc's
+    * MinHash band bucket hashes ([[graft.functions.MinhashBandsExpr]], one
+    * native call per doc) try to CLAIM their buckets in keyed state; a doc
+    * that loses ANY bucket to an earlier different doc is a near-dup
+    * candidate. State: one owner id per occupied bucket
+    * (`transformWithState` ValueState, processing-time TTL bounds the
+    * horizon), partitioned by bucket hash like any keyed state. All of a
+    * doc's band rows land in the SAME micro-batch, so per-doc resolution
+    * (any-lost) is a plain batch aggregation over this output — see
+    * [[survivors]]; ties inside a batch resolve to the smallest doc id.
+    *
+    * Recall/precision mirror the batch LSH filter: a lost bucket means
+    * band-identical minhashes with an earlier doc (near-dup with high
+    * probability — exact-verify survivors downstream if required).
+    */
+  def bandClaims(
+      docStream: DataFrame,
+      idCol: String,
+      textCol: String,
+      ttlMinutes: Int,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L
+  ): org.apache.spark.sql.Dataset[StreamingDedup.BandClaim] = {
+    import docStream.sparkSession.implicits._
+    docStream
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        graft.functions.MinhashSig.bandsColumn(col(textCol), shingleN, numHashes, bands, seed)
+          .as("bhs")
+      )
+      .filter(col("bhs").isNotNull)
+      .select(col("doc_id"), explode(col("bhs")).as("band_hash"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .transformWithState(
+        new BandClaimProcessor(ttlMinutes),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update()
+      )
+  }
+
+  /** Per-doc resolution over one micro-batch of [[bandClaims]] output:
+    * docs that lost no bucket. Apply inside `foreachBatch` (all of a doc's
+    * claims co-batch).
+    */
+  def survivors(claimsBatch: DataFrame): DataFrame =
+    claimsBatch
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("lost"), 1).otherwise(0)).as("_any_lost"))
+      .filter(col("_any_lost") === 0)
+      .select(col("doc_id"))
+
   /** Content-hash dedup of a document stream: key = md5(text) (16-byte state
     * per doc, never the payload), watermark-bounded.
     */
@@ -51,4 +106,40 @@ object StreamingDedup {
       eventTimeCol,
       delay
     ).drop("_content_hash")
+
+  final case class BandClaim(doc_id: Long, band_hash: Long, lost: Boolean)
+
+  /** Keyed by band bucket hash: the first doc to arrive owns the bucket
+    * (smallest id on a same-batch tie); later different docs lose. Owner
+    * state expires after `ttlMinutes` idle (the dedup horizon).
+    */
+  class BandClaimProcessor(ttlMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), BandClaim] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var owner: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[Long](
+        "owner",
+        org.apache.spark.sql.Encoders.scalaLong,
+        if (ttlMinutes > 0) TTLConfig(java.time.Duration.ofMinutes(ttlMinutes.toLong))
+        else TTLConfig.NONE
+      )
+
+    override def handleInputRows(
+        bucket: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: TimerValues
+    ): Iterator[BandClaim] = {
+      val docs = rows.map(_._1).toSet.toSeq.sorted
+      val own =
+        if (owner.exists()) owner.get()
+        else {
+          owner.update(docs.head)
+          docs.head
+        }
+      docs.iterator.map(d => BandClaim(d, bucket, lost = d != own))
+    }
+  }
 }

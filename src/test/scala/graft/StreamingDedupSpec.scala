@@ -32,6 +32,60 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(ids.contains(2L) && ids.contains(5L))
   }
 
+  test("bandClaims near-dup filter: later near-dups lose buckets, uniques survive, ties to min id") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val textB = "completely different content about distributed stream processing engines and state"
+    val input = MemoryStream[(Long, String)]
+    val claims = StreamingDedup.bandClaims(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", ttlMinutes = 60)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = claims.toDF().writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = StreamingDedup.survivors(batch)
+          .collect().map(_.getLong(0)).toSet
+        if (s.nonEmpty || batch.count() > 0) batches.synchronized { batches += s }
+        ()
+      }
+      .start()
+    // processAllAvailable starves under processing-time TTL (continual
+    // batch scheduling) — poll the collected batches instead.
+    def awaitBatches(n: Int): Unit = {
+      val deadline = System.nanoTime() + 90_000_000_000L
+      while (batches.synchronized(batches.size) < n && System.nanoTime() < deadline)
+        Thread.sleep(200)
+    }
+    try {
+      // batch 1: A and an exact same-batch dup of A (id 5) + unique B
+      input.addData(Seq((5L, textA), (1L, textA), (2L, textB)))
+      awaitBatches(1)
+      // batch 2: near-dup of A (one word changed) + a fresh unique doc
+      input.addData(Seq(
+        (7L, textA.replace("today", "tonight")),
+        (8L, "yet another unrelated document body mentioning graphs and joins entirely")
+      ))
+      awaitBatches(2)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val all = batches.toList
+    assert(all.nonEmpty)
+    // batch 1: doc 1 wins the tie with doc 5; doc 2 unique
+    assert(all.head == Set(1L, 2L))
+    // batch 2: 7 shares most bands with doc 1's claimed buckets → dropped; 8 survives
+    assert(all.last == Set(8L))
+  }
+
   test("streaming parse surfaces drop counts via observed metrics") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
