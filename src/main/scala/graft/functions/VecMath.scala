@@ -80,23 +80,27 @@ object VecMath {
     })
 
   /** Sign-of-projection signature: bit j set iff `dot(v, plane_j) > 0`, the
-    * dot being the same left fold as the compositional form.
+    * dot being the same left fold as the compositional form. A vector whose
+    * length differs from `dim` yields null (boxed) — mirroring
+    * [[cosine]]'s length-mismatch null — so malformed rows drop out of
+    * bucket joins instead of silently bucketing on a truncated projection;
+    * the compositional form applies the same guard, keeping the two
+    * bit-identical on ALL inputs.
     */
-  def lshSig(v: ArrayData, isFloat: Boolean, nbits: Int, dim: Int, seed: Long): Long = {
+  def lshSig(v: ArrayData, isFloat: Boolean, nbits: Int, dim: Int, seed: Long): Any = {
+    if (v.numElements() != dim) return null
     val ps = planes(nbits, dim, seed)
-    val n = v.numElements()
     var sig = 0L
     var j = 0
     while (j < nbits) {
       val p = ps(j)
-      val m = math.min(n, p.length)
       var d = 0.0
       var i = 0
-      while (i < m) { d += get(v, i, isFloat) * p(i); i += 1 }
+      while (i < dim) { d += get(v, i, isFloat) * p(i); i += 1 }
       if (d > 0) sig |= (1L << j)
       j += 1
     }
-    sig
+    java.lang.Long.valueOf(sig)
   }
 }
 
@@ -151,7 +155,8 @@ case class LshSigExpr(child: Expression, nbits: Int, dim: Int, seed: Long) exten
     VecMath.checkVec(prettyName, child.dataType)
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = child.nullable
+  // Nullable regardless of the child: a length-mismatched vector yields null.
+  override def nullable: Boolean = true
   override def prettyName: String = "lsh_sig"
 
   private def isFloat: Boolean =
@@ -161,8 +166,12 @@ case class LshSigExpr(child: Expression, nbits: Int, dim: Int, seed: Long) exten
     VecMath.lshSig(input.asInstanceOf[ArrayData], isFloat, nbits, dim, seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VecMath.lshSig($c, $isFloat, $nbits, $dim, ${seed}L)")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+        Object r = graft.functions.VecMath.lshSig($c, $isFloat, $nbits, $dim, ${seed}L);
+        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) r).longValue(); }
+      """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): LshSigExpr =
     copy(child = newChild)

@@ -152,9 +152,11 @@ object Dedup {
     // array expression (never a self-join carrying document payloads).
     // Degenerate buckets (> maxBucket) are dropped: at web scale those are
     // boilerplate and pairing them is O(b²) for no dedup value.
-    // Persisted: the pair set (bare ids — tiny relative to the corpus) feeds
-    // three consumers (candidate-id set, both shingle joins); without the
-    // cache the whole bucket pipeline is planned and codegen'd three times.
+    // Persisted while the result materializes: the cached pair set (bare ids
+    // — tiny relative to the corpus) has a known size, so the planner
+    // broadcasts it into both verification joins. Unpersisted in the finally
+    // below — repeated invocations must not leak cached tables into the
+    // session (the CacheManager holds entries until explicit unpersist).
     val pairs = banded
       .groupBy(col("band_hash"))
       .agg(collect_list(col("id")).as("ids"))
@@ -170,22 +172,28 @@ object Dedup {
     // per candidate pair side, never over the corpus.
     val docsA = docs.select(col(idCol).as("id_a"), col(textCol).as("t_a"))
     val docsB = docs.select(col(idCol).as("id_b"), col(textCol).as("t_b"))
-    pairs
-      .join(docsA, Seq("id_a"))
-      .join(docsB, Seq("id_b"))
-      .select(
-        col("id_a"),
-        col("id_b"),
-        shingleHashes(col("t_a"), shingleN).as("sh_a"),
-        shingleHashes(col("t_b"), shingleN).as("sh_b")
-      )
-      .select(
-        col("id_a"),
-        col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard")
-      )
-      .filter(col("jaccard") >= threshold)
+    try {
+      // Materialize eagerly under the cache (the verified pair set is tiny —
+      // executor-local checkpoint blocks, GC'd by the ContextCleaner once the
+      // frame is unreferenced), so the cache can be dropped before returning.
+      pairs
+        .join(docsA, Seq("id_a"))
+        .join(docsB, Seq("id_b"))
+        .select(
+          col("id_a"),
+          col("id_b"),
+          shingleHashes(col("t_a"), shingleN).as("sh_a"),
+          shingleHashes(col("t_b"), shingleN).as("sh_b")
+        )
+        .select(
+          col("id_a"),
+          col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard")
+        )
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(eager = true)
+    } finally pairs.unpersist(blocking = false)
   }
 
   // -------------------------------------------------------------- clusters
@@ -399,7 +407,9 @@ object Dedup {
     // Persisted: fps feeds three consumers (banding + both verification
     // sides) and DataFrame lineage has no common-subplan reuse — without
     // the cache each consumer re-scans the corpus text and recomputes
-    // every fingerprint. The cached table is 16 bytes/doc.
+    // every fingerprint. The cached table is 16 bytes/doc; unpersisted in
+    // the finally below once the (tiny) verified pair set has materialized,
+    // so repeated invocations don't leak cached tables into the session.
     val fps = docs
       .select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -422,11 +432,14 @@ object Dedup {
     // the opposite trade from minhashPairs' sparse candidates.
     val fA = fps.select(col("id").as("id_a"), col("fp").as("fp_a"))
     val fB = fps.select(col("id").as("id_b"), col("fp").as("fp_b"))
-    pairs
-      .join(fA, Seq("id_a"))
-      .join(fB, Seq("id_b"))
-      .select(col("id_a"), col("id_b"), hamming64(col("fp_a"), col("fp_b")).cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    try {
+      pairs
+        .join(fA, Seq("id_a"))
+        .join(fB, Seq("id_b"))
+        .select(col("id_a"), col("id_b"), hamming64(col("fp_a"), col("fp_b")).cast("int").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .localCheckpoint(eager = true)
+    } finally fps.unpersist(blocking = false)
   }
 
   // --------------------------------------------------- n-gram Jaccard pairs

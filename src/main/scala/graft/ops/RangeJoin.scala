@@ -39,8 +39,15 @@ object RangeJoin {
     val p = points.withColumn("_bucket", expr(s"CAST($pointTime AS BIGINT) DIV $bucketWidth"))
     // Half-open interval: the end bucket is floor((end-1)/width) — an
     // interval ending exactly on a bucket boundary owns nothing of the next
-    // bucket.
-    val i = intervals.withColumn(
+    // bucket. Inverted intervals (end <= start — bad data under the
+    // documented half-open contract) are dropped BEFORE the explode:
+    // sequence(start, stop) with stop < start defaults to step -1 and would
+    // explode a large descending bucket list per bad row — the residual
+    // filter keeps results correct either way, but a handful of degenerate
+    // rows must not be able to blow up the build side.
+    val i = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn(
       "_bucket",
       explode(
         sequence(

@@ -363,14 +363,17 @@ object Similarity {
   def lshSignature(vec: Column, nbits: Int, dim: Int, seed: Long = 7L): Column =
     graft.functions.LshSigExpr.column(vec, nbits, dim, seed)
 
-  /** Compositional form — executable specification for the native one. */
+  /** Compositional form — executable specification for the native one.
+    * Length-mismatched vectors yield null, matching the native expression
+    * (bit-identical on ALL inputs, malformed rows included).
+    */
   def lshSignatureComposed(vec: Column, nbits: Int, dim: Int, seed: Long = 7L): Column = {
     val planes = hyperplanes(nbits, dim, seed)
     val bits = planes.zipWithIndex.map { case (p, j) =>
       val planeCol = array(p.map(lit): _*)
       when(dot(asDouble(vec), planeCol) > 0, lit(1L << j)).otherwise(lit(0L))
     }
-    bits.reduce(_ bitwiseOR _)
+    when(size(vec) === dim, bits.reduce(_ bitwiseOR _))
   }
 
   /** LSH-bucketed ANN: candidates share the query's signature bucket or any

@@ -111,7 +111,10 @@ object StreamingDedup {
 
   /** Keyed by band bucket hash: the first doc to arrive owns the bucket
     * (smallest id on a same-batch tie); later different docs lose. Owner
-    * state expires after `ttlMinutes` idle (the dedup horizon).
+    * state expires after `ttlMinutes` IDLE — the owner value is re-written
+    * on every batch that hits the bucket, so the TTL clock restarts at last
+    * activity, not first claim (an actively-colliding bucket never silently
+    * re-opens mid-stream).
     */
   class BandClaimProcessor(ttlMinutes: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), BandClaim] {
@@ -133,12 +136,10 @@ object StreamingDedup {
         timerValues: TimerValues
     ): Iterator[BandClaim] = {
       val docs = rows.map(_._1).toSet.toSeq.sorted
-      val own =
-        if (owner.exists()) owner.get()
-        else {
-          owner.update(docs.head)
-          docs.head
-        }
+      val own = if (owner.exists()) owner.get() else docs.head
+      // Unconditional update: refreshes the TTL expiration on every hit so
+      // the horizon is measured from LAST activity (idle semantics).
+      owner.update(own)
       docs.iterator.map(d => BandClaim(d, bucket, lost = d != own))
     }
   }

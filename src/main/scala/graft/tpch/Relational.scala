@@ -63,16 +63,35 @@ object Relational {
         // re-REGISTER it as an external bucketed table (same bucket spec,
         // Spark maps files to buckets by name) instead of re-deriving:
         // the write-time shuffle is paid once per scale factor, ever.
+        // Registration is gated on the layout actually being a COMPLETE
+        // 8-bucket write: a partial/crashed write, or files from a different
+        // bucket count, registered as-is would make the exchange-free SMJ
+        // silently return wrong results.
         val loc = new org.apache.hadoop.fs.Path(
           spark.conf.get("spark.sql.warehouse.dir"), name)
         val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) {
+        def validBucketLayout: Boolean =
+          fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")) && {
+            // Spark bucketed files carry the bucket id as `_NNNNN` before
+            // the first extension dot: part-<task>-<uuid>_00003.c000.parquet.
+            val bucketId = ".*_(\\d{5})\\..*".r
+            val dataFiles = fs.listStatus(loc).toSeq
+              .filter(_.isFile)
+              .map(_.getPath.getName)
+              .filterNot(n => n.startsWith("_") || n.startsWith("."))
+            dataFiles.nonEmpty && dataFiles.forall {
+              case bucketId(id) => id.toInt >= 0 && id.toInt < 8
+              case _ => false
+            }
+          }
+        if (fs.exists(loc) && validBucketLayout) {
           val schemaDDL = table(spark, dir, srcTable).schema.toDDL
           spark.sql(
             s"""CREATE TABLE $name ($schemaDDL) USING parquet
                |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO 8 BUCKETS
                |LOCATION '${loc.toString}'""".stripMargin)
         } else {
+          if (fs.exists(loc)) fs.delete(loc, true)
           graft.sinks.BucketedSink.writeBucketed(
             table(spark, dir, srcTable), name, bucketCol, buckets = 8)
         }

@@ -51,4 +51,22 @@ class RangeJoinSpec extends AnyFunSuite {
       assert(got.toSet == expected.toSet, s"width=$width")
     }
   }
+
+  test("inverted intervals (end <= start) are dropped, not exploded") {
+    val points = Seq(("A", 5L, 1)).toDF("k", "t", "pid")
+    // end << start would explode a huge DESCENDING bucket list via
+    // sequence(start, stop) step -1 if not filtered out first.
+    val intervals = Seq(
+      ("A", 1000000000L, 0L, 200), // inverted
+      ("A", 5L, 5L, 201), // empty under half-open
+      ("A", 0L, 10L, 202) // valid
+    ).toDF("k", "s", "e", "iid")
+    val got = RangeJoin
+      .pointInInterval(points, intervals, Seq("k"), "t", "s", "e", bucketWidth = 4L)
+      .select($"pid", $"iid")
+      .as[(Int, Int)]
+      .collect()
+      .toSet
+    assert(got == Set((1, 202)))
+  }
 }

@@ -186,4 +186,27 @@ class SimilaritySpec extends AnyFunSuite {
       .count()
     assert(mism == 0)
   }
+
+  test("lshSignature yields null for length-mismatched vectors, both forms") {
+    // A malformed (wrong-dim) vector must not silently bucket on a
+    // truncated projection — both forms null it out identically.
+    val df = Seq(
+      (1, Array.tabulate(dim)(_.toFloat)), // well-formed
+      (2, Array.tabulate(dim - 3)(_.toFloat)), // short
+      (3, Array.tabulate(dim + 5)(_.toFloat)) // long
+    ).toDF("vec_id", "embedding")
+    val rows = df
+      .select(
+        $"vec_id",
+        Similarity.lshSignature($"embedding", 16, dim).as("native"),
+        Similarity.lshSignatureComposed($"embedding", 16, dim).as("composed")
+      )
+      .collect()
+      .map(r => (r.getInt(0), Option(r.get(1)), Option(r.get(2))))
+      .toSeq
+      .sortBy(_._1)
+    assert(rows(0)._2.isDefined && rows(0)._2 == rows(0)._3)
+    assert(rows(1)._2.isEmpty && rows(1)._3.isEmpty)
+    assert(rows(2)._2.isEmpty && rows(2)._3.isEmpty)
+  }
 }
