@@ -335,6 +335,75 @@ object SparkEntry {
     "top_customers_per_nation" -> ((s, dir) => Relational.topCustomersPerNation(s, dir)),
     "lineitem_profile" -> ((s, dir) => Relational.lineitemProfile(s, dir)),
     "segment_stats" -> ((s, dir) => Relational.segmentStats(s, dir)),
+    "q6_forecast_revenue" -> ((s, dir) => Relational.q6ForecastRevenue(s, dir)),
+    "q4_late_shipments" -> ((s, dir) => Relational.q4LateShipments(s, dir)),
+    "q8_market_share" -> ((s, dir) => Relational.q8MarketShare(s, dir)),
+    "q13_order_counts" -> ((s, dir) => Relational.q13OrderCountDistribution(s, dir)),
+    "q15_top_suppliers" -> ((s, dir) => Relational.q15TopSuppliers(s, dir)),
+    "q17_small_qty_revenue" -> ((s, dir) => Relational.q17SmallQtyRevenue(s, dir)),
+    "q18_large_orders" -> ((s, dir) => Relational.q18LargeOrders(s, dir)),
+    "q22_inactive_rich" -> ((s, dir) => Relational.q22InactiveRich(s, dir)),
+    "event_gaps" -> { (s, dir) =>
+      // Analytic-function breadth beyond rank/sum: lag, lead, and
+      // unbounded-frame first/last per user. Ordering key is (ts_ms,
+      // event_id) in BOTH engines — ordering by raw nanos could disagree
+      // with millis order for same-ms events.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      eventsTable(s, dir).select(
+        col("user_id"),
+        col("event_id"),
+        col("ts_ms"),
+        (col("ts_ms") - lag(col("ts_ms"), 1).over(w)).as("prev_gap_ms"),
+        (lead(col("ts_ms"), 1).over(w) - col("ts_ms")).as("next_gap_ms"),
+        first(col("event_id")).over(wAll).as("first_event_id"),
+        last(col("event_id")).over(wAll).as("last_event_id")
+      )
+    },
+    "props_json_stats" -> { (s, dir) =>
+      // Semi-structured coverage: parse the JSON props column, bucket by the
+      // extracted field. get_json_object is codegen'd path extraction — no
+      // UDF, no whole-document parse into a struct.
+      eventsTable(s, dir)
+        .select(
+          expr("CAST(CAST(get_json_object(props, '$.k') AS INT) DIV 10 AS INT)").as("k_decile"),
+          cents(col("value")).as("c")
+        )
+        .groupBy(col("k_decile"))
+        .agg(count(lit(1)).as("n_events"), sum(col("c")).as("sum_value_cents"))
+    },
+    "value_histogram" -> { (s, dir) =>
+      // Fixed-width histogram as pure integer bucket math (width_bucket
+      // without the float edge cases): 20 buckets of 25.00 over the value
+      // range, top bucket clamped.
+      eventsTable(s, dir)
+        .select(cents(col("value")).as("c"))
+        .select(least(expr("c DIV 2500"), lit(19L)).cast("int").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_events"))
+    },
+    "value_comoments" -> { (s, dir) =>
+      // Correlation/covariance surface, oracle-exact: the five co-moment
+      // sums as exact integers (value in cents × hour-of-day). corr/covar
+      // derive from these by arithmetic; the engines' one-pass corr()
+      // accumulates floats in partition order and is NOT cross-engine
+      // hashable — the sums are.
+      eventsTable(s, dir)
+        .select(
+          col("event_type"),
+          cents(col("value")).as("x"),
+          expr("ts_ms DIV 3600000 % 24").as("y")
+        )
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sum_x"),
+          sum(col("x") * col("x")).as("sum_xx"),
+          sum(col("y")).as("sum_y"),
+          sum(col("y") * col("y")).as("sum_yy"),
+          sum(col("x") * col("y")).as("sum_xy")
+        )
+    },
     // ---- training-data pipeline operators (north-star extensions) ----
     "dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(table(s, dir, "documents"))
@@ -561,6 +630,79 @@ object SparkEntry {
         col("meta.n_bytes").as("n_bytes"),
         size(col("chunks")).as("n_chunks"),
         size(col("sampled_chunks")).as("n_sampled")
+      )
+    },
+    "pii_stats" -> { (s, dir) =>
+      // PII scan + redaction (map-only, three codegen'd regex passes). The
+      // corpus is synthetic word salad, so the query injects deterministic
+      // PII for every 7th doc — the IDENTICAL injection expression runs in
+      // the oracle, so match counts and redacted lengths verify end-to-end.
+      val inject = when(
+        col("doc_id") % 7 === 0,
+        concat(
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com at 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string"),
+          lit(" tel 5551234567")
+        )
+      ).otherwise(lit(""))
+      val aug = concat(col("text"), inject)
+      val (emails, ipv4, longnums) = TextAnalysis.piiCounts(aug)
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        emails.as("n_emails"),
+        ipv4.as("n_ipv4"),
+        longnums.as("n_longnums"),
+        length(TextAnalysis.piiRedact(aug)).cast("int").as("redacted_len")
+      )
+    },
+    "passage_share_stats" -> { (s, dir) =>
+      // Exact-substring (passage-level) dedup signal: per doc, how many of
+      // its 5-token passages appear in other docs too (boilerplate metric).
+      Dedup.passageShareStats(table(s, dir, "documents"))
+    },
+    "simhash32_md5" -> { (s, dir) =>
+      // md5-anchored SimHash: same per-bit majority algorithm as the
+      // xxhash64 production form, built on the cross-engine md5 hash so the
+      // fingerprint family is SQL-oracle-checked bit-for-bit.
+      table(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash32Md5(col("text")).as("simhash32"))
+    },
+    "minhash_md5_sigs" -> { (s, dir) =>
+      // md5-anchored MinHash signatures (16 hashes, 3-gram shingles) over a
+      // deterministic 10% sample — oracle-checks the min-over-shingles
+      // structure the xxhash64 production signature uses.
+      table(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), posexplode(Dedup.minhashMd5Signature(col("text"), 3, 16)))
+        .select(col("doc_id"), col("pos").cast("int").as("hash_i"), col("col").as("minhash"))
+    },
+    "embedding_quant" -> { (s, dir) =>
+      // Symmetric int8 quantization stats — all-IEEE deterministic math,
+      // fully oracle-checked including the reconstruction error bound.
+      Similarity.quantizeInt8Stats(table(s, dir, "embeddings"))
+    },
+    "fuzzy_prefix_pairs" -> { (s, dir) =>
+      // Blocked fuzzy self-join: English docs blocked on their first token,
+      // verified by levenshtein over the 24-char prefix. (lang gate keeps
+      // the compare ASCII — DuckDB's levenshtein and substr must agree with
+      // Spark's character semantics.)
+      val docs = table(s, dir, "documents")
+        .filter(col("lang") === "en")
+        .select(
+          col("doc_id"),
+          substring(col("text"), 1, 24).as("p24"),
+          element_at(split(lower(col("text")), "\\s+"), 1).as("bk")
+        )
+      graft.ops.FuzzyJoin.blockedLevenshteinPairs(docs, "doc_id", "p24", col("bk"), maxDist = 8)
+    },
+    "zorder_events" -> { (s, dir) =>
+      // Z-order (Morton) interleave of (user, hour) — the write-side layout
+      // key for two-dimensional scan pruning; pure bit arithmetic, oracle
+      // reproduces the interleave exactly.
+      eventsTable(s, dir).select(
+        col("event_id"),
+        graft.ops.Layout.zValue(col("user_id"), expr("ts_ms DIV 3600000"), 16).as("zv")
       )
     }
   )
@@ -1044,6 +1186,233 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  greatest(CAST(ceil(octet_length(encode(text)) / 256.0) AS INT), 1) AS n_chunks,
         |  CAST(ceil(greatest(CAST(ceil(octet_length(encode(text)) / 256.0) AS INT), 1) / 4.0) AS INT) AS n_sampled
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice*l_discount*100 + 0.5) AS BIGINT)) AS BIGINT) AS discount_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q4_late_shipments" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+    "q8_market_share" ->
+      """WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT) AS c,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'ASIA'
+        |), agg AS (
+        |  SELECT o_year,
+        |    CAST(sum(CASE WHEN supp_nation = 'NATION_18' THEN c ELSE 0 END) AS BIGINT) AS nation_cents,
+        |    CAST(sum(c) AS BIGINT) AS total_cents
+        |  FROM base GROUP BY 1
+        |)
+        |SELECT o_year, nation_cents, total_cents,
+        |  CAST(floor(nation_cents * 10000.0 / total_cents) AS BIGINT) AS share_bps
+        |FROM agg""".stripMargin,
+    "q13_order_counts" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1
+        |)
+        |SELECT c_count, count(*) AS custdist FROM pc GROUP BY 1""".stripMargin,
+    "q15_top_suppliers" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice*(1 - l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+        |  GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name, total_revenue_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH wa AS (
+        |  SELECT l_quantity, l_extendedprice,
+        |    avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+        |  FROM lineitem
+        |)
+        |SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_lines
+        |FROM wa WHERE l_quantity < avg_qty * 0.5""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty > 250
+        |)
+        |SELECT c_custkey, c_name, o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+        |  CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS totalprice_cents, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice_cents DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q22_inactive_rich" ->
+      """WITH stats AS (
+        |  SELECT CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+        |    count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0.0
+        |)
+        |SELECT n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
+        |FROM customer
+        |CROSS JOIN stats
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) * n_pos > total_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
+    "event_gaps" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS prev_gap_ms,
+        |  lead(epoch_ms(ts)) OVER w - epoch_ms(ts) AS next_gap_ms,
+        |  first_value(event_id) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event_id,
+        |  last_value(event_id) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)""".stripMargin,
+    "props_json_stats" ->
+      """SELECT CAST(CAST(json_extract(props, '$.k') AS INT) // 10 AS INT) AS k_decile,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY 1""".stripMargin,
+    "value_histogram" ->
+      """SELECT CAST(least(CAST(floor(value*100 + 0.5) AS BIGINT) // 2500, 19) AS INT) AS bucket,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "value_comoments" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS x,
+        |    (epoch_ms(ts) // 3600000) % 24 AS y
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sum_x,
+        |  CAST(sum(x*x) AS BIGINT) AS sum_xx,
+        |  CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(y*y) AS BIGINT) AS sum_yy,
+        |  CAST(sum(x*y) AS BIGINT) AS sum_xy
+        |FROM e GROUP BY 1""".stripMargin,
+    "pii_stats" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+        |    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.' ||
+        |         CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ||
+        |         ' tel 5551234567'
+        |    ELSE '' END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t, '\b\d{7,}\b')) AS INT) AS n_longnums,
+        |  CAST(length(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g'),
+        |      '\b\d{7,}\b', '[PII]', 'g')
+        |  ) AS INT) AS redacted_len
+        |FROM aug""".stripMargin,
+    "passage_share_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+        |), p AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) >= 5
+        |      THEN list_transform(range(0, len(w)//5), i -> array_to_string(w[i*5+1:i*5+5], ' '))
+        |      ELSE [] END)) AS p
+        |  FROM toks
+        |), g AS (
+        |  SELECT p, count(DISTINCT doc_id) AS n_docs FROM p GROUP BY 1
+        |)
+        |SELECT p.doc_id, count(*) AS n_passages,
+        |  CAST(sum(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |FROM p JOIN g USING (p) GROUP BY 1""".stripMargin,
+    "simhash32_md5" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS ts
+        |  FROM documents
+        |), th AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(t.tok), 1, 8)) AS BIGINT) AS h
+        |  FROM toks, unnest(toks.ts) AS t(tok)
+        |), votes AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, range(32) b(bit) GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash32
+        |FROM votes GROUP BY 1""".stripMargin,
+    "minhash_md5_sigs" ->
+      """WITH sample AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |      ELSE [] END AS g
+        |  FROM sample
+        |), ex AS (
+        |  SELECT doc_id, t.gram FROM grams, unnest(grams.g) AS t(gram)
+        |)
+        |SELECT doc_id, CAST(j.j AS INT) AS hash_i,
+        |  CAST(min(CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || gram), 1, 8)) AS BIGINT)) AS BIGINT) AS minhash
+        |FROM ex, range(16) j(j) GROUP BY 1, 2""".stripMargin,
+    "embedding_quant" ->
+      """WITH a AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, v, amax, 127.0/amax AS scale FROM a WHERE amax > 0.0
+        |), q AS (
+        |  SELECT vec_id, v, amax, scale,
+        |    list_transform(v, x -> CAST(floor(x*scale + 0.5) AS BIGINT)) AS qv
+        |  FROM s
+        |)
+        |SELECT vec_id,
+        |  CAST(floor(amax*1000000.0 + 0.5) AS BIGINT) AS amax_micro,
+        |  CAST(list_sum(qv) AS BIGINT) AS sum_q,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max,
+        |  CAST(list_max(list_transform(range(1, len(qv)+1),
+        |    i -> CAST(floor(abs(qv[i]/scale - v[i])*1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS max_err_micro
+        |FROM q""".stripMargin,
+    "fuzzy_prefix_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 24) AS p24,
+        |    string_split_regex(lower(text), '\s+')[1] AS bk
+        |  FROM documents WHERE lang = 'en'
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.p24, b.p24) AS INT) AS dist
+        |FROM d a JOIN d b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p24, b.p24) <= 8""".stripMargin,
+    "zorder_events" ->
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |    (((user_id >> i) & 1) << (2*i)) + ((((epoch_ms(ts) // 3600000) >> i) & 1) << (2*i + 1))
+        |  )) AS BIGINT) AS zv
+        |FROM events""".stripMargin
   )
 }

@@ -442,6 +442,93 @@ object Dedup {
     } finally fps.unpersist(blocking = false)
   }
 
+  // ------------------------------------------------------- passage dedup
+
+  /** Non-overlapping `n`-token passages of the lower-cased text (full chunks
+    * only — a trailing partial chunk is dropped so passage identity is
+    * stable under suffix growth). The substring-level dedup unit: exact
+    * passage dedup across a corpus catches boilerplate that document-level
+    * hashing misses (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" — exact-substring dedup).
+    */
+  def passages(text: Column, n: Int): Column = {
+    val toks = split(lower(text), "\\s+")
+    when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(0), (size(toks) / n).cast("int") - 1),
+        i => concat_ws(" ", (1 to n).map(j => element_at(toks, i * n + j)): _*)
+      )
+    ).otherwise(array().cast("array<string>"))
+  }
+
+  /** Cross-document passage sharing stats: per doc, how many of its distinct
+    * passages also appear in at least one OTHER document. Plan: one explode
+    * → per-passage distinct-doc count (16-byte md5 key through the shuffle,
+    * never the passage text at the agg — here passages are short so the
+    * text itself rides) → broadcast-join back → per-doc rollup. Two
+    * exchanges total, both on ids/hashes.
+    */
+  def passageShareStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5
+  ): DataFrame = {
+    val p = docs.select(col(idCol).as("id"), explode(array_distinct(passages(col(textCol), n))).as("p"))
+    val global = p.groupBy(col("p")).agg(countDistinct(col("id")).as("n_docs"))
+    p.join(global, Seq("p"))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared")
+      )
+  }
+
+  // ------------------------------------- md5-anchored fingerprints (oracle)
+
+  /** 32-bit hash from the md5 hex prefix — portable across engines (the
+    * md5 byte stream is engine-independent, unlike xxhash64), so operators
+    * built on it are fully SQL-oracle-checkable. The production operators
+    * ([[simhash64]], [[minhashSignature]]) use engine-native xxhash64 for
+    * speed; these md5 forms anchor the same algorithms to a cross-engine
+    * oracle.
+    */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** 32-bit SimHash over distinct whitespace tokens with md5-derived token
+    * hashes: per-bit majority vote, bit j set iff more token hashes have
+    * bit j set than not. Same algorithm as [[simhash64]]; oracle-checkable.
+    */
+  def simhash32Md5(text: Column): Column = {
+    val masks = array((0 until 32).map(j => lit(1L << j)): _*)
+    val tokHashes = transform(array_distinct(split(lower(text), "\\s+")), t => md5Hash32(t))
+    val votes = aggregate(
+      tokHashes,
+      array_repeat(lit(0), 32),
+      (acc, h) => zip_with(acc, masks, (a, m) => a + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1))
+    )
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L),
+      (acc, bit) => acc.bitwiseOR(bit)
+    )
+  }
+
+  /** MinHash signature with md5-derived hash family (member j rehashes the
+    * shingle text prefixed by "j:"): same min-over-shingles structure as
+    * [[minhashSignatureFromHashes]], oracle-checkable. Returns one row per
+    * (doc, hash index) via the caller's posexplode.
+    */
+  def minhashMd5Signature(text: Column, shingleN: Int, numHashes: Int): Column = {
+    val grams = wordShingles(text, shingleN)
+    val perHash = (0 until numHashes).map { j =>
+      array_min(transform(grams, g => md5Hash32(concat(lit(s"$j:"), g))))
+    }
+    when(size(grams) > 0, array(perHash: _*)).otherwise(lit(null).cast("array<bigint>"))
+  }
+
   // --------------------------------------------------- n-gram Jaccard pairs
 
   /** Exact n-gram Jaccard over all pairs of a (pre-filtered, small) doc set.

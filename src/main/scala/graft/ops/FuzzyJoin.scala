@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy (edit-distance) self-join with blocking — record-linkage over
+  * near-identical strings.
+  *
+  * A naive fuzzy join is O(n²) levenshtein calls. The standard scale
+  * decomposition is blocking: rows are bucketed by a cheap deterministic
+  * key (first token, length band, phonetic code…), candidates are generated
+  * by an EQUI-join on the block key — a plain hash shuffle, AQE/skew
+  * handled like any join — and the quadratic verification runs only inside
+  * blocks. Recall is governed by the blocking key (pairs in different
+  * blocks are never compared); that contract is part of the operator's
+  * semantics, and the oracle expresses exactly the same blocked join.
+  */
+object FuzzyJoin {
+
+  /** All (id_a < id_b) pairs sharing `blockKey` whose `strCol` values are
+    * within `maxDist` edits. Output: (id_a, id_b, dist).
+    */
+  def blockedLevenshteinPairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      blockKey: Column,
+      maxDist: Int
+  ): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(strCol).as("s"), blockKey.as("bk"))
+    val a = keyed.select(col("bk"), col("id").as("id_a"), col("s").as("s_a"))
+    val b = keyed.select(col("bk"), col("id").as("id_b"), col("s").as("s_b"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), levenshtein(col("s_a"), col("s_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -229,6 +229,41 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // ------------------------------------------------------ int8 quantization
+
+  /** Symmetric int8 scalar quantization stats per vector: `scale =
+    * 127/max|v|`, `q_i = floor(v_i*scale + 0.5)`. Every step is a
+    * deterministic IEEE double op (float→double widening is exact), so the
+    * outputs — including the micro-quantized reconstruction error — are
+    * bit-identical across engines and fully oracle-checkable. At 100 TB
+    * int8 storage cuts the embedding corpus 4× and the dot-product
+    * bandwidth with it; this map-only pass is the write-side companion of
+    * the ANN operators.
+    */
+  def quantizeInt8Stats(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val amax = array_max(transform(v, x => abs(x)))
+    val scale = lit(127.0) / amax
+    val q = transform(v, x => floor(x * scale + 0.5).cast("long"))
+    val errMicro = array_max(
+      zip_with(q, v, (qi, x) => floor(abs(qi / scale - x) * 1000000.0 + 0.5).cast("long"))
+    )
+    emb
+      .filter(amax > 0.0)
+      .select(
+        col(idCol),
+        floor(amax * 1000000.0 + 0.5).cast("long").as("amax_micro"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("sum_q"),
+        array_min(q).cast("long").as("q_min"),
+        array_max(q).cast("long").as("q_max"),
+        errMicro.as("max_err_micro")
+      )
+  }
+
   // ------------------------------------------------------------------- IVF
 
   /** Train IVF coarse centroids: seeded k-means (k-means++ init, Lloyd

@@ -215,6 +215,38 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"), col("rank"))
   }
 
+  // ------------------------------------------------------------------- PII
+
+  /** PII patterns chosen to behave identically under Java regex (Spark) and
+    * RE2 (DuckDB): character classes, bounded quantifiers, and word
+    * boundaries only — no lookarounds, no backreferences.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongDigitPattern: String = "\\b\\d{7,}\\b"
+
+  /** Per-document PII scan: match counts per category. Map-only (three
+    * regex passes per row, codegen'd) — at 100 TB this is a scan-speed
+    * filter stage feeding a redaction or drop decision.
+    */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
+    size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))),
+    size(regexp_extract_all(text, lit(LongDigitPattern), lit(0)))
+  )
+
+  /** Redact PII in category order (emails, then IPv4, then long digit runs)
+    * with a fixed placeholder. Order matters — an IPv4-looking substring
+    * inside an already-redacted email must not double-count — and is
+    * mirrored exactly in the SQL oracle.
+    */
+  def piiRedact(text: Column, placeholder: String = "[PII]"): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, placeholder),
+        Ipv4Pattern, placeholder),
+      LongDigitPattern, placeholder)
+
   /** Per-document stats frame used by the registered queries. */
   def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

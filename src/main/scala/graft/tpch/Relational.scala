@@ -292,4 +292,188 @@ object Relational {
         countDistinct(col("c_nationkey")).as("n_nations"),
         sum(cents(col("c_acctbal"))).as("sum_acctbal_cents")
       )
+
+  // ------------------------------------------------------- round-3 additions
+
+  /** TPC-H Q6-style: pure filter + global aggregate over the fact table —
+    * the canonical pushdown showcase. Every predicate reaches the parquet
+    * scan (`PushedFilters` covers shipdate range, discount band, quantity
+    * cap); the plan is scan → partial agg → single-row final, zero joins,
+    * one exchange carrying one row per partition.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24
+      )
+      .agg(
+        sum(cents(col("l_extendedprice") * col("l_discount"))).as("discount_cents"),
+        count(lit(1)).as("n_lines")
+      )
+
+  /** TPC-H Q4-style: order counts by priority for orders with at least one
+    * line shipped more than 60 days after the order date (EXISTS → left-semi
+    * join; the date arithmetic rides the join condition, so the semi join
+    * stays a plain hash join on the order key).
+    */
+  def q4LateShipments(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")
+      )
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    orders
+      .join(
+        li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi"
+      )
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** TPC-H Q8-style market share: of all ASIA-customer revenue per order
+    * year, the slice supplied by one nation. Share reported in integer basis
+    * points (floor), numerator/denominator as exact cents — no float compare
+    * crosses the engine boundary. Nation joins twice (supplier role feeds
+    * the numerator flag, customer role the region gate), both broadcast.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String, nation: String = "NATION_18"): DataFrame = {
+    val nat = table(spark, dir, "nation")
+    val suppNation = nat.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val custNation = nat.select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val region = table(spark, dir, "region").filter(col("r_name") === "ASIA")
+    table(spark, dir, "lineitem")
+      .join(table(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(table(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(region), col("c_rk") === col("r_regionkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === nation,
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).otherwise(0L))
+          .as("nation_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_cents")
+      )
+      .select(
+        col("o_year"),
+        col("nation_cents"),
+        col("total_cents"),
+        floor(col("nation_cents") * 10000L / col("total_cents")).cast("long").as("share_bps")
+      )
+  }
+
+  /** TPC-H Q13-style: distribution of per-customer order counts (customers
+    * with zero orders included via the left outer join). Two aggregations:
+    * count per customer, then the histogram over those counts — the second
+    * groupBy runs on customer-cardinality data, already tiny.
+    */
+  def q13OrderCountDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCustomer = table(spark, dir, "customer")
+      .join(
+        table(spark, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"),
+        "left_outer"
+      )
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCustomer
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15-style: supplier(s) with the maximum half-year revenue. The
+    * scalar max is an aggregate of the (supplier-cardinality) revenue frame,
+    * broadcast back as a one-row join — Catalyst plans it without
+    * recomputing revenue per comparison row.
+    */
+  def q15TopSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = table(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-07-01").cast("timestamp")
+      )
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("total_revenue_cents"))
+    val maxRev = revenue.agg(max(col("total_revenue_cents")).as("max_rev"))
+    revenue
+      .join(broadcast(maxRev), col("total_revenue_cents") === col("max_rev"))
+      .join(broadcast(table(spark, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_cents"))
+  }
+
+  /** TPC-H Q17-style: revenue from lines ordering less than half the part's
+    * average quantity. The per-part average is a window over the SAME
+    * scan-side frame (no self-join re-scan); quantities are integer-valued
+    * doubles, so the average is exact and order-independent in both engines.
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+    table(spark, dir, "lineitem")
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(
+        sum(cents(col("l_extendedprice"))).as("revenue_cents"),
+        count(lit(1)).as("n_lines")
+      )
+  }
+
+  /** TPC-H Q18-style: large orders (total quantity > 250) with customer,
+    * ranked by value. The HAVING filter runs on the aggregated (order-
+    * cardinality) frame before the joins — at scale only qualifying orders
+    * join back to customers.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    table(spark, dir, "orders")
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(table(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("o_orderdate_ms"),
+        cents(col("o_totalprice")).as("totalprice_cents"),
+        col("sum_qty")
+      )
+      .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22-style: per-nation count and balance of "rich inactive"
+    * customers — above-average account balance, no orders. The average
+    * gate compares `acctbal_cents * n_customers > total_cents` (all exact
+    * integers — no float division crosses the engine boundary); the no-order
+    * gate is a left-anti join.
+    */
+  def q22InactiveRich(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "customer")
+    val stats = cust
+      .filter(col("c_acctbal") > 0.0)
+      .agg(
+        sum(cents(col("c_acctbal"))).as("total_cents"),
+        count(lit(1)).as("n_pos")
+      )
+    cust
+      .join(broadcast(stats), cents(col("c_acctbal")) * col("n_pos") > col("total_cents"))
+      .join(table(spark, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(cents(col("c_acctbal"))).as("sum_acctbal_cents")
+      )
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.FuzzyJoin
+
+class FuzzyJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rows = Seq(
+    (1L, "alpha beta gamma"),
+    (2L, "alpha beta gamm"), // dist 1 from #1, same block "alpha"
+    (3L, "alpha XXXXXXXXXXXXXXXX"), // same block, far from both
+    (4L, "beta alpha gamma"), // different block — never compared to 1/2
+    (5L, "alpha beta gamma") // identical to #1
+  ).toDF("id", "s")
+
+  private def firstTok = element_at(split(lower(col("s")), "\\s+"), 1)
+
+  test("pairs within block and distance; cross-block pairs never surface") {
+    val got = FuzzyJoin
+      .blockedLevenshteinPairs(rows, "id", "s", firstTok, maxDist = 3)
+      .as[(Long, Long, Int)]
+      .collect()
+      .toSet
+    assert(got == Set((1L, 2L, 1), (1L, 5L, 0), (2L, 5L, 1)))
+  }
+
+  test("matches a naive blocked join on random near-dup data") {
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val base = Seq.tabulate(120) { i =>
+      val toks = Vector.fill(6)(vocab(rnd.nextInt(vocab.length)))
+      (i.toLong, toks.mkString(" "))
+    }
+    // inject mutated near-dups
+    val mutated = base.take(30).map { case (i, s) => (1000L + i, s.dropRight(1) + "x") }
+    val all = base ++ mutated
+    val df = all.toDF("id", "s")
+    val got = FuzzyJoin
+      .blockedLevenshteinPairs(df, "id", "s", firstTok, maxDist = 2)
+      .as[(Long, Long, Int)]
+      .collect()
+      .toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        )
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, sa) <- all
+      (ib, sb) <- all
+      if ia < ib
+      if sa.split("\\s+").head == sb.split("\\s+").head
+      d = lev(sa, sb)
+      if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got == expected)
+  }
+}

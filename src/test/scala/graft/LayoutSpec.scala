@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference Morton interleave. */
+  private def morton(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    for (i <- 0 until bits) {
+      z |= ((x >>> i) & 1L) << (2 * i)
+      z |= ((y >>> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  test("zValue matches the reference interleave, high bits ignored") {
+    val rnd = new scala.util.Random(3)
+    val data = Seq.tabulate(200)(i => (i.toLong, rnd.nextLong().abs % (1L << 40), rnd.nextLong().abs % (1L << 40)))
+    val got = data.toDF("id", "x", "y")
+      .select($"id", Layout.zValue($"x", $"y", 16).as("z"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    data.foreach { case (id, x, y) =>
+      assert(got(id) == morton(x & 0xFFFFL, y & 0xFFFFL, 16), s"id=$id")
+    }
+  }
+
+  test("z-ordered layout prunes file scans on BOTH dimensions") {
+    val rnd = new scala.util.Random(9)
+    // uniform grid — worst case for single-column sorting
+    val df = Seq.tabulate(8000)(_ => (rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+      .toDF("x", "y")
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    Layout.writeZOrdered(df, dir, col("x"), col("y"), bits = 8, numFiles = 16)
+    // per-file min/max of both dims — what parquet footer stats give a scan
+    val perFile = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy($"f")
+      .agg(min($"x").as("xmin"), max($"x").as("xmax"), min($"y").as("ymin"), max($"y").as("ymax"))
+      .as[(String, Long, Long, Long, Long)]
+      .collect()
+    assert(perFile.length >= 12)
+    // A narrow slab predicate on EITHER dimension must skip most files.
+    // With a single-column (x-sorted) layout the y-slab hits every file;
+    // the z-curve confines an 8-wide slab on either axis to ~1/4 of the
+    // curve (x<64 and the slab's position recurse per quadrant), so files
+    // whose [min,max] box intersects it stay well under half.
+    def filesHit(lo: Long, hi: Long, xDim: Boolean): Int =
+      perFile.count { case (_, xmin, xmax, ymin, ymax) =>
+        if (xDim) xmax >= lo && xmin <= hi else ymax >= lo && ymin <= hi
+      }
+    val xHits = filesHit(40, 47, xDim = true)
+    val yHits = filesHit(40, 47, xDim = false)
+    assert(xHits <= 10, s"x-slab hits $xHits of ${perFile.length} files")
+    assert(yHits <= 10, s"y-slab hits $yHits of ${perFile.length} files")
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+class PiiSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "reach me at jo.doe+spam@mail.example.org or 192.168.0.17 anytime"),
+    (2L, "card 1234567890123456 and short 123456 stay-or-go"),
+    (3L, "no pii here at all"),
+    (4L, "two mails a@b.co c@d.io one ip 10.0.0.1 one num 99999999")
+  ).toDF("doc_id", "text")
+
+  test("piiCounts finds emails, ipv4, long digit runs; short runs ignored") {
+    val (e, ip, d) = TextAnalysis.piiCounts($"text")
+    val got = docs
+      .select($"doc_id", e.as("e"), ip.as("ip"), d.as("d"))
+      .as[(Long, Int, Int, Int)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    assert(got(1L) == ((1, 1, 0)))
+    assert(got(2L) == ((0, 0, 1))) // 16-digit card matches, 6-digit doesn't
+    assert(got(3L) == ((0, 0, 0)))
+    assert(got(4L) == ((2, 1, 1)))
+  }
+
+  test("piiRedact removes every match, leaves clean text unchanged") {
+    val red = docs.select($"doc_id", TextAnalysis.piiRedact($"text").as("r"))
+    val got = red.as[(Long, String)].collect().toMap
+    assert(got(1L) == "reach me at [PII] or [PII] anytime")
+    assert(got(2L) == "card [PII] and short 123456 stay-or-go")
+    assert(got(3L) == "no pii here at all")
+    assert(got(4L) == "two mails [PII] [PII] one ip [PII] one num [PII]")
+    // redacted output has no remaining matches
+    val (e, ip, d) = TextAnalysis.piiCounts($"r")
+    val residual = red.select((e + ip + d).as("n")).agg(sum($"n")).as[Long].head()
+    assert(residual == 0L)
+  }
+}
