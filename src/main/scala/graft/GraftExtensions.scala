@@ -141,5 +141,72 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
       )
     )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("z_value"),
+        new ExpressionInfo(
+          classOf[GraftExtensions].getName,
+          null,
+          "z_value",
+          "z_value(x, y[, bits]) - Morton bit-interleave of two longs (bigint), the Z-order layout key",
+          ""
+        ),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(x, y) => GraftExtensions.zValueExpr(x, y, 16)
+            case Seq(x, y, b) => GraftExtensions.zValueExpr(x, y, intArg(b, "bits"))
+            case _ => throw new IllegalArgumentException("z_value expects 2 or 3 arguments")
+          }
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("pii_redact"),
+        new ExpressionInfo(
+          classOf[GraftExtensions].getName,
+          null,
+          "pii_redact",
+          "pii_redact(text) - redact emails, IPv4 addresses, and long digit runs with [PII]",
+          ""
+        ),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(text) => GraftExtensions.piiRedactExpr(text)
+            case _ => throw new IllegalArgumentException("pii_redact expects exactly 1 argument")
+          }
+      )
+    )
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{
+    BitwiseAnd, BitwiseOr, Cast, RegExpReplace, ShiftLeft, ShiftRightUnsigned
+  }
+  import org.apache.spark.sql.types.LongType
+
+  /** Catalyst form of [[graft.ops.Layout.zValue]] — same bit arithmetic,
+    * built directly as an expression tree for SQL registration.
+    */
+  private[graft] def zValueExpr(x: Expression, y: Expression, bits: Int): Expression = {
+    require(bits > 0 && bits <= 31, "bits must be in 1..31")
+    def bit(e: Expression, i: Int, out: Int): Expression =
+      ShiftLeft(BitwiseAnd(ShiftRightUnsigned(Cast(e, LongType), Literal(i)), Literal(1L)), Literal(out))
+    (0 until bits)
+      .flatMap(i => Seq(bit(x, i, 2 * i), bit(y, i, 2 * i + 1)))
+      .reduce[Expression]((a, b) => BitwiseOr(a, b))
+  }
+
+  /** Catalyst form of [[graft.ops.TextAnalysis.piiRedact]]: same patterns,
+    * same category order.
+    */
+  private[graft] def piiRedactExpr(text: Expression): Expression = {
+    import graft.ops.TextAnalysis.{EmailPattern, Ipv4Pattern, LongDigitPattern}
+    val ph = Literal("[PII]")
+    RegExpReplace(
+      RegExpReplace(
+        RegExpReplace(text, Literal(EmailPattern), ph),
+        Literal(Ipv4Pattern), ph),
+      Literal(LongDigitPattern), ph)
   }
 }

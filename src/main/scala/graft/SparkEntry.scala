@@ -704,6 +704,15 @@ object SparkEntry {
         col("event_id"),
         graft.ops.Layout.zValue(col("user_id"), expr("ts_ms DIV 3600000"), 16).as("zv")
       )
+    },
+    "token_heavy_hitters" -> { (s, dir) =>
+      // Misra-Gries sketch candidates + exact verification pass: EXACTLY
+      // the tokens with frequency > n_tokens/51 — sketch noise cannot leak
+      // into the result, so the query is oracle-exact while the exchange
+      // carries ≤ 50 counters per partition in pass 1.
+      val toks = table(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      graft.ops.HeavyHitters.exactHeavyHitters(toks, "token", capacity = 50)
     }
   )
 
@@ -1276,7 +1285,8 @@ object SparkEntry {
         |CROSS JOIN stats
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) * n_pos > total_cents
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1""".stripMargin,
     "event_gaps" ->
       """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
@@ -1413,6 +1423,14 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(range(0, 16), i ->
         |    (((user_id >> i) & 1) << (2*i)) + ((((epoch_ms(ts) // 3600000) >> i) & 1) << (2*i + 1))
         |  )) AS BIGINT) AS zv
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "token_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents
+        |)
+        |SELECT token, count(*) AS n
+        |FROM tok
+        |GROUP BY 1
+        |HAVING count(*) > (SELECT count(*) FROM tok) // 51""".stripMargin
   )
 }

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Misra-Gries heavy-hitter sketch as a typed aggregator: at most
+  * `capacity` counters per buffer, merged associatively.
+  *
+  * Guarantee (the classic one): any item with true frequency
+  * `> n / (capacity + 1)` is present in the final counter set — the sketch
+  * can only under-count (by at most the total decrement), never drop a true
+  * heavy hitter. The output is therefore a candidate SUPERSET: a second,
+  * exact counting pass restricted to the ≤ `capacity` candidates turns it
+  * into exact heavy hitters (see [[graft.ops.HeavyHitters]]).
+  *
+  * Scale rationale: the exact distributed top-frequency query shuffles one
+  * (item, partial count) pair per DISTINCT item per partition — at 100 TB
+  * corpus scale the token vocabulary makes that the dominant exchange. The
+  * sketch caps every map partition's contribution at `capacity` counters,
+  * the same combiner-lifting shape as [[TopKAgg]]; the follow-up exact pass
+  * aggregates only rows matching ≤ `capacity` candidate items.
+  */
+class FreqItemsAgg(capacity: Int)
+    extends Aggregator[String, FreqItemsAgg.Buf, FreqItemsAgg.Buf] {
+  import FreqItemsAgg.Buf
+
+  require(capacity > 0, "capacity must be positive")
+
+  override def zero: Buf = Buf(Map.empty)
+
+  override def reduce(buf: Buf, x: String): Buf = {
+    val m = buf.counts
+    m.get(x) match {
+      case Some(c) => Buf(m.updated(x, c + 1))
+      case None if m.size < capacity => Buf(m.updated(x, 1L))
+      case None =>
+        // decrement-all step: drop zeroed counters
+        Buf(m.flatMap { case (k, c) => if (c > 1) Some(k -> (c - 1)) else None })
+    }
+  }
+
+  /** Merge = add counts, then shrink back to `capacity` by subtracting the
+    * (capacity+1)-th largest count from everything (the standard
+    * mergeable-summaries reduction — preserves the under-count bound).
+    */
+  override def merge(a: Buf, b: Buf): Buf = {
+    val summed = b.counts.foldLeft(a.counts) { case (m, (k, c)) =>
+      m.updated(k, m.getOrElse(k, 0L) + c)
+    }
+    if (summed.size <= capacity) Buf(summed)
+    else {
+      val cut = summed.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+      Buf(summed.flatMap { case (k, c) => if (c > cut) Some(k -> (c - cut)) else None })
+    }
+  }
+
+  override def finish(buf: Buf): Buf = buf
+
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
+}
+
+object FreqItemsAgg {
+  final case class Buf(counts: Map[String, Long])
+}

@@ -125,6 +125,11 @@ object Dedup {
     *                  dropped (at web scale these are boilerplate; pairing
     *                  them is O(b²) for no dedup value).
     */
+  /** @param materialize eager local checkpoint of the (tiny) verified pair
+    *                     set so intermediate caches can be released before
+    *                     returning; pass false to get the raw lazy plan
+    *                     (plan inspection, composition into a larger job).
+    */
   def minhashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -134,7 +139,8 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.0,
       maxBucket: Int = 1000,
-      seed: Long = 42L
+      seed: Long = 42L,
+      materialize: Boolean = true
   ): DataFrame = {
     // Stages 1+2 fused: text → band bucket hashes in ONE native call per row
     // (no signature array materialized, no shingle materialization on the
@@ -172,28 +178,29 @@ object Dedup {
     // per candidate pair side, never over the corpus.
     val docsA = docs.select(col(idCol).as("id_a"), col(textCol).as("t_a"))
     val docsB = docs.select(col(idCol).as("id_b"), col(textCol).as("t_b"))
-    try {
+    val verified = pairs
+      .join(docsA, Seq("id_a"))
+      .join(docsB, Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        shingleHashes(col("t_a"), shingleN).as("sh_a"),
+        shingleHashes(col("t_b"), shingleN).as("sh_b")
+      )
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+    if (!materialize) verified
+    else
       // Materialize eagerly under the cache (the verified pair set is tiny —
       // executor-local checkpoint blocks, GC'd by the ContextCleaner once the
       // frame is unreferenced), so the cache can be dropped before returning.
-      pairs
-        .join(docsA, Seq("id_a"))
-        .join(docsB, Seq("id_b"))
-        .select(
-          col("id_a"),
-          col("id_b"),
-          shingleHashes(col("t_a"), shingleN).as("sh_a"),
-          shingleHashes(col("t_b"), shingleN).as("sh_b")
-        )
-        .select(
-          col("id_a"),
-          col("id_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard")
-        )
-        .filter(col("jaccard") >= threshold)
-        .localCheckpoint(eager = true)
-    } finally pairs.unpersist(blocking = false)
+      try verified.localCheckpoint(eager = true)
+      finally pairs.unpersist(blocking = false)
   }
 
   // -------------------------------------------------------------- clusters
@@ -394,13 +401,17 @@ object Dedup {
     *
     * Default 4 chunks × 16 bits guarantees recall for maxHamming ≤ 3.
     */
+  /** @param materialize as in [[minhashPairs]] — pass false for the raw
+    *                     lazy plan (no checkpoint, caches left registered).
+    */
   def simhashNearDupPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3,
       chunks: Int = 4,
-      maxBucket: Int = 10000
+      maxBucket: Int = 10000,
+      materialize: Boolean = true
   ): DataFrame = {
     require(64 % chunks == 0, "chunks must divide 64")
     val w = 64 / chunks
@@ -432,14 +443,15 @@ object Dedup {
     // the opposite trade from minhashPairs' sparse candidates.
     val fA = fps.select(col("id").as("id_a"), col("fp").as("fp_a"))
     val fB = fps.select(col("id").as("id_b"), col("fp").as("fp_b"))
-    try {
-      pairs
-        .join(fA, Seq("id_a"))
-        .join(fB, Seq("id_b"))
-        .select(col("id_a"), col("id_b"), hamming64(col("fp_a"), col("fp_b")).cast("int").as("hamming"))
-        .filter(col("hamming") <= maxHamming)
-        .localCheckpoint(eager = true)
-    } finally fps.unpersist(blocking = false)
+    val verified = pairs
+      .join(fA, Seq("id_a"))
+      .join(fB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("fp_a"), col("fp_b")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    if (!materialize) verified
+    else
+      try verified.localCheckpoint(eager = true)
+      finally fps.unpersist(blocking = false)
   }
 
   // ------------------------------------------------------- passage dedup

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters via a Misra-Gries candidate sketch + exact
+  * verification — the two-pass recipe that makes a frequency sketch
+  * oracle-exact.
+  *
+  * Pass 1 aggregates the corpus through [[graft.functions.FreqItemsAgg]]
+  * (≤ `capacity` counters cross the exchange per partition; the merged
+  * sketch is guaranteed to contain every item with true count >
+  * n/(capacity+1)). Pass 2 exact-counts ONLY rows matching the ≤ `capacity`
+  * candidates — a broadcast-filtered hash aggregate — and applies the
+  * threshold to the exact counts. Output is therefore EXACTLY the items
+  * with true frequency > n/(capacity+1), independent of partitioning,
+  * merge order, or sketch noise.
+  */
+object HeavyHitters {
+
+  /** Items of `itemCol` with exact count > total/(capacity+1).
+    * Output: (item, n) — item column keeps `itemCol`'s name.
+    */
+  def exactHeavyHitters(df: DataFrame, itemCol: String, capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val items = df.select(col(itemCol).cast("string")).as[String]
+    // Pass 1: candidate sketch (small driver-side result, ≤ capacity keys).
+    val sketch = items
+      .groupByKey(_ => 0)
+      .agg(new graft.functions.FreqItemsAgg(capacity).toColumn.name("s"))
+      .collect()
+    val candidates = sketch.headOption.map(_._2.counts.keys.toSeq).getOrElse(Seq.empty)
+    // Pass 2 threshold needs the TRUE total, not the sketch's (decremented)
+    // one — count it exactly (cheap: count(*) of the same frame).
+    val n = df.count()
+    df.filter(col(itemCol).cast("string").isin(candidates: _*))
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > n / (capacity + 1))
+  }
+}

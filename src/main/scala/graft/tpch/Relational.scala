@@ -451,11 +451,13 @@ object Relational {
       .limit(100)
   }
 
-  /** TPC-H Q22-style: per-nation count and balance of "rich inactive"
-    * customers — above-average account balance, no orders. The average
-    * gate compares `acctbal_cents * n_customers > total_cents` (all exact
-    * integers — no float division crosses the engine boundary); the no-order
-    * gate is a left-anti join.
+  /** TPC-H Q22-style: per-nation count and balance of "rich lapsed"
+    * customers — above-average account balance, no order since 2000-01-01.
+    * The average gate compares `acctbal_cents * n_customers > total_cents`
+    * (all exact integers — no float division crosses the engine boundary);
+    * the no-recent-order gate is a left-anti join against the filtered
+    * orders (the date predicate pushes to the orders scan, shrinking the
+    * anti-join build side before the shuffle).
     */
   def q22InactiveRich(spark: SparkSession, dir: String): DataFrame = {
     val cust = table(spark, dir, "customer")
@@ -465,10 +467,12 @@ object Relational {
         sum(cents(col("c_acctbal"))).as("total_cents"),
         count(lit(1)).as("n_pos")
       )
+    val recent = table(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
     cust
       .join(broadcast(stats), cents(col("c_acctbal")) * col("n_pos") > col("total_cents"))
-      .join(table(spark, dir, "orders").select(col("o_custkey")),
-        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(

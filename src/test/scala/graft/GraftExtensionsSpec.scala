@@ -66,6 +66,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .as[Long]
         .head()
       assert(bs == 9L)
+      // round-3 registrations
+      val z = spark.sql("SELECT z_value(5, 3) AS z").as[Long].head()
+      // 5 = 101b on even bits → 010001b; 3 = 11b on odd bits → 001010b
+      assert(z == 27L)
+      val zc = Seq((5L, 3L)).toDF("x", "y")
+        .select(graft.ops.Layout.zValue($"x", $"y", 16)).as[Long].head()
+      assert(z == zc)
+      val red = spark
+        .sql("SELECT pii_redact('mail a@b.co ip 10.0.0.1 num 12345678') AS r")
+        .as[String]
+        .head()
+      assert(red == "mail [PII] ip [PII] num [PII]")
     } finally {
       // don't stop the shared SparkContext: other suites reuse it — restore
       // the shared session as active/default

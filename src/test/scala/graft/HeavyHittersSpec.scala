@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.FreqItemsAgg
+import graft.ops.HeavyHitters
+
+class HeavyHittersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def skewedItems(n: Int, seed: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n) {
+      val r = rnd.nextInt(100)
+      if (r < 30) "hot1" // ~30%
+      else if (r < 45) "hot2" // ~15%
+      else s"cold${rnd.nextInt(5000)}" // long tail
+    }
+  }
+
+  test("Misra-Gries guarantee: items above n/(capacity+1) survive the sketch") {
+    val items = skewedItems(20000, 7)
+    val agg = new FreqItemsAgg(20)
+    // simulate partitioned reduce + merge in arbitrary order
+    val bufs = items.grouped(613).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val merged = scala.util.Random.shuffle(bufs).reduce(agg.merge)
+    val exact = items.groupMapReduce(identity)(_ => 1L)(_ + _)
+    val threshold = items.size / 21
+    exact.filter(_._2 > threshold).keys.foreach { k =>
+      assert(merged.counts.contains(k), s"true heavy hitter $k dropped by sketch")
+    }
+    assert(merged.counts.size <= 20)
+    // sketch only under-counts
+    merged.counts.foreach { case (k, c) => assert(c <= exact(k)) }
+  }
+
+  test("exactHeavyHitters equals the naive exact computation") {
+    val items = skewedItems(30000, 11)
+    val df = items.toDF("token").repartition(13)
+    val got = HeavyHitters.exactHeavyHitters(df, "token", capacity = 20)
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    val exact = items.groupMapReduce(identity)(_ => 1L)(_ + _)
+    val threshold = items.size.toLong / 21
+    val expected = exact.filter(_._2 > threshold)
+    assert(got == expected)
+  }
+}

@@ -53,7 +53,12 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("minhash pairs: no cartesian product anywhere in the plan") {
-    val plan = executedPlan("minhash_pairs")
+    // materialize = false: the registered query checkpoints its result (the
+    // returned frame is a LogicalRDD scan) — inspect the raw pipeline plan.
+    val df = graft.ops.Dedup.minhashPairs(
+      spark.read.parquet(s"$dir/documents.parquet"), materialize = false)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(plan.contains("ObjectHashAggregate"), "bucket collect_list expected")
   }
