@@ -669,12 +669,16 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash32Md5(col("text")).as("simhash32"))
     },
     "minhash_md5_sigs" -> { (s, dir) =>
-      // md5-anchored MinHash signatures (16 hashes, 3-gram shingles) over a
-      // deterministic 10% sample — oracle-checks the min-over-shingles
-      // structure the xxhash64 production signature uses.
+      // md5-anchored MinHash signatures (16-member affine family over ONE
+      // md5 per shingle, 3-gram shingles) over a deterministic 10% sample —
+      // oracle-checks the min-over-shingles structure the xxhash64
+      // production signature uses. Shingle hashes are projected once and
+      // shared by all 16 members (separate select — inlining would
+      // re-derive the shingle pipeline per member).
       table(s, dir, "documents")
         .filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), posexplode(Dedup.minhashMd5Signature(col("text"), 3, 16)))
+        .select(col("doc_id"), Dedup.md5ShingleHashes(col("text"), 3).as("h"))
+        .select(col("doc_id"), posexplode(Dedup.minhashMd5Signature(col("h"), 16)))
         .select(col("doc_id"), col("pos").cast("int").as("hash_i"), col("col").as("minhash"))
     },
     "embedding_quant" -> { (s, dir) =>
@@ -713,6 +717,19 @@ object SparkEntry {
       val toks = table(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       graft.ops.HeavyHitters.exactHeavyHitters(toks, "token", capacity = 50)
+    },
+    "stratified_sample" -> { (s, dir) =>
+      // Corpus mixing: per-language keep rates, membership a pure function
+      // of (doc_id, seed) — map-only, reproducible, oracle-exact.
+      graft.ops.Sampling
+        .stratifiedSample(
+          table(s, dir, "documents"),
+          keyCol = "doc_id",
+          strataCol = "lang",
+          rates = Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.1),
+          seed = "strat7"
+        )
+        .select(col("doc_id"), col("lang"))
     }
   )
 
@@ -1383,10 +1400,14 @@ object SparkEntry {
         |      ELSE [] END AS g
         |  FROM sample
         |), ex AS (
-        |  SELECT doc_id, t.gram FROM grams, unnest(grams.g) AS t(gram)
+        |  SELECT doc_id, CAST(('0x' || substr(md5(t.gram), 1, 8)) AS BIGINT) AS h
+        |  FROM grams, unnest(grams.g) AS t(gram)
         |)
         |SELECT doc_id, CAST(j.j AS INT) AS hash_i,
-        |  CAST(min(CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || gram), 1, 8)) AS BIGINT)) AS BIGINT) AS minhash
+        |  CAST(min(
+        |    ((((2654435761 * (j.j+1)) % 1073741824) | 1) * h
+        |      + ((40503 * (j.j+1) * (j.j+1)) % 1073741824)) % 2305843009213693951
+        |  ) AS BIGINT) AS minhash
         |FROM ex, range(16) j(j) GROUP BY 1, 2""".stripMargin,
     "embedding_quant" ->
       """WITH a AS (
@@ -1431,6 +1452,15 @@ object SparkEntry {
         |SELECT token, count(*) AS n
         |FROM tok
         |GROUP BY 1
-        |HAVING count(*) > (SELECT count(*) FROM tok) // 51""".stripMargin
+        |HAVING count(*) > (SELECT count(*) FROM tok) // 51""".stripMargin,
+    "stratified_sample" ->
+      """SELECT doc_id, lang
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5('strat7' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |  < CASE lang WHEN 'de' THEN 2147483648
+        |              WHEN 'en' THEN 4294967296
+        |              WHEN 'es' THEN 1073741824
+        |              WHEN 'fr' THEN 429496729
+        |              ELSE 0 END""".stripMargin
   )
 }

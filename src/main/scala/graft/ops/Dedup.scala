@@ -476,10 +476,11 @@ object Dedup {
 
   /** Cross-document passage sharing stats: per doc, how many of its distinct
     * passages also appear in at least one OTHER document. Plan: one explode
-    * → per-passage distinct-doc count (16-byte md5 key through the shuffle,
-    * never the passage text at the agg — here passages are short so the
-    * text itself rides) → broadcast-join back → per-doc rollup. Two
-    * exchanges total, both on ids/hashes.
+    * → per-passage occurrence count as a WINDOW over the exploded frame
+    * (rows are (doc, passage)-distinct, so row count per passage = distinct
+    * doc count; a groupBy + self-join would re-run the whole explode, since
+    * DataFrame lineage has no common-subplan reuse) → per-doc rollup. Two
+    * exchanges total: passage hash, then doc id.
     */
   def passageShareStats(
       docs: DataFrame,
@@ -487,9 +488,10 @@ object Dedup {
       textCol: String = "text",
       n: Int = 5
   ): DataFrame = {
-    val p = docs.select(col(idCol).as("id"), explode(array_distinct(passages(col(textCol), n))).as("p"))
-    val global = p.groupBy(col("p")).agg(countDistinct(col("id")).as("n_docs"))
-    p.join(global, Seq("p"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p"))
+    docs
+      .select(col(idCol).as("id"), explode(array_distinct(passages(col(textCol), n))).as("p"))
+      .withColumn("n_docs", count(lit(1)).over(w))
       .groupBy(col("id").as(idCol))
       .agg(
         count(lit(1)).as("n_passages"),
@@ -528,17 +530,35 @@ object Dedup {
     )
   }
 
-  /** MinHash signature with md5-derived hash family (member j rehashes the
-    * shingle text prefixed by "j:"): same min-over-shingles structure as
-    * [[minhashSignatureFromHashes]], oracle-checkable. Returns one row per
-    * (doc, hash index) via the caller's posexplode.
+  /** Universal-family coefficients for [[minhashMd5Signature]]: fixed
+    * Knuth-style constants < 2^30, so `a*h + b` with a 32-bit `h` stays
+    * under 2^62 — no overflow under ANSI arithmetic in either engine.
     */
-  def minhashMd5Signature(text: Column, shingleN: Int, numHashes: Int): Column = {
-    val grams = wordShingles(text, shingleN)
+  def md5AffineA(j: Int): Long = (2654435761L * (j + 1)) % (1L << 30) | 1L
+  def md5AffineB(j: Int): Long = (40503L * (j + 1) * (j + 1)) % (1L << 30)
+  val Md5AffineMod: Long = (1L << 61) - 1
+
+  /** MinHash signature with an md5-seeded affine hash family: ONE portable
+    * md5 per shingle, member j = `(a_j·h + b_j) mod (2^61-1)`. Same
+    * min-over-shingles structure as [[minhashSignatureFromHashes]], fully
+    * oracle-checkable (md5 bytes and 62-bit integer arithmetic are engine-
+    * independent) at 1/numHashes of the per-member hashing cost.
+    *
+    * Feed an already-projected shingle-hash column (e.g.
+    * `select(md5ShingleHashes(...).as("h")).select(minhashMd5Signature(col("h"), n))`)
+    * — building from raw text inline would re-derive the shingle pipeline
+    * once per member (Catalyst collapses adjacent projections only when
+    * the shared expression is cheap).
+    */
+  def md5ShingleHashes(text: Column, shingleN: Int): Column =
+    transform(wordShingles(text, shingleN), g => md5Hash32(g))
+
+  def minhashMd5Signature(hashes: Column, numHashes: Int): Column = {
     val perHash = (0 until numHashes).map { j =>
-      array_min(transform(grams, g => md5Hash32(concat(lit(s"$j:"), g))))
+      array_min(transform(hashes, h =>
+        (lit(md5AffineA(j)) * h + lit(md5AffineB(j))) % lit(Md5AffineMod)))
     }
-    when(size(grams) > 0, array(perHash: _*)).otherwise(lit(null).cast("array<bigint>"))
+    when(size(hashes) > 0, array(perHash: _*)).otherwise(lit(null).cast("array<bigint>"))
   }
 
   // --------------------------------------------------- n-gram Jaccard pairs

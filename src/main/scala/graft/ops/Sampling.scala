@@ -29,6 +29,32 @@ object Sampling {
     df.filter(hashValue(col(keyCol), seed) < math.floor(rate * Two32).toLong)
   }
 
+  /** Stratified deterministic sampling: per-stratum keep rates, membership
+    * still a pure function of (key, seed). The workhorse of corpus mixing —
+    * "keep 10% of web text but 100% of books" — with the same
+    * reproducibility contract as [[hashSample]]: growing one stratum never
+    * changes another row's membership. Strata missing from `rates` fall
+    * back to `defaultRate`. Map-only.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      seed: String,
+      defaultRate: Double = 0.0
+  ): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0, 1]")
+    val h = hashValue(col(keyCol), seed)
+    val threshold = rates.toSeq.sortBy(_._1).foldRight(
+      lit(math.floor(defaultRate * Two32).toLong)
+    ) { case ((stratum, rate), elseCol) =>
+      when(col(strataCol) === stratum, lit(math.floor(rate * Two32).toLong)).otherwise(elseCol)
+    }
+    df.filter(h < threshold)
+  }
+
   /** Assign each row a split label by cumulative weight ranges (weights
     * need not sum to 1 — the remainder falls into the last split).
     */

@@ -1,0 +1,93 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyed upsert into a hive-partitioned parquet table — the "merge into"
+  * a plain-parquet lake can support without a table format.
+  *
+  * Mechanics: only the partitions PRESENT IN THE BATCH are touched. The
+  * batch unions with the current rows of exactly those partitions, the
+  * newest version per key wins (`min_by`/`max_by`-style ordering), and the
+  * result overwrites just those partitions via dynamic partition overwrite
+  * — untouched partitions are never read or rewritten, so the cost per
+  * upsert is proportional to the touched slice, not the table.
+  *
+  * Concurrency contract: single writer per table (the Structured Streaming
+  * `foreachBatch` case — one query owns one sink). A table format (Delta/
+  * Iceberg) is the answer for multi-writer; this operator fills the gap
+  * where only parquet is available.
+  */
+object UpsertSink {
+
+  /** Upsert `batch` into `dir` partitioned by `partitionCol`: one row per
+    * `keyCol` survives per table, the one with the greatest `versionCol`
+    * (ties: batch row wins over stored row).
+    */
+  def upsert(
+      batch: DataFrame,
+      dir: String,
+      keyCol: String,
+      partitionCol: String,
+      versionCol: String
+  ): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    // an empty (or absent) target is a fresh table, not a merge source
+    val exists = fs.exists(dirPath) && fs.listStatus(dirPath).nonEmpty
+    // `_from_batch` breaks version ties toward the incoming row.
+    val incoming = batch.withColumn("_from_batch", lit(1))
+    val merged =
+      if (!exists) incoming
+      else {
+        val touched = batch.select(col(partitionCol)).distinct()
+        val current = spark.read.parquet(dir)
+          .join(broadcast(touched), Seq(partitionCol), "left_semi")
+          .withColumn("_from_batch", lit(0))
+        // align column order for the union
+        current.select(incoming.columns.map(col): _*).union(incoming)
+      }
+    val winners = merged
+      .groupBy(col(keyCol))
+      .agg(max_by(
+        struct(merged.columns.map(col): _*),
+        struct(col(versionCol), col("_from_batch"))
+      ).as("_row"))
+      .select(col("_row.*"))
+      .drop("_from_batch")
+      // Break lineage from `dir` before overwriting it — Spark refuses to
+      // overwrite a path that is also being read from. The checkpointed
+      // slice is only the touched partitions, not the table.
+      .localCheckpoint(eager = true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      winners.write
+        .mode("overwrite")
+        .partitionBy(partitionCol)
+        .parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Streaming form: apply [[upsert]] per micro-batch. */
+  def streamUpsert(
+      stream: DataFrame,
+      dir: String,
+      keyCol: String,
+      partitionCol: String,
+      versionCol: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsert(batch, dir, keyCol, partitionCol, versionCol)
+      }
+      .start()
+}

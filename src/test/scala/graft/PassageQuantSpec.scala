@@ -68,13 +68,15 @@ class PassageQuantSpec extends AnyFunSuite {
     val fp = df.select(Dedup.simhash32Md5($"text")).as[Long].head()
     assert(fp >= 0L && fp < (1L << 32))
     val sig = df
-      .select(Dedup.minhashMd5Signature($"text", 3, 16).as("s"))
+      .select(Dedup.md5ShingleHashes($"text", 3).as("h"))
+      .select(Dedup.minhashMd5Signature($"h", 16).as("s"))
       .as[Seq[Long]]
       .head()
     assert(sig.length == 16)
-    // signature slot 0 is the min over shingles of member 0's hash
+    // signature slot 0 is the min over shingles of member 0's affine hash
     val member0 = df.select(Dedup.wordShingles($"text", 3).as("g"))
-      .select(array_min(transform($"g", g => Dedup.md5Hash32(concat(lit("0:"), g)))))
+      .select(array_min(transform($"g", g =>
+        (lit(Dedup.md5AffineA(0)) * Dedup.md5Hash32(g) + lit(Dedup.md5AffineB(0))) % lit(Dedup.Md5AffineMod))))
       .as[Long].head()
     assert(sig.head == member0)
   }

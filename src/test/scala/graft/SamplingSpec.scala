@@ -40,4 +40,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.hashSample(ids, "id", 0.0, "s").count() == 0)
     assert(Sampling.hashSample(ids, "id", 1.0, "s").count() == 2000)
   }
+
+  test("stratifiedSample: per-stratum rates, unknown strata use the default") {
+    import org.apache.spark.sql.functions._
+    val df = ids.withColumn(
+      "stratum",
+      when($"id" % 3 === 0, "a").when($"id" % 3 === 1, "b").otherwise("mystery")
+    )
+    val kept = Sampling.stratifiedSample(
+      df, "id", "stratum", Map("a" -> 1.0, "b" -> 0.25), seed = "s1")
+      .as[(Long, String)].collect()
+    val byStratum = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStratum("a") == 667) // rate 1.0 keeps the whole stratum
+    assert(math.abs(byStratum.getOrElse("b", 0) - 167) < 60) // ~25%
+    assert(!byStratum.contains("mystery")) // defaultRate 0
+    // deterministic: same call, same membership
+    val again = Sampling.stratifiedSample(
+      df, "id", "stratum", Map("a" -> 1.0, "b" -> 0.25), seed = "s1")
+      .as[(Long, String)].collect()
+    assert(kept.toSet == again.toSet)
+    // per-stratum rate changes don't disturb other strata
+    val bumped = Sampling.stratifiedSample(
+      df, "id", "stratum", Map("a" -> 1.0, "b" -> 0.5), seed = "s1")
+      .as[(Long, String)].collect().filter(_._2 == "a")
+    assert(bumped.toSet == kept.filter(_._2 == "a").toSet)
+  }
 }

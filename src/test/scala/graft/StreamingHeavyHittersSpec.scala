@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingHeavyHitters
+
+class StreamingHeavyHittersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bounded-state sketch finds stream heavy hitters across batches") {
+    implicit val ctx = spark.sqlContext
+    // transformWithState needs column families → RocksDB provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val rnd = new scala.util.Random(23)
+    def batch(n: Int): Seq[String] = Seq.fill(n) {
+      val r = rnd.nextInt(100)
+      if (r < 25) "hot1" else if (r < 40) "hot2" else s"cold${rnd.nextInt(2000)}"
+    }
+    val input = MemoryStream[String]
+    val sketches = StreamingHeavyHitters.shardSketches(
+      input.toDF().toDF("item"), "item", capacity = 16, shards = 4)
+    @volatile var lastCandidates = Set.empty[String]
+    val q = sketches.toDF().writeStream
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cands = StreamingHeavyHitters.candidates(b, minCount = 1L)
+          .select("item").as[String](org.apache.spark.sql.Encoders.STRING)
+          .collect().toSet
+        if (cands.nonEmpty) lastCandidates = cands
+      }
+      .start()
+    try {
+      input.addData(batch(4000))
+      q.processAllAvailable()
+      input.addData(batch(4000))
+      q.processAllAvailable()
+      input.addData(batch(4000))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    // Both true heavy hitters (25% / 15% of 12k items, vs shard threshold
+    // shardTotal/17) must be in the final candidate set.
+    assert(lastCandidates.contains("hot1"), s"hot1 missing from $lastCandidates")
+    assert(lastCandidates.contains("hot2"), s"hot2 missing from $lastCandidates")
+    // bounded: never more than shards × capacity candidates
+    assert(lastCandidates.size <= 4 * 16)
+  }
+}

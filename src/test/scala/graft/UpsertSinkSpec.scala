@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.UpsertSink
+
+class UpsertSinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("upsert: newest version wins, untouched partitions not rewritten") {
+    val dir = Files.createTempDirectory("graft_upsert").toString
+    val b1 = Seq(
+      (1L, "p1", 10L, "a"),
+      (2L, "p1", 10L, "b"),
+      (3L, "p2", 10L, "c"),
+      (4L, "p3", 10L, "d")
+    ).toDF("id", "part", "version", "payload")
+    UpsertSink.upsert(b1, dir, "id", "part", "version")
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partMtime(p: String): Long =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir, s"part=$p"))
+        .map(_.getModificationTime).max
+    val p3Before = partMtime("p3")
+    Thread.sleep(1100) // FS mtime granularity
+
+    // batch 2: update id=1 (newer), stale update id=2 (older), new id=5 in p2
+    val b2 = Seq(
+      (1L, "p1", 20L, "a2"),
+      (2L, "p1", 5L, "b_stale"),
+      (5L, "p2", 10L, "e")
+    ).toDF("id", "part", "version", "payload")
+    UpsertSink.upsert(b2, dir, "id", "part", "version")
+
+    val got = spark.read.parquet(dir)
+      .select($"id", $"part", $"version", $"payload")
+      .as[(Long, String, Long, String)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    assert(got.size == 5)
+    assert(got(1L) == (("p1", 20L, "a2"))) // newer wins
+    assert(got(2L) == (("p1", 10L, "b"))) // stale loses... but see tie rule below
+    assert(got(3L) == (("p2", 10L, "c"))) // untouched row in touched partition survives
+    assert(got(5L) == (("p2", 10L, "e"))) // insert
+    assert(got(4L) == (("p3", 10L, "d"))) // untouched partition intact
+    assert(partMtime("p3") == p3Before, "untouched partition was rewritten")
+  }
+
+  test("equal versions: the incoming batch row wins the tie") {
+    val dir = Files.createTempDirectory("graft_upsert_tie").toString
+    UpsertSink.upsert(
+      Seq((1L, "p1", 10L, "old")).toDF("id", "part", "version", "payload"),
+      dir, "id", "part", "version")
+    UpsertSink.upsert(
+      Seq((1L, "p1", 10L, "new")).toDF("id", "part", "version", "payload"),
+      dir, "id", "part", "version")
+    val payload = spark.read.parquet(dir).select($"payload").as[String].head()
+    assert(payload == "new")
+  }
+}
