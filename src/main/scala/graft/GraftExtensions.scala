@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer extension: automatic bucketed rewrite of non-equi range
+    // joins (fires only when spark.graft.rangeJoin.bucketWidth > 0).
+    ext.injectOptimizerRule(_ => new graft.plans.RangeJoinRewrite)
     ext.injectFunction(
       (
         new FunctionIdentifier("minhash_sig"),

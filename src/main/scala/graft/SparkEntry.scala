@@ -730,6 +730,31 @@ object SparkEntry {
           seed = "strat7"
         )
         .select(col("doc_id"), col("lang"))
+    },
+    "range_rule_window_counts" -> { (s, dir) =>
+      // The NATURAL non-equi range join — no keys, no manual bucketing —
+      // planned scalably by the RangeJoinRewrite optimizer rule
+      // (plans/RangeJoinRewrite.scala): per hot event (value ≥ 489.00),
+      // how many events fall in its next hour, globally. Without the rule
+      // this is a BroadcastNestedLoopJoin (O(events × windows)); the rule
+      // rewrites it to a bucketed equi join. Registered via
+      // experimental.extraOptimizations so it works on any session.
+      if (!s.experimental.extraOptimizations.exists(_.isInstanceOf[graft.plans.RangeJoinRewrite])) {
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ new graft.plans.RangeJoinRewrite
+      }
+      s.conf.set("spark.graft.rangeJoin.bucketWidth", "3600000")
+      val e = eventsTable(s, dir).select(col("event_id"), col("ts_ms"))
+      val hot = eventsTable(s, dir)
+        .filter(cents(col("value")) >= 48900)
+        .select(
+          col("event_id").as("hot_event_id"),
+          col("ts_ms").as("win_start"),
+          (col("ts_ms") + 3600000L).as("win_end")
+        )
+      e.join(hot, col("ts_ms") >= col("win_start") && col("ts_ms") < col("win_end"))
+        .groupBy(col("hot_event_id"))
+        .agg(count(lit(1)).as("n_events"))
     }
   )
 
@@ -1461,6 +1486,19 @@ object SparkEntry {
         |              WHEN 'en' THEN 4294967296
         |              WHEN 'es' THEN 1073741824
         |              WHEN 'fr' THEN 429496729
-        |              ELSE 0 END""".stripMargin
+        |              ELSE 0 END""".stripMargin,
+    "range_rule_window_counts" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_ms(ts) AS ts_ms,
+        |         CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |), hot AS (
+        |  SELECT event_id AS hot_event_id, ts_ms AS win_start,
+        |         ts_ms + 3600000 AS win_end
+        |  FROM e WHERE cents >= 48900
+        |)
+        |SELECT hot_event_id, count(*) AS n_events
+        |FROM hot JOIN e ON e.ts_ms >= hot.win_start AND e.ts_ms < hot.win_end
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -52,6 +52,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!scan.contains("l_comment") && !scan.contains("l_tax"), s"unpruned scan: $scan")
   }
 
+  test("range_rule_window_counts: the optimizer rule kills the nested loop") {
+    val plan = executedPlan("range_rule_window_counts")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "RangeJoinRewrite did not fire")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("minhash pairs: no cartesian product anywhere in the plan") {
     // materialize = false: the registered query checkpoints its result (the
     // returned frame is a LogicalRDD scan) — inspect the raw pipeline plan.
