@@ -1,0 +1,192 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector for the synthetic game-event stream — the
+  * engine-native replacement for the reference's Pub/Sub injector
+  * (reference `injector/Injector.java`): `spark.read.format("graft-events")`
+  * for bounded corpora, `spark.readStream` for an unbounded micro-batch
+  * source. Emits the injector's 5-field CSV `value` plus the event-time
+  * attribute `timestamp_ms` (the Pub/Sub `timestamp_ms` message-attribute
+  * analog, `LeaderBoard.java:40`).
+  *
+  * Scale design: row `i`'s content is a pure function of (seed, i) — no
+  * sequential generator state — so a range of rows splits across any
+  * number of input partitions and any executor can produce its slice
+  * independently; the same property makes batch and streaming output
+  * identical for identical (seed, row-range).
+  *
+  * Options: `rows` (batch size, default 10000), `seed`, `numPartitions`,
+  * `rowsPerBatch` (streaming: rows admitted per micro-batch, default
+  * 10000), `maxRows` (streaming: cap, 0 = unbounded).
+  */
+class GraftEventsSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-events"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = GraftEvents.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table = new GraftEventsTable(properties.asScala.toMap)
+}
+
+object GraftEvents {
+  val Schema: StructType = StructType(Seq(
+    StructField("value", StringType, nullable = false),
+    StructField("timestamp_ms", LongType, nullable = false)
+  ))
+
+  final case class Config(
+      seed: Long,
+      numTeams: Int,
+      startMillis: Long,
+      meanGapMillis: Long,
+      lateRate: Int,
+      corruptRate: Int
+  )
+
+  def config(opts: Map[String, String]): Config = Config(
+    seed = opts.getOrElse("seed", "42").toLong,
+    numTeams = opts.getOrElse("numteams", "15").toInt,
+    startMillis = opts.getOrElse("startmillis", "1700000000000").toLong,
+    meanGapMillis = opts.getOrElse("meangapmillis", "1").toLong,
+    lateRate = opts.getOrElse("laterate", "600").toInt,
+    corruptRate = opts.getOrElse("corruptrate", "900000").toInt
+  )
+
+  /** splitmix64 — decorrelates per-row seeds derived from sequential i. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Row i as (csvLine, arrivalMillis) — pure function of (cfg, i). */
+  def lineAt(cfg: Config, i: Long): (String, Long) = {
+    val teams = graft.generator.Injector.teams(
+      graft.generator.InjectorConfig(seed = cfg.seed, numTeams = cfg.numTeams))
+    lineAt(cfg, teams, i)
+  }
+
+  /** Hot path: caller hoists the team roster out of the per-row loop. */
+  def lineAt(cfg: Config, teams: Vector[graft.generator.Injector.Team], i: Long): (String, Long) = {
+    val rnd = new scala.util.Random(mix(cfg.seed ^ i))
+    val arrival = cfg.startMillis + i * cfg.meanGapMillis
+    val team = teams(rnd.nextInt(teams.size))
+    val user = team.robot match {
+      case Some(r) if rnd.nextInt(team.members.size) < 2 => r
+      case _ => team.members(rnd.nextInt(team.members.size))
+    }
+    val score = rnd.nextInt(20)
+    val late = cfg.lateRate > 0 && i % cfg.lateRate == cfg.lateRate - 1
+    val delay = if (late) 300000L + rnd.nextLong(300001L) else 0L
+    val eventMs = (arrival - delay) / 1000 * 1000 // floor to seconds
+    val corrupt = cfg.corruptRate > 0 && rnd.nextInt(cfg.corruptRate) == 0
+    val line =
+      if (corrupt) s"$user,${team.name}"
+      else s"$user,${team.name},$score,$eventMs,${graft.model.GameEvent.formatMillis(eventMs)}"
+    (line, eventMs)
+  }
+}
+
+class GraftEventsTable(props: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = "graft_events"
+  override def schema(): StructType = GraftEvents.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = props ++ options.asScala.map { case (k, v) => k.toLowerCase -> v }
+    new GraftEventsScan(merged)
+  }
+}
+
+class GraftEventsScan(opts: Map[String, String]) extends ScanBuilder with Scan {
+  private val cfg = GraftEvents.config(opts)
+  private val numPartitions = opts.getOrElse("numpartitions", "8").toInt
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = GraftEvents.Schema
+  override def description(): String = s"graft-events(seed=${cfg.seed})"
+
+  /** Split [start, end) into `numPartitions` contiguous row ranges. */
+  private def partitions(start: Long, end: Long): Array[InputPartition] = {
+    val total = math.max(0L, end - start)
+    val per = math.max(1L, (total + numPartitions - 1) / numPartitions)
+    (start until end by per)
+      .map(s => GraftEventsPartition(s, math.min(s + per, end)): InputPartition)
+      .toArray
+  }
+
+  override def toBatch: Batch = new Batch {
+    private val rows = opts.getOrElse("rows", "10000").toLong
+    override def planInputPartitions(): Array[InputPartition] = partitions(0L, rows)
+    override def createReaderFactory(): PartitionReaderFactory = new GraftEventsReaderFactory(cfg)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream {
+      private val rowsPerBatch = opts.getOrElse("rowsperbatch", "10000").toLong
+      private val maxRows = opts.getOrElse("maxrows", "0").toLong
+      // Admission tracks the last PLANNED offset, not the committed one —
+      // the engine commits a batch only while planning the next, so basing
+      // latestOffset on commits would re-offer the same range and stall
+      // processAllAvailable after one batch.
+      @volatile private var planned = 0L
+
+      override def initialOffset(): Offset = GraftEventsOffset(0L)
+      override def latestOffset(): Offset = {
+        val next = planned + rowsPerBatch
+        planned = if (maxRows > 0) math.min(next, maxRows) else next
+        GraftEventsOffset(planned)
+      }
+      override def deserializeOffset(json: String): Offset = {
+        // restart path: resume admission from the checkpointed offset
+        val n = json.trim.toLong
+        if (n > planned) planned = n
+        GraftEventsOffset(n)
+      }
+      override def commit(end: Offset): Unit = ()
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+        partitions(start.asInstanceOf[GraftEventsOffset].n, end.asInstanceOf[GraftEventsOffset].n)
+      override def createReaderFactory(): PartitionReaderFactory = new GraftEventsReaderFactory(cfg)
+      override def stop(): Unit = ()
+    }
+}
+
+final case class GraftEventsPartition(start: Long, end: Long) extends InputPartition
+
+final case class GraftEventsOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+class GraftEventsReaderFactory(cfg: GraftEvents.Config) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftEventsPartition]
+    new PartitionReader[InternalRow] {
+      // roster hoisted: O(1) per row, shared across the slice
+      private val teams = graft.generator.Injector.teams(
+        graft.generator.InjectorConfig(seed = cfg.seed, numTeams = cfg.numTeams))
+      private var i = p.start - 1
+      override def next(): Boolean = { i += 1; i < p.end }
+      override def get(): InternalRow = {
+        val (line, ms) = GraftEvents.lineAt(cfg, teams, i)
+        InternalRow(UTF8String.fromString(line), ms)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

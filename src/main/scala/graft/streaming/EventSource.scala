@@ -26,6 +26,17 @@ object EventSource {
     */
   final case class SyntheticStream(rowsPerSecond: Int = 2000, cfg: InjectorConfig = InjectorConfig())
       extends Config
+  /** Unbounded: the native DataSourceV2 connector
+    * ([[graft.sources.GraftEventsSource]], `format("graft-events")`) —
+    * row content is a pure function of (seed, row index), so the stream is
+    * replayable and partition-parallel with exact admission control
+    * (`rowsPerBatch`/`maxRows`), unlike the rate-source pool above.
+    */
+  final case class ConnectorStream(
+      rowsPerBatch: Long = 10000L,
+      maxRows: Long = 0L,
+      seed: Long = 42L
+  ) extends Config
 
   /** Parsed events from any source mode. Malformed lines are dropped and
     * counted per the reference parser's contract (`UserScore.java:68-88`).
@@ -47,5 +58,15 @@ object EventSource {
         .load()
         .select(element_at(poolCol, (pmod(col("value"), lit(pool.size.toLong)) + 1).cast("int")).as("value"))
       Parse.parseGameEvents(lines)
+    case ConnectorStream(rowsPerBatch, maxRows, seed) =>
+      Parse.parseGameEvents(
+        spark.readStream
+          .format("graft-events")
+          .option("rowsPerBatch", rowsPerBatch)
+          .option("maxRows", maxRows)
+          .option("seed", seed)
+          .load()
+          .select(col("value"))
+      )
   }
 }

@@ -32,4 +32,16 @@ class EventSourceSpec extends AnyFunSuite {
     } finally q.stop()
     assert(spark.table("synth_src").count() > 0)
   }
+
+  test("ConnectorStream mode: DSv2 source, bounded, parsed schema, exact admission") {
+    val df = EventSource.readEvents(
+      spark, EventSource.ConnectorStream(rowsPerBatch = 500, maxRows = 1500, seed = 5))
+    assert(df.isStreaming)
+    assert(df.columns.toSet == Set("user", "team", "score", "timestamp", "event_time"))
+    val q = df.writeStream.format("memory").queryName("conn_src").outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // all 1500 generated rows parse (corrupt rate 1/900000 ≈ none at n=1500)
+    assert(spark.table("conn_src").count() == 1500)
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Parse
+
+class GraftEventsSourceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("batch read: deterministic rows, short-name registration, partition split") {
+    val df = spark.read.format("graft-events")
+      .option("rows", 5000).option("seed", 7).option("numPartitions", 6)
+      .load()
+    assert(df.schema.fieldNames.toSeq == Seq("value", "timestamp_ms"))
+    assert(df.count() == 5000)
+    assert(df.rdd.getNumPartitions == 6)
+    // deterministic: same options → identical content
+    val again = spark.read.format("graft-events")
+      .option("rows", 5000).option("seed", 7).option("numPartitions", 3)
+      .load()
+    assert(df.select("value").as[String].collect().sorted
+      sameElements again.select("value").as[String].collect().sorted)
+    // different seed → different content
+    val other = spark.read.format("graft-events")
+      .option("rows", 5000).option("seed", 8).load()
+    assert(!(df.select("value").as[String].collect().sorted
+      sameElements other.select("value").as[String].collect().sorted))
+  }
+
+  test("generated lines feed the tolerant parser; late rows stay within bounds") {
+    val df = spark.read.format("graft-events").option("rows", 3000).load()
+    val parsed = Parse.parseGameEvents(df.select($"value"))
+    val n = parsed.count()
+    assert(n >= 2990 && n <= 3000) // corrupt rate is tiny but nonzero by config
+    // the timestamp attribute matches the parsed payload field
+    val joined = parsed.select($"timestamp".as("payload_ms"))
+      .except(df.select($"timestamp_ms".as("payload_ms")))
+    assert(joined.count() == 0)
+  }
+
+  test("micro-batch stream: bounded by maxRows, identical to the batch read") {
+    val q = spark.readStream.format("graft-events")
+      .option("rowsPerBatch", 400).option("maxRows", 1000).option("seed", 11)
+      .load()
+      .writeStream.format("memory").queryName("ge_out").outputMode("append")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("ge_out").select($"value").as[String].collect().sorted
+    val batch = spark.read.format("graft-events")
+      .option("rows", 1000).option("seed", 11).load()
+      .select($"value").as[String].collect().sorted
+    assert(streamed sameElements batch)
+  }
+}
