@@ -734,7 +734,7 @@ object SparkEntry {
     "range_rule_window_counts" -> { (s, dir) =>
       // The NATURAL non-equi range join — no keys, no manual bucketing —
       // planned scalably by the RangeJoinRewrite optimizer rule
-      // (plans/RangeJoinRewrite.scala): per hot event (value ≥ 489.00),
+      // (plans/RangeJoinRewrite.scala): per hot event (value ≥ 300.00),
       // how many events fall in its next hour, globally. Without the rule
       // this is a BroadcastNestedLoopJoin (O(events × windows)); the rule
       // rewrites it to a bucketed equi join. Registered via
@@ -746,7 +746,7 @@ object SparkEntry {
       s.conf.set("spark.graft.rangeJoin.bucketWidth", "3600000")
       val e = eventsTable(s, dir).select(col("event_id"), col("ts_ms"))
       val hot = eventsTable(s, dir)
-        .filter(cents(col("value")) >= 48900)
+        .filter(cents(col("value")) >= 30000)
         .select(
           col("event_id").as("hot_event_id"),
           col("ts_ms").as("win_start"),
@@ -1495,7 +1495,7 @@ object SparkEntry {
         |), hot AS (
         |  SELECT event_id AS hot_event_id, ts_ms AS win_start,
         |         ts_ms + 3600000 AS win_end
-        |  FROM e WHERE cents >= 48900
+        |  FROM e WHERE cents >= 30000
         |)
         |SELECT hot_event_id, count(*) AS n_events
         |FROM hot JOIN e ON e.ts_ms >= hot.win_start AND e.ts_ms < hot.win_end
