@@ -385,6 +385,72 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Write-side IVF index: the corpus stored hive-partitioned by nearest
+    * coarse centroid. This is the "index once, query many" layout the
+    * 100 TB ANN story needs — [[ivfTopK]] recomputes bucket assignment per
+    * query batch (a full corpus scan); against this layout every query
+    * batch reads ONLY its nprobe partitions via partition pruning, ~nprobe/C
+    * of the corpus, enforced by parquet `PartitionFilters`.
+    *
+    * Returns the trained centroids — pass them (or retrain with the same
+    * seed; training is deterministic) to [[ivfTopKIndexed]].
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      indexDir: String,
+      nCentroids: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 11L
+  ): Array[Array[Double]] = {
+    val centroids = trainIvfCentroids(corpus, nCentroids, seed = seed, vecCol = vecCol)
+    corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("c_vec"))
+      .withColumn("bucket", nearestCentroidUdf(centroids)(col("c_vec")))
+      .write
+      .mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(indexDir)
+    centroids
+  }
+
+  /** ANN over a [[buildIvfIndex]] layout: each query probes its nprobe
+    * nearest centroids; the bucket IN-list predicate prunes the scan to
+    * those partitions — the per-batch cost is proportional to the probed
+    * slice, not the corpus. Same output contract as [[bruteForceTopK]].
+    *
+    * Bucket list is collected from the (tiny, broadcast) query set — the
+    * partition filter must be a literal IN-list to prune at planning time.
+    */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      centroids: Array[Array[Double]],
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("bucket", explode(nearestCentroidsUdf(centroids, nprobe)(col("q_vec"))))
+    val probedBuckets = q.select(col("bucket")).distinct().collect().map(_.getInt(0))
+    val c = spark.read.parquet(indexDir)
+      .filter(col("bucket").isin(probedBuckets.toSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col("c_vec"), col("bucket"))
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")
+      )
+      .dropDuplicates("query_id", "neighbor_id")
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic random hyperplanes: `nbits` × `dim` doubles, seed-fixed. */
   private[ops] def hyperplanes(nbits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new Random(seed)

@@ -120,6 +120,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run() == approx) // seeded training → deterministic
   }
 
+  test("ivfTopKIndexed: same results as ivfTopK, scan pruned to probed partitions") {
+    val data = clustered(120)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+    val centroids = Similarity.buildIvfIndex(df, dir, nCentroids = 6)
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, centroids, queries, k = 5, nprobe = 2)
+    val direct = Similarity.ivfTopK(df, queries, k = 5, nCentroids = 6, nprobe = 2)
+    assert(
+      indexed.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet ==
+        direct.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    )
+    // partition pruning: the scan must carry PartitionFilters on bucket and
+    // read fewer partitions than exist in the index
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"), s"no partition pruning:\n$plan")
+    val allBuckets = spark.read.parquet(dir).select("bucket").distinct().count()
+    val probedBuckets = queries
+      .select(Similarity.nearestCentroidsUdf(centroids, 2)($"embedding".cast("array<double>")).as("bs"))
+      .select(org.apache.spark.sql.functions.explode($"bs")).distinct().count()
+    assert(probedBuckets < allBuckets, "test would not demonstrate pruning")
+  }
+
   test("cosine expression equals local computation") {
     val a = Array(1.0f, 2.0f, 3.0f)
     val b = Array(-1.0f, 0.5f, 2.0f)

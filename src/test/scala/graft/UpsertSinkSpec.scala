@@ -51,6 +51,29 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(partMtime("p3") == p3Before, "untouched partition was rewritten")
   }
 
+  test("streamUpsert: micro-batches converge to last-writer-wins state") {
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_upsert_stream").toString
+    val ckpt = Files.createTempDirectory("graft_upsert_ckpt").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long, String)]
+    val q = UpsertSink.streamUpsert(
+      input.toDF().toDF("id", "part", "version", "payload"),
+      dir, "id", "part", "version", ckpt)
+    try {
+      input.addData(Seq((1L, "p1", 1L, "v1"), (2L, "p2", 1L, "v1")))
+      q.processAllAvailable()
+      input.addData(Seq((1L, "p1", 2L, "v2"), (3L, "p1", 1L, "v1")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(dir)
+      .select($"id", $"version", $"payload")
+      .as[(Long, Long, String)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(1L -> ((2L, "v2")), 2L -> ((1L, "v1")), 3L -> ((1L, "v1"))))
+  }
+
   test("equal versions: the incoming batch row wins the tie") {
     val dir = Files.createTempDirectory("graft_upsert_tie").toString
     UpsertSink.upsert(
