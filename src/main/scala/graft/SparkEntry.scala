@@ -731,6 +731,15 @@ object SparkEntry {
         )
         .select(col("doc_id"), col("lang"))
     },
+    "quality_logit" -> { (s, dir) =>
+      // Model-based quality filtering as scan-speed arithmetic: fixed-weight
+      // linear classifier over cheap features, logit in oracle-exact micro
+      // units (pure fixed-order double math — no libm exp in the compare).
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.qualityLogit(col("text"), length(col("text"))).as("logit_micro")
+      ).withColumn("keep", (col("logit_micro") > 0).cast("int"))
+    },
     "range_rule_window_counts" -> { (s, dir) =>
       // The NATURAL non-equi range join — no keys, no manual bucketing —
       // planned scalably by the RangeJoinRewrite optimizer rule
@@ -1487,6 +1496,29 @@ object SparkEntry {
         |              WHEN 'es' THEN 1073741824
         |              WHEN 'fr' THEN 429496729
         |              ELSE 0 END""".stripMargin,
+    "quality_logit" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['the','and','of','to','in','is'], t))) AS INT) AS n_stop,
+        |    CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS INT) AS n_distinct
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id,
+        |    CAST(floor((
+        |      -1.5
+        |      + (least(n_tokens, 200) / 200.0) * 2.0
+        |      + (n_stop * 4.0 / greatest(n_tokens, 1)) * 3.0
+        |      + (n_punct * 10.0 / greatest(n_chars, 1)) * -4.0
+        |      + (n_distinct / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 1.5
+        |    ) * 1000000.0 + 0.5) AS BIGINT) AS logit_micro
+        |  FROM f
+        |)
+        |SELECT doc_id, logit_micro,
+        |  CAST(CASE WHEN logit_micro > 0 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM scored""".stripMargin,
     "range_rule_window_counts" ->
       """WITH e AS (
         |  SELECT event_id, epoch_ms(ts) AS ts_ms,

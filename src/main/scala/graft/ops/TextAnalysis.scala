@@ -132,6 +132,35 @@ object TextAnalysis {
     round(tokScore * 0.4 + stopScore * 0.3 + punctScore * 0.3, 4)
   }
 
+  /** Linear quality classifier: fixed public weights over the per-document
+    * features the pipeline already extracts (token volume, stopword
+    * density, punctuation density, vocabulary diversity). Emitted as the
+    * raw logit in integer micro-units — `floor(logit·1e6 + 0.5)` — NOT a
+    * sigmoid: the logit is pure fixed-order double arithmetic and hence
+    * bit-identical across engines (oracle-exact), while `exp` is libm-
+    * dependent. `logit > 0` is the keep decision; calibrate downstream.
+    *
+    * This is the shape of real model-based quality filtering (fastText/
+    * logreg scorers over cheap features) with the inference expressed as
+    * scan-speed Catalyst arithmetic — no model server in the scan loop.
+    */
+  val QualityWeights: (Double, Double, Double, Double, Double) =
+    (-1.5, 2.0, 3.0, -4.0, 1.5) // bias, volume, stopword, punct, diversity
+
+  def qualityLogit(text: Column, nChars: Column): Column = {
+    val (b, wVol, wStop, wPunct, wDiv) = QualityWeights
+    val nTokens = tokenCount(text)
+    val nStop = markerCount(text, LangMarkers.head._2)
+    val nPunct = punctCount(text)
+    val nDistinct = size(array_distinct(tokens(text)))
+    val volume = least(nTokens, lit(200)) / 200.0
+    val stopRatio = nStop * 4.0 / greatest(nTokens, lit(1))
+    val punctRatio = nPunct * 10.0 / greatest(nChars, lit(1))
+    val diversity = nDistinct / greatest(nTokens, lit(1)).cast("double")
+    val logit = lit(b) + volume * wVol + stopRatio * wStop + punctRatio * wPunct + diversity * wDiv
+    floor(logit * 1000000.0 + 0.5).cast("long")
+  }
+
   /** Portable 64-bit content fingerprint: first 16 hex chars of md5. */
   def fingerprintHex(text: Column): Column = substring(md5(text), 1, 16)
 
