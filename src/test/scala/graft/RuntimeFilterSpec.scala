@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+/** Spark's runtime bloom-filter join pruning (InjectRuntimeFilter) is part
+  * of the 100 TB story: a selective dimension filter seeds a bloom filter
+  * that prunes the fact scan BEFORE the shuffle. Its thresholds are sized
+  * for real scale (application side ≥ 10 GB), so it is silent at test SF —
+  * this spec lowers the thresholds to pin that the engine's plans remain
+  * eligible: shuffle join + selective creation side ⇒ filter injected,
+  * results unchanged.
+  */
+class RuntimeFilterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("selective dim filter injects a bloom filter on the fact scan") {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force shuffle join
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB"
+    )
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val j = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("q"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter"), s"no runtime bloom filter injected:\n$optimized")
+      // and it's semantically invisible
+      val expected = spark.read.parquet(s"$dir/lineitem.parquet")
+        .join(spark.read.parquet(s"$dir/orders.parquet"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .agg(sum(floor(col("l_quantity")).cast("long"))).head().getLong(0)
+      assert(j.head().getLong(1) == expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}

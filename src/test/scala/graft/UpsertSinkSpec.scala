@@ -74,6 +74,20 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((2L, "v2")), 2L -> ((1L, "v1")), 3L -> ((1L, "v1"))))
   }
 
+  test("replaying the same batch is a no-op (exactly-once under retries)") {
+    // foreachBatch may redeliver a batch after a failure before the
+    // checkpoint commit; the merge is idempotent by construction (same
+    // keys, versions, payloads → same winners), so no commit-id tracking
+    // is needed for correctness.
+    val dir = Files.createTempDirectory("graft_upsert_replay").toString
+    val b1 = Seq((1L, "p1", 10L, "a"), (2L, "p1", 11L, "b")).toDF("id", "part", "version", "payload")
+    UpsertSink.upsert(b1, dir, "id", "part", "version")
+    val first = spark.read.parquet(dir).collect().toSet
+    UpsertSink.upsert(b1, dir, "id", "part", "version") // replay
+    val second = spark.read.parquet(dir).collect().toSet
+    assert(first == second)
+  }
+
   test("equal versions: the incoming batch row wins the tie") {
     val dir = Files.createTempDirectory("graft_upsert_tie").toString
     UpsertSink.upsert(
