@@ -731,6 +731,13 @@ object SparkEntry {
         )
         .select(col("doc_id"), col("lang"))
     },
+    "cdc_share_stats" -> { (s, dir) =>
+      // Content-defined chunking share stats: insert-robust exact-substring
+      // dedup signal (gear rolling-hash boundaries → no SQL oracle; the
+      // chunker is spec-verified against a reference implementation and the
+      // fixed-passage form in CdcSpec).
+      Dedup.cdcShareStats(table(s, dir, "documents"))
+    },
     "quality_logit" -> { (s, dir) =>
       // Model-based quality filtering as scan-speed arithmetic: fixed-weight
       // linear classifier over cheap features, logit in oracle-exact micro

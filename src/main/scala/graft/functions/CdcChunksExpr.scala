@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Content-defined chunking (CDC) of a document into hash-addressed
+  * chunks — one codegen'd call per row.
+  *
+  * Fixed-size passages (`Dedup.passages`) shift at EVERY boundary after an
+  * insertion, so one edited sentence destroys all downstream chunk
+  * identities. CDC places boundaries where the CONTENT says so: a gear
+  * rolling hash over the bytes, boundary when `(h & mask) == 0` with
+  * `minLen`/`maxLen` bounds (FastCDC-style). An insertion changes only the
+  * chunk(s) it touches; everything past the next content boundary re-aligns
+  * — the property exact-substring dedup at corpus scale needs.
+  *
+  * Returns `array<long>` of xxhash64 chunk fingerprints (64-bit ids through
+  * every downstream shuffle, never chunk text). Deterministic: the gear
+  * table derives from a fixed seed.
+  */
+case class CdcChunksExpr(child: Expression, minLen: Int, maxLen: Int, mask: Long)
+    extends UnaryExpression {
+
+  require(minLen > 0 && maxLen > minLen, "need 0 < minLen < maxLen")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string child, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "cdc_chunks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcChunksExpr.compute(input.asInstanceOf[UTF8String], minLen, maxLen, mask)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.CdcChunksExpr.compute($c, $minLen, $maxLen, ${mask}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
+    copy(child = newChild)
+}
+
+object CdcChunksExpr {
+
+  def column(text: Column, minLen: Int = 32, maxLen: Int = 256, maskBits: Int = 6): Column =
+    ColumnBridge.column(
+      CdcChunksExpr(ColumnBridge.expression(text), minLen, maxLen, (1L << maskBits) - 1))
+
+  /** 256 random longs from a fixed seed — the gear table (shared, immutable). */
+  private[functions] val Gear: Array[Long] = {
+    val rnd = new java.util.Random(0x67726166745F6364L) // "graft_cd"
+    Array.fill(256)(rnd.nextLong())
+  }
+
+  /** Chunk boundaries over the UTF-8 BYTES (content alignment must not
+    * depend on charset decoding); each chunk fingerprinted with the same
+    * xxhash64 Spark's `xxhash64` uses.
+    */
+  def compute(text: UTF8String, minLen: Int, maxLen: Int, mask: Long): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[Long](math.max(4, n / ((minLen + maxLen) / 2)))
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + Gear(bytes(i) & 0xFF)
+      val len = i - start + 1
+      val boundary = (len >= minLen && (h & mask) == 0L) || len >= maxLen
+      if (boundary) {
+        out += XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, len, 42L)
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < n) {
+      out += XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, n - start, 42L)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Reference implementation over a plain String (spec cross-check). */
+  def chunksOf(s: String, minLen: Int, maxLen: Int, mask: Long): Seq[String] = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + Gear(bytes(i) & 0xFF)
+      val len = i - start + 1
+      val boundary = (len >= minLen && (h & mask) == 0L) || len >= maxLen
+      if (boundary) {
+        out += new String(bytes, start, len, java.nio.charset.StandardCharsets.UTF_8)
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < bytes.length)
+      out += new String(bytes, start, bytes.length - start, java.nio.charset.StandardCharsets.UTF_8)
+    out.toSeq
+  }
+}

@@ -499,6 +499,40 @@ object Dedup {
       )
   }
 
+  /** Content-defined chunk fingerprints ([[graft.functions.CdcChunksExpr]]):
+    * boundaries chosen by a gear rolling hash, so an insertion re-aligns at
+    * the next content boundary instead of shifting every downstream chunk —
+    * the insert-robust upgrade over fixed [[passages]].
+    */
+  def cdcChunks(text: Column, minLen: Int = 32, maxLen: Int = 256, maskBits: Int = 6): Column =
+    graft.functions.CdcChunksExpr.column(text, minLen, maxLen, maskBits)
+
+  /** [[passageShareStats]] over CDC chunks: per doc, distinct chunk count
+    * and how many of those chunks appear in other docs. Only 64-bit chunk
+    * fingerprints cross the exchanges — chunk text never shuffles.
+    */
+  def cdcShareStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minLen: Int = 32,
+      maxLen: Int = 256,
+      maskBits: Int = 6
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("c"))
+    docs
+      .select(
+        col(idCol).as("id"),
+        explode(array_distinct(cdcChunks(col(textCol), minLen, maxLen, maskBits))).as("c")
+      )
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared")
+      )
+  }
+
   // ------------------------------------- md5-anchored fingerprints (oracle)
 
   /** 32-bit hash from the md5 hex prefix — portable across engines (the

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CdcChunksExpr
+import graft.ops.Dedup
+
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val mask = (1L << 6) - 1
+
+  private def doc(seed: Int, words: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta", "kappa")
+    Seq.fill(words)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+  }
+
+  test("expression matches the reference chunker; chunks reassemble the doc") {
+    val text = doc(1, 400)
+    val viaExpr = Seq(text).toDF("text")
+      .select(Dedup.cdcChunks($"text").as("c"))
+      .as[Seq[Long]].head()
+    val refChunks = CdcChunksExpr.chunksOf(text, 32, 256, mask)
+    assert(refChunks.mkString("") == text) // lossless partition
+    assert(refChunks.forall(c => c.length <= 256))
+    // expression hashes = xxhash64 of each reference chunk
+    val refHashes = Seq.tabulate(refChunks.length)(i => refChunks(i))
+      .toDF("chunk").select(xxhash64($"chunk")).as[Long].collect().toSeq
+    assert(viaExpr == refHashes)
+  }
+
+  test("insert-robustness: an edit changes O(1) chunks, fixed passages shift everywhere") {
+    val base = doc(2, 600)
+    // insert a word near the front
+    val edited = {
+      val toks = base.split(" ").toVector
+      (toks.take(5) :+ "INSERTED").++(toks.drop(5)).mkString(" ")
+    }
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val cdc = df.select($"doc_id", explode(Dedup.cdcChunks($"text")).as("c"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cdcShared = (cdc(1L) & cdc(2L)).size.toDouble / cdc(1L).size
+    val fixed = df.select($"doc_id", explode(array_distinct(Dedup.passages($"text", 5))).as("p"))
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val fixedShared = (fixed(1L) & fixed(2L)).size.toDouble / fixed(1L).size
+    // CDC retains most chunk identities across the edit; fixed passages
+    // lose (almost) everything after the insertion point. (The fixed form
+    // can collide on repeated vocab, so just require a wide margin.)
+    assert(cdcShared >= 0.8, s"cdc shared $cdcShared")
+    assert(cdcShared > fixedShared + 0.2, s"cdc $cdcShared vs fixed $fixedShared")
+  }
+
+  test("cdcShareStats: duplicated docs share all chunks, unique docs none") {
+    val a = doc(3, 300)
+    val df = Seq((1L, a), (2L, a), (3L, doc(4, 300))).toDF("doc_id", "text")
+    val got = Dedup.cdcShareStats(df)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L)._1 == got(1L)._2) // all chunks shared
+    // doc 3 shares nothing with high probability (different word stream);
+    // allow a stray collision chunk
+    assert(got(3L)._2 <= 1)
+  }
+}
