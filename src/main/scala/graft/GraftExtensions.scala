@@ -164,6 +164,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     ext.injectFunction(
       (
+        new FunctionIdentifier("cdc_chunks"),
+        new ExpressionInfo(
+          classOf[graft.functions.CdcChunksExpr].getName,
+          null,
+          "cdc_chunks",
+          "cdc_chunks(text[, minLen, maxLen, maskBits]) - content-defined chunk fingerprints (array<bigint>)",
+          ""
+        ),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(text) => graft.functions.CdcChunksExpr(text, 32, 256, (1L << 6) - 1)
+            case Seq(text, mn, mx, mb) =>
+              graft.functions.CdcChunksExpr(
+                text, intArg(mn, "minLen"), intArg(mx, "maxLen"),
+                (1L << intArg(mb, "maskBits")) - 1)
+            case _ => throw new IllegalArgumentException("cdc_chunks expects 1 or 4 arguments")
+          }
+      )
+    )
+    ext.injectFunction(
+      (
         new FunctionIdentifier("pii_redact"),
         new ExpressionInfo(
           classOf[GraftExtensions].getName,

@@ -80,6 +80,53 @@ object StreamingDedup {
       )
   }
 
+  /** Streaming exact-substring (CDC chunk) claims — same claim protocol as
+    * [[bandClaims]] but keyed by content-defined chunk fingerprints
+    * ([[graft.ops.Dedup.cdcChunks]]): the first doc to stream a chunk owns
+    * it; later docs LOSE that chunk (their novel-content fraction drops).
+    * Resolution differs from near-dup banding: a doc is boilerplate-heavy,
+    * not duplicate, when MOST of its chunks are lost — aggregate the claim
+    * stream per doc and threshold on the lost fraction downstream.
+    */
+  def chunkClaims(
+      docStream: DataFrame,
+      idCol: String,
+      textCol: String,
+      ttlMinutes: Int,
+      minLen: Int = 32,
+      maxLen: Int = 256,
+      maskBits: Int = 6
+  ): org.apache.spark.sql.Dataset[StreamingDedup.BandClaim] = {
+    import docStream.sparkSession.implicits._
+    docStream
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        graft.ops.Dedup.cdcChunks(col(textCol), minLen, maxLen, maskBits).as("cs")
+      )
+      .select(col("doc_id"), explode(array_distinct(col("cs"))).as("chunk_hash"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .transformWithState(
+        new BandClaimProcessor(ttlMinutes),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update()
+      )
+  }
+
+  /** Per-doc novel-content fraction over one micro-batch of [[chunkClaims]]
+    * output (claims co-batch per doc): docs keeping at least `minNovel` of
+    * their chunks. Apply inside `foreachBatch`.
+    */
+  def novelDocs(claimsBatch: DataFrame, minNovel: Double): DataFrame =
+    claimsBatch
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("lost"), 0L).otherwise(1L)).as("n_novel")
+      )
+      .filter(col("n_novel") >= col("n_chunks") * minNovel)
+      .select(col("doc_id"), col("n_chunks"), col("n_novel"))
+
   /** Per-doc resolution over one micro-batch of [[bandClaims]] output:
     * docs that lost no bucket. Apply inside `foreachBatch` (all of a doc's
     * claims co-batch).

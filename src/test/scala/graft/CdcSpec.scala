@@ -54,6 +54,75 @@ class CdcSpec extends AnyFunSuite {
     assert(cdcShared > fixedShared + 0.2, s"cdc $cdcShared vs fixed $fixedShared")
   }
 
+  test("streaming chunkClaims: repeat content loses its chunks, novel docs survive") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val a = doc(10, 400)
+    val b = doc(11, 400)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val claims = graft.streaming.StreamingDedup.chunkClaims(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", ttlMinutes = 60)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Map[Long, (Long, Long)]]
+    val q = claims.toDF().writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = graft.streaming.StreamingDedup.novelDocs(batch, minNovel = 0.5)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        if (rows.nonEmpty) batches.synchronized { batches += rows.toMap }
+        ()
+      }
+      .start()
+    // processAllAvailable starves under processing-time TTL (continual
+    // batch scheduling) — poll the collected batches instead.
+    def awaitBatches(n: Int): Unit = {
+      val deadline = System.nanoTime() + 90_000_000_000L
+      while (batches.synchronized(batches.size) < n && System.nanoTime() < deadline)
+        Thread.sleep(200)
+    }
+    try {
+      input.addData(Seq((1L, a)))
+      awaitBatches(1)
+      input.addData(Seq((2L, a), (3L, b))) // doc 2 repeats doc 1's content
+      awaitBatches(2)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val all = batches.synchronized(batches.toList)
+    assert(all.nonEmpty)
+    val later = all.last
+    assert(later.contains(3L) && !later.contains(2L), s"got $later")
+  }
+
+  test("cdc_chunks registered as a SQL function") {
+    val shared = TestSpark.spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("graft-cdc-sql")
+      .withExtensions(new GraftExtensions())
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val text = doc(12, 200)
+      Seq(text).toDF("text").createOrReplaceTempView("cdc_docs")
+      val viaSql = s2.sql("SELECT cdc_chunks(text) AS c FROM cdc_docs").as[Seq[Long]].head()
+      val viaCol = Seq(text).toDF("text").select(Dedup.cdcChunks($"text")).as[Seq[Long]].head()
+      assert(viaSql == viaCol)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+    }
+  }
+
   test("cdcShareStats: duplicated docs share all chunks, unique docs none") {
     val a = doc(3, 300)
     val df = Seq((1L, a), (2L, a), (3L, doc(4, 300))).toDF("doc_id", "text")
