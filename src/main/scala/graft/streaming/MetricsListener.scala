@@ -1,0 +1,74 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Structured-streaming observability: a `StreamingQueryListener` that
+  * captures per-micro-batch health metrics — input volume, processing
+  * rate, event-time watermark, and state-store footprint — into a bounded
+  * in-memory buffer, queryable as a DataFrame.
+  *
+  * This is the signal an operator watches at scale: rate vs. admission
+  * (falling behind?), watermark lag (late data horizon moving?), state
+  * rows (leak or unbounded key space?). The buffer is bounded (`keep`
+  * batches, FIFO) so the listener itself cannot leak.
+  */
+class MetricsListener(keep: Int = 1000) extends StreamingQueryListener {
+  import MetricsListener.BatchMetrics
+
+  private val buf = mutable.Queue.empty[BatchMetrics]
+
+  override def onQueryStarted(event: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(event: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(event: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = event.progress
+    val state = Option(p.stateOperators).toSeq.flatten
+    val m = BatchMetrics(
+      queryName = Option(p.name).getOrElse(p.id.toString),
+      batchId = p.batchId,
+      inputRows = p.numInputRows,
+      processedRowsPerSec = p.processedRowsPerSecond,
+      batchDurationMs = p.batchDuration,
+      watermark = Option(p.eventTime.get("watermark")).getOrElse(""),
+      stateRows = state.map(_.numRowsTotal).sum,
+      stateBytes = state.map(_.memoryUsedBytes).sum
+    )
+    buf.synchronized {
+      buf.enqueue(m)
+      while (buf.size > keep) buf.dequeue()
+    }
+  }
+
+  def snapshot: Seq[BatchMetrics] = buf.synchronized(buf.toSeq)
+
+  /** Captured metrics as a DataFrame (driver-side buffer — bounded). */
+  def toDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    snapshot.toDF()
+  }
+}
+
+object MetricsListener {
+
+  final case class BatchMetrics(
+      queryName: String,
+      batchId: Long,
+      inputRows: Long,
+      processedRowsPerSec: Double,
+      batchDurationMs: Long,
+      watermark: String,
+      stateRows: Long,
+      stateBytes: Long
+  )
+
+
+  /** Attach a fresh listener to the session; caller owns removal. */
+  def attach(spark: SparkSession, keep: Int = 1000): MetricsListener = {
+    val l = new MetricsListener(keep)
+    spark.streams.addListener(l)
+    l
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.MetricsListener
+
+class MetricsListenerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("captures input volume, watermark, and state footprint per batch") {
+    implicit val ctx = spark.sqlContext
+    val listener = MetricsListener.attach(spark, keep = 50)
+    val input = MemoryStream[(Long, Long)]
+    val agg = input.toDF().toDF("user", "ts")
+      .withColumn("event_time", timestamp_millis($"ts"))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window($"event_time", "10 minutes"), $"user")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("ml_out")
+      .outputMode("update").start()
+    try {
+      input.addData(Seq((1L, 3600000L), (2L, 3660000L)))
+      q.processAllAvailable()
+      input.addData(Seq((1L, 7200000L)))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+    // listener events are async — poll briefly
+    val deadline = System.nanoTime() + 30_000_000_000L
+    while (listener.snapshot.count(_.inputRows > 0) < 2 && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    val rows = listener.snapshot.filter(_.queryName == "ml_out")
+    assert(rows.count(_.inputRows > 0) >= 2)
+    assert(rows.map(_.inputRows).sum == 3)
+    assert(rows.exists(_.stateRows > 0), "stateful agg must report state rows")
+    assert(rows.exists(_.watermark.nonEmpty), "watermark must surface after batch 1")
+    val df = listener.toDF(spark)
+    assert(df.columns.contains("processedRowsPerSec") && df.count() == rows.size)
+  }
+}
