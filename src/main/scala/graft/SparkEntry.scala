@@ -731,6 +731,35 @@ object SparkEntry {
         )
         .select(col("doc_id"), col("lang"))
     },
+    "curation_pipeline_v2" -> { (s, dir) =>
+      // The full round-3 curation chain as ONE composed plan: exact dedup
+      // (min-id survivor) → PII redaction → linear quality gate (logit > 0
+      // on the redacted text) → per-language stratified sampling. One scan,
+      // one dedup exchange, everything else map-side; every stage is
+      // individually oracle-checked and the composition is too.
+      val deduped = Dedup.dropExactDuplicates(table(s, dir, "documents"))
+      val clean = deduped.select(
+        col("doc_id"),
+        col("lang"),
+        TextAnalysis.piiRedact(col("text")).as("clean")
+      )
+      val gated = clean
+        .select(
+          col("doc_id"),
+          col("lang"),
+          TextAnalysis.qualityLogit(col("clean"), length(col("clean"))).as("logit_micro")
+        )
+        .filter(col("logit_micro") > 0)
+      graft.ops.Sampling
+        .stratifiedSample(
+          gated,
+          keyCol = "doc_id",
+          strataCol = "lang",
+          rates = Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.25),
+          seed = "cur3"
+        )
+        .select(col("doc_id"), col("lang"), col("logit_micro"))
+    },
     "cdc_share_stats" -> { (s, dir) =>
       // Content-defined chunking share stats: insert-robust exact-substring
       // dedup signal (gear rolling-hash boundaries → no SQL oracle; the
@@ -1503,6 +1532,48 @@ object SparkEntry {
         |              WHEN 'es' THEN 1073741824
         |              WHEN 'fr' THEN 429496729
         |              ELSE 0 END""".stripMargin,
+    "curation_pipeline_v2" ->
+      """WITH survivors AS (
+        |  SELECT doc_id, lang, text,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), cleaned AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g'),
+        |      '\b\d{7,}\b', '[PII]', 'g') AS clean
+        |  FROM survivors WHERE rn = 1
+        |), f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(clean) AS INT) AS n_chars,
+        |    CAST(len(regexp_extract_all(clean, '\S+')) AS INT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(clean, '[.,!?;:]')) AS INT) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(clean), '\s+'), t -> list_contains(['the','and','of','to','in','is'], t))) AS INT) AS n_stop,
+        |    CAST(len(list_distinct(string_split_regex(lower(clean), '\s+'))) AS INT) AS n_distinct
+        |  FROM cleaned
+        |), scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor((
+        |      -1.5
+        |      + (least(n_tokens, 200) / 200.0) * 2.0
+        |      + (n_stop * 4.0 / greatest(n_tokens, 1)) * 3.0
+        |      + (n_punct * 10.0 / greatest(n_chars, 1)) * -4.0
+        |      + (n_distinct / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 1.5
+        |    ) * 1000000.0 + 0.5) AS BIGINT) AS logit_micro
+        |  FROM f
+        |)
+        |SELECT doc_id, lang, logit_micro
+        |FROM scored
+        |WHERE logit_micro > 0
+        |  AND CAST(('0x' || substr(md5('cur3' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    < CASE lang WHEN 'de' THEN 2147483648
+        |                WHEN 'en' THEN 4294967296
+        |                WHEN 'es' THEN 2147483648
+        |                WHEN 'fr' THEN 2147483648
+        |                WHEN 'zh' THEN 1073741824
+        |                ELSE 0 END""".stripMargin,
     "quality_logit" ->
       """WITH f AS (
         |  SELECT doc_id,
