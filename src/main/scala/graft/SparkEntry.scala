@@ -731,6 +731,27 @@ object SparkEntry {
         )
         .select(col("doc_id"), col("lang"))
     },
+    "ann_ivf_topk_indexed" -> { (s, dir) =>
+      // Index-once-query-many ANN: the corpus lives partitioned by coarse
+      // centroid (built once per scale factor into the warehouse, like the
+      // bucketed fact tables); each query batch scans only its nprobe
+      // partitions (PartitionFilters — see SimilaritySpec). Same rows-only
+      // class as ann_ivf_topk (recall < 1 by design); identity with the
+      // scan-side form is spec-asserted.
+      val emb = table(s, dir, "embeddings")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_${math.abs(dir.hashCode)}")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val centroids =
+        if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")))
+          // training is seeded + deterministic — retraining reproduces the
+          // index's centroids without touching the corpus layout
+          Similarity.trainIvfCentroids(emb, nCentroids = 16, seed = 11L)
+        else
+          Similarity.buildIvfIndex(emb, loc.toString, nCentroids = 16, seed = 11L)
+      Similarity.ivfTopKIndexed(
+        s, loc.toString, centroids, emb.filter(col("vec_id") < 8), k = 5)
+    },
     "curation_pipeline_v2" -> { (s, dir) =>
       // The full round-3 curation chain as ONE composed plan: exact dedup
       // (min-id survivor) → PII redaction → linear quality gate (logit > 0

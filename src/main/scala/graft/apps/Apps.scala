@@ -172,3 +172,50 @@ object LeaderBoardApp {
     spark.stop()
   }
 }
+
+/** Batch corpus curation (the training-data side's entry point): exact
+  * dedup → PII redaction → quality-logit gate → per-language stratified
+  * sampling — the composed `curation_pipeline_v2` plan — written as
+  * parquet. Options: `--input=<docs.parquet>` `--output=<dir>`
+  * [`--minLogit=0`] [`--rates=en:1.0,de:0.5,...`] [`--seed=cur3`].
+  */
+object CurateApp {
+  def run(
+      spark: SparkSession,
+      input: String,
+      output: String,
+      minLogitMicro: Long = 0L,
+      rates: Map[String, Double] = Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.25),
+      seed: String = "cur3"
+  ): Unit = {
+    val docs = spark.read.parquet(input)
+    val deduped = graft.ops.Dedup.dropExactDuplicates(docs)
+    val cleaned = deduped.withColumn("text", graft.ops.TextAnalysis.piiRedact(col("text")))
+    val gated = cleaned
+      .withColumn(
+        "logit_micro",
+        graft.ops.TextAnalysis.qualityLogit(col("text"), length(col("text")))
+      )
+      .filter(col("logit_micro") > minLogitMicro)
+    graft.ops.Sampling
+      .stratifiedSample(gated, keyCol = "doc_id", strataCol = "lang", rates = rates, seed = seed)
+      .write.mode("overwrite").parquet(output)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = Apps.argMap(args)
+    val rates = opts.get("rates")
+      .map(_.split(",").map { kv => val Array(k, v) = kv.split(":"); k -> v.toDouble }.toMap)
+      .getOrElse(Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.5, "zh" -> 0.25))
+    val spark = GraftSession.local(appName = "curate")
+    try run(
+      spark,
+      opts("input"),
+      opts("output"),
+      opts.getOrElse("minLogit", "0").toLong,
+      rates,
+      opts.getOrElse("seed", "cur3")
+    )
+    finally spark.stop()
+  }
+}

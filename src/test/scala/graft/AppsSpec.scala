@@ -25,6 +25,21 @@ class AppsSpec extends AnyFunSuite {
     (path, Injector.generate(cfg, n).flatMap(_.event))
   }
 
+  test("CurateApp: dedup + redact + gate + sample end-to-end, parquet out") {
+    val in = "/root/testdata/sf0.001/documents.parquet"
+    val out = tmp() + "/curated"
+    graft.apps.CurateApp.run(spark, in, out)
+    val got = spark.read.parquet(out)
+    assert(got.columns.contains("logit_micro") && got.columns.contains("text"))
+    val n = got.count()
+    assert(n > 0)
+    // matches the registered composed query's survivors exactly
+    val expected = SparkEntry.queries("curation_pipeline_v2")(spark, "/root/testdata/sf0.001")
+      .select("doc_id").as[Long].collect().toSet
+    val gotIds = got.select("doc_id").as[Long].collect().toSet
+    assert(gotIds == expected)
+  }
+
   test("UserScoreApp: file in, formatted per-user totals out") {
     val (input, events) = writeEvents(2000)
     val out = tmp() + "/user-out"
