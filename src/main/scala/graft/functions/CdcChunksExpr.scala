@@ -60,8 +60,16 @@ object CdcChunksExpr {
     Array.fill(256)(rnd.nextLong())
   }
 
+  /** True iff a cut AFTER byte i keeps every chunk a well-formed UTF-8
+    * sequence: the next byte must not be a continuation byte.
+    */
+  @inline private def codepointEnd(bytes: Array[Byte], i: Int): Boolean =
+    i + 1 >= bytes.length || (bytes(i + 1) & 0xC0) != 0x80
+
   /** Chunk boundaries over the UTF-8 BYTES (content alignment must not
-    * depend on charset decoding); each chunk fingerprinted with the same
+    * depend on charset decoding), cuts deferred to codepoint ends so every
+    * chunk is itself valid UTF-8 (a forced `maxLen` cut may run over by up
+    * to 3 continuation bytes); each chunk fingerprinted with the same
     * xxhash64 Spark's `xxhash64` uses.
     */
   def compute(text: UTF8String, minLen: Int, maxLen: Int, mask: Long): ArrayData = {
@@ -74,7 +82,8 @@ object CdcChunksExpr {
     while (i < n) {
       h = (h << 1) + Gear(bytes(i) & 0xFF)
       val len = i - start + 1
-      val boundary = (len >= minLen && (h & mask) == 0L) || len >= maxLen
+      val boundary =
+        ((len >= minLen && (h & mask) == 0L) || len >= maxLen) && codepointEnd(bytes, i)
       if (boundary) {
         out += XXH64.hashUnsafeBytes(
           bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, len, 42L)
@@ -100,7 +109,8 @@ object CdcChunksExpr {
     while (i < bytes.length) {
       h = (h << 1) + Gear(bytes(i) & 0xFF)
       val len = i - start + 1
-      val boundary = (len >= minLen && (h & mask) == 0L) || len >= maxLen
+      val boundary =
+        ((len >= minLen && (h & mask) == 0L) || len >= maxLen) && codepointEnd(bytes, i)
       if (boundary) {
         out += new String(bytes, start, len, java.nio.charset.StandardCharsets.UTF_8)
         start = i + 1

@@ -1,0 +1,152 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CdcChunksExpr
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Property-based coverage (SURVEY §5 point 2): randomized inputs against
+  * executable reference semantics. Pure-JVM properties run through
+  * ScalaCheck directly; DataFrame-level round-trips run one generated
+  * batch per property (a Spark job per ScalaCheck case would be O(100)
+  * session round-trips for no extra coverage).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("morton z-value: interleave/deinterleave bijection on 16-bit pairs") {
+    def deinterleave(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      for (i <- 0 until 16) {
+        x |= ((z >>> (2 * i)) & 1L) << i
+        y |= ((z >>> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    def morton(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((x >>> i) & 1L) << (2 * i)
+        z |= ((y >>> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val coord = Gen.chooseNum(0L, 0xFFFFL)
+    check(Prop.forAll(coord, coord) { (x, y) => deinterleave(morton(x, y)) == ((x, y)) })
+  }
+
+  test("cdc chunker: lossless partition, maxLen bound, determinism — any string") {
+    val mask = (1L << 5) - 1
+    val anyText = Gen.frequency(
+      3 -> Gen.asciiPrintableStr,
+      1 -> Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '), Gen.const('é'), Gen.const('中')))
+        .map(_.mkString)
+    )
+    check(Prop.forAll(anyText) { s =>
+      val chunks = CdcChunksExpr.chunksOf(s, 8, 64, mask)
+      val lossless = chunks.mkString("") == s
+      // a forced maxLen cut may defer up to 3 bytes to the codepoint end
+      val bounded = chunks.forall(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= 64 + 3)
+      val deterministic = chunks == CdcChunksExpr.chunksOf(s, 8, 64, mask)
+      lossless && bounded && deterministic
+    })
+  }
+
+  test("Misra-Gries: heavy hitters survive any partitioning and merge order") {
+    val agg = new graft.functions.FreqItemsAgg(10)
+    val items = Gen.listOfN(500, Gen.frequency(4 -> Gen.const("hot"), 6 -> Gen.choose(0, 200).map("c" + _)))
+    val chunkSize = Gen.choose(1, 200)
+    val seed = Gen.choose(0L, Long.MaxValue)
+    check(Prop.forAll(items, chunkSize, seed) { (xs, cs, sd) =>
+      val bufs = xs.grouped(cs).map(_.foldLeft(agg.zero)(agg.reduce)).toList
+      val merged = new scala.util.Random(sd).shuffle(bufs).reduceOption(agg.merge).getOrElse(agg.zero)
+      val exact = xs.groupMapReduce(identity)(_ => 1L)(_ + _)
+      val threshold = xs.size / 11
+      exact.filter(_._2 > threshold).keys.forall(merged.counts.contains) &&
+        merged.counts.size <= 10 &&
+        merged.counts.forall { case (k, c) => c <= exact.getOrElse(k, 0L) }
+    })
+  }
+
+  test("rolling hash: column form equals the Scala reference on random ascii") {
+    val texts = {
+      val params = Gen.Parameters.default
+      val seed = org.scalacheck.rng.Seed(42L)
+      Gen.listOfN(150, Gen.asciiPrintableStr).pureApply(params, seed)
+    }
+    val got = texts.toDF("t")
+      .select(TextAnalysis.rollingHashCol($"t")).as[Long].collect().toSeq
+    // ascii only: the column form folds over split("") code points, which
+    // matches per-char arithmetic for single-byte text
+    assert(got == texts.map(TextAnalysis.rollingHash))
+  }
+
+  test("parse(format(event)) round-trips for arbitrary comma-free fields") {
+    val field = Gen.nonEmptyListOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 1 -> Gen.const('_'), 1 -> Gen.const('-'))).map(_.mkString)
+    val eventGen = for {
+      u <- field; t <- field
+      score <- Gen.chooseNum(0, 1000000)
+      ts <- Gen.chooseNum(0L, 4102444800000L)
+    } yield (u, t, score, ts)
+    val events = {
+      val params = Gen.Parameters.default
+      val seed = org.scalacheck.rng.Seed(7L)
+      Gen.listOfN(300, eventGen).pureApply(params, seed)
+    }
+    val lines = events
+      .map { case (u, t, s, ts) => s"$u,$t,$s,$ts,${graft.model.GameEvent.formatMillis(ts)}" }
+      .toDF("value")
+    val parsed = graft.ops.Parse.parseGameEvents(lines)
+      .select($"user", $"team", $"score", $"timestamp")
+      .as[(String, String, Int, Long)]
+      .collect()
+      .toSet
+    assert(parsed == events.toSet)
+  }
+
+  test("tolerant parser on arbitrary garbage: parses or drops, never throws") {
+    val garbage = {
+      val params = Gen.Parameters.default
+      val seed = org.scalacheck.rng.Seed(99L)
+      Gen.listOfN(400, Gen.frequency(
+        3 -> Gen.asciiPrintableStr,
+        1 -> Gen.const(""),
+        1 -> Gen.const("a,b"),
+        1 -> Gen.const("a,b,notanumber,123"),
+        1 -> Gen.const("a,b,1,notatime"),
+        1 -> Gen.const(",,,,"),
+        1 -> Gen.const("x,y,2147483648,5") // int overflow → drop, not error
+      )).pureApply(params, seed)
+    }
+    val parsed = graft.ops.Parse.parseGameEvents(garbage.toDF("value"))
+    val n = parsed.count() // must not throw under ANSI mode
+    assert(n <= garbage.size)
+    // every surviving row has non-null required fields
+    assert(parsed.filter($"score".isNull || $"timestamp".isNull).count() == 0)
+  }
+
+  test("hash split: membership is a pure function — stable under any corpus") {
+    val ids = {
+      val params = Gen.Parameters.default
+      val seed = org.scalacheck.rng.Seed(5L)
+      Gen.listOfN(400, Gen.chooseNum(0L, 1000000L)).pureApply(params, seed)
+    }.distinct
+    val splits = Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1)
+    def assign(xs: Seq[Long]): Map[Long, String] =
+      graft.ops.Sampling.assignSplit(xs.toDF("id"), "id", splits, "p9")
+        .as[(Long, String)].collect().toMap
+    val whole = assign(ids)
+    val half = assign(ids.take(ids.size / 2))
+    assert(half.forall { case (k, v) => whole(k) == v })
+  }
+}
