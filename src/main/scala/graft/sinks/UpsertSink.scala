@@ -23,6 +23,12 @@ object UpsertSink {
   /** Upsert `batch` into `dir` partitioned by `partitionCol`: one row per
     * `keyCol` survives per table, the one with the greatest `versionCol`
     * (ties: batch row wins over stored row).
+    *
+    * CONTRACT: a key's partition value must be stable across versions
+    * (derive `partitionCol` from the key — creation date, hash bucket).
+    * The merge reads only the batch's partitions; if an update moved a key
+    * to a NEW partition, the stale copy in its old (untouched, unread)
+    * partition would survive as a duplicate.
     */
   def upsert(
       batch: DataFrame,
