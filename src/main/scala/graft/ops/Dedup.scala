@@ -474,13 +474,41 @@ object Dedup {
     ).otherwise(array().cast("array<string>"))
   }
 
+  /** 128-bit passage identities: per n-token group, a PAIR of xxhash64
+    * values hashed straight off the token slots — the passage string is
+    * never materialized (no concat_ws allocation) and never shuffled (16
+    * bytes cross the exchange instead of the ~n-word text). Two
+    * INDEPENDENT hashes (the second chains an extra literal so it is not a
+    * function of the first): two distinct passages collide only if both
+    * 64-bit hashes collide simultaneously — a 2^-128 birthday bound, the
+    * same "effectively injective" footing the md5-anchored oracles stand
+    * on. [[PassageQuantSpec]] pins hash-keyed [[passageShareStats]] output
+    * equal to a string-keyed evaluation of the same stats.
+    */
+  def passageHashes(text: Column, n: Int): Column = {
+    val toks = split(lower(text), "\\s+")
+    def slots(i: Column): Seq[Column] = (1 to n).map(j => element_at(toks, i * n + j))
+    when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(0), (size(toks) / n).cast("int") - 1),
+        i => struct(
+          xxhash64(slots(i): _*).as("h1"),
+          xxhash64(lit(7) +: slots(i): _*).as("h2")
+        )
+      )
+    ).otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>"))
+  }
+
   /** Cross-document passage sharing stats: per doc, how many of its distinct
     * passages also appear in at least one OTHER document. Plan: one explode
     * → per-passage occurrence count as a WINDOW over the exploded frame
     * (rows are (doc, passage)-distinct, so row count per passage = distinct
     * doc count; a groupBy + self-join would re-run the whole explode, since
     * DataFrame lineage has no common-subplan reuse) → per-doc rollup. Two
-    * exchanges total: passage hash, then doc id.
+    * exchanges total: passage identity, then doc id — and the identity that
+    * crosses the first exchange is the 16-byte [[passageHashes]] pair, not
+    * the passage text.
     */
   def passageShareStats(
       docs: DataFrame,
@@ -488,9 +516,9 @@ object Dedup {
       textCol: String = "text",
       n: Int = 5
   ): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ph.h1"), col("ph.h2"))
     docs
-      .select(col(idCol).as("id"), explode(array_distinct(passages(col(textCol), n))).as("p"))
+      .select(col(idCol).as("id"), explode(array_distinct(passageHashes(col(textCol), n))).as("ph"))
       .withColumn("n_docs", count(lit(1)).over(w))
       .groupBy(col("id").as(idCol))
       .agg(

@@ -46,6 +46,25 @@ class PassageQuantSpec extends AnyFunSuite {
     assert(got(3L) == ((1L, 0L)))
   }
 
+  test("passageShareStats: hash-pair keying matches a string-keyed evaluation") {
+    // The benched operator windows on the 128-bit passageHashes pair; this
+    // pins its output to the same stats computed with the passage STRING as
+    // the window key on real corpus text (the equivalence the 2^-128
+    // collision bound promises).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"p")
+    val viaString = docs
+      .select($"doc_id".as("id"), explode(array_distinct(Dedup.passages($"text", 5))).as("p"))
+      .withColumn("n_docs", count(lit(1)).over(w))
+      .groupBy($"id".as("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when($"n_docs" > 1, 1L).otherwise(0L)).as("n_shared"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val viaHash = Dedup.passageShareStats(docs)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(viaHash.nonEmpty && viaHash.sameElements(viaString))
+  }
+
   test("quantizeInt8Stats: q bounded by ±127, reconstruction error ≤ half step") {
     val rnd = new scala.util.Random(17)
     val df = Seq.tabulate(100)(i => (i.toLong, Array.fill(32)((rnd.nextDouble() * 2 - 1).toFloat)))
