@@ -22,11 +22,19 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).groupBy().count().collect()
     // Name-sorted: deterministic execution order keeps per-query numbers
     // comparable across rounds (warmup effects land on the same queries).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Each query runs TWICE (two full name-sorted passes, so pass-2 timings
+    // see a uniformly warm JVM) and reports the min: driver-side rounds have
+    // shown up to 6× one-off noise (GC, page-cache misses, codegen compiles
+    // landing mid-query) that a single sample can't distinguish from a real
+    // plan regression.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def pass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val p1 = pass().toMap
+    val results = pass().map { case (name, t2) => name -> math.min(p1(name), t2) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
