@@ -28,17 +28,35 @@ object Bench {
     // landing mid-query) that a single sample can't distinguish from a real
     // plan regression.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def pass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
+    // A pass records a time ONLY for queries that ran to completion: a
+    // transient failure must not contribute its (tiny) elapsed time to the
+    // min, which would silently mask both the failure and the true duration.
+    def pass(): Seq[(String, Option[Double])] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
     val p1 = pass().toMap
-    val results = pass().map { case (name, t2) => name -> math.min(p1(name), t2) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val p2 = pass()
+    val results = p2.map { case (name, t2) =>
+      name -> (p1(name).toSeq ++ t2.toSeq).sorted.headOption
+    }
+    val failed = results.collect { case (name, None) => name }
+    // 3dp (millisecond) precision: honest for wall-clock timings and keeps
+    // the JSON line short enough to survive the driver's tail-capture.
+    def f3(v: Double): String = "%.3f".format(v)
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + v.map(f3).getOrElse("null") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.flatMap(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // harness id: min-over-successful-passes-of-2 (rounds 1-3 were single
+    // pass — totals are not directly comparable; see BASELINE.md).
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v2","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }
