@@ -681,6 +681,32 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(Dedup.minhashMd5Signature(col("h"), 16)))
         .select(col("doc_id"), col("pos").cast("int").as("hash_i"), col("col").as("minhash"))
     },
+    "minhash_md5_pairs" -> { (s, dir) =>
+      // The FULL near-dup pair pipeline (shingle → MinHash signature → LSH
+      // bands → bucket pairs → exact-Jaccard verify) on portable md5
+      // hashes: the oracle reproduces banding, bucket cap, and verification
+      // bit-for-bit — hard evidence for the algorithm minhash_pairs runs
+      // with engine-native hashes.
+      Dedup
+        .minhashMd5Pairs(table(s, dir, "documents"))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    },
+    "neardup_clusters_md5" -> { (s, dir) =>
+      // Connected components over the md5-anchored pair set (threshold
+      // 0.8): min-label propagation on Spark, recursive-CTE closure in the
+      // oracle — the clustering stage of the near-dup chain under a full
+      // SQL oracle.
+      Dedup.nearDupClusters(Dedup.minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.8))
+    },
+    "neardup_corpus_md5" -> { (s, dir) =>
+      // End-to-end near-dup corpus dedup (pairs → clusters → min-id
+      // representatives survive) on portable hashes — the oracle twin of
+      // neardup_dedup_corpus.
+      val docs = table(s, dir, "documents")
+      Dedup
+        .dropNearDuplicates(docs, Dedup.minhashMd5Pairs(docs, threshold = 0.8))
+        .select(col("doc_id"))
+    },
     "embedding_quant" -> { (s, dir) =>
       // Symmetric int8 quantization stats — all-IEEE deterministic math,
       // fully oracle-checked including the reconstruction error bound.
@@ -823,6 +849,68 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
     }
   )
+
+  /** Shared oracle CTE chain for the md5-anchored near-dup pipeline: 3-gram
+    * shingles → one md5 per shingle → 64-member affine MinHash signatures →
+    * 16 band keys → bucket-capped candidate pairs → exact-Jaccard verify
+    * over the distinct md5 shingle-hash sets. Mirrors
+    * [[graft.ops.Dedup.minhashMd5Pairs]] stage for stage (same constants:
+    * affine family, 2^61-1 modulus, maxBucket 1000).
+    */
+  private val Md5NearDupCtes: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+      |), grams AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) >= 3
+      |      THEN list_distinct(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |      ELSE [] END AS g
+      |  FROM toks
+      |), ex AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(t.gram), 1, 8)) AS BIGINT) AS h
+      |  FROM grams, unnest(grams.g) AS t(gram)
+      |), hs AS (
+      |  SELECT doc_id, list_distinct(list(h)) AS hset FROM ex GROUP BY doc_id
+      |), sig AS (
+      |  SELECT doc_id, j.j AS j,
+      |    min(((((2654435761 * (j.j+1)) % 2147483647) | 1) * (h % 2147483647)
+      |      + ((40503 * (j.j+1) * (j.j+1)) % 2147483647)) % 2147483647) AS m
+      |  FROM ex, range(64) j(j) GROUP BY 1, 2
+      |), bandkey AS (
+      |  SELECT doc_id, j // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY j) AS bk
+      |  FROM sig GROUP BY doc_id, j // 4
+      |), bucket_ok AS (
+      |  SELECT band, bk FROM bandkey GROUP BY band, bk HAVING count(*) BETWEEN 2 AND 1000
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bucket_ok o
+      |  JOIN bandkey a ON a.band = o.band AND a.bk = o.bk
+      |  JOIN bandkey b ON b.band = o.band AND b.bk = o.bk AND a.doc_id < b.doc_id
+      |), pj AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_filter(ha.hset, x -> list_contains(hb.hset, x))) AS DOUBLE)
+      |      / len(list_distinct(list_concat(ha.hset, hb.hset))) AS jaccard
+      |  FROM cand JOIN hs ha ON ha.doc_id = cand.id_a JOIN hs hb ON hb.doc_id = cand.id_b
+      |)""".stripMargin
+
+  /** Connected components over the verified pairs at threshold 0.8 — a
+    * recursive-CTE transitive closure: every component label reaches every
+    * member through the symmetric edge set, so min(label) per node is the
+    * component minimum (the same contract as
+    * [[graft.ops.Dedup.nearDupClusters]]).
+    */
+  private val Md5ClusterCtes: String =
+    """good AS (
+      |  SELECT id_a, id_b FROM pj WHERE jaccard >= 0.8
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM good UNION SELECT id_b, id_a FROM good
+      |), nodes AS (
+      |  SELECT DISTINCT src AS id FROM edges
+      |), reach AS (
+      |  SELECT id, id AS lab FROM nodes
+      |  UNION
+      |  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "parse_roundtrip" ->
@@ -1496,10 +1584,23 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(j.j AS INT) AS hash_i,
         |  CAST(min(
-        |    ((((2654435761 * (j.j+1)) % 1073741824) | 1) * h
-        |      + ((40503 * (j.j+1) * (j.j+1)) % 1073741824)) % 2305843009213693951
+        |    ((((2654435761 * (j.j+1)) % 2147483647) | 1) * (h % 2147483647)
+        |      + ((40503 * (j.j+1) * (j.j+1)) % 2147483647)) % 2147483647
         |  ) AS BIGINT) AS minhash
         |FROM ex, range(16) j(j) GROUP BY 1, 2""".stripMargin,
+    "minhash_md5_pairs" ->
+      s"""$Md5NearDupCtes
+        |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM pj""".stripMargin,
+    "neardup_clusters_md5" ->
+      s"""$Md5NearDupCtes,
+        |$Md5ClusterCtes
+        |SELECT id, min(lab) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "neardup_corpus_md5" ->
+      s"""$Md5NearDupCtes,
+        |$Md5ClusterCtes,
+        |labels AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin,
     "embedding_quant" ->
       """WITH a AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -592,16 +592,22 @@ object Dedup {
     )
   }
 
-  /** Universal-family coefficients for [[minhashMd5Signature]]: fixed
-    * Knuth-style constants < 2^30, so `a*h + b` with a 32-bit `h` stays
-    * under 2^62 — no overflow under ANSI arithmetic in either engine.
+  /** Universal-family coefficients for [[minhashMd5Signature]] over the
+    * Mersenne prime p = 2^31-1: inputs reduce mod p first, so `a*h' + b`
+    * with a, b, h' < p stays under 2^62 (no overflow under ANSI arithmetic
+    * in either engine) while the final `mod p` wraps ~a times — a genuine
+    * permutation-like mix. (An earlier 2^61-1 modulus never wrapped for
+    * half the family — `a*h + b < p` made those members monotone in h, so
+    * every monotone member's argmin was the same global-min shingle and
+    * band recall collapsed; caught by DedupSpec's md5/xxhash agreement
+    * test.)
     */
-  def md5AffineA(j: Int): Long = (2654435761L * (j + 1)) % (1L << 30) | 1L
-  def md5AffineB(j: Int): Long = (40503L * (j + 1) * (j + 1)) % (1L << 30)
-  val Md5AffineMod: Long = (1L << 61) - 1
+  val Md5AffineMod: Long = (1L << 31) - 1
+  def md5AffineA(j: Int): Long = (2654435761L * (j + 1)) % Md5AffineMod | 1L
+  def md5AffineB(j: Int): Long = (40503L * (j + 1) * (j + 1)) % Md5AffineMod
 
   /** MinHash signature with an md5-seeded affine hash family: ONE portable
-    * md5 per shingle, member j = `(a_j·h + b_j) mod (2^61-1)`. Same
+    * md5 per shingle, member j = `(a_j·(h mod p) + b_j) mod p`, p = 2^31-1. Same
     * min-over-shingles structure as [[minhashSignatureFromHashes]], fully
     * oracle-checkable (md5 bytes and 62-bit integer arithmetic are engine-
     * independent) at 1/numHashes of the per-member hashing cost.
@@ -618,9 +624,91 @@ object Dedup {
   def minhashMd5Signature(hashes: Column, numHashes: Int): Column = {
     val perHash = (0 until numHashes).map { j =>
       array_min(transform(hashes, h =>
-        (lit(md5AffineA(j)) * h + lit(md5AffineB(j))) % lit(Md5AffineMod)))
+        (lit(md5AffineA(j)) * (h % lit(Md5AffineMod)) + lit(md5AffineB(j))) % lit(Md5AffineMod)))
     }
     when(size(hashes) > 0, array(perHash: _*)).otherwise(lit(null).cast("array<bigint>"))
+  }
+
+  /** Full md5-anchored near-duplicate PAIR pipeline — the oracle-checkable
+    * twin of [[minhashPairs]]: md5 shingle hashes → affine MinHash signature
+    * → banded LSH buckets → candidate pairs → exact-Jaccard verification
+    * over the md5 shingle-hash sets. Same staged plan shape as the xxhash64
+    * production form (ids-only bucket shuffle, array-expression pair
+    * generation, shingles recomputed only for candidate docs), but every
+    * hash is engine-portable, so a SQL oracle reproduces the result
+    * bit-for-bit — including the banding, the `maxBucket` degenerate-bucket
+    * cap, and the verification arithmetic.
+    *
+    * Feeds [[nearDupClusters]] / [[dropNearDuplicates]] unchanged, putting
+    * the whole pair → connected-components → corpus-dedup chain under the
+    * DuckDB oracle (recursive-CTE connected components on the same pairs).
+    */
+  def minhashMd5Pairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.0,
+      maxBucket: Int = 1000,
+      materialize: Boolean = true
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    // Three separate projections (hashes → signature → band keys): the
+    // signature references the hash column 64 times and the banding slices
+    // the signature 16 times — CollapseProject keeps multiply-referenced
+    // non-trivial aliases in their own projection, so each stage computes
+    // once (inlining would re-derive the md5 shingle pipeline per member).
+    val banded = docs
+      .select(col(idCol).as("id"), md5ShingleHashes(col(textCol), shingleN).as("h"))
+      .select(col("id"), minhashMd5Signature(col("h"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(
+        col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(
+            (lit(b).as("b") +: (1 to r).map(i => element_at(col("sig"), b * r + i).as(s"m$i"))): _*
+          )
+        }: _*)).as("bk")
+      )
+    // Bucket → pairs: one shuffle on the band key; pair generation stays in
+    // an array expression; buckets above maxBucket are dropped (degenerate
+    // boilerplate at web scale — and the oracle applies the same cap).
+    val pairs = banded
+      .groupBy(col("bk"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(orderedPairs(array_sort(col("ids")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Verification: md5 shingle-hash sets computed AFTER the join, for
+    // candidate docs only. Sets are explicitly distinct on both sides, so
+    // |union| = |a| + |b| - |intersect| holds in both engines.
+    val docsA = docs.select(col(idCol).as("id_a"), col(textCol).as("t_a"))
+    val docsB = docs.select(col(idCol).as("id_b"), col(textCol).as("t_b"))
+    val verified = pairs
+      .join(docsA, Seq("id_a"))
+      .join(docsB, Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        array_distinct(md5ShingleHashes(col("t_a"), shingleN)).as("ha"),
+        array_distinct(md5ShingleHashes(col("t_b"), shingleN)).as("hb")
+      )
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(array_union(col("ha"), col("hb")))).as("jaccard")
+      )
+      .filter(col("jaccard") >= threshold)
+    if (!materialize) verified
+    else
+      try verified.localCheckpoint(eager = true)
+      finally pairs.unpersist(blocking = false)
   }
 
   // --------------------------------------------------- n-gram Jaccard pairs

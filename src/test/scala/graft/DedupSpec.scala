@@ -191,6 +191,37 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("minhashMd5Pairs: md5-anchored pipeline agrees with exact jaccard and clusters like the xxhash form") {
+    val pairs = Dedup
+      .minhashMd5Pairs(docs, threshold = 0.3)
+      .as[(Long, Long, Double)]
+      .collect()
+      .map { case (a, b, j) => (a, b) -> j }
+      .toMap
+    // same dup structure the xxhash64 pipeline surfaces
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    // verification jaccard must equal exact md5 shingle-set jaccard for
+    // every surfaced pair (the oracle computes exactly this)
+    val exact = docs
+      .select($"doc_id".as("id"), array_distinct(Dedup.md5ShingleHashes($"text", 3)).as("hs"))
+      .as[(Long, Seq[Long])]
+      .collect()
+      .toMap
+    pairs.foreach { case ((a, b), j) =>
+      val (ha, hb) = (exact(a).toSet, exact(b).toSet)
+      assert(j == ha.intersect(hb).size.toDouble / ha.union(hb).size)
+    }
+    // full chain: md5 pairs drive cluster dedup identically to the xxhash
+    // pipeline on this corpus, and both CC algorithms agree on the labels
+    val md5Pairs = Dedup.minhashMd5Pairs(docs, threshold = 0.3)
+    val kept = Dedup.dropNearDuplicates(docs, md5Pairs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+    val prop = Dedup.nearDupClusters(md5Pairs).as[(Long, Long)].collect().toSet
+    val star = Dedup.nearDupClustersStar(md5Pairs).as[(Long, Long)].collect().toSet
+    assert(prop == star)
+  }
+
   test("wordShingles guard: short docs produce empty sets, null-safe signature") {
     val tiny = Seq((1L, "two words"), (2L, "one"), (3L, "")).toDF("doc_id", "text")
     val sh = tiny.select(Dedup.wordShingles($"text", 3)).as[Seq[String]].collect()
