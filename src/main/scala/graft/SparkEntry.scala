@@ -681,6 +681,19 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(Dedup.minhashMd5Signature(col("h"), 16)))
         .select(col("doc_id"), col("pos").cast("int").as("hash_i"), col("col").as("minhash"))
     },
+    "lsh_sig_md5" -> { (s, dir) =>
+      // Sign-of-projection LSH signatures on md5-derived ±1 planes with
+      // micro-quantized integer dot products — anchors the LSH bucketing
+      // family (ann_lsh_topk / cosine_neardup_lsh use the same
+      // sign-of-projection structure on Gaussian planes) to a full SQL
+      // oracle, plane generation included.
+      table(s, dir, "embeddings")
+        .filter(size(col("embedding")) === 64)
+        .select(
+          col("vec_id"),
+          graft.ops.Similarity.lshSigMd5(col("embedding"), nbits = 16, dim = 64).as("lsh_sig")
+        )
+    },
     "minhash_md5_pairs" -> { (s, dir) =>
       // The FULL near-dup pair pipeline (shingle → MinHash signature → LSH
       // bands → bucket pairs → exact-Jaccard verify) on portable md5
@@ -1588,6 +1601,23 @@ object SparkEntry {
         |      + ((40503 * (j.j+1) * (j.j+1)) % 2147483647)) % 2147483647
         |  ) AS BIGINT) AS minhash
         |FROM ex, range(16) j(j) GROUP BY 1, 2""".stripMargin,
+    "lsh_sig_md5" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE len(embedding) = 64
+        |), s AS (
+        |  SELECT j.j AS j, d.d AS d,
+        |    CASE WHEN (CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '-' || CAST(d.d AS VARCHAR)), 1, 8)) AS BIGINT) & 1) = 1
+        |      THEN 1 ELSE -1 END AS sg
+        |  FROM range(16) j(j), range(64) d(d)
+        |), proj AS (
+        |  SELECT q.vec_id, s.j, sum(s.sg * q.qv[s.d + 1]) AS p
+        |  FROM q, s GROUP BY 1, 2
+        |)
+        |SELECT vec_id,
+        |  CAST(sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS lsh_sig
+        |FROM proj GROUP BY 1""".stripMargin,
     "minhash_md5_pairs" ->
       s"""$Md5NearDupCtes
         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM pj""".stripMargin,

@@ -514,4 +514,39 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     topKPerQuery(candidates, k)
   }
+
+  /** ±1 sign planes derived from md5 — the engine-portable twin of the
+    * seeded-Gaussian [[hyperplanes]] family. Plane (j, d)'s sign is the low
+    * bit of the first 4 md5 bytes of the string "j-d": random-sign
+    * projections are a classic LSH family (Achlioptas-style sparse/sign
+    * random projections), and md5 is identical in every engine, so a SQL
+    * oracle reproduces the planes without any exported fixture.
+    */
+  private def md5SignPlanes(nbits: Int, dim: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nbits, dim) { (j, d) =>
+      val digest = md.digest(s"$j-$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if ((digest(3) & 1) == 1) 1L else -1L
+    }
+  }
+
+  /** md5-anchored sign-of-projection LSH signature, integer-exact: vector
+    * components quantize to micro-units (floor(x*1e6 + 0.5) — IEEE-exact
+    * identically in Spark and DuckDB), the per-bit dot product is then a
+    * signed 64-bit integer sum, and bit j is set iff that sum is positive.
+    * No float aggregate ever crosses the hash compare, so the signature —
+    * and with it the LSH bucket identity the ann_lsh/cosine_neardup_lsh
+    * family relies on — sits under a full SQL oracle. Null for vectors
+    * whose length differs from `dim` (same guard as [[lshSignature]]).
+    */
+  def lshSigMd5(vec: Column, nbits: Int, dim: Int): Column = {
+    val planes = md5SignPlanes(nbits, dim)
+    val qv = transform(asDouble(vec), x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit): _*)
+      val proj = aggregate(zip_with(qv, planeCol, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    when(size(vec) === dim, bits.reduce(_ bitwiseOR _))
+  }
 }

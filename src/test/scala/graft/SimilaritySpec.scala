@@ -232,4 +232,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(1)._2.isEmpty && rows(1)._3.isEmpty)
     assert(rows(2)._2.isEmpty && rows(2)._3.isEmpty)
   }
+
+  test("lshSigMd5 matches a local reference (md5 sign planes, micro-quantized dot), null on bad length") {
+    val dim = 8
+    val vecs = Seq(
+      (1, Array(0.5f, -1.25f, 3.0f, 0.001f, -0.002f, 7.5f, -0.75f, 0.25f)),
+      (2, Array.tabulate(dim)(d => (d - 3.5).toFloat)),
+      (3, Array.fill(dim)(0.0f)),
+      (4, Array.fill(dim - 2)(1.0f)) // malformed
+    )
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df
+      .select($"vec_id", Similarity.lshSigMd5($"embedding", nbits = 6, dim = dim).as("sig"))
+      .collect()
+      .map(r => r.getInt(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    // independent reference: same md5 contract ("j-d" -> first 4 bytes low bit)
+    val mdi = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d: Int): Long = {
+      val dig = mdi.digest(s"$j-$d".getBytes("UTF-8"))
+      if ((dig(3) & 1) == 1) 1L else -1L
+    }
+    vecs.filter(_._2.length == dim).foreach { case (id, v) =>
+      var expected = 0L
+      for (j <- 0 until 6) {
+        val proj = (0 until dim).map(d => math.floor(v(d).toDouble * 1e6 + 0.5).toLong * sign(j, d)).sum
+        if (proj > 0) expected |= (1L << j)
+      }
+      assert(got(id).contains(expected), s"vec $id")
+    }
+    assert(got(4).isEmpty)
+  }
 }
