@@ -1,0 +1,38 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Time a single registered query: `runMain graft.BenchOne <name> [sfDir] [reps]`.
+  * Same session config as [[Bench]]; prints one line per rep plus the min —
+  * the tight loop for optimizing one query without paying the full suite.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env
+      .getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).groupBy().count().collect()
+    val fn = SparkEntry.queries(name)
+    val times = (1 to reps).map { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"BENCHONE rep$i: $t%.3f s ($n rows)")
+      t
+    }
+    println(f"BENCHONE min: ${times.min}%.3f s")
+    spark.stop()
+  }
+}

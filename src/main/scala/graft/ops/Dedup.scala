@@ -485,8 +485,18 @@ object Dedup {
     * on. [[PassageQuantSpec]] pins hash-keyed [[passageShareStats]] output
     * equal to a string-keyed evaluation of the same stats.
     */
-  def passageHashes(text: Column, n: Int): Column = {
-    val toks = split(lower(text), "\\s+")
+  def passageHashes(text: Column, n: Int): Column =
+    passageHashesFromTokens(split(lower(text), "\\s+"), n)
+
+  /** [[passageHashes]] over a PRE-SPLIT token array column. Feed an
+    * attribute (tokens projected in their own select), not the split
+    * expression inline: the hash lambda reads the token array once per
+    * slot, and subexpression elimination does NOT reach across a lambda
+    * boundary inside a generator — an inline split re-runs the whole-text
+    * regex for every slot of every exploded passage (measured 12× on the
+    * sf0.1 corpus: 5.6 s → 0.46 s for the exploded frame).
+    */
+  def passageHashesFromTokens(toks: Column, n: Int): Column = {
     def slots(i: Column): Seq[Column] = (1 to n).map(j => element_at(toks, i * n + j))
     when(
       size(toks) >= n,
@@ -501,14 +511,24 @@ object Dedup {
   }
 
   /** Cross-document passage sharing stats: per doc, how many of its distinct
-    * passages also appear in at least one OTHER document. Plan: one explode
-    * → per-passage occurrence count as a WINDOW over the exploded frame
-    * (rows are (doc, passage)-distinct, so row count per passage = distinct
-    * doc count; a groupBy + self-join would re-run the whole explode, since
-    * DataFrame lineage has no common-subplan reuse) → per-doc rollup. Two
-    * exchanges total: passage identity, then doc id — and the identity that
-    * crosses the first exchange is the 16-byte [[passageHashes]] pair, not
-    * the passage text.
+    * passages also appear in at least one OTHER document.
+    *
+    * Plan — NO sort anywhere (the earlier window form sorted the whole
+    * exploded frame inside `count(*) OVER (PARTITION BY passage)`, the
+    * scale killer at 100×):
+    *   1. map-only per-doc `n_passages` (array size — no shuffle);
+    *   2. explode → hash-aggregate per passage to `(n_docs, min doc id)` —
+    *      ONE exchange of the exploded frame, partial-aggregated map-side,
+    *      carrying 16-byte [[passageHashes]] pairs, never passage text;
+    *   3. passages seen in exactly one doc belong to that doc (`min id` IS
+    *      the owner), so a per-doc count of singletons — a second, tiny
+    *      exchange — gives `n_unique`, and `n_shared = n_passages -
+    *      n_unique`;
+    *   4. one doc-granularity left join (broadcast/AQE-sized) stitches the
+    *      two per-doc frames.
+    * The corpus is scanned twice, but both passes are map-cheap: tokens are
+    * projected BEFORE the explode (see [[passageHashesFromTokens]] — the
+    * inline form re-ran the split regex per slot under a generator).
     */
   def passageShareStats(
       docs: DataFrame,
@@ -516,14 +536,28 @@ object Dedup {
       textCol: String = "text",
       n: Int = 5
   ): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ph.h1"), col("ph.h2"))
-    docs
-      .select(col(idCol).as("id"), explode(array_distinct(passageHashes(col(textCol), n))).as("ph"))
-      .withColumn("n_docs", count(lit(1)).over(w))
-      .groupBy(col("id").as(idCol))
-      .agg(
-        count(lit(1)).as("n_passages"),
-        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared")
+    val pre = docs.select(col(idCol).as("id"), split(lower(col(textCol)), "\\s+").as("toks"))
+    // Gate on the CHEAP equivalent predicate (≥ n tokens ⟺ ≥ 1 passage),
+    // not on the computed n_passages: a filter on the expensive alias gets
+    // pushed below the project with the alias inlined, re-running the
+    // split regex per lambda slot inside the predicate.
+    val base = pre
+      .filter(size(col("toks")) >= n)
+      .select(col("id"), size(array_distinct(passageHashesFromTokens(col("toks"), n))).cast("long").as("n_passages"))
+    val perPassage = pre
+      .select(col("id"), explode(array_distinct(passageHashesFromTokens(col("toks"), n))).as("ph"))
+      .groupBy(col("ph"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("one_id"))
+    val uniq = perPassage
+      .filter(col("n_docs") === 1)
+      .groupBy(col("one_id").as("id"))
+      .agg(count(lit(1)).as("n_unique"))
+    base
+      .join(uniq, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("n_passages"),
+        (col("n_passages") - coalesce(col("n_unique"), lit(0L))).as("n_shared")
       )
   }
 
@@ -547,17 +581,28 @@ object Dedup {
       maxLen: Int = 256,
       maskBits: Int = 6
   ): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("c"))
-    docs
+    // Same sort-free shape as [[passageShareStats]]: map-only per-doc chunk
+    // count + one partial-agged exchange of 64-bit fingerprints + a
+    // singleton rollup joined back at doc granularity. (cdcChunks is a
+    // single native codegen'd expression, so the double scan is cheap.)
+    val chunks = array_distinct(cdcChunks(col(textCol), minLen, maxLen, maskBits))
+    val base = docs
+      .select(col(idCol).as("id"), size(chunks).cast("long").as("n_chunks"))
+      .filter(col("n_chunks") > 0)
+    val perChunk = docs
+      .select(col(idCol).as("id"), explode(chunks).as("c"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("one_id"))
+    val uniq = perChunk
+      .filter(col("n_docs") === 1)
+      .groupBy(col("one_id").as("id"))
+      .agg(count(lit(1)).as("n_unique"))
+    base
+      .join(uniq, Seq("id"), "left")
       .select(
-        col(idCol).as("id"),
-        explode(array_distinct(cdcChunks(col(textCol), minLen, maxLen, maskBits))).as("c")
-      )
-      .withColumn("n_docs", count(lit(1)).over(w))
-      .groupBy(col("id").as(idCol))
-      .agg(
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared")
+        col("id").as(idCol),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_unique"), lit(0L))).as("n_shared")
       )
   }
 
