@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass md5-anchored MinHash signature: tokenize → word n-gram shingles →
+  * md5 per shingle (first 4 digest bytes as an unsigned 32-bit value) → the
+  * min over shingles of each affine family member `(a_j·(h mod p) + b_j) mod
+  * p`, p = 2^31-1 — a single codegen'd call per row.
+  *
+  * Bit-identical to the compositional pipeline
+  * `Dedup.minhashMd5Signature(Dedup.md5ShingleHashes(text, n), k)`
+  * (regression-spec'd in DedupSpec): the md5 byte stream is the same
+  * engine-portable anchor the SQL oracle computes, so this expression keeps
+  * the oracle-checkable near-dup pair pipeline at production speed — the
+  * interpreted higher-order form costs ~60µs/shingle/64-member signature;
+  * this loop runs the same math in ~0.3µs.
+  */
+case class MinhashMd5SigExpr(child: Expression, shingleN: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string child, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_md5_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashMd5Sig.compute(input.asInstanceOf[UTF8String], shingleN, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      $arrCls ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        ${ev.value} = graft.functions.MinhashMd5Sig.compute(${childGen.value}, $shingleN, $numHashes);
+        ${ev.isNull} = (${ev.value} == null);
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashMd5SigExpr =
+    copy(child = newChild)
+}
+
+/** Distinct md5 shingle-hash set (first-occurrence order) — the native twin
+  * of `array_distinct(Dedup.md5ShingleHashes(text, n))`, used on the
+  * verification side of the md5 pair pipeline where the interpreted
+  * higher-order form re-ran the tokenizer per lambda slot.
+  */
+case class Md5ShingleSetExpr(child: Expression, shingleN: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string child, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "md5_shingle_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashMd5Sig.computeSet(input.asInstanceOf[UTF8String], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      $arrCls ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        ${ev.value} = graft.functions.MinhashMd5Sig.computeSet(${childGen.value}, $shingleN);
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5ShingleSetExpr =
+    copy(child = newChild)
+}
+
+object MinhashMd5Sig {
+
+  private val Space = UTF8String.fromString(" ")
+  private val WhitespaceRe = UTF8String.fromString("\\s+")
+
+  /** Mersenne prime modulus shared with `Dedup.minhashMd5Signature` and the
+    * SQL oracles. See Dedup's scaladoc for why p must be small enough that
+    * `a·h' + b` wraps (a 2^61-1 modulus left half the family monotone).
+    */
+  val Mod: Long = (1L << 31) - 1
+  def affineA(j: Int): Long = (2654435761L * (j + 1)) % Mod | 1L
+  def affineB(j: Int): Long = (40503L * (j + 1) * (j + 1)) % Mod
+
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Column wrapper (classic-Spark session). */
+  def column(text: Column, shingleN: Int, numHashes: Int): Column =
+    ColumnBridge.column(MinhashMd5SigExpr(ColumnBridge.expression(text), shingleN, numHashes))
+
+  /** Column wrapper for the distinct shingle-hash set form. */
+  def setColumn(text: Column, shingleN: Int): Column =
+    ColumnBridge.column(Md5ShingleSetExpr(ColumnBridge.expression(text), shingleN))
+
+  /** Distinct md5 shingle hashes in first-occurrence order — matches
+    * `array_distinct(transform(wordShingles(text, n), md5Hash32))` exactly
+    * (empty array, not null, for short docs). Called from generated code.
+    */
+  def computeSet(text: UTF8String, shingleN: Int): ArrayData = {
+    val toks = text.toLowerCase.split(WhitespaceRe, -1)
+    val nShingles = toks.length - shingleN + 1
+    if (nShingles <= 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val md = digests.get()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val window = new Array[UTF8String](shingleN)
+    var i = 0
+    while (i < nShingles) {
+      var k = 0
+      while (k < shingleN) { window(k) = toks(i + k); k += 1 }
+      val digest = md.digest(UTF8String.concatWs(Space, window: _*).getBytes)
+      val h = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var n = 0
+    while (it.hasNext) { out(n) = it.next(); n += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Null when the text has fewer than `shingleN` whitespace tokens (mirrors
+    * the `wordShingles` empty-set guard); called from generated code.
+    */
+  def compute(text: UTF8String, shingleN: Int, numHashes: Int): ArrayData = {
+    val toks = text.toLowerCase.split(WhitespaceRe, -1)
+    val nShingles = toks.length - shingleN + 1
+    if (nShingles <= 0) return null
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) { as(j) = affineA(j); bs(j) = affineB(j); j += 1 }
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val md = digests.get()
+    val window = new Array[UTF8String](shingleN)
+    var i = 0
+    while (i < nShingles) {
+      var k = 0
+      while (k < shingleN) { window(k) = toks(i + k); k += 1 }
+      val digest = md.digest(UTF8String.concatWs(Space, window: _*).getBytes)
+      // first 8 hex chars = first 4 digest bytes, as an unsigned 32-bit value
+      // (the conv(substring(md5, 1, 8), 16, 10) contract of md5Hash32)
+      val h = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      val hp = h % Mod
+      j = 0
+      while (j < numHashes) {
+        val m = (as(j) * hp + bs(j)) % Mod
+        if (m < mins(j)) mins(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+}

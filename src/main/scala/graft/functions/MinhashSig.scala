@@ -101,6 +101,43 @@ case class MinhashBandsExpr(child: Expression, shingleN: Int, numHashes: Int, ba
     copy(child = newChild)
 }
 
+/** Distinct xxhash64 shingle-hash set (first-occurrence order) — native twin
+  * of `Dedup.shingleHashes(text, n)` (= xxhash64 over distinct word
+  * n-grams), for the exact-Jaccard verification side of the pair pipeline:
+  * the interpreted higher-order form re-runs the tokenizer per lambda slot
+  * and dominates candidate verification cost.
+  */
+case class ShingleSetExpr(child: Expression, shingleN: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string child, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinhashSig.computeSet(input.asInstanceOf[UTF8String], shingleN, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      $arrCls ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        ${ev.value} = graft.functions.MinhashSig.computeSet(${childGen.value}, $shingleN, ${seed}L);
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSetExpr =
+    copy(child = newChild)
+}
+
 object MinhashSig {
 
   private val Space = UTF8String.fromString(" ")
@@ -115,6 +152,38 @@ object MinhashSig {
     ColumnBridge.column(
       MinhashBandsExpr(ColumnBridge.expression(text), shingleN, numHashes, bands, seed)
     )
+
+  /** Column wrapper for the distinct shingle-hash set form (seed 42 = the
+    * `xxhash64` default, matching `Dedup.shingleHashes`).
+    */
+  def setColumn(text: Column, shingleN: Int): Column =
+    ColumnBridge.column(ShingleSetExpr(ColumnBridge.expression(text), shingleN, 42L))
+
+  /** Distinct shingle hashes in first-occurrence order — value-equal to
+    * `Dedup.shingleHashes(text, n)` as a SET (the compositional form hashes
+    * distinct shingles, so its array is distinct up to 2^-64 hash
+    * collisions; intersect/union set semantics coincide). Empty array, not
+    * null, for short docs. Called from generated code.
+    */
+  def computeSet(text: UTF8String, shingleN: Int, seed: Long): ArrayData = {
+    val toks = text.toLowerCase.split(WhitespaceRe, -1)
+    val nShingles = toks.length - shingleN + 1
+    if (nShingles <= 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val window = new Array[UTF8String](shingleN)
+    var i = 0
+    while (i < nShingles) {
+      var k = 0
+      while (k < shingleN) { window(k) = toks(i + k); k += 1 }
+      seen.add(XXH64.hashUTF8String(UTF8String.concatWs(Space, window: _*), seed))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var n = 0
+    while (it.hasNext) { out(n) = it.next(); n += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
 
   /** Null when the text has fewer than `shingleN` whitespace tokens (mirrors
     * the `wordShingles` empty-set guard); called from generated code.

@@ -184,8 +184,8 @@ object Dedup {
       .select(
         col("id_a"),
         col("id_b"),
-        shingleHashes(col("t_a"), shingleN).as("sh_a"),
-        shingleHashes(col("t_b"), shingleN).as("sh_b")
+        graft.functions.MinhashSig.setColumn(col("t_a"), shingleN).as("sh_a"),
+        graft.functions.MinhashSig.setColumn(col("t_b"), shingleN).as("sh_b")
       )
       .select(
         col("id_a"),
@@ -647,9 +647,9 @@ object Dedup {
     * band recall collapsed; caught by DedupSpec's md5/xxhash agreement
     * test.)
     */
-  val Md5AffineMod: Long = (1L << 31) - 1
-  def md5AffineA(j: Int): Long = (2654435761L * (j + 1)) % Md5AffineMod | 1L
-  def md5AffineB(j: Int): Long = (40503L * (j + 1) * (j + 1)) % Md5AffineMod
+  val Md5AffineMod: Long = graft.functions.MinhashMd5Sig.Mod
+  def md5AffineA(j: Int): Long = graft.functions.MinhashMd5Sig.affineA(j)
+  def md5AffineB(j: Int): Long = graft.functions.MinhashMd5Sig.affineB(j)
 
   /** MinHash signature with an md5-seeded affine hash family: ONE portable
     * md5 per shingle, member j = `(a_j·(h mod p) + b_j) mod p`, p = 2^31-1. Same
@@ -701,14 +701,15 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // Three separate projections (hashes → signature → band keys): the
-    // signature references the hash column 64 times and the banding slices
-    // the signature 16 times — CollapseProject keeps multiply-referenced
-    // non-trivial aliases in their own projection, so each stage computes
-    // once (inlining would re-derive the md5 shingle pipeline per member).
+    // Native one-pass signature ([[graft.functions.MinhashMd5Sig]] —
+    // bit-identical to the compositional md5ShingleHashes →
+    // minhashMd5Signature pipeline, spec-asserted), then band keys sliced
+    // off the materialized signature attribute in a second projection.
     val banded = docs
-      .select(col(idCol).as("id"), md5ShingleHashes(col(textCol), shingleN).as("h"))
-      .select(col("id"), minhashMd5Signature(col("h"), numHashes).as("sig"))
+      .select(
+        col(idCol).as("id"),
+        graft.functions.MinhashMd5Sig.column(col(textCol), shingleN, numHashes).as("sig")
+      )
       .filter(col("sig").isNotNull)
       .select(
         col("id"),
@@ -740,8 +741,8 @@ object Dedup {
       .select(
         col("id_a"),
         col("id_b"),
-        array_distinct(md5ShingleHashes(col("t_a"), shingleN)).as("ha"),
-        array_distinct(md5ShingleHashes(col("t_b"), shingleN)).as("hb")
+        graft.functions.MinhashMd5Sig.setColumn(col("t_a"), shingleN).as("ha"),
+        graft.functions.MinhashMd5Sig.setColumn(col("t_b"), shingleN).as("hb")
       )
       .select(
         col("id_a"),

@@ -222,6 +222,56 @@ class DedupSpec extends AnyFunSuite {
     assert(prop == star)
   }
 
+  test("native md5 minhash signature is bit-identical to the compositional pipeline") {
+    val sigs = docs
+      .select(
+        $"doc_id",
+        graft.functions.MinhashMd5Sig.column($"text", 3, 64).as("native"),
+        Dedup.md5ShingleHashes($"text", 3).as("h")
+      )
+      .select($"doc_id", $"native", Dedup.minhashMd5Signature($"h", 64).as("composed"))
+      .as[(Long, Seq[Long], Seq[Long])]
+      .collect()
+    assert(sigs.nonEmpty)
+    sigs.foreach { case (id, native, composed) => assert(native == composed, s"doc $id") }
+    // null guard parity on short docs
+    val tiny = Seq((1L, "two words"), (2L, "")).toDF("doc_id", "text")
+    val guards = tiny
+      .select(
+        graft.functions.MinhashMd5Sig.column($"text", 3, 8).as("native"),
+        Dedup.md5ShingleHashes($"text", 3).as("h")
+      )
+      .select($"native", Dedup.minhashMd5Signature($"h", 8).as("composed"))
+      .collect()
+    guards.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+  }
+
+  test("native shingle-hash sets equal the compositional forms (xxhash and md5)") {
+    val rows = docs
+      .select(
+        $"doc_id",
+        graft.functions.MinhashSig.setColumn($"text", 3).as("nx"),
+        Dedup.shingleHashes($"text", 3).as("cx"),
+        graft.functions.MinhashMd5Sig.setColumn($"text", 3).as("nm"),
+        array_distinct(Dedup.md5ShingleHashes($"text", 3)).as("cm")
+      )
+      .as[(Long, Seq[Long], Seq[Long], Seq[Long], Seq[Long])]
+      .collect()
+    rows.foreach { case (id, nx, cx, nm, cm) =>
+      assert(nx == cx, s"xxhash set, doc $id")
+      assert(nm == cm, s"md5 set, doc $id")
+    }
+    val tiny = Seq((1L, "two words")).toDF("doc_id", "text")
+    val t = tiny
+      .select(
+        graft.functions.MinhashSig.setColumn($"text", 3),
+        graft.functions.MinhashMd5Sig.setColumn($"text", 3)
+      )
+      .as[(Seq[Long], Seq[Long])]
+      .head()
+    assert(t._1.isEmpty && t._2.isEmpty)
+  }
+
   test("wordShingles guard: short docs produce empty sets, null-safe signature") {
     val tiny = Seq((1L, "two words"), (2L, "one"), (3L, "")).toDF("doc_id", "text")
     val sh = tiny.select(Dedup.wordShingles($"text", 3)).as[Seq[String]].collect()
