@@ -617,10 +617,13 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts_ms"), col("hot_event_id"), col("win_start"))
     },
     "media_byte_stats" -> { (s, dir) =>
-      // Codec-free byte-level media features (entropy / printable ratio /
-      // magic-byte MIME) — no SQL oracle (log2 histogram over blob bytes);
-      // semantics spec'd in MultimodalSpec.
-      Multimodal.byteStats(Multimodal.mediaFromDocuments(table(s, dir, "documents"))).toDF()
+      // Codec-free byte-level media features, integer-exact: distinct-byte
+      // count, Σc² collision statistic, printable-byte count, and entropy
+      // in micro-bits from the integer-histogram identity — the DuckDB
+      // oracle rebuilds the byte histogram from hex pairs of the same
+      // payload, so the whole feature set hash-compares. (The ratio/MIME
+      // form lives on as Multimodal.byteStats, spec'd in MultimodalSpec.)
+      Multimodal.byteStatsExact(Multimodal.mediaFromDocuments(table(s, dir, "documents"))).toDF()
     },
     "media_chunks" -> { (s, dir) =>
       val media = Multimodal.mediaFromDocuments(table(s, dir, "documents"))
@@ -1601,6 +1604,25 @@ object SparkEntry {
         |      + ((40503 * (j.j+1) * (j.j+1)) % 2147483647)) % 2147483647
         |  ) AS BIGINT) AS minhash
         |FROM ex, range(16) j(j) GROUP BY 1, 2""".stripMargin,
+    "media_byte_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents
+        |), bytes AS (
+        |  SELECT media_id, n, unnest(list_transform(range(0, n), i -> substr(hx, CAST(i*2+1 AS INT), 2))) AS byte
+        |  FROM b WHERE n > 0
+        |), hist AS (
+        |  SELECT media_id, any_value(n) AS n, byte, count(*) AS c
+        |  FROM bytes GROUP BY media_id, byte
+        |)
+        |SELECT media_id,
+        |  CAST(any_value(n) AS BIGINT) AS n_bytes,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(c*c) AS BIGINT) AS coincidence,
+        |  CAST(sum(CASE WHEN CAST('0x'||byte AS INT) BETWEEN 32 AND 126
+        |             OR CAST('0x'||byte AS INT) IN (9,10,13) THEN c ELSE 0 END) AS BIGINT) AS n_printable,
+        |  CAST(floor((log2(any_value(n)) - sum(c * log2(c))/any_value(n))*1000000.0 + 0.5) AS BIGINT) AS entropy_micro
+        |FROM hist GROUP BY media_id""".stripMargin,
     "lsh_sig_md5" ->
       """WITH q AS (
         |  SELECT vec_id,

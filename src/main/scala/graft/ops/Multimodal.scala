@@ -314,6 +314,66 @@ object Multimodal {
     }
   }
 
+  final case class ByteStatsExact(
+      media_id: Long,
+      n_bytes: Long,
+      n_distinct: Long,
+      coincidence: Long,
+      n_printable: Long,
+      entropy_micro: Long
+  )
+
+  /** Integer-exact byte features — the oracle-checkable form of
+    * [[byteStats]]: distinct byte count, collision statistic Σc² (the
+    * Rényi-2 entropy numerator, exact), printable-byte count, and Shannon
+    * entropy quantized to micro-bits via the integer-histogram identity
+    * `H = log2(n) - Σ c·log2(c) / n` — every input to the logs is an exact
+    * integer, so cross-engine drift is bounded by libm ulps, far below the
+    * 1e-6 quantum. Same single-histogram-pass mapPartitions shape as
+    * [[byteStats]]; rows with empty payloads are dropped (the SQL oracle's
+    * histogram has no rows for them).
+    */
+  def byteStatsExact(media: DataFrame): Dataset[ByteStatsExact] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val log2 = math.log(2.0)
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.flatMap { case (id, bytes) =>
+        val n = if (bytes == null) 0 else bytes.length
+        if (n == 0) None
+        else {
+          val hist = new Array[Long](256)
+          var printable = 0L
+          var i = 0
+          while (i < n) {
+            val b = bytes(i) & 0xff
+            hist(b) += 1
+            if ((b >= 0x20 && b < 0x7f) || b == '\n' || b == '\r' || b == '\t') printable += 1
+            i += 1
+          }
+          var distinct = 0L
+          var coincidence = 0L
+          var clogc = 0.0
+          var j = 0
+          while (j < 256) {
+            val c = hist(j)
+            if (c > 0) {
+              distinct += 1
+              coincidence += c * c
+              clogc += c.toDouble * (math.log(c.toDouble) / log2)
+            }
+            j += 1
+          }
+          val entropy = math.log(n.toDouble) / log2 - clogc / n
+          Some(ByteStatsExact(
+            id, n.toLong, distinct, coincidence, printable,
+            math.floor(entropy * 1e6 + 0.5).toLong
+          ))
+        }
+      }
+    }
+  }
+
   /** Rebalance partitions by cumulative payload bytes: range-partition on the
     * running size quantile rather than hashing ids, so heavy payloads spread
     * evenly. (Row-count repartition is wrong for media: 1000 thumbnails !=
