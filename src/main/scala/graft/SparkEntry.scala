@@ -723,6 +723,48 @@ object SparkEntry {
         .dropNearDuplicates(docs, Dedup.minhashMd5Pairs(docs, threshold = 0.8))
         .select(col("doc_id"))
     },
+    "cdc_md5_share_stats" -> { (s, dir) =>
+      // Content-defined chunking share stats on the md5 window-hash
+      // boundary rule — the oracle twin of cdc_share_stats: same
+      // boundary→chunk→cross-doc-share semantics, engine-portable hashes
+      // (the gear chunker stays the production fast path).
+      Dedup.cdcMd5ShareStats(table(s, dir, "documents"))
+    },
+    "neardup_star_md5" -> { (s, dir) =>
+      // Large-star/small-star connected components over the md5-anchored
+      // pair set — anchors the O(log n) star algorithm (the chain-robust
+      // production CC) to the same recursive-CTE oracle as
+      // neardup_clusters_md5: both return (id, min id of component).
+      Dedup.nearDupClustersStar(Dedup.minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.8))
+    },
+    "simhash_md5_pairs" -> { (s, dir) =>
+      // Full SimHash near-dup pair pipeline (fingerprint → pigeonhole chunk
+      // bands → bucket pairs → exact hamming verify) on the md5-anchored
+      // 32-bit fingerprint — the oracle twin of simhash_neardup_pairs
+      // (DuckDB reproduces candidates AND hamming via bit_count(xor)).
+      // maxBucket 500 for the same tiny-vocabulary reason as the prod form.
+      Dedup.simhashMd5Pairs(table(s, dir, "documents"), maxBucket = 500)
+    },
+    "ann_lsh_md5_topk" -> { (s, dir) =>
+      // LSH top-k on md5 sign planes — the oracle twin of ann_lsh_topk:
+      // integer-exact bucket identity makes the candidate set (and so the
+      // exact top-k rows) SQL-reproducible, recall loss included.
+      val emb = table(s, dir, "embeddings")
+      Similarity.lshMd5TopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    },
+    "cosine_lsh_md5_pairs" -> { (s, dir) =>
+      // Bucketed cosine near-dup candidates on md5 sign planes — the
+      // oracle twin of cosine_neardup_lsh.
+      Similarity.cosineNearDupLshMd5(table(s, dir, "embeddings"), threshold = 0.2)
+    },
+    "ann_ivf_anchor_topk" -> { (s, dir) =>
+      // IVF with deterministic anchors (lowest-id corpus vectors) and
+      // integer-exact assignment — the oracle twin of ann_ivf_topk: the
+      // full coarse-quantize → nprobe → rerank pipeline under SQL, no
+      // k-means RNG in the way.
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfAnchorTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    },
     "embedding_quant" -> { (s, dir) =>
       // Symmetric int8 quantization stats — all-IEEE deterministic math,
       // fully oracle-checked including the reconstruction error bound.
@@ -926,6 +968,35 @@ object SparkEntry {
       |  SELECT id, id AS lab FROM nodes
       |  UNION
       |  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+      |)""".stripMargin
+
+  /** Shared CTEs reproducing [[graft.ops.Similarity.lshSigMd5]]'s
+    * integer-exact sign-of-projection signatures (16 bits, dim 64) for the
+    * LSH/ANN oracle twins: `vecs(vec_id, v, qv)` the dim-64 stratum with
+    * micro-quantized components, `sigs(vec_id, sig)` the signatures,
+    * `masks(mask)` the probe set (own bucket + every single-bit flip).
+    */
+  private val LshMd5SigCtes: String =
+    """WITH vecs AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE len(embedding) = 64
+      |), planes AS (
+      |  SELECT j.j AS j, d.d AS d,
+      |    CASE WHEN (CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '-' || CAST(d.d AS VARCHAR)), 1, 8)) AS BIGINT) & 1) = 1
+      |      THEN 1 ELSE -1 END AS sg
+      |  FROM range(16) j(j), range(64) d(d)
+      |), proj AS (
+      |  SELECT vecs.vec_id, planes.j, sum(planes.sg * vecs.qv[planes.d + 1]) AS p
+      |  FROM vecs, planes GROUP BY 1, 2
+      |), sigs AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM proj GROUP BY 1
+      |), masks AS (
+      |  SELECT CASE WHEN m.m = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE (CAST(1 AS BIGINT) << (m.m - 1)) END AS mask
+      |  FROM range(17) m(m)
       |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -1653,6 +1724,124 @@ object SparkEntry {
         |labels AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin,
+    "cdc_md5_share_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |), pos AS (
+        |  SELECT doc_id, t.i FROM d, unnest(range(8, n + 1)) t(i)
+        |  WHERE substr(md5(substr(text, CAST(t.i - 7 AS INT), 8)), 1, 1) = '0'
+        |), bl AS (
+        |  SELECT doc_id, list_sort(list(i)) AS bs FROM pos GROUP BY doc_id
+        |), withb AS (
+        |  SELECT d.doc_id, d.text, d.n, coalesce(bl.bs, []) AS bs
+        |  FROM d LEFT JOIN bl USING (doc_id)
+        |), ch AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(list_filter(
+        |    list_transform(range(1, len(bs) + 2),
+        |      j -> substr(text,
+        |        CAST((CASE WHEN j = 1 THEN 0 ELSE bs[j-1] END) + 1 AS INT),
+        |        CAST((CASE WHEN j = len(bs) + 1 THEN n ELSE bs[j] END)
+        |          - (CASE WHEN j = 1 THEN 0 ELSE bs[j-1] END) AS INT))),
+        |    c -> len(c) > 0), c -> md5(c)))) AS c
+        |  FROM withb WHERE n > 0
+        |), g AS (
+        |  SELECT c, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY 1
+        |)
+        |SELECT ch.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |FROM ch JOIN g USING (c) GROUP BY 1""".stripMargin,
+    "neardup_star_md5" ->
+      s"""$Md5NearDupCtes,
+        |$Md5ClusterCtes
+        |SELECT id, min(lab) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "simhash_md5_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS ts
+        |  FROM documents
+        |), th AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(t.tok), 1, 8)) AS BIGINT) AS h
+        |  FROM toks, unnest(toks.ts) AS t(tok)
+        |), votes AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, range(32) b(bit) GROUP BY 1, 2
+        |), fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS fp
+        |  FROM votes GROUP BY 1
+        |), bandk AS (
+        |  SELECT doc_id, c.c AS c, (fp >> (c.c * 8)) & 255 AS v FROM fp, range(4) c(c)
+        |), bucket_ok AS (
+        |  SELECT c, v FROM bandk GROUP BY c, v HAVING count(*) BETWEEN 2 AND 500
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bucket_ok o
+        |  JOIN bandk a ON a.c = o.c AND a.v = o.v
+        |  JOIN bandk b ON b.c = o.c AND b.v = o.v AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming
+        |FROM cand JOIN fp fa ON fa.doc_id = cand.id_a JOIN fp fb ON fb.doc_id = cand.id_b
+        |WHERE bit_count(xor(fa.fp, fb.fp)) <= 3""".stripMargin,
+    "ann_lsh_md5_topk" ->
+      s"""$LshMd5SigCtes, qs AS (
+        |  SELECT s.vec_id AS query_id, xor(s.sig, masks.mask) AS sig
+        |  FROM sigs s, masks WHERE s.vec_id < 8
+        |), cand AS (
+        |  SELECT DISTINCT qs.query_id, cs.vec_id AS neighbor_id
+        |  FROM qs JOIN sigs cs ON cs.sig = qs.sig
+        |  WHERE qs.query_id != cs.vec_id
+        |), scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+        |  FROM cand JOIN vecs qv ON qv.vec_id = cand.query_id
+        |            JOIN vecs cv ON cv.vec_id = cand.neighbor_id
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "cosine_lsh_md5_pairs" ->
+      s"""$LshMd5SigCtes, probed AS (
+        |  SELECT s.vec_id AS id, xor(s.sig, masks.mask) AS psig FROM sigs s, masks
+        |), pairs AS (
+        |  SELECT DISTINCT probed.id AS id_a, b.vec_id AS id_b
+        |  FROM probed JOIN sigs b ON b.sig = probed.psig AND probed.id < b.vec_id
+        |), scored AS (
+        |  SELECT id_a, id_b, round(list_cosine_similarity(va.v, vb.v), 6) AS cos_sim
+        |  FROM pairs JOIN vecs va ON va.vec_id = pairs.id_a
+        |             JOIN vecs vb ON vb.vec_id = pairs.id_b
+        |)
+        |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.2""".stripMargin,
+    "ann_ivf_anchor_topk" ->
+      s"""$LshMd5SigCtes, anchors AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, qv AS av
+        |  FROM vecs ORDER BY vec_id LIMIT 16
+        |), dists AS (
+        |  SELECT v.vec_id, a.ai,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (v.qv[i] - a.av[i]) * (v.qv[i] - a.av[i]))) AS d2
+        |  FROM vecs v, anchors a
+        |), assign AS (
+        |  SELECT vec_id, ai AS bucket,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
+        |  FROM dists
+        |), cbuck AS (SELECT vec_id AS neighbor_id, bucket FROM assign WHERE rk = 1),
+        |qbuck AS (SELECT vec_id AS query_id, bucket FROM assign WHERE rk <= 4 AND vec_id < 8),
+        |cand AS (
+        |  SELECT DISTINCT query_id, neighbor_id
+        |  FROM qbuck JOIN cbuck USING (bucket) WHERE query_id != neighbor_id
+        |), scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+        |  FROM cand JOIN vecs qv ON qv.vec_id = cand.query_id
+        |            JOIN vecs cv ON cv.vec_id = cand.neighbor_id
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "embedding_quant" ->
       """WITH a AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -606,6 +606,65 @@ object Dedup {
       )
   }
 
+  /** Content-defined chunks with an md5 WINDOW hash — the oracle-checkable
+    * twin of the gear-hash [[cdcChunks]]: a chunk boundary falls after
+    * character `i` iff the md5 of the `window` characters ending at `i`
+    * starts with hex '0' (P=1/16 → ~16·window expected chunk length).
+    * Hash-of-sliding-window CDC is the classic LBFS/rsync family; the gear
+    * form is the production fast path (one table lookup per byte vs one md5
+    * per position), this form anchors the boundary→chunk→share semantics to
+    * a SQL oracle, since both engines agree on md5 bytes and character
+    * indexing. Docs shorter than `window` are a single chunk. Insert-robust
+    * like any CDC: an edit re-aligns at the next content boundary.
+    */
+  def cdcMd5Chunks(text: Column, window: Int = 8): Column = {
+    val len = length(text)
+    val bs = when(
+      len >= window,
+      filter(
+        sequence(lit(window), len),
+        i => substring(md5(text.substr(i - lit(window - 1), lit(window))), 1, 1) === "0"
+      )
+    ).otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(0)), bs)
+    val ends = concat(bs, array(len))
+    filter(
+      zip_with(starts, ends, (s, e) => text.substr(s + lit(1), e - s)),
+      c => length(c) > 0
+    )
+  }
+
+  /** [[cdcShareStats]] over [[cdcMd5Chunks]], chunk identity = md5 of the
+    * chunk text (only 32-char hashes cross the exchange). Same sort-free
+    * plan shape; fully SQL-oracle-checkable.
+    */
+  def cdcMd5ShareStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      window: Int = 8
+  ): DataFrame = {
+    val chunkHashes = array_distinct(transform(cdcMd5Chunks(col(textCol), window), c => md5(c)))
+    val base = docs
+      .select(col(idCol).as("id"), size(chunkHashes).cast("long").as("n_chunks"))
+      .filter(col("n_chunks") > 0)
+    val perChunk = docs
+      .select(col(idCol).as("id"), explode(chunkHashes).as("c"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("one_id"))
+    val uniq = perChunk
+      .filter(col("n_docs") === 1)
+      .groupBy(col("one_id").as("id"))
+      .agg(count(lit(1)).as("n_unique"))
+    base
+      .join(uniq, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_unique"), lit(0L))).as("n_shared")
+      )
+  }
+
   // ------------------------------------- md5-anchored fingerprints (oracle)
 
   /** 32-bit hash from the md5 hex prefix — portable across engines (the
@@ -755,6 +814,58 @@ object Dedup {
     else
       try verified.localCheckpoint(eager = true)
       finally pairs.unpersist(blocking = false)
+  }
+
+  /** SimHash near-dup pairs on the md5-anchored 32-bit fingerprint — the
+    * oracle-checkable twin of [[simhashNearDupPairs]]: same pigeonhole
+    * chunk-banding (any pair within hamming < `chunks` shares an exact
+    * chunk), same bucket cap, same exact-hamming verification, but every
+    * fingerprint bit derives from md5, so a SQL oracle reproduces the
+    * candidate generation AND the hamming arithmetic bit-for-bit
+    * (`bit_count(xor(...))` on both engines).
+    *
+    * Default 4 chunks × 8 bits over the 32-bit fingerprint: recall
+    * guaranteed for maxHamming ≤ 3, same bound as the production 4×16
+    * config.
+    */
+  def simhashMd5Pairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      chunks: Int = 4,
+      maxBucket: Int = 10000,
+      materialize: Boolean = true
+  ): DataFrame = {
+    require(32 % chunks == 0, "chunks must divide 32")
+    val w = 32 / chunks
+    // Persisted for the same reason as [[simhashNearDupPairs]]: the
+    // fingerprint table feeds banding plus both verification sides.
+    val fps = docs
+      .select(col(idCol).as("id"), simhash32Md5(col(textCol)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunkKeys = (0 until chunks).map { c =>
+      struct(lit(c).as("c"), shiftrightunsigned(col("fp"), c * w).bitwiseAND(lit((1L << w) - 1)).as("v"))
+    }
+    val banded = fps.select(col("id"), explode(array(chunkKeys: _*)).as("ck"))
+    val pairs = banded
+      .groupBy(col("ck"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(orderedPairs(array_sort(col("ids")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val fA = fps.select(col("id").as("id_a"), col("fp").as("fp_a"))
+    val fB = fps.select(col("id").as("id_b"), col("fp").as("fp_b"))
+    val verified = pairs
+      .join(fA, Seq("id_a"))
+      .join(fB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("fp_a"), col("fp_b")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    if (!materialize) verified
+    else
+      try verified.localCheckpoint(eager = true)
+      finally fps.unpersist(blocking = false)
   }
 
   // --------------------------------------------------- n-gram Jaccard pairs

@@ -549,4 +549,140 @@ object Similarity {
     }
     when(size(vec) === dim, bits.reduce(_ bitwiseOR _))
   }
+
+  /** LSH-bucketed top-k on the md5 sign planes — the oracle-checkable twin
+    * of [[lshTopK]]: identical probe strategy (own bucket + every
+    * single-bit flip), identical cosine rerank and deterministic id
+    * tie-break, but bucket identity comes from [[lshSigMd5]]'s integer-exact
+    * signatures, so a SQL oracle reproduces the candidate set — and with it
+    * the exact top-k rows — bit-for-bit. Restricted to `dim`-length vectors
+    * (signature is null otherwise and the equi-join drops it, identically
+    * in both engines).
+    */
+  def lshMd5TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nbits: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      lshSigMd5(col(vecCol), nbits, dim).as("c_sig")
+    )
+    val probeMasks = lit(0L) +: (0 until nbits).map(j => lit(1L << j))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        lshSigMd5(col(vecCol), nbits, dim).as("q_sig"))
+      .withColumn("probe", explode(array(probeMasks: _*)))
+      .withColumn("c_sig", col("q_sig").bitwiseXOR(col("probe")))
+      .drop("probe", "q_sig")
+    val candidates = c.join(broadcast(q), Seq("c_sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")
+      )
+      .dropDuplicates("query_id", "neighbor_id")
+    topKPerQuery(candidates, k)
+  }
+
+  /** Embedding-cosine near-dup candidates bucketed by the md5 sign-plane
+    * signature — the oracle-checkable twin of [[cosineNearDupLsh]]: same
+    * probe-own-bucket-plus-single-bit-flips candidate generation, same
+    * exact-cosine verification at `threshold`, portable bucket identity.
+    */
+  def cosineNearDupLshMd5(
+      emb: DataFrame,
+      threshold: Double,
+      nbits: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val sigd = emb.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      lshSigMd5(col(vecCol), nbits, dim).as("sig")
+    )
+    val probeMasks = lit(0L) +: (0 until nbits).map(j => lit(1L << j))
+    val probed = sigd
+      .withColumn("probe_sig", explode(array(probeMasks.map(col("sig").bitwiseXOR(_)): _*)))
+    val aSide = probed.select(col("probe_sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val bSide = sigd.select(col("sig").as("probe_sig"), col("id").as("id_b"), col("v").as("v_b"))
+    aSide
+      .join(bSide, Seq("probe_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** IVF top-k with DETERMINISTIC anchors — the oracle-checkable twin of
+    * [[ivfTopK]]: instead of k-means centroids (seeded-random training no
+    * SQL engine reproduces), the coarse quantizer is the corpus vectors
+    * with the given ids, in id order. Assignment and probing use
+    * integer-exact squared L2 over micro-quantized components (floor(x*1e6
+    * + 0.5) — the [[lshSigMd5]] trick), with the anchor INDEX as
+    * tie-break, so bucket identity — and hence the candidate set and the
+    * cosine top-k over it — is reproducible in any engine. No UDF: the
+    * distance is a zip_with/aggregate expression, fully codegen-friendly.
+    * Restricted to `dim`-length vectors like the other md5 twins.
+    */
+  def ivfAnchorTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nAnchors: Int = 16,
+      nprobe: Int = 4,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val micro = (v: Column) => transform(asDouble(v), x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+    val base = corpus.filter(size(col(vecCol)) === dim)
+    // Anchors: the nAnchors lowest-id corpus vectors of the right dim —
+    // a pure function of the corpus, no RNG. Bounded driver collect.
+    val anchors = base
+      .select(col(idCol).cast("long").as("aid"), micro(col(vecCol)).as("av"))
+      .orderBy(col("aid"))
+      .limit(nAnchors)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    // dist2 to anchor i as an integer expression over the micro components.
+    def d2(qv: Column, av: Array[Long]): Column = {
+      val avCol = array(av.map(lit): _*)
+      aggregate(zip_with(qv, avCol, (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    }
+    // (dist2, anchorIdx) pairs sorted ascending — array_sort on structs
+    // orders by fields left-to-right, giving the deterministic
+    // min-dist-then-index probe order.
+    def probeOrder(qv: Column): Column =
+      array_sort(array(anchors.zipWithIndex.map { case ((_, av), i) =>
+        struct(d2(qv, av).as("d"), lit(i).as("i"))
+      }: _*))
+    val c = base
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), micro(col(vecCol)).as("c_micro"))
+      .withColumn("bucket", element_at(probeOrder(col("c_micro")), 1).getField("i"))
+      .drop("c_micro")
+    val q = queries
+      .filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), micro(col(vecCol)).as("q_micro"))
+      .withColumn("probe", explode(slice(probeOrder(col("q_micro")), 1, nprobe)))
+      .select(col("query_id"), col("q_vec"), col("probe").getField("i").as("bucket"))
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")
+      )
+      .dropDuplicates("query_id", "neighbor_id")
+    topKPerQuery(scored, k)
+  }
 }

@@ -54,6 +54,41 @@ class CdcSpec extends AnyFunSuite {
     assert(cdcShared > fixedShared + 0.2, s"cdc $cdcShared vs fixed $fixedShared")
   }
 
+  test("cdcMd5Chunks: lossless partition, boundary rule matches a local reference, insert-robust") {
+    val base = doc(3, 600)
+    val got = Seq(base).toDF("text")
+      .select(Dedup.cdcMd5Chunks($"text").as("c"))
+      .as[Seq[String]].head()
+    assert(got.mkString("") == base) // lossless partition
+    // local reference: boundary after char i iff md5 of the 8-char window
+    // ending at i starts with hex '0'
+    val mdi = java.security.MessageDigest.getInstance("MD5")
+    def isBoundary(i: Int): Boolean = { // i is 1-based inclusive end
+      val win = base.substring(i - 8, i)
+      val dig = mdi.digest(win.getBytes("UTF-8"))
+      (dig(0) & 0xf0) == 0
+    }
+    val bs = (8 to base.length).filter(isBoundary)
+    val expected = (0 +: bs).zip(bs :+ base.length).collect {
+      case (s, e) if e > s => base.substring(s, e)
+    }
+    assert(got == expected)
+    // short doc: a single chunk
+    val short = Seq("tiny").toDF("text")
+      .select(Dedup.cdcMd5Chunks($"text").as("c")).as[Seq[String]].head()
+    assert(short == Seq("tiny"))
+    // insert-robust: an early edit re-aligns at the next content boundary
+    val edited = {
+      val toks = base.split(" ").toVector
+      (toks.take(5) :+ "INSERTED").++(toks.drop(5)).mkString(" ")
+    }
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = df.select($"doc_id", explode(Dedup.cdcMd5Chunks($"text")).as("c"))
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val shared = (ch(1L) & ch(2L)).size.toDouble / ch(1L).size
+    assert(shared >= 0.8, s"md5-cdc shared $shared")
+  }
+
   test("streaming chunkClaims: repeat content loses its chunks, novel docs survive") {
     implicit val ctx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")

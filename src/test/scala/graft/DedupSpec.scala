@@ -140,6 +140,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("simhashMd5Pairs equals brute-force hamming filter on the md5 fingerprint") {
+    val fp = docs
+      .select($"doc_id", Dedup.simhash32Md5($"text").as("h"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    val maxH = 10
+    val expected = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      if java.lang.Long.bitCount(fp(a) ^ fp(b)) <= maxH
+    } yield (a, b)).toSet
+    assert(expected.contains((1L, 2L))) // exact dups: hamming 0
+    // chunks=16 (2-bit chunks): pigeonhole guarantees recall for hamming < 16
+    val got = Dedup
+      .simhashMd5Pairs(docs, maxHamming = maxH, chunks = 16)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(got == expected)
+  }
+
   test("nearDupClusters: chains collapse to min-id components; dropNearDuplicates keeps representatives") {
     // chain 1-2-3 (transitive, never a direct 1-3 pair), separate pair 5-6
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")

@@ -263,4 +263,69 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(got(4).isEmpty)
   }
+
+  test("lshMd5TopK: candidates verified against brute force, high recall on clustered data") {
+    val data = clustered(120)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    val exact = Similarity
+      .bruteForceTopK(df, queries, k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val approx = Similarity
+      .lshMd5TopK(df, queries, k = 5, nbits = 6, dim = dim)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("cosineNearDupLshMd5: subset of exact pairs, high recall") {
+    val data = clustered(90)
+    val df = data.toDF("vec_id", "embedding")
+    val exact = Similarity
+      .cosineNearDupPairs(df, threshold = 0.9)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(exact.nonEmpty)
+    val lsh = Similarity
+      .cosineNearDupLshMd5(df, threshold = 0.9, nbits = 6, dim = dim)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(lsh.subsetOf(exact))
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("ivfAnchorTopK: high recall on clustered data, deterministic, anchors are lowest ids") {
+    val data = clustered(120)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    val exact = Similarity
+      .bruteForceTopK(df, queries, k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    def run() = Similarity
+      .ivfAnchorTopK(df, queries, k = 5, nAnchors = 6, nprobe = 3, dim = dim)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val approx = run()
+    val recall = (exact & approx).size.toDouble / exact.size
+    // anchors 0..5 cover each of the 3 true clusters twice (round-robin
+    // cluster assignment), so nprobe=3 reaches every same-cluster bucket
+    assert(recall >= 0.8, s"recall $recall")
+    assert(run() == approx) // anchors are a pure function of the corpus
+  }
 }
