@@ -727,8 +727,12 @@ object SparkEntry {
       // Content-defined chunking share stats on the md5 window-hash
       // boundary rule — the oracle twin of cdc_share_stats: same
       // boundary→chunk→cross-doc-share semantics, engine-portable hashes
-      // (the gear chunker stays the production fast path).
-      Dedup.cdcMd5ShareStats(table(s, dir, "documents"))
+      // (the gear chunker stays the production fast path). Deterministic
+      // 10% sample, same convention as minhash_md5_sigs: the window hash
+      // costs one md5 PER CHARACTER — right for an anchor, wrong for a
+      // full-corpus benchmark query (the dup-heavy corpus keeps ~90% of
+      // sampled docs sharing chunks, so the anchor stays meaningful).
+      Dedup.cdcMd5ShareStats(table(s, dir, "documents").filter(col("doc_id") % 10 === 0))
     },
     "neardup_star_md5" -> { (s, dir) =>
       // Large-star/small-star connected components over the md5-anchored
@@ -1726,7 +1730,7 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin,
     "cdc_md5_share_stats" ->
       """WITH d AS (
-        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 10 = 0
         |), pos AS (
         |  SELECT doc_id, t.i FROM d, unnest(range(8, n + 1)) t(i)
         |  WHERE substr(md5(substr(text, CAST(t.i - 7 AS INT), 8)), 1, 1) = '0'
