@@ -723,6 +723,33 @@ object SparkEntry {
         .dropNearDuplicates(docs, Dedup.minhashMd5Pairs(docs, threshold = 0.8))
         .select(col("doc_id"))
     },
+    "decontam_overlap" -> { (s, dir) =>
+      // Benchmark decontamination hits: training docs sharing any word
+      // 4-gram with the (broadcast) benchmark set. Stand-in benchmark: the
+      // deterministic 1/13 doc stratum (the synthetic corpus has too little
+      // long-n-gram cross-doc overlap for the classic 8/13-gram settings
+      // to fire; the operator takes n as a parameter); training side is its complement.
+      val docs = table(s, dir, "documents")
+      graft.ops.Decontam.overlapCounts(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0), n = 4)
+    },
+    "decontam_corpus" -> { (s, dir) =>
+      // The decontaminated corpus: training docs with ZERO benchmark
+      // 4-gram overlap survive (broadcast anti-join — corpus never
+      // shuffles).
+      val docs = table(s, dir, "documents")
+      graft.ops.Decontam
+        .decontaminate(
+          docs.filter(col("doc_id") % 13 =!= 0),
+          docs.filter(col("doc_id") % 13 === 0), n = 4)
+        .select(col("doc_id"))
+    },
+    "token_pack_assignments" -> { (s, dir) =>
+      // Sequence-packing shard assignment: bucket-local token-budget packs
+      // (one hash exchange + per-bucket sort; buckets pack independently).
+      graft.ops.Packing.tokenPackAssignments(table(s, dir, "documents"))
+    },
     "cdc_md5_share_stats" -> { (s, dir) =>
       // Content-defined chunking share stats on the md5 window-hash
       // boundary rule — the oracle twin of cdc_share_stats: same
@@ -1728,6 +1755,52 @@ object SparkEntry {
         |labels AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin,
+    "decontam_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 4
+        |      THEN list_distinct(list_transform(range(1, len(w)-2),
+        |        i -> CAST(('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 8)) AS BIGINT)))
+        |      ELSE [] END AS g
+        |  FROM toks
+        |), tg AS (
+        |  SELECT doc_id, unnest(g) AS g FROM grams WHERE doc_id % 13 != 0
+        |), bg AS (
+        |  SELECT DISTINCT unnest(g) AS g FROM grams WHERE doc_id % 13 = 0
+        |)
+        |SELECT tg.doc_id, count(*) AS n_hits
+        |FROM tg JOIN bg USING (g) GROUP BY 1""".stripMargin,
+    "decontam_corpus" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 4
+        |      THEN list_distinct(list_transform(range(1, len(w)-2),
+        |        i -> CAST(('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 8)) AS BIGINT)))
+        |      ELSE [] END AS g
+        |  FROM toks
+        |), tg AS (
+        |  SELECT doc_id, unnest(g) AS g FROM grams WHERE doc_id % 13 != 0
+        |), bg AS (
+        |  SELECT DISTINCT unnest(g) AS g FROM grams WHERE doc_id % 13 = 0
+        |), hit AS (
+        |  SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g)
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 13 != 0 AND doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
+    "token_pack_assignments" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS bucket,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, bucket, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS pack_id
+        |FROM t""".stripMargin,
     "cdc_md5_share_stats" ->
       """WITH d AS (
         |  SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 10 = 0

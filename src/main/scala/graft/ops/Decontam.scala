@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: drop training documents that share word
+  * n-grams with an evaluation/benchmark set — the overlap-removal step
+  * every serious pretraining pipeline runs (GPT-3 appendix C, The Pile's
+  * 13-gram filter; this uses 8-grams).
+  *
+  * 100 TB shape: the benchmark side is tiny (eval suites are MBs, the
+  * corpus is TBs), so its distinct gram-hash set BROADCASTS — the corpus
+  * never shuffles at all. Per doc the plan is scan → shingle → broadcast
+  * semi/anti join → aggregate; gram hashes are md5-derived
+  * ([[Dedup.md5Hash32]]) so the whole operator sits under a SQL oracle.
+  */
+object Decontam {
+
+  private def gramHashes(text: org.apache.spark.sql.Column, n: Int) =
+    array_distinct(transform(Dedup.wordShingles(text, n), g => Dedup.md5Hash32(g)))
+
+  /** Per-doc count of distinct benchmark-colliding n-gram hashes (docs with
+    * zero hits are absent). Benchmark gram set is broadcast.
+    */
+  def overlapCounts(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8
+  ): DataFrame = {
+    val dg = docs.select(col(idCol), explode(gramHashes(col(textCol), n)).as("g"))
+    val bg = bench.select(explode(gramHashes(col(textCol), n)).as("g")).distinct()
+    dg.join(broadcast(bg), Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** The surviving corpus: documents sharing NO n-gram with the benchmark.
+    * The contaminated-id set from [[overlapCounts]] is itself small (hits
+    * only), so the final anti-join broadcasts too — the corpus is scanned,
+    * never shuffled.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8
+  ): DataFrame = {
+    val hit = overlapCounts(docs, bench, idCol, textCol, n).select(col(idCol))
+    docs.join(broadcast(hit), Seq(idCol), "left_anti")
+  }
+}

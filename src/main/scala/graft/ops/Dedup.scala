@@ -44,16 +44,28 @@ object Dedup {
 
   /** Distinct word n-gram shingles of the lower-cased text; empty array for
     * texts shorter than n tokens (mirrors the oracle's CASE guard).
+    *
+    * The token array is BOUND AS A LAMBDA VARIABLE (via a singleton-array
+    * transform) instead of inlined: lambda bodies get no subexpression
+    * elimination, so a naive `element_at(split(...), i+j)` per gram slot
+    * re-splits the whole text once per slot — O(len²) per doc, measured
+    * 20× slower on the sf0.1 corpus.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(lower(text), "\\s+")
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)
+  def wordShingles(text: Column, n: Int): Column =
+    element_at(
+      transform(
+        array(split(lower(text), "\\s+")),
+        toks => {
+          val grams = transform(
+            sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)
+          )
+          when(size(toks) >= n, array_distinct(grams))
+            .otherwise(array().cast("array<string>"))
+        }
+      ),
+      1
     )
-    when(size(toks) >= n, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
-  }
 
   /** 64-bit hashes of the shingle set (xxhash64, seeded by Spark). */
   def shingleHashes(text: Column, n: Int): Column =

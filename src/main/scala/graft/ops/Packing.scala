@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence-packing shard assignment for training-data writers: shard the
+  * corpus into `buckets` independent streams (bucket = id % buckets), then
+  * within each bucket, in id order, assign each document to pack
+  * `floor(cumulative tokens before it / packTokens)` — the token-budget
+  * sharding that downstream sequence packers consume.
+  *
+  * 100 TB shape: packing needs a total order, which is inherently a sort —
+  * but only WITHIN a bucket. Buckets are independent, so 1000 executors
+  * each sort/scan their own slice (one hash exchange + per-partition sort,
+  * no global ordering anywhere). Deterministic: assignment is a pure
+  * function of (id, token counts), so re-runs and engines agree —
+  * oracle-checkable.
+  */
+object Packing {
+
+  def tokenPackAssignments(
+      docs: DataFrame,
+      packTokens: Long = 512L,
+      buckets: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(packTokens > 0 && buckets > 0, "packTokens and buckets must be positive")
+    val w = Window
+      .partitionBy(col("bucket"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(
+        col(idCol),
+        (col(idCol) % buckets).cast("long").as("bucket"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")
+      )
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integer division of non-negative longs: exact in both engines
+      .withColumn("pack_id", expr(s"cum_before DIV $packTokens"))
+      .select(col(idCol), col("bucket"), col("n_tokens"), col("pack_id"))
+  }
+}

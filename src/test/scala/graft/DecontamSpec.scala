@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Decontam
+
+class DecontamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val bench = Seq(
+    (100L, "the capital of france is paris obviously")
+  ).toDF("doc_id", "text")
+
+  // doc 1 contains a benchmark 4-gram ("the capital of france"), doc 2
+  // shares words but no 4-gram run, doc 3 is unrelated, doc 4 too short
+  private val train = Seq(
+    (1L, "quiz answer the capital of france is a city on the seine"),
+    (2L, "france has a capital and the city is large"),
+    (3L, "distributed query engines shuffle partitioned data"),
+    (4L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("overlapCounts finds exactly the docs sharing a 4-gram, counts distinct colliding grams") {
+    val hits = Decontam
+      .overlapCounts(train, bench, n = 4)
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    // doc 1 shares "the capital of france", "capital of france is" → 2 grams
+    assert(hits == Map(1L -> 2L))
+  }
+
+  test("decontaminate keeps everything but the colliding docs") {
+    val kept = Decontam
+      .decontaminate(train, bench, n = 4)
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Packing
+
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokenPackAssignments: bucket-local cumulative token budget, deterministic") {
+    // 2 buckets (ids mod 2); token counts 3, 2, 4, 1, 2
+    val docs = Seq(
+      (0L, "a b c"),
+      (1L, "d e"),
+      (2L, "f g h i"),
+      (3L, "j"),
+      (4L, "k l")
+    ).toDF("doc_id", "text")
+    val got = Packing
+      .tokenPackAssignments(docs, packTokens = 5, buckets = 2)
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .map { case (id, b, n, p) => id -> ((b, n, p)) }
+      .toMap
+    // bucket 0: ids 0 (3 toks, cum 0 → pack 0), 2 (4 toks, cum 3 → pack 0),
+    //           4 (2 toks, cum 7 → pack 1)
+    // bucket 1: ids 1 (2 toks, cum 0 → pack 0), 3 (1 tok, cum 2 → pack 0)
+    assert(got == Map(
+      0L -> ((0L, 3L, 0L)),
+      2L -> ((0L, 4L, 0L)),
+      4L -> ((0L, 2L, 1L)),
+      1L -> ((1L, 2L, 0L)),
+      3L -> ((1L, 1L, 0L))
+    ))
+  }
+
+  test("pack ids are dense per bucket and a pure function of prior token mass") {
+    val docs = (0L until 40L).map(i => (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "))).toDF("doc_id", "text")
+    val rows = Packing
+      .tokenPackAssignments(docs, packTokens = 8, buckets = 4)
+      .as[(Long, Long, Long, Long)]
+      .collect()
+    rows.groupBy(_._2).foreach { case (_, bucketRows) =>
+      val inOrder = bucketRows.sortBy(_._1)
+      var cum = 0L
+      inOrder.foreach { case (_, _, n, p) =>
+        assert(p == cum / 8, s"pack mismatch at cum $cum")
+        cum += n
+      }
+    }
+  }
+}
