@@ -936,6 +936,37 @@ object SparkEntry {
       e.join(hot, col("ts_ms") >= col("win_start") && col("ts_ms") < col("win_end"))
         .groupBy(col("hot_event_id"))
         .agg(count(lit(1)).as("n_events"))
+    },
+    "kmeans_clusters" -> { (s, dir) =>
+      // Distributed Lloyd k-means in exact integer arithmetic: map-only
+      // assignment against driver-held (bounded k×dim) centroids,
+      // VecSumAgg combiner-lifted centroid updates. Oracle unrolls the
+      // same two assignment rounds in SQL.
+      graft.ops.Clustering.kmeansAssign(table(s, dir, "embeddings"), k = 8, iters = 2)
+    },
+    "semantic_dedup" -> { (s, dir) =>
+      // SemDeDup: near-dup removal within k-means clusters (equi-join on
+      // cluster id, never all-pairs); τ² = 400/10000 (τ = 0.2, the corpus's
+      // established near-dup bar) compared in DECIMAL(38,0) — exact.
+      graft.ops.Clustering.semanticDedup(table(s, dir, "embeddings"), k = 8, iters = 2)
+    },
+    "chunk_dedup_rewrite" -> { (s, dir) =>
+      // C4-style global chunk dedup with corpus rewrite: first-occurrence
+      // winners by chunk md5, documents re-assembled from survivors.
+      Dedup.chunkDedupRewrite(table(s, dir, "documents"), width = 10)
+    },
+    "scd2_user_event_state" -> { (s, dir) =>
+      // CDC→SCD2 dimension build: collapse each user's consecutive runs of
+      // equal event_type into [valid_from, valid_to) validity intervals
+      // (epoch ms; NULL = current). Ordering ties break on event_id.
+      graft.ops.Scd.scd2(eventsTable(s, dir), "user_id", "event_type", "ts", "event_id")
+        .select(
+          col("user_id"),
+          col("event_type"),
+          expr("valid_from DIV 1000000").as("valid_from"),
+          expr("valid_to DIV 1000000").as("valid_to"),
+          col("version")
+        )
     }
   )
 
@@ -999,6 +1030,42 @@ object SparkEntry {
       |  SELECT id, id AS lab FROM nodes
       |  UNION
       |  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+      |)""".stripMargin
+
+  /** Shared CTEs reproducing [[graft.ops.Clustering.kmeansAssign]] with
+    * k=8, iters=2, scale=10⁴: `ex(vec_id, i, v)` the quantized exploded
+    * vectors, `c0` the lowest-8-id seed centroids, then two unrolled
+    * assign/update rounds — `a1` (assignment vs c0), `c1` (floor-of-mean
+    * centroids over a1), `a2` (final assignment vs c1). Argmin tie-breaks
+    * on the lower centroid id, exactly the Spark side's (dist, cid) struct
+    * min.
+    */
+  private val KmeansCtes: String =
+    """WITH ex AS (
+      |  SELECT vec_id, unnest(range(len(embedding))) AS i,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS v
+      |  FROM embeddings
+      |), c0 AS (
+      |  SELECT CAST(vec_id AS INT) AS cid, i, v FROM ex WHERE vec_id < 8
+      |), d1 AS (
+      |  SELECT e.vec_id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS d
+      |  FROM ex e JOIN c0 c ON e.i = c.i GROUP BY 1, 2
+      |), a1 AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM d1)
+      |  WHERE rn = 1
+      |), c1 AS (
+      |  SELECT a.cluster AS cid, e.i, CAST(floor(sum(e.v) * 1.0 / count(*)) AS BIGINT) AS v
+      |  FROM ex e JOIN a1 a ON e.vec_id = a.vec_id GROUP BY 1, 2
+      |), d2 AS (
+      |  SELECT e.vec_id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS d
+      |  FROM ex e JOIN c1 c ON e.i = c.i GROUP BY 1, 2
+      |), a2 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cid AS cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM d2)
+      |  WHERE rn = 1
       |)""".stripMargin
 
   /** Shared CTEs reproducing [[graft.ops.Similarity.lshSigMd5]]'s
@@ -2049,6 +2116,69 @@ object SparkEntry {
         |)
         |SELECT hot_event_id, count(*) AS n_events
         |FROM hot JOIN e ON e.ts_ms >= hot.win_start AND e.ts_ms < hot.win_end
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "kmeans_clusters" ->
+      s"""$KmeansCtes
+        |SELECT vec_id, cluster FROM a2""".stripMargin,
+    "semantic_dedup" ->
+      s"""$KmeansCtes,
+        |norms AS (SELECT vec_id, sum(v*v) AS nrm FROM ex GROUP BY 1),
+        |cand AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b
+        |  FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |), dots AS (
+        |  SELECT c.a, c.b, sum(ea.v * eb.v) AS dot
+        |  FROM cand c
+        |  JOIN ex ea ON ea.vec_id = c.a
+        |  JOIN ex eb ON eb.vec_id = c.b AND eb.i = ea.i
+        |  GROUP BY 1, 2
+        |), dup AS (
+        |  SELECT d.b AS vec_id, min(d.a) AS dup_of
+        |  FROM dots d
+        |  JOIN norms na ON na.vec_id = d.a
+        |  JOIN norms nb ON nb.vec_id = d.b
+        |  WHERE d.dot > 0
+        |    AND CAST(d.dot AS HUGEINT) * d.dot * 10000 >= CAST(400 AS HUGEINT) * na.nrm * nb.nrm
+        |  GROUP BY 1
+        |)
+        |SELECT v.vec_id, dup.dup_of
+        |FROM (SELECT vec_id FROM embeddings) v LEFT JOIN dup ON dup.vec_id = v.vec_id""".stripMargin,
+    "chunk_dedup_rewrite" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |         unnest(range(len(string_split(text, ' ')))) AS p
+        |  FROM documents
+        |), ch AS (
+        |  SELECT doc_id, p // 10 AS cpos, string_agg(w, ' ' ORDER BY p) AS chunk
+        |  FROM w GROUP BY 1, 2
+        |), k AS (
+        |  SELECT doc_id, cpos, chunk FROM (
+        |    SELECT doc_id, cpos, chunk,
+        |      row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cpos) AS rn
+        |    FROM ch)
+        |  WHERE rn = 1
+        |), re AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(chunk, ' ' ORDER BY cpos)) AS kept_md5
+        |  FROM k GROUP BY 1
+        |), tot AS (
+        |  SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1
+        |)
+        |SELECT t.doc_id, t.n_chunks, coalesce(r.n_kept, 0) AS n_kept,
+        |  coalesce(r.kept_md5, md5('')) AS kept_md5
+        |FROM tot t LEFT JOIN re r ON r.doc_id = t.doc_id""".stripMargin,
+    "scd2_user_event_state" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_type, ts, event_id FROM m
+        |  WHERE prev IS NULL OR prev != event_type
+        |)
+        |SELECT user_id, event_type, epoch_ms(ts) AS valid_from,
+        |  epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+        |FROM s""".stripMargin
   )
 }

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over embedding columns, plus SemDeDup-style
+  * semantic deduplication built on the resulting clusters.
+  *
+  * Everything runs in EXACT integer arithmetic: vectors are quantized to
+  * `array<bigint>` at a fixed scale, distances/dot products fold in BIGINT,
+  * and the near-dup threshold compares `dot² · den ≥ num · ‖a‖² · ‖b‖²` in
+  * DECIMAL(38,0) — so the whole pipeline is bit-reproducible and
+  * hash-comparable against a SQL oracle (no float-association drift).
+  *
+  * Scale shape (the MLlib k-means shape):
+  *   - assignment is MAP-ONLY: the k×dim centroid matrix lives on the
+  *     driver (bounded — k and dim are constants, never corpus-sized) and
+  *     is inlined into a codegen'd argmin expression; one corpus scan per
+  *     iteration, zero shuffles for assignment;
+  *   - the centroid update aggregates through [[graft.functions.VecSumAgg]]
+  *     — partial aggregation ships one fixed-size buffer per (partition,
+  *     cluster) through the exchange, never the dims × rows explosion;
+  *   - SemDeDup pairs vectors ONLY within a cluster (equi-join on the
+  *     cluster id, never all-pairs); at corpus scale k grows with n so the
+  *     expected cluster size — and with it the per-bucket pair cost — stays
+  *     constant, exactly the SemDeDup recipe.
+  *
+  * Reference scope note: the reference engine (Beam mobile-gaming demos)
+  * has no clustering surface; this is part of the training-data-pipeline
+  * extension mandated by the survey.
+  */
+object Clustering {
+
+  /** Quantize `array<float>` to `array<bigint>` at `scale` (round half away
+    * from zero — identical in Spark and DuckDB for these magnitudes).
+    */
+  def quantize(vec: Column, scale: Long): Column =
+    transform(vec.cast("array<double>"), x => round(x * scale).cast("long"))
+
+  /** Exact squared L2 distance between two `array<bigint>` columns. */
+  def sqDistL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** Exact dot product between two `array<bigint>` columns. */
+  def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def quantized(emb: DataFrame, idCol: String, vecCol: String, scale: Long): DataFrame =
+    emb.select(col(idCol).cast("long").as("vec_id"), quantize(col(vecCol), scale).as("qv"))
+
+  /** `iters` rounds of Lloyd assignment with deterministic seeding: the
+    * initial centroids are the k lowest-id vectors (cluster id = seed
+    * vec_id); between rounds each centroid moves to the floor-of-mean of
+    * its members (clusters that receive no members are retired — same rule
+    * the SQL oracle's unrolled iterations express naturally). Returns
+    * (vec_id, cluster) for the final round's assignment.
+    *
+    * Driver state is k centroid vectors per round — bounded by
+    * construction, the broadcast-centroid pattern of every distributed
+    * k-means. Centroid sums ride through double-typed [[graft.functions.VecSumAgg]]
+    * buffers: the summands are integers, so the sums stay EXACT while
+    * `scale · max|v| · cluster_rows < 2^53` (at scale 10⁴ that is ~10¹²
+    * rows per cluster — not a practical bound).
+    */
+  def kmeansAssign(
+      emb: DataFrame,
+      k: Int = 8,
+      iters: Int = 2,
+      scale: Long = 10000L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qv = quantized(emb, idCol, vecCol, scale)
+
+    def assign(cents: Seq[(Int, Seq[Long])]): DataFrame = {
+      // argmin over k inlined centroids: array_min on (dist, cid) structs —
+      // lexicographic struct order gives the min-distance, min-cid tie-break.
+      val alts = cents.map { case (cid, c) =>
+        struct(sqDistL($"qv", typedLit(c)).as("d"), lit(cid).as("cid"))
+      }
+      qv.withColumn("cluster", array_min(array(alts: _*)).getField("cid"))
+    }
+
+    def update(assigned: DataFrame): Seq[(Int, Seq[Long])] =
+      assigned
+        .select($"cluster", $"qv".cast("array<double>").as("v"))
+        .as[(Int, Seq[Double])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(new graft.functions.VecSumAgg().toColumn.name("s"))
+        .collect() // k rows — bounded by k, never by corpus size
+        .map { case (cid, r) => (cid, r.sums.map(s => math.floor(s / r.n).toLong)) }
+        .sortBy(_._1)
+        .toSeq
+
+    var cents: Seq[(Int, Seq[Long])] = qv
+      .filter($"vec_id" < k)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
+      .sortBy(_._1)
+      .toSeq
+    require(cents.nonEmpty, s"kmeansAssign: no seed vectors with $idCol < $k")
+    var out = assign(cents)
+    for (_ <- 2 to iters) {
+      cents = update(out)
+      out = assign(cents)
+    }
+    out.select($"vec_id", $"cluster")
+  }
+
+  /** SemDeDup: within each k-means cluster, a vector is a duplicate when
+    * some LOWER-id cluster-mate has quantized cosine ≥ τ, where
+    * τ² = tauSqNum / tauSqDen. Emits every vector with its `dup_of`
+    * survivor anchor (the minimum qualifying lower id; NULL = survivor).
+    *
+    * The τ comparison is `dot > 0 ∧ dot²·den ≥ num·‖a‖²·‖b‖²` evaluated in
+    * DECIMAL(38,0): with 64-dim scale-10⁴ vectors the largest product is
+    * ~10²⁶ — inside 38 digits, overflow-free, and bit-equal to the
+    * oracle's HUGEINT evaluation.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      k: Int = 8,
+      iters: Int = 2,
+      scale: Long = 10000L,
+      tauSqNum: Long = 400L,
+      tauSqDen: Long = 10000L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val qv = quantized(emb, idCol, vecCol, scale)
+    val asg = kmeansAssign(emb, k, iters, scale, idCol, vecCol)
+    val clustered = qv.join(asg, "vec_id")
+    val norms = qv.select($"vec_id", dotL($"qv", $"qv").as("nrm"))
+    val lo = clustered.select($"cluster", $"vec_id".as("a"), $"qv".as("av"))
+    val hi = clustered.select($"cluster", $"vec_id".as("b"), $"qv".as("bv"))
+    val dups = lo
+      .join(hi, "cluster")
+      .where($"a" < $"b")
+      .select($"a", $"b", dotL($"av", $"bv").as("dot"))
+      .join(norms.select($"vec_id".as("a"), $"nrm".as("na")), "a")
+      .join(norms.select($"vec_id".as("b"), $"nrm".as("nb")), "b")
+      .where(
+        $"dot" > 0 &&
+          $"dot".cast(dec) * $"dot".cast(dec) * lit(tauSqDen).cast(dec) >=
+          lit(tauSqNum).cast(dec) * $"na".cast(dec) * $"nb".cast(dec)
+      )
+      .groupBy($"b".as("vec_id"))
+      .agg(min($"a").as("dup_of"))
+    qv.select($"vec_id").join(dups, Seq("vec_id"), "left").select($"vec_id", $"dup_of")
+  }
+}

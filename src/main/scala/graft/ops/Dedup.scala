@@ -899,4 +899,63 @@ object Dedup {
           size(array_union(col("g_a"), col("g_b")))).as("jaccard")
       )
   }
+
+  /** C4-style global chunk dedup WITH corpus rewrite: split every document
+    * into fixed-width non-overlapping word chunks, keep only each chunk
+    * text's first occurrence corpus-wide (lexicographic (doc_id, position)
+    * winner), and re-assemble each document from its surviving chunks in
+    * original order. Emits per-document (n_chunks, n_kept, kept_md5) where
+    * kept_md5 fingerprints the rewritten text (md5("") for a document that
+    * loses every chunk).
+    *
+    * Scale shape: chunking is MAP-ONLY (`sequence`+`slice`, no
+    * explode→groupBy round trip for chunk formation); winner election
+    * groups by the chunk's md5 so the exchange carries 128-bit keys + (doc,
+    * pos) pairs — document text crosses a shuffle only once, for the
+    * rebuild itself, which any rewrite must pay.
+    */
+  def chunkDedupRewrite(
+      docs: DataFrame,
+      width: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nChunks = floor((size(words) + lit(width - 1)) / lit(width)).cast("int")
+    val chunks = transform(
+      sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(words, i * width + 1, lit(width)))
+    )
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("cpos", "chunk")))
+      .withColumn("h", md5(col("chunk")))
+    val winners = exploded
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("cpos"))).as("w"))
+    val kept = exploded
+      .join(winners, Seq("h"))
+      .where(struct(col("doc_id"), col("cpos")) === col("w"))
+    val rebuilt = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("cpos"), col("chunk")))),
+            s => s.getField("chunk")
+          )
+        ).as("txt")
+      )
+      .select(col("doc_id"), col("n_kept"), md5(col("txt")).as("kept_md5"))
+    docs
+      .select(col(idCol).as("doc_id"), nChunks.cast("long").as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5")
+      )
+  }
 }

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) builds from an event/change stream:
+  * collapse each key's consecutive runs of an equal attribute value into
+  * validity intervals [valid_from, valid_to), open-ended (NULL valid_to)
+  * for the current state — the standard CDC→warehouse-dimension transform.
+  *
+  * Scale shape: two window passes over the SAME (key, ts, tie) ordering —
+  * Catalyst plans a single sort+exchange partitioned by the key and reuses
+  * it for the run-collapse filter and the lead/version pass; nothing else
+  * shuffles. Determinism: ordering ties break on a unique tie column, so
+  * the interval set is reproducible and oracle-comparable.
+  *
+  * Reference scope note: the reference (Beam mobile-gaming demos) has no
+  * dimension-build surface; this is training/warehouse-pipeline extension
+  * work per the survey.
+  */
+object Scd {
+
+  def scd2(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      attrCol: String = "event_type",
+      tsCol: String = "ts",
+      tieCol: String = "event_id"
+  ): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val starts = events
+      .select(col(keyCol), col(attrCol), col(tsCol), col(tieCol))
+      .withColumn("prev", lag(col(attrCol), 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col(attrCol))
+    starts
+      .select(
+        col(keyCol),
+        col(attrCol),
+        col(tsCol).as("valid_from"),
+        lead(col(tsCol), 1).over(w).as("valid_to"),
+        row_number().over(w).as("version")
+      )
+  }
+}

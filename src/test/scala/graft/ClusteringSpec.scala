@@ -1,0 +1,113 @@
+package graft
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Clustering
+
+class ClusteringSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 8
+  private val scale = 10000L
+
+  /** 3 well-separated centers; ids 0..2 land in distinct groups so the
+    * lowest-id seeding starts one centroid per group.
+    */
+  private def grouped(n: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new Random(7)
+    val centers = Array(
+      Array.fill(dim)(5.0 + rnd.nextGaussian() * 0.1),
+      Array.fill(dim)(-5.0 + rnd.nextGaussian() * 0.1),
+      Array.fill(dim)(rnd.nextGaussian() * 0.1)
+    )
+    (0L until n).map { i =>
+      val c = centers((i % 3).toInt)
+      i -> c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+    }
+  }
+
+  /** Local mirror of kmeansAssign's exact integer semantics. */
+  private def localKmeans(data: Seq[(Long, Array[Float])], k: Int, iters: Int): Map[Long, Int] = {
+    val qv: Map[Long, Array[Long]] =
+      data.map { case (id, v) =>
+        id -> v.map(x => BigDecimal(x.toDouble * scale).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }.toMap
+    var cents: Seq[(Int, Array[Long])] =
+      qv.filter(_._1 < k).toSeq.sortBy(_._1).map { case (id, v) => (id.toInt, v) }
+    def assign(): Map[Long, Int] = qv.map { case (id, v) =>
+      id -> cents.map { case (cid, c) =>
+        (v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum, cid)
+      }.min._2
+    }
+    var asg = assign()
+    for (_ <- 2 to iters) {
+      cents = asg.toSeq.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, members) =>
+        val vs = members.map(m => qv(m._1))
+        val sums = vs.transpose.map(_.sum.toDouble)
+        (cid, sums.map(s => math.floor(s / vs.size).toLong).toArray)
+      }
+      asg = assign()
+    }
+    asg
+  }
+
+  test("kmeansAssign separates well-separated groups and matches the local mirror") {
+    val data = grouped(60)
+    val df = data.toDF("vec_id", "embedding")
+    val got = Clustering
+      .kmeansAssign(df, k = 3, iters = 2, scale = scale)
+      .as[(Long, Int)]
+      .collect()
+      .toMap
+    assert(got.keySet == data.map(_._1).toSet)
+    // exact agreement with the reference semantics
+    assert(got == localKmeans(data, k = 3, iters = 2))
+    // and the geometry is right: each id%3 group is one cluster
+    val byGroup = got.groupBy { case (id, _) => id % 3 }.map { case (g, m) => g -> m.values.toSet }
+    assert(byGroup.values.forall(_.size == 1), s"groups split across clusters: $byGroup")
+    assert(byGroup.values.flatten.toSet.size == 3)
+  }
+
+  test("kmeansAssign retires emptied clusters instead of resurrecting stale centroids") {
+    // Seeds 0 and 1 are identical: the (dist, cid) tie-break sends BOTH
+    // vectors to cluster 0 in round 1, so cluster 1 is empty and must
+    // vanish from round 2's centroid set (not resurrect its stale seed).
+    val data: Seq[(Long, Array[Float])] =
+      Seq(0L -> Array.fill(dim)(1.0f), 1L -> Array.fill(dim)(1.0f)) ++
+        (2L until 12L).map(i => i -> Array.fill(dim)(9.0f))
+    val df = data.toDF("vec_id", "embedding")
+    val got = Clustering.kmeansAssign(df, k = 2, iters = 2, scale = scale).as[(Long, Int)].collect().toMap
+    assert(got == localKmeans(data, k = 2, iters = 2))
+  }
+
+  test("semanticDedup marks within-cluster near-dups with the lowest-id anchor") {
+    val rnd = new Random(11)
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val far = base.map(x => -x)
+    // ids 0,1: near-identical (same direction); 2: far seed; 3: scaled copy
+    // of 0 (cosine 1 with 0 and 1); 4: orthogonal-ish noise near base cluster
+    val ortho = Array.tabulate(dim)(i => if (i % 2 == 0) base(i) else -base(i))
+    val data = Seq(
+      0L -> base,
+      1L -> base.map(x => (x * 1.01f)),
+      2L -> far,
+      3L -> base.map(x => (x * 2.0f)),
+      4L -> ortho
+    )
+    val df = data.toDF("vec_id", "embedding")
+    // tau^2 = 0.81 → tau = 0.9: 1 and 3 are dups of 0; 2 and 4 survive
+    val got = Clustering
+      .semanticDedup(df, k = 2, iters = 2, scale = scale, tauSqNum = 8100L, tauSqDen = 10000L)
+      .as[(Long, Option[Long])]
+      .collect()
+      .toMap
+    assert(got(0L).isEmpty)
+    assert(got(2L).isEmpty)
+    assert(got(4L).isEmpty)
+    assert(got(1L).contains(0L))
+    assert(got(3L).contains(0L))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.commons.codec.digest.DigestUtils
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+class RewriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val W = 3 // small chunk width so fixtures stay readable
+
+  test("chunkDedupRewrite keeps first occurrences and rewrites the corpus") {
+    val c1 = "a b c"
+    val c2 = "d e f"
+    val c3 = "g h i"
+    val docs = Seq(
+      // doc 0 defines c1 and c2
+      0L -> s"$c1 $c2",
+      // doc 1 repeats c1 (dropped), adds c3 (kept), then a short tail chunk
+      1L -> s"$c1 $c3 x y",
+      // doc 2 is entirely chunks seen above → loses everything
+      2L -> s"$c2 $c3"
+    )
+    val got = Dedup
+      .chunkDedupRewrite(docs.toDF("doc_id", "text"), width = W)
+      .as[(Long, Long, Long, String)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    assert(got(0L) == ((2L, 2L, DigestUtils.md5Hex(s"$c1 $c2"))))
+    assert(got(1L) == ((3L, 2L, DigestUtils.md5Hex(s"$c3 x y"))))
+    assert(got(2L) == ((2L, 0L, DigestUtils.md5Hex(""))))
+  }
+
+  test("chunkDedupRewrite within-document repeats keep only the earliest position") {
+    val docs = Seq(0L -> "p q r p q r s")
+    val got = Dedup
+      .chunkDedupRewrite(docs.toDF("doc_id", "text"), width = W)
+      .as[(Long, Long, Long, String)]
+      .collect()
+      .head
+    // chunks: "p q r" | "p q r" (dup) | "s" → rewrite "p q r s"
+    assert(got == ((0L, 3L, 2L, DigestUtils.md5Hex("p q r s"))))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Scd
+
+class ScdSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (user_id, event_type, ts, event_id)
+  private val events = Seq(
+    (1L, "view", 100L, 1L),
+    (1L, "view", 200L, 2L),
+    (1L, "buy", 300L, 3L),
+    (1L, "view", 400L, 4L),
+    (2L, "buy", 100L, 5L),
+    // user 3: two events at the SAME ts — tie must break on event_id,
+    // so "a" (event_id 6) precedes "b" (event_id 7)
+    (3L, "a", 100L, 6L),
+    (3L, "b", 100L, 7L)
+  )
+
+  test("scd2 collapses runs into validity intervals with open-ended current state") {
+    val got = Scd
+      .scd2(events.toDF("user_id", "event_type", "ts", "event_id"))
+      .as[(Long, String, Long, Option[Long], Int)]
+      .collect()
+      .sortBy(r => (r._1, r._5))
+      .toList
+    assert(
+      got == List(
+        (1L, "view", 100L, Some(300L), 1),
+        (1L, "buy", 300L, Some(400L), 2),
+        (1L, "view", 400L, None, 3),
+        (2L, "buy", 100L, None, 1),
+        (3L, "a", 100L, Some(100L), 1),
+        (3L, "b", 100L, None, 2)
+      )
+    )
+  }
+
+  test("scd2 intervals tile each key's timeline: from < to, next.from == prev.to") {
+    val got = Scd
+      .scd2(events.toDF("user_id", "event_type", "ts", "event_id"))
+      .as[(Long, String, Long, Option[Long], Int)]
+      .collect()
+      .groupBy(_._1)
+    got.values.foreach { rows =>
+      val sorted = rows.sortBy(_._5)
+      sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._4.contains(b._3), s"gap between $a and $b")
+      }
+      assert(sorted.last._4.isEmpty)
+    }
+  }
+}
