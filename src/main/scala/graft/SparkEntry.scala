@@ -723,6 +723,20 @@ object SparkEntry {
         .dropNearDuplicates(docs, Dedup.minhashMd5Pairs(docs, threshold = 0.8))
         .select(col("doc_id"))
     },
+    "neardup_corpus_best" -> { (s, dir) =>
+      // Same cluster pipeline, quality-aware survivor policy: the highest
+      // qualityLogit member of each near-dup cluster survives (ties → min
+      // id) — what a real curation pipeline keeps, since near-dups are not
+      // byte-identical and one copy is usually cleaner.
+      val docs = table(s, dir, "documents")
+      val scored = docs.select(
+        col("doc_id"),
+        TextAnalysis.qualityLogit(col("text"), length(col("text"))).as("score")
+      )
+      Dedup
+        .dropNearDuplicatesKeepBest(docs, Dedup.minhashMd5Pairs(docs, threshold = 0.8), scored)
+        .select(col("doc_id"))
+    },
     "decontam_overlap" -> { (s, dir) =>
       // Benchmark decontamination hits: training docs sharing any word
       // 4-gram with the (broadcast) benchmark set. Stand-in benchmark: the
@@ -1030,6 +1044,32 @@ object SparkEntry {
       |  SELECT id, id AS lab FROM nodes
       |  UNION
       |  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+      |)""".stripMargin
+
+  /** Shared CTEs reproducing [[graft.ops.TextAnalysis.qualityLogit]]:
+    * `f(doc_id, n_chars, n_tokens, n_punct, n_stop, n_distinct)` the cheap
+    * per-document features, `scored(doc_id, logit_micro)` the fixed-order
+    * double logit in integer micro-units.
+    */
+  private val QualityLogitCtes: String =
+    """f AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS INT) AS n_chars,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+      |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['the','and','of','to','in','is'], t))) AS INT) AS n_stop,
+      |    CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS INT) AS n_distinct
+      |  FROM documents
+      |), scored AS (
+      |  SELECT doc_id,
+      |    CAST(floor((
+      |      -1.5
+      |      + (least(n_tokens, 200) / 200.0) * 2.0
+      |      + (n_stop * 4.0 / greatest(n_tokens, 1)) * 3.0
+      |      + (n_punct * 10.0 / greatest(n_chars, 1)) * -4.0
+      |      + (n_distinct / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 1.5
+      |    ) * 1000000.0 + 0.5) AS BIGINT) AS logit_micro
+      |  FROM f
       |)""".stripMargin
 
   /** Shared CTEs reproducing [[graft.ops.Clustering.kmeansAssign]] with
@@ -1822,6 +1862,23 @@ object SparkEntry {
         |labels AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster)""".stripMargin,
+    "neardup_corpus_best" ->
+      s"""$Md5NearDupCtes,
+        |$Md5ClusterCtes,
+        |labels AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+        |$QualityLogitCtes,
+        |members AS (
+        |  SELECT l.id, l.cluster, s.logit_micro
+        |  FROM labels l JOIN scored s ON s.doc_id = l.id
+        |), losers AS (
+        |  SELECT id FROM (
+        |    SELECT id, row_number() OVER (
+        |      PARTITION BY cluster ORDER BY logit_micro DESC, id) AS rn
+        |    FROM members)
+        |  WHERE rn > 1
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
     "decontam_overlap" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
@@ -2082,25 +2139,7 @@ object SparkEntry {
         |                WHEN 'zh' THEN 1073741824
         |                ELSE 0 END""".stripMargin,
     "quality_logit" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    CAST(length(text) AS INT) AS n_chars,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
-        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
-        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['the','and','of','to','in','is'], t))) AS INT) AS n_stop,
-        |    CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS INT) AS n_distinct
-        |  FROM documents
-        |), scored AS (
-        |  SELECT doc_id,
-        |    CAST(floor((
-        |      -1.5
-        |      + (least(n_tokens, 200) / 200.0) * 2.0
-        |      + (n_stop * 4.0 / greatest(n_tokens, 1)) * 3.0
-        |      + (n_punct * 10.0 / greatest(n_chars, 1)) * -4.0
-        |      + (n_distinct / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 1.5
-        |    ) * 1000000.0 + 0.5) AS BIGINT) AS logit_micro
-        |  FROM f
-        |)
+      s"""WITH $QualityLogitCtes
         |SELECT doc_id, logit_micro,
         |  CAST(CASE WHEN logit_micro > 0 THEN 1 ELSE 0 END AS INT) AS keep
         |FROM scored""".stripMargin,

@@ -374,6 +374,34 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Near-dup dedup with QUALITY-AWARE survivor selection: within each
+    * near-dup cluster the member with the highest `score` survives (ties
+    * break to the lowest id) instead of the arbitrary min-id pick — the
+    * policy real curation pipelines want, since near-duplicates are NOT
+    * byte-identical and one copy is usually cleaner than the rest.
+    *
+    * `score(docs)` must yield (idCol, "score"). Shapes: winner election is
+    * a `max_by` aggregation per cluster (one candidate per partition
+    * crosses the exchange), losers anti-join back — ids only, never text.
+    */
+  def dropNearDuplicatesKeepBest(
+      docs: DataFrame,
+      pairs: DataFrame,
+      scored: DataFrame,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val members = nearDupClusters(pairs)
+      .join(scored.select(col(idCol).as("id"), col("score")), Seq("id"))
+    val winners = members
+      .groupBy(col("cluster"))
+      .agg(max_by(col("id"), struct(col("score"), -col("id"))).as("keep_id"))
+    val losers = members
+      .join(winners, Seq("cluster"))
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token

@@ -302,4 +302,28 @@ class DedupSpec extends AnyFunSuite {
     assert(sig.forall(_.isNullAt(0)))
     assert(Dedup.minhashPairs(tiny).count() == 0)
   }
+
+  test("dropNearDuplicatesKeepBest keeps the highest-scored cluster member, ties to min id") {
+    val docs = Seq(
+      (1L, "cluster one copy a"),
+      (2L, "cluster one copy b"),
+      (3L, "cluster one copy c"),
+      (4L, "alone"),
+      (5L, "cluster two x"),
+      (6L, "cluster two y")
+    ).toDF("doc_id", "text")
+    // pairs: {1,2,3} and {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    // cluster one: doc 2 scores highest → survives; cluster two: tie → min id 5
+    val scored = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 0L), (5L, 7L), (6L, 7L))
+      .toDF("doc_id", "score")
+    val got = Dedup
+      .dropNearDuplicatesKeepBest(docs, pairs, scored)
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .sorted
+      .toList
+    assert(got == List(2L, 4L, 5L))
+  }
 }
