@@ -954,36 +954,40 @@ object Dedup {
       sequence(lit(0), nChunks - 1),
       i => concat_ws(" ", slice(words, i * width + 1, lit(width)))
     )
+    // (doc_id, cpos) packed into ONE bigint so winner election is a plain
+    // `min` — a mutable-buffer HashAggregate; `min(struct(...))` would fall
+    // back to SortAggregate and buy two per-partition sorts. Non-negative
+    // doc ids below 2^32 and cpos below 2^31 by construction (cpos is a
+    // posexplode index).
     val exploded = docs
       .select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("cpos", "chunk")))
       .withColumn("h", md5(col("chunk")))
+      .withColumn("packed", col("doc_id") * (1L << 31) + col("cpos"))
     val winners = exploded
       .groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("cpos"))).as("w"))
-    val kept = exploded
+      .agg(min(col("packed")).as("w"))
+    // Every chunk's hash has a winner, so the join is total: tag keepers
+    // instead of filtering, and fold n_chunks / n_kept / the rebuild into
+    // ONE per-document aggregation (collect_list skips the nulls the
+    // `when` leaves on losers; a doc that loses everything re-assembles to
+    // "" → md5("") with no outer-join/coalesce edge case). Hash-agg +
+    // hash-join shapes only — no sort anywhere in the plan.
+    val tagged = exploded
       .join(winners, Seq("h"))
-      .where(struct(col("doc_id"), col("cpos")) === col("w"))
-    val rebuilt = kept
+      .withColumn("keep", col("packed") === col("w"))
+    tagged
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_kept"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         concat_ws(
           " ",
           transform(
-            array_sort(collect_list(struct(col("cpos"), col("chunk")))),
+            array_sort(collect_list(when(col("keep"), struct(col("cpos"), col("chunk"))))),
             s => s.getField("chunk")
           )
         ).as("txt")
       )
-      .select(col("doc_id"), col("n_kept"), md5(col("txt")).as("kept_md5"))
-    docs
-      .select(col(idCol).as("doc_id"), nChunks.cast("long").as("n_chunks"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        col("n_chunks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("kept_md5"), md5(lit(""))).as("kept_md5")
-      )
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"), md5(col("txt")).as("kept_md5"))
   }
 }
