@@ -951,6 +951,11 @@ object SparkEntry {
         .groupBy(col("hot_event_id"))
         .agg(count(lit(1)).as("n_events"))
     },
+    "hashing_tf" -> { (s, dir) =>
+      // Feature hashing (hashing-trick TF): vocabulary-free fixed-width
+      // featurization, sparse output, portable md5 bucketing.
+      TextAnalysis.hashingTf(table(s, dir, "documents"), dim = 64)
+    },
     "kmeans_clusters" -> { (s, dir) =>
       // Distributed Lloyd k-means in exact integer arithmetic: map-only
       // assignment against driver-held (bounded k×dim) centroids,
@@ -2156,6 +2161,15 @@ object SparkEntry {
         |SELECT hot_event_id, count(*) AS n_events
         |FROM hot JOIN e ON e.ts_ms >= hot.win_start AND e.ts_ms < hot.win_end
         |GROUP BY 1""".stripMargin,
+    "hashing_tf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 64 AS INT) AS bucket,
+        |  count(*) AS tf
+        |FROM tok WHERE token <> '' GROUP BY 1, 2""".stripMargin,
     "kmeans_clusters" ->
       s"""$KmeansCtes
         |SELECT vec_id, cluster FROM a2""".stripMargin,

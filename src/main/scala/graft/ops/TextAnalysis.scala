@@ -276,6 +276,32 @@ object TextAnalysis {
         Ipv4Pattern, placeholder),
       LongDigitPattern, placeholder)
 
+  /** Feature hashing (hashing-trick TF): map each token to one of `dim`
+    * buckets via a portable md5-derived 32-bit hash and count occurrences —
+    * the fixed-width featurization that turns raw text into model-ready
+    * vectors with NO vocabulary build (no global dictionary state, so the
+    * operator is embarrassingly parallel at any corpus size). Emitted
+    * sparse, one row per (doc, non-zero bucket): the dense `dim`-wide
+    * vector never materializes in the shuffle.
+    *
+    * Shape: explode → hash-aggregate on (doc_id, bucket) — partial
+    * aggregation collapses each partition's token multiset to ≤ dim rows
+    * per doc before the exchange. The md5 hash (vs a native murmur) keeps
+    * the bucketing reproducible in ANY engine — same portability contract
+    * as the md5-anchored dedup twins.
+    */
+  def hashingTf(
+      docs: DataFrame,
+      dim: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), pmod(Dedup.md5Hash32(col("token")), lit(dim)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("tf"))
+
   /** Per-document stats frame used by the registered queries. */
   def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -148,4 +148,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(native.map(_._1) == Set(1L, 2L, 3L, 6L, 7L))
     assert(native.contains((1L, 5L, 3L)))
   }
+
+  test("hashingTf matches a local md5-bucket reference and preserves token counts") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "THE the The"), // case-folds to one bucket, tf 3
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val dim = 16
+    val got = TextAnalysis
+      .hashingTf(docs, dim = dim)
+      .as[(Long, Int, Long)]
+      .collect()
+      .toSet
+    def bucket(tok: String): Int = {
+      val hex = org.apache.commons.codec.digest.DigestUtils.md5Hex(tok).substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % dim).toInt
+    }
+    val want = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "THE the The"
+    ).flatMap { case (id, t) =>
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).groupBy(bucket).map { case (b, ts) =>
+        (id, b, ts.length.toLong)
+      }
+    }.toSet
+    assert(got == want)
+    // per-doc tf mass equals token count (toSeq: Set.map would collapse equal tfs)
+    assert(got.toSeq.filter(_._1 == 1L).map(_._3).sum == 6L)
+  }
 }
