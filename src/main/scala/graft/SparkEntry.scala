@@ -521,6 +521,13 @@ object SparkEntry {
         size(array_distinct(TextAnalysis.bpeTokens(col("text")))).as("n_distinct_bpe")
       )
     },
+    "gopher_rules" -> { (s, dir) =>
+      // Gopher-style quality gate (Rae et al. 2021 §A1.1): integer-exact
+      // repetition + lexical signals and the keep decision. Map-only — the
+      // per-doc n-gram sort replaces the corpus-wide explode→groupBy, so
+      // there is NO shuffle at any corpus size (ops/TextAnalysis.scala).
+      TextAnalysis.gopherRules(table(s, dir, "documents"))
+    },
     "doc_splits" -> { (s, dir) =>
       // Deterministic train/val/test assignment by content hash
       // (ops/Sampling.scala): membership is a pure function of (doc_id,
@@ -1513,6 +1520,48 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_bpe_tokens,
         |  CAST(len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))) AS INT) AS n_distinct_bpe
         |FROM documents""".stripMargin,
+    "gopher_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS stop_hits,
+        |    string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents
+        |), g2 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks WHERE len(t) >= 2
+        |), top2 AS (
+        |  SELECT doc_id, max(cnt * length(g)) AS top2_chars
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY 1
+        |), g5 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        |  FROM toks WHERE len(t) >= 5
+        |), dup5 AS (
+        |  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dup5_chars
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2) GROUP BY 1
+        |), joined AS (
+        |  SELECT toks.doc_id, n_chars, n_tokens, word_chars, stop_hits,
+        |    CAST(COALESCE(top2_chars, 0) AS BIGINT) AS top2_chars,
+        |    CAST(COALESCE(dup5_chars, 0) AS BIGINT) AS dup5_chars,
+        |    round(CAST(word_chars AS DOUBLE) / greatest(n_tokens, 1), 4) AS mean_word_len,
+        |    round(CAST(COALESCE(top2_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) AS top2_share,
+        |    round(CAST(COALESCE(dup5_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) AS dup5_share
+        |  FROM toks LEFT JOIN top2 ON toks.doc_id = top2.doc_id
+        |             LEFT JOIN dup5 ON toks.doc_id = dup5.doc_id
+        |)
+        |SELECT doc_id, n_chars, n_tokens, word_chars, stop_hits, top2_chars, dup5_chars,
+        |  mean_word_len, top2_share, dup5_share,
+        |  CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000
+        |         AND mean_word_len BETWEEN 2.0 AND 12.0
+        |         AND top2_share < 0.30
+        |         AND dup5_share < 0.15
+        |         AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM joined""".stripMargin,
     "doc_splits" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -302,6 +302,115 @@ object TextAnalysis {
       .groupBy(col("doc_id"), pmod(Dedup.md5Hash32(col("token")), lit(dim)).cast("int").as("bucket"))
       .agg(count(lit(1)).as("tf"))
 
+  // --------------------------------------------------- Gopher quality gate
+
+  /** Word n-grams WITHOUT dedup (repetition is the signal), lower-cased.
+    * Empty array below `n` tokens. The token array binds as a lambda
+    * variable so the split runs once, not once per gram slot.
+    */
+  def ngramsWithDups(text: Column, n: Int): Column =
+    element_at(
+      transform(
+        array(split(lower(text), "\\s+")),
+        toks => {
+          val grams = transform(
+            sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)
+          )
+          when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+        }
+      ),
+      1
+    )
+
+  /** Repetition mass of the doc's word n-grams, in one sorted pass:
+    * `dup_chars`  = Σ over grams occurring ≥2× of count·length(gram)
+    * `top_chars`  = max over grams of count·length(gram)
+    * (the Gopher paper's "fraction of characters in duplicate n-grams" /
+    * "... in the most frequent n-gram" numerators, Rae et al. 2021 §A1.1).
+    *
+    * Map-only: the sort is per-document over that document's own grams
+    * (O(m log m) in doc length), so the operator scales with corpus size
+    * purely by partitioning — no shuffle, no per-corpus state. The
+    * explode → groupBy corpus-wide form would shuffle every gram twice.
+    */
+  def ngramRepetition(text: Column, n: Int): Column =
+    element_at(
+      transform(
+        array(array_sort(ngramsWithDups(text, n))),
+        sorted => {
+          // Walk the sorted grams tracking the current run; a gram's chars
+          // enter `dup` twice when its run reaches 2 (first + second
+          // occurrence) and once per further repeat — totalling count·len
+          // for every gram with count ≥ 2. `prev` starts "" which no real
+          // gram equals (grams of n ≥ 2 words are non-empty).
+          val init = struct(
+            lit("").as("prev"), lit(0L).as("run"), lit(0L).as("dup"), lit(0L).as("top"))
+          aggregate(
+            sorted,
+            init,
+            (acc, g) => {
+              val run = when(acc("prev") === g, acc("run") + 1L).otherwise(lit(1L))
+              val glen = length(g).cast("long")
+              val dup = acc("dup") + when(run === 2L, glen * 2L)
+                .when(run > 2L, glen)
+                .otherwise(lit(0L))
+              struct(
+                g.as("prev"), run.as("run"), dup.as("dup"),
+                greatest(acc("top"), run * glen).as("top"))
+            },
+            acc => struct(acc("dup").as("dup_chars"), acc("top").as("top_chars"))
+          )
+        }
+      ),
+      1
+    )
+
+  /** Gopher's lexical stop-word gate list (Rae et al. 2021 §A1.1). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality gate: integer-exact repetition and
+    * lexical signals plus the boolean keep decision. All numerators and
+    * denominators are exact integers; the shares are single fixed-order
+    * divisions rounded to 4dp — bit-identical in any engine (the same
+    * portability contract as `quality_logit`). Entirely map-side: at
+    * 100 TB this is a scan-speed filter, no shuffle anywhere.
+    *
+    * Thresholds follow the paper's shape (token-count window, mean-word-
+    * length window, repetition caps, ≥2 stop-word hits), re-centred for
+    * short synthetic docs.
+    */
+  def gopherRules(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val rep2 = ngramRepetition(t, 2)
+    val rep5 = ngramRepetition(t, 5)
+    val base = docs.select(
+      col("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      tokenCount(t).cast("long").as("n_tokens"),
+      length(regexp_replace(t, "\\s+", "")).cast("long").as("word_chars"),
+      markerCount(t, GopherStops).cast("long").as("stop_hits"),
+      rep2.getField("top_chars").as("top2_chars"),
+      rep5.getField("dup_chars").as("dup5_chars")
+    )
+    base
+      .withColumn("mean_word_len",
+        round(col("word_chars").cast("double") / greatest(col("n_tokens"), lit(1L)), 4))
+      .withColumn("top2_share",
+        round(col("top2_chars").cast("double") / greatest(col("n_chars"), lit(1L)), 4))
+      .withColumn("dup5_share",
+        round(col("dup5_chars").cast("double") / greatest(col("n_chars"), lit(1L)), 4))
+      .withColumn(
+        "keep",
+        (col("n_tokens").between(10L, 100000L) &&
+          col("mean_word_len").between(2.0, 12.0) &&
+          col("top2_share") < 0.30 &&
+          col("dup5_share") < 0.15 &&
+          col("stop_hits") >= 2L).cast("int")
+      )
+  }
+
   /** Per-document stats frame used by the registered queries. */
   def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -177,4 +177,58 @@ class TextAnalysisSpec extends AnyFunSuite {
     // per-doc tf mass equals token count (toSeq: Set.map would collapse equal tfs)
     assert(got.toSeq.filter(_._1 == 1L).map(_._3).sum == 6L)
   }
+
+  /** Brute-force reference for [[TextAnalysis.ngramRepetition]]. */
+  private def repRef(text: String, n: Int): (Long, Long) = {
+    val toks = text.toLowerCase.split("\\s+", -1)
+    if (toks.length < n) (0L, 0L)
+    else {
+      val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+      val dup = counts.collect { case (g, c) if c >= 2 => c * g.length }.sum
+      val top = counts.map { case (g, c) => c * g.length }.max
+      (dup, top)
+    }
+  }
+
+  test("ngramRepetition: sorted one-pass equals brute-force gram counting") {
+    val texts = Seq(
+      (1L, "a b a b a b a b"),          // one bigram repeated heavily
+      (2L, "x y z w v u t s"),          // all grams unique → dup = 0
+      (3L, "spam spam spam spam spam"), // single run of length 4
+      (4L, "a b c a b c d a b"),        // two duplicated bigrams + unique ones
+      (5L, "solo"),                     // below n → empty gram set
+      (6L, " leading space a b a b")    // leading-empty token edge
+    ).toDF("doc_id", "text")
+    for (n <- Seq(2, 5)) {
+      val got = texts
+        .select($"doc_id", TextAnalysis.ngramRepetition($"text", n).as("r"))
+        .select($"doc_id", $"r.dup_chars", $"r.top_chars")
+        .as[(Long, Long, Long)].collect().map { case (k, d, t) => k -> (d, t) }.toMap
+      val want = texts.as[(Long, String)].collect().map { case (id, t) =>
+        id -> repRef(t, n)
+      }.toMap
+      assert(got == want, s"n=$n")
+    }
+  }
+
+  test("gopherRules: keep gate fires on the right documents") {
+    val docs = Seq(
+      // healthy: ≥10 tokens, stop-rich, no repetition
+      (1L, "the cat and the dog have to be with all of that group now"),
+      // heavy bigram repetition → top2_share breaches
+      (2L, "the of the of the of the of the of the of the of the of"),
+      // too short (< 10 tokens)
+      (3L, "the of and that have with"),
+      // no stop words at all
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+    ).toDF("doc_id", "text").withColumn("n_chars", length($"text"))
+    val got = TextAnalysis.gopherRules(docs)
+      .select($"doc_id", $"keep").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0))
+    // signal sanity on the repetitive doc: most chars sit in the top bigram
+    val row = TextAnalysis.gopherRules(docs).filter($"doc_id" === 2L)
+      .select($"top2_share").as[Double].head()
+    assert(row > 0.5)
+  }
 }
