@@ -867,6 +867,25 @@ object SparkEntry {
         )
         .select(col("doc_id"), col("lang"))
     },
+    "domain_mix_targets" -> { (s, dir) =>
+      // Temperature (α=0.5) quota per language: min(n, floor(8·√n)) —
+      // flattens the head language, keeps tails whole (mT5-style mixing).
+      graft.ops.Sampling.temperatureTargets(table(s, dir, "documents"), "lang", c = 8.0)
+    },
+    "domain_mix_exact" -> { (s, dir) =>
+      // Exact quota: per-stratum ranking by md5 order (one hash exchange;
+      // quota frame broadcast). See ops/Sampling.scala for the skew note.
+      graft.ops.Sampling
+        .temperatureMixExact(table(s, dir, "documents"), "doc_id", "lang", c = 8.0, seed = "mix5")
+        .select(col("doc_id"), col("lang"))
+    },
+    "domain_mix_threshold" -> { (s, dir) =>
+      // Map-only scale path: exact-integer hash threshold at rate target/n.
+      graft.ops.Sampling
+        .temperatureMixThreshold(
+          table(s, dir, "documents"), "doc_id", "lang", c = 8.0, seed = "mix5")
+        .select(col("doc_id"), col("lang"))
+    },
     "ann_ivf_topk_indexed" -> { (s, dir) =>
       // Index-once-query-many ANN: the corpus lives partitioned by coarse
       // centroid (built once per scale factor into the warehouse, like the
@@ -2150,6 +2169,34 @@ object SparkEntry {
         |              WHEN 'es' THEN 1073741824
         |              WHEN 'fr' THEN 429496729
         |              ELSE 0 END""".stripMargin,
+    "domain_mix_targets" ->
+      """SELECT lang, count(*) AS n,
+        |  least(count(*), CAST(floor(8.0 * sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS target
+        |FROM documents GROUP BY lang""".stripMargin,
+    "domain_mix_exact" ->
+      """WITH t AS (
+        |  SELECT lang, count(*) AS n,
+        |    least(count(*), CAST(floor(8.0 * sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS target
+        |  FROM documents GROUP BY lang
+        |), ranked AS (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY CAST(('0x' || substr(md5('mix5' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+        |             doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, ranked.lang FROM ranked JOIN t ON ranked.lang = t.lang
+        |WHERE rn <= target""".stripMargin,
+    "domain_mix_threshold" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(floor(
+        |      CAST(least(count(*), CAST(floor(8.0 * sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)) AS DOUBLE)
+        |      / count(*) * 4294967296.0) AS BIGINT) AS thr
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT doc_id, documents.lang FROM documents JOIN t ON documents.lang = t.lang
+        |WHERE CAST(('0x' || substr(md5('mix5' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < thr""".stripMargin,
     "curation_pipeline_v2" ->
       """WITH survivors AS (
         |  SELECT doc_id, lang, text,

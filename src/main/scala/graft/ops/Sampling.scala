@@ -55,6 +55,69 @@ object Sampling {
     df.filter(h < threshold)
   }
 
+  /** Temperature-weighted stratum quotas — the "α-sampling" of multilingual
+    * / multi-domain corpus mixing (mT5, XLM-R style): a stratum with n docs
+    * gets quota min(n, ⌊C·√n⌋), flattening the head and upweighting tails
+    * (α = 0.5 fixed: `sqrt` is IEEE-correctly-rounded in every engine,
+    * unlike `pow`, so the quota is bit-portable and oracle-checkable).
+    * One tiny aggregation — partial map-side combine collapses each
+    * partition to ≤ |strata| rows before the exchange.
+    */
+  def temperatureTargets(df: DataFrame, strataCol: String, c: Double): DataFrame =
+    df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("target",
+        least(col("n"), floor(lit(c) * sqrt(col("n").cast("double"))).cast("long")))
+
+  /** Exact-quota temperature mix: within each stratum keep exactly `target`
+    * rows, chosen by md5 hash order (uniform but deterministic — membership
+    * is a pure function of (key, seed) given the stratum counts).
+    *
+    * Plan shape: quota frame is ≤ |strata| rows → broadcast join; the
+    * per-stratum ranking is ONE hash exchange + per-partition sort. At
+    * 100 TB note the skew: each stratum ranks on a single task, so this
+    * exact form suits quota-critical mixes over at-most-GB strata; for
+    * petabyte strata use [[temperatureMixThreshold]] (map-only, binomial-
+    * approximate quota) — same seed, same hash, no sort anywhere.
+    */
+  def temperatureMixExact(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      c: Double,
+      seed: String
+  ): DataFrame = {
+    val targets = temperatureTargets(df, strataCol, c)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashValue(col(keyCol), seed), col(keyCol))
+    df.withColumn("rn", row_number().over(w))
+      .join(broadcast(targets), strataCol)
+      .filter(col("rn") <= col("target"))
+      .drop("rn", "n", "target")
+  }
+
+  /** Map-only temperature mix: per-stratum keep-rate = target/n applied as
+    * an exact integer hash threshold ([[hashValue]] < ⌊rate·2³²⌋). The kept
+    * count is Binomial(n, target/n) — concentrated at the quota — and the
+    * plan after the broadcast of the quota frame is a pure scan-speed
+    * filter: the 100 TB default.
+    */
+  def temperatureMixThreshold(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      c: Double,
+      seed: String
+  ): DataFrame = {
+    val targets = temperatureTargets(df, strataCol, c)
+      .withColumn("thr",
+        floor(col("target").cast("double") / col("n") * Two32.toDouble).cast("long"))
+    df.join(broadcast(targets), strataCol)
+      .filter(hashValue(col(keyCol), seed) < col("thr"))
+      .drop("n", "target", "thr")
+  }
+
   /** Assign each row a split label by cumulative weight ranges (weights
     * need not sum to 1 — the remainder falls into the last split).
     */

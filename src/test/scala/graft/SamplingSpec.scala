@@ -65,4 +65,42 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, String)].collect().filter(_._2 == "a")
     assert(bumped.toSet == kept.filter(_._2 == "a").toSet)
   }
+
+  test("temperatureMixExact: hits the √n quota exactly, flattens the head") {
+    // head stratum 160 rows, tail 16: quota_head = min(160, ⌊4√160⌋) = 50,
+    // quota_tail = min(16, ⌊4√16⌋) = 16 — the tail survives whole.
+    val df = ((1L to 160L).map(i => (i, "head")) ++ (161L to 176L).map(i => (i, "tail")))
+      .toDF("id", "stratum")
+    val kept = Sampling.temperatureMixExact(df, "id", "stratum", c = 4.0, seed = "t1")
+      .select($"id", $"stratum").as[(Long, String)].collect()
+    val byStratum = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStratum == Map("head" -> 50, "tail" -> 16))
+    // deterministic: same seed → same set
+    val again = Sampling.temperatureMixExact(df, "id", "stratum", c = 4.0, seed = "t1")
+      .select($"id", $"stratum").as[(Long, String)].collect()
+    assert(kept.toSet == again.toSet)
+    // quota matches the targets frame
+    val targets = Sampling.temperatureTargets(df, "stratum", c = 4.0)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(targets == Map("head" -> 50L, "tail" -> 16L))
+  }
+
+  test("temperatureMixThreshold: map-only variant tracks the quota binomially") {
+    val df = (1L to 1000L).map(i => (i, if (i <= 900) "head" else "tail"))
+      .toDF("id", "stratum")
+    val kept = Sampling.temperatureMixThreshold(df, "id", "stratum", c = 4.0, seed = "t2")
+      .select($"id", $"stratum").as[(Long, String)].collect()
+    val byStratum = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // head quota = ⌊4√900⌋ = 120 of 900; binomial sd ≈ 10 — allow ±5 sd
+    assert(math.abs(byStratum("head") - 120) <= 50, s"head kept ${byStratum("head")}")
+    // tail quota = ⌊4√100⌋ = 40 of 100; sd ≈ 5
+    assert(math.abs(byStratum("tail") - 40) <= 25, s"tail kept ${byStratum("tail")}")
+    // membership is per-key deterministic: growing the head never evicts tail rows
+    val grown = Sampling.temperatureMixThreshold(
+      df.union(Seq((2000L, "head")).toDF("id", "stratum")), "id", "stratum", c = 4.0, seed = "t2")
+      .select($"id", $"stratum").as[(Long, String)].collect()
+    // same threshold inputs? head n changed 900→901 so its threshold moved;
+    // the TAIL set must be byte-identical (strata are independent).
+    assert(grown.filter(_._2 == "tail").toSet == kept.filter(_._2 == "tail").toSet)
+  }
 }
