@@ -545,6 +545,15 @@ object SparkEntry {
     "tfidf_top_terms" -> { (s, dir) =>
       TextAnalysis.tfidfTopTerms(table(s, dir, "documents"), k = 5)
     },
+    "bm25_topk" -> { (s, dir) =>
+      // Keyword search leg: postings-style BM25 (ops/Retrieval.scala) —
+      // one corpus scan pre-filtered to the query terms, broadcast df,
+      // TakeOrderedAndProject top-k. Micro-unit scores, oracle-exact.
+      graft.ops.Retrieval.bm25TopK(
+        table(s, dir, "documents"),
+        queryTerms = Seq("table", "scan", "merge", "the"),
+        k = 10)
+    },
     "label_centroids" -> { (s, dir) =>
       // Mean embedding per label via the VecSumAgg typed aggregator
       // (fixed-size partial buffers through the exchange; explode only
@@ -1611,6 +1620,35 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT doc_id, token, tf, df, tfidf, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "bm25_topk" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl,
+        |    string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+        |  WHERE tok IN ('table', 'scan', 'merge', 'the')
+        |  GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(stats.n - dfreq.df AS DOUBLE) + 0.5e0)
+        |          / (CAST(dfreq.df AS DOUBLE) + 0.5e0) + 1.0e0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2e0)
+        |      / (CAST(tf.tf AS DOUBLE)
+        |         + 1.2e0 * (0.25e0 + 0.75e0 * (CAST(tf.dl AS DOUBLE)
+        |             / (CAST(stats.total_dl AS DOUBLE) / CAST(stats.n AS DOUBLE)))))
+        |      * 1.0e6 + 0.5e0) AS BIGINT) AS c
+        |  FROM tf JOIN dfreq USING (tok), stats
+        |)
+        |SELECT doc_id, sum(c) AS score_micro FROM scored GROUP BY 1
+        |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin,
     "label_centroids" ->
       """WITH u AS (
         |  SELECT label,

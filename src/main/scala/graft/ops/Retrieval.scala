@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the document corpus — the missing "search" leg
+  * next to the embedding-space ANN operators (ops/Similarity.scala).
+  *
+  * BM25 is computed postings-style, the way an inverted index would:
+  * tokenize → keep only postings for the query's terms → tf per (doc,
+  * term) → df per term → score. The engine never materializes a global
+  * index; at 100 TB the plan is one corpus scan whose exploded frame is
+  * pre-filtered to the query terms (an IN-list over a handful of
+  * literals — the filter sits directly on the generator output, so only
+  * matching postings survive into the exchange), one hash aggregation on
+  * (doc, term), a broadcast of the ≤|Q|-row df frame, and a
+  * TakeOrderedAndProject top-k. No sort of the corpus anywhere.
+  *
+  * Portability contract (same as `quality_logit`/`tfidf_top_terms`): each
+  * per-(doc, term) contribution is one fixed-order double expression
+  * rounded to integer micro-units, and the per-doc score is a sum of
+  * longs — associative, engine-independent, oracle-exact.
+  */
+object Retrieval {
+
+  /** BM25 top-k: Lucene/ATIRE idf `ln((N - df + 0.5)/(df + 0.5) + 1)`,
+    * k1/b term saturation and length normalization. Ties at the cut break
+    * by doc_id, so the top-k set is deterministic.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "query terms required")
+    // Global scalars (corpus size, total token mass): one tiny aggregate,
+    // collected as two longs — avgdl derives on the driver with the same
+    // single IEEE division the oracle performs.
+    val stats = docs
+      .agg(
+        count(lit(1)).as("n"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("total_dl"))
+      .head()
+    val n = stats.getLong(0)
+    val totalDl = stats.getLong(1)
+    val avgdl = totalDl.toDouble / n.toDouble
+
+    val postings = docs
+      .select(
+        col(idCol).as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isInCollection(queryTerms))
+    val tf = postings
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+    // Fixed-order arithmetic, mirrored token-for-token in the SQL oracle.
+    val idf = log(
+      ((lit(n) - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val ratio = col("dl").cast("double") / lit(avgdl)
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * ratio)
+    val contrib = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + norm)
+    val micro = floor(contrib * lit(1e6) + lit(0.5)).cast("long")
+
+    tf.join(broadcast(df), "tok")
+      .select(col("doc_id"), micro.as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Retrieval
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Scala reference BM25 over a token-list corpus (micro-unit scores). */
+  private def bm25Ref(
+      corpus: Seq[(Long, String)],
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): Map[Long, Long] = {
+    val toks = corpus.map { case (id, t) => id -> t.toLowerCase.split("\\s+", -1).toSeq }
+    val n = corpus.size.toLong
+    val avgdl = toks.map(_._2.size).sum.toDouble / n.toDouble
+    val df = terms.map { q => q -> toks.count(_._2.contains(q)).toLong }.toMap
+    toks.flatMap { case (id, ts) =>
+      val dl = ts.size
+      terms.flatMap { q =>
+        val tf = ts.count(_ == q).toLong
+        if (tf == 0 || df(q) == 0) None
+        else {
+          val idfExact =
+            math.log(((n - df(q)).toDouble + 0.5) / (df(q).toDouble + 0.5) + 1.0)
+          val contrib = idfExact * (tf.toDouble * (k1 + 1.0)) /
+            (tf.toDouble + k1 * ((1.0 - b) + b * (dl.toDouble / avgdl)))
+          Some(id -> math.floor(contrib * 1e6 + 0.5).toLong)
+        }
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+  }
+
+  test("bm25TopK matches a brute-force reference, rare terms outrank common ones") {
+    val corpus = Seq(
+      (1L, "spark merges the shuffle files after the scan completes"),
+      (2L, "merge merge merge merge merge nothing else here at all"),
+      (3L, "the the the the the the the the the the"),
+      (4L, "a quick scan of the table shows one merge"),
+      (5L, "completely unrelated words about gardens and flowers in spring")
+    )
+    val terms = Seq("merge", "scan", "the")
+    val got = Retrieval
+      .bm25TopK(corpus.toDF("doc_id", "text"), terms, k = 5)
+      .as[(Long, Long)].collect()
+    val ref = bm25Ref(corpus, terms)
+    // exact score match for every returned doc
+    got.foreach { case (id, s) => assert(s == ref(id), s"doc $id") }
+    // doc 5 matches nothing → absent
+    assert(!got.map(_._1).contains(5L))
+    // term saturation + idf: the merge-stuffed doc must beat the the-stuffed
+    // doc ("merge" df=2 of 5, "the" df=3 of 5 and saturates at tf≫1)
+    val scores = got.toMap
+    assert(scores(2L) > scores(3L))
+  }
+
+  test("bm25TopK: k cuts deterministically by (score desc, doc_id)") {
+    // two identical docs → identical scores; the tie breaks by doc_id
+    val corpus = Seq(
+      (10L, "merge scan"), (11L, "merge scan"), (12L, "merge scan"), (13L, "nothing")
+    )
+    val got = Retrieval
+      .bm25TopK(corpus.toDF("doc_id", "text"), Seq("merge"), k = 2)
+      .as[(Long, Long)].collect()
+    assert(got.map(_._1).toSeq == Seq(10L, 11L))
+  }
+}
