@@ -471,6 +471,21 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     },
+    "ann_pq_adc_topk" -> { (s, dir) =>
+      // Product quantization with asymmetric distance: deterministic anchor
+      // codebooks, integer-exact encoding + ADC (ops/Similarity.scala) —
+      // each corpus vector crosses the plan as nSub small codes, not dim
+      // floats. Full pipeline reproduced by the SQL oracle.
+      val emb = table(s, dir, "embeddings")
+      Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    },
+    "ann_ivfpq_topk" -> { (s, dir) =>
+      // Production composite: IVF bucket pruning → PQ/ADC shortlist from
+      // codes alone → exact cosine rerank of the shortlist only.
+      // Spec-verified recall vs brute force (SimilaritySpec).
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    },
     "ann_lsh_topk" -> { (s, dir) =>
       // LSH-bucketed variant (recall<1 by design → no SQL oracle; recall is
       // spec'd against the brute-force result in SimilaritySpec).
@@ -1505,6 +1520,38 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "ann_pq_adc_topk" ->
+      """WITH m AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vid,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS v
+        |  FROM embeddings WHERE len(embedding) = 64
+        |), cb AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vid) AS INT) - 1 AS c, v
+        |  FROM m ORDER BY vid LIMIT 8
+        |), sub AS (SELECT unnest(range(4)) AS s),
+        |dist AS (
+        |  SELECT m.vid, sub.s, cb.c,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      j -> (m.v[sub.s * 16 + j] - cb.v[sub.s * 16 + j])
+        |         * (m.v[sub.s * 16 + j] - cb.v[sub.s * 16 + j]))) AS BIGINT) AS d
+        |  FROM m, sub, cb
+        |), enc AS (
+        |  SELECT vid, s, c FROM (
+        |    SELECT vid, s, c, row_number() OVER (PARTITION BY vid, s ORDER BY d, c) AS rn
+        |    FROM dist
+        |  ) WHERE rn = 1
+        |), adc AS (
+        |  SELECT q.vid AS query_id, e.vid AS neighbor_id, CAST(sum(dq.d) AS BIGINT) AS adc_dist
+        |  FROM enc e
+        |  JOIN m q ON q.vid < 8 AND q.vid <> e.vid
+        |  JOIN dist dq ON dq.vid = q.vid AND dq.s = e.s AND dq.c = e.c
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, neighbor_id, adc_dist,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+        |FROM adc QUALIFY rank <= 5""".stripMargin,
     "lang_id_ngram" ->
       """WITH lowered AS (SELECT doc_id, lower(text) AS lt FROM documents),
         |scored AS (

@@ -685,4 +685,210 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     topKPerQuery(scored, k)
   }
+
+  // -------------------------------------------------------------------- PQ
+
+  /** Deterministic PQ codebooks: the `ksub` lowest-id corpus vectors,
+    * micro-quantized — the same anchor trick as [[ivfAnchorTopK]] (a pure
+    * function of the corpus, no RNG, bounded driver collect), so encoding,
+    * ADC, and therefore the whole ANN answer are integer-exact and
+    * SQL-reproducible. Production systems train these with per-subspace
+    * k-means ([[trainIvfCentroids]] is the seeded trainer here); the
+    * geometry of the operator — M subspaces, ksub codes, asymmetric
+    * lookup — is identical either way.
+    */
+  private[ops] def pqCodebooksMicro(
+      corpus: DataFrame,
+      ksub: Int,
+      dim: Int,
+      idCol: String,
+      vecCol: String
+  ): Array[Array[Long]] = {
+    val micro = transform(asDouble(col(vecCol)), x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+    corpus
+      .filter(size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("aid"), micro.as("av"))
+      .orderBy(col("aid"))
+      .limit(ksub)
+      .collect()
+      .map(_.getSeq[Long](1).toArray)
+  }
+
+  /** Integer L2 between a micro-vector column's subspace `m` slice and a
+    * literal codebook slice. `subDim` components per subspace.
+    */
+  private def subD2(v: Column, cbSlice: Array[Long], m: Int, subDim: Int): Column = {
+    val cbCol = array(cbSlice.map(lit): _*)
+    aggregate(
+      zip_with(slice(v, m * subDim + 1, subDim), cbCol, (a, b) => (a - b) * (a - b)),
+      lit(0L),
+      (acc, x) => acc + x)
+  }
+
+  /** Product-quantization ANN with asymmetric distance (ADC), FAISS-PQ
+    * shape: split each vector into `nSub` subspaces, encode every corpus
+    * vector as its nearest codebook entry per subspace (ties → lowest
+    * code), and rank neighbors by the sum over subspaces of the integer L2
+    * between the QUERY's raw subvector and the NEIGHBOR's reconstructed
+    * code (asymmetric: queries are never quantized).
+    *
+    * 100 TB shape: encoding is a map-only projection (the codebook is a
+    * literal — no join, no shuffle); each corpus vector crosses the
+    * exchange as `nSub` small integers instead of `dim` floats (a 64-dim
+    * float vector becomes 4 bytes of code), which is the entire point of
+    * PQ — the candidate scoring working set shrinks ~64×. The ADC lookup
+    * table is built per query against the same literal codebook, and the
+    * top-k is a per-query window the optimizer runs as WindowGroupLimit.
+    */
+  def pqAdcTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nSub: Int = 4,
+      ksub: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(dim % nSub == 0, "dim must divide into nSub subspaces")
+    val subDim = dim / nSub
+    val cb = pqCodebooksMicro(corpus, ksub, dim, idCol, vecCol)
+    require(cb.length == ksub, s"need $ksub codebook anchors, got ${cb.length}")
+    val micro = (v: Column) =>
+      transform(asDouble(v), x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+
+    // code_m = argmin over codebook entries of subspace L2, tie → lowest
+    // code (array_sort on (dist, code) structs, same trick as probeOrder).
+    def codeFor(v: Column, m: Int): Column =
+      element_at(
+        array_sort(array((0 until ksub).map { c =>
+          struct(subD2(v, cb(c).slice(m * subDim, (m + 1) * subDim), m, subDim).as("d"),
+            lit(c).as("i"))
+        }: _*)),
+        1
+      ).getField("i")
+
+    val enc = corpus
+      .filter(size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("neighbor_id"), micro(col(vecCol)).as("cv"))
+      .select(
+        col("neighbor_id"),
+        array((0 until nSub).map(m => codeFor(col("cv"), m)): _*).as("codes"))
+
+    // Per-query ADC lookup table: lut[m][c] = subspace L2 between the raw
+    // query micro-subvector and codebook entry c.
+    val lut = array((0 until nSub).map { m =>
+      array((0 until ksub).map { c =>
+        subD2(col("qv"), cb(c).slice(m * subDim, (m + 1) * subDim), m, subDim)
+      }: _*)
+    }: _*)
+    val q = queries
+      .filter(size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("query_id"), micro(col(vecCol)).as("qv"))
+      .select(col("query_id"), lut.as("lut"))
+
+    val adc = (0 until nSub)
+      .map(m => element_at(element_at(col("lut"), m + 1), element_at(col("codes"), m + 1) + 1))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    enc
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ composite — the production ANN shape at 100 TB: IVF anchors
+    * prune the corpus to `nprobe` buckets, PQ/ADC shortlists `shortlist`
+    * candidates from codes alone (no float vectors touched), and only the
+    * shortlist is reranked with exact cosine on the raw vectors. Spec-
+    * verified for recall against [[bruteForceTopK]]; the PQ stage's math
+    * is the oracle-anchored [[pqAdcTopK]].
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nAnchors: Int = 16,
+      nprobe: Int = 4,
+      nSub: Int = 4,
+      ksub: Int = 8,
+      shortlist: Int = 32,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(dim % nSub == 0, "dim must divide into nSub subspaces")
+    val subDim = dim / nSub
+    val cb = pqCodebooksMicro(corpus, ksub, dim, idCol, vecCol)
+    val micro = (v: Column) =>
+      transform(asDouble(v), x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+    val anchors = corpus
+      .filter(size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("aid"), micro(col(vecCol)).as("av"))
+      .orderBy(col("aid"))
+      .limit(nAnchors)
+      .collect()
+      .map(_.getSeq[Long](1).toArray)
+    def d2Full(qv: Column, av: Array[Long]): Column = {
+      val avCol = array(av.map(lit): _*)
+      aggregate(zip_with(qv, avCol, (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    }
+    def probeOrder(qv: Column): Column =
+      array_sort(array(anchors.zipWithIndex.map { case (av, i) =>
+        struct(d2Full(qv, av).as("d"), lit(i).as("i"))
+      }: _*))
+    def codeFor(v: Column, m: Int): Column =
+      element_at(
+        array_sort(array((0 until ksub).map { c =>
+          struct(subD2(v, cb(c).slice(m * subDim, (m + 1) * subDim), m, subDim).as("d"),
+            lit(c).as("i"))
+        }: _*)),
+        1
+      ).getField("i")
+
+    val c = corpus
+      .filter(size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("c_vec"),
+        micro(col(vecCol)).as("cv"))
+      .select(
+        col("neighbor_id"), col("c_vec"),
+        element_at(probeOrder(col("cv")), 1).getField("i").as("bucket"),
+        array((0 until nSub).map(m => codeFor(col("cv"), m)): _*).as("codes"))
+
+    val lut = array((0 until nSub).map { m =>
+      array((0 until ksub).map { cc =>
+        subD2(col("qv"), cb(cc).slice(m * subDim, (m + 1) * subDim), m, subDim)
+      }: _*)
+    }: _*)
+    val q = queries
+      .filter(size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("q_vec"),
+        micro(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("q_vec"), lut.as("lut"),
+        explode(slice(probeOrder(col("qv")), 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("q_vec"), col("lut"),
+        col("probe").getField("i").as("bucket"))
+
+    val adc = (0 until nSub)
+      .map(m => element_at(element_at(col("lut"), m + 1), element_at(col("codes"), m + 1) + 1))
+      .reduce(_ + _)
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    val candidates = c
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"),
+        adc.as("adc_dist"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= shortlist)
+    val scored = candidates.select(
+      col("query_id"), col("neighbor_id"),
+      round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
 }

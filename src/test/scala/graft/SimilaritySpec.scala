@@ -328,4 +328,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall")
     assert(run() == approx) // anchors are a pure function of the corpus
   }
+
+  test("pqAdcTopK: exact duplicates rank first with zero ADC, deterministic") {
+    val data = clustered(60)
+    // plant an exact duplicate of vector 7 at id 59: its code words are
+    // identical, so ADC(query 7 → 59) must be the subspace-quantization
+    // floor — the minimum possible — and rank 1.
+    val planted = data.map { case (id, v) => if (id == 59L) (id, data(7)._2) else (id, v) }
+    val df = planted.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" === 7)
+    def run() = Similarity
+      .pqAdcTopK(df, queries, k = 5, nSub = 4, ksub = 8, dim = dim)
+      .select($"query_id", $"neighbor_id", $"adc_dist", $"rank")
+      .as[(Long, Long, Long, Int)]
+      .collect()
+    val got = run()
+    assert(got.length == 5)
+    val first = got.minBy(_._4)
+    assert(first._2 == 59L, s"dup not ranked first: $got")
+    // every other neighbor's ADC is ≥ the duplicate's
+    assert(got.forall(_._3 >= first._3))
+    assert(run().toSeq == got.toSeq) // codebooks are a pure corpus function
+  }
+
+  test("ivfPqTopK: shortlist+rerank recovers brute-force neighbors on clustered data") {
+    val data = clustered(120)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    val exact = Similarity
+      .bruteForceTopK(df, queries, k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val approx = Similarity
+      .ivfPqTopK(df, queries, k = 5, nAnchors = 6, nprobe = 3,
+        nSub = 4, ksub = 8, shortlist = 24, dim = dim)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // same bucket coverage argument as ivfAnchorTopK; the PQ shortlist of
+    // 24 from ~40-vector probed buckets keeps the true top-5 with margin
+    assert(recall >= 0.8, s"recall $recall")
+    // rerank scores are exact cosine: every returned pair's cos_sim matches
+    // the local computation
+    val byId = data.map { case (id, v) => id -> v }.toMap
+    val scored = Similarity
+      .ivfPqTopK(df, queries, k = 5, nAnchors = 6, nprobe = 3,
+        nSub = 4, ksub = 8, shortlist = 24, dim = dim)
+      .select($"query_id", $"neighbor_id", $"cos_sim")
+      .as[(Long, Long, Double)]
+      .collect()
+    scored.foreach { case (q, nb, s) =>
+      val want = math.rint(cosLocal(byId(q), byId(nb)) * 1e6) / 1e6
+      assert(math.abs(s - want) <= 1e-6, s"($q,$nb): $s vs $want")
+    }
+  }
 }
