@@ -58,7 +58,12 @@ object Retrieval {
     val tf = postings
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // df as a count window over tf (one row per (doc, term), so the
+    // partition count IS the document frequency). A groupBy+join would
+    // make Catalyst re-scan and re-tokenize the whole corpus — DataFrame
+    // lineage has no common-subplan reuse (same trap as tfidfTopTerms).
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(wTok))
 
     // Fixed-order arithmetic, mirrored token-for-token in the SQL oracle.
     val idf = log(
@@ -70,7 +75,7 @@ object Retrieval {
       (col("tf").cast("double") + norm)
     val micro = floor(contrib * lit(1e6) + lit(0.5)).cast("long")
 
-    tf.join(broadcast(df), "tok")
+    withDf
       .select(col("doc_id"), micro.as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("score_micro"))
