@@ -878,6 +878,20 @@ object SparkEntry {
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       graft.ops.HeavyHitters.exactHeavyHitters(toks, "token", capacity = 50)
     },
+    "cms_token_counts" -> { (s, dir) =>
+      // Count-min sketch with the portable md5 hash family: the exchange
+      // carries ≤ depth·width counters per partition no matter the
+      // vocabulary; estimates are min-over-rows upper bounds. Sketch AND
+      // estimates bit-reproducible in SQL (ops/HeavyHitters.scala).
+      val toks = table(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val sketch = graft.ops.HeavyHitters.cmsBuild(toks, "token", depth = 4, width = 64)
+      graft.ops.HeavyHitters.cmsEstimate(
+        sketch,
+        Seq("table", "scan", "merge", "the", "data", "query", "value", "xyzzy_absent"),
+        depth = 4, width = 64)
+    },
     "stratified_sample" -> { (s, dir) =>
       // Corpus mixing: per-language keep rates, membership a pure function
       // of (doc_id, seed) — map-only, reproducible, oracle-exact.
@@ -2245,6 +2259,25 @@ object SparkEntry {
         |FROM tok
         |GROUP BY 1
         |HAVING count(*) > (SELECT count(*) FROM tok) // 51""".stripMargin,
+    "cms_token_counts" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents
+        |), tok2 AS (SELECT t FROM tok WHERE t <> ''),
+        |rows_j AS (SELECT unnest(range(4)) AS j),
+        |sketch AS (
+        |  SELECT j, CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '-' || t), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |    count(*) AS cnt
+        |  FROM tok2, rows_j GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT unnest(['table','scan','merge','the','data','query','value','xyzzy_absent']) AS token
+        |), pb AS (
+        |  SELECT token, j,
+        |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '-' || token), 1, 8)) AS BIGINT) % 64 AS bucket
+        |  FROM probes, rows_j
+        |)
+        |SELECT token, CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS est
+        |FROM pb LEFT JOIN sketch USING (j, bucket)
+        |GROUP BY 1""".stripMargin,
     "stratified_sample" ->
       """SELECT doc_id, lang
         |FROM documents

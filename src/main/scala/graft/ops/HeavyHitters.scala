@@ -39,4 +39,53 @@ object HeavyHitters {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > n / (capacity + 1))
   }
+
+  // ------------------------------------------------------- count-min sketch
+
+  /** Row-j bucket of an item: md5("j-item") read as a 32-bit integer mod
+    * `width` — the portable seeded-hash family used across the engine
+    * (feature hashing, md5 minhash), so the sketch is reproducible in ANY
+    * engine, byte for byte.
+    */
+  def cmsBucket(item: Column, j: Int, width: Int): Column =
+    pmod(Dedup.md5Hash32(concat(lit(s"$j-"), item)), lit(width.toLong))
+
+  /** Build a count-min sketch over `itemCol` as a (j, bucket, cnt) table.
+    *
+    * Scale contract: the map stage projects `depth` bucket ids per item,
+    * and partial aggregation collapses every partition to ≤ depth·width
+    * rows BEFORE the exchange — the shuffle volume is a constant
+    * (depth·width·partitions) regardless of item cardinality, which is the
+    * entire point of sketching: a groupBy(item) would carry the whole
+    * vocabulary. Sketches merge by addition, so shards/days/streams
+    * combine with a plain groupBy(j, bucket).sum.
+    */
+  def cmsBuild(df: DataFrame, itemCol: String, depth: Int, width: Int): DataFrame =
+    df.select(posexplode(array((0 until depth).map { j =>
+        cmsBucket(col(itemCol), j, width)
+      }: _*)).as(Seq("j", "bucket")))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate counts for literal `probes`: est(x) = min over rows j
+    * of sketch[j][h_j(x)] — an upper bound on the true count (CMS never
+    * undercounts; overcount ≤ n/width per row, minimized across rows).
+    * The sketch is ≤ depth·width rows → broadcast; absent buckets read 0.
+    */
+  def cmsEstimate(
+      sketch: DataFrame,
+      probes: Seq[String],
+      depth: Int,
+      width: Int
+  ): DataFrame = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val pb = probes.toDF("token")
+      .select(col("token"), posexplode(array((0 until depth).map { j =>
+        cmsBucket(col("token"), j, width)
+      }: _*)).as(Seq("j", "bucket")))
+    pb.join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -49,4 +49,30 @@ class HeavyHittersSpec extends AnyFunSuite {
     val expected = exact.filter(_._2 > threshold)
     assert(got == expected)
   }
+
+  test("cms: estimates never undercount, are exact without collisions, and sketches merge by addition") {
+    val items = skewedItems(5000, 7)
+    val df = items.toDF("token").repartition(9)
+    val (depth, width) = (4, 256)
+    val sketch = HeavyHitters.cmsBuild(df, "token", depth, width)
+    // sketch total mass per row j equals the item count (no loss anywhere)
+    val mass = sketch.groupBy($"j").agg(org.apache.spark.sql.functions.sum($"cnt"))
+      .as[(Int, Long)].collect().toMap
+    assert(mass.values.toSet == Set(items.size.toLong))
+    val exact = items.groupMapReduce(identity)(_ => 1L)(_ + _)
+    val probes = exact.keys.take(10).toSeq :+ "never_seen_token"
+    val est = HeavyHitters.cmsEstimate(sketch, probes, depth, width)
+      .as[(String, Long)].collect().toMap
+    probes.foreach { p =>
+      assert(est(p) >= exact.getOrElse(p, 0L), s"undercount for $p")
+    }
+    // merge = plain addition: sketches of two halves sum to the full sketch
+    val (a, b) = items.splitAt(items.size / 2)
+    val merged = HeavyHitters.cmsBuild(a.toDF("token"), "token", depth, width)
+      .unionAll(HeavyHitters.cmsBuild(b.toDF("token"), "token", depth, width))
+      .groupBy($"j", $"bucket").agg(org.apache.spark.sql.functions.sum($"cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    val full = sketch.as[(Int, Long, Long)].collect().toSet
+    assert(merged == full)
+  }
 }
