@@ -56,4 +56,34 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     // bounded: never more than shards × capacity candidates
     assert(lastCandidates.size <= 4 * 16)
   }
+
+  test("cmsBuild runs unchanged as a streaming aggregation and converges to the batch sketch") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    val all = Seq.fill(6000)(s"tok${rnd.nextInt(500)}")
+    val (depth, width) = (4, 64)
+    val input = MemoryStream[String]
+    // the SAME operator as batch — a streaming groupBy over (j, bucket)
+    // whose state is exactly the ≤ depth·width sketch counters
+    val sketch = graft.ops.HeavyHitters.cmsBuild(
+      input.toDF().toDF("token"), "token", depth, width)
+    val q = sketch.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("cms_stream")
+      .start()
+    try {
+      val (a, b) = all.splitAt(2500)
+      input.addData(a)
+      q.processAllAvailable()
+      input.addData(b)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cms_stream")
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = graft.ops.HeavyHitters.cmsBuild(all.toDF("token"), "token", depth, width)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size <= depth * width)
+  }
 }
