@@ -878,6 +878,24 @@ object SparkEntry {
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       graft.ops.HeavyHitters.exactHeavyHitters(toks, "token", capacity = 50)
     },
+    "bpe_pair_counts" -> { (s, dir) =>
+      // First BPE training iteration: adjacent-symbol pair frequencies
+      // over the word vocabulary (corpus collapsed to distinct words —
+      // the reduction that makes tokenizer training corpus-scale). Top 20
+      // with the trainer's exact tie-break.
+      graft.ops.Bpe
+        .pairCounts(graft.ops.Bpe.initialVocab(table(s, dir, "documents")))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    "bpe_merges" -> { (s, dir) =>
+      // Full BPE training loop (ops/Bpe.scala): 10 learned merge rules.
+      // Iterations run on the word-vocab frame only; the corpus is
+      // scanned once. Merge sequence is spec-verified against a local
+      // reference trainer (BpeSpec); first iteration oracle-anchored by
+      // bpe_pair_counts.
+      graft.ops.Bpe.mergesDf(table(s, dir, "documents"), nMerges = 10)
+    },
     "cms_token_counts" -> { (s, dir) =>
       // Count-min sketch with the portable md5 hash family: the exchange
       // carries ≤ depth·width counters per partition no matter the
@@ -2259,6 +2277,22 @@ object SparkEntry {
         |FROM tok
         |GROUP BY 1
         |HAVING count(*) > (SELECT count(*) FROM tok) // 51""".stripMargin,
+    "bpe_pair_counts" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents
+        |  ) WHERE word <> '' GROUP BY 1
+        |), syms AS (
+        |  SELECT word, freq,
+        |    list_append(list_transform(range(1, length(word) + 1), i -> word[i]), '</w>') AS s
+        |  FROM w
+        |), pairs AS (
+        |  SELECT freq, s[i] AS a, s[i + 1] AS b
+        |  FROM syms, unnest(range(1, len(s))) AS t(i)
+        |)
+        |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin,
     "cms_token_counts" ->
       """WITH tok AS (
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents

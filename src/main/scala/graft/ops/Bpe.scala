@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) vocabulary training — the
+  * "learn the tokenizer from the corpus" stage of an LLM data pipeline
+  * (Sennrich et al. 2016), expressed corpus-scale:
+  *
+  * The corpus first collapses to its WORD VOCABULARY — (word, freq) — a
+  * many-orders-of-magnitude reduction (natural-language vocabularies top
+  * out in the millions no matter how many TB of text feed them), and every
+  * training iteration runs on that small frame only: count adjacent symbol
+  * pairs weighted by word frequency (explode → hash agg), collect the
+  * single argmax row, apply the merge as a map-only lambda. The 100 TB
+  * corpus is touched exactly once; per iteration the driver receives ONE
+  * row and ships back two literals.
+  *
+  * Determinism: ties in pair counts break by (count desc, a asc, b asc),
+  * so the learned merge sequence is a pure function of the corpus.
+  */
+object Bpe {
+
+  /** End-of-word marker (classic BPE): keeps word-final symbols distinct
+    * from word-internal ones, so merges never cross word boundaries.
+    */
+  val Eow = "</w>"
+
+  /** Word vocabulary with initial character symbolization: one row per
+    * distinct lower-cased whitespace token — (word, freq, syms) where
+    * syms = the word's characters plus [[Eow]].
+    */
+  def initialVocab(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn(
+        "syms",
+        concat(
+          transform(sequence(lit(1), length(col("word"))), i => col("word").substr(i, lit(1))),
+          array(lit(Eow))
+        )
+      )
+
+  /** Adjacent-pair frequencies over the vocabulary: (a, b, cnt) with cnt =
+    * Σ freq over every adjacent occurrence (repeats within a word count
+    * each time, matching the reference algorithm).
+    */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(
+        col("freq"),
+        explode(
+          expr("transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] as a, syms[i] as b))")
+        ).as("p")
+      )
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** One left-to-right, non-overlapping application of merge (a, b) → ab
+    * to a symbol array — the standard single-pass walk (a merged token
+    * does not re-merge with the next symbol in the same iteration).
+    * Pure array lambda: map-only over the vocabulary.
+    */
+  def mergeSyms(syms: Column, a: String, b: String): Column = {
+    val step = aggregate(
+      syms,
+      struct(array().cast("array<string>").as("out"), lit(null).cast("string").as("carry")),
+      (acc, s) => {
+        val carry = acc.getField("carry")
+        val out = acc.getField("out")
+        when(carry.isNull, struct(out.as("out"), s.as("carry")))
+          .when(
+            carry === lit(a) && s === lit(b),
+            struct(concat(out, array(lit(a + b))).as("out"), lit(null).cast("string").as("carry")))
+          .otherwise(struct(concat(out, array(carry)).as("out"), s.as("carry")))
+      },
+      acc =>
+        when(acc.getField("carry").isNull, acc.getField("out"))
+          .otherwise(concat(acc.getField("out"), array(acc.getField("carry"))))
+    )
+    step
+  }
+
+  /** Learn `nMerges` merge rules. Returns (merge list, final vocab frame).
+    * Each iteration: one hash aggregation over the vocab frame + a 1-row
+    * collect; the vocab is re-persisted per round and the previous round
+    * unpersisted (same discipline as the large-star/small-star CC loop).
+    */
+  def learn(docs: DataFrame, nMerges: Int, textCol: String = "text"): (Seq[(String, String)], DataFrame) = {
+    var vocab = initialVocab(docs, textCol).persist()
+    vocab.count() // materialize before the corpus frame goes out of scope
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    while (i < nMerges) {
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) { i = nMerges }
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val next = vocab
+          .withColumn("syms", mergeSyms(col("syms"), a, b))
+          .persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        i += 1
+      }
+    }
+    (merges.toSeq, vocab)
+  }
+
+  /** The learned merge table as a DataFrame: (step, a, b, merged). */
+  def mergesDf(docs: DataFrame, nMerges: Int, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, vocab) = learn(docs, nMerges, textCol)
+    vocab.unpersist()
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b, a + b) }
+      .toDF("step", "a", "b", "merged")
+  }
+}

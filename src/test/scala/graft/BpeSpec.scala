@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference BPE trainer (Sennrich et al. 2016, the classic dict-based
+    * formulation): identical tie-break (count desc, a asc, b asc).
+    */
+  private def refLearn(corpus: Seq[String], nMerges: Int): Seq[(String, String)] = {
+    var vocab: Map[Vector[String], Long] = corpus
+      .flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .map { case (w, f) => (w.map(_.toString).toVector :+ Bpe.Eow) -> f }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 1 to nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _            =>
+        }
+      }
+      if (counts.nonEmpty) {
+        val (a, b) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+        merges += ((a, b))
+        vocab = vocab.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toVector -> f
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("learned merge sequence equals the reference trainer, including ties and repeats") {
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newest newest newest newest newest newest",
+      "widest widest widest",
+      "aaaa aaaa aaaa" // overlap case: (a,a) merges non-overlapping l-to-r
+    )
+    val got = Bpe.mergesDf(corpus.toDF("text"), nMerges = 8)
+      .orderBy($"step")
+      .select($"a", $"b")
+      .as[(String, String)]
+      .collect()
+      .toSeq
+    val want = refLearn(corpus, 8)
+    assert(got == want)
+  }
+
+  test("mergeSyms: left-to-right non-overlapping application") {
+    val df = Seq(
+      Seq("a", "a", "a", "a", "a"),
+      Seq("a", "a", "a"),
+      Seq("x", "a", "a", "y"),
+      Seq("a", "b", "a")
+    ).toDF("syms")
+    val got = df.select(Bpe.mergeSyms($"syms", "a", "a").as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(
+      Seq("aa", "aa", "a"),
+      Seq("aa", "a"),
+      Seq("x", "aa", "y"),
+      Seq("a", "b", "a")
+    ))
+  }
+
+  test("pair counts weight by word frequency and count within-word repeats") {
+    val vocab = Bpe.initialVocab(Seq("ab ab ab ba").toDF("text"))
+    val counts = Bpe.pairCounts(vocab)
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(counts(("a", "b")) == 3L)            // 'ab' freq 3
+    assert(counts(("b", "a")) == 1L)            // 'ba' freq 1
+    assert(counts(("b", Bpe.Eow)) == 3L)        // word-final b in 'ab' ×3
+    assert(counts(("a", Bpe.Eow)) == 1L)        // word-final a in 'ba'
+  }
+}
