@@ -878,6 +878,16 @@ object SparkEntry {
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       graft.ops.HeavyHitters.exactHeavyHitters(toks, "token", capacity = 50)
     },
+    "hll_distinct_tokens" -> { (s, dir) =>
+      // Portable HyperLogLog (m=64): leading zeros via length(bin(w)) — a
+      // string length, identical in every engine — and an EXACT integer
+      // harmonic-mean denominator (Σ 2^(32-rho) as a long), so the whole
+      // sketch + estimate is oracle-checkable (ops/HeavyHitters.scala).
+      val toks = table(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      graft.ops.HeavyHitters.hllEstimate(graft.ops.HeavyHitters.hllRegisters(toks, "token"))
+    },
     "bpe_pair_counts" -> { (s, dir) =>
       // First BPE training iteration: adjacent-symbol pair frequencies
       // over the word vocabulary (corpus collapsed to distinct words —
@@ -2277,6 +2287,34 @@ object SparkEntry {
         |FROM tok
         |GROUP BY 1
         |HAVING count(*) > (SELECT count(*) FROM tok) // 51""".stripMargin,
+    "hll_distinct_tokens" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents
+        |), tok2 AS (SELECT t FROM tok WHERE t <> ''),
+        |h AS (
+        |  SELECT CAST(('0x' || substr(md5('hll-' || t), 1, 8)) AS BIGINT) AS hv FROM tok2
+        |), b AS (
+        |  SELECT CAST(hv % 64 AS INT) AS bucket, hv // 64 AS w FROM h
+        |), r AS (
+        |  SELECT bucket,
+        |    max(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS rho
+        |  FROM b GROUP BY 1
+        |), regs AS (
+        |  SELECT g.bucket, CAST(COALESCE(r.rho, 0) AS INT) AS rho
+        |  FROM (SELECT unnest(range(64)) AS bucket) g LEFT JOIN r ON g.bucket = r.bucket
+        |), agg AS (
+        |  SELECT CAST(sum(CAST(1 AS BIGINT) << (32 - rho)) AS BIGINT) AS s_scaled,
+        |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+        |  FROM regs
+        |)
+        |SELECT CAST(64 AS INT) AS m, v_empty, s_scaled,
+        |  CAST(floor(
+        |    CASE WHEN (0.709e0 * 4096.0e0 / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0)) <= 160.0e0
+        |          AND v_empty > 0
+        |    THEN 64.0e0 * ln(64.0e0 / CAST(v_empty AS DOUBLE))
+        |    ELSE 0.709e0 * 4096.0e0 / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0) END
+        |    * 1e6 + 0.5e0) AS BIGINT) AS est_micro
+        |FROM agg""".stripMargin,
     "bpe_pair_counts" ->
       """WITH w AS (
         |  SELECT word, count(*) AS freq FROM (

@@ -90,8 +90,12 @@ object Bpe {
     * unpersisted (same discipline as the large-star/small-star CC loop).
     */
   def learn(docs: DataFrame, nMerges: Int, textCol: String = "text"): (Seq[(String, String)], DataFrame) = {
+    // One Spark job per iteration: the argmax collect itself materializes
+    // the round's vocab into its cache (its lineage reads the PREVIOUS
+    // round's still-cached frame), after which the previous cache can go —
+    // no separate count() job per round.
+    var prev: DataFrame = null
     var vocab = initialVocab(docs, textCol).persist()
-    vocab.count() // materialize before the corpus frame goes out of scope
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
     while (i < nMerges) {
@@ -99,19 +103,19 @@ object Bpe {
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1)
         .collect()
+      if (prev != null) { prev.unpersist(); prev = null }
       if (top.isEmpty) { i = nMerges }
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        val next = vocab
-          .withColumn("syms", mergeSyms(col("syms"), a, b))
-          .persist()
-        next.count()
-        vocab.unpersist()
-        vocab = next
+        prev = vocab
+        vocab = vocab.withColumn("syms", mergeSyms(col("syms"), a, b)).persist()
         i += 1
       }
     }
+    // The final frame is lazily persisted; pin it before releasing its
+    // parent so callers never recompute the whole chain.
+    if (prev != null) { vocab.count(); prev.unpersist() }
     (merges.toSeq, vocab)
   }
 

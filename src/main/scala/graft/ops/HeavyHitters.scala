@@ -88,4 +88,58 @@ object HeavyHitters {
       .groupBy(col("token"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  // ------------------------------------------------------------ HyperLogLog
+
+  /** Portable HyperLogLog registers over `itemCol` (m = 64, p = 6):
+    * bucket = md5 hash mod m, rho = leading-zero count of the remaining 26
+    * hash bits + 1, register = max rho per bucket. Leading zeros come from
+    * `length(bin(w))` — a STRING length, identical in every engine — so
+    * the register table is bit-reproducible (no clz/log2 float tricks).
+    *
+    * Scale contract (why HLL at all): partial aggregation collapses every
+    * partition to ≤ m registers before the exchange, and registers merge
+    * by elementwise max — shards/days/streams combine with a plain
+    * groupBy(bucket).max. Distinct-counting 100 TB costs one scan and a
+    * 64-row shuffle.
+    */
+  def hllRegisters(df: DataFrame, itemCol: String, seed: String = "hll"): DataFrame = {
+    val hv = Dedup.md5Hash32(concat(lit(s"$seed-"), col(itemCol)))
+    df.select((hv % 64).cast("int").as("bucket"), shiftright(hv, 6).as("w"))
+      .select(
+        col("bucket"),
+        when(col("w") === 0L, lit(27)).otherwise(lit(27) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** HLL cardinality estimate from the register table, with the standard
+    * small-range (linear counting) correction. The harmonic-mean
+    * denominator Σ 2^(-rho) is computed EXACTLY: each term scales to the
+    * integer 2^(32-rho) and the sum is a long — no float accumulation, so
+    * the estimate is one fixed-order double expression (micro-rounded,
+    * oracle-exact). Emits one row: (m, v_empty, s_scaled, est_micro).
+    */
+  def hllEstimate(registers: DataFrame): DataFrame = {
+    val spark = registers.sparkSession
+    import spark.implicits._
+    val m = 64
+    val all = (0 until m).toDF("bucket")
+    val regs = all
+      .join(registers, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("rho"), lit(0)).cast("int").as("rho"))
+    val agg = regs.agg(
+      sum(expr("shiftleft(1L, 32 - rho)")).as("s_scaled"),
+      sum(when(col("rho") === 0, 1L).otherwise(0L)).as("v_empty"))
+    // E = alpha_64 · m² / (S / 2³²); if E ≤ 2.5m and V > 0 → m·ln(m/V)
+    val rawE = lit(0.709) * lit((m * m).toDouble) /
+      (col("s_scaled").cast("double") / lit(4294967296.0))
+    val linE = lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double"))
+    val est = when(rawE <= lit(2.5 * m) && col("v_empty") > 0L, linE).otherwise(rawE)
+    agg.select(
+      lit(m).as("m"),
+      col("v_empty"),
+      col("s_scaled"),
+      floor(est * lit(1e6) + lit(0.5)).cast("long").as("est_micro"))
+  }
 }

@@ -75,4 +75,26 @@ class HeavyHittersSpec extends AnyFunSuite {
     val full = sketch.as[(Int, Long, Long)].collect().toSet
     assert(merged == full)
   }
+
+  test("hll: estimate within sketch error, registers merge by max, duplicates don't move it") {
+    val distinctItems = (1 to 5000).map(i => s"item$i")
+    val withDups = distinctItems ++ distinctItems.take(2000) ++ distinctItems.take(500)
+    val df = withDups.toDF("token").repartition(7)
+    val regs = HeavyHitters.hllRegisters(df, "token")
+    val est = HeavyHitters.hllEstimate(regs)
+      .select($"est_micro").as[Long].head() / 1e6
+    // m=64 → relative σ ≈ 13%; allow 3σ
+    assert(math.abs(est - 5000.0) / 5000.0 <= 0.4, s"est $est")
+    // duplicates never change a register (set semantics)
+    val regsDistinct = HeavyHitters.hllRegisters(distinctItems.toDF("token"), "token")
+      .as[(Int, Int)].collect().toSet
+    assert(regs.as[(Int, Int)].collect().toSet == regsDistinct)
+    // shard registers merge by elementwise max to the full registers
+    val (a, b) = distinctItems.splitAt(2500)
+    val merged = HeavyHitters.hllRegisters(a.toDF("token"), "token")
+      .unionAll(HeavyHitters.hllRegisters(b.toDF("token"), "token"))
+      .groupBy($"bucket").agg(org.apache.spark.sql.functions.max($"rho").as("rho"))
+      .as[(Int, Int)].collect().toSet
+    assert(merged == regsDistinct)
+  }
 }
