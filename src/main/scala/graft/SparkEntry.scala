@@ -878,6 +878,13 @@ object SparkEntry {
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
       graft.ops.HeavyHitters.exactHeavyHitters(toks, "token", capacity = 50)
     },
+    "lm_doc_scores" -> { (s, dir) =>
+      // CCNet-style perplexity filter: corpus-trained bigram LM (add-one
+      // smoothing), per-doc log-likelihood in micro-units, keep = average
+      // above threshold. One training scan + one scoring scan; the LM
+      // frame is vocabulary-bounded (ops/LanguageModel.scala).
+      graft.ops.LanguageModel.selfScore(table(s, dir, "documents"), minAvgLpMicro = -3600000L)
+    },
     "hll_distinct_tokens" -> { (s, dir) =>
       // Portable HyperLogLog (m=64): leading zeros via length(bin(w)) — a
       // string length, identical in every engine — and an EXACT integer
@@ -2287,6 +2294,34 @@ object SparkEntry {
         |FROM tok
         |GROUP BY 1
         |HAVING count(*) > (SELECT count(*) FROM tok) // 51""".stripMargin,
+    "lm_doc_scores" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |), bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2
+        |), bc AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2
+        |), lm AS (
+        |  SELECT w1, w2, c2, sum(c2) OVER (PARTITION BY w1) AS ctx FROM bc
+        |), v AS (SELECT count(DISTINCT w2) AS v FROM bc),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |    CAST(floor(ln((CAST(lm.c2 AS DOUBLE) + 1.0e0)
+        |        / (CAST(lm.ctx AS DOUBLE) + CAST(v.v AS DOUBLE)))
+        |      * 1e6 + 0.5e0) AS BIGINT) AS lp
+        |  FROM bg JOIN lm USING (w1, w2), v
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(lp) AS BIGINT) AS lp_sum_micro
+        |  FROM scored GROUP BY 1
+        |)
+        |SELECT doc_id, n_bigrams, lp_sum_micro,
+        |  CAST(floor(CAST(lp_sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) + 0.5e0) AS BIGINT) AS avg_lp_micro,
+        |  CAST(CASE WHEN floor(CAST(lp_sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) + 0.5e0) > -3600000
+        |       THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM agg""".stripMargin,
     "hll_distinct_tokens" ->
       """WITH tok AS (
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents

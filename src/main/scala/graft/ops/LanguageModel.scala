@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Perplexity-style quality filtering with a corpus-trained n-gram
+  * language model — the CCNet recipe (train a small LM, drop documents
+  * whose average log-likelihood is an outlier), with the LM expressed as
+  * DataFrames instead of a model server.
+  *
+  * Model: bigram LM with add-one smoothing over the corpus's own
+  * vocabulary. P(w₂|w₁) = (c(w₁,w₂) + 1) / (ctx(w₁) + V), where ctx(w₁) =
+  * Σ_w c(w₁,w) is derived from the bigram counts by a window (NOT a second
+  * aggregation over the corpus — DataFrame lineage has no common-subplan
+  * reuse) and V is the bigram-right vocabulary size.
+  *
+  * Portability: each bigram's log-probability rounds to integer
+  * micro-units before the per-document sum (long addition — associative,
+  * engine-independent), the same contract as `bm25_topk`/`quality_logit`.
+  *
+  * 100 TB shape: one training scan (explode → hash agg on (w₁,w₂); the
+  * counts frame is vocabulary-bounded, not corpus-bounded) and one scoring
+  * scan joined to the counts frame on (w₁,w₂). In production the counts
+  * frame would persist as a table and amortize across scoring runs; AQE
+  * handles the head-bigram skew in the scoring join.
+  */
+object LanguageModel {
+
+  /** Bigram counts with left-context totals attached: (w1, w2, c2, ctx). */
+  def bigramLm(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val bc = docs
+      .select(explode(TextAnalysis.ngramsWithDups(col(textCol), 2)).as("g"))
+      .select(split(col("g"), " ", 2).as("p"))
+      .select(col("p").getItem(0).as("w1"), col("p").getItem(1).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val wCtx = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    bc.withColumn("ctx", sum(col("c2")).over(wCtx))
+  }
+
+  /** Per-document bigram log-likelihood in micro-units:
+    * (doc_id, n_bigrams, lp_sum_micro). Documents with < 2 tokens have no
+    * bigrams and drop out (no likelihood is defined for them).
+    */
+  def docLogLikelihood(
+      docs: DataFrame,
+      lm: DataFrame,
+      vocabSize: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val docBigrams = docs
+      .select(col(idCol), explode(TextAnalysis.ngramsWithDups(col(textCol), 2)).as("g"))
+      .select(col(idCol), split(col("g"), " ", 2).as("p"))
+      .select(col(idCol), col("p").getItem(0).as("w1"), col("p").getItem(1).as("w2"))
+    val lpMicro = floor(
+      log((col("c2").cast("double") + lit(1.0)) /
+        (col("ctx").cast("double") + lit(vocabSize.toDouble))) * lit(1e6) + lit(0.5)
+    ).cast("long")
+    docBigrams
+      .join(lm, Seq("w1", "w2"))
+      .select(col(idCol), lpMicro.as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp_sum_micro"))
+  }
+
+  /** Train-and-score in one call (scoring corpus = training corpus, the
+    * self-scoring setup used to find outlier documents). Adds the keep
+    * decision: average log-prob above `minAvgLpMicro`.
+    */
+  def selfScore(
+      docs: DataFrame,
+      minAvgLpMicro: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    // The LM frame is read twice (V, then the scoring join) — cache it
+    // (vocabulary-bounded, small), eagerly materialize the tiny result,
+    // and drop the cache before returning (Dedup's discipline).
+    val lm = bigramLm(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val v = lm.select(col("w2")).distinct().count()
+      docLogLikelihood(docs, lm, v, textCol, idCol)
+        .withColumn("avg_lp_micro",
+          floor(col("lp_sum_micro").cast("double") / col("n_bigrams").cast("double") + lit(0.5))
+            .cast("long"))
+        .withColumn("keep", (col("avg_lp_micro") > lit(minAvgLpMicro)).cast("int"))
+        .localCheckpoint(eager = true)
+    } finally lm.unpersist(blocking = false)
+  }
+}

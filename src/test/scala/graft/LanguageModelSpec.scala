@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.LanguageModel
+
+class LanguageModelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference: add-one-smoothed bigram LM self-scoring in micro-units. */
+  private def refScores(corpus: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+    def bigrams(t: String): Seq[(String, String)] = {
+      val toks = t.toLowerCase.split("\\s+", -1)
+      if (toks.length < 2) Seq.empty else toks.sliding(2).map(a => (a(0), a(1))).toSeq
+    }
+    val all = corpus.flatMap { case (_, t) => bigrams(t) }
+    val c2 = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctx = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val v = all.map(_._2).distinct.size.toLong
+    corpus.flatMap { case (id, t) =>
+      val bs = bigrams(t)
+      if (bs.isEmpty) None
+      else {
+        val lps = bs.map { b =>
+          math.floor(
+            math.log((c2(b).toDouble + 1.0) / (ctx(b._1).toDouble + v.toDouble)) * 1e6 + 0.5
+          ).toLong
+        }
+        Some(id -> (bs.size.toLong, lps.sum))
+      }
+    }.toMap
+  }
+
+  test("selfScore matches the reference LM exactly; repetitive text scores higher") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and the dog sat on the rug"),
+      (2L, "the cat sat on the mat and the cat sat on the mat"),
+      (3L, "zebra quark violin nebula stapler cactus hammock jigsaw"),
+      (4L, "solo") // < 2 tokens → no likelihood row
+    )
+    val got = LanguageModel
+      .selfScore(corpus.toDF("doc_id", "text"), minAvgLpMicro = Long.MinValue)
+      .select($"doc_id", $"n_bigrams", $"lp_sum_micro")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, s) => id -> (n, s) }.toMap
+    val want = refScores(corpus)
+    assert(got == want)
+    assert(!got.contains(4L))
+    // the self-repeating doc has the higher average log-likelihood; the
+    // all-rare-bigrams doc the lowest
+    def avg(id: Long) = got(id)._2.toDouble / got(id)._1
+    assert(avg(2L) > avg(1L))
+    assert(avg(3L) < avg(1L))
+  }
+
+  test("keep flag thresholds on the average, not the total") {
+    // doc 5 is long but average-typical; doc 6 short but all-rare
+    val corpus = Seq(
+      (5L, "a b a b a b a b a b a b a b a b a b a b"),
+      (6L, "x y")
+    )
+    val scored = LanguageModel
+      .selfScore(corpus.toDF("doc_id", "text"), minAvgLpMicro = -2000000L)
+      .select($"doc_id", $"avg_lp_micro", $"keep")
+      .as[(Long, Long, Int)].collect()
+      .map { case (id, a, k) => id -> (a, k) }.toMap
+    scored.foreach { case (_, (a, k)) =>
+      assert((k == 1) == (a > -2000000L))
+    }
+  }
+}
