@@ -913,6 +913,18 @@ object SparkEntry {
       // bpe_pair_counts.
       graft.ops.Bpe.mergesDf(table(s, dir, "documents"), nMerges = 10)
     },
+    "bpe_encode_stats" -> { (s, dir) =>
+      // The real tokenizer recipe at scale: TRAIN on a 20% hash sample,
+      // ENCODE the full corpus — heavy merge replay runs once per distinct
+      // word on the vocab frame, docs join the broadcast word→length
+      // table. Merge rules are runtime-learned → spec-verified (BpeSpec);
+      // the trainer's first iteration is oracle-anchored (bpe_pair_counts).
+      val docs = table(s, dir, "documents")
+      val sample = graft.ops.Sampling.hashSample(docs, "doc_id", rate = 0.2, seed = "bpe5")
+      val (merges, vocab) = graft.ops.Bpe.learn(sample, nMerges = 10)
+      vocab.unpersist(blocking = false)
+      graft.ops.Bpe.encodeStats(docs, merges)
+    },
     "cms_token_counts" -> { (s, dir) =>
       // Count-min sketch with the portable md5 hash family: the exchange
       // carries ≤ depth·width counters per partition no matter the

@@ -52,8 +52,13 @@ object Bpe {
     vocab
       .select(
         col("freq"),
+        // slice-zip, not sequence(1, size-1): Spark's sequence DESCENDS
+        // when stop < start, so a fully-merged single-symbol word would
+        // index out of bounds; zero-length slices are just empty.
         explode(
-          expr("transform(sequence(1, size(syms) - 1), i -> struct(syms[i - 1] as a, syms[i] as b))")
+          expr("""zip_with(slice(syms, 1, size(syms) - 1),
+                 |         slice(syms, 2, size(syms) - 1),
+                 |         (x, y) -> struct(x AS a, y AS b))""".stripMargin)
         ).as("p")
       )
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
@@ -117,6 +122,43 @@ object Bpe {
     // parent so callers never recompute the whole chain.
     if (prev != null) { vocab.count(); prev.unpersist() }
     (merges.toSeq, vocab)
+  }
+
+  /** Apply a learned merge sequence to a symbol array: the merges chain in
+    * rank order (each is one [[mergeSyms]] pass), exactly how a trained
+    * BPE tokenizer encodes. Pure expression — no UDF, no driver loop at
+    * encode time.
+    */
+  def encodeSyms(syms: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (s, (a, b)) => mergeSyms(s, a, b) }
+
+  /** Encode the corpus with a learned tokenizer and report per-document
+    * token statistics: (doc_id, n_words, n_bpe_tokens, n_chars).
+    *
+    * Scale shape: each DISTINCT word is encoded ONCE (the merges replay on
+    * the word-vocabulary frame, not per occurrence), and documents join
+    * their exploded tokens to the broadcast word→length table — the same
+    * "heavy work on the vocab, cheap join on the corpus" split as
+    * training. Compression ratio = chars/token falls out downstream.
+    */
+  def encodeStats(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val wordLens = initialVocab(docs, textCol)
+      .select(col("word"), size(encodeSyms(col("syms"), merges)).cast("long").as("n_sub"))
+    docs
+      .select(
+        col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(wordLens), Seq("word"))
+      .groupBy(col(idCol), col("n_chars"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+      .select(col(idCol), col("n_words"), col("n_bpe_tokens"), col("n_chars"))
   }
 
   /** The learned merge table as a DataFrame: (step, a, b, merged). */

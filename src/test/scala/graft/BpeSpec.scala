@@ -77,6 +77,44 @@ class BpeSpec extends AnyFunSuite {
     ))
   }
 
+  test("encodeSyms replays the learned merges: encoding the training corpus reproduces its final vocab") {
+    val corpus = Seq("low lower lowest low low newest newest wide widest")
+    val df = corpus.toDF("text")
+    val (merges, vocab) = Bpe.learn(df, nMerges = 6)
+    val fromTraining = vocab.select($"word", $"syms")
+      .as[(String, Seq[String])].collect().toMap
+    vocab.unpersist()
+    val reEncoded = Bpe.initialVocab(df)
+      .select($"word", Bpe.encodeSyms($"syms", merges).as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(reEncoded == fromTraining)
+  }
+
+  test("encodeStats: per-doc token counts shrink under merges and match the encoded vocab") {
+    val corpus = Seq(
+      (1L, "low low low lower"),
+      (2L, "newest widest")
+    )
+    val df = corpus.toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.learn(df, nMerges = 4)
+    vocab.unpersist()
+    val got = Bpe.encodeStats(df, merges)
+      .select($"doc_id", $"n_words", $"n_bpe_tokens", $"n_chars")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // baseline: char symbolization gives len(word)+1 symbols per word
+    val charTokens1 = "low low low lower".split(" ").map(_.length + 1).sum
+    assert(got(1L)._2 == 4L)
+    assert(got(1L)._3 < charTokens1, "merges must compress doc 1")
+    assert(got(1L)._4 == "low low low lower".length.toLong)
+    // doc-level count equals the sum of its words' encoded lengths
+    val wordLens = Bpe.initialVocab(df)
+      .select($"word", org.apache.spark.sql.functions.size(Bpe.encodeSyms($"syms", merges)))
+      .as[(String, Int)].collect().toMap
+    val want2 = "newest widest".split(" ").map(w => wordLens(w).toLong).sum
+    assert(got(2L)._3 == want2)
+  }
+
   test("pair counts weight by word frequency and count within-word repeats") {
     val vocab = Bpe.initialVocab(Seq("ab ab ab ba").toDF("text"))
     val counts = Bpe.pairCounts(vocab)
