@@ -269,6 +269,36 @@ object SparkEntry {
           coalesce(col("O"), lit(0L)).as("n_o")
         )
     },
+    "value_winsorized" -> { (s, dir) =>
+      // Per-group winsorization: clip each event type's values to its own
+      // [p05, p95] and report robust stats. The clipped-sum decomposes into
+      // exact integer components (middle sum, clip counts) + one fixed-
+      // order double projection per group — no float accumulation, so the
+      // winsorized mean is oracle-exact. Bounds frame is tiny → broadcast;
+      // two scans (bounds agg + clip pass), the unavoidable minimum for a
+      // data-dependent threshold.
+      val e = eventsTable(s, dir).select(col("event_type"), cents(col("value")).as("v"))
+      val bounds = e.groupBy(col("event_type")).agg(
+        percentile(col("v"), lit(0.05)).as("lo"),
+        percentile(col("v"), lit(0.95)).as("hi"))
+      val vd = col("v").cast("double")
+      val a = e.join(broadcast(bounds), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(vd < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(vd > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          sum(when(vd >= col("lo") && vd <= col("hi"), col("v")).otherwise(0L)).as("sum_mid"),
+          first(col("lo")).as("lo"),
+          first(col("hi")).as("hi"))
+      a.select(
+        col("event_type"), col("n"), col("n_lo"), col("n_hi"), col("sum_mid"),
+        round(col("lo"), 4).as("lo_r4"),
+        round(col("hi"), 4).as("hi_r4"),
+        round(
+          (col("n_lo").cast("double") * col("lo") + col("n_hi").cast("double") * col("hi") +
+            col("sum_mid").cast("double")) / col("n").cast("double"), 4).as("wmean_r4"))
+    },
     "value_percentiles" -> { (s, dir) =>
       // Holistic aggregate coverage: exact percentiles of the event value in
       // cents (integer input; both engines use linear interpolation — round
@@ -1410,6 +1440,28 @@ object SparkEntry {
         |  count(*) FILTER (l_linestatus = 'F') AS n_f,
         |  count(*) FILTER (l_linestatus = 'O') AS n_o
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "value_winsorized" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events
+        |), b AS (
+        |  SELECT event_type, quantile_cont(v, 0.05e0) AS lo, quantile_cont(v, 0.95e0) AS hi
+        |  FROM e GROUP BY 1
+        |), a AS (
+        |  SELECT e.event_type,
+        |    count(*) AS n,
+        |    sum(CASE WHEN CAST(v AS DOUBLE) < lo THEN 1 ELSE 0 END) AS n_lo,
+        |    sum(CASE WHEN CAST(v AS DOUBLE) > hi THEN 1 ELSE 0 END) AS n_hi,
+        |    sum(CASE WHEN CAST(v AS DOUBLE) >= lo AND CAST(v AS DOUBLE) <= hi THEN v ELSE 0 END) AS sum_mid,
+        |    any_value(lo) AS lo, any_value(hi) AS hi
+        |  FROM e JOIN b ON e.event_type = b.event_type
+        |  GROUP BY 1
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(n_lo AS BIGINT) AS n_lo,
+        |  CAST(n_hi AS BIGINT) AS n_hi, CAST(sum_mid AS BIGINT) AS sum_mid,
+        |  round(lo, 4) AS lo_r4, round(hi, 4) AS hi_r4,
+        |  round((CAST(n_lo AS DOUBLE) * lo + CAST(n_hi AS DOUBLE) * hi
+        |    + CAST(sum_mid AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS wmean_r4
+        |FROM a""".stripMargin,
     "value_percentiles" ->
       """SELECT
         |  round(quantile_cont(CAST(floor(value*100 + 0.5) AS BIGINT), 0.25), 4) AS p25,
