@@ -68,4 +68,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
     assert(plan.contains("ObjectHashAggregate"), "bucket collect_list expected")
   }
+
+  test("gopher_rules: map-only — zero exchanges, one scan") {
+    val plan = executedPlan("gopher_rules")
+    assert(!plan.contains("Exchange"), s"gopher gate must not shuffle:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, "exactly one corpus scan")
+  }
+
+  test("bm25: one corpus scan feeds tf/df (stats scan aside), top-k never global-sorts") {
+    val plan = executedPlan("bm25_topk")
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must be TakeOrdered")
+    // the scoring pipeline re-derives df from the tf frame via window, so
+    // only the stats scan + the postings scan touch parquet
+    assert("Scan parquet".r.findAllIn(plan).size <= 1,
+      "df must come from the tf window, not a second corpus scan (stats scan is a separate job)")
+  }
+
+  test("domain mix: quota frame broadcasts; threshold path has no sort") {
+    val plan = executedPlan("domain_mix_threshold")
+    assert(plan.contains("BroadcastHashJoin"), "quota frame must broadcast")
+    assert(!plan.contains("Sort "), s"map-only path must not sort:\n$plan")
+  }
+
+  test("cms: partial aggregation bounds the exchange (partial+final around one shuffle)") {
+    val plan = executedPlan("cms_token_counts")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "partial+final agg expected")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("pq adc: corpus side encodes map-only (codes from literals, no join before the query broadcast)") {
+    val plan = executedPlan("ann_pq_adc_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "queries must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "corpus must never shuffle for the ADC join")
+  }
 }

@@ -86,4 +86,28 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.size <= depth * width)
   }
+
+  test("hllRegisters streams: register state is bounded and converges to the batch registers") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(59)
+    val all = Seq.fill(4000)(s"u${rnd.nextInt(1200)}")
+    val input = MemoryStream[String]
+    val regs = graft.ops.HeavyHitters.hllRegisters(input.toDF().toDF("token"), "token")
+    val q = regs.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("hll_stream")
+      .start()
+    try {
+      all.grouped(1500).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("hll_stream").as[(Int, Int)].collect().toSet
+    val batch = graft.ops.HeavyHitters.hllRegisters(all.toDF("token"), "token")
+      .as[(Int, Int)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size <= 64) // distinct-counting state never exceeds m registers
+  }
 }
