@@ -149,4 +149,60 @@ class PropertySpec extends AnyFunSuite {
     val half = assign(ids.take(ids.size / 2))
     assert(half.forall { case (k, v) => whole(k) == v })
   }
+
+  test("bpe mergeSyms equals the reference walk on random symbol arrays") {
+    val syms = {
+      val params = Gen.Parameters.default
+      val seed = org.scalacheck.rng.Seed(17L)
+      Gen.listOfN(300, Gen.listOf(Gen.oneOf("a", "b", "ab", "c"))).pureApply(params, seed)
+    }
+    def refWalk(xs: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < xs.length) {
+        if (i + 1 < xs.length && xs(i) == a && xs(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += xs(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val got = syms.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("i", "syms")
+      .select($"i", graft.ops.Bpe.mergeSyms($"syms", "a", "b").as("m"))
+      .as[(Long, Seq[String])].collect().toMap
+    syms.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i.toLong) == refWalk(s, "a", "b"), s"case $i: $s")
+    }
+  }
+
+  test("ngramRepetition equals brute-force counting on random token strings") {
+    val texts = {
+      val params = Gen.Parameters.default
+      val seed = org.scalacheck.rng.Seed(29L)
+      Gen.listOfN(
+        250,
+        Gen.listOf(Gen.oneOf("x", "y", "zz", "w")).map(_.mkString(" "))
+      ).pureApply(params, seed)
+    }
+    def ref(text: String, n: Int): (Long, Long) = {
+      val toks = text.toLowerCase.split("\\s+", -1)
+      if (text.isEmpty || toks.length < n) (0L, 0L)
+      else {
+        val counts = toks.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).view.mapValues(_.size.toLong)
+        val dup = counts.collect { case (g, c) if c >= 2 => c * g.length }.sum
+        val top = counts.map { case (g, c) => c * g.length }.max
+        (dup, top)
+      }
+    }
+    for (n <- Seq(2, 3)) {
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("i", "text")
+        .select($"i", TextAnalysis.ngramRepetition($"text", n).as("r"))
+        .select($"i", $"r.dup_chars", $"r.top_chars")
+        .as[(Long, Long, Long)].collect().map { case (i, d, t) => i -> ((d, t)) }.toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == ref(t, n), s"n=$n case $i: '$t'")
+      }
+    }
+  }
 }
