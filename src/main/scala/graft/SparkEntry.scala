@@ -599,6 +599,20 @@ object SparkEntry {
         queryTerms = Seq("table", "scan", "merge", "the"),
         k = 10)
     },
+    "bm25_topk_indexed" -> { (s, dir) =>
+      // Index-once-query-many retrieval: postings live md5-sharded in the
+      // warehouse (built once per scale factor); the query's shard IN-list
+      // prunes the scan at planning time. Identical scores to bm25_topk —
+      // the same SQL oracle covers both paths.
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), s"graft_postings_${math.abs(dir.hashCode)}")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$loc/postings/_SUCCESS")) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$loc/stats/_SUCCESS")))
+        graft.ops.Retrieval.buildPostingsIndex(table(s, dir, "documents"), loc.toString)
+      graft.ops.Retrieval.bm25TopKIndexed(
+        s, loc.toString, queryTerms = Seq("table", "scan", "merge", "the"), k = 10)
+    },
     "label_centroids" -> { (s, dir) =>
       // Mean embedding per label via the VecSumAgg typed aggregator
       // (fixed-size partial buffers through the exchange; explode only
@@ -1781,6 +1795,37 @@ object SparkEntry {
         |)
         |SELECT doc_id, token, tf, df, tfidf, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "bm25_topk" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl,
+        |    string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+        |  WHERE tok IN ('table', 'scan', 'merge', 'the')
+        |  GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(
+        |      ln((CAST(stats.n - dfreq.df AS DOUBLE) + 0.5e0)
+        |          / (CAST(dfreq.df AS DOUBLE) + 0.5e0) + 1.0e0)
+        |      * (CAST(tf.tf AS DOUBLE) * 2.2e0)
+        |      / (CAST(tf.tf AS DOUBLE)
+        |         + 1.2e0 * (0.25e0 + 0.75e0 * (CAST(tf.dl AS DOUBLE)
+        |             / (CAST(stats.total_dl AS DOUBLE) / CAST(stats.n AS DOUBLE)))))
+        |      * 1.0e6 + 0.5e0) AS BIGINT) AS c
+        |  FROM tf JOIN dfreq USING (tok), stats
+        |)
+        |SELECT doc_id, sum(c) AS score_micro FROM scored GROUP BY 1
+        |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin,
+    "bm25_topk_indexed" ->
+      // identical result contract to bm25_topk: the index changes the
+      // access path, not the math — one oracle covers both
       """WITH dl AS (
         |  SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Keyword retrieval over the document corpus — the missing "search" leg
@@ -58,14 +58,100 @@ object Retrieval {
     val tf = postings
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    // df as a count window over tf (one row per (doc, term), so the
-    // partition count IS the document frequency). A groupBy+join would
-    // make Catalyst re-scan and re-tokenize the whole corpus — DataFrame
-    // lineage has no common-subplan reuse (same trap as tfidfTopTerms).
+    // df comes from a count window over tf inside scoreTf (one row per
+    // (doc, term), so the partition count IS the document frequency). A
+    // groupBy+join would make Catalyst re-scan and re-tokenize the whole
+    // corpus — DataFrame lineage has no common-subplan reuse (same trap as
+    // tfidfTopTerms). Arithmetic is fixed-order, mirrored token-for-token
+    // in the SQL oracle.
+    scoreTf(tf, n, avgdl, k1, b, k)
+  }
+
+  // ---------------------------------------------------------------- indexed
+
+  /** Local mirror of [[graft.ops.Dedup.md5Hash32]] for driver-side shard
+    * selection — must agree with the Column form byte-for-byte.
+    */
+  private def md5Hash32Local(s: String): Long =
+    java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s).substring(0, 8), 16)
+
+  /** Materialize the inverted index: postings (token, doc_id, dl, tf)
+    * partitioned into `nShards` md5 shards of the token space, plus a
+    * one-row stats table (N, total_dl, n_shards). Built once per corpus —
+    * the index-once-query-many shape ([[graft.ops.Similarity.buildIvfIndex]]
+    * discipline): the tokenize+aggregate cost is paid at build time, and
+    * every query afterwards reads only its terms' shards.
+    */
+  def buildPostingsIndex(
+      docs: DataFrame,
+      indexDir: String,
+      nShards: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("pshard", pmod(Dedup.md5Hash32(col("tok")), lit(nShards.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("pshard").parquet(s"$indexDir/postings")
+    val stats = docs
+      .agg(
+        count(lit(1)).as("n"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("total_dl"))
+      .head()
+    Seq((stats.getLong(0), stats.getLong(1), nShards))
+      .toDF("n", "total_dl", "n_shards")
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** BM25 over a [[buildPostingsIndex]] layout. The shard IN-list is a
+    * literal computed on the driver from the query terms, so partition
+    * pruning happens at planning time — a query touches |terms'-shards| /
+    * nShards of the index, never the corpus. Scores are IDENTICAL to
+    * [[bm25TopK]] (same math, same tf/df inputs), so the same SQL oracle
+    * covers both paths.
+    */
+  def bm25TopKIndexed(
+      spark: SparkSession,
+      indexDir: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "query terms required")
+    val st = spark.read.parquet(s"$indexDir/stats").head()
+    val n = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / n.toDouble
+    val nShards = st.getInt(2)
+    val shards = queryTerms.map(t => (md5Hash32Local(t) % nShards).toInt).distinct
+    val tf = spark.read
+      .parquet(s"$indexDir/postings")
+      .filter(col("pshard").isin(shards: _*) && col("tok").isInCollection(queryTerms))
+    scoreTf(tf, n, avgdl, k1, b, k)
+  }
+
+  /** Shared scoring tail: df window over the tf frame, micro-unit
+    * contributions, long sum per doc, deterministic top-k cut.
+    */
+  private def scoreTf(
+      tf: DataFrame,
+      n: Long,
+      avgdl: Double,
+      k1: Double,
+      b: Double,
+      k: Int
+  ): DataFrame = {
     val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
     val withDf = tf.withColumn("df", count(lit(1)).over(wTok))
-
-    // Fixed-order arithmetic, mirrored token-for-token in the SQL oracle.
     val idf = log(
       ((lit(n) - col("df")).cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)) + lit(1.0))
@@ -74,7 +160,6 @@ object Retrieval {
     val contrib = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") + norm)
     val micro = floor(contrib * lit(1e6) + lit(0.5)).cast("long")
-
     withDf
       .select(col("doc_id"), micro.as("c"))
       .groupBy(col("doc_id"))

@@ -58,6 +58,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(scores(2L) > scores(3L))
   }
 
+  test("bm25TopKIndexed: identical to the scan path, reads only the terms' shards") {
+    val corpus = (1L to 40L).map { i =>
+      (i, s"filler$i words merge scan table whatever item${i % 7} tail${i % 3}")
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    graft.ops.Retrieval.buildPostingsIndex(df, dir, nShards = 16)
+    val terms = Seq("merge", "scan")
+    val scan = graft.ops.Retrieval.bm25TopK(df, terms, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    val indexed = graft.ops.Retrieval.bm25TopKIndexed(spark, dir, terms, k = 10)
+    val got = indexed.as[(Long, Long)].collect().toSeq
+    assert(got == scan)
+    // planning-time pruning: the postings scan carries a pshard partition
+    // filter, so at most |distinct term shards| partitions are read
+    indexed.count()
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pshard"),
+      s"no partition pruning in:\n$plan")
+  }
+
   test("bm25TopK: k cuts deterministically by (score desc, doc_id)") {
     // two identical docs → identical scores; the tie breaks by doc_id
     val corpus = Seq(
