@@ -627,6 +627,15 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
       Similarity.cosineNearDupPairs(emb, threshold = 0.2)
     },
+    "neardup_triangles" -> { (s, dir) =>
+      // Graph analytics over the near-dup pair graph: per-node triangle
+      // participation (local clustering — clique members vs hub false
+      // positives). Three equi-joins, optimizer-reorderable
+      // (ops/Graph.scala).
+      val emb = table(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      graft.ops.Graph.nodeTriangles(
+        Similarity.cosineNearDupPairs(emb, threshold = 0.2).select(col("id_a"), col("id_b")))
+    },
     "cosine_neardup_lsh" -> { (s, dir) =>
       // LSH-bucketed near-dup candidates (recall<1 by design → no SQL
       // oracle; recall spec'd against the exact form in SimilaritySpec).
@@ -1872,6 +1881,23 @@ object SparkEntry {
         |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.2""".stripMargin,
+    "neardup_triangles" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings WHERE vec_id % 10 = 0),
+        |e AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.2
+        |), tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), corners AS (
+        |  SELECT unnest([a, b, c]) AS vec_id FROM tri
+        |)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM corners GROUP BY 1""".stripMargin,
     "curation_pipeline" ->
       """WITH survivors AS (
         |  SELECT doc_id, text,

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge-list DataFrames — the companions to the
+  * connected-components clustering in [[Dedup]]. Near-dup graphs are the
+  * natural input: a triangle-dense neighborhood is a tight duplicate
+  * cluster, and per-node triangle counts (local clustering) separate hub
+  * false-positives from genuine clique members.
+  */
+object Graph {
+
+  /** Per-node triangle participation over an undirected graph given as
+    * id-oriented edges (id_a < id_b, distinct). Every triangle a<b<c is
+    * found exactly once by composing two oriented hops and closing with a
+    * third edge — three equi-joins, no enumeration of neighborhoods into
+    * arrays, so the plan is ordinary shuffle joins the optimizer can
+    * reorder and AQE can skew-split.
+    *
+    * Scale note: id orientation bounds wedge fanout by the max OUT-degree
+    * under the id order; the classical refinement orients by (degree, id)
+    * instead, capping fanout at O(√(2m)) (Suri & Vassilvitskii) — a
+    * one-line change here (join a degree frame, orient by it) left out
+    * until a skewed real graph needs it, since it costs an extra exchange.
+    */
+  def nodeTriangles(
+      edges: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b"
+  ): DataFrame = {
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val wedges = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val tri = wedges.as("w")
+      .join(
+        e.as("e3"),
+        col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
+      .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
+    tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Graph
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def refTriangles(edges: Set[(Long, Long)]): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keys.toSeq
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      a <- nodes
+      b <- adj(a) if b > a
+      c <- adj(b) if c > b && adj(a).contains(c)
+    } {
+      counts(a) = counts.getOrElse(a, 0L) + 1
+      counts(b) = counts.getOrElse(b, 0L) + 1
+      counts(c) = counts.getOrElse(c, 0L) + 1
+    }
+    counts.toMap
+  }
+
+  test("nodeTriangles matches brute force on a mixed graph (cliques, paths, isolated)") {
+    // K4 on 1-4 (4 triangles), a triangle 5-6-7, a path 8-9-10 (none)
+    val edges = Set(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (6L, 7L),
+      (8L, 9L), (9L, 10L)
+    )
+    val got = Graph.nodeTriangles(edges.toSeq.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == refTriangles(edges))
+    assert(got(1L) == 3L) // each K4 corner sits in 3 of its 4 triangles
+    assert(got(5L) == 1L)
+    assert(!got.contains(8L))
+  }
+
+  test("nodeTriangles: random graph agrees with brute force") {
+    val rnd = new scala.util.Random(67)
+    val edges = (for (_ <- 1 to 260) yield {
+      val a = rnd.nextInt(30).toLong; val b = rnd.nextInt(30).toLong
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.toSet
+    val got = Graph.nodeTriangles(edges.toSeq.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == refTriangles(edges))
+  }
+}
