@@ -922,6 +922,18 @@ object SparkEntry {
         graft.ops.Layout.zValue(col("user_id"), expr("ts_ms DIV 3600000"), 16).as("zv")
       )
     },
+    "hilbert_events" -> { (s, dir) =>
+      // Hilbert index over the same (user, hour) plane — consecutive index
+      // values are always adjacent cells (the Z-curve jumps), so range
+      // scans touch fewer file ranges. Expression-only rotation cascade;
+      // the oracle replays it as a recursive CTE (ops/Layout.scala).
+      eventsTable(s, dir).select(
+        col("event_id"),
+        graft.ops.Layout
+          .hilbertValue(col("user_id"), expr("ts_ms DIV 3600000"), 16)
+          .as("hv")
+      )
+    },
     "token_heavy_hitters" -> { (s, dir) =>
       // Misra-Gries sketch candidates + exact verification pass: EXACTLY
       // the tokens with frequency > n_tokens/51 — sketch noise cannot leak
@@ -2421,6 +2433,26 @@ object SparkEntry {
         |    (((user_id >> i) & 1) << (2*i)) + ((((epoch_ms(ts) // 3600000) >> i) & 1) << (2*i + 1))
         |  )) AS BIGINT) AS zv
         |FROM events""".stripMargin,
+    "hilbert_events" ->
+      """WITH RECURSIVE hs AS (
+        |  SELECT event_id,
+        |    CAST(user_id & 65535 AS BIGINT) AS x,
+        |    CAST((epoch_ms(ts) // 3600000) & 65535 AS BIGINT) AS y,
+        |    CAST(0 AS BIGINT) AS d, 15 AS i
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id,
+        |    CASE WHEN ((y >> i) & 1) = 0
+        |         THEN (CASE WHEN ((x >> i) & 1) = 1 THEN (CAST(1 AS BIGINT) << i) - 1 - y ELSE y END)
+        |         ELSE x END AS x,
+        |    CASE WHEN ((y >> i) & 1) = 0
+        |         THEN (CASE WHEN ((x >> i) & 1) = 1 THEN (CAST(1 AS BIGINT) << i) - 1 - x ELSE x END)
+        |         ELSE y END AS y,
+        |    d + (CAST(1 AS BIGINT) << (2 * i)) * xor(3 * ((x >> i) & 1), (y >> i) & 1) AS d,
+        |    i - 1 AS i
+        |  FROM hs WHERE i >= 0
+        |)
+        |SELECT event_id, d AS hv FROM hs WHERE i = -1""".stripMargin,
     "token_heavy_hitters" ->
       """WITH tok AS (
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents

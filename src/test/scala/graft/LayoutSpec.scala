@@ -64,4 +64,68 @@ class LayoutSpec extends AnyFunSuite {
     assert(xHits <= 10, s"x-slab hits $xHits of ${perFile.length} files")
     assert(yHits <= 10, s"y-slab hits $yHits of ${perFile.length} files")
   }
+
+  /** Reference Hilbert xy→d (sub-square flip convention). */
+  private def hilbertRef(xIn: Long, yIn: Long, order: Int): Long = {
+    var x = xIn & ((1L << order) - 1); var y = yIn & ((1L << order) - 1)
+    var d = 0L
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertValue matches the reference; the curve is bijective and adjacent") {
+    // bijectivity + the defining adjacency property on the full order-5 grid
+    val order = 5
+    val n = 1 << order
+    val cells = for (x <- 0L until n; y <- 0L until n) yield (x, y)
+    val ds = cells.map { case (x, y) => hilbertRef(x, y, order) }
+    assert(ds.sorted == (0L until n.toLong * n).toSeq, "bijection")
+    val pos = cells.zip(ds).map(_.swap).toMap
+    (0L until n.toLong * n - 1).foreach { d =>
+      val (x1, y1) = pos(d); val (x2, y2) = pos(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at d=$d")
+    }
+    // expression equals the reference on random 16-bit inputs
+    val rnd = new scala.util.Random(11)
+    val data = Seq.tabulate(300)(i =>
+      (i.toLong, rnd.nextLong().abs % (1L << 40), rnd.nextLong().abs % (1L << 40)))
+    val got = data.toDF("id", "x", "y")
+      .select($"id", Layout.hilbertValue($"x", $"y", 16).as("h"))
+      .as[(Long, Long)].collect().toMap
+    data.foreach { case (id, x, y) =>
+      assert(got(id) == hilbertRef(x, y, 16), s"id=$id x=$x y=$y")
+    }
+  }
+
+  test("hilbert-ordered layout prunes file scans on BOTH dimensions") {
+    val rnd = new scala.util.Random(13)
+    val df = Seq.tabulate(8000)(_ => (rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+      .toDF("x", "y")
+    val dir = Files.createTempDirectory("graft_hilbert").toString
+    Layout.hilbertOrdered(df, col("x"), col("y"), order = 8, numFiles = 16)
+      .write.mode("overwrite").parquet(dir)
+    val perFile = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy($"f")
+      .agg(min($"x").as("xmin"), max($"x").as("xmax"), min($"y").as("ymin"), max($"y").as("ymax"))
+      .as[(String, Long, Long, Long, Long)]
+      .collect()
+    assert(perFile.length >= 12)
+    def filesHit(lo: Long, hi: Long, xDim: Boolean): Int =
+      perFile.count { case (_, xmin, xmax, ymin, ymax) =>
+        if (xDim) xmax >= lo && xmin <= hi else ymax >= lo && ymin <= hi
+      }
+    assert(filesHit(40, 47, xDim = true) <= 10)
+    assert(filesHit(40, 47, xDim = false) <= 10)
+  }
 }
