@@ -1057,6 +1057,25 @@ object SparkEntry {
       Similarity.ivfTopKIndexed(
         s, loc.toString, centroids, emb.filter(col("vec_id") < 8), k = 5)
     },
+    "curation_pipeline_v3" -> { (s, dir) =>
+      // Round-5 curation chain as ONE composed plan: exact dedup (min-id
+      // survivor) → Gopher repetition/lexical gate (map-only) → per-language
+      // deterministic sampling (map-only). One scan, one dedup exchange;
+      // every stage individually oracle-checked, and the composition too.
+      val deduped = Dedup.dropExactDuplicates(table(s, dir, "documents"))
+      val gated = TextAnalysis
+        .gopherRules(deduped, carryCols = Seq("lang"))
+        .filter(col("keep") === 1)
+      graft.ops.Sampling
+        .stratifiedSample(
+          gated,
+          keyCol = "doc_id",
+          strataCol = "lang",
+          rates = Map("en" -> 0.8, "de" -> 0.6, "es" -> 0.6, "fr" -> 0.6, "zh" -> 0.4),
+          seed = "cur5"
+        )
+        .select(col("doc_id"), col("lang"), col("top2_share"), col("dup5_share"))
+    },
     "curation_pipeline_v2" -> { (s, dir) =>
       // The full round-3 curation chain as ONE composed plan: exact dedup
       // (min-id survivor) → PII redaction → linear quality gate (logit > 0
@@ -2589,6 +2608,58 @@ object SparkEntry {
         |)
         |SELECT doc_id, documents.lang FROM documents JOIN t ON documents.lang = t.lang
         |WHERE CAST(('0x' || substr(md5('mix5' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < thr""".stripMargin,
+    "curation_pipeline_v3" ->
+      """WITH survivors AS (
+        |  SELECT doc_id, lang, text,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, lang, text FROM survivors WHERE rn = 1
+        |), toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS stop_hits,
+        |    string_split_regex(lower(text), '\s+') AS t
+        |  FROM d
+        |), g2 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks WHERE len(t) >= 2
+        |), top2 AS (
+        |  SELECT doc_id, max(cnt * length(g)) AS top2_chars
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY 1
+        |), g5 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        |  FROM toks WHERE len(t) >= 5
+        |), dup5 AS (
+        |  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dup5_chars
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2) GROUP BY 1
+        |), sig AS (
+        |  SELECT toks.doc_id, lang, n_tokens, stop_hits,
+        |    round(CAST(word_chars AS DOUBLE) / greatest(n_tokens, 1), 4) AS mean_word_len,
+        |    round(CAST(COALESCE(top2_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) AS top2_share,
+        |    round(CAST(COALESCE(dup5_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) AS dup5_share
+        |  FROM toks LEFT JOIN top2 ON toks.doc_id = top2.doc_id
+        |             LEFT JOIN dup5 ON toks.doc_id = dup5.doc_id
+        |)
+        |SELECT doc_id, lang, top2_share, dup5_share
+        |FROM sig
+        |WHERE n_tokens BETWEEN 10 AND 100000
+        |  AND mean_word_len BETWEEN 2.0 AND 12.0
+        |  AND top2_share < 0.30
+        |  AND dup5_share < 0.15
+        |  AND stop_hits >= 2
+        |  AND CAST(('0x' || substr(md5('cur5' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    < CASE lang WHEN 'en' THEN 3435973836
+        |                WHEN 'de' THEN 2576980377
+        |                WHEN 'es' THEN 2576980377
+        |                WHEN 'fr' THEN 2576980377
+        |                WHEN 'zh' THEN 1717986918
+        |                ELSE 0 END""".stripMargin,
     "curation_pipeline_v2" ->
       """WITH survivors AS (
         |  SELECT doc_id, lang, text,

@@ -381,19 +381,23 @@ object TextAnalysis {
     * length window, repetition caps, ≥2 stop-word hits), re-centred for
     * short synthetic docs.
     */
-  def gopherRules(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def gopherRules(
+      docs: DataFrame,
+      textCol: String = "text",
+      carryCols: Seq[String] = Nil
+  ): DataFrame = {
     val t = col(textCol)
     val rep2 = ngramRepetition(t, 2)
     val rep5 = ngramRepetition(t, 5)
     val base = docs.select(
-      col("doc_id"),
+      (col("doc_id") +: carryCols.map(col)) ++ Seq(
       length(t).cast("long").as("n_chars"),
       tokenCount(t).cast("long").as("n_tokens"),
       length(regexp_replace(t, "\\s+", "")).cast("long").as("word_chars"),
       markerCount(t, GopherStops).cast("long").as("stop_hits"),
       rep2.getField("top_chars").as("top2_chars"),
       rep5.getField("dup_chars").as("dup5_chars")
-    )
+    ): _*)
     base
       .withColumn("mean_word_len",
         round(col("word_chars").cast("double") / greatest(col("n_tokens"), lit(1L)), 4))
