@@ -597,6 +597,12 @@ object SparkEntry {
         size(array_distinct(TextAnalysis.bpeTokens(col("text")))).as("n_distinct_bpe")
       )
     },
+    "doc_chunks" -> { (s, dir) =>
+      // RAG/context-window splitter: sliding token chunks (size 8, stride
+      // 4 — consecutive chunks share half their tokens). Map-only reshape,
+      // exact token/char accounting (ops/TextAnalysis.scala).
+      TextAnalysis.slidingTokenChunks(table(s, dir, "documents"), size = 8, stride = 4)
+    },
     "gopher_rules" -> { (s, dir) =>
       // Gopher-style quality gate (Rae et al. 2021 §A1.1): integer-exact
       // repetition + lexical signals and the keep decision. Map-only — the
@@ -1815,6 +1821,19 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS INT) AS n_bpe_tokens,
         |  CAST(len(list_distinct(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))) AS INT) AS n_distinct_bpe
         |FROM documents""".stripMargin,
+    "doc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |), starts AS (
+        |  SELECT doc_id, t, unnest(range(1, greatest(len(t), 1) + 1, 4)) AS start
+        |  FROM toks WHERE len(t) >= 1
+        |)
+        |SELECT doc_id,
+        |  CAST((start - 1) // 4 AS INT) AS chunk_idx,
+        |  CAST(start AS INT) AS start_token,
+        |  CAST(len(t[start : least(start + 7, len(t))]) AS INT) AS n_chunk_tokens,
+        |  CAST(length(array_to_string(t[start : least(start + 7, len(t))], ' ')) AS BIGINT) AS chunk_chars
+        |FROM starts""".stripMargin,
     "gopher_rules" ->
       """WITH toks AS (
         |  SELECT doc_id,

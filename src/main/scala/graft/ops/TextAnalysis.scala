@@ -415,6 +415,56 @@ object TextAnalysis {
       )
   }
 
+  /** Sliding token chunks with overlap — the RAG/context-window splitter:
+    * chunk i covers tokens [1 + i·stride, …] of length ≤ `size`, so
+    * consecutive chunks share `size − stride` tokens. Emits one row per
+    * chunk with exact token/char accounting. Map-only (tokenize → bounded
+    * per-row explode): at 100 TB this is a scan-speed reshape whose output
+    * row count is ~n_tokens/stride per doc, no shuffle anywhere.
+    *
+    * Starts are `1, 1+stride, …` while they land on a token; a trailing
+    * chunk shorter than `size` is kept (≥ 1 token) — the convention that
+    * loses no text.
+    */
+  def slidingTokenChunks(
+      docs: DataFrame,
+      size: Int,
+      stride: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size, "need 0 < stride <= size")
+    val chunks = element_at(
+      transform(
+        array(split(lower(col(textCol)), "\\s+")),
+        toks =>
+          when(
+            size_(toks) >= 1,
+            transform(
+              sequence(lit(1), greatest(size_(toks), lit(1)), lit(stride)),
+              start =>
+                struct(
+                  start.as("start_token"),
+                  size_(slice(toks, start, lit(size))).as("n_chunk_tokens"),
+                  concat_ws(" ", slice(toks, start, lit(size))).as("chunk_text"))
+            )
+          ).otherwise(array().cast(
+            "array<struct<start_token:int,n_chunk_tokens:int,chunk_text:string>>"))
+      ),
+      1
+    )
+    docs
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        col("c.start_token").as("start_token"),
+        col("c.n_chunk_tokens").as("n_chunk_tokens"),
+        length(col("c.chunk_text")).cast("long").as("chunk_chars"))
+  }
+
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** Per-document stats frame used by the registered queries. */
   def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
