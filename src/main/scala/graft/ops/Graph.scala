@@ -27,9 +27,16 @@ object Graph {
   def nodeTriangles(
       edges: DataFrame,
       aCol: String = "id_a",
-      bCol: String = "id_b"
+      bCol: String = "id_b",
+      materialize: Boolean = true
   ): DataFrame = {
-    val e = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    // The edge frame is referenced THREE times (e1/e2/e3) and DataFrame
+    // lineage has no common-subplan reuse — an expensive upstream (e.g. a
+    // near-dup candidate pipeline) would run three times. Materialize the
+    // (tiny relative to its derivation) edge list once; pass
+    // materialize = false only when `edges` is already a plain scan.
+    val eRaw = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val e = if (materialize) eRaw.localCheckpoint(eager = true) else eRaw
     val wedges = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
