@@ -217,15 +217,25 @@ object SparkEntry {
       // shuffle over user ids only.
       val ev = eventsTable(s, dir)
       val mid = 1705276800000L // 2024-01-15 00:00:00 UTC
+      // each half feeds 2-3 set operations — cache the (tiny) distinct
+      // user-id frames instead of re-scanning events per leg, checkpoint
+      // the result, release (Dedup's discipline)
       val firstHalf = ev.filter(col("ts_ms") < mid).select(col("user_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val secondHalf = ev.filter(col("ts_ms") >= mid).select(col("user_id")).distinct()
-      val retained = firstHalf.intersect(secondHalf)
-        .select(col("user_id"), lit("retained").as("cohort"))
-      val churned = firstHalf.except(secondHalf)
-        .select(col("user_id"), lit("churned").as("cohort"))
-      val newOnly = secondHalf.except(firstHalf)
-        .select(col("user_id"), lit("new").as("cohort"))
-      retained.union(churned).union(newOnly)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val retained = firstHalf.intersect(secondHalf)
+          .select(col("user_id"), lit("retained").as("cohort"))
+        val churned = firstHalf.except(secondHalf)
+          .select(col("user_id"), lit("churned").as("cohort"))
+        val newOnly = secondHalf.except(firstHalf)
+          .select(col("user_id"), lit("new").as("cohort"))
+        retained.union(churned).union(newOnly).localCheckpoint(eager = true)
+      } finally {
+        firstHalf.unpersist(blocking = false)
+        secondHalf.unpersist(blocking = false)
+      }
     },
     "user_sessions" -> { (s, dir) =>
       // Session-window aggregation (gap 30 min): a windowing mode the
