@@ -137,33 +137,30 @@ object Clustering {
     val asg = kmeansAssign(emb, k, iters, scale, idCol, vecCol)
     // The clustered frame feeds BOTH join sides, the norm frame, and the
     // survivor anchor — five lineage references that would each re-scan
-    // and re-quantize the corpus (no common-subplan reuse). Cache it once,
-    // eagerly checkpoint the narrow result, drop the cache before
-    // returning (Dedup's discipline).
-    val clustered = qv.join(asg, "vec_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val norms = clustered.select($"vec_id", dotL($"qv", $"qv").as("nrm"))
-      val lo = clustered.select($"cluster", $"vec_id".as("a"), $"qv".as("av"))
-      val hi = clustered.select($"cluster", $"vec_id".as("b"), $"qv".as("bv"))
-      val dups = lo
-        .join(hi, "cluster")
-        .where($"a" < $"b")
-        .select($"a", $"b", dotL($"av", $"bv").as("dot"))
-        .join(norms.select($"vec_id".as("a"), $"nrm".as("na")), "a")
-        .join(norms.select($"vec_id".as("b"), $"nrm".as("nb")), "b")
-        .where(
-          $"dot" > 0 &&
-            $"dot".cast(dec) * $"dot".cast(dec) * lit(tauSqDen).cast(dec) >=
-            lit(tauSqNum).cast(dec) * $"na".cast(dec) * $"nb".cast(dec)
-        )
-        .groupBy($"b".as("vec_id"))
-        .agg(min($"a").as("dup_of"))
-      clustered
-        .select($"vec_id")
-        .join(dups, Seq("vec_id"), "left")
-        .select($"vec_id", $"dup_of")
-        .localCheckpoint(eager = true)
-    } finally clustered.unpersist(blocking = false)
+    // and re-quantize the corpus (no common-subplan reuse). One eager
+    // local checkpoint turns it into a LogicalRDD every reference reads;
+    // blocks are executor-local and GC'd by the ContextCleaner once the
+    // frame is unreferenced.
+    val clustered = qv.join(asg, "vec_id").localCheckpoint(eager = true)
+    val norms = clustered.select($"vec_id", dotL($"qv", $"qv").as("nrm"))
+    val lo = clustered.select($"cluster", $"vec_id".as("a"), $"qv".as("av"))
+    val hi = clustered.select($"cluster", $"vec_id".as("b"), $"qv".as("bv"))
+    val dups = lo
+      .join(hi, "cluster")
+      .where($"a" < $"b")
+      .select($"a", $"b", dotL($"av", $"bv").as("dot"))
+      .join(norms.select($"vec_id".as("a"), $"nrm".as("na")), "a")
+      .join(norms.select($"vec_id".as("b"), $"nrm".as("nb")), "b")
+      .where(
+        $"dot" > 0 &&
+          $"dot".cast(dec) * $"dot".cast(dec) * lit(tauSqDen).cast(dec) >=
+          lit(tauSqNum).cast(dec) * $"na".cast(dec) * $"nb".cast(dec)
+      )
+      .groupBy($"b".as("vec_id"))
+      .agg(min($"a").as("dup_of"))
+    clustered
+      .select($"vec_id")
+      .join(dups, Seq("vec_id"), "left")
+      .select($"vec_id", $"dup_of")
   }
 }
