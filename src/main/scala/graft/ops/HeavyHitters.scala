@@ -113,6 +113,32 @@ object HeavyHitters {
       .agg(max(col("rho")).as("rho"))
   }
 
+  /** Event-time windowed HLL registers: distinct-count state per time
+    * window is ≤ m registers REGARDLESS of cardinality — the streaming
+    * "distinct users per window" that an exact distinct can't do with
+    * bounded state. Works identically on batch and streaming frames
+    * (apply `withWatermark` upstream for state eviction); per-window
+    * estimates come from [[hllEstimate]] grouped by window downstream.
+    */
+  def hllRegistersWindowed(
+      df: DataFrame,
+      itemCol: String,
+      timeCol: String,
+      windowDuration: String,
+      seed: String = "hll"
+  ): DataFrame = {
+    val hv = Dedup.md5Hash32(concat(lit(s"$seed-"), col(itemCol)))
+    df.select(
+        window(col(timeCol), windowDuration).as("win"),
+        (hv % 64).cast("int").as("bucket"),
+        shiftright(hv, 6).as("w"))
+      .select(
+        col("win"), col("bucket"),
+        when(col("w") === 0L, lit(27)).otherwise(lit(27) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("win"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
   /** HLL cardinality estimate from the register table, with the standard
     * small-range (linear counting) correction. The harmonic-mean
     * denominator Σ 2^(-rho) is computed EXACTLY: each term scales to the

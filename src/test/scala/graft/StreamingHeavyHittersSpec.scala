@@ -110,4 +110,44 @@ class StreamingHeavyHittersSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed.size <= 64) // distinct-counting state never exceeds m registers
   }
+
+  test("windowed HLL registers: per-window distinct state, watermark drops late rows") {
+    implicit val ctx = spark.sqlContext
+    import java.sql.Timestamp
+    // base aligned to the 10-minute window grid (windows align to epoch)
+    def ts(min: Int): Timestamp = new Timestamp(1700000400000L + min * 60000L)
+    val input = MemoryStream[(Timestamp, String)]
+    val regs = graft.ops.HeavyHitters.hllRegistersWindowed(
+      input.toDF().toDF("ts", "user").withWatermark("ts", "5 minutes"),
+      "user", "ts", "10 minutes")
+    val q = regs.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("hll_win_stream")
+      .start()
+    val w0users = (1 to 300).map(i => s"u$i")
+    val w1users = (1 to 150).map(i => s"v$i")
+    try {
+      input.addData(w0users.map(u => (ts(2), u)))
+      q.processAllAvailable()
+      input.addData(w1users.map(u => (ts(12), u)))
+      input.addData(Seq((ts(25), "advance-watermark")))
+      q.processAllAvailable()
+      // watermark is now ~minute 20 → window [0,10) is closed: this late
+      // row must NOT change its registers
+      input.addData(Seq((ts(3), "late-user-should-drop")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // update-mode memory sink: last emission per (win, bucket) is current
+    val streamed = spark.table("hll_win_stream")
+      .groupBy($"win.start", $"bucket")
+      .agg(org.apache.spark.sql.functions.last($"rho").as("rho"))
+      .as[(Timestamp, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    val batchW0 = graft.ops.HeavyHitters.hllRegisters(w0users.toDF("user"), "user")
+      .as[(Int, Int)].collect().toSet
+    assert(streamed(ts(0)) == batchW0, "window [0,10) must equal batch registers sans the late row")
+    assert(streamed.keys.toSet.contains(ts(10)))
+    streamed.values.foreach(s => assert(s.size <= 64))
+  }
 }
