@@ -139,6 +139,54 @@ object HeavyHitters {
       .agg(max(col("rho")).as("rho"))
   }
 
+  /** Grouped HLL registers: one ≤ m-register sketch per `keyCol` group —
+    * "distinct users per day/segment" with per-group state bounded by m.
+    */
+  def hllRegistersBy(
+      df: DataFrame,
+      itemCol: String,
+      keyCol: String,
+      seed: String = "hll"
+  ): DataFrame = {
+    val hv = Dedup.md5Hash32(concat(lit(s"$seed-"), col(itemCol)))
+    df.select(col(keyCol), (hv % 64).cast("int").as("bucket"), shiftright(hv, 6).as("w"))
+      .select(
+        col(keyCol), col("bucket"),
+        when(col("w") === 0L, lit(27)).otherwise(lit(27) - length(bin(col("w")))).as("rho"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Per-group estimates from [[hllRegistersBy]] output: complete each
+    * group to the full m buckets (an intentional keys × m cross join —
+    * tiny by construction), then the same exact-integer harmonic mean and
+    * correction as [[hllEstimate]], per group.
+    */
+  def hllEstimateBy(registers: DataFrame, keyCol: String): DataFrame = {
+    val spark = registers.sparkSession
+    val m = 64
+    val keys = registers.select(col(keyCol)).distinct()
+    val buckets = spark.range(0, m).select(col("id").cast("int").as("bucket"))
+    val full = keys
+      .crossJoin(buckets)
+      .join(registers, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), coalesce(col("rho"), lit(0)).cast("int").as("rho"))
+    val agg = full
+      .groupBy(col(keyCol))
+      .agg(
+        sum(expr("shiftleft(1L, 32 - rho)")).as("s_scaled"),
+        sum(when(col("rho") === 0, 1L).otherwise(0L)).as("v_empty"))
+    val rawE = lit(0.709) * lit((m * m).toDouble) /
+      (col("s_scaled").cast("double") / lit(4294967296.0))
+    val linE = lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double"))
+    val est = when(rawE <= lit(2.5 * m) && col("v_empty") > 0L, linE).otherwise(rawE)
+    agg.select(
+      col(keyCol),
+      col("v_empty"),
+      col("s_scaled"),
+      floor(est * lit(1e6) + lit(0.5)).cast("long").as("est_micro"))
+  }
+
   /** HLL cardinality estimate from the register table, with the standard
     * small-range (linear counting) correction. The harmonic-mean
     * denominator Σ 2^(-rho) is computed EXACTLY: each term scales to the

@@ -97,4 +97,20 @@ class HeavyHittersSpec extends AnyFunSuite {
       .as[(Int, Int)].collect().toSet
     assert(merged == regsDistinct)
   }
+
+  test("hllEstimateBy: grouped sketches equal each group's standalone sketch") {
+    val df = (1 to 3000)
+      .map(i => (i % 3, s"u${i % (100 * (1 + i % 3))}"))
+      .toDF("g", "token")
+    val grouped = HeavyHitters
+      .hllEstimateBy(HeavyHitters.hllRegistersBy(df, "token", "g"), "g")
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for (g <- 0 to 2) {
+      val s = HeavyHitters
+        .hllEstimate(HeavyHitters.hllRegisters(df.filter($"g" === g), "token"))
+        .as[(Int, Long, Long, Long)].collect().head
+      assert(grouped(g) == ((s._2, s._3, s._4)), s"group $g")
+    }
+  }
 }
