@@ -651,8 +651,11 @@ object SparkEntry {
       // warehouse (built once per scale factor); the query's shard IN-list
       // prunes the scan at planning time. Identical scores to bm25_topk —
       // the same SQL oracle covers both paths.
+      // cache key = md5 of the full dir path: collision-free across dataset
+      // dirs (Int hashCode can collide, and math.abs(Int.MinValue) < 0)
       val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), s"graft_postings_${math.abs(dir.hashCode)}")
+        s.conf.get("spark.sql.warehouse.dir"),
+        s"graft_postings_${org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(16)}")
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$loc/postings/_SUCCESS")) ||
         !fs.exists(new org.apache.hadoop.fs.Path(s"$loc/stats/_SUCCESS")))
@@ -1102,7 +1105,8 @@ object SparkEntry {
       // scan-side form is spec-asserted.
       val emb = table(s, dir, "embeddings")
       val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), s"graft_ivf_${math.abs(dir.hashCode)}")
+        s.conf.get("spark.sql.warehouse.dir"),
+        s"graft_ivf_${org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(16)}")
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       val centroids =
         if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")))
@@ -1942,18 +1946,21 @@ object SparkEntry {
         |), dfreq AS (
         |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
         |), scored AS (
+        |  -- (N-df+0.5)/(df+0.5)+1 == (2N+1)/(2df+1): the ln argument is ONE
+        |  -- division of exact longs; idf micro-rounds on the spot. The
+        |  -- k1=1.2/b=0.75 saturation factor, cleared by 10*total_dl, is an
+        |  -- exact long fraction; the contribution rounds half-up by integer
+        |  -- division — no float survives past the single ln.
         |  SELECT tf.doc_id,
-        |    CAST(floor(
-        |      ln((CAST(stats.n - dfreq.df AS DOUBLE) + 0.5e0)
-        |          / (CAST(dfreq.df AS DOUBLE) + 0.5e0) + 1.0e0)
-        |      * (CAST(tf.tf AS DOUBLE) * 2.2e0)
-        |      / (CAST(tf.tf AS DOUBLE)
-        |         + 1.2e0 * (0.25e0 + 0.75e0 * (CAST(tf.dl AS DOUBLE)
-        |             / (CAST(stats.total_dl AS DOUBLE) / CAST(stats.n AS DOUBLE)))))
-        |      * 1.0e6 + 0.5e0) AS BIGINT) AS c
+        |    CAST(floor(ln(CAST(2*stats.n + 1 AS DOUBLE)
+        |        / CAST(2*dfreq.df + 1 AS DOUBLE)) * 1.0e6 + 0.5e0) AS BIGINT) AS idf_micro,
+        |    22 * stats.total_dl * tf.tf AS num,
+        |    10 * stats.total_dl * tf.tf + 3 * stats.total_dl + 9 * tf.dl * stats.n AS den
         |  FROM tf JOIN dfreq USING (tok), stats
         |)
-        |SELECT doc_id, sum(c) AS score_micro FROM scored GROUP BY 1
+        |SELECT doc_id,
+        |  CAST(sum((2*idf_micro*num + den) // (2*den)) AS BIGINT) AS score_micro
+        |FROM scored GROUP BY 1
         |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin,
     "bm25_topk_indexed" ->
       // identical result contract to bm25_topk: the index changes the
@@ -1973,18 +1980,21 @@ object SparkEntry {
         |), dfreq AS (
         |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
         |), scored AS (
+        |  -- (N-df+0.5)/(df+0.5)+1 == (2N+1)/(2df+1): the ln argument is ONE
+        |  -- division of exact longs; idf micro-rounds on the spot. The
+        |  -- k1=1.2/b=0.75 saturation factor, cleared by 10*total_dl, is an
+        |  -- exact long fraction; the contribution rounds half-up by integer
+        |  -- division — no float survives past the single ln.
         |  SELECT tf.doc_id,
-        |    CAST(floor(
-        |      ln((CAST(stats.n - dfreq.df AS DOUBLE) + 0.5e0)
-        |          / (CAST(dfreq.df AS DOUBLE) + 0.5e0) + 1.0e0)
-        |      * (CAST(tf.tf AS DOUBLE) * 2.2e0)
-        |      / (CAST(tf.tf AS DOUBLE)
-        |         + 1.2e0 * (0.25e0 + 0.75e0 * (CAST(tf.dl AS DOUBLE)
-        |             / (CAST(stats.total_dl AS DOUBLE) / CAST(stats.n AS DOUBLE)))))
-        |      * 1.0e6 + 0.5e0) AS BIGINT) AS c
+        |    CAST(floor(ln(CAST(2*stats.n + 1 AS DOUBLE)
+        |        / CAST(2*dfreq.df + 1 AS DOUBLE)) * 1.0e6 + 0.5e0) AS BIGINT) AS idf_micro,
+        |    22 * stats.total_dl * tf.tf AS num,
+        |    10 * stats.total_dl * tf.tf + 3 * stats.total_dl + 9 * tf.dl * stats.n AS den
         |  FROM tf JOIN dfreq USING (tok), stats
         |)
-        |SELECT doc_id, sum(c) AS score_micro FROM scored GROUP BY 1
+        |SELECT doc_id,
+        |  CAST(sum((2*idf_micro*num + den) // (2*den)) AS BIGINT) AS score_micro
+        |FROM scored GROUP BY 1
         |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin,
     "label_centroids" ->
       """WITH u AS (

@@ -16,10 +16,16 @@ import org.apache.spark.sql.functions._
   * (doc, term), a broadcast of the ≤|Q|-row df frame, and a
   * TakeOrderedAndProject top-k. No sort of the corpus anywhere.
   *
-  * Portability contract (same as `quality_logit`/`tfidf_top_terms`): each
-  * per-(doc, term) contribution is one fixed-order double expression
-  * rounded to integer micro-units, and the per-doc score is a sum of
-  * longs — associative, engine-independent, oracle-exact.
+  * Portability contract (stricter than `quality_logit`/`tfidf_top_terms`,
+  * after a cross-engine one-ulp flip bit the old 6-op double chain): the
+  * ONLY floating-point operation in a contribution is a single `ln` whose
+  * argument is one division of two exact longs — `(N-df+0.5)/(df+0.5)+1`
+  * simplifies exactly to `(2N+1)/(2df+1)` — rounded to integer micro
+  * units immediately. The k1/b saturation factor is an exact integer
+  * rational (k1, b restricted to multiples of 1/20; avgdl = totalDl/N
+  * cleared by multiplying through by totalDl), and the per-term
+  * contribution is one round-half-up integer division. Per-doc scores are
+  * sums of longs — associative, engine-independent, oracle-exact.
   */
 object Retrieval {
 
@@ -47,7 +53,6 @@ object Retrieval {
       .head()
     val n = stats.getLong(0)
     val totalDl = stats.getLong(1)
-    val avgdl = totalDl.toDouble / n.toDouble
 
     val postings = docs
       .select(
@@ -64,7 +69,7 @@ object Retrieval {
     // corpus — DataFrame lineage has no common-subplan reuse (same trap as
     // tfidfTopTerms). Arithmetic is fixed-order, mirrored token-for-token
     // in the SQL oracle.
-    scoreTf(tf, n, avgdl, k1, b, k)
+    scoreTf(tf, n, totalDl, k1, b, k)
   }
 
   // ---------------------------------------------------------------- indexed
@@ -130,38 +135,68 @@ object Retrieval {
     require(queryTerms.nonEmpty, "query terms required")
     val st = spark.read.parquet(s"$indexDir/stats").head()
     val n = st.getLong(0)
-    val avgdl = st.getLong(1).toDouble / n.toDouble
+    val totalDl = st.getLong(1)
     val nShards = st.getInt(2)
     val shards = queryTerms.map(t => (md5Hash32Local(t) % nShards).toInt).distinct
     val tf = spark.read
       .parquet(s"$indexDir/postings")
       .filter(col("pshard").isin(shards: _*) && col("tok").isInCollection(queryTerms))
-    scoreTf(tf, n, avgdl, k1, b, k)
+    scoreTf(tf, n, totalDl, k1, b, k)
   }
 
-  /** Shared scoring tail: df window over the tf frame, micro-unit
-    * contributions, long sum per doc, deterministic top-k cut.
+  /** Shared scoring tail: df window over the tf frame, one micro-rounded
+    * `ln` (the idf), an exact-long saturation fraction, one round-half-up
+    * integer division per term, long sum per doc, deterministic top-k cut.
+    *
+    * Exactness: `(N-df+0.5)/(df+0.5)+1 == (2N+1)/(2df+1)` identically, so
+    * the idf's `ln` argument is a single IEEE division of two exact longs
+    * (bit-identical in any engine) and the `ln` result is micro-rounded on
+    * the spot. With k1 = k1_20/20, b = b_20/20 and avgdl = totalDl/N, the
+    * saturation factor `tf(k1+1)/(tf + k1(1-b) + k1·b·dl/avgdl)` times
+    * `400·totalDl / 400·totalDl` has exact long numerator and denominator
+    * (reduced by their coefficient gcd — 40 at the k1=1.2/b=0.75 defaults,
+    * giving num = 22·totalDl·tf, den = 10·totalDl·tf + 3·totalDl +
+    * 9·dl·N). The contribution `idf_micro·num/den` rounds half-up via
+    * `(2·idf_micro·num + den) div (2·den)` — pure long arithmetic, so the
+    * oracle reproduces it bit-for-bit. Long-range note: at corpus sizes
+    * where `2·idf_micro·22·totalDl·tf` approaches 2^63 (totalDl ≳ 10^12
+    * tokens with heavy tf), widen num/den to decimal(38,0); the test SFs
+    * sit 3+ orders of magnitude below that.
     */
   private def scoreTf(
       tf: DataFrame,
       n: Long,
-      avgdl: Double,
+      totalDl: Long,
       k1: Double,
       b: Double,
       k: Int
   ): DataFrame = {
+    val k1_20 = math.round(k1 * 20).toInt
+    val b_20 = math.round(b * 20).toInt
+    require(
+      math.abs(k1_20 / 20.0 - k1) < 1e-12 && math.abs(b_20 / 20.0 - b) < 1e-12,
+      "k1 and b must be multiples of 0.05 for the exact-rational scoring path")
+    @annotation.tailrec
+    def gcd(a: Long, bb: Long): Long = if (bb == 0) a else gcd(bb, a % bb)
+    // coefficients of: num = cNum·totalDl·tf
+    //                  den = cTf·totalDl·tf + cConst·totalDl + cDl·dl·N
+    val cNum = 20L * (k1_20 + 20)
+    val cTf = 400L
+    val cConst = k1_20.toLong * (20 - b_20)
+    val cDl = k1_20.toLong * b_20
+    val g = gcd(cNum, gcd(cTf, gcd(cConst, cDl)))
+
     val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
     val withDf = tf.withColumn("df", count(lit(1)).over(wTok))
-    val idf = log(
-      ((lit(n) - col("df")).cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)) + lit(1.0))
-    val ratio = col("dl").cast("double") / lit(avgdl)
-    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * ratio)
-    val contrib = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
-      (col("tf").cast("double") + norm)
-    val micro = floor(contrib * lit(1e6) + lit(0.5)).cast("long")
+    val idfMicro = floor(
+      log(lit(2 * n + 1).cast("double") / (col("df") * lit(2L) + lit(1L)).cast("double")) *
+        lit(1e6) + lit(0.5)).cast("long")
+    val num = lit(cNum / g) * lit(totalDl) * col("tf")
+    val den = lit(cTf / g) * lit(totalDl) * col("tf") +
+      lit((cConst / g) * totalDl) + lit(cDl / g) * col("dl") * lit(n)
     withDf
-      .select(col("doc_id"), micro.as("c"))
+      .select(col("doc_id"), idfMicro.as("idf_micro"), num.as("num"), den.as("den"))
+      .withColumn("c", expr("(2 * idf_micro * num + den) div (2 * den)"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("score_micro"))
       .orderBy(col("score_micro").desc, col("doc_id"))

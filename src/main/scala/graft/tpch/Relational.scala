@@ -53,7 +53,8 @@ object Relational {
     * key). Results are identical to the plain form — same oracle.
     */
   def q3TopOrdersBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val suffix = s"sf_${math.abs(dir.hashCode)}"
+    val suffix =
+      s"sf_${org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(16)}"
     val liName = s"graft_bl_$suffix"
     val ordName = s"graft_bo_$suffix"
     def ensureBucketed(name: String, srcTable: String, bucketCol: String): Unit =

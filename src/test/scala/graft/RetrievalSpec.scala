@@ -8,28 +8,30 @@ class RetrievalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  /** Scala reference BM25 over a token-list corpus (micro-unit scores). */
+  /** Scala reference BM25 over a token-list corpus — the integer-rational
+    * contract at k1=1.2/b=0.75: one micro-rounded ln of (2N+1)/(2df+1),
+    * exact-long saturation fraction, round-half-up integer division.
+    */
   private def bm25Ref(
       corpus: Seq[(Long, String)],
-      terms: Seq[String],
-      k1: Double = 1.2,
-      b: Double = 0.75
+      terms: Seq[String]
   ): Map[Long, Long] = {
     val toks = corpus.map { case (id, t) => id -> t.toLowerCase.split("\\s+", -1).toSeq }
     val n = corpus.size.toLong
-    val avgdl = toks.map(_._2.size).sum.toDouble / n.toDouble
+    val totalDl = toks.map(_._2.size.toLong).sum
     val df = terms.map { q => q -> toks.count(_._2.contains(q)).toLong }.toMap
     toks.flatMap { case (id, ts) =>
-      val dl = ts.size
+      val dl = ts.size.toLong
       terms.flatMap { q =>
         val tf = ts.count(_ == q).toLong
         if (tf == 0 || df(q) == 0) None
         else {
-          val idfExact =
-            math.log(((n - df(q)).toDouble + 0.5) / (df(q).toDouble + 0.5) + 1.0)
-          val contrib = idfExact * (tf.toDouble * (k1 + 1.0)) /
-            (tf.toDouble + k1 * ((1.0 - b) + b * (dl.toDouble / avgdl)))
-          Some(id -> math.floor(contrib * 1e6 + 0.5).toLong)
+          val idfMicro = math
+            .floor(math.log((2 * n + 1).toDouble / (2 * df(q) + 1).toDouble) * 1e6 + 0.5)
+            .toLong
+          val num = 22L * totalDl * tf
+          val den = 10L * totalDl * tf + 3L * totalDl + 9L * dl * n
+          Some(id -> (2 * idfMicro * num + den) / (2 * den))
         }
       }
     }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
