@@ -44,18 +44,40 @@ object Bench {
       name -> (p1(name).toSeq ++ t2.toSeq).sorted.headOption
     }
     val failed = results.collect { case (name, None) => name }
-    // 3dp (millisecond) precision: honest for wall-clock timings and keeps
-    // the JSON line short enough to survive the driver's tail-capture.
     def f3(v: Double): String = "%.3f".format(v)
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + v.map(f3).getOrElse("null") }
-      .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // harness id: min-over-successful-passes-of-2 (rounds 1-3 were single
-    // pass — totals are not directly comparable; see BASELINE.md).
+    val sfBase = new java.io.File(sfDir).getName
+    // The scorer captures only the LAST 2000 bytes of output; a full
+    // name->seconds map at 127+ queries is ~3.4 KB and truncates into an
+    // unparseable line (rounds 4-5 shipped "parsed": null). So the printed
+    // line carries per-query times as an array of integer MILLISECONDS in
+    // name-sorted order of SparkEntry.queries keys — the same deterministic
+    // order the harness executes (~5 bytes/query, whole line ≲1 KB). Decode
+    // contract documented in BASELINE.md; a failed query is null in the
+    // array and named in `failed`. The full name->seconds map still exists
+    // for humans, written as one JSON object to /tmp (path echoed in the
+    // line as `full`).
+    val resMap = results.toMap
+    val qms = ordered
+      .map { case (name, _) =>
+        resMap(name).map(t => math.round(t * 1000).toString).getOrElse("null")
+      }
+      .mkString("[", ",", "]")
+    val fullMap = ordered
+      .map { case (name, _) =>
+        "\"" + name + "\":" + resMap(name).map(f3(_)).getOrElse("null")
+      }
+      .mkString("{", ",", "}")
+    val fullPath = s"/tmp/graft_bench_$sfBase.json"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(fullPath),
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v3","failed":$failedJson,"queries":$fullMap,"sf":"$sfDir"}"""
+        .getBytes("UTF-8"))
+    // harness id min2-v3: same min-over-successful-passes-of-2 timing as
+    // v2 (totals comparable round-4+), compact emission.
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v2","failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v3","sf":"$sfBase","n":${ordered.size},"order":"name-sorted","failed":$failedJson,"qms":$qms,"full":"$fullPath"}"""
     )
     spark.stop()
   }
