@@ -11,40 +11,96 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Per-node triangle participation over an undirected graph given as
-    * id-oriented edges (id_a < id_b, distinct). Every triangle a<b<c is
-    * found exactly once by composing two oriented hops and closing with a
-    * third edge — three equi-joins, no enumeration of neighborhoods into
-    * arrays, so the plan is ordinary shuffle joins the optimizer can
-    * reorder and AQE can skew-split.
+  /** Orient an undirected edge list (given id-oriented: a < b, distinct)
+    * into a DAG where every edge points "up" a total order, plus the
+    * destination's order key for wedge pruning.
     *
-    * Scale note: id orientation bounds wedge fanout by the max OUT-degree
-    * under the id order; the classical refinement orients by (degree, id)
-    * instead, capping fanout at O(√(2m)) (Suri & Vassilvitskii) — a
-    * one-line change here (join a degree frame, orient by it) left out
-    * until a skewed real graph needs it, since it costs an extra exchange.
+    *  - `byDegree = false`: the order is the node id itself — free (no
+    *    extra exchange), but wedge fanout is bounded only by the max
+    *    out-degree under id order, which a low-id hub makes Θ(d_max²).
+    *  - `byDegree = true`: the order is (degree, id) — the classical
+    *    degree orientation (Suri & Vassilvitskii, "Counting triangles and
+    *    the curse of the last reducer", WWW'11): every node's out-degree
+    *    is ≤ O(√(2m)), so wedge fanout is bounded by m·√(2m)/... per-key
+    *    at most C(√(2m), 2) ≈ m — a hub with 10⁵ neighbors of lower
+    *    degree contributes ZERO wedges instead of ~10¹⁰. Costs one degree
+    *    aggregation over the edge list (one exchange) — the right trade on
+    *    any skewed graph, hence the default.
+    *
+    * Output columns: `src`, `dst`, `kdst` (the order key of `dst`;
+    * `struct(deg, id)` or `struct(id)` — comparable, used to de-duplicate
+    * wedge enumeration via `kdst₁ < kdst₂`).
+    */
+  private[graft] def orientEdges(
+      e: DataFrame,
+      byDegree: Boolean,
+      materialize: Boolean
+  ): DataFrame = {
+    if (!byDegree) {
+      // id order: edges already satisfy a < b
+      e.select(col("a").as("src"), col("b").as("dst"), struct(col("b")).as("kdst"))
+    } else {
+      val degRaw = e
+        .select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("deg"))
+      // deg is joined twice below; without a materialization barrier the
+      // aggregation (and the edge scan under it) would execute twice.
+      val deg = if (materialize) degRaw.localCheckpoint(eager = true) else degRaw
+      e.join(deg.as("da"), col("a") === col("da.id"))
+        .join(deg.as("db"), col("b") === col("db.id"))
+        .select(
+          col("a"),
+          col("b"),
+          struct(col("da.deg").as("deg"), col("a").as("id")).as("ka"),
+          struct(col("db.deg").as("deg"), col("b").as("id")).as("kb"))
+        .select(
+          when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("src"),
+          when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("dst"),
+          when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kdst"))
+    }
+  }
+
+  /** Per-node triangle participation over an undirected graph given as
+    * id-oriented edges (id_a < id_b, distinct). Every triangle is found
+    * exactly once by composing two oriented hops out of its order-minimal
+    * vertex and closing with a third oriented edge — three equi-joins, no
+    * enumeration of neighborhoods into arrays, so the plan is ordinary
+    * shuffle joins the optimizer can reorder and AQE can skew-split.
+    *
+    * Scale note: with `byDegree = true` (default) edges are oriented by
+    * (degree, id), capping every node's wedge fanout at O(√(2m)) — the
+    * skew-proof shape for a 100 TB near-dup graph whose hubs are exactly
+    * the interesting nodes. `byDegree = false` skips the degree exchange
+    * and is fine when ids are uncorrelated with degree or the graph is
+    * known near-regular.
     */
   def nodeTriangles(
       edges: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
-      materialize: Boolean = true
+      materialize: Boolean = true,
+      byDegree: Boolean = true
   ): DataFrame = {
-    // The edge frame is referenced THREE times (e1/e2/e3) and DataFrame
-    // lineage has no common-subplan reuse — an expensive upstream (e.g. a
-    // near-dup candidate pipeline) would run three times. Materialize the
-    // (tiny relative to its derivation) edge list once; pass
-    // materialize = false only when `edges` is already a plain scan.
+    // The oriented edge frame is referenced THREE times (e1/e2/e3) and
+    // DataFrame lineage has no common-subplan reuse — an expensive
+    // upstream (e.g. a near-dup candidate pipeline) would run three
+    // times. Materialize the (tiny relative to its derivation) edge list
+    // once; pass materialize = false only when `edges` is already a
+    // plain scan.
     val eRaw = edges.select(col(aCol).as("a"), col(bCol).as("b"))
-    val e = if (materialize) eRaw.localCheckpoint(eager = true) else eRaw
-    val wedges = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
-    val tri = wedges.as("w")
+    val oRaw = orientEdges(eRaw, byDegree, materialize)
+    val o = if (materialize) oRaw.localCheckpoint(eager = true) else oRaw
+    val wedges = o.as("e1")
       .join(
-        e.as("e3"),
-        col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
-      .select(col("w.a").as("a"), col("w.b").as("b"), col("w.c").as("c"))
+        o.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tri = wedges.as("wd")
+      .join(
+        o.as("e3"),
+        col("wd.v") === col("e3.src") && col("wd.w") === col("e3.dst"))
+      .select(col("wd.u").as("a"), col("wd.v").as("b"), col("wd.w").as("c"))
     tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
       .groupBy(col("vec_id"))

@@ -40,14 +40,42 @@ class GraphSpec extends AnyFunSuite {
     assert(!got.contains(8L))
   }
 
-  test("nodeTriangles: random graph agrees with brute force") {
+  test("nodeTriangles: random graph agrees with brute force, both orientations") {
     val rnd = new scala.util.Random(67)
     val edges = (for (_ <- 1 to 260) yield {
       val a = rnd.nextInt(30).toLong; val b = rnd.nextInt(30).toLong
       if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
     }).flatten.toSet
-    val got = Graph.nodeTriangles(edges.toSeq.toDF("id_a", "id_b"))
-      .as[(Long, Long)].collect().toMap
-    assert(got == refTriangles(edges))
+    val df = edges.toSeq.toDF("id_a", "id_b")
+    val ref = refTriangles(edges)
+    assert(Graph.nodeTriangles(df, byDegree = true)
+      .as[(Long, Long)].collect().toMap == ref)
+    assert(Graph.nodeTriangles(df, byDegree = false)
+      .as[(Long, Long)].collect().toMap == ref)
+  }
+
+  /** Wedges a node generates = C(out-degree, 2) under the orientation. */
+  private def wedgeCount(oriented: org.apache.spark.sql.DataFrame): Long =
+    oriented
+      .groupBy("src").count()
+      .select(org.apache.spark.sql.functions.expr("sum(count * (count - 1) / 2)"))
+      .as[Double].head().toLong
+
+  test("degree orientation keeps wedge fanout bounded on a hub-skewed graph") {
+    // star: hub 0 joined to 1..1000 (plus one triangle so counts are
+    // non-trivial). Under id orientation the hub (lowest id) fans out to
+    // all 1000 neighbors → ~half a million wedges from one key; under
+    // (degree, id) orientation every star edge points INTO the hub, so the
+    // hub generates zero wedges — the Suri-Vassilvitskii bound in action.
+    val star = (1L to 1000L).map(i => (0L, i))
+    val edges = (star ++ Seq((1L, 2L))).toDF("id_a", "id_b")
+    val e = edges.select($"id_a".as("a"), $"id_b".as("b"))
+    val byId = wedgeCount(Graph.orientEdges(e, byDegree = false, materialize = true))
+    val byDeg = wedgeCount(Graph.orientEdges(e, byDegree = true, materialize = true))
+    assert(byId >= 1000L * 999 / 2, s"id orientation should blow up: $byId")
+    assert(byDeg <= 1001, s"degree orientation must stay bounded: $byDeg")
+    // and the triangle counts still agree with brute force
+    val ref = refTriangles((star ++ Seq((1L, 2L))).toSet)
+    assert(Graph.nodeTriangles(edges).as[(Long, Long)].collect().toMap == ref)
   }
 }
