@@ -89,35 +89,107 @@ object Bpe {
     step
   }
 
-  /** Learn `nMerges` merge rules. Returns (merge list, final vocab frame).
-    * Each iteration: one hash aggregation over the vocab frame + a 1-row
-    * collect; the vocab is re-persisted per round and the previous round
-    * unpersisted (same discipline as the large-star/small-star CC loop).
+  /** Rounds (Spark jobs) the most recent [[learn]] call used — diagnostic
+    * for the batching win; read by BpeSpec to pin sublinearity in nMerges.
     */
-  def learn(docs: DataFrame, nMerges: Int, textCol: String = "text"): (Seq[(String, String)], DataFrame) = {
-    // One Spark job per iteration: the argmax collect itself materializes
-    // the round's vocab into its cache (its lineage reads the PREVIOUS
-    // round's still-cached frame), after which the previous cache can go —
-    // no separate count() job per round.
+  @volatile private[graft] var lastLearnRounds: Int = 0
+
+  /** Pick the longest batch of merges provably identical to applying the
+    * sequential argmax one at a time, from one ranked pair-count snapshot
+    * (`ranked` = top rows by (cnt desc, a asc, b asc); `hasMore` = the
+    * frame had more rows beyond the snapshot).
+    *
+    * Faithfulness argument (each accepted pair IS the sequential argmax at
+    * its step):
+    *  1. PREFIX rule — stop at the first candidate sharing a symbol with
+    *     an accepted merge. Merging (a,b) only changes counts of pairs
+    *     touching a or b, so every accepted pair's own count is unchanged
+    *     by the earlier accepted (disjoint) merges.
+    *  2. STRICT-BEAT rule — a candidate must strictly exceed the count of
+    *     every remaining snapshot pair that shares a symbol with an
+    *     accepted merge, and the snapshot's last count when the frame had
+    *     more rows. A pair CREATED by merging (a,b) — (x, ab) or (ab, y) —
+    *     occurs at most as often as the pre-merge pair (x, a) / (b, y) it
+    *     extends, and those are exactly the colliding pairs bounded here.
+    *     Without strictness, a created pair tying the candidate could win
+    *     the tie-break ("xab xab xab cd cd cd": after (a,b), created
+    *     (ab,</w>) ties (c,d) at 3 and sorts first — the guard rejects
+    *     (c,d) and the next round picks (ab,</w>) exactly like the
+    *     sequential trainer).
+    */
+  private[graft] def selectBatch(
+      ranked: Array[(String, String, Long)],
+      hasMore: Boolean,
+      maxTake: Int
+  ): Seq[(String, String)] = {
+    val outsideBound = if (hasMore) ranked.last._3 else Long.MinValue
+    val used = scala.collection.mutable.Set(ranked.head._1, ranked.head._2)
+    val out = scala.collection.mutable.ArrayBuffer((ranked.head._1, ranked.head._2))
+    var stop = false
+    // prefix rule ⇒ accepted rows are exactly indices 0 until out.size,
+    // and the candidate is always row out.size
+    while (!stop && out.size < math.min(ranked.length, maxTake)) {
+      val (a, b, c) = ranked(out.size)
+      if (used(a) || used(b)) stop = true
+      else {
+        val conflictMax = ranked.iterator
+          .drop(out.size)
+          .collect { case (x, y, cc) if used(x) || used(y) => cc }
+          .maxOption
+          .getOrElse(Long.MinValue)
+        if (c > conflictMax && c > outsideBound) {
+          out += ((a, b)); used += a; used += b
+        } else stop = true
+      }
+    }
+    out.toSeq
+  }
+
+  /** Learn `nMerges` merge rules. Returns (merge list, final vocab frame).
+    *
+    * Each ROUND: one hash aggregation over the vocab frame + one bounded
+    * collect (`batchK` rows), from which [[selectBatch]] extracts as many
+    * merges as are provably order-identical to the one-at-a-time argmax;
+    * the whole batch applies as one chained map-only projection before the
+    * next count. Driver round-trips are sublinear in nMerges whenever
+    * counts are not pathologically tied (a 30k-merge vocab stops being 30k
+    * sequential jobs); the all-tied worst case degrades to the old
+    * one-merge-per-round behavior, never to wrong output. The vocab is
+    * re-persisted per round and the previous round unpersisted (same
+    * discipline as the large-star/small-star CC loop).
+    */
+  def learn(
+      docs: DataFrame,
+      nMerges: Int,
+      textCol: String = "text",
+      batchK: Int = 16
+  ): (Seq[(String, String)], DataFrame) = {
     var prev: DataFrame = null
     var vocab = initialVocab(docs, textCol).persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var i = 0
-    while (i < nMerges) {
+    var rounds = 0
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
       val top = pairCounts(vocab)
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(batchK)
         .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      rounds += 1
       if (prev != null) { prev.unpersist(); prev = null }
-      if (top.isEmpty) { i = nMerges }
+      if (top.isEmpty) exhausted = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((a, b))
+        val batch = selectBatch(top, hasMore = top.length == batchK, maxTake = nMerges - merges.size)
+        merges ++= batch
         prev = vocab
-        vocab = vocab.withColumn("syms", mergeSyms(col("syms"), a, b)).persist()
-        i += 1
+        vocab = batch
+          .foldLeft(vocab) { case (v, (a, b)) =>
+            v.withColumn("syms", mergeSyms(col("syms"), a, b))
+          }
+          .persist()
       }
     }
+    lastLearnRounds = rounds
     // The final frame is lazily persisted; pin it before releasing its
     // parent so callers never recompute the whole chain.
     if (prev != null) { vocab.count(); prev.unpersist() }

@@ -60,6 +60,51 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("batched learn stays exact when a merge CREATES a pair that ties a disjoint candidate") {
+    // After merging (a,b), the created (ab,</w>) ties (c,d) at 3 and wins
+    // the lexicographic tie-break — a naive disjoint-top-pairs batch would
+    // merge (c,d) second; the strict-beat guard must not.
+    val corpus = Seq("xab xab xab cd cd cd")
+    val got = Bpe.mergesDf(corpus.toDF("text"), nMerges = 5)
+      .orderBy($"step").select($"a", $"b").as[(String, String)].collect().toSeq
+    assert(got == refLearn(corpus, 5))
+  }
+
+  test("batched learn: driver rounds are sublinear in nMerges on distinct counts") {
+    // two word families sharing prefixes: (p,q)=100 and (r,s)=80 top the
+    // ranking, are symbol-disjoint, and strictly beat every pair touching
+    // them (the 60s/50s) → the first round batches both merges
+    val words =
+      Seq.fill(60)("pqx") ++ Seq.fill(40)("pqy") ++
+        Seq.fill(50)("rsu") ++ Seq.fill(30)("rsv")
+    val corpus = Seq(words.mkString(" "))
+    val nMerges = 4
+    val got = Bpe.mergesDf(corpus.toDF("text"), nMerges)
+      .orderBy($"step").select($"a", $"b").as[(String, String)].collect().toSeq
+    assert(got == refLearn(corpus, nMerges))
+    assert(Bpe.lastLearnRounds < nMerges,
+      s"expected batching to need fewer than $nMerges rounds, got ${Bpe.lastLearnRounds}")
+  }
+
+  test("selectBatch: prefix stops at symbol collision; strict-beat rejects ties") {
+    // collision: (b,c) shares b with accepted (a,b)
+    assert(Bpe.selectBatch(
+      Array(("a", "b", 10L), ("b", "c", 9L), ("d", "e", 8L)),
+      hasMore = false, maxTake = 10) == Seq(("a", "b")))
+    // tie with a colliding pair below: (x,a) at 8 ties candidate (d,e)
+    assert(Bpe.selectBatch(
+      Array(("a", "b", 10L), ("d", "e", 8L), ("x", "a", 8L)),
+      hasMore = false, maxTake = 10) == Seq(("a", "b")))
+    // strictly descending, disjoint → all accepted
+    assert(Bpe.selectBatch(
+      Array(("a", "b", 10L), ("d", "e", 8L), ("f", "g", 7L)),
+      hasMore = false, maxTake = 10) == Seq(("a", "b"), ("d", "e"), ("f", "g")))
+    // unseen tail bound: last snapshot count ties the candidate
+    assert(Bpe.selectBatch(
+      Array(("a", "b", 10L), ("d", "e", 8L), ("f", "g", 8L)),
+      hasMore = true, maxTake = 10) == Seq(("a", "b")))
+  }
+
   test("mergeSyms: left-to-right non-overlapping application") {
     val df = Seq(
       Seq("a", "a", "a", "a", "a"),
