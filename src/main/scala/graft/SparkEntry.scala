@@ -1398,7 +1398,60 @@ object SparkEntry {
       |  FROM range(17) m(m)
       |)""".stripMargin
 
+  /** DuckDB replay of the full BPE training loop, unrolled: the merge
+    * count is a fixed literal, so the iteration that a recursive CTE
+    * cannot express (each level needs a fresh cross-row aggregation) is
+    * simply `nMerges` chained CTE blocks — per step: pair counts from the
+    * current vocab, the argmax under the trainer's exact tie-break
+    * (cnt desc, a, b), and the merge applied to every word. Symbol arrays
+    * travel as strings with each symbol wrapped \x02…\x03 (control chars
+    * cannot appear in whitespace-split tokens), which makes the
+    * left-to-right non-overlapping merge EXACTLY `replace()`: global
+    * string replace scans left to right and never rescans replaced text —
+    * the same semantics as [[graft.ops.Bpe.mergeSyms]], with no separator
+    * sharing between adjacent matches because every symbol carries its
+    * own delimiters.
+    */
+  private def bpeMergesOracle(nMerges: Int): String = {
+    val base =
+      """WITH w AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents
+        |  ) WHERE word <> '' GROUP BY 1
+        |), v0 AS MATERIALIZED (
+        |  SELECT freq,
+        |    list_aggregate(
+        |      list_transform(
+        |        list_append(list_transform(range(1, length(word) + 1), i -> word[i]), '</w>'),
+        |        x -> chr(2) || x || chr(3)),
+        |      'string_agg', '') AS s
+        |  FROM w
+        |)""".stripMargin
+    val steps = (1 to nMerges).map { i =>
+      s""", pc$i AS MATERIALIZED (
+         |  SELECT l[j] AS a, l[j + 1] AS b, sum(freq) AS cnt FROM (
+         |    SELECT freq,
+         |      regexp_extract_all(s, chr(2) || '([^' || chr(3) || ']*)' || chr(3), 1) AS l
+         |    FROM v${i - 1}
+         |  ), unnest(range(1, len(l))) AS t(j)
+         |  GROUP BY 1, 2
+         |), p$i AS MATERIALIZED (
+         |  SELECT a, b FROM pc$i ORDER BY cnt DESC, a, b LIMIT 1
+         |), v$i AS MATERIALIZED (
+         |  SELECT freq, replace(s,
+         |    chr(2) || (SELECT a FROM p$i) || chr(3) || chr(2) || (SELECT b FROM p$i) || chr(3),
+         |    chr(2) || (SELECT a FROM p$i) || (SELECT b FROM p$i) || chr(3)) AS s
+         |  FROM v${i - 1}
+         |)""".stripMargin
+    }.mkString
+    val out = (1 to nMerges)
+      .map(i => s"SELECT CAST($i AS INT) AS step, a, b, a || b AS merged FROM p$i")
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+    base + steps + out
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "bpe_merges" -> bpeMergesOracle(10),
     "parse_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS "user", event_type AS team,
         |  CAST(floor(value*100 + 0.5) AS INT) AS score,
