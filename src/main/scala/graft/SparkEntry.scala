@@ -354,10 +354,12 @@ object SparkEntry {
         )
     },
     "lineitem_profile_approx" -> { (s, dir) =>
-      // Sketch path: HLL++ approximate distincts + approximate percentile —
-      // the 100 TB substitutes for exact countDistinct / percentile (whose
-      // state is unbounded). Approximation ⇒ no SQL oracle; bounded
-      // relative error spec'd in RelationalSpec.
+      // Sketch path: the 100 TB substitute for exact countDistinct /
+      // percentile (whose state is unbounded) — portable HLL at m=4096
+      // for both distinct counts (one scan, ≤ m registers per key across
+      // the exchange) + dollar-histogram median. Every output is
+      // integer-exact, so the approximate profile carries the full SQL
+      // oracle; accuracy vs exact spec'd in RelationalSpec.
       Relational.lineitemProfileApprox(s, dir)
     },
     "q7_nation_volume" -> ((s, dir) => Relational.q7NationVolume(s, dir)),
@@ -1735,6 +1737,64 @@ object SparkEntry {
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
         |)
         |SELECT * FROM ranked WHERE rank <= 3""".stripMargin,
+    "lineitem_profile_approx" -> {
+      // same portable-HLL replay as hll_daily_users, at m=4096 (p=12 →
+      // rho base 21, m²=16777216, 2.5m=10240), keyed 'orders'/'parts' and
+      // pivoted to one row; alpha comes from the SAME Scala constant the
+      // engine uses, printed shortest-roundtrip so both engines parse the
+      // identical double
+      val alpha = graft.ops.HeavyHitters.hllAlpha(4096).toString
+      s"""WITH items AS (
+         |  SELECT 'orders' AS k, CAST(l_orderkey AS VARCHAR) AS item FROM lineitem
+         |  UNION ALL
+         |  SELECT 'parts' AS k, CAST(l_partkey AS VARCHAR) AS item FROM lineitem
+         |), h AS (
+         |  SELECT k, CAST(('0x' || substr(md5('hll-' || item), 1, 8)) AS BIGINT) AS hv FROM items
+         |), b AS (
+         |  SELECT k, CAST(hv % 4096 AS INT) AS bucket, hv // 4096 AS w FROM h
+         |), r AS (
+         |  SELECT k, bucket,
+         |    max(CASE WHEN w = 0 THEN 21 ELSE 21 - length(bin(w)) END) AS rho
+         |  FROM b GROUP BY 1, 2
+         |), ks AS (SELECT DISTINCT k FROM items),
+         |regs AS (
+         |  SELECT ks.k, g.bucket, CAST(COALESCE(r.rho, 0) AS INT) AS rho
+         |  FROM ks CROSS JOIN (SELECT unnest(range(4096)) AS bucket) g
+         |  LEFT JOIN r ON r.k = ks.k AND r.bucket = g.bucket
+         |), agg AS (
+         |  SELECT k,
+         |    CAST(sum(CAST(1 AS BIGINT) << (32 - rho)) AS BIGINT) AS s_scaled,
+         |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+         |  FROM regs GROUP BY 1
+         |), est AS (
+         |  SELECT k,
+         |    CAST(floor(
+         |      CASE WHEN (${alpha}e0 * 16777216.0e0 / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0)) <= 10240.0e0
+         |            AND v_empty > 0
+         |      THEN 4096.0e0 * ln(4096.0e0 / CAST(v_empty AS DOUBLE))
+         |      ELSE ${alpha}e0 * 16777216.0e0 / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0) END
+         |      * 1e6 + 0.5e0) AS BIGINT) AS est_micro
+         |  FROM agg
+         |), hll AS (
+         |  SELECT max(CASE WHEN k = 'orders' THEN est_micro END) AS n_orders_est_micro,
+         |         max(CASE WHEN k = 'parts' THEN est_micro END) AS n_parts_est_micro
+         |  FROM est
+         |), hist AS (
+         |  SELECT CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) // 100 AS b, count(*) AS cnt
+         |  FROM lineitem GROUP BY 1
+         |), cum AS (
+         |  SELECT b, cnt,
+         |    sum(cnt) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(cnt) OVER () AS total
+         |  FROM hist
+         |), med AS (
+         |  SELECT CAST(max(total) AS BIGINT) AS n_rows,
+         |    CAST(min(CASE WHEN cum >= (total + 1) // 2 THEN b END) AS BIGINT) AS p50_price_dollars
+         |  FROM cum
+         |)
+         |SELECT n_rows, n_orders_est_micro, n_parts_est_micro, p50_price_dollars
+         |FROM hll, med""".stripMargin
+    },
     "lineitem_profile" ->
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT l_orderkey) AS n_orders,

@@ -91,24 +91,48 @@ object HeavyHitters {
 
   // ------------------------------------------------------------ HyperLogLog
 
-  /** Portable HyperLogLog registers over `itemCol` (m = 64, p = 6):
-    * bucket = md5 hash mod m, rho = leading-zero count of the remaining 26
-    * hash bits + 1, register = max rho per bucket. Leading zeros come from
-    * `length(bin(w))` — a STRING length, identical in every engine — so
-    * the register table is bit-reproducible (no clz/log2 float tricks).
+  /** log2 of the register count, validated: m must be a power of two with
+    * 4 ≤ p ≤ 16 so the 32-bit md5 hash leaves ≥ 16 rho bits.
+    */
+  private def hllP(m: Int): Int = {
+    val p = java.lang.Integer.numberOfTrailingZeros(m)
+    require(m > 0 && (1 << p) == m && p >= 4 && p <= 16,
+      s"HLL register count must be a power of two in [16, 65536], got $m")
+    p
+  }
+
+  /** Standard HLL bias constant alpha_m (Flajolet et al. 2007). */
+  private[graft] def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** rho column for the residual hash bits `w` of a (32-p)-bit value:
+    * leading zeros + 1, via `length(bin(w))` — a STRING length, identical
+    * in every engine (no clz/log2 float tricks).
+    */
+  private def hllRho(w: Column, p: Int): Column =
+    when(w === 0L, lit(33 - p)).otherwise(lit(33 - p) - length(bin(w)))
+
+  /** Portable HyperLogLog registers over `itemCol` (default m = 64, p =
+    * 6): bucket = md5 hash mod m, rho = leading-zero count of the
+    * remaining 32-p hash bits + 1, register = max rho per bucket.
+    * Precision dials with `m` (standard error ≈ 1.04/√m: 13% at 64, 1.6%
+    * at 4096) — per-group state stays ≤ m registers either way.
     *
     * Scale contract (why HLL at all): partial aggregation collapses every
     * partition to ≤ m registers before the exchange, and registers merge
     * by elementwise max — shards/days/streams combine with a plain
-    * groupBy(bucket).max. Distinct-counting 100 TB costs one scan and a
-    * 64-row shuffle.
+    * groupBy(bucket).max. Distinct-counting 100 TB costs one scan and an
+    * m-row shuffle.
     */
-  def hllRegisters(df: DataFrame, itemCol: String, seed: String = "hll"): DataFrame = {
+  def hllRegisters(df: DataFrame, itemCol: String, seed: String = "hll", m: Int = 64): DataFrame = {
+    val p = hllP(m)
     val hv = Dedup.md5Hash32(concat(lit(s"$seed-"), col(itemCol)))
-    df.select((hv % 64).cast("int").as("bucket"), shiftright(hv, 6).as("w"))
-      .select(
-        col("bucket"),
-        when(col("w") === 0L, lit(27)).otherwise(lit(27) - length(bin(col("w")))).as("rho"))
+    df.select((hv % m).cast("int").as("bucket"), shiftright(hv, p).as("w"))
+      .select(col("bucket"), hllRho(col("w"), p).as("rho"))
       .groupBy(col("bucket"))
       .agg(max(col("rho")).as("rho"))
   }
@@ -125,16 +149,16 @@ object HeavyHitters {
       itemCol: String,
       timeCol: String,
       windowDuration: String,
-      seed: String = "hll"
+      seed: String = "hll",
+      m: Int = 64
   ): DataFrame = {
+    val p = hllP(m)
     val hv = Dedup.md5Hash32(concat(lit(s"$seed-"), col(itemCol)))
     df.select(
         window(col(timeCol), windowDuration).as("win"),
-        (hv % 64).cast("int").as("bucket"),
-        shiftright(hv, 6).as("w"))
-      .select(
-        col("win"), col("bucket"),
-        when(col("w") === 0L, lit(27)).otherwise(lit(27) - length(bin(col("w")))).as("rho"))
+        (hv % m).cast("int").as("bucket"),
+        shiftright(hv, p).as("w"))
+      .select(col("win"), col("bucket"), hllRho(col("w"), p).as("rho"))
       .groupBy(col("win"), col("bucket"))
       .agg(max(col("rho")).as("rho"))
   }
@@ -146,13 +170,13 @@ object HeavyHitters {
       df: DataFrame,
       itemCol: String,
       keyCol: String,
-      seed: String = "hll"
+      seed: String = "hll",
+      m: Int = 64
   ): DataFrame = {
+    val p = hllP(m)
     val hv = Dedup.md5Hash32(concat(lit(s"$seed-"), col(itemCol)))
-    df.select(col(keyCol), (hv % 64).cast("int").as("bucket"), shiftright(hv, 6).as("w"))
-      .select(
-        col(keyCol), col("bucket"),
-        when(col("w") === 0L, lit(27)).otherwise(lit(27) - length(bin(col("w")))).as("rho"))
+    df.select(col(keyCol), (hv % m).cast("int").as("bucket"), shiftright(hv, p).as("w"))
+      .select(col(keyCol), col("bucket"), hllRho(col("w"), p).as("rho"))
       .groupBy(col(keyCol), col("bucket"))
       .agg(max(col("rho")).as("rho"))
   }
@@ -162,9 +186,9 @@ object HeavyHitters {
     * tiny by construction), then the same exact-integer harmonic mean and
     * correction as [[hllEstimate]], per group.
     */
-  def hllEstimateBy(registers: DataFrame, keyCol: String): DataFrame = {
+  def hllEstimateBy(registers: DataFrame, keyCol: String, m: Int = 64): DataFrame = {
     val spark = registers.sparkSession
-    val m = 64
+    hllP(m)
     val keys = registers.select(col(keyCol)).distinct()
     val buckets = spark.range(0, m).select(col("id").cast("int").as("bucket"))
     val full = keys
@@ -176,7 +200,7 @@ object HeavyHitters {
       .agg(
         sum(expr("shiftleft(1L, 32 - rho)")).as("s_scaled"),
         sum(when(col("rho") === 0, 1L).otherwise(0L)).as("v_empty"))
-    val rawE = lit(0.709) * lit((m * m).toDouble) /
+    val rawE = lit(hllAlpha(m)) * lit(m.toDouble * m) /
       (col("s_scaled").cast("double") / lit(4294967296.0))
     val linE = lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double"))
     val est = when(rawE <= lit(2.5 * m) && col("v_empty") > 0L, linE).otherwise(rawE)
@@ -194,10 +218,10 @@ object HeavyHitters {
     * the estimate is one fixed-order double expression (micro-rounded,
     * oracle-exact). Emits one row: (m, v_empty, s_scaled, est_micro).
     */
-  def hllEstimate(registers: DataFrame): DataFrame = {
+  def hllEstimate(registers: DataFrame, m: Int = 64): DataFrame = {
     val spark = registers.sparkSession
     import spark.implicits._
-    val m = 64
+    hllP(m)
     val all = (0 until m).toDF("bucket")
     val regs = all
       .join(registers, Seq("bucket"), "left")
@@ -205,8 +229,8 @@ object HeavyHitters {
     val agg = regs.agg(
       sum(expr("shiftleft(1L, 32 - rho)")).as("s_scaled"),
       sum(when(col("rho") === 0, 1L).otherwise(0L)).as("v_empty"))
-    // E = alpha_64 · m² / (S / 2³²); if E ≤ 2.5m and V > 0 → m·ln(m/V)
-    val rawE = lit(0.709) * lit((m * m).toDouble) /
+    // E = alpha_m · m² / (S / 2³²); if E ≤ 2.5m and V > 0 → m·ln(m/V)
+    val rawE = lit(hllAlpha(m)) * lit(m.toDouble * m) /
       (col("s_scaled").cast("double") / lit(4294967296.0))
     val linE = lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double"))
     val est = when(rawE <= lit(2.5 * m) && col("v_empty") > 0L, linE).otherwise(rawE)

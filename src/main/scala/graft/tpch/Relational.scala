@@ -258,18 +258,55 @@ object Relational {
         count(lit(1)).as("n_lines")
       )
 
-  /** Sketch-based profile: HyperLogLog++ distinct counts. At 100 TB the
-    * exact [[lineitemProfile]] shuffles every distinct key; this form ships
-    * fixed-size sketches through the exchange instead (rsd 2%). Accuracy
-    * spec'd against exact in RelationalSpec; not oracle-hashable by design.
+  /** Sketch-based profile. At 100 TB the exact [[lineitemProfile]]
+    * shuffles every distinct key; this form ships bounded state through
+    * the exchange instead — and, unlike `approx_count_distinct` /
+    * `approx_percentile` (engine-private HLL++/KLL internals), every
+    * output here is integer-exact and replayable in SQL, so the whole
+    * APPROXIMATE profile sits under the full hash oracle:
+    *
+    *  - distinct counts: the engine's own portable HLL
+    *    ([[graft.ops.HeavyHitters]]) at m = 4096 registers (std err
+    *    ≈ 1.6%), both keys sketched in ONE scan via a (key, item)
+    *    explode — per key ≤ m registers cross the exchange;
+    *  - median: a dollar-resolution histogram — the cumulative window
+    *    runs over the price-domain-bounded bucket frame (≤ ~10⁵ rows at
+    *    any corpus size), never the fact table, and the answer is the
+    *    smallest bucket whose running count reaches ⌈n/2⌉.
     */
-  def lineitemProfileApprox(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
-    table(spark, dir, "lineitem").agg(
-      count(lit(1)).as("n_rows"),
-      approx_count_distinct(col("l_orderkey"), rsd).as("n_orders_approx"),
-      approx_count_distinct(col("l_partkey"), rsd).as("n_parts_approx"),
-      approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price_approx")
-    )
+  def lineitemProfileApprox(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hllM = 4096
+    val li = table(spark, dir, "lineitem")
+    val items = li
+      .select(
+        explode(array(
+          struct(lit("orders").as("k"), col("l_orderkey").cast("string").as("item")),
+          struct(lit("parts").as("k"), col("l_partkey").cast("string").as("item"))
+        )).as("e"))
+      .select(col("e.k").as("k"), col("e.item").as("item"))
+    val est = graft.ops.HeavyHitters.hllEstimateBy(
+      graft.ops.HeavyHitters.hllRegistersBy(items, "item", "k", m = hllM), "k", m = hllM)
+    val hll = est.agg(
+      max(when(col("k") === "orders", col("est_micro"))).as("n_orders_est_micro"),
+      max(when(col("k") === "parts", col("est_micro"))).as("n_parts_est_micro"))
+    val wCum = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = li
+      .select(cents(col("l_extendedprice")).as("c"))
+      .select(expr("c div 100").as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+      .agg(
+        max(col("total")).as("n_rows"),
+        min(when(col("cum") >= expr("(total + 1) div 2"), col("b"))).as("p50_price_dollars"))
+    hll.crossJoin(med).select(
+      col("n_rows"),
+      col("n_orders_est_micro"),
+      col("n_parts_est_micro"),
+      col("p50_price_dollars"))
+  }
 
   /** Global distinct/minmax profile of the fact table (no grouping key —
     * exercises partial-agg + single-row final).

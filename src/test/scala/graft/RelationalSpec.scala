@@ -9,19 +9,21 @@ class RelationalSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.01"
 
-  test("approx profile within rsd bounds of exact distinct counts") {
+  test("approx profile within sketch error bounds of exact distinct counts") {
     val exact = Relational.lineitemProfile(spark, dir).collect().head
     val approx = Relational.lineitemProfileApprox(spark, dir).collect().head
     assert(approx.getAs[Long]("n_rows") == exact.getAs[Long]("n_rows"))
-    def close(a: Long, e: Long): Boolean = math.abs(a - e).toDouble / e < 0.05
-    assert(close(approx.getAs[Long]("n_orders_approx"), exact.getAs[Long]("n_orders")))
-    assert(close(approx.getAs[Long]("n_parts_approx"), exact.getAs[Long]("n_parts")))
-    // approx median within 5% of the exact median
+    // m=4096 registers → std err ≈ 1.6%; 5% ≈ 3σ
+    def close(estMicro: Long, e: Long): Boolean =
+      math.abs(estMicro / 1e6 - e) / e < 0.05
+    assert(close(approx.getAs[Long]("n_orders_est_micro"), exact.getAs[Long]("n_orders")))
+    assert(close(approx.getAs[Long]("n_parts_est_micro"), exact.getAs[Long]("n_parts")))
+    // dollar-histogram median within 5% of the exact median
     val exactP50 = Relational
       .table(spark, dir, "lineitem")
       .agg(org.apache.spark.sql.functions.expr("percentile(l_extendedprice, 0.5)").as("p"))
       .collect().head.getAs[Double]("p")
-    val approxP50 = approx.getAs[Double]("p50_price_approx")
+    val approxP50 = approx.getAs[Long]("p50_price_dollars").toDouble
     assert(math.abs(approxP50 - exactP50) / exactP50 < 0.05, s"$approxP50 vs $exactP50")
   }
 }
