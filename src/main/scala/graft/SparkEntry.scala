@@ -181,34 +181,30 @@ object SparkEntry {
     },
     "funnel_counts" -> { (s, dir) =>
       // Ordered-sequence funnel with a conversion window (view → click
-      // within 1h → purchase within 1h): stage times via stacked
-      // conditional-min windows over ONE user partition (same partitioning
-      // → one exchange, no self-joins, no per-user event collection). The
-      // standard product-analytics query at event-log scale.
+      // within 1h → purchase within 1h) via the parameterized operator
+      // (ops/Funnel.scala): stage times as stacked conditional-min windows
+      // over ONE user partition (same partitioning → one exchange, no
+      // self-joins, no per-user event collection). The standard
+      // product-analytics query at event-log scale.
       val hourMs = 3600000L
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-      val e = eventsTable(s, dir).select(col("user_id"), col("event_type"), col("ts_ms"))
-      val staged = e
-        .withColumn("t1",
-          min(when(col("event_type") === "view", col("ts_ms"))).over(w))
-        .withColumn("t2",
-          min(when(
-            col("event_type") === "click" &&
-              col("ts_ms") > col("t1") && col("ts_ms") <= col("t1") + hourMs,
-            col("ts_ms"))).over(w))
-        .withColumn("t3",
-          min(when(
-            col("event_type") === "purchase" &&
-              col("ts_ms") > col("t2") && col("ts_ms") <= col("t2") + hourMs,
-            col("ts_ms"))).over(w))
-      staged
-        .groupBy(col("user_id"))
-        .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
-        .agg(
-          count(lit(1)).as("n_users"),
-          sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_view"),
-          sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n_view_click"),
-          sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_full_funnel"))
+      graft.ops.Funnel
+        .funnelCounts(
+          eventsTable(s, dir),
+          first = "view",
+          rest = Seq("click" -> hourMs, "purchase" -> hourMs))
+        .select(
+          col("n_users"),
+          col("s1").as("n_view"),
+          col("s2").as("n_view_click"),
+          col("s3").as("n_full_funnel"))
+    },
+    "funnel_counts_4step" -> { (s, dir) =>
+      // Same operator, deeper funnel (signup → view 2h → click 1h →
+      // purchase 1h): stages add window expressions, not exchanges.
+      graft.ops.Funnel.funnelCounts(
+        eventsTable(s, dir),
+        first = "signup",
+        rest = Seq("view" -> 7200000L, "click" -> 3600000L, "purchase" -> 3600000L))
     },
     "user_retention_sets" -> { (s, dir) =>
       // Set-operation coverage (absent in the reference — Beam's Flatten is
@@ -1530,6 +1526,34 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
         |  CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
         |  CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM u""".stripMargin,
+    "funnel_counts_4step" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+        |), w1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'signup' THEN ts_ms END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM e
+        |), w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' AND ts_ms > t1
+        |                      AND ts_ms <= t1 + 7200000 THEN ts_ms END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM w1
+        |), w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts_ms > t2
+        |                      AND ts_ms <= t2 + 3600000 THEN ts_ms END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM w2
+        |), w4 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_ms > t3
+        |                      AND ts_ms <= t3 + 3600000 THEN ts_ms END)
+        |    OVER (PARTITION BY user_id) AS t4 FROM w3
+        |), u AS (
+        |  SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3, max(t4) AS t4
+        |  FROM w4 GROUP BY 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |  CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+        |  CAST(sum(CASE WHEN t4 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s4
         |FROM u""".stripMargin,
     "user_retention_sets" ->
       """WITH f AS (SELECT DISTINCT user_id FROM events WHERE epoch_ms(ts) < 1705276800000),

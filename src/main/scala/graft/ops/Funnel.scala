@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence conversion funnels over an event log — the standard
+  * product-analytics "view → click within 1h → purchase within 1h"
+  * query, generalized to any stage list.
+  *
+  * Shape (the reason this scales): stage times are STACKED CONDITIONAL-
+  * MIN WINDOWS over one user partition — stage k's time is the earliest
+  * qualifying event strictly after stage k-1's time and within its gap.
+  * Every window shares the same partitioning, so Catalyst plans ONE
+  * exchange on user_id for the whole stack (no self-joins, no per-user
+  * event collection into arrays); the final funnel row is an ordinary
+  * two-level aggregate. Adding stages adds window expressions, not
+  * shuffles.
+  */
+object Funnel {
+
+  /** Per-user stage times for a funnel of `first` followed by `rest`
+    * stages, where each (event, maxGapMs) must occur strictly after the
+    * previous stage's time and within maxGapMs of it. Output: one row per
+    * user with nullable stage-time columns t1..tN (tK null = the user
+    * never reached stage K).
+    */
+  def stageTimes(
+      events: DataFrame,
+      first: String,
+      rest: Seq[(String, Long)],
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts_ms"
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    val base = events.select(col(userCol), col(typeCol), col(tsCol))
+    val staged = rest.zipWithIndex.foldLeft(
+      base.withColumn("t1", min(when(col(typeCol) === first, col(tsCol))).over(w))
+    ) { case (df, ((ev, gapMs), i)) =>
+      val prev = col(s"t${i + 1}")
+      df.withColumn(
+        s"t${i + 2}",
+        min(when(
+          col(typeCol) === ev && col(tsCol) > prev && col(tsCol) <= prev + lit(gapMs),
+          col(tsCol))).over(w))
+    }
+    val n = rest.size + 1
+    staged
+      .groupBy(col(userCol))
+      .agg(max(col("t1")).as("t1"), (2 to n).map(k => max(col(s"t$k")).as(s"t$k")): _*)
+  }
+
+  /** One-row funnel summary: n_users plus, per stage K, the number of
+    * users whose tK is set (column `s1`..`sN` — alias downstream for
+    * domain names).
+    */
+  def funnelCounts(
+      events: DataFrame,
+      first: String,
+      rest: Seq[(String, Long)],
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts_ms"
+  ): DataFrame = {
+    val n = rest.size + 1
+    stageTimes(events, first, rest, userCol, typeCol, tsCol)
+      .agg(
+        count(lit(1)).as("n_users"),
+        (1 to n).map(k =>
+          sum(when(col(s"t$k").isNotNull, 1L).otherwise(0L)).as(s"s$k")): _*)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Funnel
+
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (user, type, ts)
+  private val events = Seq(
+    // u1: full 4-step funnel, tight gaps
+    (1L, "signup", 0L), (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+    // u2: view arrives too late after signup (gap 2000 > 1000)
+    (2L, "signup", 0L), (2L, "view", 2001L), (2L, "click", 2002L), (2L, "purchase", 2003L),
+    // u3: stages out of order — click BEFORE view never counts
+    (3L, "signup", 0L), (3L, "click", 50L), (3L, "view", 100L), (3L, "purchase", 150L),
+    // u4: signup only
+    (4L, "signup", 0L),
+    // u5: never signed up — enters no stage even with later events
+    (5L, "view", 10L), (5L, "click", 20L), (5L, "purchase", 30L)
+  ).toDF("user_id", "event_type", "ts_ms")
+
+  private val rest = Seq("view" -> 1000L, "click" -> 1000L, "purchase" -> 1000L)
+
+  test("4-step funnel counts match hand computation (order, gaps, strict after)") {
+    val got = Funnel.funnelCounts(events, "signup", rest)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // u1 full; u2 stops at signup (late view); u3: view@100 ok, click must
+    // be AFTER view → none (click@50 precedes), purchase needs click → no;
+    // u4 signup only; u5 no signup
+    assert(got == ((5L, 4L, 2L, 1L, 1L)))
+  }
+
+  test("stage times are the earliest qualifying chain, strictly increasing") {
+    val times = Funnel.stageTimes(events, "signup", rest)
+      .orderBy($"user_id")
+      .select($"user_id", $"t1", $"t2", $"t3", $"t4")
+      .collect()
+    val u1 = times(0)
+    assert(u1.getLong(1) == 0L && u1.getLong(2) == 100L &&
+      u1.getLong(3) == 200L && u1.getLong(4) == 300L)
+    val u3 = times(2)
+    assert(u3.getLong(1) == 0L && u3.getLong(2) == 100L && u3.isNullAt(3) && u3.isNullAt(4))
+  }
+
+  test("the window stack plans exactly one exchange") {
+    val plan = Funnel.funnelCounts(events, "signup", rest)
+      .queryExecution.executedPlan.toString
+    // one shuffle for the shared user_id partitioning; the final 1-row agg
+    // is a SinglePartition exchange, allowed
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges in:\n$plan")
+  }
+}
