@@ -41,6 +41,14 @@ object LanguageModel {
   /** Per-document bigram log-likelihood in micro-units:
     * (doc_id, n_bigrams, lp_sum_micro). Documents with < 2 tokens have no
     * bigrams and drop out (no likelihood is defined for them).
+    *
+    * Bigrams UNSEEN in training get the add-one smoothed probability they
+    * deserve rather than being dropped: c2 → 0, and the context count
+    * ctx(w1) comes from a per-w1 lookup (0 when w1 itself is unseen), so
+    * lp = ln(1/(ctx+V)). This makes train-on-sample / score-on-corpus
+    * unbiased (an inner join would overstate likelihoods and undercount
+    * n_bigrams); on the self-scoring path (score == train corpus) every
+    * bigram is present and the coalesces never fire — identical results.
     */
   def docLogLikelihood(
       docs: DataFrame,
@@ -53,12 +61,19 @@ object LanguageModel {
       .select(col(idCol), explode(TextAnalysis.ngramsWithDups(col(textCol), 2)).as("g"))
       .select(col(idCol), split(col("g"), " ", 2).as("p"))
       .select(col(idCol), col("p").getItem(0).as("w1"), col("p").getItem(1).as("w2"))
+    // ctx is constant per w1 in the LM frame; the per-w1 table is
+    // vocabulary-bounded (one more pass over the — cached — LM, never
+    // the corpus)
+    val ctxTab = lm.groupBy(col("w1")).agg(max(col("ctx")).as("ctx1"))
+    val c2s = coalesce(col("c2"), lit(0L))
+    val ctxs = coalesce(col("ctx1"), lit(0L))
     val lpMicro = floor(
-      log((col("c2").cast("double") + lit(1.0)) /
-        (col("ctx").cast("double") + lit(vocabSize.toDouble))) * lit(1e6) + lit(0.5)
+      log((c2s.cast("double") + lit(1.0)) /
+        (ctxs.cast("double") + lit(vocabSize.toDouble))) * lit(1e6) + lit(0.5)
     ).cast("long")
     docBigrams
-      .join(lm, Seq("w1", "w2"))
+      .join(lm.select(col("w1"), col("w2"), col("c2")), Seq("w1", "w2"), "left")
+      .join(ctxTab, Seq("w1"), "left")
       .select(col(idCol), lpMicro.as("lp"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp_sum_micro"))

@@ -823,6 +823,7 @@ object Similarity {
     require(dim % nSub == 0, "dim must divide into nSub subspaces")
     val subDim = dim / nSub
     val cb = pqCodebooksMicro(corpus, ksub, dim, idCol, vecCol)
+    require(cb.length == ksub, s"need $ksub codebook anchors, got ${cb.length}")
     val micro = (v: Column) =>
       transform(asDouble(v), x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
     val anchors = corpus
@@ -832,6 +833,8 @@ object Similarity {
       .limit(nAnchors)
       .collect()
       .map(_.getSeq[Long](1).toArray)
+    require(anchors.length == nAnchors,
+      s"need $nAnchors IVF anchors, corpus only yielded ${anchors.length}")
     def d2Full(qv: Column, av: Array[Long]): Column = {
       val avCol = array(av.map(lit): _*)
       aggregate(zip_with(qv, avCol, (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)

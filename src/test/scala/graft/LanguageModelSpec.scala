@@ -54,6 +54,24 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(avg(3L) < avg(1L))
   }
 
+  test("train-on-sample / score-on-corpus: unseen bigrams get the smoothed floor, not dropped") {
+    val train = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    // "dog ran" shares no bigram with training; "the cat" is seen
+    val score = Seq((10L, "the cat"), (11L, "dog ran")).toDF("doc_id", "text")
+    val lm = LanguageModel.bigramLm(train)
+    val v = lm.select($"w2").distinct().count()
+    val got = LanguageModel.docLogLikelihood(score, lm, v)
+      .select($"doc_id", $"n_bigrams", $"lp_sum_micro")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, s) => id -> (n, s) }.toMap
+    // seen bigram: c2=1, ctx("the")=2 → ln(2/(2+V))
+    val seenLp = math.floor(math.log(2.0 / (2.0 + v)) * 1e6 + 0.5).toLong
+    // unseen bigram with unseen context: c2=0, ctx=0 → ln(1/V)
+    val unseenLp = math.floor(math.log(1.0 / v.toDouble) * 1e6 + 0.5).toLong
+    assert(got(10L) == ((1L, seenLp)))
+    assert(got(11L) == ((1L, unseenLp)), "unseen bigram must be counted and floored, not dropped")
+  }
+
   test("keep flag thresholds on the average, not the total") {
     // doc 5 is long but average-typical; doc 6 short but all-rare
     val corpus = Seq(
