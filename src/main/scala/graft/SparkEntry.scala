@@ -661,6 +661,51 @@ object SparkEntry {
       graft.ops.Retrieval.bm25TopKIndexed(
         s, loc.toString, queryTerms = Seq("table", "scan", "merge", "the"), k = 10)
     },
+    "rrf_hybrid_topk" -> { (s, dir) =>
+      // Hybrid search: the BM25 keyword leg fused with an exact-cosine
+      // embedding leg by reciprocal-rank fusion (ops/Retrieval.scala).
+      // Only integer ranks cross the fusion boundary — contributions are
+      // round-half-up(1e6/(60+rank)) longs, so the fused score is
+      // oracle-exact regardless of the legs' score scales. Each leg keeps
+      // its own one-scan plan; fusion itself touches ≤ 2·20 rows.
+      val docs = table(s, dir, "documents")
+      val emb = table(s, dir, "embeddings")
+      val bmLeg = graft.ops.Retrieval
+        .withRank(
+          graft.ops.Retrieval.bm25TopK(docs, Seq("table", "scan", "merge", "the"), k = 20),
+          Seq(col("score_micro").desc))
+        .select(col("doc_id"), col("rank"))
+      val annLeg = Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") === 3), k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(bmLeg, annLeg), k = 10)
+    },
+    "bloom_token_stats" -> { (s, dir) =>
+      // Bloom-filter membership tagging (ops/Bloom.scala): build a
+      // constant-size (4096-bit) filter over the reference vocabulary
+      // (docs 0-49), then probe every other doc's distinct tokens with a
+      // MAP-ONLY literal-array test — the explicit form of a bloom
+      // semi-join prefilter. n_bloom_hits ≥ n_true_hits always (no false
+      // negatives); the gap is the observed false-positive count.
+      val tok = table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), "\\s+"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val refKeys = tok.filter(col("doc_id") < 50).select(col("tok")).distinct()
+      val bits = graft.ops.Bloom.buildBits(refKeys, "tok", mBits = 4096, kHash = 3)
+      tok
+        .filter(col("doc_id") >= 50)
+        .withColumn(
+          "bm",
+          graft.ops.Bloom.member(col("tok"), bits, mBits = 4096, kHash = 3).cast("long"))
+        .join(broadcast(refKeys.withColumn("t", lit(1L))), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(col("bm")).as("n_bloom_hits"),
+          sum(coalesce(col("t"), lit(0L))).as("n_true_hits"))
+    },
     "label_centroids" -> { (s, dir) =>
       // Mean embedding per label via the VecSumAgg typed aggregator
       // (fixed-size partial buffers through the exchange; explode only
@@ -2133,6 +2178,103 @@ object SparkEntry {
         |  CAST(sum((2*idf_micro*num + den) // (2*den)) AS BIGINT) AS score_micro
         |FROM scored GROUP BY 1
         |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin,
+    "rrf_hybrid_topk" ->
+      // BM25 leg (identical math to bm25_topk, top 20 ranked) + exact
+      // cosine leg (identical math to ann_cosine_topk, query vec_id=3,
+      // top 20 ranked) fused by integer RRF: contribution
+      // (2e6 + (60+rank)) // (2*(60+rank)) per leg, long sum, ties by id.
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl,
+        |    string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+        |  WHERE tok IN ('table', 'scan', 'merge', 'the')
+        |  GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(ln(CAST(2*stats.n + 1 AS DOUBLE)
+        |        / CAST(2*dfreq.df + 1 AS DOUBLE)) * 1.0e6 + 0.5e0) AS BIGINT) AS idf_micro,
+        |    22 * stats.total_dl * tf.tf AS num,
+        |    10 * stats.total_dl * tf.tf + 3 * stats.total_dl + 9 * tf.dl * stats.n AS den
+        |  FROM tf JOIN dfreq USING (tok), stats
+        |), bm AS (
+        |  SELECT doc_id,
+        |    CAST(sum((2*idf_micro*num + den) // (2*den)) AS BIGINT) AS score_micro
+        |  FROM scored GROUP BY 1
+        |), bmr AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id,
+        |      CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+        |    FROM bm) WHERE rank <= 20
+        |), q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 3
+        |), cr AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT c.vec_id AS doc_id,
+        |      CAST(row_number() OVER (
+        |        ORDER BY round(list_cosine_similarity(q.qv, CAST(c.embedding AS DOUBLE[])), 6)
+        |          DESC, c.vec_id) AS INT) AS rank
+        |    FROM embeddings c, q WHERE c.vec_id <> 3) WHERE rank <= 20
+        |), legs AS (
+        |  SELECT * FROM bmr UNION ALL SELECT * FROM cr
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(sum((2000000 + (60 + rank)) // (2 * (60 + rank))) AS BIGINT) AS rrf_micro,
+        |  CAST(count(*) AS INT) AS n_legs
+        |FROM legs GROUP BY 1
+        |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
+    "bloom_token_stats" ->
+      // bit positions: md5_32('bf<i>-' || tok) % 4096; build = bit_or of
+      // power-of-two masks grouped by pos//64; probe = all 3 bits set.
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''
+        |), ref AS (
+        |  SELECT DISTINCT tok FROM tok WHERE doc_id < 50
+        |), idx AS (SELECT unnest(range(3)) AS i),
+        |bpos AS (
+        |  SELECT CAST(('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '-' || tok), 1, 8))
+        |    AS BIGINT) % 4096 AS pos
+        |  FROM ref, idx
+        |), bloom AS (
+        |  -- 1<<63 overflow-checks in DuckDB; the sign-bit mask is spelled
+        |  -- out as the long literal instead
+        |  SELECT pos // 64 AS word,
+        |    bit_or(CASE WHEN pos % 64 = 63 THEN CAST('-9223372036854775808' AS BIGINT)
+        |      ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INT) END) AS bits
+        |  FROM bpos GROUP BY 1
+        |), probes AS (
+        |  SELECT doc_id, tok FROM tok WHERE doc_id >= 50
+        |), ppos AS (
+        |  SELECT p.doc_id, p.tok,
+        |    CAST(('0x' || substr(md5('bf' || CAST(i.i AS VARCHAR) || '-' || p.tok), 1, 8))
+        |      AS BIGINT) % 4096 AS pos
+        |  FROM probes p, idx i
+        |), phit AS (
+        |  SELECT doc_id, tok,
+        |    min(CASE WHEN ((coalesce(b.bits, CAST(0 AS BIGINT)) >> CAST(pos % 64 AS INT)) & 1) = 1
+        |      THEN 1 ELSE 0 END) AS bm
+        |  FROM ppos LEFT JOIN bloom b ON b.word = pos // 64
+        |  GROUP BY 1, 2
+        |), truth AS (
+        |  SELECT p.doc_id, p.tok, CASE WHEN r.tok IS NULL THEN 0 ELSE 1 END AS t
+        |  FROM probes p LEFT JOIN ref r USING (tok)
+        |)
+        |SELECT h.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(h.bm) AS BIGINT) AS n_bloom_hits,
+        |  CAST(sum(t.t) AS BIGINT) AS n_true_hits
+        |FROM phit h JOIN truth t ON t.doc_id = h.doc_id AND t.tok = h.tok
+        |GROUP BY 1""".stripMargin,
     "label_centroids" ->
       """WITH u AS (
         |  SELECT label,

@@ -163,6 +163,60 @@ object Retrieval {
     * tokens with heavy tf), widen num/den to decimal(38,0); the test SFs
     * sit 3+ orders of magnitude below that.
     */
+  // ------------------------------------------------------------------ fusion
+
+  /** Attach a deterministic 1-based rank to a scored frame: dense ordering
+    * by the given sort columns with the id as the final tie-break, so the
+    * rank sequence is identical in any engine (`row_number` over an
+    * unambiguous total order).
+    */
+  def withRank(df: DataFrame, orderBy: Seq[Column], idCol: String = "doc_id"): DataFrame =
+    df.withColumn(
+      "rank",
+      row_number()
+        .over(org.apache.spark.sql.expressions.Window.orderBy(orderBy :+ col(idCol).asc: _*))
+        .cast("int"))
+
+  /** Reciprocal-rank fusion of N retrieval legs (Cormack et al. 2009):
+    * fused(d) = Σ_legs 1/(k0 + rank_leg(d)), documents absent from a leg
+    * contribute nothing. The standard way to combine keyword (BM25) and
+    * embedding (ANN) retrieval without score calibration — only ranks
+    * cross the fusion boundary, so legs with incomparable score scales
+    * compose cleanly.
+    *
+    * Exactness: each contribution is round-half-up(10^6/(k0+rank)) in pure
+    * long arithmetic — `(2·10^6 + (k0+r)) div (2·(k0+r))` — and the fused
+    * score is a sum of longs. No floats anywhere, so the oracle reproduces
+    * the fusion bit-for-bit.
+    *
+    * Scale: each leg is already a top-N frame (N rows, not the corpus), so
+    * the fusion plan is a union of ≤ legs·N rows into one tiny hash
+    * aggregation — the heavy lifting stays inside the legs, which keep
+    * their own one-scan/pruned-index plans. At any corpus size the fusion
+    * cost is O(legs·N).
+    */
+  def rrfFuse(
+      legs: Seq[DataFrame],
+      k: Int,
+      k0: Int = 60,
+      idCol: String = "doc_id",
+      rankCol: String = "rank"
+  ): DataFrame = {
+    require(legs.nonEmpty, "at least one leg required")
+    require(k0 >= 0, "k0 must be non-negative")
+    val contribs = legs.map { leg =>
+      leg.select(
+        col(idCol).cast("long").as("doc_id"),
+        expr(s"(2000000L + ($k0 + $rankCol)) div (2L * ($k0 + $rankCol))").as("c"))
+    }
+    contribs
+      .reduce(_.union(_))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("rrf_micro"), count(lit(1)).cast("int").as("n_legs"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   private def scoreTf(
       tf: DataFrame,
       n: Long,

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Bloom
+
+class BloomSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Scala mirror of the md5 position math — must agree with the Column
+    * form byte-for-byte (same contract as Retrieval.md5Hash32Local).
+    */
+  private def positionsRef(key: String, mBits: Int, kHash: Int): Seq[Long] =
+    (0 until kHash).map { i =>
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"bf$i-$key").substring(0, 8),
+        16) % mBits
+    }
+
+  test("buildBits matches a scala reference filter; no false negatives") {
+    val keys = (1 to 200).map(i => s"key$i")
+    val bits = Bloom.buildBits(keys.toDF("k"), "k", mBits = 1024, kHash = 3)
+    assert(bits.length == 16)
+    // reference build
+    val ref = new Array[Long](16)
+    keys.flatMap(positionsRef(_, 1024, 3)).foreach { pos =>
+      ref((pos / 64).toInt) |= (1L << (pos % 64).toInt)
+    }
+    assert(bits.toSeq == ref.toSeq)
+    // every inserted key must test positive
+    val got = keys.toDF("k")
+      .select(Bloom.member(col("k"), bits, 1024, 3).as("m"))
+      .as[Boolean].collect()
+    assert(got.forall(identity), "bloom false negative")
+  }
+
+  test("false positive rate is near the analytic bound, not degenerate") {
+    val inserted = (1 to 150).map(i => s"in$i")
+    val bits = Bloom.buildBits(inserted.toDF("k"), "k", mBits = 4096, kHash = 3)
+    val absent = (1 to 2000).map(i => s"out$i")
+    val fp = absent.toDF("k")
+      .select(Bloom.member(col("k"), bits, 4096, 3).as("m"))
+      .as[Boolean].collect().count(identity)
+    // analytic FPR at n=150, m=4096, k=3 is ~0.1%; allow generous slack
+    assert(fp.toDouble / absent.size < 0.02, s"$fp false positives of ${absent.size}")
+    // and the filter is not trivially empty or full
+    assert(bits.exists(_ != 0L) && bits.exists(_ != -1L))
+  }
+
+  test("filter size is geometry-bound, independent of key count") {
+    val small = Bloom.buildBits(Seq("a").toDF("k"), "k", mBits = 256, kHash = 2)
+    val large = Bloom.buildBits((1 to 5000).map(_.toString).toDF("k"), "k", mBits = 256, kHash = 2)
+    assert(small.length == 4 && large.length == 4)
+  }
+
+  test("member probe plan is map-only: no join, no exchange") {
+    val bits = Bloom.buildBits(Seq("x", "y").toDF("k"), "k", mBits = 256, kHash = 3)
+    val probed = (1 to 100).map(_.toString).toDF("k")
+      .select(col("k"), Bloom.member(col("k"), bits, 256, 3).as("m"))
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), s"probe not map-only:\n$plan")
+  }
+}

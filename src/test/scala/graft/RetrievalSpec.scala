@@ -91,4 +91,34 @@ class RetrievalSpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     assert(got.map(_._1).toSeq == Seq(10L, 11L))
   }
+
+  test("rrfFuse: exact integer contributions, overlap wins, ties break by id") {
+    // leg A ranks docs 1,2,3; leg B ranks docs 3,4,5. Doc 3 appears in both
+    // (ranks 3 and 1) and must win; every contribution is the exact
+    // round-half-up of 1e6/(60+rank).
+    def contrib(rank: Long): Long = (2000000L + (60 + rank)) / (2 * (60 + rank))
+    val legA = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val legB = Seq((3L, 1), (4L, 2), (5L, 3)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(legA, legB), k = 5)
+      .as[(Long, Long, Int)].collect().toSeq
+    val expected = Map(
+      1L -> contrib(1), 2L -> contrib(2), 4L -> contrib(2), 5L -> contrib(3),
+      3L -> (contrib(3) + contrib(1)))
+    got.foreach { case (id, s, nLegs) =>
+      assert(s == expected(id), s"doc $id")
+      assert(nLegs == (if (id == 3L) 2 else 1))
+    }
+    assert(got.head._1 == 3L, "doc in both legs must rank first")
+    // docs 2 and 4 tie at contrib(2): the lower id comes first
+    val order = got.map(_._1)
+    assert(order.indexOf(2L) < order.indexOf(4L))
+  }
+
+  test("withRank: deterministic 1-based ranks with id tie-break") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((7L, 50L), (8L, 90L), (9L, 50L)).toDF("doc_id", "score_micro")
+    val ranked = Retrieval.withRank(df, Seq(col("score_micro").desc))
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    assert(ranked == Map(8L -> 1, 7L -> 2, 9L -> 3))
+  }
 }
