@@ -680,6 +680,13 @@ object SparkEntry {
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       graft.ops.Retrieval.rrfFuse(Seq(bmLeg, annLeg), k = 10)
     },
+    "phrase_match_counts" -> { (s, dir) =>
+      // Exact phrase search (ops/Retrieval.scala): slot-offset candidate
+      // starts + one (doc, start) aggregation — no chained positional
+      // self-joins. Corpus scan is pre-filtered to the phrase's terms.
+      graft.ops.Retrieval.phraseCount(
+        table(s, dir, "documents"), phrase = Seq("table", "hash"))
+    },
     "bloom_token_stats" -> { (s, dir) =>
       // Bloom-filter membership tagging (ops/Bloom.scala): build a
       // constant-size (4096-bit) filter over the reference vocabulary
@@ -2230,6 +2237,26 @@ object SparkEntry {
         |  CAST(count(*) AS INT) AS n_legs
         |FROM legs GROUP BY 1
         |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
+    "phrase_match_counts" ->
+      // a token at position p fills phrase slot i as candidate start p-i;
+      // a start with all slots filled is an exact phrase occurrence
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |), u AS (
+        |  SELECT doc_id, unnest(toks) AS tok,
+        |    CAST(generate_subscripts(toks, 1) AS BIGINT) - 1 AS pos
+        |  FROM t
+        |), off AS (
+        |  SELECT * FROM (VALUES ('table', CAST(0 AS BIGINT)), ('hash', CAST(1 AS BIGINT)))
+        |    o(tok, slot)
+        |), occ AS (
+        |  SELECT u.doc_id, u.pos - o.slot AS st
+        |  FROM u JOIN off o USING (tok)
+        |  GROUP BY 1, 2 HAVING count(*) = 2
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(min(st) AS BIGINT) AS first_pos
+        |FROM occ GROUP BY 1""".stripMargin,
     "bloom_token_stats" ->
       // bit positions: md5_32('bf<i>-' || tok) % 4096; build = bit_or of
       // power-of-two masks grouped by pos//64; probe = all 3 bits set.

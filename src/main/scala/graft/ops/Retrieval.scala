@@ -163,6 +163,49 @@ object Retrieval {
     * tokens with heavy tf), widen num/den to decimal(38,0); the test SFs
     * sit 3+ orders of magnitude below that.
     */
+  // ------------------------------------------------------------- phrase match
+
+  /** Exact phrase search: documents containing `phrase` as consecutive
+    * tokens, with occurrence count and first match position. Positional
+    * postings without self-joins: a token occurrence at position p fills
+    * phrase slot i as candidate start p−i, so a start position with all
+    * |phrase| slots filled is a match — ONE aggregation over (doc, start)
+    * replaces the classic L−1 chained positional joins. Repeated words in
+    * the phrase are handled naturally (each occurrence fans out to every
+    * slot its term fills; (doc, start, slot) stays unique because
+    * pos = start + slot).
+    *
+    * Scale: one corpus scan whose exploded frame is pre-filtered to the
+    * phrase's terms (IN-list on the generator output, same discipline as
+    * [[bm25TopK]]), a broadcast join against the |phrase|-row slot frame,
+    * and one exchange keyed (doc, start). Nothing else touches the corpus.
+    * All-integer output — oracle-exact.
+    */
+  def phraseCount(
+      docs: DataFrame,
+      phrase: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(phrase.nonEmpty, "phrase required")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slots = phrase.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toDF("tok", "slot")
+    val postings = docs
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(col("tok").isInCollection(phrase.distinct))
+    postings
+      .join(broadcast(slots), "tok")
+      .select(col("doc_id"), (col("pos").cast("long") - col("slot")).as("start"))
+      .groupBy(col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("n_slots"))
+      .filter(col("n_slots") === phrase.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
+  }
+
   // ------------------------------------------------------------------ fusion
 
   /** Attach a deterministic 1-based rank to a scored frame: dense ordering

@@ -114,6 +114,40 @@ class RetrievalSpec extends AnyFunSuite {
     assert(order.indexOf(2L) < order.indexOf(4L))
   }
 
+  test("phraseCount: exact consecutive-token matches, repeated words, counts") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the quick brown dog"), // 2x "quick brown"
+      (2L, "quick and brown but never adjacent quick, brown"),    // 0 (punct breaks token)
+      (3L, "brown quick reversed order"),                         // 0
+      (4L, "prefix quick brown suffix")                           // 1 at pos 1
+    )
+    val got = Retrieval
+      .phraseCount(corpus.toDF("doc_id", "text"), Seq("quick", "brown"))
+      .as[(Long, Long, Long)].collect().map { case (id, n, p) => id -> ((n, p)) }.toMap
+    assert(got == Map(1L -> ((2L, 1L)), 4L -> ((1L, 1L))))
+  }
+
+  test("phraseCount: repeated word inside the phrase") {
+    // phrase "ha ha": doc 1 has "ha ha ha" = 2 overlapping occurrences
+    val corpus = Seq((1L, "ha ha ha"), (2L, "ha nope ha"))
+    val got = Retrieval
+      .phraseCount(corpus.toDF("doc_id", "text"), Seq("ha", "ha"))
+      .as[(Long, Long, Long)].collect().map { case (id, n, p) => id -> ((n, p)) }.toMap
+    assert(got == Map(1L -> ((2L, 0L))))
+  }
+
+  test("phraseCount: three-token phrase needs all three slots") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma end"),
+      (2L, "alpha beta delta gamma"),
+      (3L, "alpha alpha beta gamma")
+    )
+    val got = Retrieval
+      .phraseCount(corpus.toDF("doc_id", "text"), Seq("alpha", "beta", "gamma"))
+      .as[(Long, Long, Long)].collect().map { case (id, n, p) => id -> ((n, p)) }.toMap
+    assert(got == Map(1L -> ((1L, 0L)), 3L -> ((1L, 1L))))
+  }
+
   test("withRank: deterministic 1-based ranks with id tie-break") {
     import org.apache.spark.sql.functions.col
     val df = Seq((7L, 50L), (8L, 90L), (9L, 50L)).toDF("doc_id", "score_micro")
