@@ -932,6 +932,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 13 =!= 0),
         docs.filter(col("doc_id") % 13 === 0), n = 4)
     },
+    "decontam_containment" -> { (s, dir) =>
+      // Asymmetric containment decontamination: share of each training
+      // doc's distinct 4-grams that appear in the benchmark stratum,
+      // in exact basis points (ops/Decontam.scala). Benchmark grams
+      // broadcast; the corpus never shuffles.
+      val docs = table(s, dir, "documents")
+      graft.ops.Decontam.containmentStats(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0), n = 4, dropBp = 100)
+    },
     "decontam_corpus" -> { (s, dir) =>
       // The decontaminated corpus: training docs with ZERO benchmark
       // 4-gram overlap survive (broadcast anti-join — corpus never
@@ -2677,6 +2687,31 @@ object SparkEntry {
         |)
         |SELECT tg.doc_id, count(*) AS n_hits
         |FROM tg JOIN bg USING (g) GROUP BY 1""".stripMargin,
+    "decontam_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 4
+        |      THEN list_distinct(list_transform(range(1, len(w)-2),
+        |        i -> CAST(('0x' || substr(md5(array_to_string(w[i:i+3], ' ')), 1, 8)) AS BIGINT)))
+        |      ELSE [] END AS g
+        |  FROM toks
+        |), tg AS (
+        |  SELECT doc_id, unnest(g) AS g FROM grams WHERE doc_id % 13 != 0
+        |), bg AS (
+        |  SELECT DISTINCT unnest(g) AS g FROM grams WHERE doc_id % 13 = 0
+        |), agg AS (
+        |  SELECT tg.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN bg.g IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits
+        |  FROM tg LEFT JOIN bg USING (g) GROUP BY 1
+        |)
+        |SELECT doc_id, n_grams, n_hits,
+        |  CAST((2 * 10000 * n_hits + n_grams) // (2 * n_grams) AS BIGINT) AS containment_bp,
+        |  CAST(CASE WHEN (2 * 10000 * n_hits + n_grams) // (2 * n_grams) >= 100
+        |    THEN 1 ELSE 0 END AS INT) AS dropped
+        |FROM agg""".stripMargin,
     "decontam_corpus" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents

@@ -36,6 +36,37 @@ object Decontam {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Asymmetric containment per doc: the share of the doc's DISTINCT
+    * n-grams that appear in the benchmark set — |grams(d) ∩ B| /
+    * |grams(d)| — the right contamination measure when sizes differ
+    * wildly (a 200-word eval question fully embedded in a 10k-word doc
+    * has low Jaccard but containment ≈ 1 from the question's side; from
+    * the doc's side, any appreciable share means benchmark text leaked
+    * in). Emits every doc with ≥ n tokens: n_grams, n_hits, containment
+    * in basis points (round-half-up integer division — exact longs, no
+    * float ratio), and the drop decision at `dropBp`.
+    *
+    * Same 100 TB shape as [[overlapCounts]]: benchmark gram set
+    * broadcasts, corpus scans once and never shuffles (the aggregation
+    * keys on the doc id the scan already carries).
+    */
+  def containmentStats(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      dropBp: Int = 100
+  ): DataFrame = {
+    val dg = docs.select(col(idCol), explode(gramHashes(col(textCol), n)).as("g"))
+    val bg = bench.select(explode(gramHashes(col(textCol), n)).as("g")).distinct()
+    dg.join(broadcast(bg.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("containment_bp", expr("(2 * 10000 * n_hits + n_grams) div (2 * n_grams)"))
+      .withColumn("dropped", (col("containment_bp") >= dropBp).cast("int"))
+  }
+
   /** The surviving corpus: documents sharing NO n-gram with the benchmark.
     * The contaminated-id set from [[overlapCounts]] is itself small (hits
     * only), so the final anti-join broadcasts too — the corpus is scanned,

@@ -40,4 +40,23 @@ class DecontamSpec extends AnyFunSuite {
       .toSet
     assert(kept == Set(2L, 3L, 4L))
   }
+
+  test("containmentStats: exact basis points, drop decision, short docs absent") {
+    val got = Decontam
+      .containmentStats(train, bench, n = 4, dropBp = 2000)
+      .select("doc_id", "n_grams", "n_hits", "containment_bp", "dropped")
+      .as[(Long, Long, Long, Long, Int)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    // doc 1: 9 distinct 4-grams, 2 benchmark hits → round(10000*2/9) = 2222 bp
+    assert(got(1L) == ((1L, 9L, 2L, 2222L, 1)))
+    // doc 2: 6 grams, 0 hits → 0 bp, kept
+    assert(got(2L)._3 == 0L && got(2L)._4 == 0L && got(2L)._5 == 0)
+    // doc 4 has < 4 tokens → no grams → absent
+    assert(!got.contains(4L))
+    // containment is asymmetric: benchmark side fully contained in doc 1
+    // from ITS perspective, but doc 1's own share stays ~22%
+    assert(got(1L)._4 < 10000L)
+  }
 }
