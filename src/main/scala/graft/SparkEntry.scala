@@ -680,6 +680,18 @@ object SparkEntry {
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       graft.ops.Retrieval.rrfFuse(Seq(bmLeg, annLeg), k = 10)
     },
+    "mmr_diverse_topk" -> { (s, dir) =>
+      // Diversity-aware rerank (ops/Similarity.scala): MMR over the
+      // exact-cosine top-20 pool for query vec 3, λ=0.7, k=5. The
+      // distributed stage is candidate generation; the greedy rerank is
+      // a bounded driver loop (20 relevances + 400 pairwise sims), and
+      // every score is long arithmetic — replayed step-by-step by the
+      // unrolled SQL oracle.
+      Similarity.mmrSelect(
+        table(s, dir, "embeddings"),
+        table(s, dir, "embeddings").filter(col("vec_id") === 3),
+        k = 5, nCandidates = 20, lambda10 = 7)
+    },
     "phrase_match_counts" -> { (s, dir) =>
       // Exact phrase search (ops/Retrieval.scala): slot-offset candidate
       // starts + one (doc, start) aggregation — no chained positional
@@ -2247,6 +2259,62 @@ object SparkEntry {
         |  CAST(count(*) AS INT) AS n_legs
         |FROM legs GROUP BY 1
         |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
+    "mmr_diverse_topk" ->
+      // unrolled greedy replay: sN picks argmax(7·rel − 3·maxSim(selN−1))
+      // with (score DESC, id) ties — the bpe_merges replay trick applied
+      // to MMR. First pick carries no penalty term.
+      """WITH q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 3
+        |), scored AS (
+        |  SELECT c.vec_id AS id,
+        |    CAST(floor(round(list_cosine_similarity(q.qv, CAST(c.embedding AS DOUBLE[])), 6)
+        |      * 1.0e6 + 0.5e0) AS BIGINT) AS rel
+        |  FROM embeddings c, q WHERE c.vec_id <> 3
+        |), cand AS (
+        |  SELECT id, rel FROM (
+        |    SELECT id, rel, row_number() OVER (ORDER BY rel DESC, id) AS rn FROM scored)
+        |  WHERE rn <= 20
+        |), pw AS (
+        |  SELECT a.id AS ia, b.id AS ib,
+        |    CAST(floor(round(list_cosine_similarity(
+        |        CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6)
+        |      * 1.0e6 + 0.5e0) AS BIGINT) AS sim
+        |  FROM cand a JOIN cand b ON a.id <> b.id
+        |  JOIN embeddings ea ON ea.vec_id = a.id
+        |  JOIN embeddings eb ON eb.vec_id = b.id
+        |), s1 AS (SELECT id, 7*rel AS sc FROM cand ORDER BY 7*rel DESC, id LIMIT 1),
+        |sel1 AS (SELECT id FROM s1),
+        |r2 AS (
+        |  SELECT c.id, 7*c.rel - 3*max(p.sim) AS sc
+        |  FROM cand c JOIN pw p ON p.ia = c.id AND p.ib IN (SELECT id FROM sel1)
+        |  WHERE c.id NOT IN (SELECT id FROM sel1) GROUP BY c.id, c.rel
+        |), s2 AS (SELECT id, sc FROM r2 ORDER BY sc DESC, id LIMIT 1),
+        |sel2 AS (SELECT id FROM sel1 UNION SELECT id FROM s2),
+        |r3 AS (
+        |  SELECT c.id, 7*c.rel - 3*max(p.sim) AS sc
+        |  FROM cand c JOIN pw p ON p.ia = c.id AND p.ib IN (SELECT id FROM sel2)
+        |  WHERE c.id NOT IN (SELECT id FROM sel2) GROUP BY c.id, c.rel
+        |), s3 AS (SELECT id, sc FROM r3 ORDER BY sc DESC, id LIMIT 1),
+        |sel3 AS (SELECT id FROM sel2 UNION SELECT id FROM s3),
+        |r4 AS (
+        |  SELECT c.id, 7*c.rel - 3*max(p.sim) AS sc
+        |  FROM cand c JOIN pw p ON p.ia = c.id AND p.ib IN (SELECT id FROM sel3)
+        |  WHERE c.id NOT IN (SELECT id FROM sel3) GROUP BY c.id, c.rel
+        |), s4 AS (SELECT id, sc FROM r4 ORDER BY sc DESC, id LIMIT 1),
+        |sel4 AS (SELECT id FROM sel3 UNION SELECT id FROM s4),
+        |r5 AS (
+        |  SELECT c.id, 7*c.rel - 3*max(p.sim) AS sc
+        |  FROM cand c JOIN pw p ON p.ia = c.id AND p.ib IN (SELECT id FROM sel4)
+        |  WHERE c.id NOT IN (SELECT id FROM sel4) GROUP BY c.id, c.rel
+        |), s5 AS (SELECT id, sc FROM r5 ORDER BY sc DESC, id LIMIT 1)
+        |SELECT CAST(sel_rank AS INT) AS sel_rank, CAST(vec_id AS BIGINT) AS vec_id,
+        |  CAST(mmr_score AS BIGINT) AS mmr_score
+        |FROM (
+        |  SELECT 1 AS sel_rank, id AS vec_id, sc AS mmr_score FROM s1
+        |  UNION ALL SELECT 2, id, sc FROM s2
+        |  UNION ALL SELECT 3, id, sc FROM s3
+        |  UNION ALL SELECT 4, id, sc FROM s4
+        |  UNION ALL SELECT 5, id, sc FROM s5)""".stripMargin,
     "phrase_match_counts" ->
       // a token at position p fills phrase slot i as candidate start p-i;
       // a start with all slots filled is an exact phrase occurrence

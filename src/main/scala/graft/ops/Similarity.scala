@@ -894,4 +894,88 @@ object Similarity {
       round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
     topKPerQuery(scored, k)
   }
+
+  // --------------------------------------------------------------------- MMR
+
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick k items maximizing λ·relevance − (1−λ)·max-similarity-
+    * to-already-selected — the standard diversity-aware rerank for RAG
+    * context assembly and few-shot example selection, where the plain
+    * top-k is often k near-copies of the same passage.
+    *
+    * Two-stage shape, same discipline as the IVF anchor path: the
+    * DISTRIBUTED stage generates the candidate pool (brute-force cosine
+    * top-N here; at 100 TB swap in the IVF/LSH leg — the rerank is
+    * agnostic to how candidates arrived), then the greedy rerank runs on
+    * a bounded driver collect of N relevances + N² pairwise similarities
+    * (N = `nCandidates`, default 20 → 400 pairs; the collect is bounded
+    * by the POOL geometry, not the corpus). MMR is inherently sequential
+    * — each pick changes the penalty term — so distributing the k-step
+    * loop would cost k job round-trips for k·N comparisons of work.
+    *
+    * Exactness: relevance and pairwise cosines are micro-quantized
+    * (floor(round(cos,6)·1e6 + 0.5) — the proven-portable 6-dp family),
+    * λ is expressed in tenths (`lambda10`/10), and every MMR score is
+    * pure long arithmetic `lambda10·rel − (10−lambda10)·maxSim`; the
+    * first pick carries no penalty term. Ties break by id ascending. The
+    * whole selection sequence is therefore replayable by an unrolled SQL
+    * oracle.
+    */
+  def mmrSelect(
+      corpus: DataFrame,
+      query: DataFrame,
+      k: Int,
+      nCandidates: Int = 20,
+      lambda10: Int = 7,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(k > 0 && nCandidates >= k, "need nCandidates >= k > 0")
+    require(lambda10 >= 0 && lambda10 <= 10, "lambda10 in [0, 10]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def micro(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
+
+    // distributed: candidate pool by relevance (top-N exact cosine)
+    val cands = bruteForceTopK(corpus, query, nCandidates, idCol, vecCol)
+      .select(col("neighbor_id").as("id"), micro(col("cos_sim")).as("rel_micro"))
+      .as[(Long, Long)]
+      .collect()
+      .sortBy(_._1)
+    val candIds = cands.map(_._1)
+
+    // distributed: pairwise similarities among the pool (N² bounded rows)
+    val pool = corpus
+      .filter(col(idCol).isin(candIds: _*))
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+    val pairSims = pool.alias("a")
+      .join(broadcast(pool.alias("b")), col("a.id") =!= col("b.id"))
+      .select(
+        col("a.id").as("ia"),
+        col("b.id").as("ib"),
+        micro(round(cosine(col("a.v"), col("b.v")), 6)).as("sim_micro"))
+      .as[(Long, Long, Long)]
+      .collect()
+      .map { case (ia, ib, s) => (ia, ib) -> s }
+      .toMap
+
+    // driver: the sequential greedy loop over the bounded pool
+    val selected = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    val remaining = scala.collection.mutable.LinkedHashSet(cands: _*)
+    val relOf = cands.toMap
+    for (round <- 1 to k if remaining.nonEmpty) {
+      val best = remaining.iterator.map { case (id, rel) =>
+        val score =
+          if (selected.isEmpty) lambda10 * rel
+          else {
+            val maxSim = selected.iterator.map(s => pairSims((id, s._2))).max
+            lambda10 * rel - (10 - lambda10) * maxSim
+          }
+        (id, score)
+      }.maxBy { case (id, score) => (score, -id) }
+      selected += ((round, best._1, best._2))
+      remaining.remove((best._1, relOf(best._1)))
+    }
+    selected.toSeq.toDF("sel_rank", "vec_id", "mmr_score")
+  }
 }

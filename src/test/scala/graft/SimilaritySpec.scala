@@ -386,4 +386,40 @@ class SimilaritySpec extends AnyFunSuite {
       assert(math.abs(s - want) <= 1e-6, s"($q,$nb): $s vs $want")
     }
   }
+
+  test("mmrSelect diversifies: plain top-k picks the clone cluster, MMR breaks it up") {
+    // query points at cluster A; ids 10-13 are near-clones of A (pairwise
+    // cosine ≈ 1), id 20 is a distinct but still-relevant direction. Plain
+    // top-3 = three A-clones; MMR at λ=0.3 picks the most relevant clone,
+    // then the diverse vector (clone penalty ≈ 0.7·1.0 dwarfs its relevance
+    // edge), then falls back to the lowest-id clone.
+    val data = Seq(
+      (3L, Array(1.0f, 0.0f, 0.0f)), // query
+      (10L, Array(0.99f, 0.10f, 0.00f)),
+      (11L, Array(0.99f, 0.11f, 0.00f)),
+      (12L, Array(0.99f, 0.12f, 0.00f)),
+      (13L, Array(0.99f, 0.13f, 0.00f)),
+      (20L, Array(0.70f, 0.00f, 0.71f))
+    )
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity
+      .mmrSelect(df, df.filter($"vec_id" === 3), k = 3, nCandidates = 5, lambda10 = 3)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(got.map(_._2).toSeq == Seq(10L, 20L, 11L), s"got ${got.toSeq}")
+    // first-pick score carries no penalty term: 3·rel_micro exactly
+    assert(got(0)._3 % 3 == 0 && got(0)._3 > 0)
+  }
+
+  test("mmrSelect: λ=1 reduces to plain relevance top-k order") {
+    val data = clustered(40)
+    val df = data.toDF("vec_id", "embedding")
+    val plain = Similarity
+      .bruteForceTopK(df, df.filter($"vec_id" === 0), k = 4)
+      .select("neighbor_id").as[Long].collect().toSeq
+    val mmr = Similarity
+      .mmrSelect(df, df.filter($"vec_id" === 0), k = 4, nCandidates = 10, lambda10 = 10)
+      .orderBy("sel_rank").select("vec_id").as[Long].collect().toSeq
+    assert(mmr == plain)
+  }
 }
