@@ -699,6 +699,20 @@ object SparkEntry {
       graft.ops.Retrieval.phraseCount(
         table(s, dir, "documents"), phrase = Seq("table", "hash"))
     },
+    "phrase_match_indexed" -> { (s, dir) =>
+      // Index-once-query-many phrase search: positional postings live
+      // md5-sharded in the warehouse; the phrase's shard IN-list prunes
+      // the scan at planning time. Identical results to
+      // phrase_match_counts — the same SQL oracle covers both paths.
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        s"graft_positions_${org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(16)}")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$loc/positions/_SUCCESS")) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$loc/meta/_SUCCESS")))
+        graft.ops.Retrieval.buildPositionalIndex(table(s, dir, "documents"), loc.toString)
+      graft.ops.Retrieval.phraseCountIndexed(s, loc.toString, phrase = Seq("table", "hash"))
+    },
     "bloom_token_stats" -> { (s, dir) =>
       // Bloom-filter membership tagging (ops/Bloom.scala): build a
       // constant-size (4096-bit) filter over the reference vocabulary
@@ -2318,6 +2332,26 @@ object SparkEntry {
     "phrase_match_counts" ->
       // a token at position p fills phrase slot i as candidate start p-i;
       // a start with all slots filled is an exact phrase occurrence
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
+        |), u AS (
+        |  SELECT doc_id, unnest(toks) AS tok,
+        |    CAST(generate_subscripts(toks, 1) AS BIGINT) - 1 AS pos
+        |  FROM t
+        |), off AS (
+        |  SELECT * FROM (VALUES ('table', CAST(0 AS BIGINT)), ('hash', CAST(1 AS BIGINT)))
+        |    o(tok, slot)
+        |), occ AS (
+        |  SELECT u.doc_id, u.pos - o.slot AS st
+        |  FROM u JOIN off o USING (tok)
+        |  GROUP BY 1, 2 HAVING count(*) = 2
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(min(st) AS BIGINT) AS first_pos
+        |FROM occ GROUP BY 1""".stripMargin,
+    "phrase_match_indexed" ->
+      // identical result contract to phrase_match_counts: the positional
+      // index changes the access path, not the math — one oracle covers both
       """WITH t AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM documents
         |), u AS (

@@ -196,14 +196,67 @@ object Retrieval {
         col(idCol).as("doc_id"),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
       .filter(col("tok").isInCollection(phrase.distinct))
+    phraseAgg(postings, slots, phrase.length)
+  }
+
+  /** Shared phrase tail: slot join → (doc, start) slot count → match
+    * count + first position per doc.
+    */
+  private def phraseAgg(postings: DataFrame, slots: DataFrame, len: Int): DataFrame =
     postings
       .join(broadcast(slots), "tok")
       .select(col("doc_id"), (col("pos").cast("long") - col("slot")).as("start"))
       .groupBy(col("doc_id"), col("start"))
       .agg(count(lit(1)).as("n_slots"))
-      .filter(col("n_slots") === phrase.length)
+      .filter(col("n_slots") === len)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
+
+  /** Positional inverted index: (tok, doc_id, pos) md5-sharded on the
+    * token space — [[buildPostingsIndex]] plus positions, for phrase
+    * queries. Built once per corpus; a phrase query afterwards reads
+    * only its terms' shards (planning-time partition pruning).
+    */
+  def buildPositionalIndex(
+      docs: DataFrame,
+      indexDir: String,
+      nShards: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): Unit = {
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("pshard", pmod(Dedup.md5Hash32(col("tok")), lit(nShards.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("pshard").parquet(s"$indexDir/positions")
+    docs.sparkSession
+      .range(1)
+      .select(lit(nShards).as("n_shards"))
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** Phrase search over a [[buildPositionalIndex]] layout — identical
+    * results to [[phraseCount]] (same slot-offset aggregation over the
+    * same positional postings), but the scan touches only the phrase
+    * terms' shards instead of the corpus: the shard IN-list is a driver
+    * literal, so pruning happens at planning time.
+    */
+  def phraseCountIndexed(
+      spark: SparkSession,
+      indexDir: String,
+      phrase: Seq[String]
+  ): DataFrame = {
+    require(phrase.nonEmpty, "phrase required")
+    import spark.implicits._
+    val nShards = spark.read.parquet(s"$indexDir/meta").head().getInt(0)
+    val shards = phrase.map(t => (md5Hash32Local(t) % nShards).toInt).distinct
+    val slots = phrase.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toDF("tok", "slot")
+    val postings = spark.read
+      .parquet(s"$indexDir/positions")
+      .filter(col("pshard").isin(shards: _*) && col("tok").isInCollection(phrase.distinct))
+    phraseAgg(postings, slots, phrase.length)
   }
 
   // ------------------------------------------------------------------ fusion

@@ -148,6 +148,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((1L, 0L)), 3L -> ((1L, 1L))))
   }
 
+  test("phraseCountIndexed: identical to the scan path, prunes to the phrase's shards") {
+    val corpus = (1L to 40L).map { i =>
+      (i, s"filler$i the table hash scan item${i % 7} table hash tail${i % 3}")
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("phraseidx").toString
+    graft.ops.Retrieval.buildPositionalIndex(df, dir, nShards = 16)
+    val phrase = Seq("table", "hash")
+    val scan = Retrieval.phraseCount(df, phrase)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val indexed = Retrieval.phraseCountIndexed(spark, dir, phrase)
+    val got = indexed.orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == scan && got.nonEmpty)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pshard"),
+      s"no partition pruning in:\n$plan")
+  }
+
   test("withRank: deterministic 1-based ranks with id tie-break") {
     import org.apache.spark.sql.functions.col
     val df = Seq((7L, 50L), (8L, 90L), (9L, 50L)).toDF("doc_id", "score_micro")
