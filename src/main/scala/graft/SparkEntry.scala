@@ -1096,6 +1096,20 @@ object SparkEntry {
         graft.ops.HeavyHitters.hllRegistersBy(e, "user_id", "day_idx"),
         "day_idx")
     },
+    "hll_rolling_users" -> { (s, dir) =>
+      // 7-day rolling distinct users by HLL register MERGE: the union
+      // sketch over a window is the per-bucket max of the daily
+      // registers — no re-scan of raw events, no unbounded per-window
+      // user sets. Everything after the one raw scan runs on ≤ days·64
+      // register rows (ops/HeavyHitters.scala).
+      val e = eventsTable(s, dir)
+        .select(expr("ts_ms DIV 86400000").as("day_idx"), col("user_id"))
+      graft.ops.HeavyHitters.hllEstimateBy(
+        graft.ops.HeavyHitters.hllRollingRegisters(
+          graft.ops.HeavyHitters.hllRegistersBy(e, "user_id", "day_idx"),
+          "day_idx", windowSpan = 7),
+        "day_idx")
+    },
     "hll_distinct_tokens" -> { (s, dir) =>
       // Portable HyperLogLog (m=64): leading zeros via length(bin(w)) — a
       // string length, identical in every engine — and an EXACT integer
@@ -3052,6 +3066,45 @@ object SparkEntry {
         |  CAST(floor(CAST(lp_sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) + 0.5e0) AS BIGINT) AS avg_lp_micro,
         |  CAST(CASE WHEN floor(CAST(lp_sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) + 0.5e0) > -3600000
         |       THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM agg""".stripMargin,
+    "hll_rolling_users" ->
+      // daily sketch build identical to hll_daily_users, then the rolling
+      // merge: per-bucket max over the trailing-7-day RANGE window
+      """WITH e AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day_idx, user_id FROM events
+        |), h AS (
+        |  SELECT day_idx,
+        |    CAST(('0x' || substr(md5('hll-' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+        |  FROM e
+        |), b AS (
+        |  SELECT day_idx, CAST(hv % 64 AS INT) AS bucket, hv // 64 AS w FROM h
+        |), r AS (
+        |  SELECT day_idx, bucket,
+        |    max(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS rho
+        |  FROM b GROUP BY 1, 2
+        |), days AS (SELECT DISTINCT day_idx FROM e),
+        |regs AS (
+        |  SELECT days.day_idx, g.bucket, CAST(COALESCE(r.rho, 0) AS INT) AS rho
+        |  FROM days CROSS JOIN (SELECT unnest(range(64)) AS bucket) g
+        |  LEFT JOIN r ON r.day_idx = days.day_idx AND r.bucket = g.bucket
+        |), merged AS (
+        |  SELECT day_idx, bucket,
+        |    max(rho) OVER (PARTITION BY bucket ORDER BY day_idx
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rho
+        |  FROM regs
+        |), agg AS (
+        |  SELECT day_idx,
+        |    CAST(sum(CAST(1 AS BIGINT) << (32 - rho)) AS BIGINT) AS s_scaled,
+        |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+        |  FROM merged GROUP BY 1
+        |)
+        |SELECT CAST(day_idx AS BIGINT) AS day_idx, v_empty, s_scaled,
+        |  CAST(floor(
+        |    CASE WHEN (0.709e0 * 4096.0e0 / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0)) <= 160.0e0
+        |          AND v_empty > 0
+        |    THEN 64.0e0 * ln(64.0e0 / CAST(v_empty AS DOUBLE))
+        |    ELSE 0.709e0 * 4096.0e0 / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0) END
+        |    * 1e6 + 0.5e0) AS BIGINT) AS est_micro
         |FROM agg""".stripMargin,
     "hll_daily_users" ->
       """WITH e AS (

@@ -186,6 +186,43 @@ object HeavyHitters {
     * tiny by construction), then the same exact-integer harmonic mean and
     * correction as [[hllEstimate]], per group.
     */
+  /** Rolling-window union sketches by register merge: for each key (day),
+    * the merged HLL over the trailing `windowSpan` keys is the per-bucket
+    * MAX of the per-key registers — the mergeability that makes sketches
+    * the right rolling-distinct tool at scale: a 7-day rolling distinct
+    * re-reads NOTHING (exact distinct would re-scan 7 days of raw events
+    * per day, or keep an unbounded user set per window). Input is the
+    * sparse [[hllRegistersBy]] output; the key must be integral (day
+    * index) — the window is RANGE-based, so calendar gaps merge the
+    * trailing `windowSpan` KEY VALUES, not rows. Output: dense merged
+    * registers, feed to [[hllEstimateBy]].
+    *
+    * Shape: everything here runs on sketch frames (≤ |keys|·m rows —
+    * thousands, not billions); the single raw-data scan happened in
+    * [[hllRegistersBy]].
+    */
+  def hllRollingRegisters(
+      daily: DataFrame,
+      keyCol: String,
+      windowSpan: Long,
+      m: Int = 64
+  ): DataFrame = {
+    require(windowSpan >= 1, "windowSpan must be >= 1")
+    hllP(m)
+    val spark = daily.sparkSession
+    val keys = daily.select(col(keyCol)).distinct()
+    val buckets = spark.range(0, m).select(col("id").cast("int").as("bucket"))
+    val dense = keys
+      .crossJoin(buckets)
+      .join(daily, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"), coalesce(col("rho"), lit(0)).cast("int").as("rho"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(col(keyCol))
+      .rangeBetween(-(windowSpan - 1), 0)
+    dense.select(col(keyCol), col("bucket"), max(col("rho")).over(w).as("rho"))
+  }
+
   def hllEstimateBy(registers: DataFrame, keyCol: String, m: Int = 64): DataFrame = {
     val spark = registers.sparkSession
     hllP(m)

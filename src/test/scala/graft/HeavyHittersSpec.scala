@@ -113,4 +113,28 @@ class HeavyHittersSpec extends AnyFunSuite {
       assert(grouped(g) == ((s._2, s._3, s._4)), s"group $g")
     }
   }
+
+  test("hllRollingRegisters: window merge is lossless vs sketching the raw union") {
+    import org.apache.spark.sql.functions.col
+    // 10 days, each day d sees users d*10 .. d*10+19 (overlap across days)
+    val events = for (d <- 0L until 10L; u <- d * 10 until d * 10 + 20) yield (d, u.toString)
+    val df = events.toDF("day_idx", "item")
+    val daily = HeavyHitters.hllRegistersBy(df, "item", "day_idx")
+    val rolled = HeavyHitters.hllRollingRegisters(daily, "day_idx", windowSpan = 3)
+    // for each target day: registers must equal a sketch built directly on
+    // the raw items of days [d-2, d] (merging maxes is lossless)
+    for (d <- Seq(0L, 2L, 5L, 9L)) {
+      val got = rolled.filter(col("day_idx") === d)
+        .select("bucket", "rho").as[(Int, Int)].collect().toMap.filter(_._2 > 0)
+      val want = HeavyHitters
+        .hllRegisters(df.filter(col("day_idx") >= d - 2 && col("day_idx") <= d), "item")
+        .as[(Int, Int)].collect().toMap
+      assert(got == want, s"day $d")
+    }
+    // the rolling estimate tracks the true rolling distinct (40 for day>=2)
+    val est = HeavyHitters.hllEstimateBy(rolled, "day_idx")
+      .filter(col("day_idx") === 5L)
+      .select("est_micro").as[Long].collect().head / 1e6
+    assert(est > 40 * 0.6 && est < 40 * 1.4, s"estimate $est vs true 40")
+  }
 }
