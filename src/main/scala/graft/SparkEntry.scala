@@ -1096,6 +1096,13 @@ object SparkEntry {
         graft.ops.HeavyHitters.hllRegistersBy(e, "user_id", "day_idx"),
         "day_idx")
     },
+    "ppl_bucket_filter" -> { (s, dir) =>
+      // CCNet head/middle/tail split: rank docs by average bigram LM
+      // log-likelihood, NTILE(3) over the total order, keep head+middle
+      // (ops/LanguageModel.scala). The tile window sorts the per-DOC
+      // score frame, not the token frame.
+      graft.ops.LanguageModel.pplBuckets(table(s, dir, "documents"))
+    },
     "hll_rolling_users" -> { (s, dir) =>
       // 7-day rolling distinct users by HLL register MERGE: the union
       // sketch over a window is the per-bucket max of the daily
@@ -3039,6 +3046,37 @@ object SparkEntry {
         |FROM tok
         |GROUP BY 1
         |HAVING count(*) > (SELECT count(*) FROM tok) // 51""".stripMargin,
+    "ppl_bucket_filter" ->
+      // same LM + per-doc average as lm_doc_scores, then NTILE(3) over
+      // (avg DESC, doc_id) — head+middle keep, tail drops
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |), bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2
+        |), bc AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2
+        |), lm AS (
+        |  SELECT w1, w2, c2, sum(c2) OVER (PARTITION BY w1) AS ctx FROM bc
+        |), v AS (SELECT count(DISTINCT w2) AS v FROM bc),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |    CAST(floor(ln((CAST(lm.c2 AS DOUBLE) + 1.0e0)
+        |        / (CAST(lm.ctx AS DOUBLE) + CAST(v.v AS DOUBLE)))
+        |      * 1e6 + 0.5e0) AS BIGINT) AS lp
+        |  FROM bg JOIN lm USING (w1, w2), v
+        |), agg AS (
+        |  SELECT doc_id,
+        |    CAST(floor(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5e0) AS BIGINT)
+        |      AS avg_lp_micro
+        |  FROM scored GROUP BY 1
+        |)
+        |SELECT doc_id, avg_lp_micro,
+        |  CAST(ntile(3) OVER (ORDER BY avg_lp_micro DESC, doc_id) AS INT) AS tile,
+        |  CAST(CASE WHEN ntile(3) OVER (ORDER BY avg_lp_micro DESC, doc_id) <= 2
+        |    THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM agg""".stripMargin,
     "lm_doc_scores" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents

@@ -79,6 +79,46 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp_sum_micro"))
   }
 
+  /** CCNet-style head/middle/tail perplexity split (Wenzek et al. 2020):
+    * rank documents by average bigram log-likelihood (higher = more
+    * fluent = lower perplexity) and cut into `nBuckets` equal tiles —
+    * head and middle survive, the tail (noisy/boilerplate outliers) is
+    * dropped. NTILE over the total order (avg_lp_micro DESC, id) is
+    * engine-standard (first n mod k tiles take the extra row), so the
+    * split is oracle-exact.
+    *
+    * Scale note: the tile window is a GLOBAL sort of the per-doc score
+    * frame — one row per document, far smaller than the token-level
+    * frames upstream, but still a single-ordering pass. At extreme doc
+    * counts the production cutover is two-pass thresholding (compute the
+    * k−1 score cutoffs first, then bucket map-only); the NTILE form is
+    * the exact-split reference the thresholds must reproduce.
+    */
+  def pplBuckets(
+      docs: DataFrame,
+      nBuckets: Int = 3,
+      keepTiles: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(nBuckets >= 2 && keepTiles >= 1 && keepTiles <= nBuckets, "bad tile config")
+    val lm = bigramLm(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val v = lm.select(col("w2")).distinct().count()
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("avg_lp_micro").desc, col(idCol))
+      docLogLikelihood(docs, lm, v, textCol, idCol)
+        .withColumn("avg_lp_micro",
+          floor(col("lp_sum_micro").cast("double") / col("n_bigrams").cast("double") + lit(0.5))
+            .cast("long"))
+        .withColumn("tile", ntile(nBuckets).over(w))
+        .withColumn("keep", (col("tile") <= keepTiles).cast("int"))
+        .select(col(idCol), col("avg_lp_micro"), col("tile"), col("keep"))
+        .localCheckpoint(eager = true)
+    } finally lm.unpersist(blocking = false)
+  }
+
   /** Train-and-score in one call (scoring corpus = training corpus, the
     * self-scoring setup used to find outlier documents). Adds the keep
     * decision: average log-prob above `minAvgLpMicro`.

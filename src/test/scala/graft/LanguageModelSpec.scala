@@ -87,4 +87,33 @@ class LanguageModelSpec extends AnyFunSuite {
       assert((k == 1) == (a > -2000000L))
     }
   }
+
+  test("pplBuckets: fluent docs land in the head tile, noise in the tail, tiles balanced") {
+    // six fluent docs sharing the same phrasing, three noise docs of
+    // unique gibberish (every bigram rare → low avg log-likelihood)
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat again"),
+      (4L, "the dog sat on the mat"),
+      (5L, "the cat sat on the rug"),
+      (6L, "the dog sat on the rug"),
+      (7L, "zq jx wv kp bn md"),
+      (8L, "qq ww ee rr tt yy"),
+      (9L, "zz xx cc vv bb nn")
+    )
+    val got = LanguageModel
+      .pplBuckets(corpus.toDF("doc_id", "text"), nBuckets = 3, keepTiles = 2)
+      .select($"doc_id", $"tile", $"keep")
+      .as[(Long, Int, Int)].collect()
+      .map { case (id, t, k) => id -> ((t, k)) }.toMap
+    // 9 docs → 3 per tile; all three noise docs must be the tail, dropped
+    assert(got.values.map(_._1).groupBy(identity).view.mapValues(_.size).toMap
+      == Map(1 -> 3, 2 -> 3, 3 -> 3))
+    Seq(7L, 8L, 9L).foreach { id =>
+      assert(got(id) == ((3, 0)), s"doc $id should be dropped tail, got ${got(id)}")
+    }
+    // the most-templated docs sit in the head and survive
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1)
+  }
 }
