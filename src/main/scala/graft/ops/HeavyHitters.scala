@@ -210,11 +210,16 @@ object HeavyHitters {
     require(windowSpan >= 1, "windowSpan must be >= 1")
     hllP(m)
     val spark = daily.sparkSession
-    val keys = daily.select(col(keyCol)).distinct()
+    // the sketch frame is referenced twice (key list + the grid join);
+    // without cutting the lineage both references would re-run the raw
+    // scan+aggregation upstream (no common-subplan reuse). The frame is
+    // ≤ |keys|·m rows — checkpoint is pennies, the second scan is not.
+    val d = daily.localCheckpoint(eager = true)
+    val keys = d.select(col(keyCol)).distinct()
     val buckets = spark.range(0, m).select(col("id").cast("int").as("bucket"))
     val dense = keys
       .crossJoin(buckets)
-      .join(daily, Seq(keyCol, "bucket"), "left")
+      .join(d, Seq(keyCol, "bucket"), "left")
       .select(col(keyCol), col("bucket"), coalesce(col("rho"), lit(0)).cast("int").as("rho"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket"))
@@ -226,11 +231,14 @@ object HeavyHitters {
   def hllEstimateBy(registers: DataFrame, keyCol: String, m: Int = 64): DataFrame = {
     val spark = registers.sparkSession
     hllP(m)
-    val keys = registers.select(col(keyCol)).distinct()
+    // same double-reference trap as hllRollingRegisters: cut the lineage
+    // once on the sketch-sized frame so the raw scan runs exactly once
+    val r = registers.localCheckpoint(eager = true)
+    val keys = r.select(col(keyCol)).distinct()
     val buckets = spark.range(0, m).select(col("id").cast("int").as("bucket"))
     val full = keys
       .crossJoin(buckets)
-      .join(registers, Seq(keyCol, "bucket"), "left")
+      .join(r, Seq(keyCol, "bucket"), "left")
       .select(col(keyCol), coalesce(col("rho"), lit(0)).cast("int").as("rho"))
     val agg = full
       .groupBy(col(keyCol))

@@ -102,4 +102,54 @@ class PlanShapeSpec extends AnyFunSuite {
       "queries must broadcast")
     assert(!plan.contains("SortMergeJoin"), "corpus must never shuffle for the ADC join")
   }
+
+  test("phrase match: the corpus scan is pre-filtered to the phrase terms, slot join broadcasts") {
+    val plan = executedPlan("phrase_match_counts")
+    assert(plan.contains("BroadcastHashJoin"), "slot frame must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+    // the IN-list filter must sit on the exploded generator output, so only
+    // phrase-term postings survive into the exchange (prints as
+    // `tok#N IN (...)` for small lists, INSET for large ones)
+    assert("tok#\\d+ IN \\(".r.findFirstIn(plan).isDefined || plan.contains("INSET"),
+      s"no term pre-filter visible:\n${plan.take(2000)}")
+  }
+
+  test("bloom stats: the reference-vocab join broadcasts; corpus side never sort-merges") {
+    val plan = executedPlan("bloom_token_stats")
+    assert(plan.contains("BroadcastHashJoin"), "truth join must broadcast")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for the join:\n${plan.take(1500)}")
+  }
+
+  test("containment decontam: benchmark grams broadcast, no corpus shuffle before the doc agg") {
+    val plan = executedPlan("decontam_containment")
+    assert(plan.contains("BroadcastHashJoin"), "benchmark gram set must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("hll rolling: after the one raw scan, everything runs on checkpointed sketch frames") {
+    // the daily-register and rolled-register frames are double-referenced;
+    // the operators cut lineage with eager checkpoints, so the FINAL plan
+    // must touch no parquet at all — raw events were scanned exactly once,
+    // during the daily-sketch materialization
+    val plan = executedPlan("hll_rolling_users")
+    assert(!plan.contains("Scan parquet"), s"raw re-scan leaked into the final plan")
+    // and the merge itself is a window over the sketch frame, visible in
+    // the rolled-registers plan (its input is the checkpointed daily frame)
+    import org.apache.spark.sql.functions.{col, expr}
+    val daily = graft.ops.HeavyHitters.hllRegistersBy(
+      spark.range(0, 500).select((col("id") % 10).as("day_idx"), expr("CAST(id AS STRING)").as("u")),
+      "u", "day_idx")
+    val rolled = graft.ops.HeavyHitters.hllRollingRegisters(daily, "day_idx", 7)
+    rolled.count()
+    val rplan = rolled.queryExecution.executedPlan.toString
+    assert(rplan.contains("Window"), "rolling merge must be a window, not a re-scan")
+    assert(!rplan.contains("Scan parquet"), "window must run on the checkpointed sketch frame")
+  }
+
+  test("rrf fusion: both legs feed one union aggregation; no leg shuffles the other") {
+    val plan = executedPlan("rrf_hybrid_topk")
+    assert(plan.contains("Union"), "legs must union")
+    assert(plan.contains("TakeOrderedAndProject"), "fused top-k must not global-sort")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
