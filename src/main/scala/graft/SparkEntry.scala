@@ -958,6 +958,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 13 =!= 0),
         docs.filter(col("doc_id") % 13 === 0), n = 4)
     },
+    "delta_dedup" -> { (s, dir) =>
+      // Incremental crawl dedup (ops/Dedup.scala): the prior snapshot
+      // (docs 0-249) compiles into a constant-size bloom filter probed
+      // map-only over the new batch; only bloom-positive candidates enter
+      // the exact membership join. bloom_hit=1/is_dup=0 rows are the
+      // filter's false positives, resolved exactly.
+      val docs = table(s, dir, "documents")
+      graft.ops.Dedup.deltaDedup(
+        docs.filter(col("doc_id") >= 250),
+        docs.filter(col("doc_id") < 250))
+    },
     "decontam_containment" -> { (s, dir) =>
       // Asymmetric containment decontamination: share of each training
       // doc's distinct 4-grams that appear in the benchmark stratum,
@@ -2810,6 +2821,38 @@ object SparkEntry {
         |)
         |SELECT tg.doc_id, count(*) AS n_hits
         |FROM tg JOIN bg USING (g) GROUP BY 1""".stripMargin,
+    "delta_dedup" ->
+      // bloom over snapshot text-md5s (same bf<i>- position family as
+      // bloom_token_stats), then exact membership for bloom-positives
+      """WITH snap AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250
+        |), idx AS (SELECT unnest(range(3)) AS i),
+        |bpos AS (
+        |  SELECT CAST(('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '-' || h), 1, 8))
+        |    AS BIGINT) % 4096 AS pos
+        |  FROM snap, idx
+        |), bloom AS (
+        |  SELECT pos // 64 AS word,
+        |    bit_or(CASE WHEN pos % 64 = 63 THEN CAST('-9223372036854775808' AS BIGINT)
+        |      ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INT) END) AS bits
+        |  FROM bpos GROUP BY 1
+        |), batch AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250
+        |), ppos AS (
+        |  SELECT b.doc_id, b.h,
+        |    CAST(('0x' || substr(md5('bf' || CAST(i.i AS VARCHAR) || '-' || b.h), 1, 8))
+        |      AS BIGINT) % 4096 AS pos
+        |  FROM batch b, idx i
+        |), phit AS (
+        |  SELECT doc_id, h,
+        |    min(CASE WHEN ((coalesce(bl.bits, CAST(0 AS BIGINT)) >> CAST(pos % 64 AS INT)) & 1) = 1
+        |      THEN 1 ELSE 0 END) AS bloom_hit
+        |  FROM ppos LEFT JOIN bloom bl ON bl.word = pos // 64
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.doc_id, CAST(p.bloom_hit AS INT) AS bloom_hit,
+        |  CAST(CASE WHEN p.bloom_hit = 1 AND s.h IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
+        |FROM phit p LEFT JOIN snap s USING (h)""".stripMargin,
     "decontam_containment" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents

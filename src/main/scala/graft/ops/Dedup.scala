@@ -19,6 +19,52 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Incremental (delta) dedup: tag each new-batch document as a duplicate
+    * of the prior snapshot or as genuinely new — the daily-crawl shape,
+    * where re-deduplicating the full corpus per increment is the thing a
+    * pipeline must NOT do.
+    *
+    * 100 TB shape: the snapshot's text-hash set is far too big to
+    * broadcast, and a plain anti-join would shuffle the whole batch on the
+    * hash. Instead the snapshot set is compiled into a constant-size
+    * [[graft.ops.Bloom]] filter (one aggregation over snapshot hashes →
+    * mBits/64 longs on the driver) and probed MAP-ONLY over the batch; only
+    * bloom-positive rows — true dups plus the small false-positive residue
+    * — enter the exact membership join. Bloom-negative rows are PROVABLY
+    * new (no false negatives), so the expensive exchange carries only the
+    * candidate sliver. The two map-only passes over the batch (negative
+    * branch + positive branch) are the deliberate trade: scans are cheap,
+    * a full-batch shuffle is not.
+    *
+    * Output per batch doc: (id, bloom_hit, is_dup) — bloom_hit=1/is_dup=0
+    * rows are the filter's false positives, resolved exactly by the join.
+    * In-batch duplicate grouping is a separate concern: compose with
+    * [[dedupExact]] downstream.
+    */
+  def deltaDedup(
+      batch: DataFrame,
+      snapshot: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      mBits: Int = 4096,
+      kHash: Int = 3
+  ): DataFrame = {
+    val bHash = batch.select(col(idCol), md5(col(textCol)).as("h"))
+    val snapHashes = snapshot.select(md5(col(textCol)).as("h")).distinct()
+    val bits = Bloom.buildBits(snapHashes, "h", mBits, kHash)
+    val pre = bHash.withColumn(
+      "bloom_hit",
+      Bloom.member(col("h"), bits, mBits, kHash).cast("int"))
+    val positives = pre
+      .filter(col("bloom_hit") === 1)
+      .join(snapHashes.withColumn("in_snap", lit(1)), Seq("h"), "left")
+      .select(col(idCol), col("bloom_hit"), coalesce(col("in_snap"), lit(0)).as("is_dup"))
+    val negatives = pre
+      .filter(col("bloom_hit") === 0)
+      .select(col(idCol), col("bloom_hit"), lit(0).as("is_dup"))
+    negatives.union(positives)
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** One row per distinct content hash: representative (min) id + copy count.

@@ -326,4 +326,25 @@ class DedupSpec extends AnyFunSuite {
       .toList
     assert(got == List(2L, 4L, 5L))
   }
+
+  test("deltaDedup: snapshot dups flagged exactly, bloom never misses, FPs resolved") {
+    val snapshot = (1L to 100L).map(i => (i, s"snapshot document number $i")).toDF("doc_id", "text")
+    val batch = (
+      // 10 exact re-crawls of snapshot docs + 90 new docs
+      (201L to 210L).map(i => (i, s"snapshot document number ${i - 200}")) ++
+        (211L to 300L).map(i => (i, s"fresh content item $i"))
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.deltaDedup(batch, snapshot)
+      .as[(Long, Int, Int)].collect()
+      .map { case (id, bh, d) => id -> ((bh, d)) }.toMap
+    assert(got.size == 100)
+    // every true dup must be flagged (bloom has no false negatives and the
+    // join confirms membership)
+    (201L to 210L).foreach(id => assert(got(id) == ((1, 1)), s"doc $id"))
+    // no new doc may be marked dup; bloom FPs (if any) show bloom_hit=1,is_dup=0
+    (211L to 300L).foreach(id => assert(got(id)._2 == 0, s"doc $id wrongly dup"))
+    // bloom prefilter is doing real work: most new docs never reach the join
+    val fp = (211L to 300L).count(id => got(id)._1 == 1)
+    assert(fp < 10, s"$fp bloom false positives of 90 — filter degenerate")
+  }
 }
