@@ -680,6 +680,12 @@ object SparkEntry {
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       graft.ops.Retrieval.rrfFuse(Seq(bmLeg, annLeg), k = 10)
     },
+    "embedding_dim_stats" -> { (s, dir) =>
+      // Embedding-batch health check: exact per-dimension micro moments
+      // via ONE 2·dim-length buffer per partition through the exchange
+      // (ops/Similarity.scala) — never rows×dim exploded rows.
+      Similarity.dimStatsMicro(table(s, dir, "embeddings"))
+    },
     "mmr_diverse_topk" -> { (s, dir) =>
       // Diversity-aware rerank (ops/Similarity.scala): MMR over the
       // exact-cosine top-20 pool for query vec 3, λ=0.7, k=5. The
@@ -2305,6 +2311,18 @@ object SparkEntry {
         |  CAST(count(*) AS INT) AS n_legs
         |FROM legs GROUP BY 1
         |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin,
+    "embedding_dim_stats" ->
+      // micro per element is floored BEFORE squaring/summing, so both
+      // moments are exact integer sums
+      """WITH u AS (
+        |  SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim_i,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5e0) AS BIGINT) AS mi
+        |  FROM embeddings WHERE len(embedding) = 64
+        |)
+        |SELECT dim_i, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(mi) AS BIGINT) AS sum_micro,
+        |  CAST(sum(mi * mi) AS BIGINT) AS sumsq_micro
+        |FROM u GROUP BY 1""".stripMargin,
     "mmr_diverse_topk" ->
       // unrolled greedy replay: sN picks argmax(7·rel − 3·maxSim(selN−1))
       // with (score DESC, id) ties — the bpe_merges replay trick applied

@@ -895,6 +895,42 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Per-dimension embedding health stats — the drift/collapse check a
+    * vector pipeline runs before trusting a new embedding batch: exact
+    * micro-quantized sum and sum-of-squares per dimension (mean and
+    * variance derive downstream; emitting the exact moments keeps the
+    * hash-compare integer).
+    *
+    * Shape: ONE fixed-size buffer of length 2·dim per partition crosses
+    * the exchange ([Σmicro | Σmicro²] through [[graft.functions.VecSumAgg]])
+    * — the explode-by-dimension form would shuffle rows×dim rows. The
+    * one-row result is checkpointed before the two reshape branches (the
+    * usual double-reference discipline). Exactness bound: Σmicro² stays
+    * under 2^53 for ~500k typical-magnitude rows per batch; beyond that,
+    * widen to the explode+decimal form (same trade the BM25 long-range
+    * note documents).
+    */
+  def dimStatsMicro(emb: DataFrame, dim: Int = 64, vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val mm = transform(asDouble(col(vecCol)), x => floor(x * 1000000 + lit(0.5)).cast("double"))
+    val one = emb
+      .filter(size(col(vecCol)) === dim)
+      .select(concat(mm, transform(mm, y => y * y)).as("v"))
+      .as[Seq[Double]]
+      .select(new graft.functions.VecSumAgg().toColumn.name("r"))
+      // the typed select flattens Result into (sums, n) columns
+      .select(col("n"), posexplode(col("sums")).as(Seq("pos", "s")))
+      .localCheckpoint(eager = true)
+    val sums = one
+      .filter(col("pos") < dim)
+      .select((col("pos") + 1).cast("long").as("dim_i"), col("n"), col("s").cast("long").as("sum_micro"))
+    val sqs = one
+      .filter(col("pos") >= dim)
+      .select((col("pos") - dim + 1).cast("long").as("dim_i"), col("s").cast("long").as("sumsq_micro"))
+    sums.join(sqs, "dim_i").select(col("dim_i"), col("n"), col("sum_micro"), col("sumsq_micro"))
+  }
+
   // --------------------------------------------------------------------- MMR
 
   /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):

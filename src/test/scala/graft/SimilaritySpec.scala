@@ -411,6 +411,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(0)._3 % 3 == 0 && got(0)._3 > 0)
   }
 
+  test("dimStatsMicro: exact micro moments per dimension, wrong-length vectors excluded") {
+    val data = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f)),
+      (2L, Array(0.1f, 0.2f, -0.3f)),
+      (3L, Array(1.0f, 0.0f, 0.5f)),
+      (4L, Array(1.0f, 2.0f)) // wrong length — must be dropped
+    )
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity.dimStatsMicro(df, dim = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def micro(x: Float): Long = math.floor(x.toDouble * 1000000 + 0.5).toLong
+    val byDim = (0 until 3).map { d =>
+      val ms = data.take(3).map(t => micro(t._2(d)))
+      (d + 1).toLong -> ((3L, ms.sum, ms.map(m => m * m).sum))
+    }.toMap
+    assert(got == byDim, s"got $got want $byDim")
+  }
+
   test("mmrSelect: λ=1 reduces to plain relevance top-k order") {
     val data = clustered(40)
     val df = data.toDF("vec_id", "embedding")
