@@ -1120,6 +1120,47 @@ object SparkEntry {
       // score frame, not the token frame.
       graft.ops.LanguageModel.pplBuckets(table(s, dir, "documents"))
     },
+    "weighted_sample" -> { (s, dir) =>
+      // Weighted sampling without replacement (Efraimidis–Spirakis race,
+      // RNG-free): inclusion odds ∝ n_chars, the sample a pure function
+      // of (doc_id, seed). Map-only expression + TakeOrderedAndProject —
+      // no shuffle (ops/Sampling.scala exactness contract: one
+      // micro-rounded ln, one round-half-up integer division).
+      graft.ops.Sampling
+        .weightedSample(table(s, dir, "documents"), "doc_id", "n_chars", k = 100, seed = "ws11")
+        .select(col("doc_id"), col("n_chars"), col("priority"))
+    },
+    "domain_cap_sample" -> { (s, dir) =>
+      // Domain cap: no source may contribute more than 15 docs, chosen by
+      // md5 hash order — the web-curation guard against head-heavy sites.
+      // One exchange on the group column (ops/Sampling.scala).
+      graft.ops.Sampling
+        .capPerGroup(table(s, dir, "documents"), "doc_id", "source", cap = 15, seed = "cap3")
+        .select(col("doc_id"), col("source"))
+    },
+    "pagerank_neardup" -> { (s, dir) =>
+      // PageRank over the near-dup pair graph (3 power iterations,
+      // d=0.85): duplication centrality in exact integer micro units —
+      // per-iteration state is ids-only, the degree-annotated edge list
+      // is materialized once and each iteration is one co-partitioned
+      // join + one aggregation (ops/Graph.scala).
+      val emb = table(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      graft.ops.Graph.pageRank(
+        Similarity.cosineNearDupPairs(emb, threshold = 0.2).select(col("id_a"), col("id_b")))
+    },
+    "cohort_retention" -> { (s, dir) =>
+      // Weekly retention triangle: users bucketed by first-active week,
+      // counted at each later active week. Time buckets are pure integer
+      // epoch-ms arithmetic — no calendar function in the plan
+      // (ops/Cohort.scala); log touched once, then ids-only frames.
+      graft.ops.Cohort.retentionMatrix(eventsTable(s, dir))
+    },
+    "rate_spike_hours" -> { (s, dir) =>
+      // Burst detection: hours where a user runs >2× their own average
+      // hourly rate. Cross-multiplied integer comparison — no division
+      // anywhere (ops/Cohort.scala).
+      graft.ops.Cohort.rateSpikeHours(eventsTable(s, dir), thresholdPct = 200)
+    },
     "hll_rolling_users" -> { (s, dir) =>
       // 7-day rolling distinct users by HLL register MERGE: the union
       // sketch over a window is the per-bucket max of the daily
@@ -3138,6 +3179,68 @@ object SparkEntry {
         |  CAST(CASE WHEN ntile(3) OVER (ORDER BY avg_lp_micro DESC, doc_id) <= 2
         |    THEN 1 ELSE 0 END AS INT) AS keep
         |FROM agg""".stripMargin,
+    "weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |  (2000000 * CAST(floor(ln(4294967296.0e0 /
+        |       (CAST(('0x' || substr(md5('ws11' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1))
+        |     * 1000000.0e0 + 0.5e0) AS BIGINT) + n_chars) // (2 * n_chars) AS priority
+        |FROM documents WHERE n_chars >= 1
+        |ORDER BY priority, doc_id LIMIT 100""".stripMargin,
+    "domain_cap_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY CAST(('0x' || substr(md5('cap3' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+        |             doc_id) AS rn
+        |  FROM documents) WHERE rn <= 15""".stripMargin,
+    "pagerank_neardup" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings WHERE vec_id % 10 = 0),
+        |e AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.2
+        |), d AS (
+        |  SELECT a AS s, b AS t FROM e UNION ALL SELECT b AS s, a AS t FROM e
+        |), deg AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS deg FROM d GROUP BY s
+        |), s0 AS (
+        |  SELECT DISTINCT s AS id, CAST(1000000 AS BIGINT) AS pr FROM d
+        |), s1 AS (
+        |  SELECT d.t AS id,
+        |    CAST(150000 + sum((2 * 85 * s0.pr + 100 * deg.deg) // (200 * deg.deg)) AS BIGINT) AS pr
+        |  FROM d JOIN deg ON deg.s = d.s JOIN s0 ON s0.id = d.s GROUP BY d.t
+        |), s2 AS (
+        |  SELECT d.t AS id,
+        |    CAST(150000 + sum((2 * 85 * s1.pr + 100 * deg.deg) // (200 * deg.deg)) AS BIGINT) AS pr
+        |  FROM d JOIN deg ON deg.s = d.s JOIN s1 ON s1.id = d.s GROUP BY d.t
+        |), s3 AS (
+        |  SELECT d.t AS id,
+        |    CAST(150000 + sum((2 * 85 * s2.pr + 100 * deg.deg) // (200 * deg.deg)) AS BIGINT) AS pr
+        |  FROM d JOIN deg ON deg.s = d.s JOIN s2 ON s2.id = d.s GROUP BY d.t
+        |)
+        |SELECT id, pr AS pr_micro FROM s3""".stripMargin,
+    "cohort_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, ((epoch_ms(ts) // 86400000) - 4) // 7 AS week FROM events
+        |), c AS (
+        |  SELECT user_id, week, min(week) OVER (PARTITION BY user_id) AS cohort_week FROM active
+        |)
+        |SELECT cohort_week, CAST(week - cohort_week AS INT) AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "rate_spike_hours" ->
+      """WITH h AS (
+        |  SELECT user_id, epoch_ms(ts) // 3600000 AS hour, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT user_id, hour, n,
+        |    CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS total,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS INT) AS n_hours
+        |  FROM h
+        |)
+        |SELECT user_id, hour * 3600000 AS hour_ms, n, total, n_hours
+        |FROM t WHERE n * 100 * n_hours > 200 * total""".stripMargin,
     "lm_doc_scores" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cohort and anomaly analytics over an event log — the product-side
+  * companions to [[Funnel]]: "of the users who arrived in week W, how many
+  * were still active k weeks later" (the retention triangle every growth
+  * dashboard draws), and "which hours spike above a user's own baseline"
+  * (burst detection for abuse / bot triage).
+  *
+  * Portability: time buckets are PURE INTEGER arithmetic on epoch
+  * milliseconds (`day = ms div 86_400_000`, Monday-start
+  * `week = (day − 4) div 7` — epoch day 4 was Monday 1970-01-05), so no
+  * calendar/timezone function ever enters the plan and any engine
+  * reproduces the buckets bit-for-bit.
+  */
+object Cohort {
+
+  private val DayMs = 86400000L
+
+  /** Weekly retention matrix: users bucketed by first-active week
+    * (cohort), counted in each later week they were active. Output one row
+    * per (cohort_week, week_offset): `n_users` active users from that
+    * cohort at that offset (offset 0 = the cohort's size).
+    *
+    * Shape: distinct (user, week) collapses the log to at most
+    * users×weeks rows (one exchange); the per-user first week is a MIN
+    * window over the SAME user-keyed partitioning (no second scan, no
+    * join); the matrix is one final small aggregation. Three exchanges
+    * total, every frame ids-only — at 100 TB the log is touched once and
+    * everything downstream is sketch-sized.
+    */
+  def retentionMatrix(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsMsCol: String = "ts_ms"
+  ): DataFrame = {
+    val week = expr(s"((CAST($tsMsCol AS BIGINT) div $DayMs) - 4) div 7")
+    val active = events
+      .select(col(userCol).as("user_id"), week.as("week"))
+      .distinct()
+    val wUser = Window.partitionBy(col("user_id"))
+    active
+      .withColumn("cohort_week", min(col("week")).over(wUser))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Hours where a user's event count exceeds `thresholdPct`% of their own
+    * average hourly rate (over hours they were active at all). The
+    * comparison is CROSS-MULTIPLIED — `100·n·n_hours > thresholdPct·total`
+    * — so no division or float ever happens: exact, engine-independent.
+    *
+    * Shape: one (user, hour) aggregation collapses the log, then two
+    * windows over the same user partitioning compute the baseline; two
+    * exchanges, frames ids+counts only. Per-user state is one row per
+    * active hour — bounded by the time range, not the log size.
+    */
+  def rateSpikeHours(
+      events: DataFrame,
+      thresholdPct: Int = 300,
+      userCol: String = "user_id",
+      tsMsCol: String = "ts_ms"
+  ): DataFrame = {
+    require(thresholdPct > 0, "thresholdPct must be positive")
+    val hour = expr(s"CAST($tsMsCol AS BIGINT) div 3600000")
+    val wUser = Window.partitionBy(col("user_id"))
+    events
+      .select(col(userCol).as("user_id"), hour.as("hour"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(wUser))
+      .withColumn("n_hours", count(lit(1)).over(wUser))
+      .filter(col("n") * lit(100L) * col("n_hours") > lit(thresholdPct.toLong) * col("total"))
+      .select(
+        col("user_id"),
+        (col("hour") * lit(3600000L)).as("hour_ms"),
+        col("n"),
+        col("total"),
+        col("n_hours").cast("int").as("n_hours"))
+  }
+}

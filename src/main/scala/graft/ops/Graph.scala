@@ -106,4 +106,72 @@ object Graph {
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** PageRank over an undirected graph given as id-oriented edges
+    * (id_a < id_b, distinct), a fixed number of power iterations. On a
+    * near-dup graph this ranks documents by duplication centrality — the
+    * canonical "which pages does the whole crawl orbit" signal, and the
+    * standard iterative-graph workload an engine must express.
+    *
+    * Exactness contract: scores live in integer micro units (initial mass
+    * 10⁶ per node). With damping d = `dampingPct`/100, a node of degree g
+    * and score s sends each neighbor round-half-up(d_pct·s / (100·g)) —
+    * one integer division `(2·d_pct·s + 100·g) div (200·g)` — and receives
+    * teleport (100−d_pct)·10⁴ exactly. Every iteration is pure long
+    * arithmetic, so a fixed-iteration unroll is bit-reproducible in SQL
+    * (the [[graft.ops.Bpe]] replay trick). Rounding leaks ≤1 micro-unit
+    * per (edge, iteration) of mass — deterministic, engine-independent.
+    *
+    * Scale: per-iteration state is the (node, score) frame — ids only;
+    * the degree-annotated directed edge list is materialized ONCE
+    * (localCheckpoint) and each iteration is one co-partitioned join
+    * (edges hash-partitioned by src; only the score frame moves) + one
+    * aggregation by dst. Undirected edges mean every node has an in-edge,
+    * so no dangling-mass correction is needed. Iterations are O(1)
+    * exchanges each; the frame never grows.
+    */
+  def pageRank(
+      edges: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      iterations: Int = 3,
+      dampingPct: Int = 85,
+      materialize: Boolean = true
+  ): DataFrame = {
+    require(iterations >= 1, "at least one iteration")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0, 100]")
+    val spark = edges.sparkSession
+    val shuffleParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // Both directions of every undirected edge, annotated with the
+    // SOURCE's degree (the divisor of its outgoing contribution), and
+    // pre-partitioned by src so each iteration's join moves only the
+    // score frame.
+    val dirRaw = edges
+      .select(col(aCol).as("s"), col(bCol).as("t"))
+      .union(edges.select(col(bCol).as("s"), col(aCol).as("t")))
+    val degRaw = dirRaw.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val dEdges0 = dirRaw
+      .join(degRaw, "s")
+      .repartition(shuffleParts, col("s"))
+    val dEdges =
+      if (materialize) dEdges0.localCheckpoint(eager = true) else dEdges0
+    val teleport = (100L - dampingPct) * 10000L
+    var scores = dEdges
+      .select(col("s").as("id"))
+      .distinct()
+      .withColumn("pr_micro", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      // Per-iteration checkpoint keeps the plan flat (the CC-loop
+      // discipline above); the frame is sketch-sized (node, score).
+      val next = dEdges
+        .join(scores.withColumnRenamed("id", "s"), "s")
+        .select(
+          col("t").as("id"),
+          expr(s"(2 * $dampingPct * pr_micro + 100 * deg) div (200 * deg)").as("c"))
+        .groupBy(col("id"))
+        .agg((sum(col("c")) + lit(teleport)).as("pr_micro"))
+      scores = if (materialize) next.localCheckpoint(eager = true) else next
+    }
+    scores
+  }
 }

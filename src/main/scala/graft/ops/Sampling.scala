@@ -118,6 +118,78 @@ object Sampling {
       .drop("n", "target", "thr")
   }
 
+  /** Weighted sampling without replacement, deterministically: the
+    * Efraimidis–Spirakis exponential race (A-ES, IPL 2006). Each row draws
+    * a uniform from its key hash and races an Exponential(weight) clock —
+    * the k smallest clocks are the sample, and a row's inclusion
+    * probability is proportional to its weight. The RNG-free twist: the
+    * uniform is [[hashValue]], so the sample is a pure function of
+    * (key, seed, weight) — re-runs, engines, and cluster layouts agree.
+    *
+    * Exactness contract (the [[graft.ops.Retrieval]] discipline): the only
+    * float op is one `ln` whose argument is a single IEEE division of two
+    * exact longs — `(2³²)/(u+1)` — micro-rounded on the spot; the clock is
+    * then ONE round-half-up integer division `e_micro·10⁶ / w`, so the
+    * priority order is bit-identical in any engine. Ties (rounding
+    * collisions) break by key.
+    *
+    * Scale: a map-only expression over the scan plus a
+    * TakeOrderedAndProject — per-partition top-k, k rows per partition to
+    * the driver-side final heap. No shuffle, no state; the 100 TB shape.
+    * Rows with weight < 1 are excluded (an Exponential(0) clock never
+    * fires).
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      seed: String
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = hashValue(col(keyCol), seed)
+    // E ~ Exponential(1) via inverse CDF on the (shifted) hash uniform:
+    // ln(2³² / (u+1)) ∈ [0, 32·ln2]; micro-round immediately.
+    val eMicro = floor(
+      log(lit(Two32.toDouble) / (u + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
+      .cast("long")
+    val w = col(weightCol).cast("long")
+    df.filter(w >= 1L)
+      .withColumn("e_micro", eMicro)
+      .withColumn("priority", expr(s"(2000000 * e_micro + CAST($weightCol AS BIGINT)) div (2 * CAST($weightCol AS BIGINT))"))
+      .drop("e_micro")
+      .orderBy(col("priority").asc, col(keyCol).asc)
+      .limit(k)
+  }
+
+  /** Cap each group's contribution at `cap` rows, chosen deterministically
+    * by md5 hash order — the "domain cap" of web-corpus curation (no single
+    * site may dominate the mix), and the general guard against head-heavy
+    * group skew. Membership is a pure function of (key, seed) given the
+    * group's row set.
+    *
+    * Plan: one hash exchange on the group column + per-partition sort for
+    * the row_number window. At 100 TB the caveat is the same as
+    * [[temperatureMixExact]]: each group ranks on one task, so this exact
+    * form suits at-most-GB groups (domains, languages); a pathological
+    * single-group giant wants the threshold path instead.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      cap: Int,
+      seed: String
+  ): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(hashValue(col(keyCol), seed), col(keyCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+  }
+
   /** Assign each row a split label by cumulative weight ranges (weights
     * need not sum to 1 — the remainder falls into the last split).
     */

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Cohort
+
+class CohortSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val DayMs = 86400000L
+  /** Epoch-ms of the Monday starting epoch week `w` (week 0 begins
+    * 1970-01-05, epoch day 4 — the bucketing contract in ops/Cohort).
+    */
+  private def weekStartMs(w: Long): Long = (4L + 7L * w) * DayMs
+
+  test("retentionMatrix: exact triangle on a known log") {
+    // u1: weeks 0,1,3 · u2: weeks 1,2 · u3: week 0 only
+    val events = Seq(
+      (1L, weekStartMs(0) + 1000L),
+      (1L, weekStartMs(0) + 2000L), // same week twice — distinct collapses
+      (1L, weekStartMs(1)),
+      (1L, weekStartMs(3) + 5L * DayMs), // later day, same week
+      (2L, weekStartMs(1) + 3L * DayMs),
+      (2L, weekStartMs(2)),
+      (3L, weekStartMs(0))
+    ).toDF("user_id", "ts_ms")
+    val got = Cohort.retentionMatrix(events)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0, 2L), // cohort week 0: u1, u3
+      (0L, 1, 1L), // u1 back at offset 1
+      (0L, 3, 1L), // u1 back at offset 3
+      (1L, 0, 1L), // cohort week 1: u2
+      (1L, 1, 1L)
+    ))
+  }
+
+  test("retentionMatrix: Monday boundary splits weeks") {
+    // one event Sunday 23:59:59.999 of week 0, one at Monday 00:00 of week 1
+    val events = Seq(
+      (1L, weekStartMs(1) - 1L),
+      (1L, weekStartMs(1))
+    ).toDF("user_id", "ts_ms")
+    val got = Cohort.retentionMatrix(events).as[(Long, Int, Long)].collect().toSet
+    assert(got == Set((0L, 0, 1L), (0L, 1, 1L)))
+  }
+
+  test("rateSpikeHours: spike hour flagged with exact counts, uniform user silent") {
+    val hourMs = 3600000L
+    // u1: 10 quiet hours of 1 event + 1 hour of 10 → total 20 over 11 hours;
+    // the spike passes 100·10·11 > 200·20, the quiet hours fail.
+    // u2: 5 hours of 2 events each — perfectly uniform, never flagged.
+    val ev =
+      ((0 until 10).map(h => (1L, h * hourMs + 5L)) ++
+        (0 until 10).map(i => (1L, 10 * hourMs + i * 1000L)) ++
+        (0 until 5).flatMap(h => Seq((2L, h * hourMs), (2L, h * hourMs + 1L))))
+        .toDF("user_id", "ts_ms")
+    val got = Cohort.rateSpikeHours(ev, thresholdPct = 200)
+      .as[(Long, Long, Long, Long, Int)].collect().toList
+    assert(got == List((1L, 10 * hourMs, 10L, 20L, 11)))
+  }
+
+  test("rateSpikeHours: threshold is strict — exactly at threshold does not fire") {
+    val hourMs = 3600000L
+    // u1: hours with 1,1,2 events → total 4 over 3 hours; the 2-event hour
+    // sits exactly at 2·avg (100·2·3 = 600 = 150·4 at pct=150) — strict >
+    // must NOT flag it at 150, must flag at 149.
+    val ev = Seq(
+      (1L, 0L), (1L, hourMs), (1L, 2 * hourMs), (1L, 2 * hourMs + 1L)
+    ).toDF("user_id", "ts_ms")
+    assert(Cohort.rateSpikeHours(ev, thresholdPct = 150).count() == 0)
+    val got = Cohort.rateSpikeHours(ev, thresholdPct = 149)
+      .as[(Long, Long, Long, Long, Int)].collect().toList
+    assert(got == List((1L, 2 * hourMs, 2L, 4L, 3)))
+  }
+}

@@ -78,4 +78,57 @@ class GraphSpec extends AnyFunSuite {
     val ref = refTriangles((star ++ Seq((1L, 2L))).toSet)
     assert(Graph.nodeTriangles(edges).as[(Long, Long)].collect().toMap == ref)
   }
+
+  /** Local replay of pageRank's exact integer recurrence (same micro
+    * units, same round-half-up division) — Long `/` truncates like SQL
+    * `div` for the positive operands here.
+    */
+  private def refPageRank(
+      edges: Set[(Long, Long)], iters: Int, dPct: Long): Map[Long, Long] = {
+    val directed = edges.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = directed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = deg.keys.map(_ -> 1000000L).toMap
+    val teleport = (100L - dPct) * 10000L
+    for (_ <- 1 to iters) {
+      val contribs = directed.map { case (s, t) =>
+        t -> ((2 * dPct * pr(s) + 100 * deg(s)) / (200 * deg(s)))
+      }
+      pr = contribs.groupBy(_._1).view.mapValues(_.map(_._2).sum + teleport).toMap
+    }
+    pr
+  }
+
+  test("pageRank matches the integer-exact local replay; hub ranks highest") {
+    // star hub 0 with 8 spokes, a separate triangle, a 2-path
+    val edges = ((1L to 8L).map(i => (0L, i)) ++
+      Seq((20L, 21L), (20L, 22L), (21L, 22L), (30L, 31L))).toSet
+    val got = Graph.pageRank(edges.toSeq.toDF("id_a", "id_b"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refPageRank(edges, iters = 3, dPct = 85))
+    // the star hub dominates every spoke and every triangle corner
+    assert(got(0L) == got.values.max)
+    assert((1L to 8L).forall(i => got(i) < got(0L)))
+    // symmetric positions score identically
+    assert(got(20L) == got(21L) && got(21L) == got(22L))
+    assert(got(30L) == got(31L))
+  }
+
+  test("pageRank conserves mass up to the documented rounding leak") {
+    val rnd = new scala.util.Random(11)
+    val edges = (for (_ <- 1 to 120) yield {
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.toSet
+    val iters = 4
+    val got = Graph.pageRank(edges.toSeq.toDF("id_a", "id_b"), iterations = iters)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refPageRank(edges, iters, dPct = 85))
+    val n = got.size
+    val total = got.values.sum
+    // each (directed edge, iteration) may round away <1 micro-unit; the
+    // teleport term is exact
+    val maxLeak = 2L * edges.size * iters + n
+    assert(math.abs(total - 1000000L * n) <= maxLeak,
+      s"mass $total vs ${1000000L * n} (leak bound $maxLeak)")
+  }
 }

@@ -103,4 +103,54 @@ class SamplingSpec extends AnyFunSuite {
     // the TAIL set must be byte-identical (strata are independent).
     assert(grown.filter(_._2 == "tail").toSet == kept.filter(_._2 == "tail").toSet)
   }
+
+  private def hv(seed: String, key: Long): Long =
+    java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(seed + key.toString).substring(0, 8), 16)
+
+  test("weightedSample: priorities match the exact local formula, k smallest win") {
+    val df = (0L until 500L).map(i => (i, 1L + i % 97)).toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 50, seed = "ws1")
+      .select($"id", $"w", $"priority").as[(Long, Long, Long)].collect()
+    def refPriority(key: Long, w: Long): Long = {
+      val u = hv("ws1", key)
+      val e = math.floor(math.log(4294967296.0 / (u + 1).toDouble) * 1e6 + 0.5).toLong
+      (2000000L * e + w) / (2L * w)
+    }
+    got.foreach { case (id, w, p) => assert(p == refPriority(id, w), s"id $id") }
+    val all = (0L until 500L).map(i => (i, 1L + i % 97, refPriority(i, 1L + i % 97)))
+    val expect = all.sortBy(t => (t._3, t._1)).take(50).map(_._1).toSeq
+    assert(got.sortBy(t => (t._3, t._1)).map(_._1).toSeq == expect)
+  }
+
+  test("weightedSample: heavier rows are overrepresented; weight<1 excluded") {
+    // 1000 light rows (w=1) vs 100 heavy rows (w=50): heavy mass is
+    // 5000/6000 — a 200-row sample should be heavy-dominated
+    val df = ((0L until 1000L).map(i => (i, 1L)) ++
+      (1000L until 1100L).map(i => (i, 50L))).toDF("id", "w")
+    val kept = Sampling.weightedSample(df, "id", "w", k = 200, seed = "ws2")
+      .select($"id").as[Long].collect()
+    val heavy = kept.count(_ >= 1000L)
+    assert(heavy > 60, s"heavy rows in sample: $heavy of 200")
+    // zero/negative weights never appear
+    val withZero = df.union(Seq((5000L, 0L), (5001L, -3L)).toDF("id", "w"))
+    val kept2 = Sampling.weightedSample(withZero, "id", "w", k = 1200, seed = "ws2")
+      .select($"id").as[Long].collect()
+    assert(!kept2.contains(5000L) && !kept2.contains(5001L))
+  }
+
+  test("capPerGroup: caps binding groups, keeps small groups whole, deterministic") {
+    val df = ((0L until 300L).map(i => (i, "big")) ++
+      (300L until 310L).map(i => (i, "small"))).toDF("id", "g")
+    val kept = Sampling.capPerGroup(df, "id", "g", cap = 25, seed = "c1")
+      .select($"id", $"g").as[(Long, String)].collect()
+    val byG = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byG("big") == 25 && byG("small") == 10)
+    // deterministic: the kept set is the 25 smallest (hash, id) keys
+    val expectBig = (0L until 300L).sortBy(i => (hv("c1", i), i)).take(25).toSet
+    assert(kept.filter(_._2 == "big").map(_._1).toSet == expectBig)
+    val again = Sampling.capPerGroup(df, "id", "g", cap = 25, seed = "c1")
+      .select($"id", $"g").as[(Long, String)].collect()
+    assert(again.toSet == kept.toSet)
+  }
 }
