@@ -152,4 +152,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), "fused top-k must not global-sort")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("weighted sample: map-only expression + per-partition top-k, zero exchanges") {
+    val plan = executedPlan("weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"), "k smallest must not global-sort")
+    assert(!plan.contains("Exchange hashpartitioning"), "no shuffle expected")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, "one corpus scan")
+  }
+
+  test("domain cap: one exchange on the group column, one scan") {
+    val plan = executedPlan("domain_cap_sample")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, "exactly one shuffle")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, "one corpus scan")
+  }
+
+  test("cohort retention: the event log is scanned once; frames after it are ids-only") {
+    val plan = executedPlan("cohort_retention")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, "one log scan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      "no join belongs in this plan")
+  }
+
+  test("pageRank: the per-iteration joins run on the checkpointed edge list, not the pair pipeline") {
+    // the executed plan of the FINAL iteration must not re-derive the
+    // near-dup candidate pairs (no parquet rescan: edges come from the
+    // localCheckpoint, so the only leaves are cached RDD scans)
+    val plan = executedPlan("pagerank_neardup")
+    assert(!plan.contains("Scan parquet"), s"pair pipeline re-executed:\n$plan")
+  }
 }
