@@ -1161,6 +1161,29 @@ object SparkEntry {
       // anywhere (ops/Cohort.scala).
       graft.ops.Cohort.rateSpikeHours(eventsTable(s, dir), thresholdPct = 200)
     },
+    "group_median_mad" -> { (s, dir) =>
+      // Robust location/spread per group: lower median + MAD by explicit
+      // order selection (rank (n+1) div 2) — no interpolating percentile
+      // function, so integer cents stay integers (ops/Robust.scala).
+      graft.ops.Robust.groupedMedianMad(
+        table(s, dir, "lineitem")
+          .select(col("l_returnflag"), cents(col("l_extendedprice")).as("cents")),
+        "l_returnflag",
+        "cents")
+    },
+    "pareto_parts" -> { (s, dir) =>
+      // 2-D Pareto frontier (maximize size AND price): lossless integer
+      // grid prune (bucket census broadcast, map-side kill of dominated
+      // buckets) + exact dominance anti-join over the staircase band —
+      // corpus never shuffles, no sort anywhere (ops/Skyline.scala).
+      graft.ops.Skyline.pareto2d(
+        table(s, dir, "part")
+          .select(
+            col("p_size").cast("long").as("p_size"),
+            cents(col("p_retailprice")).as("price_cents")),
+        "p_size",
+        "price_cents")
+    },
     "hll_rolling_users" -> { (s, dir) =>
       // 7-day rolling distinct users by HLL register MERGE: the union
       // sketch over a window is the per-bucket max of the daily
@@ -3241,6 +3264,35 @@ object SparkEntry {
         |)
         |SELECT user_id, hour * 3600000 AS hour_ms, n, total, n_hours
         |FROM t WHERE n * 100 * n_hours > 200 * total""".stripMargin,
+    "group_median_mad" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM v
+        |), m AS (
+        |  SELECT g, max(n) AS n, max(v) AS med FROM r WHERE rn = (n + 1) // 2 GROUP BY g
+        |), d AS (
+        |  SELECT v.g, abs(v.v - m.med) AS dev, m.n, m.med FROM v JOIN m ON v.g = m.g
+        |), r2 AS (
+        |  SELECT g, dev, n, med, row_number() OVER (PARTITION BY g ORDER BY dev) AS rn FROM d
+        |)
+        |SELECT g AS l_returnflag, max(n) AS n, max(med) AS med, max(dev) AS mad
+        |FROM r2 WHERE rn = (n + 1) // 2 GROUP BY g""".stripMargin,
+    "pareto_parts" ->
+      """WITH t AS (
+        |  SELECT CAST(p_size AS BIGINT) AS p_size,
+        |    CAST(floor(p_retailprice*100 + 0.5) AS BIGINT) AS price_cents
+        |  FROM part
+        |)
+        |SELECT DISTINCT p_size, price_cents FROM t a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM t b
+        |  WHERE b.p_size >= a.p_size AND b.price_cents >= a.price_cents
+        |    AND (b.p_size > a.p_size OR b.price_cents > a.price_cents))""".stripMargin,
     "lm_doc_scores" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust per-group statistics by explicit order selection — median and
+  * MAD (median absolute deviation), the outlier-immune location/spread
+  * pair that winsorization (`value_winsorized`) and z-scores need.
+  *
+  * Exactness: both statistics are ORDER STATISTICS picked by row position
+  * (lower median at rank (n+1) div 2), never interpolated — the selected
+  * value is an element of the input, so integer inputs stay integers and
+  * every engine agrees bit-for-bit. No percentile function (whose
+  * interpolation rules differ across engines) enters the plan.
+  *
+  * Shape: one sort-window per statistic over the SAME group partitioning
+  * (Catalyst plans one exchange for both windows of pass 1), a broadcast
+  * join of the ≤|groups|-row median frame, and the same again for the
+  * deviations. At 100 TB the caveat is the usual per-group sort: exact
+  * order statistics suit at-most-GB groups; beyond that, the
+  * histogram-bucket median of `lineitem_profile_approx` is the sketch
+  * substitute (bin counts cross the exchange, not rows).
+  */
+object Robust {
+
+  /** Lower median of `valCol` at rank (n+1) div 2 within each group.
+    * Output: one row per group — (groupCols..., n, med).
+    */
+  def groupedMedian(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(valCol).as("v"))
+      .withColumn("rn", row_number().over(w.orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("rn").cast("long") === expr("(n + 1) div 2"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), max(col("v")).as("med"))
+  }
+
+  /** Median + MAD per group. Two selection passes: the median of the
+    * values, then the median of |v − med| against the broadcast median
+    * frame. Output: (group, n, med, mad).
+    */
+  def groupedMedianMad(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String
+  ): DataFrame = {
+    val med = groupedMedian(df, groupCol, valCol)
+    val w = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(valCol).as("v0"))
+      .join(broadcast(med), groupCol)
+      .withColumn("dev", abs(col("v0") - col("med")))
+      .withColumn("rn", row_number().over(w.orderBy(col("dev"))))
+      .filter(col("rn").cast("long") === expr("(n + 1) div 2"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), max(col("med")).as("med"), max(col("dev")).as("mad"))
+  }
+}

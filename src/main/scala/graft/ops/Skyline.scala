@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Two-dimensional Pareto frontier (skyline): the rows not strictly
+  * dominated in the maximize-both sense — b dominates a iff b.x ≥ a.x,
+  * b.y ≥ a.y and at least one is strict. The multi-objective "best
+  * tradeoff" operator (price vs quality, recall vs cost) that no single
+  * ORDER BY can express.
+  *
+  * Shape (the reason this scales): a LOSSLESS grid prune runs first —
+  * bucket both dims into `gridBits`-bit ranges from the global min/max
+  * (one tiny agg, broadcast); any point whose bucket has a non-empty
+  * bucket strictly above-right is dominated by EVERY point of that bucket
+  * (bucket edges guarantee strict dominance across a full bucket step),
+  * so it dies in a map-side filter against the broadcast ≤4^gridBits-row
+  * bucket inventory. Survivors hug the frontier staircase —
+  * O(2^gridBits + skyline) buckets — and only they enter the exact
+  * dominance check, a broadcast anti-join of the (small) candidate set
+  * against itself. The full corpus is scanned twice (bucket census +
+  * prune) and NEVER shuffled; no sort anywhere.
+  *
+  * Exactness: bucketing is integer arithmetic on the integer inputs
+  * (`(v − min)·2^bits div (max − min + 1)`), and pruning is lossless, so
+  * the result equals the naive NOT EXISTS skyline — the SQL oracle form.
+  */
+object Skyline {
+
+  def pareto2d(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      gridBits: Int = 4
+  ): DataFrame = {
+    require(gridBits >= 1 && gridBits <= 8, "gridBits in [1, 8]")
+    val cells = 1L << gridBits
+    val pts = df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+
+    // Global ranges: one 1-row aggregate, collected (bounded by design).
+    val r = pts.agg(min("x"), max("x"), min("y"), max("y")).head()
+    if (r.isNullAt(0)) return pts.limit(0).select(col("x").as(xCol), col("y").as(yCol))
+    val (xMin, xMax, yMin, yMax) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val xSpan = xMax - xMin + 1
+    val ySpan = yMax - yMin + 1
+    val bx = expr(s"(($cells * (x - $xMin)) div $xSpan)")
+    val by = expr(s"(($cells * (y - $yMin)) div $ySpan)")
+
+    // Bucket census (≤ 4^gridBits rows) → per-bucket prune flag computed
+    // on the driver: bucket (i,j) survives iff no non-empty bucket sits
+    // strictly above-right. O(cells²) pairs over a tiny set.
+    val census = pts
+      .groupBy(bx.as("bx"), by.as("by"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+    val live = census.filter { case (i, j) =>
+      !census.exists { case (i2, j2) => i2 > i && j2 > j }
+    }
+    val liveSet = live.map { case (i, j) => i * cells + j }.toSeq
+
+    // Map-side prune: only frontier-staircase buckets survive.
+    val cand = pts
+      .filter((bx * lit(cells) + by).isInCollection(liveSet))
+
+    // Exact dominance over the (small) candidate set: broadcast
+    // left-anti self-join. Candidates are bounded by the staircase
+    // band, so the broadcast is safe by construction.
+    val c = cand.localCheckpoint(eager = true)
+    c.as("a")
+      .join(
+        broadcast(c.as("b")),
+        col("b.x") >= col("a.x") && col("b.y") >= col("a.y") &&
+          (col("b.x") > col("a.x") || col("b.y") > col("a.y")),
+        "left_anti")
+      .select(col("a.x").as(xCol), col("a.y").as(yCol))
+      .distinct()
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Robust
+
+class RobustSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def lowerMedian(vs: Seq[Long]): Long = {
+    val s = vs.sorted
+    s(((vs.size + 1) / 2) - 1)
+  }
+
+  test("groupedMedian: lower median at rank (n+1) div 2, odd and even sizes") {
+    val df = Seq(
+      ("odd", 5L), ("odd", 1L), ("odd", 9L),
+      ("even", 10L), ("even", 20L), ("even", 30L), ("even", 40L)
+    ).toDF("g", "v")
+    val got = Robust.groupedMedian(df, "g", "v")
+      .as[(String, Long, Long)].collect().map { case (g, n, m) => g -> (n, m) }.toMap
+    assert(got("odd") == (3L, 5L))
+    assert(got("even") == (4L, 20L)) // lower of the middle pair
+  }
+
+  test("groupedMedianMad matches a local reference on random groups") {
+    val rnd = new scala.util.Random(31)
+    val rows = for (g <- Seq("a", "b", "c"); _ <- 1 to 200 + rnd.nextInt(7))
+      yield (g, rnd.nextInt(10000).toLong)
+    val got = Robust.groupedMedianMad(rows.toDF("g", "v"), "g", "v")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (g, n, med, mad) => g -> (n, med, mad) }.toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val vs = grp.map(_._2)
+      val med = lowerMedian(vs)
+      val mad = lowerMedian(vs.map(v => math.abs(v - med)))
+      assert(got(g) == (vs.size.toLong, med, mad), s"group $g")
+    }
+  }
+
+  test("groupedMedianMad: constant group has mad 0; ties at the median are fine") {
+    val df = Seq(("c", 7L), ("c", 7L), ("c", 7L), ("t", 1L), ("t", 1L), ("t", 5L))
+      .toDF("g", "v")
+    val got = Robust.groupedMedianMad(df, "g", "v")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (g, n, med, mad) => g -> (n, med, mad) }.toMap
+    assert(got("c") == (3L, 7L, 0L))
+    assert(got("t") == (3L, 1L, 0L)) // median 1, devs (0,0,4) → mad 0
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skyline
+
+class SkylineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def refSkyline(pts: Seq[(Long, Long)]): Set[(Long, Long)] =
+    pts.filter { case (x, y) =>
+      !pts.exists { case (x2, y2) => x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.toSet
+
+  test("pareto2d equals the brute-force skyline on random points, all grid sizes") {
+    val rnd = new scala.util.Random(91)
+    val pts = Seq.fill(800)((rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+    val ref = refSkyline(pts)
+    for (bits <- Seq(1, 4, 8)) {
+      val got = Skyline.pareto2d(pts.toDF("x", "y"), "x", "y", gridBits = bits)
+        .as[(Long, Long)].collect().toSet
+      assert(got == ref, s"gridBits=$bits")
+    }
+  }
+
+  test("anti-correlated points: the whole diagonal survives; correlated: one point") {
+    val anti = (0L until 100L).map(i => (i, 99L - i))
+    val gotAnti = Skyline.pareto2d(anti.toDF("x", "y"), "x", "y")
+      .as[(Long, Long)].collect().toSet
+    assert(gotAnti == anti.toSet)
+    val corr = (0L until 100L).map(i => (i, i))
+    val gotCorr = Skyline.pareto2d(corr.toDF("x", "y"), "x", "y")
+      .as[(Long, Long)].collect().toSet
+    assert(gotCorr == Set((99L, 99L)))
+  }
+
+  test("duplicate frontier points collapse to one row; equal points never dominate each other") {
+    val pts = Seq((5L, 5L), (5L, 5L), (1L, 9L), (1L, 1L))
+    val got = Skyline.pareto2d(pts.toDF("x", "y"), "x", "y")
+      .as[(Long, Long)].collect()
+    assert(got.toSet == Set((5L, 5L), (1L, 9L)))
+    assert(got.length == 2, "distinct output rows")
+  }
+
+  test("degenerate inputs: empty frame, single point, constant column") {
+    assert(Skyline.pareto2d(Seq.empty[(Long, Long)].toDF("x", "y"), "x", "y").count() == 0)
+    assert(Skyline.pareto2d(Seq((3L, 4L)).toDF("x", "y"), "x", "y")
+      .as[(Long, Long)].collect().toSet == Set((3L, 4L)))
+    // constant x: skyline = max y only
+    val pts = (0L until 50L).map(i => (7L, i))
+    assert(Skyline.pareto2d(pts.toDF("x", "y"), "x", "y")
+      .as[(Long, Long)].collect().toSet == Set((7L, 49L)))
+  }
+
+  test("grid prune is lossless under heavy bucket skew (all points in one bucket)") {
+    // values span 1..4 while the grid spans 16 cells — everything lands in
+    // few buckets; the exact phase must still produce the true skyline
+    val pts = Seq((1L, 4L), (2L, 3L), (3L, 2L), (4L, 1L), (1L, 1L), (2L, 2L))
+    val got = Skyline.pareto2d(pts.toDF("x", "y"), "x", "y")
+      .as[(Long, Long)].collect().toSet
+    assert(got == refSkyline(pts))
+  }
+}
