@@ -1161,6 +1161,34 @@ object SparkEntry {
       // anywhere (ops/Cohort.scala).
       graft.ops.Cohort.rateSpikeHours(eventsTable(s, dir), thresholdPct = 200)
     },
+    "hll_retained_users" -> { (s, dir) =>
+      // Sketch algebra: |A∩B| by inclusion–exclusion over merged HLL
+      // registers (union = per-bucket max) — the sketch substitute for
+      // the exact INTERSECT of user_retention_sets: 2·m register rows
+      // cross the exchange instead of two user sets
+      // (ops/HeavyHitters.scala).
+      val ev = eventsTable(s, dir)
+      val mid = 1705276800000L // same split as user_retention_sets
+      graft.ops.HeavyHitters.hllIntersect(
+        ev.filter(col("ts_ms") < mid).select(col("user_id")),
+        ev.filter(col("ts_ms") >= mid).select(col("user_id")),
+        "user_id")
+    },
+    "event_transitions" -> { (s, dir) =>
+      // First-order Markov transition matrix over each user's event
+      // sequence, ordered by the full (ts, event_id) total order so both
+      // engines replay the identical sequence; shares in exact basis
+      // points (ops/Cohort.scala).
+      graft.ops.Cohort.eventTransitions(eventsTable(s, dir))
+    },
+    "benford_digits" -> { (s, dir) =>
+      // Benford first-digit screen over price cents: leading digit by
+      // string indexing (no log10 arithmetic on the data path), observed
+      // share in exact bps next to the micro-rounded Benford expectation
+      // (ops/Robust.scala).
+      graft.ops.Robust.benfordDigits(
+        table(s, dir, "lineitem").select(cents(col("l_extendedprice")).as("v")), "v")
+    },
     "group_median_mad" -> { (s, dir) =>
       // Robust location/spread per group: lower median + MAD by explicit
       // order selection (rank (n+1) div 2) — no interpolating percentile
@@ -3264,6 +3292,78 @@ object SparkEntry {
         |)
         |SELECT user_id, hour * 3600000 AS hour_ms, n, total, n_hours
         |FROM t WHERE n * 100 * n_hours > 200 * total""".stripMargin,
+    "hll_retained_users" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN epoch_ms(ts) < 1705276800000 THEN 'a' ELSE 'b' END AS k, user_id
+        |  FROM events
+        |), h AS (
+        |  SELECT k,
+        |    CAST(('0x' || substr(md5('hll-' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+        |  FROM e
+        |), b AS (
+        |  SELECT k, CAST(hv % 64 AS INT) AS bucket, hv // 64 AS w FROM h
+        |), r AS (
+        |  SELECT k, bucket,
+        |    max(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS rho
+        |  FROM b GROUP BY 1, 2
+        |), r2 AS (
+        |  SELECT k, bucket, rho FROM r
+        |  UNION ALL
+        |  SELECT 'u' AS k, bucket, max(rho) AS rho FROM r GROUP BY bucket
+        |), keys AS (SELECT DISTINCT k FROM r2),
+        |regs AS (
+        |  SELECT keys.k, g.bucket, CAST(COALESCE(r2.rho, 0) AS INT) AS rho
+        |  FROM keys CROSS JOIN (SELECT unnest(range(64)) AS bucket) g
+        |  LEFT JOIN r2 ON r2.k = keys.k AND r2.bucket = g.bucket
+        |), agg AS (
+        |  SELECT k,
+        |    CAST(sum(CAST(1 AS BIGINT) << (32 - rho)) AS BIGINT) AS s_scaled,
+        |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+        |  FROM regs GROUP BY 1
+        |), est AS (
+        |  SELECT k,
+        |    CAST(floor(
+        |      CASE WHEN (0.709e0 * 4096.0e0 / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0)) <= 160.0e0
+        |            AND v_empty > 0
+        |      THEN 64.0e0 * ln(64.0e0 / CAST(v_empty AS DOUBLE))
+        |      ELSE 0.709e0 * 4096.0e0 / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0) END
+        |      * 1e6 + 0.5e0) AS BIGINT) AS est_micro
+        |  FROM agg
+        |)
+        |SELECT
+        |  max(CASE WHEN k = 'a' THEN est_micro END) AS est_a_micro,
+        |  max(CASE WHEN k = 'b' THEN est_micro END) AS est_b_micro,
+        |  max(CASE WHEN k = 'u' THEN est_micro END) AS est_union_micro,
+        |  max(CASE WHEN k = 'a' THEN est_micro END) + max(CASE WHEN k = 'b' THEN est_micro END)
+        |    - max(CASE WHEN k = 'u' THEN est_micro END) AS est_intersect_micro
+        |FROM est""".stripMargin,
+    "event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+        |  FROM events
+        |), pairs AS (
+        |  SELECT event_type AS src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT src_type, dst_type, n,
+        |  CAST((2 * 10000 * n + sum(n) OVER (PARTITION BY src_type))
+        |    // (2 * sum(n) OVER (PARTITION BY src_type)) AS INT) AS share_bps
+        |FROM pairs""".stripMargin,
+    "benford_digits" ->
+      """WITH v AS (
+        |  SELECT CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v FROM lineitem
+        |), d AS (
+        |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM v WHERE v >= 1
+        |), c AS (
+        |  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+        |)
+        |SELECT digit, n,
+        |  CAST((2 * 10000 * n + sum(n) OVER ()) // (2 * sum(n) OVER ()) AS INT) AS share_bps,
+        |  CAST(floor(ln((digit + 1.0e0) / CAST(digit AS DOUBLE)) / ln(10.0e0) * 1e6 + 0.5e0)
+        |    AS BIGINT) AS benford_micro
+        |FROM c""".stripMargin,
     "group_median_mad" ->
       """WITH v AS (
         |  SELECT l_returnflag AS g,

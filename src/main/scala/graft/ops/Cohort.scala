@@ -48,6 +48,40 @@ object Cohort {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** First-order Markov transition counts over each user's event-type
+    * sequence: (src_type, dst_type, n, share_bps), where share_bps is the
+    * row's share of all transitions out of src_type in exact round-half-up
+    * basis points. The "what do users do next" primitive behind session
+    * flow diagrams and next-event prediction baselines.
+    *
+    * Determinism: consecutive-pair structure depends on the ORDER of each
+    * user's events, so the sequence is ordered by the full (ts, id) total
+    * order — any engine replays the identical sequence. Shape: one
+    * exchange on user for the lag window, one aggregation on the type
+    * pair (≤ |types|² rows), share via a window over the tiny pair frame.
+    */
+  def eventTransitions(
+      events: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"
+  ): DataFrame = {
+    val wSeq = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("dst_type", lead(col(typeCol), 1).over(wSeq))
+      .filter(col("dst_type").isNotNull)
+      .groupBy(col(typeCol).as("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n"))
+    val wSrc = Window.partitionBy(col("src_type"))
+    pairs
+      .withColumn("src_total", sum(col("n")).over(wSrc))
+      .withColumn("share_bps",
+        expr("(2 * 10000 * n + src_total) div (2 * src_total)").cast("int"))
+      .drop("src_total")
+  }
+
   /** Hours where a user's event count exceeds `thresholdPct`% of their own
     * average hourly rate (over hours they were active at all). The
     * comparison is CROSS-MULTIPLIED — `100·n·n_hours > thresholdPct·total`

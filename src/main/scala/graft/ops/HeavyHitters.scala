@@ -228,6 +228,48 @@ object HeavyHitters {
     dense.select(col(keyCol), col("bucket"), max(col("rho")).over(w).as("rho"))
   }
 
+  /** Set-intersection cardinality by inclusion–exclusion over MERGED
+    * sketches: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch
+    * is the per-bucket register MAX — the composition that makes sketches
+    * an algebra, not just counters. Exact intersection of two 100 TB-day
+    * user sets would shuffle both sets; this crosses the exchange with
+    * 2·m register rows and never materializes either set.
+    *
+    * Output: one row (est_a_micro, est_b_micro, est_union_micro,
+    * est_intersect_micro). The intersect estimate inherits both sketches'
+    * error and can go negative on tiny overlaps — it is the standard
+    * HLL inclusion–exclusion estimator, reported as-is (deterministic,
+    * oracle-exact).
+    */
+  def hllIntersect(
+      a: DataFrame,
+      b: DataFrame,
+      itemCol: String,
+      seed: String = "hll",
+      m: Int = 64
+  ): DataFrame = {
+    val keyed = a
+      .select(lit("a").as("k"), col(itemCol))
+      .union(b.select(lit("b").as("k"), col(itemCol)))
+    // referenced twice (own rows + union-merge) — cut the lineage on the
+    // ≤ 2·m-row register frame
+    val regs = hllRegistersBy(keyed, itemCol, "k", seed, m).localCheckpoint(eager = true)
+    val uni = regs
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+      .select(lit("u").as("k"), col("bucket"), col("rho"))
+    val est = hllEstimateBy(regs.union(uni), "k", m)
+    est
+      .groupBy()
+      .agg(
+        max(when(col("k") === "a", col("est_micro"))).as("est_a_micro"),
+        max(when(col("k") === "b", col("est_micro"))).as("est_b_micro"),
+        max(when(col("k") === "u", col("est_micro"))).as("est_union_micro"))
+      .withColumn(
+        "est_intersect_micro",
+        col("est_a_micro") + col("est_b_micro") - col("est_union_micro"))
+  }
+
   def hllEstimateBy(registers: DataFrame, keyCol: String, m: Int = 64): DataFrame = {
     val spark = registers.sparkSession
     hllP(m)

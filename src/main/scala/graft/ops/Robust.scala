@@ -41,6 +41,39 @@ object Robust {
       .agg(max(col("n")).as("n"), max(col("v")).as("med"))
   }
 
+  /** Benford first-digit profile of a positive integer column — the
+    * classic fabricated-data / unit-mix screen: natural multiplicative
+    * data follows P(d) = log10(1 + 1/d); flat or spiked digit shares flag
+    * synthetic or truncated values. Output per leading digit 1..9:
+    * (digit, n, share_bps, benford_micro) — the observed share in exact
+    * round-half-up basis points next to the Benford expectation in micro
+    * units (one micro-rounded `ln` ratio of small constants — the proven
+    * cross-engine-safe float pattern).
+    *
+    * The leading digit is taken from the DECIMAL STRING of the value —
+    * pure string indexing, no log10/power arithmetic whose rounding at
+    * exact powers of ten differs across engines. Shape: map-side digit
+    * extraction, one ≤9-row aggregation, share via a window over that
+    * tiny frame.
+    */
+  def benfordDigits(df: DataFrame, valCol: String): DataFrame = {
+    val counts = df
+      .filter(col(valCol) >= 1L)
+      .select(substring(col(valCol).cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy()
+    counts
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("share_bps", expr("(2 * 10000 * n + total) div (2 * total)").cast("int"))
+      .withColumn(
+        "benford_micro",
+        floor(
+          log((col("digit") + lit(1)).cast("double") / col("digit").cast("double")) /
+            log(lit(10.0)) * lit(1e6) + lit(0.5)).cast("long"))
+      .drop("total")
+  }
+
   /** Median + MAD per group. Two selection passes: the median of the
     * values, then the median of |v − med| against the broadcast median
     * frame. Output: (group, n, med, mad).

@@ -61,6 +61,38 @@ class CohortSpec extends AnyFunSuite {
     assert(got == List((1L, 10 * hourMs, 10L, 20L, 11)))
   }
 
+  test("eventTransitions: exact pair counts and bps shares on a known sequence") {
+    // u1: a→b→a→c (order fixed by ts; one ts tie broken by event_id)
+    // u2: b→b
+    val ev = Seq(
+      (1L, 10L, 1L, "a"),
+      (1L, 20L, 2L, "b"),
+      (1L, 30L, 3L, "a"),
+      (1L, 30L, 4L, "c"), // ts tie: event_id orders a before c
+      (2L, 5L, 5L, "b"),
+      (2L, 6L, 6L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Cohort.eventTransitions(ev)
+      .as[(String, String, Long, Int)].collect()
+      .map { case (s, d, n, bps) => (s, d) -> (n, bps) }.toMap
+    assert(got == Map(
+      ("a", "b") -> (1L, 5000), // a has 2 outgoing: a→b, a→c
+      ("a", "c") -> (1L, 5000),
+      ("b", "a") -> (1L, 5000), // b has 2 outgoing: b→a (u1), b→b (u2)
+      ("b", "b") -> (1L, 5000)
+    ))
+  }
+
+  test("eventTransitions: last event of each user emits no pair; single-event user vanishes") {
+    val ev = Seq(
+      (1L, 1L, 1L, "x"),
+      (2L, 1L, 2L, "x"), (2L, 2L, 3L, "y")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Cohort.eventTransitions(ev)
+      .as[(String, String, Long, Int)].collect().toList
+    assert(got == List(("x", "y", 1L, 10000)))
+  }
+
   test("rateSpikeHours: threshold is strict — exactly at threshold does not fire") {
     val hourMs = 3600000L
     // u1: hours with 1,1,2 events → total 4 over 3 hours; the 2-event hour

@@ -137,4 +137,23 @@ class HeavyHittersSpec extends AnyFunSuite {
       .select("est_micro").as[Long].collect().head / 1e6
     assert(est > 40 * 0.6 && est < 40 * 1.4, s"estimate $est vs true 40")
   }
+
+  test("hllIntersect: inclusion-exclusion tracks the true overlap; union dominates both legs") {
+    def items(r: Range) = r.map(i => s"user$i").toDF("item")
+    // |A|=60, |B|=60, |A∩B|=20
+    val got = HeavyHitters.hllIntersect(items(0 until 60), items(40 until 100), "item")
+      .as[(Long, Long, Long, Long)].collect().head
+    val (a, b, u, i) = got
+    assert(i == a + b - u, "inclusion-exclusion identity must hold exactly")
+    assert(u >= a && u >= b, "union sketch estimate dominates each leg")
+    assert(i / 1e6 > 20 * 0.4 && i / 1e6 < 20 * 2.2, s"intersect ${i / 1e6} vs true 20")
+    // identical sets: union == each leg, intersect == leg estimate
+    val same = HeavyHitters.hllIntersect(items(0 until 50), items(0 until 50), "item")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(same._1 == same._2 && same._2 == same._3 && same._4 == same._1)
+    // disjoint sets: intersect estimate sits near zero (can be negative)
+    val disj = HeavyHitters.hllIntersect(items(0 until 50), items(100 until 150), "item")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(math.abs(disj._4) / 1e6 < 15, s"disjoint intersect ${disj._4 / 1e6}")
+  }
 }

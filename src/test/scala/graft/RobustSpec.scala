@@ -39,6 +39,28 @@ class RobustSpec extends AnyFunSuite {
     }
   }
 
+  test("benfordDigits: exact counts/shares; expectation constants sit far from rounding edges") {
+    // leading digits by string: 1,1,2,9,19 → digit 1 ×3 (1,1,19), 2 ×1, 9 ×1;
+    // zero and negatives are excluded
+    val df = Seq(1L, 1L, 2L, 9L, 19L, 0L, -5L).toDF("v")
+    val got = Robust.benfordDigits(df, "v")
+      .as[(Int, Long, Int, Long)].collect()
+      .map { case (d, n, bps, bm) => d -> (n, bps, bm) }.toMap
+    assert(got.keySet == Set(1, 2, 9))
+    assert(got(1) == (3L, 6000, 301030L)) // round(log10(2)·1e6)
+    assert(got(2)._1 == 1L && got(2)._2 == 2000 && got(2)._3 == 176091L)
+    assert(got(9)._3 == 45757L) // round(log10(10/9)·1e6)
+    // every Benford micro constant sits ≥ 1e-4 from a rounding edge —
+    // a cross-engine ln difference is a few ulps (~1e-11 micro units at
+    // this magnitude), seven orders smaller, so the rounded value can
+    // never flip (the closest digit, 9, sits 0.0094 away)
+    (1 to 9).foreach { d =>
+      val exact = math.log10(1.0 + 1.0 / d) * 1e6
+      val frac = exact + 0.5 - math.floor(exact + 0.5)
+      assert(math.min(frac, 1.0 - frac) > 1e-4, s"digit $d too close to a rounding edge: $exact")
+    }
+  }
+
   test("groupedMedianMad: constant group has mad 0; ties at the median are fine") {
     val df = Seq(("c", 7L), ("c", 7L), ("c", 7L), ("t", 1L), ("t", 1L), ("t", 5L))
       .toDF("g", "v")
