@@ -1148,6 +1148,24 @@ object SparkEntry {
       graft.ops.Graph.pageRank(
         Similarity.cosineNearDupPairs(emb, threshold = 0.2).select(col("id_a"), col("id_b")))
     },
+    "clustering_coeff" -> { (s, dir) =>
+      // Local clustering coefficient over the near-dup graph: how
+      // clique-like each node's neighborhood is, in exact basis points —
+      // separates real dup clusters (→10000) from hub artifacts (→0)
+      // (ops/Graph.scala).
+      val emb = table(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      graft.ops.Graph.clusteringCoeff(
+        Similarity.cosineNearDupPairs(emb, threshold = 0.2).select(col("id_a"), col("id_b")))
+    },
+    "label_prop_communities" -> { (s, dir) =>
+      // Synchronous label propagation (3 rounds, deterministic min-of-
+      // argmax rule): community labels over the near-dup graph —
+      // per-round state ids-only, edge list materialized once
+      // (ops/Graph.scala).
+      val emb = table(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      graft.ops.Graph.labelPropagation(
+        Similarity.cosineNearDupPairs(emb, threshold = 0.2).select(col("id_a"), col("id_b")))
+    },
     "cohort_retention" -> { (s, dir) =>
       // Weekly retention triangle: users bucketed by first-active week,
       // counted at each later active week. Time buckets are pure integer
@@ -3271,6 +3289,60 @@ object SparkEntry {
         |  FROM d JOIN deg ON deg.s = d.s JOIN s2 ON s2.id = d.s GROUP BY d.t
         |)
         |SELECT id, pr AS pr_micro FROM s3""".stripMargin,
+    "clustering_coeff" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings WHERE vec_id % 10 = 0),
+        |e AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.2
+        |), deg AS (
+        |  SELECT vec_id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS vec_id FROM e UNION ALL SELECT b AS vec_id FROM e) GROUP BY 1
+        |), tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), tricnt AS (
+        |  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT unnest([a, b, c]) AS vec_id FROM tri) GROUP BY 1
+        |)
+        |SELECT deg.vec_id, deg.deg,
+        |  COALESCE(t.n_triangles, 0) AS n_triangles,
+        |  CAST(CASE WHEN deg.deg >= 2
+        |    THEN (2 * 10000 * 2 * COALESCE(t.n_triangles, 0) + deg.deg * (deg.deg - 1))
+        |         // (2 * deg.deg * (deg.deg - 1))
+        |    ELSE 0 END AS INT) AS coeff_bps
+        |FROM deg LEFT JOIN tricnt t ON t.vec_id = deg.vec_id""".stripMargin,
+    "label_prop_communities" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings WHERE vec_id % 10 = 0),
+        |e AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.2
+        |), d AS (
+        |  SELECT a AS s, b AS t FROM e UNION ALL SELECT b AS s, a AS t FROM e
+        |), l0 AS (
+        |  SELECT DISTINCT s AS id, s AS label FROM d
+        |), l1 AS (
+        |  SELECT t AS id, label FROM (
+        |    SELECT d.t, l.label, row_number() OVER (
+        |      PARTITION BY d.t ORDER BY count(*) DESC, l.label) AS rn
+        |    FROM d JOIN l0 l ON l.id = d.s GROUP BY d.t, l.label) WHERE rn = 1
+        |), l2 AS (
+        |  SELECT t AS id, label FROM (
+        |    SELECT d.t, l.label, row_number() OVER (
+        |      PARTITION BY d.t ORDER BY count(*) DESC, l.label) AS rn
+        |    FROM d JOIN l1 l ON l.id = d.s GROUP BY d.t, l.label) WHERE rn = 1
+        |), l3 AS (
+        |  SELECT t AS id, label FROM (
+        |    SELECT d.t, l.label, row_number() OVER (
+        |      PARTITION BY d.t ORDER BY count(*) DESC, l.label) AS rn
+        |    FROM d JOIN l2 l ON l.id = d.s GROUP BY d.t, l.label) WHERE rn = 1
+        |)
+        |SELECT id, label FROM l3""".stripMargin,
     "cohort_retention" ->
       """WITH active AS (
         |  SELECT DISTINCT user_id, ((epoch_ms(ts) // 86400000) - 4) // 7 AS week FROM events

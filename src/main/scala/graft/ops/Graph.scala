@@ -107,6 +107,86 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient over an id-oriented undirected
+    * edge list: 2·triangles / (deg·(deg−1)) in exact round-half-up basis
+    * points — how clique-like each node's neighborhood is. On a near-dup
+    * graph this separates genuine duplicate clusters (coeff → 10000) from
+    * chain/hub artifacts (coeff → 0) — the refinement signal on top of
+    * raw triangle counts.
+    *
+    * Shape: one degree aggregation over the (materialized-once) edge
+    * list + the [[nodeTriangles]] plan + a join of two node-sized frames.
+    * Nodes of degree 1 have an undefined coefficient and are reported
+    * with coeff_bps 0; triangle-less nodes report 0.
+    */
+  def clusteringCoeff(
+      edges: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      materialize: Boolean = true
+  ): DataFrame = {
+    val eRaw = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val e = if (materialize) eRaw.localCheckpoint(eager = true) else eRaw
+    val deg = e
+      .select(explode(array(col("a"), col("b"))).as("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("deg"))
+    val tri = nodeTriangles(e, "a", "b", materialize = materialize)
+    deg
+      .join(tri, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn(
+        "coeff_bps",
+        when(col("deg") >= 2L,
+          expr("(2 * 10000 * 2 * n_triangles + deg * (deg - 1)) div (2 * deg * (deg - 1))"))
+          .otherwise(lit(0L))
+          .cast("int"))
+  }
+
+  /** Community detection by synchronous label propagation (Raghavan 2007)
+    * with a DETERMINISTIC update rule: every node starts as its own label;
+    * each round a node adopts the smallest label among the most frequent
+    * labels of its neighbors. Fixed `iterations` rounds — the bounded,
+    * replayable form (classic LPA's convergence oscillates; a fixed
+    * unroll is bit-reproducible in SQL and in any engine).
+    *
+    * Scale: per-round state is the (node, label) frame; each round is one
+    * join against the (materialized-once, both-directions) edge list, one
+    * (node, label) count aggregation, and one argmax window over the
+    * count frame — ids-only frames throughout, O(1) exchanges per round.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      iterations: Int = 3,
+      materialize: Boolean = true
+  ): DataFrame = {
+    require(iterations >= 1, "at least one iteration")
+    val dirRaw = edges
+      .select(col(aCol).as("s"), col(bCol).as("t"))
+      .union(edges.select(col(bCol).as("s"), col(aCol).as("t")))
+    val d = if (materialize) dirRaw.localCheckpoint(eager = true) else dirRaw
+    var labels = d.select(col("s").as("id")).distinct().withColumn("label", col("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t"))
+      .orderBy(col("cnt").desc, col("label").asc)
+    for (_ <- 1 to iterations) {
+      val next = d
+        .join(labels.withColumnRenamed("id", "s"), "s")
+        .groupBy(col("t"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("t").as("id"), col("label"))
+      labels = if (materialize) next.localCheckpoint(eager = true) else next
+    }
+    labels
+  }
+
   /** PageRank over an undirected graph given as id-oriented edges
     * (id_a < id_b, distinct), a fixed number of power iterations. On a
     * near-dup graph this ranks documents by duplication centrality — the

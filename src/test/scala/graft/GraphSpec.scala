@@ -113,6 +113,51 @@ class GraphSpec extends AnyFunSuite {
     assert(got(30L) == got(31L))
   }
 
+  test("clusteringCoeff: clique corners 10000 bps, chain nodes 0, degree-1 reported 0") {
+    // K4 (coeff 1 everywhere), path 10-11-12 (middle node coeff 0),
+    // triangle with a pendant (8 has deg 3 but only 1 triangle)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L),
+      (5L, 6L), (5L, 7L), (6L, 7L), (6L, 8L)
+    ).toDF("id_a", "id_b")
+    val got = graft.ops.Graph.clusteringCoeff(edges)
+      .as[(Long, Long, Long, Int)].collect()
+      .map { case (id, d, t, c) => id -> (d, t, c) }.toMap
+    assert(got(1L) == (3L, 3L, 10000))
+    assert(got(11L) == (2L, 0L, 0)) // connected but no closing edge
+    assert(got(10L) == (1L, 0L, 0)) // degree-1: undefined, reported 0
+    assert(got(6L) == (3L, 1L, 3333)) // 2·1/(3·2) = 1/3 → 3333 bps
+    assert(got(5L) == (2L, 1L, 10000))
+  }
+
+  /** Local replay of labelPropagation's deterministic rule. */
+  private def refLabelProp(edges: Set[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keys.map(k => k -> k).toMap
+    for (_ <- 1 to iters) {
+      labels = adj.map { case (node, neigh) =>
+        val counts = neigh.toSeq.map(labels).groupBy(identity).view.mapValues(_.size).toMap
+        val maxC = counts.values.max
+        node -> counts.filter(_._2 == maxC).keys.min
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation: two cliques joined by a bridge separate; replay matches exactly") {
+    val cliqueA = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cliqueB = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val edges = (cliqueA ++ cliqueB ++ Seq((4L, 11L))).toSet
+    val got = graft.ops.Graph.labelPropagation(edges.toSeq.toDF("id_a", "id_b"), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refLabelProp(edges, 3))
+    // each clique converges to one label; the two differ
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(Set(got(12L), got(13L), got(14L)).size == 1)
+    assert(got(1L) != got(13L))
+  }
+
   test("pageRank conserves mass up to the documented rounding leak") {
     val rnd = new scala.util.Random(11)
     val edges = (for (_ <- 1 to 120) yield {
