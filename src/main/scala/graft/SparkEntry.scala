@@ -1207,6 +1207,18 @@ object SparkEntry {
       graft.ops.Robust.benfordDigits(
         table(s, dir, "lineitem").select(cents(col("l_extendedprice")).as("v")), "v")
     },
+    "group_quantiles" -> { (s, dir) =>
+      // Nearest-rank p25/p50/p75/p95 per group — order-statistic
+      // selection, never interpolation, so cents stay integers
+      // (ops/Robust.scala; the grouped exact twin of the global
+      // value_percentiles).
+      graft.ops.Robust.groupedQuantiles(
+        table(s, dir, "lineitem")
+          .select(col("l_returnflag"), cents(col("l_extendedprice")).as("cents")),
+        "l_returnflag",
+        "cents",
+        Seq(25, 50, 75, 95))
+    },
     "group_median_mad" -> { (s, dir) =>
       // Robust location/spread per group: lower median + MAD by explicit
       // order selection (rank (n+1) div 2) — no interpolating percentile
@@ -3436,6 +3448,22 @@ object SparkEntry {
         |  CAST(floor(ln((digit + 1.0e0) / CAST(digit AS DOUBLE)) / ln(10.0e0) * 1e6 + 0.5e0)
         |    AS BIGINT) AS benford_micro
         |FROM c""".stripMargin,
+    "group_quantiles" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM v
+        |)
+        |SELECT g AS l_returnflag, max(n) AS n,
+        |  max(CASE WHEN rn = (25 * n + 99) // 100 THEN v END) AS p25,
+        |  max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END) AS p50,
+        |  max(CASE WHEN rn = (75 * n + 99) // 100 THEN v END) AS p75,
+        |  max(CASE WHEN rn = (95 * n + 99) // 100 THEN v END) AS p95
+        |FROM r GROUP BY g""".stripMargin,
     "group_median_mad" ->
       """WITH v AS (
         |  SELECT l_returnflag AS g,

@@ -74,6 +74,35 @@ object Robust {
       .drop("total")
   }
 
+  /** Nearest-rank quantiles per group: for each percent p, the value at
+    * rank ⌈p·n/100⌉ — an ELEMENT of the input (never interpolated), so
+    * integer inputs stay integers and engines agree exactly. One sorted
+    * window + one pivot aggregation; the same one-exchange shape as
+    * [[groupedMedian]]. p=100 is the maximum, p=50 the upper median
+    * (nearest-rank convention).
+    */
+  def groupedQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      percents: Seq[Int]
+  ): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be in [1, 100]")
+    val w = Window.partitionBy(col(groupCol))
+    val ranked = df
+      .select(col(groupCol), col(valCol).as("v"))
+      .withColumn("rn", row_number().over(w.orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val picks = percents.map { p =>
+      max(when(col("rn").cast("long") === expr(s"($p * n + 99) div 100"), col("v")))
+        .as(s"p$p")
+    }
+    ranked
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), picks: _*)
+  }
+
   /** Median + MAD per group. Two selection passes: the median of the
     * values, then the median of |v − med| against the broadcast median
     * frame. Output: (group, n, med, mad).

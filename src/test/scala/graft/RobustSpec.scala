@@ -61,6 +61,18 @@ class RobustSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedQuantiles: nearest-rank picks on 1..100; tiny group degenerates sanely") {
+    val rows = (1L to 100L).map(v => ("g", v)) ++ Seq(("tiny", 7L), ("tiny", 9L))
+    val got = Robust.groupedQuantiles(rows.toDF("g", "v"), "g", "v", Seq(25, 50, 75, 95, 100))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map { case (g, n, p25, p50, p75, p95, p100) => g -> (n, p25, p50, p75, p95, p100) }
+      .toMap
+    // rank ⌈p·100/100⌉ = p exactly on 1..100
+    assert(got("g") == (100L, 25L, 50L, 75L, 95L, 100L))
+    // n=2: ranks ⌈p·2/100⌉ → 1,1,2,2,2
+    assert(got("tiny") == (2L, 7L, 7L, 9L, 9L, 9L))
+  }
+
   test("groupedMedianMad: constant group has mad 0; ties at the median are fine") {
     val df = Seq(("c", 7L), ("c", 7L), ("c", 7L), ("t", 1L), ("t", 1L), ("t", 5L))
       .toDF("g", "v")
