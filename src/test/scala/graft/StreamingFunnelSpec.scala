@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingFunnel
+import graft.streaming.StreamingFunnel.{FunnelEvent, FunnelProgress}
+
+class StreamingFunnelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Hour = 3600000L
+
+  private def awaitSink(table: String)(
+      pred: Array[org.apache.spark.sql.Row] => Boolean): Array[org.apache.spark.sql.Row] = {
+    val deadline = System.nanoTime() + 60_000_000_000L
+    var rows = spark.table(table).collect()
+    while (!pred(rows) && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      rows = spark.table(table).collect()
+    }
+    rows
+  }
+
+  private def progress(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Int, Long)] =
+    rows.map(r => (r.getAs[Long]("user"), r.getAs[Int]("stage"), r.getAs[Long]("ts_ms"))).toSeq
+
+  test("stages advance across micro-batches; gap violations and skips don't") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel
+      .stageProgress(input.toDS(), "view", Seq("click" -> Hour, "purchase" -> Hour))
+      .writeStream.format("memory").queryName("sfunnel").outputMode("update").start()
+    try {
+      // u1 views; u2 clicks without viewing (no progress); u3 views
+      input.addData(
+        FunnelEvent(1L, "view", 1000L),
+        FunnelEvent(2L, "click", 1000L),
+        FunnelEvent(3L, "view", 1000L))
+      awaitSink("sfunnel")(_.length >= 2)
+      // u1 clicks in time (stage 2); u3 clicks too late (blocked)
+      input.addData(
+        FunnelEvent(1L, "click", 2000L),
+        FunnelEvent(3L, "click", 1000L + Hour + 1L))
+      awaitSink("sfunnel")(rs => progress(rs).contains((1L, 2, 2000L)))
+      // u1 purchases (stage 3, funnel complete)
+      input.addData(FunnelEvent(1L, "purchase", 3000L))
+      val rows = awaitSink("sfunnel")(rs => progress(rs).contains((1L, 3, 3000L)))
+      val got = progress(rows).toSet
+      assert(got == Set((1L, 1, 1000L), (3L, 1, 1000L), (1L, 2, 2000L), (1L, 3, 3000L)))
+    } finally q.stop()
+  }
+
+  test("intra-batch disorder is absorbed; completion evicts state so a new pass restarts") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[FunnelEvent]
+    val q = StreamingFunnel
+      .stageProgress(input.toDS(), "view", Seq("purchase" -> Hour))
+      .writeStream.format("memory").queryName("sfunnel2").outputMode("update").start()
+    try {
+      // purchase arrives before view IN THE SAME BATCH — event-time sort
+      // inside the batch recovers the sequence
+      input.addData(FunnelEvent(7L, "purchase", 5000L), FunnelEvent(7L, "view", 1000L))
+      awaitSink("sfunnel2")(rs => progress(rs).contains((7L, 2, 5000L)))
+      // funnel completed → state evicted → the next view starts a fresh pass
+      input.addData(FunnelEvent(7L, "view", 9000L))
+      val rows = awaitSink("sfunnel2")(rs => progress(rs).contains((7L, 1, 9000L)))
+      assert(progress(rows).toSet == Set((7L, 1, 1000L), (7L, 2, 5000L), (7L, 1, 9000L)))
+    } finally q.stop()
+  }
+}
