@@ -1207,6 +1207,36 @@ object SparkEntry {
       graft.ops.Robust.benfordDigits(
         table(s, dir, "lineitem").select(cents(col("l_extendedprice")).as("v")), "v")
     },
+    "token_entropy" -> { (s, dir) =>
+      // Per-doc unigram entropy in micro-nats/token: the information-
+      // density quality signal (boilerplate scores low). One scan, one
+      // (doc, token) agg, per-doc total via window — no second scan
+      // (ops/TextAnalysis.scala).
+      graft.ops.TextAnalysis.tokenEntropy(table(s, dir, "documents"))
+    },
+    "referential_integrity" -> { (s, dir) =>
+      // FK orphan profile: three anti-join counts unioned into one
+      // report — the load-time data contract (ops/Integrity.scala;
+      // parent key sets broadcast here, bloom-prefilter path documented
+      // for 100 TB parents).
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      graft.ops.Integrity.orphanCount("lineitem_orders", li, "l_orderkey", o, "o_orderkey")
+        .union(graft.ops.Integrity.orphanCount("orders_customer", o, "o_custkey", c, "c_custkey"))
+        .union(graft.ops.Integrity.orphanCount("customer_nation", c, "c_nationkey", n, "n_nationkey"))
+    },
+    "fd_profile" -> { (s, dir) =>
+      // Functional-dependency discovery on orders: which columns
+      // determine which — exact distinct-count comparison per candidate
+      // (ops/Integrity.scala; HLL substitute noted for huge pair
+      // cardinalities).
+      val o = table(s, dir, "orders")
+      graft.ops.Integrity.functionalDependency(o, "o_orderkey", "o_custkey")
+        .union(graft.ops.Integrity.functionalDependency(o, "o_custkey", "o_orderpriority"))
+        .union(graft.ops.Integrity.functionalDependency(o, "o_orderdate", "o_orderstatus"))
+    },
     "group_quantiles" -> { (s, dir) =>
       // Nearest-rank p25/p50/p75/p95 per group — order-statistic
       // selection, never interpolation, so cents stay integers
@@ -3448,6 +3478,58 @@ object SparkEntry {
         |  CAST(floor(ln((digit + 1.0e0) / CAST(digit AS DOUBLE)) / ln(10.0e0) * 1e6 + 0.5e0)
         |    AS BIGINT) AS benford_micro
         |FROM c""".stripMargin,
+    "token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents
+        |), tc AS (
+        |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok WHERE tok <> '' GROUP BY 1, 2
+        |), t2 AS (
+        |  SELECT doc_id, c,
+        |    sum(c) OVER (PARTITION BY doc_id) AS n
+        |  FROM tc
+        |), t3 AS (
+        |  SELECT doc_id, n,
+        |    c * CAST(floor(ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)) * 1e6 + 0.5e0) AS BIGINT)
+        |      AS term
+        |  FROM t2
+        |)
+        |SELECT doc_id, max(n) AS n_tokens, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  (2 * sum(term) + max(n)) // (2 * max(n)) AS h_micro
+        |FROM t3 GROUP BY doc_id""".stripMargin,
+    "referential_integrity" ->
+      """SELECT 'lineitem_orders' AS fk_check, CAST(count(*) AS BIGINT) AS n_orphans
+        |FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_customer', CAST(count(*) AS BIGINT)
+        |FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'customer_nation', CAST(count(*) AS BIGINT)
+        |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)""".stripMargin,
+    "fd_profile" ->
+      """SELECT 'o_orderkey->o_custkey' AS fd,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_lhs,
+        |  CAST((SELECT count(*) FROM (SELECT DISTINCT o_orderkey, o_custkey FROM orders)) AS BIGINT) AS n_pairs,
+        |  CAST(CASE WHEN count(DISTINCT o_orderkey) =
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_orderkey, o_custkey FROM orders))
+        |    THEN 1 ELSE 0 END AS INT) AS holds
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey->o_orderpriority',
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |  CAST((SELECT count(*) FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)) AS BIGINT),
+        |  CAST(CASE WHEN count(DISTINCT o_custkey) =
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders))
+        |    THEN 1 ELSE 0 END AS INT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate->o_orderstatus',
+        |  CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |  CAST((SELECT count(*) FROM (SELECT DISTINCT o_orderdate, o_orderstatus FROM orders)) AS BIGINT),
+        |  CAST(CASE WHEN count(DISTINCT o_orderdate) =
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_orderdate, o_orderstatus FROM orders))
+        |    THEN 1 ELSE 0 END AS INT)
+        |FROM orders""".stripMargin,
     "group_quantiles" ->
       """WITH v AS (
         |  SELECT l_returnflag AS g,

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Referential-integrity and functional-dependency profiling — the
+  * data-contract checks a warehouse runs before trusting a load: do all
+  * foreign keys resolve, and which columns actually determine which.
+  *
+  * Scale notes: [[orphans]] is a left-anti join against the parent's KEY
+  * projection — Catalyst broadcasts it when small; at 100 TB parent key
+  * sets, the bloom-prefilter form ([[Dedup]]'s delta discipline: probe a
+  * compiled filter map-side, exact-join only the positives) is the
+  * upgrade path. [[functionalDependency]] is two distinct-count
+  * aggregations whose exact form shuffles the distinct pairs; the HLL
+  * registers of [[HeavyHitters]] are the sketch substitute when the pair
+  * cardinality itself is the bottleneck.
+  */
+object Integrity {
+
+  /** Child rows whose `childKey` has no match in the parent's
+    * `parentKey` — the referential-integrity violations.
+    */
+  def orphans(
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String
+  ): DataFrame =
+    child.join(
+      parent.select(col(parentKey).as(childKey)).distinct(),
+      Seq(childKey),
+      "left_anti")
+
+  /** One-row orphan count labelled `checkName` — the composable unit of a
+    * referential-integrity profile (union several into one report).
+    */
+  def orphanCount(
+      checkName: String,
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String
+  ): DataFrame =
+    orphans(child, childKey, parent, parentKey)
+      .agg(count(lit(1)).as("n_orphans"))
+      .select(lit(checkName).as("fk_check"), col("n_orphans"))
+
+  /** Does `lhs` functionally determine `rhs`? Exact test:
+    * countDistinct(lhs) == countDistinct(lhs, rhs). Output one row:
+    * (fd, n_lhs, n_pairs, holds) with holds as 0/1 int.
+    */
+  def functionalDependency(df: DataFrame, lhs: String, rhs: String): DataFrame =
+    df.agg(
+      countDistinct(col(lhs)).as("n_lhs"),
+      countDistinct(col(lhs), col(rhs)).as("n_pairs"))
+      .select(
+        lit(s"$lhs->$rhs").as("fd"),
+        col("n_lhs"),
+        col("n_pairs"),
+        when(col("n_lhs") === col("n_pairs"), 1).otherwise(0).cast("int").as("holds"))
+}

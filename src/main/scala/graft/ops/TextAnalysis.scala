@@ -476,4 +476,44 @@ object TextAnalysis {
       size(array_distinct(tokens(t))).as("n_distinct_tokens")
     )
   }
+
+  /** Per-document unigram entropy in micro-nats per token — the
+    * information-density quality signal: boilerplate and
+    * keyword-stuffed docs score low, natural prose high (the
+    * complement of the repetition-share gates: entropy sees
+    * DISTRIBUTIONAL repetition that exact n-gram repeats miss).
+    *
+    * Exactness (the lm_doc_scores discipline): each distinct token
+    * contributes c·⌊ln(n/c)·10⁶ + 0.5⌋ — one micro-rounded `ln` of a
+    * ratio of two exact longs — summed as longs; the per-token average
+    * is one round-half-up integer division. H = Σ (c/n)·ln(n/c) exactly.
+    *
+    * Shape: one corpus scan → one (doc, token) count aggregation → the
+    * per-doc total via a window over the SAME doc partitioning (no
+    * second scan) → one per-doc aggregation. Frames after the scan are
+    * token-count rows, bounded by doc vocabulary.
+    */
+  def tokenEntropy(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(w))
+      .withColumn(
+        "term",
+        col("c") * floor(
+          log(col("n").cast("double") / col("c").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(
+        max(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        expr("(2 * sum(term) + max(n)) div (2 * max(n))").as("h_micro"))
+  }
 }

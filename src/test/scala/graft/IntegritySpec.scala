@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Integrity
+
+class IntegritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("orphans: child keys missing from parent, duplicates preserved") {
+    val child = Seq((1L, "a"), (2L, "b"), (2L, "c"), (5L, "d"), (7L, "e"))
+      .toDF("fk", "payload")
+    val parent = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("pk", "junk")
+    val got = Integrity.orphans(child, "fk", parent, "pk")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((5L, "d"), (7L, "e")))
+  }
+
+  test("orphanCount: zero on a fully-resolved FK, labelled row") {
+    val child = Seq(1L, 2L, 2L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Integrity.orphanCount("c_p", child, "fk", parent, "pk")
+      .as[(String, Long)].collect().toList
+    assert(got == List(("c_p", 0L)))
+  }
+
+  test("orphanCount: counts orphan ROWS not distinct keys") {
+    val child = Seq(9L, 9L, 9L, 1L).toDF("fk")
+    val parent = Seq(1L).toDF("pk")
+    val got = Integrity.orphanCount("c_p", child, "fk", parent, "pk")
+      .as[(String, Long)].collect().toList
+    assert(got == List(("c_p", 3L)))
+  }
+
+  test("functionalDependency: holds when lhs determines rhs") {
+    val df = Seq((1, "a"), (2, "b"), (3, "a"), (1, "a")).toDF("l", "r")
+    val got = Integrity.functionalDependency(df, "l", "r")
+      .as[(String, Long, Long, Int)].collect().toList
+    assert(got == List(("l->r", 3L, 3L, 1)))
+  }
+
+  test("functionalDependency: violated when one lhs maps to two rhs") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("l", "r")
+    val got = Integrity.functionalDependency(df, "l", "r")
+      .as[(String, Long, Long, Int)].collect().toList
+    assert(got == List(("l->r", 2L, 3L, 0)))
+  }
+}

@@ -231,4 +231,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select($"top2_share").as[Double].head()
     assert(row > 0.5)
   }
+
+  test("tokenEntropy: matches the exact integer formula locally") {
+    val docs = Seq(
+      (1L, "a a a a"),                 // zero entropy: one token
+      (2L, "a b c d"),                 // uniform: ln(4) per token
+      (3L, "the the the cat sat"),     // mixed counts 3,1,1 over n=5
+      (4L, "x")                        // single token
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, n, d, h) => id -> ((n, d, h)) }.toMap
+
+    def ref(counts: Seq[Long]): (Long, Long, Long) = {
+      val n = counts.sum
+      val terms = counts.map(c => c * math.floor(math.log(n.toDouble / c) * 1e6 + 0.5).toLong)
+      (n, counts.size.toLong, (2 * terms.sum + n) / (2 * n))
+    }
+    assert(got(1L) == ref(Seq(4L)))
+    assert(got(2L) == ref(Seq(1L, 1L, 1L, 1L)))
+    assert(got(3L) == ref(Seq(3L, 1L, 1L)))
+    assert(got(4L) == ref(Seq(1L)))
+    // semantics: uniform doc strictly more entropic than the skewed one
+    assert(got(2L)._3 > got(3L)._3 && got(1L)._3 == 0L)
+  }
 }
