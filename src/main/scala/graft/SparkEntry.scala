@@ -1174,10 +1174,11 @@ object SparkEntry {
       graft.ops.Cohort.retentionMatrix(eventsTable(s, dir))
     },
     "rate_spike_hours" -> { (s, dir) =>
-      // Burst detection: hours where a user runs >2× their own average
-      // hourly rate. Cross-multiplied integer comparison — no division
-      // anywhere (ops/Cohort.scala).
-      graft.ops.Cohort.rateSpikeHours(eventsTable(s, dir), thresholdPct = 200)
+      // Burst detection: hours where a user runs >1.5× their own average
+      // hourly rate (2× fires on nothing at the smallest SF — uniform
+      // synthetic traffic has thin bursts). Cross-multiplied integer
+      // comparison — no division anywhere (ops/Cohort.scala).
+      graft.ops.Cohort.rateSpikeHours(eventsTable(s, dir), thresholdPct = 150)
     },
     "hll_retained_users" -> { (s, dir) =>
       // Sketch algebra: |A∩B| by inclusion–exclusion over merged HLL
@@ -1236,6 +1237,22 @@ object SparkEntry {
       graft.ops.Integrity.functionalDependency(o, "o_orderkey", "o_custkey")
         .union(graft.ops.Integrity.functionalDependency(o, "o_custkey", "o_orderpriority"))
         .union(graft.ops.Integrity.functionalDependency(o, "o_orderdate", "o_orderstatus"))
+    },
+    "sample_quantiles" -> { (s, dir) =>
+      // Scale-path quantiles: deterministic bottom-k (KMV) uniform sample
+      // per group through PARTIAL aggregation (≤64 entries per map
+      // partition per group cross the exchange — never the group), then
+      // nearest-rank selection on the sample. RNG-free hash order makes
+      // the sample bit-identical in DuckDB, so the approximation itself
+      // is under the full SQL oracle (ops/Robust.scala).
+      graft.ops.Robust.sampleQuantiles(
+        table(s, dir, "lineitem")
+          .withColumn("price_cents", cents(col("l_extendedprice"))),
+        "l_returnflag",
+        "price_cents",
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+        k = 64,
+        percents = Seq(25, 50, 75, 95))
     },
     "group_quantiles" -> { (s, dir) =>
       // Nearest-rank p25/p50/p75/p95 per group — order-statistic
@@ -3405,7 +3422,7 @@ object SparkEntry {
         |  FROM h
         |)
         |SELECT user_id, hour * 3600000 AS hour_ms, n, total, n_hours
-        |FROM t WHERE n * 100 * n_hours > 200 * total""".stripMargin,
+        |FROM t WHERE n * 100 * n_hours > 150 * total""".stripMargin,
     "hll_retained_users" ->
       """WITH e AS (
         |  SELECT CASE WHEN epoch_ms(ts) < 1705276800000 THEN 'a' ELSE 'b' END AS k, user_id
@@ -3530,6 +3547,33 @@ object SparkEntry {
         |    (SELECT count(*) FROM (SELECT DISTINCT o_orderdate, o_orderstatus FROM orders))
         |    THEN 1 ELSE 0 END AS INT)
         |FROM orders""".stripMargin,
+    "sample_quantiles" ->
+      // replays the bottom-k sample EXACTLY: same md5-prefix hash, same
+      // (hash, id) order, same nearest-rank rule on the sample
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS id,
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+        |      || CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT g, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY h, id) AS rs,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM b
+        |), r AS (
+        |  SELECT g, v, n,
+        |    row_number() OVER (PARTITION BY g ORDER BY v) AS rv,
+        |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS m
+        |  FROM s WHERE rs <= 64
+        |)
+        |SELECT g AS l_returnflag, max(n) AS n, CAST(max(m) AS INT) AS m,
+        |  max(CASE WHEN rv = (25*m + 99) // 100 THEN v END) AS p25,
+        |  max(CASE WHEN rv = (50*m + 99) // 100 THEN v END) AS p50,
+        |  max(CASE WHEN rv = (75*m + 99) // 100 THEN v END) AS p75,
+        |  max(CASE WHEN rv = (95*m + 99) // 100 THEN v END) AS p95
+        |FROM r GROUP BY g""".stripMargin,
     "group_quantiles" ->
       """WITH v AS (
         |  SELECT l_returnflag AS g,

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded uniform-sample aggregator: keeps the k entries with the
+  * SMALLEST (hash, id) over (hash, id, value) triples, merged
+  * associatively. With `hash` a uniform deterministic hash of the row id
+  * (md5 prefix), the kept set IS a uniform random sample of the group —
+  * the classic bottom-k (KMV) construction, RNG-free and therefore
+  * bit-reproducible in any engine.
+  *
+  * Scale rationale (the [[TopKAgg]] discipline): a window-rank sample
+  * shuffles every row of the group just to keep k of them; this
+  * aggregator caps each map partition's contribution at k entries per
+  * group before the exchange — partial aggregation prunes first, and the
+  * merge is associative so AQE/combiners compose freely. The buffer is a
+  * sorted Vector capped at k: O(log k) search + O(k) patch per insert.
+  */
+class SampleKAgg(k: Int)
+    extends Aggregator[(Long, String, Long), SampleKAgg.Buf, SampleKAgg.Buf] {
+  import SampleKAgg.{Buf, Entry}
+
+  private def less(a: Entry, b: Entry): Boolean =
+    a.hash < b.hash || (a.hash == b.hash && a.id < b.id)
+
+  private def insert(buf: Vector[Entry], x: Entry): Vector[Entry] =
+    if (buf.length >= k && less(buf.last, x)) buf
+    else {
+      val pos = buf.indexWhere(e => less(x, e)) match {
+        case -1 => buf.length
+        case p => p
+      }
+      val grown = buf.patch(pos, Seq(x), 0)
+      if (grown.length > k) grown.dropRight(1) else grown
+    }
+
+  override def zero: Buf = Buf(Vector.empty, 0L)
+
+  override def reduce(buf: Buf, x: (Long, String, Long)): Buf =
+    Buf(insert(buf.entries, Entry(x._1, x._2, x._3)), buf.n + 1)
+
+  override def merge(a: Buf, b: Buf): Buf =
+    Buf(b.entries.foldLeft(a.entries)(insert), a.n + b.n)
+
+  override def finish(buf: Buf): Buf = buf
+
+  override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+  override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
+}
+
+object SampleKAgg {
+  final case class Entry(hash: Long, id: String, value: Long)
+  /** Sample entries plus the TRUE group count `n` — the sample answers
+    * rank questions, n answers "of how many" (both ride one buffer, so
+    * no second aggregation pass).
+    */
+  final case class Buf(entries: Vector[Entry], n: Long)
+}

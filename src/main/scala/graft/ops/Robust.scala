@@ -103,6 +103,65 @@ object Robust {
       .agg(max(col("n")).as("n"), picks: _*)
   }
 
+  /** Sample-based nearest-rank quantiles per group — the SCALE path next
+    * to [[groupedQuantiles]]' exact per-group sort: a deterministic
+    * bottom-k (KMV) uniform sample per group via
+    * [[graft.functions.SampleKAgg]], then nearest-rank selection on the
+    * ≤k-row sample. The sample member set is the k rows with the smallest
+    * (md5-prefix hash of id, id) — RNG-free, so the "random" sample is
+    * bit-identical in any engine and the whole operator carries a full
+    * SQL oracle despite being an approximation of the data.
+    *
+    * Scale: partial aggregation caps each map partition's contribution at
+    * k entries per group BEFORE the exchange — at 100 TB a group
+    * contributes k·partitions rows to the shuffle instead of its full
+    * membership, and the merge is associative (AQE/combiner friendly).
+    * Error is the standard sample-quantile bound (±O(1/√k) in rank);
+    * [[groupedQuantiles]] remains the exact path when groups fit a task.
+    *
+    * Output: (group, n, m, p<percent>... ) — n the true group count, m
+    * the sample size (min(k, n)), each p an element of the input.
+    */
+  def sampleQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      idCol: Column,
+      k: Int,
+      percents: Seq[Int]
+  ): DataFrame = {
+    require(k >= 1, "sample size k must be positive")
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be in [1, 100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ps = percents // stable local for closure
+    val agged = df
+      .select(
+        col(groupCol).cast("string").as("g"),
+        Dedup.md5Hash32(idCol.cast("string")).as("h"),
+        idCol.cast("string").as("id"),
+        col(valCol).cast("long").as("v"))
+      .as[(String, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3, t._4))
+      .agg(new graft.functions.SampleKAgg(k).toColumn.name("sample"))
+      .map { case (g, buf) =>
+        // executor-side selection on the ≤k-element sample: sort by value
+        // and pick rank ⌈p·m/100⌉ — same nearest-rank rule as the exact
+        // path, applied to the sample.
+        val vs = buf.entries.map(_.value).sorted
+        val m = vs.length
+        val picks = ps.map(p => vs(((p.toLong * m + 99) / 100).toInt - 1))
+        (g, buf.n, m, picks)
+      }
+    agged.select(
+      col("_1").as(groupCol) +:
+        col("_2").as("n") +:
+        col("_3").cast("int").as("m") +:
+        percents.zipWithIndex.map { case (p, i) => col("_4")(i).as(s"p$p") }: _*)
+  }
+
   /** Median + MAD per group. Two selection passes: the median of the
     * values, then the median of |v − med| against the broadcast median
     * frame. Output: (group, n, med, mad).

@@ -82,4 +82,39 @@ class RobustSpec extends AnyFunSuite {
     assert(got("c") == (3L, 7L, 0L))
     assert(got("t") == (3L, 1L, 0L)) // median 1, devs (0,0,4) → mad 0
   }
+
+  private def md5Local(s: String): Long =
+    java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s).substring(0, 8), 16)
+
+  test("sampleQuantiles: matches a local bottom-k replay exactly") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 200).map(i => (s"g${i % 2}", i.toLong, i.toLong * 10))
+    val df = rows.toDF("g", "id", "v")
+    val k = 16
+    val got = Robust
+      .sampleQuantiles(df, "g", "v", col("id"), k, Seq(25, 50, 75))
+      .as[(String, Long, Int, Long, Long, Long)].collect()
+      .map { case (g, n, m, p25, p50, p75) => g -> ((n, m, p25, p50, p75)) }.toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val sample = rs
+        .map { case (_, id, v) => (md5Local(id.toString), id.toString, v) }
+        .sortBy(t => (t._1, t._2))
+        .take(k)
+      val vs = sample.map(_._3).sorted
+      def pick(p: Int) = vs(((p.toLong * vs.length + 99) / 100).toInt - 1)
+      g -> ((rs.size.toLong, vs.length, pick(25), pick(50), pick(75)))
+    }
+    assert(got == want)
+  }
+
+  test("sampleQuantiles: n <= k degrades to the exact quantiles") {
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 20).map(i => ("g", i.toLong, i.toLong)).toDF("g", "id", "v")
+    val got = Robust
+      .sampleQuantiles(df, "g", "v", col("id"), k = 64, Seq(25, 50, 75, 100))
+      .as[(String, Long, Int, Long, Long, Long, Long)].collect().toList
+    // whole group sampled → nearest-rank on 1..20: ranks 5, 10, 15, 20
+    assert(got == List(("g", 20L, 20, 5L, 10L, 15L, 20L)))
+  }
 }
