@@ -1019,6 +1019,17 @@ object SparkEntry {
       // neardup_clusters_md5: both return (id, min id of component).
       Dedup.nearDupClustersStar(Dedup.minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.8))
     },
+    "editdist_pairs" -> { (s, dir) =>
+      // Character-level near-dup join: doc-prefix pairs within Levenshtein
+      // distance 2, blocked by rare-q-gram prefix filtering (SSJoin) so
+      // nothing all-pairs ever forms — candidates come from a self-join on
+      // each string's 7 globally-rarest 3-grams, then one exact
+      // levenshtein verify per candidate (ops/EditSim.scala).
+      graft.ops.EditSim.editDistancePairs(
+        table(s, dir, "documents"),
+        substring(lower(col("text")), 1, 40),
+        maxDist = 2)
+    },
     "simhash_md5_pairs" -> { (s, dir) =>
       // Full SimHash near-dup pair pipeline (fingerprint → pigeonhole chunk
       // bands → bucket pairs → exact hamming verify) on the md5-anchored
@@ -3124,6 +3135,44 @@ object SparkEntry {
       s"""$Md5NearDupCtes,
         |$Md5ClusterCtes
         |SELECT id, min(lab) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "editdist_pairs" ->
+      // same rare-gram prefix blocking, same verify: the candidate SET is
+      // deterministic (total (freq, gram) order), so the whole
+      // approximation-free pipeline replays exactly
+      """WITH b AS (
+        |  SELECT doc_id AS id, substr(lower(text), 1, 40) AS s,
+        |    CAST(length(substr(lower(text), 1, 40)) AS BIGINT) AS len
+        |  FROM documents WHERE length(text) > 0
+        |), g AS (
+        |  SELECT DISTINCT id, gram FROM (
+        |    SELECT id, unnest(list_transform(
+        |      range(1, CAST(greatest(len - 2, 1) + 1 AS INT)),
+        |      i -> substr(s, CAST(i AS INT), 3))) AS gram
+        |    FROM b)
+        |), f AS (
+        |  SELECT gram, CAST(count(*) AS BIGINT) AS f FROM g GROUP BY 1
+        |), pfx AS (
+        |  SELECT id, gram FROM (
+        |    SELECT g.id, g.gram,
+        |      row_number() OVER (PARTITION BY g.id ORDER BY f.f, g.gram) AS rn
+        |    FROM g JOIN f USING (gram))
+        |  WHERE rn <= 7
+        |), deg AS (
+        |  -- ids with <= q*d distinct grams can pair while sharing NO gram:
+        |  -- length-blocked branch (mirrors EditSim's degenerate sliver)
+        |  SELECT b.id, b.len FROM b
+        |  JOIN (SELECT id FROM g GROUP BY id HAVING count(*) <= 6) d ON d.id = b.id
+        |), cand AS (
+        |  SELECT DISTINCT id_a, id_b FROM (
+        |    SELECT a.id AS id_a, b.id AS id_b
+        |    FROM pfx a JOIN pfx b ON a.gram = b.gram AND a.id < b.id
+        |    UNION ALL
+        |    SELECT da.id, db.id FROM deg da JOIN deg db
+        |      ON da.id < db.id AND abs(da.len - db.len) <= 2)
+        |)
+        |SELECT c.id_a, c.id_b, CAST(levenshtein(x.s, y.s) AS INT) AS dist
+        |FROM cand c JOIN b x ON x.id = c.id_a JOIN b y ON y.id = c.id_b
+        |WHERE abs(x.len - y.len) <= 2 AND levenshtein(x.s, y.s) <= 2""".stripMargin,
     "simhash_md5_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS ts

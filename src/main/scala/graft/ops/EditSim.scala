@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity join — the character-level near-dup leg next
+  * to the token-level families in [[Dedup]] (shingle Jaccard, MinHash,
+  * SimHash): pairs of strings within Levenshtein distance `maxDist`,
+  * found WITHOUT an all-pairs comparison.
+  *
+  * Blocking is classic rare-q-gram prefix filtering (the SSJoin family,
+  * Chaudhuri et al., ICDE'06): strings within edit distance d share all
+  * but ≤ q·d of each side's distinct q-grams, so under ANY global total
+  * order on grams the (q·d+1) smallest grams of two qualifying strings
+  * must intersect (if they didn't, one side would be missing q·d+1 of the
+  * other's grams). Ordering grams by (global frequency asc, gram asc)
+  * makes the retained grams the RAREST ones — candidate fanout per gram
+  * is bounded by that gram's frequency, exactly the skew discipline of
+  * the banded near-dup operators. Candidates then verify exactly with
+  * one `levenshtein` call per pair.
+  *
+  * Completeness: the prefix theorem is sound for any pair where AT LEAST
+  * ONE side has more than q·d distinct grams (then the forced overlap
+  * max(|A|,|B|)−q·d is ≥ 1 and the order argument applies; the budget
+  * min(|G|, q·d+1) covers the smaller side automatically). Pairs where
+  * BOTH sides are that degenerate — short or low-complexity strings, e.g.
+  * "cat"/"cut" sharing zero 3-grams at distance 1 — get a dedicated
+  * branch: a within-bucket join of the degenerate sliver under the length
+  * filter. That sliver is strings with ≤ q·d distinct grams (length below
+  * q·(d+1), or heavy gram repetition) — a bounded-complexity set that
+  * deduplicates hard by value; at extreme cardinalities the PassJoin
+  * segment-signature scheme is the documented upgrade for this branch.
+  *
+  * Scale shape: one scan → distinct (id, gram) frame (materialized once —
+  * it feeds the frequency aggregation, the prefix join, and the per-id
+  * gram counts, and DataFrame lineage has no common-subplan reuse) → one
+  * gram-frequency aggregation → one prefix self-join on gram (ids only)
+  * plus the degenerate-sliver join → one exact verify join back to the
+  * ≤2-column string frame. Strings cross an exchange only for the final
+  * per-candidate verify, never for blocking.
+  */
+object EditSim {
+
+  /** All pairs (id_a < id_b) of `strExpr` values within Levenshtein
+    * distance `maxDist`, with the exact distance. Integer output —
+    * oracle-exact (both the candidate SET and the verify are
+    * deterministic: the gram order (freq, gram) is total per string).
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      strExpr: Column,
+      maxDist: Int = 2,
+      q: Int = 3,
+      idCol: String = "doc_id",
+      materialize: Boolean = true
+  ): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    require(q >= 2, "q-gram size must be at least 2")
+    val base = df
+      .select(col(idCol).cast("long").as("id"), strExpr.as("s"))
+      .filter(col("s").isNotNull && length(col("s")) > 0)
+      .withColumn("len", length(col("s")).cast("long"))
+    val gramsRaw = base.select(
+      col("id"),
+      explode(
+        expr(s"array_distinct(transform(sequence(1, greatest(length(s) - ${q - 1}, 1))," +
+          s" i -> substring(s, i, $q)))")).as("gram"))
+    val grams = if (materialize) gramsRaw.localCheckpoint(eager = true) else gramsRaw
+    val freq = grams.groupBy(col("gram")).agg(count(lit(1)).as("f"))
+    val prefix = grams
+      .join(freq, "gram")
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("id")).orderBy(col("f"), col("gram"))))
+      .filter(col("rn") <= q * maxDist + 1)
+      .select(col("id"), col("gram"))
+    val gramCand = prefix.as("pa")
+      .join(prefix.as("pb"), col("pa.gram") === col("pb.gram") && col("pa.id") < col("pb.id"))
+      .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
+    // degenerate sliver: ids with ≤ q·d distinct grams can pair with each
+    // other while sharing NO gram — block them by length instead
+    val deg = grams
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("ng"))
+      .filter(col("ng") <= q * maxDist)
+      .join(base, "id")
+      .select(col("id"), col("len"))
+    val degCand = deg.as("da")
+      .join(
+        deg.as("db"),
+        col("da.id") < col("db.id") &&
+          abs(col("da.len") - col("db.len")) <= maxDist)
+      .select(col("da.id").as("id_a"), col("db.id").as("id_b"))
+    val cand = gramCand.union(degCand).distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a"), col("len").as("len_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b"), col("len").as("len_b")), "id_b")
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("int"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

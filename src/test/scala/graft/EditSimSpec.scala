@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+import graft.ops.EditSim
+
+class EditSimSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def brute(rows: Seq[(Long, String)], maxDist: Int): Set[(Long, Long, Int)] =
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = lev(sa, sb) if d <= maxDist
+    } yield (ia, ib, d)).toSet
+
+  test("editDistancePairs equals brute force on mixed edits") {
+    val rows = Seq(
+      1L -> "the quick brown fox jumps over",
+      2L -> "the quick brown fox jumps over",  // 1 deletion from 1
+      3L -> "the quick brown fox jumps over",  // exact dup of 1
+      4L -> "the quick crown fox bumps over",  // 2 substitutions from 1
+      5L -> "a completely different sentence",
+      6L -> "an completely different sentence" // 1 edit from 5
+    )
+    val got = EditSim.editDistancePairs(rows.toDF("doc_id", "t"), col("t"), maxDist = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute(rows, 2))
+    assert(got.contains((1L, 3L, 0)) && got.contains((1L, 4L, 2)))
+  }
+
+  test("short strings (fewer grams than the prefix budget) stay complete") {
+    // length < q·(d+1): the prefix keeps ALL grams, so the theorem's
+    // graceful degradation must still find every pair
+    val rows = Seq(1L -> "cat", 2L -> "cut", 3L -> "dog", 4L -> "dig", 5L -> "catx")
+    val got = EditSim.editDistancePairs(rows.toDF("doc_id", "t"), col("t"), maxDist = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute(rows, 1))
+    assert(got.contains((1L, 5L, 1)))
+  }
+
+  test("maxDist 0 finds exactly the duplicate pairs") {
+    val rows = Seq(1L -> "same text here", 2L -> "same text here", 3L -> "other text here")
+    val got = EditSim.editDistancePairs(rows.toDF("doc_id", "t"), col("t"), maxDist = 0)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 0)))
+  }
+}
