@@ -1058,6 +1058,14 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       Similarity.ivfAnchorTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     },
+    "semdedup_flags" -> { (s, dir) =>
+      // SemDeDup-shape semantic dedup: anchor-quantize the embedding
+      // space, flag every vector with a lower-id cluster-mate above the
+      // cosine threshold. Bucket identity is integer-exact (same anchors
+      // as ann_ivf_anchor_topk), verdict cosine rounds to 6dp — fully
+      // SQL-reproducible including the by-design cross-cluster misses.
+      Similarity.semDedup(table(s, dir, "embeddings"), threshold = 0.35)
+    },
     "embedding_quant" -> { (s, dir) =>
       // Symmetric int8 quantization stats — all-IEEE deterministic math,
       // fully oracle-checked including the reconstruction error bound.
@@ -3261,6 +3269,34 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "semdedup_flags" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE len(embedding) = 64
+        |), anchors AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, qv AS av
+        |  FROM vecs ORDER BY vec_id LIMIT 16
+        |), dists AS (
+        |  SELECT v.vec_id, a.ai,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (v.qv[i] - a.av[i]) * (v.qv[i] - a.av[i]))) AS d2
+        |  FROM vecs v, anchors a
+        |), assign AS (
+        |  SELECT vec_id, ai AS bucket,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
+        |  FROM dists
+        |), b AS (SELECT vec_id, bucket FROM assign WHERE rk = 1),
+        |dup AS (
+        |  SELECT DISTINCT hb.vec_id
+        |  FROM b la JOIN b hb ON la.bucket = hb.bucket AND la.vec_id < hb.vec_id
+        |  JOIN vecs va ON va.vec_id = la.vec_id
+        |  JOIN vecs vb ON vb.vec_id = hb.vec_id
+        |  WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.35
+        |)
+        |SELECT b.vec_id, CAST(b.bucket AS INT) AS bucket,
+        |  CAST(CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+        |FROM b LEFT JOIN dup ON dup.vec_id = b.vec_id""".stripMargin,
     "embedding_quant" ->
       """WITH a AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -643,28 +643,10 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val micro = (v: Column) => transform(asDouble(v), x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+    val micro = microVec _
     val base = corpus.filter(size(col(vecCol)) === dim)
-    // Anchors: the nAnchors lowest-id corpus vectors of the right dim —
-    // a pure function of the corpus, no RNG. Bounded driver collect.
-    val anchors = base
-      .select(col(idCol).cast("long").as("aid"), micro(col(vecCol)).as("av"))
-      .orderBy(col("aid"))
-      .limit(nAnchors)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    // dist2 to anchor i as an integer expression over the micro components.
-    def d2(qv: Column, av: Array[Long]): Column = {
-      val avCol = array(av.map(lit): _*)
-      aggregate(zip_with(qv, avCol, (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-    }
-    // (dist2, anchorIdx) pairs sorted ascending — array_sort on structs
-    // orders by fields left-to-right, giving the deterministic
-    // min-dist-then-index probe order.
-    def probeOrder(qv: Column): Column =
-      array_sort(array(anchors.zipWithIndex.map { case ((_, av), i) =>
-        struct(d2(qv, av).as("d"), lit(i).as("i"))
-      }: _*))
+    val anchors = lowestIdAnchorsMicro(base, nAnchors, idCol, vecCol)
+    def probeOrder(qv: Column): Column = anchorProbeOrder(qv, anchors)
     val c = base
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), micro(col(vecCol)).as("c_micro"))
       .withColumn("bucket", element_at(probeOrder(col("c_micro")), 1).getField("i"))
@@ -684,6 +666,96 @@ object Similarity {
       )
       .dropDuplicates("query_id", "neighbor_id")
     topKPerQuery(scored, k)
+  }
+
+  /** Micro-quantized integer copy of a float vector: floor(x·10⁶ + 0.5)
+    * per component — the cross-engine-exact coordinate system the anchor
+    * ANN family runs its L2 geometry in.
+    */
+  private def microVec(v: Column): Column =
+    transform(asDouble(v), x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+
+  /** The `n` lowest-id corpus vectors, micro-quantized — the
+    * deterministic coarse quantizer (a pure function of the corpus, no
+    * RNG, bounded driver collect).
+    */
+  private def lowestIdAnchorsMicro(
+      base: DataFrame,
+      n: Int,
+      idCol: String,
+      vecCol: String
+  ): Array[(Long, Array[Long])] =
+    base
+      .select(col(idCol).cast("long").as("aid"), microVec(col(vecCol)).as("av"))
+      .orderBy(col("aid"))
+      .limit(n)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+
+  /** (dist², anchorIdx) structs sorted ascending — array_sort on structs
+    * orders by fields left-to-right, giving the deterministic
+    * min-dist-then-index probe order. Integer-exact over micro vectors.
+    */
+  private def anchorProbeOrder(qv: Column, anchors: Array[(Long, Array[Long])]): Column = {
+    def d2(av: Array[Long]): Column = {
+      val avCol = array(av.map(lit): _*)
+      aggregate(zip_with(qv, avCol, (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    }
+    array_sort(array(anchors.zipWithIndex.map { case ((_, av), i) =>
+      struct(d2(av).as("d"), lit(i).as("i"))
+    }: _*))
+  }
+
+  /** Semantic deduplication, SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with a coarse
+    * quantizer, then WITHIN each cluster flag every vector that has a
+    * lower-id cluster-mate above the cosine threshold — the
+    * keep-one-per-semantic-duplicate-set policy that removed 50% of LAION
+    * at no quality loss in the paper. Cross-cluster duplicates are missed
+    * BY DESIGN (that recall loss is the paper's scalability trade) —
+    * pairwise work is bucket-local, never corpus-wide.
+    *
+    * Determinism/oracle: the quantizer is the [[ivfAnchorTopK]] anchor
+    * scheme (lowest-id vectors, integer micro L2, index tie-break), so
+    * bucket identity is engine-exact; the verdict cosine rounds to 6dp
+    * like every cosine in this file. The whole pipeline replays in SQL.
+    *
+    * Scale: buckets bound the quadratic term — with k anchors scaled so
+    * |bucket| stays ~constant (SemDeDup used 50k clusters for 5B docs),
+    * within-bucket pairing is a per-bucket nested loop the optimizer
+    * sees as an equi-join on bucket. One exchange keyed by bucket; the
+    * flag aggregation is bucket-local. Anchor collect is bounded (k
+    * rows); at extreme k, broadcast the anchor table instead (the
+    * [[buildIvfIndex]] path).
+    */
+  def semDedup(
+      emb: DataFrame,
+      threshold: Double,
+      nAnchors: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val base = emb.filter(size(col(vecCol)) === dim)
+    val anchors = lowestIdAnchorsMicro(base, nAnchors, idCol, vecCol)
+    val assigned = base
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"), microVec(col(vecCol)).as("mv"))
+      .withColumn("bucket", element_at(anchorProbeOrder(col("mv"), anchors), 1).getField("i"))
+      .drop("mv")
+    val dupIds = assigned.as("a")
+      .join(
+        assigned.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= threshold)
+      .select(col("b.id").as("id"))
+      .distinct()
+      .withColumn("is_dup", lit(1))
+    assigned
+      .join(dupIds, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("bucket").cast("int").as("bucket"),
+        coalesce(col("is_dup"), lit(0)).cast("int").as("is_dup"))
   }
 
   // -------------------------------------------------------------------- PQ

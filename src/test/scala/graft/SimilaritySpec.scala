@@ -430,6 +430,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == byDim, s"got $got want $byDim")
   }
 
+  test("semDedup: flags exactly the non-minimal members of each similar bucket group") {
+    val data = clustered(30)
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity
+      .semDedup(df, threshold = 0.8, nAnchors = 6, dim = dim)
+      .select("vec_id", "bucket", "is_dup")
+      .as[(Long, Int, Int)]
+      .collect()
+    assert(got.length == 30)
+    val vecs = data.toMap
+    // Per bucket: a member is a dup iff some lower-id bucket-mate clears
+    // the (6dp-rounded) cosine threshold — recompute locally and compare.
+    got.groupBy(_._2).foreach { case (_, members) =>
+      val ids = members.map(_._1).sorted
+      members.foreach { case (id, _, flag) =>
+        val want = ids.exists(o =>
+          o < id &&
+            BigDecimal(cosLocal(vecs(o), vecs(id))).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.8)
+        assert(flag == (if (want) 1 else 0), s"id=$id")
+      }
+    }
+    // tight clusters: at least one dup flagged, never all flagged
+    assert(got.count(_._3 == 1) > 0 && got.count(_._3 == 0) >= got.map(_._2).distinct.length)
+  }
+
   test("mmrSelect: λ=1 reduces to plain relevance top-k order") {
     val data = clustered(40)
     val df = data.toDF("vec_id", "embedding")
