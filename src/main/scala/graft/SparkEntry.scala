@@ -25,16 +25,47 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table is written with nanosecond parquet timestamps, which
-    * Spark cannot represent as TimestampType; read `ts` as raw nanos (long)
-    * and derive `ts_ms` (epoch millis) + `event_time` (µs-precision
-    * timestamp) explicitly. DuckDB keeps native ns precision; all
-    * cross-engine comparisons use `ts_ms` / raw ns ordering, which agree.
+  /** The events table has shipped with two physical layouts for `ts`:
+    * nanosecond parquet timestamps (rounds ≤5 — unrepresentable as Spark
+    * TimestampType, read as raw nanos via `nanosAsLong`) and plain µs
+    * timestamps (round 6+). Normalize BOTH to the same canonical columns —
+    * `ts` as raw epoch NANOS (bigint), `ts_ms` (epoch millis), `event_time`
+    * (µs-precision timestamp) — so every downstream query is layout-blind.
+    * Naive (NTZ) µs timestamps are interpreted as UTC, matching DuckDB's
+    * `epoch_ms(ts)` on the same file; session TZ is pinned to UTC before the
+    * cast so the JVM zone can never skew the epoch.
     */
-  private def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+  private def eventsTable(spark: SparkSession, dir: String): DataFrame =
+    eventsTableRange(spark, dir, None)
+
+  /** `eventsTable` with an optional [lo, hi) epoch-NANOS range applied to the
+    * NATIVE file column before normalization, so the predicate reaches the
+    * parquet scan (row-group stats pruning) under either physical layout —
+    * a filter on the derived nanos column would evaluate post-scan.
+    */
+  private def eventsTableRange(
+      spark: SparkSession,
+      dir: String,
+      rangeNanos: Option[(Long, Long)]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts_ms", expr("ts DIV 1000000"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = table(spark, dir, "events")
+    val isLong = raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val bounded = rangeNanos match {
+      case None => raw
+      case Some((lo, hi)) if isLong =>
+        raw.filter(col("ts") >= lo && col("ts") < hi)
+      case Some((lo, hi)) =>
+        // µs layout: compare against timestamp literals cast to the file
+        // column's exact type (NTZ naive-UTC under the pinned session TZ).
+        def tsLit(nanos: Long) =
+          timestamp_micros(lit(nanos / 1000L)).cast(raw.schema("ts").dataType)
+        raw.filter(col("ts") >= tsLit(lo) && col("ts") < tsLit(hi))
+    }
+    val ev =
+      if (isLong) bounded
+      else bounded.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    ev.withColumn("ts_ms", expr("ts DIV 1000000"))
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
   }
 
@@ -92,11 +123,11 @@ object SparkEntry {
       // HourlyTeamScore: strict bounds (P3/P4), event-time promotion (P5),
       // 60-min tumbling windows (W1), per-(window, team) sum (A2).
       // The semantic bounds filter on derived millis (ts DIV 1e6) cannot
-      // reach the parquet scan; this raw-nanos range is exactly equivalent
-      // (ts_ms > a ⟺ ts ≥ (a+1)·1e6; ts_ms < b ⟺ ts < b·1e6) and pushes
-      // down, so at scale row groups outside the window are never read.
-      val ev = eventsTable(s, dir)
-        .filter(col("ts") >= (StartMs + 1) * 1000000L && col("ts") < StopMs * 1000000L)
+      // reach the parquet scan; this raw range is exactly equivalent
+      // (ts_ms > a ⟺ ts ≥ (a+1)·1e6; ts_ms < b ⟺ ts < b·1e6) and is applied
+      // to the native file column inside eventsTableRange so it pushes
+      // down — at scale row groups outside the window are never read.
+      val ev = eventsTableRange(s, dir, Some(((StartMs + 1) * 1000000L, StopMs * 1000000L)))
         .select(
         col("event_type").as("team"),
         cents(col("value")).as("score"),

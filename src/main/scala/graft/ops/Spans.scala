@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Substring-level duplicate detection: the longest run of consecutive shared
+  * word n-grams between two documents (the signal behind suffix-array
+  * "exact substring" dedup — Lee et al. 2022, *Deduplicating Training Data
+  * Makes Language Models Better* — re-expressed as a relational plan that
+  * shards by gram instead of building a global suffix array).
+  *
+  * Shape: positional n-gram inverted index → document-frequency cap (drops
+  * boilerplate "stop-grams", the classic fanout bound) → same-gram self-join
+  * (doc_a < doc_b) → gaps-and-islands over the match diagonal
+  * (pos_a − pos_b): a shared span of length L contributes L−n+1 consecutive
+  * matches on one diagonal, so the longest island + n−1 IS the longest
+  * common token run.
+  *
+  * 100 TB: the only shuffles are keyed by gram hash (bounded per-key by
+  * `maxDf` docs) and by (doc_a, doc_b) pair; no all-pairs stage exists, and
+  * the corpus text itself never crosses an exchange — only 16-char gram
+  * digests and integer positions.
+  */
+object Spans {
+
+  /** Positional (1-based) word n-grams of the lower-cased text — one row per
+    * starting position, NOT distinct (runs need every occurrence). Array of
+    * structs (pos, gram); empty below n tokens. Token array is lambda-bound
+    * so the text splits once per doc (see Dedup.wordShingles).
+    */
+  def positionalGrams(text: Column, n: Int): Column =
+    element_at(
+      transform(
+        array(split(lower(text), "\\s+")),
+        toks => {
+          val grams = transform(
+            sequence(lit(1), size(toks) - (n - 1)),
+            i =>
+              struct(
+                i.as("pos"),
+                concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*).as("gram")
+              )
+          )
+          when(size(toks) >= n, grams)
+            .otherwise(array().cast("array<struct<pos:int,gram:string>>"))
+        }
+      ),
+      1
+    )
+
+  /** Longest shared token run per candidate document pair.
+    *
+    * @param n      gram width in tokens (a run shorter than n is invisible)
+    * @param maxDf  stop-gram cap: grams present in more than this many
+    *               documents are dropped before the self-join (bounds per-key
+    *               fanout; mirrors the oracle's HAVING clause)
+    * @param minRun minimum run length in TOKENS for a pair to be reported
+    * @return (doc_a, doc_b, longest_run, n_spans, n_shared) — longest common
+    *         token run, number of distinct maximal spans of at least minRun,
+    *         and total shared gram occurrences between the pair
+    */
+  def duplicatedSpans(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      maxDf: Int = 50,
+      minRun: Int = 15): DataFrame = {
+    // Inverted index rows: 16-hex-char md5 digest keys the join (the full
+    // gram string would shuffle ~n× more bytes for the same partitioning).
+    val grams = docs
+      .select(col(idCol).as("doc"), posexplode_outer(positionalGrams(col(textCol), n)))
+      .select(col("doc"), col("col.pos").as("pos"), substring(md5(col("col.gram")), 1, 16).as("g"))
+      .where(col("g").isNotNull)
+
+    // Gram → document frequency; only grams shared by 2..maxDf docs can
+    // witness a duplicated span worth pairing.
+    val df = grams
+      .groupBy("g")
+      .agg(countDistinct(col("doc")).as("gram_df"))
+      .where(col("gram_df") >= 2 && col("gram_df") <= maxDf)
+
+    val indexed = grams.join(df, "g")
+
+    // Same-gram matches across distinct docs, canonical doc_a < doc_b.
+    val a = indexed.select(col("g"), col("doc").as("doc_a"), col("pos").as("pos_a"))
+    val b = indexed.select(col("g"), col("doc").as("doc_b"), col("pos").as("pos_b"))
+    val matches = a
+      .join(b, Seq("g"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"))
+
+    // Islands on the diagonal: consecutive pos_a within one (pair, diagonal)
+    // partition collapse to a single group key pos_a − row_number.
+    val diag = matches.withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    val islands = diag
+      .withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(count(lit(1)).as("run_grams"))
+      .withColumn("run_tokens", col("run_grams") + (n - 1))
+
+    islands
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        max(col("run_tokens")).as("longest_run"),
+        sum(when(col("run_tokens") >= minRun, 1L).otherwise(0L)).as("n_spans"),
+        sum(col("run_grams")).as("n_shared")
+      )
+      .where(col("longest_run") >= minRun)
+  }
+}
