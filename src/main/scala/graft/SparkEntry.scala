@@ -1585,6 +1585,48 @@ object SparkEntry {
           expr("valid_to DIV 1000000").as("valid_to"),
           col("version")
         )
+    },
+    "dup_spans" -> { (s, dir) =>
+      // Substring-level duplication (suffix-array dedup re-expressed
+      // relationally): longest run of consecutive shared 5-grams per doc
+      // pair via a positional gram inverted index + gaps-and-islands on
+      // the match diagonal. df-capped (≤50 docs/gram) so per-key join
+      // fanout is bounded at any corpus size (ops/Spans.scala).
+      graft.ops.Spans.duplicatedSpans(
+        table(s, dir, "documents"), n = 5, maxDf = 50, minRun = 15)
+    },
+    "token_pmi" -> { (s, dir) =>
+      // Collocation mining: PMI over co-occurring mid-frequency tokens.
+      // The df band is RELATIVE (1%–80% of corpus size, exact integer
+      // cross-multiplication — survives any corpus scale); vocabulary is
+      // rank-bounded and BROADCAST; pairs generate per-doc from the
+      // sorted kept-token array — the corpus never self-joins
+      // (ops/Cooccur.scala).
+      graft.ops.Cooccur.tokenPairPmi(
+        table(s, dir, "documents"), minDfPct = 1, maxDfPct = 80, vocabK = 400, minPair = 5)
+    },
+    "encoding_stats" -> { (s, dir) =>
+      // Encoding-health screen: U+FFFD replacement chars, C0 control
+      // chars, mojibake markers (Ã/â€ UTF-8-as-Latin-1 damage), ASCII
+      // ratio in micro units. Map-only — the 100 TB shape is one scan,
+      // zero exchanges (ops/TextAnalysis.scala).
+      graft.ops.TextAnalysis.encodingStats(table(s, dir, "documents"))
+    },
+    "session_paths" -> { (s, dir) =>
+      // Journey mining: top event-type paths over 30-min-gap sessions
+      // (first 8 events per session, '>'-joined). One exchange to the
+      // user shard for sessionization, one path agg (ops/Journey.scala).
+      graft.ops.Journey.sessionPaths(
+        eventsTable(s, dir), gapMs = 1800000L, maxSteps = 8)
+    },
+    "decayed_user_scores" -> { (s, dir) =>
+      // Time-decayed engagement: per-user sum of value·2^-age_days
+      // anchored at the corpus max timestamp. Per-event terms quantize to
+      // micro units BEFORE the sum (power-of-two decay is exact scaling,
+      // so the only inexact op is one IEEE multiply — identical in both
+      // engines); partial aggregation map-side (ops/Journey.scala).
+      graft.ops.Journey.decayedScores(
+        eventsTable(s, dir), maxAgeDays = 30)
     }
   )
 
@@ -4117,6 +4159,119 @@ object SparkEntry {
         |SELECT user_id, event_type, epoch_ms(ts) AS valid_from,
         |  epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    "dup_spans" ->
+      // positional 5-gram index -> df cap -> diagonal islands; mirrors
+      // Spans.duplicatedSpans step for step
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id, pg['pos'] AS pos, pg['g'] AS g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |      i -> struct_pack(pos := CAST(i AS INT),
+        |                       g := substr(md5(array_to_string(t[i:i+4], ' ')), 1, 16)))) AS pg
+        |    FROM toks WHERE len(t) >= 5)
+        |), df AS (
+        |  SELECT g FROM grams GROUP BY g
+        |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50
+        |), idx AS (
+        |  SELECT grams.doc_id, grams.pos, grams.g FROM grams JOIN df USING (g)
+        |), m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+        |    a.pos - b.pos AS diag
+        |  FROM idx a JOIN idx b USING (g)
+        |  WHERE a.doc_id < b.doc_id
+        |), isl AS (
+        |  SELECT doc_a, doc_b,
+        |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp,
+        |    diag
+        |  FROM m
+        |), runs AS (
+        |  SELECT doc_a, doc_b, count(*) AS run_grams, count(*) + 4 AS run_tokens
+        |  FROM isl GROUP BY doc_a, doc_b, diag, grp
+        |)
+        |SELECT doc_a, doc_b, CAST(max(run_tokens) AS BIGINT) AS longest_run,
+        |  CAST(sum(CASE WHEN run_tokens >= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |  CAST(sum(run_grams) AS BIGINT) AS n_shared
+        |FROM runs GROUP BY doc_a, doc_b
+        |HAVING max(run_tokens) >= 15""".stripMargin,
+    "token_pmi" ->
+      // doc-distinct tokens -> df band + rank cap vocab -> per-doc pairs
+      // -> PMI with one micro-rounded ln (the portable float pattern)
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''
+        |), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        |), vocab AS (
+        |  SELECT tok, df FROM (
+        |    SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |      row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+        |    FROM tok GROUP BY tok
+        |    HAVING count(*) * 100 >= (SELECT n_docs FROM nd) * 1
+        |       AND count(*) * 100 <= (SELECT n_docs FROM nd) * 80)
+        |  WHERE rk <= 400
+        |), kept AS (
+        |  SELECT t.doc_id, t.tok FROM tok t JOIN vocab v USING (tok)
+        |), pairs AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 5
+        |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT p.tok_a, p.tok_b, va.df AS c_a, vb.df AS c_b, p.c_ab,
+        |  CAST(floor(ln(CAST(n.n_docs * p.c_ab AS DOUBLE) / CAST(va.df * vb.df AS DOUBLE)) * 1e6 + 0.5e0) AS BIGINT) AS pmi_micro
+        |FROM pairs p
+        |JOIN vocab va ON va.tok = p.tok_a
+        |JOIN vocab vb ON vb.tok = p.tok_b
+        |CROSS JOIN n""".stripMargin,
+    "encoding_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_exact,
+        |  CAST(length(text) - length(regexp_replace(text, '\x{fffd}', '', 'g')) AS BIGINT) AS n_replacement,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS BIGINT) AS n_control,
+        |  CAST(length(text) - length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')) AS BIGINT) AS n_non_ascii,
+        |  CAST((length(text) - length(regexp_replace(text, '\x{c3}', '', 'g')))
+        |    + (length(text) - length(regexp_replace(text, '\x{e2}\x{20ac}', '', 'g'))) // 2 AS BIGINT) AS n_mojibake,
+        |  CAST(CASE WHEN length(text) > 0
+        |    THEN (CAST(length(regexp_replace(text, '[^\x00-\x7f]', '', 'g')) AS BIGINT) * 1000000)
+        |      // CAST(length(text) AS BIGINT)
+        |    ELSE 1000000 END AS BIGINT) AS ascii_ratio_micro
+        |FROM documents""".stripMargin,
+    "session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events
+        |), marked AS (
+        |  SELECT *, CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) IS NULL
+        |    OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) >= 1800000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |), sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |), p AS (
+        |  SELECT user_id, sid,
+        |    array_to_string(list_slice(list(event_type ORDER BY ms, event_id), 1, 8), '>') AS path
+        |  FROM sess GROUP BY user_id, sid
+        |)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM p GROUP BY path""".stripMargin,
+    "decayed_user_scores" ->
+      // per-event micro term: value / 2^age (exact scaling) then ONE IEEE
+      // multiply by 1e6, floored — identical in any IEEE engine
+      """WITH a AS (SELECT max(epoch_ms(ts)) AS anchor_ms FROM events),
+        |t AS (
+        |  SELECT user_id,
+        |    least((a.anchor_ms - epoch_ms(ts)) // 86400000, 30) AS age,
+        |    value
+        |  FROM events CROSS JOIN a
+        |)
+        |SELECT user_id,
+        |  CAST(sum(CAST(floor(value / CAST((CAST(1 AS BIGINT) << CAST(age AS INT)) AS DOUBLE) * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS decayed_micro,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM t GROUP BY user_id""".stripMargin
   )
 }

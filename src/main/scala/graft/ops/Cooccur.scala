@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Collocation mining: pointwise mutual information over co-occurring
+  * mid-frequency tokens (document-level co-occurrence, the classic
+  * market-basket / word-association signal).
+  *
+  * Scale shape: the vocabulary is BOUNDED before any pairing — tokens
+  * outside [minDf, maxDf] document frequency are dropped (rare noise and
+  * stopwords respectively), then the survivors are rank-capped to the top
+  * `vocabK` by (df desc, token asc). The bounded vocab broadcasts; pair
+  * candidates generate per-document from the sorted kept-token array as one
+  * array expression — the corpus NEVER self-joins, and the pair-count
+  * exchange carries at most C(vocabK, 2) distinct keys.
+  */
+object Cooccur {
+
+  /** All ordered pairs (a_i, a_j), i<j, of a sorted token array — executor-
+    * side array expression (same shape as Dedup's bucket pairing).
+    */
+  private def orderedTokenPairs(sortedToks: Column): Column =
+    flatten(
+      transform(
+        sortedToks,
+        (a, i) =>
+          transform(
+            slice(sortedToks, i + 2, size(sortedToks)),
+            b => struct(a.as("tok_a"), b.as("tok_b"))
+          )
+      )
+    )
+
+  /** PMI per co-occurring token pair.
+    *
+    * The document-frequency band is RELATIVE (integer percent of corpus
+    * size, compared as exact cross-multiplied longs — df·100 vs N·pct — so
+    * no float enters the filter): absolute bounds cannot survive a corpus
+    * growing 100×, percentage bounds can.
+    *
+    * @param minDfPct  minimum df as percent of corpus size (rare-noise floor)
+    * @param maxDfPct  maximum df percent (drops stopword-grade tokens — the
+    *                  pairing fanout cap)
+    * @param vocabK    hard vocab bound: top-K survivors by (df desc, tok asc)
+    * @param minPair   minimum pair document co-occurrence to report
+    * @return (tok_a, tok_b, c_a, c_b, c_ab, pmi_micro) with tok_a < tok_b;
+    *         pmi_micro = round(1e6 · ln(N·c_ab / (c_a·c_b))) — a single ln
+    *         micro-rounded per row, the engine-portable float pattern
+    */
+  def tokenPairPmi(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minDfPct: Int = 1,
+      maxDfPct: Int = 80,
+      vocabK: Int = 400,
+      minPair: Int = 5): DataFrame = {
+    val toks = docs
+      .select(
+        col(idCol).as("doc"),
+        explode(
+          array_distinct(filter(split(lower(col(textCol)), "\\s+"), t => t =!= ""))
+        ).as("tok")
+      )
+
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+
+    // Bounded vocabulary: relative df-band filter then deterministic rank cap.
+    val vocab = toks
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") * 100 >= col("n_docs") * minDfPct && col("df") * 100 <= col("n_docs") * maxDfPct)
+      .withColumn("rk", row_number().over(Window.orderBy(col("df").desc, col("tok"))))
+      .where(col("rk") <= vocabK)
+      .select("tok", "df")
+
+    val kept = toks.join(broadcast(vocab.select("tok")), Seq("tok"))
+
+    // Per-doc sorted kept tokens → in-executor pair generation.
+    val pairs = kept
+      .groupBy("doc")
+      .agg(sort_array(collect_set(col("tok"))).as("ts"))
+      .select(explode(orderedTokenPairs(col("ts"))).as("p"))
+      .groupBy(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minPair)
+
+    pairs
+      .join(broadcast(vocab.select(col("tok").as("tok_a"), col("df").as("c_a"))), Seq("tok_a"))
+      .join(broadcast(vocab.select(col("tok").as("tok_b"), col("df").as("c_b"))), Seq("tok_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("tok_a"),
+        col("tok_b"),
+        col("c_a"),
+        col("c_b"),
+        col("c_ab"),
+        floor(
+          log((col("n_docs") * col("c_ab")).cast("double") / (col("c_a") * col("c_b")).cast("double")) * 1e6 + 0.5
+        ).cast("long").as("pmi_micro")
+      )
+  }
+}

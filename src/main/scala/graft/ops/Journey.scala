@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-journey analytics over the event log: session path mining and
+  * time-decayed engagement scoring.
+  */
+object Journey {
+
+  /** Top event-type paths over gap-based sessions: sessionize per user
+    * (gaps-and-islands, one exchange keyed by user), order each session's
+    * events, join the first `maxSteps` event types with '>' and count
+    * sessions + distinct users per path.
+    *
+    * 100 TB: sessionization is a single user-keyed window (the natural
+    * shard); the path aggregate's key space is bounded by
+    * |event_types|^maxSteps in the worst case but in practice by observed
+    * journeys — and partial aggregation collapses duplicates map-side.
+    *
+    * @param ev events frame with user_id, ts_ms, event_id, event_type
+    */
+  def sessionPaths(ev: DataFrame, gapMs: Long = 1800000L, maxSteps: Int = 8): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val marked = ev
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .withColumn(
+        "new_sess",
+        when(
+          lag(col("ts_ms"), 1).over(w).isNull ||
+            col("ts_ms") - lag(col("ts_ms"), 1).over(w) >= gapMs,
+          1L
+        ).otherwise(0L)
+      )
+      .withColumn("sid", sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+    // array_sort on (ts_ms, event_id, event_type) structs sorts by the
+    // session's event order (field-lexicographic), so the path is
+    // deterministic even under timestamp ties.
+    val paths = marked
+      .groupBy("user_id", "sid")
+      .agg(
+        concat_ws(
+          ">",
+          slice(
+            transform(
+              array_sort(collect_list(struct(col("ts_ms"), col("event_id"), col("event_type")))),
+              e => e.getField("event_type")
+            ),
+            1,
+            maxSteps
+          )
+        ).as("path")
+      )
+
+    paths
+      .groupBy("path")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users")
+      )
+  }
+
+  /** Per-user time-decayed engagement score: Σ value · 2^−age_days, age
+    * capped and anchored at the corpus max timestamp.
+    *
+    * Engine-portable by construction: division by 1<<age is EXACT binary
+    * scaling, so each term's only inexact op is the single ·1e6 IEEE
+    * multiply — bit-identical in any IEEE-754 engine — and terms quantize
+    * to micro units BEFORE the (order-independent) integer sum.
+    *
+    * @param ev events frame with user_id, ts_ms, value
+    */
+  def decayedScores(ev: DataFrame, maxAgeDays: Int = 30): DataFrame = {
+    val anchor = ev.agg(max(col("ts_ms")).as("anchor_ms"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("age", expr(s"least((anchor_ms - ts_ms) DIV 86400000, $maxAgeDays)"))
+      .withColumn(
+        "term",
+        floor(
+          col("value") / expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(age AS INT)) AS DOUBLE)") * 1e6 + 0.5
+        ).cast("long")
+      )
+      .groupBy("user_id")
+      .agg(
+        sum(col("term")).as("decayed_micro"),
+        count(lit(1)).as("n_events")
+      )
+  }
+}

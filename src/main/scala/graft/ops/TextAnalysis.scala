@@ -516,4 +516,38 @@ object TextAnalysis {
         count(lit(1)).as("n_distinct"),
         expr("(2 * sum(term) + max(n)) div (2 * max(n))").as("h_micro"))
   }
+
+  /** Encoding-health screen per document: U+FFFD replacement characters
+    * (decode failures), C0 control characters (binary bleed-through),
+    * mojibake markers (Ã / â€ — the signatures of UTF-8 bytes re-decoded
+    * as Latin-1), and the ASCII ratio in exact micro units (integer
+    * division, no float anywhere).
+    *
+    * Every counter is a length difference after pattern removal, so the
+    * whole screen is one codegen'd map-only projection — zero exchanges,
+    * the shape a 100 TB triage scan needs. NOTE: counts are in UTF-16
+    * units (Spark `length`); on a BMP corpus this equals codepoints, which
+    * is what the DuckDB oracle counts.
+    */
+  def encodingStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val n = length(t).cast("long")
+    def removedLen(pattern: String): Column =
+      (n - length(regexp_replace(t, pattern, ""))).cast("long")
+    // "\u00e2\u20ac" is a TWO-char marker, so its length drop double-counts:
+    // halve it with an exact integer shift (the drop is always even). All
+    // divisions here are integer (shiftright / div), never float.
+    val mojibake = removedLen("\u00c3") + shiftright(removedLen("\u00e2\u20ac"), 1)
+    val nonAscii = removedLen("[^\\x00-\\x7f]")
+    docs.select(
+      col(idCol),
+      n.as("n_chars_exact"),
+      removedLen("\ufffd").as("n_replacement"),
+      removedLen("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]").as("n_control"),
+      nonAscii.as("n_non_ascii"),
+      mojibake.cast("long").as("n_mojibake"),
+      when(n > 0, expr("((length(" + textCol + ") - (length(" + textCol + ") - length(regexp_replace(" + textCol + ", '[^\\\\x00-\\\\x7f]', '')))) * CAST(1000000 AS BIGINT)) DIV length(" + textCol + ")"))
+        .otherwise(lit(1000000L)).cast("long").as("ascii_ratio_micro")
+    )
+  }
 }

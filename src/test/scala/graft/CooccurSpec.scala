@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Cooccur
+
+class CooccurSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pair counts and PMI match a hand-computed corpus") {
+    // 10 docs; "strong pair" co-occurs in 6, each appears alone in 2 more
+    val rows =
+      (1L to 6L).map(i => i -> "espresso machine misc filler") ++
+        (7L to 8L).map(i => i -> "espresso solo words here") ++
+        (9L to 10L).map(i => i -> "machine alone tokens now")
+    val got = Cooccur
+      .tokenPairPmi(rows.toDF("doc_id", "text"), minDfPct = 10, maxDfPct = 90, vocabK = 50, minPair = 3)
+      .select("tok_a", "tok_b", "c_a", "c_b", "c_ab", "pmi_micro")
+      .as[(String, String, Long, Long, Long, Long)]
+      .collect()
+      .map(r => (r._1, r._2) -> r)
+      .toMap
+
+    val key = ("espresso", "machine")
+    assert(got.contains(key))
+    val (_, _, ca, cb, cab, pmi) = got(key)
+    assert(ca == 8 && cb == 8 && cab == 6)
+    // PMI = ln(10*6/(8*8)) — micro-rounded
+    val expected = math.floor(math.log(60.0 / 64.0) * 1e6 + 0.5).toLong
+    assert(pmi == expected)
+  }
+
+  test("relative df band drops corpus-wide stopwords and rare noise") {
+    val rows =
+      (1L to 20L).map(i => i -> s"the common stopword rare$i appears everywhere") ++
+        Seq(21L -> "the unique pairing signal xyz", 22L -> "the unique pairing signal xyz")
+    val pairs = Cooccur
+      .tokenPairPmi(rows.toDF("doc_id", "text"), minDfPct = 5, maxDfPct = 50, vocabK = 50, minPair = 2)
+      .select("tok_a", "tok_b")
+      .as[(String, String)]
+      .collect()
+      .toSet
+    // "the" (df=22 = 100%) must never appear in any pair
+    assert(!pairs.exists(p => p._1 == "the" || p._2 == "the"))
+    // rare$i (df=1 < 5%) must never appear
+    assert(!pairs.exists(p => p._1.startsWith("rare") || p._2.startsWith("rare")))
+    // the mid-band pair survives
+    assert(pairs.contains(("pairing", "signal")) || pairs.contains(("signal", "unique")))
+  }
+
+  test("vocabK caps the vocabulary deterministically") {
+    val rows = (1L to 10L).map(i => i -> "aa bb cc dd ee ff")
+    // all tokens have df=10; rank cap 2 keeps lexicographically first two
+    val toks = Cooccur
+      .tokenPairPmi(rows.toDF("doc_id", "text"), minDfPct = 1, maxDfPct = 100, vocabK = 2, minPair = 2)
+      .select("tok_a", "tok_b")
+      .as[(String, String)]
+      .collect()
+      .toSet
+    assert(toks == Set(("aa", "bb")))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Journey
+
+class JourneySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, Long, Long, String, Double)]) =
+    rows.toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+
+  test("sessionPaths splits on the gap and joins types in event order") {
+    val gap = 1000L
+    val rows = Seq(
+      // user 1: one session view>click>purchase, then a second session view
+      (1L, 0L, 1L, "view", 0.0),
+      (1L, 100L, 2L, "click", 0.0),
+      (1L, 200L, 3L, "purchase", 0.0),
+      (1L, 5000L, 4L, "view", 0.0),
+      // user 2: a single view>click session
+      (2L, 0L, 5L, "view", 0.0),
+      (2L, 100L, 6L, "click", 0.0)
+    )
+    val got = Journey
+      .sessionPaths(ev(rows), gapMs = gap, maxSteps = 8)
+      .as[(String, Long, Long)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(got("view>click>purchase") == ((1L, 1L)))
+    assert(got("view") == ((1L, 1L)))
+    assert(got("view>click") == ((1L, 1L)))
+  }
+
+  test("sessionPaths truncates at maxSteps and breaks timestamp ties by event_id") {
+    val rows = (1L to 10L).map(i => (1L, 0L, i, s"e$i", 0.0)) :+
+      (1L, 0L, 0L, "first", 0.0)
+    val got = Journey
+      .sessionPaths(ev(rows), gapMs = 1000L, maxSteps = 3)
+      .as[(String, Long, Long)]
+      .collect()
+    assert(got.length == 1)
+    assert(got.head._1 == "first>e1>e2")
+  }
+
+  test("decayedScores halves per day and caps the age") {
+    val day = 86400000L
+    val rows = Seq(
+      (1L, 3L * day, 1L, "view", 100.0), // age 0 → 100
+      (1L, 2L * day, 2L, "view", 100.0), // age 1 → 50
+      (1L, 1L * day, 3L, "view", 100.0), // age 2 → 25
+      (2L, 0L, 4L, "view", 100.0)        // age 3 but cap 2 → 25
+    )
+    val got = Journey
+      .decayedScores(ev(rows), maxAgeDays = 2)
+      .as[(Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(got(1L) == ((175000000L, 3L)))
+    assert(got(2L) == ((25000000L, 1L)))
+  }
+
+  test("decayedScores terms quantize before the sum (order-free)") {
+    val rows = (1L to 100L).map(i => (1L, i % 5 * 86400000L, i, "view", 0.07))
+    val a = Journey.decayedScores(ev(rows), maxAgeDays = 30).as[(Long, Long, Long)].collect()
+    val b = Journey
+      .decayedScores(ev(rows.reverse), maxAgeDays = 30)
+      .as[(Long, Long, Long)]
+      .collect()
+    assert(a.toSet == b.toSet)
+  }
+}

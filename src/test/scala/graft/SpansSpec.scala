@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Spans
+
+class SpansSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Brute-force longest common token run between two token sequences. */
+  private def longestRun(a: Seq[String], b: Seq[String]): Int = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    var best = 0
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      if (a(i - 1) == b(j - 1)) {
+        dp(i)(j) = dp(i - 1)(j - 1) + 1
+        best = math.max(best, dp(i)(j))
+      }
+    best
+  }
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  test("longest shared run matches brute force on an injected overlap") {
+    // doc 2 copies a 12-token span of doc 1 into unrelated context
+    val span = base.split(" ").slice(3, 15).mkString(" ")
+    val rows = Seq(
+      1L -> base,
+      2L -> s"unrelated lead tokens here $span trailing words differ entirely now",
+      3L -> "completely disjoint content with no overlap at all whatsoever"
+    )
+    val got = Spans
+      .duplicatedSpans(rows.toDF("doc_id", "text"), n = 3, maxDf = 10, minRun = 5)
+      .select("doc_a", "doc_b", "longest_run")
+      .as[(Long, Long, Long)]
+      .collect()
+      .toSet
+    val expected = longestRun(
+      rows(0)._2.toLowerCase.split("\\s+").toSeq,
+      rows(1)._2.toLowerCase.split("\\s+").toSeq)
+    assert(expected == 12)
+    assert(got == Set((1L, 2L, expected.toLong)))
+  }
+
+  test("two disjoint spans on different diagonals count separately") {
+    val w = base.split(" ")
+    val s1 = w.slice(0, 6).mkString(" ")  // 6 tokens
+    val s2 = w.slice(10, 18).mkString(" ") // 8 tokens
+    val rows = Seq(
+      1L -> base,
+      2L -> s"$s1 interruption goes right here then $s2"
+    )
+    val df = Spans
+      .duplicatedSpans(rows.toDF("doc_id", "text"), n = 3, maxDf = 10, minRun = 4)
+      .select("doc_a", "doc_b", "longest_run", "n_spans")
+      .as[(Long, Long, Long, Long)]
+      .collect()
+    assert(df.toSeq == Seq((1L, 2L, 8L, 2L)))
+  }
+
+  test("stop-gram df cap suppresses boilerplate-only matches") {
+    // the same 5-gram boilerplate in every doc exceeds maxDf → no pairs
+    val boiler = "all rights reserved by company"
+    val rows = (1L to 6L).map(i => i -> s"$boiler unique$i tokens$i more$i words$i")
+    val got = Spans
+      .duplicatedSpans(rows.toDF("doc_id", "text"), n = 5, maxDf = 3, minRun = 5)
+      .count()
+    assert(got == 0L)
+  }
+
+  test("runs shorter than minRun are filtered") {
+    val w = base.split(" ")
+    val short = w.slice(2, 7).mkString(" ") // 5-token overlap
+    val rows = Seq(1L -> base, 2L -> s"$short padded with other unseen tokens")
+    val strict = Spans.duplicatedSpans(rows.toDF("doc_id", "text"), n = 3, maxDf = 10, minRun = 6)
+    val loose = Spans.duplicatedSpans(rows.toDF("doc_id", "text"), n = 3, maxDf = 10, minRun = 5)
+    assert(strict.count() == 0L)
+    assert(loose.count() == 1L)
+  }
+}

@@ -255,4 +255,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     // semantics: uniform doc strictly more entropic than the skewed one
     assert(got(2L)._3 > got(3L)._3 && got(1L)._3 == 0L)
   }
+
+  test("encodingStats: counts decode damage and stays integer-exact") {
+    val docs = Seq(
+      (1L, "clean ascii text only"),
+      (2L, "bad \ufffd byte \ufffd here"),
+      (3L, "ctrl\u0001chars\u0007inside"),
+      (4L, "moji \u00c3\u00a9 and \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.encodingStats(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+
+    // clean doc: all-zero counters, ratio exactly 1e6
+    assert(got(1L) == ((1L, 21L, 0L, 0L, 0L, 0L, 1000000L)))
+    // two replacement chars
+    assert(got(2L)._3 == 2L)
+    // two C0 control chars
+    assert(got(3L)._4 == 2L)
+    // mojibake: one Latin-1 lead byte pair + two curly-quote signatures
+    val (_, n4, _, _, nonAscii4, moji4, ratio4) = got(4L)
+    assert(moji4 == 3L)
+    assert(nonAscii4 == 8L)
+    assert(ratio4 == (n4 - nonAscii4) * 1000000L / n4)
+    // empty doc: guard returns full-ASCII ratio
+    assert(got(5L) == ((5L, 0L, 0L, 0L, 0L, 0L, 1000000L)))
+  }
 }
