@@ -67,7 +67,11 @@ object Cooccur {
 
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
 
-    // Bounded vocabulary: relative df-band filter then deterministic rank cap.
+    // Bounded vocabulary: relative df-band filter then deterministic rank
+    // cap. Eagerly materialized — it is tiny (≤ vocabK rows) and every later
+    // reference would otherwise replay the corpus scan that built it. With
+    // the vocab cut, the whole pipeline costs exactly TWO corpus scans (one
+    // to count df, one to pair) and zero corpus self-joins.
     val vocab = toks
       .groupBy("tok")
       .agg(count(lit(1)).as("df"))
@@ -75,32 +79,40 @@ object Cooccur {
       .where(col("df") * 100 >= col("n_docs") * minDfPct && col("df") * 100 <= col("n_docs") * maxDfPct)
       .withColumn("rk", row_number().over(Window.orderBy(col("df").desc, col("tok"))))
       .where(col("rk") <= vocabK)
-      .select("tok", "df")
+      .select("tok", "df", "n_docs")
+      .localCheckpoint(true)
 
-    val kept = toks.join(broadcast(vocab.select("tok")), Seq("tok"))
+    // Kept tokens carry their df from the broadcast vocab, so pair rows
+    // are born with both marginals — no post-count joins needed.
+    val kept = toks.join(broadcast(vocab), Seq("tok"))
 
-    // Per-doc sorted kept tokens → in-executor pair generation.
+    // Per-doc sorted kept (tok, df) structs → in-executor pair generation.
     val pairs = kept
       .groupBy("doc")
-      .agg(sort_array(collect_set(col("tok"))).as("ts"))
-      .select(explode(orderedTokenPairs(col("ts"))).as("p"))
-      .groupBy(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
+      .agg(
+        sort_array(collect_set(struct(col("tok"), col("df")))).as("ts"),
+        first(col("n_docs")).as("n_docs")
+      )
+      .select(col("n_docs"), explode(orderedTokenPairs(col("ts"))).as("p"))
+      .groupBy(
+        col("p.tok_a.tok").as("tok_a"),
+        col("p.tok_b.tok").as("tok_b"),
+        col("p.tok_a.df").as("c_a"),
+        col("p.tok_b.df").as("c_b"),
+        col("n_docs")
+      )
       .agg(count(lit(1)).as("c_ab"))
       .where(col("c_ab") >= minPair)
 
-    pairs
-      .join(broadcast(vocab.select(col("tok").as("tok_a"), col("df").as("c_a"))), Seq("tok_a"))
-      .join(broadcast(vocab.select(col("tok").as("tok_b"), col("df").as("c_b"))), Seq("tok_b"))
-      .crossJoin(broadcast(nDocs))
-      .select(
-        col("tok_a"),
-        col("tok_b"),
-        col("c_a"),
-        col("c_b"),
-        col("c_ab"),
-        floor(
-          log((col("n_docs") * col("c_ab")).cast("double") / (col("c_a") * col("c_b")).cast("double")) * 1e6 + 0.5
-        ).cast("long").as("pmi_micro")
-      )
+    pairs.select(
+      col("tok_a"),
+      col("tok_b"),
+      col("c_a"),
+      col("c_b"),
+      col("c_ab"),
+      floor(
+        log((col("n_docs") * col("c_ab")).cast("double") / (col("c_a") * col("c_b")).cast("double")) * 1e6 + 0.5
+      ).cast("long").as("pmi_micro")
+    )
   }
 }

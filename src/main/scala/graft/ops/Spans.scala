@@ -74,14 +74,24 @@ object Spans {
       .select(col("doc"), col("col.pos").as("pos"), substring(md5(col("col.gram")), 1, 16).as("g"))
       .where(col("g").isNotNull)
 
-    // Gram → document frequency; only grams shared by 2..maxDf docs can
-    // witness a duplicated span worth pairing.
-    val df = grams
-      .groupBy("g")
-      .agg(countDistinct(col("doc")).as("gram_df"))
+    // Gram → document frequency via two stacked windows over ONE gram-keyed
+    // shuffle (first-occurrence flag per (g, doc), then its sum per g) —
+    // an aggregate-then-self-join would scan + tokenize the corpus twice.
+    // Only grams shared by 2..maxDf docs can witness a duplicated span.
+    val wg = Window.partitionBy("g")
+    val indexed = grams
+      .withColumn(
+        "is_first",
+        when(row_number().over(Window.partitionBy("g", "doc").orderBy("pos")) === 1, 1L)
+          .otherwise(0L))
+      .withColumn("gram_df", sum(col("is_first")).over(wg))
       .where(col("gram_df") >= 2 && col("gram_df") <= maxDf)
-
-    val indexed = grams.join(df, "g")
+      .drop("is_first", "gram_df")
+      // The self-join below references this frame twice; without an eager
+      // cut the corpus would be scanned + tokenized twice (no common-
+      // subplan reuse in Spark). Post-filter rows are only the shared,
+      // df-capped grams — ids and positions, a sliver of the corpus.
+      .localCheckpoint(true)
 
     // Same-gram matches across distinct docs, canonical doc_a < doc_b.
     val a = indexed.select(col("g"), col("doc").as("doc_a"), col("pos").as("pos_a"))

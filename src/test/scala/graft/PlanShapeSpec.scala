@@ -180,4 +180,39 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = executedPlan("pagerank_neardup")
     assert(!plan.contains("Scan parquet"), s"pair pipeline re-executed:\n$plan")
   }
+
+  test("encoding_stats: map-only — zero exchanges, one scan") {
+    val plan = executedPlan("encoding_stats")
+    assert(!plan.contains("Exchange"), "encoding screen must not shuffle")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, "one corpus scan")
+  }
+
+  test("dup_spans: self-join runs on the checkpointed gram index, not two corpus scans") {
+    val plan = executedPlan("dup_spans")
+    assert("Scan parquet".r.findAllIn(plan).size <= 1,
+      s"gram index pipeline re-executed:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("token_pmi: no corpus self-join; pair marginals ride the broadcast vocab") {
+    val plan = executedPlan("token_pmi")
+    // exactly the pairing scan (the vocab pass is behind the checkpoint cut)
+    assert("Scan parquet".r.findAllIn(plan).size <= 2, s"extra corpus scans:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "vocab join must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("session_paths: one user exchange feeds sessionization; path agg is partial+final") {
+    val plan = executedPlan("session_paths")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, "one event-log scan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"))
+  }
+
+  test("decayed_user_scores: anchor broadcasts; per-user agg is partial+final around one shuffle") {
+    val plan = executedPlan("decayed_user_scores")
+    assert(!plan.contains("SortMergeJoin"), "anchor must broadcast")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "partial+final agg expected")
+    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), "scalar anchor join must be broadcast-shaped")
+  }
 }
