@@ -1627,6 +1627,39 @@ object SparkEntry {
       // engines); partial aggregation map-side (ops/Journey.scala).
       graft.ops.Journey.decayedScores(
         eventsTable(s, dir), maxAgeDays = 30)
+    },
+    "user_active_time" -> { (s, dir) =>
+      // Interval-union active time: per-user union of 5-min activity
+      // windows (gaps-and-islands merge on a running max of ends) — one
+      // user-keyed exchange reused by both aggregations
+      // (ops/Journey.scala).
+      graft.ops.Journey.activeTime(eventsTable(s, dir), windowMs = 300000L)
+    },
+    "winnow_fingerprints" -> { (s, dir) =>
+      // MOSS winnowing (Schleimer et al. 2003): distinct per-window minima
+      // of positional 4-gram md5 hashes (window 5). One doc-keyed
+      // exchange, no joins; set identity crosses engines as one md5 of
+      // the sorted fingerprint list (ops/Winnow.scala).
+      graft.ops.Winnow.fingerprints(table(s, dir, "documents"), k = 4, w = 5)
+    },
+    "value_outliers" -> { (s, dir) =>
+      // Robust outlier screen: |price − median| > 5·MAD per returnflag,
+      // exact counts + basis points; median/MAD by order selection, the
+      // summary broadcast back over the data (ops/Robust.scala).
+      graft.ops.Robust.madOutliers(
+        table(s, dir, "lineitem")
+          .select(col("l_returnflag"), cents(col("l_extendedprice")).as("cents")),
+        "l_returnflag",
+        "cents",
+        k = 5)
+    },
+    "incremental_daily_stats" -> { (s, dir) =>
+      // Incremental state maintenance proven by algebra: per-DAY mergeable
+      // states (count/sum/min/max + HLL registers) folded into the
+      // all-time profile; the oracle computes the same profile DIRECTLY —
+      // equality holds because every component merges order-free
+      // (ops/Incremental.scala).
+      graft.ops.Incremental.incrementalProfile(eventsTable(s, dir))
     }
   )
 
@@ -4272,6 +4305,110 @@ object SparkEntry {
         |SELECT user_id,
         |  CAST(sum(CAST(floor(value / CAST((CAST(1 AS BIGINT) << CAST(age AS INT)) AS DOUBLE) * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS decayed_micro,
         |  CAST(count(*) AS BIGINT) AS n_events
-        |FROM t GROUP BY user_id""".stripMargin
+        |FROM t GROUP BY user_id""".stripMargin,
+    "user_active_time" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, event_id, epoch_ms(ts) + 300000 AS end_ms
+        |  FROM events
+        |), mk AS (
+        |  SELECT *, CASE WHEN max(end_ms) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR ms > max(end_ms) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_grp
+        |  FROM e
+        |), g AS (
+        |  SELECT *, sum(new_grp) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM mk
+        |), m AS (
+        |  SELECT user_id, grp, min(ms) AS s, max(end_ms) AS e FROM g GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(sum(e - s) AS BIGINT) AS active_ms,
+        |  CAST(count(*) AS BIGINT) AS n_intervals
+        |FROM m GROUP BY user_id""".stripMargin,
+    "winnow_fingerprints" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id, pg['pos'] AS pos, pg['h'] AS h FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+        |      i -> struct_pack(pos := CAST(i AS INT),
+        |                       h := CAST(('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 8)) AS BIGINT)))) AS pg
+        |    FROM toks WHERE len(t) >= 4)
+        |), sel AS (
+        |  SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+        |    max(pos) OVER (PARTITION BY doc_id) AS max_pos
+        |  FROM grams
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM sel WHERE pos <= max_pos - 4
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints,
+        |  md5(string_agg(CAST(fp AS VARCHAR), ',' ORDER BY fp)) AS fp_md5
+        |FROM fps GROUP BY doc_id""".stripMargin,
+    "value_outliers" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem
+        |), r AS (
+        |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM v
+        |), m AS (
+        |  SELECT g, max(n) AS n, max(v) AS med FROM r WHERE rn = (n + 1) // 2 GROUP BY g
+        |), d AS (
+        |  SELECT v.g, abs(v.v - m.med) AS dev, m.n, m.med FROM v JOIN m ON v.g = m.g
+        |), r2 AS (
+        |  SELECT g, dev, n, med, row_number() OVER (PARTITION BY g ORDER BY dev) AS rn FROM d
+        |), mm AS (
+        |  SELECT g, max(n) AS n, max(med) AS med, max(dev) AS mad
+        |  FROM r2 WHERE rn = (n + 1) // 2 GROUP BY g
+        |)
+        |SELECT v.g AS l_returnflag, max(mm.n) AS n, max(mm.med) AS med, max(mm.mad) AS mad,
+        |  CAST(sum(CASE WHEN abs(v.v - mm.med) > 5 * mm.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  (CAST(sum(CASE WHEN abs(v.v - mm.med) > 5 * mm.mad THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+        |    // max(mm.n) AS outlier_bps
+        |FROM v JOIN mm ON v.g = mm.g GROUP BY v.g""".stripMargin,
+    "incremental_daily_stats" ->
+      // direct profile over the whole table: equals the per-day folded
+      // states because counts/sums add, extrema nest, registers max-merge
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(('0x' || substr(md5('inc-' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+        |  FROM events
+        |), b AS (
+        |  SELECT event_type, cents, CAST(hv % 64 AS INT) AS bucket, hv // 64 AS w FROM h
+        |), r AS (
+        |  SELECT event_type, bucket,
+        |    max(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS rho
+        |  FROM b GROUP BY 1, 2
+        |), keys AS (SELECT DISTINCT event_type FROM h),
+        |regs AS (
+        |  SELECT keys.event_type, g.bucket, CAST(COALESCE(r.rho, 0) AS INT) AS rho
+        |  FROM keys CROSS JOIN (SELECT unnest(range(64)) AS bucket) g
+        |  LEFT JOIN r ON r.event_type = keys.event_type AND r.bucket = g.bucket
+        |), agg AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(1 AS BIGINT) << (32 - rho)) AS BIGINT) AS s_scaled,
+        |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+        |  FROM regs GROUP BY 1
+        |), prof AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    min(cents) AS min_cents, max(cents) AS max_cents
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT p.event_type, p.n_events, p.sum_cents, p.min_cents, p.max_cents,
+        |  CAST(floor(
+        |    CASE WHEN (0.709e0 * 4096.0e0 / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0)) <= 160.0e0
+        |          AND v_empty > 0
+        |    THEN 64.0e0 * ln(64.0e0 / CAST(v_empty AS DOUBLE))
+        |    ELSE 0.709e0 * 4096.0e0 / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0) END
+        |    * 1e6 + 0.5e0) AS BIGINT) AS users_est_micro
+        |FROM prof p JOIN agg USING (event_type)""".stripMargin
   )
 }

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate-state maintenance: the pattern behind "update
+  * yesterday's corpus profile with today's partition without rereading
+  * history". Every statistic in the state is MERGEABLE — counts and sums
+  * add, min/max take extrema, HLL registers take elementwise max — so the
+  * merge of per-partition states is exactly the state of the union, by
+  * algebra rather than by recomputation.
+  *
+  * The registered query proves that algebra under the full SQL oracle: the
+  * Spark side computes per-DAY states first and folds them; the oracle
+  * computes the same profile directly over the whole table. Equality is
+  * bit-exact because every component is order-free.
+  */
+object Incremental {
+
+  /** Stage 1: per-(group, day) mergeable state over the event log. */
+  def dailyStates(ev: DataFrame, m: Int = 64): DataFrame = {
+    val p = 6 // log2(m) for m = 64
+    require(m == 64, "register layout fixed at m=64 (p=6) for the portable sketch")
+    val hv = Dedup.md5Hash32(concat(lit("inc-"), col("user_id")))
+    ev.select(
+        col("event_type"),
+        expr("ts_ms DIV 86400000").as("day"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        (hv % m).cast("int").as("bucket"),
+        shiftright(hv, p).as("w0")
+      )
+      .withColumn(
+        "rho",
+        when(col("w0") === 0L, lit(33 - p)).otherwise(lit(33 - p) - length(bin(col("w0")))))
+      .groupBy("event_type", "day", "bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        max(col("rho")).as("rho")
+      )
+  }
+
+  /** Stage 2: fold the per-day states into the all-time profile. Counts
+    * and sums add; extrema nest; registers max-merge and then estimate
+    * through [[HeavyHitters.hllEstimateBy]] — the SAME proven portable
+    * formula (integer-scaled harmonic denominator, linear-counting
+    * correction) the standalone sketches use.
+    */
+  def mergeStates(states: DataFrame, m: Int = 64): DataFrame = {
+    // The merged frame feeds both the scalar profile and the register
+    // estimate; it is sketch-sized (groups × m rows), so cut the lineage
+    // once instead of replaying the per-day aggregation twice.
+    val merged = states
+      .groupBy("event_type", "bucket")
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"),
+        max(col("rho")).as("rho")
+      )
+      .localCheckpoint(true)
+
+    val profile = merged
+      .groupBy("event_type")
+      .agg(
+        sum(col("n")).as("n_events"),
+        sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents")
+      )
+
+    val est = HeavyHitters
+      .hllEstimateBy(merged.select(col("event_type"), col("bucket"), col("rho")), "event_type", m)
+      .select(col("event_type"), col("est_micro").as("users_est_micro"))
+
+    profile.join(broadcast(est), Seq("event_type"))
+  }
+
+  /** The composed incremental profile: per-day states folded to all-time. */
+  def incrementalProfile(ev: DataFrame): DataFrame = mergeStates(dailyStates(ev))
+}

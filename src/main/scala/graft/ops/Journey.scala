@@ -62,6 +62,32 @@ object Journey {
       )
   }
 
+  /** Per-user active time by interval union: each event opens an activity
+    * interval [ts, ts+windowMs); overlapping intervals merge (classic
+    * gaps-and-islands with a running max of interval ends), and the output
+    * is the user's total covered time and merged-interval count — "time
+    * actually spent" rather than event counts.
+    *
+    * One user-keyed exchange; both aggregations reuse that partitioning.
+    */
+  def activeTime(ev: DataFrame, windowMs: Long = 300000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val prevMaxEnd = max(col("end_ms")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    ev.select(col("user_id"), col("ts_ms"), col("event_id"))
+      .withColumn("end_ms", col("ts_ms") + windowMs)
+      .withColumn(
+        "new_grp",
+        when(prevMaxEnd.isNull || col("ts_ms") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("new_grp")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "grp")
+      .agg(min(col("ts_ms")).as("s"), max(col("end_ms")).as("e"))
+      .groupBy("user_id")
+      .agg(
+        sum(col("e") - col("s")).as("active_ms"),
+        count(lit(1)).as("n_intervals")
+      )
+  }
+
   /** Per-user time-decayed engagement score: Σ value · 2^−age_days, age
     * capped and anchored at the corpus max timestamp.
     *

@@ -181,4 +181,32 @@ object Robust {
       .groupBy(col(groupCol))
       .agg(max(col("n")).as("n"), max(col("med")).as("med"), max(col("dev")).as("mad"))
   }
+
+  /** Robust outlier screen per group: rows whose |v − median| exceeds
+    * k·MAD, reported as exact counts and basis points. The robust location
+    * and spread come from [[groupedMedianMad]] (order-selection, integer-
+    * exact on integer inputs); the per-group summary frame is tiny and
+    * BROADCAST back onto the data, so the screen itself is one map-side
+    * comparison + one aggregation — the mean/stddev z-score's breakdown
+    * under heavy tails is exactly what this avoids.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      k: Int = 5
+  ): DataFrame = {
+    val mm = groupedMedianMad(df, groupCol, valCol)
+    df.select(col(groupCol), col(valCol).as("v"))
+      .join(broadcast(mm), groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(abs(col("v") - col("med")) > lit(k.toLong) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers")
+      )
+      .withColumn("outlier_bps", expr("n_outliers * 10000 DIV n"))
+  }
 }

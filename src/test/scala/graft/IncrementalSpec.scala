@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Incremental
+
+class IncrementalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, Long, String, Double)]) =
+    rows.toDF("event_id", "ts_ms", "event_type", "value")
+      .withColumn("user_id", col("event_id") % 7)
+
+  private val rows = (1L to 300L).map { i =>
+    (i, i * 3600000L, if (i % 3 == 0) "click" else "view", (i % 50) * 0.25)
+  }
+
+  test("per-day folded states equal the direct single-pass profile") {
+    val direct = Incremental.mergeStates(
+      // one "day" bucket per whole dataset = a single un-partitioned state
+      Incremental.dailyStates(ev(rows)).withColumn("day", lit(0L))
+        .groupBy("event_type", "day", "bucket")
+        .agg(
+          sum(col("n")).as("n"),
+          sum(col("sum_cents")).as("sum_cents"),
+          min(col("min_cents")).as("min_cents"),
+          max(col("max_cents")).as("max_cents"),
+          max(col("rho")).as("rho"))
+    ).orderBy("event_type").collect().toSeq
+    val folded = Incremental.incrementalProfile(ev(rows))
+      .orderBy("event_type").collect().toSeq
+    assert(folded == direct)
+  }
+
+  test("merging two halves equals the state of the union") {
+    val (h1, h2) = rows.splitAt(150)
+    val merged = Incremental.mergeStates(
+      Incremental.dailyStates(ev(h1)).union(Incremental.dailyStates(ev(h2))))
+      .orderBy("event_type").collect().toSeq
+    val whole = Incremental.incrementalProfile(ev(rows))
+      .orderBy("event_type").collect().toSeq
+    assert(merged == whole)
+  }
+
+  test("scalar components are exact, estimate tracks true cardinality") {
+    val out = Incremental.incrementalProfile(ev(rows))
+      .select("event_type", "n_events", "sum_cents", "users_est_micro")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val clicks = rows.filter(_._1 % 3 == 0)
+    assert(out("click")._2 == clicks.size.toLong)
+    assert(out("click")._3 == clicks.map(r => math.floor(r._4 * 100 + 0.5).toLong).sum)
+    // 7 true users; m=64 sketch must land within ±50%
+    val est = out("click")._4 / 1e6
+    assert(est > 3.5 && est < 10.5, s"estimate $est")
+  }
+}

@@ -63,6 +63,43 @@ class JourneySpec extends AnyFunSuite {
     assert(got(2L) == ((25000000L, 1L)))
   }
 
+  test("activeTime merges overlapping windows and splits on gaps") {
+    val w = 1000L
+    val rows = Seq(
+      // user 1: events at 0, 500, 900 → one merged interval [0, 1900)
+      (1L, 0L, 1L, "view", 0.0),
+      (1L, 500L, 2L, "view", 0.0),
+      (1L, 900L, 3L, "view", 0.0),
+      // then a gap → second interval [5000, 6000)
+      (1L, 5000L, 4L, "view", 0.0),
+      // user 2: touching endpoints merge (end 1000 is not > start 1000? start==prev end → merge)
+      (2L, 0L, 5L, "view", 0.0),
+      (2L, 1000L, 6L, "view", 0.0)
+    )
+    val got = Journey.activeTime(ev(rows), windowMs = w)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((2900L, 2L))) // 1900 + 1000
+    assert(got(2L) == ((2000L, 1L))) // [0,2000) — abutting intervals merge
+  }
+
+  test("activeTime equals a brute-force interval union") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 200L).map(i => (i % 5, rnd.nextInt(100000).toLong, i, "e", 0.0))
+    val w = 700L
+    val got = Journey.activeTime(ev(rows), windowMs = w)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    rows.groupBy(_._1).foreach { case (u, es) =>
+      val ivs = es.map(e => (e._2, e._2 + w)).sortBy(x => x)
+      var covered = 0L; var curS = ivs.head._1; var curE = ivs.head._2
+      ivs.tail.foreach { case (s, e) =>
+        if (s > curE) { covered += curE - curS; curS = s; curE = e }
+        else curE = math.max(curE, e)
+      }
+      covered += curE - curS
+      assert(got(u) == covered, s"user $u")
+    }
+  }
+
   test("decayedScores terms quantize before the sum (order-free)") {
     val rows = (1L to 100L).map(i => (1L, i % 5 * 86400000L, i, "view", 0.07))
     val a = Journey.decayedScores(ev(rows), maxAgeDays = 30).as[(Long, Long, Long)].collect()

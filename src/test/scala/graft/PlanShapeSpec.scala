@@ -208,6 +208,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"))
   }
 
+  test("user_active_time: one scan, one user exchange, no joins") {
+    val plan = executedPlan("user_active_time")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, "one event-log scan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("winnow_fingerprints: one scan, one doc exchange, no joins") {
+    val plan = executedPlan("winnow_fingerprints")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, "one corpus scan")
+    assert(!plan.contains("Join"), "winnowing is window-only")
+  }
+
+  test("value_outliers: every join is broadcast (summary frames are tiny)") {
+    val plan = executedPlan("value_outliers")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("incremental_daily_stats: merge runs on the checkpointed state, estimate joins broadcast") {
+    val plan = executedPlan("incremental_daily_stats")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("decayed_user_scores: anchor broadcasts; per-user agg is partial+final around one shuffle") {
     val plan = executedPlan("decayed_user_scores")
     assert(!plan.contains("SortMergeJoin"), "anchor must broadcast")

@@ -117,4 +117,28 @@ class RobustSpec extends AnyFunSuite {
     // whole group sampled → nearest-rank on 1..20: ranks 5, 10, 15, 20
     assert(got == List(("g", 20L, 20, 5L, 10L, 15L, 20L)))
   }
+
+  test("madOutliers flags exactly the far tail, robust to the outliers themselves") {
+    // 99 well-behaved values around 100 plus one wild point: the mean/sd
+    // z-score would be dragged by the wild point; median/MAD are not
+    val vals = (1L to 99L).map(i => 100L + (i % 5)) :+ 1000000L
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }.toDF("g", "id", "v")
+    val got = Robust.madOutliers(df, "g", "v", k = 5)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toList
+    val sorted = vals.sorted
+    val med = sorted((vals.size + 1) / 2 - 1)
+    val mad = vals.map(v => math.abs(v - med)).sorted.apply((vals.size + 1) / 2 - 1)
+    val nOut = vals.count(v => math.abs(v - med) > 5 * mad)
+    assert(got == List(("g", 100L, med, mad, nOut.toLong, nOut.toLong * 10000 / 100)))
+    assert(nOut == 1L)
+  }
+
+  test("madOutliers: zero-MAD group flags every deviating row") {
+    val df = (Seq.fill(9)(50L) :+ 51L).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }.toDF("g", "id", "v")
+    val got = Robust.madOutliers(df, "g", "v", k = 5)
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    // med = 50, MAD = 0 → any |v-med| > 0 is an outlier
+    assert(got == (("g", 10L, 50L, 0L, 1L, 1000L)))
+  }
 }

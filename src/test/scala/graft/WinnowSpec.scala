@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.commons.codec.digest.DigestUtils
+
+import graft.ops.Winnow
+
+class WinnowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Local reference winnowing: k-gram md5-prefix hashes, window minima. */
+  private def ref(text: String, k: Int, w: Int): Set[Long] = {
+    val toks = text.toLowerCase.split("\\s+")
+    if (toks.length < k) return Set.empty
+    val hs = toks.sliding(k).map { g =>
+      java.lang.Long.parseLong(DigestUtils.md5Hex(g.mkString(" ")).substring(0, 8), 16)
+    }.toArray
+    if (hs.length < w) Set.empty
+    else hs.sliding(w).map(_.min).toSet
+  }
+
+  private val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  test("fingerprint sets equal the local winnowing reference") {
+    val docs = Seq(1L -> text, 2L -> text.split(" ").reverse.mkString(" ")).toDF("doc_id", "text")
+    val got = Winnow.fingerprints(docs, k = 4, w = 5)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    for ((id, t) <- Seq(1L -> text, 2L -> text.split(" ").reverse.mkString(" "))) {
+      val fps = ref(t, 4, 5)
+      assert(got(id)._1 == fps.size.toLong, s"doc $id count")
+      val md5 = DigestUtils.md5Hex(fps.toSeq.sorted.mkString(","))
+      assert(got(id)._2 == md5, s"doc $id digest")
+    }
+  }
+
+  test("winnowing guarantee: a shared run of w+k-1 tokens shares a fingerprint") {
+    val span = text.split(" ").slice(4, 12).mkString(" ") // 8 = w+k-1 tokens
+    val docs = Seq(
+      1L -> s"$span unique trailing content for one here today",
+      2L -> s"different heading material $span"
+    ).toDF("doc_id", "text")
+    val a = ref(s"$span unique trailing content for one here today", 4, 5)
+    val b = ref(s"different heading material $span", 4, 5)
+    assert(a.intersect(b).nonEmpty, "reference guarantee")
+    // the Spark side selects the same sets, so the guarantee transfers
+    val got = Winnow.fingerprints(docs, k = 4, w = 5)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(1L) == DigestUtils.md5Hex(a.toSeq.sorted.mkString(",")))
+    assert(got(2L) == DigestUtils.md5Hex(b.toSeq.sorted.mkString(",")))
+  }
+
+  test("documents below k+w-1 tokens yield no row") {
+    val docs = Seq(1L -> "only seven tokens in this short doc", 2L -> text).toDF("doc_id", "text")
+    val got = Winnow.fingerprints(docs, k = 4, w = 5).as[(Long, Long, String)].collect()
+    assert(got.map(_._1).toSet == Set(2L)) // 7 tokens → 4 grams < w anchors
+  }
+
+  test("position robustness: a prefix insertion far from a span keeps its fingerprints") {
+    val span = text.split(" ").slice(8, 20).mkString(" ")
+    val base = ref(s"unrelated previous material comes here $span", 4, 5)
+    val shifted = ref(s"extra inserted words unrelated previous material comes here $span", 4, 5)
+    // the span's own window minima are position-independent
+    val spanOnly = ref(span, 4, 5)
+    assert(spanOnly.subsetOf(base) && spanOnly.subsetOf(shifted))
+  }
+}
