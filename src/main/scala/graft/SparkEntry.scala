@@ -1660,6 +1660,24 @@ object SparkEntry {
       // equality holds because every component merges order-free
       // (ops/Incremental.scala).
       graft.ops.Incremental.incrementalProfile(eventsTable(s, dir))
+    },
+    "kcore_neardup" -> { (s, dir) =>
+      // k-core of the md5 near-dup graph (k=2, 4 peeling rounds — the
+      // boilerplate-family density detector): fixed-round unroll so the
+      // iteration replays as CTE-per-round SQL; per-round state is the
+      // shrinking ids-only edge list (ops/Graph.scala).
+      graft.ops.Graph.kCorePeel(
+        Dedup.minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.5),
+        k = 2, rounds = 4)
+    },
+    "winnow_pairs" -> { (s, dir) =>
+      // Copy-candidate pairs by shared winnowed fingerprints (≥3 shared,
+      // boilerplate buckets >50 docs dropped — the MinHash-LSH degenerate-
+      // bucket rule applied to MOSS fingerprints); pairs generate
+      // executor-side from each bucket's sorted doc array
+      // (ops/Winnow.scala).
+      graft.ops.Winnow.candidatePairs(
+        table(s, dir, "documents"), k = 4, w = 5, minShared = 3, maxBucket = 50)
     }
   )
 
@@ -1830,6 +1848,30 @@ object SparkEntry {
     * sharing between adjacent matches because every symbol carries its
     * own delimiters.
     */
+  /** DuckDB replay of [[graft.ops.Graph.kCorePeel]]: the fixed round count
+    * unrolls as one CTE pair (alive set, restricted edges) per round over
+    * the md5 near-dup edge set at the given Jaccard threshold.
+    */
+  private def kCoreOracle(k: Int, rounds: Int, threshold: Double): String = {
+    val base =
+      s"""$Md5NearDupCtes,
+         |good AS (SELECT id_a, id_b FROM pj WHERE jaccard >= $threshold),
+         |e0 AS (SELECT id_a AS s, id_b AS t FROM good
+         |       UNION ALL SELECT id_b, id_a FROM good)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s""", a$i AS (
+         |  SELECT s FROM e${i - 1} GROUP BY s HAVING count(*) >= $k
+         |), e$i AS (
+         |  SELECT e.s, e.t FROM e${i - 1} e
+         |  JOIN a$i x ON e.s = x.s JOIN a$i y ON e.t = y.s
+         |)""".stripMargin
+    }.mkString
+    base + steps +
+      s"""
+         |SELECT s AS id, CAST(count(*) AS BIGINT) AS deg
+         |FROM e$rounds GROUP BY s HAVING count(*) >= $k""".stripMargin
+  }
+
   private def bpeMergesOracle(nMerges: Int): String = {
     val base =
       """WITH w AS (
@@ -4409,6 +4451,31 @@ object SparkEntry {
         |    THEN 64.0e0 * ln(64.0e0 / CAST(v_empty AS DOUBLE))
         |    ELSE 0.709e0 * 4096.0e0 / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0) END
         |    * 1e6 + 0.5e0) AS BIGINT) AS users_est_micro
-        |FROM prof p JOIN agg USING (event_type)""".stripMargin
+        |FROM prof p JOIN agg USING (event_type)""".stripMargin,
+    "kcore_neardup" -> kCoreOracle(k = 2, rounds = 4, threshold = 0.5),
+    "winnow_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id, pg['pos'] AS pos, pg['h'] AS h FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+        |      i -> struct_pack(pos := CAST(i AS INT),
+        |                       h := CAST(('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 8)) AS BIGINT)))) AS pg
+        |    FROM toks WHERE len(t) >= 4)
+        |), sel AS (
+        |  SELECT doc_id, pos,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+        |    max(pos) OVER (PARTITION BY doc_id) AS max_pos
+        |  FROM grams
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM sel WHERE pos <= max_pos - 4
+        |), ok AS (
+        |  SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 50
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fps a JOIN fps b USING (fp) JOIN ok USING (fp)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
   )
 }

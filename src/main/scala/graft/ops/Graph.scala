@@ -254,4 +254,50 @@ object Graph {
     }
     scores
   }
+
+  /** k-core peeling: `rounds` iterations of "drop every node whose degree
+    * in the surviving subgraph is below k", then report the survivors of a
+    * FINAL degree pass (nodes alive for round `rounds`+1) with their
+    * degrees. With enough rounds this is exactly the k-core (the maximal
+    * subgraph of minimum degree ≥ k — the densest-region detector on a
+    * near-dup graph: boilerplate families form high cores, chance pairs
+    * don't); the round count is a FIXED parameter rather than a
+    * convergence test so the whole computation is a deterministic unroll —
+    * replayable in SQL CTE-per-round form (the Bpe/pageRank replay trick).
+    * The spec asserts actual convergence on its graphs; pass more rounds
+    * for deeper peeling chains.
+    *
+    * Scale: per-round state is the surviving edge list (ids only,
+    * monotonically shrinking, materialized per round); each round is one
+    * degree aggregation + one semi-join restriction — O(1) exchanges.
+    */
+  def kCorePeel(
+      edges: DataFrame,
+      k: Int,
+      rounds: Int = 4,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      materialize: Boolean = true
+  ): DataFrame = {
+    require(k >= 1 && rounds >= 0, "k >= 1, rounds >= 0")
+    val symRaw = edges
+      .select(col(aCol).as("s"), col(bCol).as("t"))
+      .union(edges.select(col(bCol).as("s"), col(aCol).as("t")))
+    var e = if (materialize) symRaw.localCheckpoint(eager = true) else symRaw
+    for (_ <- 1 to rounds) {
+      val alive = e
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select(col("s"))
+      val next = e
+        .join(alive, Seq("s"), "left_semi")
+        .join(alive.withColumnRenamed("s", "t"), Seq("t"), "left_semi")
+        .select(col("s"), col("t"))
+      e = if (materialize) next.localCheckpoint(eager = true) else next
+    }
+    e.groupBy(col("s").as("id"))
+      .agg(count(lit(1)).as("deg"))
+      .where(col("deg") >= k)
+  }
 }

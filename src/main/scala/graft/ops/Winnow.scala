@@ -19,14 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Winnow {
 
-  /** Per-document fingerprint digest: distinct winnowed hashes, their
-    * count, and an order-canonical md5 of the set (set equality across
-    * engines compares one VARCHAR).
-    *
+  /** The winnowing selection itself: DISTINCT (doc, fingerprint) rows.
     * Documents with fewer than k+w−1 tokens yield no anchor windows and
-    * are absent from the output (mirrored by the oracle).
+    * are absent (mirrored by the oracle).
     */
-  def fingerprints(
+  def selected(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
@@ -37,7 +34,7 @@ object Winnow {
       .select(col("doc"), col("col.pos").as("pos"), Dedup.md5Hash32(col("col.gram")).as("h"))
 
     val wd = Window.partitionBy("doc")
-    val sel = grams
+    grams
       .withColumn("max_pos", max(col("pos")).over(wd))
       .withColumn(
         "fp",
@@ -45,8 +42,21 @@ object Winnow {
       )
       // anchors: windows fully inside the gram sequence
       .where(col("pos") <= col("max_pos") - (w - 1))
+      .select(col("doc"), col("fp"))
+      .distinct()
+  }
 
-    sel
+  /** Per-document fingerprint digest: distinct winnowed hashes, their
+    * count, and an order-canonical md5 of the set (set equality across
+    * engines compares one VARCHAR).
+    */
+  def fingerprints(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 4,
+      w: Int = 5): DataFrame =
+    selected(docs, idCol, textCol, k, w)
       .groupBy(col("doc").as(idCol))
       .agg(collect_set(col("fp")).as("fps"))
       .select(
@@ -54,5 +64,44 @@ object Winnow {
         size(col("fps")).cast("long").as("n_fingerprints"),
         md5(concat_ws(",", transform(sort_array(col("fps")), f => f.cast("string")))).as("fp_md5")
       )
+
+  /** Plagiarism/copy candidate pairs: documents sharing at least
+    * `minShared` winnowed fingerprints. Inverted-index pairing with a
+    * bucket cap (a fingerprint shared by more than `maxBucket` docs is
+    * corpus boilerplate — pairing it is O(b²) for no signal, the same
+    * degenerate-bucket rule as MinHash LSH); pairs generate executor-side
+    * from each bucket's sorted doc array, so only (fp, ids) rows and
+    * (pair, count) rows ever cross an exchange.
+    */
+  def candidatePairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 4,
+      w: Int = 5,
+      minShared: Int = 2,
+      maxBucket: Int = 50): DataFrame = {
+    val pairsOfBucket = {
+      // all ordered pairs (a_i, a_j), i<j, of the sorted bucket array
+      (ids: org.apache.spark.sql.Column) =>
+        flatten(
+          transform(
+            ids,
+            (a, i) =>
+              transform(
+                slice(ids, i + 2, size(ids)),
+                b => struct(a.as("doc_a"), b.as("doc_b"))
+              )
+          )
+        )
+    }
+    selected(docs, idCol, textCol, k, w)
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("doc"))).as("ids"))
+      .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(pairsOfBucket(col("ids"))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
   }
 }

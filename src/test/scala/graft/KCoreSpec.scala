@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Graph
+
+class KCoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Brute-force k-core: peel to a fixed point. */
+  private def ref(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    var adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var changed = true
+    while (changed) {
+      val dead = adj.collect { case (v, ns) if ns.size < k => v }.toSet
+      changed = dead.nonEmpty
+      if (changed)
+        adj = (adj -- dead).view.mapValues(_ -- dead).toMap.filter(_._2.nonEmpty)
+    }
+    adj.view.mapValues(_.size).toMap
+  }
+
+  test("peeling converges to the exact 2-core on a tadpole graph") {
+    // triangle 1-2-3 with a tail 3-4-5-6: the tail peels away round by round
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val got = Graph.kCorePeel(edges.toDF("id_a", "id_b"), k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == ref(edges, 2).map { case (v, d) => v -> d.toLong })
+    assert(got.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("chain peeling needs its rounds: insufficient rounds leave the tail") {
+    // path 1-2-3-4-5: the 2-core is empty, one endpoint peels per round
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val converged = Graph.kCorePeel(edges.toDF("id_a", "id_b"), k = 2, rounds = 3)
+    assert(converged.count() == 0L)
+    val early = Graph.kCorePeel(edges.toDF("id_a", "id_b"), k = 2, rounds = 0)
+    assert(early.count() > 0L) // round 0 = plain degree filter, chain interior survives
+  }
+
+  test("3-core separates the clique from its 2-core halo") {
+    // K4 clique (3-core) plus a 4-cycle attached (only 2-core)
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val cycle = Seq((4L, 5L), (5L, 6L), (6L, 7L), (7L, 4L))
+    val edges = clique ++ cycle
+    val got3 = Graph.kCorePeel(edges.toDF("id_a", "id_b"), k = 3, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got3.keySet == Set(1L, 2L, 3L, 4L))
+    val got2 = Graph.kCorePeel(edges.toDF("id_a", "id_b"), k = 2, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got2.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("random graphs: fixed-round peel with ample rounds equals the fixed point") {
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 60).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct
+    for (k <- Seq(2, 3)) {
+      val got = Graph.kCorePeel(edges.toDF("id_a", "id_b"), k = k, rounds = 20)
+        .as[(Long, Long)].collect().toMap
+      assert(got == ref(edges, k).map { case (v, d) => v -> d.toLong }, s"k=$k")
+    }
+  }
+}

@@ -230,6 +230,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("kcore_neardup: per-round peeling runs on checkpointed edges, not the pair pipeline") {
+    val plan = executedPlan("kcore_neardup")
+    // the final round's plan must not re-derive the minhash candidate
+    // pairs: edges come from the per-round localCheckpoint
+    assert(!plan.contains("Scan parquet"), s"pair pipeline re-executed:\n$plan")
+  }
+
+  test("winnow_pairs: one corpus scan; pairs generate executor-side (no fp self-join of the corpus)") {
+    val plan = executedPlan("winnow_pairs")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, "one corpus scan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("decayed_user_scores: anchor broadcasts; per-user agg is partial+final around one shuffle") {
     val plan = executedPlan("decayed_user_scores")
     assert(!plan.contains("SortMergeJoin"), "anchor must broadcast")

@@ -65,4 +65,22 @@ class WinnowSpec extends AnyFunSuite {
     val spanOnly = ref(span, 4, 5)
     assert(spanOnly.subsetOf(base) && spanOnly.subsetOf(shifted))
   }
+
+  test("candidatePairs counts shared fingerprints and honors the bucket cap") {
+    val span = text // 20 tokens shared verbatim between docs 1 and 2
+    val docs = Seq(
+      1L -> s"$span plus trailing material one",
+      2L -> s"different lead then $span",
+      3L -> "wholly unrelated content with nothing shared at all among these words here"
+    ).toDF("doc_id", "text")
+    val shared = ref(docs.collect()(0).getString(1), 4, 5)
+      .intersect(ref(docs.collect()(1).getString(1), 4, 5))
+    val got = Winnow.candidatePairs(docs, k = 4, w = 5, minShared = 2, maxBucket = 50)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L, shared.size.toLong)))
+
+    // a cap of 1 kills every bucket (all fps shared by ≥2 docs get dropped)
+    val capped = Winnow.candidatePairs(docs, k = 4, w = 5, minShared = 1, maxBucket = 1)
+    assert(capped.count() == 0L)
+  }
 }
