@@ -1461,6 +1461,33 @@ object SparkEntry {
       Similarity.ivfTopKIndexed(
         s, loc.toString, centroids, emb.filter(col("vec_id") < 8), k = 5)
     },
+    "curation_pipeline_v4" -> { (s, dir) =>
+      // Round-6 curation chain: exact dedup → SUBSTRING-level dedup (drop
+      // the later doc of every pair sharing a ≥20-token run — the Lee et
+      // al. signal v3 lacked) → Gopher gate → per-language deterministic
+      // sampling. The span stage re-derives the deduped frame (two corpus
+      // scans total — at 100 TB you recompute a cheap projection rather
+      // than cache a corpus-sized frame); every stage is individually
+      // oracle-checked and the composition is too.
+      val deduped = Dedup.dropExactDuplicates(table(s, dir, "documents"))
+      val spanDropIds = graft.ops.Spans
+        .duplicatedSpans(deduped, n = 5, maxDf = 50, minRun = 20)
+        .select(col("doc_b").as("doc_id"))
+        .distinct()
+      val spanClean = deduped.join(spanDropIds, Seq("doc_id"), "left_anti")
+      val gated = TextAnalysis
+        .gopherRules(spanClean, carryCols = Seq("lang"))
+        .filter(col("keep") === 1)
+      graft.ops.Sampling
+        .stratifiedSample(
+          gated,
+          keyCol = "doc_id",
+          strataCol = "lang",
+          rates = Map("en" -> 0.8, "de" -> 0.6, "es" -> 0.6, "fr" -> 0.6, "zh" -> 0.4),
+          seed = "cur6"
+        )
+        .select(col("doc_id"), col("lang"), col("top2_share"), col("dup5_share"))
+    },
     "curation_pipeline_v3" -> { (s, dir) =>
       // Round-5 curation chain as ONE composed plan: exact dedup (min-id
       // survivor) → Gopher repetition/lexical gate (map-only) → per-language
@@ -4051,6 +4078,91 @@ object SparkEntry {
         |)
         |SELECT doc_id, documents.lang FROM documents JOIN t ON documents.lang = t.lang
         |WHERE CAST(('0x' || substr(md5('mix5' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < thr""".stripMargin,
+    "curation_pipeline_v4" ->
+      """WITH survivors AS (
+        |  SELECT doc_id, lang, text,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, lang, text FROM survivors WHERE rn = 1
+        |), sp_toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM d
+        |), sp_grams AS (
+        |  SELECT doc_id, pg['pos'] AS pos, pg['g'] AS g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |      i -> struct_pack(pos := CAST(i AS INT),
+        |                       g := substr(md5(array_to_string(t[i:i+4], ' ')), 1, 16)))) AS pg
+        |    FROM sp_toks WHERE len(t) >= 5)
+        |), sp_df AS (
+        |  SELECT g FROM sp_grams GROUP BY g
+        |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50
+        |), sp_idx AS (
+        |  SELECT sp_grams.doc_id, sp_grams.pos, sp_grams.g FROM sp_grams JOIN sp_df USING (g)
+        |), sp_m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+        |    a.pos - b.pos AS diag
+        |  FROM sp_idx a JOIN sp_idx b USING (g)
+        |  WHERE a.doc_id < b.doc_id
+        |), sp_isl AS (
+        |  SELECT doc_a, doc_b,
+        |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp,
+        |    diag
+        |  FROM sp_m
+        |), sp_runs AS (
+        |  SELECT doc_a, doc_b, count(*) + 4 AS run_tokens
+        |  FROM sp_isl GROUP BY doc_a, doc_b, diag, grp
+        |), sp_pairs AS (
+        |  SELECT doc_a, doc_b, max(run_tokens) AS lr FROM sp_runs GROUP BY 1, 2
+        |), span_drop AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM sp_pairs WHERE lr >= 20
+        |), d2 AS (
+        |  SELECT d.* FROM d
+        |  WHERE NOT EXISTS (SELECT 1 FROM span_drop s WHERE s.doc_id = d.doc_id)
+        |), toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS stop_hits,
+        |    string_split_regex(lower(text), '\s+') AS t
+        |  FROM d2
+        |), g2 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks WHERE len(t) >= 2
+        |), top2 AS (
+        |  SELECT doc_id, max(cnt * length(g)) AS top2_chars
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY 1
+        |), g5 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        |  FROM toks WHERE len(t) >= 5
+        |), dup5 AS (
+        |  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dup5_chars
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2) GROUP BY 1
+        |), sig AS (
+        |  SELECT toks.doc_id, lang, n_tokens, stop_hits,
+        |    round(CAST(word_chars AS DOUBLE) / greatest(n_tokens, 1), 4) AS mean_word_len,
+        |    round(CAST(COALESCE(top2_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) AS top2_share,
+        |    round(CAST(COALESCE(dup5_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) AS dup5_share
+        |  FROM toks LEFT JOIN top2 ON toks.doc_id = top2.doc_id
+        |             LEFT JOIN dup5 ON toks.doc_id = dup5.doc_id
+        |)
+        |SELECT doc_id, lang, top2_share, dup5_share
+        |FROM sig
+        |WHERE n_tokens BETWEEN 10 AND 100000
+        |  AND mean_word_len BETWEEN 2.0 AND 12.0
+        |  AND top2_share < 0.30
+        |  AND dup5_share < 0.15
+        |  AND stop_hits >= 2
+        |  AND CAST(('0x' || substr(md5('cur6' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    < CASE lang WHEN 'en' THEN 3435973836
+        |                WHEN 'de' THEN 2576980377
+        |                WHEN 'es' THEN 2576980377
+        |                WHEN 'fr' THEN 2576980377
+        |                WHEN 'zh' THEN 1717986918
+        |                ELSE 0 END""".stripMargin,
     "curation_pipeline_v3" ->
       """WITH survivors AS (
         |  SELECT doc_id, lang, text,

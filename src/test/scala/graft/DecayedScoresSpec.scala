@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.DecayedScores
+
+class DecayedScoresSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def awaitSink(table: String)(pred: Array[org.apache.spark.sql.Row] => Boolean): Array[org.apache.spark.sql.Row] = {
+    val deadline = System.nanoTime() + 60_000_000_000L
+    var rows = spark.table(table).collect()
+    while (!pred(rows) && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      rows = spark.table(table).collect()
+    }
+    rows
+  }
+
+  private val day = 86400000L
+
+  test("stream state across micro-batches equals the in-order batch replay") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = DecayedScores
+      .userDecayedScores(input.toDS(), maxAgeDays = 30)
+      .writeStream
+      .format("memory")
+      .queryName("decay_stream")
+      .outputMode("update")
+      .start()
+    try {
+      val b1 = Seq((1L, 0L, 100000000L), (1L, day, 100000000L), (2L, 0L, 50000000L))
+      val b2 = Seq((1L, 3L * day, 100000000L), (2L, 10L * day, 50000000L))
+      input.addData(b1)
+      awaitSink("decay_stream")(_.exists(_.getAs[Long]("user_id") == 2L))
+      input.addData(b2)
+      val want = DecayedScores.replay(b1 ++ b2)
+      val rows = awaitSink("decay_stream") { rs =>
+        val latest = rs.zipWithIndex.groupBy(_._1.getAs[Long]("user_id"))
+          .map { case (u, g) => u -> g.maxBy(_._2)._1 }
+        want.forall { case (u, (s, n)) =>
+          latest.get(u).exists(r => r.getAs[Long]("score_micro") == s && r.getAs[Long]("n_events") == n)
+        }
+      }
+      val latest = rows.zipWithIndex.groupBy(_._1.getAs[Long]("user_id"))
+        .map { case (u, g) => u -> g.maxBy(_._2)._1 }
+      for ((u, (s, n)) <- want) {
+        assert(latest(u).getAs[Long]("score_micro") == s, s"user $u score")
+        assert(latest(u).getAs[Long]("n_events") == n, s"user $u events")
+      }
+      // hand-check user 1: 100 halves once (day 1), (50+100) halves twice
+      // (days 1→3), + 100 → 137.5M micro
+      assert(want(1L)._1 == ((100000000L >> 1) + 100000000L >> 2) + 100000000L)
+    } finally q.stop()
+  }
+
+  test("late arrivals land at their own decayed weight without rewinding the anchor") {
+    val es = Seq(
+      (1L, 10L * day, 80000000L), // anchor at day 10
+      (1L, 8L * day, 80000000L)   // 2 days late → lands >> 2
+    )
+    val got = DecayedScores.replay(es)
+    assert(got(1L) == ((80000000L + (80000000L >> 2), 2L)))
+  }
+
+  test("decay cap: very old anchors shift by at most maxAgeDays") {
+    val es = Seq((1L, 0L, 1L << 40), (1L, 100L * day, 0L))
+    val got = DecayedScores.replay(es, maxAgeDays = 10)
+    assert(got(1L)._1 == (1L << 40) >> 10)
+  }
+}
