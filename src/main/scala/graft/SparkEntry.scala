@@ -1705,6 +1705,13 @@ object SparkEntry {
       // (ops/Winnow.scala).
       graft.ops.Winnow.candidatePairs(
         table(s, dir, "documents"), k = 4, w = 5, minShared = 3, maxBucket = 50)
+    },
+    "source_drift_psi" -> { (s, dir) =>
+      // Population Stability Index per source vs the whole corpus — the
+      // ingestion drift alarm; add-one smoothing over the full vocab, one
+      // ln per (source, token) with exact long products everywhere else
+      // (ops/Drift.scala).
+      graft.ops.Drift.sourcePsi(table(s, dir, "documents"))
     }
   )
 
@@ -4588,6 +4595,32 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
         |FROM fps a JOIN fps b USING (fp) JOIN ok USING (fp)
         |WHERE a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+    "source_drift_psi" ->
+      """WITH tc AS (
+        |  SELECT source AS src, tok, CAST(count(*) AS BIGINT) AS c_st FROM (
+        |    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2
+        |), st AS (SELECT src, CAST(sum(c_st) AS BIGINT) AS n_s FROM tc GROUP BY 1),
+        |tt AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM tc GROUP BY 1),
+        |co AS (SELECT CAST(sum(c_st) AS BIGINT) AS n_corpus,
+        |              CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tc),
+        |fl AS (
+        |  SELECT st.src, tt.tok, st.n_s, tt.c_t, co.n_corpus, co.v,
+        |    COALESCE(tc.c_st, 0) AS c_st
+        |  FROM st CROSS JOIN tt CROSS JOIN co
+        |  LEFT JOIN tc ON tc.src = st.src AND tc.tok = tt.tok
+        |), terms AS (
+        |  SELECT src, n_s,
+        |    (2 * (((c_st + 1) * (n_corpus + v)) - ((c_t + 1) * (n_s + v)))
+        |       * CAST(floor(ln(CAST((c_st + 1) * (n_corpus + v) AS DOUBLE)
+        |                       / CAST((c_t + 1) * (n_s + v) AS DOUBLE)) * 1e5 + 0.5e0) AS BIGINT)
+        |     + (n_s + v) * (n_corpus + v))
+        |    // (2 * (n_s + v) * (n_corpus + v)) AS term_e5
+        |  FROM fl
+        |)
+        |SELECT src AS source, max(n_s) AS n_tokens, CAST(sum(term_e5) AS BIGINT) AS psi_e5
+        |FROM terms GROUP BY src""".stripMargin
   )
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring: Population Stability Index of each
+  * source's token distribution against the whole corpus — the "did this
+  * crawl slice change under me" alarm a recurring ingestion pipeline runs
+  * per partition.
+  *
+  * PSI_s = Σ_t (p_t − q_t) · ln(p_t / q_t) over the full vocabulary with
+  * add-one smoothing (p = source share, q = corpus share), so a token
+  * missing from a source still contributes its divergence.
+  *
+  * Exactness contract (the `quality_logit` discipline): p/q is a ratio of
+  * two EXACT long products — (c_st+1)(N+V) over (c_t+1)(N_s+V) — so the
+  * only float ops per term are one double divide, one `ln`, one scale
+  * multiply, floored to 1e-5 units; the (p−q) factor is the exact rational
+  * (num−den)/D with D constant per source, and each term closes with one
+  * round-half-up integer division. Everything else is long arithmetic —
+  * bit-identical in any engine. (At 100 TB-scale counts the long products
+  * need DECIMAL(38,0); the structure is unchanged.)
+  *
+  * Shape: ONE corpus scan → one (source, token) count aggregation; every
+  * frame after it is vocabulary-bounded (the counts frame is checkpointed
+  * once and re-read by the marginal aggregations), and the source×vocab
+  * completion is a broadcast cross of two tiny frames.
+  */
+object Drift {
+
+  def sourcePsi(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val tc = docs
+      .select(
+        col(sourceCol).as("src"),
+        explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("tok")
+      )
+      .groupBy("src", "tok")
+      .agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true)
+
+    val srcTotals = tc.groupBy("src").agg(sum(col("c_st")).as("n_s"))
+    val tokTotals = tc.groupBy("tok").agg(sum(col("c_st")).as("c_t"))
+    val corpus = tc.agg(
+      sum(col("c_st")).as("n_corpus"),
+      countDistinct(col("tok")).as("v")
+    )
+
+    val full = srcTotals
+      .crossJoin(broadcast(tokTotals))
+      .crossJoin(broadcast(corpus))
+      .join(tc, Seq("src", "tok"), "left")
+      .na.fill(0L, Seq("c_st"))
+
+    val num = (col("c_st") + 1) * (col("n_corpus") + col("v"))
+    val den = (col("c_t") + 1) * (col("n_s") + col("v"))
+    val lnE5 = floor(log(num.cast("double") / den.cast("double")) * 1e5 + 0.5).cast("long")
+    // term = (num−den)·L / D, D = (N_s+V)(N+V) constant per source;
+    // (num−den) and L share sign so the product is ≥ 0 and the final
+    // round-half-up division is the positive-case identity
+    val prod = (num - den) * lnE5
+    val d = (col("n_s") + col("v")) * (col("n_corpus") + col("v"))
+
+    full
+      .withColumn("prod", prod)
+      .withColumn("d", d)
+      .withColumn("term_e5", expr("(2 * prod + d) div (2 * d)"))
+      .groupBy(col("src").as(sourceCol))
+      .agg(
+        max(col("n_s")).as("n_tokens"),
+        sum(col("term_e5")).as("psi_e5")
+      )
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Drift
+
+class DriftSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Local reference PSI with the operator's exact integer recurrence. */
+  private def ref(rows: Seq[(String, String)]): Map[String, Long] = {
+    val toks = rows.flatMap { case (s, t) =>
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).map(s -> _)
+    }
+    val n = toks.size.toLong
+    val vocab = toks.map(_._2).distinct.sorted
+    val v = vocab.size.toLong
+    val ct = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    toks.groupBy(_._1).map { case (s, st) =>
+      val ns = st.size.toLong
+      val cst = st.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val d = (ns + v) * (n + v)
+      val psi = vocab.map { t =>
+        val num = (cst.getOrElse(t, 0L) + 1) * (n + v)
+        val den = (ct(t) + 1) * (ns + v)
+        val ln = math.floor(math.log(num.toDouble / den.toDouble) * 1e5 + 0.5).toLong
+        val prod = (num - den) * ln
+        (2 * prod + d) / (2 * d)
+      }.sum
+      s -> psi
+    }
+  }
+
+  test("PSI matches the exact integer reference, including absent-token terms") {
+    val rows = Seq(
+      "a" -> "x x x y z common words here",
+      "a" -> "x y y common words also here",
+      "b" -> "z z z z w w common words here",
+      "b" -> "w w z common words also here"
+    )
+    val got = Drift.sourcePsi(rows.toDF("source", "text"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == ref(rows))
+  }
+
+  test("identical sources score (near) zero; a skewed source scores higher") {
+    val balanced = (1 to 20).flatMap(_ => Seq("a" -> "alpha beta gamma delta", "b" -> "alpha beta gamma delta"))
+    val gotB = Drift.sourcePsi(balanced.toDF("source", "text"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(gotB.values.forall(p => p >= 0L && p < 1000L), s"balanced: $gotB") // < 0.01 PSI
+
+    val skewed = (1 to 20).flatMap(_ => Seq("a" -> "alpha alpha alpha alpha", "b" -> "delta delta delta delta"))
+    val gotS = Drift.sourcePsi(skewed.toDF("source", "text"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(gotS.values.forall(_ > 10000L), s"skewed: $gotS") // > 0.1 PSI each
+    assert(gotS.values.min > gotB.values.max)
+  }
+
+  test("PSI is non-negative by construction (rounded term signs agree)") {
+    val rnd = new scala.util.Random(19)
+    val words = Array("q", "w", "e", "r", "t", "y")
+    val rows = (1 to 40).map { i =>
+      s"s${i % 4}" -> (1 to 10).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    }
+    val got = Drift.sourcePsi(rows.toDF("source", "text"))
+      .as[(String, Long, Long)].collect()
+    assert(got.forall(_._3 >= 0L))
+  }
+}
