@@ -1712,6 +1712,15 @@ object SparkEntry {
       // ln per (source, token) with exact long products everywhere else
       // (ops/Drift.scala).
       graft.ops.Drift.sourcePsi(table(s, dir, "documents"))
+    },
+    "user_value_trend" -> { (s, dir) =>
+      // Theil–Sen robust spend trend per user: median pairwise slope over
+      // a deterministic md5-ranked sample — one outlier bends OLS, moves
+      // this by one rank; pairs generate executor-side from the sorted
+      // sample array, never a join (ops/Robust.scala).
+      val ev = eventsTable(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ms"), cents(col("value")).as("cents"))
+      graft.ops.Robust.theilSenSlope(ev, "user_id", "event_id", "ts_ms", "cents", maxN = 64)
     }
   )
 

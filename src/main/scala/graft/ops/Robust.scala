@@ -190,6 +190,76 @@ object Robust {
     * comparison + one aggregation — the mean/stddev z-score's breakdown
     * under heavy tails is exactly what this avoids.
     */
+  /** Theil–Sen robust trend per key: the median of pairwise slopes over a
+    * DETERMINISTIC bounded sample of each key's points — one gross outlier
+    * corrupts an OLS slope completely but moves a pairwise-slope median by
+    * one rank (29% breakdown point).
+    *
+    * Sample = the `maxN` points ranked first by (md5 of the row id, id) —
+    * RNG-free, so the sample, the pair set, and the median are all
+    * bit-reproducible in SQL. Pairs generate EXECUTOR-SIDE from the
+    * ts-sorted sample array (≤ C(maxN,2) per key, never a join); slope per
+    * day in micro units is one fixed-order double expression; the median is
+    * an order-statistic selection (lower median), not an interpolation.
+    *
+    * @return (key, n_points, n_pairs, slope_micro_per_day); keys with no
+    *         pair of distinct timestamps are absent
+    */
+  def theilSenSlope(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      tsCol: String,
+      valCol: String,
+      maxN: Int = 64
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(Dedup.md5Hash32(concat_ws("-", col(keyCol), col(idCol))), col(idCol))
+    val sampled = df
+      .select(col(keyCol), col(idCol), col(tsCol).as("ts"), col(valCol).as("v"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= maxN)
+
+    val arr = sort_array(collect_list(struct(col("ts"), col("v"))))
+    // pairwise slopes (i<j), equal-ts pairs dropped; slope is symmetric in
+    // orientation so the index order never matters to the value
+    def slopes(a: Column): Column =
+      filter(
+        flatten(
+          transform(
+            a,
+            (x, i) =>
+              transform(
+                slice(a, i + 2, size(a)),
+                y =>
+                  when(
+                    y.getField("ts") =!= x.getField("ts"),
+                    floor(
+                      (y.getField("v") - x.getField("v")).cast("double") * lit(8.64e13) /
+                        (y.getField("ts") - x.getField("ts")).cast("double") + lit(0.5)
+                    ).cast("long")
+                  ).otherwise(lit(null).cast("long"))
+              )
+          )
+        ),
+        s => s.isNotNull
+      )
+
+    sampled
+      .groupBy(col(keyCol))
+      .agg(arr.as("pts"))
+      .withColumn("slopes", sort_array(slopes(col("pts"))))
+      .where(size(col("slopes")) > 0)
+      .select(
+        col(keyCol),
+        size(col("pts")).cast("long").as("n_points"),
+        size(col("slopes")).cast("long").as("n_pairs"),
+        element_at(col("slopes"), ((size(col("slopes")) + 1) / 2).cast("int"))
+          .as("slope_micro_per_day")
+      )
+  }
+
   def madOutliers(
       df: DataFrame,
       groupCol: String,
