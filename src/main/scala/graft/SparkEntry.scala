@@ -4630,6 +4630,33 @@ object SparkEntry {
         |  FROM fl
         |)
         |SELECT src AS source, max(n_s) AS n_tokens, CAST(sum(term_e5) AS BIGINT) AS psi_e5
-        |FROM terms GROUP BY src""".stripMargin
+        |FROM terms GROUP BY src""".stripMargin,
+    "user_value_trend" ->
+      // same md5-ranked sample, same pair set (all ts-distinct unordered
+      // pairs of the sample), same banded double slope, same lower median
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '-' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ms, v FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY h, event_id) AS rn FROM e)
+        |  WHERE rn <= 64
+        |), np AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_points FROM s GROUP BY 1),
+        |p AS (
+        |  SELECT a.user_id,
+        |    CAST(floor(CAST(b.v - a.v AS DOUBLE) * 8.64e13 / CAST(b.ms - a.ms AS DOUBLE) + 0.5e0) AS BIGINT) AS slope
+        |  FROM s a JOIN s b ON a.user_id = b.user_id AND a.ms < b.ms
+        |), r AS (
+        |  SELECT user_id, slope,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY slope) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS npair
+        |  FROM p
+        |)
+        |SELECT r.user_id, np.n_points, CAST(max(r.npair) AS BIGINT) AS n_pairs,
+        |  max(CASE WHEN r.rn = (r.npair + 1) // 2 THEN r.slope END) AS slope_micro_per_day
+        |FROM r JOIN np ON np.user_id = r.user_id
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -118,6 +118,36 @@ class RobustSpec extends AnyFunSuite {
     assert(got == List(("g", 20L, 20, 5L, 10L, 15L, 20L)))
   }
 
+  test("theilSenSlope equals the brute-force pairwise-slope median") {
+    import org.apache.spark.sql.functions.col
+    // points on v = 3*day + noise plus one wild outlier
+    val day = 86400000L
+    val pts = (1 to 20).map(i => (1L, i.toLong, i * day, 3L * i + (i % 3))) :+ (1L, 99L, 10 * day + 1, 100000L)
+    val df = pts.toDF("k", "id", "ts", "v")
+    val got = Robust.theilSenSlope(df, "k", "id", "ts", "v", maxN = 64)
+      .as[(Long, Long, Long, Long)].collect().head
+
+    val slopes = (for {
+      a <- pts; b <- pts
+      if Ordering[(Long, Long)].lt((a._3, a._4), (b._3, b._4)) && a._3 != b._3
+    } yield math.floor((b._4 - a._4).toDouble * 8.64e13 / (b._3 - a._3).toDouble + 0.5).toLong)
+      .sorted
+    val want = slopes((slopes.size + 1) / 2 - 1)
+    assert(got == ((1L, pts.size.toLong, slopes.size.toLong, want)))
+    // robustness: the median slope stays near 3 units/day (micro) despite the outlier
+    assert(math.abs(got._4 - 3000000L) < 1500000L)
+  }
+
+  test("theilSenSlope: all-equal timestamps produce no row; sample cap binds") {
+    import org.apache.spark.sql.functions.col
+    val flat = (1 to 5).map(i => (1L, i.toLong, 1000L, i.toLong)).toDF("k", "id", "ts", "v")
+    assert(Robust.theilSenSlope(flat, "k", "id", "ts", "v").count() == 0L)
+    val many = (1 to 200).map(i => (1L, i.toLong, i * 1000L, i.toLong)).toDF("k", "id", "ts", "v")
+    val r = Robust.theilSenSlope(many, "k", "id", "ts", "v", maxN = 16)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r._2 == 16L && r._3 == 120L) // C(16,2)
+  }
+
   test("madOutliers flags exactly the far tail, robust to the outliers themselves") {
     // 99 well-behaved values around 100 plus one wild point: the mean/sd
     // z-score would be dragged by the wild point; median/MAD are not
