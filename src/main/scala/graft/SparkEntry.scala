@@ -1721,6 +1721,12 @@ object SparkEntry {
       val ev = eventsTable(s, dir)
         .select(col("user_id"), col("event_id"), col("ts_ms"), cents(col("value")).as("cents"))
       graft.ops.Robust.theilSenSlope(ev, "user_id", "event_id", "ts_ms", "cents", maxN = 64)
+    },
+    "user_streaks" -> { (s, dir) =>
+      // Longest consecutive-active-day streak per user: gaps-and-islands
+      // on distinct day indices, one user-keyed exchange
+      // (ops/Journey.scala).
+      graft.ops.Journey.activeStreaks(eventsTable(s, dir))
     }
   )
 
@@ -4657,6 +4663,20 @@ object SparkEntry {
         |SELECT r.user_id, np.n_points, CAST(max(r.npair) AS BIGINT) AS n_pairs,
         |  max(CASE WHEN r.rn = (r.npair + 1) // 2 THEN r.slope END) AS slope_micro_per_day
         |FROM r JOIN np ON np.user_id = r.user_id
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "user_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+        |), g AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d
+        |), s AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS streak FROM g GROUP BY user_id, grp
+        |)
+        |SELECT user_id, CAST(sum(streak) AS BIGINT) AS n_active_days,
+        |  CAST(max(streak) AS BIGINT) AS longest_streak,
+        |  CAST(count(*) AS BIGINT) AS n_streaks
+        |FROM s GROUP BY user_id""".stripMargin
   )
 }

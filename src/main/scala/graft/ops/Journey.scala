@@ -88,6 +88,27 @@ object Journey {
       )
   }
 
+  /** Longest consecutive-active-day streak per user (plus active-day and
+    * streak counts): gaps-and-islands over each user's DISTINCT day
+    * indices — day − row_number collapses a run of consecutive days to one
+    * group key. One user-keyed exchange; day distinct, windows, and both
+    * aggregations all reuse it.
+    */
+  def activeStreaks(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    ev.select(col("user_id"), expr("ts_ms DIV 86400000").as("day"))
+      .distinct()
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("streak"))
+      .groupBy("user_id")
+      .agg(
+        sum(col("streak")).as("n_active_days"),
+        max(col("streak")).as("longest_streak"),
+        count(lit(1)).as("n_streaks")
+      )
+  }
+
   /** Per-user time-decayed engagement score: Σ value · 2^−age_days, age
     * capped and anchored at the corpus max timestamp.
     *

@@ -63,6 +63,19 @@ class JourneySpec extends AnyFunSuite {
     assert(got(2L) == ((25000000L, 1L)))
   }
 
+  test("activeStreaks finds the longest consecutive-day run per user") {
+    val day = 86400000L
+    val rows =
+      // user 1: days 0,1,2 then 5,6 → longest 3, 5 active days, 2 streaks
+      Seq(0L, 1L, 2L, 5L, 6L).zipWithIndex.map { case (d, i) => (1L, d * day + 42L, i.toLong, "e", 0.0) } ++
+        // user 2: same day twice + next day → longest 2
+        Seq((2L, 0L, 10L, "e", 0.0), (2L, 1000L, 11L, "e", 0.0), (2L, day, 12L, "e", 0.0))
+    val got = Journey.activeStreaks(ev(rows))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((5L, 3L, 2L)))
+    assert(got(2L) == ((2L, 2L, 1L)))
+  }
+
   test("activeTime merges overlapping windows and splits on gaps") {
     val w = 1000L
     val rows = Seq(
