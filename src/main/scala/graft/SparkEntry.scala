@@ -1727,6 +1727,13 @@ object SparkEntry {
       // on distinct day indices, one user-keyed exchange
       // (ops/Journey.scala).
       graft.ops.Journey.activeStreaks(eventsTable(s, dir))
+    },
+    "token_rules" -> { (s, dir) =>
+      // Association rules (both directions per co-occurring pair):
+      // support/confidence in exact basis points, lift in micro units —
+      // all integer divisions over exact long counts (ops/Cooccur.scala).
+      graft.ops.Cooccur.associationRules(
+        table(s, dir, "documents"), minDfPct = 1, maxDfPct = 80, vocabK = 400, minPair = 5)
     }
   )
 
@@ -4677,6 +4684,44 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(streak) AS BIGINT) AS n_active_days,
         |  CAST(max(streak) AS BIGINT) AS longest_streak,
         |  CAST(count(*) AS BIGINT) AS n_streaks
-        |FROM s GROUP BY user_id""".stripMargin
+        |FROM s GROUP BY user_id""".stripMargin,
+    "token_rules" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''
+        |), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        |), vocab AS (
+        |  SELECT tok, df FROM (
+        |    SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |      row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+        |    FROM tok GROUP BY tok
+        |    HAVING count(*) * 100 >= (SELECT n_docs FROM nd) * 1
+        |       AND count(*) * 100 <= (SELECT n_docs FROM nd) * 80)
+        |  WHERE rk <= 400
+        |), kept AS (
+        |  SELECT t.doc_id, t.tok FROM tok t JOIN vocab v USING (tok)
+        |), pairs AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 5
+        |), ext AS (
+        |  SELECT p.tok_a, p.tok_b, va.df AS c_a, vb.df AS c_b, p.c_ab, nd.n_docs
+        |  FROM pairs p
+        |  JOIN vocab va ON va.tok = p.tok_a
+        |  JOIN vocab vb ON vb.tok = p.tok_b
+        |  CROSS JOIN nd
+        |), dir2 AS (
+        |  SELECT tok_a AS antecedent, tok_b AS consequent, c_a AS c_ante, c_b AS c_cons, c_ab, n_docs FROM ext
+        |  UNION ALL
+        |  SELECT tok_b, tok_a, c_b, c_a, c_ab, n_docs FROM ext
+        |)
+        |SELECT antecedent, consequent, c_ab,
+        |  c_ab * 10000 // n_docs AS support_bps,
+        |  c_ab * 10000 // c_ante AS confidence_bps,
+        |  (2 * c_ab * n_docs * 1000000 + c_ante * c_cons) // (2 * c_ante * c_cons) AS lift_micro
+        |FROM dir2""".stripMargin
   )
 }

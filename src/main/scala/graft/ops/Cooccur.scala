@@ -115,4 +115,52 @@ object Cooccur {
       ).cast("long").as("pmi_micro")
     )
   }
+
+  /** Association rules over the same document co-occurrence frame: both
+    * directed rules per co-occurring pair with exact integer metrics —
+    * support and confidence in basis points (truncating integer division,
+    * no float anywhere), lift in micro units by one round-half-up integer
+    * division of exact long products. Same bounded-vocab scale shape as
+    * [[tokenPairPmi]]. (At 100 TB-scale doc counts the lift numerator
+    * needs DECIMAL(38,0); structure unchanged.)
+    */
+  def associationRules(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minDfPct: Int = 1,
+      maxDfPct: Int = 80,
+      vocabK: Int = 400,
+      minPair: Int = 5): DataFrame = {
+    val pairs = tokenPairPmi(docs, idCol, textCol, minDfPct, maxDfPct, vocabK, minPair)
+      .drop("pmi_micro")
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+    val fwd = pairs.select(
+      col("tok_a").as("antecedent"),
+      col("tok_b").as("consequent"),
+      col("c_a").as("c_ante"),
+      col("c_b").as("c_cons"),
+      col("c_ab"),
+      col("n_docs")
+    )
+    val bwd = pairs.select(
+      col("tok_b").as("antecedent"),
+      col("tok_a").as("consequent"),
+      col("c_b").as("c_ante"),
+      col("c_a").as("c_cons"),
+      col("c_ab"),
+      col("n_docs")
+    )
+    fwd
+      .union(bwd)
+      .select(
+        col("antecedent"),
+        col("consequent"),
+        col("c_ab"),
+        expr("c_ab * 10000 DIV n_docs").as("support_bps"),
+        expr("c_ab * 10000 DIV c_ante").as("confidence_bps"),
+        expr("(2 * c_ab * n_docs * 1000000 + c_ante * c_cons) DIV (2 * c_ante * c_cons)")
+          .as("lift_micro")
+      )
+  }
 }

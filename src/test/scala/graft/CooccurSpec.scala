@@ -49,6 +49,26 @@ class CooccurSpec extends AnyFunSuite {
     assert(pairs.contains(("pairing", "signal")) || pairs.contains(("signal", "unique")))
   }
 
+  test("associationRules: exact bps metrics, both directions, lift consistency") {
+    val rows =
+      (1L to 6L).map(i => i -> "espresso machine misc filler") ++
+        (7L to 8L).map(i => i -> "espresso solo words here") ++
+        (9L to 10L).map(i => i -> "machine alone tokens now")
+    val got = Cooccur
+      .associationRules(rows.toDF("doc_id", "text"), minDfPct = 10, maxDfPct = 90, vocabK = 50, minPair = 3)
+      .as[(String, String, Long, Long, Long, Long)]
+      .collect()
+      .map(r => (r._1, r._2) -> r)
+      .toMap
+    val (_, _, cab, sup, conf, lift) = got(("espresso", "machine"))
+    assert(cab == 6L && sup == 6L * 10000 / 10 && conf == 6L * 10000 / 8)
+    // lift = 10*6/(8*8) in micro, round-half-up
+    assert(lift == (2L * 6 * 10 * 1000000 + 64) / 128)
+    // the reverse direction exists with the same c_ab and lift
+    val rev = got(("machine", "espresso"))
+    assert(rev._3 == 6L && rev._6 == lift)
+  }
+
   test("vocabK caps the vocabulary deterministically") {
     val rows = (1L to 10L).map(i => i -> "aa bb cc dd ee ff")
     // all tokens have df=10; rank cap 2 keeps lexicographically first two
