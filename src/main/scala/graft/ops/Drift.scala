@@ -40,7 +40,16 @@ object Drift {
       .groupBy("src", "tok")
       .agg(count(lit(1)).as("c_st"))
       .localCheckpoint(true)
+    psiFromCounts(tc).withColumnRenamed("src", sourceCol)
+  }
 
+  /** PSI per partition from an already-aggregated (src, tok, c_st) counts
+    * frame — the merge-friendly half of [[sourcePsi]]: counts can arrive
+    * from a batch scan, a per-day state fold, or a finalized streaming
+    * window (the counts ARE the mergeable state; PSI is a pure function of
+    * them). The frame is expected small (partitions × vocabulary).
+    */
+  def psiFromCounts(tc: DataFrame): DataFrame = {
     val srcTotals = tc.groupBy("src").agg(sum(col("c_st")).as("n_s"))
     val tokTotals = tc.groupBy("tok").agg(sum(col("c_st")).as("c_t"))
     val corpus = tc.agg(
@@ -67,7 +76,7 @@ object Drift {
       .withColumn("prod", prod)
       .withColumn("d", d)
       .withColumn("term_e5", expr("(2 * prod + d) div (2 * d)"))
-      .groupBy(col("src").as(sourceCol))
+      .groupBy(col("src"))
       .agg(
         max(col("n_s")).as("n_tokens"),
         sum(col("term_e5")).as("psi_e5")

@@ -1,0 +1,53 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.DriftMonitor
+
+class DriftMonitorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val min = 60000L
+
+  test("windowed counts finalize once and window PSI equals the batch monitor") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = DriftMonitor.windowedTokenCounts(
+      input.toDF().toDF("event_time", "text"),
+      windowDuration = "10 minutes",
+      watermarkDelay = "1 minutes")
+    val q = counts.writeStream.format("memory").queryName("drift_counts").outputMode("append").start()
+    try {
+      // window [0,10): skewed towards alpha; window [10,20): towards delta
+      input.addData(
+        (new Timestamp(1 * min), "alpha alpha alpha beta"),
+        (new Timestamp(2 * min), "alpha beta gamma"),
+        (new Timestamp(11 * min), "delta delta gamma beta")
+      )
+      q.processAllAvailable()
+      // advance the watermark far enough to finalize both windows
+      input.addData((new Timestamp(40 * min), "flush token"))
+      q.processAllAvailable()
+      val finalized = spark.table("drift_counts")
+      assert(finalized.count() > 0)
+
+      val got = DriftMonitor.windowPsi(finalized)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+
+      // batch reference: same counts keyed by window start
+      val snap = finalized
+        .selectExpr("unix_millis(win.start) AS src", "tok", "c_st")
+        .localCheckpoint(true)
+      val batch = graft.ops.Drift.psiFromCounts(snap)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+      assert(got == batch)
+      assert(got.keySet.contains(0L) && got.keySet.contains(10 * min))
+      // both skewed windows diverge from the pooled corpus
+      assert(got(0L) > 0L && got(10 * min) > 0L)
+    } finally q.stop()
+  }
+}
