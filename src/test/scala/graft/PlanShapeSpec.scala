@@ -243,6 +243,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("source_drift_psi: marginals broadcast around the checkpointed counts; no sort-merge join") {
+    val plan = executedPlan("source_drift_psi")
+    assert(!plan.contains("SortMergeJoin"), "tiny marginal frames must broadcast")
+    assert(!plan.contains("Scan parquet"), "PSI runs on the checkpointed counts frame")
+  }
+
+  test("user_streaks: one scan, one user exchange, no joins") {
+    val plan = executedPlan("user_streaks")
+    assert("Scan parquet".r.findAllIn(plan).size == 1)
+    assert(!plan.contains("Join"))
+  }
+
+  test("user_value_trend: pairs generate in-executor — no pair join anywhere") {
+    val plan = executedPlan("user_value_trend")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, "one event-log scan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("token_rules: vocab joins broadcast; no corpus self-join") {
+    val plan = executedPlan("token_rules")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("decayed_user_scores: anchor broadcasts; per-user agg is partial+final around one shuffle") {
     val plan = executedPlan("decayed_user_scores")
     assert(!plan.contains("SortMergeJoin"), "anchor must broadcast")
