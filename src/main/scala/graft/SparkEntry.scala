@@ -1734,6 +1734,14 @@ object SparkEntry {
       // all integer divisions over exact long counts (ops/Cooccur.scala).
       graft.ops.Cooccur.associationRules(
         table(s, dir, "documents"), minDfPct = 1, maxDfPct = 80, vocabK = 400, minPair = 5)
+    },
+    "decontam_neardup" -> { (s, dir) =>
+      // Paraphrase-level contamination: corpus docs that are MinHash
+      // near-dups (j >= 0.5) of the held-out slice (doc_id % 5 == 0 plays
+      // the benchmark); cross-side pair filter is a pure id expression —
+      // no join back to the data (ops/Decontam.scala).
+      graft.ops.Decontam.nearDupContamination(
+        table(s, dir, "documents"), id => id % 5 === 0, threshold = 0.5)
     }
   )
 
@@ -4722,6 +4730,16 @@ object SparkEntry {
         |  c_ab * 10000 // n_docs AS support_bps,
         |  c_ab * 10000 // c_ante AS confidence_bps,
         |  (2 * c_ab * n_docs * 1000000 + c_ante * c_cons) // (2 * c_ante * c_cons) AS lift_micro
-        |FROM dir2""".stripMargin
+        |FROM dir2""".stripMargin,
+    "decontam_neardup" ->
+      (Md5NearDupCtes + """,
+        |good AS (SELECT id_a, id_b, jaccard FROM pj WHERE jaccard >= 0.5),
+        |crossed AS (
+        |  SELECT CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS doc_id, jaccard
+        |  FROM good WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+        |  max(CAST(floor(jaccard * 10000 + 0.5e0) AS BIGINT)) AS best_jaccard_bp
+        |FROM crossed GROUP BY doc_id""".stripMargin)
   )
 }

@@ -82,4 +82,37 @@ object Decontam {
     val hit = overlapCounts(docs, bench, idCol, textCol, n).select(col(idCol))
     docs.join(broadcast(hit), Seq(idCol), "left_anti")
   }
+
+  /** NEAR-duplicate contamination: corpus documents that are MinHash
+    * near-dups of a benchmark item — the fuzzier screen the exact n-gram
+    * overlap and containment measures miss once an eval item has been
+    * lightly paraphrased. Runs the md5 (oracle-portable) MinHash-LSH pair
+    * pipeline over the COMBINED corpus+benchmark frame, keeps only
+    * cross-side pairs, and reports each contaminated corpus doc with its
+    * match count and best Jaccard in exact basis points.
+    *
+    * `isBench` must be a pure function of the ID column (evaluated on both
+    * pair sides — no join back to the data), which is what keeps the
+    * post-pairing stage expression-only.
+    */
+  def nearDupContamination(
+      docs: DataFrame,
+      isBench: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val pairs = Dedup.minhashMd5Pairs(docs, idCol, textCol, threshold = threshold)
+    pairs
+      .where(isBench(col("id_a")) =!= isBench(col("id_b")))
+      .select(
+        when(isBench(col("id_a")), col("id_b")).otherwise(col("id_a")).as(idCol),
+        floor(col("jaccard") * 10000 + 0.5).cast("long").as("jbp")
+      )
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bench_matches"),
+        max(col("jbp")).as("best_jaccard_bp")
+      )
+  }
 }

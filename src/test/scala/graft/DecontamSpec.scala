@@ -59,4 +59,24 @@ class DecontamSpec extends AnyFunSuite {
     // from ITS perspective, but doc 1's own share stays ~22%
     assert(got(1L)._4 < 10000L)
   }
+
+  test("nearDupContamination flags only cross-side near-dups, keyed by the corpus doc") {
+    // ids divisible by 5 play the benchmark; doc 11 is a light paraphrase
+    // of bench doc 5, docs 12/13 are near-dups of each other (same side)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      5L -> base,
+      10L -> "completely different benchmark item with other content entirely here",
+      11L -> (base + " extra"),
+      12L -> "same side pair of documents one copy here with shared text body",
+      13L -> "same side pair of documents one copy here with shared text body",
+      17L -> "unrelated corpus document about nothing in particular at all"
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Decontam
+      .nearDupContamination(docs, id => id % 5 === 0, threshold = 0.3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // only doc 11 is contaminated (cross-side); 12/13 same-side pair excluded
+    assert(got.keySet == Set(11L))
+    assert(got(11L)._2 == 1L && got(11L)._3 > 3000L)
+  }
 }
