@@ -3808,8 +3808,9 @@ object SparkEntry {
         |      AS term
         |  FROM t2
         |)
-        |SELECT doc_id, max(n) AS n_tokens, CAST(count(*) AS BIGINT) AS n_distinct,
-        |  (2 * sum(term) + max(n)) // (2 * max(n)) AS h_micro
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST((2 * sum(term) + max(n)) // (2 * max(n)) AS BIGINT) AS h_micro
         |FROM t3 GROUP BY doc_id""".stripMargin,
     "referential_integrity" ->
       """SELECT 'lineitem_orders' AS fk_check, CAST(count(*) AS BIGINT) AS n_orphans

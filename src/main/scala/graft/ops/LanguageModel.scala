@@ -83,16 +83,19 @@ object LanguageModel {
     * rank documents by average bigram log-likelihood (higher = more
     * fluent = lower perplexity) and cut into `nBuckets` equal tiles —
     * head and middle survive, the tail (noisy/boilerplate outliers) is
-    * dropped. NTILE over the total order (avg_lp_micro DESC, id) is
-    * engine-standard (first n mod k tiles take the extra row), so the
-    * split is oracle-exact.
+    * dropped. Tile semantics are exactly SQL NTILE over the total order
+    * (avg_lp_micro DESC, id): the first n mod k tiles take the extra row.
     *
-    * Scale note: the tile window is a GLOBAL sort of the per-doc score
-    * frame — one row per document, far smaller than the token-level
-    * frames upstream, but still a single-ordering pass. At extreme doc
-    * counts the production cutover is two-pass thresholding (compute the
-    * k−1 score cutoffs first, then bucket map-only); the NTILE form is
-    * the exact-split reference the thresholds must reproduce.
+    * Scale shape (the round-6 fix): NO unpartitioned window anywhere.
+    * The total order is produced the way a 1000-executor cluster ranks
+    * billions of rows — `repartitionByRange` on the sort key (sampled
+    * range bounds, each executor sorts only its own range) + partition-
+    * local sort + `zipWithIndex` (whose only driver state is the ≤ P
+    * per-partition row counts). The tile is then a closed-form function
+    * of (rank, N, k) evaluated map-side — the distributed-sort ranking
+    * replaces round 5's `WindowExec: No Partition Defined` single-task
+    * sort of the whole doc frame, and reproduces NTILE bit-for-bit
+    * because ranks are exact and (avg_lp_micro, id) is a total order.
     */
   def pplBuckets(
       docs: DataFrame,
@@ -102,20 +105,55 @@ object LanguageModel {
       idCol: String = "doc_id"
   ): DataFrame = {
     require(nBuckets >= 2 && keepTiles >= 1 && keepTiles <= nBuckets, "bad tile config")
+    val spark = docs.sparkSession
     val lm = bigramLm(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val v = lm.select(col("w2")).distinct().count()
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("avg_lp_micro").desc, col(idCol))
-      docLogLikelihood(docs, lm, v, textCol, idCol)
+      // Per-doc score frame: one row per document — cached because both
+      // the count and the ranked pass read it.
+      val scored = docLogLikelihood(docs, lm, v, textCol, idCol)
         .withColumn("avg_lp_micro",
           floor(col("lp_sum_micro").cast("double") / col("n_bigrams").cast("double") + lit(0.5))
             .cast("long"))
-        .withColumn("tile", ntile(nBuckets).over(w))
-        .withColumn("keep", (col("tile") <= keepTiles).cast("int"))
-        .select(col(idCol), col("avg_lp_micro"), col("tile"), col("keep"))
-        .localCheckpoint(eager = true)
+        .select(col(idCol), col("avg_lp_micro"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = scored.count()
+        // Distributed total order: range-partition on the sort key, sort
+        // each range locally, then number rows globally. zipWithIndex's
+        // partition offsets are exact, so rank r is exactly the NTILE
+        // row position. Partition bounds only affect WHERE a row sorts,
+        // never its rank — (score, id) is duplicate-free.
+        val parts = math.max(scored.rdd.getNumPartitions, 1)
+        val ranged = scored
+          .repartitionByRange(parts, col("avg_lp_micro").desc, col(idCol).asc)
+          .sortWithinPartitions(col("avg_lp_micro").desc, col(idCol).asc)
+        val schema = org.apache.spark.sql.types.StructType(
+          ranged.schema.fields :+
+            org.apache.spark.sql.types.StructField("rk", org.apache.spark.sql.types.LongType, nullable = false))
+        val ranked = spark.createDataFrame(
+          ranged.rdd.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+          },
+          schema)
+        // NTILE(k) over N rows in closed form: the first N mod k tiles
+        // hold ⌈N/k⌉ rows, the rest ⌊N/k⌋.
+        val base = n / nBuckets
+        val extra = n % nBuckets
+        val cut = extra * (base + 1) // last row position covered by the fat tiles
+        val tile =
+          if (base == 0) col("rk") // fewer rows than tiles: one row per tile
+          else when(
+            col("rk") <= lit(cut),
+            expr(s"(rk - 1) div ${base + 1} + 1")
+          ).otherwise(expr(s"$extra + (rk - $cut - 1) div $base + 1"))
+        ranked
+          .withColumn("tile", tile.cast("int"))
+          .withColumn("keep", (col("tile") <= keepTiles).cast("int"))
+          .select(col(idCol), col("avg_lp_micro"), col("tile"), col("keep"))
+          .localCheckpoint(eager = true)
+      } finally scored.unpersist(blocking = false)
     } finally lm.unpersist(blocking = false)
   }
 

@@ -487,6 +487,14 @@ object TextAnalysis {
     * contributes c·⌊ln(n/c)·10⁶ + 0.5⌋ — one micro-rounded `ln` of a
     * ratio of two exact longs — summed as longs; the per-token average
     * is one round-half-up integer division. H = Σ (c/n)·ln(n/c) exactly.
+    * The round-6 driver-gate red on this query was NOT an `ln` edge (the
+    * sf0.01 domain's nearest micro boundary is 3.0e-3 away — six orders
+    * above any libm ulp; see `TextAnalysisSpec` "ln margin audit"): the
+    * DuckDB oracle's window `sum` widened to HUGEINT, which the driver's
+    * pandas canonicalization renders as `61.0` vs Spark's `61`. The
+    * oracle now CASTs every result column to BIGINT, and
+    * `tools/check_oracle.py` flags any oracle whose result schema
+    * contains a pandas-unsafe type (HUGEINT/DECIMAL/UINT64).
     *
     * Shape: one corpus scan → one (doc, token) count aggregation → the
     * per-doc total via a window over the SAME doc partitioning (no

@@ -266,6 +266,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("ppl_bucket_filter: no unpartitioned window anywhere (distributed range-sort ranking)") {
+    // round-6 weakness: NTILE over Window.orderBy with no partitionBy put
+    // the whole per-doc score frame on one task. The rewrite ranks via
+    // repartitionByRange + zipWithIndex; every remaining WindowExec (the
+    // bigram ctx window) must carry a partition spec.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val lm = graft.ops.LanguageModel.bigramLm(docs)
+    val v = lm.select(col("w2")).distinct().count()
+    val scored = graft.ops.LanguageModel.docLogLikelihood(docs, lm, v)
+    val windows = scored.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned Window found in the scoring pipeline")
+    val lmWindows = lm.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(lmWindows.nonEmpty && lmWindows.forall(_.partitionSpec.nonEmpty))
+    // and the end-to-end registered query still produces the exact NTILE split
+    val out = SparkEntry.queries("ppl_bucket_filter")(spark, dir)
+    val tiles = out.groupBy("tile").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = tiles.values.sum
+    val base = n / 3; val extra = n % 3
+    (1 to 3).foreach { t =>
+      assert(tiles.getOrElse(t, 0L) == base + (if (t <= extra) 1 else 0), s"tile $t size off: $tiles")
+    }
+  }
+
   test("decayed_user_scores: anchor broadcasts; per-user agg is partial+final around one shuffle") {
     val plan = executedPlan("decayed_user_scores")
     assert(!plan.contains("SortMergeJoin"), "anchor must broadcast")

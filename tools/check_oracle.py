@@ -59,6 +59,17 @@ def main(sf_dir, out_dir, only=None):
             bad += 1
             continue
         problems = []
+        # The driver canonicalizes through pandas, where DuckDB HUGEINT /
+        # DECIMAL / UINT64 result columns become float64 ("61.0" vs "61")
+        # — a hash mismatch with rows+schema green (the round-6
+        # token_entropy red). Flag any oracle whose result schema carries
+        # such a type so the local mirror catches it before the driver.
+        SAFE = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "VARCHAR",
+                "DOUBLE", "FLOAT", "BOOLEAN", "DATE", "TIMESTAMP"}
+        unsafe = [(c, str(t)) for c, t in zip(con.sql(sql).columns, con.sql(sql).types)
+                  if str(t) not in SAFE]
+        if unsafe:
+            problems.append(f"pandas-unsafe oracle types {unsafe}")
         if sorted(got_cols) != sorted(exp_cols):
             problems.append(f"cols spark={sorted(got_cols)} oracle={sorted(exp_cols)}")
         if len(got_rows) != len(exp_rows):
