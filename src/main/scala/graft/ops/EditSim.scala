@@ -79,17 +79,33 @@ object EditSim {
       .join(prefix.as("pb"), col("pa.gram") === col("pb.gram") && col("pa.id") < col("pb.id"))
       .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
     // degenerate sliver: ids with ≤ q·d distinct grams can pair with each
-    // other while sharing NO gram — block them by length instead
+    // other while sharing NO gram — block them by length instead. The
+    // length predicate is made EQUI-joinable (round-6 fix: the plain
+    // |len_a−len_b| ≤ d form planned as a BroadcastNestedLoopJoin —
+    // quadratic in the sliver, which on a titles/names corpus is a large
+    // row fraction): with w = d+1, |len_a−len_b| ≤ d forces the length
+    // buckets ⌊len/w⌋ to differ by at most 1, so the probe side emits its
+    // bucket ±1 and the join is a hash join on the bucket key with the
+    // exact length bound left as a residual filter. Each qualifying pair
+    // matches on exactly ONE key (the build side's own bucket) — no
+    // post-join dedup needed. PassJoin segment signatures remain the
+    // documented upgrade if the sliver ever needs sub-length blocking.
+    val w = maxDist + 1
     val deg = grams
       .groupBy(col("id"))
       .agg(count(lit(1)).as("ng"))
       .filter(col("ng") <= q * maxDist)
       .join(base, "id")
       .select(col("id"), col("len"))
-    val degCand = deg.as("da")
+    val degProbe = deg.select(
+      col("id"), col("len"),
+      explode(array((-1 to 1).map(o => expr(s"len div $w + $o")): _*)).as("bkt"))
+    val degBuild = deg.select(col("id"), col("len"), expr(s"len div $w").as("bkt"))
+    val degCand = degProbe.as("da")
       .join(
-        deg.as("db"),
-        col("da.id") < col("db.id") &&
+        degBuild.as("db"),
+        col("da.bkt") === col("db.bkt") &&
+          col("da.id") < col("db.id") &&
           abs(col("da.len") - col("db.len")) <= maxDist)
       .select(col("da.id").as("id_a"), col("db.id").as("id_b"))
     val cand = gramCand.union(degCand).distinct()

@@ -57,4 +57,40 @@ class EditSimSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSet
     assert(got == Set((1L, 2L, 0)))
   }
+
+  test("degenerate sliver: length-bucketed equi-join, near-linear candidates, no nested loop") {
+    // ~10³ short strings (every one is below the q·d gram budget, so ALL
+    // land in the degenerate branch). Lengths spread 1..8, so length
+    // blocking must keep the candidate set near-linear instead of the
+    // ~500k all-pairs a nested-loop sliver would verify.
+    val rng = new scala.util.Random(7)
+    val alphabet = "ab"
+    val rows = (1L to 1000L).map { i =>
+      val len = 1 + (i % 8).toInt
+      i -> Array.fill(len)(alphabet(rng.nextInt(alphabet.length))).mkString
+    }
+    val df = rows.toDF("doc_id", "t")
+    val out = EditSim.editDistancePairs(df, col("t"), maxDist = 1, materialize = false)
+    // correct vs brute force (the small alphabet makes many true pairs —
+    // that's fine, completeness is the point)
+    val got = out.as[(Long, Long, Int)].collect().toSet
+    assert(got == brute(rows, 1))
+    // the plan must not contain a nested-loop join anywhere: the sliver
+    // join is equi on the length bucket with the exact bound residual
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"sliver join degenerated to a nested loop:\n${plan.take(1500)}")
+    // and the length blocking is effective: candidate pairs (pre-verify)
+    // stay well under all-pairs — bounded by same-or-adjacent-length mass
+    val perLen = rows.groupBy(_._2.length).map(_._2.size.toLong)
+    val allPairs = 1000L * 999 / 2
+    val lenBound = {
+      val byLen = rows.groupBy(_._2.length).view.mapValues(_.size.toLong).toMap
+      byLen.map { case (l, n) =>
+        n * (n - 1) / 2 + n * byLen.getOrElse(l + 1, 0L)
+      }.sum
+    }
+    assert(lenBound < allPairs / 2, s"fixture degenerate: $lenBound vs $allPairs")
+    assert(perLen.sum == 1000L)
+  }
 }
