@@ -1188,6 +1188,19 @@ object SparkEntry {
         .capPerGroup(table(s, dir, "documents"), "doc_id", "source", cap = 15, seed = "cap3")
         .select(col("doc_id"), col("source"))
     },
+    "dsir_sample" -> { (s, dir) =>
+      // DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
+      // bucket log-ratios score raw docs toward the src0/src1 target
+      // domain; a seeded exponential race in log domain samples 100
+      // without replacement with odds ∝ the importance weight. λ table is
+      // 1024 rows broadcast; the race is map-only + TakeOrdered
+      // (ops/Sampling.scala).
+      val docs = table(s, dir, "documents")
+      graft.ops.Sampling.importanceResample(
+        raw = docs.filter(!col("source").isin("src0", "src1")),
+        target = docs.filter(col("source").isin("src0", "src1")),
+        k = 100, seed = "dsir7")
+    },
     "pagerank_neardup" -> { (s, dir) =>
       // PageRank over the near-dup pair graph (3 power iterations,
       // d=0.85): duplication centrality in exact integer micro units —
@@ -3618,6 +3631,64 @@ object SparkEntry {
         |    ORDER BY CAST(('0x' || substr(md5('cap3' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
         |             doc_id) AS rn
         |  FROM documents) WHERE rn <= 15""".stripMargin,
+    "dsir_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id, source, g FROM (
+        |    SELECT doc_id, source, unnest(t) AS g FROM toks) WHERE g <> ''
+        |  UNION ALL
+        |  SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS g
+        |  FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2
+        |), b AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 1024 AS bucket
+        |  FROM g
+        |), tc AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS t_b FROM b
+        |  WHERE source IN ('src0', 'src1') GROUP BY 1
+        |), rc AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS r_b FROM b
+        |  WHERE source NOT IN ('src0', 'src1') GROUP BY 1
+        |), dom AS (SELECT unnest(range(1024)) AS bucket),
+        |tot AS (
+        |  SELECT CAST(COALESCE((SELECT sum(t_b) FROM tc), 0) AS BIGINT) AS t_tot,
+        |         CAST(COALESCE((SELECT sum(r_b) FROM rc), 0) AS BIGINT) AS r_tot
+        |), lam AS (
+        |  SELECT dom.bucket,
+        |    CAST(floor(ln(
+        |      CAST((COALESCE(tc.t_b, 0) + 1) * (tot.r_tot + 1024) AS DOUBLE) /
+        |      CAST((COALESCE(rc.r_b, 0) + 1) * (tot.t_tot + 1024) AS DOUBLE)
+        |    ) * 1e6 + 0.5e0) AS BIGINT) AS lam_micro
+        |  FROM dom
+        |  LEFT JOIN tc ON tc.bucket = dom.bucket
+        |  LEFT JOIN rc ON rc.bucket = dom.bucket
+        |  CROSS JOIN tot
+        |), dc AS (
+        |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c FROM b
+        |  WHERE source NOT IN ('src0', 'src1') GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT dc.doc_id,
+        |    CAST(sum(dc.c) AS BIGINT) AS n_grams,
+        |    CAST(sum(dc.c * lam.lam_micro) AS BIGINT) AS lr_sum_micro
+        |  FROM dc JOIN lam ON lam.bucket = dc.bucket GROUP BY 1
+        |), avgd AS (
+        |  SELECT doc_id, n_grams, lr_sum_micro,
+        |    CAST(floor(CAST(lr_sum_micro AS DOUBLE) / CAST(n_grams AS DOUBLE) + 0.5e0)
+        |      AS BIGINT) AS avg_lr_micro
+        |  FROM scored
+        |), race AS (
+        |  SELECT doc_id, n_grams, lr_sum_micro, avg_lr_micro,
+        |    greatest(CAST(floor(ln(4294967296.0e0 /
+        |        (CAST(('0x' || substr(md5('dsir7' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1))
+        |      * 1e6 + 0.5e0) AS BIGINT), 1) AS e_micro
+        |  FROM avgd
+        |)
+        |SELECT doc_id, n_grams, lr_sum_micro, avg_lr_micro,
+        |  CAST(floor(ln(CAST(e_micro AS DOUBLE) / 1000000.0e0) * 1e6 + 0.5e0) AS BIGINT)
+        |    - avg_lr_micro AS priority_micro
+        |FROM race
+        |ORDER BY priority_micro, doc_id LIMIT 100""".stripMargin,
     "pagerank_neardup" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |            FROM embeddings WHERE vec_id % 10 = 0),

@@ -190,6 +190,115 @@ object Sampling {
       .drop("rn")
   }
 
+  /** DSIR importance resampling (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): reweight a raw
+    * corpus toward a target domain using hashed n-gram feature log-ratios,
+    * then sample without replacement with probability ∝ the importance
+    * weight.
+    *
+    * Features: unigrams (empty tokens dropped) + word bigrams, hashed into
+    * `nBuckets` buckets by the corpus-wide md5 convention
+    * ([[graft.ops.Dedup.md5Hash32]] mod B). Bucket models are add-one
+    * smoothed bag-of-ngrams over target (p) and raw (q); a document's
+    * log importance weight is Σ_g λ_{b(g)} with
+    * λ_b = ⌊ln((t_b+1)(R+B) / ((r_b+1)(T+B)))·10⁶ + 0.5⌋ — exact long
+    * products inside ONE micro-rounded `ln` per bucket (the bm25
+    * contract, covered by `LnMarginAuditSpec`). Per-doc averaging is the
+    * lm_doc_scores discipline: one IEEE division + floor(x+0.5),
+    * identical in every engine.
+    *
+    * Resampling is the Efraimidis–Spirakis exponential race in LOG domain
+    * (RNG-free, a pure function of (id, seed)): draw E_i = ln(2³²/(u_i+1))
+    * micro-rounded (clamped to ≥ 1 µnat — the quantization floor), take
+    * ln E_i micro-rounded (the argument e_micro/10⁶ is again a ratio of
+    * exact longs — the quantization of E before the outer ln is DEFINED
+    * behavior, so both engines see identical arguments), and keep the k
+    * smallest ln E_i − s̄_i: exactly "k smallest E_i / w_i" with
+    * w_i = exp(s̄_i), i.e. inclusion odds ∝ the importance weight.
+    *
+    * 100 TB shape: one scan of each corpus for bucket counts (partial
+    * aggregation collapses to ≤ B rows map-side), the λ table is B rows
+    * BROADCAST, the scoring pass is one scan of raw → per-(doc, bucket)
+    * counts → broadcast join + per-doc sum, and the race is map-only
+    * expressions + TakeOrderedAndProject — no global sort, no corpus
+    * shuffle beyond the (doc, bucket) aggregation. The exact long
+    * products (t_b+1)(R+B) want DECIMAL(38,0) once corpus gram counts
+    * pass ~10⁹ (same scale note as [[Cooccur.associationRules]]'s lift).
+    */
+  def importanceResample(
+      raw: DataFrame,
+      target: DataFrame,
+      k: Int,
+      seed: String,
+      nBuckets: Int = 1024,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nBuckets > 0, "nBuckets must be positive")
+
+    def grams(df: DataFrame, withId: Boolean): DataFrame = {
+      val cols = if (withId) Seq(col(idCol).as("id")) else Seq.empty
+      val uni = df.select(cols :+
+        explode(TextAnalysis.tokens(col(textCol))).as("g"): _*)
+        .filter(col("g") =!= "")
+      val bi = df.select(cols :+
+        explode(TextAnalysis.ngramsWithDups(col(textCol), 2)).as("g"): _*)
+      uni.union(bi).withColumn("bucket", Dedup.md5Hash32(col("g")) % nBuckets).drop("g")
+    }
+
+    // Bucket marginals for both corpora, completed over the full bucket
+    // domain (a missing bucket still carries its smoothing mass). The
+    // domain frame is B rows — broadcast everywhere it appears.
+    val spark = raw.sparkSession
+    val buckets = spark.range(nBuckets).select(col("id").as("bucket"))
+    val tCounts = grams(target, withId = false).groupBy("bucket").agg(count(lit(1)).as("t_b"))
+    val rCounts = grams(raw, withId = false).groupBy("bucket").agg(count(lit(1)).as("r_b"))
+    val lambda = broadcast(
+      buckets
+        .join(tCounts, Seq("bucket"), "left")
+        .join(rCounts, Seq("bucket"), "left")
+        .na.fill(0L, Seq("t_b", "r_b")))
+    val Seq(tTot, rTot) = lambda.agg(sum(col("t_b")), sum(col("r_b")))
+      .collect()(0).toSeq.map(v => v.asInstanceOf[Long])
+    val lam = broadcast(lambda.select(
+      col("bucket"),
+      floor(
+        log(((col("t_b") + 1) * lit(rTot + nBuckets)).cast("double") /
+          ((col("r_b") + 1) * lit(tTot + nBuckets)).cast("double")) * lit(1e6) + lit(0.5))
+        .cast("long").as("lam_micro")))
+
+    // Per-doc score: hashed-gram counts join the broadcast λ table.
+    val scored = grams(raw, withId = true)
+      .groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .join(lam, "bucket")
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c")).as("n_grams"),
+        sum(col("c") * col("lam_micro")).as("lr_sum_micro"))
+      .withColumn("avg_lr_micro",
+        floor(col("lr_sum_micro").cast("double") / col("n_grams").cast("double") + lit(0.5))
+          .cast("long"))
+
+    // Exponential race in log domain: priority = ln E − s̄ (micro units).
+    val u = hashValue(col("id"), seed)
+    val eMicro = greatest(
+      floor(log(lit(Two32.toDouble) / (u + lit(1L)).cast("double")) * lit(1e6) + lit(0.5))
+        .cast("long"),
+      lit(1L))
+    scored
+      .withColumn("e_micro", eMicro)
+      .withColumn("ln_e_micro",
+        floor(log(col("e_micro").cast("double") / lit(1e6)) * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("priority_micro", col("ln_e_micro") - col("avg_lr_micro"))
+      .select(
+        col("id").as(idCol), col("n_grams"), col("lr_sum_micro"),
+        col("avg_lr_micro"), col("priority_micro"))
+      .orderBy(col("priority_micro").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Assign each row a split label by cumulative weight ranges (weights
     * need not sum to 1 — the remainder falls into the last split).
     */

@@ -112,6 +112,35 @@ class LnMarginAuditSpec extends AnyFunSuite {
     auditPairs(us.map(u => (1L << 32, u + 1)), 1e6, "weighted_sample")
   }
 
+  test("dsir_sample: bucket log-ratio and nested race ln margins on the gate corpus") {
+    import graft.ops.{Dedup, Sampling, TextAnalysis}
+    val d = docs
+    val target = d.filter(col("source").isin("src0", "src1"))
+    val raw = d.filter(!col("source").isin("src0", "src1"))
+    def bucketCounts(df: org.apache.spark.sql.DataFrame) = {
+      val uni = df.select(explode(TextAnalysis.tokens(col("text"))).as("g")).filter(col("g") =!= "")
+      val bi = df.select(explode(TextAnalysis.ngramsWithDups(col("text"), 2)).as("g"))
+      uni.union(bi).select((Dedup.md5Hash32(col("g")) % 1024).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val t = bucketCounts(target); val r = bucketCounts(raw)
+    val tTot = t.values.sum; val rTot = r.values.sum
+    val lamPairs = (0L until 1024L).map { b =>
+      ((t.getOrElse(b, 0L) + 1) * (rTot + 1024), (r.getOrElse(b, 0L) + 1) * (tTot + 1024))
+    }
+    auditPairs(lamPairs, 1e6, "dsir_lambda")
+    // the race's nested ln: e_micro is itself an exact long, so the outer
+    // argument e_micro/10⁶ is an exact rational — audit both levels
+    val us = raw.select(Sampling.hashValue(col("doc_id"), "dsir7").as("u"))
+      .collect().map(_.getLong(0)).toSeq
+    auditPairs(us.map(u => (1L << 32, u + 1)), 1e6, "dsir_race_inner")
+    val eMicros = us.map { u =>
+      math.max(math.floor(math.log((1L << 32).toDouble / (u + 1).toDouble) * 1e6 + 0.5).toLong, 1L)
+    }
+    auditPairs(eMicros.map(e => (e, 1000000L)), 1e6, "dsir_race_outer")
+  }
+
   test("hll linear counting: 64·ln(64/v) margin over the complete register domain") {
     // closed form — v_empty ∈ 1..63 (v = 64 ⇒ ln(1) exempt-exact); the
     // ×64 is exact power-of-two scaling so the ln is the only float op

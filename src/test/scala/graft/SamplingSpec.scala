@@ -139,6 +139,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(!kept2.contains(5000L) && !kept2.contains(5001L))
   }
 
+  test("importanceResample: planted target domain is enriched; scores separate the topics") {
+    // Target vocabulary is topic A; the raw pool is half topic A, half a
+    // disjoint topic B. DSIR log-ratio scores must separate the topics
+    // cleanly and the race must pull the sample toward topic A well above
+    // its 50% base rate.
+    val aWords = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val bWords = Seq("zeta", "eta", "theta", "iota", "kappa")
+    def doc(words: Seq[String], salt: Long): String =
+      (0 until 12).map(i => words(((i + salt) % words.size).toInt)).mkString(" ")
+    val target = (0L until 20L).map(i => (1000L + i, doc(aWords, i))).toDF("doc_id", "text")
+    val raw = ((0L until 20L).map(i => (i, doc(aWords, i))) ++
+      (20L until 40L).map(i => (i, doc(bWords, i)))).toDF("doc_id", "text")
+    val out = Sampling.importanceResample(raw, target, k = 10, seed = "t1")
+      .select($"doc_id", $"avg_lr_micro").as[(Long, Long)].collect()
+    // every topic-A raw doc outscores every topic-B raw doc
+    val scoresAll = Sampling.importanceResample(raw, target, k = 40, seed = "t1")
+      .select($"doc_id", $"avg_lr_micro").as[(Long, Long)].collect()
+    val (aS, bS) = scoresAll.partition(_._1 < 20L)
+    assert(aS.map(_._2).min > bS.map(_._2).max,
+      s"log-ratio scores do not separate the planted topics: $scoresAll")
+    // and the k=10 sample is topic-A enriched (base rate would give ~5)
+    val aIn = out.count(_._1 < 20L)
+    assert(aIn >= 8, s"target-domain enrichment too weak: $aIn of 10 from topic A")
+    // deterministic: same seed, same sample
+    val again = Sampling.importanceResample(raw, target, k = 10, seed = "t1")
+      .select($"doc_id", $"avg_lr_micro").as[(Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+
   test("capPerGroup: caps binding groups, keeps small groups whole, deterministic") {
     val df = ((0L until 300L).map(i => (i, "big")) ++
       (300L until 310L).map(i => (i, "small"))).toDF("id", "g")
