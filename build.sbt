@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench scorer parses the LAST stdout line as JSON; sbt's
+// "[success] Total time: ..." postlude was shadowing the metric line
+// every round (BENCH "parsed": null, r4-r6). Exit codes still signal
+// success/failure.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

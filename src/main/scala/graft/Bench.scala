@@ -76,9 +76,18 @@ object Bench {
         .getBytes("UTF-8"))
     // harness id min2-v3: same min-over-successful-passes-of-2 timing as
     // v2 (totals comparable round-4+), compact emission.
+    //
+    // The metric line must be the LAST thing on stdout (r4-r6 shipped
+    // "parsed": null because shutdown log lines and sbt's "[success]"
+    // postlude printed after it): stop Spark FIRST, silence every logger,
+    // then print. build.sbt sets `showSuccess := false` so sbt adds no
+    // trailing line of its own.
+    spark.stop()
+    org.apache.log4j.LogManager.getRootLogger.setLevel(org.apache.log4j.Level.OFF)
+    System.err.flush()
     println(
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v3","sf":"$sfBase","n":${ordered.size},"order":"name-sorted","failed":$failedJson,"qms":$qms,"full":"$fullPath"}"""
     )
-    spark.stop()
+    System.out.flush()
   }
 }
