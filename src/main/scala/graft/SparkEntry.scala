@@ -58,8 +58,12 @@ object SparkEntry {
       case Some((lo, hi)) =>
         // µs layout: compare against timestamp literals cast to the file
         // column's exact type (NTZ naive-UTC under the pinned session TZ).
+        // Ceil the ns→µs conversion on BOTH bounds: ts_µs ≥ lo_ns/1000 ⇔
+        // ts_µs ≥ ⌈lo_ns/1000⌉ and ts_µs < hi_ns/1000 ⇔ ts_µs < ⌈hi_ns/1000⌉
+        // for the µs-grid column — truncation admitted one extra µs tick at
+        // a non-aligned lower bound and dropped one at the upper.
         def tsLit(nanos: Long) =
-          timestamp_micros(lit(nanos / 1000L)).cast(raw.schema("ts").dataType)
+          timestamp_micros(lit((nanos + 999L) / 1000L)).cast(raw.schema("ts").dataType)
         raw.filter(col("ts") >= tsLit(lo) && col("ts") < tsLit(hi))
     }
     val ev =

@@ -56,7 +56,30 @@ object Cooccur {
       minDfPct: Int = 1,
       maxDfPct: Int = 80,
       vocabK: Int = 400,
-      minPair: Int = 5): DataFrame = {
+      minPair: Int = 5): DataFrame =
+    pairCounts(docs, idCol, textCol, minDfPct, maxDfPct, vocabK, minPair).select(
+      col("tok_a"),
+      col("tok_b"),
+      col("c_a"),
+      col("c_b"),
+      col("c_ab"),
+      floor(
+        log((col("n_docs") * col("c_ab")).cast("double") / (col("c_a") * col("c_b")).cast("double")) * 1e6 + 0.5
+      ).cast("long").as("pmi_micro")
+    )
+
+  /** Shared pair-count pipeline: (tok_a, tok_b, c_a, c_b, n_docs, c_ab).
+    * Keeps n_docs on every row so [[associationRules]] reuses it without
+    * a third corpus scan (it rode the pairing aggregation for free).
+    */
+  private def pairCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDfPct: Int,
+      maxDfPct: Int,
+      vocabK: Int,
+      minPair: Int): DataFrame = {
     val toks = docs
       .select(
         col(idCol).as("doc"),
@@ -104,16 +127,7 @@ object Cooccur {
       .agg(count(lit(1)).as("c_ab"))
       .where(col("c_ab") >= minPair)
 
-    pairs.select(
-      col("tok_a"),
-      col("tok_b"),
-      col("c_a"),
-      col("c_b"),
-      col("c_ab"),
-      floor(
-        log((col("n_docs") * col("c_ab")).cast("double") / (col("c_a") * col("c_b")).cast("double")) * 1e6 + 0.5
-      ).cast("long").as("pmi_micro")
-    )
+    pairs
   }
 
   /** Association rules over the same document co-occurrence frame: both
@@ -132,9 +146,9 @@ object Cooccur {
       maxDfPct: Int = 80,
       vocabK: Int = 400,
       minPair: Int = 5): DataFrame = {
-    val pairs = tokenPairPmi(docs, idCol, textCol, minDfPct, maxDfPct, vocabK, minPair)
-      .drop("pmi_micro")
-      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+    // n_docs rides every pair row out of the shared pipeline — no extra
+    // corpus scan, no re-run of the PMI projection
+    val pairs = pairCounts(docs, idCol, textCol, minDfPct, maxDfPct, vocabK, minPair)
     val fwd = pairs.select(
       col("tok_a").as("antecedent"),
       col("tok_b").as("consequent"),

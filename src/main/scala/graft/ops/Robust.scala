@@ -182,14 +182,6 @@ object Robust {
       .agg(max(col("n")).as("n"), max(col("med")).as("med"), max(col("dev")).as("mad"))
   }
 
-  /** Robust outlier screen per group: rows whose |v − median| exceeds
-    * k·MAD, reported as exact counts and basis points. The robust location
-    * and spread come from [[groupedMedianMad]] (order-selection, integer-
-    * exact on integer inputs); the per-group summary frame is tiny and
-    * BROADCAST back onto the data, so the screen itself is one map-side
-    * comparison + one aggregation — the mean/stddev z-score's breakdown
-    * under heavy tails is exactly what this avoids.
-    */
   /** Theil–Sen robust trend per key: the median of pairwise slopes over a
     * DETERMINISTIC bounded sample of each key's points — one gross outlier
     * corrupts an OLS slope completely but moves a pairwise-slope median by
@@ -260,6 +252,14 @@ object Robust {
       )
   }
 
+  /** Robust outlier screen per group: rows whose |v − median| exceeds
+    * k·MAD, reported as exact counts and basis points. The robust location
+    * and spread come from [[groupedMedianMad]] (order-selection, integer-
+    * exact on integer inputs); the per-group summary frame is tiny and
+    * BROADCAST back onto the data, so the screen itself is one map-side
+    * comparison + one aggregation — the mean/stddev z-score's breakdown
+    * under heavy tails is exactly what this avoids.
+    */
   def madOutliers(
       df: DataFrame,
       groupCol: String,

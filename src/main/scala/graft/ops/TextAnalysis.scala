@@ -547,15 +547,21 @@ object TextAnalysis {
     // divisions here are integer (shiftright / div), never float.
     val mojibake = removedLen("\u00c3") + shiftright(removedLen("\u00e2\u20ac"), 1)
     val nonAscii = removedLen("[^\\x00-\\x7f]")
-    docs.select(
-      col(idCol),
-      n.as("n_chars_exact"),
-      removedLen("\ufffd").as("n_replacement"),
-      removedLen("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]").as("n_control"),
-      nonAscii.as("n_non_ascii"),
-      mojibake.cast("long").as("n_mojibake"),
-      when(n > 0, expr("((length(" + textCol + ") - (length(" + textCol + ") - length(regexp_replace(" + textCol + ", '[^\\\\x00-\\\\x7f]', '')))) * CAST(1000000 AS BIGINT)) DIV length(" + textCol + ")"))
-        .otherwise(lit(1000000L)).cast("long").as("ascii_ratio_micro")
-    )
+    docs
+      .select(
+        col(idCol),
+        n.as("n_chars_exact"),
+        removedLen("\ufffd").as("n_replacement"),
+        removedLen("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]").as("n_control"),
+        nonAscii.as("n_non_ascii"),
+        mojibake.cast("long").as("n_mojibake"))
+      // exact integer DIV over the already-computed columns \u2014 no raw-SQL
+      // splice of textCol (which broke quoting-sensitive column names and
+      // recomputed the non-ASCII removal)
+      .withColumn(
+        "ascii_ratio_micro",
+        when(col("n_chars_exact") > 0,
+          expr("((n_chars_exact - n_non_ascii) * CAST(1000000 AS BIGINT)) DIV n_chars_exact"))
+          .otherwise(lit(1000000L)).cast("long"))
   }
 }
