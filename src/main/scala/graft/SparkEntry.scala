@@ -667,6 +667,20 @@ object SparkEntry {
         )
         .select(col("doc_id"), col("split"))
     },
+    "leakage_safe_splits" -> { (s, dir) =>
+      // Cluster-aware split assignment: exact-dup clusters (md5 of text)
+      // move atomically into train/val/test — the guard against eval
+      // contamination from duplicates straddling the split. One exchange
+      // for the representative window, map-only after (ops/Sampling.scala).
+      graft.ops.Sampling
+        .leakageSafeSplit(
+          table(s, dir, "documents"),
+          "doc_id",
+          md5(col("text")),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          seed = "ls42")
+        .select(col("doc_id"), col("rep"), col("split"))
+    },
     "tfidf_top_terms" -> { (s, dir) =>
       TextAnalysis.tfidfTopTerms(table(s, dir, "documents"), k = 5)
     },
@@ -2587,6 +2601,20 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT doc_id,
+        |  CASE WHEN v < 3435973836 THEN 'train'
+        |       WHEN v < 3865470566 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h""".stripMargin,
+    "leakage_safe_splits" ->
+      """WITH r AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, rep,
+        |    CAST(('0x' || substr(md5('ls42' || CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) AS v
+        |  FROM r
+        |)
+        |SELECT doc_id, rep,
         |  CASE WHEN v < 3435973836 THEN 'train'
         |       WHEN v < 3865470566 THEN 'val'
         |       ELSE 'test' END AS split

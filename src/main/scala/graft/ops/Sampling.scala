@@ -308,15 +308,46 @@ object Sampling {
       splits: Seq[(String, Double)],
       seed: String,
       outCol: String = "split"
-  ): DataFrame = {
+  ): DataFrame =
+    df.withColumn(outCol, splitLabel(hashValue(col(keyCol), seed), splits))
+
+  /** Hash value → split label by cumulative integer thresholds. */
+  private def splitLabel(h: Column, splits: Seq[(String, Double)]): Column = {
     require(splits.nonEmpty, "at least one split required")
     require(splits.forall(_._2 >= 0.0), "split weights must be non-negative")
-    val h = hashValue(col(keyCol), seed)
     val thresholds = splits.init.scanLeft(0.0)(_ + _._2).tail
       .map(c => math.floor(c * Two32).toLong)
-    val assigned = splits.init.zip(thresholds).foldRight(lit(splits.last._1)) {
+    splits.init.zip(thresholds).foldRight(lit(splits.last._1)) {
       case (((name, _), t), elseCol) => when(h < t, lit(name)).otherwise(elseCol)
     }
-    df.withColumn(outCol, assigned)
+  }
+
+  /** Leakage-safe train/val/test split: every row sharing a duplicate
+    * CLUSTER lands in the same split — the guard against the classic eval-
+    * contamination bug where byte-identical (or near-identical) documents
+    * straddle train and test, inflating held-out scores with memorized
+    * text. Plain [[assignSplit]] hashes each row's own key, so a duplicate
+    * pair splits independently ~2·p·(1−p) of the time; here the hash runs
+    * on the cluster REPRESENTATIVE (min key per `clusterExpr` value), so
+    * membership moves atomically per cluster.
+    *
+    * `clusterExpr` is any deterministic cluster id — md5 of normalized
+    * text for exact dups (the registered query), a MinHash cluster label
+    * from [[Dedup.nearDupClusters]] for near-dups. 100 TB shape: ONE
+    * exchange on the cluster column for the representative window; the
+    * split itself stays a map-side pure function of (rep, seed), so
+    * growing a cluster never reassigns other clusters.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      keyCol: String,
+      clusterExpr: Column,
+      splits: Seq[(String, Double)],
+      seed: String,
+      outCol: String = "split"
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(clusterExpr)
+    df.withColumn("rep", min(col(keyCol)).over(w))
+      .withColumn(outCol, splitLabel(hashValue(col("rep"), seed), splits))
   }
 }

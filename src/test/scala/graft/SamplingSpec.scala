@@ -168,6 +168,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
 
+  test("leakageSafeSplit: duplicate clusters move atomically; singletons match plain assignment") {
+    import org.apache.spark.sql.functions.md5
+    // 300 docs: ids 0..99 unique text; ids 100..299 are 100 duplicate PAIRS
+    // (ids 100+i and 200+i share text) — every pair must land in ONE split
+    val rows = (0L until 100L).map(i => (i, s"unique text $i")) ++
+      (0L until 100L).flatMap(i => Seq((100L + i, s"dup text $i"), (200L + i, s"dup text $i")))
+    val df = rows.toDF("doc_id", "text")
+    val out = Sampling.leakageSafeSplit(
+      df, "doc_id", md5($"text"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "t9")
+      .select($"doc_id", $"rep", $"split").as[(Long, Long, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    (0L until 100L).foreach { i =>
+      assert(byId(100L + i)._3 == byId(200L + i)._3, s"pair $i split apart")
+      assert(byId(100L + i)._2 == 100L + i && byId(200L + i)._2 == 100L + i,
+        s"pair $i rep is not the min id")
+    }
+    // singleton clusters behave exactly like assignSplit on their own key
+    val plain = Sampling.assignSplit(
+      df.filter($"doc_id" < 100L), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "t9")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    (0L until 100L).foreach(i => assert(byId(i)._3 == plain(i), s"singleton $i diverged"))
+    // and a plausible split mix over the 200 clusters
+    val trainShare = out.count(_._3 == "train").toDouble / out.length
+    assert(trainShare > 0.6 && trainShare < 0.95, s"train share $trainShare")
+  }
+
   test("capPerGroup: caps binding groups, keeps small groups whole, deterministic") {
     val df = ((0L until 300L).map(i => (i, "big")) ++
       (300L until 310L).map(i => (i, "small"))).toDF("id", "g")
