@@ -247,18 +247,30 @@ object Sampling {
       uni.union(bi).withColumn("bucket", Dedup.md5Hash32(col("g")) % nBuckets).drop("g")
     }
 
+    // The (doc, bucket) gram-count frame feeds BOTH the raw bucket
+    // marginals and the per-doc scoring join; DataFrame lineage has no
+    // common-subplan reuse, so materialize it once — the raw corpus is
+    // gram-scanned exactly ONCE per call (the frame is bounded by
+    // docs × min(doc grams, B) count rows, far smaller than the exploded
+    // gram stream it collapses).
+    val dc = grams(raw, withId = true)
+      .groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+
     // Bucket marginals for both corpora, completed over the full bucket
     // domain (a missing bucket still carries its smoothing mass). The
     // domain frame is B rows — broadcast everywhere it appears.
     val spark = raw.sparkSession
     val buckets = spark.range(nBuckets).select(col("id").as("bucket"))
     val tCounts = grams(target, withId = false).groupBy("bucket").agg(count(lit(1)).as("t_b"))
-    val rCounts = grams(raw, withId = false).groupBy("bucket").agg(count(lit(1)).as("r_b"))
-    val lambda = broadcast(
-      buckets
-        .join(tCounts, Seq("bucket"), "left")
-        .join(rCounts, Seq("bucket"), "left")
-        .na.fill(0L, Seq("t_b", "r_b")))
+    val rCounts = dc.groupBy("bucket").agg(sum(col("c")).as("r_b"))
+    // (no broadcast hint here — this frame is aggregated and projected,
+    // never joined; the join-side hint sits on `lam` below)
+    val lambda = buckets
+      .join(tCounts, Seq("bucket"), "left")
+      .join(rCounts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("t_b", "r_b"))
     val Seq(tTot, rTot) = lambda.agg(sum(col("t_b")), sum(col("r_b")))
       .collect()(0).toSeq.map(v => v.asInstanceOf[Long])
     val lam = broadcast(lambda.select(
@@ -268,10 +280,8 @@ object Sampling {
           ((col("r_b") + 1) * lit(tTot + nBuckets)).cast("double")) * lit(1e6) + lit(0.5))
         .cast("long").as("lam_micro")))
 
-    // Per-doc score: hashed-gram counts join the broadcast λ table.
-    val scored = grams(raw, withId = true)
-      .groupBy(col("id"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+    // Per-doc score: the materialized counts join the broadcast λ table.
+    val scored = dc
       .join(lam, "bucket")
       .groupBy(col("id"))
       .agg(

@@ -266,6 +266,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("dsir_sample: lambda table broadcasts; race top-k is TakeOrdered, corpus never sort-merges") {
+    val plan = executedPlan("dsir_sample")
+    assert(plan.contains("BroadcastHashJoin"), "bucket λ table must broadcast")
+    assert(plan.contains("TakeOrderedAndProject"), "race must not global-sort")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("leakage_safe_splits: one exchange (the representative window), one corpus scan") {
+    val plan = executedPlan("leakage_safe_splits")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, "exactly one shuffle")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, "one corpus scan")
+    assert(!plan.contains("Join"), "split assignment is join-free")
+  }
+
   test("ppl_bucket_filter: no unpartitioned window anywhere (distributed range-sort ranking)") {
     // round-6 weakness: NTILE over Window.orderBy with no partitionBy put
     // the whole per-doc score frame on one task. The rewrite ranks via
