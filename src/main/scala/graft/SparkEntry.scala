@@ -972,6 +972,21 @@ object SparkEntry {
         .minhashMd5Pairs(table(s, dir, "documents"))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     },
+    "cross_source_neardup_matrix" -> { (s, dir) =>
+      // Provenance diagnostic: per unordered source pair, how many
+      // near-dup pairs span it — the mirror-site / content-farm signal.
+      // Composes the oracle-exact md5 MinHash pipeline with two ids-only
+      // source joins and a sources²-bounded agg (ops/Dedup.scala).
+      val docs = table(s, dir, "documents")
+      Dedup.crossSourceDupMatrix(docs, Dedup.minhashMd5Pairs(docs))
+    },
+    "token_budget_by_source" -> { (s, dir) =>
+      // Mix planning: per source, raw vs Gopher-gated doc/token mass and
+      // the surviving-token share in exact bps — "what does each source
+      // contribute AFTER filtering". Map-only gate + one bounded agg
+      // (ops/TextAnalysis.scala).
+      graft.ops.TextAnalysis.gopherTokenBudget(table(s, dir, "documents"))
+    },
     "neardup_clusters_md5" -> { (s, dir) =>
       // Connected components over the md5-anchored pair set (threshold
       // 0.8): min-label propagation on Spark, recursive-CTE closure in the
@@ -3240,6 +3255,57 @@ object SparkEntry {
     "minhash_md5_pairs" ->
       s"""$Md5NearDupCtes
         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM pj""".stripMargin,
+    "cross_source_neardup_matrix" ->
+      s"""$Md5NearDupCtes
+        |SELECT least(da.source, db.source) AS src_a,
+        |  greatest(da.source, db.source) AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pj
+        |JOIN documents da ON da.doc_id = pj.id_a
+        |JOIN documents db ON db.doc_id = pj.id_b
+        |GROUP BY 1, 2""".stripMargin,
+    "token_budget_by_source" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS stop_hits,
+        |    string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents
+        |), g2 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks WHERE len(t) >= 2
+        |), top2 AS (
+        |  SELECT doc_id, max(cnt * length(g)) AS top2_chars
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY 1
+        |), g5 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        |  FROM toks WHERE len(t) >= 5
+        |), dup5 AS (
+        |  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dup5_chars
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2) GROUP BY 1
+        |), gated AS (
+        |  SELECT toks.source, n_tokens,
+        |    CASE WHEN n_tokens BETWEEN 10 AND 100000
+        |      AND round(CAST(word_chars AS DOUBLE) / greatest(n_tokens, 1), 4) BETWEEN 2.0 AND 12.0
+        |      AND round(CAST(COALESCE(top2_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) < 0.30
+        |      AND round(CAST(COALESCE(dup5_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) < 0.15
+        |      AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
+        |  FROM toks LEFT JOIN top2 ON toks.doc_id = top2.doc_id
+        |             LEFT JOIN dup5 ON toks.doc_id = dup5.doc_id
+        |)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(keep) AS BIGINT) AS n_docs_kept,
+        |  CAST(sum(CASE WHEN keep = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+        |  CAST((CAST(sum(CASE WHEN keep = 1 THEN n_tokens ELSE 0 END) AS BIGINT) * 10000)
+        |    // greatest(CAST(sum(n_tokens) AS BIGINT), 1) AS BIGINT) AS kept_bps
+        |FROM gated GROUP BY source""".stripMargin,
     "neardup_clusters_md5" ->
       s"""$Md5NearDupCtes,
         |$Md5ClusterCtes

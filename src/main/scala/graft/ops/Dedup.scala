@@ -448,6 +448,34 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cross-source duplication matrix — the provenance diagnostic behind
+    * every mirror-site / content-farm investigation: for each unordered
+    * source pair, how many duplicate pairs span it. `pairs` is any
+    * (id_a, id_b) dup-pair frame (exact, MinHash, SimHash…), so the
+    * matrix composes with every dedup family in this module.
+    *
+    * Shape: the ids-only pair frame joins the (id, source) map twice —
+    * two hash exchanges on the id column, then a sources²-bounded
+    * aggregation. The corpus text never moves; at 100 TB the heavy side
+    * is the pair frame, which the upstream dedup already bounded.
+    */
+  def crossSourceDupMatrix(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      srcCol: String = "source"
+  ): DataFrame = {
+    val src = docs.select(col(idCol), col(srcCol))
+    pairs
+      .join(src.select(col(idCol).as("id_a"), col(srcCol).as("sa")), "id_a")
+      .join(src.select(col(idCol).as("id_b"), col(srcCol).as("sb")), "id_b")
+      .select(
+        least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token

@@ -477,6 +477,31 @@ object TextAnalysis {
     )
   }
 
+  /** Mix-planning token accounting: per source, raw vs quality-gated
+    * document and token mass ([[gopherRules]] is the gate), with the
+    * surviving-token share in exact basis points. This is the input a
+    * data-mixture planner needs — "how many tokens does each source
+    * actually contribute AFTER filtering" — and the first question asked
+    * when a source's post-filter yield collapses.
+    *
+    * Shape: the gate is map-only (per-doc n-gram sorts, no shuffle), so
+    * the whole accounting is one corpus scan + one sources-bounded
+    * aggregation with map-side partials.
+    */
+  def gopherTokenBudget(
+      docs: DataFrame,
+      srcCol: String = "source",
+      textCol: String = "text"
+  ): DataFrame =
+    gopherRules(docs, textCol, carryCols = Seq(srcCol))
+      .groupBy(col(srcCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("keep").cast("long")).as("n_docs_kept"),
+        sum(when(col("keep") === 1, col("n_tokens")).otherwise(0L)).as("n_tokens_kept"))
+      .withColumn("kept_bps", expr("n_tokens_kept * 10000 DIV greatest(n_tokens, 1)"))
+
   /** Per-document unigram entropy in micro-nats per token — the
     * information-density quality signal: boilerplate and
     * keyword-stuffed docs score low, natural prose high (the

@@ -347,4 +347,19 @@ class DedupSpec extends AnyFunSuite {
     val fp = (211L to 300L).count(id => got(id)._1 == 1)
     assert(fp < 10, s"$fp bloom false positives of 90 — filter degenerate")
   }
+
+  test("crossSourceDupMatrix: unordered source pairs counted once, within-source on the diagonal") {
+    val docs = Seq(
+      (1L, "siteA", "x"), (2L, "siteB", "x"), (3L, "siteC", "x"),
+      (4L, "siteA", "y"), (5L, "siteA", "y"),
+      (6L, "siteB", "z")
+    ).toDF("doc_id", "source", "text")
+    // pair frame as an exact-dup join would produce it (id_a < id_b)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.crossSourceDupMatrix(docs, pairs)
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got == Map(
+      ("siteA", "siteB") -> 1L, ("siteA", "siteC") -> 1L,
+      ("siteB", "siteC") -> 1L, ("siteA", "siteA") -> 1L))
+  }
 }

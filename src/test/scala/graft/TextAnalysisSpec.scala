@@ -282,4 +282,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     // empty doc: guard returns full-ASCII ratio
     assert(got(5L) == ((5L, 0L, 0L, 0L, 0L, 0L, 1000000L)))
   }
+
+  test("gopherTokenBudget: gated token mass per source, bps exact") {
+    val fluent = "the quick brown fox jumps over and that have with the lazy dog again" // passes the gate
+    val junk = "aa aa aa aa aa aa aa aa aa aa aa aa" // fails (no stopwords, repetition)
+    val docs = Seq(
+      (1L, "srcX", fluent), (2L, "srcX", fluent), (3L, "srcX", junk),
+      (4L, "srcY", junk), (5L, "srcY", junk)
+    ).toDF("doc_id", "source", "text")
+    val got = graft.ops.TextAnalysis.gopherTokenBudget(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val fluentToks = fluent.split("\\s+").length.toLong
+    val junkToks = junk.split("\\s+").length.toLong
+    val (_, xDocs, xToks, xKeptDocs, xKeptToks, xBps) = got("srcX")
+    assert(xDocs == 3 && xToks == 2 * fluentToks + junkToks)
+    assert(xKeptDocs == 2 && xKeptToks == 2 * fluentToks)
+    assert(xBps == 2 * fluentToks * 10000 / (2 * fluentToks + junkToks))
+    val (_, yDocs, _, yKeptDocs, yKeptToks, yBps) = got("srcY")
+    assert(yDocs == 2 && yKeptDocs == 0 && yKeptToks == 0 && yBps == 0)
+  }
 }
