@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Exact integer-rational arithmetic over DECIMAL(38,0) columns.
+  *
+  * The cross-engine float traps this library has hit are all of one class:
+  * a `double` intermediate rounded to a fixed-point unit, where a one-ulp
+  * disagreement between JVM libm and the oracle engine's libm flips the
+  * unit. The escape is to keep every intermediate an exact integer and do
+  * ONE final division as an exact rational, rounded with integer-only
+  * arithmetic — then both engines agree bit-for-bit by construction, with
+  * no margin proof needed. DECIMAL(38,0) on the Spark side and HUGEINT on
+  * the DuckDB side both evaluate these expressions exactly (no silent
+  * wrap, no binary-float representation step).
+  */
+object ExactDecimal {
+  val Dec = "decimal(38,0)"
+
+  /** Cast to the exact wide-decimal working type. */
+  def d(c: Column): Column = c.cast(Dec)
+
+  /** floor(q / dv) for integer-valued decimal q, dv > 0 — exact for either
+    * sign of q. `pmod` yields the nonnegative remainder, so `q - pmod(q,dv)`
+    * is exactly divisible and Spark's HALF_UP decimal division cannot round
+    * (the true quotient is an integer it represents exactly).
+    *
+    * DuckDB mirror (HUGEINT, `%` follows the dividend's sign, `//`
+    * truncates toward zero — exact once the remainder is removed):
+    * `(q - ((q % dv) + dv) % dv) // dv`.
+    */
+  def floorDiv(q: Column, dv: Column): Column =
+    ((q - pmod(q, dv)) / dv).cast(Dec)
+
+  /** round-half-up(scale * num / den) as an exact integer, den > 0, any
+    * sign of num: floor((2*scale*num + den) / (2*den)) evaluated with
+    * [[floorDiv]]. The result fits a LONG whenever |num/den| < 9.2e12 at
+    * the default micro scale — callers cast down at the edge.
+    */
+  def scaledRatio(num: Column, den: Column, scale: Long = 1000000L): Column =
+    floorDiv(
+      d(num) * lit(2L * scale).cast(Dec) + d(den),
+      lit(2L).cast(Dec) * d(den))
+}

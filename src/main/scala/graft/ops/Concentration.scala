@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactDecimal._
+
+/** Distribution-concentration signals over a (key, count) frame — the
+  * corpus-level diagnostics a curation pipeline reads before deciding how
+  * aggressively to dedup, cap, or rebalance: a token-frequency Gini near 1
+  * means a handful of boilerplate tokens dominate the corpus; a domain
+  * HHI spike flags a single crawl source swamping the mix.
+  *
+  * Both signals are EXACT integer rationals (micro units, round-half-up
+  * via [[graft.functions.ExactDecimal]]) — no float intermediate, so the
+  * DuckDB oracle agrees bit-for-bit by construction.
+  *
+  * Scale shape: the input is the post-aggregation distinct-key frame
+  * (vocab- or domain-sized, orders of magnitude below the corpus). Gini
+  * needs a global rank over that frame — produced with
+  * [[Ranking.globalRowNumber]] (range-partition + local sort + exact
+  * offsets), never an unpartitioned window. HHI and the totals are plain
+  * one-exchange aggregates. Output is a single row.
+  */
+object Concentration {
+
+  /** Gini coefficient and Herfindahl–Hirschman index of a count column.
+    *
+    * Gini over ascending ranks i = 1..n of counts c_i:
+    * `G = (2·Σ i·c_i − (n+1)·Σc) / (n·Σc)`; HHI = `Σ c_i² / (Σc)²`.
+    * Both ∈ [0, 1], emitted in micro units. Intermediate products stay
+    * inside DECIMAL(38,0) for corpora up to ~10¹⁵ total count with a
+    * ~10¹²-key vocabulary (rank·count ≤ 10²⁷ per row, sums well under
+    * 10³⁸).
+    *
+    * @param counts one row per key; `keyCol` breaks rank ties so the
+    *               order is total (the [[Ranking]] contract).
+    */
+  def concentration(
+      counts: DataFrame,
+      keyCol: String = "token",
+      cntCol: String = "cnt"
+  ): DataFrame = {
+    val ranked = Ranking.globalRowNumber(
+      counts.select(col(keyCol), col(cntCol)),
+      Seq(col(cntCol).asc, col(keyCol).asc),
+      "rk")
+    ranked
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col(cntCol)).cast("long").as("total"),
+        sum(d(col("rk")) * d(col(cntCol))).as("s1"),
+        sum(d(col(cntCol)) * d(col(cntCol))).as("s2"))
+      .select(
+        col("n").as("n_keys"),
+        col("total").as("total_count"),
+        scaledRatio(
+          d(lit(2L)) * col("s1") - (d(col("n")) + d(lit(1L))) * d(col("total")),
+          d(col("n")) * d(col("total")))
+          .cast("long")
+          .as("gini_micro"),
+        scaledRatio(col("s2"), d(col("total")) * d(col("total")))
+          .cast("long")
+          .as("hhi_micro"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactDecimal._
+
+/** Pearson chi-square contingency analysis — the A/B-cohort independence
+  * test an event pipeline runs to answer "did the treatment cohort's
+  * event-type mix actually shift?". Per-cell terms are emitted (not just
+  * the statistic) so downstream can see WHICH cell drives the signal.
+  *
+  * Exactness: each cell's term `(O·N − R·C)² / (N·R·C)` and expectation
+  * `R·C / N` are exact integer rationals over the observed counts,
+  * micro-rounded with [[graft.functions.ExactDecimal]] — both engines
+  * agree bit-for-bit, no float intermediate. The chi-square statistic is
+  * the plain sum of the per-cell `term_micro`s (each side sums identical
+  * integers).
+  *
+  * Scale shape: ONE hash aggregation over the raw frame produces the R×C
+  * cell frame; everything after runs on that tiny frame (checkpointed so
+  * the three marginal aggregations don't each re-scan the corpus) with
+  * broadcast joins only. DECIMAL(38,0) holds `(O·N)²·10⁶` for N up to
+  * ~10¹⁵ rows; beyond that, divide O, R, C, N by a common power of ten
+  * first (the statistic is scale-invariant in distribution shape but not
+  * in magnitude — at that size you are testing effect size, not
+  * significance, anyway).
+  */
+object Contingency {
+
+  /** Per-cell chi-square decomposition of `rowCol` × `colCol`.
+    *
+    * Output: (rowCol, colCol, observed, expected_micro, term_micro) —
+    * one row per observed cell. dof = (R−1)(C−1) is derivable from the
+    * distinct counts; cells with zero observations contribute no row
+    * (and would need the full cross of marginals to materialize — by
+    * design the synthetic-zero cells' terms are `R·C/N` each, documented
+    * rather than emitted).
+    */
+  def chiSquareCells(
+      df: DataFrame,
+      rowCol: String,
+      colCol: String
+  ): DataFrame = {
+    // One corpus-wide aggregation; the checkpoint pins the R×C result so
+    // the marginals and total re-aggregate ≤ R·C rows, not the corpus.
+    val cells = df
+      .groupBy(col(rowCol), col(colCol))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = true)
+    val rowT = cells.groupBy(col(rowCol)).agg(sum(col("o")).as("r"))
+    val colT = cells.groupBy(col(colCol)).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val dev = d(col("o")) * d(col("n")) - d(col("r")) * d(col("c"))
+    cells
+      .join(broadcast(rowT), rowCol)
+      .join(broadcast(colT), colCol)
+      .crossJoin(broadcast(tot))
+      .select(
+        col(rowCol),
+        col(colCol),
+        col("o").cast("long").as("observed"),
+        scaledRatio(d(col("r")) * d(col("c")), d(col("n")))
+          .cast("long")
+          .as("expected_micro"),
+        scaledRatio(dev * dev, d(col("n")) * d(col("r")) * d(col("c")))
+          .cast("long")
+          .as("term_micro"))
+  }
+}

@@ -105,7 +105,6 @@ object LanguageModel {
       idCol: String = "doc_id"
   ): DataFrame = {
     require(nBuckets >= 2 && keepTiles >= 1 && keepTiles <= nBuckets, "bad tile config")
-    val spark = docs.sparkSession
     val lm = bigramLm(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -120,23 +119,12 @@ object LanguageModel {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val n = scored.count()
-        // Distributed total order: range-partition on the sort key, sort
-        // each range locally, then number rows globally. zipWithIndex's
-        // partition offsets are exact, so rank r is exactly the NTILE
-        // row position. Partition bounds only affect WHERE a row sorts,
-        // never its rank — (score, id) is duplicate-free.
-        val parts = math.max(scored.rdd.getNumPartitions, 1)
-        val ranged = scored
-          .repartitionByRange(parts, col("avg_lp_micro").desc, col(idCol).asc)
-          .sortWithinPartitions(col("avg_lp_micro").desc, col(idCol).asc)
-        val schema = org.apache.spark.sql.types.StructType(
-          ranged.schema.fields :+
-            org.apache.spark.sql.types.StructField("rk", org.apache.spark.sql.types.LongType, nullable = false))
-        val ranked = spark.createDataFrame(
-          ranged.rdd.zipWithIndex.map { case (r, i) =>
-            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
-          },
-          schema)
+        // Distributed total order via the shared Ranking primitive:
+        // range-partition + local sort + exact zipWithIndex offsets, so
+        // rank r is exactly the NTILE row position. (score, id) is
+        // duplicate-free, satisfying the total-order contract.
+        val ranked = Ranking.globalRowNumber(
+          scored, Seq(col("avg_lp_micro").desc, col(idCol).asc), "rk")
         // NTILE(k) over N rows in closed form: the first N mod k tiles
         // hold ⌈N/k⌉ rows, the rest ⌊N/k⌋.
         val base = n / nBuckets

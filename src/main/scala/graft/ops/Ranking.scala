@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed total-order ranking.
+  *
+  * `Window.orderBy(...)` with no `partitionBy` is the canonical Spark scale
+  * trap: Catalyst warns `No Partition Defined ... Moving all data to a
+  * single partition` and sorts the whole frame on ONE task. This helper
+  * produces the same ranks the way a 1000-executor cluster must rank
+  * billions of rows:
+  *
+  *   1. `repartitionByRange` on the sort key — Spark samples range bounds,
+  *      so each executor owns a contiguous key range;
+  *   2. `sortWithinPartitions` — each range sorts locally, in parallel;
+  *   3. `zipWithIndex` — global offsets from the per-partition row counts
+  *      (the only driver-side state: ≤ P longs).
+  *
+  * Ranks equal SQL `ROW_NUMBER() OVER (ORDER BY order...)` bit-for-bit
+  * PROVIDED `order` is a total order (no duplicate key tuples) — partition
+  * bounds then affect only WHERE a row sorts, never its rank. With
+  * duplicate keys the tie-break is partition-placement-dependent; callers
+  * must append a unique id column, as every in-repo caller does.
+  *
+  * First extracted from `LanguageModel.pplBuckets` (the round-6 fix that
+  * retired this repo's last unpartitioned corpus-frame `WindowExec`), now
+  * the shared primitive for every global-ordering operator.
+  */
+object Ranking {
+
+  /** Append a 1-based global rank column under the given total order.
+    *
+    * @param numPartitions range-partition count; 0 = keep the input's
+    *                      parallelism (never fewer than 1).
+    */
+  def globalRowNumber(
+      df: DataFrame,
+      order: Seq[Column],
+      rankCol: String = "rk",
+      numPartitions: Int = 0
+  ): DataFrame = {
+    require(order.nonEmpty, "globalRowNumber needs at least one sort column")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(df.rdd.getNumPartitions, 1)
+    val ranged = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val schema = StructType(
+      ranged.schema.fields :+ StructField(rankCol, LongType, nullable = false))
+    spark.createDataFrame(
+      ranged.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (i + 1L))
+      },
+      schema)
+  }
+}

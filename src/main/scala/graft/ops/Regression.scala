@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactDecimal._
+
+/** Grouped ordinary-least-squares linear fit, closed form, EXACT.
+  *
+  * Complements [[Robust.theilSenSlope]]: Theil–Sen is the
+  * outlier-resistant estimator over a bounded sample; this is the exact
+  * full-data OLS line — `y = a + b·x` per group from the five classical
+  * sums (n, Σx, Σy, Σx², Σxy), i.e.
+  * `b = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` and
+  * `a = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)`.
+  *
+  * Exactness: callers pass INTEGER-valued x and y (pre-quantized — epoch
+  * days, micro-scaled values); the sums then accumulate exactly in
+  * DECIMAL(38,0) and the single final division per coefficient is an
+  * exact-rational round-half-up via [[graft.functions.ExactDecimal]] —
+  * bit-equal to the oracle's HUGEINT evaluation, no float anywhere.
+  * Headroom: with |x| ≤ 10⁵ (epoch days) and |y| ≤ 10¹² (micro-scaled
+  * values ≤ 10⁶) the worst product `n·Σxy` stays inside 38 digits up to
+  * n ≈ 10¹⁵ rows per group.
+  *
+  * Scale shape: ONE partial-aggregated hash aggregation over the input —
+  * the same exchange count as a plain `groupBy().sum()`; the coefficient
+  * arithmetic runs on the per-group summary rows. Groups with a
+  * degenerate x spread (all x equal → zero denominator) are filtered
+  * out, not NaN'd.
+  */
+object Regression {
+
+  /** @param x integer-valued regressor (e.g. epoch day)
+    * @param y integer-valued response (e.g. micro-scaled measure)
+    * @return (groupCols..., n, slope_micro?, intercept_micro?) — slope
+    *         and intercept in y-units (per x-unit for the slope); since y
+    *         is typically already micro-scaled, `scale = 1` keeps the
+    *         native resolution rather than double-scaling.
+    */
+  def groupedOls(
+      df: DataFrame,
+      groupCols: Seq[String],
+      x: Column,
+      y: Column
+  ): DataFrame = {
+    val sums = df
+      .select(groupCols.map(col) :+ d(x).as("x") :+ d(y).as("y"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+    val den = d(col("n")) * col("sxx") - col("sx") * col("sx")
+    sums
+      .filter(den > 0)
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("n"),
+          scaledRatio(d(col("n")) * col("sxy") - col("sx") * col("sy"), den, 1L)
+            .cast("long")
+            .as("slope_micro"),
+          scaledRatio(col("sy") * col("sxx") - col("sx") * col("sxy"), den, 1L)
+            .cast("long")
+            .as("intercept_micro")): _*)
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Concentration
+
+class ConcentrationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(counts: Seq[(String, Long)]): (Long, Long, Long, Long) =
+    Concentration
+      .concentration(counts.toDF("token", "cnt"))
+      .as[(Long, Long, Long, Long)]
+      .collect()
+      .head
+
+  test("hand-computed gini and hhi on {1,2,3}") {
+    // ascending ranks: S=6, S1=1*1+2*2+3*3=14; gini=(28-24)/18=2/9,
+    // hhi=(1+4+9)/36=7/18 — micro round-half-up 222222 / 388889
+    assert(run(Seq(("a", 1L), ("b", 2L), ("c", 3L))) == (3L, 6L, 222222L, 388889L))
+  }
+
+  test("uniform counts give gini 0; a single key gives hhi 1") {
+    assert(run(Seq(("a", 7L), ("b", 7L), ("c", 7L), ("d", 7L)))._3 == 0L)
+    val (n, total, gini, hhi) = run(Seq(("only", 5L)))
+    assert((n, total, gini, hhi) == (1L, 5L, 0L, 1000000L))
+  }
+
+  test("extreme concentration drives gini toward (n-1)/n") {
+    // {1,1,1,9997}: nearly all mass on one key of four
+    val (_, _, gini, hhi) = run(Seq(("a", 1L), ("b", 1L), ("c", 1L), ("d", 9997L)))
+    assert(gini > 700000L && gini <= 750000L) // bound (n-1)/n = 0.75
+    assert(hhi > 990000L)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Contingency
+
+class ContingencySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hand-computed 2x2 per-cell decomposition") {
+    // counts: (0,x)=30 (0,y)=10 (1,x)=20 (1,y)=40 — N=100, R=(40,60), C=(50,50)
+    val rows =
+      Seq.fill(30)((0, "x")) ++ Seq.fill(10)((0, "y")) ++
+        Seq.fill(20)((1, "x")) ++ Seq.fill(40)((1, "y"))
+    val got = Contingency
+      .chiSquareCells(rows.toDF("cohort", "et"), "cohort", "et")
+      .as[(Int, String, Long, Long, Long)]
+      .collect()
+      .map { case (cohort, et, o, e, t) => (cohort, et) -> ((o, e, t)) }
+      .toMap
+    assert(got((0, "x")) == ((30L, 20000000L, 5000000L)))
+    assert(got((0, "y")) == ((10L, 20000000L, 5000000L)))
+    // (O*N-R*C)^2/(N*R*C) = 10^6/(3*10^5) = 10/3 → micro 3333333 (exact
+    // rational round-half-up, not a float)
+    assert(got((1, "x")) == ((20L, 30000000L, 3333333L)))
+    assert(got((1, "y")) == ((40L, 30000000L, 3333333L)))
+  }
+
+  test("independent margins give zero terms") {
+    // perfectly proportional table: O = R*C/N exactly for every cell
+    val rows =
+      Seq.fill(20)((0, "x")) ++ Seq.fill(10)((0, "y")) ++
+        Seq.fill(40)((1, "x")) ++ Seq.fill(20)((1, "y"))
+    val terms = Contingency
+      .chiSquareCells(rows.toDF("cohort", "et"), "cohort", "et")
+      .select("term_micro").as[Long].collect()
+    assert(terms.length == 4 && terms.forall(_ == 0L))
+  }
+
+  test("marginals and totals do not rescan the input (cells frame is pinned)") {
+    val rows = Seq((0, "x"), (0, "y"), (1, "x"))
+    val plan = Contingency
+      .chiSquareCells(rows.toDF("cohort", "et"), "cohort", "et")
+      .queryExecution.optimizedPlan.toString
+    // one LogicalRDD (the checkpointed cell frame) feeds all four legs;
+    // the raw LocalRelation appears nowhere downstream of the checkpoint
+    assert(!plan.contains("LocalRelation"), s"raw input rescanned:\n$plan")
+  }
+}

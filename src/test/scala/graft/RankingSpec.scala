@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Ranking
+
+class RankingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("globalRowNumber equals ROW_NUMBER over the same total order") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 500).map(i => (i.toLong, rnd.nextInt(40).toLong)).toDF("id", "v")
+    val want = df
+      .withColumn("rk", row_number().over(Window.orderBy($"v".desc, $"id")).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Ranking
+      .globalRowNumber(df, Seq($"v".desc, $"id".asc))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("ranks are invariant to the input's partitioning and partition count") {
+    val df = (1 to 300).map(i => (i.toLong, (i * 37 % 50).toLong)).toDF("id", "v")
+    val a = Ranking.globalRowNumber(df.repartition(13), Seq($"v".asc, $"id".asc))
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Ranking.globalRowNumber(df.repartition(1), Seq($"v".asc, $"id".asc), numPartitions = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("plan has no unpartitioned WindowExec — the rank comes from the distributed sort") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong % 9)).toDF("id", "v")
+    val plan = Ranking
+      .globalRowNumber(df, Seq($"v".asc, $"id".asc))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected WindowExec in:\n$plan")
+  }
+}

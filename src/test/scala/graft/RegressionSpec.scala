@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Regression
+
+class RegressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fit(pts: Seq[(String, Long, Long)]): Map[String, (Long, Long, Long)] =
+    Regression
+      .groupedOls(pts.toDF("g", "x", "y"), Seq("g"), col("x"), col("y"))
+      .as[(String, Long, Long, Long)]
+      .collect()
+      .map { case (g, n, b, a) => g -> ((n, b, a)) }
+      .toMap
+
+  test("exact line is recovered exactly") {
+    // y = 1e6 + 2e6 * x, three points
+    val got = fit(Seq(("g", 0L, 1000000L), ("g", 1L, 3000000L), ("g", 2L, 5000000L)))
+    assert(got("g") == ((3L, 2000000L, 1000000L)))
+  }
+
+  test("non-exact rationals round half up, both signs") {
+    // (0,0),(1,1),(2,1): slope 1/2 → 1 (half up), intercept 1/6 → 0
+    assert(fit(Seq(("p", 0L, 0L), ("p", 1L, 1L), ("p", 2L, 1L)))("p") == ((3L, 1L, 0L)))
+    // (0,1),(1,1),(2,0): slope -1/2 → 0 (half up toward +inf), intercept 7/6 → 1
+    assert(fit(Seq(("m", 0L, 1L), ("m", 1L, 1L), ("m", 2L, 0L)))("m") == ((3L, 0L, 1L)))
+    // steeper negative: (0,5),(1,3),(2,1): slope -2, intercept 5 exactly
+    assert(fit(Seq(("n", 0L, 5L), ("n", 1L, 3L), ("n", 2L, 1L)))("n") == ((3L, -2L, 5L)))
+  }
+
+  test("degenerate x spread (all x equal) is filtered, not NaN'd") {
+    val got = fit(Seq(("d", 4L, 1L), ("d", 4L, 9L), ("ok", 0L, 0L), ("ok", 1L, 1L)))
+    assert(!got.contains("d"))
+    assert(got("ok") == ((2L, 1L, 0L)))
+  }
+
+  test("matches a double-precision reference on a larger random group") {
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 500).map { i =>
+      val x = i.toLong
+      val y = 250000L + 1250L * x + rnd.nextInt(2001) - 1000L
+      ("r", x, y)
+    }
+    val (n, slope, intercept) = fit(pts)("r")
+    val xs = pts.map(_._2.toDouble); val ys = pts.map(_._3.toDouble)
+    val m = xs.size.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(v => v * v).sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val b = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    val a = (sy * sxx - sx * sxy) / (m * sxx - sx * sx)
+    assert(n == 500L)
+    assert(math.abs(slope - math.round(b)) <= 1, s"slope $slope vs $b")
+    assert(math.abs(intercept - math.round(a)) <= 1, s"intercept $intercept vs $a")
+  }
+}
