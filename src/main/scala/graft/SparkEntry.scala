@@ -1788,6 +1788,70 @@ object SparkEntry {
       // no join back to the data (ops/Decontam.scala).
       graft.ops.Decontam.nearDupContamination(
         table(s, dir, "documents"), id => id % 5 === 0, threshold = 0.5)
+    },
+    "global_row_numbers" -> { (s, dir) =>
+      // Scalable global ROW_NUMBER: range-partition + local sort + exact
+      // zipWithIndex offsets — the distributed replacement for the
+      // single-task unpartitioned-window sort, exposed as its own
+      // operator (ops/Ranking.scala).
+      graft.ops.Ranking.globalRowNumber(
+        table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").desc, col("doc_id").asc))
+    },
+    "token_gini" -> { (s, dir) =>
+      // Corpus concentration: Gini + HHI of the token-frequency
+      // distribution in exact micro units — boilerplate-domination
+      // diagnostics before dedup/capping. Rank over the vocab-sized count
+      // frame via distributed range-sort, one final single-row aggregate
+      // (ops/Concentration.scala).
+      val counts = table(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.ops.Concentration.concentration(counts)
+    },
+    "ab_chi_square" -> { (s, dir) =>
+      // A/B cohort independence: per-cell chi-square decomposition of
+      // cohort (user_id parity) x event_type, exact integer rationals in
+      // micro units — one corpus aggregation, then broadcast-only math on
+      // the R x C cell frame (ops/Contingency.scala).
+      graft.ops.Contingency
+        .chiSquareCells(
+          eventsTable(s, dir)
+            .select(pmod(col("user_id"), lit(2L)).cast("int").as("cohort"), col("event_type")),
+          "cohort", "event_type")
+        .orderBy(col("cohort"), col("event_type"))
+    },
+    "value_ols_trend" -> { (s, dir) =>
+      // Exact closed-form OLS trend of event value over time per
+      // event_type: integer epoch-day x, micro-scaled y, all five sums
+      // exact in DECIMAL(38,0), one hash aggregation — the full-data
+      // complement to the Theil-Sen robust slope (ops/Regression.scala).
+      val ev = eventsTable(s, dir).select(
+        col("event_type"),
+        // epoch day from the canonical epoch-nanos ts (nonnegative, so
+        // DIV truncation == floor — same integer the oracle derives)
+        expr("ts DIV 86400000000000").cast("long").as("x"),
+        floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long").as("y"))
+      graft.ops.Regression
+        .groupedOls(ev, Seq("event_type"), col("x"), col("y"))
+        .orderBy(col("event_type"))
+    },
+    "ann_eval_metrics" -> { (s, dir) =>
+      // Closes the retrieval loop: recall@10 / MRR / DCG / nDCG of the
+      // brute-force cosine run against same-label gold relevance. The
+      // log2 discount table is margin-proven; every metric after it is an
+      // exact integer rational (ops/Retrieval.scala evalMetrics).
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val results = Similarity.bruteForceTopK(emb, queries, k = 10)
+      val rel = queries
+        .select(col("vec_id").as("query_id"), col("label"))
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label")), "label")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+      graft.ops.Retrieval.evalMetrics(results, rel, k = 10).orderBy(col("query_id"))
     }
   )
 
@@ -4910,6 +4974,108 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
         |  max(CAST(floor(jaccard * 10000 + 0.5e0) AS BIGINT)) AS best_jaccard_bp
-        |FROM crossed GROUP BY doc_id""".stripMargin)
+        |FROM crossed GROUP BY doc_id""".stripMargin),
+    "global_row_numbers" ->
+      """SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+        |FROM documents""".stripMargin,
+    "token_gini" ->
+      """WITH c AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
+        |  WHERE token <> '' GROUP BY 1
+        |), r AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt, token) AS rk FROM c
+        |), s AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(cnt) AS HUGEINT) AS total,
+        |    CAST(sum(rk * cnt) AS HUGEINT) AS s1, CAST(sum(cnt * cnt) AS HUGEINT) AS s2
+        |  FROM r
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_keys, CAST(total AS BIGINT) AS total_count,
+        |  CAST(((2 * s1 - (n + 1) * total) * 2000000 + n * total) // (2 * n * total) AS BIGINT) AS gini_micro,
+        |  CAST((s2 * 2000000 + total * total) // (2 * total * total) AS BIGINT) AS hhi_micro
+        |FROM s""".stripMargin,
+    "ab_chi_square" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS cohort, event_type FROM events
+        |), cells AS (
+        |  SELECT cohort, event_type, CAST(count(*) AS HUGEINT) AS o FROM e GROUP BY 1, 2
+        |), rt AS (SELECT cohort, sum(o) AS r FROM cells GROUP BY 1
+        |), ct AS (SELECT event_type, sum(o) AS c FROM cells GROUP BY 1
+        |), t AS (SELECT sum(o) AS n FROM cells)
+        |SELECT cells.cohort, cells.event_type, CAST(o AS BIGINT) AS observed,
+        |  CAST((r * c * 2000000 + n) // (2 * n) AS BIGINT) AS expected_micro,
+        |  CAST(((o * n - r * c) * (o * n - r * c) * 2000000 + n * r * c) // (2 * n * r * c) AS BIGINT) AS term_micro
+        |FROM cells, rt, ct, t
+        |WHERE cells.cohort = rt.cohort AND cells.event_type = ct.event_type
+        |ORDER BY 1, 2""".stripMargin,
+    "value_ols_trend" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    CAST(epoch_ms(ts) // 86400000 AS HUGEINT) AS x,
+        |    CAST(floor(value * 1000000 + 0.5e0) AS HUGEINT) AS y
+        |  FROM events
+        |), a AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+        |  FROM p GROUP BY 1
+        |), q AS (
+        |  -- round-half-up of an exact rational with FLOOR division (DuckDB
+        |  -- // truncates toward zero, so strip a nonnegative remainder
+        |  -- first): floor((2*num + den) / (2*den))
+        |  SELECT event_type, n,
+        |    n * sxy - sx * sy AS bnum, sy * sxx - sx * sxy AS anum,
+        |    n * sxx - sx * sx AS den
+        |  FROM a WHERE n * sxx - sx * sx > 0
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST((2 * bnum + den - (((2 * bnum + den) % (2 * den)) + 2 * den) % (2 * den)) // (2 * den) AS BIGINT) AS slope_micro,
+        |  CAST((2 * anum + den - (((2 * anum + den) % (2 * den)) + 2 * den) % (2 * den)) // (2 * den) AS BIGINT) AS intercept_micro
+        |FROM q ORDER BY event_type""".stripMargin,
+    "ann_eval_metrics" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+        |  FROM q, c WHERE query_id != neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored
+        |), topk AS (SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10),
+        |rel AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id
+        |  FROM q JOIN embeddings e ON q.label = e.label WHERE q.query_id != e.vec_id
+        |), disc AS (
+        |  SELECT CAST(i + 1 AS INT) AS rnk,
+        |    CAST(floor(1000000 / log2(i + 2) + 0.5e0) AS BIGINT) AS dm
+        |  FROM (SELECT unnest(range(10)) AS i)
+        |), pre AS (
+        |  SELECT rnk, CAST(sum(dm) OVER (ORDER BY rnk) AS BIGINT) AS cum FROM disc
+        |), nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1
+        |), hits AS (
+        |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hit,
+        |    CAST(min(t.rank) AS BIGINT) AS first_rank,
+        |    CAST(sum(d.dm) AS BIGINT) AS dcg_micro
+        |  FROM topk t
+        |  JOIN rel r ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+        |  JOIN disc d ON d.rnk = t.rank
+        |  GROUP BY 1
+        |), base AS (SELECT DISTINCT query_id FROM topk)
+        |SELECT b.query_id,
+        |  coalesce(n_rel, 0) AS n_rel, coalesce(n_hit, 0) AS n_hit,
+        |  coalesce(first_rank, 0) AS first_rank,
+        |  CAST(CASE WHEN n_rel > 0 THEN (coalesce(n_hit, 0) * 20000 + n_rel) // (2 * n_rel)
+        |       ELSE 0 END AS BIGINT) AS recall_bp,
+        |  CAST(CASE WHEN first_rank IS NOT NULL THEN (2000000 + first_rank) // (2 * first_rank)
+        |       ELSE 0 END AS BIGINT) AS mrr_micro,
+        |  coalesce(dcg_micro, 0) AS dcg_micro,
+        |  CAST(CASE WHEN n_rel > 0 THEN
+        |    (coalesce(dcg_micro, 0) * 20000 + (SELECT cum FROM pre WHERE rnk = least(n_rel, 10)))
+        |      // (2 * (SELECT cum FROM pre WHERE rnk = least(n_rel, 10)))
+        |    ELSE 0 END AS BIGINT) AS ndcg_bp
+        |FROM base b LEFT JOIN nr USING (query_id) LEFT JOIN hits USING (query_id)
+        |ORDER BY query_id""".stripMargin
   )
 }

@@ -352,4 +352,75 @@ object Retrieval {
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Retrieval-quality evaluation: per-query recall@k, MRR, DCG and nDCG
+    * of a ranked result set against a gold relevance set — the harness
+    * that closes the retrieval loop (index → search → EVALUATE) for any
+    * of this library's ranked outputs (BM25, brute/IVF/PQ ANN, RRF).
+    *
+    * Exactness: the rank-i DCG discount `round(10⁶/log₂(i+1))` is the
+    * ONLY float op, over the tiny fixed domain i ∈ [1, k] — margin-proven
+    * in `LnMarginAuditSpec` (worst distance to a rounding boundary is
+    * ~5·10⁻³ for k ≤ 200, vs the ≤2·10⁻⁸ cross-engine disagreement), so
+    * both engines produce the identical integer table. Everything after
+    * is integer sums and exact-rational basis-point/micro divisions via
+    * [[graft.functions.ExactDecimal]]: MRR = 1/first-hit-rank, recall =
+    * hits/|rel|, nDCG = DCG / ideal-DCG with the ideal the prefix sum of
+    * discounts up to min(|rel|, k).
+    *
+    * Scale shape: one semi-style join of results (n_queries × k rows)
+    * against the relevance set on (query, id) — co-keyed exchange — then
+    * per-query aggregation; the |rel|-per-query frame joins on the query
+    * key. No corpus frame appears at all: the operator's inputs are
+    * already query-bounded.
+    */
+  def evalMetrics(
+      results: DataFrame,
+      rel: DataFrame,
+      k: Int,
+      qidCol: String = "query_id",
+      idCol: String = "neighbor_id",
+      rankCol: String = "rank"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.{d, scaledRatio}
+    require(k >= 1 && k <= 1000, "eval depth out of range")
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val disc: IndexedSeq[Long] =
+      (1 to k).map(i => math.floor(1e6 / log2(i + 1.0) + 0.5).toLong)
+    val prefix = disc.scanLeft(0L)(_ + _).tail // idcg for 1..k relevant
+    val discArr = array(disc.map(lit): _*)
+    val prefArr = array(prefix.map(lit): _*)
+
+    val topk = results.filter(col(rankCol) <= k)
+    val base = topk.groupBy(col(qidCol)).agg(count(lit(1)).as("n_ret"))
+    val hits = topk
+      .join(rel.select(col(qidCol), col(idCol)), Seq(qidCol, idCol))
+      .groupBy(col(qidCol))
+      .agg(
+        count(lit(1)).as("n_hit"),
+        min(col(rankCol)).as("first_rank"),
+        sum(element_at(discArr, col(rankCol).cast("int"))).as("dcg_micro"))
+    val nRel = rel.groupBy(col(qidCol)).agg(count(lit(1)).as("n_rel"))
+    base
+      .join(nRel, Seq(qidCol), "left")
+      .join(hits, Seq(qidCol), "left")
+      .select(
+        col(qidCol),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("first_rank"), lit(0L)).cast("long").as("first_rank"),
+        when(col("n_rel").isNotNull && col("n_rel") > 0,
+          scaledRatio(coalesce(col("n_hit"), lit(0L)), col("n_rel"), 10000L).cast("long"))
+          .otherwise(lit(0L)).as("recall_bp"),
+        when(col("first_rank").isNotNull,
+          scaledRatio(lit(1L), col("first_rank")).cast("long"))
+          .otherwise(lit(0L)).as("mrr_micro"),
+        coalesce(col("dcg_micro"), lit(0L)).cast("long").as("dcg_micro"),
+        when(col("n_rel").isNotNull && col("n_rel") > 0,
+          scaledRatio(
+            coalesce(col("dcg_micro"), lit(0L)),
+            element_at(prefArr, least(col("n_rel"), lit(k.toLong)).cast("int")),
+            10000L).cast("long"))
+          .otherwise(lit(0L)).as("ndcg_bp"))
+  }
 }

@@ -153,4 +153,19 @@ class LnMarginAuditSpec extends AnyFunSuite {
     info(f"hll_linear: worst margin ${worst._2}%.3e at v_empty=${worst._1}")
     assert(worst._2 > SafeMargin)
   }
+
+  test("ndcg discount: 10⁶/log₂(i+1) margin over ranks 1..200") {
+    // Retrieval.evalMetrics' only float op. Error budget: ln within 2 ulp
+    // cross-engine, the /ln2 and 10⁶/· divisions ≤ 1 ulp each — relative
+    // ≤ ~1e-15, absolute ≤ 1e-9 at the 10⁶ scale. Domain fixed and tiny,
+    // audited exhaustively past any eval depth in use (k ≤ 200).
+    val live = (1 to 200).map { i =>
+      val x = 1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5
+      val f = x - math.floor(x)
+      (i, math.min(f, 1.0 - f))
+    }
+    val worst = live.minBy(_._2)
+    info(f"ndcg_discount: worst margin ${worst._2}%.3e at rank=${worst._1}")
+    assert(worst._2 > SafeMargin)
+  }
 }

@@ -173,4 +173,26 @@ class RetrievalSpec extends AnyFunSuite {
       .select("doc_id", "rank").as[(Long, Int)].collect().toMap
     assert(ranked == Map(8L -> 1, 7L -> 2, 9L -> 3))
   }
+
+  test("evalMetrics: hand-computed recall/MRR/DCG/nDCG at k=3") {
+    // discounts: d1=10⁶, d2=round(10⁶/log₂3)=630930, d3=500000
+    val results = Seq(
+      ("A", 11L, 1), ("A", 12L, 2), ("A", 13L, 3),
+      ("B", 21L, 1), ("B", 22L, 2), ("B", 23L, 3),
+      ("C", 31L, 1), ("C", 32L, 2), ("C", 33L, 3)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val rel = Seq(
+      ("A", 12L), ("A", 91L), ("A", 92L),            // one hit at rank 2, n_rel=3
+      ("B", 93L), ("B", 94L),                         // no hits, n_rel=2
+      ("C", 31L), ("C", 32L), ("C", 33L), ("C", 95L), ("C", 96L) // perfect top-3, n_rel=5
+    ).toDF("query_id", "neighbor_id")
+    val got = Retrieval.evalMetrics(results, rel, k = 3)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // A: dcg=630930, idcg=d1+d2+d3=2130930 → ndcg=round(6309300000/2130930)=2961
+    assert(got("A") == (("A", 3L, 1L, 2L, 3333L, 500000L, 630930L, 2961L)))
+    assert(got("B") == (("B", 2L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    // C: idcg caps at min(n_rel,k)=3 discounts → ndcg exactly 10000
+    assert(got("C") == (("C", 5L, 3L, 1L, 6000L, 1000000L, 2130930L, 10000L)))
+  }
 }
