@@ -1852,6 +1852,17 @@ object SparkEntry {
         .filter(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"))
       graft.ops.Retrieval.evalMetrics(results, rel, k = 10).orderBy(col("query_id"))
+    },
+    "ab_ks_value" -> { (s, dir) =>
+      // Two-sample KS over the value distribution of the two user-parity
+      // cohorts: exact sup|F0-F1| in micro units via the distributed-CDF
+      // primitive (range-partitioned prefix sums, no unpartitioned
+      // window) (ops/Contingency.scala).
+      graft.ops.Contingency.ksTwoSample(
+        eventsTable(s, dir).select(
+          pmod(col("user_id"), lit(2L)).cast("int").as("cohort"),
+          cents(col("value")).as("cents")),
+        "cohort", "cents")
     }
   )
 
@@ -5076,6 +5087,27 @@ object SparkEntry {
         |      // (2 * (SELECT cum FROM pre WHERE rnk = least(n_rel, 10)))
         |    ELSE 0 END AS BIGINT) AS ndcg_bp
         |FROM base b LEFT JOIN nr USING (query_id) LEFT JOIN hits USING (query_id)
-        |ORDER BY query_id""".stripMargin
+        |ORDER BY query_id""".stripMargin,
+    "ab_ks_value" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS g,
+        |    CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS cents
+        |  FROM events
+        |), c AS (
+        |  SELECT cents,
+        |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS c0,
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS c1
+        |  FROM e GROUP BY 1
+        |), cum AS (
+        |  SELECT cents, sum(c0) OVER (ORDER BY cents) AS s0,
+        |    sum(c1) OVER (ORDER BY cents) AS s1
+        |  FROM c
+        |), t AS (SELECT CAST(sum(c0) AS HUGEINT) AS n0, CAST(sum(c1) AS HUGEINT) AS n1 FROM c
+        |), dv AS (SELECT cents, abs(s0 * n1 - s1 * n0) AS num FROM cum, t
+        |), best AS (SELECT cents, num FROM dv ORDER BY num DESC, cents LIMIT 1)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  CAST((num * 2000000 + n0 * n1) // (2 * n0 * n1) AS BIGINT) AS d_micro,
+        |  best.cents AS at_value
+        |FROM best, t""".stripMargin
   )
 }

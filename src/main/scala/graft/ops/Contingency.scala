@@ -67,4 +67,49 @@ object Contingency {
           .cast("long")
           .as("term_micro"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic, EXACT: the numeric-column
+    * counterpart to [[chiSquareCells]] — "did the treatment cohort's
+    * value DISTRIBUTION shift?", answered as D = sup|F₀ − F₁| with no
+    * float anywhere. At every distinct value v (the only places the sup
+    * can occur), `|cum₀·n₁ − cum₁·n₀|` is an exact integer; the max picks
+    * the winner, one exact-rational micro division at the end.
+    *
+    * Scale shape: one hash aggregation to the distinct-value frame, the
+    * distributed CDF via [[Ranking.runningTotals]] (range-partitioned
+    * prefix sums — no unpartitioned window), then a TakeOrdered(1). The
+    * raw frame is scanned once.
+    *
+    * @param df       rows with an integer group column (0/1) and an
+    *                 integer-valued measure (pre-quantized by the caller)
+    * @return one row: (n0, n1, d_micro, at_value) — at_value is the
+    *         smallest value attaining the sup (deterministic tie-break)
+    */
+  def ksTwoSample(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val counts = df
+      .groupBy(col(valueCol))
+      .agg(
+        sum(when(col(groupCol) === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col(groupCol) === 1, 1L).otherwise(0L)).as("c1"))
+    val cum = Ranking.runningTotals(counts, Seq(col(valueCol).asc), Seq("c0", "c1"))
+    val tot = cum.agg(sum(col("c0")).cast("long").as("n0"), sum(col("c1")).cast("long").as("n1"))
+    cum
+      .crossJoin(broadcast(tot))
+      .select(
+        col(valueCol),
+        col("n0"),
+        col("n1"),
+        abs(d(col("cum_c0")) * d(col("n1")) - d(col("cum_c1")) * d(col("n0"))).as("num"))
+      .orderBy(col("num").desc, col(valueCol).asc)
+      .limit(1)
+      .select(
+        col("n0"),
+        col("n1"),
+        scaledRatio(col("num"), d(col("n0")) * d(col("n1"))).cast("long").as("d_micro"),
+        col(valueCol).cast("long").as("at_value"))
+  }
 }

@@ -29,6 +29,71 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Ranking {
 
+  /** Append exact global running totals (inclusive prefix sums) of the
+    * given LONG columns under a global sort order — the distributed CDF
+    * primitive: `SUM(c) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING)`
+    * without the single-task unpartitioned window.
+    *
+    * Two passes over the range-partitioned sorted frame (persisted so the
+    * sort runs once): pass 1 collects per-partition column totals (driver
+    * state: P × |sumCols| longs), pass 2 streams each partition adding its
+    * broadcast offset. Ties in `order` are fine for the SUMS as long as
+    * the caller treats equal-key rows as one CDF step (aggregate to
+    * distinct keys first, as the KS test does) — within a tie the
+    * inclusive prefix is order-dependent, exactly like the SQL ROWS frame.
+    *
+    * Output appends `cum_<col>` for each input column. Sums must fit in
+    * Long (callers with 10¹⁹+ totals pre-scale).
+    */
+  def runningTotals(
+      df: DataFrame,
+      order: Seq[Column],
+      sumCols: Seq[String],
+      numPartitions: Int = 0
+  ): DataFrame = {
+    require(order.nonEmpty && sumCols.nonEmpty, "need a sort order and at least one sum column")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(df.rdd.getNumPartitions, 1)
+    val ranged = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+    val idx = sumCols.map(ranged.schema.fieldIndex)
+    val rdd = ranged.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val tot = Array.fill(idx.size)(0L)
+          it.foreach(r => idx.indices.foreach(i => tot(i) += r.getLong(idx(i))))
+          Iterator((pid, tot))
+        }
+        .collect()
+        .sortBy(_._1)
+        .map(_._2)
+      // exclusive scan: partition p's offset is the sum of totals before it
+      val offsets = totals.scanLeft(Array.fill(idx.size)(0L)) { (acc, t) =>
+        acc.zip(t).map { case (a, b) => a + b }
+      }
+      val bc = spark.sparkContext.broadcast(offsets)
+      val schema = StructType(
+        ranged.schema.fields ++
+          sumCols.map(c => StructField(s"cum_$c", LongType, nullable = false)))
+      val out = spark.createDataFrame(
+        rdd.mapPartitionsWithIndex { (pid, it) =>
+          val run = bc.value(pid).clone()
+          it.map { r =>
+            idx.indices.foreach(i => run(i) += r.getLong(idx(i)))
+            // snapshot: `run` mutates per row, Rows must not share it
+            Row.fromSeq(r.toSeq ++ run.clone().toSeq)
+          }
+        },
+        schema)
+      // pin the result so downstream lineage doesn't re-run both passes
+      out.localCheckpoint(eager = true)
+    } finally rdd.unpersist(blocking = false)
+  }
+
   /** Append a 1-based global rank column under the given total order.
     *
     * @param numPartitions range-partition count; 0 = keep the input's

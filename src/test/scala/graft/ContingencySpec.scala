@@ -38,6 +38,23 @@ class ContingencySpec extends AnyFunSuite {
     assert(terms.length == 4 && terms.forall(_ == 0L))
   }
 
+  test("ksTwoSample: hand-computed D with deterministic argmax tie-break") {
+    // g0={1,2,3} g1={2,3,4}: |cum0-cum1|=1 at v∈{1,2,3} → D=1/3, smallest v wins
+    val df = Seq((0, 1L), (0, 2L), (0, 3L), (1, 2L), (1, 3L), (1, 4L)).toDF("g", "v")
+    val got = Contingency.ksTwoSample(df, "g", "v")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((3L, 3L, 333333L, 1L)))
+  }
+
+  test("ksTwoSample: identical distributions give D=0; disjoint supports give D=1") {
+    val same = Seq((0, 5L), (0, 7L), (1, 5L), (1, 7L)).toDF("g", "v")
+    assert(Contingency.ksTwoSample(same, "g", "v")
+      .as[(Long, Long, Long, Long)].collect().head == ((2L, 2L, 0L, 5L)))
+    val disjoint = Seq((0, 1L), (0, 2L), (1, 10L), (1, 11L)).toDF("g", "v")
+    assert(Contingency.ksTwoSample(disjoint, "g", "v")
+      .as[(Long, Long, Long, Long)].collect().head == ((2L, 2L, 1000000L, 2L)))
+  }
+
   test("marginals and totals do not rescan the input (cells frame is pinned)") {
     val rows = Seq((0, "x"), (0, "y"), (1, "x"))
     val plan = Contingency

@@ -31,6 +31,28 @@ class RankingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("runningTotals equals SUM OVER (ORDER BY ...) on distinct keys") {
+    val rnd = new scala.util.Random(19)
+    val df = (1 to 400).map(i => (i.toLong, rnd.nextInt(100).toLong, rnd.nextInt(5).toLong))
+      .toDF("k", "a", "b")
+    val want = df
+      .withColumn("cum_a", sum($"a").over(Window.orderBy($"k")))
+      .withColumn("cum_b", sum($"b").over(Window.orderBy($"k")))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val got = Ranking
+      .runningTotals(df.repartition(11), Seq($"k".asc), Seq("a", "b"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("runningTotals is invariant to input partitioning; last row carries the grand totals") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("k", "a")
+    val out = Ranking.runningTotals(df.repartition(7), Seq($"k".asc), Seq("a"), numPartitions = 5)
+    val rows = out.orderBy($"k").as[(Long, Long, Long)].collect()
+    assert(rows.last == ((100L, 100L, 5050L)))
+    assert(rows.map(_._3).toSeq == (1 to 100).map(i => i.toLong * (i + 1) / 2))
+  }
+
   test("plan has no unpartitioned WindowExec — the rank comes from the distributed sort") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong % 9)).toDF("id", "v")
     val plan = Ranking
