@@ -1863,6 +1863,25 @@ object SparkEntry {
           pmod(col("user_id"), lit(2L)).cast("int").as("cohort"),
           cents(col("value")).as("cents")),
         "cohort", "cents")
+    },
+    "value_quantiles_exact" -> { (s, dir) =>
+      // Exact corpus quantiles with NO single-task sort: distinct-value
+      // counts → distributed CDF → nearest-rank selection by cumulative
+      // threshold — the scale path for exact percentiles
+      // (ops/Robust.scala exactQuantilesCdf).
+      graft.ops.Robust.exactQuantilesCdf(
+        eventsTable(s, dir).select(cents(col("value")).as("cents")),
+        "cents", Seq(25, 50, 75, 99))
+    },
+    "range_file_manifest" -> { (s, dir) =>
+      // Lakehouse write planning: exact 100-row file cuts under the
+      // (n_chars, doc_id) order plus per-file zone maps (min/max) for
+      // data-skipping readers (ops/Layout.scala rangeFileManifest).
+      graft.ops.Layout.rangeFileManifest(
+        table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").asc, col("doc_id").asc),
+        rowsPerFile = 100,
+        statCols = Seq("n_chars", "doc_id"))
     }
   )
 
@@ -5108,6 +5127,26 @@ object SparkEntry {
         |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
         |  CAST((num * 2000000 + n0 * n1) // (2 * n0 * n1) AS BIGINT) AS d_micro,
         |  best.cents AS at_value
-        |FROM best, t""".stripMargin
+        |FROM best, t""".stripMargin,
+    "value_quantiles_exact" ->
+      """WITH e AS (SELECT CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1),
+        |cum AS (SELECT cents, CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) AS cc FROM c),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+        |p AS (SELECT CAST(unnest([25, 50, 75, 99]) AS INT) AS pct),
+        |r AS (SELECT pct, CAST((pct * n + 99) // 100 AS BIGINT) AS rank FROM p, t)
+        |SELECT pct, rank, min(cents) AS cents
+        |FROM r JOIN cum ON cum.cc >= r.rank
+        |GROUP BY pct, rank ORDER BY pct""".stripMargin,
+    "range_file_manifest" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT (rk - 1) // 100 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -123,4 +123,33 @@ object Layout {
       numFiles: Int = 8
   ): Unit =
     zOrdered(df, xCol, yCol, bits, numFiles).write.mode("overwrite").parquet(path)
+
+  /** Write-planning manifest for a range-clustered layout: assign every
+    * row to a fixed-size file under a global sort order and emit the
+    * per-file zone map (row count + min/max of each stat column) — the
+    * metadata a lakehouse data-skipping reader prunes with. File
+    * boundaries are EXACT row-count cuts (rank via
+    * [[Ranking.globalRowNumber]]'s distributed sort, never a single-task
+    * window), so files are uniformly sized by construction — the
+    * "small-files problem" compactor's target layout. The manifest
+    * aggregation is one exchange over (fileId, partial min/max) partials.
+    *
+    * Output: (file_id, n_rows, min_<c>/max_<c> per stat column).
+    */
+  def rangeFileManifest(
+      df: DataFrame,
+      order: Seq[Column],
+      rowsPerFile: Long,
+      statCols: Seq[String]
+  ): DataFrame = {
+    require(rowsPerFile >= 1 && statCols.nonEmpty, "need a file size and stat columns")
+    val ranked = Ranking.globalRowNumber(df, order)
+    val stats = statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    ranked
+      .withColumn("file_id", expr(s"(rk - 1) div $rowsPerFile"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"), stats: _*)
+      .orderBy(col("file_id"))
+  }
 }

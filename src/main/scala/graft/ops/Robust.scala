@@ -279,4 +279,40 @@ object Robust {
       )
       .withColumn("outlier_bps", expr("n_outliers * 10000 DIV n"))
   }
+
+  /** Exact corpus-wide nearest-rank quantiles at ANY scale — the third
+    * member of the quantile family: [[groupedQuantiles]] sorts each group
+    * inside one task (exact, group-must-fit), [[sampleQuantiles]] is the
+    * mergeable sketch (±O(1/√k) rank error), and this is exact with NO
+    * single-task sort: the value frame collapses to distinct-value counts
+    * (one hash aggregation), [[Ranking.runningTotals]] builds the
+    * distributed CDF, and percentile p is "the smallest value whose
+    * cumulative count reaches ⌈p·n/100⌉" — a broadcast of the |percents|-
+    * row target frame against the CDF, then a min per target. Same
+    * nearest-rank convention as [[groupedQuantiles]].
+    *
+    * Output: one row per percentile — (pct, rank, `valCol`).
+    */
+  def exactQuantilesCdf(
+      df: DataFrame,
+      valCol: String,
+      percents: Seq[Int]
+  ): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be in [1, 100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(valCol)).agg(count(lit(1)).as("cnt"))
+    val cdf = Ranking.runningTotals(counts, Seq(col(valCol).asc), Seq("cnt"))
+    val tot = cdf.agg(sum(col("cnt")).cast("long").as("n"))
+    val targets = percents.toDF("pct")
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", expr("(pct * n + 99) div 100"))
+      .select(col("pct"), col("rank"))
+    cdf
+      .join(broadcast(targets), col("cum_cnt") >= col("rank"))
+      .groupBy(col("pct"), col("rank"))
+      .agg(min(col(valCol)).as(valCol))
+      .orderBy(col("pct"))
+  }
 }

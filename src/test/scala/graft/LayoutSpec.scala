@@ -128,4 +128,18 @@ class LayoutSpec extends AnyFunSuite {
     assert(filesHit(40, 47, xDim = true) <= 10)
     assert(filesHit(40, 47, xDim = false) <= 10)
   }
+
+  test("rangeFileManifest: exact uniform file cuts with sound, ordered zone maps") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(41)
+    val df = (1L to 250L).map(i => (i, rnd.nextInt(1000).toLong)).toDF("id", "v")
+    val m = graft.ops.Layout
+      .rangeFileManifest(df, Seq(col("v").asc, col("id").asc), rowsPerFile = 100, statCols = Seq("v"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(m.map(f => f._1 -> f._2).toSeq == Seq(0L -> 100L, 1L -> 100L, 2L -> 50L))
+    // zone maps tile the sort dimension in order: file k's max ≤ file k+1's min
+    m.sliding(2).foreach { case Array((_, _, _, max0), (_, _, min1, _)) =>
+      assert(max0 <= min1)
+    }
+  }
 }

@@ -171,4 +171,25 @@ class RobustSpec extends AnyFunSuite {
     // med = 50, MAD = 0 → any |v-med| > 0 is an outlier
     assert(got == (("g", 10L, 50L, 0L, 1L, 1000L)))
   }
+
+  test("exactQuantilesCdf matches groupedQuantiles' nearest-rank picks") {
+    val rnd = new scala.util.Random(23)
+    val vals = (1 to 1000).map(_ => rnd.nextInt(300).toLong)
+    val df = vals.map(v => Tuple1(v)).toDF("v")
+    val got = Robust.exactQuantilesCdf(df, "v", Seq(10, 50, 90, 100))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val sorted = vals.sorted
+    for (p <- Seq(10, 50, 90, 100)) {
+      val rank = (p * 1000 + 99) / 100
+      assert(got(p) == ((rank.toLong, sorted(rank - 1))), s"p$p")
+    }
+  }
+
+  test("exactQuantilesCdf: duplicate-heavy values pick the smallest qualifying value") {
+    // 5×10, 5×20: p50 rank=5 → value 10 (cum reaches 5 at 10); p60 rank=6 → 20
+    val df = (Seq.fill(5)(10L) ++ Seq.fill(5)(20L)).map(Tuple1(_)).toDF("v")
+    val got = Robust.exactQuantilesCdf(df, "v", Seq(50, 60))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(50 -> 10L, 60 -> 20L))
+  }
 }
