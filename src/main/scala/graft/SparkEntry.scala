@@ -1882,6 +1882,18 @@ object SparkEntry {
         Seq(col("n_chars").asc, col("doc_id").asc),
         rowsPerFile = 100,
         statCols = Seq("n_chars", "doc_id"))
+    },
+    "value_bootstrap_ci" -> { (s, dir) =>
+      // Poisson bootstrap of the mean value per event_type: 32
+      // deterministic md5-hash replicates (integer CDF thresholds — no
+      // runtime float), exact-rational replicate means, nearest-rank
+      // p10/p50/p90 over the 32 means (ops/Bootstrap.scala).
+      graft.ops.Bootstrap
+        .bootstrapMeanCi(
+          eventsTable(s, dir).select(
+            col("event_type"), col("event_id"), cents(col("value")).as("cents")),
+          Seq("event_type"), "event_id", "cents")
+        .orderBy(col("event_type"))
     }
   )
 
@@ -5147,6 +5159,48 @@ object SparkEntry {
         |SELECT (rk - 1) // 100 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
         |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars,
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
-        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+    "value_bootstrap_ci" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS cents
+        |  FROM events
+        |), reps AS (SELECT unnest(range(32)) AS rep),
+        |h AS (
+        |  SELECT event_type, rep, cents,
+        |    CAST(('0x' || substr(md5('bs-' || rep || '-' || event_id), 1, 8)) AS BIGINT) AS hv
+        |  FROM e, reps
+        |), ww AS (
+        |  SELECT event_type, rep, cents,
+        |    (CASE WHEN hv >= 1580030168 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN hv >= 3160060337 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN hv >= 3950075421 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN hv >= 4213413783 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN hv >= 4279248373 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN hv >= 4292415291 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN hv >= 4294609777 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN hv >= 4294923276 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN hv >= 4294962463 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN hv >= 4294966817 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN hv >= 4294967252 THEN 1 ELSE 0 END) AS wgt
+        |  FROM h
+        |), m AS (
+        |  SELECT event_type, rep, CAST(sum(wgt) AS BIGINT) AS n_eff,
+        |    CAST(sum(wgt * cents) AS BIGINT) AS wy
+        |  FROM ww GROUP BY 1, 2
+        |), mm AS (
+        |  SELECT event_type, rep, (wy * 20000 + n_eff) // (2 * n_eff) AS mean_s
+        |  FROM m WHERE n_eff > 0
+        |), r AS (
+        |  SELECT event_type, mean_s,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY mean_s, rep) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS nr
+        |  FROM mm
+        |)
+        |SELECT event_type, CAST(max(nr) AS BIGINT) AS n_reps,
+        |  CAST(max(CASE WHEN rk = (10 * nr + 99) // 100 THEN mean_s END) AS BIGINT) AS p10_micro,
+        |  CAST(max(CASE WHEN rk = (50 * nr + 99) // 100 THEN mean_s END) AS BIGINT) AS p50_micro,
+        |  CAST(max(CASE WHEN rk = (90 * nr + 99) // 100 THEN mean_s END) AS BIGINT) AS p90_micro
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactDecimal.scaledRatio
+
+/** Poisson bootstrap — uncertainty quantification that actually
+  * distributes (Chamandy et al., "Estimating Uncertainty for Massive
+  * Data Streams", Google 2012): classical resampling draws n rows WITH
+  * replacement per replicate (a global operation), the Poisson bootstrap
+  * gives every row an independent Poisson(1) copy-count per replicate —
+  * map-only, one pass, no coordination. Here the "randomness" is the
+  * usual portability trick: a 32-bit md5 hash of (replicate, row id)
+  * mapped through the Poisson(1) CDF, so replicates are deterministic,
+  * engine-independent, and fully SQL-oracle-able.
+  *
+  * The CDF thresholds are PRE-SCALED INTEGER CONSTANTS (⌊c_k·2³²⌋ for
+  * c_k the Poisson(1) cumulative probabilities, k = 0..10 — the k = 11+
+  * tail mass is < 3·10⁻⁹ of 2³², i.e. unreachable by all but ~±1 hash
+  * value): no float is evaluated at runtime on either engine, so there
+  * is no rounding edge to audit. Replicate means are exact integer
+  * rationals over the weighted sums.
+  *
+  * Scale shape: the replicate explosion is map-side (rows × nReps before
+  * its partial aggregation, collapsed to groups × nReps after), the only
+  * exchange is the (group, rep) hash aggregation, and the percentile
+  * selection runs on groups × nReps rows with a PARTITIONED window —
+  * bounded per group by nReps, never by data size.
+  */
+object Bootstrap {
+
+  /** ⌊CDF_Poisson(1)(k) · 2³²⌋ for k = 0..10, derived once at 60-digit
+    * precision and frozen — identical literals live in the SQL oracle.
+    */
+  val PoissonThresholds: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L,
+    4292415291L, 4294609777L, 4294923276L, 4294962463L, 4294966817L,
+    4294967252L)
+
+  /** Poisson(1) copy-count of a uniform 32-bit hash value: the number of
+    * CDF thresholds at or below it (0 for h < T₀, capped at 11).
+    */
+  def poissonWeight(h: Column): Column =
+    PoissonThresholds
+      .map(t => when(h >= lit(t), 1L).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Per-group bootstrap percentile intervals of the mean of `valCol`
+    * (integer-valued; output means are scale·value units, default
+    * micro·value with scale 10⁶ replaced by 10⁴ when `valCol` is already
+    * centi-scaled — pass `meanScale` to taste).
+    *
+    * Output: (groupCols..., n_reps, p10_micro, p50_micro, p90_micro) —
+    * nearest-rank percentiles of the replicate means, deterministic
+    * tie-break by replicate index.
+    */
+  def bootstrapMeanCi(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      valCol: String,
+      nReps: Int = 32,
+      meanScale: Long = 10000L
+  ): DataFrame = {
+    require(nReps >= 4 && nReps <= 1024, "replicate count out of range")
+    val gcols = groupCols.map(col)
+    val reps = df
+      .select(gcols :+ col(idCol).as("_id") :+ col(valCol).as("_y"): _*)
+      .withColumn("rep", explode(sequence(lit(0), lit(nReps - 1))))
+      .withColumn(
+        "w",
+        poissonWeight(
+          Dedup.md5Hash32(concat(
+            lit("bs-"), col("rep").cast("string"), lit("-"), col("_id").cast("string")))))
+      .groupBy(gcols :+ col("rep"): _*)
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("_y")).as("wy"))
+      .filter(col("n_eff") > 0)
+      .withColumn("mean_s", scaledRatio(col("wy"), col("n_eff"), meanScale).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*)
+      .orderBy(col("mean_s").asc, col("rep").asc)
+    def pick(p: Int) =
+      max(when(col("rk") === expr(s"($p * nr + 99) div 100"), col("mean_s")))
+    reps
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("nr", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(gcols: _*)))
+      .groupBy(gcols: _*)
+      .agg(
+        max(col("nr")).as("n_reps"),
+        pick(10).as("p10_micro"),
+        pick(50).as("p50_micro"),
+        pick(90).as("p90_micro"))
+  }
+}

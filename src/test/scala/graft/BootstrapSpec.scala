@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Bootstrap
+
+class BootstrapSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("poissonWeight: exact threshold boundaries, cap at 11") {
+    val t = Bootstrap.PoissonThresholds
+    val probes = Seq(0L, t.head - 1, t.head, t(1) - 1, t(1), t.last - 1, t.last, (1L << 32) - 1)
+    val got = probes.map(Tuple1(_)).toDF("h")
+      .select(Bootstrap.poissonWeight($"h").as("w")).as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L, 1L, 1L, 2L, 10L, 11L, 11L))
+  }
+
+  test("replicate copy-counts approximate Poisson(1): ~37% zeros, mean ~1") {
+    val n = 20000
+    val df = (1 to n).map(i => Tuple1(i.toLong)).toDF("id")
+      .select(Bootstrap.poissonWeight(
+        graft.ops.Dedup.md5Hash32(concat(lit("bs-0-"), $"id".cast("string")))).as("w"))
+    val (zeros, total) = df.agg(
+      sum(when($"w" === 0, 1L).otherwise(0L)), sum($"w")).as[(Long, Long)].collect().head
+    assert(math.abs(zeros.toDouble / n - 0.3679) < 0.02, s"zeros=$zeros")
+    assert(math.abs(total.toDouble / n - 1.0) < 0.03, s"total=$total")
+  }
+
+  test("bootstrapMeanCi: constant values collapse to a point interval; percentiles are ordered") {
+    val const = (1L to 200L).map(i => ("c", i, 7L)).toDF("g", "id", "v")
+    val g1 = Bootstrap.bootstrapMeanCi(const, Seq("g"), "id", "v")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(g1 == (("c", 32L, 70000L, 70000L, 70000L)))
+    val rnd = new scala.util.Random(5)
+    val mixed = (1L to 500L).map(i => ("m", i, rnd.nextInt(100).toLong)).toDF("g", "id", "v")
+    val (_, nReps, p10, p50, p90) = Bootstrap.bootstrapMeanCi(mixed, Seq("g"), "id", "v")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(nReps == 32L && p10 <= p50 && p50 <= p90)
+    // the true mean scaled by 1e4 should sit inside the p10..p90 band
+    val trueMean = mixed.agg(avg($"v")).as[Double].collect().head * 10000
+    assert(p10 <= trueMean && trueMean <= p90, s"[$p10, $p90] vs $trueMean")
+  }
+
+  test("deterministic: two runs produce identical intervals") {
+    val df = (1L to 300L).map(i => ((i % 3).toString, i, i % 17)).toDF("g", "id", "v")
+    def run() = Bootstrap.bootstrapMeanCi(df, Seq("g"), "id", "v")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run() == run())
+  }
+}
