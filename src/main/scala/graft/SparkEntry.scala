@@ -1894,6 +1894,29 @@ object SparkEntry {
             col("event_type"), col("event_id"), cents(col("value")).as("cents")),
           Seq("event_type"), "event_id", "cents")
         .orderBy(col("event_type"))
+    },
+    "mix_repeat_factors" -> { (s, dir) =>
+      // Temperature mixing WITH replacement: per-language target ⌊12·√n⌋
+      // uncapped — the head language downsamples, tails repeat (the
+      // multi-epoch mixture recipe). Exact copy counts, md5-deterministic
+      // remainder assignment (ops/Sampling.scala temperatureRepeats).
+      graft.ops.Sampling
+        .temperatureRepeats(table(s, dir, "documents"), "doc_id", "lang", c = 12.0, seed = "rep7-")
+    },
+    "funnel_lag_quantiles" -> { (s, dir) =>
+      // Time-to-convert distribution: first view → first click after it
+      // per user, exact p25/p50/p75/p90 of the lag via the distributed
+      // CDF (no single-task sort) (ops/Robust.scala exactQuantilesCdf).
+      val ev = eventsTable(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("vts"))
+      val lags = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+        .join(views, "user_id")
+        .filter(col("ts") > col("vts"))
+        .groupBy(col("user_id"), col("vts")).agg(min(col("ts")).as("cts"))
+        .select(expr("(cts - vts) div 1000000000").as("lag_s"))
+      graft.ops.Robust.exactQuantilesCdf(lags, "lag_s", Seq(25, 50, 75, 90))
     }
   )
 
@@ -5201,6 +5224,35 @@ object SparkEntry {
         |  CAST(max(CASE WHEN rk = (10 * nr + 99) // 100 THEN mean_s END) AS BIGINT) AS p10_micro,
         |  CAST(max(CASE WHEN rk = (50 * nr + 99) // 100 THEN mean_s END) AS BIGINT) AS p50_micro,
         |  CAST(max(CASE WHEN rk = (90 * nr + 99) // 100 THEN mean_s END) AS BIGINT) AS p90_micro
-        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "mix_repeat_factors" ->
+      """WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT lang, n, CAST(floor(12 * sqrt(n)) AS BIGINT) AS target FROM g),
+        |r AS (
+        |  SELECT d.doc_id, d.lang, t.n, t.target,
+        |    row_number() OVER (PARTITION BY d.lang ORDER BY
+        |      CAST(('0x' || substr(md5('rep7-' || d.doc_id), 1, 8)) AS BIGINT), d.doc_id) AS rk
+        |  FROM documents d JOIN t USING (lang)
+        |)
+        |SELECT doc_id, lang,
+        |  CAST(target // n + (CASE WHEN rk <= target % n THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+        |FROM r""".stripMargin,
+    "funnel_lag_quantiles" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS vts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), fc AS (
+        |  SELECT e.user_id, v.vts, min(epoch_us(e.ts)) AS cts
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.vts
+        |  WHERE e.event_type = 'click' GROUP BY 1, 2
+        |), l AS (SELECT (cts - vts) // 1000000 AS lag_s FROM fc
+        |), c AS (SELECT lag_s, CAST(count(*) AS BIGINT) AS cnt FROM l GROUP BY 1
+        |), cum AS (SELECT lag_s, CAST(sum(cnt) OVER (ORDER BY lag_s) AS BIGINT) AS cc FROM c
+        |), t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c
+        |), p AS (SELECT CAST(unnest([25, 50, 75, 90]) AS INT) AS pct
+        |), r AS (SELECT pct, CAST((pct * n + 99) // 100 AS BIGINT) AS rank FROM p, t)
+        |SELECT pct, rank, min(lag_s) AS lag_s
+        |FROM r JOIN cum ON cum.cc >= r.rank
+        |GROUP BY pct, rank ORDER BY pct""".stripMargin
   )
 }

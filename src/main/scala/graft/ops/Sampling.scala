@@ -360,4 +360,47 @@ object Sampling {
     df.withColumn("rep", min(col(keyCol)).over(w))
       .withColumn(outCol, splitLabel(hashValue(col("rep"), seed), splits))
   }
+
+  /** Temperature mixing WITH replacement — the upsampling half the quota
+    * ops above don't cover: when the mix target for a small high-quality
+    * stratum EXCEEDS its size, training materializes repeat copies
+    * (multi-epoch tail domains, the standard LLM-mixture recipe). Per
+    * stratum of size n with target T = ⌊c·√n⌋ (no cap — head strata land
+    * below n and downsample, tail strata above n and repeat):
+    * every row gets ⌊T/n⌋ copies and the T mod n rows with the smallest
+    * (md5(seed‖key), key) get one more — exactly T copies total, a pure
+    * function of (key, seed, stratum counts). `sqrt` is IEEE
+    * correctly-rounded (one of the five basic ops), so ⌊c·√n⌋ is
+    * bit-identical in any engine — no margin audit needed.
+    *
+    * Plan shape: stratum counts aggregate once (broadcast back), the
+    * remainder ranking is one hash exchange with per-stratum sort — the
+    * same skew note as [[temperatureMixExact]] applies; the output is
+    * (key, stratum, n_copies), leaving the copy explosion
+    * (`explode(sequence(1, n_copies))`, map-only) to the writer.
+    */
+  def temperatureRepeats(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      c: Double,
+      seed: String
+  ): DataFrame = {
+    val targets = df
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("target", floor(lit(c) * sqrt(col("n").cast("double"))).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashValue(col(keyCol), seed), col(keyCol))
+    df.select(col(keyCol), col(strataCol))
+      .join(broadcast(targets), strataCol)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(
+        col(keyCol),
+        col(strataCol),
+        (expr("target div n") +
+          when(col("rn") <= pmod(col("target"), col("n")), 1L).otherwise(0L))
+          .as("n_copies"))
+  }
 }

@@ -210,4 +210,21 @@ class SamplingSpec extends AnyFunSuite {
       .select($"id", $"g").as[(Long, String)].collect()
     assert(again.toSet == kept.toSet)
   }
+
+  test("temperatureRepeats: copy counts sum exactly to the per-stratum target, both directions") {
+    // tail (n=4, c=5): target=⌊5·2⌋=10 → copies {3,3,2,2}; head (n=100):
+    // target=⌊5·10⌋=50 → every row 0 or 1 copy, exactly 50 ones
+    val df = ((1L to 4L).map(i => (i, "tail")) ++ (101L to 200L).map(i => (i, "head")))
+      .toDF("id", "g")
+    val got = Sampling.temperatureRepeats(df, "id", "g", c = 5.0, seed = "t1")
+      .as[(Long, String, Long)].collect()
+    val tail = got.filter(_._2 == "tail").map(_._3)
+    assert(tail.sum == 10L && tail.sorted.toSeq == Seq(2L, 2L, 3L, 3L))
+    val head = got.filter(_._2 == "head").map(_._3)
+    assert(head.sum == 50L && head.forall(c => c == 0L || c == 1L))
+    // deterministic
+    val again = Sampling.temperatureRepeats(df, "id", "g", c = 5.0, seed = "t1")
+      .as[(Long, String, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+  }
 }
