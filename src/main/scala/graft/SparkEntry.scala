@@ -1917,6 +1917,22 @@ object SparkEntry {
         .groupBy(col("user_id"), col("vts")).agg(min(col("ts")).as("cts"))
         .select(expr("(cts - vts) div 1000000000").as("lag_s"))
       graft.ops.Robust.exactQuantilesCdf(lags, "lag_s", Seq(25, 50, 75, 90))
+    },
+    "ann_ivf_recall" -> { (s, dir) =>
+      // Index-quality benchmark: the IVF (anchor-deterministic, nprobe=4)
+      // run EVALUATED against the exact brute-force top-5 as gold —
+      // recall@5 / MRR / nDCG quantify what bucket pruning loses, the
+      // metric an ANN deployment tunes nprobe by (ops/Retrieval.scala
+      // evalMetrics over ops/Similarity.scala legs).
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      graft.ops.Retrieval
+        .evalMetrics(
+          Similarity.ivfAnchorTopK(emb, queries, k = 5),
+          Similarity.bruteForceTopK(emb, queries, k = 5)
+            .select(col("query_id"), col("neighbor_id")),
+          k = 5)
+        .orderBy(col("query_id"))
     }
   )
 
@@ -5253,6 +5269,80 @@ object SparkEntry {
         |), r AS (SELECT pct, CAST((pct * n + 99) // 100 AS BIGINT) AS rank FROM p, t)
         |SELECT pct, rank, min(lag_s) AS lag_s
         |FROM r JOIN cum ON cum.cc >= r.rank
-        |GROUP BY pct, rank ORDER BY pct""".stripMargin
+        |GROUP BY pct, rank ORDER BY pct""".stripMargin,
+    "ann_ivf_recall" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE len(embedding) = 64
+        |), anchors AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, qv AS av
+        |  FROM vecs ORDER BY vec_id LIMIT 16
+        |), dists AS (
+        |  SELECT vv.vec_id, a.ai,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (vv.qv[i] - a.av[i]) * (vv.qv[i] - a.av[i]))) AS d2
+        |  FROM vecs vv, anchors a
+        |), assign AS (
+        |  SELECT vec_id, ai AS bucket,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
+        |  FROM dists
+        |), cbuck AS (SELECT vec_id AS neighbor_id, bucket FROM assign WHERE rk = 1),
+        |qbuck AS (SELECT vec_id AS query_id, bucket FROM assign WHERE rk <= 4 AND vec_id < 8),
+        |cand AS (
+        |  SELECT DISTINCT query_id, neighbor_id
+        |  FROM qbuck JOIN cbuck USING (bucket) WHERE query_id != neighbor_id
+        |), iscored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+        |  FROM cand JOIN vecs qv ON qv.vec_id = cand.query_id
+        |            JOIN vecs cv ON cv.vec_id = cand.neighbor_id
+        |), topk AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT query_id, neighbor_id, CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        |    FROM iscored
+        |  ) WHERE rank <= 5
+        |), bscored AS (
+        |  SELECT q.vec_id AS query_id, cv.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, cv.v), 6) AS cos_sim
+        |  FROM vecs q, vecs cv
+        |  WHERE q.vec_id < 8 AND q.vec_id != cv.vec_id
+        |), rel AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS brank
+        |    FROM bscored
+        |  ) WHERE brank <= 5
+        |), disc AS (
+        |  SELECT CAST(i + 1 AS INT) AS rnk,
+        |    CAST(floor(1000000 / log2(i + 2) + 0.5e0) AS BIGINT) AS dm
+        |  FROM (SELECT unnest(range(5)) AS i)
+        |), pre AS (
+        |  SELECT rnk, CAST(sum(dm) OVER (ORDER BY rnk) AS BIGINT) AS cum FROM disc
+        |), nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1
+        |), hits AS (
+        |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hit,
+        |    CAST(min(t.rank) AS BIGINT) AS first_rank,
+        |    CAST(sum(d.dm) AS BIGINT) AS dcg_micro
+        |  FROM topk t
+        |  JOIN rel r ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+        |  JOIN disc d ON d.rnk = t.rank
+        |  GROUP BY 1
+        |), base AS (SELECT DISTINCT query_id FROM topk)
+        |SELECT b.query_id,
+        |  coalesce(n_rel, 0) AS n_rel, coalesce(n_hit, 0) AS n_hit,
+        |  coalesce(first_rank, 0) AS first_rank,
+        |  CAST(CASE WHEN n_rel > 0 THEN (coalesce(n_hit, 0) * 20000 + n_rel) // (2 * n_rel)
+        |       ELSE 0 END AS BIGINT) AS recall_bp,
+        |  CAST(CASE WHEN first_rank IS NOT NULL THEN (2000000 + first_rank) // (2 * first_rank)
+        |       ELSE 0 END AS BIGINT) AS mrr_micro,
+        |  coalesce(dcg_micro, 0) AS dcg_micro,
+        |  CAST(CASE WHEN n_rel > 0 THEN
+        |    (coalesce(dcg_micro, 0) * 20000 + (SELECT cum FROM pre WHERE rnk = least(n_rel, 5)))
+        |      // (2 * (SELECT cum FROM pre WHERE rnk = least(n_rel, 5)))
+        |    ELSE 0 END AS BIGINT) AS ndcg_bp
+        |FROM base b LEFT JOIN nr USING (query_id) LEFT JOIN hits USING (query_id)
+        |ORDER BY query_id""".stripMargin
   )
 }
