@@ -1933,6 +1933,51 @@ object SparkEntry {
             .select(col("query_id"), col("neighbor_id")),
           k = 5)
         .orderBy(col("query_id"))
+    },
+    "token_fertility" -> { (s, dir) =>
+      // Tokenizer-fertility quality signal per language: chars per token
+      // in exact micro units (a language whose whitespace tokens carry
+      // 3x the characters needs a different subword budget). One
+      // map-only token count + one exchange.
+      import graft.functions.ExactDecimal.scaledRatio
+      table(s, dir, "documents")
+        .select(
+          col("lang"),
+          col("n_chars"),
+          size(filter(TextAnalysis.tokens(col("text")), t => t =!= "")).cast("long").as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(
+          col("lang"), col("n_docs"), col("n_tokens"), col("sum_chars"),
+          scaledRatio(col("sum_chars"), col("n_tokens")).cast("long").as("chars_per_token_micro"))
+        .orderBy(col("lang"))
+    },
+    "attribution_last_touch" -> { (s, dir) =>
+      // Last-touch revenue attribution: each purchase credits the user's
+      // most recent PRIOR event's type ('direct' if none). One
+      // user-partitioned window over the interleaved event sequence —
+      // no purchase x touch join anywhere.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      eventsTable(s, dir)
+        .select(
+          col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), cents(col("value")).as("c"))
+        .withColumn(
+          "touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("touch_type"))
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          sum(col("c")).as("revenue_cents"))
+        .orderBy(col("touch_type"))
     }
   )
 
@@ -5343,6 +5388,41 @@ object SparkEntry {
         |      // (2 * (SELECT cum FROM pre WHERE rnk = least(n_rel, 5)))
         |    ELSE 0 END AS BIGINT) AS ndcg_bp
         |FROM base b LEFT JOIN nr USING (query_id) LEFT JOIN hits USING (query_id)
-        |ORDER BY query_id""".stripMargin
+        |ORDER BY query_id""".stripMargin,
+    "token_fertility" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), a AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS HUGEINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS HUGEINT) AS sum_chars
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(sum_chars AS BIGINT) AS sum_chars,
+        |  CAST((sum_chars * 2000000 + n_tokens) // (2 * n_tokens) AS BIGINT) AS chars_per_token_micro
+        |FROM a ORDER BY lang""".stripMargin,
+    "attribution_last_touch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
+        |    CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS c
+        |  FROM events
+        |), p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, event_id, tus, event_type FROM e WHERE event_type <> 'purchase'),
+        |lastt AS (
+        |  SELECT event_id, touch FROM (
+        |    SELECT p.event_id, t.event_type AS touch,
+        |      row_number() OVER (PARTITION BY p.event_id ORDER BY t.tus DESC, t.event_id DESC) AS rk
+        |    FROM p JOIN tch t ON p.user_id = t.user_id
+        |      AND (t.tus < p.tus OR (t.tus = p.tus AND t.event_id < p.event_id))
+        |  ) WHERE rk = 1
+        |)
+        |SELECT coalesce(l.touch, 'direct') AS touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(p.c) AS BIGINT) AS revenue_cents
+        |FROM p LEFT JOIN lastt l ON p.event_id = l.event_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
