@@ -1085,11 +1085,13 @@ object SparkEntry {
     },
     "editdist_pairs" -> { (s, dir) =>
       // Character-level near-dup join: doc-prefix pairs within Levenshtein
-      // distance 2, blocked by rare-q-gram prefix filtering (SSJoin) so
-      // nothing all-pairs ever forms — candidates come from a self-join on
-      // each string's 7 globally-rarest 3-grams, then one exact
-      // levenshtein verify per candidate (ops/EditSim.scala).
-      graft.ops.EditSim.editDistancePairs(
+      // distance 2, blocked by PassJoin segment signatures (Li et al.
+      // ICDE'11) — an unedited ~13-char segment must match EXACTLY, so
+      // candidates stay rare even on low-diversity text where the
+      // rare-3-gram prefix filter (editDistancePairs, the spec'd alternate)
+      // admitted ~26% of all pairs. Same pairs, same distances, same
+      // oracle (ops/EditSim.scala).
+      graft.ops.EditSim.passJoinPairs(
         table(s, dir, "documents"),
         substring(lower(col("text")), 1, 40),
         maxDist = 2)

@@ -93,4 +93,47 @@ class EditSimSpec extends AnyFunSuite {
     assert(lenBound < allPairs / 2, s"fixture degenerate: $lenBound vs $allPairs")
     assert(perLen.sum == 1000L)
   }
+
+  test("passJoinPairs equals brute force and the gram path on a fuzzed corpus") {
+    val rng = new scala.util.Random(13)
+    val seeds = Vector(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "sphinx of black quartz judge my vow")
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (1 to edits).foreach { _ =>
+        val p = rng.nextInt(math.max(cur.length, 1))
+        rng.nextInt(3) match {
+          case 0 if cur.nonEmpty => cur = cur.take(p) + cur.drop(p + 1)                // delete
+          case 1 => cur = cur.take(p) + ('a' + rng.nextInt(26)).toChar + cur.drop(p)   // insert
+          case _ if cur.nonEmpty =>
+            cur = cur.take(p) + ('a' + rng.nextInt(26)).toChar + cur.drop(p + 1)       // substitute
+          case _ => ()
+        }
+      }
+      cur
+    }
+    val rows: Seq[(Long, String)] = (1L to 200L).map { i =>
+      val s = seeds((i % 3).toInt)
+      i -> (if (i % 4 == 0) mutate(s, rng.nextInt(4)) else mutate(s + s"extra$i", rng.nextInt(2)))
+    } ++ Seq(901L -> "ab", 902L -> "xy", 903L -> "a", 904L -> "abc") // tiny-length branch
+    val df = rows.toDF("doc_id", "t")
+    val want = brute(rows, 2)
+    val pj = EditSim.passJoinPairs(df, col("t"), maxDist = 2, materialize = false)
+      .as[(Long, Long, Int)].collect().toSet
+    val gram = EditSim.editDistancePairs(df, col("t"), maxDist = 2, materialize = false)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pj == want, s"passJoin missing ${(want -- pj).take(5)} extra ${(pj -- want).take(5)}")
+    assert(gram == want)
+  }
+
+  test("passJoinPairs: maxDist 0 degrades to exact dedup; candidates are equi-join only") {
+    val rows = Seq(1L -> "same text here", 2L -> "same text here", 3L -> "other text here")
+    val out = EditSim.passJoinPairs(rows.toDF("doc_id", "t"), col("t"), maxDist = 0)
+    assert(out.as[(Long, Long, Int)].collect().toSet == Set((1L, 2L, 0)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested loop in passJoin plan:\n${plan.take(1500)}")
+  }
 }
