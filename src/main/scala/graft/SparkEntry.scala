@@ -1936,6 +1936,24 @@ object SparkEntry {
           k = 5)
         .orderBy(col("query_id"))
     },
+    "curation_pipeline_v5" -> { (s, dir) =>
+      // Round-7 corpus-build report: exact dedup → Gopher gate →
+      // leakage-safe split → per-(source, split) doc/token accounting —
+      // "what does each source contribute to each split after cleaning",
+      // the plan a training run reads before writing shards. One dedup
+      // exchange, map-only gate, one rep window, one bounded agg.
+      val deduped = Dedup.dropExactDuplicates(table(s, dir, "documents"))
+      val gated = TextAnalysis
+        .gopherRules(deduped, carryCols = Seq("source", "text"))
+        .filter(col("keep") === 1)
+      graft.ops.Sampling
+        .leakageSafeSplit(
+          gated, "doc_id", md5(col("text")),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "v5s")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("source"), col("split"))
+    },
     "token_fertility" -> { (s, dir) =>
       // Tokenizer-fertility quality signal per language: chars per token
       // in exact micro units (a language whose whitespace tokens carry
@@ -5391,6 +5409,57 @@ object SparkEntry {
         |    ELSE 0 END AS BIGINT) AS ndcg_bp
         |FROM base b LEFT JOIN nr USING (query_id) LEFT JOIN hits USING (query_id)
         |ORDER BY query_id""".stripMargin,
+    "curation_pipeline_v5" ->
+      """WITH surv AS (
+        |  SELECT doc_id, text, source FROM (
+        |    SELECT doc_id, text, source,
+        |      min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |    FROM documents) WHERE doc_id = keep_id
+        |), toks AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS stop_hits,
+        |    string_split_regex(lower(text), '\s+') AS t
+        |  FROM surv
+        |), g2 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toks WHERE len(t) >= 2
+        |), top2 AS (
+        |  SELECT doc_id, max(cnt * length(g)) AS top2_chars
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY 1
+        |), g5 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        |  FROM toks WHERE len(t) >= 5
+        |), dup5 AS (
+        |  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dup5_chars
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2) GROUP BY 1
+        |), gate AS (
+        |  SELECT toks.doc_id, n_tokens
+        |  FROM toks LEFT JOIN top2 ON toks.doc_id = top2.doc_id
+        |             LEFT JOIN dup5 ON toks.doc_id = dup5.doc_id
+        |  WHERE n_tokens BETWEEN 10 AND 100000
+        |    AND round(CAST(word_chars AS DOUBLE) / greatest(n_tokens, 1), 4) BETWEEN 2.0 AND 12.0
+        |    AND round(CAST(COALESCE(top2_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) < 0.30
+        |    AND round(CAST(COALESCE(dup5_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) < 0.15
+        |    AND stop_hits >= 2
+        |), labeled AS (
+        |  SELECT s.source, g.n_tokens,
+        |    CASE WHEN v < 3435973836 THEN 'train'
+        |         WHEN v < 3865470566 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id, n_tokens,
+        |      CAST(('0x' || substr(md5('v5s' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS v
+        |    FROM gate) g JOIN surv s USING (doc_id)
+        |)
+        |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM labeled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "token_fertility" ->
       """WITH d AS (
         |  SELECT lang, n_chars,
