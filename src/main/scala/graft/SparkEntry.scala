@@ -1936,6 +1936,51 @@ object SparkEntry {
           k = 5)
         .orderBy(col("query_id"))
     },
+    "next_token_topk" -> { (s, dir) =>
+      // Autocomplete table from the bigram LM: per context token (min
+      // 20 occurrences), the top-3 continuations with exact basis-point
+      // conditional probabilities — vocab-partitioned window, never a
+      // global sort (ops/LanguageModel.scala bigramLm).
+      val lm = graft.ops.LanguageModel.bigramLm(table(s, dir, "documents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w1")).orderBy(col("c2").desc, col("w2").asc)
+      lm.filter(col("ctx") >= 20)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(
+          col("w1"), col("w2"), col("c2"), col("ctx"), col("rk").cast("int").as("rk"),
+          expr("(c2 * 20000 + ctx) div (2 * ctx)").cast("long").as("p_bp"))
+        .orderBy(col("w1"), col("rk"))
+    },
+    "dataset_card" -> { (s, dir) =>
+      // One-row corpus datasheet: the headline numbers a dataset card
+      // publishes — size, vocabulary, duplication, quality-gate pass
+      // rate — each an exact integer/rational from operators that are
+      // individually oracle-pinned elsewhere. Unions of bounded
+      // aggregates; the corpus is scanned a fixed small number of times.
+      import graft.functions.ExactDecimal.scaledRatio
+      val docs = table(s, dir, "documents")
+      val tok = docs.select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .filter(col("t") =!= "")
+      val basic = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("n_chars"))
+      val tokens = tok.agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("t")).as("n_vocab"))
+      val dups = docs.groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") - 1).as("n_dup_docs"))
+      val gated = TextAnalysis.gopherRules(docs)
+        .agg(sum(col("keep")).cast("long").as("n_keep"))
+      basic.crossJoin(tokens).crossJoin(dups).crossJoin(gated)
+        .select(
+          col("n_docs"), col("n_langs"), col("n_sources"), col("n_chars"),
+          col("n_tokens"), col("n_vocab"), col("n_dup_docs"), col("n_keep"),
+          scaledRatio(col("n_dup_docs"), col("n_docs"), 10000L).cast("long").as("dup_bp"),
+          scaledRatio(col("n_keep"), col("n_docs"), 10000L).cast("long").as("keep_bp"))
+    },
     "curation_pipeline_v5" -> { (s, dir) =>
       // Round-7 corpus-build report: exact dedup → Gopher gate →
       // leakage-safe split → per-(source, split) doc/token accounting —
@@ -5409,6 +5454,77 @@ object SparkEntry {
         |    ELSE 0 END AS BIGINT) AS ndcg_bp
         |FROM base b LEFT JOIN nr USING (query_id) LEFT JOIN hits USING (query_id)
         |ORDER BY query_id""".stripMargin,
+    "next_token_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |), bg AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2
+        |), bc AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2
+        |), lm AS (
+        |  SELECT w1, w2, c2, CAST(sum(c2) OVER (PARTITION BY w1) AS BIGINT) AS ctx FROM bc
+        |), r AS (
+        |  SELECT w1, w2, c2, ctx,
+        |    CAST(row_number() OVER (PARTITION BY w1 ORDER BY c2 DESC, w2) AS INT) AS rk
+        |  FROM lm WHERE ctx >= 20
+        |)
+        |SELECT w1, w2, c2, ctx, rk,
+        |  CAST((c2 * 20000 + ctx) // (2 * ctx) AS BIGINT) AS p_bp
+        |FROM r WHERE rk <= 3 ORDER BY w1, rk""".stripMargin,
+    "dataset_card" ->
+      """WITH basic AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents
+        |), tok AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT t) AS BIGINT) AS n_vocab
+        |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents)
+        |  WHERE t <> ''
+        |), dups AS (
+        |  SELECT CAST(sum(n - 1) AS BIGINT) AS n_dup_docs
+        |  FROM (SELECT count(*) AS n FROM documents GROUP BY md5(text))
+        |), toksg AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS stop_hits,
+        |    string_split_regex(lower(text), '\s+') AS t
+        |  FROM documents
+        |), g2 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM toksg WHERE len(t) >= 2
+        |), top2 AS (
+        |  SELECT doc_id, max(cnt * length(g)) AS top2_chars
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY 1
+        |), g5 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        |  FROM toksg WHERE len(t) >= 5
+        |), dup5 AS (
+        |  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dup5_chars
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2) GROUP BY 1
+        |), gated AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keep
+        |  FROM toksg LEFT JOIN top2 ON toksg.doc_id = top2.doc_id
+        |             LEFT JOIN dup5 ON toksg.doc_id = dup5.doc_id
+        |  WHERE n_tokens BETWEEN 10 AND 100000
+        |    AND round(CAST(word_chars AS DOUBLE) / greatest(n_tokens, 1), 4) BETWEEN 2.0 AND 12.0
+        |    AND round(CAST(COALESCE(top2_chars, 0) AS DOUBLE) / greatest(toksg.n_chars, 1), 4) < 0.30
+        |    AND round(CAST(COALESCE(dup5_chars, 0) AS DOUBLE) / greatest(toksg.n_chars, 1), 4) < 0.15
+        |    AND stop_hits >= 2
+        |)
+        |SELECT n_docs, n_langs, n_sources, n_chars, n_tokens, n_vocab, n_dup_docs, n_keep,
+        |  CAST((n_dup_docs * 20000 + n_docs) // (2 * n_docs) AS BIGINT) AS dup_bp,
+        |  CAST((n_keep * 20000 + n_docs) // (2 * n_docs) AS BIGINT) AS keep_bp
+        |FROM basic, tok, dups, gated""".stripMargin,
     "curation_pipeline_v5" ->
       """WITH surv AS (
         |  SELECT doc_id, text, source FROM (
