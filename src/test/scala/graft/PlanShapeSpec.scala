@@ -313,4 +313,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), "scalar anchor join must be broadcast-shaped")
   }
+
+  test("ab_ks_value / value_quantiles_exact: no unpartitioned window — the CDF is distributed") {
+    for (q <- Seq("ab_ks_value", "value_quantiles_exact")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.count()
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.forall(_.partitionSpec.nonEmpty), s"$q has an unpartitioned window")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("ab_chi_square: marginal joins broadcast around the checkpointed cell frame") {
+    val plan = executedPlan("ab_chi_square")
+    assert(!plan.contains("SortMergeJoin"), "R x C marginals must broadcast")
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 1, "cell frame not pinned")
+  }
+
+  test("value_bootstrap_ci: replication is map-side explode; one (group, rep) exchange") {
+    val plan = executedPlan("value_bootstrap_ci")
+    assert(plan.contains("Generate explode"), "replicate explosion missing from the map side")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "partial+final agg expected")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("editdist_pairs (PassJoin): equi joins only — no nested loop, no cartesian") {
+    val plan = executedPlan("editdist_pairs")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"PassJoin degenerated:\n${plan.take(1200)}")
+  }
+
+  test("attribution_last_touch: the only window is user-partitioned; no purchase x touch join") {
+    val df = SparkEntry.queries("attribution_last_touch")(spark, dir)
+    df.count()
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "attribution must not join — one window over the interleaved sequence")
+  }
 }
