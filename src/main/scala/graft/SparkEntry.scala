@@ -5316,8 +5316,10 @@ object SparkEntry {
         |  FROM events
         |), reps AS (SELECT unnest(range(32)) AS rep),
         |h AS (
+        |  -- one digest carries 4 replicate hashes: slot rep%4 of group rep//4
         |  SELECT event_type, rep, cents,
-        |    CAST(('0x' || substr(md5('bs-' || rep || '-' || event_id), 1, 8)) AS BIGINT) AS hv
+        |    CAST(('0x' || substr(md5('bs-' || (rep // 4) || '-' || event_id),
+        |                         CAST(1 + 8 * (rep % 4) AS INT), 8)) AS BIGINT) AS hv
         |  FROM e, reps
         |), ww AS (
         |  SELECT event_type, rep, cents,

@@ -65,14 +65,31 @@ object Bootstrap {
   ): DataFrame = {
     require(nReps >= 4 && nReps <= 1024, "replicate count out of range")
     val gcols = groupCols.map(col)
+    // One md5 digest carries 128 bits = FOUR independent 32-bit replicate
+    // hashes: replicate r reads 8 hex chars at slot r mod 4 of the digest
+    // for group r div 4 — 4× fewer md5 evaluations than hash-per-replicate
+    // (the md5 was the whole cost of the replication stage), same
+    // portability contract, mirrored verbatim in the SQL oracle.
     val reps = df
       .select(gcols :+ col(idCol).as("_id") :+ col(valCol).as("_y"): _*)
+      // the nReps× hash expansion is the compute-heavy stage; a small
+      // file reads as 1-2 input splits, so round-robin the (cheap, thin)
+      // input first — one tiny exchange buys full-cluster parallelism
+      // for the expensive map work that follows. The count is EXPLICIT:
+      // an argless repartition() is AQE-coalesced back to one partition
+      // (the rows are few — AQE can't see the downstream explode cost).
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .withColumn("rep", explode(sequence(lit(0), lit(nReps - 1))))
+      .withColumn(
+        "_d",
+        md5(concat(
+          lit("bs-"), expr("rep div 4").cast("string"),
+          lit("-"), col("_id").cast("string"))))
       .withColumn(
         "w",
         poissonWeight(
-          Dedup.md5Hash32(concat(
-            lit("bs-"), col("rep").cast("string"), lit("-"), col("_id").cast("string")))))
+          conv(col("_d").substr(lit(1) + lit(8) * pmod(col("rep"), lit(4)), lit(8)), 16, 10)
+            .cast("long")))
       .groupBy(gcols :+ col("rep"): _*)
       .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("_y")).as("wy"))
       .filter(col("n_eff") > 0)
