@@ -2043,6 +2043,72 @@ object SparkEntry {
           count(lit(1)).as("n_purchases"),
           sum(col("c")).as("revenue_cents"))
         .orderBy(col("touch_type"))
+    },
+    "attribution_linear" -> { (s, dir) =>
+      // Linear multi-touch attribution: each purchase's revenue splits
+      // equally across the user's touches since their previous purchase
+      // (a touch credits only the NEXT purchase). Purchase-sequence ids
+      // come from ONE user-keyed running count over the interleaved
+      // sequence; the credit joins are co-partitioned (user, seq)
+      // equi-joins — never a purchase × all-prior-touches blowup.
+      // Per-touch credit is exact round-half-up micro-cents.
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val seqd = eventsTable(s, dir)
+        .select(
+          col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), cents(col("value")).as("c"))
+        .withColumn(
+          "pseq",
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(w))
+      val purchases = seqd
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("pseq"), col("c"))
+      val touches = seqd
+        .filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), (col("pseq") + 1L).as("pseq"), col("event_type"))
+      val k = touches.groupBy("user_id", "pseq").agg(count(lit(1)).as("k"))
+      touches
+        .join(k, Seq("user_id", "pseq"))
+        .join(purchases, Seq("user_id", "pseq")) // orphan touches (no later purchase) drop
+        .groupBy(col("event_type").as("touch_type"))
+        .agg(
+          count(lit(1)).as("n_touches"),
+          sum(graft.functions.ExactDecimal.scaledRatio(col("c"), col("k")))
+            .cast("long")
+            .as("credit_microcents"))
+    },
+    "ngram_novelty" -> { (s, dir) =>
+      // Per-doc 3-gram novelty in corpus order: the share of a doc's
+      // distinct grams first seen in an EARLIER doc — the memorization /
+      // staleness curve a crawl pipeline plots over ingest order
+      // (ops/TextAnalysis.scala). Grams-only frames after the explode;
+      // exact basis points.
+      TextAnalysis.ngramNovelty(table(s, dir, "documents"))
+    },
+    "source_kl_matrix" -> { (s, dir) =>
+      // Pairwise KL divergence between source unigram distributions
+      // (add-one smoothed over the shared vocab) — which sources are
+      // interchangeable and which carry unique mass, the question a
+      // mixture planner asks before down-weighting a near-duplicate
+      // source. One corpus scan; everything after is sources x vocab
+      // bounded broadcast work (ops/Drift.scala).
+      graft.ops.Drift.sourceKlMatrix(table(s, dir, "documents"))
+    },
+    "zipf_alpha" -> { (s, dir) =>
+      // Zipf rank-frequency fit of the token distribution: alpha (the
+      // -OLS slope of ln cnt vs ln rank) near 1 is natural language; low
+      // alpha flags templated text, high alpha a collapsed vocabulary.
+      // Rank via distributed range-sort, single-row exact-decimal OLS
+      // (ops/Concentration.scala).
+      val counts = table(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.ops.Concentration.zipfAlpha(counts)
     }
   )
 
@@ -5612,6 +5678,96 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_purchases,
         |  CAST(sum(p.c) AS BIGINT) AS revenue_cents
         |FROM p LEFT JOIN lastt l ON p.event_id = l.event_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "attribution_linear" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS c,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS pseq
+        |  FROM events
+        |), p AS (SELECT user_id, pseq, c FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, pseq + 1 AS pseq, event_type
+        |      FROM e WHERE event_type <> 'purchase'),
+        |k AS (SELECT user_id, pseq, CAST(count(*) AS BIGINT) AS kk
+        |      FROM t GROUP BY 1, 2)
+        |SELECT t.event_type AS touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum((2000000 * p.c + k.kk) // (2 * k.kk)) AS BIGINT) AS credit_microcents
+        |FROM t
+        |JOIN k ON k.user_id = t.user_id AND k.pseq = t.pseq
+        |JOIN p ON p.user_id = t.user_id AND p.pseq = t.pseq
+        |GROUP BY 1""".stripMargin,
+    "ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS gram
+        |  FROM toks WHERE len(w) >= 3
+        |), firsts AS (
+        |  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY 1
+        |), agg AS (
+        |  SELECT g.doc_id, CAST(count(*) AS HUGEINT) AS n_grams,
+        |    CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END) AS HUGEINT) AS n_seen
+        |  FROM grams g JOIN firsts f ON f.gram = g.gram GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_seen AS BIGINT) AS n_seen,
+        |  CAST(((n_grams - n_seen) * 20000 + n_grams) // (2 * n_grams) AS BIGINT) AS novel_bps
+        |FROM agg""".stripMargin,
+    "source_kl_matrix" ->
+      """WITH tc AS (
+        |  SELECT src, tok, CAST(count(*) AS HUGEINT) AS c_st FROM (
+        |    SELECT source AS src, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2
+        |), st AS (SELECT src, sum(c_st) AS n_s FROM tc GROUP BY 1),
+        |vo AS (SELECT DISTINCT tok FROM tc),
+        |vc AS (SELECT CAST(count(DISTINCT tok) AS HUGEINT) AS v FROM tc),
+        |grid AS (
+        |  SELECT st.src, vo.tok, COALESCE(tc.c_st, 0) + 1 AS c1, st.n_s + vc.v AS d
+        |  FROM st CROSS JOIN vo CROSS JOIN vc
+        |  LEFT JOIN tc ON tc.src = st.src AND tc.tok = vo.tok
+        |), pairs AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, a.c1 AS c1_a, a.d AS d_a,
+        |    CAST(floor(ln(CAST(a.c1 * b.d AS DOUBLE) / CAST(b.c1 * a.d AS DOUBLE))
+        |      * 1e6 + 0.5e0) AS HUGEINT) AS lnm
+        |  FROM grid a JOIN grid b ON a.tok = b.tok AND a.src <> b.src
+        |), ag AS (
+        |  SELECT src_a, src_b, max(d_a) AS d_a, sum(c1_a * lnm) AS s
+        |  FROM pairs GROUP BY 1, 2
+        |)
+        |SELECT src_a, src_b,
+        |  CAST((2 * s + d_a - (((2 * s + d_a) % (2 * d_a)) + 2 * d_a) % (2 * d_a))
+        |    // (2 * d_a) AS BIGINT) AS kl_micro
+        |FROM ag""".stripMargin,
+    "zipf_alpha" ->
+      """WITH c AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS token FROM documents)
+        |  WHERE token <> '' GROUP BY 1
+        |), r AS (
+        |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c
+        |), p AS (
+        |  SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e6 + 0.5e0) AS HUGEINT) AS x,
+        |         CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5e0) AS HUGEINT) AS y
+        |  FROM r
+        |), a AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM p
+        |), q AS (
+        |  SELECT n, n * sxy - sx * sy AS bnum, sy * sxx - sx * sxy AS anum,
+        |    n * sxx - sx * sx AS den
+        |  FROM a
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_keys,
+        |  CAST(CASE WHEN den > 0 THEN -((2000000 * bnum + den
+        |    - (((2000000 * bnum + den) % (2 * den)) + 2 * den) % (2 * den)) // (2 * den))
+        |    END AS BIGINT) AS alpha_micro,
+        |  CAST(CASE WHEN den > 0 THEN (2 * anum + den
+        |    - (((2 * anum + den) % (2 * den)) + 2 * den) % (2 * den)) // (2 * den)
+        |    END AS BIGINT) AS intercept_micro
+        |FROM q""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.ExactDecimal._
@@ -62,5 +62,64 @@ object Concentration {
         scaledRatio(col("s2"), d(col("total")) * d(col("total")))
           .cast("long")
           .as("hhi_micro"))
+  }
+
+  /** Zipf rank–frequency fit over a (key, count) frame: the OLS slope of
+    * ln(count) against ln(rank) (rank 1 = most frequent), reported as
+    * `alpha_micro` = −slope in micro units, plus the ln-count intercept.
+    * A natural-language corpus sits near α ≈ 1; α drifting low flags
+    * templated/boilerplate text, α high a collapsed vocabulary — the
+    * one-row companion to [[concentration]]'s Gini/HHI.
+    *
+    * Exactness: ln(rank) and ln(count) are each micro-rounded ONCE from
+    * exact longs (margin-audited in `LnMarginAuditSpec`); the OLS closed
+    * form then runs entirely in DECIMAL(38,0) — slope and intercept are
+    * single round-half-up exact-rational divisions, so the oracle agrees
+    * bit-for-bit given the same rounded points:
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)` (dimensionless — x and y
+    * carry the same micro scale — so the output scale is 10⁶), and
+    * `intercept = (Σy·Σxx − Σx·Σxy) / (n·Σxx − Σx²)` (already micro).
+    *
+    * Shape: input is the post-aggregation vocab frame; the rank comes from
+    * [[Ranking.globalRowNumber]] (range partition + exact offsets, never
+    * an unpartitioned window), then one aggregation to a single row.
+    * Degenerate single-key input (zero x-variance) returns null slope
+    * rather than dividing by zero.
+    */
+  def zipfAlpha(
+      counts: DataFrame,
+      keyCol: String = "token",
+      cntCol: String = "cnt"
+  ): DataFrame = {
+    val ranked = Ranking.globalRowNumber(
+      counts.select(col(keyCol), col(cntCol)),
+      Seq(col(cntCol).desc, col(keyCol).asc),
+      "rank")
+    val lnMicro = (c: Column) => floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    val pts = ranked.select(
+      lnMicro(col("rank")).as("x"),
+      lnMicro(col(cntCol)).as("y"))
+    pts
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(d(col("x"))).as("sx"),
+        sum(d(col("y"))).as("sy"),
+        sum(d(col("x")) * d(col("y"))).as("sxy"),
+        sum(d(col("x")) * d(col("x"))).as("sxx"))
+      .select(
+        col("n").as("n_keys"),
+        when(
+          d(col("n")) * col("sxx") - col("sx") * col("sx") > 0,
+          -scaledRatio(
+            d(col("n")) * col("sxy") - col("sx") * col("sy"),
+            d(col("n")) * col("sxx") - col("sx") * col("sx"))
+        ).cast("long").as("alpha_micro"),
+        when(
+          d(col("n")) * col("sxx") - col("sx") * col("sx") > 0,
+          scaledRatio(
+            col("sy") * col("sxx") - col("sx") * col("sxy"),
+            d(col("n")) * col("sxx") - col("sx") * col("sx"),
+            1L)
+        ).cast("long").as("intercept_micro"))
   }
 }

@@ -82,4 +82,87 @@ object Drift {
         sum(col("term_e5")).as("psi_e5")
       )
   }
+
+  /** Pairwise KL divergence between every two sources' unigram token
+    * distributions — the asymmetric companion to [[sourcePsi]]: PSI asks
+    * "did this source drift from the corpus", the KL matrix asks "which
+    * sources are interchangeable and which carry distribution mass the
+    * others lack", the question a mixture planner answers before
+    * down-weighting a near-duplicate source.
+    *
+    * `KL(a‖b) = Σ_t p_a(t)·ln(p_a(t)/p_b(t))` with add-one smoothing over
+    * the shared corpus vocabulary: p_s(t) = (c_st+1)/(n_s+V), so a token
+    * absent from `b` still contributes a finite penalty.
+    *
+    * Exactness (the [[sourcePsi]] discipline): the ln argument is the
+    * exact long ratio (c_at+1)(n_b+V) / ((c_bt+1)(n_a+V)), micro-rounded
+    * ONCE per (pair, token) — margin-audited in `LnMarginAuditSpec` — and
+    * the weighted sum Σ (c_at+1)·L_t closes with one round-half-up
+    * division by the per-pair constant (n_a+V). Everything else is long
+    * arithmetic. (At 100 TB counts the products need DECIMAL(38,0); the
+    * structure is unchanged.)
+    *
+    * Shape: ONE corpus scan → the (source, token) count aggregation,
+    * checkpointed; everything after is sources×vocab bounded — the grid
+    * completion is a broadcast cross, the pair join a broadcast self-join,
+    * the output sources² rows. The corpus text never moves twice.
+    */
+  def sourceKlMatrix(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val tc = docs
+      .select(
+        col(sourceCol).as("src"),
+        explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("tok")
+      )
+      .groupBy("src", "tok")
+      .agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true)
+
+    val srcTotals = tc.groupBy("src").agg(sum(col("c_st")).as("n_s"))
+    val vocab = tc.select("tok").distinct()
+    val vCount = tc.agg(countDistinct(col("tok")).as("v"))
+
+    // complete sources × vocab grid of smoothed counts c1 = c_st + 1 and
+    // the per-source denominator d = n_s + V
+    val grid = srcTotals
+      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(vCount))
+      .join(tc, Seq("src", "tok"), "left")
+      .na.fill(0L, Seq("c_st"))
+      .select(
+        col("src"),
+        col("tok"),
+        (col("c_st") + 1L).as("c1"),
+        (col("n_s") + col("v")).as("d"))
+
+    val a = grid.select(
+      col("src").as("src_a"), col("tok"),
+      col("c1").as("c1_a"), col("d").as("d_a"))
+    val b = grid.select(
+      col("src").as("src_b"), col("tok"),
+      col("c1").as("c1_b"), col("d").as("d_b"))
+
+    a.join(broadcast(b), Seq("tok"))
+      .filter(col("src_a") =!= col("src_b"))
+      .withColumn(
+        "ln_micro",
+        floor(
+          log((col("c1_a") * col("d_b")).cast("double") /
+            (col("c1_b") * col("d_a")).cast("double")) * 1e6 + 0.5).cast("long"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(
+        max(col("d_a")).as("d_a"),
+        sum(col("c1_a") * col("ln_micro")).as("s"))
+      .select(
+        col("src_a"),
+        col("src_b"),
+        // round-half-up exact rational (sign-safe: per-term rounding can
+        // push a near-zero KL a hair below zero even though true KL ≥ 0)
+        graft.functions.ExactDecimal
+          .scaledRatio(col("s"), col("d_a"), 1L)
+          .cast("long")
+          .as("kl_micro"))
+  }
 }

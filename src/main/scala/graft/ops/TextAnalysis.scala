@@ -589,4 +589,45 @@ object TextAnalysis {
           expr("((n_chars_exact - n_non_ascii) * CAST(1000000 AS BIGINT)) DIV n_chars_exact"))
           .otherwise(lit(1000000L)).cast("long"))
   }
+
+  /** N-gram novelty per document in corpus order: the share of a doc's
+    * DISTINCT word n-grams whose first corpus occurrence (minimum id) is
+    * the doc itself — the memorization/staleness curve a crawl pipeline
+    * plots over ingest order ("how much of today's slice is text we
+    * already hold"), and the doc-level complement of [[graft.ops.Spans]]'
+    * span detection: novelty scores every doc, spans localize the repeats.
+    *
+    * Exactness: counts and one round-half-up basis-point division
+    * ([[graft.functions.ExactDecimal.scaledRatio]]) — no float anywhere,
+    * the oracle agrees by construction.
+    *
+    * Shape: explode distinct grams → one gram-keyed aggregation for the
+    * global first-occurrence id → the gram-keyed join back reuses the SAME
+    * hash partitioning (no second exchange under AQE) → one doc-keyed
+    * aggregation. Every post-explode frame carries (gram, id) only — the
+    * text never shuffles. Docs shorter than n tokens have no grams and no
+    * output row (the oracle mirrors).
+    */
+  def ngramNovelty(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    val grams = docs
+      .select(
+        col(idCol).as("doc_id"),
+        explode(array_distinct(ngramsWithDups(col(textCol), n))).as("gram"))
+    val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+    grams
+      .join(first, "gram")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+      .withColumn(
+        "novel_bps",
+        scaledRatio(col("n_grams") - col("n_seen"), col("n_grams"), 10000L).cast("long"))
+  }
 }

@@ -33,4 +33,36 @@ class ConcentrationSpec extends AnyFunSuite {
     assert(gini > 700000L && gini <= 750000L) // bound (n-1)/n = 0.75
     assert(hhi > 990000L)
   }
+
+  private def runZipf(counts: Seq[(String, Long)]) =
+    Concentration
+      .zipfAlpha(counts.toDF("token", "cnt"))
+      .as[(Long, Option[Long], Option[Long])]
+      .collect()
+      .head
+
+  test("zipfAlpha recovers alpha = 1 on an exact power law") {
+    // cnt = 720720 / rank is an exact integer for ranks 1..16, so every
+    // (ln rank, ln cnt) point lies on a line of slope exactly -1 up to
+    // the per-point micro rounding; OLS must return alpha within a few
+    // micro of 1e6.
+    val counts = (1 to 16).map(r => (f"t$r%02d", 720720L / r))
+    val (n, alpha, icept) = runZipf(counts)
+    assert(n == 16L)
+    assert(math.abs(alpha.get - 1000000L) <= 5L, s"alpha=$alpha")
+    // intercept is ln(720720) in micro ≈ 13.488187e6
+    assert(math.abs(icept.get - math.round(math.log(720720.0) * 1e6)) <= 5L)
+  }
+
+  test("zipfAlpha: steeper decay gives larger alpha; flat counts give alpha 0") {
+    val steep = (1 to 10).map(r => (f"t$r%02d", (1000000.0 / (r.toDouble * r)).toLong))
+    assert(runZipf(steep)._2.get > 1900000L)
+    val flat = (1 to 10).map(r => (f"t$r%02d", 500L))
+    assert(runZipf(flat)._2.get == 0L)
+  }
+
+  test("zipfAlpha: single key has zero x-variance and yields nulls") {
+    val (n, alpha, icept) = runZipf(Seq(("only", 42L)))
+    assert(n == 1L && alpha.isEmpty && icept.isEmpty)
+  }
 }

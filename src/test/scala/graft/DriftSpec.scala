@@ -67,4 +67,71 @@ class DriftSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect()
     assert(got.forall(_._3 >= 0L))
   }
+
+  /** Local reference KL with the operator's exact integer recurrence:
+    * smoothed p_s(t) = (c_st+1)/(n_s+V) over the GLOBAL vocab, one
+    * micro-rounded ln per (pair, token), weighted long sum, one
+    * round-half-up close.
+    */
+  private def refKl(rows: Seq[(String, String)]): Map[(String, String), Long] = {
+    val toks = rows.flatMap { case (s, t) =>
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).map(s -> _)
+    }
+    val vocab = toks.map(_._2).distinct.sorted
+    val v = vocab.size.toLong
+    val bySrc = toks.groupBy(_._1)
+    val srcs = bySrc.keys.toSeq.sorted
+    val counts = bySrc.view.mapValues(_.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    val totals = bySrc.view.mapValues(_.size.toLong).toMap
+    (for {
+      a <- srcs; b <- srcs if a != b
+    } yield {
+      val da = totals(a) + v
+      val db = totals(b) + v
+      val s = vocab.map { t =>
+        val c1a = counts(a).getOrElse(t, 0L) + 1
+        val c1b = counts(b).getOrElse(t, 0L) + 1
+        val ln = math.floor(math.log((c1a * db).toDouble / (c1b * da).toDouble) * 1e6 + 0.5).toLong
+        c1a * ln
+      }.sum
+      // scaledRatio(s, da, 1) = floor((2s + da) / (2 da)), floor division
+      val q = 2 * s + da
+      val d2 = 2 * da
+      (a, b) -> (q - (((q % d2) + d2) % d2)) / d2
+    }).toMap
+  }
+
+  test("sourceKlMatrix matches the exact integer reference on a planted mix") {
+    val rows = Seq(
+      "a" -> "x x x y z common words here",
+      "a" -> "x y y common words also here",
+      "b" -> "z z z z w w common words here",
+      "b" -> "w w z common words also here",
+      "c" -> "x x x y z common words here" // near-copy of a's first doc
+    )
+    val want = refKl(rows)
+    val got = Drift.sourceKlMatrix(rows.toDF("source", "text"))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == want)
+  }
+
+  test("sourceKlMatrix: identical sources near zero, disjoint vocab high, asymmetric") {
+    val rows = (1 to 20).flatMap(_ =>
+      Seq(
+        "same1" -> "alpha beta gamma delta",
+        "same2" -> "alpha beta gamma delta",
+        "other" -> "epsilon epsilon epsilon zeta"))
+    val got = Drift.sourceKlMatrix(rows.toDF("source", "text"))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.size == 6)
+    // identical distributions: KL collapses to ~0 (micro rounding only)
+    assert(math.abs(got(("same1", "same2"))) < 100L)
+    // disjoint content: strongly positive in both directions
+    assert(got(("same1", "other")) > 500000L && got(("other", "same1")) > 500000L)
+    // the matrix is genuinely asymmetric in general (direction matters)
+    assert(got(("same1", "other")) != got(("other", "same1")) ||
+      got(("same2", "other")) != got(("other", "same2")))
+  }
 }

@@ -168,4 +168,35 @@ class LnMarginAuditSpec extends AnyFunSuite {
     info(f"ndcg_discount: worst margin ${worst._2}%.3e at rank=${worst._1}")
     assert(worst._2 > SafeMargin)
   }
+
+  test("source_kl_matrix: smoothed-ratio ln margin over every (pair, token) cell") {
+    val rows = docs.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = rows.flatMap { case (s, t) =>
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).map(s -> _)
+    }
+    val vocab = toks.map(_._2).distinct
+    val v = vocab.size.toLong
+    val bySrc = toks.groupBy(_._1)
+    val counts =
+      bySrc.view.mapValues(_.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    val totals = bySrc.view.mapValues(_.size.toLong).toMap
+    val srcs = bySrc.keys.toSeq
+    val pairs = for { a <- srcs; b <- srcs if a != b; t <- vocab } yield {
+      val c1a = counts(a).getOrElse(t, 0L) + 1
+      val c1b = counts(b).getOrElse(t, 0L) + 1
+      (c1a * (totals(b) + v), c1b * (totals(a) + v))
+    }
+    auditPairs(pairs.distinct, 1e6, "source_kl_matrix")
+  }
+
+  test("zipf_alpha: ln(rank) and ln(count) micro margins over the whole vocab") {
+    val cnts = docs
+      .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").count()
+      .collect().map(_.getLong(1))
+    val pairs = (1 to cnts.length).map(r => (r.toLong, 1L)) ++ cnts.map(c => (c, 1L))
+    auditPairs(pairs.distinct, 1e6, "zipf_alpha")
+  }
 }

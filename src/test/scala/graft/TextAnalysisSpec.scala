@@ -302,4 +302,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     val (_, yDocs, _, yKeptDocs, yKeptToks, yBps) = got("srcY")
     assert(yDocs == 2 && yKeptDocs == 0 && yKeptToks == 0 && yBps == 0)
   }
+
+  test("ngramNovelty: first occurrence is novel, repeats are seen, short docs drop") {
+    val docs = Seq(
+      (0L, "a b c d e"),     // grams {a b c, b c d, c d e} — all first here
+      (1L, "a b c d e"),     // exact repeat: 0 novel of 3
+      (2L, "a b c x y z"),   // {a b c}(seen) {b c x}{c x y}{x y z}(new)
+      (3L, "a b")            // < 3 tokens: no grams, no row
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.ngramNovelty(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map(
+      0L -> ((3L, 0L, 10000L)),
+      1L -> ((3L, 3L, 0L)),
+      2L -> ((4L, 1L, 7500L))))
+  }
+
+  test("ngramNovelty counts DISTINCT grams once per doc") {
+    // "p q p q p q" has grams [p q p, q p q, p q p, q p q] -> 2 distinct
+    val docs = Seq((0L, "p q p q p q"), (1L, "p q p r r r")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.ngramNovelty(docs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // doc 1 grams: {p q p}(seen) {q p r}{p r r}{r r r}(new) -> 2500 bps seen
+    assert(got(0L) == ((2L, 0L, 10000L)))
+    assert(got(1L) == ((4L, 1L, 7500L)))
+  }
 }
