@@ -2109,6 +2109,53 @@ object SparkEntry {
         .groupBy(col("token"))
         .agg(count(lit(1)).as("cnt"))
       graft.ops.Concentration.zipfAlpha(counts)
+    },
+    "quality_percentiles" -> { (s, dir) =>
+      // Percentile-rank normalization of the quality logit: each doc's
+      // corpus percentile in exact bps — threshold-free calibration
+      // ("keep the top 40%" instead of "logit > 0"). Rank via the
+      // distributed range-sort primitive (ops/Ranking.scala), never an
+      // unpartitioned window; the doc-count branch is a column-pruned
+      // row-count scan.
+      val scored = table(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.qualityLogit(col("text"), length(col("text"))).as("logit_micro"))
+      val ranked = graft.ops.Ranking.globalRowNumber(
+        scored, Seq(col("logit_micro").asc, col("doc_id").asc), "rk")
+      val n = scored.agg(count(lit(1)).as("n_docs"))
+      ranked
+        .crossJoin(broadcast(n))
+        .select(
+          col("doc_id"),
+          col("logit_micro"),
+          when(col("n_docs") > 1,
+            graft.functions.ExactDecimal
+              .scaledRatio(col("rk") - 1L, col("n_docs") - 1L, 10000L))
+            .otherwise(0L)
+            .cast("long")
+            .as("pct_bps"))
+    },
+    "event_lift_matrix" -> { (s, dir) =>
+      // Market-basket lift over (user, event_type) presence sets: which
+      // behaviors travel together beyond their individual popularity.
+      // One user-keyed set aggregation (sets capped by the event-type
+      // vocabulary), then everything is K-bounded (ops/Cooccur.scala).
+      graft.ops.Cooccur.itemLift(eventsTable(s, dir), "user_id", "event_type")
+    },
+    "filter_agreement_kappa" -> { (s, dir) =>
+      // Cohen's kappa between the Gopher gate and the cheap logit gate —
+      // "can the cheap filter replace the expensive one": raw agreement
+      // minus the chance-agreement floor, one exact rational. Both gates
+      // are computed in the SAME corpus scan (the logit keep rides
+      // gopherRules' carryCols), then one single-row aggregation
+      // (ops/Contingency.scala).
+      val withQ = table(s, dir, "documents").withColumn(
+        "keep_q",
+        (TextAnalysis.qualityLogit(col("text"), length(col("text"))) > 0).cast("int"))
+      val gates = TextAnalysis
+        .gopherRules(withQ, "text", carryCols = Seq("keep_q"))
+        .select(col("keep").as("keep_g"), col("keep_q"))
+      graft.ops.Contingency.agreementKappa(gates, "keep_g", "keep_q")
     }
   )
 
@@ -2198,6 +2245,56 @@ object SparkEntry {
       |      + (n_distinct / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 1.5
       |    ) * 1000000.0 + 0.5) AS BIGINT) AS logit_micro
       |  FROM f
+      |)""".stripMargin
+
+  /** Shared CTEs reproducing [[graft.ops.TextAnalysis.gopherRules]]:
+    * `gop(doc_id, n_chars, n_tokens, word_chars, stop_hits, top2_chars,
+    * dup5_chars, mean_word_len, top2_share, dup5_share, keep)` — the full
+    * Gopher gate output, reused by `gopher_rules` and the gate-agreement
+    * queries.
+    */
+  private val GopherRulesCtes: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS word_chars,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS stop_hits,
+      |    string_split_regex(lower(text), '\s+') AS t
+      |  FROM documents
+      |), g2 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i+1])) AS g
+      |  FROM toks WHERE len(t) >= 2
+      |), top2 AS (
+      |  SELECT doc_id, max(cnt * length(g)) AS top2_chars
+      |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY 1
+      |), g5 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+      |  FROM toks WHERE len(t) >= 5
+      |), dup5 AS (
+      |  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dup5_chars
+      |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2) GROUP BY 1
+      |), joined AS (
+      |  SELECT toks.doc_id, n_chars, n_tokens, word_chars, stop_hits,
+      |    CAST(COALESCE(top2_chars, 0) AS BIGINT) AS top2_chars,
+      |    CAST(COALESCE(dup5_chars, 0) AS BIGINT) AS dup5_chars,
+      |    round(CAST(word_chars AS DOUBLE) / greatest(n_tokens, 1), 4) AS mean_word_len,
+      |    round(CAST(COALESCE(top2_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) AS top2_share,
+      |    round(CAST(COALESCE(dup5_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) AS dup5_share
+      |  FROM toks LEFT JOIN top2 ON toks.doc_id = top2.doc_id
+      |             LEFT JOIN dup5 ON toks.doc_id = dup5.doc_id
+      |), gop AS (
+      |  SELECT doc_id, n_chars, n_tokens, word_chars, stop_hits, top2_chars, dup5_chars,
+      |    mean_word_len, top2_share, dup5_share,
+      |    CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000
+      |           AND mean_word_len BETWEEN 2.0 AND 12.0
+      |           AND top2_share < 0.30
+      |           AND dup5_share < 0.15
+      |           AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
+      |  FROM joined
       |)""".stripMargin
 
   /** Shared CTEs reproducing [[graft.ops.Clustering.kmeansAssign]] with
@@ -2889,47 +2986,8 @@ object SparkEntry {
         |  CAST(length(array_to_string(t[start : least(start + 7, len(t))], ' ')) AS BIGINT) AS chunk_chars
         |FROM starts""".stripMargin,
     "gopher_rules" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS word_chars,
-        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
-        |      x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS stop_hits,
-        |    string_split_regex(lower(text), '\s+') AS t
-        |  FROM documents
-        |), g2 AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
-        |    i -> t[i] || ' ' || t[i+1])) AS g
-        |  FROM toks WHERE len(t) >= 2
-        |), top2 AS (
-        |  SELECT doc_id, max(cnt * length(g)) AS top2_chars
-        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY 1
-        |), g5 AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
-        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
-        |  FROM toks WHERE len(t) >= 5
-        |), dup5 AS (
-        |  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dup5_chars
-        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2) GROUP BY 1
-        |), joined AS (
-        |  SELECT toks.doc_id, n_chars, n_tokens, word_chars, stop_hits,
-        |    CAST(COALESCE(top2_chars, 0) AS BIGINT) AS top2_chars,
-        |    CAST(COALESCE(dup5_chars, 0) AS BIGINT) AS dup5_chars,
-        |    round(CAST(word_chars AS DOUBLE) / greatest(n_tokens, 1), 4) AS mean_word_len,
-        |    round(CAST(COALESCE(top2_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) AS top2_share,
-        |    round(CAST(COALESCE(dup5_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) AS dup5_share
-        |  FROM toks LEFT JOIN top2 ON toks.doc_id = top2.doc_id
-        |             LEFT JOIN dup5 ON toks.doc_id = dup5.doc_id
-        |)
-        |SELECT doc_id, n_chars, n_tokens, word_chars, stop_hits, top2_chars, dup5_chars,
-        |  mean_word_len, top2_share, dup5_share,
-        |  CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000
-        |         AND mean_word_len BETWEEN 2.0 AND 12.0
-        |         AND top2_share < 0.30
-        |         AND dup5_share < 0.15
-        |         AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
-        |FROM joined""".stripMargin,
+      s"""WITH $GopherRulesCtes
+        |SELECT * FROM gop""".stripMargin,
     "doc_splits" ->
       """WITH h AS (
         |  SELECT doc_id,
@@ -5768,6 +5826,62 @@ object SparkEntry {
         |  CAST(CASE WHEN den > 0 THEN (2 * anum + den
         |    - (((2 * anum + den) % (2 * den)) + 2 * den) % (2 * den)) // (2 * den)
         |    END AS BIGINT) AS intercept_micro
+        |FROM q""".stripMargin,
+    "quality_percentiles" ->
+      s"""WITH $QualityLogitCtes, r AS (
+        |  SELECT doc_id, logit_micro,
+        |    CAST(row_number() OVER (ORDER BY logit_micro, doc_id) AS BIGINT) AS rk,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM scored
+        |)
+        |SELECT doc_id, logit_micro,
+        |  CAST(CASE WHEN n > 1 THEN (20000 * (rk - 1) + (n - 1)) // (2 * (n - 1))
+        |    ELSE 0 END AS BIGINT) AS pct_bps
+        |FROM r""".stripMargin,
+    "event_lift_matrix" ->
+      """WITH b AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |), nb AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_baskets FROM b),
+        |ic AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+        |pc AS (
+        |  SELECT a.event_type AS item_a, b2.event_type AS item_b,
+        |    CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM b a JOIN b b2 ON a.user_id = b2.user_id AND a.event_type < b2.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT item_a, item_b, n_baskets, ca.c AS c_a, cb.c AS c_b, c_ab,
+        |  CAST((20000 * c_ab + n_baskets) // (2 * n_baskets) AS BIGINT) AS support_bps,
+        |  CAST((2000000 * n_baskets * c_ab + ca.c * cb.c) // (2 * ca.c * cb.c)
+        |    AS BIGINT) AS lift_micro
+        |FROM pc
+        |JOIN ic ca ON ca.event_type = pc.item_a
+        |JOIN ic cb ON cb.event_type = pc.item_b
+        |CROSS JOIN nb""".stripMargin,
+    "filter_agreement_kappa" ->
+      s"""WITH $GopherRulesCtes, $QualityLogitCtes, j AS (
+        |  SELECT g.keep AS keep_g,
+        |    CASE WHEN s.logit_micro > 0 THEN 1 ELSE 0 END AS keep_q
+        |  FROM gop g JOIN scored s ON s.doc_id = g.doc_id
+        |), cells AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CASE WHEN keep_g = 1 AND keep_q = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n11,
+        |    CAST(sum(CASE WHEN keep_g = 1 AND keep_q = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n10,
+        |    CAST(sum(CASE WHEN keep_g = 0 AND keep_q = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n01,
+        |    CAST(sum(CASE WHEN keep_g = 0 AND keep_q = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n00
+        |  FROM j
+        |), q AS (
+        |  SELECT n, n11, n10, n01, n00,
+        |    n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS knum,
+        |    n * n - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS kden
+        |  FROM cells
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(n11 AS BIGINT) AS n_both_keep,
+        |  CAST(n10 AS BIGINT) AS n_a_only, CAST(n01 AS BIGINT) AS n_b_only,
+        |  CAST(n00 AS BIGINT) AS n_both_drop,
+        |  CAST((20000 * (n11 + n00) + n) // (2 * n) AS BIGINT) AS agree_bps,
+        |  CAST(CASE WHEN kden > 0 THEN (2000000 * knum + kden
+        |    - (((2000000 * knum + kden) % (2 * kden)) + 2 * kden) % (2 * kden)) // (2 * kden)
+        |    END AS BIGINT) AS kappa_micro
         |FROM q""".stripMargin
   )
 }

@@ -112,4 +112,50 @@ object Contingency {
         scaledRatio(col("num"), d(col("n0")) * d(col("n1"))).cast("long").as("d_micro"),
         col(valueCol).cast("long").as("at_value"))
   }
+
+  /** Cohen's kappa agreement between two binary gates (0/1 columns on the
+    * same rows) — "do these two filters make the same keep/drop calls
+    * beyond chance". The calibration question a curation pipeline asks
+    * before replacing an expensive gate with a cheap one: raw agreement
+    * (`agree_bps`) overstates it when both gates mostly keep; kappa
+    * discounts the chance-agreement floor.
+    *
+    * `κ = (p_o − p_e)/(1 − p_e)` with p_o = (n11+n00)/n and
+    * p_e = (r1·c1 + r0·c0)/n², closed as ONE exact rational:
+    * `κ_micro = round(10⁶·(n·(n11+n00) − (r1·c1+r0·c0)) / (n² − (r1·c1+r0·c0)))`
+    * — all integer products inside DECIMAL(38,0), so the oracle agrees
+    * bit-for-bit. Degenerate marginals (p_e = 1: both gates constant)
+    * yield null kappa rather than 0/0.
+    *
+    * Shape: ONE aggregation over the input (map-side partials, single
+    * row out) — the gates themselves are computed upstream, ideally in
+    * the same scan (see the `filter_agreement_kappa` registration, which
+    * carries the quality gate through [[TextAnalysis.gopherRules]] so the
+    * corpus is read once).
+    */
+  def agreementKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val n = col("n_docs")
+    val n11 = col("n_both_keep")
+    val n10 = col("n_a_only")
+    val n01 = col("n_b_only")
+    val n00 = col("n_both_drop")
+    val chance = (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10) // r1·c1 + r0·c0
+    df
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col(aCol) === 1 && col(bCol) === 1, 1L).otherwise(0L)).as("n_both_keep"),
+        sum(when(col(aCol) === 1 && col(bCol) === 0, 1L).otherwise(0L)).as("n_a_only"),
+        sum(when(col(aCol) === 0 && col(bCol) === 1, 1L).otherwise(0L)).as("n_b_only"),
+        sum(when(col(aCol) === 0 && col(bCol) === 0, 1L).otherwise(0L)).as("n_both_drop"))
+      .select(
+        col("n_docs"), col("n_both_keep"), col("n_a_only"),
+        col("n_b_only"), col("n_both_drop"),
+        scaledRatio(n11 + n00, n, 10000L).cast("long").as("agree_bps"),
+        when(
+          d(n) * d(n) - d(chance) > 0,
+          scaledRatio(
+            d(n) * (d(n11) + d(n00)) - d(chance),
+            d(n) * d(n) - d(chance))
+        ).cast("long").as("kappa_micro"))
+  }
 }

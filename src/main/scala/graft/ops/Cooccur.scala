@@ -177,4 +177,60 @@ object Cooccur {
           .as("lift_micro")
       )
   }
+
+  /** Lift matrix over (basket, item) rows with a BOUNDED item vocabulary —
+    * e.g. which event types co-occur in the same user's history beyond
+    * what their individual popularity predicts. The market-basket read of
+    * the events table: lift > 1 means the pair travels together, < 1
+    * means the behaviors are substitutes.
+    *
+    * `lift(a,b) = n·c_ab / (c_a·c_b)` over presence sets (an item counts
+    * once per basket), `support = c_ab/n` — both closed as exact
+    * round-half-up rationals, no float anywhere.
+    *
+    * Shape: one basket-keyed set aggregation (map-side partial, each
+    * basket's set capped by the item vocabulary K), checkpointed once;
+    * the item totals, pair totals, and basket count all re-read that
+    * bounded frame, and per-basket pair fanout is ≤ C(K,2) via the same
+    * executor-side sorted-array pairing [[tokenPairPmi]] uses — the
+    * corpus itself is scanned exactly once. For token-scale vocabularies
+    * use [[tokenPairPmi]]'s df-banding instead; this operator is for
+    * enum-like item spaces (event types, categories, labels).
+    */
+  def itemLift(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.{d, scaledRatio}
+    val sets = df
+      .groupBy(col(basketCol).as("bk"))
+      .agg(sort_array(collect_set(col(itemCol))).as("items"))
+      .localCheckpoint(true)
+    val nBaskets = sets.agg(count(lit(1)).as("n_baskets"))
+    val itemCounts = sets
+      .select(explode(col("items")).as("item"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("c"))
+    val pairCounts = sets
+      .select(explode(orderedTokenPairs(col("items"))).as("p"))
+      .select(col("p.tok_a").as("item_a"), col("p.tok_b").as("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("c_ab"))
+    pairCounts
+      .join(broadcast(itemCounts.withColumnRenamed("item", "item_a").withColumnRenamed("c", "c_a")), "item_a")
+      .join(broadcast(itemCounts.withColumnRenamed("item", "item_b").withColumnRenamed("c", "c_b")), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(
+        col("item_a"),
+        col("item_b"),
+        col("n_baskets"),
+        col("c_a"),
+        col("c_b"),
+        col("c_ab"),
+        scaledRatio(col("c_ab"), col("n_baskets"), 10000L).cast("long").as("support_bps"),
+        scaledRatio(d(col("n_baskets")) * d(col("c_ab")), d(col("c_a")) * d(col("c_b")))
+          .cast("long")
+          .as("lift_micro"))
+  }
 }

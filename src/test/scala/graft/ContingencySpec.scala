@@ -64,4 +64,38 @@ class ContingencySpec extends AnyFunSuite {
     // the raw LocalRelation appears nowhere downstream of the checkpoint
     assert(!plan.contains("LocalRelation"), s"raw input rescanned:\n$plan")
   }
+
+  private def kappa(rows: Seq[(Int, Int)]): (Long, Long, Long, Long, Long, Long, Option[Long]) =
+    Contingency
+      .agreementKappa(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect()
+      .head
+
+  test("agreementKappa: hand-computed 2x2") {
+    // n=10: n11=4 n10=1 n01=2 n00=3 -> po=0.7, r1=5 c1=6 r0=5 c0=4,
+    // pe=(30+20)/100=0.5 -> kappa=(0.7-0.5)/0.5=0.4
+    val rows = Seq.fill(4)((1, 1)) ++ Seq.fill(1)((1, 0)) ++
+      Seq.fill(2)((0, 1)) ++ Seq.fill(3)((0, 0))
+    val (n, n11, n10, n01, n00, agree, k) = kappa(rows)
+    assert((n, n11, n10, n01, n00) == ((10L, 4L, 1L, 2L, 3L)))
+    assert(agree == 7000L && k.contains(400000L))
+  }
+
+  test("agreementKappa: perfect agreement is 1e6, independence is ~0, constant gate is null") {
+    assert(kappa(Seq((1, 1), (1, 1), (0, 0)))._7.contains(1000000L))
+    // independent: a=1 on half, b=1 on half, jointly balanced
+    val indep = Seq((1, 1), (1, 0), (0, 1), (0, 0))
+    assert(indep.size == 4 && kappa(indep)._7.contains(0L))
+    // one constant gate still has pe < 1: kappa is defined (and 0 —
+    // a constant gate carries no information)
+    assert(kappa(Seq((1, 1), (1, 0)))._7.contains(0L))
+    // BOTH gates constant: pe = 1, kappa undefined
+    assert(kappa(Seq((1, 1), (1, 1)))._7.isEmpty)
+  }
+
+  test("agreementKappa: systematic disagreement goes negative") {
+    val k = kappa(Seq((1, 0), (1, 0), (0, 1), (0, 1)))._7
+    assert(k.contains(-1000000L))
+  }
 }

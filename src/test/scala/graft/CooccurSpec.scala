@@ -80,4 +80,27 @@ class CooccurSpec extends AnyFunSuite {
       .toSet
     assert(toks == Set(("aa", "bb")))
   }
+
+  test("itemLift: hand-computed lift over presence sets, duplicates count once") {
+    // baskets: u1{x,y} u2{x,y} u3{x} u4{y,z} — n=4, c_x=3, c_y=3, c_z=1,
+    // c_xy=2, c_yz=1; lift(x,y)=4*2/9, lift(y,z)=4*1/3
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (1L, "x"), // duplicate (1,x) must not double-count
+      (2L, "x"), (2L, "y"),
+      (3L, "x"),
+      (4L, "y"), (4L, "z"))
+    val got = Cooccur
+      .itemLift(rows.toDF("user_id", "event_type"), "user_id", "event_type")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .map(r => (r._1, r._2) -> r)
+      .toMap
+    assert(got.keySet == Set(("x", "y"), ("y", "z")))
+    val (_, _, n, cx, cy, cxy, supXy, liftXy) = got(("x", "y"))
+    assert((n, cx, cy, cxy) == ((4L, 3L, 3L, 2L)))
+    assert(supXy == 5000L)                 // 2/4 in bps
+    assert(liftXy == 888889L)              // round(8/9 * 1e6)
+    val (_, _, _, _, _, _, supYz, liftYz) = got(("y", "z"))
+    assert(supYz == 2500L && liftYz == 1333333L) // round(4/3 * 1e6)
+  }
 }
