@@ -2156,6 +2156,66 @@ object SparkEntry {
         .gopherRules(withQ, "text", carryCols = Seq("keep_q"))
         .select(col("keep").as("keep_g"), col("keep_q"))
       graft.ops.Contingency.agreementKappa(gates, "keep_g", "keep_q")
+    },
+    "markov_stationary" -> { (s, dir) =>
+      // Long-run event-type share under the observed transition matrix:
+      // six exact power-iteration steps over the K-bounded transition
+      // counts (driver-side on a <= K^2 frame — the corpus-sized work is
+      // the single eventTransitions pass; ops/Cohort.scala).
+      graft.ops.Cohort.markovStationary(eventsTable(s, dir))
+    },
+    "attribution_position" -> { (s, dir) =>
+      // U-shaped (position-based) attribution: within each purchase's
+      // touch window (same purchase-sequence bracketing as
+      // attribution_linear), first and last touch get 40% each, middles
+      // split the remaining 20%; k=1 takes all, k=2 splits 50/50. Exact
+      // round-half-up micro-cents per touch; two user-keyed windows and
+      // one co-partitioned join — no purchase x touch blowup.
+      import graft.functions.ExactDecimal.scaledRatio
+      val w = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val seqd = eventsTable(s, dir)
+        .select(
+          col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), cents(col("value")).as("c"))
+        .withColumn(
+          "pseq",
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(w))
+      val purchases = seqd
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("pseq"), col("c"))
+      val touches = seqd
+        .filter(col("event_type") =!= "purchase")
+        .select(
+          col("user_id"), (col("pseq") + 1L).as("pseq"),
+          col("event_type"), col("ts"), col("event_id"))
+      val wt = Window.partitionBy("user_id", "pseq")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wk = Window.partitionBy("user_id", "pseq")
+      touches
+        .withColumn("rn", row_number().over(wt).cast("long"))
+        .withColumn("k", count(lit(1)).over(wk))
+        .join(purchases, Seq("user_id", "pseq"))
+        .withColumn(
+          "credit",
+          when(col("k") === 1, scaledRatio(col("c"), lit(1L)))
+            .when(col("k") === 2, scaledRatio(col("c"), lit(2L)))
+            .when(col("rn") === 1 || col("rn") === col("k"),
+              scaledRatio(col("c") * 2L, lit(5L)))
+            .otherwise(scaledRatio(col("c"), (col("k") - 2L) * 5L)))
+        .groupBy(col("event_type").as("touch_type"))
+        .agg(
+          count(lit(1)).as("n_touches"),
+          sum(col("credit")).cast("long").as("credit_microcents"))
+    },
+    "minhash_calibration" -> { (s, dir) =>
+      // MinHash estimator calibration: signature-estimate vs exact
+      // Jaccard per LSH candidate pair, exact bps + signed error — "how
+      // many hash functions does my dedup threshold actually need",
+      // measured (ops/Dedup.scala).
+      Dedup.minhashCalibration(table(s, dir, "documents"))
     }
   )
 
@@ -2296,6 +2356,41 @@ object SparkEntry {
       |           AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
       |  FROM joined
       |)""".stripMargin
+
+  /** Unrolled six-step power iteration mirroring
+    * [[graft.ops.Cohort.markovStationary]]: uniform micro start, per-edge
+    * round-half-up mass distribution, dangling states self-loop.
+    */
+  private val MarkovStationaryOracle: String = {
+    val base =
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
+        |  FROM events
+        |), m0 AS (
+        |  SELECT event_type AS src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
+        |), m AS (
+        |  SELECT src_type, dst_type, n, sum(n) OVER (PARTITION BY src_type) AS tot FROM m0
+        |), states AS (
+        |  SELECT src_type AS state FROM m0 UNION SELECT dst_type FROM m0
+        |), kc AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+        |v0 AS (SELECT state, (2000000 + k) // (2 * k) AS v FROM states CROSS JOIN kc)""".stripMargin
+    val steps = (1 to 6).map { i =>
+      val p = s"v${i - 1}"
+      s""",
+         |v$i AS (
+         |  SELECT state, CAST(sum(v) AS BIGINT) AS v FROM (
+         |    SELECT m.dst_type AS state, (2 * $p.v * m.n + m.tot) // (2 * m.tot) AS v
+         |    FROM $p JOIN m ON m.src_type = $p.state
+         |    UNION ALL
+         |    SELECT state, v FROM $p
+         |    WHERE state NOT IN (SELECT src_type FROM m0)
+         |  ) GROUP BY 1
+         |)""".stripMargin
+    }.mkString
+    base + steps + "\nSELECT state, CAST(v AS BIGINT) AS pi_micro FROM v6"
+  }
 
   /** Shared CTEs reproducing [[graft.ops.Clustering.kmeansAssign]] with
     * k=8, iters=2, scale=10⁴: `ex(vec_id, i, v)` the quantized exploded
@@ -5882,6 +5977,55 @@ object SparkEntry {
         |  CAST(CASE WHEN kden > 0 THEN (2000000 * knum + kden
         |    - (((2000000 * knum + kden) % (2 * kden)) + 2 * kden) % (2 * kden)) // (2 * kden)
         |    END AS BIGINT) AS kappa_micro
-        |FROM q""".stripMargin
+        |FROM q""".stripMargin,
+    "markov_stationary" -> MarkovStationaryOracle,
+    "attribution_position" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS c,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS pseq
+        |  FROM events
+        |), p AS (SELECT user_id, pseq, c FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, pseq + 1 AS pseq, event_type, ts, event_id
+        |      FROM e WHERE event_type <> 'purchase'),
+        |pos AS (
+        |  SELECT user_id, pseq, event_type,
+        |    CAST(row_number() OVER (PARTITION BY user_id, pseq ORDER BY ts, event_id)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id, pseq) AS BIGINT) AS kk
+        |  FROM t
+        |)
+        |SELECT pos.event_type AS touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(CASE
+        |    WHEN kk = 1 THEN (2000000 * p.c + 1) // 2
+        |    WHEN kk = 2 THEN (2000000 * p.c + 2) // 4
+        |    WHEN rn = 1 OR rn = kk THEN (2000000 * p.c * 2 + 5) // 10
+        |    ELSE (2000000 * p.c + 5 * (kk - 2)) // (10 * (kk - 2)) END) AS BIGINT)
+        |    AS credit_microcents
+        |FROM pos
+        |JOIN p ON p.user_id = pos.user_id AND p.pseq = pos.pseq
+        |GROUP BY 1""".stripMargin,
+    "minhash_calibration" ->
+      s"""$Md5NearDupCtes, mm AS (
+        |  SELECT cand.id_a, cand.id_b,
+        |    CAST(count(*) FILTER (WHERE sa.m = sb.m) AS BIGINT) AS n_match
+        |  FROM cand
+        |  JOIN sig sa ON sa.doc_id = cand.id_a
+        |  JOIN sig sb ON sb.doc_id = cand.id_b AND sb.j = sa.j
+        |  GROUP BY 1, 2
+        |), cal AS (
+        |  SELECT mm.id_a, mm.id_b, n_match,
+        |    CAST(len(list_filter(ha.hset, x -> list_contains(hb.hset, x))) AS BIGINT) AS inter,
+        |    CAST(len(list_distinct(list_concat(ha.hset, hb.hset))) AS BIGINT) AS uni
+        |  FROM mm JOIN hs ha ON ha.doc_id = mm.id_a JOIN hs hb ON hb.doc_id = mm.id_b
+        |)
+        |SELECT id_a, id_b, n_match,
+        |  CAST((20000 * n_match + 64) // 128 AS BIGINT) AS est_bps,
+        |  CAST((20000 * inter + uni) // (2 * uni) AS BIGINT) AS exact_bps,
+        |  CAST((20000 * n_match + 64) // 128
+        |    - (20000 * inter + uni) // (2 * uni) AS BIGINT) AS err_bps
+        |FROM cal""".stripMargin
   )
 }

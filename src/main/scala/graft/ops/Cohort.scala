@@ -115,4 +115,62 @@ object Cohort {
         col("total"),
         col("n_hours").cast("int").as("n_hours"))
   }
+
+  /** Stationary distribution of the [[eventTransitions]] Markov chain
+    * after a FIXED number of exact power-iteration steps — "where does
+    * user attention settle": the long-run share of each event type if
+    * behavior keeps following the observed transition matrix. The output
+    * is defined as the value after exactly `iters` steps (not a
+    * convergence test), so it is deterministic and engine-portable
+    * whether or not the chain has mixed.
+    *
+    * Exactness: v₀ is the uniform micro vector round(10⁶/K); each step
+    * distributes v_i over its outgoing counts as
+    * `round_half_up(v_i·n_ij / tot_i)` per edge and sums as longs —
+    * integer-only, the oracle unrolls the same steps. States with no
+    * outgoing transitions self-loop (their mass holds), so the total mass
+    * drifts only by per-step rounding (≤ K/2 micro per step).
+    *
+    * Shape: the transition matrix of an enum-like event vocabulary is
+    * ≤ K² rows — the iteration happens on a DRIVER-SIDE copy of that
+    * bounded frame (the [[graft.ops.Bpe]] batched-argmax discipline:
+    * collecting a K²-bounded frame is a constant, not a scale risk); the
+    * corpus-sized work is exactly the one [[eventTransitions]] pass.
+    */
+  def markovStationary(
+      events: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      iters: Int = 6
+  ): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // bounded collect: ≤ |event types|² rows
+    val rows = eventTransitions(events, userCol, typeCol, tsCol, idCol)
+      .select(col("src_type"), col("dst_type"), col("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (rows.map(_._1) ++ rows.map(_._2)).distinct.sorted
+    val k = states.length.toLong
+    val outTot = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val bySrc = rows.groupBy(_._1)
+    // floor((2·scale·num + den) / (2·den)) — ExactDecimal.scaledRatio in
+    // driver longs (num ≥ 0 here, so plain division is the floor)
+    def sr(num: Long, den: Long, scale: Long): Long = (2 * scale * num + den) / (2 * den)
+    var v: Map[String, Long] = states.map(s => s -> sr(1L, k, 1000000L)).toMap
+    for (_ <- 1 to iters) {
+      val next = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      states.foreach { s =>
+        outTot.get(s) match {
+          case Some(tot) =>
+            bySrc(s).foreach { case (_, dst, n) => next(dst) += sr(v(s) * n, tot, 1L) }
+          case None => next(s) += v(s) // dangling state: self-loop
+        }
+      }
+      v = states.map(s => s -> next(s)).toMap
+    }
+    states.map(s => (s, v(s))).toSeq.toDF("state", "pi_micro")
+  }
 }

@@ -930,6 +930,68 @@ object Dedup {
       finally pairs.unpersist(blocking = false)
   }
 
+  /** MinHash estimator calibration over the LSH candidate pairs: for each
+    * candidate, the signature-based Jaccard ESTIMATE (matching components
+    * / numHashes) next to the exact shingle-set Jaccard, both in exact
+    * basis points, plus the signed error. This is the index-quality
+    * benchmark for the dedup family — the [[graft.ops.Retrieval]]
+    * `ann_ivf_recall` analogue: it answers "how many hash functions do I
+    * actually need at my dedup threshold" with measurements instead of
+    * the E[err] = √(s(1−s)/k) rule of thumb.
+    *
+    * Exactness: component matches and set sizes are exact ints; both
+    * ratios close with one round-half-up division each
+    * ([[graft.functions.ExactDecimal.scaledRatio]]) — no float anywhere.
+    *
+    * Shape: candidates come from the same banded pipeline as
+    * [[minhashMd5Pairs]] (bucket-capped, ids-only); signatures and
+    * shingle sets are then computed for CANDIDATE docs only via two
+    * id-keyed joins — the same two-sided verify join the pair pipeline
+    * already performs, with the signature riding along.
+    */
+  def minhashCalibration(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    val cand = minhashMd5Pairs(
+      docs, idCol, textCol, shingleN, numHashes, bands,
+      threshold = 0.0, maxBucket = maxBucket, materialize = false)
+      .select("id_a", "id_b")
+    val sideA = docs.select(
+      col(idCol).as("id_a"),
+      graft.functions.MinhashMd5Sig.column(col(textCol), shingleN, numHashes).as("sig_a"),
+      graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("set_a"))
+    val sideB = docs.select(
+      col(idCol).as("id_b"),
+      graft.functions.MinhashMd5Sig.column(col(textCol), shingleN, numHashes).as("sig_b"),
+      graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("set_b"))
+    cand
+      .join(sideA, Seq("id_a"))
+      .join(sideB, Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("long")),
+          lit(0L),
+          (acc, m) => acc + m).as("n_match"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("inter"),
+        size(array_union(col("set_a"), col("set_b"))).cast("long").as("uni"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        col("n_match"),
+        scaledRatio(col("n_match"), lit(numHashes.toLong), 10000L).cast("long").as("est_bps"),
+        scaledRatio(col("inter"), col("uni"), 10000L).cast("long").as("exact_bps"))
+      .withColumn("err_bps", col("est_bps") - col("exact_bps"))
+  }
+
   /** SimHash near-dup pairs on the md5-anchored 32-bit fingerprint — the
     * oracle-checkable twin of [[simhashNearDupPairs]]: same pigeonhole
     * chunk-banding (any pair within hamming < `chunks` shares an exact

@@ -106,4 +106,39 @@ class CohortSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Int)].collect().toList
     assert(got == List((1L, 2 * hourMs, 2L, 4L, 3)))
   }
+
+  test("markovStationary: symmetric 2-state chain stays uniform exactly") {
+    // a<->b alternating: P(a->b)=P(b->a)=1; uniform start is the exact
+    // stationary point, every iteration reproduces it bit-for-bit
+    val ev = (0 until 10)
+      .map(i => (1L, i.toLong, i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Cohort.markovStationary(ev)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 500000L, "b" -> 500000L))
+  }
+
+  test("markovStationary converges toward the analytic stationary distribution") {
+    // one user: a a b a a b -> P(a->a)=1/2, P(a->b)=1/2, P(b->a)=1;
+    // true pi = (2/3, 1/3); second eigenvalue -1/2 halves the error each
+    // step, so 6 steps from uniform land within ~3e3 micro of 2/3
+    val seqTypes = Seq("a", "a", "b", "a", "a", "b")
+    val ev = seqTypes.zipWithIndex
+      .map { case (t, i) => (1L, i.toLong, i.toLong, t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Cohort.markovStationary(ev).as[(String, Long)].collect().toMap
+    assert(math.abs(got("a") - 666667L) < 5000L, s"$got")
+    assert(math.abs(got("b") - 333333L) < 5000L, s"$got")
+    // mass conserved up to per-step rounding (<= K/2 micro per step)
+    assert(math.abs(got.values.sum - 1000000L) <= 6L)
+  }
+
+  test("markovStationary: dangling states self-loop and absorb inbound mass") {
+    // a -> c once; c never transitions out. All mass ends at c after one
+    // step and stays there exactly.
+    val ev = Seq((1L, 0L, 0L, "a"), (1L, 1L, 1L, "c"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Cohort.markovStationary(ev).as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 0L, "c" -> 1000000L))
+  }
 }

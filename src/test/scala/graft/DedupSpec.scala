@@ -362,4 +362,27 @@ class DedupSpec extends AnyFunSuite {
       ("siteA", "siteB") -> 1L, ("siteA", "siteC") -> 1L,
       ("siteB", "siteC") -> 1L, ("siteA", "siteA") -> 1L))
   }
+
+  test("minhashCalibration: identical docs estimate exactly, all rows hold the invariants") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, text),
+      (2L, text), // exact copy: every band collides, jaccard 1
+      (3L, text + " iota kappa"), // superset shingles: high overlap
+      (4L, "completely different words with nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.minhashCalibration(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val byPair = got.map(r => (r._1, r._2) -> r).toMap
+    // the exact copy is always a candidate and calibrates perfectly
+    val (_, _, m12, est12, exact12, err12) = byPair((1L, 2L))
+    assert(m12 == 64L && est12 == 10000L && exact12 == 10000L && err12 == 0L)
+    // every emitted row: est = round(1e4 * n_match/64), err = est - exact,
+    // and both ratios stay in [0, 10000]
+    got.foreach { case (_, _, m, est, exact, err) =>
+      assert(est == (20000L * m + 64L) / 128L)
+      assert(err == est - exact)
+      assert(m >= 0L && m <= 64L && exact >= 0L && exact <= 10000L)
+    }
+  }
 }
