@@ -601,12 +601,12 @@ object TextAnalysis {
     * ([[graft.functions.ExactDecimal.scaledRatio]]) — no float anywhere,
     * the oracle agrees by construction.
     *
-    * Shape: explode distinct grams → one gram-keyed aggregation for the
-    * global first-occurrence id → the gram-keyed join back reuses the SAME
-    * hash partitioning (no second exchange under AQE) → one doc-keyed
-    * aggregation. Every post-explode frame carries (gram, id) only — the
-    * text never shuffles. Docs shorter than n tokens have no grams and no
-    * output row (the oracle mirrors).
+    * Shape: explode distinct grams → ONE gram-keyed exchange, on which a
+    * gram-partitioned window computes the global first-occurrence id
+    * in place (no agg-plus-join-back, no second corpus scan) → one
+    * doc-keyed aggregation. Every post-explode frame carries (gram, id)
+    * only — the text never shuffles. Docs shorter than n tokens have no
+    * grams and no output row (the oracle mirrors).
     */
   def ngramNovelty(
       docs: DataFrame,
@@ -615,13 +615,12 @@ object TextAnalysis {
       n: Int = 3
   ): DataFrame = {
     import graft.functions.ExactDecimal.scaledRatio
-    val grams = docs
+    val wGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    docs
       .select(
         col(idCol).as("doc_id"),
         explode(array_distinct(ngramsWithDups(col(textCol), n))).as("gram"))
-    val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
-    grams
-      .join(first, "gram")
+      .withColumn("first_doc", min(col("doc_id")).over(wGram))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),

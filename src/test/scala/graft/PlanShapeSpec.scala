@@ -355,4 +355,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       "attribution must not join — one window over the interleaved sequence")
   }
+
+  test("round-7 batch: every window partitioned, no cartesian product anywhere") {
+    for (q <- Seq(
+        "ngram_novelty", "source_kl_matrix", "zipf_alpha", "quality_percentiles",
+        "attribution_linear", "attribution_position", "event_lift_matrix",
+        "minhash_calibration", "filter_agreement_kappa")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.count()
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.forall(_.partitionSpec.nonEmpty), s"$q has an unpartitioned window")
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("source_kl_matrix: bounded legs broadcast off the checkpointed counts, corpus scanned once") {
+    val plan = executedPlan("source_kl_matrix")
+    assert(!plan.contains("SortMergeJoin"), "sources x vocab work must broadcast")
+    assert(!plan.contains("Scan parquet"), "corpus rescanned past the checkpoint")
+  }
+
+  test("event_lift_matrix: K-bounded legs run on the checkpointed set frame and broadcast") {
+    val plan = executedPlan("event_lift_matrix")
+    assert(!plan.contains("SortMergeJoin"), "K-bounded totals must broadcast")
+    assert(!plan.contains("Scan parquet"), "event log rescanned past the checkpoint")
+  }
+
+  test("ngram_novelty: one corpus scan, one gram exchange, no join") {
+    val plan = executedPlan("ngram_novelty")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, "corpus must be scanned once")
+    assert(!plan.contains("Join"), "first-occurrence must ride the gram window, not a join")
+  }
 }
