@@ -2216,6 +2216,37 @@ object SparkEntry {
       // many hash functions does my dedup threshold actually need",
       // measured (ops/Dedup.scala).
       Dedup.minhashCalibration(table(s, dir, "documents"))
+    },
+    "ab_mann_whitney" -> { (s, dir) =>
+      // Rank-based location test over the two user-parity cohorts'
+      // values: doubled tie-midrank U statistic, its mean, and the
+      // tie-corrected variance — all exact integers on the distributed
+      // CDF, no single-task window anywhere (ops/Contingency.scala).
+      graft.ops.Contingency.mannWhitney(
+        eventsTable(s, dir).select(
+          pmod(col("user_id"), lit(2L)).cast("int").as("cohort"),
+          cents(col("value")).as("cents")),
+        "cohort", "cents")
+    },
+    "ab_welch_t" -> { (s, dir) =>
+      // Unequal-variance mean test over the same cohorts: exact-rational
+      // mean difference and squared standard error in micro units, plus
+      // an IEEE-deterministic t (division + sqrt only — no libm
+      // transcendental, so no margin audit needed)
+      // (ops/Contingency.scala).
+      graft.ops.Contingency.welchT(
+        eventsTable(s, dir).select(
+          pmod(col("user_id"), lit(2L)).cast("int").as("cohort"),
+          cents(col("value")).as("cents")),
+        "cohort", "cents")
+    },
+    "k_anonymity_report" -> { (s, dir) =>
+      // Re-identification risk audit on the customer quasi-identifiers
+      // (nation, market segment): groups below k=5, the rows needing
+      // suppression, and the dataset's actual anonymity level
+      // (ops/Integrity.scala).
+      graft.ops.Integrity.kAnonymity(
+        table(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), 5L)
     }
   )
 
@@ -6026,6 +6057,89 @@ object SparkEntry {
         |  CAST((20000 * inter + uni) // (2 * uni) AS BIGINT) AS exact_bps,
         |  CAST((20000 * n_match + 64) // 128
         |    - (20000 * inter + uni) // (2 * uni) AS BIGINT) AS err_bps
-        |FROM cal""".stripMargin
+        |FROM cal""".stripMargin,
+    "ab_mann_whitney" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS cohort,
+        |    CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS cents
+        |  FROM events
+        |), c AS (
+        |  SELECT cents,
+        |    CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS c0,
+        |    CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS c1
+        |  FROM e GROUP BY 1
+        |), r AS (
+        |  SELECT c0, c1, c0 + c1 AS g,
+        |    2 * (sum(c0 + c1) OVER (ORDER BY cents
+        |      ROWS UNBOUNDED PRECEDING) - (c0 + c1)) + (c0 + c1) + 1 AS r2
+        |  FROM c
+        |), a AS (
+        |  SELECT sum(c0) AS n0, sum(c1) AS n1, sum(c0 * r2) AS r0x2,
+        |    sum(g * g * g - g) AS ties
+        |  FROM r
+        |), q AS (SELECT n0, n1, r0x2, ties, n0 + n1 AS n FROM a)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(r0x2 - n0 * (n0 + 1) AS BIGINT) AS u2_statistic,
+        |  CAST(n0 * n1 AS BIGINT) AS mu2,
+        |  CAST(CASE WHEN n * (n - 1) > 0 THEN
+        |    (2 * n0 * n1 * ((n + 1) * n * (n - 1) - ties) + 12 * n * (n - 1))
+        |      // (24 * n * (n - 1))
+        |    END AS BIGINT) AS var_units
+        |FROM q""".stripMargin,
+    "ab_welch_t" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id % 2 AS INT) AS cohort,
+        |    CAST(floor(value * 100 + 0.5e0) AS HUGEINT) AS v
+        |  FROM events
+        |), a AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n0,
+        |    CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+        |    sum(CASE WHEN cohort = 0 THEN v ELSE 0 END) AS s0,
+        |    sum(CASE WHEN cohort = 1 THEN v ELSE 0 END) AS s1,
+        |    sum(CASE WHEN cohort = 0 THEN v * v ELSE 0 END) AS q0,
+        |    sum(CASE WHEN cohort = 1 THEN v * v ELSE 0 END) AS q1
+        |  FROM e
+        |), q AS (
+        |  SELECT n0, n1,
+        |    s0 * n1 - s1 * n0 AS mdnum, n0 * n1 AS mdden,
+        |    (n0 * q0 - s0 * s0) * n1 * n1 * (n1 - 1)
+        |      + (n1 * q1 - s1 * s1) * n0 * n0 * (n0 - 1) AS senum,
+        |    n0 * n0 * (n0 - 1) * n1 * n1 * (n1 - 1) AS seden
+        |  FROM a
+        |), m AS (
+        |  SELECT n0, n1,
+        |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |      (2000000 * mdnum + mdden
+        |        - (((2000000 * mdnum + mdden) % (2 * mdden)) + 2 * mdden) % (2 * mdden))
+        |        // (2 * mdden) END AS md,
+        |    CASE WHEN n0 > 1 AND n1 > 1 THEN
+        |      (2000000 * senum + seden) // (2 * seden) END AS se2
+        |  FROM q
+        |)
+        |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(md AS BIGINT) AS mean_diff_micro,
+        |  CAST(se2 AS BIGINT) AS se2_micro,
+        |  CAST(CASE WHEN se2 > 0 THEN floor(
+        |    CAST(md AS DOUBLE) / sqrt(CAST(se2 AS DOUBLE) * 1000000.0e0) * 1000.0e0
+        |      + 0.5e0) END AS BIGINT) AS t_milli
+        |FROM m""".stripMargin,
+    "k_anonymity_report" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+        |    CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_suppressed_rows,
+        |    CAST(min(n) AS BIGINT) AS anonymity_level
+        |  FROM g
+        |)
+        |SELECT 'c_nationkey,c_mktsegment' AS quasi_identifiers, CAST(5 AS BIGINT) AS k,
+        |  n_groups, n_violating_groups, n_rows, n_suppressed_rows, anonymity_level,
+        |  CAST((20000 * n_suppressed_rows + n_rows) // (2 * n_rows) AS BIGINT)
+        |    AS suppressed_bps
+        |FROM a""".stripMargin
   )
 }

@@ -113,6 +113,125 @@ object Contingency {
         col(valueCol).cast("long").as("at_value"))
   }
 
+  /** Mann–Whitney U over two cohorts' value distributions — the
+    * rank-based location test completing the A/B family (chi-square for
+    * categories, KS for shape, bootstrap for means, U for medians without
+    * a normality assumption).
+    *
+    * Everything is EXACT integer: ranks come from the distributed CDF
+    * ([[Ranking.runningTotals]] over per-value counts — never a
+    * single-task window), tied values take the midrank, and to keep
+    * midranks integral the statistic is reported DOUBLED:
+    * `u2_statistic = 2·U₀ = 2·R₀ − n₀(n₀+1)` with 2·rank of a tie group
+    * `= 2·prev_cum + g + 1`. `mu2 = n₀·n₁ = 2·E[U]`, and the
+    * tie-corrected variance closes as one exact rational:
+    * `σ² = n₀n₁·((n+1)·n(n−1) − Σ(g³−g)) / (12·n(n−1))`, rounded
+    * half-up to WHOLE units (`var_units`): σ² grows as n³, so integer
+    * units already carry ~14 significant digits at n = 10⁵ and micro
+    * units would overflow a long. A consumer derives
+    * z = (u2 − mu2) / (2·√σ²). (At 100 TB counts the cubic products
+    * ride DECIMAL(38,0) — already the working type here.)
+    *
+    * Shape: one (value) aggregation collapses the log to distinct-value
+    * counts, the prefix-sum primitive ranks them with ≤ P driver longs,
+    * one single-row aggregation closes. Frames after the first agg are
+    * value-vocabulary sized.
+    */
+  def mannWhitney(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val counts = df
+      .groupBy(col(valueCol))
+      .agg(
+        sum(when(col(groupCol) === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col(groupCol) === 1, 1L).otherwise(0L)).as("c1"))
+    val cum = Ranking.runningTotals(counts, Seq(col(valueCol).asc), Seq("c0", "c1"))
+    val n = d(col("n0")) + d(col("n1"))
+    cum
+      .withColumn("g", col("c0") + col("c1"))
+      .withColumn(
+        "r2",
+        lit(2L) * (col("cum_c0") + col("cum_c1") - col("g")) + col("g") + 1L)
+      .agg(
+        sum(col("c0")).cast("long").as("n0"),
+        sum(col("c1")).cast("long").as("n1"),
+        sum(d(col("c0")) * d(col("r2"))).as("r0x2"),
+        sum(d(col("g")) * d(col("g")) * d(col("g")) - d(col("g"))).as("ties"))
+      .select(
+        col("n0"),
+        col("n1"),
+        (col("r0x2") - d(col("n0")) * (d(col("n0")) + d(lit(1L))))
+          .cast("long")
+          .as("u2_statistic"),
+        (col("n0") * col("n1")).as("mu2"),
+        when(
+          n * (n - d(lit(1L))) > 0,
+          scaledRatio(
+            d(col("n0")) * d(col("n1")) *
+              ((n + d(lit(1L))) * n * (n - d(lit(1L))) - col("ties")),
+            lit(12L).cast(Dec) * n * (n - d(lit(1L))),
+            1L))
+          .cast("long")
+          .as("var_units"))
+  }
+
+  /** Welch's t pieces over two cohorts — the unequal-variance mean test,
+    * reported as exact integers plus one IEEE-deterministic t.
+    *
+    * `mean_diff_micro` and the standard-error square `se2_micro`
+    * (= s₀²/n₀ + s₁²/n₁) are EXACT rationals of the integer sums/squares,
+    * rounded once to micro units. `t_milli` is then derived from those
+    * two already-rounded longs with division and sqrt ONLY — both
+    * correctly-rounded IEEE operations (no libm transcendental), so the
+    * double is bit-identical in any engine and needs no margin audit.
+    *
+    * Shape: ONE aggregation over the input (map-side partials, single row
+    * out). Cohorts with fewer than two rows yield nulls rather than a
+    * zero division. (The ΣX² products ride DECIMAL(38,0); at 100 TB the
+    * same structure holds.)
+    */
+  def welchT(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val v = d(col(valueCol))
+    val agg = df.agg(
+      sum(when(col(groupCol) === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col(groupCol) === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col(groupCol) === 0, v).otherwise(d(lit(0L)))).as("s0"),
+      sum(when(col(groupCol) === 1, v).otherwise(d(lit(0L)))).as("s1"),
+      sum(when(col(groupCol) === 0, v * v).otherwise(d(lit(0L)))).as("q0"),
+      sum(when(col(groupCol) === 1, v * v).otherwise(d(lit(0L)))).as("q1"))
+    val n0 = d(col("n0"))
+    val n1 = d(col("n1"))
+    val one = d(lit(1L))
+    val seNum = (n0 * col("q0") - col("s0") * col("s0")) * n1 * n1 * (n1 - one) +
+      (n1 * col("q1") - col("s1") * col("s1")) * n0 * n0 * (n0 - one)
+    val seDen = n0 * n0 * (n0 - one) * n1 * n1 * (n1 - one)
+    agg
+      .select(
+        col("n0"),
+        col("n1"),
+        when(col("n0") > 0 && col("n1") > 0,
+          scaledRatio(col("s0") * n1 - col("s1") * n0, n0 * n1))
+          .cast("long")
+          .as("mean_diff_micro"),
+        when(col("n0") > 1 && col("n1") > 1, scaledRatio(seNum, seDen))
+          .cast("long")
+          .as("se2_micro"))
+      .withColumn(
+        "t_milli",
+        when(col("se2_micro") > 0,
+          floor(
+            col("mean_diff_micro").cast("double") /
+              sqrt(col("se2_micro").cast("double") * lit(1e6)) * lit(1000.0) +
+              lit(0.5)))
+          .cast("long"))
+  }
+
   /** Cohen's kappa agreement between two binary gates (0/1 columns on the
     * same rows) — "do these two filters make the same keep/drop calls
     * beyond chance". The calibration question a curation pipeline asks

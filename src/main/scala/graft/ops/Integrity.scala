@@ -59,4 +59,43 @@ object Integrity {
         col("n_lhs"),
         col("n_pairs"),
         when(col("n_lhs") === col("n_pairs"), 1).otherwise(0).cast("int").as("holds"))
+
+  /** k-anonymity audit over a quasi-identifier combination: how many QI
+    * groups fall below the anonymity threshold k, how many rows they hold
+    * (the rows that would need suppression or generalization before
+    * release), and the dataset's actual anonymity level (the minimum
+    * group size). The privacy sibling of the PII redaction pass: that one
+    * scrubs direct identifiers, this one measures re-identification risk
+    * from the indirect ones.
+    *
+    * Exactness: counts and one round-half-up basis-point division — the
+    * oracle agrees by construction.
+    *
+    * Shape: one aggregation to the QI-bounded group frame, one more to a
+    * single row; map-side partials on both. Nothing row-scale survives
+    * the first aggregation.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    df
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).cast("long").as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(col("n")).cast("long").as("n_rows"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_suppressed_rows"),
+        min(col("n")).cast("long").as("anonymity_level"))
+      .select(
+        lit(qiCols.mkString(",")).as("quasi_identifiers"),
+        lit(k).as("k"),
+        col("n_groups"),
+        col("n_violating_groups"),
+        col("n_rows"),
+        col("n_suppressed_rows"),
+        col("anonymity_level"),
+        scaledRatio(col("n_suppressed_rows"), col("n_rows"), 10000L)
+          .cast("long")
+          .as("suppressed_bps"))
+  }
 }

@@ -98,4 +98,57 @@ class ContingencySpec extends AnyFunSuite {
     val k = kappa(Seq((1, 0), (1, 0), (0, 1), (0, 1)))._7
     assert(k.contains(-1000000L))
   }
+
+  private def mw(rows: Seq[(Int, Long)]): (Long, Long, Long, Long, Option[Long]) =
+    Contingency
+      .mannWhitney(rows.toDF("g", "v"), "g", "v")
+      .as[(Long, Long, Long, Long, Option[Long])]
+      .collect()
+      .head
+
+  test("mannWhitney: hand-computed without ties") {
+    // c0 = {1,2}, c1 = {3,4}: R0 = 3, U0 = 0, mu2 = 4,
+    // sigma^2 = n0*n1*(n+1)/12 = 20/12 -> round 2
+    assert(mw(Seq((0, 1L), (0, 2L), (1, 3L), (1, 4L))) ==
+      ((2L, 2L, 0L, 4L, Some(2L))))
+  }
+
+  test("mannWhitney: tie midranks and the tie-corrected variance") {
+    // c0 = {1,1}, c1 = {1,2}: three 1s share midrank 2 (r2 = 4),
+    // 2R0 = 8, u2 = 8 - 2*3 = 2; ties term 24 ->
+    // sigma^2 = 4*(5*4*3 - 24)/(12*4*3) = 1
+    assert(mw(Seq((0, 1L), (0, 1L), (1, 1L), (1, 2L))) ==
+      ((2L, 2L, 2L, 4L, Some(1L))))
+  }
+
+  test("mannWhitney: swapping cohorts reflects u2 around mu2 (u2 + u2' = 2*n0*n1)") {
+    val rows = Seq((0, 5L), (0, 9L), (0, 9L), (1, 2L), (1, 9L), (1, 11L), (1, 20L))
+    val a = mw(rows)
+    val b = mw(rows.map { case (g, v) => (1 - g, v) })
+    assert(a._3 + b._3 == 2L * a._1 * a._2)
+    assert(a._5 == b._5) // variance is cohort-symmetric
+  }
+
+  private def welch(rows: Seq[(Int, Long)]) =
+    Contingency
+      .welchT(rows.toDF("g", "v"), "g", "v")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect()
+      .head
+
+  test("welchT: hand-computed means, standard error, and t") {
+    // c0 = {10, 20}: mean 15, s^2 = 50; c1 = {10, 30}: mean 20, s^2 = 200
+    // se2 = 50/2 + 200/2 = 125; t = -5 / sqrt(125) = -0.44721...
+    val (n0, n1, md, se2, t) = welch(Seq((0, 10L), (0, 20L), (1, 10L), (1, 30L)))
+    assert((n0, n1) == ((2L, 2L)))
+    assert(md.contains(-5000000L) && se2.contains(125000000L))
+    assert(t.contains(-447L)) // floor(-447.21 + 0.5)
+  }
+
+  test("welchT: identical cohorts give zero diff; singleton cohort gives null se2") {
+    val (_, _, md, se2, t) = welch(Seq((0, 7L), (0, 9L), (1, 7L), (1, 9L)))
+    assert(md.contains(0L) && se2.contains(2000000L) && t.contains(0L))
+    val (_, _, _, se2b, tb) = welch(Seq((0, 7L), (1, 5L), (1, 9L)))
+    assert(se2b.isEmpty && tb.isEmpty)
+  }
 }

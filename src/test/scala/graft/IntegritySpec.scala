@@ -46,4 +46,28 @@ class IntegritySpec extends AnyFunSuite {
       .as[(String, Long, Long, Int)].collect().toList
     assert(got == List(("l->r", 2L, 3L, 0)))
   }
+
+  test("kAnonymity: planted group sizes, suppression mass, anonymity level") {
+    // QI groups of sizes 1, 2, 5, 10 with k = 5: two violating groups
+    // holding 3 of 18 rows -> 1667 bps; level = min group = 1
+    val rows =
+      Seq.fill(1)(("n1", "s1")) ++ Seq.fill(2)(("n1", "s2")) ++
+        Seq.fill(5)(("n2", "s1")) ++ Seq.fill(10)(("n2", "s2"))
+    val got = Integrity
+      .kAnonymity(rows.toDF("nat", "seg"), Seq("nat", "seg"), 5L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .head
+    assert(got == (("nat,seg", 5L, 4L, 2L, 18L, 3L, 1L, 1667L)))
+  }
+
+  test("kAnonymity: fully anonymous data reports zero suppression") {
+    val rows = Seq.fill(6)(("a", "x")) ++ Seq.fill(7)(("b", "y"))
+    val got = Integrity
+      .kAnonymity(rows.toDF("nat", "seg"), Seq("nat", "seg"), 5L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .head
+    assert(got._4 == 0L && got._6 == 0L && got._7 == 6L && got._8 == 0L)
+  }
 }
