@@ -2247,6 +2247,45 @@ object SparkEntry {
       // (ops/Integrity.scala).
       graft.ops.Integrity.kAnonymity(
         table(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), 5L)
+    },
+    "prf_expansion_terms" -> { (s, dir) =>
+      // Pseudo-relevance-feedback expansion on the BM25 leg: top-10
+      // feedback docs broadcast into a term harvest, terms ranked by
+      // score-weighted tf, originals excluded (ops/Retrieval.scala).
+      graft.ops.Retrieval.prfExpansionTerms(
+        table(s, dir, "documents"),
+        queryTerms = Seq("table", "scan", "merge", "the"),
+        kDocs = 10, kTerms = 8)
+    },
+    "hbos_outliers" -> { (s, dir) =>
+      // Histogram-based outlier screen over (value bucket, hour-of-day):
+      // rare feature combinations score high under independence; exact
+      // micro ln terms, feature-bounded broadcast histograms, TakeOrdered
+      // top-20 (ops/Robust.scala).
+      graft.ops.Robust.hbosOutliers(
+        eventsTable(s, dir).select(
+          col("event_id"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 5000").as("value_bucket"),
+          expr("(ts_ms div 3600000) % 24").as("hour_utc")),
+        "event_id", Seq("value_bucket", "hour_utc"), k = 20)
+    },
+    "weekly_conversion_rates" -> { (s, dir) =>
+      // Per first-activity-week cohort: users, converters (ever
+      // purchased), conversion in exact bps. Integer epoch-week buckets
+      // (the ops/Cohort convention), two bounded aggregations.
+      import graft.functions.ExactDecimal.scaledRatio
+      eventsTable(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          expr("min((ts_ms div 86400000 - 4) div 7)").as("cohort_week"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+        .groupBy(col("cohort_week"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("converted")).as("n_converted"))
+        .withColumn(
+          "conversion_bps",
+          scaledRatio(col("n_converted"), col("n_users"), 10000L).cast("long"))
     }
   )
 
@@ -6140,6 +6179,69 @@ object SparkEntry {
         |  n_groups, n_violating_groups, n_rows, n_suppressed_rows, anonymity_level,
         |  CAST((20000 * n_suppressed_rows + n_rows) // (2 * n_rows) AS BIGINT)
         |    AS suppressed_bps
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    "prf_expansion_terms" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl,
+        |    string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+        |  WHERE tok IN ('table', 'scan', 'merge', 'the')
+        |  GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    CAST(floor(ln(CAST(2*stats.n + 1 AS DOUBLE)
+        |        / CAST(2*dfreq.df + 1 AS DOUBLE)) * 1.0e6 + 0.5e0) AS BIGINT) AS idf_micro,
+        |    22 * stats.total_dl * tf.tf AS num,
+        |    10 * stats.total_dl * tf.tf + 3 * stats.total_dl + 9 * tf.dl * stats.n AS den
+        |  FROM tf JOIN dfreq USING (tok), stats
+        |), fb AS (
+        |  SELECT doc_id,
+        |    CAST(sum((2*idf_micro*num + den) // (2*den)) AS BIGINT) AS score_micro
+        |  FROM scored GROUP BY 1
+        |  ORDER BY score_micro DESC, doc_id LIMIT 10
+        |), harvest AS (
+        |  SELECT x.tok, x.doc_id, fb.score_micro
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM dl) x
+        |  JOIN fb ON fb.doc_id = x.doc_id
+        |  WHERE x.tok <> '' AND x.tok NOT IN ('table', 'scan', 'merge', 'the')
+        |)
+        |SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_feedback_docs,
+        |  CAST(sum(score_micro) AS BIGINT) AS weight_micro
+        |FROM harvest GROUP BY 1
+        |ORDER BY weight_micro DESC, tok LIMIT 8""".stripMargin,
+    "hbos_outliers" ->
+      """WITH f AS (
+        |  SELECT event_id,
+        |    CAST(floor(value * 100 + 0.5e0) AS BIGINT) // 5000 AS value_bucket,
+        |    (epoch_ms(ts) // 3600000) % 24 AS hour_utc
+        |  FROM events
+        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+        |h1 AS (SELECT value_bucket, CAST(count(*) AS BIGINT) AS c1 FROM f GROUP BY 1),
+        |h2 AS (SELECT hour_utc, CAST(count(*) AS BIGINT) AS c2 FROM f GROUP BY 1)
+        |SELECT f.event_id, f.value_bucket, f.hour_utc,
+        |  CAST(floor(ln(CAST(n AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1e6 + 0.5e0) AS BIGINT)
+        |    + CAST(floor(ln(CAST(n AS DOUBLE) / CAST(c2 AS DOUBLE)) * 1e6 + 0.5e0) AS BIGINT)
+        |    AS hbos_micro
+        |FROM f JOIN h1 USING (value_bucket) JOIN h2 USING (hour_utc) CROSS JOIN tot
+        |ORDER BY hbos_micro DESC, event_id LIMIT 20""".stripMargin,
+    "weekly_conversion_rates" ->
+      """WITH u AS (
+        |  SELECT user_id, min((epoch_ms(ts) // 86400000 - 4) // 7) AS cohort_week,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted,
+        |  CAST((20000 * sum(converted) + count(*)) // (2 * count(*)) AS BIGINT)
+        |    AS conversion_bps
+        |FROM u GROUP BY 1""".stripMargin
   )
 }

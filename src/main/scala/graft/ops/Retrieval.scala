@@ -423,4 +423,47 @@ object Retrieval {
             10000L).cast("long"))
           .otherwise(lit(0L)).as("ndcg_bp"))
   }
+
+  /** Pseudo-relevance-feedback query expansion (RM1-lite): run the BM25
+    * leg, take the top `kDocs` feedback documents, and rank candidate
+    * expansion terms by their score-weighted term frequency across the
+    * feedback set — `weight(t) = Σ_d tf(t,d) · bm25(d)` — excluding the
+    * original query terms. The classic one-round expansion a retrieval
+    * stack bolts onto the keyword leg when recall matters more than
+    * latency (the length-normalization of full RM1 is deliberately
+    * dropped: exact integers end to end, documented divergence).
+    *
+    * Exactness: BM25 scores are the oracle-exact micro ints of
+    * [[bm25TopK]]; tf counts are exact; the weight is a long sum of their
+    * products. Ordering ties break on the term.
+    *
+    * Shape: the feedback frame is kDocs rows and BROADCASTS into the
+    * term-harvest join, so the second corpus pass reduces to a scan +
+    * broadcast semi-join (nothing shuffles at corpus scale); the final
+    * top-kTerms is a TakeOrdered, never a global sort. Two corpus scans
+    * total (postings + harvest) — unavoidable without materializing the
+    * tokenization, and each is column-pruned.
+    */
+  def prfExpansionTerms(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      kDocs: Int = 10,
+      kTerms: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val feedback = bm25TopK(docs, queryTerms, kDocs, idCol = idCol, textCol = textCol)
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "" && !col("tok").isInCollection(queryTerms))
+      .join(broadcast(feedback), Seq("doc_id"))
+      .groupBy(col("tok"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_feedback_docs"),
+        sum(col("score_micro")).as("weight_micro"))
+      .orderBy(col("weight_micro").desc, col("tok").asc)
+      .limit(kTerms)
+  }
 }

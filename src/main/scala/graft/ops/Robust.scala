@@ -315,4 +315,46 @@ object Robust {
       .agg(min(col(valCol)).as(valCol))
       .orderBy(col("pct"))
   }
+
+  /** Histogram-Based Outlier Score (HBOS, Goldstein & Dengel 2012) over
+    * pre-bucketed features: score(x) = Σ_f ln(n / c_f(x)) — rows whose
+    * feature-bucket combination is rare under the independence assumption
+    * score high. The deterministic, training-free anomaly screen that
+    * complements [[madOutliers]]' per-group location test with a
+    * multivariate density one.
+    *
+    * Exactness: each feature term is ONE micro-rounded `ln` of the exact
+    * long ratio n/c_f (the token-entropy discipline; margin-audited in
+    * `LnMarginAuditSpec`), summed as longs; ties on the id. Callers bucket
+    * continuous features to enum-like cardinality FIRST — the histograms
+    * are assumed bounded.
+    *
+    * Shape: one column-pruned aggregation per feature (histograms
+    * feature-bounded, broadcast back), one scoring scan, TakeOrdered
+    * top-k — never a global sort; nothing row-scale shuffles.
+    */
+  def hbosOutliers(
+      df: DataFrame,
+      idCol: String,
+      featureCols: Seq[String],
+      k: Int
+  ): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val tot = df.agg(count(lit(1)).as("n"))
+    var scored = df
+      .select((col(idCol) +: featureCols.map(col)): _*)
+      .crossJoin(broadcast(tot))
+    featureCols.foreach { f =>
+      val hist = df.groupBy(col(f)).agg(count(lit(1)).as(s"c_$f"))
+      scored = scored.join(broadcast(hist), Seq(f))
+    }
+    val terms = featureCols.map(f =>
+      floor(log(col("n").cast("double") / col(s"c_$f").cast("double")) * 1e6 + 0.5)
+        .cast("long"))
+    scored
+      .select(
+        (col(idCol) +: featureCols.map(col)) :+ terms.reduce(_ + _).as("hbos_micro"): _*)
+      .orderBy(col("hbos_micro").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

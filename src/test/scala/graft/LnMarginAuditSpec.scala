@@ -190,6 +190,17 @@ class LnMarginAuditSpec extends AnyFunSuite {
     auditPairs(pairs.distinct, 1e6, "source_kl_matrix")
   }
 
+  test("hbos_outliers: ln(n/c) margin over both feature histograms") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr(
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) div 5000 AS vb",
+        "(unix_micros(CAST(ts AS TIMESTAMP)) div 1000 div 3600000) % 24 AS hr")
+    val n = ev.count()
+    val cs = (ev.groupBy("vb").count().collect().map(_.getLong(1)) ++
+      ev.groupBy("hr").count().collect().map(_.getLong(1))).distinct
+    auditPairs(cs.map(c => (n, c)).toSeq, 1e6, "hbos_outliers")
+  }
+
   test("zipf_alpha: ln(rank) and ln(count) micro margins over the whole vocab") {
     val cnts = docs
       .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("t"))

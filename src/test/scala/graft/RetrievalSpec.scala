@@ -195,4 +195,23 @@ class RetrievalSpec extends AnyFunSuite {
     // C: idcg caps at min(n_rel,k)=3 discounts → ndcg exactly 10000
     assert(got("C") == (("C", 5L, 3L, 1L, 6000L, 1000000L, 2130930L, 10000L)))
   }
+
+  test("prfExpansionTerms: co-occurring terms surface, query terms are excluded") {
+    import spark.implicits._
+    // docs about 'merge' consistently carry 'delta'; off-topic docs carry
+    // 'noise'. The feedback set is the merge docs, so 'delta' must rank
+    // first and neither query term may appear.
+    val docs = (
+      (1L to 6L).map(i => (i, "merge merge table delta delta commit")) ++
+        (7L to 12L).map(i => (i, "noise words other things entirely"))
+    ).toDF("doc_id", "text")
+    val got = Retrieval
+      .prfExpansionTerms(docs, Seq("merge", "table"), kDocs = 4, kTerms = 3)
+      .as[(String, Long, Long)].collect()
+    assert(got.head._1 == "delta")
+    assert(got.head._2 == 4L) // present in all four feedback docs
+    assert(got.forall(t => t._1 != "merge" && t._1 != "table"))
+    // weight equals the sum of the feedback docs' scores (tf = 1 per doc)
+    assert(got.head._3 > 0L && got.map(_._1).toSet == Set("delta", "commit"))
+  }
 }

@@ -192,4 +192,23 @@ class RobustSpec extends AnyFunSuite {
       .as[(Int, Long, Long)].collect().map(r => r._1 -> r._3).toMap
     assert(got == Map(50 -> 10L, 60 -> 20L))
   }
+
+  test("hbosOutliers: the rare feature combination scores highest, terms match the reference") {
+    // 18 rows in common buckets, 2 rares: id 100 is rare on BOTH features
+    val rows =
+      (1L to 9L).map(i => (i, "b1", "h1")) ++
+        (10L to 18L).map(i => (i, "b2", "h2")) ++
+        Seq((100L, "b9", "h9"), (101L, "b1", "h9"))
+    val df = rows.toDF("id", "f1", "f2")
+    val top = Robust.hbosOutliers(df, "id", Seq("f1", "f2"), k = 3)
+      .select("id", "hbos_micro").as[(Long, Long)].collect()
+    def ln6(n: Long, c: Long): Long =
+      math.floor(math.log(n.toDouble / c) * 1e6 + 0.5).toLong
+    val n = 20L
+    // histograms: f1 b1=10 b2=9 b9=1; f2 h1=9 h2=9 h9=2
+    assert(top.head == ((100L, ln6(n, 1) + ln6(n, 2))))
+    assert(top(1) == ((101L, ln6(n, 10) + ln6(n, 2))))
+    // the rest sit strictly below the two planted outliers
+    assert(top(2)._2 < top(1)._2)
+  }
 }
