@@ -2286,6 +2286,13 @@ object SparkEntry {
         .withColumn(
           "conversion_bps",
           scaledRatio(col("n_converted"), col("n_users"), 10000L).cast("long"))
+    },
+    "embedding_top_pc" -> { (s, dir) =>
+      // Dominant variance direction of the embedding cloud: exact integer
+      // scatter matrix via ONE CrossMomentAgg pass (fixed buffer per
+      // partition, never rows x d^2 pairs), then eight driver-side exact
+      // power-iteration steps on the d x d copy (ops/Similarity.scala).
+      graft.ops.Similarity.topPrincipalComponent(table(s, dir, "embeddings"))
     }
   )
 
@@ -2426,6 +2433,46 @@ object SparkEntry {
       |           AND stop_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
       |  FROM joined
       |)""".stripMargin
+
+  /** Unrolled eight-step power iteration mirroring
+    * [[graft.ops.Similarity.topPrincipalComponent]]: exact integer scatter
+    * numerator, all-ones micro start, max-|component| renormalization with
+    * a sign-safe round-half-up division per entry.
+    */
+  private val EmbeddingTopPcOracle: String = {
+    val base =
+      """WITH ex AS MATERIALIZED (
+        |  SELECT vec_id, i.i AS i,
+        |    CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * 10000) AS HUGEINT) AS q
+        |  FROM embeddings, range(64) i(i)
+        |), nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM ex),
+        |s AS MATERIALIZED (SELECT i, sum(q) AS s FROM ex GROUP BY 1),
+        |c AS MATERIALIZED (
+        |  SELECT a.i AS i, b.i AS j, sum(a.q * b.q) AS c
+        |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2
+        |), am AS MATERIALIZED (
+        |  SELECT c.i, c.j, nn.n * c.c - sa.s * sb.s AS a
+        |  FROM c CROSS JOIN nn
+        |  JOIN s sa ON sa.i = c.i JOIN s sb ON sb.i = c.j
+        |), v0 AS MATERIALIZED (
+        |  SELECT i.i AS j, CAST(1000000 AS HUGEINT) AS v FROM range(64) i(i))""".stripMargin
+    val steps = (1 to 8).map { k =>
+      val p = s"v${k - 1}"
+      s""",
+         |w$k AS MATERIALIZED (
+         |  SELECT am.j AS j, sum(am.a * $p.v) AS w
+         |  FROM am JOIN $p ON $p.j = am.i GROUP BY 1
+         |), m$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT w$k.j, CASE WHEN m > 0 THEN
+         |    (w * 2000000 + m - ((((w * 2000000 + m) % (2 * m)) + 2 * m) % (2 * m))) // (2 * m)
+         |    ELSE pv.v END AS v
+         |  FROM w$k JOIN $p pv ON pv.j = w$k.j CROSS JOIN m$k
+         |)""".stripMargin
+    }.mkString
+    base + steps +
+      "\nSELECT CAST(j AS INT) AS dim, CAST(v AS BIGINT) AS pc_micro FROM v8"
+  }
 
   /** Unrolled six-step power iteration mirroring
     * [[graft.ops.Cohort.markovStationary]]: uniform micro start, per-edge
@@ -6242,6 +6289,7 @@ object SparkEntry {
         |  CAST(sum(converted) AS BIGINT) AS n_converted,
         |  CAST((20000 * sum(converted) + count(*)) // (2 * count(*)) AS BIGINT)
         |    AS conversion_bps
-        |FROM u GROUP BY 1""".stripMargin
+        |FROM u GROUP BY 1""".stripMargin,
+    "embedding_top_pc" -> EmbeddingTopPcOracle
   )
 }

@@ -1086,4 +1086,66 @@ object Similarity {
     }
     selected.toSeq.toDF("sel_rank", "vec_id", "mmr_score")
   }
+
+  /** Top principal component of the embedding cloud — the dominant
+    * direction of variance: near-rank-1 clouds flag collapsed/duplicated
+    * embedding spaces, and the component itself is the first axis of any
+    * PCA whitening or visualization step.
+    *
+    * Exactness: vectors quantize to integers once
+    * ([[Clustering.quantize]], round half away from zero — the proven
+    * kmeans convention); the centered scatter matrix is scale-free in the
+    * power iteration, so it is used as the exact integer numerator
+    * `A_ij = n·Σq_iq_j − Σq_i·Σq_j` with NO division; each of the fixed
+    * `iters` power steps renormalizes by the max |component| with one
+    * round-half-up exact division per entry (BigInt on the driver — no
+    * float anywhere, the oracle unrolls the same steps). Output is
+    * defined as the vector after exactly `iters` steps from the all-ones
+    * start — deterministic whether or not the iteration has converged.
+    *
+    * Shape: the corpus-sized work is ONE aggregation through
+    * [[graft.functions.CrossMomentAgg]] (a fixed d+d(d+1)/2-long buffer
+    * per partition — never rows×d² exploded pairs); the d×d solve runs on
+    * a DRIVER copy of that single bounded row (the markovStationary
+    * discipline).
+    */
+  def topPrincipalComponent(
+      vecs: DataFrame,
+      vecCol: String = "embedding",
+      scale: Long = 10000L,
+      iters: Int = 8
+  ): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val agg = org.apache.spark.sql.functions.udaf(new graft.functions.CrossMomentAgg())
+    // bounded collect: one row of 1 + d + d(d+1)/2 longs
+    val row = vecs
+      .select(Clustering.quantize(col(vecCol), scale).as("q"))
+      .agg(agg(col("q")).as("m"))
+      .select(col("m.n"), col("m.sums"), col("m.cross"))
+      .as[(Long, Seq[Long], Seq[Long])]
+      .head()
+    val (n, sums, cross) = row
+    val d = sums.length
+    val a = Array.ofDim[BigInt](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val c = BigInt(n) * cross(graft.functions.CrossMomentAgg.triIndex(i, j, d)) -
+        BigInt(sums(i)) * sums(j)
+      a(i)(j) = c
+      a(j)(i) = c
+    }
+    // floor((2·10⁶·w + m) / (2m)) — ExactDecimal.scaledRatio in BigInt
+    def sr(w: BigInt, m: BigInt): BigInt = {
+      val q = w * 2000000 + m
+      val d2 = m * 2
+      (q - ((q % d2 + d2) % d2)) / d2
+    }
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(j => (0 until d).map(i => a(i)(j) * v(i)).sum)
+      val m = w.map(_.abs).max
+      if (m > 0) v = w.map(sr(_, m))
+    }
+    (0 until d).map(j => (j, v(j).toLong)).toDF("dim", "pc_micro")
+  }
 }

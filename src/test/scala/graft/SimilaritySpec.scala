@@ -466,4 +466,47 @@ class SimilaritySpec extends AnyFunSuite {
       .orderBy("sel_rank").select("vec_id").as[Long].collect().toSeq
     assert(mmr == plain)
   }
+
+  test("topPrincipalComponent recovers a planted axis exactly") {
+    // symmetric cloud along (1, 2, 0, 0): the scatter numerator is a
+    // rank-1 multiple of [1 2; 2 4], so every power step maps the
+    // all-ones start onto exactly (500000, 1000000, 0, 0)
+    val vecs = Seq(-0.5f, -0.25f, 0.25f, 0.5f)
+      .map(t => Tuple1(Seq(t, 2 * t, 0.0f, 0.0f)))
+      .toDF("embedding")
+    val got = Similarity.topPrincipalComponent(vecs)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(got == Seq(500000L, 1000000L, 0L, 0L))
+  }
+
+  test("topPrincipalComponent: centering removes a constant offset") {
+    // same axis shifted by a constant vector: the centered scatter is
+    // unchanged, so the component must be identical
+    val base = Seq(-0.5f, -0.25f, 0.25f, 0.5f)
+    val shifted = base.map(t => Tuple1(Seq(t + 0.3f, 2 * t + 0.1f, 0.7f, 0.7f)))
+      .toDF("embedding")
+    val got = Similarity.topPrincipalComponent(shifted)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    // quantization of the shifted floats is not exact, so allow micro slack
+    assert(math.abs(got(0) - 500000L) < 2000L, got.toString)
+    assert(got(1) == 1000000L)
+    assert(math.abs(got(2)) < 2000L && math.abs(got(3)) < 2000L)
+  }
+
+  test("CrossMomentAgg matches brute-force moments and excludes wrong-length vectors") {
+    import graft.functions.CrossMomentAgg
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 20).map(_ => Seq.fill(3)(rnd.nextInt(2001).toLong - 1000))
+    val withBad = rows ++ Seq(Seq(1L, 2L)) // wrong length: skipped
+    val agg = org.apache.spark.sql.functions.udaf(new CrossMomentAgg())
+    val (n, sums, cross) = withBad.map(Tuple1(_)).toDF("q")
+      .agg(agg($"q").as("m"))
+      .select($"m.n", $"m.sums", $"m.cross")
+      .as[(Long, Seq[Long], Seq[Long])].head()
+    assert(n == 20L)
+    assert(sums == (0 until 3).map(i => rows.map(_(i)).sum))
+    for (i <- 0 until 3; j <- i until 3)
+      assert(cross(CrossMomentAgg.triIndex(i, j, 3)) ==
+        rows.map(r => r(i) * r(j)).sum, s"cell ($i,$j)")
+  }
 }
