@@ -2293,6 +2293,18 @@ object SparkEntry {
       // partition, never rows x d^2 pairs), then eight driver-side exact
       // power-iteration steps on the d x d copy (ops/Similarity.scala).
       graft.ops.Similarity.topPrincipalComponent(table(s, dir, "embeddings"))
+    },
+    "compaction_plan" -> { (s, dir) =>
+      // Small-file OPTIMIZE planning: 700-row file cuts over the event-id
+      // order, then files >= 500 rows seal and the small remainder packs
+      // into adjacent cumulative bins — zone maps survive the rewrite
+      // (ops/Layout.scala).
+      val manifest = graft.ops.Layout.rangeFileManifest(
+        eventsTable(s, dir).select(col("event_id")),
+        Seq(col("event_id").asc),
+        rowsPerFile = 700,
+        statCols = Seq("event_id"))
+      graft.ops.Layout.compactionPlan(manifest, targetRows = 500)
     }
   )
 
@@ -6290,6 +6302,29 @@ object SparkEntry {
         |  CAST((20000 * sum(converted) + count(*)) // (2 * count(*)) AS BIGINT)
         |    AS conversion_bps
         |FROM u GROUP BY 1""".stripMargin,
-    "embedding_top_pc" -> EmbeddingTopPcOracle
+    "embedding_top_pc" -> EmbeddingTopPcOracle,
+    "compaction_plan" ->
+      """WITH r AS (
+        |  SELECT event_id, row_number() OVER (ORDER BY event_id) AS rk FROM events
+        |), f AS (
+        |  SELECT (rk - 1) // 700 AS file_id, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM r GROUP BY 1
+        |), small AS (
+        |  SELECT file_id, n_rows,
+        |    sum(n_rows) OVER (ORDER BY file_id ROWS UNBOUNDED PRECEDING) - n_rows AS cum_excl
+        |  FROM f WHERE n_rows < 500
+        |), bins AS (
+        |  SELECT cum_excl // 500 AS bin_id, CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(n_rows) AS BIGINT) AS n_rows, min(file_id) AS min_file_id,
+        |    max(file_id) AS max_file_id, CAST(0 AS INT) AS sealed
+        |  FROM small GROUP BY 1
+        |  UNION ALL
+        |  SELECT 1000000 + file_id, 1, n_rows, file_id, file_id, CAST(1 AS INT)
+        |  FROM f WHERE n_rows >= 500
+        |)
+        |SELECT CAST(bin_id AS BIGINT) AS bin_id, n_files, n_rows,
+        |  CAST(min_file_id AS BIGINT) AS min_file_id,
+        |  CAST(max_file_id AS BIGINT) AS max_file_id, sealed
+        |FROM bins""".stripMargin
   )
 }

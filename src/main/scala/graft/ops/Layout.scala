@@ -152,4 +152,55 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"), stats: _*)
       .orderBy(col("file_id"))
   }
+
+  /** Small-file compaction planning over a file manifest: files already at
+    * or above `targetRows` are SEALED (left alone, one bin each); the
+    * small-file remainder bins by cumulative row count in file order, so
+    * each compaction group packs ADJACENT files toward the target and the
+    * range layout's non-overlapping zone maps survive the rewrite. This is
+    * the maintenance half of [[rangeFileManifest]]: the manifest says what
+    * the table looks like, the plan says which files the next OPTIMIZE
+    * pass rewrites together.
+    *
+    * Determinism: the bin rule is pure integer arithmetic
+    * (`bin = cum_rows_exclusive div target` over the small files in
+    * file-id order); sealed bins are offset to 10⁶ + file_id so the two
+    * families cannot collide for manifests under a million files.
+    *
+    * Shape: the manifest is file-count bounded — orders of magnitude below
+    * the data. The cumulative sum rides [[Ranking.runningTotals]] (range
+    * partition + exact offsets, no single-task window), then one bounded
+    * aggregation per family.
+    */
+  def compactionPlan(
+      manifest: DataFrame,
+      targetRows: Long,
+      fileIdCol: String = "file_id",
+      rowsCol: String = "n_rows"
+  ): DataFrame = {
+    require(targetRows >= 1, "need a positive target")
+    val sealedBins = manifest
+      .filter(col(rowsCol) >= targetRows)
+      .select(
+        (lit(1000000L) + col(fileIdCol)).as("bin_id"),
+        lit(1L).as("n_files"),
+        col(rowsCol).cast("long").as("n_rows"),
+        col(fileIdCol).cast("long").as("min_file_id"),
+        col(fileIdCol).cast("long").as("max_file_id"),
+        lit(1).cast("int").as("sealed"))
+    val small = manifest
+      .filter(col(rowsCol) < targetRows)
+      .select(col(fileIdCol), col(rowsCol))
+    val compactBins = Ranking
+      .runningTotals(small, Seq(col(fileIdCol).asc), Seq(rowsCol))
+      .withColumn("bin_id", expr(s"(cum_$rowsCol - $rowsCol) div $targetRows"))
+      .groupBy(col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col(rowsCol)).cast("long").as("n_rows"),
+        min(col(fileIdCol)).cast("long").as("min_file_id"),
+        max(col(fileIdCol)).cast("long").as("max_file_id"))
+      .withColumn("sealed", lit(0).cast("int"))
+    compactBins.unionByName(sealedBins)
+  }
 }

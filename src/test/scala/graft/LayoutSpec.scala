@@ -142,4 +142,28 @@ class LayoutSpec extends AnyFunSuite {
       assert(max0 <= min1)
     }
   }
+
+  test("compactionPlan: large files seal, small files pack into adjacent cumulative bins") {
+    val manifest = Seq(
+      (0L, 600L), (1L, 100L), (2L, 100L), (3L, 350L),
+      (4L, 100L), (5L, 700L), (6L, 50L)
+    ).toDF("file_id", "n_rows")
+    val got = graft.ops.Layout.compactionPlan(manifest, targetRows = 500)
+      .as[(Long, Long, Long, Long, Long, Int)].collect().sortBy(_._1)
+    // small files in order: 1(cum 0) 2(cum 100) 3(cum 200) -> bin 0;
+    // 4(cum 550) 6(cum 650) -> bin 1; files 0 and 5 seal
+    assert(got.toSeq == Seq(
+      (0L, 3L, 550L, 1L, 3L, 0),
+      (1L, 2L, 150L, 4L, 6L, 0),
+      (1000000L, 1L, 600L, 0L, 0L, 1),
+      (1000005L, 1L, 700L, 5L, 5L, 1)))
+  }
+
+  test("compactionPlan: all-small manifests produce only compact bins that cover every file") {
+    val manifest = (0L until 10L).map(i => (i, 120L)).toDF("file_id", "n_rows")
+    val got = graft.ops.Layout.compactionPlan(manifest, targetRows = 500)
+      .as[(Long, Long, Long, Long, Long, Int)].collect()
+    assert(got.forall(_._6 == 0))
+    assert(got.map(_._2).sum == 10L && got.map(_._3).sum == 1200L)
+  }
 }
