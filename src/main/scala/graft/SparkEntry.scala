@@ -2305,6 +2305,30 @@ object SparkEntry {
         rowsPerFile = 700,
         statCols = Seq("event_id"))
       graft.ops.Layout.compactionPlan(manifest, targetRows = 500)
+    },
+    "neardup_assortativity" -> { (s, dir) =>
+      // Degree assortativity of the near-dup graph: hubs-connect-to-hubs
+      // (mirror-farm signature) vs hub-and-spoke, as one exact-rational
+      // Pearson r over the edge endpoints' degrees (ops/Graph.scala).
+      val emb = table(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      graft.ops.Graph.degreeAssortativity(
+        Similarity.cosineNearDupPairs(emb, threshold = 0.2).select(col("id_a"), col("id_b")))
+    },
+    "centroid_cosines" -> { (s, dir) =>
+      // Class-level embedding geometry: pairwise cosine between label
+      // centroids from the exact integer centroid sums (cosine is
+      // scale-invariant, so no mean division); IEEE sqrt/division only
+      // (ops/Similarity.scala).
+      graft.ops.Similarity.centroidCosines(table(s, dir, "embeddings"))
+    },
+    "daily_rate_changepoint" -> { (s, dir) =>
+      // When did the event level shift: best binary split of the daily
+      // count series by between-segment sum of squares, argmax by exact
+      // cross-multiplication — no float ordering (ops/Robust.scala).
+      val daily = eventsTable(s, dir)
+        .groupBy(expr("ts_ms div 86400000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.ops.Robust.changePoint(daily, "day", "cnt")
     }
   )
 
@@ -6325,6 +6349,78 @@ object SparkEntry {
         |SELECT CAST(bin_id AS BIGINT) AS bin_id, n_files, n_rows,
         |  CAST(min_file_id AS BIGINT) AS min_file_id,
         |  CAST(max_file_id AS BIGINT) AS max_file_id, sealed
-        |FROM bins""".stripMargin
+        |FROM bins""".stripMargin,
+    "neardup_assortativity" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings WHERE vec_id % 10 = 0),
+        |e AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.2
+        |), deg AS (
+        |  SELECT vec_id, CAST(count(*) AS HUGEINT) AS deg
+        |  FROM (SELECT a AS vec_id FROM e UNION ALL SELECT b AS vec_id FROM e) GROUP BY 1
+        |), wd AS (
+        |  SELECT da.deg AS dj, db.deg AS dk
+        |  FROM e JOIN deg da ON da.vec_id = e.a JOIN deg db ON db.vec_id = e.b
+        |), ag AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS ne, sum(dj + dk) AS sx,
+        |    sum(dj * dj + dk * dk) AS sxx, sum(2 * dj * dk) AS sxy
+        |  FROM wd
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+        |q AS (
+        |  SELECT n_nodes, ne, 2 * ne * sxy - sx * sx AS rnum,
+        |    2 * ne * sxx - sx * sx AS rden
+        |  FROM ag CROSS JOIN nn
+        |)
+        |SELECT n_nodes, CAST(ne AS BIGINT) AS n_edges,
+        |  CAST(CASE WHEN rden > 0 THEN (2000000 * rnum + rden
+        |    - (((2000000 * rnum + rden) % (2 * rden)) + 2 * rden) % (2 * rden)) // (2 * rden)
+        |    END AS BIGINT) AS assortativity_micro
+        |FROM q""".stripMargin,
+    "centroid_cosines" ->
+      """WITH ex AS (
+        |  SELECT label, i.i + 1 AS dim_i,
+        |    CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000 + 0.5e0) AS HUGEINT) AS q
+        |  FROM embeddings, range(64) i(i)
+        |), cs AS (
+        |  SELECT label, dim_i, sum(q) AS s FROM ex GROUP BY 1, 2
+        |), dots AS (
+        |  SELECT a.label AS label_a, b.label AS label_b, sum(a.s * b.s) AS dot
+        |  FROM cs a JOIN cs b ON a.dim_i = b.dim_i AND a.label < b.label
+        |  GROUP BY 1, 2
+        |), norms AS (SELECT label, sum(s * s) AS n2 FROM cs GROUP BY 1)
+        |SELECT label_a, label_b,
+        |  CAST(CASE WHEN na.n2 > 0 AND nb.n2 > 0 THEN floor(CAST(dot AS DOUBLE)
+        |    / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 1000.0e0 + 0.5e0)
+        |    END AS BIGINT) AS cos_milli
+        |FROM dots
+        |JOIN norms na ON na.label = dots.label_a
+        |JOIN norms nb ON nb.label = dots.label_b""".stripMargin,
+    "daily_rate_changepoint" ->
+      """WITH dser AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1
+        |), cum AS (
+        |  SELECT day, cnt,
+        |    sum(cnt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sk,
+        |    row_number() OVER (ORDER BY day) AS k
+        |  FROM dser
+        |), tot AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(cnt) AS HUGEINT) AS s
+        |           FROM dser),
+        |cand AS (
+        |  SELECT k, day AS split_at, n, s, CAST(sk AS HUGEINT) AS sk,
+        |    (n * sk - k * s) * (n * sk - k * s) AS num, CAST(k AS HUGEINT) * (n - k) AS den
+        |  FROM cum CROSS JOIN tot WHERE k < n
+        |), best AS (
+        |  SELECT * FROM cand x WHERE NOT EXISTS (
+        |    SELECT 1 FROM cand y WHERE y.num * x.den > x.num * y.den
+        |      OR (y.num * x.den = x.num * y.den AND y.k < x.k))
+        |)
+        |SELECT CAST(split_at AS BIGINT) AS split_at, CAST(k AS BIGINT) AS n_left,
+        |  CAST(n - k AS BIGINT) AS n_right,
+        |  CAST((2000 * sk + k) // (2 * k) AS BIGINT) AS left_mean_milli,
+        |  CAST((2000 * (s - sk) + (n - k)) // (2 * (n - k)) AS BIGINT) AS right_mean_milli
+        |FROM best""".stripMargin
   )
 }

@@ -300,4 +300,58 @@ object Graph {
       .agg(count(lit(1)).as("deg"))
       .where(col("deg") >= k)
   }
+
+  /** Degree assortativity of an undirected graph — the Pearson correlation
+    * of endpoint degrees over the edges: positive means hubs connect to
+    * hubs (a mirror-site / content-farm signature in a near-dup graph),
+    * negative a hub-and-spoke structure. Newman (2002) r, computed over
+    * both edge orientations so the statistic is symmetric by
+    * construction: with M = 2·|E| directed edges,
+    * `r = (M·Σjk·2 − (Σ(j+k))²) / (M·Σ(j²+k²) − (Σ(j+k))²)`.
+    *
+    * Exactness: degrees are exact counts, all sums ride DECIMAL(38,0),
+    * and r closes with ONE sign-safe round-half-up division — the oracle
+    * agrees by construction. Regular graphs (zero degree variance) yield
+    * null rather than 0/0.
+    *
+    * Shape: one degree aggregation, two id-keyed joins to annotate edge
+    * endpoints (co-partitioned by node id at any scale), one single-row
+    * aggregation. The edge list is checkpointed once and feeds both the
+    * degree and annotation legs — no re-derivation of the (possibly
+    * expensive) pair pipeline upstream.
+    */
+  def degreeAssortativity(
+      edges: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.{d, scaledRatio}
+    val e = edges.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint(eager = true)
+    val deg = e
+      .select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("deg"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val annotated = e
+      .join(deg.select(col("v").as("a"), col("deg").as("dj")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("dk")), Seq("b"))
+    val m = d(col("n_edges")) * d(lit(2L))
+    annotated
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(d(col("dj")) + d(col("dk"))).as("sx"),
+        sum(d(col("dj")) * d(col("dj")) + d(col("dk")) * d(col("dk"))).as("sxx"),
+        sum(d(lit(2L)) * d(col("dj")) * d(col("dk"))).as("sxy"))
+      .crossJoin(broadcast(nn))
+      .select(
+        col("n_nodes"),
+        col("n_edges"),
+        when(
+          m * col("sxx") - col("sx") * col("sx") > 0,
+          scaledRatio(
+            m * col("sxy") - col("sx") * col("sx"),
+            m * col("sxx") - col("sx") * col("sx")))
+          .cast("long")
+          .as("assortativity_micro"))
+  }
 }

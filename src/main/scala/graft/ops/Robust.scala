@@ -316,6 +316,74 @@ object Robust {
       .orderBy(col("pct"))
   }
 
+  /** Single change-point detection over an ordered value series — the
+    * "when did the level shift" question for a daily/hourly metric. Picks
+    * the binary split maximizing the between-segment sum of squares,
+    * which for a split after the k-th point reduces to maximizing the
+    * exact rational `F(k) = (n·S_k − k·S)² / (k·(n−k))` (S_k the prefix
+    * sum): no means, no variances, no floats.
+    *
+    * Exactness: the argmax compares F across candidate splits by exact
+    * CROSS-MULTIPLICATION in DECIMAL(38,0) — never a float ordering —
+    * with ties breaking to the earliest split; segment means report as
+    * round-half-up milli units. Constant series (every F = 0) still
+    * return the deterministic k = 1 split with equal means.
+    *
+    * Shape: the input is a pre-aggregated time-bucket series (bounded by
+    * the time range, not the data volume); prefix sums ride
+    * [[Ranking.runningTotals]], and the argmax is a bounded
+    * series²-row comparison join. The corpus-sized work happens upstream
+    * in whatever aggregation produced the series.
+    */
+  def changePoint(
+      series: DataFrame,
+      orderCol: String,
+      valueCol: String
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.{d, scaledRatio}
+    val cum = Ranking
+      .runningTotals(
+        series.select(col(orderCol), col(valueCol)),
+        Seq(col(orderCol).asc),
+        Seq(valueCol))
+      .localCheckpoint(eager = true)
+    val tot = cum.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col(valueCol)).cast("long").as("s"))
+    val ranked = Ranking.globalRowNumber(cum, Seq(col(orderCol).asc), "k")
+    val cands = ranked
+      .crossJoin(broadcast(tot))
+      .filter(col("k") < col("n")) // split after position k needs a right side
+      .select(
+        col("k"),
+        col(orderCol).as("split_at"),
+        col("n"),
+        col("s"),
+        col(s"cum_$valueCol").cast("long").as("sk"))
+      .withColumn(
+        "num",
+        (d(col("n")) * d(col("sk")) - d(col("k")) * d(col("s"))) *
+          (d(col("n")) * d(col("sk")) - d(col("k")) * d(col("s"))))
+      .withColumn("den", d(col("k")) * (d(col("n")) - d(col("k"))))
+      .localCheckpoint(eager = true)
+    val best = cands.as("x")
+      .join(
+        broadcast(cands.as("y")),
+        // y strictly better, or equal and earlier: x loses
+        col("y.num") * col("x.den") > col("x.num") * col("y.den") ||
+          (col("y.num") * col("x.den") === col("x.num") * col("y.den") &&
+            col("y.k") < col("x.k")),
+        "left_anti")
+    best.select(
+      col("split_at"),
+      col("k").as("n_left"),
+      (col("n") - col("k")).as("n_right"),
+      scaledRatio(col("sk"), col("k"), 1000L).cast("long").as("left_mean_milli"),
+      scaledRatio(col("s") - col("sk"), col("n") - col("k"), 1000L)
+        .cast("long")
+        .as("right_mean_milli"))
+  }
+
   /** Histogram-Based Outlier Score (HBOS, Goldstein & Dengel 2012) over
     * pre-bucketed features: score(x) = Σ_f ln(n / c_f(x)) — rows whose
     * feature-bucket combination is rare under the independence assumption

@@ -175,6 +175,55 @@ object Similarity {
       )
   }
 
+  /** Pairwise cosine similarity between label centroids — the class-level
+    * geometry read: which labels' embedding clouds point the same way
+    * (candidates for merging) and which are orthogonal. Cosine is
+    * scale-invariant, so the integer centroid SUMS of
+    * [[labelCentroidSumsMicro]] stand in for the means directly — no
+    * division by n anywhere.
+    *
+    * Exactness: dot products and squared norms are exact DECIMAL(38,0)
+    * sums of the micro-quantized integers; `cos_milli` then derives from
+    * those exact values with division and sqrt ONLY (correctly-rounded
+    * IEEE ops, the welchT discipline — bit-identical cross-engine, no
+    * margin audit needed). Zero-norm centroids yield null.
+    *
+    * Shape: everything after the one [[labelCentroidSumsMicro]] pass is
+    * labels×dim bounded — the sums frame is checkpointed once and the
+    * pair/norm legs broadcast off it; output is C(labels, 2) rows.
+    */
+  def centroidCosines(
+      emb: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.d
+    val cs = labelCentroidSumsMicro(emb, labelCol, vecCol).localCheckpoint(eager = true)
+    val a = cs.select(col("label").as("label_a"), col("dim_i"), col("sum_micro").as("sa"))
+    val b = cs.select(col("label").as("label_b"), col("dim_i"), col("sum_micro").as("sb"))
+    val dots = a
+      .join(broadcast(b), Seq("dim_i"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(d(col("sa")) * d(col("sb"))).as("dot"))
+    val norms = cs
+      .groupBy(col("label"))
+      .agg(sum(d(col("sum_micro")) * d(col("sum_micro"))).as("n2"))
+    dots
+      .join(broadcast(norms.select(col("label").as("label_a"), col("n2").as("na2"))), Seq("label_a"))
+      .join(broadcast(norms.select(col("label").as("label_b"), col("n2").as("nb2"))), Seq("label_b"))
+      .select(
+        col("label_a"),
+        col("label_b"),
+        when(col("na2") > 0 && col("nb2") > 0,
+          floor(
+            col("dot").cast("double") /
+              sqrt(col("na2").cast("double") * col("nb2").cast("double")) *
+              lit(1000.0) + lit(0.5)))
+          .cast("long")
+          .as("cos_milli"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact: all (id_a < id_b) pairs
     * with cosine ≥ threshold. O(n²) dot products — correct at any scale but
     * only affordable on bounded sets (a partition, a sampled audit, a

@@ -176,4 +176,21 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000L * n) <= maxLeak,
       s"mass $total vs ${1000000L * n} (leak bound $maxLeak)")
   }
+
+  private def assort(edges: Seq[(Long, Long)]): (Long, Long, Option[Long]) =
+    Graph.degreeAssortativity(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long, Option[Long])].collect().head
+
+  test("degreeAssortativity: stars are perfectly disassortative, regular graphs null") {
+    // K1,3: every edge joins the deg-3 hub to a deg-1 leaf -> r = -1
+    assert(assort(Seq((0L, 1L), (0L, 2L), (0L, 3L))) == ((4L, 3L, Some(-1000000L))))
+    // triangle: all degrees equal, zero degree variance -> undefined
+    assert(assort(Seq((1L, 2L), (2L, 3L), (1L, 3L)))._3.isEmpty)
+  }
+
+  test("degreeAssortativity: hand-computed mixed graph (triangle + pendant)") {
+    // degrees 1:2 2:2 3:3 4:1 -> r = -20/28 = -5/7 -> -714286 micro
+    val got = assort(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(got == ((4L, 4L, Some(-714286L))))
+  }
 }

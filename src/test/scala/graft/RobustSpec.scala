@@ -193,6 +193,30 @@ class RobustSpec extends AnyFunSuite {
     assert(got == Map(50 -> 10L, 60 -> 20L))
   }
 
+  test("changePoint finds a planted level shift with exact means") {
+    val series = ((1L to 5L).map(d => (d, 10L)) ++ (6L to 10L).map(d => (d, 50L)))
+      .toDF("day", "cnt")
+    val got = Robust.changePoint(series, "day", "cnt")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((5L, 5L, 5L, 10000L, 50000L)))
+  }
+
+  test("changePoint: constant series ties break to the earliest split") {
+    val series = (1L to 6L).map(d => (d, 7L)).toDF("day", "cnt")
+    val got = Robust.changePoint(series, "day", "cnt")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 5L, 7000L, 7000L)))
+  }
+
+  test("changePoint: an off-center shift lands on the true boundary") {
+    val series = ((1L to 3L).map(d => (d, 100L)) ++ (4L to 12L).map(d => (d, 20L)))
+      .toDF("day", "cnt")
+    val (splitAt, nl, nr, lm, rm) = Robust.changePoint(series, "day", "cnt")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert((splitAt, nl, nr) == ((3L, 3L, 9L)))
+    assert(lm == 100000L && rm == 20000L)
+  }
+
   test("hbosOutliers: the rare feature combination scores highest, terms match the reference") {
     // 18 rows in common buckets, 2 rares: id 100 is rare on BOTH features
     val rows =

@@ -493,6 +493,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(got(2)) < 2000L && math.abs(got(3)) < 2000L)
   }
 
+  test("centroidCosines: aligned labels hit 1000, orthogonal 0, opposed -1000") {
+    // label 0 and 1 both point +x (different magnitudes), 2 points +y,
+    // 3 points -x; cosine is scale-invariant over the centroid SUMS
+    val vecs = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(0.5f, 0.0f)),
+      (1, Seq(0.25f, 0.0f)),
+      (2, Seq(0.0f, 0.75f)),
+      (3, Seq(-0.5f, 0.0f))
+    ).toDF("label", "embedding")
+    val got = Similarity.centroidCosines(vecs)
+      .as[(Int, Int, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r._3.get).toMap
+    assert(got((0, 1)) == 1000L && got((0, 3)) == -1000L && got((1, 3)) == -1000L)
+    assert(got((0, 2)) == 0L && got((1, 2)) == 0L && got((2, 3)) == 0L)
+  }
+
   test("CrossMomentAgg matches brute-force moments and excludes wrong-length vectors") {
     import graft.functions.CrossMomentAgg
     val rnd = new scala.util.Random(7)
