@@ -95,12 +95,18 @@ object Cooccur {
     // reference would otherwise replay the corpus scan that built it. With
     // the vocab cut, the whole pipeline costs exactly TWO corpus scans (one
     // to count df, one to pair) and zero corpus self-joins.
-    val vocab = toks
-      .groupBy("tok")
-      .agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .where(col("df") * 100 >= col("n_docs") * minDfPct && col("df") * 100 <= col("n_docs") * maxDfPct)
-      .withColumn("rk", row_number().over(Window.orderBy(col("df").desc, col("tok"))))
+    // rank cap via the distributed range-sort primitive (the df-banded
+    // frame is vocab-bounded, but no unpartitioned window anywhere)
+    val vocab = Ranking
+      .globalRowNumber(
+        toks
+          .groupBy("tok")
+          .agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .where(col("df") * 100 >= col("n_docs") * minDfPct &&
+            col("df") * 100 <= col("n_docs") * maxDfPct),
+        Seq(col("df").desc, col("tok").asc),
+        "rk")
       .where(col("rk") <= vocabK)
       .select("tok", "df", "n_docs")
       .localCheckpoint(true)

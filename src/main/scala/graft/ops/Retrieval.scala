@@ -267,11 +267,11 @@ object Retrieval {
     * unambiguous total order).
     */
   def withRank(df: DataFrame, orderBy: Seq[Column], idCol: String = "doc_id"): DataFrame =
-    df.withColumn(
-      "rank",
-      row_number()
-        .over(org.apache.spark.sql.expressions.Window.orderBy(orderBy :+ col(idCol).asc: _*))
-        .cast("int"))
+    // distributed range-sort rank (leg frames are top-k bounded, but no
+    // unpartitioned window anywhere)
+    Ranking
+      .globalRowNumber(df, orderBy :+ col(idCol).asc, "rank")
+      .withColumn("rank", col("rank").cast("int"))
 
   /** Reciprocal-rank fusion of N retrieval legs (Cormack et al. 2009):
     * fused(d) = Σ_legs 1/(k0 + rank_leg(d)), documents absent from a leg

@@ -57,14 +57,16 @@ object Robust {
     * tiny frame.
     */
   def benfordDigits(df: DataFrame, valCol: String): DataFrame = {
+    // ≤9-row digit frame: checkpoint once, broadcast the total back in —
+    // no unpartitioned window, no second corpus scan
     val counts = df
       .filter(col(valCol) >= 1L)
       .select(substring(col(valCol).cast("long").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit"))
       .agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy()
+      .localCheckpoint(true)
     counts
-      .withColumn("total", sum(col("n")).over(w))
+      .crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
       .withColumn("share_bps", expr("(2 * 10000 * n + total) div (2 * total)").cast("int"))
       .withColumn(
         "benford_micro",

@@ -290,17 +290,21 @@ object Relational {
     val hll = est.agg(
       max(when(col("k") === "orders", col("est_micro"))).as("n_orders_est_micro"),
       max(when(col("k") === "parts", col("est_micro"))).as("n_parts_est_micro"))
-    val wCum = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val med = li
+    // bucket frame is dollar-bounded; checkpoint once so the cum/total
+    // legs re-read it instead of rescanning lineitem, and the cumulative
+    // rides the distributed prefix-sum primitive (no unpartitioned window)
+    val buckets = li
       .select(cents(col("l_extendedprice")).as("c"))
       .select(expr("c div 100").as("b"))
       .groupBy(col("b"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum(col("cnt")).over(wCum))
-      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+      .localCheckpoint(true)
+    val med = graft.ops.Ranking
+      .runningTotals(buckets, Seq(col("b").asc), Seq("cnt"))
+      .crossJoin(broadcast(buckets.agg(sum(col("cnt")).as("total"))))
       .agg(
         max(col("total")).as("n_rows"),
-        min(when(col("cum") >= expr("(total + 1) div 2"), col("b"))).as("p50_price_dollars"))
+        min(when(col("cum_cnt") >= expr("(total + 1) div 2"), col("b"))).as("p50_price_dollars"))
     hll.crossJoin(med).select(
       col("n_rows"),
       col("n_orders_est_micro"),
