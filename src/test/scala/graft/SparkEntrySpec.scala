@@ -21,7 +21,14 @@ class SparkEntrySpec extends AnyFunSuite {
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs and returns rows at sf0.001") {
-      assert(fn(spark, dir).count() > 0, name)
+      val df = fn(spark, dir)
+      assert(df.count() > 0, name)
+      // global scale guard: no registered query may plan an unpartitioned
+      // window (the single-task global sort WindowExec) — the distributed
+      // Ranking primitives exist for exactly that shape
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.forall(_.partitionSpec.nonEmpty), s"$name has an unpartitioned window")
     }
   }
 }
