@@ -2329,6 +2329,40 @@ object SparkEntry {
         .groupBy(expr("ts_ms div 86400000").as("day"))
         .agg(count(lit(1)).as("cnt"))
       graft.ops.Robust.changePoint(daily, "day", "cnt")
+    },
+    "daily_drift_psi" -> { (s, dir) =>
+      // Temporal drift: each day's event-type distribution vs the whole
+      // log's, exact integer PSI terms (the proven psiFromCounts algebra
+      // with day as the partition) — "did yesterday's traffic mix shift".
+      val tc = eventsTable(s, dir)
+        .select(expr("ts_ms div 86400000").as("src"), col("event_type").as("tok"))
+        .groupBy("src", "tok")
+        .agg(count(lit(1)).as("c_st"))
+        .localCheckpoint(true)
+      graft.ops.Drift.psiFromCounts(tc).withColumnRenamed("src", "day")
+    },
+    "cumulative_unique_users" -> { (s, dir) =>
+      // Exact users-to-date per day via the first-seen-day trick: one
+      // user aggregation, one day aggregation, prefix sums on the
+      // day-bounded frame — never a rolling distinct over raw rows. Days
+      // where no NEW user appears have no row (the oracle mirrors).
+      val newPerDay = eventsTable(s, dir)
+        .groupBy(col("user_id"))
+        .agg(expr("min(ts_ms div 86400000)").as("day"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_new_users"))
+      graft.ops.Ranking
+        .runningTotals(newPerDay, Seq(col("day").asc), Seq("n_new_users"))
+        .select(
+          col("day"),
+          col("n_new_users"),
+          col("cum_n_new_users").cast("long").as("n_cum_users"))
+    },
+    "key_skew_report" -> { (s, dir) =>
+      // Pre-join skew audit on the user key: heaviest key's multiple of
+      // the mean and row share — the measurement that sizes saltedJoin's
+      // salt factor (ops/Skew.scala).
+      graft.ops.Skew.keySkewReport(eventsTable(s, dir), "user_id")
     }
   )
 
@@ -6421,6 +6455,54 @@ object SparkEntry {
         |  CAST(n - k AS BIGINT) AS n_right,
         |  CAST((2000 * sk + k) // (2 * k) AS BIGINT) AS left_mean_milli,
         |  CAST((2000 * (s - sk) + (n - k)) // (2 * (n - k)) AS BIGINT) AS right_mean_milli
-        |FROM best""".stripMargin
+        |FROM best""".stripMargin,
+    "daily_drift_psi" ->
+      """WITH tc AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS src, event_type AS tok,
+        |    CAST(count(*) AS BIGINT) AS c_st
+        |  FROM events GROUP BY 1, 2
+        |), st AS (SELECT src, CAST(sum(c_st) AS BIGINT) AS n_s FROM tc GROUP BY 1),
+        |tt AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM tc GROUP BY 1),
+        |co AS (SELECT CAST(sum(c_st) AS BIGINT) AS n_corpus,
+        |              CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tc),
+        |fl AS (
+        |  SELECT st.src, tt.tok, st.n_s, tt.c_t, co.n_corpus, co.v,
+        |    COALESCE(tc.c_st, 0) AS c_st
+        |  FROM st CROSS JOIN tt CROSS JOIN co
+        |  LEFT JOIN tc ON tc.src = st.src AND tc.tok = tt.tok
+        |), terms AS (
+        |  SELECT src, n_s,
+        |    (2 * (((c_st + 1) * (n_corpus + v)) - ((c_t + 1) * (n_s + v)))
+        |       * CAST(floor(ln(CAST((c_st + 1) * (n_corpus + v) AS DOUBLE)
+        |                       / CAST((c_t + 1) * (n_s + v) AS DOUBLE)) * 1e5 + 0.5e0) AS BIGINT)
+        |     + (n_s + v) * (n_corpus + v))
+        |    // (2 * (n_s + v) * (n_corpus + v)) AS term_e5
+        |  FROM fl
+        |)
+        |SELECT CAST(src AS BIGINT) AS day, max(n_s) AS n_tokens,
+        |  CAST(sum(term_e5) AS BIGINT) AS psi_e5
+        |FROM terms GROUP BY src""".stripMargin,
+    "cumulative_unique_users" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(epoch_ms(ts) // 86400000) AS day FROM events GROUP BY 1
+        |), pd AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new_users FROM fd GROUP BY 1)
+        |SELECT CAST(day AS BIGINT) AS day, n_new_users,
+        |  CAST(sum(n_new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS n_cum_users
+        |FROM pd""".stripMargin,
+    "key_skew_report" ->
+      """WITH kc AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    CAST(max(cnt) AS BIGINT) AS max_cnt
+        |  FROM kc
+        |)
+        |SELECT 'user_id' AS key_col, n_keys, n_rows, max_cnt,
+        |  CAST((2000 * n_rows + n_keys) // (2 * n_keys) AS BIGINT) AS mean_milli,
+        |  CAST((2000000 * max_cnt * n_keys + n_rows) // (2 * n_rows) AS BIGINT)
+        |    AS skew_ratio_micro,
+        |  CAST((20000 * max_cnt + n_rows) // (2 * n_rows) AS BIGINT) AS top1_share_bps
+        |FROM a""".stripMargin
   )
 }

@@ -56,4 +56,38 @@ object Skew {
       .agg(partial(col(valueCol)).as("_partial"))
       .groupBy(col(key))
       .agg(merge(col("_partial")).as(outCol))
+
+  /** One-row skew audit for a join/aggregation key — the measurement that
+    * decides whether [[saltedJoin]]/[[saltedAgg]] are needed and with how
+    * many salts: the heaviest key's multiple of the mean
+    * (`skew_ratio_micro` = max·n_keys/n_rows) and its share of all rows.
+    * A ratio near 10⁶ is uniform; orders of magnitude above it is the
+    * straggler-task signature.
+    *
+    * Exactness: counts plus round-half-up exact divisions — the oracle
+    * agrees by construction. Shape: one key aggregation (map-side
+    * partials), one single-row aggregation.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    import graft.functions.ExactDecimal.{d, scaledRatio}
+    df
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).cast("long").as("n_keys"),
+        sum(col("cnt")).cast("long").as("n_rows"),
+        max(col("cnt")).cast("long").as("max_cnt"))
+      .select(
+        lit(keyCol).as("key_col"),
+        col("n_keys"),
+        col("n_rows"),
+        col("max_cnt"),
+        scaledRatio(col("n_rows"), col("n_keys"), 1000L).cast("long").as("mean_milli"),
+        scaledRatio(d(col("max_cnt")) * d(col("n_keys")), d(col("n_rows")))
+          .cast("long")
+          .as("skew_ratio_micro"),
+        scaledRatio(col("max_cnt"), col("n_rows"), 10000L)
+          .cast("long")
+          .as("top1_share_bps"))
+  }
 }

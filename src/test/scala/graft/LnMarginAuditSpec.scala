@@ -105,6 +105,25 @@ class LnMarginAuditSpec extends AnyFunSuite {
     auditPairs(pairs, 1e5, "source_drift_psi")
   }
 
+  test("daily_drift_psi: ln(num/den) margin over the (day, event_type) count domain") {
+    val tc = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr(
+        "(unix_micros(CAST(ts AS TIMESTAMP)) div 1000 div 86400000) AS src",
+        "event_type AS tok")
+      .groupBy("src", "tok").agg(count(lit(1)).as("c_st"))
+    val srcTotals = tc.groupBy("src").agg(sum(col("c_st")).as("n_s"))
+    val tokTotals = tc.groupBy("tok").agg(sum(col("c_st")).as("c_t"))
+    val Array(nCorpus, v) = tc.agg(sum(col("c_st")), countDistinct(col("tok")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val pairs = srcTotals.crossJoin(broadcast(tokTotals))
+      .join(tc, Seq("src", "tok"), "left").na.fill(0L, Seq("c_st"))
+      .select(
+        (col("c_st") + 1) * (nCorpus + v),
+        (col("c_t") + 1) * (col("n_s") + v))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    auditPairs(pairs, 1e5, "daily_drift_psi")
+  }
+
   test("weighted_sample: ln(2³²/(u+1)) margin over the registered query's hash domain") {
     val us = docs
       .select(graft.ops.Sampling.hashValue(col("doc_id"), "ws11").as("u"))

@@ -39,4 +39,20 @@ class SkewSpec extends AnyFunSuite {
       .toMap
     assert(lists("hot") == 900)
   }
+
+  test("keySkewReport: hand-computed skew ratio on a planted hot key") {
+    // hot key 90 rows, nine cold keys 1 row each: n_keys 10, n_rows 99,
+    // mean 9.9, skew 90/9.9 = 9.0909..., top1 share 90/99
+    val rows = Seq.fill(90)("hot") ++ (1 to 9).map(i => s"cold$i")
+    val got = graft.ops.Skew.keySkewReport(rows.map(Tuple1(_)).toDF("k"), "k")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == (("k", 10L, 99L, 90L, 9900L, 9090909L, 9091L)))
+  }
+
+  test("keySkewReport: uniform keys sit at ratio 1e6") {
+    val rows = (1 to 8).flatMap(i => Seq.fill(5)(s"k$i"))
+    val got = graft.ops.Skew.keySkewReport(rows.map(Tuple1(_)).toDF("k"), "k")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got._6 == 1000000L && got._4 == 5L)
+  }
 }
