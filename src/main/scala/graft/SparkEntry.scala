@@ -2363,6 +2363,20 @@ object SparkEntry {
       // the mean and row share — the measurement that sizes saltedJoin's
       // salt factor (ops/Skew.scala).
       graft.ops.Skew.keySkewReport(eventsTable(s, dir), "user_id")
+    },
+    "label_confusion" -> { (s, dir) =>
+      // Label-noise screen: nearest-centroid confusion matrix over the
+      // micro-quantized exact distances — off-diagonal mass is the
+      // mislabeled/confusable sliver (ops/Similarity.scala). Centroids
+      // broadcast; each point scores map-side; labels^2 rows out.
+      Similarity.labelConfusion(table(s, dir, "embeddings"))
+    },
+    "minhash_threshold_sweep" -> { (s, dir) =>
+      // Dedup operating-point table: estimator-vs-exact confusion counts
+      // at each candidate Jaccard threshold over the LSH candidates —
+      // how to pick the threshold and whether an exact verify stage is
+      // needed (ops/Dedup.scala).
+      Dedup.minhashThresholdSweep(table(s, dir, "documents"))
     }
   )
 
@@ -6503,6 +6517,59 @@ object SparkEntry {
         |  CAST((2000000 * max_cnt * n_keys + n_rows) // (2 * n_rows) AS BIGINT)
         |    AS skew_ratio_micro,
         |  CAST((20000 * max_cnt + n_rows) // (2 * n_rows) AS BIGINT) AS top1_share_bps
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    "label_confusion" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, i.i + 1 AS dim_i,
+        |    CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000 + 0.5e0) AS BIGINT) AS q
+        |  FROM embeddings, range(64) i(i)
+        |), cs AS (
+        |  SELECT label, dim_i, CAST(sum(q) AS HUGEINT) AS s, CAST(count(*) AS HUGEINT) AS n
+        |  FROM ex GROUP BY 1, 2
+        |), cq AS (
+        |  SELECT label, dim_i,
+        |    (2 * s + n - (((2 * s + n) % (2 * n)) + 2 * n) % (2 * n)) // (2 * n) AS cq
+        |  FROM cs
+        |), dist AS (
+        |  SELECT e.vec_id, e.label, c.label AS cl,
+        |    sum((e.q - c.cq) * (e.q - c.cq)) AS d
+        |  FROM ex e JOIN cq c ON c.dim_i = e.dim_i
+        |  GROUP BY 1, 2, 3
+        |), nearest AS (
+        |  SELECT vec_id, label, cl AS nearest_label FROM (
+        |    SELECT vec_id, label, cl,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cl) AS rn
+        |    FROM dist) WHERE rn = 1
+        |)
+        |SELECT label, nearest_label, CAST(count(*) AS BIGINT) AS n_points
+        |FROM nearest GROUP BY 1, 2""".stripMargin,
+    "minhash_threshold_sweep" ->
+      s"""$Md5NearDupCtes, mm AS (
+        |  SELECT cand.id_a, cand.id_b,
+        |    CAST(count(*) FILTER (WHERE sa.m = sb.m) AS BIGINT) AS n_match
+        |  FROM cand
+        |  JOIN sig sa ON sa.doc_id = cand.id_a
+        |  JOIN sig sb ON sb.doc_id = cand.id_b AND sb.j = sa.j
+        |  GROUP BY 1, 2
+        |), cal AS (
+        |  SELECT mm.id_a, mm.id_b, n_match,
+        |    CAST(len(list_filter(ha.hset, x -> list_contains(hb.hset, x))) AS BIGINT) AS inter,
+        |    CAST(len(list_distinct(list_concat(ha.hset, hb.hset))) AS BIGINT) AS uni
+        |  FROM mm JOIN hs ha ON ha.doc_id = mm.id_a JOIN hs hb ON hb.doc_id = mm.id_b
+        |), est AS (
+        |  SELECT (20000 * n_match + 64) // 128 AS est_bps,
+        |    (20000 * inter + uni) // (2 * uni) AS exact_bps
+        |  FROM cal
+        |), th AS (SELECT unnest([3000, 5000, 7000, 8000, 9000]) AS t)
+        |SELECT CAST(t AS BIGINT) AS threshold_bps, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN est_bps >= t AND exact_bps >= t THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_true_pos,
+        |  CAST(sum(CASE WHEN est_bps >= t AND exact_bps < t THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_false_pos,
+        |  CAST(sum(CASE WHEN est_bps < t AND exact_bps >= t THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_false_neg,
+        |  CAST(sum(CASE WHEN est_bps < t AND exact_bps < t THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_true_neg
+        |FROM est CROSS JOIN th GROUP BY 1""".stripMargin
   )
 }

@@ -992,6 +992,42 @@ object Dedup {
       .withColumn("err_bps", col("est_bps") - col("exact_bps"))
   }
 
+  /** Operating-point sweep over [[minhashCalibration]]: at each candidate
+    * dedup threshold, the confusion counts of "signature estimate ≥ t"
+    * against "exact Jaccard ≥ t" over the LSH candidate pairs — the table
+    * a dedup deployment reads to pick its threshold (and decide whether
+    * the estimator's false-positive mass warrants more hash functions or
+    * an exact verify stage).
+    *
+    * Shape: the calibration frame computes once (checkpointed) and the
+    * sweep is a broadcast cross with a literal threshold list — one
+    * thresholds-bounded aggregation. Exact integer counts throughout.
+    */
+  def minhashThresholdSweep(
+      docs: DataFrame,
+      thresholdsBps: Seq[Int] = Seq(3000, 5000, 7000, 8000, 9000),
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(thresholdsBps.nonEmpty, "need thresholds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cal = minhashCalibration(docs, idCol, textCol).localCheckpoint(eager = true)
+    cal
+      .crossJoin(broadcast(thresholdsBps.map(_.toLong).toDF("t")))
+      .groupBy(col("t").as("threshold_bps"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("est_bps") >= col("t") && col("exact_bps") >= col("t"), 1L)
+          .otherwise(0L)).as("n_true_pos"),
+        sum(when(col("est_bps") >= col("t") && col("exact_bps") < col("t"), 1L)
+          .otherwise(0L)).as("n_false_pos"),
+        sum(when(col("est_bps") < col("t") && col("exact_bps") >= col("t"), 1L)
+          .otherwise(0L)).as("n_false_neg"),
+        sum(when(col("est_bps") < col("t") && col("exact_bps") < col("t"), 1L)
+          .otherwise(0L)).as("n_true_neg"))
+  }
+
   /** SimHash near-dup pairs on the md5-anchored 32-bit fingerprint — the
     * oracle-checkable twin of [[simhashNearDupPairs]]: same pigeonhole
     * chunk-banding (any pair within hamming < `chunks` shares an exact

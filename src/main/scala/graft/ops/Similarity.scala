@@ -224,6 +224,66 @@ object Similarity {
           .as("cos_milli"))
   }
 
+  /** Label-noise screen: the nearest-centroid confusion matrix — for each
+    * (true label, nearest centroid's label) pair, how many points sit
+    * closer to ANOTHER label's centroid than their own. Off-diagonal mass
+    * is the mislabeled/confusable sliver an embedding-quality audit
+    * flags before training on the labels.
+    *
+    * Exactness: centroids quantize ONCE to micro ints (round-half-up of
+    * the exact integer centroid sums over n — a bounded labels×dim
+    * frame), points quantize with the same floor(x·10⁶+0.5); distances
+    * are then exact long sums of squared differences, and the argmin
+    * tie-breaks to the smaller label — bit-identical in any engine.
+    *
+    * Shape: the quantized centroid frame broadcasts; each point computes
+    * its |labels| distances map-side in one array expression (no
+    * point×centroid shuffle), then ONE (label, label) aggregation. At
+    * any corpus size the exchange carries ≤ labels² rows.
+    */
+  def labelConfusion(
+      emb: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    val cents = labelCentroidSumsMicro(emb, labelCol, vecCol)
+      .select(
+        col("label"),
+        col("dim_i"),
+        scaledRatio(col("sum_micro"), col("n_vectors"), 1L).cast("long").as("cq"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("dim_i"), col("cq")))).as("dims"))
+      .select(col("label"), col("dims.cq").as("cvec"))
+      .collect() // bounded: one row per label
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    val spark = emb.sparkSession
+    val centArr = array(cents.map { case (l, v) =>
+      struct(lit(l).as("cl"), array(v.map(lit(_)): _*).as("cv"))
+    }: _*)
+    emb
+      .select(
+        col(labelCol).cast("int").as("label"),
+        transform(asDouble(col(vecCol)), x => floor(x * 1000000 + 0.5).cast("long")).as("q"))
+      .select(
+        col("label"),
+        // argmin over (distance, label): one map-side array reduction
+        aggregate(
+          centArr,
+          struct(lit(Long.MaxValue).as("d"), lit(-1).as("cl")),
+          (acc, c) => {
+            val dist = aggregate(
+              zip_with(col("q"), c.getField("cv"), (a, b) => (a - b) * (a - b)),
+              lit(0L),
+              (s, x) => s + x)
+            when(dist < acc.getField("d"), struct(dist.as("d"), c.getField("cl").as("cl")))
+              .otherwise(acc)
+          }).getField("cl").as("nearest_label"))
+      .groupBy(col("label"), col("nearest_label"))
+      .agg(count(lit(1)).as("n_points"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact: all (id_a < id_b) pairs
     * with cosine ≥ threshold. O(n²) dot products — correct at any scale but
     * only affordable on bounded sets (a partition, a sampled audit, a

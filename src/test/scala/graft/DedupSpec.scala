@@ -385,4 +385,23 @@ class DedupSpec extends AnyFunSuite {
       assert(m >= 0L && m <= 64L && exact >= 0L && exact <= 10000L)
     }
   }
+
+  test("minhashThresholdSweep: cells partition the pairs, TP monotone, exact copy always TP") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, text), (2L, text), (3L, text + " iota kappa"),
+      (4L, "completely different words with nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.minhashThresholdSweep(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(3000L, 5000L, 7000L, 8000L, 9000L))
+    val nPairs = got.head._2
+    got.foreach { case (_, n, tp, fp, fn, tn) =>
+      assert(n == nPairs && tp + fp + fn + tn == n)
+    }
+    // true positives can only shrink as the threshold rises
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted.reverse)
+    // the exact copy (est = exact = 10000) is a TP at every threshold
+    assert(got.forall(_._3 >= 1L))
+  }
 }

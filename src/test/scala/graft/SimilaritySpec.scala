@@ -509,6 +509,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got((0, 2)) == 0L && got((1, 2)) == 0L && got((2, 3)) == 0L)
   }
 
+  test("labelConfusion: separable clusters stay diagonal, a planted mislabel crosses") {
+    val vecs = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(0.9f, 0.1f)), (0, Seq(1.1f, -0.1f)),
+      (1, Seq(0.0f, 1.0f)), (1, Seq(0.1f, 0.9f)),
+      (1, Seq(1.0f, 0.05f)) // labeled 1 but sits in cluster 0
+    ).toDF("label", "embedding")
+    val got = Similarity.labelConfusion(vecs)
+      .as[(Int, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((0, 0)) == 3L)
+    assert(got((1, 1)) == 2L)
+    assert(got((1, 0)) == 1L) // the planted mislabel
+    assert(!got.contains((0, 1)))
+  }
+
   test("CrossMomentAgg matches brute-force moments and excludes wrong-length vectors") {
     import graft.functions.CrossMomentAgg
     val rnd = new scala.util.Random(7)
