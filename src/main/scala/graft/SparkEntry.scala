@@ -543,6 +543,12 @@ object SparkEntry {
         .ngramJaccardPairs(sample, "doc_id", "text", 3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     },
+    "setsim_jaccard_join" -> { (s, dir) =>
+      // COMPLETE exact-Jaccard self-join via rarest-first prefix filtering
+      // (AllPairs/PPJoin) — every pair ≥ 0.8, no LSH recall loss, no doc
+      // sample; exact integer verify (ops/SetSim.scala).
+      graft.ops.SetSim.jaccardJoin(table(s, dir, "documents"))
+    },
     "minhash_pairs" -> { (s, dir) =>
       // MinHash-LSH candidates verified by exact Jaccard. Hash functions are
       // engine-native (xxhash64) → no SQL oracle; correctness is spec'd
@@ -3180,6 +3186,30 @@ object SparkEntry {
         |  round(CAST(len(list_filter(a.g, x -> list_contains(b.g, x))) AS DOUBLE)
         |    / (len(a.g) + len(b.g) - len(list_filter(a.g, x -> list_contains(b.g, x)))), 4) AS jaccard
         |FROM grams a JOIN grams b ON a.doc_id < b.doc_id""".stripMargin,
+    "setsim_jaccard_join" ->
+      // the prefix filter is lossless, so the oracle skips it: full exact
+      // intersection counts via the gram self-join, same integer threshold
+      // and round-half-up micro division as the Spark plan
+      """WITH s AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN len(w) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |      ELSE [] END) AS gram
+        |  FROM s
+        |), sz AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1
+        |), inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+        |  CAST((2 * 1000000 * n_inter + (sa.n + sb.n - n_inter))
+        |    // (2 * (sa.n + sb.n - n_inter)) AS BIGINT) AS jaccard_micro
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE 1000000 * n_inter >= 800000 * (sa.n + sb.n - n_inter)""".stripMargin,
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 8),

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity self-join via prefix filtering (AllPairs /
+  * PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08) — the
+  * COMPLETE counterpart to the probabilistic MinHash-LSH pairs in
+  * [[Dedup]]: every pair with Jaccard ≥ t is returned (the filter is
+  * lossless), with the exact similarity, not an estimate. This is the
+  * tool for the "no false negatives allowed" dedup passes — contract
+  * compliance sweeps, benchmark decontamination audits — where LSH
+  * recall < 1 is not acceptable.
+  *
+  * How it scales: order the shingle universe rarest-first (global
+  * document frequency, ties by the shingle itself — a total order). For
+  * Jaccard ≥ t a pair must share at least one shingle inside each side's
+  * first |S| − ⌈t·|S|⌉ + 1 shingles under that order (if all common
+  * shingles sat outside A's prefix, |A∩B| ≤ ⌈t·|A|⌉ − 1 < t·|A| ≤
+  * t·|A∪B| — contradiction). So only PREFIX shingles generate candidate
+  * pairs, and because prefixes are drawn from the rare end of the
+  * vocabulary, the per-shingle fanout is small where df² would explode.
+  * A size filter (t·max(|A|,|B|) ≤ min(|A|,|B|), integer
+  * cross-multiplied) prunes length-incompatible candidates before the
+  * verify join.
+  *
+  * Plan shape: ONE corpus scan pinned with an eager localCheckpoint
+  * (sizes, document frequencies, prefix extraction, and the verify join
+  * all reuse the exploded (id, gram) frame); the global rarity rank uses
+  * [[Ranking.globalRowNumber]] (range-partitioned prefix sums — no
+  * single-partition window); the only window is per-document
+  * (`partitionBy(id)`, bounded by a document's shingle count). Exchanges
+  * carry (id, gram) pairs and integer counts — never document text.
+  * Verification is exact integer arithmetic: the threshold test is
+  * 10⁶·|A∩B| ≥ t_micro·|A∪B| cross-multiplied in longs, and the
+  * reported similarity is one round-half-up integer division — no float
+  * anywhere, so the DuckDB oracle reproduces it bit-for-bit.
+  */
+object SetSim {
+
+  /** All document pairs with exact n-gram-shingle Jaccard ≥
+    * thresholdMicro/10⁶. Output: (id_a, id_b, n_a, n_b, n_inter,
+    * jaccard_micro), id_a < id_b. Documents with fewer than n tokens
+    * have an empty shingle set and never pair.
+    */
+  def jaccardJoin(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      thresholdMicro: Long = 800000L
+  ): DataFrame = {
+    require(thresholdMicro > 0 && thresholdMicro <= 1000000L,
+      s"thresholdMicro must be in (0, 10^6], got $thresholdMicro")
+    // one corpus scan; every downstream frame reuses this exploded set
+    val g = docs
+      .select(col(idCol).as("id"), explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .localCheckpoint(eager = true)
+
+    val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // rarest-first total order over the shingle universe
+    val ranked = Ranking
+      .globalRowNumber(
+        g.groupBy(col("gram")).agg(count(lit(1)).as("df")),
+        Seq(col("df").asc, col("gram").asc),
+        rankCol = "grank")
+      .select(col("gram"), col("grank"))
+
+    // per-document positions under the global order; keep only the prefix
+    val byRank = Window.partitionBy(col("id")).orderBy(col("grank"))
+    val prefix = g
+      .join(ranked, "gram")
+      .join(sizes, "id")
+      .withColumn("pos", row_number().over(byRank))
+      // prefix length = n − ⌈t·n⌉ + 1, ceil as exact integer arithmetic
+      .filter(
+        col("pos") <= col("n")
+          - expr(s"($thresholdMicro * n + 999999) DIV 1000000") + 1)
+      .select(col("id"), col("gram"), col("n"))
+
+    // candidates: share a prefix shingle + pass the size filter
+    val cand = prefix.as("x")
+      .join(
+        prefix.as("y"),
+        col("x.gram") === col("y.gram") && col("x.id") < col("y.id"))
+      .filter(
+        lit(1000000L) * least(col("x.n"), col("y.n"))
+          >= lit(thresholdMicro) * greatest(col("x.n"), col("y.n")))
+      .select(
+        col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+      .distinct()
+
+    // exact verify: intersection count via two equi-joins on the pinned frame
+    cand
+      .join(g.as("ga"), col("id_a") === col("ga.id"))
+      .join(g.as("gb"), col("id_b") === col("gb.id") && col("ga.gram") === col("gb.gram"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .filter(
+        lit(1000000L) * col("n_inter")
+          >= lit(thresholdMicro) * (col("n_a") + col("n_b") - col("n_inter")))
+      .withColumn(
+        "jaccard_micro",
+        expr("(2 * 1000000 * n_inter + (n_a + n_b - n_inter)) DIV (2 * (n_a + n_b - n_inter))"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("n_inter"), col("jaccard_micro"))
+  }
+}

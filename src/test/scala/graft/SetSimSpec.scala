@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SetSim
+
+class SetSimSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def shingles(text: String, n: Int): Set[String] = {
+    val w = text.toLowerCase.split("\\s+").toSeq
+    if (w.length < n) Set.empty
+    else w.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  private def brute(
+      rows: Seq[(Long, String)], n: Int, tMicro: Long): Set[(Long, Long, Long, Long, Long, Long)] =
+    (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      a = shingles(ta, n); b = shingles(tb, n) if a.nonEmpty && b.nonEmpty
+      inter = (a & b).size.toLong
+      union = a.size + b.size - inter
+      if 1000000L * inter >= tMicro * union
+    } yield (ia, ib, a.size.toLong, b.size.toLong, inter,
+      (2L * 1000000L * inter + union) / (2L * union))).toSet
+
+  test("jaccardJoin equals brute force (lossless prefix filter)") {
+    val rows = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta iota",   // near-dup of 1
+      3L -> "alpha beta gamma delta epsilon zeta eta theta",  // exact dup of 1
+      4L -> "one two three four five six seven eight nine",
+      5L -> "one two three four five six seven eight ten",    // near-dup of 4
+      6L -> "completely unrelated text with no shared grams at all",
+      7L -> "tiny doc" // < n tokens → empty set, never pairs
+    )
+    val got = SetSim
+      .jaccardJoin(rows.toDF("doc_id", "text"), thresholdMicro = 500000L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == brute(rows, 3, 500000L))
+    assert(got.exists { case (a, b, _, _, _, j) => a == 1L && b == 3L && j == 1000000L })
+  }
+
+  test("threshold is a strict exact-integer gate, not a float compare") {
+    // 6 shingles each, intersection 4 → union 8, J = 0.5 exactly:
+    // included at t = 0.5, excluded at t_micro = 500001
+    val rows = Seq(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f x y"
+    )
+    val df = rows.toDF("doc_id", "text")
+    val at = SetSim.jaccardJoin(df, thresholdMicro = 500000L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(at.length == 1 && at.head._5 == 4L && at.head._6 == 500000L)
+    assert(SetSim.jaccardJoin(df, thresholdMicro = 500001L).count() == 0L)
+  }
+
+  test("prefix filter prunes candidates on a shared-stopword corpus") {
+    // 60 docs all sharing one hyper-frequent shingle but pairwise J < t:
+    // the rarest-first prefix must not fan out on the stopword gram
+    val rows = (1L to 60L).map(i => i -> s"the common prefix stopword run u$i v$i w$i x$i y$i z$i")
+    val out = SetSim.jaccardJoin(rows.toDF("doc_id", "text"), thresholdMicro = 800000L)
+    assert(out.count() == 0L)
+  }
+}
