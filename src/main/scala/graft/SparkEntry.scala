@@ -2320,6 +2320,15 @@ object SparkEntry {
       graft.ops.Graph.degreeAssortativity(
         Similarity.cosineNearDupPairs(emb, threshold = 0.2).select(col("id_a"), col("id_b")))
     },
+    "neardup_link_prediction" -> { (s, dir) =>
+      // Recall repair after banded dedup: resource-allocation scores for
+      // non-adjacent pairs sharing neighbors in the near-dup graph — the
+      // exact-rational Adamic-Adar member, no ln anywhere
+      // (ops/Graph.scala).
+      val emb = table(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      graft.ops.Graph.resourceAllocation(
+        Similarity.cosineNearDupPairs(emb, threshold = 0.2).select(col("id_a"), col("id_b")))
+    },
     "centroid_cosines" -> { (s, dir) =>
       // Class-level embedding geometry: pairwise cosine between label
       // centroids from the exact integer centroid sums (cosine is
@@ -6456,6 +6465,28 @@ object SparkEntry {
         |    - (((2000000 * rnum + rden) % (2 * rden)) + 2 * rden) % (2 * rden)) // (2 * rden)
         |    END AS BIGINT) AS assortativity_micro
         |FROM q""".stripMargin,
+    "neardup_link_prediction" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |            FROM embeddings WHERE vec_id % 10 = 0),
+        |e AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.2
+        |), deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY 1
+        |), adj AS (
+        |  SELECT d.v, u, (2 * 1000000 + deg) // (2 * deg) AS term
+        |  FROM (SELECT a AS v, b AS u FROM e UNION ALL SELECT b AS v, a AS u FROM e) d
+        |  JOIN deg ON deg.v = d.v WHERE deg <= 64
+        |), w AS (
+        |  SELECT x.u AS a, y.u AS b, x.term
+        |  FROM adj x JOIN adj y ON x.v = y.v AND x.u < y.u
+        |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = x.u AND e.b = y.u)
+        |)
+        |SELECT a AS id_a, b AS id_b, CAST(count(*) AS BIGINT) AS n_common,
+        |  CAST(sum(term) AS BIGINT) AS ra_micro
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "centroid_cosines" ->
       """WITH ex AS (
         |  SELECT label, i.i + 1 AS dim_i,

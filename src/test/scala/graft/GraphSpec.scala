@@ -193,4 +193,38 @@ class GraphSpec extends AnyFunSuite {
     val got = assort(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
     assert(got == ((4L, 4L, Some(-714286L))))
   }
+
+  private def bruteRa(
+      edges: Set[(Long, Long)], cap: Long): Map[(Long, Long), (Long, Long)] = {
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    val wedges = for {
+      v <- adj.keys.toSeq if deg(v) <= cap
+      u <- adj(v); w <- adj(v) if u < w && !edges((u, w))
+    } yield ((u, w), (2L * 1000000L + deg(v)) / (2L * deg(v)))
+    wedges.groupBy(_._1).map { case (k, ts) => k -> (ts.size.toLong, ts.map(_._2).sum) }
+  }
+
+  test("resourceAllocation matches brute force and drops existing edges") {
+    // path 1-2-3-4-5 + triangle 3-6-7: predicted links are the 2-hop pairs
+    val edges = Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L), (3L, 7L), (6L, 7L))
+    val got = Graph.resourceAllocation(edges.toSeq.toDF("id_a", "id_b"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (a, b, n, s) => (a, b) -> (n, s) }.toMap
+    assert(got == bruteRa(edges, 64L))
+    // (2,4) through center 3 (deg 4): term = round(1e6/4) = 250000
+    assert(got((2L, 4L)) == ((1L, 250000L)))
+    // (6,7) is an existing edge -> absent even though they share center 3
+    assert(!got.contains((6L, 7L)))
+  }
+
+  test("resourceAllocation: the degree cap excludes hub centers") {
+    // star hub 0 with 5 leaves: cap below 5 removes every wedge
+    val star = (1L to 5L).map(i => (0L, i)).toSet
+    assert(Graph.resourceAllocation(star.toSeq.toDF("id_a", "id_b"), maxCenterDeg = 4L).count() == 0L)
+    val full = Graph.resourceAllocation(star.toSeq.toDF("id_a", "id_b"), maxCenterDeg = 5L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(full.length == 10 && full.forall { case (_, _, n, s) => n == 1L && s == 200000L })
+  }
 }
