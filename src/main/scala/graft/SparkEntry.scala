@@ -2320,6 +2320,13 @@ object SparkEntry {
       graft.ops.Graph.degreeAssortativity(
         Similarity.cosineNearDupPairs(emb, threshold = 0.2).select(col("id_a"), col("id_b")))
     },
+    "training_order_manifest" -> { (s, dir) =>
+      // The order the trainer reads the corpus: length-warmup curriculum
+      // phases, seeded hash shuffle within each phase, and every doc's
+      // starting token offset in the concatenated stream — resume-by-
+      // token-budget as a range lookup (ops/Sampling.scala).
+      graft.ops.Sampling.trainingOrderManifest(table(s, dir, "documents"))
+    },
     "neardup_link_prediction" -> { (s, dir) =>
       // Recall repair after banded dedup: resource-allocation scores for
       // non-adjacent pairs sharing neighbors in the near-dup graph — the
@@ -6465,6 +6472,23 @@ object SparkEntry {
         |    - (((2000000 * rnum + rden) % (2 * rden)) + 2 * rden) % (2 * rden)) // (2 * rden)
         |    END AS BIGINT) AS assortativity_micro
         |FROM q""".stripMargin,
+    "training_order_manifest" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5('curriculum-v1' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS shuffle
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, n_tokens, shuffle,
+        |    CAST(CASE WHEN n_tokens < 40 THEN 0 WHEN n_tokens < 70 THEN 1 ELSE 2 END AS INT) AS phase
+        |  FROM f
+        |)
+        |SELECT doc_id, phase, n_tokens,
+        |  CAST(row_number() OVER (ORDER BY phase, shuffle, doc_id) AS BIGINT) AS pos,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY phase, shuffle, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+        |FROM p""".stripMargin,
     "neardup_link_prediction" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |            FROM embeddings WHERE vec_id % 10 = 0),

@@ -403,4 +403,56 @@ object Sampling {
           when(col("rn") <= pmod(col("target"), col("n")), 1L).otherwise(0L))
           .as("n_copies"))
   }
+
+  /** Training-order manifest: the deterministic global order a trainer
+    * consumes the corpus in — curriculum phases (sequence-length warmup:
+    * short documents first, the standard stabilizer for early training)
+    * with a seeded hash shuffle INSIDE each phase, plus each document's
+    * starting TOKEN offset in the concatenated training stream. The
+    * offset column is what makes the manifest operational: "resume from
+    * token 3.1e12" or "phase 2 starts at token N" becomes one range
+    * lookup instead of a replay.
+    *
+    * Determinism contract (the [[hashSample]] discipline): position is a
+    * pure function of (corpus, phase thresholds, seed) — no RNG, no
+    * partition dependence — so a re-run on different cluster geometry
+    * yields the identical order, and the DuckDB oracle reproduces it
+    * row-for-row.
+    *
+    * Scale shape: one corpus scan projects (id, n_tokens) — text never
+    * leaves the scan; position and token offset come from
+    * [[Ranking.runningTotals]] (range-partitioned two-pass prefix sums),
+    * so there is NO single-task global window; the order key
+    * (phase, shuffle, id) is tie-free because ids are unique.
+    */
+  def trainingOrderManifest(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      phaseMaxTokens: Seq[Long] = Seq(40L, 70L),
+      seed: String = "curriculum-v1"
+  ): DataFrame = {
+    require(phaseMaxTokens == phaseMaxTokens.sorted, "phase thresholds must ascend")
+    val nTok = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val phase = phaseMaxTokens.zipWithIndex
+      .foldRight(lit(phaseMaxTokens.size): Column) { case ((t, i), rest) =>
+        when(col("n_tokens") < t, lit(i)).otherwise(rest)
+      }
+    val keyed = docs
+      .select(col(idCol).as("id"), nTok.as("n_tokens"))
+      .withColumn("phase", phase.cast("int"))
+      .withColumn("shuffle", hashValue(col("id"), seed))
+      .withColumn("one", lit(1L))
+    Ranking
+      .runningTotals(
+        keyed,
+        Seq(col("phase").asc, col("shuffle").asc, col("id").asc),
+        Seq("one", "n_tokens"))
+      .select(
+        col("id").as(idCol),
+        col("phase"),
+        col("n_tokens"),
+        col("cum_one").as("pos"),
+        (col("cum_n_tokens") - col("n_tokens")).as("token_offset"))
+  }
 }

@@ -227,4 +227,34 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect()
     assert(again.sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
   }
+
+  test("trainingOrderManifest: contiguous positions, phase order, exact token offsets") {
+    val docs = (1L to 300L)
+      .map(i => (i, Seq.fill((i % 90 + 3).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = Sampling.trainingOrderManifest(docs)
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._4)
+    // positions are 1..N with no gap
+    assert(m.map(_._4).toSeq == (1L to 300L).toSeq)
+    // phases ascend along the order and match the thresholds
+    assert(m.map(_._2).toSeq == m.map(_._2).sorted.toSeq)
+    assert(m.forall { case (_, p, n, _, _) =>
+      p == (if (n < 40) 0 else if (n < 70) 1 else 2)
+    })
+    // token_offset is the exact exclusive prefix sum of n_tokens
+    val offsets = m.map(_._3).scanLeft(0L)(_ + _).init
+    assert(m.map(_._5).toSeq == offsets.toSeq)
+  }
+
+  test("trainingOrderManifest: order is a pure function of (corpus, seed)") {
+    val docs = (1L to 120L).map(i => (i, s"tok ${"x " * (i % 50).toInt}")).toDF("doc_id", "text")
+    val a = Sampling.trainingOrderManifest(docs).as[(Long, Int, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    val b = Sampling.trainingOrderManifest(docs.repartition(7))
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b) // partition-layout blind
+    val c = Sampling.trainingOrderManifest(docs, seed = "other")
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a != c) // the seed actually shuffles
+  }
 }
