@@ -2320,6 +2320,12 @@ object SparkEntry {
       graft.ops.Graph.degreeAssortativity(
         Similarity.cosineNearDupPairs(emb, threshold = 0.2).select(col("id_a"), col("id_b")))
     },
+    "effective_token_counts" -> { (s, dir) =>
+      // Dedup-discounted corpus size per source: each doc weighted by
+      // 1/|its exact-dup cluster|, so raw duplication can't inflate a
+      // source's claim on the training mix (ops/Dedup.scala).
+      Dedup.effectiveTokenCounts(table(s, dir, "documents"))
+    },
     "training_order_manifest" -> { (s, dir) =>
       // The order the trainer reads the corpus: length-warmup curriculum
       // phases, seeded hash shuffle within each phase, and every doc's
@@ -6472,6 +6478,20 @@ object SparkEntry {
         |    - (((2000000 * rnum + rden) % (2 * rden)) + 2 * rden) % (2 * rden)) // (2 * rden)
         |    END AS BIGINT) AS assortativity_micro
         |FROM q""".stripMargin,
+    "effective_token_counts" ->
+      """WITH h AS (
+        |  SELECT source, md5(text) AS h,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), cs AS (
+        |  SELECT h, CAST(count(*) AS BIGINT) AS cs FROM h GROUP BY 1
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT x.h) AS BIGINT) AS n_distinct_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum((2 * 1000000 * n_tokens + cs) // (2 * cs)) AS BIGINT)
+        |    AS effective_tokens_micro
+        |FROM h x JOIN cs USING (h) GROUP BY 1""".stripMargin,
     "training_order_manifest" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -1162,4 +1162,41 @@ object Dedup {
       )
       .select(col("doc_id"), col("n_chunks"), col("n_kept"), md5(col("txt")).as("kept_md5"))
   }
+
+  /** Dedup-discounted corpus accounting per source: every document is
+    * weighted by 1/|its exact-duplicate cluster| (global md5-of-text
+    * clusters, which may span sources), so a copy that appears 40 times
+    * contributes its tokens once in total, split across the sources that
+    * carry it. `effective_tokens_micro` is the honest corpus size a
+    * mixture planner should weight by — raw token counts overstate a
+    * crawl-heavy source by exactly its duplication factor, and
+    * keep-one-representative accounting misassigns shared documents
+    * entirely to the representative's source. Per-doc terms are one
+    * round-half-up integer division `(2·10⁶·n_tokens + cs) div (2·cs)`
+    * summed as longs — exact in both engines.
+    *
+    * Plan shape: one corpus scan projects (source, md5, n_tokens) — text
+    * is hashed at the scan and never shuffled; cluster sizes are one
+    * 128-bit-key aggregation joined back (AQE-splittable if one text
+    * dominates); the final per-source rollup is map-side partial. Two
+    * exchanges total.
+    */
+  def effectiveTokenCounts(
+      docs: DataFrame,
+      srcCol: String = "source",
+      textCol: String = "text"
+  ): DataFrame = {
+    val h = docs.select(
+      col(srcCol).as("src"),
+      md5(col(textCol)).as("h"),
+      graft.ops.TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val cs = h.groupBy(col("h")).agg(count(lit(1)).as("cs"))
+    h.join(cs, "h")
+      .groupBy(col("src").as(srcCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(expr("(2 * 1000000 * n_tokens + cs) DIV (2 * cs)")).as("effective_tokens_micro"))
+  }
 }

@@ -404,4 +404,21 @@ class DedupSpec extends AnyFunSuite {
     // the exact copy (est = exact = 10000) is a TP at every threshold
     assert(got.forall(_._3 >= 1L))
   }
+
+  test("effectiveTokenCounts: cross-source clusters split their mass exactly") {
+    // "a b c" (3 tokens) appears 3x: twice in s1, once in s2 -> each copy
+    // worth 1/3; "d e" (2 tokens) unique in s2; "f" unique in s1
+    val docs = Seq(
+      ("s1", "a b c"), ("s1", "a b c"), ("s2", "a b c"),
+      ("s2", "d e"), ("s1", "f")
+    ).toDF("source", "text")
+    val got = graft.ops.Dedup.effectiveTokenCounts(docs)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // s1: 3 docs, 2 distinct, 7 raw tokens; eff = 2*round(3e6/3) + 1e6 = 3e6
+    assert(got("s1") == (("s1", 3L, 2L, 7L, 3000000L)))
+    // s2: 2 docs, 2 distinct, 5 raw; eff = round(3e6/3) + 2e6 = 3e6
+    assert(got("s2") == (("s2", 2L, 2L, 5L, 3000000L)))
+    // total effective mass = unique token mass: 3 + 2 + 1 = 6e6 micro
+    assert(got.values.map(_._5).sum == 6000000L)
+  }
 }
