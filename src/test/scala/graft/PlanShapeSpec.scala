@@ -387,4 +387,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).size == 1, "corpus must be scanned once")
     assert(!plan.contains("Join"), "first-occurrence must ride the gram window, not a join")
   }
+
+  test("setsim_jaccard_join: equi-joins only, corpus never rescanned past the checkpoint") {
+    val plan = executedPlan("setsim_jaccard_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "prefix filtering must keep every join equi")
+    assert(!plan.contains("Scan parquet"),
+      "sizes/df/prefix/verify must reuse the checkpointed shingle frame")
+  }
+
+  test("training_order_manifest: no window operator at all — prefix sums are distributed") {
+    val df = SparkEntry.queries("training_order_manifest")(spark, dir)
+    df.count()
+    val windows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "manifest must use runningTotals, not a global window")
+  }
+
+  test("neardup_link_prediction: wedge join is equi, edge list not re-derived from parquet") {
+    val plan = executedPlan("neardup_link_prediction")
+    assert(!plan.contains("CartesianProduct"), "wedge enumeration must stay an equi self-join")
+    assert(!plan.contains("Scan parquet"),
+      "adjacency/degree/anti-join must reuse the checkpointed edge list")
+  }
+
+  test("effective_token_counts: text is hashed at the scan, never shuffled") {
+    val df = SparkEntry.queries("effective_token_counts")(spark, dir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
+      s"document text crossed an exchange: $exchanges")
+  }
 }
