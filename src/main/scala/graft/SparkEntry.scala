@@ -2320,6 +2320,34 @@ object SparkEntry {
       graft.ops.Graph.degreeAssortativity(
         Similarity.cosineNearDupPairs(emb, threshold = 0.2).select(col("id_a"), col("id_b")))
     },
+    "quality_rank_fusion" -> { (s, dir) =>
+      // Ensemble two incomparable quality signals (heuristic score,
+      // bigram-LM likelihood) by Borda rank sum — rank normalization
+      // needs no calibration, and each leg's rank is a distributed
+      // range-sort (Ranking.globalRowNumber), never a global window.
+      // Docs too short for the LM leg (<2 tokens) drop via the inner
+      // join — a doc must carry both signals to be fused.
+      val docs = table(s, dir, "documents")
+      val qr = graft.ops.Ranking
+        .globalRowNumber(
+          docs.select(
+            col("doc_id"),
+            TextAnalysis.qualityScore(col("text"), length(col("text"))).as("quality")),
+          Seq(col("quality").desc, col("doc_id").asc),
+          rankCol = "r_quality")
+        .select(col("doc_id"), col("r_quality"))
+      val lr = graft.ops.Ranking
+        .globalRowNumber(
+          graft.ops.LanguageModel.selfScore(docs, minAvgLpMicro = -3600000L)
+            .select(col("doc_id"), col("avg_lp_micro")),
+          Seq(col("avg_lp_micro").desc, col("doc_id").asc),
+          rankCol = "r_lm")
+        .select(col("doc_id"), col("r_lm"))
+      qr.join(lr, "doc_id")
+        .select(
+          col("doc_id"), col("r_quality"), col("r_lm"),
+          (col("r_quality") + col("r_lm")).as("borda"))
+    },
     "effective_token_counts" -> { (s, dir) =>
       // Dedup-discounted corpus size per source: each doc weighted by
       // 1/|its exact-dup cluster|, so raw duplication can't inflate a
@@ -6478,6 +6506,53 @@ object SparkEntry {
         |    - (((2000000 * rnum + rden) % (2 * rden)) + 2 * rden) % (2 * rden)) // (2 * rden)
         |    END AS BIGINT) AS assortativity_micro
         |FROM q""".stripMargin,
+    "quality_rank_fusion" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS INT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['the','and','of','to','in','is'], t))) AS INT) AS n_stop
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id,
+        |    round((least(n_tokens, 100) / 100.0) * 0.4
+        |        + least(n_stop * 4.0 / greatest(n_tokens, 1), 1.0) * 0.3
+        |        + (1.0 - least(n_punct * 10.0 / greatest(n_chars, 1), 1.0)) * 0.3, 4) AS quality
+        |  FROM f
+        |), qr AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS r_quality
+        |  FROM q
+        |), toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+        |), bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2
+        |), bc AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2
+        |), lm AS (
+        |  SELECT w1, w2, c2, sum(c2) OVER (PARTITION BY w1) AS ctx FROM bc
+        |), v AS (SELECT count(DISTINCT w2) AS v FROM bc),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |    CAST(floor(ln((CAST(lm.c2 AS DOUBLE) + 1.0e0)
+        |        / (CAST(lm.ctx AS DOUBLE) + CAST(v.v AS DOUBLE)))
+        |      * 1e6 + 0.5e0) AS BIGINT) AS lp
+        |  FROM bg JOIN lm USING (w1, w2), v
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(lp) AS BIGINT) AS lp_sum_micro
+        |  FROM scored GROUP BY 1
+        |), lr AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY
+        |    floor(CAST(lp_sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) + 0.5e0) DESC,
+        |    doc_id) AS BIGINT) AS r_lm
+        |  FROM agg
+        |)
+        |SELECT doc_id, r_quality, r_lm, r_quality + r_lm AS borda
+        |FROM qr JOIN lr USING (doc_id)""".stripMargin,
     "effective_token_counts" ->
       """WITH h AS (
         |  SELECT source, md5(text) AS h,
