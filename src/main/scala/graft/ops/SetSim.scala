@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape: ONE corpus scan pinned with an eager localCheckpoint
   * (sizes, document frequencies, prefix extraction, and the verify join
-  * all reuse the exploded (id, gram) frame); the global rarity rank uses
-  * [[Ranking.globalRowNumber]] (range-partitioned prefix sums — no
-  * single-partition window); the only window is per-document
+  * all reuse the exploded (id, gram) frame); the rarity order needs only
+  * a comparable KEY, not a global dense rank, so `struct(df, gram)`
+  * orders the per-document window directly — no global ranking stage at
+  * all; the only window is per-document
   * (`partitionBy(id)`, bounded by a document's shingle count). Exchanges
   * carry (id, gram) pairs and integer counts — never document text.
   * Verification is exact integer arithmetic: the threshold test is
@@ -59,13 +60,12 @@ object SetSim {
       .localCheckpoint(eager = true)
 
     val sizes = g.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    // rarest-first total order over the shingle universe
-    val ranked = Ranking
-      .globalRowNumber(
-        g.groupBy(col("gram")).agg(count(lit(1)).as("df")),
-        Seq(col("df").asc, col("gram").asc),
-        rankCol = "grank")
-      .select(col("gram"), col("grank"))
+    // rarest-first total order over the shingle universe: (df, gram) is a
+    // total order already — a comparable struct key, no rank materialized
+    val ranked = g
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("gram"), struct(col("df"), col("gram")).as("grank"))
 
     // per-document positions under the global order; keep only the prefix
     val byRank = Window.partitionBy(col("id")).orderBy(col("grank"))
