@@ -1304,6 +1304,12 @@ object SparkEntry {
       // points (ops/Cohort.scala).
       graft.ops.Cohort.eventTransitions(eventsTable(s, dir))
     },
+    "frequent_sequences" -> { (s, dir) =>
+      // Sequential patterns: event-type trigrams with support counted once
+      // per user (transitions count occurrences; support counts adopters),
+      // exact basis-point share of the user base (ops/Cohort.scala).
+      graft.ops.Cohort.frequentSequences(eventsTable(s, dir))
+    },
     "benford_digits" -> { (s, dir) =>
       // Benford first-digit screen over price cents: leading digit by
       // string indexing (no log10 arithmetic on the data path), observed
@@ -4702,6 +4708,22 @@ object SparkEntry {
         |  CAST((2 * 10000 * n + sum(n) OVER (PARTITION BY src_type))
         |    // (2 * sum(n) OVER (PARTITION BY src_type)) AS INT) AS share_bps
         |FROM pairs""".stripMargin,
+    "frequent_sequences" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events
+        |), t AS (SELECT * FROM s WHERE e3 IS NOT NULL),
+        |u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nt FROM events),
+        |p AS (
+        |  SELECT e1, e2, e3, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    CAST(count(*) AS BIGINT) AS n_occurrences
+        |  FROM t GROUP BY 1, 2, 3 HAVING count(DISTINCT user_id) >= 5
+        |)
+        |SELECT e1, e2, e3, n_users, n_occurrences,
+        |  CAST((2 * 10000 * n_users + nt) // (2 * nt) AS INT) AS support_bps
+        |FROM p, u""".stripMargin,
     "benford_digits" ->
       """WITH v AS (
         |  SELECT CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v FROM lineitem

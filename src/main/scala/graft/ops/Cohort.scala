@@ -82,6 +82,51 @@ object Cohort {
       .drop("src_total")
   }
 
+  /** Sequential pattern mining, contiguous length-3 form: every event-type
+    * trigram a user's timeline contains, with support counted ONCE PER
+    * USER ([[eventTransitions]] counts occurrences; a single looping user
+    * can dominate that — support answers "how many users take this path").
+    * Patterns at or above `minUsers` survive, with the exact
+    * basis-point share of the full user base.
+    *
+    * Shape: trigram formation is two `lead`s over ONE user-partitioned
+    * window (the [[eventTransitions]] (ts, id) total order — both engines
+    * replay the identical sequence); the support aggregation keys on the
+    * trigram, exchange bounded by |types|³ × users pairs; the user-base
+    * total is a 1-row broadcast. For user counts where an exact
+    * per-pattern distinct is too heavy, substitute the proven HLL
+    * register aggregation ([[HeavyHitters]]) — same plan shape.
+    */
+  def frequentSequences(
+      events: DataFrame,
+      minUsers: Long = 5L,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"
+  ): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val tri = events
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("e2", lead(col(typeCol), 1).over(w))
+      .withColumn("e3", lead(col(typeCol), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(col(userCol), col(typeCol).as("e1"), col("e2"), col("e3"))
+    val totalUsers = events
+      .agg(countDistinct(col(userCol)).as("n_total_users"))
+    tri
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(
+        countDistinct(col(userCol)).as("n_users"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_users") >= minUsers)
+      .crossJoin(broadcast(totalUsers))
+      .withColumn(
+        "support_bps",
+        expr("(2 * 10000 * n_users + n_total_users) div (2 * n_total_users)").cast("int"))
+      .drop("n_total_users")
+  }
+
   /** Hours where a user's event count exceeds `thresholdPct`% of their own
     * average hourly rate (over hours they were active at all). The
     * comparison is CROSS-MULTIPLIED — `100·n·n_hours > thresholdPct·total`

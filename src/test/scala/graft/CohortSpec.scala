@@ -141,4 +141,26 @@ class CohortSpec extends AnyFunSuite {
     val got = Cohort.markovStationary(ev).as[(String, Long)].collect().toMap
     assert(got == Map("a" -> 0L, "c" -> 1000000L))
   }
+
+  test("frequentSequences: support counts a user once, occurrences count repeats") {
+    // u1 walks a>b>c twice (a,b,c,a,b,c); u2 once; u3 walks a>b>d; u4 has
+    // only 2 events (no trigram). minUsers=2 keeps only a>b>c.
+    def walk(u: Long, base: Long, path: String*) =
+      path.zipWithIndex.map { case (t, i) => (u, base + i, base + i, t) }
+    val ev = (walk(1L, 0L, "a", "b", "c", "a", "b", "c") ++
+      walk(2L, 100L, "a", "b", "c") ++
+      walk(3L, 200L, "a", "b", "d") ++
+      walk(4L, 300L, "a", "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Cohort.frequentSequences(ev, minUsers = 2L)
+      .as[(String, String, String, Long, Long, Int)].collect()
+    // u1 contributes trigrams abc, bca, cab, abc — abc twice but ONE user
+    assert(got.toSet == Set(("a", "b", "c", 2L, 3L, 5000)))
+    // minUsers=1 surfaces every walked trigram, incl. u3's a>b>d
+    val all = Cohort.frequentSequences(ev, minUsers = 1L)
+      .as[(String, String, String, Long, Long, Int)].collect()
+    assert(all.exists(r => (r._1, r._2, r._3, r._4) == (("a", "b", "d", 1L))))
+    // support_bps is round-half-up of n_users/4 users: 1/4 -> 2500
+    assert(all.filter(_._4 == 1L).forall(_._6 == 2500))
+  }
 }
