@@ -2367,6 +2367,14 @@ object SparkEntry {
       // token-budget as a range lookup (ops/Sampling.scala).
       graft.ops.Sampling.trainingOrderManifest(table(s, dir, "documents"))
     },
+    "mutual_nn_pairs" -> { (s, dir) =>
+      // Reciprocal top-5 pairs on the embedding sample: symmetric NN
+      // confidence (each in the other's top-k), the SemDeDup pair
+      // criterion; mutuality is one ids-only self-join on the bounded
+      // top-k frame (ops/Similarity.scala).
+      Similarity.mutualTopK(
+        table(s, dir, "embeddings").filter(col("vec_id") % 10 === 0), k = 5)
+    },
     "neardup_link_prediction" -> { (s, dir) =>
       // Recall repair after banded dedup: resource-allocation scores for
       // non-adjacent pairs sharing neighbors in the near-dup graph — the
@@ -6606,6 +6614,21 @@ object SparkEntry {
         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY phase, shuffle, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
         |FROM p""".stripMargin,
+    "mutual_nn_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 10 = 0),
+        |s AS (
+        |  SELECT a.vec_id AS qa, b.vec_id AS nb,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS cs
+        |  FROM e a JOIN e b ON a.vec_id != b.vec_id
+        |), r AS (
+        |  SELECT qa, nb, cs,
+        |    CAST(row_number() OVER (PARTITION BY qa ORDER BY cs DESC, nb) AS INT) AS rk
+        |  FROM s
+        |), t AS (SELECT * FROM r WHERE rk <= 5)
+        |SELECT x.qa AS id_a, x.nb AS id_b, x.cs AS cos_sim,
+        |  x.rk AS rank_ab, y.rk AS rank_ba
+        |FROM t x JOIN t y ON x.qa = y.nb AND x.nb = y.qa AND x.qa < x.nb""".stripMargin,
     "neardup_link_prediction" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |            FROM embeddings WHERE vec_id % 10 = 0),

@@ -114,6 +114,43 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Mutual (reciprocal) top-k nearest neighbors: pairs where EACH vector
+    * ranks inside the other's top-k — the symmetric-confidence criterion
+    * SemDeDup-style semantic dedup and duplicate verification use, because
+    * one-directional top-k membership is cheap to satisfy next to a hub
+    * vector while mutuality is not. Output keeps both directed ranks
+    * (`rank_ab`, `rank_ba`): their max is the usual pair-confidence
+    * ordering.
+    *
+    * Shape: the directed top-k comes from [[bruteForceTopK]] (bounded-heap
+    * aggregation, ≤ k rows per query survive); mutuality is then ONE
+    * ids-only self-join of that N·k frame — the quadratic scoring never
+    * re-runs, and the join carries (id, id, rank) triples. At corpus
+    * scale, swap the brute directed legs for the IVF top-k — the mutual
+    * join is leg-agnostic.
+    */
+  def mutualTopK(
+      emb: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val ranked = bruteForceTopK(emb, emb, k, idCol, vecCol)
+      .localCheckpoint(eager = true) // reused as both join sides
+    ranked.as("x")
+      .join(
+        ranked.as("y"),
+        col("x.query_id") === col("y.neighbor_id") &&
+          col("x.neighbor_id") === col("y.query_id") &&
+          col("x.query_id") < col("x.neighbor_id"))
+      .select(
+        col("x.query_id").as("id_a"),
+        col("x.neighbor_id").as("id_b"),
+        col("x.cos_sim").as("cos_sim"),
+        col("x.rank").as("rank_ab"),
+        col("y.rank").as("rank_ba"))
+  }
+
   /** Per-label mean embedding (centroid), one output row per (label,
     * dimension). Aggregation runs through [[graft.functions.VecSumAgg]] —
     * one fixed-size buffer per group per partition crosses the exchange

@@ -540,4 +540,28 @@ class SimilaritySpec extends AnyFunSuite {
       assert(cross(CrossMomentAgg.triIndex(i, j, 3)) ==
         rows.map(r => r(i) * r(j)).sum, s"cell ($i,$j)")
   }
+
+  test("mutualTopK equals the local reciprocal filter of directed top-k") {
+    val data = clustered(40)
+    val df = data.toDF("vec_id", "embedding")
+    val lookup = data.toMap
+    val k = 4
+    def localTopK(q: Long): Seq[(Long, Int)] = data
+      .filter(_._1 != q)
+      .map { case (id, v) => (id, math.rint(cosLocal(lookup(q), v) * 1e6) / 1e6) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(k).zipWithIndex.map { case ((id, _), i) => (id, i + 1) }
+    val directed = data.map(_._1).map(q => q -> localTopK(q).toMap).toMap
+    val expected = (for {
+      a <- data.map(_._1); b <- data.map(_._1) if a < b
+      ra <- directed(a).get(b); rb <- directed(b).get(a)
+    } yield (a, b, ra, rb)).toSet
+    val got = Similarity.mutualTopK(df, k)
+      .select($"id_a", $"id_b", $"rank_ab", $"rank_ba")
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty) // clustered data must yield reciprocal pairs
+    // mutuality is symmetric by construction: no (b, a) duplicates
+    assert(got.forall { case (a, b, _, _) => a < b })
+  }
 }
