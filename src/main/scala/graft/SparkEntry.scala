@@ -2326,6 +2326,26 @@ object SparkEntry {
       graft.ops.Graph.degreeAssortativity(
         Similarity.cosineNearDupPairs(emb, threshold = 0.2).select(col("id_a"), col("id_b")))
     },
+    "dedup_savings_report" -> { (s, dir) =>
+      // What exact dedup buys, before running it: cluster-size histogram
+      // with the docs and tokens a keep-one pass would remove — copies in
+      // a cluster share identical text, so removable tokens are exactly
+      // (size-1) x per-copy tokens. Text is hashed at the scan; both
+      // aggregations carry 128-bit keys + counts only.
+      table(s, dir, "documents")
+        .select(
+          md5(col("text")).as("h"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("cs"), max(col("n_tokens")).as("tok1"))
+        .groupBy(col("cs"))
+        .agg(
+          count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * col("cs")).as("n_docs"),
+          (count(lit(1)) * (col("cs") - 1)).as("docs_removable"),
+          sum(expr("(cs - 1) * tok1")).as("tokens_removable"))
+        .withColumnRenamed("cs", "cluster_size")
+    },
     "quality_rank_fusion" -> { (s, dir) =>
       // Ensemble two incomparable quality signals (heuristic score,
       // bigram-LM likelihood) by Borda rank sum — rank normalization
@@ -6536,6 +6556,20 @@ object SparkEntry {
         |    - (((2000000 * rnum + rden) % (2 * rden)) + 2 * rden) % (2 * rden)) // (2 * rden)
         |    END AS BIGINT) AS assortativity_micro
         |FROM q""".stripMargin,
+    "dedup_savings_report" ->
+      """WITH h AS (
+        |  SELECT md5(text) AS h,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT h, CAST(count(*) AS BIGINT) AS cs, max(n_tokens) AS tok1
+        |  FROM h GROUP BY 1
+        |)
+        |SELECT cs AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(count(*) * cs AS BIGINT) AS n_docs,
+        |  CAST(count(*) * (cs - 1) AS BIGINT) AS docs_removable,
+        |  CAST(sum((cs - 1) * tok1) AS BIGINT) AS tokens_removable
+        |FROM c GROUP BY 1""".stripMargin,
     "quality_rank_fusion" ->
       """WITH f AS (
         |  SELECT doc_id,
