@@ -16,6 +16,14 @@ run / fork := true
 // every round (BENCH "parsed": null, r4-r6). Exit codes still signal
 // success/failure.
 ThisBuild / showSuccess := false
+// r7 still shipped "parsed": null: with fork, sbt's default
+// LoggedOutput strategy prefixes every forked line with "[info] " /
+// "[error] ", so the metric line reached the scorer as
+// `[info] {"metric":...}` — not bare JSON. StdoutOutput inherits the
+// parent's stdout/stderr file descriptors directly: no logger, no
+// prefix, the child's println lands verbatim as the last stdout line.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

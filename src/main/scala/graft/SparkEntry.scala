@@ -1612,6 +1612,23 @@ object SparkEntry {
         TextAnalysis.qualityLogit(col("text"), length(col("text"))).as("logit_micro")
       ).withColumn("keep", (col("logit_micro") > 0).cast("int"))
     },
+    "quality_trained_logit" -> { (s, dir) =>
+      // TRAINED quality filter (ops/QualityTrainer.scala): distill the
+      // n-gram-heavy Gopher gate into a linear scorer over cheap features
+      // by exact fixed-point batch gradient descent — 4 iterations, each
+      // one map-side-combined integer aggregation, 5 longs of driver
+      // state. Emits the full weight trajectory so the oracle replays
+      // every gradient step (the bpe_merges discipline).
+      graft.ops.QualityTrainer.weightTrajectoryDf(table(s, dir, "documents"), iters = 4)
+    },
+    "quality_trained_scores" -> { (s, dir) =>
+      // The inference face of the trained filter: per-doc predicted
+      // keep-probability (micro-units) + thresholded decision, computed
+      // as literal scan arithmetic with the just-trained weights — no
+      // joins, no broadcast state, one feature-frame checkpoint shared
+      // with training.
+      graft.ops.QualityTrainer.trainAndScore(table(s, dir, "documents"), iters = 4)
+    },
     "range_rule_window_counts" -> { (s, dir) =>
       // The NATURAL non-equi range join — no keys, no manual bucketing —
       // planned scalably by the RangeJoinRewrite optimizer rule
@@ -2395,6 +2412,16 @@ object SparkEntry {
       Similarity.mutualTopK(
         table(s, dir, "embeddings").filter(col("vec_id") % 10 === 0), k = 5)
     },
+    "mutual_nn_ivf" -> { (s, dir) =>
+      // The scale-shaped mutual-NN: same reciprocal-confidence join, but
+      // the directed leg is the deterministic-anchor IVF top-k over the
+      // FULL corpus instead of brute N² scoring — the injectable-leg
+      // contract of Similarity.mutualFromDirected. Anchor assignment is
+      // integer-exact, so candidate sets (and the recall loss) reproduce
+      // under the SQL oracle.
+      val emb = table(s, dir, "embeddings")
+      Similarity.mutualFromDirected(Similarity.ivfAnchorTopK(emb, emb, k = 5))
+    },
     "neardup_link_prediction" -> { (s, dir) =>
       // Recall repair after banded dedup: resource-allocation scores for
       // non-adjacent pairs sharing neighbors in the near-dup graph — the
@@ -2824,8 +2851,76 @@ object SparkEntry {
     base + steps + out
   }
 
+  /** Replay oracle for the trained quality filter: the same exact
+    * fixed-point GD loop QualityTrainer runs, unrolled as `iters` chained
+    * CTE steps. Weight updates use round-half-up integer division written
+    * as floor((2g + D)/(2D)) with the posmod adjustment (DuckDB `//`
+    * truncates); gradients accumulate in HUGEINT.
+    */
+  private def qualityTrainedCtes(iters: Int): String = {
+    val base =
+      s"""$GopherRulesCtes, $QualityLogitCtes, feat AS MATERIALIZED (
+        |  SELECT f.doc_id,
+        |    CAST(1000000 AS BIGINT) AS x0,
+        |    CAST(least(f.n_tokens, 200) * 5000 AS BIGINT) AS x1,
+        |    least(CAST(floor(f.n_stop * 4000000.0 / greatest(f.n_tokens, 1)) AS BIGINT), 1000000) AS x2,
+        |    least(CAST(floor(f.n_punct * 10000000.0 / greatest(f.n_chars, 1)) AS BIGINT), 1000000) AS x3,
+        |    CAST(floor(f.n_distinct * 1000000.0 / greatest(f.n_tokens, 1)) AS BIGINT) AS x4,
+        |    CAST(g.keep AS BIGINT) AS y
+        |  FROM f JOIN gop g ON g.doc_id = f.doc_id
+        |), nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM feat),
+        |w0_ AS (SELECT CAST(0 AS HUGEINT) AS w0, CAST(0 AS HUGEINT) AS w1,
+        |  CAST(0 AS HUGEINT) AS w2, CAST(0 AS HUGEINT) AS w3, CAST(0 AS HUGEINT) AS w4)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      val prev = s"w${t - 1}_"
+      val upd = (0 to 4).map { j =>
+        // delta_j = floor((2*g_j + D) / (2*D)), D = 2*n*1e6 (eta = 1/2)
+        s"""w.w$j - ((2*g.g$j + 2000000*nn.n) -
+           |      ((((2*g.g$j + 2000000*nn.n) % (4000000*nn.n)) + 4000000*nn.n) % (4000000*nn.n)))
+           |      // (4000000*nn.n) AS w$j""".stripMargin
+      }.mkString(",\n    ")
+      s""", e$t AS (
+         |  SELECT feat.*,
+         |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+         |      / 1000000.0) AS HUGEINT) - feat.y*1000000 AS err
+         |  FROM feat, $prev w
+         |), g$t AS (
+         |  SELECT sum(err*x0) AS g0, sum(err*x1) AS g1, sum(err*x2) AS g2,
+         |    sum(err*x3) AS g3, sum(err*x4) AS g4
+         |  FROM e$t
+         |), w${t}_ AS (
+         |  SELECT $upd
+         |  FROM $prev w, g$t g, nn
+         |)""".stripMargin
+    }.mkString
+    base + steps
+  }
+
+  private def qualityTrainedLogitOracle(iters: Int): String = {
+    val names = Seq("bias", "volume", "stop_ratio", "punct_ratio", "diversity")
+    val out = (1 to iters).flatMap { t =>
+      names.zipWithIndex.map { case (name, j) =>
+        s"SELECT CAST($t AS INT) AS iter, '$name' AS feature, CAST(w$j AS BIGINT) AS w_micro FROM w${t}_"
+      }
+    }.mkString("\n", "\nUNION ALL\n", "")
+    s"WITH ${qualityTrainedCtes(iters)}$out"
+  }
+
+  private def qualityTrainedScoresOracle(iters: Int): String =
+    s"""WITH ${qualityTrainedCtes(iters)}, p AS (
+      |  SELECT feat.doc_id,
+      |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+      |      / 1000000.0) AS BIGINT) AS p_micro
+      |  FROM feat, w${iters}_ w
+      |)
+      |SELECT doc_id, p_micro,
+      |  CAST(CASE WHEN p_micro > 500000 THEN 1 ELSE 0 END AS INT) AS keep_trained
+      |FROM p""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesOracle(10),
+    "quality_trained_logit" -> qualityTrainedLogitOracle(4),
+    "quality_trained_scores" -> qualityTrainedScoresOracle(4),
     "parse_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS "user", event_type AS team,
         |  CAST(floor(value*100 + 0.5) AS INT) AS score,
@@ -6663,6 +6758,42 @@ object SparkEntry {
         |SELECT x.qa AS id_a, x.nb AS id_b, x.cs AS cos_sim,
         |  x.rk AS rank_ab, y.rk AS rank_ba
         |FROM t x JOIN t y ON x.qa = y.nb AND x.nb = y.qa AND x.qa < x.nb""".stripMargin,
+    "mutual_nn_ivf" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE len(embedding) = 64
+        |), anchors AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, qv AS av
+        |  FROM vecs ORDER BY vec_id LIMIT 16
+        |), dists AS (
+        |  SELECT v.vec_id, a.ai,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (v.qv[i] - a.av[i]) * (v.qv[i] - a.av[i]))) AS d2
+        |  FROM vecs v, anchors a
+        |), assign AS (
+        |  SELECT vec_id, ai AS bucket,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
+        |  FROM dists
+        |), cbuck AS (SELECT vec_id AS neighbor_id, bucket FROM assign WHERE rk = 1),
+        |qbuck AS (SELECT vec_id AS query_id, bucket FROM assign WHERE rk <= 4),
+        |cand AS (
+        |  SELECT DISTINCT query_id, neighbor_id
+        |  FROM qbuck JOIN cbuck USING (bucket) WHERE query_id != neighbor_id
+        |), scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+        |  FROM cand JOIN vecs qv ON qv.vec_id = cand.query_id
+        |            JOIN vecs cv ON cv.vec_id = cand.neighbor_id
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored
+        |), t AS (SELECT * FROM ranked WHERE rank <= 5)
+        |SELECT x.query_id AS id_a, x.neighbor_id AS id_b, x.cos_sim AS cos_sim,
+        |  x.rank AS rank_ab, y.rank AS rank_ba
+        |FROM t x JOIN t y ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
+        |  AND x.query_id < x.neighbor_id""".stripMargin,
     "neardup_link_prediction" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |            FROM embeddings WHERE vec_id % 10 = 0),

@@ -126,16 +126,32 @@ object Similarity {
     * aggregation, ≤ k rows per query survive); mutuality is then ONE
     * ids-only self-join of that N·k frame — the quadratic scoring never
     * re-runs, and the join carries (id, id, rank) triples. At corpus
-    * scale, swap the brute directed legs for the IVF top-k — the mutual
-    * join is leg-agnostic.
+    * scale, use [[mutualFromDirected]] with an ANN directed leg
+    * ([[ivfAnchorTopK]], [[ivfTopKIndexed]], [[lshMd5TopK]] — any frame
+    * in the shared `(query_id, neighbor_id, cos_sim, rank)` contract):
+    * this brute form exists as the exact-recall convenience wrapper and
+    * is N²-scoring by construction.
     */
   def mutualTopK(
       emb: DataFrame,
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
-  ): DataFrame = {
-    val ranked = bruteForceTopK(emb, emb, k, idCol, vecCol)
+  ): DataFrame =
+    mutualFromDirected(bruteForceTopK(emb, emb, k, idCol, vecCol))
+
+  /** The mutuality join alone, over a PRECOMPUTED directed top-k frame in
+    * the `(query_id, neighbor_id, cos_sim, rank)` contract every ANN leg
+    * in this module emits ([[bruteForceTopK]], [[ivfAnchorTopK]],
+    * [[ivfTopK]], [[ivfTopKIndexed]], [[lshTopK]], [[lshMd5TopK]],
+    * [[pqAdcTopK]], [[ivfPqTopK]]). This is the 100 TB entry point: the
+    * directed leg is where the quadratic work lives, so the caller picks
+    * the recall/cost point (brute for exactness, IVF/LSH for scale) and
+    * this join — one ids-only self-equi-join over the ≤ N·k frame, both
+    * sides the same checkpointed plan — stays O(N·k) regardless.
+    */
+  def mutualFromDirected(directedTopK: DataFrame): DataFrame = {
+    val ranked = directedTopK
       .localCheckpoint(eager = true) // reused as both join sides
     ranked.as("x")
       .join(

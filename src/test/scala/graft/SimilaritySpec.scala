@@ -564,4 +564,23 @@ class SimilaritySpec extends AnyFunSuite {
     // mutuality is symmetric by construction: no (b, a) duplicates
     assert(got.forall { case (a, b, _, _) => a < b })
   }
+
+  test("mutualFromDirected with an IVF leg equals the brute leg on well-separated clusters") {
+    // The injectable-leg contract: on a corpus whose true neighbors are
+    // all same-cluster (3 tight clusters, jitter ≪ center separation),
+    // anchor-IVF candidate generation recovers the exact directed top-k,
+    // so the mutuality join over the IVF leg must reproduce the brute
+    // leg bit-for-bit — pairs, cosines, and both directed ranks.
+    val data = clustered(40)
+    val df = data.toDF("vec_id", "embedding")
+    val k = 4
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select($"id_a", $"id_b", $"cos_sim", $"rank_ab", $"rank_ba")
+      .as[(Long, Long, Double, Int, Int)].collect().toSet
+    val brute = rows(Similarity.mutualTopK(df, k))
+    val ivf = rows(Similarity.mutualFromDirected(
+      Similarity.ivfAnchorTopK(df, df, k, nAnchors = 8, nprobe = 4, dim = dim)))
+    assert(brute.nonEmpty)
+    assert(ivf == brute)
+  }
 }
