@@ -2884,13 +2884,13 @@ object SparkEntry {
          |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
          |      / 1000000.0) AS HUGEINT) - feat.y*1000000 AS err
          |  FROM feat, $prev w
-         |), g$t AS (
+         |), gr$t AS (
          |  SELECT sum(err*x0) AS g0, sum(err*x1) AS g1, sum(err*x2) AS g2,
          |    sum(err*x3) AS g3, sum(err*x4) AS g4
          |  FROM e$t
          |), w${t}_ AS (
          |  SELECT $upd
-         |  FROM $prev w, g$t g, nn
+         |  FROM $prev w, gr$t g, nn
          |)""".stripMargin
     }.mkString
     base + steps

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** In-engine training of the model-based quality filter — the step real
+  * curation pipelines run between rule gates and corpus-scale inference
+  * (GPT-3 App. A's logistic filter over cheap features; CCNet's per-doc
+  * quality model): fit a linear scorer against a labeled keep/drop signal,
+  * then apply it at scan speed.
+  *
+  * Here the label is the Gopher rule gate ([[TextAnalysis.gopherRules]]) —
+  * the expensive repetition-aware teacher — and the student is a linear
+  * model over the CHEAP per-document features the fixed-weight
+  * [[TextAnalysis.qualityLogit]] already uses (token volume, stopword
+  * ratio, punctuation ratio, vocabulary diversity). Training distills the
+  * n-gram-heavy gate into pure scan arithmetic.
+  *
+  * Everything is exact fixed-point so the full training trajectory
+  * replays bit-for-bit in any SQL engine (the `bpe_merges` replay
+  * discipline):
+  *
+  *   - features quantized to integer micro-units at extraction,
+  *   - squared-loss (linear-probability-model) batch gradient descent —
+  *     no sigmoid, so no libm `exp` in the compare surface,
+  *   - per-iteration gradients are INTEGER sums (err_micro · x_micro),
+  *     order-independent by construction, accumulated in decimal lest a
+  *     100 TB corpus overflow a long,
+  *   - the weight update is exact rounded integer division
+  *     (round-half-up via floor((2·η_num·g + D) / (2·D))).
+  *
+  * Scale shape: one corpus scan builds the 6-longs-per-doc feature frame
+  * (checkpointed — iterations never rescan text); each GD step is ONE
+  * map-side-combined aggregation producing 5 numbers; the driver holds 5
+  * weights and the iteration counter — the same bounded-driver-loop
+  * discipline as `Bpe.learn` / `markovStationary`. Inference is a
+  * broadcast-free literal expression over the feature columns.
+  */
+object QualityTrainer {
+
+  val FeatureNames: Seq[String] = Seq("bias", "volume", "stop_ratio", "punct_ratio", "diversity")
+
+  /** Micro-quantized feature frame + Gopher label, one corpus scan.
+    * Columns: doc_id, x0..x4 (long micro-units, each clamped to
+    * [0, 1e6]), y (0/1 long — the Gopher keep decision).
+    */
+  def features(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val g = TextAnalysis.gopherRules(docs, textCol, carryCols = Seq(textCol))
+    val t = col(textCol)
+    val nTok = greatest(col("n_tokens"), lit(1L))
+    g.select(
+      col("doc_id"),
+      lit(1000000L).as("x0"),
+      (least(col("n_tokens"), lit(200L)) * 5000L).as("x1"),
+      least(
+        floor(TextAnalysis.markerCount(t, TextAnalysis.LangMarkers.head._2) * 4000000.0 / nTok)
+          .cast("long"),
+        lit(1000000L)).as("x2"),
+      least(
+        floor(TextAnalysis.punctCount(t) * 10000000.0 / greatest(col("n_chars"), lit(1L)))
+          .cast("long"),
+        lit(1000000L)).as("x3"),
+      floor(size(array_distinct(TextAnalysis.tokens(t))) * 1000000.0 / nTok)
+        .cast("long").as("x4"),
+      col("keep").cast("long").as("y")
+    )
+  }
+
+  private def dotExpr(w: Array[Long]) =
+    (0 to 4).map(j => col(s"x$j") * lit(w(j))).reduce(_ + _)
+
+  /** Trained-prediction in micro-units for weight vector `w`:
+    * floor((Σ wⱼ·xⱼ) / 1e6) — double division is exact here (|dot| ≪ 2⁵³
+    * because features and trained weights are both ≤ a few 1e6).
+    */
+  private def predictMicro(w: Array[Long]) =
+    floor(dotExpr(w).cast("double") / 1000000.0).cast("long")
+
+  /** Batch-GD training loop. Returns the weight trajectory: element t is
+    * the weight vector AFTER iteration t+1 (micro-units, FeatureNames
+    * order). Learning rate is η = etaNum/etaDen (default 1/2 — safely
+    * under the 2/λ_max stability bound for features clamped to [0,1]).
+    *
+    * Driver state: 5 longs per iteration — bounded regardless of corpus
+    * size. Each iteration runs one aggregation over the checkpointed
+    * feature frame; text is never rescanned.
+    */
+  def train(
+      feat: DataFrame,
+      iters: Int,
+      etaNum: Long = 1L,
+      etaDen: Long = 2L
+  ): Seq[Array[Long]] =
+    trainOnMaterialized(feat.localCheckpoint(eager = true), iters, etaNum, etaDen)
+
+  /** Same loop over a frame the caller has already materialized (avoids a
+    * second checkpoint when the caller also needs the features for
+    * scoring).
+    */
+  private def trainOnMaterialized(
+      f: DataFrame,
+      iters: Int,
+      etaNum: Long,
+      etaDen: Long
+  ): Seq[Array[Long]] = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    val n = f.count()
+    require(n > 0, "empty corpus")
+    // delta_j = round_half_up(etaNum · g_j / (etaDen · n · 1e6)), computed
+    // as exact BigInt floor((2·etaNum·g_j + D) / (2·D)) with D = etaDen·n·1e6.
+    val bigD = BigInt(etaDen) * n * 1000000L
+    val w = Array.fill(5)(0L)
+    (1 to iters).map { _ =>
+      val errCol =
+        (predictMicro(w) - col("y") * 1000000L).cast(DecimalType(38, 0)).as("err")
+      val gradAggs = (0 to 4).map(j => sum(col("err") * col(s"x$j")).as(s"g$j"))
+      val row = f.withColumn("err", errCol).agg(gradAggs.head, gradAggs.tail: _*).head()
+      (0 to 4).foreach { j =>
+        val g = BigInt(row.getDecimal(j).toBigInteger)
+        val num = BigInt(2) * etaNum * g + bigD
+        // BigInt / truncates toward zero; adjust to floor for negatives.
+        val den = BigInt(2) * bigD
+        val q = num / den
+        val delta = if (num.sign * den.sign < 0 && q * den != num) q - 1 else q
+        w(j) = w(j) - delta.toLong
+      }
+      w.clone()
+    }
+  }
+
+  /** The registered-query face: (iter, feature, w_micro) — the full
+    * training trajectory, `bpe_merges`-style, so the oracle replays every
+    * gradient step rather than trusting a final answer.
+    */
+  def weightTrajectoryDf(docs: DataFrame, iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val traj = train(features(docs), iters)
+    traj.zipWithIndex.flatMap { case (w, t) =>
+      FeatureNames.zip(w).map { case (name, wj) => (t + 1, name, wj) }
+    }.toDF("iter", "feature", "w_micro")
+  }
+
+  /** Scan-speed inference with a trained weight vector: per-doc predicted
+    * keep-probability in micro-units and the thresholded decision
+    * (p > 0.5). Pure literal arithmetic over the feature columns — the
+    * distilled student runs with no joins and no broadcast state.
+    */
+  def score(feat: DataFrame, w: Array[Long]): DataFrame =
+    feat.select(
+      col("doc_id"),
+      predictMicro(w).as("p_micro")
+    ).withColumn("keep_trained", (col("p_micro") > 500000L).cast("int"))
+
+  /** Train-then-score in one call (the `quality_trained_scores` query). */
+  def trainAndScore(docs: DataFrame, iters: Int): DataFrame = {
+    val feat = features(docs).localCheckpoint(eager = true)
+    val w = trainOnMaterialized(feat, iters, etaNum = 1L, etaDen = 2L).last
+    score(feat, w)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Contingency, QualityTrainer, TextAnalysis}
+
+class QualityTrainerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Planted corpus: `nGood` fluent English docs (stopword-rich, diverse
+    * vocabulary, ≥ 10 tokens — Gopher-pass) and `nJunk` degenerate docs
+    * (one token repeated — top2_share ≈ 1, zero stopwords — Gopher-fail).
+    * Deterministic: doc i varies only by an index-derived suffix.
+    */
+  private def planted(nGood: Int, nJunk: Int) = {
+    val good = (0 until nGood).map { i =>
+      val extra = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")(i % 6)
+      (i.toLong,
+        s"the quick brown fox jumps over the lazy dog and runs to the river in " +
+          s"search of food while the sun is high $extra day$i")
+    }
+    val junk = (0 until nJunk).map { i =>
+      ((nGood + i).toLong, Seq.fill(30)(s"zz$i").mkString(" "))
+    }
+    (good ++ junk).toDF("doc_id", "text")
+  }
+
+  test("features are micro-exact and clamped to [0, 1e6]") {
+    val feat = QualityTrainer.features(planted(4, 4)).collect()
+    assert(feat.length == 8)
+    feat.foreach { r =>
+      (1 to 4).foreach { j =>
+        val x = r.getLong(r.fieldIndex(s"x$j"))
+        assert(x >= 0 && x <= 1000000L, s"x$j out of range: $x")
+      }
+      assert(r.getLong(r.fieldIndex("x0")) == 1000000L)
+      assert(Set(0L, 1L).contains(r.getLong(r.fieldIndex("y"))))
+    }
+    // planted labels: good docs Gopher-pass, junk docs Gopher-fail
+    val byId = feat.map(r => r.getLong(0) -> r.getLong(r.fieldIndex("y"))).toMap
+    (0L until 4L).foreach(i => assert(byId(i) == 1L, s"good doc $i"))
+    (4L until 8L).foreach(i => assert(byId(i) == 0L, s"junk doc $i"))
+  }
+
+  test("training separates planted good from junk and agrees with the Gopher teacher") {
+    val docs = planted(12, 12)
+    val feat = QualityTrainer.features(docs)
+    val w = QualityTrainer.train(feat, iters = 12).last
+    val scored = QualityTrainer.score(feat, w)
+      .join(docs.select(col("doc_id")), "doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      .toMap
+    val goodP = (0L until 12L).map(i => scored(i)._1)
+    val junkP = (12L until 24L).map(i => scored(i)._1)
+    // hard separation on the planted fixture: every good doc outscores
+    // every junk doc, and the 0.5 threshold splits them exactly
+    assert(goodP.min > junkP.max, s"good=${goodP.min} junk=${junkP.max}")
+    assert(goodP.forall(_ > 500000L) && junkP.forall(_ <= 500000L))
+    // the trained student reproduces the Gopher teacher on this corpus:
+    // kappa = 1 (perfect agreement beyond chance)
+    val both = QualityTrainer.score(feat, w)
+      .join(
+        TextAnalysis.gopherRules(docs).select(col("doc_id"), col("keep")),
+        "doc_id")
+    val kap = Contingency.agreementKappa(both, "keep_trained", "keep").head()
+    assert(kap.getLong(kap.fieldIndex("kappa_micro")) == 1000000L)
+  }
+
+  test("weight trajectory matches a local exact replay of the GD recurrence") {
+    val docs = planted(6, 6)
+    val rows = QualityTrainer.features(docs).collect()
+    val xs = rows.map(r => (0 to 4).map(j => r.getLong(r.fieldIndex(s"x$j"))).toArray)
+    val ys = rows.map(_.getLong(rows.head.fieldIndex("y")))
+    val n = rows.length.toLong
+    val bigD = BigInt(2) * n * 1000000L
+    var w = Array.fill(5)(0L)
+    val local = (1 to 3).map { _ =>
+      val g = Array.fill(5)(BigInt(0))
+      xs.zip(ys).foreach { case (x, y) =>
+        val dot = (0 to 4).map(j => w(j) * x(j)).sum
+        val err = math.floor(dot.toDouble / 1e6).toLong - y * 1000000L
+        (0 to 4).foreach(j => g(j) += BigInt(err) * x(j))
+      }
+      (0 to 4).foreach { j =>
+        val num = BigInt(2) * g(j) + bigD
+        val den = BigInt(2) * bigD
+        val q = num / den
+        val delta = if (num.sign < 0 && q * den != num) q - 1 else q
+        w(j) = w(j) - delta.toLong
+      }
+      w.clone()
+    }
+    val got = QualityTrainer.train(QualityTrainer.features(docs), iters = 3)
+    assert(got.map(_.toSeq) == local.map(_.toSeq))
+  }
+
+  test("trajectory dataframe emits iters × 5 rows in FeatureNames order") {
+    val df = QualityTrainer.weightTrajectoryDf(planted(5, 5), iters = 2).collect()
+    assert(df.length == 10)
+    val names = df.map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(names == (for (t <- 1 to 2; f <- QualityTrainer.FeatureNames) yield (t, f)).toSet)
+  }
+}
