@@ -2422,6 +2422,26 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       Similarity.mutualFromDirected(Similarity.ivfAnchorTopK(emb, emb, k = 5))
     },
+    "semdedup_mutual_flags" -> { (s, dir) =>
+      // SemDeDup v2: reciprocal-confidence near-dup flags — a pair only
+      // counts if EACH vector is in the other's IVF top-5 AND the cosine
+      // clears the threshold; keep-lowest-id. The precision-leaning
+      // sibling of semdedup_flags (ops/Similarity.scala).
+      Similarity.semDedupMutual(table(s, dir, "embeddings"), threshold = 0.35)
+    },
+    "semdedup_v1_v2_agreement" -> { (s, dir) =>
+      // Do the one-directional (v1) and mutual-confidence (v2) dedup
+      // gates make the same calls? Full confusion cells + Cohen's kappa
+      // in exact integer rationals (ops/Contingency.scala) — the
+      // calibration row a pipeline reads before tightening its dedup
+      // criterion.
+      val emb = table(s, dir, "embeddings")
+      val v1 = Similarity.semDedup(emb, threshold = 0.35)
+        .select(col("vec_id"), col("is_dup").as("dup_v1"))
+      val v2 = Similarity.semDedupMutual(emb, threshold = 0.35)
+        .select(col("vec_id"), col("is_dup").as("dup_v2"))
+      graft.ops.Contingency.agreementKappa(v1.join(v2, "vec_id"), "dup_v1", "dup_v2")
+    },
     "neardup_link_prediction" -> { (s, dir) =>
       // Recall repair after banded dedup: resource-allocation scores for
       // non-adjacent pairs sharing neighbors in the near-dup graph — the
@@ -2591,6 +2611,50 @@ object SparkEntry {
     * Gopher gate output, reused by `gopher_rules` and the gate-agreement
     * queries.
     */
+  /** Deterministic-anchor IVF directed top-5 over the full embeddings
+    * corpus + the mutuality join — shared by mutual_nn_ivf,
+    * semdedup_mutual_flags, and semdedup_v1_v2_agreement. Exposes `vecs`,
+    * `assign` (anchor buckets), and `mut` (reciprocal pairs, id_a < id_b).
+    */
+  private val MutualIvfCtes: String =
+    """vecs AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE len(embedding) = 64
+      |), anchors AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, qv AS av
+      |  FROM vecs ORDER BY vec_id LIMIT 16
+      |), dists AS (
+      |  SELECT v.vec_id, a.ai,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (v.qv[i] - a.av[i]) * (v.qv[i] - a.av[i]))) AS d2
+      |  FROM vecs v, anchors a
+      |), assign AS (
+      |  SELECT vec_id, ai AS bucket,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
+      |  FROM dists
+      |), cbuck AS (SELECT vec_id AS neighbor_id, bucket FROM assign WHERE rk = 1),
+      |qbuck AS (SELECT vec_id AS query_id, bucket FROM assign WHERE rk <= 4),
+      |cand AS (
+      |  SELECT DISTINCT query_id, neighbor_id
+      |  FROM qbuck JOIN cbuck USING (bucket) WHERE query_id != neighbor_id
+      |), scored AS (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |    round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+      |  FROM cand JOIN vecs qv ON qv.vec_id = cand.query_id
+      |            JOIN vecs cv ON cv.vec_id = cand.neighbor_id
+      |), ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      |  FROM scored
+      |), t AS (SELECT * FROM ranked WHERE rank <= 5),
+      |mut AS (
+      |  SELECT x.query_id AS id_a, x.neighbor_id AS id_b, x.cos_sim AS cos_sim,
+      |    x.rank AS rank_ab, y.rank AS rank_ba
+      |  FROM t x JOIN t y ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
+      |    AND x.query_id < x.neighbor_id
+      |)""".stripMargin
+
   private val GopherRulesCtes: String =
     """toks AS (
       |  SELECT doc_id,
@@ -6759,41 +6823,51 @@ object SparkEntry {
         |  x.rk AS rank_ab, y.rk AS rank_ba
         |FROM t x JOIN t y ON x.qa = y.nb AND x.nb = y.qa AND x.qa < x.nb""".stripMargin,
     "mutual_nn_ivf" ->
-      """WITH vecs AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
-        |  FROM embeddings WHERE len(embedding) = 64
-        |), anchors AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, qv AS av
-        |  FROM vecs ORDER BY vec_id LIMIT 16
-        |), dists AS (
-        |  SELECT v.vec_id, a.ai,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> (v.qv[i] - a.av[i]) * (v.qv[i] - a.av[i]))) AS d2
-        |  FROM vecs v, anchors a
-        |), assign AS (
-        |  SELECT vec_id, ai AS bucket,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
-        |  FROM dists
-        |), cbuck AS (SELECT vec_id AS neighbor_id, bucket FROM assign WHERE rk = 1),
-        |qbuck AS (SELECT vec_id AS query_id, bucket FROM assign WHERE rk <= 4),
-        |cand AS (
-        |  SELECT DISTINCT query_id, neighbor_id
-        |  FROM qbuck JOIN cbuck USING (bucket) WHERE query_id != neighbor_id
-        |), scored AS (
-        |  SELECT cand.query_id, cand.neighbor_id,
-        |    round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
-        |  FROM cand JOIN vecs qv ON qv.vec_id = cand.query_id
-        |            JOIN vecs cv ON cv.vec_id = cand.neighbor_id
-        |), ranked AS (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
-        |  FROM scored
-        |), t AS (SELECT * FROM ranked WHERE rank <= 5)
-        |SELECT x.query_id AS id_a, x.neighbor_id AS id_b, x.cos_sim AS cos_sim,
-        |  x.rank AS rank_ab, y.rank AS rank_ba
-        |FROM t x JOIN t y ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
-        |  AND x.query_id < x.neighbor_id""".stripMargin,
+      s"""WITH $MutualIvfCtes
+        |SELECT id_a, id_b, cos_sim, rank_ab, rank_ba FROM mut""".stripMargin,
+    "semdedup_mutual_flags" ->
+      s"""WITH $MutualIvfCtes, flag AS (
+        |  SELECT DISTINCT id_b AS vec_id FROM mut WHERE cos_sim >= 0.35
+        |)
+        |SELECT v.vec_id, CAST(CASE WHEN f.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+        |FROM vecs v LEFT JOIN flag f ON f.vec_id = v.vec_id""".stripMargin,
+    "semdedup_v1_v2_agreement" ->
+      s"""WITH $MutualIvfCtes, b AS (
+        |  SELECT vec_id, bucket FROM assign WHERE rk = 1
+        |), dup AS (
+        |  SELECT DISTINCT hb.vec_id
+        |  FROM b la JOIN b hb ON la.bucket = hb.bucket AND la.vec_id < hb.vec_id
+        |  JOIN vecs va ON va.vec_id = la.vec_id
+        |  JOIN vecs vb ON vb.vec_id = hb.vec_id
+        |  WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.35
+        |), flag AS (
+        |  SELECT DISTINCT id_b AS vec_id FROM mut WHERE cos_sim >= 0.35
+        |), j AS (
+        |  SELECT CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END AS dv1,
+        |    CASE WHEN flag.vec_id IS NULL THEN 0 ELSE 1 END AS dv2
+        |  FROM vecs v LEFT JOIN dup ON dup.vec_id = v.vec_id
+        |              LEFT JOIN flag ON flag.vec_id = v.vec_id
+        |), cells AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CASE WHEN dv1 = 1 AND dv2 = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n11,
+        |    CAST(sum(CASE WHEN dv1 = 1 AND dv2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n10,
+        |    CAST(sum(CASE WHEN dv1 = 0 AND dv2 = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n01,
+        |    CAST(sum(CASE WHEN dv1 = 0 AND dv2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n00
+        |  FROM j
+        |), q AS (
+        |  SELECT n, n11, n10, n01, n00,
+        |    n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS knum,
+        |    n * n - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS kden
+        |  FROM cells
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(n11 AS BIGINT) AS n_both_keep,
+        |  CAST(n10 AS BIGINT) AS n_a_only, CAST(n01 AS BIGINT) AS n_b_only,
+        |  CAST(n00 AS BIGINT) AS n_both_drop,
+        |  CAST((20000 * (n11 + n00) + n) // (2 * n) AS BIGINT) AS agree_bps,
+        |  CAST(CASE WHEN kden > 0 THEN (2000000 * knum + kden
+        |    - (((2000000 * knum + kden) % (2 * kden)) + 2 * kden) % (2 * kden)) // (2 * kden)
+        |    END AS BIGINT) AS kappa_micro
+        |FROM q""".stripMargin,
     "neardup_link_prediction" ->
       """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |            FROM embeddings WHERE vec_id % 10 = 0),

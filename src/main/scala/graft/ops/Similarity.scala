@@ -920,6 +920,44 @@ object Similarity {
         coalesce(col("is_dup"), lit(0)).cast("int").as("is_dup"))
   }
 
+  /** SemDeDup v2 — reciprocal-confidence semantic dedup. v1 ([[semDedup]])
+    * flags any vector with a lower-id bucket-mate above the cosine
+    * threshold: one-directional similarity, cheap to satisfy next to a hub
+    * vector. v2 demands MUTUAL top-k membership first (the pair criterion
+    * of [[mutualFromDirected]]) and only then applies the threshold, so a
+    * hub's one-way admirers no longer flag each other — the
+    * precision-leaning variant of the SemDeDup paper's pairing step.
+    *
+    * Composition: ONE directed ANN leg ([[ivfAnchorTopK]] — deterministic
+    * anchors, so the whole decision replays under SQL) → mutuality join
+    * (ids-only, O(N·k)) → threshold → keep-lowest-id flag. At corpus scale
+    * swap the leg via [[mutualFromDirected]]; nothing downstream changes.
+    */
+  def semDedupMutual(
+      emb: DataFrame,
+      threshold: Double,
+      k: Int = 5,
+      nAnchors: Int = 16,
+      nprobe: Int = 4,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val flagged =
+      mutualFromDirected(ivfAnchorTopK(emb, emb, k, nAnchors, nprobe, dim, idCol, vecCol))
+        .filter(col("cos_sim") >= threshold)
+        .select(col("id_b").as("id"))
+        .distinct()
+        .withColumn("is_dup", lit(1))
+    emb
+      .filter(size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("id"))
+      .join(flagged, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("is_dup"), lit(0)).cast("int").as("is_dup"))
+  }
+
   // -------------------------------------------------------------------- PQ
 
   /** Deterministic PQ codebooks: the `ksub` lowest-id corpus vectors,

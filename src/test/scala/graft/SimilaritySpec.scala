@@ -583,4 +583,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.nonEmpty)
     assert(ivf == brute)
   }
+
+  test("semDedupMutual flags exactly the non-minimal members of planted clone clusters") {
+    val rnd = new Random(77)
+    // two clone clusters (sizes 3 and 2) + three singletons, all centers
+    // near-orthogonal so cross-cluster cosine stays far below threshold
+    val centers = Array.tabulate(5) { c =>
+      Array.tabulate(dim)(j => if (j == c * 3) 1.0f else rnd.nextGaussian().toFloat * 0.01f)
+    }
+    val data: Seq[(Long, Array[Float])] =
+      Seq(0L -> centers(0), 1L -> centers(0), 2L -> centers(0),
+        3L -> centers(1), 4L -> centers(1),
+        5L -> centers(2), 6L -> centers(3), 7L -> centers(4))
+    val got = Similarity
+      .semDedupMutual(data.toDF("vec_id", "embedding"), threshold = 0.9,
+        k = 4, nAnchors = 4, nprobe = 2, dim = dim)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 0, 4L -> 1,
+      5L -> 0, 6L -> 0, 7L -> 0))
+  }
 }
