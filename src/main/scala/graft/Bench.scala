@@ -69,10 +69,20 @@ object Bench {
         "\"" + name + "\":" + resMap(name).map(f3(_)).getOrElse("null")
       }
       .mkString("{", ",", "}")
+    // Streaming leg: the BASELINE streaming gate (≥2,000 events/s through
+    // the LeaderBoard fan-out), measured in-process so every round's BENCH
+    // artifact carries the number machine-readably (it used to live only
+    // in BASELINE.md prose). 200k events keeps the added wall bounded;
+    // override with SPARK_GRAFT_STREAM_EVENTS for soak runs.
+    val streamEps =
+      try {
+        val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "200000").toInt
+        StreamBench.measure(spark, n)._1.round
+      } catch { case _: Throwable => -1L }
     val fullPath = s"/tmp/graft_bench_$sfBase.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v3","failed":$failedJson,"queries":$fullMap,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v3","stream_events_per_sec":$streamEps,"failed":$failedJson,"queries":$fullMap,"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
     // harness id min2-v3: same min-over-successful-passes-of-2 timing as
     // v2 (totals comparable round-4+), compact emission.
@@ -86,7 +96,7 @@ object Bench {
     org.apache.log4j.LogManager.getRootLogger.setLevel(org.apache.log4j.Level.OFF)
     System.err.flush()
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v3","sf":"$sfBase","n":${ordered.size},"order":"name-sorted","failed":$failedJson,"qms":$qms,"full":"$fullPath"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v3","sf":"$sfBase","n":${ordered.size},"order":"name-sorted","stream_events_per_sec":$streamEps,"failed":$failedJson,"qms":$qms,"full":"$fullPath"}"""
     )
     System.out.flush()
   }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -13,13 +14,17 @@ import graft.streaming.LeaderBoardStream
   * windowed team scores AND (b) global running user scores, both update-mode
   * — from a MemoryStream and reports end-to-end events/s.
   *
-  * Prints one JSON line: {"metric":"stream_events_per_sec",...}.
+  * Two faces: [[measure]] (callable — Bench embeds the number in its metric
+  * line so every round's BENCH artifact carries the streaming signal
+  * machine-readably) and [[main]] (standalone, prints one JSON line
+  * {"metric":"stream_events_per_sec",...}).
   */
 object StreamBench {
-  def main(args: Array[String]): Unit = {
-    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "500000").toInt
-    val batches = 10
-    val spark = GraftSession.local(appName = "stream-bench")
+
+  /** End-to-end events/s through the LeaderBoard fan-out on the given
+    * session. Returns (eventsPerSec, distinctTeams, distinctUsers).
+    */
+  def measure(spark: SparkSession, n: Int, batches: Int = 10): (Double, Long, Long) = {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
 
@@ -52,6 +57,15 @@ object StreamBench {
     val teams = spark.table("sb_team").select("team").distinct().count()
     val users = spark.table("sb_user").select("user").distinct().count()
     teamQ.stop(); userQ.stop()
+    (eps, teams, users)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "500000").toInt
+    val batches = 10
+    val spark = GraftSession.local(appName = "stream-bench")
+    val (eps, teams, users) = measure(spark, n, batches)
+    val sec = (n - 100) / eps // timed span only (warmup excluded), as before
     println(
       s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":$n,"wall_sec":$sec,"teams":$teams,"users":$users,"micro_batches":$batches}"""
     )

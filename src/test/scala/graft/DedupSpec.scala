@@ -421,4 +421,25 @@ class DedupSpec extends AnyFunSuite {
     // total effective mass = unique token mass: 3 + 2 + 1 = 6e6 micro
     assert(got.values.map(_._5).sum == 6000000L)
   }
+
+  test("dedup_savings_report: histogram and removable-token algebra on multi-copy clusters") {
+    // clusters: "a b c" x3 (3 tokens/copy), "d e" x2 (2 tokens/copy),
+    // "f" x1, "g h i j" x1 -> sizes {3:1, 2:1, 1:2}
+    val dir = java.nio.file.Files.createTempDirectory("savings").toString
+    Seq(
+      (0L, "a b c"), (1L, "a b c"), (2L, "a b c"),
+      (3L, "d e"), (4L, "d e"),
+      (5L, "f"), (6L, "g h i j")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dedup_savings_report")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // size 3: 1 cluster, 3 docs, 2 removable docs, 2*3=6 removable tokens
+    assert(got(3L) == ((1L, 3L, 2L, 6L)))
+    // size 2: 1 cluster, 2 docs, 1 removable doc, 1*2=2 removable tokens
+    assert(got(2L) == ((1L, 2L, 1L, 2L)))
+    // size 1: 2 clusters, 2 docs, nothing removable
+    assert(got(1L) == ((2L, 2L, 0L, 0L)))
+    assert(got.size == 3)
+  }
 }
