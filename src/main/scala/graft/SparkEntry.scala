@@ -1629,6 +1629,28 @@ object SparkEntry {
       // with training.
       graft.ops.QualityTrainer.trainAndScore(table(s, dir, "documents"), iters = 4)
     },
+    "quality_calibration_bins" -> { (s, dir) =>
+      // Reliability diagram of the trained scorer vs its Gopher teacher:
+      // 10 equal-width probability bins, per-bin teacher-positive rate
+      // (exact bps) vs mean predicted probability (micro) — the
+      // calibration read a pipeline does before trusting a trained gate's
+      // threshold (ops/QualityTrainer.scala).
+      graft.ops.QualityTrainer.calibrationBins(table(s, dir, "documents"), iters = 4)
+    },
+    "quality_trained_agreement" -> { (s, dir) =>
+      // Does the TRAINED gate make the same calls as the shipped
+      // fixed-weight gate? Confusion cells + exact-rational Cohen's kappa
+      // — the replace-the-heuristic-with-the-model decision row.
+      val docs = table(s, dir, "documents")
+      val trained = graft.ops.QualityTrainer.trainAndScore(docs, iters = 4)
+        .select(col("doc_id"), col("keep_trained"))
+      val fixedK = docs.select(
+        col("doc_id"),
+        (TextAnalysis.qualityLogit(col("text"), length(col("text"))) > 0)
+          .cast("int").as("keep_fixed"))
+      graft.ops.Contingency
+        .agreementKappa(trained.join(fixedK, "doc_id"), "keep_trained", "keep_fixed")
+    },
     "range_rule_window_counts" -> { (s, dir) =>
       // The NATURAL non-equi range join — no keys, no manual bucketing —
       // planned scalably by the RangeJoinRewrite optimizer rule
@@ -2985,6 +3007,54 @@ object SparkEntry {
     "bpe_merges" -> bpeMergesOracle(10),
     "quality_trained_logit" -> qualityTrainedLogitOracle(4),
     "quality_trained_scores" -> qualityTrainedScoresOracle(4),
+    "quality_calibration_bins" ->
+      s"""WITH ${qualityTrainedCtes(4)}, p AS (
+        |  SELECT feat.y,
+        |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+        |      / 1000000.0) AS BIGINT) AS p_micro
+        |  FROM feat, w4_ w
+        |), b AS (
+        |  SELECT CAST(floor(least(greatest(p_micro, 0), 999999) / 100000.0) AS INT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(p_micro) AS BIGINT) AS sum_p
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT bin, n_docs, n_pos,
+        |  CAST(floor((20000*n_pos + n_docs) / (2.0*n_docs)) AS BIGINT) AS pos_rate_bps,
+        |  CAST(floor((2*sum_p + n_docs) / (2.0*n_docs)) AS BIGINT) AS mean_p_micro
+        |FROM b""".stripMargin,
+    "quality_trained_agreement" ->
+      s"""WITH ${qualityTrainedCtes(4)}, p AS (
+        |  SELECT feat.doc_id,
+        |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+        |      / 1000000.0) AS BIGINT) AS p_micro
+        |  FROM feat, w4_ w
+        |), j AS (
+        |  SELECT CASE WHEN p.p_micro > 500000 THEN 1 ELSE 0 END AS ka,
+        |    CASE WHEN s.logit_micro > 0 THEN 1 ELSE 0 END AS kb
+        |  FROM p JOIN scored s ON s.doc_id = p.doc_id
+        |), cells AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CASE WHEN ka = 1 AND kb = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n11,
+        |    CAST(sum(CASE WHEN ka = 1 AND kb = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n10,
+        |    CAST(sum(CASE WHEN ka = 0 AND kb = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n01,
+        |    CAST(sum(CASE WHEN ka = 0 AND kb = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n00
+        |  FROM j
+        |), q AS (
+        |  SELECT n, n11, n10, n01, n00,
+        |    n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS knum,
+        |    n * n - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS kden
+        |  FROM cells
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(n11 AS BIGINT) AS n_both_keep,
+        |  CAST(n10 AS BIGINT) AS n_a_only, CAST(n01 AS BIGINT) AS n_b_only,
+        |  CAST(n00 AS BIGINT) AS n_both_drop,
+        |  CAST((20000 * (n11 + n00) + n) // (2 * n) AS BIGINT) AS agree_bps,
+        |  CAST(CASE WHEN kden > 0 THEN (2000000 * knum + kden
+        |    - (((2000000 * knum + kden) % (2 * kden)) + 2 * kden) % (2 * kden)) // (2 * kden)
+        |    END AS BIGINT) AS kappa_micro
+        |FROM q""".stripMargin,
     "parse_roundtrip" ->
       """SELECT CAST(user_id AS VARCHAR) AS "user", event_type AS team,
         |  CAST(floor(value*100 + 0.5) AS INT) AS score,

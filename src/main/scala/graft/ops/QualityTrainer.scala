@@ -159,4 +159,38 @@ object QualityTrainer {
     val w = trainOnMaterialized(feat, iters, etaNum = 1L, etaDen = 2L).last
     score(feat, w)
   }
+
+  /** Reliability diagram of the trained scorer vs its teacher — the
+    * standard post-training calibration check: predictions bucketed into
+    * `nBins` equal-width bins over [0, 1), per-bin count, teacher
+    * positives, exact round-half-up positive rate (bps) and mean predicted
+    * probability (micro). A calibrated model has pos_rate_bps tracking
+    * mean_p_micro/100 across bins. One bounded aggregation over the
+    * feature frame; all arithmetic exact fixed-point (the floor-of-double
+    * divisions stay well inside 2⁵³).
+    */
+  def calibrationBins(docs: DataFrame, iters: Int, nBins: Int = 10): DataFrame = {
+    require(1000000L % nBins == 0, s"nBins must divide 1e6, got $nBins")
+    val feat = features(docs).localCheckpoint(eager = true)
+    val w = trainOnMaterialized(feat, iters, etaNum = 1L, etaDen = 2L).last
+    val width = (1000000L / nBins).toDouble
+    feat
+      .select(col("y"), predictMicro(w).as("p_micro"))
+      .withColumn(
+        "bin",
+        floor(least(greatest(col("p_micro"), lit(0L)), lit(999999L)) / width).cast("int"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("y")).as("n_pos"),
+        sum(col("p_micro")).as("sum_p"))
+      .select(
+        col("bin"),
+        col("n_docs"),
+        col("n_pos"),
+        floor((lit(20000L) * col("n_pos") + col("n_docs")) /
+          (lit(2L) * col("n_docs")).cast("double")).cast("long").as("pos_rate_bps"),
+        floor((lit(2L) * col("sum_p") + col("n_docs")) /
+          (lit(2L) * col("n_docs")).cast("double")).cast("long").as("mean_p_micro"))
+  }
 }

@@ -97,6 +97,27 @@ class QualityTrainerSpec extends AnyFunSuite {
     assert(got.map(_.toSeq) == local.map(_.toSeq))
   }
 
+  test("calibrationBins: pure planted bins, exact counts, round-half-up rates") {
+    val docs = planted(12, 12)
+    val bins = QualityTrainer.calibrationBins(docs, iters = 12).collect()
+    assert(bins.map(_.getLong(1)).sum == 24) // every doc lands in exactly one bin
+    bins.foreach { r =>
+      val (bin, n, pos, rateBps, meanP) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bin >= 0 && bin <= 9)
+      // the 12-iteration model separates planted good/junk hard (proven
+      // above), so every bin is pure: rate is exactly 0 or 10000 bps
+      assert(rateBps == (if (pos > 0) 10000L else 0L))
+      assert(pos == 0L || pos == n)
+      // bin membership consistent with the mean prediction
+      assert(meanP >= bin * 100000L - 1 && meanP < (bin + 1) * 100000L + 1)
+    }
+    // junk bins sit strictly below good bins
+    val goodBins = bins.filter(_.getLong(2) > 0).map(_.getInt(0))
+    val junkBins = bins.filter(_.getLong(2) == 0).map(_.getInt(0))
+    assert(goodBins.nonEmpty && junkBins.nonEmpty && junkBins.max < goodBins.min)
+  }
+
   test("trajectory dataframe emits iters × 5 rows in FeatureNames order") {
     val df = QualityTrainer.weightTrajectoryDf(planted(5, 5), iters = 2).collect()
     assert(df.length == 10)
