@@ -2345,6 +2345,14 @@ object SparkEntry {
       // power-iteration steps on the d x d copy (ops/Similarity.scala).
       graft.ops.Similarity.topPrincipalComponent(table(s, dir, "embeddings"))
     },
+    "embedding_top2_pcs" -> { (s, dir) =>
+      // First TWO principal directions (PCA-whitening / all-but-the-top
+      // preprocessing): same single CrossMomentAgg corpus pass, PC2 by
+      // division-free deflation (project out PC1 scaled by its norm^2 —
+      // every intermediate stays an exact integer), full trajectory
+      // replayed by the oracle (ops/Similarity.scala).
+      graft.ops.Similarity.topTwoPrincipalComponents(table(s, dir, "embeddings"))
+    },
     "compaction_plan" -> { (s, dir) =>
       // Small-file OPTIMIZE planning: 700-row file cuts over the event-id
       // order, then files >= 500 rows seal and the small remainder packs
@@ -2759,6 +2767,52 @@ object SparkEntry {
     }.mkString
     base + steps +
       "\nSELECT CAST(j AS INT) AS dim, CAST(v AS BIGINT) AS pc_micro FROM v8"
+  }
+
+  /** Two-component extension of [[EmbeddingTopPcOracle]]: replays the PC1
+    * power iteration verbatim (CTEs v1..v8), then the PC2 loop with
+    * division-free deflation — per step: matvec (uw), normalize (uh),
+    * project out v8 scaled by ‖v8‖² (ud, via the shared nv1/per-step dt
+    * sums), renormalize (u). Mirrors
+    * [[graft.ops.Similarity.topTwoPrincipalComponents]] step for step.
+    */
+  private val EmbeddingTop2PcsOracle: String = {
+    val pc1Body = EmbeddingTopPcOracle.split("\nSELECT ").head
+    def srExpr(w: String, m: String): String =
+      s"($w * 2000000 + $m - (((($w * 2000000 + $m) % (2 * $m)) + 2 * $m) % (2 * $m))) // (2 * $m)"
+    val pc2Base =
+      """,
+        |nv1 AS MATERIALIZED (SELECT sum(v * v) AS s FROM v8),
+        |u0 AS MATERIALIZED (
+        |  SELECT i.i AS j, CAST(1000000 AS HUGEINT) AS v FROM range(64) i(i))""".stripMargin
+    val pc2Steps = (1 to 8).map { k =>
+      val p = s"u${k - 1}"
+      s""",
+         |uw$k AS MATERIALIZED (
+         |  SELECT am.j AS j, sum(am.a * $p.v) AS w
+         |  FROM am JOIN $p ON $p.j = am.i GROUP BY 1
+         |), um$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM uw$k),
+         |uh$k AS MATERIALIZED (
+         |  SELECT uw$k.j, CASE WHEN m > 0 THEN ${srExpr("w", "m")}
+         |    ELSE pv.v END AS v
+         |  FROM uw$k JOIN $p pv ON pv.j = uw$k.j CROSS JOIN um$k
+         |), dt$k AS MATERIALIZED (
+         |  SELECT sum(uh$k.v * v8.v) AS s FROM uh$k JOIN v8 ON v8.j = uh$k.j
+         |), ud$k AS MATERIALIZED (
+         |  SELECT uh$k.j, uh$k.v * nv1.s - dt$k.s * v8.v AS w
+         |  FROM uh$k JOIN v8 ON v8.j = uh$k.j CROSS JOIN nv1 CROSS JOIN dt$k
+         |), udm$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM ud$k),
+         |u$k AS MATERIALIZED (
+         |  SELECT ud$k.j, CASE WHEN m > 0 THEN ${srExpr("w", "m")}
+         |    ELSE uh.v END AS v
+         |  FROM ud$k JOIN uh$k uh ON uh.j = ud$k.j CROSS JOIN udm$k
+         |)""".stripMargin
+    }.mkString
+    pc1Body + pc2Base + pc2Steps +
+      """
+        |SELECT CAST(1 AS INT) AS component, CAST(j AS INT) AS dim, CAST(v AS BIGINT) AS pc_micro FROM v8
+        |UNION ALL
+        |SELECT CAST(2 AS INT), CAST(j AS INT), CAST(v AS BIGINT) FROM u8""".stripMargin
   }
 
   /** Unrolled six-step power iteration mirroring
@@ -6734,6 +6788,7 @@ object SparkEntry {
         |    AS conversion_bps
         |FROM u GROUP BY 1""".stripMargin,
     "embedding_top_pc" -> EmbeddingTopPcOracle,
+    "embedding_top2_pcs" -> EmbeddingTop2PcsOracle,
     "compaction_plan" ->
       """WITH r AS (
         |  SELECT event_id, row_number() OVER (ORDER BY event_id) AS rk FROM events

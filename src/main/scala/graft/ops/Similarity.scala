@@ -1348,4 +1348,70 @@ object Similarity {
     }
     (0 until d).map(j => (j, v(j).toLong)).toDF("dim", "pc_micro")
   }
+
+  /** Top TWO principal directions by exact-integer power iteration with
+    * deflation — the first two axes of the embedding scatter (PCA
+    * whitening / ABTT "all-but-the-top" preprocessing both start here).
+    * PC1 is [[topPrincipalComponent]]'s loop verbatim; PC2 runs the same
+    * matvec but after each normalization projects out PC1 DIVISION-FREE:
+    * `w′ = û·‖v₁‖² − (û·v₁)·v₁` — scaling by ‖v₁‖² instead of dividing
+    * keeps every intermediate an exact integer (and inside HUGEINT for
+    * the SQL replay: û ≤ 10⁶, ‖v₁‖² ≤ d·10¹², both products ≤ ~10²⁰),
+    * then renormalizes. The whole trajectory is a pure function of the
+    * scatter matrix, so the oracle unrolls it step for step.
+    *
+    * Scale shape: identical to the single-component form — ONE corpus
+    * pass through the `CrossMomentAgg` buffer (1 + d + d(d+1)/2 longs per
+    * partition), then d×d driver iteration; nothing corpus-sized leaves
+    * the executors. Output: (component ∈ {1,2}, dim, pc_micro).
+    */
+  def topTwoPrincipalComponents(
+      vecs: DataFrame,
+      vecCol: String = "embedding",
+      scale: Long = 10000L,
+      iters: Int = 8
+  ): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val agg = org.apache.spark.sql.functions.udaf(new graft.functions.CrossMomentAgg())
+    val row = vecs
+      .select(Clustering.quantize(col(vecCol), scale).as("q"))
+      .agg(agg(col("q")).as("m"))
+      .select(col("m.n"), col("m.sums"), col("m.cross"))
+      .as[(Long, Seq[Long], Seq[Long])]
+      .head()
+    val (n, sums, cross) = row
+    val d = sums.length
+    val a = Array.ofDim[BigInt](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val c = BigInt(n) * cross(graft.functions.CrossMomentAgg.triIndex(i, j, d)) -
+        BigInt(sums(i)) * sums(j)
+      a(i)(j) = c
+      a(j)(i) = c
+    }
+    def sr(w: BigInt, m: BigInt): BigInt = {
+      val q = w * 2000000 + m
+      val d2 = m * 2
+      (q - ((q % d2 + d2) % d2)) / d2
+    }
+    def matvec(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(d)(j => (0 until d).map(i => a(i)(j) * v(i)).sum)
+    def normalized(w: Array[BigInt], fallback: Array[BigInt]): Array[BigInt] = {
+      val m = w.map(_.abs).max
+      if (m > 0) w.map(sr(_, m)) else fallback
+    }
+    var v1 = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to iters) v1 = normalized(matvec(v1), v1)
+    val nv1 = v1.map(x => x * x).sum
+    var v2 = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val u = normalized(matvec(v2), v2)
+      val dt = (0 until d).map(i => u(i) * v1(i)).sum
+      val proj = Array.tabulate(d)(j => u(j) * nv1 - dt * v1(j))
+      v2 = normalized(proj, u)
+    }
+    ((0 until d).map(j => (1, j, v1(j).toLong)) ++
+      (0 until d).map(j => (2, j, v2(j).toLong)))
+      .toDF("component", "dim", "pc_micro")
+  }
 }

@@ -479,6 +479,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Seq(500000L, 1000000L, 0L, 0L))
   }
 
+  test("topTwoPrincipalComponents recovers two planted orthogonal axes in variance order") {
+    // axis (1, 2, 0, 0) carries 4x the variance of axis (0, 0, 1, 0):
+    // PC1 must be the first (exactly, like the single-component test),
+    // PC2 the second after deflation — and exactly orthogonal to PC1
+    val vecs = (Seq(-0.5f, -0.25f, 0.25f, 0.5f).map(t => Seq(t, 2 * t, 0.0f, 0.0f)) ++
+      Seq(-0.25f, -0.125f, 0.125f, 0.25f).map(t => Seq(0.0f, 0.0f, t, 0.0f)))
+      .map(Tuple1(_)).toDF("embedding")
+    val got = Similarity.topTwoPrincipalComponents(vecs)
+      .as[(Int, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val pc1 = got(1)
+    val pc2 = got(2)
+    assert(pc1(1) == 1000000L && math.abs(pc1(0) - 500000L) < 5L &&
+      pc1(2).abs < 5L && pc1(3).abs < 5L, pc1.toString)
+    assert(pc2(2).abs == 1000000L && pc2(0).abs < 5000L &&
+      pc2(1).abs < 5000L && pc2(3).abs < 5000L, pc2.toString)
+    // orthogonality in micro units: |<pc1, pc2>| tiny relative to norms
+    val dot = pc1.zip(pc2).map { case (a, b) => BigInt(a) * b }.sum.abs
+    assert(dot < BigInt(1000000L) * 10000L, dot.toString)
+  }
+
   test("topPrincipalComponent: centering removes a constant offset") {
     // same axis shifted by a constant vector: the centered scatter is
     // unchanged, so the component must be identical
