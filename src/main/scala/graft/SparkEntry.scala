@@ -2353,6 +2353,14 @@ object SparkEntry {
       // replayed by the oracle (ops/Similarity.scala).
       graft.ops.Similarity.topTwoPrincipalComponents(table(s, dir, "embeddings"))
     },
+    "embedding_anisotropy" -> { (s, dir) =>
+      // All-but-the-top diagnostic: bps share of centered variance the
+      // top two principal directions carry. High PC1 share = one rogue
+      // direction dominating every cosine — project it out before ANN.
+      // Division-free centering + exact integer projections; one moment
+      // pass + one projection pass (ops/Similarity.scala).
+      graft.ops.Similarity.embeddingAnisotropy(table(s, dir, "embeddings"))
+    },
     "compaction_plan" -> { (s, dir) =>
       // Small-file OPTIMIZE planning: 700-row file cuts over the event-id
       // order, then files >= 500 rows seal and the small remainder packs
@@ -2734,11 +2742,15 @@ object SparkEntry {
     * numerator, all-ones micro start, max-|component| renormalization with
     * a sign-safe round-half-up division per entry.
     */
-  private val EmbeddingTopPcOracle: String = {
+  /** The scatter-matrix + PC1 power-iteration CTE chain (through `v8`),
+    * parameterized by the quantization scale so the anisotropy oracle can
+    * run the same replay at its own (overflow-headroom) scale.
+    */
+  private def embeddingPcCtes(scale: Long): String = {
     val base =
-      """WITH ex AS MATERIALIZED (
+      s"""WITH ex AS MATERIALIZED (
         |  SELECT vec_id, i.i AS i,
-        |    CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * 10000) AS HUGEINT) AS q
+        |    CAST(round(CAST(embedding[i.i + 1] AS DOUBLE) * $scale) AS HUGEINT) AS q
         |  FROM embeddings, range(64) i(i)
         |), nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM ex),
         |s AS MATERIALIZED (SELECT i, sum(q) AS s FROM ex GROUP BY 1),
@@ -2765,9 +2777,12 @@ object SparkEntry {
          |  FROM w$k JOIN $p pv ON pv.j = w$k.j CROSS JOIN m$k
          |)""".stripMargin
     }.mkString
-    base + steps +
-      "\nSELECT CAST(j AS INT) AS dim, CAST(v AS BIGINT) AS pc_micro FROM v8"
+    base + steps
   }
+
+  private val EmbeddingTopPcOracle: String =
+    embeddingPcCtes(10000) +
+      "\nSELECT CAST(j AS INT) AS dim, CAST(v AS BIGINT) AS pc_micro FROM v8"
 
   /** Two-component extension of [[EmbeddingTopPcOracle]]: replays the PC1
     * power iteration verbatim (CTEs v1..v8), then the PC2 loop with
@@ -2776,10 +2791,14 @@ object SparkEntry {
     * sums), renormalize (u). Mirrors
     * [[graft.ops.Similarity.topTwoPrincipalComponents]] step for step.
     */
-  private val EmbeddingTop2PcsOracle: String = {
-    val pc1Body = EmbeddingTopPcOracle.split("\nSELECT ").head
-    def srExpr(w: String, m: String): String =
-      s"($w * 2000000 + $m - (((($w * 2000000 + $m) % (2 * $m)) + 2 * $m) % (2 * $m))) // (2 * $m)"
+  private def srExpr(w: String, m: String): String =
+    s"($w * 2000000 + $m - (((($w * 2000000 + $m) % (2 * $m)) + 2 * $m) % (2 * $m))) // (2 * $m)"
+
+  /** PC2 deflation chain (nv1/u0 .. u8) — scale-independent: operates on
+    * the `am`/`v8` CTEs of whichever [[embeddingPcCtes]] instantiation
+    * precedes it.
+    */
+  private val EmbeddingPc2Ctes: String = {
     val pc2Base =
       """,
         |nv1 AS MATERIALIZED (SELECT sum(v * v) AS s FROM v8),
@@ -2808,12 +2827,42 @@ object SparkEntry {
          |  FROM ud$k JOIN uh$k uh ON uh.j = ud$k.j CROSS JOIN udm$k
          |)""".stripMargin
     }.mkString
-    pc1Body + pc2Base + pc2Steps +
+    pc2Base + pc2Steps
+  }
+
+  private val EmbeddingTop2PcsOracle: String =
+    embeddingPcCtes(10000) + EmbeddingPc2Ctes +
       """
         |SELECT CAST(1 AS INT) AS component, CAST(j AS INT) AS dim, CAST(v AS BIGINT) AS pc_micro FROM v8
         |UNION ALL
         |SELECT CAST(2 AS INT), CAST(j AS INT), CAST(v AS BIGINT) FROM u8""".stripMargin
-  }
+
+  /** Replays [[graft.ops.Similarity.embeddingAnisotropy]]: the PC chain at
+    * scale 1000 (overflow headroom for the squared projection sums), then
+    * division-free centering (c = n·q − Σq), per-vector dots with both
+    * micro PCs, and the round-half-up bps shares of centered variance.
+    */
+  private val EmbeddingAnisotropyOracle: String =
+    embeddingPcCtes(1000) + EmbeddingPc2Ctes +
+      """,
+        |cvec AS MATERIALIZED (
+        |  SELECT ex.vec_id, ex.i, nn.n * ex.q - s.s AS cq
+        |  FROM ex JOIN s ON s.i = ex.i CROSS JOIN nn
+        |), dots AS (
+        |  SELECT cvec.vec_id,
+        |    sum(cvec.cq * p1.v) AS d1,
+        |    sum(cvec.cq * p2.v) AS d2,
+        |    sum(cvec.cq * cvec.cq) AS cn2
+        |  FROM cvec JOIN v8 p1 ON p1.j = cvec.i JOIN u8 p2 ON p2.j = cvec.i
+        |  GROUP BY 1
+        |), tot AS (SELECT sum(d1*d1) AS a1, sum(d2*d2) AS a2, sum(cn2) AS c FROM dots),
+        |nv AS (SELECT (SELECT sum(v*v) FROM v8) AS b1, (SELECT sum(v*v) FROM u8) AS b2)
+        |SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_vectors,
+        |  CAST(CASE WHEN b1 > 0 AND c > 0
+        |    THEN (20000*a1 + b1*c) // (2*b1*c) ELSE 0 END AS BIGINT) AS share_pc1_bps,
+        |  CAST(CASE WHEN b2 > 0 AND c > 0
+        |    THEN (20000*a2 + b2*c) // (2*b2*c) ELSE 0 END AS BIGINT) AS share_pc2_bps
+        |FROM tot CROSS JOIN nv""".stripMargin
 
   /** Unrolled six-step power iteration mirroring
     * [[graft.ops.Cohort.markovStationary]]: uniform micro start, per-edge
@@ -6789,6 +6838,7 @@ object SparkEntry {
         |FROM u GROUP BY 1""".stripMargin,
     "embedding_top_pc" -> EmbeddingTopPcOracle,
     "embedding_top2_pcs" -> EmbeddingTop2PcsOracle,
+    "embedding_anisotropy" -> EmbeddingAnisotropyOracle,
     "compaction_plan" ->
       """WITH r AS (
         |  SELECT event_id, row_number() OVER (ORDER BY event_id) AS rk FROM events

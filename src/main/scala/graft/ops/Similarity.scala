@@ -1373,6 +1373,24 @@ object Similarity {
   ): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    val (_, _, v1, v2) = pcPair(vecs, vecCol, scale, iters)
+    ((v1.indices).map(j => (1, j, v1(j).toLong)) ++
+      (v2.indices).map(j => (2, j, v2(j).toLong)))
+      .toDF("component", "dim", "pc_micro")
+  }
+
+  /** Shared exact-PCA core: one CrossMomentAgg pass → (n, per-dim sums,
+    * PC1, PC2) with the deflated power iteration of
+    * [[topTwoPrincipalComponents]]. Driver state: the d×d scatter copy.
+    */
+  private def pcPair(
+      vecs: DataFrame,
+      vecCol: String,
+      scale: Long,
+      iters: Int
+  ): (Long, Seq[Long], Array[BigInt], Array[BigInt]) = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
     val agg = org.apache.spark.sql.functions.udaf(new graft.functions.CrossMomentAgg())
     val row = vecs
       .select(Clustering.quantize(col(vecCol), scale).as("q"))
@@ -1410,8 +1428,62 @@ object Similarity {
       val proj = Array.tabulate(d)(j => u(j) * nv1 - dt * v1(j))
       v2 = normalized(proj, u)
     }
-    ((0 until d).map(j => (1, j, v1(j).toLong)) ++
-      (0 until d).map(j => (2, j, v2(j).toLong)))
-      .toDF("component", "dim", "pc_micro")
+    (n, sums, v1, v2)
+  }
+
+  /** Anisotropy of the embedding cloud — the diagnostic behind
+    * "all-but-the-top" postprocessing (Mu & Viswanath 2018): how much of
+    * the total CENTERED variance the top two principal directions carry.
+    * A well-spread (isotropic) embedding space scores low; a high PC1
+    * share means one rogue direction dominates every cosine and should be
+    * projected out before similarity search.
+    *
+    * Exactness: vectors quantized at `scale`; centering is division-free
+    * (`c = n·q − Σq`, every vector scaled by the same n); per-vector dot
+    * products with the micro PCs are exact longs, their squares
+    * accumulate in DECIMAL(38,0); the final shares are round-half-up
+    * integer rationals `10⁴·Σ(c·v)² / (‖v‖²·Σ‖c‖²)` — bit-identical in
+    * any engine. One moment pass (shared with PC extraction) + one
+    * projection pass; nothing corpus-sized on the driver.
+    */
+  def embeddingAnisotropy(
+      vecs: DataFrame,
+      vecCol: String = "embedding",
+      scale: Long = 1000L,
+      iters: Int = 8
+  ): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val (n, sums, v1, v2) = pcPair(vecs, vecCol, scale, iters)
+    val centered = zip_with(
+      Clustering.quantize(col(vecCol), scale),
+      typedLit(sums),
+      (x, s) => x * lit(n) - s)
+    def dotLit(v: Array[BigInt]) =
+      aggregate(
+        zip_with(centered, typedLit(v.map(_.toLong).toSeq), (c, p) => c * p),
+        lit(0L), (acc, x) => acc + x)
+    val dec = DecimalType(38, 0)
+    val rowAgg = vecs
+      .filter(size(col(vecCol)) === sums.length) // same exclusion as CrossMomentAgg
+      .select(
+        dotLit(v1).cast(dec).as("d1"),
+        dotLit(v2).cast(dec).as("d2"),
+        aggregate(centered, lit(0L), (acc, x) => acc + x * x).cast(dec).as("cn2"))
+      .agg(sum(col("d1") * col("d1")).as("a1"), sum(col("d2") * col("d2")).as("a2"),
+        sum(col("cn2")).as("c"))
+      .head()
+    val (a1, a2, cSum) =
+      (BigInt(rowAgg.getDecimal(0).toBigInteger),
+        BigInt(rowAgg.getDecimal(1).toBigInteger),
+        BigInt(rowAgg.getDecimal(2).toBigInteger))
+    val b1 = v1.map(x => x * x).sum
+    val b2 = v2.map(x => x * x).sum
+    def shareBps(a: BigInt, b: BigInt): Long =
+      if (b == 0 || cSum == 0) 0L
+      else ((a * 20000 + b * cSum) / (b * cSum * 2)).toLong // all non-negative: trunc = floor
+    Seq((n, shareBps(a1, b1), shareBps(a2, b2)))
+      .toDF("n_vectors", "share_pc1_bps", "share_pc2_bps")
   }
 }

@@ -500,6 +500,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dot < BigInt(1000000L) * 10000L, dot.toString)
   }
 
+  test("embeddingAnisotropy: planted rank-2 cloud splits variance between the two PCs") {
+    // all variance lives on two orthogonal axes (4:1 ratio): PC1 share ≈
+    // 8000 bps, PC2 ≈ 2000 bps, and together they must cover everything
+    val vecs = (Seq(-0.5f, -0.25f, 0.25f, 0.5f).map(t => Seq(t, 0.0f, 0.0f, 0.0f)) ++
+      Seq(-0.25f, -0.125f, 0.125f, 0.25f).map(t => Seq(0.0f, 0.0f, t, 0.0f)))
+      .map(Tuple1(_)).toDF("embedding")
+    val r = Similarity.embeddingAnisotropy(vecs).head()
+    val (n, s1, s2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n == 8)
+    assert(math.abs(s1 - 8000L) < 50, s"pc1 share $s1")
+    assert(math.abs(s2 - 2000L) < 50, s"pc2 share $s2")
+    assert(s1 + s2 > 9900 && s1 + s2 <= 10050)
+    // isotropic-ish control: shuffling the same mass across 4 axes drops PC1's share
+    val iso = (0 until 4).flatMap(ax =>
+      Seq(-0.5f, 0.5f).map(t => Tuple1(Seq.tabulate(4)(j => if (j == ax) t else 0.0f))))
+      .toDF("embedding")
+    val ri = Similarity.embeddingAnisotropy(iso).head()
+    assert(ri.getLong(1) < 4000L, s"isotropic pc1 share ${ri.getLong(1)}")
+  }
+
   test("topPrincipalComponent: centering removes a constant offset") {
     // same axis shifted by a constant vector: the centered scatter is
     // unchanged, so the component must be identical
