@@ -2361,6 +2361,16 @@ object SparkEntry {
       // pass + one projection pass (ops/Similarity.scala).
       graft.ops.Similarity.embeddingAnisotropy(table(s, dir, "embeddings"))
     },
+    "ann_abtt_topk" -> { (s, dir) =>
+      // The repair the anisotropy diagnostic motivates, applied: cosine
+      // top-5 over ABTT-corrected vectors (centered, PC1 projected out —
+      // all division-free, so the corrected vectors are exact integers
+      // and the whole answer replays under SQL). Same directed top-k
+      // contract as every other ANN leg (ops/Similarity.scala).
+      val corrected = graft.ops.Similarity.abttCorrected(table(s, dir, "embeddings"))
+      Similarity.bruteForceTopK(
+        corrected, corrected.filter(col("vec_id") < 8), k = 5, vecCol = "abtt_vec")
+    },
     "compaction_plan" -> { (s, dir) =>
       // Small-file OPTIMIZE planning: 700-row file cuts over the event-id
       // order, then files >= 500 rows seal and the small remainder packs
@@ -6839,6 +6849,34 @@ object SparkEntry {
     "embedding_top_pc" -> EmbeddingTopPcOracle,
     "embedding_top2_pcs" -> EmbeddingTop2PcsOracle,
     "embedding_anisotropy" -> EmbeddingAnisotropyOracle,
+    "ann_abtt_topk" ->
+      (embeddingPcCtes(1000) +
+        """,
+          |v1m AS MATERIALIZED (
+          |  SELECT j, (2*v + 1000 - (((2*v + 1000) % 2000) + 2000) % 2000) // 2000 AS v FROM v8
+          |), b1 AS (SELECT sum(v*v) AS b FROM v1m),
+          |cvec AS MATERIALIZED (
+          |  SELECT ex.vec_id, ex.i, nn.n * ex.q - s.s AS cq
+          |  FROM ex JOIN s ON s.i = ex.i CROSS JOIN nn
+          |), dm AS (
+          |  SELECT cvec.vec_id, sum(cvec.cq * v1m.v) AS d
+          |  FROM cvec JOIN v1m ON v1m.j = cvec.i GROUP BY 1
+          |), corr AS MATERIALIZED (
+          |  SELECT cvec.vec_id,
+          |    list(CAST(b1.b * cvec.cq - dm.d * v1m.v AS DOUBLE) ORDER BY cvec.i) AS v
+          |  FROM cvec JOIN v1m ON v1m.j = cvec.i
+          |    JOIN dm ON dm.vec_id = cvec.vec_id CROSS JOIN b1
+          |  GROUP BY cvec.vec_id
+          |), sc AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    round(list_cosine_similarity(q.v, c.v), 6) AS cos_sim
+          |  FROM corr q JOIN corr c ON q.vec_id < 8 AND q.vec_id != c.vec_id
+          |), ranked AS (
+          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+          |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+          |  FROM sc
+          |)
+          |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin),
     "compaction_plan" ->
       """WITH r AS (
         |  SELECT event_id, row_number() OVER (ORDER BY event_id) AS rk FROM events

@@ -1431,6 +1431,53 @@ object Similarity {
     (n, sums, v1, v2)
   }
 
+  /** All-but-the-top correction (Mu & Viswanath 2018): centered vectors
+    * with the dominant principal direction projected out — the standard
+    * repair when [[embeddingAnisotropy]] reports a rogue PC1 share. Every
+    * step is division-free so the output is an exact integer vector (in
+    * double storage):
+    *
+    *   - centering scales every vector by the same n:  c = n·q − Σq,
+    *   - PC1 is re-quantized to MILLI units (round-half-up, so the
+    *     corrected elements stay far inside double-exact range),
+    *   - deflation scales by ‖v₁ₘ‖²:  c′ = ‖v₁ₘ‖²·c − (c·v₁ₘ)·v₁ₘ.
+    *
+    * Cosine is invariant to the two uniform scalings, so downstream ANN
+    * over c′ IS the ABTT-corrected similarity. By construction
+    * c′·v₁ₘ = 0 exactly (spec-pinned). Map-only after the shared moment
+    * pass; the corrected frame feeds any ANN leg unchanged.
+    */
+  def abttCorrected(
+      emb: DataFrame,
+      scale: Long = 1000L,
+      iters: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val (n, sums, v1, _) = pcPair(emb, vecCol, scale, iters)
+    def rhuMilli(x: BigInt): Long = {
+      val q = x * 2 + 1000
+      val d2 = BigInt(2000)
+      ((q - ((q % d2 + d2) % d2)) / d2).toLong
+    }
+    val v1m: Seq[Long] = v1.map(rhuMilli).toSeq
+    val b1m: Long = v1m.map(x => x * x).sum
+    val centered = zip_with(
+      Clustering.quantize(col(vecCol), scale),
+      typedLit(sums),
+      (x, s) => x * lit(n) - s)
+    val dotm = aggregate(
+      zip_with(centered, typedLit(v1m), (c, p) => c * p),
+      lit(0L), (acc, x) => acc + x)
+    emb
+      .filter(size(col(vecCol)) === sums.length)
+      .select(col(idCol), centered.as("c"), dotm.as("dm"))
+      .select(
+        col(idCol),
+        zip_with(col("c"), typedLit(v1m), (c, p) => lit(b1m) * c - col("dm") * p)
+          .cast("array<double>").as("abtt_vec"))
+  }
+
   /** Anisotropy of the embedding cloud — the diagnostic behind
     * "all-but-the-top" postprocessing (Mu & Viswanath 2018): how much of
     * the total CENTERED variance the top two principal directions carry.

@@ -520,6 +520,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ri.getLong(1) < 4000L, s"isotropic pc1 share ${ri.getLong(1)}")
   }
 
+  test("abttCorrected: exact PC1 orthogonality, and PC1-only differences collapse") {
+    // dominant axis 0 (big spread) + residual axis 2: pairs (0,1) and
+    // (2,3) differ ONLY along axis 0, so after ABTT each pair collapses
+    // to the same corrected vector (cosine exactly 1 within the pair)
+    val data = Seq(
+      0L -> Seq(0.9f, 0.0f, 0.1f, 0.0f),
+      1L -> Seq(-0.9f, 0.0f, 0.1f, 0.0f),
+      2L -> Seq(0.7f, 0.0f, -0.1f, 0.0f),
+      3L -> Seq(-0.7f, 0.0f, -0.1f, 0.0f)
+    )
+    val corrected = Similarity.abttCorrected(data.toDF("vec_id", "embedding"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // recover the milli PC1 the operator used, by replaying its own rule
+    val v1 = Similarity.topTwoPrincipalComponents(
+      data.toDF("vec_id", "embedding"), scale = 1000L)
+      .filter($"component" === 1).orderBy($"dim")
+      .as[(Int, Int, Long)].collect().map(_._3)
+    def rhuMilli(x: Long): Long = Math.floorDiv(2 * x + 1000, 2000)
+    val v1m = v1.map(rhuMilli)
+    corrected.values.foreach { v =>
+      val d = v.zip(v1m).map { case (a, b) => BigDecimal(a) * b }.sum
+      assert(d == 0, s"corrected vector not orthogonal to milli-PC1: $d")
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    assert(cos(corrected(0L), corrected(1L)) > 0.999999)
+    assert(cos(corrected(2L), corrected(3L)) > 0.999999)
+    assert(cos(corrected(0L), corrected(2L)) < -0.999999) // residual axes oppose
+  }
+
   test("topPrincipalComponent: centering removes a constant offset") {
     // same axis shifted by a constant vector: the centered scatter is
     // unchanged, so the component must be identical
