@@ -2361,6 +2361,16 @@ object SparkEntry {
       // pass + one projection pass (ops/Similarity.scala).
       graft.ops.Similarity.embeddingAnisotropy(table(s, dir, "embeddings"))
     },
+    "hard_negatives_topk" -> { (s, dir) =>
+      // Contrastive-training prep: per query, the 5 most similar vectors
+      // with a DIFFERENT label — near-miss negatives (random negatives
+      // are trivially separable, same-label neighbors are positives).
+      // Brute scorer here = the oracle face; at scale the label filter
+      // composes onto any ANN leg's candidate frame
+      // (ops/Similarity.scala).
+      val emb = table(s, dir, "embeddings")
+      Similarity.hardNegativesTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    },
     "ann_abtt_topk" -> { (s, dir) =>
       // The repair the anisotropy diagnostic motivates, applied: cosine
       // top-5 over ABTT-corrected vectors (centered, PC1 projected out —
@@ -6849,6 +6859,20 @@ object SparkEntry {
     "embedding_top_pc" -> EmbeddingTopPcOracle,
     "embedding_top2_pcs" -> EmbeddingTop2PcsOracle,
     "embedding_anisotropy" -> EmbeddingAnisotropyOracle,
+    "hard_negatives_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), s AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+        |  FROM e a JOIN e b
+        |    ON a.vec_id < 8 AND a.vec_id != b.vec_id AND a.label != b.label
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin,
     "ann_abtt_topk" ->
       (embeddingPcCtes(1000) +
         """,

@@ -114,6 +114,41 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: for each
+    * query, the k most similar corpus vectors with a DIFFERENT label —
+    * the near-miss negatives that make the loss informative (random
+    * negatives are trivially separable; same-label neighbors are
+    * positives, not negatives). Same `(query_id, neighbor_id, cos_sim,
+    * rank)` contract as every directed ANN leg.
+    *
+    * Shape here is the broadcast-queries brute scorer (exact recall, the
+    * oracle face); at corpus scale run any ANN leg first and apply the
+    * label-mismatch filter on its bounded candidate frame — the filter
+    * composes with the leg, it does not change the join.
+    */
+  def hardNegativesTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"
+  ): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"), col(labelCol).as("q_label"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col(labelCol).as("c_label"))
+    val scored = c
+      .join(
+        broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("q_label") =!= col("c_label"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Mutual (reciprocal) top-k nearest neighbors: pairs where EACH vector
     * ranks inside the other's top-k — the symmetric-confidence criterion
     * SemDeDup-style semantic dedup and duplicate verification use, because

@@ -520,6 +520,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ri.getLong(1) < 4000L, s"isotropic pc1 share ${ri.getLong(1)}")
   }
 
+  test("hardNegativesTopK excludes same-label neighbors and matches the filtered local top-k") {
+    val data = clustered(40).map { case (id, v) => (id, (id % 3).toInt, v) }
+    val df = data.toDF("vec_id", "label", "embedding")
+    val lookup = data.map { case (id, _, v) => id -> v }.toMap
+    val labels = data.map { case (id, l, _) => id -> l }.toMap
+    val k = 4
+    val got = Similarity.hardNegativesTopK(df, df.filter($"vec_id" < 3), k)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    (0L until 3L).foreach { q =>
+      val expected = data
+        .collect { case (id, l, v) if id != q && l != labels(q) =>
+          (id, math.rint(cosLocal(lookup(q), v) * 1e6) / 1e6) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(k).map(_._1)
+      assert(got(q) == expected, s"query $q")
+      got(q).foreach(n => assert(labels(n) != labels(q)))
+    }
+  }
+
   test("abttCorrected: exact PC1 orthogonality, and PC1-only differences collapse") {
     // dominant axis 0 (big spread) + residual axis 2: pairs (0,1) and
     // (2,3) differ ONLY along axis 0, so after ABTT each pair collapses
