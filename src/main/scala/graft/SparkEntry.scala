@@ -2361,6 +2361,12 @@ object SparkEntry {
       // pass + one projection pass (ops/Similarity.scala).
       graft.ops.Similarity.embeddingAnisotropy(table(s, dir, "embeddings"))
     },
+    "contrastive_batches" -> { (s, dir) =>
+      // In-batch-negatives-safe batch assignment: round-robin each
+      // label's members across max-label-count batches, so no two
+      // same-label vectors ever share a batch (ops/Packing.scala).
+      graft.ops.Packing.contrastiveBatches(table(s, dir, "embeddings"))
+    },
     "hard_negatives_topk" -> { (s, dir) =>
       // Contrastive-training prep: per query, the 5 most similar vectors
       // with a DIFFERENT label — near-miss negatives (random negatives
@@ -2377,7 +2383,11 @@ object SparkEntry {
       // all division-free, so the corrected vectors are exact integers
       // and the whole answer replays under SQL). Same directed top-k
       // contract as every other ANN leg (ops/Similarity.scala).
+      // checkpoint: the correction is an interpreted HOF chain (zip_with/
+      // aggregate are CodegenFallback) — materialize its tiny id+vector
+      // output once instead of re-evaluating it on both join sides.
       val corrected = graft.ops.Similarity.abttCorrected(table(s, dir, "embeddings"))
+        .localCheckpoint(eager = true)
       Similarity.bruteForceTopK(
         corrected, corrected.filter(col("vec_id") < 8), k = 5, vecCol = "abtt_vec")
     },
@@ -6859,6 +6869,16 @@ object SparkEntry {
     "embedding_top_pc" -> EmbeddingTopPcOracle,
     "embedding_top2_pcs" -> EmbeddingTop2PcsOracle,
     "embedding_anisotropy" -> EmbeddingAnisotropyOracle,
+    "contrastive_batches" ->
+      """WITH c AS (SELECT label, count(*) AS cnt FROM embeddings GROUP BY 1),
+        |nb AS (SELECT max(cnt) AS nb FROM c),
+        |r AS (
+        |  SELECT vec_id, label,
+        |    row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rk
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, label, CAST((rk - 1) % nb.nb AS INT) AS batch
+        |FROM r CROSS JOIN nb""".stripMargin,
     "hard_negatives_topk" ->
       """WITH e AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

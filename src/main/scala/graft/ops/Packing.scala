@@ -42,4 +42,34 @@ object Packing {
       .withColumn("pack_id", expr(s"cum_before DIV $packTokens"))
       .select(col(idCol), col("bucket"), col("n_tokens"), col("pack_id"))
   }
+
+  /** Contrastive-training batch assignment under the in-batch-negatives
+    * constraint: NO two same-label items share a batch (same-label
+    * co-occurrence would make an in-batch "negative" actually positive —
+    * the classic contrastive-loss corruption). Each label's members are
+    * dealt round-robin across `maxLabelCount` batches, so the constraint
+    * holds by construction: a label with c members lands in c DISTINCT
+    * batches because c ≤ maxLabelCount.
+    *
+    * Deterministic (rank within label by id), two bounded exchanges (one
+    * count agg — the driver holds ONE scalar, the max label frequency —
+    * and one label-partitioned window; never a global sort). At 100 TB
+    * the window partitions by label, so skew follows label skew — exactly
+    * the quantity the max-count scalar already measured.
+    */
+  def contrastiveBatches(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      labelCol: String = "label"
+  ): DataFrame = {
+    val nBatches = df.groupBy(col(labelCol)).count().agg(max("count")).head().getLong(0)
+    val w = Window.partitionBy(col(labelCol)).orderBy(col(idCol))
+    df
+      .select(col(idCol), col(labelCol))
+      .withColumn("rk", row_number().over(w))
+      .select(
+        col(idCol),
+        col(labelCol),
+        ((col("rk") - 1) % nBatches).cast("int").as("batch"))
+  }
 }

@@ -578,7 +578,10 @@ object Similarity {
         col("neighbor_id"),
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")
       )
-      .dropDuplicates("query_id", "neighbor_id")
+    // no dedup needed: each corpus vector sits in exactly ONE bucket and a
+    // query's nprobe probes are distinct, so a (query, neighbor) pair can
+    // meet at most once — a dropDuplicates here would shuffle the full
+    // candidate frame for nothing.
     topKPerQuery(scored, k)
   }
 
@@ -644,7 +647,6 @@ object Similarity {
         col("neighbor_id"),
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")
       )
-      .dropDuplicates("query_id", "neighbor_id")
     topKPerQuery(scored, k)
   }
 
@@ -708,7 +710,10 @@ object Similarity {
         col("neighbor_id"),
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")
       )
-      .dropDuplicates("query_id", "neighbor_id")
+    // no dedup needed: probe masks are distinct, so the probed signatures
+    // q_sig XOR mask are distinct and a corpus vector (one signature) can
+    // match at most one probe — pairs are unique by construction. (Same
+    // invariant removes the dedup shuffle in every bucketed ANN leg here.)
     topKPerQuery(candidates, k)
   }
 
@@ -784,7 +789,6 @@ object Similarity {
         col("neighbor_id"),
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")
       )
-      .dropDuplicates("query_id", "neighbor_id")
     topKPerQuery(candidates, k)
   }
 
@@ -861,7 +865,6 @@ object Similarity {
         col("neighbor_id"),
         round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")
       )
-      .dropDuplicates("query_id", "neighbor_id")
     topKPerQuery(scored, k)
   }
 
@@ -1193,7 +1196,6 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("q_vec"), col("c_vec"),
         adc.as("adc_dist"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("srank", row_number().over(wShort))
       .filter(col("srank") <= shortlist)
     val scored = candidates.select(
@@ -1504,13 +1506,19 @@ object Similarity {
     val dotm = aggregate(
       zip_with(centered, typedLit(v1m), (c, p) => c * p),
       lit(0L), (acc, x) => acc + x)
+    // Bind the per-row dot as a LAMBDA VARIABLE (array-of-one transform):
+    // a plain column reference would be inlined into the zip_with body by
+    // CollapseProject and re-evaluated per element — turning the row cost
+    // quadratic (the wordShingles lesson: lambda bodies get no
+    // subexpression elimination).
+    val corrected = element_at(
+      transform(
+        array(dotm),
+        d => zip_with(centered, typedLit(v1m), (c, p) => lit(b1m) * c - d * p)),
+      1)
     emb
       .filter(size(col(vecCol)) === sums.length)
-      .select(col(idCol), centered.as("c"), dotm.as("dm"))
-      .select(
-        col(idCol),
-        zip_with(col("c"), typedLit(v1m), (c, p) => lit(b1m) * c - col("dm") * p)
-          .cast("array<double>").as("abtt_vec"))
+      .select(col(idCol), corrected.cast("array<double>").as("abtt_vec"))
   }
 
   /** Anisotropy of the embedding cloud — the diagnostic behind

@@ -50,4 +50,22 @@ class PackingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("contrastiveBatches: no same-label pair shares a batch, batch count = max label freq") {
+    // skewed labels: label 0 has 7 members, 1 has 3, 2 has 1
+    val rows = (0L until 7L).map((_, 0)) ++ (7L until 10L).map((_, 1)) ++ Seq((10L, 2))
+    val got = Packing.contrastiveBatches(rows.toDF("vec_id", "label"))
+      .as[(Long, Int, Int)].collect()
+    assert(got.length == 11)
+    // the constraint: within a batch every label is unique
+    got.groupBy(_._3).foreach { case (b, members) =>
+      val labels = members.map(_._2)
+      assert(labels.distinct.length == labels.length, s"batch $b repeats a label")
+    }
+    // batches span exactly 0 until max label frequency (7), label 0 hits all
+    assert(got.filter(_._2 == 0).map(_._3).sorted.toSeq == (0 until 7))
+    assert(got.map(_._3).max == 6)
+    // deterministic round-robin by id order within label
+    assert(got.filter(_._2 == 1).sortBy(_._1).map(_._3).toSeq == Seq(0, 1, 2))
+  }
 }
