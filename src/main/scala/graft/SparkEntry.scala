@@ -2361,6 +2361,13 @@ object SparkEntry {
       // pass + one projection pass (ops/Similarity.scala).
       graft.ops.Similarity.embeddingAnisotropy(table(s, dir, "embeddings"))
     },
+    "budget_curated_corpus" -> { (s, dir) =>
+      // "Best corpus that fits the budget": quality-first greedy keep
+      // until 20k tokens — global order + exclusive prefix sums via the
+      // distributed Ranking primitive, no global window
+      // (ops/Sampling.scala).
+      graft.ops.Sampling.budgetCuratedCorpus(table(s, dir, "documents"), budgetTokens = 20000L)
+    },
     "contrastive_batches" -> { (s, dir) =>
       // In-batch-negatives-safe batch assignment: round-robin each
       // label's members across max-label-count batches, so no two
@@ -6869,6 +6876,18 @@ object SparkEntry {
     "embedding_top_pc" -> EmbeddingTopPcOracle,
     "embedding_top2_pcs" -> EmbeddingTop2PcsOracle,
     "embedding_anisotropy" -> EmbeddingAnisotropyOracle,
+    "budget_curated_corpus" ->
+      s"""WITH $QualityLogitCtes, t AS (
+        |  SELECT f.doc_id, s.logit_micro, CAST(f.n_tokens AS BIGINT) AS n_tokens
+        |  FROM f JOIN scored s ON s.doc_id = f.doc_id
+        |), r AS (
+        |  SELECT *, CAST(sum(n_tokens) OVER (ORDER BY logit_micro DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+        |  FROM t
+        |)
+        |SELECT doc_id, logit_micro, n_tokens, cum_before,
+        |  CAST(CASE WHEN cum_before < 20000 THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM r""".stripMargin,
     "contrastive_batches" ->
       """WITH c AS (SELECT label, count(*) AS cnt FROM embeddings GROUP BY 1),
         |nb AS (SELECT max(cnt) AS nb FROM c),

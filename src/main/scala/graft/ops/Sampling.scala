@@ -455,4 +455,37 @@ object Sampling {
         col("cum_one").as("pos"),
         (col("cum_n_tokens") - col("n_tokens")).as("token_offset"))
   }
+
+  /** Greedy quality-first curation under a token budget: rank the corpus
+    * by quality (fixed-weight logit, id tie-break) and keep docs while
+    * the tokens accumulated BEFORE them stay under `budgetTokens` — the
+    * "best corpus that fits the training budget" selection every
+    * budget-capped run performs. The boundary doc (the one that crosses
+    * the budget) is kept, so the kept set always reaches the budget.
+    *
+    * Scale shape: the global quality order and the exclusive token
+    * prefix-sum both ride [[graft.ops.Ranking.runningTotals]] (range
+    * partition + per-partition scan + P-long driver offsets) — no global
+    * window, no single-task sort, text never leaves the scan.
+    */
+  def budgetCuratedCorpus(
+      docs: DataFrame,
+      budgetTokens: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val scored = docs.select(
+      col(idCol),
+      TextAnalysis.qualityLogit(col(textCol), length(col(textCol))).as("logit_micro"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    Ranking
+      .runningTotals(scored, Seq(col("logit_micro").desc, col(idCol)), Seq("n_tokens"))
+      .select(
+        col(idCol),
+        col("logit_micro"),
+        col("n_tokens"),
+        (col("cum_n_tokens") - col("n_tokens")).as("cum_before"),
+        (col("cum_n_tokens") - col("n_tokens") < budgetTokens).cast("int").as("kept"))
+  }
 }

@@ -420,4 +420,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
       s"document text crossed an exchange: $exchanges")
   }
+
+  test("bucketed ANN legs: no dedup aggregation on the candidate frame") {
+    // each corpus vector carries exactly one bucket/signature and probe
+    // keys are distinct, so (query, neighbor) pairs are unique by
+    // construction — a dropDuplicates would shuffle the full candidate
+    // frame for nothing. Guard: the only aggregation in these plans is
+    // the bounded-heap top-k, never a keys=[query_id, neighbor_id] dedup.
+    Seq("ann_ivf_anchor_topk", "ann_lsh_md5_topk", "mutual_nn_ivf").foreach { name =>
+      val plan = executedPlan(name)
+      assert(!plan.contains("neighbor_id#") || !"HashAggregate\\(keys=\\[query_id[^\\]]*neighbor_id"
+        .r.findFirstIn(plan).isDefined,
+        s"$name: dedup aggregation reappeared on the candidate frame")
+    }
+  }
+
+  test("abtt correction stays map-side: one moment pass, then no corpus re-scan in the topk") {
+    val plan = executedPlan("ann_abtt_topk")
+    // the corrected frame is checkpointed: the executed topk plan must
+    // read the materialized rows, not re-run the correction scan
+    assert(!plan.contains("Scan parquet"),
+      "ann_abtt_topk must score over the checkpointed corrected frame")
+  }
 }

@@ -257,4 +257,28 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(a != c) // the seed actually shuffles
   }
+
+  test("budgetCuratedCorpus: greedy quality-first prefix, boundary doc kept") {
+    // stopword-rich docs score higher on the fixed-weight logit than
+    // stopword-free ones; within each tier doc_id breaks ties
+    val good = "the cat and the dog went to the house in the morning and it is fine"
+    val junk = "qqq www eee rrr ttt yyy uuu iii"
+    val docs = ((0L until 6L).map(i => (i, good + s" x$i")) ++
+      (6L until 12L).map(i => (i, junk + s" x$i"))).toDF("doc_id", "text")
+    val rows = Sampling.budgetCuratedCorpus(docs, budgetTokens = 50L)
+      .as[(Long, Long, Long, Long, Int)].collect()
+    val byOrder = rows.sortBy(r => (-r._2, r._1))
+    // exclusive prefix sums agree with a local replay in the same order
+    var cum = 0L
+    byOrder.foreach { r =>
+      assert(r._4 == cum, s"doc ${r._1}: cum_before ${r._4} != $cum")
+      assert((r._5 == 1) == (cum < 50L), s"doc ${r._1} keep flag")
+      cum += r._3
+    }
+    // good docs (17 tokens each) fill the 50-token budget: docs 0..2 kept
+    // (doc 2 starts at 34 < 50 and crosses the boundary; doc 3 starts at
+    // 51 ≥ 50), everything after dropped
+    val kept = rows.filter(_._5 == 1).map(_._1).sorted.toSeq
+    assert(kept == Seq(0L, 1L, 2L), kept.toString)
+  }
 }
