@@ -2361,6 +2361,16 @@ object SparkEntry {
       // pass + one projection pass (ops/Similarity.scala).
       graft.ops.Similarity.embeddingAnisotropy(table(s, dir, "embeddings"))
     },
+    "ivf_upsert_report" -> { (s, dir) =>
+      // Index aging under inserts: assign a delta batch (every 5th
+      // vector) to the anchors trained on the REST, report per-bucket
+      // growth and how many arrivals fall outside the base radius — the
+      // retrain signal for a live IVF index (ops/Similarity.scala).
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfUpsertReport(
+        emb.filter(col("vec_id") % 5 =!= 0),
+        emb.filter(col("vec_id") % 5 === 0))
+    },
     "budget_curated_corpus" -> { (s, dir) =>
       // "Best corpus that fits the budget": quality-first greedy keep
       // until 20k tokens — global order + exclusive prefix sums via the
@@ -6876,6 +6886,53 @@ object SparkEntry {
     "embedding_top_pc" -> EmbeddingTopPcOracle,
     "embedding_top2_pcs" -> EmbeddingTop2PcsOracle,
     "embedding_anisotropy" -> EmbeddingAnisotropyOracle,
+    "ivf_upsert_report" ->
+      """WITH vb AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE len(embedding) = 64 AND vec_id % 5 != 0
+        |), vd AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE len(embedding) = 64 AND vec_id % 5 = 0
+        |), anchors AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, qv AS av
+        |  FROM vb ORDER BY vec_id LIMIT 16
+        |), ab AS (
+        |  SELECT vec_id, bucket, d2 FROM (
+        |    SELECT v.vec_id, a.ai AS bucket,
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (v.qv[i] - a.av[i]) * (v.qv[i] - a.av[i]))) AS d2,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> (v.qv[i] - a.av[i]) * (v.qv[i] - a.av[i]))), a.ai) AS rk
+        |    FROM vb v, anchors a
+        |  ) WHERE rk = 1
+        |), ad AS (
+        |  SELECT vec_id, bucket, d2 FROM (
+        |    SELECT v.vec_id, a.ai AS bucket,
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (v.qv[i] - a.av[i]) * (v.qv[i] - a.av[i]))) AS d2,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65),
+        |          i -> (v.qv[i] - a.av[i]) * (v.qv[i] - a.av[i]))), a.ai) AS rk
+        |    FROM vd v, anchors a
+        |  ) WHERE rk = 1
+        |), bstat AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_base,
+        |    CAST(max(d2) AS BIGINT) AS radius_d2
+        |  FROM ab GROUP BY 1
+        |), dstat AS (
+        |  SELECT ad.bucket, CAST(count(*) AS BIGINT) AS n_new,
+        |    CAST(sum(CASE WHEN ad.d2 > COALESCE(b.radius_d2, -1) THEN 1 ELSE 0 END) AS BIGINT) AS n_new_outside
+        |  FROM ad LEFT JOIN bstat b ON b.bucket = ad.bucket
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(b.bucket AS INT) AS bucket, b.n_base, b.radius_d2,
+        |  COALESCE(d.n_new, 0) AS n_new,
+        |  COALESCE(d.n_new_outside, 0) AS n_new_outside,
+        |  CAST(floor((20000*COALESCE(d.n_new, 0) + b.n_base) / (2.0*b.n_base)) AS BIGINT) AS growth_bps
+        |FROM bstat b LEFT JOIN dstat d ON d.bucket = b.bucket""".stripMargin,
     "budget_curated_corpus" ->
       s"""WITH $QualityLogitCtes, t AS (
         |  SELECT f.doc_id, s.logit_micro, CAST(f.n_tokens AS BIGINT) AS n_tokens

@@ -868,6 +868,59 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Index-maintenance report for the anchor-IVF layout: assign a DELTA
+    * batch of new vectors to the EXISTING quantizer (anchors trained on
+    * the base corpus) and report, per bucket, how the index is aging —
+    * base population, base radius (max micro-L2 to the anchor), delta
+    * arrivals, how many arrivals land OUTSIDE the base radius, and the
+    * growth rate. A rising outside-share is the retrain signal: the
+    * coarse quantizer no longer describes the incoming distribution
+    * (IVF recall decays even though inserts still "work").
+    *
+    * Shape: assignment is the same map-only inlined-anchor argmin as
+    * [[ivfAnchorTopK]] for BOTH frames; per-bucket stats are two bounded
+    * aggregations joined on the ≤ nAnchors-row bucket key. Nothing
+    * corpus-sized is collected; at 100 TB the delta scan dominates and
+    * the base stats come from the index metadata the build step already
+    * wrote.
+    */
+  def ivfUpsertReport(
+      base: DataFrame,
+      delta: DataFrame,
+      nAnchors: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val baseF = base.filter(size(col(vecCol)) === dim)
+    val anchors = lowestIdAnchorsMicro(baseF, nAnchors, idCol, vecCol)
+    def assigned(df: DataFrame): DataFrame = df
+      .filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("id"), microVec(col(vecCol)).as("mv"))
+      .withColumn("a", element_at(anchorProbeOrder(col("mv"), anchors), 1))
+      .select(col("id"), col("a.i").as("bucket"), col("a.d").as("d2"))
+    val bstat = assigned(baseF)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_base"), max(col("d2")).as("radius_d2"))
+    val dstat = assigned(delta)
+      .join(broadcast(bstat.select(col("bucket"), col("radius_d2"))), Seq("bucket"), "left")
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_new"),
+        sum((col("d2") > coalesce(col("radius_d2"), lit(-1L))).cast("long")).as("n_new_outside"))
+    bstat
+      .join(dstat, Seq("bucket"), "left")
+      .select(
+        col("bucket").cast("int").as("bucket"),
+        col("n_base"),
+        col("radius_d2"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_new_outside"), lit(0L)).as("n_new_outside"),
+        // round-half-up(1e4 * n_new / n_base), all non-negative
+        floor((lit(20000L) * coalesce(col("n_new"), lit(0L)) + col("n_base")) /
+          (lit(2L) * col("n_base")).cast("double")).cast("long").as("growth_bps"))
+  }
+
   /** Micro-quantized integer copy of a float vector: floor(x·10⁶ + 0.5)
     * per component — the cross-engine-exact coordinate system the anchor
     * ANN family runs its L2 geometry in.

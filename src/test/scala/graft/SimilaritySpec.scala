@@ -541,6 +541,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfUpsertReport: exact per-bucket radius, outside counts, growth") {
+    // base: unit axes e0..e3 (the 4 anchors) + 0.9-scaled copies, so each
+    // bucket has n_base=2 and radius (1e6-9e5)^2 = 1e10. Delta: one
+    // inside arrival (e0*0.95, d2=2.5e9), two outside (e1*0.5 d2=2.5e11;
+    // e2*0.88 d2=1.44e10), nothing for e3.
+    def axis(i: Int, m: Float) = Array.tabulate(4)(j => if (j == i) m else 0.0f)
+    val base = (Seq.tabulate(4)(i => (i.toLong, axis(i, 1.0f))) ++
+      Seq.tabulate(4)(i => ((i + 4).toLong, axis(i, 0.9f)))).toDF("vec_id", "embedding")
+    val delta = Seq(
+      (100L, axis(0, 0.95f)), (101L, axis(1, 0.5f)), (102L, axis(2, 0.88f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.ivfUpsertReport(base, delta, nAnchors = 4, dim = 4)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(0) == ((2L, 10000000000L, 1L, 0L, 5000L)))
+    assert(got(1) == ((2L, 10000000000L, 1L, 1L, 5000L)))
+    assert(got(2) == ((2L, 10000000000L, 1L, 1L, 5000L)))
+    assert(got(3) == ((2L, 10000000000L, 0L, 0L, 0L)))
+  }
+
   test("abttCorrected: exact PC1 orthogonality, and PC1-only differences collapse") {
     // dominant axis 0 (big spread) + residual axis 2: pairs (0,1) and
     // (2,3) differ ONLY along axis 0, so after ABTT each pair collapses
