@@ -2361,6 +2361,14 @@ object SparkEntry {
       // pass + one projection pass (ops/Similarity.scala).
       graft.ops.Similarity.embeddingAnisotropy(table(s, dir, "embeddings"))
     },
+    "weighted_minhash_pairs" -> { (s, dir) =>
+      // tf-WEIGHTED near-dup pairs: MinHash over the integer-weight-
+      // expanded token multiset, so the verified score is the exact
+      // capped weighted Jaccard (bps) — catches shared term
+      // DISTRIBUTIONS, the complement of shingle MinHash
+      // (ops/Dedup.scala).
+      Dedup.weightedMinhashPairs(table(s, dir, "documents"), minBps = 8000L)
+    },
     "ivf_upsert_report" -> { (s, dir) =>
       // Index aging under inserts: assign a delta batch (every 5th
       // vector) to the anchors trained on the REST, report per-bucket
@@ -6886,6 +6894,41 @@ object SparkEntry {
     "embedding_top_pc" -> EmbeddingTopPcOracle,
     "embedding_top2_pcs" -> EmbeddingTop2PcsOracle,
     "embedding_anisotropy" -> EmbeddingAnisotropyOracle,
+    "weighted_minhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, least(count(*), 8) AS w
+        |  FROM toks WHERE tok <> '' GROUP BY 1, 2
+        |), ex AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok || '#' || CAST(o.occ AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM tf, unnest(range(1, w + 1)) AS o(occ)
+        |), hs AS (
+        |  SELECT doc_id, list_distinct(list(h)) AS hset FROM ex GROUP BY doc_id
+        |), sig AS (
+        |  SELECT doc_id, j.j AS j,
+        |    min(((((2654435761 * (j.j+1)) % 2147483647) | 1) * (h % 2147483647)
+        |      + ((40503 * (j.j+1) * (j.j+1)) % 2147483647)) % 2147483647) AS m
+        |  FROM ex, range(64) j(j) GROUP BY 1, 2
+        |), bandkey AS (
+        |  SELECT doc_id, j // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY j) AS bk
+        |  FROM sig GROUP BY doc_id, j // 4
+        |), bucket_ok AS (
+        |  SELECT band, bk FROM bandkey GROUP BY band, bk HAVING count(*) BETWEEN 2 AND 1000
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bucket_ok o
+        |  JOIN bandkey a ON a.band = o.band AND a.bk = o.bk
+        |  JOIN bandkey b ON b.band = o.band AND b.bk = o.bk AND a.doc_id < b.doc_id
+        |), pj AS (
+        |  SELECT id_a, id_b,
+        |    CAST((20000 * len(list_filter(ha.hset, x -> list_contains(hb.hset, x)))
+        |      + len(list_distinct(list_concat(ha.hset, hb.hset))))
+        |      // (2 * len(list_distinct(list_concat(ha.hset, hb.hset)))) AS BIGINT) AS wjaccard_bps
+        |  FROM cand JOIN hs ha ON ha.doc_id = cand.id_a JOIN hs hb ON hb.doc_id = cand.id_b
+        |)
+        |SELECT id_a, id_b, wjaccard_bps FROM pj WHERE wjaccard_bps >= 8000""".stripMargin,
     "ivf_upsert_report" ->
       """WITH vb AS (
         |  SELECT vec_id,

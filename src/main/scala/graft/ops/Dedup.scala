@@ -861,6 +861,86 @@ object Dedup {
     * the whole pair → connected-components → corpus-dedup chain under the
     * DuckDB oracle (recursive-CTE connected components on the same pairs).
     */
+  /** WEIGHTED near-dup pairs: MinHash over the tf-weighted token multiset,
+    * via integer-weight expansion — element (token, k) for k = 1..min(tf,
+    * `tfCap`), so plain Jaccard over the expanded sets IS the (capped)
+    * weighted Jaccard `Σ min(tfA,tfB) / Σ max(tfA,tfB)`. Unweighted
+    * shingle MinHash treats a word said once and said fifty times
+    * identically; the weighted form catches template/boilerplate pairs
+    * that share a skewed term DISTRIBUTION, not exact phrasing — the
+    * complement of [[minhashMd5Pairs]] in the dedup family.
+    *
+    * Everything is md5/affine portable (same hash family and banding as
+    * the md5 pipeline), and the verify stage computes the EXACT capped
+    * weighted Jaccard in round-half-up basis points — full SQL oracle.
+    *
+    * Shape: tokens explode → (id, token) tf agg → `sequence(1, w)`
+    * expansion (bounded ×tfCap) → ONE 64-min aggregation per doc (partial
+    * aggregation: 64 longs per doc cross the exchange, never the expanded
+    * elements) → band keys → the same capped-bucket ids-only pair stage →
+    * exact verify over per-doc expanded-hash sets computed once. Salt
+    * safety: `tok || '#' || occ` is injective for occ ∈ 1..9 (single
+    * trailing digit), so expanded elements never collide textually.
+    */
+  def weightedMinhashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      tfCap: Int = 8,
+      minBps: Long = 0L,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(tfCap >= 1 && tfCap <= 9, "tfCap must be in [1, 9] (single-digit salt)")
+    val r = numHashes / bands
+    val expanded = docs
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("id"), col("tok"))
+      .agg(least(count(lit(1)), lit(tfCap.toLong)).as("w"))
+      .select(col("id"), col("tok"), explode(sequence(lit(1L), col("w"))).as("occ"))
+      .select(
+        col("id"),
+        md5Hash32(concat(col("tok"), lit("#"), col("occ").cast("string"))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val minAggs = (0 until numHashes).map { j =>
+      min((lit(md5AffineA(j)) * (col("h") % lit(Md5AffineMod)) + lit(md5AffineB(j))) %
+        lit(Md5AffineMod)).as(s"m$j")
+    }
+    val sig = expanded.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+    val banded = sig.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct((lit(b).as("b") +: (0 until r).map(i => col(s"m${b * r + i}").as(s"m$i"))): _*)
+      }: _*)).as("bk"))
+    val pairs = banded
+      .groupBy(col("bk"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(orderedPairs(array_sort(col("ids")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val hs = expanded
+      .groupBy(col("id"))
+      .agg(collect_set(col("h")).as("hset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified = pairs
+      .join(hs.select(col("id").as("id_a"), col("hset").as("ha")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("hset").as("hb")), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        graft.functions.ExactDecimal.scaledRatio(
+          size(array_intersect(col("ha"), col("hb"))).cast("long"),
+          size(array_union(col("ha"), col("hb"))).cast("long"),
+          10000L).cast("long").as("wjaccard_bps"))
+      .filter(col("wjaccard_bps") >= minBps)
+    try verified.localCheckpoint(eager = true)
+    finally { expanded.unpersist(blocking = false); hs.unpersist(blocking = false) }
+  }
+
   def minhashMd5Pairs(
       docs: DataFrame,
       idCol: String = "doc_id",

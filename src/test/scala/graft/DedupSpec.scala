@@ -422,6 +422,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.map(_._5).sum == 6000000L)
   }
 
+  test("weightedMinhashPairs: capped weighted Jaccard in exact bps, distribution-sensitive") {
+    // A and B share token x with tf 10 (capped at 8) and differ in one
+    // singleton: weighted J = 8/10 = 8000 bps, while DISTINCT-token
+    // Jaccard would say 1/3. C and D are exact copies (10000 bps).
+    val xs = Seq.fill(10)("x").mkString(" ")
+    val docs = Seq(
+      (0L, s"$xs y"), (1L, s"$xs z"),
+      (2L, "the quick brown fox runs"), (3L, "the quick brown fox runs"),
+      (4L, "entirely different words here")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.weightedMinhashPairs(docs)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((0L, 1L)) == 8000L)
+    assert(got((2L, 3L)) == 10000L)
+    // the outlier doc pairs with nothing
+    assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("dedup_savings_report: histogram and removable-token algebra on multi-copy clusters") {
     // clusters: "a b c" x3 (3 tokens/copy), "d e" x2 (2 tokens/copy),
     // "f" x1, "g h i j" x1 -> sizes {3:1, 2:1, 1:2}
