@@ -2367,7 +2367,8 @@ object SparkEntry {
       // capped weighted Jaccard (bps) — catches shared term
       // DISTRIBUTIONS, the complement of shingle MinHash
       // (ops/Dedup.scala).
-      Dedup.weightedMinhashPairs(table(s, dir, "documents"), minBps = 8000L)
+      Dedup.weightedMinhashPairs(
+        table(s, dir, "documents"), bands = 8, minBps = 8000L, minEstMatches = 44)
     },
     "ivf_upsert_report" -> { (s, dir) =>
       // Index aging under inserts: assign a delta batch (every 5th
@@ -6912,15 +6913,22 @@ object SparkEntry {
         |      + ((40503 * (j.j+1) * (j.j+1)) % 2147483647)) % 2147483647) AS m
         |  FROM ex, range(64) j(j) GROUP BY 1, 2
         |), bandkey AS (
-        |  SELECT doc_id, j // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY j) AS bk
-        |  FROM sig GROUP BY doc_id, j // 4
+        |  SELECT doc_id, j // 8 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY j) AS bk
+        |  FROM sig GROUP BY doc_id, j // 8
         |), bucket_ok AS (
         |  SELECT band, bk FROM bandkey GROUP BY band, bk HAVING count(*) BETWEEN 2 AND 1000
-        |), cand AS (
+        |), cand0 AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bucket_ok o
         |  JOIN bandkey a ON a.band = o.band AND a.bk = o.bk
         |  JOIN bandkey b ON b.band = o.band AND b.bk = o.bk AND a.doc_id < b.doc_id
+        |), sl AS (
+        |  SELECT doc_id, list(m ORDER BY j) AS sl FROM sig GROUP BY doc_id
+        |), cand AS (
+        |  SELECT id_a, id_b FROM cand0
+        |  JOIN sl sa ON sa.doc_id = cand0.id_a
+        |  JOIN sl sb ON sb.doc_id = cand0.id_b
+        |  WHERE len(list_filter(range(1, 65), i -> sa.sl[i] = sb.sl[i])) >= 44
         |), pj AS (
         |  SELECT id_a, id_b,
         |    CAST((20000 * len(list_filter(ha.hset, x -> list_contains(hb.hset, x)))

@@ -890,7 +890,8 @@ object Dedup {
       bands: Int = 16,
       tfCap: Int = 8,
       minBps: Long = 0L,
-      maxBucket: Int = 1000
+      maxBucket: Int = 1000,
+      minEstMatches: Int = 0
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(tfCap >= 1 && tfCap <= 9, "tfCap must be in [1, 9] (single-digit salt)")
@@ -909,19 +910,42 @@ object Dedup {
       min((lit(md5AffineA(j)) * (col("h") % lit(Md5AffineMod)) + lit(md5AffineB(j))) %
         lit(Md5AffineMod)).as(s"m$j")
     }
-    val sig = expanded.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+    val sig = expanded
+      .groupBy(col("id"))
+      .agg(minAggs.head, minAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(
       col("id"),
       explode(array((0 until bands).map { b =>
         struct((lit(b).as("b") +: (0 until r).map(i => col(s"m${b * r + i}").as(s"m$i"))): _*)
       }: _*)).as("bk"))
-    val pairs = banded
+    val rawPairs = banded
       .groupBy(col("bk"))
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(orderedPairs(array_sort(col("ids")))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // Optional signature-estimate prefilter: count matching components
+    // (64 long compares per pair) and require >= minEstMatches before the
+    // much heavier exact set verify. Statistically tight (at s = 0.8 with
+    // 64 hashes, matches ~ Binomial(64, .8): a 44 cut drops ~1% of
+    // borderline pairs) and REPLAYED by the oracle, so the gate compare
+    // is unaffected; 0 disables.
+    val pairs =
+      if (minEstMatches <= 0) rawPairs
+      else {
+        val sigArr = sig.select(
+          col("id"),
+          array((0 until numHashes).map(j => col(s"m$j")): _*).as("sl"))
+        rawPairs
+          .join(sigArr.select(col("id").as("id_a"), col("sl").as("sa")), Seq("id_a"))
+          .join(sigArr.select(col("id").as("id_b"), col("sl").as("sb")), Seq("id_b"))
+          .filter(
+            size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+              >= minEstMatches)
+          .select(col("id_a"), col("id_b"))
+      }
     val hs = expanded
       .groupBy(col("id"))
       .agg(collect_set(col("h")).as("hset"))
@@ -938,7 +962,11 @@ object Dedup {
           10000L).cast("long").as("wjaccard_bps"))
       .filter(col("wjaccard_bps") >= minBps)
     try verified.localCheckpoint(eager = true)
-    finally { expanded.unpersist(blocking = false); hs.unpersist(blocking = false) }
+    finally {
+      expanded.unpersist(blocking = false)
+      sig.unpersist(blocking = false)
+      hs.unpersist(blocking = false)
+    }
   }
 
   def minhashMd5Pairs(
