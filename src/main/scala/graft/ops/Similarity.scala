@@ -902,6 +902,9 @@ object Similarity {
     val bstat = assigned(baseF)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_base"), max(col("d2")).as("radius_d2"))
+      // ≤ nAnchors rows, referenced twice (join side + broadcast radius):
+      // materialize once instead of re-scanning/re-assigning the base
+      .localCheckpoint(eager = true)
     val dstat = assigned(delta)
       .join(broadcast(bstat.select(col("bucket"), col("radius_d2"))), Seq("bucket"), "left")
       .groupBy(col("bucket"))
