@@ -1629,6 +1629,15 @@ object SparkEntry {
       // with training.
       graft.ops.QualityTrainer.trainAndScore(table(s, dir, "documents"), iters = 4)
     },
+    "quality_trained_by_lang" -> { (s, dir) =>
+      // The CCNet recipe: one trained quality model PER LANGUAGE (cheap-
+      // feature statistics aren't transferable across languages). Each GD
+      // iteration is one groupBy aggregation (5 gradient sums per lang);
+      // driver holds |langs|x5 longs. Full per-group trajectory under the
+      // replay oracle (ops/QualityTrainer.scala).
+      graft.ops.QualityTrainer
+        .groupWeightTrajectoryDf(table(s, dir, "documents"), "lang", iters = 3)
+    },
     "quality_calibration_bins" -> { (s, dir) =>
       // Reliability diagram of the trained scorer vs its Gopher teacher:
       // 10 equal-width probability bins, per-bin teacher-positive rate
@@ -3162,8 +3171,58 @@ object SparkEntry {
       |  CAST(CASE WHEN p_micro > 500000 THEN 1 ELSE 0 END AS INT) AS keep_trained
       |FROM p""".stripMargin
 
+  /** Per-group GD replay: [[qualityTrainedCtes]] with every state CTE
+    * keyed by the group column (lang) — weights, gradients, and document
+    * counts per group, chained `iters` times.
+    */
+  private def qualityTrainedGroupOracle(iters: Int): String = {
+    val base =
+      s"""WITH $GopherRulesCtes, $QualityLogitCtes, feat AS MATERIALIZED (
+        |  SELECT f.doc_id, d.lang AS grp,
+        |    CAST(1000000 AS BIGINT) AS x0,
+        |    CAST(least(f.n_tokens, 200) * 5000 AS BIGINT) AS x1,
+        |    least(CAST(floor(f.n_stop * 4000000.0 / greatest(f.n_tokens, 1)) AS BIGINT), 1000000) AS x2,
+        |    least(CAST(floor(f.n_punct * 10000000.0 / greatest(f.n_chars, 1)) AS BIGINT), 1000000) AS x3,
+        |    CAST(floor(f.n_distinct * 1000000.0 / greatest(f.n_tokens, 1)) AS BIGINT) AS x4,
+        |    CAST(g.keep AS BIGINT) AS y
+        |  FROM f JOIN gop g ON g.doc_id = f.doc_id
+        |    JOIN documents d ON d.doc_id = f.doc_id
+        |), ng AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n FROM feat GROUP BY 1),
+        |w0_ AS (SELECT grp, CAST(0 AS HUGEINT) AS w0, CAST(0 AS HUGEINT) AS w1,
+        |  CAST(0 AS HUGEINT) AS w2, CAST(0 AS HUGEINT) AS w3, CAST(0 AS HUGEINT) AS w4 FROM ng)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      val prev = s"w${t - 1}_"
+      val upd = (0 to 4).map { j =>
+        s"""w.w$j - ((2*g.g$j + 2000000*ng.n) -
+           |      ((((2*g.g$j + 2000000*ng.n) % (4000000*ng.n)) + 4000000*ng.n) % (4000000*ng.n)))
+           |      // (4000000*ng.n) AS w$j""".stripMargin
+      }.mkString(",\n    ")
+      s""", e$t AS (
+         |  SELECT feat.*,
+         |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+         |      / 1000000.0) AS HUGEINT) - feat.y*1000000 AS err
+         |  FROM feat JOIN $prev w ON w.grp = feat.grp
+         |), gr$t AS (
+         |  SELECT grp, sum(err*x0) AS g0, sum(err*x1) AS g1, sum(err*x2) AS g2,
+         |    sum(err*x3) AS g3, sum(err*x4) AS g4
+         |  FROM e$t GROUP BY grp
+         |), w${t}_ AS (
+         |  SELECT w.grp, $upd
+         |  FROM $prev w JOIN gr$t g ON g.grp = w.grp JOIN ng ON ng.grp = w.grp
+         |)""".stripMargin
+    }.mkString
+    val names = Seq("bias", "volume", "stop_ratio", "punct_ratio", "diversity")
+    val out = (1 to iters).flatMap { t =>
+      names.zipWithIndex.map { case (name, j) =>
+        s"SELECT CAST($t AS INT) AS iter, grp AS lang, '$name' AS feature, CAST(w$j AS BIGINT) AS w_micro FROM w${t}_"
+      }
+    }.mkString("\n", "\nUNION ALL\n", "")
+    base + steps + out
+  }
+
   def oracleSql: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesOracle(10),
+    "quality_trained_by_lang" -> qualityTrainedGroupOracle(3),
     "quality_trained_logit" -> qualityTrainedLogitOracle(4),
     "quality_trained_scores" -> qualityTrainedScoresOracle(4),
     "quality_calibration_bins" ->

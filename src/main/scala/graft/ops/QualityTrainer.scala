@@ -160,6 +160,113 @@ object QualityTrainer {
     score(feat, w)
   }
 
+  /** Feature frame with a carried group column (same single corpus scan —
+    * the group rides [[TextAnalysis.gopherRules]]'s carryCols).
+    */
+  def featuresGrouped(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String = "text"
+  ): DataFrame = {
+    val g = TextAnalysis.gopherRules(docs, textCol, carryCols = Seq(textCol, groupCol))
+    val t = col(textCol)
+    val nTok = greatest(col("n_tokens"), lit(1L))
+    g.select(
+      col("doc_id"),
+      col(groupCol).as("grp"),
+      lit(1000000L).as("x0"),
+      (least(col("n_tokens"), lit(200L)) * 5000L).as("x1"),
+      least(
+        floor(TextAnalysis.markerCount(t, TextAnalysis.LangMarkers.head._2) * 4000000.0 / nTok)
+          .cast("long"),
+        lit(1000000L)).as("x2"),
+      least(
+        floor(TextAnalysis.punctCount(t) * 10000000.0 / greatest(col("n_chars"), lit(1L)))
+          .cast("long"),
+        lit(1000000L)).as("x3"),
+      floor(size(array_distinct(TextAnalysis.tokens(t))) * 1000000.0 / nTok)
+        .cast("long").as("x4"),
+      col("keep").cast("long").as("y")
+    )
+  }
+
+  /** PER-GROUP training — the CCNet recipe (one quality model per
+    * language/domain, because "good text" statistics are not transferable
+    * across languages): the same exact fixed-point GD, but every
+    * iteration is ONE groupBy aggregation emitting 5 gradient sums per
+    * group, and the driver holds |groups|×5 longs (bounded by the group
+    * vocabulary, never the corpus). Each group trains against its own
+    * document count, so small groups step as decisively as big ones.
+    * Returns group → weight trajectory.
+    */
+  def trainByGroup(
+      featGrouped: DataFrame,
+      iters: Int,
+      etaNum: Long = 1L,
+      etaDen: Long = 2L
+  ): Map[String, Seq[Array[Long]]] = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    val f = featGrouped.localCheckpoint(eager = true)
+    val counts: Map[String, Long] = f
+      .groupBy(col("grp")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // bounded: one row per group
+    require(counts.nonEmpty, "empty corpus")
+    val groups = counts.keys.toSeq.sorted
+    val bigD: Map[String, BigInt] =
+      counts.map { case (g, n) => g -> BigInt(etaDen) * n * 1000000L }
+    val w = scala.collection.mutable.Map(groups.map(_ -> Array.fill(5)(0L)): _*)
+    val traj = scala.collection.mutable.Map(groups.map(_ -> Seq.empty[Array[Long]]): _*)
+    (1 to iters).foreach { _ =>
+      // per-row prediction with THIS row's group weights: a CASE over the
+      // bounded group set (the weights are literals, map-side only)
+      val dotExprG = (0 to 4).map { j =>
+        col(s"x$j") * groups.tail.foldLeft(lit(w(groups.head)(j))) { (acc, g) =>
+          when(col("grp") === g, lit(w(g)(j))).otherwise(acc)
+        }
+      }.reduce(_ + _)
+      val errCol = (floor(dotExprG.cast("double") / 1000000.0).cast("long") -
+        col("y") * 1000000L).cast(DecimalType(38, 0)).as("err")
+      val gradAggs = (0 to 4).map(j => sum(col("err") * col(s"x$j")).as(s"g$j"))
+      f.withColumn("err", errCol)
+        .groupBy(col("grp"))
+        .agg(gradAggs.head, gradAggs.tail: _*)
+        .collect()
+        .foreach { row =>
+          val g = row.getString(0)
+          val wg = w(g)
+          (0 to 4).foreach { j =>
+            val grad = BigInt(row.getDecimal(j + 1).toBigInteger)
+            val num = BigInt(2) * etaNum * grad + bigD(g)
+            val den = BigInt(2) * bigD(g)
+            val q = num / den
+            val delta = if (num.sign < 0 && q * den != num) q - 1 else q
+            wg(j) = wg(j) - delta.toLong
+          }
+        }
+      groups.foreach(g => traj(g) = traj(g) :+ w(g).clone())
+    }
+    groups.map(g => g -> traj(g)).toMap
+  }
+
+  /** Registered-query face of grouped training: (iter, lang, feature,
+    * w_micro) — every group's full trajectory, oracle-replayable.
+    */
+  def groupWeightTrajectoryDf(
+      docs: DataFrame,
+      groupCol: String,
+      iters: Int
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainByGroup(featuresGrouped(docs, groupCol), iters).toSeq
+      .flatMap { case (g, traj) =>
+        traj.zipWithIndex.flatMap { case (wv, t) =>
+          FeatureNames.zip(wv).map { case (name, wj) => (t + 1, g, name, wj) }
+        }
+      }
+      .toDF("iter", "lang", "feature", "w_micro")
+  }
+
   /** Reliability diagram of the trained scorer vs its teacher — the
     * standard post-training calibration check: predictions bucketed into
     * `nBins` equal-width bins over [0, 1), per-bin count, teacher

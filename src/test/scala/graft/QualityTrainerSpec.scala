@@ -97,6 +97,27 @@ class QualityTrainerSpec extends AnyFunSuite {
     assert(got.map(_.toSeq) == local.map(_.toSeq))
   }
 
+  test("trainByGroup equals independent per-group training") {
+    // two synthetic 'languages' with different good/junk mixes: grouped
+    // training must give each group exactly the weights it would get
+    // trained alone on its own slice
+    val a = planted(8, 4).withColumn("lang", lit("aa"))
+    val b = planted(3, 9).withColumn("lang", lit("bb"))
+      .withColumn("doc_id", col("doc_id") + 100L)
+    val docs = a.unionByName(b)
+    val grouped = QualityTrainer.trainByGroup(
+      QualityTrainer.featuresGrouped(docs, "lang"), iters = 4)
+    val aloneA = QualityTrainer.train(QualityTrainer.features(
+      docs.filter(col("lang") === "aa")), iters = 4)
+    val aloneB = QualityTrainer.train(QualityTrainer.features(
+      docs.filter(col("lang") === "bb")), iters = 4)
+    assert(grouped.keySet == Set("aa", "bb"))
+    assert(grouped("aa").map(_.toSeq) == aloneA.map(_.toSeq))
+    assert(grouped("bb").map(_.toSeq) == aloneB.map(_.toSeq))
+    // the two groups genuinely learned different weights
+    assert(grouped("aa").last.toSeq != grouped("bb").last.toSeq)
+  }
+
   test("calibrationBins: pure planted bins, exact counts, round-half-up rates") {
     val docs = planted(12, 12)
     val bins = QualityTrainer.calibrationBins(docs, iters = 12).collect()
