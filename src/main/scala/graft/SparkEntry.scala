@@ -1629,6 +1629,22 @@ object SparkEntry {
       // with training.
       graft.ops.QualityTrainer.trainAndScore(table(s, dir, "documents"), iters = 4)
     },
+    "leakage_safe_splits_neardup" -> { (s, dir) =>
+      // Eval-contamination guard, NEAR-dup grade: whole near-duplicate
+      // clusters (md5 MinHash pairs -> connected components) move into
+      // train/val/test atomically — exact-dup-only splits still leak
+      // paraphrased copies across the boundary (Lee et al. 2022). Docs
+      // outside any cluster are their own representative.
+      val docs = table(s, dir, "documents")
+      val clusters = Dedup.nearDupClusters(Dedup.minhashMd5Pairs(docs, threshold = 0.8))
+      val withRep = docs.select(col("doc_id"))
+        .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("rep"))
+      graft.ops.Sampling
+        .assignSplit(withRep, "rep", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          seed = "nls42")
+        .select(col("doc_id"), col("rep"), col("split"))
+    },
     "quality_trained_by_lang" -> { (s, dir) =>
       // The CCNet recipe: one trained quality model PER LANGUAGE (cheap-
       // feature statistics aren't transferable across languages). Each GD
@@ -3223,6 +3239,23 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesOracle(10),
     "quality_trained_by_lang" -> qualityTrainedGroupOracle(3),
+    "leakage_safe_splits_neardup" ->
+      s"""$Md5NearDupCtes,
+        |$Md5ClusterCtes,
+        |labels AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+        |rep AS (
+        |  SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+        |), h AS (
+        |  SELECT doc_id, rep,
+        |    CAST(('0x' || substr(md5('nls42' || CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) AS v
+        |  FROM rep
+        |)
+        |SELECT doc_id, rep,
+        |  CASE WHEN v < 3435973836 THEN 'train'
+        |       WHEN v < 3865470566 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h""".stripMargin,
     "quality_trained_logit" -> qualityTrainedLogitOracle(4),
     "quality_trained_scores" -> qualityTrainedScoresOracle(4),
     "quality_calibration_bins" ->

@@ -258,6 +258,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(a != c) // the seed actually shuffles
   }
 
+  test("leakage_safe_splits_neardup: near-dup clusters move atomically, loners are their own rep") {
+    val base = "the quick brown fox jumps over the lazy dog again and again in the field today"
+    val dir = java.nio.file.Files.createTempDirectory("nls").toString
+    Seq(
+      (1L, base), (2L, base), (7L, base), // one near-dup cluster (exact copies), rep = 1
+      (10L, "totally different content entirely unrelated words nothing shared here at all now")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("leakage_safe_splits_neardup")(spark, dir)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 4)
+    assert(Seq(1L, 2L, 7L).map(got(_)._1).toSet == Set(1L)) // shared min-id rep
+    assert(Seq(1L, 2L, 7L).map(got(_)._2).toSet.size == 1) // same split — atomic
+    assert(got(10L)._1 == 10L) // loner is its own representative
+  }
+
   test("budgetCuratedCorpus: greedy quality-first prefix, boundary doc kept") {
     // stopword-rich docs score higher on the fixed-weight logit than
     // stopword-free ones; within each tier doc_id breaks ties
