@@ -1629,6 +1629,32 @@ object SparkEntry {
       // with training.
       graft.ops.QualityTrainer.trainAndScore(table(s, dir, "documents"), iters = 4)
     },
+    "curation_pipeline_v6" -> { (s, dir) =>
+      // Round-8 composite: exact dedup → score every doc with the TRAINED
+      // quality model (GD weights learned in-engine from the full corpus)
+      // → token-budget greedy selection ORDERED BY the trained score
+      // (distributed prefix sums, no global window) → per-source
+      // accounting. The v5 chain with the learned model replacing the
+      // rule gate; the budget IS the selector, so no brittle hard
+      // threshold sits in front of it.
+      val docs = table(s, dir, "documents")
+      val scored = graft.ops.QualityTrainer.trainAndScore(docs, iters = 4)
+      val deduped = Dedup.dropExactDuplicates(docs)
+        .select(
+          col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val kept = graft.ops.Ranking
+        .runningTotals(
+          deduped.join(scored, Seq("doc_id"))
+            .select(col("doc_id"), col("source"), col("n_tokens"), col("p_micro")),
+          Seq(col("p_micro").desc, col("doc_id")),
+          Seq("n_tokens"))
+        .filter(col("cum_n_tokens") - col("n_tokens") < 15000L)
+      kept
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tokens")).as("n_tokens_kept"))
+        .orderBy(col("source"))
+    },
     "leakage_safe_splits_neardup" -> { (s, dir) =>
       // Eval-contamination guard, NEAR-dup grade: whole near-duplicate
       // clusters (md5 MinHash pairs -> connected components) move into
@@ -3239,6 +3265,28 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesOracle(10),
     "quality_trained_by_lang" -> qualityTrainedGroupOracle(3),
+    "curation_pipeline_v6" ->
+      s"""WITH ${qualityTrainedCtes(4)}, dd AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents
+        |  ) WHERE doc_id = rep
+        |), p AS (
+        |  SELECT feat.doc_id,
+        |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+        |      / 1000000.0) AS BIGINT) AS p_micro
+        |  FROM feat, w4_ w
+        |), k AS (
+        |  SELECT p.doc_id, p.p_micro, CAST(f.n_tokens AS BIGINT) AS n_tokens
+        |  FROM p JOIN dd ON dd.doc_id = p.doc_id JOIN f ON f.doc_id = p.doc_id
+        |), r AS (
+        |  SELECT *, CAST(sum(n_tokens) OVER (ORDER BY p_micro DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cb
+        |  FROM k
+        |), kept AS (SELECT doc_id, n_tokens FROM r WHERE cb < 15000)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+        |  CAST(sum(kept.n_tokens) AS BIGINT) AS n_tokens_kept
+        |FROM kept JOIN documents d ON d.doc_id = kept.doc_id
+        |GROUP BY 1""".stripMargin,
     "leakage_safe_splits_neardup" ->
       s"""$Md5NearDupCtes,
         |$Md5ClusterCtes,
