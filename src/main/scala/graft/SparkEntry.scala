@@ -1629,6 +1629,31 @@ object SparkEntry {
       // with training.
       graft.ops.QualityTrainer.trainAndScore(table(s, dir, "documents"), iters = 4)
     },
+    "semdedup_corpus_v2" -> { (s, dir) =>
+      // The apply face of SemDeDup v2: the surviving corpus after
+      // reciprocal-confidence dedup — drop every vector the mutual-top-k
+      // + threshold criterion flagged (keep-lowest-id survivors).
+      Similarity.semDedupMutual(table(s, dir, "embeddings"), threshold = 0.35)
+        .filter(col("is_dup") === 0)
+        .select(col("vec_id"))
+    },
+    "doc_dedup_weights" -> { (s, dir) =>
+      // Loss-level dedup: instead of DROPPING copies, weight every doc by
+      // 1/|exact-dup cluster| so repeated text contributes unit mass to
+      // the training loss (the soft alternative keep-one pipelines
+      // destroy). One exchange carrying (doc_id, md5) — text never
+      // shuffles; exact round-half-up micro weights.
+      val c = table(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn(
+          "cluster_size",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      c.select(
+        col("doc_id"),
+        col("cluster_size").cast("long").as("cluster_size"),
+        floor((lit(2000000L) + col("cluster_size")) /
+          (lit(2L) * col("cluster_size")).cast("double")).cast("long").as("weight_micro"))
+    },
     "curation_pipeline_v6" -> { (s, dir) =>
       // Round-8 composite: exact dedup → score every doc with the TRAINED
       // quality model (GD weights learned in-engine from the full corpus)
@@ -3265,6 +3290,19 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesOracle(10),
     "quality_trained_by_lang" -> qualityTrainedGroupOracle(3),
+    "semdedup_corpus_v2" ->
+      s"""WITH $MutualIvfCtes, flag AS (
+        |  SELECT DISTINCT id_b AS vec_id FROM mut WHERE cos_sim >= 0.35
+        |)
+        |SELECT v.vec_id FROM vecs v LEFT JOIN flag f ON f.vec_id = v.vec_id
+        |WHERE f.vec_id IS NULL""".stripMargin,
+    "doc_dedup_weights" ->
+      """WITH c AS (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY md5(text)) AS cs FROM documents
+        |)
+        |SELECT doc_id, CAST(cs AS BIGINT) AS cluster_size,
+        |  CAST((2000000 + cs) // (2*cs) AS BIGINT) AS weight_micro
+        |FROM c""".stripMargin,
     "curation_pipeline_v6" ->
       s"""WITH ${qualityTrainedCtes(4)}, dd AS (
         |  SELECT doc_id FROM (
