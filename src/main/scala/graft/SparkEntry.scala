@@ -1619,7 +1619,7 @@ object SparkEntry {
       // one map-side-combined integer aggregation, 5 longs of driver
       // state. Emits the full weight trajectory so the oracle replays
       // every gradient step (the bpe_merges discipline).
-      graft.ops.QualityTrainer.weightTrajectoryDf(table(s, dir, "documents"), iters = 4)
+      graft.ops.QualityTrainer.weightTrajectoryDf(table(s, dir, "documents"), iters = 8)
     },
     "quality_trained_scores" -> { (s, dir) =>
       // The inference face of the trained filter: per-doc predicted
@@ -1627,7 +1627,56 @@ object SparkEntry {
       // as literal scan arithmetic with the just-trained weights — no
       // joins, no broadcast state, one feature-frame checkpoint shared
       // with training.
-      graft.ops.QualityTrainer.trainAndScore(table(s, dir, "documents"), iters = 4)
+      graft.ops.QualityTrainer.trainAndScore(table(s, dir, "documents"), iters = 8)
+    },
+    "trained_gate_gain" -> { (s, dir) =>
+      // Is training worth it? kappa(trained gate, Gopher teacher) minus
+      // kappa(fixed-weight gate, Gopher teacher) in one row — the
+      // replace-the-heuristic decision closed to a single signed number.
+      val docs = table(s, dir, "documents")
+      val feat = graft.ops.QualityTrainer.features(docs).localCheckpoint(eager = true)
+      val w = graft.ops.QualityTrainer.train(feat, iters = 8).last
+      val fixedK = docs.select(
+        col("doc_id"),
+        (TextAnalysis.qualityLogit(col("text"), length(col("text"))) > 0)
+          .cast("int").as("keep_fixed"))
+      val j = graft.ops.QualityTrainer.score(feat, w)
+        .join(feat.select(col("doc_id"), col("y").cast("int").as("y")), Seq("doc_id"))
+        .join(fixedK, Seq("doc_id"))
+        .select(col("keep_trained"), col("keep_fixed"), col("y"))
+        .localCheckpoint(eager = true) // two kappa aggregations share it
+      val kT = graft.ops.Contingency.agreementKappa(j, "keep_trained", "y")
+        .select(col("kappa_micro").as("kappa_trained_micro"))
+      val kF = graft.ops.Contingency.agreementKappa(j, "keep_fixed", "y")
+        .select(col("kappa_micro").as("kappa_fixed_micro"))
+      kT.crossJoin(kF) // 1 row x 1 row
+        .withColumn("gain_micro", col("kappa_trained_micro") - col("kappa_fixed_micro"))
+    },
+    "mutual_nn_ivf_recall" -> { (s, dir) =>
+      // Eval row for the mutual family (the ann_ivf_recall analogue):
+      // recall/precision of the IVF-legged mutual pairs against the
+      // exact brute-mutual gold, both legs on the same deterministic
+      // sample — the number that decides whether the scale path's
+      // candidate pruning is acceptable. One outer join of two ids-only
+      // pair frames, single-row output.
+      val sample = table(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      val gold = Similarity.mutualTopK(sample, k = 5)
+        .select(col("id_a"), col("id_b"), lit(1L).as("g"))
+      val ivf = Similarity
+        .mutualFromDirected(Similarity.ivfAnchorTopK(sample, sample, k = 5))
+        .select(col("id_a"), col("id_b"), lit(1L).as("iv"))
+      gold.join(ivf, Seq("id_a", "id_b"), "outer")
+        .agg(
+          sum(coalesce(col("g"), lit(0L))).as("n_gold"),
+          sum(coalesce(col("iv"), lit(0L))).as("n_ivf"),
+          sum(when(col("g").isNotNull && col("iv").isNotNull, 1L).otherwise(0L))
+            .as("n_common"))
+        .select(
+          col("n_gold"), col("n_ivf"), col("n_common"),
+          floor((lit(20000L) * col("n_common") + col("n_gold")) /
+            (lit(2L) * col("n_gold")).cast("double")).cast("long").as("recall_bps"),
+          floor((lit(20000L) * col("n_common") + col("n_ivf")) /
+            (lit(2L) * col("n_ivf")).cast("double")).cast("long").as("precision_bps"))
     },
     "semdedup_corpus_v2" -> { (s, dir) =>
       // The apply face of SemDeDup v2: the surviving corpus after
@@ -1663,7 +1712,7 @@ object SparkEntry {
       // rule gate; the budget IS the selector, so no brittle hard
       // threshold sits in front of it.
       val docs = table(s, dir, "documents")
-      val scored = graft.ops.QualityTrainer.trainAndScore(docs, iters = 4)
+      val scored = graft.ops.QualityTrainer.trainAndScore(docs, iters = 8)
       val deduped = Dedup.dropExactDuplicates(docs)
         .select(
           col("doc_id"), col("source"),
@@ -1711,14 +1760,14 @@ object SparkEntry {
       // (exact bps) vs mean predicted probability (micro) — the
       // calibration read a pipeline does before trusting a trained gate's
       // threshold (ops/QualityTrainer.scala).
-      graft.ops.QualityTrainer.calibrationBins(table(s, dir, "documents"), iters = 4)
+      graft.ops.QualityTrainer.calibrationBins(table(s, dir, "documents"), iters = 8)
     },
     "quality_trained_agreement" -> { (s, dir) =>
       // Does the TRAINED gate make the same calls as the shipped
       // fixed-weight gate? Confusion cells + exact-rational Cohen's kappa
       // — the replace-the-heuristic-with-the-model decision row.
       val docs = table(s, dir, "documents")
-      val trained = graft.ops.QualityTrainer.trainAndScore(docs, iters = 4)
+      val trained = graft.ops.QualityTrainer.trainAndScore(docs, iters = 8)
         .select(col("doc_id"), col("keep_trained"))
       val fixedK = docs.select(
         col("doc_id"),
@@ -2786,42 +2835,48 @@ object SparkEntry {
     * semdedup_mutual_flags, and semdedup_v1_v2_agreement. Exposes `vecs`,
     * `assign` (anchor buckets), and `mut` (reciprocal pairs, id_a < id_b).
     */
-  private val MutualIvfCtes: String =
-    """vecs AS (
+  private val MutualIvfCtes: String = mutualIvfCtes("")
+
+  /** Same chain with an extra corpus predicate (e.g. the deterministic
+    * sample the recall row evaluates on) and a CTE-name prefix so two
+    * instantiations can coexist in one statement.
+    */
+  private def mutualIvfCtes(extraWhere: String, p: String = ""): String =
+    s"""${p}vecs AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
-      |  FROM embeddings WHERE len(embedding) = 64
-      |), anchors AS (
+      |  FROM embeddings WHERE len(embedding) = 64$extraWhere
+      |), ${p}anchors AS (
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, qv AS av
-      |  FROM vecs ORDER BY vec_id LIMIT 16
-      |), dists AS (
+      |  FROM ${p}vecs ORDER BY vec_id LIMIT 16
+      |), ${p}dists AS (
       |  SELECT v.vec_id, a.ai,
       |    list_sum(list_transform(range(1, 65),
       |      i -> (v.qv[i] - a.av[i]) * (v.qv[i] - a.av[i]))) AS d2
-      |  FROM vecs v, anchors a
-      |), assign AS (
+      |  FROM ${p}vecs v, ${p}anchors a
+      |), ${p}assign AS (
       |  SELECT vec_id, ai AS bucket,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
-      |  FROM dists
-      |), cbuck AS (SELECT vec_id AS neighbor_id, bucket FROM assign WHERE rk = 1),
-      |qbuck AS (SELECT vec_id AS query_id, bucket FROM assign WHERE rk <= 4),
-      |cand AS (
+      |  FROM ${p}dists
+      |), ${p}cbuck AS (SELECT vec_id AS neighbor_id, bucket FROM ${p}assign WHERE rk = 1),
+      |${p}qbuck AS (SELECT vec_id AS query_id, bucket FROM ${p}assign WHERE rk <= 4),
+      |${p}cand AS (
       |  SELECT DISTINCT query_id, neighbor_id
-      |  FROM qbuck JOIN cbuck USING (bucket) WHERE query_id != neighbor_id
-      |), scored AS (
-      |  SELECT cand.query_id, cand.neighbor_id,
+      |  FROM ${p}qbuck JOIN ${p}cbuck USING (bucket) WHERE query_id != neighbor_id
+      |), ${p}scored AS (
+      |  SELECT ${p}cand.query_id, ${p}cand.neighbor_id,
       |    round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
-      |  FROM cand JOIN vecs qv ON qv.vec_id = cand.query_id
-      |            JOIN vecs cv ON cv.vec_id = cand.neighbor_id
-      |), ranked AS (
+      |  FROM ${p}cand JOIN ${p}vecs qv ON qv.vec_id = ${p}cand.query_id
+      |            JOIN ${p}vecs cv ON cv.vec_id = ${p}cand.neighbor_id
+      |), ${p}ranked AS (
       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
       |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
-      |  FROM scored
-      |), t AS (SELECT * FROM ranked WHERE rank <= 5),
-      |mut AS (
+      |  FROM ${p}scored
+      |), ${p}t AS (SELECT * FROM ${p}ranked WHERE rank <= 5),
+      |${p}mut AS (
       |  SELECT x.query_id AS id_a, x.neighbor_id AS id_b, x.cos_sim AS cos_sim,
       |    x.rank AS rank_ab, y.rank AS rank_ba
-      |  FROM t x JOIN t y ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
+      |  FROM ${p}t x JOIN ${p}t y ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
       |    AND x.query_id < x.neighbor_id
       |)""".stripMargin
 
@@ -3290,6 +3345,75 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesOracle(10),
     "quality_trained_by_lang" -> qualityTrainedGroupOracle(3),
+    "trained_gate_gain" ->
+      s"""WITH ${qualityTrainedCtes(8)}, p AS (
+        |  SELECT feat.doc_id,
+        |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+        |      / 1000000.0) AS BIGINT) AS p_micro
+        |  FROM feat, w8_ w
+        |), jj AS (
+        |  SELECT g.keep AS y,
+        |    CASE WHEN p.p_micro > 500000 THEN 1 ELSE 0 END AS kt,
+        |    CASE WHEN s.logit_micro > 0 THEN 1 ELSE 0 END AS kf
+        |  FROM gop g JOIN p ON p.doc_id = g.doc_id JOIN scored s ON s.doc_id = g.doc_id
+        |), cells AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CASE WHEN kt = 1 AND y = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS t11,
+        |    CAST(sum(CASE WHEN kt = 1 AND y = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS t10,
+        |    CAST(sum(CASE WHEN kt = 0 AND y = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS t01,
+        |    CAST(sum(CASE WHEN kt = 0 AND y = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS t00,
+        |    CAST(sum(CASE WHEN kf = 1 AND y = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS f11,
+        |    CAST(sum(CASE WHEN kf = 1 AND y = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS f10,
+        |    CAST(sum(CASE WHEN kf = 0 AND y = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS f01,
+        |    CAST(sum(CASE WHEN kf = 0 AND y = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS f00
+        |  FROM jj
+        |), q AS (
+        |  SELECT
+        |    n * (t11 + t00) - ((t11 + t10) * (t11 + t01) + (t00 + t01) * (t00 + t10)) AS tknum,
+        |    n * n - ((t11 + t10) * (t11 + t01) + (t00 + t01) * (t00 + t10)) AS tkden,
+        |    n * (f11 + f00) - ((f11 + f10) * (f11 + f01) + (f00 + f01) * (f00 + f10)) AS fknum,
+        |    n * n - ((f11 + f10) * (f11 + f01) + (f00 + f01) * (f00 + f10)) AS fkden
+        |  FROM cells
+        |), kk AS (
+        |  SELECT
+        |    CAST(CASE WHEN tkden > 0 THEN (2000000 * tknum + tkden
+        |      - (((2000000 * tknum + tkden) % (2 * tkden)) + 2 * tkden) % (2 * tkden)) // (2 * tkden)
+        |      END AS BIGINT) AS kappa_trained_micro,
+        |    CAST(CASE WHEN fkden > 0 THEN (2000000 * fknum + fkden
+        |      - (((2000000 * fknum + fkden) % (2 * fkden)) + 2 * fkden) % (2 * fkden)) // (2 * fkden)
+        |      END AS BIGINT) AS kappa_fixed_micro
+        |  FROM q
+        |)
+        |SELECT kappa_trained_micro, kappa_fixed_micro,
+        |  kappa_trained_micro - kappa_fixed_micro AS gain_micro
+        |FROM kk""".stripMargin,
+    "mutual_nn_ivf_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 10 = 0),
+        |s AS (
+        |  SELECT a.vec_id AS qa, b.vec_id AS nb,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS cs
+        |  FROM e a JOIN e b ON a.vec_id != b.vec_id
+        |), r AS (
+        |  SELECT qa, nb, cs,
+        |    CAST(row_number() OVER (PARTITION BY qa ORDER BY cs DESC, nb) AS INT) AS rk
+        |  FROM s
+        |), t AS (SELECT * FROM r WHERE rk <= 5),
+        |gold AS (
+        |  SELECT x.qa AS id_a, x.nb AS id_b
+        |  FROM t x JOIN t y ON x.qa = y.nb AND x.nb = y.qa AND x.qa < x.nb
+        |),
+        |${mutualIvfCtes(" AND vec_id % 10 = 0", "s_")},
+        |ivf AS (SELECT id_a, id_b FROM s_mut),
+        |cnt AS (SELECT
+        |  (SELECT count(*) FROM gold) AS n_gold,
+        |  (SELECT count(*) FROM ivf) AS n_ivf,
+        |  (SELECT count(*) FROM gold JOIN ivf USING (id_a, id_b)) AS n_common)
+        |SELECT CAST(n_gold AS BIGINT) AS n_gold, CAST(n_ivf AS BIGINT) AS n_ivf,
+        |  CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(floor((20000*n_common + n_gold) / (2.0*n_gold)) AS BIGINT) AS recall_bps,
+        |  CAST(floor((20000*n_common + n_ivf) / (2.0*n_ivf)) AS BIGINT) AS precision_bps
+        |FROM cnt""".stripMargin,
     "semdedup_corpus_v2" ->
       s"""WITH $MutualIvfCtes, flag AS (
         |  SELECT DISTINCT id_b AS vec_id FROM mut WHERE cos_sim >= 0.35
@@ -3304,7 +3428,7 @@ object SparkEntry {
         |  CAST((2000000 + cs) // (2*cs) AS BIGINT) AS weight_micro
         |FROM c""".stripMargin,
     "curation_pipeline_v6" ->
-      s"""WITH ${qualityTrainedCtes(4)}, dd AS (
+      s"""WITH ${qualityTrainedCtes(8)}, dd AS (
         |  SELECT doc_id FROM (
         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents
         |  ) WHERE doc_id = rep
@@ -3312,7 +3436,7 @@ object SparkEntry {
         |  SELECT feat.doc_id,
         |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
         |      / 1000000.0) AS BIGINT) AS p_micro
-        |  FROM feat, w4_ w
+        |  FROM feat, w8_ w
         |), k AS (
         |  SELECT p.doc_id, p.p_micro, CAST(f.n_tokens AS BIGINT) AS n_tokens
         |  FROM p JOIN dd ON dd.doc_id = p.doc_id JOIN f ON f.doc_id = p.doc_id
@@ -3342,14 +3466,14 @@ object SparkEntry {
         |       WHEN v < 3865470566 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM h""".stripMargin,
-    "quality_trained_logit" -> qualityTrainedLogitOracle(4),
-    "quality_trained_scores" -> qualityTrainedScoresOracle(4),
+    "quality_trained_logit" -> qualityTrainedLogitOracle(8),
+    "quality_trained_scores" -> qualityTrainedScoresOracle(8),
     "quality_calibration_bins" ->
-      s"""WITH ${qualityTrainedCtes(4)}, p AS (
+      s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.y,
         |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
         |      / 1000000.0) AS BIGINT) AS p_micro
-        |  FROM feat, w4_ w
+        |  FROM feat, w8_ w
         |), b AS (
         |  SELECT CAST(floor(least(greatest(p_micro, 0), 999999) / 100000.0) AS INT) AS bin,
         |    CAST(count(*) AS BIGINT) AS n_docs,
@@ -3362,11 +3486,11 @@ object SparkEntry {
         |  CAST(floor((2*sum_p + n_docs) / (2.0*n_docs)) AS BIGINT) AS mean_p_micro
         |FROM b""".stripMargin,
     "quality_trained_agreement" ->
-      s"""WITH ${qualityTrainedCtes(4)}, p AS (
+      s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.doc_id,
         |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
         |      / 1000000.0) AS BIGINT) AS p_micro
-        |  FROM feat, w4_ w
+        |  FROM feat, w8_ w
         |), j AS (
         |  SELECT CASE WHEN p.p_micro > 500000 THEN 1 ELSE 0 END AS ka,
         |    CASE WHEN s.logit_micro > 0 THEN 1 ELSE 0 END AS kb
