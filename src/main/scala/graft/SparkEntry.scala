@@ -1652,6 +1652,21 @@ object SparkEntry {
       kT.crossJoin(kF) // 1 row x 1 row
         .withColumn("gain_micro", col("kappa_trained_micro") - col("kappa_fixed_micro"))
     },
+    "quality_trained_auc" -> { (s, dir) =>
+      // Threshold-free eval of the trained quality scorer vs its Gopher
+      // teacher: exact midrank ROC-AUC via the Mann-Whitney rank-sum
+      // identity. The kappa rows grade ONE operating point; this row
+      // grades the whole ranking, so it is the number to read before
+      // moving the keep threshold (ops/Contingency.scala).
+      val docs = table(s, dir, "documents")
+      val feat = graft.ops.QualityTrainer.features(docs).localCheckpoint(eager = true)
+      val w = graft.ops.QualityTrainer.train(feat, iters = 8).last
+      graft.ops.Contingency.rocAuc(
+        graft.ops.QualityTrainer.score(feat, w)
+          .join(feat.select(col("doc_id"), col("y").cast("int").as("label")), Seq("doc_id"))
+          .select(col("label"), col("p_micro")),
+        "label", "p_micro")
+    },
     "mutual_nn_ivf_recall" -> { (s, dir) =>
       // Eval row for the mutual family (the ann_ivf_recall analogue):
       // recall/precision of the IVF-legged mutual pairs against the
@@ -3468,6 +3483,31 @@ object SparkEntry {
         |FROM h""".stripMargin,
     "quality_trained_logit" -> qualityTrainedLogitOracle(8),
     "quality_trained_scores" -> qualityTrainedScoresOracle(8),
+    "quality_trained_auc" ->
+      s"""WITH ${qualityTrainedCtes(8)}, p AS (
+        |  SELECT feat.y,
+        |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+        |      / 1000000.0) AS BIGINT) AS p_micro
+        |  FROM feat, w8_ w
+        |), cnt AS (
+        |  SELECT p_micro,
+        |    CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM p GROUP BY 1
+        |), cum AS (
+        |  SELECT c0, c1, sum(c0 + c1) OVER (ORDER BY p_micro) AS cum_all
+        |  FROM cnt
+        |), agg AS (
+        |  SELECT CAST(sum(c1) AS HUGEINT) AS n1, CAST(sum(c0) AS HUGEINT) AS n0,
+        |    CAST(sum(CAST(c1 AS HUGEINT) *
+        |      (2*(cum_all - (c0 + c1)) + (c0 + c1) + 1)) AS HUGEINT) AS r1x2
+        |  FROM cum
+        |)
+        |SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+        |  CAST(r1x2 - n1*(n1+1) AS BIGINT) AS u2_pos,
+        |  CAST(CASE WHEN n1 > 0 AND n0 > 0 THEN
+        |    (20000*(r1x2 - n1*(n1+1)) + 2*n1*n0) // (4*n1*n0) END AS BIGINT) AS auc_bps
+        |FROM agg""".stripMargin,
     "quality_calibration_bins" ->
       s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.y,

@@ -177,6 +177,61 @@ object Contingency {
           .as("var_units"))
   }
 
+  /** Exact ROC-AUC of a score column against a binary label by the
+    * rank-sum identity (Hanley & McNeil 1982: AUC = U⁺/(n⁺·n⁻), the
+    * Mann-Whitney equivalence) — the threshold-FREE classifier eval.
+    * Kappa/agreement rows grade one operating point; this row asks
+    * whether the score ORDERS positives above negatives across all of
+    * them, which is what a pipeline tuning its keep threshold actually
+    * needs to know.
+    *
+    * Same exactness discipline as [[mannWhitney]]: ranks come from the
+    * distributed CDF over per-score counts (never a single-task window),
+    * tied scores take the midrank via the doubled-rank trick
+    * (2·rank of a tie group = 2·prev_cum + g + 1), and the single
+    * division closes as one exact rational:
+    * `auc_bps = round_half_up(10⁴ · U2⁺ / (2·n⁺·n⁻))` with
+    * `U2⁺ = 2·R⁺ − n⁺(n⁺+1)`. Both engines agree bit-for-bit; a
+    * degenerate label (no positives or no negatives) yields null.
+    *
+    * Shape: one (score) aggregation collapses the corpus to
+    * distinct-score counts, [[Ranking.runningTotals]] ranks them with
+    * ≤ P driver longs, one single-row aggregation closes — frames after
+    * the first agg are score-vocabulary sized, so the 100 TB cost is the
+    * one corpus scan.
+    */
+  def rocAuc(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String
+  ): DataFrame = {
+    val counts = df
+      .groupBy(col(scoreCol))
+      .agg(
+        sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("c0"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("c1"))
+    val cum = Ranking.runningTotals(counts, Seq(col(scoreCol).asc), Seq("c0", "c1"))
+    val u2 = col("r1x2") - d(col("n_pos")) * (d(col("n_pos")) + d(lit(1L)))
+    cum
+      .withColumn("g", col("c0") + col("c1"))
+      .withColumn(
+        "r2",
+        lit(2L) * (col("cum_c0") + col("cum_c1") - col("g")) + col("g") + 1L)
+      .agg(
+        sum(col("c1")).cast("long").as("n_pos"),
+        sum(col("c0")).cast("long").as("n_neg"),
+        sum(d(col("c1")) * d(col("r2"))).as("r1x2"))
+      .select(
+        col("n_pos"),
+        col("n_neg"),
+        u2.cast("long").as("u2_pos"),
+        when(
+          col("n_pos") > 0 && col("n_neg") > 0,
+          scaledRatio(u2, lit(2L).cast(Dec) * d(col("n_pos")) * d(col("n_neg")), 10000L))
+          .cast("long")
+          .as("auc_bps"))
+  }
+
   /** Welch's t pieces over two cohorts — the unequal-variance mean test,
     * reported as exact integers plus one IEEE-deterministic t.
     *

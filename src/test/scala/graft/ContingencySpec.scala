@@ -151,4 +151,30 @@ class ContingencySpec extends AnyFunSuite {
     val (_, _, _, se2b, tb) = welch(Seq((0, 7L), (1, 5L), (1, 9L)))
     assert(se2b.isEmpty && tb.isEmpty)
   }
+
+  private def auc(rows: Seq[(Int, Long)]): (Long, Long, Long, Option[Long]) =
+    Contingency
+      .rocAuc(rows.toDF("label", "score"), "label", "score")
+      .as[(Long, Long, Long, Option[Long])]
+      .collect()
+      .head
+
+  test("rocAuc: perfect separation is 1, reversed is 0") {
+    // pos {10,20} all above neg {1,2}: U+ = n+·n− = 4 → AUC 1
+    assert(auc(Seq((0, 1L), (0, 2L), (1, 10L), (1, 20L))) == ((2L, 2L, 8L, Some(10000L))))
+    // reversed ordering: U+ = 0 → AUC 0
+    assert(auc(Seq((1, 1L), (1, 2L), (0, 10L), (0, 20L))) == ((2L, 2L, 0L, Some(0L))))
+  }
+
+  test("rocAuc: interleaved hand case and tie midranks") {
+    // neg {1,3}, pos {2,4}: R+ = 2+4 = 6, U+ = 6−3 = 3 of 4 → AUC 0.75
+    assert(auc(Seq((0, 1L), (1, 2L), (0, 3L), (1, 4L))) == ((2L, 2L, 6L, Some(7500L))))
+    // one pos and one neg tied at 5: midrank 1.5 each → U+ = 0.5 → AUC 0.5
+    assert(auc(Seq((0, 5L), (1, 5L))) == ((1L, 1L, 1L, Some(5000L))))
+  }
+
+  test("rocAuc: degenerate single-class label yields null") {
+    val (nPos, nNeg, _, bps) = auc(Seq((1, 3L), (1, 7L)))
+    assert(nPos == 2L && nNeg == 0L && bps.isEmpty)
+  }
 }
