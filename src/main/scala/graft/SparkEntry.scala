@@ -1828,6 +1828,14 @@ object SparkEntry {
       // same two assignment rounds in SQL.
       graft.ops.Clustering.kmeansAssign(table(s, dir, "embeddings"), k = 8, iters = 2)
     },
+    "kmeans_silhouette" -> { (s, dir) =>
+      // Is k=8 the right clustering? Simplified (centroid-based)
+      // silhouette per cluster over the trained Lloyd state: exact count
+      // + exact sum of per-vector micro silhouettes + round-half-up mean
+      // — the cohesion/separation read before trusting the SemDeDup/IVF
+      // bucketing that sits on this clustering (ops/Clustering.scala).
+      graft.ops.Clustering.silhouette(table(s, dir, "embeddings"), k = 8, iters = 2)
+    },
     "semantic_dedup" -> { (s, dir) =>
       // SemDeDup: near-dup removal within k-means clusters (equi-join on
       // cluster id, never all-pairs); τ² = 400/10000 (τ = 0.2, the corpus's
@@ -6029,6 +6037,30 @@ object SparkEntry {
     "kmeans_clusters" ->
       s"""$KmeansCtes
         |SELECT vec_id, cluster FROM a2""".stripMargin,
+    "kmeans_silhouette" ->
+      s"""$KmeansCtes, ab AS (
+        |  SELECT d2.vec_id, a.cluster,
+        |    min(CASE WHEN d2.cid = a.cluster THEN d2.d END) AS a2d,
+        |    min(CASE WHEN d2.cid != a.cluster THEN d2.d END) AS b2d
+        |  FROM d2 JOIN a2 a ON a.vec_id = d2.vec_id
+        |  GROUP BY 1, 2
+        |), sv AS (
+        |  SELECT cluster,
+        |    CASE WHEN greatest(a2d, b2d) = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(floor((sqrt(CAST(b2d AS DOUBLE)) - sqrt(CAST(a2d AS DOUBLE)))
+        |        / sqrt(CAST(greatest(a2d, b2d) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+        |    END AS sm
+        |  FROM ab
+        |), agg AS (
+        |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    CAST(sum(sm) AS BIGINT) AS sum_sil_micro
+        |  FROM sv GROUP BY 1
+        |)
+        |SELECT cluster, n_vecs, sum_sil_micro,
+        |  CAST((2*sum_sil_micro + n_vecs
+        |    - (((2*sum_sil_micro + n_vecs) % (2*n_vecs)) + 2*n_vecs) % (2*n_vecs))
+        |    // (2*n_vecs) AS BIGINT) AS mean_sil_micro
+        |FROM agg""".stripMargin,
     "semantic_dedup" ->
       s"""$KmeansCtes,
         |norms AS (SELECT vec_id, sum(v*v) AS nrm FROM ex GROUP BY 1),

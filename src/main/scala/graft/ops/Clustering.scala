@@ -72,6 +72,24 @@ object Clustering {
   ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    lloyd(emb, k, iters, scale, idCol, vecCol)._1.select($"vec_id", $"cluster")
+  }
+
+  /** The Lloyd loop itself: returns the final assignment frame
+    * (vec_id, qv, cluster) AND the centroids that produced it, so evals
+    * like [[silhouette]] can reuse the trained state without re-running
+    * the iterations.
+    */
+  private def lloyd(
+      emb: DataFrame,
+      k: Int,
+      iters: Int,
+      scale: Long,
+      idCol: String,
+      vecCol: String
+  ): (DataFrame, Seq[(Int, Seq[Long])]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val qv = quantized(emb, idCol, vecCol, scale)
 
     def assign(cents: Seq[(Int, Seq[Long])]): DataFrame = {
@@ -107,7 +125,64 @@ object Clustering {
       cents = update(out)
       out = assign(cents)
     }
-    out.select($"vec_id", $"cluster")
+    (out, cents)
+  }
+
+  /** Simplified (centroid-based) silhouette per cluster — the "is k
+    * right" eval for the clustering every SemDeDup/IVF stage sits on
+    * (Hruschka et al.'s simplified silhouette: distances to CENTROIDS,
+    * not the O(n²) pairwise original — the form that scales). Per
+    * vector: a = ‖x − c_own‖, b = min over other centroids ‖x − c_j‖,
+    * s = (b − a)/max(a, b); reported per cluster as the exact count, the
+    * exact SUM of per-vector micro silhouettes, and the round-half-up
+    * mean. Near +1 = compact/separated, near 0 = boundary. (Because the
+    * assignment argmin uses the SAME centroids as the distances, a ≤ b
+    * always holds here and s ∈ [0, 1] — the negative branch of the
+    * classic statistic needs post-assignment centroid drift.)
+    *
+    * Determinism: a², b² are exact integers (quantized components); the
+    * per-vector s needs sqrt and division ONLY — correctly-rounded IEEE
+    * ops, bit-identical cross-engine — and is rounded to a micro LONG
+    * per vector BEFORE aggregation, so the sums are integer-exact (the
+    * welchT discipline: no libm transcendental, no float accumulation).
+    * Both-zero distances (vector ON a shared centroid) score 0.
+    *
+    * Shape: one map-only pass over the assigned frame with the k×dim
+    * centroid matrix inlined (the assignment plan, plus one more struct
+    * array), one k-row aggregation. Requires k ≥ 2 surviving clusters.
+    */
+  def silhouette(
+      emb: DataFrame,
+      k: Int = 8,
+      iters: Int = 2,
+      scale: Long = 10000L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    val (assigned, cents) = lloyd(emb, k, iters, scale, idCol, vecCol)
+    require(cents.size >= 2, s"silhouette needs >= 2 clusters, got ${cents.size}")
+    val alts = cents.map { case (cid, c) =>
+      struct(sqDistL(col("qv"), typedLit(c)).as("d"), lit(cid).as("cid"))
+    }
+    val ds = array(alts: _*)
+    val a2 = element_at(filter(ds, x => x.getField("cid") === col("cluster")), 1).getField("d")
+    val b2 = array_min(filter(ds, x => x.getField("cid") =!= col("cluster"))).getField("d")
+    val hi = greatest(col("a2"), col("b2"))
+    val sm = when(hi === 0L, lit(0L)).otherwise(
+      floor(
+        (sqrt(col("b2").cast("double")) - sqrt(col("a2").cast("double"))) /
+          sqrt(hi.cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+    assigned
+      .select(col("cluster"), a2.as("a2"), b2.as("b2"))
+      .select(col("cluster"), sm.as("sm"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sm")).as("sum_sil_micro"))
+      .select(
+        col("cluster"),
+        col("n_vecs"),
+        col("sum_sil_micro").cast("long").as("sum_sil_micro"),
+        scaledRatio(col("sum_sil_micro"), col("n_vecs"), 1L).cast("long").as("mean_sil_micro"))
   }
 
   /** SemDeDup: within each k-means cluster, a vector is a duplicate when

@@ -110,4 +110,42 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got(1L).contains(0L))
     assert(got(3L).contains(0L))
   }
+
+  test("silhouette: hand-computed simplified silhouette against the seed centroids") {
+    // k=2, iters=1: centroids stay at seeds all-0 and all-1 (scale 1e4).
+    // id0 on its centroid: s=1; id1 likewise; id2 equidistant: s=0;
+    // id3 at 0.25: s = 1 - sqrt(2500^2/7500^2) = 2/3 -> 666667 micro.
+    val data: Seq[(Long, Array[Float])] = Seq(
+      0L -> Array.fill(dim)(0.0f),
+      1L -> Array.fill(dim)(1.0f),
+      2L -> Array.fill(dim)(0.5f),
+      3L -> Array.fill(dim)(0.25f))
+    val got = Clustering
+      .silhouette(data.toDF("vec_id", "embedding"), k = 2, iters = 1, scale = scale)
+      .as[(Int, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+    // cluster 0 = {0, 2, 3}: sum = 1e6 + 0 + 666667; mean = round-half-up /3
+    assert(got(0) == ((3L, 1666667L, 555556L)))
+    assert(got(1) == ((1L, 1000000L, 1000000L)))
+  }
+
+  test("silhouette: well-separated groups score near 1 everywhere") {
+    val rows = Clustering
+      .silhouette(grouped(60).toDF("vec_id", "embedding"), k = 3, iters = 2, scale = scale)
+      .as[(Int, Long, Long, Long)]
+      .collect()
+    assert(rows.map(_._2).sum == 60L)
+    assert(rows.forall(_._4 > 900000L), rows.mkString(","))
+  }
+
+  test("silhouette: fewer than two surviving clusters is rejected") {
+    // identical seeds collapse to one cluster after the round-1 update
+    val data: Seq[(Long, Array[Float])] =
+      (0L until 3L).map(i => i -> Array.fill(dim)(1.0f))
+    assertThrows[IllegalArgumentException] {
+      Clustering.silhouette(data.toDF("vec_id", "embedding"), k = 2, iters = 2, scale = scale)
+    }
+  }
 }
