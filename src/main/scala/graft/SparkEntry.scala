@@ -2756,6 +2756,32 @@ object SparkEntry {
       // how to pick the threshold and whether an exact verify stage is
       // needed (ops/Dedup.scala).
       Dedup.minhashThresholdSweep(table(s, dir, "documents"))
+    },
+    "lsh_blocking_recall" -> { (s, dir) =>
+      // The number minhash_threshold_sweep CANNOT see: recall of the LSH
+      // BLOCKING itself. The sweep conditions on LSH candidates; pairs
+      // that never shared a band bucket are invisible to it. Here the
+      // lossless prefix-filter join (setsim — recall 1.0 by construction)
+      // provides the true ≥0.8 pair set and the banded md5 MinHash
+      // pipeline is graded against it — the measured banding trade-off,
+      // one ids-only outer join, single-row output.
+      val docs = table(s, dir, "documents")
+      val gold = graft.ops.SetSim.jaccardJoin(docs)
+        .select(col("id_a"), col("id_b"), lit(1L).as("g"))
+      val lsh = Dedup.minhashMd5Pairs(docs, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), lit(1L).as("f"))
+      gold.join(lsh, Seq("id_a", "id_b"), "outer")
+        .agg(
+          sum(coalesce(col("g"), lit(0L))).as("n_gold"),
+          sum(coalesce(col("f"), lit(0L))).as("n_lsh"),
+          sum(when(col("g").isNotNull && col("f").isNotNull, 1L).otherwise(0L))
+            .as("n_common"))
+        .select(
+          col("n_gold"), col("n_lsh"), col("n_common"),
+          floor((lit(20000L) * col("n_common") + col("n_gold")) /
+            (lit(2L) * col("n_gold")).cast("double")).cast("long").as("recall_bps"),
+          floor((lit(20000L) * col("n_common") + col("n_lsh")) /
+            (lit(2L) * col("n_lsh")).cast("double")).cast("long").as("precision_bps"))
     }
   )
 
@@ -4032,6 +4058,30 @@ object SparkEntry {
         |    // (2 * (sa.n + sb.n - n_inter)) AS BIGINT) AS jaccard_micro
         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE 1000000 * n_inter >= 800000 * (sa.n + sb.n - n_inter)""".stripMargin,
+    "lsh_blocking_recall" ->
+      s"""$Md5NearDupCtes, lshp AS (
+        |  SELECT id_a, id_b FROM pj WHERE jaccard >= 0.8
+        |), gg AS (
+        |  SELECT doc_id, unnest(g) AS gram FROM grams
+        |), gsz AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gg GROUP BY 1
+        |), ginter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ni
+        |  FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), gold AS (
+        |  SELECT id_a, id_b
+        |  FROM ginter JOIN gsz sa ON sa.doc_id = id_a JOIN gsz sb ON sb.doc_id = id_b
+        |  WHERE 1000000 * ni >= 800000 * (sa.n + sb.n - ni)
+        |), cnt AS (SELECT
+        |  (SELECT count(*) FROM gold) AS n_gold,
+        |  (SELECT count(*) FROM lshp) AS n_lsh,
+        |  (SELECT count(*) FROM gold JOIN lshp USING (id_a, id_b)) AS n_common)
+        |SELECT CAST(n_gold AS BIGINT) AS n_gold, CAST(n_lsh AS BIGINT) AS n_lsh,
+        |  CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(floor((20000*n_common + n_gold) / (2.0*n_gold)) AS BIGINT) AS recall_bps,
+        |  CAST(floor((20000*n_common + n_lsh) / (2.0*n_lsh)) AS BIGINT) AS precision_bps
+        |FROM cnt""".stripMargin,
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 8),
