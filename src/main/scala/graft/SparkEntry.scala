@@ -2287,6 +2287,13 @@ object SparkEntry {
       // exact basis points.
       TextAnalysis.ngramNovelty(table(s, dir, "documents"))
     },
+    "vocab_growth" -> { (s, dir) =>
+      // Heaps'-law checkpoints: exact cumulative docs/tokens/vocabulary
+      // at each tenth of the corpus order — "is new data still adding
+      // vocabulary". Token-keyed first-occurrence agg + distributed
+      // prefix sums; no single-task window (ops/TextAnalysis.scala).
+      TextAnalysis.vocabGrowth(table(s, dir, "documents"))
+    },
     "source_kl_matrix" -> { (s, dir) =>
       // Pairwise KL divergence between source unigram distributions
       // (add-one smoothed over the shared vocab) — which sources are
@@ -7011,6 +7018,31 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_seen AS BIGINT) AS n_seen,
         |  CAST(((n_grams - n_seen) * 20000 + n_grams) // (2 * n_grams) AS BIGINT) AS novel_bps
         |FROM agg""".stripMargin,
+    "vocab_growth" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents
+        |), tk2 AS (SELECT doc_id, tok FROM tk WHERE tok != ''),
+        |nt AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS new_types
+        |  FROM (SELECT tok, min(doc_id) AS doc_id FROM tk2 GROUP BY 1) GROUP BY 1
+        |), ct AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks FROM tk2 GROUP BY 1
+        |), base AS (
+        |  SELECT d.doc_id, coalesce(ct.n_toks, 0) AS n_toks,
+        |    coalesce(nt.new_types, 0) AS new_types
+        |  FROM documents d LEFT JOIN ct ON ct.doc_id = d.doc_id
+        |    LEFT JOIN nt ON nt.doc_id = d.doc_id
+        |), cum AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) AS rn,
+        |    sum(n_toks) OVER (ORDER BY doc_id) AS ctoks,
+        |    sum(new_types) OVER (ORDER BY doc_id) AS cv
+        |  FROM base
+        |), tot AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM base)
+        |SELECT CAST((rn * 10 + nd - 1) // nd AS INT) AS bucket,
+        |  CAST(max(rn) AS BIGINT) AS n_docs_cum,
+        |  CAST(max(ctoks) AS BIGINT) AS n_tokens_cum,
+        |  CAST(max(cv) AS BIGINT) AS vocab_cum
+        |FROM cum, tot GROUP BY 1""".stripMargin,
     "source_kl_matrix" ->
       """WITH tc AS (
         |  SELECT src, tok, CAST(count(*) AS HUGEINT) AS c_st FROM (

@@ -629,4 +629,63 @@ object TextAnalysis {
         "novel_bps",
         scaledRatio(col("n_grams") - col("n_seen"), col("n_grams"), 10000L).cast("long"))
   }
+
+  /** Vocabulary-growth checkpoints in corpus order — the Heaps'-law curve
+    * (V(n) ≈ K·n^β; Heaps 1978) beside [[graft.ops.Concentration]]'s
+    * Zipf fit: cut the doc order into `nBuckets` equal tenths and report,
+    * at the END of each, the exact cumulative doc/token/vocabulary
+    * counts. A curation pipeline reads the tail buckets' slope to answer
+    * "is new data still contributing vocabulary, or are we re-crawling
+    * the same language" — flattening early = saturated/templated corpus.
+    * All integers; the β fit (two lns) is left to the consumer so the
+    * row stays transcendental-free.
+    *
+    * Shape: one corpus scan explodes tokens; a token-keyed aggregation
+    * pins each type's FIRST document (min id); new-type and token counts
+    * re-key by doc; [[graft.ops.Ranking.runningTotals]] turns them into
+    * cumulative curves with ≤ P longs of driver state (no single-task
+    * window); the bucket collapse is a ≤ n-doc-row aggregation. The
+    * vocabulary state itself never sits on one node.
+    */
+  def vocabGrowth(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      nBuckets: Int = 10
+  ): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+    val firsts = tok
+      .groupBy(col("tok"))
+      .agg(min(col("id")).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("new_types"))
+    val counts = tok.groupBy(col("id")).agg(count(lit(1)).as("n_toks"))
+    // base on the doc table itself so token-free docs still occupy a slot
+    // in the corpus order (they advance n, not V)
+    val perDoc = docs
+      .select(col(idCol).as("id"))
+      .join(counts, Seq("id"), "left")
+      .join(firsts, Seq("id"), "left")
+      .select(
+        col("id"),
+        lit(1L).as("one"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    val cum = Ranking.runningTotals(perDoc, Seq(col("id").asc), Seq("one", "n_toks", "new_types"))
+    val tot = cum.agg(max(col("cum_one")).as("n_docs"))
+    // checkpoint = the last doc of each bucket; cumulative columns are
+    // monotone, so per-bucket max IS that row
+    cum
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "bucket",
+        expr(s"(cum_one * $nBuckets + n_docs - 1) div n_docs").cast("int"))
+      .groupBy(col("bucket"))
+      .agg(
+        max(col("cum_one")).as("n_docs_cum"),
+        max(col("cum_n_toks")).as("n_tokens_cum"),
+        max(col("cum_new_types")).as("vocab_cum"))
+  }
 }

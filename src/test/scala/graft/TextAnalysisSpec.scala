@@ -329,4 +329,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(0L) == ((2L, 0L, 10000L)))
     assert(got(1L) == ((4L, 1L, 7500L)))
   }
+
+  test("vocabGrowth: hand-computed Heaps checkpoints with a token-free doc") {
+    // firsts: a,b -> doc0; c -> doc1; d,e -> doc3. Doc 2 is token-free
+    // but still occupies a corpus-order slot (advances n, not V).
+    val docs = Seq(
+      (0L, "a b"),
+      (1L, "b c"),
+      (2L, ""),
+      (3L, "c d e")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.vocabGrowth(docs, nBuckets = 2)
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1 -> ((2L, 4L, 3L)), // after docs 0,1: 4 tokens, vocab {a,b,c}
+      2 -> ((4L, 7L, 5L)) // after all: 7 tokens, vocab {a,b,c,d,e}
+    ))
+  }
+
+  test("vocabGrowth: a closed vocabulary flattens after the first bucket") {
+    val docs = (0L until 20L).map(i => (i, "x y")).toDF("doc_id", "text")
+    val rows = graft.ops.TextAnalysis.vocabGrowth(docs, nBuckets = 4)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._4).toSeq == Seq(2L, 2L, 2L, 2L))
+    assert(rows.last == ((4, 20L, 40L, 2L)))
+  }
 }
