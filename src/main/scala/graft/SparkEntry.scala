@@ -2691,6 +2691,25 @@ object SparkEntry {
         .select(col("vec_id"), col("is_dup").as("dup_v2"))
       graft.ops.Contingency.agreementKappa(v1.join(v2, "vec_id"), "dup_v1", "dup_v2")
     },
+    "text_vs_semantic_dedup_kappa" -> { (s, dir) =>
+      // Do the two dedup MODALITIES agree? Text-level near-dup flags
+      // (banded md5 MinHash, exact-Jaccard >= 0.8, has-a-lower-id-partner
+      // convention) vs embedding-level SemDeDup flags on the same ids —
+      // the cross-modality calibration a pipeline reads before deciding
+      // whether semantic dedup adds anything over cheap text dedup.
+      // Ids-only join of two pinned gates + one kappa aggregation.
+      val docs = table(s, dir, "documents")
+      val textFlags = docs.select(col("doc_id").as("id"))
+        .join(
+          Dedup.minhashMd5Pairs(docs, threshold = 0.8)
+            .select(col("id_b").as("id")).distinct().withColumn("d", lit(1)),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("d"), lit(0)).as("dup_text"))
+      val semFlags = Similarity.semDedup(table(s, dir, "embeddings"), threshold = 0.35)
+        .select(col("vec_id").as("id"), col("is_dup").as("dup_sem"))
+      graft.ops.Contingency
+        .agreementKappa(textFlags.join(semFlags, Seq("id")), "dup_text", "dup_sem")
+    },
     "neardup_link_prediction" -> { (s, dir) =>
       // Recall repair after banded dedup: resource-allocation scores for
       // non-adjacent pairs sharing neighbors in the near-dup graph — the
@@ -7693,6 +7712,61 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN dv1 = 1 AND dv2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n10,
         |    CAST(sum(CASE WHEN dv1 = 0 AND dv2 = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n01,
         |    CAST(sum(CASE WHEN dv1 = 0 AND dv2 = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n00
+        |  FROM j
+        |), q AS (
+        |  SELECT n, n11, n10, n01, n00,
+        |    n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS knum,
+        |    n * n - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS kden
+        |  FROM cells
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(n11 AS BIGINT) AS n_both_keep,
+        |  CAST(n10 AS BIGINT) AS n_a_only, CAST(n01 AS BIGINT) AS n_b_only,
+        |  CAST(n00 AS BIGINT) AS n_both_drop,
+        |  CAST((20000 * (n11 + n00) + n) // (2 * n) AS BIGINT) AS agree_bps,
+        |  CAST(CASE WHEN kden > 0 THEN (2000000 * knum + kden
+        |    - (((2000000 * knum + kden) % (2 * kden)) + 2 * kden) % (2 * kden)) // (2 * kden)
+        |    END AS BIGINT) AS kappa_micro
+        |FROM q""".stripMargin,
+    "text_vs_semantic_dedup_kappa" ->
+      s"""$Md5NearDupCtes, lshd AS (
+        |  SELECT DISTINCT id_b AS id FROM pj WHERE jaccard >= 0.8
+        |), tflag AS (
+        |  SELECT d.doc_id AS id, CASE WHEN lshd.id IS NULL THEN 0 ELSE 1 END AS ka
+        |  FROM documents d LEFT JOIN lshd ON lshd.id = d.doc_id
+        |), vecs AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE len(embedding) = 64
+        |), anchors AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, qv AS av
+        |  FROM vecs ORDER BY vec_id LIMIT 16
+        |), dists AS (
+        |  SELECT v.vec_id, a.ai,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (v.qv[i] - a.av[i]) * (v.qv[i] - a.av[i]))) AS d2
+        |  FROM vecs v, anchors a
+        |), assign AS (
+        |  SELECT vec_id, ai AS bucket,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
+        |  FROM dists
+        |), b AS (SELECT vec_id, bucket FROM assign WHERE rk = 1),
+        |dup AS (
+        |  SELECT DISTINCT hb.vec_id
+        |  FROM b la JOIN b hb ON la.bucket = hb.bucket AND la.vec_id < hb.vec_id
+        |  JOIN vecs va ON va.vec_id = la.vec_id
+        |  JOIN vecs vb ON vb.vec_id = hb.vec_id
+        |  WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.35
+        |), sflag AS (
+        |  SELECT b.vec_id AS id, CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END AS kb
+        |  FROM b LEFT JOIN dup ON dup.vec_id = b.vec_id
+        |), j AS (
+        |  SELECT ka, kb FROM tflag JOIN sflag USING (id)
+        |), cells AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CASE WHEN ka = 1 AND kb = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n11,
+        |    CAST(sum(CASE WHEN ka = 1 AND kb = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n10,
+        |    CAST(sum(CASE WHEN ka = 0 AND kb = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n01,
+        |    CAST(sum(CASE WHEN ka = 0 AND kb = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n00
         |  FROM j
         |), q AS (
         |  SELECT n, n11, n10, n01, n00,
