@@ -640,12 +640,13 @@ object TextAnalysis {
     * All integers; the β fit (two lns) is left to the consumer so the
     * row stays transcendental-free.
     *
-    * Shape: one corpus scan explodes tokens; a token-keyed aggregation
-    * pins each type's FIRST document (min id); new-type and token counts
-    * re-key by doc; [[graft.ops.Ranking.runningTotals]] turns them into
-    * cumulative curves with ≤ P longs of driver state (no single-task
-    * window); the bucket collapse is a ≤ n-doc-row aggregation. The
-    * vocabulary state itself never sits on one node.
+    * Shape: ONE corpus scan builds the (doc, token, tf) frame —
+    * checkpointed, since both downstream aggregations (token-keyed first
+    * occurrence, doc-keyed token totals) would otherwise each re-scan
+    * the corpus; [[graft.ops.Ranking.runningTotals]] turns the per-doc
+    * counts into cumulative curves with ≤ P longs of driver state (no
+    * single-task window); the bucket collapse is a ≤ n-doc-row
+    * aggregation. The vocabulary state itself never sits on one node.
     */
   def vocabGrowth(
       docs: DataFrame,
@@ -653,15 +654,18 @@ object TextAnalysis {
       textCol: String = "text",
       nBuckets: Int = 10
   ): DataFrame = {
-    val tok = docs
+    val tf = docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
       .filter(col("tok") =!= "")
-    val firsts = tok
+      .groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true)
+    val firsts = tf
       .groupBy(col("tok"))
       .agg(min(col("id")).as("id"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("new_types"))
-    val counts = tok.groupBy(col("id")).agg(count(lit(1)).as("n_toks"))
+    val counts = tf.groupBy(col("id")).agg(sum(col("tf")).as("n_toks"))
     // base on the doc table itself so token-free docs still occupy a slot
     // in the corpus order (they advance n, not V)
     val perDoc = docs

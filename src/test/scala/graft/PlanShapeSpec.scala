@@ -442,4 +442,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Scan parquet"),
       "ann_abtt_topk must score over the checkpointed corrected frame")
   }
+
+  test("rank-sum family (auc, vocab growth): no window operator — ranks are distributed") {
+    Seq("quality_trained_auc", "vocab_growth").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.count()
+      val windows = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"$name must rank via runningTotals, not a global window")
+    }
+  }
+
+  test("kmeans_silhouette: centroid matrix inlined — no join, one corpus scan") {
+    val plan = executedPlan("kmeans_silhouette")
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      "silhouette is one map-only pass over the assigned frame")
+    assert(!plan.contains("Join"), "distances must come from inlined centroids, not a join")
+  }
+
+  test("dedup agreement composites: every join equi, no cartesian product") {
+    Seq("lsh_blocking_recall", "text_vs_semantic_dedup_kappa").foreach { name =>
+      val plan = executedPlan(name)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: non-equi join appeared")
+    }
+  }
 }
