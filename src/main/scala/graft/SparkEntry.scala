@@ -2454,6 +2454,15 @@ object SparkEntry {
       graft.ops.Integrity.kAnonymity(
         table(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), 5L)
     },
+    "l_diversity_report" -> { (s, dir) =>
+      // The homogeneity-attack follow-up to k-anonymity: a QI group can
+      // satisfy k and still leak if everyone in it shares one sensitive
+      // value. Distinct balance-bands per (nation, segment) group,
+      // groups below l=3 and the rows they expose (ops/Integrity.scala).
+      graft.ops.Integrity.lDiversity(
+        table(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long"), "acctbal_band_1000", 3L)
+    },
     "prf_expansion_terms" -> { (s, dir) =>
       // Pseudo-relevance-feedback expansion on the BM25 leg: top-10
       // feedback docs broadcast into a term harvest, terms ranked by
@@ -7303,6 +7312,24 @@ object SparkEntry {
         |  n_groups, n_violating_groups, n_rows, n_suppressed_rows, anonymity_level,
         |  CAST((20000 * n_suppressed_rows + n_rows) // (2 * n_rows) AS BIGINT)
         |    AS suppressed_bps
+        |FROM a""".stripMargin,
+    "l_diversity_report" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT) AS nd
+        |  FROM customer GROUP BY 1, 2
+        |), a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(CASE WHEN nd < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+        |    CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN nd < 3 THEN n ELSE 0 END) AS BIGINT) AS n_exposed_rows,
+        |    CAST(min(nd) AS BIGINT) AS diversity_level
+        |  FROM g
+        |)
+        |SELECT 'c_nationkey,c_mktsegment' AS quasi_identifiers,
+        |  'acctbal_band_1000' AS sensitive, CAST(3 AS BIGINT) AS l,
+        |  n_groups, n_violating_groups, n_rows, n_exposed_rows, diversity_level,
+        |  CAST((20000 * n_exposed_rows + n_rows) // (2 * n_rows) AS BIGINT) AS exposed_bps
         |FROM a""".stripMargin,
     "prf_expansion_terms" ->
       """WITH dl AS (

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Referential-integrity and functional-dependency profiling — the
@@ -97,5 +97,49 @@ object Integrity {
         scaledRatio(col("n_suppressed_rows"), col("n_rows"), 10000L)
           .cast("long")
           .as("suppressed_bps"))
+  }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the sensitive-
+    * attribute follow-up to [[kAnonymity]]: a QI group can satisfy k and
+    * still leak if everyone in it shares the same sensitive value
+    * (homogeneity attack). Per QI group, count DISTINCT sensitive values;
+    * report groups below `l`, the rows they expose, and the dataset's
+    * actual diversity level (the minimum distinct count).
+    *
+    * Exactness: counts and one round-half-up basis-point division.
+    *
+    * Shape: identical to [[kAnonymity]] — one aggregation to the
+    * QI-bounded group frame (count-distinct partials), one more to a
+    * single row. Nothing row-scale survives the first aggregation.
+    */
+  def lDiversity(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitive: Column,
+      sensitiveName: String,
+      l: Long
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    df
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), countDistinct(sensitive).as("nd"))
+      .agg(
+        count(lit(1)).cast("long").as("n_groups"),
+        sum(when(col("nd") < l, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(col("n")).cast("long").as("n_rows"),
+        sum(when(col("nd") < l, col("n")).otherwise(0L)).as("n_exposed_rows"),
+        min(col("nd")).cast("long").as("diversity_level"))
+      .select(
+        lit(qiCols.mkString(",")).as("quasi_identifiers"),
+        lit(sensitiveName).as("sensitive"),
+        lit(l).as("l"),
+        col("n_groups"),
+        col("n_violating_groups"),
+        col("n_rows"),
+        col("n_exposed_rows"),
+        col("diversity_level"),
+        scaledRatio(col("n_exposed_rows"), col("n_rows"), 10000L)
+          .cast("long")
+          .as("exposed_bps"))
   }
 }

@@ -70,4 +70,20 @@ class IntegritySpec extends AnyFunSuite {
       .head
     assert(got._4 == 0L && got._6 == 0L && got._7 == 6L && got._8 == 0L)
   }
+
+  test("lDiversity: homogeneous group flagged even though it satisfies k") {
+    import org.apache.spark.sql.functions.col
+    // group A: 6 rows, all sensitive value 1 (k-anonymous, l-violating);
+    // group B: 4 rows over 3 distinct values -> l=3 satisfied.
+    // 6 of 10 rows exposed -> 6000 bps; diversity level = 1.
+    val rows =
+      Seq.fill(6)(("a", "x", 1L)) ++
+        Seq(("b", "y", 1L), ("b", "y", 2L), ("b", "y", 3L), ("b", "y", 3L))
+    val got = Integrity
+      .lDiversity(rows.toDF("nat", "seg", "sv"), Seq("nat", "seg"), col("sv"), "sv", 3L)
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .head
+    assert(got == (("nat,seg", "sv", 3L, 2L, 1L, 10L, 6L, 1L, 6000L)))
+  }
 }
