@@ -2463,6 +2463,15 @@ object SparkEntry {
         table(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
         floor(col("c_acctbal") / 1000.0).cast("long"), "acctbal_band_1000", 3L)
     },
+    "t_closeness_report" -> { (s, dir) =>
+      // The distributional member of the release triad: per-group EMD of
+      // the banded-balance distribution vs the table's, exact rationals
+      // on the ordered band scale; groups with EMD > 0.15 are skew leaks
+      // a diverse group can still carry (ops/Integrity.scala).
+      graft.ops.Integrity.tCloseness(
+        table(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long"), tMicro = 150000L)
+    },
     "prf_expansion_terms" -> { (s, dir) =>
       // Pseudo-relevance-feedback expansion on the BM25 leg: top-10
       // feedback docs broadcast into a term harvest, terms ranked by
@@ -7331,6 +7340,41 @@ object SparkEntry {
         |  n_groups, n_violating_groups, n_rows, n_exposed_rows, diversity_level,
         |  CAST((20000 * n_exposed_rows + n_rows) // (2 * n_rows) AS BIGINT) AS exposed_bps
         |FROM a""".stripMargin,
+    "t_closeness_report" ->
+      """WITH base AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+        |    CAST(count(*) AS HUGEINT) AS c_gb
+        |  FROM customer GROUP BY 1, 2, 3
+        |), gtab AS (SELECT band, sum(c_gb) AS c_b FROM base GROUP BY 1),
+        |grp AS (SELECT c_nationkey, c_mktsegment, sum(c_gb) AS n_g FROM base GROUP BY 1, 2),
+        |tot AS (SELECT sum(c_b) AS n, CAST(count(*) AS HUGEINT) AS m FROM gtab),
+        |grid AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, gl.band, g.n_g, t.n, t.m,
+        |    coalesce(b.c_gb, 0) * t.n - gl.c_b * g.n_g AS dev
+        |  FROM grp g CROSS JOIN gtab gl CROSS JOIN tot t
+        |  LEFT JOIN base b ON b.c_nationkey = g.c_nationkey
+        |    AND b.c_mktsegment = g.c_mktsegment AND b.band = gl.band
+        |), cum AS (
+        |  SELECT c_nationkey, c_mktsegment, n_g, n, m,
+        |    sum(dev) OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY band) AS cumdev
+        |  FROM grid
+        |), pg AS (
+        |  SELECT c_nationkey, c_mktsegment, max(n_g) AS n_g,
+        |    CASE WHEN max(m) > 1 THEN
+        |      (2 * 1000000 * sum(abs(cumdev)) + (max(m) - 1) * max(n_g) * max(n))
+        |        // (2 * (max(m) - 1) * max(n_g) * max(n))
+        |    ELSE 0 END AS emd_micro
+        |  FROM cum GROUP BY 1, 2
+        |)
+        |SELECT 'c_nationkey,c_mktsegment' AS quasi_identifiers,
+        |  CAST(150000 AS BIGINT) AS t_micro,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN emd_micro > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+        |  CAST(sum(n_g) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN emd_micro > 150000 THEN n_g ELSE 0 END) AS BIGINT) AS n_exposed_rows,
+        |  CAST(max(emd_micro) AS BIGINT) AS max_emd_micro
+        |FROM pg""".stripMargin,
     "prf_expansion_terms" ->
       """WITH dl AS (
         |  SELECT doc_id,

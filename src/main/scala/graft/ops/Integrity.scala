@@ -142,4 +142,81 @@ object Integrity {
           .cast("long")
           .as("exposed_bps"))
   }
+
+  /** t-closeness audit (Li et al. 2007) — the distributional member of
+    * the release triad ([[kAnonymity]], [[lDiversity]], this): a group
+    * can be diverse and still leak if its sensitive DISTRIBUTION differs
+    * sharply from the table's (skewness attack). Per QI group, the Earth
+    * Mover's Distance between the group's and the global sensitive-value
+    * distribution over the ORDERED value scale with unit spacing:
+    * `EMD = Σᵢ |Σ_{j≤i}(p_j − q_j)| / (m−1)` — closed per group as ONE
+    * exact rational `Σᵢ |cum(c_gj·n − c_j·n_g)| / ((m−1)·n_g·n)` in
+    * DECIMAL(38,0), micro-rounded once. Groups with EMD > t are
+    * violating; one summary row.
+    *
+    * Shape: two bounded aggregations (group×band, band) off one scan of
+    * the group frame; the full group×band grid is group-count × m rows
+    * (m = sensitive bands, a constant) built against the BROADCAST band
+    * list; the cumulative runs in a group-PARTITIONED window (never
+    * unpartitioned). Nothing row-scale survives the first aggregation.
+    */
+  def tCloseness(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitive: Column,
+      tMicro: Long
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.{d, scaledRatio}
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .groupBy((qiCols.map(col) :+ sensitive.as("band")): _*)
+      .agg(count(lit(1)).as("c_gb"))
+      .localCheckpoint(eager = true) // three bounded aggs share it
+    val bands = base.select(col("band")).distinct() // m rows, bounded
+    val glob = base.groupBy(col("band")).agg(sum(col("c_gb")).as("c_b"))
+    val groups = base.groupBy(qiCols.map(col): _*).agg(sum(col("c_gb")).as("n_g"))
+    val tot = glob.agg(
+      sum(col("c_b")).cast("long").as("n"),
+      count(lit(1)).cast("long").as("m"))
+    val w = Window.partitionBy(qiCols.map(col): _*).orderBy(col("band"))
+    val grid = groups
+      .crossJoin(broadcast(bands))
+      .join(broadcast(glob), Seq("band"))
+      .join(base, qiCols :+ "band", "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        (qiCols.map(col) :+ col("band") :+ col("n_g") :+ col("n") :+ col("m") :+
+          (d(coalesce(col("c_gb"), lit(0L))) * d(col("n")) -
+            d(col("c_b")) * d(col("n_g"))).as("dev")): _*)
+      .withColumn("cumdev", sum(col("dev")).over(w))
+    val perGroup = grid
+      .groupBy(qiCols.map(col): _*)
+      .agg(
+        first(col("n_g")).as("n_g"),
+        first(col("n")).as("n"),
+        first(col("m")).as("m"),
+        sum(abs(col("cumdev"))).as("sum_abs_cum"))
+      .select(
+        col("n_g"),
+        col("n"),
+        when(col("m") > 1,
+          scaledRatio(col("sum_abs_cum"), (d(col("m")) - d(lit(1L))) * d(col("n_g")) * d(col("n"))))
+          .otherwise(lit(0L))
+          .cast("long")
+          .as("emd_micro"))
+    perGroup.agg(
+      count(lit(1)).cast("long").as("n_groups"),
+      sum(when(col("emd_micro") > tMicro, 1L).otherwise(0L)).as("n_violating_groups"),
+      sum(col("n_g")).cast("long").as("n_rows"),
+      sum(when(col("emd_micro") > tMicro, col("n_g")).otherwise(0L)).as("n_exposed_rows"),
+      max(col("emd_micro")).cast("long").as("max_emd_micro"))
+      .select(
+        lit(qiCols.mkString(",")).as("quasi_identifiers"),
+        lit(tMicro).as("t_micro"),
+        col("n_groups"),
+        col("n_violating_groups"),
+        col("n_rows"),
+        col("n_exposed_rows"),
+        col("max_emd_micro"))
+  }
 }

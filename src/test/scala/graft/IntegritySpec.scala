@@ -86,4 +86,32 @@ class IntegritySpec extends AnyFunSuite {
       .head
     assert(got == (("nat,seg", "sv", 3L, 2L, 1L, 10L, 6L, 1L, 6000L)))
   }
+
+  test("tCloseness: hand-computed EMD over two bands") {
+    import org.apache.spark.sql.functions.col
+    // bands {0, 1}; global = (4, 4) -> q = (1/2, 1/2).
+    // group A = (4, 0): p = (1, 0); cum dev at band0 = 1/2 -> EMD = 1/2.
+    // group B = (0, 4): symmetric, EMD = 1/2.
+    val rows =
+      Seq.fill(4)(("a", 0L)) ++ Seq.fill(4)(("b", 1L))
+    val got = Integrity
+      .tCloseness(rows.toDF("g", "sv"), Seq("g"), col("sv"), tMicro = 400000L)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .head
+    assert(got == (("g", 400000L, 2L, 2L, 8L, 8L, 500000L)))
+  }
+
+  test("tCloseness: a group mirroring the table scores zero EMD") {
+    import org.apache.spark.sql.functions.col
+    // both groups hold the same (2, 2) band mix as the table
+    val rows = Seq(("a", 0L), ("a", 0L), ("a", 1L), ("a", 1L),
+      ("b", 0L), ("b", 0L), ("b", 1L), ("b", 1L))
+    val got = Integrity
+      .tCloseness(rows.toDF("g", "sv"), Seq("g"), col("sv"), tMicro = 1L)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect()
+      .head
+    assert(got == (("g", 1L, 2L, 0L, 8L, 0L, 0L)))
+  }
 }
