@@ -1071,6 +1071,26 @@ object SparkEntry {
       // (one hash exchange + per-bucket sort; buckets pack independently).
       graft.ops.Packing.tokenPackAssignments(table(s, dir, "documents"))
     },
+    "packing_efficiency" -> { (s, dir) =>
+      // What the packing actually costs: per-pack token sums collapsed to
+      // one row — mean fill vs the 512 budget, packs that overflow it
+      // (docs straddle boundaries under cumulative-DIV assignment), and
+      // the tokens a fixed-length writer would truncate. One bounded
+      // aggregation over the assignment frame.
+      val packs = graft.ops.Packing.tokenPackAssignments(table(s, dir, "documents"))
+        .groupBy(col("bucket"), col("pack_id"))
+        .agg(sum(col("n_tokens")).as("pack_tokens"))
+      packs.agg(
+        count(lit(1)).cast("long").as("n_packs"),
+        sum(col("pack_tokens")).cast("long").as("n_tokens"),
+        sum(when(col("pack_tokens") > 512L, 1L).otherwise(0L)).as("n_overflow_packs"),
+        sum(greatest(col("pack_tokens") - 512L, lit(0L))).as("overflow_tokens"))
+        .select(
+          col("n_packs"), col("n_tokens"), col("n_overflow_packs"), col("overflow_tokens"),
+          graft.functions.ExactDecimal
+            .scaledRatio(col("n_tokens"), col("n_packs") * lit(512L), 10000L)
+            .cast("long").as("mean_fill_bps"))
+    },
     "cdc_md5_share_stats" -> { (s, dir) =>
       // Content-defined chunking share stats on the md5 window-hash
       // boundary rule — the oracle twin of cdc_share_stats: same
@@ -5057,6 +5077,30 @@ object SparkEntry {
         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS pack_id
         |FROM t""".stripMargin,
+    "packing_efficiency" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS bucket,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), a AS (
+        |  SELECT doc_id, bucket, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS pack_id
+        |  FROM t
+        |), p AS (
+        |  SELECT bucket, pack_id, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |  FROM a GROUP BY 1, 2
+        |), s AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n_packs,
+        |    CAST(sum(pack_tokens) AS HUGEINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN pack_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_packs,
+        |    CAST(sum(greatest(pack_tokens - 512, 0)) AS BIGINT) AS overflow_tokens
+        |  FROM p
+        |)
+        |SELECT CAST(n_packs AS BIGINT) AS n_packs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  n_overflow_packs, overflow_tokens,
+        |  CAST((20000 * n_tokens + 512 * n_packs) // (2 * 512 * n_packs) AS BIGINT) AS mean_fill_bps
+        |FROM s""".stripMargin,
     "cdc_md5_share_stats" ->
       """WITH d AS (
         |  SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 10 = 0
