@@ -833,6 +833,20 @@ object Similarity {
     * cosine top-k over it — is reproducible in any engine. No UDF: the
     * distance is a zip_with/aggregate expression, fully codegen-friendly.
     * Restricted to `dim`-length vectors like the other md5 twins.
+    *
+    * Join-side contract at scale: the probe frame joins the bucketed
+    * corpus on `bucket`. With a SMALL anchor count the bucket key has too
+    * few distinct values for a healthy shuffle join (16 keys starve a
+    * 1000-executor exchange), so by default the query side is
+    * broadcast — correct whenever queries are a bounded working set (the
+    * ANN-serving shape). When queries ≡ corpus (the mutual-NN /
+    * SemDeDup-v2 legs), a corpus-sized broadcast is impossible at 10⁹
+    * vectors: there you scale `nAnchors` with the corpus (SemDeDup used
+    * 50k clusters for 5B docs) so the bucket key is shuffle-worthy, and
+    * pass `broadcastQueries = false` to get the plain bucket equi-join —
+    * identical results (spec-pinned), different physical plan. The
+    * registered sf0.1 queries keep the default: at 16 anchors the hint
+    * IS the right local plan.
     */
   def ivfAnchorTopK(
       corpus: DataFrame,
@@ -842,7 +856,8 @@ object Similarity {
       nprobe: Int = 4,
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      broadcastQueries: Boolean = true
   ): DataFrame = {
     val micro = microVec _
     val base = corpus.filter(size(col(vecCol)) === dim)
@@ -858,7 +873,7 @@ object Similarity {
       .withColumn("probe", explode(slice(probeOrder(col("q_micro")), 1, nprobe)))
       .select(col("query_id"), col("q_vec"), col("probe").getField("i").as("bucket"))
     val scored = c
-      .join(broadcast(q), Seq("bucket"))
+      .join(if (broadcastQueries) broadcast(q) else q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(
         col("query_id"),

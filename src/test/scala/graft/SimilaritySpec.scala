@@ -329,6 +329,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run() == approx) // anchors are a pure function of the corpus
   }
 
+  test("ivfAnchorTopK: the shuffle-join leg (broadcastQueries=false) is result-identical") {
+    // the corpus-as-queries scale path drops the broadcast hint and rides
+    // the bucket equi-join — same rows, different physical plan
+    val df = clustered(120).toDF("vec_id", "embedding")
+    def pairs(hint: Boolean) = Similarity
+      .ivfAnchorTopK(df, df, k = 5, nAnchors = 6, nprobe = 3, dim = dim,
+        broadcastQueries = hint)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSet
+    assert(pairs(hint = true) == pairs(hint = false))
+  }
+
   test("pqAdcTopK: exact duplicates rank first with zero ADC, deterministic") {
     val data = clustered(60)
     // plant an exact duplicate of vector 7 at id 59: its code words are
