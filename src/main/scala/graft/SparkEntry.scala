@@ -2314,6 +2314,13 @@ object SparkEntry {
       // prefix sums; no single-task window (ops/TextAnalysis.scala).
       TextAnalysis.vocabGrowth(table(s, dir, "documents"))
     },
+    "readability_scores" -> { (s, dir) =>
+      // Flesch-Kincaid grade + reading ease per doc: three regex counts
+      // and two fixed-order double closes, map-only over the scan — the
+      // classic complexity screen beside the heuristic quality gates
+      // (ops/TextAnalysis.scala).
+      TextAnalysis.readabilityScores(table(s, dir, "documents"))
+    },
     "source_kl_matrix" -> { (s, dir) =>
       // Pairwise KL divergence between source unigram distributions
       // (add-one smoothed over the shared vocab) — which sources are
@@ -7124,6 +7131,22 @@ object SparkEntry {
         |  CAST(max(ctoks) AS BIGINT) AS n_tokens_cum,
         |  CAST(max(cv) AS BIGINT) AS vocab_cum
         |FROM cum, tot GROUP BY 1""".stripMargin,
+    "readability_scores" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    greatest(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 1) AS w,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl
+        |  FROM documents
+        |)
+        |SELECT doc_id, s AS n_sentences, w AS n_words, syl AS n_syllables,
+        |  CAST(floor((0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |    + 11.8 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS fk_grade_micro,
+        |  CAST(floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |    - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS reading_ease_micro
+        |FROM c""".stripMargin,
     "source_kl_matrix" ->
       """WITH tc AS (
         |  SELECT src, tok, CAST(count(*) AS HUGEINT) AS c_st FROM (

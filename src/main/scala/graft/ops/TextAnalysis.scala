@@ -692,4 +692,44 @@ object TextAnalysis {
         max(col("cum_n_toks")).as("n_tokens_cum"),
         max(col("cum_new_types")).as("vocab_cum"))
   }
+
+  /** Flesch readability per document — the classic complexity screen
+    * (Flesch 1948; Kincaid et al. 1975) a curation pipeline runs beside
+    * the stopword/punctuation heuristics: grade level
+    * `0.39·(W/S) + 11.8·(Syl/W) − 15.59` and reading ease
+    * `206.835 − 1.015·(W/S) − 84.6·(Syl/W)`, both in integer micro-units.
+    * Sentences are terminator runs (`[.!?]+`, floor 1), syllables the
+    * standard vowel-group heuristic (`[aeiouy]+` on lowered text) — crude
+    * per word, consistent in aggregate, and fully engine-portable.
+    *
+    * Exactness: the counts are integers and the two closes are pure
+    * FIXED-ORDER double arithmetic (multiply/divide/add — no libm
+    * transcendental), the [[qualityLogit]] precedent: both engines
+    * evaluate the identical expression tree on identical integers, so
+    * the micro rounding agrees bit-for-bit.
+    *
+    * Shape: map-only projection over the scan — three regex counts per
+    * doc, zero exchanges; the 100 TB triage-screen shape.
+    */
+  def readabilityScores(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val t = col(textCol)
+    val w = greatest(tokenCount(t), lit(1)).cast("long")
+    val s = greatest(size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1)).cast("long")
+    val syl = size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0))).cast("long")
+    val wps = w.cast("double") / s.cast("double")
+    val spw = syl.cast("double") / w.cast("double")
+    docs.select(
+      col(idCol),
+      s.as("n_sentences"),
+      w.as("n_words"),
+      syl.as("n_syllables"),
+      floor((lit(0.39) * wps + lit(11.8) * spw - lit(15.59)) * 1000000.0 + 0.5)
+        .cast("long").as("fk_grade_micro"),
+      floor((lit(206.835) - lit(1.015) * wps - lit(84.6) * spw) * 1000000.0 + 0.5)
+        .cast("long").as("reading_ease_micro"))
+  }
 }

@@ -348,6 +348,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     ))
   }
 
+  test("readabilityScores: hand-counted sentences/words/syllables, mirrored double close") {
+    // "Hello world. It is sunny!" -> 2 sentences, 5 words,
+    // vowel groups: he[llo]: e,o | w[o]rld | [i]t | [i]s | s[u]nn[y] = 7
+    val docs = Seq((0L, "Hello world. It is sunny!"), (1L, "no terminators here")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.readabilityScores(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    def fk(w: Long, s: Long, syl: Long): Long =
+      math.floor((0.39 * (w.toDouble / s) + 11.8 * (syl.toDouble / w) - 15.59) * 1000000.0 + 0.5).toLong
+    def ease(w: Long, s: Long, syl: Long): Long =
+      math.floor((206.835 - 1.015 * (w.toDouble / s) - 84.6 * (syl.toDouble / w)) * 1000000.0 + 0.5).toLong
+    assert(got(0L) == ((2L, 5L, 7L, fk(5, 2, 7), ease(5, 2, 7))))
+    // no terminator: sentence floor of 1; "no" o=1, "terminators" e,i,a,o=4, "here" e,e=2
+    assert(got(1L) == ((1L, 3L, 7L, fk(3, 1, 7), ease(3, 1, 7))))
+  }
+
   test("vocabGrowth: a closed vocabulary flattens after the first bucket") {
     val docs = (0L until 20L).map(i => (i, "x y")).toDF("doc_id", "text")
     val rows = graft.ops.TextAnalysis.vocabGrowth(docs, nBuckets = 4)
