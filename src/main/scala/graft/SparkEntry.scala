@@ -1789,6 +1789,23 @@ object SparkEntry {
       graft.ops.QualityTrainer
         .groupWeightTrajectoryDf(table(s, dir, "documents"), "lang", iters = 3)
     },
+    "quality_trained_auc_by_lang" -> { (s, dir) =>
+      // The eval the CCNet-style per-language models were missing: one
+      // exact midrank ROC-AUC row per language, each model graded against
+      // its own language's Gopher teacher — where a per-lang model
+      // under-orders, that lang's gate needs its own features, not just
+      // its own weights. Group-partitioned rank sums over the score-
+      // vocabulary frame (ops/Contingency.rocAucBy).
+      val feat = graft.ops.QualityTrainer
+        .featuresGrouped(table(s, dir, "documents"), "lang")
+        .localCheckpoint(eager = true)
+      val w = graft.ops.QualityTrainer.trainByGroup(feat, iters = 3)
+        .map { case (g, traj) => g -> traj.last }
+      graft.ops.Contingency.rocAucBy(
+        graft.ops.QualityTrainer.scoreGrouped(feat, w)
+          .select(col("grp").as("lang"), col("y").cast("int").as("label"), col("p_micro")),
+        "lang", "label", "p_micro")
+    },
     "quality_calibration_bins" -> { (s, dir) =>
       // Reliability diagram of the trained scorer vs its Gopher teacher:
       // 10 equal-width probability bins, per-bin teacher-positive rate
@@ -3462,9 +3479,43 @@ object SparkEntry {
     base + steps + out
   }
 
+  /** The per-group GD CTE chain alone (through `w<iters>_`, keyed by
+    * grp) — shared by the trajectory oracle and the per-lang AUC oracle.
+    */
+  private def qualityTrainedGroupCtes(iters: Int): String = {
+    val full = qualityTrainedGroupOracle(iters)
+    full.substring(0, full.indexOf("\nSELECT CAST(1 AS INT) AS iter"))
+  }
+
   def oracleSql: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesOracle(10),
     "quality_trained_by_lang" -> qualityTrainedGroupOracle(3),
+    "quality_trained_auc_by_lang" ->
+      s"""${qualityTrainedGroupCtes(3)}, p AS (
+        |  SELECT feat.grp, feat.y,
+        |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+        |      / 1000000.0) AS BIGINT) AS p_micro
+        |  FROM feat JOIN w3_ w ON w.grp = feat.grp
+        |), cnt AS (
+        |  SELECT grp, p_micro,
+        |    CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM p GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT grp, c0, c1,
+        |    sum(c0 + c1) OVER (PARTITION BY grp ORDER BY p_micro) AS cum_all
+        |  FROM cnt
+        |), agg AS (
+        |  SELECT grp, CAST(sum(c1) AS HUGEINT) AS n1, CAST(sum(c0) AS HUGEINT) AS n0,
+        |    CAST(sum(CAST(c1 AS HUGEINT) *
+        |      (2*(cum_all - (c0 + c1)) + (c0 + c1) + 1)) AS HUGEINT) AS r1x2
+        |  FROM cum GROUP BY 1
+        |)
+        |SELECT grp AS lang, CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+        |  CAST(r1x2 - n1*(n1+1) AS BIGINT) AS u2_pos,
+        |  CAST(CASE WHEN n1 > 0 AND n0 > 0 THEN
+        |    (20000*(r1x2 - n1*(n1+1)) + 2*n1*n0) // (4*n1*n0) END AS BIGINT) AS auc_bps
+        |FROM agg""".stripMargin,
     "trained_gate_gain" ->
       s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.doc_id,

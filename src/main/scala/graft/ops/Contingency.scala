@@ -232,6 +232,48 @@ object Contingency {
           .as("auc_bps"))
   }
 
+  /** Per-group [[rocAuc]] — one AUC row per value of `groupCol` (the
+    * per-language eval of the CCNet-style per-group models). Identical
+    * exact-midrank algebra; the CDF runs in a group-PARTITIONED window
+    * over the (group, score)-vocabulary COUNT frame — vocabulary-sized,
+    * never row-scale, so the partitioned window is safe at any corpus
+    * size (the per-group frames are what a single task must sort).
+    */
+  def rocAucBy(
+      df: DataFrame,
+      groupCol: String,
+      labelCol: String,
+      scoreCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .groupBy(col(groupCol), col(scoreCol))
+      .agg(
+        sum(when(col(labelCol) === 1, 0L).otherwise(1L)).as("c0"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("c1"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val u2 = col("r1x2") - d(col("n_pos")) * (d(col("n_pos")) + d(lit(1L)))
+    counts
+      .withColumn("g", col("c0") + col("c1"))
+      .withColumn("cum", sum(col("g")).over(w))
+      .withColumn("r2", lit(2L) * (col("cum") - col("g")) + col("g") + 1L)
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("c1")).cast("long").as("n_pos"),
+        sum(col("c0")).cast("long").as("n_neg"),
+        sum(d(col("c1")) * d(col("r2"))).as("r1x2"))
+      .select(
+        col(groupCol),
+        col("n_pos"),
+        col("n_neg"),
+        u2.cast("long").as("u2_pos"),
+        when(
+          col("n_pos") > 0 && col("n_neg") > 0,
+          scaledRatio(u2, lit(2L).cast(Dec) * d(col("n_pos")) * d(col("n_neg")), 10000L))
+          .cast("long")
+          .as("auc_bps"))
+  }
+
   /** Welch's t pieces over two cohorts — the unequal-variance mean test,
     * reported as exact integers plus one IEEE-deterministic t.
     *

@@ -248,6 +248,26 @@ object QualityTrainer {
     groups.map(g => g -> traj(g)).toMap
   }
 
+  /** Scan-speed grouped inference: each doc scored with ITS group's
+    * trained weights — the same bounded CASE fold over the group set the
+    * training pass uses (weights are literals, map-side only), the same
+    * floor(dot/1e6) close, so scores replay under the group oracle.
+    */
+  def scoreGrouped(featGrouped: DataFrame, wByGroup: Map[String, Array[Long]]): DataFrame = {
+    require(wByGroup.nonEmpty, "no trained groups")
+    val groups = wByGroup.keys.toSeq.sorted
+    val dot = (0 to 4).map { j =>
+      col(s"x$j") * groups.tail.foldLeft(lit(wByGroup(groups.head)(j))) { (acc, g) =>
+        when(col("grp") === g, lit(wByGroup(g)(j))).otherwise(acc)
+      }
+    }.reduce(_ + _)
+    featGrouped.select(
+      col("doc_id"),
+      col("grp"),
+      col("y"),
+      floor(dot.cast("double") / 1000000.0).cast("long").as("p_micro"))
+  }
+
   /** Registered-query face of grouped training: (iter, lang, feature,
     * w_micro) — every group's full trajectory, oracle-replayable.
     */

@@ -177,4 +177,22 @@ class ContingencySpec extends AnyFunSuite {
     val (nPos, nNeg, _, bps) = auc(Seq((1, 3L), (1, 7L)))
     assert(nPos == 2L && nNeg == 0L && bps.isEmpty)
   }
+
+  test("rocAucBy: each group's row equals its standalone rocAuc") {
+    // group a: the interleaved 0.75 case; group b: perfect separation;
+    // group c: single-class -> null bps
+    val rows = Seq(
+      ("a", 0, 1L), ("a", 1, 2L), ("a", 0, 3L), ("a", 1, 4L),
+      ("b", 0, 1L), ("b", 0, 2L), ("b", 1, 10L), ("b", 1, 20L),
+      ("c", 1, 5L), ("c", 1, 9L))
+    val got = Contingency
+      .rocAucBy(rows.toDF("grp", "label", "score"), "grp", "label", "score")
+      .as[(String, Long, Long, Long, Option[Long])]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5)))
+      .toMap
+    assert(got("a") == ((2L, 2L, 6L, Some(7500L))))
+    assert(got("b") == ((2L, 2L, 8L, Some(10000L))))
+    assert(got("c") == ((2L, 0L, 0L, None)))
+  }
 }
