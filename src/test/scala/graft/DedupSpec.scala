@@ -461,4 +461,16 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L) == ((2L, 2L, 0L, 0L)))
     assert(got.size == 3)
   }
+
+  test("blocking-recall legs: banded pairs are a subset of the lossless >=0.8 gold") {
+    // the lsh_blocking_recall composition's two legs on the fixture:
+    // only the exact clones clear J>=0.8 (the paraphrase sits near 0.71),
+    // and identical docs share every band — the blocking cannot miss them
+    val gold = graft.ops.SetSim.jaccardJoin(docs)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashMd5Pairs(docs, threshold = 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(gold == Set((1L, 2L)))
+    assert(lsh == gold)
+  }
 }
