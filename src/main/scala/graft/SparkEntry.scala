@@ -1873,6 +1873,18 @@ object SparkEntry {
       // bucketing that sits on this clustering (ops/Clustering.scala).
       graft.ops.Clustering.silhouette(table(s, dir, "embeddings"), k = 8, iters = 2)
     },
+    "kmeans_label_ari" -> { (s, dir) =>
+      // Does the trained clustering recover the planted labels? Adjusted
+      // Rand Index between the Lloyd assignment and the label column —
+      // chance-corrected pair counting as one exact rational; ~0 here
+      // says the embedding space carries no label structure, agreeing
+      // with the silhouette read (ops/Contingency.scala).
+      val emb = table(s, dir, "embeddings")
+      graft.ops.Contingency.adjustedRandIndex(
+        graft.ops.Clustering.kmeansAssign(emb, k = 8, iters = 2)
+          .join(emb.select(col("vec_id"), col("label")), Seq("vec_id")),
+        "cluster", "label")
+    },
     "semantic_dedup" -> { (s, dir) =>
       // SemDeDup: near-dup removal within k-means clusters (equi-join on
       // cluster id, never all-pairs); τ² = 400/10000 (τ = 0.2, the corpus's
@@ -6257,6 +6269,32 @@ object SparkEntry {
         |    - (((2*sum_sil_micro + n_vecs) % (2*n_vecs)) + 2*n_vecs) % (2*n_vecs))
         |    // (2*n_vecs) AS BIGINT) AS mean_sil_micro
         |FROM agg""".stripMargin,
+    "kmeans_label_ari" ->
+      s"""$KmeansCtes, cells AS (
+        |  SELECT a2.cluster, e.label, CAST(count(*) AS HUGEINT) AS c
+        |  FROM a2 JOIN embeddings e ON e.vec_id = a2.vec_id
+        |  GROUP BY 1, 2
+        |), sab AS (
+        |  SELECT sum(c * (c - 1)) AS s_ab, CAST(sum(c) AS BIGINT) AS n FROM cells
+        |), sa AS (
+        |  SELECT sum(m * (m - 1)) AS s_a
+        |  FROM (SELECT sum(c) AS m FROM cells GROUP BY cluster)
+        |), sb AS (
+        |  SELECT sum(m * (m - 1)) AS s_b
+        |  FROM (SELECT sum(c) AS m FROM cells GROUP BY label)
+        |), q AS (
+        |  SELECT n, s_ab, s_a, s_b,
+        |    CAST(n AS HUGEINT) * (n - 1) AS n2,
+        |    2 * CAST(n AS HUGEINT) * (n - 1) * s_ab - 2 * s_a * s_b AS num,
+        |    CAST(n AS HUGEINT) * (n - 1) * (s_a + s_b) - 2 * s_a * s_b AS den
+        |  FROM sab, sa, sb
+        |)
+        |SELECT n, CAST(s_ab AS BIGINT) AS sum_pairs_cells2,
+        |  CAST(s_a AS BIGINT) AS sum_pairs_a2, CAST(s_b AS BIGINT) AS sum_pairs_b2,
+        |  CAST(CASE WHEN den > 0 THEN (2000000 * num + den
+        |    - (((2000000 * num + den) % (2 * den)) + 2 * den) % (2 * den)) // (2 * den)
+        |    END AS BIGINT) AS ari_micro
+        |FROM q""".stripMargin,
     "semantic_dedup" ->
       s"""$KmeansCtes,
         |norms AS (SELECT vec_id, sum(v*v) AS nrm FROM ex GROUP BY 1),

@@ -232,6 +232,47 @@ object Contingency {
           .as("auc_bps"))
   }
 
+  /** Adjusted Rand Index between two partitions of the same items
+    * (Hubert & Arabie 1985) — the clustering-vs-ground-truth agreement
+    * eval: chance-corrected pair counting, +1 = identical partitions,
+    * ~0 = random assignment. With doubled pair counts
+    * `S_ab = Σ n_ij(n_ij−1)`, `S_a = Σ a_i(a_i−1)`, `S_b = Σ b_j(b_j−1)`,
+    * `N2 = n(n−1)`:
+    * `ARI = (2·N2·S_ab − 2·S_a·S_b) / (N2·(S_a+S_b) − 2·S_a·S_b)` —
+    * ONE exact rational in DECIMAL(38,0), micro-rounded once; degenerate
+    * partitions (denominator 0: both sides one block, or all singletons)
+    * yield null. (The S_a·S_b·N2 product grows as n⁴·n²: inside 38
+    * digits to n ≈ 10⁶ items per comparison — beyond that, compare on a
+    * stratified sample or divide all counts by a common factor first.)
+    *
+    * Shape: one aggregation to the A×B cell frame (checkpointed — the
+    * two marginal aggregations re-key ≤ |A|·|B| rows, not the corpus),
+    * three bounded closes. Nothing row-scale survives the first agg.
+    */
+  def adjustedRandIndex(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val sab = cells.agg(
+      sum(d(col("c")) * (d(col("c")) - d(lit(1L)))).as("s_ab"),
+      sum(col("c")).cast("long").as("n"))
+    val sa = cells.groupBy(col(aCol)).agg(sum(col("c")).as("m"))
+      .agg(sum(d(col("m")) * (d(col("m")) - d(lit(1L)))).as("s_a"))
+    val sb = cells.groupBy(col(bCol)).agg(sum(col("c")).as("m"))
+      .agg(sum(d(col("m")) * (d(col("m")) - d(lit(1L)))).as("s_b"))
+    val n2 = d(col("n")) * (d(col("n")) - d(lit(1L)))
+    val num = d(lit(2L)) * n2 * col("s_ab") - d(lit(2L)) * col("s_a") * col("s_b")
+    val den = n2 * (col("s_a") + col("s_b")) - d(lit(2L)) * col("s_a") * col("s_b")
+    sab.crossJoin(broadcast(sa)).crossJoin(broadcast(sb)) // 1x1x1 rows
+      .select(
+        col("n"),
+        col("s_ab").cast("long").as("sum_pairs_cells2"),
+        col("s_a").cast("long").as("sum_pairs_a2"),
+        col("s_b").cast("long").as("sum_pairs_b2"),
+        when(den > 0, scaledRatio(num, den)).cast("long").as("ari_micro"))
+  }
+
   /** Per-group [[rocAuc]] — one AUC row per value of `groupCol` (the
     * per-language eval of the CCNet-style per-group models). Identical
     * exact-midrank algebra; the CDF runs in a group-PARTITIONED window

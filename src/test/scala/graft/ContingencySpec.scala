@@ -178,6 +178,29 @@ class ContingencySpec extends AnyFunSuite {
     assert(nPos == 2L && nNeg == 0L && bps.isEmpty)
   }
 
+  private def ari(rows: Seq[(Int, Int)]): Option[Long] =
+    Contingency
+      .adjustedRandIndex(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Option[Long])]
+      .collect()
+      .head
+      ._5
+
+  test("adjustedRandIndex: identical partitions score 1, crossed halves score -1/2") {
+    assert(ari(Seq((1, 1), (1, 1), (2, 2), (2, 2))).contains(1000000L))
+    // every cell singleton: S_ab=0 -> ARI = -2*S_a*S_b / (N2*(S_a+S_b) - 2*S_a*S_b) = -1/2
+    assert(ari(Seq((1, 1), (1, 2), (2, 1), (2, 2))).contains(-500000L))
+  }
+
+  test("adjustedRandIndex: label-invariant, chance-level zero, degenerate null") {
+    // renaming cluster ids must not move ARI
+    assert(ari(Seq((7, 1), (7, 1), (9, 2), (9, 2))).contains(1000000L))
+    // one block vs a split carries no information: exactly 0
+    assert(ari(Seq((1, 1), (1, 1), (1, 2), (1, 2))).contains(0L))
+    // both sides one block: denominator 0 -> null, not 0/0
+    assert(ari(Seq((1, 1), (1, 1), (1, 1))).isEmpty)
+  }
+
   test("rocAucBy: each group's row equals its standalone rocAuc") {
     // group a: the interleaved 0.75 case; group b: perfect separation;
     // group c: single-class -> null bps
