@@ -1687,6 +1687,28 @@ object SparkEntry {
           .select(col("label"), col("p_micro")),
         "label", "p_micro")
     },
+    "quality_trained_brier" -> { (s, dir) =>
+      // The third leg of the trained-model eval triad: Brier score
+      // (mean squared probability error) in exact micro units — AUC
+      // grades the ORDERING, the calibration bins the SHAPE, Brier the
+      // overall probability accuracy in one number. Σ(p−y)² is an exact
+      // integer aggregation; one round-half-up close.
+      import graft.functions.ExactDecimal.{d, scaledRatio, Dec}
+      val docs = table(s, dir, "documents")
+      val feat = graft.ops.QualityTrainer.features(docs).localCheckpoint(eager = true)
+      val w = graft.ops.QualityTrainer.train(feat, iters = 8).last
+      graft.ops.QualityTrainer.score(feat, w)
+        .join(feat.select(col("doc_id"), col("y")), Seq("doc_id"))
+        .select((col("p_micro") - col("y") * 1000000L).as("e"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(d(col("e")) * d(col("e"))).as("ss"))
+        .select(
+          col("n_docs"),
+          col("ss").cast("long").as("sum_sq_err"),
+          scaledRatio(col("ss"), d(col("n_docs")) * d(lit(1000000L)), 1L)
+            .cast("long").as("brier_micro"))
+    },
     "mutual_nn_ivf_recall" -> { (s, dir) =>
       // Eval row for the mutual family (the ann_ivf_recall analogue):
       // recall/precision of the IVF-legged mutual pairs against the
@@ -3676,6 +3698,20 @@ object SparkEntry {
         |  CAST(CASE WHEN n1 > 0 AND n0 > 0 THEN
         |    (20000*(r1x2 - n1*(n1+1)) + 2*n1*n0) // (4*n1*n0) END AS BIGINT) AS auc_bps
         |FROM agg""".stripMargin,
+    "quality_trained_brier" ->
+      s"""WITH ${qualityTrainedCtes(8)}, p AS (
+        |  SELECT feat.y,
+        |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+        |      / 1000000.0) AS BIGINT) AS p_micro
+        |  FROM feat, w8_ w
+        |), e AS (
+        |  SELECT CAST(p_micro - y * 1000000 AS HUGEINT) AS e FROM p
+        |), a AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(e * e) AS ss FROM e
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(ss AS BIGINT) AS sum_sq_err,
+        |  CAST((2 * ss + n * 1000000) // (2 * n * 1000000) AS BIGINT) AS brier_micro
+        |FROM a""".stripMargin,
     "quality_calibration_bins" ->
       s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.y,
