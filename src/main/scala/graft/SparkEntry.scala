@@ -2372,6 +2372,13 @@ object SparkEntry {
       // (ops/TextAnalysis.scala).
       TextAnalysis.readabilityScores(table(s, dir, "documents"))
     },
+    "source_top_terms" -> { (s, dir) =>
+      // What is DISTINCTIVE about each source: top-5 terms by exact
+      // integer lift (share-in-source / share-global, micro) with a
+      // min-support cut before ranking — the c-TF-IDF cluster-labeling
+      // read, transcendental-free (ops/TextAnalysis.scala).
+      TextAnalysis.sourceTopTerms(table(s, dir, "documents"))
+    },
     "source_kl_matrix" -> { (s, dir) =>
       // Pairwise KL divergence between source unigram distributions
       // (add-one smoothed over the shared vocab) — which sources are
@@ -7272,6 +7279,29 @@ object SparkEntry {
         |    - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))) * 1000000.0 + 0.5)
         |    AS BIGINT) AS reading_ease_micro
         |FROM c""".stripMargin,
+    "source_top_terms" ->
+      """WITH tf AS (
+        |  SELECT src, term, CAST(count(*) AS HUGEINT) AS c_st FROM (
+        |    SELECT source AS src, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term != '' GROUP BY 1, 2
+        |), bs AS (SELECT src, sum(c_st) AS n_s FROM tf GROUP BY 1),
+        |bt AS (SELECT term, sum(c_st) AS c_t FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(n_s) AS n FROM bs),
+        |lifted AS (
+        |  SELECT tf.src, tf.term, tf.c_st,
+        |    CAST((2 * 1000000 * tf.c_st * tot.n + bs.n_s * bt.c_t)
+        |      // (2 * bs.n_s * bt.c_t) AS BIGINT) AS lift_micro
+        |  FROM tf JOIN bs ON bs.src = tf.src JOIN bt ON bt.term = tf.term CROSS JOIN tot
+        |  WHERE tf.c_st >= 5
+        |), ranked AS (
+        |  SELECT src, term, c_st, lift_micro,
+        |    CAST(row_number() OVER (PARTITION BY src
+        |      ORDER BY lift_micro DESC, term ASC) AS INT) AS rank
+        |  FROM lifted
+        |)
+        |SELECT src AS source, term, CAST(c_st AS BIGINT) AS c_st, lift_micro, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
     "source_kl_matrix" ->
       """WITH tc AS (
         |  SELECT src, tok, CAST(count(*) AS HUGEINT) AS c_st FROM (

@@ -693,6 +693,55 @@ object TextAnalysis {
         max(col("cum_new_types")).as("vocab_cum"))
   }
 
+  /** Top distinctive terms per source by exact integer LIFT — the
+    * cluster-labeling read (the BERTopic/c-TF-IDF idea with the idf's
+    * `ln` replaced by an exact ratio, keeping the row transcendental-
+    * free): `lift = (c_st/n_s) / (c_t/n)` in round-half-up micro units —
+    * how over-represented a term is in a source vs the corpus. Terms
+    * below `minCount` occurrences in the source are noise and are cut
+    * BEFORE ranking so they cannot occupy top-k slots.
+    *
+    * Shape: one corpus scan to the (source, term) tf frame
+    * (checkpointed — three bounded aggregations re-key it); per-source
+    * totals broadcast (sources are bounded), term totals equi-join on
+    * the vocabulary frame; the top-k ranks in a source-PARTITIONED
+    * window over that same vocabulary-sized frame — never row-scale.
+    */
+  def sourceTopTerms(
+      docs: DataFrame,
+      k: Int = 5,
+      minCount: Long = 5L,
+      srcCol: String = "source",
+      textCol: String = "text"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.{d, scaledRatio}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"))
+      .orderBy(col("lift_micro").desc, col("term").asc)
+    val tf = docs
+      .select(col(srcCol).as("src"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("src"), col("term"))
+      .agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(eager = true)
+    val bySrc = tf.groupBy(col("src")).agg(sum(col("c_st")).as("n_s"))
+    val byTerm = tf.groupBy(col("term")).agg(sum(col("c_st")).as("c_t"))
+    val total = bySrc.agg(sum(col("n_s")).as("n"))
+    tf
+      .filter(col("c_st") >= minCount)
+      .join(broadcast(bySrc), Seq("src"))
+      .join(byTerm, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "lift_micro",
+        scaledRatio(d(col("c_st")) * d(col("n")), d(col("n_s")) * d(col("c_t"))).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("src").as(srcCol), col("term"), col("c_st"), col("lift_micro"),
+        col("rank"))
+  }
+
   /** Flesch readability per document — the classic complexity screen
     * (Flesch 1948; Kincaid et al. 1975) a curation pipeline runs beside
     * the stopword/punctuation heuristics: grade level

@@ -364,6 +364,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1L) == ((1L, 3L, 7L, fk(3, 1, 7), ease(3, 1, 7))))
   }
 
+  test("sourceTopTerms: lift singles out each source's private vocabulary") {
+    // shared filler 'x' everywhere; 'alpha' only in s1, 'beta' only in s2.
+    // s1: 10 alpha + 10 x of 20; s2: 10 beta + 10 x of 20; n = 40.
+    // lift(alpha|s1) = (10/20)/(10/40) = 2.0; lift(x|s1) = (10/20)/(20/40) = 1.0
+    val docs = Seq(
+      ("s1", (Seq.fill(10)("alpha") ++ Seq.fill(10)("x")).mkString(" ")),
+      ("s2", (Seq.fill(10)("beta") ++ Seq.fill(10)("x")).mkString(" "))
+    ).toDF("source", "text")
+    val got = graft.ops.TextAnalysis.sourceTopTerms(docs, k = 2, minCount = 5L)
+      .as[(String, String, Long, Long, Int)].collect()
+      .map(r => (r._1, r._5) -> ((r._2, r._3, r._4))).toMap
+    assert(got(("s1", 1)) == (("alpha", 10L, 2000000L)))
+    assert(got(("s1", 2)) == (("x", 10L, 1000000L)))
+    assert(got(("s2", 1)) == (("beta", 10L, 2000000L)))
+    assert(got(("s2", 2)) == (("x", 10L, 1000000L)))
+  }
+
+  test("sourceTopTerms: min-support cut happens before ranking") {
+    // 'rare' has lift 2 but only 2 occurrences: it must not take a slot
+    val docs = Seq(
+      ("s1", (Seq.fill(2)("rare") ++ Seq.fill(18)("x")).mkString(" ")),
+      ("s2", Seq.fill(20)("x").mkString(" "))
+    ).toDF("source", "text")
+    val got = graft.ops.TextAnalysis.sourceTopTerms(docs, k = 1, minCount = 5L)
+      .as[(String, String, Long, Long, Int)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got == Map("s1" -> "x", "s2" -> "x"))
+  }
+
   test("vocabGrowth: a closed vocabulary flattens after the first bucket") {
     val docs = (0L until 20L).map(i => (i, "x y")).toDF("doc_id", "text")
     val rows = graft.ops.TextAnalysis.vocabGrowth(docs, nBuckets = 4)
