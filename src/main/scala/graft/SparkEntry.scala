@@ -1304,6 +1304,14 @@ object SparkEntry {
       // comparison — no division anywhere (ops/Cohort.scala).
       graft.ops.Cohort.rateSpikeHours(eventsTable(s, dir), thresholdPct = 150)
     },
+    "event_burstiness" -> { (s, dir) =>
+      // Is each event type's arrival process bursty at all? Fano factor
+      // (var/mean of hourly counts over the global span, zero-hours
+      // counted) as one exact rational per type — 1 = Poisson, >1 =
+      // clumped; the dispersion companion to rate_spike_hours
+      // (ops/Cohort.scala).
+      graft.ops.Cohort.eventBurstiness(eventsTable(s, dir))
+    },
     "hll_retained_users" -> { (s, dir) =>
       // Sketch algebra: |A∩B| by inclusion–exclusion over merged HLL
       // registers (union = per-bucket max) — the sketch substitute for
@@ -5667,6 +5675,25 @@ object SparkEntry {
         |)
         |SELECT user_id, hour * 3600000 AS hour_ms, n, total, n_hours
         |FROM t WHERE n * 100 * n_hours > 150 * total""".stripMargin,
+    "event_burstiness" ->
+      """WITH cells AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour,
+        |    CAST(count(*) AS HUGEINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT CAST(max(hour) - min(hour) + 1 AS HUGEINT) AS h FROM cells
+        |), t AS (
+        |  SELECT event_type, CAST(sum(c) AS HUGEINT) AS ne,
+        |    CAST(count(*) AS BIGINT) AS nah, sum(c * c) AS sq
+        |  FROM cells GROUP BY 1
+        |)
+        |SELECT event_type, CAST(ne AS BIGINT) AS n_events, nah AS n_active_hours,
+        |  CAST(h AS BIGINT) AS n_span_hours,
+        |  CAST((2 * 1000000 * h * (h * sq - ne * ne) + h * h * ne
+        |    - (((2 * 1000000 * h * (h * sq - ne * ne) + h * h * ne) % (2 * h * h * ne))
+        |      + 2 * h * h * ne) % (2 * h * h * ne))
+        |    // (2 * h * h * ne) AS BIGINT) AS fano_micro
+        |FROM t, span""".stripMargin,
     "hll_retained_users" ->
       """WITH e AS (
         |  SELECT CASE WHEN epoch_ms(ts) < 1705276800000 THEN 'a' ELSE 'b' END AS k, user_id

@@ -161,6 +161,57 @@ object Cohort {
         col("n_hours").cast("int").as("n_hours"))
   }
 
+  /** Burstiness (Fano factor) of hourly arrivals per event type —
+    * variance-to-mean ratio of the per-hour counts over the LOG'S GLOBAL
+    * hour span: 1 = Poisson (memoryless traffic), >1 = bursty/clumped,
+    * <1 = more regular than random. The dispersion companion to
+    * [[rateSpikeHours]] (that row finds WHICH hours spike; this one says
+    * whether a type's arrival process is bursty at all).
+    *
+    * Hours with zero arrivals COUNT (a type active one hour out of a
+    * thousand is maximally bursty): the span H = max_hour − min_hour + 1
+    * comes from the whole log, and the population-variance algebra
+    * `F = H·(H·Σc² − (Σc)²) / (H²·Σc)` needs only the observed cells
+    * (zero cells contribute nothing to Σc or Σc²). One exact rational in
+    * DECIMAL(38,0), micro-rounded once; types with no events never
+    * appear, so Σc > 0 always.
+    *
+    * Shape: one (type, hour) aggregation collapses the log; a per-type
+    * aggregation and a broadcast one-row span close it. Frames after the
+    * first agg are type×hour bounded.
+    */
+  def eventBurstiness(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsMsCol: String = "ts_ms"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.{d, scaledRatio}
+    val hour = expr(s"CAST($tsMsCol AS BIGINT) div 3600000")
+    val cells = events
+      .select(col(typeCol).as("event_type"), hour.as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true) // span + per-type stats share it
+    val span = cells.agg((max(col("hour")) - min(col("hour")) + 1L).as("h"))
+    cells
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("c")).cast("long").as("n_events"),
+        count(lit(1)).cast("long").as("n_active_hours"),
+        sum(d(col("c")) * d(col("c"))).as("sq"))
+      .crossJoin(broadcast(span))
+      .select(
+        col("event_type"),
+        col("n_events"),
+        col("n_active_hours"),
+        col("h").as("n_span_hours"),
+        scaledRatio(
+          d(col("h")) * (d(col("h")) * col("sq") - d(col("n_events")) * d(col("n_events"))),
+          d(col("h")) * d(col("h")) * d(col("n_events")))
+          .cast("long")
+          .as("fano_micro"))
+  }
+
   /** Stationary distribution of the [[eventTransitions]] Markov chain
     * after a FIXED number of exact power-iteration steps — "where does
     * user attention settle": the long-run share of each event type if

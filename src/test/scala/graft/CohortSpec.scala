@@ -163,4 +163,18 @@ class CohortSpec extends AnyFunSuite {
     // support_bps is round-half-up of n_users/4 users: 1/4 -> 2500
     assert(all.filter(_._4 == 1L).forall(_._6 == 2500))
   }
+
+  test("eventBurstiness: clumped arrivals score their exact Fano, metronome scores 0") {
+    val hr = 3600000L
+    // span = hours 0..3 (H=4). Type A: all 4 events in hour 0 ->
+    // F = H(H*sq - ne^2)/(H^2*ne) = 4*(4*16-16)/(16*4) = 3. Type B: one
+    // event per hour -> variance 0 -> F = 0.
+    val ev = (Seq.fill(4)(("A", 0L)) ++ (0L until 4L).map(h => ("B", h * hr)))
+      .toDF("event_type", "ts_ms")
+    val got = Cohort.eventBurstiness(ev)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("A") == ((4L, 1L, 4L, 3000000L)))
+    assert(got("B") == ((4L, 4L, 4L, 0L)))
+  }
 }
