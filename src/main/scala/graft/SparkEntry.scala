@@ -2387,6 +2387,13 @@ object SparkEntry {
       // read, transcendental-free (ops/TextAnalysis.scala).
       TextAnalysis.sourceTopTerms(table(s, dir, "documents"))
     },
+    "source_lexical_stats" -> { (s, dir) =>
+      // Lexical richness per source: type-token ratio + hapax share
+      // (types occurring once) — high hapax = vocabulary still growing,
+      // low = templated; the per-source read behind vocab_growth's
+      // corpus curve (ops/TextAnalysis.scala).
+      TextAnalysis.sourceLexicalStats(table(s, dir, "documents"))
+    },
     "source_kl_matrix" -> { (s, dir) =>
       // Pairwise KL divergence between source unigram distributions
       // (add-one smoothed over the shared vocab) — which sources are
@@ -7329,6 +7336,22 @@ object SparkEntry {
         |)
         |SELECT src AS source, term, CAST(c_st AS BIGINT) AS c_st, lift_micro, rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+    "source_lexical_stats" ->
+      """WITH tf AS (
+        |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |    FROM documents)
+        |  WHERE term != '' GROUP BY 1, 2
+        |), a AS (
+        |  SELECT source, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM tf GROUP BY 1
+        |)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  CAST((2000000 * n_types + n_tokens) // (2 * n_tokens) AS BIGINT) AS ttr_micro,
+        |  CAST((20000 * n_hapax + n_types) // (2 * n_types) AS BIGINT) AS hapax_bps
+        |FROM a""".stripMargin,
     "source_kl_matrix" ->
       """WITH tc AS (
         |  SELECT src, tok, CAST(count(*) AS HUGEINT) AS c_st FROM (

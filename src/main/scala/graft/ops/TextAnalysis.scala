@@ -693,6 +693,43 @@ object TextAnalysis {
         max(col("cum_new_types")).as("vocab_cum"))
   }
 
+  /** Lexical-richness profile per source: token/type counts, type-token
+    * ratio (micro), and the HAPAX share — the fraction of a source's
+    * types occurring exactly once (Baayen's LNRE diagnostic: a high
+    * hapax share means the vocabulary is still growing — the per-source
+    * read behind [[vocabGrowth]]'s corpus curve; a LOW one flags
+    * templated/closed vocabulary). All counts exact; two round-half-up
+    * closes.
+    *
+    * Shape: one corpus scan to the (source, term, tf) frame, one
+    * per-source close over it — frames after the first agg are
+    * vocabulary-sized.
+    */
+  def sourceLexicalStats(
+      docs: DataFrame,
+      srcCol: String = "source",
+      textCol: String = "text"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    docs
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        col("n_types"),
+        col("n_hapax"),
+        scaledRatio(col("n_types"), col("n_tokens")).cast("long").as("ttr_micro"),
+        scaledRatio(col("n_hapax"), col("n_types"), 10000L).cast("long").as("hapax_bps"))
+  }
+
   /** Top distinctive terms per source by exact integer LIFT — the
     * cluster-labeling read (the BERTopic/c-TF-IDF idea with the idf's
     * `ln` replaced by an exact ratio, keeping the row transcendental-

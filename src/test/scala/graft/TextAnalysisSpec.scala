@@ -381,6 +381,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(("s2", 2)) == (("x", 10L, 1000000L)))
   }
 
+  test("sourceLexicalStats: hand-counted types, TTR, and hapax share") {
+    // s1: tokens [a a b c] -> 4 tokens, 3 types, hapax {b, c} -> 2;
+    // TTR = 3/4 -> 750000; hapax = 2/3 -> 6667 bps (round-half-up)
+    val docs = Seq(("s1", "a a b"), ("s1", "c"), ("s2", "z z")).toDF("source", "text")
+    val got = graft.ops.TextAnalysis.sourceLexicalStats(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("s1") == ((4L, 3L, 2L, 750000L, 6667L)))
+    assert(got("s2") == ((2L, 1L, 0L, 500000L, 0L)))
+  }
+
   test("sourceTopTerms: min-support cut happens before ranking") {
     // 'rare' has lift 2 but only 2 occurrences: it must not take a slot
     val docs = Seq(
