@@ -1695,6 +1695,41 @@ object SparkEntry {
           .select(col("label"), col("p_micro")),
         "label", "p_micro")
     },
+    "quality_pr_curve" -> { (s, dir) =>
+      // The operating-point table the AUC integrates over: precision /
+      // recall / F1 of the trained gate vs its teacher at nine
+      // thresholds, each an exact rational in bps. ONE pass computes all
+      // 27 conditional sums (map-side partials); stack unpivots the
+      // single row — no 9x corpus crossJoin.
+      import graft.functions.ExactDecimal.scaledRatio
+      val docs = table(s, dir, "documents")
+      val feat = graft.ops.QualityTrainer.features(docs).localCheckpoint(eager = true)
+      val w = graft.ops.QualityTrainer.train(feat, iters = 8).last
+      val scored = graft.ops.QualityTrainer.score(feat, w)
+        .join(feat.select(col("doc_id"), col("y")), Seq("doc_id"))
+      val aggs = (1 to 9).flatMap { i =>
+        val t = i * 100000L
+        Seq(
+          sum(when(col("p_micro") > t && col("y") === 1L, 1L).otherwise(0L)).as(s"tp$i"),
+          sum(when(col("p_micro") > t && col("y") === 0L, 1L).otherwise(0L)).as(s"fp$i"),
+          sum(when(col("p_micro") <= t && col("y") === 1L, 1L).otherwise(0L)).as(s"fn$i"))
+      }
+      val stackArgs = (1 to 9)
+        .map(i => s"${i * 100000L}L, tp$i, fp$i, fn$i").mkString(", ")
+      scored.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(9, $stackArgs) AS (threshold_micro, tp, fp, fn)"))
+        .select(
+          col("threshold_micro"), col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") > 0,
+            scaledRatio(col("tp"), col("tp") + col("fp"), 10000L))
+            .cast("long").as("precision_bps"),
+          when(col("tp") + col("fn") > 0,
+            scaledRatio(col("tp"), col("tp") + col("fn"), 10000L))
+            .cast("long").as("recall_bps"),
+          when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+            scaledRatio(lit(2L) * col("tp"), lit(2L) * col("tp") + col("fp") + col("fn"), 10000L))
+            .cast("long").as("f1_bps"))
+    },
     "quality_trained_brier" -> { (s, dir) =>
       // The third leg of the trained-model eval triad: Brier score
       // (mean squared probability error) in exact micro units — AUC
@@ -3720,6 +3755,29 @@ object SparkEntry {
         |  CAST(CASE WHEN n1 > 0 AND n0 > 0 THEN
         |    (20000*(r1x2 - n1*(n1+1)) + 2*n1*n0) // (4*n1*n0) END AS BIGINT) AS auc_bps
         |FROM agg""".stripMargin,
+    "quality_pr_curve" ->
+      s"""WITH ${qualityTrainedCtes(8)}, p AS (
+        |  SELECT feat.y,
+        |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+        |      / 1000000.0) AS BIGINT) AS p_micro
+        |  FROM feat, w8_ w
+        |), th AS (SELECT unnest(range(1, 10)) * 100000 AS t),
+        |c AS (
+        |  SELECT th.t AS threshold_micro,
+        |    CAST(sum(CASE WHEN p.p_micro > th.t AND p.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN p.p_micro > th.t AND p.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN p.p_micro <= th.t AND p.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM p, th GROUP BY 1
+        |)
+        |SELECT threshold_micro, tp, fp, fn,
+        |  CAST(CASE WHEN tp + fp > 0 THEN (20000 * tp + (tp + fp)) // (2 * (tp + fp))
+        |    END AS BIGINT) AS precision_bps,
+        |  CAST(CASE WHEN tp + fn > 0 THEN (20000 * tp + (tp + fn)) // (2 * (tp + fn))
+        |    END AS BIGINT) AS recall_bps,
+        |  CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN
+        |    (20000 * 2 * tp + (2 * tp + fp + fn)) // (2 * (2 * tp + fp + fn))
+        |    END AS BIGINT) AS f1_bps
+        |FROM c""".stripMargin,
     "quality_trained_brier" ->
       s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.y,
