@@ -1312,6 +1312,13 @@ object SparkEntry {
       // (ops/Cohort.scala).
       graft.ops.Cohort.eventBurstiness(eventsTable(s, dir))
     },
+    "event_leadlag" -> { (s, dir) =>
+      // Does signup activity LEAD purchases? Pearson r between the two
+      // hourly series at lags -3..+3 (positive lag = signup leads),
+      // exact integer sums over the zero-filled span series, IEEE
+      // sqrt/division only in the final r (ops/Cohort.scala).
+      graft.ops.Cohort.eventLeadLag(eventsTable(s, dir), "signup", "purchase")
+    },
     "hll_retained_users" -> { (s, dir) =>
       // Sketch algebra: |A∩B| by inclusion–exclusion over merged HLL
       // registers (union = per-bucket max) — the sketch substitute for
@@ -5759,6 +5766,37 @@ object SparkEntry {
         |      + 2 * h * h * ne) % (2 * h * h * ne))
         |    // (2 * h * h * ne) AS BIGINT) AS fano_micro
         |FROM t, span""".stripMargin,
+    "event_leadlag" ->
+      """WITH cells AS (
+        |  SELECT event_type AS t, epoch_ms(ts) // 3600000 AS h,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('signup', 'purchase') GROUP BY 1, 2
+        |), span AS (SELECT min(h) AS h0, max(h) AS h1 FROM cells),
+        |dense AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM span),
+        |da AS (
+        |  SELECT dense.h, CAST(coalesce(c, 0) AS HUGEINT) AS ca
+        |  FROM dense LEFT JOIN cells ON cells.h = dense.h AND cells.t = 'signup'
+        |), db AS (
+        |  SELECT dense.h, CAST(coalesce(c, 0) AS HUGEINT) AS cb
+        |  FROM dense LEFT JOIN cells ON cells.h = dense.h AND cells.t = 'purchase'
+        |), lags AS (SELECT unnest(range(-3, 4)) AS lag),
+        |j AS (
+        |  SELECT lags.lag, da.ca, db.cb
+        |  FROM da CROSS JOIN lags JOIN db ON db.h = da.h + lags.lag
+        |), a AS (
+        |  SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(ca) AS sa, sum(cb) AS sb, sum(ca * cb) AS sab,
+        |    sum(ca * ca) AS saa, sum(cb * cb) AS sbb
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_hours,
+        |  CAST(n * sab - sa * sb AS BIGINT) AS ncov,
+        |  CAST(CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+        |    floor(CAST(n * sab - sa * sb AS DOUBLE)
+        |      / (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+        |      * 1000.0 + 0.5)
+        |    END AS BIGINT) AS r_milli
+        |FROM a""".stripMargin,
     "hll_retained_users" ->
       """WITH e AS (
         |  SELECT CASE WHEN epoch_ms(ts) < 1705276800000 THEN 'a' ELSE 'b' END AS k, user_id

@@ -177,4 +177,21 @@ class CohortSpec extends AnyFunSuite {
     assert(got("A") == ((4L, 1L, 4L, 3000000L)))
     assert(got("B") == ((4L, 4L, 4L, 0L)))
   }
+
+  test("eventLeadLag: a one-hour-shifted copy peaks exactly at lag +1") {
+    val hr = 3600000L
+    // B is A delayed by one hour: A counts [1,2,3,4] at hours 0-3,
+    // B the same at hours 1-4. At lag +1 the dense pairs align
+    // perfectly (r = 1; ncov = 4*30 - 10*10 = 20); at lag 0 the
+    // zero-filled edges cancel it exactly (ncov = 5*20 - 10*10 = 0).
+    val ev = (
+      (0 until 4).flatMap(h => Seq.fill(h + 1)(("A", h * hr))) ++
+        (0 until 4).flatMap(h => Seq.fill(h + 1)(("B", (h + 1) * hr)))
+    ).toDF("event_type", "ts_ms")
+    val got = Cohort.eventLeadLag(ev, "A", "B", maxLag = 1)
+      .as[(Int, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1) == ((4L, 20L, Some(1000L))))
+    assert(got(0) == ((5L, 0L, Some(0L))))
+  }
 }
