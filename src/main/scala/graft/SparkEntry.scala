@@ -519,6 +519,32 @@ object SparkEntry {
       table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
     },
+    "lang_id_margin" -> { (s, dir) =>
+      // Selective prediction for the lang-ID gate: the argmax alone says
+      // WHICH language, the top1-top2 margin says whether to TRUST it —
+      // route low-margin docs to the expensive classifier, keep the rest
+      // at scan speed. One MarkerCounts pass; best/second via a sorted
+      // 5-int array; exact relative-margin bps.
+      import graft.functions.ExactDecimal.scaledRatio
+      val counts = graft.functions.MarkerCountsExpr
+        .column(col("text"), TextAnalysis.LangMarkers.map(_._2))
+      val sorted = array_sort(
+        array(TextAnalysis.LangMarkers.indices.map(i => counts.getItem(i).cast("long")): _*))
+      val nL = TextAnalysis.LangMarkers.size
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"),
+          element_at(sorted, nL).as("s_best"),
+          element_at(sorted, nL - 1).as("s_second"))
+        .select(
+          col("doc_id"), col("lang_pred"), col("s_best"), col("s_second"),
+          (col("s_best") - col("s_second")).as("margin"),
+          scaledRatio(
+            col("s_best") - col("s_second"),
+            greatest(col("s_best"), lit(1L)),
+            10000L).cast("long").as("conf_bps"))
+    },
     "quality_score" -> { (s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text"), length(col("text"))).as("quality"))
@@ -4256,6 +4282,31 @@ object SparkEntry {
         |       WHEN s_fr >= s_zh THEN 'fr'
         |       ELSE 'zh' END AS lang_pred
         |FROM scored""".stripMargin,
+    "lang_id_margin" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['the','and','of','to','in','is'], t))) AS s_en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS s_de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['el','la','los','que','y','es'], t))) AS s_es,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['le','les','des','et','est','dans'], t))) AS s_fr,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+        |    list_sort([CAST(s_en AS BIGINT), CAST(s_de AS BIGINT), CAST(s_es AS BIGINT),
+        |      CAST(s_fr AS BIGINT), CAST(s_zh AS BIGINT)]) AS l
+        |  FROM scored
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred,
+        |  l[5] AS s_best, l[4] AS s_second, l[5] - l[4] AS margin,
+        |  CAST((20000 * (l[5] - l[4]) + greatest(l[5], 1)) // (2 * greatest(l[5], 1)) AS BIGINT)
+        |    AS conf_bps
+        |FROM m""".stripMargin,
     "quality_score" ->
       """WITH f AS (
         |  SELECT doc_id,
