@@ -628,6 +628,16 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, nbits = 8)
     },
+    "ann_sign_hamming_topk" -> { (s, dir) =>
+      // Binary sign quantization + Hamming shortlist + exact rerank — the
+      // 1-bit-per-dim coarse tier: corpus vectors cross the Hamming stage
+      // as 2 bigint words (16x smaller than the float array); only the
+      // queries x shortlist frame ever touches floats again. Deterministic
+      // end to end (sign test, id tie-breaks) → full SQL oracle, plus a
+      // recall-vs-brute spec in SimilaritySpec (ops/Similarity.scala).
+      val emb = table(s, dir, "embeddings")
+      Similarity.signHammingTopK(emb, emb.filter(col("vec_id") < 8), k = 5, shortlist = 32)
+    },
     "lang_id_ngram" -> { (s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langIdNgram(col("text")).as("lang_pred"))
@@ -1689,6 +1699,15 @@ object SparkEntry {
       // joins, no broadcast state, one feature-frame checkpoint shared
       // with training.
       graft.ops.QualityTrainer.trainAndScore(table(s, dir, "documents"), iters = 8)
+    },
+    "quality_conformal_gate" -> { (s, dir) =>
+      // Split-conformal calibration of the trained gate: hash-split
+      // calibration slice, nonconformity = 1e6 - p_micro over TRUE keeps,
+      // threshold = the ceil((n+1)(1-α))-th smallest (α = 0.1) via the
+      // distributed range-rank primitive — turns a raw score cut into a
+      // ≥90%-recall-of-true-keeps guarantee, distribution-free
+      // (ops/QualityTrainer.scala).
+      graft.ops.QualityTrainer.conformalGate(table(s, dir, "documents"), iters = 8)
     },
     "trained_gate_gain" -> { (s, dir) =>
       // Is training worth it? kappa(trained gate, Gopher teacher) minus
@@ -3554,6 +3573,37 @@ object SparkEntry {
       |  CAST(CASE WHEN p_micro > 500000 THEN 1 ELSE 0 END AS INT) AS keep_trained
       |FROM p""".stripMargin
 
+  /** Split-conformal gate replay: the trained-scores CTEs plus the exact
+    * order-statistic threshold over the calibration positives. Sentinel
+    * for the k > n "no certificate" branch matches
+    * [[graft.ops.QualityTrainer.InfNonconformityMicro]] (2⁶²−1).
+    */
+  private def qualityConformalOracle(iters: Int): String =
+    s"""WITH ${qualityTrainedCtes(iters)}, p AS (
+      |  SELECT feat.doc_id, feat.y,
+      |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+      |      / 1000000.0) AS BIGINT) AS p_micro
+      |  FROM feat, w${iters}_ w
+      |), calib AS (
+      |  SELECT doc_id, 1000000 - p_micro AS s_micro FROM p
+      |  WHERE doc_id % 5 = 0 AND y = 1
+      |), kk AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    ((CAST(count(*) AS BIGINT) + 1) * 9 + 9) // 10 AS k
+      |  FROM calib
+      |), ranked AS (
+      |  SELECT s_micro, row_number() OVER (ORDER BY s_micro ASC, doc_id ASC) AS rk
+      |  FROM calib
+      |), q AS (
+      |  SELECT CASE WHEN kk.k > kk.n THEN CAST(4611686018427387903 AS BIGINT)
+      |    ELSE (SELECT s_micro FROM ranked, kk WHERE rk = kk.k) END AS qhat
+      |  FROM kk
+      |)
+      |SELECT p.doc_id, p.p_micro, CAST(q.qhat AS BIGINT) AS qhat_micro,
+      |  CAST(CASE WHEN 1000000 - p.p_micro <= q.qhat THEN 1 ELSE 0 END AS INT)
+      |    AS conformal_keep
+      |FROM p, q WHERE p.doc_id % 5 != 0""".stripMargin
+
   /** Per-group GD replay: [[qualityTrainedCtes]] with every state CTE
     * keyed by the group column (lang) — weights, gradients, and document
     * counts per group, chained `iters` times.
@@ -3763,6 +3813,7 @@ object SparkEntry {
         |FROM h""".stripMargin,
     "quality_trained_logit" -> qualityTrainedLogitOracle(8),
     "quality_trained_scores" -> qualityTrainedScoresOracle(8),
+    "quality_conformal_gate" -> qualityConformalOracle(8),
     "quality_trained_auc" ->
       s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.y,
@@ -4401,6 +4452,38 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
         |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "ann_sign_hamming_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    [CAST(list_sum(list_transform(range(0, 32),
+        |       j -> CASE WHEN embedding[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j)
+        |            ELSE CAST(0 AS BIGINT) END)) AS BIGINT),
+        |     CAST(list_sum(list_transform(range(32, 64),
+        |       j -> CASE WHEN embedding[j + 1] > 0 THEN (CAST(1 AS BIGINT) << (j - 32))
+        |            ELSE CAST(0 AS BIGINT) END)) AS BIGINT)] AS sig
+        |  FROM embeddings
+        |), q AS (SELECT vec_id AS query_id, v AS qv, sig AS qs FROM e WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, v AS cv, sig AS cs FROM e),
+        |ham AS (
+        |  SELECT query_id, neighbor_id, qv, cv,
+        |    bit_count(xor(qs[1], cs[1])) + bit_count(xor(qs[2], cs[2])) AS hamming
+        |  FROM q, c WHERE query_id != neighbor_id
+        |), short AS (
+        |  SELECT query_id, neighbor_id, qv, cv,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming ASC, neighbor_id ASC) AS hrk
+        |  FROM ham
+        |), rer AS (
+        |  SELECT query_id, neighbor_id,
+        |    round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+        |  FROM short WHERE hrk <= 32
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+        |  FROM rer
         |)
         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
     "ann_pq_adc_topk" ->

@@ -160,6 +160,67 @@ object QualityTrainer {
     score(feat, w)
   }
 
+  /** Split-conformal keep gate over the trained scorer — the
+    * distribution-free way to turn "p_micro > 500000" into "keep with
+    * ≥ (1−α) guaranteed recall of true keeps" (split conformal
+    * prediction; Vovk et al., and the Angelopoulos–Bates tutorial form).
+    *
+    * Recipe: a fixed hash split (`doc_id % 5 == 0`) is the calibration
+    * slice; nonconformity of a TRUE KEEP is `1e6 − p_micro`; the
+    * threshold q̂ is the ⌈(n+1)(1−α)⌉-th smallest calibration
+    * nonconformity (+∞ when the rank exceeds n, i.e. too little
+    * calibration data to certify — everything passes). The apply slice
+    * keeps doc iff `1e6 − p_micro ≤ q̂`. Marginal coverage: a fresh
+    * exchangeable true keep survives the gate with probability ≥ 1−α.
+    *
+    * 100 TB shape: train + score as [[trainAndScore]] (bounded driver
+    * state, one aggregation per GD step); the order statistic runs as a
+    * distributed range-rank over the CALIBRATION POSITIVES ONLY (a 1/5 ·
+    * keep-rate slice); the gate itself is literal arithmetic folded into
+    * the scan — the two driver scalars (n_cal, q̂) are bounded by
+    * construction.
+    */
+  def conformalGate(
+      docs: DataFrame,
+      iters: Int,
+      alphaNum: Long = 1L,
+      alphaDen: Long = 10L
+  ): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen, s"need 0 < α < 1, got $alphaNum/$alphaDen")
+    val feat = features(docs).localCheckpoint(eager = true)
+    val w = trainOnMaterialized(feat, iters, etaNum = 1L, etaDen = 2L).last
+    val withY = score(feat, w)
+      .join(feat.select(col("doc_id"), col("y")), Seq("doc_id"))
+    val calib = withY
+      .filter(col("doc_id") % 5 === 0 && col("y") === 1L)
+      .select(col("doc_id"), (lit(1000000L) - col("p_micro")).as("s_micro"))
+    val nCal = calib.count() // driver scalar: one long
+    val k = ((nCal + 1) * (alphaDen - alphaNum) + alphaDen - 1) / alphaDen // ceil
+    val qhat: Long =
+      if (k > nCal) InfNonconformityMicro
+      else
+        Ranking
+          .globalRowNumber(calib, Seq(col("s_micro").asc, col("doc_id").asc), "rk")
+          .filter(col("rk") === k)
+          .select("s_micro")
+          .head() // driver scalar: the single k-th order statistic row
+          .getLong(0)
+    withY
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(
+        col("doc_id"),
+        col("p_micro"),
+        lit(qhat).as("qhat_micro"),
+        ((lit(1000000L) - col("p_micro")) <= qhat).cast("int").as("conformal_keep"))
+  }
+
+  /** "+∞" sentinel for the conformal threshold: strictly above any real
+    * nonconformity `1e6 − p_micro` can reach for non-negative scores
+    * bounded by the feature algebra (|p_micro| ≤ Σ|wⱼ|·1e6 ≪ this at the
+    * trained magnitudes; asserted in the spec rather than assumed).
+    */
+  val InfNonconformityMicro: Long = Long.MaxValue / 2
+
   /** Feature frame with a carried group column (same single corpus scan —
     * the group rides [[TextAnalysis.gopherRules]]'s carryCols).
     */

@@ -149,6 +149,75 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Pack the sign bits of a float vector into `ceil(dim/32)` bigint words:
+    * bit j of word w is set iff `vec[32w + j] > 0`. 32 bits per word (not
+    * 64) keeps every word inside the non-negative bigint range so the
+    * packing is bit-identical in engines without unsigned shifts.
+    */
+  def signWords(vecCol: String, dim: Int): Column = {
+    require(dim > 0, s"signWords: dim must be positive, got $dim")
+    val words = (0 until (dim + 31) / 32).map { w =>
+      val base = w * 32
+      val n = math.min(32, dim - base)
+      s"""aggregate(sequence(0, ${n - 1}), CAST(0 AS BIGINT),
+         |  (a, j) -> a + IF(element_at($vecCol, j + ${base + 1}) > CAST(0 AS FLOAT),
+         |                   shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin
+    }
+    expr(s"array(${words.mkString(", ")})")
+  }
+
+  /** Binary (sign) quantization ANN: quantize every vector to one bit per
+    * dimension, shortlist by Hamming distance over the packed words, then
+    * exact-cosine rerank of the shortlist only — the "binary quantization
+    * + rescore" pattern production vector stores use for their coarsest,
+    * cheapest tier. Same `(query_id, neighbor_id, cos_sim, rank)` contract
+    * as every directed ANN leg.
+    *
+    * 100 TB shape: the Hamming stage scans signatures, not vectors — each
+    * corpus row crosses the plan as dim/32 bigint words (a 64-dim float
+    * vector becomes 2 longs: 16× smaller than the float array, 32× smaller
+    * than doubles), scored against broadcast query signatures with
+    * codegen'd `bit_count(xor)`; the bounded-heap top-k caps the exchange
+    * at `shortlist` rows per (partition, query). Full float vectors are
+    * touched only for the ≤ queries × shortlist rerank frame. Fully
+    * deterministic (sign test + id tie-breaks) → full SQL oracle, unlike
+    * the randomized-hyperplane LSH leg.
+    */
+  def signHammingTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      shortlist: Int = 32,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(shortlist >= k, s"signHammingTopK: shortlist $shortlist < k $k")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qSig = q.select(col("query_id"), signWords("q_vec", dim).as("q_sig"))
+    val ham = c
+      .select(col("neighbor_id"), signWords("c_vec", dim).as("c_sig"))
+      .join(broadcast(qSig), col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        // negated so TopKAgg's (score desc, id asc) order means
+        // (hamming asc, id asc) — the deterministic shortlist cut
+        (-expr("aggregate(zip_with(q_sig, c_sig, (x, y) -> bit_count(x ^ y)), 0, (a, h) -> a + h)"))
+          .as("neg_hamming"))
+    val short = topKPerGroup(ham, "query_id", "neighbor_id", "neg_hamming", shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val rerank = c
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+    topKPerQuery(rerank, k)
+  }
+
   /** Mutual (reciprocal) top-k nearest neighbors: pairs where EACH vector
     * ranks inside the other's top-k — the symmetric-confidence criterion
     * SemDeDup-style semantic dedup and duplicate verification use, because

@@ -69,6 +69,48 @@ class QualityTrainerSpec extends AnyFunSuite {
     assert(kap.getLong(kap.fieldIndex("kappa_micro")) == 1000000L)
   }
 
+  test("conformalGate: exact order-statistic threshold, consistent gate, calibration coverage") {
+    val docs = planted(60, 20) // calib positives = ids {0,5,...,55}: n=12, k=12 → finite q̂
+    val gate = QualityTrainer.conformalGate(docs, iters = 8).collect()
+    // calibration slice never appears in the output
+    assert(gate.nonEmpty && gate.forall(_.getLong(0) % 5 != 0))
+    val qhats = gate.map(_.getLong(2)).distinct
+    assert(qhats.length == 1)
+    val qhat = qhats.head
+    // local recompute through the public train/score faces
+    val feat = QualityTrainer.features(docs)
+    val w = QualityTrainer.train(feat, iters = 8).last
+    val scored = QualityTrainer
+      .score(feat, w)
+      .join(feat.select(col("doc_id"), col("y")), "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("p_micro")), r.getLong(r.fieldIndex("y"))))
+    val calib = scored
+      .filter { case (id, _, y) => id % 5 == 0 && y == 1L }
+      .map { case (id, p, _) => (1000000L - p, id) }
+      .sorted
+    val n = calib.length
+    assert(n == 12)
+    val k = ((n + 1) * 9 + 9) / 10
+    assert(k <= n) // finite branch exercised
+    assert(qhat == calib(k - 1)._1)
+    // gate rows are pointwise consistent with the published threshold
+    gate.foreach { r =>
+      val keep = r.getInt(3) == 1
+      assert(keep == (1000000L - r.getLong(1) <= qhat), s"doc ${r.getLong(0)}")
+    }
+    // coverage: at least k of the n calibration positives fall inside q̂
+    assert(calib.count(_._1 <= qhat) >= k)
+  }
+
+  test("conformalGate: too-small calibration slice yields the +inf no-certificate branch") {
+    val docs = planted(20, 10) // calib positives = ids {0,5,10,15}: n=4, k=5 > n
+    val gate = QualityTrainer.conformalGate(docs, iters = 8).collect()
+    assert(gate.nonEmpty)
+    assert(gate.forall(_.getLong(2) == QualityTrainer.InfNonconformityMicro))
+    assert(gate.forall(_.getInt(3) == 1)) // everything passes: no certificate
+  }
+
   test("weight trajectory matches a local exact replay of the GD recurrence") {
     val docs = planted(6, 6)
     val rows = QualityTrainer.features(docs).collect()

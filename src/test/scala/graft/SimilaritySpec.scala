@@ -53,6 +53,66 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("signWords packs the sign bit per dimension into 32-bit bigint words") {
+    val df = Seq(
+      (0L, Array(1.0f, -2.0f, 0.0f, 3.5f)),
+      (1L, Array(-1.0f, -1.0f, -1.0f, -1.0f)),
+      (2L, Array(0.5f, 0.5f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val got = df
+      .select($"vec_id", Similarity.signWords("embedding", 4).as("sig"))
+      .as[(Long, Seq[Long])]
+      .collect()
+      .toMap
+    // bit j set iff v(j) > 0; 0.0 does not count as positive
+    assert(got(0L) == Seq(1L + 8L))
+    assert(got(1L) == Seq(0L))
+    assert(got(2L) == Seq(15L))
+    // >32 dims spill into a second word
+    val wide = Seq((0L, Array.fill(40)(1.0f))).toDF("vec_id", "embedding")
+    val sig = wide
+      .select(Similarity.signWords("embedding", 40))
+      .as[Seq[Long]]
+      .head()
+    assert(sig == Seq((1L << 32) - 1, (1L << 8) - 1))
+  }
+
+  test("signHammingTopK with a corpus-wide shortlist equals brute force exactly") {
+    val data = clustered(80)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 4)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val exact = rows(Similarity.bruteForceTopK(df, queries, k = 4))
+    val viaSign =
+      rows(Similarity.signHammingTopK(df, queries, k = 4, shortlist = 80, dim = dim))
+    assert(viaSign == exact) // rerank over everything ≡ brute force
+  }
+
+  test("signHammingTopK achieves high recall with a tight shortlist on clustered data") {
+    val data = clustered(120)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    val exact = Similarity
+      .bruteForceTopK(df, queries, k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val approx = Similarity
+      .signHammingTopK(df, queries, k = 5, shortlist = 48, dim = dim)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // At 16 sign bits an entire cluster (~40 members) ties at Hamming 0, so
+    // the shortlist must cover the tie mass to guarantee the 5-NN survive
+    // the id tie-break (a 16-deep shortlist measures ~0.53 recall here).
+    // Sizing rule: shortlist ≳ expected same-signature neighborhood.
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("lshTopK achieves high recall on clustered data") {
     val data = clustered(120)
     val df = data.toDF("vec_id", "embedding")
