@@ -1199,6 +1199,21 @@ object SparkEntry {
       // fully oracle-checked including the reconstruction error bound.
       Similarity.quantizeInt8Stats(table(s, dir, "embeddings"))
     },
+    "record_linkage_pairs" -> { (s, dir) =>
+      // Fellegi-Sunter entity resolution over a deterministically
+      // corrupted replica of customer: two blocking passes (nation+segment,
+      // nation+$10-balance-bucket), field-agreement vectors (exact name,
+      // lowercased trigram Jaccard via the integer 2|A∩B| >= |A∪B| test,
+      // ±10c balance proximity, segment equality), frozen integer log-odds
+      // score, inclusive threshold decision (ops/RecordLinkage.scala).
+      graft.ops.RecordLinkage.fsPairs(table(s, dir, "customer"))
+    },
+    "record_linkage_eval" -> { (s, dir) =>
+      // End-to-end ER scorecard vs the planted key-identity truth in ONE
+      // row: candidate volume, blocking recall, TP/FP/FN, exact-integer
+      // precision/recall/F1 — recall counts blocking misses too.
+      graft.ops.RecordLinkage.fsEval(table(s, dir, "customer"))
+    },
     "fuzzy_prefix_pairs" -> { (s, dir) =>
       // Blocked fuzzy self-join: English docs blocked on their first token,
       // verified by levenshtein over the 24-char prefix. (lang gate keeps
@@ -3604,6 +3619,62 @@ object SparkEntry {
       |    AS conformal_keep
       |FROM p, q WHERE p.doc_id % 5 != 0""".stripMargin
 
+  /** Shared CTEs for the Fellegi–Sunter record-linkage oracle: corrupted
+    * replica, clean side, two-pass blocked candidates (UNION dedups), and
+    * the scored agreement frame — constants mirror
+    * [[graft.ops.RecordLinkage]] exactly.
+    */
+  private val RecordLinkageCtes: String =
+    """WITH d AS (
+      |  SELECT c_custkey AS d_key,
+      |    CASE WHEN c_custkey % 3 = 0 THEN 'CUST-' || substring(c_name, 10)
+      |         WHEN c_custkey % 3 = 1 THEN upper(c_name)
+      |         ELSE c_name END AS d_name,
+      |    c_nationkey AS d_nation,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + c_custkey % 21 - 10 AS d_cents,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS d_seg
+      |  FROM customer
+      |), c AS (
+      |  SELECT c_custkey AS c_key, c_name, c_nationkey AS c_nation,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS c_cents,
+      |    c_mktsegment AS c_seg
+      |  FROM customer
+      |), cand AS (
+      |  SELECT d_key, c_key FROM d JOIN c ON d_nation = c_nation AND d_seg = c_seg
+      |  UNION
+      |  SELECT d_key, c_key FROM d JOIN c ON d_nation = c_nation
+      |    AND (d_cents + 1000000) // 1000 = (c_cents + 1000000) // 1000
+      |), ag AS (
+      |  SELECT cand.d_key, cand.c_key,
+      |    CASE WHEN d.d_name = c.c_name THEN 1 ELSE 0 END AS a_name_exact,
+      |    CASE WHEN 2 * len(list_intersect(
+      |        list_distinct(list_transform(range(1, greatest(length(lower(d.d_name)) - 1, 2)),
+      |          i -> substring(lower(d.d_name), i, 3))),
+      |        list_distinct(list_transform(range(1, greatest(length(lower(c.c_name)) - 1, 2)),
+      |          i -> substring(lower(c.c_name), i, 3)))))
+      |      >= len(list_distinct(list_concat(
+      |        list_distinct(list_transform(range(1, greatest(length(lower(d.d_name)) - 1, 2)),
+      |          i -> substring(lower(d.d_name), i, 3))),
+      |        list_distinct(list_transform(range(1, greatest(length(lower(c.c_name)) - 1, 2)),
+      |          i -> substring(lower(c.c_name), i, 3))))))
+      |      THEN 1 ELSE 0 END AS a_name_tri,
+      |    CASE WHEN abs(d.d_cents - c.c_cents) <= 10 THEN 1 ELSE 0 END AS a_bal,
+      |    CASE WHEN d.d_seg = c.c_seg THEN 1 ELSE 0 END AS a_seg
+      |  FROM cand JOIN d ON cand.d_key = d.d_key JOIN c ON cand.c_key = c.c_key
+      |), sc AS (
+      |  SELECT d_key, c_key, a_name_exact, a_name_tri, a_bal, a_seg,
+      |    CAST(CASE WHEN a_name_exact = 1 THEN 2000000 ELSE -400000 END
+      |       + CASE WHEN a_name_tri = 1 THEN 300000 ELSE -1200000 END
+      |       + CASE WHEN a_bal = 1 THEN 3000000 ELSE -500000 END
+      |       + CASE WHEN a_seg = 1 THEN 700000 ELSE -900000 END AS BIGINT) AS score_micro
+      |  FROM ag
+      |), dec AS (
+      |  SELECT *,
+      |    CAST(CASE WHEN score_micro >= 2000000 THEN 1 ELSE 0 END AS INT) AS predicted,
+      |    CAST(CASE WHEN d_key = c_key THEN 1 ELSE 0 END AS INT) AS is_true
+      |  FROM sc
+      |)""".stripMargin
+
   /** Per-group GD replay: [[qualityTrainedCtes]] with every state CTE
     * keyed by the group column (lang) — weights, gradients, and document
     * counts per group, chained `iters` times.
@@ -5632,6 +5703,27 @@ object SparkEntry {
         |  CAST(list_max(list_transform(range(1, len(qv)+1),
         |    i -> CAST(floor(abs(qv[i]/scale - v[i])*1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS max_err_micro
         |FROM q""".stripMargin,
+    "record_linkage_pairs" ->
+      s"""$RecordLinkageCtes
+        |SELECT d_key, c_key, a_name_exact, a_name_tri, a_bal, a_seg,
+        |  score_micro, predicted, is_true
+        |FROM dec""".stripMargin,
+    "record_linkage_eval" ->
+      s"""$RecordLinkageCtes, t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM customer),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(sum(is_true) AS BIGINT) AS n_blocked_true,
+        |    CAST(sum(CASE WHEN predicted = 1 AND is_true = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN predicted = 1 AND is_true = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp
+        |  FROM dec
+        |)
+        |SELECT t.n_truth, m.n_candidates, m.n_blocked_true,
+        |  m.n_blocked_true * 1000000 // t.n_truth AS blocking_recall_micro,
+        |  m.tp, m.fp, t.n_truth - m.tp AS fn,
+        |  m.tp * 1000000 // greatest(m.tp + m.fp, 1) AS precision_micro,
+        |  m.tp * 1000000 // t.n_truth AS recall_micro,
+        |  2 * m.tp * 1000000 // greatest(2 * m.tp + m.fp + (t.n_truth - m.tp), 1) AS f1_micro
+        |FROM m, t""".stripMargin,
     "fuzzy_prefix_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, substr(text, 1, 24) AS p24,

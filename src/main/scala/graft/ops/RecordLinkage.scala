@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fellegi–Sunter record linkage (entity resolution): multi-pass blocking
+  * → field-agreement vectors → additive log-odds match scores → decision,
+  * evaluated against ground truth.
+  *
+  * The classic FS model scores a candidate pair by Σⱼ wⱼ where wⱼ is
+  * ln(mⱼ/uⱼ) if field j agrees and ln((1−mⱼ)/(1−uⱼ)) if it disagrees
+  * (mⱼ = P(agree | match), uⱼ = P(agree | unmatch)). Weights here are
+  * FROZEN micro-unit constants in that spirit (high-u fields like the
+  * templated trigram name carry little positive weight; the
+  * low-u balance-proximity field dominates) — keeping every score an
+  * exact integer sum, fully replayable in SQL.
+  *
+  * The "dirty" side is a deterministically corrupted replica of the
+  * clean table (prefix rewrite / case fold on the name, ±10-cent balance
+  * noise, 1-in-7 segment wipe), so ground truth is the key identity and
+  * blocking recall, precision, and recall are all measurable — the
+  * planted-truth discipline the dedup family uses.
+  *
+  * 100 TB shape: each blocking pass is one equi-join on a compound block
+  * key (never a cross join); candidate volume is Σ_blocks |dirty|·|clean|,
+  * controlled by block granularity; agreement predicates and the score
+  * are scan-speed literal arithmetic; the eval is count-only aggregation.
+  */
+object RecordLinkage {
+
+  // Frozen FS log-odds weights, micro-units (agree / disagree).
+  val WNameExact: (Long, Long) = (2000000L, -400000L)
+  val WNameTri: (Long, Long) = (300000L, -1200000L)
+  val WBal: (Long, Long) = (3000000L, -500000L)
+  val WSeg: (Long, Long) = (700000L, -900000L)
+
+  /** Decision threshold (inclusive), micro-units. */
+  val ThresholdMicro: Long = 2000000L
+
+  /** Balance agreement tolerance, cents. */
+  val BalTolCents: Long = 10L
+
+  /** Pass-B block: balance bucket width, cents ($10). */
+  val BucketCents: Long = 1000L
+
+  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+
+  /** Distinct character trigrams of a (lowercased) string column. */
+  private def trigrams(c: Column): Column =
+    array_distinct(expr(s"transform(sequence(1, greatest(length(${c.toString}) - 2, 1)), i -> substring(${c.toString}, i, 3))"))
+
+  /** The deterministically corrupted replica of the clean customer frame:
+    * name prefix rewritten (key%3=0), case-folded (key%3=1) or kept;
+    * balance shifted by (key%21 − 10) cents; segment wiped to 'UNKNOWN'
+    * for key%7=0. The block key (nation) stays clean — the usual ER
+    * assumption that blocking runs on a reliable attribute.
+    */
+  def dirtyCustomers(cust: DataFrame): DataFrame =
+    cust.select(
+      col("c_custkey").as("d_key"),
+      when(col("c_custkey") % 3 === 0, concat(lit("CUST-"), expr("substring(c_name, 10)")))
+        .when(col("c_custkey") % 3 === 1, upper(col("c_name")))
+        .otherwise(col("c_name"))
+        .as("d_name"),
+      col("c_nationkey").as("d_nation"),
+      (cents(col("c_acctbal")) + col("c_custkey") % 21 - 10).as("d_cents"),
+      when(col("c_custkey") % 7 === 0, lit("UNKNOWN")).otherwise(col("c_mktsegment"))
+        .as("d_seg")
+    )
+
+  private def cleanSide(cust: DataFrame): DataFrame =
+    cust.select(
+      col("c_custkey").as("c_key"),
+      col("c_name"),
+      col("c_nationkey").as("c_nation"),
+      cents(col("c_acctbal")).as("c_cents"),
+      col("c_mktsegment").as("c_seg")
+    )
+
+  /** Non-negative $10 bucket of a cents column (offset keeps the value
+    * positive so integer division floors identically in both engines).
+    */
+  private def balBucket(c: Column): Column = expr(s"(${c.toString} + 1000000) DIV $BucketCents")
+
+  /** Candidate pairs from two blocking passes, FS-scored.
+    *
+    * Pass A blocks on (nation, segment) — misses pairs whose segment was
+    * wiped; pass B blocks on (nation, $10 balance bucket) — catches those
+    * unless the ±10-cent noise crosses a bucket edge. The union is
+    * deduplicated on the key pair, then agreements and the additive score
+    * are literal arithmetic. Output carries the agreement vector, the
+    * score, the decision, and the ground-truth flag.
+    */
+  def fsPairs(cust: DataFrame): DataFrame = {
+    val d = dirtyCustomers(cust).localCheckpoint(eager = true)
+    val c = cleanSide(cust).localCheckpoint(eager = true)
+    val passA = d
+      .join(c, col("d_nation") === col("c_nation") && col("d_seg") === col("c_seg"))
+      .select(col("d_key"), col("c_key"))
+    val passB = d
+      .join(
+        c,
+        col("d_nation") === col("c_nation") &&
+          balBucket(col("d_cents")) === balBucket(col("c_cents")))
+      .select(col("d_key"), col("c_key"))
+    val cand = passA.unionByName(passB).distinct()
+    val scored = cand
+      .join(d, Seq("d_key"))
+      .join(c, Seq("c_key"))
+      .withColumn("a_name_exact", (col("d_name") === col("c_name")).cast("int"))
+      .withColumn("d_tri", trigrams(lower(col("d_name"))))
+      .withColumn("c_tri", trigrams(lower(col("c_name"))))
+      .withColumn(
+        "a_name_tri",
+        (size(array_intersect(col("d_tri"), col("c_tri"))) * 2 >=
+          size(array_union(col("d_tri"), col("c_tri")))).cast("int"))
+      .withColumn(
+        "a_bal",
+        (abs(col("d_cents") - col("c_cents")) <= BalTolCents).cast("int"))
+      .withColumn("a_seg", (col("d_seg") === col("c_seg")).cast("int"))
+    def w(agree: Column, ws: (Long, Long)): Column =
+      when(agree === 1, lit(ws._1)).otherwise(lit(ws._2))
+    scored
+      .withColumn(
+        "score_micro",
+        w(col("a_name_exact"), WNameExact) + w(col("a_name_tri"), WNameTri) +
+          w(col("a_bal"), WBal) + w(col("a_seg"), WSeg))
+      .withColumn("predicted", (col("score_micro") >= ThresholdMicro).cast("int"))
+      .withColumn("is_true", (col("d_key") === col("c_key")).cast("int"))
+      .select(
+        col("d_key"), col("c_key"), col("a_name_exact"), col("a_name_tri"),
+        col("a_bal"), col("a_seg"), col("score_micro"), col("predicted"), col("is_true"))
+  }
+
+  /** One-row evaluation against the planted truth: candidate volume,
+    * blocking recall (true pairs that survived blocking), decision
+    * TP/FP/FN, and exact-integer precision/recall/F1 in micro-units
+    * (FN counts truth missed by blocking AND truth scored below
+    * threshold — end-to-end recall, not post-blocking recall).
+    */
+  def fsEval(cust: DataFrame): DataFrame = {
+    val pairs = fsPairs(cust)
+    val truth = cust.agg(count(lit(1)).as("n_truth"))
+    pairs
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(col("is_true")).as("n_blocked_true"),
+        sum(when(col("predicted") === 1 && col("is_true") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("predicted") === 1 && col("is_true") === 0, 1L).otherwise(0L)).as("fp"))
+      .crossJoin(broadcast(truth))
+      .select(
+        col("n_truth"),
+        col("n_candidates"),
+        col("n_blocked_true"),
+        expr("n_blocked_true * 1000000 DIV n_truth").as("blocking_recall_micro"),
+        col("tp"),
+        col("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        expr("tp * 1000000 DIV greatest(tp + fp, 1)").as("precision_micro"),
+        expr("tp * 1000000 DIV n_truth").as("recall_micro"),
+        expr("2 * tp * 1000000 DIV greatest(2 * tp + fp + (n_truth - tp), 1)").as("f1_micro"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.RecordLinkage
+
+class RecordLinkageSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def name(k: Long) = f"Customer#$k%09d"
+
+  /** Keys chosen to hit every corruption branch:
+    * 2 (untouched), 3 (prefix rewrite), 4/10 (case fold, planted FP pair
+    * 10 cents apart), 7 (case fold + segment wipe), 21 (prefix rewrite +
+    * segment wipe → below threshold), 14 (segment wipe + balance noise
+    * crossing a $10 bucket edge → lost by BOTH blocking passes).
+    */
+  private val fixture = Seq(
+    (2L, name(2), 1, 10.00, "BUILDING"),
+    (3L, name(3), 1, 50.00, "BUILDING"),
+    (4L, name(4), 1, 200.00, "BUILDING"),
+    (7L, name(7), 1, 100.50, "BUILDING"),
+    (10L, name(10), 1, 199.90, "BUILDING"),
+    (14L, name(14), 1, 99.97, "BUILDING"),
+    (21L, name(21), 1, 150.55, "BUILDING") // off the $10 bucket edge: survives pass B
+  ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  test("dirtyCustomers applies the documented deterministic corruptions") {
+    val d = RecordLinkage
+      .dirtyCustomers(fixture)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(d(2L) == (name(2), 1000L - 8, "BUILDING")) // %3=2: untouched name
+    assert(d(3L) == ("CUST-000000003", 5000L - 7, "BUILDING")) // %3=0: prefix
+    assert(d(4L) == (name(4).toUpperCase, 20000L - 6, "BUILDING")) // %3=1: case
+    assert(d(7L) == (name(7).toUpperCase, 10050L - 3, "UNKNOWN")) // %7=0: seg wipe
+    assert(d(21L) == ("CUST-000000021", 15055L - 10, "UNKNOWN"))
+  }
+
+  test("fsPairs: FS scores on the planted true pairs match the hand-derived agreement algebra") {
+    val pairs = RecordLinkage
+      .fsPairs(fixture)
+      .collect()
+      .map(r =>
+        (r.getLong(r.fieldIndex("d_key")), r.getLong(r.fieldIndex("c_key"))) ->
+          (r.getLong(r.fieldIndex("score_micro")), r.getInt(r.fieldIndex("predicted")),
+            r.getInt(r.fieldIndex("is_true"))))
+      .toMap
+    // untouched: all four fields agree → 2.0 + 0.3 + 3.0 + 0.7
+    assert(pairs((2L, 2L)) == (6000000L, 1, 1))
+    // prefix rewrite kills exact AND trigram (4 shared / 14 union < 1/2):
+    // -0.4 - 1.2 + 3.0 + 0.7 = 2.1 — still over the 2.0 threshold
+    assert(pairs((3L, 3L)) == (2100000L, 1, 1))
+    // case fold: exact fails, lowercased trigrams identical:
+    // -0.4 + 0.3 + 3.0 - 0.9 (seg wiped) = 2.0 — inclusive threshold keeps it
+    assert(pairs((7L, 7L)) == (2000000L, 1, 1))
+    // both name AND segment corrupted: -0.4 - 1.2 + 3.0 - 0.9 = 0.5 → FN
+    assert(pairs((21L, 21L)) == (500000L, 0, 1))
+    // planted FP: templated names + 4-cent balance proximity + same segment
+    val fp = pairs((4L, 10L))
+    assert(fp._2 == 1 && fp._3 == 0, s"planted FP got $fp")
+    // bucket-edge crossing + segment wipe: lost by BOTH blocking passes
+    assert(!pairs.contains((14L, 14L)))
+  }
+
+  test("fsEval row is exactly consistent with the pairs frame") {
+    val pairs = RecordLinkage.fsPairs(fixture).collect()
+    val e = RecordLinkage.fsEval(fixture).head()
+    def g(n: String) = e.getLong(e.fieldIndex(n))
+    val tp = pairs.count(r => r.getInt(r.fieldIndex("predicted")) == 1 && r.getInt(r.fieldIndex("is_true")) == 1)
+    val fp = pairs.count(r => r.getInt(r.fieldIndex("predicted")) == 1 && r.getInt(r.fieldIndex("is_true")) == 0)
+    val nTrue = pairs.count(r => r.getInt(r.fieldIndex("is_true")) == 1)
+    assert(g("n_truth") == 7L)
+    assert(g("n_candidates") == pairs.length.toLong)
+    assert(g("n_blocked_true") == nTrue.toLong)
+    assert(g("blocking_recall_micro") == nTrue.toLong * 1000000L / 7L)
+    assert(g("tp") == tp.toLong && g("fp") == fp.toLong)
+    assert(g("fn") == 7L - tp) // counts blocking misses too
+    assert(g("precision_micro") == tp.toLong * 1000000L / math.max(tp + fp, 1))
+    assert(g("recall_micro") == tp.toLong * 1000000L / 7L)
+    assert(g("f1_micro") == 2L * tp * 1000000L / math.max(2L * tp + fp + (7L - tp), 1L))
+  }
+}
