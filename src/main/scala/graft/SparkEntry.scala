@@ -1355,6 +1355,22 @@ object SparkEntry {
       // comparison — no division anywhere (ops/Cohort.scala).
       graft.ops.Cohort.rateSpikeHours(eventsTable(s, dir), thresholdPct = 150)
     },
+    "hourly_ewma_counts" -> { (s, dir) =>
+      // Exact dyadic EWMA (α=1/2, 16h truncated lookback) of per-type
+      // hourly rates on the DENSE zero-filled hour grid — integer when
+      // scaled by 2^16, so the smoothed monitor line is bit-identical in
+      // any engine; contributions explode from the sparse nonzero hours,
+      // never 16× the span (ops/TimeSeries.scala).
+      graft.ops.TimeSeries.ewmaHourly(eventsTable(s, dir))
+    },
+    "seasonal_hour_flags" -> { (s, dir) =>
+      // Diurnal-corrected spike/dip flags: each (type, hour) cell vs its
+      // hour-of-day mean over the dense span (zero hours included),
+      // division-free cross-multiplied comparisons — the seasonal
+      // complement to rate_spike_hours' flat per-user average
+      // (ops/TimeSeries.scala).
+      graft.ops.TimeSeries.seasonalHourFlags(eventsTable(s, dir))
+    },
     "event_burstiness" -> { (s, dir) =>
       // Is each event type's arrival process bursty at all? Fano factor
       // (var/mean of hourly counts over the global span, zero-hours
@@ -5973,6 +5989,51 @@ object SparkEntry {
         |)
         |SELECT user_id, hour * 3600000 AS hour_ms, n, total, n_hours
         |FROM t WHERE n * 100 * n_hours > 150 * total""".stripMargin,
+    "hourly_ewma_counts" ->
+      """WITH hc AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hc),
+        |grid AS (
+        |  SELECT t.event_type, g.h AS hour
+        |  FROM (SELECT DISTINCT event_type FROM hc) t
+        |  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b))) AS h) g
+        |), contrib AS (
+        |  SELECT event_type, hour + k AS hour, cnt * (1 << (15 - k)) AS w
+        |  FROM hc CROSS JOIN (SELECT unnest(range(16)) AS k) ks
+        |), agg AS (
+        |  SELECT event_type, hour, CAST(sum(w) AS BIGINT) AS s
+        |  FROM contrib GROUP BY 1, 2
+        |)
+        |SELECT g.event_type, g.hour * 3600000 AS hour_ms,
+        |  coalesce(hc.cnt, 0) AS cnt, coalesce(a.s, 0) AS ewma_x65536
+        |FROM grid g
+        |LEFT JOIN hc ON hc.event_type = g.event_type AND hc.hour = g.hour
+        |LEFT JOIN agg a ON a.event_type = g.event_type AND a.hour = g.hour""".stripMargin,
+    "seasonal_hour_flags" ->
+      """WITH hc AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hc),
+        |grid AS (
+        |  SELECT t.event_type, g.h AS hour
+        |  FROM (SELECT DISTINCT event_type FROM hc) t
+        |  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b))) AS h) g
+        |), dense AS (
+        |  SELECT g.event_type, g.hour, coalesce(hc.cnt, 0) AS cnt
+        |  FROM grid g LEFT JOIN hc ON hc.event_type = g.event_type AND hc.hour = g.hour
+        |), hod AS (
+        |  SELECT event_type, hour % 24 AS hod, CAST(sum(cnt) AS BIGINT) AS hod_total,
+        |    CAST(count(*) AS BIGINT) AS hod_cells
+        |  FROM dense GROUP BY 1, 2
+        |)
+        |SELECT d.event_type, d.hour * 3600000 AS hour_ms, d.hour % 24 AS hod, d.cnt,
+        |  h.hod_total, h.hod_cells,
+        |  CAST(CASE WHEN d.cnt * h.hod_cells > h.hod_total * 2 THEN 1 ELSE 0 END AS INT) AS spike,
+        |  CAST(CASE WHEN d.cnt * h.hod_cells * 2 < h.hod_total THEN 1 ELSE 0 END AS INT) AS dip
+        |FROM dense d JOIN hod h ON h.event_type = d.event_type AND h.hod = d.hour % 24""".stripMargin,
     "event_burstiness" ->
       """WITH cells AS (
         |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour,

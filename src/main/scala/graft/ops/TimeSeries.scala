@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hourly time-series smoothing and seasonal anomaly screens over the
+  * events stream — the monitoring reads (trend line, diurnal-corrected
+  * spike/dip flags) a pipeline operator watches next to the drift/
+  * changepoint family.
+  *
+  * Everything runs on the DENSE hour grid (types × span, zero-filled):
+  * missing hours are real zeros to a monitor, and leaving them out both
+  * biases the seasonal baseline and makes dips invisible. The grid is a
+  * types × span metadata-size frame (bounded: 8 types × a month = ~5.6k
+  * rows here; even years × thousands of keys stays executor-trivial) —
+  * the only corpus-size work is the initial count aggregation.
+  *
+  * The EWMA is EXACT: α = 1/2 gives dyadic weights, so the 16-step
+  * truncated recursion s_h = Σ_{k=0..15} x_{h−k}/2^{k+1} is an integer
+  * when scaled by 2^16 — reported as `ewma_x65536`, bit-identical in any
+  * engine, no float accumulation anywhere. Contributions are generated
+  * by exploding each nonzero hour ONCE into its 16 target hours
+  * (sparse-side work: 16 × active hours, not 16 × span), then one
+  * groupBy — no window over an unpartitioned global sort.
+  */
+object TimeSeries {
+
+  /** EWMA lookback in hours (truncation window). */
+  val EwmaWindow: Int = 16
+
+  /** Per-type hourly counts on the dense [min_hour, max_hour] grid,
+    * zero-filled. Columns: event_type, hour (epoch hours), cnt.
+    */
+  def hourlyDenseCounts(ev: DataFrame): DataFrame = {
+    val hc = ev
+      .select(col("event_type"), expr("ts_ms DIV 3600000").as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = hc.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+    val grid = hc
+      .select(col("event_type"))
+      .distinct()
+      .crossJoin(broadcast(bounds)) // 1-row frame: span bounds
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("hour"))
+    grid
+      .join(hc, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Exact dyadic EWMA (α = 1/2, 16-hour truncated lookback) of the
+    * hourly per-type counts. Output: event_type, hour_ms, cnt,
+    * ewma_x65536 = Σ_{k=0..15} cnt(h−k)·2^(15−k) — the smoothed rate
+    * scaled by 2^16, an exact integer. Hours before the series start
+    * contribute zero (zero-padded warm-up, same convention as the grid).
+    */
+  def ewmaHourly(ev: DataFrame): DataFrame = {
+    val dense = hourlyDenseCounts(ev).localCheckpoint(eager = true)
+    val contrib = dense
+      .filter(col("cnt") > 0) // sparse side: zeros contribute nothing
+      .select(
+        col("event_type"),
+        explode(sequence(lit(0), lit(EwmaWindow - 1))).as("k"),
+        col("hour"),
+        col("cnt"))
+      .select(
+        col("event_type"),
+        (col("hour") + col("k")).as("hour"),
+        expr(s"cnt * shiftleft(CAST(1 AS BIGINT), ${EwmaWindow - 1} - k)").as("w"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(sum(col("w")).as("s"))
+    dense
+      .join(contrib, Seq("event_type", "hour"), "left")
+      .select(
+        col("event_type"),
+        (col("hour") * 3600000L).as("hour_ms"),
+        col("cnt"),
+        coalesce(col("s"), lit(0L)).as("ewma_x65536"))
+  }
+
+  /** Diurnal-corrected anomaly flags: each (type, hour) cell compared to
+    * its HOUR-OF-DAY baseline (the mean count over all same-hod cells of
+    * the dense span — zero hours included). Spike: cnt > 2× hod mean;
+    * dip: cnt < 1/2× hod mean — both as exact cross-multiplied integer
+    * comparisons, division-free. The rate_spike screen flags bursts vs a
+    * user's own flat average; this one corrects for the time-of-day shape
+    * first, so a busy-but-normal peak hour stops masquerading as a burst.
+    */
+  def seasonalHourFlags(ev: DataFrame): DataFrame = {
+    val dense = hourlyDenseCounts(ev).localCheckpoint(eager = true)
+    val hod = dense
+      .groupBy(col("event_type"), (col("hour") % 24).as("hod"))
+      .agg(sum(col("cnt")).as("hod_total"), count(lit(1)).as("hod_cells"))
+    dense
+      .select(col("event_type"), col("hour"), (col("hour") % 24).as("hod"), col("cnt"))
+      .join(broadcast(hod), Seq("event_type", "hod")) // types × 24 rows
+      .select(
+        col("event_type"),
+        (col("hour") * 3600000L).as("hour_ms"),
+        col("hod"),
+        col("cnt"),
+        col("hod_total"),
+        col("hod_cells"),
+        (col("cnt") * col("hod_cells") > col("hod_total") * 2).cast("int").as("spike"),
+        (col("cnt") * col("hod_cells") * 2 < col("hod_total")).cast("int").as("dip"))
+  }
+}

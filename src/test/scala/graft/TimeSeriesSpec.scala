@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TimeSeries
+
+class TimeSeriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def events(rows: (String, Long, Int)*) =
+    rows
+      .flatMap { case (t, hour, n) => (0 until n).map(i => (t, hour * 3600000L + i)) }
+      .toDF("event_type", "ts_ms")
+
+  test("hourlyDenseCounts zero-fills the gaps of the [min,max] grid for every type") {
+    val ev = events(("a", 0L, 2), ("a", 3L, 1), ("b", 1L, 4))
+    val got = TimeSeries
+      .hourlyDenseCounts(ev)
+      .as[(String, Long, Long)]
+      .collect()
+      .map(r => (r._1, r._2) -> r._3)
+      .toMap
+    // span is global [0, 3]; both types get all 4 hours
+    assert(got.size == 8)
+    assert(got(("a", 0L)) == 2L && got(("a", 1L)) == 0L && got(("a", 2L)) == 0L && got(("a", 3L)) == 1L)
+    assert(got(("b", 0L)) == 0L && got(("b", 1L)) == 4L && got(("b", 2L)) == 0L && got(("b", 3L)) == 0L)
+  }
+
+  test("ewmaHourly matches the exact dyadic recurrence, including truncation at 16 steps") {
+    // x = [4, 0, 8] at hours 0..2, plus a lone count at hour 20 to check
+    // that hour-0 mass is OUT of the window by hour 16 (15 - k < 0).
+    val ev = events(("a", 0L, 4), ("a", 2L, 8), ("a", 20L, 1))
+    val got = TimeSeries
+      .ewmaHourly(ev)
+      .select("hour_ms", "cnt", "ewma_x65536")
+      .as[(Long, Long, Long)]
+      .collect()
+      .map(r => r._1 / 3600000L -> (r._2, r._3))
+      .toMap
+    assert(got(0L) == (4L, 4L * 32768)) // 4·2^15
+    assert(got(1L) == (0L, 4L * 16384)) // 4·2^14
+    assert(got(2L) == (8L, 8L * 32768 + 4L * 8192)) // 8·2^15 + 4·2^13
+    assert(got(15L) == (0L, 4L * 1 + 8L * 4)) // k=15 for x0, k=13 for x2
+    assert(got(16L) == (0L, 8L * 2)) // hour-0 mass truncated out
+    assert(got(17L) == (0L, 8L * 1))
+    assert(got(18L) == (0L, 0L)) // everything out of window
+    assert(got(20L) == (1L, 1L * 32768))
+  }
+
+  test("seasonalHourFlags: diurnal baseline flags spikes and dips, zero baselines stay quiet") {
+    // hod 0 over three days: counts 20, 2, 2 → mean 8: 20 is a spike
+    // (20·3 > 2·24), the 2s are dips (2·2·3 < 24).
+    val ev = events(("a", 0L, 20), ("a", 24L, 2), ("a", 48L, 2))
+    val rows = TimeSeries
+      .seasonalHourFlags(ev)
+      .select("hour_ms", "hod", "cnt", "hod_total", "hod_cells", "spike", "dip")
+      .as[(Long, Long, Long, Long, Long, Int, Int)]
+      .collect()
+      .map(r => r._1 / 3600000L -> r)
+      .toMap
+    assert(rows.size == 49) // dense span 0..48
+    assert(rows(0L) == (0L, 0L, 20L, 24L, 3L, 1, 0))
+    assert(rows(24L) == (24L * 3600000, 0L, 2L, 24L, 3L, 0, 1))
+    assert(rows(48L) == (48L * 3600000, 0L, 2L, 24L, 3L, 0, 1))
+    // all-zero hour-of-day baselines: strict comparisons flag nothing
+    val quiet = rows.values.filter(r => r._2 != 0L)
+    assert(quiet.nonEmpty && quiet.forall(r => r._6 == 0 && r._7 == 0))
+  }
+}
