@@ -1208,6 +1208,14 @@ object SparkEntry {
       // score, inclusive threshold decision (ops/RecordLinkage.scala).
       graft.ops.RecordLinkage.fsPairs(table(s, dir, "customer"))
     },
+    "record_linkage_clusters" -> { (s, dir) =>
+      // Entity formation: min-label CC over the PREDICTED match pairs
+      // (bipartite-encoded record ids) — pairwise decisions become
+      // entities; an FP link shows up as two merged real entities here,
+      // is why ER is evaluated at the cluster level too
+      // (ops/RecordLinkage.scala).
+      graft.ops.RecordLinkage.fsEntityClusters(table(s, dir, "customer"))
+    },
     "record_linkage_eval" -> { (s, dir) =>
       // End-to-end ER scorecard vs the planted key-identity truth in ONE
       // row: candidate volume, blocking recall, TP/FP/FN, exact-integer
@@ -3641,7 +3649,7 @@ object SparkEntry {
     * [[graft.ops.RecordLinkage]] exactly.
     */
   private val RecordLinkageCtes: String =
-    """WITH d AS (
+    """d AS (
       |  SELECT c_custkey AS d_key,
       |    CASE WHEN c_custkey % 3 = 0 THEN 'CUST-' || substring(c_name, 10)
       |         WHEN c_custkey % 3 = 1 THEN upper(c_name)
@@ -5720,12 +5728,26 @@ object SparkEntry {
         |    i -> CAST(floor(abs(qv[i]/scale - v[i])*1000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS max_err_micro
         |FROM q""".stripMargin,
     "record_linkage_pairs" ->
-      s"""$RecordLinkageCtes
+      s"""WITH $RecordLinkageCtes
         |SELECT d_key, c_key, a_name_exact, a_name_tri, a_bal, a_seg,
         |  score_micro, predicted, is_true
         |FROM dec""".stripMargin,
+    "record_linkage_clusters" ->
+      s"""WITH RECURSIVE $RecordLinkageCtes, good AS (
+        |  SELECT d_key * 2 + 1 AS id_a, c_key * 2 AS id_b FROM dec WHERE predicted = 1
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM good UNION SELECT id_b, id_a FROM good
+        |), nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS lab FROM nodes
+        |  UNION
+        |  SELECT e.dst AS id, r.lab FROM reach r JOIN edges e ON e.src = r.id
+        |), labels AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+        |SELECT CASE WHEN id % 2 = 1 THEN 'dirty' ELSE 'clean' END AS side,
+        |  id // 2 AS rec_key, cluster
+        |FROM labels""".stripMargin,
     "record_linkage_eval" ->
-      s"""$RecordLinkageCtes, t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM customer),
+      s"""WITH $RecordLinkageCtes, t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM customer),
         |m AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
         |    CAST(sum(is_true) AS BIGINT) AS n_blocked_true,

@@ -132,6 +132,29 @@ object RecordLinkage {
         col("a_bal"), col("a_seg"), col("score_micro"), col("predicted"), col("is_true"))
   }
 
+  /** Entity formation: connected components over the PREDICTED match
+    * pairs — the step that turns pairwise decisions into entities (and
+    * the step where a single false-positive link visibly merges two real
+    * entities, which is why ER evaluates clusters, not just pairs).
+    *
+    * Record ids are bipartite-encoded (dirty 2k+1 / clean 2k) so the two
+    * sides share one id space; components run through the same min-label
+    * propagation as the near-dup family ([[Dedup.nearDupClusters]]:
+    * O(log n) rounds, ids-only frames). Output: (side, rec_key, cluster)
+    * for every record that appears in at least one predicted match.
+    */
+  def fsEntityClusters(cust: DataFrame): DataFrame = {
+    val predicted = fsPairs(cust)
+      .filter(col("predicted") === 1)
+      .select((col("d_key") * 2 + 1).as("id_a"), (col("c_key") * 2).as("id_b"))
+    Dedup
+      .nearDupClusters(predicted)
+      .select(
+        when(col("id") % 2 === 1, lit("dirty")).otherwise(lit("clean")).as("side"),
+        expr("id DIV 2").as("rec_key"),
+        col("cluster"))
+  }
+
   /** One-row evaluation against the planted truth: candidate volume,
     * blocking recall (true pairs that survived blocking), decision
     * TP/FP/FN, and exact-integer precision/recall/F1 in micro-units

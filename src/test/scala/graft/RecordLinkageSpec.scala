@@ -65,6 +65,27 @@ class RecordLinkageSpec extends AnyFunSuite {
     assert(!pairs.contains((14L, 14L)))
   }
 
+  test("fsEntityClusters: true matches form 2-record entities; the planted FP merges 4 and 10") {
+    val clusters = RecordLinkage
+      .fsEntityClusters(fixture)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // every record in a predicted pair appears exactly once per side
+    def c(side: String, k: Long) = clusters((side, k))
+    // clean 2-record entities: dirty k ↔ clean k
+    Seq(2L, 3L, 7L).foreach { k =>
+      assert(c("dirty", k) == c("clean", k), s"entity $k split")
+    }
+    // FP links (4,10)/(10,4) merge both true entities into ONE component
+    val merged = Set(c("dirty", 4L), c("clean", 4L), c("dirty", 10L), c("clean", 10L))
+    assert(merged.size == 1, s"expected one merged entity, got $merged")
+    // distinct entities stay distinct
+    assert(Set(c("dirty", 2L), c("dirty", 3L), c("dirty", 7L), merged.head).size == 4)
+    // 21 (below threshold) and 14 (blocking miss) never enter any entity
+    assert(!clusters.contains(("dirty", 21L)) && !clusters.contains(("dirty", 14L)))
+  }
+
   test("fsEval row is exactly consistent with the pairs frame") {
     val pairs = RecordLinkage.fsPairs(fixture).collect()
     val e = RecordLinkage.fsEval(fixture).head()
