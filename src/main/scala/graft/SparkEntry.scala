@@ -1379,6 +1379,13 @@ object SparkEntry {
       // (ops/TimeSeries.scala).
       graft.ops.TimeSeries.seasonalHourFlags(eventsTable(s, dir))
     },
+    "event_autocorr" -> { (s, dir) =>
+      // Seasonality detector: per-type autocorrelation of the hourly
+      // series at lags 1..24 over the dense zero-filled grid — a diurnal
+      // cycle reads as the lag-24 spike. Exact integer moments, IEEE
+      // sqrt only in the final r (ops/TimeSeries.scala).
+      graft.ops.TimeSeries.autocorrHourly(eventsTable(s, dir), maxLag = 24)
+    },
     "event_burstiness" -> { (s, dir) =>
       // Is each event type's arrival process bursty at all? Fano factor
       // (var/mean of hourly counts over the global span, zero-hours
@@ -6056,6 +6063,38 @@ object SparkEntry {
         |  CAST(CASE WHEN d.cnt * h.hod_cells > h.hod_total * 2 THEN 1 ELSE 0 END AS INT) AS spike,
         |  CAST(CASE WHEN d.cnt * h.hod_cells * 2 < h.hod_total THEN 1 ELSE 0 END AS INT) AS dip
         |FROM dense d JOIN hod h ON h.event_type = d.event_type AND h.hod = d.hour % 24""".stripMargin,
+    "event_autocorr" ->
+      """WITH hc AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hc),
+        |grid AS (
+        |  SELECT t.event_type, g.h AS hour
+        |  FROM (SELECT DISTINCT event_type FROM hc) t
+        |  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b))) AS h) g
+        |), dense AS (
+        |  SELECT g.event_type, g.hour, CAST(coalesce(hc.cnt, 0) AS HUGEINT) AS cnt
+        |  FROM grid g LEFT JOIN hc ON hc.event_type = g.event_type AND hc.hour = g.hour
+        |), lags AS (SELECT unnest(range(1, 25)) AS lag),
+        |j AS (
+        |  SELECT da.event_type, lags.lag, da.cnt AS ca, db.cnt AS cb
+        |  FROM dense da CROSS JOIN lags
+        |  JOIN dense db ON db.event_type = da.event_type AND db.hour = da.hour + lags.lag
+        |), a AS (
+        |  SELECT event_type, lag, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(ca) AS sa, sum(cb) AS sb, sum(ca * cb) AS sab,
+        |    sum(ca * ca) AS saa, sum(cb * cb) AS sbb
+        |  FROM j GROUP BY 1, 2
+        |)
+        |SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_hours,
+        |  CAST(n * sab - sa * sb AS BIGINT) AS ncov,
+        |  CAST(CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+        |    floor(CAST(n * sab - sa * sb AS DOUBLE)
+        |      / (sqrt(CAST(n * saa - sa * sa AS DOUBLE)) * sqrt(CAST(n * sbb - sb * sb AS DOUBLE)))
+        |      * 1000.0 + 0.5)
+        |    END AS BIGINT) AS r_milli
+        |FROM a""".stripMargin,
     "event_burstiness" ->
       """WITH cells AS (
         |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour,

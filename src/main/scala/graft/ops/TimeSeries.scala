@@ -77,6 +77,58 @@ object TimeSeries {
         coalesce(col("s"), lit(0L)).as("ewma_x65536"))
   }
 
+  /** Per-type autocorrelation function of the hourly series at lags
+    * 1..maxLag — the seasonality detector: a diurnal cycle shows as an
+    * r spike at lag 24, weekly shape at 168. Same exact-integer moment
+    * algebra as the lead–lag cross-correlation (sums in DECIMAL(38,0),
+    * IEEE sqrt/divide only in the final r), over the dense zero-filled
+    * grid so quiet hours count as real zeros.
+    *
+    * Shape: dense grid × maxLag broadcast lags, self-equi-join on
+    * (type, hour+lag) — types × span × lags rows, metadata-scale; one
+    * groupBy closes the moments.
+    */
+  def autocorrHourly(ev: DataFrame, maxLag: Int = 24): DataFrame = {
+    import graft.functions.ExactDecimal.d
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val dense = hourlyDenseCounts(ev).localCheckpoint(eager = true)
+    val lags = dense.sparkSession
+      .range(1L, maxLag.toLong + 1)
+      .select(col("id").as("lag"))
+    // equi-join on the computed (type, hour+lag) key — not a per-type
+    // all-pairs join filtered after the fact
+    val joined = dense
+      .crossJoin(broadcast(lags))
+      .withColumn("hb", col("hour") + col("lag"))
+      .join(
+        dense.select(col("event_type"), col("hour").as("hb"), col("cnt").as("cb")),
+        Seq("event_type", "hb"))
+    val n = d(col("n"))
+    val varA = n * col("saa") - col("sa") * col("sa")
+    val varB = n * col("sbb") - col("sb") * col("sb")
+    joined
+      .groupBy(col("event_type"), col("lag"))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(d(col("cnt"))).as("sa"),
+        sum(d(col("cb"))).as("sb"),
+        sum(d(col("cnt")) * d(col("cb"))).as("sab"),
+        sum(d(col("cnt")) * d(col("cnt"))).as("saa"),
+        sum(d(col("cb")) * d(col("cb"))).as("sbb"))
+      .select(
+        col("event_type"),
+        col("lag").cast("int").as("lag"),
+        col("n").as("n_hours"),
+        (n * col("sab") - col("sa") * col("sb")).cast("long").as("ncov"),
+        when(varA > 0 && varB > 0,
+          floor(
+            (n * col("sab") - col("sa") * col("sb")).cast("double") /
+              (sqrt(varA.cast("double")) * sqrt(varB.cast("double"))) * lit(1000.0) +
+              lit(0.5)))
+          .cast("long")
+          .as("r_milli"))
+  }
+
   /** Diurnal-corrected anomaly flags: each (type, hour) cell compared to
     * its HOUR-OF-DAY baseline (the mean count over all same-hod cells of
     * the dense span — zero hours included). Spike: cnt > 2× hod mean;

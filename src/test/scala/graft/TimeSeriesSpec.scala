@@ -48,6 +48,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got(20L) == (1L, 1L * 32768))
   }
 
+  test("autocorrHourly: period-2 series gives r=+1 at lag 2 and r=-1 at lag 1; constant series is null") {
+    // type p alternates 5,1 over hours 0..7; type c is constant 2
+    val ev = events(
+      (0L to 7L).map(h => ("p", h, if (h % 2 == 0) 5 else 1)) ++
+        (0L to 7L).map(h => ("c", h, 2)): _*
+    )
+    val rows = TimeSeries
+      .autocorrHourly(ev, maxLag = 3)
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .toMap
+    // hand-derived exact moments for the alternating series at lag 1:
+    // ncov = 7·35 − 23·19 = −192, varA = varB = 192 → r = −1
+    assert(rows(("p", 1)) == (7L, -192L, Some(-1000L)))
+    // lag 2 compares the series with itself shifted a full period → r = 1
+    assert(rows(("p", 2))._3 == Some(1000L))
+    assert(rows(("p", 3))._3 == Some(-1000L))
+    // zero variance → r undefined (null), ncov 0
+    (1 to 3).foreach { l =>
+      val (_, ncov, r) = rows(("c", l))
+      assert(ncov == 0L && r.isEmpty, s"lag $l")
+    }
+  }
+
   test("seasonalHourFlags: diurnal baseline flags spikes and dips, zero baselines stay quiet") {
     // hod 0 over three days: counts 20, 2, 2 → mean 8: 20 is a spike
     // (20·3 > 2·24), the 2s are dips (2·2·3 < 24).
