@@ -468,4 +468,36 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$name: non-equi join appeared")
     }
   }
+
+  test("sign-hamming ANN: signature stage broadcasts queries, corpus never sort-merges") {
+    val plan = executedPlan("ann_sign_hamming_topk")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus side must join broadcast query signatures / shortlists, never sort-merge")
+  }
+
+  test("record linkage: both blocking passes are equi-joins, never a cartesian product") {
+    val pairs = executedPlan("record_linkage_pairs")
+    assert(!pairs.contains("CartesianProduct") && !pairs.contains("BroadcastNestedLoopJoin"),
+      "blocking degenerated to a non-equi join")
+    // eval's single BNLJ is the documented 1-row broadcast truth frame
+    val eval = executedPlan("record_linkage_eval")
+    assert(!eval.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(eval).size <= 1,
+      "only the 1-row truth-count broadcast may be non-equi")
+  }
+
+  test("time-series grid family runs on the checkpointed dense frame — no corpus re-scan") {
+    Seq("hourly_ewma_counts", "event_autocorr").foreach { name =>
+      val plan = executedPlan(name)
+      assert(!plan.contains("Scan parquet"),
+        s"$name: events re-scanned — grid work must run on the checkpointed dense counts")
+    }
+  }
+
+  test("conformal gate: scores run on the checkpointed feature frame — no text re-scan") {
+    val plan = executedPlan("quality_conformal_gate")
+    assert(!plan.contains("Scan parquet"),
+      "gate must be literal arithmetic over the checkpointed features")
+  }
 }
