@@ -1927,6 +1927,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tokens")).as("n_tokens_kept"))
         .orderBy(col("source"))
     },
+    "curation_pipeline_v7" -> { (s, dir) =>
+      // Certified curation: exact dedup → trained scorer with the
+      // SPLIT-CONFORMAL certificate gate (keep iff nonconformity ≤ q̂ —
+      // a distribution-free ≥90%-recall-of-true-keeps guarantee replaces
+      // v5/v6's raw cut) → per-source accounting. The calibration slice
+      // is held out by the gate itself (ops/QualityTrainer.conformalGate).
+      val docs = table(s, dir, "documents")
+      val gate = graft.ops.QualityTrainer.conformalGate(docs, iters = 8)
+      val deduped = Dedup.dropExactDuplicates(docs)
+        .select(
+          col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      deduped
+        .join(gate.filter(col("conformal_keep") === 1).select(col("doc_id")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs_kept"), sum(col("n_tokens")).as("n_tokens_kept"))
+        .orderBy(col("source"))
+    },
     "leakage_safe_splits_neardup" -> { (s, dir) =>
       // Eval-contamination guard, NEAR-dup grade: whole near-duplicate
       // clusters (md5 MinHash pairs -> connected components) move into
@@ -3624,8 +3642,8 @@ object SparkEntry {
     * for the k > n "no certificate" branch matches
     * [[graft.ops.QualityTrainer.InfNonconformityMicro]] (2⁶²−1).
     */
-  private def qualityConformalOracle(iters: Int): String =
-    s"""WITH ${qualityTrainedCtes(iters)}, p AS (
+  private def qualityConformalCtes(iters: Int): String =
+    s"""${qualityTrainedCtes(iters)}, p AS (
       |  SELECT feat.doc_id, feat.y,
       |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
       |      / 1000000.0) AS BIGINT) AS p_micro
@@ -3644,7 +3662,10 @@ object SparkEntry {
       |  SELECT CASE WHEN kk.k > kk.n THEN CAST(4611686018427387903 AS BIGINT)
       |    ELSE (SELECT s_micro FROM ranked, kk WHERE rk = kk.k) END AS qhat
       |  FROM kk
-      |)
+      |)""".stripMargin
+
+  private def qualityConformalOracle(iters: Int): String =
+    s"""WITH ${qualityConformalCtes(iters)}
       |SELECT p.doc_id, p.p_micro, CAST(q.qhat AS BIGINT) AS qhat_micro,
       |  CAST(CASE WHEN 1000000 - p.p_micro <= q.qhat THEN 1 ELSE 0 END AS INT)
       |    AS conformal_keep
@@ -3916,6 +3937,22 @@ object SparkEntry {
     "quality_trained_logit" -> qualityTrainedLogitOracle(8),
     "quality_trained_scores" -> qualityTrainedScoresOracle(8),
     "quality_conformal_gate" -> qualityConformalOracle(8),
+    "curation_pipeline_v7" ->
+      s"""WITH ${qualityConformalCtes(8)}, dd AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents
+        |  ) WHERE doc_id = rep
+        |), kept AS (
+        |  SELECT p.doc_id FROM p, q
+        |  WHERE p.doc_id % 5 != 0 AND 1000000 - p.p_micro <= q.qhat
+        |), sel AS (
+        |  SELECT d.source, CAST(f.n_tokens AS BIGINT) AS n_tokens
+        |  FROM kept k JOIN dd ON dd.doc_id = k.doc_id
+        |  JOIN f ON f.doc_id = k.doc_id JOIN documents d ON d.doc_id = k.doc_id
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+        |FROM sel GROUP BY source""".stripMargin,
     "quality_trained_auc" ->
       s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.y,
