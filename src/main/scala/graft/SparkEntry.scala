@@ -2685,6 +2685,21 @@ object SparkEntry {
           cents(col("value")).as("cents")),
         "cohort", "cents")
     },
+    "ab_cuped" -> { (s, dir) =>
+      // CUPED variance reduction (Deng et al.): per-user pre-period spend
+      // is the covariate, experiment-period spend the metric, arms =
+      // user_id % 2; pooled exact-rational theta, per-arm raw vs ADJUSTED
+      // means, and rho2 = the fraction of metric variance the covariate
+      // removes (ops/Contingency.scala).
+      val mid = 1705276800000L // same pre/post split as user_retention_sets
+      val perUser = eventsTable(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts_ms") < mid, cents(col("value"))).otherwise(0L)).as("x"),
+          sum(when(col("ts_ms") >= mid, cents(col("value"))).otherwise(0L)).as("y"))
+        .select(pmod(col("user_id"), lit(2L)).cast("int").as("cohort"), col("x"), col("y"))
+      graft.ops.Contingency.cupedSummary(perUser)
+    },
     "ab_welch_t" -> { (s, dir) =>
       // Unequal-variance mean test over the same cohorts: exact-rational
       // mean difference and squared standard error in micro units, plus
@@ -8020,6 +8035,53 @@ object SparkEntry {
         |      // (24 * n * (n - 1))
         |    END AS BIGINT) AS var_units
         |FROM q""".stripMargin,
+    "ab_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id % 2 AS cohort,
+        |    CAST(sum(CASE WHEN epoch_ms(ts) < 1705276800000
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS HUGEINT) AS x,
+        |    CAST(sum(CASE WHEN epoch_ms(ts) >= 1705276800000
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS HUGEINT) AS y
+        |  FROM events GROUP BY user_id
+        |), pool AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM pu
+        |), der AS (
+        |  SELECT n, sx, n * sxy - sx * sy AS ncov,
+        |    n * sxx - sx * sx AS nvarx, n * syy - sy * sy AS nvary
+        |  FROM pool
+        |), th AS (
+        |  SELECT *, CASE WHEN nvarx > 0 THEN
+        |    (2*1000000*ncov + nvarx
+        |      - (((2*1000000*ncov + nvarx) % (2*nvarx)) + 2*nvarx) % (2*nvarx)) // (2*nvarx)
+        |    END AS theta_micro
+        |  FROM der
+        |), th2 AS (
+        |  SELECT *, CASE WHEN nvary > 0 THEN
+        |    (2*theta_micro*ncov + nvary
+        |      - (((2*theta_micro*ncov + nvary) % (2*nvary)) + 2*nvary) % (2*nvary)) // (2*nvary)
+        |    END AS rho2_micro
+        |  FROM th
+        |), arms AS (
+        |  SELECT cohort, CAST(count(*) AS HUGEINT) AS n_a,
+        |    sum(x) AS sx_a, sum(y) AS sy_a
+        |  FROM pu GROUP BY cohort
+        |)
+        |SELECT CAST(a.cohort AS INT) AS cohort, CAST(a.n_a AS BIGINT) AS n_users,
+        |  CAST((2*1000000*a.sy_a + a.n_a
+        |    - (((2*1000000*a.sy_a + a.n_a) % (2*a.n_a)) + 2*a.n_a) % (2*a.n_a)) // (2*a.n_a)
+        |    AS BIGINT) AS mean_y_micro,
+        |  CAST(CASE WHEN t.nvarx > 0 THEN
+        |    (2*1000000*(a.sy_a*t.nvarx*t.n - t.ncov*(a.sx_a*t.n - t.sx*a.n_a))
+        |       + a.n_a*t.nvarx*t.n
+        |      - (((2*1000000*(a.sy_a*t.nvarx*t.n - t.ncov*(a.sx_a*t.n - t.sx*a.n_a))
+        |           + a.n_a*t.nvarx*t.n) % (2*a.n_a*t.nvarx*t.n)) + 2*a.n_a*t.nvarx*t.n)
+        |        % (2*a.n_a*t.nvarx*t.n)) // (2*a.n_a*t.nvarx*t.n)
+        |    END AS BIGINT) AS mean_adj_micro,
+        |  CAST(t.theta_micro AS BIGINT) AS theta_micro,
+        |  CAST(t.rho2_micro AS BIGINT) AS rho2_micro
+        |FROM arms a, th2 t""".stripMargin,
     "ab_welch_t" ->
       """WITH e AS (
         |  SELECT CAST(user_id % 2 AS INT) AS cohort,

@@ -415,4 +415,82 @@ object Contingency {
             d(n) * d(n) - d(chance))
         ).cast("long").as("kappa_micro"))
   }
+
+  /** CUPED variance reduction for the A/B family (Deng et al., WSDM'13):
+    * adjust each unit's experiment-period metric y by its PRE-period
+    * covariate x — yᵃᵈʲ = y − θ(x − x̄) with θ = cov(x,y)/var(x) pooled
+    * across arms (the pre-period is assignment-independent, so pooling is
+    * unbiased) — cutting metric variance by exactly ρ² while leaving the
+    * treatment-effect estimate unbiased.
+    *
+    * Input: one row per unit (cohortCol, xCol, yCol), integer-valued
+    * metrics. Output: one row per arm — n_users, raw and ADJUSTED mean
+    * (micro), plus the pooled theta_micro and rho2_micro (the variance
+    * reduction). Every intermediate is an exact DECIMAL(38,0) integer;
+    * the adjusted mean divides ONCE as the exact rational
+    * (sy_a·nvarx·n − ncov·(sx_a·n − sx·n_a)) / (n_a·nvarx·n), and
+    * rho2_micro = round(theta_micro·ncov / nvary) — one documented
+    * composed rounding, because ncov² at the micro scale can exceed even
+    * 128-bit integer range while this form never does.
+    *
+    * Magnitude budget (DECIMAL(38,0) / HUGEINT): with cents-valued
+    * per-unit sums ≤ 1e6 and ≤ 1e5 units, 2e6·sy_a·nvarx·n ≤ ~1e37 —
+    * inside both engines' exact range with an order of margin.
+    *
+    * Shape: one aggregation over the per-unit frame for the pooled
+    * moments (single row, broadcast), one groupBy for the arms — the
+    * corpus-size work is whatever built the per-unit frame upstream.
+    */
+  def cupedSummary(
+      perUnit: DataFrame,
+      cohortCol: String = "cohort",
+      xCol: String = "x",
+      yCol: String = "y"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.{d, scaledRatio}
+    val per = perUnit
+      .select(col(cohortCol).as("cohort"), d(col(xCol)).as("x"), d(col(yCol)).as("y"))
+      .localCheckpoint(eager = true) // pooled moments + per-arm sums share it
+    val pooled = per
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        col("n"), col("sx"), col("sy"),
+        (d(col("n")) * col("sxy") - col("sx") * col("sy")).as("ncov"),
+        (d(col("n")) * col("sxx") - col("sx") * col("sx")).as("nvarx"),
+        (d(col("n")) * col("syy") - col("sy") * col("sy")).as("nvary"))
+      .select(
+        col("n"), col("sx"), col("ncov"), col("nvarx"), col("nvary"),
+        when(col("nvarx") > 0, scaledRatio(col("ncov"), col("nvarx")))
+          .cast("long").as("theta_micro"))
+      .select(
+        col("*"),
+        when(col("nvary") > 0,
+          scaledRatio(d(col("theta_micro")) * col("ncov"), col("nvary"), 1L))
+          .cast("long").as("rho2_micro"))
+    per
+      .groupBy(col("cohort"))
+      .agg(
+        count(lit(1)).cast("long").as("n_users"),
+        sum(col("x")).as("sx_a"),
+        sum(col("y")).as("sy_a"))
+      .crossJoin(broadcast(pooled)) // 1-row pooled-moment frame
+      .select(
+        col("cohort").cast("int").as("cohort"),
+        col("n_users"),
+        scaledRatio(col("sy_a"), d(col("n_users"))).cast("long").as("mean_y_micro"),
+        when(col("nvarx") > 0,
+          scaledRatio(
+            col("sy_a") * col("nvarx") * d(col("n")) -
+              col("ncov") * (col("sx_a") * d(col("n")) - col("sx") * d(col("n_users"))),
+            d(col("n_users")) * col("nvarx") * d(col("n"))))
+          .cast("long").as("mean_adj_micro"),
+        col("theta_micro"),
+        col("rho2_micro"))
+  }
 }

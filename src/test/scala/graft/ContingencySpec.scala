@@ -218,4 +218,67 @@ class ContingencySpec extends AnyFunSuite {
     assert(got("b") == ((2L, 2L, 8L, Some(10000L))))
     assert(got("c") == ((2L, 0L, 0L, None)))
   }
+
+  test("cupedSummary: perfect linear covariate gives theta=slope, rho2=1, constant adjusted means") {
+    // y = 2x exactly; arms split the units — CUPED removes ALL variance,
+    // and every unit's adjusted value is the pooled mean.
+    val perUser = Seq((0, 1L, 2L), (1, 2L, 4L), (0, 3L, 6L), (1, 4L, 8L)).toDF("cohort", "x", "y")
+    val rows = Contingency
+      .cupedSummary(perUser)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // pooled: n=4, sx=10, sy=20; ncov=4·60−200=40·? exact: sxy=2+8+18+32=60 →
+    // ncov=4·60−10·20=40; nvarx=4·30−100=20; theta=2.0 exactly
+    val (n0, meanY0, adj0, theta0, rho0) = rows(0)
+    val (n1, meanY1, adj1, theta1, rho1) = rows(1)
+    assert(n0 == 2L && n1 == 2L)
+    assert(theta0 == 2000000L && theta1 == 2000000L)
+    assert(rho0 == 1000000L && rho1 == 1000000L) // nvary=4·120−400=80; rho2=40·2/80=1
+    // raw means differ (arm 0: (2+6)/2=4, arm 1: (4+8)/2=6)...
+    assert(meanY0 == 4000000L && meanY1 == 6000000L)
+    // ...but the adjustment collapses both to the pooled mean 5
+    assert(adj0 == 5000000L && adj1 == 5000000L)
+  }
+
+  test("cupedSummary matches a local exact-rational replay on noisy data") {
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 40).map { i =>
+      val x = rnd.nextInt(1000).toLong
+      (i % 2, x, 3 * x + rnd.nextInt(500) - 250)
+    }
+    val got = Contingency
+      .cupedSummary(data.toDF("cohort", "x", "y"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(4), r.getLong(5), r.getLong(3)))
+      .toMap
+    // local replay with BigInt rationals and the same half-up micro rounding
+    def half(num: BigInt, den: BigInt): Long = {
+      val q = BigInt(2) * 1000000 * num + den
+      val d2 = BigInt(2) * den
+      ((q - (((q % d2) + d2) % d2)) / d2).toLong
+    }
+    val n = BigInt(data.size)
+    val sx = BigInt(data.map(_._2).sum); val sy = BigInt(data.map(_._3).sum)
+    val sxy = data.map(t => BigInt(t._2) * BigInt(t._3)).sum
+    val sxx = data.map(t => BigInt(t._2) * BigInt(t._2)).sum
+    val syy = data.map(t => BigInt(t._3) * BigInt(t._3)).sum
+    val ncov = n * sxy - sx * sy
+    val nvarx = n * sxx - sx * sx
+    val nvary = n * syy - sy * sy
+    val theta = half(ncov, nvarx)
+    val rho2 = { // composed rounding, scale 1: round(theta·ncov / nvary)
+      val num = BigInt(2) * (BigInt(theta) * ncov) + nvary
+      val d2 = BigInt(2) * nvary
+      ((num - (((num % d2) + d2) % d2)) / d2).toLong
+    }
+    Seq(0, 1).foreach { arm =>
+      val grp = data.filter(_._1 == arm)
+      val na = BigInt(grp.size); val sxa = BigInt(grp.map(_._2).sum); val sya = BigInt(grp.map(_._3).sum)
+      val adj = half(sya * nvarx * n - ncov * (sxa * n - sx * na), na * nvarx * n)
+      assert(got(arm) == (theta, rho2, adj), s"arm $arm")
+    }
+    // CUPED must genuinely reduce variance on correlated data
+    assert(got(0)._2 > 800000L, s"rho2=${got(0)._2} — covariate should explain most variance")
+  }
 }
