@@ -628,6 +628,15 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, nbits = 8)
     },
+    "matryoshka_recall" -> { (s, dir) =>
+      // MRL truncation eval: top-k recall of prefix-truncated embeddings
+      // (dims 8/16/32) vs the full-dim gold — the measurement behind
+      // serving short vectors in the coarse tier. Gold leg checkpointed
+      // once; overlaps are ids-only equi-joins (ops/Retrieval.scala).
+      val emb = table(s, dir, "embeddings")
+      graft.ops.Retrieval.matryoshkaRecall(
+        emb, emb.filter(col("vec_id") < 8), k = 5, dims = Seq(8, 16, 32))
+    },
     "ann_sign_hamming_topk" -> { (s, dir) =>
       // Binary sign quantization + Hamming shortlist + exact rerank — the
       // 1-bit-per-dim coarse tier: corpus vectors cross the Hamming stage
@@ -4608,6 +4617,50 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "matryoshka_recall" -> {
+      def leg(dm: Int, name: String) =
+        s"""$name AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+          |    FROM (
+          |      SELECT q.query_id, c.neighbor_id,
+          |        round(list_cosine_similarity(q.qv[1:$dm], c.cv[1:$dm]), 6) AS cos_sim
+          |      FROM q, c WHERE q.query_id != c.neighbor_id))
+          |  WHERE rk <= 5)""".stripMargin
+      def overlap(dm: Int) =
+        s"""SELECT $dm AS trunc_dim, g.query_id,
+          |  CAST(count(*) AS BIGINT) AS n_gold,
+          |  CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+          |  CAST(count(t.neighbor_id) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+          |    AS recall_micro
+          |FROM gold g LEFT JOIN t$dm t
+          |  ON t.query_id = g.query_id AND t.neighbor_id = g.neighbor_id
+          |GROUP BY g.query_id""".stripMargin
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e),
+        |gold AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+        |    FROM (
+        |      SELECT q.query_id, c.neighbor_id,
+        |        round(list_cosine_similarity(q.qv, c.cv), 6) AS cos_sim
+        |      FROM q, c WHERE q.query_id != c.neighbor_id))
+        |  WHERE rk <= 5),
+        |${leg(8, "t8")},
+        |${leg(16, "t16")},
+        |${leg(32, "t32")}
+        |${overlap(8)}
+        |UNION ALL
+        |${overlap(16)}
+        |UNION ALL
+        |${overlap(32)}""".stripMargin
+    },
     "ann_sign_hamming_topk" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -466,4 +466,50 @@ object Retrieval {
       .orderBy(col("weight_micro").desc, col("tok").asc)
       .limit(kTerms)
   }
+
+  /** Matryoshka truncation evaluation (Kusupati et al., MRL): top-k
+    * recall of PREFIX-truncated embeddings against the full-dimension
+    * gold — the measurement behind serving shorter vectors for the
+    * coarse tier (store dim/8 floats, rescore the shortlist full-width).
+    * One row per (truncation dim, query): gold size, overlap, exact
+    * recall in micro-units.
+    *
+    * Shape: the gold leg runs once and is checkpointed; each truncated
+    * leg is the same broadcast-queries brute scorer over `slice`d
+    * vectors (map-side truncation — at corpus scale the truncated leg
+    * reads a physically narrower column). Overlap is one ids-only
+    * equi-join per dim on the ≤ queries×k frames.
+    */
+  def matryoshkaRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dims: Seq[Int]
+  ): DataFrame = {
+    require(dims.nonEmpty, "need at least one truncation dim")
+    val gold = Similarity
+      .bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = true) // shared by every truncated leg
+    val goldCounts = gold.groupBy(col("query_id")).agg(count(lit(1)).as("n_gold"))
+    dims.map { dm =>
+      def trunc(df: DataFrame) =
+        df.select(col("vec_id"), slice(col("embedding"), 1, dm).as("embedding"))
+      val t = Similarity
+        .bruteForceTopK(trunc(corpus), trunc(queries), k)
+        .select(col("query_id"), col("neighbor_id"))
+      val overlap = gold
+        .join(t, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      goldCounts
+        .join(overlap, Seq("query_id"), "left")
+        .select(
+          lit(dm).as("trunc_dim"),
+          col("query_id"),
+          col("n_gold"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr("coalesce(n_overlap, 0) * 1000000 DIV n_gold").as("recall_micro"))
+    }.reduce(_.unionByName(_))
+  }
 }

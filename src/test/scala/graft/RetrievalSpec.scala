@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.slice
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Retrieval
@@ -213,5 +214,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.forall(t => t._1 != "merge" && t._1 != "table"))
     // weight equals the sum of the feedback docs' scores (tf = 1 per doc)
     assert(got.head._3 > 0L && got.map(_._1).toSet == Set("delta", "commit"))
+  }
+
+  test("matryoshkaRecall: full-width truncation is a perfect 1e6; overlaps match a local recompute") {
+    import graft.ops.{Retrieval, Similarity}
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val data = (0L until 60L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 4)
+    val rows = Retrieval
+      .matryoshkaRecall(df, queries, k = 5, dims = Seq(4, dim))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // truncating at the full width IS the gold leg → recall exactly 1e6
+    (0L until 4L).foreach { q =>
+      assert(rows((dim, q)) == (5L, 5L, 1000000L), s"query $q full-width")
+    }
+    // dim-4 overlap equals an independent recompute via the public legs
+    def topk(d: org.apache.spark.sql.DataFrame) = Similarity
+      .bruteForceTopK(d, d.filter($"vec_id" < 4), k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val gold = topk(df)
+    val t4 = topk(df.select($"vec_id", slice($"embedding", 1, 4).as("embedding")))
+    (0L until 4L).foreach { q =>
+      val expect = (gold.filter(_._1 == q) & t4.filter(_._1 == q)).size.toLong
+      val (nGold, nOv, micro) = rows((4, q))
+      assert(nGold == 5L && nOv == expect && micro == expect * 1000000L / 5L, s"query $q dim 4")
+    }
   }
 }
