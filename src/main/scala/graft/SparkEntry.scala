@@ -1802,6 +1802,28 @@ object SparkEntry {
           .select(col("label"), col("p_micro")),
         "label", "p_micro")
     },
+    "quality_cv_auc" -> { (s, dir) =>
+      // PROPER eval of the in-engine trainer: 5-fold cross-validated
+      // midrank AUC — five independent GD chains, each trained on 4/5 of
+      // the corpus and scored ONLY on its held-out fold, so the number is
+      // free of training-set optimism (the single-model auc row scores
+      // in-sample). One feature scan, five bounded-driver GD loops over
+      // the checkpointed frame (ops/QualityTrainer, ops/Contingency).
+      val docs = table(s, dir, "documents")
+      val feat = graft.ops.QualityTrainer.features(docs).localCheckpoint(eager = true)
+      (0 until 5).map { f =>
+        val train = feat.filter(col("doc_id") % 5 =!= f)
+        val test = feat.filter(col("doc_id") % 5 === f)
+        val w = graft.ops.QualityTrainer.train(train, iters = 8).last
+        graft.ops.Contingency
+          .rocAuc(
+            graft.ops.QualityTrainer.score(test, w)
+              .join(test.select(col("doc_id"), col("y").cast("int").as("label")), Seq("doc_id"))
+              .select(col("label"), col("p_micro")),
+            "label", "p_micro")
+          .select(lit(f).as("fold"), col("*"))
+      }.reduce(_.unionByName(_))
+    },
     "quality_pr_curve" -> { (s, dir) =>
       // The operating-point table the AUC integrates over: precision /
       // recall / F1 of the trained gate vs its teacher at nine
@@ -3601,43 +3623,96 @@ object SparkEntry {
     * as floor((2g + D)/(2D)) with the posmod adjustment (DuckDB `//`
     * truncates); gradients accumulate in HUGEINT.
     */
-  private def qualityTrainedCtes(iters: Int): String = {
+  /** One GD training chain over `feat` rows satisfying `where`, with every
+    * state CTE name carrying `sfx` — so several independently-trained
+    * models (CV folds) can coexist in one oracle query. `sfx = ""` and
+    * `where = "TRUE"` reproduce the original single-model chain verbatim
+    * (CTE names nn, w0_, e1, gr1, w1_, …).
+    */
+  private def qualityGdChain(iters: Int, sfx: String, where: String): String = {
     val base =
-      s"""$GopherRulesCtes, $QualityLogitCtes, feat AS MATERIALIZED (
-        |  SELECT f.doc_id,
-        |    CAST(1000000 AS BIGINT) AS x0,
-        |    CAST(least(f.n_tokens, 200) * 5000 AS BIGINT) AS x1,
-        |    least(CAST(floor(f.n_stop * 4000000.0 / greatest(f.n_tokens, 1)) AS BIGINT), 1000000) AS x2,
-        |    least(CAST(floor(f.n_punct * 10000000.0 / greatest(f.n_chars, 1)) AS BIGINT), 1000000) AS x3,
-        |    CAST(floor(f.n_distinct * 1000000.0 / greatest(f.n_tokens, 1)) AS BIGINT) AS x4,
-        |    CAST(g.keep AS BIGINT) AS y
-        |  FROM f JOIN gop g ON g.doc_id = f.doc_id
-        |), nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM feat),
-        |w0_ AS (SELECT CAST(0 AS HUGEINT) AS w0, CAST(0 AS HUGEINT) AS w1,
+      s"""nn$sfx AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM feat WHERE $where),
+        |w0${sfx}_ AS (SELECT CAST(0 AS HUGEINT) AS w0, CAST(0 AS HUGEINT) AS w1,
         |  CAST(0 AS HUGEINT) AS w2, CAST(0 AS HUGEINT) AS w3, CAST(0 AS HUGEINT) AS w4)""".stripMargin
     val steps = (1 to iters).map { t =>
-      val prev = s"w${t - 1}_"
+      val prev = s"w${t - 1}${sfx}_"
       val upd = (0 to 4).map { j =>
         // delta_j = floor((2*g_j + D) / (2*D)), D = 2*n*1e6 (eta = 1/2)
-        s"""w.w$j - ((2*g.g$j + 2000000*nn.n) -
-           |      ((((2*g.g$j + 2000000*nn.n) % (4000000*nn.n)) + 4000000*nn.n) % (4000000*nn.n)))
-           |      // (4000000*nn.n) AS w$j""".stripMargin
+        s"""w.w$j - ((2*g.g$j + 2000000*nn$sfx.n) -
+           |      ((((2*g.g$j + 2000000*nn$sfx.n) % (4000000*nn$sfx.n)) + 4000000*nn$sfx.n) % (4000000*nn$sfx.n)))
+           |      // (4000000*nn$sfx.n) AS w$j""".stripMargin
       }.mkString(",\n    ")
-      s""", e$t AS (
+      s""", e$t$sfx AS (
          |  SELECT feat.*,
          |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
          |      / 1000000.0) AS HUGEINT) - feat.y*1000000 AS err
-         |  FROM feat, $prev w
-         |), gr$t AS (
+         |  FROM feat, $prev w WHERE $where
+         |), gr$t$sfx AS (
          |  SELECT sum(err*x0) AS g0, sum(err*x1) AS g1, sum(err*x2) AS g2,
          |    sum(err*x3) AS g3, sum(err*x4) AS g4
-         |  FROM e$t
-         |), w${t}_ AS (
+         |  FROM e$t$sfx
+         |), w$t${sfx}_ AS (
          |  SELECT $upd
-         |  FROM $prev w, gr$t g, nn
+         |  FROM $prev w, gr$t$sfx g, nn$sfx
          |)""".stripMargin
     }.mkString
     base + steps
+  }
+
+  /** Shared feature-frame CTEs (Gopher teacher + cheap features). */
+  private def qualityFeatCtes: String =
+    s"""$GopherRulesCtes, $QualityLogitCtes, feat AS MATERIALIZED (
+      |  SELECT f.doc_id,
+      |    CAST(1000000 AS BIGINT) AS x0,
+      |    CAST(least(f.n_tokens, 200) * 5000 AS BIGINT) AS x1,
+      |    least(CAST(floor(f.n_stop * 4000000.0 / greatest(f.n_tokens, 1)) AS BIGINT), 1000000) AS x2,
+      |    least(CAST(floor(f.n_punct * 10000000.0 / greatest(f.n_chars, 1)) AS BIGINT), 1000000) AS x3,
+      |    CAST(floor(f.n_distinct * 1000000.0 / greatest(f.n_tokens, 1)) AS BIGINT) AS x4,
+      |    CAST(g.keep AS BIGINT) AS y
+      |  FROM f JOIN gop g ON g.doc_id = f.doc_id
+      |)""".stripMargin
+
+  private def qualityTrainedCtes(iters: Int): String =
+    s"$qualityFeatCtes, ${qualityGdChain(iters, "", "TRUE")}"
+
+  /** 5-fold cross-validated AUC of the in-engine trainer: five
+    * independently-trained GD chains (each on 4/5 of the corpus via
+    * [[qualityGdChain]] suffixes), each scored on ITS held-out fold and
+    * closed with the same midrank rank-sum AUC the single-model row uses.
+    */
+  private def qualityCvAucOracle(iters: Int, folds: Int): String = {
+    val chains = (0 until folds)
+      .map(f => qualityGdChain(iters, s"f$f", s"feat.doc_id % $folds != $f"))
+      .mkString(",\n")
+    val evals = (0 until folds).map { f =>
+      s"""pf$f AS (
+        |  SELECT feat.y,
+        |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+        |      / 1000000.0) AS BIGINT) AS p_micro
+        |  FROM feat, w$iters${f"f$f"}_ w WHERE feat.doc_id % $folds = $f
+        |), cntf$f AS (
+        |  SELECT p_micro,
+        |    CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM pf$f GROUP BY 1
+        |), cumf$f AS (
+        |  SELECT c0, c1, sum(c0 + c1) OVER (ORDER BY p_micro) AS cum_all
+        |  FROM cntf$f
+        |), aggf$f AS (
+        |  SELECT CAST(sum(c1) AS HUGEINT) AS n1, CAST(sum(c0) AS HUGEINT) AS n0,
+        |    CAST(sum(CAST(c1 AS HUGEINT) *
+        |      (2*(cum_all - (c0 + c1)) + (c0 + c1) + 1)) AS HUGEINT) AS r1x2
+        |  FROM cumf$f
+        |)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 until folds).map { f =>
+      s"""SELECT CAST($f AS INT) AS fold, CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+        |  CAST(r1x2 - n1*(n1+1) AS BIGINT) AS u2_pos,
+        |  CAST(CASE WHEN n1 > 0 AND n0 > 0 THEN
+        |    (20000*(r1x2 - n1*(n1+1)) + 2*n1*n0) // (4*n1*n0) END AS BIGINT) AS auc_bps
+        |FROM aggf$f""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $qualityFeatCtes,\n$chains,\n$evals\n$out"
   }
 
   private def qualityTrainedLogitOracle(iters: Int): String = {
@@ -3977,6 +4052,7 @@ object SparkEntry {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
         |FROM sel GROUP BY source""".stripMargin,
+    "quality_cv_auc" -> qualityCvAucOracle(8, 5),
     "quality_trained_auc" ->
       s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.y,

@@ -147,6 +147,7 @@ object RecordLinkage {
     val predicted = fsPairs(cust)
       .filter(col("predicted") === 1)
       .select((col("d_key") * 2 + 1).as("id_a"), (col("c_key") * 2).as("id_b"))
+      .localCheckpoint(eager = true) // CC loop must never re-run the blocking pipeline
     Dedup
       .nearDupClusters(predicted)
       .select(
