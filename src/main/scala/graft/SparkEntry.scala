@@ -1045,6 +1045,18 @@ object SparkEntry {
       // SQL oracle.
       Dedup.nearDupClusters(Dedup.minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.8))
     },
+    "neardup_modularity" -> { (s, dir) =>
+      // Newman modularity of the near-dup CC partition over the md5 pair
+      // graph — the partition-quality number: per-community size/intra-
+      // edge/degree rows + the exact corpus Q, all single integer
+      // rationals (ops/Graph.scala). For a CC partition every edge is
+      // intra, so Q = 1 − Σd_c²/4m² — the giant-component penalty reads
+      // directly.
+      val pairs = Dedup
+        .minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.8)
+        .localCheckpoint(eager = true) // shared by CC and modularity
+      graft.ops.Graph.modularity(pairs, Dedup.nearDupClusters(pairs))
+    },
     "neardup_corpus_md5" -> { (s, dir) =>
       // End-to-end near-dup corpus dedup (pairs → clusters → min-id
       // representatives survive) on portable hashes — the oracle twin of
@@ -5561,6 +5573,42 @@ object SparkEntry {
       s"""$Md5NearDupCtes,
         |$Md5ClusterCtes
         |SELECT id, min(lab) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "neardup_modularity" ->
+      s"""$Md5NearDupCtes,
+        |$Md5ClusterCtes,
+        |labels AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+        |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM good),
+        |degs AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT id_a AS id FROM good UNION ALL SELECT id_b FROM good
+        |  ) GROUP BY id
+        |), intra AS (
+        |  SELECT la.cluster AS community, CAST(count(*) AS BIGINT) AS e_intra
+        |  FROM good g JOIN labels la ON la.id = g.id_a JOIN labels lb ON lb.id = g.id_b
+        |  WHERE la.cluster = lb.cluster GROUP BY 1
+        |), per AS (
+        |  SELECT la.cluster AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(d.deg) AS HUGEINT) AS d_total
+        |  FROM labels la JOIN degs d ON d.id = la.id GROUP BY 1
+        |), per2 AS (
+        |  SELECT p.community, p.n_nodes, coalesce(i.e_intra, 0) AS e_intra, p.d_total
+        |  FROM per p LEFT JOIN intra i ON i.community = p.community
+        |), tot AS (
+        |  SELECT CAST(sum(e_intra) AS HUGEINT) AS se,
+        |    CAST(sum(d_total * d_total) AS HUGEINT) AS sdd
+        |  FROM per2
+        |)
+        |SELECT p.community, p.n_nodes, CAST(p.e_intra AS BIGINT) AS e_intra,
+        |  CAST(p.d_total AS BIGINT) AS d_total,
+        |  CAST((2*1000000*(4*m.m*p.e_intra - p.d_total*p.d_total) + 4*m.m*m.m
+        |    - (((2*1000000*(4*m.m*p.e_intra - p.d_total*p.d_total) + 4*m.m*m.m)
+        |        % (8*m.m*m.m)) + 8*m.m*m.m) % (8*m.m*m.m)) // (8*m.m*m.m)
+        |    AS BIGINT) AS contrib_micro,
+        |  CAST((2*1000000*(4*m.m*t.se - t.sdd) + 4*m.m*m.m
+        |    - (((2*1000000*(4*m.m*t.se - t.sdd) + 4*m.m*m.m)
+        |        % (8*m.m*m.m)) + 8*m.m*m.m) % (8*m.m*m.m)) // (8*m.m*m.m)
+        |    AS BIGINT) AS q_micro
+        |FROM per2 p, tot t, mm m""".stripMargin,
     "neardup_corpus_md5" ->
       s"""$Md5NearDupCtes,
         |$Md5ClusterCtes,

@@ -401,4 +401,67 @@ object Graph {
       .agg(count(lit(1)).as("n_common"), sum(col("term")).as("ra_micro"))
       .select(col("a").as(aCol), col("b").as(bCol), col("n_common"), col("ra_micro"))
   }
+
+  /** Newman modularity of a node partition over an undirected edge list —
+    * the single number that says whether a community assignment beats the
+    * degree-preserving random graph: Q = Σ_c [e_c/m − (d_c/2m)²]. One row
+    * per community (size, intra edges, degree mass, its exact Q
+    * contribution) plus the exact total `q_micro` as a constant column —
+    * both as single round-half-up integer rationals over DECIMAL(38,0)
+    * sums, no float path.
+    *
+    * Inputs: `pairs` with one row per undirected edge (id_a, id_b);
+    * `labels` with (id, cluster). Shape: degree and intra-edge counts are
+    * two hash aggregations over the (checkpointed) edge list with
+    * ids-only label joins; the closing moment frame is communities-sized
+    * and broadcast. Driver state: the single edge count.
+    */
+  def modularity(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    import graft.functions.ExactDecimal.{d, scaledRatio}
+    val edges = pairs.select(col("id_a"), col("id_b")).localCheckpoint(eager = true)
+    val m = edges.count() // driver scalar: one long
+    require(m > 0, "modularity needs at least one edge")
+    val deg = edges
+      .select(col("id_a").as("id"))
+      .unionByName(edges.select(col("id_b").as("id")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("deg"))
+    val lab = labels.select(col("id"), col("cluster"))
+    val intra = edges
+      .join(lab.select(col("id").as("id_a"), col("cluster").as("ca")), Seq("id_a"))
+      .join(lab.select(col("id").as("id_b"), col("cluster").as("cb")), Seq("id_b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("e_intra"))
+    val per = lab
+      .join(deg, Seq("id"))
+      .groupBy(col("cluster").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_total"))
+      .join(intra, Seq("community"), "left")
+      .select(
+        col("community"),
+        col("n_nodes"),
+        coalesce(col("e_intra"), lit(0L)).as("e_intra"),
+        col("d_total"))
+      .localCheckpoint(eager = true) // communities-sized; totals + rows share it
+    val mm = d(lit(m))
+    val tot = per.agg(
+      sum(col("e_intra")).as("se"),
+      sum(d(col("d_total")) * d(col("d_total"))).as("sdd"))
+    per
+      .crossJoin(broadcast(tot)) // 1-row moment frame
+      .select(
+        col("community"),
+        col("n_nodes"),
+        col("e_intra"),
+        col("d_total"),
+        scaledRatio(
+          lit(4L).cast("decimal(38,0)") * mm * col("e_intra") - d(col("d_total")) * d(col("d_total")),
+          lit(4L).cast("decimal(38,0)") * mm * mm)
+          .cast("long").as("contrib_micro"),
+        scaledRatio(
+          lit(4L).cast("decimal(38,0)") * mm * col("se") - col("sdd"),
+          lit(4L).cast("decimal(38,0)") * mm * mm)
+          .cast("long").as("q_micro"))
+  }
 }

@@ -227,4 +227,27 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect()
     assert(full.length == 10 && full.forall { case (_, _, n, s) => n == 1L && s == 200000L })
   }
+
+  test("modularity: two bridged triangles against the hand-derived Newman Q") {
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3–4; communities =
+    // the triangles. m=7; d_c = 7 each; e_c = 3 each.
+    // Q = 2·(3/7 − (7/14)²) = (4·7·6 − 98)/(4·49) = 70/196 = 0.357142857…
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L), (6L, 20L))
+      .toDF("id", "cluster")
+    val rows = Graph
+      .modularity(edges, labels)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // contrib = round_half_up(1e6·(4·7·3 − 49)/196) = round(178571.43) = 178571
+    assert(rows(10L) == (3L, 3L, 7L, 178571L, 357143L))
+    assert(rows(20L) == (3L, 3L, 7L, 178571L, 357143L))
+    // degenerate one-community partition: every edge intra, Q = 1 − 1 = 0
+    val one = Graph
+      .modularity(edges, labels.select($"id", org.apache.spark.sql.functions.lit(1L).as("cluster")))
+      .collect()
+    assert(one.length == 1 && one.head.getLong(5) == 0L)
+  }
 }
