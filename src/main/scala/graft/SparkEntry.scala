@@ -1400,6 +1400,13 @@ object SparkEntry {
       // (ops/TimeSeries.scala).
       graft.ops.TimeSeries.seasonalHourFlags(eventsTable(s, dir))
     },
+    "user_bot_signals" -> { (s, dir) =>
+      // Traffic-cleaning screen: per-user rate / no-sleep-cycle /
+      // subsecond-burst signals, each an exact integer comparison; gaps
+      // ride the (ts, event_id) total order in a USER-partitioned window
+      // (ops/Cohort.scala).
+      graft.ops.Cohort.botSignals(eventsTable(s, dir))
+    },
     "event_autocorr" -> { (s, dir) =>
       // Seasonality detector: per-type autocorrelation of the hourly
       // series at lags 1..24 over the dense zero-filled grid — a diurnal
@@ -6292,6 +6299,39 @@ object SparkEntry {
         |  CAST(CASE WHEN d.cnt * h.hod_cells > h.hod_total * 2 THEN 1 ELSE 0 END AS INT) AS spike,
         |  CAST(CASE WHEN d.cnt * h.hod_cells * 2 < h.hod_total THEN 1 ELSE 0 END AS INT) AS dip
         |FROM dense d JOIN hod h ON h.event_type = d.event_type AND h.hod = d.hour % 24""".stripMargin,
+    "user_bot_signals" ->
+      """WITH b AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms_v, event_id,
+        |    epoch_ms(ts) // 3600000 AS h
+        |  FROM events
+        |), stats AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(count(DISTINCT h) AS BIGINT) AS n_active_hours,
+        |    CAST(count(DISTINCT h % 24) AS BIGINT) AS n_active_hods,
+        |    CAST(max(h) - min(h) + 1 AS BIGINT) AS span_hours
+        |  FROM b GROUP BY 1
+        |), g AS (
+        |  SELECT user_id,
+        |    ts_ms_v - lag(ts_ms_v) OVER (PARTITION BY user_id ORDER BY ts_ms_v, event_id) AS gap_ms
+        |  FROM b
+        |), gaps AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(CASE WHEN gap_ms < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS sub_sec_gaps
+        |  FROM g WHERE gap_ms IS NOT NULL GROUP BY 1
+        |), j AS (
+        |  SELECT s.user_id, s.n_events, s.n_active_hours, s.n_active_hods, s.span_hours,
+        |    coalesce(ga.n_gaps, 0) AS n_gaps, coalesce(ga.sub_sec_gaps, 0) AS sub_sec_gaps
+        |  FROM stats s LEFT JOIN gaps ga ON ga.user_id = s.user_id
+        |)
+        |SELECT *,
+        |  CAST(CASE WHEN n_events > n_active_hours * 50 THEN 1 ELSE 0 END AS INT) AS rate_flag,
+        |  CAST(CASE WHEN n_active_hods >= 20 THEN 1 ELSE 0 END AS INT) AS allday_flag,
+        |  CAST(CASE WHEN sub_sec_gaps * 4 > n_gaps AND n_gaps > 0 THEN 1 ELSE 0 END AS INT) AS burst_flag,
+        |  CAST(CASE WHEN n_events > n_active_hours * 50 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_active_hods >= 20 THEN 1 ELSE 0 END
+        |     + CASE WHEN sub_sec_gaps * 4 > n_gaps AND n_gaps > 0 THEN 1 ELSE 0 END
+        |    AS INT) AS bot_score
+        |FROM j""".stripMargin,
     "event_autocorr" ->
       """WITH hc AS (
         |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour,

@@ -74,6 +74,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("botSignals: a planted scripted user trips all three flags, a human none") {
+    // bot: 60 events at 500 ms cadence in EVERY hour of one day
+    val bot = for (h <- 0 until 24; i <- 0 until 60)
+      yield (99L, (h * 3600000L + i * 500L), (h * 100 + i).toLong)
+    // human: 5 events days apart
+    val human = (0 until 5).map(i => (7L, i * 86400000L + 1000L, (10000 + i).toLong))
+    val ev = (bot ++ human).toDF("user_id", "ts_ms", "event_id")
+    val got = graft.ops.Cohort
+      .botSignals(ev)
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    val b = got(99L)
+    assert(b.getLong(b.fieldIndex("n_events")) == 1440L)
+    assert(b.getLong(b.fieldIndex("n_active_hours")) == 24L)
+    assert(b.getLong(b.fieldIndex("n_active_hods")) == 24L)
+    assert(b.getLong(b.fieldIndex("sub_sec_gaps")) == 59L * 24) // intra-hour runs only
+    assert(b.getInt(b.fieldIndex("rate_flag")) == 1) // 1440 > 24·50
+    assert(b.getInt(b.fieldIndex("allday_flag")) == 1)
+    assert(b.getInt(b.fieldIndex("burst_flag")) == 1) // 1416·4 > 1439
+    assert(b.getInt(b.fieldIndex("bot_score")) == 3)
+    val h = got(7L)
+    assert(h.getInt(h.fieldIndex("bot_score")) == 0)
+    assert(h.getLong(h.fieldIndex("n_gaps")) == 4L && h.getLong(h.fieldIndex("sub_sec_gaps")) == 0L)
+  }
+
   test("seasonalHourFlags: diurnal baseline flags spikes and dips, zero baselines stay quiet") {
     // hod 0 over three days: counts 20, 2, 2 → mean 8: 20 is a spike
     // (20·3 > 2·24), the 2s are dips (2·2·3 < 24).
