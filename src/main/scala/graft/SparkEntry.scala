@@ -1400,6 +1400,21 @@ object SparkEntry {
       // (ops/TimeSeries.scala).
       graft.ops.TimeSeries.seasonalHourFlags(eventsTable(s, dir))
     },
+    "attribution_markov_removal" -> { (s, dir) =>
+      // Data-driven attribution: absorbing-chain conversion probability
+      // from START, re-solved with each channel knocked out — credit =
+      // the conversion mass that disappears without the channel,
+      // normalized to bps. 12 exact fixed-point steps per chain in the
+      // bounded driver loop; (K+2)^2-row collect (ops/Cohort.scala).
+      graft.ops.Cohort.markovRemovalAttribution(eventsTable(s, dir))
+    },
+    "attribution_shapley" -> { (s, dir) =>
+      // Cooperative-game attribution: coalition value v(S) = conversions
+      // of journeys whose channel set ⊆ S; exact factorial-weighted
+      // Shapley values over the 2^K driver lattice, efficiency-pinned to
+      // the touched conversions (ops/Cohort.scala).
+      graft.ops.Cohort.shapleyAttribution(eventsTable(s, dir))
+    },
     "user_bot_signals" -> { (s, dir) =>
       // Traffic-cleaning screen: per-user rate / no-sleep-cycle /
       // subsecond-burst signals, each an exact integer comparison; gaps
@@ -3676,6 +3691,144 @@ object SparkEntry {
          |)""".stripMargin
     }.mkString
     base + steps
+  }
+
+  /** Markov removal-effect replay: journey edges → transition counts →
+    * one absorbing-value iteration chain per (base + knocked-out
+    * channel), each `iters` exact fixed-point steps mirroring
+    * [[graft.ops.Cohort.markovRemovalAttribution]]'s driver loop.
+    */
+  private def markovRemovalOracle(iters: Int): String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val states = channels :+ "START"
+    def chain(sfx: String, knockout: Option[String]): String = {
+      val v0 =
+        s"""v0$sfx AS (
+          |  SELECT 'CONV' AS state, CAST(1000000 AS BIGINT) AS p
+          |  UNION ALL SELECT 'NULL', 0
+          |${states.map(s => s"  UNION ALL SELECT '$s', 0").mkString("\n")}
+          |)""".stripMargin
+      val steps = (1 to iters).map { i =>
+        val clamp = knockout.map(c => s"CASE WHEN state = '$c' THEN 0 ELSE p END").getOrElse("p")
+        s""", v$i$sfx AS (
+          |  SELECT state, CAST($clamp AS BIGINT) AS p FROM (
+          |    SELECT t.src AS state,
+          |      CAST(sum((2*v.p*t.n + tt.tot) // (2*tt.tot)) AS BIGINT) AS p
+          |    FROM trans t JOIN v${i - 1}$sfx v ON v.state = t.dst
+          |    JOIN tots tt ON tt.src = t.src
+          |    GROUP BY t.src
+          |  )
+          |  UNION ALL SELECT 'CONV', 1000000 UNION ALL SELECT 'NULL', 0
+          |)""".stripMargin
+      }.mkString
+      v0 + steps
+    }
+    val chains = (chain("b", None) +:
+      channels.map(c => chain(s"k$c", Some(c)))).mkString(",\n")
+    val reRows = channels.map { c =>
+      s"SELECT '$c' AS channel, (SELECT p FROM v${iters}k$c WHERE state = 'START') AS vc"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH seq AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), firstp AS (
+      |  SELECT user_id, min(rn) AS prn FROM seq WHERE event_type = 'purchase' GROUP BY 1
+      |), tou AS (
+      |  SELECT s.user_id, s.event_type, s.rn
+      |  FROM seq s LEFT JOIN firstp f ON f.user_id = s.user_id
+      |  WHERE f.prn IS NULL OR s.rn < f.prn
+      |), mid AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS dst
+      |  FROM tou
+      |), pu AS (
+      |  SELECT user_id, min_by(event_type, rn) AS first_t, max_by(event_type, rn) AS last_t
+      |  FROM tou GROUP BY 1
+      |), puabs AS (
+      |  SELECT p.user_id, p.first_t, p.last_t,
+      |    CASE WHEN f.prn IS NOT NULL THEN 'CONV' ELSE 'NULL' END AS ab
+      |  FROM pu p LEFT JOIN firstp f ON f.user_id = p.user_id
+      |), edges AS (
+      |  SELECT 'START' AS src, first_t AS dst FROM puabs
+      |  UNION ALL
+      |  SELECT 'START', 'CONV' FROM firstp f
+      |  WHERE f.user_id NOT IN (SELECT user_id FROM tou)
+      |  UNION ALL
+      |  SELECT src, dst FROM mid WHERE dst IS NOT NULL
+      |  UNION ALL
+      |  SELECT last_t, ab FROM puabs
+      |), trans AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM edges GROUP BY 1, 2),
+      |tots AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM trans GROUP BY 1),
+      |$chains,
+      |basev AS (SELECT greatest(p, 1) AS v_start, p AS raw_v FROM v${iters}b WHERE state = 'START'),
+      |re AS (
+      |  $reRows
+      |), re2 AS (
+      |  SELECT channel,
+      |    1000000 - (2*1000000*vc + b.v_start) // (2*b.v_start) AS re_m, b.raw_v
+      |  FROM re, basev b
+      |), ret AS (SELECT greatest(sum(re_m), 1) AS rt FROM re2)
+      |SELECT channel, CAST(raw_v AS BIGINT) AS conv_prob_micro,
+      |  CAST(re_m AS BIGINT) AS removal_effect_micro,
+      |  CAST((2*10000*re_m + ret.rt) // (2*ret.rt) AS BIGINT) AS attribution_bps
+      |FROM re2, ret""".stripMargin
+  }
+
+  /** Shapley attribution replay: journey channel sets → exact-set
+    * conversion counts → 2^K coalition values as one wide row → the
+    * factorial-weighted lattice sum per channel, mirroring
+    * [[graft.ops.Cohort.shapleyAttribution]]'s driver arithmetic.
+    */
+  private def shapleyOracle: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    val k = channels.length
+    val fact = (1 to k).scanLeft(1L)(_ * _.toLong).toArray
+    def key(mask: Int): String =
+      channels.zipWithIndex.collect { case (c, i) if (mask & (1 << i)) != 0 => c }.mkString(",")
+    val vCols = (0 until (1 << k)).map { s =>
+      val subs = (0 until (1 << k)).filter(t => (t & ~s) == 0)
+      val inList = subs.map(t => s"'${key(t)}'").mkString(", ")
+      s"coalesce((SELECT sum(nconv) FROM g WHERE chset IN ($inList)), 0) AS v_$s"
+    }.mkString(",\n  ")
+    val phiRows = channels.zipWithIndex.map { case (c, i) =>
+      val bit = 1 << i
+      val terms = (0 until (1 << k)).filter(s => (s & bit) == 0).map { s =>
+        val w = fact(Integer.bitCount(s)) * fact(k - 1 - Integer.bitCount(s))
+        s"$w*(v_${s | bit} - v_$s)"
+      }.mkString(" + ")
+      s"SELECT '$c' AS channel, CAST($terms AS BIGINT) AS p FROM v"
+    }.mkString("\n  UNION ALL ")
+    val kf = fact(k)
+    s"""WITH seq AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |), firstp AS (
+      |  SELECT user_id, min(rn) AS prn FROM seq WHERE event_type = 'purchase' GROUP BY 1
+      |), tou AS (
+      |  SELECT s.user_id, s.event_type, s.rn
+      |  FROM seq s LEFT JOIN firstp f ON f.user_id = s.user_id
+      |  WHERE f.prn IS NULL OR s.rn < f.prn
+      |), us AS (
+      |  SELECT t.user_id,
+      |    string_agg(DISTINCT t.event_type, ',' ORDER BY t.event_type) AS chset,
+      |    max(CASE WHEN f.prn IS NOT NULL THEN 1 ELSE 0 END) AS conv
+      |  FROM tou t LEFT JOIN firstp f ON f.user_id = t.user_id
+      |  GROUP BY 1
+      |  UNION ALL
+      |  SELECT f.user_id, '', 1 FROM firstp f
+      |  WHERE f.user_id NOT IN (SELECT user_id FROM tou)
+      |), g AS (SELECT chset, CAST(sum(conv) AS BIGINT) AS nconv FROM us GROUP BY 1),
+      |v AS (SELECT
+      |  $vCols
+      |), phi AS (
+      |  $phiRows
+      |), pt AS (SELECT greatest(sum(p), 1) AS t FROM phi)
+      |SELECT channel,
+      |  CAST((2*1000000*p + $kf) // ${2 * kf} AS BIGINT) AS shapley_conversions_micro,
+      |  CAST((2*10000*p + pt.t) // (2*pt.t) AS BIGINT) AS attribution_bps
+      |FROM phi, pt""".stripMargin
   }
 
   /** Shared feature-frame CTEs (Gopher teacher + cheap features). */
@@ -6299,6 +6452,8 @@ object SparkEntry {
         |  CAST(CASE WHEN d.cnt * h.hod_cells > h.hod_total * 2 THEN 1 ELSE 0 END AS INT) AS spike,
         |  CAST(CASE WHEN d.cnt * h.hod_cells * 2 < h.hod_total THEN 1 ELSE 0 END AS INT) AS dip
         |FROM dense d JOIN hod h ON h.event_type = d.event_type AND h.hod = d.hour % 24""".stripMargin,
+    "attribution_markov_removal" -> markovRemovalOracle(12),
+    "attribution_shapley" -> shapleyOracle,
     "user_bot_signals" ->
       """WITH b AS (
         |  SELECT user_id, epoch_ms(ts) AS ts_ms_v, event_id,

@@ -347,6 +347,189 @@ object Cohort {
     states.map(s => (s, v(s))).toSeq.toDF("state", "pi_micro")
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2016) — the modern
+    * data-driven complement to the positional rules in this family:
+    * model each user's pre-conversion touch sequence as a first-order
+    * chain over {START, channels…, CONV, NULL}, compute the absorbing
+    * conversion probability from START, then re-compute it with each
+    * channel KNOCKED OUT (its state clamped to zero ≡ redirected into
+    * NULL); a channel's credit is how much conversion probability
+    * disappears without it, normalized to basis points.
+    *
+    * Journeys: events in the (ts, id) total order, truncated at the FIRST
+    * `convType`; users without a conversion absorb into NULL. The
+    * absorbing value runs `iters` exact fixed-point steps in micro units
+    * with the same round-half-up integer division as every driver loop in
+    * this module — the oracle replays every step per knocked-out chain.
+    *
+    * Shape: two user-partitioned windows + one (K+2)²-bounded count
+    * aggregation; the collect is ≤ (channels+2)² rows and the iteration
+    * is driver arithmetic over ≤ K+3 longs per chain. At 100 TB the only
+    * corpus-size work is the sequence windows, which shuffle once on
+    * user_id.
+    */
+  def markovRemovalAttribution(
+      events: DataFrame,
+      convType: String = "purchase",
+      iters: Int = 12,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"
+  ): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wSeq = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val seq = events
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("rn", row_number().over(wSeq))
+    val firstp = seq
+      .filter(col(typeCol) === convType)
+      .groupBy(col(userCol))
+      .agg(min(col("rn")).as("prn"))
+    val tou = seq
+      .join(firstp, Seq(userCol), "left")
+      .filter(col("prn").isNull || col("rn") < col("prn"))
+    val mid = tou
+      .withColumn("nxt", lead(col(typeCol), 1).over(Window.partitionBy(col(userCol)).orderBy(col("rn"))))
+      .filter(col("nxt").isNotNull)
+      .select(col(typeCol).as("src"), col("nxt").as("dst"))
+    val perUser = tou
+      .groupBy(col(userCol))
+      .agg(
+        expr(s"min_by($typeCol, rn)").as("first_t"),
+        expr(s"max_by($typeCol, rn)").as("last_t"))
+      .join(firstp, Seq(userCol), "left")
+      .withColumn("abs", when(col("prn").isNotNull, lit("CONV")).otherwise(lit("NULL")))
+    val startEdges = perUser.select(lit("START").as("src"), col("first_t").as("dst"))
+      .unionByName( // converted users whose FIRST event is the conversion
+        firstp.join(tou.select(col(userCol)).distinct(), Seq(userCol), "left_anti")
+          .select(lit("START").as("src"), lit("CONV").as("dst")))
+    val endEdges = perUser.select(col("last_t").as("src"), col("abs").as("dst"))
+    // bounded collect: ≤ (channels + 2)² transition rows
+    val rows = startEdges.unionByName(mid).unionByName(endEdges)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val tots = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val bySrc = rows.groupBy(_._1)
+    val channels = rows.flatMap(r => Seq(r._1, r._2)).distinct
+      .filterNot(Set("START", "CONV", "NULL")).sorted
+    // positive round-half-up(num/den) — matches the oracle's // form
+    def sr(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
+    def absorbValue(knockout: Option[String]): Long = {
+      var v = (channels :+ "START").map(_ -> 0L).toMap + ("CONV" -> 1000000L) + ("NULL" -> 0L)
+      for (_ <- 1 to iters) {
+        val next = (channels :+ "START").map { s =>
+          bySrc.get(s) match {
+            case Some(es) =>
+              val tot = tots(s)
+              s -> es.map { case (_, dst, n) => sr(v(dst) * n, tot) }.sum
+            case None => s -> v(s) // dangling state (cannot arise here: every touch has an end edge)
+          }
+        }.toMap
+        v = next.map { case (s, p) =>
+          s -> (if (knockout.contains(s)) 0L else p)
+        } + ("CONV" -> 1000000L) + ("NULL" -> 0L)
+      }
+      v("START")
+    }
+    val base = absorbValue(None)
+    val re = channels.map { c =>
+      val vc = absorbValue(Some(c))
+      c -> (1000000L - sr(1000000L * vc, math.max(base, 1L)))
+    }
+    val reTot = math.max(re.map(_._2).sum, 1L)
+    re.toSeq.map { case (c, r) =>
+      (c, base, r, sr(10000L * r, reTot))
+    }.toDF("channel", "conv_prob_micro", "removal_effect_micro", "attribution_bps")
+  }
+
+  /** Shapley-value attribution (Dalessandro et al. 2012) — the
+    * cooperative-game companion to [[markovRemovalAttribution]]: each
+    * user's pre-conversion journey contributes its CHANNEL SET; the
+    * coalition value v(S) counts conversions of journeys whose set is
+    * contained in S (monotone by construction), and a channel's credit is
+    * its exact Shapley value φ_c = Σ_{S⊆C∖{c}} |S|!(K−1−|S|)!/K! ·
+    * (v(S∪{c}) − v(S)). Everything is integer: φ·K! is a plain sum of
+    * factorial-weighted deltas, reported in micro conversions
+    * (round-half-up by K!) and as bps of Σφ. The efficiency axiom pins
+    * Σ_c φ_c = v(C) − v(∅), i.e. exactly the conversions that had at
+    * least one touch — the spec asserts it.
+    *
+    * Shape: the same journey truncation as the Markov operator (one
+    * user-partitioned window), then ONE set-valued aggregation keyed by
+    * user and a groupBy on the set key — the collect is ≤ 2^K rows and
+    * the lattice walk is driver arithmetic over 2^K longs (guarded
+    * K ≤ 16). At 100 TB only the per-user window and set-agg touch the
+    * corpus; both shuffle once on user_id.
+    */
+  def shapleyAttribution(
+      events: DataFrame,
+      convType: String = "purchase",
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"
+  ): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wSeq = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val seq = events
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("rn", row_number().over(wSeq))
+    val firstp = seq
+      .filter(col(typeCol) === convType)
+      .groupBy(col(userCol))
+      .agg(min(col("rn")).as("prn"))
+    val tou = seq
+      .join(firstp, Seq(userCol), "left")
+      .filter(col("prn").isNull || col("rn") < col("prn"))
+    // one set-agg per user; touchless converters contribute the empty set
+    val userSets = tou
+      .groupBy(col(userCol))
+      .agg(concat_ws(",", sort_array(collect_set(col(typeCol)))).as("chset"))
+      .join(firstp.select(col(userCol), lit(1).as("conv")), Seq(userCol), "left")
+      .unionByName(
+        firstp.join(tou.select(col(userCol)).distinct(), Seq(userCol), "left_anti")
+          .select(col(userCol), lit("").as("chset"), lit(1).as("conv")))
+    // bounded collect: ≤ 2^K distinct exact-set rows
+    val groups = userSets
+      .groupBy(col("chset"))
+      .agg(sum(coalesce(col("conv"), lit(0))).as("nconv"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val channels = groups.flatMap(_._1.split(",")).filter(_.nonEmpty).distinct.sorted
+    val k = channels.length
+    require(k <= 16, s"shapleyAttribution: $k channels would need 2^$k lattice entries")
+    val idx = channels.zipWithIndex.toMap
+    val convByMask = groups
+      .groupBy { case (set, _) =>
+        set.split(",").filter(_.nonEmpty).map(c => 1 << idx(c)).sum
+      }
+      .view.mapValues(_.map(_._2).sum).toMap
+    // v(S) = conversions of journeys whose set ⊆ S (includes v(∅) = touchless)
+    val v = (0 until (1 << k)).map { s =>
+      s -> convByMask.collect { case (t, n) if (t & ~s) == 0 => n }.sum
+    }.toMap
+    val fact = (1 to k).scanLeft(1L)(_ * _.toLong).toArray
+    def sr(num: Long, den: Long): Long = (2 * num + den) / (2 * den)
+    // φ_c · K! — an exact integer (v monotone ⇒ every delta ≥ 0)
+    val phiKfact = channels.map { c =>
+      val bit = 1 << idx(c)
+      val sum = (0 until (1 << k)).filter(s => (s & bit) == 0).map { s =>
+        val size = Integer.bitCount(s)
+        fact(size) * fact(k - 1 - size) * (v(s | bit) - v(s))
+      }.sum
+      c -> sum
+    }
+    val phiTot = math.max(phiKfact.map(_._2).sum, 1L)
+    phiKfact.toSeq.map { case (c, p) =>
+      (c, sr(1000000L * p, fact(k)), sr(10000L * p, phiTot))
+    }.toDF("channel", "shapley_conversions_micro", "attribution_bps")
+  }
+
   /** Bot/automation screen over per-user event behavior — the traffic-
     * cleaning step that runs before any engagement metric is trusted.
     * Three orthogonal signals, each an exact integer comparison:

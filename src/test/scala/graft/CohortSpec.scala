@@ -194,4 +194,107 @@ class CohortSpec extends AnyFunSuite {
     assert(got(1) == ((4L, 20L, Some(1000L))))
     assert(got(0) == ((5L, 0L, Some(0L))))
   }
+
+  private def journeys(rows: (Long, String)*) =
+    rows.zipWithIndex
+      .map { case ((u, t), i) => (u, t, i.toLong, i.toLong) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+
+  test("markovRemovalAttribution: the only converting channel takes all credit") {
+    // u1,u2: a → purchase; u3: b only (no conversion).
+    // Chain: START→a (2/3), START→b (1/3), a→CONV, b→NULL.
+    // Base conv = 2/3; without a it is 0 (re = 1e6); without b unchanged
+    // (re = 0) → a gets all 10000 bps.
+    val ev = journeys(
+      (1L, "a"), (1L, "purchase"),
+      (2L, "a"), (2L, "purchase"),
+      (3L, "b"))
+    val got = Cohort.markovRemovalAttribution(ev)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      "a" -> ((666667L, 1000000L, 10000L)),
+      "b" -> ((666667L, 0L, 0L))))
+  }
+
+  test("markovRemovalAttribution: serial path splits credit equally") {
+    // u1: a → b → purchase; u2: a only. Both channels sit on the single
+    // converting path, so removing EITHER kills all conversion — equal
+    // removal effects, 5000 bps each. Base conv: START→a (1), a→b (1/2),
+    // b→CONV (1) = 1/2.
+    val ev = journeys(
+      (1L, "a"), (1L, "b"), (1L, "purchase"),
+      (2L, "a"))
+    val got = Cohort.markovRemovalAttribution(ev)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      "a" -> ((500000L, 1000000L, 5000L)),
+      "b" -> ((500000L, 1000000L, 5000L))))
+  }
+
+  test("markovRemovalAttribution: touchless conversion becomes a START→CONV edge") {
+    // u1 converts with NO prior touch; u2 converts through a. Base conv
+    // = 1; knocking out a only loses u2's half → re_a = 500000, yet a
+    // still takes the full 10000 bps as the only channel.
+    val ev = journeys(
+      (1L, "purchase"),
+      (2L, "a"), (2L, "purchase"))
+    val got = Cohort.markovRemovalAttribution(ev)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map("a" -> ((1000000L, 500000L, 10000L))))
+  }
+
+  test("shapleyAttribution: symmetric channels split credit; efficiency pins the total") {
+    // u1: {a}→conv, u2: {b}→conv, u3: a,b,a→conv (SET semantics — the
+    // repeat of a is one membership), u4: {a} no conv.
+    // v(∅)=0, v{a}=1, v{b}=1, v{a,b}=3; φ_a·2! = (1−0)+(3−1) = 3 →
+    // 1.5 conversions each; efficiency: φ_a+φ_b = 3 = v(C)−v(∅).
+    val ev = journeys(
+      (1L, "a"), (1L, "purchase"),
+      (2L, "b"), (2L, "purchase"),
+      (3L, "a"), (3L, "b"), (3L, "a"), (3L, "purchase"),
+      (4L, "a"))
+    val got = Cohort.shapleyAttribution(ev)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1500000L, 5000L), ("b", 1500000L, 5000L)))
+  }
+
+  test("shapleyAttribution: touchless conversion sits in v(∅), free-riding channel gets zero") {
+    // u1 converts with no touch (v(∅)=1); u2: a→conv; u3: b no conv.
+    // φ_a = 1 conversion, φ_b = 0 — b never moves any coalition.
+    val ev = journeys(
+      (1L, "purchase"),
+      (2L, "a"), (2L, "purchase"),
+      (3L, "b"))
+    val got = Cohort.shapleyAttribution(ev)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1000000L, 10000L), ("b", 0L, 0L)))
+  }
+
+  test("shapleyAttribution: asymmetric lattice — exact factorial-weighted split") {
+    // u1,u2: {a}→conv; u3: {a,b}→conv; u4: {b} no conv.
+    // v{a}=2, v{b}=0, v{a,b}=3: φ_a·2 = 2+3 = 5, φ_b·2 = 0+1 = 1 →
+    // 2.5 vs 0.5 conversions; bps = round-half-up(10000·{5,1}/6).
+    val ev = journeys(
+      (1L, "a"), (1L, "purchase"),
+      (2L, "a"), (2L, "purchase"),
+      (3L, "a"), (3L, "b"), (3L, "purchase"),
+      (4L, "b"))
+    val got = Cohort.shapleyAttribution(ev)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 2500000L, 8333L), ("b", 500000L, 1667L)))
+  }
+
+  test("markovRemovalAttribution: post-conversion events never enter the chain") {
+    // u1: a → purchase → b → purchase. Everything after the FIRST
+    // conversion is discarded, so b never appears as a channel.
+    val ev = journeys(
+      (1L, "a"), (1L, "purchase"), (1L, "b"), (1L, "purchase"))
+    val got = Cohort.markovRemovalAttribution(ev)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map("a" -> ((1000000L, 1000000L, 10000L))))
+  }
 }
