@@ -1377,6 +1377,14 @@ object SparkEntry {
       // (ops/Cohort.scala); log touched once, then ids-only frames.
       graft.ops.Cohort.retentionMatrix(eventsTable(s, dir))
     },
+    "survival_life_table" -> { (s, dir) =>
+      // Kaplan–Meier life table over user lifetimes: at-risk / churned /
+      // right-censored per lifetime day, hazard in exact bps; censoring =
+      // last activity on the corpus's final observed day. At-risk suffix
+      // sums ride the distributed prefix-sum primitive — rows bounded by
+      // the observation span, never the corpus (ops/Cohort.scala).
+      graft.ops.Cohort.survivalLifeTable(eventsTable(s, dir))
+    },
     "rate_spike_hours" -> { (s, dir) =>
       // Burst detection: hours where a user runs >1.5× their own average
       // hourly rate (2× fires on nothing at the smallest SF — uniform
@@ -2765,6 +2773,29 @@ object SparkEntry {
         .select(pmod(col("user_id"), lit(2L)).cast("int").as("cohort"), col("x"), col("y"))
       graft.ops.Contingency.cupedSummary(perUser)
     },
+    "simpson_audit" -> { (s, dir) =>
+      // Aggregation-bias tripwire: does "high-activity users convert
+      // more" reverse inside first-active-week cohorts? X = above-mean
+      // event count (cross-multiplied, no division), Y = any purchase,
+      // strata = cohort weeks; full 2×2 cells per stratum + pooled row,
+      // reversal flagged by sign products only (ops/Contingency.scala).
+      val ev = eventsTable(s, dir)
+      val week = expr("((ts_ms div 86400000) - 4) div 7")
+      val perUser = ev
+        .select(
+          col("user_id"), week.as("wk"),
+          (col("event_type") === "purchase").cast("long").as("isp"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), max("isp").as("y"), min("wk").as("stratum"))
+      val glob = perUser.agg(sum("n").as("tot"), count(lit(1)).as("nu"))
+      val units = perUser
+        .crossJoin(broadcast(glob)) // 1-row global-mean frame
+        .select(
+          col("stratum"),
+          expr("CAST(n * nu > tot AS INT)").as("x"),
+          col("y").cast("int").as("y"))
+      graft.ops.Contingency.simpsonAudit(units)
+    },
     "ab_welch_t" -> { (s, dir) =>
       // Unequal-variance mean test over the same cohorts: exact-rational
       // mean difference and squared standard error in micro units, plus
@@ -3019,6 +3050,25 @@ object SparkEntry {
       // under the SQL oracle.
       val emb = table(s, dir, "embeddings")
       Similarity.mutualFromDirected(Similarity.ivfAnchorTopK(emb, emb, k = 5))
+    },
+    "lof_outliers" -> { (s, dir) =>
+      // Local Outlier Factor over the embedding sample: density-based
+      // outlier scores from the directed kNN frame — k-distance,
+      // reachability, lrd, LOF, all exact integer micro/milli arithmetic
+      // once the leg's 6-dp cosine lands. Brute leg here for exact
+      // recall; the operator takes ANY directed frame
+      // (ops/Similarity.scala).
+      val emb = table(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      Similarity.lofFromDirected(Similarity.bruteForceTopK(emb, emb, k = 5))
+    },
+    "lof_outliers_ivf" -> { (s, dir) =>
+      // The scale-shaped LOF: same exact integer chain, but the directed
+      // leg is the deterministic-anchor IVF top-k over the FULL corpus —
+      // the injectable-leg contract again; all LOF work is three
+      // equi-joins over the N·k frame regardless of leg
+      // (ops/Similarity.scala).
+      val emb = table(s, dir, "embeddings")
+      Similarity.lofFromDirected(Similarity.ivfAnchorTopK(emb, emb, k = 5))
     },
     "semdedup_mutual_flags" -> { (s, dir) =>
       // SemDeDup v2: reciprocal-confidence near-dup flags — a pair only
@@ -3303,6 +3353,37 @@ object SparkEntry {
       |  FROM ${p}t x JOIN ${p}t y ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
       |    AND x.query_id < x.neighbor_id
       |)""".stripMargin
+
+  /** LOF replay over a `d(qa, nb, dm)` directed micro-distance CTE,
+    * mirroring [[graft.ops.Similarity.lofFromDirected]]'s three
+    * joins/aggregations exactly (k-distance → reachability/lrd → LOF),
+    * round-half-up floor-div throughout.
+    */
+  private val LofChainCtes: String =
+    """kd AS (
+      |  SELECT qa AS pid, max(dm) AS kdist_micro, CAST(count(*) AS BIGINT) AS n_nb
+      |  FROM d GROUP BY 1
+      |), lr AS (
+      |  SELECT d.qa AS pid, sum(greatest(d.dm, k2.kdist_micro)) AS sum_reach,
+      |    CAST(count(*) AS BIGINT) AS n_reach
+      |  FROM d JOIN kd k2 ON k2.pid = d.nb GROUP BY 1
+      |), lrd AS (
+      |  SELECT kd.pid, kd.kdist_micro, kd.n_nb,
+      |    (lr.n_reach * 2000000000000 + greatest(lr.sum_reach, 1))
+      |      // (2 * greatest(lr.sum_reach, 1)) AS lrd_micro
+      |  FROM kd JOIN lr ON lr.pid = kd.pid
+      |), lofs AS (
+      |  SELECT d.qa AS pid, sum(l2.lrd_micro) AS sum_nb_lrd,
+      |    CAST(count(*) AS BIGINT) AS n_lof
+      |  FROM d JOIN lrd l2 ON l2.pid = d.nb GROUP BY 1
+      |)""".stripMargin
+
+  private val LofChainSelect: String =
+    """SELECT l.pid AS vec_id, CAST(l.kdist_micro AS BIGINT) AS kdist_micro,
+      |  l.n_nb, CAST(l.lrd_micro AS BIGINT) AS lrd_micro,
+      |  CAST((f.sum_nb_lrd * 2000 + f.n_lof * l.lrd_micro)
+      |    // (2 * f.n_lof * l.lrd_micro) AS BIGINT) AS lof_milli
+      |FROM lrd l JOIN lofs f ON f.pid = l.pid""".stripMargin
 
   private val GopherRulesCtes: String =
     """toks AS (
@@ -6395,6 +6476,32 @@ object SparkEntry {
         |SELECT cohort_week, CAST(week - cohort_week AS INT) AS week_offset,
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "survival_life_table" ->
+      """WITH u AS (
+        |  SELECT user_id, min(epoch_ms(ts) // 86400000) AS first_day,
+        |    max(epoch_ms(ts) // 86400000) AS last_day
+        |  FROM events GROUP BY 1
+        |), oe AS (SELECT max(last_day) AS obs_end FROM u),
+        |dd AS (
+        |  SELECT last_day - first_day AS dur_days,
+        |    CASE WHEN last_day = (SELECT obs_end FROM oe) THEN 1 ELSE 0 END AS cen
+        |  FROM u
+        |), t AS (
+        |  SELECT dur_days, CAST(sum(1 - cen) AS BIGINT) AS d_churned,
+        |    CAST(sum(cen) AS BIGINT) AS c_censored
+        |  FROM dd GROUP BY 1
+        |), r AS (
+        |  SELECT *, d_churned + c_censored AS leaving,
+        |    sum(d_churned + c_censored) OVER (ORDER BY dur_days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(d_churned + c_censored) OVER () AS n_total
+        |  FROM t
+        |)
+        |SELECT dur_days, CAST(n_total - cum + leaving AS BIGINT) AS n_risk,
+        |  d_churned, c_censored,
+        |  CAST((2 * 10000 * d_churned + (n_total - cum + leaving))
+        |    // (2 * (n_total - cum + leaving)) AS INT) AS hazard_bps
+        |FROM r""".stripMargin,
     "rate_spike_hours" ->
       """WITH h AS (
         |  SELECT user_id, epoch_ms(ts) // 3600000 AS hour, CAST(count(*) AS BIGINT) AS n
@@ -8407,6 +8514,41 @@ object SparkEntry {
         |      // (24 * n * (n - 1))
         |    END AS BIGINT) AS var_units
         |FROM q""".stripMargin,
+    "simpson_audit" ->
+      """WITH pu AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+        |    min(((epoch_ms(ts) // 86400000) - 4) // 7) AS stratum
+        |  FROM events GROUP BY 1
+        |), g AS (SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nu FROM pu),
+        |un AS (
+        |  SELECT stratum, CASE WHEN n * g.nu > g.tot THEN 1 ELSE 0 END AS x, y
+        |  FROM pu, g
+        |), st AS (
+        |  SELECT stratum,
+        |    CAST(sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |    0 AS is_overall
+        |  FROM un GROUP BY 1
+        |  UNION ALL
+        |  SELECT -1,
+        |    CAST(sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    1
+        |  FROM un
+        |), sg AS (
+        |  SELECT *, CAST(CASE WHEN n11 + n10 = 0 OR n01 + n00 = 0 THEN 0
+        |    ELSE sign(n11 * n00 - n10 * n01) END AS INT) AS diff_sign
+        |  FROM st
+        |), ov AS (SELECT diff_sign AS overall_sign FROM sg WHERE is_overall = 1)
+        |SELECT stratum, n11, n10, n01, n00, is_overall, diff_sign, overall_sign,
+        |  CAST(CASE WHEN is_overall = 0 AND diff_sign * overall_sign < 0
+        |    THEN 1 ELSE 0 END AS INT) AS reversed
+        |FROM sg, ov""".stripMargin,
     "ab_cuped" ->
       """WITH pu AS (
         |  SELECT user_id % 2 AS cohort,
@@ -8942,6 +9084,32 @@ object SparkEntry {
     "mutual_nn_ivf" ->
       s"""WITH $MutualIvfCtes
         |SELECT id_a, id_b, cos_sim, rank_ab, rank_ba FROM mut""".stripMargin,
+    "lof_outliers" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 10 = 0),
+        |s AS (
+        |  SELECT a.vec_id AS qa, b.vec_id AS nb,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS cs
+        |  FROM e a JOIN e b ON a.vec_id != b.vec_id
+        |), r AS (
+        |  SELECT qa, nb, cs,
+        |    row_number() OVER (PARTITION BY qa ORDER BY cs DESC, nb) AS rk
+        |  FROM s
+        |), d AS (
+        |  SELECT qa, nb,
+        |    1000000 - CAST(floor(cs * 1000000.0 + 0.5) AS BIGINT) AS dm
+        |  FROM r WHERE rk <= 5
+        |),
+        |$LofChainCtes
+        |$LofChainSelect""".stripMargin,
+    "lof_outliers_ivf" ->
+      s"""WITH $MutualIvfCtes, d AS (
+        |  SELECT query_id AS qa, neighbor_id AS nb,
+        |    1000000 - CAST(floor(cos_sim * 1000000.0 + 0.5) AS BIGINT) AS dm
+        |  FROM t
+        |),
+        |$LofChainCtes
+        |$LofChainSelect""".stripMargin,
     "semdedup_mutual_flags" ->
       s"""WITH $MutualIvfCtes, flag AS (
         |  SELECT DISTINCT id_b AS vec_id FROM mut WHERE cos_sim >= 0.35

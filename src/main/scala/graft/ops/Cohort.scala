@@ -594,4 +594,59 @@ object Cohort {
         "bot_score",
         (col("rate_flag") + col("allday_flag") + col("burst_flag")).cast("int"))
   }
+
+  /** Kaplan–Meier-style life table over user lifetimes: one row per
+    * distinct lifetime length (days between a user's first and last
+    * event), with the at-risk count, churn events, right-censored exits,
+    * and the discrete hazard in exact bps. Users whose last activity
+    * falls on the corpus's final observed day are CENSORED (still alive
+    * when observation ended), not churned — the distinction that makes
+    * naive "days since last event" churn rates wrong near the end of any
+    * extract. The survival curve is `Π (1 − hazard)` over rows in day
+    * order — a prefix product left to the reader because the life table
+    * is the portable exact artifact (hazards are rationals; their
+    * running product is not representable in bounded integers).
+    *
+    * Shape: one (user → first/last day) aggregation collapses the log,
+    * then everything is ≤ distinct-lifetimes rows (bounded by the
+    * OBSERVATION SPAN in days, not the corpus). The at-risk suffix sum
+    * `n_risk(t) = Σ_{t' ≥ t} leaving(t')` rides
+    * [[Ranking.runningTotals]] — the distributed prefix-sum primitive —
+    * never an unpartitioned window.
+    */
+  def survivalLifeTable(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsMsCol: String = "ts_ms"
+  ): DataFrame = {
+    val day = expr(s"CAST($tsMsCol AS BIGINT) div $DayMs")
+    val users = events
+      .select(col(userCol).as("user_id"), day.as("day"))
+      .groupBy("user_id")
+      .agg(min("day").as("first_day"), max("day").as("last_day"))
+    val obsEnd = users.agg(max("last_day").as("obs_end"))
+    val byDur = users
+      .crossJoin(broadcast(obsEnd)) // one-row frame
+      .select(
+        (col("last_day") - col("first_day")).as("dur_days"),
+        (col("last_day") === col("obs_end")).cast("long").as("censored"))
+      .groupBy("dur_days")
+      .agg(
+        sum(lit(1L) - col("censored")).as("d_churned"),
+        sum(col("censored")).as("c_censored"))
+      .withColumn("leaving", col("d_churned") + col("c_censored"))
+    // inclusive prefix of `leaving` in day order; at-risk at t = everyone
+    // who has not left strictly before t = total − prefix(t) + leaving(t)
+    val total = byDur.agg(sum("leaving").as("n_total"))
+    Ranking
+      .runningTotals(byDur, Seq(col("dur_days")), Seq("leaving"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("dur_days"),
+        (col("n_total") - col("cum_leaving") + col("leaving")).as("n_risk"),
+        col("d_churned"),
+        col("c_censored"),
+        expr("(2 * 10000 * d_churned + (n_total - cum_leaving + leaving))" +
+          " div (2 * (n_total - cum_leaving + leaving))").cast("int").as("hazard_bps"))
+  }
 }

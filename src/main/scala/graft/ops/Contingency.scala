@@ -493,4 +493,57 @@ object Contingency {
         col("theta_micro"),
         col("rho2_micro"))
   }
+
+  /** Simpson's-paradox audit: does the X→Y association reverse sign
+    * inside strata? One row per stratum plus the pooled `is_overall`
+    * row, each carrying the full 2×2 cell counts, the rate-difference
+    * sign, the pooled sign, and a reversal flag. The sign of
+    * `P(Y|X=1) − P(Y|X=0)` is evaluated CROSS-MULTIPLIED —
+    * `sign(n11·n00 − n10·n01)` — so no division or float ever happens;
+    * strata where either arm is empty get sign 0 and never flag (a
+    * one-armed stratum cannot exhibit a reversal, only confound it).
+    *
+    * This is the aggregation-bias tripwire every cohort dashboard
+    * needs: a pooled "treatment helps" readout with `n_reversed > 0`
+    * strata means the pooled number is confounded by the stratum mix,
+    * not a causal summary (the textbook kidney-stone / admissions
+    * case).
+    *
+    * Shape: caller provides a frame already reduced to one row per
+    * unit with integer 0/1 `x`/`y` and a stratum key; this is two hash
+    * aggregations over that frame plus one broadcast of the 1-row
+    * pooled cells — strata-bounded output, no corpus re-scan.
+    */
+  def simpsonAudit(
+      units: DataFrame,
+      stratumCol: String = "stratum",
+      xCol: String = "x",
+      yCol: String = "y"
+  ): DataFrame = {
+    val cells = Seq(
+      sum(expr(s"CAST($xCol = 1 AND $yCol = 1 AS BIGINT)")).as("n11"),
+      sum(expr(s"CAST($xCol = 1 AND $yCol = 0 AS BIGINT)")).as("n10"),
+      sum(expr(s"CAST($xCol = 0 AND $yCol = 1 AS BIGINT)")).as("n01"),
+      sum(expr(s"CAST($xCol = 0 AND $yCol = 0 AS BIGINT)")).as("n00"))
+    val signExpr = expr(
+      "CAST(CASE WHEN n11 + n10 = 0 OR n01 + n00 = 0 THEN 0" +
+        " ELSE sign(n11 * n00 - n10 * n01) END AS INT)")
+    val perStratum = units
+      .groupBy(col(stratumCol).cast("long").as("stratum"))
+      .agg(cells.head, cells.tail: _*)
+      .withColumn("is_overall", lit(0))
+    val overall = units
+      .agg(cells.head, cells.tail: _*)
+      .select(lit(-1L).as("stratum"), col("n11"), col("n10"), col("n01"),
+        col("n00"), lit(1).as("is_overall"))
+    val pooledSign = overall.select(signExpr.as("overall_sign"))
+    perStratum
+      .unionByName(overall)
+      .withColumn("diff_sign", signExpr)
+      .crossJoin(broadcast(pooledSign)) // 1-row frame
+      .withColumn(
+        "reversed",
+        (col("is_overall") === 0 &&
+          col("diff_sign") * col("overall_sign") < 0).cast("int"))
+  }
 }

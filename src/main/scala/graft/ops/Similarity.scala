@@ -271,6 +271,84 @@ object Similarity {
         col("y.rank").as("rank_ba"))
   }
 
+  /** Local Outlier Factor (Breunig et al. 2000) over a PRECOMPUTED
+    * directed kNN frame in the shared `(query_id, neighbor_id, cos_sim,
+    * rank)` contract — density-based outlier scoring for embedding
+    * corpora (mislabeled shards, off-distribution documents, encoder
+    * glitches): LOF ≈ 1 for points as dense as their neighborhood, ≫ 1
+    * for points in sparser regions than their neighbors.
+    *
+    * Distances are cosine distance in exact micro units
+    * (`1e6 − round(cos·1e6)` — the frame's cosine is already 6-dp
+    * rounded, so everything downstream is pure integer arithmetic):
+    *   - k-distance(p)   = max neighbor distance in p's top-k row set
+    *   - reach(p,o)      = max(d(p,o), k-distance(o))
+    *   - lrd_micro(p)    = round(1e12·|Nₚ| / Σ reach)   (density)
+    *   - lof_milli(p)    = round(1e3·Σ lrd(o) / (|Nₚ|·lrd(p)))
+    * Degenerate all-duplicate neighborhoods (Σ reach = 0) take the
+    * documented `greatest(·,1)` floor instead of ∞ — deterministic and
+    * oracle-replayable.
+    *
+    * Ties at rank k follow the frame's deterministic (score desc, id asc)
+    * cut — the fixed-k LOF variant — rather than the paper's "all ties"
+    * neighborhood, so |Nₚ| = min(k, N−1) always.
+    *
+    * This is the 100 TB entry point by construction: ALL corpus work is
+    * three equi-joins/aggregations over the ≤ N·k directed frame (ids and
+    * micro longs only — vectors never enter); the quadratic part lives in
+    * the leg the caller picks ([[bruteForceTopK]] for exact recall,
+    * [[ivfAnchorTopK]]/[[ivfTopKIndexed]]/[[lshMd5TopK]] at corpus
+    * scale), exactly the [[mutualFromDirected]] discipline.
+    */
+  def lofFromDirected(directedTopK: DataFrame): DataFrame = {
+    val d = directedTopK
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        (lit(1000000L) - round(col("cos_sim") * 1e6).cast("long")).as("dist_micro"))
+      .localCheckpoint(eager = true) // reused by kdist, reach, and lof legs
+    // k-distance + neighborhood size per point (dist is monotone in rank).
+    val kdist = d.groupBy(col("query_id").as("pid"))
+      .agg(max("dist_micro").as("kdist_micro"), count(lit(1)).as("n_nb"))
+      .localCheckpoint(eager = true) // ≤ N rows; reused as both join sides
+    // Reachability: max(d(p,o), kdist(o)); lrd from the per-p sum. The
+    // join is inner — a neighbor an approximate leg never emitted a row
+    // FOR carries no k-distance, so the pair drops and the density ratio
+    // runs over the surviving row count (`n_reach`), keeping the math
+    // internally consistent on any leg (brute legs: n_reach = n_nb).
+    val lrd = d
+      .join(
+        kdist.select(col("pid").as("neighbor_id"), col("kdist_micro").as("nb_kdist")),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id").as("pid"))
+      .agg(
+        sum(greatest(col("dist_micro"), col("nb_kdist"))).as("sum_reach"),
+        count(lit(1)).as("n_reach"))
+      .join(kdist, Seq("pid"))
+      .select(
+        col("pid"),
+        col("kdist_micro"),
+        col("n_nb"),
+        // round-half-up (2a+b) div (2b) with the degenerate-zero floor
+        expr("(n_reach * 2000000000000 + greatest(sum_reach, 1))" +
+          " div (2 * greatest(sum_reach, 1))").as("lrd_micro"))
+      .localCheckpoint(eager = true) // ≤ N rows; reused as both join sides
+    // LOF: mean neighbor lrd over own lrd (same surviving-row discipline).
+    d.join(
+        lrd.select(col("pid").as("neighbor_id"), col("lrd_micro").as("nb_lrd")),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id").as("pid"))
+      .agg(sum("nb_lrd").as("sum_nb_lrd"), count(lit(1)).as("n_lof"))
+      .join(lrd, Seq("pid"))
+      .select(
+        col("pid").as("vec_id"),
+        col("kdist_micro"),
+        col("n_nb"),
+        col("lrd_micro"),
+        expr("(sum_nb_lrd * 2000 + n_lof * lrd_micro)" +
+          " div (2 * n_lof * lrd_micro)").as("lof_milli"))
+  }
+
   /** Per-label mean embedding (centroid), one output row per (label,
     * dimension). Aggregation runs through [[graft.functions.VecSumAgg]] —
     * one fixed-size buffer per group per partition crosses the exchange

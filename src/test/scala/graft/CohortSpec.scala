@@ -297,4 +297,34 @@ class CohortSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(got == Map("a" -> ((1000000L, 1000000L, 10000L))))
   }
+
+  test("survivalLifeTable: hand-computed at-risk, churn, censoring, hazard") {
+    // obs_end = day 5. Lifetimes: u1 d0..2 (dur 2, churned), u2 d0..5
+    // (dur 5, censored), u3 d1 (dur 0, churned), u4 d3..5 (dur 2,
+    // censored), u5 d5 (dur 0, censored — joined on the last day).
+    val events = Seq(
+      (1L, 0L * DayMs + 100L), (1L, 2L * DayMs),
+      (2L, 0L * DayMs), (2L, 5L * DayMs + 7L),
+      (3L, 1L * DayMs + 50L),
+      (4L, 3L * DayMs), (4L, 5L * DayMs),
+      (5L, 5L * DayMs + 1L)
+    ).toDF("user_id", "ts_ms")
+    val got = Cohort.survivalLifeTable(events)
+      .as[(Long, Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      0L -> ((5L, 1L, 1L, 2000)),  // round(10000·1/5)
+      2L -> ((3L, 1L, 1L, 3333)),  // round(10000·1/3)
+      5L -> ((1L, 0L, 1L, 0))))
+  }
+
+  test("survivalLifeTable: single-day corpus is one fully-censored row") {
+    // Everyone's last event is on the only observed day → all censored,
+    // zero hazard everywhere (no churn is observable in the window).
+    val events = Seq((1L, 0L), (2L, 100L), (3L, DayMs - 1L))
+      .toDF("user_id", "ts_ms")
+    val got = Cohort.survivalLifeTable(events)
+      .as[(Long, Long, Long, Long, Int)].collect().toList
+    assert(got == List((0L, 3L, 0L, 3L, 0)))
+  }
 }

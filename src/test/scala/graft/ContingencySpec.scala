@@ -281,4 +281,35 @@ class ContingencySpec extends AnyFunSuite {
     // CUPED must genuinely reduce variance on correlated data
     assert(got(0)._2 > 800000L, s"rho2=${got(0)._2} — covariate should explain most variance")
   }
+
+  test("simpsonAudit: the kidney-stone table reverses in every stratum") {
+    // Charig et al. 1986 via Julious & Mullee: treatment better WITHIN
+    // each stone-size stratum, worse pooled — the canonical paradox.
+    def arm(stratum: Long, x: Int, succ: Int, fail: Int) =
+      Seq.fill(succ)((stratum, x, 1)) ++ Seq.fill(fail)((stratum, x, 0))
+    val units = (
+      arm(1L, 1, 81, 6) ++ arm(1L, 0, 234, 36) ++    // small stones
+      arm(2L, 1, 192, 71) ++ arm(2L, 0, 55, 25)      // large stones
+    ).toDF("stratum", "x", "y")
+    val got = Contingency.simpsonAudit(units)
+      .select($"stratum", $"n11", $"n10", $"n01", $"n00", $"is_overall",
+        $"diff_sign", $"overall_sign", $"reversed")
+      .as[(Long, Long, Long, Long, Long, Int, Int, Int, Int)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 81L, 6L, 234L, 36L, 0, 1, -1, 1)))
+    assert(got(2L) == ((2L, 192L, 71L, 55L, 25L, 0, 1, -1, 1)))
+    assert(got(-1L) == ((-1L, 273L, 77L, 289L, 61L, 1, -1, -1, 0)))
+  }
+
+  test("simpsonAudit: one-armed strata get sign 0 and never flag") {
+    val units = (
+      Seq.fill(5)((1L, 1, 1)) ++ Seq.fill(5)((1L, 1, 0)) ++ // stratum 1: X=1 only
+      Seq.fill(4)((2L, 0, 1)) ++ Seq.fill(6)((2L, 1, 1))    // stratum 2: Y=1 only
+    ).toDF("stratum", "x", "y")
+    val got = Contingency.simpsonAudit(units)
+      .select($"stratum", $"diff_sign", $"reversed")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((0, 0)))
+    assert(got(2L) == ((0, 0)))
+  }
 }

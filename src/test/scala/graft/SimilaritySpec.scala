@@ -772,6 +772,57 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("lofFromDirected: planted isolated point scores far above the dense cluster") {
+    val rnd = new Random(42)
+    // 20 tight cluster members + 1 far-off outlier (near-orthogonal
+    // direction, so its cosine to every cluster member is low)
+    val center = Array.tabulate(dim)(j => if (j == 0) 1.0f else 0.0f)
+    val data = (0L until 20L).map { i =>
+      i -> center.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+    } :+ (99L -> Array.tabulate(dim)(j => if (j == dim - 1) 1.0f else 0.0f))
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity
+      .lofFromDirected(Similarity.bruteForceTopK(df, df, k = 4))
+      .select($"vec_id", $"lof_milli")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 21)
+    // inliers sit near LOF ≈ 1 (6-dp cosine quantization on a tight
+    // cluster widens the band); the isolated point is FAR above
+    val inliers = got.filter(_._1 != 99L).values
+    assert(inliers.forall(l => l > 500 && l < 2500), s"inliers: $inliers")
+    assert(got(99L) > 3000, s"outlier lof_milli = ${got(99L)}")
+    assert(got(99L) > 2 * inliers.max, s"outlier ${got(99L)} vs max inlier ${inliers.max}")
+  }
+
+  test("lofFromDirected reproduces the exact integer chain from the directed frame") {
+    val data = clustered(30)
+    val df = data.toDF("vec_id", "embedding")
+    val k = 4
+    val directed = Similarity.bruteForceTopK(df, df, k)
+      .select($"query_id", $"neighbor_id", $"cos_sim")
+      .as[(Long, Long, Double)].collect()
+    // local replay of the documented micro/milli arithmetic
+    def halfUp(a: BigInt, b: BigInt): Long = ((2 * a + b) / (2 * b)).toLong
+    val d = directed.map { case (q, n, c) =>
+      (q, n, 1000000L - math.rint(c * 1e6).toLong)
+    }
+    val byQ = d.groupBy(_._1)
+    val kdist = byQ.map { case (q, rs) => q -> rs.map(_._3).max }
+    val nNb = byQ.map { case (q, rs) => q -> rs.length.toLong }
+    val lrd = byQ.map { case (q, rs) =>
+      val reach = rs.map { case (_, n, dm) => math.max(dm, kdist(n)) }
+      q -> halfUp(BigInt(reach.length) * BigInt(1000000000000L), BigInt(reach.sum).max(1))
+    }
+    val expected = byQ.map { case (q, rs) =>
+      val nb = rs.map { case (_, n, _) => lrd(n) }
+      (q, kdist(q), nNb(q), lrd(q),
+        halfUp(BigInt(nb.sum) * 1000, BigInt(nb.length) * lrd(q)))
+    }.toSet
+    val got = Similarity.lofFromDirected(Similarity.bruteForceTopK(df, df, k))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("semDedupMutual flags exactly the non-minimal members of planted clone clusters") {
     val rnd = new Random(77)
     // two clone clusters (sizes 3 and 2) + three singletons, all centers
