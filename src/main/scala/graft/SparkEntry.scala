@@ -1400,6 +1400,14 @@ object SparkEntry {
       // never 16× the span (ops/TimeSeries.scala).
       graft.ops.TimeSeries.ewmaHourly(eventsTable(s, dir))
     },
+    "daily_theil_sen" -> { (s, dir) =>
+      // Robust trend per event type: median of all pairwise daily-count
+      // slopes (exact signed micro rationals; the doubled-median trick
+      // avoids a final rounding). Pairs and the median window run on the
+      // span-bounded dense grid, type-partitioned
+      // (ops/TimeSeries.scala).
+      graft.ops.TimeSeries.theilSenDaily(eventsTable(s, dir))
+    },
     "seasonal_hour_flags" -> { (s, dir) =>
       // Diurnal-corrected spike/dip flags: each (type, hour) cell vs its
       // hour-of-day mean over the dense span (zero hours included),
@@ -2807,6 +2815,16 @@ object SparkEntry {
           pmod(col("user_id"), lit(2L)).cast("int").as("cohort"),
           cents(col("value")).as("cents")),
         "cohort", "cents")
+    },
+    "dp_rr_purchase_share" -> { (s, dir) =>
+      // Local-DP purchase share per day via Warner randomized response
+      // (p = 3/4 ⇒ ε = ln 3): seeded-md5 deterministic coin flips each
+      // event's sensitive bit, exact-rational debias recovers the
+      // population share; map-only + one aggregation
+      // (ops/Integrity.scala).
+      val ev = eventsTable(s, dir).withColumn("day", expr("ts_ms DIV 86400000"))
+      graft.ops.Integrity.randomizedResponse(
+        ev, "event_id", col("event_type") === "purchase", "day", seed = "rr11")
     },
     "k_anonymity_report" -> { (s, dir) =>
       // Re-identification risk audit on the customer quasi-identifiers
@@ -6536,6 +6554,40 @@ object SparkEntry {
         |FROM grid g
         |LEFT JOIN hc ON hc.event_type = g.event_type AND hc.hour = g.hour
         |LEFT JOIN agg a ON a.event_type = g.event_type AND a.hour = g.hour""".stripMargin,
+    "daily_theil_sen" ->
+      """WITH dc AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), b AS (SELECT min(day) AS lo, max(day) AS hi FROM dc),
+        |grid AS (
+        |  SELECT t.event_type, g.d AS day
+        |  FROM (SELECT DISTINCT event_type FROM dc) t
+        |  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b))) AS d) g
+        |), dense AS (
+        |  SELECT g.event_type, g.day, coalesce(dc.cnt, 0) AS cnt
+        |  FROM grid g LEFT JOIN dc ON dc.event_type = g.event_type AND dc.day = g.day
+        |), pr AS (
+        |  SELECT a.event_type,
+        |    2000000 * (bb.cnt - a.cnt) + (bb.day - a.day) AS q,
+        |    2 * (bb.day - a.day) AS dv
+        |  FROM dense a JOIN dense bb
+        |    ON bb.event_type = a.event_type AND a.day < bb.day
+        |), sl AS (
+        |  SELECT event_type, (q - ((q % dv) + dv) % dv) // dv AS slope_micro FROM pr
+        |), r AS (
+        |  SELECT event_type, slope_micro,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope_micro) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM sl
+        |), m AS (
+        |  SELECT event_type, max(n) AS n_pairs, CAST(count(*) AS BIGINT) AS k,
+        |    sum(slope_micro) AS s
+        |  FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1
+        |)
+        |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(CASE WHEN k = 1 THEN 2 * s ELSE s END AS BIGINT) AS slope_micro_x2
+        |FROM m""".stripMargin,
     "seasonal_hour_flags" ->
       """WITH hc AS (
         |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour,
@@ -8634,6 +8686,25 @@ object SparkEntry {
         |    CAST(md AS DOUBLE) / sqrt(CAST(se2 AS DOUBLE) * 1000000.0e0) * 1000.0e0
         |      + 0.5e0) END AS BIGINT) AS t_milli
         |FROM m""".stripMargin,
+    "dp_rr_purchase_share" ->
+      """WITH r AS (
+        |  SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s,
+        |    CAST(('0x' || substr(md5('rr11' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+        |  FROM events
+        |), rep AS (
+        |  SELECT day, CASE WHEN u < 3221225472 THEN s ELSE 1 - s END AS rp FROM r
+        |), g AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS n, CAST(sum(rp) AS BIGINT) AS n_reported
+        |  FROM rep GROUP BY 1
+        |), q AS (
+        |  SELECT day, n, n_reported,
+        |    2000000 * (4 * n_reported - n) + 2 * n AS q, 4 * n AS dv
+        |  FROM g
+        |)
+        |SELECT day, n, n_reported,
+        |  CAST((q - ((q % dv) + dv) % dv) // dv AS BIGINT) AS pi_hat_micro
+        |FROM q""".stripMargin,
     "k_anonymity_report" ->
       """WITH g AS (
         |  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n

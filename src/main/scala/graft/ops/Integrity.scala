@@ -219,4 +219,48 @@ object Integrity {
         col("n_exposed_rows"),
         col("max_emd_micro"))
   }
+
+  /** Warner randomized response (1965) — the local-DP mechanism: each
+    * unit reports its sensitive bit TRUTHFULLY with probability
+    * p = pNum/pDen and INVERTED otherwise, giving ε = ln(p/(1−p))
+    * local differential privacy per unit (p = 3/4 ⇒ ε = ln 3); the
+    * per-group population share is then recovered by the unbiased
+    * debias π̂ = (r̂ − (1−p)) / (2p − 1), here as ONE exact signed
+    * rational in micro units. The "coin" is the seeded md5 hash of the
+    * unit key — deterministic, so the whole mechanism (flips included)
+    * replays bit-for-bit in any engine; a production release would
+    * draw real randomness and PUBLISH ONLY the reported aggregates
+    * (the true bit never leaves this operator's input projection).
+    *
+    * Shape: map-only flip + one hash aggregation — group-bounded
+    * output, no shuffle beyond the groupBy.
+    */
+  def randomizedResponse(
+      df: DataFrame,
+      keyCol: String,
+      sensitive: Column,
+      groupCol: String,
+      seed: String,
+      pNum: Long = 3L,
+      pDen: Long = 4L
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    require(pNum > 0 && pNum < pDen, "need 0 < p < 1")
+    require(2 * pNum > pDen, "need p > 1/2 or the debias denominator flips sign")
+    require((1L << 32) % pDen == 0, "pDen must divide 2^32 for an exact hash threshold")
+    val thresh = pNum * ((1L << 32) / pDen)
+    val s = sensitive.cast("long")
+    val rep = when(Sampling.hashValue(col(keyCol), seed) < thresh, s).otherwise(lit(1L) - s)
+    df.select(col(groupCol), rep.as("rep"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("rep")).as("n_reported"))
+      .select(
+        col(groupCol),
+        col("n"),
+        col("n_reported"),
+        scaledRatio(
+          lit(pDen) * col("n_reported") - lit(pDen - pNum) * col("n"),
+          col("n") * lit(2 * pNum - pDen))
+          .cast("long").as("pi_hat_micro"))
+  }
 }

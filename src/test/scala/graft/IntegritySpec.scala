@@ -114,4 +114,43 @@ class IntegritySpec extends AnyFunSuite {
       .head
     assert(got == (("g", 1L, 2L, 0L, 8L, 0L, 0L)))
   }
+
+  test("randomizedResponse matches a local md5 replay bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val rows = (0L until 40L).map(i => (i, if (i < 12) 1 else 0, i % 2))
+    val df = rows.toDF("id", "s", "grp")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val local = rows.groupBy(_._3).map { case (g, rs) =>
+      val reps = rs.map { case (id, s, _) =>
+        val u = java.lang.Long.parseLong(md5hex("rrT" + id).take(8), 16)
+        if (u < 3L * (1L << 30)) s else 1 - s
+      }
+      val n = reps.length.toLong
+      val nRep = reps.sum.toLong
+      val num = BigInt(4) * nRep - n
+      val den = BigInt(2) * n
+      val q = 2 * 1000000 * num + den
+      val piHat = ((q - (((q % (2 * den)) + 2 * den) % (2 * den))) / (2 * den)).toLong
+      g -> ((n, nRep, piHat))
+    }
+    val got = Integrity
+      .randomizedResponse(df, "id", col("s") === 1, "grp", seed = "rrT")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == local)
+  }
+
+  test("randomizedResponse debias recovers a planted share within hash noise") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // 2000 units, true share 30%
+    val df = (0L until 2000L).map(i => (i, if (i % 10 < 3) 1 else 0))
+      .toDF("id", "s").withColumn("grp", lit(0L))
+    val got = Integrity
+      .randomizedResponse(df, "id", col("s") === 1, "grp", seed = "rr9")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got._2 == 2000L)
+    assert(math.abs(got._4 - 300000L) < 60000L, s"pi_hat_micro = ${got._4}")
+  }
 }

@@ -119,4 +119,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     val quiet = rows.values.filter(r => r._2 != 0L)
     assert(quiet.nonEmpty && quiet.forall(r => r._6 == 0 && r._7 == 0))
   }
+
+  private def dayEvents(rows: (String, Long, Int)*) =
+    rows
+      .flatMap { case (t, day, n) => (0 until n).map(i => (t, day * 86400000L + i)) }
+      .toDF("event_type", "ts_ms")
+
+  test("theilSenDaily: median slope shrugs off the outlier day OLS would chase") {
+    // counts [1,2,3,4,10]: nine of ten pairwise slopes track the +1/day
+    // line or the outlier; the median pair is (1e6, 1e6) → slope 1/day
+    val ev = dayEvents(("a", 0L, 1), ("a", 1L, 2), ("a", 2L, 3), ("a", 3L, 4), ("a", 4L, 10))
+    val got = TimeSeries.theilSenDaily(ev)
+      .as[(String, Long, Long)].collect().toList
+    assert(got == List(("a", 10L, 2000000L)))
+  }
+
+  test("theilSenDaily: odd pair count, negative non-integer median, zero-filled days") {
+    // type a active on days 0–1 only; type b pins the global span to day
+    // 2, so a's dense counts are [5,2,0]: slopes −3e6, −2.5e6, −2e6 →
+    // median −2.5e6 (signed round-half-up lands exactly), x2 = −5e6
+    val ev = dayEvents(("a", 0L, 5), ("a", 1L, 2), ("b", 2L, 1), ("b", 0L, 1))
+    val got = TimeSeries.theilSenDaily(ev)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") == ((3L, -5000000L)))
+    // type b dense counts [1,0,1]: slopes −1e6, 0, +1e6 → median 0
+    assert(got("b") == ((3L, 0L)))
+  }
 }
