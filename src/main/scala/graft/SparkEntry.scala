@@ -1400,6 +1400,13 @@ object SparkEntry {
       // never 16× the span (ops/TimeSeries.scala).
       graft.ops.TimeSeries.ewmaHourly(eventsTable(s, dir))
     },
+    "hourly_holt_forecast" -> { (s, dir) =>
+      // Holt level/trend/one-step forecast of per-type hourly rates, all
+      // exact integers scaled 2^24 via the dyadic impulse-response table
+      // — the EWMA's sibling that doesn't lag a drifting rate; sparse
+      // contribution explosion, one groupBy (ops/TimeSeries.scala).
+      graft.ops.TimeSeries.holtHourly(eventsTable(s, dir))
+    },
     "daily_theil_sen" -> { (s, dir) =>
       // Robust trend per event type: median of all pairwise daily-count
       // slopes (exact signed micro rationals; the doubled-median trick
@@ -2781,6 +2788,24 @@ object SparkEntry {
         .select(pmod(col("user_id"), lit(2L)).cast("int").as("cohort"), col("x"), col("y"))
       graft.ops.Contingency.cupedSummary(perUser)
     },
+    "ab_stratified_ate" -> { (s, dir) =>
+      // Stratification-adjusted effect of self-selected signup on total
+      // spend, strata = log2 activity buckets (explicit CASE — no float
+      // log): per-stratum arm cells + exact micro mean differences, and
+      // the weighted adjusted effect on the stratum = −1 row — the
+      // confounding fix simpson_audit motivates
+      // (ops/Contingency.scala).
+      val perUser = eventsTable(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max((col("event_type") === "signup").cast("int")).as("t"),
+          sum(cents(col("value"))).as("y"),
+          count(lit(1)).as("n"))
+        .withColumn("stratum", expr(
+          "CASE WHEN n >= 64 THEN 6 WHEN n >= 32 THEN 5 WHEN n >= 16 THEN 4" +
+            " WHEN n >= 8 THEN 3 WHEN n >= 4 THEN 2 WHEN n >= 2 THEN 1 ELSE 0 END"))
+      graft.ops.Contingency.stratifiedAte(perUser)
+    },
     "simpson_audit" -> { (s, dir) =>
       // Aggregation-bias tripwire: does "high-activity users convert
       // more" reverse inside first-active-week cohorts? X = above-mean
@@ -3371,6 +3396,42 @@ object SparkEntry {
       |  FROM ${p}t x JOIN ${p}t y ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
       |    AND x.query_id < x.neighbor_id
       |)""".stripMargin
+
+  /** Holt hourly replay: the SAME exact integer weight table the
+    * operator bakes into its plan ([[graft.ops.TimeSeries.holtLevelWeights]]
+    * — single source of truth, no dual-implementation drift), applied as
+    * a VALUES cross join over the nonzero hours.
+    */
+  private def holtOracle: String = {
+    val vals = (0 until graft.ops.TimeSeries.HoltWindow)
+      .map(k => s"($k, ${graft.ops.TimeSeries.holtLevelWeights(k)}," +
+        s" ${graft.ops.TimeSeries.holtTrendWeights(k)})")
+      .mkString(", ")
+    s"""WITH hc AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hc),
+      |grid AS (
+      |  SELECT t.event_type, g.h AS hour
+      |  FROM (SELECT DISTINCT event_type FROM hc) t
+      |  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b))) AS h) g
+      |), w AS (SELECT * FROM (VALUES $vals) AS t(k, wl, wb)),
+      |contrib AS (
+      |  SELECT event_type, hour + k AS hour, cnt * wl AS wlc, cnt * wb AS wbc
+      |  FROM hc CROSS JOIN w
+      |), agg AS (
+      |  SELECT event_type, hour, CAST(sum(wlc) AS BIGINT) AS l,
+      |    CAST(sum(wbc) AS BIGINT) AS bt
+      |  FROM contrib GROUP BY 1, 2
+      |)
+      |SELECT g.event_type, g.hour * 3600000 AS hour_ms, coalesce(hc.cnt, 0) AS cnt,
+      |  coalesce(a.l, 0) AS level_x2p24, coalesce(a.bt, 0) AS trend_x2p24,
+      |  coalesce(a.l, 0) + coalesce(a.bt, 0) AS forecast1_x2p24
+      |FROM grid g
+      |LEFT JOIN hc ON hc.event_type = g.event_type AND hc.hour = g.hour
+      |LEFT JOIN agg a ON a.event_type = g.event_type AND a.hour = g.hour""".stripMargin
+  }
 
   /** LOF replay over a `d(qa, nb, dm)` directed micro-distance CTE,
     * mirroring [[graft.ops.Similarity.lofFromDirected]]'s three
@@ -6554,6 +6615,7 @@ object SparkEntry {
         |FROM grid g
         |LEFT JOIN hc ON hc.event_type = g.event_type AND hc.hour = g.hour
         |LEFT JOIN agg a ON a.event_type = g.event_type AND a.hour = g.hour""".stripMargin,
+    "hourly_holt_forecast" -> holtOracle,
     "daily_theil_sen" ->
       """WITH dc AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
@@ -8566,6 +8628,46 @@ object SparkEntry {
         |      // (24 * n * (n - 1))
         |    END AS BIGINT) AS var_units
         |FROM q""".stripMargin,
+    "ab_stratified_ate" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS t,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS HUGEINT) AS y,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1
+        |), un AS (
+        |  SELECT t, y,
+        |    CASE WHEN n >= 64 THEN 6 WHEN n >= 32 THEN 5 WHEN n >= 16 THEN 4
+        |      WHEN n >= 8 THEN 3 WHEN n >= 4 THEN 2 WHEN n >= 2 THEN 1 ELSE 0 END AS stratum
+        |  FROM pu
+        |), c AS (
+        |  SELECT stratum,
+        |    CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+        |    CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n0,
+        |    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS HUGEINT) AS sum_y1,
+        |    CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS HUGEINT) AS sum_y0
+        |  FROM un GROUP BY 1
+        |), ps AS (
+        |  SELECT stratum, n1, n0, sum_y1, sum_y0,
+        |    CASE WHEN n1 > 0 AND n0 > 0 THEN
+        |      (q - ((q % dv) + dv) % dv) // dv END AS diff_micro
+        |  FROM (SELECT *, 2000000 * (sum_y1 * n0 - sum_y0 * n1) + n1 * n0 AS q,
+        |          2 * n1 * n0 AS dv FROM c)
+        |), ov AS (
+        |  SELECT CAST(-1 AS BIGINT) AS stratum,
+        |    coalesce(sum(n1), 0) AS n1, coalesce(sum(n0), 0) AS n0,
+        |    coalesce(sum(sum_y1), 0) AS sum_y1, coalesce(sum(sum_y0), 0) AS sum_y0,
+        |    sum((n1 + n0) * diff_micro) AS wsum, sum(n1 + n0) AS nadj
+        |  FROM ps WHERE diff_micro IS NOT NULL
+        |), ov2 AS (
+        |  SELECT stratum, n1, n0, sum_y1, sum_y0,
+        |    CASE WHEN nadj > 0 THEN (q2 - ((q2 % dv2) + dv2) % dv2) // dv2 END AS diff_micro
+        |  FROM (SELECT *, 2 * wsum + nadj AS q2, 2 * nadj AS dv2 FROM ov)
+        |)
+        |SELECT CAST(stratum AS BIGINT) AS stratum, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(n0 AS BIGINT) AS n0, CAST(sum_y1 AS BIGINT) AS sum_y1,
+        |  CAST(sum_y0 AS BIGINT) AS sum_y0, CAST(diff_micro AS BIGINT) AS diff_micro
+        |FROM (SELECT * FROM ps UNION ALL SELECT * FROM ov2)""".stripMargin,
     "simpson_audit" ->
       """WITH pu AS (
         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,

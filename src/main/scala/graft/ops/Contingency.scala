@@ -494,6 +494,69 @@ object Contingency {
         col("rho2_micro"))
   }
 
+  /** Stratification-adjusted treatment effect — the standard fix for the
+    * confounding [[simpsonAudit]] flags: within each stratum of the
+    * confounder, compare arm means; the adjusted effect is the
+    * stratum-size-weighted average of the within-stratum differences
+    * (identical to the pooled diff only when strata are balanced).
+    *
+    * One row per stratum — arm counts, arm outcome sums, and the
+    * within-stratum mean difference as ONE exact signed micro rational —
+    * plus the `stratum = −1` summary row whose `diff_micro` is the
+    * adjusted effect over the two-armed strata (one-armed strata carry
+    * no contrast; they are excluded from the weights and their row's
+    * `diff_micro` is null). Per-stratum diffs are rounded once to micro
+    * and the summary averages those longs — the micro-rounded-pipeline
+    * discipline, deterministic in any engine.
+    *
+    * Shape: one hash aggregation over the unit frame; everything after
+    * runs on the strata-bounded cell frame.
+    */
+  def stratifiedAte(
+      units: DataFrame,
+      stratumCol: String = "stratum",
+      tCol: String = "t",
+      yCol: String = "y"
+  ): DataFrame = {
+    val cells = units
+      .groupBy(col(stratumCol).cast("long").as("stratum"))
+      .agg(
+        sum(when(col(tCol) === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col(tCol) === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col(tCol) === 1, col(yCol)).otherwise(0L)).as("sum_y1"),
+        sum(when(col(tCol) === 0, col(yCol)).otherwise(0L)).as("sum_y0"))
+      .localCheckpoint(eager = true) // strata-bounded; reused twice
+    val perStratum = cells.withColumn(
+      "diff_micro",
+      when(
+        col("n1") > 0 && col("n0") > 0,
+        // cross-products in DECIMAL(38,0) — ANSI long overflow-proof
+        scaledRatio(
+          d(col("sum_y1")) * d(col("n0")) - d(col("sum_y0")) * d(col("n1")),
+          d(col("n1")) * d(col("n0"))).cast("long")))
+    val overall = perStratum
+      .filter(col("diff_micro").isNotNull)
+      .agg(
+        sum(col("n1")).as("n1"),
+        sum(col("n0")).as("n0"),
+        sum(col("sum_y1")).as("sum_y1"),
+        sum(col("sum_y0")).as("sum_y0"),
+        sum(d(col("n1") + col("n0")) * d(col("diff_micro"))).as("wsum"),
+        sum(col("n1") + col("n0")).as("nadj"))
+      .select(
+        lit(-1L).as("stratum"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n0"), lit(0L)).as("n0"),
+        coalesce(col("sum_y1"), lit(0L)).as("sum_y1"),
+        coalesce(col("sum_y0"), lit(0L)).as("sum_y0"),
+        when(col("nadj") > 0,
+          scaledRatio(col("wsum"), col("nadj"), scale = 1L).cast("long"))
+          .as("diff_micro"))
+    perStratum
+      .select("stratum", "n1", "n0", "sum_y1", "sum_y0", "diff_micro")
+      .unionByName(overall)
+  }
+
   /** Simpson's-paradox audit: does the X→Y association reverse sign
     * inside strata? One row per stratum plus the pooled `is_overall`
     * row, each carrying the full 2×2 cell counts, the rate-difference

@@ -156,6 +156,69 @@ object TimeSeries {
         (col("cnt") * col("hod_cells") * 2 < col("hod_total")).cast("int").as("dip"))
   }
 
+  /** Holt lookback in hours (truncation window). */
+  val HoltWindow: Int = 12
+
+  /** Exact impulse-response table of Holt double exponential smoothing
+    * at α = β = 1/2, scaled by 2^24. The recursion
+    * `l_t = (c_t + l_{t−1} + b_{t−1})/2`, `b_t = (l_t − l_{t−1})/2 +
+    * b_{t−1}/2` is the linear filter `(l_t, b_t) = Σ_k h_k·c_{t−k}`
+    * with `h_k = A^k·g`, `A = [[1/2, 1/2], [−1/4, 3/4]]`,
+    * `g = (1/2, 1/4)`; tracking `p_k = h_k·4^(k+1)` turns the step into
+    * the INTEGER matrix `[[2, 2], [−1, 3]]` from `p_0 = (2, 1)`, so
+    * every truncated weight `h_k·2^24 = p_k·4^(11−k)` is an exact
+    * integer — no float ever touches the filter. (|eig(A)| = √½, so the
+    * k = 12 truncation tail is ~2% of a constant signal — the same
+    * zero-warm-up convention as the EWMA.)
+    */
+  val (holtLevelWeights, holtTrendWeights): (Seq[Long], Seq[Long]) = {
+    val p = Iterator
+      .iterate((2L, 1L)) { case (a, b) => (2 * a + 2 * b, -a + 3 * b) }
+      .take(HoltWindow)
+      .toSeq
+    def scaled(f: ((Long, Long)) => Long) =
+      p.zipWithIndex.map { case (pk, k) => f(pk) * (1L << (2 * (HoltWindow - 1 - k))) }
+    (scaled(_._1), scaled(_._2))
+  }
+
+  /** Holt level + trend + one-step forecast of the hourly per-type
+    * counts, everything an exact integer scaled by 2^24
+    * (`forecast1 = level + trend` — the m = 1 Holt forecast). The EWMA's
+    * sibling for series with drift: a plain EWMA lags a trending rate by
+    * a constant, Holt's trend term closes the lag. Same sparse-side
+    * contribution explosion as [[ewmaHourly]]: each nonzero hour fans
+    * into its `HoltWindow` target hours with BOTH weights, one groupBy
+    * closes the filter — never a window over an unpartitioned sort.
+    */
+  def holtHourly(ev: DataFrame): DataFrame = {
+    val dense = hourlyDenseCounts(ev).localCheckpoint(eager = true)
+    val wl = holtLevelWeights.mkString(",")
+    val wb = holtTrendWeights.mkString(",")
+    val contrib = dense
+      .filter(col("cnt") > 0) // sparse side: zeros contribute nothing
+      .select(
+        col("event_type"),
+        explode(sequence(lit(0), lit(HoltWindow - 1))).as("k"),
+        col("hour"),
+        col("cnt"))
+      .select(
+        col("event_type"),
+        (col("hour") + col("k")).as("hour"),
+        expr(s"cnt * element_at(array($wl), k + 1)").as("wlc"),
+        expr(s"cnt * element_at(array($wb), k + 1)").as("wbc"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(sum(col("wlc")).as("l"), sum(col("wbc")).as("b"))
+    dense
+      .join(contrib, Seq("event_type", "hour"), "left")
+      .select(
+        col("event_type"),
+        (col("hour") * 3600000L).as("hour_ms"),
+        col("cnt"),
+        coalesce(col("l"), lit(0L)).as("level_x2p24"),
+        coalesce(col("b"), lit(0L)).as("trend_x2p24"),
+        (coalesce(col("l"), lit(0L)) + coalesce(col("b"), lit(0L))).as("forecast1_x2p24"))
+  }
+
   /** Theil–Sen robust trend per event type over the dense DAILY series:
     * the median of all pairwise slopes `(cnt_j − cnt_i)/(day_j − day_i)` —
     * the estimator that shrugs off ~29% outlier days where the OLS trend

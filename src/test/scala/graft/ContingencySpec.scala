@@ -282,6 +282,25 @@ class ContingencySpec extends AnyFunSuite {
     assert(got(0)._2 > 800000L, s"rho2=${got(0)._2} — covariate should explain most variance")
   }
 
+  test("stratifiedAte: hand-computed per-stratum diffs and weighted summary") {
+    val units = Seq(
+      // stratum 1: treated {10, 20} vs control {10} → diff +5
+      (1L, 1, 10L), (1L, 1, 20L), (1L, 0, 10L),
+      // stratum 2: treated {100} vs control {80, 60} → diff +30
+      (2L, 1, 100L), (2L, 0, 80L), (2L, 0, 60L),
+      // stratum 3: one-armed → no contrast, excluded from the summary
+      (3L, 1, 50L)
+    ).toDF("stratum", "t", "y")
+    val got = Contingency.stratifiedAte(units)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) == ((2L, 1L, 30L, 10L, Some(5000000L))))
+    assert(got(2L) == ((1L, 2L, 100L, 140L, Some(30000000L))))
+    assert(got(3L) == ((1L, 0L, 50L, 0L, None)))
+    // summary: (3·5e6 + 3·3e7) / 6 = 17.5e6; totals over two-armed strata
+    assert(got(-1L) == ((3L, 3L, 130L, 150L, Some(17500000L))))
+  }
+
   test("simpsonAudit: the kidney-stone table reverses in every stratum") {
     // Charig et al. 1986 via Julious & Mullee: treatment better WITHIN
     // each stone-size stratum, worse pooled — the canonical paradox.

@@ -120,6 +120,39 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(quiet.nonEmpty && quiet.forall(r => r._6 == 0 && r._7 == 0))
   }
 
+  test("holt weight table IS the float impulse response (dyadic-exact)") {
+    var l = 0.0; var b = 0.0
+    (0 until TimeSeries.HoltWindow).foreach { k =>
+      val c = if (k == 0) 1.0 else 0.0
+      val lPrev = l
+      l = 0.5 * c + 0.5 * (l + b)
+      b = 0.5 * (l - lPrev) + 0.5 * b
+      // dyadic rationals: double arithmetic is exact here, so == holds
+      assert(l == TimeSeries.holtLevelWeights(k).toDouble / (1 << 24), s"level k=$k")
+      assert(b == TimeSeries.holtTrendWeights(k).toDouble / (1 << 24), s"trend k=$k")
+    }
+  }
+
+  test("holtHourly: constant series hits the exact table sums; ramp trend tracks 1/hour") {
+    val got = TimeSeries
+      .holtHourly(events((0L until 30L).map(h => ("a", h, 5)): _*))
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._2 / 3600000L -> r).toMap
+    val expL = 5L * TimeSeries.holtLevelWeights.sum
+    val expB = 5L * TimeSeries.holtTrendWeights.sum
+    assert(got(29L) == (("a", 29L * 3600000L, 5L, expL, expB, expL + expB)))
+    // a constant series has (near-)zero trend: truncation residue ≪ level
+    assert(math.abs(expB) * 50L < expL)
+    val ramp = TimeSeries
+      .holtHourly(events((0L until 48L).map(h => ("a", h, h.toInt + 1)): _*))
+      .as[(String, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._2 / 3600000L -> r).toMap
+    val one = 1L << 24
+    val (t47, f47) = (ramp(47L)._5, ramp(47L)._6)
+    assert(math.abs(t47 - one) * 5L < one, s"trend_x2p24 = $t47")        // ±20% of 1
+    assert(math.abs(f47 - 49L * one) * 10L < 49L * one, s"forecast = $f47") // ±10% of 49
+  }
+
   private def dayEvents(rows: (String, Long, Int)*) =
     rows
       .flatMap { case (t, day, n) => (0 until n).map(i => (t, day * 86400000L + i)) }
