@@ -651,6 +651,13 @@ object SparkEntry {
       table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langIdNgram(col("text")).as("lang_pred"))
     },
+    "doc_lang_mixing" -> { (s, dir) =>
+      // Code-switching screen: trigram lang-ID per 80-char chunk, rolled
+      // up to majority language / share / mixed flag per doc — what a
+      // whole-doc lang_id cannot see; map-side chunk explode + one
+      // (doc, lang) aggregation (ops/TextAnalysis.scala).
+      TextAnalysis.langMixing(table(s, dir, "documents"))
+    },
     "simhash_neardup_pairs" -> { (s, dir) =>
       // Chunk-banded SimHash pairing (hash-native fingerprints → no SQL
       // oracle; exact-equality vs brute-force hamming spec'd in DedupSpec).
@@ -1044,6 +1051,15 @@ object SparkEntry {
       // oracle — the clustering stage of the near-dup chain under a full
       // SQL oracle.
       Dedup.nearDupClusters(Dedup.minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.8))
+    },
+    "neardup_cluster_diameter" -> { (s, dir) =>
+      // Transitive-merge audit of the md5 near-dup clusters: weakest
+      // observed link + pair-coverage density per multi-member cluster —
+      // the chaining-artifact check run before keep-one deletion; pair
+      // frame computed once (checkpointed) and shared with the CC stage
+      // (ops/Dedup.scala).
+      val pairs = Dedup.minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.8)
+      Dedup.nearDupClusterDiameter(pairs, Dedup.nearDupClusters(pairs))
     },
     "neardup_modularity" -> { (s, dir) =>
       // Newman modularity of the near-dup CC partition over the md5 pair
@@ -2633,6 +2649,13 @@ object SparkEntry {
       // corpus curve (ops/TextAnalysis.scala).
       TextAnalysis.sourceLexicalStats(table(s, dir, "documents"))
     },
+    "source_vocab_overlap" -> { (s, dir) =>
+      // Set-level source similarity: pairwise vocabulary Jaccard in
+      // exact bps — the cheap pre-screen before the KL pass; distinct
+      // (source, type) frame computed once, token-keyed intersection
+      // join (ops/Drift.scala).
+      graft.ops.Drift.sourceVocabOverlap(table(s, dir, "documents"))
+    },
     "source_kl_matrix" -> { (s, dir) =>
       // Pairwise KL divergence between source unigram distributions
       // (add-one smoothed over the shared vocab) — which sources are
@@ -3396,6 +3419,54 @@ object SparkEntry {
       |  FROM ${p}t x JOIN ${p}t y ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
       |    AND x.query_id < x.neighbor_id
       |)""".stripMargin
+
+  /** Language-mixing replay: chunk → trigram scores → the same
+    * wins-if-≥-all-later CASE chain as the `lang_id_ngram` oracle, built
+    * from [[graft.ops.TextAnalysis.LangTrigramProfiles]] (single source
+    * of truth), then the per-doc majority rollup.
+    */
+  private def langMixingOracle: String = {
+    val profs = graft.ops.TextAnalysis.LangTrigramProfiles
+    val scoreCols = profs
+      .map { case (lang, grams) =>
+        grams.map(g => s"(length(lt)-length(replace(lt,'$g','')))/${g.length}")
+          .mkString(" + ") + s" AS s_$lang"
+      }
+      .mkString(",\n    ")
+    val langs = profs.map(_._1)
+    val caseChain = langs.init.zipWithIndex
+      .map { case (l, i) =>
+        val later = langs.drop(i + 1).map(l2 => s"s_$l >= s_$l2").mkString(" AND ")
+        s"WHEN $later THEN '$l'"
+      }
+      .mkString(" ")
+    s"""WITH chunks AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, greatest((length(text) + 79) // 80, 1))) AS k, text
+      |  FROM documents WHERE length(text) > 0
+      |), lc AS (
+      |  SELECT doc_id, lower(substr(text, k * 80 + 1, 80)) AS lt FROM chunks
+      |), scored AS (
+      |  SELECT doc_id,
+      |    $scoreCols
+      |  FROM lc
+      |), lang AS (
+      |  SELECT doc_id, CASE $caseChain ELSE '${langs.last}' END AS lang FROM scored
+      |), pl AS (
+      |  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS cnt FROM lang GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT doc_id, lang, cnt,
+      |    sum(cnt) OVER (PARTITION BY doc_id) AS n_chunks,
+      |    count(*) OVER (PARTITION BY doc_id) AS n_langs,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang DESC) AS rk
+      |  FROM pl
+      |)
+      |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+      |  CAST(n_langs AS BIGINT) AS n_langs, lang AS major_lang,
+      |  CAST((2 * 10000 * cnt + n_chunks) // (2 * n_chunks) AS INT) AS major_share_bps,
+      |  CAST(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END AS INT) AS is_mixed
+      |FROM agg WHERE rk = 1""".stripMargin
+  }
 
   /** Holt hourly replay: the SAME exact integer weight table the
     * operator bakes into its plan ([[graft.ops.TimeSeries.holtLevelWeights]]
@@ -5893,6 +5964,25 @@ object SparkEntry {
       s"""$Md5NearDupCtes,
         |$Md5ClusterCtes
         |SELECT id, min(lab) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "neardup_cluster_diameter" ->
+      s"""$Md5NearDupCtes,
+        |$Md5ClusterCtes,
+        |labels AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+        |sizes AS (
+        |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM labels GROUP BY 1 HAVING count(*) >= 2
+        |), gj AS (SELECT id_a, id_b, jaccard FROM pj WHERE jaccard >= 0.8),
+        |intra AS (
+        |  SELECT l.cluster, CAST(count(*) AS BIGINT) AS n_intra_pairs,
+        |    min(g.jaccard) AS min_jaccard, max(g.jaccard) AS max_jaccard
+        |  FROM gj g JOIN labels l ON l.id = g.id_a GROUP BY 1
+        |)
+        |SELECT s.cluster, s.n_members,
+        |  coalesce(i.n_intra_pairs, 0) AS n_intra_pairs, i.min_jaccard, i.max_jaccard,
+        |  CAST((2 * 10000 * coalesce(i.n_intra_pairs, 0)
+        |      + ((s.n_members * (s.n_members - 1)) // 2))
+        |    // (2 * ((s.n_members * (s.n_members - 1)) // 2)) AS INT) AS density_bps
+        |FROM sizes s LEFT JOIN intra i ON i.cluster = s.cluster""".stripMargin,
     "neardup_modularity" ->
       s"""$Md5NearDupCtes,
         |$Md5ClusterCtes,
@@ -6616,6 +6706,7 @@ object SparkEntry {
         |LEFT JOIN hc ON hc.event_type = g.event_type AND hc.hour = g.hour
         |LEFT JOIN agg a ON a.event_type = g.event_type AND a.hour = g.hour""".stripMargin,
     "hourly_holt_forecast" -> holtOracle,
+    "doc_lang_mixing" -> langMixingOracle,
     "daily_theil_sen" ->
       """WITH dc AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
@@ -8441,6 +8532,24 @@ object SparkEntry {
         |  CAST((2000000 * n_types + n_tokens) // (2 * n_tokens) AS BIGINT) AS ttr_micro,
         |  CAST((20000 * n_hapax + n_types) // (2 * n_types) AS BIGINT) AS hapax_bps
         |FROM a""".stripMargin,
+    "source_vocab_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents
+        |), st AS (SELECT DISTINCT source, tok FROM toks),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab FROM st GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.source_a, i.source_b, sa.n_vocab AS vocab_a, sb.n_vocab AS vocab_b,
+        |  i.n_common,
+        |  CAST((2 * 10000 * i.n_common + (sa.n_vocab + sb.n_vocab - i.n_common))
+        |    // (2 * (sa.n_vocab + sb.n_vocab - i.n_common)) AS INT) AS jaccard_bps
+        |FROM inter i JOIN sizes sa ON sa.source = i.source_a
+        |  JOIN sizes sb ON sb.source = i.source_b""".stripMargin,
     "source_kl_matrix" ->
       """WITH tc AS (
         |  SELECT src, tok, CAST(count(*) AS HUGEINT) AS c_st FROM (

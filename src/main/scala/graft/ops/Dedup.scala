@@ -311,6 +311,47 @@ object Dedup {
     labels
   }
 
+  /** Transitive-merge quality audit of a near-dup clustering: per
+    * multi-member cluster, the member count, the observed intra-cluster
+    * pair count, the WEAKEST observed link (`min_jaccard` — a cluster
+    * built on one 0.80 bridge between two tight cliques is a chaining
+    * artifact, not a duplicate group), and the pair-coverage density in
+    * bps (observed pairs / C(n,2); 10000 = every pair was independently
+    * verified, low = the merge leans on transitivity). This is the read
+    * a pipeline checks before keep-one-per-cluster deletion — the dedup
+    * family's analogue of the ANN recall rows.
+    *
+    * Shape: one ids-only join of the pair frame to the label frame +
+    * two cluster-keyed aggregations — both inputs are already bounded
+    * (pairs ≪ corpus by banding, labels = corpus ids); nothing rescans
+    * text. `min`/`max` of the exact-ratio jaccard doubles are
+    * order-independent, so the cross-engine hash holds.
+    */
+  def nearDupClusterDiameter(pairs: DataFrame, clusters: DataFrame): DataFrame = {
+    val sizes = clusters
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+    val intra = pairs
+      .join(clusters.select(col("id").as("id_a"), col("cluster")), Seq("id_a"))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_intra_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+    sizes
+      .join(intra, Seq("cluster"), "left")
+      .select(
+        col("cluster"),
+        col("n_members"),
+        coalesce(col("n_intra_pairs"), lit(0L)).as("n_intra_pairs"),
+        col("min_jaccard"),
+        col("max_jaccard"),
+        expr("CAST((2 * 10000 * coalesce(n_intra_pairs, 0)" +
+          " + ((n_members * (n_members - 1)) div 2))" +
+          " div (2 * ((n_members * (n_members - 1)) div 2)) AS INT)").as("density_bps"))
+  }
+
   /** Connected components via alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     * O(log n) rounds regardless of component shape, vs min-label

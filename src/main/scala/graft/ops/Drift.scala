@@ -165,4 +165,50 @@ object Drift {
           .cast("long")
           .as("kl_micro"))
   }
+
+  /** Pairwise VOCABULARY Jaccard between sources — the set-level
+    * companion to [[sourceKlMatrix]]'s distribution-level read: KL asks
+    * "do the sources weight shared words differently", this asks "do
+    * they even share words" (a low-overlap pair cannot be
+    * near-duplicate sources no matter what the counts say — the cheap
+    * pre-screen before the KL pass). One row per UNORDERED source pair
+    * sharing at least one type (disjoint-vocabulary pairs have no row —
+    * observed-pairs semantics, same as the dedup pair frames); overlap
+    * in exact bps.
+    *
+    * Shape: one corpus scan → distinct (source, type) frame
+    * (checkpointed, ≤ sources × vocab rows); the intersection join is
+    * token-keyed with fanout ≤ sources² per type; output sources²/2
+    * rows. Text never moves twice.
+    */
+  def sourceVocabOverlap(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val st = docs
+      .select(
+        col(sourceCol).as("src"),
+        explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("tok")
+      )
+      .distinct()
+      .localCheckpoint(eager = true) // sources × vocab; reused three times
+    val sizes = st.groupBy("src").agg(count(lit(1)).as("n_vocab"))
+    st.as("a")
+      .join(st.as("b"),
+        col("a.tok") === col("b.tok") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("src").as("source_a"), col("n_vocab").as("vocab_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("src").as("source_b"), col("n_vocab").as("vocab_b"))),
+        Seq("source_b"))
+      .select(
+        col("source_a"),
+        col("source_b"),
+        col("vocab_a"),
+        col("vocab_b"),
+        col("n_common"),
+        expr("CAST((2 * 10000 * n_common + (vocab_a + vocab_b - n_common))" +
+          " div (2 * (vocab_a + vocab_b - n_common)) AS INT)").as("jaccard_bps"))
+  }
 }

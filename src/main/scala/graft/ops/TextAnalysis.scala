@@ -818,4 +818,55 @@ object TextAnalysis {
       floor((lit(206.835) - lit(1.015) * wps - lit(84.6) * spw) * 1000000.0 + 0.5)
         .cast("long").as("reading_ease_micro"))
   }
+
+  /** Code-switching / language-mixing detector: [[langIdNgram]] applied
+    * per fixed-width CHARACTER chunk, rolled up per document — a
+    * document whose chunks disagree about their language is either
+    * genuinely mixed (translation pairs, code-switched forums) or
+    * boilerplate-wrapped, and either way deserves different routing
+    * than its MAJORITY label (`lang_id` scores whole documents and
+    * cannot see this). Output per doc: chunk count, distinct chunk
+    * languages, the majority language (ties broken (count desc, lang
+    * desc) — deterministic in any engine), its share in exact bps, and
+    * the mixed flag.
+    *
+    * Shape: chunking is a map-side sequence-explode (≤ ⌈chars/width⌉
+    * rows per doc — text leaves the scan once, as width-char slices);
+    * the rollup is one (doc, lang) aggregation plus doc-partitioned
+    * windows over the ≤ docs × languages frame.
+    */
+  def langMixing(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkChars: Int = 80
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perLang = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .filter(length(col("text")) > 0)
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0), expr(s"(length(text) - 1) div $chunkChars"))).as("k"),
+        col("text"))
+      .select(
+        col("doc_id"),
+        langIdNgram(expr(s"substring(text, k * $chunkChars + 1, $chunkChars)")).as("lang"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    perLang
+      .withColumn("n_chunks", sum(col("cnt")).over(byDoc))
+      .withColumn("n_langs", count(lit(1)).over(byDoc))
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("cnt").desc, col("lang").desc)))
+      .filter(col("rk") === 1)
+      .select(
+        col("doc_id"),
+        col("n_chunks"),
+        col("n_langs"),
+        col("lang").as("major_lang"),
+        expr("CAST((2 * 10000 * cnt + n_chunks) div (2 * n_chunks) AS INT)")
+          .as("major_share_bps"),
+        (col("n_langs") > 1).cast("int").as("is_mixed"))
+  }
 }

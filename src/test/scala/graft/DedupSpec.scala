@@ -473,4 +473,20 @@ class DedupSpec extends AnyFunSuite {
     assert(gold == Set((1L, 2L)))
     assert(lsh == gold)
   }
+
+  test("nearDupClusterDiameter: triangle is fully verified, chain leans on transitivity") {
+    val pairs = Seq(
+      (1L, 2L, 0.9), (2L, 3L, 0.85), (1L, 3L, 0.95), // triangle {1,2,3}
+      (10L, 11L, 0.8), (11L, 12L, 0.82)              // chain {10,11,12}
+    ).toDF("id_a", "id_b", "jaccard")
+    val got = Dedup
+      .nearDupClusterDiameter(pairs, Dedup.nearDupClusters(pairs))
+      .as[(Long, Long, Long, Double, Double, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // triangle: all C(3,2)=3 pairs observed → density 10000, weakest 0.85
+    assert(got(1L) == ((3L, 3L, 0.85, 0.95, 10000)))
+    // chain: 2 of 3 pairs observed → density round(10000·2/3)=6667; the
+    // 10–12 merge is transitive and the weakest link shows the bridge
+    assert(got(10L) == ((3L, 2L, 0.8, 0.82, 6667)))
+  }
 }

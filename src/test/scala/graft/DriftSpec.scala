@@ -134,4 +134,17 @@ class DriftSpec extends AnyFunSuite {
     assert(got(("same1", "other")) != got(("other", "same1")) ||
       got(("same2", "other")) != got(("other", "same2")))
   }
+
+  test("sourceVocabOverlap: exact set Jaccard, repeats collapse, disjoint pairs absent") {
+    val docs = Seq(
+      ("A", "x y z"), ("A", "x x y"), // repeats add no new types
+      ("B", "y z w"),
+      ("C", "q")                      // disjoint from A and B
+    ).toDF("source", "text")
+    val got = Drift.sourceVocabOverlap(docs)
+      .as[(String, String, Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // A={x,y,z}, B={w,y,z}: ∩=2, ∪=4 → 5000 bps; C pairs share nothing
+    assert(got == Map(("A", "B") -> ((3L, 3L, 2L, 5000))))
+  }
 }

@@ -411,4 +411,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.map(_._4).toSeq == Seq(2L, 2L, 2L, 2L))
     assert(rows.last == ((4, 20L, 40L, 2L)))
   }
+
+  test("langMixing: pure doc is one language, half-and-half doc flags mixed") {
+    val en = ("the and of " * 8).take(80) // one all-English 80-char chunk
+    val de = ("der ein und " * 7).take(80) // one all-German chunk
+    val docs = Seq((1L, en + en), (2L, en + de)).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.langMixing(docs)
+      .as[(Long, Long, Long, String, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) == ((2L, 1L, "en", 10000, 0)))
+    // 1-vs-1 chunk tie breaks (count desc, lang desc) → 'en', share 5000
+    assert(got(2L) == ((2L, 2L, "en", 5000, 1)))
+  }
+
+  test("langMixing: short doc is a single chunk, never mixed") {
+    val docs = Seq((1L, "der ein und sch")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.langMixing(docs)
+      .as[(Long, Long, Long, String, Int, Int)].collect().toList
+    assert(got == List((1L, 1L, 1L, "de", 10000, 0)))
+  }
 }
