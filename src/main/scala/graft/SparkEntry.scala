@@ -1423,6 +1423,13 @@ object SparkEntry {
       // contribution explosion, one groupBy (ops/TimeSeries.scala).
       graft.ops.TimeSeries.holtHourly(eventsTable(s, dir))
     },
+    "holt_backtest" -> { (s, dir) =>
+      // Does the Holt monitor actually predict better than carrying the
+      // last hour forward? Per-type one-step-ahead SAE for both, same
+      // 2^24 scale, signed improvement bps — measured on every grid cell
+      // with a predecessor (ops/TimeSeries.scala).
+      graft.ops.TimeSeries.holtBacktest(eventsTable(s, dir))
+    },
     "daily_theil_sen" -> { (s, dir) =>
       // Robust trend per event type: median of all pairwise daily-count
       // slopes (exact signed micro rationals; the doubled-median trick
@@ -2407,6 +2414,29 @@ object SparkEntry {
       graft.ops.Robust.exactQuantilesCdf(
         eventsTable(s, dir).select(cents(col("value")).as("cents")),
         "cents", Seq(25, 50, 75, 99))
+    },
+    "zone_map_skip_report" -> { (s, dir) =>
+      // Did the Z-order rewrite buy anything? The SAME events laid out
+      // ts-linear vs Morton(user, hour), 1000-row file cuts with
+      // (ts_ms, user_id) zone maps, probed by a one-day ts predicate and
+      // a user band: linear prunes time and nothing else, the
+      // interleave prunes both partially — measured, not asserted
+      // (ops/Layout.scala).
+      val ev = eventsTable(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_ms"))
+        .withColumn("zv",
+          graft.ops.Layout.zValue(col("user_id"), expr("ts_ms DIV 3600000"), 16))
+      def manifest(order: Seq[org.apache.spark.sql.Column], label: String) =
+        graft.ops.Layout
+          .rangeFileManifest(ev, order, rowsPerFile = 1000, statCols = Seq("ts_ms", "user_id"))
+          .withColumn("layout", lit(label))
+      graft.ops.Layout.zoneMapSkipReport(
+        manifest(Seq(col("ts_ms").asc, col("event_id").asc), "ts_linear")
+          .unionByName(manifest(Seq(col("zv").asc, col("event_id").asc), "zorder")),
+        groupCols = Seq("layout"),
+        predicates = Seq(
+          ("ts_day10", "ts_ms", 1704844800000L, 1704931199999L),
+          ("user_band", "user_id", 0L, 63L)))
     },
     "range_file_manifest" -> { (s, dir) =>
       // Lakehouse write planning: exact 100-row file cuts under the
@@ -3473,12 +3503,12 @@ object SparkEntry {
     * — single source of truth, no dual-implementation drift), applied as
     * a VALUES cross join over the nonzero hours.
     */
-  private def holtOracle: String = {
+  private def holtCtes: String = {
     val vals = (0 until graft.ops.TimeSeries.HoltWindow)
       .map(k => s"($k, ${graft.ops.TimeSeries.holtLevelWeights(k)}," +
         s" ${graft.ops.TimeSeries.holtTrendWeights(k)})")
       .mkString(", ")
-    s"""WITH hc AS (
+    s"""hc AS (
       |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour,
       |    CAST(count(*) AS BIGINT) AS cnt
       |  FROM events GROUP BY 1, 2
@@ -3491,18 +3521,47 @@ object SparkEntry {
       |contrib AS (
       |  SELECT event_type, hour + k AS hour, cnt * wl AS wlc, cnt * wb AS wbc
       |  FROM hc CROSS JOIN w
-      |), agg AS (
+      |), cagg AS (
       |  SELECT event_type, hour, CAST(sum(wlc) AS BIGINT) AS l,
       |    CAST(sum(wbc) AS BIGINT) AS bt
       |  FROM contrib GROUP BY 1, 2
-      |)
-      |SELECT g.event_type, g.hour * 3600000 AS hour_ms, coalesce(hc.cnt, 0) AS cnt,
-      |  coalesce(a.l, 0) AS level_x2p24, coalesce(a.bt, 0) AS trend_x2p24,
-      |  coalesce(a.l, 0) + coalesce(a.bt, 0) AS forecast1_x2p24
-      |FROM grid g
-      |LEFT JOIN hc ON hc.event_type = g.event_type AND hc.hour = g.hour
-      |LEFT JOIN agg a ON a.event_type = g.event_type AND a.hour = g.hour""".stripMargin
+      |), hres AS (
+      |  SELECT g.event_type, g.hour, coalesce(hc.cnt, 0) AS cnt,
+      |    coalesce(a.l, 0) AS l, coalesce(a.bt, 0) AS bt
+      |  FROM grid g
+      |  LEFT JOIN hc ON hc.event_type = g.event_type AND hc.hour = g.hour
+      |  LEFT JOIN cagg a ON a.event_type = g.event_type AND a.hour = g.hour
+      |)""".stripMargin
   }
+
+  private def holtOracle: String =
+    s"""WITH $holtCtes
+      |SELECT event_type, hour * 3600000 AS hour_ms, cnt,
+      |  l AS level_x2p24, bt AS trend_x2p24, l + bt AS forecast1_x2p24
+      |FROM hres""".stripMargin
+
+  /** One-step-ahead backtest replay over the same `hres` chain: Holt's
+    * forecast error vs the naive carry-forward, both scaled 2^24.
+    */
+  private def holtBacktestOracle: String =
+    s"""WITH $holtCtes, j AS (
+      |  SELECT c.event_type, c.cnt, p.cnt AS prev_cnt, p.l + p.bt AS f_prev
+      |  FROM hres c JOIN hres p
+      |    ON p.event_type = c.event_type AND p.hour = c.hour - 1
+      |), g2 AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+      |    CAST(sum(abs(cnt * 16777216 - f_prev)) AS BIGINT) AS sae_holt_x2p24,
+      |    CAST(sum(abs(cnt - prev_cnt) * 16777216) AS BIGINT) AS sae_naive_x2p24
+      |  FROM j GROUP BY 1
+      |), q AS (
+      |  SELECT *, 2 * 10000 * (CAST(sae_naive_x2p24 AS HUGEINT) - sae_holt_x2p24)
+      |      + greatest(sae_naive_x2p24, 1) AS qn,
+      |    2 * CAST(greatest(sae_naive_x2p24, 1) AS HUGEINT) AS dv
+      |  FROM g2
+      |)
+      |SELECT event_type, n_hours, sae_holt_x2p24, sae_naive_x2p24,
+      |  CAST((qn - ((qn % dv) + dv) % dv) // dv AS BIGINT) AS improvement_bps
+      |FROM q""".stripMargin
 
   /** LOF replay over a `d(qa, nb, dm)` directed micro-distance CTE,
     * mirroring [[graft.ops.Similarity.lofFromDirected]]'s three
@@ -6707,6 +6766,7 @@ object SparkEntry {
         |LEFT JOIN agg a ON a.event_type = g.event_type AND a.hour = g.hour""".stripMargin,
     "hourly_holt_forecast" -> holtOracle,
     "doc_lang_mixing" -> langMixingOracle,
+    "holt_backtest" -> holtBacktestOracle,
     "daily_theil_sen" ->
       """WITH dc AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
@@ -8102,6 +8162,50 @@ object SparkEntry {
         |SELECT pct, rank, min(cents) AS cents
         |FROM r JOIN cum ON cum.cc >= r.rank
         |GROUP BY pct, rank ORDER BY pct""".stripMargin,
+    "zone_map_skip_report" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+        |    epoch_ms(ts) // 3600000 AS hour
+        |  FROM events
+        |), zvt AS (
+        |  SELECT event_id, user_id, ts_ms,
+        |    CAST(list_sum(list_transform(range(0, 16), i ->
+        |      (((user_id >> i) & 1) << (2*i)) + (((hour >> i) & 1) << (2*i + 1))
+        |    )) AS BIGINT) AS z
+        |  FROM ev
+        |), lin AS (
+        |  SELECT 'ts_linear' AS layout,
+        |    (row_number() OVER (ORDER BY ts_ms, event_id) - 1) // 1000 AS file_id,
+        |    user_id, ts_ms
+        |  FROM ev
+        |), zord AS (
+        |  SELECT 'zorder' AS layout,
+        |    (row_number() OVER (ORDER BY z, event_id) - 1) // 1000 AS file_id,
+        |    user_id, ts_ms
+        |  FROM zvt
+        |), files AS (
+        |  SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(ts_ms) AS min_ts_ms, max(ts_ms) AS max_ts_ms,
+        |    min(user_id) AS min_user_id, max(user_id) AS max_user_id
+        |  FROM (SELECT * FROM lin UNION ALL SELECT * FROM zord) u GROUP BY 1, 2
+        |), preds AS (
+        |  SELECT * FROM (VALUES
+        |    ('ts_day10', 1704844800000, 1704931199999, 'ts_ms'),
+        |    ('user_band', 0, 63, 'user_id')) AS t(predicate, lo, hi, c)
+        |), j AS (
+        |  SELECT f.layout, p.predicate, f.n_rows,
+        |    CASE WHEN (CASE WHEN p.c = 'ts_ms' THEN f.max_ts_ms ELSE f.max_user_id END) < p.lo
+        |      OR (CASE WHEN p.c = 'ts_ms' THEN f.min_ts_ms ELSE f.min_user_id END) > p.hi
+        |    THEN 1 ELSE 0 END AS skip
+        |  FROM files f CROSS JOIN preds p
+        |)
+        |SELECT layout, predicate, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(sum(skip) AS BIGINT) AS files_skipped,
+        |  CAST(sum(skip * n_rows) AS BIGINT) AS rows_skipped,
+        |  CAST((2 * 10000 * sum(skip * n_rows) + sum(n_rows))
+        |    // (2 * sum(n_rows)) AS INT) AS skip_bps
+        |FROM j GROUP BY 1, 2""".stripMargin,
     "range_file_manifest" ->
       """WITH ranked AS (
         |  SELECT doc_id, n_chars,

@@ -203,4 +203,50 @@ object Layout {
       .withColumn("sealed", lit(0).cast("int"))
     compactBins.unionByName(sealedBins)
   }
+
+  /** Data-skipping effectiveness report: for each (layout, predicate),
+    * how many files — and rows — a min/max-zone-map reader would never
+    * open. A file is skippable for the closed interval `[lo, hi]` on
+    * stat column `c` iff `max_c < lo OR min_c > hi` (exactly the
+    * parquet row-group / lakehouse file-pruning rule). This is the
+    * measured answer to "did the Z-order rewrite actually buy
+    * anything": run it over two manifests of the SAME rows under
+    * different sort keys and read the `skip_bps` column side by side —
+    * a single-column layout prunes its own column and nothing else;
+    * the interleave prunes both partially.
+    *
+    * Shape: predicates × files broadcast cross — the manifest is
+    * file-count-sized, so the whole report is metadata-scale; the
+    * corpus was only touched by the manifest builds.
+    *
+    * @param manifest   [[rangeFileManifest]] output (one or more
+    *                   layouts unioned), carrying `min_<c>`/`max_<c>`
+    *                   for every predicate column
+    * @param groupCols  manifest columns identifying the layout
+    * @param predicates (name, statCol, lo, hi) closed intervals
+    */
+  def zoneMapSkipReport(
+      manifest: DataFrame,
+      groupCols: Seq[String],
+      predicates: Seq[(String, String, Long, Long)]
+  ): DataFrame = {
+    require(predicates.nonEmpty, "need at least one predicate")
+    val m = manifest.localCheckpoint(eager = true) // file-count-sized; one leg per predicate
+    predicates
+      .map { case (name, c, lo, hi) =>
+        val skip = (col(s"max_$c") < lo || col(s"min_$c") > hi).cast("long")
+        m.groupBy(groupCols.map(col): _*)
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(col("n_rows")).as("n_rows"),
+            sum(skip).as("files_skipped"),
+            sum(skip * col("n_rows")).as("rows_skipped"))
+          .select(
+            groupCols.map(col) :+ lit(name).as("predicate") :+ col("n_files") :+
+              col("n_rows") :+ col("files_skipped") :+ col("rows_skipped") :+
+              expr("CAST((2 * 10000 * rows_skipped + n_rows)" +
+                " div (2 * n_rows) AS INT)").as("skip_bps"): _*)
+      }
+      .reduce(_ unionByName _)
+  }
 }

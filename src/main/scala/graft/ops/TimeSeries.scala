@@ -219,6 +219,41 @@ object TimeSeries {
         (coalesce(col("l"), lit(0L)) + coalesce(col("b"), lit(0L))).as("forecast1_x2p24"))
   }
 
+  /** One-step-ahead backtest of the Holt forecast against the naive
+    * carry-forward baseline (`forecast = last hour's count`) — the
+    * measured answer to "does the fancier monitor actually predict
+    * better here", per event type: both sum-of-absolute-errors in the
+    * same 2^24 scale plus the signed improvement in bps
+    * (positive = Holt beats naive). Every cell of the dense grid with a
+    * predecessor scores; all arithmetic exact integers, the single
+    * rounding is the final bps ratio.
+    *
+    * Shape: one [[holtHourly]] pass (checkpointed), one self-equi-join
+    * shifted by an hour on the span-bounded grid, one aggregation.
+    */
+  def holtBacktest(ev: DataFrame): DataFrame = {
+    import graft.functions.ExactDecimal.{d, scaledRatio}
+    val h = holtHourly(ev).localCheckpoint(eager = true)
+    val prev = h.select(
+      col("event_type"),
+      (col("hour_ms") + 3600000L).as("hour_ms"),
+      col("cnt").as("prev_cnt"),
+      col("forecast1_x2p24").as("f_prev"))
+    h.join(prev, Seq("event_type", "hour_ms"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(abs(d(col("cnt")) * lit(16777216L) - d(col("f_prev")))).as("sh"),
+        sum(abs(col("cnt") - col("prev_cnt")) * lit(16777216L)).as("sn"))
+      .select(
+        col("event_type"),
+        col("n_hours"),
+        col("sh").cast("long").as("sae_holt_x2p24"),
+        col("sn").cast("long").as("sae_naive_x2p24"),
+        scaledRatio(d(col("sn")) - d(col("sh")), greatest(d(col("sn")), d(lit(1L))), 10000L)
+          .cast("long").as("improvement_bps"))
+  }
+
   /** Theil–Sen robust trend per event type over the dense DAILY series:
     * the median of all pairwise slopes `(cnt_j − cnt_i)/(day_j − day_i)` —
     * the estimator that shrugs off ~29% outlier days where the OLS trend

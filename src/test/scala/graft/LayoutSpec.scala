@@ -166,4 +166,24 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.forall(_._6 == 0))
     assert(got.map(_._2).sum == 10L && got.map(_._3).sum == 1200L)
   }
+
+  test("zoneMapSkipReport: closed-interval pruning rule, per layout and predicate") {
+    val manifest = Seq(
+      // layout A: x-sorted — tight non-overlapping x zones
+      ("A", 0L, 10L, 0L, 9L), ("A", 1L, 10L, 10L, 19L),
+      // layout B: unsorted — both files span the full x range, nothing prunes
+      ("B", 0L, 10L, 0L, 19L), ("B", 1L, 10L, 2L, 18L)
+    ).toDF("layout", "file_id", "n_rows", "min_x", "max_x")
+    val got = graft.ops.Layout
+      .zoneMapSkipReport(manifest, Seq("layout"), Seq(
+        ("band", "x", 12L, 15L),
+        ("edge", "x", 10L, 19L),  // boundary: max_x = 9 < 10 skips, min_x = 10 does not
+        ("above", "x", 30L, 40L)))
+      .as[(String, String, Long, Long, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got(("A", "band")) == ((2L, 20L, 1L, 10L, 5000)))
+    assert(got(("A", "edge")) == ((2L, 20L, 1L, 10L, 5000)))
+    assert(got(("A", "above")) == ((2L, 20L, 2L, 20L, 10000)))
+    assert(got(("B", "band")) == ((2L, 20L, 0L, 0L, 0)))
+  }
 }

@@ -153,6 +153,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(math.abs(f47 - 49L * one) * 10L < 49L * one, s"forecast = $f47") // ±10% of 49
   }
 
+  test("holtBacktest: Holt beats naive on a ramp, loses to naive on a constant") {
+    // 72-hour ramp: naive is off by exactly 1 every hour; Holt tracks the
+    // trend after warm-up, so its total error is far smaller
+    val ramp = TimeSeries
+      .holtBacktest(events((0L until 72L).map(h => ("a", h, h.toInt + 1)): _*))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(ramp._2 == 71L) // every cell with a predecessor scores
+    assert(ramp._4 == 71L * (1L << 24)) // naive SAE: |Δcnt| = 1 per hour
+    assert(ramp._3 < ramp._4 && ramp._5 > 0L, s"holt=${ramp._3} naive=${ramp._4}")
+    // constant series: naive is PERFECT (SAE 0) while Holt carries
+    // truncation residue — the backtest reports the honest negative
+    val const = TimeSeries
+      .holtBacktest(events((0L until 30L).map(h => ("a", h, 5)): _*))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(const._4 == 0L && const._3 > 0L && const._5 < 0L)
+  }
+
   private def dayEvents(rows: (String, Long, Int)*) =
     rows
       .flatMap { case (t, day, n) => (0 until n).map(i => (t, day * 86400000L + i)) }
