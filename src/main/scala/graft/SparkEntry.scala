@@ -1809,6 +1809,29 @@ object SparkEntry {
       // fixed-passage form in CdcSpec).
       Dedup.cdcShareStats(table(s, dir, "documents"))
     },
+    "neyman_allocation" -> { (s, dir) =>
+      // Optimal stratified-sampling allocation over event-type strata
+      // (value = exact cents): n_h·sigma_h weights vs the naive
+      // proportional split — high-variance strata get the budget; one
+      // corpus aggregation + strata-bounded arithmetic, single IEEE
+      // sqrt per stratum (ops/Sampling.scala).
+      graft.ops.Sampling.neymanAllocation(
+        eventsTable(s, dir).select(col("event_type"), cents(col("value")).as("cents")),
+        "event_type", "cents")
+    },
+    "fair_quality_thresholds" -> { (s, dir) =>
+      // Mixture-preserving quality cuts: the per-source top-20% score
+      // threshold (exact nearest-rank order statistic) next to the one
+      // global cut and what it would keep from each source — the CCNet
+      // quality-vs-domain confound, measured per source; global k-th
+      // statistic via the distributed ranking primitive
+      // (ops/Sampling.scala).
+      val docs = table(s, dir, "documents")
+      graft.ops.Sampling.fairThresholds(
+        docs.select(
+          col("source"), col("doc_id"),
+          TextAnalysis.qualityLogit(col("text"), length(col("text"))).as("score")))
+    },
     "quality_logit" -> { (s, dir) =>
       // Model-based quality filtering as scan-speed arithmetic: fixed-weight
       // linear classifier over cheap features, logit in oracle-exact micro
@@ -7537,6 +7560,65 @@ object SparkEntry {
         |SELECT doc_id, logit_micro,
         |  CAST(CASE WHEN logit_micro > 0 THEN 1 ELSE 0 END AS INT) AS keep
         |FROM scored""".stripMargin,
+    "neyman_allocation" ->
+      """WITH e AS (
+        |  SELECT event_type AS stratum,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events
+        |), c AS (
+        |  SELECT stratum, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(cents) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss
+        |  FROM e GROUP BY 1
+        |), v AS (
+        |  SELECT stratum, n,
+        |    (2 * 1000000 * (n * ss - s * s) + n * n) // (2 * n * n) AS var_micro
+        |  FROM c
+        |), sg AS (
+        |  SELECT stratum, CAST(n AS BIGINT) AS n, CAST(var_micro AS BIGINT) AS var_micro,
+        |    CAST(floor(sqrt(CAST(var_micro AS DOUBLE)) + 0.5) AS BIGINT) AS sigma_x1000
+        |  FROM v
+        |), t AS (
+        |  SELECT CAST(sum(n) AS HUGEINT) AS n_total,
+        |    CAST(sum(n * sigma_x1000) AS HUGEINT) AS w_total
+        |  FROM sg
+        |)
+        |SELECT stratum, n, sigma_x1000,
+        |  CAST((2 * 10000 * CAST(n AS HUGEINT) + t.n_total) // (2 * t.n_total) AS BIGINT)
+        |    AS alloc_proportional,
+        |  CAST(CASE WHEN t.w_total > 0
+        |    THEN (2 * 10000 * CAST(n AS HUGEINT) * sigma_x1000 + t.w_total)
+        |      // (2 * t.w_total)
+        |    ELSE (2 * 10000 * CAST(n AS HUGEINT) + t.n_total) // (2 * t.n_total)
+        |    END AS BIGINT) AS alloc_neyman
+        |FROM sg, t""".stripMargin,
+    "fair_quality_thresholds" ->
+      s"""WITH $QualityLogitCtes, sc AS (
+        |  SELECT d.source, s.doc_id, s.logit_micro AS score
+        |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rk,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+        |  FROM sc
+        |), g AS (
+        |  SELECT score AS global_threshold FROM (
+        |    SELECT score, row_number() OVER (ORDER BY score DESC, doc_id) AS grk,
+        |      count(*) OVER () AS n
+        |    FROM sc)
+        |  WHERE grk = greatest(1, (n * 2000) // 10000)
+        |), fair AS (
+        |  SELECT source, n_docs, CAST(rk AS BIGINT) AS n_keep_fair,
+        |    score AS fair_threshold
+        |  FROM r WHERE rk = greatest(1, (n_docs * 2000) // 10000)
+        |), gk AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN score >= (SELECT global_threshold FROM g)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_global
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT f.source, f.n_docs, f.n_keep_fair, f.fair_threshold,
+        |  gk.n_keep_global, (SELECT global_threshold FROM g) AS global_threshold
+        |FROM fair f JOIN gk ON gk.source = f.source""".stripMargin,
     "range_rule_window_counts" ->
       """WITH e AS (
         |  SELECT event_id, epoch_ms(ts) AS ts_ms,

@@ -488,4 +488,117 @@ object Sampling {
         (col("cum_n_tokens") - col("n_tokens")).as("cum_before"),
         (col("cum_n_tokens") - col("n_tokens") < budgetTokens).cast("int").as("kept"))
   }
+
+  /** Neyman (optimal) stratified-sampling allocation: sample size per
+    * stratum ∝ n_h·σ_h — the allocation that minimizes the estimator
+    * variance for a fixed total budget (Neyman 1934), next to the
+    * proportional allocation ∝ n_h a naive splitter would use. High-
+    * variance strata get oversampled, near-constant strata barely
+    * sampled: the difference column IS the case for stratification.
+    *
+    * Exactness: per-stratum population variance as ONE exact micro
+    * rational from the integer moment sums; σ·1000 =
+    * `floor(√(var_micro) + 0.5)` — a single correctly-rounded IEEE sqrt
+    * of an integral-valued double (< 2^53), bit-identical cross-engine
+    * (the [[graft.ops.Contingency.welchT]] discipline); allocations are
+    * single round-half-up rationals of long products.
+    *
+    * Shape: one hash aggregation over the frame; everything after runs
+    * on the strata-bounded cell frame with a 1-row broadcast total.
+    */
+  def neymanAllocation(
+      df: DataFrame,
+      stratumCol: String,
+      valueCol: String,
+      budget: Long = 10000L
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.{d, scaledRatio}
+    val cells = df
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol)).as("s"),
+        sum(d(col(valueCol)) * d(col(valueCol))).as("ss"))
+      .select(
+        col("stratum"),
+        col("n"),
+        scaledRatio(
+          d(col("n")) * col("ss") - d(col("s")) * d(col("s")),
+          d(col("n")) * d(col("n"))).cast("long").as("var_micro"))
+      .select(
+        col("stratum"), col("n"), col("var_micro"),
+        floor(sqrt(col("var_micro").cast("double")) + 0.5).cast("long").as("sigma_x1000"))
+      .localCheckpoint(eager = true) // strata-bounded; reused for the total
+    val tot = cells.agg(
+      sum(col("n")).as("n_total"),
+      sum(col("n") * col("sigma_x1000")).as("w_total"))
+    cells
+      .crossJoin(broadcast(tot)) // 1-row totals frame
+      .select(
+        col("stratum"),
+        col("n"),
+        col("sigma_x1000"),
+        scaledRatio(col("n"), col("n_total"), budget).cast("long").as("alloc_proportional"),
+        when(
+          col("w_total") > 0,
+          scaledRatio(d(col("n")) * d(col("sigma_x1000")), col("w_total"), budget))
+          .otherwise(scaledRatio(col("n"), col("n_total"), budget))
+          .cast("long").as("alloc_neyman"))
+  }
+
+  /** Per-source "fair" quality thresholds: the score cut that keeps the
+    * SAME top fraction of every source, next to what a single global
+    * cut would keep from each. A global threshold silently starves
+    * low-scoring sources (the CCNet failure mode: quality filters
+    * correlate with domain, so one cut reshapes the mixture); the
+    * per-source quantile keeps the mixture and lets the planner choose
+    * the trade explicitly. Thresholds are exact nearest-rank order
+    * statistics under the total order (score desc, id asc) — no
+    * interpolation, no float.
+    *
+    * Output per source: size, the fair keep count `⌈⌉`-free
+    * `max(1, n·keepBps/10⁴)`, the fair threshold (k-th largest score),
+    * the global threshold, and how many of the source's docs the
+    * global VALUE cut keeps (`score ≥ threshold` — ties keep).
+    *
+    * Shape: one scored scan → source-partitioned rank windows; the
+    * global k-th order statistic rides [[Ranking.globalRowNumber]]
+    * (distributed range sort, never an unpartitioned window) and comes
+    * back as a 1-row broadcast.
+    */
+  def fairThresholds(
+      scored: DataFrame,
+      keepBps: Long = 2000L,
+      sourceCol: String = "source",
+      idCol: String = "doc_id",
+      scoreCol: String = "score"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepBps >= 1 && keepBps <= 10000, "keepBps in [1, 10000]")
+    val base = scored.select(
+      col(sourceCol).as("source"), col(idCol).as("id"), col(scoreCol).as("score"))
+    val bySrc = Window.partitionBy(col("source"))
+    val ranked = base
+      .withColumn("rk", row_number().over(bySrc.orderBy(col("score").desc, col("id"))))
+      .withColumn("n_docs", count(lit(1)).over(bySrc))
+      .localCheckpoint(eager = true) // reused by the fair cut and the global-keep count
+    val total = base.agg(count(lit(1)).as("n"))
+    val gThresh = Ranking
+      .globalRowNumber(base, Seq(col("score").desc, col("id")), rankCol = "grk")
+      .crossJoin(broadcast(total)) // 1-row count frame
+      .filter(col("grk") === greatest(lit(1L), expr(s"(n * $keepBps) div 10000")))
+      .select(col("score").as("global_threshold"))
+    val fair = ranked
+      .filter(col("rk") === greatest(lit(1L), expr(s"(n_docs * $keepBps) div 10000")))
+      .select(
+        col("source"), col("n_docs"),
+        col("rk").as("n_keep_fair"), col("score").as("fair_threshold"))
+    val globalKeep = ranked
+      .crossJoin(broadcast(gThresh)) // 1-row threshold frame
+      .groupBy(col("source"))
+      .agg(
+        sum((col("score") >= col("global_threshold")).cast("long")).as("n_keep_global"),
+        max(col("global_threshold")).as("global_threshold"))
+    fair.join(globalKeep, Seq("source"))
+  }
 }

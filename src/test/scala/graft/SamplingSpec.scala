@@ -296,4 +296,34 @@ class SamplingSpec extends AnyFunSuite {
     val kept = rows.filter(_._5 == 1).map(_._1).sorted.toSeq
     assert(kept == Seq(0L, 1L, 2L), kept.toString)
   }
+
+  test("fairThresholds: per-source nearest-rank cuts vs the one global cut") {
+    // A: 10 docs scoring 10..100; B: 5 docs scoring 1..5. keepBps=2000:
+    // fair keeps top-2 of A (cut 90) and top-1 of B (cut 5); the global
+    // top-3 cut is 80 — it keeps 3 from A and ZERO from B (the starve)
+    val scored = ((0L until 10L).map(i => ("A", i, (i + 1) * 10)) ++
+      (10L until 15L).map(i => ("B", i, i - 9))).toDF("source", "doc_id", "score")
+    val got = graft.ops.Sampling.fairThresholds(scored)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("A") == ((10L, 2L, 90L, 3L, 80L)))
+    assert(got("B") == ((5L, 1L, 5L, 0L, 80L)))
+  }
+
+  test("neymanAllocation: variance-weighted budget, zero-variance strata get nothing") {
+    val df = (Seq.fill(2)(("X", 0L)) ++ Seq.fill(2)(("X", 10L)) ++
+      Seq.fill(4)(("Y", 5L))).toDF("stratum", "cents")
+    val got = graft.ops.Sampling.neymanAllocation(df, "stratum", "cents")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // X: pop var 25 → sigma_x1000 = 5000; Y constant → 0. Proportional
+    // splits 50/50; Neyman gives X the whole budget
+    assert(got("X") == ((4L, 5000L, 5000L, 10000L)))
+    assert(got("Y") == ((4L, 0L, 5000L, 0L)))
+    // all-constant frame: w_total = 0 falls back to proportional
+    val flat = Seq.fill(3)(("X", 7L)).toDF("stratum", "cents")
+    val f = graft.ops.Sampling.neymanAllocation(flat, "stratum", "cents")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(f == (("X", 3L, 0L, 10000L, 10000L)))
+  }
 }
