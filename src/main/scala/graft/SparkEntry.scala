@@ -1052,6 +1052,25 @@ object SparkEntry {
       // SQL oracle.
       Dedup.nearDupClusters(Dedup.minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.8))
     },
+    "neardup_degree_hist" -> { (s, dir) =>
+      // Degree distribution of the md5 near-dup graph incl. the
+      // degree-0 mass — the shape read (a fat tail = hub documents =
+      // boilerplate) behind the maxBucket cap the banding applies;
+      // ids-only frames throughout.
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minhashMd5Pairs(docs, threshold = 0.8)
+      val deg = pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+        .localCheckpoint(eager = true) // nodes-bounded; hist + zero row
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .unionByName(
+          deg.agg(count(lit(1)).as("n_with_edges"))
+            .crossJoin(broadcast(total)) // 1-row corpus count
+            .select(lit(0L).as("degree"), (col("n_docs") - col("n_with_edges")).as("n_nodes"))
+            .filter(col("n_nodes") > 0))
+    },
     "neardup_cluster_diameter" -> { (s, dir) =>
       // Transitive-merge audit of the md5 near-dup clusters: weakest
       // observed link + pair-coverage density per multi-member cluster —
@@ -2701,6 +2720,13 @@ object SparkEntry {
       // low = templated; the per-source read behind vocab_growth's
       // corpus curve (ops/TextAnalysis.scala).
       TextAnalysis.sourceLexicalStats(table(s, dir, "documents"))
+    },
+    "source_length_ks" -> { (s, dir) =>
+      // Distribution-shape source similarity: pairwise two-sample KS on
+      // document length, exact sup of cross-multiplied CDF gaps divided
+      // once at the end; grid work is sources × distinct lengths,
+      // metadata-scale (ops/Drift.scala).
+      graft.ops.Drift.sourceKsMatrix(table(s, dir, "documents"))
     },
     "source_vocab_overlap" -> { (s, dir) =>
       // Set-level source similarity: pairwise vocabulary Jaccard in
@@ -6046,6 +6072,23 @@ object SparkEntry {
       s"""$Md5NearDupCtes,
         |$Md5ClusterCtes
         |SELECT id, min(lab) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "neardup_degree_hist" ->
+      s"""$Md5NearDupCtes,
+        |gd AS (SELECT id_a, id_b FROM pj WHERE jaccard >= 0.8),
+        |deg AS (
+        |  SELECT id, CAST(count(*) AS BIGINT) AS degree
+        |  FROM (SELECT id_a AS id FROM gd UNION ALL SELECT id_b FROM gd) u
+        |  GROUP BY 1
+        |), hist AS (
+        |  SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1
+        |), z AS (
+        |  SELECT CAST(0 AS BIGINT) AS degree,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents)
+        |      - CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM deg
+        |)
+        |SELECT degree, n_nodes FROM hist
+        |UNION ALL SELECT degree, n_nodes FROM z WHERE n_nodes > 0""".stripMargin,
     "neardup_cluster_diameter" ->
       s"""$Md5NearDupCtes,
         |$Md5ClusterCtes,
@@ -8718,6 +8761,31 @@ object SparkEntry {
         |  CAST((2000000 * n_types + n_tokens) // (2 * n_tokens) AS BIGINT) AS ttr_micro,
         |  CAST((20000 * n_hapax + n_types) // (2 * n_types) AS BIGINT) AS hapax_bps
         |FROM a""".stripMargin,
+    "source_length_ks" ->
+      """WITH sv AS (
+        |  SELECT source AS src, CAST(n_chars AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), grid AS (SELECT DISTINCT v FROM sv),
+        |srcs AS (SELECT DISTINCT src FROM sv),
+        |cdf AS (
+        |  SELECT s.src, g.v, coalesce(sv.c, 0) AS c,
+        |    CAST(sum(coalesce(sv.c, 0)) OVER (PARTITION BY s.src ORDER BY g.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(coalesce(sv.c, 0)) OVER (PARTITION BY s.src) AS BIGINT) AS n
+        |  FROM srcs s CROSS JOIN grid g
+        |  LEFT JOIN sv ON sv.src = s.src AND sv.v = g.v
+        |), pair AS (
+        |  SELECT a.src AS source_a, b.src AS source_b,
+        |    max(a.n) AS n_a, max(b.n) AS n_b,
+        |    max(abs(a.cum * b.n - b.cum * a.n)) AS sup_num
+        |  FROM cdf a JOIN cdf b ON a.v = b.v AND a.src < b.src
+        |  GROUP BY 1, 2
+        |)
+        |SELECT source_a, source_b, n_a, n_b,
+        |  CAST((2 * 1000000 * CAST(sup_num AS HUGEINT) + CAST(n_a AS HUGEINT) * n_b)
+        |    // (2 * CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_micro
+        |FROM pair""".stripMargin,
     "source_vocab_overlap" ->
       """WITH toks AS (
         |  SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS tok

@@ -166,6 +166,60 @@ object Drift {
           .as("kl_micro"))
   }
 
+  /** Pairwise two-sample Kolmogorov–Smirnov distance between sources on
+    * a numeric per-document column (length here, any scan-cheap feature
+    * in general): `KS = max_x |F_a(x) − F_b(x)|`, the
+    * distribution-shape companion to [[sourceKlMatrix]]'s vocabulary
+    * read — two sources can share every word and still have wildly
+    * different document-length profiles (forum snippets vs books), and
+    * the mixture planner wants to know. Exact: CDF steps are integer
+    * prefix counts on the shared value grid; the sup is taken over
+    * cross-multiplied numerators `|c_a·n_b − c_b·n_a|` and divided ONCE
+    * at the end (micro units, round-half-up).
+    *
+    * Shape: one corpus scan → (source, value) counts; the CDF grid is
+    * the broadcast distinct-value list crossed with sources
+    * (sources × values, metadata-scale), cumulated in a
+    * source-PARTITIONED window; the pair sup is one values-keyed
+    * self-join bounded by values × sources². One row per unordered
+    * pair.
+    */
+  def sourceKsMatrix(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      valueCol: String = "n_chars"): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    import org.apache.spark.sql.expressions.Window
+    val sv = docs
+      .select(col(sourceCol).as("src"), col(valueCol).cast("long").as("v"))
+      .groupBy("src", "v")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val grid = sv.select("v").distinct()
+    val cdf = sv
+      .select(col("src")).distinct()
+      .crossJoin(broadcast(grid))
+      .join(sv, Seq("src", "v"), "left")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("src")).orderBy(col("v"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("src"))))
+      .select(col("src"), col("v"), col("cum"), col("n"))
+    cdf.as("a")
+      .join(cdf.as("b"), col("a.v") === col("b.v") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(
+        max(col("a.n")).as("n_a"),
+        max(col("b.n")).as("n_b"),
+        max(abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n"))).as("sup_num"))
+      .select(
+        col("source_a"),
+        col("source_b"),
+        col("n_a"),
+        col("n_b"),
+        scaledRatio(col("sup_num"), col("n_a") * col("n_b")).cast("long").as("ks_micro"))
+  }
+
   /** Pairwise VOCABULARY Jaccard between sources — the set-level
     * companion to [[sourceKlMatrix]]'s distribution-level read: KL asks
     * "do the sources weight shared words differently", this asks "do

@@ -135,6 +135,22 @@ class DriftSpec extends AnyFunSuite {
       got(("same2", "other")) != got(("other", "same2")))
   }
 
+  test("sourceKsMatrix: identical 0, disjoint 1, interleaved exact sup") {
+    def src(s: String, vs: Long*) = vs.map(v => (s, "x", v))
+    val docs = (src("A", 1, 2, 3, 4) ++ src("B", 1, 2, 3, 4) ++
+      src("C", 11, 12, 13, 14) ++ src("D", 1, 2, 11, 12))
+      .toDF("source", "text", "n_chars")
+    val got = Drift.sourceKsMatrix(docs)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    assert(got(("A", "B")) == 0L)
+    assert(got(("A", "C")) == 1000000L)
+    // F_A jumps to 1 by v=4 while F_D sits at 1/2 → sup = 1/2
+    assert(got(("A", "D")) == 500000L)
+    assert(got(("C", "D")) == 500000L)
+    assert(got.size == 6)
+  }
+
   test("sourceVocabOverlap: exact set Jaccard, repeats collapse, disjoint pairs absent") {
     val docs = Seq(
       ("A", "x y z"), ("A", "x x y"), // repeats add no new types
