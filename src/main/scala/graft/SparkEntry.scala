@@ -1137,6 +1137,17 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250),
         docs.filter(col("doc_id") < 250))
     },
+    "delta_neardup" -> { (s, dir) =>
+      // Incremental NEAR-dup: the snapshot's band keys are the index,
+      // new-batch docs probe only their own buckets, verify runs on
+      // batch x snapshot candidates alone — cost scales with the batch,
+      // never corpus² (ops/Dedup.scala). Same split convention as
+      // delta_dedup.
+      val docs = table(s, dir, "documents")
+      Dedup.deltaNearDupMd5(
+        docs.filter(col("doc_id") >= 250),
+        docs.filter(col("doc_id") < 250))
+    },
     "decontam_containment" -> { (s, dir) =>
       // Asymmetric containment decontamination: share of each training
       // doc's distinct 4-grams that appear in the benchmark stratum,
@@ -3362,7 +3373,11 @@ object SparkEntry {
     * [[graft.ops.Dedup.minhashMd5Pairs]] stage for stage (same constants:
     * affine family, 2^61-1 modulus, maxBucket 1000).
     */
-  private val Md5NearDupCtes: String =
+  /** The signature prefix of the md5 chain (shingles → md5 → MinHash →
+    * band keys), shared by the symmetric pair pipeline and the delta
+    * (batch-vs-index) probe.
+    */
+  private val Md5SigCtes: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
       |), grams AS (
@@ -3384,7 +3399,10 @@ object SparkEntry {
       |), bandkey AS (
       |  SELECT doc_id, j // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY j) AS bk
       |  FROM sig GROUP BY doc_id, j // 4
-      |), bucket_ok AS (
+      |)""".stripMargin
+
+  private val Md5NearDupCtes: String =
+    s"""$Md5SigCtes, bucket_ok AS (
       |  SELECT band, bk FROM bandkey GROUP BY band, bk HAVING count(*) BETWEEN 2 AND 1000
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -6072,6 +6090,36 @@ object SparkEntry {
       s"""$Md5NearDupCtes,
         |$Md5ClusterCtes
         |SELECT id, min(lab) AS cluster FROM reach GROUP BY id""".stripMargin,
+    "delta_neardup" ->
+      s"""$Md5SigCtes, sb AS (
+        |  SELECT doc_id AS snap_id, band, bk FROM bandkey WHERE doc_id < 250
+        |), bb AS (
+        |  SELECT doc_id AS batch_id, band, bk FROM bandkey WHERE doc_id >= 250
+        |), hot AS (
+        |  SELECT band, bk FROM sb GROUP BY band, bk HAVING count(*) > 1000
+        |), cd AS (
+        |  SELECT DISTINCT bb.batch_id, sb.snap_id
+        |  FROM bb JOIN sb ON sb.band = bb.band AND sb.bk = bb.bk
+        |  LEFT JOIN hot h ON h.band = sb.band AND h.bk = sb.bk
+        |  WHERE h.bk IS NULL
+        |), pjd AS (
+        |  SELECT batch_id, snap_id,
+        |    CAST(len(list_filter(ha.hset, x -> list_contains(hb2.hset, x))) AS DOUBLE)
+        |      / len(list_distinct(list_concat(ha.hset, hb2.hset))) AS jaccard
+        |  FROM cd JOIN hs ha ON ha.doc_id = cd.batch_id
+        |    JOIN hs hb2 ON hb2.doc_id = cd.snap_id
+        |), gdd AS (SELECT * FROM pjd WHERE jaccard >= 0.8),
+        |rk AS (
+        |  SELECT batch_id, snap_id, jaccard,
+        |    row_number() OVER (PARTITION BY batch_id ORDER BY jaccard DESC, snap_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY batch_id) AS BIGINT) AS n_matches
+        |  FROM gdd
+        |)
+        |SELECT b.doc_id, coalesce(rk.n_matches, 0) AS n_matches,
+        |  rk.snap_id AS best_match_id, rk.jaccard AS best_jaccard,
+        |  CAST(CASE WHEN rk.snap_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) b
+        |LEFT JOIN (SELECT * FROM rk WHERE rn = 1) rk ON rk.batch_id = b.doc_id""".stripMargin,
     "neardup_degree_hist" ->
       s"""$Md5NearDupCtes,
         |gd AS (SELECT id_a, id_b FROM pj WHERE jaccard >= 0.8),

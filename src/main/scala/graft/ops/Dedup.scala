@@ -311,6 +311,90 @@ object Dedup {
     labels
   }
 
+  /** Incremental NEAR-dup against an indexed snapshot — the daily-crawl
+    * production shape [[deltaDedup]] covers for exact hashes, lifted to
+    * MinHash: the snapshot's band keys are the INDEX (built once,
+    * persisted in production — the checkpoint stands in), each new-batch
+    * document probes ONLY its own band buckets, and exact-Jaccard verify
+    * runs on batch×snapshot candidates alone. The snapshot is never
+    * paired against itself — cost scales with the batch, not the corpus,
+    * which is the whole point at 100 TB (re-running the symmetric
+    * pipeline over corpus+batch would redo the corpus² work daily).
+    *
+    * Hot INDEX buckets above `maxBucket` are dropped before probing
+    * (boilerplate protection, same rationale as the symmetric
+    * pipeline's cap; unlike it there is no lower bound — a size-1
+    * snapshot bucket still serves probes). Everything md5-anchored, so
+    * the full decision replays under the SQL oracle.
+    *
+    * Output: one row per batch doc — match count at `threshold`, best
+    * match (ties (jaccard desc, snap_id asc)), and the dup flag.
+    */
+  def deltaNearDupMd5(
+      batch: DataFrame,
+      snapshot: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def bandKeys(docs: DataFrame, out: String) = docs
+      .select(
+        col(idCol).as(out),
+        graft.functions.MinhashMd5Sig.column(col(textCol), shingleN, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(
+        col(out),
+        explode(array((0 until bands).map { b =>
+          struct(
+            (lit(b).as("b") +: (1 to r).map(i => element_at(col("sig"), b * r + i).as(s"m$i"))): _*)
+        }: _*)).as("bk"))
+    val sb = bandKeys(snapshot, "snap_id").localCheckpoint(eager = true) // the index
+    val hot = sb.groupBy(col("bk")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxBucket).select(col("bk"))
+    val cand = bandKeys(batch, "batch_id")
+      .join(sb.join(hot, Seq("bk"), "left_anti"), Seq("bk"))
+      .select(col("batch_id"), col("snap_id"))
+      .dropDuplicates("batch_id", "snap_id")
+    val bSet = batch.select(
+      col(idCol).as("batch_id"),
+      graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("hb"))
+    val sSet = snapshot.select(
+      col(idCol).as("snap_id"),
+      graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("hsn"))
+    val good = cand
+      .join(bSet, Seq("batch_id"))
+      .join(sSet, Seq("snap_id"))
+      .select(
+        col("batch_id"),
+        col("snap_id"),
+        (size(array_intersect(col("hb"), col("hsn"))).cast("double") /
+          size(array_union(col("hb"), col("hsn")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy(col("batch_id"))
+    val best = good
+      .withColumn("n_matches", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("jaccard").desc, col("snap_id"))))
+      .filter(col("rn") === 1)
+      .select(
+        col("batch_id"), col("n_matches"),
+        col("snap_id").as("best_match_id"), col("jaccard").as("best_jaccard"))
+    batch.select(col(idCol).as("batch_id"))
+      .join(best, Seq("batch_id"), "left")
+      .select(
+        col("batch_id").as(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_match_id"),
+        col("best_jaccard"),
+        col("best_match_id").isNotNull.cast("int").as("is_dup"))
+  }
+
   /** Transitive-merge quality audit of a near-dup clustering: per
     * multi-member cluster, the member count, the observed intra-cluster
     * pair count, the WEAKEST observed link (`min_jaccard` — a cluster

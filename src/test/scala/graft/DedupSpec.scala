@@ -474,6 +474,28 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == gold)
   }
 
+  test("deltaNearDupMd5: exact clone, near clone, novel, and short batch docs") {
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 50).map(i => if (i == 25) "CHANGED" else s"tok$i").mkString(" ")
+    val snapshot = Seq(
+      (1L, base),
+      (2L, "completely different words entirely written elsewhere")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                                  // exact clone of snap 1
+      (11L, near),                                  // one-token edit: J ≈ 45/51
+      (12L, "unrelated novel content here today"),  // no index match
+      (13L, "too short")                            // < 3 tokens: no signature
+    ).toDF("doc_id", "text")
+    val got = Dedup.deltaNearDupMd5(batch, snapshot)
+      .as[(Long, Long, Option[Long], Option[Double], Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(10L)._5 == 1 && got(10L)._3 == Some(1L) && got(10L)._4 == Some(1.0))
+    assert(got(11L)._5 == 1 && got(11L)._3 == Some(1L) && got(11L)._4.get >= 0.8)
+    assert(got(12L) == ((12L, 0L, None, None, 0)))
+    assert(got(13L) == ((13L, 0L, None, None, 0)))
+  }
+
   test("nearDupClusterDiameter: triangle is fully verified, chain leans on transitivity") {
     val pairs = Seq(
       (1L, 2L, 0.9), (2L, 3L, 0.85), (1L, 3L, 0.95), // triangle {1,2,3}
