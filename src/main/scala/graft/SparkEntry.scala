@@ -2933,6 +2933,7 @@ object SparkEntry {
           (col("event_type") === "purchase").cast("long").as("isp"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"), max("isp").as("y"), min("wk").as("stratum"))
+        .localCheckpoint(eager = true) // users-sized; feeds the mean AND the units
       val glob = perUser.agg(sum("n").as("tot"), count(lit(1)).as("nu"))
       val units = perUser
         .crossJoin(broadcast(glob)) // 1-row global-mean frame

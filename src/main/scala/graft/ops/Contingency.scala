@@ -578,11 +578,14 @@ object Contingency {
     * pooled cells — strata-bounded output, no corpus re-scan.
     */
   def simpsonAudit(
-      units: DataFrame,
+      unitsIn: DataFrame,
       stratumCol: String = "stratum",
       xCol: String = "x",
       yCol: String = "y"
   ): DataFrame = {
+    // unit-sized (one row per entity) and referenced three times below —
+    // checkpoint so the corpus-collapsing aggregation runs once
+    val units = unitsIn.localCheckpoint(eager = true)
     val cells = Seq(
       sum(expr(s"CAST($xCol = 1 AND $yCol = 1 AS BIGINT)")).as("n11"),
       sum(expr(s"CAST($xCol = 1 AND $yCol = 0 AS BIGINT)")).as("n10"),

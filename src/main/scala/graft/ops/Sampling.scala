@@ -582,9 +582,12 @@ object Sampling {
       .withColumn("rk", row_number().over(bySrc.orderBy(col("score").desc, col("id"))))
       .withColumn("n_docs", count(lit(1)).over(bySrc))
       .localCheckpoint(eager = true) // reused by the fair cut and the global-keep count
-    val total = base.agg(count(lit(1)).as("n"))
+    // total and the global leg read the CHECKPOINTED ranked frame (minus
+    // its window columns) — the scored scan runs exactly once
+    val baseCk = ranked.select(col("source"), col("id"), col("score"))
+    val total = baseCk.agg(count(lit(1)).as("n"))
     val gThresh = Ranking
-      .globalRowNumber(base, Seq(col("score").desc, col("id")), rankCol = "grk")
+      .globalRowNumber(baseCk, Seq(col("score").desc, col("id")), rankCol = "grk")
       .crossJoin(broadcast(total)) // 1-row count frame
       .filter(col("grk") === greatest(lit(1L), expr(s"(n * $keepBps) div 10000")))
       .select(col("score").as("global_threshold"))

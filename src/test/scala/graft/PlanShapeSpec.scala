@@ -500,4 +500,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Scan parquet"),
       "gate must be literal arithmetic over the checkpointed features")
   }
+
+  test("delta near-dup probe: every join equi — no fallback, no snapshot self-pairing blowup") {
+    val plan = executedPlan("delta_neardup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "band-key probe degenerated to a non-equi join")
+  }
+
+  test("LOF integer chain: no cartesian product (the brute leg's broadcast scorer is the only non-equi)") {
+    val plan = executedPlan("lof_outliers")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("Holt/Theil-Sen family runs on checkpointed span-bounded frames — no corpus re-scan") {
+    Seq("hourly_holt_forecast", "holt_backtest", "daily_theil_sen").foreach { name =>
+      val plan = executedPlan(name)
+      assert(!plan.contains("Scan parquet"),
+        s"$name: events re-scanned — work must run on the checkpointed grid")
+    }
+  }
+
+  test("simpson audit: strata cells and the pooled row read ONE checkpointed unit frame") {
+    val plan = executedPlan("simpson_audit")
+    assert(!plan.contains("Scan parquet"),
+      "simpson_audit re-scans events — the per-user frame must be checkpointed")
+  }
 }
