@@ -1174,6 +1174,32 @@ object SparkEntry {
       // (one hash exchange + per-bucket sort; buckets pack independently).
       graft.ops.Packing.tokenPackAssignments(table(s, dir, "documents"))
     },
+    "pack_purity_report" -> { (s, dir) =>
+      // Cross-doc contamination inside packed training sequences: per
+      // pack, how many docs/languages/sources share the context window
+      // and the majority-language share — a pack mixing languages
+      // cross-attends junk unless the loader masks boundaries; this row
+      // says how often that happens. Pack frame + two pack-keyed
+      // aggregations, windows partitioned by pack.
+      val docs = table(s, dir, "documents")
+      val j = graft.ops.Packing.tokenPackAssignments(docs)
+        .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+        .localCheckpoint(eager = true) // corpus-collapsed; feeds both rollups
+      val srcs = j.groupBy(col("bucket"), col("pack_id"))
+        .agg(countDistinct(col("source")).as("n_sources"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"), col("pack_id"))
+      j.groupBy(col("bucket"), col("pack_id"), col("lang"))
+        .agg(count(lit(1)).as("cl"))
+        .withColumn("n_docs", sum(col("cl")).over(w))
+        .withColumn("n_langs", count(lit(1)).over(w))
+        .withColumn("rk", row_number().over(w.orderBy(col("cl").desc, col("lang").desc)))
+        .filter(col("rk") === 1)
+        .join(srcs, Seq("bucket", "pack_id"))
+        .select(
+          col("bucket"), col("pack_id"), col("n_docs"), col("n_langs"), col("n_sources"),
+          col("lang").as("major_lang"),
+          expr("CAST((2 * 10000 * cl + n_docs) div (2 * n_docs) AS INT)").as("major_share_bps"))
+    },
     "packing_efficiency" -> { (s, dir) =>
       // What the packing actually costs: per-pack token sums collapsed to
       // one row — mean fill vs the 512 budget, packs that overflow it
@@ -3084,6 +3110,33 @@ object SparkEntry {
       // label's members across max-label-count batches, so no two
       // same-label vectors ever share a batch (ops/Packing.scala).
       graft.ops.Packing.contrastiveBatches(table(s, dir, "embeddings"))
+    },
+    "contrastive_collision_audit" -> { (s, dir) =>
+      // Accidental-positive audit: reciprocal near-dup pairs (mutual IVF
+      // top-5, cos >= 0.35) that land in the SAME contrastive batch —
+      // the label-disjoint batcher can't see cross-label near-dups, and
+      // each such pair poisons the in-batch negatives. One row per
+      // affected batch + the -1 summary row; ids-only joins over two
+      // existing frames.
+      val emb = table(s, dir, "embeddings")
+      val batches = graft.ops.Packing.contrastiveBatches(emb)
+        .select(col("vec_id"), col("batch"))
+        .localCheckpoint(eager = true) // joined twice (pair endpoints)
+      val pairs = Similarity
+        .mutualFromDirected(Similarity.ivfAnchorTopK(emb, emb, k = 5))
+        .filter(col("cos_sim") >= 0.35)
+        .select(col("id_a"), col("id_b"))
+      val collisions = pairs
+        .join(batches.select(col("vec_id").as("id_a"), col("batch").as("ba")), Seq("id_a"))
+        .join(batches.select(col("vec_id").as("id_b"), col("batch").as("bb")), Seq("id_b"))
+        .filter(col("ba") === col("bb"))
+        .groupBy(col("ba").as("batch"))
+        .agg(count(lit(1)).as("n_collisions"))
+        .localCheckpoint(eager = true) // batch-bounded; reused for the summary
+      collisions.unionByName(
+        collisions.agg(
+          coalesce(sum(col("n_collisions")), lit(0L)).as("n_collisions"))
+          .select(lit(-1).as("batch"), col("n_collisions")))
     },
     "hard_negatives_topk" -> { (s, dir) =>
       // Contrastive-training prep: per query, the 5 most similar vectors
@@ -6319,6 +6372,37 @@ object SparkEntry {
         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS pack_id
         |FROM t""".stripMargin,
+    "pack_purity_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS bucket,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), a AS (
+        |  SELECT doc_id, bucket,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS pack_id
+        |  FROM t
+        |), j AS (
+        |  SELECT a.bucket, a.pack_id, d.lang, d.source
+        |  FROM a JOIN documents d ON d.doc_id = a.doc_id
+        |), srcs AS (
+        |  SELECT bucket, pack_id, CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM j GROUP BY 1, 2
+        |), pl AS (
+        |  SELECT bucket, pack_id, lang, CAST(count(*) AS BIGINT) AS cl
+        |  FROM j GROUP BY 1, 2, 3
+        |), r AS (
+        |  SELECT *, CAST(sum(cl) OVER (PARTITION BY bucket, pack_id) AS BIGINT) AS n_docs,
+        |    CAST(count(*) OVER (PARTITION BY bucket, pack_id) AS BIGINT) AS n_langs,
+        |    row_number() OVER (PARTITION BY bucket, pack_id
+        |      ORDER BY cl DESC, lang DESC) AS rk
+        |  FROM pl
+        |)
+        |SELECT r.bucket, r.pack_id, r.n_docs, r.n_langs, s.n_sources,
+        |  r.lang AS major_lang,
+        |  CAST((2 * 10000 * r.cl + r.n_docs) // (2 * r.n_docs) AS INT) AS major_share_bps
+        |FROM r JOIN srcs s ON s.bucket = r.bucket AND s.pack_id = r.pack_id
+        |WHERE r.rk = 1""".stripMargin,
     "packing_efficiency" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS bucket,
@@ -9695,6 +9779,25 @@ object SparkEntry {
         |),
         |$LofChainCtes
         |$LofChainSelect""".stripMargin,
+    "contrastive_collision_audit" ->
+      s"""WITH $MutualIvfCtes,
+        |cc AS (SELECT label, count(*) AS cnt FROM embeddings GROUP BY 1),
+        |nb AS (SELECT max(cnt) AS nb FROM cc),
+        |rr AS (
+        |  SELECT vec_id, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rk
+        |  FROM embeddings
+        |), ba AS (
+        |  SELECT vec_id, CAST((rk - 1) % nb.nb AS INT) AS batch FROM rr CROSS JOIN nb
+        |), pr AS (SELECT id_a, id_b FROM mut WHERE cos_sim >= 0.35),
+        |coll AS (
+        |  SELECT x.batch, CAST(count(*) AS BIGINT) AS n_collisions
+        |  FROM pr JOIN ba x ON x.vec_id = pr.id_a JOIN ba y ON y.vec_id = pr.id_b
+        |  WHERE x.batch = y.batch GROUP BY 1
+        |)
+        |SELECT batch, n_collisions FROM coll
+        |UNION ALL
+        |SELECT -1,
+        |  coalesce(CAST((SELECT sum(n_collisions) FROM coll) AS BIGINT), 0)""".stripMargin,
     "semdedup_mutual_flags" ->
       s"""WITH $MutualIvfCtes, flag AS (
         |  SELECT DISTINCT id_b AS vec_id FROM mut WHERE cos_sim >= 0.35
