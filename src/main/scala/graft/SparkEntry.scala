@@ -1715,6 +1715,50 @@ object SparkEntry {
       vocab.unpersist(blocking = false)
       graft.ops.Bpe.encodeStats(docs, merges)
     },
+    "hll_error_report" -> { (s, dir) =>
+      // Sketch-vs-truth, measured: per day, the exact distinct-user
+      // count next to the HLL estimate and the signed error in bps —
+      // the hll family's minhash_calibration analogue ("how wrong is
+      // m=64 on MY cardinalities", answered with numbers). Exact leg is
+      // one distinct+count; estimate leg is the existing register
+      // pipeline.
+      import graft.functions.ExactDecimal.scaledRatio
+      val e = eventsTable(s, dir)
+        .select(expr("ts_ms DIV 86400000").as("day_idx"), col("user_id"))
+      val est = graft.ops.HeavyHitters.hllEstimateBy(
+        graft.ops.HeavyHitters.hllRegistersBy(e, "user_id", "day_idx"), "day_idx")
+        .select(col("day_idx"), col("est_micro"))
+      val exact = e.dropDuplicates("day_idx", "user_id")
+        .groupBy(col("day_idx")).agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("day_idx"))
+        .select(
+          col("day_idx").cast("long").as("day_idx"),
+          col("n_exact"), col("est_micro"),
+          scaledRatio(
+            col("est_micro") - col("n_exact") * 1000000L,
+            col("n_exact") * 1000000L, 10000L).cast("long").as("err_bps"))
+    },
+    "cms_error_report" -> { (s, dir) =>
+      // CMS upper-bound tightness, measured: per probe token, the exact
+      // corpus count next to the sketch estimate and the collision
+      // overcount (est ≥ exact always — the absent-token row shows pure
+      // collision noise). Exact leg is a scan-pushed isin filter.
+      val toks = table(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val probes = Seq("table", "scan", "merge", "the", "data", "query", "value", "xyzzy_absent")
+      val est = graft.ops.HeavyHitters.cmsEstimate(
+        graft.ops.HeavyHitters.cmsBuild(toks, "token", depth = 4, width = 64),
+        probes, depth = 4, width = 64)
+      val exact = toks.filter(col("token").isin(probes: _*))
+        .groupBy(col("token")).agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("token"), "left")
+        .select(
+          col("token"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          col("est"),
+          (col("est") - coalesce(col("n_exact"), lit(0L))).as("overcount"))
+    },
     "cms_token_counts" -> { (s, dir) =>
       // Count-min sketch with the portable md5 hash family: the exchange
       // carries ≤ depth·width counters per partition no matter the
@@ -3427,6 +3471,44 @@ object SparkEntry {
     * [[graft.ops.Dedup.minhashMd5Pairs]] stage for stage (same constants:
     * affine family, 2^61-1 modulus, maxBucket 1000).
     */
+  /** Per-day HLL register chain (m = 64, md5 hash face), closing with
+    * `hest(day_idx, v_empty, s_scaled, est_micro)` — shared by the daily
+    * estimate row and the exact-vs-sketch error report.
+    */
+  private val HllDailyCtes: String =
+    """e AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day_idx, user_id FROM events
+      |), h AS (
+      |  SELECT day_idx,
+      |    CAST(('0x' || substr(md5('hll-' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+      |  FROM e
+      |), b AS (
+      |  SELECT day_idx, CAST(hv % 64 AS INT) AS bucket, hv // 64 AS w FROM h
+      |), r AS (
+      |  SELECT day_idx, bucket,
+      |    max(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS rho
+      |  FROM b GROUP BY 1, 2
+      |), days AS (SELECT DISTINCT day_idx FROM e),
+      |regs AS (
+      |  SELECT days.day_idx, g.bucket, CAST(COALESCE(r.rho, 0) AS INT) AS rho
+      |  FROM days CROSS JOIN (SELECT unnest(range(64)) AS bucket) g
+      |  LEFT JOIN r ON r.day_idx = days.day_idx AND r.bucket = g.bucket
+      |), agg AS (
+      |  SELECT day_idx,
+      |    CAST(sum(CAST(1 AS BIGINT) << (32 - rho)) AS BIGINT) AS s_scaled,
+      |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+      |  FROM regs GROUP BY 1
+      |), hest AS (
+      |  SELECT CAST(day_idx AS BIGINT) AS day_idx, v_empty, s_scaled,
+      |    CAST(floor(
+      |      CASE WHEN (0.709e0 * 4096.0e0 / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0)) <= 160.0e0
+      |            AND v_empty > 0
+      |      THEN 64.0e0 * ln(64.0e0 / CAST(v_empty AS DOUBLE))
+      |      ELSE 0.709e0 * 4096.0e0 / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0) END
+      |      * 1e6 + 0.5e0) AS BIGINT) AS est_micro
+      |  FROM agg
+      |)""".stripMargin
+
   /** The signature prefix of the md5 chain (shingles → md5 → MinHash →
     * band keys), shared by the symmetric pair pipeline and the delta
     * (batch-vs-index) probe.
@@ -7421,37 +7503,22 @@ object SparkEntry {
         |    * 1e6 + 0.5e0) AS BIGINT) AS est_micro
         |FROM agg""".stripMargin,
     "hll_daily_users" ->
-      """WITH e AS (
-        |  SELECT epoch_ms(ts) // 86400000 AS day_idx, user_id FROM events
-        |), h AS (
-        |  SELECT day_idx,
-        |    CAST(('0x' || substr(md5('hll-' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
-        |  FROM e
-        |), b AS (
-        |  SELECT day_idx, CAST(hv % 64 AS INT) AS bucket, hv // 64 AS w FROM h
-        |), r AS (
-        |  SELECT day_idx, bucket,
-        |    max(CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END) AS rho
-        |  FROM b GROUP BY 1, 2
-        |), days AS (SELECT DISTINCT day_idx FROM e),
-        |regs AS (
-        |  SELECT days.day_idx, g.bucket, CAST(COALESCE(r.rho, 0) AS INT) AS rho
-        |  FROM days CROSS JOIN (SELECT unnest(range(64)) AS bucket) g
-        |  LEFT JOIN r ON r.day_idx = days.day_idx AND r.bucket = g.bucket
-        |), agg AS (
-        |  SELECT day_idx,
-        |    CAST(sum(CAST(1 AS BIGINT) << (32 - rho)) AS BIGINT) AS s_scaled,
-        |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
-        |  FROM regs GROUP BY 1
+      s"""WITH $HllDailyCtes
+        |SELECT day_idx, v_empty, s_scaled, est_micro FROM hest""".stripMargin,
+    "hll_error_report" ->
+      s"""WITH $HllDailyCtes, ex AS (
+        |  SELECT day_idx, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM (SELECT DISTINCT day_idx, user_id FROM e) GROUP BY 1
+        |), q AS (
+        |  SELECT h.day_idx, ex.n_exact, h.est_micro,
+        |    2 * 10000 * (h.est_micro - ex.n_exact * 1000000)
+        |      + ex.n_exact * 1000000 AS qn,
+        |    2 * ex.n_exact * 1000000 AS dv
+        |  FROM hest h JOIN ex ON ex.day_idx = h.day_idx
         |)
-        |SELECT CAST(day_idx AS BIGINT) AS day_idx, v_empty, s_scaled,
-        |  CAST(floor(
-        |    CASE WHEN (0.709e0 * 4096.0e0 / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0)) <= 160.0e0
-        |          AND v_empty > 0
-        |    THEN 64.0e0 * ln(64.0e0 / CAST(v_empty AS DOUBLE))
-        |    ELSE 0.709e0 * 4096.0e0 / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0) END
-        |    * 1e6 + 0.5e0) AS BIGINT) AS est_micro
-        |FROM agg""".stripMargin,
+        |SELECT day_idx, n_exact, est_micro,
+        |  CAST((qn - ((qn % dv) + dv) % dv) // dv AS BIGINT) AS err_bps
+        |FROM q""".stripMargin,
     "hll_distinct_tokens" ->
       """WITH tok AS (
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents
@@ -7496,6 +7563,34 @@ object SparkEntry {
         |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM pairs GROUP BY 1, 2
         |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin,
+    "cms_error_report" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents
+        |), tok2 AS (SELECT t FROM tok WHERE t <> ''),
+        |rows_j AS (SELECT unnest(range(4)) AS j),
+        |sketch AS (
+        |  SELECT j, CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '-' || t), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |    count(*) AS cnt
+        |  FROM tok2, rows_j GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT unnest(['table','scan','merge','the','data','query','value','xyzzy_absent']) AS token
+        |), pb AS (
+        |  SELECT token, j,
+        |    CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '-' || token), 1, 8)) AS BIGINT) % 64 AS bucket
+        |  FROM probes, rows_j
+        |), est AS (
+        |  SELECT token, CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS est
+        |  FROM pb LEFT JOIN sketch USING (j, bucket)
+        |  GROUP BY 1
+        |), ex AS (
+        |  SELECT t AS token, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM tok2
+        |  WHERE t IN ('table','scan','merge','the','data','query','value','xyzzy_absent')
+        |  GROUP BY 1
+        |)
+        |SELECT e.token, coalesce(ex.n_exact, 0) AS n_exact, e.est,
+        |  e.est - coalesce(ex.n_exact, 0) AS overcount
+        |FROM est e LEFT JOIN ex ON ex.token = e.token""".stripMargin,
     "cms_token_counts" ->
       """WITH tok AS (
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents

@@ -205,4 +205,25 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ExactDecimal: scaledRatio/floorDiv equal the BigInt reference on signed rationals") {
+    import graft.functions.ExactDecimal._
+    val rnd = new scala.util.Random(4242)
+    // half-tie boundaries both signs, zero, large magnitudes, then fuzz
+    val cases = Seq((-1L, 2L), (1L, 2L), (-3L, 2L), (3L, 2L), (0L, 5L),
+      (Long.MinValue / 4, 3L), (Long.MaxValue / 4, 7L)) ++
+      Seq.fill(300)((rnd.nextLong() / 4, math.abs(rnd.nextLong() / 4) + 1L))
+    val got = cases.toDF("num", "den")
+      .select(
+        col("num"), col("den"),
+        scaledRatio(col("num"), col("den")).cast("string").as("sr"),
+        floorDiv(d(col("num")), d(col("den"))).cast("string").as("fd"))
+      .as[(Long, Long, String, String)].collect()
+    def bfloor(q: BigInt, m: BigInt): BigInt = { val r = ((q % m) + m) % m; (q - r) / m }
+    got.foreach { case (n, dv, sr, fd) =>
+      val (bn, bd) = (BigInt(n), BigInt(dv))
+      assert(BigInt(sr) == bfloor(2 * BigInt(1000000) * bn + bd, 2 * bd), s"scaledRatio $n/$dv")
+      assert(BigInt(fd) == bfloor(bn, bd), s"floorDiv $n/$dv")
+    }
+  }
 }
