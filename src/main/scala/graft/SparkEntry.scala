@@ -1719,24 +1719,16 @@ object SparkEntry {
       // Sketch-vs-truth, measured: per day, the exact distinct-user
       // count next to the HLL estimate and the signed error in bps —
       // the hll family's minhash_calibration analogue ("how wrong is
-      // m=64 on MY cardinalities", answered with numbers). Exact leg is
-      // one distinct+count; estimate leg is the existing register
-      // pipeline.
-      import graft.functions.ExactDecimal.scaledRatio
-      val e = eventsTable(s, dir)
-        .select(expr("ts_ms DIV 86400000").as("day_idx"), col("user_id"))
-      val est = graft.ops.HeavyHitters.hllEstimateBy(
-        graft.ops.HeavyHitters.hllRegistersBy(e, "user_id", "day_idx"), "day_idx")
-        .select(col("day_idx"), col("est_micro"))
-      val exact = e.dropDuplicates("day_idx", "user_id")
-        .groupBy(col("day_idx")).agg(count(lit(1)).as("n_exact"))
-      est.join(exact, Seq("day_idx"))
-        .select(
-          col("day_idx").cast("long").as("day_idx"),
-          col("n_exact"), col("est_micro"),
-          scaledRatio(
-            col("est_micro") - col("n_exact") * 1000000L,
-            col("n_exact") * 1000000L, 10000L).cast("long").as("err_bps"))
+      // m=64 on MY cardinalities", answered with numbers: 4-27% under
+      // at sf0.1). Exact leg is one distinct+count; estimate leg is the
+      // existing register pipeline.
+      hllErrorReport(s, dir, m = 64)
+    },
+    "hll_error_report_m256" -> { (s, dir) =>
+      // The tuning follow-up the m=64 row demands: same report at
+      // m = 256 (std err ≈ 6.5%) — measure, fix, re-measure; the bps
+      // column shows the error collapse for 4× the register state.
+      hllErrorReport(s, dir, m = 256)
     },
     "cms_error_report" -> { (s, dir) =>
       // CMS upper-bound tightness, measured: per probe token, the exact
@@ -3471,6 +3463,85 @@ object SparkEntry {
     * [[graft.ops.Dedup.minhashMd5Pairs]] stage for stage (same constants:
     * affine family, 2^61-1 modulus, maxBucket 1000).
     */
+  /** Per-day exact-vs-HLL error report at register count `m` — the
+    * measured sketch-quality row (shared by the m = 64 and m = 256
+    * registrations).
+    */
+  private def hllErrorReport(s: SparkSession, dir: String, m: Int): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    val e = eventsTable(s, dir)
+      .select(expr("ts_ms DIV 86400000").as("day_idx"), col("user_id"))
+    val est = graft.ops.HeavyHitters.hllEstimateBy(
+      graft.ops.HeavyHitters.hllRegistersBy(e, "user_id", "day_idx", m = m), "day_idx", m = m)
+      .select(col("day_idx"), col("est_micro"))
+    val exact = e.dropDuplicates("day_idx", "user_id")
+      .groupBy(col("day_idx")).agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("day_idx"))
+      .select(
+        col("day_idx").cast("long").as("day_idx"),
+        col("n_exact"), col("est_micro"),
+        scaledRatio(
+          col("est_micro") - col("n_exact") * 1000000L,
+          col("n_exact") * 1000000L, 10000L).cast("long").as("err_bps"))
+  }
+
+  /** Per-day exact-vs-HLL error replay at any power-of-two `m`: the same
+    * chain as [[HllDailyCtes]] with the m-dependent constants (p, rho
+    * base, α_m — embedded as Scala-printed double literals, which
+    * round-trip to the identical IEEE value in DuckDB) substituted.
+    */
+  private def hllErrOracle(m: Int): String = {
+    val p = Integer.numberOfTrailingZeros(m)
+    val alpha = graft.ops.HeavyHitters.hllAlpha(m)
+    val rhoBase = 33 - p
+    s"""WITH e AS (
+      |  SELECT epoch_ms(ts) // 86400000 AS day_idx, user_id FROM events
+      |), h AS (
+      |  SELECT day_idx,
+      |    CAST(('0x' || substr(md5('hll-' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+      |  FROM e
+      |), b AS (
+      |  SELECT day_idx, CAST(hv % $m AS INT) AS bucket, hv // $m AS w FROM h
+      |), r AS (
+      |  SELECT day_idx, bucket,
+      |    max(CASE WHEN w = 0 THEN $rhoBase ELSE $rhoBase - length(bin(w)) END) AS rho
+      |  FROM b GROUP BY 1, 2
+      |), days AS (SELECT DISTINCT day_idx FROM e),
+      |regs AS (
+      |  SELECT days.day_idx, g.bucket, CAST(COALESCE(r.rho, 0) AS INT) AS rho
+      |  FROM days CROSS JOIN (SELECT unnest(range($m)) AS bucket) g
+      |  LEFT JOIN r ON r.day_idx = days.day_idx AND r.bucket = g.bucket
+      |), agg AS (
+      |  SELECT day_idx,
+      |    CAST(sum(CAST(1 AS BIGINT) << (32 - rho)) AS BIGINT) AS s_scaled,
+      |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+      |  FROM regs GROUP BY 1
+      |), hest AS (
+      |  SELECT CAST(day_idx AS BIGINT) AS day_idx,
+      |    CAST(floor(
+      |      CASE WHEN (${alpha}e0 * ${m.toDouble * m}e0
+      |              / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0)) <= ${2.5 * m}e0
+      |            AND v_empty > 0
+      |      THEN ${m.toDouble}e0 * ln(${m.toDouble}e0 / CAST(v_empty AS DOUBLE))
+      |      ELSE ${alpha}e0 * ${m.toDouble * m}e0
+      |        / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0) END
+      |      * 1e6 + 0.5e0) AS BIGINT) AS est_micro
+      |  FROM agg
+      |), ex AS (
+      |  SELECT day_idx, CAST(count(*) AS BIGINT) AS n_exact
+      |  FROM (SELECT DISTINCT day_idx, user_id FROM e) GROUP BY 1
+      |), q AS (
+      |  SELECT h2.day_idx, ex.n_exact, h2.est_micro,
+      |    2 * 10000 * (h2.est_micro - ex.n_exact * 1000000)
+      |      + ex.n_exact * 1000000 AS qn,
+      |    2 * ex.n_exact * 1000000 AS dv
+      |  FROM hest h2 JOIN ex ON ex.day_idx = h2.day_idx
+      |)
+      |SELECT day_idx, n_exact, est_micro,
+      |  CAST((qn - ((qn % dv) + dv) % dv) // dv AS BIGINT) AS err_bps
+      |FROM q""".stripMargin
+  }
+
   /** Per-day HLL register chain (m = 64, md5 hash face), closing with
     * `hest(day_idx, v_empty, s_scaled, est_micro)` — shared by the daily
     * estimate row and the exact-vs-sketch error report.
@@ -7505,20 +7576,8 @@ object SparkEntry {
     "hll_daily_users" ->
       s"""WITH $HllDailyCtes
         |SELECT day_idx, v_empty, s_scaled, est_micro FROM hest""".stripMargin,
-    "hll_error_report" ->
-      s"""WITH $HllDailyCtes, ex AS (
-        |  SELECT day_idx, CAST(count(*) AS BIGINT) AS n_exact
-        |  FROM (SELECT DISTINCT day_idx, user_id FROM e) GROUP BY 1
-        |), q AS (
-        |  SELECT h.day_idx, ex.n_exact, h.est_micro,
-        |    2 * 10000 * (h.est_micro - ex.n_exact * 1000000)
-        |      + ex.n_exact * 1000000 AS qn,
-        |    2 * ex.n_exact * 1000000 AS dv
-        |  FROM hest h JOIN ex ON ex.day_idx = h.day_idx
-        |)
-        |SELECT day_idx, n_exact, est_micro,
-        |  CAST((qn - ((qn % dv) + dv) % dv) // dv AS BIGINT) AS err_bps
-        |FROM q""".stripMargin,
+    "hll_error_report" -> hllErrOracle(64),
+    "hll_error_report_m256" -> hllErrOracle(256),
     "hll_distinct_tokens" ->
       """WITH tok AS (
         |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS t FROM documents

@@ -160,17 +160,21 @@ class LnMarginAuditSpec extends AnyFunSuite {
     auditPairs(eMicros.map(e => (e, 1000000L)), 1e6, "dsir_race_outer")
   }
 
-  test("hll linear counting: 64·ln(64/v) margin over the complete register domain") {
-    // closed form — v_empty ∈ 1..63 (v = 64 ⇒ ln(1) exempt-exact); the
-    // ×64 is exact power-of-two scaling so the ln is the only float op
-    val live = (1L to 63L).map { vE =>
-      val x = 64.0 * math.log(64.0 / vE.toDouble) * 1e6 + 0.5
-      val f = x - math.floor(x)
-      (vE, math.min(f, 1.0 - f))
+  test("hll linear counting: m·ln(m/v) margin over the complete register domain (m = 64, 256)") {
+    // closed form — v_empty ∈ 1..m−1 (v = m ⇒ ln(1) exempt-exact); the
+    // ×m is exact power-of-two scaling so the ln is the only float op.
+    // Covers both registered sketches: the m=64 estimate rows and the
+    // m=256 error-report sibling.
+    Seq(64L, 256L).foreach { m =>
+      val live = (1L until m).map { vE =>
+        val x = m.toDouble * math.log(m.toDouble / vE.toDouble) * 1e6 + 0.5
+        val f = x - math.floor(x)
+        (vE, math.min(f, 1.0 - f))
+      }
+      val worst = live.minBy(_._2)
+      info(f"hll_linear m=$m: worst margin ${worst._2}%.3e at v_empty=${worst._1}")
+      assert(worst._2 > SafeMargin, s"m=$m")
     }
-    val worst = live.minBy(_._2)
-    info(f"hll_linear: worst margin ${worst._2}%.3e at v_empty=${worst._1}")
-    assert(worst._2 > SafeMargin)
   }
 
   test("ndcg discount: 10⁶/log₂(i+1) margin over ranks 1..200") {
