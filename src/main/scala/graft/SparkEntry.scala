@@ -519,6 +519,22 @@ object SparkEntry {
       table(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
     },
+    "lang_id_confusion" -> { (s, dir) =>
+      // How good is the stopword lang-ID where truth is known? Full
+      // confusion matrix vs the corpus's lang label + each cell's share
+      // of its true-language row in exact bps (diagonal = per-language
+      // recall). One scan, languages²-bounded output.
+      val cells = table(s, dir, "documents")
+        .select(col("lang").as("lang_true"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_true"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang_true"))
+      cells
+        .withColumn("n_true", sum(col("n")).over(w))
+        .select(
+          col("lang_true"), col("lang_pred"), col("n"), col("n_true"),
+          expr("CAST((2 * 10000 * n + n_true) div (2 * n_true) AS INT)").as("share_bps"))
+    },
     "lang_id_margin" -> { (s, dir) =>
       // Selective prediction for the lang-ID gate: the argmax alone says
       // WHICH language, the top1-top2 margin says whether to TRUST it —
@@ -1251,6 +1267,23 @@ object SparkEntry {
         substring(lower(col("text")), 1, 40),
         maxDist = 2)
     },
+    "simhash_calibration" -> { (s, dir) =>
+      // Does hamming ≤ 3 actually mean near-duplicate HERE? Each
+      // SimHash candidate pair next to its exact token-set Jaccard —
+      // the simhash family's minhash_calibration analogue; sets join
+      // only the band-capped candidate pairs (ops/Dedup.scala).
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.simhashMd5Pairs(docs, maxBucket = 500)
+      val sets = docs.select(
+        col("doc_id"), array_distinct(TextAnalysis.tokens(col("text"))).as("tset"))
+      pairs
+        .join(sets.select(col("doc_id").as("id_a"), col("tset").as("ta")), Seq("id_a"))
+        .join(sets.select(col("doc_id").as("id_b"), col("tset").as("tb")), Seq("id_b"))
+        .select(
+          col("id_a"), col("id_b"), col("hamming"),
+          (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+            size(array_union(col("ta"), col("tb")))).as("jaccard"))
+    },
     "simhash_md5_pairs" -> { (s, dir) =>
       // Full SimHash near-dup pair pipeline (fingerprint → pigeonhole chunk
       // bands → bucket pairs → exact hamming verify) on the md5-anchored
@@ -1308,6 +1341,21 @@ object SparkEntry {
       // is why ER is evaluated at the cluster level too
       // (ops/RecordLinkage.scala).
       graft.ops.RecordLinkage.fsEntityClusters(table(s, dir, "customer"))
+    },
+    "linkage_review_queue" -> { (s, dir) =>
+      // The human-review queue every ER deployment runs: candidate
+      // pairs whose FS score sits in the ambiguous band around the
+      // decision threshold (|score − θ| ≤ 1.5 log-odds units),
+      // most-ambiguous-first with a stable global position — band-
+      // bounded rows ranked by the distributed primitive
+      // (ops/RecordLinkage.scala + ops/Ranking.scala).
+      val band = graft.ops.RecordLinkage.fsPairs(table(s, dir, "customer"))
+        .select(
+          col("d_key"), col("c_key"), col("score_micro"), col("predicted"), col("is_true"),
+          abs(col("score_micro") - graft.ops.RecordLinkage.ThresholdMicro).as("dist_micro"))
+        .filter(col("dist_micro") <= 1500000L)
+      graft.ops.Ranking.globalRowNumber(
+        band, Seq(col("dist_micro"), col("d_key"), col("c_key")), "queue_pos")
     },
     "record_linkage_eval" -> { (s, dir) =>
       // End-to-end ER scorecard vs the planted key-identity truth in ONE
@@ -5308,6 +5356,32 @@ object SparkEntry {
         |       WHEN s_fr >= s_zh THEN 'fr'
         |       ELSE 'zh' END AS lang_pred
         |FROM scored""".stripMargin,
+    "lang_id_confusion" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang AS lang_true,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['the','and','of','to','in','is'], t))) AS s_en,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS s_de,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['el','la','los','que','y','es'], t))) AS s_es,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['le','les','des','et','est','dans'], t))) AS s_fr,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> list_contains(['的','是','了','在','我'], t))) AS s_zh
+        |  FROM documents
+        |), pred AS (
+        |  SELECT lang_true,
+        |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |         WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |         WHEN s_fr >= s_zh THEN 'fr'
+        |         ELSE 'zh' END AS lang_pred
+        |  FROM scored
+        |), cells AS (
+        |  SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+        |  FROM pred GROUP BY 1, 2
+        |)
+        |SELECT lang_true, lang_pred, n,
+        |  CAST(sum(n) OVER (PARTITION BY lang_true) AS BIGINT) AS n_true,
+        |  CAST((2 * 10000 * n + sum(n) OVER (PARTITION BY lang_true))
+        |    // (2 * sum(n) OVER (PARTITION BY lang_true)) AS INT) AS share_bps
+        |FROM cells""".stripMargin,
     "lang_id_margin" ->
       """WITH scored AS (
         |  SELECT doc_id,
@@ -6676,6 +6750,39 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming
         |FROM cand JOIN fp fa ON fa.doc_id = cand.id_a JOIN fp fb ON fb.doc_id = cand.id_b
         |WHERE bit_count(xor(fa.fp, fb.fp)) <= 3""".stripMargin,
+    "simhash_calibration" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS ts
+        |  FROM documents
+        |), th AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(t.tok), 1, 8)) AS BIGINT) AS h
+        |  FROM toks, unnest(toks.ts) AS t(tok)
+        |), votes AS (
+        |  SELECT doc_id, b.bit,
+        |    sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, range(32) b(bit) GROUP BY 1, 2
+        |), fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS fp
+        |  FROM votes GROUP BY 1
+        |), bandk AS (
+        |  SELECT doc_id, c.c AS c, (fp >> (c.c * 8)) & 255 AS v FROM fp, range(4) c(c)
+        |), bucket_ok AS (
+        |  SELECT c, v FROM bandk GROUP BY c, v HAVING count(*) BETWEEN 2 AND 500
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bucket_ok o
+        |  JOIN bandk a ON a.c = o.c AND a.v = o.v
+        |  JOIN bandk b ON b.c = o.c AND b.v = o.v AND a.doc_id < b.doc_id
+        |), ham AS (
+        |  SELECT id_a, id_b, CAST(bit_count(xor(fa.fp, fb.fp)) AS INT) AS hamming
+        |  FROM cand JOIN fp fa ON fa.doc_id = cand.id_a JOIN fp fb ON fb.doc_id = cand.id_b
+        |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+        |)
+        |SELECT h.id_a, h.id_b, h.hamming,
+        |  CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.ts, b.ts))) AS jaccard
+        |FROM ham h JOIN toks a ON a.doc_id = h.id_a JOIN toks b ON b.doc_id = h.id_b""".stripMargin,
     "ann_lsh_md5_topk" ->
       s"""$LshMd5SigCtes, qs AS (
         |  SELECT s.vec_id AS query_id, xor(s.sig, masks.mask) AS sig
@@ -6789,6 +6896,16 @@ object SparkEntry {
         |SELECT d_key, c_key, a_name_exact, a_name_tri, a_bal, a_seg,
         |  score_micro, predicted, is_true
         |FROM dec""".stripMargin,
+    "linkage_review_queue" ->
+      s"""WITH $RecordLinkageCtes, band AS (
+        |  SELECT d_key, c_key, score_micro, predicted, is_true,
+        |    abs(score_micro - 2000000) AS dist_micro
+        |  FROM dec WHERE abs(score_micro - 2000000) <= 1500000
+        |)
+        |SELECT d_key, c_key, score_micro, predicted, is_true, dist_micro,
+        |  CAST(row_number() OVER (ORDER BY dist_micro, d_key, c_key) AS BIGINT)
+        |    AS queue_pos
+        |FROM band""".stripMargin,
     "record_linkage_clusters" ->
       s"""WITH RECURSIVE $RecordLinkageCtes, good AS (
         |  SELECT d_key * 2 + 1 AS id_a, c_key * 2 AS id_b FROM dec WHERE predicted = 1
