@@ -2269,6 +2269,14 @@ object SparkEntry {
       // threshold (ops/QualityTrainer.scala).
       graft.ops.QualityTrainer.calibrationBins(table(s, dir, "documents"), iters = 8)
     },
+    "calibration_summary" -> { (s, dir) =>
+      // The reliability diagram folded to decision scalars: ECE (the
+      // weighted acc-conf gap telescopes to ONE exact rational) plus the
+      // Murphy decomposition of the binned Brier — reliability /
+      // resolution / uncertainty, each a micro-rounded exact rational
+      // over per-bin half-up terms (ops/QualityTrainer.scala).
+      graft.ops.QualityTrainer.calibrationSummary(table(s, dir, "documents"), iters = 8)
+    },
     "quality_trained_agreement" -> { (s, dir) =>
       // Does the TRAINED gate make the same calls as the shipped
       // fixed-weight gate? Confusion cells + exact-rational Cohen's kappa
@@ -4899,6 +4907,40 @@ object SparkEntry {
         |SELECT CAST(n AS BIGINT) AS n_docs, CAST(ss AS BIGINT) AS sum_sq_err,
         |  CAST((2 * ss + n * 1000000) // (2 * n * 1000000) AS BIGINT) AS brier_micro
         |FROM a""".stripMargin,
+    "calibration_summary" ->
+      s"""WITH ${qualityTrainedCtes(8)}, p AS (
+        |  SELECT feat.y,
+        |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+        |      / 1000000.0) AS BIGINT) AS p_micro
+        |  FROM feat, w8_ w
+        |), b AS (
+        |  SELECT CAST(floor(least(greatest(p_micro, 0), 999999) / 100000.0) AS INT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(p_micro) AS BIGINT) AS sum_p
+        |  FROM p GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n_docs) AS HUGEINT) AS n, CAST(sum(n_pos) AS HUGEINT) AS p FROM b
+        |), terms AS (
+        |  SELECT t.n, t.p,
+        |    abs(1000000 * b.n_pos - b.sum_p) AS ae,
+        |    (2 * (CAST(b.sum_p AS HUGEINT) - 1000000 * b.n_pos)
+        |       * (CAST(b.sum_p AS HUGEINT) - 1000000 * b.n_pos) + b.n_docs)
+        |      // (2 * b.n_docs) AS vrel,
+        |    (2 * (t.n * b.n_pos - b.n_docs * t.p) * (t.n * b.n_pos - b.n_docs * t.p) + b.n_docs)
+        |      // (2 * b.n_docs) AS vres
+        |  FROM b, tot t
+        |), s AS (
+        |  SELECT n, p, CAST(sum(ae) AS HUGEINT) AS se,
+        |    CAST(sum(vrel) AS HUGEINT) AS sr, CAST(sum(vres) AS HUGEINT) AS ss
+        |  FROM terms GROUP BY 1, 2
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(p AS BIGINT) AS n_pos,
+        |  CAST((2 * se + n) // (2 * n) AS BIGINT) AS ece_micro,
+        |  CAST((2 * sr + n * 1000000) // (2 * n * 1000000) AS BIGINT) AS reliability_micro,
+        |  CAST((2 * 1000000 * ss + n * n * n) // (2 * n * n * n) AS BIGINT) AS resolution_micro,
+        |  CAST((2 * 1000000 * p * (n - p) + n * n) // (2 * n * n) AS BIGINT) AS uncertainty_micro
+        |FROM s""".stripMargin,
     "quality_calibration_bins" ->
       s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.y,

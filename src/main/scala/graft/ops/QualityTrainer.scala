@@ -357,7 +357,10 @@ object QualityTrainer {
     * feature frame; all arithmetic exact fixed-point (the floor-of-double
     * divisions stay well inside 2⁵³).
     */
-  def calibrationBins(docs: DataFrame, iters: Int, nBins: Int = 10): DataFrame = {
+  /** Raw per-bin cells (bin, n_docs, n_pos, sum_p) shared by the
+    * reliability diagram and the scalar calibration summary.
+    */
+  private def binnedRaw(docs: DataFrame, iters: Int, nBins: Int): DataFrame = {
     require(1000000L % nBins == 0, s"nBins must divide 1e6, got $nBins")
     val feat = features(docs).localCheckpoint(eager = true)
     val w = trainOnMaterialized(feat, iters, etaNum = 1L, etaDen = 2L).last
@@ -372,6 +375,10 @@ object QualityTrainer {
         count(lit(1)).as("n_docs"),
         sum(col("y")).as("n_pos"),
         sum(col("p_micro")).as("sum_p"))
+  }
+
+  def calibrationBins(docs: DataFrame, iters: Int, nBins: Int = 10): DataFrame =
+    binnedRaw(docs, iters, nBins)
       .select(
         col("bin"),
         col("n_docs"),
@@ -380,5 +387,41 @@ object QualityTrainer {
           (lit(2L) * col("n_docs")).cast("double")).cast("long").as("pos_rate_bps"),
         floor((lit(2L) * col("sum_p") + col("n_docs")) /
           (lit(2L) * col("n_docs")).cast("double")).cast("long").as("mean_p_micro"))
+
+  /** One-row scalar calibration summary over the same bins: ECE (the
+    * bin-weighted |accuracy − confidence| gap — note the weighted form
+    * telescopes to ONE exact rational, `Σ_b |10⁶·pos_b − Σp_b| / N`) and
+    * the Murphy decomposition of the binned Brier score — reliability
+    * (how far confidence sits from accuracy; lower better), resolution
+    * (how far bin accuracies spread from the base rate; higher better),
+    * uncertainty (the irreducible ȳ(1−ȳ)). All micro units, each
+    * component ONE micro-rounded exact rational over per-bin
+    * round-half-up terms (the micro-rounded-pipeline discipline —
+    * deterministic in any engine, no float sums).
+    */
+  def calibrationSummary(docs: DataFrame, iters: Int, nBins: Int = 10): DataFrame = {
+    import graft.functions.ExactDecimal.{d, scaledRatio}
+    val b = binnedRaw(docs, iters, nBins).localCheckpoint(eager = true)
+    val tot = b.agg(sum(col("n_docs")).as("n"), sum(col("n_pos")).as("p"))
+    val dRel = d(col("sum_p")) - d(lit(1000000L)) * d(col("n_pos"))
+    val dRes = d(col("n")) * d(col("n_pos")) - d(col("n_docs")) * d(col("p"))
+    b.crossJoin(broadcast(tot)) // 1-row totals frame
+      .select(
+        col("n"), col("p"),
+        abs(lit(1000000L) * col("n_pos") - col("sum_p")).as("ae"),
+        scaledRatio(dRel * dRel, d(col("n_docs")), 1L).cast("long").as("vrel"),
+        scaledRatio(dRes * dRes, d(col("n_docs")), 1L).cast("long").as("vres"))
+      .groupBy(col("n"), col("p"))
+      .agg(sum(col("ae")).as("se"), sum(col("vrel")).as("sr"), sum(col("vres")).as("ss"))
+      .select(
+        col("n").as("n_docs"),
+        col("p").as("n_pos"),
+        scaledRatio(col("se"), col("n"), 1L).cast("long").as("ece_micro"),
+        scaledRatio(col("sr"), d(col("n")) * d(lit(1000000L)), 1L)
+          .cast("long").as("reliability_micro"),
+        scaledRatio(col("ss"), d(col("n")) * d(col("n")) * d(col("n")))
+          .cast("long").as("resolution_micro"),
+        scaledRatio(d(col("p")) * d(col("n") - col("p")), d(col("n")) * d(col("n")))
+          .cast("long").as("uncertainty_micro"))
   }
 }

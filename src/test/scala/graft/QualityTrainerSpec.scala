@@ -181,6 +181,25 @@ class QualityTrainerSpec extends AnyFunSuite {
     assert(goodBins.nonEmpty && junkBins.nonEmpty && junkBins.max < goodBins.min)
   }
 
+  test("calibrationSummary: invariants + near-perfect score on the hard-separated fixture") {
+    val docs = planted(12, 12)
+    val r = QualityTrainer.calibrationSummary(docs, iters = 12).collect()
+    assert(r.length == 1)
+    val (n, p, ece, rel, res, unc) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getLong(3), r(0).getLong(4), r(0).getLong(5))
+    assert(n == 24L && p == 12L)
+    // uncertainty is an exact closed form of (n, p)
+    assert(unc == math.round(1e6 * p * (n - p) / (n.toDouble * n)))
+    // components are non-negative; resolution can never exceed the total
+    // variance (law of total variance on the conditional means)
+    assert(ece >= 0L && rel >= 0L && res >= 0L && res <= unc)
+    // 12 iterations separate the planted bins purely (proven above):
+    // bin accuracies are 0/1 ⇒ resolution ≈ uncertainty, and the model's
+    // confidence tracks accuracy closely ⇒ small ECE/reliability
+    assert(unc - res < 1000L, s"res=$res unc=$unc")
+    assert(ece < 200000L && rel < 100000L, s"ece=$ece rel=$rel")
+  }
+
   test("trajectory dataframe emits iters × 5 rows in FeatureNames order") {
     val df = QualityTrainer.weightTrajectoryDf(planted(5, 5), iters = 2).collect()
     assert(df.length == 10)
