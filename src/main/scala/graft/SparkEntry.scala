@@ -2269,6 +2269,14 @@ object SparkEntry {
       // threshold (ops/QualityTrainer.scala).
       graft.ops.QualityTrainer.calibrationBins(table(s, dir, "documents"), iters = 8)
     },
+    "quality_isotonic_calibration" -> { (s, dir) =>
+      // The fix for the reliability gap calibration_summary reports:
+      // monotone recalibration of the 100-bin accuracy curve via the
+      // max-min closed form of PAV — distributes as three bins-bounded
+      // joins (no sequential merge loop, no window), replays in SQL
+      // (ops/QualityTrainer.scala).
+      graft.ops.QualityTrainer.isotonicCalibration(table(s, dir, "documents"), iters = 8)
+    },
     "calibration_summary" -> { (s, dir) =>
       // The reliability diagram folded to decision scalars: ECE (the
       // weighted acc-conf gap telescopes to ONE exact rational) plus the
@@ -4907,6 +4915,38 @@ object SparkEntry {
         |SELECT CAST(n AS BIGINT) AS n_docs, CAST(ss AS BIGINT) AS sum_sq_err,
         |  CAST((2 * ss + n * 1000000) // (2 * n * 1000000) AS BIGINT) AS brier_micro
         |FROM a""".stripMargin,
+    "quality_isotonic_calibration" ->
+      s"""WITH ${qualityTrainedCtes(8)}, p AS (
+        |  SELECT feat.y,
+        |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+        |      / 1000000.0) AS BIGINT) AS p_micro
+        |  FROM feat, w8_ w
+        |), c AS (
+        |  SELECT CAST(floor(least(greatest(p_micro, 0), 999999) / 10000.0) AS INT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM p GROUP BY 1
+        |), pf AS (
+        |  SELECT a.bin, a.n_docs, a.n_pos,
+        |    CAST(sum(b.n_docs) AS BIGINT) AS cum_n, CAST(sum(b.n_pos) AS BIGINT) AS cum_p
+        |  FROM c a JOIN c b ON b.bin <= a.bin GROUP BY 1, 2, 3
+        |), pairs AS (
+        |  SELECT j.bin AS jbin, k.bin AS kbin,
+        |    (2 * 1000000 * (k.cum_p - (j.cum_p - j.n_pos))
+        |       + (k.cum_n - (j.cum_n - j.n_docs)))
+        |      // (2 * (k.cum_n - (j.cum_n - j.n_docs))) AS avg_micro
+        |  FROM pf j JOIN pf k ON j.bin <= k.bin
+        |), mi AS (
+        |  SELECT i.bin AS ibin, p2.jbin, min(p2.avg_micro) AS m
+        |  FROM pairs p2 JOIN c i ON p2.jbin <= i.bin AND i.bin <= p2.kbin
+        |  GROUP BY 1, 2
+        |), iso AS (
+        |  SELECT ibin AS bin, CAST(max(m) AS BIGINT) AS iso_rate_micro FROM mi GROUP BY 1
+        |)
+        |SELECT c.bin, c.n_docs, c.n_pos,
+        |  CAST((2 * 1000000 * c.n_pos + c.n_docs) // (2 * c.n_docs) AS BIGINT)
+        |    AS raw_rate_micro,
+        |  iso.iso_rate_micro
+        |FROM c JOIN iso ON iso.bin = c.bin""".stripMargin,
     "calibration_summary" ->
       s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.y,

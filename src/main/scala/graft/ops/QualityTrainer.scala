@@ -388,6 +388,68 @@ object QualityTrainer {
         floor((lit(2L) * col("sum_p") + col("n_docs")) /
           (lit(2L) * col("n_docs")).cast("double")).cast("long").as("mean_p_micro"))
 
+  /** Isotonic (monotone) calibration of per-bin accuracies via the
+    * MAX–MIN closed form of pool-adjacent-violators:
+    * `iso(i) = max_{j≤i} min_{k≥i} avg(pos over bins j..k)` — the same
+    * fit PAV produces, but as three bounded joins instead of a
+    * sequential merge loop, so it distributes AND replays in SQL
+    * (the sequential PAV would be neither). Interval averages are
+    * micro-rounded exact rationals BEFORE the max–min (one-unit
+    * quantization of the fit, and the max–min of any cell matrix is
+    * monotone by construction, so monotonicity survives rounding
+    * exactly).
+    *
+    * Shape: everything after the cell frame is bins-bounded — prefix
+    * sums by a bins² self-join (no window at all), interval averages
+    * bins²/2, the max–min over ≤ bins³/6 triples; bins is a small
+    * constant (100 here), so this is metadata-scale work regardless of
+    * corpus size.
+    *
+    * Output per observed bin: raw cells, the raw rate, and the monotone
+    * calibrated rate.
+    */
+  def isotonicFromCells(cells: DataFrame): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    val c = cells.select(col("bin"), col("n_docs"), col("n_pos"))
+      .localCheckpoint(eager = true) // bins-bounded; reused four times
+    // inclusive prefix sums via self-join — window-free
+    val pf = c.as("a")
+      .join(c.as("b"), col("b.bin") <= col("a.bin"))
+      .groupBy(col("a.bin").as("bin"), col("a.n_docs").as("n_docs"), col("a.n_pos").as("n_pos"))
+      .agg(sum(col("b.n_docs")).as("cum_n"), sum(col("b.n_pos")).as("cum_p"))
+      .localCheckpoint(eager = true)
+    val jSide = pf.select(
+      col("bin").as("jbin"),
+      (col("cum_n") - col("n_docs")).as("excl_n"),
+      (col("cum_p") - col("n_pos")).as("excl_p"))
+    val kSide = pf.select(col("bin").as("kbin"), col("cum_n"), col("cum_p"))
+    val pairs = jSide
+      .join(kSide, col("jbin") <= col("kbin"))
+      .select(
+        col("jbin"), col("kbin"),
+        scaledRatio(col("cum_p") - col("excl_p"), col("cum_n") - col("excl_n"))
+          .cast("long").as("avg_micro"))
+    val iso = pairs
+      .join(c.select(col("bin").as("ibin")),
+        col("jbin") <= col("ibin") && col("ibin") <= col("kbin"))
+      .groupBy(col("ibin"), col("jbin"))
+      .agg(min(col("avg_micro")).as("m")) // min over k ≥ i for this j
+      .groupBy(col("ibin").as("bin"))
+      .agg(max(col("m")).as("iso_rate_micro")) // max over j ≤ i
+    c.join(iso, Seq("bin"))
+      .select(
+        col("bin"), col("n_docs"), col("n_pos"),
+        scaledRatio(col("n_pos"), col("n_docs")).cast("long").as("raw_rate_micro"),
+        col("iso_rate_micro"))
+  }
+
+  /** [[isotonicFromCells]] over the trained scorer's 100-bin reliability
+    * cells — the standard fix when [[calibrationSummary]] reports a high
+    * reliability term.
+    */
+  def isotonicCalibration(docs: DataFrame, iters: Int, nBins: Int = 100): DataFrame =
+    isotonicFromCells(binnedRaw(docs, iters, nBins))
+
   /** One-row scalar calibration summary over the same bins: ECE (the
     * bin-weighted |accuracy − confidence| gap — note the weighted form
     * telescopes to ONE exact rational, `Σ_b |10⁶·pos_b − Σp_b| / N`) and

@@ -200,6 +200,46 @@ class QualityTrainerSpec extends AnyFunSuite {
     assert(ece < 200000L && rel < 100000L, s"ece=$ece rel=$rel")
   }
 
+  test("isotonicFromCells: PAV fixture, pooled decrease, random ≡ exact PAV within 1 micro") {
+    import spark.implicits._
+    val cells = Seq((0, 10L, 1L), (1, 10L, 3L), (2, 10L, 2L), (3, 10L, 4L))
+      .toDF("bin", "n_docs", "n_pos")
+    val got = QualityTrainer.isotonicFromCells(cells)
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // rates [.1, .3, .2, .4]: bins 1–2 pool to .25, rest untouched
+    assert(got.map(_._5).toSeq == Seq(100000L, 250000L, 250000L, 400000L))
+    // strictly decreasing rates pool to the single global average
+    val dec = Seq((0, 10L, 4L), (1, 10L, 3L), (2, 10L, 2L)).toDF("bin", "n_docs", "n_pos")
+    val g2 = QualityTrainer.isotonicFromCells(dec)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(g2.forall(_._5 == 300000L))
+    // random cells: monotone, and within 1 micro of an exact sequential PAV
+    val rnd = new scala.util.Random(7)
+    val rc = (0 until 20).map { b =>
+      val n = 1L + rnd.nextInt(9)
+      (b, n, rnd.nextInt(n.toInt + 1).toLong)
+    }
+    val g3 = QualityTrainer.isotonicFromCells(rc.toDF("bin", "n_docs", "n_pos"))
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(g3.sliding(2).forall(p => p.length < 2 || p(0)._5 <= p(1)._5))
+    def pavRates(cs: Seq[(Long, Long)]): Seq[Double] = {
+      val st = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+      cs.foreach { case (n, p) =>
+        var (cn, cp, cc) = (n, p, 1)
+        while (st.nonEmpty && st.last._2 * cn > cp * st.last._1) {
+          val (ln, lp, lc) = st.remove(st.length - 1)
+          cn += ln; cp += lp; cc += lc
+        }
+        st += ((cn, cp, cc))
+      }
+      st.toSeq.flatMap { case (n, p, c) => Seq.fill(c)(p.toDouble / n) }
+    }
+    val ref = pavRates(rc.map(t => (t._2, t._3)))
+    g3.zip(ref).foreach { case ((b, _, _, _, iso), r) =>
+      assert(math.abs(iso - math.rint(r * 1e6).toLong) <= 1L, s"bin $b: $iso vs $r")
+    }
+  }
+
   test("trajectory dataframe emits iters × 5 rows in FeatureNames order") {
     val df = QualityTrainer.weightTrajectoryDf(planted(5, 5), iters = 2).collect()
     assert(df.length == 10)
