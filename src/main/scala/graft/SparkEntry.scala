@@ -2269,6 +2269,13 @@ object SparkEntry {
       // threshold (ops/QualityTrainer.scala).
       graft.ops.QualityTrainer.calibrationBins(table(s, dir, "documents"), iters = 8)
     },
+    "ece_holdout_isotonic" -> { (s, dir) =>
+      // Does the isotonic fix actually generalize? Fit on even doc_ids,
+      // evaluate ECE on odd: raw model confidence vs the calibrated
+      // mapping, both over the covered holdout mass — the in-sample
+      // version would be circular (ops/QualityTrainer.scala).
+      graft.ops.QualityTrainer.holdoutCalibrationEval(table(s, dir, "documents"), iters = 8)
+    },
     "quality_isotonic_calibration" -> { (s, dir) =>
       // The fix for the reliability gap calibration_summary reports:
       // monotone recalibration of the 100-bin accuracy curve via the
@@ -4915,6 +4922,54 @@ object SparkEntry {
         |SELECT CAST(n AS BIGINT) AS n_docs, CAST(ss AS BIGINT) AS sum_sq_err,
         |  CAST((2 * ss + n * 1000000) // (2 * n * 1000000) AS BIGINT) AS brier_micro
         |FROM a""".stripMargin,
+    "ece_holdout_isotonic" ->
+      s"""WITH ${qualityTrainedCtes(8)}, sc AS (
+        |  SELECT feat.doc_id, feat.y,
+        |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+        |      / 1000000.0) AS BIGINT) AS p_micro
+        |  FROM feat, w8_ w
+        |), sb AS (
+        |  SELECT doc_id, y, p_micro,
+        |    CAST(floor(least(greatest(p_micro, 0), 999999) / 10000.0) AS INT) AS bin
+        |  FROM sc
+        |), fitc AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM sb WHERE doc_id % 2 = 0 GROUP BY 1
+        |), pf2 AS (
+        |  SELECT a.bin, a.n_docs, a.n_pos,
+        |    CAST(sum(b.n_docs) AS BIGINT) AS cum_n, CAST(sum(b.n_pos) AS BIGINT) AS cum_p
+        |  FROM fitc a JOIN fitc b ON b.bin <= a.bin GROUP BY 1, 2, 3
+        |), pairs2 AS (
+        |  SELECT j.bin AS jbin, k.bin AS kbin,
+        |    (2 * 1000000 * (k.cum_p - (j.cum_p - j.n_pos))
+        |       + (k.cum_n - (j.cum_n - j.n_docs)))
+        |      // (2 * (k.cum_n - (j.cum_n - j.n_docs))) AS avg_micro
+        |  FROM pf2 j JOIN pf2 k ON j.bin <= k.bin
+        |), mi2 AS (
+        |  SELECT i.bin AS ibin, p2.jbin, min(p2.avg_micro) AS m
+        |  FROM pairs2 p2 JOIN fitc i ON p2.jbin <= i.bin AND i.bin <= p2.kbin
+        |  GROUP BY 1, 2
+        |), iso2 AS (
+        |  SELECT ibin AS bin, CAST(max(m) AS BIGINT) AS iso_rate_micro FROM mi2 GROUP BY 1
+        |), ec AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS n_e, CAST(sum(y) AS BIGINT) AS pos_e,
+        |    CAST(sum(p_micro) AS BIGINT) AS sum_p_e
+        |  FROM sb WHERE doc_id % 2 = 1 GROUP BY 1
+        |), tot AS (SELECT CAST(sum(n_e) AS BIGINT) AS n_eval FROM ec),
+        |cov AS (
+        |  SELECT ec.n_e,
+        |    abs(1000000 * ec.pos_e - ec.sum_p_e) AS ar,
+        |    abs(1000000 * ec.pos_e - ec.n_e * i2.iso_rate_micro) AS ai
+        |  FROM ec JOIN iso2 i2 ON i2.bin = ec.bin
+        |), ag AS (
+        |  SELECT CAST(sum(n_e) AS BIGINT) AS n_covered,
+        |    CAST(sum(ar) AS HUGEINT) AS sr, CAST(sum(ai) AS HUGEINT) AS si
+        |  FROM cov
+        |)
+        |SELECT t.n_eval, a.n_covered,
+        |  CAST((2 * a.sr + a.n_covered) // (2 * a.n_covered) AS BIGINT) AS ece_raw_micro,
+        |  CAST((2 * a.si + a.n_covered) // (2 * a.n_covered) AS BIGINT) AS ece_iso_micro
+        |FROM ag a, tot t""".stripMargin,
     "quality_isotonic_calibration" ->
       s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.y,

@@ -450,6 +450,55 @@ object QualityTrainer {
   def isotonicCalibration(docs: DataFrame, iters: Int, nBins: Int = 100): DataFrame =
     isotonicFromCells(binnedRaw(docs, iters, nBins))
 
+  /** Holdout-honest calibration eval: fit the isotonic mapping on the
+    * EVEN-doc_id half, evaluate ECE on the ODD half — raw model
+    * confidence vs the isotonic-calibrated confidence on data the fit
+    * never saw (the in-sample version is circular: isotonic equals
+    * per-bin accuracy on its own fit set by construction). Eval bins
+    * the fit never observed are excluded and counted
+    * (`n_eval − n_covered`); both ECEs run over the covered mass with
+    * the same telescoped exact rational as [[calibrationSummary]].
+    */
+  def holdoutCalibrationEval(docs: DataFrame, iters: Int, nBins: Int = 100): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    require(1000000L % nBins == 0, s"nBins must divide 1e6, got $nBins")
+    val feat = features(docs).localCheckpoint(eager = true)
+    val w = trainOnMaterialized(feat, iters, etaNum = 1L, etaDen = 2L).last
+    val width = (1000000L / nBins).toDouble
+    val scored = feat
+      .select(col("doc_id"), col("y"), predictMicro(w).as("p_micro"))
+      .withColumn(
+        "bin",
+        floor(least(greatest(col("p_micro"), lit(0L)), lit(999999L)) / width).cast("int"))
+      .localCheckpoint(eager = true) // feeds the fit half and the eval half
+    val fit = isotonicFromCells(
+      scored.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos")))
+      .select(col("bin"), col("iso_rate_micro"))
+    val evalCells = scored.filter(col("doc_id") % 2 === 1)
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_e"),
+        sum(col("y")).as("pos_e"),
+        sum(col("p_micro")).as("sum_p_e"))
+      .localCheckpoint(eager = true) // bins-bounded; totals + covered legs
+    val tot = evalCells.agg(sum(col("n_e")).as("n_eval"))
+    evalCells
+      .join(fit, Seq("bin"))
+      .select(
+        col("n_e"),
+        abs(lit(1000000L) * col("pos_e") - col("sum_p_e")).as("ae_raw"),
+        abs(lit(1000000L) * col("pos_e") - col("n_e") * col("iso_rate_micro")).as("ae_iso"))
+      .agg(sum(col("n_e")).as("n_covered"), sum(col("ae_raw")).as("sr"), sum(col("ae_iso")).as("si"))
+      .crossJoin(broadcast(tot)) // 1-row eval total
+      .select(
+        col("n_eval"),
+        col("n_covered"),
+        scaledRatio(col("sr"), col("n_covered"), 1L).cast("long").as("ece_raw_micro"),
+        scaledRatio(col("si"), col("n_covered"), 1L).cast("long").as("ece_iso_micro"))
+  }
+
   /** One-row scalar calibration summary over the same bins: ECE (the
     * bin-weighted |accuracy − confidence| gap — note the weighted form
     * telescopes to ONE exact rational, `Σ_b |10⁶·pos_b − Σp_b| / N`) and
