@@ -2669,6 +2669,29 @@ object SparkEntry {
         .select(expr("(cts - vts) div 1000000000").as("lag_s"))
       graft.ops.Robust.exactQuantilesCdf(lags, "lag_s", Seq(25, 50, 75, 90))
     },
+    "ivf_nprobe_sweep" -> { (s, dir) =>
+      // The tuning CURVE behind ann_ivf_recall's single point: recall@5
+      // vs brute gold at nprobe ∈ {1,2,4,8} — how much recall each probe
+      // buys is the number an ANN deployment actually tunes with; gold
+      // computed once (checkpointed), four bounded probe legs
+      // (ops/Similarity.scala + ops/Retrieval.scala).
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val gold = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val nGold = gold.agg(count(lit(1)).as("n_gold"))
+      Seq(1, 2, 4, 8).map { v =>
+        Similarity.ivfAnchorTopK(emb, queries, k = 5, nprobe = v)
+          .join(gold, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hit"))
+          .crossJoin(broadcast(nGold)) // 1-row gold count
+          .select(
+            lit(v).as("nprobe"), col("n_gold"), col("n_hit"),
+            expr("CAST((2 * 1000000 * n_hit + n_gold) div (2 * n_gold) AS BIGINT)")
+              .as("recall_micro"))
+      }.reduce(_ unionByName _)
+    },
     "ann_ivf_recall" -> { (s, dir) =>
       // Index-quality benchmark: the IVF (anchor-deterministic, nprobe=4)
       // run EVALUATED against the exact brute-force top-5 as gold —
@@ -3794,6 +3817,70 @@ object SparkEntry {
       |  FROM ${p}t x JOIN ${p}t y ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
       |    AND x.query_id < x.neighbor_id
       |)""".stripMargin
+
+  /** nprobe sweep replay: the shared anchor-IVF chain, one probe leg per
+    * nprobe value, each scored for gold-hit count against the brute
+    * top-5 of the same query sample.
+    */
+  private def ivfNprobeSweepOracle: String = {
+    val vs = Seq(1, 2, 4, 8)
+    val legs = vs.map { v =>
+      s"""qb$v AS (SELECT vec_id AS query_id, bucket FROM assign WHERE rk <= $v AND vec_id < 8),
+        |cand$v AS (
+        |  SELECT DISTINCT query_id, neighbor_id
+        |  FROM qb$v JOIN cb USING (bucket) WHERE query_id != neighbor_id
+        |), isc$v AS (
+        |  SELECT cand$v.query_id, cand$v.neighbor_id,
+        |    round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+        |  FROM cand$v JOIN vecs qv ON qv.vec_id = cand$v.query_id
+        |            JOIN vecs cv ON cv.vec_id = cand$v.neighbor_id
+        |), top$v AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |    FROM isc$v) WHERE rank <= 5
+        |), hit$v AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS c FROM top$v t
+        |  JOIN rel r ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+        |)""".stripMargin
+    }.mkString(",\n")
+    val rows = vs.map { v =>
+      s"SELECT $v AS nprobe, (SELECT c FROM ng) AS n_gold, (SELECT c FROM hit$v) AS n_hit," +
+        s" CAST((2 * 1000000 * (SELECT c FROM hit$v) + (SELECT c FROM ng))" +
+        s" // (2 * (SELECT c FROM ng)) AS BIGINT) AS recall_micro"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH vecs AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE len(embedding) = 64
+      |), anchors AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, qv AS av
+      |  FROM vecs ORDER BY vec_id LIMIT 16
+      |), dists AS (
+      |  SELECT vv.vec_id, a.ai,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (vv.qv[i] - a.av[i]) * (vv.qv[i] - a.av[i]))) AS d2
+      |  FROM vecs vv, anchors a
+      |), assign AS (
+      |  SELECT vec_id, ai AS bucket,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
+      |  FROM dists
+      |), cb AS (SELECT vec_id AS neighbor_id, bucket FROM assign WHERE rk = 1),
+      |bscored AS (
+      |  SELECT q.vec_id AS query_id, cv.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(q.v, cv.v), 6) AS cos_sim
+      |  FROM vecs q, vecs cv
+      |  WHERE q.vec_id < 8 AND q.vec_id != cv.vec_id
+      |), rel AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos_sim DESC, neighbor_id) AS brank
+      |    FROM bscored
+      |  ) WHERE brank <= 5
+      |), ng AS (SELECT CAST(count(*) AS BIGINT) AS c FROM rel),
+      |$legs
+      |$rows""".stripMargin
+  }
 
   /** Language-mixing replay: chunk → trigram scores → the same
     * wins-if-≥-all-later CASE chain as the `lang_id_ngram` oracle, built
@@ -7373,6 +7460,7 @@ object SparkEntry {
     "hourly_holt_forecast" -> holtOracle,
     "doc_lang_mixing" -> langMixingOracle,
     "holt_backtest" -> holtBacktestOracle,
+    "ivf_nprobe_sweep" -> ivfNprobeSweepOracle,
     "daily_theil_sen" ->
       """WITH dc AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
