@@ -1304,6 +1304,23 @@ object SparkEntry {
       // oracle twin of cosine_neardup_lsh.
       Similarity.cosineNearDupLshMd5(table(s, dir, "embeddings"), threshold = 0.2)
     },
+    "ann_lsh_multiprobe_topk" -> { (s, dir) =>
+      // Query-directed multiprobe (Lv et al. VLDB'07): probe own bucket +
+      // only the 4 smallest-margin bit flips instead of all 8 — half the
+      // scored-candidate volume at 10⁹-vector scale; margins are integer-
+      // exact md5-plane sums so the probe set is SQL-reproducible. 8-bit
+      // planes: dense buckets this corpus size actually exercises.
+      val emb = table(s, dir, "embeddings")
+      Similarity.lshMd5MultiprobeTopK(emb, emb.filter(col("vec_id") < 8), k = 5, nProbes = 4, nbits = 8)
+    },
+    "lsh_multiprobe_sweep" -> { (s, dir) =>
+      // The multiprobe tuning curve: recall@5 vs brute truth AND candidate
+      // volume per probe budget t ∈ {1,2,4,8}; one candidate pass serves
+      // all budgets (probe sets nest by margin rank). The measured answer
+      // to "how many probes does this corpus need".
+      val emb = table(s, dir, "embeddings")
+      Similarity.lshMultiprobeSweep(emb, emb.filter(col("vec_id") < 8), k = 5, nbits = 8)
+    },
     "ann_ivf_anchor_topk" -> { (s, dir) =>
       // IVF with deterministic anchors (lowest-id corpus vectors) and
       // integer-exact assignment — the oracle twin of ann_ivf_topk: the
@@ -2066,6 +2083,15 @@ object SparkEntry {
             "label", "p_micro")
           .select(lit(f).as("fold"), col("*"))
       }.reduce(_.unionByName(_))
+    },
+    "label_noise_matrix" -> { (s, dir) =>
+      // Confident-learning label-noise audit (Northcutt et al. JAIR'21):
+      // out-of-fold trained scores vs the Gopher labels they were trained
+      // on — the confident joint matrix whose off-diagonals estimate the
+      // label-error rate. Score-scale thresholds, cross-multiplied integer
+      // compares; one feature scan + 5 bounded GD chains
+      // (ops/QualityTrainer.scala).
+      graft.ops.QualityTrainer.labelNoiseMatrix(table(s, dir, "documents"), iters = 8)
     },
     "quality_pr_curve" -> { (s, dir) =>
       // The operating-point table the AUC integrates over: precision /
@@ -2901,6 +2927,14 @@ object SparkEntry {
       // (source, type) frame computed once, token-keyed intersection
       // join (ops/Drift.scala).
       graft.ops.Drift.sourceVocabOverlap(table(s, dir, "documents"))
+    },
+    "kmv_vocab_jaccard" -> { (s, dir) =>
+      // Sketch-vs-truth for source vocabulary similarity: KMV k-minimum-
+      // values Jaccard estimate (k=256, deterministic md5-32 hashes)
+      // joined against the exact intersection answer — the estimator a
+      // 100 TB run would use, graded while truth is still computable.
+      // One corpus scan; sketches are k rows/source (ops/Drift.scala).
+      graft.ops.Drift.kmvVocabJaccard(table(s, dir, "documents"), k = 256)
     },
     "source_kl_matrix" -> { (s, dir) =>
       // Pairwise KL divergence between source unigram distributions
@@ -4274,8 +4308,12 @@ object SparkEntry {
     * micro-quantized components, `sigs(vec_id, sig)` the signatures,
     * `masks(mask)` the probe set (own bucket + every single-bit flip).
     */
-  private val LshMd5SigCtes: String =
-    """WITH vecs AS (
+  /** md5 sign-plane signature CTE block at a given plane count — the
+    * replay of [[graft.ops.Similarity.lshSigMd5]]; 16 is the registered
+    * default, 8 the dense-bucket multiprobe configuration.
+    */
+  private def lshMd5SigCtesN(nbits: Int): String =
+    s"""WITH vecs AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
       |  FROM embeddings WHERE len(embedding) = 64
@@ -4283,7 +4321,7 @@ object SparkEntry {
       |  SELECT j.j AS j, d.d AS d,
       |    CASE WHEN (CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '-' || CAST(d.d AS VARCHAR)), 1, 8)) AS BIGINT) & 1) = 1
       |      THEN 1 ELSE -1 END AS sg
-      |  FROM range(16) j(j), range(64) d(d)
+      |  FROM range($nbits) j(j), range(64) d(d)
       |), proj AS (
       |  SELECT vecs.vec_id, planes.j, sum(planes.sg * vecs.qv[planes.d + 1]) AS p
       |  FROM vecs, planes GROUP BY 1, 2
@@ -4294,8 +4332,10 @@ object SparkEntry {
       |), masks AS (
       |  SELECT CASE WHEN m.m = 0 THEN CAST(0 AS BIGINT)
       |    ELSE (CAST(1 AS BIGINT) << (m.m - 1)) END AS mask
-      |  FROM range(17) m(m)
+      |  FROM range(${nbits + 1}) m(m)
       |)""".stripMargin
+
+  private val LshMd5SigCtes: String = lshMd5SigCtesN(16)
 
   /** DuckDB replay of the full BPE training loop, unrolled: the merge
     * count is a fixed literal, so the iteration that a recursive CTE
@@ -4607,6 +4647,54 @@ object SparkEntry {
         |FROM aggf$f""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"WITH $qualityFeatCtes,\n$chains,\n$evals\n$out"
+  }
+
+  /** Confident-learning replay: the cv-auc fold chains, an out-of-fold
+    * score union, the four threshold scalars, and the cross-multiplied
+    * confident-class CASE — mirrors
+    * [[graft.ops.QualityTrainer.labelNoiseMatrix]] term by term.
+    */
+  private def labelNoiseOracle(iters: Int, folds: Int): String = {
+    val chains = (0 until folds)
+      .map(f => qualityGdChain(iters, s"f$f", s"feat.doc_id % $folds != $f"))
+      .mkString(",\n")
+    val evals = (0 until folds).map { f =>
+      s"""oosf$f AS (
+        |  SELECT feat.y,
+        |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+        |      / 1000000.0) AS HUGEINT) AS p_micro
+        |  FROM feat, w$iters${s"f$f"}_ w WHERE feat.doc_id % $folds = $f
+        |)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until folds).map(f => s"SELECT * FROM oosf$f").mkString(" UNION ALL ")
+    s"""WITH $qualityFeatCtes,
+      |$chains,
+      |$evals,
+      |oos AS ($union),
+      |th AS (
+      |  SELECT CAST(sum(CASE WHEN y = 1 THEN p_micro ELSE 0 END) AS HUGEINT) AS sum1,
+      |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+      |    CAST(sum(CASE WHEN y = 0 THEN p_micro ELSE 0 END) AS HUGEINT) AS sum0,
+      |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n0,
+      |    CAST(count(*) AS HUGEINT) AS n_total
+      |  FROM oos
+      |), cls AS (
+      |  SELECT o.y AS label,
+      |    CASE
+      |      WHEN o.p_micro*t.n1 >= t.sum1 AND o.p_micro*t.n0 <= t.sum0 THEN
+      |        CASE WHEN o.p_micro*2*t.n0*t.n1 >= t.sum0*t.n1 + t.sum1*t.n0
+      |          THEN 1 ELSE 0 END
+      |      WHEN o.p_micro*t.n1 >= t.sum1 THEN 1
+      |      WHEN o.p_micro*t.n0 <= t.sum0 THEN 0
+      |    END AS true_class,
+      |    t.n_total
+      |  FROM oos o, th t
+      |)
+      |SELECT CAST(label AS BIGINT) AS label, CAST(true_class AS BIGINT) AS true_class,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST((2*10000*CAST(count(*) AS HUGEINT) + max(n_total))
+      |    // (2*max(n_total)) AS INT) AS share_bps
+      |FROM cls GROUP BY 1, 2""".stripMargin
   }
 
   private def qualityTrainedLogitOracle(iters: Int): String = {
@@ -4947,6 +5035,7 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
         |FROM sel GROUP BY source""".stripMargin,
     "quality_cv_auc" -> qualityCvAucOracle(8, 5),
+    "label_noise_matrix" -> labelNoiseOracle(8, 5),
     "quality_trained_auc" ->
       s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.y,
@@ -7038,6 +7127,80 @@ object SparkEntry {
         |             JOIN vecs vb ON vb.vec_id = pairs.id_b
         |)
         |SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.2""".stripMargin,
+    "ann_lsh_multiprobe_topk" ->
+      s"""${lshMd5SigCtesN(8)}, fl AS (
+        |  SELECT vec_id, j,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY abs(p), j) AS fr
+        |  FROM proj WHERE vec_id < 8
+        |), probes AS (
+        |  SELECT s.vec_id AS query_id, s.sig AS psig FROM sigs s WHERE s.vec_id < 8
+        |  UNION ALL
+        |  SELECT f.vec_id, xor(s.sig, CAST(1 AS BIGINT) << f.j)
+        |  FROM fl f JOIN sigs s ON s.vec_id = f.vec_id WHERE f.fr <= 4
+        |), cand AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id
+        |  FROM probes p JOIN sigs c ON c.sig = p.psig AND c.vec_id != p.query_id
+        |), scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+        |  FROM cand JOIN vecs qv ON qv.vec_id = cand.query_id
+        |            JOIN vecs cv ON cv.vec_id = cand.neighbor_id
+        |), ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "lsh_multiprobe_sweep" ->
+      s"""${lshMd5SigCtesN(8)}, fl AS (
+        |  SELECT vec_id, j,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY abs(p), j) AS fr
+        |  FROM proj WHERE vec_id < 8
+        |), probes AS (
+        |  SELECT s.vec_id AS query_id, s.sig AS psig, 0 AS flip_rank
+        |  FROM sigs s WHERE s.vec_id < 8
+        |  UNION ALL
+        |  SELECT f.vec_id, xor(s.sig, CAST(1 AS BIGINT) << f.j), CAST(f.fr AS INT)
+        |  FROM fl f JOIN sigs s ON s.vec_id = f.vec_id WHERE f.fr <= 8
+        |), cand AS (
+        |  SELECT p.query_id, c.vec_id AS neighbor_id, p.flip_rank
+        |  FROM probes p JOIN sigs c ON c.sig = p.psig AND c.vec_id != p.query_id
+        |), budgets AS (SELECT unnest([1, 2, 4, 8]) AS n_probes),
+        |swept AS (
+        |  SELECT b.n_probes, cand.query_id, cand.neighbor_id
+        |  FROM cand JOIN budgets b ON cand.flip_rank <= b.n_probes
+        |), scored AS (
+        |  SELECT s.n_probes, s.query_id, s.neighbor_id,
+        |    round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+        |  FROM swept s JOIN vecs qv ON qv.vec_id = s.query_id
+        |               JOIN vecs cv ON cv.vec_id = s.neighbor_id
+        |), ranked AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY n_probes, query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS rk
+        |    FROM scored) WHERE rk <= 5
+        |), btruth AS (
+        |  SELECT * FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC, c.vec_id) AS rk
+        |    FROM vecs q JOIN vecs c ON c.vec_id != q.vec_id
+        |    WHERE q.vec_id < 8) WHERE rk <= 5
+        |), rel AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant FROM btruth),
+        |cc AS (
+        |  SELECT n_probes, CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM swept GROUP BY 1
+        |), hc AS (
+        |  SELECT r.n_probes, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM ranked r JOIN btruth t
+        |    ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+        |  GROUP BY 1
+        |)
+        |SELECT cc.n_probes, cc.n_candidates, coalesce(hc.n_hits, 0) AS n_hits,
+        |  rel.n_relevant,
+        |  CAST((2 * 10000 * coalesce(hc.n_hits, 0) + rel.n_relevant)
+        |    // (2 * rel.n_relevant) AS INT) AS recall_bps
+        |FROM cc LEFT JOIN hc ON hc.n_probes = cc.n_probes, rel""".stripMargin,
     "ann_ivf_anchor_topk" ->
       s"""$LshMd5SigCtes, anchors AS (
         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, qv AS av
@@ -9433,6 +9596,57 @@ object SparkEntry {
         |    // (2 * (sa.n_vocab + sb.n_vocab - i.n_common)) AS INT) AS jaccard_bps
         |FROM inter i JOIN sizes sa ON sa.source = i.source_a
         |  JOIN sizes sb ON sb.source = i.source_b""".stripMargin,
+    "kmv_vocab_jaccard" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents
+        |), st AS (SELECT DISTINCT source, tok FROM toks),
+        |hv AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5('kmv-' || tok), 1, 8)) AS BIGINT) AS hv
+        |  FROM st
+        |), sk AS (
+        |  SELECT source, hv FROM (
+        |    SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |    FROM hv) WHERE rn <= 256
+        |), prs AS (
+        |  SELECT a.source AS sa, b.source AS sb
+        |  FROM (SELECT DISTINCT source FROM sk) a
+        |  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+        |), ent AS (
+        |  SELECT p.sa, p.sb, s.hv,
+        |    max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+        |  FROM prs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+        |  GROUP BY 1, 2, 3
+        |), topk AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn FROM ent)
+        |  WHERE rn <= 256
+        |), est AS (
+        |  SELECT sa AS source_a, sb AS source_b,
+        |    CAST(count(*) AS BIGINT) AS k_union,
+        |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+        |  FROM topk GROUP BY 1, 2
+        |), sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab FROM st GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2
+        |), exact AS (
+        |  SELECT i.source_a, i.source_b,
+        |    CAST((2 * 10000 * i.n_common + (sa.n_vocab + sb.n_vocab - i.n_common))
+        |      // (2 * (sa.n_vocab + sb.n_vocab - i.n_common)) AS INT) AS exact_jaccard_bps
+        |  FROM inter i JOIN sizes sa ON sa.source = i.source_a
+        |    JOIN sizes sb ON sb.source = i.source_b
+        |)
+        |SELECT e.source_a, e.source_b, e.k_union, e.n_both,
+        |  CAST((2 * 10000 * e.n_both + e.k_union) // (2 * e.k_union) AS INT) AS est_jaccard_bps,
+        |  x.exact_jaccard_bps,
+        |  CAST((2 * 10000 * e.n_both + e.k_union) // (2 * e.k_union) AS INT)
+        |    - x.exact_jaccard_bps AS err_bps
+        |FROM est e JOIN exact x ON x.source_a = e.source_a AND x.source_b = e.source_b""".stripMargin,
     "source_kl_matrix" ->
       """WITH tc AS (
         |  SELECT src, tok, CAST(count(*) AS HUGEINT) AS c_st FROM (

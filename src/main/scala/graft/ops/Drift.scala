@@ -265,4 +265,89 @@ object Drift {
         expr("CAST((2 * 10000 * n_common + (vocab_a + vocab_b - n_common))" +
           " div (2 * (vocab_a + vocab_b - n_common)) AS INT)").as("jaccard_bps"))
   }
+
+  /** KMV (k-minimum-values) sketch estimate of pairwise source-vocabulary
+    * Jaccard, with the exact answer joined alongside — the sketch-vs-truth
+    * error report for [[sourceVocabOverlap]], in the same measured-loop
+    * family as `hll_error_report`/`cms_error_report`: the estimator the
+    * 100 TB deployment would actually run, graded here against ground
+    * truth at a scale where ground truth is still computable.
+    *
+    * Estimator (Beyer et al., "On Synopses for Distinct-Value Estimation
+    * Under Multiset Operations", SIGMOD'07): keep each source's k smallest
+    * distinct token hashes; for a pair, take the k smallest of the merged
+    * hash set and count how many sit in BOTH sketches — that count over k
+    * is an unbiased Jaccard estimate. Hashes are the repo-standard
+    * deterministic md5-32 (`Dedup.md5Hash32`), so DuckDB replays the
+    * sketch bit-for-bit and the whole report sits under the full SQL
+    * oracle — no `no_oracle` row.
+    *
+    * Shape: ONE corpus scan → distinct (source, type) frame (checkpointed,
+    * reused by the sketch leg and the exact leg); per-source sketches via
+    * a PARTITIONED window (partition = source, ≤ vocab rows each, never a
+    * global sort); the pair merge is sources²·2k rows — driver-free
+    * metadata scale. At 100 TB only the sketch leg runs (k·sources rows
+    * shuffled, vs the exact leg's token-keyed vocab join); the exact leg
+    * here is the verification harness, same contract as `ann_ivf_recall`.
+    */
+  def kmvVocabJaccard(
+      docs: DataFrame,
+      k: Int = 256,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = docs
+      .select(
+        col(sourceCol).as("src"),
+        explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("tok")
+      )
+      .distinct()
+      .localCheckpoint(eager = true) // sources × vocab; feeds sketch + exact legs
+    // Sketch leg: k smallest distinct hashes per source. Token hash is
+    // source-independent so sketches merge; distinct on (src, hv) folds
+    // 32-bit collisions identically in both engines.
+    val sk = st
+      .select(col("src"), Dedup.md5Hash32(concat(lit("kmv-"), col("tok"))).as("hv"))
+      .distinct()
+      .withColumn("rn", row_number().over(Window.partitionBy("src").orderBy("hv")))
+      .filter(col("rn") <= k)
+      .select("src", "hv")
+    val srcs = sk.select("src").distinct()
+    val merged = srcs.as("a")
+      .join(srcs.as("b"), col("a.src") < col("b.src"))
+      .select(col("a.src").as("sa"), col("b.src").as("sb"))
+      .join(sk.withColumnRenamed("src", "m"), col("m") === col("sa") || col("m") === col("sb"))
+      .groupBy("sa", "sb", "hv")
+      .agg(
+        max(when(col("m") === col("sa"), 1).otherwise(0)).as("in_a"),
+        max(when(col("m") === col("sb"), 1).otherwise(0)).as("in_b"))
+      .withColumn("rn", row_number().over(Window.partitionBy("sa", "sb").orderBy("hv")))
+      .filter(col("rn") <= k) // ≤ 2k rows per pair before the filter — bounded partitions
+    val est = merged
+      .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
+      .agg(
+        count(lit(1)).as("k_union"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("n_both"))
+      .withColumn("est_jaccard_bps",
+        expr("CAST((2 * 10000 * n_both + k_union) div (2 * k_union) AS INT)"))
+    // Exact leg, from the same checkpointed frame (sourceVocabOverlap's join).
+    val sizes = st.groupBy("src").agg(count(lit(1)).as("n_vocab"))
+    val exact = st.as("a")
+      .join(st.as("b"), col("a.tok") === col("b.tok") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("src").as("source_a"), col("n_vocab").as("vocab_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("src").as("source_b"), col("n_vocab").as("vocab_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        expr("CAST((2 * 10000 * n_common + (vocab_a + vocab_b - n_common))" +
+          " div (2 * (vocab_a + vocab_b - n_common)) AS INT)").as("exact_jaccard_bps"))
+    est
+      .join(exact, Seq("source_a", "source_b"))
+      .select(
+        col("source_a"), col("source_b"), col("k_union"), col("n_both"),
+        col("est_jaccard_bps"), col("exact_jaccard_bps"),
+        (col("est_jaccard_bps") - col("exact_jaccard_bps")).as("err_bps"))
+  }
 }

@@ -535,4 +535,72 @@ object QualityTrainer {
         scaledRatio(d(col("p")) * d(col("n") - col("p")), d(col("n")) * d(col("n")))
           .cast("long").as("uncertainty_micro"))
   }
+
+  /** Confident-learning label-noise audit (Northcutt, Jiang & Chuang,
+    * "Confident Learning", JAIR'21), binary, on the trained scorer's
+    * OUT-OF-FOLD score scale: the data-centric question "which of my
+    * labels does the model itself disbelieve", asked of the Gopher keep
+    * labels the quality family trains against.
+    *
+    * Recipe: per fold, train on the other folds and score only the
+    * held-out slice (the same five GD chains as `quality_cv_auc` — CL is
+    * undefined on in-sample scores); class thresholds are the mean
+    * out-of-fold score among each label class (t₁ = mean s | y=1,
+    * t₀ = mean s | y=0 — the score-scale form of CL's mean self-confidence
+    * thresholds, exact because the sigmoid is monotone and we threshold
+    * its argument); a row is confidently class 1 iff s ≥ t₁, confidently
+    * class 0 iff s ≤ t₀, both → the larger margin wins (2s vs t₀+t₁,
+    * cross-multiplied — ties to class 1), neither → unassigned. The
+    * output is the confident joint: one row per (label, true_class) with
+    * true_class NULL for unassigned, counts plus share of ALL out-of-fold
+    * rows in bps. Off-diagonal mass is the estimated label-error rate.
+    *
+    * Exactness: scores are integer micro-units; every threshold compare
+    * is cross-multiplied long arithmetic (s·n₁ ≥ Σ₁ etc.) — no float
+    * anywhere, so the whole audit replays under the full SQL oracle. At
+    * 100 TB counts the s·n products need DECIMAL(38,0); structure
+    * unchanged. Shape: one feature scan, folds bounded GD loops (5 longs
+    * of driver state each), one aggregation for the four threshold
+    * scalars (broadcast back), one map-side classify + count — the
+    * corpus never shuffles.
+    */
+  def labelNoiseMatrix(docs: DataFrame, iters: Int, folds: Int = 5): DataFrame = {
+    val feat = features(docs).localCheckpoint(eager = true)
+    val oos = (0 until folds).map { f =>
+      val tr = feat.filter(col("doc_id") % folds =!= f)
+      val te = feat.filter(col("doc_id") % folds === f)
+      val w = train(tr, iters).last
+      score(te, w)
+        .join(te.select(col("doc_id"), col("y")), Seq("doc_id"))
+        .select(col("y"), col("p_micro"))
+    }.reduce(_.unionByName(_)).localCheckpoint(eager = true)
+    confidentJoint(oos)
+  }
+
+  /** The confident-joint step of [[labelNoiseMatrix]], over any
+    * `(y, p_micro)` frame of out-of-sample scores — split out so planted
+    * score/label fixtures can pin the classification rule directly.
+    */
+  def confidentJoint(oos: DataFrame): DataFrame = {
+    val th = oos.agg(
+      sum(when(col("y") === 1L, col("p_micro")).otherwise(0L)).as("sum1"),
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("y") === 0L, col("p_micro")).otherwise(0L)).as("sum0"),
+      sum(when(col("y") === 0L, 1L).otherwise(0L)).as("n0"),
+      count(lit(1)).as("n_total"))
+    oos.crossJoin(broadcast(th))
+      .withColumn("conf1", col("p_micro") * col("n1") >= col("sum1"))
+      .withColumn("conf0", col("p_micro") * col("n0") <= col("sum0"))
+      .withColumn("true_class",
+        when(col("conf1") && col("conf0"),
+          when(col("p_micro") * 2L * col("n0") * col("n1") >=
+            col("sum0") * col("n1") + col("sum1") * col("n0"), 1L).otherwise(0L))
+          .when(col("conf1"), 1L)
+          .when(col("conf0"), 0L))
+      .groupBy(col("y").as("label"), col("true_class"))
+      .agg(count(lit(1)).as("n"), max(col("n_total")).as("n_total"))
+      .select(
+        col("label"), col("true_class"), col("n"),
+        expr("CAST((2 * 10000 * n + n_total) div (2 * n_total) AS INT)").as("share_bps"))
+  }
 }

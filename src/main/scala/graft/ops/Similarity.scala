@@ -939,6 +939,137 @@ object Similarity {
     topKPerQuery(candidates, k)
   }
 
+  /** The `nProbes` single-bit flip masks a QUERY-DIRECTED multiprobe
+    * should try, smallest |projection| first (Lv et al., "Multi-Probe
+    * LSH", VLDB'07, restricted to the hamming-1 perturbations): a bit
+    * whose signed projection is near zero is the bit most likely to be
+    * wrong for a true neighbor, so flipping in margin order buys the
+    * recall of all-bit probing at a fraction of the probe count.
+    * Projections are the integer-exact md5-plane sums of [[lshSigMd5]],
+    * sorted by (|proj|, bit) — a total order both engines reproduce.
+    * Null for vectors whose length differs from `dim` (same guard as
+    * [[lshSigMd5]] — the malformed row drops out of every probe join).
+    */
+  private def md5MarginFlips(vec: Column, nbits: Int, dim: Int, nProbes: Int): Column = {
+    val planes = md5SignPlanes(nbits, dim)
+    val qv = transform(asDouble(vec), x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+    val projStructs = planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit): _*)
+      val proj = aggregate(zip_with(qv, planeCol, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+      struct(abs(proj).as("a"), lit(j).as("j"), lit(1L << j).as("mask"))
+    }
+    when(size(vec) === dim,
+      transform(slice(array_sort(array(projStructs: _*)), 1, nProbes), s => s.getField("mask")))
+  }
+
+  /** Multiprobe candidate frame with the probe rank attached: `flip_rank`
+    * 0 is the query's own bucket, rank r the r-th smallest-margin bit
+    * flip. Probed signatures are distinct per query, so a corpus vector
+    * matches at most one probe — (query, neighbor) pairs are unique with
+    * no dedup shuffle, the same invariant as every bucketed leg here.
+    */
+  private def lshMd5MultiprobeCandidates(
+      corpus: DataFrame,
+      queries: DataFrame,
+      nProbes: Int,
+      nbits: Int,
+      dim: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"),
+      lshSigMd5(col(vecCol), nbits, dim).as("c_sig"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        lshSigMd5(col(vecCol), nbits, dim).as("q_sig"),
+        md5MarginFlips(col(vecCol), nbits, dim, nProbes).as("flips"))
+      .select(col("query_id"), col("q_vec"), col("q_sig"),
+        posexplode(concat(array(lit(0L)), col("flips"))).as(Seq("flip_rank", "mask")))
+      .withColumn("c_sig", col("q_sig").bitwiseXOR(col("mask")))
+      .drop("q_sig", "mask")
+    c.join(broadcast(q), Seq("c_sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"), col("flip_rank"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+  }
+
+  /** Query-directed multiprobe LSH top-k: probe the query's own bucket
+    * plus only the `nProbes` smallest-margin single-bit flips, instead of
+    * [[lshMd5TopK]]'s all-`nbits` flips. Same schema and rerank contract
+    * as every directed ANN leg. The scale argument: candidate volume — the
+    * shuffled/scored row count, THE cost driver of a bucketed ANN pass at
+    * 10⁹ vectors — drops by roughly nbits/nProbes while margin-ordering
+    * keeps most of the recall; [[lshMultiprobeSweep]] measures exactly
+    * that trade on this corpus. Fully SQL-reproducible (md5 planes,
+    * integer margins, deterministic tie-breaks).
+    */
+  def lshMd5MultiprobeTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbes: Int = 4,
+      nbits: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    topKPerQuery(
+      lshMd5MultiprobeCandidates(corpus, queries, nProbes, nbits, dim, idCol, vecCol)
+        .drop("flip_rank"),
+      k)
+
+  /** The multiprobe tuning curve: for each probe budget t in
+    * `probeCounts`, recall@k against the exact brute-force answer AND the
+    * candidate volume that budget paid — the two numbers an operator
+    * tuning an LSH deployment trades against each other. One candidate
+    * pass at max(probeCounts) serves every budget (probe sets are nested
+    * by construction: budget t keeps flip_rank ≤ t), so the sweep costs
+    * one multiprobe run, not |probeCounts|. The brute leg is the eval
+    * harness, not the production path — same contract as ann_ivf_recall.
+    */
+  def lshMultiprobeSweep(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      probeCounts: Seq[Int] = Seq(1, 2, 4, 8),
+      nbits: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cands = lshMd5MultiprobeCandidates(
+      corpus, queries, probeCounts.max, nbits, dim, idCol, vecCol)
+      .localCheckpoint(eager = true) // queries × candidates — bounded; reused per budget
+    val truth = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = true) // queries × k rows
+    val budgets = broadcast(probeCounts.toDF("n_probes"))
+    val swept = cands.join(budgets, col("flip_rank") <= col("n_probes"))
+    val ranked = swept
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("n_probes", "query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+    val candCounts = swept.groupBy("n_probes").agg(count(lit(1)).as("n_candidates"))
+    val hitCounts = ranked
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy("n_probes").agg(count(lit(1)).as("n_hits"))
+    val rel = truth.groupBy().agg(count(lit(1)).as("n_relevant"))
+    candCounts
+      .join(hitCounts, Seq("n_probes"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .crossJoin(broadcast(rel))
+      .select(
+        col("n_probes"), col("n_candidates"), col("n_hits"), col("n_relevant"),
+        expr("CAST((2 * 10000 * n_hits + n_relevant) div (2 * n_relevant) AS INT)")
+          .as("recall_bps"))
+  }
+
   /** Embedding-cosine near-dup candidates bucketed by the md5 sign-plane
     * signature — the oracle-checkable twin of [[cosineNearDupLsh]]: same
     * probe-own-bucket-plus-single-bit-flips candidate generation, same

@@ -163,4 +163,35 @@ class DriftSpec extends AnyFunSuite {
     // A={x,y,z}, B={w,y,z}: ∩=2, ∪=4 → 5000 bps; C pairs share nothing
     assert(got == Map(("A", "B") -> ((3L, 3L, 2L, 5000))))
   }
+
+  test("kmvVocabJaccard: k ≥ union size makes the sketch exact; err_bps is 0") {
+    // With k at least the union cardinality the KMV sketch IS the full
+    // hash set, so n_both/k_union is the exact Jaccard and the estimator
+    // must agree with the exact leg to the bps rounding.
+    val docs = Seq(
+      ("A", "x y z p q"), ("A", "x x y"),
+      ("B", "y z w p r s")
+    ).toDF("source", "text")
+    val got = Drift.kmvVocabJaccard(docs, k = 64)
+      .as[(String, String, Long, Long, Int, Int, Int)].collect()
+    assert(got.length == 1)
+    val (sa, sb, kUnion, nBoth, est, exact, err) = got.head
+    assert((sa, sb) == ("A", "B"))
+    // A={x,y,z,p,q}, B={y,z,w,p,r,s}: ∩=3 (y,z,p), ∪=8
+    assert(kUnion == 8L && nBoth == 3L)
+    assert(est == 3750 && exact == 3750 && err == 0)
+  }
+
+  test("kmvVocabJaccard: truncated sketch stays a sane estimate on a planted corpus") {
+    // 40 shared types + 30 unique per side: exact J = 40/100 = 4000 bps.
+    // k = 32 truncates both sketches; the estimate must stay inside a
+    // generous but non-vacuous band (KMV sd ≈ sqrt(J(1-J)/k) ≈ 866 bps).
+    val a = ((1 to 40).map(i => s"shared$i") ++ (1 to 30).map(i => s"onlya$i")).mkString(" ")
+    val b = ((1 to 40).map(i => s"shared$i") ++ (1 to 30).map(i => s"onlyb$i")).mkString(" ")
+    val got = Drift.kmvVocabJaccard(Seq(("A", a), ("B", b)).toDF("source", "text"), k = 32)
+      .as[(String, String, Long, Long, Int, Int, Int)].collect().head
+    assert(got._3 == 32L) // truncation actually engaged
+    assert(got._6 == 4000)
+    assert(math.abs(got._7) <= 2600) // |err| within 3 sd
+  }
 }

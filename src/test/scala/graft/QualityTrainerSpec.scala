@@ -240,6 +240,35 @@ class QualityTrainerSpec extends AnyFunSuite {
     }
   }
 
+  test("confidentJoint: planted mislabels land off-diagonal, mid scores unassigned") {
+    // y=1 scores {900k×4, 100k} and y=0 scores {100k×4, 900k, 500k}:
+    // t1 = 740k, t0 = 300k → 900k rows confident-1, 100k rows confident-0,
+    // the 500k row sits between the thresholds and stays unassigned.
+    val oos = (Seq.fill(4)((1L, 900000L)) ++ Seq((1L, 100000L)) ++
+      Seq.fill(4)((0L, 100000L)) ++ Seq((0L, 900000L), (0L, 500000L)))
+      .toDF("y", "p_micro")
+    val got = QualityTrainer.confidentJoint(oos)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got == Set(
+      (1L, Some(1L), 4L, 3636), (1L, Some(0L), 1L, 909),
+      (0L, Some(0L), 4L, 3636), (0L, Some(1L), 1L, 909),
+      (0L, None, 1L, 909)))
+  }
+
+  test("confidentJoint: inverted thresholds resolve by margin with ties to class 1") {
+    // An anti-correlated scorer: t1 = 100k < t0 = 900k, so EVERY row is
+    // confident both ways and the 2s vs t0+t1 margin rule decides.
+    val oos = Seq((1L, 100000L), (1L, 100000L), (0L, 900000L), (0L, 900000L))
+      .toDF("y", "p_micro")
+    val got = QualityTrainer.confidentJoint(oos)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((1L, 0L, 2L), (0L, 1L, 2L)))
+  }
+
   test("trajectory dataframe emits iters × 5 rows in FeatureNames order") {
     val df = QualityTrainer.weightTrajectoryDf(planted(5, 5), iters = 2).collect()
     assert(df.length == 10)

@@ -344,6 +344,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("lshMd5MultiprobeTopK at full probe budget is exactly lshMd5TopK") {
+    // Probing every single-bit flip makes margin order irrelevant — the
+    // candidate sets coincide, so the deterministic rerank must produce
+    // identical rows.
+    val df = clustered(120).toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    val all = Similarity.lshMd5TopK(df, queries, k = 5, nbits = 6, dim = dim)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val mp = Similarity
+      .lshMd5MultiprobeTopK(df, queries, k = 5, nProbes = 6, nbits = 6, dim = dim)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(mp == all && all.nonEmpty)
+  }
+
+  test("lshMultiprobeSweep: nested budgets, monotone recall and candidates, full-budget floor") {
+    val df = clustered(120).toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    val rows = Similarity
+      .lshMultiprobeSweep(df, queries, k = 5, probeCounts = Seq(1, 3, 6), nbits = 6, dim = dim)
+      .orderBy("n_probes")
+      .as[(Int, Long, Long, Long, Int)].collect()
+    assert(rows.map(_._1).toSeq == Seq(1, 3, 6))
+    assert(rows.forall(_._4 == 30L)) // 6 queries × k=5 brute rows
+    // probe sets nest by construction → both curves are non-decreasing
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 <= b._2 && a._5 <= b._5 })
+    // full budget ≡ lshMd5TopK, whose recall on this corpus is ≥ 0.6
+    assert(rows.last._5 >= 6000)
+  }
+
   test("cosineNearDupLshMd5: subset of exact pairs, high recall") {
     val data = clustered(90)
     val df = data.toDF("vec_id", "embedding")
