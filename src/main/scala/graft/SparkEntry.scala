@@ -2084,6 +2084,13 @@ object SparkEntry {
           .select(lit(f).as("fold"), col("*"))
       }.reduce(_.unionByName(_))
     },
+    "quality_ablation_aucs" -> { (s, dir) =>
+      // Leave-one-feature-out ablation: retrain with each feature zeroed,
+      // report AUC and the drop vs the full model — which signal carries
+      // the ranking. 6 bounded GD chains over one checkpointed feature
+      // scan (ops/QualityTrainer.scala).
+      graft.ops.QualityTrainer.featureAblationAucs(table(s, dir, "documents"), iters = 8)
+    },
     "label_noise_matrix" -> { (s, dir) =>
       // Confident-learning label-noise audit (Northcutt et al. JAIR'21):
       // out-of-fold trained scores vs the Gopher labels they were trained
@@ -4425,7 +4432,8 @@ object SparkEntry {
     * `where = "TRUE"` reproduce the original single-model chain verbatim
     * (CTE names nn, w0_, e1, gr1, w1_, …).
     */
-  private def qualityGdChain(iters: Int, sfx: String, where: String): String = {
+  private def qualityGdChain(
+      iters: Int, sfx: String, where: String, zeroJ: Option[Int] = None): String = {
     val base =
       s"""nn$sfx AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM feat WHERE $where),
         |w0${sfx}_ AS (SELECT CAST(0 AS HUGEINT) AS w0, CAST(0 AS HUGEINT) AS w1,
@@ -4433,10 +4441,14 @@ object SparkEntry {
     val steps = (1 to iters).map { t =>
       val prev = s"w${t - 1}${sfx}_"
       val upd = (0 to 4).map { j =>
-        // delta_j = floor((2*g_j + D) / (2*D)), D = 2*n*1e6 (eta = 1/2)
-        s"""w.w$j - ((2*g.g$j + 2000000*nn$sfx.n) -
-           |      ((((2*g.g$j + 2000000*nn$sfx.n) % (4000000*nn$sfx.n)) + 4000000*nn$sfx.n) % (4000000*nn$sfx.n)))
-           |      // (4000000*nn$sfx.n) AS w$j""".stripMargin
+        // delta_j = floor((2*g_j + D) / (2*D)), D = 2*n*1e6 (eta = 1/2);
+        // a zeroed (ablated) weight is pinned at 0 — with w_j = 0 the
+        // term w_j*x_j vanishes, so this equals training on x_j ≡ 0.
+        if (zeroJ.contains(j)) s"CAST(0 AS HUGEINT) AS w$j"
+        else
+          s"""w.w$j - ((2*g.g$j + 2000000*nn$sfx.n) -
+             |      ((((2*g.g$j + 2000000*nn$sfx.n) % (4000000*nn$sfx.n)) + 4000000*nn$sfx.n) % (4000000*nn$sfx.n)))
+             |      // (4000000*nn$sfx.n) AS w$j""".stripMargin
       }.mkString(",\n    ")
       s""", e$t$sfx AS (
          |  SELECT feat.*,
@@ -4645,6 +4657,51 @@ object SparkEntry {
         |  CAST(CASE WHEN n1 > 0 AND n0 > 0 THEN
         |    (20000*(r1x2 - n1*(n1+1)) + 2*n1*n0) // (4*n1*n0) END AS BIGINT) AS auc_bps
         |FROM aggf$f""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $qualityFeatCtes,\n$chains,\n$evals\n$out"
+  }
+
+  /** Ablation replay: six GD chains (full + one per zeroed weight) over
+    * the whole corpus, an in-sample rank-sum AUC per chain, and the drop
+    * against the full chain — mirrors
+    * [[graft.ops.QualityTrainer.featureAblationAucs]].
+    */
+  private def qualityAblationOracle(iters: Int): String = {
+    val names = Seq("bias", "volume", "stop_ratio", "punct_ratio", "diversity")
+    val chains = (0 to 5).map { a =>
+      qualityGdChain(iters, s"a$a", "1=1", if (a == 0) None else Some(a - 1))
+    }.mkString(",\n")
+    val evals = (0 to 5).map { a =>
+      s"""pa$a AS (
+        |  SELECT feat.y,
+        |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+        |      / 1000000.0) AS BIGINT) AS p_micro
+        |  FROM feat, w$iters${s"a$a"}_ w
+        |), cnta$a AS (
+        |  SELECT p_micro,
+        |    CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM pa$a GROUP BY 1
+        |), cuma$a AS (
+        |  SELECT c0, c1, sum(c0 + c1) OVER (ORDER BY p_micro) AS cum_all
+        |  FROM cnta$a
+        |), agga$a AS (
+        |  SELECT CAST(sum(c1) AS HUGEINT) AS n1, CAST(sum(c0) AS HUGEINT) AS n0,
+        |    CAST(sum(CAST(c1 AS HUGEINT) *
+        |      (2*(cum_all - (c0 + c1)) + (c0 + c1) + 1)) AS HUGEINT) AS r1x2
+        |  FROM cuma$a
+        |), auca$a AS (
+        |  SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+        |    CAST(CASE WHEN n1 > 0 AND n0 > 0 THEN
+        |      (20000*(r1x2 - n1*(n1+1)) + 2*n1*n0) // (4*n1*n0) END AS BIGINT) AS auc_bps
+        |  FROM agga$a
+        |)""".stripMargin
+    }.mkString(",\n")
+    val tags = "none" +: names
+    val out = (0 to 5).map { a =>
+      s"""SELECT '${tags(a)}' AS dropped_feature, x.n_pos, x.n_neg, x.auc_bps,
+        |  f.auc_bps - x.auc_bps AS auc_drop_bps
+        |FROM auca$a x, auca0 f""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"WITH $qualityFeatCtes,\n$chains,\n$evals\n$out"
   }
@@ -5036,6 +5093,7 @@ object SparkEntry {
         |FROM sel GROUP BY source""".stripMargin,
     "quality_cv_auc" -> qualityCvAucOracle(8, 5),
     "label_noise_matrix" -> labelNoiseOracle(8, 5),
+    "quality_ablation_aucs" -> qualityAblationOracle(8),
     "quality_trained_auc" ->
       s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.y,

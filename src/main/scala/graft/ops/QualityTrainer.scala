@@ -536,6 +536,43 @@ object QualityTrainer {
           .cast("long").as("uncertainty_micro"))
   }
 
+  /** Leave-one-feature-out ablation of the trained quality model: retrain
+    * with each feature zeroed and report the in-sample AUC drop against
+    * the full model — the standard "which signal carries the ranking"
+    * feature audit, run entirely in-engine. Zeroing the column IS the
+    * ablation under this GD recurrence: the feature's gradient vanishes,
+    * so its weight stays 0 for the whole trajectory and every other
+    * update sees exactly the reduced model (the SQL oracle zeroes the
+    * WEIGHT instead — provably the same dynamics, since the term w_j·x_j
+    * is zero either way).
+    *
+    * Shape: one feature scan (checkpointed), 6 bounded-driver GD chains
+    * (full + five ablations, 5 longs each per step), 6 distributed
+    * rank-sum AUCs over score-count frames — the corpus never joins
+    * itself and nothing driver-side grows with it.
+    */
+  def featureAblationAucs(docs: DataFrame, iters: Int): DataFrame = {
+    val feat = features(docs).localCheckpoint(eager = true)
+    def aucFor(f: DataFrame, tag: String): DataFrame = {
+      val w = train(f, iters).last
+      Contingency.rocAuc(
+        score(f, w)
+          .join(f.select(col("doc_id"), col("y").cast("int").as("label")), Seq("doc_id"))
+          .select(col("label"), col("p_micro")),
+        "label", "p_micro")
+        .select(lit(tag).as("dropped_feature"), col("n_pos"), col("n_neg"), col("auc_bps"))
+    }
+    val all = (aucFor(feat, "none") +: FeatureNames.zipWithIndex.map { case (nm, j) =>
+      aucFor(feat.withColumn(s"x$j", lit(0L)), nm)
+    }).reduce(_.unionByName(_)).localCheckpoint(eager = true) // 6 rows
+    val full = all.filter(col("dropped_feature") === "none")
+      .select(col("auc_bps").as("full_auc_bps"))
+    all.crossJoin(broadcast(full))
+      .select(
+        col("dropped_feature"), col("n_pos"), col("n_neg"), col("auc_bps"),
+        (col("full_auc_bps") - col("auc_bps")).as("auc_drop_bps"))
+  }
+
   /** Confident-learning label-noise audit (Northcutt, Jiang & Chuang,
     * "Confident Learning", JAIR'21), binary, on the trained scorer's
     * OUT-OF-FOLD score scale: the data-centric question "which of my

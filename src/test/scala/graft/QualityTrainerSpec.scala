@@ -240,6 +240,35 @@ class QualityTrainerSpec extends AnyFunSuite {
     }
   }
 
+  test("featureAblationAucs: full row drops 0, only the separating feature's ablation costs AUC") {
+    // A corpus separable ONLY on stopword ratio: both classes have 20
+    // tokens (same volume), all-distinct words (same diversity), no
+    // punctuation — but only the keeps contain stopwords (which also
+    // drives the Gopher label via stop_hits >= 2).
+    val good = (0 until 12).map { i =>
+      (i.toLong, "the and for with that this from have " +
+        (1 to 12).map(j => s"word$i" + ('a' + j).toChar).mkString(" "))
+    }
+    val junk = (0 until 12).map { i =>
+      ((12 + i).toLong, (1 to 20).map(j => s"qq$i" + ('a' + j).toChar + "x").mkString(" "))
+    }
+    val got = QualityTrainer.featureAblationAucs((good ++ junk).toDF("doc_id", "text"), iters = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 6)
+    assert(got.map(_._1).toSet == Set("none") ++ QualityTrainer.FeatureNames)
+    assert(got.forall(r => r._2 == 12L && r._3 == 12L))
+    val full = got.find(_._1 == "none").get
+    assert(full._5 == 0L) // the reference row's drop is identically zero
+    // drop is computed against the full row for every ablation
+    assert(got.forall(r => r._5 == full._4 - r._4))
+    // full model ranks perfectly; dropping the one separating feature
+    // must cost AUC while every other ablation keeps the perfect ranking
+    assert(full._4 == 10000L)
+    assert(got.find(_._1 == "stop_ratio").get._4 < 10000L)
+    assert(got.filter(r => r._1 != "stop_ratio").forall(_._4 == 10000L))
+  }
+
   test("confidentJoint: planted mislabels land off-diagonal, mid scores unassigned") {
     // y=1 scores {900k×4, 100k} and y=0 scores {100k×4, 900k, 500k}:
     // t1 = 740k, t0 = 300k → 900k rows confident-1, 100k rows confident-0,
