@@ -784,6 +784,28 @@ object SparkEntry {
       graft.ops.Retrieval.bm25TopKIndexed(
         s, loc.toString, queryTerms = Seq("table", "scan", "merge", "the"), k = 10)
     },
+    "bm25_delta_merge" -> { (s, dir) =>
+      // Incremental index maintenance: build postings on a 90% snapshot,
+      // MERGE the 10% batch (append-only, batch-sized cost), query the
+      // merged index — and hash-match the full-corpus oracle, proving
+      // merged ≡ rebuilt. Marker-gated so reruns don't re-append.
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        s"graft_postings_delta_${org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(16)}")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(loc, "_MERGED")
+      if (!fs.exists(marker)) {
+        fs.delete(loc, true) // drop any half-built state before rebuilding
+        val docs = table(s, dir, "documents")
+        graft.ops.Retrieval.buildPostingsIndex(
+          docs.filter(col("doc_id") % 10 =!= 0), loc.toString)
+        graft.ops.Retrieval.mergePostingsIndex(
+          s, loc.toString, docs.filter(col("doc_id") % 10 === 0))
+        fs.create(marker).close()
+      }
+      graft.ops.Retrieval.bm25TopKIndexed(
+        s, loc.toString, queryTerms = Seq("table", "scan", "merge", "the"), k = 10)
+    },
     "rrf_hybrid_topk" -> { (s, dir) =>
       // Hybrid search: the BM25 keyword leg fused with an exact-cosine
       // embedding leg by reciprocal-rank fusion (ops/Retrieval.scala).
@@ -2083,6 +2105,13 @@ object SparkEntry {
             "label", "p_micro")
           .select(lit(f).as("fold"), col("*"))
       }.reduce(_.unionByName(_))
+    },
+    "uncertainty_sample" -> { (s, dir) =>
+      // Active-learning queue: 10 docs per source nearest the trained
+      // decision boundary — where a human label buys the most model;
+      // per-source partitioned window, deterministic doc_id tie-break
+      // (ops/QualityTrainer.scala).
+      graft.ops.QualityTrainer.uncertaintySample(table(s, dir, "documents"), iters = 8)
     },
     "quality_ablation_aucs" -> { (s, dir) =>
       // Leave-one-feature-out ablation: retrain with each feature zeroed,
@@ -4344,6 +4373,45 @@ object SparkEntry {
 
   private val LshMd5SigCtes: String = lshMd5SigCtesN(16)
 
+  /** Direct-corpus BM25 replay — one oracle covers bm25_topk (scan path),
+    * bm25_topk_indexed (sharded index path), and bm25_delta_merge
+    * (snapshot+batch merged index): the access path changes, the math and
+    * the result do not.
+    */
+  private val Bm25DirectOracle: String =
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl,
+        |    string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
+        |  WHERE tok IN ('table', 'scan', 'merge', 'the')
+        |  GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  -- (N-df+0.5)/(df+0.5)+1 == (2N+1)/(2df+1): the ln argument is ONE
+        |  -- division of exact longs; idf micro-rounds on the spot. The
+        |  -- k1=1.2/b=0.75 saturation factor, cleared by 10*total_dl, is an
+        |  -- exact long fraction; the contribution rounds half-up by integer
+        |  -- division — no float survives past the single ln.
+        |  SELECT tf.doc_id,
+        |    CAST(floor(ln(CAST(2*stats.n + 1 AS DOUBLE)
+        |        / CAST(2*dfreq.df + 1 AS DOUBLE)) * 1.0e6 + 0.5e0) AS BIGINT) AS idf_micro,
+        |    22 * stats.total_dl * tf.tf AS num,
+        |    10 * stats.total_dl * tf.tf + 3 * stats.total_dl + 9 * tf.dl * stats.n AS den
+        |  FROM tf JOIN dfreq USING (tok), stats
+        |)
+        |SELECT doc_id,
+        |  CAST(sum((2*idf_micro*num + den) // (2*den)) AS BIGINT) AS score_micro
+        |FROM scored GROUP BY 1
+        |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
+
+
   /** DuckDB replay of the full BPE training loop, unrolled: the merge
     * count is a fixed literal, so the iteration that a recursive CTE
     * cannot express (each level needs a fresh cross-row aggregation) is
@@ -5094,6 +5162,21 @@ object SparkEntry {
     "quality_cv_auc" -> qualityCvAucOracle(8, 5),
     "label_noise_matrix" -> labelNoiseOracle(8, 5),
     "quality_ablation_aucs" -> qualityAblationOracle(8),
+    "uncertainty_sample" ->
+      s"""WITH ${qualityTrainedCtes(8)}, p AS (
+        |  SELECT feat.doc_id,
+        |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+        |      / 1000000.0) AS BIGINT) AS p_micro
+        |  FROM feat, w8_ w
+        |), q AS (
+        |  SELECT d.source, p.doc_id, p.p_micro,
+        |    abs(p.p_micro - 500000) AS dist_micro
+        |  FROM p JOIN documents d ON d.doc_id = p.doc_id
+        |)
+        |SELECT source, CAST(rnk AS INT) AS rank, doc_id, p_micro, dist_micro FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY dist_micro, doc_id) AS rnk FROM q)
+        |WHERE rnk <= 10""".stripMargin,
     "quality_trained_auc" ->
       s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.y,
@@ -6085,72 +6168,13 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT doc_id, token, tf, df, tfidf, rank FROM ranked WHERE rank <= 5""".stripMargin,
-    "bm25_topk" ->
-      """WITH dl AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl,
-        |    string_split_regex(lower(text), '\s+') AS toks
-        |  FROM documents
-        |), stats AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl
-        |), tf AS (
-        |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
-        |  WHERE tok IN ('table', 'scan', 'merge', 'the')
-        |  GROUP BY 1, 2, 3
-        |), dfreq AS (
-        |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
-        |), scored AS (
-        |  -- (N-df+0.5)/(df+0.5)+1 == (2N+1)/(2df+1): the ln argument is ONE
-        |  -- division of exact longs; idf micro-rounds on the spot. The
-        |  -- k1=1.2/b=0.75 saturation factor, cleared by 10*total_dl, is an
-        |  -- exact long fraction; the contribution rounds half-up by integer
-        |  -- division — no float survives past the single ln.
-        |  SELECT tf.doc_id,
-        |    CAST(floor(ln(CAST(2*stats.n + 1 AS DOUBLE)
-        |        / CAST(2*dfreq.df + 1 AS DOUBLE)) * 1.0e6 + 0.5e0) AS BIGINT) AS idf_micro,
-        |    22 * stats.total_dl * tf.tf AS num,
-        |    10 * stats.total_dl * tf.tf + 3 * stats.total_dl + 9 * tf.dl * stats.n AS den
-        |  FROM tf JOIN dfreq USING (tok), stats
-        |)
-        |SELECT doc_id,
-        |  CAST(sum((2*idf_micro*num + den) // (2*den)) AS BIGINT) AS score_micro
-        |FROM scored GROUP BY 1
-        |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin,
+    "bm25_topk" -> Bm25DirectOracle,
     "bm25_topk_indexed" ->
       // identical result contract to bm25_topk: the index changes the
-      // access path, not the math — one oracle covers both
-      """WITH dl AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl,
-        |    string_split_regex(lower(text), '\s+') AS toks
-        |  FROM documents
-        |), stats AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl
-        |), tf AS (
-        |  SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM dl)
-        |  WHERE tok IN ('table', 'scan', 'merge', 'the')
-        |  GROUP BY 1, 2, 3
-        |), dfreq AS (
-        |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
-        |), scored AS (
-        |  -- (N-df+0.5)/(df+0.5)+1 == (2N+1)/(2df+1): the ln argument is ONE
-        |  -- division of exact longs; idf micro-rounds on the spot. The
-        |  -- k1=1.2/b=0.75 saturation factor, cleared by 10*total_dl, is an
-        |  -- exact long fraction; the contribution rounds half-up by integer
-        |  -- division — no float survives past the single ln.
-        |  SELECT tf.doc_id,
-        |    CAST(floor(ln(CAST(2*stats.n + 1 AS DOUBLE)
-        |        / CAST(2*dfreq.df + 1 AS DOUBLE)) * 1.0e6 + 0.5e0) AS BIGINT) AS idf_micro,
-        |    22 * stats.total_dl * tf.tf AS num,
-        |    10 * stats.total_dl * tf.tf + 3 * stats.total_dl + 9 * tf.dl * stats.n AS den
-        |  FROM tf JOIN dfreq USING (tok), stats
-        |)
-        |SELECT doc_id,
-        |  CAST(sum((2*idf_micro*num + den) // (2*den)) AS BIGINT) AS score_micro
-        |FROM scored GROUP BY 1
-        |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin,
+      // access path, not the math — one oracle covers both paths, and
+      // bm25_delta_merge hashing equal to it IS the merged≡rebuilt proof
+      Bm25DirectOracle,
+    "bm25_delta_merge" -> Bm25DirectOracle,
     "rrf_hybrid_topk" ->
       // BM25 leg (identical math to bm25_topk, top 20 ranked) + exact
       // cosine leg (identical math to ann_cosine_topk, query vec_id=3,

@@ -536,6 +536,30 @@ object QualityTrainer {
           .cast("long").as("uncertainty_micro"))
   }
 
+  /** Active-learning labeling queue (uncertainty sampling): the
+    * `nPerSource` docs per source whose trained score sits closest to the
+    * decision boundary — the rows whose human label buys the most model
+    * improvement, stratified by source so no slice monopolizes annotator
+    * time. Distance is exact micro-units off the 0.5 logit boundary;
+    * doc_id breaks ties so the queue is deterministic.
+    *
+    * Shape: train + score as [[trainAndScore]]; the queue is a PARTITIONED
+    * window (per-source, never global) over a (doc_id, p_micro, source)
+    * projection — at 100 TB the sort is per-source and the output is
+    * sources × nPerSource rows.
+    */
+  def uncertaintySample(docs: DataFrame, iters: Int, nPerSource: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = trainAndScore(docs, iters)
+    scored
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("dist_micro", abs(col("p_micro") - lit(500000L)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("dist_micro"), col("doc_id"))))
+      .filter(col("rank") <= nPerSource)
+      .select(col("source"), col("rank"), col("doc_id"), col("p_micro"), col("dist_micro"))
+  }
+
   /** Leave-one-feature-out ablation of the trained quality model: retrain
     * with each feature zeroed and report the in-sample AUC drop against
     * the full model — the standard "which signal carries the ranking"

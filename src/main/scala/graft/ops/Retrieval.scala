@@ -117,6 +117,51 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$indexDir/stats")
   }
 
+  /** Incrementally merge a NEW-document batch into a
+    * [[buildPostingsIndex]] layout — the index-maintenance half of
+    * index-once-query-many: postings rows are per (doc, token), so a
+    * batch of unseen doc_ids APPENDS into the same md5 shard partitions
+    * (no existing posting is read or rewritten) and only the one-row
+    * stats table changes. Incremental cost scales with the BATCH, not the
+    * corpus — the `delta_neardup` discipline applied to the inverted
+    * index. Document frequencies are derived from the tf frame at query
+    * time, so the merged index is RESULT-IDENTICAL to a full rebuild
+    * (`bm25_delta_merge` hashes against the same full-corpus oracle as
+    * `bm25_topk`). Batch doc_ids must be new; re-merging an existing doc
+    * would double its postings (dedup against the snapshot first —
+    * [[graft.ops.Dedup.deltaDedup]] is the screen).
+    */
+  def mergePostingsIndex(
+      spark: SparkSession,
+      indexDir: String,
+      batch: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): Unit = {
+    import spark.implicits._
+    val st = spark.read.parquet(s"$indexDir/stats").head()
+    val (n0, dl0, nShards) = (st.getLong(0), st.getLong(1), st.getInt(2))
+    batch
+      .select(
+        col(idCol).as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("pshard", pmod(Dedup.md5Hash32(col("tok")), lit(nShards.toLong)).cast("int"))
+      .write.mode("append").partitionBy("pshard").parquet(s"$indexDir/postings")
+    val bs = batch
+      .agg(
+        count(lit(1)).as("n"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("total_dl"))
+      .head()
+    val (bn, bdl) = (bs.getLong(0), if (bs.isNullAt(1)) 0L else bs.getLong(1))
+    Seq((n0 + bn, dl0 + bdl, nShards))
+      .toDF("n", "total_dl", "n_shards")
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
   /** BM25 over a [[buildPostingsIndex]] layout. The shard IN-list is a
     * literal computed on the driver from the query terms, so partition
     * pruning happens at planning time — a query touches |terms'-shards| /

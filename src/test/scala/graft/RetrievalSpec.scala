@@ -82,6 +82,35 @@ class RetrievalSpec extends AnyFunSuite {
       s"no partition pruning in:\n$plan")
   }
 
+  test("mergePostingsIndex: snapshot + batch merge is result-identical to a full rebuild") {
+    val corpus = (1L to 40L).map { i =>
+      (i, s"filler$i words merge scan table whatever item${i % 7} tail${i % 3}")
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val snap = df.filter($"doc_id" <= 30)
+    val batch = df.filter($"doc_id" > 30)
+    val merged = java.nio.file.Files.createTempDirectory("bm25merge").toString
+    graft.ops.Retrieval.buildPostingsIndex(snap, merged, nShards = 16)
+    graft.ops.Retrieval.mergePostingsIndex(spark, merged, batch)
+    val rebuilt = java.nio.file.Files.createTempDirectory("bm25full").toString
+    graft.ops.Retrieval.buildPostingsIndex(df, rebuilt, nShards = 16)
+    // postings rows identical (append never rewrites, shards line up)
+    val pm = spark.read.parquet(s"$merged/postings")
+      .as[(Long, Long, String, Long, Int)].collect().toSet
+    val pr = spark.read.parquet(s"$rebuilt/postings")
+      .as[(Long, Long, String, Long, Int)].collect().toSet
+    assert(pm == pr)
+    // stats row identical (N and total_dl accumulated exactly)
+    assert(spark.read.parquet(s"$merged/stats").as[(Long, Long, Int)].head() ==
+      spark.read.parquet(s"$rebuilt/stats").as[(Long, Long, Int)].head())
+    // and so are query results
+    val a = graft.ops.Retrieval.bm25TopKIndexed(spark, merged, Seq("merge", "scan"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    val b = graft.ops.Retrieval.bm25TopKIndexed(spark, rebuilt, Seq("merge", "scan"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("bm25TopK: k cuts deterministically by (score desc, doc_id)") {
     // two identical docs → identical scores; the tie breaks by doc_id
     val corpus = Seq(
