@@ -1351,6 +1351,13 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       Similarity.ivfAnchorTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     },
+    "kcenter_coreset" -> { (s, dir) =>
+      // Greedy k-center exemplars (farthest-point traversal) + the
+      // covering-radius curve — the coreset-budget answer before a
+      // distillation/exemplar pass. k−1 map-only scans, bounded driver
+      // state, fully integer-exact (ops/Clustering.scala).
+      graft.ops.Clustering.kCenterCoreset(table(s, dir, "embeddings"), k = 8)
+    },
     "semdedup_flags" -> { (s, dir) =>
       // SemDeDup-shape semantic dedup: anchor-quantize the embedding
       // space, flag every vector with a lower-id cluster-mate above the
@@ -4729,6 +4736,41 @@ object SparkEntry {
     s"WITH $qualityFeatCtes,\n$chains,\n$evals\n$out"
   }
 
+  /** k-center traversal replay: the greedy chain unrolled — step i picks
+    * the (d DESC, vec_id) max from the running min-distance frame and
+    * folds its distances in via least(); mirrors
+    * [[graft.ops.Clustering.kCenterCoreset]].
+    */
+  private def kcenterOracle(k: Int): String = {
+    val steps = (2 to k).map { i =>
+      s""", s$i AS (
+        |  SELECT vec_id, qv, d FROM d${i - 1} ORDER BY d DESC, vec_id LIMIT 1
+        |), d$i AS (
+        |  SELECT v.vec_id, v.qv,
+        |    least(v.d, list_sum(list_transform(range(1, 65),
+        |      j -> (v.qv[j] - s.qv[j]) * (v.qv[j] - s.qv[j])))) AS d
+        |  FROM d${i - 1} v, s$i s
+        |)""".stripMargin
+    }.mkString
+    val rows =
+      "SELECT CAST(1 AS INT) AS rank, vec_id, CAST(0 AS BIGINT) AS radius_sq FROM s1" +:
+        (2 to k).map(i =>
+          s"SELECT CAST($i AS INT), vec_id, CAST(d AS BIGINT) FROM s$i")
+    s"""WITH vecs AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE len(embedding) = 64
+      |), s1 AS (SELECT vec_id, qv FROM vecs ORDER BY vec_id LIMIT 1),
+      |d1 AS (
+      |  SELECT v.vec_id, v.qv,
+      |    list_sum(list_transform(range(1, 65),
+      |      j -> (v.qv[j] - s.qv[j]) * (v.qv[j] - s.qv[j]))) AS d
+      |  FROM vecs v, s1 s
+      |)$steps
+      |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Ablation replay: six GD chains (full + one per zeroed weight) over
     * the whole corpus, an in-sample rank-sum AUC per chain, and the drop
     * against the full chain — mirrors
@@ -5162,6 +5204,7 @@ object SparkEntry {
     "quality_cv_auc" -> qualityCvAucOracle(8, 5),
     "label_noise_matrix" -> labelNoiseOracle(8, 5),
     "quality_ablation_aucs" -> qualityAblationOracle(8),
+    "kcenter_coreset" -> kcenterOracle(8),
     "uncertainty_sample" ->
       s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.doc_id,

@@ -238,4 +238,59 @@ object Clustering {
       .join(dups, Seq("vec_id"), "left")
       .select($"vec_id", $"dup_of")
   }
+
+  /** Greedy k-center coreset — farthest-point traversal (Gonzalez 1985,
+    * the 2-approximation to optimal k-center): start from the lowest-id
+    * vector, repeatedly add the point farthest from every chosen center.
+    * The emitted curve — `radius_sq` of rank i is the covering radius²
+    * the corpus had with i−1 centers — is the "how many exemplars does
+    * this corpus need" answer a coreset/data-distillation pass reads off
+    * before fixing its budget; the picks themselves are the
+    * maximally-diverse exemplar set (k-center is the classic diversity
+    * seed for active learning and prototype selection).
+    *
+    * Exactness: components micro-quantize via floor(x·1e6 + 0.5) (the
+    * [[graft.ops.Similarity.lshSigMd5]] convention), distances are exact
+    * long squared-L2 sums, and both the farthest pick (max d, lowest id)
+    * and the seed are totally ordered — an unrolled SQL chain replays the
+    * whole traversal bit-for-bit.
+    *
+    * Shape: k−1 rounds, each ONE map-only scan + max-struct aggregation
+    * (no sort anywhere); running min-distances fold into a checkpointed
+    * column so round i evaluates ONE new distance per row, not i. Driver
+    * state: the current pick (one vector) per round, k rows total —
+    * bounded by construction.
+    */
+  def kCenterCoreset(
+      emb: DataFrame,
+      k: Int,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qv = emb
+      .filter(size(col(vecCol)) === dim)
+      .select(
+        col(idCol).cast("long").as("vec_id"),
+        transform(col(vecCol).cast("array<double>"),
+          x => floor(x * lit(1e6) + lit(0.5)).cast("long")).as("qv"))
+      .localCheckpoint(eager = true)
+    val s0 = qv.agg(min(struct($"vec_id", $"qv"))).head().getStruct(0)
+    var picks = List((1, s0.getLong(0), 0L))
+    var cur = qv
+      .withColumn("d", sqDistL($"qv", typedLit(s0.getSeq[Long](1))))
+      .localCheckpoint(eager = true)
+    for (i <- 2 to k) {
+      // farthest point, ties to the lowest id; qv rides along in the
+      // struct so no second lookup action is needed
+      val far = cur.agg(max(struct($"d", (-$"vec_id").as("nid"), $"qv"))).head().getStruct(0)
+      picks ::= ((i, -far.getLong(1), far.getLong(0)))
+      cur = cur
+        .withColumn("d", least($"d", sqDistL($"qv", typedLit(far.getSeq[Long](2)))))
+        .localCheckpoint(eager = true)
+    }
+    picks.reverse.toDF("rank", "vec_id", "radius_sq")
+  }
 }

@@ -148,4 +148,32 @@ class ClusteringSpec extends AnyFunSuite {
       Clustering.silhouette(data.toDF("vec_id", "embedding"), k = 2, iters = 2, scale = scale)
     }
   }
+
+  test("kCenterCoreset matches a local greedy reference exactly; radius curve non-increasing") {
+    val data = grouped(30)
+    val got = Clustering.kCenterCoreset(data.toDF("vec_id", "embedding"), k = 6, dim = dim)
+      .orderBy("rank").as[(Int, Long, Long)].collect().toSeq
+    // local farthest-point traversal on identically quantized vectors
+    val qv = data.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * 1e6 + 0.5).toLong)
+    }.sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var centers = List(qv.head._1)
+    var mind = qv.map { case (id, v) => id -> d2(v, qv.head._2) }.toMap
+    var ref = List((1, qv.head._1, 0L))
+    for (i <- 2 to 6) {
+      val (fid, fd) = mind.toSeq.maxBy { case (id, d) => (d, -id) }
+      ref ::= ((i, fid, fd))
+      val fv = qv.find(_._1 == fid).get._2
+      mind = mind.map { case (id, d) => id -> math.min(d, d2(qv.find(_._1 == id).get._2, fv)) }
+      centers ::= fid
+    }
+    assert(got == ref.reverse)
+    // covering radius can only shrink as centers are added
+    assert(got.drop(1).map(_._3).sliding(2).forall { case Seq(a, b) => b <= a })
+    // three planted blobs → the first three picks land in distinct blobs
+    val blob = got.take(3).map(_._2 % 3).toSet
+    assert(blob.size == 3)
+  }
 }
