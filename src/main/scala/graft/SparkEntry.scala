@@ -2936,6 +2936,14 @@ object SparkEntry {
       // prefix sums; no single-task window (ops/TextAnalysis.scala).
       TextAnalysis.vocabGrowth(table(s, dir, "documents"))
     },
+    "vocab_coverage_curve" -> { (s, dir) =>
+      // Token-occurrence coverage of the k most frequent types per vocab
+      // budget — the measured "what vocab size does this corpus need"
+      // curve (UNK rate = 10000 − covered_bps). One scan; rank AND
+      // cumulative mass from a single runningTotals pass
+      // (ops/TextAnalysis.scala).
+      TextAnalysis.vocabCoverageCurve(table(s, dir, "documents"))
+    },
     "readability_scores" -> { (s, dir) =>
       // Flesch-Kincaid grade + reading ease per doc: three regex counts
       // and two fixed-order double closes, map-only over the scan — the
@@ -9598,6 +9606,26 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_seen AS BIGINT) AS n_seen,
         |  CAST(((n_grams - n_seen) * 20000 + n_grams) // (2 * n_grams) AS BIGINT) AS novel_bps
         |FROM agg""".stripMargin,
+    "vocab_coverage_curve" ->
+      """WITH tc AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents)
+        |  GROUP BY 1
+        |), cum AS (
+        |  SELECT tok, c,
+        |    CAST(sum(c) OVER (ORDER BY c DESC, tok) AS BIGINT) AS cum_c,
+        |    CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rnk
+        |  FROM tc
+        |), tot AS (
+        |  SELECT max(cum_c) AS total_occurrences, max(rnk) AS n_types FROM cum
+        |), ks AS (SELECT CAST(unnest([256, 1024, 4096, 16384]) AS BIGINT) AS k)
+        |SELECT ks.k, max(cum.rnk) AS n_types_used,
+        |  max(cum.cum_c) AS covered_occurrences,
+        |  tot.total_occurrences, tot.n_types,
+        |  CAST((2 * 10000 * max(cum.cum_c) + tot.total_occurrences)
+        |    // (2 * tot.total_occurrences) AS INT) AS covered_bps
+        |FROM ks JOIN cum ON cum.rnk <= ks.k, tot
+        |GROUP BY ks.k, tot.total_occurrences, tot.n_types""".stripMargin,
     "vocab_growth" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents

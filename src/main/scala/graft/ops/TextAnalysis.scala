@@ -869,4 +869,46 @@ object TextAnalysis {
           .as("major_share_bps"),
         (col("n_langs") > 1).cast("int").as("is_mixed"))
   }
+
+  /** Vocabulary coverage curve: for each candidate vocab budget k, the
+    * share of token OCCURRENCES covered by the k most frequent types —
+    * the number a tokenizer designer reads before fixing vocab size (the
+    * area Zipf's law only sketches; this is the measured curve, with the
+    * UNK rate at budget k being 10000 − covered_bps).
+    *
+    * Shape: one corpus scan → (type, count); ranking AND cumulative mass
+    * come from ONE [[Ranking.runningTotals]] pass (an extra all-ones sum
+    * column doubles as the row number — no second range sort); the budget
+    * join fans each type row out to at most |ks| budgets. No global
+    * window, no driver iteration — the `pplBuckets` discipline.
+    */
+  def vocabCoverageCurve(
+      docs: DataFrame,
+      ks: Seq[Long] = Seq(256L, 1024L, 4096L, 16384L),
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .withColumn("one", lit(1L))
+    val cum = Ranking
+      .runningTotals(counts, Seq(col("c").desc, col("tok").asc), Seq("c", "one"))
+      .localCheckpoint(eager = true) // vocabulary-sized; feeds totals + budgets
+    val tot = cum.agg(
+      max(col("cum_c")).as("total_occurrences"),
+      max(col("cum_one")).as("n_types"))
+    cum
+      .join(broadcast(ks.toDF("k")), col("cum_one") <= col("k"))
+      .groupBy("k")
+      .agg(
+        max(col("cum_one")).as("n_types_used"),
+        max(col("cum_c")).as("covered_occurrences"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("k"), col("n_types_used"), col("covered_occurrences"),
+        col("total_occurrences"), col("n_types"),
+        expr("CAST((2 * 10000 * covered_occurrences + total_occurrences)" +
+          " div (2 * total_occurrences) AS INT)").as("covered_bps"))
+  }
 }

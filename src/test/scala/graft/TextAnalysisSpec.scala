@@ -430,4 +430,21 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long, Long, String, Int, Int)].collect().toList
     assert(got == List((1L, 1L, 1L, "de", 10000, 0)))
   }
+
+  test("vocabCoverageCurve: exact cumulative coverage on planted counts") {
+    // counts: a×8, b×4, c×2, d×1 → total 15, 4 types
+    val docs = Seq(
+      (1L, "a a a a b b c"),
+      (2L, "a a a a b b c d")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis
+      .vocabCoverageCurve(docs, ks = Seq(1L, 2L, 4L, 100L))
+      .orderBy("k")
+      .as[(Long, Long, Long, Long, Long, Int)].collect().toList
+    assert(got == List(
+      (1L, 1L, 8L, 15L, 4L, 5333),   // top-1 type covers 8/15
+      (2L, 2L, 12L, 15L, 4L, 8000),  // a+b cover 12/15
+      (4L, 4L, 15L, 15L, 4L, 10000), // whole vocab
+      (100L, 4L, 15L, 15L, 4L, 10000))) // budget beyond V saturates
+  }
 }
