@@ -2936,6 +2936,20 @@ object SparkEntry {
       // prefix sums; no single-task window (ops/TextAnalysis.scala).
       TextAnalysis.vocabGrowth(table(s, dir, "documents"))
     },
+    "dataset_diff_report" -> { (s, dir) =>
+      // Versioned-corpus release audit: per (source, status) doc counts
+      // and net token delta between two releases, detected by content
+      // hash — ids + md5s are all that cross the exchange. Release v2
+      // adds doc_id%7==3, drops %13==1, and edits %11==5
+      // (ops/Integrity.scala).
+      val docs = table(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 7 =!= 3)
+      val v2 = docs.filter(col("doc_id") % 13 =!= 1)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 5, concat(col("text"), lit(" updated")))
+            .otherwise(col("text")))
+      graft.ops.Integrity.datasetDiff(v1, v2)
+    },
     "vocab_coverage_curve" -> { (s, dir) =>
       // Token-occurrence coverage of the k most frequent types per vocab
       // budget — the measured "what vocab size does this corpus need"
@@ -9606,6 +9620,30 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(n_seen AS BIGINT) AS n_seen,
         |  CAST(((n_grams - n_seen) * 20000 + n_grams) // (2 * n_grams) AS BIGINT) AS novel_bps
         |FROM agg""".stripMargin,
+    "dataset_diff_report" ->
+      """WITH v1 AS (
+        |  SELECT doc_id AS id, source, md5(text) AS h,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS t
+        |  FROM documents WHERE doc_id % 7 != 3
+        |), v2 AS (
+        |  SELECT doc_id AS id, source,
+        |    md5(CASE WHEN doc_id % 11 = 5 THEN text || ' updated' ELSE text END) AS h,
+        |    CAST(len(regexp_extract_all(
+        |      CASE WHEN doc_id % 11 = 5 THEN text || ' updated' ELSE text END,
+        |      '\S+')) AS BIGINT) AS t
+        |  FROM documents WHERE doc_id % 13 != 1
+        |), j AS (
+        |  SELECT coalesce(v2.source, v1.source) AS source,
+        |    CASE WHEN v1.h IS NULL THEN 'added'
+        |         WHEN v2.h IS NULL THEN 'removed'
+        |         WHEN v1.h != v2.h THEN 'modified'
+        |         ELSE 'unchanged' END AS status,
+        |    coalesce(v2.t, 0) - coalesce(v1.t, 0) AS td
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.id = v2.id
+        |)
+        |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(td) AS BIGINT) AS token_delta
+        |FROM j GROUP BY 1, 2""".stripMargin,
     "vocab_coverage_curve" ->
       """WITH tc AS (
         |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (

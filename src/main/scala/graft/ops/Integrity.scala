@@ -235,6 +235,44 @@ object Integrity {
     * Shape: map-only flip + one hash aggregation — group-bounded
     * output, no shuffle beyond the groupBy.
     */
+  /** Dataset version diff — the audit a versioned corpus store runs
+    * between two releases: per (source, status) with status ∈
+    * added/removed/modified/unchanged, the doc count and the net token
+    * delta the release carries. Modification detection is content-hash
+    * (md5 of the text), so two versions compare without ever joining
+    * text against text.
+    *
+    * Shape: each version reduces AT THE SCAN to (id, source, text_hash,
+    * n_tokens) — hashes and counts, never documents, cross the exchange;
+    * one full-outer equi-join on doc_id; one sources×4-row aggregate.
+    * At 100 TB this is the minimum possible movement for a content-level
+    * diff (ids + 16-byte hashes), the same discipline as the delta-dedup
+    * family.
+    */
+  def datasetDiff(
+      v1: DataFrame,
+      v2: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    def prep(v: DataFrame, sfx: String): DataFrame = v.select(
+      col(idCol).as("id"),
+      col(sourceCol).as(s"src$sfx"),
+      md5(col(textCol)).as(s"h$sfx"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as(s"t$sfx"))
+    prep(v1, "1")
+      .join(prep(v2, "2"), Seq("id"), "full_outer")
+      .select(
+        coalesce(col("src2"), col("src1")).as("source"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "modified")
+          .otherwise("unchanged").as("status"),
+        (coalesce(col("t2"), lit(0L)) - coalesce(col("t1"), lit(0L))).as("td"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"), sum(col("td")).as("token_delta"))
+  }
+
   def randomizedResponse(
       df: DataFrame,
       keyCol: String,

@@ -153,4 +153,27 @@ class IntegritySpec extends AnyFunSuite {
     assert(got._2 == 2000L)
     assert(math.abs(got._4 - 300000L) < 60000L, s"pi_hat_micro = ${got._4}")
   }
+
+  test("datasetDiff: planted add/remove/modify/unchanged with exact token deltas") {
+    val v1 = Seq(
+      (1L, "gone doc here", "A"),      // removed (−3 tokens)
+      (2L, "same words", "A"),         // unchanged
+      (3L, "old text body", "B"),      // modified (3 → 2 tokens: −1)
+      (4L, "kept intact", "B")         // unchanged
+    ).toDF("doc_id", "text", "source")
+    val v2 = Seq(
+      (2L, "same words", "A"),
+      (3L, "new body", "B"),
+      (4L, "kept intact", "B"),
+      (5L, "brand new entry", "A")     // added (+3 tokens)
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.Integrity.datasetDiff(v1, v2)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("A", "removed", 1L, -3L),
+      ("A", "unchanged", 1L, 0L),
+      ("A", "added", 1L, 3L),
+      ("B", "modified", 1L, -1L),
+      ("B", "unchanged", 1L, 0L)))
+  }
 }
