@@ -1130,6 +1130,17 @@ object SparkEntry {
         .localCheckpoint(eager = true) // shared by CC and modularity
       graft.ops.Graph.modularity(pairs, Dedup.nearDupClusters(pairs))
     },
+    "hyperanf_neighborhood" -> { (s, dir) =>
+      // HyperANF (Boldi-Rosa-Vigna WWW'11) over the md5 near-dup graph:
+      // N(r) per radius from per-node HLL sketches max-merged along edges
+      // (m=16 registers/node, one join+groupBy per round), with the exact
+      // bounded-closure N(r) and signed error alongside — the
+      // effective-diameter curve as its own sketch-vs-truth report
+      // (ops/Graph.scala).
+      graft.ops.Graph.hyperAnf(
+        Dedup.minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.8),
+        rounds = 3, m = 16)
+    },
     "neardup_corpus_md5" -> { (s, dir) =>
       // End-to-end near-dup corpus dedup (pairs → clusters → min-id
       // representatives survive) on portable hashes — the oracle twin of
@@ -4758,6 +4769,76 @@ object SparkEntry {
     s"WITH $qualityFeatCtes,\n$chains,\n$evals\n$out"
   }
 
+  /** HyperANF replay over the md5 near-dup graph: edges+self adjacency,
+    * unrolled register max-merge rounds, the per-node HLL estimate of
+    * [[hllErrOracle]]'s shape per round, and the unrolled exact closure —
+    * mirrors [[graft.ops.Graph.hyperAnf]] round for round.
+    */
+  private def hyperAnfOracle(rounds: Int, m: Int): String = {
+    val p = Integer.numberOfTrailingZeros(m)
+    val alpha = graft.ops.HeavyHitters.hllAlpha(m)
+    val rhoBase = 33 - p
+    val regRounds = (1 to rounds).map { t =>
+      s""", r$t AS (
+        |  SELECT a.src AS id, r.bucket, max(r.rho) AS rho
+        |  FROM adj a JOIN r${t - 1} r ON r.id = a.dst GROUP BY 1, 2
+        |)""".stripMargin
+    }.mkString
+    val reachRounds = (1 to rounds).map { t =>
+      s""", x$t AS (
+        |  SELECT DISTINCT a.src AS id, x.rid
+        |  FROM adj a JOIN x${t - 1} x ON x.id = a.dst
+        |)""".stripMargin
+    }.mkString
+    val estRounds = (1 to rounds).map { t =>
+      s""", agg$t AS (
+        |  SELECT n.id,
+        |    CAST(sum(CAST(1 AS BIGINT) << (32 - CAST(COALESCE(r.rho, 0) AS INT))) AS BIGINT) AS s_scaled,
+        |    CAST(sum(CASE WHEN COALESCE(r.rho, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+        |  FROM nodes n CROSS JOIN (SELECT unnest(range($m)) AS bucket) g
+        |  LEFT JOIN r$t r ON r.id = n.id AND r.bucket = g.bucket
+        |  GROUP BY 1
+        |), est$t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(CAST(floor(
+        |      CASE WHEN (${alpha}e0 * ${m.toDouble * m}e0
+        |              / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0)) <= ${2.5 * m}e0
+        |            AND v_empty > 0
+        |      THEN ${m.toDouble}e0 * ln(${m.toDouble}e0 / CAST(v_empty AS DOUBLE))
+        |      ELSE ${alpha}e0 * ${m.toDouble * m}e0
+        |        / (CAST(s_scaled AS DOUBLE) / 4294967296.0e0) END
+        |      * 1e6 + 0.5e0) AS BIGINT)) AS BIGINT) AS est_sum_micro
+        |  FROM agg$t
+        |), ex$t AS (SELECT CAST(count(*) AS BIGINT) AS exact_sum FROM x$t)""".stripMargin
+    }.mkString
+    val out = (1 to rounds).map { t =>
+      s"""SELECT CAST($t AS INT) AS radius, e.n_nodes, x.exact_sum, e.est_sum_micro,
+        |  CAST(((2 * 10000 * (e.est_sum_micro - x.exact_sum * 1000000) + x.exact_sum * 1000000)
+        |    - (((2 * 10000 * (e.est_sum_micro - x.exact_sum * 1000000) + x.exact_sum * 1000000)
+        |        % (2 * x.exact_sum * 1000000) + 2 * x.exact_sum * 1000000)
+        |       % (2 * x.exact_sum * 1000000))
+        |  ) // (2 * x.exact_sum * 1000000) AS BIGINT) AS err_bps
+        |FROM est$t e, ex$t x""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$Md5NearDupCtes, good AS (
+      |  SELECT id_a, id_b FROM pj WHERE jaccard >= 0.8
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM good UNION SELECT id_b, id_a FROM good
+      |), nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |adj AS (SELECT src, dst FROM edges UNION SELECT id, id FROM nodes),
+      |h AS (
+      |  SELECT id,
+      |    CAST(('0x' || substr(md5('anf-' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+      |  FROM nodes
+      |), r0 AS (
+      |  SELECT id, CAST(hv % $m AS INT) AS bucket,
+      |    CASE WHEN hv // $m = 0 THEN $rhoBase
+      |         ELSE $rhoBase - length(bin(hv // $m)) END AS rho
+      |  FROM h
+      |), x0 AS (SELECT id, id AS rid FROM nodes)$regRounds$reachRounds$estRounds
+      |$out""".stripMargin
+  }
+
   /** k-center traversal replay: the greedy chain unrolled — step i picks
     * the (d DESC, vec_id) max from the running min-distance frame and
     * folds its distances in via least(); mirrors
@@ -5227,6 +5308,7 @@ object SparkEntry {
     "label_noise_matrix" -> labelNoiseOracle(8, 5),
     "quality_ablation_aucs" -> qualityAblationOracle(8),
     "kcenter_coreset" -> kcenterOracle(8),
+    "hyperanf_neighborhood" -> hyperAnfOracle(3, 16),
     "uncertainty_sample" ->
       s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.doc_id,

@@ -464,4 +464,63 @@ object Graph {
           lit(4L).cast("decimal(38,0)") * mm * mm)
           .cast("long").as("q_micro"))
   }
+
+  /** HyperANF neighborhood function (Boldi, Rosa & Vigna, "HyperANF:
+    * Approximating the Neighbourhood Function of Very Large Graphs",
+    * WWW'11): per round r, estimate N(r) = Σ_v |B(v, r)| — the total
+    * number of (node, node-within-r-hops) pairs — by giving every node an
+    * HLL register sketch of its ball and max-merging sketches along edges
+    * each round. The curve's saturation radius is the effective diameter;
+    * on a near-dup graph it answers "are components tight cliques or
+    * straggling chains" without ever materializing reachability.
+    *
+    * This row is ALSO its own sketch-vs-truth report (the
+    * `hll_error_report` discipline): the exact N(r) from a bounded
+    * iterated-frontier closure is computed alongside and the signed error
+    * reported. At 100 TB only the register leg runs — state is m registers
+    * per node, a round is ONE edge join + groupBy-max (the exact leg's
+    * distinct-pairs frame is quadratic in component size and exists here
+    * as the verification harness, same contract as `ann_ivf_recall`).
+    *
+    * Determinism: register identity is the md5-32 hash family of
+    * [[HeavyHitters.hllRegistersBy]] (seed "anf"), merges are integer
+    * maxes, and the per-node estimate is the one fixed-order double
+    * expression of [[HeavyHitters.hllEstimateBy]] micro-rounded per node
+    * then summed as longs — a SQL oracle replays every round exactly.
+    */
+  def hyperAnf(pairs: DataFrame, rounds: Int = 3, m: Int = 64): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val adj = edges
+      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .localCheckpoint(eager = true) // edges + self-loops; reused every round
+    var regs = HeavyHitters
+      .hllRegistersBy(
+        nodes.select(col("id"), col("id").cast("string").as("item")),
+        "item", "id", seed = "anf", m = m)
+      .localCheckpoint(eager = true)
+    var reach = nodes.select(col("id"), col("id").as("rid")).localCheckpoint(eager = true)
+    val rows = (1 to rounds).map { r =>
+      regs = adj.join(regs.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("bucket"))
+        .agg(max(col("rho")).as("rho"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint(eager = true)
+      reach = adj.join(reach.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("rid")).distinct()
+        .localCheckpoint(eager = true) // verification leg only — see scaladoc
+      val est = HeavyHitters.hllEstimateBy(regs, "id", m = m)
+        .agg(count(lit(1)).as("n_nodes"), sum(col("est_micro")).as("est_sum_micro"))
+      val exact = reach.groupBy(col("id")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("exact_sum"))
+      est.crossJoin(exact).select(
+        lit(r).as("radius"), col("n_nodes"), col("exact_sum"), col("est_sum_micro"),
+        scaledRatio(
+          col("est_sum_micro") - col("exact_sum") * 1000000L,
+          col("exact_sum") * 1000000L, 10000L).cast("long").as("err_bps"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
 }

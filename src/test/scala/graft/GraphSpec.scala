@@ -250,4 +250,22 @@ class GraphSpec extends AnyFunSuite {
       .collect()
     assert(one.length == 1 && one.head.getLong(5) == 0L)
   }
+
+  test("hyperAnf: exact closure matches hand-computed N(r); sketch error bounded") {
+    // a 4-path (saturates at r=3) plus a triangle (saturates at r=1):
+    // N(1)=10+9=19, N(2)=14+9=23, N(3)=16+9=25
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L)
+    ).toDF("id_a", "id_b")
+    val got = Graph.hyperAnf(pairs, rounds = 3, m = 64)
+      .orderBy("radius")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq((1, 7L, 19L), (2, 7L, 23L), (3, 7L, 25L)))
+    // m=64 sketches on ≤4-element balls run on the linear-counting branch;
+    // error stays well inside 3 sd (≈ 13% per ball)
+    assert(got.forall(r => math.abs(r._5) <= 4000L), got.toString)
+    // the estimate curve is monotone like the truth it tracks
+    assert(got.map(_._4).sliding(2).forall { case Seq(a, b) => b >= a })
+  }
 }
