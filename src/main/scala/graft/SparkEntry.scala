@@ -1197,6 +1197,17 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250),
         docs.filter(col("doc_id") < 250))
     },
+    "incremental_ingest_report" -> { (s, dir) =>
+      // Nightly-ingest funnel: what the batch loses per stage before
+      // joining the snapshot — exact-vs-snapshot, exact-in-batch,
+      // neardup-vs-snapshot (indexed probe), quality gate; every stage's
+      // cost scales with the batch (ops/Dedup.scala). Same ≥250/<250
+      // split as delta_dedup/delta_neardup.
+      val docs = table(s, dir, "documents")
+      Dedup.incrementalIngestReport(
+        docs.filter(col("doc_id") >= 250),
+        docs.filter(col("doc_id") < 250))
+    },
     "decontam_containment" -> { (s, dir) =>
       // Asymmetric containment decontamination: share of each training
       // doc's distinct 4-grams that appear in the benchmark stratum,
@@ -4769,6 +4780,80 @@ object SparkEntry {
     s"WITH $qualityFeatCtes,\n$chains,\n$evals\n$out"
   }
 
+  /** [[GopherRulesCtes]] with every CTE name prefixed (qtk/qg2/qt2/qg5/
+    * qd5/qjn/qgop) so it composes into oracles whose other CTE blocks
+    * already use `toks` (the Md5SigCtes chain does).
+    */
+  private lazy val GopherRulesCtesQ: String = GopherRulesCtes
+    .replace("toks AS (", "qtk AS (")
+    .replace("FROM toks WHERE", "FROM qtk WHERE")
+    .replace("FROM toks LEFT JOIN", "FROM qtk LEFT JOIN")
+    .replace("toks.doc_id", "qtk.doc_id")
+    .replace("), g2 AS (", "), qg2 AS (")
+    .replace("FROM g2 GROUP BY", "FROM qg2 GROUP BY")
+    .replace("), g5 AS (", "), qg5 AS (")
+    .replace("FROM g5 GROUP BY", "FROM qg5 GROUP BY")
+    .replace("), top2 AS (", "), qt2 AS (")
+    .replace("LEFT JOIN top2 ON", "LEFT JOIN qt2 ON")
+    .replace("top2.doc_id", "qt2.doc_id")
+    .replace("), dup5 AS (", "), qd5 AS (")
+    .replace("LEFT JOIN dup5 ON", "LEFT JOIN qd5 ON")
+    .replace("dup5.doc_id", "qd5.doc_id")
+    .replace("), joined AS (", "), qjn AS (")
+    .replace("FROM joined", "FROM qjn")
+    .replace("), gop AS (", "), qgop AS (")
+
+  /** Incremental-ingest funnel replay: exact dup vs snapshot hash set,
+    * min-id within batch, the delta_neardup indexed probe restricted to
+    * stage-2 survivors, and the (renamed) Gopher gate — mirrors
+    * [[graft.ops.Dedup.incrementalIngestReport]] stage for stage.
+    */
+  private lazy val IncrementalIngestOracle: String =
+    s"""$Md5SigCtes, base AS (
+      |  SELECT doc_id AS id, md5(text) AS h,
+      |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok
+      |  FROM documents
+      |), b AS (SELECT * FROM base WHERE id >= 250),
+      |snap_h AS (SELECT DISTINCT h FROM base WHERE id < 250),
+      |s1 AS (SELECT b.* FROM b LEFT JOIN snap_h sh ON sh.h = b.h WHERE sh.h IS NULL),
+      |s2 AS (
+      |  SELECT id, h, tok FROM (
+      |    SELECT s1.*, min(id) OVER (PARTITION BY h) AS keep_id FROM s1)
+      |  WHERE id = keep_id
+      |), sb3 AS (SELECT doc_id AS snap_id, band, bk FROM bandkey WHERE doc_id < 250),
+      |bb3 AS (
+      |  SELECT bandkey.doc_id AS batch_id, band, bk
+      |  FROM bandkey JOIN s2 ON s2.id = bandkey.doc_id
+      |), hot3 AS (SELECT band, bk FROM sb3 GROUP BY band, bk HAVING count(*) > 1000),
+      |cd3 AS (
+      |  SELECT DISTINCT bb3.batch_id, sb3.snap_id
+      |  FROM bb3 JOIN sb3 ON sb3.band = bb3.band AND sb3.bk = bb3.bk
+      |  LEFT JOIN hot3 h3 ON h3.band = sb3.band AND h3.bk = sb3.bk
+      |  WHERE h3.bk IS NULL
+      |), pj3 AS (
+      |  SELECT batch_id,
+      |    CAST(len(list_filter(ha.hset, x -> list_contains(hb2.hset, x))) AS DOUBLE)
+      |      / len(list_distinct(list_concat(ha.hset, hb2.hset))) AS jaccard
+      |  FROM cd3 JOIN hs ha ON ha.doc_id = cd3.batch_id
+      |    JOIN hs hb2 ON hb2.doc_id = cd3.snap_id
+      |), dup3 AS (SELECT DISTINCT batch_id AS id FROM pj3 WHERE jaccard >= 0.8),
+      |s3 AS (SELECT s2.* FROM s2 LEFT JOIN dup3 d ON d.id = s2.id WHERE d.id IS NULL),
+      |$GopherRulesCtesQ,
+      |s4 AS (SELECT s3.* FROM s3 JOIN qgop g ON g.doc_id = s3.id AND g.keep = 1),
+      |st0 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(tok), 0) AS BIGINT) AS t FROM b),
+      |st1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(tok), 0) AS BIGINT) AS t FROM s1),
+      |st2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(tok), 0) AS BIGINT) AS t FROM s2),
+      |st3 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(tok), 0) AS BIGINT) AS t FROM s3),
+      |st4 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(coalesce(sum(tok), 0) AS BIGINT) AS t FROM s4)
+      |SELECT '1_exact_vs_snapshot' AS stage, st0.n AS n_in, st1.n AS n_out,
+      |  st0.n - st1.n AS docs_dropped, st0.t - st1.t AS tokens_dropped FROM st0, st1
+      |UNION ALL
+      |SELECT '2_exact_in_batch', st1.n, st2.n, st1.n - st2.n, st1.t - st2.t FROM st1, st2
+      |UNION ALL
+      |SELECT '3_neardup_vs_snapshot', st2.n, st3.n, st2.n - st3.n, st2.t - st3.t FROM st2, st3
+      |UNION ALL
+      |SELECT '4_quality_gate', st3.n, st4.n, st3.n - st4.n, st3.t - st4.t FROM st3, st4""".stripMargin
+
   /** HyperANF replay over the md5 near-dup graph: edges+self adjacency,
     * unrolled register max-merge rounds, the per-node HLL estimate of
     * [[hllErrOracle]]'s shape per round, and the unrolled exact closure —
@@ -5309,6 +5394,7 @@ object SparkEntry {
     "quality_ablation_aucs" -> qualityAblationOracle(8),
     "kcenter_coreset" -> kcenterOracle(8),
     "hyperanf_neighborhood" -> hyperAnfOracle(3, 16),
+    "incremental_ingest_report" -> IncrementalIngestOracle,
     "uncertainty_sample" ->
       s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.doc_id,

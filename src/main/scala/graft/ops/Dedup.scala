@@ -1432,4 +1432,61 @@ object Dedup {
         sum(col("n_tokens")).as("n_tokens"),
         sum(expr("(2 * 1000000 * n_tokens + cs) DIV (2 * cs)")).as("effective_tokens_micro"))
   }
+
+  /** Nightly-ingest curation funnel: what a new batch loses at each stage
+    * before joining an existing snapshot — exact dup vs snapshot
+    * ([[deltaDedup]]'s bloom-prefiltered verify), exact dup WITHIN the
+    * batch (min-id representative), near-dup vs snapshot
+    * ([[deltaNearDupMd5]]'s indexed probe), then the Gopher quality gate.
+    * One row per stage: docs in, docs dropped, tokens dropped — the
+    * incremental face of the curation_pipeline composites, where every
+    * stage's cost scales with the BATCH (the snapshot is touched only as
+    * an index: its hash set and its band keys).
+    *
+    * Driver state: five (count, token-sum) pairs — bounded. Stage frames
+    * are batch-sized projections (id, text, tokens, md5), checkpointed
+    * once each so no stage recomputes its predecessors.
+    */
+  def incrementalIngestReport(
+      batch: DataFrame,
+      snapshot: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val b = batch.select(
+      col(idCol).as("id"), col(textCol).as("text"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("tok"),
+      md5(col(textCol)).as("h")).localCheckpoint(eager = true)
+    val s1 = b.join(
+      deltaDedup(batch, snapshot, idCol, textCol)
+        .filter(col("is_dup") === 1).select(col(idCol).as("id")),
+      Seq("id"), "left_anti").localCheckpoint(eager = true)
+    val s2 = s1
+      .withColumn("keep_id", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .filter(col("id") === col("keep_id")).drop("keep_id")
+      .localCheckpoint(eager = true)
+    val s3 = s2.join(
+      deltaNearDupMd5(s2.select(col("id").as(idCol), col("text").as(textCol)), snapshot,
+        idCol, textCol)
+        .filter(col("is_dup") === 1).select(col(idCol).as("id")),
+      Seq("id"), "left_anti").localCheckpoint(eager = true)
+    val s4 = s3.join(
+      TextAnalysis.gopherRules(s3.select(col("id").as("doc_id"), col("text")))
+        .filter(col("keep") === 1).select(col("doc_id").as("id")),
+      Seq("id"))
+    def stat(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum(col("tok")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val stages = Seq(
+      ("1_exact_vs_snapshot", stat(b), stat(s1)),
+      ("2_exact_in_batch", stat(s1), stat(s2)),
+      ("3_neardup_vs_snapshot", stat(s2), stat(s3)),
+      ("4_quality_gate", stat(s3), stat(s4)))
+    stages.map { case (name, (nIn, tIn), (nOut, tOut)) =>
+      (name, nIn, nOut, nIn - nOut, tIn - tOut)
+    }.toDF("stage", "n_in", "n_out", "docs_dropped", "tokens_dropped")
+  }
 }

@@ -511,4 +511,29 @@ class DedupSpec extends AnyFunSuite {
     // 10–12 merge is transitive and the weakest link shows the bridge
     assert(got(10L) == ((3L, 2L, 0.8, 0.82, 6667)))
   }
+
+  test("incrementalIngestReport: each planted batch doc drops at its designed stage") {
+    val a = "the alpha and beta to gamma of delta that epsilon have zeta with eta theta " +
+      "iota kappa l1 l2 l3 l4 l5 l6 l7 l8 l9 m1 m2 m3 m4 m5 m6 m7 m8 m9 n1 n2 n3 n4 n5 n6 n7"
+    val aNear = a.replace(" m5 ", " zq ") // 3 of 39 shingles change → jaccard ≈ 0.86
+    val bTxt = "we offer fresh bread and warm soup to every guest of the old tavern " +
+      "near the stone bridge daily"
+    val junk = Seq.fill(12)("zz").mkString(" ")
+    val snapshot = Seq((1L, a)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, a),     // exact dup of snapshot → stage 1
+      (11L, bTxt),  // kept representative of the in-batch pair
+      (12L, bTxt),  // exact dup within batch → stage 2
+      (13L, aNear), // near-dup of snapshot → stage 3
+      (14L, junk)   // no stopwords → stage 4
+    ).toDF("doc_id", "text")
+    def toks(s: String) = s.split("\\s+").length.toLong
+    val got = graft.ops.Dedup.incrementalIngestReport(batch, snapshot)
+      .orderBy("stage").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("1_exact_vs_snapshot", 5L, 4L, 1L, toks(a)),
+      ("2_exact_in_batch", 4L, 3L, 1L, toks(bTxt)),
+      ("3_neardup_vs_snapshot", 3L, 2L, 1L, toks(aNear)),
+      ("4_quality_gate", 2L, 1L, 1L, toks(junk))))
+  }
 }
