@@ -1197,6 +1197,23 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250),
         docs.filter(col("doc_id") < 250))
     },
+    "bloom_fpp_sweep" -> { (s, dir) =>
+      // Bloom sizing curve: fill factor and MEASURED false-positive rate
+      // per candidate m over snapshot text-hashes, probed with true
+      // non-members — the sketch-vs-truth row for the third sketch
+      // family (ops/Bloom.scala). Same ≥250/<250 split as delta_dedup.
+      val docs = table(s, dir, "documents")
+      graft.ops.Bloom.fppSweep(
+        docs.filter(col("doc_id") < 250).select(md5(col("text")).as("h")),
+        docs.filter(col("doc_id") >= 250).select(md5(col("text")).as("h")))
+    },
+    "reshard_movement_report" -> { (s, dir) =>
+      // Consistent-hashing claim, measured: growing 16→17 shards moves
+      // ~94% of docs under mod-hashing but ~6% under rendezvous, with
+      // the post-grow balance alongside — the planning row before any
+      // shard-count change (ops/Layout.scala).
+      graft.ops.Layout.reshardMovementReport(table(s, dir, "documents"))
+    },
     "incremental_ingest_report" -> { (s, dir) =>
       // Nightly-ingest funnel: what the batch loses per stage before
       // joining the snapshot — exact-vs-snapshot, exact-in-batch,
@@ -2134,6 +2151,13 @@ object SparkEntry {
             "label", "p_micro")
           .select(lit(f).as("fold"), col("*"))
       }.reduce(_.unionByName(_))
+    },
+    "gate_parity_report" -> { (s, dir) =>
+      // Equalized-odds audit: per-source TPR/FPR of the one global
+      // trained threshold against the Gopher teacher — the error-rate
+      // parity row keep-share parity can't see. One scored pass, one
+      // sources-row aggregate (ops/QualityTrainer.scala).
+      graft.ops.QualityTrainer.gateParityReport(table(s, dir, "documents"), iters = 8)
     },
     "uncertainty_sample" -> { (s, dir) =>
       // Active-learning queue: 10 docs per source nearest the trained
@@ -5394,7 +5418,70 @@ object SparkEntry {
     "quality_ablation_aucs" -> qualityAblationOracle(8),
     "kcenter_coreset" -> kcenterOracle(8),
     "hyperanf_neighborhood" -> hyperAnfOracle(3, 16),
+    "gate_parity_report" ->
+      s"""WITH ${qualityTrainedCtes(8)}, sc AS (
+        |  SELECT feat.doc_id, feat.y,
+        |    CASE WHEN CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2
+        |        + w.w3*feat.x3 + w.w4*feat.x4) / 1000000.0) AS BIGINT) > 500000
+        |      THEN 1 ELSE 0 END AS kt
+        |  FROM feat, w8_ w
+        |), j AS (
+        |  SELECT d.source, sc.y, sc.kt FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+        |), c AS (
+        |  SELECT source,
+        |    CAST(sum(CASE WHEN kt = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN kt = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN kt = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN kt = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT source, tp, fp, fn, tn,
+        |  CASE WHEN tp + fn > 0
+        |    THEN CAST((2 * 10000 * tp + (tp + fn)) // (2 * (tp + fn)) AS INT) END AS tpr_bps,
+        |  CASE WHEN fp + tn > 0
+        |    THEN CAST((2 * 10000 * fp + (fp + tn)) // (2 * (fp + tn)) AS INT) END AS fpr_bps
+        |FROM c""".stripMargin,
     "incremental_ingest_report" -> IncrementalIngestOracle,
+    "reshard_movement_report" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |rv AS (
+        |  SELECT id, CAST(t.s AS INT) AS s,
+        |    CAST(('0x' || substr(md5('rdv' || CAST(t.s AS VARCHAR) || '-' ||
+        |      CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) AS w
+        |  FROM ids, range(17) t(s)
+        |), r1 AS (
+        |  SELECT id, s AS rdv1 FROM (
+        |    SELECT id, s, row_number() OVER (PARTITION BY id ORDER BY w DESC, s DESC) AS rn
+        |    FROM rv WHERE s < 16) WHERE rn = 1
+        |), r2 AS (
+        |  SELECT id, s AS rdv2 FROM (
+        |    SELECT id, s, row_number() OVER (PARTITION BY id ORDER BY w DESC, s DESC) AS rn
+        |    FROM rv) WHERE rn = 1
+        |), base AS (
+        |  SELECT ids.id, CAST(ids.id % 16 AS INT) AS mod1, CAST(ids.id % 17 AS INT) AS mod2,
+        |    r1.rdv1, r2.rdv2
+        |  FROM ids JOIN r1 ON r1.id = ids.id JOIN r2 ON r2.id = ids.id
+        |), movm AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN mod1 != mod2 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        |  FROM base
+        |), movr AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN rdv1 != rdv2 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        |  FROM base
+        |), lm AS (SELECT CAST(max(c) AS BIGINT) AS max_load_after FROM
+        |  (SELECT count(*) AS c FROM base GROUP BY mod2)),
+        |lr AS (SELECT CAST(max(c) AS BIGINT) AS max_load_after FROM
+        |  (SELECT count(*) AS c FROM base GROUP BY rdv2))
+        |SELECT 'mod' AS scheme, movm.n_docs, movm.n_moved,
+        |  CAST((2 * 10000 * movm.n_moved + movm.n_docs) // (2 * movm.n_docs) AS INT) AS moved_bps,
+        |  lm.max_load_after
+        |FROM movm, lm
+        |UNION ALL
+        |SELECT 'rendezvous', movr.n_docs, movr.n_moved,
+        |  CAST((2 * 10000 * movr.n_moved + movr.n_docs) // (2 * movr.n_docs) AS INT),
+        |  lr.max_load_after
+        |FROM movr, lr""".stripMargin,
     "uncertainty_sample" ->
       s"""WITH ${qualityTrainedCtes(8)}, p AS (
         |  SELECT feat.doc_id,
@@ -7173,6 +7260,45 @@ object SparkEntry {
         |SELECT p.doc_id, CAST(p.bloom_hit AS INT) AS bloom_hit,
         |  CAST(CASE WHEN p.bloom_hit = 1 AND s.h IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup
         |FROM phit p LEFT JOIN snap s USING (h)""".stripMargin,
+    "bloom_fpp_sweep" ->
+      // replay build + probe bit-for-bit per candidate m; fpp measured
+      // against true non-members (batch minus snapshot keys)
+      """WITH snap AS (
+        |  SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id < 250
+        |), nm AS (
+        |  SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id >= 250
+        |  EXCEPT SELECT k FROM snap
+        |), ms(m) AS (VALUES (1024), (4096), (16384)),
+        |idx AS (SELECT CAST(unnest(range(3)) AS INT) AS i),
+        |spos AS (
+        |  SELECT DISTINCT ms.m,
+        |    CAST(('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '-' || k), 1, 8))
+        |      AS BIGINT) % ms.m AS pos
+        |  FROM snap, ms, idx
+        |), bits AS (
+        |  SELECT m, CAST(count(*) AS BIGINT) AS bits_set FROM spos GROUP BY 1
+        |), ppos AS (
+        |  SELECT ms.m, nm.k,
+        |    CAST(('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '-' || k), 1, 8))
+        |      AS BIGINT) % ms.m AS pos
+        |  FROM nm, ms, idx
+        |), hits AS (
+        |  SELECT m, CAST(count(*) AS BIGINT) AS n_fp FROM (
+        |    SELECT p.m, p.k
+        |    FROM ppos p JOIN spos s ON s.m = p.m AND s.pos = p.pos
+        |    GROUP BY 1, 2 HAVING count(*) = 3)
+        |  GROUP BY 1
+        |), counts AS (
+        |  SELECT CAST((SELECT count(*) FROM snap) AS BIGINT) AS n_keys,
+        |    CAST((SELECT count(*) FROM nm) AS BIGINT) AS n_probes
+        |)
+        |SELECT ms.m AS m_bits, CAST(3 AS INT) AS k_hash, counts.n_keys, bits.bits_set,
+        |  CAST((2 * 10000 * bits.bits_set + ms.m) // (2 * ms.m) AS INT) AS fill_bps,
+        |  counts.n_probes,
+        |  CAST(coalesce(hits.n_fp, 0) AS BIGINT) AS n_fp,
+        |  CAST((2 * 10000 * coalesce(hits.n_fp, 0) + counts.n_probes)
+        |    // (2 * counts.n_probes) AS INT) AS fpp_measured_bps
+        |FROM ms JOIN bits ON bits.m = ms.m LEFT JOIN hits ON hits.m = ms.m, counts""".stripMargin,
     "decontam_containment" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents

@@ -69,6 +69,58 @@ object Bloom {
     * arrays (words + the 64 power-of-two masks); the test is k
     * element_at/AND ops per row — no join, no shuffle.
     */
+  /** Measured false-positive sweep — the Bloom sizing curve: for each
+    * candidate filter size m, build the filter over the snapshot key set
+    * and probe it with TRUE NON-MEMBERS (batch keys minus snapshot keys),
+    * reporting the exact fill factor (set-bit share) and the measured
+    * false-positive rate. The `hll_error_report` discipline applied to
+    * the third sketch family: the m you deploy at 100 TB is read off this
+    * curve, not off the asymptotic formula (fpp ≈ fill^k, noted here and
+    * measured, not assumed — no cross-engine exp/pow ever evaluated).
+    *
+    * Shape: per m, one distinct-positions aggregation over the snapshot
+    * keys (≤ m rows survive) and one positions-join over the probe keys
+    * (k rows per probe against an ≤ m-row broadcast side). Everything is
+    * md5-position integer work — the SQL oracle replays build and probe
+    * bit-for-bit, unlike the driver-collected word-array face
+    * ([[buildBits]]/[[member]]), which remains the production probe path.
+    */
+  def fppSweep(
+      snapshot: DataFrame,
+      probes: DataFrame,
+      ms: Seq[Int] = Seq(1024, 4096, 16384),
+      kHash: Int = 3,
+      keyCol: String = "h"
+  ): DataFrame = {
+    val snapKeys = snapshot.select(col(keyCol).as("k")).distinct()
+      .localCheckpoint(eager = true)
+    val nonMembers = probes.select(col(keyCol).as("k")).distinct()
+      .join(snapKeys, Seq("k"), "left_anti")
+      .localCheckpoint(eager = true)
+    ms.map { m =>
+      val spos = snapKeys
+        .select(explode(array(positions(col("k"), m, kHash): _*)).as("pos"))
+        .distinct()
+        .localCheckpoint(eager = true) // ≤ m rows; bits_set + probe join
+      val bitsSet = spos.agg(count(lit(1)).as("bits_set"))
+      val hits = nonMembers
+        .select(col("k"), explode(array(positions(col("k"), m, kHash): _*)).as("pos"))
+        .join(broadcast(spos), Seq("pos"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_set"))
+        .filter(col("n_set") === kHash)
+        .agg(count(lit(1)).as("n_fp"))
+      val nProbe = nonMembers.agg(count(lit(1)).as("n_probes"))
+      val nKeys = snapKeys.agg(count(lit(1)).as("n_keys"))
+      nKeys.crossJoin(bitsSet).crossJoin(nProbe).crossJoin(hits).select(
+        lit(m).as("m_bits"), lit(kHash).as("k_hash"), col("n_keys"),
+        col("bits_set"),
+        expr(s"CAST((2 * 10000 * bits_set + $m) div (2 * $m) AS INT)").as("fill_bps"),
+        col("n_probes"), col("n_fp"),
+        expr("CAST((2 * 10000 * n_fp + n_probes) div (2 * n_probes) AS INT)")
+          .as("fpp_measured_bps"))
+    }.reduce(_.unionByName(_))
+  }
+
   def member(key: Column, bloom: Array[Long], mBits: Int, kHash: Int): Column = {
     require(bloom.length == mBits / 64, s"bloom array must have ${mBits / 64} words")
     val words = array(bloom.map(lit): _*)

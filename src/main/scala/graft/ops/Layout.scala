@@ -249,4 +249,51 @@ object Layout {
       }
       .reduce(_ unionByName _)
   }
+
+  /** Reshard-movement report: when a store grows from `n1` to `n2`
+    * shards, what fraction of rows MOVE under plain mod-hashing versus
+    * rendezvous (highest-random-weight) hashing — the consistent-hashing
+    * claim (mod moves ~(n2−1)/n2 of everything, rendezvous only ~1/n2)
+    * measured exactly on this corpus, next to the post-grow balance
+    * (max shard load) each scheme achieves. The planning row an operator
+    * reads before ANY shard-count change of a 100 TB keyed store.
+    *
+    * Determinism: rendezvous weight for (shard s, id) is the repo's
+    * md5-32 of "rdv{s}-{id}", argmax with the larger shard winning ties
+    * (lexicographic struct greatest — mirrored ORDER BY w DESC, s DESC
+    * in SQL). One scan computes all four assignments; everything after
+    * is shard-count-sized.
+    */
+  def reshardMovementReport(
+      df: DataFrame,
+      n1: Int = 16,
+      n2: Int = 17,
+      idCol: String = "doc_id"): DataFrame = {
+    def rdv(n: Int): Column = {
+      val alts = (0 until n).map { s =>
+        struct(
+          Dedup.md5Hash32(concat(lit(s"rdv$s-"), col(idCol).cast("string"))).as("w"),
+          lit(s).as("s"))
+      }
+      greatest(alts: _*).getField("s")
+    }
+    val base = df.select(
+      pmod(col(idCol), lit(n1.toLong)).cast("int").as("mod1"),
+      pmod(col(idCol), lit(n2.toLong)).cast("int").as("mod2"),
+      rdv(n1).as("rdv1"), rdv(n2).as("rdv2"))
+      .localCheckpoint(eager = true) // four ints per row; feeds both scheme rows
+    def schemeRow(name: String, before: String, after: String): DataFrame = {
+      val moved = base.agg(
+        count(lit(1)).as("n_docs"),
+        sum((col(before) =!= col(after)).cast("long")).as("n_moved"))
+      val maxAfter = base.groupBy(col(after)).agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("max_load_after"))
+      moved.crossJoin(maxAfter).select(
+        lit(name).as("scheme"), col("n_docs"), col("n_moved"),
+        expr("CAST((2 * 10000 * n_moved + n_docs) div (2 * n_docs) AS INT)").as("moved_bps"),
+        col("max_load_after"))
+    }
+    schemeRow("mod", "mod1", "mod2")
+      .unionByName(schemeRow("rendezvous", "rdv1", "rdv2"))
+  }
 }

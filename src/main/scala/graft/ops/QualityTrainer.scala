@@ -536,6 +536,40 @@ object QualityTrainer {
           .cast("long").as("uncertainty_micro"))
   }
 
+  /** Equalized-odds audit of the trained gate: per source, the confusion
+    * counts of `keep_trained` against the Gopher teacher plus TPR/FPR in
+    * exact bps — does the one global threshold err EQUALLY across
+    * sources, the question [[graft.ops.Sampling.fairThresholds]]'s
+    * keep-share parity row doesn't answer (equal keep rates can hide
+    * unequal error rates and vice versa). Sources with no positives (or
+    * no negatives) report a null rate rather than a fabricated one.
+    *
+    * Shape: train + score once, one (doc_id, source) projection join,
+    * one sources-row aggregation — map-side partials, nothing
+    * corpus-sized after the scan.
+    */
+  def gateParityReport(docs: DataFrame, iters: Int): DataFrame = {
+    val feat = features(docs).localCheckpoint(eager = true)
+    val w = train(feat, iters).last
+    score(feat, w)
+      .join(feat.select(col("doc_id"), col("y")), Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("keep_trained") === 1 && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("keep_trained") === 1 && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("keep_trained") === 0 && col("y") === 1L, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("keep_trained") === 0 && col("y") === 0L, 1L).otherwise(0L)).as("tn"))
+      .select(
+        col("source"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fn") > 0L,
+          expr("CAST((2 * 10000 * tp + (tp + fn)) div (2 * (tp + fn)) AS INT)"))
+          .as("tpr_bps"),
+        when(col("fp") + col("tn") > 0L,
+          expr("CAST((2 * 10000 * fp + (fp + tn)) div (2 * (fp + tn)) AS INT)"))
+          .as("fpr_bps"))
+  }
+
   /** Active-learning labeling queue (uncertainty sampling): the
     * `nPerSource` docs per source whose trained score sits closest to the
     * decision boundary — the rows whose human label buys the most model

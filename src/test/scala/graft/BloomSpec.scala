@@ -56,6 +56,32 @@ class BloomSpec extends AnyFunSuite {
     assert(small.length == 4 && large.length == 4)
   }
 
+  test("fppSweep: fill and measured fpp match a scala reference, fpp falls with m") {
+    val snap = (1 to 120).map(i => s"snap$i")
+    val overlap = (1 to 30).map(i => s"snap$i") // members hiding in the probe side
+    val fresh = (1 to 400).map(i => s"fresh$i")
+    val got = Bloom.fppSweep(
+      snap.toDF("h"), (overlap ++ fresh).toDF("h"), ms = Seq(512, 2048), kHash = 3)
+      .collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got.keySet == Set(512, 2048))
+    for (m <- Seq(512, 2048)) {
+      val r = got(m)
+      // reference build + probe over the same position family
+      val set = snap.flatMap(positionsRef(_, m, 3)).toSet
+      val refFp = fresh.count(k => positionsRef(k, m, 3).forall(set.contains))
+      assert(r.getLong(2) == 120L, "n_keys")
+      assert(r.getLong(3) == set.size.toLong, "bits_set")
+      assert(r.getLong(5) == 400L, "n_probes excludes true members")
+      assert(r.getLong(6) == refFp.toLong, "n_fp")
+      assert(r.getInt(4) == math.round(10000.0 * set.size / m).toInt, "fill_bps")
+      assert(r.getInt(7) == math.round(10000.0 * refFp / 400).toInt, "fpp_bps")
+    }
+    // the sizing curve must actually slope: bigger filter, emptier and cleaner
+    assert(got(2048).getInt(4) < got(512).getInt(4))
+    assert(got(2048).getInt(7) <= got(512).getInt(7))
+  }
+
   test("member probe plan is map-only: no join, no exchange") {
     val bits = Bloom.buildBits(Seq("x", "y").toDF("k"), "k", mBits = 256, kHash = 3)
     val probed = (1 to 100).map(_.toString).toDF("k")

@@ -186,4 +186,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(got(("A", "above")) == ((2L, 20L, 2L, 20L, 10000)))
     assert(got(("B", "band")) == ((2L, 20L, 0L, 0L, 0)))
   }
+
+  test("reshardMovementReport: mod churns nearly everything, rendezvous ~1/n2") {
+    val ids = (0L until 1000L)
+    val got = Layout.reshardMovementReport(ids.toDF("doc_id"), n1 = 16, n2 = 17)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))))
+      .toMap
+    // scala reference for both schemes
+    def rdvRef(id: Long, n: Int): Int =
+      (0 until n).maxBy { s =>
+        val w = java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(s"rdv$s-$id").substring(0, 8), 16)
+        (w, s.toLong)
+      }
+    val modMoved = ids.count(id => id % 16 != id % 17).toLong
+    val rdvMoved = ids.count(id => rdvRef(id, 16) != rdvRef(id, 17)).toLong
+    val modMax = ids.groupBy(_ % 17).values.map(_.size).max.toLong
+    val rdvMax = ids.groupBy(rdvRef(_, 17)).values.map(_.size).max.toLong
+    assert(got("mod") == ((1000L, modMoved,
+      math.round(10000.0 * modMoved / 1000).toInt, modMax)))
+    assert(got("rendezvous") == ((1000L, rdvMoved,
+      math.round(10000.0 * rdvMoved / 1000).toInt, rdvMax)))
+    // the consistent-hashing claim itself: mod moves ~16/17, rdv ~1/17
+    assert(got("mod")._3 > 8500 && got("rendezvous")._3 < 1500)
+  }
 }

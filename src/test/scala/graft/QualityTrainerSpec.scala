@@ -269,6 +269,28 @@ class QualityTrainerSpec extends AnyFunSuite {
     assert(got.filter(r => r._1 != "stop_ratio").forall(_._4 == 10000L))
   }
 
+  test("gateParityReport: counts partition each source; empty classes yield null rates") {
+    // source A mixes keeps and junk; source B is all junk (no positives →
+    // tpr_bps must be null, not a fabricated rate)
+    val a = (0 until 8).map { i =>
+      (i.toLong,
+        "the quick brown fox jumps over the lazy dog and runs to the river in " +
+          s"search of food while the sun is high tag$i", "A")
+    } ++ (8 until 12).map(i => (i.toLong, Seq.fill(30)(s"zz$i").mkString(" "), "A"))
+    val b = (12 until 16).map(i => (i.toLong, Seq.fill(30)(s"yy$i").mkString(" "), "B"))
+    val got = QualityTrainer.gateParityReport((a ++ b).toDF("doc_id", "text", "source"), iters = 4)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        Option(r.get(5)), Option(r.get(6))))).toMap
+    val (tpA, fpA, fnA, tnA, tprA, fprA) = got("A")
+    assert(tpA + fpA + fnA + tnA == 12L)
+    assert(tpA + fnA == 8L && fpA + tnA == 4L) // Gopher teacher splits as planted
+    assert(tprA.nonEmpty && fprA.nonEmpty)
+    val (tpB, fpB, fnB, tnB, tprB, fprB) = got("B")
+    assert(tpB == 0L && fnB == 0L && fpB + tnB == 4L)
+    assert(tprB.isEmpty && fprB.nonEmpty) // no positives in B → null TPR
+  }
+
   test("confidentJoint: planted mislabels land off-diagonal, mid scores unassigned") {
     // y=1 scores {900k×4, 100k} and y=0 scores {100k×4, 900k, 500k}:
     // t1 = 740k, t0 = 300k → 900k rows confident-1, 100k rows confident-0,
