@@ -623,6 +623,33 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     },
+    "ann_graph_beam_topk" -> { (s, dir) =>
+      // Graph ANN (DiskANN/HNSW family): 3-hop beam search over a directed
+      // kNN navigation graph — per hop the frontier expands along edges,
+      // rescores, keeps top-beam; per query the search touches
+      // O(beam·degree·hops) vectors regardless of corpus size. Exact brute
+      // graph build here (the oracle face); an ANN-leg graph at 10⁹ scale
+      // (ops/GraphAnn.scala).
+      val emb = table(s, dir, "embeddings")
+      graft.ops.GraphAnn.beamSearchTopK(
+        graft.ops.GraphAnn.knnGraph(emb, kGraph = 8),
+        emb, emb.filter(col("vec_id") < 8), k = 5, beam = 8, hops = 3)
+    },
+    "ann_graph_recall" -> { (s, dir) =>
+      // The beam-search leg evaluated against exact brute-force gold —
+      // recall@5/MRR/nDCG for the graph family, comparable row-for-row
+      // with ann_ivf_recall: the measured answer to "which index do I
+      // build" on this corpus.
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      graft.ops.Retrieval.evalMetrics(
+        graft.ops.GraphAnn.beamSearchTopK(
+          graft.ops.GraphAnn.knnGraph(emb, kGraph = 8),
+          emb, queries, k = 5, beam = 8, hops = 3),
+        Similarity.bruteForceTopK(emb, queries, k = 5)
+          .select(col("query_id"), col("neighbor_id")),
+        k = 5)
+    },
     "ann_pq_adc_topk" -> { (s, dir) =>
       // Product quantization with asymmetric distance: deterministic anchor
       // codebooks, integer-exact encoding + ADC (ops/Similarity.scala) —
@@ -805,6 +832,27 @@ object SparkEntry {
       }
       graft.ops.Retrieval.bm25TopKIndexed(
         s, loc.toString, queryTerms = Seq("table", "scan", "merge", "the"), k = 10)
+    },
+    "bm25_tombstone_topk" -> { (s, dir) =>
+      // Deletes without an index rewrite: the doc_id % 29 erasure batch
+      // rides as a (doc_id, dl) tombstone frame over the UNCHANGED shared
+      // postings index — anti-join fixes the postings and df, a 1-row
+      // correction fixes N/total_dl. Hash-matches the surviving-corpus
+      // oracle: tombstoned ≡ rebuilt, the delete twin of bm25_delta_merge.
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        s"graft_postings_${org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(16)}")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$loc/postings/_SUCCESS")) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$loc/stats/_SUCCESS")))
+        graft.ops.Retrieval.buildPostingsIndex(table(s, dir, "documents"), loc.toString)
+      val docs = table(s, dir, "documents")
+      graft.ops.Retrieval.bm25TombstoneTopK(
+        s, loc.toString,
+        docs.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id"),
+            graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("dl")),
+        queryTerms = Seq("table", "scan", "merge", "the"), k = 10)
     },
     "rrf_hybrid_topk" -> { (s, dir) =>
       // Hybrid search: the BM25 keyword leg fused with an exact-cosine
@@ -1213,6 +1261,19 @@ object SparkEntry {
       // the post-grow balance alongside — the planning row before any
       // shard-count change (ops/Layout.scala).
       graft.ops.Layout.reshardMovementReport(table(s, dir, "documents"))
+    },
+    "deletion_impact_report" -> { (s, dir) =>
+      // Right-to-be-forgotten cascade, measured BEFORE the delete runs:
+      // a deterministic erasure batch (doc_id % 29) priced across every
+      // derived surface — corpus tokens, packed training sequences
+      // invalidated (+ survivors needing repack), near-dup clusters whose
+      // kept representative dies (+ the re-election pool), and inverted-
+      // index postings/df-touched terms (ops/Deletion.scala).
+      val docs = table(s, dir, "documents")
+      graft.ops.Deletion.impactReport(
+        docs,
+        docs.filter(col("doc_id") % 29 === 0).select(col("doc_id")),
+        graft.ops.Dedup.minhashMd5Pairs(docs, threshold = 0.8))
     },
     "incremental_ingest_report" -> { (s, dir) =>
       // Nightly-ingest funnel: what the batch loses per stage before
@@ -3963,6 +4024,52 @@ object SparkEntry {
       |    AND x.query_id < x.neighbor_id
       |)""".stripMargin
 
+  /** Graph-ANN beam-search replay: exact brute kNN navigation graph
+    * (degree 8), min-id entry, 3 unrolled expand→rescore→top-8 hops, then
+    * the self-excluded final top-5 as `beam_topk` — mirrors
+    * [[graft.ops.GraphAnn.beamSearchTopK]] hop for hop.
+    */
+  private def graphBeamCtes: String = {
+    val hops = (1 to 3).map { h =>
+      s"""x$h AS (
+        |  SELECT query_id, node_id FROM f${h - 1}
+        |  UNION
+        |  SELECT f.query_id, g.dst_id AS node_id
+        |  FROM f${h - 1} f JOIN g ON g.src_id = f.node_id
+        |), s$h AS (
+        |  SELECT x.query_id, x.node_id,
+        |    round(list_cosine_similarity(q.qv, c.cv), 6) AS cos_sim
+        |  FROM x$h x JOIN q ON q.query_id = x.query_id JOIN c ON c.node_id = x.node_id
+        |), f$h AS (
+        |  SELECT query_id, node_id, cos_sim FROM (
+        |    SELECT query_id, node_id, cos_sim,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos_sim DESC, node_id) AS rk
+        |    FROM s$h) WHERE rk <= 8
+        |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT vec_id AS node_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id < 8),
+      |g AS (
+      |  SELECT src_id, dst_id FROM (
+      |    SELECT a.node_id AS src_id, b.node_id AS dst_id,
+      |      row_number() OVER (PARTITION BY a.node_id
+      |        ORDER BY round(list_cosine_similarity(a.cv, b.cv), 6) DESC, b.node_id) AS rk
+      |    FROM c a JOIN c b ON a.node_id != b.node_id) WHERE rk <= 8
+      |),
+      |e AS (SELECT min(node_id) AS entry FROM c),
+      |f0 AS (SELECT query_id, entry AS node_id FROM q, e),
+      |$hops,
+      |beam_topk AS (
+      |  SELECT query_id, node_id AS neighbor_id, cos_sim, rank FROM (
+      |    SELECT query_id, node_id, cos_sim,
+      |      CAST(row_number() OVER (PARTITION BY query_id
+      |        ORDER BY cos_sim DESC, node_id) AS INT) AS rank
+      |    FROM f3 WHERE node_id != query_id) WHERE rank <= 5
+      |)""".stripMargin
+  }
+
   /** nprobe sweep replay: the shared anchor-IVF chain, one probe leg per
     * nprobe value, each scored for gold-hit count against the brute
     * top-5 of the same query sample.
@@ -4453,12 +4560,15 @@ object SparkEntry {
     * (snapshot+batch merged index): the access path changes, the math and
     * the result do not.
     */
-  private val Bm25DirectOracle: String =
-      """WITH dl AS (
+  /** BM25 replay, parameterized by the corpus predicate so the tombstone
+    * query can hash against the surviving corpus with the same math.
+    */
+  private def bm25DirectOracle(pred: String): String =
+      s"""WITH dl AS (
         |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl,
-        |    string_split_regex(lower(text), '\s+') AS toks
-        |  FROM documents
+        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS dl,
+        |    string_split_regex(lower(text), '\\s+') AS toks
+        |  FROM documents WHERE $pred
         |), stats AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl
         |), tf AS (
@@ -4486,6 +4596,7 @@ object SparkEntry {
         |FROM scored GROUP BY 1
         |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
 
+  private val Bm25DirectOracle: String = bm25DirectOracle("1 = 1")
 
   /** DuckDB replay of the full BPE training loop, unrolled: the merge
     * count is a fixed literal, so the iteration that a recursive CTE
@@ -5442,6 +5553,69 @@ object SparkEntry {
         |    THEN CAST((2 * 10000 * fp + (fp + tn)) // (2 * (fp + tn)) AS INT) END AS fpr_bps
         |FROM c""".stripMargin,
     "incremental_ingest_report" -> IncrementalIngestOracle,
+    "deletion_impact_report" ->
+      // the erasure batch priced across corpus, packs, near-dup reps, and
+      // postings; cluster labels replayed via the recursive closure
+      s"""$Md5NearDupCtes,
+        |$Md5ClusterCtes,
+        |del AS (SELECT doc_id FROM documents WHERE doc_id % 29 = 0),
+        |dt AS (
+        |  SELECT d.doc_id,
+        |    CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_toks,
+        |    CASE WHEN del.doc_id IS NULL THEN 0 ELSE 1 END AS dd
+        |  FROM documents d LEFT JOIN del ON del.doc_id = d.doc_id
+        |), docs_row AS (
+        |  SELECT 'docs' AS surface, CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(dd) AS BIGINT) AS n_affected,
+        |    CAST(sum(CASE WHEN dd = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS n_collateral
+        |  FROM dt
+        |), pb AS (
+        |  SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS bucket, n_toks, dd FROM dt
+        |), pk AS (
+        |  SELECT bucket,
+        |    CAST(coalesce(sum(n_toks) OVER (PARTITION BY bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT) AS pack_id,
+        |    dd
+        |  FROM pb
+        |), pg AS (
+        |  SELECT bucket, pack_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dd) AS BIGINT) AS n_del
+        |  FROM pk GROUP BY 1, 2
+        |), packs_row AS (
+        |  SELECT 'packs' AS surface, CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN n_del > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+        |    CAST(sum(CASE WHEN n_del > 0 THEN n_docs - n_del ELSE 0 END) AS BIGINT) AS n_collateral
+        |  FROM pg
+        |), labels AS (
+        |  SELECT id, min(lab) AS cluster FROM reach GROUP BY id
+        |), lm AS (
+        |  SELECT l.cluster, CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(sum(CASE WHEN del.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_del,
+        |    max(CASE WHEN l.id = l.cluster AND del.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS rep_del
+        |  FROM labels l LEFT JOIN del ON del.doc_id = l.id GROUP BY 1
+        |), clusters_row AS (
+        |  SELECT 'neardup_reps' AS surface, CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(rep_del) AS BIGINT) AS n_affected,
+        |    CAST(sum(CASE WHEN rep_del = 1 THEN n_members - n_del ELSE 0 END) AS BIGINT) AS n_collateral
+        |  FROM lm
+        |), post AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        |    FROM documents) WHERE tok != ''
+        |), pj2 AS (
+        |  SELECT p.doc_id, p.tok, CASE WHEN del.doc_id IS NULL THEN 0 ELSE 1 END AS dd
+        |  FROM post p LEFT JOIN del ON del.doc_id = p.doc_id
+        |), postings_row AS (
+        |  SELECT 'postings' AS surface, CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(dd) AS BIGINT) AS n_affected,
+        |    CAST(count(DISTINCT CASE WHEN dd = 1 THEN tok END) AS BIGINT) AS n_collateral
+        |  FROM pj2
+        |)
+        |SELECT surface, n_total, n_affected,
+        |  CAST((2 * 10000 * n_affected + n_total) // (2 * n_total) AS INT) AS affected_bps,
+        |  n_collateral
+        |FROM (SELECT * FROM docs_row UNION ALL SELECT * FROM packs_row
+        |  UNION ALL SELECT * FROM clusters_row UNION ALL SELECT * FROM postings_row)""".stripMargin,
     "reshard_movement_report" ->
       """WITH ids AS (SELECT doc_id AS id FROM documents),
         |rv AS (
@@ -6277,6 +6451,52 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "ann_graph_beam_topk" ->
+      s"""$graphBeamCtes
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM beam_topk""".stripMargin,
+    "ann_graph_recall" ->
+      s"""$graphBeamCtes,
+        |topk AS (SELECT query_id, neighbor_id, rank FROM beam_topk),
+        |bscored AS (
+        |  SELECT q.query_id, cv.node_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.qv, cv.cv), 6) AS cos_sim
+        |  FROM q, c cv WHERE q.query_id != cv.node_id
+        |), rel AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS brank
+        |    FROM bscored
+        |  ) WHERE brank <= 5
+        |), disc AS (
+        |  SELECT CAST(i + 1 AS INT) AS rnk,
+        |    CAST(floor(1000000 / log2(i + 2) + 0.5e0) AS BIGINT) AS dm
+        |  FROM (SELECT unnest(range(5)) AS i)
+        |), pre AS (
+        |  SELECT rnk, CAST(sum(dm) OVER (ORDER BY rnk) AS BIGINT) AS cum FROM disc
+        |), nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1
+        |), hits AS (
+        |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hit,
+        |    CAST(min(t.rank) AS BIGINT) AS first_rank,
+        |    CAST(sum(d.dm) AS BIGINT) AS dcg_micro
+        |  FROM topk t
+        |  JOIN rel r ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+        |  JOIN disc d ON d.rnk = t.rank
+        |  GROUP BY 1
+        |), base AS (SELECT DISTINCT query_id FROM topk)
+        |SELECT b.query_id,
+        |  coalesce(n_rel, 0) AS n_rel, coalesce(n_hit, 0) AS n_hit,
+        |  coalesce(first_rank, 0) AS first_rank,
+        |  CAST(CASE WHEN n_rel > 0 THEN (coalesce(n_hit, 0) * 20000 + n_rel) // (2 * n_rel)
+        |       ELSE 0 END AS BIGINT) AS recall_bp,
+        |  CAST(CASE WHEN first_rank IS NOT NULL THEN (2000000 + first_rank) // (2 * first_rank)
+        |       ELSE 0 END AS BIGINT) AS mrr_micro,
+        |  coalesce(dcg_micro, 0) AS dcg_micro,
+        |  CAST(CASE WHEN n_rel > 0 THEN
+        |    (coalesce(dcg_micro, 0) * 20000 + (SELECT cum FROM pre WHERE rnk = least(n_rel, 5)))
+        |      // (2 * (SELECT cum FROM pre WHERE rnk = least(n_rel, 5)))
+        |    ELSE 0 END AS BIGINT) AS ndcg_bp
+        |FROM base b LEFT JOIN nr USING (query_id) LEFT JOIN hits USING (query_id)
+        |ORDER BY query_id""".stripMargin,
     "matryoshka_recall" -> {
       def leg(dm: Int, name: String) =
         s"""$name AS (
@@ -6495,6 +6715,10 @@ object SparkEntry {
       // bm25_delta_merge hashing equal to it IS the merged≡rebuilt proof
       Bm25DirectOracle,
     "bm25_delta_merge" -> Bm25DirectOracle,
+    "bm25_tombstone_topk" ->
+      // tombstoned ≡ rebuilt: the oracle is simply BM25 over the corpus
+      // minus the erasure batch
+      bm25DirectOracle("doc_id % 29 != 0"),
     "rrf_hybrid_topk" ->
       // BM25 leg (identical math to bm25_topk, top 20 ranked) + exact
       // cosine leg (identical math to ann_cosine_topk, query vec_id=3,

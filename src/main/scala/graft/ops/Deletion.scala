@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Right-to-be-forgotten impact analysis: when a batch of documents must be
+  * deleted (GDPR erasure, licensing takedown, contamination recall), the
+  * rows themselves are the cheap part — the expensive part is every DERIVED
+  * artifact that silently depends on them. [[impactReport]] measures that
+  * cascade before the delete runs, per surface:
+  *
+  *  - `docs` — the corpus itself: docs and tokens leaving.
+  *  - `packs` — packed training sequences ([[Packing.tokenPackAssignments]]
+  *    geometry): a pack containing ANY deleted doc is invalidated (the
+  *    fixed-window sequence changes), and every SURVIVING doc inside it
+  *    must be repacked — the collateral column.
+  *  - `neardup_reps` — near-dup clusters whose KEPT representative (the
+  *    min-id member, [[Dedup.nearDupClusters]]' label) is being deleted:
+  *    the dedup decision must be re-elected from the surviving members
+  *    (collateral = the re-election pool size). Deleting a non-rep member
+  *    costs nothing, which is exactly why this row counts reps only.
+  *  - `postings` — inverted-index rows ([[Retrieval.buildPostingsIndex]]
+  *    shape, one row per distinct (doc, term)): rows to purge, and the
+  *    distinct terms whose document frequency changes (collateral — every
+  *    one invalidates cached idf).
+  *
+  * Output: one row per surface — (surface, n_total, n_affected,
+  * affected_bps, n_collateral), bps round-half-up integer.
+  *
+  * Shapes at 100 TB: the delete set joins by id only (never text); packs
+  * ride the existing bucket-local window; clusters are bounded by the pair
+  * frame the upstream dedup already produced; postings is one scan + one
+  * (doc, term) aggregation. Nothing corpus-sized crosses a shuffle except
+  * the postings build the index job pays anyway.
+  */
+object Deletion {
+
+  private def bpsCol: Column =
+    expr("CAST((2 * 10000 * n_affected + n_total) div (2 * n_total) AS INT)")
+
+  def impactReport(
+      docs: DataFrame,
+      deleteIds: DataFrame,
+      pairs: DataFrame,
+      packTokens: Long = 512L,
+      buckets: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val del = deleteIds.select(col(idCol)).distinct()
+      .select(col(idCol), lit(1L).as("d"))
+      .localCheckpoint(eager = true) // ids only; reused by all four surfaces
+
+    def flag(df: DataFrame, joinCol: String): DataFrame =
+      df.join(del.withColumnRenamed(idCol, joinCol), Seq(joinCol), "left")
+        .withColumn("d", coalesce(col("d"), lit(0L)))
+
+    // docs: corpus rows and tokens leaving
+    val docsRow = flag(
+      docs.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_toks")),
+      idCol)
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("d")).as("n_affected"),
+        sum(when(col("d") === 1L, col("n_toks")).otherwise(0L)).as("n_collateral"))
+      .select(lit("docs").as("surface"), col("n_total"), col("n_affected"),
+        bpsCol.as("affected_bps"), col("n_collateral"))
+
+    // packs: invalidated sequences + survivors needing repack
+    val packsRow = flag(Packing.tokenPackAssignments(docs, packTokens, buckets, idCol, textCol), idCol)
+      .groupBy(col("bucket"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("d")).as("n_del"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum((col("n_del") > 0L).cast("long")).as("n_affected"),
+        sum(when(col("n_del") > 0L, col("n_docs") - col("n_del")).otherwise(0L))
+          .as("n_collateral"))
+      .select(lit("packs").as("surface"), col("n_total"), col("n_affected"),
+        bpsCol.as("affected_bps"), col("n_collateral"))
+
+    // neardup_reps: clusters losing their kept representative
+    val clustersRow = flag(Dedup.nearDupClusters(pairs), "id")
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(col("d")).as("n_del"),
+        max(when(col("id") === col("cluster"), col("d")).otherwise(0L)).as("rep_del"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("rep_del")).as("n_affected"),
+        sum(when(col("rep_del") === 1L, col("n_members") - col("n_del")).otherwise(0L))
+          .as("n_collateral"))
+      .select(lit("neardup_reps").as("surface"), col("n_total"), col("n_affected"),
+        bpsCol.as("affected_bps"), col("n_collateral"))
+
+    // postings: index rows to purge + terms whose df shifts
+    val postings = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col(idCol), col("tok")).distinct()
+    val postingsRow = flag(postings, idCol)
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("d")).as("n_affected"),
+        countDistinct(when(col("d") === 1L, col("tok"))).as("n_collateral"))
+      .select(lit("postings").as("surface"), col("n_total"), col("n_affected"),
+        bpsCol.as("affected_bps"), col("n_collateral"))
+
+    docsRow.unionByName(packsRow).unionByName(clustersRow).unionByName(postingsRow)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-based approximate nearest neighbor — the DiskANN/HNSW family, the
+  * production ANN method IVF and LSH lose to at high recall: search walks a
+  * prebuilt kNN graph greedily instead of scanning buckets, so each query
+  * touches O(beam × degree × hops) vectors no matter how large the corpus.
+  *
+  * Decomposition here is Spark-first and leg-agnostic, mirroring the
+  * injectable-leg contract of [[Similarity.mutualTopK]]:
+  *
+  *  - the navigation graph is ANY directed top-k frame over corpus×corpus —
+  *    [[knnGraph]] builds the exact brute one (the oracle face);
+  *    [[Similarity.ivfAnchorTopK]] output builds it at 10⁹-vector scale
+  *    (graph quality degrades gracefully, search shape is identical);
+  *  - [[beamSearchTopK]] is a fixed-hop unrolled frontier expansion: per
+  *    hop, frontier ∪ out-neighbors are rescored against the query and the
+  *    top-`beam` survive. Fixed hops + deterministic ranking (cosine
+  *    rounded to 6dp, id tie-break) make the whole search SQL-replayable —
+  *    the `bpe_merges` fixed-unroll discipline applied to graph search.
+  *
+  * Scale shape: the graph is (src, dst) ids only; each hop is one equi-join
+  * frontier→edges (frontier is queries × beam rows, never corpus-sized) and
+  * one id-join to fetch candidate vectors. The corpus is scanned never per
+  * hop — only the ≤ queries × beam × (degree+1) candidate ids reach the
+  * vector fetch. Entry point is the min-id vector: one bounded 1-row agg.
+  */
+object GraphAnn {
+
+  /** Exact directed kNN navigation graph (brute build — the oracle face;
+    * swap in an ANN leg's (query_id, neighbor_id) frame at corpus scale).
+    */
+  def knnGraph(
+      corpus: DataFrame,
+      kGraph: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    Similarity.bruteForceTopK(corpus, corpus, kGraph, idCol, vecCol)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("dst_id"))
+
+  /** Beam search over a navigation graph: `hops` rounds of expand → rescore
+    * → keep top-`beam`, then the final top-k (self excluded). `beam` must
+    * exceed `k` so the self-filter cannot starve the answer.
+    */
+  def beamSearchTopK(
+      graph: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      beam: Int = 8,
+      hops: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(beam > k, s"beam ($beam) must exceed k ($k): the final rank drops self")
+    val c = corpus.select(col(idCol).as("node_id"), col(vecCol).as("c_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val edges = graph.select(col("src_id"), col("dst_id"))
+    // deterministic entry point; 1-row bounded collect
+    val entry = corpus.agg(min(col(idCol))).head().getLong(0)
+    var frontier = q.select(col("query_id"), lit(entry).as("node_id"))
+    for (_ <- 1 to hops) {
+      val expanded = frontier
+        .select(col("query_id"), col("node_id"))
+        .unionByName(
+          frontier.join(edges, frontier("node_id") === edges("src_id"))
+            .select(col("query_id"), col("dst_id").as("node_id")))
+        .distinct()
+      val scored = expanded
+        .join(c, Seq("node_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("node_id"),
+          round(Similarity.cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+      frontier = Similarity
+        .topKPerGroup(scored, "query_id", "node_id", "cos_sim", beam)
+        .drop("rank")
+        .localCheckpoint(eager = true) // queries × beam rows; truncates hop lineage
+    }
+    Similarity.topKPerGroup(
+      frontier.filter(col("node_id") =!= col("query_id")),
+      "query_id", "node_id", "cos_sim", k)
+      .withColumnRenamed("node_id", "neighbor_id")
+  }
+}

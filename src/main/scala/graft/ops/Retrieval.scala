@@ -189,6 +189,57 @@ object Retrieval {
     scoreTf(tf, n, totalDl, k1, b, k)
   }
 
+  /** Tombstone-correct BM25 over an UNMODIFIED [[buildPostingsIndex]]
+    * layout — the Lucene deleted-docs discipline: a doc-keyed delete never
+    * rewrites a term-partitioned index (every deleted doc has postings in
+    * up to |doc| shards, so a physical purge is a full-index rewrite);
+    * instead the delete set rides along as a tombstone frame and is
+    * applied at QUERY time. Three corrections make the result
+    * score-identical to a full rebuild on the surviving corpus:
+    *
+    *  1. the query-bounded tf frame anti-joins the tombstone ids (the
+    *     deleted-docs bitmap) — this also fixes every df, since df is
+    *     derived from the tf frame downstream;
+    *  2. the corpus size N drops by the tombstone count;
+    *  3. total_dl drops by the tombstones' summed doc lengths — which is
+    *     why the tombstone frame carries (doc_id, dl): dl lives on posting
+    *     rows scattered across ALL shards, so deriving it at query time
+    *     would be the full-index scan tombstoning exists to avoid. The
+    *     deleting side knows dl when it deletes (it has the doc row).
+    *
+    * `bm25_tombstone_topk` hashes against the surviving-corpus oracle —
+    * tombstoned ≡ rebuilt, proved by the gate, the deletion counterpart of
+    * `bm25_delta_merge`'s merged ≡ rebuilt.
+    *
+    * Shape: one 1-row aggregate over the tombstone frame for the stats
+    * correction, one id-only anti-join on the shard-pruned postings scan.
+    * Query cost stays query-bounded no matter how many docs are deleted.
+    */
+  def bm25TombstoneTopK(
+      spark: SparkSession,
+      indexDir: String,
+      tombstones: DataFrame,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "query terms required")
+    val st = spark.read.parquet(s"$indexDir/stats").head()
+    val (n, totalDl, nShards) = (st.getLong(0), st.getLong(1), st.getInt(2))
+    val ts = tombstones.select(col("doc_id"), col("dl")).distinct()
+      .localCheckpoint(eager = true) // ids+dl only; feeds the correction and the anti-join
+    val corr = ts
+      .agg(count(lit(1)).as("nd"), coalesce(sum(col("dl")), lit(0L)).as("dld"))
+      .head() // 1 row
+    val shards = queryTerms.map(t => (md5Hash32Local(t) % nShards).toInt).distinct
+    val tf = spark.read
+      .parquet(s"$indexDir/postings")
+      .filter(col("pshard").isin(shards: _*) && col("tok").isInCollection(queryTerms))
+      .join(ts.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    scoreTf(tf, n - corr.getLong(0), totalDl - corr.getLong(1), k1, b, k)
+  }
+
   /** Shared scoring tail: df window over the tf frame, one micro-rounded
     * `ln` (the idf), an exact-long saturation fraction, one round-half-up
     * integer division per term, long sum per doc, deterministic top-k cut.

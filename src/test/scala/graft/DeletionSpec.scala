@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Deletion
+
+class DeletionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("impactReport: every surface priced exactly on a hand-built cascade") {
+    // 12 docs, 2 unique tokens each; buckets=2, packTokens=4 → packs of
+    // exactly 2 docs: bucket 0 = (0,2)(4,6)(8,10), bucket 1 = (1,3)(5,7)(9,11)
+    val docs = (0 until 12).map(i => (i.toLong, s"t${i}a t${i}b")).toDF("doc_id", "text")
+    // planted clusters: {1,2,3} (rep 1) and {5,6} (rep 5)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    // delete 1 (a rep), 6 (a non-rep member), 10 (unclustered)
+    val del = Seq(1L, 6L, 10L).toDF("doc_id")
+    val got = Deletion.impactReport(docs, del, pairs, packTokens = 4L, buckets = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == Set("docs", "packs", "neardup_reps", "postings"))
+    assert(got("docs") == ((12L, 3L, 2500, 6L))) // 6 tokens leave
+    // packs (4,6),(8,10),(1,3) invalidated; survivors 4, 8, 3 need repack
+    assert(got("packs") == ((6L, 3L, 5000, 3L)))
+    // only cluster {1,2,3} loses its rep; re-election pool = {2,3}
+    assert(got("neardup_reps") == ((2L, 1L, 5000, 2L)))
+    // 24 postings rows, 6 purged, 6 distinct terms' df shifts
+    assert(got("postings") == ((24L, 6L, 2500, 6L)))
+  }
+
+  test("impactReport: empty delete set prices to zero everywhere") {
+    val docs = (0 until 6).map(i => (i.toLong, s"w$i x$i")).toDF("doc_id", "text")
+    val got = Deletion.impactReport(
+      docs, Seq.empty[Long].toDF("doc_id"), Seq((0L, 1L)).toDF("id_a", "id_b"))
+      .collect()
+    assert(got.length == 4)
+    assert(got.forall(r => r.getLong(2) == 0L && r.getInt(3) == 0 && r.getLong(4) == 0L))
+  }
+}

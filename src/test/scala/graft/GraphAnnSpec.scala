@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{GraphAnn, Similarity}
+
+class GraphAnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two well-separated clusters; degree-8 graph on 12 nodes is near-complete,
+  // so 3-hop beam search must recover the exact answer
+  private def corpus = {
+    val a = (0 until 6).map(i =>
+      (i.toLong, Array(10f + i, (i % 3).toFloat, 1f, 0f)))
+    val b = (6 until 12).map(i =>
+      (i.toLong, Array(1f, 10f + i, 0f, (i % 2).toFloat)))
+    (a ++ b).toDF("vec_id", "embedding")
+  }
+
+  test("beamSearchTopK on a well-connected graph recovers the exact brute top-k") {
+    val c = corpus
+    val queries = c.filter(col("vec_id").isin(0L, 7L, 11L))
+    val beam = GraphAnn.beamSearchTopK(
+      GraphAnn.knnGraph(c, kGraph = 8), c, queries, k = 5, beam = 8, hops = 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(c, queries, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(beam == brute)
+  }
+
+  test("search never returns self, ranks are 1..k, and beam<=k is rejected") {
+    val c = corpus
+    val got = GraphAnn.beamSearchTopK(
+      GraphAnn.knnGraph(c, kGraph = 8), c, c, k = 3, beam = 6, hops = 2)
+      .collect()
+    assert(got.forall(r => r.getLong(0) != r.getLong(1)))
+    val byQ = got.groupBy(_.getLong(0))
+    assert(byQ.size == 12 && byQ.values.forall(_.map(_.getInt(3)).sorted.sameElements(1 to 3)))
+    intercept[IllegalArgumentException] {
+      GraphAnn.beamSearchTopK(GraphAnn.knnGraph(c, 8), c, c, k = 5, beam = 5)
+    }
+  }
+}

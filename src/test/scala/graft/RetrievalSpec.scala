@@ -111,6 +111,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("bm25TombstoneTopK: query-time deletes are score-identical to a rebuild") {
+    val corpus = (1L to 40L).map { i =>
+      (i, s"filler$i words merge scan table whatever item${i % 7} tail${i % 3}")
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val full = java.nio.file.Files.createTempDirectory("bm25tomb").toString
+    graft.ops.Retrieval.buildPostingsIndex(df, full, nShards = 16)
+    // delete a third of the corpus WITHOUT touching the index
+    val dead = df.filter($"doc_id" % 3 === 0)
+      .select($"doc_id", graft.ops.TextAnalysis.tokenCount($"text").cast("long").as("dl"))
+    val got = graft.ops.Retrieval
+      .bm25TombstoneTopK(spark, full, dead, Seq("merge", "scan"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    // ground truth: an index built on the survivors only
+    val rebuilt = java.nio.file.Files.createTempDirectory("bm25tombref").toString
+    graft.ops.Retrieval.buildPostingsIndex(df.filter($"doc_id" % 3 =!= 0), rebuilt, nShards = 16)
+    val want = graft.ops.Retrieval
+      .bm25TopKIndexed(spark, rebuilt, Seq("merge", "scan"), k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    assert(got.forall(_._1 % 3 != 0), "a tombstoned doc surfaced in results")
+  }
+
   test("bm25TopK: k cuts deterministically by (score desc, doc_id)") {
     // two identical docs → identical scores; the tie breaks by doc_id
     val corpus = Seq(
