@@ -650,6 +650,31 @@ object SparkEntry {
           .select(col("query_id"), col("neighbor_id")),
         k = 5)
     },
+    "ann_graph_hop_sweep" -> { (s, dir) =>
+      // The tuning curve behind ann_graph_recall: recall@5 vs frontier
+      // depth (hops 1..4) on the SAME degree-8 graph — whether more hops
+      // buy recall or the graph has stopped navigating (the flat-graph
+      // saturation diagnosis; HNSW's hierarchy exists exactly to fix it).
+      // Graph + gold computed once (checkpointed), four bounded legs.
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val graph = graft.ops.GraphAnn.knnGraph(emb, kGraph = 8)
+        .localCheckpoint(eager = true)
+      val gold = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val nGold = gold.agg(count(lit(1)).as("n_gold"))
+      Seq(1, 2, 3, 4).map { h =>
+        graft.ops.GraphAnn.beamSearchTopK(graph, emb, queries, k = 5, beam = 8, hops = h)
+          .join(gold, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hit"))
+          .crossJoin(broadcast(nGold)) // 1-row gold count
+          .select(
+            lit(h).as("hops"), col("n_gold"), col("n_hit"),
+            expr("CAST((2 * 1000000 * n_hit + n_gold) div (2 * n_gold) AS BIGINT)")
+              .as("recall_micro"))
+      }.reduce(_ unionByName _)
+    },
     "ann_pq_adc_topk" -> { (s, dir) =>
       // Product quantization with asymmetric distance: deterministic anchor
       // codebooks, integer-exact encoding + ADC (ops/Similarity.scala) —
@@ -4029,8 +4054,11 @@ object SparkEntry {
     * the self-excluded final top-5 as `beam_topk` — mirrors
     * [[graft.ops.GraphAnn.beamSearchTopK]] hop for hop.
     */
-  private def graphBeamCtes: String = {
-    val hops = (1 to 3).map { h =>
+  /** The navigation-graph chain through frontier `f{maxHops}` — shared by
+    * the fixed-3-hop beam queries and the hop sweep.
+    */
+  private def graphHopCtes(maxHops: Int): String = {
+    val hops = (1 to maxHops).map { h =>
       s"""x$h AS (
         |  SELECT query_id, node_id FROM f${h - 1}
         |  UNION
@@ -4060,7 +4088,11 @@ object SparkEntry {
       |),
       |e AS (SELECT min(node_id) AS entry FROM c),
       |f0 AS (SELECT query_id, entry AS node_id FROM q, e),
-      |$hops,
+      |$hops""".stripMargin
+  }
+
+  private def graphBeamCtes: String =
+    s"""${graphHopCtes(3)},
       |beam_topk AS (
       |  SELECT query_id, node_id AS neighbor_id, cos_sim, rank FROM (
       |    SELECT query_id, node_id, cos_sim,
@@ -4068,6 +4100,38 @@ object SparkEntry {
       |        ORDER BY cos_sim DESC, node_id) AS INT) AS rank
       |    FROM f3 WHERE node_id != query_id) WHERE rank <= 5
       |)""".stripMargin
+
+  /** Hop sweep replay: one final-top-5 leg per frontier depth, each scored
+    * for gold-hit count against the brute top-5.
+    */
+  private def graphHopSweepOracle: String = {
+    val legs = (1 to 4).map { h =>
+      s"""t$h AS (
+        |  SELECT query_id, node_id FROM (
+        |    SELECT query_id, node_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, node_id) AS rk
+        |    FROM f$h WHERE node_id != query_id) WHERE rk <= 5
+        |), h$h AS (
+        |  SELECT CAST($h AS INT) AS hops,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM rel) AS n_gold,
+        |    CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM t$h t JOIN rel r ON r.query_id = t.query_id AND r.neighbor_id = t.node_id
+        |)""".stripMargin
+    }.mkString(",\n")
+    s"""${graphHopCtes(4)},
+      |rel AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, cv.node_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY round(list_cosine_similarity(q.qv, cv.cv), 6) DESC, cv.node_id) AS brank
+      |    FROM q, c cv WHERE q.query_id != cv.node_id
+      |  ) WHERE brank <= 5
+      |),
+      |$legs
+      |SELECT hops, n_gold, n_hit,
+      |  CAST((2 * 1000000 * n_hit + n_gold) // (2 * n_gold) AS BIGINT) AS recall_micro
+      |FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2
+      |  UNION ALL SELECT * FROM h3 UNION ALL SELECT * FROM h4)""".stripMargin
   }
 
   /** nprobe sweep replay: the shared anchor-IVF chain, one probe leg per
@@ -6454,6 +6518,7 @@ object SparkEntry {
     "ann_graph_beam_topk" ->
       s"""$graphBeamCtes
         |SELECT query_id, neighbor_id, cos_sim, rank FROM beam_topk""".stripMargin,
+    "ann_graph_hop_sweep" -> graphHopSweepOracle,
     "ann_graph_recall" ->
       s"""$graphBeamCtes,
         |topk AS (SELECT query_id, neighbor_id, rank FROM beam_topk),
