@@ -1337,6 +1337,20 @@ object SparkEntry {
       // (one hash exchange + per-bucket sort; buckets pack independently).
       graft.ops.Packing.tokenPackAssignments(table(s, dir, "documents"))
     },
+    "pack_nextfit_assignments" -> { (s, dir) =>
+      // Whole-doc next-fit packing (docs never straddle a boundary) — the
+      // repo's one deliberate mapPartitions operator: the per-bucket fold
+      // has carried state with resets, which no window expresses. One
+      // bucket exchange + per-partition sort; oracle replays the fold as
+      // a recursive CTE (ops/Packing.scala).
+      graft.ops.Packing.nextFitPacks(table(s, dir, "documents"))
+    },
+    "packing_order_waste" -> { (s, dir) =>
+      // Does sorting by length pay? Next-fit pack count + underfill bps
+      // under arrival order vs length-desc order — the measured answer to
+      // the bin-packing folklore before paying the extra sort.
+      graft.ops.Packing.orderWasteReport(table(s, dir, "documents"))
+    },
     "pack_purity_report" -> { (s, dir) =>
       // Cross-doc contamination inside packed training sequences: per
       // pack, how many docs/languages/sources share the context window
@@ -4054,6 +4068,31 @@ object SparkEntry {
     * the self-excluded final top-5 as `beam_topk` — mirrors
     * [[graft.ops.GraphAnn.beamSearchTopK]] hop for hop.
     */
+  /** Next-fit fold replay: rows numbered per bucket under `orderBy`, then a
+    * linear recursion carries (pack_id, fill) — the recursive-CTE form of
+    * [[graft.ops.Packing.nextFitPacks]]' state machine. `p` prefixes the
+    * CTE names so two orderings can coexist in one WITH RECURSIVE.
+    */
+  private def nextFitCtes(p: String, orderBy: String, budget: Long = 512L): String =
+    s"""${p}t AS (
+      |  SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS bucket,
+      |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), ${p}r AS (
+      |  SELECT doc_id, bucket, n_tokens,
+      |    row_number() OVER (PARTITION BY bucket ORDER BY $orderBy) AS rn
+      |  FROM ${p}t
+      |), ${p}nf AS (
+      |  SELECT doc_id, bucket, n_tokens, rn,
+      |    CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+      |  FROM ${p}r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.doc_id, r.bucket, r.n_tokens, r.rn,
+      |    CASE WHEN nf.fill + r.n_tokens > $budget THEN nf.pack_id + 1 ELSE nf.pack_id END,
+      |    CASE WHEN nf.fill + r.n_tokens > $budget THEN r.n_tokens ELSE nf.fill + r.n_tokens END
+      |  FROM ${p}nf nf JOIN ${p}r r ON r.bucket = nf.bucket AND r.rn = nf.rn + 1
+      |)""".stripMargin
+
   /** The navigation-graph chain through frontier `f{maxHops}` — shared by
     * the fixed-3-hop beam queries and the hop sweep.
     */
@@ -7632,6 +7671,26 @@ object SparkEntry {
         |)
         |SELECT doc_id FROM documents
         |WHERE doc_id % 13 != 0 AND doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin,
+    "pack_nextfit_assignments" ->
+      s"""WITH RECURSIVE ${nextFitCtes("", "doc_id")}
+        |SELECT doc_id, bucket, n_tokens, pack_id FROM nf""".stripMargin,
+    "packing_order_waste" -> {
+      def leg(name: String, p: String) =
+        s"""SELECT '$name' AS ordering, n_packs, n_tokens, underfill,
+          |  CAST((2 * 10000 * underfill + 512 * n_packs)
+          |    // (2 * 512 * n_packs) AS INT) AS underfill_bps
+          |FROM (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_packs,
+          |    CAST(sum(fill) AS BIGINT) AS n_tokens,
+          |    CAST(sum(greatest(512 - fill, 0)) AS BIGINT) AS underfill
+          |  FROM (SELECT bucket, pack_id, CAST(sum(n_tokens) AS BIGINT) AS fill
+          |        FROM ${p}nf GROUP BY 1, 2))""".stripMargin
+      s"""WITH RECURSIVE ${nextFitCtes("a", "doc_id")},
+        |${nextFitCtes("b", "n_tokens DESC, doc_id")}
+        |${leg("arrival", "a")}
+        |UNION ALL
+        |${leg("length_desc", "b")}""".stripMargin
+    },
     "token_pack_assignments" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS bucket,

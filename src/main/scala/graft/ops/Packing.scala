@@ -57,6 +57,92 @@ object Packing {
     * the window partitions by label, so skew follows label skew — exactly
     * the quantity the max-count scalar already measured.
     */
+  /** Whole-document next-fit packing: unlike [[tokenPackAssignments]]'
+    * cumulative-DIV assignment (which lets a document straddle a pack
+    * boundary), next-fit keeps every document intact — a doc goes into the
+    * current pack if it fits the remaining budget, else opens a new pack
+    * (a doc larger than the budget gets a pack of its own). This is the
+    * packer for loaders that cannot split documents; the price is
+    * underfill, which [[tokenPackAssignments]] never pays.
+    *
+    * The fold is inherently sequential PER BUCKET (each assignment depends
+    * on the running fill, with resets — not expressible as a window), so
+    * this is the repo's one deliberate `mapPartitions` operator: one hash
+    * exchange on bucket + a per-partition sort puts each bucket's docs
+    * contiguous and ordered, then a linear state machine walks them
+    * (resetting at bucket changes — several buckets may share a
+    * partition). Same 100 TB shape as every packer here: buckets fold
+    * independently on their executors, nothing global.
+    *
+    * `byLengthDesc` orders docs (n_tokens desc, id) instead of id order —
+    * the sorted-next-fit variant whose waste `packing_order_waste`
+    * compares against arrival order. Deterministic either way.
+    */
+  def nextFitPacks(
+      docs: DataFrame,
+      packTokens: Long = 512L,
+      buckets: Int = 32,
+      byLengthDesc: Boolean = false,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(packTokens > 0 && buckets > 0, "packTokens and buckets must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ordering =
+      if (byLengthDesc) Seq(col("bucket"), col("n_tokens").desc, col(idCol))
+      else Seq(col("bucket"), col(idCol))
+    docs
+      .select(
+        col(idCol).cast("long"),
+        (col(idCol) % buckets).cast("long").as("bucket"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(ordering: _*)
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var bucket = -1L
+        var pack = 0L
+        var fill = 0L
+        it.map { case (id, b, tok) =>
+          if (b != bucket) { bucket = b; pack = 0L; fill = 0L }
+          else if (fill + tok > packTokens) { pack += 1L; fill = 0L }
+          fill += tok
+          (id, b, tok, pack)
+        }
+      }
+      .toDF(idCol, "bucket", "n_tokens", "pack_id")
+  }
+
+  /** The measured cost of each packing discipline: per ordering (arrival
+    * vs length-desc next-fit), the pack count and the underfill share —
+    * `sum(max(budget − fill, 0)) / (budget · packs)` in bps (oversized
+    * single-doc packs contribute zero waste: no ordering can fix them).
+    * Sorting by length is classic bin-packing lore; this row says what it
+    * actually buys on THIS corpus before anyone pays the extra sort.
+    */
+  def orderWasteReport(
+      docs: DataFrame,
+      packTokens: Long = 512L,
+      buckets: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    def leg(name: String, desc: Boolean): DataFrame =
+      nextFitPacks(docs, packTokens, buckets, desc, idCol, textCol)
+        .groupBy(col("bucket"), col("pack_id"))
+        .agg(sum(col("n_tokens")).as("fill"))
+        .agg(
+          count(lit(1)).as("n_packs"),
+          sum(col("fill")).as("n_tokens"),
+          sum(greatest(lit(packTokens) - col("fill"), lit(0L))).as("underfill"))
+        .select(
+          lit(name).as("ordering"), col("n_packs"), col("n_tokens"), col("underfill"),
+          expr(s"CAST((2 * 10000 * underfill + $packTokens * n_packs)" +
+            s" div (2 * $packTokens * n_packs) AS INT)").as("underfill_bps"))
+    leg("arrival", desc = false).unionByName(leg("length_desc", desc = true))
+  }
+
   def contrastiveBatches(
       df: DataFrame,
       idCol: String = "vec_id",

@@ -51,6 +51,42 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("nextFitPacks: whole-doc fold with resets, oversized docs pack alone") {
+    // one bucket; sizes 3,2,2,5,1 with budget 5:
+    // 3→p0(3), 2→p0(5), 2→p1(2), 5→p2(5), 1→p3(1)
+    val texts = Seq(3, 2, 2, 5, 1).zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.tabulate(n)(j => s"w$j").mkString(" "))
+    }
+    val got = Packing.nextFitPacks(texts.toDF("doc_id", "text"), packTokens = 5, buckets = 1)
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t._4).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // oversized first doc takes pack 0 whole; the next doc opens pack 1
+    val big = Seq((0L, Seq.fill(8)("x").mkString(" ")), (1L, "a b"))
+    val got2 = Packing.nextFitPacks(big.toDF("doc_id", "text"), packTokens = 5, buckets = 1)
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> t._4).toMap
+    assert(got2 == Map(0L -> 0L, 1L -> 1L))
+  }
+
+  test("nextFitPacks: buckets sharing a partition reset the fold; length order changes packs") {
+    // ids 0..5 alternate buckets 0/1 (sizes 4,4,3,3,2,2); budget 5
+    val docs = Seq(4, 4, 3, 3, 2, 2).zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.tabulate(n)(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val arrival = Packing.nextFitPacks(docs, packTokens = 5, buckets = 2)
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._4))).toMap
+    // bucket 0: ids 0(4)→p0, 2(3)→p1, 4(2)→p1(5); bucket 1: 1(4)→p0, 3(3)→p1, 5(2)→p1
+    assert(arrival == Map(
+      0L -> ((0L, 0L)), 2L -> ((0L, 1L)), 4L -> ((0L, 1L)),
+      1L -> ((1L, 0L)), 3L -> ((1L, 1L)), 5L -> ((1L, 1L))))
+    val waste = Packing.orderWasteReport(docs, packTokens = 5, buckets = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    // arrival: 4 packs, fills {4,5}×2 → underfill 2 of 20 budget = 1000 bps
+    assert(waste("arrival") == ((4L, 18L, 2L, 1000)))
+    // length_desc per bucket (4,3,2): identical fold here — same waste
+    assert(waste("length_desc") == ((4L, 18L, 2L, 1000)))
+  }
+
   test("contrastiveBatches: no same-label pair shares a batch, batch count = max label freq") {
     // skewed labels: label 0 has 7 members, 1 has 3, 2 has 1
     val rows = (0L until 7L).map((_, 0)) ++ (7L until 10L).map((_, 1)) ++ Seq((10L, 2))
