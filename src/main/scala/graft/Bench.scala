@@ -59,11 +59,23 @@ object Bench {
     // for humans, written as one JSON object to /tmp (path echoed in the
     // line as `full`).
     val resMap = results.toMap
-    val qms = ordered
+    // Fixed-width base36 CENTISECONDS, 3 chars per query, no separators,
+    // name-sorted query order; "---" = failed both passes. Replaces the
+    // r7 `qms` integer array: at 318+ queries that array alone pushed the
+    // metric line toward the scorer's 2000-byte tail capture (a longer
+    // line truncates from the FRONT, which is exactly the r4-r6
+    // "parsed": null failure). 3 chars encode up to 36³−1 = 466.55 s,
+    // far above any per-query time; values cap there rather than widen.
+    val qcs36 = ordered
       .map { case (name, _) =>
-        resMap(name).map(t => math.round(t * 1000).toString).getOrElse("null")
+        resMap(name) match {
+          case Some(t) =>
+            val cs = math.min(math.round(t * 100), 36L * 36 * 36 - 1)
+            java.lang.Long.toString(cs, 36).reverse.padTo(3, '0').reverse
+          case None => "---"
+        }
       }
-      .mkString("[", ",", "]")
+      .mkString
     val fullMap = ordered
       .map { case (name, _) =>
         "\"" + name + "\":" + resMap(name).map(f3(_)).getOrElse("null")
@@ -96,7 +108,7 @@ object Bench {
     org.apache.log4j.LogManager.getRootLogger.setLevel(org.apache.log4j.Level.OFF)
     System.err.flush()
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v3","sf":"$sfBase","n":${ordered.size},"order":"name-sorted","stream_events_per_sec":$streamEps,"failed":$failedJson,"qms":$qms,"full":"$fullPath"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v4","sf":"$sfBase","n":${ordered.size},"order":"name-sorted","stream_events_per_sec":$streamEps,"failed":$failedJson,"qcs36":"$qcs36","full":"$fullPath"}"""
     )
     System.out.flush()
   }

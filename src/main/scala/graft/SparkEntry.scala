@@ -25,6 +25,17 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Degree-8 navigation graph for the graph-ANN queries, built by the
+    * IVF leg (deterministic anchors, nprobe=2) — candidate-bounded where
+    * brute would be N², and SQL-replayable through the same assign/probe
+    * chain as ann_ivf_anchor_topk. Checkpointed: every beam hop re-joins
+    * the edge frame, and the graph build must not re-execute per hop.
+    */
+  private def ivfGraph(emb: DataFrame): DataFrame =
+    Similarity.ivfAnchorTopK(emb, emb, k = 8, nprobe = 2, broadcastQueries = false)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("dst_id"))
+      .localCheckpoint(eager = true)
+
   /** The events table has shipped with two physical layouts for `ts`:
     * nanosecond parquet timestamps (rounds ≤5 — unrepresentable as Spark
     * TimestampType, read as raw nanos via `nanosAsLong`) and plain µs
@@ -627,13 +638,14 @@ object SparkEntry {
       // Graph ANN (DiskANN/HNSW family): 3-hop beam search over a directed
       // kNN navigation graph — per hop the frontier expands along edges,
       // rescores, keeps top-beam; per query the search touches
-      // O(beam·degree·hops) vectors regardless of corpus size. Exact brute
-      // graph build here (the oracle face); an ANN-leg graph at 10⁹ scale
-      // (ops/GraphAnn.scala).
+      // O(beam·degree·hops) vectors regardless of corpus size. The graph
+      // itself is built by the IVF leg (deterministic anchors, nprobe=2:
+      // candidate-bounded, never N² — the production build), which keeps
+      // the whole chain SQL-replayable; GraphAnn.knnGraph stays the exact
+      // brute face for specs (ops/GraphAnn.scala).
       val emb = table(s, dir, "embeddings")
       graft.ops.GraphAnn.beamSearchTopK(
-        graft.ops.GraphAnn.knnGraph(emb, kGraph = 8),
-        emb, emb.filter(col("vec_id") < 8), k = 5, beam = 8, hops = 3)
+        ivfGraph(emb), emb, emb.filter(col("vec_id") < 8), k = 5, beam = 8, hops = 3)
     },
     "ann_graph_recall" -> { (s, dir) =>
       // The beam-search leg evaluated against exact brute-force gold —
@@ -644,22 +656,21 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 8)
       graft.ops.Retrieval.evalMetrics(
         graft.ops.GraphAnn.beamSearchTopK(
-          graft.ops.GraphAnn.knnGraph(emb, kGraph = 8),
-          emb, queries, k = 5, beam = 8, hops = 3),
+          ivfGraph(emb), emb, queries, k = 5, beam = 8, hops = 3),
         Similarity.bruteForceTopK(emb, queries, k = 5)
           .select(col("query_id"), col("neighbor_id")),
         k = 5)
     },
     "ann_graph_hop_sweep" -> { (s, dir) =>
       // The tuning curve behind ann_graph_recall: recall@5 vs frontier
-      // depth (hops 1..4) on the SAME degree-8 graph — whether more hops
-      // buy recall or the graph has stopped navigating (the flat-graph
-      // saturation diagnosis; HNSW's hierarchy exists exactly to fix it).
-      // Graph + gold computed once (checkpointed), four bounded legs.
+      // depth (hops 1..4) on the SAME degree-8 IVF-built graph — whether
+      // more hops buy recall or the graph has stopped navigating (the
+      // flat-graph saturation diagnosis; HNSW's hierarchy exists exactly
+      // to fix it). Graph + gold computed once (checkpointed), four
+      // bounded legs.
       val emb = table(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
-      val graph = graft.ops.GraphAnn.knnGraph(emb, kGraph = 8)
-        .localCheckpoint(eager = true)
+      val graph = ivfGraph(emb)
       val gold = Similarity.bruteForceTopK(emb, queries, k = 5)
         .select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(eager = true)
@@ -4063,10 +4074,13 @@ object SparkEntry {
       |    AND x.query_id < x.neighbor_id
       |)""".stripMargin
 
-  /** Graph-ANN beam-search replay: exact brute kNN navigation graph
-    * (degree 8), min-id entry, 3 unrolled expand→rescore→top-8 hops, then
-    * the self-excluded final top-5 as `beam_topk` — mirrors
-    * [[graft.ops.GraphAnn.beamSearchTopK]] hop for hop.
+  /** Graph-ANN beam-search replay: the navigation graph is the IVF leg's
+    * per-node top-8 (deterministic anchors, nprobe=2 — the SAME
+    * assign/probe chain the green ann_ivf_anchor_topk oracle replays, so
+    * the graph build costs candidates, not N²), then min-id entry and
+    * `maxHops` unrolled expand→rescore→top-8 hops — mirrors
+    * [[graft.ops.GraphAnn.beamSearchTopK]] over
+    * [[graft.ops.Similarity.ivfAnchorTopK]] output hop for hop.
     */
   /** Next-fit fold replay: rows numbered per bucket under `orderBy`, then a
     * linear recursion carries (pack_id, fill) — the recursive-CTE form of
@@ -4115,16 +4129,41 @@ object SparkEntry {
         |    FROM s$h) WHERE rk <= 8
         |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH c AS (SELECT vec_id AS node_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-      |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      |      FROM embeddings WHERE vec_id < 8),
-      |g AS (
+    s"""WITH vecs AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS mv
+      |  FROM embeddings WHERE len(embedding) = 64
+      |), anchors AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, mv AS av
+      |  FROM vecs ORDER BY vec_id LIMIT 16
+      |), dists AS (
+      |  SELECT v.vec_id, a.ai,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (v.mv[i] - a.av[i]) * (v.mv[i] - a.av[i]))) AS d2
+      |  FROM vecs v, anchors a
+      |), assign AS (
+      |  SELECT vec_id, ai AS bucket,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
+      |  FROM dists
+      |), gc AS (SELECT vec_id AS neighbor_id, bucket FROM assign WHERE rk = 1),
+      |gq AS (SELECT vec_id AS src_id, bucket FROM assign WHERE rk <= 2),
+      |gcand AS (
+      |  SELECT DISTINCT src_id, neighbor_id
+      |  FROM gq JOIN gc USING (bucket) WHERE src_id != neighbor_id
+      |), gscored AS (
+      |  SELECT cand.src_id, cand.neighbor_id,
+      |    round(list_cosine_similarity(a.v, b.v), 6) AS cs
+      |  FROM gcand cand JOIN vecs a ON a.vec_id = cand.src_id
+      |                  JOIN vecs b ON b.vec_id = cand.neighbor_id
+      |), g AS (
       |  SELECT src_id, dst_id FROM (
-      |    SELECT a.node_id AS src_id, b.node_id AS dst_id,
-      |      row_number() OVER (PARTITION BY a.node_id
-      |        ORDER BY round(list_cosine_similarity(a.cv, b.cv), 6) DESC, b.node_id) AS rk
-      |    FROM c a JOIN c b ON a.node_id != b.node_id) WHERE rk <= 8
+      |    SELECT src_id, neighbor_id AS dst_id,
+      |      row_number() OVER (PARTITION BY src_id ORDER BY cs DESC, neighbor_id) AS rk
+      |    FROM gscored) WHERE rk <= 8
       |),
+      |c AS (SELECT vec_id AS node_id, v AS cv FROM vecs),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 8),
       |e AS (SELECT min(node_id) AS entry FROM c),
       |f0 AS (SELECT query_id, entry AS node_id FROM q, e),
       |$hops""".stripMargin

@@ -92,8 +92,16 @@ object RecordLinkage {
     * score, the decision, and the ground-truth flag.
     */
   def fsPairs(cust: DataFrame): DataFrame = {
-    val d = dirtyCustomers(cust).localCheckpoint(eager = true)
-    val c = cleanSide(cust).localCheckpoint(eager = true)
+    // name trigrams computed ONCE per record here (records-sized work,
+    // and the record frames broadcast into the scoring join) — computing
+    // them per candidate pair would redo the string work |candidates|×2
+    // times, which at sf0.1 is ~240× per record
+    val d = dirtyCustomers(cust)
+      .withColumn("d_tri", trigrams(lower(col("d_name"))))
+      .localCheckpoint(eager = true)
+    val c = cleanSide(cust)
+      .withColumn("c_tri", trigrams(lower(col("c_name"))))
+      .localCheckpoint(eager = true)
     val passA = d
       .join(c, col("d_nation") === col("c_nation") && col("d_seg") === col("c_seg"))
       .select(col("d_key"), col("c_key"))
@@ -108,8 +116,6 @@ object RecordLinkage {
       .join(d, Seq("d_key"))
       .join(c, Seq("c_key"))
       .withColumn("a_name_exact", (col("d_name") === col("c_name")).cast("int"))
-      .withColumn("d_tri", trigrams(lower(col("d_name"))))
-      .withColumn("c_tri", trigrams(lower(col("c_name"))))
       .withColumn(
         "a_name_tri",
         (size(array_intersect(col("d_tri"), col("c_tri"))) * 2 >=

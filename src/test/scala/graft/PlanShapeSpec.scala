@@ -525,4 +525,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Scan parquet"),
       "simpson_audit re-scans events — the per-user frame must be checkpointed")
   }
+
+  test("next-fit packing: one bucket exchange + partition sort, no global sort, no window") {
+    val plan = executedPlan("pack_nextfit_assignments")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "exactly one shuffle (on bucket) expected")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "the fold needs only a per-partition sort, never a global one")
+    assert(!plan.contains("Window"), "the fold must not degrade to a window")
+  }
+
+  test("graph beam search: hop joins stay equi, no cartesian, frontier feeds from checkpoints") {
+    val plan = executedPlan("ann_graph_beam_topk")
+    assert(!plan.contains("CartesianProduct"))
+    // final hop runs on the checkpointed frontier: only corpus + query
+    // vector fetches may scan parquet (no navigation-graph rebuild)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).isEmpty ||
+      !plan.contains("graph"), "beam hop joins must be equi-joins")
+  }
+
+  test("tombstone bm25: postings scan prunes to the query's shards, tombstones anti-join") {
+    val plan = executedPlan("bm25_tombstone_topk")
+    assert(plan.contains("LeftAnti"), "the deleted-docs bitmap must be an anti-join")
+    assert(plan.contains("pshard"), "shard pruning must reach the postings scan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
