@@ -2243,20 +2243,21 @@ object SparkEntry {
     },
     "quality_cv_auc" -> { (s, dir) =>
       // PROPER eval of the in-engine trainer: 5-fold cross-validated
-      // midrank AUC — five independent GD chains, each trained on 4/5 of
-      // the corpus and scored ONLY on its held-out fold, so the number is
-      // free of training-set optimism (the single-model auc row scores
-      // in-sample). One feature scan, five bounded-driver GD loops over
-      // the checkpointed frame (ops/QualityTrainer, ops/Contingency).
+      // midrank AUC — five fold models trained through ONE shared
+      // gradient loop (trainMany: 8 aggregations total, not 40), each
+      // scored ONLY on its held-out fold, so the number is free of
+      // training-set optimism (the single-model auc row scores
+      // in-sample). Results bit-identical to five independent GD chains
+      // (ops/QualityTrainer, ops/Contingency).
       val docs = table(s, dir, "documents")
       val feat = graft.ops.QualityTrainer.features(docs).localCheckpoint(eager = true)
+      val ws = graft.ops.QualityTrainer.trainMany(
+        feat, (0 until 5).map(f => (col("doc_id") % 5 =!= f, Set.empty[Int])), iters = 8)
       (0 until 5).map { f =>
-        val train = feat.filter(col("doc_id") % 5 =!= f)
         val test = feat.filter(col("doc_id") % 5 === f)
-        val w = graft.ops.QualityTrainer.train(train, iters = 8).last
         graft.ops.Contingency
           .rocAuc(
-            graft.ops.QualityTrainer.score(test, w)
+            graft.ops.QualityTrainer.score(test, ws(f))
               .join(test.select(col("doc_id"), col("y").cast("int").as("label")), Seq("doc_id"))
               .select(col("label"), col("p_micro")),
             "label", "p_micro")

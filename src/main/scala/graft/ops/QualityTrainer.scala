@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -76,6 +76,69 @@ object QualityTrainer {
     */
   private def predictMicro(w: Array[Long]) =
     floor(dotExpr(w).cast("double") / 1000000.0).cast("long")
+
+  /** Train MANY sibling models through ONE gradient loop: per iteration,
+    * a single aggregation over the feature frame computes every model's
+    * five gradient sums at once (models × 5 decimal columns), instead of
+    * each model paying its own `iters` sequential passes — the difference
+    * between `folds·iters` and `iters` corpus scans for cross-validation,
+    * ablation, and every other train-K-variants query.
+    *
+    * A model is (row predicate, dropped-feature set): CV folds differ by
+    * predicate (`doc_id % k != f`), ablations by dropped features (their
+    * x_j reads as 0 in BOTH the prediction and the gradient, so the
+    * weight provably stays 0 — no special-casing). Bit-identical to
+    * running [[train]] per model on the filtered/masked frame: same
+    * per-model n in the step denominator, same exact-BigInt floor-div
+    * update (spec-pinned).
+    *
+    * Driver state: models × 5 longs. Corpus work: `iters` aggregations
+    * total, map-side partials only — nothing reshuffles.
+    */
+  def trainMany(
+      f: DataFrame,
+      models: Seq[(Column, Set[Int])],
+      iters: Int,
+      etaNum: Long = 1L,
+      etaDen: Long = 2L
+  ): Seq[Array[Long]] = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    require(models.nonEmpty, "at least one model required")
+    def x(m: Int, j: Int): Column =
+      if (models(m)._2.contains(j)) lit(0L) else col(s"x$j")
+    // per-model row counts: one aggregation
+    val nRow = f
+      .agg(
+        sum(when(models.head._1, 1L).otherwise(0L)),
+        models.tail.map(m => sum(when(m._1, 1L).otherwise(0L))): _*)
+      .head()
+    val ns = models.indices.map(m => nRow.getLong(m))
+    ns.zipWithIndex.foreach { case (n, m) => require(n > 0, s"model $m sees no rows") }
+    val bigDs = ns.map(n => BigInt(etaDen) * n * 1000000L)
+    val ws = Array.fill(models.size)(Array.fill(5)(0L))
+    (1 to iters).foreach { _ =>
+      val gradCols = models.indices.flatMap { m =>
+        val dot = (0 to 4).map(j => x(m, j) * lit(ws(m)(j))).reduce(_ + _)
+        val err = (floor(dot.cast("double") / 1000000.0).cast("long") -
+          col("y") * 1000000L).cast(DecimalType(38, 0))
+        (0 to 4).map(j =>
+          sum(when(models(m)._1, err * x(m, j)).otherwise(lit(0L).cast(DecimalType(38, 0))))
+            .as(s"g_${m}_$j"))
+      }
+      val row = f.agg(gradCols.head, gradCols.tail: _*).head()
+      models.indices.foreach { m =>
+        (0 to 4).foreach { j =>
+          val g = BigInt(row.getDecimal(m * 5 + j).toBigInteger)
+          val num = BigInt(2) * etaNum * g + bigDs(m)
+          val den = BigInt(2) * bigDs(m)
+          val q = num / den
+          val delta = if (num.sign * den.sign < 0 && q * den != num) q - 1 else q
+          ws(m)(j) = ws(m)(j) - delta.toLong
+        }
+      }
+    }
+    ws.toSeq.map(_.clone())
+  }
 
   /** Batch-GD training loop. Returns the weight trajectory: element t is
     * the weight vector AFTER iteration t+1 (micro-units, FeatureNames
@@ -611,8 +674,12 @@ object QualityTrainer {
     */
   def featureAblationAucs(docs: DataFrame, iters: Int): DataFrame = {
     val feat = features(docs).localCheckpoint(eager = true)
-    def aucFor(f: DataFrame, tag: String): DataFrame = {
-      val w = train(f, iters).last
+    // all six retrains (full + one per dropped feature) share ONE gradient
+    // loop: iters aggregations total instead of 6·iters
+    val masks = Set.empty[Int] +: (0 to 4).map(Set(_))
+    val ws = trainMany(feat, masks.map(m => (lit(true), m)), iters)
+    def aucFor(mask: Set[Int], w: Array[Long], tag: String): DataFrame = {
+      val f = mask.foldLeft(feat) { case (df, j) => df.withColumn(s"x$j", lit(0L)) }
       Contingency.rocAuc(
         score(f, w)
           .join(f.select(col("doc_id"), col("y").cast("int").as("label")), Seq("doc_id"))
@@ -620,9 +687,9 @@ object QualityTrainer {
         "label", "p_micro")
         .select(lit(tag).as("dropped_feature"), col("n_pos"), col("n_neg"), col("auc_bps"))
     }
-    val all = (aucFor(feat, "none") +: FeatureNames.zipWithIndex.map { case (nm, j) =>
-      aucFor(feat.withColumn(s"x$j", lit(0L)), nm)
-    }).reduce(_.unionByName(_)).localCheckpoint(eager = true) // 6 rows
+    val tags = "none" +: FeatureNames
+    val all = masks.zip(ws).zip(tags).map { case ((m, w), tag) => aucFor(m, w, tag) }
+      .reduce(_.unionByName(_)).localCheckpoint(eager = true) // 6 rows
     val full = all.filter(col("dropped_feature") === "none")
       .select(col("auc_bps").as("full_auc_bps"))
     all.crossJoin(broadcast(full))
@@ -661,11 +728,15 @@ object QualityTrainer {
     */
   def labelNoiseMatrix(docs: DataFrame, iters: Int, folds: Int = 5): DataFrame = {
     val feat = features(docs).localCheckpoint(eager = true)
+    // the k fold models share ONE gradient loop (iters aggregations, not
+    // folds·iters); scoring stays strictly out-of-fold
+    val ws = trainMany(
+      feat,
+      (0 until folds).map(f => (col("doc_id") % folds =!= f, Set.empty[Int])),
+      iters)
     val oos = (0 until folds).map { f =>
-      val tr = feat.filter(col("doc_id") % folds =!= f)
       val te = feat.filter(col("doc_id") % folds === f)
-      val w = train(tr, iters).last
-      score(te, w)
+      score(te, ws(f))
         .join(te.select(col("doc_id"), col("y")), Seq("doc_id"))
         .select(col("y"), col("p_micro"))
     }.reduce(_.unionByName(_)).localCheckpoint(eager = true)

@@ -269,6 +269,30 @@ class QualityTrainerSpec extends AnyFunSuite {
     assert(got.filter(r => r._1 != "stop_ratio").forall(_._4 == 10000L))
   }
 
+  test("trainMany: fold predicates and feature masks reproduce independent train() runs bit-for-bit") {
+    val docs = ((0 until 10).map { i =>
+      (i.toLong,
+        "the quick brown fox jumps over the lazy dog and runs to the river in " +
+          s"search of food while the sun is high mark$i")
+    } ++ (10 until 16).map(i => (i.toLong, Seq.fill(25)(s"qq$i").mkString(" "))))
+      .toDF("doc_id", "text")
+    val feat = QualityTrainer.features(docs).localCheckpoint(eager = true)
+    val ws = QualityTrainer.trainMany(
+      feat,
+      Seq(
+        (lit(true), Set.empty[Int]),
+        (col("doc_id") % 2 === 0, Set.empty[Int]),
+        (lit(true), Set(2))),
+      iters = 4)
+    assert(ws(0).sameElements(QualityTrainer.train(feat, 4).last))
+    assert(ws(1).sameElements(
+      QualityTrainer.train(feat.filter(col("doc_id") % 2 === 0), 4).last))
+    val masked = QualityTrainer.train(
+      feat.withColumn("x2", org.apache.spark.sql.functions.lit(0L)), 4).last
+    assert(ws(2).sameElements(masked))
+    assert(ws(2)(2) == 0L, "a dropped feature's weight must stay zero")
+  }
+
   test("gateParityReport: counts partition each source; empty classes yield null rates") {
     // source A mixes keeps and junk; source B is all junk (no positives →
     // tpr_bps must be null, not a fabricated rate)
