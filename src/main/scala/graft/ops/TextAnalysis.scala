@@ -106,16 +106,20 @@ object TextAnalysis {
     */
   def langIdNgram(text: Column): Column = {
     val lowered = lower(text)
-    val scores = LangTrigramProfiles.map { case (lang, grams) =>
-      lang -> grams.map(substrCount(lowered, _)).reduce(_ + _)
+    // argmax as ONE array_max over (score, priority, lang) structs —
+    // lexicographic max is highest score, ties to the EARLIEST profile
+    // (higher priority). The when-chain form this replaces re-referenced
+    // every score expression inside every comparison branch, re-running
+    // the G×L string replaces per branch unless codegen CSE rescued it;
+    // here each score is evaluated exactly once by construction.
+    val n = LangTrigramProfiles.size
+    val entries = LangTrigramProfiles.zipWithIndex.map { case ((lang, grams), i) =>
+      struct(
+        grams.map(substrCount(lowered, _)).reduce(_ + _).as("s"),
+        lit(n - 1 - i).as("pri"),
+        lit(lang).as("lang"))
     }
-    scores.zipWithIndex
-      .init
-      .foldRight(lit(scores.last._1)) { case (((lang, score), i), elseCol) =>
-        val laterScores = scores.drop(i + 1).map(_._2)
-        val beatsAllLater = laterScores.map(score >= _).reduce(_ && _)
-        when(beatsAllLater, lit(lang)).otherwise(elseCol)
-      }
+    array_max(array(entries: _*)).getField("lang")
   }
 
   /** Deterministic [0,1] quality score: token volume + English-stopword
@@ -842,16 +846,18 @@ object TextAnalysis {
       chunkChars: Int = 80
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // chunk array built in ONE transform so explode emits 80-char chunks —
+    // the earlier explode-then-substring carried the FULL text on every
+    // chunk row
     val perLang = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .filter(length(col("text")) > 0)
       .select(
         col("doc_id"),
-        explode(sequence(lit(0), expr(s"(length(text) - 1) div $chunkChars"))).as("k"),
-        col("text"))
-      .select(
-        col("doc_id"),
-        langIdNgram(expr(s"substring(text, k * $chunkChars + 1, $chunkChars)")).as("lang"))
+        explode(expr(
+          s"transform(sequence(0, (length(text) - 1) div $chunkChars)," +
+            s" k -> substring(text, k * $chunkChars + 1, $chunkChars))")).as("chunk"))
+      .select(col("doc_id"), langIdNgram(col("chunk")).as("lang"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("cnt"))
     val byDoc = Window.partitionBy(col("doc_id"))
