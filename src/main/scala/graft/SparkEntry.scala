@@ -661,6 +661,14 @@ object SparkEntry {
           .select(col("query_id"), col("neighbor_id")),
         k = 5)
     },
+    "jl_distortion_sweep" -> { (s, dir) =>
+      // How hard can we compress before similarity breaks: JL ±1 sign
+      // projection 64→{8,16,32} dims (md5 coin, plan-time literal matrix),
+      // measured |Δcosine| over the id-successor pair sample — exact
+      // integer mean/max micro + within-0.05 share. The read-before-
+      // compressing curve for 10⁹-vector prefilters (ops/Projection.scala).
+      graft.ops.Projection.jlDistortionSweep(table(s, dir, "embeddings"))
+    },
     "ann_graph_hop_sweep" -> { (s, dir) =>
       // The tuning curve behind ann_graph_recall: recall@5 vs frontier
       // depth (hops 1..4) on the SAME degree-8 IVF-built graph — whether
@@ -6598,6 +6606,47 @@ object SparkEntry {
       s"""$graphBeamCtes
         |SELECT query_id, neighbor_id, cos_sim, rank FROM beam_topk""".stripMargin,
     "ann_graph_hop_sweep" -> graphHopSweepOracle,
+    "jl_distortion_sweep" -> {
+      // replay: sign(j,i) = md5-32("jl-<j>-<i>") even → +1; projection is
+      // exact long sums over micro components; distortion micro-rounds
+      // per pair before the integer aggregate
+      // single line: this fragment nests inside two more stripMargin
+      // layers, which would eat the leading "||" of wrapped lines
+      def proj(mv: String, d: Int) =
+        s"list_transform(range(0, $d), j -> CAST(list_sum(list_transform(range(1, 65), " +
+          s"i -> (CASE WHEN CAST(('0x' || substr(md5('jl-' || CAST(j AS VARCHAR) || '-' " +
+          s"|| CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0 " +
+          s"THEN 1 ELSE -1 END) * $mv[i])) AS DOUBLE))"
+      def leg(d: Int) =
+        s"""SELECT CAST($d AS INT) AS proj_dim,
+          |  CAST(count(*) AS BIGINT) AS n_pairs,
+          |  CAST((2 * sum(err) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_err_micro,
+          |  CAST(max(err) AS BIGINT) AS max_err_micro,
+          |  CAST((2 * 10000 * sum(CASE WHEN err <= 50000 THEN 1 ELSE 0 END) + count(*))
+          |    // (2 * count(*)) AS INT) AS within_5pct_bps
+          |FROM (
+          |  SELECT CAST(floor(abs(round(list_cosine_similarity(
+          |      ${proj("m_a", d)}, ${proj("m_b", d)}), 6) - cos_orig) * 1000000.0 + 0.5)
+          |    AS BIGINT) AS err
+          |  FROM pairs)""".stripMargin
+      s"""WITH vecs AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS mv
+        |  FROM embeddings
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a,
+        |    round(list_cosine_similarity(a.v, b.v), 6) AS cos_orig,
+        |    a.mv AS m_a, b.mv AS m_b
+        |  FROM vecs a JOIN vecs b ON b.vec_id = a.vec_id + 1
+        |  WHERE a.vec_id < 100
+        |)
+        |${leg(8)}
+        |UNION ALL
+        |${leg(16)}
+        |UNION ALL
+        |${leg(32)}""".stripMargin
+    },
     "ann_graph_recall" ->
       s"""$graphBeamCtes,
         |topk AS (SELECT query_id, neighbor_id, rank FROM beam_topk),

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Johnson–Lindenstrauss random projection as a pipeline operator: compress
+  * an embedding column to `d` dimensions with a data-independent ±1 sign
+  * matrix, so downstream similarity passes (LSH banding, brute pre-filters,
+  * cheap dedup screens) pay d/64 of the arithmetic and shuffle bytes. The
+  * JL lemma bounds the distortion in expectation; [[jlDistortionSweep]]
+  * MEASURES it on this corpus per candidate d — the curve an operator reads
+  * before deciding how hard to compress 10⁹ vectors.
+  *
+  * Determinism: sign(j, i) = +1 iff md5-32 of "jl-<j>-<i>" is even — the
+  * repo's standard engine-portable hash coin, so the SQL oracle replays the
+  * projection bit-for-bit. Projection runs over MICRO-quantized components
+  * (exact longs; |y_j| ≤ 64·~1e6 ≪ 2⁶³), and per-pair distortion is
+  * micro-rounded before aggregation — no cross-engine float sum anywhere.
+  *
+  * Shape: the sign matrix is a plan-time literal (d×64 longs — zip_with +
+  * aggregate over literal rows, a compact expression tree, no join); the
+  * sweep's pair frame is a bounded id-successor self-join. One corpus scan
+  * per leg, map-only until the |pairs|-row aggregate.
+  */
+object Projection {
+
+  /** The (j, i) sign coin, Scala-side mirror of the SQL replay. */
+  def jlSign(j: Int, i: Int): Long = {
+    val h = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"jl-$j-$i").substring(0, 8), 16)
+    if (h % 2 == 0) 1L else -1L
+  }
+
+  /** Project a micro-quantized (array<long>) vector to `dims` components:
+    * y_j = Σ_i sign(j,i) · x_i. Exact long arithmetic.
+    */
+  def jlProject(microVec: Column, dims: Int, srcDim: Int = 64): Column = {
+    val signRows = array((0 until dims).map { j =>
+      array((0 until srcDim).map(i => lit(jlSign(j, i))): _*)
+    }: _*)
+    transform(signRows, row =>
+      aggregate(zip_with(row, microVec, (s, x) => s * x), lit(0L), (acc, v) => acc + v))
+  }
+
+  private def micro(v: Column): Column =
+    transform(v.cast("array<double>"), x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+
+  /** Measured JL distortion per candidate target dim: over the id-successor
+    * pair sample, |cos(proj a, proj b) − cos(a, b)| micro-rounded per pair,
+    * then exact integer mean/max and the share of pairs within 0.05
+    * absolute error (bps). The deployment answer: the smallest d whose
+    * distortion the downstream threshold can absorb.
+    */
+  def jlDistortionSweep(
+      emb: DataFrame,
+      dims: Seq[Int] = Seq(8, 16, 32),
+      maxPairId: Long = 100L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val a = emb.filter(col(idCol) < maxPairId)
+      .select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = emb.select((col(idCol) - 1).as("id_a"), col(vecCol).as("v_b"))
+    val pairs = a.join(b, Seq("id_a"))
+      .select(
+        col("id_a"),
+        round(Similarity.cosine(col("v_a"), col("v_b")), 6).as("cos_orig"),
+        micro(col("v_a")).as("m_a"), micro(col("v_b")).as("m_b"))
+      .localCheckpoint(eager = true) // ≤ maxPairId rows; feeds every dim leg
+    dims.map { d =>
+      pairs
+        .select(
+          col("id_a"),
+          col("cos_orig"),
+          round(Similarity.cosine(
+            jlProject(col("m_a"), d).cast("array<double>"),
+            jlProject(col("m_b"), d).cast("array<double>")), 6).as("cos_proj"))
+        .select(
+          col("id_a"),
+          floor(abs(col("cos_proj") - col("cos_orig")) * 1e6 + 0.5)
+            .cast("long").as("err_micro"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("err_micro")).as("sum_err"),
+          max(col("err_micro")).as("max_err_micro"),
+          sum((col("err_micro") <= 50000L).cast("long")).as("n_within"))
+        .select(
+          lit(d).as("proj_dim"), col("n_pairs"),
+          expr("CAST((2 * sum_err + n_pairs) div (2 * n_pairs) AS BIGINT)")
+            .as("mean_err_micro"),
+          col("max_err_micro"),
+          expr("CAST((2 * 10000 * n_within + n_pairs) div (2 * n_pairs) AS INT)")
+            .as("within_5pct_bps"))
+    }.reduce(_ unionByName _)
+  }
+}

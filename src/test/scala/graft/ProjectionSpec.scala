@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Projection
+
+class ProjectionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("jlProject: components equal the hand-folded sign sums") {
+    val mv = (1L to 64L).toArray // micro components 1..64
+    val got = Seq(Tuple1(mv)).toDF("mv")
+      .select(Projection.jlProject(col("mv"), dims = 4).as("y"))
+      .as[Seq[Long]].head()
+    val want = (0 until 4).map(j => (0 until 64).map(i => Projection.jlSign(j, i) * mv(i)).sum)
+    assert(got == want)
+    // the sign coin is balanced enough to not be degenerate
+    val signs = for (j <- 0 until 8; i <- 0 until 64) yield Projection.jlSign(j, i)
+    assert(signs.count(_ == 1L) > 200 && signs.count(_ == -1L) > 200)
+  }
+
+  test("jlDistortionSweep: exact pair count, sane bounds, more dims never hurt on average") {
+    val emb = (0L until 60L).map { i =>
+      (i, Array.tabulate(64)(k => (math.sin(i * 17.0 + k) * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val rows = Projection.jlDistortionSweep(emb, dims = Seq(8, 32), maxPairId = 50L)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(rows.keySet == Set(8, 32))
+    for ((_, (n, mean, mx, within)) <- rows) {
+      assert(n == 50L)
+      assert(mean <= mx && mx <= 2000000L) // |Δcos| ≤ 2 by definition
+      assert(within >= 0 && within <= 10000)
+    }
+    assert(rows(32)._2 <= rows(8)._2, "mean distortion must not grow with more dims")
+  }
+}
