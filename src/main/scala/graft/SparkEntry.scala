@@ -1524,6 +1524,13 @@ object SparkEntry {
       // SQL-reproducible including the by-design cross-cluster misses.
       Similarity.semDedup(table(s, dir, "embeddings"), threshold = 0.35)
     },
+    "semdedup_threshold_sweep" -> { (s, dir) =>
+      // The knob behind semdedup_flags, measured: dup/kept share per
+      // cosine threshold from ONE materialization of best lower-id
+      // cluster-mate similarity — |thresholds| counts, not re-joins
+      // (ops/Similarity.scala).
+      Similarity.semDedupThresholdSweep(table(s, dir, "embeddings"))
+    },
     "embedding_quant" -> { (s, dir) =>
       // Symmetric int8 quantization stats — all-IEEE deterministic math,
       // fully oracle-checked including the reconstruction error bound.
@@ -8108,6 +8115,49 @@ object SparkEntry {
         |  FROM scored
         |)
         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+    "semdedup_threshold_sweep" -> {
+      def leg(bps: Int) =
+        s"""SELECT CAST($bps AS INT) AS threshold_bps, n.n_docs,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM best
+          |   WHERE best_sim >= $bps / 10000.0) AS n_dup,
+          |  CAST((2 * 10000 * (n.n_docs - (SELECT count(*) FROM best
+          |      WHERE best_sim >= $bps / 10000.0)) + n.n_docs)
+          |    // (2 * n.n_docs) AS INT) AS kept_bps
+          |FROM n""".stripMargin
+      s"""WITH vecs AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE len(embedding) = 64
+        |), anchors AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, qv AS av
+        |  FROM vecs ORDER BY vec_id LIMIT 16
+        |), dists AS (
+        |  SELECT v.vec_id, a.ai,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (v.qv[i] - a.av[i]) * (v.qv[i] - a.av[i]))) AS d2
+        |  FROM vecs v, anchors a
+        |), assign AS (
+        |  SELECT vec_id, ai AS bucket,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
+        |  FROM dists
+        |), cb AS (SELECT vec_id, bucket FROM assign WHERE rk = 1),
+        |best AS (
+        |  SELECT b.vec_id AS id,
+        |    max(round(list_cosine_similarity(va.v, vb.v), 6)) AS best_sim
+        |  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  JOIN vecs va ON va.vec_id = a.vec_id
+        |  JOIN vecs vb ON vb.vec_id = b.vec_id
+        |  GROUP BY 1
+        |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM cb)
+        |${leg(2500)}
+        |UNION ALL
+        |${leg(3500)}
+        |UNION ALL
+        |${leg(5000)}
+        |UNION ALL
+        |${leg(7000)}""".stripMargin
+    },
     "semdedup_flags" ->
       """WITH vecs AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

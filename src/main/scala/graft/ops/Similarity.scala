@@ -1307,6 +1307,51 @@ object Similarity {
         coalesce(col("is_dup"), lit(0)).cast("int").as("is_dup"))
   }
 
+  /** The SemDeDup tuning curve: dup share and kept share per candidate
+    * cosine threshold, computed from ONE materialization of the
+    * bucket-mate similarities — per doc, the best similarity to any
+    * LOWER-id cluster-mate (`best_sim`), after which every threshold leg
+    * is a count over that ids-only frame. A doc is dropped at threshold t
+    * iff best_sim ≥ t, so the sweep is exactly |thresholds| filtered
+    * counts, not |thresholds| re-joins — the semantic-dedup answer to
+    * `minhash_threshold_sweep`. SemDeDup's own paper tunes this knob by
+    * what survives; this row is that measurement.
+    */
+  def semDedupThresholdSweep(
+      emb: DataFrame,
+      thresholds: Seq[Double] = Seq(0.25, 0.35, 0.5, 0.7),
+      nAnchors: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val base = emb.filter(size(col(vecCol)) === dim)
+    val anchors = lowestIdAnchorsMicro(base, nAnchors, idCol, vecCol)
+    val assigned = base
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"), microVec(col(vecCol)).as("mv"))
+      .withColumn("bucket", element_at(anchorProbeOrder(col("mv"), anchors), 1).getField("i"))
+      .drop("mv")
+    val best = assigned.as("a")
+      .join(
+        assigned.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("b.id").as("id"), round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .groupBy(col("id"))
+      .agg(max(col("cos_sim")).as("best_sim"))
+      .localCheckpoint(eager = true) // ids + one double; every leg reads this
+    val nDocs = assigned.agg(count(lit(1)).as("n_docs"))
+    thresholds.map { t =>
+      best.filter(col("best_sim") >= t)
+        .agg(count(lit(1)).as("n_dup"))
+        .crossJoin(broadcast(nDocs)) // 1-row count
+        .select(
+          lit(math.round(t * 10000).toInt).as("threshold_bps"),
+          col("n_docs"), col("n_dup"),
+          expr("CAST((2 * 10000 * (n_docs - n_dup) + n_docs) div (2 * n_docs) AS INT)")
+            .as("kept_bps"))
+    }.reduce(_ unionByName _)
+  }
+
   /** SemDeDup v2 — reciprocal-confidence semantic dedup. v1 ([[semDedup]])
     * flags any vector with a lower-id bucket-mate above the cosine
     * threshold: one-directional similarity, cheap to satisfy next to a hub

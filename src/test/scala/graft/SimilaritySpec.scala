@@ -558,6 +558,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.count(_._3 == 1) > 0 && got.count(_._3 == 0) >= got.map(_._2).distinct.length)
   }
 
+  test("semDedupThresholdSweep: each leg's dup count equals semDedup's flags at that threshold") {
+    val df = clustered(30).toDF("vec_id", "embedding")
+    val sweep = Similarity
+      .semDedupThresholdSweep(df, thresholds = Seq(0.5, 0.8, 0.95), nAnchors = 6, dim = dim)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(sweep.keySet == Set(5000, 8000, 9500))
+    for ((bps, (nDocs, nDup, keptBps)) <- sweep) {
+      val flags = Similarity.semDedup(df, threshold = bps / 10000.0, nAnchors = 6, dim = dim)
+        .filter($"is_dup" === 1).count()
+      assert(nDocs == 30L && nDup == flags, s"threshold $bps")
+      assert(keptBps == math.round(10000.0 * (30 - flags) / 30).toInt)
+    }
+    // kept share must be monotone in the threshold
+    assert(sweep(5000)._3 <= sweep(8000)._3 && sweep(8000)._3 <= sweep(9500)._3)
+  }
+
   test("mmrSelect: λ=1 reduces to plain relevance top-k order") {
     val data = clustered(40)
     val df = data.toDF("vec_id", "embedding")
