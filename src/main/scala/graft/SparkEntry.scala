@@ -2279,6 +2279,16 @@ object SparkEntry {
           .select(lit(f).as("fold"), col("*"))
       }.reduce(_.unionByName(_))
     },
+    "source_ablation_aucs" -> { (s, dir) =>
+      // Data valuation by provenance: leave-one-source-out retrains
+      // (src0..src4) vs the full model, all through ONE shared trainMany
+      // loop, every model scored on the same full corpus — positive drop
+      // = the source teaches the model, negative = it misleads
+      // (ops/QualityTrainer.scala).
+      graft.ops.QualityTrainer.sourceAblationAucs(
+        table(s, dir, "documents"),
+        sources = Seq("src0", "src1", "src2", "src3", "src4"), iters = 8)
+    },
     "gate_parity_report" -> { (s, dir) =>
       // Equalized-odds audit: per-source TPR/FPR of the one global
       // trained threshold against the Gopher teacher — the error-rate
@@ -5297,6 +5307,52 @@ object SparkEntry {
     s"WITH $qualityFeatCtes,\n$chains,\n$evals\n$out"
   }
 
+  /** Leave-one-source-out replay: one GD chain per dropped source (rows
+    * filtered by a provenance subquery), every model evaluated with the
+    * same full-corpus midrank-AUC tail — mirrors
+    * [[graft.ops.QualityTrainer.sourceAblationAucs]].
+    */
+  private def sourceAblationOracle(iters: Int, sources: Seq[String]): String = {
+    val tags = "none" +: sources
+    val preds = "1=1" +: sources.map(s =>
+      s"feat.doc_id IN (SELECT doc_id FROM documents WHERE source != '$s')")
+    val chains = preds.zipWithIndex
+      .map { case (p, i) => qualityGdChain(iters, s"s$i", p) }
+      .mkString(",\n")
+    val evals = tags.indices.map { a =>
+      s"""ps$a AS (
+        |  SELECT feat.y,
+        |    CAST(floor((w.w0*feat.x0 + w.w1*feat.x1 + w.w2*feat.x2 + w.w3*feat.x3 + w.w4*feat.x4)
+        |      / 1000000.0) AS BIGINT) AS p_micro
+        |  FROM feat, w$iters${s"s$a"}_ w
+        |), cnts$a AS (
+        |  SELECT p_micro,
+        |    CAST(sum(CASE WHEN y = 1 THEN 0 ELSE 1 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM ps$a GROUP BY 1
+        |), cums$a AS (
+        |  SELECT c0, c1, sum(c0 + c1) OVER (ORDER BY p_micro) AS cum_all
+        |  FROM cnts$a
+        |), aggs$a AS (
+        |  SELECT CAST(sum(c1) AS HUGEINT) AS n1, CAST(sum(c0) AS HUGEINT) AS n0,
+        |    CAST(sum(CAST(c1 AS HUGEINT) *
+        |      (2*(cum_all - (c0 + c1)) + (c0 + c1) + 1)) AS HUGEINT) AS r1x2
+        |  FROM cums$a
+        |), aucs$a AS (
+        |  SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+        |    CAST(CASE WHEN n1 > 0 AND n0 > 0 THEN
+        |      (20000*(r1x2 - n1*(n1+1)) + 2*n1*n0) // (4*n1*n0) END AS BIGINT) AS auc_bps
+        |  FROM aggs$a
+        |)""".stripMargin
+    }.mkString(",\n")
+    val out = tags.indices.map { a =>
+      s"""SELECT '${tags(a)}' AS dropped_source, x.n_pos, x.n_neg, x.auc_bps,
+        |  f.auc_bps - x.auc_bps AS auc_drop_bps
+        |FROM aucs$a x, aucs0 f""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $qualityFeatCtes,\n$chains,\n$evals\n$out"
+  }
+
   /** Confident-learning replay: the cv-auc fold chains, an out-of-fold
     * score union, the four threshold scalars, and the cross-multiplied
     * confident-class CASE — mirrors
@@ -5685,6 +5741,8 @@ object SparkEntry {
     "quality_cv_auc" -> qualityCvAucOracle(8, 5),
     "label_noise_matrix" -> labelNoiseOracle(8, 5),
     "quality_ablation_aucs" -> qualityAblationOracle(8),
+    "source_ablation_aucs" ->
+      sourceAblationOracle(8, Seq("src0", "src1", "src2", "src3", "src4")),
     "kcenter_coreset" -> kcenterOracle(8),
     "hyperanf_neighborhood" -> hyperAnfOracle(3, 16),
     "gate_parity_report" ->

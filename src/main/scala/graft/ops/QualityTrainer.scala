@@ -698,6 +698,48 @@ object QualityTrainer {
         (col("full_auc_bps") - col("auc_bps")).as("auc_drop_bps"))
   }
 
+  /** Leave-one-source-out data valuation: retrain the quality model
+    * WITHOUT each source's rows and measure the global AUC delta — the
+    * marginal-contribution answer to "which source is worth ingesting"
+    * (a Shapley-lite read: one coalition drop per source instead of the
+    * 2^S lattice, which is what a real pipeline can afford at hundreds
+    * of sources). A positive drop means the source's rows teach the
+    * model; a negative one means they actively mislead it — the
+    * data-valuation complement of [[featureAblationAucs]] (which ablates
+    * columns, not provenance).
+    *
+    * All |sources|+1 retrains share ONE [[trainMany]] gradient loop
+    * (`iters` aggregations total); every model is evaluated on the SAME
+    * full corpus so the AUCs are comparable. Exact midrank AUC in bps.
+    */
+  def sourceAblationAucs(
+      docs: DataFrame,
+      sources: Seq[String],
+      iters: Int
+  ): DataFrame = {
+    val feat = features(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .localCheckpoint(eager = true)
+    val models = (lit(true), Set.empty[Int]) +:
+      sources.map(s => (col("source") =!= s, Set.empty[Int]))
+    val ws = trainMany(feat, models, iters)
+    val tags = "none" +: sources
+    val all = tags.zip(ws).map { case (tag, w) =>
+      Contingency.rocAuc(
+        score(feat, w)
+          .join(feat.select(col("doc_id"), col("y").cast("int").as("label")), Seq("doc_id"))
+          .select(col("label"), col("p_micro")),
+        "label", "p_micro")
+        .select(lit(tag).as("dropped_source"), col("n_pos"), col("n_neg"), col("auc_bps"))
+    }.reduce(_.unionByName(_)).localCheckpoint(eager = true) // |sources|+1 rows
+    val full = all.filter(col("dropped_source") === "none")
+      .select(col("auc_bps").as("full_auc_bps"))
+    all.crossJoin(broadcast(full))
+      .select(
+        col("dropped_source"), col("n_pos"), col("n_neg"), col("auc_bps"),
+        (col("full_auc_bps") - col("auc_bps")).as("auc_drop_bps"))
+  }
+
   /** Confident-learning label-noise audit (Northcutt, Jiang & Chuang,
     * "Confident Learning", JAIR'21), binary, on the trained scorer's
     * OUT-OF-FOLD score scale: the data-centric question "which of my

@@ -269,6 +269,38 @@ class QualityTrainerSpec extends AnyFunSuite {
     assert(got.filter(r => r._1 != "stop_ratio").forall(_._4 == 10000L))
   }
 
+  test("sourceAblationAucs: none-row drop is zero; a dropped source reproduces the direct retrain") {
+    val docs = ((0 until 8).map { i =>
+      (i.toLong,
+        "the quick brown fox jumps over the lazy dog and runs to the river in " +
+          s"search of food while the sun is high tag$i", "A")
+    } ++ (8 until 14).map(i => (i.toLong, Seq.fill(28)(s"zz$i").mkString(" "), "B"))
+      ++ (14 until 20).map { i =>
+        (i.toLong,
+          s"and the fox is of to in the den tag$i " + Seq.fill(10)(s"xx$i").mkString(" "), "C")
+      }).toDF("doc_id", "text", "source")
+    val got = QualityTrainer.sourceAblationAucs(docs, Seq("B", "C"), iters = 4)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == Set("none", "B", "C"))
+    assert(got("none")._4 == 0L, "the baseline's own drop must be zero")
+    // equivalence: the without-B model is exactly train() on the filtered frame,
+    // evaluated on the FULL corpus
+    val feat = QualityTrainer.features(docs).localCheckpoint(eager = true)
+    val srcMap = docs.select(col("doc_id"), col("source"))
+    val wB = QualityTrainer.train(
+      feat.join(srcMap, Seq("doc_id")).filter(col("source") =!= "B"), 4).last
+    val direct = graft.ops.Contingency.rocAuc(
+      QualityTrainer.score(feat, wB)
+        .join(feat.select(col("doc_id"), col("y").cast("int").as("label")), Seq("doc_id"))
+        .select(col("label"), col("p_micro")),
+      "label", "p_micro").select("n_pos", "n_neg", "auc_bps")
+      .collect().head
+    assert(got("B")._1 == direct.getLong(0) && got("B")._2 == direct.getLong(1)
+      && got("B")._3 == direct.getLong(2))
+  }
+
   test("trainMany: fold predicates and feature masks reproduce independent train() runs bit-for-bit") {
     val docs = ((0 until 10).map { i =>
       (i.toLong,
