@@ -1319,6 +1319,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 29 === 0).select(col("doc_id")),
         graft.ops.Dedup.minhashMd5Pairs(docs, threshold = 0.8))
     },
+    "deletion_dedup_repair" -> { (s, dir) =>
+      // The APPLY face of the cascade: the deduped corpus AFTER the
+      // doc_id % 29 erasure, with near-dup reps re-elected among the
+      // survivors — formerly dropped members are RESURRECTED when their
+      // kept rep dies (a plain kept-minus-deleted silently loses that
+      // cluster's content forever). (ops/Deletion.scala)
+      val docs = table(s, dir, "documents")
+      graft.ops.Deletion.repairAfterDeletion(
+        docs,
+        docs.filter(col("doc_id") % 29 === 0).select(col("doc_id")),
+        graft.ops.Dedup.minhashMd5Pairs(docs, threshold = 0.8))
+    },
     "incremental_ingest_report" -> { (s, dir) =>
       // Nightly-ingest funnel: what the batch loses per stage before
       // joining the snapshot — exact-vs-snapshot, exact-in-batch,
@@ -2260,24 +2272,11 @@ object SparkEntry {
       // PROPER eval of the in-engine trainer: 5-fold cross-validated
       // midrank AUC — five fold models trained through ONE shared
       // gradient loop (trainMany: 8 aggregations total, not 40), each
-      // scored ONLY on its held-out fold, so the number is free of
-      // training-set optimism (the single-model auc row scores
-      // in-sample). Results bit-identical to five independent GD chains
+      // scored ONLY on its held-out fold, all five evaluated through ONE
+      // grouped window pass (rocAucBy). Results bit-identical to five
+      // independent GD chains + rocAuc calls
       // (ops/QualityTrainer, ops/Contingency).
-      val docs = table(s, dir, "documents")
-      val feat = graft.ops.QualityTrainer.features(docs).localCheckpoint(eager = true)
-      val ws = graft.ops.QualityTrainer.trainMany(
-        feat, (0 until 5).map(f => (col("doc_id") % 5 =!= f, Set.empty[Int])), iters = 8)
-      (0 until 5).map { f =>
-        val test = feat.filter(col("doc_id") % 5 === f)
-        graft.ops.Contingency
-          .rocAuc(
-            graft.ops.QualityTrainer.score(test, ws(f))
-              .join(test.select(col("doc_id"), col("y").cast("int").as("label")), Seq("doc_id"))
-              .select(col("label"), col("p_micro")),
-            "label", "p_micro")
-          .select(lit(f).as("fold"), col("*"))
-      }.reduce(_.unionByName(_))
+      graft.ops.QualityTrainer.cvFoldAucs(table(s, dir, "documents"), folds = 5, iters = 8)
     },
     "source_ablation_aucs" -> { (s, dir) =>
       // Data valuation by provenance: leave-one-source-out retrains
@@ -5769,6 +5768,29 @@ object SparkEntry {
         |    THEN CAST((2 * 10000 * fp + (fp + tn)) // (2 * (fp + tn)) AS INT) END AS fpr_bps
         |FROM c""".stripMargin,
     "incremental_ingest_report" -> IncrementalIngestOracle,
+    "deletion_dedup_repair" ->
+      // survivors minus re-elected-cluster losers; resurrected = kept
+      // docs the original dedup had dropped (non-reps)
+      s"""$Md5NearDupCtes,
+        |$Md5ClusterCtes,
+        |del AS (SELECT doc_id FROM documents WHERE doc_id % 29 = 0),
+        |labels AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+        |sl AS (
+        |  SELECT l.id, l.cluster FROM labels l
+        |  LEFT JOIN del ON del.doc_id = l.id WHERE del.doc_id IS NULL
+        |), nr AS (SELECT cluster, min(id) AS keep_id FROM sl GROUP BY 1),
+        |cl AS (
+        |  SELECT sl.id FROM sl JOIN nr ON nr.cluster = sl.cluster
+        |  WHERE sl.id != nr.keep_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN l.id IS NOT NULL AND l.id != l.cluster THEN 1 ELSE 0 END AS INT)
+        |    AS resurrected
+        |FROM documents d
+        |LEFT JOIN del ON del.doc_id = d.doc_id
+        |LEFT JOIN cl ON cl.id = d.doc_id
+        |LEFT JOIN labels l ON l.id = d.doc_id
+        |WHERE del.doc_id IS NULL AND cl.id IS NULL""".stripMargin,
     "deletion_impact_report" ->
       // the erasure batch priced across corpus, packs, near-dup reps, and
       // postings; cluster labels replayed via the recursive closure

@@ -108,4 +108,45 @@ object Deletion {
 
     docsRow.unionByName(packsRow).unionByName(clustersRow).unionByName(postingsRow)
   }
+
+  /** The APPLY face of the cascade's `neardup_reps` row: the deduped
+    * corpus AFTER an erasure batch, with near-dup representatives
+    * re-elected among the survivors. The subtlety this encodes: deleting
+    * a cluster's kept representative must RESURRECT one of its formerly
+    * dropped members (min-id survivor, matching [[Dedup.nearDupClusters]]'
+    * election rule) — a plain "kept minus deleted" silently loses that
+    * cluster's content from the corpus forever, which is a data-loss bug,
+    * not a dedup decision.
+    *
+    * Output: (idCol, resurrected) — every doc the post-delete dedup keeps;
+    * `resurrected` = 1 for docs the ORIGINAL dedup had dropped that the
+    * re-election now keeps. Shapes: ids-only label/delete joins; the
+    * election is one min-per-cluster aggregation over surviving members.
+    */
+  def repairAfterDeletion(
+      docs: DataFrame,
+      deleteIds: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val del = deleteIds.select(col(idCol)).distinct()
+      .localCheckpoint(eager = true)
+    val labels = Dedup.nearDupClusters(pairs)
+      .localCheckpoint(eager = true) // ids only; read twice below
+    val survLabels = labels
+      .join(del.withColumnRenamed(idCol, "id"), Seq("id"), "left_anti")
+    val newReps = survLabels.groupBy(col("cluster")).agg(min(col("id")).as("keep_id"))
+    val clusterLosers = survLabels
+      .join(newReps, Seq("cluster"))
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as(idCol))
+    docs.select(col(idCol))
+      .join(del, Seq(idCol), "left_anti")
+      .join(clusterLosers, Seq(idCol), "left_anti")
+      .join(
+        labels.filter(col("id") =!= col("cluster"))
+          .select(col("id").as(idCol), lit(1).as("resurrected")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("resurrected"), lit(0)).as("resurrected"))
+  }
 }

@@ -672,24 +672,55 @@ object QualityTrainer {
     * rank-sum AUCs over score-count frames — the corpus never joins
     * itself and nothing driver-side grows with it.
     */
+  /** Full-corpus midrank AUC for MANY tagged weight vectors through ONE
+    * grouped pass ([[Contingency.rocAucBy]] with the tag as the group):
+    * the K per-model `rocAuc` chains (each a join + range exchange)
+    * collapse to one union projection + one partitioned window. `y` rides
+    * the feature frame, so no join at all. A model whose mask zeroed a
+    * feature trained that weight to exactly 0, so plain prediction is
+    * already the masked prediction.
+    */
+  private def modelAucs(feat: DataFrame, tagged: Seq[(String, Array[Long])]): DataFrame = {
+    val union = tagged.map { case (tag, w) =>
+      feat.select(
+        lit(tag).as("model"),
+        col("y").cast("int").as("label"),
+        predictMicro(w).as("p_micro"))
+    }.reduce(_.unionByName(_))
+    Contingency.rocAucBy(union, "model", "label", "p_micro")
+      .select(col("model"), col("n_pos"), col("n_neg"), col("auc_bps"))
+  }
+
+  /** k-fold cross-validated AUC: fold models share ONE [[trainMany]]
+    * gradient loop, every fold scores ONLY its held-out slice, and all
+    * folds evaluate through one grouped [[modelAucs]]-style window pass.
+    */
+  def cvFoldAucs(docs: DataFrame, folds: Int, iters: Int): DataFrame = {
+    val feat = features(docs).localCheckpoint(eager = true)
+    val ws = trainMany(
+      feat,
+      (0 until folds).map(f => (col("doc_id") % folds =!= f, Set.empty[Int])),
+      iters)
+    val union = (0 until folds).map { f =>
+      feat.filter(col("doc_id") % folds === f)
+        .select(
+          lit(f).as("fold"),
+          col("y").cast("int").as("label"),
+          predictMicro(ws(f)).as("p_micro"))
+    }.reduce(_.unionByName(_))
+    Contingency.rocAucBy(union, "fold", "label", "p_micro")
+  }
+
   def featureAblationAucs(docs: DataFrame, iters: Int): DataFrame = {
     val feat = features(docs).localCheckpoint(eager = true)
     // all six retrains (full + one per dropped feature) share ONE gradient
     // loop: iters aggregations total instead of 6·iters
     val masks = Set.empty[Int] +: (0 to 4).map(Set(_))
     val ws = trainMany(feat, masks.map(m => (lit(true), m)), iters)
-    def aucFor(mask: Set[Int], w: Array[Long], tag: String): DataFrame = {
-      val f = mask.foldLeft(feat) { case (df, j) => df.withColumn(s"x$j", lit(0L)) }
-      Contingency.rocAuc(
-        score(f, w)
-          .join(f.select(col("doc_id"), col("y").cast("int").as("label")), Seq("doc_id"))
-          .select(col("label"), col("p_micro")),
-        "label", "p_micro")
-        .select(lit(tag).as("dropped_feature"), col("n_pos"), col("n_neg"), col("auc_bps"))
-    }
     val tags = "none" +: FeatureNames
-    val all = masks.zip(ws).zip(tags).map { case ((m, w), tag) => aucFor(m, w, tag) }
-      .reduce(_.unionByName(_)).localCheckpoint(eager = true) // 6 rows
+    val all = modelAucs(feat, tags.zip(ws))
+      .withColumnRenamed("model", "dropped_feature")
+      .localCheckpoint(eager = true) // 6 rows
     val full = all.filter(col("dropped_feature") === "none")
       .select(col("auc_bps").as("full_auc_bps"))
     all.crossJoin(broadcast(full))
@@ -724,14 +755,9 @@ object QualityTrainer {
       sources.map(s => (col("source") =!= s, Set.empty[Int]))
     val ws = trainMany(feat, models, iters)
     val tags = "none" +: sources
-    val all = tags.zip(ws).map { case (tag, w) =>
-      Contingency.rocAuc(
-        score(feat, w)
-          .join(feat.select(col("doc_id"), col("y").cast("int").as("label")), Seq("doc_id"))
-          .select(col("label"), col("p_micro")),
-        "label", "p_micro")
-        .select(lit(tag).as("dropped_source"), col("n_pos"), col("n_neg"), col("auc_bps"))
-    }.reduce(_.unionByName(_)).localCheckpoint(eager = true) // |sources|+1 rows
+    val all = modelAucs(feat, tags.zip(ws))
+      .withColumnRenamed("model", "dropped_source")
+      .localCheckpoint(eager = true) // |sources|+1 rows
     val full = all.filter(col("dropped_source") === "none")
       .select(col("auc_bps").as("full_auc_bps"))
     all.crossJoin(broadcast(full))

@@ -30,6 +30,19 @@ class DeletionSpec extends AnyFunSuite {
     assert(got("postings") == ((24L, 6L, 2500, 6L)))
   }
 
+  test("repairAfterDeletion: dead reps re-elect, formerly dropped members resurrect") {
+    val docs = (0 until 10).map(i => (i.toLong, s"d$i")).toDF("doc_id", "text")
+    // clusters {1,2,3} (rep 1) and {5,6} (rep 5); original dedup keeps 1 and 5
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    // delete 1 (rep of {1,2,3}) and 4 (unclustered)
+    val del = Seq(1L, 4L).toDF("doc_id")
+    val got = Deletion.repairAfterDeletion(docs, del, pairs)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // kept: unclustered survivors {0,7,8,9}, re-elected rep 2 (resurrected),
+    // surviving rep 5; dropped: 3 (loser to 2), 6 (loser to 5), deleted 1, 4
+    assert(got == Map(0L -> 0, 2L -> 1, 5L -> 0, 7L -> 0, 8L -> 0, 9L -> 0))
+  }
+
   test("impactReport: empty delete set prices to zero everywhere") {
     val docs = (0 until 6).map(i => (i.toLong, s"w$i x$i")).toDF("doc_id", "text")
     val got = Deletion.impactReport(
