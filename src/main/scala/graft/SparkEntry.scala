@@ -3305,6 +3305,13 @@ object SparkEntry {
           count(lit(1)).as("n_touches"),
           sum(col("credit")).cast("long").as("credit_microcents"))
     },
+    "minhash_width_sweep" -> { (s, dir) =>
+      // The other MinHash knob, measured: mean/max |estimate − exact| per
+      // signature width over the LSH candidate pairs — ONE signature job,
+      // prefix estimates per width (ops/Dedup.scala). Reads as "what 64
+      // hashes buy over 16" before paying width-linear shuffle at 10⁹.
+      Dedup.minhashWidthSweep(table(s, dir, "documents"))
+    },
     "minhash_calibration" -> { (s, dir) =>
       // MinHash estimator calibration: signature-estimate vs exact
       // Jaccard per LSH candidate pair, exact bps + signed error — "how
@@ -10838,6 +10845,36 @@ object SparkEntry {
         |FROM pos
         |JOIN p ON p.user_id = pos.user_id AND p.pseq = pos.pseq
         |GROUP BY 1""".stripMargin,
+    "minhash_width_sweep" -> {
+      val widths = Seq(8, 16, 32, 64)
+      val nmCols = widths.map(n =>
+        s"CAST(count(*) FILTER (WHERE sa.m = sb.m AND sa.j < $n) AS BIGINT) AS nm$n")
+        .mkString(",\n    ")
+      val legs = widths.map { n =>
+        s"""SELECT CAST($n AS INT) AS sig_width,
+          |  CAST(count(*) AS BIGINT) AS n_pairs,
+          |  CAST((2 * sum(err) + count(*)) // (2 * count(*)) AS BIGINT) AS mean_abs_err_bps,
+          |  CAST(max(err) AS BIGINT) AS max_abs_err_bps
+          |FROM (
+          |  SELECT abs((20000 * nm$n + $n) // (2 * $n)
+          |    - (20000 * inter + uni) // (2 * uni)) AS err
+          |  FROM cal)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$Md5NearDupCtes, mm AS (
+        |  SELECT cand.id_a, cand.id_b,
+        |    $nmCols
+        |  FROM cand
+        |  JOIN sig sa ON sa.doc_id = cand.id_a
+        |  JOIN sig sb ON sb.doc_id = cand.id_b AND sb.j = sa.j
+        |  GROUP BY 1, 2
+        |), cal AS (
+        |  SELECT mm.*,
+        |    CAST(len(list_filter(ha.hset, x -> list_contains(hb.hset, x))) AS BIGINT) AS inter,
+        |    CAST(len(list_distinct(list_concat(ha.hset, hb.hset))) AS BIGINT) AS uni
+        |  FROM mm JOIN hs ha ON ha.doc_id = mm.id_a JOIN hs hb ON hb.doc_id = mm.id_b
+        |)
+        |$legs""".stripMargin
+    },
     "minhash_calibration" ->
       s"""$Md5NearDupCtes, mm AS (
         |  SELECT cand.id_a, cand.id_b,

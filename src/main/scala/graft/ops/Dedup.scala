@@ -1225,6 +1225,73 @@ object Dedup {
       .withColumn("err_bps", col("est_bps") - col("exact_bps"))
   }
 
+  /** Signature-width sweep — the OTHER MinHash knob, measured: how much
+    * estimator error do the first n signature components leave, for each
+    * candidate n, against the exact shingle Jaccard. Each component is an
+    * independent hash, so the width-n estimator is simply matches among
+    * the FIRST n components: one signature computation (width = the
+    * maximum candidate), one checkpointed pair frame, and |widths| prefix
+    * aggregations — never one signature job per width. Storage and
+    * shuffle scale linearly with width at 10⁹ docs, so this curve (error
+    * halves roughly per 4× components, σ ≈ √(J(1−J)/n)) is what a dedup
+    * deployment reads before paying for 64 over 16.
+    */
+  def minhashWidthSweep(
+      docs: DataFrame,
+      widths: Seq[Int] = Seq(8, 16, 32, 64),
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    require(widths.nonEmpty && widths.forall(w => w >= 1 && w <= numHashes),
+      s"widths must lie in [1, $numHashes]")
+    val cand = minhashMd5Pairs(
+      docs, idCol, textCol, shingleN, numHashes, bands,
+      threshold = 0.0, maxBucket = maxBucket, materialize = false)
+      .select("id_a", "id_b")
+    val sideA = docs.select(
+      col(idCol).as("id_a"),
+      graft.functions.MinhashMd5Sig.column(col(textCol), shingleN, numHashes).as("sig_a"),
+      graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("set_a"))
+    val sideB = docs.select(
+      col(idCol).as("id_b"),
+      graft.functions.MinhashMd5Sig.column(col(textCol), shingleN, numHashes).as("sig_b"),
+      graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("set_b"))
+    val pairFrame = cand
+      .join(sideA, Seq("id_a"))
+      .join(sideB, Seq("id_b"))
+      .select(
+        col("sig_a"), col("sig_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("inter"),
+        size(array_union(col("set_a"), col("set_b"))).cast("long").as("uni"))
+      .localCheckpoint(eager = true) // pairs × (2 sigs + 2 longs); feeds every width leg
+    widths.map { n =>
+      pairFrame
+        .select(
+          abs(
+            scaledRatio(
+              aggregate(
+                zip_with(
+                  slice(col("sig_a"), 1, n), slice(col("sig_b"), 1, n),
+                  (x, y) => (x === y).cast("long")),
+                lit(0L), (acc, m) => acc + m),
+              lit(n.toLong), 10000L).cast("long") -
+              scaledRatio(col("inter"), col("uni"), 10000L).cast("long")).as("err"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("err")).as("se"),
+          max(col("err")).as("max_abs_err_bps"))
+        .select(
+          lit(n).as("sig_width"), col("n_pairs"),
+          expr("CAST((2 * se + n_pairs) div (2 * n_pairs) AS BIGINT)").as("mean_abs_err_bps"),
+          col("max_abs_err_bps"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Operating-point sweep over [[minhashCalibration]]: at each candidate
     * dedup threshold, the confusion counts of "signature estimate ≥ t"
     * against "exact Jaccard ≥ t" over the LSH candidate pairs — the table

@@ -363,6 +363,33 @@ class DedupSpec extends AnyFunSuite {
       ("siteB", "siteC") -> 1L, ("siteA", "siteA") -> 1L))
   }
 
+  test("minhashWidthSweep: exact copies cost zero error at EVERY width; prefix algebra holds") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.minhashWidthSweep(docs, widths = Seq(4, 16, 64))
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(4, 16, 64))
+    // identical docs: every component matches, so every width estimates 1.0
+    got.values.foreach { case (_, nPairs, meanErr, maxErr) =>
+      assert(nPairs == 1L && meanErr == 0L && maxErr == 0L)
+    }
+    // partial overlap: width-n error derives from the first n components only
+    val mixed = Seq(
+      (1L, text), (2L, text),
+      (3L, text + " iota kappa lambda"),
+      (4L, "unrelated corpus entirely different tokens here now")).toDF("doc_id", "text")
+    val sweep = graft.ops.Dedup.minhashWidthSweep(mixed, widths = Seq(8, 64))
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val cal = graft.ops.Dedup.minhashCalibration(mixed)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // width 64 must agree with the calibration frame's |err| exactly
+    val errs = cal.map(r => math.abs(r._6))
+    assert(sweep(64)._2 == errs.length.toLong)
+    assert(sweep(64)._4 == errs.max)
+    assert(sweep(64)._3 ==
+      (2L * errs.sum + errs.length) / (2L * errs.length))
+  }
+
   test("minhashCalibration: identical docs estimate exactly, all rows hold the invariants") {
     val text = "alpha beta gamma delta epsilon zeta eta theta"
     val docs = Seq(
