@@ -94,10 +94,10 @@ object Bench {
     val fullPath = s"/tmp/graft_bench_$sfBase.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v3","stream_events_per_sec":$streamEps,"failed":$failedJson,"queries":$fullMap,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v4","stream_events_per_sec":$streamEps,"failed":$failedJson,"queries":$fullMap,"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
-    // harness id min2-v3: same min-over-successful-passes-of-2 timing as
-    // v2 (totals comparable round-4+), compact emission.
+    // harness id min2-v4: same min-over-successful-passes-of-2 timing as
+    // v2/v3 (totals comparable round-4+), qcs36 per-query emission.
     //
     // The metric line must be the LAST thing on stdout (r4-r6 shipped
     // "parsed": null because shutdown log lines and sbt's "[success]"
