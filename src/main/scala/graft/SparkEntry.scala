@@ -2943,6 +2943,21 @@ object SparkEntry {
               .as("recall_micro"))
       }.reduce(_ unionByName _)
     },
+    "ivf_anchor_sweep" -> { (s, dir) =>
+      // The quantizer-sizing curve next to ivf_nprobe_sweep's probe
+      // curve: recall@5 AND max-bucket corpus share per anchor count at
+      // nprobe=2 — more anchors prune harder but recall pays; a hot
+      // bucket is the scan the index exists to avoid
+      // (ops/Similarity.scala).
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      Similarity.ivfAnchorSweep(
+        emb, queries,
+        Similarity.bruteForceTopK(emb, queries, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint(eager = true),
+        k = 5)
+    },
     "ann_ivf_recall" -> { (s, dir) =>
       // Index-quality benchmark: the IVF (anchor-deterministic, nprobe=4)
       // run EVALUATED against the exact brute-force top-5 as gold —
@@ -4242,6 +4257,77 @@ object SparkEntry {
       |  CAST((2 * 1000000 * n_hit + n_gold) // (2 * n_gold) AS BIGINT) AS recall_micro
       |FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2
       |  UNION ALL SELECT * FROM h3 UNION ALL SELECT * FROM h4)""".stripMargin
+  }
+
+  /** Anchor-count sweep replay: one anchors/dists/assign chain per
+    * candidate count (prefixed `k<a>`), each scored for gold hits at
+    * nprobe=2 plus the max-bucket corpus share.
+    */
+  private def ivfAnchorSweepOracle: String = {
+    val counts = Seq(4, 8, 16, 32)
+    val legs = counts.map { a =>
+      s"""anch$a AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, qv AS av
+        |  FROM vecs ORDER BY vec_id LIMIT $a
+        |), dst$a AS (
+        |  SELECT vv.vec_id, an.ai,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (vv.qv[i] - an.av[i]) * (vv.qv[i] - an.av[i]))) AS d2
+        |  FROM vecs vv, anch$a an
+        |), asn$a AS (
+        |  SELECT vec_id, ai AS bucket,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
+        |  FROM dst$a
+        |), cb$a AS (SELECT vec_id AS neighbor_id, bucket FROM asn$a WHERE rk = 1),
+        |bal$a AS (
+        |  SELECT CAST(max(c) AS BIGINT) AS max_bucket, CAST(sum(c) AS BIGINT) AS n_vecs
+        |  FROM (SELECT count(*) AS c FROM cb$a GROUP BY bucket)
+        |), qb$a AS (SELECT vec_id AS query_id, bucket FROM asn$a WHERE rk <= 2 AND vec_id < 8),
+        |cnd$a AS (
+        |  SELECT DISTINCT query_id, neighbor_id
+        |  FROM qb$a JOIN cb$a USING (bucket) WHERE query_id != neighbor_id
+        |), isc$a AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+        |  FROM cnd$a c JOIN vecs qv ON qv.vec_id = c.query_id
+        |               JOIN vecs cv ON cv.vec_id = c.neighbor_id
+        |), top$a AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |    FROM isc$a) WHERE rank <= 5
+        |), hit$a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS c FROM top$a t
+        |  JOIN rel r ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+        |)""".stripMargin
+    }.mkString(",\n")
+    val rows = counts.map { a =>
+      s"SELECT CAST($a AS INT) AS n_anchors, (SELECT c FROM ng) AS n_gold," +
+        s" (SELECT c FROM hit$a) AS n_hit," +
+        s" CAST((2 * 1000000 * (SELECT c FROM hit$a) + (SELECT c FROM ng))" +
+        s" // (2 * (SELECT c FROM ng)) AS BIGINT) AS recall_micro," +
+        s" (SELECT CAST((2 * 10000 * max_bucket + n_vecs) // (2 * n_vecs) AS INT)" +
+        s" FROM bal$a) AS max_bucket_bps"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH vecs AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE len(embedding) = 64
+      |), bscored AS (
+      |  SELECT q.vec_id AS query_id, cv.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(q.v, cv.v), 6) AS cos_sim
+      |  FROM vecs q, vecs cv
+      |  WHERE q.vec_id < 8 AND q.vec_id != cv.vec_id
+      |), rel AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos_sim DESC, neighbor_id) AS brank
+      |    FROM bscored
+      |  ) WHERE brank <= 5
+      |), ng AS (SELECT CAST(count(*) AS BIGINT) AS c FROM rel),
+      |$legs
+      |$rows""".stripMargin
   }
 
   /** nprobe sweep replay: the shared anchor-IVF chain, one probe leg per
@@ -8639,6 +8725,7 @@ object SparkEntry {
     "doc_lang_mixing" -> langMixingOracle,
     "holt_backtest" -> holtBacktestOracle,
     "ivf_nprobe_sweep" -> ivfNprobeSweepOracle,
+    "ivf_anchor_sweep" -> ivfAnchorSweepOracle,
     "daily_theil_sen" ->
       """WITH dc AS (
         |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,

@@ -1307,6 +1307,51 @@ object Similarity {
         coalesce(col("is_dup"), lit(0)).cast("int").as("is_dup"))
   }
 
+  /** Coarse-quantizer sizing curve — the OTHER IVF knob ([[ivfAnchorTopK]]
+    * fixes nAnchors at 16; `ivf_nprobe_sweep` sweeps probes at that
+    * geometry): per candidate anchor count, recall@k of the nprobe=2 run
+    * against the caller's gold pairs AND the largest bucket's corpus
+    * share — the balance number that decides whether the quantizer
+    * partitions work or funnels it (at 10⁹ vectors, anchors ≈ √N and a
+    * hot bucket IS the scan you built the index to avoid). Gold computes
+    * once (caller-checkpointed); each leg is one bounded probe run + one
+    * anchors-row bucket aggregation.
+    */
+  def ivfAnchorSweep(
+      emb: DataFrame,
+      queries: DataFrame,
+      gold: DataFrame,
+      k: Int,
+      anchorCounts: Seq[Int] = Seq(4, 8, 16, 32),
+      nprobe: Int = 2,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val nGold = gold.agg(count(lit(1)).as("n_gold"))
+    val base = emb.filter(size(col(vecCol)) === dim)
+    anchorCounts.map { a =>
+      val anchors = lowestIdAnchorsMicro(base, a, idCol, vecCol)
+      val balance = base
+        .select(element_at(anchorProbeOrder(microVec(col(vecCol)), anchors), 1)
+          .getField("i").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("max_bucket"), sum(col("c")).as("n_vecs"))
+      val hits = ivfAnchorTopK(emb, queries, k, a, nprobe, dim, idCol, vecCol)
+        .join(gold, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      hits
+        .crossJoin(broadcast(nGold)) // 1-row gold count
+        .crossJoin(broadcast(balance)) // 1-row balance
+        .select(
+          lit(a).as("n_anchors"), col("n_gold"), col("n_hit"),
+          expr("CAST((2 * 1000000 * n_hit + n_gold) div (2 * n_gold) AS BIGINT)")
+            .as("recall_micro"),
+          expr("CAST((2 * 10000 * max_bucket + n_vecs) div (2 * n_vecs) AS INT)")
+            .as("max_bucket_bps"))
+    }.reduce(_ unionByName _)
+  }
+
   /** The SemDeDup tuning curve: dup share and kept share per candidate
     * cosine threshold, computed from ONE materialization of the
     * bucket-mate similarities — per doc, the best similarity to any

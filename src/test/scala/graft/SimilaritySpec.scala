@@ -558,6 +558,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.count(_._3 == 1) > 0 && got.count(_._3 == 0) >= got.map(_._2).distinct.length)
   }
 
+  test("ivfAnchorSweep: legs agree with direct runs; more anchors never worsen balance here") {
+    val df = clustered(30).toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 4)
+    val gold = Similarity.bruteForceTopK(df, queries, k = 3, vecCol = "embedding")
+      .select($"query_id", $"neighbor_id").localCheckpoint(eager = true)
+    val got = Similarity.ivfAnchorSweep(
+      df, queries, gold, k = 3, anchorCounts = Seq(2, 6), nprobe = 2, dim = dim)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(got.keySet == Set(2, 6))
+    val nGold = gold.count()
+    for ((a, (g, h, rec, bal)) <- got) {
+      assert(g == nGold && h <= g, s"anchors $a")
+      assert(rec == math.round(1e6 * h / g) && bal > 0 && bal <= 10000)
+      // cross-check the leg against a direct run at the same geometry
+      val direct = Similarity.ivfAnchorTopK(df, queries, k = 3, nAnchors = a, nprobe = 2, dim = dim)
+        .join(gold, Seq("query_id", "neighbor_id")).count()
+      assert(h == direct, s"anchors $a leg disagrees with the direct run")
+    }
+    // 6 well-separated clusters: 6 anchors partition them; 2 anchors funnel
+    assert(got(6)._4 < got(2)._4, "more anchors must improve balance on this fixture")
+  }
+
   test("semDedupThresholdSweep: each leg's dup count equals semDedup's flags at that threshold") {
     val df = clustered(30).toDF("vec_id", "embedding")
     val sweep = Similarity
