@@ -661,6 +661,30 @@ object SparkEntry {
           .select(col("query_id"), col("neighbor_id")),
         k = 5)
     },
+    "ann_graph_entry_sweep" -> { (s, dir) =>
+      // The DiskANN knob next to the hop curve: recall@5 vs entry-point
+      // count at FIXED depth (hops=2) on the same IVF-built graph — does
+      // launching from more places substitute for walking deeper? One
+      // graph + gold, four bounded legs (ops/GraphAnn.scala).
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val graph = ivfGraph(emb)
+      val gold = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      val nGold = gold.agg(count(lit(1)).as("n_gold"))
+      Seq(1, 2, 4, 8).map { e =>
+        graft.ops.GraphAnn
+          .beamSearchTopK(graph, emb, queries, k = 5, beam = 8, hops = 2, entries = e)
+          .join(gold, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hit"))
+          .crossJoin(broadcast(nGold)) // 1-row gold count
+          .select(
+            lit(e).as("entries"), col("n_gold"), col("n_hit"),
+            expr("CAST((2 * 1000000 * n_hit + n_gold) div (2 * n_gold) AS BIGINT)")
+              .as("recall_micro"))
+      }.reduce(_ unionByName _)
+    },
     "jl_distortion_sweep" -> { (s, dir) =>
       // How hard can we compress before similarity breaks: JL ±1 sign
       // projection 64→{8,16,32} dims (md5 coin, plan-time literal matrix),
@@ -4154,28 +4178,39 @@ object SparkEntry {
       |  FROM ${p}nf nf JOIN ${p}r r ON r.bucket = nf.bucket AND r.rn = nf.rn + 1
       |)""".stripMargin
 
-  /** The navigation-graph chain through frontier `f{maxHops}` — shared by
-    * the fixed-3-hop beam queries and the hop sweep.
+  /** One prefixed beam chain — entry frame (`entries` lowest node ids),
+    * f0, and `maxHops` expand→rescore→top-8 rounds — against the shared
+    * `g`/`c`/`q` base. Prefix-free with a single entry reproduces the
+    * original fixed chain.
     */
-  private def graphHopCtes(maxHops: Int): String = {
+  private def graphHopChain(p: String, maxHops: Int, entries: Int = 1): String = {
     val hops = (1 to maxHops).map { h =>
-      s"""x$h AS (
-        |  SELECT query_id, node_id FROM f${h - 1}
+      s"""${p}x$h AS (
+        |  SELECT query_id, node_id FROM ${p}f${h - 1}
         |  UNION
         |  SELECT f.query_id, g.dst_id AS node_id
-        |  FROM f${h - 1} f JOIN g ON g.src_id = f.node_id
-        |), s$h AS (
+        |  FROM ${p}f${h - 1} f JOIN g ON g.src_id = f.node_id
+        |), ${p}s$h AS (
         |  SELECT x.query_id, x.node_id,
         |    round(list_cosine_similarity(q.qv, c.cv), 6) AS cos_sim
-        |  FROM x$h x JOIN q ON q.query_id = x.query_id JOIN c ON c.node_id = x.node_id
-        |), f$h AS (
+        |  FROM ${p}x$h x JOIN q ON q.query_id = x.query_id JOIN c ON c.node_id = x.node_id
+        |), ${p}f$h AS (
         |  SELECT query_id, node_id, cos_sim FROM (
         |    SELECT query_id, node_id, cos_sim,
         |      row_number() OVER (PARTITION BY query_id
         |        ORDER BY cos_sim DESC, node_id) AS rk
-        |    FROM s$h) WHERE rk <= 8
+        |    FROM ${p}s$h) WHERE rk <= 8
         |)""".stripMargin
     }.mkString(",\n")
+    s"""${p}e AS (SELECT node_id AS entry FROM c ORDER BY node_id LIMIT $entries),
+      |${p}f0 AS (SELECT query_id, entry AS node_id FROM q, ${p}e),
+      |$hops""".stripMargin
+  }
+
+  /** The navigation-graph chain through frontier `f{maxHops}` — shared by
+    * the fixed-3-hop beam queries and the hop sweep.
+    */
+  private def graphHopCtes(maxHops: Int): String = {
     s"""WITH vecs AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |    list_transform(CAST(embedding AS DOUBLE[]),
@@ -4211,9 +4246,7 @@ object SparkEntry {
       |),
       |c AS (SELECT vec_id AS node_id, v AS cv FROM vecs),
       |q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 8),
-      |e AS (SELECT min(node_id) AS entry FROM c),
-      |f0 AS (SELECT query_id, entry AS node_id FROM q, e),
-      |$hops""".stripMargin
+      |${graphHopChain("", maxHops)}""".stripMargin
   }
 
   private def graphBeamCtes: String =
@@ -4225,6 +4258,43 @@ object SparkEntry {
       |        ORDER BY cos_sim DESC, node_id) AS INT) AS rank
       |    FROM f3 WHERE node_id != query_id) WHERE rank <= 5
       |)""".stripMargin
+
+  /** Entry sweep replay: the base + default single-entry chain at depth 2
+    * (the entries=1 leg), plus one prefixed chain per additional entry
+    * count; every leg's self-excluded top-5 scored against brute gold.
+    */
+  private def graphEntrySweepOracle: String = {
+    val extra = Seq(2, 4, 8)
+    val chains = extra.map(e => graphHopChain(s"p$e", 2, e)).mkString(",\n")
+    def legSql(e: Int, fTwo: String) =
+      s"""t$e AS (
+        |  SELECT query_id, node_id FROM (
+        |    SELECT query_id, node_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, node_id) AS rk
+        |    FROM $fTwo WHERE node_id != query_id) WHERE rk <= 5
+        |), h$e AS (
+        |  SELECT CAST($e AS INT) AS entries,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM rel) AS n_gold,
+        |    CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM t$e t JOIN rel r ON r.query_id = t.query_id AND r.neighbor_id = t.node_id
+        |)""".stripMargin
+    val legs = (legSql(1, "f2") +: extra.map(e => legSql(e, s"p${e}f2"))).mkString(",\n")
+    s"""${graphHopCtes(2)},
+      |$chains,
+      |rel AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, cv.node_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY round(list_cosine_similarity(q.qv, cv.cv), 6) DESC, cv.node_id) AS brank
+      |    FROM q, c cv WHERE q.query_id != cv.node_id
+      |  ) WHERE brank <= 5
+      |),
+      |$legs
+      |SELECT entries, n_gold, n_hit,
+      |  CAST((2 * 1000000 * n_hit + n_gold) // (2 * n_gold) AS BIGINT) AS recall_micro
+      |FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2
+      |  UNION ALL SELECT * FROM h4 UNION ALL SELECT * FROM h8)""".stripMargin
+  }
 
   /** Hop sweep replay: one final-top-5 leg per frontier depth, each scored
     * for gold-hit count against the brute top-5.
@@ -6786,6 +6856,7 @@ object SparkEntry {
       s"""$graphBeamCtes
         |SELECT query_id, neighbor_id, cos_sim, rank FROM beam_topk""".stripMargin,
     "ann_graph_hop_sweep" -> graphHopSweepOracle,
+    "ann_graph_entry_sweep" -> graphEntrySweepOracle,
     "jl_distortion_sweep" -> {
       // replay: sign(j,i) = md5-32("jl-<j>-<i>") even → +1; projection is
       // exact long sums over micro components; distortion micro-rounds

@@ -43,7 +43,11 @@ object GraphAnn {
 
   /** Beam search over a navigation graph: `hops` rounds of expand → rescore
     * → keep top-`beam`, then the final top-k (self excluded). `beam` must
-    * exceed `k` so the self-filter cannot starve the answer.
+    * exceed `k` so the self-filter cannot starve the answer. `entries` is
+    * the DiskANN knob: the search starts from the `entries` lowest-id
+    * vectors instead of one — independent launch points cover more of a
+    * poorly-linked graph per hop (`ann_graph_entry_sweep` measures what
+    * each extra entry buys).
     */
   def beamSearchTopK(
       graph: DataFrame,
@@ -52,16 +56,20 @@ object GraphAnn {
       k: Int,
       beam: Int = 8,
       hops: Int = 3,
+      entries: Int = 1,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
     require(beam > k, s"beam ($beam) must exceed k ($k): the final rank drops self")
+    require(entries >= 1, "at least one entry point")
     val c = corpus.select(col(idCol).as("node_id"), col(vecCol).as("c_vec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val edges = graph.select(col("src_id"), col("dst_id"))
-    // deterministic entry point; 1-row bounded collect
-    val entry = corpus.agg(min(col(idCol))).head().getLong(0)
-    var frontier = q.select(col("query_id"), lit(entry).as("node_id"))
+    // deterministic entry points; `entries`-row bounded frame (TakeOrdered)
+    val entryIds = corpus.select(col(idCol).as("node_id"))
+      .orderBy(col("node_id")).limit(entries)
+    var frontier = q.select(col("query_id"))
+      .crossJoin(broadcast(entryIds))
     for (_ <- 1 to hops) {
       val expanded = frontier
         .select(col("query_id"), col("node_id"))

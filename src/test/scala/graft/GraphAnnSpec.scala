@@ -33,6 +33,23 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(beam == brute)
   }
 
+  test("multiple entries launch the search from the lowest ids and never hurt the frontier") {
+    val c = corpus
+    val queries = c.filter(col("vec_id").isin(7L, 11L))
+    // entries = corpus size → hop 0 already scores everything: exact answer
+    val all = GraphAnn.beamSearchTopK(
+      GraphAnn.knnGraph(c, 8), c, queries, k = 5, beam = 12, hops = 1, entries = 12)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(c, queries, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(all == brute, "full-entry search must equal brute force")
+    intercept[IllegalArgumentException] {
+      GraphAnn.beamSearchTopK(GraphAnn.knnGraph(c, 8), c, c, k = 3, beam = 6, entries = 0)
+    }
+  }
+
   test("search never returns self, ranks are 1..k, and beam<=k is rejected") {
     val c = corpus
     val got = GraphAnn.beamSearchTopK(
