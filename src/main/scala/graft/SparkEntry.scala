@@ -1406,6 +1406,12 @@ object SparkEntry {
       // the bin-packing folklore before paying the extra sort.
       graft.ops.Packing.orderWasteReport(table(s, dir, "documents"))
     },
+    "packing_budget_sweep" -> { (s, dir) =>
+      // The context-length knob: next-fit underfill per candidate budget.
+      // Waste is NOT monotone in the budget (worst just above the
+      // doc-length mode) — measure, don't guess (ops/Packing.scala).
+      graft.ops.Packing.budgetWasteSweep(table(s, dir, "documents"))
+    },
     "pack_purity_report" -> { (s, dir) =>
       // Cross-doc contamination inside packed training sequences: per
       // pack, how many docs/languages/sources share the context window
@@ -8030,6 +8036,22 @@ object SparkEntry {
         |${leg("arrival", "a")}
         |UNION ALL
         |${leg("length_desc", "b")}""".stripMargin
+    },
+    "packing_budget_sweep" -> {
+      val budgets = Seq(128L, 256L, 512L, 1024L)
+      val chains = budgets.map(b => nextFitCtes(s"b$b", "doc_id", b)).mkString(",\n")
+      val legs = budgets.map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS pack_budget, n_packs, n_tokens, underfill,
+          |  CAST((2 * 10000 * underfill + $b * n_packs)
+          |    // (2 * $b * n_packs) AS INT) AS underfill_bps
+          |FROM (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_packs,
+          |    CAST(sum(fill) AS BIGINT) AS n_tokens,
+          |    CAST(sum(greatest($b - fill, 0)) AS BIGINT) AS underfill
+          |  FROM (SELECT bucket, pack_id, CAST(sum(n_tokens) AS BIGINT) AS fill
+          |        FROM b${b}nf GROUP BY 1, 2))""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH RECURSIVE $chains\n$legs"
     },
     "token_pack_assignments" ->
       """WITH t AS (

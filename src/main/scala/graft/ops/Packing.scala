@@ -143,6 +143,33 @@ object Packing {
     leg("arrival", desc = false).unionByName(leg("length_desc", desc = true))
   }
 
+  /** Budget sweep over [[nextFitPacks]] (arrival order): pack count and
+    * underfill share per candidate token budget. Underfill is NOT
+    * monotone in the budget — a budget just above the doc-length mode
+    * wastes most (every pack holds one doc plus an unusable tail), so the
+    * context-length choice wants this measured curve, not intuition.
+    */
+  def budgetWasteSweep(
+      docs: DataFrame,
+      budgets: Seq[Long] = Seq(128L, 256L, 512L, 1024L),
+      buckets: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    budgets.map { b =>
+      nextFitPacks(docs, b, buckets, byLengthDesc = false, idCol, textCol)
+        .groupBy(col("bucket"), col("pack_id"))
+        .agg(sum(col("n_tokens")).as("fill"))
+        .agg(
+          count(lit(1)).as("n_packs"),
+          sum(col("fill")).as("n_tokens"),
+          sum(greatest(lit(b) - col("fill"), lit(0L))).as("underfill"))
+        .select(
+          lit(b).as("pack_budget"), col("n_packs"), col("n_tokens"), col("underfill"),
+          expr(s"CAST((2 * 10000 * underfill + $b * n_packs)" +
+            s" div (2 * $b * n_packs) AS INT)").as("underfill_bps"))
+    }.reduce(_ unionByName _)
+
   def contrastiveBatches(
       df: DataFrame,
       idCol: String = "vec_id",

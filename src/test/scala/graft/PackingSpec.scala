@@ -87,6 +87,24 @@ class PackingSpec extends AnyFunSuite {
     assert(waste("length_desc") == ((4L, 18L, 2L, 1000)))
   }
 
+  test("budgetWasteSweep: each leg equals the arrival-order waste report at that budget") {
+    val docs = Seq(4, 4, 3, 3, 2, 2).zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.tabulate(n)(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val sweep = Packing.budgetWasteSweep(docs, budgets = Seq(5L, 9L), buckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(sweep.keySet == Set(5L, 9L))
+    for ((b, row) <- sweep) {
+      val want = Packing.orderWasteReport(docs, packTokens = b, buckets = 2)
+        .filter($"ordering" === "arrival")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).head
+      assert(row == want, s"budget $b")
+    }
+    // budget 9 fits each bucket's 9 tokens exactly: one full pack per bucket
+    assert(sweep(9L) == ((2L, 18L, 0L, 0)))
+  }
+
   test("contrastiveBatches: no same-label pair shares a batch, batch count = max label freq") {
     // skewed labels: label 0 has 7 members, 1 has 3, 2 has 1
     val rows = (0L until 7L).map((_, 0)) ++ (7L until 10L).map((_, 1)) ++ Seq((10L, 2))
