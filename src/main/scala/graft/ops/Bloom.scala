@@ -116,7 +116,10 @@ object Bloom {
         col("bits_set"),
         expr(s"CAST((2 * 10000 * bits_set + $m) div (2 * $m) AS INT)").as("fill_bps"),
         col("n_probes"), col("n_fp"),
-        expr("CAST((2 * 10000 * n_fp + n_probes) div (2 * n_probes) AS INT)")
+        // n_probes = 0 (every probe key was already a member) must yield
+        // NULL, not a divide-by-zero under ANSI mode
+        expr("CAST(CASE WHEN n_probes > 0 THEN" +
+          " (2 * 10000 * n_fp + n_probes) div (2 * n_probes) END AS INT)")
           .as("fpp_measured_bps"))
     }.reduce(_.unionByName(_))
   }

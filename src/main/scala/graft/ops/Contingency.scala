@@ -591,9 +591,12 @@ object Contingency {
       sum(expr(s"CAST($xCol = 1 AND $yCol = 0 AS BIGINT)")).as("n10"),
       sum(expr(s"CAST($xCol = 0 AND $yCol = 1 AS BIGINT)")).as("n01"),
       sum(expr(s"CAST($xCol = 0 AND $yCol = 0 AS BIGINT)")).as("n00"))
+    // DECIMAL(38,0) cross-products: BIGINT n11*n00 overflows above ~3e9
+    // per cell — the same exact-rational discipline stratifiedAte uses.
     val signExpr = expr(
       "CAST(CASE WHEN n11 + n10 = 0 OR n01 + n00 = 0 THEN 0" +
-        " ELSE sign(n11 * n00 - n10 * n01) END AS INT)")
+        " ELSE sign(CAST(n11 AS DECIMAL(38,0)) * CAST(n00 AS DECIMAL(38,0))" +
+        " - CAST(n10 AS DECIMAL(38,0)) * CAST(n01 AS DECIMAL(38,0))) END AS INT)")
     val perStratum = units
       .groupBy(col(stratumCol).cast("long").as("stratum"))
       .agg(cells.head, cells.tail: _*)

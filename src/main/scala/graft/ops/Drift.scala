@@ -211,13 +211,22 @@ object Drift {
       .agg(
         max(col("a.n")).as("n_a"),
         max(col("b.n")).as("n_b"),
-        max(abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n"))).as("sup_num"))
+        // DECIMAL(38,0) cross-multiply: cum*n in BIGINT overflows once a
+        // source passes ~3e9 documents — cast BEFORE the product, the
+        // exact-rational discipline the rest of the file uses.
+        max(abs(
+          col("a.cum").cast("decimal(38,0)") * col("b.n").cast("decimal(38,0)") -
+            col("b.cum").cast("decimal(38,0)") * col("a.n").cast("decimal(38,0)")))
+          .as("sup_num"))
       .select(
         col("source_a"),
         col("source_b"),
         col("n_a"),
         col("n_b"),
-        scaledRatio(col("sup_num"), col("n_a") * col("n_b")).cast("long").as("ks_micro"))
+        scaledRatio(
+          col("sup_num"),
+          col("n_a").cast("decimal(38,0)") * col("n_b").cast("decimal(38,0)"))
+          .cast("long").as("ks_micro"))
   }
 
   /** Pairwise VOCABULARY Jaccard between sources — the set-level

@@ -62,6 +62,9 @@ object GraphAnn {
   ): DataFrame = {
     require(beam > k, s"beam ($beam) must exceed k ($k): the final rank drops self")
     require(entries >= 1, "at least one entry point")
+    // hops = 0 would skip the loop and hand topKPerGroup a frontier with
+    // no cos_sim column — an opaque unresolved-column analysis error.
+    require(hops >= 1, s"hops ($hops) must be >= 1: the search must expand at least once")
     val c = corpus.select(col(idCol).as("node_id"), col(vecCol).as("c_vec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val edges = graph.select(col("src_id"), col("dst_id"))

@@ -786,10 +786,10 @@ object QualityTrainer {
     * rows in bps. Off-diagonal mass is the estimated label-error rate.
     *
     * Exactness: scores are integer micro-units; every threshold compare
-    * is cross-multiplied long arithmetic (s·n₁ ≥ Σ₁ etc.) — no float
-    * anywhere, so the whole audit replays under the full SQL oracle. At
-    * 100 TB counts the s·n products need DECIMAL(38,0); structure
-    * unchanged. Shape: one feature scan, folds bounded GD loops (5 longs
+    * is cross-multiplied DECIMAL(38,0) arithmetic (s·n₁ ≥ Σ₁ etc., the
+    * 3-factor margin product passes 2^63 at ~2M rows/class) — no float
+    * anywhere, so the whole audit replays under the full SQL oracle's
+    * HUGEINT math. Shape: one feature scan, folds bounded GD loops (5 longs
     * of driver state each), one aggregation for the four threshold
     * scalars (broadcast back), one map-side classify + count — the
     * corpus never shuffles.
@@ -816,19 +816,25 @@ object QualityTrainer {
     * score/label fixtures can pin the classification rule directly.
     */
   def confidentJoint(oos: DataFrame): DataFrame = {
+    // DECIMAL(38,0) threshold arithmetic: the cross-multiplied compares
+    // (p_micro·n1 vs Σp, and the 3-factor margin) overflow BIGINT well
+    // below 100 TB row counts — micro-scaled scores make p·n0·n1 pass
+    // 2^63 at ~2M rows per class. Matches the oracle's HUGEINT math.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast(dec)
     val th = oos.agg(
-      sum(when(col("y") === 1L, col("p_micro")).otherwise(0L)).as("sum1"),
+      sum(when(col("y") === 1L, d(col("p_micro"))).otherwise(d(lit(0L)))).as("sum1"),
       sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n1"),
-      sum(when(col("y") === 0L, col("p_micro")).otherwise(0L)).as("sum0"),
+      sum(when(col("y") === 0L, d(col("p_micro"))).otherwise(d(lit(0L)))).as("sum0"),
       sum(when(col("y") === 0L, 1L).otherwise(0L)).as("n0"),
       count(lit(1)).as("n_total"))
     oos.crossJoin(broadcast(th))
-      .withColumn("conf1", col("p_micro") * col("n1") >= col("sum1"))
-      .withColumn("conf0", col("p_micro") * col("n0") <= col("sum0"))
+      .withColumn("conf1", d(col("p_micro")) * d(col("n1")) >= col("sum1"))
+      .withColumn("conf0", d(col("p_micro")) * d(col("n0")) <= col("sum0"))
       .withColumn("true_class",
         when(col("conf1") && col("conf0"),
-          when(col("p_micro") * 2L * col("n0") * col("n1") >=
-            col("sum0") * col("n1") + col("sum1") * col("n0"), 1L).otherwise(0L))
+          when(d(col("p_micro")) * d(lit(2L)) * d(col("n0")) * d(col("n1")) >=
+            col("sum0") * d(col("n1")) + col("sum1") * d(col("n0")), 1L).otherwise(0L))
           .when(col("conf1"), 1L)
           .when(col("conf0"), 0L))
       .groupBy(col("y").as("label"), col("true_class"))

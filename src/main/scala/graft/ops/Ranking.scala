@@ -115,10 +115,19 @@ object Ranking {
       .sortWithinPartitions(order: _*)
     val schema = StructType(
       ranged.schema.fields :+ StructField(rankCol, LongType, nullable = false))
-    spark.createDataFrame(
-      ranged.rdd.zipWithIndex.map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ (i + 1L))
-      },
-      schema)
+    // `zipWithIndex` runs a per-partition count job before the map pass, so
+    // an unpersisted `ranged` would re-run its whole upstream lineage twice
+    // (three times counting repartitionByRange's bound sampling) — the
+    // round-8 `linkage_review_queue` triple-execution finding. Persist the
+    // sorted frame exactly like `runningTotals` does above; the eager
+    // localCheckpoint pins the result before the unpersist.
+    val rdd = ranged.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      spark.createDataFrame(
+        rdd.zipWithIndex.map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ (i + 1L))
+        },
+        schema).localCheckpoint(eager = true)
+    } finally rdd.unpersist(blocking = false)
   }
 }

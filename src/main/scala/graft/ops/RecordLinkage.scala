@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   * planted-truth discipline the dedup family uses.
   *
   * 100 TB shape: each blocking pass is one equi-join on a compound block
-  * key (never a cross join); candidate volume is Σ_blocks |dirty|·|clean|,
-  * controlled by block granularity; agreement predicates and the score
+  * key (never a cross join); candidate volume is Σ_blocks |dirty|·|clean|.
+  * The default passes both use keys whose cardinality grows with the data
+  * (digit-signature of the name; $10 balance bucket), so per-block
+  * populations — and with them candidates-per-record — stay bounded as
+  * the table grows; the fixed-cardinality (nation, segment) key is demoted
+  * to an opt-in small-scale backstop. Agreement predicates and the score
   * are scan-speed literal arithmetic; the eval is count-only aggregation.
   */
 object RecordLinkage {
@@ -82,36 +86,63 @@ object RecordLinkage {
     */
   private def balBucket(c: Column): Column = expr(s"(${c.toString} + 1000000) DIV $BucketCents")
 
+  /** Normalized name signature for pass-A blocking: the digit subsequence
+    * of the name (strip everything that isn't [0-9]). The standard
+    * standardized-key blocking move — punctuation/prefix/case edits (the
+    * corruptions real name fields suffer) leave the identifying digits
+    * intact, and the key's cardinality GROWS WITH THE TABLE, so candidate
+    * volume stays Θ(n · records-per-signature) instead of the Θ(n²/|blocks|)
+    * a fixed-cardinality key like (nation, segment) degenerates to — the
+    * round-8 scale finding. Records with no digits get an empty signature
+    * and fall through to pass B only (see the join guard in [[fsPairs]]).
+    */
+  private def nameSig(c: Column): Column = regexp_replace(c, "[^0-9]", "")
+
   /** Candidate pairs from two blocking passes, FS-scored.
     *
-    * Pass A blocks on (nation, segment) — misses pairs whose segment was
-    * wiped; pass B blocks on (nation, $10 balance bucket) — catches those
-    * unless the ±10-cent noise crosses a bucket edge. The union is
-    * deduplicated on the key pair, then agreements and the additive score
-    * are literal arithmetic. Output carries the agreement vector, the
-    * score, the decision, and the ground-truth flag.
+    * Pass A blocks on (nation, digit-signature of the name) — a key whose
+    * distinct-count grows with the data (see [[nameSig]]); pass B blocks
+    * on (nation, $10 balance bucket) and catches digit-free names. An
+    * optional third pass on (nation, segment) is available as a
+    * small-scale recall backstop (`segmentBackstop = true`) but is OFF by
+    * default: its ~|nations|·|segments| block count is fixed, so its
+    * candidate volume is quadratic in the table — fine at sf0.1,
+    * catastrophic at 100 TB. The union is deduplicated on the key pair,
+    * then agreements and the additive score are literal arithmetic.
+    * Output carries the agreement vector, the score, the decision, and
+    * the ground-truth flag.
     */
-  def fsPairs(cust: DataFrame): DataFrame = {
+  def fsPairs(cust: DataFrame, segmentBackstop: Boolean = false): DataFrame = {
     // name trigrams computed ONCE per record here (records-sized work,
     // and the record frames broadcast into the scoring join) — computing
     // them per candidate pair would redo the string work |candidates|×2
     // times, which at sf0.1 is ~240× per record
     val d = dirtyCustomers(cust)
       .withColumn("d_tri", trigrams(lower(col("d_name"))))
+      .withColumn("d_sig", nameSig(col("d_name")))
       .localCheckpoint(eager = true)
     val c = cleanSide(cust)
       .withColumn("c_tri", trigrams(lower(col("c_name"))))
+      .withColumn("c_sig", nameSig(col("c_name")))
       .localCheckpoint(eager = true)
     val passA = d
-      .join(c, col("d_nation") === col("c_nation") && col("d_seg") === col("c_seg"))
+      .join(
+        c,
+        col("d_nation") === col("c_nation") && col("d_sig") === col("c_sig") &&
+          length(col("d_sig")) > 0)
       .select(col("d_key"), col("c_key"))
+    val passSeg =
+      if (!segmentBackstop) None
+      else Some(d
+        .join(c, col("d_nation") === col("c_nation") && col("d_seg") === col("c_seg"))
+        .select(col("d_key"), col("c_key")))
     val passB = d
       .join(
         c,
         col("d_nation") === col("c_nation") &&
           balBucket(col("d_cents")) === balBucket(col("c_cents")))
       .select(col("d_key"), col("c_key"))
-    val cand = passA.unionByName(passB).distinct()
+    val cand = passSeg.foldLeft(passA.unionByName(passB))(_ unionByName _).distinct()
     val scored = cand
       .join(d, Seq("d_key"))
       .join(c, Seq("c_key"))

@@ -14,7 +14,9 @@ class RecordLinkageSpec extends AnyFunSuite {
     * 2 (untouched), 3 (prefix rewrite), 4/10 (case fold, planted FP pair
     * 10 cents apart), 7 (case fold + segment wipe), 21 (prefix rewrite +
     * segment wipe → below threshold), 14 (segment wipe + balance noise
-    * crossing a $10 bucket edge → lost by BOTH blocking passes).
+    * crossing a $10 bucket edge → invisible to the balance pass, caught
+    * only by the digit-signature pass: the case the round-9 blocking key
+    * exists to keep at scale).
     */
   private val fixture = Seq(
     (2L, name(2), 1, 10.00, "BUILDING"),
@@ -61,8 +63,24 @@ class RecordLinkageSpec extends AnyFunSuite {
     // planted FP: templated names + 4-cent balance proximity + same segment
     val fp = pairs((4L, 10L))
     assert(fp._2 == 1 && fp._3 == 0, s"planted FP got $fp")
-    // bucket-edge crossing + segment wipe: lost by BOTH blocking passes
-    assert(!pairs.contains((14L, 14L)))
+    // bucket-edge crossing + segment wipe: invisible to the balance pass,
+    // recovered by the digit-signature pass (name untouched for %3=2:
+    // 2.0 + 0.3 + 3.0 - 0.9 = 4.4)
+    assert(pairs((14L, 14L)) == (4400000L, 1, 1))
+  }
+
+  test("fsPairs candidate volume scales with the data, not quadratically (round-8 finding)") {
+    // 300 records, balances spread so each $10 bucket holds ≤ 2 records:
+    // pass A contributes exactly n true pairs (unique digit signatures),
+    // pass B ≤ 2 per bucket-pair — candidates-per-record must stay bounded
+    // as n grows, the contract (nation, segment) blocking could not keep.
+    val n = 300
+    val big = (1 to n).map { k =>
+      (k.toLong, name(k.toLong), k % 5, 10.0 + k * 7.37, s"SEG${k % 5}")
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val cands = RecordLinkage.fsPairs(big).count()
+    assert(cands >= n.toLong, s"every true pair must survive blocking, got $cands")
+    assert(cands <= 4L * n, s"candidate volume $cands exceeds the 4n bound — blocking degenerated")
   }
 
   test("fsEntityClusters: true matches form 2-record entities; the planted FP merges 4 and 10") {
@@ -80,10 +98,12 @@ class RecordLinkageSpec extends AnyFunSuite {
     // FP links (4,10)/(10,4) merge both true entities into ONE component
     val merged = Set(c("dirty", 4L), c("clean", 4L), c("dirty", 10L), c("clean", 10L))
     assert(merged.size == 1, s"expected one merged entity, got $merged")
-    // distinct entities stay distinct
-    assert(Set(c("dirty", 2L), c("dirty", 3L), c("dirty", 7L), merged.head).size == 4)
-    // 21 (below threshold) and 14 (blocking miss) never enter any entity
-    assert(!clusters.contains(("dirty", 21L)) && !clusters.contains(("dirty", 14L)))
+    // distinct entities stay distinct (14 now forms its own 2-record
+    // entity — recovered by the digit-signature pass)
+    assert(c("dirty", 14L) == c("clean", 14L), "entity 14 split")
+    assert(Set(c("dirty", 2L), c("dirty", 3L), c("dirty", 7L), c("dirty", 14L), merged.head).size == 5)
+    // 21 (below threshold) never enters any entity
+    assert(!clusters.contains(("dirty", 21L)))
   }
 
   test("fsEval row is exactly consistent with the pairs frame") {

@@ -4,10 +4,16 @@ of the library): run Verify's parquet outputs against the DuckDB oracle SQL
 and compare row-count, schema (column names), and a row-order-insensitive
 hash of values with columns sorted by name.
 
-Usage: check_oracle.py <sfDir> <verifyOutDir>
+Usage: check_oracle.py <sfDir> <verifyOutDir> [onlyCsv] [budgetSec]
+
+Prints per-oracle wall time, the 10 slowest at the end, and (round-9 gate
+discipline, VERDICT r8 #1) asserts the whole suite stays under budgetSec
+(default 600 s) so an oracle-cost blow-up is an in-round failure, not a
+dark driver artifact.
 """
 import json
 import sys
+import time
 
 import duckdb
 
@@ -36,7 +42,7 @@ def frame_hash(rows, cols):
     return h.hexdigest()
 
 
-def main(sf_dir, out_dir, only=None):
+def main(sf_dir, out_dir, only=None, budget_sec=600.0):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -44,9 +50,12 @@ def main(sf_dir, out_dir, only=None):
         )
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = bad = 0
+    times = {}
+    suite_t0 = time.time()
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
@@ -55,7 +64,8 @@ def main(sf_dir, out_dir, only=None):
             exp = con.execute(sql)
             exp_rows, exp_cols = exp.fetchall(), [d[0] for d in exp.description]
         except Exception as e:
-            print(f"FAIL {name}: {e}")
+            times[name] = time.time() - t0
+            print(f"FAIL {name}: {e} [{times[name]:.1f}s]")
             bad += 1
             continue
         problems = []
@@ -84,16 +94,25 @@ def main(sf_dir, out_dir, only=None):
                 problems.append(f"  spark-only: {only_g}")
             if only_e:
                 problems.append(f"  oracle-only: {only_e}")
+        times[name] = time.time() - t0
         if problems:
-            print(f"FAIL {name}: " + "; ".join(problems))
+            print(f"FAIL {name}: " + "; ".join(problems) + f" [{times[name]:.1f}s]")
             bad += 1
         else:
-            print(f"OK   {name} ({len(got_rows)} rows)")
+            print(f"OK   {name} ({len(got_rows)} rows) [{times[name]:.1f}s]")
             ok += 1
-    print(f"== {ok} ok, {bad} fail")
+    suite = time.time() - suite_t0
+    slow = sorted(times.items(), key=lambda kv: -kv[1])[:10]
+    print("== slowest:", ", ".join(f"{n}={t:.1f}s" for n, t in slow))
+    print(f"== {ok} ok, {bad} fail, suite {suite:.1f}s (budget {budget_sec:.0f}s)")
+    if not only and suite > budget_sec:
+        print(f"BUDGET EXCEEDED: oracle suite {suite:.1f}s > {budget_sec:.0f}s "
+              "— trim the slowest oracles before the driver gate goes dark")
+        return 2
     return 1 if bad else 0
 
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2],
-                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None,
+                  float(sys.argv[4]) if len(sys.argv) > 4 else 600.0))
