@@ -709,6 +709,49 @@ object SparkEntry {
               .as("recall_micro"))
       }.reduce(_ unionByName _)
     },
+    "ann_graph_hier_recall" -> { (s, dir) =>
+      // HNSW's answer to the entry sweep's finding (the flat graph needed
+      // 8 independent entries at depth 2 for full recall): ONE walk over
+      // a sampled LONG-LINK layer replaces the extra entry points. Upper
+      // layer = deterministic 1-in-8 node sample with degree-4 IVF-built
+      // links (anchors from the sample — the coarser quantizer level);
+      // descent = top-8 survivors of a 2-hop beam-9 upper walk seed a
+      // 2-hop beam-8 base walk (GraphAnn.beamSearchTopKFrom). Three
+      // strategies scored against one brute gold at comparable
+      // edge-expansion budgets — the hierarchy claim, measured.
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val graph = sharedIvfGraph(s, dir)
+      val gold = sharedGraphGold(s, dir)
+      val nGold = gold.agg(count(lit(1)).as("n_gold"))
+      val upperNodes = emb.filter(col("vec_id") % 8 === 0)
+      val upperGraph = Similarity
+        .ivfAnchorTopK(upperNodes, upperNodes, k = 4, nprobe = 2, broadcastQueries = false)
+        .select(col("query_id").as("src_id"), col("neighbor_id").as("dst_id"))
+        .localCheckpoint(eager = true) // sample×4 ids; walked twice below
+      val pads = graft.ops.GraphAnn
+        .beamSearchTopK(upperGraph, upperNodes, queries, k = 8, beam = 9, hops = 2)
+        .select(col("query_id"), col("neighbor_id").as("node_id"))
+      val hier = graft.ops.GraphAnn
+        .beamSearchTopKFrom(graph, emb, queries, pads, k = 5, beam = 8, hops = 2)
+      def leg(name: String, res: DataFrame) =
+        res.select(col("query_id"), col("neighbor_id"))
+          .join(gold, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hit"))
+          .crossJoin(broadcast(nGold)) // 1-row gold count
+          .select(
+            lit(name).as("strategy"), col("n_gold"), col("n_hit"),
+            expr("CAST((2 * 1000000 * n_hit + n_gold) div (2 * n_gold) AS BIGINT)")
+              .as("recall_micro"))
+      Seq(
+        leg("flat_e1_h2",
+          graft.ops.GraphAnn.beamSearchTopK(graph, emb, queries, k = 5, beam = 8, hops = 2)),
+        leg("flat_e8_h2",
+          graft.ops.GraphAnn
+            .beamSearchTopK(graph, emb, queries, k = 5, beam = 8, hops = 2, entries = 8)),
+        leg("hier_e1_h2x2", hier)
+      ).reduce(_ unionByName _)
+    },
     "jl_distortion_sweep" -> { (s, dir) =>
       // How hard can we compress before similarity breaks: JL ±1 sign
       // projection 64→{8,16,32} dims (md5 coin, plan-time literal matrix),
@@ -4366,6 +4409,121 @@ object SparkEntry {
       |  UNION ALL SELECT * FROM h3 UNION ALL SELECT * FROM h4)""".stripMargin
   }
 
+  /** Hierarchical (HNSW-style) descent replay: the base flat chains at
+    * depth 2 (entries 1 and 8) plus an upper long-link layer — 1-in-8
+    * node sample, its own 16 lowest-id anchors, degree-4 IVF edges — whose
+    * 2-hop beam-9 walk's top-8 survivors seed a 2-hop beam-8 base walk.
+    * Mirrors [[graft.ops.GraphAnn.beamSearchTopKFrom]] hop for hop.
+    */
+  private def graphHierRecallOracle: String = {
+    val p8 = graphHopChain("p8", 2, 8)
+    def upperHop(h: Int, beamRk: Int) =
+      s"""ux$h AS (
+        |  SELECT query_id, node_id FROM uf${h - 1}
+        |  UNION
+        |  SELECT f.query_id, e.dst_id AS node_id
+        |  FROM uf${h - 1} f JOIN ug e ON e.src_id = f.node_id
+        |), us$h AS (
+        |  SELECT x.query_id, x.node_id,
+        |    round(list_cosine_similarity(q.qv, c2.cv), 6) AS cos_sim
+        |  FROM ux$h x JOIN q ON q.query_id = x.query_id JOIN uc c2 ON c2.node_id = x.node_id
+        |), uf$h AS MATERIALIZED (
+        |  SELECT query_id, node_id, cos_sim FROM (
+        |    SELECT query_id, node_id, cos_sim,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos_sim DESC, node_id) AS rk
+        |    FROM us$h) WHERE rk <= $beamRk
+        |)""".stripMargin
+    def baseHop(h: Int) =
+      s"""hx$h AS (
+        |  SELECT query_id, node_id FROM hf${h - 1}
+        |  UNION
+        |  SELECT f.query_id, e.dst_id AS node_id
+        |  FROM hf${h - 1} f JOIN g e ON e.src_id = f.node_id
+        |), hs$h AS (
+        |  SELECT x.query_id, x.node_id,
+        |    round(list_cosine_similarity(q.qv, c.cv), 6) AS cos_sim
+        |  FROM hx$h x JOIN q ON q.query_id = x.query_id JOIN c ON c.node_id = x.node_id
+        |), hf$h AS MATERIALIZED (
+        |  SELECT query_id, node_id, cos_sim FROM (
+        |    SELECT query_id, node_id, cos_sim,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos_sim DESC, node_id) AS rk
+        |    FROM hs$h) WHERE rk <= 8
+        |)""".stripMargin
+    def leg(tag: String, fTwo: String) =
+      s"""t$tag AS (
+        |  SELECT query_id, node_id FROM (
+        |    SELECT query_id, node_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, node_id) AS rk
+        |    FROM $fTwo WHERE node_id != query_id) WHERE rk <= 5
+        |), h$tag AS (
+        |  SELECT '$tag' AS strategy,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM rel) AS n_gold,
+        |    CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM t$tag t JOIN rel r ON r.query_id = t.query_id AND r.neighbor_id = t.node_id
+        |)""".stripMargin
+    s"""${graphHopCtes(2)},
+      |$p8,
+      |uvecs AS MATERIALIZED (SELECT vec_id, v, mv FROM vecs WHERE vec_id % 8 = 0),
+      |uanch AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, mv AS av
+      |  FROM uvecs ORDER BY vec_id LIMIT 16
+      |), udists AS (
+      |  SELECT v.vec_id, a.ai,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (v.mv[i] - a.av[i]) * (v.mv[i] - a.av[i]))) AS d2
+      |  FROM uvecs v, uanch a
+      |), uassign AS (
+      |  SELECT vec_id, ai AS bucket,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
+      |  FROM udists
+      |), ugc AS (SELECT vec_id AS neighbor_id, bucket FROM uassign WHERE rk = 1),
+      |ugq AS (SELECT vec_id AS src_id, bucket FROM uassign WHERE rk <= 2),
+      |ugcand AS (
+      |  SELECT DISTINCT src_id, neighbor_id
+      |  FROM ugq JOIN ugc USING (bucket) WHERE src_id != neighbor_id
+      |), ugscored AS (
+      |  SELECT cand.src_id, cand.neighbor_id,
+      |    round(list_cosine_similarity(a.v, b.v), 6) AS cs
+      |  FROM ugcand cand JOIN uvecs a ON a.vec_id = cand.src_id
+      |                   JOIN uvecs b ON b.vec_id = cand.neighbor_id
+      |), ug AS MATERIALIZED (
+      |  SELECT src_id, dst_id FROM (
+      |    SELECT src_id, neighbor_id AS dst_id,
+      |      row_number() OVER (PARTITION BY src_id ORDER BY cs DESC, neighbor_id) AS rk
+      |    FROM ugscored) WHERE rk <= 4
+      |),
+      |uc AS MATERIALIZED (SELECT vec_id AS node_id, v AS cv FROM uvecs),
+      |ue AS (SELECT node_id AS entry FROM uc ORDER BY node_id LIMIT 1),
+      |uf0 AS MATERIALIZED (SELECT query_id, entry AS node_id FROM q, ue),
+      |${upperHop(1, 9)},
+      |${upperHop(2, 9)},
+      |hf0 AS MATERIALIZED (
+      |  SELECT query_id, node_id FROM (
+      |    SELECT query_id, node_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos_sim DESC, node_id) AS rk
+      |    FROM uf2 WHERE node_id != query_id) WHERE rk <= 8
+      |),
+      |${baseHop(1)},
+      |${baseHop(2)},
+      |rel AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.query_id, cv.node_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY round(list_cosine_similarity(q.qv, cv.cv), 6) DESC, cv.node_id) AS brank
+      |    FROM q, c cv WHERE q.query_id != cv.node_id
+      |  ) WHERE brank <= 5
+      |),
+      |${leg("flat_e1_h2", "f2")},
+      |${leg("flat_e8_h2", "p8f2")},
+      |${leg("hier_e1_h2x2", "hf2")}
+      |SELECT strategy, n_gold, n_hit,
+      |  CAST((2 * 1000000 * n_hit + n_gold) // (2 * n_gold) AS BIGINT) AS recall_micro
+      |FROM (SELECT * FROM hflat_e1_h2 UNION ALL SELECT * FROM hflat_e8_h2
+      |  UNION ALL SELECT * FROM hhier_e1_h2x2)""".stripMargin
+  }
+
   /** Anchor-count sweep replay: one anchors/dists/assign chain per
     * candidate count (prefixed `k<a>`), each scored for gold hits at
     * nprobe=2 plus the max-bucket corpus share.
@@ -6908,6 +7066,7 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, cos_sim, rank FROM beam_topk""".stripMargin,
     "ann_graph_hop_sweep" -> graphHopSweepOracle,
     "ann_graph_entry_sweep" -> graphEntrySweepOracle,
+    "ann_graph_hier_recall" -> graphHierRecallOracle,
     "jl_distortion_sweep" -> {
       // replay: sign(j,i) = md5-32("jl-<j>-<i>") even → +1; projection is
       // exact long sums over micro components; distortion micro-rounds

@@ -60,19 +60,43 @@ object GraphAnn {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    require(beam > k, s"beam ($beam) must exceed k ($k): the final rank drops self")
     require(entries >= 1, "at least one entry point")
+    // deterministic entry points; `entries`-row bounded frame (TakeOrdered)
+    val entryIds = corpus.select(col(idCol).as("node_id"))
+      .orderBy(col("node_id")).limit(entries)
+    val entry = queries.select(col(idCol).as("query_id"))
+      .crossJoin(broadcast(entryIds))
+    beamSearchTopKFrom(graph, corpus, queries, entry, k, beam, hops, idCol, vecCol)
+  }
+
+  /** [[beamSearchTopK]] with a caller-supplied per-query launch frontier —
+    * the HNSW descent hook: an upper-layer search's surviving frontier
+    * becomes the base layer's entry points, so ONE cheap walk over a
+    * sampled long-link graph replaces the many independent entry points a
+    * flat graph needs (`ann_graph_hier_recall` measures the trade).
+    *
+    * @param entry (query_id, node_id) rows; every node must exist in
+    *              `corpus`. Bounded by queries × beam in the descent use.
+    */
+  def beamSearchTopKFrom(
+      graph: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      entry: DataFrame,
+      k: Int,
+      beam: Int = 8,
+      hops: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(beam > k, s"beam ($beam) must exceed k ($k): the final rank drops self")
     // hops = 0 would skip the loop and hand topKPerGroup a frontier with
     // no cos_sim column — an opaque unresolved-column analysis error.
     require(hops >= 1, s"hops ($hops) must be >= 1: the search must expand at least once")
     val c = corpus.select(col(idCol).as("node_id"), col(vecCol).as("c_vec"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val edges = graph.select(col("src_id"), col("dst_id"))
-    // deterministic entry points; `entries`-row bounded frame (TakeOrdered)
-    val entryIds = corpus.select(col(idCol).as("node_id"))
-      .orderBy(col("node_id")).limit(entries)
-    var frontier = q.select(col("query_id"))
-      .crossJoin(broadcast(entryIds))
+    var frontier: DataFrame = entry.select(col("query_id"), col("node_id"))
     for (_ <- 1 to hops) {
       val expanded = frontier
         .select(col("query_id"), col("node_id"))

@@ -50,6 +50,37 @@ class GraphAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("beamSearchTopKFrom: explicit entry frame reproduces the default entry behavior exactly") {
+    val c = corpus
+    val queries = c.filter(col("vec_id").isin(0L, 7L, 11L))
+    val g = GraphAnn.knnGraph(c, kGraph = 3)
+    val viaDefault = GraphAnn.beamSearchTopK(g, c, queries, k = 4, beam = 6, hops = 2, entries = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // same two lowest-id launch points, supplied as an explicit frame
+    val entry = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(Seq(0L, 1L).toDF("node_id"))
+    val viaFrame = GraphAnn.beamSearchTopKFrom(g, c, queries, entry, k = 4, beam = 6, hops = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaFrame == viaDefault)
+  }
+
+  test("beamSearchTopKFrom: a full-coverage entry frame is exact after one hop (the descent contract)") {
+    val c = corpus
+    val queries = c.filter(col("vec_id").isin(7L, 11L))
+    val entry = queries.select(col("vec_id").as("query_id"))
+      .crossJoin(c.select(col("vec_id").as("node_id")))
+    val got = GraphAnn.beamSearchTopKFrom(
+      GraphAnn.knnGraph(c, 2), c, queries, entry, k = 5, beam = 12, hops = 1)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(c, queries, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute, "entry frame covering the corpus must make the search exact")
+  }
+
   test("search never returns self, ranks are 1..k, and beam<=k is rejected") {
     val c = corpus
     val got = GraphAnn.beamSearchTopK(
