@@ -4130,9 +4130,9 @@ object SparkEntry {
     * [[graft.ops.Dedup.nearDupClusters]]).
     */
   private val Md5ClusterCtes: String =
-    """good AS (
+    """good AS MATERIALIZED (
       |  SELECT id_a, id_b FROM pj WHERE jaccard >= 0.8
-      |), edges AS (
+      |), edges AS MATERIALIZED (
       |  SELECT id_a AS src, id_b AS dst FROM good UNION SELECT id_b, id_a FROM good
       |), nodes AS (
       |  SELECT DISTINCT src AS id FROM edges
@@ -4990,19 +4990,19 @@ object SparkEntry {
         |  SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst_type
         |  FROM events
-        |), m0 AS (
+        |), m0 AS MATERIALIZED (
         |  SELECT event_type AS src_type, dst_type, CAST(count(*) AS BIGINT) AS n
         |  FROM seq WHERE dst_type IS NOT NULL GROUP BY 1, 2
-        |), m AS (
+        |), m AS MATERIALIZED (
         |  SELECT src_type, dst_type, n, sum(n) OVER (PARTITION BY src_type) AS tot FROM m0
         |), states AS (
         |  SELECT src_type AS state FROM m0 UNION SELECT dst_type FROM m0
         |), kc AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
-        |v0 AS (SELECT state, (2000000 + k) // (2 * k) AS v FROM states CROSS JOIN kc)""".stripMargin
+        |v0 AS MATERIALIZED (SELECT state, (2000000 + k) // (2 * k) AS v FROM states CROSS JOIN kc)""".stripMargin
     val steps = (1 to 6).map { i =>
       val p = s"v${i - 1}"
       s""",
-         |v$i AS (
+         |v$i AS MATERIALIZED (
          |  SELECT state, CAST(sum(v) AS BIGINT) AS v FROM (
          |    SELECT m.dst_type AS state, (2 * $p.v * m.n + m.tot) // (2 * m.tot) AS v
          |    FROM $p JOIN m ON m.src_type = $p.state
@@ -8039,7 +8039,7 @@ object SparkEntry {
     "neardup_modularity" ->
       s"""$Md5NearDupCtes,
         |$Md5ClusterCtes,
-        |labels AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
+        |labels AS MATERIALIZED (SELECT id, min(lab) AS cluster FROM reach GROUP BY id),
         |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM good),
         |degs AS (
         |  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
