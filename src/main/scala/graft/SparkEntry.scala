@@ -1252,6 +1252,15 @@ object SparkEntry {
         .minhashMd5Pairs(table(s, dir, "documents"))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     },
+    "containment_pairs" -> { (s, dir) =>
+      // Asymmetric containment screen — the quote/expansion relationship
+      // resemblance dedup can't see (a fully-quoted short doc has
+      // Jaccard ≈ |A|/|B| but containment 1.0). Prefix-filter pigeonhole
+      // candidates over the rarest shingles (exact, not banded), df-capped
+      // postings, exact set verify; both directional containments in
+      // exact bps (ops/Dedup.scala).
+      Dedup.containmentMd5Pairs(table(s, dir, "documents"))
+    },
     "cross_source_neardup_matrix" -> { (s, dir) =>
       // Provenance diagnostic: per unordered source pair, how many
       // near-dup pairs span it — the mirror-site / content-farm signal.
@@ -7915,6 +7924,37 @@ object SparkEntry {
     "minhash_md5_pairs" ->
       s"""$Md5NearDupCtes
         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM pj""".stripMargin,
+    "containment_pairs" ->
+      s"""$Md5SigCtes, post AS MATERIALIZED (
+        |  SELECT doc_id, unnest(hset) AS h FROM hs
+        |), dfc AS MATERIALIZED (
+        |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY h HAVING count(*) <= 1000
+        |), szs AS (SELECT doc_id, CAST(len(hset) AS BIGINT) AS n FROM hs),
+        |rkd AS (
+        |  SELECT p.doc_id, p.h,
+        |    row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.h) AS rk
+        |  FROM post p JOIN dfc d ON d.h = p.h
+        |), pre AS (
+        |  SELECT r.doc_id AS probe_id, r.h
+        |  FROM rkd r JOIN szs s ON s.doc_id = r.doc_id
+        |  WHERE r.rk <= (10000 - 8000) * s.n // 10000 + 1
+        |), cand AS MATERIALIZED (
+        |  SELECT DISTINCT least(p.probe_id, o.doc_id) AS id_a,
+        |    greatest(p.probe_id, o.doc_id) AS id_b
+        |  FROM pre p JOIN post o ON o.h = p.h
+        |  WHERE p.probe_id != o.doc_id
+        |), ver AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(len(a.hset) AS BIGINT) AS n_a, CAST(len(b.hset) AS BIGINT) AS n_b,
+        |    CAST(len(list_filter(a.hset, x -> list_contains(b.hset, x))) AS BIGINT) AS n_common
+        |  FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
+        |)
+        |SELECT id_a, id_b, n_a, n_b, n_common,
+        |  (2*10000*n_common + n_a) // (2*n_a) AS cont_a_in_b_bps,
+        |  (2*10000*n_common + n_b) // (2*n_b) AS cont_b_in_a_bps
+        |FROM ver
+        |WHERE greatest((2*10000*n_common + n_a) // (2*n_a),
+        |               (2*10000*n_common + n_b) // (2*n_b)) >= 8000""".stripMargin,
     "cross_source_neardup_matrix" ->
       s"""$Md5NearDupCtes
         |SELECT least(da.source, db.source) AS src_a,

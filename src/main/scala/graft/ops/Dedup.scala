@@ -1094,6 +1094,86 @@ object Dedup {
     }
   }
 
+  /** Asymmetric CONTAINMENT pairs — the quote/expansion relationship
+    * resemblance dedup is blind to: a 100-word document quoted verbatim
+    * inside a 10,000-word one has Jaccard ≈ 0.01 (MinHash-LSH never even
+    * surfaces the pair: band collision probability ≈ J^r) but containment
+    * |A∩B|/|A| = 1.0. Containment is what decontamination and
+    * quote-plagiarism screens actually need.
+    *
+    * Candidate generation is the prefix-filter pigeonhole, not banding:
+    * if c(A⊆B) ≥ t then B holds ≥ t·|A| of A's shingles, so at least one
+    * of A's ⌊(1−t)·|A|⌋+1 RAREST shingles (global df order, id tie-break)
+    * must appear in B — probing only that prefix against the posting
+    * list is exact, and rare-first ordering keeps the join fanout near
+    * the theoretical minimum (AllPairs/PPJoin's ordering argument applied
+    * to containment). Shingles with df > maxPosting are excluded from
+    * BOTH sides of the probe (web-scale boilerplate grams; documented
+    * recall cap exactly like the banded family's bucket cap — a pair
+    * whose every shared prefix shingle is that common can be missed).
+    *
+    * 100 TB shape: one shingle projection (checkpointed, reused by df
+    * count / prefix / verify), one df aggregation, one prefix-to-posting
+    * equi-join whose fanout per prefix row is that shingle's df, one
+    * ids-only dedup, then exact verification joins fetching only
+    * candidate docs' sets. No N², no unpartitioned window (the prefix
+    * rank partitions by doc). Output: canonical id_a < id_b rows with
+    * set sizes, overlap, and BOTH directional containments in exact bps;
+    * a row survives iff max(containment) ≥ thresholdBps.
+    */
+  def containmentMd5Pairs(
+      docs: DataFrame,
+      thresholdBps: Long = 8000L,
+      shingleN: Int = 3,
+      maxPosting: Int = 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    require(thresholdBps >= 1 && thresholdBps <= 10000, "threshold is bps in (0, 10000]")
+    val sets = docs
+      .select(col(idCol).as("id"),
+        graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .localCheckpoint(eager = true) // reused: df count, prefix, verify
+    val posting = sets.select(col("id"), explode(col("hs")).as("h"))
+    val dfc = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxPosting)
+    val ranked = posting
+      .join(dfc, Seq("h")) // df cap applies to the probe side here too
+      .withColumn("rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+            .orderBy(col("df"), col("h"))))
+    val prefix = ranked
+      .join(sets.select(col("id"), size(col("hs")).cast("long").as("n")), Seq("id"))
+      // integer floor division (Spark `/` on longs is double division)
+      .filter(col("rk") <= expr(s"(10000 - $thresholdBps) * n DIV 10000") + 1L)
+      .select(col("id").as("probe_id"), col("h"))
+    val cand = prefix
+      .join(posting.join(dfc.select(col("h")), Seq("h"))
+        .select(col("id").as("other_id"), col("h")), Seq("h"))
+      .filter(col("probe_id") =!= col("other_id"))
+      .select(
+        least(col("probe_id"), col("other_id")).as("id_a"),
+        greatest(col("probe_id"), col("other_id")).as("id_b"))
+      .distinct()
+      .localCheckpoint(eager = true) // ids only; feeds both verify joins
+    cand
+      .join(sets.select(col("id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        size(col("ha")).cast("long").as("n_a"),
+        size(col("hb")).cast("long").as("n_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("n_common"))
+      .withColumn("cont_a_in_b_bps",
+        scaledRatio(col("n_common"), col("n_a"), 10000L).cast("long"))
+      .withColumn("cont_b_in_a_bps",
+        scaledRatio(col("n_common"), col("n_b"), 10000L).cast("long"))
+      .filter(greatest(col("cont_a_in_b_bps"), col("cont_b_in_a_bps")) >= thresholdBps)
+  }
+
   def minhashMd5Pairs(
       docs: DataFrame,
       idCol: String = "doc_id",

@@ -563,4 +563,35 @@ class DedupSpec extends AnyFunSuite {
       ("3_neardup_vs_snapshot", 3L, 2L, 1L, toks(aNear)),
       ("4_quality_gate", 2L, 1L, 1L, toks(junk))))
   }
+  test("containmentMd5Pairs: verbatim quote found at Jaccard far below any resemblance gate") {
+    // doc 1 is quoted verbatim inside the much longer doc 2 (containment
+    // 100%, Jaccard ~ |A|/|B| << 0.8 - LSH banding would near-never
+    // surface the pair); doc 3 shares nothing.
+    val quote = (1 to 11).map(i => s"w$i").mkString(" ")
+    val container = quote + " " + (100 to 200).map(i => s"x$i").mkString(" ")
+    val other = (300 to 340).map(i => s"y$i").mkString(" ")
+    val docs = Seq((1L, quote), (2L, container), (3L, other))
+      .toDF("doc_id", "text")
+    val rows = Dedup.containmentMd5Pairs(docs).collect()
+    assert(rows.length == 1, s"expected exactly the quote pair, got ${rows.mkString(";")}")
+    val r = rows.head
+    def g(n: String) = r.getLong(r.fieldIndex(n))
+    assert(g("id_a") == 1L && g("id_b") == 2L)
+    assert(g("cont_a_in_b_bps") == 10000L, "every quote shingle must be in the container")
+    assert(g("n_common") == g("n_a"))
+    // the resemblance the banded family would see: far below its 0.8 gate
+    val jaccardBps = 10000L * g("n_common") / (g("n_a") + g("n_b") - g("n_common"))
+    assert(jaccardBps < 2000L, s"fixture must be a low-Jaccard pair, got $jaccardBps bps")
+  }
+
+  test("containmentMd5Pairs: threshold excludes partial overlap below it") {
+    // doc 5 shares 4 of doc 4's shingles (~50%): below the 0.8 gate
+    val a4 = (1 to 8).map(i => s"a$i").mkString(" ")            // 6 shingles
+    val b5 = (5 to 8).map(i => s"a$i").mkString(" ") + " " + (20 to 30).map(i => s"b$i").mkString(" ")
+    val docs = Seq((4L, a4), (5L, b5)).toDF("doc_id", "text")
+    assert(Dedup.containmentMd5Pairs(docs, thresholdBps = 8000L).isEmpty)
+    val loose = Dedup.containmentMd5Pairs(docs, thresholdBps = 3000L).collect()
+    assert(loose.length == 1 && loose.head.getLong(loose.head.fieldIndex("cont_a_in_b_bps")) < 8000L)
+  }
+
 }
