@@ -2964,6 +2964,17 @@ object SparkEntry {
         eventsTable(s, dir).select(cents(col("value")).as("cents")),
         "cents", Seq(25, 50, 75, 99))
     },
+    "quantile_sketch_error" -> { (s, dir) =>
+      // The mergeable-sketch member of the quantile family, GRADED: a
+      // width-w cell-count histogram (merges by addition across shards)
+      // vs the exact CDF at p50/p90/p99, with the w−1 error guarantee
+      // and the sketch's cell count as its memory cost — the
+      // error-vs-memory sizing curve, same discipline as
+      // hll_error_report/cms_error_report (ops/Robust.scala). One corpus
+      // pass; every width re-grids the distinct-value frame.
+      graft.ops.Robust.quantileSketchError(
+        eventsTable(s, dir).select(cents(col("value")).as("cents")), "cents")
+    },
     "zone_map_skip_report" -> { (s, dir) =>
       // Did the Z-order rewrite buy anything? The SAME events laid out
       // ts-linear vs Morton(user, hour), 1000-row file cuts with
@@ -4993,6 +5004,54 @@ object SparkEntry {
     * [[graft.ops.Cohort.markovStationary]]: uniform micro start, per-edge
     * round-half-up mass distribution, dangling states self-loop.
     */
+  /** Fixed-grid quantile-sketch error replay: one distinct-cents count
+    * frame, the exact CDF selection, then one re-grid + CDF + selection
+    * per sketch width — mirrors [[graft.ops.Robust.quantileSketchError]]
+    * (upper-edge estimate, ceil-rank targets, +10⁶ offset).
+    */
+  private def quantileSketchOracle(widths: Seq[Long], percents: Seq[Int]): String = {
+    val pctList = percents.mkString(", ")
+    val widthCtes = widths.map { w =>
+      s"""cells$w AS MATERIALIZED (
+        |  SELECT (cents + 1000000) // $w AS cell, CAST(sum(cnt) AS BIGINT) AS ccnt
+        |  FROM counts GROUP BY 1
+        |), ccdf$w AS (
+        |  SELECT cell, CAST(sum(ccnt) OVER (ORDER BY cell) AS BIGINT) AS cum FROM cells$w
+        |), nc$w AS (SELECT CAST(count(*) AS BIGINT) AS cells_used FROM cells$w),
+        |est$w AS (
+        |  SELECT t.pct, CAST(min(c.cell) AS BIGINT) AS cell
+        |  FROM ccdf$w c JOIN targets t ON c.cum >= t.rank GROUP BY 1
+        |)""".stripMargin
+    }.mkString(",\n")
+    val legs = widths.map { w =>
+      s"""SELECT CAST($w AS BIGINT) AS w_units, e.pct,
+        |  CAST(e.cell * $w + ${w - 1} - 1000000 AS BIGINT) AS est_v, nc.cells_used
+        |FROM est$w e, nc$w nc""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH vals AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+      |), counts AS MATERIALIZED (
+      |  SELECT cents, CAST(count(*) AS BIGINT) AS cnt FROM vals GROUP BY 1
+      |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts),
+      |targets AS MATERIALIZED (
+      |  SELECT CAST(pct AS INT) AS pct, n,
+      |    CAST((pct * n + 99) // 100 AS BIGINT) AS rank
+      |  FROM (SELECT unnest([$pctList]) AS pct), tot
+      |), cdf AS (
+      |  SELECT cents, CAST(sum(cnt) OVER (ORDER BY cents) AS BIGINT) AS cum FROM counts
+      |), exact AS MATERIALIZED (
+      |  SELECT t.pct, t.rank, t.n, CAST(min(c.cents) AS BIGINT) AS exact_v
+      |  FROM cdf c JOIN targets t ON c.cum >= t.rank GROUP BY 1, 2, 3
+      |),
+      |$widthCtes,
+      |ests AS (
+      |$legs
+      |)
+      |SELECT j.w_units, j.pct, x.n, x.rank, x.exact_v, j.est_v,
+      |  j.est_v - x.exact_v AS err_units, j.cells_used
+      |FROM ests j JOIN exact x ON x.pct = j.pct""".stripMargin
+  }
+
   private val MarkovStationaryOracle: String = {
     val base =
       """WITH seq AS (
@@ -10524,6 +10583,7 @@ object SparkEntry {
         |SELECT pct, rank, min(cents) AS cents
         |FROM r JOIN cum ON cum.cc >= r.rank
         |GROUP BY pct, rank ORDER BY pct""".stripMargin,
+    "quantile_sketch_error" -> quantileSketchOracle(Seq(1L, 10L, 100L, 1000L), Seq(50, 90, 99)),
     "zone_map_skip_report" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,

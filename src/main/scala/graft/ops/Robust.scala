@@ -318,6 +318,71 @@ object Robust {
       .orderBy(col("pct"))
   }
 
+  /** Error report for the mergeable fixed-grid quantile sketch — the
+    * "how coarse can the histogram be" tuning curve, closing the measured
+    * sketch-vs-truth loop the HLL/CMS/Bloom reports established. The
+    * sketch is a width-`w` value histogram: per-cell counts merge by
+    * addition (map-side combinable, shard-mergeable — the property KLL
+    * buys with far more machinery), and the rank-r quantile lies INSIDE
+    * the first cell whose cumulative count reaches r, so reporting the
+    * cell's upper edge bounds the error by w−1 value units — a guarantee,
+    * not a tendency (spec-asserted). `cells_used` is the sketch's memory
+    * cost; (err, cells_used) per width is the read-before-you-size curve.
+    *
+    * Shape: the corpus collapses ONCE to distinct-value counts
+    * (checkpointed, value-range-bounded); every sketch width re-grids
+    * that tiny frame (widths nest, so this is exact, not resampled), each
+    * CDF rides [[Ranking.runningTotals]], and selection is a broadcast of
+    * the |percents|-row target frame. Values are offset by +10⁶ before
+    * the integer division so truncation equals floor in both engines for
+    * any input above −10⁶.
+    */
+  def quantileSketchError(
+      df: DataFrame,
+      valCol: String,
+      widths: Seq[Long] = Seq(1L, 10L, 100L, 1000L),
+      percents: Seq[Int] = Seq(50, 90, 99)
+  ): DataFrame = {
+    require(widths.nonEmpty && widths.forall(_ >= 1), "widths must be >= 1")
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be in [1, 100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(valCol)).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true) // the ONLY corpus-sized pass
+    val tot = counts.agg(sum(col("cnt")).cast("long").as("n"))
+    val targets = percents.toDF("pct")
+      .crossJoin(broadcast(tot))
+      .withColumn("rank", expr("(pct * n + 99) div 100"))
+      .localCheckpoint(eager = true) // |percents| rows
+    val cdf = Ranking.runningTotals(counts, Seq(col(valCol).asc), Seq("cnt"))
+    val exact = cdf
+      .join(broadcast(targets), col("cum_cnt") >= col("rank"))
+      .groupBy(col("pct"), col("rank"), col("n"))
+      .agg(min(col(valCol)).cast("long").as("exact_v"))
+      .localCheckpoint(eager = true)
+    widths.map { w =>
+      val cells = counts
+        .select(expr(s"($valCol + 1000000) DIV $w").as("cell"), col("cnt"))
+        .groupBy(col("cell")).agg(sum(col("cnt")).as("ccnt"))
+      val nCells = cells.agg(count(lit(1)).cast("long").as("cells_used"))
+      Ranking.runningTotals(cells, Seq(col("cell").asc), Seq("ccnt"))
+        .join(broadcast(targets.select(col("pct"), col("rank"))),
+          col("cum_ccnt") >= col("rank"))
+        .groupBy(col("pct"))
+        .agg(min(col("cell")).as("cell"))
+        .withColumn("est_v", col("cell") * w + (w - 1L) - 1000000L)
+        .crossJoin(broadcast(nCells)) // 1-row sketch size
+        .select(lit(w).as("w_units"), col("pct"), col("est_v"), col("cells_used"))
+    }.reduce(_ unionByName _)
+      .join(broadcast(exact), Seq("pct"))
+      .select(
+        col("w_units"), col("pct"), col("n"), col("rank"),
+        col("exact_v"), col("est_v"),
+        (col("est_v") - col("exact_v")).as("err_units"),
+        col("cells_used"))
+  }
+
   /** Single change-point detection over an ordered value series — the
     * "when did the level shift" question for a daily/hourly metric. Picks
     * the binary split maximizing the between-segment sum of squares,

@@ -235,4 +235,25 @@ class RobustSpec extends AnyFunSuite {
     // the rest sit strictly below the two planted outliers
     assert(top(2)._2 < top(1)._2)
   }
+  test("quantileSketchError: w-1 error guarantee, width-1 exactness, cells shrink with width") {
+    // 1..1000 value units: every quantile and every cell boundary is
+    // hand-computable; ranks are ceil(p*n/100)
+    val df = (1L to 1000L).toDF("v")
+    val rows = Robust.quantileSketchError(df, "v", widths = Seq(1L, 7L, 100L), percents = Seq(50, 90, 99))
+      .collect()
+    assert(rows.length == 9)
+    def g(r: org.apache.spark.sql.Row, n: String) = r.getLong(r.fieldIndex(n))
+    rows.foreach { r =>
+      val w = g(r, "w_units")
+      assert(g(r, "err_units") >= 0L && g(r, "err_units") < w,
+        s"estimate must sit in the true value's cell: $r")
+      // exact order statistic of 1..1000 at ceil-rank IS the rank itself
+      assert(g(r, "exact_v") == g(r, "rank"))
+    }
+    assert(rows.filter(g(_, "w_units") == 1L).forall(r => g(r, "err_units") == 0L),
+      "width-1 sketch is the exact CDF")
+    val cellsByW = rows.groupBy(g(_, "w_units")).view.mapValues(rs => g(rs.head, "cells_used")).toMap
+    assert(cellsByW(1L) == 1000L && cellsByW(100L) < cellsByW(7L) && cellsByW(7L) < cellsByW(1L))
+  }
+
 }
