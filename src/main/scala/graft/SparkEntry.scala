@@ -2166,6 +2166,15 @@ object SparkEntry {
       // flattens the head language, keeps tails whole (mT5-style mixing).
       graft.ops.Sampling.temperatureTargets(table(s, dir, "documents"), "lang", c = 8.0)
     },
+    "domain_excess_reweight" -> { (s, dir) =>
+      // DoReMi-flavored mixture step, measured: full-corpus reference
+      // bigram LM vs a 1-in-5-sample proxy LM, per-source excess NLL
+      // (clipped at 0), multiplicative share boost (1 + 2·excess),
+      // renormalize, smooth 20% toward uniform — domains the cheap proxy
+      // under-serves get more weight. Exact integer closes end to end
+      // (ops/LanguageModel.scala).
+      graft.ops.LanguageModel.domainExcessReweight(table(s, dir, "documents"))
+    },
     "domain_mix_exact" -> { (s, dir) =>
       // Exact quota: per-stratum ranking by md5 order (one hash exchange;
       // quota frame broadcast). See ops/Sampling.scala for the skew note.
@@ -5004,6 +5013,76 @@ object SparkEntry {
     * [[graft.ops.Cohort.markovStationary]]: uniform micro start, per-edge
     * round-half-up mass distribution, dangling states self-loop.
     */
+  /** DoReMi-step replay: the [[graft.ops.LanguageModel.domainExcessReweight]]
+    * chain — reference LM (self-score inner join), proxy LM over the
+    * `doc_id % sampleMod = 0` subsample with the smoothed LEFT-join
+    * scoring (unseen bigram → c2 0, unseen context → ctx 0), per-source
+    * NLL closes, boost, renormalize, uniform smoothing — term for term.
+    */
+  private def domainReweightOracle(sampleMod: Int, eta: Long, smooth: Long): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+      |), bg AS MATERIALIZED (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM toks, unnest(range(1, len(t))) AS u(i)
+      |  WHERE len(t) >= 2
+      |), bc AS (
+      |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2
+      |), lm AS MATERIALIZED (
+      |  SELECT w1, w2, c2, sum(c2) OVER (PARTITION BY w1) AS ctx FROM bc
+      |), v AS (SELECT count(DISTINCT w2) AS v FROM bc),
+      |bcp AS (
+      |  SELECT w1, w2, count(*) AS c2 FROM bg WHERE doc_id % $sampleMod = 0 GROUP BY 1, 2
+      |), lmp AS MATERIALIZED (
+      |  SELECT w1, w2, c2, sum(c2) OVER (PARTITION BY w1) AS ctx FROM bcp
+      |), ctxp AS (SELECT w1, max(ctx) AS ctx1 FROM lmp GROUP BY 1),
+      |vp AS (SELECT count(DISTINCT w2) AS v FROM bcp),
+      |sref AS (
+      |  SELECT bg.doc_id,
+      |    CAST(floor(ln((CAST(lm.c2 AS DOUBLE) + 1.0e0)
+      |        / (CAST(lm.ctx AS DOUBLE) + CAST(v.v AS DOUBLE)))
+      |      * 1e6 + 0.5e0) AS BIGINT) AS lp
+      |  FROM bg JOIN lm USING (w1, w2), v
+      |), spx AS (
+      |  SELECT bg.doc_id,
+      |    CAST(floor(ln((CAST(coalesce(l.c2, 0) AS DOUBLE) + 1.0e0)
+      |        / (CAST(coalesce(cx.ctx1, 0) AS DOUBLE) + CAST(vp.v AS DOUBLE)))
+      |      * 1e6 + 0.5e0) AS BIGINT) AS lp
+      |  FROM bg LEFT JOIN lmp l USING (w1, w2) LEFT JOIN ctxp cx USING (w1), vp
+      |), aref AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, CAST(sum(lp) AS BIGINT) AS lpr
+      |  FROM sref GROUP BY 1
+      |), apx AS (
+      |  SELECT doc_id, CAST(sum(lp) AS BIGINT) AS lpp FROM spx GROUP BY 1
+      |), bys AS MATERIALIZED (
+      |  SELECT d.source, CAST(sum(a.nb) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(-a.lpr) AS BIGINT) AS nr, CAST(sum(-p.lpp) AS BIGINT) AS np
+      |  FROM aref a JOIN apx p USING (doc_id) JOIN documents d USING (doc_id)
+      |  GROUP BY 1
+      |), m2 AS MATERIALIZED (
+      |  SELECT source, n_bigrams,
+      |    (2*nr + n_bigrams) // (2*n_bigrams) AS nll_ref_micro,
+      |    (2*np + n_bigrams) // (2*n_bigrams) AS nll_proxy_micro,
+      |    greatest(0, (2*np + n_bigrams) // (2*n_bigrams)
+      |      - (2*nr + n_bigrams) // (2*n_bigrams)) AS excess_micro
+      |  FROM bys
+      |), t AS (SELECT CAST(sum(n_bigrams) AS BIGINT) AS nbt, CAST(count(*) AS BIGINT) AS k FROM m2),
+      |b AS MATERIALIZED (
+      |  SELECT m2.*, t.k,
+      |    (2*10000*n_bigrams + t.nbt) // (2*t.nbt) AS base_share_bps,
+      |    ((2*10000*n_bigrams + t.nbt) // (2*t.nbt)) * (1000000 + $eta*excess_micro) AS raw
+      |  FROM m2, t
+      |), rt AS (SELECT CAST(sum(raw) AS BIGINT) AS rawt FROM b)
+      |SELECT source, n_bigrams,
+      |  CAST(base_share_bps AS BIGINT) AS base_share_bps,
+      |  CAST(nll_ref_micro AS BIGINT) AS nll_ref_micro,
+      |  CAST(nll_proxy_micro AS BIGINT) AS nll_proxy_micro,
+      |  CAST(excess_micro AS BIGINT) AS excess_micro,
+      |  CAST((2*10000*raw + rt.rawt) // (2*rt.rawt) AS BIGINT) AS reweight_bps,
+      |  CAST(((10000 - $smooth) * ((2*10000*raw + rt.rawt) // (2*rt.rawt))
+      |    + $smooth * ((2*10000 + b.k) // (2*b.k)) + 5000) // 10000 AS BIGINT) AS smoothed_bps
+      |FROM b, rt""".stripMargin
+
   /** Fixed-grid quantile-sketch error replay: one distinct-cents count
     * frame, the exact CDF selection, then one re-grid + CDF + selection
     * per sketch width — mirrors [[graft.ops.Robust.quantileSketchError]]
@@ -10584,6 +10663,7 @@ object SparkEntry {
         |FROM r JOIN cum ON cum.cc >= r.rank
         |GROUP BY pct, rank ORDER BY pct""".stripMargin,
     "quantile_sketch_error" -> quantileSketchOracle(Seq(1L, 10L, 100L, 1000L), Seq(50, 90, 99)),
+    "domain_excess_reweight" -> domainReweightOracle(5, 2L, 2000L),
     "zone_map_skip_report" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,

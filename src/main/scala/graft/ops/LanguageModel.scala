@@ -149,6 +149,99 @@ object LanguageModel {
     * self-scoring setup used to find outlier documents). Adds the keep
     * decision: average log-prob above `minAvgLpMicro`.
     */
+  /** DoReMi-flavored domain reweighting from MEASURED excess loss (Xie et
+    * al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining" — adapted to the in-engine exact-replay discipline):
+    * a reference bigram LM trained on the full corpus and a PROXY LM
+    * trained on a small deterministic subsample (`doc_id % sampleMod = 0`
+    * — the cheap model a mixture search can afford) both score every
+    * document; a domain's excess loss is how much worse the proxy handles
+    * it (mean per-bigram NLL difference, clipped at 0), and domains the
+    * proxy under-serves get their corpus share multiplicatively boosted
+    * (1 + η·excess), renormalized, then smoothed toward uniform — the
+    * exponentiated-gradient step DoReMi iterates, materialized once over
+    * measured likelihoods instead of a training loop.
+    *
+    * Exactness: per-bigram log-probabilities are the same micro-rounded
+    * ln as [[docLogLikelihood]] (ln-margin audited); every aggregate,
+    * share, boost, and the uniform smoothing is integer arithmetic with
+    * round-half-up closes — fully SQL-replayable.
+    *
+    * Shape: two vocabulary-bounded LM frames, two scoring passes over the
+    * corpus (each one broadcast-joinable LM lookup), one sources-row
+    * aggregation; the reweight close is a 1-row total crossed back.
+    *
+    * Output per source: bigram mass, base corpus share (bps), mean
+    * reference/proxy NLL (micro-nats), excess, the reweighted share, and
+    * the uniform-smoothed final share.
+    */
+  def domainExcessReweight(
+      docs: DataFrame,
+      srcCol: String = "source",
+      sampleMod: Int = 5,
+      etaPerNat: Long = 2L,
+      smoothBps: Long = 2000L,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    require(sampleMod >= 2, "the proxy must train on a strict subsample")
+    require(smoothBps >= 0 && smoothBps <= 10000, "smoothing is bps in [0, 10000]")
+    val store = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val lmRef = bigramLm(docs, textCol).persist(store)
+    val lmPx = bigramLm(docs.filter(col(idCol) % sampleMod === 0), textCol).persist(store)
+    try {
+      val vRef = lmRef.select(col("w2")).distinct().count()
+      val vPx = lmPx.select(col("w2")).distinct().count()
+      val ref = docLogLikelihood(docs, lmRef, vRef, textCol, idCol)
+      val px = docLogLikelihood(docs, lmPx, vPx, textCol, idCol)
+        .select(col(idCol), col("lp_sum_micro").as("lp_px"))
+      val bySrc = ref
+        .join(px, Seq(idCol)) // same docs, same bigram counts on both sides
+        .join(docs.select(col(idCol), col(srcCol).as("source")), Seq(idCol))
+        .groupBy(col("source"))
+        .agg(
+          sum(col("n_bigrams")).as("n_bigrams"),
+          sum(-col("lp_sum_micro")).as("nll_ref_sum"),
+          sum(-col("lp_px")).as("nll_px_sum"))
+        .select(
+          col("source"), col("n_bigrams"),
+          scaledRatio(col("nll_ref_sum"), col("n_bigrams"), 1L).cast("long")
+            .as("nll_ref_micro"),
+          scaledRatio(col("nll_px_sum"), col("n_bigrams"), 1L).cast("long")
+            .as("nll_proxy_micro"))
+        .withColumn("excess_micro",
+          greatest(lit(0L), col("nll_proxy_micro") - col("nll_ref_micro")))
+        .localCheckpoint(eager = true) // sources-row frame; closed twice below
+      val tot = bySrc.agg(
+        sum(col("n_bigrams")).as("nb_total"),
+        count(lit(1)).cast("long").as("k"))
+      val boosted = bySrc
+        .crossJoin(broadcast(tot)) // 1-row totals
+        .withColumn("base_share_bps",
+          scaledRatio(col("n_bigrams"), col("nb_total"), 10000L).cast("long"))
+        .withColumn("raw",
+          col("base_share_bps") * (lit(1000000L) + lit(etaPerNat) * col("excess_micro")))
+        .localCheckpoint(eager = true)
+      val rawTot = boosted.agg(sum(col("raw")).as("raw_total"))
+      boosted
+        .crossJoin(broadcast(rawTot)) // 1-row normalizer
+        .withColumn("reweight_bps",
+          scaledRatio(col("raw"), col("raw_total"), 10000L).cast("long"))
+        .withColumn("uniform_bps", scaledRatio(lit(1L), col("k"), 10000L).cast("long"))
+        .withColumn("smoothed_bps", // integer round-half-up (DIV, not `/`)
+          expr(s"((10000 - $smoothBps) * reweight_bps" +
+            s" + $smoothBps * uniform_bps + 5000) DIV 10000"))
+        .select(
+          col("source"), col("n_bigrams"), col("base_share_bps"),
+          col("nll_ref_micro"), col("nll_proxy_micro"), col("excess_micro"),
+          col("reweight_bps"), col("smoothed_bps"))
+    } finally {
+      lmRef.unpersist(blocking = false)
+      lmPx.unpersist(blocking = false)
+    }
+  }
+
   def selfScore(
       docs: DataFrame,
       minAvgLpMicro: Long,

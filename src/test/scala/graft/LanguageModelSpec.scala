@@ -116,4 +116,35 @@ class LanguageModelSpec extends AnyFunSuite {
     // the most-templated docs sit in the head and survive
     assert(got(1L)._1 == 1 && got(1L)._2 == 1)
   }
+  test("domainExcessReweight: the proxy-blind domain is boosted, shares stay a distribution") {
+    // source B's NON-sampled docs (id % 5 != 0) use vocabulary the 1-in-5
+    // proxy sample never sees -> high excess loss; source A is uniform, so
+    // its proxy scores track the reference closely.
+    val aText = "alpha beta gamma delta alpha beta gamma delta"
+    val docs = ((0L to 19L).map(i => (i, aText, "srcA")) ++
+      (20L to 39L).map { i =>
+        val t = if (i % 5 == 0) "kappa lambda kappa lambda kappa lambda"
+                else "omega sigma omega sigma omega sigma"
+        (i, t, "srcB")
+      }).toDF("doc_id", "text", "source")
+    val rows = LanguageModel.domainExcessReweight(docs).collect()
+      .map(r => r.getString(r.fieldIndex("source")) -> r).toMap
+    def g(src: String, c: String) = rows(src).getLong(rows(src).fieldIndex(c))
+    assert(g("srcB", "excess_micro") > g("srcA", "excess_micro"),
+      "the domain the proxy under-serves must show the larger excess loss")
+    assert(g("srcB", "reweight_bps") > g("srcB", "base_share_bps"),
+      "positive excess must boost the share")
+    assert(g("srcA", "reweight_bps") < g("srcA", "base_share_bps"),
+      "renormalization takes the boost from the well-served domain")
+    // shares remain distributions (k-bounded rounding slack)
+    val sumRw = rows.values.map(r => r.getLong(r.fieldIndex("reweight_bps"))).sum
+    val sumSm = rows.values.map(r => r.getLong(r.fieldIndex("smoothed_bps"))).sum
+    assert(math.abs(sumRw - 10000L) <= rows.size && math.abs(sumSm - 10000L) <= rows.size)
+    // smoothing pulls every share toward uniform (5000 bps for k=2)
+    rows.keys.foreach { src =>
+      val rw = g(src, "reweight_bps"); val sm = g(src, "smoothed_bps")
+      assert(math.abs(sm - 5000L) <= math.abs(rw - 5000L), s"$src: smoothing must contract toward uniform")
+    }
+  }
+
 }
