@@ -1489,6 +1489,22 @@ object SparkEntry {
       // doc-length mode) — measure, don't guess (ops/Packing.scala).
       graft.ops.Packing.budgetWasteSweep(table(s, dir, "documents"))
     },
+    "packing_split_report" -> { (s, dir) =>
+      // The OTHER packing discipline, priced: concat-and-chunk kills
+      // underfill by construction but cuts inside documents — per budget,
+      // how many docs split, how many extra fragments the cuts create,
+      // and the only remaining waste (the final chunk's tail). Read next
+      // to packing_budget_sweep when choosing the discipline
+      // (ops/Packing.scala; one shared global prefix-sum pass).
+      graft.ops.Packing.splitPackingReport(table(s, dir, "documents"))
+    },
+    "padding_waste_report" -> { (s, dir) =>
+      // Length-sorted batching lore, priced: padding share of the padded
+      // token matrix at batch=32 under arrival vs length-sorted order —
+      // what the extra sort actually buys on THIS corpus
+      // (ops/Packing.scala; both orders ranked distributively).
+      graft.ops.Packing.paddingWasteReport(table(s, dir, "documents"))
+    },
     "pack_purity_report" -> { (s, dir) =>
       // Cross-doc contamination inside packed training sequences: per
       // pack, how many docs/languages/sources share the context window
@@ -8441,6 +8457,66 @@ object SparkEntry {
       }.mkString("\nUNION ALL\n")
       s"WITH RECURSIVE $chains\n$legs"
     },
+    "packing_split_report" -> {
+      val budgets = Seq(128L, 256L, 512L, 1024L)
+      val legs = budgets.map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS pack_budget, n_docs, n_tokens,
+          |  (n_tokens + $b - 1) // $b AS n_seqs, n_docs_split, n_extra_fragments,
+          |  CAST((2 * 10000 * n_docs_split + n_docs) // (2 * n_docs) AS INT)
+          |    AS split_share_bps,
+          |  (n_tokens + $b - 1) // $b * $b - n_tokens AS tail_waste
+          |FROM (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          |    CAST(sum((cum_end - 1) // $b - cum_before // $b) AS BIGINT)
+          |      AS n_extra_fragments,
+          |    CAST(sum(CASE WHEN (cum_end - 1) // $b - cum_before // $b > 0
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_split
+          |  FROM tt)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH t AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), tt AS MATERIALIZED (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id) AS cum_end,
+        |    sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS cum_before
+        |  FROM t WHERE n_tokens > 0
+        |)
+        |$legs""".stripMargin
+    },
+    "padding_waste_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE len(regexp_extract_all(text, '\S+')) > 0
+        |), ra AS (
+        |  SELECT n_tokens, (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch FROM t
+        |), rl AS (
+        |  SELECT n_tokens, (row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 32 AS batch FROM t
+        |), ba AS (
+        |  SELECT batch, CAST(count(*) AS BIGINT) AS n_in_batch,
+        |    CAST(max(n_tokens) AS BIGINT) AS max_len, CAST(sum(n_tokens) AS BIGINT) AS toks
+        |  FROM ra GROUP BY 1
+        |), bl AS (
+        |  SELECT batch, CAST(count(*) AS BIGINT) AS n_in_batch,
+        |    CAST(max(n_tokens) AS BIGINT) AS max_len, CAST(sum(n_tokens) AS BIGINT) AS toks
+        |  FROM rl GROUP BY 1
+        |)
+        |SELECT 'arrival' AS ordering, n_batches, n_tokens, padding_tokens,
+        |  CAST((2 * 10000 * padding_tokens + n_tokens + padding_tokens)
+        |    // (2 * (n_tokens + padding_tokens)) AS INT) AS padding_share_bps
+        |FROM (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_batches, CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(max_len * n_in_batch - toks) AS BIGINT) AS padding_tokens
+        |  FROM ba)
+        |UNION ALL
+        |SELECT 'length_sorted' AS ordering, n_batches, n_tokens, padding_tokens,
+        |  CAST((2 * 10000 * padding_tokens + n_tokens + padding_tokens)
+        |    // (2 * (n_tokens + padding_tokens)) AS INT) AS padding_share_bps
+        |FROM (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_batches, CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |    CAST(sum(max_len * n_in_batch - toks) AS BIGINT) AS padding_tokens
+        |  FROM bl)""".stripMargin,
     "token_pack_assignments" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(doc_id % 32 AS BIGINT) AS bucket,

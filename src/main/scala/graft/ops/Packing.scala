@@ -170,6 +170,102 @@ object Packing {
             s" div (2 * $b * n_packs) AS INT)").as("underfill_bps"))
     }.reduce(_ unionByName _)
 
+  /** Concat-and-chunk (GPT-style) packing economics, per candidate
+    * budget: documents are concatenated in id order into one token
+    * stream and cut every `budget` tokens — waste collapses to the final
+    * chunk's tail BY CONSTRUCTION, but every cut lands inside some
+    * document. This row prices that trade: how many docs get split (the
+    * attention-contamination the whole-doc next-fit family avoids), how
+    * many extra fragments the cuts create, and the tail waste — read
+    * NEXT TO [[budgetWasteSweep]]'s underfill curve when choosing
+    * between the two disciplines.
+    *
+    * Doc d with inclusive token span [cum_before, cum_end) is split iff
+    * its span crosses a budget boundary: ⌊cum_before/b⌋ ≠ ⌊(cum_end−1)/b⌋;
+    * crossings = the difference, fragments = crossings + 1. The global
+    * offsets come from ONE [[Ranking.runningTotals]] pass (ids-only
+    * frame), shared by every budget; each budget's close is map-side
+    * arithmetic + a 1-row aggregate.
+    */
+  def splitPackingReport(
+      docs: DataFrame,
+      budgets: Seq[Long] = Seq(128L, 256L, 512L, 1024L),
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1), "budgets must be >= 1")
+    val cum = Ranking
+      .runningTotals(
+        docs.select(
+          col(idCol).cast("long").as("id"),
+          TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+          .filter(col("n_tokens") > 0),
+        Seq(col("id").asc),
+        Seq("n_tokens"))
+      .withColumn("cum_before", col("cum_n_tokens") - col("n_tokens"))
+    budgets.map { b =>
+      cum
+        .select(
+          col("n_tokens"),
+          (expr(s"(cum_n_tokens - 1) DIV $b") - expr(s"cum_before DIV $b")).as("crossings"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("crossings")).as("n_extra_fragments"),
+          sum(when(col("crossings") > 0, 1L).otherwise(0L)).as("n_docs_split"))
+        .select(
+          lit(b).as("pack_budget"), col("n_docs"), col("n_tokens"),
+          expr(s"(n_tokens + $b - 1) DIV $b").as("n_seqs"),
+          col("n_docs_split"), col("n_extra_fragments"),
+          expr("CAST((2 * 10000 * n_docs_split + n_docs) div (2 * n_docs) AS INT)")
+            .as("split_share_bps"),
+          expr(s"(n_tokens + $b - 1) DIV $b * $b - n_tokens").as("tail_waste"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Padding economics of length-sorted batching — the seq2seq lore
+    * ("bucket by length before batching"), priced on THIS corpus: fixed
+    * batches of `batchSize` consecutive docs under arrival (id) order vs
+    * (n_tokens, id) order; each batch pads every member to its max
+    * length, so waste = Σ(batch_max − len). Both orderings rank through
+    * [[Ranking.globalRowNumber]] (no unpartitioned window), batch
+    * membership is a closed-form of the rank, and each leg closes with
+    * one bounded aggregation. Output: per ordering, batch count, real vs
+    * padding tokens, and the padding share of the padded matrix in bps.
+    */
+  def paddingWasteReport(
+      docs: DataFrame,
+      batchSize: Int = 32,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val base = docs
+      .select(
+        col(idCol).cast("long").as("id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .localCheckpoint(eager = true) // ids-only; ranked twice below
+    def leg(name: String, order: Seq[org.apache.spark.sql.Column]): DataFrame =
+      Ranking.globalRowNumber(base, order, "rk")
+        .withColumn("batch", expr(s"(rk - 1) DIV $batchSize"))
+        .groupBy(col("batch"))
+        .agg(
+          count(lit(1)).as("n_in_batch"),
+          max(col("n_tokens")).as("max_len"),
+          sum(col("n_tokens")).as("toks"))
+        .agg(
+          count(lit(1)).as("n_batches"),
+          sum(col("toks")).as("n_tokens"),
+          sum(col("max_len") * col("n_in_batch") - col("toks")).as("padding_tokens"))
+        .select(
+          lit(name).as("ordering"), col("n_batches"), col("n_tokens"), col("padding_tokens"),
+          expr("CAST((2 * 10000 * padding_tokens + n_tokens + padding_tokens)" +
+            " div (2 * (n_tokens + padding_tokens)) AS INT)").as("padding_share_bps"))
+    leg("arrival", Seq(col("id").asc))
+      .unionByName(leg("length_sorted", Seq(col("n_tokens").asc, col("id").asc)))
+  }
+
   def contrastiveBatches(
       df: DataFrame,
       idCol: String = "vec_id",

@@ -122,4 +122,35 @@ class PackingSpec extends AnyFunSuite {
     // deterministic round-robin by id order within label
     assert(got.filter(_._2 == 1).sortBy(_._1).map(_._3).toSeq == Seq(0, 1, 2))
   }
+  test("splitPackingReport: boundary-crossing algebra on a hand-packed stream") {
+    // token stream [3, 4, 5] at budget 4: doc 1 spans [0,3) (intact),
+    // doc 2 [3,7) (crosses 4), doc 3 [7,12) (crosses 8); 3 chunks, no tail
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l")).toDF("doc_id", "text")
+    val r = graft.ops.Packing.splitPackingReport(docs, budgets = Seq(4L)).head()
+    def g(n: String) = r.getLong(r.fieldIndex(n))
+    assert(g("n_docs") == 3L && g("n_tokens") == 12L && g("n_seqs") == 3L)
+    assert(g("n_docs_split") == 2L && g("n_extra_fragments") == 2L)
+    assert(g("tail_waste") == 0L)
+    assert(r.getInt(r.fieldIndex("split_share_bps")) == 6667)
+    // budget >= total: nothing splits, the tail carries all the waste
+    val big = graft.ops.Packing.splitPackingReport(docs, budgets = Seq(100L)).head()
+    assert(big.getLong(big.fieldIndex("n_docs_split")) == 0L
+      && big.getLong(big.fieldIndex("tail_waste")) == 88L)
+  }
+
+  test("paddingWasteReport: length sorting collapses the padding on an alternating fixture") {
+    val docs = Seq(
+      (1L, Seq.fill(1)("w").mkString(" ")),
+      (2L, Seq.fill(10)("w").mkString(" ")),
+      (3L, Seq.fill(2)("w").mkString(" ")),
+      (4L, Seq.fill(9)("w").mkString(" "))).toDF("doc_id", "text")
+    val rows = graft.ops.Packing.paddingWasteReport(docs, batchSize = 2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def pad(o: String) = rows(o).getLong(rows(o).fieldIndex("padding_tokens"))
+    // arrival batches {1,10},{2,9}: 9 + 7 = 16; sorted {1,2},{9,10}: 1 + 1 = 2
+    assert(pad("arrival") == 16L && pad("length_sorted") == 2L)
+    assert(rows.values.forall(_.getLong(1) == 2L)) // n_batches
+  }
+
 }
