@@ -2191,6 +2191,14 @@ object SparkEntry {
       // (ops/LanguageModel.scala).
       graft.ops.LanguageModel.domainExcessReweight(table(s, dir, "documents"))
     },
+    "epoch_waterfill_allocation" -> { (s, dir) =>
+      // Data-constrained scaling allocation (Muennighoff et al. 2023):
+      // a 3.8x-corpus token budget split across sources by temperature
+      // weight under a 4-epoch repetition cap — water-filling: freeze
+      // capped sources, redistribute their surplus, fixed 6-round unroll,
+      // exact integer crumbs reported (ops/Sampling.scala).
+      graft.ops.Sampling.epochWaterfill(table(s, dir, "documents"))
+    },
     "domain_mix_exact" -> { (s, dir) =>
       // Exact quota: per-stratum ranking by md5 order (one hash exchange;
       // quota frame broadcast). See ops/Sampling.scala for the skew note.
@@ -5098,6 +5106,48 @@ object SparkEntry {
       |  CAST(((10000 - $smooth) * ((2*10000*raw + rt.rawt) // (2*rt.rawt))
       |    + $smooth * ((2*10000 + b.k) // (2*b.k)) + 5000) // 10000 AS BIGINT) AS smoothed_bps
       |FROM b, rt""".stripMargin
+
+  /** Water-filling replay: the sources-row base (token mass, milli-sqrt
+    * weight, cap), then `rounds` MATERIALIZED allocation steps — each a
+    * 1-row scalar (active weight sum, residual) crossed back — mirroring
+    * [[graft.ops.Sampling.epochWaterfill]] floor for floor (HUGEINT
+    * residual x weight, truncating `//` on nonnegative operands = floor).
+    */
+  private def waterfillOracle(budgetMilliEpochs: Long, capEpochs: Long, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s""", sc$r AS (
+        |  SELECT CAST(sum(CASE WHEN a.alloc < s.cap_tokens THEN s.weight_milli ELSE 0 END) AS HUGEINT) AS wsum,
+        |    CAST(b.budget - sum(a.alloc) AS HUGEINT) AS resid
+        |  FROM wfbase s JOIN a${r - 1} a USING (source), bud b GROUP BY b.budget
+        |), a$r AS MATERIALIZED (
+        |  SELECT s.source,
+        |    a.alloc + CASE WHEN a.alloc < s.cap_tokens AND t.wsum > 0
+        |      THEN least(s.cap_tokens - a.alloc,
+        |                 CAST((t.resid * s.weight_milli) // t.wsum AS BIGINT))
+        |      ELSE 0 END AS alloc
+        |  FROM wfbase s JOIN a${r - 1} a USING (source), sc$r t
+        |)""".stripMargin
+    }.mkString
+    s"""WITH wfbase AS MATERIALIZED (
+      |  SELECT source,
+      |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens,
+      |    CAST(floor(1000.0 * sqrt(CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS DOUBLE))) AS BIGINT) AS weight_milli,
+      |    CAST($capEpochs * sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS cap_tokens
+      |  FROM documents GROUP BY 1
+      |), bud AS (SELECT CAST($budgetMilliEpochs * sum(n_tokens) // 1000 AS BIGINT) AS budget FROM wfbase),
+      |a0 AS MATERIALIZED (SELECT source, CAST(0 AS BIGINT) AS alloc FROM wfbase)$steps,
+      |lo AS (
+      |  SELECT CAST(b.budget - sum(a.alloc) AS BIGINT) AS budget_leftover
+      |  FROM a$rounds a, bud b GROUP BY b.budget
+      |)
+      |SELECT s.source, s.n_tokens, s.weight_milli, s.cap_tokens,
+      |  CAST(a.alloc AS BIGINT) AS alloc_tokens,
+      |  CAST((2 * 1000 * CAST(a.alloc AS HUGEINT) + s.n_tokens)
+      |    // (2 * s.n_tokens) AS BIGINT) AS epochs_milli,
+      |  CAST(CASE WHEN a.alloc >= s.cap_tokens THEN 1 ELSE 0 END AS INT) AS capped,
+      |  lo.budget_leftover
+      |FROM wfbase s JOIN a$rounds a USING (source), lo""".stripMargin
+  }
 
   /** Fixed-grid quantile-sketch error replay: one distinct-cents count
     * frame, the exact CDF selection, then one re-grid + CDF + selection
@@ -10740,6 +10790,7 @@ object SparkEntry {
         |GROUP BY pct, rank ORDER BY pct""".stripMargin,
     "quantile_sketch_error" -> quantileSketchOracle(Seq(1L, 10L, 100L, 1000L), Seq(50, 90, 99)),
     "domain_excess_reweight" -> domainReweightOracle(5, 2L, 2000L),
+    "epoch_waterfill_allocation" -> waterfillOracle(3800L, 4L, 6),
     "zone_map_skip_report" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,

@@ -69,6 +69,91 @@ object Sampling {
       .withColumn("target",
         least(col("n"), floor(lit(c) * sqrt(col("n").cast("double"))).cast("long")))
 
+  /** Token-budget allocation under a repetition cap — the data-constrained
+    * scaling question (Muennighoff et al. 2023: repeating past ~4 epochs
+    * buys almost nothing): given a training budget of `budgetMilliEpochs`
+    * thousandths of the corpus and per-source temperature weights (√tokens — the mT5
+    * flattening this family already uses), how many tokens does each
+    * source contribute when no source may repeat more than `capEpochs`
+    * times? Proportional allocation alone over-fills small sources the
+    * temperature boosts; the classic answer is WATER-FILLING: allocate
+    * proportionally among uncapped sources, freeze the ones that hit
+    * their cap, redistribute the surplus, repeat. A fixed `rounds` unroll
+    * (each round at least one source caps or the allocation is stable)
+    * keeps the whole computation deterministic and SQL-replayable; floor
+    * rounding leaves integer crumbs, reported as `budget_leftover` so the
+    * accounting closes exactly.
+    *
+    * Shape: one corpus aggregation to the sources-row frame, then
+    * `rounds` iterations of two 1-row scalar aggregates crossed back —
+    * nothing corpus-sized moves after the first pass. The residual ×
+    * weight product runs in DECIMAL(38,0) ([[graft.functions.ExactDecimal]]):
+    * at 100 TB budgets the BIGINT product would overflow.
+    *
+    * Output per source: token mass, weight, cap, allocated tokens,
+    * resulting epochs (milli), whether the cap bound, and the global
+    * leftover (constant column — the exact unallocated crumb count).
+    */
+  def epochWaterfill(
+      docs: DataFrame,
+      budgetMilliEpochs: Long = 3800L,
+      capEpochs: Long = 4L,
+      rounds: Int = 6,
+      srcCol: String = "source",
+      textCol: String = "text"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.{d, floorDiv}
+    require(budgetMilliEpochs >= 1 && capEpochs >= 1 && rounds >= 1, "positive knobs required")
+    val base = docs
+      .groupBy(col(srcCol).as("source"))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("weight_milli",
+        floor(lit(1000.0) * sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("cap_tokens", lit(capEpochs) * col("n_tokens"))
+      .localCheckpoint(eager = true) // sources-row frame
+    // milli-epoch budget: with sqrt-temperature weights the per-source
+    // epoch spread is narrow (~±10%), so an integer multiple of the corpus
+    // either leaves every cap slack or saturates all of them — the
+    // interesting regime (SOME sources cap, surplus redistributes) needs
+    // fractional granularity. 3.8 corpus-epochs puts the temperature-
+    // boosted small sources over the 4-epoch cap.
+    val budget = base.agg(
+      expr(s"$budgetMilliEpochs * sum(n_tokens) DIV 1000").as("budget"))
+    var st = base.withColumn("alloc_tokens", lit(0L))
+    for (_ <- 1 to rounds) {
+      val scal = st.agg(
+        sum(when(col("alloc_tokens") < col("cap_tokens"), col("weight_milli")).otherwise(0L))
+          .as("wsum"),
+        sum(col("alloc_tokens")).as("allocated"))
+      st = st
+        .crossJoin(broadcast(scal)) // 1-row round scalars
+        .crossJoin(broadcast(budget)) // 1-row budget
+        .withColumn("give",
+          when(col("alloc_tokens") < col("cap_tokens") && col("wsum") > 0,
+            least(
+              col("cap_tokens") - col("alloc_tokens"),
+              floorDiv(
+                d(col("budget") - col("allocated")) * d(col("weight_milli")),
+                d(col("wsum"))).cast("long")))
+            .otherwise(lit(0L)))
+        .withColumn("alloc_tokens", col("alloc_tokens") + col("give"))
+        .select("source", "n_tokens", "weight_milli", "cap_tokens", "alloc_tokens")
+        .localCheckpoint(eager = true) // flat plan per round
+    }
+    val leftover = st
+      .crossJoin(broadcast(budget))
+      .agg(max(col("budget")).as("b"), sum(col("alloc_tokens")).as("a"))
+      .select((col("b") - col("a")).as("budget_leftover"))
+    st.crossJoin(broadcast(leftover)) // 1-row crumb count
+      .withColumn("epochs_milli", // DECIMAL round-half-up: 2000*alloc can pass 2^63 at 100 TB
+        graft.functions.ExactDecimal
+          .scaledRatio(col("alloc_tokens"), col("n_tokens"), 1000L).cast("long"))
+      .withColumn("capped", (col("alloc_tokens") >= col("cap_tokens")).cast("int"))
+      .select(
+        col("source"), col("n_tokens"), col("weight_milli"), col("cap_tokens"),
+        col("alloc_tokens"), col("epochs_milli"), col("capped"), col("budget_leftover"))
+  }
+
   /** Exact-quota temperature mix: within each stratum keep exactly `target`
     * rows, chosen by md5 hash order (uniform but deterministic — membership
     * is a pure function of (key, seed) given the stratum counts).

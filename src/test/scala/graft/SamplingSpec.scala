@@ -326,4 +326,27 @@ class SamplingSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long)].collect().head
     assert(f == (("X", 3L, 0L, 10000L, 10000L)))
   }
+  test("epochWaterfill: hand-traced two-source fill — cap binds, surplus redistributes, books close") {
+    // small: 4 tokens (w=2000, cap=16); big: 100 tokens (w=10000, cap=400)
+    // budget = floor(3.8 * 104) = 395
+    // round 1: small gets min(16, 395*2000/12000=65) = 16 (CAPPED);
+    //          big   gets min(400, 395*10000/12000=329) = 329
+    // round 2: residual 50 all flows to big -> 379; leftover 0
+    val docs = Seq(
+      (1L, "a b c d", "small"),
+      (2L, (1 to 100).map(i => s"t$i").mkString(" "), "big")
+    ).toDF("doc_id", "text", "source")
+    val rows = Sampling.epochWaterfill(docs).collect()
+      .map(r => r.getString(r.fieldIndex("source")) -> r).toMap
+    def g(src: String, c: String) = rows(src).getLong(rows(src).fieldIndex(c))
+    assert(g("small", "alloc_tokens") == 16L && rows("small").getInt(rows("small").fieldIndex("capped")) == 1)
+    assert(g("big", "alloc_tokens") == 379L && rows("big").getInt(rows("big").fieldIndex("capped")) == 0)
+    assert(g("small", "epochs_milli") == 4000L && g("big", "epochs_milli") == 3790L)
+    assert(g("small", "budget_leftover") == 0L)
+    // invariants: never over cap, accounting closes exactly
+    rows.values.foreach(r => assert(r.getLong(r.fieldIndex("alloc_tokens")) <= r.getLong(r.fieldIndex("cap_tokens"))))
+    assert(rows.values.map(r => r.getLong(r.fieldIndex("alloc_tokens"))).sum
+      + g("small", "budget_leftover") == 395L)
+  }
+
 }
