@@ -2349,6 +2349,21 @@ object SparkEntry {
         TextAnalysis.qualityLogit(col("text"), length(col("text"))).as("logit_micro")
       ).withColumn("keep", (col("logit_micro") > 0).cast("int"))
     },
+    "quality_signal_spearman" -> { (s, dir) =>
+      // Do the two cheap quality signals agree on the RANKING, not just
+      // the gate? Exact-midrank Spearman between the fixed-weight logit
+      // and the bigram-LM average likelihood — kappa grades one operating
+      // point, this grades the whole ordering both signals induce
+      // (ops/Contingency.scala spearmanMicro).
+      val docs = table(s, dir, "documents")
+      val logit = docs.select(
+        col("doc_id"),
+        TextAnalysis.qualityLogit(col("text"), length(col("text"))).as("logit_micro"))
+      val lm = graft.ops.LanguageModel.selfScore(docs, minAvgLpMicro = -3600000L)
+        .select(col("doc_id"), col("avg_lp_micro"))
+      graft.ops.Contingency.spearmanMicro(
+        logit.join(lm, Seq("doc_id")), "logit_micro", "avg_lp_micro")
+    },
     "quality_trained_logit" -> { (s, dir) =>
       // TRAINED quality filter (ops/QualityTrainer.scala): distill the
       // n-gram-heavy Gopher gate into a linear scorer over cheap features
@@ -9748,6 +9763,55 @@ object SparkEntry {
         |  CAST(CASE WHEN floor(CAST(lp_sum_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) + 0.5e0) > -3600000
         |       THEN 1 ELSE 0 END AS INT) AS keep
         |FROM agg""".stripMargin,
+    "quality_signal_spearman" ->
+      s"""WITH $QualityLogitCtes, toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+        |), bgs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2
+        |), bcs AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM bgs GROUP BY 1, 2
+        |), lms AS MATERIALIZED (
+        |  SELECT w1, w2, c2, sum(c2) OVER (PARTITION BY w1) AS ctx FROM bcs
+        |), vs AS (SELECT count(DISTINCT w2) AS v FROM bcs),
+        |scs AS (
+        |  SELECT bgs.doc_id,
+        |    CAST(floor(ln((CAST(lms.c2 AS DOUBLE) + 1.0e0)
+        |        / (CAST(lms.ctx AS DOUBLE) + CAST(vs.v AS DOUBLE)))
+        |      * 1e6 + 0.5e0) AS BIGINT) AS lp
+        |  FROM bgs JOIN lms USING (w1, w2), vs
+        |), ags AS (
+        |  SELECT doc_id,
+        |    CAST(floor(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5e0) AS BIGINT)
+        |      AS avg_lp_micro
+        |  FROM scs GROUP BY 1
+        |), j AS MATERIALIZED (
+        |  SELECT s.logit_micro AS x, a.avg_lp_micro AS y
+        |  FROM scored s JOIN ags a USING (doc_id)
+        |), cxr AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM j GROUP BY 1),
+        |rxr AS (
+        |  SELECT x, 2 * (sum(cnt) OVER (ORDER BY x) - cnt) + cnt + 1 AS r2x FROM cxr
+        |), cyr AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM j GROUP BY 1),
+        |ryr AS (
+        |  SELECT y, 2 * (sum(cnt) OVER (ORDER BY y) - cnt) + cnt + 1 AS r2y FROM cyr
+        |), jr AS (SELECT r2x, r2y FROM j JOIN rxr USING (x) JOIN ryr USING (y)),
+        |ag2 AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(r2x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(r2y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(r2x AS HUGEINT) * CAST(r2y AS HUGEINT)) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(r2x AS HUGEINT) * CAST(r2x AS HUGEINT)) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT)) AS HUGEINT) AS syy
+        |  FROM jr
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+        |    CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE)
+        |      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+        |      * 1e6 + 0.5e0) AS BIGINT)
+        |  END AS rho_micro
+        |FROM ag2""".stripMargin,
     "hll_rolling_users" ->
       // daily sketch build identical to hll_daily_users, then the rolling
       // merge: per-bucket max over the trailing-7-day RANGE window

@@ -200,6 +200,56 @@ object Contingency {
     * the first agg are score-vocabulary sized, so the 100 TB cost is the
     * one corpus scan.
     */
+  /** Exact-midrank Spearman rank correlation between two integer-valued
+    * columns — "do my two quality signals rank the corpus the same way",
+    * the agreement question kappa (one operating point) and AUC (one
+    * signal vs labels) don't answer. Ranks use the same DOUBLED-midrank
+    * trick as [[rocAuc]] (r2 = 2·cum_before + c + 1, integral under
+    * ties, scale cancels in the correlation); every sum runs in
+    * DECIMAL(38,0); the single irrational step — the sqrt of each exact
+    * variance term — is one correctly-rounded IEEE double per side,
+    * micro-rounded once, so both engines agree deterministically
+    * (the two variance terms take separate sqrts: their decimal PRODUCT
+    * would pass 10³⁸ at ~10¹² rows).
+    *
+    * Shape: two distinct-value CDF passes ([[Ranking.runningTotals]])
+    * + two value-keyed rank joins + one aggregation. Constant columns
+    * (zero variance) yield NULL rho.
+    */
+  def spearmanMicro(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def ranks2(c: String): DataFrame = {
+      val counts = df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      Ranking.runningTotals(counts, Seq(col(c).asc), Seq("cnt"))
+        .select(
+          col(c),
+          (lit(2L) * (col("cum_cnt") - col("cnt")) + col("cnt") + 1L).as(s"r2_$c"))
+    }
+    val rx = col(s"r2_$xCol")
+    val ry = col(s"r2_$yCol")
+    df.select(col(xCol), col(yCol))
+      .join(ranks2(xCol), Seq(xCol))
+      .join(ranks2(yCol), Seq(yCol))
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(d(rx)).as("sx"),
+        sum(d(ry)).as("sy"),
+        sum(d(rx) * d(ry)).as("sxy"),
+        sum(d(rx) * d(rx)).as("sxx"),
+        sum(d(ry) * d(ry)).as("syy"))
+      .select(
+        col("n"),
+        {
+          val num = d(col("n")) * col("sxy") - col("sx") * col("sy")
+          val dx = d(col("n")) * col("sxx") - col("sx") * col("sx")
+          val dy = d(col("n")) * col("syy") - col("sy") * col("sy")
+          when(dx > 0 && dy > 0,
+            floor(num.cast("double")
+              / (sqrt(dx.cast("double")) * sqrt(dy.cast("double"))) * lit(1e6) + lit(0.5))
+              .cast("long"))
+            .as("rho_micro")
+        })
+  }
+
   def rocAuc(
       df: DataFrame,
       labelCol: String,

@@ -331,4 +331,21 @@ class ContingencySpec extends AnyFunSuite {
     assert(got(1L) == ((0, 0)))
     assert(got(2L) == ((0, 0)))
   }
+  test("spearmanMicro: monotone 1.0, reversed -1.0, tie midranks exact, constant NULL") {
+    import graft.ops.Contingency
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("x", "y")
+    val up = Contingency.spearmanMicro(mono, "x", "y").head()
+    assert(up.getLong(0) == 4L && up.getLong(1) == 1000000L)
+    val rev = Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L)).toDF("x", "y")
+    assert(Contingency.spearmanMicro(rev, "x", "y").head().getLong(1) == -1000000L)
+    // tie case, hand-computed with midranks: x = 1,2,2,3 ranks 1,2.5,2.5,4;
+    // y = 10,20,30,40 ranks 1,2,3,4 -> rho = 0.9487 -> floor(.94868*1e6+.5)
+    val tied = Seq((1L, 10L), (2L, 20L), (2L, 30L), (3L, 40L)).toDF("x", "y")
+    val t = Contingency.spearmanMicro(tied, "x", "y").head()
+    assert(t.getLong(1) == 948683L, s"got ${t.getLong(1)}")
+    // zero-variance side: rho undefined -> NULL
+    val const = Seq((5L, 10L), (5L, 20L), (5L, 30L)).toDF("x", "y")
+    assert(Contingency.spearmanMicro(const, "x", "y").head().isNullAt(1))
+  }
+
 }
