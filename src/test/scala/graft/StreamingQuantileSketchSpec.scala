@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingQuantileSketch
+
+class StreamingQuantileSketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val W = 7L
+
+  /** Batch replay: cell counts + the upper-edge nearest-rank estimate the
+    * batch operator produces, over the same prefix.
+    */
+  private def batchCells(vals: Seq[Long]): Map[Long, Long] =
+    vals.groupBy(v => (v + 1000000L) / W).map { case (c, vs) => c -> vs.size.toLong }
+
+  private def batchEstimate(vals: Seq[Long], pct: Int): Long = {
+    val row = graft.ops.Robust
+      .quantileSketchError(vals.toDF("v"), "v", widths = Seq(W), percents = Seq(pct))
+      .head()
+    row.getLong(row.fieldIndex("est_v"))
+  }
+
+  test("streaming cell counts equal the batch sketch after every prefix; quantile reads agree") {
+    implicit val ctx = spark.sqlContext
+    val b1 = Seq(1L, 5L, 9L, 13L, 13L, 40L)
+    val b2 = Seq(2L, 100L, 100L, 7L)
+    val input = MemoryStream[Long]
+    val sink = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val q = StreamingQuantileSketch
+      .cellCounts(input.toDF().toDF("v"), "v", W)
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => sink(r.getLong(0)) = r.getLong(1))
+      }
+      .start()
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      assert(sink.toMap == batchCells(b1), "prefix 1 cells must equal the batch sketch")
+      assert(
+        StreamingQuantileSketch.quantile(sink.toSeq, 50, W) == batchEstimate(b1, 50),
+        "prefix-1 p50 must equal the batch estimate")
+      input.addData(b2)
+      q.processAllAvailable()
+      val all = b1 ++ b2
+      assert(sink.toMap == batchCells(all), "prefix 2 cells must equal the batch sketch")
+      Seq(50, 90, 99).foreach { p =>
+        assert(
+          StreamingQuantileSketch.quantile(sink.toSeq, p, W) == batchEstimate(all, p),
+          s"p$p must equal the batch estimate")
+      }
+      // the value-bound guarantee on the streamed sketch: est in [truth, truth + W)
+      val truth = all.sorted.apply(((99 * all.size + 99) / 100) - 1)
+      val est = StreamingQuantileSketch.quantile(sink.toSeq, 99, W)
+      assert(est >= truth && est - truth < W)
+    } finally q.stop()
+  }
+
+  test("quantile read: rank arithmetic and guards") {
+    // cells for values 0..9 at w=7 (offset 1000000): cells 142857 (0..6 ->
+    // 7 values) and 142858 (7..9 -> 3 values)
+    val cells = Seq((142857L, 7L), (142858L, 3L))
+    // p50 -> rank 5 -> first cell; upper edge = 142857*7+6-1000000 = 5
+    assert(StreamingQuantileSketch.quantile(cells, 50, 7L) == 5L)
+    // p100 -> last cell upper edge = 142858*7+6-1000000 = 12
+    assert(StreamingQuantileSketch.quantile(cells, 100, 7L) == 12L)
+    intercept[IllegalArgumentException](StreamingQuantileSketch.quantile(Seq.empty, 50, 7L))
+    intercept[IllegalArgumentException](StreamingQuantileSketch.quantile(cells, 0, 7L))
+  }
+}
