@@ -1885,6 +1885,15 @@ object SparkEntry {
       // with a predecessor (ops/TimeSeries.scala).
       graft.ops.TimeSeries.holtBacktest(eventsTable(s, dir))
     },
+    "ts_user_similarity_topk" -> { (s, dir) =>
+      // Time-series similarity search ("who behaves like this account"):
+      // top-5 users by squared L2 between hourly value series, via the
+      // sparse identity d² = S2_q + S2_u − 2·dot over shared hours — one
+      // hour-keyed join against the broadcast query series, one
+      // (queries × users)-row close, zero-overlap users included exactly
+      // (ops/TimeSeries.scala).
+      graft.ops.TimeSeries.tsSimilarityTopK(eventsTable(s, dir))
+    },
     "daily_theil_sen" -> { (s, dir) =>
       // Robust trend per event type: median of all pairwise daily-count
       // slopes (exact signed micro rationals; the doubled-median trick
@@ -9346,6 +9355,32 @@ object SparkEntry {
     "hourly_holt_forecast" -> holtOracle,
     "doc_lang_mixing" -> langMixingOracle,
     "holt_backtest" -> holtBacktestOracle,
+    "ts_user_similarity_topk" ->
+      """WITH sr AS MATERIALIZED (
+        |  SELECT user_id, epoch_ms(ts) // 3600000 AS hour,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2
+        |), s2 AS MATERIALIZED (
+        |  SELECT user_id, CAST(sum(v*v) AS BIGINT) AS s2 FROM sr GROUP BY 1
+        |), qs AS (SELECT user_id AS query_user, hour, v AS qv FROM sr WHERE user_id < 4),
+        |dots AS (
+        |  SELECT q.query_user, s.user_id, CAST(sum(q.qv * s.v) AS BIGINT) AS dot,
+        |    CAST(count(*) AS BIGINT) AS n_shared_hours
+        |  FROM sr s JOIN qs q USING (hour) GROUP BY 1, 2
+        |), qs2 AS (SELECT user_id AS query_user, s2 AS q_s2 FROM s2 WHERE user_id < 4),
+        |grid AS (
+        |  SELECT g.query_user, u.user_id,
+        |    coalesce(d.n_shared_hours, 0) AS n_shared_hours,
+        |    g.q_s2 + u.s2 - 2 * coalesce(d.dot, 0) AS dist2
+        |  FROM s2 u CROSS JOIN qs2 g
+        |  LEFT JOIN dots d ON d.query_user = g.query_user AND d.user_id = u.user_id
+        |  WHERE u.user_id != g.query_user
+        |)
+        |SELECT query_user, user_id, n_shared_hours, CAST(dist2 AS BIGINT) AS dist2,
+        |  CAST(rank AS INT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_user
+        |        ORDER BY dist2, user_id) AS rank FROM grid)
+        |WHERE rank <= 5""".stripMargin,
     "ivf_nprobe_sweep" -> ivfNprobeSweepOracle,
     "ivf_anchor_sweep" -> ivfAnchorSweepOracle,
     "daily_theil_sen" ->

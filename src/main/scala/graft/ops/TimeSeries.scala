@@ -47,6 +47,60 @@ object TimeSeries {
       .select(col("event_type"), col("hour"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Time-series similarity SEARCH: top-k users whose hourly value series
+    * is closest (squared L2 over the aligned hourly grid, zeros implicit)
+    * to each query user's — the "who behaves like this account" lookup of
+    * the distributed-similarity-search literature (EDBT'19 streaming-TS
+    * search / ICDE'21 REPOSE shape, re-expressed query-driven).
+    *
+    * The sparse identity does all the work: with per-user hourly sums v
+    * (exact cents) and S2_u = Σ_h v², the distance is
+    * d²(q,u) = S2_q + S2_u − 2·dot(q,u) where the dot runs only over
+    * SHARED hours — so the corpus-side work is one hour-keyed equi-join
+    * against the (queries-bounded, broadcast) query series plus one
+    * (queries × users)-row close; users sharing NO hours are still exact
+    * candidates (dot = 0) via the left join, never silently dropped. No
+    * pairwise corpus join, no dense grid materialization, all integer.
+    *
+    * 100 TB shape: the series aggregation is the only corpus-sized pass;
+    * everything after is |users|-row frames. S2 sums are cents²·hours —
+    * callers with > ~10⁹-cent hourly sums should pre-scale.
+    */
+  def tsSimilarityTopK(ev: DataFrame, maxQueryUser: Long = 4L, k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val series = ev
+      .select(
+        col("user_id"),
+        expr("ts_ms DIV 3600000").as("hour"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(sum(col("v")).as("v"))
+      .localCheckpoint(eager = true) // reused: S2, query side, dot join
+    val s2 = series.groupBy(col("user_id")).agg(sum(col("v") * col("v")).as("s2"))
+      .localCheckpoint(eager = true) // |users| rows
+    val qSeries = series.filter(col("user_id") < maxQueryUser)
+      .select(col("user_id").as("query_user"), col("hour"), col("v").as("qv"))
+    val dots = series
+      .join(broadcast(qSeries), Seq("hour")) // queries-bounded broadcast
+      .groupBy(col("query_user"), col("user_id"))
+      .agg(sum(col("qv") * col("v")).as("dot"), count(lit(1)).as("n_shared_hours"))
+    val qs2 = s2.filter(col("user_id") < maxQueryUser)
+      .select(col("user_id").as("query_user"), col("s2").as("q_s2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_user"))
+      .orderBy(col("dist2"), col("user_id"))
+    s2
+      .crossJoin(broadcast(qs2)) // |users| × |queries| candidate grid
+      .join(dots, Seq("query_user", "user_id"), "left")
+      .filter(col("user_id") =!= col("query_user"))
+      .select(
+        col("query_user"), col("user_id"),
+        coalesce(col("n_shared_hours"), lit(0L)).as("n_shared_hours"),
+        (col("q_s2") + col("s2") - lit(2L) * coalesce(col("dot"), lit(0L))).as("dist2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact dyadic EWMA (α = 1/2, 16-hour truncated lookback) of the
     * hourly per-type counts. Output: event_type, hour_ms, cnt,
     * ewma_x65536 = Σ_{k=0..15} cnt(h−k)·2^(15−k) — the smoothed rate

@@ -195,4 +195,26 @@ class TimeSeriesSpec extends AnyFunSuite {
     // type b dense counts [1,0,1]: slopes −1e6, 0, +1e6 → median 0
     assert(got("b") == ((3L, 0L)))
   }
+  test("tsSimilarityTopK: identical series at distance 0, disjoint series at S2q+S2u, exact ranks") {
+    // hourly cents: user 0 = {h0: 300, h1: 400}; user 1 identical;
+    // user 2 shares h0 with v=100 (d2 = (300-100)^2 + 400^2 = 200000);
+    // user 3 disjoint at h5 (d2 = S2q + S2u = 250000 + 10000)
+    def ev(u: Long, h: Long, v: Double) = (u, h * 3600000L, v)
+    val rows = Seq(
+      ev(0L, 0, 3.0), ev(0L, 1, 4.0),
+      ev(1L, 0, 3.0), ev(1L, 1, 4.0),
+      ev(2L, 0, 1.0),
+      ev(3L, 5, 1.0)
+    ).toDF("user_id", "ts_ms", "value")
+    val got = graft.ops.TimeSeries.tsSimilarityTopK(rows, maxQueryUser = 1L, k = 3)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("user_id")) ->
+        (r.getLong(r.fieldIndex("dist2")), r.getLong(r.fieldIndex("n_shared_hours")),
+          r.getInt(r.fieldIndex("rank"))))
+      .toMap
+    assert(got(1L) == ((0L, 2L, 1)), s"identical series must rank first at distance 0: ${got(1L)}")
+    assert(got(2L) == ((200000L, 1L, 2)))
+    assert(got(3L) == ((260000L, 0L, 3)), "zero-overlap users must still be exact candidates")
+  }
+
 }
