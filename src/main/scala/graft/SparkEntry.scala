@@ -1894,6 +1894,22 @@ object SparkEntry {
       // (ops/TimeSeries.scala).
       graft.ops.TimeSeries.tsSimilarityTopK(eventsTable(s, dir))
     },
+    "ts_sax_words" -> { (s, dir) =>
+      // SAX symbolic words over per-user hourly series: global-span PAA
+      // slice means (exact micro), data-driven quartile breakpoints
+      // (distributed CDF selection), strict-> symbol counts — the
+      // indexable face of the TS similarity search; equal words = one
+      // word-keyed equi-join at 10^9 users (ops/TimeSeries.scala).
+      graft.ops.TimeSeries.saxWords(eventsTable(s, dir))
+    },
+    "ts_sax_blocking_recall" -> { (s, dir) =>
+      // Does SAX blocking keep the true nearest neighbor? Per query
+      // user: its word, the exact top-1 neighbor, the neighbor's word,
+      // same-bucket flag — the measured blocking-recall row the banded
+      // dedup/ANN families carry, extended to the TS index
+      // (ops/TimeSeries.scala).
+      graft.ops.TimeSeries.saxBlockingRecall(eventsTable(s, dir))
+    },
     "daily_theil_sen" -> { (s, dir) =>
       // Robust trend per event type: median of all pairwise daily-count
       // slopes (exact signed micro rationals; the doubled-median trick
@@ -5172,6 +5188,82 @@ object SparkEntry {
       |  lo.budget_leftover
       |FROM wfbase s JOIN a$rounds a USING (source), lo""".stripMargin
   }
+
+  /** One SAX chain (suffix `sfx`): hourly sums → global-span PAA slice
+    * means (signed exact round-half-up) → dense per-user segment grid →
+    * global quartile breakpoints by CDF selection → strict-> symbols →
+    * the word frame `w<sfx>` — mirrors [[graft.ops.TimeSeries.saxWords]].
+    */
+  private def saxChain(segments: Int, sfx: String): String =
+    s"""hr$sfx AS MATERIALIZED (
+      |  SELECT user_id, epoch_ms(ts) // 3600000 AS hour,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2
+      |), span$sfx AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hr$sfx),
+      |sg$sfx AS (
+      |  SELECT user_id, (hour - sp.lo) * $segments // (sp.hi - sp.lo + 1) AS seg, v
+      |  FROM hr$sfx, span$sfx sp
+      |), sm$sfx AS (
+      |  SELECT user_id, seg,
+      |    CAST(((2*1000000*sum(v) + count(*))
+      |      - (((2*1000000*sum(v) + count(*)) % (2*count(*)) + 2*count(*)) % (2*count(*))))
+      |      // (2*count(*)) AS BIGINT) AS mean_micro
+      |  FROM sg$sfx GROUP BY 1, 2
+      |), gu$sfx AS (SELECT DISTINCT user_id FROM sg$sfx),
+      |grid$sfx AS MATERIALIZED (
+      |  SELECT gu.user_id, g.seg, coalesce(sm.mean_micro, 0) AS mean_micro
+      |  FROM gu$sfx gu CROSS JOIN (SELECT unnest(range($segments)) AS seg) g
+      |  LEFT JOIN sm$sfx sm ON sm.user_id = gu.user_id AND sm.seg = g.seg
+      |), cnt$sfx AS (SELECT mean_micro, CAST(count(*) AS BIGINT) AS cnt FROM grid$sfx GROUP BY 1),
+      |cdf$sfx AS (SELECT mean_micro, sum(cnt) OVER (ORDER BY mean_micro) AS cum FROM cnt$sfx),
+      |tot$sfx AS (SELECT CAST(count(*) AS BIGINT) AS n FROM grid$sfx),
+      |b$sfx AS MATERIALIZED (
+      |  SELECT
+      |    (SELECT min(mean_micro) FROM cdf$sfx, tot$sfx WHERE cum >= (25 * n + 99) // 100) AS b25,
+      |    (SELECT min(mean_micro) FROM cdf$sfx, tot$sfx WHERE cum >= (50 * n + 99) // 100) AS b50,
+      |    (SELECT min(mean_micro) FROM cdf$sfx, tot$sfx WHERE cum >= (75 * n + 99) // 100) AS b75
+      |), sym$sfx AS (
+      |  SELECT user_id, seg,
+      |    CAST(mean_micro > b.b25 AS INT) + CAST(mean_micro > b.b50 AS INT)
+      |      + CAST(mean_micro > b.b75 AS INT) AS sym
+      |  FROM grid$sfx, b$sfx b
+      |), w$sfx AS MATERIALIZED (
+      |  SELECT user_id,
+      |    string_agg(CAST(seg AS VARCHAR) || CAST(sym AS VARCHAR), '' ORDER BY seg) AS word
+      |  FROM sym$sfx GROUP BY 1
+      |)""".stripMargin
+
+  /** Exact top-1 TS neighbor chain (`top1`), shared by the SAX recall
+    * legs — mirrors [[graft.ops.TimeSeries.tsSimilarityTopK]] at k = 1.
+    */
+  private val TsTop1Ctes: String =
+    """srt AS MATERIALIZED (
+      |  SELECT user_id, epoch_ms(ts) // 3600000 AS hour,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2
+      |), s2t AS MATERIALIZED (
+      |  SELECT user_id, CAST(sum(v*v) AS BIGINT) AS s2 FROM srt GROUP BY 1
+      |), qst AS (SELECT user_id AS query_user, hour, v AS qv FROM srt WHERE user_id < 4),
+      |dotst AS (
+      |  SELECT q.query_user, s.user_id, CAST(sum(q.qv * s.v) AS BIGINT) AS dot
+      |  FROM srt s JOIN qst q USING (hour) GROUP BY 1, 2
+      |), qs2t AS (SELECT user_id AS query_user, s2 AS q_s2 FROM s2t WHERE user_id < 4),
+      |gridt AS (
+      |  SELECT g.query_user, u.user_id,
+      |    g.q_s2 + u.s2 - 2 * coalesce(d.dot, 0) AS dist2,
+      |    CASE WHEN u.s2 > 0 AND g.q_s2 > 0 THEN
+      |      CAST(floor(CAST(coalesce(d.dot, 0) AS DOUBLE)
+      |        / (sqrt(CAST(g.q_s2 AS DOUBLE)) * sqrt(CAST(u.s2 AS DOUBLE)))
+      |        * 1e6 + 0.5e0) AS BIGINT)
+      |    ELSE 0 END AS cos_micro
+      |  FROM s2t u CROSS JOIN qs2t g
+      |  LEFT JOIN dotst d ON d.query_user = g.query_user AND d.user_id = u.user_id
+      |  WHERE u.user_id != g.query_user
+      |), top1 AS (
+      |  SELECT query_user, user_id, dist2 FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_user
+      |      ORDER BY cos_micro DESC, user_id) AS rk FROM gridt) WHERE rk = 1
+      |)""".stripMargin
 
   /** Fixed-grid quantile-sketch error replay: one distinct-cents count
     * frame, the exact CDF selection, then one re-grid + CDF + selection
@@ -9355,6 +9447,22 @@ object SparkEntry {
     "hourly_holt_forecast" -> holtOracle,
     "doc_lang_mixing" -> langMixingOracle,
     "holt_backtest" -> holtBacktestOracle,
+    "ts_sax_words" -> s"WITH ${saxChain(4, "x")}\nSELECT user_id, word FROM wx",
+    "ts_sax_blocking_recall" -> {
+      val chains = Seq(1, 2, 4).map(k => saxChain(k, s"k$k")).mkString(",\n")
+      val legs = Seq(1, 2, 4).map { k =>
+        s"""SELECT CAST($k AS INT) AS segments, t.query_user, wq.word,
+          |  t.user_id AS top1_user, wt.word AS top1_word,
+          |  CAST(t.dist2 AS BIGINT) AS dist2,
+          |  CAST(wq.word = wt.word AS INT) AS same_bucket
+          |FROM top1 t
+          |JOIN wk$k wq ON wq.user_id = t.query_user
+          |JOIN wk$k wt ON wt.user_id = t.user_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $chains,
+        |$TsTop1Ctes
+        |$legs""".stripMargin
+    },
     "ts_user_similarity_topk" ->
       """WITH sr AS MATERIALIZED (
         |  SELECT user_id, epoch_ms(ts) // 3600000 AS hour,
@@ -9371,15 +9479,20 @@ object SparkEntry {
         |grid AS (
         |  SELECT g.query_user, u.user_id,
         |    coalesce(d.n_shared_hours, 0) AS n_shared_hours,
-        |    g.q_s2 + u.s2 - 2 * coalesce(d.dot, 0) AS dist2
+        |    g.q_s2 + u.s2 - 2 * coalesce(d.dot, 0) AS dist2,
+        |    CASE WHEN u.s2 > 0 AND g.q_s2 > 0 THEN
+        |      CAST(floor(CAST(coalesce(d.dot, 0) AS DOUBLE)
+        |        / (sqrt(CAST(g.q_s2 AS DOUBLE)) * sqrt(CAST(u.s2 AS DOUBLE)))
+        |        * 1e6 + 0.5e0) AS BIGINT)
+        |    ELSE 0 END AS cos_micro
         |  FROM s2 u CROSS JOIN qs2 g
         |  LEFT JOIN dots d ON d.query_user = g.query_user AND d.user_id = u.user_id
         |  WHERE u.user_id != g.query_user
         |)
         |SELECT query_user, user_id, n_shared_hours, CAST(dist2 AS BIGINT) AS dist2,
-        |  CAST(rank AS INT) AS rank
+        |  CAST(cos_micro AS BIGINT) AS cos_micro, CAST(rank AS INT) AS rank
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_user
-        |        ORDER BY dist2, user_id) AS rank FROM grid)
+        |        ORDER BY cos_micro DESC, user_id) AS rank FROM grid)
         |WHERE rank <= 5""".stripMargin,
     "ivf_nprobe_sweep" -> ivfNprobeSweepOracle,
     "ivf_anchor_sweep" -> ivfAnchorSweepOracle,

@@ -47,11 +47,111 @@ object TimeSeries {
       .select(col("event_type"), col("hour"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** SAX-style symbolic words for per-user hourly value series — the
+    * INDEXABLE face of [[tsSimilarityTopK]] (Lin et al.'s Symbolic
+    * Aggregate approXimation, re-based on exact integers): the global
+    * hour span splits into `segments` equal slices, each user's slice
+    * mean (PAA, exact round-half-up micro; empty slice ≡ 0) maps to a
+    * quartile symbol against GLOBAL breakpoints (nearest-rank order
+    * statistics over all slice means — data-driven, no Gaussian
+    * assumption, no float), and the concatenated symbols form the word.
+    * Equal words = candidate bucket; at 10⁹ users the all-pairs search
+    * becomes one word-keyed equi-join, exactly how banding serves
+    * MinHash.
+    *
+    * Everything is engine-portable integer arithmetic: slice index by
+    * integer division on the span, means via exact scaled ratios,
+    * breakpoints by distributed CDF selection ([[Ranking.runningTotals]]),
+    * symbols by strict-> breakpoint counts.
+    */
+  def saxWords(ev: DataFrame, segments: Int = 4): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    require(segments >= 1, "segments must be >= 1")
+    val hourly = ev
+      .select(
+        col("user_id"),
+        expr("ts_ms DIV 3600000").as("hour"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(sum(col("v")).as("v"))
+    val span = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+    val segs = hourly
+      .crossJoin(broadcast(span)) // 1-row span bounds
+      .select(
+        col("user_id"),
+        expr(s"(hour - lo) * $segments DIV (hi - lo + 1)").as("seg"),
+        col("v"))
+      .groupBy(col("user_id"), col("seg"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+      .select(
+        col("user_id"), col("seg"),
+        scaledRatio(col("sv"), col("cnt"), 1000000L).cast("long").as("mean_micro"))
+    // dense per-user segment grid: an empty slice is a real observation
+    // of "no activity", mean 0 — not a dropped row
+    val grid = segs.select(col("user_id")).distinct()
+      .crossJoin(broadcast(
+        ev.sparkSession.range(segments.toLong).select(col("id").as("seg"))))
+      .join(segs, Seq("user_id", "seg"), "left")
+      .select(
+        col("user_id"), col("seg"),
+        coalesce(col("mean_micro"), lit(0L)).as("mean_micro"))
+      .localCheckpoint(eager = true) // users×segments ids-only frame
+    val counts = grid.groupBy(col("mean_micro")).agg(count(lit(1)).as("cnt"))
+    val cdf = Ranking.runningTotals(counts, Seq(col("mean_micro").asc), Seq("cnt"))
+    val tot = grid.agg(count(lit(1)).as("n"))
+    val breaks = Seq(25, 50, 75).map { pct =>
+      cdf.crossJoin(broadcast(tot))
+        .filter(col("cum_cnt") >= expr(s"($pct * n + 99) DIV 100"))
+        .agg(min(col("mean_micro")).as(s"b$pct"))
+    }.reduce(_ crossJoin _) // 1-row breakpoint frame
+    grid
+      .crossJoin(broadcast(breaks))
+      .select(
+        col("user_id"), col("seg"),
+        ((col("mean_micro") > col("b25")).cast("int") +
+          (col("mean_micro") > col("b50")).cast("int") +
+          (col("mean_micro") > col("b75")).cast("int")).as("sym"))
+      .groupBy(col("user_id"))
+      .agg(concat_ws("", array_sort(collect_list(
+        concat(col("seg").cast("string"), col("sym").cast("string"))))).as("word"))
+  }
+
+  /** Does SAX-word blocking keep the true nearest neighbor — and at
+    * which granularity? Per (segment count, query user): the query's
+    * word, its exact top-1 neighbor ([[tsSimilarityTopK]] k = 1), the
+    * neighbor's word, same-bucket flag. A SWEEP, not one config: at
+    * sf0.1 the 4-segment word (256 buckets over 1.5k users) misses every
+    * true top-1 while 1 segment (4 level buckets) keeps them — the
+    * blocking-granularity trade measured, the same discipline as the
+    * MinHash width / IVF anchor sweeps. Gold computed once.
+    */
+  def saxBlockingRecall(
+      ev: DataFrame,
+      maxQueryUser: Long = 4L,
+      segmentSweep: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val top1 = tsSimilarityTopK(ev, maxQueryUser, k = 1)
+      .select(col("query_user"), col("user_id").as("top1_user"), col("dist2"))
+      .localCheckpoint(eager = true) // queries-row frame; joined per config
+    segmentSweep.map { segs =>
+      val words = saxWords(ev, segs).localCheckpoint(eager = true)
+      top1
+        .join(words.select(col("user_id").as("query_user"), col("word")), Seq("query_user"))
+        .join(words.select(col("user_id").as("top1_user"), col("word").as("top1_word")),
+          Seq("top1_user"))
+        .select(
+          lit(segs).as("segments"),
+          col("query_user"), col("word"), col("top1_user"), col("top1_word"), col("dist2"),
+          (col("word") === col("top1_word")).cast("int").as("same_bucket"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Time-series similarity SEARCH: top-k users whose hourly value series
-    * is closest (squared L2 over the aligned hourly grid, zeros implicit)
-    * to each query user's — the "who behaves like this account" lookup of
-    * the distributed-similarity-search literature (EDBT'19 streaming-TS
-    * search / ICDE'21 REPOSE shape, re-expressed query-driven).
+    * is most COSINE-similar (co-activity, scale-normalized) to each query
+    * user's — the "who behaves like this account" lookup of the
+    * distributed-similarity-search literature (EDBT'19 streaming-TS
+    * search / ICDE'21 REPOSE shape, re-expressed query-driven). Raw L2 is
+    * also reported (`dist2`) but deliberately NOT the ranking — see the
+    * sparse-series note inline.
     *
     * The sparse identity does all the work: with per-user hourly sums v
     * (exact cents) and S2_u = Σ_h v², the distance is
@@ -88,7 +188,7 @@ object TimeSeries {
       .select(col("user_id").as("query_user"), col("s2").as("q_s2"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_user"))
-      .orderBy(col("dist2"), col("user_id"))
+      .orderBy(col("cos_micro").desc, col("user_id"))
     s2
       .crossJoin(broadcast(qs2)) // |users| × |queries| candidate grid
       .join(dots, Seq("query_user", "user_id"), "left")
@@ -96,7 +196,18 @@ object TimeSeries {
       .select(
         col("query_user"), col("user_id"),
         coalesce(col("n_shared_hours"), lit(0L)).as("n_shared_hours"),
-        (col("q_s2") + col("s2") - lit(2L) * coalesce(col("dot"), lit(0L))).as("dist2"))
+        (col("q_s2") + col("s2") - lit(2L) * coalesce(col("dot"), lit(0L))).as("dist2"),
+        // cosine, not raw L2, is the ranking: on SPARSE hourly series two
+        // users rarely share hours, so d² ≈ S2_q + S2_u and raw L2 crowns
+        // the LEAST ACTIVE user "nearest" regardless of the query — the
+        // round-9 SAX recall row caught exactly that. One correctly-
+        // rounded IEEE sqrt per norm (the spearmanMicro convention);
+        // zero-overlap users score cosine 0.
+        when(col("s2") > 0 && col("q_s2") > 0,
+          floor(coalesce(col("dot"), lit(0L)).cast("double")
+            / (sqrt(col("q_s2").cast("double")) * sqrt(col("s2").cast("double")))
+            * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("cos_micro"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -210,11 +210,33 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect()
       .map(r => r.getLong(r.fieldIndex("user_id")) ->
         (r.getLong(r.fieldIndex("dist2")), r.getLong(r.fieldIndex("n_shared_hours")),
-          r.getInt(r.fieldIndex("rank"))))
+          r.getLong(r.fieldIndex("cos_micro")), r.getInt(r.fieldIndex("rank"))))
       .toMap
-    assert(got(1L) == ((0L, 2L, 1)), s"identical series must rank first at distance 0: ${got(1L)}")
-    assert(got(2L) == ((200000L, 1L, 2)))
-    assert(got(3L) == ((260000L, 0L, 3)), "zero-overlap users must still be exact candidates")
+    assert(got(1L) == ((0L, 2L, 1000000L, 1)),
+      s"identical series must rank first at cosine 1: ${got(1L)}")
+    // cos(q, u2) = 300*100 / (500 * 100) = 0.6
+    assert(got(2L) == ((200000L, 1L, 600000L, 2)))
+    assert(got(3L) == ((260000L, 0L, 0L, 3)),
+      "zero-overlap users must still be exact candidates at cosine 0")
+  }
+
+  test("saxWords + saxBlockingRecall: level-separated users get distinct words; gold kept at 1 segment") {
+    // users 0/1 identical high activity (same word, each other's top-1);
+    // user 2 low activity in the same hours; user 3 idle elsewhere
+    def ev(u: Long, h: Long, v: Double) = (u, h * 3600000L, v)
+    val rows = Seq(
+      ev(0L, 0, 50.0), ev(0L, 1, 60.0), ev(1L, 0, 50.0), ev(1L, 1, 60.0),
+      ev(2L, 0, 1.0), ev(2L, 1, 1.0),
+      ev(3L, 3, 0.5)
+    ).toDF("user_id", "ts_ms", "value")
+    val words = graft.ops.TimeSeries.saxWords(rows, segments = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(words(0L) == words(1L), "identical series must share the word")
+    assert(words(0L) != words(2L), "level-separated users must split buckets")
+    val rec = graft.ops.TimeSeries.saxBlockingRecall(rows, maxQueryUser = 1L, segmentSweep = Seq(1))
+      .head()
+    assert(rec.getLong(rec.fieldIndex("top1_user")) == 1L, "cosine top-1 is the identical twin")
+    assert(rec.getInt(rec.fieldIndex("same_bucket")) == 1, "the twin shares the 1-segment word")
   }
 
 }
