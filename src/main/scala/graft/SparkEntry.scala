@@ -2216,6 +2216,24 @@ object SparkEntry {
       // (ops/LanguageModel.scala).
       graft.ops.LanguageModel.domainExcessReweight(table(s, dir, "documents"))
     },
+    "curation_pipeline_v8" -> { (s, dir) =>
+      // The round-9 composite: containment dedup (drop the CONTAINED side
+      // of every >=95% pair — mutual pairs drop the higher id) feeding
+      // the epoch water-fill, so the repetition budget is allocated over
+      // the deduplicated corpus — quotes don't buy their container a
+      // second epoch. One chain, every stage oracle-replayed
+      // (ops/Dedup.scala + ops/Sampling.scala).
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.containmentMd5Pairs(docs, thresholdBps = 9500L)
+      val drop = pairs.select(
+        when(col("cont_a_in_b_bps") >= 9500L && col("cont_b_in_a_bps") >= 9500L,
+          greatest(col("id_a"), col("id_b")))
+          .when(col("cont_a_in_b_bps") >= 9500L, col("id_a"))
+          .otherwise(col("id_b")).as("doc_id"))
+        .distinct()
+      val kept = docs.join(drop, Seq("doc_id"), "left_anti")
+      graft.ops.Sampling.epochWaterfill(kept)
+    },
     "epoch_waterfill_allocation" -> { (s, dir) =>
       // Data-constrained scaling allocation (Muennighoff et al. 2023):
       // a 3.8x-corpus token budget split across sources by temperature
@@ -5153,7 +5171,9 @@ object SparkEntry {
     * [[graft.ops.Sampling.epochWaterfill]] floor for floor (HUGEINT
     * residual x weight, truncating `//` on nonnegative operands = floor).
     */
-  private def waterfillOracle(budgetMilliEpochs: Long, capEpochs: Long, rounds: Int): String = {
+  private def waterfillOracle(
+      budgetMilliEpochs: Long, capEpochs: Long, rounds: Int,
+      docsRel: String = "documents"): String = {
     val steps = (1 to rounds).map { r =>
       s""", sc$r AS (
         |  SELECT CAST(sum(CASE WHEN a.alloc < s.cap_tokens THEN s.weight_milli ELSE 0 END) AS HUGEINT) AS wsum,
@@ -5173,7 +5193,7 @@ object SparkEntry {
       |    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens,
       |    CAST(floor(1000.0 * sqrt(CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS DOUBLE))) AS BIGINT) AS weight_milli,
       |    CAST($capEpochs * sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS cap_tokens
-      |  FROM documents GROUP BY 1
+      |  FROM $docsRel GROUP BY 1
       |), bud AS (SELECT CAST($budgetMilliEpochs * sum(n_tokens) // 1000 AS BIGINT) AS budget FROM wfbase),
       |a0 AS MATERIALIZED (SELECT source, CAST(0 AS BIGINT) AS alloc FROM wfbase)$steps,
       |lo AS (
@@ -5188,6 +5208,45 @@ object SparkEntry {
       |  lo.budget_leftover
       |FROM wfbase s JOIN a$rounds a USING (source), lo""".stripMargin
   }
+
+  /** Containment-pair chain through `contp(id_a, id_b, n_a, n_b,
+    * n_common, cont_a_in_b_bps, cont_b_in_a_bps)` at the given threshold
+    * — pigeonhole prefix filter + exact verify, mirroring
+    * [[graft.ops.Dedup.containmentMd5Pairs]]. Expects [[Md5SigCtes]]'
+    * `hs` in scope.
+    */
+  private def containmentCtes(thresholdBps: Long): String =
+    s"""post AS MATERIALIZED (
+      |  SELECT doc_id, unnest(hset) AS h FROM hs
+      |), dfc AS MATERIALIZED (
+      |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY h HAVING count(*) <= 1000
+      |), szs AS (SELECT doc_id, CAST(len(hset) AS BIGINT) AS n FROM hs),
+      |rkd AS (
+      |  SELECT p.doc_id, p.h,
+      |    row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.h) AS rk
+      |  FROM post p JOIN dfc d ON d.h = p.h
+      |), pre AS (
+      |  SELECT r.doc_id AS probe_id, r.h
+      |  FROM rkd r JOIN szs s ON s.doc_id = r.doc_id
+      |  WHERE r.rk <= (10000 - $thresholdBps) * s.n // 10000 + 1
+      |), cand AS MATERIALIZED (
+      |  SELECT DISTINCT least(p.probe_id, o.doc_id) AS id_a,
+      |    greatest(p.probe_id, o.doc_id) AS id_b
+      |  FROM pre p JOIN post o ON o.h = p.h
+      |  WHERE p.probe_id != o.doc_id
+      |), verc AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(len(a.hset) AS BIGINT) AS n_a, CAST(len(b.hset) AS BIGINT) AS n_b,
+      |    CAST(len(list_filter(a.hset, x -> list_contains(b.hset, x))) AS BIGINT) AS n_common
+      |  FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
+      |), contp AS MATERIALIZED (
+      |  SELECT id_a, id_b, n_a, n_b, n_common,
+      |    (2*10000*n_common + n_a) // (2*n_a) AS cont_a_in_b_bps,
+      |    (2*10000*n_common + n_b) // (2*n_b) AS cont_b_in_a_bps
+      |  FROM verc
+      |  WHERE greatest((2*10000*n_common + n_a) // (2*n_a),
+      |                 (2*10000*n_common + n_b) // (2*n_b)) >= $thresholdBps
+      |)""".stripMargin
 
   /** One SAX chain (suffix `sfx`): hourly sums → global-span PAA slice
     * means (signed exact round-half-up) → dense per-user segment grid →
@@ -8245,36 +8304,9 @@ object SparkEntry {
       s"""$Md5NearDupCtes
         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM pj""".stripMargin,
     "containment_pairs" ->
-      s"""$Md5SigCtes, post AS MATERIALIZED (
-        |  SELECT doc_id, unnest(hset) AS h FROM hs
-        |), dfc AS MATERIALIZED (
-        |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY h HAVING count(*) <= 1000
-        |), szs AS (SELECT doc_id, CAST(len(hset) AS BIGINT) AS n FROM hs),
-        |rkd AS (
-        |  SELECT p.doc_id, p.h,
-        |    row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.h) AS rk
-        |  FROM post p JOIN dfc d ON d.h = p.h
-        |), pre AS (
-        |  SELECT r.doc_id AS probe_id, r.h
-        |  FROM rkd r JOIN szs s ON s.doc_id = r.doc_id
-        |  WHERE r.rk <= (10000 - 8000) * s.n // 10000 + 1
-        |), cand AS MATERIALIZED (
-        |  SELECT DISTINCT least(p.probe_id, o.doc_id) AS id_a,
-        |    greatest(p.probe_id, o.doc_id) AS id_b
-        |  FROM pre p JOIN post o ON o.h = p.h
-        |  WHERE p.probe_id != o.doc_id
-        |), ver AS (
-        |  SELECT c.id_a, c.id_b,
-        |    CAST(len(a.hset) AS BIGINT) AS n_a, CAST(len(b.hset) AS BIGINT) AS n_b,
-        |    CAST(len(list_filter(a.hset, x -> list_contains(b.hset, x))) AS BIGINT) AS n_common
-        |  FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
-        |)
-        |SELECT id_a, id_b, n_a, n_b, n_common,
-        |  (2*10000*n_common + n_a) // (2*n_a) AS cont_a_in_b_bps,
-        |  (2*10000*n_common + n_b) // (2*n_b) AS cont_b_in_a_bps
-        |FROM ver
-        |WHERE greatest((2*10000*n_common + n_a) // (2*n_a),
-        |               (2*10000*n_common + n_b) // (2*n_b)) >= 8000""".stripMargin,
+      s"""$Md5SigCtes, ${containmentCtes(8000L)}
+        |SELECT id_a, id_b, n_a, n_b, n_common, cont_a_in_b_bps, cont_b_in_a_bps
+        |FROM contp""".stripMargin,
     "cross_source_neardup_matrix" ->
       s"""$Md5NearDupCtes
         |SELECT least(da.source, db.source) AS src_a,
@@ -11003,6 +11035,18 @@ object SparkEntry {
     "quantile_sketch_error" -> quantileSketchOracle(Seq(1L, 10L, 100L, 1000L), Seq(50, 90, 99)),
     "domain_excess_reweight" -> domainReweightOracle(5, 2L, 2000L),
     "epoch_waterfill_allocation" -> waterfillOracle(3800L, 4L, 6),
+    "curation_pipeline_v8" ->
+      s"""$Md5SigCtes, ${containmentCtes(9500L)},
+        |dropd AS MATERIALIZED (
+        |  SELECT DISTINCT CASE
+        |    WHEN cont_a_in_b_bps >= 9500 AND cont_b_in_a_bps >= 9500 THEN greatest(id_a, id_b)
+        |    WHEN cont_a_in_b_bps >= 9500 THEN id_a
+        |    ELSE id_b END AS doc_id
+        |  FROM contp
+        |), keptdocs AS MATERIALIZED (
+        |  SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropd)
+        |),
+        |${waterfillOracle(3800L, 4L, 6, "keptdocs").stripPrefix("WITH ")}""".stripMargin,
     "zone_map_skip_report" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
