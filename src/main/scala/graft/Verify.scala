@@ -26,25 +26,32 @@ object Verify {
     // correctness-phase cost, and wall time here is part of that budget.
     // Spark supports concurrent actions on one session; each query still
     // fails independently. SPARK_GRAFT_VERIFY_PAR=1 restores serial.
-    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt
+    // malformed env value falls back to the default instead of aborting
+    // the whole dump with a NumberFormatException before any query runs
+    val par = sys.env.get("SPARK_GRAFT_VERIFY_PAR")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(6)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(par, 1))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val work = SparkEntry.queries.toSeq
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        scala.concurrent.Future {
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // shut the pool down on EVERY exit path: its threads are non-daemon,
+    // so an unexpected throw from Await would otherwise hang the JVM
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val work = SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          scala.concurrent.Future {
+            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
           }
         }
-      }
-    scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(work),
-      scala.concurrent.duration.Duration.Inf)
-    pool.shutdown()
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(work),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -210,7 +210,10 @@ object Contingency {
     * variance term — is one correctly-rounded IEEE double per side,
     * micro-rounded once, so both engines agree deterministically
     * (the two variance terms take separate sqrts: their decimal PRODUCT
-    * would pass 10³⁸ at ~10¹² rows).
+    * grows like 16n⁸ and would pass 10³⁸ at ~4·10⁴ rows,
+    * while each separate term n·sxx − sx² grows like 4n⁴ — safe to
+    * roughly 2·10⁹ rows, the real ceiling of this form; beyond that,
+    * pre-scale the doubled ranks before the moment sums).
     *
     * Shape: two distinct-value CDF passes ([[Ranking.runningTotals]])
     * + two value-keyed rank joins + one aggregation. Constant columns

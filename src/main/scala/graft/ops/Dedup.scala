@@ -1137,8 +1137,13 @@ object Dedup {
       .filter(size(col("hs")) > 0)
       .localCheckpoint(eager = true) // reused: df count, prefix, verify
     val posting = sets.select(col("id"), explode(col("hs")).as("h"))
+    // df-capped, distinct-shingle-bounded — and consumed TWICE below
+    // (prefix ranking + candidate probe). Without the checkpoint the
+    // corpus-sized posting aggregation — the dominant pass — executes
+    // once per consumer.
     val dfc = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxPosting)
+      .localCheckpoint(eager = true)
     val ranked = posting
       .join(dfc, Seq("h")) // df cap applies to the probe side here too
       .withColumn("rk",

@@ -112,8 +112,13 @@ object TimeSeries {
           (col("mean_micro") > col("b50")).cast("int") +
           (col("mean_micro") > col("b75")).cast("int")).as("sym"))
       .groupBy(col("user_id"))
-      .agg(concat_ws("", array_sort(collect_list(
-        concat(col("seg").cast("string"), col("sym").cast("string"))))).as("word"))
+      // sort by INTEGER seg (struct field order), not lexicographically on
+      // the concatenated string: "10.." < "2.." in string order, so for
+      // segments >= 10 a string sort would silently disagree with the
+      // oracle's `string_agg(... ORDER BY seg)`
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("seg"), col("sym")))),
+        x => concat(x("seg").cast("string"), x("sym").cast("string")))).as("word"))
   }
 
   /** Does SAX-word blocking keep the true nearest neighbor — and at
