@@ -1963,6 +1963,24 @@ object SparkEntry {
       // (ops/TimeSeries.scala).
       graft.ops.TimeSeries.tsSimilarityTopK(eventsTable(s, dir))
     },
+    "ts_paa_pruned_topk" -> { (s, dir) =>
+      // The TS search with a blocking scheme that provably works: a
+      // per-segment energy sketch gives a Cauchy–Schwarz cosine UPPER
+      // bound (integer-exact isqrt arithmetic), a 2k seed sets the exact
+      // threshold, and the hour-level dot join runs only on candidates
+      // whose bound clears it — output bit-identical to the brute search
+      // (its oracle IS the brute SQL), the GEMINI contract the SAX sweep
+      // showed equal-word bucketing cannot meet (ops/TimeSeries.scala).
+      graft.ops.TimeSeries.tsPaaPrunedTopK(eventsTable(s, dir))
+    },
+    "ts_paa_prune_stats" -> { (s, dir) =>
+      // The measured selectivity of the PAA bound: per query, candidate
+      // count, seed threshold, survivors, pruned share in bps — whether
+      // the index actually blocks at this corpus, same discipline as
+      // lsh_blocking_recall / ts_sax_blocking_recall
+      // (ops/TimeSeries.scala).
+      graft.ops.TimeSeries.tsPaaPruneStats(eventsTable(s, dir))
+    },
     "ts_sax_words" -> { (s, dir) =>
       // SAX symbolic words over per-user hourly series: global-span PAA
       // slice means (exact micro), data-driven quartile breakpoints
@@ -5470,6 +5488,147 @@ object SparkEntry {
       |    string_agg(CAST(seg AS VARCHAR) || CAST(sym AS VARCHAR), '' ORDER BY seg) AS word
       |  FROM sym$sfx GROUP BY 1
       |)""".stripMargin
+
+  /** Brute exact TS cosine top-5 — the oracle of BOTH
+    * `ts_user_similarity_topk` and `ts_paa_pruned_topk`: the pruned search
+    * claims bit-identical output, so it is checked against the brute SQL.
+    */
+  private val tsBruteTopKOracle: String =
+    """WITH sr AS MATERIALIZED (
+      |  SELECT user_id, epoch_ms(ts) // 3600000 AS hour,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2
+      |), s2 AS MATERIALIZED (
+      |  SELECT user_id, CAST(sum(v*v) AS BIGINT) AS s2 FROM sr GROUP BY 1
+      |), qs AS (SELECT user_id AS query_user, hour, v AS qv FROM sr WHERE user_id < 4),
+      |dots AS (
+      |  SELECT q.query_user, s.user_id, CAST(sum(q.qv * s.v) AS BIGINT) AS dot,
+      |    CAST(count(*) AS BIGINT) AS n_shared_hours
+      |  FROM sr s JOIN qs q USING (hour) GROUP BY 1, 2
+      |), qs2 AS (SELECT user_id AS query_user, s2 AS q_s2 FROM s2 WHERE user_id < 4),
+      |grid AS (
+      |  SELECT g.query_user, u.user_id,
+      |    coalesce(d.n_shared_hours, 0) AS n_shared_hours,
+      |    g.q_s2 + u.s2 - 2 * coalesce(d.dot, 0) AS dist2,
+      |    CASE WHEN u.s2 > 0 AND g.q_s2 > 0 THEN
+      |      CAST(floor(CAST(coalesce(d.dot, 0) AS DOUBLE)
+      |        / (sqrt(CAST(g.q_s2 AS DOUBLE)) * sqrt(CAST(u.s2 AS DOUBLE)))
+      |        * 1e6 + 0.5e0) AS BIGINT)
+      |    ELSE 0 END AS cos_micro
+      |  FROM s2 u CROSS JOIN qs2 g
+      |  LEFT JOIN dots d ON d.query_user = g.query_user AND d.user_id = u.user_id
+      |  WHERE u.user_id != g.query_user
+      |)
+      |SELECT query_user, user_id, n_shared_hours, CAST(dist2 AS BIGINT) AS dist2,
+      |  CAST(cos_micro AS BIGINT) AS cos_micro, CAST(rank AS INT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_user
+      |        ORDER BY cos_micro DESC, user_id) AS rank FROM grid)
+      |WHERE rank <= 5""".stripMargin
+
+  /** One PAA leg's CTE chain at `segs` segments, suffixed `$segs`: the
+    * segment-energy sketch, the integer-exact Cauchy–Schwarz cosine upper
+    * bound (HUGEINT isqrt with the same ±1 double-seed adjustment as
+    * [[graft.functions.ExactDecimal.isqrtFloor]]), the 2k-seed exact
+    * threshold, and the survivor frame. Shares the cross-leg CTEs `sr`
+    * `span` `s2f` `qs2` `sq` emitted by [[tsPaaPruneStatsOracle]].
+    */
+  private def paaLegChain(segs: Int): String = {
+    val p = s"g$segs"
+    s"""${p}se AS MATERIALIZED (
+      |  SELECT user_id, (hour - sp.lo) * $segs // (sp.hi - sp.lo + 1) AS seg,
+      |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS e
+      |  FROM sr, span sp GROUP BY 1, 2
+      |), ${p}qe AS (SELECT user_id AS query_user, seg, e AS qe FROM ${p}se WHERE user_id < 4),
+      |${p}nt AS (
+      |  SELECT query_user, user_id, x,
+      |    CAST(floor(sqrt(CAST(x AS DOUBLE))) AS HUGEINT) AS r0
+      |  FROM (SELECT q.query_user, s.user_id, q.qe * s.e AS x
+      |        FROM ${p}se s JOIN ${p}qe q USING (seg) WHERE s.user_id != q.query_user)
+      |), ${p}na AS (
+      |  SELECT query_user, user_id, x,
+      |    CASE WHEN (r0+1)*(r0+1) <= x THEN r0+1
+      |         WHEN r0*r0 > x THEN r0-1 ELSE r0 END AS rf
+      |  FROM ${p}nt
+      |), ${p}nums AS (
+      |  SELECT query_user, user_id,
+      |    CAST(sum(CASE WHEN rf*rf = x THEN rf ELSE rf+1 END) AS HUGEINT) AS num
+      |  FROM ${p}na GROUP BY 1, 2
+      |), ${p}ub AS MATERIALIZED (
+      |  SELECT g.query_user, u.user_id,
+      |    CASE WHEN u.s2 > 0 AND g.q_s2 > 0 THEN
+      |      (coalesce(n.num, 0) * 1000000 + g.q_rf * u.rf - 1) // (g.q_rf * u.rf)
+      |    ELSE 0 END AS ub_micro
+      |  FROM s2f u CROSS JOIN qs2 g
+      |  LEFT JOIN ${p}nums n ON n.query_user = g.query_user AND n.user_id = u.user_id
+      |  WHERE u.user_id != g.query_user
+      |), ${p}seed AS (
+      |  SELECT query_user, user_id FROM (
+      |    SELECT query_user, user_id, row_number() OVER (PARTITION BY query_user
+      |      ORDER BY ub_micro DESC, user_id) AS urk FROM ${p}ub) WHERE urk <= 10
+      |), ${p}sdots AS (
+      |  SELECT p.query_user, p.user_id, CAST(sum(q.qv * s.v) AS BIGINT) AS dot
+      |  FROM ${p}seed p
+      |  JOIN sr s ON s.user_id = p.user_id
+      |  JOIN sq q ON q.query_user = p.query_user AND q.hour = s.hour
+      |  GROUP BY 1, 2
+      |), ${p}sexact AS (
+      |  SELECT p.query_user, p.user_id,
+      |    CASE WHEN u.s2 > 0 AND g.q_s2 > 0 THEN
+      |      CAST(floor(CAST(coalesce(d.dot, 0) AS DOUBLE)
+      |        / (sqrt(CAST(g.q_s2 AS DOUBLE)) * sqrt(CAST(u.s2 AS DOUBLE)))
+      |        * 1e6 + 0.5e0) AS BIGINT)
+      |    ELSE 0 END AS cos_micro
+      |  FROM ${p}seed p
+      |  JOIN s2f u ON u.user_id = p.user_id
+      |  JOIN qs2 g ON g.query_user = p.query_user
+      |  LEFT JOIN ${p}sdots d ON d.query_user = p.query_user AND d.user_id = p.user_id
+      |), ${p}tau AS MATERIALIZED (
+      |  SELECT query_user, cos_micro AS tau_micro FROM (
+      |    SELECT query_user, cos_micro, row_number() OVER (PARTITION BY query_user
+      |      ORDER BY cos_micro DESC, user_id) AS crk FROM ${p}sexact) WHERE crk = 5
+      |)""".stripMargin
+  }
+
+  /** PAA prune-curve replay (`ts_paa_prune_stats`): one [[paaLegChain]]
+    * per swept segment count over shared series/energy CTEs — mirrors
+    * [[graft.ops.TimeSeries.tsPaaPruneStats]] step for step (k=5, queries
+    * user_id < 4, absent-tau sentinel −10¹⁵).
+    */
+  private def tsPaaPruneStatsOracle(sweep: Seq[Int]): String = {
+    val chains = sweep.map(paaLegChain).mkString(",\n")
+    val legs = sweep.map { segs =>
+      val p = s"g$segs"
+      s"""SELECT CAST($segs AS INT) AS segments, u.query_user,
+        |  CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(max(t.tau_micro) AS BIGINT) AS tau_micro,
+        |  CAST(sum(CASE WHEN u.ub_micro >= coalesce(t.tau_micro, -1000000000000000)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+        |  CAST((2 * 10000 * (count(*) - sum(CASE WHEN u.ub_micro >=
+        |      coalesce(t.tau_micro, -1000000000000000) THEN 1 ELSE 0 END)) + count(*))
+        |    // (2 * count(*)) AS BIGINT) AS pruned_bps
+        |FROM ${p}ub u LEFT JOIN ${p}tau t USING (query_user)
+        |GROUP BY 1, 2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sr AS MATERIALIZED (
+      |  SELECT user_id, epoch_ms(ts) // 3600000 AS hour,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2
+      |), span AS (SELECT min(hour) AS lo, max(hour) AS hi FROM sr),
+      |s2 AS MATERIALIZED (
+      |  SELECT user_id, CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+      |  FROM sr GROUP BY 1
+      |), s2r AS (
+      |  SELECT user_id, s2, CAST(floor(sqrt(CAST(s2 AS DOUBLE))) AS HUGEINT) AS r0 FROM s2
+      |), s2f AS MATERIALIZED (
+      |  SELECT user_id, s2,
+      |    CASE WHEN (r0+1)*(r0+1) <= s2 THEN r0+1
+      |         WHEN r0*r0 > s2 THEN r0-1 ELSE r0 END AS rf
+      |  FROM s2r
+      |), qs2 AS (SELECT user_id AS query_user, s2 AS q_s2, rf AS q_rf FROM s2f WHERE user_id < 4),
+      |sq AS (SELECT user_id AS query_user, hour, v AS qv FROM sr WHERE user_id < 4),
+      |$chains
+      |$legs""".stripMargin
+  }
 
   /** Exact top-1 TS neighbor chain (`top1`), shared by the SAX recall
     * legs — mirrors [[graft.ops.TimeSeries.tsSimilarityTopK]] at k = 1.
@@ -9675,37 +9834,11 @@ object SparkEntry {
         |$TsTop1Ctes
         |$legs""".stripMargin
     },
-    "ts_user_similarity_topk" ->
-      """WITH sr AS MATERIALIZED (
-        |  SELECT user_id, epoch_ms(ts) // 3600000 AS hour,
-        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
-        |  FROM events GROUP BY 1, 2
-        |), s2 AS MATERIALIZED (
-        |  SELECT user_id, CAST(sum(v*v) AS BIGINT) AS s2 FROM sr GROUP BY 1
-        |), qs AS (SELECT user_id AS query_user, hour, v AS qv FROM sr WHERE user_id < 4),
-        |dots AS (
-        |  SELECT q.query_user, s.user_id, CAST(sum(q.qv * s.v) AS BIGINT) AS dot,
-        |    CAST(count(*) AS BIGINT) AS n_shared_hours
-        |  FROM sr s JOIN qs q USING (hour) GROUP BY 1, 2
-        |), qs2 AS (SELECT user_id AS query_user, s2 AS q_s2 FROM s2 WHERE user_id < 4),
-        |grid AS (
-        |  SELECT g.query_user, u.user_id,
-        |    coalesce(d.n_shared_hours, 0) AS n_shared_hours,
-        |    g.q_s2 + u.s2 - 2 * coalesce(d.dot, 0) AS dist2,
-        |    CASE WHEN u.s2 > 0 AND g.q_s2 > 0 THEN
-        |      CAST(floor(CAST(coalesce(d.dot, 0) AS DOUBLE)
-        |        / (sqrt(CAST(g.q_s2 AS DOUBLE)) * sqrt(CAST(u.s2 AS DOUBLE)))
-        |        * 1e6 + 0.5e0) AS BIGINT)
-        |    ELSE 0 END AS cos_micro
-        |  FROM s2 u CROSS JOIN qs2 g
-        |  LEFT JOIN dots d ON d.query_user = g.query_user AND d.user_id = u.user_id
-        |  WHERE u.user_id != g.query_user
-        |)
-        |SELECT query_user, user_id, n_shared_hours, CAST(dist2 AS BIGINT) AS dist2,
-        |  CAST(cos_micro AS BIGINT) AS cos_micro, CAST(rank AS INT) AS rank
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_user
-        |        ORDER BY cos_micro DESC, user_id) AS rank FROM grid)
-        |WHERE rank <= 5""".stripMargin,
+    "ts_user_similarity_topk" -> tsBruteTopKOracle,
+    // the PAA-pruned search's oracle IS the brute search: a hash match
+    // proves the bound never false-dismissed (the GEMINI contract)
+    "ts_paa_pruned_topk" -> tsBruteTopKOracle,
+    "ts_paa_prune_stats" -> tsPaaPruneStatsOracle(Seq(8, 32, 64, 180)),
     "ivf_nprobe_sweep" -> ivfNprobeSweepOracle,
     "ivf_anchor_sweep" -> ivfAnchorSweepOracle,
     "daily_theil_sen" ->

@@ -42,4 +42,34 @@ object ExactDecimal {
     floorDiv(
       d(num) * lit(2L * scale).cast(Dec) + d(den),
       lit(2L).cast(Dec) * d(den))
+
+  /** ceil(num / den) for integer-valued decimals, num >= 0, den > 0 —
+    * exact: floor((num + den − 1) / den). DuckDB mirror (nonnegative
+    * operands, so truncation = floor): `(num + den - 1) // den`.
+    */
+  def ceilDivPos(num: Column, den: Column): Column =
+    floorDiv(d(num) + d(den) - lit(1L).cast(Dec), d(den))
+
+  /** Exact floor(sqrt(x)) for an integer-valued decimal x >= 0. The double
+    * seed floor(sqrt(toDouble(x))) lands within ±1 of the true integer
+    * root for x ≲ 10³⁰ (combined cast+sqrt relative error ~2.3e-16 gives
+    * absolute root error √x·2.3e-16 ≪ 1 there); the one-step adjust —
+    * compared against x in EXACT decimal arithmetic — then pins it. DuckDB
+    * mirror: seed `CAST(floor(sqrt(CAST(x AS DOUBLE))) AS HUGEINT)`, same
+    * two CASE adjustments.
+    */
+  def isqrtFloor(x: Column): Column = {
+    val r0 = floor(sqrt(d(x).cast("double"))).cast(Dec)
+    when((r0 + 1) * (r0 + 1) <= d(x), r0 + 1)
+      .when(r0 * r0 > d(x), r0 - 1)
+      .otherwise(r0)
+  }
+
+  /** Exact ceil(sqrt(x)) for an integer-valued decimal x >= 0: the floor
+    * root, bumped unless x is a perfect square.
+    */
+  def isqrtCeil(x: Column): Column = {
+    val f = isqrtFloor(x)
+    when(f * f === d(x), f).otherwise(f + 1)
+  }
 }

@@ -217,6 +217,225 @@ object TimeSeries {
       .filter(col("rank") <= k)
   }
 
+  /** Everything the PAA-pruned search shares between its result face and
+    * its stats face: the per-user segment-energy sketch, the provable
+    * cosine UPPER bound per (query, user), the seed threshold, and the
+    * surviving candidate set. See [[tsPaaPrunedTopK]] for the contract.
+    */
+  private case class PaaChain(
+      series: DataFrame,   // (user_id, hour, v) — checkpointed
+      s2: DataFrame,       // (user_id, s2) — checkpointed
+      ub: DataFrame,       // (query_user, user_id, ub_micro) — checkpointed
+      tau: DataFrame,      // (query_user, tau_micro) — k-th best exact seed cos
+      survivors: DataFrame // (query_user, user_id) with ub >= tau
+  )
+
+  /** Sentinel for a query whose seed produced no k-th row (fewer than k
+    * candidates): every candidate survives. Mirrored literally in the
+    * oracle SQL so both engines take the same branch.
+    */
+  private val PaaNoTau = -1000000000000000L
+
+  /** The corpus-sized pass shared by every PAA leg: per-user hourly cents
+    * sums and their total energies, both checkpointed.
+    */
+  private def paaSeries(ev: DataFrame): (DataFrame, DataFrame) = {
+    val series = ev
+      .select(
+        col("user_id"),
+        expr("ts_ms DIV 3600000").as("hour"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(sum(col("v")).as("v"))
+      .localCheckpoint(eager = true) // reused: energies, seed dots, verify dots
+    val s2 = series.groupBy(col("user_id"))
+      .agg(sum(col("v") * col("v")).as("s2"))
+      .localCheckpoint(eager = true) // |users| rows
+    (series, s2)
+  }
+
+  private def paaChain(
+      series: DataFrame, s2: DataFrame,
+      maxQueryUser: Long, k: Int, segments: Int): PaaChain = {
+    import graft.functions.ExactDecimal.{d, ceilDivPos, isqrtCeil, isqrtFloor}
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    require(segments >= 1, "segments must be >= 1")
+    val span = series.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+    // per-(user, segment) energy e = Σ v² — the 8-number PAA sketch the
+    // bound reads instead of the full hourly series; absent slices have
+    // energy 0 and contribute nothing, so the sparse frame IS the sketch
+    val segE = series
+      .crossJoin(broadcast(span)) // 1-row span bounds
+      .select(
+        col("user_id"),
+        expr(s"(hour - lo) * $segments DIV (hi - lo + 1)").as("seg"),
+        col("v"))
+      .groupBy(col("user_id"), col("seg"))
+      .agg(sum(col("v") * col("v")).as("e"))
+      .localCheckpoint(eager = true) // ≤ |users|×segments rows
+    val qE = segE.filter(col("user_id") < maxQueryUser)
+      .select(col("user_id").as("query_user"), col("seg"), col("e").as("qe"))
+    // Cauchy–Schwarz per segment: |Σ_h∈seg q·u| ≤ √(e_q·e_u), so
+    // num = Σ_seg ceil√(e_q·e_u) ≥ |dot|; with den = ⌊√S2_q⌋·⌊√S2_u⌋ ≤
+    // the true norm product, ceil(10⁶·num/den) ≥ 10⁶·cos ≥ cos_micro —
+    // an integer-exact, never-false-dismissing bound (spec-pinned)
+    val num = segE
+      .join(broadcast(qE), Seq("seg")) // queries-bounded broadcast
+      .filter(col("user_id") =!= col("query_user"))
+      .groupBy(col("query_user"), col("user_id"))
+      .agg(sum(isqrtCeil(d(col("qe")) * d(col("e")))).as("num"))
+    val qs2 = s2.filter(col("user_id") < maxQueryUser)
+      .select(col("user_id").as("query_user"), col("s2").as("q_s2"))
+    val ub = s2
+      .crossJoin(broadcast(qs2)) // |users| × |queries| sketch-scored grid
+      .filter(col("user_id") =!= col("query_user"))
+      .join(num, Seq("query_user", "user_id"), "left")
+      .select(
+        col("query_user"), col("user_id"),
+        when(col("s2") > 0 && col("q_s2") > 0,
+          ceilDivPos(
+            d(coalesce(col("num"), lit(0L))) * lit(1000000L).cast("decimal(38,0)"),
+            isqrtFloor(d(col("q_s2"))) * isqrtFloor(d(col("s2")))))
+          .otherwise(lit(0L)).cast("long").as("ub_micro"))
+      .localCheckpoint(eager = true) // ids+bound; feeds seed and survivor cut
+    val wUb = Window.partitionBy(col("query_user"))
+      .orderBy(col("ub_micro").desc, col("user_id"))
+    val seed = ub
+      .withColumn("urk", row_number().over(wUb))
+      .filter(col("urk") <= 2 * k)
+      .select(col("query_user"), col("user_id"))
+    val wCos = Window.partitionBy(col("query_user"))
+      .orderBy(col("cos_micro").desc, col("user_id"))
+    val tau = paaExactScores(series, s2, seed, maxQueryUser)
+      .withColumn("crk", row_number().over(wCos))
+      .filter(col("crk") === k)
+      .select(col("query_user"), col("cos_micro").as("tau_micro"))
+    val survivors = ub
+      .join(broadcast(tau), Seq("query_user"), "left")
+      .filter(col("ub_micro") >= coalesce(col("tau_micro"), lit(PaaNoTau)))
+      .select(col("query_user"), col("user_id"))
+      .localCheckpoint(eager = true) // ids only; drives the exact verify
+    PaaChain(series, s2, ub, tau, survivors)
+  }
+
+  /** Exact (dot, shared hours, dist², cos_micro) for a given candidate
+    * (query_user, user_id) pair frame — the same formulas as
+    * [[tsSimilarityTopK]], with the hour-keyed dot join restricted to the
+    * pairs' users, so pruned users' series rows are never touched.
+    */
+  private def paaExactScores(
+      series: DataFrame, s2: DataFrame, pairs: DataFrame, maxQueryUser: Long): DataFrame = {
+    val qSeries = series.filter(col("user_id") < maxQueryUser)
+      .select(col("user_id").as("query_user"), col("hour"), col("v").as("qv"))
+    val dots = series
+      .join(pairs, Seq("user_id")) // fan each series row per surviving pair
+      .join(broadcast(qSeries), Seq("query_user", "hour"))
+      .groupBy(col("query_user"), col("user_id"))
+      .agg(sum(col("qv") * col("v")).as("dot"), count(lit(1)).as("n_shared_hours"))
+    val qs2 = s2.filter(col("user_id") < maxQueryUser)
+      .select(col("user_id").as("query_user"), col("s2").as("q_s2"))
+    pairs
+      .join(s2, Seq("user_id"))
+      .join(broadcast(qs2), Seq("query_user"))
+      .join(dots, Seq("query_user", "user_id"), "left")
+      .select(
+        col("query_user"), col("user_id"),
+        coalesce(col("n_shared_hours"), lit(0L)).as("n_shared_hours"),
+        (col("q_s2") + col("s2") - lit(2L) * coalesce(col("dot"), lit(0L))).as("dist2"),
+        when(col("s2") > 0 && col("q_s2") > 0,
+          floor(coalesce(col("dot"), lit(0L)).cast("double")
+            / (sqrt(col("q_s2").cast("double")) * sqrt(col("s2").cast("double")))
+            * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("cos_micro"))
+  }
+
+  /** [[tsSimilarityTopK]] with GEMINI-style PAA lower-bound pruning — the
+    * blocking scheme the SAX sweep proved equal-word bucketing cannot be
+    * (0% top-1 recall at selective granularity): instead of bucketing,
+    * every candidate is scored against a PROVABLE cosine upper bound from
+    * its `segments`-number energy sketch, the exact verify runs only on
+    * candidates whose bound clears the k-th best exact score of a 2k-seed,
+    * and the result is bit-identical to the brute search by construction
+    * (Faloutsos et al.'s GEMINI contract: a never-false-dismissing bound
+    * plus exact verification of survivors; its oracle IS the brute SQL).
+    *
+    * 100 TB shape: the corpus-sized passes are the series aggregation and
+    * one segment-keyed sketch aggregation (segments ≪ hours per user);
+    * ranking reads sketches — `segments` integers per user, not series —
+    * and the expensive hour-level dot join touches ONLY surviving users
+    * ([[tsPaaPruneStats]] reports the measured pruned fraction). All
+    * arithmetic integer-exact ([[graft.functions.ExactDecimal.isqrtCeil]]),
+    * so bound and threshold replay bit-for-bit in any engine.
+    */
+  def tsPaaPrunedTopK(
+      ev: DataFrame,
+      maxQueryUser: Long = 4L,
+      k: Int = 5,
+      segments: Int = 180): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (series, s2) = paaSeries(ev)
+    val chain = paaChain(series, s2, maxQueryUser, k, segments)
+    val wCos = Window.partitionBy(col("query_user"))
+      .orderBy(col("cos_micro").desc, col("user_id"))
+    paaExactScores(chain.series, chain.s2, chain.survivors, maxQueryUser)
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+  }
+
+  /** The bound face of [[tsPaaPrunedTopK]], exposed so the spec can
+    * assert the never-false-dismissal property directly: one
+    * (query_user, user_id, ub_micro) row per candidate pair, where
+    * ub_micro ≥ the exact cos_micro of [[tsSimilarityTopK]] for EVERY
+    * pair — the provable contract the pruning rests on.
+    */
+  def tsPaaUpperBounds(
+      ev: DataFrame,
+      maxQueryUser: Long = 4L,
+      k: Int = 5,
+      segments: Int = 180): DataFrame = {
+    val (series, s2) = paaSeries(ev)
+    paaChain(series, s2, maxQueryUser, k, segments).ub
+  }
+
+  /** The measured pruning curve of [[tsPaaPrunedTopK]] — a SWEEP over
+    * sketch granularities, not one config (the `ts_sax_blocking_recall` /
+    * `minhash_width_sweep` discipline): per (segments, query user), the
+    * candidate count, the seed threshold (k-th best exact cos of the 2k
+    * highest-bound seed), the surviving count, and the pruned share in
+    * bps. Measured at sf0.1: coarse sketches (8–64 segments) are provably
+    * safe but prune NOTHING on these spiky sparse series — the bound sits
+    * near 1 because segment energies all overlap — while a 180-segment
+    * sketch (4 h granularity on the month span, 4× smaller than the hour
+    * series) starts cutting real candidates. The corpus pass and the
+    * per-user energy total are shared across legs; each leg adds only a
+    * sketch-sized aggregation.
+    */
+  def tsPaaPruneStats(
+      ev: DataFrame,
+      maxQueryUser: Long = 4L,
+      k: Int = 5,
+      segmentSweep: Seq[Int] = Seq(8, 32, 64, 180)): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    val (series, s2) = paaSeries(ev)
+    segmentSweep.map { segments =>
+      val chain = paaChain(series, s2, maxQueryUser, k, segments)
+      chain.ub
+        .join(broadcast(chain.tau), Seq("query_user"), "left")
+        .groupBy(col("query_user"))
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          max(col("tau_micro")).as("tau_micro"),
+          sum(when(col("ub_micro") >= coalesce(col("tau_micro"), lit(PaaNoTau)), 1L)
+            .otherwise(0L)).as("n_survivors"))
+        .select(
+          lit(segments).as("segments"),
+          col("query_user"), col("n_candidates"), col("tau_micro"), col("n_survivors"),
+          scaledRatio(col("n_candidates") - col("n_survivors"), col("n_candidates"), 10000L)
+            .cast("long").as("pruned_bps"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Exact dyadic EWMA (α = 1/2, 16-hour truncated lookback) of the
     * hourly per-type counts. Output: event_type, hour_ms, cnt,
     * ewma_x65536 = Σ_{k=0..15} cnt(h−k)·2^(15−k) — the smoothed rate

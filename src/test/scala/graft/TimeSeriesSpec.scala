@@ -220,6 +220,63 @@ class TimeSeriesSpec extends AnyFunSuite {
       "zero-overlap users must still be exact candidates at cosine 0")
   }
 
+  test("tsPaaUpperBounds: the bound never false-dismisses — ub_micro >= exact cos_micro for EVERY pair") {
+    // planted mix of regimes: an identical twin (cos 1), a same-hour
+    // positive overlap, an ANTI-correlated pair across hours (negative
+    // dot — the bound must stay above a negative cosine), a disjoint
+    // user, and a multi-hour spread; swept over coarse AND fine sketches
+    def ev(u: Long, h: Long, v: Double) = (u, h * 3600000L, v)
+    val rows = Seq(
+      ev(0L, 0, 3.0), ev(0L, 1, 4.0), ev(0L, 2, -2.0),
+      ev(1L, 0, 3.0), ev(1L, 1, 4.0), ev(1L, 2, -2.0),
+      ev(2L, 0, 1.0), ev(2L, 2, 5.0),
+      ev(3L, 0, -3.0), ev(3L, 1, -4.0),
+      ev(4L, 9, 1.0),
+      ev(5L, 0, 2.0), ev(5L, 5, 7.0), ev(5L, 9, -1.0)
+    ).toDF("user_id", "ts_ms", "value")
+    val exact = graft.ops.TimeSeries.tsSimilarityTopK(rows, maxQueryUser = 2L, k = 100)
+      .select("query_user", "user_id", "cos_micro")
+    for (segments <- Seq(1, 2, 4, 10)) {
+      val ub = graft.ops.TimeSeries
+        .tsPaaUpperBounds(rows, maxQueryUser = 2L, segments = segments)
+      val violations = ub.join(exact, Seq("query_user", "user_id"))
+        .filter($"ub_micro" < $"cos_micro")
+        .collect()
+      assert(violations.isEmpty,
+        s"segments=$segments: bound below exact cos for ${violations.mkString(", ")}")
+      assert(ub.count() == 10L, "5 candidates per query user, both queries")
+    }
+  }
+
+  test("tsPaaPrunedTopK: bit-identical to the brute search; prunes disjoint users when structure exists") {
+    // query 0 active hours 0-1; users 1-3 share those hours (positive
+    // cos, so the k=3 seed threshold is POSITIVE); users 4..9 active
+    // ONLY in hours 50+ (disjoint: ub 0 at fine granularity) -> pruned,
+    // their series rows never reach the verify join
+    def ev(u: Long, h: Long, v: Double) = (u, h * 3600000L, v)
+    val rows = (Seq(
+      ev(0L, 0, 3.0), ev(0L, 1, 4.0),
+      ev(1L, 0, 3.0), ev(1L, 1, 5.0),
+      ev(2L, 0, 1.0), ev(2L, 1, 1.0),
+      ev(3L, 1, 2.0)
+    ) ++ (4L to 9L).flatMap(u => Seq(ev(u, 50 + u, 2.0), ev(u, 60 + u, 3.0))))
+      .toDF("user_id", "ts_ms", "value")
+    val brute = graft.ops.TimeSeries.tsSimilarityTopK(rows, maxQueryUser = 1L, k = 3)
+      .collect().map(_.toSeq).toSet
+    val pruned = graft.ops.TimeSeries
+      .tsPaaPrunedTopK(rows, maxQueryUser = 1L, k = 3, segments = 10)
+      .collect().map(_.toSeq).toSet
+    assert(pruned == brute, s"pruned result must equal brute:\n$pruned\nvs\n$brute")
+    val stats = graft.ops.TimeSeries
+      .tsPaaPruneStats(rows, maxQueryUser = 1L, k = 3, segmentSweep = Seq(10))
+      .head()
+    assert(stats.getLong(stats.fieldIndex("n_candidates")) == 9L)
+    assert(stats.getLong(stats.fieldIndex("tau_micro")) > 0L,
+      "three overlapping users must set a positive k=3 threshold")
+    assert(stats.getLong(stats.fieldIndex("n_survivors")) < 9L,
+      "disjoint users must be pruned under a positive threshold")
+  }
+
   test("saxWords + saxBlockingRecall: level-separated users get distinct words; gold kept at 1 segment") {
     // users 0/1 identical high activity (same word, each other's top-1);
     // user 2 low activity in the same hours; user 3 idle elsewhere
