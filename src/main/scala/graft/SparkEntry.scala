@@ -1330,6 +1330,17 @@ object SparkEntry {
       // exact bps (ops/Dedup.scala).
       Dedup.containmentMd5Pairs(table(s, dir, "documents"))
     },
+    "decontam_quoted_evals" -> { (s, dir) =>
+      // Contamination by QUOTATION — the case n-gram-share decontam
+      // underweights: an eval question quoted inside a larger training
+      // doc barely moves the doc's overlap share but is ~fully contained
+      // itself. The r9 containment join oriented (train, eval), eval-side
+      // directional containment >= 80% in exact bps; one containment pass,
+      // ids-only stratum tags (ops/Dedup.scala).
+      val docs = table(s, dir, "documents")
+      graft.ops.Dedup.quotedEvalContainment(
+        docs, docs.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+    },
     "cross_source_neardup_matrix" -> { (s, dir) =>
       // Provenance diagnostic: per unordered source pair, how many
       // near-dup pairs span it — the mirror-site / content-farm signal.
@@ -8646,6 +8657,20 @@ object SparkEntry {
       s"""$Md5SigCtes, ${containmentCtes(8000L)}
         |SELECT id_a, id_b, n_a, n_b, n_common, cont_a_in_b_bps, cont_b_in_a_bps
         |FROM contp""".stripMargin,
+    "decontam_quoted_evals" ->
+      s"""$Md5SigCtes, ${containmentCtes(8000L)}
+        |SELECT
+        |  CASE WHEN id_a % 13 = 0 THEN id_b ELSE id_a END AS train_doc_id,
+        |  CASE WHEN id_a % 13 = 0 THEN id_a ELSE id_b END AS eval_doc_id,
+        |  CASE WHEN id_a % 13 = 0 THEN n_b ELSE n_a END AS n_train,
+        |  CASE WHEN id_a % 13 = 0 THEN n_a ELSE n_b END AS n_eval,
+        |  n_common,
+        |  CASE WHEN id_a % 13 = 0 THEN cont_a_in_b_bps ELSE cont_b_in_a_bps END
+        |    AS eval_contained_bps
+        |FROM contp
+        |WHERE (id_a % 13 = 0) != (id_b % 13 = 0)
+        |  AND (CASE WHEN id_a % 13 = 0 THEN cont_a_in_b_bps
+        |       ELSE cont_b_in_a_bps END) >= 8000""".stripMargin,
     "cross_source_neardup_matrix" ->
       s"""$Md5NearDupCtes
         |SELECT least(da.source, db.source) AS src_a,

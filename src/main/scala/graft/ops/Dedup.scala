@@ -1179,6 +1179,50 @@ object Dedup {
       .filter(greatest(col("cont_a_in_b_bps"), col("cont_b_in_a_bps")) >= thresholdBps)
   }
 
+  /** Benchmark-contamination detection by CONTAINMENT — the industry case
+    * n-gram-share decontamination underweights: an eval question QUOTED
+    * verbatim inside a much larger training doc barely moves the doc's
+    * overall overlap share, but the eval's own shingles are ~fully
+    * contained. Runs [[containmentMd5Pairs]] over the union corpus, keeps
+    * the cross-strata pairs, and reports each (train, eval) pair whose
+    * EVAL-side directional containment clears the threshold.
+    *
+    * Completeness: a pair with eval-containment ≥ τ has max directional
+    * containment ≥ τ, so the underlying pair survives the symmetric
+    * screen — this filter only orients and tightens, never needs pairs
+    * the screen dropped. `evalIds` is an ids-only frame (broadcast to the
+    * pairs, which are candidate-bounded); the corpus-side cost is exactly
+    * one [[containmentMd5Pairs]] pass.
+    */
+  def quotedEvalContainment(
+      docs: DataFrame,
+      evalIds: DataFrame,
+      thresholdBps: Long = 8000L,
+      shingleN: Int = 3,
+      maxPosting: Int = 1000,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val pairs = containmentMd5Pairs(docs, thresholdBps, shingleN, maxPosting, idCol, textCol)
+    val ev = evalIds.select(col(evalIds.columns.head).as("eid")).distinct()
+    val aEval = broadcast(ev.select(col("eid").as("id_a"), lit(1).as("a_eval")))
+    val bEval = broadcast(ev.select(col("eid").as("id_b"), lit(1).as("b_eval")))
+    pairs
+      .join(aEval, Seq("id_a"), "left")
+      .join(bEval, Seq("id_b"), "left")
+      // exactly one side is an eval doc
+      .filter(coalesce(col("a_eval"), lit(0)) =!= coalesce(col("b_eval"), lit(0)))
+      .select(
+        when(col("a_eval") === 1, col("id_b")).otherwise(col("id_a")).as("train_doc_id"),
+        when(col("a_eval") === 1, col("id_a")).otherwise(col("id_b")).as("eval_doc_id"),
+        when(col("a_eval") === 1, col("n_b")).otherwise(col("n_a")).as("n_train"),
+        when(col("a_eval") === 1, col("n_a")).otherwise(col("n_b")).as("n_eval"),
+        col("n_common"),
+        when(col("a_eval") === 1, col("cont_a_in_b_bps")).otherwise(col("cont_b_in_a_bps"))
+          .as("eval_contained_bps"))
+      .filter(col("eval_contained_bps") >= thresholdBps)
+  }
+
   def minhashMd5Pairs(
       docs: DataFrame,
       idCol: String = "doc_id",

@@ -584,6 +584,33 @@ class DedupSpec extends AnyFunSuite {
     assert(jaccardBps < 2000L, s"fixture must be a low-Jaccard pair, got $jaccardBps bps")
   }
 
+  test("quotedEvalContainment: planted quoted eval question detected, oriented (train, eval)") {
+    // eval question 10 is quoted verbatim inside training doc 2; eval 11
+    // is clean; train docs 2/3 share nothing with eval 11. The pair must
+    // come out ORIENTED (train, eval) with the EVAL-side containment, and
+    // eval-eval / train-train containments must not leak through.
+    val question = (1 to 12).map(i => s"q$i").mkString(" ")
+    val trainWithQuote = "intro words here " + question + " " +
+      (100 to 180).map(i => s"t$i").mkString(" ")
+    val cleanTrain = (300 to 340).map(i => s"u$i").mkString(" ")
+    val cleanEval = (500 to 520).map(i => s"e$i").mkString(" ")
+    val docs = Seq(
+      (2L, trainWithQuote), (3L, cleanTrain),
+      (10L, question), (11L, cleanEval)
+    ).toDF("doc_id", "text")
+    val evalIds = Seq(10L, 11L).toDF("doc_id")
+    val rows = Dedup.quotedEvalContainment(docs, evalIds).collect()
+    assert(rows.length == 1, s"expected exactly the quoted pair, got ${rows.mkString(";")}")
+    val r = rows.head
+    def g(n: String) = r.getLong(r.fieldIndex(n))
+    assert(g("train_doc_id") == 2L && g("eval_doc_id") == 10L)
+    assert(g("eval_contained_bps") == 10000L,
+      "every shingle of the quoted question must be inside the training doc")
+    assert(g("n_common") == g("n_eval"))
+    assert(g("n_train") > g("n_eval"),
+      "the fixture's point: the container is much larger than the quote")
+  }
+
   test("containmentMd5Pairs: threshold excludes partial overlap below it") {
     // doc 5 shares 4 of doc 4's shingles (~50%): below the 0.8 gate
     val a4 = (1 to 8).map(i => s"a$i").mkString(" ")            // 6 shingles
