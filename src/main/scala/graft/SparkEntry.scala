@@ -824,6 +824,25 @@ object SparkEntry {
         leg("levels2", hier2)
       ).reduce(_ unionByName _)
     },
+    "ann_tri_exact_topk" -> { (s, dir) =>
+      // EXACT k-NN with triangle-inequality pruning — the recall-free
+      // sibling of the ANN family: each corpus vector's 2-number IVF
+      // sketch gives an integer-exact lower bound on d², the probe set's
+      // k-th exact distance is the threshold, and only survivors reach
+      // the dim-wide scorer. Output bit-identical to brute L2 (its
+      // oracle IS the brute SQL) — same GEMINI contract as
+      // ts_paa_pruned_topk, applied to embeddings (ops/Similarity.scala).
+      val emb = table(s, dir, "embeddings")
+      Similarity.triPrunedTopKL2(emb, emb.filter(col("vec_id") < 8))
+    },
+    "ann_tri_prune_stats" -> { (s, dir) =>
+      // The measured selectivity of the triangle bound: per query,
+      // candidates, probe-seed size, exact threshold, survivors, pruned
+      // share in bps — the verified-work meter of the exact search
+      // (ops/Similarity.scala).
+      val emb = table(s, dir, "embeddings")
+      Similarity.triPruneStats(emb, emb.filter(col("vec_id") < 8))
+    },
     "jl_distortion_sweep" -> { (s, dir) =>
       // How hard can we compress before similarity breaks: JL ±1 sign
       // projection 64→{8,16,32} dims (md5 coin, plan-time literal matrix),
@@ -4849,6 +4868,118 @@ object SparkEntry {
       |  UNION ALL SELECT * FROM hlevels2)""".stripMargin
   }
 
+  /** Brute exact micro² L2 top-5 — the oracle of `ann_tri_exact_topk`:
+    * the triangle-pruned search claims bit-identical output, so it is
+    * checked against the brute SQL (never-false-dismissal by hash).
+    */
+  private val annTriTopKOracle: String =
+    """WITH vecs AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS mv
+      |  FROM embeddings WHERE len(embedding) = 64
+      |), q AS (SELECT vec_id AS query_id, mv AS qm FROM vecs WHERE vec_id < 8),
+      |dd AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (q.qm[i] - c.mv[i]) * (q.qm[i] - c.mv[i]))) AS d2
+      |  FROM q, vecs c WHERE c.vec_id != q.query_id
+      |)
+      |SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2, CAST(rank AS INT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY d2, neighbor_id) AS rank FROM dd)
+      |WHERE rank <= 5""".stripMargin
+
+  /** Triangle prune-curve replay (`ann_tri_prune_stats`): the IVF sketch,
+    * the integer-exact triangle lower bound (BIGINT isqrt with the same
+    * ±1 double-seed adjustment as
+    * [[graft.functions.ExactDecimal.isqrtFloor]]), the nprobe-2 probe-set
+    * exact threshold, and the survivor count — mirrors
+    * [[graft.ops.Similarity.triPruneStats]] step for step (k=5, queries
+    * vec_id < 8, absent-tau sentinel 9·10¹⁷).
+    */
+  private val annTriPruneStatsOracle: String =
+    """WITH vecs AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS mv
+      |  FROM embeddings WHERE len(embedding) = 64
+      |), anchors AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, mv AS av
+      |  FROM vecs ORDER BY vec_id LIMIT 16
+      |), dists AS MATERIALIZED (
+      |  SELECT v.vec_id, a.ai,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (v.mv[i] - a.av[i]) * (v.mv[i] - a.av[i]))) AS d2
+      |  FROM vecs v, anchors a
+      |), assign AS (
+      |  SELECT vec_id, ai AS bucket, d2,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
+      |  FROM dists
+      |), sk0 AS (
+      |  SELECT vec_id AS neighbor_id, bucket, CAST(d2 AS BIGINT) AS d2cu,
+      |    CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT) AS r0
+      |  FROM assign WHERE rk = 1
+      |), sk1 AS (
+      |  SELECT neighbor_id, bucket, d2cu,
+      |    CASE WHEN (r0+1)*(r0+1) <= d2cu THEN r0+1
+      |         WHEN r0*r0 > d2cu THEN r0-1 ELSE r0 END AS rf
+      |  FROM sk0
+      |), sk AS MATERIALIZED (
+      |  SELECT neighbor_id, bucket, d2cu,
+      |    CASE WHEN rf*rf = d2cu THEN rf ELSE rf+1 END AS rcu
+      |  FROM sk1
+      |), qa0 AS (
+      |  SELECT vec_id AS query_id, ai, CAST(d2 AS BIGINT) AS qd2,
+      |    CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT) AS r0
+      |  FROM dists WHERE vec_id < 8
+      |), qa1 AS (
+      |  SELECT query_id, ai, qd2,
+      |    CASE WHEN (r0+1)*(r0+1) <= qd2 THEN r0+1
+      |         WHEN r0*r0 > qd2 THEN r0-1 ELSE r0 END AS rf
+      |  FROM qa0
+      |), qa AS MATERIALIZED (
+      |  SELECT query_id, ai, qd2,
+      |    CASE WHEN rf*rf = qd2 THEN rf ELSE rf+1 END AS rqa
+      |  FROM qa1
+      |), lb AS MATERIALIZED (
+      |  SELECT g.query_id, s.neighbor_id,
+      |    greatest(CAST(0 AS BIGINT), g.qd2 + s.d2cu - 2 * g.rqa * s.rcu) AS lb_d2
+      |  FROM sk s JOIN qa g ON g.ai = s.bucket
+      |  WHERE s.neighbor_id != g.query_id
+      |), qprobe AS (
+      |  SELECT vec_id AS query_id, bucket
+      |  FROM assign WHERE rk <= 2 AND vec_id < 8
+      |), seed AS (
+      |  SELECT p.query_id, s.neighbor_id
+      |  FROM qprobe p JOIN sk s ON s.bucket = p.bucket
+      |  WHERE s.neighbor_id != p.query_id
+      |), qm AS (SELECT vec_id AS query_id, mv AS qv FROM vecs WHERE vec_id < 8),
+      |sexact AS (
+      |  SELECT p.query_id, p.neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      i -> (q.qv[i] - c.mv[i]) * (q.qv[i] - c.mv[i]))) AS BIGINT) AS d2
+      |  FROM seed p JOIN qm q ON q.query_id = p.query_id
+      |              JOIN vecs c ON c.vec_id = p.neighbor_id
+      |), tau AS MATERIALIZED (
+      |  SELECT query_id, d2 AS tau_d2 FROM (
+      |    SELECT query_id, d2, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY d2, neighbor_id) AS rk FROM sexact) WHERE rk = 5
+      |), seedcnt AS (
+      |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_seed FROM seed GROUP BY 1
+      |)
+      |SELECT l.query_id,
+      |  CAST(count(*) AS BIGINT) AS n_candidates,
+      |  coalesce(max(sc.n_seed), 0) AS n_seed,
+      |  CAST(max(t.tau_d2) AS BIGINT) AS tau_d2,
+      |  CAST(sum(CASE WHEN l.lb_d2 <= coalesce(t.tau_d2, 900000000000000000)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+      |  CAST((2 * 10000 * (count(*) - sum(CASE WHEN l.lb_d2 <=
+      |      coalesce(t.tau_d2, 900000000000000000) THEN 1 ELSE 0 END)) + count(*))
+      |    // (2 * count(*)) AS BIGINT) AS pruned_bps
+      |FROM lb l
+      |LEFT JOIN tau t USING (query_id)
+      |LEFT JOIN seedcnt sc ON sc.query_id = l.query_id
+      |GROUP BY 1""".stripMargin
+
   /** Anchor-count sweep replay: one anchors/dists/assign chain per
     * candidate count (prefixed `k<a>`), each scored for gold hits at
     * nprobe=2 plus the max-bucket corpus share.
@@ -7811,6 +7942,8 @@ object SparkEntry {
     "ann_graph_entry_sweep" -> graphEntrySweepOracle,
     "ann_graph_hier_recall" -> graphHierRecallOracle,
     "ann_graph_hier2_recall" -> graphHier2RecallOracle,
+    "ann_tri_exact_topk" -> annTriTopKOracle,
+    "ann_tri_prune_stats" -> annTriPruneStatsOracle,
     "jl_distortion_sweep" -> {
       // replay: sign(j,i) = md5-32("jl-<j>-<i>") even → +1; projection is
       // exact long sums over micro components; distortion micro-rounds

@@ -1221,6 +1221,192 @@ object Similarity {
     * per component — the cross-engine-exact coordinate system the anchor
     * ANN family runs its L2 geometry in.
     */
+  /** Everything the triangle-pruned EXACT search shares between its
+    * result face ([[triPrunedTopKL2]]) and its stats face
+    * ([[triPruneStats]]): the per-vector (bucket, centroid-distance)
+    * sketch, the triangle-inequality lower bound per (query, vector), the
+    * IVF-probe seed threshold, and the surviving candidate set.
+    */
+  private case class TriChain(
+      cSel: DataFrame,     // (neighbor_id, cm) — micro corpus vectors
+      q: DataFrame,        // (query_id, qm) — micro query vectors, checkpointed
+      lb: DataFrame,       // (query_id, neighbor_id, lb_d2) — checkpointed
+      seed: DataFrame,     // (query_id, neighbor_id) — the probe buckets
+      tau: DataFrame,      // (query_id, tau_d2) — k-th best exact seed d²
+      survivors: DataFrame // (query_id, neighbor_id) with lb ≤ tau
+  )
+
+  /** Sentinel when a query's probe seed has fewer than k members: prune
+    * nothing (every lb clears it). Mirrored literally in the oracle SQL.
+    */
+  private val TriNoTau = 900000000000000000L
+
+  /** Exact micro² squared L2 for a candidate (query_id, neighbor_id) pair
+    * frame — integer arithmetic only, the single scorer both the seed
+    * threshold and the final verify run through.
+    */
+  private def triExactD2(cSel: DataFrame, q: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(cSel, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qm"), col("cm"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+
+  private def triChain(
+      corpus: DataFrame, queries: DataFrame, k: Int, nAnchors: Int, nprobe: Int,
+      dim: Int, idCol: String, vecCol: String): TriChain = {
+    import graft.functions.ExactDecimal.{d => dec, isqrtCeil}
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1 && nprobe <= nAnchors, "1 <= nprobe <= nAnchors")
+    val base = corpus.filter(size(col(vecCol)) === dim)
+    val anchors = lowestIdAnchorsMicro(base, nAnchors, idCol, vecCol)
+    def probeOrder(v: Column) = anchorProbeOrder(v, anchors)
+    val cSel = base.select(col(idCol).as("neighbor_id"), microVec(col(vecCol)).as("cm"))
+    // the 2-number sketch the bound reads per corpus vector: assigned
+    // bucket, exact micro² distance to its centroid, and the ceil-isqrt
+    // of that distance (precomputed — the bound needs it per pair)
+    val sketch = cSel
+      .select(col("neighbor_id"), element_at(probeOrder(col("cm")), 1).as("po1"))
+      .select(col("neighbor_id"),
+        col("po1").getField("i").as("bucket"),
+        col("po1").getField("d").as("d2cu"))
+      .withColumn("rcu", isqrtCeil(dec(col("d2cu"))).cast("long"))
+      .localCheckpoint(eager = true) // ids + 3 numbers per corpus vector
+    val q = queries.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("query_id"), microVec(col(vecCol)).as("qm"))
+      .localCheckpoint(eager = true) // queries-bounded
+    def d2ToAnchor(v: Column, av: Array[Long]): Column = {
+      val avCol = array(av.map(lit): _*)
+      aggregate(zip_with(v, avCol, (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    }
+    // per-anchor exact distances in INDEX order + their ceil-isqrts
+    val qa = q.select(col("query_id"), col("qm"),
+      array(anchors.map { case (_, av) => d2ToAnchor(col("qm"), av) }: _*).as("qad2"))
+      .withColumn("qar", transform(col("qad2"), x => isqrtCeil(dec(x)).cast("long")))
+    // triangle inequality through the assigned centroid c:
+    // d(q,u) ≥ |d(q,c) − d(c,u)|, so
+    // d²(q,u) ≥ d²(q,c) + d²(c,u) − 2·⌈d(q,c)⌉·⌈d(c,u)⌉ — all integers,
+    // never above the true d² (spec-pinned), clamped at 0
+    val bIdx = (col("bucket") + 1).cast("int")
+    val lb = sketch
+      .crossJoin(broadcast(qa.select(col("query_id"), col("qad2"), col("qar"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        greatest(lit(0L),
+          element_at(col("qad2"), bIdx) + col("d2cu")
+            - lit(2L) * element_at(col("qar"), bIdx) * col("rcu")).as("lb_d2"))
+      .localCheckpoint(eager = true) // ids+bound; feeds seed-free survivor cut
+    // seed = the query's nprobe nearest buckets' members (the IVF probe
+    // set), exact-scored; its k-th best distance is the pruning threshold
+    val qProbe = qa
+      .select(col("query_id"), explode(slice(probeOrder(col("qm")), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("p").getField("i").as("bucket"))
+    val seed = qProbe
+      .join(sketch.select(col("neighbor_id"), col("bucket")), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val wD = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id"))
+    val tau = triExactD2(cSel, q, seed)
+      .withColumn("rk", row_number().over(wD))
+      .filter(col("rk") === k)
+      .select(col("query_id"), col("d2").as("tau_d2"))
+    val survivors = lb
+      .join(broadcast(tau), Seq("query_id"), "left")
+      .filter(col("lb_d2") <= coalesce(col("tau_d2"), lit(TriNoTau)))
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = true) // ids only; drives the exact verify
+    TriChain(cSel, q, lb, seed, tau, survivors)
+  }
+
+  /** EXACT k-nearest-neighbor search with triangle-inequality pruning —
+    * the GEMINI contract applied to embeddings: every corpus vector
+    * carries a 2-number sketch (assigned IVF centroid + exact distance to
+    * it), the bound d²(q,u) ≥ d²(q,c) + d²(c,u) − 2⌈d(q,c)⌉⌈d(c,u)⌉
+    * never overstates closeness (ceil-isqrt keeps it integer-exact), the
+    * k-th best exact distance of the query's IVF probe set is the
+    * threshold, and only candidates whose bound clears it reach the
+    * dim-wide exact scorer. Output bit-identical to brute L2 top-k by
+    * construction — its oracle IS the brute SQL. The recall-free sibling
+    * of the approximate ANN family: same answer as brute, verified work
+    * bounded by the measured survivor count ([[triPruneStats]]).
+    *
+    * 100 TB shape: the corpus-sized passes are the one-off sketch build
+    * (centroid assignment — shared with any IVF index) and the
+    * 3-integer-per-vector bound evaluation; the dim-wide exact verify
+    * touches only survivors. All integer, so the threshold and cut replay
+    * bit-for-bit in any engine.
+    */
+  def triPrunedTopKL2(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nAnchors: Int = 16,
+      nprobe: Int = 2,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chain = triChain(corpus, queries, k, nAnchors, nprobe, dim, idCol, vecCol)
+    val wD = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("neighbor_id"))
+    triExactD2(chain.cSel, chain.q, chain.survivors)
+      .withColumn("rank", row_number().over(wD).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** The bound face of [[triPrunedTopKL2]], exposed so the spec can assert
+    * never-false-dismissal directly: (query_id, neighbor_id, lb_d2) with
+    * lb_d2 ≤ the exact micro² L2 for EVERY pair.
+    */
+  def triLowerBounds(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nAnchors: Int = 16,
+      nprobe: Int = 2,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    triChain(corpus, queries, k, nAnchors, nprobe, dim, idCol, vecCol).lb
+
+  /** The measured pruning curve of [[triPrunedTopKL2]]: per query, the
+    * candidate count, the probe-seed size, the exact threshold, the
+    * surviving count, and the pruned share in bps — how much of the
+    * corpus the exact search actually had to verify.
+    */
+  def triPruneStats(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      nAnchors: Int = 16,
+      nprobe: Int = 2,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    val chain = triChain(corpus, queries, k, nAnchors, nprobe, dim, idCol, vecCol)
+    val seedCnt = chain.seed.groupBy(col("query_id")).agg(count(lit(1)).as("n_seed"))
+    chain.lb
+      .join(broadcast(chain.tau), Seq("query_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        max(col("tau_d2")).as("tau_d2"),
+        sum(when(col("lb_d2") <= coalesce(col("tau_d2"), lit(TriNoTau)), 1L)
+          .otherwise(0L)).as("n_survivors"))
+      .join(broadcast(seedCnt), Seq("query_id"), "left")
+      .select(
+        col("query_id"), col("n_candidates"),
+        coalesce(col("n_seed"), lit(0L)).as("n_seed"),
+        col("tau_d2"), col("n_survivors"),
+        scaledRatio(col("n_candidates") - col("n_survivors"), col("n_candidates"), 10000L)
+          .cast("long").as("pruned_bps"))
+  }
+
   private def microVec(v: Column): Column =
     transform(asDouble(v), x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
 

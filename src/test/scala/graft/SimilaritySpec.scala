@@ -53,6 +53,61 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  private def microLocal(v: Array[Float]): Array[Long] =
+    v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+
+  private def d2Local(a: Array[Float], b: Array[Float]): Long =
+    microLocal(a).zip(microLocal(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("triLowerBounds: the triangle bound never exceeds the exact micro-squared L2 for ANY pair") {
+    val data = clustered(60)
+    val df = data.toDF("vec_id", "embedding")
+    val lookup = data.toMap
+    val lb = Similarity
+      .triLowerBounds(df, df.filter($"vec_id" < 3), k = 4, nAnchors = 8, dim = dim)
+      .as[(Long, Long, Long)]
+      .collect()
+    assert(lb.length == 3 * 59, "every non-self pair gets a bound")
+    lb.foreach { case (q, u, bound) =>
+      val exact = d2Local(lookup(q), lookup(u))
+      assert(bound <= exact, s"bound $bound above exact $exact for ($q, $u)")
+      assert(bound >= 0L)
+    }
+  }
+
+  test("triPrunedTopKL2: bit-identical to brute exact L2; clustered data actually prunes") {
+    val data = clustered(60)
+    val df = data.toDF("vec_id", "embedding")
+    val lookup = data.toMap
+    val got = Similarity
+      .triPrunedTopKL2(df, df.filter($"vec_id" < 3), k = 4, nAnchors = 8, dim = dim)
+      .select("query_id", "neighbor_id", "d2", "rank")
+      .as[(Long, Long, Long, Int)]
+      .collect()
+      .groupBy(_._1)
+      .view
+      .mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq)
+      .toMap
+    (0L until 3).foreach { q =>
+      val expected = data
+        .filter(_._1 != q)
+        .map { case (id, v) => (id, d2Local(lookup(q), v)) }
+        .sortBy { case (id, d2) => (d2, id) }
+        .take(4)
+      assert(got(q) == expected, s"query $q: ${got(q)} vs $expected")
+    }
+    val stats = Similarity
+      .triPruneStats(df, df.filter($"vec_id" < 3), k = 4, nAnchors = 8, dim = dim)
+      .collect()
+    stats.foreach { r =>
+      def g(n: String) = r.getLong(r.fieldIndex(n))
+      assert(g("n_candidates") == 59L)
+      assert(g("n_survivors") < 59L,
+        s"well-separated clusters must prune: ${r.mkString(",")}")
+      assert(g("n_survivors") >= 4L, "the true top-k must survive")
+    }
+  }
+
   test("signWords packs the sign bit per dimension into 32-bit bigint words") {
     val df = Seq(
       (0L, Array(1.0f, -2.0f, 0.0f, 3.5f)),
