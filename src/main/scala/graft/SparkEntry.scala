@@ -2351,6 +2351,21 @@ object SparkEntry {
       val kept = docs.join(drop, Seq("doc_id"), "left_anti")
       graft.ops.Sampling.epochWaterfill(kept)
     },
+    "curation_pipeline_v9" -> { (s, dir) =>
+      // The round-10 composite: containment-based benchmark
+      // decontamination feeding the epoch water-fill — training docs that
+      // QUOTE an eval question (eval-side containment >= 80%) are dropped
+      // before the repetition budget is allocated, so contaminated docs
+      // never buy epochs. One containment pass; every stage
+      // oracle-replayed (ops/Dedup.scala + ops/Sampling.scala).
+      val docs = table(s, dir, "documents")
+      val evalIds = docs.filter(col("doc_id") % 13 === 0).select(col("doc_id"))
+      val contaminated = Dedup.quotedEvalContainment(docs, evalIds)
+        .select(col("train_doc_id").as("doc_id")).distinct()
+      val kept = docs.filter(col("doc_id") % 13 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      graft.ops.Sampling.epochWaterfill(kept)
+    },
     "epoch_waterfill_allocation" -> { (s, dir) =>
       // Data-constrained scaling allocation (Muennighoff et al. 2023):
       // a 3.8x-corpus token budget split across sources by temperature
@@ -11516,6 +11531,19 @@ object SparkEntry {
         |  FROM contp
         |), keptdocs AS MATERIALIZED (
         |  SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropd)
+        |),
+        |${waterfillOracle(3800L, 4L, 6, "keptdocs").stripPrefix("WITH ")}""".stripMargin,
+    "curation_pipeline_v9" ->
+      s"""$Md5SigCtes, ${containmentCtes(8000L)},
+        |contamd AS MATERIALIZED (
+        |  SELECT DISTINCT CASE WHEN id_a % 13 = 0 THEN id_b ELSE id_a END AS doc_id
+        |  FROM contp
+        |  WHERE (id_a % 13 = 0) != (id_b % 13 = 0)
+        |    AND (CASE WHEN id_a % 13 = 0 THEN cont_a_in_b_bps
+        |         ELSE cont_b_in_a_bps END) >= 8000
+        |), keptdocs AS MATERIALIZED (
+        |  SELECT * FROM documents
+        |  WHERE doc_id % 13 != 0 AND doc_id NOT IN (SELECT doc_id FROM contamd)
         |),
         |${waterfillOracle(3800L, 4L, 6, "keptdocs").stripPrefix("WITH ")}""".stripMargin,
     "zone_map_skip_report" ->
