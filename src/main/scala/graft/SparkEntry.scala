@@ -1743,6 +1743,23 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       Similarity.ivfAnchorTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     },
+    "ann_filtered_topk" -> { (s, dir) =>
+      // Filtered vector search, prefilter face: exact top-5 among
+      // SAME-LABEL corpus vectors — the metadata-filter + vector-rank
+      // query every production store exposes; the filter reaches the
+      // scored set before ranking (ops/Similarity.scala).
+      val emb = table(s, dir, "embeddings")
+      Similarity.filteredBruteTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    },
+    "ann_postfilter_recall" -> { (s, dir) =>
+      // The post-filter strategy priced: one unfiltered IVF probe at the
+      // deepest over-fetch, each factor m keeps top m*5, filters by
+      // label, re-ranks — recall@5 vs the prefilter gold per m. The
+      // measured over-fetch curve of filtered ANN at ~10% selectivity
+      // (ops/Similarity.scala).
+      val emb = table(s, dir, "embeddings")
+      Similarity.postFilterRecall(emb, emb.filter(col("vec_id") < 8))
+    },
     "kcenter_coreset" -> { (s, dir) =>
       // Greedy k-center exemplars (farthest-point traversal) + the
       // covering-radius curve — the coreset-budget answer before a
@@ -4883,6 +4900,85 @@ object SparkEntry {
       |  UNION ALL SELECT * FROM hlevels2)""".stripMargin
   }
 
+  /** Shared CTEs of the filtered-search pair: labeled double+micro
+    * vectors, the query frame, and the label-filtered brute gold `rel`.
+    */
+  private val filteredVecCtes: String =
+    """vecs AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS mv
+      |  FROM embeddings WHERE len(embedding) = 64
+      |), q AS (SELECT vec_id AS query_id, v AS qv, label AS ql FROM vecs WHERE vec_id < 8),
+      |rel AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      |    SELECT q.query_id, c.vec_id AS neighbor_id,
+      |      round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim,
+      |      CAST(row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY round(list_cosine_similarity(q.qv, c.v), 6) DESC, c.vec_id) AS INT)
+      |        AS rank
+      |    FROM q JOIN vecs c ON c.vec_id != q.query_id AND c.label = q.ql
+      |  ) WHERE rank <= 5
+      |)""".stripMargin
+
+  /** Post-filter over-fetch replay (`ann_postfilter_recall`): the
+    * unfiltered nprobe-4 IVF chain ranked to the deepest over-fetch, one
+    * filtered re-rank leg per factor, each scored against the prefilter
+    * gold — mirrors [[graft.ops.Similarity.postFilterRecall]].
+    */
+  private def annPostFilterRecallOracle(k: Int, overfetch: Seq[Int]): String = {
+    val legs = overfetch.map { m =>
+      s"""t$m AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT w.query_id, w.neighbor_id,
+        |      row_number() OVER (PARTITION BY w.query_id
+        |        ORDER BY w.cos_sim DESC, w.neighbor_id) AS rk2
+        |    FROM wide w
+        |    JOIN vecs cl ON cl.vec_id = w.neighbor_id
+        |    JOIN q ON q.query_id = w.query_id
+        |    WHERE w.rank <= ${m * k} AND cl.label = q.ql) WHERE rk2 <= $k
+        |), h$m AS (
+        |  SELECT CAST($m AS INT) AS overfetch,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM rel) AS n_gold,
+        |    CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM t$m t JOIN rel r ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+        |)""".stripMargin
+    }.mkString(",\n")
+    val union = overfetch.map(m => s"SELECT * FROM h$m").mkString(" UNION ALL ")
+    s"""WITH $filteredVecCtes,
+      |anchors AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, mv AS av
+      |  FROM vecs ORDER BY vec_id LIMIT 16
+      |), dists AS (
+      |  SELECT v.vec_id, a.ai,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (v.mv[i] - a.av[i]) * (v.mv[i] - a.av[i]))) AS d2
+      |  FROM vecs v, anchors a
+      |), assign AS (
+      |  SELECT vec_id, ai AS bucket,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
+      |  FROM dists
+      |), cbuck AS (SELECT vec_id AS neighbor_id, bucket FROM assign WHERE rk = 1),
+      |qbuck AS (SELECT vec_id AS query_id, bucket FROM assign WHERE rk <= 4 AND vec_id < 8),
+      |cand AS (
+      |  SELECT DISTINCT query_id, neighbor_id
+      |  FROM qbuck JOIN cbuck USING (bucket) WHERE query_id != neighbor_id
+      |), wide AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM (
+      |    SELECT cand.query_id, cand.neighbor_id,
+      |      round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+      |    FROM cand JOIN vecs qv ON qv.vec_id = cand.query_id
+      |              JOIN vecs cv ON cv.vec_id = cand.neighbor_id)
+      |),
+      |$legs
+      |SELECT overfetch, n_gold, n_hit,
+      |  CAST((2 * 1000000 * n_hit + n_gold) // (2 * n_gold) AS BIGINT) AS recall_micro
+      |FROM ($union)""".stripMargin
+  }
+
   /** Brute exact micro² L2 top-5 — the oracle of `ann_tri_exact_topk`:
     * the triangle-pruned search claims bit-identical output, so it is
     * checked against the brute SQL (never-false-dismissal by hash).
@@ -7959,6 +8055,10 @@ object SparkEntry {
     "ann_graph_hier2_recall" -> graphHier2RecallOracle,
     "ann_tri_exact_topk" -> annTriTopKOracle,
     "ann_tri_prune_stats" -> annTriPruneStatsOracle,
+    "ann_filtered_topk" ->
+      s"""WITH $filteredVecCtes
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM rel""".stripMargin,
+    "ann_postfilter_recall" -> annPostFilterRecallOracle(5, Seq(1, 2, 4, 8)),
     "jl_distortion_sweep" -> {
       // replay: sign(j,i) = md5-32("jl-<j>-<i>") even → +1; projection is
       // exact long sums over micro components; distortion micro-rounds

@@ -1221,6 +1221,89 @@ object Similarity {
     * per component — the cross-engine-exact coordinate system the anchor
     * ANN family runs its L2 geometry in.
     */
+  /** FILTERED vector search, prefilter face: exact top-k among corpus
+    * vectors sharing the query's attribute value — the
+    * "nearest same-category items" query every production vector store
+    * exposes (metadata filter + vector rank). This is the gold standard
+    * both strategies are judged against: the filter applies BEFORE
+    * ranking, so the k results are the true k nearest that satisfy it.
+    *
+    * Plan shape: the label-equality condition joins the broadcast query
+    * row to the corpus scan, so selectivity prunes the scored set
+    * map-side — at 100 TB with a partition-key attribute the scan itself
+    * prunes (partition pruning), which is why prefilter is the scale
+    * default whenever the filtered stratum is still large enough to rank.
+    */
+  def filteredBruteTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      attrCol: String = "label",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"), col(attrCol).as("q_attr"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col(attrCol).as("c_attr"))
+    val scored = c
+      .join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("q_attr") === col("c_attr"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** The POST-filter strategy measured against the prefilter gold: run
+    * the unfiltered IVF leg once at the deepest over-fetch (`max(overfetch)·k`
+    * candidates), then for each over-fetch factor m keep the top m·k
+    * unfiltered candidates, apply the attribute filter, re-rank, and
+    * score recall@k against [[filteredBruteTopK]] — the measured answer
+    * to "how much over-fetch does post-filtering need at this
+    * selectivity" (with ~10 uniform labels, m=1 keeps ~k/10 of the
+    * answer; the sweep shows where the curve saturates at the IVF leg's
+    * own recall ceiling). ONE index probe pass; every leg slices the same
+    * checkpointed candidate frame.
+    */
+  def postFilterRecall(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      overfetch: Seq[Int] = Seq(1, 2, 4, 8),
+      attrCol: String = "label",
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(overfetch.nonEmpty && overfetch.forall(_ >= 1), "overfetch factors >= 1")
+    val gold = filteredBruteTopK(corpus, queries, k, attrCol, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(eager = true) // queries×k ids
+    val nGold = gold.agg(count(lit(1)).as("n_gold"))
+    val attrs = corpus.select(col(idCol).as("neighbor_id"), col(attrCol).as("c_attr"))
+    val qAttrs = queries.select(col(idCol).as("query_id"), col(attrCol).as("q_attr"))
+    val wide = ivfAnchorTopK(corpus, queries, k = overfetch.max * k,
+      dim = dim, idCol = idCol, vecCol = vecCol)
+      .withColumnRenamed("rank", "ivf_rank")
+      .join(attrs, Seq("neighbor_id"))
+      .join(broadcast(qAttrs), Seq("query_id"))
+      .localCheckpoint(eager = true) // queries × max(overfetch)·k rows
+    overfetch.map { m =>
+      val top = topKPerGroup(
+        wide.filter(col("ivf_rank") <= m * k && col("c_attr") === col("q_attr"))
+          .select(col("query_id"), col("neighbor_id"), col("cos_sim")),
+        "query_id", "neighbor_id", "cos_sim", k)
+      top
+        .join(gold, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(nGold)) // 1-row gold count
+        .select(
+          lit(m).as("overfetch"), col("n_gold"), col("n_hit"),
+          expr("CAST((2 * 1000000 * n_hit + n_gold) div (2 * n_gold) AS BIGINT)")
+            .as("recall_micro"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Everything the triangle-pruned EXACT search shares between its
     * result face ([[triPrunedTopKL2]]) and its stats face
     * ([[triPruneStats]]): the per-vector (bucket, centroid-distance)

@@ -53,6 +53,50 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("filteredBruteTopK: exact same-label top-k matches a local filtered naive rank") {
+    val data = clustered(60)
+    val df = data.map { case (i, v) => (i, v, (i % 4).toInt) }
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .filteredBruteTopK(df, df.filter($"vec_id" < 3), k = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)]
+      .collect()
+      .groupBy(_._1)
+      .view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq)
+      .toMap
+    val lookup = data.toMap
+    (0L until 3).foreach { q =>
+      val expected = data
+        .filter { case (id, _) => id != q && id % 4 == q % 4 }
+        .map { case (id, v) => (id, math.rint(cosLocal(lookup(q), v) * 1e6) / 1e6) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(4)
+        .map(_._1)
+      assert(got(q) == expected, s"query $q")
+    }
+  }
+
+  test("postFilterRecall: recall is monotone in over-fetch and hits 100% once the filtered gold fits") {
+    // labels follow the clusters, so the unfiltered IVF leg's candidates
+    // are mostly same-label: deep over-fetch recovers the full gold
+    val data = clustered(60)
+    val df = data.map { case (i, v) => (i, v, (i % 3).toInt) }
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity
+      .postFilterRecall(df, df.filter($"vec_id" < 3), k = 4, overfetch = Seq(1, 2, 4), dim = dim)
+      .select("overfetch", "n_gold", "recall_micro")
+      .as[(Int, Long, Long)]
+      .collect()
+      .sortBy(_._1)
+    assert(rows.map(_._2).distinct.sameElements(Array(12L)), "3 queries x k=4 gold rows")
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+      s"recall must be monotone in over-fetch: ${rows.mkString(",")}")
+    assert(rows.last._3 == 1000000L,
+      s"cluster-aligned labels: deep over-fetch must recover the gold, got ${rows.last}")
+  }
+
   private def microLocal(v: Array[Float]): Array[Long] =
     v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
 
