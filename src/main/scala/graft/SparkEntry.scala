@@ -1349,6 +1349,14 @@ object SparkEntry {
       // exact bps (ops/Dedup.scala).
       Dedup.containmentMd5Pairs(table(s, dir, "documents"))
     },
+    "containment_minhash_est" -> { (s, dir) =>
+      // Can 64 MinHash members + set sizes replace the exact containment
+      // verify at 100 TB? Per exact pair: both directional containments,
+      // their sketch estimates (exact rational from the match count), and
+      // SIGNED bps errors — the measured sketch-vs-exact trade for the
+      // containment family (ops/Dedup.scala).
+      graft.ops.Dedup.containmentMinhashEst(table(s, dir, "documents"))
+    },
     "decontam_quoted_evals" -> { (s, dir) =>
       // Contamination by QUOTATION — the case n-gram-share decontam
       // underweights: an eval question quoted inside a larger training
@@ -8905,6 +8913,28 @@ object SparkEntry {
       s"""$Md5SigCtes, ${containmentCtes(8000L)}
         |SELECT id_a, id_b, n_a, n_b, n_common, cont_a_in_b_bps, cont_b_in_a_bps
         |FROM contp""".stripMargin,
+    "containment_minhash_est" ->
+      s"""$Md5SigCtes, ${containmentCtes(8000L)},
+        |matches AS (
+        |  SELECT p.id_a, p.id_b,
+        |    CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |  FROM contp p
+        |  JOIN sig sa ON sa.doc_id = p.id_a
+        |  JOIN sig sb ON sb.doc_id = p.id_b AND sb.j = sa.j
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.id_a, p.id_b, m.n_match,
+        |  p.cont_a_in_b_bps,
+        |  (2*10000*m.n_match*(p.n_a + p.n_b) + (64 + m.n_match)*p.n_a)
+        |    // (2*(64 + m.n_match)*p.n_a) AS est_a_in_b_bps,
+        |  p.cont_b_in_a_bps,
+        |  (2*10000*m.n_match*(p.n_a + p.n_b) + (64 + m.n_match)*p.n_b)
+        |    // (2*(64 + m.n_match)*p.n_b) AS est_b_in_a_bps,
+        |  (2*10000*m.n_match*(p.n_a + p.n_b) + (64 + m.n_match)*p.n_a)
+        |    // (2*(64 + m.n_match)*p.n_a) - p.cont_a_in_b_bps AS err_a_bps,
+        |  (2*10000*m.n_match*(p.n_a + p.n_b) + (64 + m.n_match)*p.n_b)
+        |    // (2*(64 + m.n_match)*p.n_b) - p.cont_b_in_a_bps AS err_b_bps
+        |FROM contp p JOIN matches m ON m.id_a = p.id_a AND m.id_b = p.id_b""".stripMargin,
     "decontam_quoted_evals" ->
       s"""$Md5SigCtes, ${containmentCtes(8000L)}
         |SELECT

@@ -1179,6 +1179,54 @@ object Dedup {
       .filter(greatest(col("cont_a_in_b_bps"), col("cont_b_in_a_bps")) >= thresholdBps)
   }
 
+  /** The SKETCH path for containment verification, priced: at 100 TB the
+    * exact-set verify of [[containmentMd5Pairs]] is the expensive stage
+    * (two set fetches + an intersection per candidate); signatures + set
+    * SIZES can score candidates instead. From the 64-member MinHash
+    * Jaccard estimate Ĵ = matches/64 and the exact sizes,
+    * |A∩B| ≈ Ĵ(|A|+|B|)/(1+Ĵ), so containment(A in B) ≈
+    * Ĵ(n_a+n_b)/((1+Ĵ)·n_a) — evaluated as the exact rational
+    * c(n_a+n_b) / ((64+c)·n_a) in round-half-up bps. Output: one row per
+    * exact containment pair with BOTH directional estimates and their
+    * SIGNED bps errors — the measured answer to "can 64 hashes replace
+    * the exact verify" (they track the direction but carry the
+    * J-estimator's ±1/√64 variance; the row quantifies it on this
+    * corpus).
+    */
+  def containmentMinhashEst(
+      docs: DataFrame,
+      thresholdBps: Long = 8000L,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    val pairs = containmentMd5Pairs(docs, thresholdBps, shingleN, idCol = idCol, textCol = textCol)
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        minhashMd5Signature(md5ShingleHashes(col(textCol), shingleN), numHashes).as("sig"))
+    def estBps(c: Column, nFrom: Column, nTo: Column): Column =
+      scaledRatio(
+        c * (nFrom + nTo),
+        (lit(numHashes.toLong) + c) * nFrom,
+        10000L).cast("long")
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), Seq("id_b"))
+      .withColumn("n_match",
+        aggregate(zip_with(col("sa"), col("sb"), (x, y) => (x === y).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+      .select(
+        col("id_a"), col("id_b"), col("n_match"),
+        col("cont_a_in_b_bps"),
+        estBps(col("n_match"), col("n_a"), col("n_b")).as("est_a_in_b_bps"),
+        col("cont_b_in_a_bps"),
+        estBps(col("n_match"), col("n_b"), col("n_a")).as("est_b_in_a_bps"))
+      .withColumn("err_a_bps", col("est_a_in_b_bps") - col("cont_a_in_b_bps"))
+      .withColumn("err_b_bps", col("est_b_in_a_bps") - col("cont_b_in_a_bps"))
+  }
+
   /** Benchmark-contamination detection by CONTAINMENT — the industry case
     * n-gram-share decontamination underweights: an eval question QUOTED
     * verbatim inside a much larger training doc barely moves the doc's
