@@ -550,4 +550,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("pshard"), "shard pruning must reach the postings scan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("paa pruned topk: verify segment joins broadcast query frames off the survivor checkpoint") {
+    val plan = executedPlan("ts_paa_pruned_topk")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the query-series / query-norm joins must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+    // the final window must be query-partitioned, never a global sort
+    assert(!plan.contains("Window [") || plan.contains("[query_user"), plan.take(400))
+  }
+
+  test("triangle-pruned exact knn: verify segment is equi-joins + broadcast queries, no cartesian") {
+    val plan = executedPlan("ann_tri_exact_topk")
+    assert(plan.contains("BroadcastHashJoin"), "the micro query frame must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("quoted-eval decontam: stratum tags broadcast onto the candidate-bounded pair frame") {
+    val plan = executedPlan("decontam_quoted_evals")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      "both eval-id tag joins must broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("filtered search: post-filter legs slice ONE checkpointed candidate frame, no re-probe") {
+    val plan = executedPlan("ann_postfilter_recall")
+    // past the wide-leg checkpoint only bounded frames join; the corpus
+    // must not be re-scanned per over-fetch factor
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("parquet"),
+      "every over-fetch leg must read the checkpointed candidates, not parquet")
+  }
 }
