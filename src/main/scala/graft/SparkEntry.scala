@@ -1349,6 +1349,17 @@ object SparkEntry {
       // exact bps (ops/Dedup.scala).
       Dedup.containmentMd5Pairs(table(s, dir, "documents"))
     },
+    "decontam_gate_flags" -> { (s, dir) =>
+      // The broadcast twin of decontam_quoted_evals: per training doc,
+      // max eval-side containment in exact bps, the arg-max eval, and the
+      // gate decision — every doc gets a row (a gate like gopher_rules),
+      // one corpus scan x broadcast suite, no posting lists
+      // (ops/Decontam.scala).
+      val docs = table(s, dir, "documents")
+      graft.ops.Decontam.evalContainmentGate(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0))
+    },
     "containment_minhash_est" -> { (s, dir) =>
       // Can 64 MinHash members + set sizes replace the exact containment
       // verify at 100 TB? Per exact pair: both directional containments,
@@ -8913,6 +8924,30 @@ object SparkEntry {
       s"""$Md5SigCtes, ${containmentCtes(8000L)}
         |SELECT id_a, id_b, n_a, n_b, n_common, cont_a_in_b_bps, cont_b_in_a_bps
         |FROM contp""".stripMargin,
+    "decontam_gate_flags" ->
+      s"""$Md5SigCtes,
+        |ev AS MATERIALIZED (
+        |  SELECT doc_id AS eval_id, hset AS es FROM hs
+        |  WHERE doc_id % 13 = 0 AND len(hset) > 0
+        |), tr AS (
+        |  SELECT d.doc_id, coalesce(h.hset, []) AS ds
+        |  FROM documents d LEFT JOIN hs h USING (doc_id)
+        |  WHERE d.doc_id % 13 != 0
+        |), prs AS (
+        |  SELECT t.doc_id, e.eval_id,
+        |    (2*10000*len(list_filter(e.es, x -> list_contains(t.ds, x))) + len(e.es))
+        |      // (2*len(e.es)) AS bps
+        |  FROM tr t CROSS JOIN ev e
+        |), best AS (
+        |  SELECT doc_id, bps, eval_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY bps DESC, eval_id DESC) AS rk
+        |    FROM prs) WHERE rk = 1
+        |)
+        |SELECT doc_id, CAST(bps AS BIGINT) AS max_eval_contained_bps,
+        |  eval_id AS worst_eval_id,
+        |  CAST(bps >= 8000 AS INT) AS contaminated
+        |FROM best""".stripMargin,
     "containment_minhash_est" ->
       s"""$Md5SigCtes, ${containmentCtes(8000L)},
         |matches AS (

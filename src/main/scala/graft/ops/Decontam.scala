@@ -67,6 +67,51 @@ object Decontam {
       .withColumn("dropped", (col("containment_bp") >= dropBp).cast("int"))
   }
 
+  /** Per-doc EVAL-side containment gate — the broadcast twin of
+    * [[Dedup.quotedEvalContainment]] for the common case where the whole
+    * benchmark suite fits in memory (eval suites are MBs by construction):
+    * every training doc gets the max over eval questions of
+    * |eval ∩ doc| / |eval| in exact round-half-up bps, the arg-max eval id
+    * (ties → highest id), and the gate decision. No posting lists, no
+    * candidate generation: ONE corpus scan crossed with the broadcast
+    * eval-set frame (|evals|-row), per-pair set intersects map-side, one
+    * partial-aggregated max per doc — the right plan when |evals| is
+    * small; [[Dedup.quotedEvalContainment]]'s prefix-filter form is for
+    * suites too large to broadcast. Unlike the pair screen this emits
+    * EVERY doc (zero-overlap docs at 0 bps), so downstream gates join it
+    * like `gopher_rules`.
+    */
+  def evalContainmentGate(
+      docs: DataFrame,
+      evals: DataFrame,
+      thresholdBps: Long = 8000L,
+      shingleN: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    val ev = evals
+      .select(col(idCol).cast("long").as("eval_id"),
+        graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("es"))
+      .filter(size(col("es")) > 0)
+    docs
+      .select(col(idCol),
+        graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("ds"))
+      .crossJoin(broadcast(ev)) // |evals|-row benchmark suite
+      .select(col(idCol), col("eval_id"),
+        scaledRatio(
+          size(array_intersect(col("ds"), col("es"))).cast("long"),
+          size(col("es")).cast("long"),
+          10000L).cast("long").as("bps"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("bps"), col("eval_id"))).as("best"))
+      .select(
+        col(idCol),
+        col("best").getField("bps").as("max_eval_contained_bps"),
+        col("best").getField("eval_id").as("worst_eval_id"),
+        (col("best").getField("bps") >= thresholdBps).cast("int").as("contaminated"))
+  }
+
   /** The surviving corpus: documents sharing NO n-gram with the benchmark.
     * The contaminated-id set from [[overlapCounts]] is itself small (hits
     * only), so the final anti-join broadcasts too — the corpus is scanned,

@@ -1136,35 +1136,54 @@ object Dedup {
         graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("hs"))
       .filter(size(col("hs")) > 0)
       .localCheckpoint(eager = true) // reused: df count, prefix, verify
-    val posting = sets.select(col("id"), explode(col("hs")).as("h"))
-    // df-capped, distinct-shingle-bounded — and consumed TWICE below
-    // (prefix ranking + candidate probe). Without the checkpoint the
-    // corpus-sized posting aggregation — the dominant pass — executes
-    // once per consumer.
+    // ONE df-capped (id, h, df, n) posting frame feeds BOTH the prefix
+    // selection and the candidate probe — the r9 shape aggregated the
+    // document frequencies once per consumer and ranked prefixes with a
+    // corpus-wide window SORT; this checkpoints the joined frame once and
+    // picks each doc's prefix with a bounded per-doc fold instead
+    // (collect_list is partially aggregated map-side; per-doc state is
+    // shingle-count-bounded — no corpus-sized sort anywhere). Set sizes
+    // ride the frame from the start, so no candidate-side size join.
+    val posting = sets.select(
+      col("id"), size(col("hs")).cast("long").as("n"), explode(col("hs")).as("h"))
     val dfc = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxPosting)
+    val pd = posting.join(dfc, Seq("h")) // df cap applies to the probe side too
       .localCheckpoint(eager = true)
-    val ranked = posting
-      .join(dfc, Seq("h")) // df cap applies to the probe side here too
-      .withColumn("rk",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-            .orderBy(col("df"), col("h"))))
-    val prefix = ranked
-      .join(sets.select(col("id"), size(col("hs")).cast("long").as("n")), Seq("id"))
-      // integer floor division (Spark `/` on longs is double division)
-      .filter(col("rk") <= expr(s"(10000 - $thresholdBps) * n DIV 10000") + 1L)
-      .select(col("id").as("probe_id"), col("h"))
+    val prefix = pd
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("s"),
+        max(col("n")).as("n"))
+      // the pigeonhole prefix: the ⌊(1−t)·n⌋+1 globally-rarest shingles
+      // (exact integer floor division — Spark `/` on longs is double division)
+      .select(col("id").as("probe_id"), col("n").as("probe_n"),
+        explode(slice(col("s"), lit(1),
+          (expr(s"(10000 - $thresholdBps) * n DIV 10000") + 1L).cast("int"))).as("p"))
+      .select(col("probe_id"), col("probe_n"), col("p").getField("h").as("h"))
     val cand = prefix
-      .join(posting.join(dfc.select(col("h")), Seq("h"))
-        .select(col("id").as("other_id"), col("h")), Seq("h"))
+      .join(pd.select(col("id").as("other_id"), col("n").as("other_n"), col("h")), Seq("h"))
       .filter(col("probe_id") =!= col("other_id"))
+      // containment LENGTH filter (Vernica et al.): probe A's candidates
+      // only serve the "A contained in OTHER" direction, which needs
+      // |OTHER| ≥ t·|A| (common ≤ |OTHER|); a pair whose true relation is
+      // OTHER-in-A is generated by OTHER's own probe, so dropping
+      // undersized others here loses nothing — output-identical, and it
+      // cuts the pre-distinct pair volume before the shuffle
+      .filter(col("other_n") * 10000L >= col("probe_n") * thresholdBps)
       .select(
         least(col("probe_id"), col("other_id")).as("id_a"),
         greatest(col("probe_id"), col("other_id")).as("id_b"))
       .distinct()
       .localCheckpoint(eager = true) // ids only; feeds both verify joins
-    cand
+    // The overlap stats MATERIALIZE before any expression references
+    // n_common: Catalyst collapses projections and re-substitutes the
+    // array_intersect into every downstream expression that reads it (no
+    // cross-operator subexpression reuse), so the r9 shape — a decimal
+    // ratio filter straight over this projection — evaluated the
+    // intersect ~5× per candidate pair. That repeated set work, not the
+    // df aggregation, was the actual cost of the chain. The checkpointed
+    // frame is 5 longs per candidate.
+    val stats = cand
       .join(sets.select(col("id").as("id_a"), col("hs").as("ha")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("hs").as("hb")), Seq("id_b"))
       .select(
@@ -1172,11 +1191,18 @@ object Dedup {
         size(col("ha")).cast("long").as("n_a"),
         size(col("hb")).cast("long").as("n_b"),
         size(array_intersect(col("ha"), col("hb"))).cast("long").as("n_common"))
+      .localCheckpoint(eager = true)
+    stats
+      // threshold in pure long arithmetic — exactly the rounded
+      // comparison (round-half-up(10⁴·nc/n) ≥ t ⟺ 2·10⁴·nc ≥ (2t−1)·n);
+      // the DECIMAL ratio columns are built only for surviving rows
+      .filter(
+        lit(20000L) * col("n_common") >= lit(2L * thresholdBps - 1L) * col("n_a") ||
+          lit(20000L) * col("n_common") >= lit(2L * thresholdBps - 1L) * col("n_b"))
       .withColumn("cont_a_in_b_bps",
         scaledRatio(col("n_common"), col("n_a"), 10000L).cast("long"))
       .withColumn("cont_b_in_a_bps",
         scaledRatio(col("n_common"), col("n_b"), 10000L).cast("long"))
-      .filter(greatest(col("cont_a_in_b_bps"), col("cont_b_in_a_bps")) >= thresholdBps)
   }
 
   /** The SKETCH path for containment verification, priced: at 100 TB the
