@@ -60,6 +60,33 @@ class DecontamSpec extends AnyFunSuite {
     assert(got(1L)._4 < 10000L)
   }
 
+  test("evalContainmentGate: every doc gets a row, max over evals with id tie-break, exact bps") {
+    // eval 20 is quoted verbatim inside train doc 1; eval 21 shares
+    // nothing; doc 3's shingles are disjoint from both evals; doc 4 is
+    // too short for any 3-gram (empty set -> 0 bps row, never dropped)
+    val question = (1 to 10).map(i => s"q$i").mkString(" ")
+    val evals = Seq(
+      (20L, question),
+      (21L, (50 to 62).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "intro text " + question + " " + (100 to 140).map(i => s"t$i").mkString(" ")),
+      (3L, (200 to 230).map(i => s"u$i").mkString(" ")),
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val got = Decontam.evalContainmentGate(docs, evals)
+      .as[(Long, Long, Long, Int)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3, r._4))
+      .toMap
+    assert(got.keySet == Set(1L, 3L, 4L), "every doc gets a row, even shingle-less ones")
+    assert(got(1L) == ((10000L, 20L, 1)), "the quoted question is fully contained")
+    // zero-overlap docs: 0 bps against every eval; the (0, eval) tie
+    // breaks to the HIGHEST eval id (struct max on (bps, eval_id))
+    assert(got(3L) == ((0L, 21L, 0)))
+    assert(got(4L) == ((0L, 21L, 0)))
+  }
+
   test("nearDupContamination flags only cross-side near-dups, keyed by the corpus doc") {
     // ids divisible by 5 play the benchmark; doc 11 is a light paraphrase
     // of bench doc 5, docs 12/13 are near-dups of each other (same side)
