@@ -1079,13 +1079,22 @@ object Dedup {
       .join(hs.select(col("id").as("id_a"), col("hset").as("ha")), Seq("id_a"))
       .join(hs.select(col("id").as("id_b"), col("hset").as("hb")), Seq("id_b"))
       .select(
-        col("id_a"),
-        col("id_b"),
-        graft.functions.ExactDecimal.scaledRatio(
-          size(array_intersect(col("ha"), col("hb"))).cast("long"),
-          size(array_union(col("ha"), col("hb"))).cast("long"),
-          10000L).cast("long").as("wjaccard_bps"))
-      .filter(col("wjaccard_bps") >= minBps)
+        col("id_a"), col("id_b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("inter"),
+        size(array_union(col("ha"), col("hb"))).cast("long").as("uni"))
+      // threshold FIRST, in pure long arithmetic — the exact rounded
+      // comparison (round-half-up(10⁴·i/u) ≥ t ⟺ 2·10⁴·i ≥ (2t−1)·u; at
+      // t = 0 the right side is −u, keeping everything, same as bps ≥ 0).
+      // Filtering on the DECIMAL ratio alias instead made Catalyst
+      // re-substitute the intersect/union into the filter AND the output
+      // projection (projection collapse has no cross-operator
+      // subexpression reuse) — the containment chain's r10 finding; the
+      // ratio is built only for surviving rows
+      .filter(lit(20000L) * col("inter") >= lit(2L * minBps - 1L) * col("uni"))
+      .select(
+        col("id_a"), col("id_b"),
+        graft.functions.ExactDecimal.scaledRatio(col("inter"), col("uni"), 10000L)
+          .cast("long").as("wjaccard_bps"))
     try verified.localCheckpoint(eager = true)
     finally {
       expanded.unpersist(blocking = false)
