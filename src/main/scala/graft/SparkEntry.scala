@@ -2047,6 +2047,14 @@ object SparkEntry {
       // (ops/TimeSeries.scala).
       graft.ops.TimeSeries.tsPaaPruneStats(eventsTable(s, dir))
     },
+    "ts_sketch_rerank_recall" -> { (s, dir) =>
+      // The two-stage path for all-pairs TS similarity: rank every
+      // candidate by 180-number sketch cosine (PAA projection), exact-
+      // verify only the top-C — the sweep measures what candidate budget
+      // C retains of the exact top-5, per query (the PQ-ADC two-stage
+      // discipline applied to series; ops/TimeSeries.scala).
+      graft.ops.TimeSeries.tsSketchRerankRecall(eventsTable(s, dir))
+    },
     "ts_sax_words" -> { (s, dir) =>
       // SAX symbolic words over per-user hourly series: global-span PAA
       // slice means (exact micro), data-driven quartile breakpoints
@@ -5900,6 +5908,76 @@ object SparkEntry {
       |sq AS (SELECT user_id AS query_user, hour, v AS qv FROM sr WHERE user_id < 4),
       |$chains
       |$legs""".stripMargin
+  }
+
+  /** Sketch-rerank sweep replay (`ts_sketch_rerank_recall`): the signed
+    * 180-segment sketch, its cosine ranking, and one recall leg per
+    * candidate budget against the exact-cosine top-5 — mirrors
+    * [[graft.ops.TimeSeries.tsSketchRerankRecall]].
+    */
+  private def tsSketchRerankOracle(segments: Int, k: Int, budgets: Seq[Int]): String = {
+    val legs = budgets.map { c =>
+      s"""SELECT CAST($c AS INT) AS c_budget,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM grel) AS n_gold,
+        |  CAST(count(*) AS BIGINT) AS n_hit
+        |FROM ranked t JOIN grel r
+        |  ON r.query_user = t.query_user AND r.user_id = t.user_id
+        |WHERE t.rk <= $c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sr AS MATERIALIZED (
+      |  SELECT user_id, epoch_ms(ts) // 3600000 AS hour,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2
+      |), span AS (SELECT min(hour) AS lo, max(hour) AS hi FROM sr),
+      |sk AS MATERIALIZED (
+      |  SELECT user_id, (hour - sp.lo) * $segments // (sp.hi - sp.lo + 1) AS seg,
+      |    CAST(sum(v) AS BIGINT) AS sv
+      |  FROM sr, span sp GROUP BY 1, 2
+      |), k2 AS MATERIALIZED (
+      |  SELECT user_id, CAST(sum(CAST(sv AS HUGEINT) * sv) AS BIGINT) AS k2
+      |  FROM sk GROUP BY 1
+      |), qsk AS (SELECT user_id AS query_user, seg, sv AS qv FROM sk WHERE user_id < 4),
+      |sdots AS (
+      |  SELECT q.query_user, s.user_id, CAST(sum(q.qv * s.sv) AS BIGINT) AS dot
+      |  FROM sk s JOIN qsk q USING (seg) WHERE s.user_id != q.query_user GROUP BY 1, 2
+      |), qk2 AS (SELECT user_id AS query_user, k2 AS q_k2 FROM k2 WHERE user_id < 4),
+      |ranked AS MATERIALIZED (
+      |  SELECT query_user, user_id, row_number() OVER (PARTITION BY query_user
+      |    ORDER BY sk_cos DESC, user_id) AS rk
+      |  FROM (
+      |    SELECT g.query_user, u.user_id,
+      |      CASE WHEN u.k2 > 0 AND g.q_k2 > 0 THEN
+      |        CAST(floor(CAST(coalesce(d.dot, 0) AS DOUBLE)
+      |          / (sqrt(CAST(g.q_k2 AS DOUBLE)) * sqrt(CAST(u.k2 AS DOUBLE)))
+      |          * 1e6 + 0.5e0) AS BIGINT)
+      |      ELSE 0 END AS sk_cos
+      |    FROM k2 u CROSS JOIN qk2 g
+      |    LEFT JOIN sdots d ON d.query_user = g.query_user AND d.user_id = u.user_id
+      |    WHERE u.user_id != g.query_user)
+      |), s2g AS MATERIALIZED (
+      |  SELECT user_id, CAST(sum(CAST(v AS HUGEINT) * v) AS BIGINT) AS s2
+      |  FROM sr GROUP BY 1
+      |), qsg AS (SELECT user_id AS query_user, hour, v AS qv FROM sr WHERE user_id < 4),
+      |gdots AS (
+      |  SELECT q.query_user, s.user_id, CAST(sum(q.qv * s.v) AS BIGINT) AS dot
+      |  FROM sr s JOIN qsg q USING (hour) GROUP BY 1, 2
+      |), qs2g AS (SELECT user_id AS query_user, s2 AS q_s2 FROM s2g WHERE user_id < 4),
+      |grel AS MATERIALIZED (
+      |  SELECT query_user, user_id FROM (
+      |    SELECT g.query_user, u.user_id, row_number() OVER (PARTITION BY g.query_user
+      |      ORDER BY CASE WHEN u.s2 > 0 AND g.q_s2 > 0 THEN
+      |        CAST(floor(CAST(coalesce(d.dot, 0) AS DOUBLE)
+      |          / (sqrt(CAST(g.q_s2 AS DOUBLE)) * sqrt(CAST(u.s2 AS DOUBLE)))
+      |          * 1e6 + 0.5e0) AS BIGINT)
+      |      ELSE 0 END DESC, u.user_id) AS grank
+      |    FROM s2g u CROSS JOIN qs2g g
+      |    LEFT JOIN gdots d ON d.query_user = g.query_user AND d.user_id = u.user_id
+      |    WHERE u.user_id != g.query_user
+      |  ) WHERE grank <= $k
+      |)
+      |SELECT c_budget, n_gold, n_hit,
+      |  CAST((2 * 1000000 * n_hit + n_gold) // (2 * n_gold) AS BIGINT) AS recall_micro
+      |FROM ($legs)""".stripMargin
   }
 
   /** Exact top-1 TS neighbor chain (`top1`), shared by the SAX recall
@@ -10177,6 +10255,7 @@ object SparkEntry {
     // proves the bound never false-dismissed (the GEMINI contract)
     "ts_paa_pruned_topk" -> tsBruteTopKOracle,
     "ts_paa_prune_stats" -> tsPaaPruneStatsOracle(Seq(8, 32, 64, 180)),
+    "ts_sketch_rerank_recall" -> tsSketchRerankOracle(180, 5, Seq(10, 25, 50, 100)),
     "ivf_nprobe_sweep" -> ivfNprobeSweepOracle,
     "ivf_anchor_sweep" -> ivfAnchorSweepOracle,
     "daily_theil_sen" ->

@@ -436,6 +436,83 @@ object TimeSeries {
     }.reduce(_ unionByName _)
   }
 
+  /** The TWO-STAGE answer to "who behaves like whom" at all-pairs scale —
+    * the practical path the SAX sweep (equal-word bucketing: 0% recall at
+    * selective granularity) and the PAA bound (prunes only at fine grain)
+    * both motivate: STAGE 1 ranks every candidate by the cosine of its
+    * `segments`-number signed-sum sketch (PAA projection — `segments`
+    * integers per user instead of the full hourly series), STAGE 2
+    * exact-verifies only the top-C sketch candidates. Unlike the pruned
+    * search this is approximate — the sweep MEASURES what C buys: per
+    * candidate budget, how much of the exact cosine top-k the sketch
+    * ranking retains (the PQ-ADC / sign-Hamming two-stage discipline,
+    * applied to series). Sketch scoring shares the hour-series pass and
+    * is seg-keyed — corpus work is one sketch aggregation plus a
+    * (queries × users)-row integer close.
+    */
+  def tsSketchRerankRecall(
+      ev: DataFrame,
+      maxQueryUser: Long = 4L,
+      k: Int = 5,
+      segments: Int = 180,
+      budgets: Seq[Int] = Seq(10, 25, 50, 100)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.nonEmpty && budgets.forall(_ >= 1), "positive candidate budgets")
+    val (series, _) = paaSeries(ev)
+    val span = series.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+    // signed per-segment sums — the PAA projection (not energies: the
+    // sketch must preserve DIRECTION for a cosine ranking)
+    val sk = series
+      .crossJoin(broadcast(span)) // 1-row span bounds
+      .select(
+        col("user_id"),
+        expr(s"(hour - lo) * $segments DIV (hi - lo + 1)").as("seg"),
+        col("v"))
+      .groupBy(col("user_id"), col("seg"))
+      .agg(sum(col("v")).as("sv"))
+      .localCheckpoint(eager = true) // ≤ |users|×segments rows
+    val k2 = sk.groupBy(col("user_id")).agg(sum(col("sv") * col("sv")).as("k2"))
+    val qSk = sk.filter(col("user_id") < maxQueryUser)
+      .select(col("user_id").as("query_user"), col("seg"), col("sv").as("qv"))
+    val dots = sk
+      .join(broadcast(qSk), Seq("seg")) // queries-bounded broadcast
+      .filter(col("user_id") =!= col("query_user"))
+      .groupBy(col("query_user"), col("user_id"))
+      .agg(sum(col("qv") * col("sv")).as("dot"))
+    val qK2 = k2.filter(col("user_id") < maxQueryUser)
+      .select(col("user_id").as("query_user"), col("k2").as("q_k2"))
+    val scored = k2
+      .crossJoin(broadcast(qK2)) // |users| × |queries| sketch close
+      .filter(col("user_id") =!= col("query_user"))
+      .join(dots, Seq("query_user", "user_id"), "left")
+      .select(
+        col("query_user"), col("user_id"),
+        // same rounding convention as the exact search's cos_micro
+        when(col("k2") > 0 && col("q_k2") > 0,
+          floor(coalesce(col("dot"), lit(0L)).cast("double")
+            / (sqrt(col("q_k2").cast("double")) * sqrt(col("k2").cast("double")))
+            * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("sk_cos_micro"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_user"))
+          .orderBy(col("sk_cos_micro").desc, col("user_id"))))
+      .localCheckpoint(eager = true) // |users|×|queries| ranked sketch scores
+    val gold = tsSimilarityTopK(ev, maxQueryUser, k)
+      .select(col("query_user"), col("user_id"))
+      .localCheckpoint(eager = true) // queries×k ids
+    val nGold = gold.agg(count(lit(1)).as("n_gold"))
+    budgets.map { c =>
+      scored.filter(col("rk") <= c)
+        .join(gold, Seq("query_user", "user_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(broadcast(nGold)) // 1-row gold count
+        .select(
+          lit(c).as("c_budget"), col("n_gold"), col("n_hit"),
+          expr("CAST((2 * 1000000 * n_hit + n_gold) div (2 * n_gold) AS BIGINT)")
+            .as("recall_micro"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Exact dyadic EWMA (α = 1/2, 16-hour truncated lookback) of the
     * hourly per-type counts. Output: event_type, hour_ms, cnt,
     * ewma_x65536 = Σ_{k=0..15} cnt(h−k)·2^(15−k) — the smoothed rate

@@ -277,6 +277,29 @@ class TimeSeriesSpec extends AnyFunSuite {
       "disjoint users must be pruned under a positive threshold")
   }
 
+  test("tsSketchRerankRecall: the sketch ranks the twin first; recall monotone in the budget") {
+    // user 1 is query 0's identical twin (sketch cosine 1 -> must be in
+    // every budget's candidates); users 2..9 are disjoint noise
+    def ev(u: Long, h: Long, v: Double) = (u, h * 3600000L, v)
+    val rows = (Seq(
+      ev(0L, 0, 3.0), ev(0L, 1, 4.0),
+      ev(1L, 0, 3.0), ev(1L, 1, 4.0)
+    ) ++ (2L to 9L).flatMap(u => Seq(ev(u, 40 + u, 2.0), ev(u, 60 + u, 3.0))))
+      .toDF("user_id", "ts_ms", "value")
+    val got = graft.ops.TimeSeries
+      .tsSketchRerankRecall(rows, maxQueryUser = 1L, k = 1, segments = 10,
+        budgets = Seq(1, 3, 9))
+      .select("c_budget", "n_gold", "n_hit", "recall_micro")
+      .as[(Int, Long, Long, Long)]
+      .collect()
+      .sortBy(_._1)
+    assert(got.map(_._2).forall(_ == 1L), "one query, k=1 gold")
+    assert(got.head == ((1, 1L, 1L, 1000000L)),
+      s"the twin must be the sketch top-1: ${got.head}")
+    assert(got.map(_._4).sliding(2).forall(p => p(0) <= p(1)),
+      s"recall must be monotone in the budget: ${got.mkString(",")}")
+  }
+
   test("saxWords + saxBlockingRecall: level-separated users get distinct words; gold kept at 1 segment") {
     // users 0/1 identical high activity (same word, each other's top-1);
     // user 2 low activity in the same hours; user 3 idle elsewhere
