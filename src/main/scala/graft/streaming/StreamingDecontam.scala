@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ingest-time benchmark decontamination — the STREAMING face of the
+  * quoted-eval containment gate ([[graft.ops.Decontam.evalContainmentGate]]):
+  * incoming documents are screened against the (static, broadcastable)
+  * benchmark suite as they arrive, so contaminated text never lands in the
+  * corpus at all instead of being cleaned up by a later batch pass.
+  *
+  * Both faces are STATELESS stream-static joins — no watermark, no state
+  * store, append mode: per incoming doc the shingle set is computed
+  * map-side and compared against every eval's set under the broadcast
+  * nested-loop condition. That is exactly the batch gate's plan with the
+  * corpus scan replaced by the stream; at 10k-question suite scale the
+  * per-doc work is |evals| bounded set intersects, the same cost the batch
+  * gate pays per doc.
+  *
+  * Threshold semantics match the batch family: a doc is contaminated iff
+  * SOME eval's shingles are ≥ `thresholdBps` contained in it
+  * (round-half-up bps, evaluated in exact long arithmetic:
+  * round-half-up(10⁴·|E∩D|/|E|) ≥ t ⟺ 2·10⁴·|E∩D| ≥ (2t−1)·|E|).
+  */
+object StreamingDecontam {
+
+  private def evalFrame(
+      evals: DataFrame, shingleN: Int, idCol: String, textCol: String): DataFrame =
+    evals
+      .select(col(idCol).cast("long").as("eval_id"),
+        graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("es"))
+      .filter(size(col("es")) > 0)
+      .withColumn("n_eval", size(col("es")).cast("long"))
+
+  /** The containment condition of the pair (doc shingles `ds`, eval set). */
+  private def contaminatedCond(thresholdBps: Long) =
+    lit(20000L) * size(array_intersect(col("_ds"), col("es"))).cast("long") >=
+      lit(2L * thresholdBps - 1L) * col("n_eval")
+
+  /** The surviving stream: docs NO eval question is ≥ `thresholdBps`
+    * contained in — a stateless stream-static LEFT ANTI join (static side
+    * broadcast). Column set of the input is preserved.
+    */
+  def cleanStream(
+      docs: DataFrame,
+      evals: DataFrame,
+      thresholdBps: Long = 8000L,
+      shingleN: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    docs
+      .withColumn("_ds",
+        graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN))
+      .join(broadcast(evalFrame(evals, shingleN, idCol, textCol)),
+        contaminatedCond(thresholdBps), "left_anti")
+      .drop("_ds")
+
+  /** The alert stream: one row per (contaminated doc, contaminating eval)
+    * with the exact containment in bps — the review-queue face (a doc
+    * quoting two eval questions emits two rows).
+    */
+  def contaminationEvents(
+      docs: DataFrame,
+      evals: DataFrame,
+      thresholdBps: Long = 8000L,
+      shingleN: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    docs
+      .withColumn("_ds",
+        graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN))
+      .join(broadcast(evalFrame(evals, shingleN, idCol, textCol)),
+        contaminatedCond(thresholdBps), "inner")
+      .select(
+        col(idCol),
+        col("eval_id"),
+        scaledRatio(
+          size(array_intersect(col("_ds"), col("es"))).cast("long"),
+          col("n_eval"), 10000L).cast("long").as("eval_contained_bps"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingDecontam
+
+class StreamingDecontamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val question = (1 to 10).map(i => s"q$i").mkString(" ")
+  private val evals = Seq(
+    (20L, question),
+    (21L, (50 to 62).map(i => s"z$i").mkString(" "))
+  ).toDF("doc_id", "text")
+
+  test("cleanStream blocks quoting docs at ingest, passes clean ones — stateless append mode") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val clean = StreamingDecontam.cleanStream(
+      input.toDF().toDF("doc_id", "text"), evals)
+    val q = clean.writeStream.format("memory").queryName("sdc_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        1L -> ("intro " + question + " " + (100 to 140).map(i => s"t$i").mkString(" ")),
+        2L -> (200 to 230).map(i => s"u$i").mkString(" ")))
+      q.processAllAvailable()
+      input.addData(Seq(
+        3L -> question, // the eval verbatim
+        4L -> (300 to 330).map(i => s"w$i").mkString(" ")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("sdc_out").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(2L, 4L),
+      s"quoting docs 1 and 3 must be blocked at ingest, got $ids")
+  }
+
+  test("contaminationEvents emits (doc, eval, bps) per contaminating pair") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val events = StreamingDecontam.contaminationEvents(
+      input.toDF().toDF("doc_id", "text"), evals)
+    val q = events.writeStream.format("memory").queryName("sdc_ev")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        1L -> ("intro " + question + " tail words here and more"),
+        2L -> (200 to 230).map(i => s"u$i").mkString(" ")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sdc_ev")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((1L, 20L, 10000L)),
+      s"exactly the quoted pair at full containment, got $rows")
+  }
+}
