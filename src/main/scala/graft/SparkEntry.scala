@@ -2410,6 +2410,20 @@ object SparkEntry {
         .join(contaminated, Seq("doc_id"), "left_anti")
       graft.ops.Sampling.epochWaterfill(kept)
     },
+    "curation_order_report" -> { (s, dir) =>
+      // Does curation ORDER matter? Dedup-then-decontam vs decontam-
+      // then-dedup, measured: when a container doc is itself
+      // contaminated, dedup-first lets it kill its quote AND then dies
+      // to decontam — both copies gone; decontam-first removes the
+      // contaminated container before the dedup election, so the quote
+      // survives as its own representative (the deletion-repair
+      // insight applied to pipeline ordering). Rows: surviving
+      // docs/tokens per policy + the symmetric-difference count
+      // (ops/Dedup.scala composition).
+      val docs = table(s, dir, "documents")
+      Dedup.curationOrderReport(
+        docs, docs.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+    },
     "epoch_waterfill_allocation" -> { (s, dir) =>
       // Data-constrained scaling allocation (Muennighoff et al. 2023):
       // a 3.8x-corpus token budget split across sources by temperature
@@ -5692,35 +5706,36 @@ object SparkEntry {
     * [[graft.ops.Dedup.containmentMd5Pairs]]. Expects [[Md5SigCtes]]'
     * `hs` in scope.
     */
-  private def containmentCtes(thresholdBps: Long): String =
-    s"""post AS MATERIALIZED (
-      |  SELECT doc_id, unnest(hset) AS h FROM hs
-      |), dfc AS MATERIALIZED (
-      |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY h HAVING count(*) <= 1000
-      |), szs AS (SELECT doc_id, CAST(len(hset) AS BIGINT) AS n FROM hs),
-      |rkd AS (
+  private def containmentCtes(
+      thresholdBps: Long, src: String = "hs", sfx: String = ""): String =
+    s"""post$sfx AS MATERIALIZED (
+      |  SELECT doc_id, unnest(hset) AS h FROM $src
+      |), dfc$sfx AS MATERIALIZED (
+      |  SELECT h, CAST(count(*) AS BIGINT) AS df FROM post$sfx GROUP BY h HAVING count(*) <= 1000
+      |), szs$sfx AS (SELECT doc_id, CAST(len(hset) AS BIGINT) AS n FROM $src),
+      |rkd$sfx AS (
       |  SELECT p.doc_id, p.h,
       |    row_number() OVER (PARTITION BY p.doc_id ORDER BY d.df, p.h) AS rk
-      |  FROM post p JOIN dfc d ON d.h = p.h
-      |), pre AS (
+      |  FROM post$sfx p JOIN dfc$sfx d ON d.h = p.h
+      |), pre$sfx AS (
       |  SELECT r.doc_id AS probe_id, r.h
-      |  FROM rkd r JOIN szs s ON s.doc_id = r.doc_id
+      |  FROM rkd$sfx r JOIN szs$sfx s ON s.doc_id = r.doc_id
       |  WHERE r.rk <= (10000 - $thresholdBps) * s.n // 10000 + 1
-      |), cand AS MATERIALIZED (
+      |), cand$sfx AS MATERIALIZED (
       |  SELECT DISTINCT least(p.probe_id, o.doc_id) AS id_a,
       |    greatest(p.probe_id, o.doc_id) AS id_b
-      |  FROM pre p JOIN post o ON o.h = p.h
+      |  FROM pre$sfx p JOIN post$sfx o ON o.h = p.h
       |  WHERE p.probe_id != o.doc_id
-      |), verc AS (
+      |), verc$sfx AS (
       |  SELECT c.id_a, c.id_b,
       |    CAST(len(a.hset) AS BIGINT) AS n_a, CAST(len(b.hset) AS BIGINT) AS n_b,
       |    CAST(len(list_filter(a.hset, x -> list_contains(b.hset, x))) AS BIGINT) AS n_common
-      |  FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
-      |), contp AS MATERIALIZED (
+      |  FROM cand$sfx c JOIN $src a ON a.doc_id = c.id_a JOIN $src b ON b.doc_id = c.id_b
+      |), contp$sfx AS MATERIALIZED (
       |  SELECT id_a, id_b, n_a, n_b, n_common,
       |    (2*10000*n_common + n_a) // (2*n_a) AS cont_a_in_b_bps,
       |    (2*10000*n_common + n_b) // (2*n_b) AS cont_b_in_a_bps
-      |  FROM verc
+      |  FROM verc$sfx
       |  WHERE greatest((2*10000*n_common + n_a) // (2*n_a),
       |                 (2*10000*n_common + n_b) // (2*n_b)) >= $thresholdBps
       |)""".stripMargin
@@ -11777,6 +11792,58 @@ object SparkEntry {
         |  SELECT * FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropd)
         |),
         |${waterfillOracle(3800L, 4L, 6, "keptdocs").stripPrefix("WITH ")}""".stripMargin,
+    "curation_order_report" ->
+      s"""$Md5SigCtes, ${containmentCtes(8000L)},
+        |contamd AS MATERIALIZED (
+        |  SELECT DISTINCT CASE WHEN id_a % 13 = 0 THEN id_b ELSE id_a END AS doc_id
+        |  FROM contp
+        |  WHERE (id_a % 13 = 0) != (id_b % 13 = 0)
+        |    AND (CASE WHEN id_a % 13 = 0 THEN cont_a_in_b_bps
+        |         ELSE cont_b_in_a_bps END) >= 8000
+        |), hstr AS MATERIALIZED (SELECT * FROM hs WHERE doc_id % 13 != 0),
+        |${containmentCtes(9500L, "hstr", "t")},
+        |dropt AS MATERIALIZED (
+        |  SELECT DISTINCT CASE
+        |    WHEN cont_a_in_b_bps >= 9500 AND cont_b_in_a_bps >= 9500 THEN greatest(id_a, id_b)
+        |    WHEN cont_a_in_b_bps >= 9500 THEN id_a ELSE id_b END AS doc_id
+        |  FROM contpt
+        |), aset AS MATERIALIZED (
+        |  SELECT doc_id FROM documents WHERE doc_id % 13 != 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM dropt)
+        |    AND doc_id NOT IN (SELECT doc_id FROM contamd)
+        |), hscl AS MATERIALIZED (
+        |  SELECT * FROM hs WHERE doc_id % 13 != 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM contamd)
+        |), ${containmentCtes(9500L, "hscl", "c")},
+        |dropc AS MATERIALIZED (
+        |  SELECT DISTINCT CASE
+        |    WHEN cont_a_in_b_bps >= 9500 AND cont_b_in_a_bps >= 9500 THEN greatest(id_a, id_b)
+        |    WHEN cont_a_in_b_bps >= 9500 THEN id_a ELSE id_b END AS doc_id
+        |  FROM contpc
+        |), bset AS MATERIALIZED (
+        |  SELECT doc_id FROM documents WHERE doc_id % 13 != 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM contamd)
+        |    AND doc_id NOT IN (SELECT doc_id FROM dropc)
+        |), dv AS (
+        |  SELECT doc_id FROM aset WHERE doc_id NOT IN (SELECT doc_id FROM bset)
+        |  UNION ALL
+        |  SELECT doc_id FROM bset WHERE doc_id NOT IN (SELECT doc_id FROM aset)
+        |), tokcnt AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT 'dedup_then_decontam' AS policy, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(t.n_tokens), 0) AS BIGINT) AS n_tokens
+        |FROM aset a JOIN tokcnt t USING (doc_id)
+        |UNION ALL
+        |SELECT 'decontam_then_dedup', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(t.n_tokens), 0) AS BIGINT)
+        |FROM bset b JOIN tokcnt t USING (doc_id)
+        |UNION ALL
+        |SELECT 'divergence', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(t.n_tokens), 0) AS BIGINT)
+        |FROM dv JOIN tokcnt t USING (doc_id)""".stripMargin,
     "curation_pipeline_v9" ->
       s"""$Md5SigCtes, ${containmentCtes(8000L)},
         |contamd AS MATERIALIZED (

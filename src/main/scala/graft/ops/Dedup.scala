@@ -1262,6 +1262,61 @@ object Dedup {
       .withColumn("err_b_bps", col("est_b_in_a_bps") - col("cont_b_in_a_bps"))
   }
 
+  /** Does curation ORDER matter — dedup-then-decontam vs
+    * decontam-then-dedup, measured. The two commute UNLESS a containment
+    * representative is itself contaminated: dedup-first lets the
+    * contaminated container kill its quote and then dies to decontam
+    * (both copies gone); decontam-first removes the container before the
+    * election, so the quote survives as its own representative — the
+    * deletion-repair insight applied to pipeline ordering. Rows:
+    * surviving docs/tokens per policy plus the symmetric difference
+    * (`divergence` — 0 when the orders commute, as they do on the
+    * driver corpus at both SFs; the planted-container spec shows the
+    * non-zero case).
+    */
+  def curationOrderReport(
+      docs: DataFrame,
+      evalIds: DataFrame,
+      dedupBps: Long = 9500L,
+      contamBps: Long = 8000L,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val evIds = evalIds.select(col(evalIds.columns.head).as("eid")).distinct()
+    val train = docs.join(evIds.select(col("eid").as(idCol)), Seq(idCol), "left_anti")
+    val contaminated = quotedEvalContainment(
+      docs, evIds, contamBps, idCol = idCol, textCol = textCol)
+      .select(col("train_doc_id").as(idCol)).distinct()
+      .localCheckpoint(eager = true) // ids only; read by both policies
+    def dedupDrops(base: DataFrame) =
+      containmentMd5Pairs(base, dedupBps, idCol = idCol, textCol = textCol).select(
+        when(col("cont_a_in_b_bps") >= dedupBps && col("cont_b_in_a_bps") >= dedupBps,
+          greatest(col("id_a"), col("id_b")))
+          .when(col("cont_a_in_b_bps") >= dedupBps, col("id_a"))
+          .otherwise(col("id_b")).as(idCol)).distinct()
+    val dedupFirst = train
+      .join(dedupDrops(train), Seq(idCol), "left_anti")
+      .join(contaminated, Seq(idCol), "left_anti")
+      .select(col(idCol)).localCheckpoint(eager = true)
+    val clean = train.join(contaminated, Seq(idCol), "left_anti")
+    val decontamFirst = clean
+      .join(dedupDrops(clean), Seq(idCol), "left_anti")
+      .select(col(idCol)).localCheckpoint(eager = true)
+    val diverged = dedupFirst.join(decontamFirst, Seq(idCol), "left_anti")
+      .unionByName(decontamFirst.join(dedupFirst, Seq(idCol), "left_anti"))
+    def leg(name: String, ids: DataFrame) =
+      ids.join(docs, Seq(idCol))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")), lit(0L))
+            .as("n_tokens"))
+        .select(lit(name).as("policy"), col("n_docs"), col("n_tokens"))
+    Seq(
+      leg("dedup_then_decontam", dedupFirst),
+      leg("decontam_then_dedup", decontamFirst),
+      leg("divergence", diverged)).reduce(_ unionByName _)
+  }
+
   /** Benchmark-contamination detection by CONTAINMENT — the industry case
     * n-gram-share decontamination underweights: an eval question QUOTED
     * verbatim inside a much larger training doc barely moves the doc's

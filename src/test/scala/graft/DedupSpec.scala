@@ -611,6 +611,33 @@ class DedupSpec extends AnyFunSuite {
       "the fixture's point: the container is much larger than the quote")
   }
 
+  test("curationOrderReport: a contaminated container makes the two orders diverge by its quote") {
+    // eval 50's question is quoted inside container doc 2; doc 3 is doc 2
+    // WITHOUT the quote (3 fully contained in 2, but 2 only ~83% in 3 —
+    // non-mutual, so dedup drops 3). Dedup-first: 2 kills 3, decontam
+    // kills 2 -> both gone. Decontam-first: 2 dies first, 3 has no
+    // container left -> 3 survives. Divergence = exactly doc 3.
+    val question = (1 to 12).map(i => s"q$i").mkString(" ")
+    val body = (100 to 160).map(i => s"b$i").mkString(" ")
+    val other = (300 to 340).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (2L, body + " " + question),
+      (3L, body),
+      (4L, other),
+      (50L, question)
+    ).toDF("doc_id", "text")
+    val evalIds = Seq(50L).toDF("doc_id")
+    val got = Dedup.curationOrderReport(docs, evalIds)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got("dedup_then_decontam")._1 == 1L, s"only doc 4 survives dedup-first: $got")
+    assert(got("decontam_then_dedup")._1 == 2L, s"docs 3 and 4 survive decontam-first: $got")
+    assert(got("divergence")._1 == 1L, "the resurrected quote is the whole difference")
+    assert(got("divergence")._2 ==
+      got("decontam_then_dedup")._2 - got("dedup_then_decontam")._2)
+  }
+
   test("containmentMd5Pairs: threshold excludes partial overlap below it") {
     // doc 5 shares 4 of doc 4's shingles (~50%): below the 0.8 gate
     val a4 = (1 to 8).map(i => s"a$i").mkString(" ")            // 6 shingles
