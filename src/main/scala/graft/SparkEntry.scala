@@ -5720,7 +5720,7 @@ object SparkEntry {
       |), pre$sfx AS (
       |  SELECT r.doc_id AS probe_id, r.h
       |  FROM rkd$sfx r JOIN szs$sfx s ON s.doc_id = r.doc_id
-      |  WHERE r.rk <= (10000 - $thresholdBps) * s.n // 10000 + 1
+      |  WHERE r.rk <= (2 * (10000 - $thresholdBps) + 1) * s.n // 20000 + 1
       |), cand$sfx AS MATERIALIZED (
       |  SELECT DISTINCT least(p.probe_id, o.doc_id) AS id_a,
       |    greatest(p.probe_id, o.doc_id) AS id_b
@@ -5829,25 +5829,28 @@ object SparkEntry {
     */
   private def paaLegChain(segs: Int): String = {
     val p = s"g$segs"
-    s"""${p}se AS MATERIALIZED (
+    s"""${p}se0 AS (
       |  SELECT user_id, (hour - sp.lo) * $segs // (sp.hi - sp.lo + 1) AS seg,
       |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS e
       |  FROM sr, span sp GROUP BY 1, 2
-      |), ${p}qe AS (SELECT user_id AS query_user, seg, e AS qe FROM ${p}se WHERE user_id < 4),
-      |${p}nt AS (
-      |  SELECT query_user, user_id, x,
-      |    CAST(floor(sqrt(CAST(x AS DOUBLE))) AS HUGEINT) AS r0
-      |  FROM (SELECT q.query_user, s.user_id, q.qe * s.e AS x
-      |        FROM ${p}se s JOIN ${p}qe q USING (seg) WHERE s.user_id != q.query_user)
-      |), ${p}na AS (
-      |  SELECT query_user, user_id, x,
-      |    CASE WHEN (r0+1)*(r0+1) <= x THEN r0+1
-      |         WHEN r0*r0 > x THEN r0-1 ELSE r0 END AS rf
-      |  FROM ${p}nt
-      |), ${p}nums AS (
-      |  SELECT query_user, user_id,
-      |    CAST(sum(CASE WHEN rf*rf = x THEN rf ELSE rf+1 END) AS HUGEINT) AS num
-      |  FROM ${p}na GROUP BY 1, 2
+      |), ${p}se1 AS (
+      |  SELECT user_id, seg, e,
+      |    CAST(floor(sqrt(CAST(e AS DOUBLE))) AS HUGEINT) AS r0
+      |  FROM ${p}se0
+      |), ${p}se AS MATERIALIZED (
+      |  -- ceil-sqrt per sketch cell (single energies, never the e_q*e_u
+      |  -- product — the r11 overflow-safe bound; mirrors isqrtCeil)
+      |  SELECT user_id, seg, e,
+      |    CASE WHEN rf*rf = e THEN rf ELSE rf+1 END AS ec
+      |  FROM (SELECT user_id, seg, e,
+      |          CASE WHEN (r0+1)*(r0+1) <= e THEN r0+1
+      |               WHEN r0*r0 > e THEN r0-1 ELSE r0 END AS rf
+      |        FROM ${p}se1)
+      |), ${p}qe AS (SELECT user_id AS query_user, seg, ec AS qec FROM ${p}se WHERE user_id < 4),
+      |${p}nums AS (
+      |  SELECT q.query_user, s.user_id, CAST(sum(q.qec * s.ec) AS HUGEINT) AS num
+      |  FROM ${p}se s JOIN ${p}qe q USING (seg) WHERE s.user_id != q.query_user
+      |  GROUP BY 1, 2
       |), ${p}ub AS MATERIALIZED (
       |  SELECT g.query_user, u.user_id,
       |    CASE WHEN u.s2 > 0 AND g.q_s2 > 0 THEN

@@ -78,8 +78,12 @@ object Decontam {
     * partial-aggregated max per doc — the right plan when |evals| is
     * small; [[Dedup.quotedEvalContainment]]'s prefix-filter form is for
     * suites too large to broadcast. Unlike the pair screen this emits
-    * EVERY doc (zero-overlap docs at 0 bps), so downstream gates join it
-    * like `gopher_rules`.
+    * EVERY doc (zero-overlap docs at 0 bps — including when the eval
+    * frame itself is empty: the per-doc best LEFT-joins back onto an
+    * ids-only corpus projection, so the gate degrades to all-clean, never
+    * to zero rows), so downstream gates join it like `gopher_rules`. The
+    * ids-only projection is a pruned one-column scan next to the single
+    * full-text pass; `worst_eval_id` is −1 when no eval scored the doc.
     */
   def evalContainmentGate(
       docs: DataFrame,
@@ -94,7 +98,7 @@ object Decontam {
       .select(col(idCol).cast("long").as("eval_id"),
         graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("es"))
       .filter(size(col("es")) > 0)
-    docs
+    val scored = docs
       .select(col(idCol),
         graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("ds"))
       .crossJoin(broadcast(ev)) // |evals|-row benchmark suite
@@ -105,11 +109,20 @@ object Decontam {
           10000L).cast("long").as("bps"))
       .groupBy(col(idCol))
       .agg(max(struct(col("bps"), col("eval_id"))).as("best"))
+    // LEFT-join the per-doc best back onto the corpus: the crossJoin
+    // annihilates when the eval frame is empty (or every eval text is too
+    // short to shingle), and an all-clean gate must emit every doc at
+    // 0 bps — not zero rows that an inner-joining downstream stage would
+    // read as "drop the whole corpus" (ADVICE r10; DecontamSpec pins it)
+    docs
+      .select(col(idCol))
+      .join(scored, Seq(idCol), "left")
       .select(
         col(idCol),
-        col("best").getField("bps").as("max_eval_contained_bps"),
-        col("best").getField("eval_id").as("worst_eval_id"),
-        (col("best").getField("bps") >= thresholdBps).cast("int").as("contaminated"))
+        coalesce(col("best").getField("bps"), lit(0L)).as("max_eval_contained_bps"),
+        coalesce(col("best").getField("eval_id"), lit(-1L)).as("worst_eval_id"),
+        (coalesce(col("best").getField("bps"), lit(0L)) >= thresholdBps)
+          .cast("int").as("contaminated"))
   }
 
   /** The surviving corpus: documents sharing NO n-gram with the benchmark.

@@ -1111,8 +1111,9 @@ object Dedup {
     * quote-plagiarism screens actually need.
     *
     * Candidate generation is the prefix-filter pigeonhole, not banding:
-    * if c(A⊆B) ≥ t then B holds ≥ t·|A| of A's shingles, so at least one
-    * of A's ⌊(1−t)·|A|⌋+1 RAREST shingles (global df order, id tie-break)
+    * if round-half-up(c(A⊆B)) ≥ t then B holds ≥ ⌈(2t−1)·|A|/2·10⁴⌉ of
+    * A's shingles, so at least one of A's
+    * ⌊(2(10⁴−t)+1)·|A|/2·10⁴⌋+1 RAREST shingles (global df order, id tie-break)
     * must appear in B — probing only that prefix against the posting
     * list is exact, and rare-first ordering keeps the join fanout near
     * the theoretical minimum (AllPairs/PPJoin's ordering argument applied
@@ -1163,22 +1164,30 @@ object Dedup {
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("s"),
         max(col("n")).as("n"))
-      // the pigeonhole prefix: the ⌊(1−t)·n⌋+1 globally-rarest shingles
-      // (exact integer floor division — Spark `/` on longs is double division)
+      // the pigeonhole prefix, sized to the ROUNDED threshold: acceptance
+      // is round-half-up(10⁴·nc/n) ≥ t ⟺ nc ≥ ⌈(2t−1)·n/2·10⁴⌉, so the
+      // prefix must hold n − ⌈(2t−1)·n/2·10⁴⌉ + 1 =
+      // ⌊(2(10⁴−t)+1)·n/2·10⁴⌋ + 1 rarest shingles — exactly tight. The
+      // r10 form ⌊(10⁴−t)·n/10⁴⌋+1 guaranteed only nc ≥ ⌈t·n/10⁴⌉ and
+      // could miss a pair landing in the half-bp rounding window once
+      // n ≥ ~2·10⁴ shingles (ADVICE r10; boundary spec in DedupSpec).
+      // Exact integer floor division — Spark `/` on longs is double division.
       .select(col("id").as("probe_id"), col("n").as("probe_n"),
         explode(slice(col("s"), lit(1),
-          (expr(s"(10000 - $thresholdBps) * n DIV 10000") + 1L).cast("int"))).as("p"))
+          (expr(s"(2 * (10000 - $thresholdBps) + 1) * n DIV 20000") + 1L).cast("int"))).as("p"))
       .select(col("probe_id"), col("probe_n"), col("p").getField("h").as("h"))
     val cand = prefix
       .join(pd.select(col("id").as("other_id"), col("n").as("other_n"), col("h")), Seq("h"))
       .filter(col("probe_id") =!= col("other_id"))
       // containment LENGTH filter (Vernica et al.): probe A's candidates
       // only serve the "A contained in OTHER" direction, which needs
-      // |OTHER| ≥ t·|A| (common ≤ |OTHER|); a pair whose true relation is
+      // |OTHER| ≥ nc ≥ ⌈(2t−1)·|A|/2·10⁴⌉ under the ROUNDED acceptance
+      // (same half-bp window as the prefix — the r10 form used t·|A|/10⁴
+      // and could drop a boundary pair); a pair whose true relation is
       // OTHER-in-A is generated by OTHER's own probe, so dropping
       // undersized others here loses nothing — output-identical, and it
       // cuts the pre-distinct pair volume before the shuffle
-      .filter(col("other_n") * 10000L >= col("probe_n") * thresholdBps)
+      .filter(col("other_n") * 20000L >= col("probe_n") * (2L * thresholdBps - 1L))
       .select(
         least(col("probe_id"), col("other_id")).as("id_a"),
         greatest(col("probe_id"), col("other_id")).as("id_b"))

@@ -273,18 +273,27 @@ object TimeSeries {
         col("v"))
       .groupBy(col("user_id"), col("seg"))
       .agg(sum(col("v") * col("v")).as("e"))
+      // ceil√e computed ONCE per (user, segment) sketch cell: bounding
+      // with ceil√e_q · ceil√e_u ≥ √(e_q·e_u) keeps every isqrt argument
+      // a single energy (≲10¹⁸ here) instead of the r10 product e_q·e_u,
+      // whose decimal(38,0) overflow would null out — and sum() silently
+      // skip — exactly the largest terms, UNDERSTATING the bound and
+      // breaking never-false-dismissal at extreme per-segment energies
+      // (ADVICE r10). Products of the roots stay ≤ ~10¹⁹ per term.
+      .select(col("user_id"), col("seg"), col("e"), isqrtCeil(d(col("e"))).as("ec"))
       .localCheckpoint(eager = true) // ≤ |users|×segments rows
     val qE = segE.filter(col("user_id") < maxQueryUser)
-      .select(col("user_id").as("query_user"), col("seg"), col("e").as("qe"))
-    // Cauchy–Schwarz per segment: |Σ_h∈seg q·u| ≤ √(e_q·e_u), so
-    // num = Σ_seg ceil√(e_q·e_u) ≥ |dot|; with den = ⌊√S2_q⌋·⌊√S2_u⌋ ≤
-    // the true norm product, ceil(10⁶·num/den) ≥ 10⁶·cos ≥ cos_micro —
-    // an integer-exact, never-false-dismissing bound (spec-pinned)
+      .select(col("user_id").as("query_user"), col("seg"), col("ec").as("qec"))
+    // Cauchy–Schwarz per segment: |Σ_h∈seg q·u| ≤ √(e_q·e_u) ≤
+    // ceil√e_q·ceil√e_u, so num = Σ_seg ceil√e_q·ceil√e_u ≥ |dot|; with
+    // den = ⌊√S2_q⌋·⌊√S2_u⌋ ≤ the true norm product,
+    // ceil(10⁶·num/den) ≥ 10⁶·cos ≥ cos_micro — an integer-exact,
+    // never-false-dismissing bound (spec-pinned)
     val num = segE
       .join(broadcast(qE), Seq("seg")) // queries-bounded broadcast
       .filter(col("user_id") =!= col("query_user"))
       .groupBy(col("query_user"), col("user_id"))
-      .agg(sum(isqrtCeil(d(col("qe")) * d(col("e")))).as("num"))
+      .agg(sum(col("qec") * col("ec")).as("num"))
     val qs2 = s2.filter(col("user_id") < maxQueryUser)
       .select(col("user_id").as("query_user"), col("s2").as("q_s2"))
     val ub = s2

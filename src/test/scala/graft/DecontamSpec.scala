@@ -87,6 +87,26 @@ class DecontamSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 21L, 0)))
   }
 
+  test("evalContainmentGate: an EMPTY eval frame degrades to all-clean, never to zero rows") {
+    // ADVICE r10: the crossJoin form annihilated when the suite was empty
+    // (or every eval too short to shingle) — an inner-joining downstream
+    // gate would then silently drop the whole corpus. The left-join form
+    // must emit every doc at 0 bps with the -1 no-eval sentinel.
+    val docs = Seq(
+      (1L, (1 to 12).map(i => s"w$i").mkString(" ")),
+      (2L, (20 to 33).map(i => s"x$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val emptyEvals = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val gotEmpty = Decontam.evalContainmentGate(docs, emptyEvals)
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(gotEmpty == Map(1L -> ((0L, -1L, 0)), 2L -> ((0L, -1L, 0))))
+    // evals present but ALL too short to shingle -> same all-clean shape
+    val shortEvals = Seq((9L, "too short")).toDF("doc_id", "text")
+    val gotShort = Decontam.evalContainmentGate(docs, shortEvals)
+      .as[(Long, Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(gotShort == Map(1L -> ((0L, -1L, 0)), 2L -> ((0L, -1L, 0))))
+  }
+
   test("nearDupContamination flags only cross-side near-dups, keyed by the corpus doc") {
     // ids divisible by 5 play the benchmark; doc 11 is a light paraphrase
     // of bench doc 5, docs 12/13 are near-dups of each other (same side)

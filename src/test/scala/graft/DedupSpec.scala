@@ -584,6 +584,27 @@ class DedupSpec extends AnyFunSuite {
     assert(jaccardBps < 2000L, s"fixture must be a low-Jaccard pair, got $jaccardBps bps")
   }
 
+  test("containmentMd5Pairs: half-bp rounding-window pair at n=20000 is generated (ADVICE r10)") {
+    // The exact boundary the r10 prefix formula missed: n_a = n_b = 20000
+    // shingles, n_common = 15999 — round-half-up containment is EXACTLY
+    // 8000 bps both ways (2*10^4*15999 >= (2*8000-1)*20000 holds with
+    // equality), so the verify accepts, but the old floor((1-t)*n)+1 =
+    // 4001-shingle prefix is exactly each doc's 4001 UNSHARED (df=1,
+    // rarest-first) shingles — candidate generation silently skipped the
+    // pair. The rounded-threshold prefix (4002) must surface it.
+    val aWords = (0 to 20001).map(i => s"a$i")
+    val bWords = aWords.take(16001) ++ (0 to 4000).map(i => s"b$i")
+    val docs = Seq((1L, aWords.mkString(" ")), (2L, bWords.mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Dedup.containmentMd5Pairs(docs, thresholdBps = 8000L).collect()
+    assert(rows.length == 1, s"boundary pair must be generated, got ${rows.length} rows")
+    val r = rows.head
+    def g(n: String) = r.getLong(r.fieldIndex(n))
+    assert(g("id_a") == 1L && g("id_b") == 2L)
+    assert(g("n_a") == 20000L && g("n_b") == 20000L && g("n_common") == 15999L)
+    assert(g("cont_a_in_b_bps") == 8000L && g("cont_b_in_a_bps") == 8000L)
+  }
+
   test("quotedEvalContainment: planted quoted eval question detected, oriented (train, eval)") {
     // eval question 10 is quoted verbatim inside training doc 2; eval 11
     // is clean; train docs 2/3 share nothing with eval 11. The pair must
