@@ -459,15 +459,24 @@ object TimeSeries {
     * is seg-keyed — corpus work is one sketch aggregation plus a
     * (queries × users)-row integer close.
     */
-  def tsSketchRerankRecall(
-      ev: DataFrame,
-      maxQueryUser: Long = 4L,
-      k: Int = 5,
-      segments: Int = 180,
-      budgets: Seq[Int] = Seq(10, 25, 50, 100)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(budgets.nonEmpty && budgets.forall(_ >= 1), "positive candidate budgets")
-    val (series, _) = paaSeries(ev)
+  /** STAGE 1 of the two-stage rerank, exposed for the plan guard: the
+    * signed `segments`-number PAA sketch per user, its cosine against
+    * each query's sketch, and the per-query top-`budget` candidate ranks
+    * — ranked with the bounded-heap [[graft.functions.TopKAgg]]
+    * ([[Similarity.topKPerGroup]]), NOT a row_number window: a per-query
+    * window partition holds the whole candidate set (one partition = one
+    * corpus at all-pairs scale), while the heap caps what crosses the
+    * exchange at `budget` entries per (map partition, query).
+    * sk_cos_micro ≤ 10⁶ is exact in the heap's double and
+    * (score desc, id asc) is the identical tie order, so ranks replay
+    * bit-for-bit (VERDICT r10 #6; `PlanShapeSpec` pins no-Window).
+    * Columns: query_user, user_id, sk_cos_micro, rk (1-based).
+    */
+  private[graft] def sketchRankedCandidates(
+      series: DataFrame,
+      maxQueryUser: Long,
+      segments: Int,
+      budget: Int): DataFrame = {
     val span = series.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
     // signed per-segment sums — the PAA projection (not energies: the
     // sketch must preserve DIRECTION for a cosine ranking)
@@ -490,7 +499,7 @@ object TimeSeries {
       .agg(sum(col("qv") * col("sv")).as("dot"))
     val qK2 = k2.filter(col("user_id") < maxQueryUser)
       .select(col("user_id").as("query_user"), col("k2").as("q_k2"))
-    val scored = k2
+    val scoredAll = k2
       .crossJoin(broadcast(qK2)) // |users| × |queries| sketch close
       .filter(col("user_id") =!= col("query_user"))
       .join(dots, Seq("query_user", "user_id"), "left")
@@ -502,10 +511,20 @@ object TimeSeries {
             / (sqrt(col("q_k2").cast("double")) * sqrt(col("k2").cast("double")))
             * lit(1e6) + lit(0.5)).cast("long"))
           .otherwise(lit(0L)).as("sk_cos_micro"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_user"))
-          .orderBy(col("sk_cos_micro").desc, col("user_id"))))
-      .localCheckpoint(eager = true) // |users|×|queries| ranked sketch scores
+    Similarity.topKPerGroup(scoredAll, "query_user", "user_id", "sk_cos_micro", budget)
+      .withColumnRenamed("rank", "rk")
+  }
+
+  def tsSketchRerankRecall(
+      ev: DataFrame,
+      maxQueryUser: Long = 4L,
+      k: Int = 5,
+      segments: Int = 180,
+      budgets: Seq[Int] = Seq(10, 25, 50, 100)): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1), "positive candidate budgets")
+    val (series, _) = paaSeries(ev)
+    val scored = sketchRankedCandidates(series, maxQueryUser, segments, budgets.max)
+      .localCheckpoint(eager = true) // queries × max(budgets) ranked sketch rows
     val gold = tsSimilarityTopK(ev, maxQueryUser, k)
       .select(col("query_user"), col("user_id"))
       .localCheckpoint(eager = true) // queries×k ids

@@ -573,6 +573,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("sketch rerank: ranking is the bounded-heap TopKAgg, never a corpus-sized window sort") {
+    // VERDICT r10 #6: a row_number window partitioned by query holds the
+    // whole candidate set in one partition at all-pairs scale; the heap
+    // caps each map partition's contribution at the budget. Drive the
+    // STAGE-1 frame directly (the registered query checkpoints it, which
+    // would truncate the interesting part of the plan away); plan shape
+    // is data-independent, so a small in-memory series frame suffices.
+    import spark.implicits._
+    val hourly = Seq(
+      (0L, 490000L, 100L), (0L, 490003L, 40L), (1L, 490000L, 100L),
+      (7L, 490001L, 25L), (8L, 490002L, 60L), (9L, 490003L, 40L)
+    ).toDF("user_id", "hour", "v")
+    val staged = graft.ops.TimeSeries.sketchRankedCandidates(
+      hourly, maxQueryUser = 4L, segments = 180, budget = 100)
+    staged.count()
+    val plan = staged.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window ["), "no window ranking in the sketch stage")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      "the TopKAgg aggregation must be present in the ranking stage")
+  }
+
   test("filtered search: post-filter legs slice ONE checkpointed candidate frame, no re-probe") {
     val plan = executedPlan("ann_postfilter_recall")
     // past the wide-leg checkpoint only bounded frames join; the corpus
