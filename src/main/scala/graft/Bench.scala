@@ -27,6 +27,19 @@ object Bench {
     // shown up to 6× one-off noise (GC, page-cache misses, codegen compiles
     // landing mid-query) that a single sample can't distinguish from a real
     // plan regression.
+    // Streaming leg, reading 1 of 2: BEFORE the batch passes. The r10
+    // driver artifact read 5,676 ev/s where the same-day standalone runs
+    // read 11,025-13,405 — the single in-bench reading was the only
+    // headline metric without min/max-over-2 noise protection (VERDICT
+    // r10 #2). Two readings bracket the batch suite (one on the
+    // warmed-but-quiet JVM, one after 370 queries of page-cache/JIT
+    // heat); the metric line reports the MAX (throughput: noise only
+    // subtracts), and both raw readings ride the full JSON.
+    val streamEvents = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "200000").toInt
+    def streamReading(): Long =
+      try StreamBench.measure(spark, streamEvents)._1.round
+      catch { case _: Throwable => -1L }
+    val streamEps1 = streamReading()
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // A pass records a time ONLY for queries that ran to completion: a
     // transient failure must not contribute its (tiny) elapsed time to the
@@ -81,23 +94,23 @@ object Bench {
         "\"" + name + "\":" + resMap(name).map(f3(_)).getOrElse("null")
       }
       .mkString("{", ",", "}")
-    // Streaming leg: the BASELINE streaming gate (≥2,000 events/s through
-    // the LeaderBoard fan-out), measured in-process so every round's BENCH
-    // artifact carries the number machine-readably (it used to live only
-    // in BASELINE.md prose). 200k events keeps the added wall bounded;
-    // override with SPARK_GRAFT_STREAM_EVENTS for soak runs.
-    val streamEps =
-      try {
-        val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "200000").toInt
-        StreamBench.measure(spark, n)._1.round
-      } catch { case _: Throwable => -1L }
+    // Streaming leg, reading 2 of 2: AFTER the batch passes (the r9/r10
+    // position). The BASELINE streaming gate is ≥2,000 events/s through
+    // the LeaderBoard fan-out; 200k events keeps the added wall bounded
+    // (override with SPARK_GRAFT_STREAM_EVENTS for soak runs).
+    val streamEps2 = streamReading()
+    val streamEps = math.max(streamEps1, streamEps2)
     val fullPath = s"/tmp/graft_bench_$sfBase.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v4","stream_events_per_sec":$streamEps,"failed":$failedJson,"queries":$fullMap,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v4","stream_events_per_sec":$streamEps,"stream_eps_runs":[$streamEps1,$streamEps2],"failed":$failedJson,"queries":$fullMap,"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
-    // harness id min2-v4: same min-over-successful-passes-of-2 timing as
-    // v2/v3 (totals comparable round-4+), qcs36 per-query emission.
+    // harness id min2-v4: same min-over-successful-passes-of-2 batch
+    // timing as v2/v3 (totals comparable round-4+), qcs36 per-query
+    // emission. Round 11 adds the max-of-2 streaming bracket (batch
+    // timing untouched, so the id stays): stream_events_per_sec is
+    // max(stream_eps_runs), readings taken before and after the batch
+    // suite.
     //
     // The metric line must be the LAST thing on stdout (r4-r6 shipped
     // "parsed": null because shutdown log lines and sbt's "[success]"
@@ -108,7 +121,7 @@ object Bench {
     org.apache.log4j.LogManager.getRootLogger.setLevel(org.apache.log4j.Level.OFF)
     System.err.flush()
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v4","sf":"$sfBase","n":${ordered.size},"order":"name-sorted","stream_events_per_sec":$streamEps,"failed":$failedJson,"qcs36":"$qcs36","full":"$fullPath"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v4","sf":"$sfBase","n":${ordered.size},"order":"name-sorted","stream_events_per_sec":$streamEps,"stream_eps_runs":[$streamEps1,$streamEps2],"failed":$failedJson,"qcs36":"$qcs36","full":"$fullPath"}"""
     )
     System.out.flush()
   }
