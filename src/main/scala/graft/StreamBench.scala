@@ -34,30 +34,39 @@ object StreamBench {
     val parsed = Parse
       .parseGameEvents(input.toDF())
       .select(col("user"), col("team"), col("score"), col("event_time"))
-    val teamQ = LeaderBoardStream
-      .calculateTeamScores(parsed, teamWindowMinutes = 60, allowedLatenessMinutes = 120)
-      .writeStream.format("memory").queryName("sb_team").outputMode("update").start()
-    val userQ = LeaderBoardStream
-      .calculateUserScores(parsed)
-      .writeStream.format("memory").queryName("sb_user").outputMode("update").start()
+    // Stop the queries on EVERY exit path: Bench takes two bracketed
+    // readings with the same sb_team/sb_user query names, so a query
+    // leaked by a mid-run exception in reading 1 would make reading 2's
+    // start() fail too — a transient pre-batch hiccup must not forfeit
+    // the other reading (ADVICE r11).
+    var started = List.empty[org.apache.spark.sql.streaming.StreamingQuery]
+    try {
+      val teamQ = LeaderBoardStream
+        .calculateTeamScores(parsed, teamWindowMinutes = 60, allowedLatenessMinutes = 120)
+        .writeStream.format("memory").queryName("sb_team").outputMode("update").start()
+      started ::= teamQ
+      val userQ = LeaderBoardStream
+        .calculateUserScores(parsed)
+        .writeStream.format("memory").queryName("sb_user").outputMode("update").start()
+      started ::= userQ
 
-    // Warm both queries' plans with one tiny batch before timing.
-    input.addData(lines.take(100))
-    teamQ.processAllAvailable(); userQ.processAllAvailable()
+      // Warm both queries' plans with one tiny batch before timing.
+      input.addData(lines.take(100))
+      teamQ.processAllAvailable(); userQ.processAllAvailable()
 
-    val t0 = System.nanoTime()
-    val per = math.max(1, n / batches)
-    lines.drop(100).grouped(per).foreach { b =>
-      input.addData(b)
-      teamQ.processAllAvailable()
-      userQ.processAllAvailable()
-    }
-    val sec = (System.nanoTime() - t0) / 1e9
-    val eps = (n - 100) / sec
-    val teams = spark.table("sb_team").select("team").distinct().count()
-    val users = spark.table("sb_user").select("user").distinct().count()
-    teamQ.stop(); userQ.stop()
-    (eps, teams, users)
+      val t0 = System.nanoTime()
+      val per = math.max(1, n / batches)
+      lines.drop(100).grouped(per).foreach { b =>
+        input.addData(b)
+        teamQ.processAllAvailable()
+        userQ.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val eps = (n - 100) / sec
+      val teams = spark.table("sb_team").select("team").distinct().count()
+      val users = spark.table("sb_user").select("user").distinct().count()
+      (eps, teams, users)
+    } finally started.foreach(q => scala.util.Try(q.stop()))
   }
 
   def main(args: Array[String]): Unit = {

@@ -77,8 +77,8 @@ object Decontam {
     * eval-set frame (|evals|-row), per-pair set intersects map-side, one
     * partial-aggregated max per doc — the right plan when |evals| is
     * small; [[Dedup.quotedEvalContainment]]'s prefix-filter form is for
-    * suites too large to broadcast. Unlike the pair screen this emits
-    * EVERY doc (zero-overlap docs at 0 bps — including when the eval
+    * suites too large to broadcast. Unlike the pair screen this emits one
+    * row per DISTINCT doc id (zero-overlap docs at 0 bps — including when the eval
     * frame itself is empty: the per-doc best LEFT-joins back onto an
     * ids-only corpus projection, so the gate degrades to all-clean, never
     * to zero rows), so downstream gates join it like `gopher_rules`. The
@@ -113,9 +113,13 @@ object Decontam {
     // annihilates when the eval frame is empty (or every eval text is too
     // short to shingle), and an all-clean gate must emit every doc at
     // 0 bps — not zero rows that an inner-joining downstream stage would
-    // read as "drop the whole corpus" (ADVICE r10; DecontamSpec pins it)
+    // read as "drop the whole corpus" (ADVICE r10; DecontamSpec pins it).
+    // The spine is the DISTINCT id projection: the gate's contract is one
+    // row per doc ID (the groupBy side already dedupes), so a source that
+    // repeats an id must not fan the gate out (ADVICE r11).
     docs
       .select(col(idCol))
+      .distinct()
       .join(scored, Seq(idCol), "left")
       .select(
         col(idCol),

@@ -240,6 +240,7 @@ object TimeSeries {
     * sums and their total energies, both checkpointed.
     */
   private def paaSeries(ev: DataFrame): (DataFrame, DataFrame) = {
+    import graft.functions.ExactDecimal.d
     val series = ev
       .select(
         col("user_id"),
@@ -248,8 +249,12 @@ object TimeSeries {
       .groupBy(col("user_id"), col("hour"))
       .agg(sum(col("v")).as("v"))
       .localCheckpoint(eager = true) // reused: energies, seed dots, verify dots
+    // total energy in DECIMAL(38,0), matching the oracle's HUGEINT: a
+    // plain LONG Σv² wraps silently once a user's energy clears 2⁶³ and
+    // the two engines would diverge exactly at the extreme energies the
+    // overflow-safe bound exists for (ADVICE r11)
     val s2 = series.groupBy(col("user_id"))
-      .agg(sum(col("v") * col("v")).as("s2"))
+      .agg(sum(d(col("v")) * d(col("v"))).as("s2"))
       .localCheckpoint(eager = true) // |users| rows
     (series, s2)
   }
@@ -271,16 +276,19 @@ object TimeSeries {
         col("user_id"),
         expr(s"(hour - lo) * $segments DIV (hi - lo + 1)").as("seg"),
         col("v"))
+      // per-segment energy accumulated in DECIMAL(38,0) like the oracle's
+      // HUGEINT — a LONG Σv² would wrap silently at the very energies the
+      // root-product bound is overflow-safe for (ADVICE r11)
       .groupBy(col("user_id"), col("seg"))
-      .agg(sum(col("v") * col("v")).as("e"))
+      .agg(sum(d(col("v")) * d(col("v"))).as("e"))
       // ceil√e computed ONCE per (user, segment) sketch cell: bounding
       // with ceil√e_q · ceil√e_u ≥ √(e_q·e_u) keeps every isqrt argument
-      // a single energy (≲10¹⁸ here) instead of the r10 product e_q·e_u,
-      // whose decimal(38,0) overflow would null out — and sum() silently
+      // a single energy instead of the r10 product e_q·e_u, whose
+      // decimal(38,0) overflow would null out — and sum() silently
       // skip — exactly the largest terms, UNDERSTATING the bound and
       // breaking never-false-dismissal at extreme per-segment energies
       // (ADVICE r10). Products of the roots stay ≤ ~10¹⁹ per term.
-      .select(col("user_id"), col("seg"), col("e"), isqrtCeil(d(col("e"))).as("ec"))
+      .select(col("user_id"), col("seg"), col("e"), isqrtCeil(col("e")).as("ec"))
       .localCheckpoint(eager = true) // ≤ |users|×segments rows
     val qE = segE.filter(col("user_id") < maxQueryUser)
       .select(col("user_id").as("query_user"), col("seg"), col("ec").as("qec"))
@@ -351,7 +359,10 @@ object TimeSeries {
       .select(
         col("query_user"), col("user_id"),
         coalesce(col("n_shared_hours"), lit(0L)).as("n_shared_hours"),
-        (col("q_s2") + col("s2") - lit(2L) * coalesce(col("dot"), lit(0L))).as("dist2"),
+        // energies are decimal(38,0); the reported distance casts back to
+        // the oracle's BIGINT output type after the exact decimal close
+        (col("q_s2") + col("s2") - lit(2L) * coalesce(col("dot"), lit(0L)))
+          .cast("long").as("dist2"),
         when(col("s2") > 0 && col("q_s2") > 0,
           floor(coalesce(col("dot"), lit(0L)).cast("double")
             / (sqrt(col("q_s2").cast("double")) * sqrt(col("s2").cast("double")))
