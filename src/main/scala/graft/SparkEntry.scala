@@ -2055,6 +2055,19 @@ object SparkEntry {
       // discipline applied to series; ops/TimeSeries.scala).
       graft.ops.TimeSeries.tsSketchRerankRecall(eventsTable(s, dir))
     },
+    "ts_allpairs_neighbors" -> { (s, dir) =>
+      // The ALL-PAIRS production path closed: signed-PAA sketches hash
+      // through md5 sign planes (SimHash-family LSH), 4 bands × 4 bits
+      // bucket the candidates (never a user×user product), survivors are
+      // exact-verified and heap-ranked per user; the row reports per-user
+      // recall vs the exact cosine top-5 gold — the measured price of the
+      // banding. Priced finding: true neighbors here sit at cos ≈ 0.25,
+      // where sign planes are near coin-flips — recall is only ~1.45× a
+      // random sample at every swept config, so banding serves the
+      // near-dup (cos ≳ 0.7) regime and the sketch-RANKED budget path
+      // stays the low-cosine stage 1 (ops/TimeSeries.scala).
+      graft.ops.TimeSeries.allPairsNeighborsRecall(eventsTable(s, dir))
+    },
     "ts_sax_words" -> { (s, dir) =>
       // SAX symbolic words over per-user hourly series: global-span PAA
       // slice means (exact micro), data-driven quartile breakpoints
@@ -5996,6 +6009,105 @@ object SparkEntry {
       |SELECT c_budget, n_gold, n_hit,
       |  CAST((2 * 1000000 * n_hit + n_gold) // (2 * n_gold) AS BIGINT) AS recall_micro
       |FROM ($legs)""".stripMargin
+  }
+
+  /** Banded all-pairs TS neighbor replay (`ts_allpairs_neighbors`): the
+    * signed PAA sketch, md5 sign-plane bits ("tsp-<j>-<seg>" low bit of
+    * digest byte 3), r-bit band keys, bucket pairing with the 2..maxBucket
+    * cap, shared-hour exact verify, per-user top-k, and the per-user
+    * recall against the exact all-pairs cosine gold — mirrors
+    * [[graft.ops.TimeSeries.allPairsNeighborsRecall]].
+    */
+  private def tsAllPairsOracle(
+      k: Int, segments: Int, nbits: Int, bands: Int, maxBucket: Int): String = {
+    val r = nbits / bands
+    s"""WITH sr AS MATERIALIZED (
+      |  SELECT user_id, epoch_ms(ts) // 3600000 AS hour,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2
+      |), span AS (SELECT min(hour) AS lo, max(hour) AS hi FROM sr),
+      |sk AS MATERIALIZED (
+      |  SELECT user_id, (hour - sp.lo) * $segments // (sp.hi - sp.lo + 1) AS seg,
+      |    CAST(sum(v) AS BIGINT) AS sv
+      |  FROM sr, span sp GROUP BY 1, 2
+      |), planes AS MATERIALIZED (
+      |  SELECT j.j AS j, d.d AS seg,
+      |    CASE WHEN CAST(('0x' || substr(md5('tsp-' || CAST(j.j AS VARCHAR) || '-'
+      |        || CAST(d.d AS VARCHAR)), 7, 2)) AS INTEGER) % 2 = 1
+      |      THEN 1 ELSE -1 END AS sgn
+      |  FROM range($nbits) j(j), range($segments) d(d)
+      |), proj AS (
+      |  SELECT s.user_id, p.j, CAST(sum(s.sv * p.sgn) AS HUGEINT) AS pr
+      |  FROM sk s JOIN planes p ON p.seg = s.seg GROUP BY 1, 2
+      |), bandkey AS MATERIALIZED (
+      |  SELECT user_id, j // $r AS band,
+      |    CAST(sum(CASE WHEN pr > 0 THEN (1 << CAST(j % $r AS INT)) ELSE 0 END) AS BIGINT) AS bk
+      |  FROM proj GROUP BY 1, 2
+      |), bucket_ok AS (
+      |  SELECT band, bk FROM bandkey GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $maxBucket
+      |), cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.user_id AS id_a, b.user_id AS id_b
+      |  FROM bucket_ok o
+      |  JOIN bandkey a ON a.band = o.band AND a.bk = o.bk
+      |  JOIN bandkey b ON b.band = o.band AND b.bk = o.bk AND a.user_id < b.user_id
+      |), s2 AS MATERIALIZED (
+      |  SELECT user_id, CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+      |  FROM sr GROUP BY 1
+      |), pdots AS (
+      |  SELECT c.id_a, c.id_b, CAST(sum(sa.v * sb.v) AS BIGINT) AS dot
+      |  FROM cand c
+      |  JOIN sr sa ON sa.user_id = c.id_a
+      |  JOIN sr sb ON sb.user_id = c.id_b AND sb.hour = sa.hour
+      |  GROUP BY 1, 2
+      |), scored AS MATERIALIZED (
+      |  SELECT c.id_a, c.id_b,
+      |    CASE WHEN ua.s2 > 0 AND ub.s2 > 0 THEN
+      |      CAST(floor(CAST(coalesce(d.dot, 0) AS DOUBLE)
+      |        / (sqrt(CAST(ua.s2 AS DOUBLE)) * sqrt(CAST(ub.s2 AS DOUBLE)))
+      |        * 1e6 + 0.5e0) AS BIGINT)
+      |    ELSE 0 END AS cos_micro
+      |  FROM cand c
+      |  JOIN s2 ua ON ua.user_id = c.id_a
+      |  JOIN s2 ub ON ub.user_id = c.id_b
+      |  LEFT JOIN pdots d ON d.id_a = c.id_a AND d.id_b = c.id_b
+      |), btop AS MATERIALIZED (
+      |  SELECT user_id, neighbor_id FROM (
+      |    SELECT user_id, neighbor_id, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY cos_micro DESC, neighbor_id) AS rk
+      |    FROM (SELECT id_a AS user_id, id_b AS neighbor_id, cos_micro FROM scored
+      |          UNION ALL
+      |          SELECT id_b, id_a, cos_micro FROM scored)
+      |  ) WHERE rk <= $k
+      |), gdots AS (
+      |  SELECT a.user_id AS ua, b.user_id AS ub, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+      |  FROM sr a JOIN sr b ON b.hour = a.hour AND b.user_id != a.user_id
+      |  GROUP BY 1, 2
+      |), gtop AS MATERIALIZED (
+      |  SELECT user_id, neighbor_id FROM (
+      |    SELECT ua.user_id, ub.user_id AS neighbor_id,
+      |      row_number() OVER (PARTITION BY ua.user_id ORDER BY
+      |        CASE WHEN ua.s2 > 0 AND ub.s2 > 0 THEN
+      |          CAST(floor(CAST(coalesce(d.dot, 0) AS DOUBLE)
+      |            / (sqrt(CAST(ua.s2 AS DOUBLE)) * sqrt(CAST(ub.s2 AS DOUBLE)))
+      |            * 1e6 + 0.5e0) AS BIGINT)
+      |        ELSE 0 END DESC, ub.user_id) AS rk
+      |    FROM s2 ua CROSS JOIN s2 ub
+      |    LEFT JOIN gdots d ON d.ua = ua.user_id AND d.ub = ub.user_id
+      |    WHERE ub.user_id != ua.user_id
+      |  ) WHERE rk <= $k
+      |), gcnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gold FROM gtop GROUP BY 1),
+      |bcnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_banded FROM btop GROUP BY 1),
+      |hcnt AS (
+      |  SELECT g.user_id, CAST(count(*) AS BIGINT) AS n_hit
+      |  FROM gtop g JOIN btop b ON b.user_id = g.user_id AND b.neighbor_id = g.neighbor_id
+      |  GROUP BY 1
+      |)
+      |SELECT g.user_id, g.n_gold,
+      |  CAST(coalesce(b.n_banded, 0) AS BIGINT) AS n_banded,
+      |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST((2 * 1000000 * coalesce(h.n_hit, 0) + g.n_gold)
+      |    // (2 * g.n_gold) AS BIGINT) AS recall_micro
+      |FROM gcnt g LEFT JOIN bcnt b USING (user_id) LEFT JOIN hcnt h USING (user_id)""".stripMargin
   }
 
   /** Exact top-1 TS neighbor chain (`top1`), shared by the SAX recall
@@ -10274,6 +10386,7 @@ object SparkEntry {
     "ts_paa_pruned_topk" -> tsBruteTopKOracle,
     "ts_paa_prune_stats" -> tsPaaPruneStatsOracle(Seq(8, 32, 64, 180)),
     "ts_sketch_rerank_recall" -> tsSketchRerankOracle(180, 5, Seq(10, 25, 50, 100)),
+    "ts_allpairs_neighbors" -> tsAllPairsOracle(5, 180, 16, 4, 1000),
     "ivf_nprobe_sweep" -> ivfNprobeSweepOracle,
     "ivf_anchor_sweep" -> ivfAnchorSweepOracle,
     "daily_theil_sen" ->

@@ -145,8 +145,11 @@ object Dedup {
 
   /** All ordered pairs (a_i, a_j), i<j, of a sorted id array — as a single
     * array expression, so bucket-pair generation never leaves the executor.
+    * Shared with the banded time-series neighbor search
+    * ([[TimeSeries.allPairsNeighbors]]), whose bucket→pair stage is the
+    * same shape.
     */
-  private def orderedPairs(sortedIds: Column): Column =
+  private[ops] def orderedPairs(sortedIds: Column): Column =
     flatten(
       transform(
         sortedIds,

@@ -595,6 +595,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "the TopKAgg aggregation must be present in the ranking stage")
   }
 
+  test("ts all-pairs: candidate generation is BANDED — no user×user join in the production stage") {
+    // VERDICT r11 #1's done-criterion: the pair stage must be a bucket
+    // explosion off the band-key aggregation, never a join whose two
+    // sides are both user-keyed corpus frames. Drive the candidate
+    // stage directly (the production operator checkpoints it, which
+    // would truncate the plan); shape is data-independent.
+    import spark.implicits._
+    val hourly = Seq(
+      (0L, 490000L, 100L), (0L, 490003L, 40L), (1L, 490000L, 100L),
+      (7L, 490001L, 25L), (8L, 490002L, 60L), (9L, 490003L, 40L)
+    ).toDF("user_id", "hour", "v")
+    val pairs = graft.ops.TimeSeries.allPairsCandidatePairs(
+      hourly, segments = 180, nbits = 16, bands = 4, maxBucket = 1000)
+    pairs.count()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "unbanded user×user product in the plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "unbanded user×user product in the plan")
+    assert(plan.contains("ObjectHashAggregate"), "bucket collect_list stage missing")
+  }
+
   test("filtered search: post-filter legs slice ONE checkpointed candidate frame, no re-probe") {
     val plan = executedPlan("ann_postfilter_recall")
     // past the wide-leg checkpoint only bounded frames join; the corpus

@@ -319,4 +319,39 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rec.getInt(rec.fieldIndex("same_bucket")) == 1, "the twin shares the 1-segment word")
   }
 
+  test("allPairsNeighbors: same-direction twins collide in EVERY band and verify at cos 1; recall face scores them") {
+    // user 1 = 2× user 0 (cosine exactly 1, sketch signs identical →
+    // band keys identical in all bands, collision GUARANTEED — the
+    // near-dup regime the banding serves); user 2 anti-correlated with
+    // 0/1 (all sketch signs flipped); users 3-6 scattered; user 7 shares
+    // no hours with anyone
+    def ev(u: Long, h: Long, v: Double) = (u, h * 3600000L, v)
+    val rows = (Seq(
+      ev(0L, 0, 3.0), ev(0L, 2, 4.0), ev(0L, 4, -2.0),
+      ev(1L, 0, 6.0), ev(1L, 2, 8.0), ev(1L, 4, -4.0),
+      ev(2L, 0, -3.0), ev(2L, 2, -4.0), ev(2L, 4, 2.0)
+    ) ++ (3L to 6L).flatMap(u => Seq(ev(u, u * 2, 1.0), ev(u, u * 2 + 9, 5.0)))
+      ++ Seq(ev(7L, 40, 1.0)))
+      .toDF("user_id", "ts_ms", "value")
+    val top = graft.ops.TimeSeries.allPairsNeighbors(rows, k = 3)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("user_id")), r.getInt(r.fieldIndex("rank"))) ->
+        (r.getLong(r.fieldIndex("neighbor_id")), r.getLong(r.fieldIndex("cos_micro"))))
+      .toMap
+    assert(top((0L, 1)) == ((1L, 1000000L)), s"twin must verify at cosine 1: ${top.get((0L, 1))}")
+    assert(top((1L, 1)) == ((0L, 1000000L)), "the pair is DIRECTED both ways")
+    val rec = graft.ops.TimeSeries.allPairsNeighborsRecall(rows, k = 3)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("user_id")) ->
+        (r.getLong(r.fieldIndex("n_gold")), r.getLong(r.fieldIndex("n_banded")),
+          r.getLong(r.fieldIndex("n_hit")), r.getLong(r.fieldIndex("recall_micro"))))
+      .toMap
+    assert(rec.keySet == (0L to 7L).toSet, "every active user gets a recall row")
+    // the twin is user 0's exact top-1 AND a guaranteed banded hit
+    assert(rec(0L)._1 == 3L && rec(0L)._3 >= 1L && rec(0L)._4 >= 333333L, rec(0L).toString)
+    rec.values.foreach { case (g, b, h, r) =>
+      assert(h <= math.min(g, b) && r == math.round(1e6 * h / g), s"inconsistent row ($g,$b,$h,$r)")
+    }
+  }
+
 }
