@@ -1368,6 +1368,20 @@ object SparkEntry {
       // containment family (ops/Dedup.scala).
       graft.ops.Dedup.containmentMinhashEst(table(s, dir, "documents"))
     },
+    "decontam_two_stage" -> { (s, dir) =>
+      // The 100 TB decontam shape closed: stage 1 scores every
+      // (doc, eval) pair from 64-member signatures alone (the priced
+      // estimator), stage 2 exact-verifies every estimate at or above
+      // threshold − 1500 bps — ONE-SIDED trust, so positives are always
+      // exact and only an underestimate past the margin can diverge.
+      // One row: pairs scored vs verified (54 of 1.78M at sf0.1) and the
+      // measured disagreement vs the exact broadcast gate (0 at both
+      // SFs) (ops/Decontam.scala).
+      val docs = table(s, dir, "documents")
+      graft.ops.Decontam.twoStageReport(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0))
+    },
     "decontam_quoted_evals" -> { (s, dir) =>
       // Contamination by QUOTATION — the case n-gram-share decontam
       // underweights: an eval question quoted inside a larger training
@@ -9156,6 +9170,59 @@ object SparkEntry {
         |  eval_id AS worst_eval_id,
         |  CAST(bps >= 8000 AS INT) AS contaminated
         |FROM best""".stripMargin,
+    "decontam_two_stage" ->
+      s"""$Md5SigCtes,
+        |ev AS MATERIALIZED (
+        |  SELECT doc_id AS eval_id, hset AS es, CAST(len(hset) AS BIGINT) AS n_e
+        |  FROM hs WHERE doc_id % 13 = 0 AND len(hset) > 0
+        |), tr AS MATERIALIZED (
+        |  SELECT d.doc_id, coalesce(h.hset, []) AS ds,
+        |    CAST(coalesce(len(h.hset), 0) AS BIGINT) AS n_d
+        |  FROM documents d LEFT JOIN hs h USING (doc_id)
+        |  WHERE d.doc_id % 13 != 0
+        |), mm AS MATERIALIZED (
+        |  SELECT sa.doc_id, se.doc_id AS eval_id,
+        |    CAST(sum(CASE WHEN sa.m = se.m THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |  FROM sig sa JOIN sig se ON se.j = sa.j
+        |  WHERE sa.doc_id % 13 != 0 AND se.doc_id % 13 = 0
+        |  GROUP BY 1, 2
+        |), est AS MATERIALIZED (
+        |  SELECT t.doc_id, e.eval_id,
+        |    (2*10000*coalesce(m.n_match,0)*(t.n_d + e.n_e) + (64 + coalesce(m.n_match,0))*e.n_e)
+        |      // (2*(64 + coalesce(m.n_match,0))*e.n_e) AS est_bps
+        |  FROM tr t CROSS JOIN ev e
+        |  LEFT JOIN mm m ON m.doc_id = t.doc_id AND m.eval_id = e.eval_id
+        |), vrf AS (
+        |  SELECT s.doc_id, s.eval_id,
+        |    (2*10000*len(list_filter(e.es, x -> list_contains(t.ds, x))) + len(e.es))
+        |      // (2*len(e.es)) AS exact_bps
+        |  FROM est s JOIN tr t USING (doc_id) JOIN ev e USING (eval_id)
+        |  WHERE s.est_bps >= 6500
+        |), dec AS MATERIALIZED (
+        |  SELECT s.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN s.est_bps >= 6500 THEN 1 ELSE 0 END) AS BIGINT) AS n_band,
+        |    max(CASE WHEN v.exact_bps >= 8000 THEN 1 ELSE 0 END) AS contam2
+        |  FROM est s LEFT JOIN vrf v ON v.doc_id = s.doc_id AND v.eval_id = s.eval_id
+        |  GROUP BY 1
+        |), exg AS MATERIALIZED (
+        |  SELECT t.doc_id,
+        |    max(CASE WHEN (2*10000*len(list_filter(e.es, x -> list_contains(t.ds, x)))
+        |        + len(e.es)) // (2*len(e.es)) >= 8000 THEN 1 ELSE 0 END) AS contam1
+        |  FROM tr t CROSS JOIN ev e
+        |  GROUP BY 1
+        |)
+        |SELECT
+        |  CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_docs,
+        |  CAST((SELECT count(*) FROM est) AS BIGINT) AS n_pairs_scored,
+        |  CAST((SELECT coalesce(sum(n_band), 0) FROM dec) AS BIGINT) AS n_pairs_verified,
+        |  CAST((2*10000*((SELECT count(*) FROM est) - (SELECT coalesce(sum(n_band),0) FROM dec))
+        |      + greatest((SELECT count(*) FROM est), 1))
+        |    // (2*greatest((SELECT count(*) FROM est), 1)) AS BIGINT) AS verify_reduction_bps,
+        |  CAST((SELECT coalesce(sum(contam2), 0) FROM dec) AS BIGINT) AS n_contam_two_stage,
+        |  CAST((SELECT coalesce(sum(contam1), 0) FROM exg) AS BIGINT) AS n_contam_exact,
+        |  CAST((SELECT coalesce(sum(CASE WHEN d.contam2 != g.contam1 THEN 1 ELSE 0 END), 0)
+        |        FROM dec d JOIN exg g USING (doc_id)) AS BIGINT) AS n_disagree""".stripMargin,
     "containment_minhash_est" ->
       s"""$Md5SigCtes, ${containmentCtes(8000L)},
         |matches AS (

@@ -129,6 +129,152 @@ object Decontam {
           .cast("int").as("contaminated"))
   }
 
+  /** TWO-STAGE decontamination gate — the shape that survives a 100 TB
+    * corpus × full eval-suite product. [[evalContainmentGate]] intersects
+    * every doc's FULL shingle set with every eval's (|docs|·|evals| exact
+    * set intersections — the expensive stage at scale);
+    * `containment_minhash_est` proved a 64-member MinHash signature plus
+    * set sizes estimates containment within ~73 bps on containment-grade
+    * pairs. So: STAGE 1 scores every (doc, eval) pair from signatures
+    * alone (64 integer compares per pair — no set ever touched: the
+    * per-doc index row is `(n_d, sig)`, built in one scan and
+    * checkpointed); STAGE 2 exact-verifies EVERY pair the sketch scores
+    * at or above `thresholdBps − marginBps`, fetching just those docs'
+    * sets. The trust is deliberately ONE-SIDED: positives are never taken
+    * from the sketch (on tiny eval sets — 8-gram items here — the
+    * J-based estimate can exceed 10000 bps against an exact 1250, so a
+    * trusted-hot region would over-drop), only sufficiently-low
+    * negatives are. A decision can therefore differ from the exact
+    * gate's ONLY when the sketch UNDERESTIMATES by more than the margin
+    * (a false negative); [[twoStageReport]] measures that residue —
+    * 0 at both test SFs, with 54 of 1.78M pairs verified at sf0.1.
+    *
+    * Estimate: from Ĵ = m/64 and exact sizes, |D∩E| ≈ Ĵ(n_d+n_e)/(1+Ĵ),
+    * so eval-side containment ≈ m·(n_d+n_e) / ((64+m)·n_e) — evaluated
+    * as an exact round-half-up rational (the [[Dedup.containmentMinhashEst]]
+    * formula, oriented eval-side). Docs too short to shingle score 0
+    * (clean), mirroring the exact gate. One row per DISTINCT doc id:
+    * (id, max_est_bps, n_pairs, n_verified_pairs, contaminated).
+    */
+  def twoStageGate(
+      docs: DataFrame,
+      evals: DataFrame,
+      thresholdBps: Long = 8000L,
+      marginBps: Long = 1500L,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    require(marginBps >= 0 && marginBps < thresholdBps, "margin must sit inside the threshold")
+    val lo = thresholdBps - marginBps
+    val evBase = evals
+      .select(col(idCol).cast("long").as("eval_id"),
+        graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("es"))
+      .filter(size(col("es")) > 0)
+      .localCheckpoint(eager = true) // |evals| rows; read by sig + verify legs
+    val evSig = evBase.select(
+      col("eval_id"), size(col("es")).cast("long").as("n_e"),
+      Dedup.minhashMd5Signature(col("es"), numHashes).as("esig"))
+    // the per-doc INDEX row — one corpus scan, then stage 1 never touches
+    // text or sets again (at 100 TB this frame is what the build step
+    // persists next to the corpus)
+    val docSig = docs
+      .select(col(idCol),
+        graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("ds"))
+      .select(col(idCol), size(col("ds")).cast("long").as("n_d"),
+        Dedup.minhashMd5Signature(col("ds"), numHashes).as("dsig"))
+      .localCheckpoint(eager = true) // |docs| × (1 + numHashes) longs
+    val est = docSig
+      .crossJoin(broadcast(evSig)) // |evals|-row suite, stage 1 is signature-only
+      .select(col(idCol), col("eval_id"), col("n_d"), col("n_e"),
+        when(col("dsig").isNotNull,
+          aggregate(zip_with(col("dsig"), col("esig"), (x, y) => (x === y).cast("long")),
+            lit(0L), (acc, x) => acc + x))
+          .otherwise(lit(0L)).as("m"))
+      .select(col(idCol), col("eval_id"),
+        scaledRatio(
+          col("m") * (col("n_d") + col("n_e")),
+          (lit(numHashes.toLong) + col("m")) * col("n_e"),
+          10000L).cast("long").as("est_bps"))
+    val band = est
+      .filter(col("est_bps") >= lo)
+      .select(col(idCol), col("eval_id"))
+      .localCheckpoint(eager = true) // the measured sliver stage 2 pays for
+    // stage 2: sets computed AFTER the band cut, for band docs only
+    val verified = band
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .select(col(idCol), col("eval_id"),
+        graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("ds"))
+      .join(broadcast(evBase), Seq("eval_id"))
+      .select(col(idCol), col("eval_id"),
+        scaledRatio(
+          size(array_intersect(col("ds"), col("es"))).cast("long"),
+          size(col("es")).cast("long"),
+          10000L).cast("long").as("exact_bps"))
+    val perDoc = est
+      .join(verified, Seq(idCol, "eval_id"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        max(col("est_bps")).as("max_est_bps"),
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("est_bps") >= lo, 1L).otherwise(0L)).as("n_verified_pairs"),
+        // a positive is ONLY ever an exact-verified positive
+        max(when(col("exact_bps") >= thresholdBps, 1).otherwise(0)).as("contaminated"))
+    // same empty-safe distinct-id spine as the exact gate
+    docs
+      .select(col(idCol))
+      .distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("max_est_bps"), lit(0L)).as("max_est_bps"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_verified_pairs"), lit(0L)).as("n_verified_pairs"),
+        coalesce(col("contaminated"), lit(0)).cast("int").as("contaminated"))
+  }
+
+  /** The measured face of [[twoStageGate]]: runs BOTH the two-stage gate
+    * and the exact [[evalContainmentGate]] over the same frames and
+    * reports, in one row, the work stage 2 skipped
+    * (`verify_reduction_bps`) and the decisions it got wrong for it
+    * (`n_disagree` — structurally false-negative-only, 0 whenever no
+    * trusted-clean estimate underestimated past the margin).
+    */
+  def twoStageReport(
+      docs: DataFrame,
+      evals: DataFrame,
+      thresholdBps: Long = 8000L,
+      marginBps: Long = 1500L,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    val two = twoStageGate(
+      docs, evals, thresholdBps, marginBps, shingleN, numHashes, idCol, textCol)
+    val exact = evalContainmentGate(docs, evals, thresholdBps, shingleN, idCol, textCol)
+      .select(col(idCol), col("contaminated").as("contam_exact"))
+    two
+      .join(exact, Seq(idCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_pairs")).as("n_pairs_scored"),
+        sum(col("n_verified_pairs")).as("n_pairs_verified"),
+        sum(col("contaminated").cast("long")).as("n_contam_two_stage"),
+        sum(col("contam_exact").cast("long")).as("n_contam_exact"),
+        sum((col("contaminated") =!= col("contam_exact")).cast("long")).as("n_disagree"))
+      .select(
+        col("n_docs"), col("n_pairs_scored"), col("n_pairs_verified"),
+        scaledRatio(
+          col("n_pairs_scored") - col("n_pairs_verified"),
+          greatest(col("n_pairs_scored"), lit(1L)),
+          10000L).cast("long").as("verify_reduction_bps"),
+        col("n_contam_two_stage"), col("n_contam_exact"), col("n_disagree"))
+  }
+
   /** The surviving corpus: documents sharing NO n-gram with the benchmark.
     * The contaminated-id set from [[overlapCounts]] is itself small (hits
     * only), so the final anti-join broadcasts too — the corpus is scanned,

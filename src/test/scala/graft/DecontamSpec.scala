@@ -107,6 +107,44 @@ class DecontamSpec extends AnyFunSuite {
     assert(gotShort == Map(1L -> ((0L, -1L, 0)), 2L -> ((0L, -1L, 0))))
   }
 
+  test("twoStageGate: positives are always exact-verified; decisions match the exact gate; report row consistent") {
+    // eval 20 quoted verbatim inside doc 1 (contaminated, must be CAUGHT
+    // by the sketch band and CONFIRMED exactly); doc 2 shares a few
+    // shingles with eval 20 (low containment, trusted clean from the
+    // sketch); doc 3 disjoint; doc 4 shingle-less (clean at 0 bps)
+    val question = (1 to 30).map(i => s"q$i").mkString(" ")
+    val evals = Seq(
+      (20L, question),
+      (21L, (50 to 90).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "intro text " + question + " " + (100 to 140).map(i => s"t$i").mkString(" ")),
+      (2L, "q1 q2 q3 q4 " + (300 to 340).map(i => s"s$i").mkString(" ")),
+      (3L, (200 to 260).map(i => s"u$i").mkString(" ")),
+      (4L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val two = Decontam.twoStageGate(docs, evals)
+      .as[(Long, Long, Long, Long, Int)]
+      .collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5))
+      .toMap
+    assert(two.keySet == Set(1L, 2L, 3L, 4L), "every doc gets a row")
+    assert(two(1L)._4 == 1, "the quoting doc is contaminated")
+    assert(two(1L)._3 >= 1L, "...and its decision came from an exact verify, never the sketch alone")
+    assert(two(3L) == ((0L, 2L, 0L, 0)), "disjoint doc: est 0 against both evals, nothing verified")
+    assert(two(4L)._4 == 0 && two(4L)._1 == 0L, "shingle-less doc scores 0, clean")
+    // bit-for-bit agreement with the exact broadcast gate on this fixture
+    val exact = Decontam.evalContainmentGate(docs, evals)
+      .select("doc_id", "contaminated").as[(Long, Int)].collect().toMap
+    two.foreach { case (id, (_, _, _, c)) => assert(c == exact(id), s"doc $id diverged") }
+    val rep = Decontam.twoStageReport(docs, evals)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(rep._1 == 4L && rep._2 == 8L, "4 docs × 2 evals scored")
+    assert(rep._3 == two.values.map(_._3).sum, "verified count rolls up")
+    assert(rep._5 == rep._6 && rep._7 == 0L, "one-sided trust: decisions agree, zero disagreement")
+    assert(rep._4 == math.round(1e4 * (rep._2 - rep._3) / rep._2), "reduction is the exact ratio")
+  }
+
   test("nearDupContamination flags only cross-side near-dups, keyed by the corpus doc") {
     // ids divisible by 5 play the benchmark; doc 11 is a light paraphrase
     // of bench doc 5, docs 12/13 are near-dups of each other (same side)
