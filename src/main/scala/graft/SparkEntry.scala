@@ -1793,6 +1793,17 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       Similarity.postFilterRecall(emb, emb.filter(col("vec_id") < 8))
     },
+    "ann_filtered_crossover" -> { (s, dir) =>
+      // The planner's strategy-choice number for filtered vector search:
+      // (selectivity × over-fetch) → recall@5 off ONE checkpointed
+      // unfiltered probe frame, against per-stratum prefilter gold.
+      // Measured: at 50% selectivity m=2-4 reaches the index's own recall
+      // ceiling (0.90-0.98); at 10% even m=8 reads 0.63; at 1% the curve
+      // stays near zero — prefilter (partition-pruned stratum scan) is
+      // the scale default below ~10% (ops/Similarity.scala).
+      val emb = table(s, dir, "embeddings")
+      Similarity.filteredCrossover(emb, emb.filter(col("vec_id") < 8))
+    },
     "kcenter_coreset" -> { (s, dir) =>
       // Greedy k-center exemplars (farthest-point traversal) + the
       // covering-radius curve — the coreset-budget answer before a
@@ -5045,6 +5056,77 @@ object SparkEntry {
       |SELECT overfetch, n_gold, n_hit,
       |  CAST((2 * 1000000 * n_hit + n_gold) // (2 * n_gold) AS BIGINT) AS recall_micro
       |FROM ($union)""".stripMargin
+  }
+
+  /** Selectivity-crossover replay (`ann_filtered_crossover`): the
+    * unfiltered nprobe-4 IVF chain ranked to the deepest over-fetch
+    * (shared `wide`), one id-residue prefilter gold per selectivity, one
+    * filtered re-rank leg per (pct, m) — mirrors
+    * [[graft.ops.Similarity.filteredCrossover]].
+    */
+  private def annFilteredCrossoverOracle(
+      k: Int, overfetch: Seq[Int], selPcts: Seq[Int]): String = {
+    val golds = selPcts.map { p =>
+      s"""rel$p AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, c.vec_id AS neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_cosine_similarity(q.qv, c.v), 6) DESC, c.vec_id) AS INT)
+        |        AS rank
+        |    FROM q JOIN vecs c ON c.vec_id != q.query_id AND c.vec_id % 100 < $p
+        |  ) WHERE rank <= $k
+        |)""".stripMargin
+    }.mkString(",\n")
+    val legs = (for { p <- selPcts; m <- overfetch } yield
+      s"""SELECT CAST($p AS INT) AS selectivity_pct, CAST($m AS INT) AS overfetch,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM rel$p) AS n_gold,
+        |  CAST(count(*) AS BIGINT) AS n_hit
+        |FROM (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT w.query_id, w.neighbor_id,
+        |      row_number() OVER (PARTITION BY w.query_id
+        |        ORDER BY w.cos_sim DESC, w.neighbor_id) AS rk2
+        |    FROM wide w WHERE w.rank <= ${m * k} AND w.neighbor_id % 100 < $p
+        |  ) WHERE rk2 <= $k
+        |) t JOIN rel$p r ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id"""
+        .stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH vecs AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS mv
+      |  FROM embeddings WHERE len(embedding) = 64
+      |), q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 8),
+      |anchors AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, mv AS av
+      |  FROM vecs ORDER BY vec_id LIMIT 16
+      |), dists AS (
+      |  SELECT v.vec_id, a.ai,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (v.mv[i] - a.av[i]) * (v.mv[i] - a.av[i]))) AS d2
+      |  FROM vecs v, anchors a
+      |), assign AS (
+      |  SELECT vec_id, ai AS bucket,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
+      |  FROM dists
+      |), cbuck AS (SELECT vec_id AS neighbor_id, bucket FROM assign WHERE rk = 1),
+      |qbuck AS (SELECT vec_id AS query_id, bucket FROM assign WHERE rk <= 4 AND vec_id < 8),
+      |cand AS (
+      |  SELECT DISTINCT query_id, neighbor_id
+      |  FROM qbuck JOIN cbuck USING (bucket) WHERE query_id != neighbor_id
+      |), wide AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM (
+      |    SELECT cand.query_id, cand.neighbor_id,
+      |      round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+      |    FROM cand JOIN vecs qv ON qv.vec_id = cand.query_id
+      |              JOIN vecs cv ON cv.vec_id = cand.neighbor_id)
+      |),
+      |$golds
+      |SELECT selectivity_pct, overfetch, n_gold, n_hit,
+      |  CAST((2 * 1000000 * n_hit + n_gold) // (2 * n_gold) AS BIGINT) AS recall_micro
+      |FROM ($legs)""".stripMargin
   }
 
   /** Brute exact micro² L2 top-5 — the oracle of `ann_tri_exact_topk`:
@@ -8300,6 +8382,8 @@ object SparkEntry {
       s"""WITH $filteredVecCtes
         |SELECT query_id, neighbor_id, cos_sim, rank FROM rel""".stripMargin,
     "ann_postfilter_recall" -> annPostFilterRecallOracle(5, Seq(1, 2, 4, 8)),
+    "ann_filtered_crossover" ->
+      annFilteredCrossoverOracle(5, Seq(1, 2, 4, 8), Seq(1, 10, 50)),
     "jl_distortion_sweep" -> {
       // replay: sign(j,i) = md5-32("jl-<j>-<i>") even → +1; projection is
       // exact long sums over micro components; distortion micro-rounds

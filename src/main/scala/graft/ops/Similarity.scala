@@ -1304,6 +1304,79 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** The SELECTIVITY CROSSOVER of filtered vector search — the number a
+    * planner needs to pick a strategy. Prefilter ranks only the stratum
+    * (recall 1 by construction, cost ∝ selectivity·|corpus| per query);
+    * post-filter reuses ONE unfiltered index probe and pays over-fetch
+    * instead (cost ∝ m·k, recall < 1). This sweep measures
+    * (selectivity × over-fetch) → recall@k on the SAME probe frame, so a
+    * planner can read off where post-filter catches the prefilter gold:
+    * at ~50% selectivity a small m suffices (half the unfiltered top-k
+    * already qualifies); at 1% the filter keeps ~m·k/100 candidates and
+    * the curve can never reach gold within the index's own recall
+    * ceiling — prefilter (with partition pruning doing the stratum scan)
+    * is the scale default there.
+    *
+    * Selectivity strata are id-residue predicates (`id % 100 < pct`) —
+    * deterministic, engine-portable, exact-share. Discipline: the corpus
+    * materializes ONCE (checkpoint) and feeds every gold leg and the
+    * single deepest-over-fetch IVF probe; every (pct, m) leg slices the
+    * same checkpointed candidate frame (`PlanShapeSpec`: no parquet
+    * rescan past the checkpoints).
+    */
+  def filteredCrossover(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      overfetch: Seq[Int] = Seq(1, 2, 4, 8),
+      selPcts: Seq[Int] = Seq(1, 10, 50),
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(overfetch.nonEmpty && overfetch.forall(_ >= 1), "overfetch factors >= 1")
+    require(selPcts.nonEmpty && selPcts.forall(p => p >= 1 && p <= 100), "pcts in [1, 100]")
+    val base = corpus.filter(size(col(vecCol)) === dim)
+      .select(col(idCol), col(vecCol))
+      .localCheckpoint(eager = true) // ONE corpus read: gold legs + probe
+    val qBase = queries.filter(size(col(vecCol)) === dim)
+      .select(col(idCol), col(vecCol))
+      .localCheckpoint(eager = true) // queries-row frame
+    val q = qBase.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val wide = ivfAnchorTopK(base, qBase, k = overfetch.max * k,
+      dim = dim, idCol = idCol, vecCol = vecCol)
+      .withColumnRenamed("rank", "ivf_rank")
+      .localCheckpoint(eager = true) // queries × max(overfetch)·k rows
+    selPcts.map { pct =>
+      val gold = topKPerGroup(
+        base
+          .filter(col(idCol) % 100 < pct)
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+          .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")),
+        "query_id", "neighbor_id", "cos_sim", k)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true) // queries×k prefilter gold for this stratum
+      val nGold = gold.agg(count(lit(1)).as("n_gold"))
+      overfetch.map { m =>
+        val top = topKPerGroup(
+          wide.filter(col("ivf_rank") <= m * k && col("neighbor_id") % 100 < pct)
+            .select(col("query_id"), col("neighbor_id"), col("cos_sim")),
+          "query_id", "neighbor_id", "cos_sim", k)
+        top
+          .join(gold, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("n_hit"))
+          .crossJoin(broadcast(nGold)) // 1-row gold count
+          .select(
+            lit(pct).as("selectivity_pct"), lit(m).as("overfetch"),
+            col("n_gold"), col("n_hit"),
+            expr("CAST((2 * 1000000 * n_hit + n_gold) div (2 * n_gold) AS BIGINT)")
+              .as("recall_micro"))
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+  }
+
   /** Everything the triangle-pruned EXACT search shares between its
     * result face ([[triPrunedTopKL2]]) and its stats face
     * ([[triPruneStats]]): the per-vector (bucket, centroid-distance)

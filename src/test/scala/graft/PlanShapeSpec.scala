@@ -623,4 +623,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("parquet"),
       "every over-fetch leg must read the checkpointed candidates, not parquet")
   }
+
+  test("filtered crossover: every (selectivity, over-fetch) leg reads checkpoints, no parquet rescan") {
+    // VERDICT r11 #3's done-criterion: the corpus materializes once, the
+    // probe frame once — 12 legs must not multiply scans
+    val plan = executedPlan("ann_filtered_crossover")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("parquet"),
+      "every leg must read the checkpointed corpus/probe frames, not parquet")
+  }
 }

@@ -97,6 +97,29 @@ class SimilaritySpec extends AnyFunSuite {
       s"cluster-aligned labels: deep over-fetch must recover the gold, got ${rows.last}")
   }
 
+  test("filteredCrossover: full sweep grid, per-stratum gold sizes, recall monotone in over-fetch") {
+    val data = clustered(60)
+    val df = data.toDF("vec_id", "embedding")
+    val rows = Similarity
+      .filteredCrossover(df, df.filter($"vec_id" < 3), k = 4,
+        overfetch = Seq(1, 2, 4), selPcts = Seq(10, 50), dim = dim)
+      .select("selectivity_pct", "overfetch", "n_gold", "n_hit", "recall_micro")
+      .as[(Int, Int, Long, Long, Long)]
+      .collect()
+    assert(rows.length == 6, "2 strata x 3 over-fetch factors")
+    rows.groupBy(_._1).foreach { case (pct, legs) =>
+      // ids are 0..59, so the % 100 stratum holds exactly pct·60/100
+      // vectors; queries 0..2 are all inside both strata (self-excluded)
+      val stratum = (0L until 60L).count(_ % 100 < pct)
+      assert(legs.map(_._3).distinct.sameElements(Array(3L * math.min(4, stratum - 1))),
+        s"pct=$pct gold must be 3 queries x min(k, stratum-1): ${legs.mkString(",")}")
+      val byM = legs.sortBy(_._2)
+      assert(byM.map(_._5).sliding(2).forall(p => p(0) <= p(1)),
+        s"pct=$pct: recall must be monotone in over-fetch: ${byM.mkString(",")}")
+      byM.foreach { l => assert(l._4 <= l._3, s"hits cannot exceed gold: $l") }
+    }
+  }
+
   private def microLocal(v: Array[Float]): Array[Long] =
     v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
 
