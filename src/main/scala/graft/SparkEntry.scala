@@ -2456,10 +2456,23 @@ object SparkEntry {
       // contaminated container before the dedup election, so the quote
       // survives as its own representative (the deletion-repair
       // insight applied to pipeline ordering). Rows: surviving
-      // docs/tokens per policy + the symmetric-difference count
+      // docs/tokens per policy + the symmetric-difference count. The
+      // three containment chains share ONE shingle-set pass
       // (ops/Dedup.scala composition).
       val docs = table(s, dir, "documents")
       Dedup.curationOrderReport(
+        docs, docs.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+    },
+    "curation_pipeline_v10" -> { (s, dir) =>
+      // The order policy ENCODED: decontam-then-dedup (the measured-safe
+      // order from curation_order_report) feeding the epoch water-fill,
+      // with the dedup-first counterfactual's symmetric difference
+      // riding along as the order_divergence health column (0 = orders
+      // commuted on this corpus; the planted-container spec shows the
+      // nonzero case). One shingle-set pass feeds all three containment
+      // chains (ops/Dedup.scala + ops/Sampling.scala).
+      val docs = table(s, dir, "documents")
+      Dedup.curationPipelineV10(
         docs, docs.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
     },
     "epoch_waterfill_allocation" -> { (s, dir) =>
@@ -5773,7 +5786,7 @@ object SparkEntry {
     */
   private def waterfillOracle(
       budgetMilliEpochs: Long, capEpochs: Long, rounds: Int,
-      docsRel: String = "documents"): String = {
+      docsRel: String = "documents", extraCols: String = ""): String = {
     val steps = (1 to rounds).map { r =>
       s""", sc$r AS (
         |  SELECT CAST(sum(CASE WHEN a.alloc < s.cap_tokens THEN s.weight_milli ELSE 0 END) AS HUGEINT) AS wsum,
@@ -5805,7 +5818,7 @@ object SparkEntry {
       |  CAST((2 * 1000 * CAST(a.alloc AS HUGEINT) + s.n_tokens)
       |    // (2 * s.n_tokens) AS BIGINT) AS epochs_milli,
       |  CAST(CASE WHEN a.alloc >= s.cap_tokens THEN 1 ELSE 0 END AS INT) AS capped,
-      |  lo.budget_leftover
+      |  lo.budget_leftover$extraCols
       |FROM wfbase s JOIN a$rounds a USING (source), lo""".stripMargin
   }
 
@@ -5847,6 +5860,69 @@ object SparkEntry {
       |  FROM verc$sfx
       |  WHERE greatest((2*10000*n_common + n_a) // (2*n_a),
       |                 (2*10000*n_common + n_b) // (2*n_b)) >= $thresholdBps
+      |)""".stripMargin
+
+  /** The shared curation-order CTE block: decontam at 8000 (`contamd`),
+    * the train dedup chain at 9500 (suffix `t`), the CLEAN dedup chain as
+    * the SAME posting/prefix build restricted past the contaminated ids
+    * (mirrors [[graft.ops.Dedup.containmentPairsFromBuild]]'s restriction
+    * — base-corpus document frequencies, complete for any fixed-size
+    * prefix), and both orders' kept sets (`aset`/`bset`) plus their
+    * symmetric difference (`dv`). Expects [[Md5SigCtes]] +
+    * `containmentCtes(8000)` in scope.
+    */
+  private def curationOrderCtes: String =
+    s"""contamd AS MATERIALIZED (
+      |  SELECT DISTINCT CASE WHEN id_a % 13 = 0 THEN id_b ELSE id_a END AS doc_id
+      |  FROM contp
+      |  WHERE (id_a % 13 = 0) != (id_b % 13 = 0)
+      |    AND (CASE WHEN id_a % 13 = 0 THEN cont_a_in_b_bps
+      |         ELSE cont_b_in_a_bps END) >= 8000
+      |), hstr AS MATERIALIZED (SELECT * FROM hs WHERE doc_id % 13 != 0),
+      |${containmentCtes(9500L, "hstr", "t")},
+      |dropt AS MATERIALIZED (
+      |  SELECT DISTINCT CASE
+      |    WHEN cont_a_in_b_bps >= 9500 AND cont_b_in_a_bps >= 9500 THEN greatest(id_a, id_b)
+      |    WHEN cont_a_in_b_bps >= 9500 THEN id_a ELSE id_b END AS doc_id
+      |  FROM contpt
+      |), aset AS MATERIALIZED (
+      |  SELECT doc_id FROM documents WHERE doc_id % 13 != 0
+      |    AND doc_id NOT IN (SELECT doc_id FROM dropt)
+      |    AND doc_id NOT IN (SELECT doc_id FROM contamd)
+      |), prec AS (
+      |  SELECT * FROM pret WHERE probe_id NOT IN (SELECT doc_id FROM contamd)
+      |), postc AS (
+      |  SELECT * FROM postt WHERE doc_id NOT IN (SELECT doc_id FROM contamd)
+      |), candc AS MATERIALIZED (
+      |  SELECT DISTINCT least(p.probe_id, o.doc_id) AS id_a,
+      |    greatest(p.probe_id, o.doc_id) AS id_b
+      |  FROM prec p JOIN postc o ON o.h = p.h
+      |  WHERE p.probe_id != o.doc_id
+      |), vercc AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(len(a.hset) AS BIGINT) AS n_a, CAST(len(b.hset) AS BIGINT) AS n_b,
+      |    CAST(len(list_filter(a.hset, x -> list_contains(b.hset, x))) AS BIGINT) AS n_common
+      |  FROM candc c JOIN hstr a ON a.doc_id = c.id_a JOIN hstr b ON b.doc_id = c.id_b
+      |), contpc AS MATERIALIZED (
+      |  SELECT id_a, id_b, n_a, n_b, n_common,
+      |    (2*10000*n_common + n_a) // (2*n_a) AS cont_a_in_b_bps,
+      |    (2*10000*n_common + n_b) // (2*n_b) AS cont_b_in_a_bps
+      |  FROM vercc
+      |  WHERE greatest((2*10000*n_common + n_a) // (2*n_a),
+      |                 (2*10000*n_common + n_b) // (2*n_b)) >= 9500
+      |), dropc AS MATERIALIZED (
+      |  SELECT DISTINCT CASE
+      |    WHEN cont_a_in_b_bps >= 9500 AND cont_b_in_a_bps >= 9500 THEN greatest(id_a, id_b)
+      |    WHEN cont_a_in_b_bps >= 9500 THEN id_a ELSE id_b END AS doc_id
+      |  FROM contpc
+      |), bset AS MATERIALIZED (
+      |  SELECT doc_id FROM documents WHERE doc_id % 13 != 0
+      |    AND doc_id NOT IN (SELECT doc_id FROM contamd)
+      |    AND doc_id NOT IN (SELECT doc_id FROM dropc)
+      |), dv AS (
+      |  SELECT doc_id FROM aset WHERE doc_id NOT IN (SELECT doc_id FROM bset)
+      |  UNION ALL
+      |  SELECT doc_id FROM bset WHERE doc_id NOT IN (SELECT doc_id FROM aset)
       |)""".stripMargin
 
   /** One SAX chain (suffix `sfx`): hourly sums → global-span PAA slice
@@ -12061,41 +12137,7 @@ object SparkEntry {
         |${waterfillOracle(3800L, 4L, 6, "keptdocs").stripPrefix("WITH ")}""".stripMargin,
     "curation_order_report" ->
       s"""$Md5SigCtes, ${containmentCtes(8000L)},
-        |contamd AS MATERIALIZED (
-        |  SELECT DISTINCT CASE WHEN id_a % 13 = 0 THEN id_b ELSE id_a END AS doc_id
-        |  FROM contp
-        |  WHERE (id_a % 13 = 0) != (id_b % 13 = 0)
-        |    AND (CASE WHEN id_a % 13 = 0 THEN cont_a_in_b_bps
-        |         ELSE cont_b_in_a_bps END) >= 8000
-        |), hstr AS MATERIALIZED (SELECT * FROM hs WHERE doc_id % 13 != 0),
-        |${containmentCtes(9500L, "hstr", "t")},
-        |dropt AS MATERIALIZED (
-        |  SELECT DISTINCT CASE
-        |    WHEN cont_a_in_b_bps >= 9500 AND cont_b_in_a_bps >= 9500 THEN greatest(id_a, id_b)
-        |    WHEN cont_a_in_b_bps >= 9500 THEN id_a ELSE id_b END AS doc_id
-        |  FROM contpt
-        |), aset AS MATERIALIZED (
-        |  SELECT doc_id FROM documents WHERE doc_id % 13 != 0
-        |    AND doc_id NOT IN (SELECT doc_id FROM dropt)
-        |    AND doc_id NOT IN (SELECT doc_id FROM contamd)
-        |), hscl AS MATERIALIZED (
-        |  SELECT * FROM hs WHERE doc_id % 13 != 0
-        |    AND doc_id NOT IN (SELECT doc_id FROM contamd)
-        |), ${containmentCtes(9500L, "hscl", "c")},
-        |dropc AS MATERIALIZED (
-        |  SELECT DISTINCT CASE
-        |    WHEN cont_a_in_b_bps >= 9500 AND cont_b_in_a_bps >= 9500 THEN greatest(id_a, id_b)
-        |    WHEN cont_a_in_b_bps >= 9500 THEN id_a ELSE id_b END AS doc_id
-        |  FROM contpc
-        |), bset AS MATERIALIZED (
-        |  SELECT doc_id FROM documents WHERE doc_id % 13 != 0
-        |    AND doc_id NOT IN (SELECT doc_id FROM contamd)
-        |    AND doc_id NOT IN (SELECT doc_id FROM dropc)
-        |), dv AS (
-        |  SELECT doc_id FROM aset WHERE doc_id NOT IN (SELECT doc_id FROM bset)
-        |  UNION ALL
-        |  SELECT doc_id FROM bset WHERE doc_id NOT IN (SELECT doc_id FROM aset)
-        |), tokcnt AS (
+        |$curationOrderCtes, tokcnt AS (
         |  SELECT doc_id,
         |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
         |  FROM documents
@@ -12124,6 +12166,14 @@ object SparkEntry {
         |  WHERE doc_id % 13 != 0 AND doc_id NOT IN (SELECT doc_id FROM contamd)
         |),
         |${waterfillOracle(3800L, 4L, 6, "keptdocs").stripPrefix("WITH ")}""".stripMargin,
+    "curation_pipeline_v10" ->
+      s"""$Md5SigCtes, ${containmentCtes(8000L)},
+        |$curationOrderCtes, keptdocs AS MATERIALIZED (
+        |  SELECT d.* FROM documents d JOIN bset USING (doc_id)
+        |),
+        |${waterfillOracle(3800L, 4L, 6, "keptdocs",
+             ",\n  (SELECT CAST(count(*) AS BIGINT) FROM dv) AS order_divergence")
+           .stripPrefix("WITH ")}""".stripMargin,
     "zone_map_skip_report" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,

@@ -1141,14 +1141,58 @@ object Dedup {
       maxPosting: Int = 1000,
       idCol: String = "doc_id",
       textCol: String = "text"
-  ): DataFrame = {
-    import graft.functions.ExactDecimal.scaledRatio
-    require(thresholdBps >= 1 && thresholdBps <= 10000, "threshold is bps in (0, 10000]")
-    val sets = docs
+  ): DataFrame =
+    containmentPairsFromSets(
+      shingleSets(docs, shingleN, idCol, textCol), thresholdBps, maxPosting)
+
+  /** The md5 shingle-hash SET projection the containment family runs on:
+    * (id, hs) for docs with ≥ 1 shingle, checkpointed. Exposed so
+    * composites that run SEVERAL containment chains over filtered views
+    * of one corpus (the curation order report / pipeline v10 run three)
+    * shingle the text ONCE and filter the checkpointed frame, instead of
+    * re-shingling per chain (VERDICT r11 #6).
+    */
+  def shingleSets(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    docs
       .select(col(idCol).as("id"),
         graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("hs"))
       .filter(size(col("hs")) > 0)
       .localCheckpoint(eager = true) // reused: df count, prefix, verify
+
+  /** [[containmentMd5Pairs]] from a prebuilt [[shingleSets]] frame —
+    * everything from the posting projection on; see the main doc above
+    * for the candidate-generation proof and the 100 TB shape.
+    */
+  def containmentPairsFromSets(
+      sets: DataFrame,
+      thresholdBps: Long = 8000L,
+      maxPosting: Int = 1000
+  ): DataFrame =
+    containmentPairsFromBuild(
+      containmentBuild(sets, thresholdBps, maxPosting, materializePrefix = false))
+
+  /** The shared middle of the containment chain: the df-capped posting
+    * frame and the pigeonhole-prefix frame at one threshold. Composites
+    * that probe the SAME corpus under different id filters (the curation
+    * order report / v10 run the dedup chain on train AND on clean) build
+    * this once and call [[containmentPairsFromBuild]] per filter —
+    * restriction semantics noted there.
+    */
+  private[ops] case class ContainmentBuild(
+      sets: DataFrame, pd: DataFrame, prefix: DataFrame, thresholdBps: Long)
+
+  private[ops] def containmentBuild(
+      sets: DataFrame,
+      thresholdBps: Long,
+      maxPosting: Int,
+      materializePrefix: Boolean
+  ): ContainmentBuild = {
+    require(thresholdBps >= 1 && thresholdBps <= 10000, "threshold is bps in (0, 10000]")
     // ONE df-capped (id, h, df, n) posting frame feeds BOTH the prefix
     // selection and the candidate probe — the r9 shape aggregated the
     // document frequencies once per consumer and ranked prefixes with a
@@ -1179,8 +1223,39 @@ object Dedup {
         explode(slice(col("s"), lit(1),
           (expr(s"(2 * (10000 - $thresholdBps) + 1) * n DIV 20000") + 1L).cast("int"))).as("p"))
       .select(col("probe_id"), col("probe_n"), col("p").getField("h").as("h"))
+    ContainmentBuild(
+      sets, pd,
+      if (materializePrefix) prefix.localCheckpoint(eager = true) else prefix,
+      thresholdBps)
+  }
+
+  /** One containment pair chain off a shared [[containmentBuild]],
+    * optionally RESTRICTED to the subcorpus that excludes `excludeIds`
+    * (both probe and posting sides). Restriction keeps the BASE corpus's
+    * document frequencies (rare-first order and the df cap): the
+    * pigeonhole prefix is complete for ANY fixed-size shingle subset, so
+    * the restricted chain's verified output equals a recomputed chain's
+    * whenever the df cap does not bind differentially — it never binds on
+    * these corpora (max df 23 vs cap 1000 at sf0.1), and when it does the
+    * miss is the base chain's own documented boilerplate recall cap,
+    * evaluated with the larger corpus's frequencies.
+    */
+  private[ops] def containmentPairsFromBuild(
+      b: ContainmentBuild,
+      excludeIds: Option[DataFrame] = None
+  ): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    val thresholdBps = b.thresholdBps
+    val (prefix, pdSel) = excludeIds match {
+      case None => (b.prefix, b.pd)
+      case Some(ids) =>
+        val ex = ids.select(col(ids.columns.head).as("id"))
+        (b.prefix.join(ex.select(col("id").as("probe_id")), Seq("probe_id"), "left_anti"),
+          b.pd.join(ex, Seq("id"), "left_anti"))
+    }
+    val sets = b.sets
     val cand = prefix
-      .join(pd.select(col("id").as("other_id"), col("n").as("other_n"), col("h")), Seq("h"))
+      .join(pdSel.select(col("id").as("other_id"), col("n").as("other_n"), col("h")), Seq("h"))
       .filter(col("probe_id") =!= col("other_id"))
       // containment LENGTH filter (Vernica et al.): probe A's candidates
       // only serve the "A contained in OTHER" direction, which needs
@@ -1296,23 +1371,35 @@ object Dedup {
   ): DataFrame = {
     val evIds = evalIds.select(col(evalIds.columns.head).as("eid")).distinct()
     val train = docs.join(evIds.select(col("eid").as(idCol)), Seq(idCol), "left_anti")
-    val contaminated = quotedEvalContainment(
-      docs, evIds, contamBps, idCol = idCol, textCol = textCol)
+    // the three containment chains (decontam @contamBps, dedup @dedupBps
+    // on train, dedup @dedupBps on clean) differ only in upstream id
+    // filters — shingle the corpus ONCE and filter the checkpointed set
+    // frame per chain (VERDICT r11 #6: the chains' set build was the
+    // shared cost, and every downstream value is identical by
+    // construction since setColumn is deterministic per text)
+    val sets = shingleSets(docs, idCol = idCol, textCol = textCol)
+    val contaminated = quotedEvalContainmentFromSets(sets, evIds, contamBps)
       .select(col("train_doc_id").as(idCol)).distinct()
       .localCheckpoint(eager = true) // ids only; read by both policies
-    def dedupDrops(base: DataFrame) =
-      containmentMd5Pairs(base, dedupBps, idCol = idCol, textCol = textCol).select(
+    val setsTrain = sets.join(evIds.select(col("eid").as("id")), Seq("id"), "left_anti")
+    // ONE posting/prefix build serves BOTH dedup chains — the clean chain
+    // is the same build restricted past the contaminated ids
+    // (VERDICT r11 #6; restriction semantics on containmentPairsFromBuild)
+    val build = containmentBuild(setsTrain, dedupBps, 1000, materializePrefix = true)
+    def dedupDrops(pairs: DataFrame) =
+      pairs.select(
         when(col("cont_a_in_b_bps") >= dedupBps && col("cont_b_in_a_bps") >= dedupBps,
           greatest(col("id_a"), col("id_b")))
           .when(col("cont_a_in_b_bps") >= dedupBps, col("id_a"))
           .otherwise(col("id_b")).as(idCol)).distinct()
     val dedupFirst = train
-      .join(dedupDrops(train), Seq(idCol), "left_anti")
+      .join(dedupDrops(containmentPairsFromBuild(build)), Seq(idCol), "left_anti")
       .join(contaminated, Seq(idCol), "left_anti")
       .select(col(idCol)).localCheckpoint(eager = true)
     val clean = train.join(contaminated, Seq(idCol), "left_anti")
     val decontamFirst = clean
-      .join(dedupDrops(clean), Seq(idCol), "left_anti")
+      .join(dedupDrops(containmentPairsFromBuild(build, Some(contaminated))),
+        Seq(idCol), "left_anti")
       .select(col(idCol)).localCheckpoint(eager = true)
     val diverged = dedupFirst.join(decontamFirst, Seq(idCol), "left_anti")
       .unionByName(decontamFirst.join(dedupFirst, Seq(idCol), "left_anti"))
@@ -1327,6 +1414,66 @@ object Dedup {
       leg("dedup_then_decontam", dedupFirst),
       leg("decontam_then_dedup", decontamFirst),
       leg("divergence", diverged)).reduce(_ unionByName _)
+  }
+
+  /** Curation pipeline v10 — the ORDER POLICY encoded.
+    * [[curationOrderReport]] measured that dedup and decontam commute
+    * EXCEPT when a containment representative is itself contaminated
+    * (dedup-first lets the contaminated container kill its quote and
+    * then die to decontam — both copies gone), so this composite makes
+    * decontam-then-dedup the default: quoted-eval decontamination
+    * (eval-side containment ≥ `contamBps`) → containment dedup at
+    * `dedupBps` over the CLEAN corpus → the epoch water-fill allocation
+    * over the survivors. The dedup-first counterfactual rides along as
+    * the `order_divergence` health column (docs the two orders disagree
+    * on — 0 when they commute, nonzero exactly when the policy earned
+    * its keep; the planted-container spec shows the nonzero case).
+    *
+    * Cost shape: ONE [[shingleSets]] pass feeds all three containment
+    * chains; the water-fill adds a sources-row iteration. Same stage
+    * mechanics as v8 (dedup→fill) and v9 (decontam→fill), composed in
+    * the measured-safe order.
+    */
+  def curationPipelineV10(
+      docs: DataFrame,
+      evalIds: DataFrame,
+      dedupBps: Long = 9500L,
+      contamBps: Long = 8000L,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val evIds = evalIds.select(col(evalIds.columns.head).as("eid")).distinct()
+    val train = docs.join(evIds.select(col("eid").as(idCol)), Seq(idCol), "left_anti")
+    val sets = shingleSets(docs, idCol = idCol, textCol = textCol)
+    val contaminated = quotedEvalContainmentFromSets(sets, evIds, contamBps)
+      .select(col("train_doc_id").as(idCol)).distinct()
+      .localCheckpoint(eager = true) // ids only; read by both orders
+    val setsTrain = sets.join(evIds.select(col("eid").as("id")), Seq("id"), "left_anti")
+    // ONE posting/prefix build serves BOTH dedup chains (see
+    // curationOrderReport — identical restriction discipline)
+    val build = containmentBuild(setsTrain, dedupBps, 1000, materializePrefix = true)
+    def dedupDrops(pairs: DataFrame) =
+      pairs.select(
+        when(col("cont_a_in_b_bps") >= dedupBps && col("cont_b_in_a_bps") >= dedupBps,
+          greatest(col("id_a"), col("id_b")))
+          .when(col("cont_a_in_b_bps") >= dedupBps, col("id_a"))
+          .otherwise(col("id_b")).as(idCol)).distinct()
+    val clean = train.join(contaminated, Seq(idCol), "left_anti")
+    val kept = clean
+      .join(dedupDrops(containmentPairsFromBuild(build, Some(contaminated))),
+        Seq(idCol), "left_anti")
+      .localCheckpoint(eager = true) // the v10 corpus; fill + (tiny) id reuse
+    // the dedup-first counterfactual, ids only — the health column
+    val dedupFirst = train
+      .join(dedupDrops(containmentPairsFromBuild(build)), Seq(idCol), "left_anti")
+      .join(contaminated, Seq(idCol), "left_anti")
+      .select(col(idCol))
+    val keptIds = kept.select(col(idCol))
+    val divergence = dedupFirst.join(keptIds, Seq(idCol), "left_anti")
+      .unionByName(keptIds.join(dedupFirst, Seq(idCol), "left_anti"))
+      .agg(count(lit(1)).as("order_divergence"))
+    Sampling.epochWaterfill(kept, srcCol = "source", textCol = textCol)
+      .crossJoin(broadcast(divergence)) // 1-row health scalar
   }
 
   /** Benchmark-contamination detection by CONTAINMENT — the industry case
@@ -1352,8 +1499,20 @@ object Dedup {
       maxPosting: Int = 1000,
       idCol: String = "doc_id",
       textCol: String = "text"
+  ): DataFrame =
+    quotedEvalContainmentFromSets(
+      shingleSets(docs, shingleN, idCol, textCol), evalIds, thresholdBps, maxPosting)
+
+  /** [[quotedEvalContainment]] from a prebuilt [[shingleSets]] frame —
+    * the orientation/threshold logic over [[containmentPairsFromSets]].
+    */
+  def quotedEvalContainmentFromSets(
+      sets: DataFrame,
+      evalIds: DataFrame,
+      thresholdBps: Long = 8000L,
+      maxPosting: Int = 1000
   ): DataFrame = {
-    val pairs = containmentMd5Pairs(docs, thresholdBps, shingleN, maxPosting, idCol, textCol)
+    val pairs = containmentPairsFromSets(sets, thresholdBps, maxPosting)
     val ev = evalIds.select(col(evalIds.columns.head).as("eid")).distinct()
     val aEval = broadcast(ev.select(col("eid").as("id_a"), lit(1).as("a_eval")))
     val bEval = broadcast(ev.select(col("eid").as("id_b"), lit(1).as("b_eval")))

@@ -659,6 +659,30 @@ class DedupSpec extends AnyFunSuite {
       got("decontam_then_dedup")._2 - got("dedup_then_decontam")._2)
   }
 
+  test("curationPipelineV10: decontam-first keeps the resurrected quote; divergence rides as the health column") {
+    // same planted-container fixture as the order report: dedup-first
+    // would lose doc 3 (its container 2 kills it, then dies to
+    // decontam); v10's decontam-first order resurrects it — the fill
+    // must run over {3, 4} and the health column must read exactly 1
+    val question = (1 to 12).map(i => s"q$i").mkString(" ")
+    val body = (100 to 160).map(i => s"b$i").mkString(" ")
+    val other = (300 to 340).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (2L, "web", body + " " + question),
+      (3L, "web", body),
+      (4L, "books", other),
+      (50L, "evals", question)
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.curationPipelineV10(docs, Seq(50L).toDF("doc_id")).collect()
+    val bySrc = got.map(r => r.getString(r.fieldIndex("source")) ->
+      r.getLong(r.fieldIndex("n_tokens"))).toMap
+    assert(bySrc.keySet == Set("web", "books"),
+      s"the fill runs over the decontam-first survivors' sources: $bySrc")
+    assert(bySrc("web") == 61L, "doc 3 (the resurrected quote, 61 tokens) carries web's mass")
+    assert(got.forall(_.getLong(got.head.fieldIndex("order_divergence")) == 1L),
+      "the health column reads the one resurrected doc on every row")
+  }
+
   test("containmentMd5Pairs: threshold excludes partial overlap below it") {
     // doc 5 shares 4 of doc 4's shingles (~50%): below the 0.8 gate
     val a4 = (1 to 8).map(i => s"a$i").mkString(" ")            // 6 shingles
