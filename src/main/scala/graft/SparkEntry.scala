@@ -1382,6 +1382,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 13 =!= 0),
         docs.filter(col("doc_id") % 13 === 0))
     },
+    "decontam_two_stage_flags" -> { (s, dir) =>
+      // The production face of the two-stage gate: one row per doc —
+      // max sketch estimate, pairs scored, pairs exact-verified, and the
+      // (always exact-confirmed) contamination decision; joins downstream
+      // like decontam_gate_flags at a fraction of its intersect work
+      // (ops/Decontam.scala).
+      val docs = table(s, dir, "documents")
+      graft.ops.Decontam.twoStageGate(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0))
+    },
     "decontam_quoted_evals" -> { (s, dir) =>
       // Contamination by QUOTATION — the case n-gram-share decontam
       // underweights: an eval question quoted inside a larger training
@@ -2092,6 +2103,13 @@ object SparkEntry {
       // near-dup (cos ≳ 0.7) regime and the sketch-RANKED budget path
       // stays the low-cosine stage 1 (ops/TimeSeries.scala).
       graft.ops.TimeSeries.allPairsNeighborsRecall(eventsTable(s, dir))
+    },
+    "ts_allpairs_topk" -> { (s, dir) =>
+      // The production face of the banded all-pairs search: per user, the
+      // top-5 banded-and-exact-verified neighbors with their cosines —
+      // what a pipeline would materialize next to the corpus
+      // (ops/TimeSeries.scala; recall priced by ts_allpairs_neighbors).
+      graft.ops.TimeSeries.allPairsNeighbors(eventsTable(s, dir))
     },
     "ts_sax_words" -> { (s, dir) =>
       // SAX symbolic words over per-user hourly series: global-span PAA
@@ -5862,6 +5880,49 @@ object SparkEntry {
       |                 (2*10000*n_common + n_b) // (2*n_b)) >= $thresholdBps
       |)""".stripMargin
 
+  /** The two-stage decontam CTE block shared by `decontam_two_stage`
+    * (summary) and `decontam_two_stage_flags` (per-doc face): eval sets,
+    * the train index rows, signature match counts, stage-1 estimates,
+    * the one-sided verify, and the per-doc rollup `dec` — mirrors
+    * [[graft.ops.Decontam.twoStageGate]]. Expects [[Md5SigCtes]] in scope.
+    */
+  private def twoStageCtes: String =
+    """ev AS MATERIALIZED (
+      |  SELECT doc_id AS eval_id, hset AS es, CAST(len(hset) AS BIGINT) AS n_e
+      |  FROM hs WHERE doc_id % 13 = 0 AND len(hset) > 0
+      |), tr AS MATERIALIZED (
+      |  SELECT d.doc_id, coalesce(h.hset, []) AS ds,
+      |    CAST(coalesce(len(h.hset), 0) AS BIGINT) AS n_d
+      |  FROM documents d LEFT JOIN hs h USING (doc_id)
+      |  WHERE d.doc_id % 13 != 0
+      |), mm AS MATERIALIZED (
+      |  SELECT sa.doc_id, se.doc_id AS eval_id,
+      |    CAST(sum(CASE WHEN sa.m = se.m THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+      |  FROM sig sa JOIN sig se ON se.j = sa.j
+      |  WHERE sa.doc_id % 13 != 0 AND se.doc_id % 13 = 0
+      |  GROUP BY 1, 2
+      |), est AS MATERIALIZED (
+      |  SELECT t.doc_id, e.eval_id,
+      |    (2*10000*coalesce(m.n_match,0)*(t.n_d + e.n_e) + (64 + coalesce(m.n_match,0))*e.n_e)
+      |      // (2*(64 + coalesce(m.n_match,0))*e.n_e) AS est_bps
+      |  FROM tr t CROSS JOIN ev e
+      |  LEFT JOIN mm m ON m.doc_id = t.doc_id AND m.eval_id = e.eval_id
+      |), vrf AS (
+      |  SELECT s.doc_id, s.eval_id,
+      |    (2*10000*len(list_filter(e.es, x -> list_contains(t.ds, x))) + len(e.es))
+      |      // (2*len(e.es)) AS exact_bps
+      |  FROM est s JOIN tr t USING (doc_id) JOIN ev e USING (eval_id)
+      |  WHERE s.est_bps >= 6500
+      |), dec AS MATERIALIZED (
+      |  SELECT s.doc_id,
+      |    max(s.est_bps) AS max_est_bps,
+      |    CAST(count(*) AS BIGINT) AS n_pairs,
+      |    CAST(sum(CASE WHEN s.est_bps >= 6500 THEN 1 ELSE 0 END) AS BIGINT) AS n_band,
+      |    max(CASE WHEN v.exact_bps >= 8000 THEN 1 ELSE 0 END) AS contam2
+      |  FROM est s LEFT JOIN vrf v ON v.doc_id = s.doc_id AND v.eval_id = s.eval_id
+      |  GROUP BY 1
+      |)""".stripMargin
+
   /** The shared curation-order CTE block: decontam at 8000 (`contamd`),
     * the train dedup chain at 9500 (suffix `t`), the CLEAN dedup chain as
     * the SAME posting/prefix build restricted past the contaminated ids
@@ -6190,10 +6251,15 @@ object SparkEntry {
     * recall against the exact all-pairs cosine gold — mirrors
     * [[graft.ops.TimeSeries.allPairsNeighborsRecall]].
     */
-  private def tsAllPairsOracle(
-      k: Int, segments: Int, nbits: Int, bands: Int, maxBucket: Int): String = {
+  /** The banded chain shared by `ts_allpairs_topk` (production face) and
+    * `ts_allpairs_neighbors` (recall face): series → signed sketch →
+    * md5 sign bits → band keys → capped buckets → exact-verified scored
+    * pairs (`scored`), plus the norm frame `s2`.
+    */
+  private def tsAllPairsChainCtes(
+      segments: Int, nbits: Int, bands: Int, maxBucket: Int): String = {
     val r = nbits / bands
-    s"""WITH sr AS MATERIALIZED (
+    s"""sr AS MATERIALIZED (
       |  SELECT user_id, epoch_ms(ts) // 3600000 AS hour,
       |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
       |  FROM events GROUP BY 1, 2
@@ -6203,9 +6269,11 @@ object SparkEntry {
       |    CAST(sum(v) AS BIGINT) AS sv
       |  FROM sr, span sp GROUP BY 1, 2
       |), planes AS MATERIALIZED (
+      |  -- no line may START with '|': this fragment nests inside a second
+      |  -- stripMargin template, which would eat one pipe of a leading '||'
       |  SELECT j.j AS j, d.d AS seg,
-      |    CASE WHEN CAST(('0x' || substr(md5('tsp-' || CAST(j.j AS VARCHAR) || '-'
-      |        || CAST(d.d AS VARCHAR)), 7, 2)) AS INTEGER) % 2 = 1
+      |    CASE WHEN CAST(('0x' || substr(md5('tsp-' || CAST(j.j AS VARCHAR) ||
+      |        '-' || CAST(d.d AS VARCHAR)), 7, 2)) AS INTEGER) % 2 = 1
       |      THEN 1 ELSE -1 END AS sgn
       |  FROM range($nbits) j(j), range($segments) d(d)
       |), proj AS (
@@ -6242,7 +6310,13 @@ object SparkEntry {
       |  JOIN s2 ua ON ua.user_id = c.id_a
       |  JOIN s2 ub ON ub.user_id = c.id_b
       |  LEFT JOIN pdots d ON d.id_a = c.id_a AND d.id_b = c.id_b
-      |), btop AS MATERIALIZED (
+      |)""".stripMargin
+  }
+
+  private def tsAllPairsOracle(
+      k: Int, segments: Int, nbits: Int, bands: Int, maxBucket: Int): String = {
+    s"""WITH ${tsAllPairsChainCtes(segments, nbits, bands, maxBucket)},
+      |btop AS MATERIALIZED (
       |  SELECT user_id, neighbor_id FROM (
       |    SELECT user_id, neighbor_id, row_number() OVER (PARTITION BY user_id
       |      ORDER BY cos_micro DESC, neighbor_id) AS rk
@@ -6281,6 +6355,23 @@ object SparkEntry {
       |    // (2 * g.n_gold) AS BIGINT) AS recall_micro
       |FROM gcnt g LEFT JOIN bcnt b USING (user_id) LEFT JOIN hcnt h USING (user_id)""".stripMargin
   }
+
+  /** Production-face replay (`ts_allpairs_topk`): the banded chain's
+    * per-user top-k with cosines — mirrors
+    * [[graft.ops.TimeSeries.allPairsNeighbors]].
+    */
+  private def tsAllPairsTopKOracle(
+      k: Int, segments: Int, nbits: Int, bands: Int, maxBucket: Int): String =
+    s"""WITH ${tsAllPairsChainCtes(segments, nbits, bands, maxBucket)}
+      |SELECT user_id, neighbor_id, CAST(cos_micro AS BIGINT) AS cos_micro,
+      |  CAST(rk AS INT) AS rank
+      |FROM (
+      |  SELECT user_id, neighbor_id, cos_micro, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY cos_micro DESC, neighbor_id) AS rk
+      |  FROM (SELECT id_a AS user_id, id_b AS neighbor_id, cos_micro FROM scored
+      |        UNION ALL
+      |        SELECT id_b, id_a, cos_micro FROM scored)
+      |) WHERE rk <= $k""".stripMargin
 
   /** Exact top-1 TS neighbor chain (`top1`), shared by the SAX recall
     * legs — mirrors [[graft.ops.TimeSeries.tsSimilarityTopK]] at k = 1.
@@ -9332,40 +9423,7 @@ object SparkEntry {
         |FROM best""".stripMargin,
     "decontam_two_stage" ->
       s"""$Md5SigCtes,
-        |ev AS MATERIALIZED (
-        |  SELECT doc_id AS eval_id, hset AS es, CAST(len(hset) AS BIGINT) AS n_e
-        |  FROM hs WHERE doc_id % 13 = 0 AND len(hset) > 0
-        |), tr AS MATERIALIZED (
-        |  SELECT d.doc_id, coalesce(h.hset, []) AS ds,
-        |    CAST(coalesce(len(h.hset), 0) AS BIGINT) AS n_d
-        |  FROM documents d LEFT JOIN hs h USING (doc_id)
-        |  WHERE d.doc_id % 13 != 0
-        |), mm AS MATERIALIZED (
-        |  SELECT sa.doc_id, se.doc_id AS eval_id,
-        |    CAST(sum(CASE WHEN sa.m = se.m THEN 1 ELSE 0 END) AS BIGINT) AS n_match
-        |  FROM sig sa JOIN sig se ON se.j = sa.j
-        |  WHERE sa.doc_id % 13 != 0 AND se.doc_id % 13 = 0
-        |  GROUP BY 1, 2
-        |), est AS MATERIALIZED (
-        |  SELECT t.doc_id, e.eval_id,
-        |    (2*10000*coalesce(m.n_match,0)*(t.n_d + e.n_e) + (64 + coalesce(m.n_match,0))*e.n_e)
-        |      // (2*(64 + coalesce(m.n_match,0))*e.n_e) AS est_bps
-        |  FROM tr t CROSS JOIN ev e
-        |  LEFT JOIN mm m ON m.doc_id = t.doc_id AND m.eval_id = e.eval_id
-        |), vrf AS (
-        |  SELECT s.doc_id, s.eval_id,
-        |    (2*10000*len(list_filter(e.es, x -> list_contains(t.ds, x))) + len(e.es))
-        |      // (2*len(e.es)) AS exact_bps
-        |  FROM est s JOIN tr t USING (doc_id) JOIN ev e USING (eval_id)
-        |  WHERE s.est_bps >= 6500
-        |), dec AS MATERIALIZED (
-        |  SELECT s.doc_id,
-        |    CAST(count(*) AS BIGINT) AS n_pairs,
-        |    CAST(sum(CASE WHEN s.est_bps >= 6500 THEN 1 ELSE 0 END) AS BIGINT) AS n_band,
-        |    max(CASE WHEN v.exact_bps >= 8000 THEN 1 ELSE 0 END) AS contam2
-        |  FROM est s LEFT JOIN vrf v ON v.doc_id = s.doc_id AND v.eval_id = s.eval_id
-        |  GROUP BY 1
-        |), exg AS MATERIALIZED (
+        |$twoStageCtes, exg AS MATERIALIZED (
         |  SELECT t.doc_id,
         |    max(CASE WHEN (2*10000*len(list_filter(e.es, x -> list_contains(t.ds, x)))
         |        + len(e.es)) // (2*len(e.es)) >= 8000 THEN 1 ELSE 0 END) AS contam1
@@ -9383,6 +9441,12 @@ object SparkEntry {
         |  CAST((SELECT coalesce(sum(contam1), 0) FROM exg) AS BIGINT) AS n_contam_exact,
         |  CAST((SELECT coalesce(sum(CASE WHEN d.contam2 != g.contam1 THEN 1 ELSE 0 END), 0)
         |        FROM dec d JOIN exg g USING (doc_id)) AS BIGINT) AS n_disagree""".stripMargin,
+    "decontam_two_stage_flags" ->
+      s"""$Md5SigCtes,
+        |$twoStageCtes
+        |SELECT doc_id, CAST(max_est_bps AS BIGINT) AS max_est_bps, n_pairs,
+        |  n_band AS n_verified_pairs, CAST(contam2 AS INT) AS contaminated
+        |FROM dec""".stripMargin,
     "containment_minhash_est" ->
       s"""$Md5SigCtes, ${containmentCtes(8000L)},
         |matches AS (
@@ -10614,6 +10678,7 @@ object SparkEntry {
     "ts_paa_prune_stats" -> tsPaaPruneStatsOracle(Seq(8, 32, 64, 180)),
     "ts_sketch_rerank_recall" -> tsSketchRerankOracle(180, 5, Seq(10, 25, 50, 100)),
     "ts_allpairs_neighbors" -> tsAllPairsOracle(5, 180, 16, 4, 1000),
+    "ts_allpairs_topk" -> tsAllPairsTopKOracle(5, 180, 16, 4, 1000),
     "ivf_nprobe_sweep" -> ivfNprobeSweepOracle,
     "ivf_anchor_sweep" -> ivfAnchorSweepOracle,
     "daily_theil_sen" ->
