@@ -2127,6 +2127,32 @@ object SparkEntry {
       // (ops/TimeSeries.scala).
       graft.ops.TimeSeries.saxBlockingRecall(eventsTable(s, dir))
     },
+    "ts_dtw_topk" -> { (s, dir) =>
+      // Banded DTW similarity over hour-of-day profiles — the
+      // phase-tolerant complement to the cosine TS family: "who spends
+      // like this account, even if their day runs ±4h late". Dense
+      // 24-cell integer profiles (one corpus groupBy), Sakoe–Chiba DP as
+      // one codegen'd call per pair (functions/DtwExpr.scala); this face
+      // is the brute gold, queries bounded + broadcast
+      // (ops/DtwSearch.scala).
+      graft.ops.DtwSearch.dtwTopK(eventsTable(s, dir))
+    },
+    "ts_dtw_pruned_topk" -> { (s, dir) =>
+      // The production face: Keogh envelope lower bounds (one codegen'd
+      // O(n) call per candidate) screen the grid, a deterministic seed
+      // subset prices the exact threshold, and the O(n·(2r+1)) DP runs
+      // only on survivors — bit-identical to the brute gold because
+      // LB_Keogh is admissible (Keogh & Ratanamahatana, KAIS 2005); its
+      // oracle IS the brute SQL (ops/DtwSearch.scala).
+      graft.ops.DtwSearch.dtwPrunedTopK(eventsTable(s, dir))
+    },
+    "ts_dtw_prune_stats" -> { (s, dir) =>
+      // The measured selectivity of the envelope bound per band width
+      // r ∈ {1, 4, 8}: candidates, seeds, exact threshold, survivors,
+      // pruned bps — the planner's number for choosing the warp budget,
+      // same discipline as ts_paa_prune_stats (ops/DtwSearch.scala).
+      graft.ops.DtwSearch.dtwPruneStats(eventsTable(s, dir))
+    },
     "daily_theil_sen" -> { (s, dir) =>
       // Robust trend per event type: median of all pairwise daily-count
       // slopes (exact signed micro rationals; the doubled-median trick
@@ -6034,6 +6060,161 @@ object SparkEntry {
     * `ts_user_similarity_topk` and `ts_paa_pruned_topk`: the pruned search
     * claims bit-identical output, so it is checked against the brute SQL.
     */
+  /** Hour-of-day profile CTEs shared by every DTW oracle: per-user dense
+    * 24-cell cents profiles as ORDERED lists (`prof`), mirroring
+    * [[graft.ops.DtwSearch.hodProfiles]].
+    */
+  private val dtwProfCtes: String =
+    """ev0 AS (
+      |  SELECT user_id, (epoch_ms(ts) // 3600000) % 24 AS hod,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events
+      |), pr0 AS (
+      |  SELECT user_id, hod, CAST(sum(v) AS BIGINT) AS v FROM ev0 GROUP BY 1, 2
+      |), prof AS MATERIALIZED (
+      |  SELECT g.user_id, list(coalesce(p.v, 0) ORDER BY g.hod) AS arr
+      |  FROM (SELECT u.user_id, h.hod
+      |        FROM (SELECT DISTINCT user_id FROM pr0) u
+      |        CROSS JOIN (SELECT unnest(range(24)) AS hod) h) g
+      |  LEFT JOIN pr0 p ON p.user_id = g.user_id AND p.hod = g.hod
+      |  GROUP BY 1
+      |)""".stripMargin
+
+  /** One banded-DTW DP over a pair CTE `(query_user, user_id, qarr,
+    * uarr)`, as a recursive anti-diagonal-free ROW-wavefront: each
+    * iteration advances one matrix row, computing the in-row min-plus
+    * scan in closed form (D[j] = S[j] + min_{m<=j}(B[m] − S[m−1]), B =
+    * pairwise min of the previous row) — validated cell-for-cell against
+    * an independent full-matrix DP. Squared diffs and partial costs
+    * saturate at the 10^15 rail exactly like
+    * [[graft.functions.DtwBandExpr]] (per-step saturation of
+    * non-negative adds composes to the same value). Emits `dp$sfx`; read
+    * results at i = 23, d[24].
+    */
+  private def dtwDpCte(pairsCte: String, sfx: String, band: Int): String = {
+    val inf = "1000000000000000"
+    val sqi = "31622777"
+    s"""dp$sfx AS (
+      |  SELECT query_user, user_id, 0 AS i,
+      |    list_transform(range(1, 25), j ->
+      |      least($inf, list_sum(list_transform(range(1, j + 1), t ->
+      |        CASE WHEN (t - 1) <= $band THEN
+      |          CASE WHEN abs(qarr[1] - uarr[t]) >= $sqi THEN $inf
+      |               ELSE (qarr[1] - uarr[t]) * (qarr[1] - uarr[t]) END
+      |        ELSE $inf END)))) AS d
+      |  FROM $pairsCte
+      |  UNION ALL
+      |  SELECT query_user, user_id, i,
+      |    list_transform(range(1, 25), j ->
+      |      least($inf, s[j] + list_min(list_slice(t2, 1, j)))) AS d
+      |  FROM (
+      |    SELECT query_user, user_id, i, s,
+      |      list_transform(range(1, 25), m ->
+      |        b[m] - CASE WHEN m = 1 THEN 0 ELSE s[m - 1] END) AS t2
+      |    FROM (
+      |      SELECT query_user, user_id, i,
+      |        list_transform(range(1, 25), j -> list_sum(list_slice(a, 1, j))) AS s, b
+      |      FROM (
+      |        SELECT dp$sfx.query_user, dp$sfx.user_id, dp$sfx.i + 1 AS i,
+      |          list_transform(range(1, 25), j ->
+      |            CASE WHEN abs(dp$sfx.i + 1 - (j - 1)) <= $band THEN
+      |              CASE WHEN abs(p.qarr[dp$sfx.i + 2] - p.uarr[j]) >= $sqi THEN $inf
+      |                   ELSE (p.qarr[dp$sfx.i + 2] - p.uarr[j]) * (p.qarr[dp$sfx.i + 2] - p.uarr[j]) END
+      |            ELSE $inf END) AS a,
+      |          list_transform(range(1, 25), m ->
+      |            CASE WHEN m = 1 THEN dp$sfx.d[1] ELSE least(dp$sfx.d[m], dp$sfx.d[m - 1]) END) AS b
+      |        FROM dp$sfx JOIN $pairsCte p USING (query_user, user_id)
+      |        WHERE dp$sfx.i < 23
+      |      )
+      |    )
+      |  )
+      |)""".stripMargin
+  }
+
+  /** Brute banded-DTW top-k (band 4, k 5) — also the oracle of the
+    * pruned face: a hash match there proves the LB_Keogh chain never
+    * false-dismissed.
+    */
+  private val tsDtwBruteOracle: String =
+    s"""WITH RECURSIVE $dtwProfCtes,
+      |pairs AS MATERIALIZED (
+      |  SELECT q.user_id AS query_user, u.user_id, q.arr AS qarr, u.arr AS uarr
+      |  FROM prof q JOIN prof u ON q.user_id < 4 AND u.user_id != q.user_id
+      |),
+      |${dtwDpCte("pairs", "b", 4)},
+      |dist AS (
+      |  SELECT query_user, user_id, CAST(d[24] AS BIGINT) AS dtw_dist
+      |  FROM dpb WHERE i = 23
+      |)
+      |SELECT query_user, user_id, dtw_dist, CAST(rank AS INT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_user
+      |        ORDER BY dtw_dist, user_id) AS rank FROM dist)
+      |WHERE rank <= 5""".stripMargin
+
+  /** The LB_Keogh prune-stats oracle: per band, envelopes + lower bounds
+    * over the full candidate grid, exact seed DTWs through the recursive
+    * DP, the k-th-smallest threshold (sentinel −1 when a query has < k
+    * seeds or a saturated threshold), survivor and pruned-bps counts —
+    * mirroring [[graft.ops.DtwSearch.dtwPruneStats]] leg for leg.
+    */
+  private def tsDtwPruneStatsOracle(bands: Seq[Int], k: Int, seedMod: Int): String = {
+    val inf = "1000000000000000"
+    val sqi = "31622777"
+    val legs = bands.map { r =>
+      s"""env$r AS (
+        |  SELECT user_id AS query_user,
+        |    list_transform(range(1, 25), i ->
+        |      list_max(list_slice(arr, greatest(i - $r, 1), least(i + $r, 24)))) AS ue,
+        |    list_transform(range(1, 25), i ->
+        |      list_min(list_slice(arr, greatest(i - $r, 1), least(i + $r, 24)))) AS le
+        |  FROM prof WHERE user_id < 4
+        |), lb$r AS MATERIALIZED (
+        |  SELECT e.query_user, u.user_id,
+        |    least($inf, list_sum(list_transform(range(1, 25), j ->
+        |      CASE WHEN u.arr[j] > e.ue[j] THEN
+        |        CASE WHEN u.arr[j] - e.ue[j] >= $sqi THEN $inf
+        |             ELSE (u.arr[j] - e.ue[j]) * (u.arr[j] - e.ue[j]) END
+        |      WHEN u.arr[j] < e.le[j] THEN
+        |        CASE WHEN e.le[j] - u.arr[j] >= $sqi THEN $inf
+        |             ELSE (e.le[j] - u.arr[j]) * (e.le[j] - u.arr[j]) END
+        |      ELSE 0 END))) AS lb
+        |  FROM prof u CROSS JOIN env$r e WHERE u.user_id != e.query_user
+        |),
+        |${dtwDpCte("spairs", s"s$r", r)},
+        |tau$r AS (
+        |  SELECT query_user, CAST(dtw AS BIGINT) AS tau FROM (
+        |    SELECT query_user, CAST(d[24] AS BIGINT) AS dtw,
+        |      row_number() OVER (PARTITION BY query_user
+        |        ORDER BY CAST(d[24] AS BIGINT), user_id) AS srk
+        |    FROM dps$r WHERE i = 23) WHERE srk = $k
+        |), cnt$r AS (
+        |  SELECT l.query_user,
+        |    CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(sum(CASE WHEN l.user_id % $seedMod = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds,
+        |    CAST(sum(CASE WHEN l.lb <= coalesce(t.tau, $inf) THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+        |    coalesce(max(t.tau), $inf) AS tau_raw
+        |  FROM lb$r l LEFT JOIN tau$r t ON t.query_user = l.query_user
+        |  GROUP BY 1
+        |)""".stripMargin
+    }
+    val selects = bands.map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS band, query_user, n_candidates, n_seeds,
+        |  CAST(CASE WHEN tau_raw = $inf THEN -1 ELSE tau_raw END AS BIGINT) AS tau,
+        |  n_survivors,
+        |  CAST((20000 * (n_candidates - n_survivors) + n_candidates)
+        |    // (2 * n_candidates) AS BIGINT) AS pruned_bps
+        |FROM cnt$r""".stripMargin
+    }
+    s"""WITH RECURSIVE $dtwProfCtes,
+      |spairs AS MATERIALIZED (
+      |  SELECT q.user_id AS query_user, u.user_id, q.arr AS qarr, u.arr AS uarr
+      |  FROM prof q JOIN prof u ON q.user_id < 4 AND u.user_id != q.user_id
+      |    AND u.user_id % $seedMod = 0
+      |),
+      |${legs.mkString(",\n")}
+      |${selects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   private val tsBruteTopKOracle: String =
     """WITH sr AS MATERIALIZED (
       |  SELECT user_id, epoch_ms(ts) // 3600000 AS hour,
@@ -10672,6 +10853,11 @@ object SparkEntry {
         |$legs""".stripMargin
     },
     "ts_user_similarity_topk" -> tsBruteTopKOracle,
+    "ts_dtw_topk" -> tsDtwBruteOracle,
+    // the pruned DTW search's oracle IS the brute DTW search: a hash
+    // match proves LB_Keogh never false-dismissed (the GEMINI contract)
+    "ts_dtw_pruned_topk" -> tsDtwBruteOracle,
+    "ts_dtw_prune_stats" -> tsDtwPruneStatsOracle(Seq(1, 4, 8), 5, 16),
     // the PAA-pruned search's oracle IS the brute search: a hash match
     // proves the bound never false-dismissed (the GEMINI contract)
     "ts_paa_pruned_topk" -> tsBruteTopKOracle,

@@ -1,0 +1,209 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** `dtw_band(a, b, r)`: Sakoe–Chiba-banded dynamic-time-warping distance
+  * (sum of squared diffs along the cheapest monotone warping path with
+  * |i−j| ≤ r) between two equal-length `array<long>` series, as ONE
+  * codegen'd call.
+  *
+  * The banded DP is O(n·(2r+1)) time and O(n) space per pair — at
+  * all-pairs scale the quadratic-in-n unbanded DTW is the classic
+  * scale-killer, so the band is part of the DISTANCE's definition here
+  * (the same contract LB_Keogh lower-bounds). Arithmetic is exact integer
+  * with a saturation rail at `Dtw.Inf` = 10¹⁵ shared bit-for-bit with the
+  * DuckDB oracle: every squared diff and every partial path cost
+  * saturates at the rail, and because costs are non-negative, per-step
+  * saturation `min(Inf, x + d)` composes to the same value as saturating
+  * once at the end — the two engines agree even past the rail. Exact
+  * (unsaturated) whenever every |aᵢ−bⱼ| on the band < 31,622,777
+  * (⌈√10¹⁵⌉), i.e. total path cost < 10¹⁵ — at cents scale that is a
+  * ~3×10⁵× margin over the sf0.1 corpus.
+  *
+  * Null when either side is null or the lengths differ; requires r ≥ 0
+  * (r ≥ n−1 degenerates to unbanded DTW).
+  */
+object Dtw {
+
+  /** The saturation rail, mirrored literally in the oracle SQL. */
+  val Inf: Long = 1000000000000000L
+
+  /** |d| at or above this squares to ≥ Inf (⌈√Inf⌉). */
+  private val SqrtInf: Long = 31622777L
+
+  @inline private def sq(d: Long): Long = {
+    val ad = math.abs(d)
+    if (ad >= SqrtInf) Inf else d * d
+  }
+
+  @inline private def satAdd(a: Long, b: Long): Long =
+    if (a >= Inf || b >= Inf - a) Inf else a + b
+
+  /** Banded DTW over two `ArrayData` of longs; null on length mismatch. */
+  def dtwBand(a: ArrayData, b: ArrayData, r: Int): Any = {
+    val n = a.numElements()
+    if (n == 0 || b.numElements() != n) return null
+    var prev = new Array[Long](n)
+    var cur = new Array[Long](n)
+    // row 0: only left-moves, reachable while j <= r
+    val a0 = a.getLong(0)
+    var run = 0L
+    var j = 0
+    while (j < n) {
+      if (j <= r) {
+        run = satAdd(run, sq(a0 - b.getLong(j)))
+        cur(j) = run
+      } else cur(j) = Inf
+      j += 1
+    }
+    var i = 1
+    while (i < n) {
+      val t = prev; prev = cur; cur = t
+      val ai = a.getLong(i)
+      val lo = math.max(0, i - r)
+      val hi = math.min(n - 1, i + r)
+      j = 0
+      while (j < lo) { cur(j) = Inf; j += 1 }
+      while (j <= hi) {
+        var best = prev(j) // out-of-band prev cells hold Inf already
+        if (j > 0) {
+          if (cur(j - 1) < best) best = cur(j - 1)
+          if (prev(j - 1) < best) best = prev(j - 1)
+        }
+        cur(j) = satAdd(best, sq(ai - b.getLong(j)))
+        j += 1
+      }
+      while (j < n) { cur(j) = Inf; j += 1 }
+      i += 1
+    }
+    java.lang.Long.valueOf(cur(n - 1))
+  }
+}
+
+case class DtwBandExpr(left: Expression, right: Expression, band: Int)
+    extends BinaryExpression {
+
+  require(band >= 0, "band must be >= 0")
+
+  private def checkArr(dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkArr(left.dataType)
+    if (l != TypeCheckResult.TypeCheckSuccess) l else checkArr(right.dataType)
+  }
+
+  override def dataType: DataType = LongType
+  // Nullable regardless of the children: length-mismatched series yield null.
+  override def nullable: Boolean = true
+  override def prettyName: String = "dtw_band"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Dtw.dtwBand(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], band)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+        Object r = graft.functions.Dtw.dtwBand($a, $b, $band);
+        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) r).longValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DtwBandExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DtwBandExpr {
+  def column(a: Column, b: Column, band: Int): Column =
+    ColumnBridge.column(DtwBandExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), band))
+}
+
+/** `lb_keogh(u, upperEnv, lowerEnv)`: Keogh's envelope lower bound on the
+  * banded DTW distance, as ONE codegen'd call — the stage-1 scan of the
+  * pruned search, so it gets the same native treatment as the VecMath
+  * hot loops. Per element, cost is (u−U)² above the upper envelope,
+  * (L−u)² below the lower, else 0; each term saturates at [[Dtw.Inf]]
+  * exactly like [[DtwBandExpr]]'s squared diffs and the total is capped
+  * at the rail, which keeps the bound admissible even in the saturated
+  * regime: every capped term is ≤ the capped cost of the cell the
+  * warping path matches that element to. Null when any input is null or
+  * lengths differ.
+  */
+object LbKeogh {
+
+  private val SqrtInf: Long = 31622777L
+
+  @inline private def sqPos(d: Long): Long =
+    if (d >= SqrtInf) Dtw.Inf else d * d
+
+  def lbKeogh(u: ArrayData, ue: ArrayData, le: ArrayData): Any = {
+    val n = u.numElements()
+    if (n == 0 || ue.numElements() != n || le.numElements() != n) return null
+    var s = 0L
+    var j = 0
+    while (j < n) {
+      val x = u.getLong(j)
+      val hi = ue.getLong(j)
+      val lo = le.getLong(j)
+      if (x > hi) s += sqPos(x - hi)
+      else if (x < lo) s += sqPos(lo - x)
+      j += 1
+    }
+    java.lang.Long.valueOf(math.min(s, Dtw.Inf))
+  }
+}
+
+case class LbKeoghExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  private def checkArr(dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(first, second, third).map(c => checkArr(c.dataType))
+      .find(_ != TypeCheckResult.TypeCheckSuccess)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  override def dataType: DataType = LongType
+  // Nullable regardless of the children: length-mismatched series yield null.
+  override def nullable: Boolean = true
+  override def prettyName: String = "lb_keogh"
+
+  override protected def nullSafeEval(u: Any, ue: Any, le: Any): Any =
+    LbKeogh.lbKeogh(
+      u.asInstanceOf[ArrayData], ue.asInstanceOf[ArrayData], le.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (u, ue, le) => {
+      s"""
+        Object r = graft.functions.LbKeogh.lbKeogh($u, $ue, $le);
+        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) r).longValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): LbKeoghExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object LbKeoghExpr {
+  def column(u: Column, upperEnv: Column, lowerEnv: Column): Column =
+    ColumnBridge.column(LbKeoghExpr(
+      ColumnBridge.expression(u),
+      ColumnBridge.expression(upperEnv),
+      ColumnBridge.expression(lowerEnv)))
+}

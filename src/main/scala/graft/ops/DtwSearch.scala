@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dtw, DtwBandExpr, LbKeoghExpr}
+
+/** Banded dynamic-time-warping similarity over per-user HOUR-OF-DAY
+  * activity profiles — "who spends like this account, allowing their day
+  * to be shifted a few hours" — the phase-tolerant complement to the
+  * cosine family in [[TimeSeries]]: cosine on the sparse hourly series
+  * scores users who are active in the SAME hours; DTW with a Sakoe–Chiba
+  * band of ±r hours also matches users whose identical routine runs
+  * late (timezones, shift work), exactly what a rigid dot product
+  * penalizes.
+  *
+  * The profile is a dense 24-long integer vector (total value cents per
+  * hour-of-day, absent hours = real zeros), so the distance is exact
+  * integer arithmetic end to end: the banded DP
+  * ([[graft.functions.DtwBandExpr]]) and Keogh's envelope lower bound
+  * ([[graft.functions.LbKeoghExpr]]) both run as single codegen'd calls
+  * with a shared saturation rail mirrored bit-for-bit by the DuckDB
+  * oracle.
+  *
+  * Scale shape (the reason the band and the bound exist): profiles are
+  * ONE groupBy over the corpus — |users| rows of 24 longs. The brute
+  * face is the gold (queries × |users|, definitionally a full scan,
+  * queries bounded + broadcast). The production face is bound-then-
+  * verify, the same GEMINI contract as [[TimeSeries.tsPaaPrunedTopK]]:
+  * LB_Keogh (O(n) per pair) screens every candidate, a deterministic
+  * seed subset prices the exact threshold, and the O(n·(2r+1)) DP runs
+  * only on survivors — with the bound admissible by construction
+  * (Keogh & Ratanamahatana, "Exact indexing of dynamic time warping",
+  * KAIS 2005), the pruned top-k is BIT-IDENTICAL to brute, which is why
+  * its oracle IS the brute SQL.
+  */
+object DtwSearch {
+
+  /** Sentinel threshold when a query has fewer than k seed pairs: equal
+    * to the saturation rail, so `lb <= NoTau` keeps every candidate
+    * (lb is capped at the rail). Mirrored literally in the oracle.
+    */
+  val NoTau: Long = Dtw.Inf
+
+  /** Per-user hour-of-day profile: 24 total-value-cents cells, absent
+    * hours zero-filled. One corpus aggregation; |users| output rows.
+    * Columns: user_id, arr (array<long> length 24).
+    */
+  def hodProfiles(ev: DataFrame): DataFrame =
+    ev
+      .select(
+        col("user_id"),
+        expr("(ts_ms DIV 3600000) % 24").as("hod"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      .groupBy(col("user_id"), col("hod"))
+      .agg(sum(col("v")).as("v"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("hod"), col("v")))).as("m"))
+      .select(
+        col("user_id"),
+        expr("transform(sequence(0, 23), h -> coalesce(try_element_at(m, CAST(h AS BIGINT)), CAST(0 AS BIGINT)))")
+          .as("arr"))
+
+  /** The query frame with its ±band Keogh envelopes (upper/lower), built
+    * with array expressions on the bounded query rows only.
+    */
+  private def queryEnvelopes(prof: DataFrame, band: Int, maxQueryUser: Long): DataFrame =
+    prof
+      .filter(col("user_id") < maxQueryUser)
+      .select(
+        col("user_id").as("query_user"),
+        col("arr").as("qarr"),
+        expr(s"""transform(sequence(1, 24), i ->
+                 |  array_max(slice(arr, greatest(i - $band, 1),
+                 |    least(i + $band, 24) - greatest(i - $band, 1) + 1)))""".stripMargin)
+          .as("ue"),
+        expr(s"""transform(sequence(1, 24), i ->
+                 |  array_min(slice(arr, greatest(i - $band, 1),
+                 |    least(i + $band, 24) - greatest(i - $band, 1) + 1)))""".stripMargin)
+          .as("le"))
+
+  /** Brute-force banded-DTW top-k — the gold: every (query, user) pair
+    * gets the exact DP. Columns: query_user, user_id, dtw_dist, rank.
+    */
+  def dtwTopK(
+      ev: DataFrame,
+      band: Int = 4,
+      k: Int = 5,
+      maxQueryUser: Long = 4L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val prof = hodProfiles(ev).localCheckpoint(eager = true)
+    val q = prof.filter(col("user_id") < maxQueryUser)
+      .select(col("user_id").as("query_user"), col("arr").as("qarr"))
+    val w = Window.partitionBy(col("query_user")).orderBy(col("dtw_dist"), col("user_id"))
+    prof
+      .crossJoin(broadcast(q)) // |users| × bounded-queries candidate grid
+      .filter(col("user_id") =!= col("query_user"))
+      .select(
+        col("query_user"), col("user_id"),
+        DtwBandExpr.column(col("qarr"), col("arr"), band).as("dtw_dist"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Everything the pruned search shares between its result face and its
+    * stats face at one band: the candidate grid with its lower bounds,
+    * the seed pairs' exact distances, and the per-query threshold
+    * (k-th smallest seed DTW; [[NoTau]] when a query has < k seeds).
+    */
+  private case class Chain(
+      cand: DataFrame, // (query_user, user_id, arr, qarr, lb)
+      seeds: DataFrame, // (query_user, user_id, dtw_dist)
+      tau: DataFrame // (query_user, tau) — every query, sentinel-filled
+  )
+
+  private def chain(
+      prof: DataFrame,
+      band: Int,
+      k: Int,
+      maxQueryUser: Long,
+      seedMod: Int): Chain = {
+    val q = queryEnvelopes(prof, band, maxQueryUser)
+    val cand = prof
+      .crossJoin(broadcast(q)) // |users| × bounded-queries, linear in corpus
+      .filter(col("user_id") =!= col("query_user"))
+      .select(
+        col("query_user"), col("user_id"), col("arr"), col("qarr"),
+        LbKeoghExpr.column(col("arr"), col("ue"), col("le")).as("lb"))
+      .localCheckpoint(eager = true) // reused: seeds, survivor filter, stats
+    val seeds = cand
+      .filter(col("user_id") % seedMod === 0)
+      .select(
+        col("query_user"), col("user_id"),
+        DtwBandExpr.column(col("qarr"), col("arr"), band).as("dtw_dist"))
+    val sw = Window.partitionBy(col("query_user")).orderBy(col("dtw_dist"), col("user_id"))
+    val kth = seeds
+      .withColumn("srk", row_number().over(sw))
+      .filter(col("srk") === k)
+      .select(col("query_user"), col("dtw_dist").as("tau"))
+    val tau = cand
+      .select(col("query_user")).distinct()
+      .join(kth, Seq("query_user"), "left")
+      .select(col("query_user"), coalesce(col("tau"), lit(NoTau)).as("tau"))
+    Chain(cand, seeds, tau)
+  }
+
+  /** Bound-then-verify banded-DTW top-k, bit-identical to [[dtwTopK]]:
+    * candidates whose LB_Keogh clears the seed threshold get the exact
+    * DP; everyone else is provably outside the top-k (lb ≤ dtw always,
+    * and the true k-th distance is ≤ tau). Oracle = the brute SQL.
+    */
+  def dtwPrunedTopK(
+      ev: DataFrame,
+      band: Int = 4,
+      k: Int = 5,
+      maxQueryUser: Long = 4L,
+      seedMod: Int = 16): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val prof = hodProfiles(ev).localCheckpoint(eager = true)
+    val c = chain(prof, band, k, maxQueryUser, seedMod)
+    val w = Window.partitionBy(col("query_user")).orderBy(col("dtw_dist"), col("user_id"))
+    c.cand
+      .join(broadcast(c.tau), Seq("query_user"))
+      .filter(col("lb") <= col("tau")) // survivors only reach the DP
+      .select(
+        col("query_user"), col("user_id"),
+        DtwBandExpr.column(col("qarr"), col("arr"), band).as("dtw_dist"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** The measured selectivity of the envelope bound, swept over band
+    * widths: per (band, query), candidate count, seed count, threshold
+    * (−1 when the sentinel kept everyone), survivors, pruned share in
+    * bps — the same blocking-recall discipline as
+    * [[TimeSeries.tsPaaPruneStats]], for the planner picking r.
+    */
+  def dtwPruneStats(
+      ev: DataFrame,
+      bands: Seq[Int] = Seq(1, 4, 8),
+      k: Int = 5,
+      maxQueryUser: Long = 4L,
+      seedMod: Int = 16): DataFrame = {
+    require(bands.nonEmpty, "bands must be non-empty")
+    val prof = hodProfiles(ev).localCheckpoint(eager = true)
+    val legs = bands.map { band =>
+      val c = chain(prof, band, k, maxQueryUser, seedMod)
+      val counts = c.cand
+        .join(broadcast(c.tau), Seq("query_user"))
+        .groupBy(col("query_user"))
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(when(col("user_id") % seedMod === 0, 1L).otherwise(0L)).as("n_seeds"),
+          sum(when(col("lb") <= col("tau"), 1L).otherwise(0L)).as("n_survivors"),
+          max(col("tau")).as("tau_raw")) // constant per query
+      counts.select(
+        lit(band.toLong).as("band"),
+        col("query_user"),
+        col("n_candidates"),
+        col("n_seeds"),
+        when(col("tau_raw") === NoTau, lit(-1L)).otherwise(col("tau_raw")).as("tau"),
+        col("n_survivors"),
+        // round-half-up bps of pruned share, pure long arithmetic
+        expr("(20000 * (n_candidates - n_survivors) + n_candidates) DIV (2 * n_candidates)")
+          .as("pruned_bps"))
+    }
+    legs.reduce(_.unionByName(_))
+  }
+}

@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Dtw, DtwBandExpr, LbKeoghExpr}
+import graft.ops.DtwSearch
+
+class DtwSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent reference: full-matrix banded DP, no rolling rows, no
+    * saturation shortcuts (BigInt), so a bug in the production loop
+    * cannot hide in a mirrored bug here.
+    */
+  private def refDtw(q: Seq[Long], u: Seq[Long], r: Int): Long = {
+    val n = q.length
+    val inf = BigInt(Dtw.Inf)
+    val d = Array.fill(n, n)(inf)
+    for (i <- 0 until n; j <- math.max(0, i - r) to math.min(n - 1, i + r)) {
+      val c = inf.min(BigInt(q(i) - u(j)) * BigInt(q(i) - u(j)))
+      val best =
+        if (i == 0 && j == 0) BigInt(0)
+        else {
+          var m = inf
+          if (i > 0) m = m.min(d(i - 1)(j))
+          if (j > 0) m = m.min(d(i)(j - 1))
+          if (i > 0 && j > 0) m = m.min(d(i - 1)(j - 1))
+          m
+        }
+      d(i)(j) = inf.min(best + c)
+    }
+    d(n - 1)(n - 1).toLong
+  }
+
+  private def refLb(q: Seq[Long], u: Seq[Long], r: Int): Long = {
+    val n = q.length
+    val inf = BigInt(Dtw.Inf)
+    val s = (0 until n).map { j =>
+      val w = q.slice(math.max(0, j - r), math.min(n - 1, j + r) + 1)
+      val (hi, lo) = (w.max, w.min)
+      if (u(j) > hi) inf.min(BigInt(u(j) - hi) * BigInt(u(j) - hi))
+      else if (u(j) < lo) inf.min(BigInt(lo - u(j)) * BigInt(lo - u(j)))
+      else BigInt(0)
+    }.sum
+    inf.min(s).toLong
+  }
+
+  private def exprDtw(q: Seq[Long], u: Seq[Long], r: Int): Long =
+    Seq((q, u)).toDF("q", "u")
+      .select(DtwBandExpr.column(col("q"), col("u"), r).as("d"))
+      .as[Long].head()
+
+  test("DtwBandExpr matches the independent full-matrix DP across bands") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20; r <- Seq(0, 1, 4, 8, 23)) {
+      val q = Seq.fill(24)(rnd.nextInt(100000).toLong)
+      val u = Seq.fill(24)(rnd.nextInt(100000).toLong)
+      assert(exprDtw(q, u, r) == refDtw(q, u, r), s"band $r, q=$q u=$u")
+    }
+  }
+
+  test("DtwBandExpr: identity is 0; a 2h phase shift costs 0 at band >= 2 but not at band 1") {
+    val rnd = new scala.util.Random(7)
+    val base = Seq.fill(24)(rnd.nextInt(5000).toLong + 1000L)
+    assert(exprDtw(base, base, 0) == 0L)
+    // q carries its activity in cells 2..19 with quiet edges; u is the
+    // same routine running 2 hours late — the exact case the band exists
+    // for: a ±2 warp absorbs it fully, a ±1 warp cannot
+    val core = base.slice(2, 20) // 18 nonzero cells
+    val q = Seq(0L, 0L) ++ core ++ Seq.fill(4)(0L)
+    val u = Seq.fill(4)(0L) ++ core ++ Seq(0L, 0L)
+    assert(exprDtw(q, u, 2) == 0L)
+    assert(exprDtw(q, u, 8) == 0L)
+    assert(exprDtw(q, u, 1) > 0L)
+    // and a wider band can only lower (or keep) the distance
+    val v = Seq.fill(24)(rnd.nextInt(5000).toLong)
+    val ds = Seq(0, 1, 2, 4, 8, 16, 23).map(r => exprDtw(q, v, r))
+    assert(ds == ds.sorted.reverse, s"band widening must not raise DTW: $ds")
+  }
+
+  test("DtwBandExpr saturates at the rail exactly like the reference") {
+    val big = Seq.fill(24)(0L)
+    val far = Seq.fill(24)(50000000L) // diff 5e7 > ceil(sqrt(Inf)), every cell saturates
+    assert(exprDtw(big, far, 4) == Dtw.Inf)
+    assert(refDtw(big, far, 4) == Dtw.Inf)
+  }
+
+  test("DtwBandExpr is null on length mismatch") {
+    val got = Seq((Seq(1L, 2L), Seq(1L, 2L, 3L))).toDF("q", "u")
+      .select(DtwBandExpr.column(col("q"), col("u"), 2).as("d"))
+      .collect()(0)
+    assert(got.isNullAt(0))
+  }
+
+  test("LbKeoghExpr matches the reference and never exceeds the banded DTW") {
+    val rnd = new scala.util.Random(11)
+    for (i <- 1 to 30; r <- Seq(1, 4, 8)) {
+      val q = Seq.fill(24)(rnd.nextInt(80000).toLong)
+      val u =
+        if (i % 3 == 0) q.map(v => v + rnd.nextInt(100) - 50) // near twin
+        else Seq.fill(24)(rnd.nextInt(80000).toLong)
+      val n = q.length
+      val ue = (0 until n).map(j => q.slice(math.max(0, j - r), math.min(n - 1, j + r) + 1).max)
+      val le = (0 until n).map(j => q.slice(math.max(0, j - r), math.min(n - 1, j + r) + 1).min)
+      val lb = Seq((u, ue, le)).toDF("u", "ue", "le")
+        .select(LbKeoghExpr.column(col("u"), col("ue"), col("le")).as("lb"))
+        .as[Long].head()
+      assert(lb == refLb(q, u, r), s"band $r")
+      assert(lb <= refDtw(q, u, r), s"bound must be admissible: band $r, lb=$lb")
+    }
+  }
+
+  test("LbKeogh admissibility holds in the saturated regime") {
+    val q = Seq.fill(24)(0L)
+    val u = Seq.fill(24)(40000000L)
+    val r = 4
+    val ue = Seq.fill(24)(0L)
+    val le = Seq.fill(24)(0L)
+    val lb = Seq((u, ue, le)).toDF("u", "ue", "le")
+      .select(LbKeoghExpr.column(col("u"), col("ue"), col("le")).as("lb"))
+      .as[Long].head()
+    assert(lb == Dtw.Inf) // capped at the rail
+    assert(lb <= refDtw(q, u, r)) // dtw also saturates to the rail
+  }
+
+  private def eventsFixture(nUsers: Int, perUser: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val rows = for {
+      u <- 0 until nUsers
+      _ <- 0 until perUser
+    } yield (u.toLong, rnd.nextInt(1000) * 3600000L, rnd.nextInt(10000) / 100.0)
+    rows.toDF("user_id", "ts_ms", "value")
+  }
+
+  test("hodProfiles zero-fills to dense 24-cell profiles") {
+    val ev = Seq(
+      (0L, 0L, 1.0), // hod 0
+      (0L, 25L * 3600000L, 2.5), // hod 1
+      (1L, 5L * 3600000L, 3.0) // hod 5
+    ).toDF("user_id", "ts_ms", "value")
+    val got = DtwSearch.hodProfiles(ev).as[(Long, Seq[Long])].collect().toMap
+    assert(got(0L).length == 24)
+    assert(got(0L)(0) == 100L && got(0L)(1) == 250L && got(0L).sum == 350L)
+    assert(got(1L)(5) == 300L && got(1L).sum == 300L)
+  }
+
+  test("dtwPrunedTopK is bit-identical to the brute gold on a random corpus") {
+    val ev = eventsFixture(nUsers = 60, perUser = 30, seed = 13)
+    val brute = DtwSearch.dtwTopK(ev).collect().map(_.toSeq).toSet
+    val pruned = DtwSearch.dtwPrunedTopK(ev).collect().map(_.toSeq).toSet
+    assert(brute.nonEmpty)
+    assert(pruned == brute)
+  }
+
+  test("dtwPruneStats: the bound actually prunes a corpus with far-away users, and stays exact") {
+    // users 0..3 are queries; users 96..127 are scaled far away so their
+    // lower bounds clear the seed threshold. Seeds are user_id % 16 == 0:
+    // six near (0, 16, 32, 48, 64, 80), so every query's 5th-smallest
+    // seed DTW is a NEAR distance — the far block must get pruned.
+    val rnd = new scala.util.Random(5)
+    val near = for {
+      u <- 0 until 96; h <- 0 until 24
+    } yield (u.toLong, h * 3600000L, (1000 + rnd.nextInt(100)) / 100.0)
+    val far = for {
+      u <- 96 until 128; h <- 0 until 24
+    } yield (u.toLong, h * 3600000L, (900000 + rnd.nextInt(100)) / 100.0)
+    val ev = (near ++ far).toDF("user_id", "ts_ms", "value")
+    val stats = DtwSearch.dtwPruneStats(ev)
+      .select("band", "query_user", "n_candidates", "n_survivors", "pruned_bps")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(stats.nonEmpty)
+    // every leg keeps the candidate census right
+    assert(stats.forall(_._3 == 127L))
+    // with 32 of 63 candidates far away and at least one near seed, the
+    // bound must prune something for every query at every band
+    stats.foreach { case (band, qu, c, s, bps) =>
+      assert(s < c, s"band $band query $qu: no pruning ($s of $c survived)")
+      assert(bps == (20000 * (c - s) + c) / (2 * c), "bps formula drift")
+    }
+    // and pruning never costs correctness
+    val brute = DtwSearch.dtwTopK(ev).collect().map(_.toSeq).toSet
+    val pruned = DtwSearch.dtwPrunedTopK(ev).collect().map(_.toSeq).toSet
+    assert(pruned == brute)
+  }
+
+  test("dtwPrunedTopK sentinel path: fewer than k seeds keeps everyone and stays exact") {
+    // only 12 users → seeds are user 0 only (user_id % 16 == 0) → < k=5
+    // seeds → NoTau sentinel → all candidates survive → still ≡ brute
+    val ev = eventsFixture(nUsers = 12, perUser = 20, seed = 3)
+    val brute = DtwSearch.dtwTopK(ev).collect().map(_.toSeq).toSet
+    val pruned = DtwSearch.dtwPrunedTopK(ev).collect().map(_.toSeq).toSet
+    assert(pruned == brute)
+    val stats = DtwSearch.dtwPruneStats(ev, bands = Seq(4))
+      .select("tau", "n_candidates", "n_survivors").as[(Long, Long, Long)].collect()
+    assert(stats.forall { case (tau, c, s) => tau == -1L && s == c })
+  }
+}
