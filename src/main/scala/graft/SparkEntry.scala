@@ -3108,6 +3108,21 @@ object SparkEntry {
       // established near-dup bar) compared in DECIMAL(38,0) — exact.
       graft.ops.Clustering.semanticDedup(table(s, dir, "embeddings"), k = 8, iters = 2)
     },
+    "d4_flags" -> { (s, dir) =>
+      // D4 curation (dedup then de-prototype): SemDeDup drops within-
+      // cluster near-dups, then SSL-prototypes drops the 25% of each
+      // cluster's SURVIVORS closest to its trained centroid — the
+      // mutually-similar-as-a-population mass no pairwise dup bar can
+      // reach. One verdict row per vector off the same exact Lloyd state
+      // as kmeans_clusters (ops/Clustering.scala).
+      graft.ops.Clustering.d4Prune(table(s, dir, "embeddings"), k = 8, iters = 2)
+    },
+    "d4_prune_report" -> { (s, dir) =>
+      // The D4 census per cluster: totals, drops by stage (dup vs proto),
+      // keeps, kept share in bps — the health row the curation run
+      // records next to the corpus it prunes (ops/Clustering.scala).
+      graft.ops.Clustering.d4PruneReport(table(s, dir, "embeddings"), k = 8, iters = 2)
+    },
     "chunk_dedup_rewrite" -> { (s, dir) =>
       // C4-style global chunk dedup with corpus rewrite: first-occurrence
       // winners by chunk md5, documents re-assembled from survivors.
@@ -6699,6 +6714,53 @@ object SparkEntry {
       |    SELECT vec_id, cid AS cluster, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
       |    FROM d2)
       |  WHERE rn = 1
+      |)""".stripMargin
+
+  /** The D4 curation replay shared by `d4_flags` and `d4_prune_report`:
+    * the Lloyd state ([[KmeansCtes]]: a2 the final assignment, d2 the
+    * distances that produced it), the SemDeDup dup frame (the
+    * `semantic_dedup` CTEs verbatim), own-centroid distances read
+    * straight off d2, the survivor prototype rank per cluster, and the
+    * per-vector verdict — mirroring [[graft.ops.Clustering.d4Prune]] at
+    * protoDropBps = 2500.
+    */
+  private val D4Ctes: String =
+    s"""$KmeansCtes,
+      |norms AS (SELECT vec_id, sum(v*v) AS nrm FROM ex GROUP BY 1),
+      |cand AS (
+      |  SELECT x.vec_id AS a, y.vec_id AS b
+      |  FROM a2 x JOIN a2 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      |), dots AS (
+      |  SELECT c.a, c.b, sum(ea.v * eb.v) AS dot
+      |  FROM cand c
+      |  JOIN ex ea ON ea.vec_id = c.a
+      |  JOIN ex eb ON eb.vec_id = c.b AND eb.i = ea.i
+      |  GROUP BY 1, 2
+      |), dup AS (
+      |  SELECT d.b AS vec_id, min(d.a) AS dup_of
+      |  FROM dots d
+      |  JOIN norms na ON na.vec_id = d.a
+      |  JOIN norms nb ON nb.vec_id = d.b
+      |  WHERE d.dot > 0
+      |    AND CAST(d.dot AS HUGEINT) * d.dot * 10000 >= CAST(400 AS HUGEINT) * na.nrm * nb.nrm
+      |  GROUP BY 1
+      |), pd AS (
+      |  SELECT d2.vec_id, a.cluster, CAST(d2.d AS BIGINT) AS dist_sq
+      |  FROM d2 JOIN a2 a ON a.vec_id = d2.vec_id AND d2.cid = a.cluster
+      |), sv AS (
+      |  SELECT p.vec_id, p.cluster, p.dist_sq,
+      |    row_number() OVER (PARTITION BY p.cluster ORDER BY p.dist_sq, p.vec_id) AS prk
+      |  FROM pd p LEFT JOIN dup ON dup.vec_id = p.vec_id
+      |  WHERE dup.vec_id IS NULL
+      |), cs AS (
+      |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_surv FROM sv GROUP BY 1
+      |), d4flags AS (
+      |  SELECT s.vec_id, s.cluster, s.dist_sq, CAST(NULL AS BIGINT) AS dup_of,
+      |    CASE WHEN s.prk <= (c.n_surv * 2500) // 10000 THEN 'proto' ELSE 'keep' END AS action
+      |  FROM sv s JOIN cs c USING (cluster)
+      |  UNION ALL
+      |  SELECT p.vec_id, p.cluster, p.dist_sq, d.dup_of, 'dup' AS action
+      |  FROM pd p JOIN dup d ON d.vec_id = p.vec_id
       |)""".stripMargin
 
   /** Shared CTEs reproducing [[graft.ops.Similarity.lshSigMd5]]'s
@@ -11844,6 +11906,19 @@ object SparkEntry {
         |)
         |SELECT v.vec_id, dup.dup_of
         |FROM (SELECT vec_id FROM embeddings) v LEFT JOIN dup ON dup.vec_id = v.vec_id""".stripMargin,
+    "d4_flags" ->
+      s"""$D4Ctes
+        |SELECT vec_id, cluster, dist_sq, dup_of, action FROM d4flags""".stripMargin,
+    "d4_prune_report" ->
+      s"""$D4Ctes
+        |SELECT cluster,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN action = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN action = 'proto' THEN 1 ELSE 0 END) AS BIGINT) AS n_proto,
+        |  CAST(sum(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST((20000 * sum(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) + count(*))
+        |    // (2 * count(*)) AS BIGINT) AS kept_bps
+        |FROM d4flags GROUP BY 1""".stripMargin,
     "chunk_dedup_rewrite" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,

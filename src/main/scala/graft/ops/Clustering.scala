@@ -217,10 +217,33 @@ object Clustering {
     // blocks are executor-local and GC'd by the ContextCleaner once the
     // frame is unreferenced.
     val clustered = qv.join(asg, "vec_id").localCheckpoint(eager = true)
+    clustered
+      .select($"vec_id")
+      .join(semanticDupsOn(clustered, tauSqNum, tauSqDen), Seq("vec_id"), "left")
+      .select($"vec_id", $"dup_of")
+  }
+
+  /** The within-cluster near-dup core shared by [[semanticDedup]] and
+    * [[d4Prune]]: over a checkpointed `(vec_id, qv, cluster)` frame,
+    * emits one `(vec_id, dup_of)` row per DUPLICATE (the minimum
+    * qualifying lower id; survivors absent). The cluster equi-join keeps
+    * the candidate product per-cluster, never all-pairs.
+    */
+  private[ops] def semanticDupsOn(
+      clustered: DataFrame,
+      tauSqNum: Long,
+      tauSqDen: Long): DataFrame = {
+    val spark = clustered.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    // The clustered frame feeds BOTH join sides, the norm frame, and the
+    // survivor anchor — lineage references that would each re-scan and
+    // re-quantize the corpus (no common-subplan reuse); the caller hands
+    // in one eager local checkpoint every reference reads.
     val norms = clustered.select($"vec_id", dotL($"qv", $"qv").as("nrm"))
     val lo = clustered.select($"cluster", $"vec_id".as("a"), $"qv".as("av"))
     val hi = clustered.select($"cluster", $"vec_id".as("b"), $"qv".as("bv"))
-    val dups = lo
+    lo
       .join(hi, "cluster")
       .where($"a" < $"b")
       .select($"a", $"b", dotL($"av", $"bv").as("dot"))
@@ -233,10 +256,101 @@ object Clustering {
       )
       .groupBy($"b".as("vec_id"))
       .agg(min($"a").as("dup_of"))
-    clustered
-      .select($"vec_id")
+  }
+
+  /** D4-style curation flags (Tirumala et al. 2023, arXiv 2308.12284):
+    * de-duplicate THEN de-prototype. Stage 1 is SemDeDup — within-cluster
+    * near-dups drop to their lowest-id anchor. Stage 2 is SSL-prototypes
+    * (Sorscher et al. 2022, "Beyond neural scaling laws"): among the
+    * SURVIVORS of stage 1, the `protoDropBps`/10⁴ fraction of each
+    * cluster closest to its own centroid — the most prototypical, least
+    * informative examples — is dropped too, which is exactly the mass
+    * SemDeDup alone cannot touch (near-centroid points are mutually
+    * similar as a POPULATION without any pair crossing the dup bar).
+    *
+    * One row per vector: cluster, exact squared distance to its own
+    * trained centroid, its dup anchor (null for survivors), and the
+    * verdict `action ∈ {dup, proto, keep}`. Everything is integer-exact
+    * off the same quantized Lloyd state as `kmeans_clusters` (scale-10⁴
+    * components, long squared distances), so the DuckDB oracle replays
+    * it bit-for-bit.
+    *
+    * Scale shape: the prototype rank is a row_number over cluster
+    * partitions — parallelism equals k, which is the operator's own
+    * scale knob (the D4 paper runs ~11k clusters at web scale precisely
+    * so per-cluster work stays bounded; at that k the partitions are
+    * fine-grained and balanced by the Lloyd objective itself). The
+    * per-cluster drop count is exact long arithmetic on the survivor
+    * census, not a global quantile.
+    */
+  def d4Prune(
+      emb: DataFrame,
+      k: Int = 8,
+      iters: Int = 2,
+      scale: Long = 10000L,
+      tauSqNum: Long = 400L,
+      tauSqDen: Long = 10000L,
+      protoDropBps: Long = 2500L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(protoDropBps >= 0 && protoDropBps <= 10000, "protoDropBps in [0, 10000]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (assigned, cents) = lloyd(emb, k, iters, scale, idCol, vecCol)
+    val clustered = assigned.localCheckpoint(eager = true)
+    val dups = semanticDupsOn(clustered, tauSqNum, tauSqDen)
+    // exact squared distance to the OWN trained centroid, the silhouette
+    // `a` leg: the k×dim centroid matrix rides inline as struct literals
+    val alts = cents.map { case (cid, c) =>
+      struct(sqDistL($"qv", typedLit(c)).as("d"), lit(cid).as("cid"))
+    }
+    val ownD = element_at(
+      filter(array(alts: _*), x => x.getField("cid") === col("cluster")), 1).getField("d")
+    val base = clustered
+      .select($"vec_id", $"cluster", ownD.as("dist_sq"))
       .join(dups, Seq("vec_id"), "left")
-      .select($"vec_id", $"dup_of")
+      .localCheckpoint(eager = true) // feeds the survivor rank and the dup leg
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster").orderBy($"dist_sq", $"vec_id")
+    val surv = base.filter($"dup_of".isNull)
+      .withColumn("prk", row_number().over(w))
+    val sizes = surv.groupBy($"cluster").agg(count(lit(1)).as("n_surv")) // k rows
+    val survFlag = surv
+      .join(broadcast(sizes), Seq("cluster"))
+      .select(
+        $"vec_id", $"cluster", $"dist_sq",
+        lit(null).cast("long").as("dup_of"),
+        when($"prk" <= expr(s"(n_surv * $protoDropBps) DIV 10000"), lit("proto"))
+          .otherwise(lit("keep")).as("action"))
+    val dupFlag = base.filter($"dup_of".isNotNull)
+      .select($"vec_id", $"cluster", $"dist_sq", $"dup_of", lit("dup").as("action"))
+    survFlag.unionByName(dupFlag)
+  }
+
+  /** Per-cluster census of [[d4Prune]]: totals, drops by stage, keeps,
+    * and the kept share in round-half-up bps — the health row a curation
+    * run records next to the corpus it prunes.
+    */
+  def d4PruneReport(
+      emb: DataFrame,
+      k: Int = 8,
+      iters: Int = 2,
+      scale: Long = 10000L,
+      tauSqNum: Long = 400L,
+      tauSqDen: Long = 10000L,
+      protoDropBps: Long = 2500L
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    d4Prune(emb, k, iters, scale, tauSqNum, tauSqDen, protoDropBps)
+      .groupBy($"cluster")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when($"action" === "dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when($"action" === "proto", 1L).otherwise(0L)).as("n_proto"),
+        sum(when($"action" === "keep", 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_bps", expr("(20000 * n_kept + n_vecs) DIV (2 * n_vecs)"))
   }
 
   /** Greedy k-center coreset — farthest-point traversal (Gonzalez 1985,

@@ -176,4 +176,71 @@ class ClusteringSpec extends AnyFunSuite {
     val blob = got.take(3).map(_._2 % 3).toSet
     assert(blob.size == 3)
   }
+
+  test("d4Prune: actions partition the corpus; dup rows equal semanticDedup; proto census exact") {
+    val data = grouped(90)
+    val df = data.toDF("vec_id", "embedding")
+    val flags = Clustering.d4Prune(df, k = 3, iters = 2, scale = scale)
+      .as[(Long, Int, Long, Option[Long], String)].collect()
+    assert(flags.map(_._1).toSet == data.map(_._1).toSet) // every vector verdicted once
+    assert(flags.map(_._1).distinct.length == flags.length)
+    val sd = Clustering.semanticDedup(df, k = 3, iters = 2, scale = scale)
+      .as[(Long, Option[Long])].collect().toMap
+    // stage-1 agreement: dup rows carry exactly semanticDedup's anchors
+    flags.foreach { case (id, _, _, dupOf, action) =>
+      assert((action == "dup") == sd(id).isDefined, s"vec $id")
+      assert(dupOf == sd(id), s"vec $id anchor")
+    }
+    // stage-2 census: per cluster, exactly (n_surv * 2500) DIV 10000 protos,
+    // and every proto sits at-or-below every keep in (dist_sq, vec_id) order
+    flags.groupBy(_._2).foreach { case (cl, rows) =>
+      val surv = rows.filter(_._5 != "dup")
+      val nProto = surv.count(_._5 == "proto")
+      assert(nProto == surv.length.toLong * 2500 / 10000, s"cluster $cl proto count")
+      val key = (r: (Long, Int, Long, Option[Long], String)) => (r._3, r._1)
+      val maxProto = surv.filter(_._5 == "proto").map(key).sorted.lastOption
+      val minKeep = surv.filter(_._5 == "keep").map(key).sorted.headOption
+      for (p <- maxProto; q <- minKeep)
+        assert(implicitly[Ordering[(Long, Long)]].lt(p, q), s"cluster $cl proto/keep order")
+    }
+  }
+
+  test("d4Prune catches mass SemDeDup cannot: no pair over the bar, protos still drop") {
+    // 16 points, one per (dim, sign) axis direction: every pairwise cosine
+    // is ~0 (orthogonal) or ~-1 (opposite) — NOTHING clears tau = 0.2, so
+    // SemDeDup alone keeps the whole corpus. The prototype stage still
+    // prunes 25% of each cluster's survivors by construction.
+    val rnd = new Random(13)
+    val pts = (0L until 16L).map { i =>
+      val v = Array.fill(dim)(0.002f * rnd.nextGaussian().toFloat)
+      v((i % dim).toInt) = (if (i < 8) 1.5f else -1.5f)
+      i -> v
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val flags = Clustering.d4Prune(df, k = 2, iters = 2, scale = scale)
+      .as[(Long, Int, Long, Option[Long], String)].collect()
+    assert(flags.count(_._5 == "dup") == 0, "no pair may cross the dup bar")
+    val protosByCluster = flags.groupBy(_._2).map { case (_, rows) =>
+      rows.count(_._5 == "proto") -> rows.length.toLong * 2500 / 10000
+    }
+    protosByCluster.foreach { case (got, want) => assert(got == want) }
+    assert(flags.count(_._5 == "proto") >= 1, "the prototype stage must fire")
+  }
+
+  test("d4PruneReport: census columns reconcile with the flags") {
+    val df = grouped(60).toDF("vec_id", "embedding")
+    val rep = Clustering.d4PruneReport(df, k = 3, iters = 2, scale = scale)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    val flags = Clustering.d4Prune(df, k = 3, iters = 2, scale = scale)
+      .as[(Long, Int, Long, Option[Long], String)].collect()
+    rep.foreach { case (cl, n, nDup, nProto, nKept, keptBps) =>
+      val rows = flags.filter(_._2 == cl)
+      assert(n == rows.length)
+      assert(nDup == rows.count(_._5 == "dup"))
+      assert(nProto == rows.count(_._5 == "proto"))
+      assert(nKept == rows.count(_._5 == "keep"))
+      assert(keptBps == (20000 * nKept + n) / (2 * n))
+    }
+    assert(rep.map(_._2).sum == 60L)
+  }
 }
