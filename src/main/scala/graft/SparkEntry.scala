@@ -1268,6 +1268,32 @@ object SparkEntry {
         size(col("sampled_chunks")).as("n_sampled")
       )
     },
+    "media_ahash_fingerprints" -> { (s, dir) =>
+      // Perceptual-hash fingerprints of the media payload: 64-cell
+      // average hash as ONE codegen'd map-only call per row
+      // (functions/AHashExpr.scala), exact integer mean comparisons —
+      // 8 bytes per payload, no codec needed, DuckDB-mirrored from hex
+      // pairs (ops/Multimodal.scala).
+      Multimodal.ahashFingerprints(
+        Multimodal.mediaFromDocuments(table(s, dir, "documents")))
+    },
+    "media_ahash_neardup_pairs" -> { (s, dir) =>
+      // Media near-dup pairs: 8-bit-chunk pigeonhole banding over the
+      // aHash (exact for Hamming ≤ 7; never a media×media product),
+      // xor-popcount verify at ≤ 6. Fully engine-portable — unlike the
+      // md5-native SimHash face this whole chain is oracle-checked,
+      // including the bucket cap (ops/Multimodal.scala).
+      Multimodal.ahashNearDupPairs(
+        Multimodal.mediaFromDocuments(table(s, dir, "documents")))
+    },
+    "media_ahash_hamming_hist" -> { (s, dir) =>
+      // The separation evidence behind the pairs face: Hamming histogram
+      // over every banded candidate — dup mass at 0..7, unrelated-pair
+      // background from ~10 up; a zero-pair corpus reads as "no media
+      // dups", not "operator broke" (ops/Multimodal.scala).
+      Multimodal.ahashHammingHist(
+        Multimodal.mediaFromDocuments(table(s, dir, "documents")))
+    },
     "pii_stats" -> { (s, dir) =>
       // PII scan + redaction (map-only, three codegen'd regex passes). The
       // corpus is synthetic word salad, so the query injects deterministic
@@ -6763,6 +6789,52 @@ object SparkEntry {
       |  FROM pd p JOIN dup d ON d.vec_id = p.vec_id
       |)""".stripMargin
 
+  /** The media aHash replay shared by the fingerprint, pairs, and
+    * histogram faces: per-byte values from hex pairs (the
+    * `media_byte_stats` idiom), 64-cell sums, the exact cross-multiplied
+    * mean comparison (bit 63 via the min-long literal — DuckDB's `<<`
+    * range-checks where Java wraps), then 8-bit-chunk banding with the
+    * 2..500 bucket cap and xor-popcount verification — mirroring
+    * [[graft.ops.Multimodal.ahashFingerprints]] /
+    * [[graft.ops.Multimodal.ahashNearDupPairs]] stage for stage.
+    */
+  private val MediaAHashCtes: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents
+      |), bytes AS (
+      |  SELECT media_id, n, i, CAST('0x' || substr(hx, CAST(i*2+1 AS INT), 2) AS BIGINT) AS v
+      |  FROM (SELECT media_id, hx, n, unnest(range(0, n)) AS i FROM b WHERE n > 0)
+      |), cells AS (
+      |  SELECT media_id, n, (i * 64) // n AS cell,
+      |    CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cn
+      |  FROM bytes GROUP BY 1, 2, 3
+      |), tot AS (SELECT media_id, CAST(sum(s) AS BIGINT) AS ts FROM cells GROUP BY 1),
+      |ah AS MATERIALIZED (
+      |  SELECT c.media_id, CAST(any_value(c.n) AS BIGINT) AS n_bytes,
+      |    CAST(sum(CASE WHEN c.s * c.n <= t.ts * c.cn THEN 0
+      |         WHEN c.cell = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |         ELSE CAST((CAST(1 AS BIGINT) << CAST(c.cell AS INT)) AS HUGEINT) END) AS BIGINT) AS ahash
+      |  FROM cells c JOIN tot t USING (media_id) GROUP BY 1
+      |), ck AS (
+      |  SELECT media_id AS id, cc.c AS c, (ahash >> (cc.c * 8)) & 255 AS v
+      |  FROM ah, range(8) cc(c)
+      |), buck AS (
+      |  SELECT c, v, count(*) AS bn FROM ck GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      |  FROM ck x
+      |  JOIN buck bk ON bk.c = x.c AND bk.v = x.v AND bk.bn BETWEEN 2 AND 500
+      |  JOIN ck y ON y.c = x.c AND y.v = x.v AND x.id < y.id
+      |), ch AS MATERIALIZED (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(bit_count(xor(a.ahash, bh.ahash)) AS INT) AS hamming
+      |  FROM cand c
+      |  JOIN ah a ON a.media_id = c.id_a
+      |  JOIN ah bh ON bh.media_id = c.id_b
+      |)""".stripMargin
+
   /** Shared CTEs reproducing [[graft.ops.Similarity.lshSigMd5]]'s
     * integer-exact sign-of-projection signatures (16 bits, dim 64) for the
     * LSH/ANN oracle twins: `vecs(vec_id, v, qv)` the dim-64 stratum with
@@ -9616,6 +9688,16 @@ object SparkEntry {
         |             OR CAST('0x'||byte AS INT) IN (9,10,13) THEN c ELSE 0 END) AS BIGINT) AS n_printable,
         |  CAST(floor((log2(any_value(n)) - sum(c * log2(c))/any_value(n))*1000000.0 + 0.5) AS BIGINT) AS entropy_micro
         |FROM hist GROUP BY media_id""".stripMargin,
+    "media_ahash_fingerprints" ->
+      s"""$MediaAHashCtes
+        |SELECT media_id, n_bytes, ahash FROM ah""".stripMargin,
+    "media_ahash_neardup_pairs" ->
+      s"""$MediaAHashCtes
+        |SELECT id_a, id_b, hamming FROM ch WHERE hamming <= 6""".stripMargin,
+    "media_ahash_hamming_hist" ->
+      s"""$MediaAHashCtes
+        |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM ch GROUP BY 1""".stripMargin,
     "lsh_sig_md5" ->
       """WITH q AS (
         |  SELECT vec_id,

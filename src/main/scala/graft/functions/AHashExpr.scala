@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** `ahash64(bin)`: 64-cell average-hash fingerprint of a binary payload —
+  * the perceptual-hash (aHash) recipe applied to the byte stream: the
+  * payload splits into 64 contiguous cells (byte i → cell ⌊i·64/n⌋), and
+  * bit c is set iff cell c's byte mean exceeds the payload's global byte
+  * mean. The comparison is the EXACT cross-multiplied integer form
+  * `cell_sum · n > total_sum · cell_len` — no division, no rounding, so
+  * a SQL oracle replays it bit-for-bit.
+  *
+  * Scale shape: ONE codegen'd O(n) call per row, map-only — the
+  * fingerprint scan for media near-dup costs one pass over the corpus,
+  * and downstream Hamming banding works on 8-byte hashes regardless of
+  * payload size. Null for empty payloads (no mean exists).
+  */
+object AHash {
+
+  def ahash64(bytes: Array[Byte]): Any = {
+    val n = bytes.length
+    if (n == 0) return null
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val c = ((i.toLong * 64) / n).toInt
+      val v = (bytes(i) & 0xff).toLong
+      sums(c) += v
+      cnts(c) += 1
+      total += v
+      i += 1
+    }
+    var h = 0L
+    var c = 0
+    while (c < 64) {
+      // exact integer mean comparison: sum_c/cnt_c > total/n
+      if (cnts(c) > 0 && sums(c) * n > total * cnts(c)) h |= (1L << c)
+      c += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+}
+
+case class AHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  // Nullable regardless of the child: empty payloads yield null.
+  override def nullable: Boolean = true
+  override def prettyName: String = "ahash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    AHash.ahash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+        Object r = graft.functions.AHash.ahash64($c);
+        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) r).longValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AHash64Expr =
+    copy(child = newChild)
+}
+
+object AHash64Expr {
+  def column(bin: Column): Column =
+    ColumnBridge.column(AHash64Expr(ColumnBridge.expression(bin)))
+}

@@ -385,4 +385,91 @@ object Multimodal {
     val parts = math.max(1, (total / targetPartitionBytes).toInt)
     sized.repartitionByRange(parts, col("_sz"), col("media_id")).drop("_sz")
   }
+
+  /** Perceptual-hash fingerprints over the raw payload
+    * ([[graft.functions.AHash64Expr]]: 64-cell average hash, exact
+    * integer mean comparisons): the media-column member of the
+    * fingerprint family — 8 bytes per payload from ONE codegen'd map-only
+    * scan, no codec required, so it covers formats the decode path
+    * cannot. Columns: media_id, n_bytes, ahash. Empty payloads drop (no
+    * mean exists).
+    */
+  def ahashFingerprints(media: DataFrame): DataFrame =
+    media
+      .select(
+        col("media_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        graft.functions.AHash64Expr.column(col("content")).as("ahash"))
+      .filter(col("ahash").isNotNull)
+
+  /** Media near-dup pairs by Hamming distance over [[ahashFingerprints]]
+    * — the SimHash banding discipline applied to the media column: 64/`chunks`-bit
+    * chunk keys bucket the corpus (pigeonhole: Hamming ≤ chunks−1 ⇒ some
+    * chunk matches exactly), candidate pairs explode inside buckets
+    * capped at `maxBucket`, and one 8-byte-fingerprint join verifies
+    * `bit_count(xor) ≤ maxHamming`. Never a media×media product; the
+    * payloads themselves are read exactly once (the fingerprint scan).
+    *
+    * Unlike the md5-native SimHash face, every stage here is
+    * engine-portable integer arithmetic, so the DuckDB oracle replays
+    * the whole chain — banding, cap, and verification — bit-for-bit.
+    */
+  def ahashNearDupPairs(
+      media: DataFrame,
+      maxHamming: Int = 6,
+      chunks: Int = 8,
+      maxBucket: Int = 500): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    candidateHammings(media, chunks, maxBucket)
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The measured separation behind [[ahashNearDupPairs]]: the Hamming-
+    * distance histogram over every BANDED candidate pair. This is the
+    * row that makes a zero-pair result legible — at sf0.01 the corpus
+    * simply has no media near-dups (the closest candidate sits at
+    * distance 10, deep in the unrelated-pair background), while sf0.1's
+    * planted exact dups show up at distance 0 with a clean gap above.
+    */
+  def ahashHammingHist(
+      media: DataFrame,
+      chunks: Int = 8,
+      maxBucket: Int = 500): DataFrame =
+    candidateHammings(media, chunks, maxBucket)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  /** Banded candidate pairs with their exact Hamming distances — the
+    * shared core of the pairs and histogram faces.
+    */
+  private def candidateHammings(
+      media: DataFrame,
+      chunks: Int,
+      maxBucket: Int): DataFrame = {
+    require(64 % chunks == 0, "chunks must divide 64")
+    val w = 64 / chunks
+    // fingerprints feed banding + both verification sides; 16 bytes/doc
+    val fps = ahashFingerprints(media)
+      .select(col("media_id").as("id"), col("ahash"))
+      .localCheckpoint(eager = true)
+    val chunkKeys = (0 until chunks).map { c =>
+      struct(
+        lit(c).as("c"),
+        shiftrightunsigned(col("ahash"), c * w).bitwiseAND(lit((1L << w) - 1)).as("v"))
+    }
+    val pairs = fps
+      .select(col("id"), explode(array(chunkKeys: _*)).as("ck"))
+      .groupBy(col("ck"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(Dedup.orderedPairs(array_sort(col("ids")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(fps.select(col("id").as("id_a"), col("ahash").as("ha")), Seq("id_a"))
+      .join(fps.select(col("id").as("id_b"), col("ahash").as("hb")), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        Dedup.hamming64(col("ha"), col("hb")).cast("int").as("hamming"))
+  }
 }

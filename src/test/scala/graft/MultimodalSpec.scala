@@ -157,4 +157,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(text.entropy_bits > 3.0 && text.entropy_bits < 5.0)
     assert(text.printable_ratio == 1.0)
   }
+
+  private def refAhash(bytes: Array[Byte]): Option[Long] = {
+    val n = bytes.length
+    if (n == 0) return None
+    val sums = new Array[Long](64); val cnts = new Array[Long](64); var tot = 0L
+    for (i <- 0 until n) {
+      val c = (i.toLong * 64 / n).toInt
+      val v = (bytes(i) & 0xff).toLong
+      sums(c) += v; cnts(c) += 1; tot += v
+    }
+    var h = 0L
+    for (c <- 0 until 64) if (cnts(c) > 0 && sums(c) * n > tot * cnts(c)) h |= (1L << c)
+    Some(h)
+  }
+
+  test("AHash64Expr matches the independent reference; empty payload is null; constant is 0") {
+    import graft.functions.AHash64Expr
+    val rnd = new scala.util.Random(31)
+    val payloads = Seq(
+      Array.emptyByteArray,
+      Array.fill(1)(42.toByte),
+      Array.fill(200)(7.toByte), // constant: no cell strictly above the mean
+      Array.tabulate(63)(i => i.toByte), // fewer bytes than cells
+      Array.tabulate(5000)(_ => rnd.nextInt(256).toByte),
+      Array.tabulate(997)(_ => rnd.nextInt(256).toByte)
+    )
+    val got = payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("media_id", "content")
+      .select(col("media_id"), AHash64Expr.column(col("content")).as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    payloads.zipWithIndex.foreach { case (b, i) =>
+      assert(got(i.toLong) == refAhash(b), s"payload $i")
+    }
+    assert(got(0L).isEmpty)
+    assert(got(2L).contains(0L))
+  }
+
+  test("ahashNearDupPairs: planted dup found at hamming 0; banding is lossless vs brute at <= 6") {
+    val rnd = new scala.util.Random(17)
+    val texts = (0L until 40L).map { i =>
+      i -> Seq.fill(80)(('a' + rnd.nextInt(26)).toChar.toString + ('a' + rnd.nextInt(26)).toChar).mkString(" ")
+    }
+    // plant: doc 40 duplicates doc 0 exactly
+    val all = texts :+ (40L -> texts.head._2)
+    val docs = all.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = Multimodal.mediaFromDocuments(docs)
+    val pairs = Multimodal.ahashNearDupPairs(m)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 40L && p._3 == 0))
+    // brute reference over the same fingerprints
+    val fps = Multimodal.ahashFingerprints(m)
+      .select("media_id", "ahash").as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- fps.keys; bId <- fps.keys if a < bId
+      d = java.lang.Long.bitCount(fps(a) ^ fps(bId)) if d <= 6
+    } yield (a, bId, d)).toSet
+    assert(pairs == brute, "pigeonhole banding at chunks=8 must be lossless for hamming <= 6")
+  }
+
+  test("ahashHammingHist reconciles with the candidate pair frame") {
+    val docsDf = media // the shared 5-doc fixture
+    val hist = Multimodal.ahashHammingHist(docsDf)
+      .as[(Int, Long)].collect().toMap
+    assert(hist.values.forall(_ >= 1))
+    // every pair counted in the hist at <= 6 appears in the pairs face
+    val pairs = Multimodal.ahashNearDupPairs(docsDf).as[(Long, Long, Int)].collect()
+    val nearFromHist = hist.filter(_._1 <= 6).values.sum
+    assert(pairs.length.toLong == nearFromHist)
+  }
 }
