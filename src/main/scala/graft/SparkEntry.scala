@@ -1294,6 +1294,30 @@ object SparkEntry {
       Multimodal.ahashHammingHist(
         Multimodal.mediaFromDocuments(table(s, dir, "documents")))
     },
+    "media_vs_text_dedup_kappa" -> { (s, dir) =>
+      // Does payload-level dedup agree with text-level dedup? Media aHash
+      // near-dup flags (Hamming ≤ 6, has-a-lower-id-partner convention)
+      // vs banded md5-MinHash flags (exact Jaccard ≥ 0.8) on the same
+      // ids — the cross-modality calibration row, same discipline as
+      // text_vs_semantic_dedup_kappa: the byte hash should catch the
+      // exact dups MinHash catches, while shingle-level rewrites split
+      // the modalities.
+      val docs = table(s, dir, "documents")
+      val textFlags = docs.select(col("doc_id").as("id"))
+        .join(
+          Dedup.minhashMd5Pairs(docs, threshold = 0.8)
+            .select(col("id_b").as("id")).distinct().withColumn("d", lit(1)),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("d"), lit(0)).as("dup_text"))
+      val mediaFlags = docs.select(col("doc_id").as("id"))
+        .join(
+          Multimodal.ahashNearDupPairs(Multimodal.mediaFromDocuments(docs))
+            .select(col("id_b").as("id")).distinct().withColumn("m", lit(1)),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("m"), lit(0)).as("dup_media"))
+      graft.ops.Contingency
+        .agreementKappa(textFlags.join(mediaFlags, Seq("id")), "dup_text", "dup_media")
+    },
     "pii_stats" -> { (s, dir) =>
       // PII scan + redaction (map-only, three codegen'd regex passes). The
       // corpus is synthetic word salad, so the query injects deterministic
@@ -6798,42 +6822,44 @@ object SparkEntry {
     * [[graft.ops.Multimodal.ahashFingerprints]] /
     * [[graft.ops.Multimodal.ahashNearDupPairs]] stage for stage.
     */
-  private val MediaAHashCtes: String =
-    """WITH b AS (
+  private val MediaAHashCtesBody: String =
+    """ahb AS (
       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
       |    octet_length(encode(text)) AS n
       |  FROM documents
-      |), bytes AS (
+      |), ahbytes AS (
       |  SELECT media_id, n, i, CAST('0x' || substr(hx, CAST(i*2+1 AS INT), 2) AS BIGINT) AS v
-      |  FROM (SELECT media_id, hx, n, unnest(range(0, n)) AS i FROM b WHERE n > 0)
-      |), cells AS (
+      |  FROM (SELECT media_id, hx, n, unnest(range(0, n)) AS i FROM ahb WHERE n > 0)
+      |), ahcells AS (
       |  SELECT media_id, n, (i * 64) // n AS cell,
       |    CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cn
-      |  FROM bytes GROUP BY 1, 2, 3
-      |), tot AS (SELECT media_id, CAST(sum(s) AS BIGINT) AS ts FROM cells GROUP BY 1),
+      |  FROM ahbytes GROUP BY 1, 2, 3
+      |), ahtot AS (SELECT media_id, CAST(sum(s) AS BIGINT) AS ts FROM ahcells GROUP BY 1),
       |ah AS MATERIALIZED (
       |  SELECT c.media_id, CAST(any_value(c.n) AS BIGINT) AS n_bytes,
       |    CAST(sum(CASE WHEN c.s * c.n <= t.ts * c.cn THEN 0
       |         WHEN c.cell = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
       |         ELSE CAST((CAST(1 AS BIGINT) << CAST(c.cell AS INT)) AS HUGEINT) END) AS BIGINT) AS ahash
-      |  FROM cells c JOIN tot t USING (media_id) GROUP BY 1
-      |), ck AS (
+      |  FROM ahcells c JOIN ahtot t USING (media_id) GROUP BY 1
+      |), ahck AS (
       |  SELECT media_id AS id, cc.c AS c, (ahash >> (cc.c * 8)) & 255 AS v
       |  FROM ah, range(8) cc(c)
-      |), buck AS (
-      |  SELECT c, v, count(*) AS bn FROM ck GROUP BY 1, 2
-      |), cand AS (
+      |), ahbuck AS (
+      |  SELECT c, v, count(*) AS bn FROM ahck GROUP BY 1, 2
+      |), ahcand AS (
       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
-      |  FROM ck x
-      |  JOIN buck bk ON bk.c = x.c AND bk.v = x.v AND bk.bn BETWEEN 2 AND 500
-      |  JOIN ck y ON y.c = x.c AND y.v = x.v AND x.id < y.id
-      |), ch AS MATERIALIZED (
+      |  FROM ahck x
+      |  JOIN ahbuck bk ON bk.c = x.c AND bk.v = x.v AND bk.bn BETWEEN 2 AND 500
+      |  JOIN ahck y ON y.c = x.c AND y.v = x.v AND x.id < y.id
+      |), ahch AS MATERIALIZED (
       |  SELECT c.id_a, c.id_b,
       |    CAST(bit_count(xor(a.ahash, bh.ahash)) AS INT) AS hamming
-      |  FROM cand c
+      |  FROM ahcand c
       |  JOIN ah a ON a.media_id = c.id_a
       |  JOIN ah bh ON bh.media_id = c.id_b
       |)""".stripMargin
+
+  private val MediaAHashCtes: String = s"WITH $MediaAHashCtesBody"
 
   /** Shared CTEs reproducing [[graft.ops.Similarity.lshSigMd5]]'s
     * integer-exact sign-of-projection signatures (16 bits, dim 64) for the
@@ -9693,11 +9719,45 @@ object SparkEntry {
         |SELECT media_id, n_bytes, ahash FROM ah""".stripMargin,
     "media_ahash_neardup_pairs" ->
       s"""$MediaAHashCtes
-        |SELECT id_a, id_b, hamming FROM ch WHERE hamming <= 6""".stripMargin,
+        |SELECT id_a, id_b, hamming FROM ahch WHERE hamming <= 6""".stripMargin,
     "media_ahash_hamming_hist" ->
       s"""$MediaAHashCtes
         |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
-        |FROM ch GROUP BY 1""".stripMargin,
+        |FROM ahch GROUP BY 1""".stripMargin,
+    "media_vs_text_dedup_kappa" ->
+      s"""$Md5NearDupCtes, $MediaAHashCtesBody, lshd AS (
+        |  SELECT DISTINCT id_b AS id FROM pj WHERE jaccard >= 0.8
+        |), tflag AS (
+        |  SELECT d.doc_id AS id, CASE WHEN lshd.id IS NULL THEN 0 ELSE 1 END AS ka
+        |  FROM documents d LEFT JOIN lshd ON lshd.id = d.doc_id
+        |), mdup AS (
+        |  SELECT DISTINCT id_b AS id FROM ahch WHERE hamming <= 6
+        |), mflag AS (
+        |  SELECT d.doc_id AS id, CASE WHEN mdup.id IS NULL THEN 0 ELSE 1 END AS kb
+        |  FROM documents d LEFT JOIN mdup ON mdup.id = d.doc_id
+        |), j AS (
+        |  SELECT ka, kb FROM tflag JOIN mflag USING (id)
+        |), kcells AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CASE WHEN ka = 1 AND kb = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n11,
+        |    CAST(sum(CASE WHEN ka = 1 AND kb = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n10,
+        |    CAST(sum(CASE WHEN ka = 0 AND kb = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n01,
+        |    CAST(sum(CASE WHEN ka = 0 AND kb = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n00
+        |  FROM j
+        |), q AS (
+        |  SELECT n, n11, n10, n01, n00,
+        |    n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS knum,
+        |    n * n - ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) AS kden
+        |  FROM kcells
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_docs, CAST(n11 AS BIGINT) AS n_both_keep,
+        |  CAST(n10 AS BIGINT) AS n_a_only, CAST(n01 AS BIGINT) AS n_b_only,
+        |  CAST(n00 AS BIGINT) AS n_both_drop,
+        |  CAST((20000 * (n11 + n00) + n) // (2 * n) AS BIGINT) AS agree_bps,
+        |  CAST(CASE WHEN kden > 0 THEN (2000000 * knum + kden
+        |    - (((2000000 * knum + kden) % (2 * kden)) + 2 * kden) % (2 * kden)) // (2 * kden)
+        |    END AS BIGINT) AS kappa_micro
+        |FROM q""".stripMargin,
     "lsh_sig_md5" ->
       """WITH q AS (
         |  SELECT vec_id,
