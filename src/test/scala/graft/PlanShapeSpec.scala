@@ -632,4 +632,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("parquet"),
       "every leg must read the checkpointed corpus/probe frames, not parquet")
   }
+
+  test("dtw pruned: the exact DP runs in the seed and survivor legs only, past the LB_Keogh filter") {
+    // the GEMINI discipline's plan face: the O(n·(2r+1)) dtw_band call
+    // must never be projected over the unfiltered candidate grid — only
+    // the bounded seed leg and the lb <= tau survivors reach it, and the
+    // bound itself is the single codegen'd lb_keogh call per candidate
+    // (the lb_keogh call itself is invisible here: the candidate frame is
+    // eagerly checkpointed, so the final plan reads the LogicalRDD that
+    // already carries lb — DtwSpec pins the bound's semantics instead)
+    val plan = executedPlan("ts_dtw_pruned_topk")
+    assert(!plan.contains("CartesianProduct"))
+    assert("dtw_band".r.findAllIn(plan).size == 2,
+      "exact DP must appear exactly twice (seed + survivors)")
+    assert("lb#\\d+L? <= tau#".r.findFirstIn(plan).isDefined,
+      "survivor gate on the bound missing from the join/filter")
+  }
+
+  test("media ahash pairs: banded bucket explosion, never a media×media product") {
+    val plan = executedPlan("media_ahash_neardup_pairs")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("ObjectHashAggregate"), "bucket collect_list stage missing")
+    assert(!plan.contains("parquet"),
+      "verification must join the checkpointed fingerprints, not re-scan parquet")
+  }
 }

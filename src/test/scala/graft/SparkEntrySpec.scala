@@ -19,10 +19,24 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** Queries whose EMPTY result at the sf0.001 smoke corpus is the correct
+    * answer, not a failure — each with the reason. The oracle gate still
+    * value-checks them (empty hashes against empty); everything else must
+    * return rows.
+    */
+  private val emptyOkAtSmoke: Map[String, String] = Map(
+    // the tiny corpus has no media near-dups: its closest banded candidate
+    // sits at Hamming 10+, deep in the unrelated-pair background — the
+    // companion media_ahash_hamming_hist row documents exactly that
+    "media_ahash_neardup_pairs" ->
+      "no media payload pair within Hamming 6 exists at sf0.001"
+  )
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs and returns rows at sf0.001") {
       val df = fn(spark, dir)
-      assert(df.count() > 0, name)
+      if (emptyOkAtSmoke.contains(name)) df.count() // must still run clean
+      else assert(df.count() > 0, name)
       // global scale guard: no registered query may plan an unpartitioned
       // window (the single-task global sort WindowExec) — the distributed
       // Ranking primitives exist for exactly that shape
