@@ -59,6 +59,55 @@ object SparkEntry {
       .getOrElseUpdate((s.sparkContext.applicationId, dir, what), new LegHolder(build))
       .value
 
+  private final class StateHolder[T](build: => T) { lazy val value: T = build }
+  private val sharedStateMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), StateHolder[_]]
+
+  /** [[sharedLeg]] for non-DataFrame shared state (the Lloyd tuple);
+    * same in-flight-deduplicating lazy-holder semantics.
+    */
+  private def sharedState[T](s: SparkSession, dir: String, what: String)(
+      build: => T): T =
+    sharedStateMemo
+      .getOrElseUpdate((s.sparkContext.applicationId, dir, what), new StateHolder(build))
+      .value.asInstanceOf[T]
+
+  /** The trained k=8/iters=2 Lloyd state (checkpointed assignment +
+    * centroids), built ONCE per (session, sfDir) and shared by the whole
+    * kmeans family — assignment face, silhouette, label-ARI, SemDeDup,
+    * and both D4 faces previously re-ran the same two iterations each.
+    */
+  private def sharedLloyd(
+      s: SparkSession, dir: String): (DataFrame, Seq[(Int, Seq[Long])]) =
+    sharedState(s, dir, "lloyd_k8_i2") {
+      graft.ops.Clustering.lloydState(table(s, dir, "embeddings"), k = 8, iters = 2)
+    }
+
+  /** The D4 verdict frame off [[sharedLloyd]], checkpointed once — the
+    * flags face and the census face read the same build.
+    */
+  private def sharedD4Flags(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "d4Flags") {
+      val (asg, cents) = sharedLloyd(s, dir)
+      graft.ops.Clustering.d4PruneFrom(asg, cents).localCheckpoint(eager = true)
+    }
+
+  /** The banded all-pairs TS build shared by the production face and its
+    * recall meter: one corpus series aggregation, one banded
+    * search-and-verify — the meter adds only its (by-definition
+    * quadratic) gold leg. Returns (series, s2, topk-frame).
+    */
+  private def sharedTsAllpairs(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    sharedState(s, dir, "tsAllpairs") {
+      val (series, s2) = graft.ops.TimeSeries.paaSeriesShared(eventsTable(s, dir))
+      val topk = graft.ops.TimeSeries
+        .allPairsNeighborsFrom(series, s2, k = 5, segments = 180, nbits = 16,
+          bands = 4, maxBucket = 1000)
+        .localCheckpoint(eager = true)
+      (series, s2, topk)
+    }
+
   private def sharedIvfGraph(s: SparkSession, dir: String): DataFrame =
     sharedLeg(s, dir, "ivfGraph")(ivfGraph(table(s, dir, "embeddings")))
 
@@ -2152,14 +2201,16 @@ object SparkEntry {
       // random sample at every swept config, so banding serves the
       // near-dup (cos ≳ 0.7) regime and the sketch-RANKED budget path
       // stays the low-cosine stage 1 (ops/TimeSeries.scala).
-      graft.ops.TimeSeries.allPairsNeighborsRecall(eventsTable(s, dir))
+      val (series, s2, topk) = sharedTsAllpairs(s, dir)
+      graft.ops.TimeSeries.allPairsRecallFrom(
+        series, s2, topk.select(col("user_id"), col("neighbor_id")))
     },
     "ts_allpairs_topk" -> { (s, dir) =>
       // The production face of the banded all-pairs search: per user, the
       // top-5 banded-and-exact-verified neighbors with their cosines —
       // what a pipeline would materialize next to the corpus
       // (ops/TimeSeries.scala; recall priced by ts_allpairs_neighbors).
-      graft.ops.TimeSeries.allPairsNeighbors(eventsTable(s, dir))
+      sharedTsAllpairs(s, dir)._3
     },
     "ts_sax_words" -> { (s, dir) =>
       // SAX symbolic words over per-user hourly series: global-span PAA
@@ -3130,7 +3181,7 @@ object SparkEntry {
       // assignment against driver-held (bounded k×dim) centroids,
       // VecSumAgg combiner-lifted centroid updates. Oracle unrolls the
       // same two assignment rounds in SQL.
-      graft.ops.Clustering.kmeansAssign(table(s, dir, "embeddings"), k = 8, iters = 2)
+      graft.ops.Clustering.kmeansAssignFrom(sharedLloyd(s, dir)._1)
     },
     "kmeans_silhouette" -> { (s, dir) =>
       // Is k=8 the right clustering? Simplified (centroid-based)
@@ -3138,7 +3189,8 @@ object SparkEntry {
       // + exact sum of per-vector micro silhouettes + round-half-up mean
       // — the cohesion/separation read before trusting the SemDeDup/IVF
       // bucketing that sits on this clustering (ops/Clustering.scala).
-      graft.ops.Clustering.silhouette(table(s, dir, "embeddings"), k = 8, iters = 2)
+      val (asg, cents) = sharedLloyd(s, dir)
+      graft.ops.Clustering.silhouetteFrom(asg, cents)
     },
     "kmeans_label_ari" -> { (s, dir) =>
       // Does the trained clustering recover the planted labels? Adjusted
@@ -3148,7 +3200,7 @@ object SparkEntry {
       // with the silhouette read (ops/Contingency.scala).
       val emb = table(s, dir, "embeddings")
       graft.ops.Contingency.adjustedRandIndex(
-        graft.ops.Clustering.kmeansAssign(emb, k = 8, iters = 2)
+        graft.ops.Clustering.kmeansAssignFrom(sharedLloyd(s, dir)._1)
           .join(emb.select(col("vec_id"), col("label")), Seq("vec_id")),
         "cluster", "label")
     },
@@ -3156,7 +3208,7 @@ object SparkEntry {
       // SemDeDup: near-dup removal within k-means clusters (equi-join on
       // cluster id, never all-pairs); τ² = 400/10000 (τ = 0.2, the corpus's
       // established near-dup bar) compared in DECIMAL(38,0) — exact.
-      graft.ops.Clustering.semanticDedup(table(s, dir, "embeddings"), k = 8, iters = 2)
+      graft.ops.Clustering.semanticDedupFrom(sharedLloyd(s, dir)._1)
     },
     "d4_flags" -> { (s, dir) =>
       // D4 curation (dedup then de-prototype): SemDeDup drops within-
@@ -3165,13 +3217,13 @@ object SparkEntry {
       // mutually-similar-as-a-population mass no pairwise dup bar can
       // reach. One verdict row per vector off the same exact Lloyd state
       // as kmeans_clusters (ops/Clustering.scala).
-      graft.ops.Clustering.d4Prune(table(s, dir, "embeddings"), k = 8, iters = 2)
+      sharedD4Flags(s, dir)
     },
     "d4_prune_report" -> { (s, dir) =>
       // The D4 census per cluster: totals, drops by stage (dup vs proto),
       // keeps, kept share in bps — the health row the curation run
       // records next to the corpus it prunes (ops/Clustering.scala).
-      graft.ops.Clustering.d4PruneReport(table(s, dir, "embeddings"), k = 8, iters = 2)
+      graft.ops.Clustering.d4PruneReportFrom(sharedD4Flags(s, dir))
     },
     "chunk_dedup_rewrite" -> { (s, dir) =>
       // C4-style global chunk dedup with corpus rewrite: first-occurrence

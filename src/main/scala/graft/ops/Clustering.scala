@@ -37,13 +37,19 @@ object Clustering {
   def quantize(vec: Column, scale: Long): Column =
     transform(vec.cast("array<double>"), x => round(x * scale).cast("long"))
 
-  /** Exact squared L2 distance between two `array<bigint>` columns. */
+  /** Exact squared L2 distance between two `array<bigint>` columns — one
+    * codegen'd call ([[graft.functions.SqDistLongExpr]]; the interpreted
+    * `aggregate(zip_with(...))` form was the scan cost of the pairwise
+    * legs, same finding as VecMath's float kernels).
+    */
   def sqDistL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    graft.functions.LongVecExpr.sqDist(a, b)
 
-  /** Exact dot product between two `array<bigint>` columns. */
+  /** Exact dot product between two `array<bigint>` columns — one
+    * codegen'd call ([[graft.functions.DotLongExpr]]).
+    */
   def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.LongVecExpr.dot(a, b)
 
   private def quantized(emb: DataFrame, idCol: String, vecCol: String, scale: Long): DataFrame =
     emb.select(col(idCol).cast("long").as("vec_id"), quantize(col(vecCol), scale).as("qv"))
@@ -74,6 +80,28 @@ object Clustering {
     import spark.implicits._
     lloyd(emb, k, iters, scale, idCol, vecCol)._1.select($"vec_id", $"cluster")
   }
+
+  /** The trained Lloyd state as a shareable value: the final assignment
+    * frame (vec_id, qv, cluster) EAGERLY CHECKPOINTED plus the centroids
+    * that produced it — one build feeding the whole kmeans family
+    * (assignment face, silhouette, SemDeDup, D4) instead of each
+    * registered query re-running the iterations.
+    */
+  def lloydState(
+      emb: DataFrame,
+      k: Int = 8,
+      iters: Int = 2,
+      scale: Long = 10000L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): (DataFrame, Seq[(Int, Seq[Long])]) = {
+    val (out, cents) = lloyd(emb, k, iters, scale, idCol, vecCol)
+    (out.localCheckpoint(eager = true), cents)
+  }
+
+  /** The assignment face off a shared [[lloydState]] frame. */
+  def kmeansAssignFrom(assigned: DataFrame): DataFrame =
+    assigned.select(col("vec_id"), col("cluster"))
 
   /** The Lloyd loop itself: returns the final assignment frame
     * (vec_id, qv, cluster) AND the centroids that produced it, so evals
@@ -159,8 +187,16 @@ object Clustering {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
+    val (assigned, cents) = lloydState(emb, k, iters, scale, idCol, vecCol)
+    silhouetteFrom(assigned, cents)
+  }
+
+  /** [[silhouette]] off a shared [[lloydState]]. */
+  def silhouetteFrom(
+      assigned: DataFrame,
+      cents: Seq[(Int, Seq[Long])]
+  ): DataFrame = {
     import graft.functions.ExactDecimal.scaledRatio
-    val (assigned, cents) = lloyd(emb, k, iters, scale, idCol, vecCol)
     require(cents.size >= 2, s"silhouette needs >= 2 clusters, got ${cents.size}")
     val alts = cents.map { case (cid, c) =>
       struct(sqDistL(col("qv"), typedLit(c)).as("d"), lit(cid).as("cid"))
@@ -204,24 +240,24 @@ object Clustering {
       tauSqDen: Long = 10000L,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
-  ): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val dec = "decimal(38,0)"
-    val qv = quantized(emb, idCol, vecCol, scale)
-    val asg = kmeansAssign(emb, k, iters, scale, idCol, vecCol)
-    // The clustered frame feeds BOTH join sides, the norm frame, and the
-    // survivor anchor — five lineage references that would each re-scan
-    // and re-quantize the corpus (no common-subplan reuse). One eager
-    // local checkpoint turns it into a LogicalRDD every reference reads;
-    // blocks are executor-local and GC'd by the ContextCleaner once the
-    // frame is unreferenced.
-    val clustered = qv.join(asg, "vec_id").localCheckpoint(eager = true)
-    clustered
-      .select($"vec_id")
-      .join(semanticDupsOn(clustered, tauSqNum, tauSqDen), Seq("vec_id"), "left")
-      .select($"vec_id", $"dup_of")
-  }
+  ): DataFrame =
+    semanticDedupFrom(
+      lloydState(emb, k, iters, scale, idCol, vecCol)._1, tauSqNum, tauSqDen)
+
+  /** [[semanticDedup]] off a shared [[lloydState]] frame (the checkpoint
+    * lives there: the clustered frame feeds both join sides, the norm
+    * frame, and the survivor anchor — lineage references that would each
+    * re-scan and re-quantize the corpus without it).
+    */
+  def semanticDedupFrom(
+      assigned: DataFrame,
+      tauSqNum: Long = 400L,
+      tauSqDen: Long = 10000L
+  ): DataFrame =
+    assigned
+      .select(col("vec_id"))
+      .join(semanticDupsOn(assigned, tauSqNum, tauSqDen), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of"))
 
   /** The within-cluster near-dup core shared by [[semanticDedup]] and
     * [[d4Prune]]: over a checkpointed `(vec_id, qv, cluster)` frame,
@@ -294,11 +330,21 @@ object Clustering {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
+    val (assigned, cents) = lloydState(emb, k, iters, scale, idCol, vecCol)
+    d4PruneFrom(assigned, cents, tauSqNum, tauSqDen, protoDropBps)
+  }
+
+  /** [[d4Prune]] off a shared [[lloydState]]. */
+  def d4PruneFrom(
+      clustered: DataFrame,
+      cents: Seq[(Int, Seq[Long])],
+      tauSqNum: Long = 400L,
+      tauSqDen: Long = 10000L,
+      protoDropBps: Long = 2500L
+  ): DataFrame = {
     require(protoDropBps >= 0 && protoDropBps <= 10000, "protoDropBps in [0, 10000]")
-    val spark = emb.sparkSession
+    val spark = clustered.sparkSession
     import spark.implicits._
-    val (assigned, cents) = lloyd(emb, k, iters, scale, idCol, vecCol)
-    val clustered = assigned.localCheckpoint(eager = true)
     val dups = semanticDupsOn(clustered, tauSqNum, tauSqDen)
     // exact squared distance to the OWN trained centroid, the silhouette
     // `a` leg: the k×dim centroid matrix rides inline as struct literals
@@ -340,18 +386,19 @@ object Clustering {
       tauSqNum: Long = 400L,
       tauSqDen: Long = 10000L,
       protoDropBps: Long = 2500L
-  ): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    d4Prune(emb, k, iters, scale, tauSqNum, tauSqDen, protoDropBps)
-      .groupBy($"cluster")
+  ): DataFrame =
+    d4PruneReportFrom(d4Prune(emb, k, iters, scale, tauSqNum, tauSqDen, protoDropBps))
+
+  /** The census off an already-built [[d4Prune]] flags frame. */
+  def d4PruneReportFrom(flags: DataFrame): DataFrame =
+    flags
+      .groupBy(col("cluster"))
       .agg(
         count(lit(1)).as("n_vecs"),
-        sum(when($"action" === "dup", 1L).otherwise(0L)).as("n_dup"),
-        sum(when($"action" === "proto", 1L).otherwise(0L)).as("n_proto"),
-        sum(when($"action" === "keep", 1L).otherwise(0L)).as("n_kept"))
+        sum(when(col("action") === "dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("action") === "proto", 1L).otherwise(0L)).as("n_proto"),
+        sum(when(col("action") === "keep", 1L).otherwise(0L)).as("n_kept"))
       .withColumn("kept_bps", expr("(20000 * n_kept + n_vecs) DIV (2 * n_vecs)"))
-  }
 
   /** Greedy k-center coreset — farthest-point traversal (Gonzalez 1985,
     * the 2-approximation to optimal k-center): start from the lowest-id

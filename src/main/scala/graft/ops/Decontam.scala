@@ -189,15 +189,20 @@ object Decontam {
     val est = docSig
       .crossJoin(broadcast(evSig)) // |evals|-row suite, stage 1 is signature-only
       .select(col(idCol), col("eval_id"), col("n_d"), col("n_e"),
+        // ONE codegen'd signature fold per pair: the interpreted
+        // zip_with+aggregate form was 64 boxed lambda evals × |docs|·|evals|
+        // pairs — the whole cost of stage 1
         when(col("dsig").isNotNull,
-          aggregate(zip_with(col("dsig"), col("esig"), (x, y) => (x === y).cast("long")),
-            lit(0L), (acc, x) => acc + x))
+          coalesce(graft.functions.LongVecExpr.matchCount(col("dsig"), col("esig")), lit(0L)))
           .otherwise(lit(0L)).as("m"))
       .select(col(idCol), col("eval_id"),
         scaledRatio(
           col("m") * (col("n_d") + col("n_e")),
           (lit(numHashes.toLong) + col("m")) * col("n_e"),
           10000L).cast("long").as("est_bps"))
+      // est feeds BOTH the band cut and the per-doc rollup — without the
+      // checkpoint the corpus-sized signature fold runs twice
+      .localCheckpoint(eager = true)
     val band = est
       .filter(col("est_bps") >= lo)
       .select(col(idCol), col("eval_id"))

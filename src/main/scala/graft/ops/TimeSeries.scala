@@ -710,6 +710,12 @@ object TimeSeries {
     * brute [[tsSimilarityTopK]] convention over every user as its own
     * query. Every user with any series activity gets a row.
     */
+  /** [[paaSeries]] exposed for callers that share one build across the
+    * all-pairs faces (the topk face and its recall meter would otherwise
+    * each re-aggregate the corpus).
+    */
+  private[graft] def paaSeriesShared(ev: DataFrame): (DataFrame, DataFrame) = paaSeries(ev)
+
   def allPairsNeighborsRecall(
       ev: DataFrame,
       k: Int = 5,
@@ -717,9 +723,24 @@ object TimeSeries {
       nbits: Int = 16,
       bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
-    import graft.functions.ExactDecimal.scaledRatio
     val (series, s2) = paaSeries(ev)
     val banded = allPairsNeighborsFrom(series, s2, k, segments, nbits, bands, maxBucket)
+      .select(col("user_id"), col("neighbor_id"))
+    allPairsRecallFrom(series, s2, banded, k)
+  }
+
+  /** The recall meter off an already-built banded top-k id frame and a
+    * shared (series, s2) pair — the gold leg stays quadratic BY
+    * DEFINITION (it is the grid the production path avoids); everything
+    * else is shared with the production face.
+    */
+  private[graft] def allPairsRecallFrom(
+      series: DataFrame,
+      s2: DataFrame,
+      bandedIds: DataFrame,
+      k: Int = 5): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    val banded = bandedIds
       .select(col("user_id"), col("neighbor_id"))
       .localCheckpoint(eager = true) // ≤ |users|×k ids
     val gdots = series.select(col("user_id").as("ua"), col("hour"), col("v").as("va"))

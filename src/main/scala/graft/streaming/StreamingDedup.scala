@@ -113,6 +113,47 @@ object StreamingDedup {
       )
   }
 
+  /** Streaming MEDIA near-dup claims — the claim protocol keyed by the
+    * perceptual-hash chunk keys of the raw payload: each ingested
+    * payload's 64-cell average hash ([[graft.functions.AHash64Expr]], one
+    * codegen'd call) splits into `chunks` keys (index packed above the
+    * value bits), and each key tries to claim its bucket. Pigeonhole as
+    * in the batch face ([[graft.ops.Multimodal.ahashNearDupPairs]]):
+    * ≤ chunks−1 differing bits cannot touch every chunk, so any payload
+    * within Hamming chunks−1 of an earlier one shares a chunk and LOSES
+    * that bucket — resolve per doc with [[survivors]] exactly like the
+    * text band claims. Empty payloads (null hash) are dropped, matching
+    * the batch face.
+    */
+  def ahashChunkClaims(
+      mediaStream: DataFrame,
+      ttlMinutes: Int,
+      idCol: String = "media_id",
+      contentCol: String = "content",
+      chunks: Int = 8
+  ): org.apache.spark.sql.Dataset[StreamingDedup.BandClaim] = {
+    require(64 % chunks == 0, "chunks must divide 64")
+    val w = 64 / chunks
+    import mediaStream.sparkSession.implicits._
+    val chunkKeys = (0 until chunks).map { c =>
+      shiftrightunsigned(col("ahash"), c * w).bitwiseAND(lit((1L << w) - 1))
+        .bitwiseOR(lit(c.toLong << w))
+    }
+    mediaStream
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        graft.functions.AHash64Expr.column(col(contentCol)).as("ahash"))
+      .filter(col("ahash").isNotNull)
+      .select(col("doc_id"), explode(array(chunkKeys: _*)).as("chunk_key"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .transformWithState(
+        new BandClaimProcessor(ttlMinutes),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update()
+      )
+  }
+
   /** Per-doc novel-content fraction over one micro-batch of [[chunkClaims]]
     * output (claims co-batch per doc): docs keeping at least `minNovel` of
     * their chunks. Apply inside `foreachBatch`.

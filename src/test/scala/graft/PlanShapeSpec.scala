@@ -454,9 +454,11 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("kmeans_silhouette: centroid matrix inlined — no join, one corpus scan") {
+  test("kmeans_silhouette: centroid matrix inlined — no join, at most one corpus scan") {
     val plan = executedPlan("kmeans_silhouette")
-    assert("Scan parquet".r.findAllIn(plan).size == 1,
+    // zero scans when the shared Lloyd checkpoint feeds it (the round-12
+    // kmeans-family sharing), one when it builds standalone — never more
+    assert("Scan parquet".r.findAllIn(plan).size <= 1,
       "silhouette is one map-only pass over the assigned frame")
     assert(!plan.contains("Join"), "distances must come from inlined centroids, not a join")
   }

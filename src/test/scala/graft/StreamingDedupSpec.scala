@@ -156,4 +156,53 @@ class StreamingDedupSpec extends AnyFunSuite {
     val rows = spark.table("sd_forever").as[(String, Int)].collect().toMap
     assert(rows == Map("a" -> 1, "b" -> 2, "c" -> 3))
   }
+
+  test("ahashChunkClaims: duplicate payloads lose every chunk, distinct payloads survive") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val rnd = new scala.util.Random(23)
+    val payloadA = Array.tabulate[Byte](2048)(_ => rnd.nextInt(256).toByte)
+    val payloadB = Array.tabulate[Byte](2048)(_ => rnd.nextInt(256).toByte)
+    val payloadC = Array.tabulate[Byte](2048)(_ => rnd.nextInt(256).toByte)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val claims = StreamingDedup.ahashChunkClaims(
+      input.toDF().toDF("media_id", "content"), ttlMinutes = 60)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = claims.toDF().writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = StreamingDedup.survivors(batch)
+          .collect().map(_.getLong(0)).toSet
+        if (s.nonEmpty || batch.count() > 0) batches.synchronized { batches += s }
+        ()
+      }
+      .start()
+    def awaitBatches(n: Int): Unit = {
+      val deadline = System.nanoTime() + 90_000_000_000L
+      while (batches.synchronized(batches.size) < n && System.nanoTime() < deadline)
+        Thread.sleep(200)
+    }
+    try {
+      // batch 1: A claims; same-batch exact dup of A (id 6) loses the tie
+      input.addData(Seq((6L, payloadA), (1L, payloadA), (2L, payloadB)))
+      awaitBatches(1)
+      // batch 2: exact re-ingest of A loses everything; fresh C survives
+      input.addData(Seq((9L, payloadA), (8L, payloadC)))
+      awaitBatches(2)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val all = batches.toList
+    assert(all.nonEmpty)
+    assert(all.head == Set(1L, 2L), s"batch 1 survivors: ${all.head}")
+    assert(all.last == Set(8L), s"batch 2 survivors: ${all.last}")
+  }
 }
