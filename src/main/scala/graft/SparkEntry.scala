@@ -2824,8 +2824,8 @@ object SparkEntry {
       // kappa(fixed-weight gate, Gopher teacher) in one row — the
       // replace-the-heuristic decision closed to a single signed number.
       val docs = table(s, dir, "documents")
-      val feat = graft.ops.QualityTrainer.features(docs).localCheckpoint(eager = true)
-      val w = graft.ops.QualityTrainer.train(feat, iters = 8).last
+      val (feat, traj) = graft.ops.QualityTrainer.trainedState(docs, iters = 8)
+      val w = traj.last
       val fixedK = docs.select(
         col("doc_id"),
         (TextAnalysis.qualityLogit(col("text"), length(col("text"))) > 0)
@@ -2849,8 +2849,8 @@ object SparkEntry {
       // grades the whole ranking, so it is the number to read before
       // moving the keep threshold (ops/Contingency.scala).
       val docs = table(s, dir, "documents")
-      val feat = graft.ops.QualityTrainer.features(docs).localCheckpoint(eager = true)
-      val w = graft.ops.QualityTrainer.train(feat, iters = 8).last
+      val (feat, traj) = graft.ops.QualityTrainer.trainedState(docs, iters = 8)
+      val w = traj.last
       graft.ops.Contingency.rocAuc(
         graft.ops.QualityTrainer.score(feat, w)
           .join(feat.select(col("doc_id"), col("y").cast("int").as("label")), Seq("doc_id"))
@@ -2915,8 +2915,8 @@ object SparkEntry {
       // single row — no 9x corpus crossJoin.
       import graft.functions.ExactDecimal.scaledRatio
       val docs = table(s, dir, "documents")
-      val feat = graft.ops.QualityTrainer.features(docs).localCheckpoint(eager = true)
-      val w = graft.ops.QualityTrainer.train(feat, iters = 8).last
+      val (feat, traj) = graft.ops.QualityTrainer.trainedState(docs, iters = 8)
+      val w = traj.last
       val scored = graft.ops.QualityTrainer.score(feat, w)
         .join(feat.select(col("doc_id"), col("y")), Seq("doc_id"))
       val aggs = (1 to 9).flatMap { i =>
@@ -2950,8 +2950,8 @@ object SparkEntry {
       // integer aggregation; one round-half-up close.
       import graft.functions.ExactDecimal.{d, scaledRatio, Dec}
       val docs = table(s, dir, "documents")
-      val feat = graft.ops.QualityTrainer.features(docs).localCheckpoint(eager = true)
-      val w = graft.ops.QualityTrainer.train(feat, iters = 8).last
+      val (feat, traj) = graft.ops.QualityTrainer.trainedState(docs, iters = 8)
+      val w = traj.last
       graft.ops.QualityTrainer.score(feat, w)
         .join(feat.select(col("doc_id"), col("y")), Seq("doc_id"))
         .select((col("p_micro") - col("y") * 1000000L).as("e"))

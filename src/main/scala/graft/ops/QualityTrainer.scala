@@ -157,6 +157,57 @@ object QualityTrainer {
   ): Seq[Array[Long]] =
     trainOnMaterialized(feat.localCheckpoint(eager = true), iters, etaNum, etaDen)
 
+  private final class StateHolder[T](build: => T) { lazy val value: T = build }
+  private val featMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), StateHolder[DataFrame]]
+  private val trainMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int, Long, Long), StateHolder[Seq[Array[Long]]]]
+  /** Memo key for an input frame: the canonicalized plan STRING alone is
+    * not enough — a LocalRelation (in-memory fixture) prints its schema
+    * but not its rows, so two different small corpora would collide; the
+    * leaf-data fingerprint disambiguates them (UnsafeRow hashCode is
+    * content-based). File-backed leaves print their locations, which
+    * already distinguish them.
+    */
+  private def planKey(df: DataFrame): String = {
+    val p = df.queryExecution.logical.canonicalized
+    val leafData = p.collectLeaves().map {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        lr.data.hashCode.toString
+      case other => other.toString
+    }.mkString("|")
+    p.toString + "#" + leafData
+  }
+
+  /** The feature frame, built and checkpointed ONCE per (session, input
+    * plan) — a dozen registered trained-model faces each re-scanned the
+    * corpus text for the identical frame before this (the sharedLeg
+    * discipline from the ANN layer memos, keyed by the CANONICALIZED
+    * input plan so different strata never collide).
+    */
+  def featuresShared(docs: DataFrame): DataFrame =
+    featMemo.getOrElseUpdate(
+      (docs.sparkSession.sparkContext.applicationId, planKey(docs)),
+      new StateHolder(features(docs).localCheckpoint(eager = true))).value
+
+  /** The (shared feature frame, full training trajectory) pair — ONE
+    * gradient loop per (session, input plan, iters, η) serving every
+    * face of the trained model (scores, gates, calibration, parity…);
+    * the GD recurrence is deterministic, so sharing is value-invisible.
+    */
+  def trainedState(
+      docs: DataFrame,
+      iters: Int,
+      etaNum: Long = 1L,
+      etaDen: Long = 2L
+  ): (DataFrame, Seq[Array[Long]]) = {
+    val feat = featuresShared(docs)
+    val traj = trainMemo.getOrElseUpdate(
+      (docs.sparkSession.sparkContext.applicationId, planKey(docs), iters, etaNum, etaDen),
+      new StateHolder(trainOnMaterialized(feat, iters, etaNum, etaDen))).value
+    (feat, traj)
+  }
+
   /** Same loop over a frame the caller has already materialized (avoids a
     * second checkpoint when the caller also needs the features for
     * scoring).
@@ -199,7 +250,7 @@ object QualityTrainer {
   def weightTrajectoryDf(docs: DataFrame, iters: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val traj = train(features(docs), iters)
+    val traj = trainedState(docs, iters)._2
     traj.zipWithIndex.flatMap { case (w, t) =>
       FeatureNames.zip(w).map { case (name, wj) => (t + 1, name, wj) }
     }.toDF("iter", "feature", "w_micro")
@@ -218,9 +269,8 @@ object QualityTrainer {
 
   /** Train-then-score in one call (the `quality_trained_scores` query). */
   def trainAndScore(docs: DataFrame, iters: Int): DataFrame = {
-    val feat = features(docs).localCheckpoint(eager = true)
-    val w = trainOnMaterialized(feat, iters, etaNum = 1L, etaDen = 2L).last
-    score(feat, w)
+    val (feat, traj) = trainedState(docs, iters)
+    score(feat, traj.last)
   }
 
   /** Split-conformal keep gate over the trained scorer — the
@@ -250,8 +300,8 @@ object QualityTrainer {
       alphaDen: Long = 10L
   ): DataFrame = {
     require(alphaNum > 0 && alphaNum < alphaDen, s"need 0 < α < 1, got $alphaNum/$alphaDen")
-    val feat = features(docs).localCheckpoint(eager = true)
-    val w = trainOnMaterialized(feat, iters, etaNum = 1L, etaDen = 2L).last
+    val (feat, traj) = trainedState(docs, iters)
+    val w = traj.last
     val withY = score(feat, w)
       .join(feat.select(col("doc_id"), col("y")), Seq("doc_id"))
     val calib = withY
@@ -425,8 +475,8 @@ object QualityTrainer {
     */
   private def binnedRaw(docs: DataFrame, iters: Int, nBins: Int): DataFrame = {
     require(1000000L % nBins == 0, s"nBins must divide 1e6, got $nBins")
-    val feat = features(docs).localCheckpoint(eager = true)
-    val w = trainOnMaterialized(feat, iters, etaNum = 1L, etaDen = 2L).last
+    val (feat, traj) = trainedState(docs, iters)
+    val w = traj.last
     val width = (1000000L / nBins).toDouble
     feat
       .select(col("y"), predictMicro(w).as("p_micro"))
@@ -525,8 +575,8 @@ object QualityTrainer {
   def holdoutCalibrationEval(docs: DataFrame, iters: Int, nBins: Int = 100): DataFrame = {
     import graft.functions.ExactDecimal.scaledRatio
     require(1000000L % nBins == 0, s"nBins must divide 1e6, got $nBins")
-    val feat = features(docs).localCheckpoint(eager = true)
-    val w = trainOnMaterialized(feat, iters, etaNum = 1L, etaDen = 2L).last
+    val (feat, traj) = trainedState(docs, iters)
+    val w = traj.last
     val width = (1000000L / nBins).toDouble
     val scored = feat
       .select(col("doc_id"), col("y"), predictMicro(w).as("p_micro"))
@@ -612,8 +662,8 @@ object QualityTrainer {
     * corpus-sized after the scan.
     */
   def gateParityReport(docs: DataFrame, iters: Int): DataFrame = {
-    val feat = features(docs).localCheckpoint(eager = true)
-    val w = train(feat, iters).last
+    val (feat, traj) = trainedState(docs, iters)
+    val w = traj.last
     score(feat, w)
       .join(feat.select(col("doc_id"), col("y")), Seq("doc_id"))
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
@@ -696,7 +746,7 @@ object QualityTrainer {
     * folds evaluate through one grouped [[modelAucs]]-style window pass.
     */
   def cvFoldAucs(docs: DataFrame, folds: Int, iters: Int): DataFrame = {
-    val feat = features(docs).localCheckpoint(eager = true)
+    val feat = featuresShared(docs)
     val ws = trainMany(
       feat,
       (0 until folds).map(f => (col("doc_id") % folds =!= f, Set.empty[Int])),
@@ -712,7 +762,7 @@ object QualityTrainer {
   }
 
   def featureAblationAucs(docs: DataFrame, iters: Int): DataFrame = {
-    val feat = features(docs).localCheckpoint(eager = true)
+    val feat = featuresShared(docs)
     // all six retrains (full + one per dropped feature) share ONE gradient
     // loop: iters aggregations total instead of 6·iters
     val masks = Set.empty[Int] +: (0 to 4).map(Set(_))
@@ -748,7 +798,7 @@ object QualityTrainer {
       sources: Seq[String],
       iters: Int
   ): DataFrame = {
-    val feat = features(docs)
+    val feat = featuresShared(docs)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .localCheckpoint(eager = true)
     val models = (lit(true), Set.empty[Int]) +:
@@ -795,7 +845,7 @@ object QualityTrainer {
     * corpus never shuffles.
     */
   def labelNoiseMatrix(docs: DataFrame, iters: Int, folds: Int = 5): DataFrame = {
-    val feat = features(docs).localCheckpoint(eager = true)
+    val feat = featuresShared(docs)
     // the k fold models share ONE gradient loop (iters aggregations, not
     // folds·iters); scoring stays strictly out-of-fold
     val ws = trainMany(
