@@ -40,7 +40,10 @@ object AHash {
     var h = 0L
     var c = 0
     while (c < 64) {
-      // exact integer mean comparison: sum_c/cnt_c > total/n
+      // exact integer mean comparison: sum_c/cnt_c > total/n. Both cross
+      // products are <= 255·n²/64 ≈ 4n², inside a long for any payload
+      // under ~1.5 GB — past the JVM byte-array ceiling anyway, so the
+      // comparison is exact over the expression's whole input domain.
       if (cnts(c) > 0 && sums(c) * n > total * cnts(c)) h |= (1L << c)
       c += 1
     }

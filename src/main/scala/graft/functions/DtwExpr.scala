@@ -158,9 +158,13 @@ object LbKeogh {
       val lo = le.getLong(j)
       if (x > hi) s += sqPos(x - hi)
       else if (x < lo) s += sqPos(lo - x)
+      // non-negative terms: once past the rail the result IS the rail —
+      // return early so a LONG series (this expression is generic, not
+      // 24-cell) can never overflow the accumulator toward a wrong bound
+      if (s >= Dtw.Inf) return java.lang.Long.valueOf(Dtw.Inf)
       j += 1
     }
-    java.lang.Long.valueOf(math.min(s, Dtw.Inf))
+    java.lang.Long.valueOf(s)
   }
 }
 

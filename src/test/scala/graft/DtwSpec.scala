@@ -112,6 +112,19 @@ class DtwSpec extends AnyFunSuite {
     }
   }
 
+  test("LbKeoghExpr on a LONG series cannot overflow past the rail") {
+    // 10k cells, every term at the rail: a plain sum would wrap a long
+    // (10^4 · 10^15 = 10^19 > 2^63) and report a bound BELOW some true
+    // DTW — the early exit pins the result to exactly the rail
+    val n = 10000
+    val u = Seq.fill(n)(50000000L)
+    val env = Seq.fill(n)(0L)
+    val lb = Seq((u, env, env)).toDF("u", "ue", "le")
+      .select(LbKeoghExpr.column(col("u"), col("ue"), col("le")).as("lb"))
+      .as[Long].head()
+    assert(lb == Dtw.Inf)
+  }
+
   test("LbKeogh admissibility holds in the saturated regime") {
     val q = Seq.fill(24)(0L)
     val u = Seq.fill(24)(40000000L)
