@@ -1343,6 +1343,17 @@ object SparkEntry {
       Multimodal.ahashHammingHist(
         Multimodal.mediaFromDocuments(table(s, dir, "documents")))
     },
+    "media_shot_boundaries" -> { (s, dir) =>
+      // Shot-boundary detection over the chunked payload: per-chunk
+      // perceptual hashes, consecutive Hamming distances, boundaries at
+      // the corpus's exact nearest-rank p95 of transitions (adaptive,
+      // not a magic number). Honest reading here: word-salad payloads
+      // have no shots — transitions sit at the ~30-bit background and
+      // only the extreme tail flags; the planted-segments spec shows the
+      // detector firing exactly at real seams (ops/Multimodal.scala).
+      Multimodal.shotBoundaries(
+        Multimodal.mediaFromDocuments(table(s, dir, "documents")))
+    },
     "media_vs_text_dedup_kappa" -> { (s, dir) =>
       // Does payload-level dedup agree with text-level dedup? Media aHash
       // near-dup flags (Hamming ≤ 6, has-a-lower-id-partner convention)
@@ -9776,6 +9787,56 @@ object SparkEntry {
       s"""$MediaAHashCtes
         |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM ahch GROUP BY 1""".stripMargin,
+    "media_shot_boundaries" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents
+        |), cb AS (
+        |  SELECT media_id, i // 256 AS chunk_idx, i % 256 AS pos,
+        |    CAST('0x' || substr(hx, CAST(i*2+1 AS INT), 2) AS BIGINT) AS v
+        |  FROM (SELECT media_id, hx, n, unnest(range(0, n)) AS i FROM b WHERE n > 0)
+        |), cl AS (
+        |  SELECT media_id, chunk_idx, CAST(count(*) AS BIGINT) AS nc
+        |  FROM cb GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT cb.media_id, cb.chunk_idx, (cb.pos * 64) // cl.nc AS cell,
+        |    CAST(sum(cb.v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cn,
+        |    any_value(cl.nc) AS nc
+        |  FROM cb JOIN cl USING (media_id, chunk_idx) GROUP BY 1, 2, 3
+        |), ct AS (
+        |  SELECT media_id, chunk_idx, CAST(sum(s) AS BIGINT) AS ts
+        |  FROM cc GROUP BY 1, 2
+        |), cah AS MATERIALIZED (
+        |  SELECT c.media_id, c.chunk_idx,
+        |    CAST(sum(CASE WHEN c.s * c.nc <= t.ts * c.cn THEN 0
+        |         WHEN c.cell = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+        |         ELSE CAST((CAST(1 AS BIGINT) << CAST(c.cell AS INT)) AS HUGEINT) END) AS BIGINT) AS ahash
+        |  FROM cc c JOIN ct t USING (media_id, chunk_idx) GROUP BY 1, 2
+        |), sq AS MATERIALIZED (
+        |  SELECT media_id, chunk_idx,
+        |    CASE WHEN lag(ahash) OVER (PARTITION BY media_id ORDER BY chunk_idx) IS NULL THEN -1
+        |         ELSE CAST(bit_count(xor(ahash,
+        |           lag(ahash) OVER (PARTITION BY media_id ORDER BY chunk_idx))) AS INT)
+        |    END AS hamming_prev
+        |  FROM cah
+        |), tr AS (
+        |  SELECT hamming_prev, media_id, chunk_idx FROM sq WHERE hamming_prev >= 0
+        |), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+        |thr AS (
+        |  SELECT coalesce(
+        |    (SELECT CAST(hamming_prev AS BIGINT) FROM (
+        |       SELECT hamming_prev,
+        |         row_number() OVER (ORDER BY hamming_prev, media_id, chunk_idx) AS rk
+        |       FROM tr)
+        |     WHERE rk = (SELECT (95 * n + 99) // 100 FROM nn)),
+        |    9223372036854775807) AS t
+        |)
+        |SELECT s.media_id, s.chunk_idx, s.hamming_prev,
+        |  (SELECT t FROM thr) AS p_threshold,
+        |  CASE WHEN s.hamming_prev >= 0 AND s.hamming_prev > (SELECT t FROM thr)
+        |       THEN 1 ELSE 0 END AS is_boundary
+        |FROM sq s""".stripMargin,
     "media_vs_text_dedup_kappa" ->
       s"""$Md5NearDupCtes, $MediaAHashCtesBody, lshd AS (
         |  SELECT DISTINCT id_b AS id FROM pj WHERE jaccard >= 0.8

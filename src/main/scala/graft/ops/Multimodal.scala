@@ -439,6 +439,78 @@ object Multimodal {
       .groupBy(col("hamming"))
       .agg(count(lit(1)).as("n_pairs"))
 
+  /** Shot-boundary detection over the chunked payload — the
+    * frame-sampling story completed into an operator: every
+    * `chunkBytes` slice gets its perceptual hash
+    * ([[graft.functions.AHash64Expr]] inside the chunk explode, still
+    * codec-free), consecutive chunks compare by Hamming distance, and a
+    * transition is flagged a boundary when it sits in the corpus's top
+    * (1−p) sharpest transitions — the threshold is the EXACT
+    * nearest-rank p-quantile of all transition distances (the
+    * conformal-gate order-statistic idiom: one global rank off
+    * [[Ranking.globalRowNumber]], a driver scalar), so the flag adapts
+    * to the payload population instead of hard-coding a magic number.
+    *
+    * On this corpus the honest reading is "no shots": word-salad
+    * stand-in payloads put within-doc transitions at the same ~30-bit
+    * background as across-doc pairs, so only the extreme tail flags —
+    * the planted-segments spec shows the detector firing exactly at
+    * real seams (the curation_order_report discipline: a quiet row
+    * backed by a live-detector fixture).
+    *
+    * Columns: media_id, chunk_idx, hamming_prev (−1 for each payload's
+    * first chunk — excluded from the quantile, never a boundary),
+    * p_threshold (the corpus-wide order statistic, constant column),
+    * is_boundary. Scale shape: the lag window partitions per media_id
+    * (chunks-per-payload bounded); the quantile is one distributed
+    * rank, no global sort materializes.
+    */
+  def shotBoundaries(
+      media: DataFrame,
+      chunkBytes: Int = 256,
+      pNum: Long = 95L,
+      pDen: Long = 100L): DataFrame = {
+    require(pNum > 0 && pNum <= pDen, "need 0 < p <= 1")
+    import org.apache.spark.sql.expressions.Window
+    val ch = chunked(media.filter(octet_length(col("content")) > 0), chunkBytes)
+      .select(col("media_id"), posexplode(col("chunks")).as(Seq("chunk_idx", "chunk")))
+      .select(
+        col("media_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        graft.functions.AHash64Expr.column(col("chunk")).as("ahash"))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("chunk_idx"))
+    val seq0 = ch
+      .withColumn("prev", lag(col("ahash"), 1).over(w))
+      .select(
+        col("media_id"), col("chunk_idx"),
+        when(col("prev").isNull, lit(-1))
+          .otherwise(Dedup.hamming64(col("ahash"), col("prev")).cast("int"))
+          .as("hamming_prev"))
+      .localCheckpoint(eager = true) // feeds the quantile and the flags
+    val trans = seq0.filter(col("hamming_prev") >= 0)
+    val n = trans.count() // driver scalar: one long
+    val thr: Long =
+      if (n == 0) Long.MaxValue // no transitions: nothing can flag
+      else {
+        val k = (pNum * n + pDen - 1) / pDen // ceil(p·n): nearest-rank
+        Ranking
+          .globalRowNumber(
+            trans,
+            Seq(col("hamming_prev").asc, col("media_id").asc, col("chunk_idx").asc),
+            "rk")
+          .filter(col("rk") === k)
+          .select(col("hamming_prev"))
+          .head() // driver scalar: the single order-statistic row
+          .getInt(0).toLong
+      }
+    seq0.select(
+      col("media_id"), col("chunk_idx"), col("hamming_prev"),
+      lit(thr).as("p_threshold"),
+      // STRICTLY above the order statistic (the saxWords strict-> symbol
+      // convention): a tie-heavy population (many identical-chunk
+      // payloads put the p95 AT zero) must not flag everything
+      (col("hamming_prev") >= 0 && col("hamming_prev") > thr).cast("int").as("is_boundary"))
+  }
+
   /** Banded candidate pairs with their exact Hamming distances — the
     * shared core of the pairs and histogram faces.
     */

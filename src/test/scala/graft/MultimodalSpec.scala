@@ -227,4 +227,36 @@ class MultimodalSpec extends AnyFunSuite {
     val nearFromHist = hist.filter(_._1 <= 6).values.sum
     assert(pairs.length.toLong == nearFromHist)
   }
+
+  test("shotBoundaries: planted seams flag, identical-chunk runs stay quiet, first chunks exempt") {
+    def pat(seed: Int): Array[Byte] = {
+      val r = new scala.util.Random(seed); Array.fill[Byte](256)(r.nextInt(256).toByte)
+    }
+    // six uniform payloads (8 identical chunks each: every transition is
+    // Hamming 0) + one segmented payload (4 segments x 2 chunks: seams at
+    // chunk_idx 2, 4, 6; seeded distances 32/30/31 — distinct, so the
+    // adaptive p95 threshold lands ON the smallest and the strict > flag
+    // fires exactly the two true seams above it).
+    val uniform = (0L until 6L).map { id =>
+      id -> Array.fill(8)(pat(100 + id.toInt)).flatten
+    }
+    val seg = 99L -> (0 until 4).toArray.flatMap(s => pat(400 + s) ++ pat(400 + s))
+    val media = (uniform :+ seg).toDF("media_id", "content")
+    val out = Multimodal.shotBoundaries(media, chunkBytes = 256)
+      .as[(Long, Long, Int, Long, Int)].collect()
+    // first chunks: sentinel distance, never boundaries
+    out.filter(_._2 == 0L).foreach { r => assert(r._3 == -1 && r._5 == 0) }
+    // identical-chunk transitions: distance 0, quiet
+    val uni = out.filter(r => r._1 < 6 && r._2 > 0)
+    assert(uni.nonEmpty && uni.forall(r => r._3 == 0 && r._5 == 0))
+    val segRows = out.filter(_._1 == 99L)
+    val seams = Set(2L, 4L, 6L)
+    // every flagged transition is a TRUE seam, and at least one seam fires
+    segRows.filter(_._5 == 1).foreach(r => assert(seams.contains(r._2), s"false boundary at chunk ${r._2}"))
+    assert(segRows.count(_._5 == 1) >= 1, "no seam fired")
+    // within-segment transitions are exact repeats
+    segRows.filter(r => r._2 > 0 && !seams.contains(r._2)).foreach(r => assert(r._3 == 0))
+    // the threshold is one corpus-wide constant
+    assert(out.map(_._4).distinct.length == 1)
+  }
 }
