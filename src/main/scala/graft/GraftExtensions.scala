@@ -200,6 +200,74 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
       )
     )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("dtw_band"),
+        new ExpressionInfo(
+          classOf[graft.functions.DtwBandExpr].getName,
+          null,
+          "dtw_band",
+          "dtw_band(a, b, band) - Sakoe-Chiba-banded DTW distance between equal-length array<bigint> series (bigint; saturates at 1e15)",
+          ""
+        ),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(a, b, r) => graft.functions.DtwBandExpr(a, b, intArg(r, "band"))
+            case _ => throw new IllegalArgumentException("dtw_band expects exactly 3 arguments")
+          }
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("lb_keogh"),
+        new ExpressionInfo(
+          classOf[graft.functions.LbKeoghExpr].getName,
+          null,
+          "lb_keogh",
+          "lb_keogh(u, upper_env, lower_env) - Keogh envelope lower bound on the banded DTW distance (bigint)",
+          ""
+        ),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(u, ue, le) => graft.functions.LbKeoghExpr(u, ue, le)
+            case _ => throw new IllegalArgumentException("lb_keogh expects exactly 3 arguments")
+          }
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("ahash64"),
+        new ExpressionInfo(
+          classOf[graft.functions.AHash64Expr].getName,
+          null,
+          "ahash64",
+          "ahash64(bin) - 64-cell average-hash fingerprint of a binary payload (bigint; null for empty)",
+          ""
+        ),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(bin) => graft.functions.AHash64Expr(bin)
+            case _ => throw new IllegalArgumentException("ahash64 expects exactly 1 argument")
+          }
+      )
+    )
+    ext.injectFunction(
+      (
+        new FunctionIdentifier("arr_match_count"),
+        new ExpressionInfo(
+          classOf[graft.functions.MatchCountExpr].getName,
+          null,
+          "arr_match_count",
+          "arr_match_count(a, b) - count of positionally equal elements of two array<bigint> (bigint; null on length mismatch)",
+          ""
+        ),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(a, b) => graft.functions.MatchCountExpr(a, b)
+            case _ => throw new IllegalArgumentException("arr_match_count expects exactly 2 arguments")
+          }
+      )
+    )
   }
 }
 

@@ -78,6 +78,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .as[String]
         .head()
       assert(red == "mail [PII] ip [PII] num [PII]")
+      // round-12 registrations: DTW + envelope bound + media/signature kernels
+      val dtw = spark.sql(
+        "SELECT dtw_band(array(0L,0L,5L), array(0L,5L,0L), 1) AS d").as[Long].head()
+      // the warp aligns u's spike with q's, but the END cell (5 vs 0) is
+      // on every path: 25 exactly (hand-checked DP)
+      assert(dtw == 25L)
+      val lb = spark.sql(
+        "SELECT lb_keogh(array(7L,0L), array(5L,5L), array(1L,1L)) AS b").as[Long].head()
+      assert(lb == 5L) // (7-5)^2 + (1-0)^2
+      val ah = spark.sql("SELECT ahash64(CAST('aaab' AS BINARY)) AS h").as[Long].head()
+      assert(ah == graft.functions.AHash.ahash64("aaab".getBytes("UTF-8")))
+      val mc = spark.sql(
+        "SELECT arr_match_count(array(1L,2L,3L), array(1L,9L,3L)) AS m").as[Long].head()
+      assert(mc == 2L)
     } finally {
       // don't stop the shared SparkContext: other suites reuse it — restore
       // the shared session as active/default
