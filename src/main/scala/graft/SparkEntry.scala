@@ -1343,6 +1343,21 @@ object SparkEntry {
       Multimodal.ahashHammingHist(
         Multimodal.mediaFromDocuments(table(s, dir, "documents")))
     },
+    "media_curation_flags" -> { (s, dir) =>
+      // The media family closed into one verdict per payload — the
+      // curation_pipeline discipline on the binary column: tiny /
+      // low-entropy / high-entropy / perceptual-dup / keep, in
+      // deterministic precedence, off the oracle-green byte-stats and
+      // aHash chains (ops/Multimodal.scala).
+      Multimodal.curationFlags(
+        Multimodal.mediaFromDocuments(table(s, dir, "documents")))
+    },
+    "media_curation_report" -> { (s, dir) =>
+      // The per-source census of the media verdicts: totals, drops by
+      // gate, keeps, kept share in bps (ops/Multimodal.scala).
+      Multimodal.curationReport(
+        Multimodal.mediaFromDocuments(table(s, dir, "documents")))
+    },
     "media_shot_boundaries" -> { (s, dir) =>
       // Shot-boundary detection over the chunked payload: per-chunk
       // perceptual hashes, consecutive Hamming distances, boundaries at
@@ -9787,6 +9802,74 @@ object SparkEntry {
       s"""$MediaAHashCtes
         |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM ahch GROUP BY 1""".stripMargin,
+    "media_curation_flags" ->
+      s"""WITH eb AS (
+        |  SELECT doc_id AS media_id, source, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents
+        |), ebytes AS (
+        |  SELECT media_id, n,
+        |    unnest(list_transform(range(0, n), i -> substr(hx, CAST(i*2+1 AS INT), 2))) AS byte
+        |  FROM eb WHERE n > 0
+        |), ehist AS (
+        |  SELECT media_id, any_value(n) AS n, byte, count(*) AS c
+        |  FROM ebytes GROUP BY media_id, byte
+        |), ent AS MATERIALIZED (
+        |  SELECT media_id, CAST(any_value(n) AS BIGINT) AS n_bytes,
+        |    CAST(floor((log2(any_value(n)) - sum(c * log2(c))/any_value(n))*1000000.0 + 0.5) AS BIGINT) AS entropy_micro
+        |  FROM ehist GROUP BY media_id
+        |), $MediaAHashCtesBody,
+        |mdup AS (SELECT DISTINCT id_b AS media_id FROM ahch WHERE hamming <= 6)
+        |SELECT d.media_id, d.source,
+        |  coalesce(e.n_bytes, 0) AS n_bytes,
+        |  coalesce(e.entropy_micro, 0) AS entropy_micro,
+        |  CASE WHEN coalesce(e.n_bytes, 0) < 64 THEN 'tiny'
+        |       WHEN e.entropy_micro < 1500000 THEN 'low_entropy'
+        |       WHEN e.entropy_micro > 7800000 THEN 'high_entropy'
+        |       WHEN m.media_id IS NOT NULL THEN 'dup'
+        |       ELSE 'keep' END AS action
+        |FROM (SELECT doc_id AS media_id, source FROM documents) d
+        |LEFT JOIN ent e ON e.media_id = d.media_id
+        |LEFT JOIN mdup m ON m.media_id = d.media_id""".stripMargin,
+    "media_curation_report" ->
+      s"""WITH eb AS (
+        |  SELECT doc_id AS media_id, source, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents
+        |), ebytes AS (
+        |  SELECT media_id, n,
+        |    unnest(list_transform(range(0, n), i -> substr(hx, CAST(i*2+1 AS INT), 2))) AS byte
+        |  FROM eb WHERE n > 0
+        |), ehist AS (
+        |  SELECT media_id, any_value(n) AS n, byte, count(*) AS c
+        |  FROM ebytes GROUP BY media_id, byte
+        |), ent AS MATERIALIZED (
+        |  SELECT media_id, CAST(any_value(n) AS BIGINT) AS n_bytes,
+        |    CAST(floor((log2(any_value(n)) - sum(c * log2(c))/any_value(n))*1000000.0 + 0.5) AS BIGINT) AS entropy_micro
+        |  FROM ehist GROUP BY media_id
+        |), $MediaAHashCtesBody,
+        |mdup AS (SELECT DISTINCT id_b AS media_id FROM ahch WHERE hamming <= 6),
+        |fl AS (
+        |  SELECT d.media_id, d.source,
+        |    CASE WHEN coalesce(e.n_bytes, 0) < 64 THEN 'tiny'
+        |         WHEN e.entropy_micro < 1500000 THEN 'low_entropy'
+        |         WHEN e.entropy_micro > 7800000 THEN 'high_entropy'
+        |         WHEN m.media_id IS NOT NULL THEN 'dup'
+        |         ELSE 'keep' END AS action
+        |  FROM (SELECT doc_id AS media_id, source FROM documents) d
+        |  LEFT JOIN ent e ON e.media_id = d.media_id
+        |  LEFT JOIN mdup m ON m.media_id = d.media_id
+        |)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_media,
+        |  CAST(sum(CASE WHEN action = 'tiny' THEN 1 ELSE 0 END) AS BIGINT) AS n_tiny,
+        |  CAST(sum(CASE WHEN action = 'low_entropy' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_entropy,
+        |  CAST(sum(CASE WHEN action = 'high_entropy' THEN 1 ELSE 0 END) AS BIGINT) AS n_high_entropy,
+        |  CAST(sum(CASE WHEN action = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST((20000 * sum(CASE WHEN action = 'keep' THEN 1 ELSE 0 END) + count(*))
+        |    // (2 * count(*)) AS BIGINT) AS kept_bps
+        |FROM fl GROUP BY 1""".stripMargin,
     "media_shot_boundaries" ->
       """WITH b AS (
         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,

@@ -511,6 +511,69 @@ object Multimodal {
       (col("hamming_prev") >= 0 && col("hamming_prev") > thr).cast("int").as("is_boundary"))
   }
 
+  /** The media curation composite: the new media family closed into one
+    * verdict per payload, the curation_pipeline discipline applied to the
+    * binary column. Gates in deterministic precedence order:
+    *
+    *   1. `tiny`         — n_bytes < minBytes (nothing to learn from);
+    *   2. `low_entropy`  — byte entropy below `loEntropyMicro` µbits
+    *      (constant/degenerate payloads);
+    *   3. `high_entropy` — above `hiEntropyMicro` µbits (already-compressed
+    *      or encrypted bytes masquerading as decodable media);
+    *   4. `dup`          — has a lower-id perceptual near-dup partner
+    *      ([[ahashNearDupPairs]], Hamming ≤ 6);
+    *   5. `keep`.
+    *
+    * Exactness: sizes/entropy ride [[byteStatsExact]] (micro-quantized,
+    * already oracle-green as `media_byte_stats`), the dup flag rides the
+    * oracle-green aHash chain — so the whole composite hash-compares.
+    * One payload scan for stats, one for fingerprints; the verdict is
+    * joins over id-sized frames.
+    */
+  def curationFlags(
+      media: DataFrame,
+      minBytes: Long = 64L,
+      loEntropyMicro: Long = 1500000L,
+      hiEntropyMicro: Long = 7800000L): DataFrame = {
+    val stats = byteStatsExact(media).toDF()
+      .select(col("media_id"), col("n_bytes"), col("entropy_micro"))
+    val dups = ahashNearDupPairs(media)
+      .select(col("id_b").as("media_id")).distinct()
+      .withColumn("is_dup", lit(1))
+    media.select(col("media_id"), col("meta.source").as("source"))
+      .join(stats, Seq("media_id"), "left") // empty payloads have no stats row
+      .join(dups, Seq("media_id"), "left")
+      .select(
+        col("media_id"), col("source"),
+        coalesce(col("n_bytes"), lit(0L)).as("n_bytes"),
+        coalesce(col("entropy_micro"), lit(0L)).as("entropy_micro"),
+        when(coalesce(col("n_bytes"), lit(0L)) < minBytes, "tiny")
+          .when(col("entropy_micro") < loEntropyMicro, "low_entropy")
+          .when(col("entropy_micro") > hiEntropyMicro, "high_entropy")
+          .when(col("is_dup") === 1, "dup")
+          .otherwise("keep").as("action"))
+  }
+
+  /** Per-source census of [[curationFlags]] — the health row a media
+    * ingest run records: totals, drops by gate, keeps, kept share in
+    * round-half-up bps.
+    */
+  def curationReport(
+      media: DataFrame,
+      minBytes: Long = 64L,
+      loEntropyMicro: Long = 1500000L,
+      hiEntropyMicro: Long = 7800000L): DataFrame =
+    curationFlags(media, minBytes, loEntropyMicro, hiEntropyMicro)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(when(col("action") === "tiny", 1L).otherwise(0L)).as("n_tiny"),
+        sum(when(col("action") === "low_entropy", 1L).otherwise(0L)).as("n_low_entropy"),
+        sum(when(col("action") === "high_entropy", 1L).otherwise(0L)).as("n_high_entropy"),
+        sum(when(col("action") === "dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("action") === "keep", 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("kept_bps", expr("(20000 * n_keep + n_media) DIV (2 * n_media)"))
+
   /** Banded candidate pairs with their exact Hamming distances — the
     * shared core of the pairs and histogram faces.
     */

@@ -259,4 +259,37 @@ class MultimodalSpec extends AnyFunSuite {
     // the threshold is one corpus-wide constant
     assert(out.map(_._4).distinct.length == 1)
   }
+
+  test("curationFlags: gate precedence on planted payloads; report reconciles") {
+    val rnd = new scala.util.Random(59)
+    def txt(n: Int) = Array.fill[Byte](n)((32 + rnd.nextInt(90)).toByte)
+    val normal = txt(2000)
+    val rows = Seq(
+      (0L, normal, "web"), // keep
+      (1L, normal.clone(), "web"), // exact dup of 0 -> dup
+      (2L, txt(10), "web"), // tiny
+      (3L, Array.fill[Byte](500)(7), "cc"), // constant: entropy 0 -> low_entropy
+      (4L, Array.tabulate[Byte](4096)(_ => rnd.nextInt(256).toByte), "cc"), // ~8 bits -> high_entropy
+      (5L, Array.fill[Byte](10)(7), "cc") // tiny AND low-entropy: tiny wins
+    )
+    val media = rows.toDF("media_id", "content", "source")
+      .select(col("media_id"), col("content"),
+        struct(lit("application/octet-stream").as("mime"),
+          octet_length(col("content")).cast("long").as("n_bytes"),
+          col("source").as("source")).as("meta"))
+    val got = Multimodal.curationFlags(media)
+      .select("media_id", "action").as[(Long, String)].collect().toMap
+    assert(got(0L) == "keep")
+    assert(got(1L) == "dup")
+    assert(got(2L) == "tiny")
+    assert(got(3L) == "low_entropy")
+    assert(got(4L) == "high_entropy")
+    assert(got(5L) == "tiny")
+    val rep = Multimodal.curationReport(media)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rep("web")._2 == 3 && rep("web")._3 == 1 && rep("web")._6 == 1 && rep("web")._7 == 1)
+    assert(rep("cc")._2 == 3 && rep("cc")._3 == 1 && rep("cc")._4 == 1 && rep("cc")._5 == 1 && rep("cc")._7 == 0)
+    assert(rep("web")._8 == (20000 * 1 + 3) / (2 * 3))
+  }
 }
