@@ -108,6 +108,19 @@ object SparkEntry {
       (series, s2, topk)
     }
 
+  /** The two-stage decontam gate (signature build + band verify) shared
+    * by its flags face and its report face — the report adds only the
+    * exact-gate comparison.
+    */
+  private def sharedTwoStageGate(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "twoStageGate") {
+      val docs = table(s, dir, "documents")
+      graft.ops.Decontam.twoStageGate(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0))
+        .localCheckpoint(eager = true)
+    }
+
   private def sharedIvfGraph(s: SparkSession, dir: String): DataFrame =
     sharedLeg(s, dir, "ivfGraph")(ivfGraph(table(s, dir, "embeddings")))
 
@@ -1503,7 +1516,8 @@ object SparkEntry {
       // measured disagreement vs the exact broadcast gate (0 at both
       // SFs) (ops/Decontam.scala).
       val docs = table(s, dir, "documents")
-      graft.ops.Decontam.twoStageReport(
+      graft.ops.Decontam.twoStageReportFrom(
+        sharedTwoStageGate(s, dir),
         docs.filter(col("doc_id") % 13 =!= 0),
         docs.filter(col("doc_id") % 13 === 0))
     },
@@ -1513,10 +1527,7 @@ object SparkEntry {
       // (always exact-confirmed) contamination decision; joins downstream
       // like decontam_gate_flags at a fraction of its intersect work
       // (ops/Decontam.scala).
-      val docs = table(s, dir, "documents")
-      graft.ops.Decontam.twoStageGate(
-        docs.filter(col("doc_id") % 13 =!= 0),
-        docs.filter(col("doc_id") % 13 === 0))
+      sharedTwoStageGate(s, dir)
     },
     "decontam_quoted_evals" -> { (s, dir) =>
       // Contamination by QUOTATION — the case n-gram-share decontam

@@ -256,10 +256,25 @@ object Decontam {
       numHashes: Int = 64,
       idCol: String = "doc_id",
       textCol: String = "text"
+  ): DataFrame =
+    twoStageReportFrom(
+      twoStageGate(docs, evals, thresholdBps, marginBps, shingleN, numHashes, idCol, textCol),
+      docs, evals, thresholdBps, shingleN, idCol, textCol)
+
+  /** [[twoStageReport]] off an already-built gate frame, so the report
+    * face and the flags face can share ONE signature build + band verify
+    * (the sharedLeg discipline).
+    */
+  def twoStageReportFrom(
+      two: DataFrame,
+      docs: DataFrame,
+      evals: DataFrame,
+      thresholdBps: Long = 8000L,
+      shingleN: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"
   ): DataFrame = {
     import graft.functions.ExactDecimal.scaledRatio
-    val two = twoStageGate(
-      docs, evals, thresholdBps, marginBps, shingleN, numHashes, idCol, textCol)
     val exact = evalContainmentGate(docs, evals, thresholdBps, shingleN, idCol, textCol)
       .select(col(idCol), col("contaminated").as("contam_exact"))
     two
