@@ -2299,6 +2299,15 @@ object SparkEntry {
       // (ops/TimeSeries.scala).
       graft.ops.TimeSeries.theilSenDaily(eventsTable(s, dir))
     },
+    "hourly_stl_decomposition" -> { (s, dir) =>
+      // STL-lite additive decomposition of per-type hourly counts:
+      // cnt·1e6 = centered-25h-MA trend + hour-of-day seasonal +
+      // residual, exact integer micro with the identity holding row for
+      // row — the decomposition the EWMA/seasonal/changepoint screens
+      // implicitly assume, made explicit. Interior hours only (full
+      // window), both windows type-partitioned (ops/TimeSeries.scala).
+      graft.ops.TimeSeries.stlDecomposition(eventsTable(s, dir))
+    },
     "seasonal_hour_flags" -> { (s, dir) =>
       // Diurnal-corrected spike/dip flags: each (type, hour) cell vs its
       // hour-of-day mean over the dense span (zero hours included),
@@ -11335,6 +11344,42 @@ object SparkEntry {
         |  CAST(CASE WHEN d.cnt * h.hod_cells > h.hod_total * 2 THEN 1 ELSE 0 END AS INT) AS spike,
         |  CAST(CASE WHEN d.cnt * h.hod_cells * 2 < h.hod_total THEN 1 ELSE 0 END AS INT) AS dip
         |FROM dense d JOIN hod h ON h.event_type = d.event_type AND h.hod = d.hour % 24""".stripMargin,
+    "hourly_stl_decomposition" ->
+      """WITH hc AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM hc),
+        |grid AS (
+        |  SELECT t.event_type, g.h AS hour
+        |  FROM (SELECT DISTINCT event_type FROM hc) t
+        |  CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b))) AS h) g
+        |), dense AS (
+        |  SELECT g.event_type, g.hour, coalesce(hc.cnt, 0) AS cnt
+        |  FROM grid g LEFT JOIN hc ON hc.event_type = g.event_type AND hc.hour = g.hour
+        |), tw AS (
+        |  SELECT event_type, hour, cnt,
+        |    count(*) OVER w AS n_win, CAST(sum(cnt) OVER w AS BIGINT) AS sum_win
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+        |), tr AS MATERIALIZED (
+        |  SELECT event_type, hour, cnt,
+        |    CAST((2000000 * sum_win + 25) // 50 AS BIGINT) AS trend_micro,
+        |    CAST(cnt * 1000000 - ((2000000 * sum_win + 25) // 50) AS BIGINT) AS detr_micro
+        |  FROM tw WHERE n_win = 25
+        |), se AS (
+        |  SELECT event_type, hour % 24 AS hod,
+        |    CAST(sum(detr_micro) AS HUGEINT) AS s, CAST(count(*) AS HUGEINT) AS n
+        |  FROM tr GROUP BY 1, 2
+        |), sm AS (
+        |  SELECT event_type, hod,
+        |    CAST((2*s + n - (((2*s + n) % (2*n)) + 2*n) % (2*n)) // (2*n) AS BIGINT) AS seasonal_micro
+        |  FROM se
+        |)
+        |SELECT t.event_type, t.hour, t.cnt, t.trend_micro, sm.seasonal_micro,
+        |  CAST(t.detr_micro - sm.seasonal_micro AS BIGINT) AS resid_micro
+        |FROM tr t JOIN sm ON sm.event_type = t.event_type AND sm.hod = t.hour % 24""".stripMargin,
     "attribution_markov_removal" -> markovRemovalOracle(12),
     "attribution_shapley" -> shapleyOracle,
     "user_bot_signals" ->

@@ -867,6 +867,55 @@ object TimeSeries {
     * user's own flat average; this one corrects for the time-of-day shape
     * first, so a busy-but-normal peak hour stops masquerading as a burst.
     */
+  /** STL-lite additive decomposition of the per-type hourly counts:
+    * cnt·10⁶ = trend + seasonal + residual, exactly (the identity holds
+    * row for row by construction — spec-pinned). Classical decomposition
+    * rather than loess-STL: trend is the centered (2·half+1)-hour moving
+    * average (round-half-up micro, interior hours only — edge hours
+    * without a full window emit no row, so no padding bias), seasonal is
+    * the hour-of-day mean of the detrended series over those interior
+    * hours (signed exact rational, round-half-up), residual is what
+    * remains — the decomposition every anomaly screen in this family
+    * (EWMA, seasonal flags, changepoint) implicitly assumes, made
+    * explicit and exact.
+    *
+    * Shape: the dense grid is types × span (bounded); both windows are
+    * type-partitioned (never global); the seasonal frame is types × 24.
+    * Integer-exact end to end: micro scaling before any division,
+    * [[graft.functions.ExactDecimal.scaledRatio]] round-half-up for the
+    * signed means — bit-identical in the DuckDB mirror.
+    */
+  def stlDecomposition(ev: DataFrame, halfWindow: Int = 12): DataFrame = {
+    require(halfWindow >= 1, "halfWindow must be >= 1")
+    import graft.functions.ExactDecimal.scaledRatio
+    val win = 2 * halfWindow + 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-halfWindow, halfWindow)
+    val trended = hourlyDenseCounts(ev)
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sum_win", sum(col("cnt")).over(w))
+      .filter(col("n_win") === win) // interior: the full centered window
+      .select(
+        col("event_type"), col("hour"), col("cnt"),
+        scaledRatio(col("sum_win"), lit(win.toLong)).cast("long").as("trend_micro"))
+      .withColumn("detr_micro", col("cnt") * 1000000L - col("trend_micro"))
+      .localCheckpoint(eager = true) // feeds the seasonal means and the close
+    val seasonal = trended
+      .groupBy(col("event_type"), (col("hour") % 24).as("hod"))
+      .agg(sum(col("detr_micro")).as("s"), count(lit(1)).as("n"))
+      .select(
+        col("event_type"), col("hod"),
+        scaledRatio(col("s"), col("n"), 1L).cast("long").as("seasonal_micro"))
+    trended
+      .withColumn("hod", col("hour") % 24)
+      .join(seasonal, Seq("event_type", "hod"))
+      .select(
+        col("event_type"), col("hour"), col("cnt"),
+        col("trend_micro"), col("seasonal_micro"),
+        (col("detr_micro") - col("seasonal_micro")).as("resid_micro"))
+  }
+
   def seasonalHourFlags(ev: DataFrame): DataFrame = {
     val dense = hourlyDenseCounts(ev).localCheckpoint(eager = true)
     val hod = dense

@@ -354,4 +354,22 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+
+  test("stlDecomposition: additive identity holds exactly; constant series decomposes to zero residual") {
+    // 50 hours of a constant rate plus one spike at hour 30 for one type
+    val ev = events((0 until 50).map(h => ("a", h.toLong, if (h == 30) 9 else 4)): _*)
+      .withColumn("value", org.apache.spark.sql.functions.lit(0.0))
+    val got = TimeSeries.stlDecomposition(ev)
+      .select("event_type", "hour", "cnt", "trend_micro", "seasonal_micro", "resid_micro")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // interior hours only: 50 hours with half-window 12 -> hours 12..37
+    assert(got.map(_._2).sorted.toSeq == (12L to 37L))
+    // the identity cnt*1e6 = trend + seasonal + resid, row for row
+    got.foreach { case (_, h, cnt, tr, se, re) =>
+      assert(cnt * 1000000L == tr + se + re, s"identity broke at hour $h")
+    }
+    // far from the spike, a constant series has trend = cnt*1e6
+    val flat = got.filter(r => r._2 < 18 && r._3 == 4L)
+    assert(flat.forall(_._4 == 4000000L))
+  }
 }
