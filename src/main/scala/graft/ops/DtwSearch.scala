@@ -109,7 +109,8 @@ object DtwSearch {
     * (k-th smallest seed DTW; [[NoTau]] when a query has < k seeds).
     */
   private case class Chain(
-      cand: DataFrame, // (query_user, user_id, arr, qarr, lb)
+      cand: DataFrame, // (query_user, user_id, arr, lb)
+      qArr: DataFrame, // (query_user, qarr) — bounded, broadcast at DP legs
       seeds: DataFrame, // (query_user, user_id, dtw_dist)
       tau: DataFrame // (query_user, tau) — every query, sentinel-filled
   )
@@ -121,15 +122,20 @@ object DtwSearch {
       maxQueryUser: Long,
       seedMod: Int): Chain = {
     val q = queryEnvelopes(prof, band, maxQueryUser)
+    // the checkpoint carries ONE series array per row — the bounded query
+    // arrays rejoin by broadcast at the exact-DP legs, instead of riding
+    // (duplicated |users| times) through the materialized grid
+    val qArr = q.select(col("query_user"), col("qarr"))
     val cand = prof
       .crossJoin(broadcast(q)) // |users| × bounded-queries, linear in corpus
       .filter(col("user_id") =!= col("query_user"))
       .select(
-        col("query_user"), col("user_id"), col("arr"), col("qarr"),
+        col("query_user"), col("user_id"), col("arr"),
         LbKeoghExpr.column(col("arr"), col("ue"), col("le")).as("lb"))
       .localCheckpoint(eager = true) // reused: seeds, survivor filter, stats
     val seeds = cand
       .filter(col("user_id") % seedMod === 0)
+      .join(broadcast(qArr), Seq("query_user"))
       .select(
         col("query_user"), col("user_id"),
         DtwBandExpr.column(col("qarr"), col("arr"), band).as("dtw_dist"))
@@ -138,11 +144,11 @@ object DtwSearch {
       .withColumn("srk", row_number().over(sw))
       .filter(col("srk") === k)
       .select(col("query_user"), col("dtw_dist").as("tau"))
-    val tau = cand
-      .select(col("query_user")).distinct()
+    val tau = q
+      .select(col("query_user"))
       .join(kth, Seq("query_user"), "left")
       .select(col("query_user"), coalesce(col("tau"), lit(NoTau)).as("tau"))
-    Chain(cand, seeds, tau)
+    Chain(cand, qArr, seeds, tau)
   }
 
   /** Bound-then-verify banded-DTW top-k, bit-identical to [[dtwTopK]]:
@@ -163,6 +169,7 @@ object DtwSearch {
     c.cand
       .join(broadcast(c.tau), Seq("query_user"))
       .filter(col("lb") <= col("tau")) // survivors only reach the DP
+      .join(broadcast(c.qArr), Seq("query_user"))
       .select(
         col("query_user"), col("user_id"),
         DtwBandExpr.column(col("qarr"), col("arr"), band).as("dtw_dist"))
