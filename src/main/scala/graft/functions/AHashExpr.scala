@@ -40,14 +40,24 @@ object AHash {
     var h = 0L
     var c = 0
     while (c < 64) {
-      // exact integer mean comparison: sum_c/cnt_c > total/n. Both cross
-      // products are <= 255·n²/64 ≈ 4n², inside a long for any payload
-      // under ~1.5 GB — past the JVM byte-array ceiling anyway, so the
-      // comparison is exact over the expression's whole input domain.
-      if (cnts(c) > 0 && sums(c) * n > total * cnts(c)) h |= (1L << c)
+      // exact integer mean comparison: sum_c/cnt_c > total/n, via the
+      // cross products sum_c·n vs total·cnt_c. Those reach ~255·n²/64 ≈
+      // 4n², which overflows a long between n ≈ 1.52e9 and the ~2.1e9
+      // JVM byte-array ceiling — so the compare runs in unsigned 128-bit
+      // (multiplyHigh + unsigned low compare; every operand is
+      // non-negative and < 2^63), exact over the whole input domain.
+      if (cnts(c) > 0 && cmp128(sums(c), n.toLong, total, cnts(c)) > 0) h |= (1L << c)
       c += 1
     }
     java.lang.Long.valueOf(h)
+  }
+
+  /** Sign of a·b − c·d over non-negative longs, exact via 128-bit products. */
+  private def cmp128(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = java.lang.Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = java.lang.Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(lo1, lo2)
   }
 }
 

@@ -18,9 +18,11 @@ import org.apache.spark.sql.types._
   * 10¹¹+ at 100 TB). Each kernel here is ONE codegen'd call per row with
   * identical values: exact integer arithmetic, same wraparound, null on
   * length mismatch exactly like the padded `zip_with` forms. Inputs must
-  * be null-free arrays — true by construction for every quantized /
-  * signature frame these serve (a null ELEMENT would make the zip_with
-  * form return null where this reads a raw slot).
+  * mismatch exactly like the padded `zip_with` forms — and a null
+  * ELEMENT on either side also yields null, matching what the zip_with
+  * lambdas produced (arr_match_count is SQL-registered, so nullable
+  * array elements are one user call away; the per-slot isNullAt is a
+  * bit test, noise next to the boxing these kernels removed).
   */
 object LongVec {
 
@@ -30,6 +32,7 @@ object LongVec {
     var m = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       if (a.getLong(i) == b.getLong(i)) m += 1
       i += 1
     }
@@ -41,7 +44,10 @@ object LongVec {
     if (b.numElements() != n) return null
     var s = 0L
     var i = 0
-    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getLong(i) * b.getLong(i); i += 1
+    }
     java.lang.Long.valueOf(s)
   }
 
@@ -50,7 +56,10 @@ object LongVec {
     if (b.numElements() != n) return null
     var s = 0L
     var i = 0
-    while (i < n) { val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i); s += d * d; i += 1
+    }
     java.lang.Long.valueOf(s)
   }
 }

@@ -581,7 +581,11 @@ object Multimodal {
       media: DataFrame,
       chunks: Int,
       maxBucket: Int): DataFrame = {
-    require(64 % chunks == 0, "chunks must divide 64")
+    // chunks=1 would make w=64 and `(1L << w) - 1` wrap to 0 (Java shifts
+    // mod 64): every chunk value collapses and all payloads share one
+    // bucket. The pairs face already implies 2+ via maxHamming < chunks;
+    // the histogram face reaches here directly, so enforce it for both.
+    require(chunks >= 2 && 64 % chunks == 0, "chunks must be >= 2 and divide 64")
     val w = 64 / chunks
     // fingerprints feed banding + both verification sides; 16 bytes/doc
     val fps = ahashFingerprints(media)

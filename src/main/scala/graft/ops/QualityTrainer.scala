@@ -165,19 +165,40 @@ object QualityTrainer {
   /** Memo key for an input frame: the canonicalized plan STRING alone is
     * not enough — a LocalRelation (in-memory fixture) prints its schema
     * but not its rows, so two different small corpora would collide; the
-    * leaf-data fingerprint disambiguates them (UnsafeRow hashCode is
-    * content-based). File-backed leaves print their locations, which
-    * already distinguish them.
+    * leaf-data fingerprint disambiguates them. The fingerprint is row
+    * count + schema + an MD5 over the full row-content stream (UnsafeRow
+    * bytes where available, per-row content hash otherwise) — a single
+    * aggregate `Seq.hashCode` is 32 bits and two distinct fixtures
+    * colliding there would silently serve the wrong cached model.
+    * File-backed leaves print their locations, which already distinguish
+    * them.
     */
   private def planKey(df: DataFrame): String = {
     val p = df.queryExecution.logical.canonicalized
     val leafData = p.collectLeaves().map {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        lr.data.hashCode.toString
+        val md = java.security.MessageDigest.getInstance("MD5")
+        lr.data.foreach {
+          case ur: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+            md.update(ur.getBytes)
+          case other =>
+            val h = other.hashCode
+            md.update(Array[Byte](
+              (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte))
+        }
+        val digest = md.digest().map("%02x".format(_)).mkString
+        s"${lr.data.length}:${lr.schema.catalogString}:$digest"
       case other => other.toString
     }.mkString("|")
     p.toString + "#" + leafData
   }
+
+  /** Memo entries pin eagerly checkpointed frames for the app lifetime;
+    * past this many distinct corpora the memos stop caching (fresh build,
+    * nothing evicted out from under an in-flight reader) — a leak guard
+    * for long-lived sessions, far above any registered-query working set.
+    */
+  private val MemoCap = 256
 
   /** The feature frame, built and checkpointed ONCE per (session, input
     * plan) — a dozen registered trained-model faces each re-scanned the
@@ -185,10 +206,13 @@ object QualityTrainer {
     * discipline from the ANN layer memos, keyed by the CANONICALIZED
     * input plan so different strata never collide).
     */
-  def featuresShared(docs: DataFrame): DataFrame =
-    featMemo.getOrElseUpdate(
-      (docs.sparkSession.sparkContext.applicationId, planKey(docs)),
-      new StateHolder(features(docs).localCheckpoint(eager = true))).value
+  def featuresShared(docs: DataFrame): DataFrame = {
+    val key = (docs.sparkSession.sparkContext.applicationId, planKey(docs))
+    if (!featMemo.contains(key) && featMemo.size >= MemoCap)
+      features(docs).localCheckpoint(eager = true)
+    else featMemo.getOrElseUpdate(
+      key, new StateHolder(features(docs).localCheckpoint(eager = true))).value
+  }
 
   /** The (shared feature frame, full training trajectory) pair — ONE
     * gradient loop per (session, input plan, iters, η) serving every
@@ -202,9 +226,13 @@ object QualityTrainer {
       etaDen: Long = 2L
   ): (DataFrame, Seq[Array[Long]]) = {
     val feat = featuresShared(docs)
-    val traj = trainMemo.getOrElseUpdate(
-      (docs.sparkSession.sparkContext.applicationId, planKey(docs), iters, etaNum, etaDen),
-      new StateHolder(trainOnMaterialized(feat, iters, etaNum, etaDen))).value
+    val key =
+      (docs.sparkSession.sparkContext.applicationId, planKey(docs), iters, etaNum, etaDen)
+    val traj =
+      if (!trainMemo.contains(key) && trainMemo.size >= MemoCap)
+        trainOnMaterialized(feat, iters, etaNum, etaDen)
+      else trainMemo.getOrElseUpdate(
+        key, new StateHolder(trainOnMaterialized(feat, iters, etaNum, etaDen))).value
     (feat, traj)
   }
 

@@ -132,7 +132,10 @@ object StreamingDedup {
       contentCol: String = "content",
       chunks: Int = 8
   ): org.apache.spark.sql.Dataset[StreamingDedup.BandClaim] = {
-    require(64 % chunks == 0, "chunks must divide 64")
+    // chunks=1 would make w=64 and `(1L << w) - 1` wrap to 0 (Java shifts
+    // mod 64), collapsing every chunk key to its packed index — all
+    // payloads would collide into one bucket. 2+ keeps the mask real.
+    require(chunks >= 2 && 64 % chunks == 0, "chunks must be >= 2 and divide 64")
     val w = 64 / chunks
     import mediaStream.sparkSession.implicits._
     val chunkKeys = (0 until chunks).map { c =>

@@ -92,6 +92,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val mc = spark.sql(
         "SELECT arr_match_count(array(1L,2L,3L), array(1L,9L,3L)) AS m").as[Long].head()
       assert(mc == 2L)
+      // null ELEMENTS null the whole result (the zip_with contract these
+      // kernels replaced), instead of silently reading the slot as 0
+      val mcNull = spark.sql(
+        "SELECT arr_match_count(array(1L, CAST(NULL AS BIGINT)), array(1L, 0L)) AS m")
+        .head()
+      assert(mcNull.isNullAt(0))
     } finally {
       // don't stop the shared SparkContext: other suites reuse it — restore
       // the shared session as active/default

@@ -226,6 +226,12 @@ class MultimodalSpec extends AnyFunSuite {
     val pairs = Multimodal.ahashNearDupPairs(docsDf).as[(Long, Long, Int)].collect()
     val nearFromHist = hist.filter(_._1 <= 6).values.sum
     assert(pairs.length.toLong == nearFromHist)
+    // chunks=1 would wrap the (1L << 64) mask to 0 and collapse every
+    // bucket key — both banded faces must reject it up front
+    intercept[IllegalArgumentException](Multimodal.ahashHammingHist(docsDf, chunks = 1))
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.ahashChunkClaims(docsDf, ttlMinutes = 1, chunks = 1)
+    }
   }
 
   test("shotBoundaries: planted seams flag, identical-chunk runs stay quiet, first chunks exempt") {
