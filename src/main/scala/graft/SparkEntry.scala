@@ -1406,6 +1406,29 @@ object SparkEntry {
       graft.ops.Contingency
         .agreementKappa(textFlags.join(mediaFlags, Seq("id")), "dup_text", "dup_media")
     },
+    "media_phash_pixel_pairs" -> { (s, dir) =>
+      // Pixel-DOMAIN near-dup pairs — what the byte aHash cannot do
+      // (media_vs_text_dedup_kappa priced that at κ = 0.058): every doc
+      // rides twice as hand-built BMP24/BMP8 twins (identical pixels
+      // tiled from the text bytes, disjoint byte streams), the REAL
+      // ImageIO decode feeds an 8×8 exact integer box-mean pHash, and
+      // the same pigeonhole banding as the byte face verifies by
+      // xor-popcount. Twin pairs land at Hamming 0. Both encodings are
+      // deterministic byte streams, so DuckDB replays the whole chain —
+      // pixels, hash, banding, cap — through the codec round-trip
+      // (ops/Multimodal.scala).
+      Multimodal.phashPixelPairs(
+        Multimodal.syntheticImageCorpus(table(s, dir, "documents")))
+    },
+    "media_phash_vs_bytehash" -> { (s, dir) =>
+      // The WHY row for the pixel face: per re-encoded twin pair, pixel
+      // pHash vs byte aHash. Pixels catch every pair at Hamming 0; the
+      // byte hash sees two unrelated streams (headers, palette, layout)
+      // and misses them all, with the measured bit gap as evidence. The
+      // oracle rebuilds BOTH hand-built BMP byte streams in SQL and
+      // replays both hashes end-to-end (ops/Multimodal.scala).
+      Multimodal.phashVsByteHash(table(s, dir, "documents"))
+    },
     "pii_stats" -> { (s, dir) =>
       // PII scan + redaction (map-only, three codegen'd regex passes). The
       // corpus is synthetic word salad, so the query injects deterministic
@@ -6959,6 +6982,36 @@ object SparkEntry {
 
   private val MediaAHashCtes: String = s"WITH $MediaAHashCtesBody"
 
+  /** Shared CTEs reproducing [[graft.ops.Multimodal.phashPixels]] over the
+    * synthetic twin-image corpus: `pximg` the non-empty docs as hex byte
+    * streams, `pxh(doc_id, phash)` the pixel-domain perceptual hash — the
+    * 32×32 grid tiles the text bytes (pixel p = byte p mod n), cells are
+    * the exact 8×8 box partition (cell = (p DIV 128)·8 + (p mod 32) DIV 4),
+    * and bit c is the exact cross-multiplied mean comparison, bit 63 via
+    * the min-long literal summed in HUGEINT. Because the BMP codec
+    * round-trip is lossless for gray pixels, this pure pixel formula IS
+    * what Spark's decode→luma→box-mean path produces for BOTH encodings.
+    */
+  private val PhashPixelCtesBody: String =
+    """pximg AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      |  FROM documents WHERE octet_length(encode(text)) > 0
+      |), pxv AS (
+      |  SELECT doc_id, p, CAST('0x' || substr(hx, CAST((p % n)*2+1 AS INT), 2) AS BIGINT) AS v
+      |  FROM (SELECT doc_id, hx, n, unnest(range(0, 1024)) AS p FROM pximg)
+      |), pxc AS (
+      |  SELECT doc_id, (p // 128) * 8 + (p % 32) // 4 AS cell,
+      |    CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cn
+      |  FROM pxv GROUP BY 1, 2
+      |), pxt AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS ts FROM pxc GROUP BY 1),
+      |pxh AS MATERIALIZED (
+      |  SELECT c.doc_id,
+      |    CAST(sum(CASE WHEN c.s * 1024 <= t.ts * c.cn THEN 0
+      |         WHEN c.cell = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |         ELSE CAST((CAST(1 AS BIGINT) << CAST(c.cell AS INT)) AS HUGEINT) END) AS BIGINT) AS phash
+      |  FROM pxc c JOIN pxt t USING (doc_id) GROUP BY 1
+      |)""".stripMargin
+
   /** Shared CTEs reproducing [[graft.ops.Similarity.lshSigMd5]]'s
     * integer-exact sign-of-projection signatures (16 bits, dim 64) for the
     * LSH/ANN oracle twins: `vecs(vec_id, v, qv)` the dim-64 stratum with
@@ -9974,6 +10027,70 @@ object SparkEntry {
         |    - (((2000000 * knum + kden) % (2 * kden)) + 2 * kden) % (2 * kden)) // (2 * kden)
         |    END AS BIGINT) AS kappa_micro
         |FROM q""".stripMargin,
+    "media_phash_pixel_pairs" ->
+      s"""WITH $PhashPixelCtesBody, pxm AS (
+        |  SELECT doc_id * 2 + tt.t AS id, phash FROM pxh, range(2) tt(t)
+        |), pxck AS (
+        |  SELECT id, cc.c AS c, (phash >> (cc.c * 8)) & 255 AS v FROM pxm, range(8) cc(c)
+        |), pxbuck AS (
+        |  SELECT c, v, count(*) AS bn FROM pxck GROUP BY 1, 2
+        |), pxcand AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        |  FROM pxck x
+        |  JOIN pxbuck bk ON bk.c = x.c AND bk.v = x.v AND bk.bn BETWEEN 2 AND 500
+        |  JOIN pxck y ON y.c = x.c AND y.v = x.v AND x.id < y.id
+        |), pxch AS MATERIALIZED (
+        |  SELECT c.id_a, c.id_b, CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        |  FROM pxcand c JOIN pxm a ON a.id = c.id_a JOIN pxm b ON b.id = c.id_b
+        |)
+        |SELECT id_a, id_b, hamming FROM pxch WHERE hamming <= 6""".stripMargin,
+    "media_phash_vs_bytehash" ->
+      s"""WITH $PhashPixelCtesBody, pxl AS (
+        |  SELECT doc_id, list_transform(range(0, 1024),
+        |    p -> CAST('0x' || substr(hx, CAST((p % n)*2+1 AS INT), 2) AS BIGINT)) AS pv
+        |  FROM pximg
+        |), hdr AS (
+        |  SELECT
+        |    [66,77,54,12,0,0, 0,0,0,0, 54,0,0,0, 40,0,0,0, 32,0,0,0, 32,0,0,0, 1,0, 24,0,
+        |     0,0,0,0, 0,12,0,0, 19,11,0,0, 19,11,0,0, 0,0,0,0, 0,0,0,0] AS h24,
+        |    [66,77,54,8,0,0, 0,0,0,0, 54,4,0,0, 40,0,0,0, 32,0,0,0, 32,0,0,0, 1,0, 8,0,
+        |     0,0,0,0, 0,4,0,0, 19,11,0,0, 19,11,0,0, 0,1,0,0, 0,0,0,0] AS h8
+        |), bb AS (
+        |  SELECT doc_id, 0 AS enc, 3126 AS n, i,
+        |    CASE WHEN i < 54 THEN h24[CAST(i+1 AS INT)]
+        |         ELSE pv[CAST((31 - (i-54)//96)*32 + ((i-54)%96)//3 + 1 AS INT)] END AS v
+        |  FROM (SELECT doc_id, pv, unnest(range(0, 3126)) AS i FROM pxl), hdr
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS enc, 2102 AS n, i,
+        |    CASE WHEN i < 54 THEN h8[CAST(i+1 AS INT)]
+        |         WHEN i < 1078 THEN CASE WHEN (i-54)%4 = 3 THEN 0 ELSE (i-54)//4 END
+        |         ELSE pv[CAST((31 - (i-1078)//32)*32 + (i-1078)%32 + 1 AS INT)] END AS v
+        |  FROM (SELECT doc_id, pv, unnest(range(0, 2102)) AS i FROM pxl), hdr
+        |), bc AS (
+        |  SELECT doc_id, enc, (i * 64) // n AS cell,
+        |    CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS cn, any_value(n) AS nn
+        |  FROM bb GROUP BY 1, 2, 3
+        |), bt AS (SELECT doc_id, enc, CAST(sum(s) AS BIGINT) AS ts FROM bc GROUP BY 1, 2),
+        |bh AS MATERIALIZED (
+        |  SELECT c.doc_id, c.enc,
+        |    CAST(sum(CASE WHEN c.s * c.nn <= t.ts * c.cn THEN 0
+        |         WHEN c.cell = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+        |         ELSE CAST((CAST(1 AS BIGINT) << CAST(c.cell AS INT)) AS HUGEINT) END) AS BIGINT) AS bhash
+        |  FROM bc c JOIN bt t USING (doc_id, enc) GROUP BY 1, 2
+        |), perdoc AS (
+        |  SELECT p.doc_id,
+        |    CAST(bit_count(xor(p.phash, p.phash)) AS INT) AS pixel_hamming,
+        |    CAST(bit_count(xor(a.bhash, b.bhash)) AS INT) AS byte_hamming
+        |  FROM pxh p
+        |  JOIN bh a ON a.doc_id = p.doc_id AND a.enc = 0
+        |  JOIN bh b ON b.doc_id = p.doc_id AND b.enc = 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN pixel_hamming <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_pixel_caught,
+        |  CAST(sum(CASE WHEN byte_hamming <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_byte_caught,
+        |  CAST(max(pixel_hamming) AS INT) AS max_pixel_hamming,
+        |  CAST(min(byte_hamming) AS INT) AS min_byte_hamming
+        |FROM perdoc""".stripMargin,
     "lsh_sig_md5" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -46,11 +46,20 @@ object AHash {
       // JVM byte-array ceiling — so the compare runs in unsigned 128-bit
       // (multiplyHigh + unsigned low compare; every operand is
       // non-negative and < 2^63), exact over the whole input domain.
-      if (cnts(c) > 0 && cmp128(sums(c), n.toLong, total, cnts(c)) > 0) h |= (1L << c)
+      if (cnts(c) > 0 && meanGt(sums(c), cnts(c), total, n.toLong)) h |= (1L << c)
       c += 1
     }
     java.lang.Long.valueOf(h)
   }
+
+  /** Exact `sumA/cntA > sumB/cntB` over non-negative integer sums — the
+    * cross-multiplied comparison in unsigned 128-bit, shared by the byte
+    * aHash above and the pixel-domain pHash
+    * ([[graft.ops.Multimodal.phashPixels]], whose W·H·255 products clear
+    * a long only below ~2^29 pixels).
+    */
+  def meanGt(sumA: Long, cntA: Long, sumB: Long, cntB: Long): Boolean =
+    cmp128(sumA, cntB, sumB, cntA) > 0
 
   /** Sign of a·b − c·d over non-negative longs, exact via 128-bit products. */
   private def cmp128(a: Long, b: Long, c: Long, d: Long): Int = {

@@ -234,6 +234,80 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  // ---- pixel-domain perceptual hash (round 13) ----
+
+  private def phashDocs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog, then naps in the warm afternoon sun.", "en", "web"),
+    (2L, "Lorem ipsum dolor sit amet, consectetur adipiscing elit, sed do eiusmod tempor.", "en", "web"),
+    (3L, "zzz" * 40 + "a", "en", "crawl"),
+    (4L, "", "en", "crawl") // empty: no image rows
+  ).toDF("doc_id", "text", "lang", "source")
+
+  /** Independent pixel pHash: tile text bytes to side² pixels, 8×8 box
+    * means, BigInt cross-multiplied compare — no shared code with the
+    * production path (which goes bytes → hand-built BMP → real ImageIO
+    * decode → luma → AHash.meanGt).
+    */
+  private def expectedPhash(text: String, side: Int = 32): Long = {
+    val bytes = text.getBytes("UTF-8")
+    val px = Array.tabulate(side * side)(p => bytes(p % bytes.length) & 0xff)
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    for (y <- 0 until side; x <- 0 until side) {
+      val c = (y * 8 / side) * 8 + (x * 8 / side)
+      sums(c) += px(y * side + x); cnts(c) += 1
+    }
+    val total = sums.sum
+    val nPix = side.toLong * side
+    (0 until 64).foldLeft(0L) { (h, c) =>
+      if (cnts(c) > 0 && BigInt(sums(c)) * nPix > BigInt(total) * cnts(c)) h | (1L << c) else h
+    }
+  }
+
+  test("syntheticImageCorpus: twin BMPs decode through REAL ImageIO to 32x32, empty docs skipped") {
+    val corpus = Multimodal.syntheticImageCorpus(phashDocs)
+    val feats = Multimodal.decodeImages(corpus).collect()
+    assert(feats.length == 6) // 3 non-empty docs x 2 encodings; empty doc 4 absent
+    assert(feats.forall(f => f.ok && f.width == 32 && f.height == 32 && f.format == "bmp"))
+    // the two encodings really are different byte streams (different sizes even)
+    val sizes = corpus.select($"media_id", octet_length($"content"))
+      .as[(Long, Int)].collect().toMap
+    assert(sizes(2L) == 54 + 3 * 32 * 32) // doc 1 as BMP24
+    assert(sizes(3L) == 54 + 1024 + 32 * 32) // doc 1 as BMP8
+  }
+
+  test("phashPixels: decode -> luma -> box means reproduces the pure pixel formula, twins identical") {
+    val corpus = Multimodal.syntheticImageCorpus(phashDocs)
+    val got = Multimodal.phashPixels(corpus).collect()
+      .map(p => p.media_id -> p.phash.get).toMap
+    val texts = phashDocs.filter($"doc_id" =!= 4L).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    for ((docId, text) <- texts) {
+      val exp = expectedPhash(text)
+      assert(got(docId * 2) == exp, s"BMP24 phash for doc $docId")
+      assert(got(docId * 2 + 1) == exp, s"BMP8 phash for doc $docId")
+    }
+  }
+
+  test("re-encoded dup: pixel face catches every twin at Hamming 0, byte face misses them all") {
+    val corpus = Multimodal.syntheticImageCorpus(phashDocs)
+    val pixelPairs = Multimodal.phashPixelPairs(corpus)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    for (docId <- Seq(1L, 2L, 3L))
+      assert(pixelPairs.get((docId * 2, docId * 2 + 1)).contains(0), s"twin pair of doc $docId")
+    val bytePairs = Multimodal.ahashNearDupPairs(corpus)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2)).toSet
+    for (docId <- Seq(1L, 2L, 3L))
+      assert(!bytePairs.contains((docId * 2, docId * 2 + 1)),
+        s"byte hash must miss the re-encoded twin of doc $docId")
+    val r = Multimodal.phashVsByteHash(phashDocs).head()
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Long]("n_pixel_caught") == 3L)
+    assert(r.getAs[Long]("n_byte_caught") == 0L)
+    assert(r.getAs[Int]("max_pixel_hamming") == 0)
+    assert(r.getAs[Int]("min_byte_hamming") > 6)
+  }
+
   test("shotBoundaries: planted seams flag, identical-chunk runs stay quiet, first chunks exempt") {
     def pat(seed: Int): Array[Byte] = {
       val r = new scala.util.Random(seed); Array.fill[Byte](256)(r.nextInt(256).toByte)

@@ -659,4 +659,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("parquet"),
       "verification must join the checkpointed fingerprints, not re-scan parquet")
   }
+
+  test("media phash pairs: banded over the checkpointed pixel fingerprints, never media×media, one decode pass") {
+    // same discipline as the byte face, extended to the pixel family:
+    // past the fingerprint checkpoint the plan must touch only 8-byte
+    // hashes — no payload re-decode (no parquet), no pair product
+    val plan = executedPlan("media_phash_pixel_pairs")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("ObjectHashAggregate"), "bucket collect_list stage missing")
+    assert(!plan.contains("parquet"),
+      "verification must join the checkpointed fingerprints, not re-decode payloads")
+  }
 }
