@@ -1974,6 +1974,17 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       Similarity.filteredCrossover(emb, emb.filter(col("vec_id") < 8))
     },
+    "ann_filtered_auto" -> { (s, dir) =>
+      // The crossover finding ENCODED as a planner: measure each
+      // predicate's selectivity (one count over the checkpointed ids),
+      // choose prefilter below 10%, postfilter above, and emit the
+      // chosen leg bit-identical to its standalone run with the
+      // measurement and the choice riding every row. On the id-residue
+      // strata: 1% (100 bps) → prefilter exact gold; 50% (5000 bps) →
+      // postfilter off ONE shared IVF probe (ops/Similarity.scala).
+      val emb = table(s, dir, "embeddings")
+      Similarity.filteredAutoTopK(emb, emb.filter(col("vec_id") < 8))
+    },
     "kcenter_coreset" -> { (s, dir) =>
       // Greedy k-center exemplars (farthest-point traversal) + the
       // covering-radius curve — the coreset-budget answer before a
@@ -5370,6 +5381,82 @@ object SparkEntry {
       |SELECT selectivity_pct, overfetch, n_gold, n_hit,
       |  CAST((2 * 1000000 * n_hit + n_gold) // (2 * n_gold) AS BIGINT) AS recall_micro
       |FROM ($legs)""".stripMargin
+  }
+
+  /** Strategy-auto replay (`ann_filtered_auto`): the selectivity
+    * measurement (exact round-half-up bps over the dim-64 stratum), the
+    * crossover choice, and BOTH legs gated by that choice — the chosen
+    * one emits, the other contributes zero rows — mirrors
+    * [[graft.ops.Similarity.filteredAutoTopK]] including the shared
+    * nprobe-4 IVF probe chain of the crossover oracle.
+    */
+  private def annFilteredAutoOracle(
+      k: Int, overfetch: Int, selPcts: Seq[Int], crossoverBps: Long): String = {
+    val legs = selPcts.map { p =>
+      s"""sel$p AS (
+        |  SELECT (20000 * (SELECT count(*) FROM vecs WHERE vec_id % 100 < $p)
+        |    + (SELECT n FROM nc)) // (2 * (SELECT n FROM nc)) AS bps
+        |), leg$p AS (
+        |  SELECT CAST($p AS INT) AS selectivity_pct,
+        |    CAST((SELECT bps FROM sel$p) AS BIGINT) AS selectivity_bps,
+        |    CASE WHEN (SELECT bps FROM sel$p) < $crossoverBps
+        |         THEN 'prefilter' ELSE 'postfilter' END AS strategy,
+        |    query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+        |  FROM (
+        |    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        |      SELECT q.query_id, c.vec_id AS neighbor_id,
+        |        round(list_cosine_similarity(q.qv, c.v), 6) AS cos_sim,
+        |        row_number() OVER (PARTITION BY q.query_id
+        |          ORDER BY round(list_cosine_similarity(q.qv, c.v), 6) DESC, c.vec_id) AS rank
+        |      FROM q JOIN vecs c ON c.vec_id != q.query_id AND c.vec_id % 100 < $p
+        |    ) WHERE rank <= $k AND (SELECT bps FROM sel$p) < $crossoverBps
+        |    UNION ALL
+        |    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        |      SELECT w.query_id, w.neighbor_id, w.cos_sim,
+        |        row_number() OVER (PARTITION BY w.query_id
+        |          ORDER BY w.cos_sim DESC, w.neighbor_id) AS rank
+        |      FROM wide w WHERE w.rank <= ${overfetch * k} AND w.neighbor_id % 100 < $p
+        |    ) WHERE rank <= $k AND (SELECT bps FROM sel$p) >= $crossoverBps
+        |  )
+        |)""".stripMargin
+    }.mkString(",\n")
+    val union = selPcts.map(p => s"SELECT * FROM leg$p").mkString(" UNION ALL ")
+    s"""WITH vecs AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS mv
+      |  FROM embeddings WHERE len(embedding) = 64
+      |), q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 8),
+      |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vecs),
+      |anchors AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, mv AS av
+      |  FROM vecs ORDER BY vec_id LIMIT 16
+      |), dists AS (
+      |  SELECT v.vec_id, a.ai,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (v.mv[i] - a.av[i]) * (v.mv[i] - a.av[i]))) AS d2
+      |  FROM vecs v, anchors a
+      |), assign AS (
+      |  SELECT vec_id, ai AS bucket,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
+      |  FROM dists
+      |), cbuck AS (SELECT vec_id AS neighbor_id, bucket FROM assign WHERE rk = 1),
+      |qbuck AS (SELECT vec_id AS query_id, bucket FROM assign WHERE rk <= 4 AND vec_id < 8),
+      |cand AS (
+      |  SELECT DISTINCT query_id, neighbor_id
+      |  FROM qbuck JOIN cbuck USING (bucket) WHERE query_id != neighbor_id
+      |), wide AS MATERIALIZED (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |  FROM (
+      |    SELECT cand.query_id, cand.neighbor_id,
+      |      round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+      |    FROM cand JOIN vecs qv ON qv.vec_id = cand.query_id
+      |              JOIN vecs cv ON cv.vec_id = cand.neighbor_id)
+      |),
+      |$legs
+      |$union""".stripMargin
   }
 
   /** Brute exact micro² L2 top-5 — the oracle of `ann_tri_exact_topk`:
@@ -9043,6 +9130,7 @@ object SparkEntry {
     "ann_postfilter_recall" -> annPostFilterRecallOracle(5, Seq(1, 2, 4, 8)),
     "ann_filtered_crossover" ->
       annFilteredCrossoverOracle(5, Seq(1, 2, 4, 8), Seq(1, 10, 50)),
+    "ann_filtered_auto" -> annFilteredAutoOracle(5, 4, Seq(1, 50), 1000L),
     "jl_distortion_sweep" -> {
       // replay: sign(j,i) = md5-32("jl-<j>-<i>") even → +1; projection is
       // exact long sums over micro components; distortion micro-rounds

@@ -1377,6 +1377,79 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** The PLANNER face of [[filteredCrossover]] — its measured finding
+    * ("prefilter below ~10% selectivity") encoded as an operator: for
+    * each predicate, MEASURE its selectivity with one cheap count over
+    * the checkpointed corpus, CHOOSE the strategy against
+    * `crossoverBps`, and emit the chosen leg's result bit-identical to
+    * that leg run standalone, with the measurement and the choice
+    * riding every row (an auditable plan decision, not a silent one).
+    *
+    * Prefilter = exact brute top-k over the stratum (the filter prunes
+    * the scored set before ranking — at 100 TB the stratum scan is
+    * partition-pruned). Post-filter = ONE shared unfiltered IVF probe
+    * at `overfetch`·k, filter, re-rank — the probe frame materializes
+    * once no matter how many predicates choose it, and is never built
+    * if none do (lazy). Selectivity predicates are the crossover's
+    * id-residue strata (`id % 100 < pct`): deterministic, exact-share,
+    * engine-portable.
+    */
+  def filteredAutoTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 5,
+      selPcts: Seq[Int] = Seq(1, 50),
+      crossoverBps: Long = 1000L,
+      overfetch: Int = 4,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(selPcts.nonEmpty && selPcts.forall(p => p >= 1 && p <= 100), "pcts in [1, 100]")
+    require(overfetch >= 1, "overfetch factor >= 1")
+    val base = corpus.filter(size(col(vecCol)) === dim)
+      .select(col(idCol), col(vecCol))
+      .localCheckpoint(eager = true) // ONE corpus read: counts + chosen legs
+    val qBase = queries.filter(size(col(vecCol)) === dim)
+      .select(col(idCol), col(vecCol))
+      .localCheckpoint(eager = true) // queries-row frame
+    val q = qBase.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val nCorpus = base.count() // driver scalar: the denominator
+    // the single unfiltered probe frame every post-filter choice slices;
+    // lazy so an all-prefilter run never pays for it
+    lazy val wide = ivfAnchorTopK(base, qBase, k = overfetch * k,
+      dim = dim, idCol = idCol, vecCol = vecCol)
+      .withColumnRenamed("rank", "ivf_rank")
+      .localCheckpoint(eager = true)
+    selPcts.map { pct =>
+      // THE measurement: one count over the checkpointed ids — the cost
+      // a planner pays to not guess
+      val nMatch = base.filter(col(idCol) % 100 < pct).count()
+      val selBps = if (nCorpus == 0) 0L else (20000L * nMatch + nCorpus) / (2L * nCorpus)
+      val prefilter = selBps < crossoverBps
+      val res =
+        if (prefilter)
+          topKPerGroup(
+            base
+              .filter(col(idCol) % 100 < pct)
+              .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+              .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+              .select(col("query_id"), col("neighbor_id"),
+                round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")),
+            "query_id", "neighbor_id", "cos_sim", k)
+        else
+          topKPerGroup(
+            wide.filter(col("ivf_rank") <= overfetch * k && col("neighbor_id") % 100 < pct)
+              .select(col("query_id"), col("neighbor_id"), col("cos_sim")),
+            "query_id", "neighbor_id", "cos_sim", k)
+      res.select(
+        lit(pct).as("selectivity_pct"),
+        lit(selBps).as("selectivity_bps"),
+        lit(if (prefilter) "prefilter" else "postfilter").as("strategy"),
+        col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Everything the triangle-pruned EXACT search shares between its
     * result face ([[triPrunedTopKL2]]) and its stats face
     * ([[triPruneStats]]): the per-vector (bucket, centroid-distance)

@@ -120,6 +120,46 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("filteredAutoTopK: measures selectivity, picks the crossover side, bit-identical to the chosen leg") {
+    val data = clustered(200)
+    val df = data.toDF("vec_id", "embedding")
+    val q = df.filter($"vec_id" < 3)
+    val auto = Similarity
+      .filteredAutoTopK(df, q, k = 4, selPcts = Seq(1, 50), overfetch = 4, dim = dim)
+      .select("selectivity_pct", "selectivity_bps", "strategy",
+        "query_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Int, Long, String, Long, Long, Double, Int)]
+      .collect()
+    val byPct = auto.groupBy(_._1)
+    // ids 0..199: the 1% stratum holds exactly {0, 100} -> 100 bps -> prefilter
+    assert(byPct(1).forall(r => r._2 == 100L && r._3 == "prefilter"), byPct(1).mkString(","))
+    // the 50% stratum holds 100/200 -> 5000 bps -> postfilter
+    assert(byPct(50).forall(r => r._2 == 5000L && r._3 == "postfilter"), byPct(50).mkString(","))
+    val lookup = data.toMap
+    def rank(cands: Seq[(Long, Double)], k: Int): Seq[(Long, Double, Int)] =
+      cands.sortBy { case (id, c) => (-c, id) }.take(k).zipWithIndex
+        .map { case ((id, c), i) => (id, c, i + 1) }
+    // prefilter leg == the exact stratum gold, independently ranked
+    for (qid <- 0L until 3L) {
+      val expected = rank(
+        data.filter { case (id, _) => id != qid && id % 100 < 1 }
+          .map { case (id, v) => (id, math.rint(cosLocal(lookup(qid), v) * 1e6) / 1e6) },
+        4)
+      val got = byPct(1).filter(_._4 == qid).sortBy(_._7).map(r => (r._5, r._6, r._7)).toSeq
+      assert(got == expected, s"prefilter leg, query $qid")
+    }
+    // postfilter leg == the standalone IVF probe, filtered + re-ranked
+    val wide = Similarity.ivfAnchorTopK(df, q, k = 16, dim = dim)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    for (qid <- 0L until 3L) {
+      val expected = rank(
+        wide.filter(r => r._1 == qid && r._2 % 100 < 50).map(r => (r._2, r._3)).toSeq, 4)
+      val got = byPct(50).filter(_._4 == qid).sortBy(_._7).map(r => (r._5, r._6, r._7)).toSeq
+      assert(got == expected, s"postfilter leg, query $qid")
+    }
+  }
+
   private def microLocal(v: Array[Float]): Array[Long] =
     v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
 
