@@ -2271,10 +2271,14 @@ object SparkEntry {
       // where sign planes are near coin-flips — recall is only ~1.45× a
       // random sample at every swept config, so banding serves the
       // near-dup (cos ≳ 0.7) regime and the sketch-RANKED budget path
-      // stays the low-cosine stage 1 (ops/TimeSeries.scala).
+      // stays the low-cosine stage 1. The meter runs on the
+      // deterministic 1-in-4 query stratum (sample_mod column): the
+      // gold still ranks the FULL corpus per measured user, but the
+      // by-definition-quadratic grid costs a quarter — the r12 verdict's
+      // trim of the registry's heaviest row (ops/TimeSeries.scala).
       val (series, s2, topk) = sharedTsAllpairs(s, dir)
       graft.ops.TimeSeries.allPairsRecallFrom(
-        series, s2, topk.select(col("user_id"), col("neighbor_id")))
+        series, s2, topk.select(col("user_id"), col("neighbor_id")), sampleMod = 4)
     },
     "ts_allpairs_topk" -> { (s, dir) =>
       // The production face of the banded all-pairs search: per user, the
@@ -6768,7 +6772,8 @@ object SparkEntry {
   }
 
   private def tsAllPairsOracle(
-      k: Int, segments: Int, nbits: Int, bands: Int, maxBucket: Int): String = {
+      k: Int, segments: Int, nbits: Int, bands: Int, maxBucket: Int,
+      sampleMod: Int = 1): String = {
     s"""WITH ${tsAllPairsChainCtes(segments, nbits, bands, maxBucket)},
       |btop AS MATERIALIZED (
       |  SELECT user_id, neighbor_id FROM (
@@ -6777,10 +6782,11 @@ object SparkEntry {
       |    FROM (SELECT id_a AS user_id, id_b AS neighbor_id, cos_micro FROM scored
       |          UNION ALL
       |          SELECT id_b, id_a, cos_micro FROM scored)
-      |  ) WHERE rk <= $k
+      |  ) WHERE rk <= $k AND user_id % $sampleMod = 0
       |), gdots AS (
       |  SELECT a.user_id AS ua, b.user_id AS ub, CAST(sum(a.v * b.v) AS BIGINT) AS dot
       |  FROM sr a JOIN sr b ON b.hour = a.hour AND b.user_id != a.user_id
+      |  WHERE a.user_id % $sampleMod = 0
       |  GROUP BY 1, 2
       |), gtop AS MATERIALIZED (
       |  SELECT user_id, neighbor_id FROM (
@@ -6793,7 +6799,7 @@ object SparkEntry {
       |        ELSE 0 END DESC, ub.user_id) AS rk
       |    FROM s2 ua CROSS JOIN s2 ub
       |    LEFT JOIN gdots d ON d.ua = ua.user_id AND d.ub = ub.user_id
-      |    WHERE ub.user_id != ua.user_id
+      |    WHERE ub.user_id != ua.user_id AND ua.user_id % $sampleMod = 0
       |  ) WHERE rk <= $k
       |), gcnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gold FROM gtop GROUP BY 1),
       |bcnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_banded FROM btop GROUP BY 1),
@@ -6806,7 +6812,8 @@ object SparkEntry {
       |  CAST(coalesce(b.n_banded, 0) AS BIGINT) AS n_banded,
       |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
       |  CAST((2 * 1000000 * coalesce(h.n_hit, 0) + g.n_gold)
-      |    // (2 * g.n_gold) AS BIGINT) AS recall_micro
+      |    // (2 * g.n_gold) AS BIGINT) AS recall_micro,
+      |  CAST($sampleMod AS INT) AS sample_mod
       |FROM gcnt g LEFT JOIN bcnt b USING (user_id) LEFT JOIN hcnt h USING (user_id)""".stripMargin
   }
 
@@ -11488,7 +11495,7 @@ object SparkEntry {
     "ts_paa_pruned_topk" -> tsBruteTopKOracle,
     "ts_paa_prune_stats" -> tsPaaPruneStatsOracle(Seq(8, 32, 64, 180)),
     "ts_sketch_rerank_recall" -> tsSketchRerankOracle(180, 5, Seq(10, 25, 50, 100)),
-    "ts_allpairs_neighbors" -> tsAllPairsOracle(5, 180, 16, 4, 1000),
+    "ts_allpairs_neighbors" -> tsAllPairsOracle(5, 180, 16, 4, 1000, sampleMod = 4),
     "ts_allpairs_topk" -> tsAllPairsTopKOracle(5, 180, 16, 4, 1000),
     "ivf_nprobe_sweep" -> ivfNprobeSweepOracle,
     "ivf_anchor_sweep" -> ivfAnchorSweepOracle,

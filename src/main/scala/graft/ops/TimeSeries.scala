@@ -722,33 +722,50 @@ object TimeSeries {
       segments: Int = 180,
       nbits: Int = 16,
       bands: Int = 4,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      sampleMod: Int = 1): DataFrame = {
     val (series, s2) = paaSeries(ev)
     val banded = allPairsNeighborsFrom(series, s2, k, segments, nbits, bands, maxBucket)
       .select(col("user_id"), col("neighbor_id"))
-    allPairsRecallFrom(series, s2, banded, k)
+    allPairsRecallFrom(series, s2, banded, k, sampleMod)
   }
 
   /** The recall meter off an already-built banded top-k id frame and a
     * shared (series, s2) pair — the gold leg stays quadratic BY
     * DEFINITION (it is the grid the production path avoids); everything
     * else is shared with the production face.
+    *
+    * `sampleMod` bounds the meter's own cost: the gold is computed for
+    * the deterministic 1-in-`sampleMod` query stratum
+    * (`user_id % sampleMod == 0`) — per-user recall semantics are
+    * UNCHANGED for every measured user (the gold still ranks the FULL
+    * corpus as neighbors; only the set of measured query users shrinks),
+    * and the stratum rides every row as the `sample_mod` column so a
+    * reader can see the meter is sampled. At 1 the meter is exhaustive.
     */
   private[graft] def allPairsRecallFrom(
       series: DataFrame,
       s2: DataFrame,
       bandedIds: DataFrame,
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      sampleMod: Int = 1): DataFrame = {
     import graft.functions.ExactDecimal.scaledRatio
+    require(sampleMod >= 1, "sampleMod must be >= 1")
     val banded = bandedIds
       .select(col("user_id"), col("neighbor_id"))
-      .localCheckpoint(eager = true) // ≤ |users|×k ids
-    val gdots = series.select(col("user_id").as("ua"), col("hour"), col("v").as("va"))
+      .filter(pmod(col("user_id"), lit(sampleMod.toLong)) === 0)
+      .localCheckpoint(eager = true) // ≤ |stratum|×k ids
+    // query side of the gold restricted to the stratum — divides the
+    // grid AND the hour-overlap dot cost by sampleMod; the NEIGHBOR side
+    // stays the full corpus (recall semantics intact per measured user)
+    val qSeries = series.filter(pmod(col("user_id"), lit(sampleMod.toLong)) === 0)
+    val qS2 = s2.filter(pmod(col("user_id"), lit(sampleMod.toLong)) === 0)
+    val gdots = qSeries.select(col("user_id").as("ua"), col("hour"), col("v").as("va"))
       .join(series.select(col("user_id").as("ub"), col("hour"), col("v").as("vb")), Seq("hour"))
       .filter(col("ua") =!= col("ub"))
       .groupBy(col("ua"), col("ub"))
       .agg(sum(col("va") * col("vb")).as("dot"))
-    val grid = s2.select(col("user_id").as("ua"), col("s2").as("s2a"))
+    val grid = qS2.select(col("user_id").as("ua"), col("s2").as("s2a"))
       .crossJoin(s2.select(col("user_id").as("ub"), col("s2").as("s2b")))
       .filter(col("ua") =!= col("ub"))
       .join(gdots, Seq("ua", "ub"), "left") // zero-overlap pairs stay, dot 0
@@ -761,7 +778,7 @@ object TimeSeries {
           .otherwise(lit(0L)).as("cos_micro"))
     val gold = Similarity.topKPerGroup(grid, "user_id", "neighbor_id", "cos_micro", k)
       .select(col("user_id"), col("neighbor_id"))
-      .localCheckpoint(eager = true) // ≤ |users|×k ids
+      .localCheckpoint(eager = true) // ≤ |stratum|×k ids
     val gcnt = gold.groupBy(col("user_id")).agg(count(lit(1)).as("n_gold"))
     val bcnt = banded.groupBy(col("user_id")).agg(count(lit(1)).as("n_banded"))
     val hcnt = gold.join(banded, Seq("user_id", "neighbor_id"))
@@ -774,7 +791,8 @@ object TimeSeries {
         coalesce(col("n_banded"), lit(0L)).as("n_banded"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         scaledRatio(coalesce(col("n_hit"), lit(0L)), col("n_gold"), 1000000L)
-          .cast("long").as("recall_micro"))
+          .cast("long").as("recall_micro"),
+        lit(sampleMod).as("sample_mod"))
   }
 
   /** Exact dyadic EWMA (α = 1/2, 16-hour truncated lookback) of the

@@ -352,6 +352,21 @@ class TimeSeriesSpec extends AnyFunSuite {
     rec.values.foreach { case (g, b, h, r) =>
       assert(h <= math.min(g, b) && r == math.round(1e6 * h / g), s"inconsistent row ($g,$b,$h,$r)")
     }
+    // the sampled meter (sampleMod=2) measures EXACTLY the even-id
+    // stratum, with values identical to the exhaustive meter's rows for
+    // those users — the gold still ranks the full corpus per query
+    val sampled = graft.ops.TimeSeries.allPairsNeighborsRecall(rows, k = 3, sampleMod = 2)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("user_id")) ->
+        (r.getLong(r.fieldIndex("n_gold")), r.getLong(r.fieldIndex("n_banded")),
+          r.getLong(r.fieldIndex("n_hit")), r.getLong(r.fieldIndex("recall_micro")),
+          r.getInt(r.fieldIndex("sample_mod"))))
+      .toMap
+    assert(sampled.keySet == Set(0L, 2L, 4L, 6L), "even-id stratum only")
+    sampled.foreach { case (u, (g, b, h, r, m)) =>
+      assert(m == 2)
+      assert((g, b, h, r) == rec(u), s"sampled row for user $u must equal the exhaustive row")
+    }
   }
 
 
