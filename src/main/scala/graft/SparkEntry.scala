@@ -108,6 +108,24 @@ object SparkEntry {
       (series, s2, topk)
     }
 
+  /** The banded all-pairs DTW chain (profiles, candidates + bounds,
+    * seed thresholds, kept exact distances) shared by the topk, stats,
+    * and recall faces — each face is a cheap slice of one build.
+    */
+  private def sharedDtwAllpairs(
+      s: SparkSession, dir: String): graft.ops.DtwSearch.AllPairsChain =
+    sharedState(s, dir, "dtwAllpairs") {
+      graft.ops.DtwSearch.dtwAllPairsChain(eventsTable(s, dir))
+    }
+
+  /** The brute banded-DTW gold (queries < 4 × corpus), checkpointed once
+    * — shared by its own registered face and the all-pairs recall meter.
+    */
+  private def sharedDtwGold(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "dtwGoldTopk") {
+      graft.ops.DtwSearch.dtwTopK(eventsTable(s, dir)).localCheckpoint(eager = true)
+    }
+
   /** The two-stage decontam gate (signature build + band verify) shared
     * by its flags face and its report face — the report adds only the
     * exact-gate comparison.
@@ -2309,9 +2327,43 @@ object SparkEntry {
       // like this account, even if their day runs ±4h late". Dense
       // 24-cell integer profiles (one corpus groupBy), Sakoe–Chiba DP as
       // one codegen'd call per pair (functions/DtwExpr.scala); this face
-      // is the brute gold, queries bounded + broadcast
+      // is the brute gold, queries bounded + broadcast; shared with the
+      // all-pairs recall meter (ops/DtwSearch.scala).
+      sharedDtwGold(s, dir)
+    },
+    "ts_dtw_allpairs_topk" -> { (s, dir) =>
+      // DTW at ALL-PAIRS scale — the ts_allpairs discipline applied to
+      // the phase-tolerant distance: candidate generation is BUCKETED
+      // on the sorted quantized profile (a cyclic shift permutes the 24
+      // cells, so shifted twins collide in EVERY offset lattice — an
+      // exact invariant, not a probabilistic sketch), LB_Keogh screens
+      // each directed candidate, a seed subset prices the per-user
+      // threshold, and the O(24·9) DP runs once per unordered pair that
+      // survives — lossless WITHIN candidates by the dtwPrunedTopK
+      // proof. Never a user×user product (plan-guarded)
       // (ops/DtwSearch.scala).
-      graft.ops.DtwSearch.dtwTopK(eventsTable(s, dir))
+      graft.ops.DtwSearch.dtwAllPairsTopK(sharedDtwAllpairs(s, dir))
+    },
+    "ts_dtw_allpairs_stats" -> { (s, dir) =>
+      // The measured prune face of the all-pairs chain: per user —
+      // banded candidate directions, seeds, exact threshold (−1 when
+      // the sentinel kept everyone), bound survivors, pruned bps.
+      // Honest finding at sf0.1: even with 527/1400 live thresholds,
+      // pruned_bps is 0 EVERYWHERE — sorted-profile bucket-mates are
+      // already near-equivalent, so the envelope bound cannot separate
+      // inside buckets; its 2–56% prune lives at the brute-grid regime
+      // (ts_dtw_prune_stats). The DP-per-candidate cost IS the chain's
+      // true cost, and candidates are 1% of the grid
+      // (ops/DtwSearch.scala).
+      graft.ops.DtwSearch.dtwAllPairsStats(sharedDtwAllpairs(s, dir))
+    },
+    "ts_dtw_allpairs_recall" -> { (s, dir) =>
+      // The recall meter: what the BUCKETING misses, priced against the
+      // brute banded-DTW gold for the bounded query stratum (< 4) — the
+      // ts_allpairs_neighbors discipline for the phase-tolerant family;
+      // gold shared with ts_dtw_topk (ops/DtwSearch.scala).
+      graft.ops.DtwSearch.dtwAllPairsRecall(
+        sharedDtwAllpairs(s, dir), sharedDtwGold(s, dir))
     },
     "ts_dtw_pruned_topk" -> { (s, dir) =>
       // The production face: Keogh envelope lower bounds (one codegen'd
@@ -6491,6 +6543,180 @@ object SparkEntry {
       |${legs.mkString(",\n")}
       |${selects.mkString("\nUNION ALL\n")}""".stripMargin
   }
+
+  /** The all-pairs banded-DTW chain CTEs (shared by the topk, stats and
+    * recall oracles), mirroring [[graft.ops.DtwSearch.dtwAllPairsChain]]:
+    * sorted-quantized-profile bucket keys per offset lattice (cell
+    * values are non-negative, so DuckDB's floor `//` equals Spark's
+    * truncating DIV), capped buckets → unordered candidate pairs →
+    * directed frame with LB_Keogh bounds and seed flags → wave-1 seed DP
+    * → per-user k-th seed threshold (rail sentinel) → wave-2 DP on kept
+    * pairs not already scored → `apfinal(user_id, neighbor_id,
+    * dtw_dist)` the kept directions. `dirWhere` optionally restricts the
+    * directed frame's query side (the recall oracle replays the chain
+    * for the gold stratum only — sound because every stage past the
+    * candidate pairs is per-query-user).
+    */
+  private def tsDtwAllPairsChainCtes(
+      band: Int, k: Int, quant: Long, bands: Int, maxBucket: Int, seedMod: Int,
+      dirWhere: String = ""): String = {
+    val inf = "1000000000000000"
+    val sqi = "31622777"
+    s"""apkeys AS MATERIALIZED (
+      |  SELECT user_id, b.b AS band,
+      |    list_sort(list_transform(arr, v -> (v + b.b * ${quant / bands}) // $quant)) AS bk
+      |  FROM prof, range($bands) b(b)
+      |), apbok AS (
+      |  SELECT band, bk FROM apkeys GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND $maxBucket
+      |), apcand AS MATERIALIZED (
+      |  SELECT DISTINCT a.user_id AS id_a, c.user_id AS id_b
+      |  FROM apbok o
+      |  JOIN apkeys a ON a.band = o.band AND a.bk = o.bk
+      |  JOIN apkeys c ON c.band = o.band AND c.bk = o.bk AND a.user_id < c.user_id
+      |), apenv AS MATERIALIZED (
+      |  SELECT user_id,
+      |    list_transform(range(1, 25), i ->
+      |      list_max(list_slice(arr, greatest(i - $band, 1), least(i + $band, 24)))) AS ue,
+      |    list_transform(range(1, 25), i ->
+      |      list_min(list_slice(arr, greatest(i - $band, 1), least(i + $band, 24)))) AS le
+      |  FROM prof
+      |), apdir AS MATERIALIZED (
+      |  SELECT d.user_id, d.neighbor_id,
+      |    least($inf, list_sum(list_transform(range(1, 25), j ->
+      |      CASE WHEN u.arr[j] > e.ue[j] THEN
+      |        CASE WHEN u.arr[j] - e.ue[j] >= $sqi THEN $inf
+      |             ELSE (u.arr[j] - e.ue[j]) * (u.arr[j] - e.ue[j]) END
+      |      WHEN u.arr[j] < e.le[j] THEN
+      |        CASE WHEN e.le[j] - u.arr[j] >= $sqi THEN $inf
+      |             ELSE (e.le[j] - u.arr[j]) * (e.le[j] - u.arr[j]) END
+      |      ELSE 0 END))) AS lb,
+      |    CASE WHEN d.neighbor_id % $seedMod = 0 THEN 1 ELSE 0 END AS is_seed
+      |  FROM (SELECT id_a AS user_id, id_b AS neighbor_id FROM apcand
+      |        UNION ALL SELECT id_b, id_a FROM apcand) d
+      |  JOIN apenv e ON e.user_id = d.user_id
+      |  JOIN prof u ON u.user_id = d.neighbor_id
+      |  $dirWhere
+      |), apsneed AS (
+      |  SELECT DISTINCT least(user_id, neighbor_id) AS query_user,
+      |    greatest(user_id, neighbor_id) AS user_id
+      |  FROM apdir WHERE is_seed = 1
+      |), apspairs AS MATERIALIZED (
+      |  SELECT n.query_user, n.user_id, qa.arr AS qarr, ua.arr AS uarr
+      |  FROM apsneed n
+      |  JOIN prof qa ON qa.user_id = n.query_user
+      |  JOIN prof ua ON ua.user_id = n.user_id
+      |),
+      |${dtwDpCte("apspairs", "aps", band)},
+      |apsdist AS MATERIALIZED (
+      |  SELECT query_user AS id_a, user_id AS id_b, CAST(d[24] AS BIGINT) AS dtw
+      |  FROM dpaps WHERE i = 23
+      |), aptau AS MATERIALIZED (
+      |  SELECT u.user_id, coalesce(t.tau, $inf) AS tau
+      |  FROM (SELECT DISTINCT user_id FROM apdir) u
+      |  LEFT JOIN (
+      |    SELECT user_id, dtw AS tau FROM (
+      |      SELECT dd.user_id, dd.dtw,
+      |        row_number() OVER (PARTITION BY dd.user_id
+      |          ORDER BY dd.dtw, dd.neighbor_id) AS srk
+      |      FROM (SELECT s.id_a AS user_id, s.id_b AS neighbor_id, s.dtw FROM apsdist s
+      |            UNION ALL SELECT s.id_b, s.id_a, s.dtw FROM apsdist s) dd
+      |      JOIN apdir x ON x.user_id = dd.user_id AND x.neighbor_id = dd.neighbor_id
+      |        AND x.is_seed = 1
+      |    ) WHERE srk = $k
+      |  ) t ON t.user_id = u.user_id
+      |), apkeep AS MATERIALIZED (
+      |  SELECT d.user_id, d.neighbor_id
+      |  FROM apdir d JOIN aptau t ON t.user_id = d.user_id
+      |  WHERE d.is_seed = 1 OR d.lb <= t.tau
+      |), apvneed AS (
+      |  -- EXCEPT is not allowed inside WITH RECURSIVE (DuckDB parses any
+      |  -- set-op CTE there as a recursion candidate) — anti-join instead
+      |  SELECT DISTINCT least(kk.user_id, kk.neighbor_id) AS query_user,
+      |    greatest(kk.user_id, kk.neighbor_id) AS user_id
+      |  FROM apkeep kk
+      |  WHERE NOT EXISTS (SELECT 1 FROM apsneed s
+      |    WHERE s.query_user = least(kk.user_id, kk.neighbor_id)
+      |      AND s.user_id = greatest(kk.user_id, kk.neighbor_id))
+      |), apvpairs AS MATERIALIZED (
+      |  SELECT n.query_user, n.user_id, qa.arr AS qarr, ua.arr AS uarr
+      |  FROM apvneed n
+      |  JOIN prof qa ON qa.user_id = n.query_user
+      |  JOIN prof ua ON ua.user_id = n.user_id
+      |),
+      |${dtwDpCte("apvpairs", "apv", band)},
+      |apdist AS MATERIALIZED (
+      |  SELECT * FROM apsdist
+      |  UNION ALL
+      |  SELECT query_user AS id_a, user_id AS id_b, CAST(d[24] AS BIGINT) AS dtw
+      |  FROM dpapv WHERE i = 23
+      |), apfinal AS MATERIALIZED (
+      |  SELECT kk.user_id, kk.neighbor_id, dd.dtw AS dtw_dist
+      |  FROM apkeep kk
+      |  JOIN (SELECT id_a AS user_id, id_b AS neighbor_id, dtw FROM apdist
+      |        UNION ALL SELECT id_b, id_a, dtw FROM apdist) dd
+      |    ON dd.user_id = kk.user_id AND dd.neighbor_id = kk.neighbor_id
+      |)""".stripMargin
+  }
+
+  private def tsDtwAllPairsTopKOracle(
+      band: Int, k: Int, quant: Long, bands: Int, maxBucket: Int, seedMod: Int): String =
+    s"""WITH RECURSIVE $dtwProfCtes,
+      |${tsDtwAllPairsChainCtes(band, k, quant, bands, maxBucket, seedMod)}
+      |SELECT user_id, neighbor_id, CAST(dtw_dist AS BIGINT) AS dtw_dist, CAST(rk AS INT) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY dtw_dist, neighbor_id) AS rk FROM apfinal)
+      |WHERE rk <= $k""".stripMargin
+
+  private def tsDtwAllPairsStatsOracle(
+      band: Int, k: Int, quant: Long, bands: Int, maxBucket: Int, seedMod: Int): String =
+    s"""WITH RECURSIVE $dtwProfCtes,
+      |${tsDtwAllPairsChainCtes(band, k, quant, bands, maxBucket, seedMod)}
+      |SELECT d.user_id,
+      |  CAST(count(*) AS BIGINT) AS n_candidates,
+      |  CAST(sum(d.is_seed) AS BIGINT) AS n_seeds,
+      |  CAST(CASE WHEN max(t.tau) = 1000000000000000 THEN -1 ELSE max(t.tau) END AS BIGINT) AS tau,
+      |  CAST(sum(CASE WHEN d.lb <= t.tau THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+      |  CAST((20000 * (count(*) - sum(CASE WHEN d.lb <= t.tau THEN 1 ELSE 0 END)) + count(*))
+      |    // (2 * count(*)) AS BIGINT) AS pruned_bps
+      |FROM apdir d JOIN aptau t ON t.user_id = d.user_id
+      |GROUP BY 1""".stripMargin
+
+  private def tsDtwAllPairsRecallOracle(
+      band: Int, k: Int, quant: Long, bands: Int, maxBucket: Int, seedMod: Int,
+      maxGoldUser: Long): String =
+    s"""WITH RECURSIVE $dtwProfCtes,
+      |${tsDtwAllPairsChainCtes(band, k, quant, bands, maxBucket, seedMod,
+         dirWhere = s"WHERE d.user_id < $maxGoldUser")},
+      |gpairs AS MATERIALIZED (
+      |  SELECT q.user_id AS query_user, u.user_id, q.arr AS qarr, u.arr AS uarr
+      |  FROM prof q JOIN prof u ON q.user_id < $maxGoldUser AND u.user_id != q.user_id
+      |),
+      |${dtwDpCte("gpairs", "apg", band)},
+      |apgold AS MATERIALIZED (
+      |  SELECT query_user AS guser, user_id AS gneighbor FROM (
+      |    SELECT query_user, user_id, row_number() OVER (PARTITION BY query_user
+      |      ORDER BY CAST(d[24] AS BIGINT), user_id) AS rk
+      |    FROM dpapg WHERE i = 23
+      |  ) WHERE rk <= $k
+      |), apb AS (
+      |  SELECT user_id, neighbor_id FROM (
+      |    SELECT user_id, neighbor_id, row_number() OVER (PARTITION BY user_id
+      |      ORDER BY dtw_dist, neighbor_id) AS rk FROM apfinal
+      |  ) WHERE rk <= $k
+      |), apgc AS (SELECT guser AS user_id, CAST(count(*) AS BIGINT) AS n_gold
+      |  FROM apgold GROUP BY 1),
+      |apbc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_banded FROM apb GROUP BY 1),
+      |aphc AS (
+      |  SELECT g.guser AS user_id, CAST(count(*) AS BIGINT) AS n_hit
+      |  FROM apgold g JOIN apb b ON b.user_id = g.guser AND b.neighbor_id = g.gneighbor
+      |  GROUP BY 1
+      |)
+      |SELECT g.user_id, g.n_gold,
+      |  CAST(coalesce(b.n_banded, 0) AS BIGINT) AS n_banded,
+      |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST((2 * 1000000 * coalesce(h.n_hit, 0) + g.n_gold)
+      |    // (2 * g.n_gold) AS BIGINT) AS recall_micro
+      |FROM apgc g LEFT JOIN apbc b USING (user_id) LEFT JOIN aphc h USING (user_id)""".stripMargin
 
   private val tsBruteTopKOracle: String =
     """WITH sr AS MATERIALIZED (
@@ -11490,6 +11716,9 @@ object SparkEntry {
     // match proves LB_Keogh never false-dismissed (the GEMINI contract)
     "ts_dtw_pruned_topk" -> tsDtwBruteOracle,
     "ts_dtw_prune_stats" -> tsDtwPruneStatsOracle(Seq(1, 4, 8), 5, 16),
+    "ts_dtw_allpairs_topk" -> tsDtwAllPairsTopKOracle(4, 5, 12288L, 4, 500, 4),
+    "ts_dtw_allpairs_stats" -> tsDtwAllPairsStatsOracle(4, 5, 12288L, 4, 500, 4),
+    "ts_dtw_allpairs_recall" -> tsDtwAllPairsRecallOracle(4, 5, 12288L, 4, 500, 4, 4L),
     // the PAA-pruned search's oracle IS the brute search: a hash match
     // proves the bound never false-dismissed (the GEMINI contract)
     "ts_paa_pruned_topk" -> tsBruteTopKOracle,

@@ -62,6 +62,19 @@ object DtwSearch {
         expr("transform(sequence(0, 23), h -> coalesce(try_element_at(m, CAST(h AS BIGINT)), CAST(0 AS BIGINT)))")
           .as("arr"))
 
+  /** ±band Keogh envelope columns (ue/le) over a profile frame — array
+    * expressions only, 24 cells per row.
+    */
+  private def envelopeCols(band: Int): Seq[org.apache.spark.sql.Column] = Seq(
+    expr(s"""transform(sequence(1, 24), i ->
+             |  array_max(slice(arr, greatest(i - $band, 1),
+             |    least(i + $band, 24) - greatest(i - $band, 1) + 1)))""".stripMargin)
+      .as("ue"),
+    expr(s"""transform(sequence(1, 24), i ->
+             |  array_min(slice(arr, greatest(i - $band, 1),
+             |    least(i + $band, 24) - greatest(i - $band, 1) + 1)))""".stripMargin)
+      .as("le"))
+
   /** The query frame with its ±band Keogh envelopes (upper/lower), built
     * with array expressions on the bounded query rows only.
     */
@@ -69,16 +82,7 @@ object DtwSearch {
     prof
       .filter(col("user_id") < maxQueryUser)
       .select(
-        col("user_id").as("query_user"),
-        col("arr").as("qarr"),
-        expr(s"""transform(sequence(1, 24), i ->
-                 |  array_max(slice(arr, greatest(i - $band, 1),
-                 |    least(i + $band, 24) - greatest(i - $band, 1) + 1)))""".stripMargin)
-          .as("ue"),
-        expr(s"""transform(sequence(1, 24), i ->
-                 |  array_min(slice(arr, greatest(i - $band, 1),
-                 |    least(i + $band, 24) - greatest(i - $band, 1) + 1)))""".stripMargin)
-          .as("le"))
+        Seq(col("user_id").as("query_user"), col("arr").as("qarr")) ++ envelopeCols(band): _*)
 
   /** Brute-force banded-DTW top-k — the gold: every (query, user) pair
     * gets the exact DP. Columns: query_user, user_id, dtw_dist, rank.
@@ -213,5 +217,206 @@ object DtwSearch {
           .as("pruned_bps"))
     }
     legs.reduce(_.unionByName(_))
+  }
+
+  // ------------------------------------------------------------------
+  // ALL-PAIRS banded DTW (round 13): the ts_allpairs discipline applied
+  // to the phase-tolerant distance. DtwSearch above is query-bounded
+  // (maxQueryUser); here EVERY user is a query, so candidate generation
+  // must never be a user×user product.
+  // ------------------------------------------------------------------
+
+  /** Shift-invariant banded candidate pairs — never a user×user join.
+    * DTW's reason to exist here is the cyclic-shift regime ("same
+    * routine, day runs late"), and a cyclic shift PERMUTES the profile's
+    * 24 cells — so the SORTED quantized profile is an exact collision
+    * key for shifted twins at any quantizer. `bands` offset lattices
+    * (cell key = (v + b·quant/bands) DIV quant) give near-twins whose
+    * cells sit near bin boundaries extra chances to collide (the
+    * MinHash-band OR-semantics). Buckets cap at `maxBucket`; one
+    * shuffle on the (band, key) pair; pairs dedup across bands.
+    */
+  private[graft] def allPairsCandidatePairs(
+      prof: DataFrame,
+      quant: Long,
+      bands: Int,
+      maxBucket: Int): DataFrame = {
+    require(quant >= 1, "quant must be >= 1")
+    require(bands >= 1, "bands must be >= 1")
+    require(maxBucket >= 2, "maxBucket must be >= 2")
+    val keys = (0 until bands).map { b =>
+      val off = b.toLong * quant / bands
+      expr(s"named_struct('b', $b, 'k', " +
+        s"sort_array(transform(arr, v -> (v + ${off}L) DIV ${quant}L)))")
+    }
+    prof
+      .select(col("user_id"), explode(array(keys: _*)).as("ck"))
+      .groupBy(col("ck"))
+      .agg(collect_list(col("user_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(Dedup.orderedPairs(array_sort(col("ids")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Everything the all-pairs faces share: the profile frame, the
+    * directed candidate frame with its LB_Keogh bounds and seed flags,
+    * the per-user seed thresholds, and the exact distances of every
+    * KEPT direction (seeds ∪ bound survivors) — the DP ran exactly once
+    * per unordered pair that needed it.
+    */
+  final case class AllPairsChain(
+      prof: DataFrame,     // (user_id, arr), checkpointed
+      directed: DataFrame, // (user_id, neighbor_id, lb, is_seed), checkpointed
+      tau: DataFrame,      // (user_id, tau), checkpointed, sentinel-filled
+      dists: DataFrame)    // (user_id, neighbor_id, dtw_dist), kept directions
+
+  /** Build the all-pairs chain: banded candidates → LB_Keogh per
+    * directed candidate → seed DP prices a per-user threshold → DP only
+    * on bound survivors. Within the candidate set the prune is LOSSLESS
+    * (lb ≤ dtw always, and the seed k-th distance is ≥ the true k-th
+    * among candidates — the [[dtwPrunedTopK]] proof verbatim); what the
+    * BANDING misses is priced by [[dtwAllPairsRecall]], exactly the
+    * ts_allpairs_neighbors discipline.
+    *
+    * Scale shape: corpus-sized passes are the profile aggregation and
+    * the band-key shuffle; everything after is candidate-bounded, and
+    * each exact DP is ONE codegen'd O(24·(2r+1)) call. Measured at
+    * sf0.1 (quant 12288, 4 offset lattices): 11,306 of 1.12M possible
+    * pairs become candidates (1.0% of the grid); per-user candidate
+    * sets are small enough that many users fall on the < k-seeds
+    * sentinel (everything DP-verifies) — the stats face records
+    * exactly where the bound is live.
+    */
+  def dtwAllPairsChain(
+      ev: DataFrame,
+      band: Int = 4,
+      k: Int = 5,
+      quant: Long = 12288L,
+      bands: Int = 4,
+      maxBucket: Int = 500,
+      seedMod: Int = 4): AllPairsChain = {
+    require(k >= 1, "k must be >= 1")
+    require(seedMod >= 1, "seedMod must be >= 1")
+    val prof = hodProfiles(ev).localCheckpoint(eager = true)
+    val pairs = allPairsCandidatePairs(prof, quant, bands, maxBucket)
+      .localCheckpoint(eager = true) // ids only
+    val env = prof.select(Seq(col("user_id"), col("arr")) ++ envelopeCols(band): _*)
+    val directed = pairs
+      .select(col("id_a").as("user_id"), col("id_b").as("neighbor_id"))
+      .unionByName(pairs.select(col("id_b").as("user_id"), col("id_a").as("neighbor_id")))
+      .join(env.select(col("user_id"), col("ue"), col("le")), Seq("user_id"))
+      .join(prof.select(col("user_id").as("neighbor_id"), col("arr").as("narr")),
+        Seq("neighbor_id"))
+      .select(
+        col("user_id"), col("neighbor_id"),
+        LbKeoghExpr.column(col("narr"), col("ue"), col("le")).as("lb"),
+        (col("neighbor_id") % seedMod === 0).as("is_seed"))
+      .localCheckpoint(eager = true) // ids + bound + flag; feeds tau, keep, stats
+    // DP once per unordered pair: wave 1 = pairs with a seed direction
+    def dpOnce(unordered: DataFrame): DataFrame =
+      unordered
+        .join(prof.select(col("user_id").as("id_a"), col("arr").as("aarr")), Seq("id_a"))
+        .join(prof.select(col("user_id").as("id_b"), col("arr").as("barr")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          DtwBandExpr.column(col("aarr"), col("barr"), band).as("dtw_dist"))
+    def unorderedOf(dir: DataFrame): DataFrame = dir
+      .select(
+        least(col("user_id"), col("neighbor_id")).as("id_a"),
+        greatest(col("user_id"), col("neighbor_id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    def bothWays(u: DataFrame): DataFrame = u
+      .select(col("id_a").as("user_id"), col("id_b").as("neighbor_id"), col("dtw_dist"))
+      .unionByName(
+        u.select(col("id_b").as("user_id"), col("id_a").as("neighbor_id"), col("dtw_dist")))
+    val seedU = dpOnce(unorderedOf(directed.filter(col("is_seed"))))
+      .localCheckpoint(eager = true) // unordered seed distances
+    val sw = Window.partitionBy(col("user_id")).orderBy(col("dtw_dist"), col("neighbor_id"))
+    val kth = bothWays(seedU)
+      // only true seed DIRECTIONS price the threshold (the pair may be
+      // a seed one way only)
+      .join(directed.filter(col("is_seed")).select("user_id", "neighbor_id"),
+        Seq("user_id", "neighbor_id"))
+      .withColumn("srk", row_number().over(sw))
+      .filter(col("srk") === k)
+      .select(col("user_id"), col("dtw_dist").as("tau"))
+    val tau = directed.select("user_id").distinct()
+      .join(kth, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("tau"), lit(NoTau)).as("tau"))
+      .localCheckpoint(eager = true) // |users| rows, broadcast below
+    val keep = directed
+      .join(broadcast(tau), Seq("user_id"))
+      .filter(col("is_seed") || col("lb") <= col("tau"))
+      .select("user_id", "neighbor_id")
+    // wave 2 = kept pairs the seed wave did not already score
+    val extraU = dpOnce(
+      unorderedOf(keep).join(seedU.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti"))
+    val dists = bothWays(seedU.unionByName(extraU))
+      .join(keep, Seq("user_id", "neighbor_id"))
+      .localCheckpoint(eager = true) // kept directions with exact distances
+    AllPairsChain(prof, directed, tau, dists)
+  }
+
+  /** The production face: per user, the top-k banded-and-exact-verified
+    * DTW neighbors. Columns: user_id, neighbor_id, dtw_dist, rank.
+    */
+  def dtwAllPairsTopK(chain: AllPairsChain, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dtw_dist"), col("neighbor_id"))
+    chain.dists
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /** The measured prune face: per user — candidate directions, seeds,
+    * threshold (−1 when the sentinel kept everyone), bound survivors,
+    * pruned share in bps. The [[dtwPruneStats]] convention over the
+    * banded candidate set.
+    */
+  def dtwAllPairsStats(chain: AllPairsChain): DataFrame =
+    chain.directed
+      .join(broadcast(chain.tau), Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("is_seed"), 1L).otherwise(0L)).as("n_seeds"),
+        sum(when(col("lb") <= col("tau"), 1L).otherwise(0L)).as("n_survivors"),
+        max(col("tau")).as("tau_raw"))
+      .select(
+        col("user_id"),
+        col("n_candidates"),
+        col("n_seeds"),
+        when(col("tau_raw") === NoTau, lit(-1L)).otherwise(col("tau_raw")).as("tau"),
+        col("n_survivors"),
+        expr("(20000 * (n_candidates - n_survivors) + n_candidates) DIV (2 * n_candidates)")
+          .as("pruned_bps"))
+
+  /** The recall meter: for the bounded gold stratum (user_id <
+    * maxGoldUser), how much of the EXACT banded-DTW top-k (vs the FULL
+    * corpus — the [[dtwTopK]] gold) the all-pairs banding retains.
+    * Columns: user_id, n_gold, n_banded, n_hit, recall_micro — the
+    * ts_allpairs_neighbors row shape for the phase-tolerant distance.
+    */
+  def dtwAllPairsRecall(
+      chain: AllPairsChain,
+      gold: DataFrame, // dtwTopK output for the same stratum
+      k: Int = 5): DataFrame = {
+    import graft.functions.ExactDecimal.scaledRatio
+    val g = gold.select(col("query_user").as("user_id"), col("user_id").as("neighbor_id"))
+    val banded = dtwAllPairsTopK(chain, k)
+      .join(g.select("user_id").distinct(), Seq("user_id"))
+      .select(col("user_id"), col("neighbor_id"))
+    val gcnt = g.groupBy(col("user_id")).agg(count(lit(1)).as("n_gold"))
+    val bcnt = banded.groupBy(col("user_id")).agg(count(lit(1)).as("n_banded"))
+    val hcnt = g.join(banded, Seq("user_id", "neighbor_id"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_hit"))
+    gcnt
+      .join(bcnt, Seq("user_id"), "left")
+      .join(hcnt, Seq("user_id"), "left")
+      .select(
+        col("user_id"), col("n_gold"),
+        coalesce(col("n_banded"), lit(0L)).as("n_banded"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        scaledRatio(coalesce(col("n_hit"), lit(0L)), col("n_gold"), 1000000L)
+          .cast("long").as("recall_micro"))
   }
 }

@@ -198,6 +198,81 @@ class DtwSpec extends AnyFunSuite {
     assert(pruned == brute)
   }
 
+  test("dtwAllPairs: one-bucket chain is EXACT within candidates; stats and recall reconcile") {
+    // quant far above every cell puts all users in one bucket: the
+    // candidate set is the full pair grid, so within-candidate
+    // losslessness means the topk face must equal an independent
+    // full-matrix DP rank over every pair — and the recall meter must
+    // read 100% for every gold user
+    val rnd = new scala.util.Random(7)
+    val others = for { u <- 0 until 24; h <- 0 until 24 }
+      yield (u.toLong, h * 3600000L, rnd.nextInt(90000) / 100.0)
+    val ev = others.toDF("user_id", "ts_ms", "value")
+    val chain = DtwSearch.dtwAllPairsChain(
+      ev, band = 4, k = 3, quant = 100000000L, bands = 2, maxBucket = 500, seedMod = 2)
+    val profs = chain.prof.as[(Long, Seq[Long])].collect().toMap
+    assert(chain.directed.count() == 24L * 23L, "one bucket => full directed grid")
+    val got = DtwSearch.dtwAllPairsTopK(chain, k = 3).collect()
+      .map(r => (r.getLong(r.fieldIndex("user_id")),
+        (r.getInt(r.fieldIndex("rank")), r.getLong(r.fieldIndex("neighbor_id")),
+          r.getLong(r.fieldIndex("dtw_dist")))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    for (u <- 0L until 24L) {
+      val expected = (0L until 24L).filter(_ != u)
+        .map(n => (n, refDtw(profs(u), profs(n), 4)))
+        .sortBy { case (n, d) => (d, n) }.take(3).zipWithIndex
+        .map { case ((n, d), i) => (i + 1, n, d) }
+      assert(got(u) == expected, s"user $u")
+    }
+    val stats = DtwSearch.dtwAllPairsStats(chain)
+      .select("user_id", "n_candidates", "n_seeds", "n_survivors", "pruned_bps")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(stats.length == 24)
+    stats.foreach { case (u, c, s, sv, bps) =>
+      // 12 even ids among 0..23; an even user is its own non-candidate
+      assert(c == 23L && s == (if (u % 2 == 0) 11L else 12L), s"user $u census ($c, $s)")
+      assert(sv <= c && bps == (20000 * (c - sv) + c) / (2 * c), s"user $u prune row")
+    }
+    val gold = DtwSearch.dtwTopK(ev, band = 4, k = 3, maxQueryUser = 4L)
+    val rec = DtwSearch.dtwAllPairsRecall(chain, gold, k = 3)
+      .select("user_id", "n_gold", "n_hit", "recall_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rec.map(_._1).sorted == (0L until 4L))
+    rec.foreach { case (u, g, h, r) =>
+      assert(g == 3L && h == 3L && r == 1000000L, s"full-grid candidates must recall gold: $u")
+    }
+  }
+
+  test("dtwAllPairs: shifted twins collide in every offset lattice and verify at DTW 0") {
+    // users 0 and 1 share one routine, user 1 runs 3 hours late; the
+    // routine is zero at the day's edges so the linear band-4 alignment
+    // absorbs the shift completely (DTW 0). A cyclic shift PERMUTES the
+    // 24 cells, so the sorted quantized profile — the bucket key — is
+    // IDENTICAL in every band, at any quantizer: the collision is
+    // guaranteed, not probabilistic.
+    val rnd = new scala.util.Random(11)
+    val twins = (6 until 16).flatMap { h =>
+      Seq((0L, h * 3600000L, (h - 5) * 120.0),
+        (1L, (h + 3) * 3600000L, (h - 5) * 120.0))
+    }
+    val others = for { u <- 2 until 40; h <- 0 until 24 }
+      yield (u.toLong, h * 3600000L, rnd.nextInt(90000) / 100.0)
+    val ev = (twins ++ others).toDF("user_id", "ts_ms", "value")
+    val chain = DtwSearch.dtwAllPairsChain(ev) // production defaults: quant 16384, 4 lattices
+    val dir = chain.directed.select("user_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(dir.contains((0L, 1L)) && dir.contains((1L, 0L)), "twin pair must be a candidate")
+    val topk = DtwSearch.dtwAllPairsTopK(chain).collect()
+      .map(r => (r.getLong(r.fieldIndex("user_id")), r.getInt(r.fieldIndex("rank"))) ->
+        (r.getLong(r.fieldIndex("neighbor_id")), r.getLong(r.fieldIndex("dtw_dist"))))
+      .toMap
+    assert(topk((0L, 1)) == ((1L, 0L)), s"twin must verify at 0: ${topk.get((0L, 1))}")
+    assert(topk((1L, 1)) == ((0L, 0L)), "the pair is directed both ways")
+    val gold = DtwSearch.dtwTopK(ev)
+    val rec = DtwSearch.dtwAllPairsRecall(chain, gold)
+      .select("user_id", "n_hit").as[(Long, Long)].collect().toMap
+    assert(rec(0L) >= 1L, "the twin is user 0's exact top-1 AND a guaranteed banded hit")
+  }
+
   test("dtwPrunedTopK sentinel path: fewer than k seeds keeps everyone and stays exact") {
     // only 12 users → seeds are user 0 only (user_id % 16 == 0) → < k=5
     // seeds → NoTau sentinel → all candidates survive → still ≡ brute

@@ -660,6 +660,28 @@ class PlanShapeSpec extends AnyFunSuite {
       "verification must join the checkpointed fingerprints, not re-scan parquet")
   }
 
+  test("dtw all-pairs: candidate generation is BANDED — no user×user join; faces read checkpoints") {
+    // same discipline as the ts all-pairs guard: the pair stage must be
+    // a bucket explosion off the sorted-quantized-profile keys, never a
+    // join of two user-keyed corpus frames. Drive the candidate stage
+    // directly (the chain checkpoints it, truncating the face plans).
+    import spark.implicits._
+    val prof = graft.ops.DtwSearch.hodProfiles(
+      Seq((0L, 0L, 1.0), (1L, 3600000L, 1.0), (2L, 7200000L, 2.0), (3L, 0L, 2.0))
+        .toDF("user_id", "ts_ms", "value"))
+    val pairs = graft.ops.DtwSearch.allPairsCandidatePairs(
+      prof, quant = 12288L, bands = 4, maxBucket = 500)
+    pairs.count()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "unbanded user×user product in the plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "unbanded user×user product in the plan")
+    assert(plan.contains("ObjectHashAggregate"), "bucket collect_list stage missing")
+    // and the registered face touches only the checkpointed chain
+    val face = executedPlan("ts_dtw_allpairs_topk")
+    assert(!face.contains("CartesianProduct") && !face.contains("parquet"),
+      "the topk face must read the checkpointed chain, not re-derive it")
+  }
+
   test("media phash pairs: banded over the checkpointed pixel fingerprints, never media×media, one decode pass") {
     // same discipline as the byte face, extended to the pixel family:
     // past the fingerprint checkpoint the plan must touch only 8-byte
