@@ -100,10 +100,17 @@ object Bench {
     // (override with SPARK_GRAFT_STREAM_EVENTS for soak runs).
     val streamEps2 = streamReading()
     val streamEps = math.max(streamEps1, streamEps2)
+    // Streaming MEDIA leg (round 13): payloads/s through the perceptual-hash
+    // chunk-claim protocol (ahashChunkClaims on RocksDB state). One reading,
+    // taken on the fully warm JVM; 20k x 2 KB payloads keeps added wall ~sec.
+    val mediaEvents = sys.env.getOrElse("SPARK_GRAFT_MEDIA_EVENTS", "20000").toInt
+    val mediaEps =
+      try StreamBench.measureMediaClaims(spark, mediaEvents)._1.round
+      catch { case _: Throwable => -1L }
     val fullPath = s"/tmp/graft_bench_$sfBase.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v4","stream_events_per_sec":$streamEps,"stream_eps_runs":[$streamEps1,$streamEps2],"failed":$failedJson,"queries":$fullMap,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v4","stream_events_per_sec":$streamEps,"stream_eps_runs":[$streamEps1,$streamEps2],"media_payloads_per_sec":$mediaEps,"failed":$failedJson,"queries":$fullMap,"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
     // harness id min2-v4: same min-over-successful-passes-of-2 batch
     // timing as v2/v3 (totals comparable round-4+), qcs36 per-query
@@ -121,7 +128,7 @@ object Bench {
     org.apache.log4j.LogManager.getRootLogger.setLevel(org.apache.log4j.Level.OFF)
     System.err.flush()
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v4","sf":"$sfBase","n":${ordered.size},"order":"name-sorted","stream_events_per_sec":$streamEps,"stream_eps_runs":[$streamEps1,$streamEps2],"failed":$failedJson,"qcs36":"$qcs36","full":"$fullPath"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v4","sf":"$sfBase","n":${ordered.size},"order":"name-sorted","stream_events_per_sec":$streamEps,"stream_eps_runs":[$streamEps1,$streamEps2],"media_payloads_per_sec":$mediaEps,"failed":$failedJson,"qcs36":"$qcs36","full":"$fullPath"}"""
     )
     System.out.flush()
   }

@@ -69,14 +69,105 @@ object StreamBench {
     } finally started.foreach(q => scala.util.Try(q.stop()))
   }
 
+  /** End-to-end payloads/s through the streaming MEDIA claim protocol
+    * ([[graft.streaming.StreamingDedup.ahashChunkClaims]]): synthetic binary
+    * payloads (seeded; ~1 in 4 an exact re-ingest of an earlier payload, so
+    * the lose path is live) stream through perceptual-hash chunk claims on
+    * RocksDB state. Each non-empty payload emits exactly `chunks` = 8 claim
+    * rows per micro-batch (its 8 chunk keys carry distinct packed indexes),
+    * so cumulative claim rows = 8 x payloads is the absorption signal —
+    * `processAllAvailable` starves under processing-time TTL (continual
+    * timer wakeups), so absorption is polled via a foreachBatch counter
+    * exactly as StreamingDedupSpec drives this face.
+    *
+    * Returns (payloadsPerSec, totalClaims, lostClaims).
+    */
+  def measureMediaClaims(
+      spark: SparkSession,
+      n: Int,
+      batches: Int = 10,
+      payloadBytes: Int = 2048,
+      chunks: Int = 8
+  ): (Double, Long, Long) = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(1013L)
+    // ~25% exact duplicates of a random earlier payload: dup claims LOSE
+    // their buckets, exercising the protocol's hot path, not just inserts.
+    val payloads = new scala.collection.mutable.ArrayBuffer[Array[Byte]](n)
+    val events = (0 until n).map { i =>
+      val p =
+        if (i > 0 && rnd.nextInt(4) == 0) payloads(rnd.nextInt(payloads.length))
+        else Array.tabulate[Byte](payloadBytes)(_ => rnd.nextInt(256).toByte)
+      payloads += p
+      (i.toLong, p)
+    }
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val input = MemoryStream[(Long, Array[Byte])]
+    val claims = graft.streaming.StreamingDedup.ahashChunkClaims(
+      input.toDF().toDF("media_id", "content"), ttlMinutes = 60, chunks = chunks)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val lost = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = claims.toDF().writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val agg = batch
+          .agg(count(lit(1)), sum(when(col("lost"), 1L).otherwise(0L)))
+          .collect()(0)
+        seen.addAndGet(agg.getLong(0))
+        lost.addAndGet(if (agg.isNullAt(1)) 0L else agg.getLong(1))
+        ()
+      }
+      .start()
+    def awaitClaims(expected: Long): Unit = {
+      val deadline = System.nanoTime() + 180_000_000_000L
+      while (seen.get() < expected && System.nanoTime() < deadline) Thread.sleep(20)
+      require(seen.get() >= expected, s"media claims stalled: ${seen.get()} < $expected")
+    }
+    try {
+      val warm = math.min(100, n / 10)
+      input.addData(events.take(warm))
+      awaitClaims(chunks.toLong * warm)
+      val t0 = System.nanoTime()
+      val per = math.max(1, (n - warm) / batches)
+      var added = warm.toLong
+      events.drop(warm).grouped(per).foreach { b =>
+        input.addData(b)
+        added += b.size
+        awaitClaims(chunks.toLong * added)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      ((n - warm) / sec, seen.get(), lost.get())
+    } finally {
+      scala.util.Try(q.stop())
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "500000").toInt
     val batches = 10
     val spark = GraftSession.local(appName = "stream-bench")
     val (eps, teams, users) = measure(spark, n, batches)
     val sec = (n - 100) / eps // timed span only (warmup excluded), as before
+    val mediaN = sys.env.getOrElse("SPARK_GRAFT_MEDIA_EVENTS", "20000").toInt
+    // Two chunk widths: chunks=8 (pigeonhole Hamming<=7, 2^8 buckets/index —
+    // the tight-recall config; saturates past ~2k distinct payloads per TTL
+    // horizon, so nearly everything flags candidate) and chunks=4
+    // (Hamming<=3, 2^16 buckets/index — the scale config: 256x lower
+    // collision floor). Both measured so BASELINE carries the tradeoff.
+    val (mps8, claims8, lost8) = measureMediaClaims(spark, mediaN, chunks = 8)
+    val (mps4, claims4, lost4) = measureMediaClaims(spark, mediaN, chunks = 4)
     println(
-      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":$n,"wall_sec":$sec,"teams":$teams,"users":$users,"micro_batches":$batches}"""
+      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":$n,"wall_sec":$sec,"teams":$teams,"users":$users,"micro_batches":$batches,"media_payloads_per_sec":${mps8.round},"media_payloads":$mediaN,"media_claims":$claims8,"media_lost_claims":$lost8,"media_payloads_per_sec_c4":${mps4.round},"media_claims_c4":$claims4,"media_lost_claims_c4":$lost4}"""
     )
     spark.stop()
   }

@@ -205,4 +205,15 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(all.head == Set(1L, 2L), s"batch 1 survivors: ${all.head}")
     assert(all.last == Set(8L), s"batch 2 survivors: ${all.last}")
   }
+
+  test("StreamBench.measureMediaClaims: absorbs every payload, counts lost claims") {
+    // 400 x 512 B payloads, seeded ~25% exact dups: every payload must emit
+    // exactly 8 claim rows (cumulative absorption contract the bench waits
+    // on), and the dup re-ingests must LOSE at least their own chunk count.
+    val (eps, claims, lost) = StreamBench.measureMediaClaims(
+      spark, n = 400, batches = 4, payloadBytes = 512)
+    assert(eps > 0.0)
+    assert(claims == 8L * 400, s"claims=$claims")
+    assert(lost > 0L, "seeded exact dups must lose buckets")
+  }
 }
