@@ -1447,6 +1447,35 @@ object SparkEntry {
       // replays both hashes end-to-end (ops/Multimodal.scala).
       Multimodal.phashVsByteHash(table(s, dir, "documents"))
     },
+    "media_perceptual_hashes" -> { (s, dir) =>
+      // The pixel perceptual-hash family completed: mean (aHash),
+      // gradient (dHash), spectral (wHash — integer Walsh–Hadamard, the
+      // exact stand-in for pHash's DCT) off ONE decode pass over the
+      // perturbation-twin corpus (orig / re-encode / gamma-remap /
+      // ±3-noise per doc, every pixel formula deterministic). The oracle
+      // replays all three thresholdings — global mean, wraparound
+      // horizontal gradient, median-of-63-WHT-coefficients — per variant
+      // (ops/Multimodal.scala).
+      val corpus = Multimodal.perturbedImageCorpus(table(s, dir, "documents"))
+      Multimodal.perceptualHashes(corpus).toDF()
+        .filter(col("ok"))
+        .select(
+          col("media_id"),
+          when(col("media_id") % 4 === 0, "orig")
+            .when(col("media_id") % 4 === 1, "reencode")
+            .when(col("media_id") % 4 === 2, "gamma")
+            .otherwise("noise").as("klass"),
+          col("ahash"), col("dhash"), col("whash"))
+    },
+    "media_perturbation_matrix" -> { (s, dir) =>
+      // Which hash catches which perturbation class, MEASURED — the row a
+      // curation pipeline picks its media dedup gate from: 3 classes
+      // (re-encode / monotone gamma remap / per-pixel noise) × 3 hashes
+      // (mean / gradient / spectral), each variant paired with its own
+      // original by id join (never media×media), catches at Hamming ≤ 6
+      // plus the exact Hamming mass and extremes (ops/Multimodal.scala).
+      Multimodal.perturbationMatrix(table(s, dir, "documents"))
+    },
     "pii_stats" -> { (s, dir) =>
       // PII scan + redaction (map-only, three codegen'd regex passes). The
       // corpus is synthetic word salad, so the query injects deterministic
@@ -7332,6 +7361,74 @@ object SparkEntry {
       |  FROM pxc c JOIN pxt t USING (doc_id) GROUP BY 1
       |)""".stripMargin
 
+  /** Shared CTEs reproducing the full pixel perceptual-hash family
+    * ([[graft.ops.Multimodal.perceptualHashes]]) over the
+    * perturbation-twin corpus ([[graft.ops.Multimodal.perturbedImageCorpus]]):
+    * `pcells(doc_id, k, cell, s)` the exact 8×8 box sums per variant
+    * k ∈ 0..3 (orig / re-encode / gamma v²÷255 / ±3 Knuth-hash noise —
+    * re-encode shares orig's pixels, so k=1 reuses k=0's formula and the
+    * hash equality IS the codec-round-trip proof), `phashes(doc_id, k,
+    * ahash, dhash, whash)` the three thresholdings: global mean (cells
+    * are 16 px each of 1024, so s·64 vs total), wraparound horizontal
+    * gradient (equal counts — sums compare directly), and WHT sign
+    * matrix `(−1)^(popcount(r&u)+popcount(c&v))` with the exact lower
+    * median (rank 32 of 63 non-DC) as threshold, bit 63 via the min-long
+    * literal summed in HUGEINT.
+    */
+  private val PerturbHashCtesBody: String =
+    """pximg AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      |  FROM documents WHERE octet_length(encode(text)) > 0
+      |), pxv0 AS (
+      |  SELECT doc_id, p, CAST('0x' || substr(hx, CAST((p % n)*2+1 AS INT), 2) AS BIGINT) AS v
+      |  FROM (SELECT doc_id, hx, n, unnest(range(0, 1024)) AS p FROM pximg)
+      |), pxk AS (
+      |  SELECT doc_id, k.k AS k, p,
+      |    CASE WHEN k.k = 2 THEN (v*v) // 255
+      |         WHEN k.k = 3 THEN least(255, greatest(0,
+      |           v + (((doc_id % 1048576)*1024 + p) * 2654435761) % 4294967296 % 7 - 3))
+      |         ELSE v END AS v
+      |  FROM pxv0, range(4) k(k)
+      |), pcells AS MATERIALIZED (
+      |  SELECT doc_id, k, (p // 128) * 8 + (p % 32) // 4 AS cell,
+      |    CAST(sum(v) AS BIGINT) AS s
+      |  FROM pxk GROUP BY 1, 2, 3
+      |), ptot AS (SELECT doc_id, k, CAST(sum(s) AS BIGINT) AS ts FROM pcells GROUP BY 1, 2),
+      |pah AS (
+      |  SELECT c.doc_id, c.k,
+      |    CAST(sum(CASE WHEN c.s * 64 <= t.ts THEN 0
+      |         WHEN c.cell = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |         ELSE CAST((CAST(1 AS BIGINT) << CAST(c.cell AS INT)) AS HUGEINT) END) AS BIGINT) AS ahash
+      |  FROM pcells c JOIN ptot t USING (doc_id, k) GROUP BY 1, 2
+      |), pdh AS (
+      |  SELECT a.doc_id, a.k,
+      |    CAST(sum(CASE WHEN b.s <= a.s THEN 0
+      |         WHEN a.cell = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |         ELSE CAST((CAST(1 AS BIGINT) << CAST(a.cell AS INT)) AS HUGEINT) END) AS BIGINT) AS dhash
+      |  FROM pcells a JOIN pcells b ON b.doc_id = a.doc_id AND b.k = a.k
+      |    AND b.cell = (a.cell // 8) * 8 + ((a.cell % 8) + 1) % 8
+      |  GROUP BY 1, 2
+      |), pwco AS MATERIALIZED (
+      |  SELECT c.doc_id, c.k, u.u AS u, v.v AS v,
+      |    CAST(sum(CASE WHEN (bit_count((c.cell // 8) & u.u) + bit_count((c.cell % 8) & v.v)) % 2 = 0
+      |         THEN c.s ELSE -c.s END) AS BIGINT) AS w
+      |  FROM pcells c, range(8) u(u), range(8) v(v) GROUP BY 1, 2, 3, 4
+      |), pwmed AS (
+      |  SELECT doc_id, k, w AS med FROM (
+      |    SELECT doc_id, k, w, row_number() OVER (PARTITION BY doc_id, k ORDER BY w) AS rk
+      |    FROM pwco WHERE NOT (u = 0 AND v = 0))
+      |  WHERE rk = 32
+      |), pwh AS (
+      |  SELECT c.doc_id, c.k,
+      |    CAST(sum(CASE WHEN (c.u = 0 AND c.v = 0) OR c.w <= m.med THEN 0
+      |         WHEN c.u * 8 + c.v = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |         ELSE CAST((CAST(1 AS BIGINT) << CAST(c.u * 8 + c.v AS INT)) AS HUGEINT) END) AS BIGINT) AS whash
+      |  FROM pwco c JOIN pwmed m USING (doc_id, k) GROUP BY 1, 2
+      |), phashes AS MATERIALIZED (
+      |  SELECT doc_id, k, ahash, dhash, whash
+      |  FROM pah JOIN pdh USING (doc_id, k) JOIN pwh USING (doc_id, k)
+      |)""".stripMargin
+
   /** Shared CTEs reproducing [[graft.ops.Similarity.lshSigMd5]]'s
     * integer-exact sign-of-projection signatures (16 bits, dim 64) for the
     * LSH/ANN oracle twins: `vecs(vec_id, v, qv)` the dim-64 stratum with
@@ -10412,6 +10509,32 @@ object SparkEntry {
         |  CAST(max(pixel_hamming) AS INT) AS max_pixel_hamming,
         |  CAST(min(byte_hamming) AS INT) AS min_byte_hamming
         |FROM perdoc""".stripMargin,
+    "media_perceptual_hashes" ->
+      s"""WITH $PerturbHashCtesBody
+        |SELECT doc_id * 4 + k AS media_id,
+        |  CASE WHEN k = 0 THEN 'orig' WHEN k = 1 THEN 'reencode'
+        |       WHEN k = 2 THEN 'gamma' ELSE 'noise' END AS klass,
+        |  ahash, dhash, whash
+        |FROM phashes""".stripMargin,
+    "media_perturbation_matrix" ->
+      s"""WITH $PerturbHashCtesBody, pm AS (
+        |  SELECT v.k,
+        |    CAST(bit_count(xor(v.ahash, o.ahash)) AS INT) AS ham_a,
+        |    CAST(bit_count(xor(v.dhash, o.dhash)) AS INT) AS ham_d,
+        |    CAST(bit_count(xor(v.whash, o.whash)) AS INT) AS ham_w
+        |  FROM phashes v JOIN phashes o ON o.doc_id = v.doc_id AND o.k = 0
+        |  WHERE v.k <> 0
+        |), pu AS (
+        |  SELECT k, 'ahash' AS hash, ham_a AS hamming FROM pm
+        |  UNION ALL SELECT k, 'dhash', ham_d FROM pm
+        |  UNION ALL SELECT k, 'whash', ham_w FROM pm
+        |)
+        |SELECT CASE WHEN k = 1 THEN 'reencode' WHEN k = 2 THEN 'gamma' ELSE 'noise' END AS klass,
+        |  hash, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN hamming <= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+        |  CAST(sum(hamming) AS BIGINT) AS sum_hamming,
+        |  CAST(max(hamming) AS INT) AS max_hamming
+        |FROM pu GROUP BY 1, 2""".stripMargin,
     "lsh_sig_md5" ->
       """WITH q AS (
         |  SELECT vec_id,

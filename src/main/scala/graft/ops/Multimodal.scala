@@ -775,49 +775,178 @@ object Multimodal {
       rows.map { case (id, bytes) =>
         decodeOne(bytes) match {
           case Some((img, _)) =>
-            val w = img.getWidth
-            val h = img.getHeight
-            // Single-band 8-bit gray: read the RAW raster sample — getRGB
-            // would push it through the CS_GRAY→sRGB colorspace transform
-            // (76 becomes 148), destroying the exactness the oracle
-            // replays. For anything else, integer luma off getRGB.
-            val raster = img.getRaster
-            val rawGray = raster.getNumBands == 1 &&
-              img.getColorModel.getPixelSize == 8 &&
-              img.getColorModel.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_GRAY
-            val sums = new Array[Long](64)
-            val cnts = new Array[Long](64)
-            var total = 0L
-            var y = 0
-            while (y < h) {
-              val cy = (y.toLong * 8 / h).toInt * 8
-              var x = 0
-              while (x < w) {
-                val luma =
-                  if (rawGray) raster.getSample(x, y, 0)
-                  else {
-                    val rgb = img.getRGB(x, y)
-                    val r = (rgb >> 16) & 0xff
-                    val g = (rgb >> 8) & 0xff
-                    val b = rgb & 0xff
-                    (299 * r + 587 * g + 114 * b) / 1000
-                  }
-                val c = cy + (x.toLong * 8 / w).toInt
-                sums(c) += luma; cnts(c) += 1; total += luma
-                x += 1
-              }
-              y += 1
-            }
-            val nPix = w.toLong * h
-            var hash = 0L
-            var c = 0
-            while (c < 64) {
-              if (cnts(c) > 0 &&
-                graft.functions.AHash.meanGt(sums(c), cnts(c), total, nPix)) hash |= (1L << c)
-              c += 1
-            }
-            PixelPhash(id, w, h, Some(hash), ok = true)
+            val (sums, cnts, total, nPix) = grid8(img)
+            PixelPhash(id, img.getWidth, img.getHeight,
+              Some(ahashOfGrid(sums, cnts, total, nPix)), ok = true)
           case None => PixelPhash(id, 0, 0, None, ok = false)
+        }
+      }
+    }
+  }
+
+  /** 8×8 exact integer box accumulation of a decoded image: per-cell luma
+    * sums and pixel counts plus the global total — the shared grid every
+    * pixel-domain hash thresholds over. Single-band 8-bit gray reads the
+    * RAW raster sample (getRGB would push it through the CS_GRAY→sRGB
+    * colorspace transform — 76 becomes 148 — destroying the exactness the
+    * oracle replays); anything else takes integer luma off getRGB.
+    */
+  private def grid8(
+      img: java.awt.image.BufferedImage): (Array[Long], Array[Long], Long, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val rawGray = raster.getNumBands == 1 &&
+      img.getColorModel.getPixelSize == 8 &&
+      img.getColorModel.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_GRAY
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * 8 / h).toInt * 8
+      var x = 0
+      while (x < w) {
+        val luma =
+          if (rawGray) raster.getSample(x, y, 0)
+          else {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            (299 * r + 587 * g + 114 * b) / 1000
+          }
+        val c = cy + (x.toLong * 8 / w).toInt
+        sums(c) += luma; cnts(c) += 1; total += luma
+        x += 1
+      }
+      y += 1
+    }
+    (sums, cnts, total, w.toLong * h)
+  }
+
+  /** Mean hash off the shared grid: bit c iff cell c's mean exceeds the
+    * global mean (exact 128-bit cross-multiplied compare).
+    */
+  def ahashOfGrid(sums: Array[Long], cnts: Array[Long], total: Long, nPix: Long): Long = {
+    var hash = 0L
+    var c = 0
+    while (c < 64) {
+      if (cnts(c) > 0 &&
+        graft.functions.AHash.meanGt(sums(c), cnts(c), total, nPix)) hash |= (1L << c)
+      c += 1
+    }
+    hash
+  }
+
+  /** Gradient hash (dHash) off the shared grid: bit r·8+c iff the mean of
+    * the horizontally-NEXT cell (wraparound, (c+1) mod 8) exceeds cell
+    * (r,c)'s mean — 64 horizontal gradient signs instead of 64
+    * level-vs-global-mean signs. The point of the gradient form: any
+    * MONOTONE per-pixel level remap (gamma compression, contrast curves
+    * — what lossy re-encoders apply) preserves the order of
+    * non-interleaving cell distributions, so dHash survives level
+    * surgery that moves every cell relative to the global mean and makes
+    * aHash bits flip. Exact 128-bit cross-multiplied compares; a bit
+    * with an empty cell on either side stays 0.
+    */
+  def dhashOfGrid(sums: Array[Long], cnts: Array[Long]): Long = {
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val a = r * 8 + c
+        val b = r * 8 + ((c + 1) % 8)
+        if (cnts(a) > 0 && cnts(b) > 0 &&
+          graft.functions.AHash.meanGt(sums(b), cnts(b), sums(a), cnts(a)))
+          hash |= (1L << a)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Spectral hash (wHash) off the shared grid: the 2-D Walsh–Hadamard
+    * transform of the 8×8 cell sums — the integer-exact stand-in for
+    * pHash's DCT (same sequency-ordered frequency story, but every
+    * coefficient is a ±1-weighted integer sum: W[u][v] =
+    * Σ (−1)^(popcount(r&u)+popcount(c&v)) · s[r·8+c], |W| ≤ 64·max cell
+    * sum). Bit u·8+v (skipping the DC term at 0) is set iff the
+    * coefficient exceeds the exact lower median of the 63 non-DC
+    * coefficients — pHash's median thresholding, order-statistic exact.
+    * Defined only when all 64 cells hold the same pixel count (8 | w and
+    * 8 | h) so the sums ARE scaled means; None otherwise.
+    */
+  def whashOfGrid(sums: Array[Long], cnts: Array[Long]): Option[Long] = {
+    val n0 = cnts(0)
+    if (n0 == 0) return None
+    var i = 1
+    while (i < 64) { if (cnts(i) != n0) return None; i += 1 }
+    val coef = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0L
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            val par = (java.lang.Integer.bitCount(r & u) +
+              java.lang.Integer.bitCount(c & v)) & 1
+            val s = sums(r * 8 + c)
+            acc += (if (par == 0) s else -s)
+            c += 1
+          }
+          r += 1
+        }
+        coef(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val nonDc = java.util.Arrays.copyOfRange(coef, 1, 64)
+    java.util.Arrays.sort(nonDc)
+    val med = nonDc(31) // lower median (rank 32 of 63)
+    var hash = 0L
+    i = 1
+    while (i < 64) {
+      if (coef(i) > med) hash |= (1L << i)
+      i += 1
+    }
+    Some(hash)
+  }
+
+  final case class MediaPerceptualHashes(
+      media_id: Long,
+      ahash: Option[Long],
+      dhash: Option[Long],
+      whash: Option[Long],
+      ok: Boolean)
+
+  /** All three pixel-domain perceptual hashes — mean ([[ahashOfGrid]]),
+    * gradient ([[dhashOfGrid]]), spectral ([[whashOfGrid]]) — in ONE
+    * decode pass over the payload column: the grid accumulates once, each
+    * hash is a different thresholding of the same 64 cell sums. Map-only,
+    * 24 bytes out per payload; undecodable payloads degrade to ok=false.
+    */
+  def perceptualHashes(media: DataFrame): Dataset[MediaPerceptualHashes] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        decodeOne(bytes) match {
+          case Some((img, _)) =>
+            val (sums, cnts, total, nPix) = grid8(img)
+            MediaPerceptualHashes(
+              id,
+              Some(ahashOfGrid(sums, cnts, total, nPix)),
+              Some(dhashOfGrid(sums, cnts)),
+              whashOfGrid(sums, cnts),
+              ok = true)
+          case None => MediaPerceptualHashes(id, None, None, None, ok = false)
         }
       }
     }
@@ -882,5 +1011,122 @@ object Multimodal {
       sum(when(col("byte_hamming") <= 6, 1L).otherwise(0L)).as("n_byte_caught"),
       max(col("pixel_hamming")).as("max_pixel_hamming"),
       min(col("byte_hamming")).as("min_byte_hamming"))
+  }
+
+  /** Deterministic gamma-compression remap `v → v²/255` — a MONOTONE
+    * nondecreasing integer level curve (quadratic darkening, the shape a
+    * gamma-2.0 encode applies), pure integer both sides of the oracle.
+    */
+  def gammaRemap(v: Int): Int = (v * v) / 255
+
+  /** Deterministic per-pixel pseudo-noise in [−3, +3]: a Knuth-hash of
+    * (doc, pixel) — doc id reduced mod 2²⁰ FIRST so the product stays in
+    * long range for any id (no overflow, so DuckDB's non-wrapping BIGINT
+    * replays it term-for-term).
+    */
+  def noiseRemap(docId: Long, p: Int, v: Int): Int = {
+    val h = (((docId % 1048576L) * 1024L + p) * 2654435761L) % 4294967296L % 7L
+    math.min(255, math.max(0, v + h.toInt - 3))
+  }
+
+  /** The perturbation-twin corpus: each non-empty doc becomes FOUR images
+    * of media_id 4·doc_id + k — k=0 the original pixels as 24-bit BMP,
+    * k=1 the SAME pixels re-encoded (8-bit palettized BMP: disjoint byte
+    * stream, identical pixels), k=2 the gamma-remapped pixels
+    * ([[gammaRemap]]: every level moves, order preserved), k=3 the
+    * noise-perturbed pixels ([[noiseRemap]]: ±3 per pixel). The three
+    * perturbation CLASSES separate the three perceptual hashes: exact
+    * re-encoding tests decode-invariance (all should catch), the
+    * monotone level remap tests gradient-vs-level thresholds, additive
+    * noise tests averaging robustness. Map-only, one pass, ~8 KB per doc.
+    */
+  def perturbedImageCorpus(docs: DataFrame, side: Int = PhashSide): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (docId, text, source) =>
+          val bytes = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+          if (bytes.isEmpty) Iterator.empty
+          else {
+            val px = new Array[Int](side * side)
+            var p = 0
+            while (p < px.length) { px(p) = bytes(p % bytes.length) & 0xff; p += 1 }
+            val gam = new Array[Int](px.length)
+            val noi = new Array[Int](px.length)
+            p = 0
+            while (p < px.length) {
+              gam(p) = gammaRemap(px(p))
+              noi(p) = noiseRemap(docId, p, px(p))
+              p += 1
+            }
+            Iterator(
+              (docId * 4, bmp24(px, side), source),
+              (docId * 4 + 1, bmp8(px, side), source),
+              (docId * 4 + 2, bmp24(gam, side), source),
+              (docId * 4 + 3, bmp24(noi, side), source))
+          }
+        }
+      }
+      .toDF("media_id", "content", "source")
+      .select(
+        col("media_id"),
+        col("content"),
+        struct(
+          lit("image/bmp").as("mime"),
+          octet_length(col("content")).cast("long").as("n_bytes"),
+          col("source").as("source")).as("meta"))
+  }
+
+  /** The perceptual-hash coverage matrix — which hash catches which
+    * perturbation class, MEASURED: over [[perturbedImageCorpus]], each
+    * variant pairs with its own original (id-join, never media×media),
+    * and each of the 3 classes × 3 hashes rows reports pairs, catches at
+    * `maxHamming`, and the exact Hamming mass/extremes. ONE decode pass
+    * ([[perceptualHashes]], checkpointed — 24 bytes/payload downstream).
+    * The honest expectation this row exists to price: re-encoding is
+    * caught by all three at Hamming 0 (decode-invariance); the monotone
+    * level remap favors the gradient hash over the mean hash; per-pixel
+    * noise favors the box-averaging hashes — and the measured matrix, not
+    * the folklore, is what a curation pipeline should pick its media
+    * dedup gate from.
+    */
+  def perturbationMatrix(
+      docs: DataFrame,
+      side: Int = PhashSide,
+      maxHamming: Int = 6): DataFrame = {
+    val corpus = perturbedImageCorpus(docs, side).localCheckpoint(eager = true)
+    val ph = perceptualHashes(corpus).toDF()
+      .filter(col("ok"))
+      .select(
+        expr("media_id DIV 4").as("doc_id"),
+        (col("media_id") % 4).as("k"),
+        col("ahash"), col("dhash"), col("whash"))
+      .localCheckpoint(eager = true)
+    val orig = ph.filter(col("k") === 0)
+      .select(col("doc_id"), col("ahash").as("a0"), col("dhash").as("d0"), col("whash").as("w0"))
+    val pairs = ph.filter(col("k") =!= 0).join(orig, Seq("doc_id"))
+    val perHash = pairs.select(
+      col("k"),
+      explode(array(
+        struct(lit("ahash").as("hash"), Dedup.hamming64(col("ahash"), col("a0")).as("hamming")),
+        struct(lit("dhash").as("hash"), Dedup.hamming64(col("dhash"), col("d0")).as("hamming")),
+        struct(lit("whash").as("hash"), Dedup.hamming64(col("whash"), col("w0")).as("hamming"))
+      )).as("e"))
+      .select(
+        when(col("k") === 1, "reencode")
+          .when(col("k") === 2, "gamma")
+          .otherwise("noise").as("klass"),
+        col("e.hash").as("hash"),
+        col("e.hamming").cast("int").as("hamming"))
+      .filter(col("hamming").isNotNull)
+    perHash
+      .groupBy(col("klass"), col("hash"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("hamming") <= maxHamming, 1L).otherwise(0L)).as("n_caught"),
+        sum(col("hamming").cast("long")).as("sum_hamming"),
+        max(col("hamming")).as("max_hamming"))
   }
 }

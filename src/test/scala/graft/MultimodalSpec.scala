@@ -308,6 +308,126 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getAs[Int]("min_byte_hamming") > 6)
   }
 
+  /** Independent grid: tile -> 8x8 box sums, no shared code with grid8. */
+  private def bruteGrid(pxv: Array[Int], side: Int = 32): (Array[Long], Array[Long]) = {
+    val sums = new Array[Long](64); val cnts = new Array[Long](64)
+    for (y <- 0 until side; x <- 0 until side) {
+      val c = (y * 8 / side) * 8 + (x * 8 / side)
+      sums(c) += pxv(y * side + x); cnts(c) += 1
+    }
+    (sums, cnts)
+  }
+
+  /** Independent dHash: BigInt cross-multiplied means (impl uses
+    * multiplyHigh 128-bit compares — different mechanics).
+    */
+  private def bruteDhash(sums: Array[Long], cnts: Array[Long]): Long =
+    (0 until 64).foldLeft(0L) { (h, a) =>
+      val b = (a / 8) * 8 + ((a % 8) + 1) % 8
+      if (cnts(a) > 0 && cnts(b) > 0 &&
+        BigInt(sums(b)) * cnts(a) > BigInt(sums(a)) * cnts(b)) h | (1L << a)
+      else h
+    }
+
+  /** Independent wHash via the FAST Walsh-Hadamard butterfly (rows then
+    * columns) — a different algorithm than the impl's direct 64x64 sign
+    * matrix; identical coefficients prove both.
+    */
+  private def bruteWhash(sums: Array[Long]): Long = {
+    val m = Array.tabulate(8, 8)((r, c) => sums(r * 8 + c))
+    def fwht(v: Array[Long]): Array[Long] = {
+      val a = v.clone()
+      var len = 1
+      while (len < 8) {
+        var i = 0
+        while (i < 8) {
+          var j = i
+          while (j < i + len) {
+            val x = a(j); val y = a(j + len)
+            a(j) = x + y; a(j + len) = x - y
+            j += 1
+          }
+          i += 2 * len
+        }
+        len *= 2
+      }
+      a
+    }
+    val rows = m.map(fwht)
+    val cols = Array.tabulate(8)(c => fwht(Array.tabulate(8)(r => rows(r)(c))))
+    val coef = Array.tabulate(64)(i => cols(i % 8)(i / 8)) // coef(u*8+v) = W[u][v]
+    val med = coef.drop(1).sorted.apply(31)
+    (1 until 64).foldLeft(0L)((h, i) => if (coef(i) > med) h | (1L << i) else h)
+  }
+
+  test("perceptualHashes over perturbedImageCorpus: independent formulas, re-encode invariance") {
+    val corpus = Multimodal.perturbedImageCorpus(phashDocs)
+    val got = Multimodal.perceptualHashes(corpus).collect()
+      .map(p => p.media_id -> p).toMap
+    assert(got.size == 12) // 3 non-empty docs x 4 variants
+    val texts = phashDocs.filter($"doc_id" =!= 4L).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    for ((docId, text) <- texts) {
+      val bytes = text.getBytes("UTF-8")
+      val orig = Array.tabulate(32 * 32)(p => bytes(p % bytes.length) & 0xff)
+      val byK = Map(
+        0 -> orig,
+        1 -> orig, // re-encode: same pixels through the other codec path
+        2 -> orig.map(Multimodal.gammaRemap),
+        3 -> orig.zipWithIndex.map { case (v, p) => Multimodal.noiseRemap(docId, p, v) })
+      for ((k, pxv) <- byK) {
+        val (sums, cnts) = bruteGrid(pxv)
+        val total = sums.sum
+        val expA = (0 until 64).foldLeft(0L) { (h, c) =>
+          if (BigInt(sums(c)) * 1024 > BigInt(total) * cnts(c)) h | (1L << c) else h
+        }
+        val r = got(docId * 4 + k)
+        assert(r.ok)
+        assert(r.ahash.contains(expA), s"ahash doc $docId k $k")
+        assert(r.dhash.contains(bruteDhash(sums, cnts)), s"dhash doc $docId k $k")
+        assert(r.whash.contains(bruteWhash(sums)), s"whash doc $docId k $k")
+      }
+      // decode-invariance: the BMP8 re-encode hashes identically on all three
+      assert(got(docId * 4).ahash == got(docId * 4 + 1).ahash)
+      assert(got(docId * 4).dhash == got(docId * 4 + 1).dhash)
+      assert(got(docId * 4).whash == got(docId * 4 + 1).whash)
+    }
+  }
+
+  test("dHash survives a monotone level remap that flips aHash bits (cell-constant grid)") {
+    // Cell-constant 32x32 grid, cell value 128 + 2*cell: v²/255 is STRICTLY
+    // increasing above v=128 (2v+1 > 255), so the remap preserves every
+    // adjacent-cell order — dHash provably Hamming 0. The mean threshold
+    // moves non-uniformly (Jensen: mean of a convex remap exceeds the
+    // remap of the mean), so at least one aHash bit flips.
+    val px = Array.tabulate(32 * 32) { p =>
+      val cell = (p / 128) * 8 + (p % 32) / 4
+      128 + 2 * cell
+    }
+    val gam = px.map(Multimodal.gammaRemap)
+    val media = Seq(
+      (0L, Multimodal.bmp24(px, 32)),
+      (1L, Multimodal.bmp24(gam, 32))).toDF("media_id", "content")
+    val h = Multimodal.perceptualHashes(media).collect().map(p => p.media_id -> p).toMap
+    assert(h(0L).dhash == h(1L).dhash, "gradient hash must survive the monotone remap")
+    assert(h(0L).ahash != h(1L).ahash, "the level remap must move mean-threshold bits")
+  }
+
+  test("perturbationMatrix: 9 rows, re-encode all caught at 0, id-join never media×media") {
+    val m = Multimodal.perturbationMatrix(phashDocs).collect()
+      .map(r => (r.getAs[String]("klass"), r.getAs[String]("hash")) -> r).toMap
+    assert(m.size == 9)
+    for (hash <- Seq("ahash", "dhash", "whash")) {
+      val r = m(("reencode", hash))
+      assert(r.getAs[Long]("n_pairs") == 3L)
+      assert(r.getAs[Long]("n_caught") == 3L)
+      assert(r.getAs[Long]("sum_hamming") == 0L)
+      assert(r.getAs[Int]("max_hamming") == 0)
+    }
+    for (klass <- Seq("gamma", "noise"); hash <- Seq("ahash", "dhash", "whash"))
+      assert(m((klass, hash)).getAs[Long]("n_pairs") == 3L)
+  }
+
   test("shotBoundaries: planted seams flag, identical-chunk runs stay quiet, first chunks exempt") {
     def pat(seed: Int): Array[Byte] = {
       val r = new scala.util.Random(seed); Array.fill[Byte](256)(r.nextInt(256).toByte)

@@ -693,4 +693,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("parquet"),
       "verification must join the checkpointed fingerprints, not re-decode payloads")
   }
+
+  test("perturbation matrix: id-join of 24-byte hash rows off ONE decode checkpoint, never media×media") {
+    // each variant pairs only with its own original (join on doc_id), and
+    // the matrix plan must read the checkpointed hash frame — never the
+    // payload corpus (no parquet, no re-decode) and never a pair product
+    val plan = executedPlan("media_perturbation_matrix")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("parquet"),
+      "matrix must aggregate the checkpointed hashes, not re-decode payloads")
+    assert(!plan.contains("MapPartitions"),
+      "decode must happen before the checkpoint, not inside the matrix plan")
+  }
 }
