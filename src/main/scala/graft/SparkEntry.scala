@@ -4457,6 +4457,21 @@ object SparkEntry {
       // token-budget as a range lookup (ops/Sampling.scala).
       graft.ops.Sampling.trainingOrderManifest(table(s, dir, "documents"))
     },
+    "training_shuffle_keys" -> { (s, dir) =>
+      // Sort-free corpus shuffle: a 4-round Feistel permutation of the
+      // 48-bit id domain — collision-free by THEOREM (each round is
+      // invertible for any round function), O(1) integer ops per row,
+      // map-only, zero shuffle. The writer range-partitions on the key;
+      // changing the seed re-shuffles per epoch (ops/Shuffling.scala).
+      graft.ops.Shuffling.shuffleKeys(table(s, dir, "documents"))
+    },
+    "training_shuffle_balance" -> { (s, dir) =>
+      // The balance evidence for the sort-free claim: per write bucket,
+      // doc/byte fill for the epoch plus the overlap with the NEXT
+      // epoch's buckets (seed+1) — uniformity and epoch decorrelation
+      // measured, not asserted (ops/Shuffling.scala).
+      graft.ops.Shuffling.shuffleBalanceReport(table(s, dir, "documents"))
+    },
     "mutual_nn_pairs" -> { (s, dir) =>
       // Reciprocal top-5 pairs on the embedding sample: symmetric NN
       // confidence (each in the other's top-k), the SemDeDup pair
@@ -7375,6 +7390,25 @@ object SparkEntry {
     * median (rank 32 of 63 non-DC) as threshold, bit 63 via the min-long
     * literal summed in HUGEINT.
     */
+  /** The unrolled 4-round Feistel permutation of
+    * [[graft.ops.Shuffling.feistelKey]] as one SQL expression — round
+    * keys inlined as literals for the given seed, halves via `//`/`%`
+    * 2²⁴, the XOR via DuckDB's `xor`. Pure integer, no overflow
+    * anywhere in the 48-bit domain.
+    */
+  private def feistelKeySqlExpr(id: String, seed: Long): String = {
+    var l = s"($id // 16777216)"
+    var r = s"($id % 16777216)"
+    for (i <- 0 until 4) {
+      val k = graft.ops.Shuffling.roundKey(seed, i)
+      val f = s"(($r * 2654435761 + $k) % 16777216)"
+      val nl = r
+      r = s"xor($l, $f)"
+      l = nl
+    }
+    s"($l * 16777216 + $r)"
+  }
+
   private val PerturbHashCtesBody: String =
     """pximg AS (
       |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
@@ -14898,6 +14932,20 @@ object SparkEntry {
         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY phase, shuffle, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
         |FROM p""".stripMargin,
+    "training_shuffle_keys" ->
+      s"""SELECT doc_id, k AS shuffle_key, k // 1099511627776 AS bucket
+        |FROM (SELECT doc_id, ${feistelKeySqlExpr("doc_id", 42L)} AS k FROM documents)""".stripMargin,
+    "training_shuffle_balance" ->
+      s"""WITH b AS (
+        |  SELECT doc_id,
+        |    coalesce(octet_length(encode(text)), 0) AS nb,
+        |    ${feistelKeySqlExpr("doc_id", 42L)} // 1099511627776 AS bucket,
+        |    ${feistelKeySqlExpr("doc_id", 43L)} // 1099511627776 AS bucket_next
+        |  FROM documents)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+        |  CAST(sum(CASE WHEN bucket_next = bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+        |FROM b GROUP BY 1""".stripMargin,
     "mutual_nn_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE vec_id % 10 = 0),

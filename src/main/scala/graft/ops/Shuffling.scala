@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sort-free corpus shuffling for training-data writers.
+  *
+  * Shuffling a 100 TB corpus the naive way is a global sort by a random
+  * key — one full-corpus exchange plus collision anxiety (a hash key can
+  * tie, and tie-breaking reintroduces the source order the shuffle exists
+  * to destroy). A FEISTEL permutation gives the scale-correct shape: a
+  * 4-round balanced Feistel network over the 48-bit id domain is a
+  * PROVABLE bijection (each round XORs one half with a function of the
+  * other and swaps — invertible by construction, for ANY round function),
+  * so `shuffle_key` is collision-free by theorem, not by probability.
+  * Cost: O(1) integer ops per row, map-only, zero shuffle — the writer
+  * range-partitions on the key and gets a uniform pseudo-random order.
+  * Changing `seed` re-shuffles (per-epoch orders decorrelate for free).
+  *
+  * Every operation is exact long arithmetic with no overflow anywhere in
+  * the domain (products ≤ 2²⁴·2⁶² never form; see [[feistelKey]]), so a
+  * SQL oracle replays the rounds term-for-term.
+  */
+object Shuffling {
+
+  /** Bits per Feistel half: the permutation domain is [0, 2⁴⁸). */
+  final val HalfBits = 24
+  private final val HalfMask = (1L << HalfBits) - 1
+
+  /** Round key i for a seed — Knuth-style mixing, mod 2²⁴. Public so the
+    * oracle SQL can inline the four constants per seed.
+    */
+  def roundKey(seed: Long, i: Int): Long =
+    (((seed % (1L << 40)) * 40503L + i.toLong * 69069L) & HalfMask)
+
+  /** The 4-round Feistel permutation of a 48-bit id, as pure Scala (the
+    * spec proves bijectivity by enumerating a full sub-domain; Spark and
+    * the SQL oracle both apply this formula columnwise).
+    *
+    * Round function F(r, k) = (r·2654435761 + k) mod 2²⁴ — products stay
+    * ≤ 2²⁴·2654435761 < 2⁵⁶, exact in a long (and in a non-wrapping SQL
+    * BIGINT).
+    */
+  def feistelKey(id: Long, seed: Long): Long = {
+    require(id >= 0 && id < (1L << (2 * HalfBits)), s"id $id outside the 48-bit domain")
+    var l = id >> HalfBits
+    var r = id & HalfMask
+    var i = 0
+    while (i < 4) {
+      val f = (r * 2654435761L + roundKey(seed, i)) & HalfMask
+      val nl = r
+      r = l ^ f
+      l = nl
+      i += 1
+    }
+    (l << HalfBits) | r
+  }
+
+  /** Columnwise [[feistelKey]] — the same four unrolled rounds as Spark
+    * Column expressions (codegen'd integer arithmetic; no UDF).
+    */
+  def feistelKeyCol(id: Column, seed: Long): Column = {
+    val rounds = (0 until 4).map(i => lit(roundKey(seed, i)))
+    val l0 = shiftright(id, HalfBits)
+    val r0 = id.bitwiseAND(lit(HalfMask))
+    val (l4, r4) = rounds.foldLeft((l0, r0)) { case ((l, r), k) =>
+      val f = (r * lit(2654435761L) + k).bitwiseAND(lit(HalfMask))
+      (r, l.bitwiseXOR(f))
+    }
+    shiftleft(l4, HalfBits).bitwiseOR(r4)
+  }
+
+  /** Per-doc shuffle keys + write buckets: `shuffle_key` the Feistel image
+    * of the doc id (collision-free by construction), `bucket` its top
+    * `bucketBits` bits — the range-partition a sharded writer consumes.
+    * Map-only; the ONLY shuffle in the whole recipe is the writer's own
+    * range exchange on the key.
+    */
+  def shuffleKeys(
+      docs: DataFrame,
+      seed: Long = 42L,
+      bucketBits: Int = 8,
+      idCol: String = "doc_id"): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 2 * HalfBits, "bucketBits in [1, 48]")
+    val key = feistelKeyCol(col(idCol).cast("long"), seed)
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      key.as("shuffle_key"),
+      shiftright(key, 2 * HalfBits - bucketBits).as("bucket"))
+  }
+
+  /** The balance evidence for the sort-free claim: per write bucket, doc
+    * and token counts for TWO epochs (seed and seed+1), plus the overlap
+    * between the epochs' bucket populations — uniform fill and epoch
+    * decorrelation, measured instead of asserted. `n_common` counts docs
+    * landing in the same bucket both epochs (expected ≈ n/2^bucketBits of
+    * a bucket's population under independence).
+    */
+  def shuffleBalanceReport(
+      docs: DataFrame,
+      seed: Long = 42L,
+      bucketBits: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sized = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      coalesce(octet_length(col(textCol)).cast("long"), lit(0L)).as("n_bytes"))
+    val shift = 2 * HalfBits - bucketBits
+    val both = sized.select(
+      col("doc_id"),
+      col("n_bytes"),
+      shiftright(feistelKeyCol(col("doc_id"), seed), shift).as("bucket"),
+      shiftright(feistelKeyCol(col("doc_id"), seed + 1), shift).as("bucket_next"))
+    both
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(when(col("bucket_next") === col("bucket"), 1L).otherwise(0L)).as("n_common"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Shuffling
+
+class ShufflingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("feistelKey is a bijection: constructive inverse round-trips arbitrary ids") {
+    // the inverse network (rounds applied backwards, halves un-swapped)
+    // recovers every id — bijectivity by construction, checked on ids
+    // across the whole 48-bit domain including both ends
+    def inverse(key: Long, seed: Long): Long = {
+      val mask = (1L << 24) - 1
+      var l = key >> 24
+      var r = key & mask
+      for (i <- 3 to 0 by -1) {
+        val prevR = l
+        val f = (prevR * 2654435761L + Shuffling.roundKey(seed, i)) & mask
+        val prevL = r ^ f
+        l = prevL; r = prevR
+      }
+      (l << 24) | r
+    }
+    val rnd = new scala.util.Random(7)
+    val ids = Seq(0L, 1L, (1L << 48) - 1, (1L << 24), (1L << 24) - 1) ++
+      Seq.fill(5000)(math.abs(rnd.nextLong()) % (1L << 48))
+    for (id <- ids; seed <- Seq(0L, 42L, 43L, 999999L)) {
+      val k = Shuffling.feistelKey(id, seed)
+      assert(k >= 0 && k < (1L << 48))
+      assert(inverse(k, seed) == id, s"round-trip failed for id=$id seed=$seed")
+    }
+  }
+
+  test("feistelKey is injective over a dense block (no collisions, order destroyed)") {
+    val keys = (0L until 65536L).map(Shuffling.feistelKey(_, 42L))
+    assert(keys.distinct.size == keys.size, "collision inside a dense id block")
+    // the shuffle actually shuffles: almost no id maps near its source rank
+    val sortedPos = keys.zipWithIndex.sortBy(_._1).map(_._2)
+    val fixedish = sortedPos.zipWithIndex.count { case (orig, pos) => math.abs(orig - pos) < 8 }
+    assert(fixedish < 200, s"$fixedish ids kept (nearly) their source order")
+  }
+
+  test("feistelKeyCol matches the Scala formula; seeds decorrelate") {
+    val ids = (0L until 2048L).toDF("doc_id")
+    val got = ids.select($"doc_id", Shuffling.feistelKeyCol($"doc_id", 42L).as("k"))
+      .as[(Long, Long)].collect().toMap
+    for (id <- 0L until 2048L)
+      assert(got(id) == Shuffling.feistelKey(id, 42L), s"column/Scala mismatch at $id")
+    val other = ids.select(Shuffling.feistelKeyCol($"doc_id", 43L)).as[Long].collect()
+    val same = (0 until 2048).count(i => other(i) == got(i.toLong))
+    assert(same < 8, s"seed 43 agrees with seed 42 on $same of 2048 ids")
+  }
+
+  test("shuffleKeys + shuffleBalanceReport reconcile: every doc bucketed once, fills sum up") {
+    val docs = (0L until 3000L).map(i => (i, "x" * (1 + (i % 13)).toInt)).toDF("doc_id", "text")
+    val keys = Shuffling.shuffleKeys(docs).collect()
+    assert(keys.length == 3000)
+    assert(keys.map(_.getAs[Long]("shuffle_key")).distinct.length == 3000)
+    for (r <- keys)
+      assert(r.getAs[Long]("bucket") == (r.getAs[Long]("shuffle_key") >> 40))
+    val rep = Shuffling.shuffleBalanceReport(docs).collect()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == 3000L)
+    assert(rep.map(_.getAs[Long]("n_bytes")).sum ==
+      (0L until 3000L).map(i => 1 + (i % 13)).sum)
+    for (r <- rep)
+      assert(r.getAs[Long]("n_common") <= r.getAs[Long]("n_docs"))
+    // 256 buckets over 3000 uniform keys: no bucket should be empty-heavy
+    // or hog the corpus (loose 6x bound keeps the test robust)
+    assert(rep.forall(_.getAs[Long]("n_docs") <= 6L * 3000 / 256))
+  }
+}
