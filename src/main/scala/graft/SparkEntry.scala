@@ -4630,8 +4630,7 @@ object SparkEntry {
       // pipeline is graded against it — the measured banding trade-off,
       // one ids-only outer join, single-row output.
       val docs = table(s, dir, "documents")
-      val gold = graft.ops.SetSim.jaccardJoin(docs)
-        .select(col("id_a"), col("id_b"), lit(1L).as("g"))
+      val gold = sharedSetsimGold(s, dir).select(col("id_a"), col("id_b"), lit(1L).as("g"))
       val lsh = Dedup.minhashMd5Pairs(docs, threshold = 0.8)
         .select(col("id_a"), col("id_b"), lit(1L).as("f"))
       gold.join(lsh, Seq("id_a", "id_b"), "outer")
@@ -4646,8 +4645,32 @@ object SparkEntry {
             (lit(2L) * col("n_gold")).cast("double")).cast("long").as("recall_bps"),
           floor((lit(20000L) * col("n_common") + col("n_lsh")) /
             (lit(2L) * col("n_lsh")).cast("double")).cast("long").as("precision_bps"))
+    },
+    "lsh_band_auto_plan" -> { (s, dir) =>
+      // The banding knob closed into a PLANNER (the ann_filtered_auto
+      // discipline): per (bands, rowsPerBand) config off ONE checkpointed
+      // signature pass, the measured candidate count (the verify cost a
+      // coarser banding buys down) and the measured recall against the
+      // SAME lossless setsim gold lsh_blocking_recall grades with (shared
+      // build) — then the choice: cheapest config with recall ≥ 95%, else
+      // highest recall, deterministic tie-breaks, the decision riding
+      // every row as a column (ops/Dedup.scala).
+      Dedup.lshBandAutoPlan(
+        table(s, dir, "documents"), sharedSetsimGold(s, dir))
     }
   )
+
+  /** The exact ≥0.8 n-gram-Jaccard pair set off the lossless prefix-filter
+    * join — built ONCE per (session, sfDir) and shared by
+    * lsh_blocking_recall and lsh_band_auto_plan (it is both queries'
+    * expensive leg).
+    */
+  private def sharedSetsimGold(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "setsimGold08") {
+      graft.ops.SetSim.jaccardJoin(table(s, dir, "documents"))
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(eager = true)
+    }
 
   /** Shared oracle CTE chain for the md5-anchored near-dup pipeline: 3-gram
     * shingles → one md5 per shingle → 64-member affine MinHash signatures →
@@ -9466,6 +9489,58 @@ object SparkEntry {
         |  CAST(floor((20000*n_common + n_gold) / (2.0*n_gold)) AS BIGINT) AS recall_bps,
         |  CAST(floor((20000*n_common + n_lsh) / (2.0*n_lsh)) AS BIGINT) AS precision_bps
         |FROM cnt""".stripMargin,
+    "lsh_band_auto_plan" ->
+      s"""$Md5SigCtes, gg AS (
+        |  SELECT doc_id, unnest(g) AS gram FROM grams
+        |), gsz AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM gg GROUP BY 1
+        |), ginter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ni
+        |  FROM gg a JOIN gg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), gold AS MATERIALIZED (
+        |  SELECT id_a, id_b
+        |  FROM ginter JOIN gsz sa ON sa.doc_id = id_a JOIN gsz sb ON sb.doc_id = id_b
+        |  WHERE 1000000 * ni >= 800000 * (sa.n + sb.n - ni)
+        |), ng AS (SELECT CAST(count(*) AS BIGINT) AS n_gold FROM gold),
+        |cfg AS (SELECT CAST(unnest([4, 8, 16, 32]) AS INT) AS bands),
+        |cbk AS MATERIALIZED (
+        |  SELECT c.bands, s.doc_id, s.j // (64 // c.bands) AS band,
+        |    string_agg(CAST(s.m AS VARCHAR), '-' ORDER BY s.j) AS bkey
+        |  FROM sig s, cfg c GROUP BY 1, 2, 3
+        |), cok AS (
+        |  SELECT bands, band, bkey FROM cbk GROUP BY 1, 2, 3
+        |  HAVING count(*) BETWEEN 2 AND 1000
+        |), ccand AS MATERIALIZED (
+        |  SELECT DISTINCT k.bands, a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM cok k
+        |  JOIN cbk a ON a.bands = k.bands AND a.band = k.band AND a.bkey = k.bkey
+        |  JOIN cbk b ON b.bands = k.bands AND b.band = k.band AND b.bkey = k.bkey
+        |    AND a.doc_id < b.doc_id
+        |), per AS (
+        |  SELECT f.bands, CAST(64 // f.bands AS INT) AS rows_per_band,
+        |    CAST(coalesce(cnt.n_candidates, 0) AS BIGINT) AS n_candidates,
+        |    (SELECT n_gold FROM ng) AS n_gold,
+        |    CAST(coalesce(cnt.n_hit, 0) AS BIGINT) AS n_hit
+        |  FROM cfg f LEFT JOIN (
+        |    SELECT c.bands, count(*) AS n_candidates,
+        |      sum(CASE WHEN g.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |    FROM ccand c LEFT JOIN gold g ON g.id_a = c.id_a AND g.id_b = c.id_b
+        |    GROUP BY 1) cnt ON cnt.bands = f.bands
+        |), sc AS (
+        |  SELECT *,
+        |    CASE WHEN n_gold > 0 THEN (10000 * n_hit) // n_gold END AS recall_bps,
+        |    CASE WHEN n_gold = 0 OR 10000 * n_hit >= 9500 * n_gold THEN 1 ELSE 0 END AS q
+        |  FROM per
+        |), rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY q DESC,
+        |    CASE WHEN q = 1 THEN n_candidates ELSE -n_hit END ASC, bands ASC) AS rnk
+        |  FROM sc
+        |)
+        |SELECT bands, rows_per_band, n_candidates, n_gold, n_hit,
+        |  CAST(recall_bps AS BIGINT) AS recall_bps, CAST(q AS INT) AS qualified,
+        |  CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS INT) AS chosen
+        |FROM rk""".stripMargin,
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 8),

@@ -1601,6 +1601,95 @@ object Dedup {
       finally pairs.unpersist(blocking = false)
   }
 
+  /** LSH banding auto-planner — the `ann_filtered_auto` discipline applied
+    * to the (bands, rowsPerBand) knob: MEASURE each config on the corpus,
+    * then CHOOSE, with the measurement and the choice riding every row.
+    * One signature pass (checkpointed — everything downstream touches
+    * 8·64-byte signatures, never text); per config b (r = numHashes/b),
+    * the banded candidate count is the config's verify COST and the
+    * overlap with the exact ≥τ gold (`goldPairs`, the lossless
+    * prefix-filter join) is its RECALL. A config qualifies when
+    * 10⁴·n_hit ≥ recallTargetBps·n_gold (vacuously when the gold is
+    * empty); the chosen row is the cheapest qualifying config, else the
+    * highest-recall one — ties break to fewer bands, deterministic both
+    * sides of the oracle.
+    *
+    * Scale shape: more bands = more candidate shuffle volume at 100 TB —
+    * this row prices that against measured recall instead of folklore
+    * S-curves. The final ranking window sees exactly |configs| rows.
+    */
+  def lshBandAutoPlan(
+      docs: DataFrame,
+      goldPairs: DataFrame,
+      bandConfigs: Seq[Int] = Seq(4, 8, 16, 32),
+      recallTargetBps: Long = 9500L,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    require(bandConfigs.nonEmpty && bandConfigs.forall(b => b >= 1 && numHashes % b == 0),
+      "every band count must divide numHashes")
+    import org.apache.spark.sql.expressions.Window
+    val sigs = docs
+      .select(
+        col(idCol).as("id"),
+        graft.functions.MinhashMd5Sig.column(col(textCol), shingleN, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .localCheckpoint(eager = true)
+    val gold = goldPairs.select(col("id_a"), col("id_b"), lit(1L).as("g"))
+    val nGold = gold.count() // driver scalar, bounded (one count of the gold)
+    val legs = bandConfigs.map { b =>
+      val r = numHashes / b
+      val banded = sigs.select(
+        col("id"),
+        explode(array((0 until b).map { bb =>
+          struct(
+            (lit(bb).as("b") +:
+              (1 to r).map(i => element_at(col("sig"), bb * r + i).as(s"m$i"))): _*)
+        }: _*)).as("bk"))
+      val cand = banded
+        .groupBy(col("bk"))
+        .agg(collect_list(col("id")).as("ids"))
+        .filter(size(col("ids")).between(2, maxBucket))
+        .select(explode(orderedPairs(array_sort(col("ids")))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      cand
+        .join(gold, Seq("id_a", "id_b"), "left")
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          coalesce(sum(coalesce(col("g"), lit(0L))), lit(0L)).as("n_hit"))
+        .select(
+          lit(b).as("bands"),
+          lit(r).as("rows_per_band"),
+          col("n_candidates"),
+          lit(nGold).as("n_gold"),
+          col("n_hit"))
+    }
+    val per = legs.reduce(_ unionByName _)
+    val scored = per
+      .withColumn(
+        "recall_bps",
+        when(col("n_gold") > 0, expr("(10000 * n_hit) DIV n_gold")))
+      .withColumn(
+        "qualified",
+        when(
+          col("n_gold") === 0 ||
+            lit(10000L) * col("n_hit") >= lit(recallTargetBps) * col("n_gold"),
+          1).otherwise(0))
+    scored
+      .withColumn(
+        "rk",
+        row_number().over(Window.orderBy(
+          col("qualified").desc,
+          when(col("qualified") === 1, col("n_candidates")).otherwise(-col("n_hit")).asc,
+          col("bands").asc)))
+      .withColumn("chosen", when(col("rk") === 1, 1).otherwise(0))
+      .drop("rk")
+  }
+
   /** MinHash estimator calibration over the LSH candidate pairs: for each
     * candidate, the signature-based Jaccard ESTIMATE (matching components
     * / numHashes) next to the exact shingle-set Jaccard, both in exact

@@ -693,4 +693,36 @@ class DedupSpec extends AnyFunSuite {
     assert(loose.length == 1 && loose.head.getLong(loose.head.fieldIndex("cont_a_in_b_bps")) < 8000L)
   }
 
+
+  test("lshBandAutoPlan: measured per-config rows, deterministic choice under both regimes") {
+    val docs = (0L until 40L).map { i =>
+      // 8 near-dup clusters of 5 docs sharing most trigrams, plus id salt
+      val base = s"alpha beta gamma delta epsilon zeta eta theta iota kappa g${i / 5}"
+      (i, s"$base tail${i % 5} extra${i % 5} pad${i % 5}")
+    }.toDF("doc_id", "text")
+    val gold = graft.ops.SetSim.jaccardJoin(docs).select($"id_a", $"id_b")
+    val plan = Dedup.lshBandAutoPlan(docs, gold).collect()
+      .map(r => r.getAs[Int]("bands") -> r).toMap
+    assert(plan.size == 4)
+    for ((b, r) <- plan) {
+      assert(r.getAs[Int]("rows_per_band") == 64 / b)
+      val (cand, g, hit) = (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_gold"),
+        r.getAs[Long]("n_hit"))
+      assert(hit <= cand && hit <= g, s"bands $b: hit $hit cand $cand gold $g")
+    }
+    assert(plan.values.map(_.getAs[Int]("chosen")).sum == 1, "exactly one chosen row")
+    // target 0: every config qualifies, so the choice is the cheapest
+    val all = Dedup.lshBandAutoPlan(docs, gold, recallTargetBps = 0L).collect()
+    assert(all.forall(_.getAs[Int]("qualified") == 1))
+    val chosenCheap = all.filter(_.getAs[Int]("chosen") == 1).head
+    assert(chosenCheap.getAs[Long]("n_candidates") ==
+      all.map(_.getAs[Long]("n_candidates")).min)
+    // unreachable target: nothing qualifies, so the choice is max recall
+    val none = Dedup.lshBandAutoPlan(docs, gold, recallTargetBps = 10001L).collect()
+    if (none.head.getAs[Long]("n_gold") > 0) {
+      assert(none.forall(_.getAs[Int]("qualified") == 0))
+      val chosenBest = none.filter(_.getAs[Int]("chosen") == 1).head
+      assert(chosenBest.getAs[Long]("n_hit") == none.map(_.getAs[Long]("n_hit")).max)
+    }
+  }
 }
