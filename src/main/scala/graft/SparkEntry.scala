@@ -4646,6 +4646,23 @@ object SparkEntry {
           floor((lit(20000L) * col("n_common") + col("n_lsh")) /
             (lit(2L) * col("n_lsh")).cast("double")).cast("long").as("precision_bps"))
     },
+    "dict_scan_doc_stats" -> { (s, dir) =>
+      // Multi-pattern dictionary scan, per-doc face: total occurrences +
+      // distinct terms hit. ONE broadcast Aho–Corasick pass over the
+      // corpus regardless of dictionary size — the scale answer to
+      // K-pattern blocklist/PII scanning, where K contains/regex columns
+      // are K corpus scans. Space-prefixed patterns have no self-border
+      // (theorem, spec-pinned), so automaton all-occurrence counts equal
+      // the oracle's non-overlapping replace-length counts
+      // (ops/DictScan.scala).
+      graft.ops.DictScan.docStats(sharedDictScan(s, dir))
+    },
+    "dict_scan_pattern_totals" -> { (s, dir) =>
+      // The dictionary's heavy-hitter table off the SAME automaton pass
+      // (shared build): per term, carrying docs + total occurrences
+      // (ops/DictScan.scala).
+      graft.ops.DictScan.patternTotals(sharedDictScan(s, dir))
+    },
     "lsh_band_auto_plan" -> { (s, dir) =>
       // The banding knob closed into a PLANNER (the ann_filtered_auto
       // discipline): per (bands, rowsPerBand) config off ONE checkpointed
@@ -4670,6 +4687,18 @@ object SparkEntry {
       graft.ops.SetSim.jaccardJoin(table(s, dir, "documents"))
         .select(col("id_a"), col("id_b"))
         .localCheckpoint(eager = true)
+    }
+
+  /** One Aho–Corasick scan of the lowercased corpus against its own
+    * top-200-df token dictionary, checkpointed and shared by both
+    * dict_scan faces.
+    */
+  private def sharedDictScan(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "dictScan200") {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      val dict = graft.ops.DictScan.topTokenDictionary(docs, 200)
+      graft.ops.DictScan.scanCounts(docs, dict).localCheckpoint(eager = true)
     }
 
   /** Shared oracle CTE chain for the md5-anchored near-dup pipeline: 3-gram
@@ -7419,6 +7448,29 @@ object SparkEntry {
     * 2²⁴, the XOR via DuckDB's `xor`. Pure integer, no overflow
     * anywhere in the 48-bit domain.
     */
+  /** Shared CTEs reproducing [[graft.ops.DictScan]]'s registered faces:
+    * the top-200-df lowercase token dictionary (space-prefixed patterns),
+    * then per (doc, pattern) the NON-overlapping occurrence count in
+    * `' ' || lower(text)` via the replace-length formula — equal to the
+    * automaton's all-occurrence count because space-prefixed single-space
+    * patterns have no self-border (DictScanSpec pins the theorem).
+    */
+  private val DictScanCtes: String =
+    """WITH dtoks AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS tok
+      |  FROM documents
+      |), ddf AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dtoks
+      |  WHERE length(tok) > 0 GROUP BY 1
+      |), ddict AS (
+      |  SELECT ' ' || tok AS pattern FROM ddf ORDER BY df DESC, tok LIMIT 200
+      |), dsc AS (
+      |  SELECT d.doc_id, p.pattern,
+      |    (length(' ' || lower(d.text)) - length(replace(' ' || lower(d.text), p.pattern, '')))
+      |      // length(p.pattern) AS n
+      |  FROM documents d, ddict p
+      |), dhits AS MATERIALIZED (SELECT * FROM dsc WHERE n > 0)""".stripMargin
+
   private def feistelKeySqlExpr(id: String, seed: Long): String = {
     var l = s"($id // 16777216)"
     var r = s"($id % 16777216)"
@@ -9489,6 +9541,16 @@ object SparkEntry {
         |  CAST(floor((20000*n_common + n_gold) / (2.0*n_gold)) AS BIGINT) AS recall_bps,
         |  CAST(floor((20000*n_common + n_lsh) / (2.0*n_lsh)) AS BIGINT) AS precision_bps
         |FROM cnt""".stripMargin,
+    "dict_scan_doc_stats" ->
+      s"""$DictScanCtes
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_hits,
+        |  CAST(count(*) AS BIGINT) AS n_patterns
+        |FROM dhits GROUP BY 1""".stripMargin,
+    "dict_scan_pattern_totals" ->
+      s"""$DictScanCtes
+        |SELECT pattern, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_occurrences
+        |FROM dhits GROUP BY 1""".stripMargin,
     "lsh_band_auto_plan" ->
       s"""$Md5SigCtes, gg AS (
         |  SELECT doc_id, unnest(g) AS gram FROM grams

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-pattern dictionary scanning — blocklists, PII term dictionaries,
+  * keyword taggers — at corpus scale.
+  *
+  * The naive shape is one pass PER PATTERN (K `contains`/`regexp` columns,
+  * or a K-way regex alternation that the regex engine compiles into
+  * something superlinear): at 100 TB × K = 10⁴ patterns that is K corpus
+  * scans. The scale shape is an AHO–CORASICK automaton: the dictionary
+  * compiles ONCE on the driver into a trie with failure links (total size
+  * = total pattern chars), broadcasts to every executor, and each document
+  * is scanned in ONE left-to-right pass emitting every (pattern,
+  * end-position) occurrence — O(len + matches) per doc, independent of K.
+  *
+  * Occurrence semantics: the automaton reports ALL occurrences, including
+  * self-overlapping ones. The registered faces use space-prefixed
+  * single-space patterns (" token"), which PROVABLY have no nontrivial
+  * border (a proper border would have to start with the leading space AND
+  * appear in the space-free tail), so all-occurrence counts coincide with
+  * the non-overlapping counts a SQL oracle computes via the
+  * replace-length formula — the equivalence is a theorem for this pattern
+  * family, spec-pinned, not an approximation.
+  */
+object DictScan {
+
+  /** Immutable Aho–Corasick automaton over arbitrary pattern strings.
+    * goto is a per-node char map; fail links follow the classic BFS
+    * construction; out(n) carries every pattern id ending at node n
+    * (own + inherited through fail links at build time, so the scan
+    * never walks fail chains for output).
+    */
+  final class Automaton private (
+      val gotoMaps: Array[Map[Char, Int]],
+      val fail: Array[Int],
+      val out: Array[Array[Int]]) extends Serializable {
+
+    /** Scan one text; returns counts per pattern id (only ids with > 0). */
+    def scan(text: String): scala.collection.immutable.Map[Int, Long] = {
+      if (text == null) return Map.empty
+      val counts = scala.collection.mutable.HashMap.empty[Int, Long]
+      var state = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        var s = state
+        while (s != 0 && !gotoMaps(s).contains(c)) s = fail(s)
+        state = gotoMaps(s).getOrElse(c, 0)
+        val hits = out(state)
+        var j = 0
+        while (j < hits.length) {
+          counts.update(hits(j), counts.getOrElse(hits(j), 0L) + 1L)
+          j += 1
+        }
+        i += 1
+      }
+      counts.toMap
+    }
+  }
+
+  object Automaton {
+    def build(patterns: Seq[String]): Automaton = {
+      require(patterns.nonEmpty && patterns.forall(_.nonEmpty), "patterns must be non-empty")
+      val gotoMaps = scala.collection.mutable.ArrayBuffer(Map.empty[Char, Int])
+      val ownOut = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+      patterns.zipWithIndex.foreach { case (p, id) =>
+        var node = 0
+        p.foreach { c =>
+          gotoMaps(node).get(c) match {
+            case Some(n) => node = n
+            case None =>
+              gotoMaps += Map.empty
+              ownOut += Nil
+              gotoMaps(node) = gotoMaps(node) + (c -> (gotoMaps.length - 1))
+              node = gotoMaps.length - 1
+          }
+        }
+        ownOut(node) = id :: ownOut(node)
+      }
+      val n = gotoMaps.length
+      val fail = new Array[Int](n)
+      val out = Array.fill(n)(List.empty[Int])
+      for (i <- 0 until n) out(i) = ownOut(i)
+      val queue = scala.collection.mutable.Queue.empty[Int]
+      gotoMaps(0).values.foreach { c => fail(c) = 0; queue += c }
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        gotoMaps(u).foreach { case (ch, v) =>
+          var f = fail(u)
+          while (f != 0 && !gotoMaps(f).contains(ch)) f = fail(f)
+          fail(v) = if (gotoMaps(f).contains(ch) && gotoMaps(f)(ch) != v) gotoMaps(f)(ch) else 0
+          out(v) = out(v) ++ out(fail(v)) // inherit matches through the fail link
+          queue += v
+        }
+      }
+      new Automaton(gotoMaps.toArray, fail, out.map(_.toArray))
+    }
+  }
+
+  /** The deterministic dictionary the registered faces scan for: the
+    * `k` highest-document-frequency lowercase tokens (ties broken by
+    * token), each as the pattern `" " + token`. One aggregation over the
+    * corpus; the k-row result is a driver-side anchor set (bounded
+    * collect, the family precedent).
+    */
+  def topTokenDictionary(docs: DataFrame, k: Int, textCol: String = "text"): Seq[String] = {
+    docs
+      .select(explode(array_distinct(
+        split(lower(col(textCol)), "\\s+"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(k)
+      .collect()
+      .map(r => " " + r.getString(0))
+      .toSeq
+  }
+
+  /** One automaton pass over the corpus: (doc_id, pattern, n) for every
+    * pattern with at least one occurrence in `' ' + text` (the leading
+    * space makes a doc-initial token visible to space-prefixed patterns).
+    * The automaton broadcasts once; the scan is map-only.
+    */
+  def scanCounts(
+      docs: DataFrame,
+      patterns: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val auto = spark.sparkContext.broadcast(Automaton.build(patterns))
+    val pats = spark.sparkContext.broadcast(patterns.toArray)
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          auto.value.scan(" " + Option(text).getOrElse("")).iterator.map {
+            case (pid, n) => (id, pats.value(pid), n)
+          }
+        }
+      }
+      .toDF("doc_id", "pattern", "n")
+  }
+
+  /** Per-doc face: total occurrences + distinct dictionary terms hit
+    * (docs with at least one hit; zero-hit docs carry no information a
+    * count can't reconstruct).
+    */
+  def docStats(scanned: DataFrame): DataFrame =
+    scanned
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n")).as("n_hits"),
+        count(lit(1)).as("n_patterns"))
+
+  /** Per-pattern face: corpus totals — the dictionary's heavy-hitter
+    * table (n_docs carrying the term, total occurrences).
+    */
+  def patternTotals(scanned: DataFrame): DataFrame =
+    scanned
+      .groupBy(col("pattern"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_occurrences"))
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.DictScan
+
+class DictScanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Brute all-occurrence count: indexOf stepping by ONE (overlaps seen). */
+  private def bruteAll(text: String, p: String): Long = {
+    var i = text.indexOf(p); var n = 0L
+    while (i >= 0) { n += 1; i = text.indexOf(p, i + 1) }
+    n
+  }
+
+  /** Brute NON-overlapping count: indexOf stepping by the pattern length
+    * (the SQL replace-length formula's semantics).
+    */
+  private def bruteNonOverlap(text: String, p: String): Long = {
+    var i = text.indexOf(p); var n = 0L
+    while (i >= 0) { n += 1; i = text.indexOf(p, i + p.length) }
+    n
+  }
+
+  test("automaton reports ALL occurrences including overlaps and nested patterns") {
+    val auto = DictScan.Automaton.build(Seq("aa", "he", "she", "his", "hers"))
+    val c1 = auto.scan("aaaa")
+    assert(c1(0) == 3L, "self-overlapping aa in aaaa")
+    val c2 = auto.scan("ushers")
+    // ushers: she at 1, he at 2, hers at 2
+    assert(c2.get(2).contains(1L), "she")
+    assert(c2.get(1).contains(1L), "he (inside ushers, via fail-link inheritance)")
+    assert(c2.get(4).contains(1L), "hers")
+    assert(!c2.contains(3), "his absent")
+  }
+
+  test("automaton counts match brute all-occurrence counts on random text") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abc "
+    val text = Seq.fill(4000)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val patterns = Seq("a", "ab", "aba", " a", "ca ", "bb", "abc", " ", "aa")
+    val auto = DictScan.Automaton.build(patterns)
+    val got = auto.scan(text)
+    for ((p, id) <- patterns.zipWithIndex)
+      assert(got.getOrElse(id, 0L) == bruteAll(text, p), s"pattern '$p'")
+  }
+
+  test("no-self-border theorem: space-prefixed patterns make all-occurrence == non-overlapping") {
+    // a space-prefixed pattern with a space-free tail cannot overlap
+    // itself (a proper border would start with ' ' AND sit inside the
+    // tail), so the two counting semantics coincide — the equivalence the
+    // oracle's replace-length formula relies on
+    val rnd = new scala.util.Random(13)
+    val words = Seq("the", "aa", "aba", "thethe", "x")
+    val text = Seq.fill(3000)(words(rnd.nextInt(words.length))).mkString(" ")
+    val patterns = words.map(" " + _)
+    val auto = DictScan.Automaton.build(patterns)
+    val got = auto.scan(" " + text)
+    for ((p, id) <- patterns.zipWithIndex) {
+      val all = bruteAll(" " + text, p)
+      assert(all == bruteNonOverlap(" " + text, p), s"'$p' self-overlapped")
+      assert(got.getOrElse(id, 0L) == all, s"automaton count for '$p'")
+    }
+  }
+
+  test("scanCounts + faces reconcile against brute per-doc counts") {
+    val docs = Seq(
+      (1L, "the cat and the dog and the cat"),
+      (2L, "dog dog dog"),
+      (3L, "nothing here"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val patterns = Seq(" the", " dog", " cat")
+    val scanned = DictScan.scanCounts(docs, patterns)
+    val got = scanned.as[(Long, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got((1L, " the")) == 3L)
+    assert(got((1L, " cat")) == 2L)
+    assert(got((2L, " dog")) == 3L)
+    assert(!got.contains((3L, " the")) && !got.keys.exists(_._1 == 4L))
+    val stats = DictScan.docStats(scanned).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_hits"), r.getAs[Long]("n_patterns")))
+      .toMap
+    assert(stats(1L) == (6L, 3L))
+    assert(stats(2L) == (3L, 1L))
+    val totals = DictScan.patternTotals(scanned).collect()
+      .map(r => r.getAs[String]("pattern") -> (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences")))
+      .toMap
+    assert(totals(" dog") == (2L, 4L))
+    // books close across the two faces
+    assert(stats.values.map(_._1).sum == totals.values.map(_._2).sum)
+  }
+
+  test("topTokenDictionary: df-ranked, deterministic ties, space-prefixed") {
+    val docs = Seq(
+      (1L, "zz aa bb"), (2L, "zz aa"), (3L, "zz bb"), (4L, "zz")).toDF("doc_id", "text")
+    val dict = DictScan.topTokenDictionary(docs, 3)
+    assert(dict == Seq(" zz", " aa", " bb")) // df 4, 2, 2 — tie broken by token
+  }
+}
