@@ -1456,9 +1456,7 @@ object SparkEntry {
       // replays all three thresholdings — global mean, wraparound
       // horizontal gradient, median-of-63-WHT-coefficients — per variant
       // (ops/Multimodal.scala).
-      val corpus = Multimodal.perturbedImageCorpus(table(s, dir, "documents"))
-      Multimodal.perceptualHashes(corpus).toDF()
-        .filter(col("ok"))
+      sharedPerturbedHashes(s, dir)
         .select(
           col("media_id"),
           when(col("media_id") % 4 === 0, "orig")
@@ -1474,7 +1472,7 @@ object SparkEntry {
       // (mean / gradient / spectral), each variant paired with its own
       // original by id join (never media×media), catches at Hamming ≤ 6
       // plus the exact Hamming mass and extremes (ops/Multimodal.scala).
-      Multimodal.perturbationMatrix(table(s, dir, "documents"))
+      Multimodal.perturbationMatrixFromHashes(sharedPerturbedHashes(s, dir))
     },
     "pii_stats" -> { (s, dir) =>
       // PII scan + redaction (map-only, three codegen'd regex passes). The
@@ -2770,8 +2768,7 @@ object SparkEntry {
       // three containment chains share ONE shingle-set pass
       // (ops/Dedup.scala composition).
       val docs = table(s, dir, "documents")
-      Dedup.curationOrderReport(
-        docs, docs.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+      Dedup.curationOrderReportFromCore(sharedCurationCore(s, dir), docs)
     },
     "curation_pipeline_v10" -> { (s, dir) =>
       // The order policy ENCODED: decontam-then-dedup (the measured-safe
@@ -2782,8 +2779,7 @@ object SparkEntry {
       // nonzero case). One shingle-set pass feeds all three containment
       // chains (ops/Dedup.scala + ops/Sampling.scala).
       val docs = table(s, dir, "documents")
-      Dedup.curationPipelineV10(
-        docs, docs.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+      Dedup.curationPipelineV10FromCore(sharedCurationCore(s, dir), docs)
     },
     "epoch_waterfill_allocation" -> { (s, dir) =>
       // Data-constrained scaling allocation (Muennighoff et al. 2023):
@@ -4687,6 +4683,29 @@ object SparkEntry {
       graft.ops.SetSim.jaccardJoin(table(s, dir, "documents"))
         .select(col("id_a"), col("id_b"))
         .localCheckpoint(eager = true)
+    }
+
+  /** ONE decode+hash pass over the perturbation-twin corpus, shared by
+    * media_perceptual_hashes and media_perturbation_matrix (each
+    * previously ran its own ~2.8 s decode at sf0.1).
+    */
+  private def sharedPerturbedHashes(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "perturbedHashes") {
+      Multimodal.perturbedHashes(table(s, dir, "documents"))
+    }
+
+  /** Both curation-order survivor id frames (dedup-first and
+    * decontam-then-dedup) at the registered thresholds — built ONCE per
+    * (session, sfDir) and consumed by curation_order_report AND
+    * curation_pipeline_v10, which previously each re-ran the identical
+    * shingle + contamination + two-dedup-chain core (~6 s each at sf0.1).
+    */
+  private def sharedCurationCore(
+      s: SparkSession, dir: String): graft.ops.Dedup.CurationOrderCore =
+    sharedState(s, dir, "curationOrderCore") {
+      val docs = table(s, dir, "documents")
+      graft.ops.Dedup.curationOrderCore(
+        docs, docs.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
     }
 
   /** One Aho–Corasick scan of the lowercased corpus against its own

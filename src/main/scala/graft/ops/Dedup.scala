@@ -1361,14 +1361,24 @@ object Dedup {
     * driver corpus at both SFs; the planted-container spec shows the
     * non-zero case).
     */
-  def curationOrderReport(
+  /** The shared core of the curation-order analysis: both policies'
+    * surviving id frames (checkpointed, ids only) for one (corpus, eval,
+    * thresholds) configuration. `curation_order_report` and
+    * `curation_pipeline_v10` consume the SAME core — SparkEntry builds it
+    * once per (session, sfDir) through its shared-leg memo, so the
+    * shingle pass, the contamination chain, and both dedup chains run
+    * once for the pair of queries instead of once per query.
+    */
+  final case class CurationOrderCore(dedupFirst: DataFrame, decontamFirst: DataFrame)
+
+  def curationOrderCore(
       docs: DataFrame,
       evalIds: DataFrame,
       dedupBps: Long = 9500L,
       contamBps: Long = 8000L,
       idCol: String = "doc_id",
       textCol: String = "text"
-  ): DataFrame = {
+  ): CurationOrderCore = {
     val evIds = evalIds.select(col(evalIds.columns.head).as("eid")).distinct()
     val train = docs.join(evIds.select(col("eid").as(idCol)), Seq(idCol), "left_anti")
     // the three containment chains (decontam @contamBps, dedup @dedupBps
@@ -1401,8 +1411,30 @@ object Dedup {
       .join(dedupDrops(containmentPairsFromBuild(build, Some(contaminated))),
         Seq(idCol), "left_anti")
       .select(col(idCol)).localCheckpoint(eager = true)
-    val diverged = dedupFirst.join(decontamFirst, Seq(idCol), "left_anti")
-      .unionByName(decontamFirst.join(dedupFirst, Seq(idCol), "left_anti"))
+    CurationOrderCore(dedupFirst, decontamFirst)
+  }
+
+  def curationOrderReport(
+      docs: DataFrame,
+      evalIds: DataFrame,
+      dedupBps: Long = 9500L,
+      contamBps: Long = 8000L,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    curationOrderReportFromCore(
+      curationOrderCore(docs, evalIds, dedupBps, contamBps, idCol, textCol),
+      docs, idCol, textCol)
+
+  /** [[curationOrderReport]] off a prebuilt [[curationOrderCore]]. */
+  def curationOrderReportFromCore(
+      core: CurationOrderCore,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val diverged = core.dedupFirst.join(core.decontamFirst, Seq(idCol), "left_anti")
+      .unionByName(core.decontamFirst.join(core.dedupFirst, Seq(idCol), "left_anti"))
     def leg(name: String, ids: DataFrame) =
       ids.join(docs, Seq(idCol))
         .agg(
@@ -1411,8 +1443,8 @@ object Dedup {
             .as("n_tokens"))
         .select(lit(name).as("policy"), col("n_docs"), col("n_tokens"))
     Seq(
-      leg("dedup_then_decontam", dedupFirst),
-      leg("decontam_then_dedup", decontamFirst),
+      leg("dedup_then_decontam", core.dedupFirst),
+      leg("decontam_then_dedup", core.decontamFirst),
       leg("divergence", diverged)).reduce(_ unionByName _)
   }
 
@@ -1441,36 +1473,25 @@ object Dedup {
       contamBps: Long = 8000L,
       idCol: String = "doc_id",
       textCol: String = "text"
+  ): DataFrame =
+    curationPipelineV10FromCore(
+      curationOrderCore(docs, evalIds, dedupBps, contamBps, idCol, textCol),
+      docs, idCol, textCol)
+
+  /** [[curationPipelineV10]] off a prebuilt [[curationOrderCore]]: the
+    * kept corpus is the decontam-then-dedup survivors (the core's
+    * checkpointed id frame joined back to the docs), the health column
+    * the symmetric difference against the dedup-first counterfactual.
+    */
+  def curationPipelineV10FromCore(
+      core: CurationOrderCore,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
   ): DataFrame = {
-    val evIds = evalIds.select(col(evalIds.columns.head).as("eid")).distinct()
-    val train = docs.join(evIds.select(col("eid").as(idCol)), Seq(idCol), "left_anti")
-    val sets = shingleSets(docs, idCol = idCol, textCol = textCol)
-    val contaminated = quotedEvalContainmentFromSets(sets, evIds, contamBps)
-      .select(col("train_doc_id").as(idCol)).distinct()
-      .localCheckpoint(eager = true) // ids only; read by both orders
-    val setsTrain = sets.join(evIds.select(col("eid").as("id")), Seq("id"), "left_anti")
-    // ONE posting/prefix build serves BOTH dedup chains (see
-    // curationOrderReport — identical restriction discipline)
-    val build = containmentBuild(setsTrain, dedupBps, 1000, materializePrefix = true)
-    def dedupDrops(pairs: DataFrame) =
-      pairs.select(
-        when(col("cont_a_in_b_bps") >= dedupBps && col("cont_b_in_a_bps") >= dedupBps,
-          greatest(col("id_a"), col("id_b")))
-          .when(col("cont_a_in_b_bps") >= dedupBps, col("id_a"))
-          .otherwise(col("id_b")).as(idCol)).distinct()
-    val clean = train.join(contaminated, Seq(idCol), "left_anti")
-    val kept = clean
-      .join(dedupDrops(containmentPairsFromBuild(build, Some(contaminated))),
-        Seq(idCol), "left_anti")
-      .localCheckpoint(eager = true) // the v10 corpus; fill + (tiny) id reuse
-    // the dedup-first counterfactual, ids only — the health column
-    val dedupFirst = train
-      .join(dedupDrops(containmentPairsFromBuild(build)), Seq(idCol), "left_anti")
-      .join(contaminated, Seq(idCol), "left_anti")
-      .select(col(idCol))
-    val keptIds = kept.select(col(idCol))
-    val divergence = dedupFirst.join(keptIds, Seq(idCol), "left_anti")
-      .unionByName(keptIds.join(dedupFirst, Seq(idCol), "left_anti"))
+    val kept = core.decontamFirst.join(docs, Seq(idCol))
+    val divergence = core.dedupFirst.join(core.decontamFirst, Seq(idCol), "left_anti")
+      .unionByName(core.decontamFirst.join(core.dedupFirst, Seq(idCol), "left_anti"))
       .agg(count(lit(1)).as("order_divergence"))
     Sampling.epochWaterfill(kept, srcCol = "source", textCol = textCol)
       .crossJoin(broadcast(divergence)) // 1-row health scalar

@@ -1095,15 +1095,29 @@ object Multimodal {
   def perturbationMatrix(
       docs: DataFrame,
       side: Int = PhashSide,
-      maxHamming: Int = 6): DataFrame = {
-    val corpus = perturbedImageCorpus(docs, side).localCheckpoint(eager = true)
-    val ph = perceptualHashes(corpus).toDF()
+      maxHamming: Int = 6): DataFrame =
+    perturbationMatrixFromHashes(perturbedHashes(docs, side), maxHamming)
+
+  /** ONE decode+hash pass over [[perturbedImageCorpus]], checkpointed —
+    * the frame both registered perceptual faces read (SparkEntry shares
+    * it per (session, sfDir)).
+    */
+  def perturbedHashes(docs: DataFrame, side: Int = PhashSide): DataFrame = {
+    val corpus = perturbedImageCorpus(docs, side)
+    perceptualHashes(corpus).toDF()
       .filter(col("ok"))
-      .select(
-        expr("media_id DIV 4").as("doc_id"),
-        (col("media_id") % 4).as("k"),
-        col("ahash"), col("dhash"), col("whash"))
+      .select(col("media_id"), col("ahash"), col("dhash"), col("whash"))
       .localCheckpoint(eager = true)
+  }
+
+  /** [[perturbationMatrix]] off a prebuilt [[perturbedHashes]] frame. */
+  def perturbationMatrixFromHashes(
+      hashes: DataFrame,
+      maxHamming: Int = 6): DataFrame = {
+    val ph = hashes.select(
+      expr("media_id DIV 4").as("doc_id"),
+      (col("media_id") % 4).as("k"),
+      col("ahash"), col("dhash"), col("whash"))
     val orig = ph.filter(col("k") === 0)
       .select(col("doc_id"), col("ahash").as("a0"), col("dhash").as("d0"), col("whash").as("w0"))
     val pairs = ph.filter(col("k") =!= 0).join(orig, Seq("doc_id"))

@@ -24,15 +24,19 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(100).groupBy().count().collect()
-    val fn = SparkEntry.queries(name)
-    val times = (1 to reps).map { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      val t = (System.nanoTime() - t0) / 1e9
-      println(f"BENCHONE rep$i: $t%.3f s ($n rows)")
-      t
+    // comma-separated names run in order inside ONE JVM — the harness for
+    // checking shared-leg reuse across a query family
+    for (q <- name.split(',')) {
+      val fn = SparkEntry.queries(q)
+      val times = (1 to reps).map { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"BENCHONE $q rep$i: $t%.3f s ($n rows)")
+        t
+      }
+      println(f"BENCHONE $q min: ${times.min}%.3f s")
     }
-    println(f"BENCHONE min: ${times.min}%.3f s")
     spark.stop()
   }
 }
