@@ -1637,7 +1637,8 @@ object Dedup {
     *
     * Scale shape: more bands = more candidate shuffle volume at 100 TB —
     * this row prices that against measured recall instead of folklore
-    * S-curves. The final ranking window sees exactly |configs| rows.
+    * S-curves. The choice is a min-of-struct aggregate over the
+    * |configs|-row frame — no window anywhere.
     */
   def lshBandAutoPlan(
       docs: DataFrame,
@@ -1652,7 +1653,6 @@ object Dedup {
   ): DataFrame = {
     require(bandConfigs.nonEmpty && bandConfigs.forall(b => b >= 1 && numHashes % b == 0),
       "every band count must divide numHashes")
-    import org.apache.spark.sql.expressions.Window
     val sigs = docs
       .select(
         col(idCol).as("id"),
@@ -1700,15 +1700,21 @@ object Dedup {
           col("n_gold") === 0 ||
             lit(10000L) * col("n_hit") >= lit(recallTargetBps) * col("n_gold"),
           1).otherwise(0))
-    scored
-      .withColumn(
-        "rk",
-        row_number().over(Window.orderBy(
-          col("qualified").desc,
-          when(col("qualified") === 1, col("n_candidates")).otherwise(-col("n_hit")).asc,
-          col("bands").asc)))
-      .withColumn("chosen", when(col("rk") === 1, 1).otherwise(0))
-      .drop("rk")
+    // the choice WITHOUT a global window (the registry bans unpartitioned
+    // WindowExec): the ranking key is a lexicographically-ordered struct
+    // — qualified first, then verify cost (or recall for the unqualified
+    // regime), bands last making it UNIQUE — so min(key) IS the winner;
+    // one broadcast of the 1-row aggregate flags it
+    val keyed = scored.withColumn(
+      "ord",
+      struct(
+        (lit(1) - col("qualified")).as("nq"),
+        when(col("qualified") === 1, col("n_candidates")).otherwise(-col("n_hit")).as("cost"),
+        col("bands").as("b")))
+    keyed
+      .crossJoin(broadcast(keyed.agg(min(col("ord")).as("win"))))
+      .withColumn("chosen", when(col("ord") === col("win"), 1).otherwise(0))
+      .drop("ord", "win")
   }
 
   /** MinHash estimator calibration over the LSH candidate pairs: for each

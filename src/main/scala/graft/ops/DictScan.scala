@@ -144,6 +144,29 @@ object DictScan {
       .toDF("doc_id", "pattern", "n")
   }
 
+  /** Ingest-time blocklist filtering — the multi-pattern scan's streaming
+    * face: keep only docs with ZERO dictionary hits, in the same single
+    * automaton pass (no second join, no state — a stateless map that runs
+    * unchanged on a streaming DataFrame; the spec drives it through
+    * MemoryStream). The scan short-circuits on the first hit.
+    */
+  def blocklistFilter(
+      docs: DataFrame,
+      patterns: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val auto = spark.sparkContext.broadcast(Automaton.build(patterns))
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.filter { case (_, text) =>
+          auto.value.scan(" " + Option(text).getOrElse("")).isEmpty
+        }
+      }
+      .toDF(idCol, textCol)
+  }
+
   /** Per-doc face: total occurrences + distinct dictionary terms hit
     * (docs with at least one hit; zero-hit docs carry no information a
     * count can't reconstruct).

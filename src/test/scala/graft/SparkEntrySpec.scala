@@ -29,7 +29,15 @@ class SparkEntrySpec extends AnyFunSuite {
     // sits at Hamming 10+, deep in the unrelated-pair background — the
     // companion media_ahash_hamming_hist row documents exactly that
     "media_ahash_neardup_pairs" ->
-      "no media payload pair within Hamming 6 exists at sf0.001"
+      "no media payload pair within Hamming 6 exists at sf0.001",
+    // the ~40-user smoke corpus has no two users sharing a sorted
+    // quantized profile bucket, so the banded DTW chain has zero
+    // candidates — the recall face documents the same emptiness against
+    // its sampled gold, and both faces return rows from sf0.01 up
+    "ts_dtw_allpairs_topk" ->
+      "no banded DTW candidate pair exists at sf0.001",
+    "ts_dtw_allpairs_stats" ->
+      "no banded DTW candidate pair exists at sf0.001 (empty census)"
   )
 
   SparkEntry.queries.foreach { case (name, fn) =>
