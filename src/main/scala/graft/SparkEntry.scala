@@ -1474,6 +1474,15 @@ object SparkEntry {
       // plus the exact Hamming mass and extremes (ops/Multimodal.scala).
       Multimodal.perturbationMatrixFromHashes(sharedPerturbedHashes(s, dir))
     },
+    "media_dedup_auto" -> { (s, dir) =>
+      // The matrix ENCODED as the gate: stage 1 totals each hash's
+      // catches across the perturbation classes, stage 2 runs the
+      // pigeonhole-banded near-dup chain with the measured winner (the
+      // gradient hash on this corpus) — decision as a column on every
+      // pair, one bounded driver scalar for the column choice, hash
+      // frame shared with the other two faces (ops/Multimodal.scala).
+      Multimodal.mediaDedupAuto(sharedPerturbedHashes(s, dir))
+    },
     "pii_stats" -> { (s, dir) =>
       // PII scan + redaction (map-only, three codegen'd regex passes). The
       // corpus is synthetic word salad, so the query injects deterministic
@@ -10725,6 +10734,40 @@ object SparkEntry {
         |  CAST(sum(hamming) AS BIGINT) AS sum_hamming,
         |  CAST(max(hamming) AS INT) AS max_hamming
         |FROM pu GROUP BY 1, 2""".stripMargin,
+    "media_dedup_auto" ->
+      s"""WITH $PerturbHashCtesBody, pm2 AS (
+        |  SELECT v.k,
+        |    CAST(bit_count(xor(v.ahash, o.ahash)) AS INT) AS ham_a,
+        |    CAST(bit_count(xor(v.dhash, o.dhash)) AS INT) AS ham_d,
+        |    CAST(bit_count(xor(v.whash, o.whash)) AS INT) AS ham_w
+        |  FROM phashes v JOIN phashes o ON o.doc_id = v.doc_id AND o.k = 0
+        |  WHERE v.k <> 0
+        |), tot AS (
+        |  SELECT 'ahash' AS hash, sum(CASE WHEN ham_a <= 6 THEN 1 ELSE 0 END) AS t FROM pm2
+        |  UNION ALL SELECT 'dhash', sum(CASE WHEN ham_d <= 6 THEN 1 ELSE 0 END) FROM pm2
+        |  UNION ALL SELECT 'whash', sum(CASE WHEN ham_w <= 6 THEN 1 ELSE 0 END) FROM pm2
+        |), pick AS (SELECT hash FROM tot ORDER BY t DESC, hash ASC LIMIT 1),
+        |fpz AS MATERIALIZED (
+        |  SELECT doc_id * 4 + k AS id,
+        |    CASE WHEN (SELECT hash FROM pick) = 'ahash' THEN ahash
+        |         WHEN (SELECT hash FROM pick) = 'dhash' THEN dhash
+        |         ELSE whash END AS h
+        |  FROM phashes
+        |), fck AS (
+        |  SELECT id, cc.c AS c, (h >> (cc.c * 8)) & 255 AS v FROM fpz, range(8) cc(c)
+        |), fbuck AS (
+        |  SELECT c, v, count(*) AS bn FROM fck GROUP BY 1, 2
+        |), fcand AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        |  FROM fck x
+        |  JOIN fbuck bk ON bk.c = x.c AND bk.v = x.v AND bk.bn BETWEEN 2 AND 500
+        |  JOIN fck y ON y.c = x.c AND y.v = x.v AND x.id < y.id
+        |), fh AS (
+        |  SELECT c.id_a, c.id_b, CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        |  FROM fcand c JOIN fpz a ON a.id = c.id_a JOIN fpz b ON b.id = c.id_b
+        |)
+        |SELECT id_a, id_b, hamming, (SELECT hash FROM pick) AS chosen_hash
+        |FROM fh WHERE hamming <= 6""".stripMargin,
     "lsh_sig_md5" ->
       """WITH q AS (
         |  SELECT vec_id,

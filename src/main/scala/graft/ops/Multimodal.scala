@@ -1110,6 +1110,38 @@ object Multimodal {
       .localCheckpoint(eager = true)
   }
 
+  /** The perturbation matrix ENCODED as the media dedup gate (the
+    * `ann_filtered_auto` discipline on the media column): stage 1 totals
+    * each hash's catches across the three perturbation classes, stage 2
+    * runs the pigeonhole-banded near-dup chain with the WINNING hash —
+    * measured choice, deterministic ties (higher total wins, then
+    * lexicographically-first hash name), the decision riding every pair
+    * row. The choice is a min-of-struct aggregate collected as one
+    * bounded driver scalar (it selects a COLUMN, which no distributed
+    * expression can do); the hash frame is the shared one-decode
+    * checkpoint, so the auto face adds only the banded chain.
+    */
+  def mediaDedupAuto(
+      hashes: DataFrame,
+      maxHamming: Int = 6,
+      chunks: Int = 8,
+      maxBucket: Int = 500): DataFrame = {
+    val totals = perturbationMatrixFromHashes(hashes, maxHamming)
+      .groupBy(col("hash"))
+      .agg(sum(col("n_caught")).as("tot"))
+      // min of (−total, name): max total, tie → lexicographically first
+      .agg(min(struct((-col("tot")).as("nt"), col("hash").as("h"))).as("w"))
+      .select(col("w.h"))
+      .collect() // one row — the planner's decision scalar
+    val chosen = totals(0).getString(0)
+    val fps = hashes
+      .select(col("media_id").as("id"), col(chosen).as("h64"))
+      .filter(col("h64").isNotNull)
+    bandedHammings(fps, chunks, maxBucket)
+      .filter(col("hamming") <= maxHamming)
+      .withColumn("chosen_hash", lit(chosen))
+  }
+
   /** [[perturbationMatrix]] off a prebuilt [[perturbedHashes]] frame. */
   def perturbationMatrixFromHashes(
       hashes: DataFrame,

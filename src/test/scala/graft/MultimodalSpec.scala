@@ -428,6 +428,24 @@ class MultimodalSpec extends AnyFunSuite {
       assert(m((klass, hash)).getAs[Long]("n_pairs") == 3L)
   }
 
+  test("mediaDedupAuto: picks the measured winner and emits its banded pairs with the choice") {
+    val hashes = Multimodal.perturbedHashes(phashDocs)
+    val auto = Multimodal.mediaDedupAuto(hashes).collect()
+    assert(auto.nonEmpty)
+    val chosen = auto.map(_.getAs[String]("chosen_hash")).distinct
+    assert(chosen.length == 1)
+    // independent winner: totals over the matrix, max catches, lex tie
+    val m = Multimodal.perturbationMatrixFromHashes(hashes).collect()
+    val totals = m.groupBy(_.getAs[String]("hash"))
+      .map { case (h, rows) => h -> rows.map(_.getAs[Long]("n_caught")).sum }
+    val best = totals.toSeq.sortBy { case (h, t) => (-t, h) }.head._1
+    assert(chosen.head == best, s"auto chose ${chosen.head}, matrix winner is $best")
+    // every re-encode twin pair is present at Hamming 0 regardless of hash
+    val ids = auto.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+    for (docId <- Seq(1L, 2L, 3L))
+      assert(ids.contains((docId * 4, docId * 4 + 1, 0)), s"re-encode twin of doc $docId")
+  }
+
   test("shotBoundaries: planted seams flag, identical-chunk runs stay quiet, first chunks exempt") {
     def pat(seed: Int): Array[Byte] = {
       val r = new scala.util.Random(seed); Array.fill[Byte](256)(r.nextInt(256).toByte)
