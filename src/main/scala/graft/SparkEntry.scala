@@ -10754,14 +10754,19 @@ object SparkEntry {
         |         ELSE whash END AS h
         |  FROM phashes
         |), fck AS (
-        |  SELECT id, cc.c AS c, (h >> (cc.c * 8)) & 255 AS v FROM fpz, range(8) cc(c)
-        |), fbuck AS (
-        |  SELECT c, v, count(*) AS bn FROM fck GROUP BY 1, 2
+        |  SELECT id, cc.c AS c, (h >> (cc.c * 16)) & 65535 AS v FROM fpz, range(4) cc(c)
+        |), fok AS (
+        |  SELECT c, v FROM fck GROUP BY 1, 2 HAVING count(*) <= 500
+        |), fpr AS (
+        |  SELECT id, cc.c AS c,
+        |    CASE WHEN m.m = 0 THEN (h >> (cc.c * 16)) & 65535
+        |         ELSE xor((h >> (cc.c * 16)) & 65535, CAST(1 AS BIGINT) << (m.m - 1)) END AS v
+        |  FROM fpz, range(4) cc(c), range(17) m(m)
         |), fcand AS (
-        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
-        |  FROM fck x
-        |  JOIN fbuck bk ON bk.c = x.c AND bk.v = x.v AND bk.bn BETWEEN 2 AND 500
-        |  JOIN fck y ON y.c = x.c AND y.v = x.v AND x.id < y.id
+        |  SELECT DISTINCT p.id AS id_a, s.id AS id_b
+        |  FROM fpr p
+        |  JOIN fok k ON k.c = p.c AND k.v = p.v
+        |  JOIN fck s ON s.c = p.c AND s.v = p.v AND p.id < s.id
         |), fh AS (
         |  SELECT c.id_a, c.id_b, CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
         |  FROM fcand c JOIN fpz a ON a.id = c.id_a JOIN fpz b ON b.id = c.id_b

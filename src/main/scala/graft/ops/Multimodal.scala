@@ -1110,6 +1110,59 @@ object Multimodal {
       .localCheckpoint(eager = true)
   }
 
+  /** Pigeonhole MULTIPROBE banding — the Hamming ≤ `maxHamming` (≤ 7)
+    * candidate chain for corpora past the 8-bit-chunk occupancy wall
+    * (measured in the streaming face: 2⁸ buckets/index saturate past
+    * ~10³ distinct payloads, and the batch 8-chunk explosion goes
+    * quadratic the same way — the first registered run of the auto gate
+    * paid 21 s at 20k hashes). Shape: 4 chunks of 16 bits; ≤ 7 differing
+    * bits leave SOME chunk with ≤ 1 (pigeonhole over 4 chunks at h ≤ 7),
+    * so the stored side keeps each exact 16-bit chunk value and the
+    * probe side emits the value plus its 16 single-bit flips — one
+    * equi-join on (chunk, key) over 2¹⁶ buckets per index, candidates
+    * linear instead of bucket-quadratic. Lossless for h ≤ 7 up to the
+    * same degenerate-bucket cap as the 8-chunk face; xor-popcount
+    * verifies as before.
+    */
+  private def bandedHammingsMultiprobe(
+      fps: DataFrame,
+      maxHamming: Int,
+      maxBucket: Int): DataFrame = {
+    require(maxHamming <= 7, "4-chunk single-flip multiprobe covers Hamming <= 7")
+    def chunk(c: Int) =
+      shiftrightunsigned(col("h64"), c * 16).bitwiseAND(lit(0xFFFFL))
+    val storedKeys = (0 until 4).map(c => struct(lit(c).as("c"), chunk(c).as("v")))
+    val stored = fps
+      .select(col("id"), explode(array(storedKeys: _*)).as("ck"))
+    // degenerate-value guard, same contract as the 8-chunk face: a stored
+    // key carried by more than maxBucket payloads is boilerplate — drop it
+    // upper cap only: a SINGLETON stored key still pairs with a different
+    // id probing in through a bit flip, so the symmetric faces' bn >= 2
+    // floor would break losslessness here
+    val ok = stored.groupBy(col("ck")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select(col("ck"))
+    val probeKeys = for { c <- 0 until 4; m <- 0 to 16 } yield {
+      val v = if (m == 0) chunk(c) else chunk(c).bitwiseXOR(lit(1L << (m - 1)))
+      struct(lit(c).as("c"), v.as("v"))
+    }
+    val probes = fps
+      .select(col("id").as("pid"), explode(array(probeKeys: _*)).as("ck"))
+    val pairs = probes
+      .join(ok, Seq("ck"))
+      .join(stored.select(col("ck"), col("id").as("sid")), Seq("ck"))
+      .filter(col("pid") < col("sid"))
+      .select(col("pid").as("id_a"), col("sid").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(fps.select(col("id").as("id_a"), col("h64").as("ha")), Seq("id_a"))
+      .join(fps.select(col("id").as("id_b"), col("h64").as("hb")), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        Dedup.hamming64(col("ha"), col("hb")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** The perturbation matrix ENCODED as the media dedup gate (the
     * `ann_filtered_auto` discipline on the media column): stage 1 totals
     * each hash's catches across the three perturbation classes, stage 2
@@ -1119,12 +1172,14 @@ object Multimodal {
     * row. The choice is a min-of-struct aggregate collected as one
     * bounded driver scalar (it selects a COLUMN, which no distributed
     * expression can do); the hash frame is the shared one-decode
-    * checkpoint, so the auto face adds only the banded chain.
+    * checkpoint, so the auto face adds only the banded chain — the
+    * MULTIPROBE one ([[bandedHammingsMultiprobe]]): the first registered
+    * run measured the 8-bit-chunk explosion at 21 s on 20k hashes, the
+    * same occupancy wall the streaming face priced.
     */
   def mediaDedupAuto(
       hashes: DataFrame,
       maxHamming: Int = 6,
-      chunks: Int = 8,
       maxBucket: Int = 500): DataFrame = {
     val totals = perturbationMatrixFromHashes(hashes, maxHamming)
       .groupBy(col("hash"))
@@ -1137,8 +1192,7 @@ object Multimodal {
     val fps = hashes
       .select(col("media_id").as("id"), col(chosen).as("h64"))
       .filter(col("h64").isNotNull)
-    bandedHammings(fps, chunks, maxBucket)
-      .filter(col("hamming") <= maxHamming)
+    bandedHammingsMultiprobe(fps, maxHamming, maxBucket)
       .withColumn("chosen_hash", lit(chosen))
   }
 

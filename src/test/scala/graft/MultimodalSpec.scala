@@ -446,6 +446,20 @@ class MultimodalSpec extends AnyFunSuite {
       assert(ids.contains((docId * 4, docId * 4 + 1, 0)), s"re-encode twin of doc $docId")
   }
 
+  test("mediaDedupAuto multiprobe banding is lossless vs brute all-pairs at Hamming <= 6") {
+    val hashes = Multimodal.perturbedHashes(phashDocs)
+    val auto = Multimodal.mediaDedupAuto(hashes).collect()
+    val chosen = auto.head.getAs[String]("chosen_hash")
+    val hs = hashes.select($"media_id", col(chosen)).as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (ia, ib, d)).toSet
+    val got = auto.map(r =>
+      (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming"))).toSet
+    assert(got == brute, s"multiprobe=${got.size} brute=${brute.size}")
+  }
+
   test("shotBoundaries: planted seams flag, identical-chunk runs stay quiet, first chunks exempt") {
     def pat(seed: Int): Array[Byte] = {
       val r = new scala.util.Random(seed); Array.fill[Byte](256)(r.nextInt(256).toByte)
