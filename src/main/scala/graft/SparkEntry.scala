@@ -10648,14 +10648,19 @@ object SparkEntry {
       s"""WITH $PhashPixelCtesBody, pxm AS (
         |  SELECT doc_id * 2 + tt.t AS id, phash FROM pxh, range(2) tt(t)
         |), pxck AS (
-        |  SELECT id, cc.c AS c, (phash >> (cc.c * 8)) & 255 AS v FROM pxm, range(8) cc(c)
-        |), pxbuck AS (
-        |  SELECT c, v, count(*) AS bn FROM pxck GROUP BY 1, 2
+        |  SELECT id, cc.c AS c, (phash >> (cc.c * 16)) & 65535 AS v FROM pxm, range(4) cc(c)
+        |), pxok AS (
+        |  SELECT c, v FROM pxck GROUP BY 1, 2 HAVING count(*) <= 500
+        |), pxpr AS (
+        |  SELECT id, cc.c AS c,
+        |    CASE WHEN m.m = 0 THEN (phash >> (cc.c * 16)) & 65535
+        |         ELSE xor((phash >> (cc.c * 16)) & 65535, CAST(1 AS BIGINT) << (m.m - 1)) END AS v
+        |  FROM pxm, range(4) cc(c), range(17) m(m)
         |), pxcand AS (
-        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
-        |  FROM pxck x
-        |  JOIN pxbuck bk ON bk.c = x.c AND bk.v = x.v AND bk.bn BETWEEN 2 AND 500
-        |  JOIN pxck y ON y.c = x.c AND y.v = x.v AND x.id < y.id
+        |  SELECT DISTINCT p.id AS id_a, s.id AS id_b
+        |  FROM pxpr p
+        |  JOIN pxok k ON k.c = p.c AND k.v = p.v
+        |  JOIN pxck s ON s.c = p.c AND s.v = p.v AND p.id < s.id
         |), pxch AS MATERIALIZED (
         |  SELECT c.id_a, c.id_b, CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
         |  FROM pxcand c JOIN pxm a ON a.id = c.id_a JOIN pxm b ON b.id = c.id_b

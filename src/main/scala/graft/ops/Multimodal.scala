@@ -961,14 +961,15 @@ object Multimodal {
   def phashPixelPairs(
       media: DataFrame,
       maxHamming: Int = 6,
-      chunks: Int = 8,
       maxBucket: Int = 500): DataFrame = {
-    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
     val fps = phashPixels(media).toDF()
       .filter(col("ok") && col("phash").isNotNull)
       .select(col("media_id").as("id"), col("phash").as("h64"))
       .localCheckpoint(eager = true)
-    bandedHammings(fps, chunks, maxBucket).filter(col("hamming") <= maxHamming)
+    // multiprobe, not symmetric 8-bit buckets: at 10k twin images the
+    // 2⁸-buckets-per-index explosion costs ~4.5 s (the auto gate measured
+    // 21 s at 20k) — the 16-bit probe join is the scale shape
+    bandedHammingsMultiprobe(fps, maxHamming, maxBucket)
   }
 
   /** The calibration row for the pixel face: over the twin corpus

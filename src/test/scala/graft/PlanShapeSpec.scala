@@ -682,14 +682,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "the topk face must read the checkpointed chain, not re-derive it")
   }
 
-  test("media phash pairs: banded over the checkpointed pixel fingerprints, never media×media, one decode pass") {
-    // same discipline as the byte face, extended to the pixel family:
-    // past the fingerprint checkpoint the plan must touch only 8-byte
-    // hashes — no payload re-decode (no parquet), no pair product
+  test("media phash pairs: multiprobe equi-joins over the checkpointed fingerprints, never media×media, one decode pass") {
+    // same discipline as the byte face, extended to the pixel family —
+    // and post-occupancy-wall the candidate stage is the MULTIPROBE
+    // equi-join (probe keys vs stored 16-bit chunks), never a bucket
+    // collect_list explosion; past the fingerprint checkpoint the plan
+    // must touch only 8-byte hashes (no parquet, no pair product)
     val plan = executedPlan("media_phash_pixel_pairs")
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
-    assert(plan.contains("ObjectHashAggregate"), "bucket collect_list stage missing")
+    assert(!plan.contains("collect_list"),
+      "bucket explosion resurfaced — the multiprobe join must generate candidates")
     assert(!plan.contains("parquet"),
       "verification must join the checkpointed fingerprints, not re-decode payloads")
   }
