@@ -4477,6 +4477,14 @@ object SparkEntry {
       // measured, not asserted (ops/Shuffling.scala).
       graft.ops.Shuffling.shuffleBalanceReport(table(s, dir, "documents"))
     },
+    "training_shuffle_spearman" -> { (s, dir) =>
+      // The order-destruction claim measured: exact Spearman ρ between
+      // source order and Feistel order in round-half-up micro units
+      // (≈0 for a real shuffle, 10⁶ for identity). Distributed ranks
+      // (zipWithIndex primitive, no global window); Σd² in DECIMAL(38,0)
+      // — a long wraps past n ≈ 1.4M (ops/Shuffling.scala).
+      graft.ops.Shuffling.shuffleOrderSpearman(table(s, dir, "documents"))
+    },
     "mutual_nn_pairs" -> { (s, dir) =>
       // Reciprocal top-5 pairs on the embedding sample: symmetric NN
       // confidence (each in the other's top-k), the SemDeDup pair
@@ -15155,6 +15163,28 @@ object SparkEntry {
         |  CAST(sum(nb) AS BIGINT) AS n_bytes,
         |  CAST(sum(CASE WHEN bucket_next = bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_common
         |FROM b GROUP BY 1""".stripMargin,
+    "training_shuffle_spearman" ->
+      s"""WITH sk AS (
+        |  SELECT doc_id, ${feistelKeySqlExpr("doc_id", 42L)} AS k FROM documents
+        |), rr AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) AS rk_src,
+        |    row_number() OVER (ORDER BY k) AS rk_shuf
+        |  FROM sk
+        |), ag AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(rk_src - rk_shuf AS HUGEINT) * (rk_src - rk_shuf)) AS HUGEINT) AS s
+        |  FROM rr
+        |), q AS (
+        |  SELECT n, s,
+        |    CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1) AS dd
+        |  FROM ag
+        |)
+        |SELECT n, CAST(s AS BIGINT) AS sum_d2,
+        |  CAST(CASE WHEN n > 1 THEN
+        |    (2000000 * (dd - 6 * s) + dd
+        |      - (((2000000 * (dd - 6 * s) + dd) % (2 * dd)) + 2 * dd) % (2 * dd)) // (2 * dd)
+        |  END AS BIGINT) AS rho_micro
+        |FROM q""".stripMargin,
     "mutual_nn_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE vec_id % 10 = 0),

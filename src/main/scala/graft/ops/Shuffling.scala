@@ -89,6 +89,43 @@ object Shuffling {
       shiftright(key, 2 * HalfBits - bucketBits).as("bucket"))
   }
 
+  /** The order-destruction evidence, QUANTIFIED: exact Spearman rank
+    * correlation between the source order (rank by id) and the shuffled
+    * order (rank by Feistel key) — ρ = 1 − 6Σd²/(n(n²−1)) in exact
+    * round-half-up micro units. A good shuffle reads |ρ| ≈ 0; identity
+    * would read 10⁶. Ranks come from the distributed zipWithIndex
+    * primitive (no global window); d² accumulates in DECIMAL(38,0) (a
+    * long Σd² wraps past n ≈ 1.4M — exactly the corpora this exists
+    * for). One row: n, sum_d2, rho_micro (null when n ≤ 1, where ρ is
+    * undefined).
+    */
+  def shuffleOrderSpearman(
+      docs: DataFrame,
+      seed: Long = 42L,
+      idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.ExactDecimal.{d, scaledRatio}
+    val keys = docs.select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("shuffle_key", feistelKeyCol(col("doc_id"), seed))
+    val ranked = Ranking.globalRowNumber(
+      Ranking.globalRowNumber(keys, Seq(col("doc_id")), "rk_src"),
+      Seq(col("shuffle_key")), "rk_shuf")
+    val agg = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(d(col("rk_src") - col("rk_shuf")) * d(col("rk_src") - col("rk_shuf")))
+        .cast("decimal(38,0)").as("d2"))
+    val den = d(col("n")) * (d(col("n")) * d(col("n")) - d(lit(1L)))
+    // sum_d2 EMITS as long (the oracle type audit bans wide decimals in
+    // output — pandas canonicalization); the accumulation and the ratio
+    // stay decimal-exact, and the emitted census column wraps only past
+    // n ~ 1.4M where rho_micro is the row's point anyway
+    agg.select(
+      col("n"),
+      col("d2").cast("long").as("sum_d2"),
+      when(col("n") > 1,
+        scaledRatio(den - d(lit(6L)) * d(col("d2")), den).cast("long"))
+        .as("rho_micro"))
+  }
+
   /** The balance evidence for the sort-free claim: per write bucket, doc
     * and token counts for TWO epochs (seed and seed+1), plus the overlap
     * between the epochs' bucket populations — uniform fill and epoch
