@@ -1189,7 +1189,10 @@ object Multimodal {
       .agg(min(struct((-col("tot")).as("nt"), col("hash").as("h"))).as("w"))
       .select(col("w.h"))
       .collect() // one row — the planner's decision scalar
-    val chosen = totals(0).getString(0)
+    // empty corpus: min over zero rows yields a null struct — default to
+    // the lexicographically-first hash (the tie rule's own answer at
+    // all-zero totals), so the empty frame flows through instead of NPEing
+    val chosen = Option(totals(0).getString(0)).getOrElse("ahash")
     val fps = hashes
       .select(col("media_id").as("id"), col(chosen).as("h64"))
       .filter(col("h64").isNotNull)

@@ -57,7 +57,11 @@ object Shuffling {
   }
 
   /** Columnwise [[feistelKey]] — the same four unrolled rounds as Spark
-    * Column expressions (codegen'd integer arithmetic; no UDF).
+    * Column expressions (codegen'd integer arithmetic; no UDF). Caller
+    * contract: ids in [0, 2⁴⁸) — the Scala form `require`s it; the column
+    * form cannot (a per-row guard would cost the whole scan), so a
+    * negative id's arithmetic right-shift would sign-extend into a
+    * garbage (but still deterministic) key.
     */
   def feistelKeyCol(id: Column, seed: Long): Column = {
     val rounds = (0 until 4).map(i => lit(roundKey(seed, i)))

@@ -460,6 +460,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == brute, s"multiprobe=${got.size} brute=${brute.size}")
   }
 
+  test("mediaDedupAuto: empty corpus flows through (default choice, zero pairs)") {
+    val empty = Seq.empty[(Long, String, String, String)].toDF("doc_id", "text", "lang", "source")
+    val hashes = Multimodal.perturbedHashes(empty)
+    val auto = Multimodal.mediaDedupAuto(hashes)
+    assert(auto.count() == 0)
+  }
+
   test("shotBoundaries: planted seams flag, identical-chunk runs stay quiet, first chunks exempt") {
     def pat(seed: Int): Array[Byte] = {
       val r = new scala.util.Random(seed); Array.fill[Byte](256)(r.nextInt(256).toByte)
