@@ -4477,6 +4477,14 @@ object SparkEntry {
       // measured, not asserted (ops/Shuffling.scala).
       graft.ops.Shuffling.shuffleBalanceReport(table(s, dir, "documents"))
     },
+    "training_multiepoch_manifest" -> { (s, dir) =>
+      // The trainer's complete multi-epoch read plan: temperature repeat
+      // factors exploded to (doc, epoch) rows, each epoch with its OWN
+      // Feistel permutation key (seed + epoch) — the writer sorts by
+      // (epoch, shuffle_key); per-epoch re-shuffle costs a seed, not a
+      // sort (ops/Shuffling.scala composing ops/Sampling.scala).
+      graft.ops.Shuffling.multiEpochManifest(table(s, dir, "documents"))
+    },
     "training_shuffle_spearman" -> { (s, dir) =>
       // The order-destruction claim measured: exact Spearman ρ between
       // source order and Feistel order in round-half-up micro units
@@ -7513,6 +7521,23 @@ object SparkEntry {
     for (i <- 0 until 4) {
       val k = graft.ops.Shuffling.roundKey(seed, i)
       val f = s"(($r * 2654435761 + $k) % 16777216)"
+      val nl = r
+      r = s"xor($l, $f)"
+      l = nl
+    }
+    s"($l * 16777216 + $r)"
+  }
+
+  /** [[feistelKeySqlExpr]] with a seed EXPRESSION (the per-epoch form):
+    * round keys computed inline from the seed text — mirrors
+    * [[graft.ops.Shuffling.feistelKeyColSeeded]] for non-negative seeds.
+    */
+  private def feistelKeySqlExprSeeded(id: String, seedExpr: String): String = {
+    var l = s"($id // 16777216)"
+    var r = s"($id % 16777216)"
+    for (i <- 0 until 4) {
+      val k = s"((($seedExpr) % 1099511627776) * 40503 + ${i * 69069}) % 16777216"
+      val f = s"(($r * 2654435761 + ($k)) % 16777216)"
       val nl = r
       r = s"xor($l, $f)"
       l = nl
@@ -15163,6 +15188,29 @@ object SparkEntry {
         |  CAST(sum(nb) AS BIGINT) AS n_bytes,
         |  CAST(sum(CASE WHEN bucket_next = bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_common
         |FROM b GROUP BY 1""".stripMargin,
+    "training_multiepoch_manifest" ->
+      s"""WITH g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT lang, n, CAST(floor(12 * sqrt(n)) AS BIGINT) AS target FROM g),
+        |r AS (
+        |  SELECT d.doc_id, d.lang, t.n, t.target,
+        |    row_number() OVER (PARTITION BY d.lang ORDER BY
+        |      CAST(('0x' || substr(md5('rep7-' || d.doc_id), 1, 8)) AS BIGINT), d.doc_id) AS rk
+        |  FROM documents d JOIN t USING (lang)
+        |), nc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(target // n + (CASE WHEN rk <= target % n THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+        |  FROM r
+        |), ep AS (
+        |  SELECT doc_id, lang, n_copies, unnest(range(0, n_copies)) AS epoch
+        |  FROM nc WHERE n_copies > 0
+        |), mk AS (
+        |  SELECT doc_id, lang, CAST(epoch AS BIGINT) AS epoch, n_copies,
+        |    ${feistelKeySqlExprSeeded("doc_id", "42 + epoch")} AS k
+        |  FROM ep
+        |)
+        |SELECT doc_id, lang, epoch, n_copies, k AS shuffle_key,
+        |  k // 1099511627776 AS bucket
+        |FROM mk""".stripMargin,
     "training_shuffle_spearman" ->
       s"""WITH sk AS (
         |  SELECT doc_id, ${feistelKeySqlExpr("doc_id", 42L)} AS k FROM documents

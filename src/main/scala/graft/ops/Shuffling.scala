@@ -74,6 +74,55 @@ object Shuffling {
     shiftleft(l4, HalfBits).bitwiseOR(r4)
   }
 
+  /** [[feistelKeyCol]] with a COLUMN seed — the per-epoch form: round
+    * keys are computed columnwise from the seed expression (identical to
+    * [[roundKey]] for any non-negative seed), so one projection carries a
+    * different permutation per epoch value. Same 48-bit id contract.
+    */
+  def feistelKeyColSeeded(id: Column, seedCol: Column): Column = {
+    val l0 = shiftright(id, HalfBits)
+    val r0 = id.bitwiseAND(lit(HalfMask))
+    val (l4, r4) = (0 until 4).foldLeft((l0, r0)) { case ((l, r), i) =>
+      val k = (pmod(seedCol, lit(1L << 40)) * lit(40503L) + lit(i.toLong * 69069L))
+        .bitwiseAND(lit(HalfMask))
+      val f = (r * lit(2654435761L) + k).bitwiseAND(lit(HalfMask))
+      (r, l.bitwiseXOR(f))
+    }
+    shiftleft(l4, HalfBits).bitwiseOR(r4)
+  }
+
+  /** The trainer's complete multi-epoch read plan — the temperature-mix
+    * repeat factors ([[Sampling.temperatureRepeats]]: head strata
+    * downsample, tails repeat) exploded to one row per (doc, epoch),
+    * each epoch carrying ITS OWN Feistel permutation key (seed + epoch,
+    * via [[feistelKeyColSeeded]]). The writer sorts by (epoch,
+    * shuffle_key): epochs stream in order, each with an independent
+    * collision-free shuffle — per-epoch re-shuffling costs a different
+    * seed, not another sort. Map-only past the repeat-factor window
+    * (which is strata-partitioned); Σ n_copies rows out.
+    */
+  def multiEpochManifest(
+      docs: DataFrame,
+      strataCol: String = "lang",
+      c: Double = 12.0,
+      seed: String = "rep7-",
+      feistelSeed: Long = 42L,
+      bucketBits: Int = 8,
+      idCol: String = "doc_id"): DataFrame = {
+    val reps = Sampling.temperatureRepeats(docs, idCol, strataCol, c, seed)
+    val key = feistelKeyColSeeded(
+      col(idCol).cast("long"), lit(feistelSeed) + col("epoch"))
+    reps
+      .filter(col("n_copies") > 0)
+      .select(
+        col(idCol), col(strataCol), col("n_copies"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
+      .select(
+        col(idCol), col(strataCol), col("epoch"), col("n_copies"),
+        key.as("shuffle_key"),
+        shiftright(key, 2 * HalfBits - bucketBits).as("bucket"))
+  }
+
   /** Per-doc shuffle keys + write buckets: `shuffle_key` the Feistel image
     * of the doc id (collision-free by construction), `bucket` its top
     * `bucketBits` bits — the range-partition a sharded writer consumes.

@@ -97,4 +97,25 @@ class ShufflingSpec extends AnyFunSuite {
     val expected = ((2 * 1000000 * num + den) - (((2 * 1000000 * num + den) mod (2 * den)) + 2 * den).mod(2 * den)) / (2 * den)
     assert(BigInt(rho) == expected, s"rho_micro=$rho expected=$expected")
   }
+
+  test("multiEpochManifest: copies explode per epoch, per-epoch permutations differ, seeded column form matches scala") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 300L).map(i => (i, if (i < 200) "big" else "small"))
+      .toDF("doc_id", "lang")
+    val m = Shuffling.multiEpochManifest(docs).collect()
+    // every doc appears exactly n_copies times, epochs 0..n_copies-1
+    val byDoc = m.groupBy(_.getAs[Long]("doc_id"))
+    for ((_, rows) <- byDoc) {
+      val n = rows.head.getAs[Long]("n_copies")
+      assert(rows.length == n)
+      assert(rows.map(_.getAs[Long]("epoch")).sorted.toSeq == (0L until n))
+    }
+    // the seeded column form equals the scala formula with seed 42+epoch
+    for (r <- m.take(200))
+      assert(r.getAs[Long]("shuffle_key") ==
+        Shuffling.feistelKey(r.getAs[Long]("doc_id"), 42L + r.getAs[Long]("epoch")))
+    // epochs are DIFFERENT permutations: a doc with 2+ copies gets 2+ keys
+    for ((_, rows) <- byDoc if rows.length >= 2)
+      assert(rows.map(_.getAs[Long]("shuffle_key")).distinct.length == rows.length)
+  }
 }
