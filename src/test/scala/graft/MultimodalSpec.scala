@@ -460,6 +460,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == brute, s"multiprobe=${got.size} brute=${brute.size}")
   }
 
+  test("perceptualHashes: non-8-divisible dims define mean/gradient but not spectral") {
+    // wHash needs equal cell pixel counts (8 | w and 8 | h) so the sums
+    // ARE scaled means; a 20x20 image must yield None there while the
+    // cross-multiplied mean/gradient thresholds stay defined
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, ((x * 37 + y * 11) % 256) * 0x010101)))
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val media = Seq((1L, png(20, 20)), (2L, png(32, 32))).toDF("media_id", "content")
+    val got = Multimodal.perceptualHashes(media).collect().map(p => p.media_id -> p).toMap
+    assert(got(1L).ok && got(1L).ahash.isDefined && got(1L).dhash.isDefined)
+    assert(got(1L).whash.isEmpty, "20x20 cells are unequal — spectral hash must be None")
+    assert(got(2L).ok && got(2L).whash.isDefined)
+  }
+
   test("mediaDedupAuto: empty corpus flows through (default choice, zero pairs)") {
     val empty = Seq.empty[(Long, String, String, String)].toDF("doc_id", "text", "lang", "source")
     val hashes = Multimodal.perturbedHashes(empty)
