@@ -3422,6 +3422,39 @@ object SparkEntry {
       graft.ops.Spans.duplicatedSpans(
         table(s, dir, "documents"), n = 5, maxDf = 50, minRun = 15)
     },
+    "spans_removed_corpus" -> { (s, dir) =>
+      // Exact-substring span REMOVAL with corpus reconstruction (Lee et
+      // al. 2022's actual curation op): every ≥15-token duplicated
+      // island is deleted from all-but-the-lowest-id occurrence and the
+      // cleaned text re-emitted (whitespace-normalized, original case).
+      // dup_spans' bounded gram machinery + interval-merge windows; the
+      // corpus text crosses exactly ONE exchange — the final doc-keyed
+      // merge of the region lists (ops/Spans.scala).
+      graft.ops.Spans.removeDuplicatedSpans(
+        table(s, dir, "documents"), n = 5, maxDf = 50, minRun = 15)
+    },
+    "curation_pipeline_v11" -> { (s, dir) =>
+      // Round-14 curation chain: span-level REMOVAL first (rewrite, not
+      // drop — unique content in partially-duplicated docs survives),
+      // THEN the doc-level gates over the cleaned text: exact dedup
+      // (min-id per md5), Gopher quality gate, epoch water-fill. The
+      // span_tokens_removed health scalar rides every row. Two extra
+      // cheap projections of the corpus (the v4-documented trade: never
+      // cache a corpus-sized frame) — every exchange is the stages' own.
+      val docs = table(s, dir, "documents")
+      val cleaned = graft.ops.Spans.removeDuplicatedSpans(docs)
+      val cleanDocs = docs
+        .select(col("doc_id"), col("source"))
+        .join(cleaned.select(col("doc_id"), col("text_clean").as("text")), Seq("doc_id"))
+      val deduped = Dedup.dropExactDuplicates(cleanDocs)
+      val gatedIds = TextAnalysis.gopherRules(deduped)
+        .filter(col("keep") === 1)
+        .select(col("doc_id"))
+      val kept = deduped.join(gatedIds, Seq("doc_id"))
+      val health = cleaned.agg(
+        coalesce(sum(col("n_tokens_removed")), lit(0L)).as("span_tokens_removed"))
+      graft.ops.Sampling.epochWaterfill(kept).crossJoin(broadcast(health))
+    },
     "token_pmi" -> { (s, dir) =>
       // Collocation mining: PMI over co-occurring mid-frequency tokens.
       // The df band is RELATIVE (1%–80% of corpus size, exact integer
@@ -4489,8 +4522,9 @@ object SparkEntry {
       // The order-destruction claim measured: exact Spearman ρ between
       // source order and Feistel order in round-half-up micro units
       // (≈0 for a real shuffle, 10⁶ for identity). Distributed ranks
-      // (zipWithIndex primitive, no global window); Σd² in DECIMAL(38,0)
-      // — a long wraps past n ≈ 1.4M (ops/Shuffling.scala).
+      // (zipWithIndex primitive, no global window); Σd² in DECIMAL(38,0),
+      // the emitted sum_d2 clamped at Long.MaxValue past n ≈ 1.4M —
+      // symmetric on both sides (ops/Shuffling.scala).
       graft.ops.Shuffling.shuffleOrderSpearman(table(s, dir, "documents"))
     },
     "mutual_nn_pairs" -> { (s, dir) =>
@@ -6427,6 +6461,86 @@ object SparkEntry {
     * symmetric difference (`dv`). Expects [[Md5SigCtes]] +
     * `containmentCtes(8000)` in scope.
     */
+  /** DuckDB replay of [[graft.ops.Spans.removeDuplicatedSpans]] (n=5,
+    * maxDf=50, minRun=15): the dup_spans positional-gram island chain kept
+    * per island (start + length instead of the pair aggregate), b-side
+    * removal intervals (keep-lowest-id policy: doc_a of every canonical
+    * pair keeps its occurrence), window interval-merge into maximal
+    * regions (adjacent regions coalesce), positional token subtraction
+    * against the ORIGINAL-case split, ORDER BY pos reassembly. Ends in
+    * `cleandoc(doc_id, text_clean, n_tokens, n_tokens_removed,
+    * n_spans_removed)` over every input doc.
+    */
+  private def spanRemovalCtes(docsRel: String = "documents"): String =
+    s"""sr_toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM $docsRel
+      |), sr_grams AS (
+      |  SELECT doc_id, pg['pos'] AS pos, pg['g'] AS g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+      |      i -> struct_pack(pos := CAST(i AS INT),
+      |                       g := substr(md5(array_to_string(t[i:i+4], ' ')), 1, 16)))) AS pg
+      |    FROM sr_toks WHERE len(t) >= 5)
+      |), sr_df AS (
+      |  SELECT g FROM sr_grams GROUP BY g
+      |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50
+      |), sr_idx AS MATERIALIZED (
+      |  SELECT sr_grams.doc_id, sr_grams.pos, sr_grams.g
+      |  FROM sr_grams JOIN sr_df USING (g)
+      |), sr_isl AS (
+      |  SELECT doc_a, doc_b, diag, pos_a,
+      |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+      |  FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+      |      a.pos - b.pos AS diag
+      |    FROM sr_idx a JOIN sr_idx b USING (g)
+      |    WHERE a.doc_id < b.doc_id)
+      |), sr_iv AS (
+      |  SELECT doc, CAST(s AS BIGINT) AS s, CAST(s + run_tokens - 1 AS BIGINT) AS e
+      |  FROM (
+      |    SELECT doc_b AS doc, min(pos_a) - diag AS s, count(*) + 4 AS run_tokens
+      |    FROM sr_isl GROUP BY doc_b, doc_a, diag, grp)
+      |  WHERE run_tokens >= 15
+      |), sr_reg AS (
+      |  SELECT doc, s, e,
+      |    sum(nr) OVER (PARTITION BY doc ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+      |  FROM (
+      |    SELECT doc, s, e,
+      |      CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
+      |        THEN 1 ELSE 0 END AS nr
+      |    FROM sr_iv
+      |    WINDOW w AS (PARTITION BY doc ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |), sr_regions AS MATERIALIZED (
+      |  SELECT doc, rid, min(s) AS rs, max(e) AS re FROM sr_reg GROUP BY 1, 2
+      |), sr_rm AS (
+      |  SELECT doc, CAST(sum(re - rs + 1) AS BIGINT) AS n_tokens_removed,
+      |    CAST(count(*) AS BIGINT) AS n_spans_removed
+      |  FROM sr_regions GROUP BY 1
+      |), sr_ot AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM $docsRel
+      |), sr_kept AS (
+      |  SELECT k.doc_id, k.pos, k.tok FROM (
+      |    SELECT doc_id, pg['pos'] AS pos, pg['tok'] AS tok FROM (
+      |      SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+      |        i -> struct_pack(pos := CAST(i AS INT), tok := t[i]))) AS pg
+      |      FROM sr_ot)) k
+      |  WHERE NOT EXISTS (SELECT 1 FROM sr_regions r
+      |    WHERE r.doc = k.doc_id AND k.pos >= r.rs AND k.pos <= r.re)
+      |), sr_clean AS (
+      |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
+      |  FROM sr_kept GROUP BY 1
+      |), cleandoc AS MATERIALIZED (
+      |  SELECT d.doc_id, coalesce(c.text_clean, '') AS text_clean,
+      |    CAST(len(o.t) AS BIGINT) AS n_tokens,
+      |    coalesce(rm.n_tokens_removed, 0) AS n_tokens_removed,
+      |    coalesce(rm.n_spans_removed, 0) AS n_spans_removed
+      |  FROM $docsRel d
+      |  JOIN sr_ot o USING (doc_id)
+      |  LEFT JOIN sr_clean c USING (doc_id)
+      |  LEFT JOIN sr_rm rm ON rm.doc = d.doc_id
+      |)""".stripMargin
+
   private def curationOrderCtes: String =
     s"""contamd AS MATERIALIZED (
       |  SELECT DISTINCT CASE WHEN id_a % 13 = 0 THEN id_b ELSE id_a END AS doc_id
@@ -13225,6 +13339,64 @@ object SparkEntry {
         |  CAST(sum(run_grams) AS BIGINT) AS n_shared
         |FROM runs GROUP BY doc_a, doc_b
         |HAVING max(run_tokens) >= 15""".stripMargin,
+    "spans_removed_corpus" ->
+      s"""WITH ${spanRemovalCtes()}
+        |SELECT doc_id, text_clean, n_tokens, n_tokens_removed, n_spans_removed
+        |FROM cleandoc""".stripMargin,
+    "curation_pipeline_v11" ->
+      // span removal (shared CTE chain) -> exact dedup on the CLEANED
+      // text -> the v4 Gopher block -> the shared waterfill unroll, with
+      // the removed-token census riding as the health scalar
+      s"""WITH ${spanRemovalCtes()}, cdocs AS MATERIALIZED (
+        |  SELECT d.doc_id, d.source, c.text_clean AS text
+        |  FROM documents d JOIN cleandoc c USING (doc_id)
+        |), dd AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM cdocs) WHERE rn = 1
+        |), gtoks AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+        |      x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS stop_hits,
+        |    string_split_regex(lower(text), '\\s+') AS t
+        |  FROM dd
+        |), gg2 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM gtoks WHERE len(t) >= 2
+        |), gtop2 AS (
+        |  SELECT doc_id, max(cnt * length(g)) AS top2_chars
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM gg2 GROUP BY 1, 2) GROUP BY 1
+        |), gg5 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        |  FROM gtoks WHERE len(t) >= 5
+        |), gdup5 AS (
+        |  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dup5_chars
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM gg5 GROUP BY 1, 2) GROUP BY 1
+        |), gsig AS (
+        |  SELECT gtoks.doc_id, n_tokens, stop_hits, n_chars,
+        |    round(CAST(word_chars AS DOUBLE) / greatest(n_tokens, 1), 4) AS mean_word_len,
+        |    round(CAST(COALESCE(top2_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) AS top2_share,
+        |    round(CAST(COALESCE(dup5_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) AS dup5_share
+        |  FROM gtoks LEFT JOIN gtop2 ON gtoks.doc_id = gtop2.doc_id
+        |             LEFT JOIN gdup5 ON gtoks.doc_id = gdup5.doc_id
+        |), keptdocs AS MATERIALIZED (
+        |  SELECT dd.doc_id, dd.source, dd.text FROM dd JOIN gsig USING (doc_id)
+        |  WHERE n_tokens BETWEEN 10 AND 100000
+        |    AND mean_word_len BETWEEN 2.0 AND 12.0
+        |    AND top2_share < 0.30
+        |    AND dup5_share < 0.15
+        |    AND stop_hits >= 2
+        |),
+        |${waterfillOracle(3800L, 4L, 6, "keptdocs",
+             ",\n  (SELECT CAST(coalesce(sum(n_tokens_removed), 0) AS BIGINT) FROM cleandoc)" +
+               " AS span_tokens_removed")
+           .stripPrefix("WITH ")}""".stripMargin,
     "token_pmi" ->
       // doc-distinct tokens -> df band + rank cap vocab -> per-doc pairs
       // -> PMI with one micro-rounded ln (the portable float pattern)
@@ -15227,7 +15399,8 @@ object SparkEntry {
         |    CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1) AS dd
         |  FROM ag
         |)
-        |SELECT n, CAST(s AS BIGINT) AS sum_d2,
+        |SELECT n,
+        |  CAST(least(s, CAST(9223372036854775807 AS HUGEINT)) AS BIGINT) AS sum_d2,
         |  CAST(CASE WHEN n > 1 THEN
         |    (2000000 * (dd - 6 * s) + dd
         |      - (((2000000 * (dd - 6 * s) + dd) % (2 * dd)) + 2 * dd) % (2 * dd)) // (2 * dd)

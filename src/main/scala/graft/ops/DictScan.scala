@@ -58,6 +58,27 @@ object DictScan {
       }
       counts.toMap
     }
+
+    /** True iff ANY pattern occurs in the text — returns at the FIRST
+      * output-bearing state, so a blocklisted document costs only the
+      * prefix up to its first hit (the cheap path at ingest scale; the
+      * counting [[scan]] would walk the whole text building the full
+      * per-pattern map first).
+      */
+    def hits(text: String): Boolean = {
+      if (text == null) return false
+      var state = 0
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        var s = state
+        while (s != 0 && !gotoMaps(s).contains(c)) s = fail(s)
+        state = gotoMaps(s).getOrElse(c, 0)
+        if (out(state).nonEmpty) return true
+        i += 1
+      }
+      false
+    }
   }
 
   object Automaton {
@@ -119,10 +140,17 @@ object DictScan {
       .toSeq
   }
 
-  /** One automaton pass over the corpus: (doc_id, pattern, n) for every
+  /** One automaton pass over the corpus: (`idCol`, pattern, n) for every
     * pattern with at least one occurrence in `' ' + text` (the leading
     * space makes a doc-initial token visible to space-prefixed patterns).
     * The automaton broadcasts once; the scan is map-only.
+    *
+    * Case contract: the scan is CASE-SENSITIVE — it matches patterns
+    * against `textCol` exactly as stored. Callers composing with
+    * [[topTokenDictionary]] (which lowercases) must pre-lowercase the
+    * text column (`docs.withColumn(textCol, lower(col(textCol)))`), as
+    * every registered face does; mixed-case occurrences are otherwise
+    * invisible to a lowercase dictionary.
     */
   def scanCounts(
       docs: DataFrame,
@@ -141,14 +169,17 @@ object DictScan {
           }
         }
       }
-      .toDF("doc_id", "pattern", "n")
+      .toDF(idCol, "pattern", "n")
   }
 
   /** Ingest-time blocklist filtering — the multi-pattern scan's streaming
     * face: keep only docs with ZERO dictionary hits, in the same single
     * automaton pass (no second join, no state — a stateless map that runs
     * unchanged on a streaming DataFrame; the spec drives it through
-    * MemoryStream). The scan short-circuits on the first hit.
+    * MemoryStream). The scan short-circuits at the FIRST hit
+    * ([[Automaton.hits]]) — a blocklisted doc costs only its prefix, the
+    * cheap path at ingest scale. Same case contract as [[scanCounts]]:
+    * case-sensitive, pre-lowercase for a lowercase dictionary.
     */
   def blocklistFilter(
       docs: DataFrame,
@@ -161,10 +192,56 @@ object DictScan {
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { rows =>
         rows.filter { case (_, text) =>
-          auto.value.scan(" " + Option(text).getOrElse("")).isEmpty
+          !auto.value.hits(" " + Option(text).getOrElse(""))
         }
       }
       .toDF(idCol, textCol)
+  }
+
+  /** All-occurrence vs non-overlapping divergence report — the automaton's
+    * occurrence semantics PROVEN on patterns where the two counts differ.
+    *
+    * The registered space-prefixed faces ride the no-self-border theorem
+    * (all-occurrence ≡ non-overlapping for that pattern family); this face
+    * scans OVERLAPPING general patterns — self-bordered strings like
+    * `"sort sort"`, whose occurrences in a `"sort sort sort"` run overlap
+    * (a run of m repeats holds m−1 all-occurrence matches but only
+    * ⌊m/2⌋ leftmost non-overlapping ones) — and emits both counts side by
+    * side: `n_all` from the Aho–Corasick pass, `n_nonoverlap` from the
+    * replace-length identity (leftmost non-overlapping by the definition
+    * of string replace), `delta` their gap. Rows with `delta > 0` are the
+    * direct witnesses that the automaton reports EVERY occurrence, not
+    * just the non-overlapping subset a naive replace-count would see.
+    *
+    * Shape: the automaton leg is the production single pass; the
+    * replace-length leg is the calibration twin (K map-only replace
+    * columns — priced like the byte-hash leg of phash_vs_bytehash, it
+    * exists to grade the first leg, not to run at 100 TB). The synthetic
+    * `' '` prefix the scan adds cannot create an occurrence of a
+    * non-space-initial pattern. Same case contract as [[scanCounts]].
+    */
+  def overlapCountsReport(
+      docs: DataFrame,
+      patterns: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(patterns.forall(p => p.nonEmpty && !p.startsWith(" ")),
+      "overlap patterns must be non-empty and not space-initial")
+    val all = scanCounts(docs, patterns, idCol, textCol)
+      .withColumnRenamed("n", "n_all")
+    val nonOv = docs
+      .select(
+        col(idCol).cast("long").as(idCol),
+        col(textCol),
+        explode(array(patterns.map(lit): _*)).as("pattern"))
+      .select(
+        col(idCol),
+        col("pattern"),
+        ((length(col(textCol)) - length(replace(col(textCol), col("pattern"), lit(""))))
+          / length(col("pattern"))).cast("long").as("n_nonoverlap"))
+    all
+      .join(nonOv, Seq(idCol, "pattern"))
+      .withColumn("delta", col("n_all") - col("n_nonoverlap"))
   }
 
   /** Per-doc face: total occurrences + distinct dictionary terms hit

@@ -209,7 +209,12 @@ object QualityTrainer {
   def featuresShared(docs: DataFrame): DataFrame = {
     val key = (docs.sparkSession.sparkContext.applicationId, planKey(docs))
     if (!featMemo.contains(key) && featMemo.size >= MemoCap)
-      features(docs).localCheckpoint(eager = true)
+      // Over-cap degenerate path: return the UNCHECKPOINTED plan. An
+      // eager localCheckpoint here would pin executor storage blocks
+      // nobody tracks or unpersists (per-call churn the cap exists to
+      // prevent); recomputing the feature projection is the correct
+      // trade for a path that only fires past 256 distinct corpora.
+      features(docs)
     else featMemo.getOrElseUpdate(
       key, new StateHolder(features(docs).localCheckpoint(eager = true))).value
   }

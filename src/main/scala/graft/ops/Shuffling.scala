@@ -148,8 +148,9 @@ object Shuffling {
     * round-half-up micro units. A good shuffle reads |ρ| ≈ 0; identity
     * would read 10⁶. Ranks come from the distributed zipWithIndex
     * primitive (no global window); d² accumulates in DECIMAL(38,0) (a
-    * long Σd² wraps past n ≈ 1.4M — exactly the corpora this exists
-    * for). One row: n, sum_d2, rho_micro (null when n ≤ 1, where ρ is
+    * long Σd² overflows past n ≈ 1.4M — exactly the corpora this exists
+    * for). One row: n, sum_d2 (clamped at Long.MaxValue past n ≈ 1.4M,
+    * mirrored in the oracle), rho_micro (null when n ≤ 1, where ρ is
     * undefined).
     */
   def shuffleOrderSpearman(
@@ -169,11 +170,14 @@ object Shuffling {
     val den = d(col("n")) * (d(col("n")) * d(col("n")) - d(lit(1L)))
     // sum_d2 EMITS as long (the oracle type audit bans wide decimals in
     // output — pandas canonicalization); the accumulation and the ratio
-    // stay decimal-exact, and the emitted census column wraps only past
-    // n ~ 1.4M where rho_micro is the row's point anyway
+    // stay decimal-exact. Past n ≈ 1.4M the true Σd² exceeds Long.Max —
+    // a raw cast would NULL under Spark's non-ANSI decimal→long rule
+    // while the DuckDB oracle's HUGEINT→BIGINT cast ABORTS, so both
+    // sides clamp at Long.MaxValue symmetrically (the census column
+    // saturates; rho_micro, the row's point, stays exact at any n).
     agg.select(
       col("n"),
-      col("d2").cast("long").as("sum_d2"),
+      least(col("d2"), lit(Long.MaxValue).cast("decimal(38,0)")).cast("long").as("sum_d2"),
       when(col("n") > 1,
         scaledRatio(den - d(lit(6L)) * d(col("d2")), den).cast("long"))
         .as("rho_micro"))

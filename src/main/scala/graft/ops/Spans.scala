@@ -49,24 +49,20 @@ object Spans {
       1
     )
 
-  /** Longest shared token run per candidate document pair.
-    *
-    * @param n      gram width in tokens (a run shorter than n is invisible)
-    * @param maxDf  stop-gram cap: grams present in more than this many
-    *               documents are dropped before the self-join (bounds per-key
-    *               fanout; mirrors the oracle's HAVING clause)
-    * @param minRun minimum run length in TOKENS for a pair to be reported
-    * @return (doc_a, doc_b, longest_run, n_spans, n_shared) — longest common
-    *         token run, number of distinct maximal spans of at least minRun,
-    *         and total shared gram occurrences between the pair
+  /** Maximal shared-gram islands per candidate document pair — the shared
+    * core of [[duplicatedSpans]] (the detector) and
+    * [[removeDuplicatedSpans]] (the corpus rewrite). One row per maximal
+    * run of consecutive matches on one (pair, diagonal):
+    * (doc_a, doc_b, diag, start_a, run_grams, run_tokens), where the run
+    * covers tokens [start_a, start_a + run_tokens − 1] in doc_a and
+    * [start_a − diag, …] in doc_b.
     */
-  def duplicatedSpans(
+  private def islands(
       docs: DataFrame,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      n: Int = 5,
-      maxDf: Int = 50,
-      minRun: Int = 15): DataFrame = {
+      idCol: String,
+      textCol: String,
+      n: Int,
+      maxDf: Int): DataFrame = {
     // Inverted index rows: 16-hex-char md5 digest keys the join (the full
     // gram string would shuffle ~n× more bytes for the same partitioning).
     val grams = docs
@@ -105,13 +101,33 @@ object Spans {
     // partition collapse to a single group key pos_a − row_number.
     val diag = matches.withColumn("diag", col("pos_a") - col("pos_b"))
     val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-    val islands = diag
+    diag
       .withColumn("grp", col("pos_a") - row_number().over(w))
       .groupBy("doc_a", "doc_b", "diag", "grp")
-      .agg(count(lit(1)).as("run_grams"))
+      .agg(min(col("pos_a")).as("start_a"), count(lit(1)).as("run_grams"))
       .withColumn("run_tokens", col("run_grams") + (n - 1))
+      .drop("grp")
+  }
 
-    islands
+  /** Longest shared token run per candidate document pair.
+    *
+    * @param n      gram width in tokens (a run shorter than n is invisible)
+    * @param maxDf  stop-gram cap: grams present in more than this many
+    *               documents are dropped before the self-join (bounds per-key
+    *               fanout; mirrors the oracle's HAVING clause)
+    * @param minRun minimum run length in TOKENS for a pair to be reported
+    * @return (doc_a, doc_b, longest_run, n_spans, n_shared) — longest common
+    *         token run, number of distinct maximal spans of at least minRun,
+    *         and total shared gram occurrences between the pair
+    */
+  def duplicatedSpans(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      maxDf: Int = 50,
+      minRun: Int = 15): DataFrame =
+    islands(docs, idCol, textCol, n, maxDf)
       .groupBy("doc_a", "doc_b")
       .agg(
         max(col("run_tokens")).as("longest_run"),
@@ -119,5 +135,93 @@ object Spans {
         sum(col("run_grams")).as("n_shared")
       )
       .where(col("longest_run") >= minRun)
+
+  /** Exact-substring span REMOVAL with corpus reconstruction — the
+    * operation Lee et al. 2022 actually run on training corpora: delete
+    * each duplicated span from all-but-one occurrence and re-emit the
+    * cleaned text (detection alone leaves the boilerplate in; dropping
+    * whole docs throws away their unique content).
+    *
+    * Policy (deterministic): KEEP the lowest-id occurrence. Every island
+    * of at least `minRun` tokens is removed from its pair's HIGHER id
+    * (doc_b of the canonical doc_a < doc_b pair) — so a span shared by
+    * docs {5, 9, 17} is deleted from 9 (pair 5–9) and from 17 (pairs
+    * 5–17, 9–17) and survives exactly in doc 5, the minimum, which is
+    * never the b-side of any pair containing the span. Repeats WITHIN one
+    * doc are out of scope (the pair index excludes self-pairs).
+    *
+    * Mechanics: per-doc removal intervals from the islands frame
+    * (b-side token ranges), merged into maximal regions with the classic
+    * interval-merge window (adjacent regions coalesce), then token-range
+    * subtraction against the ORIGINAL-case token array and `concat_ws`
+    * reconstruction. Output text is whitespace-normalized (single
+    * spaces) for every doc — one code path, mirrored by the oracle.
+    *
+    * 100 TB shape: the gram exchange + pair windows are
+    * [[duplicatedSpans]]' own (bounded by `maxDf`); past the islands the
+    * plan is interval-count-sized until the ONE doc-keyed merge joins
+    * the region lists back to the corpus — the only exchange the corpus
+    * text ever crosses. Per-token filtering is O(tokens × regions/doc)
+    * with regions/doc tiny by construction.
+    *
+    * @return every input doc: (doc_id, text_clean, n_tokens,
+    *         n_tokens_removed, n_spans_removed) — n_tokens counts the
+    *         ORIGINAL tokens, n_spans_removed the maximal merged removed
+    *         regions.
+    */
+  def removeDuplicatedSpans(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      maxDf: Int = 50,
+      minRun: Int = 15): DataFrame = {
+    val ivs = islands(docs, idCol, textCol, n, maxDf)
+      .where(col("run_tokens") >= minRun)
+      .select(
+        col("doc_b").as("doc"),
+        (col("start_a") - col("diag")).cast("long").as("s"),
+        (col("start_a") - col("diag") + col("run_tokens") - 1).cast("long").as("e"))
+
+    // Interval merge: a region break iff this interval starts past every
+    // earlier interval's max end + 1 (adjacent removals coalesce into one
+    // contiguous removed region). One window over the doc shard.
+    val wDoc = Window.partitionBy("doc").orderBy("s", "e")
+    val prevMaxE = max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val regions = ivs
+      .withColumn(
+        "nr",
+        when(prevMaxE.isNull || col("s") > prevMaxE + 1, 1L).otherwise(0L))
+      .withColumn("rid", sum(col("nr")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc", "rid")
+      .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
+
+    val perDoc = regions
+      .groupBy(col("doc").as(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("rs"), col("re")))).as("regions"),
+        sum(col("re") - col("rs") + 1).as("n_tokens_removed"),
+        count(lit(1)).as("n_spans_removed"))
+
+    // The one doc-keyed merge: original-case tokens (whitespace split
+    // positions are case-invariant, so gram positions over lower(text)
+    // index this array 1:1), positions inside any region subtracted.
+    val toks = split(col(textCol), "\\s+")
+    docs
+      .select(col(idCol), col(textCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        concat_ws(
+          " ",
+          filter(
+            toks,
+            (_, i) => !exists(
+              coalesce(col("regions"), array().cast("array<struct<rs:long,re:long>>")),
+              r => i + 1 >= r.getField("rs") && i + 1 <= r.getField("re")))
+        ).as("text_clean"),
+        size(toks).cast("long").as("n_tokens"),
+        coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"),
+        coalesce(col("n_spans_removed"), lit(0L)).as("n_spans_removed"))
   }
 }

@@ -79,4 +79,63 @@ class SpansSpec extends AnyFunSuite {
     assert(strict.count() == 0L)
     assert(loose.count() == 1L)
   }
+
+  private def removed(rows: Seq[(Long, String)]): Map[Long, (String, Long, Long, Long)] =
+    Spans
+      .removeDuplicatedSpans(rows.toDF("doc_id", "text"), n = 3, maxDf = 10, minRun = 5)
+      .as[(Long, String, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5)))
+      .toMap
+
+  test("planted boilerplate survives in exactly the lowest-id occurrence") {
+    // the same 6-token span planted into docs 2, 5, 9 with unique context;
+    // mixed case proves the rewrite preserves the ORIGINAL casing even
+    // though matching runs over lower()
+    val span = "Shared BOILER plate Span Tokens here"
+    val rows = Seq(
+      1L -> "completely disjoint content with no overlap at all whatsoever",
+      2L -> s"Ctx2a ctx2b $span ctx2c ctx2d",
+      5L -> s"Ctx5a ctx5b $span ctx5c",
+      9L -> s"ctx9a $span Ctx9b ctx9c ctx9d ctx9e"
+    )
+    val got = removed(rows)
+    // keeper: untouched (modulo whitespace normalization, a no-op here)
+    assert(got(2L) == ((s"Ctx2a ctx2b $span ctx2c ctx2d", 10L, 0L, 0L)))
+    // later occurrences: span deleted, context (original case) intact
+    assert(got(5L) == (("Ctx5a ctx5b ctx5c", 9L, 6L, 1L)))
+    assert(got(9L) == (("ctx9a Ctx9b ctx9c ctx9d ctx9e", 11L, 6L, 1L)))
+    // uninvolved doc: reconstructed verbatim
+    assert(got(1L)._1 == rows.head._2 && got(1L)._3 == 0L)
+    // the span now lives in exactly ONE cleaned doc
+    assert(got.values.count(_._1.contains(span)) == 1)
+  }
+
+  test("adjacent removal intervals from different diagonals merge into one region") {
+    val w = base.split(" ")
+    // doc 2 = tokens 0..7 of base followed by tokens 10..17: two islands
+    // on two diagonals whose b-side intervals [1,8] and [9,16] are
+    // adjacent — ONE merged removed region, empty cleaned text
+    val rows = Seq(
+      1L -> base,
+      2L -> (w.slice(0, 8) ++ w.slice(10, 18)).mkString(" ")
+    )
+    val got = removed(rows)
+    assert(got(2L) == (("", 16L, 16L, 1L)))
+    assert(got(1L) == ((base, 20L, 0L, 0L)))
+  }
+
+  test("duplicate intervals from multiple pairs collapse (no double counting)") {
+    // doc 9 shares the same span with BOTH 2 and 5 — its identical
+    // removal intervals from the two pairs must merge, not double-count
+    val span = "one two three four five six"
+    val rows = Seq(
+      2L -> s"a2 b2 $span c2 d2",
+      5L -> s"a5 $span b5 c5 d5",
+      9L -> s"$span a9 b9 c9 d9"
+    )
+    val got = removed(rows)
+    assert(got(9L) == (("a9 b9 c9 d9", 10L, 6L, 1L)))
+    assert(got(5L)._3 == 6L && got(2L)._3 == 0L)
+  }
 }
