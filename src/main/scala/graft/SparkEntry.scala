@@ -4718,6 +4718,20 @@ object SparkEntry {
       // (ops/DictScan.scala).
       graft.ops.DictScan.patternTotals(sharedDictScan(s, dir))
     },
+    "dict_scan_overlap_counts" -> { (s, dir) =>
+      // The automaton's ALL-occurrence semantics proven where it
+      // DIVERGES from non-overlapping counting: self-bordered
+      // repeated-word bigrams ("sort sort"), whose occurrences overlap
+      // inside a 3+-run (m repeats → m−1 all-occurrence matches vs
+      // ⌊m/2⌋ leftmost non-overlapping). One Aho–Corasick pass for
+      // n_all; the replace-length calibration leg prices n_nonoverlap;
+      // delta > 0 rows are the witnesses the space-prefixed faces'
+      // no-self-border theorem rules out (ops/DictScan.scala).
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      graft.ops.DictScan.overlapCountsReport(
+        docs, OverlapBigramWords.map(w => s"$w $w"))
+    },
     "lsh_band_auto_plan" -> { (s, dir) =>
       // The banding knob closed into a PLANNER (the ann_filtered_auto
       // discipline): per (bands, rowsPerBand) config off ONE checkpointed
@@ -4771,6 +4785,18 @@ object SparkEntry {
     * top-200-df token dictionary, checkpointed and shared by both
     * dict_scan faces.
     */
+  /** Words whose doubled bigram `"w w"` drives the overlap-divergence
+    * face. Data contract making the token-adjacency oracle char-exact:
+    * the corpus is single-space joined (asserted over all three scale
+    * factors) and no vocabulary word has any of these as a proper prefix
+    * or suffix — so every char-level occurrence of `"w w"` IS an
+    * adjacent token pair, and the two counts are interchangeable for
+    * n_all (the spec pins the automaton's char-level semantics on
+    * fixtures where they differ).
+    */
+  private val OverlapBigramWords =
+    Seq("batch", "sort", "merge", "group", "small", "window")
+
   private def sharedDictScan(s: SparkSession, dir: String): DataFrame =
     sharedLeg(s, dir, "dictScan200") {
       val docs = table(s, dir, "documents")
@@ -9726,6 +9752,27 @@ object SparkEntry {
         |SELECT pattern, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n) AS BIGINT) AS n_occurrences
         |FROM dhits GROUP BY 1""".stripMargin,
+    "dict_scan_overlap_counts" ->
+      // n_all replayed positionally as adjacent-token pairs (char-exact
+      // for this corpus: single-space joined, and no vocab word carries
+      // a pattern word as proper prefix/suffix — see OverlapBigramWords);
+      // n_nonoverlap via the leftmost replace-length identity
+      s"""WITH dt AS (
+        |  SELECT doc_id, lower(text) AS t,
+        |    string_split_regex(lower(text), '\\s+') AS w
+        |  FROM documents
+        |), pats AS (
+        |  SELECT * FROM (VALUES ${OverlapBigramWords.map(w => s"('$w')").mkString(", ")}) p(tok)
+        |), oc AS (
+        |  SELECT d.doc_id, p.tok || ' ' || p.tok AS pattern,
+        |    CAST(len(list_filter(range(1, len(d.w)),
+        |      j -> d.w[j] = p.tok AND d.w[j+1] = p.tok)) AS BIGINT) AS n_all,
+        |    CAST((length(d.t) - length(replace(d.t, p.tok || ' ' || p.tok, '')))
+        |      // length(p.tok || ' ' || p.tok) AS BIGINT) AS n_nonoverlap
+        |  FROM dt d CROSS JOIN pats p
+        |)
+        |SELECT doc_id, pattern, n_all, n_nonoverlap, n_all - n_nonoverlap AS delta
+        |FROM oc WHERE n_all > 0""".stripMargin,
     "lsh_band_auto_plan" ->
       s"""$Md5SigCtes, gg AS (
         |  SELECT doc_id, unnest(g) AS gram FROM grams

@@ -124,4 +124,46 @@ class DictScanSpec extends AnyFunSuite {
     // space-prefixed pattern catches doc-initial tokens too
     assert(got == Set(10L, 12L))
   }
+
+  test("Automaton.hits agrees with scan non-emptiness and short-circuits") {
+    val pats = Seq("needle", "aa", " x")
+    val auto = DictScan.Automaton.build(pats)
+    val samples = Seq(
+      "", "clean text", "a needle here", "haaystack", "y x z",
+      "needle", "aaaa", "no hits anywhere", null)
+    for (t <- samples)
+      assert(auto.hits(t) == (t != null && auto.scan(t).nonEmpty), s"text '$t'")
+    // first-hit position semantics: a hit at char k is found without
+    // reading past k (proven on a text whose suffix would add more hits)
+    assert(auto.hits("aa" + "zz" * 1000 + "needle"))
+  }
+
+  test("overlapCountsReport: all-occurrence vs non-overlapping diverge on runs") {
+    val docs = Seq(
+      (1L, "sort sort sort sort data"), // run of 4: all=3, nonoverlap=2
+      (2L, "sort sort data sort sort"), // two runs of 2: all=2, nonoverlap=2
+      (3L, "merge sort merge sort"), // no doubled word → no row
+      (4L, "xsort sort sort ends") // char-level: 'xsort sort' tail ALSO matches
+    ).toDF("doc_id", "text")
+    val got = DictScan
+      .overlapCountsReport(docs, Seq("sort sort"))
+      .as[(Long, String, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5)))
+      .toMap
+    assert(got(1L) == ((3L, 2L, 1L)))
+    assert(got(2L) == ((2L, 2L, 0L)))
+    assert(!got.contains(3L))
+    // doc 4 pins the CHAR-LEVEL contract: "xsort sort sort" holds two
+    // char occurrences of "sort sort" (one starting inside "xsort") —
+    // exactly why the registered corpus face needs the no-prefix/suffix
+    // data contract for its token-adjacency oracle
+    assert(got(4L) == ((2L, 1L, 1L)))
+    // both legs reconcile with the brute counters on every row
+    val texts = docs.as[(Long, String)].collect().toMap
+    for ((id, (a, no, _)) <- got) {
+      assert(a == bruteAll(texts(id), "sort sort"), s"doc $id all")
+      assert(no == bruteNonOverlap(texts(id), "sort sort"), s"doc $id nonoverlap")
+    }
+  }
 }
