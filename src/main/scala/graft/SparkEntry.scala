@@ -4527,6 +4527,24 @@ object SparkEntry {
       // symmetric on both sides (ops/Shuffling.scala).
       graft.ops.Shuffling.shuffleOrderSpearman(table(s, dir, "documents"))
     },
+    "training_shuffle_manifest" -> { (s, dir) =>
+      // The end-to-end shuffled WRITE, proven off the actual files:
+      // exact 128-row file cuts under the Feistel order (collision-free
+      // keys → deterministic boundaries), one data file per file_id dir,
+      // rows sorted by key inside each file; the manifest (per-file
+      // count + min/max key) is read back from the written dataset and
+      // matches the oracle's pure replay from the raw table — write
+      // once into the warehouse, manifest every run
+      // (ops/Shuffling.scala).
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        s"graft_shuffled_${org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(16)}")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")))
+        graft.ops.Shuffling.writeShuffled(
+          table(s, dir, "documents"), loc.toString, seed = 42L, rowsPerFile = 128L)
+      graft.ops.Shuffling.shuffledWriteManifest(s, loc.toString)
+    },
     "mutual_nn_pairs" -> { (s, dir) =>
       // Reciprocal top-5 pairs on the embedding sample: symmetric NN
       // confidence (each in the other's top-k), the SemDeDup pair
@@ -15453,6 +15471,19 @@ object SparkEntry {
         |      - (((2000000 * (dd - 6 * s) + dd) % (2 * dd)) + 2 * dd) % (2 * dd)) // (2 * dd)
         |  END AS BIGINT) AS rho_micro
         |FROM q""".stripMargin,
+    "training_shuffle_manifest" ->
+      // pure replay of the write plan: rank by the (collision-free)
+      // Feistel key, cut every 128 rows, aggregate per file — matching
+      // the engine's read-back from the ACTUAL files proves the write
+      s"""WITH sk AS (
+        |  SELECT doc_id, ${feistelKeySqlExpr("doc_id", 42L)} AS k FROM documents
+        |), rk AS (
+        |  SELECT k, (row_number() OVER (ORDER BY k) - 1) // 128 AS file_id FROM sk
+        |)
+        |SELECT CAST(file_id AS BIGINT) AS file_id,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+        |FROM rk GROUP BY 1""".stripMargin,
     "mutual_nn_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE vec_id % 10 = 0),

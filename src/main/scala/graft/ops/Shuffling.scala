@@ -183,6 +183,53 @@ object Shuffling {
         .as("rho_micro"))
   }
 
+  /** WRITE the shuffled corpus — the end-to-end face of [[shuffleKeys]]:
+    * exact fixed-size file cuts under the Feistel-key order (rank via
+    * [[Ranking.globalRowNumber]]'s distributed sort — collision-free keys
+    * make the rank, hence every file boundary, deterministic with no
+    * tiebreak), one parquet data file per `file_id` partition directory
+    * (each file_id hashes to exactly one task), rows inside each file
+    * sorted by `shuffle_key`. A training reader streaming the files in
+    * file_id order sees the full pseudo-random order with zero cross-file
+    * key overlap — the reader-side property [[shuffledWriteManifest]] and
+    * the spec prove OFF THE ACTUAL WRITE, the way the bucketed/partitioned
+    * sinks proved theirs.
+    */
+  def writeShuffled(
+      docs: DataFrame,
+      path: String,
+      seed: Long = 42L,
+      rowsPerFile: Long = 128L,
+      idCol: String = "doc_id"): Unit = {
+    require(rowsPerFile >= 1, "need a positive file size")
+    val keyed = docs
+      .select(col(idCol).cast("long").as("doc_id"))
+      .withColumn("shuffle_key", feistelKeyCol(col("doc_id"), seed))
+    Ranking.globalRowNumber(keyed, Seq(col("shuffle_key")), "rk")
+      .withColumn("file_id", expr(s"(rk - 1) div $rowsPerFile"))
+      .drop("rk")
+      .repartition(col("file_id"))
+      .sortWithinPartitions(col("file_id"), col("shuffle_key"))
+      .write.mode("overwrite").partitionBy("file_id").parquet(path)
+  }
+
+  /** The manifest a shuffled-corpus reader trusts, computed from the
+    * FILES [[writeShuffled]] actually wrote (not from the plan that wrote
+    * them): per file, row count + min/max shuffle key. Exact row-count
+    * cuts under a collision-free total order make the expected manifest a
+    * pure function of the corpus — the oracle replays it from the raw
+    * table — and consecutive files' key ranges never overlap (the spec's
+    * zero-overlap assertion). Metadata-scale: one pass over the written
+    * files, file-count rows out.
+    */
+  def shuffledWriteManifest(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("file_id").cast("long").as("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("shuffle_key")).as("min_key"),
+        max(col("shuffle_key")).as("max_key"))
+
   /** The balance evidence for the sort-free claim: per write bucket, doc
     * and token counts for TWO epochs (seed and seed+1), plus the overlap
     * between the epochs' bucket populations — uniform fill and epoch

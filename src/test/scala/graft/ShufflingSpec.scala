@@ -118,4 +118,39 @@ class ShufflingSpec extends AnyFunSuite {
     for ((_, rows) <- byDoc if rows.length >= 2)
       assert(rows.map(_.getAs[Long]("shuffle_key")).distinct.length == rows.length)
   }
+
+  test("writeShuffled: exact file cuts, zero cross-file overlap, in-file key order") {
+    val dir = java.nio.file.Files.createTempDirectory("shufwrite").toString
+    val docs = (0L until 500L).map(i => Tuple1(i)).toDF("doc_id")
+    Shuffling.writeShuffled(docs, dir, seed = 7L, rowsPerFile = 128L)
+
+    // manifest off the actual files: 4 files, exact 128-row cuts
+    val manifest = Shuffling.shuffledWriteManifest(spark, dir)
+      .orderBy("file_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(manifest.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(manifest.map(_._2).toSeq == Seq(128L, 128L, 128L, 116L))
+    // zero cross-file key overlap: consecutive ranges strictly ordered
+    for (w <- manifest.toSeq.sliding(2); a = w.head; b = w.last)
+      assert(a._4 < b._3, s"files ${a._1}/${b._1} overlap")
+    // the manifest is the pure function of the corpus the oracle replays
+    val expected = (0L until 500L).map(Shuffling.feistelKey(_, 7L)).sorted
+      .grouped(128).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.length.toLong, g.head, g.last) }.toSeq
+    assert(manifest.toSeq == expected)
+
+    // reader-side physical properties: ONE data file per file_id dir,
+    // internally sorted by shuffle_key
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (fid <- 0 to 3) {
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(dir, s"file_id=$fid"))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      assert(part.length == 1, s"file_id=$fid holds ${part.length} data files")
+      val keys = spark.read.parquet(part.head.getPath.toString)
+        .select("shuffle_key").collect().map(_.getLong(0)).toSeq
+      assert(keys == keys.sorted, s"file_id=$fid rows out of key order")
+    }
+  }
 }
