@@ -2655,6 +2655,24 @@ object SparkEntry {
       vocab.unpersist(blocking = false)
       graft.ops.Bpe.encodeStats(docs, merges)
     },
+    "unigram_lm_vocab" -> { (s, dir) =>
+      // The OTHER production tokenizer family: Unigram-LM hard-EM
+      // training (Kudo 2018) on the collapsed word-vocab frame —
+      // substring seed (singles + top-300 multis), 2 EM rounds of
+      // broadcast Viterbi + bounded count collect, clamp-singles /
+      // prune-⌈3m/4⌉ M-step, one micro-rounded ln. The oracle replays
+      // every round: recursive-CTE Viterbi wavefront, smallest-start
+      // ties, the same prune ranks (ops/UnigramLm.scala).
+      graft.ops.UnigramLm.vocabDf(table(s, dir, "documents"))
+    },
+    "unigram_encode_stats" -> { (s, dir) =>
+      // Encode the corpus with the trained Unigram-LM: each DISTINCT
+      // word Viterbi-segments once under the final vocabulary, docs
+      // broadcast-join the word→piece-count table — the
+      // bpe_encode_stats split, different tokenizer
+      // (ops/UnigramLm.scala).
+      graft.ops.UnigramLm.encodeStats(table(s, dir, "documents"))
+    },
     "hll_error_report" -> { (s, dir) =>
       // Sketch-vs-truth, measured: per day, the exact distinct-user
       // count next to the HLL estimate and the signed error in bps —
@@ -7877,6 +7895,84 @@ object SparkEntry {
          |FROM e$rounds GROUP BY s HAVING count(*) >= $k""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.ops.UnigramLm]] hard-EM training: the word
+    * vocabulary, the all-occurrence substring seed (singles + top-K
+    * multis), then per round a recursive-CTE Viterbi wavefront (the DTW
+    * oracle's row-carrying discipline: state = the DP prefix-score list
+    * `b` plus the argmax-start list `a`, ties to the smallest start via
+    * `list_min` over the argmax set), a backward recursive walk over `a`
+    * emitting the chosen pieces, and the clamp-singles / prune-⌈3m/4⌉
+    * M-step with the one micro-rounded ln. Ends in `vocab${rounds + 1}`
+    * (piece, cnt, lp). MaxPieceLen = 4 is baked into the band constants
+    * (`j - 2` / `j + 2`).
+    */
+  private def unigramEmRoundCtes(r: Int): String =
+    s""", pm$r AS MATERIALIZED (
+      |  SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS m FROM vocab$r
+      |), fwd$r AS (
+      |  SELECT word, freq, length(word) AS n, 0 AS j,
+      |    [CAST(0 AS BIGINT)] AS b, CAST([] AS INT[]) AS a
+      |  FROM w
+      |  UNION ALL
+      |  SELECT word, freq, n, j + 1, list_append(b, best),
+      |    list_append(a, CAST(list_min(list_filter(range(greatest(1, j - 2), j + 2),
+      |      i -> b[i] + element_at(m, substr(word, i, j + 2 - i))[1] = best)) AS INT))
+      |  FROM (
+      |    SELECT word, freq, n, j, b, a, m,
+      |      list_max(list_filter(list_transform(range(greatest(1, j - 2), j + 2),
+      |        i -> b[i] + element_at(m, substr(word, i, j + 2 - i))[1]),
+      |        x -> x IS NOT NULL)) AS best
+      |    FROM fwd$r, pm$r WHERE j < n)
+      |), bk$r AS (
+      |  SELECT word, freq, a, j FROM fwd$r WHERE j = n
+      |  UNION ALL
+      |  SELECT word, freq, a, a[j] - 1 AS j FROM bk$r WHERE j > 0
+      |), cnt$r AS (
+      |  SELECT substr(word, a[j], j - a[j] + 1) AS piece, CAST(sum(freq) AS BIGINT) AS c
+      |  FROM bk$r WHERE j > 0 GROUP BY 1
+      |), newv$r AS (
+      |  SELECT v.piece, greatest(coalesce(c.c, 0), 1) AS c
+      |  FROM (SELECT piece FROM vocab$r WHERE length(piece) = 1) v
+      |  LEFT JOIN cnt$r c USING (piece)
+      |  UNION ALL
+      |  SELECT piece, c FROM (
+      |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rk,
+      |      count(*) OVER () AS mm
+      |    FROM cnt$r WHERE length(piece) >= 2)
+      |  WHERE rk <= (3 * mm + 3) // 4
+      |), tot$r AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM newv$r),
+      |vocab${r + 1} AS MATERIALIZED (
+      |  SELECT piece, c AS cnt,
+      |    CAST(floor(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6 + 0.5e0) AS BIGINT) AS lp
+      |  FROM newv$r, tot$r
+      |)""".stripMargin
+
+  private def unigramCtes(rounds: Int, seedMultiK: Int): String =
+    s"""WITH RECURSIVE w AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents)
+      |  WHERE word <> '' GROUP BY 1
+      |), sub AS (
+      |  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece, freq
+      |  FROM w, unnest(range(1, length(word) + 1)) t(i), unnest(range(1, 5)) u(l)
+      |  WHERE i + l - 1 <= length(word)
+      |), scnt AS (
+      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM sub GROUP BY 1
+      |), v0all AS (
+      |  SELECT piece, c FROM scnt WHERE length(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, c FROM (
+      |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rk
+      |    FROM scnt WHERE length(piece) >= 2)
+      |  WHERE rk <= $seedMultiK
+      |), tot0 AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM v0all),
+      |vocab1 AS MATERIALIZED (
+      |  SELECT piece, c AS cnt,
+      |    CAST(floor(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6 + 0.5e0) AS BIGINT) AS lp
+      |  FROM v0all, tot0
+      |)""".stripMargin +
+      (1 to rounds).map(unigramEmRoundCtes).mkString
+
   private def bpeMergesOracle(nMerges: Int): String = {
     val base =
       """WITH w AS (
@@ -8654,6 +8750,47 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesOracle(10),
+    "unigram_lm_vocab" ->
+      s"""${unigramCtes(rounds = 2, seedMultiK = 300)}
+        |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, cnt,
+        |  lp AS logp_micro
+        |FROM vocab3""".stripMargin,
+    "unigram_encode_stats" ->
+      // one more Viterbi wavefront under the FINAL vocabulary; per-word
+      // piece counts broadcast onto the corpus tokens
+      s"""${unigramCtes(rounds = 2, seedMultiK = 300)}, pmE AS MATERIALIZED (
+        |  SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS m FROM vocab3
+        |), fwdE AS (
+        |  SELECT word, length(word) AS n, 0 AS j,
+        |    [CAST(0 AS BIGINT)] AS b, CAST([] AS INT[]) AS a
+        |  FROM w
+        |  UNION ALL
+        |  SELECT word, n, j + 1, list_append(b, best),
+        |    list_append(a, CAST(list_min(list_filter(range(greatest(1, j - 2), j + 2),
+        |      i -> b[i] + element_at(m, substr(word, i, j + 2 - i))[1] = best)) AS INT))
+        |  FROM (
+        |    SELECT word, n, j, b, a, m,
+        |      list_max(list_filter(list_transform(range(greatest(1, j - 2), j + 2),
+        |        i -> b[i] + element_at(m, substr(word, i, j + 2 - i))[1]),
+        |        x -> x IS NOT NULL)) AS best
+        |    FROM fwdE, pmE WHERE j < n)
+        |), bkE AS (
+        |  SELECT word, a, j FROM fwdE WHERE j = n
+        |  UNION ALL
+        |  SELECT word, a, a[j] - 1 AS j FROM bkE WHERE j > 0
+        |), npc AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n_pieces
+        |  FROM bkE WHERE j > 0 GROUP BY 1
+        |)
+        |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(n.n_pieces) AS BIGINT) AS n_unigram_tokens, d.n_chars
+        |FROM (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    unnest(string_split_regex(lower(text), '\\s+')) AS word
+        |  FROM documents) d
+        |JOIN npc n USING (word)
+        |WHERE word <> ''
+        |GROUP BY d.doc_id, d.n_chars""".stripMargin,
     "quality_trained_by_lang" -> qualityTrainedGroupOracle(3),
     "quality_trained_auc_by_lang" ->
       s"""${qualityTrainedGroupCtes(3)}, p AS (

@@ -1,0 +1,134 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.UnigramLm
+
+/** Pins the Unigram-LM trainer against an INDEPENDENT naive reference
+  * (exhaustive segmentation enumeration + map-based EM, written from the
+  * algorithm statement, sharing no code with the operator), including
+  * the tie cases: equal DP scores (smallest-start backtrack) and equal
+  * M-step counts (piece-ascending prune order).
+  */
+class UnigramLmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val L = UnigramLm.MaxPieceLen
+
+  /** All segmentations of `w` into vocab pieces of length ≤ L. */
+  private def allSegs(w: String, lp: Map[String, Long]): Seq[List[String]] =
+    if (w.isEmpty) Seq(Nil)
+    else
+      (1 to math.min(L, w.length)).flatMap { l =>
+        val h = w.substring(0, l)
+        if (lp.contains(h)) allSegs(w.substring(l), lp).map(h :: _) else Nil
+      }
+
+  /** The operator's documented tie rule, stated independently: among
+    * max-score segmentations, the smallest-start backward walk picks the
+    * one whose piece-length sequence read RIGHT-TO-LEFT is
+    * lexicographically largest (longest last piece, then longest
+    * next-to-last, …).
+    */
+  private def refViterbi(w: String, lp: Map[String, Long]): List[String] = {
+    val segs = allSegs(w, lp)
+    val best = segs.map(_.map(lp).sum).max
+    segs
+      .filter(_.map(lp).sum == best)
+      .maxBy(_.map(_.length).reverse.map(l => f"$l%09d").mkString)
+  }
+
+  test("viterbiSplits: optimal score and tie resolution vs exhaustive enumeration") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abc"
+    // vocab: all singles plus random multis, logps with DELIBERATE
+    // collisions (multiples of 100) so score ties actually occur
+    val multis = (for {
+      _ <- 1 to 40
+      len = 2 + rnd.nextInt(L - 1)
+    } yield Seq.fill(len)(alphabet(rnd.nextInt(3))).mkString).distinct
+    val lp: Map[String, Long] =
+      (alphabet.map(_.toString) ++ multis).map(p => p -> -100L * (1 + rnd.nextInt(6))).toMap
+    var ties = 0
+    for (_ <- 1 to 300) {
+      val w = Seq.fill(1 + rnd.nextInt(9))(alphabet(rnd.nextInt(3))).mkString
+      val got = UnigramLm.viterbiPieces(w, lp)
+      assert(got.mkString == w, s"'$w' not a segmentation")
+      val segs = allSegs(w, lp)
+      val best = segs.map(_.map(lp).sum).max
+      assert(got.map(lp).sum == best, s"'$w' suboptimal")
+      if (segs.count(_.map(lp).sum == best) > 1) ties += 1
+      assert(got == refViterbi(w, lp), s"'$w' tie resolution")
+    }
+    assert(ties > 20, s"fixture too easy — only $ties tie cases exercised")
+  }
+
+  /** Independent naive trainer (the python-prototype algorithm in-spec). */
+  private def refTrain(
+      corpus: Seq[String], rounds: Int, seedK: Int): Map[String, (Long, Long)] = {
+    val words = corpus
+      .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val sub = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- words; i <- 0 until w.length; l <- 1 to math.min(L, w.length - i))
+      sub(w.substring(i, i + l)) = sub.getOrElse(w.substring(i, i + l), 0L) + f
+    def logp(v: Map[String, Long]): Map[String, Long] = {
+      val t = v.values.sum
+      v.map { case (p, c) => p -> UnigramLm.microLn(c, t) }
+    }
+    var vocab = sub.filter(_._1.length == 1).toMap ++
+      sub.toSeq.filter(_._1.length >= 2).sortBy { case (p, c) => (-c, p) }.take(seedK)
+    for (_ <- 1 to rounds) {
+      val lp = logp(vocab)
+      val cnt = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, f) <- words; p <- refViterbi(w, lp))
+        cnt(p) = cnt.getOrElse(p, 0L) + f
+      val singles = vocab.keys.filter(_.length == 1)
+        .map(p => p -> math.max(cnt.getOrElse(p, 0L), 1L))
+      val used = cnt.toSeq.filter(_._1.length >= 2).sortBy { case (p, c) => (-c, p) }
+      vocab = singles.toMap ++ used.take((3 * used.size + 3) / 4)
+    }
+    val lpF = logp(vocab)
+    vocab.map { case (p, c) => p -> ((c, lpF(p))) }
+  }
+
+  test("train matches the naive reference, including count-tie prune order") {
+    // 'xq' and 'zq' engineered to tie in seed counts (same freq) so the
+    // piece-ascending prune order is load-bearing; seedK = 6 cuts inside
+    // the tie band
+    val corpus = Seq(
+      "alpha beta alpha gamma",
+      "xq xq zq zq beta",
+      "gamma gamma alpha xq zq")
+    val got = UnigramLm.train(corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), rounds = 2, seedMultiK = 6)
+      .map(p => p.piece -> ((p.cnt, p.logpMicro))).toMap
+    assert(got == refTrain(corpus, rounds = 2, seedK = 6))
+  }
+
+  test("train matches the reference on a wider random corpus") {
+    val rnd = new scala.util.Random(31)
+    val vocabWords = Seq("spark", "scan", "sort", "merge", "batch", "data", "the", "aa", "aaa")
+    val corpus = (1 to 40).map(_ =>
+      Seq.fill(3 + rnd.nextInt(10))(vocabWords(rnd.nextInt(vocabWords.size))).mkString(" "))
+    val got = UnigramLm.train(corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), rounds = 2, seedMultiK = 20)
+      .map(p => p.piece -> ((p.cnt, p.logpMicro))).toMap
+    assert(got == refTrain(corpus, rounds = 2, seedK = 20))
+  }
+
+  test("encodeStats reconciles with per-word Viterbi lengths") {
+    val corpus = Seq((1L, "alpha beta Alpha"), (2L, "beta beta gamma x"))
+    val df = corpus.toDF("doc_id", "text")
+    val vocab = UnigramLm.train(df, rounds = 2, seedMultiK = 10)
+    val lp = vocab.map(p => p.piece -> p.logpMicro).toMap
+    def n(w: String) = UnigramLm.viterbiPieces(w, lp).length.toLong
+    val got = UnigramLm.encodeStats(df, rounds = 2, seedMultiK = 10)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, n("alpha") * 2 + n("beta"), 16L)))
+    assert(got(2L) == ((4L, n("beta") * 2 + n("gamma") + n("x"), 17L)))
+    // every emitted piece segments back to its word set; singles all kept
+    assert(vocab.filter(_.piece.length == 1).map(_.cnt).forall(_ >= 1L))
+  }
+}
