@@ -152,6 +152,82 @@ object StreamBench {
     }
   }
 
+  /** Payloads/s through the PIXEL-domain streaming claim protocol
+    * ([[graft.streaming.StreamingDedup.dhashChunkClaims]] — decode +
+    * gradient hash in the stateless map, claims on dhash chunks at the
+    * chunks = 4 scale default): synthetic DECODABLE payloads (BMP24 of
+    * seeded random 32×32 grids), ~1 in 4 a BMP8 RE-ENCODE of an earlier
+    * grid — the same-pixels/different-bytes dup the byte face cannot
+    * see, so the lose path exercises exactly the case this face exists
+    * for. Same absorption-polling skeleton as [[measureMediaClaims]]
+    * (every decodable payload emits exactly `chunks` claim rows).
+    */
+  def measureMediaClaimsPixel(
+      spark: SparkSession,
+      n: Int,
+      batches: Int = 10,
+      chunks: Int = 4
+  ): (Double, Long, Long) = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(2027L)
+    val grids = new scala.collection.mutable.ArrayBuffer[Array[Int]](n)
+    val events = (0 until n).map { i =>
+      val reencode = i > 0 && rnd.nextInt(4) == 0
+      val g = if (reencode) grids(rnd.nextInt(grids.length)) else Array.fill(32 * 32)(rnd.nextInt(256))
+      grids += g
+      val p = if (reencode) graft.ops.Multimodal.bmp8(g, 32) else graft.ops.Multimodal.bmp24(g, 32)
+      (i.toLong, p)
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val input = MemoryStream[(Long, Array[Byte])]
+    val claims = graft.streaming.StreamingDedup.dhashChunkClaims(
+      input.toDF().toDF("media_id", "content"), ttlMinutes = 60, chunks = chunks)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val lost = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = claims.toDF().writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val agg = batch
+          .agg(count(lit(1)), sum(when(col("lost"), 1L).otherwise(0L)))
+          .collect()(0)
+        seen.addAndGet(agg.getLong(0))
+        lost.addAndGet(if (agg.isNullAt(1)) 0L else agg.getLong(1))
+        ()
+      }
+      .start()
+    def awaitClaims(expected: Long): Unit = {
+      val deadline = System.nanoTime() + 180_000_000_000L
+      while (seen.get() < expected && System.nanoTime() < deadline) Thread.sleep(20)
+      require(seen.get() >= expected, s"pixel media claims stalled: ${seen.get()} < $expected")
+    }
+    try {
+      val warm = math.min(100, n / 10)
+      input.addData(events.take(warm))
+      awaitClaims(chunks.toLong * warm)
+      val t0 = System.nanoTime()
+      val per = math.max(1, (n - warm) / batches)
+      var added = warm.toLong
+      events.drop(warm).grouped(per).foreach { b =>
+        input.addData(b)
+        added += b.size
+        awaitClaims(chunks.toLong * added)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      ((n - warm) / sec, seen.get(), lost.get())
+    } finally {
+      scala.util.Try(q.stop())
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_STREAM_EVENTS", "500000").toInt
     val batches = 10
@@ -166,8 +242,11 @@ object StreamBench {
     // collision floor). Both measured so BASELINE carries the tradeoff.
     val (mps8, claims8, lost8) = measureMediaClaims(spark, mediaN, chunks = 8)
     val (mps4, claims4, lost4) = measureMediaClaims(spark, mediaN, chunks = 4)
+    // pixel path: decode + gradient hash in the map — the measured-winner
+    // face; re-encoded-twin dups drive the lose path
+    val (mpsP, claimsP, lostP) = measureMediaClaimsPixel(spark, mediaN)
     println(
-      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":$n,"wall_sec":$sec,"teams":$teams,"users":$users,"micro_batches":$batches,"media_payloads_per_sec":${mps8.round},"media_payloads":$mediaN,"media_claims":$claims8,"media_lost_claims":$lost8,"media_payloads_per_sec_c4":${mps4.round},"media_claims_c4":$claims4,"media_lost_claims_c4":$lost4}"""
+      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":$n,"wall_sec":$sec,"teams":$teams,"users":$users,"micro_batches":$batches,"media_payloads_per_sec":${mps8.round},"media_payloads":$mediaN,"media_claims":$claims8,"media_lost_claims":$lost8,"media_payloads_per_sec_c4":${mps4.round},"media_claims_c4":$claims4,"media_lost_claims_c4":$lost4,"media_payloads_per_sec_pixel":${mpsP.round},"media_claims_pixel":$claimsP,"media_lost_claims_pixel":$lostP}"""
     )
     spark.stop()
   }

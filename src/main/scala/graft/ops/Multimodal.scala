@@ -868,6 +868,20 @@ object Multimodal {
     hash
   }
 
+  /** One-payload pixel gradient hash: decode (real ImageIO) → shared
+    * 8×8 grid → [[dhashOfGrid]]; None when undecodable. The per-record
+    * form the STREAMING claim protocol maps over
+    * ([[graft.streaming.StreamingDedup.dhashChunkClaims]]) — the batch
+    * perturbation matrix crowned the gradient hash
+    * (`media_perturbation_matrix` / `media_dedup_auto`), so the stream
+    * keys on the measured winner instead of the byte-domain hash.
+    */
+  def pixelDhashOf(bytes: Array[Byte]): Option[Long] =
+    decodeOne(bytes).map { case (img, _) =>
+      val (sums, cnts, _, _) = grid8(img)
+      dhashOfGrid(sums, cnts)
+    }
+
   /** Spectral hash (wHash) off the shared grid: the 2-D Walsh–Hadamard
     * transform of the 8×8 cell sums — the integer-exact stand-in for
     * pHash's DCT (same sequency-ordered frequency story, but every

@@ -157,6 +157,51 @@ object StreamingDedup {
       )
   }
 
+  /** Streaming media claims on the PIXEL-domain gradient hash — the
+    * measured winner of the batch perturbation matrix
+    * ([[graft.ops.Multimodal.perturbationMatrixFromHashes]], encoded as
+    * the `media_dedup_auto` gate), so the streaming face keys on the
+    * same hash the batch face's measured decision picks instead of
+    * contradicting it with the byte-domain aHash ([[ahashChunkClaims]],
+    * kept as the codec-free fallback for undecodable payload streams).
+    *
+    * Decode happens IN the stateless map (ImageIO per payload — no
+    * state, no extra stage); a re-encoded duplicate (same pixels,
+    * different bytes: BMP24 vs BMP8) hashes identically, so its chunk
+    * keys collide at Hamming 0 and the claim LOSES — the case the byte
+    * hash provably misses (spec-pinned both ways). Undecodable payloads
+    * drop, matching the batch decode-degrade contract. Default
+    * `chunks = 4` is the scale config (2¹⁶ buckets/index — the
+    * measured occupancy-wall answer; pigeonhole still catches
+    * Hamming ≤ 3 near-dups).
+    */
+  def dhashChunkClaims(
+      mediaStream: DataFrame,
+      ttlMinutes: Int,
+      idCol: String = "media_id",
+      contentCol: String = "content",
+      chunks: Int = 4
+  ): org.apache.spark.sql.Dataset[StreamingDedup.BandClaim] = {
+    require(chunks >= 2 && 64 % chunks == 0, "chunks must be >= 2 and divide 64")
+    val w = 64 / chunks
+    val mask = (1L << w) - 1
+    import mediaStream.sparkSession.implicits._
+    mediaStream
+      .select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        graft.ops.Multimodal.pixelDhashOf(bytes).toSeq.flatMap { h =>
+          (0 until chunks).map(c => (id, ((h >>> (c * w)) & mask) | (c.toLong << w)))
+        }
+      }
+      .groupByKey(_._2)
+      .transformWithState(
+        new BandClaimProcessor(ttlMinutes),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update()
+      )
+  }
+
   /** Per-doc novel-content fraction over one micro-batch of [[chunkClaims]]
     * output (claims co-batch per doc): docs keeping at least `minNovel` of
     * their chunks. Apply inside `foreachBatch`.

@@ -206,6 +206,73 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(all.last == Set(8L), s"batch 2 survivors: ${all.last}")
   }
 
+  test("dhashChunkClaims: a re-encoded pixel twin is caught; the byte face provably misses it") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val rnd = new scala.util.Random(47)
+    def px() = Array.fill(32 * 32)(rnd.nextInt(256))
+    val pxA = px(); val pxB = px(); val pxC = px()
+    val a24 = graft.ops.Multimodal.bmp24(pxA, 32)
+    val a8 = graft.ops.Multimodal.bmp8(pxA, 32) // same pixels, different bytes
+    val b24 = graft.ops.Multimodal.bmp24(pxB, 32)
+    val c24 = graft.ops.Multimodal.bmp24(pxC, 32)
+    val junk = Array.tabulate[Byte](512)(_ => rnd.nextInt(256).toByte) // undecodable
+    assert(!java.util.Arrays.equals(a24, a8))
+    // identical pixel hashes for the twin — the claim collides at Hamming 0
+    assert(graft.ops.Multimodal.pixelDhashOf(a24) == graft.ops.Multimodal.pixelDhashOf(a8))
+    assert(graft.ops.Multimodal.pixelDhashOf(junk).isEmpty)
+
+    def run(
+        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[StreamingDedup.BandClaim]
+    ): List[Set[Long]] = {
+      val input = MemoryStream[(Long, Array[Byte])]
+      val claims = mk(input.toDF().toDF("media_id", "content"))
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      val q = claims.toDF().writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val s = StreamingDedup.survivors(batch).collect().map(_.getLong(0)).toSet
+          if (s.nonEmpty || batch.count() > 0) batches.synchronized { batches += s }
+          ()
+        }
+        .start()
+      def awaitBatches(n: Int): Unit = {
+        val deadline = System.nanoTime() + 90_000_000_000L
+        while (batches.synchronized(batches.size) < n && System.nanoTime() < deadline)
+          Thread.sleep(200)
+      }
+      try {
+        input.addData(Seq((1L, a24), (2L, b24)))
+        awaitBatches(1)
+        // re-encoded twin of 1, a fresh payload, and an undecodable one
+        input.addData(Seq((9L, a8), (8L, c24), (7L, junk)))
+        awaitBatches(2)
+      } finally q.stop()
+      batches.toList
+    }
+
+    try {
+      val pixel = run(df => StreamingDedup.dhashChunkClaims(df, ttlMinutes = 60))
+      assert(pixel.head == Set(1L, 2L), s"pixel batch 1: ${pixel.head}")
+      // 9 (the re-encode) LOSES; undecodable 7 emits no claims at all
+      assert(pixel.last == Set(8L), s"pixel batch 2: ${pixel.last}")
+      // the byte-domain face scans the same stream and MISSES the
+      // re-encode: 9 survives — exactly the contradiction the pixel
+      // face closes (the batch perturbation matrix's measured verdict)
+      val bytes = run(df => StreamingDedup.ahashChunkClaims(df, ttlMinutes = 60, chunks = 4))
+      assert(bytes.last.contains(9L), s"byte batch 2: ${bytes.last}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("StreamBench.measureMediaClaims: absorbs every payload, counts lost claims") {
     // 400 x 512 B payloads, seeded ~25% exact dups: every payload must emit
     // exactly 8 claim rows (cumulative absorption contract the bench waits
@@ -215,5 +282,16 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(eps > 0.0)
     assert(claims == 8L * 400, s"claims=$claims")
     assert(lost > 0L, "seeded exact dups must lose buckets")
+  }
+
+  test("StreamBench.measureMediaClaimsPixel: absorbs decodable payloads, re-encodes lose") {
+    // 400 BMP payloads (~25% BMP8 re-encodes of earlier grids): every
+    // payload decodes → exactly 4 claim rows each; the re-encoded twins
+    // MUST lose chunks (pixel-identical ⇒ Hamming 0 ⇒ all 4 keys collide)
+    val (eps, claims, lost) = StreamBench.measureMediaClaimsPixel(
+      spark, n = 400, batches = 4)
+    assert(eps > 0.0)
+    assert(claims == 4L * 400, s"claims=$claims")
+    assert(lost > 0L, "re-encoded twins must lose buckets")
   }
 }
