@@ -152,6 +152,52 @@ object StreamBench {
     }
   }
 
+  /** Docs/s through the ingest-time BLOCKLIST filter
+    * ([[graft.ops.DictScan.blocklistFilter]] — broadcast Aho–Corasick,
+    * stateless map, first-hit short-circuit): synthetic ~`docBytes`-char
+    * documents from a seeded vocabulary, `hitRate` per mille carrying a
+    * blocklisted term at a random position. Stateless ⇒
+    * `processAllAvailable` is safe (no timers). Returns
+    * (docsPerSec, kept, dropped).
+    */
+  def measureBlocklist(
+      spark: SparkSession,
+      n: Int,
+      batches: Int = 10,
+      docBytes: Int = 2048,
+      hitPerMille: Int = 250,
+      dictK: Int = 200
+  ): (Double, Long, Long) = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(733L)
+    val vocab = Array.tabulate(500)(i => s"tok$i")
+    val blocked = Array.tabulate(dictK)(i => s"bad$i")
+    val docs = (0 until n).map { i =>
+      val sb = new StringBuilder
+      while (sb.length < docBytes) { sb.append(vocab(rnd.nextInt(vocab.length))); sb.append(' ') }
+      if (rnd.nextInt(1000) < hitPerMille) sb.append(blocked(rnd.nextInt(blocked.length)))
+      (i.toLong, sb.toString)
+    }
+    val expectedDrops = docs.count { case (_, t) => t.contains(" bad") }
+    val input = MemoryStream[(Long, String)]
+    val kept = graft.ops.DictScan.blocklistFilter(
+      input.toDF().toDF("doc_id", "text"), blocked.toIndexedSeq.map(" " + _))
+    val q = kept.writeStream.format("memory").queryName("bl_bench").outputMode("append").start()
+    try {
+      val warm = math.min(100, n / 10)
+      input.addData(docs.take(warm))
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      val per = math.max(1, (n - warm) / batches)
+      docs.drop(warm).grouped(per).foreach { b => input.addData(b); q.processAllAvailable() }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val keptN = spark.table("bl_bench").count()
+      require(keptN == n - expectedDrops, s"blocklist kept $keptN, expected ${n - expectedDrops}")
+      ((n - warm) / sec, keptN, expectedDrops.toLong)
+    } finally scala.util.Try(q.stop())
+  }
+
   /** Payloads/s through the PIXEL-domain streaming claim protocol
     * ([[graft.streaming.StreamingDedup.dhashChunkClaims]] — decode +
     * gradient hash in the stateless map, claims on dhash chunks at the
@@ -245,8 +291,9 @@ object StreamBench {
     // pixel path: decode + gradient hash in the map — the measured-winner
     // face; re-encoded-twin dups drive the lose path
     val (mpsP, claimsP, lostP) = measureMediaClaimsPixel(spark, mediaN)
+    val (bps, blKept, blDropped) = measureBlocklist(spark, mediaN)
     println(
-      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":$n,"wall_sec":$sec,"teams":$teams,"users":$users,"micro_batches":$batches,"media_payloads_per_sec":${mps8.round},"media_payloads":$mediaN,"media_claims":$claims8,"media_lost_claims":$lost8,"media_payloads_per_sec_c4":${mps4.round},"media_claims_c4":$claims4,"media_lost_claims_c4":$lost4,"media_payloads_per_sec_pixel":${mpsP.round},"media_claims_pixel":$claimsP,"media_lost_claims_pixel":$lostP}"""
+      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":$n,"wall_sec":$sec,"teams":$teams,"users":$users,"micro_batches":$batches,"media_payloads_per_sec":${mps8.round},"media_payloads":$mediaN,"media_claims":$claims8,"media_lost_claims":$lost8,"media_payloads_per_sec_c4":${mps4.round},"media_claims_c4":$claims4,"media_lost_claims_c4":$lost4,"media_payloads_per_sec_pixel":${mpsP.round},"media_claims_pixel":$claimsP,"media_lost_claims_pixel":$lostP,"blocklist_docs_per_sec":${bps.round},"blocklist_kept":$blKept,"blocklist_dropped":$blDropped}"""
     )
     spark.stop()
   }

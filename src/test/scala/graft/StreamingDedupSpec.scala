@@ -294,4 +294,12 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(claims == 4L * 400, s"claims=$claims")
     assert(lost > 0L, "re-encoded twins must lose buckets")
   }
+
+  test("StreamBench.measureBlocklist: exact keep/drop census at throughput") {
+    val (dps, kept, dropped) = StreamBench.measureBlocklist(
+      spark, n = 400, batches = 4, docBytes = 512)
+    assert(dps > 0.0)
+    assert(kept + dropped == 400L)
+    assert(dropped > 0L, "seeded hit rate must drop docs")
+  }
 }
