@@ -194,6 +194,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("spans_removed_corpus: corpus text crosses ONE exchange; islands stay checkpointed") {
+    val plan = executedPlan("spans_removed_corpus")
+    // the only parquet scan in the final plan is the doc-keyed merge's —
+    // the gram/island pipeline lives behind the eager checkpoint cut
+    assert("Scan parquet".r.findAllIn(plan).size <= 1,
+      s"island pipeline re-executed against the corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("training_shuffle_manifest: metadata-scale — the manifest never rescans the corpus") {
+    val plan = executedPlan("training_shuffle_manifest")
+    // reads ONLY the written shuffled dataset (one scan), one partial+final
+    // agg around its exchange; the documents table is not in the plan
+    assert(!plan.contains("documents"), s"manifest rescans the corpus:\n$plan")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, s"extra scans:\n$plan")
+  }
+
   test("token_pmi: no corpus self-join; pair marginals ride the broadcast vocab") {
     val plan = executedPlan("token_pmi")
     // exactly the pairing scan (the vocab pass is behind the checkpoint cut)
