@@ -3451,6 +3451,18 @@ object SparkEntry {
       graft.ops.Spans.removeDuplicatedSpans(
         table(s, dir, "documents"), n = 5, maxDf = 50, minRun = 15)
     },
+    "spans_removed_within" -> { (s, dir) =>
+      // The self-duplication half of the Lee et al. rewrite: spans a doc
+      // repeats INTERNALLY (choruses, templated sections) deleted from
+      // every occurrence but the FIRST. Within-doc self-join on the
+      // positive diagonal with a per-(doc, gram) occurrence cap; periodic
+      // text folds to one period. Shares the cross-doc face's
+      // merge/subtract/reconstruct tail. n=3/minRun=4 re-centred for the
+      // short synthetic docs (the gopher-thresholds precedent); live on
+      // this corpus at every SF (ops/Spans.scala).
+      graft.ops.Spans.removeWithinDocSpans(
+        table(s, dir, "documents"), n = 3, maxRep = 50, minRun = 4)
+    },
     "curation_pipeline_v11" -> { (s, dir) =>
       // Round-14 curation chain: span-level REMOVAL first (rewrite, not
       // drop — unique content in partially-duplicated docs survives),
@@ -6601,6 +6613,83 @@ object SparkEntry {
       |  JOIN sr_ot o USING (doc_id)
       |  LEFT JOIN sr_clean c USING (doc_id)
       |  LEFT JOIN sr_rm rm ON rm.doc = d.doc_id
+      |)""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.Spans.removeWithinDocSpans]] (n=5,
+    * maxRep=50, minRun=15): positional grams, per-(doc, gram) occurrence
+    * cap, within-doc self-join on the positive diagonal d = pos_b −
+    * pos_a, islands per (doc, d), later-occurrence removal intervals,
+    * then the same merge/subtract/reconstruct tail as
+    * [[spanRemovalCtes]] (sw_-prefixed; ends in `cleandocw`).
+    */
+  private def withinSpanRemovalCtes(
+      docsRel: String = "documents", n: Int = 3, minRun: Int = 4): String =
+    s"""sw_toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM $docsRel
+      |), sw_grams AS (
+      |  SELECT doc_id, pg['pos'] AS pos, pg['g'] AS g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t) - ${n - 2}),
+      |      i -> struct_pack(pos := CAST(i AS INT),
+      |                       g := substr(md5(array_to_string(t[i:i+${n - 1}], ' ')), 1, 16)))) AS pg
+      |    FROM sw_toks WHERE len(t) >= $n)
+      |), sw_rep AS (
+      |  SELECT doc_id, g FROM sw_grams GROUP BY doc_id, g
+      |  HAVING count(*) BETWEEN 2 AND 50
+      |), sw_idx AS MATERIALIZED (
+      |  SELECT sw_grams.doc_id, sw_grams.pos, sw_grams.g
+      |  FROM sw_grams JOIN sw_rep USING (doc_id, g)
+      |), sw_isl AS (
+      |  SELECT doc_id, d, pos_a,
+      |    pos_a - row_number() OVER (PARTITION BY doc_id, d ORDER BY pos_a) AS grp
+      |  FROM (
+      |    SELECT a.doc_id, a.pos AS pos_a, b.pos - a.pos AS d
+      |    FROM sw_idx a JOIN sw_idx b USING (doc_id, g)
+      |    WHERE a.pos < b.pos)
+      |), sw_iv AS (
+      |  SELECT doc, CAST(s AS BIGINT) AS s, CAST(s + run_tokens - 1 AS BIGINT) AS e
+      |  FROM (
+      |    SELECT doc_id AS doc, min(pos_a) + d AS s, count(*) + ${n - 1} AS run_tokens
+      |    FROM sw_isl GROUP BY doc_id, d, grp)
+      |  WHERE run_tokens >= $minRun
+      |), sw_reg AS (
+      |  SELECT doc, s, e,
+      |    sum(nr) OVER (PARTITION BY doc ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+      |  FROM (
+      |    SELECT doc, s, e,
+      |      CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
+      |        THEN 1 ELSE 0 END AS nr
+      |    FROM sw_iv
+      |    WINDOW w AS (PARTITION BY doc ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |), sw_regions AS MATERIALIZED (
+      |  SELECT doc, rid, min(s) AS rs, max(e) AS re FROM sw_reg GROUP BY 1, 2
+      |), sw_rm AS (
+      |  SELECT doc, CAST(sum(re - rs + 1) AS BIGINT) AS n_tokens_removed,
+      |    CAST(count(*) AS BIGINT) AS n_spans_removed
+      |  FROM sw_regions GROUP BY 1
+      |), sw_ot AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM $docsRel
+      |), sw_kept AS (
+      |  SELECT k.doc_id, k.pos, k.tok FROM (
+      |    SELECT doc_id, pg['pos'] AS pos, pg['tok'] AS tok FROM (
+      |      SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+      |        i -> struct_pack(pos := CAST(i AS INT), tok := t[i]))) AS pg
+      |      FROM sw_ot)) k
+      |  WHERE NOT EXISTS (SELECT 1 FROM sw_regions r
+      |    WHERE r.doc = k.doc_id AND k.pos >= r.rs AND k.pos <= r.re)
+      |), sw_clean AS (
+      |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
+      |  FROM sw_kept GROUP BY 1
+      |), cleandocw AS MATERIALIZED (
+      |  SELECT d.doc_id, coalesce(c.text_clean, '') AS text_clean,
+      |    CAST(len(o.t) AS BIGINT) AS n_tokens,
+      |    coalesce(rm.n_tokens_removed, 0) AS n_tokens_removed,
+      |    coalesce(rm.n_spans_removed, 0) AS n_spans_removed
+      |  FROM $docsRel d
+      |  JOIN sw_ot o USING (doc_id)
+      |  LEFT JOIN sw_clean c USING (doc_id)
+      |  LEFT JOIN sw_rm rm ON rm.doc = d.doc_id
       |)""".stripMargin
 
   private def curationOrderCtes: String =
@@ -13545,6 +13634,10 @@ object SparkEntry {
       s"""WITH ${spanRemovalCtes()}
         |SELECT doc_id, text_clean, n_tokens, n_tokens_removed, n_spans_removed
         |FROM cleandoc""".stripMargin,
+    "spans_removed_within" ->
+      s"""WITH ${withinSpanRemovalCtes()}
+        |SELECT doc_id, text_clean, n_tokens, n_tokens_removed, n_spans_removed
+        |FROM cleandocw""".stripMargin,
     "curation_pipeline_v11" ->
       // span removal (shared CTE chain) -> exact dedup on the CLEANED
       // text -> the v4 Gopher block -> the shared waterfill unroll, with

@@ -136,6 +136,123 @@ object Spans {
       )
       .where(col("longest_run") >= minRun)
 
+  /** WITHIN-doc repeated-span removal — the self-duplication half of the
+    * Lee et al. rewrite ([[removeDuplicatedSpans]] handles cross-doc
+    * pairs; this deletes later occurrences of spans a document repeats
+    * INTERNALLY — boilerplate choruses, templated sections — keeping the
+    * FIRST occurrence).
+    *
+    * Mechanics: the same positional gram frame self-joins WITHIN each
+    * doc on the gram digest (pos_a < pos_b, so the diagonal
+    * d = pos_b − pos_a is positive), islands on (doc, d) collapse
+    * maximal repeats, and every ≥ `minRun`-token island removes its
+    * LATER occurrence `[start_a + d, start_a + d + run_tokens − 1]`.
+    * Periodic text folds correctly: in `x y z x y z x y z` (n = 3) the
+    * d = 3 island spans starts 1..4, so the removal interval [4, 9]
+    * keeps exactly one period. Interval merge + positional subtraction +
+    * reconstruction are [[removeDuplicatedSpans]]'s, doc-local.
+    *
+    * `maxRep` caps per-(doc, gram) occurrences before the self-join
+    * (k occurrences fan out k² pairs — the within-doc analogue of the
+    * cross-doc `maxDf` stop-gram bound); a gram repeated more often is
+    * degenerate filler whose repeats shorter-period islands still catch.
+    *
+    * 100 TB shape: one gram exchange (doc-keyed windows ride it), the
+    * self-join keyed by (doc, gram) with bounded fanout, ONE doc-keyed
+    * merge for the corpus text — same exchange budget as the cross-doc
+    * face.
+    */
+  def removeWithinDocSpans(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      maxRep: Int = 50,
+      minRun: Int = 15): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc"), posexplode_outer(positionalGrams(col(textCol), n)))
+      .select(col("doc"), col("col.pos").as("pos"), substring(md5(col("col.gram")), 1, 16).as("g"))
+      .where(col("g").isNotNull)
+
+    // occurrence cap per (doc, gram): one doc-gram-keyed window over the
+    // same exchange the self-join needs; only repeated grams (2..maxRep
+    // occurrences) can witness a within-doc repeat
+    val wg = Window.partitionBy("doc", "g")
+    val indexed = grams
+      .withColumn("rep", count(lit(1)).over(wg))
+      .where(col("rep") >= 2 && col("rep") <= maxRep)
+      .drop("rep")
+      .localCheckpoint(true) // referenced twice by the self-join
+
+    val a = indexed.select(col("doc"), col("g"), col("pos").as("pos_a"))
+    val b = indexed.select(col("doc"), col("g"), col("pos").as("pos_b"))
+    val isl = a
+      .join(b, Seq("doc", "g"))
+      .where(col("pos_a") < col("pos_b"))
+      .select(col("doc"), col("pos_a"), (col("pos_b") - col("pos_a")).as("d"))
+      .withColumn(
+        "grp",
+        col("pos_a") - row_number().over(Window.partitionBy("doc", "d").orderBy("pos_a")))
+      .groupBy("doc", "d", "grp")
+      .agg(min(col("pos_a")).as("start_a"), count(lit(1)).as("run_grams"))
+      .withColumn("run_tokens", col("run_grams") + (n - 1))
+
+    val ivs = isl
+      .where(col("run_tokens") >= minRun)
+      .select(
+        col("doc"),
+        (col("start_a") + col("d")).cast("long").as("s"),
+        (col("start_a") + col("d") + col("run_tokens") - 1).cast("long").as("e"))
+
+    reconstruct(docs, idCol, textCol, ivs)
+  }
+
+  /** Shared tail of the two span-removal faces: interval merge into
+    * maximal regions, positional token subtraction against the
+    * original-case split, `concat_ws` reconstruction. `ivs` =
+    * (doc, s, e) removal intervals in 1-based token positions.
+    */
+  private def reconstruct(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ivs: DataFrame): DataFrame = {
+    val wDoc = Window.partitionBy("doc").orderBy("s", "e")
+    val prevMaxE = max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val regions = ivs
+      .withColumn(
+        "nr",
+        when(prevMaxE.isNull || col("s") > prevMaxE + 1, 1L).otherwise(0L))
+      .withColumn("rid", sum(col("nr")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc", "rid")
+      .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
+
+    val perDoc = regions
+      .groupBy(col("doc").as(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("rs"), col("re")))).as("regions"),
+        sum(col("re") - col("rs") + 1).as("n_tokens_removed"),
+        count(lit(1)).as("n_spans_removed"))
+
+    val toks = split(col(textCol), "\\s+")
+    docs
+      .select(col(idCol), col(textCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        concat_ws(
+          " ",
+          filter(
+            toks,
+            (_, i) => !exists(
+              coalesce(col("regions"), array().cast("array<struct<rs:long,re:long>>")),
+              r => i + 1 >= r.getField("rs") && i + 1 <= r.getField("re")))
+        ).as("text_clean"),
+        size(toks).cast("long").as("n_tokens"),
+        coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"),
+        coalesce(col("n_spans_removed"), lit(0L)).as("n_spans_removed"))
+  }
+
   /** Exact-substring span REMOVAL with corpus reconstruction — the
     * operation Lee et al. 2022 actually run on training corpora: delete
     * each duplicated span from all-but-one occurrence and re-emit the
@@ -183,45 +300,6 @@ object Spans {
         (col("start_a") - col("diag")).cast("long").as("s"),
         (col("start_a") - col("diag") + col("run_tokens") - 1).cast("long").as("e"))
 
-    // Interval merge: a region break iff this interval starts past every
-    // earlier interval's max end + 1 (adjacent removals coalesce into one
-    // contiguous removed region). One window over the doc shard.
-    val wDoc = Window.partitionBy("doc").orderBy("s", "e")
-    val prevMaxE = max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val regions = ivs
-      .withColumn(
-        "nr",
-        when(prevMaxE.isNull || col("s") > prevMaxE + 1, 1L).otherwise(0L))
-      .withColumn("rid", sum(col("nr")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy("doc", "rid")
-      .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
-
-    val perDoc = regions
-      .groupBy(col("doc").as(idCol))
-      .agg(
-        sort_array(collect_list(struct(col("rs"), col("re")))).as("regions"),
-        sum(col("re") - col("rs") + 1).as("n_tokens_removed"),
-        count(lit(1)).as("n_spans_removed"))
-
-    // The one doc-keyed merge: original-case tokens (whitespace split
-    // positions are case-invariant, so gram positions over lower(text)
-    // index this array 1:1), positions inside any region subtracted.
-    val toks = split(col(textCol), "\\s+")
-    docs
-      .select(col(idCol), col(textCol))
-      .join(perDoc, Seq(idCol), "left")
-      .select(
-        col(idCol),
-        concat_ws(
-          " ",
-          filter(
-            toks,
-            (_, i) => !exists(
-              coalesce(col("regions"), array().cast("array<struct<rs:long,re:long>>")),
-              r => i + 1 >= r.getField("rs") && i + 1 <= r.getField("re")))
-        ).as("text_clean"),
-        size(toks).cast("long").as("n_tokens"),
-        coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"),
-        coalesce(col("n_spans_removed"), lit(0L)).as("n_spans_removed"))
+    reconstruct(docs, idCol, textCol, ivs)
   }
 }

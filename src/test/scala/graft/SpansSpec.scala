@@ -125,6 +125,45 @@ class SpansSpec extends AnyFunSuite {
     assert(got(1L) == ((base, 20L, 0L, 0L)))
   }
 
+  test("within-doc repeats: the chorus survives exactly once, first occurrence kept") {
+    val chorus = "oh the chorus line repeats again" // 6 tokens
+    val rows = Seq(
+      // chorus at token positions 1, 12, 23 — later two must go; the
+      // verse words flanking each occurrence all differ, so the maximal
+      // repeated span is exactly the chorus
+      1L -> s"$chorus alpha one differs here A $chorus beta two differs here B $chorus",
+      2L -> "no internal repetition in this document at all today friends"
+    )
+    val got = Spans
+      .removeWithinDocSpans(rows.toDF("doc_id", "text"), n = 3, maxRep = 10, minRun = 5)
+      .as[(Long, String, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5)))
+      .toMap
+    val expected = s"$chorus alpha one differs here A beta two differs here B"
+    assert(got(1L) == ((expected, 28L, 12L, 2L)))
+    assert(got(2L) == ((rows(1)._2, 10L, 0L, 0L)))
+  }
+
+  test("within-doc periodic text folds to one period") {
+    // 'x y z' * 4: the d=3 island keeps exactly the first period
+    val rows = Seq(1L -> "x y z x y z x y z x y z")
+    val got = Spans
+      .removeWithinDocSpans(rows.toDF("doc_id", "text"), n = 3, maxRep = 10, minRun = 4)
+      .as[(Long, String, Long, Long, Long)]
+      .collect()
+    assert(got.toSeq == Seq((1L, "x y z", 12L, 9L, 1L)))
+  }
+
+  test("within-doc face ignores cross-doc duplication (and vice versa)") {
+    val span = "shared across two documents only here"
+    val rows = Seq(1L -> s"a1 b1 $span c1", 2L -> s"a2 $span b2 c2")
+    val within = Spans
+      .removeWithinDocSpans(rows.toDF("doc_id", "text"), n = 3, maxRep = 10, minRun = 5)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(within.forall(_._4 == 0L), "cross-doc span must not trigger the within face")
+  }
+
   test("duplicate intervals from multiple pairs collapse (no double counting)") {
     // doc 9 shares the same span with BOTH 2 and 5 — its identical
     // removal intervals from the two pairs must merge, not double-count
