@@ -3447,9 +3447,11 @@ object SparkEntry {
       // cleaned text re-emitted (whitespace-normalized, original case).
       // dup_spans' bounded gram machinery + interval-merge windows; the
       // corpus text crosses exactly ONE exchange — the final doc-keyed
-      // merge of the region lists (ops/Spans.scala).
-      graft.ops.Spans.removeDuplicatedSpans(
-        table(s, dir, "documents"), n = 5, maxDf = 50, minRun = 15)
+      // merge of the region lists. The interval frame (ids + ranges,
+      // never text — scale-safe to pin) builds ONCE for this face and
+      // curation_pipeline_v11 (ops/Spans.scala).
+      graft.ops.Spans.applyRemovalIntervals(
+        table(s, dir, "documents"), "doc_id", "text", sharedSpanIntervals(s, dir))
     },
     "spans_removed_within" -> { (s, dir) =>
       // The self-duplication half of the Lee et al. rewrite: spans a doc
@@ -3472,7 +3474,8 @@ object SparkEntry {
       // cheap projections of the corpus (the v4-documented trade: never
       // cache a corpus-sized frame) — every exchange is the stages' own.
       val docs = table(s, dir, "documents")
-      val cleaned = graft.ops.Spans.removeDuplicatedSpans(docs)
+      val cleaned = graft.ops.Spans.applyRemovalIntervals(
+        docs, "doc_id", "text", sharedSpanIntervals(s, dir))
       val cleanDocs = docs
         .select(col("doc_id"), col("source"))
         .join(cleaned.select(col("doc_id"), col("text_clean").as("text")), Seq("doc_id"))
@@ -4844,6 +4847,18 @@ object SparkEntry {
     */
   private val OverlapBigramWords =
     Seq("batch", "sort", "merge", "group", "small", "window")
+
+  /** The cross-doc span-removal interval frame, built once per (session,
+    * dir) for `spans_removed_corpus` + `curation_pipeline_v11` (the
+    * sharedLeg discipline): ids + token ranges only — never the corpus
+    * text — so the eager pin is metadata-scale at any corpus size.
+    */
+  private def sharedSpanIntervals(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "spanIvs") {
+      graft.ops.Spans
+        .crossDocRemovalIntervals(table(s, dir, "documents"), n = 5, maxDf = 50, minRun = 15)
+        .localCheckpoint(eager = true)
+    }
 
   private def sharedDictScan(s: SparkSession, dir: String): DataFrame =
     sharedLeg(s, dir, "dictScan200") {

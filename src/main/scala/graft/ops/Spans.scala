@@ -293,13 +293,38 @@ object Spans {
       n: Int = 5,
       maxDf: Int = 50,
       minRun: Int = 15): DataFrame = {
-    val ivs = islands(docs, idCol, textCol, n, maxDf)
+    reconstruct(docs, idCol, textCol,
+      crossDocRemovalIntervals(docs, idCol, textCol, n, maxDf, minRun))
+  }
+
+  /** The cross-doc removal-interval frame alone — (doc, s, e) b-side
+    * token ranges under the keep-lowest-id policy. Ids + intervals only
+    * (never text), so callers sharing the expensive gram/island build
+    * across several faces can checkpoint it scale-safely and feed
+    * [[applyRemovalIntervals]] per face.
+    */
+  def crossDocRemovalIntervals(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      maxDf: Int = 50,
+      minRun: Int = 15): DataFrame =
+    islands(docs, idCol, textCol, n, maxDf)
       .where(col("run_tokens") >= minRun)
       .select(
         col("doc_b").as("doc"),
         (col("start_a") - col("diag")).cast("long").as("s"),
         (col("start_a") - col("diag") + col("run_tokens") - 1).cast("long").as("e"))
 
+  /** Public face of the merge/subtract/reconstruct tail over a prebuilt
+    * interval frame (from [[crossDocRemovalIntervals]] or any custom
+    * policy): the ONE doc-keyed exchange the corpus text crosses.
+    */
+  def applyRemovalIntervals(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ivs: DataFrame): DataFrame =
     reconstruct(docs, idCol, textCol, ivs)
-  }
 }
