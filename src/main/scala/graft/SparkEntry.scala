@@ -3465,6 +3465,44 @@ object SparkEntry {
       graft.ops.Spans.removeWithinDocSpans(
         table(s, dir, "documents"), n = 3, maxRep = 50, minRun = 4)
     },
+    "decontam_span_surgery" -> { (s, dir) =>
+      // SURGICAL decontamination: excise the eval-quoted span, KEEP the
+      // doc — the rewrite the doc-dropping decontam family (v9/v10)
+      // trades away. Eval set = doc_id % 13 (the family convention);
+      // intervals from both orientations of the canonical pair; the
+      // interval frame (ids + ranges) is shared with the report face
+      // (ops/Spans.scala).
+      graft.ops.Spans.applyRemovalIntervals(
+        table(s, dir, "documents").filter(col("doc_id") % 13 =!= 0),
+        "doc_id", "text", sharedEvalQuoteIntervals(s, dir))
+    },
+    "decontam_surgery_report" -> { (s, dir) =>
+      // The policy comparison in one pass over the surgery frame:
+      // drop-doc decontamination keeps only never-quoting docs;
+      // surgical keeps EVERY train doc minus exactly the quoted tokens
+      // — the tokens-rescued delta is the operation's value, measured
+      // (ops/Spans.scala).
+      val cleaned = graft.ops.Spans.applyRemovalIntervals(
+        table(s, dir, "documents").filter(col("doc_id") % 13 =!= 0),
+        "doc_id", "text", sharedEvalQuoteIntervals(s, dir))
+      cleaned
+        .agg(
+          count(lit(1)).as("n_all"),
+          sum(col("n_tokens") - col("n_tokens_removed")).as("kept_surgical"),
+          sum(when(col("n_tokens_removed") === 0, 1L).otherwise(0L)).as("n_clean"),
+          sum(when(col("n_tokens_removed") === 0, col("n_tokens")).otherwise(0L))
+            .as("kept_dropdoc"))
+        .select(explode(array(
+          struct(
+            lit("drop_doc").as("policy"),
+            col("n_clean").as("n_docs"),
+            col("kept_dropdoc").as("n_tokens_kept")),
+          struct(
+            lit("surgical").as("policy"),
+            col("n_all").as("n_docs"),
+            col("kept_surgical").as("n_tokens_kept")))).as("r"))
+        .select(col("r.policy"), col("r.n_docs"), col("r.n_tokens_kept"))
+    },
     "curation_pipeline_v11" -> { (s, dir) =>
       // Round-14 curation chain: span-level REMOVAL first (rewrite, not
       // drop — unique content in partially-duplicated docs survives),
@@ -4857,6 +4895,19 @@ object SparkEntry {
     sharedLeg(s, dir, "spanIvs") {
       graft.ops.Spans
         .crossDocRemovalIntervals(table(s, dir, "documents"), n = 5, maxDf = 50, minRun = 15)
+        .localCheckpoint(eager = true)
+    }
+
+  /** The surgical-decontamination interval frame (ids + token ranges,
+    * eval = doc_id % 13), built once for the surgery + report faces.
+    */
+  private def sharedEvalQuoteIntervals(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "evalQuoteIvs") {
+      val docs = table(s, dir, "documents")
+      graft.ops.Spans
+        .evalQuoteIntervals(
+          docs, docs.filter(col("doc_id") % 13 === 0).select(col("doc_id")),
+          n = 5, maxDf = 50, minRun = 15)
         .localCheckpoint(eager = true)
     }
 
@@ -6705,6 +6756,90 @@ object SparkEntry {
       |  JOIN sw_ot o USING (doc_id)
       |  LEFT JOIN sw_clean c USING (doc_id)
       |  LEFT JOIN sw_rm rm ON rm.doc = d.doc_id
+      |)""".stripMargin
+
+  /** DuckDB replay of [[graft.ops.Spans.removeEvalQuotes]] (eval set =
+    * doc_id % 13, n=5, maxDf=50, minRun=15): the cross-doc island chain,
+    * orientation-resolved intervals in the TRAIN side of every
+    * train↔eval island, then the merge/subtract/reconstruct tail over
+    * the train docs only. Ends in `cleandocq`.
+    */
+  private def evalQuoteRemovalCtes: String =
+    s"""eq_toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents
+      |), eq_grams AS (
+      |  SELECT doc_id, pg['pos'] AS pos, pg['g'] AS g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+      |      i -> struct_pack(pos := CAST(i AS INT),
+      |                       g := substr(md5(array_to_string(t[i:i+4], ' ')), 1, 16)))) AS pg
+      |    FROM eq_toks WHERE len(t) >= 5)
+      |), eq_df AS (
+      |  SELECT g FROM eq_grams GROUP BY g
+      |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50
+      |), eq_idx AS MATERIALIZED (
+      |  SELECT eq_grams.doc_id, eq_grams.pos, eq_grams.g
+      |  FROM eq_grams JOIN eq_df USING (g)
+      |), eq_isl AS (
+      |  SELECT doc_a, doc_b, diag, pos_a,
+      |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+      |  FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+      |      a.pos - b.pos AS diag
+      |    FROM eq_idx a JOIN eq_idx b USING (g)
+      |    WHERE a.doc_id < b.doc_id)
+      |), eq_iv AS (
+      |  SELECT doc, CAST(s AS BIGINT) AS s, CAST(s + run_tokens - 1 AS BIGINT) AS e
+      |  FROM (
+      |    SELECT CASE WHEN doc_a % 13 = 0 THEN doc_b ELSE doc_a END AS doc,
+      |      CASE WHEN doc_a % 13 = 0 THEN start_a - diag ELSE start_a END AS s,
+      |      run_tokens
+      |    FROM (
+      |      SELECT doc_a, doc_b, diag, min(pos_a) AS start_a,
+      |        count(*) + 4 AS run_tokens
+      |      FROM eq_isl GROUP BY doc_a, doc_b, diag, grp)
+      |    WHERE (doc_a % 13 = 0) != (doc_b % 13 = 0))
+      |  WHERE run_tokens >= 15
+      |), eq_reg AS (
+      |  SELECT doc, s, e,
+      |    sum(nr) OVER (PARTITION BY doc ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+      |  FROM (
+      |    SELECT doc, s, e,
+      |      CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
+      |        THEN 1 ELSE 0 END AS nr
+      |    FROM eq_iv
+      |    WINDOW w AS (PARTITION BY doc ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |), eq_regions AS MATERIALIZED (
+      |  SELECT doc, rid, min(s) AS rs, max(e) AS re FROM eq_reg GROUP BY 1, 2
+      |), eq_rm AS (
+      |  SELECT doc, CAST(sum(re - rs + 1) AS BIGINT) AS n_tokens_removed,
+      |    CAST(count(*) AS BIGINT) AS n_spans_removed
+      |  FROM eq_regions GROUP BY 1
+      |), eq_train AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+      |), eq_ot AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM eq_train
+      |), eq_kept AS (
+      |  SELECT k.doc_id, k.pos, k.tok FROM (
+      |    SELECT doc_id, pg['pos'] AS pos, pg['tok'] AS tok FROM (
+      |      SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+      |        i -> struct_pack(pos := CAST(i AS INT), tok := t[i]))) AS pg
+      |      FROM eq_ot)) k
+      |  WHERE NOT EXISTS (SELECT 1 FROM eq_regions r
+      |    WHERE r.doc = k.doc_id AND k.pos >= r.rs AND k.pos <= r.re)
+      |), eq_clean AS (
+      |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
+      |  FROM eq_kept GROUP BY 1
+      |), cleandocq AS MATERIALIZED (
+      |  SELECT d.doc_id, coalesce(c.text_clean, '') AS text_clean,
+      |    CAST(len(o.t) AS BIGINT) AS n_tokens,
+      |    coalesce(rm.n_tokens_removed, 0) AS n_tokens_removed,
+      |    coalesce(rm.n_spans_removed, 0) AS n_spans_removed
+      |  FROM eq_train d
+      |  JOIN eq_ot o USING (doc_id)
+      |  LEFT JOIN eq_clean c USING (doc_id)
+      |  LEFT JOIN eq_rm rm ON rm.doc = d.doc_id
       |)""".stripMargin
 
   private def curationOrderCtes: String =
@@ -13653,6 +13788,21 @@ object SparkEntry {
       s"""WITH ${withinSpanRemovalCtes()}
         |SELECT doc_id, text_clean, n_tokens, n_tokens_removed, n_spans_removed
         |FROM cleandocw""".stripMargin,
+    "decontam_span_surgery" ->
+      s"""WITH $evalQuoteRemovalCtes
+        |SELECT doc_id, text_clean, n_tokens, n_tokens_removed, n_spans_removed
+        |FROM cleandocq""".stripMargin,
+    "decontam_surgery_report" ->
+      s"""WITH $evalQuoteRemovalCtes
+        |SELECT 'drop_doc' AS policy,
+        |  CAST(sum(CASE WHEN n_tokens_removed = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_tokens_removed = 0 THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept
+        |FROM cleandocq
+        |UNION ALL
+        |SELECT 'surgical',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(n_tokens - n_tokens_removed) AS BIGINT)
+        |FROM cleandocq""".stripMargin,
     "curation_pipeline_v11" ->
       // span removal (shared CTE chain) -> exact dedup on the CLEANED
       // text -> the v4 Gopher block -> the shared waterfill unroll, with

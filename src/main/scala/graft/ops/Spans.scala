@@ -207,6 +207,63 @@ object Spans {
     reconstruct(docs, idCol, textCol, ivs)
   }
 
+  /** SURGICAL decontamination intervals: token ranges inside TRAIN docs
+    * that reproduce a ≥ `minRun`-token run of some EVAL doc. The
+    * doc-dropping decontam family ([[Dedup.quotedEvalContainment]],
+    * `curation_pipeline_v9/v10`) kills the whole quoting doc — losing
+    * its unique content; these intervals instead let
+    * [[applyRemovalIntervals]] excise exactly the quoted span and keep
+    * the doc (what "surgical" eval-decontamination means in practice).
+    *
+    * Both orientations of the canonical doc_a < doc_b island matter
+    * (the eval doc can sit on either side); islands where BOTH or
+    * NEITHER side is eval are ignored — train↔train duplication is
+    * [[removeDuplicatedSpans]]' job, eval↔eval is out of scope. Eval
+    * membership broadcasts (ids only).
+    */
+  def evalQuoteIntervals(
+      docs: DataFrame,
+      evalIds: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      maxDf: Int = 50,
+      minRun: Int = 15): DataFrame = {
+    val ev = evalIds.select(col(evalIds.columns.head).as("eid")).distinct()
+    val aEval = broadcast(ev.select(col("eid").as("doc_a"), lit(1).as("a_eval")))
+    val bEval = broadcast(ev.select(col("eid").as("doc_b"), lit(1).as("b_eval")))
+    val isl = islands(docs, idCol, textCol, n, maxDf)
+      .where(col("run_tokens") >= minRun)
+      .join(aEval, Seq("doc_a"), "left")
+      .join(bEval, Seq("doc_b"), "left")
+      .where(coalesce(col("a_eval"), lit(0)) =!= coalesce(col("b_eval"), lit(0)))
+    val sTrain = when(col("a_eval") === 1, col("start_a") - col("diag"))
+      .otherwise(col("start_a"))
+    isl.select(
+      when(col("a_eval") === 1, col("doc_b")).otherwise(col("doc_a")).as("doc"),
+      sTrain.cast("long").as("s"),
+      (sTrain + col("run_tokens") - 1).cast("long").as("e"))
+  }
+
+  /** The surgical-decontamination rewrite: every TRAIN doc re-emitted
+    * with its eval-quoted spans deleted (eval docs excluded from the
+    * output — they are the protected set, not corpus members). Same
+    * output contract as [[removeDuplicatedSpans]].
+    */
+  def removeEvalQuotes(
+      docs: DataFrame,
+      evalIds: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      maxDf: Int = 50,
+      minRun: Int = 15): DataFrame = {
+    val ev = evalIds.select(col(evalIds.columns.head).as(idCol)).distinct()
+    val train = docs.join(ev, Seq(idCol), "left_anti")
+    reconstruct(train, idCol, textCol,
+      evalQuoteIntervals(docs, evalIds, idCol, textCol, n, maxDf, minRun))
+  }
+
   /** Shared tail of the two span-removal faces: interval merge into
     * maximal regions, positional token subtraction against the
     * original-case split, `concat_ws` reconstruction. `ivs` =

@@ -164,6 +164,35 @@ class SpansSpec extends AnyFunSuite {
     assert(within.forall(_._4 == 0L), "cross-doc span must not trigger the within face")
   }
 
+  test("surgical decontamination: the quote is excised, the doc survives, both orientations") {
+    val evalA = "the protected benchmark question text here friends"
+    val evalB = "another held out evaluation prompt goes right here"
+    val rows = Seq(
+      // eval id BELOW the quoting train id (canonical pair: eval = doc_a)
+      2L -> evalA,
+      // eval id ABOVE the quoting train id (canonical pair: eval = doc_b)
+      90L -> evalB,
+      10L -> s"intro10 words10 here10 $evalA closing10 trail10",
+      11L -> s"lead11 begins11 $evalB ends11 finish11 done11",
+      12L -> "totally unrelated content with no quotes at all present"
+    )
+    val got = Spans
+      .removeEvalQuotes(
+        rows.toDF("doc_id", "text"), Seq(2L, 90L).toDF("doc_id"),
+        n = 3, maxDf = 10, minRun = 5)
+      .as[(Long, String, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._4)))
+      .toMap
+    // eval docs are NOT corpus members of the output
+    assert(got.keySet == Set(10L, 11L, 12L))
+    // each quote excised exactly; the doc's unique content survives —
+    // what the drop-doc policy would have thrown away
+    assert(got(10L) == (("intro10 words10 here10 closing10 trail10", 7L)))
+    assert(got(11L) == (("lead11 begins11 ends11 finish11 done11", 8L)))
+    assert(got(12L) == ((rows.last._2, 0L)))
+  }
+
   test("duplicate intervals from multiple pairs collapse (no double counting)") {
     // doc 9 shares the same span with BOTH 2 and 5 — its identical
     // removal intervals from the two pairs must merge, not double-count
