@@ -1555,6 +1555,32 @@ object SparkEntry {
         .minhashMd5Pairs(table(s, dir, "documents"))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     },
+    "dedup_threshold_sweep" -> { (s, dir) =>
+      // The dedup bar τ closed into a measured CURVE (the knob-sweep
+      // discipline of ivf_nprobe_sweep / lsh_band_auto_plan): ONE
+      // banded-verify pass (threshold 0 — the operator checkpoints the
+      // full verified pair frame), then per τ ∈ {70, 80, 90}% the pair
+      // count, docs touched, pairwise keep-min-id drops, and survivors —
+      // the curve a curation owner picks the threshold from. Threshold
+      // compares are exact-quotient doubles, identical in both engines
+      // (ops/Dedup.scala).
+      val docs = table(s, dir, "documents")
+      val pairs = Dedup.minhashMd5Pairs(docs)
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      Seq(7000L, 8000L, 9000L).map { t =>
+        val p = pairs.filter(col("jaccard") >= t / 10000.0)
+        p.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(broadcast(
+            p.select(explode(array(col("id_a"), col("id_b"))).as("d"))
+              .agg(countDistinct(col("d")).as("n_docs_in_pairs"))))
+          .crossJoin(broadcast(
+            p.agg(countDistinct(col("id_b")).as("n_dropped"))))
+          .crossJoin(broadcast(total))
+          .select(
+            lit(t).as("tau_bps"), col("n_pairs"), col("n_docs_in_pairs"),
+            col("n_dropped"), (col("n_total") - col("n_dropped")).as("n_survivors"))
+      }.reduce(_ unionByName _)
+    },
     "containment_pairs" -> { (s, dir) =>
       // Asymmetric containment screen — the quote/expansion relationship
       // resemblance dedup can't see (a fully-quoted short doc has
@@ -11386,6 +11412,22 @@ object SparkEntry {
     "minhash_md5_pairs" ->
       s"""$Md5NearDupCtes
         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM pj""".stripMargin,
+    "dedup_threshold_sweep" -> {
+      val blocks = Seq(7000L, 8000L, 9000L).map { t =>
+        val thr = s"${t.toDouble / 10000.0}e0"
+        s"""SELECT CAST($t AS BIGINT) AS tau_bps,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM pjm WHERE jaccard >= $thr) AS n_pairs,
+           |  (SELECT CAST(count(DISTINCT d) AS BIGINT) FROM (
+           |     SELECT id_a AS d FROM pjm WHERE jaccard >= $thr
+           |     UNION SELECT id_b FROM pjm WHERE jaccard >= $thr)) AS n_docs_in_pairs,
+           |  (SELECT CAST(count(DISTINCT id_b) AS BIGINT) FROM pjm WHERE jaccard >= $thr) AS n_dropped,
+           |  (SELECT n FROM tot) -
+           |  (SELECT CAST(count(DISTINCT id_b) AS BIGINT) FROM pjm WHERE jaccard >= $thr) AS n_survivors""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""$Md5NearDupCtes, pjm AS MATERIALIZED (SELECT * FROM pj),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+         |$blocks""".stripMargin
+    },
     "containment_pairs" ->
       s"""$Md5SigCtes, ${containmentCtes(8000L)}
         |SELECT id_a, id_b, n_a, n_b, n_common, cont_a_in_b_bps, cont_b_in_a_bps

@@ -226,4 +226,46 @@ class PropertySpec extends AnyFunSuite {
       assert(BigInt(fd) == bfloor(bn, bd), s"floorDiv $n/$dv")
     }
   }
+
+  test("span reconstruct: arbitrary interval sets equal the brute position-mask reference") {
+    // one generated batch of (doc, intervals) cases through the REAL
+    // applyRemovalIntervals plan, checked against a per-position mask:
+    // kept text, removed-token count (|union|), and region count
+    // (adjacency-coalesced maximal runs) must all match
+    val rnd = new scala.util.Random(97)
+    val docs = (1L to 60L).map { id =>
+      val n = 1 + rnd.nextInt(12)
+      (id, (1 to n).map(j => s"w${id}_$j").mkString(" "))
+    }
+    val ivs = docs.flatMap { case (id, text) =>
+      val n = text.split(" ").length
+      (0 until rnd.nextInt(4)).map { _ =>
+        val s = 1 + rnd.nextInt(n)
+        val e = math.min(n.toLong, s + rnd.nextInt(5)).toLong
+        (id, s.toLong, e)
+      }
+    }
+    val got = graft.ops.Spans
+      .applyRemovalIntervals(
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        ivs.toDF("doc", "s", "e"))
+      .as[(Long, String, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5)))
+      .toMap
+    val byDoc = ivs.groupBy(_._1)
+    for ((id, text) <- docs) {
+      val toks = text.split(" ")
+      val removedPos = byDoc.getOrElse(id, Nil)
+        .flatMap { case (_, s, e) => s to e }.toSet
+      val kept = toks.zipWithIndex.collect { case (t, i) if !removedPos(i + 1L) => t }
+      val regions = // maximal runs of removed positions (adjacency-coalesced)
+        (1L to toks.length.toLong).foldLeft((0L, false)) { case ((cnt, in), p) =>
+          if (removedPos(p)) (if (in) cnt else cnt + 1, true) else (cnt, false)
+        }._1
+      assert(got(id) ==
+        ((kept.mkString(" "), toks.length.toLong, removedPos.size.toLong, regions)),
+        s"doc $id")
+    }
+  }
 }
