@@ -1551,8 +1551,7 @@ object SparkEntry {
       // hashes: the oracle reproduces banding, bucket cap, and verification
       // bit-for-bit — hard evidence for the algorithm minhash_pairs runs
       // with engine-native hashes.
-      Dedup
-        .minhashMd5Pairs(table(s, dir, "documents"))
+      sharedMd5PairsT0(s, dir)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     },
     "dedup_threshold_sweep" -> { (s, dir) =>
@@ -1565,7 +1564,7 @@ object SparkEntry {
       // compares are exact-quotient doubles, identical in both engines
       // (ops/Dedup.scala).
       val docs = table(s, dir, "documents")
-      val pairs = Dedup.minhashMd5Pairs(docs)
+      val pairs = sharedMd5PairsT0(s, dir)
       val total = docs.agg(count(lit(1)).as("n_total"))
       Seq(7000L, 8000L, 9000L).map { t =>
         val p = pairs.filter(col("jaccard") >= t / 10000.0)
@@ -1649,7 +1648,7 @@ object SparkEntry {
       // Composes the oracle-exact md5 MinHash pipeline with two ids-only
       // source joins and a sources²-bounded agg (ops/Dedup.scala).
       val docs = table(s, dir, "documents")
-      Dedup.crossSourceDupMatrix(docs, Dedup.minhashMd5Pairs(docs))
+      Dedup.crossSourceDupMatrix(docs, sharedMd5PairsT0(s, dir))
     },
     "token_budget_by_source" -> { (s, dir) =>
       // Mix planning: per source, raw vs Gopher-gated doc/token mass and
@@ -2688,16 +2687,18 @@ object SparkEntry {
       // broadcast Viterbi + bounded count collect, clamp-singles /
       // prune-⌈3m/4⌉ M-step, one micro-rounded ln. The oracle replays
       // every round: recursive-CTE Viterbi wavefront, smallest-start
-      // ties, the same prune ranks (ops/UnigramLm.scala).
-      graft.ops.UnigramLm.vocabDf(table(s, dir, "documents"))
+      // ties, the same prune ranks. ONE training serves both unigram
+      // faces (sharedState) (ops/UnigramLm.scala).
+      graft.ops.UnigramLm.vocabDfFrom(s, sharedUnigramVocab(s, dir))
     },
     "unigram_encode_stats" -> { (s, dir) =>
       // Encode the corpus with the trained Unigram-LM: each DISTINCT
       // word Viterbi-segments once under the final vocabulary, docs
       // broadcast-join the word→piece-count table — the
-      // bpe_encode_stats split, different tokenizer
-      // (ops/UnigramLm.scala).
-      graft.ops.UnigramLm.encodeStats(table(s, dir, "documents"))
+      // bpe_encode_stats split, different tokenizer; the shared trained
+      // vocabulary (ops/UnigramLm.scala).
+      graft.ops.UnigramLm.encodeStatsWith(
+        table(s, dir, "documents"), sharedUnigramVocab(s, dir))
     },
     "hll_error_report" -> { (s, dir) =>
       // Sketch-vs-truth, measured: per day, the exact distinct-user
@@ -4911,6 +4912,24 @@ object SparkEntry {
     */
   private val OverlapBigramWords =
     Seq("batch", "sort", "merge", "group", "small", "window")
+
+  /** The trained Unigram-LM vocabulary (bounded driver-side piece list),
+    * built once per (session, dir) for the vocab + encode faces.
+    */
+  private def sharedUnigramVocab(
+      s: SparkSession, dir: String): Seq[graft.ops.UnigramLm.Piece] =
+    sharedState(s, dir, "unigramLm") {
+      graft.ops.UnigramLm.train(table(s, dir, "documents"))
+    }
+
+  /** The threshold-0 md5-MinHash verified pair frame (the operator
+    * checkpoints it), built once per (session, dir) for every face that
+    * consumes the unfiltered pair pipeline.
+    */
+  private def sharedMd5PairsT0(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "md5PairsT0") {
+      Dedup.minhashMd5Pairs(table(s, dir, "documents"))
+    }
 
   /** The cross-doc span-removal interval frame, built once per (session,
     * dir) for `spans_removed_corpus` + `curation_pipeline_v11` (the

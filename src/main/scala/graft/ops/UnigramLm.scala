@@ -186,10 +186,13 @@ object UnigramLm {
       docs: DataFrame,
       rounds: Int = 2,
       seedMultiK: Int = 300,
-      textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
+      textCol: String = "text"): DataFrame =
+    vocabDfFrom(docs.sparkSession, train(docs, rounds, seedMultiK, textCol))
+
+  /** [[vocabDf]] from a prebuilt (shared) trained vocabulary. */
+  def vocabDfFrom(spark: SparkSession, vocab: Seq[Piece]): DataFrame = {
     import spark.implicits._
-    train(docs, rounds, seedMultiK, textCol)
+    vocab
       .map(p => (p.piece, p.piece.length.toLong, p.cnt, p.logpMicro))
       .toDF("piece", "piece_len", "cnt", "logp_micro")
   }
@@ -205,10 +208,17 @@ object UnigramLm {
       rounds: Int = 2,
       seedMultiK: Int = 300,
       textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    encodeStatsWith(docs, train(docs, rounds, seedMultiK, textCol), textCol, idCol)
+
+  /** [[encodeStats]] with a prebuilt (shared) trained vocabulary. */
+  def encodeStatsWith(
+      docs: DataFrame,
+      vocab: Seq[Piece],
+      textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = train(docs, rounds, seedMultiK, textCol)
     val bc = spark.sparkContext.broadcast(vocab.map(p => p.piece -> p.logpMicro).toMap)
     val wordLens = wordVocab(docs, textCol)
       .as[(String, Long)]

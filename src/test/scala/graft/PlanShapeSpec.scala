@@ -211,6 +211,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).size == 1, s"extra scans:\n$plan")
   }
 
+  test("decontam_span_surgery: one corpus scan past the shared interval checkpoint") {
+    val plan = executedPlan("decontam_span_surgery")
+    assert("Scan parquet".r.findAllIn(plan).size <= 1,
+      s"island pipeline re-executed against the corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("token_pmi: no corpus self-join; pair marginals ride the broadcast vocab") {
     val plan = executedPlan("token_pmi")
     // exactly the pairing scan (the vocab pass is behind the checkpoint cut)
