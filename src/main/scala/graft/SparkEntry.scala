@@ -3492,6 +3492,22 @@ object SparkEntry {
       graft.ops.Spans.removeWithinDocSpans(
         table(s, dir, "documents"), n = 3, maxRep = 50, minRun = 4)
     },
+    "spans_removed_full" -> { (s, dir) =>
+      // The COMPLETE Lee et al. rewrite in one pass: cross-doc
+      // (keep-lowest-id, n=5/minRun=15) and within-doc (keep-first,
+      // n=3/minRun=4) removal intervals UNIONED into a single
+      // merge/subtract/reconstruct — overlapping ranges from the two
+      // detectors coalesce in the interval merge, so the pass is
+      // well-defined and deterministic. This is the union-of-detectors
+      // form (one exchange for the corpus text), not a sequential
+      // fixed-point; the cross-doc leg rides the shared interval
+      // checkpoint (ops/Spans.scala).
+      val docs = table(s, dir, "documents")
+      graft.ops.Spans.applyRemovalIntervals(
+        docs, "doc_id", "text",
+        sharedSpanIntervals(s, dir).unionByName(
+          graft.ops.Spans.withinDocRemovalIntervals(docs, n = 3, maxRep = 50, minRun = 4)))
+    },
     "decontam_span_surgery" -> { (s, dir) =>
       // SURGICAL decontamination: excise the eval-quoted span, KEEP the
       // doc — the rewrite the doc-dropping decontam family (v9/v10)
@@ -13849,6 +13865,48 @@ object SparkEntry {
       s"""WITH ${withinSpanRemovalCtes()}
         |SELECT doc_id, text_clean, n_tokens, n_tokens_removed, n_spans_removed
         |FROM cleandocw""".stripMargin,
+    "spans_removed_full" ->
+      // both detectors' interval CTEs (sr_ cross-doc, sw_ within-doc)
+      // feed ONE fresh merge/subtract/reconstruct tail (sf_)
+      s"""WITH ${spanRemovalCtes()}, ${withinSpanRemovalCtes()}, sf_iv AS (
+        |  SELECT * FROM sr_iv UNION ALL SELECT * FROM sw_iv
+        |), sf_reg AS (
+        |  SELECT doc, s, e,
+        |    sum(nr) OVER (PARTITION BY doc ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+        |  FROM (
+        |    SELECT doc, s, e,
+        |      CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
+        |        THEN 1 ELSE 0 END AS nr
+        |    FROM sf_iv
+        |    WINDOW w AS (PARTITION BY doc ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |), sf_regions AS MATERIALIZED (
+        |  SELECT doc, rid, min(s) AS rs, max(e) AS re FROM sf_reg GROUP BY 1, 2
+        |), sf_rm AS (
+        |  SELECT doc, CAST(sum(re - rs + 1) AS BIGINT) AS n_tokens_removed,
+        |    CAST(count(*) AS BIGINT) AS n_spans_removed
+        |  FROM sf_regions GROUP BY 1
+        |), sf_kept AS (
+        |  SELECT k.doc_id, k.pos, k.tok FROM (
+        |    SELECT doc_id, pg['pos'] AS pos, pg['tok'] AS tok FROM (
+        |      SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |        i -> struct_pack(pos := CAST(i AS INT), tok := t[i]))) AS pg
+        |      FROM sr_ot)) k
+        |  WHERE NOT EXISTS (SELECT 1 FROM sf_regions r
+        |    WHERE r.doc = k.doc_id AND k.pos >= r.rs AND k.pos <= r.re)
+        |), sf_clean AS (
+        |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
+        |  FROM sf_kept GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(c.text_clean, '') AS text_clean,
+        |  CAST(len(o.t) AS BIGINT) AS n_tokens,
+        |  coalesce(rm.n_tokens_removed, 0) AS n_tokens_removed,
+        |  coalesce(rm.n_spans_removed, 0) AS n_spans_removed
+        |FROM documents d
+        |JOIN sr_ot o USING (doc_id)
+        |LEFT JOIN sf_clean c USING (doc_id)
+        |LEFT JOIN sf_rm rm ON rm.doc = d.doc_id""".stripMargin,
     "decontam_span_surgery" ->
       s"""WITH $evalQuoteRemovalCtes
         |SELECT doc_id, text_clean, n_tokens, n_tokens_removed, n_spans_removed

@@ -168,6 +168,23 @@ object Spans {
       textCol: String = "text",
       n: Int = 5,
       maxRep: Int = 50,
+      minRun: Int = 15): DataFrame =
+    reconstruct(docs, idCol, textCol,
+      withinDocRemovalIntervals(docs, idCol, textCol, n, maxRep, minRun))
+
+  /** The within-doc removal-interval frame alone — (doc, s, e) later-
+    * occurrence token ranges under the keep-first policy; the composable
+    * twin of [[crossDocRemovalIntervals]] (union both and feed ONE
+    * [[applyRemovalIntervals]] pass for the complete Lee et al. rewrite —
+    * the interval merge makes the union well-defined when cross-doc and
+    * within-doc ranges overlap).
+    */
+  def withinDocRemovalIntervals(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      maxRep: Int = 50,
       minRun: Int = 15): DataFrame = {
     val grams = docs
       .select(col(idCol).as("doc"), posexplode_outer(positionalGrams(col(textCol), n)))
@@ -204,7 +221,7 @@ object Spans {
         (col("start_a") + col("d")).cast("long").as("s"),
         (col("start_a") + col("d") + col("run_tokens") - 1).cast("long").as("e"))
 
-    reconstruct(docs, idCol, textCol, ivs)
+    ivs
   }
 
   /** SURGICAL decontamination intervals: token ranges inside TRAIN docs

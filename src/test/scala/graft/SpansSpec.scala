@@ -164,6 +164,32 @@ class SpansSpec extends AnyFunSuite {
     assert(within.forall(_._4 == 0L), "cross-doc span must not trigger the within face")
   }
 
+  test("full rewrite: cross-doc and within-doc intervals union into one pass") {
+    val w = base.split(" ")
+    val crossSpan = w.slice(0, 6).mkString(" ") // shared with doc 1
+    val chorus = "my own repeated chorus bit"
+    val rows = Seq(
+      1L -> base,
+      2L -> s"$crossSpan mid2a mid2b $chorus tail2a $chorus end2"
+    )
+    val df = rows.toDF("doc_id", "text")
+    val ivs = Spans
+      .crossDocRemovalIntervals(df, n = 3, maxDf = 10, minRun = 5)
+      .unionByName(Spans.withinDocRemovalIntervals(df, n = 3, maxRep = 10, minRun = 5))
+    val got = Spans
+      .applyRemovalIntervals(df, "doc_id", "text", ivs)
+      .as[(Long, String, Long, Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5)))
+      .toMap
+    // doc 2 loses the cross-doc copy (6 tokens, keep-lowest-id → doc 1
+    // keeps) AND the second chorus occurrence (5 tokens, keep-first) in
+    // the SAME pass: two disjoint merged regions
+    assert(got(2L) ==
+      ((s"mid2a mid2b $chorus tail2a end2", 20L, 11L, 2L)))
+    assert(got(1L) == ((base, 20L, 0L, 0L)))
+  }
+
   test("surgical decontamination: the quote is excised, the doc survives, both orientations") {
     val evalA = "the protected benchmark question text here friends"
     val evalB = "another held out evaluation prompt goes right here"
