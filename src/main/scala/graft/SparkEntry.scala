@@ -3492,6 +3492,36 @@ object SparkEntry {
       graft.ops.Spans.removeWithinDocSpans(
         table(s, dir, "documents"), n = 3, maxRep = 50, minRun = 4)
     },
+    "curation_pipeline_v12" -> { (s, dir) =>
+      // The round-14 capstone: the COMPLETE span-level rewrite — cross-doc
+      // dup spans (train↔train, keep-lowest-id), within-doc repeats
+      // (keep-first), and eval quotes (surgical decontam, the protected
+      // set = doc_id % 13) — as ONE union-of-detectors reconstruct pass,
+      // THEN the doc-level gates over the rewritten text: exact dedup,
+      // Gopher, epoch water-fill. Versus v10/v11: contaminated and
+      // duplicated SPANS are repaired, not paid for with whole docs; the
+      // removed-token census rides as the health scalar. The dup + quote
+      // legs are ONE shared islands build (membership-routed, shared with
+      // the surgery faces); only the within-doc leg builds here
+      // (ops/Spans.scala).
+      val docs = table(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 13 =!= 0)
+      val ivs = sharedCurationIvs(s, dir).drop("kind")
+        .unionByName(
+          graft.ops.Spans.withinDocRemovalIntervals(train, n = 3, maxRep = 50, minRun = 4))
+      val cleaned = graft.ops.Spans.applyRemovalIntervals(train, "doc_id", "text", ivs)
+      val cleanDocs = train
+        .select(col("doc_id"), col("source"))
+        .join(cleaned.select(col("doc_id"), col("text_clean").as("text")), Seq("doc_id"))
+      val deduped = Dedup.dropExactDuplicates(cleanDocs)
+      val gatedIds = TextAnalysis.gopherRules(deduped)
+        .filter(col("keep") === 1)
+        .select(col("doc_id"))
+      val kept = deduped.join(gatedIds, Seq("doc_id"))
+      val health = cleaned.agg(
+        coalesce(sum(col("n_tokens_removed")), lit(0L)).as("span_tokens_removed"))
+      graft.ops.Sampling.epochWaterfill(kept).crossJoin(broadcast(health))
+    },
     "spans_removed_full" -> { (s, dir) =>
       // The COMPLETE Lee et al. rewrite in one pass: cross-doc
       // (keep-lowest-id, n=5/minRun=15) and within-doc (keep-first,
@@ -3513,11 +3543,12 @@ object SparkEntry {
       // doc — the rewrite the doc-dropping decontam family (v9/v10)
       // trades away. Eval set = doc_id % 13 (the family convention);
       // intervals from both orientations of the canonical pair; the
-      // interval frame (ids + ranges) is shared with the report face
-      // (ops/Spans.scala).
+      // quote slice of the shared curation-interval checkpoint (one
+      // islands build for surgery + report + v12) (ops/Spans.scala).
       graft.ops.Spans.applyRemovalIntervals(
         table(s, dir, "documents").filter(col("doc_id") % 13 =!= 0),
-        "doc_id", "text", sharedEvalQuoteIntervals(s, dir))
+        "doc_id", "text",
+        sharedCurationIvs(s, dir).filter(col("kind") === "quote").drop("kind"))
     },
     "decontam_surgery_report" -> { (s, dir) =>
       // The policy comparison in one pass over the surgery frame:
@@ -3527,7 +3558,8 @@ object SparkEntry {
       // (ops/Spans.scala).
       val cleaned = graft.ops.Spans.applyRemovalIntervals(
         table(s, dir, "documents").filter(col("doc_id") % 13 =!= 0),
-        "doc_id", "text", sharedEvalQuoteIntervals(s, dir))
+        "doc_id", "text",
+        sharedCurationIvs(s, dir).filter(col("kind") === "quote").drop("kind"))
       cleaned
         .agg(
           count(lit(1)).as("n_all"),
@@ -4959,14 +4991,16 @@ object SparkEntry {
         .localCheckpoint(eager = true)
     }
 
-  /** The surgical-decontamination interval frame (ids + token ranges,
-    * eval = doc_id % 13), built once for the surgery + report faces.
+  /** BOTH curation interval families (dup spans + eval quotes, eval =
+    * doc_id % 13) off ONE full-corpus islands build, checkpointed once
+    * (ids + token ranges + kind) for the surgery faces (kind = quote)
+    * and the v12 composite (both kinds).
     */
-  private def sharedEvalQuoteIntervals(s: SparkSession, dir: String): DataFrame =
-    sharedLeg(s, dir, "evalQuoteIvs") {
+  private def sharedCurationIvs(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "curationIvs") {
       val docs = table(s, dir, "documents")
       graft.ops.Spans
-        .evalQuoteIntervals(
+        .curationRemovalIntervals(
           docs, docs.filter(col("doc_id") % 13 === 0).select(col("doc_id")),
           n = 5, maxDf = 50, minRun = 15)
         .localCheckpoint(eager = true)
@@ -13865,6 +13899,113 @@ object SparkEntry {
       s"""WITH ${withinSpanRemovalCtes()}
         |SELECT doc_id, text_clean, n_tokens, n_tokens_removed, n_spans_removed
         |FROM cleandocw""".stripMargin,
+    "curation_pipeline_v12" ->
+      // all three interval chains (sr_ cross-doc over train, sw_
+      // within-doc over train, eq_ eval quotes over the full corpus)
+      // union into one vf_ reconstruct tail, then dedup -> Gopher ->
+      // waterfill over the rewritten text
+      s"""WITH v12tr AS MATERIALIZED (
+        |  SELECT * FROM documents WHERE doc_id % 13 <> 0
+        |), ${withinSpanRemovalCtes("v12tr", 3, 4)},
+        |$evalQuoteRemovalCtes, cv_iv AS (
+        |  SELECT doc, CAST(s AS BIGINT) AS s, CAST(s + run_tokens - 1 AS BIGINT) AS e
+        |  FROM (
+        |    SELECT CASE WHEN doc_b % 13 = 0 THEN doc_a ELSE doc_b END AS doc,
+        |      CASE WHEN doc_b % 13 = 0 THEN start_a ELSE start_a - diag END AS s,
+        |      run_tokens
+        |    FROM (
+        |      SELECT doc_a, doc_b, diag, min(pos_a) AS start_a,
+        |        count(*) + 4 AS run_tokens
+        |      FROM eq_isl GROUP BY doc_a, doc_b, diag, grp)
+        |    WHERE NOT (doc_a % 13 = 0 AND doc_b % 13 = 0))
+        |  WHERE run_tokens >= 15
+        |), vf_ot AS (
+        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM v12tr
+        |), vf_iv AS (
+        |  SELECT * FROM cv_iv UNION ALL SELECT * FROM sw_iv
+        |), vf_reg AS (
+        |  SELECT doc, s, e,
+        |    sum(nr) OVER (PARTITION BY doc ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+        |  FROM (
+        |    SELECT doc, s, e,
+        |      CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
+        |        THEN 1 ELSE 0 END AS nr
+        |    FROM vf_iv
+        |    WINDOW w AS (PARTITION BY doc ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |), vf_regions AS MATERIALIZED (
+        |  SELECT doc, rid, min(s) AS rs, max(e) AS re FROM vf_reg GROUP BY 1, 2
+        |), vf_rm AS (
+        |  SELECT doc, CAST(sum(re - rs + 1) AS BIGINT) AS n_tokens_removed
+        |  FROM vf_regions GROUP BY 1
+        |), vf_kept AS (
+        |  SELECT k.doc_id, k.pos, k.tok FROM (
+        |    SELECT doc_id, pg['pos'] AS pos, pg['tok'] AS tok FROM (
+        |      SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |        i -> struct_pack(pos := CAST(i AS INT), tok := t[i]))) AS pg
+        |      FROM vf_ot)) k
+        |  WHERE NOT EXISTS (SELECT 1 FROM vf_regions r
+        |    WHERE r.doc = k.doc_id AND k.pos >= r.rs AND k.pos <= r.re)
+        |), vf_clean AS (
+        |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
+        |  FROM vf_kept GROUP BY 1
+        |), cleandocv AS MATERIALIZED (
+        |  SELECT d.doc_id, coalesce(c.text_clean, '') AS text_clean,
+        |    coalesce(rm.n_tokens_removed, 0) AS n_tokens_removed
+        |  FROM v12tr d
+        |  LEFT JOIN vf_clean c USING (doc_id)
+        |  LEFT JOIN vf_rm rm ON rm.doc = d.doc_id
+        |), cdocs AS MATERIALIZED (
+        |  SELECT d.doc_id, d.source, c.text_clean AS text
+        |  FROM v12tr d JOIN cleandocv c USING (doc_id)
+        |), dd AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM cdocs) WHERE rn = 1
+        |), gtoks AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+        |      x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS stop_hits,
+        |    string_split_regex(lower(text), '\\s+') AS t
+        |  FROM dd
+        |), gg2 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g
+        |  FROM gtoks WHERE len(t) >= 2
+        |), gtop2 AS (
+        |  SELECT doc_id, max(cnt * length(g)) AS top2_chars
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM gg2 GROUP BY 1, 2) GROUP BY 1
+        |), gg5 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+        |  FROM gtoks WHERE len(t) >= 5
+        |), gdup5 AS (
+        |  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dup5_chars
+        |  FROM (SELECT doc_id, g, count(*) AS cnt FROM gg5 GROUP BY 1, 2) GROUP BY 1
+        |), gsig AS (
+        |  SELECT gtoks.doc_id, n_tokens, stop_hits, n_chars,
+        |    round(CAST(word_chars AS DOUBLE) / greatest(n_tokens, 1), 4) AS mean_word_len,
+        |    round(CAST(COALESCE(top2_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) AS top2_share,
+        |    round(CAST(COALESCE(dup5_chars, 0) AS DOUBLE) / greatest(n_chars, 1), 4) AS dup5_share
+        |  FROM gtoks LEFT JOIN gtop2 ON gtoks.doc_id = gtop2.doc_id
+        |             LEFT JOIN gdup5 ON gtoks.doc_id = gdup5.doc_id
+        |), keptdocs AS MATERIALIZED (
+        |  SELECT dd.doc_id, dd.source, dd.text FROM dd JOIN gsig USING (doc_id)
+        |  WHERE n_tokens BETWEEN 10 AND 100000
+        |    AND mean_word_len BETWEEN 2.0 AND 12.0
+        |    AND top2_share < 0.30
+        |    AND dup5_share < 0.15
+        |    AND stop_hits >= 2
+        |),
+        |${waterfillOracle(3800L, 4L, 6, "keptdocs",
+             ",\n  (SELECT CAST(coalesce(sum(n_tokens_removed), 0) AS BIGINT) FROM cleandocv)" +
+               " AS span_tokens_removed")
+           .stripPrefix("WITH ")}""".stripMargin,
     "spans_removed_full" ->
       // both detectors' interval CTEs (sr_ cross-doc, sw_ within-doc)
       // feed ONE fresh merge/subtract/reconstruct tail (sf_)

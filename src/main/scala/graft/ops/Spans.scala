@@ -262,6 +262,45 @@ object Spans {
       (sTrain + col("run_tokens") - 1).cast("long").as("e"))
   }
 
+  /** BOTH curation interval families off ONE islands build: every
+    * ≥ `minRun`-token island of the full corpus routes by eval
+    * membership — none-eval (train↔train) islands emit a DUP interval in
+    * the canonical pair's higher id (keep-lowest-id, exactly
+    * [[crossDocRemovalIntervals]]' policy), exactly-one-eval islands
+    * emit a QUOTE interval in the train side (exactly
+    * [[evalQuoteIntervals]]' routing), eval↔eval islands drop. Output
+    * (doc, s, e, kind ∈ {dup, quote}) — a curation pipeline checkpoints
+    * this once (ids + ranges) and every removal face filters its kinds.
+    * The routing collapses to two cases: the target is doc_b (s =
+    * start_a − diag) unless the EVAL doc is the b side, where it is
+    * doc_a (s = start_a).
+    */
+  def curationRemovalIntervals(
+      docs: DataFrame,
+      evalIds: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      maxDf: Int = 50,
+      minRun: Int = 15): DataFrame = {
+    val ev = evalIds.select(col(evalIds.columns.head).as("eid")).distinct()
+    val aEval = broadcast(ev.select(col("eid").as("doc_a"), lit(1).as("a_eval")))
+    val bEval = broadcast(ev.select(col("eid").as("doc_b"), lit(1).as("b_eval")))
+    val isl = islands(docs, idCol, textCol, n, maxDf)
+      .where(col("run_tokens") >= minRun)
+      .join(aEval, Seq("doc_a"), "left")
+      .join(bEval, Seq("doc_b"), "left")
+      .withColumn("ae", coalesce(col("a_eval"), lit(0)))
+      .withColumn("be", coalesce(col("b_eval"), lit(0)))
+      .where(!(col("ae") === 1 && col("be") === 1))
+    val sT = when(col("be") === 1, col("start_a")).otherwise(col("start_a") - col("diag"))
+    isl.select(
+      when(col("be") === 1, col("doc_a")).otherwise(col("doc_b")).as("doc"),
+      sT.cast("long").as("s"),
+      (sT + col("run_tokens") - 1).cast("long").as("e"),
+      when(col("ae") === 1 || col("be") === 1, lit("quote")).otherwise(lit("dup")).as("kind"))
+  }
+
   /** The surgical-decontamination rewrite: every TRAIN doc re-emitted
     * with its eval-quoted spans deleted (eval docs excluded from the
     * output — they are the protected set, not corpus members). Same

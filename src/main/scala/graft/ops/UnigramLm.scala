@@ -36,6 +36,20 @@ import org.apache.spark.sql.functions._
   * one job over the vocab frame + a vocabulary-bounded collect; encoding
   * segments each DISTINCT word once and broadcast-joins the corpus
   * tokens — identical to [[Bpe.encodeStats]]'s split.
+  *
+  * Design deviations from Kudo 2018, chosen deliberately and both
+  * oracle-motivated: (1) HARD EM (Viterbi counts) instead of soft EM
+  * (forward–backward expected counts) — expected counts are sums of
+  * exponentials of float log-probs, not replayable exactly by any SQL
+  * twin, while the Viterbi path is a pure integer argmax; hard EM is
+  * itself a standard unigram-LM variant (Viterbi training). (2) Pruning
+  * drops the bottom-α pieces by USED COUNT rather than by
+  * likelihood-loss-if-removed — the loss computation needs a second
+  * per-word marginalization per candidate piece (same float-sum
+  * problem); count-rank pruning keeps the same vocabulary-shrink
+  * schedule with a total deterministic order. Both choices trade a few
+  * points of segmentation likelihood for bit-exact reproducibility —
+  * the property every other operator in this library holds.
   */
 object UnigramLm {
 
