@@ -4681,10 +4681,16 @@ object SparkEntry {
       // count + min/max key) is read back from the written dataset and
       // matches the oracle's pure replay from the raw table — write
       // once into the warehouse, manifest every run
-      // (ops/Shuffling.scala).
+      // (ops/Shuffling.scala). The location is keyed by a CONTENT
+      // fingerprint (row count + max id, one cheap agg), not just the
+      // dir path: a regenerated table under the same dir must trigger a
+      // rewrite, never serve a stale manifest against a fresh oracle.
+      val fpRow = table(s, dir, "documents")
+        .agg(count(lit(1)), max(col("doc_id"))).collect()(0)
       val loc = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"),
-        s"graft_shuffled_${org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(16)}")
+        "graft_shuffled_" + org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(s"$dir|${fpRow.getLong(0)}|${fpRow.getLong(1)}").take(16))
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")))
         graft.ops.Shuffling.writeShuffled(
@@ -4958,7 +4964,7 @@ object SparkEntry {
     * n_all (the spec pins the automaton's char-level semantics on
     * fixtures where they differ).
     */
-  private val OverlapBigramWords =
+  private[graft] val OverlapBigramWords =
     Seq("batch", "sort", "merge", "group", "small", "window")
 
   /** The trained Unigram-LM vocabulary (bounded driver-side piece list),
@@ -6776,15 +6782,20 @@ object SparkEntry {
       |  LEFT JOIN sr_rm rm ON rm.doc = d.doc_id
       |)""".stripMargin
 
-  /** DuckDB replay of [[graft.ops.Spans.removeWithinDocSpans]] (n=5,
-    * maxRep=50, minRun=15): positional grams, per-(doc, gram) occurrence
-    * cap, within-doc self-join on the positive diagonal d = pos_b −
-    * pos_a, islands per (doc, d), later-occurrence removal intervals,
-    * then the same merge/subtract/reconstruct tail as
+  /** DuckDB replay of [[graft.ops.Spans.removeWithinDocSpans]] at the
+    * registered face's knobs (defaults n=3, maxRep=50, minRun=4 — the
+    * re-centred values the face runs, NOT the cross-doc face's 5/50/15):
+    * positional grams, per-(doc, gram) occurrence cap (`maxRep` bounds
+    * the HAVING range), within-doc self-join on the positive diagonal
+    * d = pos_b − pos_a, islands per (doc, d), later-occurrence removal
+    * intervals, then the same merge/subtract/reconstruct tail as
     * [[spanRemovalCtes]] (sw_-prefixed; ends in `cleandocw`).
     */
   private def withinSpanRemovalCtes(
-      docsRel: String = "documents", n: Int = 3, minRun: Int = 4): String =
+      docsRel: String = "documents",
+      n: Int = 3,
+      minRun: Int = 4,
+      maxRep: Int = 50): String =
     s"""sw_toks AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM $docsRel
       |), sw_grams AS (
@@ -6795,7 +6806,7 @@ object SparkEntry {
       |    FROM sw_toks WHERE len(t) >= $n)
       |), sw_rep AS (
       |  SELECT doc_id, g FROM sw_grams GROUP BY doc_id, g
-      |  HAVING count(*) BETWEEN 2 AND 50
+      |  HAVING count(*) BETWEEN 2 AND $maxRep
       |), sw_idx AS MATERIALIZED (
       |  SELECT sw_grams.doc_id, sw_grams.pos, sw_grams.g
       |  FROM sw_grams JOIN sw_rep USING (doc_id, g)

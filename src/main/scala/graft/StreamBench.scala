@@ -174,10 +174,17 @@ object StreamBench {
     val vocab = Array.tabulate(500)(i => s"tok$i")
     val blocked = Array.tabulate(dictK)(i => s"bad$i")
     val docs = (0 until n).map { i =>
-      val sb = new StringBuilder
-      while (sb.length < docBytes) { sb.append(vocab(rnd.nextInt(vocab.length))); sb.append(' ') }
-      if (rnd.nextInt(1000) < hitPerMille) sb.append(blocked(rnd.nextInt(blocked.length)))
-      (i.toLong, sb.toString)
+      val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+      var len = 0
+      while (len < docBytes) {
+        val t = vocab(rnd.nextInt(vocab.length)); toks += t; len += t.length + 1
+      }
+      // Random token boundary (never index 0 — the patterns are
+      // space-prefixed), so blocked docs exit the scan at a uniformly
+      // random prefix and the first-hit short-circuit is actually priced.
+      if (rnd.nextInt(1000) < hitPerMille)
+        toks.insert(1 + rnd.nextInt(toks.length), blocked(rnd.nextInt(blocked.length)))
+      (i.toLong, toks.mkString(" "))
     }
     val expectedDrops = docs.count { case (_, t) => t.contains(" bad") }
     val input = MemoryStream[(Long, String)]

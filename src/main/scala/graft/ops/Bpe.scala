@@ -209,25 +209,37 @@ object Bpe {
     *
     * Scale shape: each DISTINCT word is encoded ONCE (the merges replay on
     * the word-vocabulary frame, not per occurrence), and documents join
-    * their exploded tokens to the broadcast word→length table — the same
+    * their exploded tokens to the word→length table — the same
     * "heavy work on the vocab, cheap join on the corpus" split as
     * training. Compression ratio = chars/token falls out downstream.
+    *
+    * Join-strategy contract: the word→length table is CORPUS-VOCABULARY-
+    * sized (unbounded — web-scale corpora carry 10⁸–10⁹ distinct
+    * tokens), so it broadcasts only when its measured row count is at
+    * most `broadcastVocabLimit`; above the bound the join falls back to
+    * a word-keyed shuffle ([[UnigramLm.encodeStatsWith]]'s shared
+    * contract and constant).
     */
   def encodeStats(
       docs: DataFrame,
       merges: Seq[(String, String)],
       textCol: String = "text",
-      idCol: String = "doc_id"
+      idCol: String = "doc_id",
+      broadcastVocabLimit: Long = UnigramLm.BroadcastVocabLimit
   ): DataFrame = {
-    val wordLens = initialVocab(docs, textCol)
+    // Eager pin: the vocab feeds both the row-count gate and the join
+    // build side (without it the corpus would tokenize twice more).
+    val vocab = initialVocab(docs, textCol).localCheckpoint(true)
+    val wordLens = vocab
       .select(col("word"), size(encodeSyms(col("syms"), merges)).cast("long").as("n_sub"))
+    val dim = if (vocab.count() <= broadcastVocabLimit) broadcast(wordLens) else wordLens
     docs
       .select(
         col(idCol),
         length(col(textCol)).cast("long").as("n_chars"),
         explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
-      .join(broadcast(wordLens), Seq("word"))
+      .join(dim, Seq("word"))
       .groupBy(col(idCol), col("n_chars"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
       .select(col(idCol), col("n_words"), col("n_bpe_tokens"), col("n_chars"))

@@ -58,6 +58,14 @@ object UnigramLm {
     */
   val MaxPieceLen = 4
 
+  /** Row bound above which a word→stat dim table stops broadcasting (see
+    * [[encodeStatsWith]]'s join-strategy contract; [[Bpe.encodeStats]]
+    * shares it). ~1M rows ≈ tens of MB of strings — comfortably a
+    * broadcast; a web-scale distinct-token vocabulary (10⁸–10⁹ rows) is
+    * not, and must shuffle-join.
+    */
+  val BroadcastVocabLimit: Long = 1L << 20
+
   final case class Piece(piece: String, cnt: Long, logpMicro: Long)
 
   /** The one micro-rounded float of the family: round-half-up of
@@ -76,14 +84,41 @@ object UnigramLm {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))
 
+  /** Fixed micro log-prob for a single char absent from the piece table
+    * (reachable only through the public API with a prebuilt vocabulary
+    * applied to a corpus whose alphabet it does not cover — trained
+    * vocabularies always contain every corpus char). Far below any real
+    * piece (microLn bottoms out around −28·10⁶ even at total = 10¹²),
+    * so an unknown char never outranks a trained segmentation; overflow
+    * would need a single whitespace token past ~9·10⁶ chars.
+    */
+  val UnknownCharLogpMicro: Long = -1_000_000_000_000L
+
   /** Viterbi segmentation of one word under a piece→logp table: the
     * (start, end) 1-based inclusive char ranges of the best-scoring
     * split. Ties at a DP cell resolve to the SMALLEST start (ascending
     * scan + strict improvement), so the whole path is deterministic —
-    * the SQL replay's `list_min(argmax)` rule. Every single char is in
-    * the vocabulary by construction, so a best split always exists.
+    * the SQL replay's `list_min(argmax)` rule. Every single char of the
+    * training corpus is in a trained vocabulary by construction; a char
+    * OUTSIDE the table segments as its own single-char piece at
+    * [[UnknownCharLogpMicro]], so the DP has no unreachable cells (and
+    * no `Long.MinValue` sentinel to overflow — prefix scores are always
+    * real path sums).
     */
-  def viterbiSplits(word: String, lp: collection.Map[String, Long]): List[(Int, Int)] = {
+  def viterbiSplits(word: String, lp: collection.Map[String, Long]): List[(Int, Int)] =
+    viterbiSplits(word, lp, bandOf(lp))
+
+  /** The DP look-back band for a piece table: its longest piece. Hoist
+    * this OUTSIDE any per-word loop (it scans the whole table).
+    */
+  def bandOf(lp: collection.Map[String, Long]): Int =
+    if (lp.isEmpty) 1 else math.max(1, lp.keysIterator.map(_.length).max)
+
+  /** [[viterbiSplits]] with the look-back band precomputed (callers in
+    * distributed flatMaps pass `bandOf(table)` computed once).
+    */
+  def viterbiSplits(
+      word: String, lp: collection.Map[String, Long], band: Int): List[(Int, Int)] = {
     val n = word.length
     val b = new Array[Long](n + 1)
     val a = new Array[Int](n + 1)
@@ -91,7 +126,7 @@ object UnigramLm {
     while (j <= n) {
       var best = Long.MinValue
       var arg = -1
-      var i = math.max(1, j - MaxPieceLen + 1)
+      var i = math.max(1, j - band + 1)
       while (i <= j) {
         lp.get(word.substring(i - 1, j)) match {
           case Some(p) =>
@@ -101,6 +136,9 @@ object UnigramLm {
         }
         i += 1
       }
+      // No known piece ends at j (char j not in the vocabulary): fall
+      // back to a single-char unknown piece, keeping every cell reachable.
+      if (arg == -1) { best = b(j - 1) + UnknownCharLogpMicro; arg = j }
       b(j) = best
       a(j) = arg
       j += 1
@@ -165,9 +203,12 @@ object UnigramLm {
     val spark = words.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(vocab.map(p => p.piece -> p.logpMicro).toMap)
+    val band = vocab.foldLeft(1)((m, p) => math.max(m, p.piece.length))
     val counts = words
       .as[(String, Long)]
-      .flatMap { case (w, f) => viterbiPieces(w, bc.value).map(_ -> f) }
+      .flatMap { case (w, f) =>
+        viterbiSplits(w, bc.value, band).map { case (s, e) => w.substring(s - 1, e) -> f }
+      }
       .toDF("piece", "freq")
       .groupBy(col("piece"))
       .agg(sum(col("freq")).as("c"))
@@ -225,26 +266,43 @@ object UnigramLm {
       idCol: String = "doc_id"): DataFrame =
     encodeStatsWith(docs, train(docs, rounds, seedMultiK, textCol), textCol, idCol)
 
-  /** [[encodeStats]] with a prebuilt (shared) trained vocabulary. */
+  /** [[encodeStats]] with a prebuilt (shared) trained vocabulary.
+    *
+    * Join-strategy contract: the word→piece-count table is
+    * CORPUS-VOCABULARY-sized — data-dependent and unbounded (a web-scale
+    * corpus carries 10⁸–10⁹ distinct tokens: typos, URLs, numbers), so a
+    * forced broadcast is a driver/executor OOM at the 100 TB design
+    * point even though every local SF sails through. The table
+    * broadcasts only when its measured row count is at most
+    * `broadcastVocabLimit` (one cheap job over the checkpointed,
+    * vocabulary-sized frame); above the bound the join falls back to a
+    * plain word-keyed shuffle.
+    */
   def encodeStatsWith(
       docs: DataFrame,
       vocab: Seq[Piece],
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      broadcastVocabLimit: Long = BroadcastVocabLimit): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(vocab.map(p => p.piece -> p.logpMicro).toMap)
-    val wordLens = wordVocab(docs, textCol)
+    val band = vocab.foldLeft(1)((m, p) => math.max(m, p.piece.length))
+    // Eager pin: the frame feeds both the row-count gate and the join
+    // build side (without it the corpus would tokenize twice more).
+    val words = wordVocab(docs, textCol).localCheckpoint(true)
+    val wordLens = words
       .as[(String, Long)]
-      .map { case (w, _) => (w, viterbiSplits(w, bc.value).length.toLong) }
+      .map { case (w, _) => (w, viterbiSplits(w, bc.value, band).length.toLong) }
       .toDF("word", "n_pieces")
+    val dim = if (words.count() <= broadcastVocabLimit) broadcast(wordLens) else wordLens
     docs
       .select(
         col(idCol),
         length(col(textCol)).cast("long").as("n_chars"),
         explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
-      .join(broadcast(wordLens), Seq("word"))
+      .join(dim, Seq("word"))
       .groupBy(col(idCol), col("n_chars"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_unigram_tokens"))
       .select(col(idCol), col("n_words"), col("n_unigram_tokens"), col("n_chars"))

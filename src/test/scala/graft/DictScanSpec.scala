@@ -166,4 +166,29 @@ class DictScanSpec extends AnyFunSuite {
       assert(no == bruteNonOverlap(texts(id), "sort sort"), s"doc $id nonoverlap")
     }
   }
+
+  test("dict_scan_overlap_counts data contract: no corpus word carries a pattern word " +
+    "as proper prefix or suffix (gate-corpus assertion, fails loudly on generator drift)") {
+    // The registered face's oracle counts token-adjacent pairs while the
+    // Spark side counts char-level occurrences; the two are equal ONLY
+    // when no vocabulary word extends a pattern word at either end (the
+    // 'xsort' fixture above is exactly the divergence this rules out).
+    // Asserted here over the driver-gate corpus so a testdata-generator
+    // change breaks THIS test, not the oracle hash.
+    import org.apache.spark.sql.functions._
+    val offenders = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .distinct()
+      .filter(
+        SparkEntry.OverlapBigramWords
+          .map(p => col("w") =!= p && (col("w").startsWith(p) || col("w").endsWith(p)))
+          .reduce(_ || _))
+      .collect()
+      .map(_.getString(0))
+    assert(
+      offenders.isEmpty,
+      s"corpus words break the token-adjacency oracle contract: ${offenders.mkString(", ")}")
+  }
 }

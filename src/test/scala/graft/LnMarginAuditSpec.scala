@@ -233,4 +233,25 @@ class LnMarginAuditSpec extends AnyFunSuite {
     val pairs = (1 to cnts.length).map(r => (r.toLong, 1L)) ++ cnts.map(c => (c, 1L))
     auditPairs(pairs.distinct, 1e6, "zipf_alpha")
   }
+
+  test("unigram_lm: microLn(c/total) margin over the seed vocabulary and BOTH " +
+    "hard-EM rounds' exact (count, total) domains at the gate SF") {
+    import graft.ops.UnigramLm
+    // Replay the registered faces' training (rounds = 2, seedMultiK = 300)
+    // stage by stage; every Piece stores its exact count and the round's
+    // total is the sum over exactly that piece set — the precise rational
+    // arguments each micro-rounded ln received (withLogProbs' contract).
+    val words = UnigramLm.wordVocab(docs).localCheckpoint(true)
+    val v0 = UnigramLm.seedVocab(words, 300)
+    val v1 = UnigramLm.emRound(words, v0)
+    val v2 = UnigramLm.emRound(words, v1)
+    val pairs = Seq(v0, v1, v2).flatMap { v =>
+      val total = v.map(_.cnt).sum
+      // tie the gathered domain to the shipped output: the stored logp
+      // IS microLn of this (cnt, total) pair
+      v.foreach(p => assert(p.logpMicro == UnigramLm.microLn(p.cnt, total)))
+      v.map(p => (p.cnt, total))
+    }
+    auditPairs(pairs.distinct, 1e6, "unigram_lm")
+  }
 }

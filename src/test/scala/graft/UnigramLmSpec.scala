@@ -131,4 +131,63 @@ class UnigramLmSpec extends AnyFunSuite {
     // every emitted piece segments back to its word set; singles all kept
     assert(vocab.filter(_.piece.length == 1).map(_.cnt).forall(_ >= 1L))
   }
+
+  test("viterbiSplits: chars outside the vocabulary segment as single-char " +
+    "unknown pieces instead of throwing (prebuilt-vocab-on-foreign-corpus path)") {
+    val lp = Map("a" -> -100L, "b" -> -200L, "ab" -> -150L)
+    // unknown char mid-word, at word start, whole-word unknown, empty-adjacent
+    assert(UnigramLm.viterbiPieces("axb", lp) == List("a", "x", "b"))
+    assert(UnigramLm.viterbiPieces("xab", lp) == List("x", "ab"))
+    assert(UnigramLm.viterbiPieces("xyz", lp) == List("x", "y", "z"))
+    assert(UnigramLm.viterbiPieces("abx", lp) == List("ab", "x"))
+    // the unknown penalty never outranks a real segmentation
+    assert(UnigramLm.viterbiPieces("ab", lp) == List("ab"))
+    // encodeStatsWith end-to-end on a corpus the vocab does not cover
+    val vocab = Seq(
+      UnigramLm.Piece("a", 2L, -100L), UnigramLm.Piece("b", 1L, -200L),
+      UnigramLm.Piece("ab", 1L, -150L))
+    val got = UnigramLm
+      .encodeStatsWith(Seq((1L, "ab zq a")).toDF("doc_id", "text"), vocab)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 3L, 1L + 2L + 1L, 7L))) // ab=1, zq=2 unknowns, a=1
+  }
+
+  test("encode broadcast gate: the word dim broadcasts at or under the vocab-count " +
+    "limit and falls back to a shuffle join above it (identical rows both ways)") {
+    // Pin thresholds so neither the static planner nor AQE re-broadcasts
+    // the small test frame on its own: only the operator's gate decides.
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null))
+    try {
+      prev.foreach { case (k, _) => spark.conf.set(k, "-1") }
+      val df = Seq((1L, "ab ba a"), (2L, "b ab ab")).toDF("doc_id", "text")
+      val vocab = UnigramLm.train(df, rounds = 1, seedMultiK = 4)
+      def run(limit: Long): (String, Seq[(Long, Long, Long, Long)]) = {
+        val q = UnigramLm.encodeStatsWith(df, vocab, broadcastVocabLimit = limit)
+        val rows = q.as[(Long, Long, Long, Long)].collect().toSeq.sorted
+        (q.queryExecution.executedPlan.toString, rows)
+      }
+      val (bPlan, bRows) = run(Long.MaxValue)
+      val (sPlan, sRows) = run(0L)
+      assert(bPlan.contains("BroadcastHashJoin"), s"gate open must broadcast:\n$bPlan")
+      assert(!sPlan.contains("BroadcastHashJoin"),
+        s"over-limit vocab must NOT broadcast (the 100 TB OOM path):\n$sPlan")
+      assert(bRows == sRows && bRows.nonEmpty, "join strategy must not change results")
+      // same contract on the BPE face
+      val merges = graft.ops.Bpe.mergesDf(df, nMerges = 2).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      def bpePlan(limit: Long): String = {
+        val q = graft.ops.Bpe.encodeStats(df, merges, broadcastVocabLimit = limit)
+        q.collect()
+        q.queryExecution.executedPlan.toString
+      }
+      assert(bpePlan(Long.MaxValue).contains("BroadcastHashJoin"))
+      assert(!bpePlan(0L).contains("BroadcastHashJoin"))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
