@@ -2700,6 +2700,37 @@ object SparkEntry {
       graft.ops.UnigramLm.encodeStatsWith(
         table(s, dir, "documents"), sharedUnigramVocab(s, dir))
     },
+    "unigram_len_sweep" -> { (s, dir) =>
+      // MaxPieceLen priced as a KNOB (the dedup_threshold_sweep
+      // pattern): one hard-EM training per piece length — all off ONE
+      // pinned corpus tokenization (sharedUnigramWords; the len-4 row
+      // rides the family's shared training) — then a per-length census:
+      // vocabulary size, multi-char pieces, and the freq-weighted
+      // encoded-piece / word-char totals, computed on the VOCAB frame
+      // only (Σ_w freq·|viterbi(w)| — the corpus never rescans per
+      // length). compression = total_word_chars / total_pieces falls
+      // out downstream (ops/UnigramLm.scala).
+      import s.implicits._
+      val words = sharedUnigramWords(s, dir)
+      UnigramLenSweepLens.map { len =>
+        val vocab = sharedUnigramVocabLen(s, dir, len)
+        val bc = s.sparkContext.broadcast(vocab.map(p => p.piece -> p.logpMicro).toMap)
+        val band = vocab.foldLeft(1)((m, p) => math.max(m, p.piece.length))
+        words
+          .as[(String, Long)]
+          .map { case (w, f) =>
+            (f * graft.ops.UnigramLm.viterbiSplits(w, bc.value, band).length, f * w.length)
+          }
+          .toDF("p", "c")
+          .agg(sum(col("p")).as("total_pieces"), sum(col("c")).as("total_word_chars"))
+          .select(
+            lit(len.toLong).as("max_piece_len"),
+            lit(vocab.size.toLong).as("vocab_size"),
+            lit(vocab.count(_.piece.length >= 2).toLong).as("n_multi"),
+            col("total_pieces"),
+            col("total_word_chars"))
+      }.reduce(_ unionByName _)
+    },
     "hll_error_report" -> { (s, dir) =>
       // Sketch-vs-truth, measured: per day, the exact distinct-user
       // count next to the HLL estimate and the signed error in bps —
@@ -4967,13 +4998,37 @@ object SparkEntry {
   private[graft] val OverlapBigramWords =
     Seq("batch", "sort", "merge", "group", "small", "window")
 
+  /** The pinned word-vocabulary frame (ONE corpus tokenization) every
+    * unigram training — default and sweep lengths — trains from.
+    */
+  private def sharedUnigramWords(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "unigramWords") {
+      graft.ops.UnigramLm.wordVocab(table(s, dir, "documents")).localCheckpoint(true)
+    }
+
   /** The trained Unigram-LM vocabulary (bounded driver-side piece list),
     * built once per (session, dir) for the vocab + encode faces.
     */
   private def sharedUnigramVocab(
       s: SparkSession, dir: String): Seq[graft.ops.UnigramLm.Piece] =
     sharedState(s, dir, "unigramLm") {
-      graft.ops.UnigramLm.train(table(s, dir, "documents"))
+      graft.ops.UnigramLm.trainFromWords(sharedUnigramWords(s, dir))
+    }
+
+  /** The piece lengths `unigram_len_sweep` prices (4 = the family
+    * default — that row must reproduce `unigram_lm_vocab`'s vocabulary
+    * exactly, which its spec pins).
+    */
+  private[graft] val UnigramLenSweepLens = Seq(2, 3, 4, 6)
+
+  /** Per-length trained vocabulary: length 4 IS the family's shared
+    * training; other lengths memoize their own off the same word frame.
+    */
+  private def sharedUnigramVocabLen(
+      s: SparkSession, dir: String, len: Int): Seq[graft.ops.UnigramLm.Piece] =
+    if (len == graft.ops.UnigramLm.MaxPieceLen) sharedUnigramVocab(s, dir)
+    else sharedState(s, dir, s"unigramLm_len$len") {
+      graft.ops.UnigramLm.trainFromWords(sharedUnigramWords(s, dir), maxPieceLen = len)
     }
 
   /** The threshold-0 md5-MinHash verified pair frame (the operator
@@ -8247,76 +8302,83 @@ object SparkEntry {
     * `b` plus the argmax-start list `a`, ties to the smallest start via
     * `list_min` over the argmax set), a backward recursive walk over `a`
     * emitting the chosen pieces, and the clamp-singles / prune-⌈3m/4⌉
-    * M-step with the one micro-rounded ln. Ends in `vocab${rounds + 1}`
-    * (piece, cnt, lp). MaxPieceLen = 4 is baked into the band constants
-    * (`j - 2` / `j + 2`).
+    * M-step with the one micro-rounded ln. Ends in `${p}vocab${rounds + 1}`
+    * (piece, cnt, lp). `maxLen` sets the band constants (look-back
+    * `j − (maxLen−2)`, the trained piece-length bound); `p` prefixes
+    * every CTE name so a piece-length sweep instantiates several chains
+    * under one WITH RECURSIVE.
     */
-  private def unigramEmRoundCtes(r: Int): String =
-    s""", pm$r AS MATERIALIZED (
-      |  SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS m FROM vocab$r
-      |), fwd$r AS (
+  private def unigramEmRoundCtes(r: Int, maxLen: Int = 4, p: String = ""): String =
+    s""", ${p}pm$r AS MATERIALIZED (
+      |  SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS m FROM ${p}vocab$r
+      |), ${p}fwd$r AS (
       |  SELECT word, freq, length(word) AS n, 0 AS j,
       |    [CAST(0 AS BIGINT)] AS b, CAST([] AS INT[]) AS a
-      |  FROM w
+      |  FROM ${p}w
       |  UNION ALL
       |  SELECT word, freq, n, j + 1, list_append(b, best),
-      |    list_append(a, CAST(list_min(list_filter(range(greatest(1, j - 2), j + 2),
+      |    list_append(a, CAST(list_min(list_filter(range(greatest(1, j - ${maxLen - 2}), j + 2),
       |      i -> b[i] + element_at(m, substr(word, i, j + 2 - i))[1] = best)) AS INT))
       |  FROM (
       |    SELECT word, freq, n, j, b, a, m,
-      |      list_max(list_filter(list_transform(range(greatest(1, j - 2), j + 2),
+      |      list_max(list_filter(list_transform(range(greatest(1, j - ${maxLen - 2}), j + 2),
       |        i -> b[i] + element_at(m, substr(word, i, j + 2 - i))[1]),
       |        x -> x IS NOT NULL)) AS best
-      |    FROM fwd$r, pm$r WHERE j < n)
-      |), bk$r AS (
-      |  SELECT word, freq, a, j FROM fwd$r WHERE j = n
+      |    FROM ${p}fwd$r, ${p}pm$r WHERE j < n)
+      |), ${p}bk$r AS (
+      |  SELECT word, freq, a, j FROM ${p}fwd$r WHERE j = n
       |  UNION ALL
-      |  SELECT word, freq, a, a[j] - 1 AS j FROM bk$r WHERE j > 0
-      |), cnt$r AS (
+      |  SELECT word, freq, a, a[j] - 1 AS j FROM ${p}bk$r WHERE j > 0
+      |), ${p}cnt$r AS (
       |  SELECT substr(word, a[j], j - a[j] + 1) AS piece, CAST(sum(freq) AS BIGINT) AS c
-      |  FROM bk$r WHERE j > 0 GROUP BY 1
-      |), newv$r AS (
+      |  FROM ${p}bk$r WHERE j > 0 GROUP BY 1
+      |), ${p}newv$r AS (
       |  SELECT v.piece, greatest(coalesce(c.c, 0), 1) AS c
-      |  FROM (SELECT piece FROM vocab$r WHERE length(piece) = 1) v
-      |  LEFT JOIN cnt$r c USING (piece)
+      |  FROM (SELECT piece FROM ${p}vocab$r WHERE length(piece) = 1) v
+      |  LEFT JOIN ${p}cnt$r c USING (piece)
       |  UNION ALL
       |  SELECT piece, c FROM (
       |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rk,
       |      count(*) OVER () AS mm
-      |    FROM cnt$r WHERE length(piece) >= 2)
+      |    FROM ${p}cnt$r WHERE length(piece) >= 2)
       |  WHERE rk <= (3 * mm + 3) // 4
-      |), tot$r AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM newv$r),
-      |vocab${r + 1} AS MATERIALIZED (
+      |), ${p}tot$r AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ${p}newv$r),
+      |${p}vocab${r + 1} AS MATERIALIZED (
       |  SELECT piece, c AS cnt,
       |    CAST(floor(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6 + 0.5e0) AS BIGINT) AS lp
-      |  FROM newv$r, tot$r
+      |  FROM ${p}newv$r, ${p}tot$r
       |)""".stripMargin
 
-  private def unigramCtes(rounds: Int, seedMultiK: Int): String =
-    s"""WITH RECURSIVE w AS MATERIALIZED (
+  /** The unigram training chain WITHOUT the leading `WITH RECURSIVE `
+    * keyword (callers prepend it once — the sweep composes several
+    * prefixed chains under a single WITH).
+    */
+  private def unigramCtes(
+      rounds: Int, seedMultiK: Int, maxLen: Int = 4, p: String = ""): String =
+    s"""${p}w AS MATERIALIZED (
       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents)
       |  WHERE word <> '' GROUP BY 1
-      |), sub AS (
+      |), ${p}sub AS (
       |  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece, freq
-      |  FROM w, unnest(range(1, length(word) + 1)) t(i), unnest(range(1, 5)) u(l)
+      |  FROM ${p}w, unnest(range(1, length(word) + 1)) t(i), unnest(range(1, ${maxLen + 1})) u(l)
       |  WHERE i + l - 1 <= length(word)
-      |), scnt AS (
-      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM sub GROUP BY 1
-      |), v0all AS (
-      |  SELECT piece, c FROM scnt WHERE length(piece) = 1
+      |), ${p}scnt AS (
+      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM ${p}sub GROUP BY 1
+      |), ${p}v0all AS (
+      |  SELECT piece, c FROM ${p}scnt WHERE length(piece) = 1
       |  UNION ALL
       |  SELECT piece, c FROM (
       |    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rk
-      |    FROM scnt WHERE length(piece) >= 2)
+      |    FROM ${p}scnt WHERE length(piece) >= 2)
       |  WHERE rk <= $seedMultiK
-      |), tot0 AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM v0all),
-      |vocab1 AS MATERIALIZED (
+      |), ${p}tot0 AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM ${p}v0all),
+      |${p}vocab1 AS MATERIALIZED (
       |  SELECT piece, c AS cnt,
       |    CAST(floor(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6 + 0.5e0) AS BIGINT) AS lp
-      |  FROM v0all, tot0
+      |  FROM ${p}v0all, ${p}tot0
       |)""".stripMargin +
-      (1 to rounds).map(unigramEmRoundCtes).mkString
+      (1 to rounds).map(unigramEmRoundCtes(_, maxLen, p)).mkString
 
   private def bpeMergesOracle(nMerges: Int): String = {
     val base =
@@ -9096,14 +9158,53 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "bpe_merges" -> bpeMergesOracle(10),
     "unigram_lm_vocab" ->
-      s"""${unigramCtes(rounds = 2, seedMultiK = 300)}
+      s"""WITH RECURSIVE ${unigramCtes(rounds = 2, seedMultiK = 300)}
         |SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, cnt,
         |  lp AS logp_micro
         |FROM vocab3""".stripMargin,
+    "unigram_len_sweep" ->
+      // one full training + encode-census chain per sweep length, all
+      // prefixed under ONE WITH RECURSIVE; per-length rows UNION ALL
+      (UnigramLenSweepLens.map { l =>
+        val p = s"u$l"
+        s"""${unigramCtes(rounds = 2, seedMultiK = 300, maxLen = l, p = p)}, ${p}pmE AS MATERIALIZED (
+          |  SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS m FROM ${p}vocab3
+          |), ${p}fwdE AS (
+          |  SELECT word, freq, length(word) AS n, 0 AS j,
+          |    [CAST(0 AS BIGINT)] AS b, CAST([] AS INT[]) AS a
+          |  FROM ${p}w
+          |  UNION ALL
+          |  SELECT word, freq, n, j + 1, list_append(b, best),
+          |    list_append(a, CAST(list_min(list_filter(range(greatest(1, j - ${l - 2}), j + 2),
+          |      i -> b[i] + element_at(m, substr(word, i, j + 2 - i))[1] = best)) AS INT))
+          |  FROM (
+          |    SELECT word, freq, n, j, b, a, m,
+          |      list_max(list_filter(list_transform(range(greatest(1, j - ${l - 2}), j + 2),
+          |        i -> b[i] + element_at(m, substr(word, i, j + 2 - i))[1]),
+          |        x -> x IS NOT NULL)) AS best
+          |    FROM ${p}fwdE, ${p}pmE WHERE j < n)
+          |), ${p}bkE AS (
+          |  SELECT word, freq, a, j FROM ${p}fwdE WHERE j = n
+          |  UNION ALL
+          |  SELECT word, freq, a, a[j] - 1 AS j FROM ${p}bkE WHERE j > 0
+          |), ${p}npc AS MATERIALIZED (
+          |  SELECT word, freq, CAST(count(*) AS BIGINT) AS n_pieces
+          |  FROM ${p}bkE WHERE j > 0 GROUP BY 1, 2
+          |)""".stripMargin
+      }.mkString("WITH RECURSIVE ", ", ", "\n") +
+        UnigramLenSweepLens.map { l =>
+          val p = s"u$l"
+          s"""SELECT CAST($l AS BIGINT) AS max_piece_len,
+            |  (SELECT CAST(count(*) AS BIGINT) FROM ${p}vocab3) AS vocab_size,
+            |  (SELECT CAST(count(*) AS BIGINT) FROM ${p}vocab3
+            |    WHERE length(piece) >= 2) AS n_multi,
+            |  (SELECT CAST(sum(freq * n_pieces) AS BIGINT) FROM ${p}npc) AS total_pieces,
+            |  (SELECT CAST(sum(freq * length(word)) AS BIGINT) FROM ${p}w) AS total_word_chars""".stripMargin
+        }.mkString("\nUNION ALL\n")),
     "unigram_encode_stats" ->
       // one more Viterbi wavefront under the FINAL vocabulary; per-word
       // piece counts broadcast onto the corpus tokens
-      s"""${unigramCtes(rounds = 2, seedMultiK = 300)}, pmE AS MATERIALIZED (
+      s"""WITH RECURSIVE ${unigramCtes(rounds = 2, seedMultiK = 300)}, pmE AS MATERIALIZED (
         |  SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS m FROM vocab3
         |), fwdE AS (
         |  SELECT word, length(word) AS n, 0 AS j,

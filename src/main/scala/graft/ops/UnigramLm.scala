@@ -53,8 +53,11 @@ import org.apache.spark.sql.functions._
   */
 object UnigramLm {
 
-  /** Maximum piece length in chars — bounds the Viterbi band (the DP
-    * looks back at most this far) and the seed substring explosion.
+  /** DEFAULT maximum piece length in chars — bounds the Viterbi band
+    * (the DP looks back at most this far) and the seed substring
+    * explosion. Overridable per training ([[train]]/[[seedVocab]] take
+    * `maxPieceLen`; real SentencePiece vocabularies carry 8–16-char
+    * pieces — the `unigram_len_sweep` face prices the knob).
     */
   val MaxPieceLen = 4
 
@@ -159,9 +162,11 @@ object UnigramLm {
   /** Seed vocabulary off the word-vocab frame: all-occurrence substring
     * counts (one explode + hash agg over the vocab frame, never the
     * corpus), all singles + top-`seedMultiK` multis collected (bounded:
-    * alphabet + K rows).
+    * alphabet + K rows). `maxPieceLen` bounds the substring explosion
+    * (and thereby every later DP band — no trained piece can exceed it).
     */
-  def seedVocab(words: DataFrame, seedMultiK: Int): Seq[Piece] = {
+  def seedVocab(
+      words: DataFrame, seedMultiK: Int, maxPieceLen: Int = MaxPieceLen): Seq[Piece] = {
     val spark = words.sparkSession
     import spark.implicits._
     val subs = words
@@ -169,7 +174,7 @@ object UnigramLm {
       .flatMap { case (w, f) =>
         for {
           i <- 0 until w.length
-          l <- 1 to math.min(MaxPieceLen, w.length - i)
+          l <- 1 to math.min(maxPieceLen, w.length - i)
         } yield (w.substring(i, i + l), f)
       }
       .toDF("piece", "freq")
@@ -228,10 +233,25 @@ object UnigramLm {
       docs: DataFrame,
       rounds: Int = 2,
       seedMultiK: Int = 300,
-      textCol: String = "text"): Seq[Piece] = {
-    require(rounds >= 0 && seedMultiK >= 0, "non-negative knobs")
-    val words = wordVocab(docs, textCol).localCheckpoint(true) // one row per distinct word
-    (1 to rounds).foldLeft(seedVocab(words, seedMultiK)) { (v, _) => emRound(words, v) }
+      textCol: String = "text",
+      maxPieceLen: Int = MaxPieceLen): Seq[Piece] =
+    trainFromWords(
+      wordVocab(docs, textCol).localCheckpoint(true), // one row per distinct word
+      rounds, seedMultiK, maxPieceLen)
+
+  /** [[train]] off a prebuilt (already pinned) word-vocab frame — a
+    * piece-length sweep trains once per length over ONE corpus
+    * tokenization instead of re-deriving the word frame per length.
+    */
+  def trainFromWords(
+      words: DataFrame,
+      rounds: Int = 2,
+      seedMultiK: Int = 300,
+      maxPieceLen: Int = MaxPieceLen): Seq[Piece] = {
+    require(rounds >= 0 && seedMultiK >= 0 && maxPieceLen >= 1, "non-negative knobs")
+    (1 to rounds).foldLeft(seedVocab(words, seedMultiK, maxPieceLen)) { (v, _) =>
+      emRound(words, v)
+    }
   }
 
   /** Registered-query face: the trained vocabulary as a frame —

@@ -152,6 +152,28 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 3L, 1L + 2L + 1L, 7L))) // ab=1, zq=2 unknowns, a=1
   }
 
+  test("maxPieceLen parameter: len-4 training IS the default; wider bands learn " +
+    "pieces the default cannot; sweep census reconciles with the registered faces") {
+    val rep = (1 to 30).map(_ => "spark").mkString(" ")
+    val df = Seq((1L, rep), (2L, "sp ar k on up")).toDF("doc_id", "text")
+    // default == explicit 4 (the sweep's len-4 row is the family vocab)
+    assert(UnigramLm.train(df, 2, 10) == UnigramLm.train(df, 2, 10, maxPieceLen = 4))
+    assert(UnigramLm.train(df, 2, 10).forall(_.piece.length <= 4))
+    // band 6 captures the whole 5-char word as one piece; band 4 cannot
+    val v6 = UnigramLm.train(df, 2, 10, maxPieceLen = 6)
+    assert(v6.exists(_.piece == "spark"))
+    // registered sweep face: the len-4 row's vocab_size / total_pieces
+    // match unigram_lm_vocab and the summed unigram_encode_stats
+    val sf = "/root/testdata/sf0.001"
+    val row4 = SparkEntry.queries("unigram_len_sweep")(spark, sf)
+      .filter($"max_piece_len" === 4L)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(row4._2 == SparkEntry.queries("unigram_lm_vocab")(spark, sf).count())
+    val encTotal = SparkEntry.queries("unigram_encode_stats")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum($"n_unigram_tokens")).collect()(0).getLong(0)
+    assert(row4._4 == encTotal, "freq-weighted vocab census must equal the corpus encode total")
+  }
+
   test("encode broadcast gate: the word dim broadcasts at or under the vocab-count " +
     "limit and falls back to a shuffle join above it (identical rows both ways)") {
     // Pin thresholds so neither the static planner nor AQE re-broadcasts
