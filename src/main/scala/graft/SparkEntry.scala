@@ -3561,13 +3561,40 @@ object SparkEntry {
       // detectors coalesce in the interval merge, so the pass is
       // well-defined and deterministic. This is the union-of-detectors
       // form (one exchange for the corpus text), not a sequential
-      // fixed-point; the cross-doc leg rides the shared interval
-      // checkpoint (ops/Spans.scala).
+      // fixed-point; BOTH legs ride shared interval checkpoints (the
+      // within-doc one is also the residual meter's) (ops/Spans.scala).
       val docs = table(s, dir, "documents")
       graft.ops.Spans.applyRemovalIntervals(
         docs, "doc_id", "text",
-        sharedSpanIntervals(s, dir).unionByName(
-          graft.ops.Spans.withinDocRemovalIntervals(docs, n = 3, maxRep = 50, minRun = 4)))
+        sharedSpanIntervals(s, dir).unionByName(sharedWithinIvs(s, dir)))
+    },
+    "spans_removed_residual" -> { (s, dir) =>
+      // Lee et al. 2022 §4's own protocol: report the RESIDUAL
+      // duplication after rewriting. One union-of-detectors pass is NOT
+      // provably duplication-free — removal can make previously-
+      // separated duplicate regions adjacent (cross-doc intervals are
+      // computed on ORIGINAL token positions), so this meter re-runs
+      // BOTH detectors over the cleaned text and emits one census row
+      // per family: intervals found, docs touched, longest run, and the
+      // merged-region token total a second pass would delete. The
+      // rewrite pins once (at cluster scale the meter reads the
+      // PERSISTED cleaned corpus a production rewrite writes anyway);
+      // detection costs are the detectors' own bounded gram exchanges
+      // (ops/Spans.scala).
+      val docs = table(s, dir, "documents")
+      val clean = graft.ops.Spans
+        .applyRemovalIntervals(
+          docs, "doc_id", "text",
+          sharedSpanIntervals(s, dir).unionByName(sharedWithinIvs(s, dir)))
+        .select(col("doc_id"), col("text_clean").as("text"))
+        .localCheckpoint(true)
+      graft.ops.Spans
+        .intervalCensus(
+          graft.ops.Spans.crossDocRemovalIntervals(clean, n = 5, maxDf = 50, minRun = 15),
+          "cross_doc")
+        .unionByName(graft.ops.Spans.intervalCensus(
+          graft.ops.Spans.withinDocRemovalIntervals(clean, n = 3, maxRep = 50, minRun = 4),
+          "within_doc"))
     },
     "decontam_span_surgery" -> { (s, dir) =>
       // SURGICAL decontamination: excise the eval-quoted span, KEEP the
@@ -5049,6 +5076,18 @@ object SparkEntry {
     sharedLeg(s, dir, "spanIvs") {
       graft.ops.Spans
         .crossDocRemovalIntervals(table(s, dir, "documents"), n = 5, maxDf = 50, minRun = 15)
+        .localCheckpoint(eager = true)
+    }
+
+  /** The within-doc removal-interval frame at the registered face's
+    * knobs (n=3, maxRep=50, minRun=4), checkpointed once (ids + token
+    * ranges) for `spans_removed_within`'s full-corpus siblings:
+    * `spans_removed_full` and the residual meter.
+    */
+  private def sharedWithinIvs(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "withinIvs") {
+      graft.ops.Spans
+        .withinDocRemovalIntervals(table(s, dir, "documents"), n = 3, maxRep = 50, minRun = 4)
         .localCheckpoint(eager = true)
     }
 
@@ -6757,6 +6796,64 @@ object SparkEntry {
     * symmetric difference (`dv`). Expects [[Md5SigCtes]] +
     * `containmentCtes(8000)` in scope.
     */
+  /** Cross-doc removal-interval CTE head, `p`-prefixed over any docs
+    * relation: the dup_spans positional-gram island chain kept per
+    * island, b-side keep-lowest-id intervals — ends in
+    * `${p}iv(doc, s, e)`. The residual meter instantiates it a second
+    * time over the CLEANED corpus.
+    */
+  private def crossIvCtes(
+      p: String, docsRel: String, n: Int, maxDf: Int, minRun: Int): String =
+    s"""${p}toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM $docsRel
+      |), ${p}grams AS (
+      |  SELECT doc_id, pg['pos'] AS pos, pg['g'] AS g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t) - ${n - 2}),
+      |      i -> struct_pack(pos := CAST(i AS INT),
+      |                       g := substr(md5(array_to_string(t[i:i+${n - 1}], ' ')), 1, 16)))) AS pg
+      |    FROM ${p}toks WHERE len(t) >= $n)
+      |), ${p}df AS (
+      |  SELECT g FROM ${p}grams GROUP BY g
+      |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $maxDf
+      |), ${p}idx AS MATERIALIZED (
+      |  SELECT ${p}grams.doc_id, ${p}grams.pos, ${p}grams.g
+      |  FROM ${p}grams JOIN ${p}df USING (g)
+      |), ${p}isl AS (
+      |  SELECT doc_a, doc_b, diag, pos_a,
+      |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+      |  FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+      |      a.pos - b.pos AS diag
+      |    FROM ${p}idx a JOIN ${p}idx b USING (g)
+      |    WHERE a.doc_id < b.doc_id)
+      |), ${p}iv AS (
+      |  SELECT doc, CAST(s AS BIGINT) AS s, CAST(s + run_tokens - 1 AS BIGINT) AS e
+      |  FROM (
+      |    SELECT doc_b AS doc, min(pos_a) - diag AS s, count(*) + ${n - 1} AS run_tokens
+      |    FROM ${p}isl GROUP BY doc_b, doc_a, diag, grp)
+      |  WHERE run_tokens >= $minRun
+      |)""".stripMargin
+
+  /** The window interval-merge into maximal regions over any
+    * `(doc, s, e)` relation: `${p}reg` + `${p}regions` (adjacent regions
+    * coalesce) — the one merge every removal/census face shares.
+    */
+  private def mergeRegionCtes(p: String, ivRel: String): String =
+    s"""${p}reg AS (
+      |  SELECT doc, s, e,
+      |    sum(nr) OVER (PARTITION BY doc ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+      |  FROM (
+      |    SELECT doc, s, e,
+      |      CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
+      |        THEN 1 ELSE 0 END AS nr
+      |    FROM $ivRel
+      |    WINDOW w AS (PARTITION BY doc ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |), ${p}regions AS MATERIALIZED (
+      |  SELECT doc, rid, min(s) AS rs, max(e) AS re FROM ${p}reg GROUP BY 1, 2
+      |)""".stripMargin
+
   /** DuckDB replay of [[graft.ops.Spans.removeDuplicatedSpans]] (n=5,
     * maxDf=50, minRun=15): the dup_spans positional-gram island chain kept
     * per island (start + length instead of the pair aggregate), b-side
@@ -6768,48 +6865,8 @@ object SparkEntry {
     * n_spans_removed)` over every input doc.
     */
   private def spanRemovalCtes(docsRel: String = "documents"): String =
-    s"""sr_toks AS (
-      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM $docsRel
-      |), sr_grams AS (
-      |  SELECT doc_id, pg['pos'] AS pos, pg['g'] AS g FROM (
-      |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
-      |      i -> struct_pack(pos := CAST(i AS INT),
-      |                       g := substr(md5(array_to_string(t[i:i+4], ' ')), 1, 16)))) AS pg
-      |    FROM sr_toks WHERE len(t) >= 5)
-      |), sr_df AS (
-      |  SELECT g FROM sr_grams GROUP BY g
-      |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50
-      |), sr_idx AS MATERIALIZED (
-      |  SELECT sr_grams.doc_id, sr_grams.pos, sr_grams.g
-      |  FROM sr_grams JOIN sr_df USING (g)
-      |), sr_isl AS (
-      |  SELECT doc_a, doc_b, diag, pos_a,
-      |    pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
-      |  FROM (
-      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
-      |      a.pos - b.pos AS diag
-      |    FROM sr_idx a JOIN sr_idx b USING (g)
-      |    WHERE a.doc_id < b.doc_id)
-      |), sr_iv AS (
-      |  SELECT doc, CAST(s AS BIGINT) AS s, CAST(s + run_tokens - 1 AS BIGINT) AS e
-      |  FROM (
-      |    SELECT doc_b AS doc, min(pos_a) - diag AS s, count(*) + 4 AS run_tokens
-      |    FROM sr_isl GROUP BY doc_b, doc_a, diag, grp)
-      |  WHERE run_tokens >= 15
-      |), sr_reg AS (
-      |  SELECT doc, s, e,
-      |    sum(nr) OVER (PARTITION BY doc ORDER BY s, e
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
-      |  FROM (
-      |    SELECT doc, s, e,
-      |      CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
-      |        THEN 1 ELSE 0 END AS nr
-      |    FROM sr_iv
-      |    WINDOW w AS (PARTITION BY doc ORDER BY s, e
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-      |), sr_regions AS MATERIALIZED (
-      |  SELECT doc, rid, min(s) AS rs, max(e) AS re FROM sr_reg GROUP BY 1, 2
-      |), sr_rm AS (
+    s"""${crossIvCtes("sr_", docsRel, 5, 50, 15)},
+      |${mergeRegionCtes("sr_", "sr_iv")}, sr_rm AS (
       |  SELECT doc, CAST(sum(re - rs + 1) AS BIGINT) AS n_tokens_removed,
       |    CAST(count(*) AS BIGINT) AS n_spans_removed
       |  FROM sr_regions GROUP BY 1
@@ -6846,52 +6903,49 @@ object SparkEntry {
     * intervals, then the same merge/subtract/reconstruct tail as
     * [[spanRemovalCtes]] (sw_-prefixed; ends in `cleandocw`).
     */
+  /** Within-doc later-occurrence removal-interval CTE head,
+    * `p`-prefixed over any docs relation — ends in `${p}iv(doc, s, e)`
+    * ([[crossIvCtes]]' self-duplication twin; the residual meter
+    * instantiates it over the cleaned corpus).
+    */
+  private def withinIvCtes(
+      p: String, docsRel: String, n: Int, maxRep: Int, minRun: Int): String =
+    s"""${p}toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM $docsRel
+      |), ${p}grams AS (
+      |  SELECT doc_id, pg['pos'] AS pos, pg['g'] AS g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t) - ${n - 2}),
+      |      i -> struct_pack(pos := CAST(i AS INT),
+      |                       g := substr(md5(array_to_string(t[i:i+${n - 1}], ' ')), 1, 16)))) AS pg
+      |    FROM ${p}toks WHERE len(t) >= $n)
+      |), ${p}rep AS (
+      |  SELECT doc_id, g FROM ${p}grams GROUP BY doc_id, g
+      |  HAVING count(*) BETWEEN 2 AND $maxRep
+      |), ${p}idx AS MATERIALIZED (
+      |  SELECT ${p}grams.doc_id, ${p}grams.pos, ${p}grams.g
+      |  FROM ${p}grams JOIN ${p}rep USING (doc_id, g)
+      |), ${p}isl AS (
+      |  SELECT doc_id, d, pos_a,
+      |    pos_a - row_number() OVER (PARTITION BY doc_id, d ORDER BY pos_a) AS grp
+      |  FROM (
+      |    SELECT a.doc_id, a.pos AS pos_a, b.pos - a.pos AS d
+      |    FROM ${p}idx a JOIN ${p}idx b USING (doc_id, g)
+      |    WHERE a.pos < b.pos)
+      |), ${p}iv AS (
+      |  SELECT doc, CAST(s AS BIGINT) AS s, CAST(s + run_tokens - 1 AS BIGINT) AS e
+      |  FROM (
+      |    SELECT doc_id AS doc, min(pos_a) + d AS s, count(*) + ${n - 1} AS run_tokens
+      |    FROM ${p}isl GROUP BY doc_id, d, grp)
+      |  WHERE run_tokens >= $minRun
+      |)""".stripMargin
+
   private def withinSpanRemovalCtes(
       docsRel: String = "documents",
       n: Int = 3,
       minRun: Int = 4,
       maxRep: Int = 50): String =
-    s"""sw_toks AS (
-      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM $docsRel
-      |), sw_grams AS (
-      |  SELECT doc_id, pg['pos'] AS pos, pg['g'] AS g FROM (
-      |    SELECT doc_id, unnest(list_transform(range(1, len(t) - ${n - 2}),
-      |      i -> struct_pack(pos := CAST(i AS INT),
-      |                       g := substr(md5(array_to_string(t[i:i+${n - 1}], ' ')), 1, 16)))) AS pg
-      |    FROM sw_toks WHERE len(t) >= $n)
-      |), sw_rep AS (
-      |  SELECT doc_id, g FROM sw_grams GROUP BY doc_id, g
-      |  HAVING count(*) BETWEEN 2 AND $maxRep
-      |), sw_idx AS MATERIALIZED (
-      |  SELECT sw_grams.doc_id, sw_grams.pos, sw_grams.g
-      |  FROM sw_grams JOIN sw_rep USING (doc_id, g)
-      |), sw_isl AS (
-      |  SELECT doc_id, d, pos_a,
-      |    pos_a - row_number() OVER (PARTITION BY doc_id, d ORDER BY pos_a) AS grp
-      |  FROM (
-      |    SELECT a.doc_id, a.pos AS pos_a, b.pos - a.pos AS d
-      |    FROM sw_idx a JOIN sw_idx b USING (doc_id, g)
-      |    WHERE a.pos < b.pos)
-      |), sw_iv AS (
-      |  SELECT doc, CAST(s AS BIGINT) AS s, CAST(s + run_tokens - 1 AS BIGINT) AS e
-      |  FROM (
-      |    SELECT doc_id AS doc, min(pos_a) + d AS s, count(*) + ${n - 1} AS run_tokens
-      |    FROM sw_isl GROUP BY doc_id, d, grp)
-      |  WHERE run_tokens >= $minRun
-      |), sw_reg AS (
-      |  SELECT doc, s, e,
-      |    sum(nr) OVER (PARTITION BY doc ORDER BY s, e
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
-      |  FROM (
-      |    SELECT doc, s, e,
-      |      CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
-      |        THEN 1 ELSE 0 END AS nr
-      |    FROM sw_iv
-      |    WINDOW w AS (PARTITION BY doc ORDER BY s, e
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-      |), sw_regions AS MATERIALIZED (
-      |  SELECT doc, rid, min(s) AS rs, max(e) AS re FROM sw_reg GROUP BY 1, 2
-      |), sw_rm AS (
+    s"""${withinIvCtes("sw_", docsRel, n, maxRep, minRun)},
+      |${mergeRegionCtes("sw_", "sw_iv")}, sw_rm AS (
       |  SELECT doc, CAST(sum(re - rs + 1) AS BIGINT) AS n_tokens_removed,
       |    CAST(count(*) AS BIGINT) AS n_spans_removed
       |  FROM sw_regions GROUP BY 1
@@ -14160,6 +14214,47 @@ object SparkEntry {
         |JOIN sr_ot o USING (doc_id)
         |LEFT JOIN sf_clean c USING (doc_id)
         |LEFT JOIN sf_rm rm ON rm.doc = d.doc_id""".stripMargin,
+    "spans_removed_residual" ->
+      // the full rewrite (sr_ + sw_ interval chains -> sf_ reconstruct,
+      // exactly spans_removed_full), then BOTH detector heads re-run
+      // over the cleaned relation (rx_ cross-doc, wx_ within-doc) and
+      // a per-family census
+      s"""WITH ${crossIvCtes("sr_", "documents", 5, 50, 15)},
+        |${withinIvCtes("sw_", "documents", 3, 50, 4)}, sf_iv AS (
+        |  SELECT * FROM sr_iv UNION ALL SELECT * FROM sw_iv
+        |), ${mergeRegionCtes("sf_", "sf_iv")}, sf_ot AS (
+        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+        |), sf_kept AS (
+        |  SELECT k.doc_id, k.pos, k.tok FROM (
+        |    SELECT doc_id, pg['pos'] AS pos, pg['tok'] AS tok FROM (
+        |      SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |        i -> struct_pack(pos := CAST(i AS INT), tok := t[i]))) AS pg
+        |      FROM sf_ot)) k
+        |  WHERE NOT EXISTS (SELECT 1 FROM sf_regions r
+        |    WHERE r.doc = k.doc_id AND k.pos >= r.rs AND k.pos <= r.re)
+        |), sf_clean AS (
+        |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
+        |  FROM sf_kept GROUP BY 1
+        |), rcd AS MATERIALIZED (
+        |  SELECT d.doc_id, coalesce(c.text_clean, '') AS text
+        |  FROM documents d LEFT JOIN sf_clean c USING (doc_id)
+        |), ${crossIvCtes("rx_", "rcd", 5, 50, 15)},
+        |${mergeRegionCtes("rx_", "rx_iv")},
+        |${withinIvCtes("wx_", "rcd", 3, 50, 4)},
+        |${mergeRegionCtes("wx_", "wx_iv")}
+        |SELECT 'cross_doc' AS family,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM rx_iv) AS n_intervals,
+        |  (SELECT CAST(count(DISTINCT doc) AS BIGINT) FROM rx_iv) AS n_docs,
+        |  (SELECT CAST(coalesce(max(e - s + 1), 0) AS BIGINT) FROM rx_iv) AS longest_run,
+        |  (SELECT CAST(coalesce(sum(re - rs + 1), 0) AS BIGINT) FROM rx_regions)
+        |    AS residual_tokens
+        |UNION ALL
+        |SELECT 'within_doc' AS family,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM wx_iv) AS n_intervals,
+        |  (SELECT CAST(count(DISTINCT doc) AS BIGINT) FROM wx_iv) AS n_docs,
+        |  (SELECT CAST(coalesce(max(e - s + 1), 0) AS BIGINT) FROM wx_iv) AS longest_run,
+        |  (SELECT CAST(coalesce(sum(re - rs + 1), 0) AS BIGINT) FROM wx_regions)
+        |    AS residual_tokens""".stripMargin,
     "decontam_span_surgery" ->
       s"""WITH $evalQuoteRemovalCtes
         |SELECT doc_id, text_clean, n_tokens, n_tokens_removed, n_spans_removed

@@ -320,6 +320,53 @@ object Spans {
       evalQuoteIntervals(docs, evalIds, idCol, textCol, n, maxDf, minRun))
   }
 
+  /** Merge a (doc, s, e) interval frame into maximal regions
+    * (doc, rid, rs, re): the classic gaps-and-islands interval merge —
+    * adjacent (re + 1 = next rs) regions coalesce. One doc-keyed window;
+    * interval frames are ids + ranges only, so this is metadata-scale
+    * at any corpus size.
+    */
+  def mergedRegions(ivs: DataFrame): DataFrame = {
+    val wDoc = Window.partitionBy("doc").orderBy("s", "e")
+    val prevMaxE = max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
+    ivs
+      .withColumn(
+        "nr",
+        when(prevMaxE.isNull || col("s") > prevMaxE + 1, 1L).otherwise(0L))
+      .withColumn("rid", sum(col("nr")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc", "rid")
+      .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
+  }
+
+  /** One census row over a removal-interval frame: how much duplication
+    * a detector still sees — (family, n_intervals, n_docs, longest_run,
+    * residual_tokens), where residual_tokens sums the MERGED regions
+    * (exactly the tokens one more rewrite pass would delete). Zero
+    * intervals still emit the row (all-zero census), so a residual
+    * meter always returns one row per detector family.
+    *
+    * The interval frame is eagerly pinned (ids + ranges — metadata-scale)
+    * because the census reads it twice (raw intervals + merged regions);
+    * without the cut the detection chain would run twice.
+    */
+  def intervalCensus(ivs: DataFrame, family: String): DataFrame = {
+    val pinned = ivs.localCheckpoint(true)
+    val base = pinned.agg(
+      count(lit(1)).as("n_intervals"),
+      countDistinct(col("doc")).as("n_docs"),
+      coalesce(max(col("e") - col("s") + 1), lit(0L)).as("longest_run"))
+    val merged = mergedRegions(pinned).agg(
+      coalesce(sum(col("re") - col("rs") + 1), lit(0L)).as("residual_tokens"))
+    base
+      .crossJoin(merged)
+      .select(
+        lit(family).as("family"),
+        col("n_intervals"),
+        col("n_docs"),
+        col("longest_run"),
+        col("residual_tokens"))
+  }
+
   /** Shared tail of the two span-removal faces: interval merge into
     * maximal regions, positional token subtraction against the
     * original-case split, `concat_ws` reconstruction. `ivs` =
@@ -330,15 +377,7 @@ object Spans {
       idCol: String,
       textCol: String,
       ivs: DataFrame): DataFrame = {
-    val wDoc = Window.partitionBy("doc").orderBy("s", "e")
-    val prevMaxE = max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
-    val regions = ivs
-      .withColumn(
-        "nr",
-        when(prevMaxE.isNull || col("s") > prevMaxE + 1, 1L).otherwise(0L))
-      .withColumn("rid", sum(col("nr")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy("doc", "rid")
-      .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
+    val regions = mergedRegions(ivs)
 
     val perDoc = regions
       .groupBy(col("doc").as(idCol))

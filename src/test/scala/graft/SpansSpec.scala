@@ -232,4 +232,43 @@ class SpansSpec extends AnyFunSuite {
     assert(got(9L) == (("a9 b9 c9 d9", 10L, 6L, 1L)))
     assert(got(5L)._3 == 6L && got(2L)._3 == 0L)
   }
+
+  test("residual meter: removal can make separated duplicate fragments adjacent — " +
+    "one pass leaves a residual the census reports; a second pass clears it") {
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val f = toks("f", 10); val g = toks("g", 10); val m = toks("m", 4)
+    // doc 1 holds F G contiguously; doc 2 holds F <M-repeat> G. Pass 1:
+    // cross-doc sees only the sub-minRun F (10) and G (10) fragments —
+    // no interval; within-doc deletes the repeated M — making F G
+    // contiguous in doc 2: a 20-token cross-doc duplicate born FROM the
+    // rewrite (cross-doc intervals were computed on ORIGINAL positions).
+    val docs = Seq(1L -> s"z1 $f $g z2", 2L -> s"$m y1 $f $m $g").toDF("doc_id", "text")
+    def rewrite(d: org.apache.spark.sql.DataFrame) =
+      Spans.applyRemovalIntervals(
+        d, "doc_id", "text",
+        Spans.crossDocRemovalIntervals(d, n = 5, maxDf = 50, minRun = 15)
+          .unionByName(Spans.withinDocRemovalIntervals(d, n = 3, maxRep = 50, minRun = 4)))
+    def census(d: org.apache.spark.sql.DataFrame) =
+      Spans
+        .intervalCensus(
+          Spans.crossDocRemovalIntervals(d, n = 5, maxDf = 50, minRun = 15), "cross_doc")
+        .unionByName(Spans.intervalCensus(
+          Spans.withinDocRemovalIntervals(d, n = 3, maxRep = 50, minRun = 4), "within_doc"))
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val full = rewrite(docs)
+    val cleanMap = full.select($"doc_id", $"text_clean").as[(Long, String)].collect().toMap
+    assert(cleanMap(1L) == s"z1 $f $g z2", "doc 1 untouched by pass 1")
+    assert(cleanMap(2L) == s"$m y1 $f $g", "pass 1 removes only the repeated M")
+    val clean = full.select($"doc_id", $"text_clean".as("text"))
+    val resid = census(clean)
+    assert(resid("cross_doc") == ((1L, 1L, 20L, 20L)),
+      "the meter must report the 20-token F+G residual one pass leaves")
+    assert(resid("within_doc") == ((0L, 0L, 0L, 0L)))
+    // a second rewrite over the cleaned corpus clears it
+    val clean2 = rewrite(clean).select($"doc_id", $"text_clean".as("text"))
+    val resid2 = census(clean2)
+    assert(resid2("cross_doc") == ((0L, 0L, 0L, 0L)), "second pass clears the residual")
+    assert(resid2("within_doc") == ((0L, 0L, 0L, 0L)))
+  }
 }
