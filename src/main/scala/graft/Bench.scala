@@ -1,6 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Per-query time emission, harness `min2-v5`: fixed-width base36
+    * DECISECONDS, 2 chars per query, no separators, name-sorted query
+    * order; "--" = failed both passes. Values saturate at 36²−1 = 1295
+    * decis (129.5 s — 15× above the slowest current row). Replaces the
+    * r8 `qcs36` 3-char centisecond grid (the BASELINE.md-recorded
+    * compaction decision, executed round 15 before the 2000-byte
+    * scorer tail binds): ceiling moves to ≈800 queries with resolution
+    * still 10× finer than machine-state spread.
+    */
+  def qcs24(times: Seq[Option[Double]]): String =
+    times.map {
+      case Some(t) =>
+        val ds = math.min(math.round(t * 10), 36L * 36 - 1)
+        java.lang.Long.toString(ds, 36).reverse.padTo(2, '0').reverse
+      case None => "--"
+    }.mkString
+
+  /** Decode a [[qcs24]] string back to per-query seconds (None =
+    * failed; values are exact multiples of 0.1 up to the 129.5 cap).
+    */
+  def decodeQcs24(s: String): Seq[Option[Double]] = {
+    require(s.length % 2 == 0, s"qcs24 length ${s.length} not even")
+    s.grouped(2).map {
+      case "--" => None
+      case cs => Some(java.lang.Long.parseLong(cs, 36) / 10.0)
+    }.toSeq
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env
@@ -64,31 +92,15 @@ object Bench {
     // The scorer captures only the LAST 2000 bytes of output; a full
     // name->seconds map at 127+ queries is ~3.4 KB and truncates into an
     // unparseable line (rounds 4-5 shipped "parsed": null). So the printed
-    // line carries per-query times as an array of integer MILLISECONDS in
+    // line carries per-query times as the fixed-width qcs24 string in
     // name-sorted order of SparkEntry.queries keys — the same deterministic
-    // order the harness executes (~5 bytes/query, whole line ≲1 KB). Decode
-    // contract documented in BASELINE.md; a failed query is null in the
-    // array and named in `failed`. The full name->seconds map still exists
-    // for humans, written as one JSON object to /tmp (path echoed in the
-    // line as `full`).
+    // order the harness executes (2 bytes/query). Decode contract in
+    // BASELINE.md and decodeQcs24; failed queries are "--" there and named
+    // in `failed`. The full name->seconds map still exists for humans,
+    // written as one JSON object to /tmp (path echoed in the line as
+    // `full`).
     val resMap = results.toMap
-    // Fixed-width base36 CENTISECONDS, 3 chars per query, no separators,
-    // name-sorted query order; "---" = failed both passes. Replaces the
-    // r7 `qms` integer array: at 318+ queries that array alone pushed the
-    // metric line toward the scorer's 2000-byte tail capture (a longer
-    // line truncates from the FRONT, which is exactly the r4-r6
-    // "parsed": null failure). 3 chars encode up to 36³−1 = 466.55 s,
-    // far above any per-query time; values cap there rather than widen.
-    val qcs36 = ordered
-      .map { case (name, _) =>
-        resMap(name) match {
-          case Some(t) =>
-            val cs = math.min(math.round(t * 100), 36L * 36 * 36 - 1)
-            java.lang.Long.toString(cs, 36).reverse.padTo(3, '0').reverse
-          case None => "---"
-        }
-      }
-      .mkString
+    val qcs = qcs24(ordered.map { case (name, _) => resMap(name) })
     val fullMap = ordered
       .map { case (name, _) =>
         "\"" + name + "\":" + resMap(name).map(f3(_)).getOrElse("null")
@@ -110,14 +122,15 @@ object Bench {
     val fullPath = s"/tmp/graft_bench_$sfBase.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v4","stream_events_per_sec":$streamEps,"stream_eps_runs":[$streamEps1,$streamEps2],"media_payloads_per_sec":$mediaEps,"failed":$failedJson,"queries":$fullMap,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v5","stream_events_per_sec":$streamEps,"stream_eps_runs":[$streamEps1,$streamEps2],"media_payloads_per_sec":$mediaEps,"failed":$failedJson,"queries":$fullMap,"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
-    // harness id min2-v4: same min-over-successful-passes-of-2 batch
-    // timing as v2/v3 (totals comparable round-4+), qcs36 per-query
-    // emission. Round 11 adds the max-of-2 streaming bracket (batch
-    // timing untouched, so the id stays): stream_events_per_sec is
-    // max(stream_eps_runs), readings taken before and after the batch
-    // suite.
+    // harness id min2-v5: same min-over-successful-passes-of-2 batch
+    // timing as v2/v3/v4 (totals comparable round-4+), qcs24 per-query
+    // emission (2-char base36 deciseconds — see qcs24's scaladoc; the
+    // tag bump exists so decoders cannot misread the old 3-char grid).
+    // The max-of-2 streaming bracket (r11) is unchanged:
+    // stream_events_per_sec is max(stream_eps_runs), readings taken
+    // before and after the batch suite.
     //
     // The metric line must be the LAST thing on stdout (r4-r6 shipped
     // "parsed": null because shutdown log lines and sbt's "[success]"
@@ -128,7 +141,7 @@ object Bench {
     org.apache.log4j.LogManager.getRootLogger.setLevel(org.apache.log4j.Level.OFF)
     System.err.flush()
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v4","sf":"$sfBase","n":${ordered.size},"order":"name-sorted","stream_events_per_sec":$streamEps,"stream_eps_runs":[$streamEps1,$streamEps2],"media_payloads_per_sec":$mediaEps,"failed":$failedJson,"qcs36":"$qcs36","full":"$fullPath"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v5","sf":"$sfBase","n":${ordered.size},"order":"name-sorted","stream_events_per_sec":$streamEps,"stream_eps_runs":[$streamEps1,$streamEps2],"media_payloads_per_sec":$mediaEps,"failed":$failedJson,"qcs24":"$qcs","full":"$fullPath"}"""
     )
     System.out.flush()
   }

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip contract for the `min2-v5` per-query time emission: 2-char
+  * base36 deciseconds, "--" for a query that failed both passes, values
+  * saturating at 129.5 s. A decoder reading BENCH_r15+ artifacts must be
+  * able to reconstruct every per-query time to 0.1 s exactly.
+  */
+class Qcs24Spec extends AnyFunSuite {
+
+  test("qcs24 encode/decode round-trips every value class") {
+    val times: Seq[Option[Double]] = Seq(
+      Some(0.0), // zero
+      Some(0.04), // rounds down to 0.0
+      Some(0.05), // half rounds up to 0.1
+      Some(1.234), // typical row -> 1.2
+      Some(12.34), // heavy row -> 12.3
+      Some(35.9), // 'zz' boundary region
+      Some(129.5), // exact saturation value
+      Some(500.0), // past saturation -> caps at 129.5
+      None, // failed both passes
+      Some(99.96) // rounds to 100.0 (3 sig figs across the 2-char grid)
+    )
+    val enc = Bench.qcs24(times)
+    assert(enc.length == times.size * 2, "fixed width: exactly 2 chars per query")
+    assert(enc.grouped(2).forall(c => c == "--" || c.forall(ch => ch.isDigit || ch.isLower)))
+    val dec = Bench.decodeQcs24(enc)
+    val expected = times.map(_.map(t => math.min(math.round(t * 10), 1295L) / 10.0))
+    assert(dec == expected, s"decode($enc) mismatch")
+    // spot-pin the grid: 1295 decis = 'zz', 0 = '00', failure = '--'
+    assert(Bench.qcs24(Seq(Some(129.5))) == "zz")
+    assert(Bench.qcs24(Seq(Some(0.0))) == "00")
+    assert(Bench.qcs24(Seq(None)) == "--")
+  }
+
+  test("decodeQcs24 rejects odd-length strings") {
+    intercept[IllegalArgumentException](Bench.decodeQcs24("abc"))
+  }
+}
