@@ -3636,6 +3636,36 @@ object SparkEntry {
             col("kept_surgical").as("n_tokens_kept")))).as("r"))
         .select(col("r.policy"), col("r.n_docs"), col("r.n_tokens_kept"))
     },
+    "decontam_normalization_probe" -> { (s, dir) =>
+      // Surgical decontam keys on EXACT lowercase token grams — a quote
+      // with punctuation edits escapes the raw stream. Measured, not
+      // guessed (VERDICT r14 #7): the same quote-interval detection runs
+      // on (a) the raw stream — the shared curation checkpoint's quote
+      // slice, zero extra build — and (b) a punctuation-stripped stream,
+      // census per variant. On THIS corpus the delta is 0 (the probe
+      // doubles as proof the corpus carries no punctuation); the spec
+      // constructs the punctuation-edited quote the raw face misses. A
+      // material delta on a real corpus makes a mapped-position
+      // normalized rewrite the follow-up (ops/Spans.scala).
+      val docs = table(s, dir, "documents")
+      val evalIds = docs.filter(col("doc_id") % 13 === 0).select(col("doc_id"))
+      val norm = docs.select(
+        col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", "").as("text"))
+      def census(ivs: DataFrame, variant: String): DataFrame =
+        graft.ops.Spans
+          .intervalCensus(ivs, variant)
+          .select(
+            col("family").as("variant"),
+            col("n_intervals"),
+            col("n_docs"),
+            col("longest_run"),
+            col("residual_tokens").as("quoted_tokens"))
+      census(sharedCurationIvs(s, dir).filter(col("kind") === "quote").drop("kind"), "raw")
+        .unionByName(census(
+          graft.ops.Spans.evalQuoteIntervals(norm, evalIds, n = 5, maxDf = 50, minRun = 15),
+          "normalized"))
+    },
     "curation_pipeline_v11" -> { (s, dir) =>
       // Round-14 curation chain: span-level REMOVAL first (rewrite, not
       // drop — unique content in partially-duplicated docs survives),
@@ -6802,8 +6832,13 @@ object SparkEntry {
     * `${p}iv(doc, s, e)`. The residual meter instantiates it a second
     * time over the CLEANED corpus.
     */
-  private def crossIvCtes(
-      p: String, docsRel: String, n: Int, maxDf: Int, minRun: Int): String =
+  /** The cross-doc island head alone (tokenize → positional grams →
+    * df cap → canonical-pair self-join → diagonal islands), `p`-prefixed
+    * over any docs relation — ends in `${p}isl`. [[crossIvCtes]] routes
+    * its islands to b-side dup intervals; the quote probe routes them by
+    * eval membership instead.
+    */
+  private def islandHeadCtes(p: String, docsRel: String, n: Int, maxDf: Int): String =
     s"""${p}toks AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM $docsRel
       |), ${p}grams AS (
@@ -6826,11 +6861,35 @@ object SparkEntry {
       |      a.pos - b.pos AS diag
       |    FROM ${p}idx a JOIN ${p}idx b USING (g)
       |    WHERE a.doc_id < b.doc_id)
-      |), ${p}iv AS (
+      |)""".stripMargin
+
+  private def crossIvCtes(
+      p: String, docsRel: String, n: Int, maxDf: Int, minRun: Int): String =
+    s"""${islandHeadCtes(p, docsRel, n, maxDf)}, ${p}iv AS (
       |  SELECT doc, CAST(s AS BIGINT) AS s, CAST(s + run_tokens - 1 AS BIGINT) AS e
       |  FROM (
       |    SELECT doc_b AS doc, min(pos_a) - diag AS s, count(*) + ${n - 1} AS run_tokens
       |    FROM ${p}isl GROUP BY doc_b, doc_a, diag, grp)
+      |  WHERE run_tokens >= $minRun
+      |)""".stripMargin
+
+  /** Eval-quote interval routing over an [[islandHeadCtes]] island set
+    * (eval = doc_id % 13): exactly-one-eval islands emit their TRAIN-side
+    * token range — ends in `${p}iv(doc, s, e)`
+    * ([[graft.ops.Spans.evalQuoteIntervals]]' routing).
+    */
+  private def quoteIvCtes(p: String, n: Int, minRun: Int): String =
+    s"""${p}iv AS (
+      |  SELECT doc, CAST(s AS BIGINT) AS s, CAST(s + run_tokens - 1 AS BIGINT) AS e
+      |  FROM (
+      |    SELECT CASE WHEN doc_a % 13 = 0 THEN doc_b ELSE doc_a END AS doc,
+      |      CASE WHEN doc_a % 13 = 0 THEN start_a - diag ELSE start_a END AS s,
+      |      run_tokens
+      |    FROM (
+      |      SELECT doc_a, doc_b, diag, min(pos_a) AS start_a,
+      |        count(*) + ${n - 1} AS run_tokens
+      |      FROM ${p}isl GROUP BY doc_a, doc_b, diag, grp)
+      |    WHERE (doc_a % 13 = 0) != (doc_b % 13 = 0))
       |  WHERE run_tokens >= $minRun
       |)""".stripMargin
 
@@ -14259,6 +14318,28 @@ object SparkEntry {
       s"""WITH $evalQuoteRemovalCtes
         |SELECT doc_id, text_clean, n_tokens, n_tokens_removed, n_spans_removed
         |FROM cleandocq""".stripMargin,
+    "decontam_normalization_probe" ->
+      // quote-interval detection twice: raw stream (qr_) and the
+      // punctuation-stripped stream (qn_ over qnd), census per variant
+      s"""WITH ${islandHeadCtes("qr_", "documents", 5, 50)},
+        |${quoteIvCtes("qr_", 5, 15)}, ${mergeRegionCtes("qr_", "qr_iv")}, qnd AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS text
+        |  FROM documents
+        |), ${islandHeadCtes("qn_", "qnd", 5, 50)},
+        |${quoteIvCtes("qn_", 5, 15)}, ${mergeRegionCtes("qn_", "qn_iv")}
+        |SELECT 'raw' AS variant,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM qr_iv) AS n_intervals,
+        |  (SELECT CAST(count(DISTINCT doc) AS BIGINT) FROM qr_iv) AS n_docs,
+        |  (SELECT CAST(coalesce(max(e - s + 1), 0) AS BIGINT) FROM qr_iv) AS longest_run,
+        |  (SELECT CAST(coalesce(sum(re - rs + 1), 0) AS BIGINT) FROM qr_regions)
+        |    AS quoted_tokens
+        |UNION ALL
+        |SELECT 'normalized' AS variant,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM qn_iv) AS n_intervals,
+        |  (SELECT CAST(count(DISTINCT doc) AS BIGINT) FROM qn_iv) AS n_docs,
+        |  (SELECT CAST(coalesce(max(e - s + 1), 0) AS BIGINT) FROM qn_iv) AS longest_run,
+        |  (SELECT CAST(coalesce(sum(re - rs + 1), 0) AS BIGINT) FROM qn_regions)
+        |    AS quoted_tokens""".stripMargin,
     "decontam_surgery_report" ->
       s"""WITH $evalQuoteRemovalCtes
         |SELECT 'drop_doc' AS policy,

@@ -233,6 +233,26 @@ class SpansSpec extends AnyFunSuite {
     assert(got(5L)._3 == 6L && got(2L)._3 == 0L)
   }
 
+  test("quote detection keys on exact tokens: a punctuation-edited quote escapes " +
+    "the raw stream; the punctuation-stripped stream catches it") {
+    import org.apache.spark.sql.functions.{lower, regexp_replace}
+    val quote = (1 to 15).map(i => s"q$i").mkString(" ")
+    // every 5-gram of the edited quote carries at least one edited token
+    // (edits land every 3rd token), so the raw streams share NO gram
+    val edited = quote.split(" ").zipWithIndex
+      .map { case (t, i) => if (i % 3 == 0) t + "," else t }.mkString(" ")
+    val docs = Seq(13L -> s"e1 $quote e2", 1L -> s"t1 $edited t2").toDF("doc_id", "text")
+    val evalIds = docs.filter($"doc_id" % 13 === 0).select($"doc_id")
+    assert(
+      Spans.evalQuoteIntervals(docs, evalIds, n = 5, maxDf = 50, minRun = 15).count() == 0,
+      "raw stream must miss the punctuation-edited quote")
+    val norm = docs.select(
+      $"doc_id", regexp_replace(lower($"text"), "[^a-z0-9 ]", "").as("text"))
+    val got = Spans.evalQuoteIntervals(norm, evalIds, n = 5, maxDf = 50, minRun = 15)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 16L)), "normalized stream catches the full 15-token quote")
+  }
+
   test("residual meter: removal can make separated duplicate fragments adjacent — " +
     "one pass leaves a residual the census reports; a second pass clears it") {
     def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
