@@ -3596,6 +3596,44 @@ object SparkEntry {
           graft.ops.Spans.withinDocRemovalIntervals(clean, n = 3, maxRep = 50, minRun = 4),
           "within_doc"))
     },
+    "spans_removed_twopass" -> { (s, dir) =>
+      // The residual meter's loop CLOSED: pass 1 = the registered full
+      // rewrite (both detectors, shared interval checkpoints); pass 2
+      // re-detects over the cleaned text and applies what it finds.
+      // Output per doc: the pass-2 text, the ORIGINAL token count, and
+      // both passes' removed-token counts — rm2_tokens = 0 for every
+      // doc proves the one-pass output IS the fixed point on this
+      // corpus (measured, the residual face's census aggregated per
+      // doc); the spec's adjacency fixture shows the repair when it is
+      // not. Same pinning story as the meter: the pass-1 corpus pins
+      // once, the production form reads the persisted rewrite
+      // (ops/Spans.scala).
+      val docs = table(s, dir, "documents")
+      val c1 = graft.ops.Spans
+        .applyRemovalIntervals(
+          docs, "doc_id", "text",
+          sharedSpanIntervals(s, dir).unionByName(sharedWithinIvs(s, dir)))
+        .select(
+          col("doc_id"),
+          col("text_clean").as("text"),
+          col("n_tokens"),
+          col("n_tokens_removed").as("rm1_tokens"))
+        .localCheckpoint(true)
+      val ivs2 = graft.ops.Spans
+        .crossDocRemovalIntervals(c1, n = 5, maxDf = 50, minRun = 15)
+        .unionByName(
+          graft.ops.Spans.withinDocRemovalIntervals(c1, n = 3, maxRep = 50, minRun = 4))
+      graft.ops.Spans
+        .applyRemovalIntervals(c1, "doc_id", "text", ivs2)
+        .select(
+          col("doc_id"),
+          col("text_clean"),
+          col("n_tokens_removed").as("rm2_tokens"))
+        .join(c1.select(col("doc_id"), col("n_tokens"), col("rm1_tokens")), Seq("doc_id"))
+        .select(
+          col("doc_id"), col("text_clean"), col("n_tokens"),
+          col("rm1_tokens"), col("rm2_tokens"))
+    },
     "decontam_span_surgery" -> { (s, dir) =>
       // SURGICAL decontamination: excise the eval-quoted span, KEEP the
       // doc — the rewrite the doc-dropping decontam family (v9/v10)
@@ -6878,6 +6916,37 @@ object SparkEntry {
     * token range — ends in `${p}iv(doc, s, e)`
     * ([[graft.ops.Spans.evalQuoteIntervals]]' routing).
     */
+  /** The shared head of the residual meter and the two-pass rewrite:
+    * the registered full rewrite (sr_ cross-doc + sw_ within-doc
+    * intervals → sf_ reconstruct, ending in the cleaned relation `rcd`)
+    * followed by BOTH detector heads over `rcd` (`rx_` cross-doc at
+    * 5/50/15, `wx_` within-doc at 3/50/4, each with merged regions).
+    */
+  private lazy val RewriteThenDetectCtes: String =
+    s"""${crossIvCtes("sr_", "documents", 5, 50, 15)},
+      |${withinIvCtes("sw_", "documents", 3, 50, 4)}, sf_iv AS (
+      |  SELECT * FROM sr_iv UNION ALL SELECT * FROM sw_iv
+      |), ${mergeRegionCtes("sf_", "sf_iv")}, sf_ot AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+      |), sf_kept AS (
+      |  SELECT k.doc_id, k.pos, k.tok FROM (
+      |    SELECT doc_id, pg['pos'] AS pos, pg['tok'] AS tok FROM (
+      |      SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+      |        i -> struct_pack(pos := CAST(i AS INT), tok := t[i]))) AS pg
+      |      FROM sf_ot)) k
+      |  WHERE NOT EXISTS (SELECT 1 FROM sf_regions r
+      |    WHERE r.doc = k.doc_id AND k.pos >= r.rs AND k.pos <= r.re)
+      |), sf_clean AS (
+      |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
+      |  FROM sf_kept GROUP BY 1
+      |), rcd AS MATERIALIZED (
+      |  SELECT d.doc_id, coalesce(c.text_clean, '') AS text
+      |  FROM documents d LEFT JOIN sf_clean c USING (doc_id)
+      |), ${crossIvCtes("rx_", "rcd", 5, 50, 15)},
+      |${mergeRegionCtes("rx_", "rx_iv")},
+      |${withinIvCtes("wx_", "rcd", 3, 50, 4)},
+      |${mergeRegionCtes("wx_", "wx_iv")}""".stripMargin
+
   private def quoteIvCtes(p: String, n: Int, minRun: Int): String =
     s"""${p}iv AS (
       |  SELECT doc, CAST(s AS BIGINT) AS s, CAST(s + run_tokens - 1 AS BIGINT) AS e
@@ -14278,29 +14347,7 @@ object SparkEntry {
       // exactly spans_removed_full), then BOTH detector heads re-run
       // over the cleaned relation (rx_ cross-doc, wx_ within-doc) and
       // a per-family census
-      s"""WITH ${crossIvCtes("sr_", "documents", 5, 50, 15)},
-        |${withinIvCtes("sw_", "documents", 3, 50, 4)}, sf_iv AS (
-        |  SELECT * FROM sr_iv UNION ALL SELECT * FROM sw_iv
-        |), ${mergeRegionCtes("sf_", "sf_iv")}, sf_ot AS (
-        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
-        |), sf_kept AS (
-        |  SELECT k.doc_id, k.pos, k.tok FROM (
-        |    SELECT doc_id, pg['pos'] AS pos, pg['tok'] AS tok FROM (
-        |      SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
-        |        i -> struct_pack(pos := CAST(i AS INT), tok := t[i]))) AS pg
-        |      FROM sf_ot)) k
-        |  WHERE NOT EXISTS (SELECT 1 FROM sf_regions r
-        |    WHERE r.doc = k.doc_id AND k.pos >= r.rs AND k.pos <= r.re)
-        |), sf_clean AS (
-        |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
-        |  FROM sf_kept GROUP BY 1
-        |), rcd AS MATERIALIZED (
-        |  SELECT d.doc_id, coalesce(c.text_clean, '') AS text
-        |  FROM documents d LEFT JOIN sf_clean c USING (doc_id)
-        |), ${crossIvCtes("rx_", "rcd", 5, 50, 15)},
-        |${mergeRegionCtes("rx_", "rx_iv")},
-        |${withinIvCtes("wx_", "rcd", 3, 50, 4)},
-        |${mergeRegionCtes("wx_", "wx_iv")}
+      s"""WITH $RewriteThenDetectCtes
         |SELECT 'cross_doc' AS family,
         |  (SELECT CAST(count(*) AS BIGINT) FROM rx_iv) AS n_intervals,
         |  (SELECT CAST(count(DISTINCT doc) AS BIGINT) FROM rx_iv) AS n_docs,
@@ -14314,6 +14361,39 @@ object SparkEntry {
         |  (SELECT CAST(coalesce(max(e - s + 1), 0) AS BIGINT) FROM wx_iv) AS longest_run,
         |  (SELECT CAST(coalesce(sum(re - rs + 1), 0) AS BIGINT) FROM wx_regions)
         |    AS residual_tokens""".stripMargin,
+    "spans_removed_twopass" ->
+      // the shared rewrite+detect chain, then the pass-2 intervals
+      // applied over the cleaned relation (r2_) and both passes'
+      // removed-token counts joined per doc
+      s"""WITH $RewriteThenDetectCtes, r2_iv AS (
+        |  SELECT * FROM rx_iv UNION ALL SELECT * FROM wx_iv
+        |), ${mergeRegionCtes("r2_", "r2_iv")}, r2_ot AS (
+        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM rcd
+        |), r2_kept AS (
+        |  SELECT k.doc_id, k.pos, k.tok FROM (
+        |    SELECT doc_id, pg['pos'] AS pos, pg['tok'] AS tok FROM (
+        |      SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+        |        i -> struct_pack(pos := CAST(i AS INT), tok := t[i]))) AS pg
+        |      FROM r2_ot)) k
+        |  WHERE NOT EXISTS (SELECT 1 FROM r2_regions r
+        |    WHERE r.doc = k.doc_id AND k.pos >= r.rs AND k.pos <= r.re)
+        |), r2_clean AS (
+        |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS text_clean
+        |  FROM r2_kept GROUP BY 1
+        |), rm1 AS (
+        |  SELECT doc, CAST(sum(re - rs + 1) AS BIGINT) AS n FROM sf_regions GROUP BY 1
+        |), rm2 AS (
+        |  SELECT doc, CAST(sum(re - rs + 1) AS BIGINT) AS n FROM r2_regions GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(c2.text_clean, '') AS text_clean,
+        |  CAST(len(o.t) AS BIGINT) AS n_tokens,
+        |  coalesce(rm1.n, 0) AS rm1_tokens,
+        |  coalesce(rm2.n, 0) AS rm2_tokens
+        |FROM documents d
+        |JOIN sf_ot o USING (doc_id)
+        |LEFT JOIN r2_clean c2 USING (doc_id)
+        |LEFT JOIN rm1 ON rm1.doc = d.doc_id
+        |LEFT JOIN rm2 ON rm2.doc = d.doc_id""".stripMargin,
     "decontam_span_surgery" ->
       s"""WITH $evalQuoteRemovalCtes
         |SELECT doc_id, text_clean, n_tokens, n_tokens_removed, n_spans_removed

@@ -285,10 +285,30 @@ class SpansSpec extends AnyFunSuite {
     assert(resid("cross_doc") == ((1L, 1L, 20L, 20L)),
       "the meter must report the 20-token F+G residual one pass leaves")
     assert(resid("within_doc") == ((0L, 0L, 0L, 0L)))
-    // a second rewrite over the cleaned corpus clears it
-    val clean2 = rewrite(clean).select($"doc_id", $"text_clean".as("text"))
+    // a second rewrite over the cleaned corpus clears it — and repairs
+    // the text the two-pass face ships: doc 2 loses the residual F G
+    val pass2 = rewrite(clean)
+    val m2 = pass2.select($"doc_id", $"text_clean", $"n_tokens_removed")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m2(2L) == ((s"$m y1", 20L)), "pass 2 deletes the 20-token residual from doc 2")
+    assert(m2(1L)._2 == 0L, "doc 1 keeps the surviving occurrence")
+    val clean2 = pass2.select($"doc_id", $"text_clean".as("text"))
     val resid2 = census(clean2)
     assert(resid2("cross_doc") == ((0L, 0L, 0L, 0L)), "second pass clears the residual")
     assert(resid2("within_doc") == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("two-pass face on the real corpus: pass 2 is a measured no-op (rm2 = 0 " +
+    "everywhere), so the one-pass rewrite IS the fixed point there") {
+    val sf = "/root/testdata/sf0.001"
+    val tp = SparkEntry.queries("spans_removed_twopass")(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(tp.filter($"rm2_tokens" =!= 0L).count() == 0, "pass-2 residual must be zero")
+      val full = SparkEntry.queries("spans_removed_full")(spark, sf)
+        .select($"doc_id", $"text_clean")
+      assert(tp.select($"doc_id", $"text_clean").except(full).count() == 0,
+        "with zero pass-2 removal the two outputs must be identical")
+    } finally tp.unpersist(blocking = false)
   }
 }
