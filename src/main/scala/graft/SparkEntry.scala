@@ -3577,24 +3577,16 @@ object SparkEntry {
       // BOTH detectors over the cleaned text and emits one census row
       // per family: intervals found, docs touched, longest run, and the
       // merged-region token total a second pass would delete. The
-      // rewrite pins once (at cluster scale the meter reads the
-      // PERSISTED cleaned corpus a production rewrite writes anyway);
-      // detection costs are the detectors' own bounded gram exchanges
-      // (ops/Spans.scala).
-      val docs = table(s, dir, "documents")
-      val clean = graft.ops.Spans
-        .applyRemovalIntervals(
-          docs, "doc_id", "text",
-          sharedSpanIntervals(s, dir).unionByName(sharedWithinIvs(s, dir)))
-        .select(col("doc_id"), col("text_clean").as("text"))
-        .localCheckpoint(true)
+      // rewrite + detection build ONCE (sharedResidualIvs — the pass-1
+      // text pins transiently inside it; at cluster scale the meter
+      // reads the PERSISTED cleaned corpus a production rewrite writes
+      // anyway); this face is two aggregates over the checkpointed
+      // interval frame (ops/Spans.scala).
+      val ivs = sharedResidualIvs(s, dir)
       graft.ops.Spans
-        .intervalCensus(
-          graft.ops.Spans.crossDocRemovalIntervals(clean, n = 5, maxDf = 50, minRun = 15),
-          "cross_doc")
+        .intervalCensus(ivs.filter(col("family") === "cross_doc").drop("family"), "cross_doc")
         .unionByName(graft.ops.Spans.intervalCensus(
-          graft.ops.Spans.withinDocRemovalIntervals(clean, n = 3, maxRep = 50, minRun = 4),
-          "within_doc"))
+          ivs.filter(col("family") === "within_doc").drop("family"), "within_doc"))
     },
     "spans_removed_twopass" -> { (s, dir) =>
       // The residual meter's loop CLOSED: pass 1 = the registered full
@@ -3605,9 +3597,9 @@ object SparkEntry {
       // doc proves the one-pass output IS the fixed point on this
       // corpus (measured, the residual face's census aggregated per
       // doc); the spec's adjacency fixture shows the repair when it is
-      // not. Same pinning story as the meter: the pass-1 corpus pins
-      // once, the production form reads the persisted rewrite
-      // (ops/Spans.scala).
+      // not. The pass-2 detection rides the meter's shared interval
+      // checkpoint (sharedResidualIvs — ONE detection pass for both
+      // faces); only the cheap reconstructs run here (ops/Spans.scala).
       val docs = table(s, dir, "documents")
       val c1 = graft.ops.Spans
         .applyRemovalIntervals(
@@ -3619,10 +3611,7 @@ object SparkEntry {
           col("n_tokens"),
           col("n_tokens_removed").as("rm1_tokens"))
         .localCheckpoint(true)
-      val ivs2 = graft.ops.Spans
-        .crossDocRemovalIntervals(c1, n = 5, maxDf = 50, minRun = 15)
-        .unionByName(
-          graft.ops.Spans.withinDocRemovalIntervals(c1, n = 3, maxRep = 50, minRun = 4))
+      val ivs2 = sharedResidualIvs(s, dir).drop("family")
       graft.ops.Spans
         .applyRemovalIntervals(c1, "doc_id", "text", ivs2)
         .select(
@@ -5156,6 +5145,30 @@ object SparkEntry {
     sharedLeg(s, dir, "withinIvs") {
       graft.ops.Spans
         .withinDocRemovalIntervals(table(s, dir, "documents"), n = 3, maxRep = 50, minRun = 4)
+        .localCheckpoint(eager = true)
+    }
+
+  /** Pass-2 removal intervals over the pass-1 cleaned corpus, tagged by
+    * detector family — ONE clean-corpus build + detection pass
+    * (the pass-1 text pins transiently inside the build; what persists
+    * is ids + ranges + family, metadata-scale) serving BOTH the residual
+    * meter and the two-pass rewrite.
+    */
+  private def sharedResidualIvs(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "residualIvs") {
+      val clean = graft.ops.Spans
+        .applyRemovalIntervals(
+          table(s, dir, "documents"), "doc_id", "text",
+          sharedSpanIntervals(s, dir).unionByName(sharedWithinIvs(s, dir)))
+        .select(col("doc_id"), col("text_clean").as("text"))
+        .localCheckpoint(true)
+      graft.ops.Spans
+        .crossDocRemovalIntervals(clean, n = 5, maxDf = 50, minRun = 15)
+        .withColumn("family", lit("cross_doc"))
+        .unionByName(
+          graft.ops.Spans
+            .withinDocRemovalIntervals(clean, n = 3, maxRep = 50, minRun = 4)
+            .withColumn("family", lit("within_doc")))
         .localCheckpoint(eager = true)
     }
 
