@@ -1554,6 +1554,37 @@ object SparkEntry {
       sharedMd5PairsT0(s, dir)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     },
+    "minhash_oph_pairs" -> { (s, dir) =>
+      // The SAME banded near-dup pipeline with the signature pass swapped
+      // for One-Permutation Hashing (Li/Owen/Zhang 2012 + rotation
+      // densification, Shrivastava/Li 2014): ONE md5 per shingle + a bin
+      // min instead of 64 affine re-hashes — at 100 TB the signature scan
+      // stops costing k corpus hashings. Banding, bucket cap, and exact
+      // verify are shared code with minhash_md5_pairs, and every hash is
+      // md5-portable, so the oracle replays binning, densification walk,
+      // and all (ops/Dedup.scala, functions/OphMinhashSig.scala).
+      Dedup.ophMd5Pairs(table(s, dir, "documents"))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    },
+    "minhash_oph_fill" -> { (s, dir) =>
+      // OPH's one assumption measured: the bin-occupancy distribution.
+      // A borrowed slot carries the ≥2^32 hop offset, so the census reads
+      // the signature itself — no second shingle pass. Documents filling
+      // ~all 64 bins get k-wise-grade collision statistics for 1/64th the
+      // hashing; the short-doc tail that borrows heavily is exactly what
+      // this census makes visible (ops/Dedup.scala).
+      Dedup.ophFillCensus(table(s, dir, "documents"))
+    },
+    "minhash_oph_recall" -> { (s, dir) =>
+      // The scheme decision priced on THIS corpus: k-wise vs OPH
+      // signatures at equal width and identical banding, each banded
+      // candidate set graded against the exact >=0.8 setsim gold
+      // (sharedSetsimGold — the same lossless prefix-filter frame
+      // lsh_blocking_recall grades with). Columns: candidate count = the
+      // verify cost the scheme buys, round-half-up recall_bps = what it
+      // catches (ops/Dedup.scala).
+      Dedup.ophBandRecall(table(s, dir, "documents"), sharedSetsimGold(s, dir))
+    },
     "dedup_threshold_sweep" -> { (s, dir) =>
       // The dedup bar τ closed into a measured CURVE (the knob-sweep
       // discipline of ivf_nprobe_sweep / lsh_band_auto_plan): ONE
@@ -5360,6 +5391,40 @@ object SparkEntry {
       |    CAST(len(list_filter(ha.hset, x -> list_contains(hb.hset, x))) AS DOUBLE)
       |      / len(list_distinct(list_concat(ha.hset, hb.hset))) AS jaccard
       |  FROM cand JOIN hs ha ON ha.doc_id = cand.id_a JOIN hs hb ON hb.doc_id = cand.id_b
+      |)""".stripMargin
+
+  /** OPH signature + banded-pair chain replaying
+    * [[graft.ops.Dedup.ophMd5Pairs]]: bin = top 6 hash bits, min per
+    * (doc, bin), and the rotation densification in its closed form —
+    * slot j = min over non-empty bins b of `v_b + ((b−j) mod 64)·2^32`
+    * (the nearest-right borrow wins the min because every direct value is
+    * < 2^32; see [[graft.functions.OphMinhashSigExpr]]). Extends
+    * [[Md5SigCtes]], so `ex`/`hs`/`grams` are shared with the k-wise
+    * replay. Exposes `obins` (occupancy), `ocand` (banded candidates),
+    * `opj` (verified pairs).
+    */
+  private val OphCtes: String =
+    s"""$Md5SigCtes, obins AS (
+      |  SELECT doc_id, h >> 26 AS b, min(h) AS v FROM ex GROUP BY 1, 2
+      |), oslots AS (
+      |  SELECT doc_id, j.j AS j,
+      |    min(v + (((b - j.j) % 64 + 64) % 64) * 4294967296) AS m
+      |  FROM obins, range(64) j(j) GROUP BY 1, 2
+      |), obk AS (
+      |  SELECT doc_id, j // 4 AS band, string_agg(CAST(m AS VARCHAR), '-' ORDER BY j) AS bk
+      |  FROM oslots GROUP BY doc_id, j // 4
+      |), obucket AS (
+      |  SELECT band, bk FROM obk GROUP BY band, bk HAVING count(*) BETWEEN 2 AND 1000
+      |), ocand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM obucket o
+      |  JOIN obk a ON a.band = o.band AND a.bk = o.bk
+      |  JOIN obk b ON b.band = o.band AND b.bk = o.bk AND a.doc_id < b.doc_id
+      |), opj AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_filter(ha.hset, x -> list_contains(hb.hset, x))) AS DOUBLE)
+      |      / len(list_distinct(list_concat(ha.hset, hb.hset))) AS jaccard
+      |  FROM ocand JOIN hs ha ON ha.doc_id = ocand.id_a JOIN hs hb ON hb.doc_id = ocand.id_b
       |)""".stripMargin
 
   /** Connected components over the verified pairs at threshold 0.8 — a
@@ -11788,6 +11853,54 @@ object SparkEntry {
     "minhash_md5_pairs" ->
       s"""$Md5NearDupCtes
         |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM pj""".stripMargin,
+    "minhash_oph_pairs" ->
+      s"""$OphCtes
+        |SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM opj""".stripMargin,
+    "minhash_oph_fill" ->
+      s"""$OphCtes, pf AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_filled FROM obins GROUP BY 1
+        |)
+        |SELECT n_filled, CAST(64 - n_filled AS INT) AS n_borrowed,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pf GROUP BY 1""".stripMargin,
+    "minhash_oph_recall" ->
+      s"""$OphCtes, rgg AS (
+        |  SELECT doc_id, unnest(g) AS gram FROM grams
+        |), rgsz AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM rgg GROUP BY 1
+        |), rginter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS ni
+        |  FROM rgg a JOIN rgg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), rgold AS MATERIALIZED (
+        |  SELECT id_a, id_b
+        |  FROM rginter JOIN rgsz sa ON sa.doc_id = id_a JOIN rgsz sb ON sb.doc_id = id_b
+        |  WHERE 1000000 * ni >= 800000 * (sa.n + sb.n - ni)
+        |), rng AS (SELECT CAST(count(*) AS BIGINT) AS n_gold FROM rgold),
+        |kbucket AS (
+        |  SELECT band, bk FROM bandkey GROUP BY band, bk HAVING count(*) BETWEEN 2 AND 1000
+        |), kcand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM kbucket o
+        |  JOIN bandkey a ON a.band = o.band AND a.bk = o.bk
+        |  JOIN bandkey b ON b.band = o.band AND b.bk = o.bk AND a.doc_id < b.doc_id
+        |), kleg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(count(g.id_a) AS BIGINT) AS n_hit
+        |  FROM kcand c LEFT JOIN rgold g ON g.id_a = c.id_a AND g.id_b = c.id_b
+        |), oleg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(count(g.id_a) AS BIGINT) AS n_hit
+        |  FROM ocand c LEFT JOIN rgold g ON g.id_a = c.id_a AND g.id_b = c.id_b
+        |), two AS (
+        |  SELECT 'kwise64' AS scheme, n_candidates, n_hit FROM kleg
+        |  UNION ALL SELECT 'oph64', n_candidates, n_hit FROM oleg
+        |)
+        |SELECT scheme, n_candidates, (SELECT n_gold FROM rng) AS n_gold, n_hit,
+        |  CAST(CASE WHEN (SELECT n_gold FROM rng) > 0
+        |    THEN floor((20000 * n_hit + (SELECT n_gold FROM rng))
+        |      / (2.0 * (SELECT n_gold FROM rng))) END AS BIGINT) AS recall_bps
+        |FROM two""".stripMargin,
     "dedup_threshold_sweep" -> {
       val blocks = Seq(7000L, 8000L, 9000L).map { t =>
         val thr = s"${t.toDouble / 10000.0}e0"

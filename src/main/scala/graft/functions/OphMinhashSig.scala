@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-Permutation-Hashing MinHash signature (Li/Owen/Zhang, NIPS 2012)
+  * with rotation densification (Shrivastava/Li, ICML 2014): tokenize →
+  * word n-gram shingles → ONE md5 per shingle (first 4 digest bytes as an
+  * unsigned 32-bit value, the `md5Hash32` contract) → the hash domain is
+  * split into `numBins` equal ranges (bin = top log2(numBins) hash bits)
+  * and each bin keeps its minimum → every EMPTY bin borrows from the
+  * nearest non-empty bin to its right (circular), offset by
+  * `distance · 2^32` so borrowed slots never collide with direct slots or
+  * with borrows of a different distance.
+  *
+  * Why it exists: the k-wise family ([[MinhashMd5SigExpr]]) pays k affine
+  * transforms per shingle — O(n·k) per document. OPH pays the ONE md5 the
+  * k-wise form already computes plus an O(1) bin update per shingle and an
+  * O(k) densification per document: O(n + k). At 100 TB the signature pass
+  * is the dedup family's whole-corpus scan, so this is the difference
+  * between hashing the corpus once and hashing it 64 times — at equal
+  * signature width and (for documents with shingles ≳ numBins) matched
+  * collision statistics; the short-document empty-bin rate that governs
+  * the extra variance is measured, not guessed, by `minhash_oph_fill`.
+  *
+  * Collision contract: two equal shingle SETS produce identical
+  * signatures (bin minima and borrow walk are set-determined); slot j of
+  * two different sets collides with probability ≈ Jaccard once both
+  * documents fill most bins — the banded LSH layer on top is unchanged
+  * from the k-wise pipeline.
+  *
+  * Engine-portable closed form (replayed by the SQL oracle): slot j =
+  * `min over non-empty bins b of v_b + ((b − j) mod numBins) · 2^32` —
+  * the nearest-right-neighbour walk wins the min because every direct
+  * value is < 2^32. Null when the text has fewer than `shingleN` tokens
+  * (the `wordShingles` empty-set guard).
+  */
+case class OphMinhashSigExpr(child: Expression, shingleN: Int, numBins: Int)
+    extends UnaryExpression {
+
+  require(numBins > 0 && (numBins & (numBins - 1)) == 0 && numBins <= 65536,
+    "numBins must be a power of two (bin = top hash bits)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string child, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "oph_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    OphMinhashSig.compute(input.asInstanceOf[UTF8String], shingleN, numBins)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      $arrCls ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        ${ev.value} = graft.functions.OphMinhashSig.compute(${childGen.value}, $shingleN, $numBins);
+        ${ev.isNull} = (${ev.value} == null);
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OphMinhashSigExpr =
+    copy(child = newChild)
+}
+
+object OphMinhashSig {
+
+  /** Borrow offset per hop: larger than any direct 32-bit value, so a
+    * borrowed slot can never equal a direct slot, and borrows of different
+    * distances can never equal each other.
+    */
+  val HopOffset: Long = 1L << 32
+
+  /** Empty-bin sentinel inside [[compute]] (every real value is < 2^32). */
+  private val Empty: Long = Long.MaxValue
+
+  private val Space = UTF8String.fromString(" ")
+  private val WhitespaceRe = UTF8String.fromString("\\s+")
+
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Column wrapper (classic-Spark session). */
+  def column(text: Column, shingleN: Int, numBins: Int): Column =
+    ColumnBridge.column(OphMinhashSigExpr(ColumnBridge.expression(text), shingleN, numBins))
+
+  /** Null when the text has fewer than `shingleN` whitespace tokens;
+    * called from generated code.
+    */
+  def compute(text: UTF8String, shingleN: Int, numBins: Int): ArrayData = {
+    val toks = text.toLowerCase.split(WhitespaceRe, -1)
+    val nShingles = toks.length - shingleN + 1
+    if (nShingles <= 0) return null
+    val shift = 32 - java.lang.Integer.numberOfTrailingZeros(numBins)
+    val mins = new Array[Long](numBins)
+    java.util.Arrays.fill(mins, Empty)
+    val md = digests.get()
+    val window = new Array[UTF8String](shingleN)
+    var i = 0
+    while (i < nShingles) {
+      var k = 0
+      while (k < shingleN) { window(k) = toks(i + k); k += 1 }
+      val digest = md.digest(UTF8String.concatWs(Space, window: _*).getBytes)
+      // first 8 hex chars = first 4 digest bytes, unsigned (md5Hash32)
+      val h = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      val b = (h >>> shift).toInt
+      if (h < mins(b)) mins(b) = h
+      i += 1
+    }
+    // rotation densification: nearest non-empty bin to the right
+    // (circular), HopOffset per hop; ≥ 1 shingle ⇒ ≥ 1 non-empty bin
+    val out = new Array[Long](numBins)
+    var j = 0
+    while (j < numBins) {
+      if (mins(j) != Empty) out(j) = mins(j)
+      else {
+        var t = 1
+        while (mins((j + t) & (numBins - 1)) == Empty) t += 1
+        out(j) = mins((j + t) & (numBins - 1)) + t.toLong * HopOffset
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}

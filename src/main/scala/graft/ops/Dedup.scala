@@ -1622,6 +1622,180 @@ object Dedup {
       finally pairs.unpersist(blocking = false)
   }
 
+  // ------------------------------------------ One-Permutation Hashing (OPH)
+
+  /** OPH MinHash signature — see [[graft.functions.OphMinhashSigExpr]] for
+    * the algorithm (Li/Owen/Zhang 2012 binning, Shrivastava/Li 2014
+    * rotation densification) and the 100 TB rationale: the k-wise family
+    * re-hashes every shingle `numHashes` times (O(n·k) per doc); OPH pays
+    * ONE md5 per shingle plus an O(k) per-doc densification — the
+    * signature pass stops being k corpus hashings. Same md5 anchor as
+    * [[minhashMd5Signature]], so the whole pipeline stays SQL-oracle-
+    * checkable.
+    */
+  def ophMd5Signature(text: Column, shingleN: Int = 3, numBins: Int = 64): Column =
+    graft.functions.OphMinhashSig.column(text, shingleN, numBins)
+
+  /** (id, sig) OPH signature projection over docs with ≥ 1 shingle. */
+  def ophSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numBins: Int = 64
+  ): DataFrame =
+    docs
+      .select(col(idCol).as("id"), ophMd5Signature(col(textCol), shingleN, numBins).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** Banded LSH candidate pairs off any (id, sig) signature frame — the
+    * bucket → ids-only pair stage shared verbatim with the k-wise pipeline
+    * (same `maxBucket` degenerate-bucket cap, same canonical id_a < id_b
+    * dedup). One shuffle on the band key; signatures never cross a second
+    * exchange.
+    */
+  private def bandedCandidates(
+      sigs: DataFrame,
+      numSlots: Int,
+      bands: Int,
+      maxBucket: Int
+  ): DataFrame = {
+    require(numSlots % bands == 0, "bands must divide the signature width")
+    val r = numSlots / bands
+    sigs
+      .select(
+        col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(
+            (lit(b).as("b") +: (1 to r).map(i => element_at(col("sig"), b * r + i).as(s"m$i"))): _*
+          )
+        }: _*)).as("bk"))
+      .groupBy(col("bk"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(orderedPairs(array_sort(col("ids")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Full OPH near-duplicate PAIR pipeline — [[minhashMd5Pairs]] with the
+    * signature pass swapped for the one-hash OPH form: OPH signature →
+    * banded LSH buckets → candidate pairs → exact-Jaccard verification
+    * over the md5 shingle-hash sets. The banding, bucket cap, pair
+    * canonicalization, and verify arithmetic are IDENTICAL to the k-wise
+    * pipeline (shared code), so any output difference is purely the
+    * signature scheme's — which [[ophBandRecall]] measures against the
+    * exact gold rather than asserts.
+    */
+  def ophMd5Pairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numBins: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.0,
+      maxBucket: Int = 1000,
+      materialize: Boolean = true
+  ): DataFrame = {
+    val pairs = bandedCandidates(
+      ophSignatures(docs, idCol, textCol, shingleN, numBins), numBins, bands, maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docsA = docs.select(col(idCol).as("id_a"), col(textCol).as("t_a"))
+    val docsB = docs.select(col(idCol).as("id_b"), col(textCol).as("t_b"))
+    val verified = pairs
+      .join(docsA, Seq("id_a"))
+      .join(docsB, Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        graft.functions.MinhashMd5Sig.setColumn(col("t_a"), shingleN).as("ha"),
+        graft.functions.MinhashMd5Sig.setColumn(col("t_b"), shingleN).as("hb"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          size(array_union(col("ha"), col("hb")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    if (!materialize) verified
+    else
+      try verified.localCheckpoint(eager = true)
+      finally pairs.unpersist(blocking = false)
+  }
+
+  /** Bin-occupancy census for the OPH signature: how many of the
+    * `numBins` bins each document actually fills (a direct slot value is
+    * < 2^32; a borrowed one carries the ≥ 2^32 hop offset — the census
+    * reads the signature itself, no second shingle pass). This is THE
+    * quantity that governs OPH's extra variance on short documents
+    * (Shrivastava/Li 2014 §3: a borrowed slot copies its source bin's
+    * collision behaviour, so documents with shingles ≫ numBins lose
+    * nothing while near-empty documents lean on few distinct minima) —
+    * measured as a distribution over the corpus instead of assumed.
+    */
+  def ophFillCensus(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numBins: Int = 64
+  ): DataFrame =
+    ophSignatures(docs, idCol, textCol, shingleN, numBins)
+      .select(size(filter(col("sig"), v => v < lit(graft.functions.OphMinhashSig.HopOffset)))
+        .as("n_filled"))
+      .groupBy(col("n_filled"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(
+        col("n_filled").cast("int").as("n_filled"),
+        (lit(numBins) - col("n_filled")).cast("int").as("n_borrowed"),
+        col("n_docs"))
+
+  /** The OPH-vs-k-wise decision priced on THIS corpus: both signature
+    * schemes at equal width and identical banding, each scheme's banded
+    * candidate set graded against the exact ≥ τ gold pairs (the lossless
+    * prefix-filter join the LSH family's other recall rows use). One row
+    * per scheme: candidate count (the verify cost the scheme buys) and
+    * round-half-up recall in basis points. The 100 TB question this
+    * answers: does dropping k-wise hashing's O(n·k) signature pass cost
+    * any recall at the operating threshold — measured, not folklore.
+    */
+  def ophBandRecall(
+      docs: DataFrame,
+      goldPairs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val gold = goldPairs.select(col("id_a"), col("id_b"), lit(1L).as("g"))
+    val kwise = docs
+      .select(
+        col(idCol).as("id"),
+        graft.functions.MinhashMd5Sig.column(col(textCol), shingleN, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+    val legs = Seq(
+      ("kwise64", kwise),
+      ("oph64", ophSignatures(docs, idCol, textCol, shingleN, numHashes)))
+    legs.map { case (scheme, sigs) =>
+      bandedCandidates(sigs, numHashes, bands, maxBucket)
+        .join(gold, Seq("id_a", "id_b"), "left")
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          coalesce(sum(coalesce(col("g"), lit(0L))), lit(0L)).as("n_hit"))
+        .crossJoin(broadcast(gold.agg(count(lit(1)).as("n_gold"))))
+        .select(
+          lit(scheme).as("scheme"),
+          col("n_candidates"),
+          col("n_gold"),
+          col("n_hit"),
+          when(col("n_gold") > 0,
+            floor((lit(20000L) * col("n_hit") + col("n_gold")) /
+              (lit(2L) * col("n_gold"))).cast("long")).as("recall_bps"))
+    }.reduce(_ unionByName _)
+  }
+
   /** LSH banding auto-planner — the `ann_filtered_auto` discipline applied
     * to the (bands, rowsPerBand) knob: MEASURE each config on the corpus,
     * then CHOOSE, with the measurement and the choice riding every row.

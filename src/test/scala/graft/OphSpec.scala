@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** One-Permutation-Hashing MinHash: native expression vs a plain-Scala
+  * reference (independent walk-based densification), the densification
+  * algebra on a constructed single-shingle document, the census/pair/
+  * recall faces on the DedupSpec fixture.
+  */
+class OphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while seventeen green turtles watch from a mossy log near the river bend under pale morning light"
+
+  private val docs = Seq(
+    (1L, base),
+    (2L, base),
+    (3L, base.replace("seventeen green", "nineteen blue")),
+    (4L, "completely different content about distributed query engines and shuffle partitioning strategies in modern analytics systems running on large clusters"),
+    (5L, "yet another unrelated document mentioning tokenizers embeddings and deduplication pipelines for web scale corpora with many repeated boilerplate fragments")
+  ).toDF("doc_id", "text")
+
+  /** Independent reference: md5Hash32 per shingle, bin = top 6 bits,
+    * min per bin, then the literal walk-to-the-right densification
+    * (the expression and the oracle use the min-over-bins closed form;
+    * agreement here proves walk ≡ closed form on real data too).
+    */
+  private def referenceOph(text: String, shingleN: Int, numBins: Int): Option[Array[Long]] = {
+    val toks = text.toLowerCase.split("\\s+", -1)
+    if (toks.length < shingleN) return None
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val shift = 32 - Integer.numberOfTrailingZeros(numBins)
+    val mins = Array.fill(numBins)(Long.MaxValue)
+    toks.sliding(shingleN).foreach { w =>
+      val d = md.digest(w.mkString(" ").getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val b = (h >>> shift).toInt
+      if (h < mins(b)) mins(b) = h
+    }
+    Some(Array.tabulate(numBins) { j =>
+      var t = 0
+      while (mins((j + t) % numBins) == Long.MaxValue) t += 1
+      mins((j + t) % numBins) + t.toLong * (1L << 32)
+    })
+  }
+
+  test("native OPH signature matches the independent reference on every fixture doc") {
+    val got = docs
+      .select(col("doc_id"), Dedup.ophMd5Signature(col("text")).as("sig"))
+      .as[(Long, Array[Long])]
+      .collect()
+      .toMap
+    val texts = docs.as[(Long, String)].collect().toMap
+    assert(got.keySet == texts.keySet)
+    texts.foreach { case (id, t) =>
+      assert(got(id).sameElements(referenceOph(t, 3, 64).get), s"doc $id")
+    }
+    // identical shingle sets ⇒ identical signatures (docs 1 and 2)
+    assert(got(1L).sameElements(got(2L)))
+  }
+
+  test("densification algebra: a single-shingle doc fills one bin and every other slot borrows with the hop offset") {
+    val sig = Seq((1L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+      .select(Dedup.ophMd5Signature(col("text")).as("sig"))
+      .as[Array[Long]]
+      .head()
+    val direct = sig.zipWithIndex.filter(_._1 < (1L << 32))
+    assert(direct.length == 1)
+    val (h, b) = direct.head
+    (0 until 64).foreach { j =>
+      val t = ((b - j) % 64 + 64) % 64
+      assert(sig(j) == h + t.toLong * (1L << 32), s"slot $j")
+    }
+  }
+
+  test("null guard: fewer tokens than the shingle width yields a null signature, filtered from the projection") {
+    val short = Seq((1L, "two tokens"), (2L, "one two three")).toDF("doc_id", "text")
+    assert(Dedup.ophSignatures(short).select(col("id")).as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("fill census reconciles with independently counted distinct bins") {
+    val census = Dedup.ophFillCensus(docs).as[(Int, Int, Long)].collect()
+    assert(census.map(_._3).sum == 5L)
+    census.foreach { case (f, bw, _) => assert(f + bw == 64) }
+    val expected = docs
+      .as[(Long, String)]
+      .collect()
+      .map { case (_, t) =>
+        t.toLowerCase.split("\\s+").sliding(3).map { w =>
+          val d = java.security.MessageDigest.getInstance("MD5").digest(w.mkString(" ").getBytes("UTF-8"))
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          (h >>> 26).toInt
+        }.toSet.size
+      }
+      .groupBy(identity)
+      .map { case (f, xs) => (f, xs.length.toLong) }
+    assert(census.map { case (f, _, n) => (f, n) }.toMap == expected)
+  }
+
+  test("OPH pair pipeline: exact copies collide everywhere, the near-dup surfaces, verify is exact jaccard") {
+    val pairs = Dedup
+      .ophMd5Pairs(docs)
+      .as[(Long, Long, Double)]
+      .collect()
+      .map { case (a, b, j) => (a, b) -> j }
+      .toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    val nd = pairs.getOrElse((1L, 3L), pairs.getOrElse((2L, 3L), -1.0))
+    assert(nd > 0.5 && nd < 1.0)
+  }
+
+  test("band recall face: both schemes catch the exact-duplicate gold at equal width and banding") {
+    val gold = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val rows = Dedup
+      .ophBandRecall(docs, gold)
+      .as[(String, Long, Long, Long, Option[Long])]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    assert(rows.keySet == Set("kwise64", "oph64"))
+    rows.values.foreach { case (_, nCand, nGold, nHit, recall) =>
+      assert(nGold == 1L && nHit == 1L && recall.contains(10000L) && nCand >= 1L)
+    }
+  }
+}
