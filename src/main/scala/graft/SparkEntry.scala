@@ -2139,6 +2139,18 @@ object SparkEntry {
       // (ops/RecordLinkage.scala).
       graft.ops.RecordLinkage.fsEntityClusters(table(s, dir, "customer"))
     },
+    "linkage_blocking_schemes" -> { (s, dir) =>
+      // The blocking-strategy menu priced on one table: the production
+      // two-pass equi-join blocking (skew-EXPOSED — a hot block goes
+      // quadratic in its population) vs sorted-neighborhood
+      // (Hernandez-Stolfo merge/purge; candidates <= 2n(w-1) by
+      // construction, skew-IMMUNE) at w in {8,16,32}. One distributed
+      // rank (range exchange + zipWithIndex, no unpartitioned window)
+      // serves every width; per scheme: candidate volume = the scoring
+      // cost it buys, planted-truth blocking recall in micro-units
+      // (ops/RecordLinkage.scala).
+      graft.ops.RecordLinkage.blockingSchemeEval(table(s, dir, "customer"))
+    },
     "linkage_review_queue" -> { (s, dir) =>
       // The human-review queue every ER deployment runs: candidate
       // pairs whose FS score sits in the ambiguous band around the
@@ -12879,6 +12891,32 @@ object SparkEntry {
         |  m.tp * 1000000 // t.n_truth AS recall_micro,
         |  2 * m.tp * 1000000 // greatest(2 * m.tp + m.fp + (t.n_truth - m.tp), 1) AS f1_micro
         |FROM m, t""".stripMargin,
+    "linkage_blocking_schemes" ->
+      s"""WITH $RecordLinkageCtes, u AS (
+        |  SELECT 1 AS side, d_key AS key, d_cents AS cents FROM d
+        |  UNION ALL SELECT 0, c_key, c_cents FROM c
+        |), rk AS (
+        |  SELECT side, key,
+        |    CAST(row_number() OVER (ORDER BY cents, side, key) AS BIGINT) AS pos
+        |  FROM u
+        |), snagg AS (
+        |  SELECT w.w AS w, CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(sum(CASE WHEN a.key = b.key THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+        |  FROM (VALUES (8), (16), (32)) w(w), rk a, rk b
+        |  WHERE b.pos - a.pos BETWEEN 1 AND w.w - 1 AND a.side <> b.side
+        |  GROUP BY 1
+        |), tp AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(sum(CASE WHEN d_key = c_key THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+        |  FROM cand
+        |), nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer)
+        |SELECT 'two_pass' AS scheme, n_candidates, (SELECT n FROM nt) AS n_truth, n_caught,
+        |  n_caught * 1000000 // (SELECT n FROM nt) AS blocking_recall_micro
+        |FROM tp
+        |UNION ALL
+        |SELECT 'sorted_w' || CAST(w AS VARCHAR), n_candidates, (SELECT n FROM nt), n_caught,
+        |  n_caught * 1000000 // (SELECT n FROM nt)
+        |FROM snagg""".stripMargin,
     "fuzzy_prefix_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, substr(text, 1, 24) AS p24,

@@ -123,4 +123,69 @@ class RecordLinkageSpec extends AnyFunSuite {
     assert(g("recall_micro") == tp.toLong * 1000000L / 7L)
     assert(g("f1_micro") == 2L * tp * 1000000L / math.max(2L * tp + fp + (7L - tp), 1L))
   }
+
+  test("sortedNeighborhoodCandidates equals the brute-force window pairing, each pair exactly once") {
+    import org.apache.spark.sql.functions._
+    // brute force: materialize the same total order, pair every
+    // cross-side row within w positions
+    val ranked = RecordLinkage
+      .dirtyCustomers(fixture)
+      .select(lit(1).as("side"), col("d_key").as("key"), col("d_cents").as("cents"))
+      .unionByName(fixture.select(
+        lit(0).as("side"), col("c_custkey").as("key"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents")))
+      .as[(Int, Long, Long)]
+      .collect()
+      .sortBy { case (side, key, cents) => (cents, side, key) }
+      .zipWithIndex
+    for (w <- Seq(2, 4, 8)) {
+      val expected = (for {
+        ((a, pa), (b, pb)) <- ranked.flatMap(x => ranked.map((x, _)))
+        if pa < pb && pb - pa < w && a._1 != b._1
+      } yield if (a._1 == 1) (a._2, b._2) else (b._2, a._2)).sorted.toSeq
+      val got = RecordLinkage
+        .sortedNeighborhoodCandidates(fixture, w)
+        .as[(Long, Long)]
+        .collect()
+        .sorted
+        .toSeq
+      assert(got == expected, s"w=$w") // equality of SORTED SEQS ⇒ no dup emission
+    }
+  }
+
+  test("sorted-neighborhood is skew-immune where equi-join blocking goes quadratic") {
+    import org.apache.spark.sql.functions._
+    // 60 customers, all with the SAME balance and digit-free names: both
+    // equi-join passes degenerate to one hot block
+    val skew = (1L to 60L)
+      .map(k => (k, "samename", 1, 500.00, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val n = 60L
+    val twoPass = RecordLinkage.fsPairs(skew).count()
+    assert(twoPass > n * (n / 2)) // the hot block: ~n² candidates
+    val w = 8
+    val sn = RecordLinkage.sortedNeighborhoodCandidates(skew, w).count()
+    assert(sn <= 2 * n * (w - 1)) // the construction bound, skew or not
+    assert(sn < twoPass / 4)
+  }
+
+  test("blockingSchemeEval rows reconcile with fsEval and the documented schemes") {
+    val rows = RecordLinkage
+      .blockingSchemeEval(fixture)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.keySet == Set("two_pass", "sorted_w8", "sorted_w16", "sorted_w32"))
+    val e = RecordLinkage.fsEval(fixture).head()
+    assert(rows("two_pass")._1 == e.getLong(e.fieldIndex("n_candidates")))
+    assert(rows("two_pass")._3 == e.getLong(e.fieldIndex("n_blocked_true")))
+    rows.values.foreach { case (nc, nt, caught, recall) =>
+      assert(nt == 7L && caught <= nt && nc >= caught)
+      assert(recall == caught * 1000000L / 7L)
+    }
+    // widening the window can only add candidates and catches
+    assert(rows("sorted_w8")._1 <= rows("sorted_w16")._1)
+    assert(rows("sorted_w16")._1 <= rows("sorted_w32")._1)
+    assert(rows("sorted_w8")._3 <= rows("sorted_w16")._3)
+  }
 }
