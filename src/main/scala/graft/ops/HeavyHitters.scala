@@ -89,6 +89,85 @@ object HeavyHitters {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
+  /** Self-join output size — the second frequency moment F₂ = Σ_k c_k² —
+    * estimated from bounded sketch state next to the exact answer, with
+    * both classic estimators:
+    *
+    *   - AMS (Alon–Matias–Szegedy 1996): per sketch row j a ±1 hash of
+    *     the key, S_j = Σ rows sign_j(key); E[S_j²] = F₂ exactly, and the
+    *     MEDIAN over rows tames the variance. Unbiased, can land on
+    *     either side.
+    *   - CMS inner product (Cormode–Muthukrishnan 2005): per row j,
+    *     Σ_buckets cnt² ≥ F₂ with equality iff no collisions; min over
+    *     rows — an upper bound, like every CMS read.
+    *
+    * Why this is a 100 TB operator: F₂ IS the output cardinality of a
+    * self-equi-join on the key (and the skew term of any join through
+    * it). The planner question "can I afford to shuffle-join on user_id,
+    * or do I need salting/broadcast?" is exactly an F₂ read, and the
+    * sketch answers it with depth·width counters of state — mergeable
+    * across shards by addition — where the exact answer costs a full
+    * groupBy of the key space. This face prices both estimators' error
+    * against the exact moment on the real key distribution.
+    *
+    * Everything is md5-anchored integer arithmetic (signs and buckets
+    * from the engine-portable seeded family above), so the SQL oracle
+    * replays sketch state, estimates, and error bits exactly. The
+    * depth-bounded `sort_array(collect_list(...))` median is an
+    * aggregation over `depth` rows, never a driver collect.
+    */
+  def selfJoinSizeSketch(
+      df: DataFrame,
+      keyCol: String,
+      depth: Int = 5,
+      width: Int = 256
+  ): DataFrame = {
+    require(depth >= 1 && depth % 2 == 1, "odd depth so the AMS median is one order statistic")
+    val freq = df
+      .groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = true)
+    val exact = freq.agg(
+      coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      coalesce(sum(col("c") * col("c")), lit(0L)).as("f2_exact"))
+    // CMS: per row j the bucketed counts, then Σ cnt² per row, min over rows
+    val cms = freq
+      .select(posexplode(array((0 until depth).map { j =>
+        struct(lit(j).as("j"), cmsBucket(col("k").cast("string"), j, width).as("bucket"))
+      }: _*)).as(Seq("pos", "jb")), col("c"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(sum(col("c")).as("cnt"))
+      .groupBy(col("j"))
+      .agg(sum(col("cnt") * col("cnt")).as("sq"))
+      .agg(min(col("sq")).as("cms_est"))
+    // AMS: sign_j(k) = low md5 bit of a distinct seed family ("s<j>-")
+    val ams = freq
+      .select(posexplode(array((0 until depth).map { j =>
+        struct(
+          lit(j).as("j"),
+          (Dedup.md5Hash32(concat(lit(s"s$j-"), col("k").cast("string")))
+            .bitwiseAND(lit(1L)) * 2 - 1).as("sign"))
+      }: _*)).as(Seq("pos", "js")), col("c"))
+      .groupBy(col("js.j").as("j"))
+      .agg(sum(col("js.sign") * col("c")).as("s"))
+      .select((col("s") * col("s")).as("s2"))
+      .agg(sort_array(collect_list(col("s2"))).as("all"))
+      .select(element_at(col("all"), depth / 2 + 1).as("ams_est"))
+    // round-half-up |est−exact|·10⁴/exact in pure integer arithmetic
+    // (the double path loses exactness past 2^53)
+    exact
+      .crossJoin(broadcast(cms))
+      .crossJoin(broadcast(ams))
+      .select(
+        col("n_rows"), col("n_keys"), col("f2_exact"),
+        col("cms_est"), col("ams_est"),
+        expr("(abs(cms_est - f2_exact) * 20000 + f2_exact) DIV (2 * greatest(f2_exact, 1))")
+          .as("cms_err_bps"),
+        expr("(abs(ams_est - f2_exact) * 20000 + f2_exact) DIV (2 * greatest(f2_exact, 1))")
+          .as("ams_err_bps"))
+  }
+
   // ------------------------------------------------------------ HyperLogLog
 
   /** log2 of the register count, validated: m must be a power of two with

@@ -156,4 +156,41 @@ class HeavyHittersSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().head
     assert(math.abs(disj._4) / 1e6 < 15, s"disjoint intersect ${disj._4 / 1e6}")
   }
+
+  test("selfJoinSizeSketch: exact F2, CMS upper bound, AMS median match an independent reference") {
+    val rows = skewedItems(4000, 77).zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val df = rows.toDF("i", "key")
+    val r = HeavyHitters.selfJoinSizeSketch(df, "key").head()
+    def g(n: String) = r.getLong(r.fieldIndex(n))
+
+    val freq = rows.groupBy(_._2).map { case (_, xs) => xs.length.toLong }
+    val f2 = freq.map(c => c * c).sum
+    assert(g("n_rows") == 4000L && g("n_keys") == freq.size.toLong && g("f2_exact") == f2)
+
+    // CMS inner product never undercounts F2 (collisions only ADD cross terms)
+    assert(g("cms_est") >= f2)
+
+    // independent md5 reference for both estimators
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val byKey = rows.groupBy(_._2).map { case (k, xs) => (k, xs.length.toLong) }.toSeq
+    val cmsRef = (0 until 5).map { j =>
+      val buckets = new Array[Long](256)
+      byKey.foreach { case (k, c) => buckets((h32(s"$j-$k") % 256).toInt) += c }
+      buckets.map(c => c * c).sum
+    }.min
+    val amsRef = {
+      val s2 = (0 until 5).map { j =>
+        val s = byKey.map { case (k, c) => ((h32(s"s$j-$k") & 1L) * 2 - 1) * c }.sum
+        s * s
+      }.sorted
+      s2(2)
+    }
+    assert(g("cms_est") == cmsRef)
+    assert(g("ams_est") == amsRef)
+    assert(g("cms_err_bps") == (math.abs(cmsRef - f2) * 20000 + f2) / (2 * f2))
+    assert(g("ams_err_bps") == (math.abs(amsRef - f2) * 20000 + f2) / (2 * f2))
+  }
 }
