@@ -3484,6 +3484,17 @@ object SparkEntry {
       // same two assignment rounds in SQL.
       graft.ops.Clustering.kmeansAssignFrom(sharedLloyd(s, dir)._1)
     },
+    "kmeans_parallel_init" -> { (s, dir) =>
+      // The seeding decision priced: naive lowest-id seeds vs k-means||
+      // (Bahmani et al. 2012 — rounds of md5-race oversampling prop. to
+      // cost, weighted pool reduced greedily to k driver-side), both run
+      // through the SAME two Lloyd rounds, exact integer inertia at the
+      // seed stage and after. k-means++'s k sequential corpus passes
+      // become `rounds` passes at 100 TB; this face shows what the
+      // oversampled init buys in objective value on real embeddings
+      // (ops/Clustering.scala).
+      graft.ops.Clustering.kmeansParallelInit(table(s, dir, "embeddings"))
+    },
     "kmeans_silhouette" -> { (s, dir) =>
       // Is k=8 the right clustering? Simplified (centroid-based)
       // silhouette per cluster over the trained Lloyd state: exact count
@@ -8206,6 +8217,90 @@ object SparkEntry {
       |    FROM d2)
       |  WHERE rn = 1
       |)""".stripMargin
+
+  /** Full k-means|| replay ([[graft.ops.Clustering.parallelInitSeeds]] +
+    * [[graft.ops.Clustering.kmeansParallelInit]]): three derandomized
+    * oversampling rounds (the md5-race Bernoulli on HUGEINT, mirroring
+    * the Scala DECIMAL(38,0) comparison), pool weights by argmin cell,
+    * the unrolled greedy weighted-farthest-point reduction to k = 8
+    * seeds, then the same two Lloyd assignment rounds [[KmeansCtes]]
+    * unrolls — next to the naive-seed chain it extends. Emits the
+    * two-method comparison row set.
+    */
+  private def kmeansParallelOracle(rounds: Int = 3, k: Int = 8, ell: Int = 16): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""pcx$r AS (SELECT e.vec_id AS cid, e.i, e.v FROM pex e JOIN pcand${r - 1} c ON c.cid = e.vec_id),
+         |pdd$r AS MATERIALIZED (
+         |  SELECT t.vec_id, min(t.dd) AS cost FROM (
+         |    SELECT e.vec_id, cx.cid, sum((e.v - cx.v) * (e.v - cx.v)) AS dd
+         |    FROM pex e JOIN pcx$r cx ON cx.i = e.i GROUP BY 1, 2) t
+         |  GROUP BY 1
+         |), pphi$r AS (SELECT CAST(sum(cost) AS BIGINT) AS phi FROM pdd$r),
+         |psel$r AS (
+         |  SELECT d.vec_id AS cid FROM pdd$r d, pphi$r p
+         |  WHERE CAST(CAST(('0x' || substr(md5('kmpp$r-' || CAST(d.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS HUGEINT) * p.phi
+         |      < CAST($ell AS HUGEINT) * d.cost * 4294967296
+         |), pcand$r AS MATERIALIZED (SELECT cid FROM pcand${r - 1} UNION SELECT cid FROM psel$r)""".stripMargin
+    }.mkString(",\n")
+    val greedySteps = (2 to k).map { i =>
+      s"""pg$i AS (
+         |  SELECT t.ca AS cid FROM (
+         |    SELECT cd.ca, pw.w * min(cd.d) AS score
+         |    FROM pcd cd JOIN pch${i - 1} ch ON cd.cb = ch.cid
+         |    JOIN pw ON pw.cid = cd.ca
+         |    WHERE cd.ca NOT IN (SELECT cid FROM pch${i - 1})
+         |    GROUP BY cd.ca, pw.w) t
+         |  ORDER BY t.score DESC, t.ca ASC LIMIT 1
+         |), pch$i AS MATERIALIZED (SELECT * FROM pch${i - 1} UNION ALL SELECT cid, ${i - 1} FROM pg$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$KmeansCtes,
+       |pex AS MATERIALIZED (SELECT vec_id, i, v FROM ex),
+       |pcand0 AS (SELECT min(vec_id) AS cid FROM embeddings),
+       |$roundCtes,
+       |pcxw AS MATERIALIZED (SELECT e.vec_id AS cid, e.i, e.v FROM pex e JOIN pcand$rounds c ON c.cid = e.vec_id),
+       |pwa AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT t.vec_id, t.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY t.dd, t.cid) AS rn
+       |    FROM (
+       |      SELECT e.vec_id, cx.cid, sum((e.v - cx.v) * (e.v - cx.v)) AS dd
+       |      FROM pex e JOIN pcxw cx ON cx.i = e.i GROUP BY 1, 2) t) s
+       |  WHERE rn = 1
+       |), pw AS MATERIALIZED (
+       |  SELECT c.cid, CAST(COALESCE(w.n, 0) AS BIGINT) AS w
+       |  FROM pcand$rounds c LEFT JOIN (SELECT cid, count(*) AS n FROM pwa GROUP BY 1) w ON w.cid = c.cid
+       |), pcd AS MATERIALIZED (
+       |  SELECT xa.cid AS ca, xb.cid AS cb, sum((xa.v - xb.v) * (xa.v - xb.v)) AS d
+       |  FROM pcxw xa JOIN pcxw xb ON xb.i = xa.i GROUP BY 1, 2
+       |),
+       |pg1 AS (SELECT cid FROM pw ORDER BY w DESC, cid ASC LIMIT 1),
+       |pch1 AS MATERIALIZED (SELECT cid, 0 AS ord FROM pg1),
+       |$greedySteps,
+       |pseed AS MATERIALIZED (SELECT ch.ord AS cid, e.i, e.v FROM pch$k ch JOIN pex e ON e.vec_id = ch.cid),
+       |pd1 AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS d
+       |  FROM pex e JOIN pseed c ON c.i = e.i GROUP BY 1, 2
+       |), pa1 AS MATERIALIZED (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM pd1) s
+       |  WHERE rn = 1
+       |), pc1 AS MATERIALIZED (
+       |  SELECT a.cluster AS cid, e.i, CAST(floor(sum(e.v) * 1.0 / count(*)) AS BIGINT) AS v
+       |  FROM pex e JOIN pa1 a ON e.vec_id = a.vec_id GROUP BY 1, 2
+       |), pd2 AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS d
+       |  FROM pex e JOIN pc1 c ON e.i = c.i GROUP BY 1, 2
+       |)
+       |SELECT 'lowest_id' AS method,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM c0 WHERE i = 0) AS n_candidates,
+       |  (SELECT CAST(sum(m) AS BIGINT) FROM (SELECT vec_id, min(d) AS m FROM d1 GROUP BY 1) x) AS inertia_seed,
+       |  (SELECT CAST(sum(m) AS BIGINT) FROM (SELECT vec_id, min(d) AS m FROM d2 GROUP BY 1) x) AS inertia_final
+       |UNION ALL
+       |SELECT 'parallel',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM pcand$rounds),
+       |  (SELECT CAST(sum(m) AS BIGINT) FROM (SELECT vec_id, min(d) AS m FROM pd1 GROUP BY 1) x),
+       |  (SELECT CAST(sum(m) AS BIGINT) FROM (SELECT vec_id, min(d) AS m FROM pd2 GROUP BY 1) x)""".stripMargin
+  }
 
   /** The D4 curation replay shared by `d4_flags` and `d4_prune_report`:
     * the Lloyd state ([[KmeansCtes]]: a2 the final assignment, d2 the
@@ -14229,6 +14324,7 @@ object SparkEntry {
     "kmeans_clusters" ->
       s"""$KmeansCtes
         |SELECT vec_id, cluster FROM a2""".stripMargin,
+    "kmeans_parallel_init" -> kmeansParallelOracle(),
     "kmeans_silhouette" ->
       s"""$KmeansCtes, ab AS (
         |  SELECT d2.vec_id, a.cluster,

@@ -119,15 +119,39 @@ object Clustering {
     val spark = emb.sparkSession
     import spark.implicits._
     val qv = quantized(emb, idCol, vecCol, scale)
+    val cents: Seq[(Int, Seq[Long])] = qv
+      .filter($"vec_id" < k)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
+      .sortBy(_._1)
+      .toSeq
+    require(cents.nonEmpty, s"kmeansAssign: no seed vectors with $idCol < $k")
+    lloydFromSeeds(qv, cents, iters)
+  }
 
-    def assign(cents: Seq[(Int, Seq[Long])]): DataFrame = {
-      // argmin over k inlined centroids: array_min on (dist, cid) structs —
-      // lexicographic struct order gives the min-distance, min-cid tie-break.
-      val alts = cents.map { case (cid, c) =>
-        struct(sqDistL($"qv", typedLit(c)).as("d"), lit(cid).as("cid"))
-      }
-      qv.withColumn("cluster", array_min(array(alts: _*)).getField("cid"))
+  /** Assignment argmin over inlined centroids: array_min on (dist, cid)
+    * structs — lexicographic struct order gives min-distance, min-cid
+    * tie-break. Shared by the Lloyd loop and the seed-inertia reads.
+    */
+  private def assignTo(qv: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    val alts = cents.map { case (cid, c) =>
+      struct(sqDistL(col("qv"), typedLit(c)).as("d"), lit(cid).as("cid"))
     }
+    qv.withColumn("cluster", array_min(array(alts: _*)).getField("cid"))
+  }
+
+  /** The Lloyd loop from ANY seed set — extracted so alternative
+    * initializations ([[parallelInitSeeds]]) share the exact iteration,
+    * floor-of-mean update, and tie-break semantics of the registered
+    * k-means family.
+    */
+  private def lloydFromSeeds(
+      qv: DataFrame,
+      seeds: Seq[(Int, Seq[Long])],
+      iters: Int
+  ): (DataFrame, Seq[(Int, Seq[Long])]) = {
+    val spark = qv.sparkSession
+    import spark.implicits._
 
     def update(assigned: DataFrame): Seq[(Int, Seq[Long])] =
       assigned
@@ -141,19 +165,147 @@ object Clustering {
         .sortBy(_._1)
         .toSeq
 
-    var cents: Seq[(Int, Seq[Long])] = qv
+    var cents = seeds
+    var out = assignTo(qv, cents)
+    for (_ <- 2 to iters) {
+      cents = update(out)
+      out = assignTo(qv, cents)
+    }
+    (out, cents)
+  }
+
+  /** k-means|| seeding (Bahmani/Moseley/Vattani/Kumar/Vassilvitskii,
+    * VLDB 2012) — the distributed answer to k-means++'s k SEQUENTIAL
+    * corpus passes: `rounds` passes each oversample ~`ell` points with
+    * probability ∝ current cost, then the small weighted candidate pool
+    * is reduced to k seeds driver-side. Derandomized onto the portable
+    * md5 race (the Efraimidis–Spirakis discipline of the sampling
+    * family): point x survives round r iff
+    * `md5("kmpp<r>-" || id) · φ < ell · cost(x) · 2^32` — exactly the
+    * p = min(1, ell·cost/φ) Bernoulli of the paper with the uniform
+    * variate replaced by a seeded hash, so the SQL oracle replays every
+    * round bit-for-bit (the comparison rides DECIMAL(38,0)/HUGEINT:
+    * md5·φ overflows a long).
+    *
+    * The final reduction is greedy WEIGHTED farthest-point over the
+    * pool (start at max weight; repeatedly add argmax of
+    * w(c)·d²(c, chosen), ties to the lower id) — the deterministic
+    * stand-in for the paper's "recluster the weighted pool with
+    * k-means++", sharing the kcenter family's greedy shape. Driver
+    * state: the candidate pool (≈ 1 + ell·rounds rows) and its weights —
+    * bounded by construction, never by the corpus.
+    *
+    * Returns (seeds with cluster ids 0..k−1 in selection order, pool
+    * size).
+    */
+  def parallelInitSeeds(
+      emb: DataFrame,
+      k: Int = 8,
+      ell: Int = 16,
+      rounds: Int = 3,
+      scale: Long = 10000L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): (Seq[(Int, Seq[Long])], Int) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qv = quantized(emb, idCol, vecCol, scale).localCheckpoint(eager = true)
+    val first = qv.orderBy($"vec_id").limit(1).collect()
+    require(first.nonEmpty, "parallelInitSeeds: empty input")
+    val cands = scala.collection.mutable.LinkedHashMap[Long, Seq[Long]](
+      first.head.getLong(0) -> first.head.getSeq[Long](1))
+    val dec = "decimal(38,0)"
+    for (r <- 1 to rounds) {
+      val alts = cands.values.toSeq.map(c => sqDistL($"qv", typedLit(c)))
+      val cost = qv.withColumn("cost", array_min(array(alts: _*)))
+      val phi = cost.agg(coalesce(sum($"cost"), lit(0L))).collect()(0).getLong(0)
+      if (phi > 0L) {
+        val selected = cost
+          .filter(
+            Dedup.md5Hash32(concat(lit(s"kmpp$r-"), $"vec_id".cast("string"))).cast(dec) *
+              lit(phi).cast(dec) <
+              lit(ell.toLong).cast(dec) * $"cost".cast(dec) * lit(4294967296L).cast(dec))
+          .select($"vec_id", $"qv")
+          .collect() // ~ell rows expected — the k-means|| oversampling contract
+        selected.foreach(row => cands.getOrElseUpdate(row.getLong(0), row.getSeq[Long](1)))
+      }
+    }
+    val pool = cands.toSeq
+    val byId = pool.toMap
+    val ids = pool.map(_._1)
+    // weights: corpus population of each candidate's argmin cell
+    val weightAlts = pool.map { case (id, c) =>
+      struct(sqDistL($"qv", typedLit(c)).as("d"), lit(id).as("id"))
+    }
+    val weights = qv
+      .select(array_min(array(weightAlts: _*)).getField("id").as("cand"))
+      .groupBy($"cand")
+      .agg(count(lit(1)).as("w"))
+      .collect() // ≤ |pool| rows
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    def sq(a: Seq[Long], b: Seq[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val start = ids.maxBy(id => (weights.getOrElse(id, 0L), -id))
+    val chosen = scala.collection.mutable.ArrayBuffer(start)
+    while (chosen.size < math.min(k, ids.size)) {
+      val next = ids
+        .filterNot(chosen.contains)
+        .maxBy { id =>
+          (weights.getOrElse(id, 0L) * chosen.map(c => sq(byId(id), byId(c))).min, -id)
+        }
+      chosen += next
+    }
+    (chosen.toSeq.zipWithIndex.map { case (id, i) => (i, byId(id)) }, pool.size)
+  }
+
+  /** The seeding decision priced on THIS corpus: naive lowest-id seeds
+    * vs k-means|| seeds, each run through the SAME Lloyd iterations, with
+    * the exact integer inertia (Σ per-vector min squared distance, the
+    * k-means objective) read at the seed stage and after Lloyd. One row
+    * per method; n_candidates is the state the init stage had to
+    * consider (k for naive, the oversampled pool for ||). The 100 TB
+    * reading: k-means++ needs k sequential corpus passes, naive seeding
+    * needs none but starts wherever the ids landed — k-means|| buys
+    * near-++ seed quality in `rounds` passes, and this face shows what
+    * that buys in objective value on real data.
+    */
+  def kmeansParallelInit(
+      emb: DataFrame,
+      k: Int = 8,
+      ell: Int = 16,
+      rounds: Int = 3,
+      iters: Int = 2,
+      scale: Long = 10000L
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qv = quantized(emb, "vec_id", "embedding", scale).localCheckpoint(eager = true)
+    def inertia(cents: Seq[(Int, Seq[Long])]): Long = {
+      val alts = cents.map { case (_, c) => sqDistL($"qv", typedLit(c)) }
+      qv.select(array_min(array(alts: _*)).as("d"))
+        .agg(coalesce(sum($"d"), lit(0L)))
+        .collect()(0)
+        .getLong(0) // one-row decision scalar
+    }
+    val naiveSeeds = qv
       .filter($"vec_id" < k)
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
       .sortBy(_._1)
       .toSeq
-    require(cents.nonEmpty, s"kmeansAssign: no seed vectors with $idCol < $k")
-    var out = assign(cents)
-    for (_ <- 2 to iters) {
-      cents = update(out)
-      out = assign(cents)
-    }
-    (out, cents)
+    val (parSeeds, poolSize) = parallelInitSeeds(emb, k, ell, rounds, scale)
+    val legs = Seq(
+      ("lowest_id", naiveSeeds.size.toLong, naiveSeeds),
+      ("parallel", poolSize.toLong, parSeeds))
+    legs.map { case (method, nCand, seeds) =>
+      val seedInertia = inertia(seeds)
+      val finalInertia = inertia(lloydFromSeeds(qv, seeds, iters)._2)
+      (method, nCand, seedInertia, finalInertia)
+    }.toDF("method", "n_candidates", "inertia_seed", "inertia_final")
   }
 
   /** Simplified (centroid-based) silhouette per cluster — the "is k

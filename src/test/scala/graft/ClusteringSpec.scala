@@ -243,4 +243,47 @@ class ClusteringSpec extends AnyFunSuite {
     }
     assert(rep.map(_._2).sum == 60L)
   }
+
+  /** 5 well-separated centers with ids 0..7 ALL in blob 0 — the adversarial
+    * case for lowest-id seeding (every naive seed starts in one blob).
+    */
+  private def blobbed(perBlob: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new Random(31)
+    val centers = (0 until 5).map(b => Array.tabulate(dim)(d => if (d == b % dim) 20.0 * (b + 1) else 0.0))
+    (0 until 5).flatMap { b =>
+      (0 until perBlob).map { j =>
+        val id = if (b == 0) j.toLong else (100L * b + j)
+        id -> centers(b).map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      }
+    }
+  }
+
+  test("parallelInitSeeds: deterministic, pool-bounded, and covers blobs the lowest-id seeds miss") {
+    val data = blobbed(12).toDF("vec_id", "embedding")
+    val (seeds1, pool1) = Clustering.parallelInitSeeds(data, k = 5, ell = 8, rounds = 3, scale = scale)
+    val (seeds2, pool2) = Clustering.parallelInitSeeds(data, k = 5, ell = 8, rounds = 3, scale = scale)
+    assert(seeds1 == seeds2 && pool1 == pool2) // md5-race derandomization: replayable
+    assert(seeds1.size == 5 && pool1 >= 5)
+    assert(seeds1.map(_._1) == (0 until 5)) // cluster ids in selection order
+    // each seed's dominant dimension identifies its blob: all 5 blobs hit
+    val blobsHit = seeds1.map(_._2.zipWithIndex.maxBy(p => math.abs(p._1))._2).toSet
+    assert(blobsHit.size == 5, s"seeds cover $blobsHit")
+  }
+
+  test("kmeansParallelInit: parallel seeding beats lowest-id seeding where ids cluster together") {
+    val data = blobbed(12).toDF("vec_id", "embedding")
+    val rows = Clustering
+      .kmeansParallelInit(data, k = 5, ell = 8, rounds = 3, iters = 2, scale = scale)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet == Set("lowest_id", "parallel"))
+    val (nNaive, naiveSeedI, naiveFinalI) = rows("lowest_id")
+    val (nPar, parSeedI, parFinalI) = rows("parallel")
+    assert(nNaive == 5L && nPar >= 5L)
+    // all naive seeds sit in blob 0: even after Lloyd, >= 1 blob stays
+    // uncovered; || seeds cover all 5 -> an order-of-magnitude objective gap
+    assert(parSeedI < naiveSeedI / 2, s"seed $parSeedI vs $naiveSeedI")
+    assert(parFinalI < naiveFinalI / 2, s"final $parFinalI vs $naiveFinalI")
+  }
 }
