@@ -1,0 +1,22 @@
+package graft
+
+/** Interleaved min-of-3 probe for the band-hashing map cost — kept as the
+  * reproducible protocol behind the BASELINE text-claims paragraph (run:
+  * `runMain graft.BandHashProbe`).
+  */
+object BandHashProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(appName = "bh-probe")
+    val n = if (args.nonEmpty) args(0).toInt else 40000
+    // interleave schemes so JIT/cache warmup is shared; min-of-3 per scheme
+    val ks = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val os = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to 3) {
+      ks += StreamBench.measureBandHashing(spark, n, "kwise")
+      os += StreamBench.measureBandHashing(spark, n, "oph")
+    }
+    println(s"PROBE n=$n kwise=${ks.max.round} oph=${os.max.round} " +
+      s"ratio=${(os.max / ks.max * 100).round}% runs_k=${ks.map(_.round)} runs_o=${os.map(_.round)}")
+    spark.stop()
+  }
+}

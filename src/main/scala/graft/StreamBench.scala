@@ -152,6 +152,140 @@ object StreamBench {
     }
   }
 
+  /** Docs/s through the ingest-time near-dup TEXT claim filter, per
+    * signature scheme ("kwise" = [[graft.streaming.StreamingDedup.bandClaims]],
+    * 64 xxhash re-hashes per shingle; "oph" =
+    * [[graft.streaming.StreamingDedup.ophBandClaims]], one hash per
+    * shingle + densification): synthetic ~`docBytes`-char documents from
+    * a seeded vocabulary, ~25% near-dup copies of an earlier doc with one
+    * token swapped — the lose path exercised like the media legs. Claim
+    * cardinality is `bands` per doc, so the await targets are exact.
+    * Returns (docsPerSec, claims, lostClaims).
+    */
+  def measureTextClaims(
+      spark: SparkSession,
+      n: Int,
+      scheme: String,
+      batches: Int = 10,
+      docBytes: Int = 2048
+  ): (Double, Long, Long) = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val bands = 16
+    val rnd = new scala.util.Random(499L)
+    val vocab = Array.tabulate(500)(i => s"tok$i")
+    val texts = new scala.collection.mutable.ArrayBuffer[String](n)
+    val docs = (0 until n).map { i =>
+      val t =
+        if (i > 0 && rnd.nextInt(4) == 0) {
+          val base = texts(rnd.nextInt(texts.length)).split(' ')
+          base(rnd.nextInt(base.length)) = vocab(rnd.nextInt(vocab.length))
+          base.mkString(" ")
+        } else {
+          val sb = new StringBuilder
+          while (sb.length < docBytes) {
+            if (sb.nonEmpty) sb += ' '
+            sb ++= vocab(rnd.nextInt(vocab.length))
+          }
+          sb.toString
+        }
+      texts += t
+      (i.toLong, t)
+    }
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val claims = scheme match {
+      case "kwise" =>
+        graft.streaming.StreamingDedup.bandClaims(df, "doc_id", "text", ttlMinutes = 60)
+      case "oph" =>
+        graft.streaming.StreamingDedup.ophBandClaims(df, "doc_id", "text", ttlMinutes = 60)
+      case other => throw new IllegalArgumentException(s"unknown scheme $other")
+    }
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val lost = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = claims.toDF().writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val agg = batch
+          .agg(count(lit(1)), sum(when(col("lost"), 1L).otherwise(0L)))
+          .collect()(0)
+        seen.addAndGet(agg.getLong(0))
+        lost.addAndGet(if (agg.isNullAt(1)) 0L else agg.getLong(1))
+        ()
+      }
+      .start()
+    def awaitClaims(expected: Long): Unit = {
+      val deadline = System.nanoTime() + 180_000_000_000L
+      while (seen.get() < expected && System.nanoTime() < deadline) Thread.sleep(20)
+      require(seen.get() >= expected, s"text claims stalled: ${seen.get()} < $expected")
+    }
+    try {
+      val warm = math.min(100, n / 10)
+      input.addData(docs.take(warm))
+      awaitClaims(bands.toLong * warm)
+      val t0 = System.nanoTime()
+      val per = math.max(1, (n - warm) / batches)
+      var added = warm.toLong
+      docs.drop(warm).grouped(per).foreach { b =>
+        input.addData(b)
+        added += b.size
+        awaitClaims(bands.toLong * added)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      ((n - warm) / sec, seen.get(), lost.get())
+    } finally {
+      scala.util.Try(q.stop())
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  /** MAP-SIDE band hashing alone, docs/s per scheme — the claims legs
+    * above are state-store-bound (16 keyed claims per doc through
+    * RocksDB dominate wall time), so the signature schemes measure equal
+    * there; this leg isolates the per-document hashing CPU the OPH form
+    * exists to cut (one xxhash per shingle + O(bins) densify vs 64
+    * re-hashes per shingle). Pure map + count — no shuffle, no state;
+    * one warm pass then the timed pass.
+    */
+  def measureBandHashing(
+      spark: SparkSession,
+      n: Int,
+      scheme: String,
+      docBytes: Int = 2048
+  ): Double = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(499L)
+    val vocab = Array.tabulate(500)(i => s"tok$i")
+    val docs = (0 until n).map { i =>
+      val sb = new StringBuilder
+      while (sb.length < docBytes) {
+        if (sb.nonEmpty) sb += ' '
+        sb ++= vocab(rnd.nextInt(vocab.length))
+      }
+      (i.toLong, sb.toString)
+    }
+    val df = docs.toDF("doc_id", "text").localCheckpoint(true) // pin rows: time hashing, not row building
+    def bands(c: org.apache.spark.sql.Column) = scheme match {
+      case "kwise" => graft.functions.MinhashSig.bandsColumn(c, 3, 64, 16, 42L)
+      case "oph" => graft.functions.OphMinhashSig.bandsXxColumn(c, 3, 64, 16)
+      case other => throw new IllegalArgumentException(s"unknown scheme $other")
+    }
+    def pass(): Unit = // masked sum: forces per-row hashing, cannot overflow ANSI
+      df.select(sum(element_at(bands(col("text")), 1).bitwiseAND(lit(1023L)))).collect()
+    pass() // warm
+    val t0 = System.nanoTime()
+    pass()
+    n / ((System.nanoTime() - t0) / 1e9)
+  }
+
   /** Docs/s through the ingest-time BLOCKLIST filter
     * ([[graft.ops.DictScan.blocklistFilter]] — broadcast Aho–Corasick,
     * stateless map, first-hit short-circuit): synthetic ~`docBytes`-char
@@ -299,8 +433,14 @@ object StreamBench {
     // face; re-encoded-twin dups drive the lose path
     val (mpsP, claimsP, lostP) = measureMediaClaimsPixel(spark, mediaN)
     val (bps, blKept, blDropped) = measureBlocklist(spark, mediaN)
+    // text near-dup claim legs: the k-wise vs OPH ingest-CPU comparison,
+    // same doc mix, same claim protocol
+    val (tkps, tkClaims, tkLost) = measureTextClaims(spark, mediaN, "kwise")
+    val (tops, toClaims, toLost) = measureTextClaims(spark, mediaN, "oph")
+    val bhk = measureBandHashing(spark, mediaN, "kwise")
+    val bho = measureBandHashing(spark, mediaN, "oph")
     println(
-      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":$n,"wall_sec":$sec,"teams":$teams,"users":$users,"micro_batches":$batches,"media_payloads_per_sec":${mps8.round},"media_payloads":$mediaN,"media_claims":$claims8,"media_lost_claims":$lost8,"media_payloads_per_sec_c4":${mps4.round},"media_claims_c4":$claims4,"media_lost_claims_c4":$lost4,"media_payloads_per_sec_pixel":${mpsP.round},"media_claims_pixel":$claimsP,"media_lost_claims_pixel":$lostP,"blocklist_docs_per_sec":${bps.round},"blocklist_kept":$blKept,"blocklist_dropped":$blDropped}"""
+      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec","events":$n,"wall_sec":$sec,"teams":$teams,"users":$users,"micro_batches":$batches,"media_payloads_per_sec":${mps8.round},"media_payloads":$mediaN,"media_claims":$claims8,"media_lost_claims":$lost8,"media_payloads_per_sec_c4":${mps4.round},"media_claims_c4":$claims4,"media_lost_claims_c4":$lost4,"media_payloads_per_sec_pixel":${mpsP.round},"media_claims_pixel":$claimsP,"media_lost_claims_pixel":$lostP,"blocklist_docs_per_sec":${bps.round},"blocklist_kept":$blKept,"blocklist_dropped":$blDropped,"text_claims_docs_per_sec_kwise":${tkps.round},"text_claims_kwise":$tkClaims,"text_lost_claims_kwise":$tkLost,"text_claims_docs_per_sec_oph":${tops.round},"text_claims_oph":$toClaims,"text_lost_claims_oph":$toLost,"band_hash_docs_per_sec_kwise":${bhk.round},"band_hash_docs_per_sec_oph":${bho.round}}"""
     )
     spark.stop()
   }

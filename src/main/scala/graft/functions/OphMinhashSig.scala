@@ -77,6 +77,62 @@ case class OphMinhashSigExpr(child: Expression, shingleN: Int, numBins: Int)
     copy(child = newChild)
 }
 
+/** Fused OPH signature + LSH band hashes over engine-native xxhash64
+  * shingles — the streaming-ingest twin of [[MinhashBandsExpr]]: ONE
+  * xxhash64 per shingle (its top 32 bits, so the md5 variant's bin/offset
+  * algebra carries over unchanged — bin = top log2(numBins) bits,
+  * rotation borrow + t·2^32) where the k-wise fused form pays `numHashes`
+  * re-hashes per shingle. At ingest the per-document hashing IS the
+  * dedup filter's CPU budget, so the claim stage's map side drops from
+  * O(shingles·k) to O(shingles + k). Band hash = the same xxhash64 fold
+  * (band index first, seed 42) as [[MinhashSig.computeBands]], so the
+  * claim-state key space and downstream machinery are unchanged.
+  *
+  * Measured (graft.BandHashProbe, interleaved min-of-3, 2 KB docs ≈ 340
+  * shingles, k = 64): ~1.4× map-side throughput, not 64× — the
+  * per-shingle STRING hash (concat + xxhash over bytes), paid equally by
+  * both schemes, dominates the 64 cheap hashLong re-hashes this form
+  * removes. The asymptotic k× emerges as k grows or the base hash gets
+  * more expensive (the md5-anchored batch family); the end-to-end claim
+  * legs measure equal because RocksDB claim state, not hashing, bounds
+  * them.
+  */
+case class OphBandsExpr(child: Expression, shingleN: Int, numBins: Int, bands: Int)
+    extends UnaryExpression {
+
+  require(numBins > 0 && (numBins & (numBins - 1)) == 0 && numBins <= 65536,
+    "numBins must be a power of two (bin = top hash bits)")
+  require(bands > 0 && numBins % bands == 0, "bands must divide numBins")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string child, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "oph_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    OphMinhashSig.computeBandsXx(input.asInstanceOf[UTF8String], shingleN, numBins, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      $arrCls ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        ${ev.value} = graft.functions.OphMinhashSig.computeBandsXx(${childGen.value}, $shingleN, $numBins, $bands);
+        ${ev.isNull} = (${ev.value} == null);
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): OphBandsExpr =
+    copy(child = newChild)
+}
+
 object OphMinhashSig {
 
   /** Borrow offset per hop: larger than any direct 32-bit value, so a
@@ -99,6 +155,60 @@ object OphMinhashSig {
   /** Column wrapper (classic-Spark session). */
   def column(text: Column, shingleN: Int, numBins: Int): Column =
     ColumnBridge.column(OphMinhashSigExpr(ColumnBridge.expression(text), shingleN, numBins))
+
+  /** Column wrapper for the fused xxhash band form ([[OphBandsExpr]]). */
+  def bandsXxColumn(text: Column, shingleN: Int, numBins: Int, bands: Int): Column =
+    ColumnBridge.column(OphBandsExpr(ColumnBridge.expression(text), shingleN, numBins, bands))
+
+  /** One xxhash64 per shingle (top 32 bits), OPH bin-min + rotation
+    * densification, then the per-band xxhash64 fold (band index first,
+    * seed 42 — identical to [[MinhashSig.computeBands]]'s fold). Null
+    * when the text has fewer than `shingleN` tokens.
+    */
+  def computeBandsXx(text: UTF8String, shingleN: Int, numBins: Int, bands: Int): ArrayData = {
+    val toks = text.toLowerCase.split(WhitespaceRe, -1)
+    val nShingles = toks.length - shingleN + 1
+    if (nShingles <= 0) return null
+    val shift = 32 - java.lang.Integer.numberOfTrailingZeros(numBins)
+    val mins = new Array[Long](numBins)
+    java.util.Arrays.fill(mins, Empty)
+    val window = new Array[UTF8String](shingleN)
+    var i = 0
+    while (i < nShingles) {
+      var k = 0
+      while (k < shingleN) { window(k) = toks(i + k); k += 1 }
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(UTF8String.concatWs(Space, window: _*), 42L) >>> 32
+      val b = (h >>> shift).toInt
+      if (h < mins(b)) mins(b) = h
+      i += 1
+    }
+    val sig = new Array[Long](numBins)
+    var j = 0
+    while (j < numBins) {
+      if (mins(j) != Empty) sig(j) = mins(j)
+      else {
+        var t = 1
+        while (mins((j + t) & (numBins - 1)) == Empty) t += 1
+        sig(j) = mins((j + t) & (numBins - 1)) + t.toLong * HopOffset
+      }
+      j += 1
+    }
+    val rows = numBins / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(b.toLong, 42L)
+      var r = 0
+      while (r < rows) {
+        acc = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(sig(b * rows + r), acc)
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
 
   /** Null when the text has fewer than `shingleN` whitespace tokens;
     * called from generated code.

@@ -80,6 +80,48 @@ object StreamingDedup {
       )
   }
 
+  /** [[bandClaims]] with the signature pass swapped for One-Permutation
+    * Hashing ([[graft.functions.OphBandsExpr]]): ONE xxhash64 per shingle
+    * + an O(numBins) densification instead of `numBins` re-hashes per
+    * shingle. The claim protocol, state layout, TTL, and per-doc
+    * resolution ([[survivors]]) are unchanged — only the map-side CPU
+    * drops (measured ~1.4× at 2 KB docs / k = 64: the shared per-shingle
+    * string hash dominates, see [[graft.functions.OphBandsExpr]];
+    * StreamBench's text-claims and band-hashing legs carry both
+    * schemes).
+    * Collision behaviour matches the batch OPH family: equal shingle
+    * sets claim identical buckets; short documents lean on borrowed
+    * (correlated) slots, which RAISES band-collision probability at
+    * fixed Jaccard — more aggressive candidate flagging, never fewer
+    * exact-dup catches.
+    */
+  def ophBandClaims(
+      docStream: DataFrame,
+      idCol: String,
+      textCol: String,
+      ttlMinutes: Int,
+      shingleN: Int = 3,
+      numBins: Int = 64,
+      bands: Int = 16
+  ): org.apache.spark.sql.Dataset[StreamingDedup.BandClaim] = {
+    import docStream.sparkSession.implicits._
+    docStream
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        graft.functions.OphMinhashSig.bandsXxColumn(col(textCol), shingleN, numBins, bands)
+          .as("bhs")
+      )
+      .filter(col("bhs").isNotNull)
+      .select(col("doc_id"), explode(col("bhs")).as("band_hash"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .transformWithState(
+        new BandClaimProcessor(ttlMinutes),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update()
+      )
+  }
+
   /** Streaming exact-substring (CDC chunk) claims — same claim protocol as
     * [[bandClaims]] but keyed by content-defined chunk fingerprints
     * ([[graft.ops.Dedup.cdcChunks]]): the first doc to stream a chunk owns

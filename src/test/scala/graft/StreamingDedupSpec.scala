@@ -86,6 +86,58 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(all.last == Set(8L))
   }
 
+  test("ophBandClaims: same claim protocol, one-hash-per-shingle signatures — dups lose, uniques survive") {
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val textB = "completely different content about distributed stream processing engines and state"
+    val input = MemoryStream[(Long, String)]
+    val claims = StreamingDedup.ophBandClaims(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", ttlMinutes = 60)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = claims.toDF().writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = StreamingDedup.survivors(batch)
+          .collect().map(_.getLong(0)).toSet
+        if (s.nonEmpty || batch.count() > 0) batches.synchronized { batches += s }
+        ()
+      }
+      .start()
+    def awaitBatches(n: Int): Unit = {
+      val deadline = System.nanoTime() + 90_000_000_000L
+      while (batches.synchronized(batches.size) < n && System.nanoTime() < deadline)
+        Thread.sleep(200)
+    }
+    try {
+      // batch 1: exact same-batch dup of A (tie to min id) + unique B
+      input.addData(Seq((5L, textA), (1L, textA), (2L, textB)))
+      awaitBatches(1)
+      // batch 2: near-dup of A + a fresh unique doc — short docs borrow
+      // most OPH slots, so the near-dup's unchanged-run bands collide
+      // with doc 1's claims (deterministic for this fixture)
+      input.addData(Seq(
+        (7L, textA.replace("today", "tonight")),
+        (8L, "yet another unrelated document body mentioning graphs and joins entirely")
+      ))
+      awaitBatches(2)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val all = batches.toList
+    assert(all.nonEmpty)
+    assert(all.head == Set(1L, 2L)) // exact dup: identical bands, min id wins
+    assert(all.last == Set(8L)) // near-dup 7 loses >= 1 band; unique 8 survives
+  }
+
   test("streaming parse surfaces drop counts via observed metrics") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[String]
