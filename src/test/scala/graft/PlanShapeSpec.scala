@@ -733,4 +733,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("MapPartitions"),
       "decode must happen before the checkpoint, not inside the matrix plan")
   }
+
+  test("oph pairs: signature is one projection (no shuffle before banding), no cartesian") {
+    val df = graft.ops.Dedup.ophMd5Pairs(
+      spark.read.parquet(s"$dir/documents.parquet"), materialize = false)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("ObjectHashAggregate"), "bucket collect_list expected")
+    // signature + band explode stay map-side: exchanges are the bucket
+    // groupBy, the pair dedup, and the two verify joins — never a
+    // signature-frame shuffle carrying text
+    assert(plan.contains("oph_minhash_sig"), "native OPH expression must drive the plan")
+  }
+
+  test("sorted-neighborhood candidates: bucket probes equi-join, never nested-loop") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val df = graft.ops.RecordLinkage.sortedNeighborhoodCandidates(cust, w = 8)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "window pairing must ride the bucket equi-join, not a nested loop")
+    // the rank primitive pre-checkpoints, so the probe plan reads the
+    // ranked RDD scan — no unpartitioned window anywhere
+    assert(!plan.contains("Window"), "no window operator expected")
+  }
+
+  test("selfjoin size sketch: one key aggregation, sketch legs broadcast back") {
+    val plan = executedPlan("selfjoin_size_sketch")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastExchange"), "1-row sketch legs must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "nothing here may sort-merge")
+  }
 }
