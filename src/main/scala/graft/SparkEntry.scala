@@ -4109,7 +4109,11 @@ object SparkEntry {
       // run EVALUATED against the exact brute-force top-5 as gold —
       // recall@5 / MRR / nDCG quantify what bucket pruning loses, the
       // metric an ANN deployment tunes nprobe by (ops/Retrieval.scala
-      // evalMetrics over ops/Similarity.scala legs).
+      // evalMetrics over ops/Similarity.scala legs). Caveat (round 15):
+      // these gold queries (ids < 8) are ALSO the first 8 anchors, so
+      // each sits at its own bucket center and reads optimistically —
+      // ann_ivf_kmpp_recall re-grades both quantizers on unprivileged
+      // queries.
       val emb = table(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
       graft.ops.Retrieval
@@ -4119,6 +4123,34 @@ object SparkEntry {
             .select(col("query_id"), col("neighbor_id")),
           k = 5)
         .orderBy(col("query_id"))
+    },
+    "ann_ivf_kmpp_recall" -> { (s, dir) =>
+      // The coarse-quantizer decision priced on UNPRIVILEGED queries:
+      // ann_ivf_recall's gold queries (ids < 8) ARE its anchors, so each
+      // sits at its own bucket center and reads artificially perfect —
+      // this face evaluates ids 100..107 (in neither quantizer's
+      // training-privileged position) under BOTH schemes at the same
+      // nprobe=4 against one brute-force gold: 'anchor16' = first-16-ids
+      // quantizer, 'kmpp16' = k-means|| + Lloyd trained centroids (the
+      // FAISS-shaped learned quantizer, derandomized so the whole chain
+      // replays in SQL). 16 rows = 2 schemes x 8 queries
+      // (ops/Similarity.scala + ops/Clustering.scala).
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      val gold = Similarity
+        .bruteForceTopK(emb, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(eager = true)
+      Seq(
+        ("anchor16", Similarity.ivfAnchorTopK(emb, queries, k = 5)),
+        ("kmpp16", Similarity.ivfLearnedTopK(emb, queries, k = 5)))
+        .map { case (scheme, run) =>
+          graft.ops.Retrieval
+            .evalMetrics(run, gold, k = 5)
+            .select(lit(scheme).as("scheme"), col("*"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy(col("scheme"), col("query_id"))
     },
     "next_token_topk" -> { (s, dir) =>
       // Autocomplete table from the bigram LM: per context token (min
@@ -8227,7 +8259,24 @@ object SparkEntry {
     * unrolls — next to the naive-seed chain it extends. Emits the
     * two-method comparison row set.
     */
-  private def kmeansParallelOracle(rounds: Int = 3, k: Int = 8, ell: Int = 16): String = {
+  private def kmeansParallelOracle(rounds: Int = 3, k: Int = 8, ell: Int = 16): String =
+    s"""${kmeansParallelChain(rounds, k, ell)}
+       |SELECT 'lowest_id' AS method,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM c0 WHERE i = 0) AS n_candidates,
+       |  (SELECT CAST(sum(m) AS BIGINT) FROM (SELECT vec_id, min(d) AS m FROM d1 GROUP BY 1) x) AS inertia_seed,
+       |  (SELECT CAST(sum(m) AS BIGINT) FROM (SELECT vec_id, min(d) AS m FROM d2 GROUP BY 1) x) AS inertia_final
+       |UNION ALL
+       |SELECT 'parallel',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM pcand$rounds),
+       |  (SELECT CAST(sum(m) AS BIGINT) FROM (SELECT vec_id, min(d) AS m FROM pd1 GROUP BY 1) x),
+       |  (SELECT CAST(sum(m) AS BIGINT) FROM (SELECT vec_id, min(d) AS m FROM pd2 GROUP BY 1) x)""".stripMargin
+
+  /** The k-means‖ CTE chain alone (through `pc1` the final centroids and
+    * `pd2` the distances of every vector to them) — shared by the
+    * seeding-comparison oracle above and the learned-quantizer IVF
+    * replay (`ann_ivf_kmpp_recall`).
+    */
+  private def kmeansParallelChain(rounds: Int, k: Int, ell: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""pcx$r AS (SELECT e.vec_id AS cid, e.i, e.v FROM pex e JOIN pcand${r - 1} c ON c.cid = e.vec_id),
          |pdd$r AS MATERIALIZED (
@@ -8290,16 +8339,7 @@ object SparkEntry {
        |), pd2 AS MATERIALIZED (
        |  SELECT e.vec_id, c.cid, sum((e.v - c.v) * (e.v - c.v)) AS d
        |  FROM pex e JOIN pc1 c ON e.i = c.i GROUP BY 1, 2
-       |)
-       |SELECT 'lowest_id' AS method,
-       |  (SELECT CAST(count(*) AS BIGINT) FROM c0 WHERE i = 0) AS n_candidates,
-       |  (SELECT CAST(sum(m) AS BIGINT) FROM (SELECT vec_id, min(d) AS m FROM d1 GROUP BY 1) x) AS inertia_seed,
-       |  (SELECT CAST(sum(m) AS BIGINT) FROM (SELECT vec_id, min(d) AS m FROM d2 GROUP BY 1) x) AS inertia_final
-       |UNION ALL
-       |SELECT 'parallel',
-       |  (SELECT CAST(count(*) AS BIGINT) FROM pcand$rounds),
-       |  (SELECT CAST(sum(m) AS BIGINT) FROM (SELECT vec_id, min(d) AS m FROM pd1 GROUP BY 1) x),
-       |  (SELECT CAST(sum(m) AS BIGINT) FROM (SELECT vec_id, min(d) AS m FROM pd2 GROUP BY 1) x)""".stripMargin
+       |)""".stripMargin
   }
 
   /** The D4 curation replay shared by `d4_flags` and `d4_prune_report`:
@@ -15493,6 +15533,99 @@ object SparkEntry {
         |    ELSE 0 END AS BIGINT) AS ndcg_bp
         |FROM base b LEFT JOIN nr USING (query_id) LEFT JOIN hits USING (query_id)
         |ORDER BY query_id""".stripMargin,
+    "ann_ivf_kmpp_recall" ->
+      s"""${kmeansParallelChain(3, 16, 32)}, kvecs AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE len(embedding) = 64
+        |), gscored AS (
+        |  SELECT q.vec_id AS query_id, cv.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, cv.v), 6) AS cos_sim
+        |  FROM kvecs q, kvecs cv
+        |  WHERE q.vec_id BETWEEN 100 AND 107 AND q.vec_id != cv.vec_id
+        |), rel AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS brank
+        |    FROM gscored
+        |  ) WHERE brank <= 5
+        |), disc AS (
+        |  SELECT CAST(i + 1 AS INT) AS rnk,
+        |    CAST(floor(1000000 / log2(i + 2) + 0.5e0) AS BIGINT) AS dm
+        |  FROM (SELECT unnest(range(5)) AS i)
+        |), pre AS (
+        |  SELECT rnk, CAST(sum(dm) OVER (ORDER BY rnk) AS BIGINT) AS cum FROM disc
+        |), nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1
+        |), ivassign AS (
+        |  SELECT vec_id, cid AS bucket,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |  FROM pd2
+        |), lcb AS (SELECT vec_id AS neighbor_id, bucket FROM ivassign WHERE rk = 1),
+        |lqb AS (SELECT vec_id AS query_id, bucket FROM ivassign
+        |        WHERE rk <= 4 AND vec_id BETWEEN 100 AND 107),
+        |avecs AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE len(embedding) = 64
+        |), anchors AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, qv AS av
+        |  FROM avecs ORDER BY vec_id LIMIT 16
+        |), adists AS (
+        |  SELECT vv.vec_id, a.ai,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (vv.qv[i] - a.av[i]) * (vv.qv[i] - a.av[i]))) AS d2
+        |  FROM avecs vv, anchors a
+        |), aassign AS (
+        |  SELECT vec_id, ai AS bucket,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
+        |  FROM adists
+        |), acb AS (SELECT vec_id AS neighbor_id, bucket FROM aassign WHERE rk = 1),
+        |aqb AS (SELECT vec_id AS query_id, bucket FROM aassign
+        |        WHERE rk <= 4 AND vec_id BETWEEN 100 AND 107),
+        |cand2 AS (
+        |  SELECT 'kmpp16' AS scheme, query_id, neighbor_id FROM (
+        |    SELECT DISTINCT query_id, neighbor_id
+        |    FROM lqb JOIN lcb USING (bucket) WHERE query_id != neighbor_id)
+        |  UNION ALL
+        |  SELECT 'anchor16', query_id, neighbor_id FROM (
+        |    SELECT DISTINCT query_id, neighbor_id
+        |    FROM aqb JOIN acb USING (bucket) WHERE query_id != neighbor_id)
+        |), iscored AS (
+        |  SELECT c.scheme, c.query_id, c.neighbor_id,
+        |    round(list_cosine_similarity(qv.v, cv.v), 6) AS cos_sim
+        |  FROM cand2 c JOIN kvecs qv ON qv.vec_id = c.query_id
+        |               JOIN kvecs cv ON cv.vec_id = c.neighbor_id
+        |), topk AS (
+        |  SELECT scheme, query_id, neighbor_id, rank FROM (
+        |    SELECT scheme, query_id, neighbor_id,
+        |      CAST(row_number() OVER (PARTITION BY scheme, query_id
+        |        ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+        |    FROM iscored
+        |  ) WHERE rank <= 5
+        |), hits AS (
+        |  SELECT t.scheme, t.query_id, CAST(count(*) AS BIGINT) AS n_hit,
+        |    CAST(min(t.rank) AS BIGINT) AS first_rank,
+        |    CAST(sum(d.dm) AS BIGINT) AS dcg_micro
+        |  FROM topk t
+        |  JOIN rel r ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+        |  JOIN disc d ON d.rnk = t.rank
+        |  GROUP BY 1, 2
+        |), base AS (SELECT DISTINCT scheme, query_id FROM topk)
+        |SELECT b.scheme, b.query_id,
+        |  coalesce(n_rel, 0) AS n_rel, coalesce(n_hit, 0) AS n_hit,
+        |  coalesce(first_rank, 0) AS first_rank,
+        |  CAST(CASE WHEN n_rel > 0 THEN (coalesce(n_hit, 0) * 20000 + n_rel) // (2 * n_rel)
+        |       ELSE 0 END AS BIGINT) AS recall_bp,
+        |  CAST(CASE WHEN first_rank IS NOT NULL THEN (2000000 + first_rank) // (2 * first_rank)
+        |       ELSE 0 END AS BIGINT) AS mrr_micro,
+        |  coalesce(dcg_micro, 0) AS dcg_micro,
+        |  CAST(CASE WHEN n_rel > 0 THEN
+        |    (coalesce(dcg_micro, 0) * 20000 + (SELECT cum FROM pre WHERE rnk = least(n_rel, 5)))
+        |      // (2 * (SELECT cum FROM pre WHERE rnk = least(n_rel, 5)))
+        |    ELSE 0 END AS BIGINT) AS ndcg_bp
+        |FROM base b
+        |LEFT JOIN nr ON nr.query_id = b.query_id
+        |LEFT JOIN hits ON hits.scheme = b.scheme AND hits.query_id = b.query_id
+        |ORDER BY b.scheme, b.query_id""".stripMargin,
     "next_token_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents

@@ -262,6 +262,27 @@ object Clustering {
     (chosen.toSeq.zipWithIndex.map { case (id, i) => (i, byId(id)) }, pool.size)
   }
 
+  /** k-means‖ seeds run through `iters` Lloyd rounds — the trained
+    * centroid set as a reusable value (cluster ids = seed selection
+    * order, clusters retired by the update rule absent), for operators
+    * that want a LEARNED coarse quantizer ([[graft.ops.Similarity]]'s
+    * IVF faces) with the exact integer semantics of the kmeans family.
+    */
+  def parallelLloydCentroids(
+      emb: DataFrame,
+      k: Int,
+      ell: Int,
+      rounds: Int = 3,
+      iters: Int = 2,
+      scale: Long = 10000L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Seq[(Int, Seq[Long])] = {
+    val qv = quantized(emb, idCol, vecCol, scale).localCheckpoint(eager = true)
+    val (seeds, _) = parallelInitSeeds(emb, k, ell, rounds, scale, idCol, vecCol)
+    lloydFromSeeds(qv, seeds, iters)._2
+  }
+
   /** The seeding decision priced on THIS corpus: naive lowest-id seeds
     * vs k-means|| seeds, each run through the SAME Lloyd iterations, with
     * the exact integer inertia (Σ per-vector min squared distance, the

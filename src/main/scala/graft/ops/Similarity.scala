@@ -1161,6 +1161,66 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF top-k with a LEARNED coarse quantizer — the FAISS-shaped upgrade
+    * of [[ivfAnchorTopK]]: centroids come from k-means‖ seeding + Lloyd
+    * ([[graft.ops.Clustering.parallelLloydCentroids]] — derandomized, so
+    * still fully oracle-checkable) instead of the first `nCentroids`
+    * corpus vectors in id order. Arbitrary anchors partition the space
+    * wherever the ids happened to land; trained centroids sit at density
+    * modes, so buckets are balanced and a query's nprobe nearest buckets
+    * hold more of its true neighbours at the same probe budget — the
+    * recall-per-probe gain `ann_ivf_kmpp_recall` measures against the
+    * same brute-force gold the anchor face is graded by.
+    *
+    * Assignment and probing run at the kmeans family's 10⁴ quantization
+    * with the (distance, cluster-id) lexicographic tie-break — integer
+    * exact; candidate cosine and the top-k contract are identical to the
+    * anchor face. Join-side contract at scale: same as [[ivfAnchorTopK]]
+    * (broadcast the bounded query side; scale nCentroids with the corpus
+    * when queries ≡ corpus).
+    */
+  def ivfLearnedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nprobe: Int = 4,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      broadcastQueries: Boolean = true
+  ): DataFrame = {
+    import graft.ops.Clustering
+    val base = corpus.filter(size(col(vecCol)) === dim)
+    val cents = Clustering.parallelLloydCentroids(
+      base, nCentroids, ell = 2 * nCentroids, rounds = 3, iters = 2,
+      scale = 10000L, idCol = idCol, vecCol = vecCol)
+    def probeOrder(qv: Column): Column =
+      sort_array(array(cents.map { case (cid, c) =>
+        struct(Clustering.sqDistL(qv, typedLit(c)).as("d"), lit(cid).as("i"))
+      }: _*))
+    val c = base
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        Clustering.quantize(col(vecCol), 10000L).as("cq"))
+      .withColumn("bucket", element_at(probeOrder(col("cq")), 1).getField("i"))
+      .drop("cq")
+    val q = queries
+      .filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        Clustering.quantize(col(vecCol), 10000L).as("qq"))
+      .withColumn("probe", explode(slice(probeOrder(col("qq")), 1, nprobe)))
+      .select(col("query_id"), col("q_vec"), col("probe").getField("i").as("bucket"))
+    val scored = c
+      .join(if (broadcastQueries) broadcast(q) else q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")
+      )
+    topKPerQuery(scored, k)
+  }
+
   /** Index-maintenance report for the anchor-IVF layout: assign a DELTA
     * batch of new vectors to the EXISTING quantizer (anchors trained on
     * the base corpus) and report, per bucket, how the index is aging —

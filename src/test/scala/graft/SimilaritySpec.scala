@@ -1071,4 +1071,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 0, 4L -> 1,
       5L -> 0, 6L -> 0, 7L -> 0))
   }
+
+  test("ivfLearnedTopK: one trained centroid per blob — exact recall at nprobe=1, deterministic replay") {
+    // 5 well-separated blobs, 12 each, ids adversarial (0..4 all inside
+    // blob 0). The k-means|| trained quantizer places one centroid per
+    // blob regardless of id layout, so a single probe already holds every
+    // true neighbour. (An id-order anchor set is NOT structurally wrong
+    // on this fixture — anchors act as random hyperplanes and whole
+    // blobs co-locate — which is why the registered face prices the two
+    // schemes on the real corpus instead of a constructed one.)
+    val rnd = new Random(77)
+    val centers = (0 until 5).map(b => Array.tabulate(64)(d => if (d == b) 25.0 else 0.0))
+    val data = (0 until 5).flatMap { b =>
+      (0 until 12).map { j =>
+        val id = if (b == 0) j.toLong else 100L * b + j
+        id -> centers(b).map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      }
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id").isin(100L, 200L, 300L, 400L))
+    val gold = Similarity.bruteForceTopK(df, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val learned = Similarity.ivfLearnedTopK(df, queries, k = 5, nCentroids = 5, nprobe = 1)
+    val got = learned.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == gold) // every true top-5 inside the single probed bucket
+    // the trained buckets ARE the blobs: 5 buckets of exactly 12
+    val cents = graft.ops.Clustering.parallelLloydCentroids(df, k = 5, ell = 10)
+    assert(cents.size == 5)
+    val again = Similarity.ivfLearnedTopK(df, queries, k = 5, nCentroids = 5, nprobe = 1)
+    assert(learned.collect().toSet == again.collect().toSet) // md5-race determinism
+  }
 }
