@@ -1190,11 +1190,32 @@ object Similarity {
       vecCol: String = "embedding",
       broadcastQueries: Boolean = true
   ): DataFrame = {
-    import graft.ops.Clustering
     val base = corpus.filter(size(col(vecCol)) === dim)
-    val cents = Clustering.parallelLloydCentroids(
+    val cents = graft.ops.Clustering.parallelLloydCentroids(
       base, nCentroids, ell = 2 * nCentroids, rounds = 3, iters = 2,
       scale = 10000L, idCol = idCol, vecCol = vecCol)
+    ivfCentroidTopK(corpus, queries, k, cents, nprobe, dim, idCol, vecCol, broadcastQueries)
+  }
+
+  /** The probe/score stage of [[ivfLearnedTopK]] against an ALREADY
+    * trained centroid set — the injectable-leg contract of this family
+    * (train once via [[graft.ops.Clustering.parallelLloydCentroids]],
+    * serve many query batches; the registered face memoizes the training
+    * per session through it).
+    */
+  def ivfCentroidTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      cents: Seq[(Int, Seq[Long])],
+      nprobe: Int = 4,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      broadcastQueries: Boolean = true
+  ): DataFrame = {
+    import graft.ops.Clustering
+    val base = corpus.filter(size(col(vecCol)) === dim)
     def probeOrder(qv: Column): Column =
       sort_array(array(cents.map { case (cid, c) =>
         struct(Clustering.sqDistL(qv, typedLit(c)).as("d"), lit(cid).as("i"))
