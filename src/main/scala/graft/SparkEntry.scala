@@ -2848,6 +2848,21 @@ object SparkEntry {
       // lesson as data (ops/HeavyHitters.scala).
       graft.ops.HeavyHitters.selfJoinSizeSketch(eventsTable(s, dir), "user_id")
     },
+    "join_size_sketch" -> { (s, dir) =>
+      // The general two-table form of selfjoin_size_sketch:
+      // |lineitem JOIN orders| estimated from two INDEPENDENTLY built
+      // 5x256 sketches (AMS product median, CMS inner-product min) next
+      // to the exact inner product — the fact-fact join sized before
+      // the shuffle, from sketches that never saw each other's data.
+      // Measured at sf0.1 (150k distinct keys): AMS lands within ~2x;
+      // CMS reads 586x over — its additive nA*nB/w term needs w scaled
+      // to the key cardinality, which at 256 it is not. Same estimator-
+      // selection lesson as the self-join face, at the cardinality that
+      // breaks CMS completely (ops/HeavyHitters.scala).
+      graft.ops.HeavyHitters.joinSizeSketch(
+        table(s, dir, "lineitem"), "l_orderkey",
+        table(s, dir, "orders"), "o_orderkey")
+    },
     "stratified_sample" -> { (s, dir) =>
       // Corpus mixing: per-language keep rates, membership a pure function
       // of (doc_id, seed) — map-only, reproducible, oracle-exact.
@@ -14045,6 +14060,51 @@ object SparkEntry {
         |SELECT token, CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS est
         |FROM pb LEFT JOIN sketch USING (j, bucket)
         |GROUP BY 1""".stripMargin,
+    "join_size_sketch" ->
+      """WITH fa AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1
+        |), fb AS (
+        |  SELECT CAST(o_orderkey AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1
+        |), ex AS (
+        |  SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM fa) AS n_keys_a,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM fb) AS n_keys_b,
+        |    (SELECT CAST(coalesce(sum(fa.c * fb.c), 0) AS BIGINT)
+        |     FROM fa JOIN fb USING (k)) AS join_exact
+        |), ca AS (
+        |  SELECT j.j AS j,
+        |    CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '-' || k), 1, 8)) AS BIGINT) % 256 AS bucket,
+        |    CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM fa, range(5) j(j) GROUP BY 1, 2
+        |), cb AS (
+        |  SELECT j.j AS j,
+        |    CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '-' || k), 1, 8)) AS BIGINT) % 256 AS bucket,
+        |    CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM fb, range(5) j(j) GROUP BY 1, 2
+        |), cip AS (
+        |  SELECT ca.j, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS ip
+        |  FROM ca JOIN cb ON cb.j = ca.j AND cb.bucket = ca.bucket GROUP BY 1
+        |), cmse AS (SELECT CAST(min(ip) AS BIGINT) AS cms_est FROM cip),
+        |aa AS (
+        |  SELECT j.j AS j, CAST(sum(
+        |    ((CAST(('0x' || substr(md5('s' || CAST(j.j AS VARCHAR) || '-' || k), 1, 8)) AS BIGINT) & 1) * 2 - 1) * c
+        |  ) AS BIGINT) AS s
+        |  FROM fa, range(5) j(j) GROUP BY 1
+        |), ab AS (
+        |  SELECT j.j AS j, CAST(sum(
+        |    ((CAST(('0x' || substr(md5('s' || CAST(j.j AS VARCHAR) || '-' || k), 1, 8)) AS BIGINT) & 1) * 2 - 1) * c
+        |  ) AS BIGINT) AS s
+        |  FROM fb, range(5) j(j) GROUP BY 1
+        |), amse AS (
+        |  SELECT CAST((list_sort(list(aa.s * ab.s)))[3] AS BIGINT) AS ams_est
+        |  FROM aa JOIN ab ON ab.j = aa.j
+        |)
+        |SELECT n_keys_a, n_keys_b, join_exact, cms_est, ams_est,
+        |  CAST((abs(cms_est - join_exact) * 20000 + join_exact) // (2 * greatest(join_exact, 1)) AS BIGINT) AS cms_err_bps,
+        |  CAST((abs(ams_est - join_exact) * 20000 + join_exact) // (2 * greatest(join_exact, 1)) AS BIGINT) AS ams_err_bps
+        |FROM ex, cmse, amse""".stripMargin,
     "selfjoin_size_sketch" ->
       """WITH freq AS (
         |  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1

@@ -168,6 +168,74 @@ object HeavyHitters {
           .as("ams_err_bps"))
   }
 
+  /** TWO-table join-size estimation — the general inner product
+    * |A ⋈ B| = Σ_k cA(k)·cB(k) that [[selfJoinSizeSketch]] specializes:
+    * the same two estimators (AMS: E[S_A,j·S_B,j] = the inner product,
+    * median over rows; CMS: Σ_b cntA·cntB per row, min over rows, upper
+    * bound) against the exact answer. The planner question this prices:
+    * estimate a fact–fact join's output from two INDEPENDENTLY built,
+    * mergeable d·w sketches before paying the shuffle — A's and B's
+    * sketches never see each other's data, only the shared seeded hash
+    * family (AMS 1996 / Cormode–Muthukrishnan 2005 inner-product
+    * guarantee: additive error nA·nB/w for CMS). Keys hash as strings so
+    * heterogeneous column types join consistently.
+    */
+  def joinSizeSketch(
+      dfA: DataFrame,
+      keyColA: String,
+      dfB: DataFrame,
+      keyColB: String,
+      depth: Int = 5,
+      width: Int = 256
+  ): DataFrame = {
+    require(depth >= 1 && depth % 2 == 1, "odd depth so the AMS median is one order statistic")
+    def freqOf(df: DataFrame, c: String) =
+      df.groupBy(col(c).cast("string").as("k"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = true)
+    val fa = freqOf(dfA, keyColA)
+    val fb = freqOf(dfB, keyColB)
+    val exact = fa
+      .join(fb.select(col("k"), col("c").as("cb")), Seq("k"))
+      .agg(coalesce(sum(col("c") * col("cb")), lit(0L)).as("join_exact"))
+      .crossJoin(broadcast(fa.agg(count(lit(1)).as("n_keys_a"))))
+      .crossJoin(broadcast(fb.agg(count(lit(1)).as("n_keys_b"))))
+    def cmsRows(freq: DataFrame) = freq
+      .select(posexplode(array((0 until depth).map { j =>
+        struct(lit(j).as("j"), cmsBucket(col("k"), j, width).as("bucket"))
+      }: _*)).as(Seq("pos", "jb")), col("c"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(sum(col("c")).as("cnt"))
+    val cms = cmsRows(fa).withColumnRenamed("cnt", "ca")
+      .join(cmsRows(fb).withColumnRenamed("cnt", "cb2"), Seq("j", "bucket"))
+      .groupBy(col("j"))
+      .agg(sum(col("ca") * col("cb2")).as("ip"))
+      .agg(min(col("ip")).as("cms_est"))
+    def amsRows(freq: DataFrame) = freq
+      .select(posexplode(array((0 until depth).map { j =>
+        struct(
+          lit(j).as("j"),
+          (Dedup.md5Hash32(concat(lit(s"s$j-"), col("k"))).bitwiseAND(lit(1L)) * 2 - 1).as("sign"))
+      }: _*)).as(Seq("pos", "js")), col("c"))
+      .groupBy(col("js.j").as("j"))
+      .agg(sum(col("js.sign") * col("c")).as("s"))
+    val ams = amsRows(fa).withColumnRenamed("s", "sa")
+      .join(amsRows(fb).withColumnRenamed("s", "sb"), Seq("j"))
+      .select((col("sa") * col("sb")).as("p"))
+      .agg(sort_array(collect_list(col("p"))).as("all"))
+      .select(element_at(col("all"), depth / 2 + 1).as("ams_est"))
+    exact
+      .crossJoin(broadcast(cms))
+      .crossJoin(broadcast(ams))
+      .select(
+        col("n_keys_a"), col("n_keys_b"), col("join_exact"),
+        col("cms_est"), col("ams_est"),
+        expr("(abs(cms_est - join_exact) * 20000 + join_exact) DIV (2 * greatest(join_exact, 1))")
+          .as("cms_err_bps"),
+        expr("(abs(ams_est - join_exact) * 20000 + join_exact) DIV (2 * greatest(join_exact, 1))")
+          .as("ams_err_bps"))
+  }
+
   // ------------------------------------------------------------ HyperLogLog
 
   /** log2 of the register count, validated: m must be a power of two with

@@ -193,4 +193,38 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(g("cms_err_bps") == (math.abs(cmsRef - f2) * 20000 + f2) / (2 * f2))
     assert(g("ams_err_bps") == (math.abs(amsRef - f2) * 20000 + f2) / (2 * f2))
   }
+
+  test("joinSizeSketch: exact inner product, CMS upper bound, AMS product median match the reference") {
+    val rowsA = skewedItems(3000, 11).zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val rowsB = skewedItems(2000, 12).zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val r = HeavyHitters
+      .joinSizeSketch(rowsA.toDF("i", "ka"), "ka", rowsB.toDF("i", "kb"), "kb")
+      .head()
+    def g(n: String) = r.getLong(r.fieldIndex(n))
+    val fa = rowsA.groupBy(_._2).map { case (k, xs) => (k, xs.length.toLong) }
+    val fb = rowsB.groupBy(_._2).map { case (k, xs) => (k, xs.length.toLong) }
+    val exact = fa.map { case (k, c) => c * fb.getOrElse(k, 0L) }.sum
+    assert(g("n_keys_a") == fa.size.toLong && g("n_keys_b") == fb.size.toLong)
+    assert(g("join_exact") == exact)
+    assert(g("cms_est") >= exact) // collisions only ADD cross terms
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val cmsRef = (0 until 5).map { j =>
+      def buckets(f: Map[String, Long]) = {
+        val b = new Array[Long](256)
+        f.foreach { case (k, c) => b((h32(s"$j-$k") % 256).toInt) += c }
+        b
+      }
+      buckets(fa).zip(buckets(fb)).map { case (x, y) => x * y }.sum
+    }.min
+    val amsRef = {
+      def s(f: Map[String, Long], j: Int) =
+        f.map { case (k, c) => ((h32(s"s$j-$k") & 1L) * 2 - 1) * c }.sum
+      (0 until 5).map(j => s(fa, j) * s(fb, j)).sorted.apply(2)
+    }
+    assert(g("cms_est") == cmsRef)
+    assert(g("ams_est") == amsRef) // can be negative: sign algebra pinned
+  }
 }
