@@ -4151,6 +4151,22 @@ object SparkEntry {
           k = 5)
         .orderBy(col("query_id"))
     },
+    "ann_ivf_quantizer_sweep" -> { (s, dir) =>
+      // The full recall-per-cost CURVE behind the quantizer decision:
+      // per (scheme, nprobe in {1,2,4,8}) the candidate volume and the
+      // CANDIDATE-level gold recall (pre-ranking — purely what the
+      // probed buckets make reachable) on the same unprivileged queries
+      // as ann_ivf_kmpp_recall. One assignment pass per scheme serves
+      // all four widths; the trained quantizer rides the session memo
+      // (ops/Similarity.scala).
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      graft.ops.Similarity.ivfQuantizerProbeSweep(
+        emb, queries,
+        Similarity.bruteForceTopK(emb, queries, k = 5)
+          .select(col("query_id"), col("neighbor_id")),
+        sharedKmppCentroids(s, dir))
+    },
     "ann_ivf_kmpp_recall" -> { (s, dir) =>
       // The coarse-quantizer decision priced on UNPRIVILEGED queries:
       // ann_ivf_recall's gold queries (ids < 8) ARE its anchors, so each
@@ -15605,6 +15621,61 @@ object SparkEntry {
         |    ELSE 0 END AS BIGINT) AS ndcg_bp
         |FROM base b LEFT JOIN nr USING (query_id) LEFT JOIN hits USING (query_id)
         |ORDER BY query_id""".stripMargin,
+    "ann_ivf_quantizer_sweep" -> {
+      val combos = for {
+        scheme <- Seq("anchor16", "kmpp16")
+        np <- Seq(1, 2, 4, 8)
+      } yield {
+        val asg = if (scheme == "anchor16") "aassign" else "ivassign"
+        s"""SELECT '$scheme' AS scheme, CAST($np AS INT) AS nprobe,
+           |  CAST(count(*) AS BIGINT) AS n_candidates,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM rel) AS n_gold,
+           |  CAST(count(g.query_id) AS BIGINT) AS n_hit,
+           |  CAST(floor((20000 * count(g.query_id) + (SELECT count(*) FROM rel))
+           |    / (2.0 * (SELECT count(*) FROM rel))) AS BIGINT) AS recall_bps
+           |FROM (SELECT vec_id AS query_id, bucket FROM $asg
+           |      WHERE rk <= $np AND vec_id BETWEEN 100 AND 107) q
+           |JOIN (SELECT vec_id AS neighbor_id, bucket FROM $asg WHERE rk = 1) c USING (bucket)
+           |LEFT JOIN rel g ON g.query_id = q.query_id AND g.neighbor_id = c.neighbor_id
+           |WHERE q.query_id != c.neighbor_id""".stripMargin
+      }
+      s"""${kmeansParallelChain(3, 16, 32)}, kvecs AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE len(embedding) = 64
+        |), gscored AS (
+        |  SELECT q.vec_id AS query_id, cv.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(q.v, cv.v), 6) AS cos_sim
+        |  FROM kvecs q, kvecs cv
+        |  WHERE q.vec_id BETWEEN 100 AND 107 AND q.vec_id != cv.vec_id
+        |), rel AS MATERIALIZED (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_sim DESC, neighbor_id) AS brank
+        |    FROM gscored
+        |  ) WHERE brank <= 5
+        |), ivassign AS MATERIALIZED (
+        |  SELECT vec_id, cid AS bucket,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+        |  FROM pd2
+        |), avecs AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE len(embedding) = 64
+        |), anchors AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ai, qv AS av
+        |  FROM avecs ORDER BY vec_id LIMIT 16
+        |), adists AS (
+        |  SELECT vv.vec_id, a.ai,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (vv.qv[i] - a.av[i]) * (vv.qv[i] - a.av[i]))) AS d2
+        |  FROM avecs vv, anchors a
+        |), aassign AS MATERIALIZED (
+        |  SELECT vec_id, ai AS bucket,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, ai) AS rk
+        |  FROM adists
+        |)
+        |${combos.mkString("\nUNION ALL\n")}""".stripMargin
+    },
     "ann_ivf_kmpp_recall" ->
       s"""${kmeansParallelChain(3, 16, 32)}, kvecs AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -1242,6 +1242,74 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** The nprobe knob swept for BOTH coarse quantizers at once — the
+    * recall-per-cost CURVE behind the anchor-vs-learned decision
+    * (`ann_ivf_kmpp_recall` reads one point of it): per
+    * (scheme, nprobe) the candidate count (the exact-scoring cost the
+    * probe budget buys) and the CANDIDATE-level recall against the
+    * gold pairs — before top-k truncation, so the number is purely the
+    * quantizer's (what the probed buckets make reachable), not the
+    * ranker's. One assignment pass per scheme (checkpointed: ids ×
+    * probe-rank × bucket, metadata-scale) serves every nprobe — the
+    * ivf_nprobe_sweep discipline.
+    */
+  def ivfQuantizerProbeSweep(
+      corpus: DataFrame,
+      queries: DataFrame,
+      goldPairs: DataFrame,
+      cents: Seq[(Int, Seq[Long])],
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+      nAnchors: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(nprobes.nonEmpty)
+    import graft.ops.Clustering
+    val base = corpus.filter(size(col(vecCol)) === dim)
+    val gold = goldPairs.select(col("query_id"), col("neighbor_id"), lit(1L).as("g"))
+    val qids = queries.select(col(idCol).cast("long").as("qid")).distinct()
+    val anchors = lowestIdAnchorsMicro(base, nAnchors, idCol, vecCol)
+    def centOrder(qv: Column): Column =
+      sort_array(array(cents.map { case (cid, c) =>
+        struct(Clustering.sqDistL(qv, typedLit(c)).as("d"), lit(cid).as("i"))
+      }: _*))
+    val legs = Seq(
+      ("anchor16", (v: Column) => anchorProbeOrder(microVec(v), anchors)),
+      ("kmpp16", (v: Column) => centOrder(Clustering.quantize(v, 10000L))))
+    legs.map { case (scheme, order) =>
+      val ranked = base
+        .select(col(idCol).cast("long").as("id"),
+          posexplode(order(col(vecCol))).as(Seq("pos", "pb")))
+        .select(col("id"), (col("pos") + 1).as("rk"), col("pb").getField("i").as("bucket"))
+        .localCheckpoint(eager = true)
+      val cbuck = ranked.filter(col("rk") === 1)
+        .select(col("id").as("neighbor_id"), col("bucket"))
+      val qbuck = ranked
+        .join(broadcast(qids), ranked("id") === qids("qid"))
+        .select(col("id").as("query_id"), col("rk"), col("bucket"))
+      nprobes.map { np =>
+        qbuck.filter(col("rk") <= np)
+          .join(cbuck, Seq("bucket"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .join(gold, Seq("query_id", "neighbor_id"), "left")
+          .agg(
+            count(lit(1)).as("n_candidates"),
+            coalesce(sum(coalesce(col("g"), lit(0L))), lit(0L)).as("n_hit"))
+          .crossJoin(broadcast(gold.agg(count(lit(1)).as("n_gold"))))
+          .select(
+            lit(scheme).as("scheme"),
+            lit(np).as("nprobe"),
+            col("n_candidates"),
+            col("n_gold"),
+            col("n_hit"),
+            when(col("n_gold") > 0,
+              floor((lit(20000L) * col("n_hit") + col("n_gold")) /
+                (lit(2L) * col("n_gold"))).cast("long")).as("recall_bps"))
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+  }
+
   /** Index-maintenance report for the anchor-IVF layout: assign a DELTA
     * batch of new vectors to the EXISTING quantizer (anchors trained on
     * the base corpus) and report, per bucket, how the index is aging —

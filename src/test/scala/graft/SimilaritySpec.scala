@@ -1100,5 +1100,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cents.size == 5)
     val again = Similarity.ivfLearnedTopK(df, queries, k = 5, nCentroids = 5, nprobe = 1)
     assert(learned.collect().toSet == again.collect().toSet) // md5-race determinism
+
+    // probe sweep invariants on the same fixture: candidates and hits
+    // monotone in nprobe for BOTH schemes, and probing every bucket is
+    // exhaustive (recall 10000, candidates = |queries| * (n - 1))
+    val gold5 = Similarity.bruteForceTopK(df, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val sweep = Similarity
+      .ivfQuantizerProbeSweep(df, queries, gold5, cents, nprobes = Seq(1, 2, 5), nAnchors = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(4), r.getLong(5)))
+      .toMap
+    for (scheme <- Seq("anchor16", "kmpp16")) {
+      val curve = Seq(1, 2, 5).map(np => sweep((scheme, np)))
+      assert(curve.map(_._1) == curve.map(_._1).sorted, s"$scheme candidates monotone")
+      assert(curve.map(_._2) == curve.map(_._2).sorted, s"$scheme hits monotone")
+      assert(curve.last == ((4L * 59L, 20L, 10000L)), s"$scheme exhaustive at full width")
+    }
   }
 }
