@@ -2848,6 +2848,16 @@ object SparkEntry {
       // lesson as data (ops/HeavyHitters.scala).
       graft.ops.HeavyHitters.selfJoinSizeSketch(eventsTable(s, dir), "user_id")
     },
+    "f2_width_sweep" -> { (s, dir) =>
+      // The CMS width knob behind selfjoin_size_sketch's 5.7x overshoot,
+      // measured as a curve: per w in {256,1k,4k,16k} the min-over-rows
+      // inner product and its error bps vs the exact moment — the n²/w
+      // additive term should quarter per 4x width; the curve shows where
+      // the estimate becomes decision-grade on THIS key distribution.
+      // One frequency aggregation serves all four widths
+      // (ops/HeavyHitters.scala).
+      graft.ops.HeavyHitters.f2WidthSweep(eventsTable(s, dir), "user_id")
+    },
     "join_size_sketch" -> { (s, dir) =>
       // The general two-table form of selfjoin_size_sketch:
       // |lineitem JOIN orders| estimated from two INDEPENDENTLY built
@@ -14076,6 +14086,29 @@ object SparkEntry {
         |SELECT token, CAST(min(COALESCE(cnt, 0)) AS BIGINT) AS est
         |FROM pb LEFT JOIN sketch USING (j, bucket)
         |GROUP BY 1""".stripMargin,
+    "f2_width_sweep" -> {
+      val legs = Seq(256, 1024, 4096, 16384).map { w =>
+        s"""SELECT CAST($w AS INT) AS width,
+           |  (SELECT f2 FROM fex) AS f2_exact,
+           |  CAST(min(sq) AS BIGINT) AS cms_est,
+           |  CAST((abs(min(sq) - (SELECT f2 FROM fex)) * 20000 + (SELECT f2 FROM fex))
+           |    // (2 * greatest((SELECT f2 FROM fex), 1)) AS BIGINT) AS cms_err_bps
+           |FROM (
+           |  SELECT j, CAST(sum(cnt * cnt) AS BIGINT) AS sq FROM (
+           |    SELECT j.j AS j,
+           |      CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '-' || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % $w AS bucket,
+           |      CAST(sum(c) AS BIGINT) AS cnt
+           |    FROM wfreq, range(5) j(j) GROUP BY 1, 2
+           |  ) GROUP BY j
+           |)""".stripMargin
+      }
+      s"""WITH wfreq AS MATERIALIZED (
+        |  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1
+        |), fex AS (
+        |  SELECT CAST(sum(c * c) AS BIGINT) AS f2 FROM wfreq
+        |)
+        |${legs.mkString("\nUNION ALL\n")}""".stripMargin
+    },
     "join_size_sketch" ->
       """WITH fa AS (
         |  SELECT CAST(l_orderkey AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS c

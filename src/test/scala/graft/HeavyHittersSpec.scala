@@ -227,4 +227,21 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(g("cms_est") == cmsRef)
     assert(g("ams_est") == amsRef) // can be negative: sign algebra pinned
   }
+
+  test("f2WidthSweep: upper bound at every width, error collapses as width grows, w=256 row equals the point face") {
+    val rows = skewedItems(4000, 77).zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val df = rows.toDF("i", "key")
+    val sweep = HeavyHitters
+      .f2WidthSweep(df, "key")
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(sweep.keySet == Set(256, 1024, 4096, 16384))
+    val f2 = sweep(256)._1
+    sweep.values.foreach { case (e, est, _) => assert(e == f2 && est >= f2) }
+    assert(sweep(16384)._3 < sweep(256)._3) // the n²/w term collapses
+    // width-256 leg is the same estimator the point face reports
+    val point = HeavyHitters.selfJoinSizeSketch(df, "key").head()
+    assert(sweep(256)._2 == point.getLong(point.fieldIndex("cms_est")))
+  }
 }
