@@ -14,15 +14,27 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * The buffer is a sorted Vector capped at k: O(log k) search + O(k) patch
   * per insert; k is small (top-k search), so the constant beats heap churn.
+  *
+  * `distinctIds = true` additionally dedups by id INSIDE the heap (first
+  * entry wins), for inputs where the score is functionally determined by
+  * (group, id) — e.g. the beam-search hop, where the same candidate node is
+  * reached along several edges with the identical cosine. That folds the
+  * dedup that would otherwise need its own groupBy EXCHANGE into the
+  * aggregation that already runs (guide §2.3/§2.4: aggregate before you
+  * shuffle; remove shuffles outright). Only valid under that functional-
+  * dependency contract: with conflicting scores per id it keeps whichever
+  * arrives first and is NOT deterministic.
   */
-class TopKAgg(k: Int) extends Aggregator[(Long, Double), TopKAgg.Buf, TopKAgg.Buf] {
+class TopKAgg(k: Int, distinctIds: Boolean = false)
+    extends Aggregator[(Long, Double), TopKAgg.Buf, TopKAgg.Buf] {
   import TopKAgg.{Buf, Entry}
 
   private def better(a: Entry, b: Entry): Boolean =
     a.score > b.score || (a.score == b.score && a.id < b.id)
 
   private def insert(buf: Vector[Entry], x: Entry): Vector[Entry] =
-    if (buf.length >= k && better(buf.last, x)) buf
+    if (distinctIds && buf.exists(_.id == x.id)) buf
+    else if (buf.length >= k && better(buf.last, x)) buf
     else {
       val pos = buf.indexWhere(e => better(x, e)) match {
         case -1 => buf.length

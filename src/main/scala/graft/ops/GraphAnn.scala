@@ -88,8 +88,52 @@ object GraphAnn {
       hops: Int = 3,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
-  ): DataFrame = {
-    require(beam > k, s"beam ($beam) must exceed k ($k): the final rank drops self")
+  ): DataFrame =
+    finishTopK(
+      beamFrontiers(graph, corpus, queries, entry, beam, hops, idCol, vecCol,
+        checkpointHops = false).last,
+      k, beam)
+
+  /** The per-hop frontiers of the walk (hop 1 .. `hops`), each a
+    * (query_id, node_id, cos_sim) frame of ≤ queries × beam rows. The hop
+    * recurrence is prefix-stable — frontier_h depends only on
+    * frontier_{h-1} — so hop/entry sweeps and the final search are all
+    * slices of ONE walk instead of independent re-walks.
+    *
+    * Hop shape (optimization round 15; before/after plans in plans/r15):
+    * the old hop was `frontier ∪ (frontier ⋈ edges) → distinct → score →
+    * topK`, which references the frontier twice and therefore NEEDED an
+    * eager per-hop localCheckpoint (no common-subplan reuse in Spark), at
+    * ~6 scheduled jobs per hop (two exchanges, per-hop broadcast rebuilds,
+    * the checkpoint job). The new hop references the frontier ONCE —
+    * left-outer join to the edge list, explode(array(self, dst)) — and
+    * folds the dedup INTO the bounded top-k heap (TopKAgg distinctIds;
+    * guide §2.3 "aggregate before you shuffle", §2.4 "remove shuffles
+    * outright"): one exchange per hop, no checkpoint needed, and one lazy
+    * action executes the whole chain with the corpus/query broadcasts
+    * REUSED across hops (ReuseExchange) instead of rebuilt per hop.
+    * Candidate set and ranking are unchanged: the same (node ∪
+    * out-neighbors) per frontier entry, the same rounded cosine, the same
+    * (score desc, id asc) order — duplicates reach the heap with equal
+    * scores, so heap-dedup ≡ the old distinct (spec-pinned in GraphAnnSpec).
+    *
+    * `checkpointHops = true` pins each hop's frontier with an eager
+    * localCheckpoint — for callers that materialize SEVERAL hops of one
+    * walk (the memoized family walks), where a lazy prefix would re-execute
+    * per slice. Single-search callers leave it false and pay zero
+    * intermediate jobs.
+    */
+  def beamFrontiers(
+      graph: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      entry: DataFrame,
+      beam: Int,
+      hops: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      checkpointHops: Boolean = true
+  ): IndexedSeq[DataFrame] = {
     // hops = 0 would skip the loop and hand topKPerGroup a frontier with
     // no cos_sim column — an opaque unresolved-column analysis error.
     require(hops >= 1, s"hops ($hops) must be >= 1: the search must expand at least once")
@@ -97,23 +141,37 @@ object GraphAnn {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val edges = graph.select(col("src_id"), col("dst_id"))
     var frontier: DataFrame = entry.select(col("query_id"), col("node_id"))
+    val out = IndexedSeq.newBuilder[DataFrame]
     for (_ <- 1 to hops) {
+      // One frontier reference per hop: left-outer keeps no-out-edge nodes,
+      // explode emits the node itself once per matched edge (plus its
+      // neighbor) — the duplicates carry identical scores and die in the
+      // distinct-id heap below, exactly like the old union+distinct.
       val expanded = frontier
-        .select(col("query_id"), col("node_id"))
-        .unionByName(
-          frontier.join(edges, frontier("node_id") === edges("src_id"))
-            .select(col("query_id"), col("dst_id").as("node_id")))
-        .distinct()
+        .join(edges, frontier("node_id") === edges("src_id"), "left_outer")
+        .select(col("query_id"),
+          explode(array(col("node_id"), col("dst_id"))).as("node_id"))
+        .filter(col("node_id").isNotNull)
       val scored = expanded
         .join(c, Seq("node_id"))
         .join(broadcast(q), Seq("query_id"))
         .select(col("query_id"), col("node_id"),
           round(Similarity.cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim"))
-      frontier = Similarity
-        .topKPerGroup(scored, "query_id", "node_id", "cos_sim", beam)
+      val kept = Similarity
+        .topKPerGroup(scored, "query_id", "node_id", "cos_sim", beam, distinctIds = true)
         .drop("rank")
-        .localCheckpoint(eager = true) // queries × beam rows; truncates hop lineage
+      frontier = if (checkpointHops) kept.localCheckpoint(eager = true) else kept
+      out += frontier
     }
+    out.result()
+  }
+
+  /** The search tail applied to a walk frontier: drop self, rank top-k.
+    * Split out so sweep queries can slice a shared walk's per-hop
+    * frontiers without re-walking.
+    */
+  def finishTopK(frontier: DataFrame, k: Int, beam: Int): DataFrame = {
+    require(beam > k, s"beam ($beam) must exceed k ($k): the final rank drops self")
     Similarity.topKPerGroup(
       frontier.filter(col("node_id") =!= col("query_id")),
       "query_id", "node_id", "cos_sim", k)

@@ -57,7 +57,8 @@ object Similarity {
       groupCol: String,
       idCol: String,
       scoreCol: String,
-      k: Int
+      k: Int,
+      distinctIds: Boolean = false
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -78,7 +79,7 @@ object Similarity {
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues(t => (t._2, t._3))
-      .agg(new graft.functions.TopKAgg(k).toColumn.name("topk"))
+      .agg(new graft.functions.TopKAgg(k, distinctIds).toColumn.name("topk"))
       .flatMap { case (g, buf) =>
         buf.entries.iterator.zipWithIndex.map { case (e, i) => (g, e.id, e.score, i + 1) }
       }
