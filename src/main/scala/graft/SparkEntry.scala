@@ -109,10 +109,51 @@ object SparkEntry {
     * search-and-verify — the meter adds only its (by-definition
     * quadratic) gold leg. Returns (series, s2, topk-frame).
     */
+  /** The per-user hourly cents series and its total energies — the ONE
+    * corpus-sized pass of the whole PAA/TS-similarity family, memoized per
+    * (session, sfDir). Optimization r15: seven TS queries previously each
+    * re-ran this aggregation (plus two checkpoints) per bench pass.
+    */
+  private def sharedPaaSeries(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    sharedState(s, dir, "paaSeries") {
+      graft.ops.TimeSeries.paaSeriesShared(eventsTable(s, dir))
+    }
+
+  /** The PAA bound chain (sketch, upper bounds, seed threshold,
+    * survivors) per sketch granularity, memoized — shared by the
+    * prune-stats sweep legs and the pruned-topk production face.
+    */
+  private def sharedPaaChain(
+      s: SparkSession, dir: String, segments: Int): graft.ops.TimeSeries.PaaChain =
+    sharedState(s, dir, s"paaChain_$segments") {
+      val (series, s2) = sharedPaaSeries(s, dir)
+      graft.ops.TimeSeries.paaChainFrom(series, s2, maxQueryUser = 4L, k = 5, segments)
+    }
+
+  /** The exact brute cosine top-5 per query user (the
+    * ts_user_similarity_topk result), checkpointed once — the gold frame
+    * of the sketch-rerank sweep and (rank-1 slice) the SAX blocking
+    * recall meter.
+    */
+  private def sharedTsTopk5(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "tsTopk5") {
+      graft.ops.TimeSeries.tsSimilarityTopK(eventsTable(s, dir), maxQueryUser = 4L, k = 5)
+        .localCheckpoint(eager = true)
+    }
+
+  /** SAX word frame per granularity off the shared hour-series pass,
+    * memoized — read by ts_sax_words (4) and the blocking sweep (1, 2, 4).
+    */
+  private def sharedSaxWords(s: SparkSession, dir: String, segments: Int): DataFrame =
+    sharedLeg(s, dir, s"saxWords_$segments") {
+      graft.ops.TimeSeries.saxWordsFrom(sharedPaaSeries(s, dir)._1, segments)
+        .localCheckpoint(eager = true)
+    }
+
   private def sharedTsAllpairs(
       s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     sharedState(s, dir, "tsAllpairs") {
-      val (series, s2) = graft.ops.TimeSeries.paaSeriesShared(eventsTable(s, dir))
+      val (series, s2) = sharedPaaSeries(s, dir)
       val topk = graft.ops.TimeSeries
         .allPairsNeighborsFrom(series, s2, k = 5, segments = 180, nbits = 16,
           bands = 4, maxBucket = 1000)
@@ -2426,7 +2467,9 @@ object SparkEntry {
       // hour-keyed join against the broadcast query series, one
       // (queries × users)-row close, zero-overlap users included exactly
       // (ops/TimeSeries.scala).
-      graft.ops.TimeSeries.tsSimilarityTopK(eventsTable(s, dir))
+      // Optimization r15: memoized (sharedTsTopk5) — the frame is also
+      // the gold of ts_sketch_rerank_recall and ts_sax_blocking_recall.
+      sharedTsTopk5(s, dir)
     },
     "ts_paa_pruned_topk" -> { (s, dir) =>
       // The TS search with a blocking scheme that provably works: a
@@ -2436,15 +2479,21 @@ object SparkEntry {
       // whose bound clears it — output bit-identical to the brute search
       // (its oracle IS the brute SQL), the GEMINI contract the SAX sweep
       // showed equal-word bucketing cannot meet (ops/TimeSeries.scala).
-      graft.ops.TimeSeries.tsPaaPrunedTopK(eventsTable(s, dir))
+      // Optimization r15: the 180-segment chain is the memoized
+      // sharedPaaChain — shared with the prune-stats sweep's 180 leg.
+      graft.ops.TimeSeries.tsPaaPrunedTopKFrom(sharedPaaChain(s, dir, 180))
     },
     "ts_paa_prune_stats" -> { (s, dir) =>
       // The measured selectivity of the PAA bound: per query, candidate
       // count, seed threshold, survivors, pruned share in bps — whether
       // the index actually blocks at this corpus, same discipline as
       // lsh_blocking_recall / ts_sax_blocking_recall
-      // (ops/TimeSeries.scala).
-      graft.ops.TimeSeries.tsPaaPruneStats(eventsTable(s, dir))
+      // (ops/TimeSeries.scala). Optimization r15: the four granularity
+      // chains are memoized sharedPaaChain legs (the 180 one shared with
+      // ts_paa_pruned_topk) — the sweep no longer re-runs 4 corpus passes
+      // + 4 sketch builds per bench pass.
+      graft.ops.TimeSeries.tsPaaPruneStatsFrom(
+        Seq(8, 32, 64, 180).map(g => g -> sharedPaaChain(s, dir, g)))
     },
     "ts_sketch_rerank_recall" -> { (s, dir) =>
       // The two-stage path for all-pairs TS similarity: rank every
@@ -2452,7 +2501,11 @@ object SparkEntry {
       // verify only the top-C — the sweep measures what candidate budget
       // C retains of the exact top-5, per query (the PQ-ADC two-stage
       // discipline applied to series; ops/TimeSeries.scala).
-      graft.ops.TimeSeries.tsSketchRerankRecall(eventsTable(s, dir))
+      // Optimization r15: rides the memoized hour-series pass and the
+      // sharedTsTopk5 gold instead of rebuilding both per bench pass.
+      graft.ops.TimeSeries.tsSketchRerankRecallFrom(
+        sharedPaaSeries(s, dir)._1,
+        sharedTsTopk5(s, dir).select(col("query_user"), col("user_id")))
     },
     "ts_allpairs_neighbors" -> { (s, dir) =>
       // The ALL-PAIRS production path closed: signed-PAA sketches hash
@@ -2486,15 +2539,24 @@ object SparkEntry {
       // (distributed CDF selection), strict-> symbol counts — the
       // indexable face of the TS similarity search; equal words = one
       // word-keyed equi-join at 10^9 users (ops/TimeSeries.scala).
-      graft.ops.TimeSeries.saxWords(eventsTable(s, dir))
+      // Optimization r15: the memoized 4-segment word frame, shared with
+      // the blocking-recall sweep, off the shared hour-series pass.
+      sharedSaxWords(s, dir, 4)
     },
     "ts_sax_blocking_recall" -> { (s, dir) =>
       // Does SAX blocking keep the true nearest neighbor? Per query
       // user: its word, the exact top-1 neighbor, the neighbor's word,
       // same-bucket flag — the measured blocking-recall row the banded
       // dedup/ANN families carry, extended to the TS index
-      // (ops/TimeSeries.scala).
-      graft.ops.TimeSeries.saxBlockingRecall(eventsTable(s, dir))
+      // (ops/TimeSeries.scala). Optimization r15: top-1 is the rank-1
+      // slice of the memoized sharedTsTopk5 (same window, same order —
+      // identical rows), and the three word frames are the memoized
+      // sharedSaxWords legs.
+      graft.ops.TimeSeries.saxBlockingRecallFrom(
+        sharedTsTopk5(s, dir).filter(col("rank") === 1)
+          .select(col("query_user"), col("user_id").as("top1_user"), col("dist2")),
+        segs => sharedSaxWords(s, dir, segs),
+        segmentSweep = Seq(1, 2, 4))
     },
     "ts_dtw_topk" -> { (s, dir) =>
       // Banded DTW similarity over hour-of-day profiles — the
