@@ -195,6 +195,39 @@ object SparkEntry {
   private def sharedIvfGraph(s: SparkSession, dir: String): DataFrame =
     sharedLeg(s, dir, "ivfGraph")(ivfGraph(table(s, dir, "embeddings")))
 
+  /** The corpus-wide IVF top-5 directed frame (default anchors/nprobe) —
+    * one build shared by mutual_nn_ivf, lof_outliers_ivf, and the
+    * SemDeDup-v2 family (each previously re-ran the identical
+    * assign/probe/score chain per query per bench pass). N×5 id+score
+    * rows, scale-safe to pin.
+    */
+  private def sharedIvfTopk5(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "ivfTopk5Full") {
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfAnchorTopK(emb, emb, k = 5).localCheckpoint(eager = true)
+    }
+
+  /** SemDeDup v1 flags at the registered 0.35 threshold — read by
+    * semdedup_flags, semdedup_v1_v2_agreement, and
+    * text_vs_semantic_dedup_kappa.
+    */
+  private def sharedSemDedupV1(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "semDedupV1_035") {
+      Similarity.semDedup(table(s, dir, "embeddings"), threshold = 0.35)
+        .localCheckpoint(eager = true)
+    }
+
+  /** SemDeDup v2 (mutual-confidence) flags at 0.35, off the shared IVF
+    * top-5 leg — read by semdedup_mutual_flags, semdedup_corpus_v2, and
+    * semdedup_v1_v2_agreement.
+    */
+  private def sharedSemDedupMutual(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "semDedupMutual035") {
+      Similarity.semDedupMutualFrom(
+        table(s, dir, "embeddings"), sharedIvfTopk5(s, dir), threshold = 0.35)
+        .localCheckpoint(eager = true)
+    }
+
   /** Brute-force gold top-5 ids for the 8 fixed graph-ANN eval queries
     * (query_id, neighbor_id), checkpointed once per (session, sfDir). */
   private def sharedGraphGold(s: SparkSession, dir: String): DataFrame =
@@ -878,16 +911,17 @@ object SparkEntry {
       // clusters → min-id representatives survive (hash-native pairs → no
       // SQL oracle; clustering semantics spec'd in DedupSpec).
       val docs = table(s, dir, "documents")
+      // Optimization r15: rides the shared xxhash pair build.
       Dedup
-        .dropNearDuplicates(docs, Dedup.minhashPairs(docs, threshold = 0.8))
+        .dropNearDuplicates(docs, sharedXxPairs08(s, dir))
         .select(col("doc_id"))
     },
     "neardup_clusters_star" -> { (s, dir) =>
       // Connected components via large-star/small-star (O(log n) rounds —
       // the chain-robust alternative to min-label propagation; hash-native
       // pairs → no SQL oracle; union-find equivalence spec'd in DedupSpec).
-      val docs = table(s, dir, "documents")
-      Dedup.nearDupClustersStar(Dedup.minhashPairs(docs, threshold = 0.8))
+      // Optimization r15: rides the shared xxhash pair build.
+      Dedup.nearDupClustersStar(sharedXxPairs08(s, dir))
     },
     "simhash_fingerprints" -> { (s, dir) =>
       table(s, dir, "documents")
@@ -1373,9 +1407,8 @@ object SparkEntry {
       // participation (local clustering — clique members vs hub false
       // positives). Three equi-joins, optimizer-reorderable
       // (ops/Graph.scala).
-      val emb = table(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
-      graft.ops.Graph.nodeTriangles(
-        Similarity.cosineNearDupPairs(emb, threshold = 0.2).select(col("id_a"), col("id_b")))
+      // Optimization r15: rides the shared exact edge list.
+      graft.ops.Graph.nodeTriangles(sharedCosPairs02(s, dir))
     },
     "cosine_neardup_lsh" -> { (s, dir) =>
       // LSH-bucketed near-dup candidates (recall<1 by design → no SQL
@@ -1781,9 +1814,9 @@ object SparkEntry {
       // itself. The r9 containment join oriented (train, eval), eval-side
       // directional containment >= 80% in exact bps; one containment pass,
       // ids-only stratum tags (ops/Dedup.scala).
-      val docs = table(s, dir, "documents")
-      graft.ops.Dedup.quotedEvalContainment(
-        docs, docs.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+      // Optimization r15: the memoized shared containment pass (also
+      // feeds curation_pipeline_v9).
+      sharedQuotedEvals(s, dir)
     },
     "cross_source_neardup_matrix" -> { (s, dir) =>
       // Provenance diagnostic: per unordered source pair, how many
@@ -1805,7 +1838,8 @@ object SparkEntry {
       // 0.8): min-label propagation on Spark, recursive-CTE closure in the
       // oracle — the clustering stage of the near-dup chain under a full
       // SQL oracle.
-      Dedup.nearDupClusters(Dedup.minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.8))
+      // Optimization r15: the memoized shared clustering run.
+      sharedMd5Clusters08(s, dir)
     },
     "neardup_degree_hist" -> { (s, dir) =>
       // Degree distribution of the md5 near-dup graph incl. the
@@ -1813,7 +1847,7 @@ object SparkEntry {
       // boilerplate) behind the maxBucket cap the banding applies;
       // ids-only frames throughout.
       val docs = table(s, dir, "documents")
-      val pairs = Dedup.minhashMd5Pairs(docs, threshold = 0.8)
+      val pairs = sharedMd5Pairs08(s, dir) // optimization r15: shared pair build
       val deg = pairs.select(col("id_a").as("id"))
         .union(pairs.select(col("id_b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("degree"))
@@ -1832,8 +1866,8 @@ object SparkEntry {
       // the chaining-artifact check run before keep-one deletion; pair
       // frame computed once (checkpointed) and shared with the CC stage
       // (ops/Dedup.scala).
-      val pairs = Dedup.minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.8)
-      Dedup.nearDupClusterDiameter(pairs, Dedup.nearDupClusters(pairs))
+      // Optimization r15: shared pair + cluster legs.
+      Dedup.nearDupClusterDiameter(sharedMd5Pairs08(s, dir), sharedMd5Clusters08(s, dir))
     },
     "neardup_modularity" -> { (s, dir) =>
       // Newman modularity of the near-dup CC partition over the md5 pair
@@ -1842,10 +1876,8 @@ object SparkEntry {
       // rationals (ops/Graph.scala). For a CC partition every edge is
       // intra, so Q = 1 − Σd_c²/4m² — the giant-component penalty reads
       // directly.
-      val pairs = Dedup
-        .minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.8)
-        .localCheckpoint(eager = true) // shared by CC and modularity
-      graft.ops.Graph.modularity(pairs, Dedup.nearDupClusters(pairs))
+      // Optimization r15: shared pair + cluster legs.
+      graft.ops.Graph.modularity(sharedMd5Pairs08(s, dir), sharedMd5Clusters08(s, dir))
     },
     "hyperanf_neighborhood" -> { (s, dir) =>
       // HyperANF (Boldi-Rosa-Vigna WWW'11) over the md5 near-dup graph:
@@ -1854,17 +1886,17 @@ object SparkEntry {
       // bounded-closure N(r) and signed error alongside — the
       // effective-diameter curve as its own sketch-vs-truth report
       // (ops/Graph.scala).
-      graft.ops.Graph.hyperAnf(
-        Dedup.minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.8),
-        rounds = 3, m = 16)
+      // Optimization r15: rides the shared pair build.
+      graft.ops.Graph.hyperAnf(sharedMd5Pairs08(s, dir), rounds = 3, m = 16)
     },
     "neardup_corpus_md5" -> { (s, dir) =>
       // End-to-end near-dup corpus dedup (pairs → clusters → min-id
       // representatives survive) on portable hashes — the oracle twin of
       // neardup_dedup_corpus.
       val docs = table(s, dir, "documents")
+      // Optimization r15: shared clustering run.
       Dedup
-        .dropNearDuplicates(docs, Dedup.minhashMd5Pairs(docs, threshold = 0.8))
+        .dropNearDuplicatesFromClusters(docs, sharedMd5Clusters08(s, dir))
         .select(col("doc_id"))
     },
     "neardup_corpus_best" -> { (s, dir) =>
@@ -1877,8 +1909,9 @@ object SparkEntry {
         col("doc_id"),
         TextAnalysis.qualityLogit(col("text"), length(col("text"))).as("score")
       )
+      // Optimization r15: shared clustering run.
       Dedup
-        .dropNearDuplicatesKeepBest(docs, Dedup.minhashMd5Pairs(docs, threshold = 0.8), scored)
+        .dropNearDuplicatesKeepBestFromClusters(docs, sharedMd5Clusters08(s, dir), scored)
         .select(col("doc_id"))
     },
     "decontam_overlap" -> { (s, dir) =>
@@ -2091,7 +2124,9 @@ object SparkEntry {
       // pair set — anchors the O(log n) star algorithm (the chain-robust
       // production CC) to the same recursive-CTE oracle as
       // neardup_clusters_md5: both return (id, min id of component).
-      Dedup.nearDupClustersStar(Dedup.minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.8))
+      // Optimization r15: rides the shared pair build (the star CC run
+      // itself is this face's measured algorithm).
+      Dedup.nearDupClustersStar(sharedMd5Pairs08(s, dir))
     },
     "editdist_pairs" -> { (s, dir) =>
       // Character-level near-dup join: doc-prefix pairs within Levenshtein
@@ -2220,7 +2255,8 @@ object SparkEntry {
       // cosine threshold. Bucket identity is integer-exact (same anchors
       // as ann_ivf_anchor_topk), verdict cosine rounds to 6dp — fully
       // SQL-reproducible including the by-design cross-cluster misses.
-      Similarity.semDedup(table(s, dir, "embeddings"), threshold = 0.35)
+      // Optimization r15: the memoized sharedSemDedupV1 flags frame.
+      sharedSemDedupV1(s, dir)
     },
     "semdedup_threshold_sweep" -> { (s, dir) =>
       // The knob behind semdedup_flags, measured: dup/kept share per
@@ -3047,8 +3083,8 @@ object SparkEntry {
       // never buy epochs. One containment pass; every stage
       // oracle-replayed (ops/Dedup.scala + ops/Sampling.scala).
       val docs = table(s, dir, "documents")
-      val evalIds = docs.filter(col("doc_id") % 13 === 0).select(col("doc_id"))
-      val contaminated = Dedup.quotedEvalContainment(docs, evalIds)
+      // Optimization r15: rides the shared quoted-eval containment pass.
+      val contaminated = sharedQuotedEvals(s, dir)
         .select(col("train_doc_id").as("doc_id")).distinct()
       val kept = docs.filter(col("doc_id") % 13 =!= 0)
         .join(contaminated, Seq("doc_id"), "left_anti")
@@ -3453,7 +3489,8 @@ object SparkEntry {
       // The apply face of SemDeDup v2: the surviving corpus after
       // reciprocal-confidence dedup — drop every vector the mutual-top-k
       // + threshold criterion flagged (keep-lowest-id survivors).
-      Similarity.semDedupMutual(table(s, dir, "embeddings"), threshold = 0.35)
+      // Optimization r15: slice of the memoized sharedSemDedupMutual flags.
+      sharedSemDedupMutual(s, dir)
         .filter(col("is_dup") === 0)
         .select(col("vec_id"))
     },
@@ -4963,9 +5000,8 @@ object SparkEntry {
       // Degree assortativity of the near-dup graph: hubs-connect-to-hubs
       // (mirror-farm signature) vs hub-and-spoke, as one exact-rational
       // Pearson r over the edge endpoints' degrees (ops/Graph.scala).
-      val emb = table(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
-      graft.ops.Graph.degreeAssortativity(
-        Similarity.cosineNearDupPairs(emb, threshold = 0.2).select(col("id_a"), col("id_b")))
+      // Optimization r15: rides the shared exact edge list.
+      graft.ops.Graph.degreeAssortativity(sharedCosPairs02(s, dir))
     },
     "dedup_savings_report" -> { (s, dir) =>
       // What exact dedup buys, before running it: cluster-size histogram
@@ -5099,8 +5135,10 @@ object SparkEntry {
       // contract of Similarity.mutualFromDirected. Anchor assignment is
       // integer-exact, so candidate sets (and the recall loss) reproduce
       // under the SQL oracle.
-      val emb = table(s, dir, "embeddings")
-      Similarity.mutualFromDirected(Similarity.ivfAnchorTopK(emb, emb, k = 5))
+      // Optimization r15: the directed IVF top-5 leg is the memoized
+      // sharedIvfTopk5 build (also read by lof_outliers_ivf and the
+      // SemDeDup-v2 family).
+      Similarity.mutualFromDirected(sharedIvfTopk5(s, dir))
     },
     "lof_outliers" -> { (s, dir) =>
       // Local Outlier Factor over the embedding sample: density-based
@@ -5118,15 +5156,16 @@ object SparkEntry {
       // the injectable-leg contract again; all LOF work is three
       // equi-joins over the N·k frame regardless of leg
       // (ops/Similarity.scala).
-      val emb = table(s, dir, "embeddings")
-      Similarity.lofFromDirected(Similarity.ivfAnchorTopK(emb, emb, k = 5))
+      // Optimization r15: rides the memoized sharedIvfTopk5 directed leg.
+      Similarity.lofFromDirected(sharedIvfTopk5(s, dir))
     },
     "semdedup_mutual_flags" -> { (s, dir) =>
       // SemDeDup v2: reciprocal-confidence near-dup flags — a pair only
       // counts if EACH vector is in the other's IVF top-5 AND the cosine
       // clears the threshold; keep-lowest-id. The precision-leaning
       // sibling of semdedup_flags (ops/Similarity.scala).
-      Similarity.semDedupMutual(table(s, dir, "embeddings"), threshold = 0.35)
+      // Optimization r15: the memoized sharedSemDedupMutual flags frame.
+      sharedSemDedupMutual(s, dir)
     },
     "semdedup_v1_v2_agreement" -> { (s, dir) =>
       // Do the one-directional (v1) and mutual-confidence (v2) dedup
@@ -5134,10 +5173,10 @@ object SparkEntry {
       // in exact integer rationals (ops/Contingency.scala) — the
       // calibration row a pipeline reads before tightening its dedup
       // criterion.
-      val emb = table(s, dir, "embeddings")
-      val v1 = Similarity.semDedup(emb, threshold = 0.35)
+      // Optimization r15: both gates are the memoized shared flag frames.
+      val v1 = sharedSemDedupV1(s, dir)
         .select(col("vec_id"), col("is_dup").as("dup_v1"))
-      val v2 = Similarity.semDedupMutual(emb, threshold = 0.35)
+      val v2 = sharedSemDedupMutual(s, dir)
         .select(col("vec_id"), col("is_dup").as("dup_v2"))
       graft.ops.Contingency.agreementKappa(v1.join(v2, "vec_id"), "dup_v1", "dup_v2")
     },
@@ -5155,7 +5194,7 @@ object SparkEntry {
             .select(col("id_b").as("id")).distinct().withColumn("d", lit(1)),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("d"), lit(0)).as("dup_text"))
-      val semFlags = Similarity.semDedup(table(s, dir, "embeddings"), threshold = 0.35)
+      val semFlags = sharedSemDedupV1(s, dir)
         .select(col("vec_id").as("id"), col("is_dup").as("dup_sem"))
       graft.ops.Contingency
         .agreementKappa(textFlags.join(semFlags, Seq("id")), "dup_text", "dup_sem")
@@ -5165,9 +5204,8 @@ object SparkEntry {
       // non-adjacent pairs sharing neighbors in the near-dup graph — the
       // exact-rational Adamic-Adar member, no ln anywhere
       // (ops/Graph.scala).
-      val emb = table(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
-      graft.ops.Graph.resourceAllocation(
-        Similarity.cosineNearDupPairs(emb, threshold = 0.2).select(col("id_a"), col("id_b")))
+      // Optimization r15: rides the shared exact edge list.
+      graft.ops.Graph.resourceAllocation(sharedCosPairs02(s, dir))
     },
     "centroid_cosines" -> { (s, dir) =>
       // Class-level embedding geometry: pairwise cosine between label
@@ -5394,6 +5432,59 @@ object SparkEntry {
   private def sharedMd5PairsT0(s: SparkSession, dir: String): DataFrame =
     sharedLeg(s, dir, "md5PairsT0") {
       Dedup.minhashMd5Pairs(table(s, dir, "documents"))
+    }
+
+  /** The md5 near-dup pair frame at the 0.8 production threshold — eight
+    * neardup_* analytics faces previously each re-ran the full
+    * shingle/signature/banding chain per query per bench pass
+    * (optimization r15). Ids + jaccard only, scale-safe to pin.
+    */
+  private def sharedMd5Pairs08(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "md5Pairs08") {
+      Dedup.minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.8)
+        .localCheckpoint(eager = true)
+    }
+
+  /** The min-label connected components over [[sharedMd5Pairs08]] — the
+    * clustering is an iterative propagation loop, previously re-run by
+    * five faces (clusters, diameter, modularity, both corpus faces).
+    */
+  private def sharedMd5Clusters08(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "md5Clusters08") {
+      Dedup.nearDupClusters(sharedMd5Pairs08(s, dir)).localCheckpoint(eager = true)
+    }
+
+  /** The xxhash64 (engine-native) MinHash pair frame at 0.8 — shared by
+    * neardup_dedup_corpus and neardup_clusters_star.
+    */
+  private def sharedXxPairs08(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "xxPairs08") {
+      Dedup.minhashPairs(table(s, dir, "documents"), threshold = 0.8)
+        .localCheckpoint(eager = true)
+    }
+
+  /** The exact cosine near-dup edge list over the 1-in-10 embedding
+    * sample at threshold 0.2 — the graph-analytics trio (triangles,
+    * assortativity, link prediction) each re-derived it per pass.
+    */
+  private def sharedCosPairs02(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "cosPairs02") {
+      val emb = table(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      Similarity.cosineNearDupPairs(emb, threshold = 0.2)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(eager = true)
+    }
+
+  /** The quoted-eval containment pair frame (train quotes an eval,
+    * eval-side containment ≥ 80%) — shared by decontam_quoted_evals and
+    * curation_pipeline_v9.
+    */
+  private def sharedQuotedEvals(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "quotedEvals") {
+      val docs = table(s, dir, "documents")
+      graft.ops.Dedup.quotedEvalContainment(
+        docs, docs.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+        .localCheckpoint(eager = true)
     }
 
   /** The cross-doc span-removal interval frame, built once per (session,

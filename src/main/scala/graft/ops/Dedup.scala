@@ -541,8 +541,17 @@ object Dedup {
   /** Corpus minus near-duplicates: every doc that is NOT its cluster's
     * min-id representative is dropped (docs in no pair survive untouched).
     */
-  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val losers = nearDupClusters(pairs)
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    dropNearDuplicatesFromClusters(docs, nearDupClusters(pairs), idCol)
+
+  /** [[dropNearDuplicates]] off an already-built (possibly memoized)
+    * cluster frame — optimization r15: the registry shares ONE
+    * min-label-propagation run across every face that reads the md5
+    * near-dup clustering instead of re-iterating it per query per pass.
+    */
+  def dropNearDuplicatesFromClusters(
+      docs: DataFrame, clusters: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val losers = clusters
       .filter(col("cluster") =!= col("id"))
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
@@ -563,8 +572,19 @@ object Dedup {
       pairs: DataFrame,
       scored: DataFrame,
       idCol: String = "doc_id"
+  ): DataFrame =
+    dropNearDuplicatesKeepBestFromClusters(docs, nearDupClusters(pairs), scored, idCol)
+
+  /** [[dropNearDuplicatesKeepBest]] off an already-built cluster frame —
+    * same sharing rationale as [[dropNearDuplicatesFromClusters]].
+    */
+  def dropNearDuplicatesKeepBestFromClusters(
+      docs: DataFrame,
+      clusters: DataFrame,
+      scored: DataFrame,
+      idCol: String = "doc_id"
   ): DataFrame = {
-    val members = nearDupClusters(pairs)
+    val members = clusters
       .join(scored.select(col(idCol).as("id"), col("score")), Seq("id"))
     val winners = members
       .groupBy(col("cluster"))

@@ -1984,9 +1984,26 @@ object Similarity {
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
+  ): DataFrame =
+    semDedupMutualFrom(
+      emb, ivfAnchorTopK(emb, emb, k, nAnchors, nprobe, dim, idCol, vecCol),
+      threshold, dim, idCol, vecCol)
+
+  /** [[semDedupMutual]] with an injected directed top-k frame — the
+    * injectable-leg contract of [[mutualFromDirected]]/[[lofFromDirected]],
+    * so the registry can share ONE corpus-wide IVF top-5 build across the
+    * mutual-NN, LOF, and SemDeDup-v2 faces (optimization r15).
+    */
+  def semDedupMutualFrom(
+      emb: DataFrame,
+      directedTopK: DataFrame,
+      threshold: Double,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
   ): DataFrame = {
     val flagged =
-      mutualFromDirected(ivfAnchorTopK(emb, emb, k, nAnchors, nprobe, dim, idCol, vecCol))
+      mutualFromDirected(directedTopK)
         .filter(col("cos_sim") >= threshold)
         .select(col("id_b").as("id"))
         .distinct()
