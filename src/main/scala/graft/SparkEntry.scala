@@ -1580,8 +1580,12 @@ object SparkEntry {
       // deterministic byte streams, so DuckDB replays the whole chain —
       // pixels, hash, banding, cap — through the codec round-trip
       // (ops/Multimodal.scala).
-      Multimodal.phashPixelPairs(
-        Multimodal.syntheticImageCorpus(table(s, dir, "documents")))
+      // Optimization r15: rides the shared decode pass (sharedPixelPhash,
+      // also read by media_phash_vs_bytehash).
+      Multimodal.phashPixelPairsFrom(
+        sharedPixelPhash(s, dir)
+          .filter(col("ok") && col("phash").isNotNull)
+          .select(col("media_id").as("id"), col("phash").as("h64")))
     },
     "media_phash_vs_bytehash" -> { (s, dir) =>
       // The WHY row for the pixel face: per re-encoded twin pair, pixel
@@ -1590,7 +1594,10 @@ object SparkEntry {
       // and misses them all, with the measured bit gap as evidence. The
       // oracle rebuilds BOTH hand-built BMP byte streams in SQL and
       // replays both hashes end-to-end (ops/Multimodal.scala).
-      Multimodal.phashVsByteHash(table(s, dir, "documents"))
+      // Optimization r15: rides the shared twin corpus + decode pass.
+      Multimodal.phashVsByteHashFrom(
+        sharedImageCorpus(s, dir),
+        sharedPixelPhash(s, dir).filter(col("ok")).select(col("media_id"), col("phash")))
     },
     "media_perceptual_hashes" -> { (s, dir) =>
       // The pixel perceptual-hash family completed: mean (aHash),
@@ -1617,7 +1624,9 @@ object SparkEntry {
       // (mean / gradient / spectral), each variant paired with its own
       // original by id join (never media×media), catches at Hamming ≤ 6
       // plus the exact Hamming mass and extremes (ops/Multimodal.scala).
-      Multimodal.perturbationMatrixFromHashes(sharedPerturbedHashes(s, dir))
+      // Optimization r15: the memoized shared matrix (also the decision
+      // input of media_dedup_auto).
+      sharedPerturbMatrix(s, dir)
     },
     "media_dedup_auto" -> { (s, dir) =>
       // The matrix ENCODED as the gate: stage 1 totals each hash's
@@ -1626,7 +1635,9 @@ object SparkEntry {
       // gradient hash on this corpus) — decision as a column on every
       // pair, one bounded driver scalar for the column choice, hash
       // frame shared with the other two faces (ops/Multimodal.scala).
-      Multimodal.mediaDedupAuto(sharedPerturbedHashes(s, dir))
+      // Optimization r15: decision scalar read off the shared matrix.
+      Multimodal.mediaDedupAutoFrom(
+        sharedPerturbedHashes(s, dir), sharedPerturbMatrix(s, dir))
     },
     "pii_stats" -> { (s, dir) =>
       // PII scan + redaction (map-only, three codegen'd regex passes). The
@@ -1763,7 +1774,9 @@ object SparkEntry {
       // candidates over the rarest shingles (exact, not banded), df-capped
       // postings, exact set verify; both directional containments in
       // exact bps (ops/Dedup.scala).
-      Dedup.containmentMd5Pairs(table(s, dir, "documents"))
+      // Optimization r15: the memoized shared exact containment chain
+      // (also scored against by containment_minhash_est).
+      sharedContainmentPairs(s, dir)
     },
     "decontam_gate_flags" -> { (s, dir) =>
       // The broadcast twin of decontam_quoted_evals: per training doc,
@@ -1782,7 +1795,9 @@ object SparkEntry {
       // their sketch estimates (exact rational from the match count), and
       // SIGNED bps errors — the measured sketch-vs-exact trade for the
       // containment family (ops/Dedup.scala).
-      graft.ops.Dedup.containmentMinhashEst(table(s, dir, "documents"))
+      // Optimization r15: sketch scored against the shared exact pairs.
+      graft.ops.Dedup.containmentMinhashEstFrom(
+        table(s, dir, "documents"), sharedContainmentPairs(s, dir))
     },
     "decontam_two_stage" -> { (s, dir) =>
       // The 100 TB decontam shape closed: stage 1 scores every
@@ -3798,9 +3813,13 @@ object SparkEntry {
       // (ops/Spans.scala).
       val docs = table(s, dir, "documents")
       val train = docs.filter(col("doc_id") % 13 =!= 0)
+      // Optimization r15: within-doc interval detection is PER-DOC
+      // (grams, caps, and islands are all doc-keyed), so the train-slice
+      // intervals are exactly the full-corpus sharedWithinIvs filtered to
+      // the train stratum (same n/maxRep/minRun knobs; slice-equivalence
+      // spec-pinned in SpansSpec).
       val ivs = sharedCurationIvs(s, dir).drop("kind")
-        .unionByName(
-          graft.ops.Spans.withinDocRemovalIntervals(train, n = 3, maxRep = 50, minRun = 4))
+        .unionByName(sharedWithinIvs(s, dir).filter(col("doc") % 13 =!= 0))
       val cleaned = graft.ops.Spans.applyRemovalIntervals(train, "doc_id", "text", ivs)
       val cleanDocs = train
         .select(col("doc_id"), col("source"))
@@ -5439,6 +5458,45 @@ object SparkEntry {
     * shingle/signature/banding chain per query per bench pass
     * (optimization r15). Ids + jaccard only, scale-safe to pin.
     */
+  /** The hand-built BMP24/BMP8 twin corpus (tiny deterministic byte
+    * streams) — decoded twice before: by media_phash_pixel_pairs and
+    * media_phash_vs_bytehash.
+    */
+  private def sharedImageCorpus(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "imageCorpus") {
+      Multimodal.syntheticImageCorpus(table(s, dir, "documents"))
+        .localCheckpoint(eager = true)
+    }
+
+  /** ONE ImageIO decode + pixel-pHash pass over [[sharedImageCorpus]] —
+    * the expensive leg of both pixel-domain media faces.
+    */
+  private def sharedPixelPhash(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "pixelPhash") {
+      Multimodal.phashPixels(sharedImageCorpus(s, dir)).toDF()
+        .localCheckpoint(eager = true)
+    }
+
+  /** The perturbation-class × hash catch matrix off the shared perturbed
+    * hashes — reported by media_perturbation_matrix and read as the
+    * decision scalar by media_dedup_auto.
+    */
+  private def sharedPerturbMatrix(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "perturbMatrix") {
+      Multimodal.perturbationMatrixFromHashes(sharedPerturbedHashes(s, dir))
+        .localCheckpoint(eager = true)
+    }
+
+  /** The exact containment pair frame at the default 8000 bps threshold —
+    * containment_pairs reports it and containment_minhash_est scores its
+    * sketch against it.
+    */
+  private def sharedContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "containmentPairs") {
+      Dedup.containmentMd5Pairs(table(s, dir, "documents"))
+        .localCheckpoint(eager = true)
+    }
+
   private def sharedMd5Pairs08(s: SparkSession, dir: String): DataFrame =
     sharedLeg(s, dir, "md5Pairs08") {
       Dedup.minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.8)

@@ -1342,9 +1342,25 @@ object Dedup {
       numHashes: Int = 64,
       idCol: String = "doc_id",
       textCol: String = "text"
+  ): DataFrame =
+    containmentMinhashEstFrom(
+      docs,
+      containmentMd5Pairs(docs, thresholdBps, shingleN, idCol = idCol, textCol = textCol),
+      shingleN, numHashes, idCol, textCol)
+
+  /** [[containmentMinhashEst]] scoring an already-built (possibly
+    * memoized) exact containment pair frame — optimization r15: the exact
+    * pair chain is shared with containment_pairs instead of rebuilt.
+    */
+  def containmentMinhashEstFrom(
+      docs: DataFrame,
+      pairs: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"
   ): DataFrame = {
     import graft.functions.ExactDecimal.scaledRatio
-    val pairs = containmentMd5Pairs(docs, thresholdBps, shingleN, idCol = idCol, textCol = textCol)
     val sigs = docs
       .select(col(idCol).as("id"),
         minhashMd5Signature(md5ShingleHashes(col(textCol), shingleN), numHashes).as("sig"))

@@ -975,16 +975,27 @@ object Multimodal {
   def phashPixelPairs(
       media: DataFrame,
       maxHamming: Int = 6,
-      maxBucket: Int = 500): DataFrame = {
-    val fps = phashPixels(media).toDF()
-      .filter(col("ok") && col("phash").isNotNull)
-      .select(col("media_id").as("id"), col("phash").as("h64"))
-      .localCheckpoint(eager = true)
+      maxBucket: Int = 500): DataFrame =
+    phashPixelPairsFrom(
+      phashPixels(media).toDF()
+        .filter(col("ok") && col("phash").isNotNull)
+        .select(col("media_id").as("id"), col("phash").as("h64"))
+        .localCheckpoint(eager = true),
+      maxHamming, maxBucket)
+
+  /** [[phashPixelPairs]] off an already-decoded (possibly memoized)
+    * (id, h64) pixel-hash frame — optimization r15: the ImageIO decode is
+    * the expensive leg, and the registry shares ONE decode pass with
+    * media_phash_vs_bytehash instead of re-decoding per query per pass.
+    */
+  def phashPixelPairsFrom(
+      fps: DataFrame,
+      maxHamming: Int = 6,
+      maxBucket: Int = 500): DataFrame =
     // multiprobe, not symmetric 8-bit buckets: at 10k twin images the
     // 2⁸-buckets-per-index explosion costs ~4.5 s (the auto gate measured
     // 21 s at 20k) — the 16-bit probe join is the scale shape
     bandedHammingsMultiprobe(fps, maxHamming, maxBucket)
-  }
 
   /** The calibration row for the pixel face: over the twin corpus
     * ([[syntheticImageCorpus]] — every doc present as BMP24 and BMP8 of
@@ -1000,9 +1011,15 @@ object Multimodal {
     */
   def phashVsByteHash(docs: DataFrame, side: Int = PhashSide): DataFrame = {
     val corpus = syntheticImageCorpus(docs, side).localCheckpoint(eager = true)
-    val ph = phashPixels(corpus).toDF()
-      .filter(col("ok"))
-      .select(col("media_id"), col("phash"))
+    phashVsByteHashFrom(
+      corpus,
+      phashPixels(corpus).toDF().filter(col("ok")).select(col("media_id"), col("phash")))
+  }
+
+  /** [[phashVsByteHash]] off a shared twin corpus and its decoded pixel
+    * hashes — the same shared-decode rationale as [[phashPixelPairsFrom]].
+    */
+  def phashVsByteHashFrom(corpus: DataFrame, ph: DataFrame): DataFrame = {
     val bh = corpus.select(
       col("media_id"),
       graft.functions.AHash64Expr.column(col("content")).as("bhash"))
@@ -1195,8 +1212,21 @@ object Multimodal {
   def mediaDedupAuto(
       hashes: DataFrame,
       maxHamming: Int = 6,
+      maxBucket: Int = 500): DataFrame =
+    mediaDedupAutoFrom(hashes, perturbationMatrixFromHashes(hashes, maxHamming),
+      maxHamming, maxBucket)
+
+  /** [[mediaDedupAuto]] with the perturbation matrix injected — the gate's
+    * decision scalar derives from the SAME matrix media_perturbation_matrix
+    * reports, so the registry shares one (possibly memoized) matrix build
+    * between the two faces (optimization r15).
+    */
+  def mediaDedupAutoFrom(
+      hashes: DataFrame,
+      matrix: DataFrame,
+      maxHamming: Int = 6,
       maxBucket: Int = 500): DataFrame = {
-    val totals = perturbationMatrixFromHashes(hashes, maxHamming)
+    val totals = matrix
       .groupBy(col("hash"))
       .agg(sum(col("n_caught")).as("tot"))
       // min of (−total, name): max total, tie → lexicographically first

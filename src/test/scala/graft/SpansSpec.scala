@@ -145,6 +145,24 @@ class SpansSpec extends AnyFunSuite {
     assert(got(2L) == ((rows(1)._2, 10L, 0L, 0L)))
   }
 
+  test("within-doc intervals are per-doc: stratum slice of the full-corpus run equals " +
+    "the run on the stratum alone (the v12 shared-leg equivalence, optimization r15)") {
+    val rep = base.split(" ").take(6).mkString(" ")
+    val rows = Seq(
+      1L -> s"$rep filler one two three $rep tail words",
+      13L -> s"$rep other filler tokens here $rep closing run",
+      2L -> s"$rep unrelated middle section $rep end piece",
+      26L -> "no repeats in this document at all whatsoever today"
+    ).toDF("doc_id", "text")
+    val stratum = rows.filter($"doc_id" % 13 =!= 0)
+    val slice = Spans.withinDocRemovalIntervals(rows, n = 3, maxRep = 50, minRun = 4)
+      .filter($"doc" % 13 =!= 0)
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = Spans.withinDocRemovalIntervals(stratum, n = 3, maxRep = 50, minRun = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(slice == direct && direct.nonEmpty)
+  }
+
   test("within-doc periodic text folds to one period") {
     // 'x y z' * 4: the d=3 island keeps exactly the first period
     val rows = Seq(1L -> "x y z x y z x y z x y z")
