@@ -2162,7 +2162,7 @@ object SparkEntry {
       // the simhash family's minhash_calibration analogue; sets join
       // only the band-capped candidate pairs (ops/Dedup.scala).
       val docs = table(s, dir, "documents")
-      val pairs = Dedup.simhashMd5Pairs(docs, maxBucket = 500)
+      val pairs = sharedSimhashMd5Pairs(s, dir) // optimization r15: shared build
       val sets = docs.select(
         col("doc_id"), array_distinct(TextAnalysis.tokens(col("text"))).as("tset"))
       pairs
@@ -2179,7 +2179,9 @@ object SparkEntry {
       // 32-bit fingerprint — the oracle twin of simhash_neardup_pairs
       // (DuckDB reproduces candidates AND hamming via bit_count(xor)).
       // maxBucket 500 for the same tiny-vocabulary reason as the prod form.
-      Dedup.simhashMd5Pairs(table(s, dir, "documents"), maxBucket = 500)
+      // Optimization r15: the memoized shared pair frame (also verified
+      // token-wise by simhash_calibration).
+      sharedSimhashMd5Pairs(s, dir)
     },
     "ann_lsh_md5_topk" -> { (s, dir) =>
       // LSH top-k on md5 sign planes — the oracle twin of ann_lsh_topk:
@@ -2292,7 +2294,8 @@ object SparkEntry {
       // lowercased trigram Jaccard via the integer 2|A∩B| >= |A∪B| test,
       // ±10c balance proximity, segment equality), frozen integer log-odds
       // score, inclusive threshold decision (ops/RecordLinkage.scala).
-      graft.ops.RecordLinkage.fsPairs(table(s, dir, "customer"))
+      // Optimization r15: the memoized shared pair frame.
+      sharedFsPairs(s, dir)
     },
     "record_linkage_clusters" -> { (s, dir) =>
       // Entity formation: min-label CC over the PREDICTED match pairs
@@ -2300,7 +2303,7 @@ object SparkEntry {
       // entities; an FP link shows up as two merged real entities here,
       // is why ER is evaluated at the cluster level too
       // (ops/RecordLinkage.scala).
-      graft.ops.RecordLinkage.fsEntityClusters(table(s, dir, "customer"))
+      graft.ops.RecordLinkage.fsEntityClustersFrom(sharedFsPairs(s, dir))
     },
     "linkage_blocking_schemes" -> { (s, dir) =>
       // The blocking-strategy menu priced on one table: the production
@@ -2312,7 +2315,8 @@ object SparkEntry {
       // serves every width; per scheme: candidate volume = the scoring
       // cost it buys, planted-truth blocking recall in micro-units
       // (ops/RecordLinkage.scala).
-      graft.ops.RecordLinkage.blockingSchemeEval(table(s, dir, "customer"))
+      graft.ops.RecordLinkage.blockingSchemeEvalFrom(
+        table(s, dir, "customer"), sharedFsPairs(s, dir))
     },
     "linkage_review_queue" -> { (s, dir) =>
       // The human-review queue every ER deployment runs: candidate
@@ -2325,7 +2329,7 @@ object SparkEntry {
       // lineage is the full two-pass blocking join — without the pin,
       // globalRowNumber's range sampling would re-pay that upstream cost
       // (the round-8 14 s finding; single execution now).
-      val band = graft.ops.RecordLinkage.fsPairs(table(s, dir, "customer"))
+      val band = sharedFsPairs(s, dir)
         .select(
           col("d_key"), col("c_key"), col("score_micro"), col("predicted"), col("is_true"),
           abs(col("score_micro") - graft.ops.RecordLinkage.ThresholdMicro).as("dist_micro"))
@@ -2338,7 +2342,8 @@ object SparkEntry {
       // End-to-end ER scorecard vs the planted key-identity truth in ONE
       // row: candidate volume, blocking recall, TP/FP/FN, exact-integer
       // precision/recall/F1 — recall counts blocking misses too.
-      graft.ops.RecordLinkage.fsEval(table(s, dir, "customer"))
+      graft.ops.RecordLinkage.fsEvalFrom(
+        table(s, dir, "customer"), sharedFsPairs(s, dir))
     },
     "fuzzy_prefix_pairs" -> { (s, dir) =>
       // Blocked fuzzy self-join: English docs blocked on their first token,
@@ -4067,8 +4072,10 @@ object SparkEntry {
       // boilerplate-family density detector): fixed-round unroll so the
       // iteration replays as CTE-per-round SQL; per-round state is the
       // shrinking ids-only edge list (ops/Graph.scala).
+      // Optimization r15: threshold-0.5 pairs are a filter over the
+      // memoized threshold-0 frame (threshold = the final jaccard filter).
       graft.ops.Graph.kCorePeel(
-        Dedup.minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.5),
+        sharedMd5PairsT0(s, dir).filter(col("jaccard") >= 0.5),
         k = 2, rounds = 4)
     },
     "winnow_pairs" -> { (s, dir) =>
@@ -4964,7 +4971,7 @@ object SparkEntry {
         .select(col("vec_id"), col("batch"))
         .localCheckpoint(eager = true) // joined twice (pair endpoints)
       val pairs = Similarity
-        .mutualFromDirected(Similarity.ivfAnchorTopK(emb, emb, k = 5))
+        .mutualFromDirected(sharedIvfTopk5(s, dir)) // optimization r15: shared leg
         .filter(col("cos_sim") >= 0.35)
         .select(col("id_a"), col("id_b"))
       val collisions = pairs
@@ -5498,8 +5505,28 @@ object SparkEntry {
     }
 
   private def sharedMd5Pairs08(s: SparkSession, dir: String): DataFrame =
-    sharedLeg(s, dir, "md5Pairs08") {
-      Dedup.minhashMd5Pairs(table(s, dir, "documents"), threshold = 0.8)
+    // threshold is the FINAL jaccard filter of minhashMd5Pairs (banding
+    // and verification are threshold-independent), so the 0.8 frame is a
+    // pure filter over the memoized threshold-0 frame — one banding build
+    // serves the whole md5 pair family (optimization r15).
+    sharedMd5PairsT0(s, dir).filter(col("jaccard") >= 0.8)
+
+  /** The Fellegi–Sunter candidate/score pair frame over customer — five
+    * linkage faces (pairs, clusters, blocking eval, review queue, eval)
+    * previously each re-ran the two-pass blocking + scoring pipeline.
+    */
+  private def sharedFsPairs(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "fsPairs") {
+      graft.ops.RecordLinkage.fsPairs(table(s, dir, "customer"))
+        .localCheckpoint(eager = true)
+    }
+
+  /** The SimHash md5 pair frame (maxBucket 500) — reported by
+    * simhash_md5_pairs and token-verified by simhash_calibration.
+    */
+  private def sharedSimhashMd5Pairs(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "simhashMd5Pairs") {
+      Dedup.simhashMd5Pairs(table(s, dir, "documents"), maxBucket = 500)
         .localCheckpoint(eager = true)
     }
 

@@ -180,8 +180,15 @@ object RecordLinkage {
     * O(log n) rounds, ids-only frames). Output: (side, rec_key, cluster)
     * for every record that appears in at least one predicted match.
     */
-  def fsEntityClusters(cust: DataFrame): DataFrame = {
-    val predicted = fsPairs(cust)
+  def fsEntityClusters(cust: DataFrame): DataFrame =
+    fsEntityClustersFrom(fsPairs(cust))
+
+  /** [[fsEntityClusters]] off an already-built (possibly memoized) pair
+    * frame — optimization r15: five registered faces read the same
+    * two-pass blocking + scoring pipeline, so the registry builds it once.
+    */
+  def fsEntityClustersFrom(pairs: DataFrame): DataFrame = {
+    val predicted = pairs
       .filter(col("predicted") === 1)
       .select((col("d_key") * 2 + 1).as("id_a"), (col("c_key") * 2).as("id_b"))
       .localCheckpoint(eager = true) // CC loop must never re-run the blocking pipeline
@@ -260,10 +267,18 @@ object RecordLinkage {
     * ≤ 2n·(w−1) by construction (skew-immune) — this face shows what
     * that guarantee costs in recall on a real corruption model.
     */
-  def blockingSchemeEval(cust: DataFrame, windows: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+  def blockingSchemeEval(cust: DataFrame, windows: Seq[Int] = Seq(8, 16, 32)): DataFrame =
+    blockingSchemeEvalFrom(cust, fsPairs(cust), windows)
+
+  /** [[blockingSchemeEval]] off a shared pair frame (same rationale as
+    * [[fsEntityClustersFrom]]).
+    */
+  def blockingSchemeEvalFrom(
+      cust: DataFrame, fsPairsFrame: DataFrame,
+      windows: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
     require(windows.nonEmpty)
     val truth = cust.agg(count(lit(1)).as("n_truth"))
-    val twoPass = fsPairs(cust)
+    val twoPass = fsPairsFrame
       .agg(
         count(lit(1)).as("n_candidates"),
         coalesce(sum(col("is_true").cast("long")), lit(0L)).as("n_caught"))
@@ -293,8 +308,13 @@ object RecordLinkage {
     * (FN counts truth missed by blocking AND truth scored below
     * threshold — end-to-end recall, not post-blocking recall).
     */
-  def fsEval(cust: DataFrame): DataFrame = {
-    val pairs = fsPairs(cust)
+  def fsEval(cust: DataFrame): DataFrame =
+    fsEvalFrom(cust, fsPairs(cust))
+
+  /** [[fsEval]] off a shared pair frame (same rationale as
+    * [[fsEntityClustersFrom]]).
+    */
+  def fsEvalFrom(cust: DataFrame, pairs: DataFrame): DataFrame = {
     val truth = cust.agg(count(lit(1)).as("n_truth"))
     pairs
       .agg(
