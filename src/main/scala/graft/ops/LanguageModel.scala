@@ -104,11 +104,29 @@ object LanguageModel {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
-    require(nBuckets >= 2 && keepTiles >= 1 && keepTiles <= nBuckets, "bad tile config")
     val lm = bigramLm(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val v = lm.select(col("w2")).distinct().count()
+    try pplBucketsFrom(docs, lm, lm.select(col("w2")).distinct().count(),
+      nBuckets, keepTiles, textCol, idCol)
+    finally lm.unpersist(blocking = false)
+  }
+
+  /** [[pplBuckets]] off a shared (possibly memoized) LM frame and its
+    * vocabulary size — optimization r15: four faces (buckets, self-score,
+    * next-token, DoReMi reference) each re-trained the identical corpus
+    * bigram LM per bench pass.
+    */
+  def pplBucketsFrom(
+      docs: DataFrame,
+      lm: DataFrame,
+      v: Long,
+      nBuckets: Int = 3,
+      keepTiles: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(nBuckets >= 2 && keepTiles >= 1 && keepTiles <= nBuckets, "bad tile config")
+    locally {
       // Per-doc score frame: one row per document — cached because both
       // the count and the ranked pass read it.
       val scored = docLogLikelihood(docs, lm, v, textCol, idCol)
@@ -142,7 +160,7 @@ object LanguageModel {
           .select(col(idCol), col("avg_lp_micro"), col("tile"), col("keep"))
           .localCheckpoint(eager = true)
       } finally scored.unpersist(blocking = false)
-    } finally lm.unpersist(blocking = false)
+    }
   }
 
   /** Train-and-score in one call (scoring corpus = training corpus, the
@@ -184,14 +202,35 @@ object LanguageModel {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
+    val store = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val lmRef = bigramLm(docs, textCol).persist(store)
+    try domainExcessReweightFrom(
+      docs, lmRef, lmRef.select(col("w2")).distinct().count(),
+      srcCol, sampleMod, etaPerNat, smoothBps, textCol, idCol)
+    finally lmRef.unpersist(blocking = false)
+  }
+
+  /** [[domainExcessReweight]] with the reference LM injected (the proxy
+    * LM is subsample-trained and stays private) — the shared-LM rationale
+    * of [[pplBucketsFrom]].
+    */
+  def domainExcessReweightFrom(
+      docs: DataFrame,
+      lmRef: DataFrame,
+      vRef: Long,
+      srcCol: String = "source",
+      sampleMod: Int = 5,
+      etaPerNat: Long = 2L,
+      smoothBps: Long = 2000L,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame = {
     import graft.functions.ExactDecimal.scaledRatio
     require(sampleMod >= 2, "the proxy must train on a strict subsample")
     require(smoothBps >= 0 && smoothBps <= 10000, "smoothing is bps in [0, 10000]")
     val store = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val lmRef = bigramLm(docs, textCol).persist(store)
     val lmPx = bigramLm(docs.filter(col(idCol) % sampleMod === 0), textCol).persist(store)
     try {
-      val vRef = lmRef.select(col("w2")).distinct().count()
       val vPx = lmPx.select(col("w2")).distinct().count()
       val ref = docLogLikelihood(docs, lmRef, vRef, textCol, idCol)
       val px = docLogLikelihood(docs, lmPx, vPx, textCol, idCol)
@@ -236,10 +275,7 @@ object LanguageModel {
           col("source"), col("n_bigrams"), col("base_share_bps"),
           col("nll_ref_micro"), col("nll_proxy_micro"), col("excess_micro"),
           col("reweight_bps"), col("smoothed_bps"))
-    } finally {
-      lmRef.unpersist(blocking = false)
-      lmPx.unpersist(blocking = false)
-    }
+    } finally lmPx.unpersist(blocking = false)
   }
 
   def selfScore(
@@ -253,14 +289,26 @@ object LanguageModel {
     // and drop the cache before returning (Dedup's discipline).
     val lm = bigramLm(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val v = lm.select(col("w2")).distinct().count()
-      docLogLikelihood(docs, lm, v, textCol, idCol)
-        .withColumn("avg_lp_micro",
-          floor(col("lp_sum_micro").cast("double") / col("n_bigrams").cast("double") + lit(0.5))
-            .cast("long"))
-        .withColumn("keep", (col("avg_lp_micro") > lit(minAvgLpMicro)).cast("int"))
-        .localCheckpoint(eager = true)
-    } finally lm.unpersist(blocking = false)
+    try selfScoreFrom(docs, lm, lm.select(col("w2")).distinct().count(),
+      minAvgLpMicro, textCol, idCol)
+    finally lm.unpersist(blocking = false)
   }
+
+  /** [[selfScore]] off a shared LM frame (same rationale as
+    * [[pplBucketsFrom]]).
+    */
+  def selfScoreFrom(
+      docs: DataFrame,
+      lm: DataFrame,
+      v: Long,
+      minAvgLpMicro: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id"
+  ): DataFrame =
+    docLogLikelihood(docs, lm, v, textCol, idCol)
+      .withColumn("avg_lp_micro",
+        floor(col("lp_sum_micro").cast("double") / col("n_bigrams").cast("double") + lit(0.5))
+          .cast("long"))
+      .withColumn("keep", (col("avg_lp_micro") > lit(minAvgLpMicro)).cast("int"))
+      .localCheckpoint(eager = true)
 }

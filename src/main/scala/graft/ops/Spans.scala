@@ -338,6 +338,20 @@ object Spans {
       .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
   }
 
+  /** The total token mass the interval frame would delete —
+    * Σ(re−rs+1) over the MERGED regions, i.e. exactly the sum of
+    * [[applyRemovalIntervals]]' per-doc `n_tokens_removed` (that column
+    * is computed from the merged regions, never from the text), but
+    * WITHOUT the corpus-text reconstruct pass. Optimization r15: the
+    * curation capstones used to re-run the whole token-filter rewrite a
+    * second time just to aggregate this scalar (the cleaned frame was
+    * referenced twice and Spark has no common-subplan reuse) — at 100 TB
+    * that second reference is a full corpus pass for one number.
+    */
+  def removedTokenCensus(ivs: DataFrame): DataFrame =
+    mergedRegions(ivs).agg(
+      coalesce(sum(col("re") - col("rs") + 1), lit(0L)).as("span_tokens_removed"))
+
   /** One census row over a removal-interval frame: how much duplication
     * a detector still sees — (family, n_intervals, n_docs, longest_run,
     * residual_tokens), where residual_tokens sums the MERGED regions

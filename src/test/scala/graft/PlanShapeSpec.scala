@@ -593,9 +593,23 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("quoted-eval decontam: stratum tags broadcast onto the candidate-bounded pair frame") {
-    val plan = executedPlan("decontam_quoted_evals")
-    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+    // Optimization r15: the registered query serves the memoized shared
+    // containment pass (also read by curation_pipeline_v9), so the
+    // broadcast tag joins live in the LEG BUILD's plan — guard the
+    // operator directly (the original intent) and pin the query to the
+    // checkpoint (no parquet re-scan, no cartesian).
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val opPlan = graft.ops.Dedup
+      .quotedEvalContainment(
+        docs, docs.filter(org.apache.spark.sql.functions.col("doc_id") % 13 === 0)
+          .select(org.apache.spark.sql.functions.col("doc_id")))
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(opPlan).size >= 2,
       "both eval-id tag joins must broadcast")
+    assert(!opPlan.contains("CartesianProduct"))
+    val plan = executedPlan("decontam_quoted_evals")
+    assert(!plan.contains("Scan parquet"),
+      "the registered face must read the shared checkpointed pass")
     assert(!plan.contains("CartesianProduct"))
   }
 
