@@ -48,8 +48,23 @@ object Dedup {
       textCol: String = "text",
       mBits: Int = 4096,
       kHash: Int = 3
+  ): DataFrame =
+    deltaDedupHashes(
+      batch.select(col(idCol), md5(col(textCol)).as("h")),
+      snapshot, idCol, textCol, mBits, kHash)
+
+  /** [[deltaDedup]] off an ALREADY-hashed batch frame `(idCol, h)` — for
+    * callers that have the batch md5 in hand ([[incrementalIngestReport]]
+    * projects it once for every stage); skips one full batch text pass.
+    */
+  def deltaDedupHashes(
+      bHash: DataFrame,
+      snapshot: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      mBits: Int = 4096,
+      kHash: Int = 3
   ): DataFrame = {
-    val bHash = batch.select(col(idCol), md5(col(textCol)).as("h"))
     val snapHashes = snapshot.select(md5(col(textCol)).as("h")).distinct()
     val bits = Bloom.buildBits(snapHashes, "h", mBits, kHash)
     val pre = bHash.withColumn(
@@ -365,12 +380,26 @@ object Dedup {
       .join(sb.join(hot, Seq("bk"), "left_anti"), Seq("bk"))
       .select(col("batch_id"), col("snap_id"))
       .dropDuplicates("batch_id", "snap_id")
-    val bSet = batch.select(
-      col(idCol).as("batch_id"),
-      graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("hb"))
-    val sSet = snapshot.select(
-      col(idCol).as("snap_id"),
-      graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("hsn"))
+      .localCheckpoint(eager = true) // candidate-pair-sized ids
+    // Optimization r16 (guide §2.3, project before the heavy work): the
+    // exact-Jaccard verify needs shingle SETS only for docs that appear
+    // in a candidate pair, but a plain `cand ⋈ allSets` plan computes the
+    // set projection for EVERY row before the join probe drops it —
+    // at 100 TB that is a full corpus re-shingle for a candidate sliver.
+    // Semi-joining each side to the (checkpointed, bounded) candidate ids
+    // FIRST makes the expensive projection candidate-sized; rows pruned
+    // this way could never survive the verify join, so results are
+    // identical.
+    val bSet = batch
+      .join(cand.select(col("batch_id")).distinct(), col(idCol) === col("batch_id"), "left_semi")
+      .select(
+        col(idCol).as("batch_id"),
+        graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("hb"))
+    val sSet = snapshot
+      .join(cand.select(col("snap_id")).distinct(), col(idCol) === col("snap_id"), "left_semi")
+      .select(
+        col(idCol).as("snap_id"),
+        graft.functions.MinhashMd5Sig.setColumn(col(textCol), shingleN).as("hsn"))
     val good = cand
       .join(bSet, Seq("batch_id"))
       .join(sSet, Seq("snap_id"))
@@ -2289,8 +2318,11 @@ object Dedup {
       col(idCol).as("id"), col(textCol).as("text"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("tok"),
       md5(col(textCol)).as("h")).localCheckpoint(eager = true)
+    // The exact-vs-snapshot stage probes with b's already-computed md5
+    // (deltaDedupHashes) instead of re-hashing the raw batch — one fewer
+    // batch text pass (optimization r16, guide §2.4).
     val s1 = b.join(
-      deltaDedup(batch, snapshot, idCol, textCol)
+      deltaDedupHashes(b.select(col("id").as(idCol), col("h")), snapshot, idCol, textCol)
         .filter(col("is_dup") === 1).select(col(idCol).as("id")),
       Seq("id"), "left_anti").localCheckpoint(eager = true)
     val s2 = s1
@@ -2307,15 +2339,24 @@ object Dedup {
       TextAnalysis.gopherRules(s3.select(col("id").as("doc_id"), col("text")))
         .filter(col("keep") === 1).select(col("doc_id").as("id")),
       Seq("id"))
-    def stat(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), coalesce(sum(col("tok")), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    // ONE stats action for all five frames (optimization r16, guide §2.4:
+    // the five per-stage count/sum jobs folded into a single union
+    // aggregation over the checkpointed stage frames — b..s3 are
+    // checkpoint reads, only s4's tail executes here).
+    val statRows = Seq(b, s1, s2, s3, s4).zipWithIndex
+      .map { case (df, i) => df.select(lit(i).as("stg"), col("tok")) }
+      .reduce(_ unionByName _)
+      .groupBy(col("stg"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("tok")), lit(0L)).as("t"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    def stat(i: Int): (Long, Long) = statRows.getOrElse(i, (0L, 0L))
     val stages = Seq(
-      ("1_exact_vs_snapshot", stat(b), stat(s1)),
-      ("2_exact_in_batch", stat(s1), stat(s2)),
-      ("3_neardup_vs_snapshot", stat(s2), stat(s3)),
-      ("4_quality_gate", stat(s3), stat(s4)))
+      ("1_exact_vs_snapshot", stat(0), stat(1)),
+      ("2_exact_in_batch", stat(1), stat(2)),
+      ("3_neardup_vs_snapshot", stat(2), stat(3)),
+      ("4_quality_gate", stat(3), stat(4)))
     stages.map { case (name, (nIn, tIn), (nOut, tOut)) =>
       (name, nIn, nOut, nIn - nOut, tIn - tOut)
     }.toDF("stage", "n_in", "n_out", "docs_dropped", "tokens_dropped")

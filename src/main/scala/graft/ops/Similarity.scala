@@ -1162,6 +1162,68 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** The anchor-IVF probe/score frame at PROBE-RANK granularity — the
+    * nprobe-independent stage of the whole anchor family, built once and
+    * sliced per probe budget: every (query, candidate) pair reachable
+    * within `maxNprobe` probes, carrying the rank `rk` the candidate's
+    * home bucket holds in the query's anchor order and the 6-dp cosine.
+    * Because every corpus vector lives in exactly ONE bucket (its rank-1
+    * assignment) and a query probes distinct buckets in rank order, the
+    * nprobe-N candidate set is EXACTLY the `rk <= N` slice — so one
+    * corpus assignment + one probe join serves every nprobe, every
+    * over-fetch depth, and every top-k cut
+    * ([[ivfAnchorTopKFromScored]]; equivalence spec-pinned in
+    * SimilaritySpec). Optimization r16 (guide §2.4): ivf_nprobe_sweep
+    * previously re-ran the full assign/probe/score chain per nprobe leg,
+    * and the filtered-search faces re-built the same probe frame per
+    * query.
+    */
+  def ivfAnchorScored(
+      corpus: DataFrame,
+      queries: DataFrame,
+      maxNprobe: Int = 8,
+      nAnchors: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(maxNprobe >= 1 && maxNprobe <= nAnchors, "maxNprobe in [1, nAnchors]")
+    val micro = microVec _
+    val base = corpus.filter(size(col(vecCol)) === dim)
+    val anchors = lowestIdAnchorsMicro(base, nAnchors, idCol, vecCol)
+    def probeOrder(qv: Column): Column = anchorProbeOrder(qv, anchors)
+    val c = base
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), micro(col(vecCol)).as("c_micro"))
+      .withColumn("bucket", element_at(probeOrder(col("c_micro")), 1).getField("i"))
+      .drop("c_micro")
+    val q = queries
+      .filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), micro(col(vecCol)).as("q_micro"))
+      .select(col("query_id"), col("q_vec"),
+        posexplode(slice(probeOrder(col("q_micro")), 1, maxNprobe)).as(Seq("pos", "probe")))
+      .select(col("query_id"), col("q_vec"),
+        (col("pos") + 1).as("rk"), col("probe").getField("i").as("bucket"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        col("rk"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos_sim")
+      )
+  }
+
+  /** [[ivfAnchorTopK]] off a shared [[ivfAnchorScored]] frame: the
+    * nprobe-N result is the top-k over the `rk <= N` slice —
+    * bit-identical to the standalone run (spec-pinned), zero corpus work
+    * past the shared frame.
+    */
+  def ivfAnchorTopKFromScored(scored: DataFrame, k: Int, nprobe: Int): DataFrame =
+    topKPerQuery(
+      scored.filter(col("rk") <= nprobe)
+        .select(col("query_id"), col("neighbor_id"), col("cos_sim")),
+      k)
+
   /** IVF top-k with a LEARNED coarse quantizer — the FAISS-shaped upgrade
     * of [[ivfAnchorTopK]]: centroids come from k-means‖ seeding + Lloyd
     * ([[graft.ops.Clustering.parallelLloydCentroids]] — derandomized, so
@@ -1423,7 +1485,8 @@ object Similarity {
       attrCol: String = "label",
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      wideTopK: Option[() => DataFrame] = None
   ): DataFrame = {
     require(overfetch.nonEmpty && overfetch.forall(_ >= 1), "overfetch factors >= 1")
     val gold = filteredBruteTopK(corpus, queries, k, attrCol, idCol, vecCol)
@@ -1432,8 +1495,14 @@ object Similarity {
     val nGold = gold.agg(count(lit(1)).as("n_gold"))
     val attrs = corpus.select(col(idCol).as("neighbor_id"), col(attrCol).as("c_attr"))
     val qAttrs = queries.select(col(idCol).as("query_id"), col(attrCol).as("q_attr"))
-    val wide = ivfAnchorTopK(corpus, queries, k = overfetch.max * k,
-      dim = dim, idCol = idCol, vecCol = vecCol)
+    // wideTopK injects an ALREADY-built unfiltered probe frame (the
+    // registered face passes the session-shared ivfAnchorTopKFromScored
+    // build) — it must equal ivfAnchorTopK(corpus, queries,
+    // k = overfetch.max*k) and may carry DEEPER ranks (every consumer
+    // slices by ivf_rank <= m*k, so extra depth is filtered out).
+    val wide = wideTopK.map(_.apply()).getOrElse(
+      ivfAnchorTopK(corpus, queries, k = overfetch.max * k,
+        dim = dim, idCol = idCol, vecCol = vecCol))
       .withColumnRenamed("rank", "ivf_rank")
       .join(attrs, Seq("neighbor_id"))
       .join(broadcast(qAttrs), Seq("query_id"))
@@ -1482,7 +1551,8 @@ object Similarity {
       selPcts: Seq[Int] = Seq(1, 10, 50),
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      wideTopK: Option[() => DataFrame] = None
   ): DataFrame = {
     require(overfetch.nonEmpty && overfetch.forall(_ >= 1), "overfetch factors >= 1")
     require(selPcts.nonEmpty && selPcts.forall(p => p >= 1 && p <= 100), "pcts in [1, 100]")
@@ -1493,10 +1563,14 @@ object Similarity {
       .select(col(idCol), col(vecCol))
       .localCheckpoint(eager = true) // queries-row frame
     val q = qBase.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val wide = ivfAnchorTopK(base, qBase, k = overfetch.max * k,
-      dim = dim, idCol = idCol, vecCol = vecCol)
-      .withColumnRenamed("rank", "ivf_rank")
-      .localCheckpoint(eager = true) // queries × max(overfetch)·k rows
+    // wideTopK: same injected-probe contract as [[postFilterRecall]] —
+    // an already-materialized ivfAnchorTopK(corpus, queries,
+    // k >= overfetch.max*k) frame; every leg slices ivf_rank <= m*k.
+    val wide = wideTopK.map(w => w().withColumnRenamed("rank", "ivf_rank")).getOrElse(
+      ivfAnchorTopK(base, qBase, k = overfetch.max * k,
+        dim = dim, idCol = idCol, vecCol = vecCol)
+        .withColumnRenamed("rank", "ivf_rank")
+        .localCheckpoint(eager = true)) // queries × max(overfetch)·k rows
     selPcts.map { pct =>
       val gold = topKPerGroup(
         base
@@ -1553,7 +1627,8 @@ object Similarity {
       overfetch: Int = 4,
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      wideTopK: Option[() => DataFrame] = None
   ): DataFrame = {
     require(selPcts.nonEmpty && selPcts.forall(p => p >= 1 && p <= 100), "pcts in [1, 100]")
     require(overfetch >= 1, "overfetch factor >= 1")
@@ -1566,11 +1641,14 @@ object Similarity {
     val q = qBase.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val nCorpus = base.count() // driver scalar: the denominator
     // the single unfiltered probe frame every post-filter choice slices;
-    // lazy so an all-prefilter run never pays for it
-    lazy val wide = ivfAnchorTopK(base, qBase, k = overfetch * k,
-      dim = dim, idCol = idCol, vecCol = vecCol)
-      .withColumnRenamed("rank", "ivf_rank")
-      .localCheckpoint(eager = true)
+    // lazy so an all-prefilter run never pays for it. wideTopK injects a
+    // shared frame under the same contract as [[postFilterRecall]]
+    // (depth >= overfetch*k; the leg filter slices ivf_rank <= overfetch*k).
+    lazy val wide = wideTopK.map(w => w().withColumnRenamed("rank", "ivf_rank")).getOrElse(
+      ivfAnchorTopK(base, qBase, k = overfetch * k,
+        dim = dim, idCol = idCol, vecCol = vecCol)
+        .withColumnRenamed("rank", "ivf_rank")
+        .localCheckpoint(eager = true))
     selPcts.map { pct =>
       // THE measurement: one count over the checkpointed ids — the cost
       // a planner pays to not guess

@@ -580,6 +580,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run() == approx) // anchors are a pure function of the corpus
   }
 
+  test("ivfAnchorScored slices: every nprobe's top-k off the shared frame equals the standalone run") {
+    // the r16 shared-leg contract: one probe-rank frame at maxNprobe,
+    // nprobe-N = the rk <= N slice — including ranks, including deep
+    // over-fetch cuts (the wide-40 discipline of the filtered faces)
+    val data = clustered(120)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    val scored = Similarity
+      .ivfAnchorScored(df, queries, maxNprobe = 6, nAnchors = 6, dim = dim)
+      .localCheckpoint(true)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id", "cos_sim", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    for (np <- 1 to 6; k <- Seq(3, 12)) {
+      val direct = rows(
+        Similarity.ivfAnchorTopK(df, queries, k = k, nAnchors = 6, nprobe = np, dim = dim))
+      val sliced = rows(Similarity.ivfAnchorTopKFromScored(scored, k = k, nprobe = np))
+      assert(sliced == direct, s"nprobe=$np k=$k")
+    }
+    // deep frame sliced shallow == shallow frame: the consumers that
+    // filter ivf_rank <= m*k off a deeper shared build lose nothing
+    val deep = rows(Similarity.ivfAnchorTopKFromScored(scored, k = 12, nprobe = 3))
+    val shallowTop = deep.filter(_._4 <= 4)
+    val direct4 = rows(
+      Similarity.ivfAnchorTopK(df, queries, k = 4, nAnchors = 6, nprobe = 3, dim = dim))
+    assert(shallowTop == direct4)
+  }
+
   test("ivfAnchorTopK: the shuffle-join leg (broadcastQueries=false) is result-identical") {
     // the corpus-as-queries scale path drops the broadcast hint and rides
     // the bucket equi-join — same rows, different physical plan
