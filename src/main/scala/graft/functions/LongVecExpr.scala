@@ -39,6 +39,19 @@ object LongVec {
     java.lang.Long.valueOf(m)
   }
 
+  def hammingWords(a: ArrayData, b: ArrayData): Any = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      h += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
   def dot(a: ArrayData, b: ArrayData): Any = {
     val n = a.numElements()
     if (b.numElements() != n) return null
@@ -101,6 +114,15 @@ case class MatchCountExpr(left: Expression, right: Expression) extends LongVecBi
     copy(left = l, right = r)
 }
 
+case class HammingWordsExpr(left: Expression, right: Expression) extends LongVecBinaryExpr {
+  override def prettyName: String = "arr_hamming_words"
+  override protected def helper: String = "hammingWords"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    LongVec.hammingWords(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingWordsExpr =
+    copy(left = l, right = r)
+}
+
 case class DotLongExpr(left: Expression, right: Expression) extends LongVecBinaryExpr {
   override def prettyName: String = "dot_long"
   override protected def helper: String = "dot"
@@ -122,6 +144,8 @@ case class SqDistLongExpr(left: Expression, right: Expression) extends LongVecBi
 object LongVecExpr {
   def matchCount(a: Column, b: Column): Column =
     ColumnBridge.column(MatchCountExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def hammingWords(a: Column, b: Column): Column =
+    ColumnBridge.column(HammingWordsExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotLongExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def sqDist(a: Column, b: Column): Column =

@@ -1,0 +1,169 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** One-pass md5-plane LSH signature over an embedding column — the native
+  * twin of the compositional `Similarity.lshSigMd5Composed` (micro-quantize
+  * each component to `floor(x·1e6 + 0.5)`, per bit j the signed integer dot
+  * against the ±1 md5 sign plane, bit set iff the projection is positive).
+  *
+  * The compositional form evaluates interpreted: nbits × dim boxed lambda
+  * calls per row (zip_with product + aggregate fold + the micro transform,
+  * re-inlined per bit because lambda bodies get no subexpression reuse) —
+  * at 16 bits × 64 dims that is ~2,000 boxed evals per corpus row on the
+  * signature pass of every LSH-md5 query. This kernel runs the same exact
+  * integer math in one call (optimization r16; the SimhashExpr /
+  * MinhashMd5Sig precedent). Bit-identical on real vectors, including the
+  * null-on-wrong-length guard; a null ELEMENT collapses every projection
+  * to null exactly like the composite, which the when/otherwise bit fold
+  * reads as an all-zero signature — mirrored here by returning 0L.
+  */
+object LshMd5Sig {
+
+  /** Plane cache: planes are a pure function of (nbits, dim) — identical
+    * construction to the compositional `md5SignPlanes` (sign = low bit of
+    * digest byte 3 of md5("j-d")).
+    */
+  private val planeCache = new ConcurrentHashMap[(Int, Int), Array[Array[Long]]]()
+
+  def planes(nbits: Int, dim: Int): Array[Array[Long]] =
+    planeCache.computeIfAbsent((nbits, dim), { key =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(key._1, key._2) { (j, d) =>
+        val digest = md.digest(s"$j-$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if ((digest(3) & 1) == 1) 1L else -1L
+      }
+    })
+
+  @inline private def micro(a: ArrayData, i: Int, isFloat: Boolean): Long = {
+    val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+    math.floor(x * 1e6 + 0.5).toLong
+  }
+
+  /** All nbits signed projections, or null on length mismatch / a null
+    * element (the composite's structs would carry null margins there —
+    * malformed rows drop out of every probe join either way).
+    */
+  def computeProjs(v: ArrayData, isFloat: Boolean, nbits: Int, dim: Int): ArrayData = {
+    if (v.numElements() != dim) return null
+    val mv = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      mv(i) = micro(v, i, isFloat)
+      i += 1
+    }
+    val ps = planes(nbits, dim)
+    val projs = new Array[Long](nbits)
+    var j = 0
+    while (j < nbits) {
+      val p = ps(j)
+      var s = 0L
+      var d = 0
+      while (d < dim) { s += mv(d) * p(d); d += 1 }
+      projs(j) = s
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(projs)
+  }
+
+  /** The packed signature: bit j set iff projection j > 0. Null on length
+    * mismatch; 0L when an element is null (the composite's when/otherwise
+    * fold collapses null projections to unset bits).
+    */
+  def computeSig(v: ArrayData, isFloat: Boolean, nbits: Int, dim: Int): Any = {
+    if (v.numElements() != dim) return null
+    val projs = computeProjs(v, isFloat, nbits, dim)
+    if (projs == null) return java.lang.Long.valueOf(0L)
+    var sig = 0L
+    var j = 0
+    while (j < nbits) {
+      if (projs.getLong(j) > 0L) sig |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+}
+
+sealed abstract class LshMd5Base extends UnaryExpression {
+  def nbits: Int
+  def dim: Int
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecMath.checkVec(prettyName, child.dataType)
+
+  protected def childIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // Nullable regardless of the child: wrong-length vectors yield null.
+  override def nullable: Boolean = true
+}
+
+/** `lsh_sig_md5(vec)` — the packed signature as one codegen'd call. */
+case class LshMd5SigExpr(child: Expression, nbits: Int, dim: Int) extends LshMd5Base {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_sig_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshMd5Sig.computeSig(input.asInstanceOf[ArrayData], childIsFloat, nbits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+        Object r = graft.functions.LshMd5Sig.computeSig($c, $childIsFloat, $nbits, $dim);
+        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) r).longValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshMd5SigExpr =
+    copy(child = newChild)
+}
+
+/** `lsh_projs_md5(vec)` — all nbits signed projections (the multiprobe
+  * margin source) as one codegen'd call.
+  */
+case class LshMd5ProjsExpr(child: Expression, nbits: Int, dim: Int) extends LshMd5Base {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_projs_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshMd5Sig.computeProjs(input.asInstanceOf[ArrayData], childIsFloat, nbits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val arrCls = classOf[ArrayData].getName
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = true;
+      $arrCls ${ev.value} = null;
+      if (!${childGen.isNull}) {
+        ${ev.value} = graft.functions.LshMd5Sig.computeProjs(
+          ${childGen.value}, $childIsFloat, $nbits, $dim);
+        ${ev.isNull} = (${ev.value} == null);
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshMd5ProjsExpr =
+    copy(child = newChild)
+}
+
+object LshMd5Expr {
+  def sig(vec: Column, nbits: Int, dim: Int): Column =
+    ColumnBridge.column(LshMd5SigExpr(ColumnBridge.expression(vec), nbits, dim))
+  def projs(vec: Column, nbits: Int, dim: Int): Column =
+    ColumnBridge.column(LshMd5ProjsExpr(ColumnBridge.expression(vec), nbits, dim))
+}

@@ -1119,7 +1119,10 @@ object Dedup {
           .join(sigArr.select(col("id").as("id_a"), col("sl").as("sa")), Seq("id_a"))
           .join(sigArr.select(col("id").as("id_b"), col("sl").as("sb")), Seq("id_b"))
           .filter(
-            size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+            // codegen'd match-count kernel (optimization r16): the
+            // interpreted zip_with/filter pair ran 2×64 boxed lambda
+            // evals per candidate pair on the prefilter hot path
+            graft.functions.LongVecExpr.matchCount(col("sa"), col("sb"))
               >= minEstMatches)
           .select(col("id_a"), col("id_b"))
       }
@@ -1402,8 +1405,7 @@ object Dedup {
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), Seq("id_b"))
       .withColumn("n_match",
-        aggregate(zip_with(col("sa"), col("sb"), (x, y) => (x === y).cast("long")),
-          lit(0L), (acc, x) => acc + x))
+        graft.functions.LongVecExpr.matchCount(col("sa"), col("sb")))
       .select(
         col("id_a"), col("id_b"), col("n_match"),
         col("cont_a_in_b_bps"),
@@ -2003,10 +2005,7 @@ object Dedup {
       .select(
         col("id_a"),
         col("id_b"),
-        aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("long")),
-          lit(0L),
-          (acc, m) => acc + m).as("n_match"),
+        graft.functions.LongVecExpr.matchCount(col("sig_a"), col("sig_b")).as("n_match"),
         size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("inter"),
         size(array_union(col("set_a"), col("set_b"))).cast("long").as("uni"))
       .select(
@@ -2067,11 +2066,8 @@ object Dedup {
         .select(
           abs(
             scaledRatio(
-              aggregate(
-                zip_with(
-                  slice(col("sig_a"), 1, n), slice(col("sig_b"), 1, n),
-                  (x, y) => (x === y).cast("long")),
-                lit(0L), (acc, m) => acc + m),
+              graft.functions.LongVecExpr.matchCount(
+                slice(col("sig_a"), 1, n), slice(col("sig_b"), 1, n)),
               lit(n.toLong), 10000L).cast("long") -
               scaledRatio(col("inter"), col("uni"), 10000L).cast("long")).as("err"))
         .agg(

@@ -204,8 +204,9 @@ object Similarity {
         col("query_id"),
         col("neighbor_id"),
         // negated so TopKAgg's (score desc, id asc) order means
-        // (hamming asc, id asc) — the deterministic shortlist cut
-        (-expr("aggregate(zip_with(q_sig, c_sig, (x, y) -> bit_count(x ^ y)), 0, (a, h) -> a + h)"))
+        // (hamming asc, id asc) — the deterministic shortlist cut; one
+        // codegen'd xor-popcount call (optimization r16)
+        (-graft.functions.LongVecExpr.hammingWords(col("q_sig"), col("c_sig")))
           .as("neg_hamming"))
     val short = topKPerGroup(ham, "query_id", "neighbor_id", "neg_hamming", shortlist)
       .select(col("query_id"), col("neighbor_id"))
@@ -889,7 +890,16 @@ object Similarity {
     * family relies on — sits under a full SQL oracle. Null for vectors
     * whose length differs from `dim` (same guard as [[lshSignature]]).
     */
-  def lshSigMd5(vec: Column, nbits: Int, dim: Int): Column = {
+  def lshSigMd5(vec: Column, nbits: Int, dim: Int): Column =
+    // one codegen'd call (optimization r16) — the compositional twin below
+    // ran nbits × dim interpreted lambda evals per row on the signature
+    // pass of every LSH-md5 query; bit-identical (spec-asserted)
+    graft.functions.LshMd5Expr.sig(vec, nbits, dim)
+
+  /** Compositional form of [[lshSigMd5]] — kept as the executable
+    * specification the native kernel is checked against (SimilaritySpec).
+    */
+  def lshSigMd5Composed(vec: Column, nbits: Int, dim: Int): Column = {
     val planes = md5SignPlanes(nbits, dim)
     val qv = transform(asDouble(vec), x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
     val bits = planes.zipWithIndex.map { case (p, j) =>
@@ -952,15 +962,24 @@ object Similarity {
     * [[lshSigMd5]] — the malformed row drops out of every probe join).
     */
   private def md5MarginFlips(vec: Column, nbits: Int, dim: Int, nProbes: Int): Column = {
-    val planes = md5SignPlanes(nbits, dim)
-    val qv = transform(asDouble(vec), x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
-    val projStructs = planes.zipWithIndex.map { case (p, j) =>
-      val planeCol = array(p.map(lit): _*)
-      val proj = aggregate(zip_with(qv, planeCol, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
-      struct(abs(proj).as("a"), lit(j).as("j"), lit(1L << j).as("mask"))
-    }
+    // one codegen'd projections call (optimization r16), bound ONCE as a
+    // lambda variable so the nbits margin structs index the same array
+    // instead of re-running the fold per bit
+    val projs = graft.functions.LshMd5Expr.projs(vec, nbits, dim)
     when(size(vec) === dim,
-      transform(slice(array_sort(array(projStructs: _*)), 1, nProbes), s => s.getField("mask")))
+      element_at(
+        transform(
+          array(projs),
+          ps =>
+            transform(
+              slice(
+                array_sort(array((0 until nbits).map { j =>
+                  struct(abs(element_at(ps, j + 1)).as("a"), lit(j).as("j"),
+                    lit(1L << j).as("mask"))
+                }: _*)),
+                1, nProbes),
+              s => s.getField("mask"))),
+        1))
   }
 
   /** Multiprobe candidate frame with the probe rank attached: `flip_rank`
@@ -1707,8 +1726,7 @@ object Similarity {
       .join(cSel, Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(zip_with(col("qm"), col("cm"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d2"))
+        graft.functions.LongVecExpr.sqDist(col("qm"), col("cm")).as("d2"))
 
   private def triChain(
       corpus: DataFrame, queries: DataFrame, k: Int, nAnchors: Int, nprobe: Int,
@@ -1734,10 +1752,8 @@ object Similarity {
     val q = queries.filter(size(col(vecCol)) === dim)
       .select(col(idCol).as("query_id"), microVec(col(vecCol)).as("qm"))
       .localCheckpoint(eager = true) // queries-bounded
-    def d2ToAnchor(v: Column, av: Array[Long]): Column = {
-      val avCol = array(av.map(lit): _*)
-      aggregate(zip_with(v, avCol, (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-    }
+    def d2ToAnchor(v: Column, av: Array[Long]): Column =
+      graft.functions.LongVecExpr.sqDist(v, typedLit(av.toSeq))
     // per-anchor exact distances in INDEX order + their ceil-isqrts
     val qa = q.select(col("query_id"), col("qm"),
       array(anchors.map { case (_, av) => d2ToAnchor(col("qm"), av) }: _*).as("qad2"))
@@ -1887,16 +1903,17 @@ object Similarity {
   /** (dist², anchorIdx) structs sorted ascending — array_sort on structs
     * orders by fields left-to-right, giving the deterministic
     * min-dist-then-index probe order. Integer-exact over micro vectors.
+    * Optimization r16: the per-anchor distance is the codegen'd
+    * [[graft.functions.LongVecExpr.sqDist]] kernel — the interpreted
+    * `aggregate(zip_with(...))` fold ran nAnchors × dim boxed lambda
+    * evals per corpus row in the assignment pass of EVERY anchor-IVF
+    * query (the r12 LongVecExpr finding, applied to this family);
+    * values identical (exact long arithmetic, same null-on-mismatch).
     */
-  private def anchorProbeOrder(qv: Column, anchors: Array[(Long, Array[Long])]): Column = {
-    def d2(av: Array[Long]): Column = {
-      val avCol = array(av.map(lit): _*)
-      aggregate(zip_with(qv, avCol, (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-    }
+  private def anchorProbeOrder(qv: Column, anchors: Array[(Long, Array[Long])]): Column =
     array_sort(array(anchors.zipWithIndex.map { case ((_, av), i) =>
-      struct(d2(av).as("d"), lit(i).as("i"))
+      struct(graft.functions.LongVecExpr.sqDist(qv, typedLit(av.toSeq)).as("d"), lit(i).as("i"))
     }: _*))
-  }
 
   /** Semantic deduplication, SemDeDup shape (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with a coarse
@@ -1995,6 +2012,57 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** The threshold-independent core of the SemDeDup v1 family, built once
+    * and checkpointed: the anchor bucket assignment `(id, bucket)` and,
+    * per doc, the best 6-dp cosine to any LOWER-id bucket-mate
+    * `(id, best_sim)` — a doc is a dup at threshold t iff best_sim ≥ t,
+    * so every [[semDedup]] flag frame and every sweep leg is a filter
+    * over these two ids-only frames (optimization r16, guide §2.4: the
+    * flags face and the sweep each re-ran the full bucket pair join per
+    * bench pass). Both frames are ids + one scalar — scale-safe to pin.
+    */
+  def semDedupCore(
+      emb: DataFrame,
+      nAnchors: Int = 16,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): (DataFrame, DataFrame) = {
+    val base = emb.filter(size(col(vecCol)) === dim)
+    val anchors = lowestIdAnchorsMicro(base, nAnchors, idCol, vecCol)
+    val assigned = base
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"), microVec(col(vecCol)).as("mv"))
+      .withColumn("bucket", element_at(anchorProbeOrder(col("mv"), anchors), 1).getField("i"))
+      .drop("mv")
+    val buckets = assigned.select(col("id"), col("bucket")).localCheckpoint(eager = true)
+    val best = assigned.as("a")
+      .join(
+        assigned.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("b.id").as("id"), round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .groupBy(col("id"))
+      .agg(max(col("cos_sim")).as("best_sim"))
+      .localCheckpoint(eager = true) // ids + one double; every leg reads this
+    (buckets, best)
+  }
+
+  /** [[semDedup]] off a shared [[semDedupCore]]: a doc has a qualifying
+    * lower-id mate at threshold t iff its best mate similarity clears t —
+    * bit-identical to the standalone run (spec-pinned).
+    */
+  def semDedupFromCore(
+      buckets: DataFrame,
+      best: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id"
+  ): DataFrame =
+    buckets
+      .join(best, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("bucket").cast("int").as("bucket"),
+        coalesce((col("best_sim") >= threshold).cast("int"), lit(0)).cast("int").as("is_dup"))
+
   /** The SemDeDup tuning curve: dup share and kept share per candidate
     * cosine threshold, computed from ONE materialization of the
     * bucket-mate similarities — per doc, the best similarity to any
@@ -2013,21 +2081,17 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val base = emb.filter(size(col(vecCol)) === dim)
-    val anchors = lowestIdAnchorsMicro(base, nAnchors, idCol, vecCol)
-    val assigned = base
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"), microVec(col(vecCol)).as("mv"))
-      .withColumn("bucket", element_at(anchorProbeOrder(col("mv"), anchors), 1).getField("i"))
-      .drop("mv")
-    val best = assigned.as("a")
-      .join(
-        assigned.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("b.id").as("id"), round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
-      .groupBy(col("id"))
-      .agg(max(col("cos_sim")).as("best_sim"))
-      .localCheckpoint(eager = true) // ids + one double; every leg reads this
-    val nDocs = assigned.agg(count(lit(1)).as("n_docs"))
+    val (buckets, best) = semDedupCore(emb, nAnchors, dim, idCol, vecCol)
+    semDedupThresholdSweepFromCore(buckets, best, thresholds)
+  }
+
+  /** [[semDedupThresholdSweep]] off a shared [[semDedupCore]]. */
+  def semDedupThresholdSweepFromCore(
+      buckets: DataFrame,
+      best: DataFrame,
+      thresholds: Seq[Double] = Seq(0.25, 0.35, 0.5, 0.7)
+  ): DataFrame = {
+    val nDocs = buckets.agg(count(lit(1)).as("n_docs"))
     thresholds.map { t =>
       best.filter(col("best_sim") >= t)
         .agg(count(lit(1)).as("n_dup"))
@@ -2126,13 +2190,8 @@ object Similarity {
   /** Integer L2 between a micro-vector column's subspace `m` slice and a
     * literal codebook slice. `subDim` components per subspace.
     */
-  private def subD2(v: Column, cbSlice: Array[Long], m: Int, subDim: Int): Column = {
-    val cbCol = array(cbSlice.map(lit): _*)
-    aggregate(
-      zip_with(slice(v, m * subDim + 1, subDim), cbCol, (a, b) => (a - b) * (a - b)),
-      lit(0L),
-      (acc, x) => acc + x)
-  }
+  private def subD2(v: Column, cbSlice: Array[Long], m: Int, subDim: Int): Column =
+    graft.functions.LongVecExpr.sqDist(slice(v, m * subDim + 1, subDim), typedLit(cbSlice.toSeq))
 
   /** Product-quantization ANN with asymmetric distance (ADC), FAISS-PQ
     * shape: split each vector into `nSub` subspaces, encode every corpus
@@ -2244,10 +2303,8 @@ object Similarity {
       .map(_.getSeq[Long](1).toArray)
     require(anchors.length == nAnchors,
       s"need $nAnchors IVF anchors, corpus only yielded ${anchors.length}")
-    def d2Full(qv: Column, av: Array[Long]): Column = {
-      val avCol = array(av.map(lit): _*)
-      aggregate(zip_with(qv, avCol, (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-    }
+    def d2Full(qv: Column, av: Array[Long]): Column =
+      graft.functions.LongVecExpr.sqDist(qv, typedLit(av.toSeq))
     def probeOrder(qv: Column): Column =
       array_sort(array(anchors.zipWithIndex.map { case (av, i) =>
         struct(d2Full(qv, av).as("d"), lit(i).as("i"))

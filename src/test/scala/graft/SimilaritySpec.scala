@@ -455,6 +455,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(2)._2.isEmpty && rows(2)._3.isEmpty)
   }
 
+  test("native lshSigMd5 kernel is bit-identical to the compositional form, float and double, null on bad length") {
+    // the r16 codegen port: LshMd5SigExpr vs the aggregate(zip_with(...))
+    // spec twin, across bit widths and both element types
+    val data = clustered(50) ++ Seq((999L, Array.fill(dim + 3)(0.25f))) // one bad-length row
+    val f = data.toDF("vec_id", "embedding")
+    val d = f.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    for (df <- Seq(f, d); nbits <- Seq(8, 16)) {
+      val rows = df
+        .select(
+          $"vec_id",
+          Similarity.lshSigMd5($"embedding", nbits, dim).as("native"),
+          Similarity.lshSigMd5Composed($"embedding", nbits, dim).as("composed"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch at ${r.getLong(0)}")
+        if (!r.isNullAt(1)) assert(r.getLong(1) == r.getLong(2), s"sig mismatch at ${r.getLong(0)}")
+      }
+      assert(rows.count(_.isNullAt(1)) == 1) // exactly the bad-length row
+    }
+  }
+
   test("lshSigMd5 matches a local reference (md5 sign planes, micro-quantized dot), null on bad length") {
     val dim = 8
     val vecs = Seq(
@@ -769,6 +790,18 @@ class SimilaritySpec extends AnyFunSuite {
     }
     // 6 well-separated clusters: 6 anchors partition them; 2 anchors funnel
     assert(got(6)._4 < got(2)._4, "more anchors must improve balance on this fixture")
+  }
+
+  test("semDedupFromCore: bit-identical to standalone semDedup at every threshold (the r16 shared core)") {
+    val df = clustered(90).toDF("vec_id", "embedding")
+    val (buckets, best) = Similarity.semDedupCore(df, nAnchors = 6, dim = dim)
+    for (t <- Seq(0.25, 0.5, 0.9)) {
+      val direct = Similarity.semDedup(df, t, nAnchors = 6, dim = dim)
+        .as[(Long, Int, Int)].collect().toSet
+      val fromCore = Similarity.semDedupFromCore(buckets, best, t)
+        .as[(Long, Int, Int)].collect().toSet
+      assert(fromCore == direct, s"threshold $t")
+    }
   }
 
   test("semDedupThresholdSweep: each leg's dup count equals semDedup's flags at that threshold") {
