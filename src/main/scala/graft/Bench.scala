@@ -87,6 +87,13 @@ object Bench {
     val failed = results.collect { case (name, None) => name }
     def f3(v: Double): String = "%.3f".format(v)
     val total = results.flatMap(_._2).sum
+    // Pass-1 (cold) total alongside the min-of-2 `value` (optimization
+    // r16, VERDICT r15 #2a): a session-shared leg is built during pass 1
+    // and free in pass 2, so the min-of-2 total reads as the WARM
+    // marginal suite cost — `cold` keeps the one-time leg-build cost a
+    // printed number instead of an inference. Timing methodology is
+    // otherwise unchanged (same passes, same min; tag stays min2-v5).
+    val coldTotal = p1.values.flatten.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val sfBase = new java.io.File(sfDir).getName
     // The scorer captures only the LAST 2000 bytes of output; a full
@@ -122,7 +129,7 @@ object Bench {
     val fullPath = s"/tmp/graft_bench_$sfBase.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(fullPath),
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v5","stream_events_per_sec":$streamEps,"stream_eps_runs":[$streamEps1,$streamEps2],"media_payloads_per_sec":$mediaEps,"failed":$failedJson,"queries":$fullMap,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v5","cold":${f3(coldTotal)},"stream_events_per_sec":$streamEps,"stream_eps_runs":[$streamEps1,$streamEps2],"media_payloads_per_sec":$mediaEps,"failed":$failedJson,"queries":$fullMap,"sf":"$sfDir"}"""
         .getBytes("UTF-8"))
     // harness id min2-v5: same min-over-successful-passes-of-2 batch
     // timing as v2/v3/v4 (totals comparable round-4+), qcs24 per-query
@@ -141,7 +148,7 @@ object Bench {
     org.apache.log4j.LogManager.getRootLogger.setLevel(org.apache.log4j.Level.OFF)
     System.err.flush()
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v5","sf":"$sfBase","n":${ordered.size},"order":"name-sorted","stream_events_per_sec":$streamEps,"stream_eps_runs":[$streamEps1,$streamEps2],"media_payloads_per_sec":$mediaEps,"failed":$failedJson,"qcs24":"$qcs","full":"$fullPath"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","harness":"min2-v5","cold":${f3(coldTotal)},"sf":"$sfBase","n":${ordered.size},"order":"name-sorted","stream_events_per_sec":$streamEps,"stream_eps_runs":[$streamEps1,$streamEps2],"media_payloads_per_sec":$mediaEps,"failed":$failedJson,"qcs24":"$qcs","full":"$fullPath"}"""
     )
     System.out.flush()
   }

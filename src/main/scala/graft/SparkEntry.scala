@@ -25,6 +25,26 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Warehouse location for a built-once index, keyed by a CONTENT
+    * fingerprint of the source table (row count + max id — one cheap
+    * column-pruned aggregation, re-read every call exactly like
+    * training_shuffle_manifest so even an in-session regeneration is
+    * caught) rather than the dir path alone: a regenerated table under
+    * the same dir must trigger a rebuild, never serve a stale index
+    * against a fresh oracle (optimization r16, VERDICT r15 #6; the spec
+    * is StaleIndexSpec).
+    */
+  private def contentKeyedLoc(
+      s: SparkSession, dir: String, prefix: String, tbl: String, idCol: String
+  ): org.apache.hadoop.fs.Path = {
+    val r = table(s, dir, tbl).agg(count(lit(1)), max(col(idCol))).collect()(0)
+    val fp = (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      prefix + org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"$dir|${fp._1}|${fp._2}").take(16))
+  }
+
   /** Degree-8 navigation graph for the graph-ANN queries, built by the
     * IVF leg (deterministic anchors, nprobe=2) — candidate-bounded where
     * brute would be N², and SQL-replayable through the same assign/probe
@@ -1312,11 +1332,9 @@ object SparkEntry {
       // warehouse (built once per scale factor); the query's shard IN-list
       // prunes the scan at planning time. Identical scores to bm25_topk —
       // the same SQL oracle covers both paths.
-      // cache key = md5 of the full dir path: collision-free across dataset
-      // dirs (Int hashCode can collide, and math.abs(Int.MinValue) < 0)
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"),
-        s"graft_postings_${org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(16)}")
+      // cache key = content fingerprint of documents (r16): stale-proof
+      // against in-place testdata regeneration, collision-free across dirs
+      val loc = contentKeyedLoc(s, dir, "graft_postings_", "documents", "doc_id")
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$loc/postings/_SUCCESS")) ||
         !fs.exists(new org.apache.hadoop.fs.Path(s"$loc/stats/_SUCCESS")))
@@ -1329,9 +1347,7 @@ object SparkEntry {
       // MERGE the 10% batch (append-only, batch-sized cost), query the
       // merged index — and hash-match the full-corpus oracle, proving
       // merged ≡ rebuilt. Marker-gated so reruns don't re-append.
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"),
-        s"graft_postings_delta_${org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(16)}")
+      val loc = contentKeyedLoc(s, dir, "graft_postings_delta_", "documents", "doc_id")
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       val marker = new org.apache.hadoop.fs.Path(loc, "_MERGED")
       if (!fs.exists(marker)) {
@@ -1352,9 +1368,7 @@ object SparkEntry {
       // postings index — anti-join fixes the postings and df, a 1-row
       // correction fixes N/total_dl. Hash-matches the surviving-corpus
       // oracle: tombstoned ≡ rebuilt, the delete twin of bm25_delta_merge.
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"),
-        s"graft_postings_${org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(16)}")
+      val loc = contentKeyedLoc(s, dir, "graft_postings_", "documents", "doc_id")
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$loc/postings/_SUCCESS")) ||
         !fs.exists(new org.apache.hadoop.fs.Path(s"$loc/stats/_SUCCESS")))
@@ -3248,9 +3262,7 @@ object SparkEntry {
       // class as ann_ivf_topk (recall < 1 by design); identity with the
       // scan-side form is spec-asserted.
       val emb = table(s, dir, "embeddings")
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"),
-        s"graft_ivf_${org.apache.commons.codec.digest.DigestUtils.md5Hex(dir).take(16)}")
+      val loc = contentKeyedLoc(s, dir, "graft_ivf_", "embeddings", "vec_id")
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       val centroids =
         if (fs.exists(new org.apache.hadoop.fs.Path(loc, "_SUCCESS")))
@@ -5551,11 +5563,6 @@ object SparkEntry {
       Dedup.minhashMd5Pairs(table(s, dir, "documents"))
     }
 
-  /** The md5 near-dup pair frame at the 0.8 production threshold — eight
-    * neardup_* analytics faces previously each re-ran the full
-    * shingle/signature/banding chain per query per bench pass
-    * (optimization r15). Ids + jaccard only, scale-safe to pin.
-    */
   /** The hand-built BMP24/BMP8 twin corpus (tiny deterministic byte
     * streams) — decoded twice before: by media_phash_pixel_pairs and
     * media_phash_vs_bytehash.
@@ -5595,11 +5602,16 @@ object SparkEntry {
         .localCheckpoint(eager = true)
     }
 
+  /** The md5 near-dup pair frame at the 0.8 production threshold — eight
+    * neardup_* analytics faces previously each re-ran the full
+    * shingle/signature/banding chain per query per bench pass
+    * (optimization r15). Ids + jaccard only, scale-safe to pin.
+    * Threshold is the FINAL jaccard filter of minhashMd5Pairs (banding
+    * and verification are threshold-independent), so the 0.8 frame is a
+    * pure filter over the memoized threshold-0 frame — one banding build
+    * serves the whole md5 pair family.
+    */
   private def sharedMd5Pairs08(s: SparkSession, dir: String): DataFrame =
-    // threshold is the FINAL jaccard filter of minhashMd5Pairs (banding
-    // and verification are threshold-independent), so the 0.8 frame is a
-    // pure filter over the memoized threshold-0 frame — one banding build
-    // serves the whole md5 pair family (optimization r15).
     sharedMd5PairsT0(s, dir).filter(col("jaccard") >= 0.8)
 
   /** The Fellegi–Sunter candidate/score pair frame over customer — five

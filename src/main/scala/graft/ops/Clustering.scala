@@ -206,10 +206,25 @@ object Clustering {
       scale: Long = 10000L,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
+  ): (Seq[(Int, Seq[Long])], Int) =
+    parallelInitSeedsOn(
+      quantized(emb, idCol, vecCol, scale).localCheckpoint(eager = true), k, ell, rounds)
+
+  /** [[parallelInitSeeds]] over an ALREADY-quantized-and-checkpointed
+    * `(vec_id, qv)` frame — callers that train and then iterate
+    * ([[parallelLloydCentroids]], [[kmeansParallelInit]]) hand in ONE
+    * checkpoint instead of each stage re-quantizing the corpus
+    * (optimization r16, guide §2.4: two checkpoint jobs and a corpus
+    * scan per training run removed).
+    */
+  private[ops] def parallelInitSeedsOn(
+      qv: DataFrame,
+      k: Int,
+      ell: Int,
+      rounds: Int
   ): (Seq[(Int, Seq[Long])], Int) = {
-    val spark = emb.sparkSession
+    val spark = qv.sparkSession
     import spark.implicits._
-    val qv = quantized(emb, idCol, vecCol, scale).localCheckpoint(eager = true)
     val first = qv.orderBy($"vec_id").limit(1).collect()
     require(first.nonEmpty, "parallelInitSeeds: empty input")
     val cands = scala.collection.mutable.LinkedHashMap[Long, Seq[Long]](
@@ -279,7 +294,7 @@ object Clustering {
       vecCol: String = "embedding"
   ): Seq[(Int, Seq[Long])] = {
     val qv = quantized(emb, idCol, vecCol, scale).localCheckpoint(eager = true)
-    val (seeds, _) = parallelInitSeeds(emb, k, ell, rounds, scale, idCol, vecCol)
+    val (seeds, _) = parallelInitSeedsOn(qv, k, ell, rounds)
     lloydFromSeeds(qv, seeds, iters)._2
   }
 
@@ -305,12 +320,16 @@ object Clustering {
     val spark = emb.sparkSession
     import spark.implicits._
     val qv = quantized(emb, "vec_id", "embedding", scale).localCheckpoint(eager = true)
-    def inertia(cents: Seq[(Int, Seq[Long])]): Long = {
-      val alts = cents.map { case (_, c) => sqDistL($"qv", typedLit(c)) }
-      qv.select(array_min(array(alts: _*)).as("d"))
-        .agg(coalesce(sum($"d"), lit(0L)))
-        .collect()(0)
-        .getLong(0) // one-row decision scalar
+    // BOTH methods' inertias read in ONE corpus pass per stage
+    // (optimization r16, guide §2.4: was one driver-collected aggregation
+    // job per method per stage — 4 jobs for 4 scalars).
+    def inertias(centSets: Seq[Seq[(Int, Seq[Long])]]): Seq[Long] = {
+      val sums = centSets.zipWithIndex.map { case (cents, i) =>
+        val alts = cents.map { case (_, c) => sqDistL($"qv", typedLit(c)) }
+        coalesce(sum(array_min(array(alts: _*))), lit(0L)).as(s"d$i")
+      }
+      val row = qv.agg(sums.head, sums.tail: _*).collect()(0)
+      centSets.indices.map(row.getLong)
     }
     val naiveSeeds = qv
       .filter($"vec_id" < k)
@@ -318,14 +337,14 @@ object Clustering {
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
       .sortBy(_._1)
       .toSeq
-    val (parSeeds, poolSize) = parallelInitSeeds(emb, k, ell, rounds, scale)
+    val (parSeeds, poolSize) = parallelInitSeedsOn(qv, k, ell, rounds)
     val legs = Seq(
       ("lowest_id", naiveSeeds.size.toLong, naiveSeeds),
       ("parallel", poolSize.toLong, parSeeds))
-    legs.map { case (method, nCand, seeds) =>
-      val seedInertia = inertia(seeds)
-      val finalInertia = inertia(lloydFromSeeds(qv, seeds, iters)._2)
-      (method, nCand, seedInertia, finalInertia)
+    val seedInertias = inertias(legs.map(_._3))
+    val finalInertias = inertias(legs.map(l => lloydFromSeeds(qv, l._3, iters)._2))
+    legs.zipWithIndex.map { case ((method, nCand, _), i) =>
+      (method, nCand, seedInertias(i), finalInertias(i))
     }.toDF("method", "n_candidates", "inertia_seed", "inertia_final")
   }
 

@@ -104,6 +104,10 @@ object LanguageModel {
       textCol: String = "text",
       idCol: String = "doc_id"
   ): DataFrame = {
+    // validate the cheap config BEFORE the LM build: the vocab count in
+    // the pplBucketsFrom argument list is a full training Spark job, and
+    // an invalid tile config must not pay a corpus pass to throw
+    require(nBuckets >= 2 && keepTiles >= 1 && keepTiles <= nBuckets, "bad tile config")
     val lm = bigramLm(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try pplBucketsFrom(docs, lm, lm.select(col("w2")).distinct().count(),

@@ -33,6 +33,27 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(beam == brute)
   }
 
+  test("heap-dedup equals distinct-then-topK on a duplicate-heavy frontier (TopKAgg distinctIds contract)") {
+    // the r15 hop rewrite folds the frontier's distinct into the bounded
+    // heap: valid because the hop score is functionally determined by
+    // (query, node), so duplicates carry identical scores. Pin it on a
+    // frame where the same node reaches a query via MANY edges.
+    val dup = (for {
+      q <- 0L until 3L
+      node <- 0L until 10L
+      copy <- 0 until 5 // the same (query, node) arrives via 5 paths
+    } yield (q, node, math.rint(1e6 * (1.0 / (1 + node + q))) / 1e6, copy))
+      .toDF("query_id", "neighbor_id", "cos_sim", "copy")
+      .drop("copy")
+    val viaHeap = Similarity.topKPerGroup(
+      dup, "query_id", "neighbor_id", "cos_sim", k = 4, distinctIds = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaDistinct = Similarity.topKPerGroup(
+      dup.distinct(), "query_id", "neighbor_id", "cos_sim", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaHeap == viaDistinct)
+  }
+
   test("multiple entries launch the search from the lowest ids and never hurt the frontier") {
     val c = corpus
     val queries = c.filter(col("vec_id").isin(7L, 11L))

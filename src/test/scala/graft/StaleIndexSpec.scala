@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r16 stale-index regeneration pin (VERDICT r15 #6): the
+  * built-once-into-the-warehouse query paths key their cache location by a
+  * CONTENT fingerprint of the source table, so regenerating the table IN
+  * PLACE (same dir, different rows) must trigger a rebuild — with the old
+  * dir-path-only key this spec goes red (the second run serves the first
+  * corpus's postings).
+  */
+class StaleIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("bm25_topk_indexed rebuilds when documents is regenerated in place") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stale").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(Seq(
+      (1L, "the table scan runs first"),
+      (2L, "merge the table later"),
+      (3L, "scan and merge the rest")))
+    val fn = SparkEntry.queries("bm25_topk_indexed")
+    val r1 = fn(spark, dir).collect().map(_.toString).toSet
+    // regenerate IN PLACE: different ids, counts, and term statistics
+    write(Seq(
+      (10L, "the table"),
+      (11L, "scan the table scan twice"),
+      (12L, "merge merge the queue"),
+      (13L, "table scan merge all")))
+    val r2 = fn(spark, dir).collect().map(_.toString).toSet
+    assert(r1 != r2, "regenerated documents table served a stale postings index")
+  }
+
+  test("ann_ivf_topk_indexed rebuilds when embeddings is regenerated in place") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stale_ivf").toString
+    val rnd = new scala.util.Random(7)
+    def vecs(n: Int, shift: Float): Seq[(Long, Array[Float])] =
+      (0 until n).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() + shift)))
+    def write(rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    write(vecs(40, 0f))
+    val fn = SparkEntry.queries("ann_ivf_topk_indexed")
+    val r1 = fn(spark, dir).collect().map(_.toString).toSet
+    write(vecs(50, 1f)) // same dir, different corpus
+    val r2 = fn(spark, dir).collect().map(_.toString).toSet
+    assert(r1 != r2, "regenerated embeddings table served a stale IVF layout")
+  }
+}
