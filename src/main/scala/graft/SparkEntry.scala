@@ -1585,16 +1585,18 @@ object SparkEntry {
       // xor-popcount verify at ≤ 6. Fully engine-portable — unlike the
       // md5-native SimHash face this whole chain is oracle-checked,
       // including the bucket cap (ops/Multimodal.scala).
-      Multimodal.ahashNearDupPairs(
-        Multimodal.mediaFromDocuments(table(s, dir, "documents")))
+      // Optimization r16: the hamming filter over the shared banded
+      // candidate frame (also read by the histogram, curation, and kappa
+      // faces).
+      Multimodal.ahashNearDupPairsFrom(sharedAhashCands(s, dir))
     },
     "media_ahash_hamming_hist" -> { (s, dir) =>
       // The separation evidence behind the pairs face: Hamming histogram
       // over every banded candidate — dup mass at 0..7, unrelated-pair
       // background from ~10 up; a zero-pair corpus reads as "no media
       // dups", not "operator broke" (ops/Multimodal.scala).
-      Multimodal.ahashHammingHist(
-        Multimodal.mediaFromDocuments(table(s, dir, "documents")))
+      // Optimization r16: an aggregation over the shared candidate frame.
+      Multimodal.ahashHammingHistFrom(sharedAhashCands(s, dir))
     },
     "media_curation_flags" -> { (s, dir) =>
       // The media family closed into one verdict per payload — the
@@ -1603,13 +1605,15 @@ object SparkEntry {
       // deterministic precedence, off the oracle-green byte-stats and
       // aHash chains (ops/Multimodal.scala).
       Multimodal.curationFlags(
-        Multimodal.mediaFromDocuments(table(s, dir, "documents")))
+        Multimodal.mediaFromDocuments(table(s, dir, "documents")),
+        nearDupPairs = Some(Multimodal.ahashNearDupPairsFrom(sharedAhashCands(s, dir))))
     },
     "media_curation_report" -> { (s, dir) =>
       // The per-source census of the media verdicts: totals, drops by
       // gate, keeps, kept share in bps (ops/Multimodal.scala).
       Multimodal.curationReport(
-        Multimodal.mediaFromDocuments(table(s, dir, "documents")))
+        Multimodal.mediaFromDocuments(table(s, dir, "documents")),
+        nearDupPairs = Some(Multimodal.ahashNearDupPairsFrom(sharedAhashCands(s, dir))))
     },
     "media_shot_boundaries" -> { (s, dir) =>
       // Shot-boundary detection over the chunked payload: per-chunk
@@ -1630,16 +1634,19 @@ object SparkEntry {
       // text_vs_semantic_dedup_kappa: the byte hash should catch the
       // exact dups MinHash catches, while shingle-level rewrites split
       // the modalities.
+      // Optimization r16: both flag legs ride shared builds — the text
+      // side is the memoized 0.8 md5 pair frame, the media side the
+      // shared banded candidate frame.
       val docs = table(s, dir, "documents")
       val textFlags = docs.select(col("doc_id").as("id"))
         .join(
-          Dedup.minhashMd5Pairs(docs, threshold = 0.8)
+          sharedMd5Pairs08(s, dir)
             .select(col("id_b").as("id")).distinct().withColumn("d", lit(1)),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("d"), lit(0)).as("dup_text"))
       val mediaFlags = docs.select(col("doc_id").as("id"))
         .join(
-          Multimodal.ahashNearDupPairs(Multimodal.mediaFromDocuments(docs))
+          Multimodal.ahashNearDupPairsFrom(sharedAhashCands(s, dir))
             .select(col("id_b").as("id")).distinct().withColumn("m", lit(1)),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("m"), lit(0)).as("dup_media"))
@@ -3676,8 +3683,10 @@ object SparkEntry {
       // train/val/test atomically — exact-dup-only splits still leak
       // paraphrased copies across the boundary (Lee et al. 2022). Docs
       // outside any cluster are their own representative.
+      // Optimization r16: the cluster frame is the memoized 0.8 CC build
+      // (identical construction: nearDupClusters over the 0.8 pair frame).
       val docs = table(s, dir, "documents")
-      val clusters = Dedup.nearDupClusters(Dedup.minhashMd5Pairs(docs, threshold = 0.8))
+      val clusters = sharedMd5Clusters08(s, dir)
       val withRep = docs.select(col("doc_id"))
         .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("rep"))
@@ -3692,8 +3701,10 @@ object SparkEntry {
       // iteration is one groupBy aggregation (5 gradient sums per lang);
       // driver holds |langs|x5 longs. Full per-group trajectory under the
       // replay oracle (ops/QualityTrainer.scala).
+      // Optimization r16: rides the shared per-language training run
+      // (also graded by quality_trained_auc_by_lang).
       graft.ops.QualityTrainer
-        .groupWeightTrajectoryDf(table(s, dir, "documents"), "lang", iters = 3)
+        .groupWeightTrajectoryDfFrom(s, sharedLangTrained(s, dir)._2)
     },
     "quality_trained_auc_by_lang" -> { (s, dir) =>
       // The eval the CCNet-style per-language models were missing: one
@@ -3702,11 +3713,10 @@ object SparkEntry {
       // under-orders, that lang's gate needs its own features, not just
       // its own weights. Group-partitioned rank sums over the score-
       // vocabulary frame (ops/Contingency.rocAucBy).
-      val feat = graft.ops.QualityTrainer
-        .featuresGrouped(table(s, dir, "documents"), "lang")
-        .localCheckpoint(eager = true)
-      val w = graft.ops.QualityTrainer.trainByGroup(feat, iters = 3)
-        .map { case (g, traj) => g -> traj.last }
+      // Optimization r16: feature frame + per-language training run ride
+      // the shared build (also read by quality_trained_by_lang).
+      val (feat, traj) = sharedLangTrained(s, dir)
+      val w = traj.map { case (g, t) => g -> t.last }
       graft.ops.Contingency.rocAucBy(
         graft.ops.QualityTrainer.scoreGrouped(feat, w)
           .select(col("grp").as("lang"), col("y").cast("int").as("label"), col("p_micro")),
@@ -4109,8 +4119,9 @@ object SparkEntry {
       // rank-bounded and BROADCAST; pairs generate per-doc from the
       // sorted kept-token array — the corpus never self-joins
       // (ops/Cooccur.scala).
-      graft.ops.Cooccur.tokenPairPmi(
-        table(s, dir, "documents"), minDfPct = 1, maxDfPct = 80, vocabK = 400, minPair = 5)
+      // Optimization r16: the PMI projection over the shared pair-count
+      // frame (also read by token_rules).
+      graft.ops.Cooccur.tokenPairPmiFrom(sharedCooccurPairs(s, dir))
     },
     "encoding_stats" -> { (s, dir) =>
       // Encoding-health screen: U+FFFD replacement chars, C0 control
@@ -4214,8 +4225,9 @@ object SparkEntry {
       // Association rules (both directions per co-occurring pair):
       // support/confidence in exact basis points, lift in micro units —
       // all integer divisions over exact long counts (ops/Cooccur.scala).
-      graft.ops.Cooccur.associationRules(
-        table(s, dir, "documents"), minDfPct = 1, maxDfPct = 80, vocabK = 400, minPair = 5)
+      // Optimization r16: the rules projection over the shared pair-count
+      // frame (also read by token_pmi).
+      graft.ops.Cooccur.associationRulesFrom(sharedCooccurPairs(s, dir))
     },
     "decontam_neardup" -> { (s, dir) =>
       // Paraphrase-level contamination: corpus docs that are MinHash
@@ -5563,6 +5575,32 @@ object SparkEntry {
       Dedup.minhashMd5Pairs(table(s, dir, "documents"))
     }
 
+  /** The byte-aHash banded candidate frame (id_a, id_b, hamming) over the
+    * media view of documents — four faces (pairs, histogram, curation
+    * verdicts, media-vs-text kappa) previously each re-ran the
+    * fingerprint + banding + verify chain per bench pass (optimization
+    * r16). Candidate-pair-sized ids + one int — scale-safe to pin.
+    */
+  private def sharedAhashCands(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "ahashCandidates") {
+      Multimodal
+        .ahashCandidateHammings(Multimodal.mediaFromDocuments(table(s, dir, "documents")))
+        .localCheckpoint(eager = true)
+    }
+
+  /** The bounded co-occurrence pair-count frame at the registered knobs —
+    * token_pmi and token_rules are pure projections over it (optimization
+    * r16: each ran the identical df-band + vocab + pairing pipeline).
+    * ≤ C(400, 2) rows of tokens + counts — scale-safe to pin.
+    */
+  private def sharedCooccurPairs(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "cooccurPairs400") {
+      graft.ops.Cooccur
+        .pairCountsFrame(
+          table(s, dir, "documents"), minDfPct = 1, maxDfPct = 80, vocabK = 400, minPair = 5)
+        .localCheckpoint(eager = true)
+    }
+
   /** The hand-built BMP24/BMP8 twin corpus (tiny deterministic byte
     * streams) — decoded twice before: by media_phash_pixel_pairs and
     * media_phash_vs_bytehash.
@@ -5673,6 +5711,20 @@ object SparkEntry {
     * clustering is an iterative propagation loop, previously re-run by
     * five faces (clusters, diameter, modularity, both corpus faces).
     */
+  /** The per-language feature frame and iters=3 trained trajectories —
+    * the trajectory face and the per-language AUC eval previously each
+    * re-ran the identical feature build + GD passes per bench pass
+    * (optimization r16). Driver state: |langs| × iters × 5 longs.
+    */
+  private def sharedLangTrained(
+      s: SparkSession, dir: String): (DataFrame, Map[String, Seq[Array[Long]]]) =
+    sharedState(s, dir, "langTrained_i3") {
+      val feat = graft.ops.QualityTrainer
+        .featuresGrouped(table(s, dir, "documents"), "lang")
+        .localCheckpoint(eager = true)
+      (feat, graft.ops.QualityTrainer.trainByGroup(feat, iters = 3))
+    }
+
   private def sharedMd5Clusters08(s: SparkSession, dir: String): DataFrame =
     sharedLeg(s, dir, "md5Clusters08") {
       Dedup.nearDupClusters(sharedMd5Pairs08(s, dir)).localCheckpoint(eager = true)

@@ -57,7 +57,16 @@ object Cooccur {
       maxDfPct: Int = 80,
       vocabK: Int = 400,
       minPair: Int = 5): DataFrame =
-    pairCounts(docs, idCol, textCol, minDfPct, maxDfPct, vocabK, minPair).select(
+    tokenPairPmiFrom(pairCounts(docs, idCol, textCol, minDfPct, maxDfPct, vocabK, minPair))
+
+  /** The PMI projection off an already-built [[pairCountsFrame]] — the
+    * PMI face and [[associationRules]] share one co-occurrence build
+    * through it (optimization r16: the registered token_pmi and
+    * token_rules queries ran the identical df-band + vocab + pairing
+    * pipeline twice per bench pass).
+    */
+  def tokenPairPmiFrom(pairs: DataFrame): DataFrame =
+    pairs.select(
       col("tok_a"),
       col("tok_b"),
       col("c_a"),
@@ -67,6 +76,19 @@ object Cooccur {
         log((col("n_docs") * col("c_ab")).cast("double") / (col("c_a") * col("c_b")).cast("double")) * 1e6 + 0.5
       ).cast("long").as("pmi_micro")
     )
+
+  /** The shared co-occurrence pair-count frame as a public build —
+    * (tok_a, tok_b, c_a, c_b, n_docs, c_ab), bounded by C(vocabK, 2).
+    */
+  def pairCountsFrame(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minDfPct: Int = 1,
+      maxDfPct: Int = 80,
+      vocabK: Int = 400,
+      minPair: Int = 5): DataFrame =
+    pairCounts(docs, idCol, textCol, minDfPct, maxDfPct, vocabK, minPair)
 
   /** Shared pair-count pipeline: (tok_a, tok_b, c_a, c_b, n_docs, c_ab).
     * Keeps n_docs on every row so [[associationRules]] reuses it without
@@ -151,10 +173,13 @@ object Cooccur {
       minDfPct: Int = 1,
       maxDfPct: Int = 80,
       vocabK: Int = 400,
-      minPair: Int = 5): DataFrame = {
+      minPair: Int = 5): DataFrame =
+    associationRulesFrom(pairCounts(docs, idCol, textCol, minDfPct, maxDfPct, vocabK, minPair))
+
+  /** The rules projection off an already-built [[pairCountsFrame]]. */
+  def associationRulesFrom(pairs: DataFrame): DataFrame = {
     // n_docs rides every pair row out of the shared pipeline — no extra
     // corpus scan, no re-run of the PMI projection
-    val pairs = pairCounts(docs, idCol, textCol, minDfPct, maxDfPct, vocabK, minPair)
     val fwd = pairs.select(
       col("tok_a").as("antecedent"),
       col("tok_b").as("consequent"),

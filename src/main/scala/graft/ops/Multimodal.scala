@@ -424,6 +424,29 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The banded candidate frame as a shareable build (optimization r16):
+    * the pairs face, the histogram face, the curation verdicts, and the
+    * media-vs-text kappa each re-ran the fingerprint + banding chain —
+    * all four are filters/aggregations over this one frame.
+    */
+  def ahashCandidateHammings(
+      media: DataFrame,
+      chunks: Int = 8,
+      maxBucket: Int = 500): DataFrame =
+    candidateHammings(media, chunks, maxBucket)
+
+  /** [[ahashNearDupPairs]] off a shared [[ahashCandidateHammings]] frame
+    * (result-identical: the pairs face IS the hamming filter).
+    */
+  def ahashNearDupPairsFrom(cands: DataFrame, maxHamming: Int = 6, chunks: Int = 8): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    cands.filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[ahashHammingHist]] off a shared [[ahashCandidateHammings]] frame. */
+  def ahashHammingHistFrom(cands: DataFrame): DataFrame =
+    cands.groupBy(col("hamming")).agg(count(lit(1)).as("n_pairs"))
+
   /** The measured separation behind [[ahashNearDupPairs]]: the Hamming-
     * distance histogram over every BANDED candidate pair. This is the
     * row that makes a zero-pair result legible — at sf0.01 the corpus
@@ -534,10 +557,13 @@ object Multimodal {
       media: DataFrame,
       minBytes: Long = 64L,
       loEntropyMicro: Long = 1500000L,
-      hiEntropyMicro: Long = 7800000L): DataFrame = {
+      hiEntropyMicro: Long = 7800000L,
+      nearDupPairs: Option[DataFrame] = None): DataFrame = {
     val stats = byteStatsExact(media).toDF()
       .select(col("media_id"), col("n_bytes"), col("entropy_micro"))
-    val dups = ahashNearDupPairs(media)
+    // nearDupPairs injects a shared ahashNearDupPairs frame (r16) — must
+    // equal ahashNearDupPairs(media) at the default knobs
+    val dups = nearDupPairs.getOrElse(ahashNearDupPairs(media))
       .select(col("id_b").as("media_id")).distinct()
       .withColumn("is_dup", lit(1))
     media.select(col("media_id"), col("meta.source").as("source"))
@@ -562,8 +588,9 @@ object Multimodal {
       media: DataFrame,
       minBytes: Long = 64L,
       loEntropyMicro: Long = 1500000L,
-      hiEntropyMicro: Long = 7800000L): DataFrame =
-    curationFlags(media, minBytes, loEntropyMicro, hiEntropyMicro)
+      hiEntropyMicro: Long = 7800000L,
+      nearDupPairs: Option[DataFrame] = None): DataFrame =
+    curationFlags(media, minBytes, loEntropyMicro, hiEntropyMicro, nearDupPairs)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_media"),

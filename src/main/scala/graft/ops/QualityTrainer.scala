@@ -513,10 +513,21 @@ object QualityTrainer {
       docs: DataFrame,
       groupCol: String,
       iters: Int
+  ): DataFrame =
+    groupWeightTrajectoryDfFrom(
+      docs.sparkSession, trainByGroup(featuresGrouped(docs, groupCol), iters))
+
+  /** [[groupWeightTrajectoryDf]] off an ALREADY-trained trajectory map —
+    * the registered trajectory face and the per-language AUC eval share
+    * one training run through it (optimization r16: each previously
+    * re-ran the identical iters × groupBy gradient passes per bench pass).
+    */
+  def groupWeightTrajectoryDfFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      byGroup: Map[String, Seq[Array[Long]]]
   ): DataFrame = {
-    val spark = docs.sparkSession
     import spark.implicits._
-    trainByGroup(featuresGrouped(docs, groupCol), iters).toSeq
+    byGroup.toSeq
       .flatMap { case (g, traj) =>
         traj.zipWithIndex.flatMap { case (wv, t) =>
           FeatureNames.zip(wv).map { case (name, wj) => (t + 1, g, name, wj) }
