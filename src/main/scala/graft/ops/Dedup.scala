@@ -1073,28 +1073,25 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(tfCap >= 1 && tfCap <= 9, "tfCap must be in [1, 9] (single-digit salt)")
     val r = numHashes / bands
-    val expanded = docs
-      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .filter(col("tok") =!= "")
-      .groupBy(col("id"), col("tok"))
-      .agg(least(count(lit(1)), lit(tfCap.toLong)).as("w"))
-      .select(col("id"), col("tok"), explode(sequence(lit(1L), col("w"))).as("occ"))
+    // ONE corpus pass: the tf-capped expansion, the 64-member affine
+    // signature, and the distinct expanded-hash set all come out of one
+    // codegen'd call per row (graft.functions.WeightedMinhashSig —
+    // bit-identical to the relational explode/groupBy/min chain,
+    // spec-pinned in DedupSpec). The only materialized frame is
+    // signature-sized; the old chain persisted the expanded token
+    // multiset plus two derived frames (optimization r16, guide §2.3/.4).
+    val state = docs
       .select(
-        col("id"),
-        md5Hash32(concat(col("tok"), lit("#"), col("occ").cast("string"))).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val minAggs = (0 until numHashes).map { j =>
-      min((lit(md5AffineA(j)) * (col("h") % lit(Md5AffineMod)) + lit(md5AffineB(j))) %
-        lit(Md5AffineMod)).as(s"m$j")
-    }
-    val sig = expanded
-      .groupBy(col("id"))
-      .agg(minAggs.head, minAggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(
+        col(idCol).as("id"),
+        graft.functions.WeightedMinhashExpr.state(col(textCol), tfCap, numHashes).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("id"), col("st.sig").as("sig"), col("st.hset").as("hset"))
+      .localCheckpoint(eager = true)
+    val banded = state.select(
       col("id"),
       explode(array((0 until bands).map { b =>
-        struct((lit(b).as("b") +: (0 until r).map(i => col(s"m${b * r + i}").as(s"m$i"))): _*)
+        struct((lit(b).as("b") +: (0 until r).map(i =>
+          element_at(col("sig"), b * r + i + 1).as(s"m$i"))): _*)
       }: _*)).as("bk"))
     val rawPairs = banded
       .groupBy(col("bk"))
@@ -1111,13 +1108,10 @@ object Dedup {
     // is unaffected; 0 disables.
     val pairs =
       if (minEstMatches <= 0) rawPairs
-      else {
-        val sigArr = sig.select(
-          col("id"),
-          array((0 until numHashes).map(j => col(s"m$j")): _*).as("sl"))
+      else
         rawPairs
-          .join(sigArr.select(col("id").as("id_a"), col("sl").as("sa")), Seq("id_a"))
-          .join(sigArr.select(col("id").as("id_b"), col("sl").as("sb")), Seq("id_b"))
+          .join(state.select(col("id").as("id_a"), col("sig").as("sa")), Seq("id_a"))
+          .join(state.select(col("id").as("id_b"), col("sig").as("sb")), Seq("id_b"))
           .filter(
             // codegen'd match-count kernel (optimization r16): the
             // interpreted zip_with/filter pair ran 2×64 boxed lambda
@@ -1125,14 +1119,9 @@ object Dedup {
             graft.functions.LongVecExpr.matchCount(col("sa"), col("sb"))
               >= minEstMatches)
           .select(col("id_a"), col("id_b"))
-      }
-    val hs = expanded
-      .groupBy(col("id"))
-      .agg(collect_set(col("h")).as("hset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified = pairs
-      .join(hs.select(col("id").as("id_a"), col("hset").as("ha")), Seq("id_a"))
-      .join(hs.select(col("id").as("id_b"), col("hset").as("hb")), Seq("id_b"))
+      .join(state.select(col("id").as("id_a"), col("hset").as("ha")), Seq("id_a"))
+      .join(state.select(col("id").as("id_b"), col("hset").as("hb")), Seq("id_b"))
       .select(
         col("id_a"), col("id_b"),
         size(array_intersect(col("ha"), col("hb"))).cast("long").as("inter"),
@@ -1150,12 +1139,7 @@ object Dedup {
         col("id_a"), col("id_b"),
         graft.functions.ExactDecimal.scaledRatio(col("inter"), col("uni"), 10000L)
           .cast("long").as("wjaccard_bps"))
-    try verified.localCheckpoint(eager = true)
-    finally {
-      expanded.unpersist(blocking = false)
-      sig.unpersist(blocking = false)
-      hs.unpersist(blocking = false)
-    }
+    verified.localCheckpoint(eager = true)
   }
 
   /** Asymmetric CONTAINMENT pairs — the quote/expansion relationship

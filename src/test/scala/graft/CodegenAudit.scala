@@ -1,0 +1,27 @@
+package graft
+
+/** Codegen-span evidence for the VERDICT r15 #5 audit: prints, per query,
+  * the executed plan's WholeStageCodegen grouping (`explain("codegen")`'s
+  * span listing without the generated-source dump) so the plans/r16
+  * artifacts can show which operators sit inside codegen stages.
+  * Usage: Test/runMain graft.CodegenAudit <name>[,name...] [sfDir]
+  */
+object CodegenAudit {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(',')
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = GraftSession.local(8, "codegen-audit")
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      // execute THIS queryExecution so the AQE final plan (with its
+      // WholeStageCodegen span markers) is what prints — a fresh action
+      // (count/noop write) would plan and execute a clone instead
+      val qe = df.queryExecution
+      qe.executedPlan.executeCollect()
+      println(qe.executedPlan.toString)
+    }
+    spark.stop()
+  }
+}

@@ -468,6 +468,48 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("weighted MinHash kernel is bit-identical to the relational expansion (sig and hash set)") {
+    // the r16 one-pass kernel vs the explode/groupBy/sequence/min chain it
+    // replaced — duplicate-heavy tf > cap, mixed case, extra whitespace,
+    // and a token-less doc (kernel must yield null = absent)
+    val docs = Seq(
+      (0L, "X x x x x x x x x x y"),
+      (1L, "the  quick\tbrown  fox the the"),
+      (2L, " "),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    import org.apache.spark.sql.functions._
+    val kernel = docs
+      .select(col("doc_id"),
+        graft.functions.WeightedMinhashExpr.state(col("text"), 8, 64).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("doc_id"), col("st.sig").as("sig"), col("st.hset").as("hset"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3.toSet))).toMap
+    val expanded = docs
+      .select(col("doc_id").as("id"),
+        explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("id"), col("tok"))
+      .agg(least(count(lit(1)), lit(8L)).as("w"))
+      .select(col("id"), col("tok"), explode(sequence(lit(1L), col("w"))).as("occ"))
+      .select(col("id"),
+        graft.ops.Dedup.md5Hash32(concat(col("tok"), lit("#"), col("occ").cast("string"))).as("h"))
+    val minAggs = (0 until 64).map { j =>
+      min((lit(graft.ops.Dedup.md5AffineA(j)) * (col("h") % lit(graft.ops.Dedup.Md5AffineMod)) +
+        lit(graft.ops.Dedup.md5AffineB(j))) % lit(graft.ops.Dedup.Md5AffineMod)).as(s"m$j")
+    }
+    val relSig = expanded.groupBy(col("id")).agg(minAggs.head, minAggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 64).map(r.getLong).toSeq).toMap
+    val relSet = expanded.groupBy(col("id")).agg(collect_set(col("h")).as("hs"))
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2.toSet).toMap
+    assert(kernel.keySet == relSig.keySet) // doc 2 absent from both
+    kernel.foreach { case (id, (sig, hset)) =>
+      assert(sig == relSig(id), s"sig mismatch doc $id")
+      assert(hset == relSet(id), s"set mismatch doc $id")
+    }
+  }
+
   test("dedup_savings_report: histogram and removable-token algebra on multi-copy clusters") {
     // clusters: "a b c" x3 (3 tokens/copy), "d e" x2 (2 tokens/copy),
     // "f" x1, "g h i j" x1 -> sizes {3:1, 2:1, 1:2}
