@@ -1503,9 +1503,8 @@ object SparkEntry {
       // language gate → quality gate. One composed plan: the window dedup,
       // the lang/quality projections, and the filters all pipeline over a
       // single scan + one hash-partition exchange.
-      val docs = table(s, dir, "documents")
-      Dedup
-        .dropExactDuplicates(docs)
+      // Optimization r16: survivors attach via the shared ids-only leg.
+      sharedDeduped(s, dir)
         .select(
           col("doc_id"),
           TextAnalysis.langId(col("text")).as("lang"),
@@ -3289,7 +3288,7 @@ object SparkEntry {
       // scans total — at 100 TB you recompute a cheap projection rather
       // than cache a corpus-sized frame); every stage is individually
       // oracle-checked and the composition is too.
-      val deduped = Dedup.dropExactDuplicates(table(s, dir, "documents"))
+      val deduped = sharedDeduped(s, dir) // optimization r16: shared survivor-id leg
       val spanDropIds = graft.ops.Spans
         .duplicatedSpans(deduped, n = 5, maxDf = 50, minRun = 20)
         .select(col("doc_b").as("doc_id"))
@@ -3313,7 +3312,7 @@ object SparkEntry {
       // survivor) → Gopher repetition/lexical gate (map-only) → per-language
       // deterministic sampling (map-only). One scan, one dedup exchange;
       // every stage individually oracle-checked, and the composition too.
-      val deduped = Dedup.dropExactDuplicates(table(s, dir, "documents"))
+      val deduped = sharedDeduped(s, dir) // optimization r16: shared survivor-id leg
       val gated = TextAnalysis
         .gopherRules(deduped, carryCols = Seq("lang"))
         .filter(col("keep") === 1)
@@ -3333,7 +3332,7 @@ object SparkEntry {
       // on the redacted text) → per-language stratified sampling. One scan,
       // one dedup exchange, everything else map-side; every stage is
       // individually oracle-checked and the composition is too.
-      val deduped = Dedup.dropExactDuplicates(table(s, dir, "documents"))
+      val deduped = sharedDeduped(s, dir) // optimization r16: shared survivor-id leg
       val clean = deduped.select(
         col("doc_id"),
         col("lang"),
@@ -3643,7 +3642,7 @@ object SparkEntry {
       // threshold sits in front of it.
       val docs = table(s, dir, "documents")
       val scored = graft.ops.QualityTrainer.trainAndScore(docs, iters = 8)
-      val deduped = Dedup.dropExactDuplicates(docs)
+      val deduped = sharedDeduped(s, dir) // optimization r16: shared survivor-id leg
         .select(
           col("doc_id"), col("source"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
@@ -3667,7 +3666,7 @@ object SparkEntry {
       // is held out by the gate itself (ops/QualityTrainer.conformalGate).
       val docs = table(s, dir, "documents")
       val gate = graft.ops.QualityTrainer.conformalGate(docs, iters = 8)
-      val deduped = Dedup.dropExactDuplicates(docs)
+      val deduped = sharedDeduped(s, dir) // optimization r16: shared survivor-id leg
         .select(
           col("doc_id"), col("source"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
@@ -4547,7 +4546,7 @@ object SparkEntry {
       // "what does each source contribute to each split after cleaning",
       // the plan a training run reads before writing shards. One dedup
       // exchange, map-only gate, one rep window, one bounded agg.
-      val deduped = Dedup.dropExactDuplicates(table(s, dir, "documents"))
+      val deduped = sharedDeduped(s, dir) // optimization r16: shared survivor-id leg
       val gated = TextAnalysis
         .gopherRules(deduped, carryCols = Seq("source", "text"))
         .filter(col("keep") === 1)
@@ -5574,6 +5573,26 @@ object SparkEntry {
     sharedLeg(s, dir, "md5PairsT0") {
       Dedup.minhashMd5Pairs(table(s, dir, "documents"))
     }
+
+  /** The exact-dedup survivor ids (min-id per distinct text) — ids only,
+    * scale-safe to pin. Seven curation chains each re-ran the full-text
+    * min_by exchange of dropExactDuplicates per bench pass; with this leg
+    * the election runs once per session and each chain attaches the
+    * survivors with an ids-only semi-join over its own scan
+    * (row-identical, spec-pinned in DedupSpec; optimization r16,
+    * guide §8: decide with small rows, move big rows once).
+    */
+  private def sharedExactKeepIds(s: SparkSession, dir: String): DataFrame =
+    sharedLeg(s, dir, "exactKeepIds") {
+      Dedup.exactKeepIds(table(s, dir, "documents")).localCheckpoint(eager = true)
+    }
+
+  /** [[Dedup.dropExactDuplicates]] over the documents table via the shared
+    * survivor-id leg — row-identical, text never shuffles.
+    */
+  private def sharedDeduped(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .join(sharedExactKeepIds(s, dir), Seq("doc_id"), "left_semi")
 
   /** The byte-aHash banded candidate frame (id_a, id_b, hamming) over the
     * media view of documents — four faces (pairs, histogram, curation

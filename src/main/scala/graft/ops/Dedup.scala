@@ -101,6 +101,18 @@ object Dedup {
       .agg(min_by(struct(docs.columns.map(col): _*), col(idCol)).as("_row"))
       .select(col("_row.*"))
 
+  /** The exact-dedup SURVIVOR ids alone — the decide-with-small-rows form
+    * of [[dropExactDuplicates]] (guide §8): the election shuffles
+    * (hash, id) pairs, never document text, and the survivors attach back
+    * by a semi-join on the id. `docs.join(exactKeepIds(docs), Seq(idCol),
+    * "left_semi")` is row-identical to [[dropExactDuplicates]] when ids
+    * are unique (spec-pinned in DedupSpec) — the shape the registry's
+    * shared leg pins (ids only, scale-safe) so seven curation chains stop
+    * re-running the full-text min_by exchange each (optimization r16).
+    */
+  def exactKeepIds(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    exactGroups(docs, idCol, textCol).select(col("keep_id").as(idCol))
+
   // -------------------------------------------------------------- shingles
 
   /** Distinct word n-gram shingles of the lower-cased text; empty array for

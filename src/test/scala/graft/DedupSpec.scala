@@ -468,6 +468,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("exactKeepIds semi-join is row-identical to dropExactDuplicates (the r16 ids-only leg)") {
+    val docs = Seq(
+      (5L, "a b c", "s1"), (2L, "a b c", "s2"), (9L, "a b c", "s1"),
+      (3L, "d e", "s1"), (7L, "d e", "s2"),
+      (4L, "solo", "s3")
+    ).toDF("doc_id", "text", "source")
+    import org.apache.spark.sql.functions._
+    val direct = graft.ops.Dedup.dropExactDuplicates(docs)
+      .as[(Long, String, String)].collect().toSet
+    val viaIds = docs.join(graft.ops.Dedup.exactKeepIds(docs), Seq("doc_id"), "left_semi")
+      .as[(Long, String, String)].collect().toSet
+    assert(viaIds == direct)
+    assert(direct.map(_._1) == Set(2L, 3L, 4L)) // min-id survivors
+  }
+
   test("weighted MinHash kernel is bit-identical to the relational expansion (sig and hash set)") {
     // the r16 one-pass kernel vs the explode/groupBy/sequence/min chain it
     // replaced — duplicate-heavy tf > cap, mixed case, extra whitespace,
