@@ -690,12 +690,25 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("media ahash pairs: banded bucket explosion, never a media×media product") {
-    val plan = executedPlan("media_ahash_neardup_pairs")
+    // r16: the registered face is a filter over the shared candidate
+    // checkpoint, which truncates the face plan — drive the candidate
+    // stage directly for the bucket-shape assertions (the dtw guard's
+    // pattern) and keep the face guards on the checkpointed tail.
+    val facePlan = executedPlan("media_ahash_neardup_pairs")
+    assert(!facePlan.contains("CartesianProduct"))
+    assert(!facePlan.contains("BroadcastNestedLoopJoin"))
+    assert(!facePlan.contains("parquet"),
+      "the face must read the checkpointed candidates, not re-scan parquet")
+    import spark.implicits._
+    val media = graft.ops.Multimodal.mediaFromDocuments(
+      Seq((0L, "aaaa bbbb", "s"), (1L, "aaaa bbbb", "s"), (2L, "zz qq", "s"))
+        .toDF("doc_id", "text", "source"))
+    val cands = graft.ops.Multimodal.ahashCandidateHammings(media)
+    cands.count()
+    val plan = cands.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(plan.contains("ObjectHashAggregate"), "bucket collect_list stage missing")
-    assert(!plan.contains("parquet"),
-      "verification must join the checkpointed fingerprints, not re-scan parquet")
   }
 
   test("dtw all-pairs: candidate generation is BANDED — no user×user join; faces read checkpoints") {
